@@ -1,0 +1,67 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session/engine facade — the Spark-native analogue of the reference's
+  * `QueryEngine` (reference: crates/engine/src/lib.rs:28-62), which wraps a
+  * DataFusion `SessionContext`, registers the `capitalize` UDF, and executes
+  * SQL. Here the analogue of DataFusion is Catalyst itself: `execute(sql)`
+  * is `spark.sql(sql)` (parse -> analyze -> optimize -> physical plan ->
+  * distributed execution), and table registration is the Spark catalog.
+  *
+  * Unlike the reference (which fully `collect()`s every query,
+  * crates/engine/src/lib.rs:54-57), `execute` stays lazy and distributed:
+  * callers choose `collect`/`show`/`write`, so a 100 TB result never has to
+  * fit on the driver.
+  */
+class GraftSession(val spark: SparkSession) {
+
+  graft.functions.Functions.register(spark)
+
+  /** Register a DataFrame under a name (reference:
+    * crates/common/src/catalog.rs:5-27 `MemoryCatalog::register_table`).
+    */
+  def registerTable(name: String, df: DataFrame): Unit =
+    df.createOrReplaceTempView(name)
+
+  /** Registered table names (reference: catalog.rs `get_table` surface). */
+  def tableNames: Seq[String] =
+    spark.catalog.listTables().collect().map(_.name).toSeq
+
+  def table(name: String): DataFrame = spark.table(name)
+
+  /** Execute SQL through Catalyst — the whole-query lifecycle of
+    * reference crates/engine/src/lib.rs:54-57, minus the eager collect.
+    */
+  def execute(sql: String): DataFrame = spark.sql(sql)
+}
+
+object GraftSession {
+
+  /** Build a local session with the scale-aware defaults this engine
+    * assumes everywhere: AQE on (runtime re-plan, skew-join handling),
+    * shuffle partitions sized to the machine rather than Spark's default
+    * 200, UTC session time zone for reproducible timestamp semantics.
+    */
+  def local(
+      cores: Int = Runtime.getRuntime.availableProcessors(),
+      appName: String = "graft"
+  ): GraftSession = {
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    new GraftSession(spark)
+  }
+
+  /** Wrap an existing SparkSession (e.g. on a real cluster, where the
+    * session arrives from spark-submit configured for that cluster).
+    */
+  def apply(spark: SparkSession): GraftSession = new GraftSession(spark)
+}

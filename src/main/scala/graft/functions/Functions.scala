@@ -1,0 +1,54 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.Upper
+import org.apache.spark.sql.classic.GraftSqlInternals
+import org.apache.spark.sql.{Column, SparkSession}
+
+/** graft's SQL function surface.
+  *
+  * The reference engine registers exactly one UDF, `capitalize`, whose
+  * kernel is full uppercasing despite the name (reference:
+  * crates/engine/src/lib.rs:64-144, kernel at :89 `to_uppercase`,
+  * registration at :136-144). We register the same name with the same
+  * semantics, but resolve it to Spark's *native* `Upper` expression so it
+  * stays inside whole-stage codegen — a Scala UDF would break the codegen
+  * pipeline for zero benefit.
+  *
+  * On top of the reference surface we add the vector expressions used by
+  * the similarity/dedup extension operators (SURVEY.md §2.C).
+  */
+object Functions {
+
+  /** Idempotently register graft's functions on a session. */
+  def register(spark: SparkSession): Unit = {
+    GraftSqlInternals.registerFunction(spark, "capitalize", es => Upper(es.head))
+    GraftSqlInternals.registerFunction(
+      spark,
+      "cosine_sim",
+      es => CosineSimilarity(es(0), es(1))
+    )
+    GraftSqlInternals.registerFunction(
+      spark,
+      "dot_product",
+      es => DotProduct(es(0), es(1))
+    )
+  }
+
+  /** Column API: `capitalize(c)` — reference semantics = UPPER(c),
+    * null-preserving (reference crates/engine/src/lib.rs:85-89).
+    */
+  def capitalize(c: Column): Column =
+    GraftSqlInternals.column(Upper(GraftSqlInternals.expression(c)))
+
+  /** Column API: cosine similarity of two `array<float>` columns. */
+  def cosineSim(a: Column, b: Column): Column =
+    GraftSqlInternals.column(
+      CosineSimilarity(GraftSqlInternals.expression(a), GraftSqlInternals.expression(b))
+    )
+
+  /** Column API: dot product of two `array<float>` columns. */
+  def dotProduct(a: Column, b: Column): Column =
+    GraftSqlInternals.column(
+      DotProduct(GraftSqlInternals.expression(a), GraftSqlInternals.expression(b))
+    )
+}

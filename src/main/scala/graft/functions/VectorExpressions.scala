@@ -1,0 +1,122 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions over `array<float>` embedding columns.
+  *
+  * These power the similarity-search operators (SURVEY.md §2.C). A Scala
+  * UDF here would box every element per row; a native expression with
+  * `doGenCode` keeps the dot-product loop inside whole-stage codegen and
+  * reads floats directly out of the columnar `ArrayData` — the difference
+  * between ~GB/s and ~100MB/s per core on a 100 TB brute-force scan.
+  */
+abstract class VectorBinaryExpression extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(FloatType, _) => true
+      case _                       => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects two array<float> arguments, got " +
+          s"${left.dataType.catalogString} and ${right.dataType.catalogString}"
+      )
+  }
+}
+
+/** cosine_sim(a, b) = dot(a,b) / (|a| * |b|); 0.0 when either norm is 0. */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends VectorBinaryExpression {
+
+  override def prettyName: String = "cosine_sim"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var nx = 0.0
+    var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = x.getFloat(i).toDouble
+      val yv = y.getFloat(i).toDouble
+      dot += xv * yv
+      nx += xv * xv
+      ny += yv * yv
+      i += 1
+    }
+    val denom = math.sqrt(nx) * math.sqrt(ny)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      (a, b) => s"""
+        |int graft_n = java.lang.Math.min($a.numElements(), $b.numElements());
+        |double graft_dot = 0.0, graft_nx = 0.0, graft_ny = 0.0;
+        |for (int graft_i = 0; graft_i < graft_n; graft_i++) {
+        |  double graft_xv = (double) $a.getFloat(graft_i);
+        |  double graft_yv = (double) $b.getFloat(graft_i);
+        |  graft_dot += graft_xv * graft_yv;
+        |  graft_nx += graft_xv * graft_xv;
+        |  graft_ny += graft_yv * graft_yv;
+        |}
+        |double graft_denom = java.lang.Math.sqrt(graft_nx) * java.lang.Math.sqrt(graft_ny);
+        |${ev.value} = (graft_denom == 0.0) ? 0.0 : graft_dot / graft_denom;
+      """.stripMargin
+    )
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression,
+      newRight: Expression
+  ): Expression = copy(left = newLeft, right = newRight)
+}
+
+/** dot_product(a, b) — plain inner product, same codegen shape. */
+case class DotProduct(left: Expression, right: Expression)
+    extends VectorBinaryExpression {
+
+  override def prettyName: String = "dot_product"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      (a, b) => s"""
+        |int graft_n = java.lang.Math.min($a.numElements(), $b.numElements());
+        |double graft_dot = 0.0;
+        |for (int graft_i = 0; graft_i < graft_n; graft_i++) {
+        |  graft_dot += (double) $a.getFloat(graft_i) * (double) $b.getFloat(graft_i);
+        |}
+        |${ev.value} = graft_dot;
+      """.stripMargin
+    )
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression,
+      newRight: Expression
+  ): Expression = copy(left = newLeft, right = newRight)
+}

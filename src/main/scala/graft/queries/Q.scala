@@ -1,0 +1,50 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** One registered query: the Spark implementation plus (when the operation
+  * is SQL-expressible) an equivalent ANSI-SQL oracle the driver runs in
+  * DuckDB on the same parquet tables (BASELINE.md correctness gate).
+  *
+  * `bench = true` marks the headline queries Bench.scala times at sf0.1.
+  */
+final case class Q(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    bench: Boolean = false
+)
+
+/** Shared helpers for query definitions. */
+object QueryUtil {
+
+  /** Load one driver-generated table (TESTDATA.md). Plain parquet scan —
+    * Catalyst handles column pruning and filter pushdown from the plan.
+    */
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Register tables as temp views for SQL-text queries; returns spark. */
+  def views(spark: SparkSession, dir: String, names: String*): SparkSession = {
+    names.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+    spark
+  }
+
+  /** `$"col"` interpolator usable outside a SparkSession's implicits. */
+  implicit class ColumnInterpolator(private val sc: StringContext) {
+    def $(args: Any*): Column = col(sc.s(args: _*))
+  }
+
+  /** Exact-arithmetic bridge for the DuckDB oracle: do money math in
+    * decimal (bit-exact in any engine, immune to floating-point summation
+    * order) and cast to double only at the very end. The same casts appear
+    * verbatim in the oracle SQL, so Spark-at-scale parallel aggregation and
+    * single-threaded DuckDB produce identical bits.
+    */
+  def dec2(c: Column): Column = c.cast(DecimalType(14, 2)) // prices/quantities
+  def pct(c: Column): Column = c.cast(DecimalType(4, 2)) // rates in [0,1)
+  def asDouble(c: Column): Column = c.cast("double")
+  def asLong(c: Column): Column = c.cast("bigint")
+}
