@@ -57,23 +57,37 @@ case class CosineSimilarity(left: Expression, right: Expression)
     if (denom == 0.0) 0.0 else dot / denom
   }
 
+  // Variable names come from ctx.freshName so two cosine_sim calls in one
+  // projection never collide inside the same generated method (a collision
+  // would fail Janino compilation and silently fall back to interpreted
+  // eval, defeating the whole point of this expression).
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(
       ctx,
       ev,
-      (a, b) => s"""
-        |int graft_n = java.lang.Math.min($a.numElements(), $b.numElements());
-        |double graft_dot = 0.0, graft_nx = 0.0, graft_ny = 0.0;
-        |for (int graft_i = 0; graft_i < graft_n; graft_i++) {
-        |  double graft_xv = (double) $a.getFloat(graft_i);
-        |  double graft_yv = (double) $b.getFloat(graft_i);
-        |  graft_dot += graft_xv * graft_yv;
-        |  graft_nx += graft_xv * graft_xv;
-        |  graft_ny += graft_yv * graft_yv;
+      (a, b) => {
+        val n = ctx.freshName("n")
+        val dot = ctx.freshName("dot")
+        val nx = ctx.freshName("nx")
+        val ny = ctx.freshName("ny")
+        val i = ctx.freshName("i")
+        val xv = ctx.freshName("xv")
+        val yv = ctx.freshName("yv")
+        val denom = ctx.freshName("denom")
+        s"""
+        |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+        |for (int $i = 0; $i < $n; $i++) {
+        |  double $xv = (double) $a.getFloat($i);
+        |  double $yv = (double) $b.getFloat($i);
+        |  $dot += $xv * $yv;
+        |  $nx += $xv * $xv;
+        |  $ny += $yv * $yv;
         |}
-        |double graft_denom = java.lang.Math.sqrt(graft_nx) * java.lang.Math.sqrt(graft_ny);
-        |${ev.value} = (graft_denom == 0.0) ? 0.0 : graft_dot / graft_denom;
+        |double $denom = java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny);
+        |${ev.value} = ($denom == 0.0) ? 0.0 : $dot / $denom;
       """.stripMargin
+      }
     )
 
   override protected def withNewChildrenInternal(
@@ -105,14 +119,19 @@ case class DotProduct(left: Expression, right: Expression)
     nullSafeCodeGen(
       ctx,
       ev,
-      (a, b) => s"""
-        |int graft_n = java.lang.Math.min($a.numElements(), $b.numElements());
-        |double graft_dot = 0.0;
-        |for (int graft_i = 0; graft_i < graft_n; graft_i++) {
-        |  graft_dot += (double) $a.getFloat(graft_i) * (double) $b.getFloat(graft_i);
+      (a, b) => {
+        val n = ctx.freshName("n")
+        val dot = ctx.freshName("dot")
+        val i = ctx.freshName("i")
+        s"""
+        |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        |double $dot = 0.0;
+        |for (int $i = 0; $i < $n; $i++) {
+        |  $dot += (double) $a.getFloat($i) * (double) $b.getFloat($i);
         |}
-        |${ev.value} = graft_dot;
+        |${ev.value} = $dot;
       """.stripMargin
+      }
     )
 
   override protected def withNewChildrenInternal(

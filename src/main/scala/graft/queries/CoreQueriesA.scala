@@ -249,7 +249,11 @@ object CoreQueriesA {
         val c = t(s, dir, "customer").filter($"c_mktsegment" === "BUILDING")
         val o = t(s, dir, "orders").filter($"o_orderdate" < ts("1998-03-15"))
         val l = t(s, dir, "lineitem").filter($"l_shipdate" > ts("1998-03-15"))
-        l.join(broadcast(o.join(broadcast(c), $"o_custkey" === $"c_custkey")),
+        // 100 TB note: broadcast ONLY the filtered customer dimension; the
+        // orders side stays fact-sized (the date filter keeps most rows), so
+        // orders⋈lineitem must remain a shuffle join — AQE picks the
+        // strategy at runtime from the post-filter sizes.
+        l.join(o.join(broadcast(c), $"o_custkey" === $"c_custkey"),
             $"l_orderkey" === $"o_orderkey")
           .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
           .agg(
@@ -284,10 +288,14 @@ object CoreQueriesA {
           $"o_orderdate" >= ts("1996-01-01") && $"o_orderdate" < ts("1997-01-01")
         )
         val l = t(s, dir, "lineitem")
+        // 100 TB note: customer (~150M rows at 100×) and supplier (~10M) are
+        // far beyond broadcast limits — leave their join strategy to AQE
+        // (shuffle join, or broadcast if runtime stats say they fit).
+        // Only the genuinely tiny nation/region dims are forced broadcast.
         l.join(o, $"l_orderkey" === $"o_orderkey")
-          .join(broadcast(c), $"o_custkey" === $"c_custkey")
+          .join(c, $"o_custkey" === $"c_custkey")
           .join(
-            broadcast(sup),
+            sup,
             $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey"
           )
           .join(broadcast(n), $"s_nationkey" === $"n_nationkey")

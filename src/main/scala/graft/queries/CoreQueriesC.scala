@@ -31,7 +31,7 @@ object CoreQueriesC {
             lpad($"c_mktsegment", 14, "*").as("padded"),
             regexp_replace($"c_name", "Customer#", "C-").as("renamed"),
             reverse($"c_mktsegment").as("rev"),
-            split_part($"c_name", "#", 2).as("cust_num")
+            split_part($"c_name", lit("#"), lit(2)).as("cust_num")
           )
           .orderBy($"c_custkey"),
       Some(

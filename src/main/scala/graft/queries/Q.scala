@@ -22,9 +22,29 @@ object QueryUtil {
 
   /** Load one driver-generated table (TESTDATA.md). Plain parquet scan —
     * Catalyst handles column pruning and filter pushdown from the plan.
+    *
+    * events.parquet carries TIMESTAMP(NANOS), which Spark's parquet reader
+    * rejects by default ([PARQUET_TYPE_ILLEGAL]); the legacy nanosAsLong
+    * conf makes it read as LongType nanos (see `events` for the typed view).
+    * Set unconditionally so any session — ours or the driver's — can scan
+    * every fixture table.
     */
-  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** events with `ts` as a real TimestampType (micros), truncated from the
+    * file's nanos exactly like DuckDB's TIMESTAMP_NS -> TIMESTAMP cast, so
+    * oracle comparisons agree bit-for-bit.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = t(spark, dir, "events")
+    raw.withColumn(
+      "ts",
+      timestamp_micros((col("ts") / lit(1000L)).cast("long"))
+    )
+  }
 
   /** Register tables as temp views for SQL-text queries; returns spark. */
   def views(spark: SparkSession, dir: String, names: String*): SparkSession = {
