@@ -105,12 +105,17 @@ object CoreQueriesB {
       )
     ),
     // ----- window: running aggregate (ROWS frame) ---------------------------
+    // NOTE: l_linenumber is NOT unique within l_orderkey in this synthetic
+    // data, so the ROWS frame orders by (l_linenumber, l_quantity): rows
+    // tied on both contribute equal amounts, making the prefix sums
+    // well-defined regardless of tie order. Output rows are then totally
+    // ordered by (l_orderkey, running_n) — running_n is unique in-partition.
     Q(
       "q_win_running",
       (s, dir) => {
         val w = Window
           .partitionBy($"l_orderkey")
-          .orderBy($"l_linenumber")
+          .orderBy($"l_linenumber", $"l_quantity")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         t(s, dir, "lineitem")
           .filter($"l_orderkey" < 500)
@@ -120,16 +125,16 @@ object CoreQueriesB {
             asDouble(sum(dec2($"l_quantity")).over(w)).as("running_qty"),
             count(lit(1)).over(w).as("running_n")
           )
-          .orderBy($"l_orderkey", $"l_linenumber")
+          .orderBy($"l_orderkey", $"running_n")
       },
       Some(
         "SELECT l_orderkey, l_linenumber, " +
           "CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) OVER w AS DOUBLE) AS running_qty, " +
           "count(*) OVER w AS running_n " +
           "FROM lineitem WHERE l_orderkey < 500 WINDOW w AS " +
-          "(PARTITION BY l_orderkey ORDER BY l_linenumber " +
+          "(PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity " +
           "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
-          "ORDER BY l_orderkey, l_linenumber"
+          "ORDER BY l_orderkey, running_n"
       )
     ),
     // ----- window: ntile ----------------------------------------------------
@@ -155,6 +160,10 @@ object CoreQueriesB {
       )
     ),
     // ----- window: RANGE frame (value-based, deterministic under ties) -----
+    // RANGE frames are peer-inclusive so the windowed values are
+    // deterministic; the OUTPUT ordering lists every column because
+    // (l_orderkey, l_linenumber) is not a unique key in this data — any
+    // remaining ties are fully identical rows.
     Q(
       "q_win_range",
       (s, dir) =>
@@ -165,7 +174,7 @@ object CoreQueriesB {
             "FROM lineitem WHERE l_orderkey < 300 WINDOW w AS " +
             "(PARTITION BY l_returnflag ORDER BY l_quantity " +
             "RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) " +
-            "ORDER BY l_orderkey, l_linenumber"
+            "ORDER BY l_orderkey, l_linenumber, l_quantity, n_in_range, qty_in_range"
         ),
       Some(
         "SELECT l_orderkey, l_linenumber, l_quantity, " +
@@ -174,7 +183,7 @@ object CoreQueriesB {
           "FROM lineitem WHERE l_orderkey < 300 WINDOW w AS " +
           "(PARTITION BY l_returnflag ORDER BY l_quantity " +
           "RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) " +
-          "ORDER BY l_orderkey, l_linenumber"
+          "ORDER BY l_orderkey, l_linenumber, l_quantity, n_in_range, qty_in_range"
       )
     ),
     // ----- sort / limit / top-k (plans as TakeOrderedAndProject) -----------
@@ -260,16 +269,16 @@ object CoreQueriesB {
       "q_except",
       (s, dir) => {
         val p = t(s, dir, "part")
-          .filter($"p_size" > 45)
+          .filter($"p_size" > 40)
           .select($"p_partkey".as("key"))
         val l = t(s, dir, "lineitem")
-          .filter($"l_quantity" > 45)
+          .filter($"l_quantity" > 47)
           .select($"l_partkey".as("key"))
         p.except(l).orderBy($"key")
       },
       Some(
-        "SELECT p_partkey AS key FROM part WHERE p_size > 45 " +
-          "EXCEPT SELECT l_partkey AS key FROM lineitem WHERE l_quantity > 45 " +
+        "SELECT p_partkey AS key FROM part WHERE p_size > 40 " +
+          "EXCEPT SELECT l_partkey AS key FROM lineitem WHERE l_quantity > 47 " +
           "ORDER BY key"
       )
     ),

@@ -65,7 +65,16 @@ object CoreQueriesC {
             least($"l_discount", $"l_tax").as("min_rate"),
             signum($"l_extendedprice" - 5000.0).cast("int").as("diff_sign")
           )
-          .orderBy($"l_orderkey", $"l_linenumber"),
+          // (l_orderkey, l_linenumber) is not unique in this data — order
+          // by every output column so ties are fully identical rows.
+          .orderBy(
+            $"l_orderkey",
+            $"l_linenumber",
+            $"abs_diff",
+            $"sqrt_qty",
+            $"max_rate",
+            $"min_rate"
+          ),
       Some(
         "SELECT l_orderkey, l_linenumber, " +
           "abs(l_extendedprice - 5000.0) AS abs_diff, " +
@@ -77,7 +86,8 @@ object CoreQueriesC {
           "greatest(l_discount, l_tax) AS max_rate, " +
           "least(l_discount, l_tax) AS min_rate, " +
           "CAST(sign(l_extendedprice - 5000.0) AS INT) AS diff_sign " +
-          "FROM lineitem WHERE l_orderkey < 100 ORDER BY l_orderkey, l_linenumber"
+          "FROM lineitem WHERE l_orderkey < 100 " +
+          "ORDER BY l_orderkey, l_linenumber, abs_diff, sqrt_qty, max_rate, min_rate"
       )
     ),
     Q(
@@ -195,8 +205,10 @@ object CoreQueriesC {
           )
           .orderBy($"event_type"),
       Some(
+        // DuckDB's sum(BIGINT) widens to HUGEINT; cast back to BIGINT to
+        // match Spark's long-typed sum in the driver's schema compare.
         "SELECT event_type, count(*) AS n, " +
-          "sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k, " +
+          "CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, " +
           "min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k, " +
           "max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k " +
           "FROM events GROUP BY event_type ORDER BY event_type"
