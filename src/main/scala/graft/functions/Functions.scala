@@ -32,6 +32,11 @@ object Functions {
       "dot_product",
       es => DotProduct(es(0), es(1))
     )
+    GraftSqlInternals.registerFunction(
+      spark,
+      "rolling_fingerprint",
+      es => RollingFingerprint(es(0), es(1))
+    )
   }
 
   /** Column API: `capitalize(c)` — reference semantics = UPPER(c),
@@ -50,5 +55,14 @@ object Functions {
   def dotProduct(a: Column, b: Column): Column =
     GraftSqlInternals.column(
       DotProduct(GraftSqlInternals.expression(a), GraftSqlInternals.expression(b))
+    )
+
+  /** Column API: Karp-Rabin rolling fingerprint (window<=0 = whole text). */
+  def rollingFingerprint(text: Column, window: Column): Column =
+    GraftSqlInternals.column(
+      RollingFingerprint(
+        GraftSqlInternals.expression(text),
+        GraftSqlInternals.expression(window)
+      )
     )
 }

@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Column-level building blocks for the LLM-data-pipeline operators
+  * (SURVEY.md §2.C): tokenization, shingling, MinHash signatures, SimHash,
+  * and quality statistics. Everything here is built from codegen'd Spark
+  * built-ins (split/transform/xxhash64/aggregate) — no Scala UDFs — so the
+  * hot loops stay inside whole-stage codegen on a 100 TB scan.
+  */
+object TextOps {
+
+  /** Whitespace tokens of the lowercased text. */
+  def tokens(text: Column): Column = split(lower(text), "\\s+")
+
+  /** Distinct word n-gram shingles ("a b c") of the token array. Shingles
+    * capture local word ORDER, which is what separates true near-dups from
+    * documents that merely share vocabulary.
+    */
+  def shingles(ws: Column, n: Int = 3): Column =
+    array_distinct(
+      transform(
+        sequence(lit(0), size(ws) - lit(n)),
+        i => concat_ws(" ", (0 until n).map(k => element_at(ws, i + lit(k + 1))): _*)
+      )
+    )
+
+  /** k MinHash values of an exploded shingle column: the j-th hash family
+    * is xxhash64 salted with the family index. Used as
+    * `explodedShingles.groupBy(docId).agg(minhashAggs(col("s")): _*)` —
+    * a single shuffle of (doc, shingle) pairs; each agg is a map-side
+    * partial min, so the reducer sees k longs per doc, not the shingles.
+    */
+  def minhashAggs(shingle: Column, k: Int = 64): Seq[Column] =
+    (0 until k).map(j => min(xxhash64(lit(j), shingle)).as(s"mh$j"))
+
+  /** LSH band digests over a MinHash signature laid out as columns mh0..mhK:
+    * band b = hash of its r consecutive signature rows. Docs sharing any
+    * band digest are candidate near-dup pairs; with k=64, bands=16, r=4 the
+    * match probability is 1-(1-J^4)^16 — ~1 for J≥0.8, ~0.03 for J=0.2.
+    */
+  def bandStructs(bands: Int = 16, rowsPerBand: Int = 4): Column =
+    array(
+      (0 until bands).map { b =>
+        struct(
+          lit(b).as("band"),
+          xxhash64((0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*)
+            .as("digest")
+        )
+      }: _*
+    )
+
+  /** 64-bit SimHash of a token array: every token votes its hash bits up or
+    * down; the fingerprint keeps the majority sign per bit. Near-identical
+    * texts land within a few bits of Hamming distance.
+    * Returns 64 per-bit vote aggregates to lay over a groupBy; combine with
+    * [[simhashFromVotes]].
+    */
+  def simhashVoteAggs(token: Column): Seq[Column] =
+    (0 until 64).map { i =>
+      sum(
+        when(shiftright(xxhash64(token), i).bitwiseAND(lit(1L)) === 1L, 1)
+          .otherwise(-1)
+      ).as(s"v$i")
+    }
+
+  /** Reassemble the 64 vote sums into the fingerprint long. */
+  def simhashFromVotes: Column =
+    (0 until 64)
+      .map(i => when(col(s"v$i") > 0, shiftleft(lit(1L), i)).otherwise(0L))
+      .reduce(_.bitwiseOR(_))
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** English-ish stopword lists used by the language-ID heuristic. The
+    * choice of lists is the heuristic; scoring = count of tokens present.
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu"),
+    "es" -> Seq("el", "la", "de", "los", "y", "es", "un"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "est", "un"),
+    "zh" -> Seq("de", "shi", "le", "zai", "he", "you", "wo")
+  )
+
+  /** Count of tokens that appear in `list` (an order-insensitive hit count,
+    * cast to bigint so Spark and DuckDB agree on the type).
+    */
+  def stopwordHits(ws: Column, list: Seq[String]): Column =
+    size(filter(ws, w => array_contains(array(list.map(lit): _*), w))).cast("bigint")
+}

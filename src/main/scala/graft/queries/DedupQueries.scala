@@ -1,0 +1,229 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.TextOps
+import QueryUtil._
+
+/** Deduplication operators over the `documents` / `embeddings` fixtures
+  * (SURVEY.md §2.C; BASELINE north star). Four families:
+  *
+  *  - exact:       content-hash groupBy (one shuffle of (hash, id) pairs)
+  *  - exact-sim:   inverted-index word-shingle Jaccard (join on shingle —
+  *                 NEVER a cartesian product)
+  *  - probabilistic: MinHash-LSH banding (candidates only from shared
+  *                 band digests, then exact Jaccard verification)
+  *  - embedding:   blocked cosine near-dup using the native codegen'd
+  *                 cosine_sim expression
+  *
+  * 100 TB notes per operator inline. The planted fixture truth: 25 doc
+  * pairs with shingle-Jaccard >= 0.8 and none in (0.2, 0.8), so threshold
+  * 0.5 separates cleanly and LSH recall at 16x4 banding is ~1-4e-8.
+  */
+object DedupQueries {
+
+  /** (doc_id, distinct word-3gram shingle) pairs — the inverted-index rows. */
+  private def shingleRows(doc: DataFrame): DataFrame =
+    doc
+      .select($"doc_id", TextOps.tokens($"text").as("ws"))
+      .filter(size($"ws") >= 3)
+      .select($"doc_id", explode(TextOps.shingles($"ws")).as("s"))
+
+  /** Exact shingle-Jaccard pairs >= minJ via inverted-index join: join docs
+    * that SHARE a shingle (grouped to intersection counts), then Jaccard
+    * from the per-doc set sizes. At 100 TB the skew risk is ultra-common
+    * shingles (a shingle in 1M docs contributes 1M^2 pairs) — the MinHash
+    * path below is the scale answer; this exact operator is the
+    * verification/oracle layer you run on candidates or samples.
+    */
+  private def jaccardPairs(doc: DataFrame, minJ: Double): DataFrame = {
+    val ex = shingleRows(doc)
+    val sizes = ex.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val inter = ex
+      .as("a")
+      .join(ex.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.as("sa"), $"doc_a" === col("sa.doc_id"))
+      .join(sizes.as("sb"), $"doc_b" === col("sb.doc_id"))
+      .select(
+        $"doc_a",
+        $"doc_b",
+        round($"i" * lit(1.0) / (col("sa.n") + col("sb.n") - $"i"), 6).as("jaccard")
+      )
+      .filter($"jaccard" >= minJ)
+  }
+
+  private val jaccardOracle: String =
+    // identical shingling in DuckDB: lowercase, split on \s+, word 3-grams
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS ws FROM documents
+      |), sh AS (
+      |  SELECT doc_id, list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+      |                                for i in range(1, len(ws)-1)]) AS shingles
+      |  FROM toks WHERE len(ws) >= 3
+      |), ex AS (
+      |  SELECT doc_id, unnest(shingles) AS s FROM sh
+      |), sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT doc_a, doc_b,
+      |       round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+      |FROM inter
+      |JOIN sizes sa ON sa.doc_id = doc_a
+      |JOIN sizes sb ON sb.doc_id = doc_b
+      |WHERE round(i * 1.0 / (sa.n + sb.n - i), 6) >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    // ----- exact dedup: content-hash keeper selection ----------------------
+    // groupBy(sha2) ships 32-byte hashes + ids through the shuffle, never
+    // the document bodies; min() is a map-side partial agg. At this sf all
+    // texts are distinct, so every doc is its own keeper (n_copies = 1) —
+    // the oracle still verifies hashing + grouping + keeper choice.
+    Q(
+      "q_dedup_exact",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .groupBy(sha2($"text", 256).as("content_hash"))
+          .agg(min($"doc_id").as("keeper_id"), count(lit(1)).as("n_copies"))
+          .select($"keeper_id", $"content_hash", $"n_copies")
+          .orderBy($"keeper_id"),
+      Some(
+        "SELECT min(doc_id) AS keeper_id, sha256(text) AS content_hash, " +
+          "count(*) AS n_copies FROM documents GROUP BY sha256(text) " +
+          "ORDER BY keeper_id"
+      )
+    ),
+    // ----- exact near-dedup: inverted-index shingle Jaccard ----------------
+    Q(
+      "q_dedup_jaccard",
+      (s, dir) =>
+        jaccardPairs(t(s, dir, "documents"), 0.5).orderBy($"doc_a", $"doc_b"),
+      Some(jaccardOracle)
+    ),
+    // ----- MinHash-LSH near-dedup ------------------------------------------
+    // Signature: 64 minhashes from one (doc, shingle) shuffle. Banding:
+    // 16 bands x 4 rows -> candidates ONLY where a band digest collides
+    // (groupBy digest, never an all-pairs join). Candidates then verified
+    // with exact Jaccard, so false positives drop out and the result equals
+    // the exact operator whenever recall is 1 — which the banding math
+    // guarantees at J >= 0.8 (miss prob (1-J^4)^16 <= 4e-8). The oracle IS
+    // the exact computation: equality demonstrates the LSH path loses
+    // nothing at this threshold.
+    Q(
+      "q_dedup_minhash",
+      (s, dir) => {
+        val doc = t(s, dir, "documents")
+        val ex = shingleRows(doc)
+        val sigs = ex.groupBy($"doc_id").agg(
+          TextOps.minhashAggs($"s").head,
+          TextOps.minhashAggs($"s").tail: _*
+        )
+        val bands = sigs
+          .select($"doc_id", explode(TextOps.bandStructs()).as("bd"))
+          .select($"doc_id", $"bd.band".as("band"), $"bd.digest".as("digest"))
+        val cand = bands
+          .as("x")
+          .join(
+            bands.as("y"),
+            col("x.band") === col("y.band") && col("x.digest") === col("y.digest") &&
+              col("x.doc_id") < col("y.doc_id")
+          )
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .distinct()
+        // exact verification of candidates only
+        val exact = jaccardPairs(doc, 0.5)
+        cand
+          .join(exact, Seq("doc_a", "doc_b"))
+          .select($"doc_a", $"doc_b", $"jaccard")
+          .orderBy($"doc_a", $"doc_b")
+      },
+      Some(jaccardOracle)
+    ),
+    // ----- SimHash fingerprints + near-dup candidates ----------------------
+    // xxhash64 is not reproducible in DuckDB, so no SQL oracle (driver does
+    // a rows-only check); SimHashSpec pins the semantics: planted near-dup
+    // pairs land within small Hamming distance, unrelated pairs far apart.
+    Q(
+      "q_dedup_simhash",
+      (s, dir) => {
+        val doc = t(s, dir, "documents")
+        val votes = doc
+          .select($"doc_id", explode(TextOps.tokens($"text")).as("w"))
+          .groupBy($"doc_id")
+          .agg(
+            TextOps.simhashVoteAggs($"w").head,
+            TextOps.simhashVoteAggs($"w").tail: _*
+          )
+        val fp = votes.select($"doc_id", TextOps.simhashFromVotes.as("simhash"))
+        // candidate pairs: any shared 16-bit chunk (4-band LSH on the
+        // fingerprint), then exact Hamming <= 12
+        val chunks = fp.select(
+          $"doc_id",
+          $"simhash",
+          explode(
+            array((0 until 4).map { c =>
+              struct(
+                lit(c).as("chunk"),
+                shiftright($"simhash", c * 16).bitwiseAND(lit(0xffffL)).as("bits")
+              )
+            }: _*)
+          ).as("ck")
+        )
+        chunks
+          .as("x")
+          .join(
+            chunks.as("y"),
+            col("x.ck.chunk") === col("y.ck.chunk") &&
+              col("x.ck.bits") === col("y.ck.bits") &&
+              col("x.doc_id") < col("y.doc_id")
+          )
+          .select(
+            col("x.doc_id").as("doc_a"),
+            col("y.doc_id").as("doc_b"),
+            TextOps.hamming(col("x.simhash"), col("y.simhash")).as("hamming")
+          )
+          .distinct()
+          .filter($"hamming" <= 12)
+          .orderBy($"doc_a", $"doc_b")
+      },
+      None
+    ),
+    // ----- embedding cosine near-dup (blocked) -----------------------------
+    // Blocking by label keeps the pairwise compare inside ~50-row blocks
+    // (at 100 TB: block by a coarse quantizer / IVF cell instead of a
+    // cartesian). cosine_sim is the native codegen'd expression.
+    Q(
+      "q_dedup_embedding",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val a = e.select($"vec_id".as("id_a"), $"label", $"embedding".as("emb_a"))
+        val b = e.select($"vec_id".as("id_b"), $"label", $"embedding".as("emb_b"))
+        a.join(b, Seq("label"))
+          .filter($"id_a" < $"id_b")
+          .select(
+            $"label",
+            $"id_a",
+            $"id_b",
+            round(graft.functions.Functions.cosineSim($"emb_a", $"emb_b"), 6)
+              .as("cos")
+          )
+          .filter($"cos" >= 0.3)
+          .orderBy($"label", $"id_a", $"id_b")
+      },
+      Some(
+        "SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b, " +
+          "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cos " +
+          "FROM embeddings a JOIN embeddings b " +
+          "ON a.label = b.label AND a.vec_id < b.vec_id " +
+          "WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.3 " +
+          "ORDER BY label, id_a, id_b"
+      )
+    )
+  )
+}

@@ -1,0 +1,103 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.functions.Functions
+import QueryUtil._
+
+/** Similarity search over the `embeddings` fixture (64-dim float vectors;
+  * SURVEY.md §2.C). Two paths:
+  *
+  *  - brute force: broadcast the query vector, codegen'd cosine over the
+  *    full scan, TakeOrderedAndProject top-k. At 100 TB this is one pass,
+  *    embarrassingly parallel, zero shuffle beyond the final top-k merge —
+  *    the correct baseline, and often the right answer outright.
+  *  - LSH-bucketed: random-hyperplane signs -> bucket id; only the query's
+  *    bucket is scanned. The 100 TB path when the corpus is queried often
+  *    (bucket once, then each probe reads ~1/2^H of the data; partition
+  *    the stored table by bucket so probes are partition-pruned scans).
+  */
+object SimilarityQueries {
+
+  private val QueryVecId = 0
+
+  /** Deterministic pseudo-random hyperplanes: component (h, d) is +-1 from
+    * a splitmix-style integer mix evaluated at plan time in Scala — the
+    * plan carries plain float literals, nothing nondeterministic executes.
+    */
+  private def hyperplane(h: Int, dim: Int): Seq[Float] =
+    (0 until dim).map { d =>
+      var z = (h.toLong * 64 + d) + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z = z ^ (z >>> 31)
+      if ((z & 1L) == 0L) 1.0f else -1.0f
+    }
+
+  private def hyperplaneCol(h: Int, dim: Int) =
+    array(hyperplane(h, dim).map(v => lit(v)): _*).cast("array<float>")
+
+  /** 2^H-bucket id from the signs of H hyperplane dot products. */
+  private def bucketCol(emb: org.apache.spark.sql.Column, hps: Int, dim: Int) =
+    (0 until hps)
+      .map(h =>
+        when(Functions.dotProduct(emb, hyperplaneCol(h, dim)) > 0, lit(1 << h))
+          .otherwise(lit(0))
+      )
+      .reduce(_ + _)
+
+  val all: Seq[Q] = Seq(
+    // Brute-force cosine top-k: the oracle is the same computation in
+    // DuckDB, so this is a fully correctness-gated ANN baseline.
+    Q(
+      "q_sim_topk",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val qv = e
+          .filter($"vec_id" === QueryVecId)
+          .select($"embedding".as("qvec"))
+        e.filter($"vec_id" =!= QueryVecId)
+          .crossJoin(broadcast(qv))
+          .select(
+            $"vec_id",
+            $"label",
+            round(Functions.cosineSim($"embedding", $"qvec"), 6).as("cos")
+          )
+          .orderBy($"cos".desc, $"vec_id")
+          .limit(10)
+      },
+      Some(
+        s"SELECT e.vec_id, e.label, " +
+          "round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 6) AS cos " +
+          s"FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = $QueryVecId) q " +
+          s"WHERE e.vec_id <> $QueryVecId " +
+          "ORDER BY cos DESC, e.vec_id LIMIT 10"
+      )
+    ),
+    // LSH-bucketed ANN: scan only vectors sharing the query's hyperplane
+    // sign bucket. xxhash-free but still not SQL-portable (the hyperplanes
+    // are engine-side literals), so the driver records a rows-only check;
+    // SimilaritySpec asserts bucket recall against the brute-force top-k.
+    Q(
+      "q_sim_topk_lsh",
+      (s, dir) => {
+        val dim = 64
+        val hps = 4 // 16 buckets; each probe scans ~1/16 of the corpus
+        val e = t(s, dir, "embeddings")
+          .withColumn("bucket", bucketCol($"embedding", hps, dim))
+        val qv = e
+          .filter($"vec_id" === QueryVecId)
+          .select($"embedding".as("qvec"), $"bucket".as("qbucket"))
+        e.filter($"vec_id" =!= QueryVecId)
+          .join(broadcast(qv), $"bucket" === $"qbucket")
+          .select(
+            $"vec_id",
+            $"label",
+            round(Functions.cosineSim($"embedding", $"qvec"), 6).as("cos")
+          )
+          .orderBy($"cos".desc, $"vec_id")
+          .limit(10)
+      },
+      None
+    )
+  )
+}

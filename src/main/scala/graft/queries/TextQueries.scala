@@ -1,0 +1,194 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextOps
+import QueryUtil._
+
+/** Text-analysis operators over `documents` (SURVEY.md §2.C): quality
+  * statistics, token counting, language-ID heuristic, content
+  * fingerprinting, and multimodal (binary-column) conventions. All the
+  * SQL-portable ones carry a DuckDB oracle with the SAME formula so the
+  * numbers — not just the row counts — are gated.
+  */
+object TextQueries {
+
+  val all: Seq[Q] = Seq(
+    // ----- quality statistics ---------------------------------------------
+    // Integer counts first, ratios as double at the end (identical operand
+    // order both engines -> bit-equal doubles).
+    Q(
+      "q_text_stats",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(
+            $"doc_id",
+            $"lang",
+            $"n_chars",
+            TextOps.tokens($"text").as("ws"),
+            length($"text").cast("bigint").as("len"),
+            (length($"text") -
+              length(regexp_replace($"text", "[.,!?;:]", "")))
+              .cast("bigint")
+              .as("n_punct")
+          )
+          .select(
+            $"doc_id",
+            $"lang",
+            $"len",
+            size($"ws").cast("bigint").as("n_tokens"),
+            size(array_distinct($"ws")).cast("bigint").as("n_distinct_tokens"),
+            $"n_punct",
+            round($"n_punct" * lit(1.0) / $"len", 6).as("punct_ratio"),
+            round(
+              TextOps.stopwordHits($"ws", TextOps.stopwords("en")) * lit(1.0) /
+                size($"ws"),
+              6
+            ).as("stopword_ratio"),
+            round(size(array_distinct($"ws")) * lit(1.0) / size($"ws"), 6)
+              .as("ttr") // type-token ratio: low = repetitive/low-quality
+          )
+          .orderBy($"doc_id"),
+      Some(
+        """WITH base AS (
+          |  SELECT doc_id, lang,
+          |         CAST(length(text) AS BIGINT) AS len,
+          |         regexp_split_to_array(lower(text), '\s+') AS ws,
+          |         CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct
+          |  FROM documents
+          |)
+          |SELECT doc_id, lang, len,
+          |       CAST(len(ws) AS BIGINT) AS n_tokens,
+          |       CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct_tokens,
+          |       n_punct,
+          |       round(n_punct * 1.0 / len, 6) AS punct_ratio,
+          |       round(CAST(len(list_filter(ws, w -> list_contains(['the','a','of','and','to','in','is'], w))) AS BIGINT) * 1.0 / len(ws), 6) AS stopword_ratio,
+          |       round(len(list_distinct(ws)) * 1.0 / len(ws), 6) AS ttr
+          |FROM base ORDER BY doc_id""".stripMargin
+      )
+    ),
+    // ----- token counting (whitespace + BPE-ish char/4 estimate) -----------
+    Q(
+      "q_text_tokens",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(
+            $"lang",
+            size(TextOps.tokens($"text")).cast("bigint").as("n_words"),
+            ceil(length($"text") / lit(4.0)).cast("bigint").as("n_tok_est")
+          )
+          .groupBy($"lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum($"n_words").cast("bigint").as("total_words"),
+            sum($"n_tok_est").cast("bigint").as("total_tok_est"),
+            round(sum($"n_words") * lit(1.0) / count(lit(1)), 6).as("avg_words")
+          )
+          .orderBy($"lang"),
+      Some(
+        """WITH base AS (
+          |  SELECT lang,
+          |         CAST(len(regexp_split_to_array(lower(text), '\s+')) AS BIGINT) AS n_words,
+          |         CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tok_est
+          |  FROM documents
+          |)
+          |SELECT lang, count(*) AS n_docs,
+          |       CAST(sum(n_words) AS BIGINT) AS total_words,
+          |       CAST(sum(n_tok_est) AS BIGINT) AS total_tok_est,
+          |       round(sum(n_words) * 1.0 / count(*), 6) AS avg_words
+          |FROM base GROUP BY lang ORDER BY lang""".stripMargin
+      )
+    ),
+    // ----- language-ID heuristic -------------------------------------------
+    // Stopword-profile scoring; argmax with a fixed tie order. The fixture
+    // text is synthetic word soup, so this gates the MACHINERY (scoring +
+    // argmax identical in both engines), not real-world accuracy.
+    Q(
+      "q_text_lang",
+      (s, dir) => {
+        val langs = Seq("en", "de", "es", "fr")
+        val scored = t(s, dir, "documents")
+          .select($"doc_id", TextOps.tokens($"text").as("ws"))
+          .select(
+            $"doc_id" +:
+              langs.map(l =>
+                TextOps.stopwordHits($"ws", TextOps.stopwords(l)).as(s"s_$l")
+              ): _*
+          )
+        val best = langs.foldRight(lit("und")) { (l, elseCol) =>
+          when(
+            col(s"s_$l") > 0 &&
+              langs.filter(_ != l).map(o => col(s"s_$l") >= col(s"s_$o"))
+                .reduce(_ && _),
+            lit(l)
+          ).otherwise(elseCol)
+        }
+        scored
+          .select($"doc_id", best.as("lang_pred"), $"s_en", $"s_de", $"s_es", $"s_fr")
+          .orderBy($"doc_id")
+      },
+      Some(
+        """WITH sc AS (
+          |  SELECT doc_id,
+          |    CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'), w -> list_contains(['the','a','of','and','to','in','is'], w))) AS BIGINT) AS s_en,
+          |    CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'), w -> list_contains(['der','die','das','und','ist','ein','zu'], w))) AS BIGINT) AS s_de,
+          |    CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'), w -> list_contains(['el','la','de','los','y','es','un'], w))) AS BIGINT) AS s_es,
+          |    CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'), w -> list_contains(['le','la','les','et','des','est','un'], w))) AS BIGINT) AS s_fr
+          |  FROM documents
+          |)
+          |SELECT doc_id,
+          |  CASE WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+          |       WHEN s_de > 0 AND s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+          |       WHEN s_es > 0 AND s_es >= s_en AND s_es >= s_de AND s_es >= s_fr THEN 'es'
+          |       WHEN s_fr > 0 AND s_fr >= s_en AND s_fr >= s_de AND s_fr >= s_es THEN 'fr'
+          |       ELSE 'und' END AS lang_pred,
+          |  s_en, s_de, s_es, s_fr
+          |FROM sc ORDER BY doc_id""".stripMargin
+      )
+    ),
+    // ----- content fingerprinting ------------------------------------------
+    // Native rolling-hash expression; not reproducible in DuckDB SQL ->
+    // rows-only driver check, semantics pinned by TextExpressionsSpec.
+    Q(
+      "q_text_fingerprint",
+      (s, dir) => {
+        graft.functions.Functions.register(s)
+        t(s, dir, "documents")
+          .select(
+            $"doc_id",
+            expr("rolling_fingerprint(text, 0)").as("full_fp"),
+            expr("rolling_fingerprint(text, 32)").as("win_fp")
+          )
+          .orderBy($"doc_id")
+      },
+      None
+    ),
+    // ----- multimodal column conventions ------------------------------------
+    // Media travels as an opaque binary column + typed metadata; here the
+    // binary payload is the UTF-8 encoding of text (the fixture has no real
+    // media), and the "feature extraction" is metadata-only: byte length,
+    // content digest, leading-bytes signature (what you'd use to sniff
+    // magic numbers). The decode path proper lives in operators.Multimodal.
+    Q(
+      "q_multimodal_meta",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select($"doc_id", encode($"text", "UTF-8").as("media"))
+          .select(
+            $"doc_id",
+            octet_length($"media").cast("bigint").as("n_bytes"),
+            sha2($"media", 256).as("digest"),
+            lower(hex(substring($"media", 1, 8))).as("magic")
+          )
+          .orderBy($"doc_id"),
+      Some(
+        // DuckDB's substring/sha256 are VARCHAR-only: take the leading
+        // bytes as a slice of the full hex string instead (first 8 bytes =
+        // first 16 hex chars), and hash the text (same UTF-8 bytes).
+        "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
+          "sha256(text) AS digest, " +
+          "lower(substring(hex(encode(text)), 1, 16)) AS magic " +
+          "FROM documents ORDER BY doc_id"
+      )
+    )
+  )
+}
