@@ -1,0 +1,49 @@
+package graft
+
+import graft.engine.GraftSession
+import graft.queries.QueryUtil
+
+/** CLI entry point mirroring the reference's `igloo --sql "…"`
+  * (crates/igloo/src/main.rs:22-46): build a session, register the demo
+  * catalog, run the SQL, pretty-print.
+  *
+  * Usage: runMain graft.Main --sql "SELECT …" [--dir /root/testdata/sf0.001]
+  * Tables registered: the TESTDATA fixtures (region…embeddings) plus the
+  * reference's demo `users` table (crates/igloo/src/main.rs:59-77).
+  */
+object Main {
+
+  private val FixtureTables = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings"
+  )
+
+  def main(args: Array[String]): Unit = {
+    val opts = args.sliding(2, 2).collect {
+      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
+    }.toMap
+    val sql = opts.getOrElse(
+      "sql",
+      "SELECT 42 as answer, 'Hello Igloo' as greeting" // reference main.rs:43
+    )
+    val dir = opts.getOrElse("dir", "/root/testdata/sf0.001")
+
+    val session = GraftSession.local(appName = "graft-cli")
+    val spark = session.spark
+
+    // demo users table (reference crates/igloo/src/main.rs:64-77)
+    import spark.implicits._
+    session.registerTable(
+      "users",
+      Seq((1, "Alice"), (2, "Bob"), (3, "Charlie"), (4, "Diana"), (5, "Eve"))
+        .toDF("id", "name")
+    )
+    FixtureTables.foreach { t =>
+      val p = new java.io.File(s"$dir/$t.parquet")
+      if (p.exists()) session.registerTable(t, QueryUtil.t(spark, dir, t))
+    }
+
+    session.execute(sql).show(100, truncate = false)
+    spark.stop()
+  }
+}

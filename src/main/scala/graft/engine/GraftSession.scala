@@ -34,6 +34,22 @@ class GraftSession(val spark: SparkSession) {
     * reference crates/engine/src/lib.rs:54-57, minus the eager collect.
     */
   def execute(sql: String): DataFrame = spark.sql(sql)
+
+  /** Keyed distributed result cache (reference crates/cache/src/lib.rs). */
+  val cache: ResultCache = new ResultCache(spark)
+
+  /** Cache a query's result under a key and register it as a table, so
+    * subsequent SQL reads the pinned partitions (reference cache `put` +
+    * catalog registration in one step).
+    */
+  def cacheQuery(key: String, sql: String): DataFrame = {
+    val df = cache.put(key, execute(sql))
+    df.createOrReplaceTempView(key)
+    df
+  }
+
+  /** Serving surface (reference Flight handlers, api/src/lib.rs:81-149). */
+  lazy val serving: ServingShim = new ServingShim(this)
 }
 
 object GraftSession {

@@ -8,7 +8,8 @@ package graft.queries
 object Registry {
   val all: Seq[Q] =
     CoreQueriesA.all ++ CoreQueriesB.all ++ CoreQueriesC.all ++
-      DedupQueries.all ++ SimilarityQueries.all ++ TextQueries.all
+      DedupQueries.all ++ SimilarityQueries.all ++ TextQueries.all ++
+      SourceQueries.all
 
   /** name -> implementation, the shape SparkEntry.queries needs. */
   lazy val byName: Map[String, Q] = {

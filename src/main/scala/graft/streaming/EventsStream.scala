@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
+
+/** Structured Streaming over the `events` fixture — the working analogue of
+  * the reference's CDC stub (crates/cdc/src/lib.rs:9 "TODO: Implement CDC
+  * logic"; roadmap README.md:218 "Async CDC Updates"). The reference's
+  * intent — change streams invalidating/refreshing cached results — is
+  * realized here as: file stream -> watermarked tumbling-window aggregate
+  * -> foreachBatch sink that refreshes a registered table.
+  *
+  * Scale notes: the file source lists and checkpoints incrementally (no
+  * re-read of seen files); the watermark bounds window state so a
+  * long-running stream holds hours of state, not history; the aggregation
+  * shuffles on (window, event_type) like any groupBy — AQE does not apply
+  * in streaming, so shuffle partitions are sized by the session default.
+  */
+object EventsStream {
+
+  /** The events schema as stored (ts is TIMESTAMP(NANOS) in the file; read
+    * as long via the session's nanosAsLong conf, re-typed to micros here).
+    */
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    spark.readStream
+      .schema(batchSchema)
+      .parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros((col("ts") / lit(1000L)).cast("long")))
+  }
+
+  /** Watermarked tumbling-window counts per event_type. */
+  def windowedCounts(eventsTs: DataFrame, window_ : String = "1 hour"): DataFrame =
+    eventsTs
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value")).as("sum_value")
+      )
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"),
+        col("n"),
+        col("sum_value")
+      )
+
+  /** Run the windowed aggregate into an in-memory table the engine can
+    * query (`spark.table(resultTable)`), refreshed per micro-batch via
+    * foreachBatch — the cache-refresh wiring the reference's CDC layer
+    * promises. Returns the running query; callers drive it with
+    * `processAllAvailable()` and stop it.
+    */
+  def startRefresh(
+      spark: SparkSession,
+      dir: String,
+      resultTable: String,
+      checkpoint: String
+  ): StreamingQuery =
+    windowedCounts(readEventsStream(spark, dir)).writeStream
+      // Complete mode: every micro-batch carries the full aggregate, so the
+      // served table is always a consistent snapshot (Update mode would
+      // hand the sink deltas to merge itself).
+      .outputMode(OutputMode.Complete)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.persist()
+        batch.createOrReplaceTempView(resultTable)
+        ()
+      }
+      .start()
+}
