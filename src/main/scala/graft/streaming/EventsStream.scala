@@ -20,14 +20,16 @@ import org.apache.spark.sql.Row
   */
 object EventsStream {
 
-  /** The events schema as stored (ts is TIMESTAMP(NANOS) in the file; read
-    * as long via the session's nanosAsLong conf, re-typed to micros here).
+  /** Stream from a DIRECTORY of event parquet files (the file source
+    * tails a drop folder; new files become micro-batches). ts is
+    * TIMESTAMP(NANOS) in the files; read as long via the session's
+    * nanosAsLong conf, re-typed to micros here.
     */
-  def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
-    val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
+  def readEventsStream(spark: SparkSession, eventsDir: String): DataFrame = {
+    val batchSchema = spark.read.parquet(eventsDir).schema
     spark.readStream
       .schema(batchSchema)
-      .parquet(s"$dir/events.parquet")
+      .parquet(eventsDir)
       .withColumn("ts", timestamp_micros((col("ts") / lit(1000L)).cast("long")))
   }
 
@@ -48,18 +50,20 @@ object EventsStream {
       )
 
   /** Run the windowed aggregate into an in-memory table the engine can
-    * query (`spark.table(resultTable)`), refreshed per micro-batch via
-    * foreachBatch — the cache-refresh wiring the reference's CDC layer
-    * promises. Returns the running query; callers drive it with
-    * `processAllAvailable()` and stop it.
+    * query (`spark.table("global_temp.<resultTable>")`), refreshed per
+    * micro-batch via foreachBatch — the cache-refresh wiring the
+    * reference's CDC layer promises. A GLOBAL temp view because foreachBatch
+    * executes in a cloned micro-batch session: a session-local view would
+    * be invisible to the serving session. Returns the running query;
+    * callers drive it with `processAllAvailable()`/`awaitTermination`.
     */
   def startRefresh(
       spark: SparkSession,
-      dir: String,
+      eventsDir: String,
       resultTable: String,
       checkpoint: String
   ): StreamingQuery =
-    windowedCounts(readEventsStream(spark, dir)).writeStream
+    windowedCounts(readEventsStream(spark, eventsDir)).writeStream
       // Complete mode: every micro-batch carries the full aggregate, so the
       // served table is always a consistent snapshot (Update mode would
       // hand the sink deltas to merge itself).
@@ -68,7 +72,10 @@ object EventsStream {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         batch.persist()
-        batch.createOrReplaceTempView(resultTable)
+        // force full materialization: every partition must be processed
+        // inside foreachBatch for the state-store commit to be valid
+        batch.count()
+        batch.createOrReplaceGlobalTempView(resultTable)
         ()
       }
       .start()

@@ -1,0 +1,141 @@
+package graft
+
+import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+
+import org.apache.spark.sql.Row
+import graft.sources.CsvSource
+
+/** Session/catalog, result cache, CSV source, and serving shim — the
+  * reference's non-relational surfaces (catalog.rs, cache/src/lib.rs,
+  * connectors/filesystem, api/src/lib.rs).
+  */
+class EngineSpec extends SparkTestBase {
+
+  // ----- catalog (reference crates/common/src/catalog.rs:5-27) -------------
+
+  test("registerTable round-trip + tableNames + SQL over registered tables") {
+    import spark.implicits._
+    session.registerTable("cat_users", Seq((1, "a"), (2, "b")).toDF("id", "name"))
+    session.registerTable("cat_orders", Seq((1, 10.0), (1, 5.0), (2, 7.0)).toDF("uid", "amt"))
+    assert(session.tableNames.contains("cat_users"))
+    val rows = session
+      .execute(
+        "SELECT u.name, sum(o.amt) AS total FROM cat_users u " +
+          "JOIN cat_orders o ON u.id = o.uid GROUP BY u.name ORDER BY u.name"
+      )
+      .collect()
+    assert(rows.toSeq === Seq(Row("a", 15.0), Row("b", 7.0)))
+  }
+
+  // ----- result cache (reference crates/cache/src/lib.rs:20-56,89-191) -----
+
+  test("cache put/get/invalidate") {
+    import spark.implicits._
+    val df = Seq((1, "foo"), (2, "bar"), (3, "baz")).toDF("id", "name")
+    session.cache.put("batch1", df)
+    assert(session.cache.get("batch1").isDefined)
+    assert(session.cache.get("batch1").get.count() === 3)
+    assert(session.cache.get("missing").isEmpty)
+    session.cache.invalidate("batch1")
+    assert(session.cache.get("batch1").isEmpty)
+  }
+
+  test("cacheQuery registers a queryable cached table; refresh recomputes") {
+    import spark.implicits._
+    session.registerTable("cache_src", Seq(1, 2, 3).toDF("v"))
+    session.cacheQuery("cached_sum", "SELECT sum(v) AS s FROM cache_src")
+    assert(session.execute("SELECT s FROM cached_sum").head().getLong(0) === 6L)
+    // underlying data changes; cached result must NOT move until refresh
+    session.registerTable("cache_src", Seq(10, 20).toDF("v"))
+    assert(session.execute("SELECT s FROM cached_sum").head().getLong(0) === 6L)
+    val fresh = session.cache.refresh(
+      "cached_sum",
+      session.execute("SELECT sum(v) AS s FROM cache_src")
+    )
+    fresh.createOrReplaceTempView("cached_sum")
+    assert(session.execute("SELECT s FROM cached_sum").head().getLong(0) === 30L)
+  }
+
+  test("cache concurrency (reference cache 10 tasks x 50 ops, lib.rs:139-191)") {
+    import spark.implicits._
+    val pool = Executors.newFixedThreadPool(10)
+    val done = new CountDownLatch(10)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    (0 until 10).foreach { t =>
+      pool.submit(new Runnable {
+        def run(): Unit =
+          try {
+            (0 until 50).foreach { i =>
+              val key = s"ck-$t-${i % 5}"
+              session.cache.put(key, Seq((t, i)).toDF("t", "i"))
+              assert(session.cache.get(key).isDefined)
+              if (i % 10 == 9) session.cache.invalidate(key)
+            }
+          } catch { case e: Throwable => errors.add(e) }
+          finally done.countDown()
+      })
+    }
+    assert(done.await(120, TimeUnit.SECONDS), "concurrency test timed out")
+    pool.shutdown()
+    assert(errors.isEmpty, s"concurrent cache ops failed: ${errors.peek()}")
+    session.cache.clear()
+    assert(session.cache.keys.isEmpty)
+  }
+
+  // ----- CSV source (reference crates/connectors/filesystem/src/lib.rs) ----
+
+  test("CSV with header + declared schema (reference lib.rs:48-72)") {
+    import org.apache.spark.sql.types._
+    val dir = tempDir("graft-csv")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "t.csv"),
+      "col_a,col_b\n1,foo\n2,bar\n"
+    )
+    val schema = StructType(Seq(
+      StructField("col_a", LongType),
+      StructField("col_b", StringType)
+    ))
+    val rows = CsvSource.read(spark, s"$dir/t.csv", schema, header = true)
+      .orderBy("col_a").collect()
+    assert(rows.toSeq === Seq(Row(1L, "foo"), Row(2L, "bar")))
+  }
+
+  test("headerless CSV (reference lib.rs:74-98)") {
+    import org.apache.spark.sql.types._
+    val dir = tempDir("graft-csv2")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "t.csv"),
+      "1,foo\n2,bar\n"
+    )
+    val schema = StructType(Seq(
+      StructField("col_a", LongType),
+      StructField("col_b", StringType)
+    ))
+    val n = CsvSource.read(spark, s"$dir/t.csv", schema, header = false).count()
+    assert(n === 2)
+  }
+
+  test("missing CSV file errors (reference lib.rs:100-113)") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("a", IntegerType)))
+    intercept[Exception] {
+      CsvSource.read(spark, "/nonexistent/missing.csv", schema, header = true).collect()
+    }
+  }
+
+  // ----- serving shim (reference crates/api/src/lib.rs:81-149) -------------
+
+  test("flightInfo returns the schema without executing; doGet streams batches") {
+    import spark.implicits._
+    session.registerTable("serve_t", (1 to 3000).toDF("v"))
+    val schema = session.serving.flightInfo("SELECT v, v * 2 AS d FROM serve_t")
+    assert(schema.fieldNames.toSeq === Seq("v", "d"))
+
+    val (s2, batches) = session.serving.doGet("SELECT v FROM serve_t ORDER BY v")
+    assert(s2.fieldNames.toSeq === Seq("v"))
+    val collected = batches.toSeq
+    assert(collected.forall(_.size <= 1024)) // reference batch granularity
+    assert(collected.map(_.size).sum === 3000)
+    assert(collected.flatten.map(_.getInt(0)).take(3) === Seq(1, 2, 3))
+  }
+}

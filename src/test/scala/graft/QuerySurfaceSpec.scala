@@ -1,0 +1,49 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.queries.Registry
+
+/** Cross-cutting contracts over the registered query surface. */
+class QuerySurfaceSpec extends SparkTestBase {
+
+  test("registry: unique names, every oracle belongs to a query") {
+    val names = Registry.all.map(_.name)
+    assert(names.distinct.size === names.size)
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+    assert(Registry.all.count(_.bench) >= 5, "need headline bench queries")
+  }
+
+  test("approx_count_distinct stays within its 5% error contract") {
+    val rows = Registry.byName("q_agg_hll").fn(spark, SparkTestBase.Sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val approx = r.getLong(1).toDouble
+      val exact = r.getLong(2).toDouble
+      assert(
+        math.abs(approx - exact) / exact <= 0.05,
+        s"HLL error too high for ${r.get(0)}: approx=$approx exact=$exact"
+      )
+    }
+  }
+
+  test("entry() is non-empty (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("filter composition commutes (ScalaCheck generators, fixed seeds)") {
+    import spark.implicits._
+    val df = (1 to 200).toDF("x").cache()
+    val gen = Gen.choose(0, 200)
+    val params = Gen.Parameters.default
+    (0 until 15).foreach { i =>
+      val a = gen.pureApply(params, Seed(i.toLong))
+      val b = gen.pureApply(params, Seed(i.toLong + 1000))
+      val n1 = df.filter($"x" > a).filter($"x" < b).count()
+      val n2 = df.filter($"x" < b).filter($"x" > a).count()
+      assert(n1 === n2)
+      assert(n1 === (1 to 200).count(x => x > a && x < b).toLong)
+    }
+    df.unpersist()
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{Functions, RollingFingerprint}
+
+class TextExpressionsSpec extends SparkTestBase {
+
+  test("rolling_fingerprint: deterministic, content-sensitive") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "the quick brown fox jumps over the lazy cat")
+    ).toDF("id", "t")
+    val fps = df
+      .select($"id", Functions.rollingFingerprint($"t", lit(0)).as("fp"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(fps(1L) === fps(2L)) // identical content, identical fingerprint
+    assert(fps(1L) !== fps(3L)) // one byte changed, fingerprint changed
+  }
+
+  test("windowed mode: shared windows survive a prefix insertion") {
+    // winnowing property: appending a prefix adds windows but every window
+    // of the original text still exists, so the min can only go down
+    val base = "abcdefghijklmnopqrstuvwxyz0123456789abcdefghijklmnop"
+    val shifted = "PREFIX-" + base
+    val w = 16
+    val fpBase = RollingFingerprint.eval(base.getBytes("UTF-8"), w)
+    val fpShifted = RollingFingerprint.eval(shifted.getBytes("UTF-8"), w)
+    assert(fpShifted <= fpBase)
+    // and the eval agrees with the SQL surface
+    import spark.implicits._
+    val viaSql = Seq(base).toDF("t")
+      .select(Functions.rollingFingerprint($"t", lit(w)))
+      .head().getLong(0)
+    assert(viaSql === fpBase)
+  }
+
+  test("null-preserving; whole-string mode matches direct eval") {
+    import spark.implicits._
+    val df = Seq(Option("abc"), None).toDF("t")
+    val rows = df.select(Functions.rollingFingerprint($"t", lit(0))).collect()
+    assert(rows(0).getLong(0) === RollingFingerprint.eval("abc".getBytes("UTF-8"), 0))
+    assert(rows(1).isNullAt(0))
+  }
+
+  test("SQL registration") {
+    import spark.implicits._
+    session.registerTable("fp_t", Seq("hello world").toDF("t"))
+    val r = session.execute("SELECT rolling_fingerprint(t, 0) FROM fp_t").head()
+    assert(r.getLong(0) === RollingFingerprint.eval("hello world".getBytes("UTF-8"), 0))
+  }
+}
