@@ -21,7 +21,8 @@ object Bench {
     val spark = session.spark
 
     val headline = Registry.all.filter(_.bench)
-    val results = headline.map { q =>
+
+    def run(q: graft.queries.Q): (Double, Boolean) = {
       val t0 = System.nanoTime()
       val ok =
         try {
@@ -32,7 +33,16 @@ object Bench {
             System.err.println(s"[bench] ${q.name} FAILED: ${e.getMessage}")
             false
         }
-      (q.name, (System.nanoTime() - t0) / 1e9, ok)
+      ((System.nanoTime() - t0) / 1e9, ok)
+    }
+
+    // Cold pass (JVM/codegen/page-cache warmup), then the timed pass —
+    // steady-state throughput is the number that scales to a long-running
+    // cluster; the cold total is reported alongside for transparency.
+    val cold = headline.map(q => (q.name, run(q)))
+    val results = headline.map { q =>
+      val (secs, ok) = run(q)
+      (q.name, secs, ok)
     }
 
     val qs = results
@@ -41,8 +51,9 @@ object Bench {
     val failed = results.collect { case (k, _, false) => s""""$k"""" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
+    val coldTotal = cold.collect { case (_, (v, true)) => v }.sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"cold_total":$coldTotal,"sf":"$sfDir"}"""
     )
     spark.stop()
   }

@@ -22,12 +22,16 @@ import QueryUtil._
   */
 object DedupQueries {
 
-  /** (doc_id, distinct word-3gram shingle) pairs — the inverted-index rows. */
-  private def shingleRows(doc: DataFrame): DataFrame =
+  /** Per-doc distinct word-3gram shingle sets. */
+  private def shingleSets(doc: DataFrame): DataFrame =
     doc
       .select($"doc_id", TextOps.tokens($"text").as("ws"))
       .filter(size($"ws") >= 3)
-      .select($"doc_id", explode(TextOps.shingles($"ws")).as("s"))
+      .select($"doc_id", TextOps.shingles($"ws").as("sh"))
+
+  /** (doc_id, distinct word-3gram shingle) pairs — the inverted-index rows. */
+  private def shingleRows(doc: DataFrame): DataFrame =
+    shingleSets(doc).select($"doc_id", explode($"sh").as("s"))
 
   /** Exact shingle-Jaccard pairs >= minJ via inverted-index join: join docs
     * that SHARE a shingle (grouped to intersection counts), then Jaccard
@@ -37,7 +41,9 @@ object DedupQueries {
     * verification/oracle layer you run on candidates or samples.
     */
   private def jaccardPairs(doc: DataFrame, minJ: Double): DataFrame = {
-    val ex = shingleRows(doc)
+    // the inverted index feeds the self-join (both sides) and the size
+    // table — pin it so the shingle explosion runs once
+    val ex = shingleRows(doc).persist()
     val sizes = ex.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val inter = ex
       .as("a")
@@ -120,10 +126,14 @@ object DedupQueries {
       (s, dir) => {
         val doc = t(s, dir, "documents")
         val ex = shingleRows(doc)
+        // persist: the signature table feeds BOTH sides of the band
+        // self-join (and the shingle sets feed both sides of the verify
+        // join) — without pinning them, each side recomputes the whole
+        // shingle explosion + 64-hash aggregation
         val sigs = ex.groupBy($"doc_id").agg(
           TextOps.minhashAggs($"s").head,
           TextOps.minhashAggs($"s").tail: _*
-        )
+        ).persist()
         val bands = sigs
           .select($"doc_id", explode(TextOps.bandStructs()).as("bd"))
           .select($"doc_id", $"bd.band".as("band"), $"bd.digest".as("digest"))
@@ -136,14 +146,33 @@ object DedupQueries {
           )
           .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
           .distinct()
-        // exact verification of candidates only
-        val exact = jaccardPairs(doc, 0.5)
+        // exact verification of CANDIDATES ONLY: join each pair to its two
+        // shingle sets and intersect in-row — cost is O(|candidates|), not
+        // the full inverted-index join (which would defeat the LSH pruning)
+        val sets = shingleSets(doc).persist()
+        val inter = size(array_intersect($"sh_a", $"sh_b"))
         cand
-          .join(exact, Seq("doc_a", "doc_b"))
-          .select($"doc_a", $"doc_b", $"jaccard")
+          .join(
+            sets.select($"doc_id".as("doc_a"), $"sh".as("sh_a")),
+            Seq("doc_a")
+          )
+          .join(
+            sets.select($"doc_id".as("doc_b"), $"sh".as("sh_b")),
+            Seq("doc_b")
+          )
+          .select(
+            $"doc_a",
+            $"doc_b",
+            round(
+              inter * lit(1.0) / (size($"sh_a") + size($"sh_b") - inter),
+              6
+            ).as("jaccard")
+          )
+          .filter($"jaccard" >= 0.5)
           .orderBy($"doc_a", $"doc_b")
       },
-      Some(jaccardOracle)
+      Some(jaccardOracle),
+      bench = true
     ),
     // ----- SimHash fingerprints + near-dup candidates ----------------------
     // xxhash64 is not reproducible in DuckDB, so no SQL oracle (driver does

@@ -71,7 +71,8 @@ object SimilarityQueries {
           s"FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = $QueryVecId) q " +
           s"WHERE e.vec_id <> $QueryVecId " +
           "ORDER BY cos DESC, e.vec_id LIMIT 10"
-      )
+      ),
+      bench = true
     ),
     // LSH-bucketed ANN: scan only vectors sharing the query's hyperplane
     // sign bucket. xxhash-free but still not SQL-portable (the hyperplanes

@@ -73,7 +73,8 @@ object SourceQueries {
           "FROM supplier JOIN nation ON s_nationkey = n_nationkey " +
           "JOIN region ON n_regionkey = r_regionkey " +
           "GROUP BY r_name, n_name ORDER BY r_name, n_name"
-      )
+      ),
+      bench = true
     ),
     // Tumbling-window rollup over events — the batch twin of the M5
     // streaming pipeline (same window() operator Structured Streaming
@@ -98,7 +99,8 @@ object SourceQueries {
           "count(*) AS n, " +
           "CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value " +
           "FROM events GROUP BY 1, 2 ORDER BY day, event_type"
-      )
+      ),
+      bench = true
     )
   )
 }

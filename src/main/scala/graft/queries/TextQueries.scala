@@ -64,7 +64,8 @@ object TextQueries {
           |       round(CAST(len(list_filter(ws, w -> list_contains(['the','a','of','and','to','in','is'], w))) AS BIGINT) * 1.0 / len(ws), 6) AS stopword_ratio,
           |       round(len(list_distinct(ws)) * 1.0 / len(ws), 6) AS ttr
           |FROM base ORDER BY doc_id""".stripMargin
-      )
+      ),
+      bench = true
     ),
     // ----- token counting (whitespace + BPE-ish char/4 estimate) -----------
     Q(
