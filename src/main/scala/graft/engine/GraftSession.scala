@@ -50,6 +50,19 @@ class GraftSession(val spark: SparkSession) {
 
   /** Serving surface (reference Flight handlers, api/src/lib.rs:81-149). */
   lazy val serving: ServingShim = new ServingShim(this)
+
+  /** Write path / CTAS — the reference has no write surface at all (Flight
+    * `do_put` unimplemented, api/src/lib.rs:151-156); SURVEY.md §2 keeps it
+    * in scope because Spark gives it for free. Executes `sql`, writes the
+    * result as parquet at `path`, registers the WRITTEN table (so
+    * subsequent queries scan the materialized files, not the query).
+    */
+  def createTableAs(name: String, sql: String, path: String): DataFrame = {
+    execute(sql).write.mode("overwrite").parquet(path)
+    val df = spark.read.parquet(path)
+    registerTable(name, df)
+    df
+  }
 }
 
 object GraftSession {

@@ -1,0 +1,79 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Postgres/MySQL table registration — the reference ships these as
+  * connector stubs (crates/connectors/postgres/src/lib.rs:1,
+  * crates/connectors/mysql/src/lib.rs:1: "TODO: Implement ... connector");
+  * here the full read path exists through Spark's JDBC source, which the
+  * stubs were aspiring to: predicate pushdown into the remote SQL, column
+  * pruning, and partitioned parallel reads.
+  *
+  * The environment ships no JDBC drivers (offline build), so these are
+  * exercised by construction in tests; on a real cluster the driver jar on
+  * the classpath is the only additional requirement.
+  */
+object JdbcSource {
+
+  /** Register a remote table. `partitionColumn`/bounds enable parallel
+    * reads: numPartitions concurrent range-partitioned queries instead of
+    * one connection streaming the whole table — the difference between a
+    * usable and unusable 1 TB JDBC ingest.
+    */
+  def read(
+      spark: SparkSession,
+      url: String,
+      table: String,
+      properties: Map[String, String] = Map.empty,
+      partitionColumn: Option[String] = None,
+      lowerBound: Long = 0L,
+      upperBound: Long = 0L,
+      numPartitions: Int = 8
+  ): DataFrame = {
+    val base = spark.read
+      .format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+    val withProps = properties.foldLeft(base) { case (r, (k, v)) => r.option(k, v) }
+    val withPartitioning = partitionColumn.fold(withProps) { c =>
+      withProps
+        .option("partitionColumn", c)
+        .option("lowerBound", lowerBound.toString)
+        .option("upperBound", upperBound.toString)
+        .option("numPartitions", numPartitions.toString)
+    }
+    withPartitioning.load()
+  }
+
+  def postgres(
+      spark: SparkSession,
+      host: String,
+      port: Int,
+      database: String,
+      table: String,
+      user: String,
+      password: String
+  ): DataFrame =
+    read(
+      spark,
+      s"jdbc:postgresql://$host:$port/$database",
+      table,
+      Map("user" -> user, "password" -> password, "driver" -> "org.postgresql.Driver")
+    )
+
+  def mysql(
+      spark: SparkSession,
+      host: String,
+      port: Int,
+      database: String,
+      table: String,
+      user: String,
+      password: String
+  ): DataFrame =
+    read(
+      spark,
+      s"jdbc:mysql://$host:$port/$database",
+      table,
+      Map("user" -> user, "password" -> password, "driver" -> "com.mysql.cj.jdbc.Driver")
+    )
+}
