@@ -1,0 +1,184 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Aggregators
+import QueryUtil._
+
+/** Core relational surface, part D: the remaining §2.B rows — generator
+  * (UDTF) surface, map construct/access, typed UDAF, exact percentiles,
+  * distribution window functions, and session windows (the batch twin of
+  * streaming session state).
+  */
+object CoreQueriesD {
+
+  val all: Seq[Q] = Seq(
+    // ----- generator / UDTF surface (explode == DataFusion unnest) ---------
+    Q(
+      "q_explode_words",
+      (s, dir) =>
+        t(s, dir, "part")
+          .select(explode(split($"p_name", " ")).as("w"))
+          .groupBy($"w")
+          .agg(count(lit(1)).as("n"))
+          .orderBy($"n".desc, $"w")
+          .limit(20),
+      Some(
+        "SELECT w, count(*) AS n FROM (SELECT unnest(string_split(p_name, ' ')) AS w " +
+          "FROM part) GROUP BY w ORDER BY n DESC, w LIMIT 20"
+      )
+    ),
+    // posexplode: position-aware generator.
+    Q(
+      "q_explode_pos",
+      (s, dir) =>
+        t(s, dir, "part")
+          .filter($"p_partkey" < 50)
+          .select($"p_partkey", posexplode(split($"p_name", " ")))
+          .withColumnRenamed("pos", "word_idx")
+          .withColumnRenamed("col", "w")
+          .select($"p_partkey", $"word_idx".cast("bigint").as("word_idx"), $"w")
+          .orderBy($"p_partkey", $"word_idx"),
+      Some(
+        "SELECT p_partkey, CAST(idx - 1 AS BIGINT) AS word_idx, w " +
+          "FROM (SELECT p_partkey, unnest(string_split(p_name, ' ')) AS w, " +
+          "generate_subscripts(string_split(p_name, ' '), 1) AS idx FROM part " +
+          "WHERE p_partkey < 50) ORDER BY p_partkey, word_idx"
+      )
+    ),
+    // ----- map construct + access ------------------------------------------
+    // The MAP is built and accessed in Spark (MapType exercise); the oracle
+    // checks the extracted VALUES, which DuckDB computes directly.
+    Q(
+      "q_fn_map",
+      (s, dir) =>
+        t(s, dir, "part")
+          .filter($"p_partkey" < 200)
+          .select(
+            $"p_partkey",
+            map_from_arrays(
+              array(lit("size"), lit("double_size")),
+              array($"p_size".cast("long"), ($"p_size" * 2).cast("long"))
+            ).as("m")
+          )
+          .select(
+            $"p_partkey",
+            element_at($"m", "size").as("size_v"),
+            element_at($"m", "double_size").as("dsize_v"),
+            size(map_keys($"m")).cast("bigint").as("n_keys")
+          )
+          .orderBy($"p_partkey"),
+      Some(
+        "SELECT p_partkey, CAST(p_size AS BIGINT) AS size_v, " +
+          "CAST(p_size * 2 AS BIGINT) AS dsize_v, CAST(2 AS BIGINT) AS n_keys " +
+          "FROM part WHERE p_partkey < 200 ORDER BY p_partkey"
+      )
+    ),
+    // ----- typed UDAF (Aggregator) -----------------------------------------
+    // Exact integer-scaled weighted average: distributed merge order cannot
+    // perturb the result, so the oracle reproduces it digit-for-digit with
+    // the same scaling in SQL.
+    Q(
+      "q_udaf_wavg",
+      (s, dir) => {
+        val wavg = udaf(Aggregators.weightedAvg)
+        t(s, dir, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(wavg($"l_extendedprice", $"l_quantity").as("wavg_price"))
+          .orderBy($"l_returnflag")
+      },
+      Some(
+        "SELECT l_returnflag, " +
+          "CAST(sum((CAST(round(l_extendedprice * 1000000) AS BIGINT) * " +
+          "CAST(round(l_quantity * 1000000) AS BIGINT)) // 1000000) AS DOUBLE) / " +
+          "CAST(sum(CAST(round(l_quantity * 1000000) AS BIGINT)) AS DOUBLE) AS wavg_price " +
+          "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
+      )
+    ),
+    // ----- exact percentiles -----------------------------------------------
+    Q(
+      "q_agg_percentile",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .groupBy($"o_orderstatus")
+          .agg(
+            round(percentile_approx($"o_totalprice", lit(0.5), lit(1000000)), 6)
+              .as("p50_approx"),
+            round(expr("percentile(o_totalprice, 0.5)"), 6).as("p50"),
+            round(expr("percentile(o_totalprice, 0.9)"), 6).as("p90")
+          )
+          .select($"o_orderstatus", $"p50", $"p90")
+          .orderBy($"o_orderstatus"),
+      Some(
+        "SELECT o_orderstatus, " +
+          "round(quantile_cont(o_totalprice, 0.5), 6) AS p50, " +
+          "round(quantile_cont(o_totalprice, 0.9), 6) AS p90 " +
+          "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"
+      )
+    ),
+    // ----- distribution window functions -----------------------------------
+    Q(
+      "q_win_dist",
+      (s, dir) => {
+        val w = Window.partitionBy($"c_nationkey").orderBy($"c_acctbal", $"c_custkey")
+        t(s, dir, "customer")
+          .filter($"c_custkey" < 300)
+          .select(
+            $"c_nationkey",
+            $"c_custkey",
+            round(percent_rank().over(w), 6).as("pr"),
+            round(cume_dist().over(w), 6).as("cd")
+          )
+          .orderBy($"c_nationkey", $"c_custkey")
+      },
+      Some(
+        "SELECT c_nationkey, c_custkey, " +
+          "round(percent_rank() OVER w, 6) AS pr, " +
+          "round(cume_dist() OVER w, 6) AS cd " +
+          "FROM customer WHERE c_custkey < 300 WINDOW w AS " +
+          "(PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey) " +
+          "ORDER BY c_nationkey, c_custkey"
+      )
+    ),
+    // ----- session windows (batch twin of streaming session state) ---------
+    // Spark: built-in session_window (30-min gap merge). DuckDB has no
+    // session windows — the oracle derives identical sessions with the
+    // classic gaps-and-islands rewrite (lag + cumulative boundary count),
+    // which doubles as documentation of the semantics.
+    Q(
+      "q_events_sessions",
+      (s, dir) =>
+        events(s, dir)
+          .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+          .agg(count(lit(1)).as("n_events"))
+          .select(
+            $"user_id",
+            $"session_window.start".as("session_start"),
+            $"n_events"
+          )
+          .filter($"n_events" >= 3)
+          .orderBy($"user_id", $"session_start"),
+      Some(
+        """WITH e AS (
+          |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+          |), marked AS (
+          |  SELECT user_id, ts,
+          |         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+          |                   > INTERVAL 30 MINUTE THEN 1
+          |              WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL THEN 1
+          |              ELSE 0 END AS new_session
+          |  FROM e
+          |), sessions AS (
+          |  SELECT user_id, ts,
+          |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+          |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          |  FROM marked
+          |)
+          |SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+          |FROM sessions GROUP BY user_id, sid
+          |HAVING count(*) >= 3
+          |ORDER BY user_id, session_start""".stripMargin
+      )
+    )
+  )
+}

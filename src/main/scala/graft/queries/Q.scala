@@ -40,10 +40,10 @@ object QueryUtil {
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = t(spark, dir, "events")
-    raw.withColumn(
-      "ts",
-      timestamp_micros((col("ts") / lit(1000L)).cast("long"))
-    )
+    // `div`, not `/`: Spark's / on longs is DOUBLE division, which rounds
+    // the microsecond up for half the nanos values; DuckDB's NS->US cast
+    // truncates. Integer division matches it exactly.
+    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   /** Register tables as temp views for SQL-text queries; returns spark. */

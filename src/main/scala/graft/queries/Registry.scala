@@ -8,6 +8,7 @@ package graft.queries
 object Registry {
   val all: Seq[Q] =
     CoreQueriesA.all ++ CoreQueriesB.all ++ CoreQueriesC.all ++
+      CoreQueriesD.all ++
       DedupQueries.all ++ SimilarityQueries.all ++ TextQueries.all ++
       SourceQueries.all
 

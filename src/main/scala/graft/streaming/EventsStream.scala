@@ -30,7 +30,8 @@ object EventsStream {
     spark.readStream
       .schema(batchSchema)
       .parquet(eventsDir)
-      .withColumn("ts", timestamp_micros((col("ts") / lit(1000L)).cast("long")))
+      // integer div (not /): double division rounds half the microseconds up
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   /** Watermarked tumbling-window counts per event_type. */
