@@ -1,9 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, StreamingQuery, Trigger}
-import org.apache.spark.sql.Row
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
 /** Structured Streaming over the `events` fixture — the working analogue of
   * the reference's CDC stub (crates/cdc/src/lib.rs:9 "TODO: Implement CDC
@@ -49,6 +48,55 @@ object EventsStream {
         col("n"),
         col("sum_value")
       )
+
+  /** Sliding windows: every event lands in (size/slide) windows — here
+    * 2h/1h, so per-window counts sum to exactly 2x the event count (the
+    * StreamingSpec conservation check).
+    */
+  def slidingCounts(eventsTs: DataFrame): DataFrame =
+    eventsTs
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+
+  /** Streaming exactly-once dedup on event_id: the watermark bounds the
+    * dedup state (an id older than the watermark can be dropped because a
+    * duplicate that late would be discarded anyway).
+    */
+  def dedupedEvents(eventsTs: DataFrame): DataFrame =
+    eventsTs
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+
+  /** Per-user running activity state (custom streaming state — the
+    * `flatMapGroupsWithState` surface SURVEY M5 scopes): total events and
+    * last-seen timestamp per user, updated each micro-batch.
+    */
+  final case class UserActivity(userId: Long, nEvents: Long, lastTsMicros: Long)
+
+  def userActivity(
+      spark: SparkSession,
+      eventsTs: DataFrame
+  ): Dataset[UserActivity] = {
+    import spark.implicits._
+    val pairs = eventsTs
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .as[(Long, Long)]
+    pairs
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[UserActivity, UserActivity](
+        OutputMode.Update,
+        GroupStateTimeout.NoTimeout
+      ) { (uid: Long, rows: Iterator[(Long, Long)], state: GroupState[UserActivity]) =>
+        var acc = state.getOption.getOrElse(UserActivity(uid, 0L, Long.MinValue))
+        rows.foreach { case (_, ts) =>
+          acc = UserActivity(uid, acc.nEvents + 1, math.max(acc.lastTsMicros, ts))
+        }
+        state.update(acc)
+        Iterator.single(acc)
+      }
+  }
 
   /** Run the windowed aggregate into an in-memory table the engine can
     * query (`spark.table("global_temp.<resultTable>")`), refreshed per

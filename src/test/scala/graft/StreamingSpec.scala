@@ -36,6 +36,81 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("streaming dedup drops re-delivered files' duplicates") {
+    // stage the SAME data twice: the file source treats each file as new
+    // input, so every event_id arrives twice; dropDuplicates must halve it
+    val eventsDir = tempDir("graft-events-dup")
+    val src = java.nio.file.Paths.get(SparkTestBase.Sf0001, "events.parquet")
+    java.nio.file.Files.copy(src, java.nio.file.Paths.get(eventsDir, "a.parquet"))
+    java.nio.file.Files.copy(src, java.nio.file.Paths.get(eventsDir, "b.parquet"))
+    val checkpoint = tempDir("graft-ckpt-dup")
+
+    val deduped = EventsStream.dedupedEvents(EventsStream.readEventsStream(spark, eventsDir))
+    // memory sink: append batches ACCUMULATE (foreachBatch view-replacement
+    // would drop earlier batches and can end on an empty trailing batch)
+    val q = deduped.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("events_deduped")
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination(120000)
+    finally q.stop()
+
+    val total = graft.queries.QueryUtil.events(spark, SparkTestBase.Sf0001).count()
+    assert(spark.table("events_deduped").count() === total)
+    assert(
+      spark.table("events_deduped").select("event_id").distinct().count() === total
+    )
+  }
+
+  test("flatMapGroupsWithState per-user activity equals batch aggregation") {
+    val eventsDir = tempDir("graft-events-state")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(SparkTestBase.Sf0001, "events.parquet"),
+      java.nio.file.Paths.get(eventsDir, "events.parquet")
+    )
+    val checkpoint = tempDir("graft-ckpt-state")
+
+    val activity = EventsStream.userActivity(
+      spark,
+      EventsStream.readEventsStream(spark, eventsDir)
+    )
+    val q = activity.toDF().writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.persist(); batch.count()
+        batch.createOrReplaceGlobalTempView("user_activity")
+        ()
+      }
+      .start()
+    try q.awaitTermination(120000)
+    finally q.stop()
+
+    val streamed = spark.table("global_temp.user_activity")
+      .orderBy("userId")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val batch = graft.queries.QueryUtil.events(spark, SparkTestBase.Sf0001)
+      .groupBy("user_id").count().orderBy("user_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
+  test("sliding windows: every event lands in exactly size/slide windows") {
+    val sliding = EventsStream
+      .slidingCounts(graft.queries.QueryUtil.events(spark, SparkTestBase.Sf0001))
+      .agg(sum("n"))
+      .head()
+      .getLong(0)
+    val total = graft.queries.QueryUtil.events(spark, SparkTestBase.Sf0001).count()
+    assert(sliding === 2 * total)
+  }
+
   test("windowed counts conserve total events") {
     val dir = SparkTestBase.Sf0001
     val total = graft.queries.QueryUtil.events(spark, dir).count()
