@@ -45,10 +45,13 @@ object CsvSource {
     * CSV path.
     */
   def csvCopyOfParquet(spark: SparkSession, parquetPath: String, name: String): String = {
+    // key the copy by source path too: the same table name exists at every
+    // scale factor, and a cached sf0.01 CSV must not serve an sf0.001 run
+    val srcKey = Integer.toHexString(parquetPath.hashCode)
     val target = Paths.get(
       System.getProperty("java.io.tmpdir"),
       "graft-csv",
-      name
+      s"$name-$srcKey"
     )
     if (!Files.exists(target.resolve("_SUCCESS"))) {
       spark.read
