@@ -81,6 +81,14 @@ object GraftSession {
       .master(s"local[$cores]")
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cores.toString)
+      // Split input files so scans parallelize across the local cores: the
+      // test fixtures are single ~1-10 MB parquet files, which the 128 MB
+      // default packs into ONE task. 2 MB splits give every core work at
+      // sf0.1 while keeping per-task overhead negligible. On a real
+      // cluster reading 100 TB of 128 MB+ files, leave the defaults —
+      // this constructor is the LOCAL profile (Bench/Verify/tests).
+      .config("spark.sql.files.maxPartitionBytes", (2 * 1024 * 1024).toString)
+      .config("spark.sql.files.openCostInBytes", (512 * 1024).toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       // events.parquet carries TIMESTAMP(NANOS); read as LongType nanos
