@@ -1,0 +1,53 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Upper}
+
+import graft.functions.{CosineSimilarity, DotProduct, RollingFingerprint}
+
+/** SparkSessionExtensions entry point: injects graft's native functions
+  * into every session built with
+  * `spark.sql.extensions=graft.engine.GraftExtensions` (set by
+  * GraftSession.local), making them first-class SQL functions — visible in
+  * every derived session state (`spark.newSession()`), DESCRIBE FUNCTION,
+  * and thrift/connect clients — rather than per-session temp functions.
+  *
+  * This is the supported seam for library-provided Catalyst expressions
+  * (the analogue of the reference registering its UDF at engine
+  * construction, crates/engine/src/lib.rs:39-44). The temp-function path in
+  * graft.functions.Functions.register stays as the dynamic/runtime API for
+  * sessions graft did not build.
+  *
+  * No optimizer Rule / SparkStrategy is injected: SURVEY.md §4 found none
+  * is needed for reference parity — Catalyst's own rule families cover
+  * every rewrite the reference performs or aspires to.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    register(ext, "capitalize", "uppercases a string (reference semantics)",
+      es => Upper(es.head))
+    register(ext, "cosine_sim", "cosine similarity of two array<float> vectors",
+      es => CosineSimilarity(es(0), es(1)))
+    register(ext, "dot_product", "dot product of two array<float> vectors",
+      es => DotProduct(es(0), es(1)))
+    register(ext, "rolling_fingerprint",
+      "Karp-Rabin rolling-hash fingerprint (window<=0: whole string)",
+      es => RollingFingerprint(es(0), es(1)))
+  }
+
+  private def register(
+      ext: SparkSessionExtensions,
+      name: String,
+      usage: String,
+      builder: Seq[Expression] => Expression
+  ): Unit =
+    ext.injectFunction(
+      (
+        new FunctionIdentifier(name),
+        new ExpressionInfo("graft", null, name, usage, ""),
+        builder
+      )
+    )
+}

@@ -81,6 +81,9 @@ object GraftSession {
       .master(s"local[$cores]")
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cores.toString)
+      // graft's native functions as first-class SQL functions in every
+      // session state (see GraftExtensions)
+      .config("spark.sql.extensions", "graft.engine.GraftExtensions")
       // Split input files so scans parallelize across the local cores: the
       // test fixtures are single ~1-10 MB parquet files, which the 128 MB
       // default packs into ONE task. 2 MB splits give every core work at
