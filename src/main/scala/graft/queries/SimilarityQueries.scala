@@ -99,6 +99,28 @@ object SimilarityQueries {
           .limit(10)
       },
       None
+    ),
+    // IVF-partitioned ANN: KMeans cells + nProbe-cell scan (the
+    // partition-pruning scale path; see operators.IvfIndex). KMeans is
+    // seed-fixed but FP-reduction order isn't SQL-portable -> rows-only
+    // driver check; SimilaritySpec measures recall against brute force.
+    Q(
+      "q_sim_topk_ivf",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val model = graft.operators.IvfIndex.build(e, "embedding")
+        val query = e
+          .filter($"vec_id" === QueryVecId)
+          .select($"embedding")
+          .head()
+          .getSeq[Float](0)
+          .toArray
+        graft.operators.IvfIndex
+          .probe(model, query, "embedding", k = 10, nProbe = 4)
+          .filter($"vec_id" =!= QueryVecId)
+          .select($"vec_id", $"label", $"cos")
+      },
+      None
     )
   )
 }

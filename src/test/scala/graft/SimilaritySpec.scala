@@ -11,6 +11,22 @@ class SimilaritySpec extends SparkTestBase {
     assert(scores.sliding(2).forall { case Array(a, b) => a >= b })
   }
 
+  test("IVF probe: scores match brute force; recall@10 is useful") {
+    val brute = Registry.byName("q_sim_topk").fn(spark, SparkTestBase.Sf0001)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val ivf = Registry.byName("q_sim_topk_ivf").fn(spark, SparkTestBase.Sf0001)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2))
+    assert(ivf.nonEmpty)
+    // identical scoring expression -> identical scores on shared ids
+    ivf.foreach { case (id, s) =>
+      brute.get(id).foreach(bs => assert(bs === s, s"score mismatch for vec $id"))
+    }
+    // probing 4/16 cells must still find a reasonable share of the true
+    // top-10 (the fixture has weak cluster structure; >=3 is the floor)
+    val recall = ivf.map(_._1).count(brute.contains)
+    assert(recall >= 3, s"IVF recall@10 too low: $recall/10")
+  }
+
   test("LSH top-k is consistent with brute force on shared candidates") {
     val brute = Registry.byName("q_sim_topk").fn(spark, SparkTestBase.Sf0001)
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
