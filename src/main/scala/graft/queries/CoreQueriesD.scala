@@ -46,6 +46,28 @@ object CoreQueriesD {
           "WHERE p_partkey < 50) ORDER BY p_partkey, word_idx"
       )
     ),
+    // ----- interval arithmetic ---------------------------------------------
+    Q(
+      "q_fn_interval",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .filter($"o_orderkey" < 400)
+          .select(
+            $"o_orderkey",
+            ($"o_orderdate" + expr("INTERVAL 90 DAY")).as("due_ts"),
+            add_months($"o_orderdate".cast("date"), 3).as("plus_3m"),
+            ($"o_orderdate".cast("date") - expr("INTERVAL 1 WEEK"))
+              .cast("date")
+              .as("week_before")
+          )
+          .orderBy($"o_orderkey"),
+      Some(
+        "SELECT o_orderkey, o_orderdate + INTERVAL 90 DAY AS due_ts, " +
+          "CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus_3m, " +
+          "CAST(CAST(o_orderdate AS DATE) - INTERVAL 1 WEEK AS DATE) AS week_before " +
+          "FROM orders WHERE o_orderkey < 400 ORDER BY o_orderkey"
+      )
+    ),
     // ----- map construct + access ------------------------------------------
     // The MAP is built and accessed in Spark (MapType exercise); the oracle
     // checks the extracted VALUES, which DuckDB computes directly.

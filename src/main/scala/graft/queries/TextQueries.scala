@@ -146,6 +146,63 @@ object TextQueries {
           |FROM sc ORDER BY doc_id""".stripMargin
       )
     ),
+    // ----- end-to-end corpus pipeline --------------------------------------
+    // The flagship LLM-data story in one query: exact-dedup -> quality
+    // filter -> per-language corpus statistics. Each stage is the operator
+    // defined elsewhere in this pack; the oracle replays the whole pipeline
+    // in SQL, so the composition (not just the pieces) is hash-gated.
+    Q(
+      "q_pipeline_corpus",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        // stage 1: exact dedup (keep min doc_id per content hash)
+        val keepers = docs
+          .groupBy(sha2($"text", 256).as("h"))
+          .agg(min($"doc_id").as("doc_id"))
+          .select($"doc_id")
+        val deduped = docs.join(keepers, Seq("doc_id"))
+        // stage 2: quality filter (length + repetitiveness)
+        val ws = TextOps.tokens($"text")
+        val quality = deduped
+          .withColumn("n_tokens", size(ws).cast("bigint"))
+          .withColumn("n_distinct", size(array_distinct(ws)).cast("bigint"))
+          .filter(
+            $"n_tokens" >= 20 &&
+              $"n_distinct" * lit(1.0) / $"n_tokens" >= 0.10
+          )
+        // stage 3: per-language corpus stats. Corpus TTR is the ratio of
+        // exact integer sums — no double summation anywhere, so the
+        // distributed agg order cannot perturb the oracle hash.
+        quality
+          .groupBy($"lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum($"n_tokens").cast("bigint").as("total_tokens"),
+            round(
+              sum($"n_distinct").cast("double") / sum($"n_tokens").cast("double"),
+              6
+            ).as("corpus_ttr")
+          )
+          .orderBy($"lang")
+      },
+      Some(
+        """WITH keepers AS (
+          |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)
+          |), quality AS (
+          |  SELECT d.lang,
+          |         CAST(len(regexp_split_to_array(lower(d.text), '\s+')) AS BIGINT) AS n_tokens,
+          |         CAST(len(list_distinct(regexp_split_to_array(lower(d.text), '\s+'))) AS BIGINT) AS n_distinct
+          |  FROM documents d JOIN keepers k ON d.doc_id = k.doc_id
+          |)
+          |SELECT lang, count(*) AS n_docs,
+          |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+          |       round(CAST(sum(n_distinct) AS DOUBLE) / CAST(sum(n_tokens) AS DOUBLE), 6) AS corpus_ttr
+          |FROM quality
+          |WHERE n_tokens >= 20 AND n_distinct * 1.0 / n_tokens >= 0.10
+          |GROUP BY lang ORDER BY lang""".stripMargin
+      ),
+      bench = true
+    ),
     // ----- content fingerprinting ------------------------------------------
     // Native rolling-hash expression; not reproducible in DuckDB SQL ->
     // rows-only driver check, semantics pinned by TextExpressionsSpec.
