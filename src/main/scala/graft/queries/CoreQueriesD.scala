@@ -162,6 +162,55 @@ object CoreQueriesD {
           "ORDER BY c_nationkey, c_custkey"
       )
     ),
+    // ----- as-of join -------------------------------------------------------
+    // Spark has no native ASOF JOIN; operators.AsOfJoin composes it from a
+    // union + one keyed window pass (one shuffle, sort-merge cost profile).
+    // The oracle is DuckDB's NATIVE ASOF JOIN — equality shows the
+    // composition reproduces the real operator's semantics, including the
+    // inclusive (<=) tie rule. Both sides compare at micros precision.
+    Q(
+      "q_asof_join",
+      (s, dir) => {
+        val ev = events(s, dir)
+        val clicks = ev
+          .filter($"event_type" === "click")
+          .select($"event_id", $"user_id", $"ts")
+        val purchases = ev
+          .filter($"event_type" === "purchase")
+          .select($"user_id", $"ts", $"value")
+        graft.operators.AsOfJoin
+          .asofBackward(
+            clicks,
+            purchases,
+            key = "user_id",
+            leftTs = "ts",
+            rightTs = "ts",
+            rightVals = Map("ts" -> "last_purchase_ts", "value" -> "last_purchase_value")
+          )
+          .select(
+            $"event_id",
+            $"user_id",
+            $"ts",
+            $"last_purchase_ts",
+            $"last_purchase_value"
+          )
+          .orderBy($"event_id")
+      },
+      Some(
+        """WITH l AS (
+          |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+          |  FROM events WHERE event_type = 'click'
+          |), r AS (
+          |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+          |  FROM events WHERE event_type = 'purchase'
+          |)
+          |SELECT l.event_id, l.user_id, l.ts,
+          |       r.ts AS last_purchase_ts, r.value AS last_purchase_value
+          |FROM l ASOF LEFT JOIN r
+          |  ON l.user_id = r.user_id AND l.ts >= r.ts
+          |ORDER BY l.event_id""".stripMargin
+      )
+    ),
     // ----- session windows (batch twin of streaming session state) ---------
     // Spark: built-in session_window (30-min gap merge). DuckDB has no
     // session windows — the oracle derives identical sessions with the

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.Row
+import graft.operators.AsOfJoin
+
+class AsOfJoinSpec extends SparkTestBase {
+
+  test("backward as-of: latest at-or-before, inclusive ties, null when none") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, "k1", 100L), // after right@50 -> 50
+      (2L, "k1", 50L),  // exact tie with right@50 -> inclusive -> 50
+      (3L, "k1", 49L),  // before any right -> null
+      (4L, "k2", 10L),  // key with no right rows -> null
+      (5L, "k1", 200L)  // after right@150 -> 150
+    ).toDF("id", "k", "ts")
+    val right = Seq(
+      ("k1", 50L, 5.0),
+      ("k1", 150L, 15.0)
+    ).toDF("k", "ts", "v")
+
+    val out = AsOfJoin
+      .asofBackward(left, right, "k", "ts", "ts",
+        Map("ts" -> "r_ts", "v" -> "r_v"))
+      .select($"id", $"r_ts", $"r_v")
+      .orderBy($"id")
+      .collect()
+
+    assert(out.toSeq === Seq(
+      Row(1L, 50L, 5.0),
+      Row(2L, 50L, 5.0),
+      Row(3L, null, null),
+      Row(4L, null, null),
+      Row(5L, 150L, 15.0)
+    ))
+  }
+
+  test("as-of plans one shuffle on the key, no join explosion") {
+    import spark.implicits._
+    val left = (1 to 1000).map(i => (i.toLong, s"k${i % 10}", i.toLong)).toDF("id", "k", "ts")
+    val right = (1 to 100).map(i => (s"k${i % 10}", i.toLong, i.toDouble)).toDF("k", "ts", "v")
+    val out = AsOfJoin.asofBackward(left, right, "k", "ts", "ts", Map("v" -> "rv"))
+    assert(out.count() === 1000) // exactly one output row per left row
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"))
+  }
+}
