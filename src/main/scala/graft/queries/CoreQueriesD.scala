@@ -211,6 +211,39 @@ object CoreQueriesD {
           |ORDER BY l.event_id""".stripMargin
       )
     ),
+    // ----- range (epsilon) join ---------------------------------------------
+    // Pure non-equi time-distance join, rewritten to a bucketed hash join
+    // (operators.RangeJoin) — the oracle does the naive inequality join,
+    // so equality proves the bucketing rewrite is exact.
+    Q(
+      "q_range_join",
+      (s, dir) => {
+        val ev = events(s, dir)
+        val errors = ev
+          .filter($"event_type" === "error")
+          .select($"event_id", $"user_id", $"ts")
+        val clicks = ev
+          .filter($"event_type" === "click")
+          .select($"ts".as("click_ts"))
+        graft.operators.RangeJoin
+          .epsilonCount(errors, clicks, "ts", "click_ts", 5L * 60 * 1000000)
+          .select($"event_id", $"user_id", $"n_matches")
+          .orderBy($"event_id")
+      },
+      Some(
+        """WITH e AS (
+          |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+          |  FROM events WHERE event_type = 'error'
+          |), c AS (
+          |  SELECT CAST(ts AS TIMESTAMP) AS ts FROM events WHERE event_type = 'click'
+          |)
+          |SELECT e.event_id, e.user_id, count(c.ts) AS n_matches
+          |FROM e LEFT JOIN c
+          |  ON c.ts BETWEEN e.ts - INTERVAL 5 MINUTE AND e.ts + INTERVAL 5 MINUTE
+          |GROUP BY e.event_id, e.user_id
+          |ORDER BY e.event_id""".stripMargin
+      )
+    ),
     // ----- session windows (batch twin of streaming session state) ---------
     // Spark: built-in session_window (30-min gap merge). DuckDB has no
     // session windows — the oracle derives identical sessions with the
