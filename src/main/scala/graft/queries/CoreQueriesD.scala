@@ -209,7 +209,8 @@ object CoreQueriesD {
           |FROM l ASOF LEFT JOIN r
           |  ON l.user_id = r.user_id AND l.ts >= r.ts
           |ORDER BY l.event_id""".stripMargin
-      )
+      ),
+      bench = true
     ),
     // ----- range (epsilon) join ---------------------------------------------
     // Pure non-equi time-distance join, rewritten to a bucketed hash join
@@ -242,7 +243,8 @@ object CoreQueriesD {
           |  ON c.ts BETWEEN e.ts - INTERVAL 5 MINUTE AND e.ts + INTERVAL 5 MINUTE
           |GROUP BY e.event_id, e.user_id
           |ORDER BY e.event_id""".stripMargin
-      )
+      ),
+      bench = true
     ),
     // ----- session windows (batch twin of streaming session state) ---------
     // Spark: built-in session_window (30-min gap merge). DuckDB has no
