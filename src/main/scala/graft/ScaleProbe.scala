@@ -1,0 +1,114 @@
+package graft
+
+import graft.engine.GraftSession
+import graft.operators.TextOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Dev tool: empirical scaling evidence. Generates lineitem-like and
+  * documents-like data at 1x and 10x the sf0.1 fixture volume, times the
+  * representative operator shapes on each, and prints per-op scale ratios.
+  * Sub-linear ratios (fixed overhead amortizing away) and ~linear ratios
+  * (true per-row work) are both healthy; super-linear growth would flag an
+  * operator that will not survive 100 TB. Run:
+  *   runMain graft.ScaleProbe
+  */
+object ScaleProbe {
+
+  private def genLineitem(spark: SparkSession, n: Long): DataFrame =
+    spark
+      .range(n)
+      .select(
+        (col("id") / 4).cast("long").as("l_orderkey"),
+        pmod(hash(col("id"), lit(1)), lit(200000)).cast("long").as("l_partkey"),
+        pmod(hash(col("id"), lit(2)), lit(10000)).cast("long").as("l_suppkey"),
+        (pmod(hash(col("id"), lit(3)), lit(7)) + 1).cast("int").as("l_linenumber"),
+        (pmod(hash(col("id"), lit(4)), lit(50)) + 1).cast("double").as("l_quantity"),
+        (pmod(hash(col("id"), lit(5)), lit(100000)) / 100.0 + 1.0).as("l_extendedprice"),
+        (pmod(hash(col("id"), lit(6)), lit(11)) / 100.0).as("l_discount"),
+        concat(lit("F"), pmod(hash(col("id"), lit(7)), lit(3))).as("l_returnflag")
+      )
+
+  private def genDocs(spark: SparkSession, n: Long): DataFrame = {
+    val vocab = array((0 until 64).map(i => lit(s"w$i")): _*)
+    spark
+      .range(n)
+      .select(
+        col("id").as("doc_id"),
+        concat_ws(
+          " ",
+          transform(
+            sequence(lit(0), lit(49)),
+            i => element_at(vocab, pmod(hash(col("id"), i), lit(64)) + 1)
+          )
+        ).as("text")
+      )
+  }
+
+  private def time(label: String, rows: Long)(body: => Unit): (String, Long, Double) = {
+    val t0 = System.nanoTime()
+    body
+    val secs = (System.nanoTime() - t0) / 1e9
+    (label, rows, secs)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local(appName = "graft-scale-probe").spark
+    val base = 600000L
+    // first 1x group is a discarded JIT/codegen warmup pass
+    val resultsAll = Seq(1L, 1L, 10L).flatMap { mult =>
+      val n = base * mult
+      val li = genLineitem(spark, n).cache()
+      li.count() // materialize input so timings isolate the operator
+      val docsN = 5000L * mult
+      val docs = genDocs(spark, docsN).cache()
+      docs.count()
+
+      val agg = time(s"agg_${mult}x", n) {
+        li.groupBy(col("l_returnflag"))
+          .agg(
+            sum(col("l_quantity").cast(DecimalType(14, 2))).as("q"),
+            avg(col("l_extendedprice")).as("p"),
+            count(lit(1)).as("n")
+          )
+          .write.format("noop").mode("overwrite").save()
+      }
+      val joinAgg = time(s"join_agg_${mult}x", n) {
+        val dim = spark.range(200000).select(
+          col("id").as("l_partkey"),
+          pmod(hash(col("id")), lit(100)).as("grp")
+        )
+        li.join(dim, Seq("l_partkey"))
+          .groupBy(col("grp"))
+          .agg(count(lit(1)).as("n"))
+          .write.format("noop").mode("overwrite").save()
+      }
+      val win = time(s"window_${mult}x", n) {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"), col("l_quantity"))
+        li.select(col("l_orderkey"), row_number().over(w).as("rn"))
+          .filter(col("rn") === 1)
+          .write.format("noop").mode("overwrite").save()
+      }
+      val minhash = time(s"minhash_sig_${mult}x", docsN) {
+        val ex = docs
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
+          .select(col("doc_id"), explode(TextOps.shingles(col("ws"))).as("s"))
+        ex.groupBy(col("doc_id"))
+          .agg(TextOps.minhashAggs(col("s")).head, TextOps.minhashAggs(col("s")).tail: _*)
+          .write.format("noop").mode("overwrite").save()
+      }
+      li.unpersist(); docs.unpersist()
+      Seq(agg, joinAgg, win, minhash)
+    }
+    val results = resultsAll.drop(4) // drop the warmup group
+
+    results.foreach { case (l, rows, s) => println(f"$l%-18s rows=$rows%9d  $s%8.2f s") }
+    println("--- 10x/1x time ratios (10 = perfectly linear, <10 = sub-linear) ---")
+    results.take(4).zip(results.drop(4)).foreach { case ((l1, _, s1), (_, _, s10)) =>
+      println(f"${l1.stripSuffix("_1x")}%-18s ${s10 / s1}%6.2f")
+    }
+    spark.stop()
+  }
+}

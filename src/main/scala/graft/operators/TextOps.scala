@@ -26,14 +26,19 @@ object TextOps {
       )
     )
 
-  /** k MinHash values of an exploded shingle column: the j-th hash family
-    * is xxhash64 salted with the family index. Used as
+  /** k MinHash values of an exploded shingle column. The shingle STRING is
+    * hashed once; the j-th family member then mixes that long with the
+    * family index — hashing 16 bytes instead of re-hashing the string k
+    * times (ScaleProbe caught the k-fold string pass scaling super-linearly
+    * at 10x docs). Used as
     * `explodedShingles.groupBy(docId).agg(minhashAggs(col("s")): _*)` —
     * a single shuffle of (doc, shingle) pairs; each agg is a map-side
     * partial min, so the reducer sees k longs per doc, not the shingles.
     */
-  def minhashAggs(shingle: Column, k: Int = 64): Seq[Column] =
-    (0 until k).map(j => min(xxhash64(lit(j), shingle)).as(s"mh$j"))
+  def minhashAggs(shingle: Column, k: Int = 64): Seq[Column] = {
+    val base = xxhash64(shingle)
+    (0 until k).map(j => min(xxhash64(lit(j), base)).as(s"mh$j"))
+  }
 
   /** LSH band digests over a MinHash signature laid out as columns mh0..mhK:
     * band b = hash of its r consecutive signature rows. Docs sharing any
