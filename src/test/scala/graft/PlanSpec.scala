@@ -1,0 +1,55 @@
+package graft
+
+import graft.queries.Registry
+
+/** Plan-shape regressions: the properties that make these queries scale
+  * are in the PLAN, not the output — pin them so a refactor that silently
+  * loses pushdown or broadcasts a fact table fails CI, not the cluster.
+  */
+class PlanSpec extends SparkTestBase {
+
+  private def executed(name: String): String =
+    Registry.byName(name).fn(spark, SparkTestBase.Sf0001)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+
+  test("q6 filters reach the parquet scan") {
+    val plan = executed("q6_filter_agg")
+    assert(plan.contains("PushedFilters: ["), plan.take(2000))
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate") || plan.contains("GreaterThan(l_shipdate"),
+      "shipdate range not pushed:\n" + plan.take(2000))
+  }
+
+  test("top-k plans TakeOrderedAndProject, not global sort") {
+    val plan = executed("q_topk")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+  }
+
+  test("star joins only HINT broadcast on true dimensions") {
+    // q3 hints only filtered customer; q5 only nation+region. The hint
+    // count in the analyzed plan is the contract — Spark may still choose
+    // broadcast for other sides from SIZE stats, which is fine and
+    // size-adaptive, unlike a hardcoded hint.
+    def hintCount(name: String): Int =
+      "(?i)hint".r.findAllIn(
+        Registry.byName(name).fn(spark, SparkTestBase.Sf0001)
+          .queryExecution.analyzed.toString
+      ).length
+    assert(hintCount("q3_join_agg") <= 2, "q3 grew broadcast hints")
+    assert(hintCount("q5_join_multi") <= 4, "q5 grew broadcast hints")
+  }
+
+  test("column pruning: dedup reads only doc_id and text") {
+    val plan = executed("q_dedup_minhash")
+    val reads = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(reads.nonEmpty)
+    assert(reads.forall(s => s.split(",").length <= 2), s"over-wide scan: $reads")
+  }
+
+  test("every registered query plans without error at sf0.001") {
+    Registry.all.foreach { q =>
+      val df = q.fn(spark, SparkTestBase.Sf0001)
+      df.queryExecution.executedPlan // force planning
+    }
+  }
+}
