@@ -96,6 +96,58 @@ object CoreQueriesD {
           "FROM part WHERE p_partkey < 200 ORDER BY p_partkey"
       )
     ),
+    // ----- pivot / unpivot --------------------------------------------------
+    // Pivot with EXPLICIT value list (no extra distinct-scan pass, and the
+    // output schema is static — the only form that scales); empty cells
+    // coalesced to 0 to match SQL conditional aggregation.
+    Q(
+      "q_pivot",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .groupBy($"o_orderpriority")
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(count(lit(1)))
+          .select(
+            $"o_orderpriority",
+            coalesce($"F", lit(0L)).as("F"),
+            coalesce($"O", lit(0L)).as("O"),
+            coalesce($"P", lit(0L)).as("P")
+          )
+          .orderBy($"o_orderpriority"),
+      Some(
+        "SELECT o_orderpriority, " +
+          "count(*) FILTER (WHERE o_orderstatus = 'F') AS F, " +
+          "count(*) FILTER (WHERE o_orderstatus = 'O') AS O, " +
+          "count(*) FILTER (WHERE o_orderstatus = 'P') AS P " +
+          "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"
+      )
+    ),
+    Q(
+      "q_unpivot",
+      (s, dir) =>
+        t(s, dir, "part")
+          .filter($"p_partkey" < 100)
+          .select(
+            $"p_partkey",
+            $"p_size".cast("double").as("size"),
+            $"p_retailprice".as("price")
+          )
+          .unpivot(
+            Array($"p_partkey"),
+            Array($"size", $"price"),
+            "metric",
+            "value"
+          )
+          .orderBy($"p_partkey", $"metric"),
+      Some(
+        "SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value " +
+          "FROM part WHERE p_partkey < 100 " +
+          "UNION ALL " +
+          "SELECT p_partkey, 'price' AS metric, p_retailprice AS value " +
+          "FROM part WHERE p_partkey < 100 " +
+          "ORDER BY p_partkey, metric"
+      )
+    ),
     // ----- typed UDAF (Aggregator) -----------------------------------------
     // Exact integer-scaled weighted average: distributed merge order cannot
     // perturb the result, so the oracle reproduces it digit-for-digit with
