@@ -276,7 +276,7 @@ object CoreQueriesA {
       ),
       bench = true
     ),
-    // TPC-H Q5 shape: 5-way star join; all dimensions broadcast.
+    // TPC-H Q5 shape: 5-way star join; only the tiny dims force-broadcast.
     Q(
       "q5_join_multi",
       (s, dir) => {

@@ -96,6 +96,80 @@ object CoreQueriesD {
           "FROM part WHERE p_partkey < 200 ORDER BY p_partkey"
       )
     ),
+    // ----- composite TPC-H shapes ------------------------------------------
+    // Q13 shape: two-level aggregation — per-customer order counts, then
+    // the distribution of those counts. Both levels are hash aggs; the
+    // second input is already tiny (one row per customer).
+    Q(
+      "q13_count_dist",
+      (s, dir) =>
+        t(s, dir, "customer")
+          .join(
+            t(s, dir, "orders"),
+            $"c_custkey" === $"o_custkey",
+            "left"
+          )
+          .groupBy($"c_custkey")
+          .agg(count($"o_orderkey").as("c_count"))
+          .groupBy($"c_count")
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy($"custdist".desc, $"c_count".desc),
+      Some(
+        "SELECT c_count, count(*) AS custdist FROM (" +
+          "SELECT c_custkey, count(o_orderkey) AS c_count " +
+          "FROM customer LEFT JOIN orders ON c_custkey = o_custkey " +
+          "GROUP BY c_custkey) " +
+          "GROUP BY c_count ORDER BY custdist DESC, c_count DESC"
+      )
+    ),
+    // Q18 shape: IN-subquery over a GROUPED fact — orders whose total
+    // quantity exceeds a threshold. The subquery becomes a semi join on
+    // the aggregated keys, not a fact-side re-scan per row.
+    Q(
+      "q18_large_orders",
+      (s, dir) =>
+        views(s, dir, "orders", "lineitem").sql(
+          "SELECT o_orderkey, o_orderdate, o_totalprice, " +
+            "CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS total_qty " +
+            "FROM orders JOIN lineitem ON o_orderkey = l_orderkey " +
+            "WHERE o_orderkey IN (" +
+            "  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey " +
+            "  HAVING SUM(CAST(l_quantity AS DECIMAL(14,2))) > 150) " +
+            "GROUP BY o_orderkey, o_orderdate, o_totalprice " +
+            "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"
+        ),
+      Some(
+        "SELECT o_orderkey, o_orderdate, o_totalprice, " +
+          "CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS total_qty " +
+          "FROM orders JOIN lineitem ON o_orderkey = l_orderkey " +
+          "WHERE o_orderkey IN (" +
+          "  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey " +
+          "  HAVING SUM(CAST(l_quantity AS DECIMAL(14,2))) > 150) " +
+          "GROUP BY o_orderkey, o_orderdate, o_totalprice " +
+          "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"
+      )
+    ),
+    // Q2 shape: correlated min-per-group — suppliers holding the minimum
+    // account balance of their nation. Catalyst decorrelates to an agg +
+    // join; no per-row re-scan survives in the plan.
+    Q(
+      "q2_min_per_group",
+      (s, dir) =>
+        views(s, dir, "supplier", "nation").sql(
+          "SELECT n_name, s_name, s_acctbal FROM supplier JOIN nation " +
+            "ON s_nationkey = n_nationkey " +
+            "WHERE s_acctbal = (SELECT min(s2.s_acctbal) FROM supplier s2 " +
+            "WHERE s2.s_nationkey = supplier.s_nationkey) " +
+            "ORDER BY n_name, s_name"
+        ),
+      Some(
+        "SELECT n_name, s_name, s_acctbal FROM supplier JOIN nation " +
+          "ON s_nationkey = n_nationkey " +
+          "WHERE s_acctbal = (SELECT min(s2.s_acctbal) FROM supplier s2 " +
+          "WHERE s2.s_nationkey = supplier.s_nationkey) " +
+          "ORDER BY n_name, s_name"
+      )
+    ),
     // ----- pivot / unpivot --------------------------------------------------
     // Pivot with EXPLICIT value list (no extra distinct-scan pass, and the
     // output schema is static — the only form that scales); empty cells
