@@ -311,6 +311,37 @@ object CoreQueriesB {
           "ORDER BY s_suppkey"
       )
     ),
+    // NOT IN without nulls: plans as a null-aware anti join, non-empty.
+    Q(
+      "q_subq_not_in",
+      (s, dir) =>
+        views(s, dir, "customer", "nation").sql(
+          "SELECT c_custkey FROM customer WHERE c_nationkey NOT IN " +
+            "(SELECT n_nationkey FROM nation WHERE n_regionkey = 0) " +
+            "ORDER BY c_custkey LIMIT 500"
+        ),
+      Some(
+        "SELECT c_custkey FROM customer WHERE c_nationkey NOT IN " +
+          "(SELECT n_nationkey FROM nation WHERE n_regionkey = 0) " +
+          "ORDER BY c_custkey LIMIT 500"
+      )
+    ),
+    // NOT IN whose subquery CONTAINS a NULL: three-valued logic makes the
+    // predicate never-true, so the correct answer is EMPTY. An engine that
+    // compiles NOT IN to a plain (non-null-aware) anti join returns rows
+    // here and fails the oracle — the empty result is the whole point.
+    Q(
+      "q_subq_not_in_null",
+      (s, dir) =>
+        views(s, dir, "customer", "nation").sql(
+          "SELECT c_custkey FROM customer WHERE c_nationkey NOT IN " +
+            "(SELECT nullif(n_nationkey, 3) FROM nation) ORDER BY c_custkey"
+        ),
+      Some(
+        "SELECT c_custkey FROM customer WHERE c_nationkey NOT IN " +
+          "(SELECT nullif(n_nationkey, 3) FROM nation) ORDER BY c_custkey"
+      )
+    ),
     // Correlated EXISTS with an inner predicate referencing the outer row.
     Q(
       "q_subq_exists",
