@@ -46,6 +46,39 @@ object CoreQueriesD {
           "WHERE p_partkey < 50) ORDER BY p_partkey, word_idx"
       )
     ),
+    // ----- higher-order array functions -------------------------------------
+    // transform/filter/aggregate lambdas run inside codegen — the idiom
+    // this engine prefers over UDFs for per-element array work (the same
+    // machinery TextOps.shingles uses). DuckDB mirrors each lambda.
+    Q(
+      "q_fn_higher_order",
+      (s, dir) =>
+        t(s, dir, "part")
+          .filter($"p_partkey" < 200)
+          .select(
+            $"p_partkey",
+            aggregate(
+              sequence(lit(1), $"p_size"),
+              lit(0L),
+              (acc, x) => acc + x
+            ).as("size_triangle"),
+            size(filter(sequence(lit(1), $"p_size"), x => x % 2 === 0))
+              .cast("bigint")
+              .as("n_even"),
+            array_join(
+              transform(sequence(lit(1), lit(3)), i => concat(lit("p"), i)),
+              ","
+            ).as("tags")
+          )
+          .orderBy($"p_partkey"),
+      Some(
+        "SELECT p_partkey, " +
+          "CAST(p_size AS BIGINT) * (p_size + 1) // 2 AS size_triangle, " +
+          "CAST(p_size // 2 AS BIGINT) AS n_even, " +
+          "'p1,p2,p3' AS tags " +
+          "FROM part WHERE p_partkey < 200 ORDER BY p_partkey"
+      )
+    ),
     // ----- interval arithmetic ---------------------------------------------
     Q(
       "q_fn_interval",

@@ -111,6 +111,36 @@ class StreamingSpec extends SparkTestBase {
     assert(sliding === 2 * total)
   }
 
+  test("incremental arrival: a file landing later is picked up as a new micro-batch") {
+    val eventsDir = tempDir("graft-events-inc")
+    val checkpoint = tempDir("graft-ckpt-inc")
+    val src = java.nio.file.Paths.get(SparkTestBase.Sf0001, "events.parquet")
+
+    // half the data "arrives" first
+    val half = graft.queries.QueryUtil.t(spark, SparkTestBase.Sf0001, "events")
+    half.filter(org.apache.spark.sql.functions.col("event_id") % 2 === 0)
+      .write.parquet(s"$eventsDir/batch0")
+    val stream = EventsStream.readEventsStream(spark, s"$eventsDir/*/")
+    val q = stream.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("events_incremental")
+      .option("checkpointLocation", checkpoint)
+      .start()
+    try {
+      q.processAllAvailable()
+      val n1 = spark.table("events_incremental").count()
+      // the other half lands; the SAME running query must ingest it
+      half.filter(org.apache.spark.sql.functions.col("event_id") % 2 === 1)
+        .write.parquet(s"$eventsDir/batch1")
+      q.processAllAvailable()
+      val n2 = spark.table("events_incremental").count()
+      val total = half.count()
+      assert(n1 < total, "first batch should be partial")
+      assert(n2 === total, s"stream missed late-arriving files: $n2 != $total")
+    } finally q.stop()
+  }
+
   test("windowed counts conserve total events") {
     val dir = SparkTestBase.Sf0001
     val total = graft.queries.QueryUtil.events(spark, dir).count()
