@@ -110,7 +110,8 @@ object EventsStream {
       spark: SparkSession,
       eventsDir: String,
       resultTable: String,
-      checkpoint: String
+      checkpoint: String,
+      cache: Option[graft.engine.ResultCache] = None
   ): StreamingQuery =
     windowedCounts(readEventsStream(spark, eventsDir)).writeStream
       // Complete mode: every micro-batch carries the full aggregate, so the
@@ -120,10 +121,13 @@ object EventsStream {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.persist()
-        // force full materialization: every partition must be processed
-        // inside foreachBatch for the state-store commit to be valid
-        batch.count()
+        // ResultCache.put persists AND counts — full materialization is
+        // also what makes the state-store commit valid (every partition
+        // must be processed inside foreachBatch)
+        cache match {
+          case Some(c) => c.refresh(resultTable, batch)
+          case None    => batch.persist(); batch.count()
+        }
         batch.createOrReplaceGlobalTempView(resultTable)
         ()
       }

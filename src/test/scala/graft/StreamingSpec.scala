@@ -18,9 +18,13 @@ class StreamingSpec extends SparkTestBase {
     )
     val checkpoint = tempDir("graft-ckpt")
 
-    val q = EventsStream.startRefresh(spark, eventsDir, "events_live", checkpoint)
+    val q = EventsStream.startRefresh(
+      spark, eventsDir, "events_live", checkpoint, cache = Some(session.cache))
     try q.awaitTermination(120000)
     finally q.stop()
+
+    // the CDC-refresh wiring: the micro-batch landed in the result cache
+    assert(session.cache.get("events_live").isDefined)
 
     val streamed = spark
       .table("global_temp.events_live")
