@@ -227,6 +227,49 @@ object DedupQueries {
       },
       None
     ),
+    // ----- fingerprint-keyed near-dedup ------------------------------------
+    // The cheapest candidate generator of the three: ONE rolling-hash pass
+    // per document (vs 64 hash families for MinHash), groupBy fingerprint,
+    // pairs only within buckets, exact-Jaccard verification. The winnowed
+    // min-window hash collides for texts sharing their minimal window —
+    // measured on the fixture: 25/25 planted pairs share it, 22 docs of
+    // false candidates. Recall is data-dependent (an edit inside the
+    // minimal window splits a pair), so this is the cheap first pass;
+    // MinHash is the recall-guaranteed second. xxhash-free but our
+    // fingerprint isn't SQL-reproducible -> rows-only driver check;
+    // DedupSpec asserts equality with the exact operator here.
+    Q(
+      "q_dedup_fingerprint",
+      (s, dir) => {
+        graft.functions.Functions.register(s)
+        val doc = t(s, dir, "documents")
+        val fp = doc.select(
+          $"doc_id",
+          expr("rolling_fingerprint(text, 32)").as("fp")
+        )
+        val cand = fp
+          .as("x")
+          .join(
+            fp.as("y"),
+            col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id")
+          )
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        val sets = shingleSets(doc)
+        val inter = size(array_intersect($"sh_a", $"sh_b"))
+        cand
+          .join(sets.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), Seq("doc_a"))
+          .join(sets.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), Seq("doc_b"))
+          .select(
+            $"doc_a",
+            $"doc_b",
+            round(inter * lit(1.0) / (size($"sh_a") + size($"sh_b") - inter), 6)
+              .as("jaccard")
+          )
+          .filter($"jaccard" >= 0.5)
+          .orderBy($"doc_a", $"doc_b")
+      },
+      None
+    ),
     // ----- embedding cosine near-dup (blocked) -----------------------------
     // Blocking by label keeps the pairwise compare inside ~50-row blocks
     // (at 100 TB: block by a coarse quantizer / IVF cell instead of a

@@ -49,6 +49,14 @@ class DedupSpec extends SparkTestBase {
     assert(exact.forall(_.getDouble(2) >= 0.5))
   }
 
+  test("fingerprint-keyed dedup equals the exact operator on this corpus") {
+    val byFp = Registry.byName("q_dedup_fingerprint")
+      .fn(spark, SparkTestBase.Sf0001).collect().map(_.toString).toSet
+    val exact = Registry.byName("q_dedup_jaccard")
+      .fn(spark, SparkTestBase.Sf0001).collect().map(_.toString).toSet
+    assert(byFp === exact)
+  }
+
   test("simhash: near-dup pairs are close in Hamming space") {
     val nearDups = Registry.byName("q_dedup_jaccard")
       .fn(spark, SparkTestBase.Sf0001)
