@@ -98,6 +98,38 @@ object EventsStream {
       }
   }
 
+  /** Stream-stream inner join: clicks joined to the same user's purchases
+    * within the preceding hour. Both sides carry watermarks and the join
+    * condition bounds the time skew, so each side's buffered state is
+    * evictable — the requirements for Spark to run a stream-stream join
+    * with finite state at all.
+    */
+  def clickPurchaseJoin(eventsTs: DataFrame): DataFrame = {
+    val clicks = eventsTs
+      .filter(col("event_type") === "click")
+      .select(
+        col("event_id").as("click_id"),
+        col("user_id"),
+        col("ts").as("click_ts")
+      )
+      .withWatermark("click_ts", "1 hour")
+    val purchases = eventsTs
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("user_id").as("p_user_id"),
+        col("ts").as("purchase_ts"),
+        col("value").as("purchase_value")
+      )
+      .withWatermark("purchase_ts", "1 hour")
+    clicks.join(
+      purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR") &&
+        col("purchase_ts") <= col("click_ts"),
+      "inner"
+    ).select(col("click_id"), col("user_id"), col("click_ts"), col("purchase_ts"), col("purchase_value"))
+  }
+
   /** Run the windowed aggregate into an in-memory table the engine can
     * query (`spark.table("global_temp.<resultTable>")`), refreshed per
     * micro-batch via foreachBatch — the cache-refresh wiring the

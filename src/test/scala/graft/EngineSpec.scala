@@ -125,6 +125,12 @@ class EngineSpec extends SparkTestBase {
 
   // ----- serving shim (reference crates/api/src/lib.rs:81-149) -------------
 
+  test("serving surfaces analysis errors eagerly (reference FlightError behavior)") {
+    intercept[Exception] {
+      session.serving.flightInfo("SELECT nope FROM does_not_exist")
+    }
+  }
+
   test("flightInfo returns the schema without executing; doGet streams batches") {
     import spark.implicits._
     session.registerTable("serve_t", (1 to 3000).toDF("v"))

@@ -145,6 +145,34 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-stream join equals the batch join") {
+    val eventsDir = tempDir("graft-events-ssj")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(SparkTestBase.Sf0001, "events.parquet"),
+      java.nio.file.Paths.get(eventsDir, "events.parquet")
+    )
+    val checkpoint = tempDir("graft-ckpt-ssj")
+
+    val joined = EventsStream.clickPurchaseJoin(EventsStream.readEventsStream(spark, eventsDir))
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("ssj_out")
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination(180000)
+    finally q.stop()
+
+    val streamed = spark.table("ssj_out")
+      .orderBy("click_id", "purchase_ts").collect()
+    val batch = EventsStream
+      .clickPurchaseJoin(graft.queries.QueryUtil.events(spark, SparkTestBase.Sf0001))
+      .orderBy("click_id", "purchase_ts").collect()
+    assert(streamed.nonEmpty, "stream-stream join produced nothing")
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
   test("windowed counts conserve total events") {
     val dir = SparkTestBase.Sf0001
     val total = graft.queries.QueryUtil.events(spark, dir).count()
