@@ -46,7 +46,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(
       (
         new FunctionIdentifier(name),
-        new ExpressionInfo("graft", null, name, usage, ""),
+        new ExpressionInfo(
+          "graft", null, name, usage, "", "", "", "", "", "", "built-in"),
         builder
       )
     )

@@ -71,7 +71,7 @@ object IvfIndex {
   ): DataFrame = {
     val cells = rankCells(model, query).take(nProbe)
     val spark = model.assignments.sparkSession
-    val qCol = array(query.map(v => lit(v)): _*).cast("array<float>")
+    val qCol = array(query.toIndexedSeq.map(v => lit(v)): _*).cast("array<float>")
     model.assignments
       .filter(col("cell").isin(cells: _*)) // partition-pruned at scale
       .withColumn(

@@ -49,7 +49,7 @@ object RangeJoin {
       .withColumn("__rus", unix_micros(col(rightTs)))
       .select(expr(s"unix_micros($rightTs) div $epsMicros").as("__rb"), col("__rus"))
 
-    val leftKeys = left.columns.map(col)
+    val leftKeys = left.columns.toIndexedSeq.map(col)
     l.join(
         r,
         col("__lb") === col("__rb") &&
