@@ -47,6 +47,63 @@ object SourceQueries {
           "WHERE n_regionkey < 3 ORDER BY n_nationkey"
       )
     ),
+    // Iceberg-layout scan: a temp copy of `part` laid out as an Iceberg
+    // table directory (data/ + metadata/version-hint.text), read through
+    // IcebergSource (runtime-detecting; directory-scan fallback here).
+    // The oracle reads the parquet original, gating the whole round-trip.
+    Q(
+      "q_iceberg_scan",
+      (s, dir) => {
+        val root = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"),
+          "graft-iceberg",
+          "part-" + Integer.toHexString(dir.hashCode)
+        )
+        if (!java.nio.file.Files.exists(root.resolve("metadata"))) {
+          t(s, dir, "part").write.mode("overwrite")
+            .parquet(root.resolve("data").toString)
+          java.nio.file.Files.createDirectories(root.resolve("metadata"))
+          java.nio.file.Files.writeString(
+            root.resolve("metadata").resolve("version-hint.text"), "1")
+        }
+        graft.sources.IcebergSource
+          .read(s, root.toString)
+          .filter($"p_size" > 40)
+          .select($"p_partkey", $"p_name", $"p_size")
+          .orderBy($"p_partkey")
+      },
+      Some(
+        "SELECT p_partkey, p_name, p_size FROM part WHERE p_size > 40 " +
+          "ORDER BY p_partkey"
+      )
+    ),
+    // Result cache on the driver-contract path: cache a query's result
+    // under a key, then serve a follow-up query FROM the cached table —
+    // the reference cache's put/get round-trip (cache/src/lib.rs:38-50)
+    // with the oracle recomputing directly.
+    Q(
+      "q_cached_agg",
+      (s, dir) => {
+        val session = graft.engine.GraftSession(s)
+        session.registerTable("orders_src", t(s, dir, "orders"))
+        session.cacheQuery(
+          "cached_orders_agg",
+          "SELECT o_orderstatus, o_orderpriority, count(*) AS n, " +
+            "CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total " +
+            "FROM orders_src GROUP BY o_orderstatus, o_orderpriority"
+        )
+        session.execute(
+          "SELECT o_orderstatus, o_orderpriority, n, total " +
+            "FROM cached_orders_agg ORDER BY o_orderstatus, o_orderpriority"
+        )
+      },
+      Some(
+        "SELECT o_orderstatus, o_orderpriority, count(*) AS n, " +
+          "CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total " +
+          "FROM orders GROUP BY o_orderstatus, o_orderpriority " +
+          "ORDER BY o_orderstatus, o_orderpriority"
+      )
+    ),
     // Cross-source federated join: CSV supplier ⋈ parquet nation ⋈ parquet
     // region in one plan — connectors are just scan nodes to Catalyst, so
     // pushdown/broadcast work across sources exactly as within one.
