@@ -1,7 +1,33 @@
 package graft
 
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+
 import graft.engine.GraftSession
 import graft.queries.Registry
+
+/** Accumulates executor task metrics so the bench can report per-query
+  * shuffle and spill volume — the numbers that actually predict 100 TB
+  * behavior — alongside wall time.
+  */
+private class MetricsListener extends SparkListener {
+  val shuffleRead = new AtomicLong(0)
+  val shuffleWrite = new AtomicLong(0)
+  val spill = new AtomicLong(0)
+
+  override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+    val m = t.taskMetrics
+    if (m != null) {
+      shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+      shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      spill.addAndGet(m.diskBytesSpilled + m.memoryBytesSpilled)
+    }
+  }
+
+  def snapshot: (Long, Long, Long) =
+    (shuffleRead.get, shuffleWrite.get, spill.get)
+}
 
 /** Benchmark main: times the headline (`bench = true`) queries on
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line for the driver.
@@ -21,6 +47,8 @@ object Bench {
     val spark = session.spark
 
     val headline = Registry.all.filter(_.bench)
+    val listener = new MetricsListener
+    spark.sparkContext.addSparkListener(listener)
 
     def run(q: graft.queries.Q): (Double, Boolean) = {
       val t0 = System.nanoTime()
@@ -41,19 +69,32 @@ object Bench {
     // cluster; the cold total is reported alongside for transparency.
     val cold = headline.map(q => (q.name, run(q)))
     val results = headline.map { q =>
+      val before = listener.snapshot
       val (secs, ok) = run(q)
-      (q.name, secs, ok)
+      // listener events arrive async; give the bus a beat to drain
+      org.apache.spark.GraftSparkInternals
+        .waitListenerBusEmpty(spark.sparkContext, 10000)
+      val after = listener.snapshot
+      (q.name, secs, ok,
+        (after._1 - before._1) / 1048576.0,
+        (after._3 - before._3) / 1048576.0)
     }
 
     val qs = results
-      .map { case (k, v, ok) => s""""$k":${if (ok) v else -1}""" }
+      .map { case (k, v, ok, _, _) => s""""$k":${if (ok) v else -1}""" }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => s""""$k"""" }
+    val shuffle = results
+      .map { case (k, _, _, sh, _) => f""""$k":$sh%.2f""" }
+      .mkString("{", ",", "}")
+    val spills = results
+      .map { case (k, _, _, _, sp) => f""""$k":$sp%.2f""" }
+      .mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, false, _, _) => s""""$k"""" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
+    val total = results.collect { case (_, v, true, _, _) => v }.sum
     val coldTotal = cold.collect { case (_, (v, true)) => v }.sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"cold_total":$coldTotal,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"cold_total":$coldTotal,"shuffle_read_mb":$shuffle,"spill_mb":$spills,"sf":"$sfDir"}"""
     )
     spark.stop()
   }
