@@ -91,6 +91,35 @@ object ScaleProbe {
           .filter(col("rn") === 1)
           .write.format("noop").mode("overwrite").save()
       }
+      val eventsN = 100000L * mult
+      val ev = spark.range(eventsN).select(
+        col("id").as("event_id"),
+        pmod(hash(col("id"), lit(11)), lit(2000)).cast("long").as("user_id"),
+        timestamp_micros(lit(1700000000000000L) + col("id") * 10000000L).as("ts"),
+        (pmod(hash(col("id"), lit(12)), lit(100)) / 10.0).as("value"),
+        when(pmod(hash(col("id"), lit(13)), lit(2)) === 0, "click")
+          .otherwise("purchase").as("event_type")
+      ).cache()
+      ev.count()
+      val asof = time(s"asof_join_${mult}x", eventsN) {
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("value"))
+        graft.operators.AsOfJoin
+          .asofBackward(clicks, purchases, "user_id", "ts", "ts",
+            Map("value" -> "last_value"))
+          .write.format("noop").mode("overwrite").save()
+      }
+      val range = time(s"range_join_${mult}x", eventsN) {
+        val errors = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("ts"))
+        val clicks = ev.filter(col("event_type") === "purchase")
+          .select(col("ts").as("click_ts"))
+        graft.operators.RangeJoin
+          .epsilonCount(errors, clicks, "ts", "click_ts", 60L * 1000000)
+          .write.format("noop").mode("overwrite").save()
+      }
       val minhash = time(s"minhash_sig_${mult}x", docsN) {
         val ex = docs
           .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
@@ -99,14 +128,15 @@ object ScaleProbe {
           .agg(TextOps.minhashAggs(col("s")).head, TextOps.minhashAggs(col("s")).tail: _*)
           .write.format("noop").mode("overwrite").save()
       }
-      li.unpersist(); docs.unpersist()
-      Seq(agg, joinAgg, win, minhash)
+      li.unpersist(); docs.unpersist(); ev.unpersist()
+      Seq(agg, joinAgg, win, asof, range, minhash)
     }
-    val results = resultsAll.drop(4) // drop the warmup group
+    val nOps = 6
+    val results = resultsAll.drop(nOps) // drop the warmup group
 
     results.foreach { case (l, rows, s) => println(f"$l%-18s rows=$rows%9d  $s%8.2f s") }
     println("--- 10x/1x time ratios (10 = perfectly linear, <10 = sub-linear) ---")
-    results.take(4).zip(results.drop(4)).foreach { case ((l1, _, s1), (_, _, s10)) =>
+    results.take(nOps).zip(results.drop(nOps)).foreach { case ((l1, _, s1), (_, _, s10)) =>
       println(f"${l1.stripSuffix("_1x")}%-18s ${s10 / s1}%6.2f")
     }
     spark.stop()
