@@ -146,6 +146,57 @@ object TextQueries {
           |FROM sc ORDER BY doc_id""".stripMargin
       )
     ),
+    // ----- repetition detection --------------------------------------------
+    // Loop/boilerplate detector: the share of the document taken by its
+    // most frequent word-3gram. Generated/spammy text repeats shingles;
+    // clean prose almost never exceeds a few percent. Standard corpus-
+    // cleaning signal next to TTR.
+    Q(
+      "q_text_repetition",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select($"doc_id", TextOps.tokens($"text").as("ws"))
+          .filter(size($"ws") >= 3)
+          .select(
+            $"doc_id",
+            explode(
+              transform(
+                sequence(lit(0), size($"ws") - lit(3)),
+                i =>
+                  concat_ws(
+                    " ",
+                    element_at($"ws", i + lit(1)),
+                    element_at($"ws", i + lit(2)),
+                    element_at($"ws", i + lit(3))
+                  )
+              )
+            ).as("s")
+          )
+          .groupBy($"doc_id", $"s")
+          .agg(count(lit(1)).as("c"))
+          .groupBy($"doc_id")
+          .agg(
+            max($"c").cast("bigint").as("max_rep"),
+            sum($"c").cast("bigint").as("n_shingles"),
+            round(max($"c") * lit(1.0) / sum($"c"), 6).as("rep_ratio")
+          )
+          .orderBy($"doc_id"),
+      Some(
+        """WITH toks AS (
+          |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS ws FROM documents
+          |), sh AS (
+          |  SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+          |                         for i in range(1, len(ws)-1)]) AS s
+          |  FROM toks WHERE len(ws) >= 3
+          |), cnt AS (
+          |  SELECT doc_id, s, count(*) AS c FROM sh GROUP BY doc_id, s
+          |)
+          |SELECT doc_id, CAST(max(c) AS BIGINT) AS max_rep,
+          |       CAST(sum(c) AS BIGINT) AS n_shingles,
+          |       round(max(c) * 1.0 / sum(c), 6) AS rep_ratio
+          |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      )
+    ),
     // ----- end-to-end corpus pipeline --------------------------------------
     // The flagship LLM-data story in one query: exact-dedup -> quality
     // filter -> per-language corpus statistics. Each stage is the operator
