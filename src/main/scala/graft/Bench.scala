@@ -68,6 +68,10 @@ object Bench {
     // steady-state throughput is the number that scales to a long-running
     // cluster; the cold total is reported alongside for transparency.
     val cold = headline.map(q => (q.name, run(q)))
+    // drain cold-pass stragglers so they don't attribute to the first
+    // timed query's metric delta
+    org.apache.spark.GraftSparkInternals
+      .waitListenerBusEmpty(spark.sparkContext, 10000)
     val results = headline.map { q =>
       val before = listener.snapshot
       val (secs, ok) = run(q)

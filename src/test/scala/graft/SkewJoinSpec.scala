@@ -23,6 +23,18 @@ class SkewJoinSpec extends SparkTestBase {
     assert(plain.except(salted).count() === 0)
   }
 
+  test("null join keys drop out of the salted join like the plain inner join") {
+    import spark.implicits._
+    val fact = Seq((Option(1L), 10), (Option.empty[Long], 20), (Option(1L), 30))
+      .toDF("k", "v")
+    val dim = Seq((Option(1L), "one"), (Option.empty[Long], "null-dim"))
+      .toDF("k", "name")
+    val plain = fact.join(dim, Seq("k")).count()
+    val salted = SkewJoin.saltedInnerJoin(fact, dim, "k", salts = 4).count()
+    assert(salted === plain)
+    assert(salted === 2) // null keys never match in an inner equi join
+  }
+
   test("salting preserves row multiplicity (no dup or loss on the hot key)") {
     import spark.implicits._
     val fact = (1 to 5000).map(_ => (42L, 1)).toDF("k", "v")
