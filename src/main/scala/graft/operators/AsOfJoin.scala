@@ -40,13 +40,19 @@ object AsOfJoin {
       rightVals: Map[String, String]
   ): DataFrame = {
     // __side orders right rows BEFORE left rows at the same ts, giving the
-    // inclusive (<=) visibility rule
+    // inclusive (<=) visibility rule. The payload travels as ONE struct:
+    // a matched right row is then never-null even when its payload FIELDS
+    // are null, so "matched row with null value" and "no match" stay
+    // distinct — exactly DuckDB ASOF's semantics.
     val taggedLeft = left
       .withColumn("__ts", col(leftTs))
       .withColumn("__side", lit(1))
     val taggedRight = right.select(
-      (col(key) +: col(rightTs).as("__ts") +: lit(0).as("__side") +:
-        rightVals.map { case (in, out) => col(in).as(out) }.toSeq): _*
+      col(key),
+      col(rightTs).as("__ts"),
+      lit(0).as("__side"),
+      struct(rightVals.map { case (in, out) => col(in).as(out) }.toSeq: _*)
+        .as("__payload")
     )
     // union null-fills each side's missing columns
     val unioned = taggedLeft.unionByName(taggedRight, allowMissingColumns = true)
@@ -55,11 +61,12 @@ object AsOfJoin {
       .partitionBy(col(key))
       .orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightVals.values.foldLeft(unioned) { (df, out) =>
-      df.withColumn(out, last(col(out), ignoreNulls = true).over(w))
-    }
-    carried
+    val outCols =
+      left.columns.map(col).toSeq ++
+        rightVals.values.map(o => col("__carried").getField(o).as(o))
+    unioned
+      .withColumn("__carried", last(col("__payload"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .drop("__ts", "__side")
+      .select(outCols: _*)
   }
 }

@@ -53,16 +53,16 @@ class AsOfJoinSpec extends SparkTestBase {
     val right = Seq(("k", 50L, Option.empty[Double]), ("k", 40L, Option(4.0)))
       .toDF("k", "ts", "v")
     val out = AsOfJoin
-      .asofBackward(left, right, "k", "ts", "ts", Map("v" -> "rv"))
+      .asofBackward(left, right, "k", "ts", "ts",
+        Map("ts" -> "r_ts", "v" -> "rv"))
       .orderBy($"id")
-      .select($"rv")
+      .select($"r_ts", $"rv")
       .collect()
-    // KNOWN CONTRACT: the carry uses last(ignoreNulls), so a right row
-    // whose payload is NULL is skipped in favor of the previous non-null —
-    // id=1 sees 4.0 (from ts=40), not NULL (from ts=50); id=2 has no
-    // preceding right row at all -> NULL
-    assert(out(0).getDouble(0) === 4.0)
-    assert(out(1).isNullAt(0))
+    // the payload travels as a struct, so a MATCHED row with a NULL value
+    // (ts=50 for id=1) is distinct from NO match (id=2) — DuckDB ASOF
+    // semantics: id=1 matches the latest row (r_ts=50) and gets its null v
+    assert(out(0).getLong(0) === 50L && out(0).isNullAt(1))
+    assert(out(1).isNullAt(0) && out(1).isNullAt(1))
   }
 
   test("as-of plans one shuffle on the key, no join explosion") {
