@@ -10,7 +10,7 @@ object Registry {
     CoreQueriesA.all ++ CoreQueriesB.all ++ CoreQueriesC.all ++
       CoreQueriesD.all ++ CoreQueriesE.all ++
       DedupQueries.all ++ SimilarityQueries.all ++ TextQueries.all ++
-      SourceQueries.all
+      SourceQueries.all ++ SamplingQueries.all
 
   /** name -> implementation, the shape SparkEntry.queries needs. */
   lazy val byName: Map[String, Q] = {
