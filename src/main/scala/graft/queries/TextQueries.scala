@@ -146,6 +146,59 @@ object TextQueries {
           |FROM sc ORDER BY doc_id""".stripMargin
       )
     ),
+    // ----- document chunking ------------------------------------------------
+    // Fixed-size token windows with stride — the standard pre-tokenization
+    // step that turns documents into training samples. One explode, no
+    // shuffle until the final order; chunk boundaries are pure arithmetic
+    // over the token array, so DuckDB reproduces them exactly.
+    Q(
+      "q_text_chunk",
+      (s, dir) => {
+        val chunkLen = 40
+        val stride = 30
+        t(s, dir, "documents")
+          .select($"doc_id", TextOps.tokens($"text").as("ws"))
+          .filter(size($"ws") >= 1)
+          .select(
+            $"doc_id",
+            size($"ws").as("n_tokens"),
+            posexplode(
+              transform(
+                // chunk starts: 0, stride, 2*stride, ... while start < n
+                // (`div`: / on int columns is double division in Spark)
+                sequence(lit(0), expr(s"(size(ws) - 1) div $stride")),
+                i => concat_ws(" ", slice($"ws", i * stride + 1, lit(chunkLen)))
+              )
+            )
+          )
+          .select(
+            $"doc_id",
+            $"pos".cast("bigint").as("chunk_idx"),
+            size(split($"col", " ")).cast("bigint").as("chunk_tokens"),
+            substring($"col", 1, 30).as("chunk_head")
+          )
+          .orderBy($"doc_id", $"chunk_idx")
+      },
+      Some(
+        """WITH toks AS (
+          |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS ws
+          |  FROM documents
+          |), lists AS (
+          |  SELECT doc_id,
+          |         [array_to_string(ws[i*30+1 : i*30+40], ' ')
+          |          for i in range(0, (len(ws)-1)//30 + 1)] AS chunks
+          |  FROM toks WHERE len(ws) >= 1
+          |), flat AS (
+          |  SELECT doc_id, unnest(chunks) AS chunk,
+          |         generate_subscripts(chunks, 1) AS idx
+          |  FROM lists
+          |)
+          |SELECT doc_id, CAST(idx - 1 AS BIGINT) AS chunk_idx,
+          |       CAST(len(string_split(chunk, ' ')) AS BIGINT) AS chunk_tokens,
+          |       substring(chunk, 1, 30) AS chunk_head
+          |FROM flat ORDER BY doc_id, chunk_idx""".stripMargin
+      )
+    ),
     // ----- repetition detection --------------------------------------------
     // Loop/boilerplate detector: the share of the document taken by its
     // most frequent word-3gram. Generated/spammy text repeats shingles;
