@@ -104,6 +104,39 @@ object SourceQueries {
           "ORDER BY o_orderstatus, o_orderpriority"
       )
     ),
+    // Write path through the gate: CTAS materializes a filtered projection
+    // as parquet, the query reads the WRITTEN files back and aggregates —
+    // the oracle recomputes from the original table, so a corrupted or
+    // lossy write (types, nulls, ordering) fails the hash.
+    Q(
+      "q_ctas_roundtrip",
+      (s, dir) => {
+        val session = graft.engine.GraftSession(s)
+        session.registerTable("li_src", t(s, dir, "lineitem"))
+        val out = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"),
+          "graft-ctas",
+          "big_items-" + Integer.toHexString(dir.hashCode)
+        )
+        session.createTableAs(
+          "big_items",
+          "SELECT l_orderkey, l_quantity, l_extendedprice FROM li_src WHERE l_quantity > 40",
+          out.toString
+        )
+        session.execute(
+          "SELECT count(*) AS n, " +
+            "CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS total_qty, " +
+            "CAST(min(l_orderkey) AS BIGINT) AS min_key " +
+            "FROM big_items"
+        )
+      },
+      Some(
+        "SELECT count(*) AS n, " +
+          "CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS total_qty, " +
+          "CAST(min(l_orderkey) AS BIGINT) AS min_key " +
+          "FROM lineitem WHERE l_quantity > 40"
+      )
+    ),
     // Cross-source federated join: CSV supplier ⋈ parquet nation ⋈ parquet
     // region in one plan — connectors are just scan nodes to Catalyst, so
     // pushdown/broadcast work across sources exactly as within one.
