@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{IvfIndex, Multimodal, MediaRecord, MediaMeta}
+
+/** Edge-case pins for the operator utilities not covered elsewhere. */
+class OperatorEdgeSpec extends SparkTestBase {
+
+  test("multimodal decode handles null media payloads") {
+    import spark.implicits._
+    val ds = Seq(
+      MediaRecord(1L, "mem://a", "abc".getBytes("UTF-8"), MediaMeta("text/utf-8", 3, 1, 1)),
+      MediaRecord(2L, "mem://b", null, MediaMeta("text/utf-8", 0, 1, 1))
+    ).toDS()
+    val feats = Multimodal.extractFeatures(ds).collect().sortBy(_.id)
+    assert(feats(0).nBytes === 3L && feats(0).brightness > 0)
+    assert(feats(1).nBytes === 0L && feats(1).brightness === 0.0)
+    assert(feats(1).digest.nonEmpty) // digest of empty payload, not a crash
+  }
+
+  test("IVF rankCells orders by true centroid distance") {
+    import spark.implicits._
+    // two obvious clusters on a 2d-ish axis embedded in 4 dims
+    val vecs = (0 until 20).map { i =>
+      val base = if (i % 2 == 0) 0.0f else 10.0f
+      (i.toLong, Array(base + i * 0.01f, base, 0.0f, 0.0f), i % 2)
+    }.toDF("vec_id", "embedding", "label")
+    val model = IvfIndex.build(vecs, "embedding", nCells = 2, seed = 7L)
+    val nearZero = IvfIndex.rankCells(model, Array(0.0f, 0.0f, 0.0f, 0.0f))
+    val nearTen = IvfIndex.rankCells(model, Array(10.0f, 10.0f, 0.0f, 0.0f))
+    // the closest cell for the two probes must differ (two real clusters)
+    assert(nearZero.head !== nearTen.head)
+    // and probing returns rows from the right cluster
+    val top = IvfIndex.probe(model, Array(10.0f, 10.0f, 0.0f, 0.0f), "embedding", k = 3, nProbe = 1)
+      .collect().map(_.getAs[Long]("vec_id"))
+    assert(top.forall(_ % 2 == 1), s"probe near (10,10) returned even-cluster ids: ${top.toSeq}")
+  }
+
+  test("serving shim honors a custom batch size") {
+    import spark.implicits._
+    session.registerTable("serve_small", (1 to 10).toDF("v"))
+    val shim = new graft.engine.ServingShim(session, batchSize = 3)
+    val (_, batches) = shim.doGet("SELECT v FROM serve_small ORDER BY v")
+    val sizes = batches.map(_.size).toSeq
+    assert(sizes === Seq(3, 3, 3, 1))
+  }
+}
