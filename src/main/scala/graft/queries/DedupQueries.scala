@@ -227,6 +227,86 @@ object DedupQueries {
       },
       None
     ),
+    // ----- dedup clustering (connected components over near-dup pairs) -----
+    // Pairs are only half the job: production dedup groups transitively
+    // connected documents and keeps one per GROUP. Components via
+    // iterative min-label propagation over the symmetric edge list — the
+    // same fixpoint GraphX computes, expressed in DataFrame ops; each
+    // iteration is one join+groupBy (shuffles on node id), and the
+    // iteration count is the cluster diameter (tiny for dup clusters).
+    // The oracle computes min-reachable-label with a recursive CTE.
+    Q(
+      "q_dedup_clusters",
+      (s, dir) => {
+        val doc = t(s, dir, "documents")
+        val pairs = jaccardPairs(doc, 0.5).select($"doc_a", $"doc_b").persist()
+        val edges = pairs
+          .union(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
+          .toDF("src", "dst")
+          .persist()
+        val nodes = edges.select($"src".as("node")).distinct()
+        var labels = nodes.select($"node", $"node".as("label")).persist()
+        var converged = false
+        var iter = 0
+        while (!converged && iter < 10) {
+          val prop = edges
+            .join(labels, $"src" === $"node")
+            .select($"dst".as("node"), $"label")
+          val next = labels
+            .union(prop)
+            .groupBy($"node")
+            .agg(min($"label").as("label"))
+            .persist()
+          val changed = next
+            .as("n")
+            .join(labels.as("o"), col("n.node") === col("o.node"))
+            .filter(col("n.label") =!= col("o.label"))
+            .count()
+          labels.unpersist(blocking = false)
+          labels = next
+          converged = changed == 0
+          iter += 1
+        }
+        labels
+          .select(
+            $"node".as("doc_id"),
+            $"label".as("cluster_id"),
+            ($"node" === $"label").as("is_keeper")
+          )
+          .orderBy($"cluster_id", $"doc_id")
+      },
+      Some(
+        """WITH RECURSIVE toks AS (
+          |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS ws FROM documents
+          |), sh AS (
+          |  SELECT doc_id, list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+          |                                for i in range(1, len(ws)-1)]) AS shingles
+          |  FROM toks WHERE len(ws) >= 3
+          |), ex AS (
+          |  SELECT doc_id, unnest(shingles) AS s FROM sh
+          |), sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+          |inter AS (
+          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+          |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+          |  GROUP BY 1, 2
+          |), pairs AS (
+          |  SELECT doc_a, doc_b FROM inter
+          |  JOIN sizes sa ON sa.doc_id = doc_a
+          |  JOIN sizes sb ON sb.doc_id = doc_b
+          |  WHERE round(i * 1.0 / (sa.n + sb.n - i), 6) >= 0.5
+          |), edges AS (
+          |  SELECT doc_a AS s, doc_b AS d FROM pairs
+          |  UNION ALL SELECT doc_b, doc_a FROM pairs
+          |), reach(node, label) AS (
+          |  SELECT DISTINCT s, s FROM edges
+          |  UNION
+          |  SELECT e.d, r.label FROM reach r JOIN edges e ON e.s = r.node
+          |)
+          |SELECT node AS doc_id, min(label) AS cluster_id,
+          |       node = min(label) AS is_keeper
+          |FROM reach GROUP BY node ORDER BY cluster_id, doc_id""".stripMargin
+      )
+    ),
     // ----- fingerprint-keyed near-dedup ------------------------------------
     // The cheapest candidate generator of the three: ONE rolling-hash pass
     // per document (vs 64 hash families for MinHash), groupBy fingerprint,
