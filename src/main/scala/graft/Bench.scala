@@ -60,46 +60,75 @@ object Bench {
           case e: Throwable =>
             System.err.println(s"[bench] ${q.name} FAILED: ${e.getMessage}")
             false
+        } finally {
+          // release any persist() pins the query plan registered, so one
+          // query's cache never skews the next one's memory or metrics
+          graft.engine.PersistScope.releaseAll()
         }
       ((System.nanoTime() - t0) / 1e9, ok)
     }
 
-    // Cold pass (JVM/codegen/page-cache warmup), then the timed pass —
-    // steady-state throughput is the number that scales to a long-running
-    // cluster; the cold total is reported alongside for transparency.
-    val cold = headline.map(q => (q.name, run(q)))
-    // drain cold-pass stragglers so they don't attribute to the first
-    // timed query's metric delta
-    org.apache.spark.GraftSparkInternals
-      .waitListenerBusEmpty(spark.sparkContext, 10000)
-    val results = headline.map { q =>
+    /** One timed, metric-attributed execution. */
+    def timedRun(q: graft.queries.Q): (Double, Boolean, Double, Double) = {
       val before = listener.snapshot
       val (secs, ok) = run(q)
       // listener events arrive async; give the bus a beat to drain
       org.apache.spark.GraftSparkInternals
         .waitListenerBusEmpty(spark.sparkContext, 10000)
       val after = listener.snapshot
-      (q.name, secs, ok,
+      (secs, ok,
         (after._1 - before._1) / 1048576.0,
         (after._3 - before._3) / 1048576.0)
     }
 
+    // Cold pass (JVM/codegen/page-cache warmup), then THREE timed passes
+    // per query reported as the MEDIAN (min/max kept for transparency):
+    // a single capture on a shared box can spike 10x on GC/CPU contention
+    // with identical shuffle metrics — the median is the number that
+    // reflects the plan rather than the neighbor's workload.
+    val cold = headline.map(q => (q.name, run(q)))
+    // drain cold-pass stragglers so they don't attribute to the first
+    // timed query's metric delta
+    org.apache.spark.GraftSparkInternals
+      .waitListenerBusEmpty(spark.sparkContext, 10000)
+    val reps = 3
+    val results = headline.map { q =>
+      val runs = (1 to reps).map(_ => timedRun(q))
+      val ok = runs.forall(_._2)
+      val times = runs.map(_._1).sorted
+      val median = times(times.size / 2)
+      // metrics come from the median-time run (same plan every rep; the
+      // shuffle numbers are bit-identical across reps in practice)
+      val medRun = runs.minBy(r => math.abs(r._1 - median))
+      (q.name, median, times.head, times.last, ok, medRun._3, medRun._4)
+    }
+
     val qs = results
-      .map { case (k, v, ok, _, _) => s""""$k":${if (ok) v else -1}""" }
+      .map { case (k, v, _, _, ok, _, _) => s""""$k":${if (ok) v else -1}""" }
+      .mkString("{", ",", "}")
+    val qmin = results
+      .map { case (k, _, mn, _, _, _, _) => f""""$k":$mn%.3f""" }
+      .mkString("{", ",", "}")
+    val qmax = results
+      .map { case (k, _, _, mx, _, _, _) => f""""$k":$mx%.3f""" }
       .mkString("{", ",", "}")
     val shuffle = results
-      .map { case (k, _, _, sh, _) => f""""$k":$sh%.2f""" }
+      .map { case (k, _, _, _, _, sh, _) => f""""$k":$sh%.2f""" }
       .mkString("{", ",", "}")
     val spills = results
-      .map { case (k, _, _, _, sp) => f""""$k":$sp%.2f""" }
+      .map { case (k, _, _, _, _, _, sp) => f""""$k":$sp%.2f""" }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false, _, _) => s""""$k"""" }
+    val failed = results.collect { case (k, _, _, _, false, _, _) => s""""$k"""" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true, _, _) => v }.sum
+    val total = results.collect { case (_, v, _, _, true, _, _) => v }.sum
     val coldTotal = cold.collect { case (_, (v, true)) => v }.sum
+    // the JSON line is the ONLY stdout output (Spark logs route to stderr
+    // via log4j2.properties) and is flushed before shutdown logging, so
+    // the driver's parser finds it first
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"cold_total":$coldTotal,"shuffle_read_mb":$shuffle,"spill_mb":$spills,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qmin,"queries_max":$qmax,"reps":$reps,"failed":$failed,"cold_total":$coldTotal,"shuffle_read_mb":$shuffle,"spill_mb":$spills,"sf":"$sfDir"}"""
     )
+    System.out.flush()
     spark.stop()
   }
 }

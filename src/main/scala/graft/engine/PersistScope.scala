@@ -1,0 +1,40 @@
+package graft.engine
+
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import org.apache.spark.sql.Dataset
+
+/** Registry for `persist()` handles created inside lazily-returned query
+  * plans, so the caller that finally materializes the DataFrame can release
+  * every intermediate pin in one call.
+  *
+  * Why not unpersist inside the query function: the functions return an
+  * UNEXECUTED plan — unpersisting there would drop the cache before the
+  * first action ever fills it. Why not rely on GC: Spark keeps a strong
+  * reference to cached plans in the shared CacheManager, so un-released
+  * handles accumulate storage for the life of the session (the
+  * "already cached" warnings the round-2 audit flagged).
+  *
+  * Contract: query builders wrap every `persist()` in `track(...)`;
+  * Verify/Bench (and any other driver of the registry) call `releaseAll()`
+  * after each query's action completes. Thread-safe; releasing is
+  * non-blocking (async cache drop).
+  */
+object PersistScope {
+  private val handles = new ConcurrentLinkedQueue[Dataset[_]]()
+
+  /** Register a persisted dataset for later release; returns it unchanged. */
+  def track[T <: Dataset[_]](ds: T): T = {
+    handles.add(ds)
+    ds
+  }
+
+  /** Unpersist (non-blocking) everything tracked since the last release. */
+  def releaseAll(): Unit = {
+    var d = handles.poll()
+    while (d != null) {
+      d.unpersist(blocking = false)
+      d = handles.poll()
+    }
+  }
+}

@@ -20,6 +20,12 @@ import org.apache.spark.sql.functions._
   * matching DuckDB's ASOF JOIN. Among multiple right rows at the same
   * (key, ts) the winner is unspecified — pre-dedup the right side if that
   * matters (same contract as DuckDB).
+  *
+  * Null-key rule: NULL never equals NULL in a join key, so null-keyed
+  * right rows are dropped before the union (they can match nothing) and
+  * null-keyed left rows come back unmatched — the window partitioner
+  * would otherwise co-group all NULL keys and invent matches DuckDB's
+  * ASOF equality would never produce.
   */
 object AsOfJoin {
 
@@ -47,13 +53,15 @@ object AsOfJoin {
     val taggedLeft = left
       .withColumn("__ts", col(leftTs))
       .withColumn("__side", lit(1))
-    val taggedRight = right.select(
-      col(key),
-      col(rightTs).as("__ts"),
-      lit(0).as("__side"),
-      struct(rightVals.map { case (in, out) => col(in).as(out) }.toSeq: _*)
-        .as("__payload")
-    )
+    val taggedRight = right
+      .filter(col(key).isNotNull) // NULL key matches nothing (see scaladoc)
+      .select(
+        col(key),
+        col(rightTs).as("__ts"),
+        lit(0).as("__side"),
+        struct(rightVals.map { case (in, out) => col(in).as(out) }.toSeq: _*)
+          .as("__payload")
+      )
     // union null-fills each side's missing columns
     val unioned = taggedLeft.unionByName(taggedRight, allowMissingColumns = true)
 

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.engine.PersistScope
 import graft.operators.TextOps
 import QueryUtil._
 
@@ -42,8 +43,9 @@ object DedupQueries {
     */
   private def jaccardPairs(doc: DataFrame, minJ: Double): DataFrame = {
     // the inverted index feeds the self-join (both sides) and the size
-    // table — pin it so the shingle explosion runs once
-    val ex = shingleRows(doc).persist()
+    // table — pin it so the shingle explosion runs once; tracked so the
+    // materializing caller releases the pin (PersistScope contract)
+    val ex = PersistScope.track(shingleRows(doc).persist())
     val sizes = ex.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val inter = ex
       .as("a")
@@ -130,10 +132,14 @@ object DedupQueries {
         // self-join (and the shingle sets feed both sides of the verify
         // join) — without pinning them, each side recomputes the whole
         // shingle explosion + 64-hash aggregation
-        val sigs = ex.groupBy($"doc_id").agg(
-          TextOps.minhashAggs($"s").head,
-          TextOps.minhashAggs($"s").tail: _*
-        ).persist()
+        val sigs = PersistScope.track(
+          ex.groupBy($"doc_id")
+            .agg(
+              TextOps.minhashAggs($"s").head,
+              TextOps.minhashAggs($"s").tail: _*
+            )
+            .persist()
+        )
         val bands = sigs
           .select($"doc_id", explode(TextOps.bandStructs()).as("bd"))
           .select($"doc_id", $"bd.band".as("band"), $"bd.digest".as("digest"))
@@ -149,7 +155,7 @@ object DedupQueries {
         // exact verification of CANDIDATES ONLY: join each pair to its two
         // shingle sets and intersect in-row — cost is O(|candidates|), not
         // the full inverted-index join (which would defeat the LSH pruning)
-        val sets = shingleSets(doc).persist()
+        val sets = PersistScope.track(shingleSets(doc).persist())
         val inter = size(array_intersect($"sh_a", $"sh_b"))
         cand
           .join(
@@ -239,16 +245,25 @@ object DedupQueries {
       "q_dedup_clusters",
       (s, dir) => {
         val doc = t(s, dir, "documents")
-        val pairs = jaccardPairs(doc, 0.5).select($"doc_a", $"doc_b").persist()
-        val edges = pairs
-          .union(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
-          .toDF("src", "dst")
-          .persist()
+        val pairs = PersistScope.track(
+          jaccardPairs(doc, 0.5).select($"doc_a", $"doc_b").persist()
+        )
+        val edges = PersistScope.track(
+          pairs
+            .union(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
+            .toDF("src", "dst")
+            .persist()
+        )
         val nodes = edges.select($"src".as("node")).distinct()
         var labels = nodes.select($"node", $"node".as("label")).persist()
         var converged = false
         var iter = 0
-        while (!converged && iter < 10) {
+        // min-label propagation converges in <= diameter iterations; dup
+        // clusters are shallow, so 50 is generous. Exceeding it means the
+        // labels are NOT final — failing loudly beats silently emitting
+        // wrong cluster ids (the round-2 audit's truncation hazard).
+        val maxIters = 50
+        while (!converged && iter < maxIters) {
           val prop = edges
             .join(labels, $"src" === $"node")
             .select($"dst".as("node"), $"label")
@@ -267,7 +282,15 @@ object DedupQueries {
           converged = changed == 0
           iter += 1
         }
-        labels
+        if (!converged) {
+          labels.unpersist(blocking = false)
+          throw new IllegalStateException(
+            s"q_dedup_clusters: label propagation did not converge within " +
+              s"$maxIters iterations (component diameter exceeds the cap); " +
+              "refusing to emit unconverged cluster ids"
+          )
+        }
+        PersistScope.track(labels)
           .select(
             $"node".as("doc_id"),
             $"label".as("cluster_id"),

@@ -65,6 +65,27 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(out(1).isNullAt(0) && out(1).isNullAt(1))
   }
 
+  test("null join keys never match each other (NULL != NULL, DuckDB ASOF contract)") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, Option.empty[String], 100L), // null key -> must come back unmatched
+      (2L, Option("k1"), 100L)          // real key -> matches right@50
+    ).toDF("id", "k", "ts")
+    val right = Seq(
+      (Option.empty[String], 50L, 99.0), // null-keyed right row: matches nothing
+      (Option("k1"), 50L, 5.0)
+    ).toDF("k", "ts", "v")
+
+    val out = AsOfJoin
+      .asofBackward(left, right, "k", "ts", "ts", Map("v" -> "rv"))
+      .select($"id", $"rv")
+      .orderBy($"id")
+      .collect()
+
+    assert(out(0).isNullAt(1), "null-keyed left row must not match null-keyed right row")
+    assert(out(1).getDouble(1) === 5.0)
+  }
+
   test("as-of plans one shuffle on the key, no join explosion") {
     import spark.implicits._
     val left = (1 to 1000).map(i => (i.toLong, s"k${i % 10}", i.toLong)).toDF("id", "k", "ts")

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterEach
 import org.scalatest.funsuite.AnyFunSuite
 import graft.engine.GraftSession
 
@@ -14,9 +15,17 @@ object SparkTestBase {
   val Sf0001 = "/root/testdata/sf0.001"
 }
 
-abstract class SparkTestBase extends AnyFunSuite {
+abstract class SparkTestBase extends AnyFunSuite with BeforeAndAfterEach {
   lazy val session: GraftSession = SparkTestBase.session
   lazy val spark: SparkSession = SparkTestBase.spark
+
+  // query builders register their persist() pins with PersistScope; drop
+  // them between tests so repeated builder invocations in one suite don't
+  // stack cached copies ("already cached" warnings)
+  override protected def afterEach(): Unit = {
+    graft.engine.PersistScope.releaseAll()
+    super.afterEach()
+  }
 
   def tempDir(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString

@@ -27,6 +27,26 @@ class UdfSpec extends SparkTestBase {
     assert(rows.toSeq === Seq(null, "", "HELLO", "RUST", "WORLD"))
   }
 
+  test("weighted-avg aggregator survives volumes that overflow a Long accumulator") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 3M rows x (v*w scaled ~5.2e12 per row) = 1.56e19 micro-units: past
+    // Long.MaxValue (9.2e18), where the pre-fix buffer wrapped negative.
+    val n = 3000000L
+    val v = 52000.5
+    val w = 100.25
+    val df = spark.range(n).select(lit(v).as("v"), lit(w).as("w"))
+    val wavg = udaf(graft.functions.Aggregators.weightedAvg)
+    val got = df.agg(wavg($"v", $"w").as("wa")).head().getDouble(0)
+    // identical rows -> exact expected value mirrors the per-row micro math
+    val perRowVW = BigDecimal(math.round(v * 1000000L)) *
+      BigDecimal(math.round(w * 1000000L)) / 1000000L
+    val expected =
+      (perRowVW * n).toDouble / (BigDecimal(math.round(w * 1000000L)) * n).toDouble
+    assert(got > 0.0, s"accumulator overflow produced $got")
+    assert(math.abs(got - expected) / expected < 1e-12, s"got $got expected $expected")
+  }
+
   test("capitalize stays a native codegen expression (no UDF node)") {
     import spark.implicits._
     session.registerTable("cap_t", Seq("x").toDF("s"))
