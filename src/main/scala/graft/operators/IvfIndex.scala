@@ -3,21 +3,26 @@ package graft.operators
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.ml.linalg.{Vector => MlVector}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** IVF (inverted-file) index for approximate nearest neighbor over an
   * embedding column — the second scale path next to the random-hyperplane
   * LSH in SimilarityQueries.
   *
-  * Build: KMeans (fixed seed) partitions the corpus into nCells Voronoi
-  * cells; every vector is stored with its cell id. At 100 TB the stored
-  * table is WRITTEN PARTITIONED BY cell, so a probe is a partition-pruned
-  * scan of nProbe/nCells of the data — the train step runs on a sample,
-  * not the full corpus.
+  * Build: KMeans (fixed seed) fit on a bounded SAMPLE of the corpus (a
+  * coarse quantizer needs ~1000 points per cell, not 100 TB of them)
+  * partitions vectors into nCells Voronoi cells; every vector is then
+  * assigned its cell id in one full codegen'd pass.
+  *
+  * Store: `materialize` writes the assignments PARTITIONED BY cell, so a
+  * probe is a partition-pruned scan — `probeStored`'s `cell IN (...)`
+  * filter shows up as `PartitionFilters` in the scan node and only
+  * nProbe/nCells of the files are ever opened (asserted by
+  * SimilaritySpec).
   *
   * Probe: rank cells by centroid distance to the query, scan the nProbe
-  * closest, exact-score candidates (here with the codegen'd cosine).
+  * closest, exact-score candidates with the codegen'd cosine.
   */
 object IvfIndex {
 
@@ -26,27 +31,54 @@ object IvfIndex {
       centroids: Array[MlVector]
   )
 
-  /** Fit the cell structure. `embCol` must be array<float>. */
+  /** A materialized index: cell-partitioned parquet + the centroid table. */
+  final case class StoredIndex(path: String, centroids: Array[MlVector])
+
+  /** Fit the cell structure. `embCol` must be array<float>.
+    *
+    * @param maxTrainRows cap on the KMeans training set: corpora above it
+    *                     are down-sampled (seeded, so the build is
+    *                     reproducible). The full corpus is still assigned
+    *                     a cell — only the FIT is sampled.
+    */
   def build(
       df: DataFrame,
       embCol: String,
       nCells: Int = 16,
-      seed: Long = 42L
+      seed: Long = 42L,
+      maxTrainRows: Long = 100000L
   ): Model = {
     val withVec = df.withColumn("__vec", array_to_vector(col(embCol)))
+    val n = withVec.count()
+    val train =
+      if (n <= maxTrainRows) withVec
+      else {
+        // slight oversample so the seeded Bernoulli draw lands >= the cap
+        // with near-certainty; KMeans only needs a representative sample
+        val fraction = math.min(1.0, maxTrainRows.toDouble * 1.1 / n.toDouble)
+        withVec.sample(withReplacement = false, fraction, seed)
+      }
     val km = new KMeans()
       .setK(nCells)
       .setSeed(seed)
       .setFeaturesCol("__vec")
       .setPredictionCol("cell")
-    val model = km.fit(withVec)
+    val model = km.fit(train)
     Model(model.transform(withVec).drop("__vec"), model.clusterCenters)
   }
 
+  /** Write the assignments partitioned by cell — the layout that turns a
+    * probe into a partition-pruned scan of nProbe directories.
+    */
+  def materialize(model: Model, path: String): StoredIndex = {
+    model.assignments.write.mode("overwrite").partitionBy("cell").parquet(path)
+    StoredIndex(path, model.centroids)
+  }
+
   /** Cell ids ranked by (euclidean) distance of centroid to query. */
-  def rankCells(model: Model, query: Array[Float]): Seq[Int] = {
+  def rankCells(centroids: Array[MlVector], query: Array[Float]): Seq[Int] = {
     val q = query.map(_.toDouble)
-    model.centroids.zipWithIndex
+    centroids.zipWithIndex
       .map { case (c, i) =>
         val arr = c.toArray
         var d = 0.0
@@ -61,19 +93,57 @@ object IvfIndex {
       .toSeq
   }
 
-  /** Top-k by cosine within the nProbe closest cells. */
+  def rankCells(model: Model, query: Array[Float]): Seq[Int] =
+    rankCells(model.centroids, query)
+
+  /** Top-k by cosine within the nProbe closest cells of an in-memory
+    * assignment table (no storage layout — fine for interactive reuse of
+    * a just-built model; `probeStored` is the scan-pruned scale path).
+    */
   def probe(
       model: Model,
       query: Array[Float],
       embCol: String,
       k: Int = 10,
       nProbe: Int = 4
+  ): DataFrame =
+    scoreCells(
+      model.assignments,
+      rankCells(model.centroids, query).take(nProbe),
+      query,
+      embCol,
+      k
+    )
+
+  /** Top-k by cosine over a MATERIALIZED index: reads only the nProbe
+    * closest cells' files (directory-level partition pruning).
+    */
+  def probeStored(
+      spark: SparkSession,
+      index: StoredIndex,
+      query: Array[Float],
+      embCol: String,
+      k: Int = 10,
+      nProbe: Int = 4
+  ): DataFrame =
+    scoreCells(
+      spark.read.parquet(index.path),
+      rankCells(index.centroids, query).take(nProbe),
+      query,
+      embCol,
+      k
+    )
+
+  private def scoreCells(
+      assignments: DataFrame,
+      cells: Seq[Int],
+      query: Array[Float],
+      embCol: String,
+      k: Int
   ): DataFrame = {
-    val cells = rankCells(model, query).take(nProbe)
-    val spark = model.assignments.sparkSession
     val qCol = array(query.toIndexedSeq.map(v => lit(v)): _*).cast("array<float>")
-    model.assignments
-      .filter(col("cell").isin(cells: _*)) // partition-pruned at scale
+    assignments
+      .filter(col("cell").isin(cells: _*)) // partition-pruned when stored
       .withColumn(
         "cos",
         round(graft.functions.Functions.cosineSim(col(embCol), qCol), 6)

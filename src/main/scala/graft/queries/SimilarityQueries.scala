@@ -36,6 +36,27 @@ object SimilarityQueries {
   private def hyperplaneCol(h: Int, dim: Int) =
     array(hyperplane(h, dim).map(v => lit(v)): _*).cast("array<float>")
 
+  /** The same hyperplane as a DuckDB DOUBLE[] literal — ±1.0 is exact in
+    * both float and double, so the engine-side and oracle-side dot
+    * products run on identical operands.
+    */
+  private def hyperplaneSql(h: Int, dim: Int): String =
+    hyperplane(h, dim)
+      .map(v => if (v > 0) "1.0" else "-1.0")
+      .mkString("[", ", ", "]")
+
+  /** DuckDB mirror of `bucketCol`: same sign-bit bucket arithmetic over
+    * the same literals (list_dot_product accumulates left-to-right in
+    * double, matching DotProduct's sequential loop).
+    */
+  private def bucketSql(embExpr: String, hps: Int, dim: Int): String =
+    (0 until hps)
+      .map(h =>
+        s"(CASE WHEN list_dot_product($embExpr, ${hyperplaneSql(h, dim)}) > 0 " +
+          s"THEN ${1 << h} ELSE 0 END)"
+      )
+      .mkString(" + ")
+
   /** 2^H-bucket id from the signs of H hyperplane dot products. */
   private def bucketCol(emb: org.apache.spark.sql.Column, hps: Int, dim: Int) =
     (0 until hps)
@@ -75,9 +96,10 @@ object SimilarityQueries {
       bench = true
     ),
     // LSH-bucketed ANN: scan only vectors sharing the query's hyperplane
-    // sign bucket. xxhash-free but still not SQL-portable (the hyperplanes
-    // are engine-side literals), so the driver records a rows-only check;
-    // SimilaritySpec asserts bucket recall against the brute-force top-k.
+    // sign bucket. The hyperplanes are deterministic plan-time ±1 literals,
+    // so the SAME bucket arithmetic is expressible in DuckDB — this query
+    // is fully hash-oracled, not just rows-checked; SimilaritySpec
+    // additionally asserts bucket recall against the brute-force top-k.
     Q(
       "q_sim_topk_lsh",
       (s, dir) => {
@@ -98,17 +120,36 @@ object SimilarityQueries {
           .orderBy($"cos".desc, $"vec_id")
           .limit(10)
       },
-      None
+      Some {
+        val bucket = bucketSql("e", hps = 4, dim = 64)
+        s"""WITH emb AS (
+           |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+           |), bkt AS (
+           |  SELECT vec_id, label, e, $bucket AS bucket FROM emb
+           |)
+           |SELECT x.vec_id, x.label,
+           |       round(list_cosine_similarity(x.e, q.e), 6) AS cos
+           |FROM bkt x, (SELECT e, bucket FROM bkt WHERE vec_id = $QueryVecId) q
+           |WHERE x.vec_id <> $QueryVecId AND x.bucket = q.bucket
+           |ORDER BY cos DESC, x.vec_id LIMIT 10""".stripMargin
+      }
     ),
-    // IVF-partitioned ANN: KMeans cells + nProbe-cell scan (the
-    // partition-pruning scale path; see operators.IvfIndex). KMeans is
-    // seed-fixed but FP-reduction order isn't SQL-portable -> rows-only
-    // driver check; SimilaritySpec measures recall against brute force.
+    // IVF-partitioned ANN over the MATERIALIZED index: build (sample-fit
+    // KMeans) -> write partitioned by cell -> probe via the written table,
+    // so the query exercised here is the partition-pruned scan that scales
+    // (see operators.IvfIndex; SimilaritySpec asserts PartitionFilters and
+    // that only nProbe cells' files are read). KMeans is seed-fixed but
+    // FP-reduction order isn't SQL-portable -> rows-only driver check;
+    // SimilaritySpec measures recall against brute force.
     Q(
       "q_sim_topk_ivf",
       (s, dir) => {
         val e = t(s, dir, "embeddings")
         val model = graft.operators.IvfIndex.build(e, "embedding")
+        val idx = graft.operators.IvfIndex.materialize(
+          model,
+          java.nio.file.Files.createTempDirectory("graft_ivf_").toString
+        )
         val query = e
           .filter($"vec_id" === QueryVecId)
           .select($"embedding")
@@ -116,7 +157,7 @@ object SimilarityQueries {
           .getSeq[Float](0)
           .toArray
         graft.operators.IvfIndex
-          .probe(model, query, "embedding", k = 10, nProbe = 4)
+          .probeStored(s, idx, query, "embedding", k = 10, nProbe = 4)
           .filter($"vec_id" =!= QueryVecId)
           .select($"vec_id", $"label", $"cos")
       },

@@ -36,6 +36,20 @@ class OperatorEdgeSpec extends SparkTestBase {
     assert(top.forall(_ % 2 == 1), s"probe near (10,10) returned even-cluster ids: ${top.toSeq}")
   }
 
+  test("IVF build sample-fits past the train cap but assigns the full corpus") {
+    import spark.implicits._
+    val vecs = (0 until 400).map { i =>
+      val base = if (i % 2 == 0) 0.0f else 10.0f
+      (i.toLong, Array(base + i * 0.001f, base, 0.0f, 0.0f), i % 2)
+    }.toDF("vec_id", "embedding", "label")
+    // cap far below the corpus: the FIT is sampled, the assignment is not
+    val model = IvfIndex.build(vecs, "embedding", nCells = 2, seed = 7L, maxTrainRows = 50L)
+    assert(model.assignments.count() === 400L)
+    val cells = model.assignments.select("cell").distinct().collect().map(_.getInt(0)).toSet
+    assert(cells.subsetOf(Set(0, 1)) && cells.size === 2,
+      s"sample-fit lost the cluster structure: cells=$cells")
+  }
+
   test("serving shim honors a custom batch size") {
     import spark.implicits._
     session.registerTable("serve_small", (1 to 10).toDF("v"))

@@ -27,6 +27,42 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 3, s"IVF recall@10 too low: $recall/10")
   }
 
+  test("materialized IVF probe is a partition-pruned scan reading only nProbe cells") {
+    import graft.operators.IvfIndex
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val e = spark.read.parquet(s"${SparkTestBase.Sf0001}/embeddings.parquet")
+    val model = IvfIndex.build(e, "embedding", nCells = 8)
+    val idx = IvfIndex.materialize(model, tempDir("ivf_store"))
+    val query = e.select("embedding").head().getSeq[Float](0).toArray
+    val nProbe = 2
+    val probe = IvfIndex.probeStored(spark, idx, query, "embedding", k = 5, nProbe = nProbe)
+
+    val scan = probe.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f
+    }.head
+    assert(
+      scan.partitionFilters.exists(_.references.exists(_.name == "cell")),
+      s"probe scan must carry a partition filter on cell:\n${scan.metadata}"
+    )
+
+    probe.collect() // execute so the scan's numFiles metric is filled
+    val filesRead = scan.metrics("numFiles").value
+    def dataFiles(dir: java.io.File): Seq[java.io.File] =
+      Option(dir.listFiles()).toSeq.flatten.flatMap {
+        case d if d.isDirectory => dataFiles(d)
+        case f if f.getName.endsWith(".parquet") => Seq(f)
+        case _ => Seq.empty
+      }
+    val root = new java.io.File(idx.path)
+    val totalFiles = dataFiles(root).size
+    val probedCells = IvfIndex.rankCells(idx.centroids, query).take(nProbe).toSet
+    val probedFiles = probedCells.toSeq
+      .map(c => dataFiles(new java.io.File(root, s"cell=$c")).size)
+      .sum
+    assert(filesRead <= probedFiles, s"read $filesRead files, probed cells hold $probedFiles")
+    assert(filesRead < totalFiles, s"no pruning: read all $totalFiles files")
+  }
+
   test("LSH top-k is consistent with brute force on shared candidates") {
     val brute = Registry.byName("q_sim_topk").fn(spark, SparkTestBase.Sf0001)
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
