@@ -19,13 +19,20 @@ final case class MediaRecord(
     meta: MediaMeta
 )
 
-/** Decoded per-item features (what a real pipeline would feed a model). */
+/** Decoded per-item features (what a real pipeline would feed a model).
+  * For image payloads the histogram/brightness are over decoded LUMA
+  * values and width/height/channels describe the decoded raster; for
+  * non-image payloads they are byte-level stats and the dims are 0.
+  */
 final case class MediaFeatures(
     id: Long,
     nBytes: Long,
     digest: String,
-    histogram: Array[Long], // 16-bin byte histogram ("pixel stats")
-    brightness: Double // mean byte value ("luma")
+    histogram: Array[Long], // 16-bin luma/byte histogram ("pixel stats")
+    brightness: Double, // mean luma/byte value
+    width: Int,
+    height: Int,
+    channels: Int
 )
 
 /** Multimodal column plumbing (SURVEY.md §2.C): schema, partitioning, and
@@ -64,11 +71,10 @@ object Multimodal {
       .as[MediaRecord]
   }
 
-  /** STUB of the real codec call. A production build would decode
-    * `rec.media` with an actual image/audio library here; this environment
-    * ships none, so the "decode" is a deterministic byte-level feature
-    * extraction with the same signature and cost shape (touches every
-    * byte once, allocates one small output per item).
+  /** Stub codec for NON-IMAGE payloads (audio/video libraries don't exist
+    * in this environment): a deterministic byte-level feature extraction
+    * with the same signature and cost shape as a real decoder (touches
+    * every byte once, allocates one small output per item).
     */
   def decodeStub(digest: MessageDigest, rec: MediaRecord): MediaFeatures = {
     val bytes = if (rec.media == null) Array.emptyByteArray else rec.media
@@ -88,14 +94,67 @@ object Multimodal {
       nBytes = bytes.length.toLong,
       digest = hex,
       histogram = hist,
-      brightness = if (bytes.isEmpty) 0.0 else sum.toDouble / bytes.length
+      brightness = if (bytes.isEmpty) 0.0 else sum.toDouble / bytes.length,
+      width = 0,
+      height = 0,
+      channels = 0
     )
   }
 
-  /** Batched distributed decode: one codec ("digest" here) per partition,
-    * items streamed through in `batchSize` groups — the exact shape a real
-    * decoder needs (batch inference, bounded memory), with no collect and
-    * no per-row setup.
+  /** REAL image decode via the JDK's ImageIO (PNG/JPEG/GIF/BMP — no
+    * external libraries needed): decodes the raster and computes a 16-bin
+    * LUMA histogram + mean brightness (ITU-R BT.601 weights), exactly the
+    * per-item stats an image-quality filter in a training pipeline keys
+    * on. Undecodable bytes fall back to the byte-level stub (degraded,
+    * never failing — one corrupt file must not kill a 100 TB stage).
+    */
+  def decodeImage(digest: MessageDigest, rec: MediaRecord): MediaFeatures = {
+    val bytes = if (rec.media == null) Array.emptyByteArray else rec.media
+    val img =
+      if (bytes.isEmpty) null
+      else
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: java.io.IOException => null }
+    if (img == null) decodeStub(digest, rec)
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      val hist = new Array[Long](16)
+      var sum = 0.0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val luma = 0.299 * ((rgb >> 16) & 0xff) +
+            0.587 * ((rgb >> 8) & 0xff) +
+            0.114 * (rgb & 0xff)
+          hist(math.min(15, (luma / 16.0).toInt)) += 1
+          sum += luma
+          x += 1
+        }
+        y += 1
+      }
+      digest.reset()
+      val hex = digest.digest(bytes).map("%02x".format(_)).mkString
+      MediaFeatures(
+        id = rec.id,
+        nBytes = bytes.length.toLong,
+        digest = hex,
+        histogram = hist,
+        brightness = if (w * h == 0) 0.0 else sum / (w.toLong * h),
+        width = w,
+        height = h,
+        channels = img.getRaster.getNumBands
+      )
+    }
+  }
+
+  /** Batched distributed decode: one codec per partition, items streamed
+    * through in `batchSize` groups — the exact shape a real decoder needs
+    * (batch inference, bounded memory), with no collect and no per-row
+    * setup. Dispatch is by declared format: `image/<i>` runs the real
+    * ImageIO decode, everything else the byte-level stub.
     */
   def extractFeatures(
       ds: Dataset[MediaRecord],
@@ -105,7 +164,12 @@ object Multimodal {
     ds.mapPartitions { it =>
       val codec = MessageDigest.getInstance("SHA-256") // per-partition setup
       it.grouped(batchSize).flatMap { batch =>
-        batch.map(rec => decodeStub(codec, rec))
+        batch.map { rec =>
+          if (rec.meta != null && rec.meta.format != null &&
+            rec.meta.format.startsWith("image/"))
+            decodeImage(codec, rec)
+          else decodeStub(codec, rec)
+        }
       }
     }
   }

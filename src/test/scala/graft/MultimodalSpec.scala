@@ -1,10 +1,57 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.Multimodal
+import graft.operators.{MediaMeta, MediaRecord, Multimodal}
 import graft.queries.QueryUtil
 
 class MultimodalSpec extends SparkTestBase {
+
+  private def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("real PNG decode: dims, channels, luma histogram and brightness") {
+    import spark.implicits._
+    val records = Seq(
+      MediaRecord(1L, "mem://gray.png", png(8, 5, 0x646464), MediaMeta("image/png", 8, 5, 3)),
+      MediaRecord(2L, "mem://white.png", png(4, 4, 0xffffff), MediaMeta("image/png", 4, 4, 3)),
+      MediaRecord(3L, "mem://black.png", png(4, 4, 0x000000), MediaMeta("image/png", 4, 4, 3)),
+      MediaRecord(4L, "mem://plain.txt", "hello".getBytes("UTF-8"), MediaMeta("text/utf-8", 5, 1, 1))
+    ).toDS()
+    val f = Multimodal.extractFeatures(records, batchSize = 2)
+      .collect().sortBy(_.id)
+
+    // gray (r=g=b=100): BT.601 luma == 100 for every pixel
+    assert(f(0).width === 8 && f(0).height === 5 && f(0).channels === 3)
+    assert(math.abs(f(0).brightness - 100.0) < 1e-9, s"gray luma ${f(0).brightness}")
+    assert(f(0).histogram(100 / 16) === 40L) // all 40 pixels in one luma bin
+
+    // white: luma 255 -> top bin; black: luma 0 -> bottom bin
+    assert(math.abs(f(1).brightness - 255.0) < 1e-9 && f(1).histogram(15) === 16L)
+    assert(f(2).brightness === 0.0 && f(2).histogram(0) === 16L)
+
+    // non-image format takes the byte-level stub path: no raster dims,
+    // digest still the payload hash
+    assert(f(3).width === 0 && f(3).height === 0 && f(3).channels === 0)
+    val expectHash = java.security.MessageDigest.getInstance("SHA-256")
+      .digest("hello".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(f(3).digest === expectHash)
+  }
+
+  test("corrupt image bytes degrade to stub features instead of failing the stage") {
+    import spark.implicits._
+    val junk = Array.tabulate[Byte](32)(i => (i * 7).toByte)
+    val rec = Seq(
+      MediaRecord(9L, "mem://junk.png", junk, MediaMeta("image/png", 0, 0, 3))
+    ).toDS()
+    val f = Multimodal.extractFeatures(rec).collect().head
+    assert(f.width === 0 && f.nBytes === 32L && f.digest.nonEmpty)
+  }
 
   test("binary media plumbing: schema, batch decode, deterministic features") {
     val docs = QueryUtil.t(spark, SparkTestBase.Sf0001, "documents")
