@@ -8,8 +8,12 @@ import graft.queries.QueryUtil
   * catalog, run the SQL, pretty-print.
   *
   * Usage: runMain graft.Main --sql "SELECT …" [--dir /root/testdata/sf0.001]
+  *        runMain graft.Main --serve 50051 [--dir …]   # serving endpoint
   * Tables registered: the TESTDATA fixtures (region…embeddings) plus the
   * reference's demo `users` table (crates/igloo/src/main.rs:59-77).
+  * `--serve` starts the Flight-analogue TCP server (engine.ServingServer)
+  * on the given port and blocks — the reference coordinator's role
+  * (crates/coordinator/src/main.rs:66-77, serving on :50051).
   */
 object Main {
 
@@ -43,7 +47,14 @@ object Main {
       if (p.exists()) session.registerTable(t, QueryUtil.t(spark, dir, t))
     }
 
-    session.execute(sql).show(100, truncate = false)
-    spark.stop()
+    opts.get("serve") match {
+      case Some(portStr) =>
+        val srv = new graft.engine.ServingServer(session, portStr.toInt).start()
+        System.err.println(s"[graft] serving on 127.0.0.1:${srv.boundPort}")
+        Thread.currentThread().join() // block until killed, like the reference
+      case None =>
+        session.execute(sql).show(100, truncate = false)
+        spark.stop()
+    }
   }
 }

@@ -1,0 +1,83 @@
+package graft.engine
+
+import java.io.BufferedInputStream
+import java.net.Socket
+import java.nio.charset.StandardCharsets
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.arrow.memory.RootAllocator
+import org.apache.arrow.vector.ipc.ArrowStreamReader
+
+/** Minimal client for [[ServingServer]] — what a user (or the spec) points
+  * at the port. Speaks the one-request-per-connection protocol and decodes
+  * the Arrow IPC payload with the stock Arrow reader, proving the bytes on
+  * the wire are real Arrow streams, not a private format.
+  */
+object ServingClient {
+
+  final case class Response(
+      status: String, // "OK" or "ERR <CODE> <message>"
+      columnNames: Seq[String],
+      rows: Seq[Seq[Any]]
+  ) {
+    def isOk: Boolean = status == "OK"
+  }
+
+  /** One request round-trip. For OK responses the Arrow stream is fully
+    * drained into driver-side values (fine for a client; the SERVER never
+    * materializes more than a batch).
+    */
+  def request(port: Int, verb: String, payload: String = ""): Response = {
+    val sock = new Socket("127.0.0.1", port)
+    try {
+      val out = sock.getOutputStream
+      val line = if (payload.isEmpty) verb else s"$verb $payload"
+      out.write((line + "\n").getBytes(StandardCharsets.UTF_8))
+      out.flush()
+
+      val in = new BufferedInputStream(sock.getInputStream)
+      val status = readLine(in)
+      if (status != "OK") Response(status, Seq.empty, Seq.empty)
+      else {
+        val allocator = new RootAllocator(Long.MaxValue)
+        val reader = new ArrowStreamReader(in, allocator)
+        try {
+          val root = reader.getVectorSchemaRoot
+          val names = root.getSchema.getFields
+          val nameSeq = (0 until names.size()).map(names.get(_).getName)
+          val rows = ArrayBuffer.empty[Seq[Any]]
+          while (reader.loadNextBatch()) {
+            val n = root.getRowCount
+            var i = 0
+            while (i < n) {
+              rows += (0 until root.getFieldVectors.size())
+                .map(c => root.getVector(c).getObject(i))
+              i += 1
+            }
+          }
+          Response(status, nameSeq, rows.toSeq)
+        } finally {
+          reader.close()
+          allocator.close()
+        }
+      }
+    } finally sock.close()
+  }
+
+  def getFlightInfo(port: Int, sql: String): Response =
+    request(port, "GET_FLIGHT_INFO", sql)
+
+  def doGet(port: Int, sql: String): Response =
+    request(port, "DO_GET", sql)
+
+  private def readLine(in: java.io.InputStream): String = {
+    val sb = new StringBuilder
+    var b = in.read()
+    while (b != -1 && b != '\n') {
+      sb.append(b.toChar)
+      b = in.read()
+    }
+    sb.toString
+  }
+}

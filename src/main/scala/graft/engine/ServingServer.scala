@@ -1,0 +1,140 @@
+package graft.engine
+
+import java.io.{BufferedOutputStream, BufferedReader, InputStreamReader}
+import java.net.{InetAddress, ServerSocket, Socket, SocketException}
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.Executors
+
+/** Network serving endpoint — the reference's Arrow Flight surface
+  * (crates/api/src/lib.rs:60-190, served by tonic on :50051,
+  * crates/coordinator/src/main.rs:66-77) re-expressed over a plain TCP
+  * socket: gRPC isn't available offline, but the SEMANTICS and the wire
+  * payload (Arrow IPC streams) are the reference's.
+  *
+  * Protocol, one request per connection:
+  *   request  = one UTF-8 line: `VERB[ payload]\n` (SQL must be one line)
+  *   response = status line, then for OK an Arrow IPC stream:
+  *     `GET_FLIGHT_INFO <sql>` -> `OK\n` + IPC stream carrying ONLY the
+  *        schema — planned, never executed (the reference executes the
+  *        whole query just to read the schema, api/src/lib.rs:92-98;
+  *        planning-only is the same contract without the waste).
+  *     `DO_GET <sql>`          -> `OK\n` + IPC stream of <=batchSize-row
+  *        record batches (reference: batches_to_flight_data,
+  *        api/src/lib.rs:122-148).
+  *     empty payload           -> `ERR INVALID_ARGUMENT ...` (reference:
+  *        Status::invalid_argument, api/src/lib.rs:88-90).
+  *     HANDSHAKE / LIST_FLIGHTS / GET_SCHEMA / DO_PUT / DO_EXCHANGE /
+  *     DO_ACTION / LIST_ACTIONS / POLL_FLIGHT_INFO
+  *                             -> `ERR UNIMPLEMENTED <verb> is not yet
+  *        implemented` (the reference's exact behavior for every one of
+  *        these, api/src/lib.rs:67-79,151-190).
+  *     anything else           -> `ERR INVALID_ARGUMENT unknown method`
+  *     execution failure       -> `ERR INTERNAL <first line of message>`
+  *
+  * Scale/robustness: accept loop + worker pool are daemon threads; each
+  * DO_GET streams through `toLocalIterator`, holding at most one partition
+  * and one Arrow batch in driver memory regardless of result size.
+  */
+final class ServingServer(
+    session: GraftSession,
+    port: Int = 0, // 0 = ephemeral; boundPort tells the truth
+    batchSize: Int = 1024
+) extends AutoCloseable {
+
+  private val unimplemented = Set(
+    "HANDSHAKE", "LIST_FLIGHTS", "GET_SCHEMA", "DO_PUT",
+    "DO_EXCHANGE", "DO_ACTION", "LIST_ACTIONS", "POLL_FLIGHT_INFO"
+  )
+
+  private val server =
+    new ServerSocket(port, 64, InetAddress.getLoopbackAddress)
+  private val pool = Executors.newCachedThreadPool { r =>
+    val t = new Thread(r, "graft-serve-worker")
+    t.setDaemon(true)
+    t
+  }
+  @volatile private var closed = false
+
+  /** The actually-bound port (differs from `port` when 0 was requested). */
+  def boundPort: Int = server.getLocalPort
+
+  def start(): this.type = {
+    val acceptor = new Thread(
+      () =>
+        while (!closed) {
+          try {
+            val sock = server.accept()
+            pool.execute(() => handle(sock))
+          } catch {
+            case _: SocketException if closed => // normal shutdown
+          }
+        },
+      "graft-serve-accept"
+    )
+    acceptor.setDaemon(true)
+    acceptor.start()
+    this
+  }
+
+  private def handle(sock: Socket): Unit = {
+    val out = new BufferedOutputStream(sock.getOutputStream)
+    def status(line: String): Unit = {
+      out.write((line + "\n").getBytes(StandardCharsets.UTF_8))
+      out.flush()
+    }
+    try {
+      val in = new BufferedReader(
+        new InputStreamReader(sock.getInputStream, StandardCharsets.UTF_8))
+      val line = Option(in.readLine()).getOrElse("")
+      val (verb, payload) = line.indexOf(' ') match {
+        case -1 => (line.trim, "")
+        case i  => (line.substring(0, i), line.substring(i + 1).trim)
+      }
+      verb match {
+        case "GET_FLIGHT_INFO" =>
+          if (payload.isEmpty)
+            status("ERR INVALID_ARGUMENT No SQL command in request")
+          else {
+            val schema = new ServingShim(session).flightInfo(payload)
+            status("OK")
+            org.apache.spark.sql.GraftArrowBridge.writeSchemaOnly(
+              schema,
+              session.spark.sessionState.conf.sessionLocalTimeZone,
+              out
+            )
+            out.flush()
+          }
+        case "DO_GET" =>
+          if (payload.isEmpty)
+            status("ERR INVALID_ARGUMENT No SQL command in request")
+          else {
+            val df = session.execute(payload)
+            status("OK")
+            org.apache.spark.sql.GraftArrowBridge.writeBatches(df, batchSize, out)
+            out.flush()
+          }
+        case v if unimplemented.contains(v) =>
+          status(s"ERR UNIMPLEMENTED ${v.toLowerCase} is not yet implemented")
+        case v =>
+          status(s"ERR INVALID_ARGUMENT unknown method '$v'")
+      }
+    } catch {
+      case e: Throwable =>
+        // single-line message: the status line IS the error channel
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
+          .linesIterator.next().take(500)
+        try status(s"ERR INTERNAL $msg")
+        catch { case _: Throwable => () }
+    } finally {
+      try sock.close()
+      catch { case _: Throwable => () }
+    }
+  }
+
+  override def close(): Unit = {
+    closed = true
+    try server.close()
+    catch { case _: Throwable => () }
+    pool.shutdownNow()
+  }
+}
