@@ -19,13 +19,17 @@ import graft.functions.{CosineSimilarity, DotProduct, RollingFingerprint}
   * graft.functions.Functions.register stays as the dynamic/runtime API for
   * sessions graft did not build.
   *
-  * No optimizer Rule / SparkStrategy is injected: SURVEY.md §4 found none
-  * is needed for reference parity — Catalyst's own rule families cover
-  * every rewrite the reference performs or aspires to.
+  * One optimizer Rule is injected: plans.LshJoinRewrite, the conf-gated
+  * cosine-threshold-join -> banded-LSH-join rewrite (off by default; see
+  * its scaladoc for the correctness contract). No SparkStrategy: SURVEY.md
+  * §4 found Catalyst's own rule families cover every rewrite the
+  * reference performs or aspires to — the LSH rewrite is a graft-value
+  * addition, not a parity need.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(session => new graft.plans.LshJoinRewrite(session))
     register(ext, "capitalize", "uppercases a string (reference semantics)",
       es => Upper(es.head))
     register(ext, "cosine_sim", "cosine similarity of two array<float> vectors",

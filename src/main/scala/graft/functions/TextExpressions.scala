@@ -35,7 +35,7 @@ case class RollingFingerprint(left: Expression, right: Expression)
 
   override def nullSafeEval(t: Any, w: Any): Any = {
     val bytes = t.asInstanceOf[UTF8String].getBytes
-    RollingFingerprint.eval(bytes, w.asInstanceOf[Int])
+    RollingFingerprint.compute(bytes, w.asInstanceOf[Int])
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -43,7 +43,7 @@ case class RollingFingerprint(left: Expression, right: Expression)
       ctx,
       ev,
       (t, w) =>
-        s"${ev.value} = graft.functions.RollingFingerprint.eval($t.getBytes(), $w);"
+        s"${ev.value} = graft.functions.RollingFingerprint.compute($t.getBytes(), $w);"
     )
 
   override protected def withNewChildrenInternal(
@@ -68,8 +68,14 @@ object RollingFingerprint {
     r
   }
 
-  /** Shared by interpreted eval and generated code. */
-  def eval(bytes: Array[Byte], window: Int): Long = {
+  /** Shared by interpreted eval and generated code. Named `compute`, NOT
+    * `eval`: the case class inherits Expression.eval, which suppresses the
+    * companion's static forwarder — generated Java then resolves
+    * `RollingFingerprint.eval(byte[], int)` against the instance methods
+    * and fails to compile, silently dropping the whole stage out of
+    * codegen (the exact failure mode this expression exists to avoid).
+    */
+  def compute(bytes: Array[Byte], window: Int): Long = {
     val n = bytes.length
     if (window <= 0 || window >= n) {
       var h = 0L

@@ -380,29 +380,63 @@ object DedupQueries {
     Q(
       "q_dedup_embedding",
       (s, dir) => {
-        val e = t(s, dir, "embeddings")
-        val a = e.select($"vec_id".as("id_a"), $"label", $"embedding".as("emb_a"))
-        val b = e.select($"vec_id".as("id_b"), $"label", $"embedding".as("emb_b"))
-        a.join(b, Seq("label"))
-          .filter($"id_a" < $"id_b")
-          .select(
-            $"label",
-            $"id_a",
-            $"id_b",
-            round(graft.functions.Functions.cosineSim($"emb_a", $"emb_b"), 6)
-              .as("cos")
-          )
-          .filter($"cos" >= 0.3)
-          .orderBy($"label", $"id_a", $"id_b")
+        // pin the LSH rewrite OFF: this entry is the plain-join baseline
+        s.conf.set("spark.graft.lsh.rewrite.enabled", "false")
+        embeddingNearDup(s, dir)
       },
-      Some(
-        "SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b, " +
-          "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cos " +
-          "FROM embeddings a JOIN embeddings b " +
-          "ON a.label = b.label AND a.vec_id < b.vec_id " +
-          "WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.3 " +
-          "ORDER BY label, id_a, id_b"
-      )
+      Some(embeddingNearDupOracle)
+    ),
+    // ----- the same query THROUGH the optimizer rewrite --------------------
+    // plans.LshJoinRewrite (injected via GraftExtensions) turns the
+    // cosine-threshold join into a banded-LSH candidate join at PLAN time;
+    // the identical oracle proves the rewrite loses nothing on this corpus
+    // (recall math in the rule's scaladoc). PlanSpec asserts the rewritten
+    // shape actually fired — same results through a different plan.
+    Q(
+      "q_dedup_embedding_lsh",
+      (s, dir) => {
+        s.conf.set("spark.graft.lsh.rewrite.enabled", "true")
+        // the demo threshold (0.3) is WEAK similarity: per-plane agreement
+        // is only ~0.6, so recall needs 32 bands of 2 rows (miss <= 8e-7
+        // per pair — certain-recall territory for any fixture size). At
+        // production thresholds >=0.8 the defaults (16x2) are already
+        // recall-saturated and r can rise for real pruning.
+        s.conf.set("spark.graft.lsh.rewrite.bands", "32")
+        embeddingNearDup(s, dir)
+      },
+      Some(embeddingNearDupOracle)
     )
   )
+
+  // NOTE: declared as defs below `all` — a val here would still be null
+  // while `all` initializes (object init order).
+
+  /** Label-blocked cosine near-dup pairs (shared by the baseline query and
+    * its LSH-rewritten twin — byte-identical plan INPUT, so any output
+    * difference is the rewrite's fault).
+    */
+  def embeddingNearDup(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val a = e.select($"vec_id".as("id_a"), $"label", $"embedding".as("emb_a"))
+    val b = e.select($"vec_id".as("id_b"), $"label", $"embedding".as("emb_b"))
+    a.join(b, Seq("label"))
+      .filter($"id_a" < $"id_b")
+      .select(
+        $"label",
+        $"id_a",
+        $"id_b",
+        round(graft.functions.Functions.cosineSim($"emb_a", $"emb_b"), 6)
+          .as("cos")
+      )
+      .filter($"cos" >= 0.3)
+      .orderBy($"label", $"id_a", $"id_b")
+  }
+
+  private def embeddingNearDupOracle: String =
+    "SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b, " +
+      "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cos " +
+      "FROM embeddings a JOIN embeddings b " +
+      "ON a.label = b.label AND a.vec_id < b.vec_id " +
+      "WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.3 " +
+      "ORDER BY label, id_a, id_b"
 }

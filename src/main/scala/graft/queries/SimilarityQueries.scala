@@ -20,18 +20,9 @@ object SimilarityQueries {
 
   private val QueryVecId = 0
 
-  /** Deterministic pseudo-random hyperplanes: component (h, d) is +-1 from
-    * a splitmix-style integer mix evaluated at plan time in Scala — the
-    * plan carries plain float literals, nothing nondeterministic executes.
-    */
+  /** Deterministic plan-time ±1 hyperplanes (see functions.LshPlanes). */
   private def hyperplane(h: Int, dim: Int): Seq[Float] =
-    (0 until dim).map { d =>
-      var z = (h.toLong * 64 + d) + 0x9e3779b97f4a7c15L
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z = z ^ (z >>> 31)
-      if ((z & 1L) == 0L) 1.0f else -1.0f
-    }
+    graft.functions.LshPlanes.plane(h, dim)
 
   private def hyperplaneCol(h: Int, dim: Int) =
     array(hyperplane(h, dim).map(v => lit(v)): _*).cast("array<float>")

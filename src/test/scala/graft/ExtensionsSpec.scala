@@ -21,7 +21,7 @@ class ExtensionsSpec extends SparkTestBase {
     assert(r.getString(0) === "ABC")
     assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
     assert(r.getDouble(2) === 6.0)
-    assert(r.getLong(3) === graft.functions.RollingFingerprint.eval("abc".getBytes("UTF-8"), 0))
+    assert(r.getLong(3) === graft.functions.RollingFingerprint.compute("abc".getBytes("UTF-8"), 0))
   }
 
   test("DESCRIBE FUNCTION sees the injected function") {

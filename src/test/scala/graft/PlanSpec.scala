@@ -24,6 +24,30 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
   }
 
+  test("LshJoinRewrite fires on the cosine-threshold join (and only when enabled)") {
+    val lsh = Registry.byName("q_dedup_embedding_lsh")
+      .fn(spark, SparkTestBase.Sf0001).queryExecution.optimizedPlan.toString
+    assert(lsh.contains("__lsh_band_digest"),
+      "rewrite did not fire — no band digest in plan:\n" + lsh.take(3000))
+    assert(lsh.contains("Generate explode"),
+      "rewrite did not explode band digests:\n" + lsh.take(3000))
+
+    val baseline = Registry.byName("q_dedup_embedding")
+      .fn(spark, SparkTestBase.Sf0001).queryExecution.optimizedPlan.toString
+    assert(!baseline.contains("__lsh_band_digest"),
+      "baseline query must NOT be rewritten:\n" + baseline.take(3000))
+  }
+
+  test("LSH-rewritten join returns exactly the plain join's rows") {
+    val plain = Registry.byName("q_dedup_embedding")
+      .fn(spark, SparkTestBase.Sf0001).collect().map(_.toString).sorted
+    val rewritten = Registry.byName("q_dedup_embedding_lsh")
+      .fn(spark, SparkTestBase.Sf0001).collect().map(_.toString).sorted
+    assert(rewritten.length === plain.length,
+      s"rewrite changed row count: ${rewritten.length} vs ${plain.length}")
+    assert(rewritten.toSeq === plain.toSeq)
+  }
+
   test("star joins only HINT broadcast on true dimensions") {
     // q3 hints only filtered customer; q5 only nation+region. The hint
     // count in the analyzed plan is the contract — Spark may still choose

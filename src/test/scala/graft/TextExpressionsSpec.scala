@@ -27,8 +27,8 @@ class TextExpressionsSpec extends SparkTestBase {
     val base = "abcdefghijklmnopqrstuvwxyz0123456789abcdefghijklmnop"
     val shifted = "PREFIX-" + base
     val w = 16
-    val fpBase = RollingFingerprint.eval(base.getBytes("UTF-8"), w)
-    val fpShifted = RollingFingerprint.eval(shifted.getBytes("UTF-8"), w)
+    val fpBase = RollingFingerprint.compute(base.getBytes("UTF-8"), w)
+    val fpShifted = RollingFingerprint.compute(shifted.getBytes("UTF-8"), w)
     assert(fpShifted <= fpBase)
     // and the eval agrees with the SQL surface
     import spark.implicits._
@@ -42,7 +42,7 @@ class TextExpressionsSpec extends SparkTestBase {
     import spark.implicits._
     val df = Seq(Option("abc"), None).toDF("t")
     val rows = df.select(Functions.rollingFingerprint($"t", lit(0))).collect()
-    assert(rows(0).getLong(0) === RollingFingerprint.eval("abc".getBytes("UTF-8"), 0))
+    assert(rows(0).getLong(0) === RollingFingerprint.compute("abc".getBytes("UTF-8"), 0))
     assert(rows(1).isNullAt(0))
   }
 
@@ -50,6 +50,6 @@ class TextExpressionsSpec extends SparkTestBase {
     import spark.implicits._
     session.registerTable("fp_t", Seq("hello world").toDF("t"))
     val r = session.execute("SELECT rolling_fingerprint(t, 0) FROM fp_t").head()
-    assert(r.getLong(0) === RollingFingerprint.eval("hello world".getBytes("UTF-8"), 0))
+    assert(r.getLong(0) === RollingFingerprint.compute("hello world".getBytes("UTF-8"), 0))
   }
 }
