@@ -139,6 +139,66 @@ object ScaleProbe {
     results.take(nOps).zip(results.drop(nOps)).foreach { case ((l1, _, s1), (_, _, s10)) =>
       println(f"${l1.stripSuffix("_1x")}%-18s ${s10 / s1}%6.2f")
     }
+
+    skewProbe(spark)
     spark.stop()
+  }
+
+  /** The salting trade-off, measured honestly: a fact table whose hottest
+    * key holds 20% of all rows joined to a 200k-row dim, plain vs
+    * SkewJoin.saltedInnerJoin, and the same pair on a UNIFORM fact.
+    * Broadcast is disabled (the dim would otherwise broadcast and no
+    * shuffle join of either flavor would run); AQE stays on, but its
+    * skew splitting never fires here — the hot partition stays below
+    * skewedPartitionThresholdInBytes, which is exactly the blind spot the
+    * manual salt covers. Expectation (recorded in BASELINE.md): salted
+    * wins on the skewed set (hot key spread over 16 reducers) and LOSES
+    * on uniform (16x dim duplication through the shuffle buys nothing).
+    */
+  private def skewProbe(spark: SparkSession): Unit = {
+    val n = 6000000L
+    val nKeys = 200000
+    val factSkew = spark.range(n).select(
+      col("id"),
+      when(pmod(hash(col("id"), lit(21)), lit(5)) === 0, lit(0L)) // 20% -> key 0
+        .otherwise(pmod(hash(col("id"), lit(22)), lit(nKeys)).cast("long"))
+        .as("k")
+    ).cache()
+    factSkew.count()
+    val factUni = spark.range(n).select(
+      col("id"),
+      pmod(hash(col("id"), lit(23)), lit(nKeys)).cast("long").as("k")
+    ).cache()
+    factUni.count()
+    val dim = spark.range(nKeys).select(
+      col("id").as("k"),
+      pmod(hash(col("id"), lit(24)), lit(97)).as("grp")
+    )
+
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def plain(fact: DataFrame): Unit =
+        fact.join(dim, Seq("k")).select(col("id"), col("grp"))
+          .write.format("noop").mode("overwrite").save()
+      def salted(fact: DataFrame): Unit =
+        graft.operators.SkewJoin.saltedInnerJoin(fact, dim, "k")
+          .select(col("id"), col("grp"))
+          .write.format("noop").mode("overwrite").save()
+
+      plain(factUni); salted(factUni) // warmup (codegen + shuffle paths)
+      val timings = Seq(
+        time("plain_skewed", n) { plain(factSkew) },
+        time("salted_skewed", n) { salted(factSkew) },
+        time("plain_uniform", n) { plain(factUni) },
+        time("salted_uniform", n) { salted(factUni) }
+      )
+      println("--- skew trade-off (20% of rows on one key; dim 200k; broadcast off) ---")
+      timings.foreach { case (l, rows, s) => println(f"$l%-18s rows=$rows%9d  $s%8.2f s") }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      factSkew.unpersist()
+      factUni.unpersist()
+    }
   }
 }
