@@ -121,11 +121,12 @@ object ScaleProbe {
           .write.format("noop").mode("overwrite").save()
       }
       val minhash = time(s"minhash_sig_${mult}x", docsN) {
-        val ex = docs
-          .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
-          .select(col("doc_id"), explode(TextOps.shingles(col("ws"))).as("s"))
-        ex.groupBy(col("doc_id"))
-          .agg(TextOps.minhashAggs(col("s")).head, TextOps.minhashAggs(col("s")).tail: _*)
+        // the per-row signature path q_dedup_minhash uses in production:
+        // hash each shingle once, 64 codegen'd mixes, no explode/shuffle
+        docs
+          .select(col("doc_id"), TextOps.shingles(TextOps.tokens(col("text"))).as("sh"))
+          .select(col("doc_id"), transform(col("sh"), x => xxhash64(x)).as("hs"))
+          .select(col("doc_id") +: TextOps.minhashSignature(col("hs")): _*)
           .write.format("noop").mode("overwrite").save()
       }
       li.unpersist(); docs.unpersist(); ev.unpersist()

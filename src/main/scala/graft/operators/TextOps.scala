@@ -40,6 +40,24 @@ object TextOps {
     (0 until k).map(j => min(xxhash64(lit(j), base)).as(s"mh$j"))
   }
 
+  /** k MinHash values computed PER ROW from a pre-hashed shingle array —
+    * no explode, no shuffle: `array_min(transform(hashes, mix_j))` runs
+    * entirely inside whole-stage codegen. Produces bit-identical values to
+    * [[minhashAggs]] (same xxhash64(j, xxhash64(s)) family), so the two
+    * paths are interchangeable; this one is preferred when shingles are
+    * already materialized as per-doc arrays (the dedup pipeline), the agg
+    * path when the input is an exploded inverted index.
+    *
+    * `shingleHashes` must be `transform(sh, s -> xxhash64(s))` — hashing
+    * the STRING once outside the per-family loop; mixing 64 longs per
+    * element instead of re-hashing the string 64 times is the difference
+    * ScaleProbe measured at 14x.
+    */
+  def minhashSignature(shingleHashes: Column, k: Int = 64): Seq[Column] =
+    (0 until k).map { j =>
+      array_min(transform(shingleHashes, h => xxhash64(lit(j), h))).as(s"mh$j")
+    }
+
   /** LSH band digests over a MinHash signature laid out as columns mh0..mhK:
     * band b = hash of its r consecutive signature rows. Docs sharing any
     * band digest are candidate near-dup pairs; with k=64, bands=16, r=4 the

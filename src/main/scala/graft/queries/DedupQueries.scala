@@ -44,8 +44,11 @@ object DedupQueries {
   private def jaccardPairs(doc: DataFrame, minJ: Double): DataFrame = {
     // the inverted index feeds the self-join (both sides) and the size
     // table — pin it so the shingle explosion runs once; tracked so the
-    // materializing caller releases the pin (PersistScope contract)
+    // materializing caller releases the pin (PersistScope contract).
+    // count() fills the cache eagerly: lazily-shared caches get raced by
+    // the self-join's sides in one job and computed multiple times.
     val ex = PersistScope.track(shingleRows(doc).persist())
+    ex.count()
     val sizes = ex.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val inter = ex
       .as("a")
@@ -127,19 +130,24 @@ object DedupQueries {
       "q_dedup_minhash",
       (s, dir) => {
         val doc = t(s, dir, "documents")
-        val ex = shingleRows(doc)
-        // persist: the signature table feeds BOTH sides of the band
-        // self-join (and the shingle sets feed both sides of the verify
-        // join) — without pinning them, each side recomputes the whole
-        // shingle explosion + 64-hash aggregation
+        // ONE tokenize+shingle pass: the cached sets feed the signature
+        // computation AND both sides of the verify join. The count() fills
+        // the cache EAGERLY — a lazily-shared cache under a self-join gets
+        // raced by both sides in the same job and computed ~twice (the
+        // round-3 bench measured exactly that once per-rep unpersisting
+        // made runs honest).
+        val sets = PersistScope.track(shingleSets(doc).persist())
+        sets.count()
+        // signatures per ROW from the cached arrays: hash each shingle
+        // string once, then 64 codegen'd mix+array_min — no explode, no
+        // shuffle (bit-identical to the minhashAggs inverted-index path)
         val sigs = PersistScope.track(
-          ex.groupBy($"doc_id")
-            .agg(
-              TextOps.minhashAggs($"s").head,
-              TextOps.minhashAggs($"s").tail: _*
-            )
+          sets
+            .select($"doc_id", transform($"sh", x => xxhash64(x)).as("hs"))
+            .select($"doc_id" +: TextOps.minhashSignature($"hs"): _*)
             .persist()
         )
+        sigs.count() // eager: both band-join sides share the cache
         val bands = sigs
           .select($"doc_id", explode(TextOps.bandStructs()).as("bd"))
           .select($"doc_id", $"bd.band".as("band"), $"bd.digest".as("digest"))
@@ -155,7 +163,6 @@ object DedupQueries {
         // exact verification of CANDIDATES ONLY: join each pair to its two
         // shingle sets and intersect in-row — cost is O(|candidates|), not
         // the full inverted-index join (which would defeat the LSH pruning)
-        val sets = PersistScope.track(shingleSets(doc).persist())
         val inter = size(array_intersect($"sh_a", $"sh_b"))
         cand
           .join(
@@ -195,7 +202,10 @@ object DedupQueries {
             TextOps.simhashVoteAggs($"w").head,
             TextOps.simhashVoteAggs($"w").tail: _*
           )
-        val fp = votes.select($"doc_id", TextOps.simhashFromVotes.as("simhash"))
+        val fp = PersistScope.track(
+          votes.select($"doc_id", TextOps.simhashFromVotes.as("simhash")).persist()
+        )
+        fp.count() // eager: both chunk-join sides share the vote aggregation
         // candidate pairs: any shared 16-bit chunk (4-band LSH on the
         // fingerprint), then exact Hamming <= 6. Measured separation on
         // the fixture: planted near-dup pairs land at Hamming 0-5, the
@@ -346,10 +356,13 @@ object DedupQueries {
       (s, dir) => {
         graft.functions.Functions.register(s)
         val doc = t(s, dir, "documents")
-        val fp = doc.select(
-          $"doc_id",
-          expr("rolling_fingerprint(text, 32)").as("fp")
+        val fp = PersistScope.track(
+          doc.select(
+            $"doc_id",
+            expr("rolling_fingerprint(text, 32)").as("fp")
+          ).persist()
         )
+        fp.count() // eager: both bucket-join sides share the hash pass
         val cand = fp
           .as("x")
           .join(
