@@ -72,12 +72,15 @@ object ServingClient {
     request(port, "DO_GET", sql)
 
   private def readLine(in: java.io.InputStream): String = {
-    val sb = new StringBuilder
+    // byte-at-a-time (must not over-read into the Arrow stream), decoded
+    // as UTF-8 at the end — per-byte toChar would mangle any non-ASCII in
+    // an error status line
+    val buf = new java.io.ByteArrayOutputStream
     var b = in.read()
     while (b != -1 && b != '\n') {
-      sb.append(b.toChar)
+      buf.write(b)
       b = in.read()
     }
-    sb.toString
+    new String(buf.toByteArray, StandardCharsets.UTF_8)
   }
 }

@@ -67,6 +67,11 @@ final class ServingServer(
             pool.execute(() => handle(sock))
           } catch {
             case _: SocketException if closed => // normal shutdown
+            case e: Throwable if !closed =>
+              // transient accept/submit failure (fd exhaustion, race with
+              // close): log and keep accepting — a dead acceptor behind a
+              // live port is undiagnosable from the client side
+              System.err.println(s"[graft-serve] accept failed: ${e.getMessage}")
           }
         },
       "graft-serve-accept"
@@ -78,7 +83,9 @@ final class ServingServer(
 
   private def handle(sock: Socket): Unit = {
     val out = new BufferedOutputStream(sock.getOutputStream)
+    var statusSent = false
     def status(line: String): Unit = {
+      statusSent = true
       out.write((line + "\n").getBytes(StandardCharsets.UTF_8))
       out.flush()
     }
@@ -109,9 +116,24 @@ final class ServingServer(
             status("ERR INVALID_ARGUMENT No SQL command in request")
           else {
             val df = session.execute(payload)
+            // force parse/analysis/optimization/physical planning BEFORE
+            // the OK goes out: plan-time failures must arrive as a status
+            // line, not as garbage inside an Arrow stream
+            df.queryExecution.executedPlan
             status("OK")
-            org.apache.spark.sql.GraftArrowBridge.writeBatches(df, batchSize, out)
-            out.flush()
+            try {
+              org.apache.spark.sql.GraftArrowBridge.writeBatches(df, batchSize, out)
+              out.flush()
+            } catch {
+              case e: Throwable =>
+                // runtime failure mid-stream: the status channel is spent.
+                // Abort the connection so the client's Arrow reader sees a
+                // truncated stream (same contract as a dropped Flight
+                // stream) — NEVER append text into the IPC bytes.
+                System.err.println(
+                  s"[graft-serve] DO_GET failed mid-stream: ${e.getMessage}")
+                throw e
+            }
           }
         case v if unimplemented.contains(v) =>
           status(s"ERR UNIMPLEMENTED ${v.toLowerCase} is not yet implemented")
@@ -120,11 +142,15 @@ final class ServingServer(
       }
     } catch {
       case e: Throwable =>
-        // single-line message: the status line IS the error channel
-        val msg = Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
-          .linesIterator.next().take(500)
-        try status(s"ERR INTERNAL $msg")
-        catch { case _: Throwable => () }
+        // single-line message: the status line IS the error channel — but
+        // only while it is still unsent; after OK the Arrow bytes own the
+        // socket and the only correct signal is connection abort
+        if (!statusSent) {
+          val msg = Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
+            .linesIterator.next().take(500)
+          try status(s"ERR INTERNAL $msg")
+          catch { case _: Throwable => () }
+        }
     } finally {
       try sock.close()
       catch { case _: Throwable => () }

@@ -114,8 +114,16 @@ object Multimodal {
       if (bytes.isEmpty) null
       else
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-        catch { case _: java.io.IOException => null }
-    if (img == null) decodeStub(digest, rec)
+        catch {
+          // JDK plugin decoders throw RuntimeExceptions (AIOOBE, IAE, ...)
+          // on malformed input, not just IOException — catch them all or
+          // one fuzzed file kills the stage
+          case scala.util.control.NonFatal(_) => null
+        }
+    // decompression-bomb guard: a tiny PNG can declare a multi-GB raster;
+    // past 64M pixels treat it as undecodable rather than OOM the executor
+    if (img == null || img.getWidth.toLong * img.getHeight > 64000000L)
+      decodeStub(digest, rec)
     else {
       val w = img.getWidth
       val h = img.getHeight

@@ -408,14 +408,22 @@ object DedupQueries {
     Q(
       "q_dedup_embedding_lsh",
       (s, dir) => {
-        s.conf.set("spark.graft.lsh.rewrite.enabled", "true")
+        // a DERIVED session scopes the rewrite confs to THIS query's plan:
+        // the conf is read at optimization (action) time, so setting it on
+        // the shared session would leak rewrite-mode to every later
+        // cosine-join in the session and make the baseline query's plan
+        // depend on build/execute interleaving. newSession shares the
+        // SparkContext, extensions, and base conf — only the runtime conf
+        // diverges.
+        val s2 = s.newSession()
+        s2.conf.set("spark.graft.lsh.rewrite.enabled", "true")
         // the demo threshold (0.3) is WEAK similarity: per-plane agreement
         // is only ~0.6, so recall needs 32 bands of 2 rows (miss <= 8e-7
         // per pair — certain-recall territory for any fixture size). At
         // production thresholds >=0.8 the defaults (16x2) are already
         // recall-saturated and r can rise for real pruning.
-        s.conf.set("spark.graft.lsh.rewrite.bands", "32")
-        embeddingNearDup(s, dir)
+        s2.conf.set("spark.graft.lsh.rewrite.bands", "32")
+        embeddingNearDup(s2, dir)
       },
       Some(embeddingNearDupOracle)
     )

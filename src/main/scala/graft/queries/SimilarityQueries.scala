@@ -137,10 +137,16 @@ object SimilarityQueries {
       (s, dir) => {
         val e = t(s, dir, "embeddings")
         val model = graft.operators.IvfIndex.build(e, "embedding")
-        val idx = graft.operators.IvfIndex.materialize(
-          model,
-          java.nio.file.Files.createTempDirectory("graft_ivf_").toString
-        )
+        // deterministic per-sfdir path, overwritten on each build: repeated
+        // Verify/bench/test invocations reuse ONE directory instead of
+        // leaking a fresh index copy into /tmp per run
+        val idxPath = java.nio.file.Paths
+          .get(
+            System.getProperty("java.io.tmpdir"),
+            s"graft_ivf_${math.abs(dir.hashCode)}"
+          )
+          .toString
+        val idx = graft.operators.IvfIndex.materialize(model, idxPath)
         val query = e
           .filter($"vec_id" === QueryVecId)
           .select($"embedding")

