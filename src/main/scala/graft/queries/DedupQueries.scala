@@ -348,9 +348,11 @@ object DedupQueries {
     // measured on the fixture: 25/25 planted pairs share it, 22 docs of
     // false candidates. Recall is data-dependent (an edit inside the
     // minimal window splits a pair), so this is the cheap first pass;
-    // MinHash is the recall-guaranteed second. xxhash-free but our
-    // fingerprint isn't SQL-reproducible -> rows-only driver check;
-    // DedupSpec asserts equality with the exact operator here.
+    // MinHash is the recall-guaranteed second. HASH-ORACLED since round 3:
+    // the fingerprint is reproduced in DuckDB (HUGEINT Karp-Rabin folds,
+    // QueryUtil.fingerprintOracleCte) and the candidate+verify pipeline
+    // mirrored; DedupSpec additionally asserts equality with the exact
+    // operator on this corpus.
     Q(
       "q_dedup_fingerprint",
       (s, dir) => {
@@ -384,7 +386,29 @@ object DedupQueries {
           .filter($"jaccard" >= 0.5)
           .orderBy($"doc_a", $"doc_b")
       },
-      None
+      Some {
+        val jac =
+          "len(list_intersect(sa.shingles, sb.shingles)) * 1.0 / " +
+            "(len(sa.shingles) + len(sb.shingles) - " +
+            "len(list_intersect(sa.shingles, sb.shingles)))"
+        s"""WITH ${QueryUtil.fingerprintOracleCte(32)},
+           |toks AS (
+           |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS ws FROM documents
+           |), sh AS (
+           |  SELECT doc_id, list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+           |                                for i in range(1, len(ws)-1)]) AS shingles
+           |  FROM toks WHERE len(ws) >= 3
+           |), cand AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM fpc a JOIN fpc b ON a.win_fp = b.win_fp AND a.doc_id < b.doc_id
+           |)
+           |SELECT doc_a, doc_b, round($jac, 6) AS jaccard
+           |FROM cand
+           |JOIN sh sa ON sa.doc_id = doc_a
+           |JOIN sh sb ON sb.doc_id = doc_b
+           |WHERE round($jac, 6) >= 0.5
+           |ORDER BY doc_a, doc_b""".stripMargin
+      }
     ),
     // ----- embedding cosine near-dup (blocked) -----------------------------
     // Blocking by label keeps the pairwise compare inside ~50-row blocks

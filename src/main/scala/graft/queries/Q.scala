@@ -67,4 +67,35 @@ object QueryUtil {
   def pct(c: Column): Column = c.cast(DecimalType(4, 2)) // rates in [0,1)
   def asDouble(c: Column): Column = c.cast("double")
   def asLong(c: Column): Column = c.cast("bigint")
+
+  /** DuckDB mirror of `rolling_fingerprint` (functions.RollingFingerprint):
+    * Karp-Rabin polynomial hash base 257 mod 2^61-1 over the text's BYTES,
+    * as HUGEINT modular folds over per-char codes (== bytes: the fixture is
+    * pure ASCII, verified). Emits a CTE named `fpc` with
+    * (doc_id, full_fp, win_fp) where win_fp is the min over `w`-byte
+    * rolling windows (whole-string hash when length <= w, matching the
+    * expression's `window >= n` branch). O(n*w) per doc in SQL — fine for
+    * an oracle, which is the point: the engine side is the O(n) rolling
+    * version.
+    */
+  def fingerprintOracleCte(w: Int = 32): String = {
+    def fold(list: String): String =
+      s"list_reduce(list_prepend(CAST(0 AS HUGEINT), $list), " +
+        "(a, b) -> (a * 257 + b) % 2305843009213693951)"
+    val full = fold("codes")
+    val win = fold(s"codes[i:i+${w - 1}]")
+    s"""fpraw AS (
+       |  SELECT doc_id, text,
+       |    [CAST(unicode(text[i]) AS HUGEINT) for i in range(1, length(text)+1)] AS codes,
+       |    length(text) AS n
+       |  FROM documents
+       |), fpc AS (
+       |  SELECT doc_id, text,
+       |    CAST($full AS BIGINT) AS full_fp,
+       |    CAST(CASE WHEN n > $w THEN
+       |      list_min([$win for i in range(1, n - ${w - 2})])
+       |    ELSE $full END AS BIGINT) AS win_fp
+       |  FROM fpraw
+       |)""".stripMargin
+  }
 }

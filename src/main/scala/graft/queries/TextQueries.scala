@@ -308,8 +308,12 @@ object TextQueries {
       bench = true
     ),
     // ----- content fingerprinting ------------------------------------------
-    // Native rolling-hash expression; not reproducible in DuckDB SQL ->
-    // rows-only driver check, semantics pinned by TextExpressionsSpec.
+    // Native rolling-hash expression, HASH-ORACLED since round 3: the
+    // Karp-Rabin arithmetic is reproduced in DuckDB as HUGEINT modular
+    // folds (QueryUtil.fingerprintOracleCte) — the oracle recomputes every
+    // window hash O(n*w) while the engine rolls in O(n); equal results
+    // prove the rolling algebra. TextExpressionsSpec still pins shift
+    // robustness.
     Q(
       "q_text_fingerprint",
       (s, dir) => {
@@ -322,7 +326,10 @@ object TextQueries {
           )
           .orderBy($"doc_id")
       },
-      None
+      Some(
+        s"""WITH ${QueryUtil.fingerprintOracleCte(32)}
+           |SELECT doc_id, full_fp, win_fp FROM fpc ORDER BY doc_id""".stripMargin
+      )
     ),
     // ----- multimodal column conventions ------------------------------------
     // Media travels as an opaque binary column + typed metadata; here the
