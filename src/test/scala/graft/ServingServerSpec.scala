@@ -57,6 +57,28 @@ class ServingServerSpec extends SparkTestBase {
     }
   }
 
+  test("concurrent clients each get complete, correct streams") {
+    withServer { srv =>
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val futures = (1 to 8).map { i =>
+        Future {
+          val r = ServingClient.doGet(
+            srv.boundPort,
+            s"SELECT id, id * $i AS x FROM range(${500 * i}) ORDER BY id"
+          )
+          (i, r)
+        }
+      }
+      Await.result(Future.sequence(futures), 60.seconds).foreach { case (i, r) =>
+        assert(r.isOk, s"client $i: ${r.status}")
+        assert(r.rows.size === 500 * i, s"client $i row count")
+        assert(r.rows.last(1).toString.toLong === (500L * i - 1) * i, s"client $i payload")
+      }
+    }
+  }
+
   test("unimplemented verbs answer UNIMPLEMENTED, like the reference") {
     withServer { srv =>
       for (verb <- Seq("HANDSHAKE", "LIST_FLIGHTS", "GET_SCHEMA", "DO_PUT",
