@@ -92,35 +92,29 @@ object Bench {
     org.apache.spark.GraftSparkInternals
       .waitListenerBusEmpty(spark.sparkContext, 10000)
     val reps = 3
+    case class QStat(name: String, median: Double, min: Double, max: Double,
+        ok: Boolean, shuffleMb: Double, spillMb: Double)
     val results = headline.map { q =>
       val runs = (1 to reps).map(_ => timedRun(q))
-      val ok = runs.forall(_._2)
       val times = runs.map(_._1).sorted
       val median = times(times.size / 2)
       // metrics come from the median-time run (same plan every rep; the
       // shuffle numbers are bit-identical across reps in practice)
       val medRun = runs.minBy(r => math.abs(r._1 - median))
-      (q.name, median, times.head, times.last, ok, medRun._3, medRun._4)
+      QStat(q.name, median, times.head, times.last,
+        runs.forall(_._2), medRun._3, medRun._4)
     }
 
-    val qs = results
-      .map { case (k, v, _, _, ok, _, _) => s""""$k":${if (ok) v else -1}""" }
-      .mkString("{", ",", "}")
-    val qmin = results
-      .map { case (k, _, mn, _, _, _, _) => f""""$k":$mn%.3f""" }
-      .mkString("{", ",", "}")
-    val qmax = results
-      .map { case (k, _, _, mx, _, _, _) => f""""$k":$mx%.3f""" }
-      .mkString("{", ",", "}")
-    val shuffle = results
-      .map { case (k, _, _, _, _, sh, _) => f""""$k":$sh%.2f""" }
-      .mkString("{", ",", "}")
-    val spills = results
-      .map { case (k, _, _, _, _, _, sp) => f""""$k":$sp%.2f""" }
-      .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, _, _, false, _, _) => s""""$k"""" }
+    def obj(f: QStat => String): String =
+      results.map(r => s""""${r.name}":${f(r)}""").mkString("{", ",", "}")
+    val qs = obj(r => if (r.ok) r.median.toString else "-1")
+    val qmin = obj(r => f"${r.min}%.3f")
+    val qmax = obj(r => f"${r.max}%.3f")
+    val shuffle = obj(r => f"${r.shuffleMb}%.2f")
+    val spills = obj(r => f"${r.spillMb}%.2f")
+    val failed = results.collect { case r if !r.ok => s""""${r.name}"""" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, _, _, true, _, _) => v }.sum
+    val total = results.collect { case r if r.ok => r.median }.sum
     val coldTotal = cold.collect { case (_, (v, true)) => v }.sum
     // the JSON line is the ONLY stdout output (Spark logs route to stderr
     // via log4j2.properties) and is flushed before shutdown logging, so

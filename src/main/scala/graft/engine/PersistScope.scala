@@ -29,6 +29,23 @@ object PersistScope {
     ds
   }
 
+  /** persist + track in one step. */
+  def pin[T <: Dataset[_]](ds: T): T = {
+    ds.persist()
+    track(ds)
+  }
+
+  /** persist + track + EAGERLY materialize. Use when the pinned plan feeds
+    * both sides of a self-join: a lazily-shared cache gets raced by the
+    * join's sides inside one job and computed multiple times — the eager
+    * count() fills it once, sequentially, before the join runs.
+    */
+  def pinEager[T <: Dataset[_]](ds: T): T = {
+    val pinned = pin(ds)
+    pinned.count()
+    pinned
+  }
+
   /** Unpersist (non-blocking) everything tracked since the last release. */
   def releaseAll(): Unit = {
     var d = handles.poll()

@@ -102,7 +102,7 @@ final class ServingServer(
           if (payload.isEmpty)
             status("ERR INVALID_ARGUMENT No SQL command in request")
           else {
-            val schema = new ServingShim(session).flightInfo(payload)
+            val schema = session.serving.flightInfo(payload)
             status("OK")
             org.apache.spark.sql.GraftArrowBridge.writeSchemaOnly(
               schema,

@@ -43,12 +43,9 @@ object DedupQueries {
     */
   private def jaccardPairs(doc: DataFrame, minJ: Double): DataFrame = {
     // the inverted index feeds the self-join (both sides) and the size
-    // table — pin it so the shingle explosion runs once; tracked so the
-    // materializing caller releases the pin (PersistScope contract).
-    // count() fills the cache eagerly: lazily-shared caches get raced by
-    // the self-join's sides in one job and computed multiple times.
-    val ex = PersistScope.track(shingleRows(doc).persist())
-    ex.count()
+    // table — pinEager runs the shingle explosion exactly once before the
+    // join (see PersistScope.pinEager for the self-join race this avoids)
+    val ex = PersistScope.pinEager(shingleRows(doc))
     val sizes = ex.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val inter = ex
       .as("a")
@@ -66,15 +63,21 @@ object DedupQueries {
       .filter($"jaccard" >= minJ)
   }
 
-  private val jaccardOracle: String =
-    // identical shingling in DuckDB: lowercase, split on \s+, word 3-grams
-    """WITH toks AS (
+  /** DuckDB mirror of `shingleSets`: lowercase, split on \s+, distinct
+    * word 3-grams — the CTE fragment every shingle-based oracle shares
+    * (emits `toks` and `sh(doc_id, shingles)`).
+    */
+  private def shingleCteSql: String =
+    """toks AS (
       |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS ws FROM documents
       |), sh AS (
       |  SELECT doc_id, list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
       |                                for i in range(1, len(ws)-1)]) AS shingles
       |  FROM toks WHERE len(ws) >= 3
-      |), ex AS (
+      |)""".stripMargin
+
+  private def jaccardOracle: String =
+    s"""WITH $shingleCteSql, ex AS (
       |  SELECT doc_id, unnest(shingles) AS s FROM sh
       |), sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
       |inter AS (
@@ -130,24 +133,19 @@ object DedupQueries {
       "q_dedup_minhash",
       (s, dir) => {
         val doc = t(s, dir, "documents")
-        // ONE tokenize+shingle pass: the cached sets feed the signature
-        // computation AND both sides of the verify join. The count() fills
-        // the cache EAGERLY — a lazily-shared cache under a self-join gets
-        // raced by both sides in the same job and computed ~twice (the
-        // round-3 bench measured exactly that once per-rep unpersisting
-        // made runs honest).
-        val sets = PersistScope.track(shingleSets(doc).persist())
-        sets.count()
+        // ONE tokenize+shingle pass: the eagerly-pinned sets feed the
+        // signature computation AND both sides of the verify join (the
+        // round-3 bench measured the lazy-cache self-join race at ~2x
+        // once per-rep unpersisting made runs honest).
+        val sets = PersistScope.pinEager(shingleSets(doc))
         // signatures per ROW from the cached arrays: hash each shingle
         // string once, then 64 codegen'd mix+array_min — no explode, no
         // shuffle (bit-identical to the minhashAggs inverted-index path)
-        val sigs = PersistScope.track(
+        val sigs = PersistScope.pinEager(
           sets
             .select($"doc_id", transform($"sh", x => xxhash64(x)).as("hs"))
             .select($"doc_id" +: TextOps.minhashSignature($"hs"): _*)
-            .persist()
         )
-        sigs.count() // eager: both band-join sides share the cache
         val bands = sigs
           .select($"doc_id", explode(TextOps.bandStructs()).as("bd"))
           .select($"doc_id", $"bd.band".as("band"), $"bd.digest".as("digest"))
@@ -202,10 +200,10 @@ object DedupQueries {
             TextOps.simhashVoteAggs($"w").head,
             TextOps.simhashVoteAggs($"w").tail: _*
           )
-        val fp = PersistScope.track(
-          votes.select($"doc_id", TextOps.simhashFromVotes.as("simhash")).persist()
+        // eager: both chunk-join sides share the vote aggregation
+        val fp = PersistScope.pinEager(
+          votes.select($"doc_id", TextOps.simhashFromVotes.as("simhash"))
         )
-        fp.count() // eager: both chunk-join sides share the vote aggregation
         // candidate pairs: any shared 16-bit chunk (4-band LSH on the
         // fingerprint), then exact Hamming <= 6. Measured separation on
         // the fixture: planted near-dup pairs land at Hamming 0-5, the
@@ -255,14 +253,13 @@ object DedupQueries {
       "q_dedup_clusters",
       (s, dir) => {
         val doc = t(s, dir, "documents")
-        val pairs = PersistScope.track(
-          jaccardPairs(doc, 0.5).select($"doc_a", $"doc_b").persist()
+        val pairs = PersistScope.pin(
+          jaccardPairs(doc, 0.5).select($"doc_a", $"doc_b")
         )
-        val edges = PersistScope.track(
+        val edges = PersistScope.pin(
           pairs
             .union(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
             .toDF("src", "dst")
-            .persist()
         )
         val nodes = edges.select($"src".as("node")).distinct()
         var labels = nodes.select($"node", $"node".as("label")).persist()
@@ -309,13 +306,7 @@ object DedupQueries {
           .orderBy($"cluster_id", $"doc_id")
       },
       Some(
-        """WITH RECURSIVE toks AS (
-          |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS ws FROM documents
-          |), sh AS (
-          |  SELECT doc_id, list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
-          |                                for i in range(1, len(ws)-1)]) AS shingles
-          |  FROM toks WHERE len(ws) >= 3
-          |), ex AS (
+        s"""WITH RECURSIVE $shingleCteSql, ex AS (
           |  SELECT doc_id, unnest(shingles) AS s FROM sh
           |), sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
           |inter AS (
@@ -358,13 +349,13 @@ object DedupQueries {
       (s, dir) => {
         graft.functions.Functions.register(s)
         val doc = t(s, dir, "documents")
-        val fp = PersistScope.track(
+        // eager: both bucket-join sides share the hash pass
+        val fp = PersistScope.pinEager(
           doc.select(
             $"doc_id",
             expr("rolling_fingerprint(text, 32)").as("fp")
-          ).persist()
+          )
         )
-        fp.count() // eager: both bucket-join sides share the hash pass
         val cand = fp
           .as("x")
           .join(
@@ -392,13 +383,7 @@ object DedupQueries {
             "(len(sa.shingles) + len(sb.shingles) - " +
             "len(list_intersect(sa.shingles, sb.shingles)))"
         s"""WITH ${QueryUtil.fingerprintOracleCte(32)},
-           |toks AS (
-           |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS ws FROM documents
-           |), sh AS (
-           |  SELECT doc_id, list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
-           |                                for i in range(1, len(ws)-1)]) AS shingles
-           |  FROM toks WHERE len(ws) >= 3
-           |), cand AS (
+           |$shingleCteSql, cand AS (
            |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
            |  FROM fpc a JOIN fpc b ON a.win_fp = b.win_fp AND a.doc_id < b.doc_id
            |)

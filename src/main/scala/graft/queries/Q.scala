@@ -85,12 +85,12 @@ object QueryUtil {
     val full = fold("codes")
     val win = fold(s"codes[i:i+${w - 1}]")
     s"""fpraw AS (
-       |  SELECT doc_id, text,
+       |  SELECT doc_id,
        |    [CAST(unicode(text[i]) AS HUGEINT) for i in range(1, length(text)+1)] AS codes,
        |    length(text) AS n
        |  FROM documents
        |), fpc AS (
-       |  SELECT doc_id, text,
+       |  SELECT doc_id,
        |    CAST($full AS BIGINT) AS full_fp,
        |    CAST(CASE WHEN n > $w THEN
        |      list_min([$win for i in range(1, n - ${w - 2})])
