@@ -24,6 +24,15 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
   }
 
+  test("q4 EXISTS plans a semi join; q14 date filter reaches the scan") {
+    val q4 = executed("q4_priority_count")
+    assert(q4.contains("LeftSemi"), "EXISTS did not become a semi join:\n" + q4.take(2000))
+    val q14 = executed("q14_promo_share")
+    assert(q14.contains("PushedFilters: [IsNotNull(l_shipdate)")
+      || q14.contains("GreaterThanOrEqual(l_shipdate"),
+      "shipdate range not pushed to the lineitem scan:\n" + q14.take(3000))
+  }
+
   test("LshJoinRewrite fires on the cosine-threshold join (and only when enabled)") {
     val lsh = Registry.byName("q_dedup_embedding_lsh")
       .fn(spark, SparkTestBase.Sf0001).queryExecution.optimizedPlan.toString
