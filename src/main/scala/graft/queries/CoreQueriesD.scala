@@ -12,6 +12,13 @@ import QueryUtil._
   */
 object CoreQueriesD {
 
+  /** A query whose Spark side IS the oracle SQL run through Catalyst: ONE
+    * string serves both engines, so the benchmarked query and its oracle
+    * can never drift apart.
+    */
+  private def sqlQ(name: String, tables: Seq[String], sql: String): Q =
+    Q(name, (s, dir) => views(s, dir, tables: _*).sql(sql), Some(sql))
+
   val all: Seq[Q] = Seq(
     // ----- generator / UDTF surface (explode == DataFusion unnest) ---------
     Q(
@@ -158,131 +165,73 @@ object CoreQueriesD {
     // Q18 shape: IN-subquery over a GROUPED fact — orders whose total
     // quantity exceeds a threshold. The subquery becomes a semi join on
     // the aggregated keys, not a fact-side re-scan per row.
-    Q(
+    sqlQ(
       "q18_large_orders",
-      (s, dir) =>
-        views(s, dir, "orders", "lineitem").sql(
-          "SELECT o_orderkey, o_orderdate, o_totalprice, " +
-            "CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS total_qty " +
-            "FROM orders JOIN lineitem ON o_orderkey = l_orderkey " +
-            "WHERE o_orderkey IN (" +
-            "  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey " +
-            "  HAVING SUM(CAST(l_quantity AS DECIMAL(14,2))) > 150) " +
-            "GROUP BY o_orderkey, o_orderdate, o_totalprice " +
-            "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"
-        ),
-      Some(
-        "SELECT o_orderkey, o_orderdate, o_totalprice, " +
-          "CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS total_qty " +
-          "FROM orders JOIN lineitem ON o_orderkey = l_orderkey " +
-          "WHERE o_orderkey IN (" +
-          "  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey " +
-          "  HAVING SUM(CAST(l_quantity AS DECIMAL(14,2))) > 150) " +
-          "GROUP BY o_orderkey, o_orderdate, o_totalprice " +
-          "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"
-      )
+      Seq("orders", "lineitem"),
+      "SELECT o_orderkey, o_orderdate, o_totalprice, " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS total_qty " +
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey " +
+        "WHERE o_orderkey IN (" +
+        "  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey " +
+        "  HAVING SUM(CAST(l_quantity AS DECIMAL(14,2))) > 150) " +
+        "GROUP BY o_orderkey, o_orderdate, o_totalprice " +
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"
     ),
     // Q2 shape: correlated min-per-group — suppliers holding the minimum
     // account balance of their nation. Catalyst decorrelates to an agg +
     // join; no per-row re-scan survives in the plan.
-    Q(
+    sqlQ(
       "q2_min_per_group",
-      (s, dir) =>
-        views(s, dir, "supplier", "nation").sql(
-          "SELECT n_name, s_name, s_acctbal FROM supplier JOIN nation " +
-            "ON s_nationkey = n_nationkey " +
-            "WHERE s_acctbal = (SELECT min(s2.s_acctbal) FROM supplier s2 " +
-            "WHERE s2.s_nationkey = supplier.s_nationkey) " +
-            "ORDER BY n_name, s_name"
-        ),
-      Some(
-        "SELECT n_name, s_name, s_acctbal FROM supplier JOIN nation " +
-          "ON s_nationkey = n_nationkey " +
-          "WHERE s_acctbal = (SELECT min(s2.s_acctbal) FROM supplier s2 " +
-          "WHERE s2.s_nationkey = supplier.s_nationkey) " +
-          "ORDER BY n_name, s_name"
-      )
+      Seq("supplier", "nation"),
+      "SELECT n_name, s_name, s_acctbal FROM supplier JOIN nation " +
+        "ON s_nationkey = n_nationkey " +
+        "WHERE s_acctbal = (SELECT min(s2.s_acctbal) FROM supplier s2 " +
+        "WHERE s2.s_nationkey = supplier.s_nationkey) " +
+        "ORDER BY n_name, s_name"
     ),
     // Q4 shape: EXISTS-subquery count by priority — orders with at least
     // one line shipped after the order date. Catalyst plans the EXISTS as
     // a left-semi join on l_orderkey (one shuffle, no per-row re-scan).
-    Q(
+    sqlQ(
       "q4_priority_count",
-      (s, dir) => {
-        val sql =
-          "SELECT o_orderpriority, count(*) AS order_count FROM orders " +
-            "WHERE EXISTS (SELECT 1 FROM lineitem " +
-            "WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate) " +
-            "GROUP BY o_orderpriority ORDER BY o_orderpriority"
-        views(s, dir, "orders", "lineitem").sql(sql)
-      },
-      Some(
-        "SELECT o_orderpriority, count(*) AS order_count FROM orders " +
-          "WHERE EXISTS (SELECT 1 FROM lineitem " +
-          "WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate) " +
-          "GROUP BY o_orderpriority ORDER BY o_orderpriority"
-      )
+      Seq("orders", "lineitem"),
+      "SELECT o_orderpriority, count(*) AS order_count FROM orders " +
+        "WHERE EXISTS (SELECT 1 FROM lineitem " +
+        "WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate) " +
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"
     ),
     // Q12 shape: conditional aggregation over a fact-dim join — high- vs
     // low-priority line counts per return flag in a ship-date year. The
     // CASE sums fold map-side; integer sums stay exact (CAST for DuckDB's
     // HUGEINT widening).
-    Q(
+    sqlQ(
       "q12_priority_lines",
-      (s, dir) => {
-        val sql =
-          "SELECT l_returnflag, " +
-            "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') " +
-            "THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, " +
-            "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') " +
-            "THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count " +
-            "FROM orders JOIN lineitem ON o_orderkey = l_orderkey " +
-            "WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' " +
-            "AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' " +
-            "GROUP BY l_returnflag ORDER BY l_returnflag"
-        views(s, dir, "orders", "lineitem").sql(sql)
-      },
-      Some(
-        "SELECT l_returnflag, " +
-          "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') " +
-          "THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, " +
-          "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') " +
-          "THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count " +
-          "FROM orders JOIN lineitem ON o_orderkey = l_orderkey " +
-          "WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' " +
-          "AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' " +
-          "GROUP BY l_returnflag ORDER BY l_returnflag"
-      )
+      Seq("orders", "lineitem"),
+      "SELECT l_returnflag, " +
+        "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, " +
+        "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') " +
+        "THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count " +
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey " +
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' " +
+        "AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' " +
+        "GROUP BY l_returnflag ORDER BY l_returnflag"
     ),
     // Q14 shape: ratio of conditional revenue — promo share of revenue in
     // a ship-date window. Revenue sums run in exact DECIMAL (order-proof)
     // with ONE double conversion for the final ratio.
-    Q(
+    sqlQ(
       "q14_promo_share",
-      (s, dir) => {
-        val sql =
-          "SELECT round(100.0 * " +
-            "CAST(sum(CASE WHEN p_type = 'PROMO' THEN " +
-            "CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) " +
-            "ELSE 0 END) AS DOUBLE) / " +
-            "CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), " +
-            "6) AS promo_revenue " +
-            "FROM lineitem JOIN part ON l_partkey = p_partkey " +
-            "WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' " +
-            "AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'"
-        views(s, dir, "lineitem", "part").sql(sql)
-      },
-      Some(
-        "SELECT round(100.0 * " +
-          "CAST(sum(CASE WHEN p_type = 'PROMO' THEN " +
-          "CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) " +
-          "ELSE 0 END) AS DOUBLE) / " +
-          "CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), " +
-          "6) AS promo_revenue " +
-          "FROM lineitem JOIN part ON l_partkey = p_partkey " +
-          "WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' " +
-          "AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'"
-      )
+      Seq("lineitem", "part"),
+      "SELECT round(100.0 * " +
+        "CAST(sum(CASE WHEN p_type = 'PROMO' THEN " +
+        "CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) " +
+        "ELSE 0 END) AS DOUBLE) / " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), " +
+        "6) AS promo_revenue " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' " +
+        "AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'"
     ),
     // ----- pivot / unpivot --------------------------------------------------
     // Pivot with EXPLICIT value list (no extra distinct-scan pass, and the

@@ -253,10 +253,13 @@ object DedupQueries {
       "q_dedup_clusters",
       (s, dir) => {
         val doc = t(s, dir, "documents")
-        val pairs = PersistScope.pin(
+        // pinEager: `pairs` feeds both union branches of `edges` and
+        // `edges` feeds two branches of every propagation job — the same
+        // lazy-shared-cache race as the self-joins
+        val pairs = PersistScope.pinEager(
           jaccardPairs(doc, 0.5).select($"doc_a", $"doc_b")
         )
-        val edges = PersistScope.pin(
+        val edges = PersistScope.pinEager(
           pairs
             .union(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
             .toDF("src", "dst")

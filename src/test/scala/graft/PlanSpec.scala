@@ -28,8 +28,7 @@ class PlanSpec extends SparkTestBase {
     val q4 = executed("q4_priority_count")
     assert(q4.contains("LeftSemi"), "EXISTS did not become a semi join:\n" + q4.take(2000))
     val q14 = executed("q14_promo_share")
-    assert(q14.contains("PushedFilters: [IsNotNull(l_shipdate)")
-      || q14.contains("GreaterThanOrEqual(l_shipdate"),
+    assert(q14.contains("GreaterThanOrEqual(l_shipdate"),
       "shipdate range not pushed to the lineitem scan:\n" + q14.take(3000))
   }
 
