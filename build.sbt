@@ -12,6 +12,10 @@ libraryDependencies ++= Seq(
 scalacOptions ++= Seq("-deprecation")
 Test / fork := true
 run / fork := true
+// Pass the forked run's stdout straight through instead of routing it via
+// sbt's logger: the logger prefixes every line with "[info] ", which broke
+// the driver's JSON-line parse of the bench output (BENCH_r03 parsed:null).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
