@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Upper}
 
-import graft.functions.{CosineSimilarity, DotProduct, RollingFingerprint}
+import graft.functions.{CosineSimilarity, DotProduct, LshRewriteHint, RollingFingerprint}
 
 /** SparkSessionExtensions entry point: injects graft's native functions
   * into every session built with
@@ -19,9 +19,12 @@ import graft.functions.{CosineSimilarity, DotProduct, RollingFingerprint}
   * graft.functions.Functions.register stays as the dynamic/runtime API for
   * sessions graft did not build.
   *
-  * One optimizer Rule is injected: plans.LshJoinRewrite, the conf-gated
-  * cosine-threshold-join -> banded-LSH-join rewrite (off by default; see
-  * its scaladoc for the correctness contract). No SparkStrategy: SURVEY.md
+  * One optimizer Rule is injected: plans.LshJoinRewrite, the
+  * cosine-threshold-join -> banded-LSH-join rewrite. It fires ONLY on
+  * predicates wrapped in `lsh_rewrite_hint(...)` — a per-query opt-in, so
+  * the probabilistic rewrite can never change the semantics of unhinted
+  * joins elsewhere in the session (see its scaladoc for the correctness
+  * contract). No SparkStrategy: SURVEY.md
   * §4 found Catalyst's own rule families cover every rewrite the
   * reference performs or aspires to — the LSH rewrite is a graft-value
   * addition, not a parity need.
@@ -39,6 +42,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register(ext, "rolling_fingerprint",
       "Karp-Rabin rolling-hash fingerprint (window<=0: whole string)",
       es => RollingFingerprint(es(0), es(1)))
+    register(ext, "lsh_rewrite_hint",
+      "opt-in marker: rewrite this cosine-threshold join predicate via banded LSH",
+      es => LshRewriteHint(es.head))
   }
 
   private def register(

@@ -1,9 +1,9 @@
 package graft.engine
 
 import java.io.{BufferedOutputStream, BufferedReader, InputStreamReader}
-import java.net.{InetAddress, ServerSocket, Socket, SocketException}
+import java.net.{InetAddress, ServerSocket, Socket, SocketException, SocketTimeoutException}
 import java.nio.charset.StandardCharsets
-import java.util.concurrent.Executors
+import java.util.concurrent.{LinkedBlockingQueue, ThreadPoolExecutor, TimeUnit}
 
 /** Network serving endpoint — the reference's Arrow Flight surface
   * (crates/api/src/lib.rs:60-190, served by tonic on :50051,
@@ -33,12 +33,18 @@ import java.util.concurrent.Executors
   *
   * Scale/robustness: accept loop + worker pool are daemon threads; each
   * DO_GET streams through `toLocalIterator`, holding at most one partition
-  * and one Arrow batch in driver memory regardless of result size.
+  * and one Arrow batch in driver memory regardless of result size. The
+  * pool is BOUNDED (maxWorkers threads, 2x queue, overflow refused with
+  * `ERR RESOURCE_EXHAUSTED`) and the request line has a read timeout
+  * (`ERR DEADLINE_EXCEEDED`), so idle or slow-loris clients can neither
+  * pin threads forever nor grow them without bound.
   */
 final class ServingServer(
     session: GraftSession,
     port: Int = 0, // 0 = ephemeral; boundPort tells the truth
-    batchSize: Int = 1024
+    batchSize: Int = 1024,
+    maxWorkers: Int = 16, // driver-side query threads; bounded by design
+    requestTimeoutMs: Int = 30000 // max wait for the request line
 ) extends AutoCloseable {
 
   private val unimplemented = Set(
@@ -48,11 +54,27 @@ final class ServingServer(
 
   private val server =
     new ServerSocket(port, 64, InetAddress.getLoopbackAddress)
-  private val pool = Executors.newCachedThreadPool { r =>
-    val t = new Thread(r, "graft-serve-worker")
-    t.setDaemon(true)
-    t
-  }
+  // Bounded pool + bounded queue (round-3 ADVICE): an unbounded cached
+  // pool lets slow/idle clients each pin a thread running driver-side
+  // query work — local resource exhaustion even on loopback. Overflow
+  // beyond maxWorkers live + 2*maxWorkers queued is REJECTED, and the
+  // rejection handler refuses the connection with a status line instead
+  // of silently dropping it.
+  private val pool = new ThreadPoolExecutor(
+    maxWorkers, maxWorkers, 30L, TimeUnit.SECONDS,
+    new LinkedBlockingQueue[Runnable](maxWorkers * 2),
+    (r: Runnable) => {
+      val t = new Thread(r, "graft-serve-worker")
+      t.setDaemon(true)
+      t
+    },
+    (r: Runnable, _: ThreadPoolExecutor) =>
+      r match {
+        case h: ServingHandler => h.reject()
+        case _                 => // shutdown race: nothing to refuse
+      }
+  )
+  pool.allowCoreThreadTimeOut(true)
   @volatile private var closed = false
 
   /** The actually-bound port (differs from `port` when 0 was requested). */
@@ -64,7 +86,7 @@ final class ServingServer(
         while (!closed) {
           try {
             val sock = server.accept()
-            pool.execute(() => handle(sock))
+            pool.execute(new ServingHandler(sock, handle))
           } catch {
             case _: SocketException if closed => // normal shutdown
             case e: Throwable if !closed =>
@@ -82,6 +104,10 @@ final class ServingServer(
   }
 
   private def handle(sock: Socket): Unit = {
+    // a client that connects and never sends the request line would pin
+    // this worker forever in readLine without a read timeout
+    try sock.setSoTimeout(requestTimeoutMs)
+    catch { case _: SocketException => return } // already closed
     val out = new BufferedOutputStream(sock.getOutputStream)
     var statusSent = false
     def status(line: String): Unit = {
@@ -141,6 +167,11 @@ final class ServingServer(
           status(s"ERR INVALID_ARGUMENT unknown method '$v'")
       }
     } catch {
+      case _: SocketTimeoutException =>
+        if (!statusSent) {
+          try status("ERR DEADLINE_EXCEEDED no request received in time")
+          catch { case _: Throwable => () }
+        }
       case e: Throwable =>
         // single-line message: the status line IS the error channel — but
         // only while it is still unsent; after OK the Arrow bytes own the
@@ -162,5 +193,29 @@ final class ServingServer(
     try server.close()
     catch { case _: Throwable => () }
     pool.shutdownNow()
+  }
+}
+
+/** One connection's work item — a named top-level class so the pool's
+  * rejection handler can tell a queued connection apart from internal
+  * runnables and refuse it with a proper status line.
+  */
+private[engine] final class ServingHandler(
+    sock: Socket,
+    doHandle: Socket => Unit
+) extends Runnable {
+  override def run(): Unit = doHandle(sock)
+
+  /** Called by the pool when saturated: refuse, never hang the client. */
+  def reject(): Unit = {
+    try {
+      val out = sock.getOutputStream
+      out.write(
+        "ERR RESOURCE_EXHAUSTED server at capacity\n"
+          .getBytes(StandardCharsets.UTF_8))
+      out.flush()
+    } catch { case _: Throwable => () }
+    try sock.close()
+    catch { case _: Throwable => () }
   }
 }

@@ -36,11 +36,14 @@ object Aggregators {
 
       override def reduce(b: WAvgBuf, in: (Double, Double)): WAvgBuf = {
         val (v, w) = in
-        // exact: micro-scaled integers; the truncating quot keeps the
-        // per-row product in micro units (mirrored digit-for-digit by the
-        // oracle's `// 1000000`), the movePointLeft stores it losslessly
-        // in original units so the Decimal(38,18) buffer never overflows
-        b.sumVW += (micro(v) * micro(w)).quot(Micro).bigDecimal
+        // exact: micro-scaled integers; FLOOR division keeps the per-row
+        // product in micro units mirrored digit-for-digit by the oracle's
+        // `// 1000000` — DuckDB's `//` floors, so a truncating quot would
+        // drift one micro-unit per NEGATIVE v*w row (round-3 ADVICE); the
+        // movePointLeft stores it losslessly in original units so the
+        // Decimal(38,18) buffer never overflows
+        b.sumVW += (micro(v) * micro(w)).bigDecimal
+          .divide(Micro.bigDecimal, 0, java.math.RoundingMode.FLOOR)
           .movePointLeft(6)
         b.sumW += micro(w).bigDecimal.movePointLeft(6)
         b

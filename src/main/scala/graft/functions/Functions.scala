@@ -37,6 +37,11 @@ object Functions {
       "rolling_fingerprint",
       es => RollingFingerprint(es(0), es(1))
     )
+    GraftSqlInternals.registerFunction(
+      spark,
+      "lsh_rewrite_hint",
+      es => LshRewriteHint(es.head)
+    )
   }
 
   /** Column API: `capitalize(c)` — reference semantics = UPPER(c),
@@ -65,4 +70,11 @@ object Functions {
         GraftSqlInternals.expression(window)
       )
     )
+
+  /** Column API: mark a boolean predicate as an opt-in for the banded-LSH
+    * join rewrite (plans.LshJoinRewrite). Identity everywhere the rule
+    * does not fire — see the rule's scaladoc for the recall contract.
+    */
+  def lshRewriteHint(pred: Column): Column =
+    GraftSqlInternals.column(LshRewriteHint(GraftSqlInternals.expression(pred)))
 }

@@ -96,6 +96,40 @@ case class CosineSimilarity(left: Expression, right: Expression)
   ): Expression = copy(left = newLeft, right = newRight)
 }
 
+/** lsh_rewrite_hint(pred) — identity wrapper marking ONE predicate as a
+  * candidate for [[graft.plans.LshJoinRewrite]]. Semantically transparent
+  * (evaluates to its child; codegen passthrough), but `foldable = false`
+  * keeps ConstantFolding from erasing it before the optimizer rule runs,
+  * and because it wraps a predicate referencing BOTH join sides it rides
+  * predicate pushdown into the join condition instead of detaching to one
+  * child. This is what scopes the probabilistic rewrite to exactly the
+  * joins that asked for it — a session-wide conf would silently alter
+  * every cosine-threshold join in the session (round-3 ADVICE, medium).
+  */
+case class LshRewriteHint(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def prettyName: String = "lsh_rewrite_hint"
+  override def dataType: DataType = child.dataType
+  override def foldable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BooleanType) TypeCheckResult.TypeCheckSuccess
+    else
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects a boolean predicate, got " +
+          child.dataType.catalogString
+      )
+
+  override def nullSafeEval(v: Any): Any = v
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => c)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** dot_product(a, b) — plain inner product, same codegen shape. */
 case class DotProduct(left: Expression, right: Expression)
     extends VectorBinaryExpression {

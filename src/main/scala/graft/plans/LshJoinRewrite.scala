@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType}
 
-import graft.functions.{CosineSimilarity, DotProduct, LshPlanes}
+import graft.functions.{CosineSimilarity, DotProduct, LshPlanes, LshRewriteHint}
 
 /** Optimizer rule: rewrite a cosine-threshold inner join over embedding
   * columns into a banded-LSH candidate join — the plan-level version of
@@ -15,8 +15,14 @@ import graft.functions.{CosineSimilarity, DotProduct, LshPlanes}
   * automatically to any matching join.
   *
   * Matched shape (after Catalyst has pushed the predicate into the join):
-  * {{{ Join(L, R, Inner, ... AND cosine_sim(L.emb, R.emb) >= t) }}}
-  * (`>` also matches; an enclosing `round(..., s)` is seen through).
+  * {{{ Join(L, R, Inner, ... AND lsh_rewrite_hint(cosine_sim(L.emb, R.emb) >= t)) }}}
+  * (`>` also matches; an enclosing `round(..., s)` is seen through). The
+  * [[LshRewriteHint]] wrapper is the OPT-IN: only predicates the query
+  * author explicitly marked (via `Functions.lshRewriteHint` or the
+  * `lsh_rewrite_hint` SQL function) are rewritten, so enabling the rule
+  * for one query can never alter the semantics of other joins in the
+  * session. The marker is stripped in the rewritten plan (and is a no-op
+  * identity predicate anywhere the rule does not fire).
   *
   * Rewritten to:
   * {{{
@@ -33,10 +39,9 @@ import graft.functions.{CosineSimilarity, DotProduct, LshPlanes}
   * verified — the rewrite can only lose pairs whose vectors agree on no
   * band (probability (1-p^r)^B per pair, p = 1 - acos(cos)/π).
   *
-  * Opt-in and tunable via runtime conf (it trades a deterministic full
-  * join for a probabilistic candidate join, so it must never fire
-  * unasked):
-  *  - spark.graft.lsh.rewrite.enabled      (default false)
+  * Tunable via runtime conf (parameters only — the rewrite itself fires
+  * solely on hinted predicates, because it trades a deterministic full
+  * join for a probabilistic candidate join and must never fire unasked):
   *  - spark.graft.lsh.rewrite.bands        (default 16)
   *  - spark.graft.lsh.rewrite.rowsPerBand  (default 2)
   *  - spark.graft.lsh.rewrite.dim          (default 64)
@@ -62,8 +67,6 @@ class LshJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private val DigestName = "__lsh_band_digest"
 
-  private def enabled: Boolean =
-    conf.getConfString("spark.graft.lsh.rewrite.enabled", "false").toBoolean
   private def bands: Int =
     conf.getConfString("spark.graft.lsh.rewrite.bands", "16").toInt
   private def rowsPerBand: Int =
@@ -72,17 +75,18 @@ class LshJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     conf.getConfString("spark.graft.lsh.rewrite.dim", "64").toInt
 
   override def apply(plan: LogicalPlan): LogicalPlan =
-    if (!enabled) plan
-    else
-      plan.transformUp {
-        case j @ Join(left, right, Inner, Some(cond), hint)
-            if !alreadyRewritten(j) =>
-          findCosinePredicate(cond, left, right) match {
-            case Some((lEmb, rEmb)) =>
-              rewrite(j, left, right, cond, lEmb, rEmb, hint)
-            case None => j
-          }
-      }
+    plan.transformUp {
+      case j @ Join(left, right, Inner, Some(cond), hint)
+          if !alreadyRewritten(j) =>
+        findCosinePredicate(cond, left, right) match {
+          case Some((lEmb, rEmb)) =>
+            logWarning(
+              s"LshJoinRewrite: rewriting hinted cosine-threshold join to a " +
+                s"banded-LSH candidate join (bands=$bands, rows=$rowsPerBand)")
+            rewrite(j, left, right, cond, lEmb, rEmb, hint)
+          case None => j
+        }
+    }
 
   /** The rewritten join's children expose the digest column — the marker
     * that keeps this rule idempotent inside a fixed-point batch.
@@ -95,8 +99,10 @@ class LshJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     case other     => Seq(other)
   }
 
-  /** Find `cosine_sim(a, b) >= t` (or `>`, optionally through round())
-    * with one side per join child; returns (leftEmb, rightEmb).
+  /** Find a HINTED `lsh_rewrite_hint(cosine_sim(a, b) >= t)` (or `>`,
+    * optionally through round()) with one side per join child; returns
+    * (leftEmb, rightEmb). Unhinted cosine predicates never match — the
+    * hint is the per-query opt-in contract.
     */
   private def findCosinePredicate(
       cond: Expression,
@@ -113,9 +119,9 @@ class LshJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       case _                       => false
     }
     splitConjuncts(cond).iterator.flatMap {
-      case GreaterThanOrEqual(c, Literal(_, _)) => cosineArgs(c)
-      case GreaterThan(c, Literal(_, _))        => cosineArgs(c)
-      case _                                    => None
+      case LshRewriteHint(GreaterThanOrEqual(c, Literal(_, _))) => cosineArgs(c)
+      case LshRewriteHint(GreaterThan(c, Literal(_, _)))        => cosineArgs(c)
+      case _                                                    => None
     }.collectFirst {
       case (a, b)
           if floatArray(a) && floatArray(b) &&
@@ -174,8 +180,11 @@ class LshJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       generatorOutput = Seq(rDigest),
       child = right
     )
+    // the hint has done its job — strip it so the verify predicate in the
+    // rewritten plan is the plain cosine threshold (and can never re-match)
+    val stripped = cond.transform { case LshRewriteHint(c) => c }
     val banded =
-      Join(lGen, rGen, Inner, Some(And(cond, EqualTo(lDigest, rDigest))), hint)
+      Join(lGen, rGen, Inner, Some(And(stripped, EqualTo(lDigest, rDigest))), hint)
     // restore the original output (exprIds preserved: the attributes flow
     // through Generate untouched), then dedup multi-band matches
     val proj = Project(j.output, banded)

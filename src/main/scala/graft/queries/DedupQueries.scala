@@ -404,11 +404,10 @@ object DedupQueries {
     // cartesian). cosine_sim is the native codegen'd expression.
     Q(
       "q_dedup_embedding",
-      (s, dir) => {
-        // pin the LSH rewrite OFF: this entry is the plain-join baseline
-        s.conf.set("spark.graft.lsh.rewrite.enabled", "false")
-        embeddingNearDup(s, dir)
-      },
+      // plain-join baseline: no lsh_rewrite_hint in the predicate, so the
+      // optimizer rule structurally cannot touch it — no conf needed, and
+      // nothing on the caller's session is mutated
+      (s, dir) => embeddingNearDup(s, dir),
       Some(embeddingNearDupOracle)
     ),
     // ----- the same query THROUGH the optimizer rewrite --------------------
@@ -416,26 +415,24 @@ object DedupQueries {
     // cosine-threshold join into a banded-LSH candidate join at PLAN time;
     // the identical oracle proves the rewrite loses nothing on this corpus
     // (recall math in the rule's scaladoc). PlanSpec asserts the rewritten
-    // shape actually fired — same results through a different plan.
+    // shape actually fired — same results through a different plan. The
+    // opt-in is the lsh_rewrite_hint marker ON THE PREDICATE, so only this
+    // join is rewritten, never other cosine joins in the same session.
     Q(
       "q_dedup_embedding_lsh",
       (s, dir) => {
-        // a DERIVED session scopes the rewrite confs to THIS query's plan:
-        // the conf is read at optimization (action) time, so setting it on
-        // the shared session would leak rewrite-mode to every later
-        // cosine-join in the session and make the baseline query's plan
-        // depend on build/execute interleaving. newSession shares the
-        // SparkContext, extensions, and base conf — only the runtime conf
-        // diverges.
+        // a DERIVED session scopes the rewrite PARAMETER confs to this
+        // query's plan (conf is read at optimization time; newSession
+        // shares the SparkContext, extensions, and base conf — only the
+        // runtime conf diverges, and the caller's session is untouched).
         val s2 = s.newSession()
-        s2.conf.set("spark.graft.lsh.rewrite.enabled", "true")
         // the demo threshold (0.3) is WEAK similarity: per-plane agreement
         // is only ~0.6, so recall needs 32 bands of 2 rows (miss <= 8e-7
         // per pair — certain-recall territory for any fixture size). At
         // production thresholds >=0.8 the defaults (16x2) are already
         // recall-saturated and r can rise for real pruning.
         s2.conf.set("spark.graft.lsh.rewrite.bands", "32")
-        embeddingNearDup(s2, dir)
+        embeddingNearDup(s2, dir, lshHint = true)
       },
       Some(embeddingNearDupOracle)
     )
@@ -445,13 +442,23 @@ object DedupQueries {
   // while `all` initializes (object init order).
 
   /** Label-blocked cosine near-dup pairs (shared by the baseline query and
-    * its LSH-rewritten twin — byte-identical plan INPUT, so any output
-    * difference is the rewrite's fault).
+    * its LSH-rewritten twin — identical plan INPUT except for the hint
+    * marker, so any output difference is the rewrite's fault).
+    *
+    * `lshHint = true` wraps the cosine threshold in `lsh_rewrite_hint`,
+    * the per-predicate opt-in that lets plans.LshJoinRewrite fire on THIS
+    * join only (the marker is a transparent identity predicate wherever
+    * the rule leaves it alone).
     */
-  def embeddingNearDup(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+  def embeddingNearDup(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String,
+      lshHint: Boolean = false
+  ): DataFrame = {
     val e = t(s, dir, "embeddings")
     val a = e.select($"vec_id".as("id_a"), $"label", $"embedding".as("emb_a"))
     val b = e.select($"vec_id".as("id_b"), $"label", $"embedding".as("emb_b"))
+    val threshold = $"cos" >= 0.3
     a.join(b, Seq("label"))
       .filter($"id_a" < $"id_b")
       .select(
@@ -461,7 +468,10 @@ object DedupQueries {
         round(graft.functions.Functions.cosineSim($"emb_a", $"emb_b"), 6)
           .as("cos")
       )
-      .filter($"cos" >= 0.3)
+      .filter(
+        if (lshHint) graft.functions.Functions.lshRewriteHint(threshold)
+        else threshold
+      )
       .orderBy($"label", $"id_a", $"id_b")
   }
 

@@ -137,13 +137,15 @@ object SimilarityQueries {
       (s, dir) => {
         val e = t(s, dir, "embeddings")
         val model = graft.operators.IvfIndex.build(e, "embedding")
-        // deterministic per-sfdir path, overwritten on each build: repeated
-        // Verify/bench/test invocations reuse ONE directory instead of
-        // leaking a fresh index copy into /tmp per run
+        // per-(sfdir, JVM) path, overwritten on each build: repeated
+        // invocations within one process reuse ONE directory instead of
+        // leaking a fresh index copy into /tmp per run, while the PID
+        // component keeps concurrent JVMs (bench + verify in parallel CI)
+        // from racing overwrite-vs-scan on a shared mutable index
         val idxPath = java.nio.file.Paths
           .get(
             System.getProperty("java.io.tmpdir"),
-            s"graft_ivf_${math.abs(dir.hashCode)}"
+            s"graft_ivf_${math.abs(dir.hashCode)}_p${ProcessHandle.current().pid()}"
           )
           .toString
         val idx = graft.operators.IvfIndex.materialize(model, idxPath)

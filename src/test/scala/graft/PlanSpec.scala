@@ -32,7 +32,7 @@ class PlanSpec extends SparkTestBase {
       "shipdate range not pushed to the lineitem scan:\n" + q14.take(3000))
   }
 
-  test("LshJoinRewrite fires on the cosine-threshold join (and only when enabled)") {
+  test("LshJoinRewrite fires on the hinted cosine join (and only on hinted ones)") {
     val lsh = Registry.byName("q_dedup_embedding_lsh")
       .fn(spark, SparkTestBase.Sf0001).queryExecution.optimizedPlan.toString
     assert(lsh.contains("__lsh_band_digest"),

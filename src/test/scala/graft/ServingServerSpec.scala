@@ -57,6 +57,53 @@ class ServingServerSpec extends SparkTestBase {
     }
   }
 
+  test("a silent client times out with DEADLINE_EXCEEDED instead of pinning a worker") {
+    val srv = new ServingServer(session, requestTimeoutMs = 300).start()
+    try {
+      val sock = new java.net.Socket(
+        java.net.InetAddress.getLoopbackAddress, srv.boundPort)
+      try {
+        // send NOTHING: the server must give up on its own
+        val in = new java.io.BufferedReader(
+          new java.io.InputStreamReader(sock.getInputStream))
+        val line = in.readLine()
+        assert(line != null && line.startsWith("ERR DEADLINE_EXCEEDED"), s"got: $line")
+      } finally sock.close()
+      // and the worker it held is free again: a normal request still works
+      val r = ServingClient.doGet(srv.boundPort, "SELECT 7 AS x")
+      assert(r.isOk && r.rows === Seq(Seq(7)))
+    } finally srv.close()
+  }
+
+  test("pool saturation refuses with RESOURCE_EXHAUSTED, never hangs the client") {
+    // 1 worker + queue of 2 = capacity 3; the 4+th concurrent connection
+    // must be refused with a status line while the first holds the worker
+    val srv = new ServingServer(session, maxWorkers = 1, requestTimeoutMs = 2000).start()
+    try {
+      val held = (1 to 3).map { _ =>
+        // connect and stay silent: occupies worker/queue until timeout
+        new java.net.Socket(java.net.InetAddress.getLoopbackAddress, srv.boundPort)
+      }
+      try {
+        // capacity is exhausted; overflow connections get an explicit refusal
+        val statuses = (1 to 4).map { _ =>
+          val s = new java.net.Socket(
+            java.net.InetAddress.getLoopbackAddress, srv.boundPort)
+          try {
+            val in = new java.io.BufferedReader(
+              new java.io.InputStreamReader(s.getInputStream))
+            Option(in.readLine()).getOrElse("<closed>")
+          } finally s.close()
+        }
+        assert(statuses.exists(_.startsWith("ERR RESOURCE_EXHAUSTED")),
+          s"no explicit refusal among: $statuses")
+      } finally held.foreach(s => try s.close() catch { case _: Throwable => () })
+      // after the held sockets drain, service resumes
+      val r = ServingClient.doGet(srv.boundPort, "SELECT 9 AS x")
+      assert(r.isOk && r.rows === Seq(Seq(9)))
+    } finally srv.close()
+  }
+
   test("concurrent clients each get complete, correct streams") {
     withServer { srv =>
       import scala.concurrent.{Await, Future}

@@ -47,6 +47,29 @@ class UdfSpec extends SparkTestBase {
     assert(math.abs(got - expected) / expected < 1e-12, s"got $got expected $expected")
   }
 
+  test("weighted-avg floors negative products like the DuckDB `//` oracle") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // v*w in micro-units = -52000500000*100250000/1e6, NOT divisible by 1e6
+    // after the product: floor (-52.0005*100.25 -> -5213050.125 -> floor of
+    // the micro-scaled product) differs from truncation by exactly one
+    // micro-unit per row — the pre-fix drift flagged in round-3 ADVICE.
+    val df = Seq((-52000.5007, 100.25), (31.4159, 2.5)).toDF("v", "w")
+    val wavg = udaf(graft.functions.Aggregators.weightedAvg)
+    val got = df.agg(wavg($"v", $"w").as("wa")).head().getDouble(0)
+    def microProdFloored(v: Double, w: Double): BigDecimal = {
+      val p = (BigDecimal(math.round(v * 1e6)) * BigDecimal(math.round(w * 1e6)))
+      BigDecimal(
+        p.bigDecimal.divide(
+          java.math.BigDecimal.valueOf(1000000L), 0,
+          java.math.RoundingMode.FLOOR))
+    }
+    val sumVW = microProdFloored(-52000.5007, 100.25) + microProdFloored(31.4159, 2.5)
+    val sumW = BigDecimal(math.round(100.25 * 1e6)) + BigDecimal(math.round(2.5 * 1e6))
+    val expected = sumVW.toDouble / sumW.toDouble
+    assert(got === expected, s"got $got expected $expected")
+  }
+
   test("capitalize stays a native codegen expression (no UDF node)") {
     import spark.implicits._
     session.registerTable("cap_t", Seq("x").toDF("s"))
