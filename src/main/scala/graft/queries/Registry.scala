@@ -8,7 +8,7 @@ package graft.queries
 object Registry {
   val all: Seq[Q] =
     CoreQueriesA.all ++ CoreQueriesB.all ++ CoreQueriesC.all ++
-      CoreQueriesD.all ++ CoreQueriesE.all ++
+      CoreQueriesD.all ++ CoreQueriesE.all ++ CoreQueriesF.all ++
       DedupQueries.all ++ SimilarityQueries.all ++ TextQueries.all ++
       SourceQueries.all ++ SamplingQueries.all
 

@@ -56,6 +56,20 @@ class PlanSpec extends SparkTestBase {
     assert(rewritten.toSeq === plain.toSeq)
   }
 
+  test("q21 plans EXISTS as a semi join and NOT EXISTS as an anti join") {
+    val plan = executed("q21_waiting_supplier")
+    assert(plan.contains("LeftSemi"), "EXISTS lost its semi join:\n" + plan.take(2000))
+    assert(plan.contains("LeftAnti"), "NOT EXISTS lost its anti join:\n" + plan.take(2000))
+  }
+
+  test("q10 pushes the quarter range and returnflag selection to the scans") {
+    val plan = executed("q10_returned_items")
+    assert(plan.contains("GreaterThanOrEqual(o_orderdate"),
+      "orderdate range not pushed:\n" + plan.take(3000))
+    assert(plan.contains("EqualTo(l_returnflag,R)"),
+      "returnflag not pushed:\n" + plan.take(3000))
+  }
+
   test("star joins only HINT broadcast on true dimensions") {
     // q3 hints only filtered customer; q5 only nation+region. The hint
     // count in the analyzed plan is the contract — Spark may still choose
