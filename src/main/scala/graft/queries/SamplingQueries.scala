@@ -71,6 +71,40 @@ object SamplingQueries {
           |WHERE (lang = 'en' AND bucket < 8) OR (lang <> 'en' AND bucket < 3)
           |GROUP BY lang ORDER BY lang""".stripMargin
       )
+    ),
+    // Fixed-size stratified sample: exactly K docs per language, chosen by
+    // content-hash order — the deterministic, engine-portable version of
+    // per-stratum reservoir sampling (quota sampling). One shuffle on the
+    // stratum key; the hash order makes the draw uniform-ish yet exactly
+    // reproducible across reruns, engines, and partitionings — at 100 TB
+    // this replaces driver-side reservoirs entirely.
+    Q(
+      "q_sample_stratified",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"lang")
+          .orderBy($"hk", $"doc_id")
+        t(s, dir, "documents")
+          .select(
+            $"doc_id",
+            $"lang",
+            substring(sha2($"text", 256), 1, 16).as("hk")
+          )
+          .withColumn("rk", row_number().over(w))
+          .filter($"rk" <= 10)
+          .select($"lang", $"doc_id")
+          .orderBy($"lang", $"doc_id")
+      },
+      Some(
+        """WITH h AS (
+          |  SELECT doc_id, lang, substring(sha256(text), 1, 16) AS hk FROM documents
+          |), r AS (
+          |  SELECT doc_id, lang,
+          |         row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS rk
+          |  FROM h
+          |)
+          |SELECT lang, doc_id FROM r WHERE rk <= 10 ORDER BY lang, doc_id""".stripMargin
+      )
     )
   )
 }

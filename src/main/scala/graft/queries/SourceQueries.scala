@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, LongType, StringType, StructField, StructType}
-import graft.sources.CsvSource
+import graft.sources.{CsvSource, JsonSource}
 import QueryUtil._
 
 /** Source-layer queries: CSV scan with declared schema, the cross-source
@@ -45,6 +45,26 @@ object SourceQueries {
       Some(
         "SELECT n_nationkey, n_name, n_regionkey FROM nation " +
           "WHERE n_regionkey < 3 ORDER BY n_nationkey"
+      )
+    ),
+    // JSONL scan with declared schema: parquet -> JSONL round-trip gated
+    // by the parquet oracle (same pattern as q_csv_scan). Doubles survive
+    // the trip exactly: Spark's JSON writer emits shortest-round-trip
+    // digits and the reader parses them back to the identical bits.
+    Q(
+      "q_json_scan",
+      (s, dir) => {
+        val json =
+          JsonSource.jsonCopyOfParquet(s, s"$dir/supplier.parquet", "supplier")
+        JsonSource
+          .read(s, json, supplierSchema)
+          .filter($"s_acctbal" > 0)
+          .select($"s_suppkey", $"s_name", $"s_nationkey", $"s_acctbal")
+          .orderBy($"s_suppkey")
+      },
+      Some(
+        "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier " +
+          "WHERE s_acctbal > 0 ORDER BY s_suppkey"
       )
     ),
     // Iceberg-layout scan: a temp copy of `part` laid out as an Iceberg

@@ -358,6 +358,132 @@ object TextQueries {
           "lower(substring(hex(encode(text)), 1, 16)) AS magic " +
           "FROM documents ORDER BY doc_id"
       )
+    ),
+    // ----- TF-IDF term weighting -------------------------------------------
+    // The classic corpus-relative term scorer: tf from a (doc, term)
+    // explode+count, df from a per-term distinct-doc count, idf = ln(N/df).
+    // 100 TB shape: ONE token shuffle feeds both aggregates; df (vocab-
+    // sized) and N (one row) are broadcast back onto tf, so the fact-side
+    // data is shuffled once and joined without movement. ln() on both
+    // engines is the platform libm; round(...,6) absorbs any last-ulp
+    // disagreement, and (tfidf DESC, term) is a total order per doc.
+    Q(
+      "q_text_tfidf",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val toks = docs
+          .select($"doc_id", explode(TextOps.tokens($"text")).as("term"))
+          .filter($"term" =!= "")
+        val tf = toks.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+        val dfreq = toks.groupBy($"term")
+          .agg(countDistinct($"doc_id").as("df"))
+        val n = docs.agg(count(lit(1)).as("n_docs"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"doc_id")
+          .orderBy($"tfidf".desc, $"term")
+        tf.join(broadcast(dfreq), Seq("term"))
+          .crossJoin(broadcast(n))
+          .select(
+            $"doc_id",
+            $"term",
+            $"tf",
+            round($"tf" * log($"n_docs" * lit(1.0) / $"df"), 6).as("tfidf")
+          )
+          .withColumn("rk", row_number().over(w))
+          .filter($"rk" <= 3 && $"doc_id" < 50)
+          .select($"doc_id", $"term", $"tf", $"tfidf")
+          .orderBy($"doc_id", $"tfidf".desc, $"term")
+      },
+      Some(
+        """WITH toks AS (
+          |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+          |  FROM documents
+          |), tf AS (
+          |  SELECT doc_id, term, count(*) AS tf FROM toks
+          |  WHERE term <> '' GROUP BY doc_id, term
+          |), dfreq AS (
+          |  SELECT term, count(DISTINCT doc_id) AS df FROM toks
+          |  WHERE term <> '' GROUP BY term
+          |), n AS (SELECT count(*) AS n_docs FROM documents),
+          |scored AS (
+          |  SELECT doc_id, term, tf, round(tf * ln(n_docs * 1.0 / df), 6) AS tfidf
+          |  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+          |), ranked AS (
+          |  SELECT *, row_number() OVER (
+          |    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+          |  FROM scored
+          |)
+          |SELECT doc_id, term, tf, tfidf FROM ranked
+          |WHERE rk <= 3 AND doc_id < 50
+          |ORDER BY doc_id, tfidf DESC, term""".stripMargin
+      )
+    ),
+    // ----- corpus n-gram frequency -----------------------------------------
+    // Top bigrams across the corpus — the vocabulary-induction / contamination-
+    // check primitive. Bigrams are built per row inside the token array
+    // (no self-join, no positional shuffle): one explode, one count.
+    Q(
+      "q_text_ngram_freq",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(
+            expr("filter(split(lower(text), '\\\\s+'), w -> w != '')").as("l")
+          )
+          .filter(size($"l") >= 2)
+          .select(
+            explode(
+              expr(
+                "transform(sequence(1, size(l) - 1), " +
+                  "i -> concat(element_at(l, i), ' ', element_at(l, i + 1)))"
+              )
+            ).as("bigram")
+          )
+          .groupBy($"bigram")
+          .agg(count(lit(1)).as("n"))
+          .orderBy($"n".desc, $"bigram")
+          .limit(20),
+      Some(
+        """WITH toks AS (
+          |  SELECT list_filter(regexp_split_to_array(lower(text), '\s+'), w -> w <> '') AS l
+          |  FROM documents
+          |), bg AS (
+          |  SELECT unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS bigram
+          |  FROM toks WHERE len(l) >= 2
+          |)
+          |SELECT bigram, count(*) AS n FROM bg
+          |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin
+      )
+    ),
+    // ----- text scrubbing ---------------------------------------------------
+    // The cleaning pass of a training pipeline: drop stopwords, collapse
+    // whitespace, trim. Pure codegen'd regexp_replace — Java regex and RE2
+    // agree on this \b alternation (the hash gate proves it per run).
+    Q(
+      "q_text_scrub",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .filter($"doc_id" < 20)
+          .select(
+            $"doc_id",
+            trim(
+              regexp_replace(
+                regexp_replace(
+                  lower($"text"),
+                  "\\b(the|a|of|and|to|in|is)\\b",
+                  ""
+                ),
+                "\\s+",
+                " "
+              )
+            ).as("clean")
+          )
+          .orderBy($"doc_id"),
+      Some(
+        """SELECT doc_id,
+          |  trim(regexp_replace(regexp_replace(lower(text),
+          |    '\b(the|a|of|and|to|in|is)\b', '', 'g'), '\s+', ' ', 'g')) AS clean
+          |FROM documents WHERE doc_id < 20 ORDER BY doc_id""".stripMargin
+      )
     )
   )
 }

@@ -76,27 +76,36 @@ class ServingServerSpec extends SparkTestBase {
   }
 
   test("pool saturation refuses with RESOURCE_EXHAUSTED, never hangs the client") {
-    // 1 worker + queue of 2 = capacity 3; the 4+th concurrent connection
-    // must be refused with a status line while the first holds the worker
-    val srv = new ServingServer(session, maxWorkers = 1, requestTimeoutMs = 2000).start()
+    // 1 worker + queue of 2 = capacity 3; once the held connections occupy
+    // it, an overflow connection must be refused with a status line. The
+    // handoff from accept loop to pool is async, so probe in a bounded
+    // retry loop instead of assuming the very next connection overflows.
+    val srv = new ServingServer(session, maxWorkers = 1, requestTimeoutMs = 10000).start()
     try {
       val held = (1 to 3).map { _ =>
         // connect and stay silent: occupies worker/queue until timeout
         new java.net.Socket(java.net.InetAddress.getLoopbackAddress, srv.boundPort)
       }
       try {
-        // capacity is exhausted; overflow connections get an explicit refusal
-        val statuses = (1 to 4).map { _ =>
+        var refused = false
+        val statuses = collection.mutable.Buffer[String]()
+        var attempts = 0
+        while (!refused && attempts < 30) {
+          attempts += 1
           val s = new java.net.Socket(
             java.net.InetAddress.getLoopbackAddress, srv.boundPort)
           try {
+            s.setSoTimeout(500) // a QUEUED probe blocks; don't hang the test
             val in = new java.io.BufferedReader(
               new java.io.InputStreamReader(s.getInputStream))
-            Option(in.readLine()).getOrElse("<closed>")
+            val line =
+              try Option(in.readLine()).getOrElse("<closed>")
+              catch { case _: java.net.SocketTimeoutException => "<queued>" }
+            statuses += line
+            refused = line.startsWith("ERR RESOURCE_EXHAUSTED")
           } finally s.close()
         }
-        assert(statuses.exists(_.startsWith("ERR RESOURCE_EXHAUSTED")),
-          s"no explicit refusal among: $statuses")
+        assert(refused, s"no explicit refusal among: $statuses")
       } finally held.foreach(s => try s.close() catch { case _: Throwable => () })
       // after the held sockets drain, service resumes
       val r = ServingClient.doGet(srv.boundPort, "SELECT 9 AS x")
