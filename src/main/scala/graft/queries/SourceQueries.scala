@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, LongType, StringType, StructField, StructType}
-import graft.sources.{CsvSource, JsonSource}
+import graft.sources.{BucketedTables, CsvSource, JsonSource}
 import QueryUtil._
 
 /** Source-layer queries: CSV scan with declared schema, the cross-source
@@ -65,6 +65,36 @@ object SourceQueries {
       Some(
         "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier " +
           "WHERE s_acctbal > 0 ORDER BY s_suppkey"
+      )
+    ),
+    // Bucket-co-located fact-fact join: both sides written bucketed+sorted
+    // by the join key into the same bucket count, so the orders ⋈ lineitem
+    // join plans WITHOUT a shuffle on either side (PlanSpec pins the
+    // exchange-free join subtree). This is the pay-once storage layout
+    // that makes the recurring 100 TB fact join scan-local; the oracle
+    // replays the same join over the original parquet, gating that the
+    // bucketed write+read round-trip loses nothing.
+    Q(
+      "q_bucketed_join",
+      (s, dir) => {
+        val o = BucketedTables.bucketedCopy(s, dir, "orders", "o_orderkey", 8)
+        val l = BucketedTables.bucketedCopy(s, dir, "lineitem", "l_orderkey", 8)
+        s.table(o)
+          .join(s.table(l), $"o_orderkey" === $"l_orderkey")
+          .groupBy($"o_orderpriority")
+          .agg(
+            count(lit(1)).as("n_lines"),
+            asDouble(sum(dec2($"l_extendedprice") * (lit(1).cast(DecimalType(4, 2)) - pct($"l_discount"))))
+              .as("revenue")
+          )
+          .orderBy($"o_orderpriority")
+      },
+      Some(
+        "SELECT o_orderpriority, count(*) AS n_lines, " +
+          "CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * " +
+          "(CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue " +
+          "FROM orders JOIN lineitem ON o_orderkey = l_orderkey " +
+          "GROUP BY o_orderpriority ORDER BY o_orderpriority"
       )
     ),
     // Iceberg-layout scan: a temp copy of `part` laid out as an Iceberg

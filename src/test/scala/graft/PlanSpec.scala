@@ -70,6 +70,22 @@ class PlanSpec extends SparkTestBase {
       "returnflag not pushed:\n" + plan.take(3000))
   }
 
+  test("bucketed fact-fact join plans with NO shuffle exchange on either side") {
+    import org.apache.spark.sql.functions.col
+    // broadcast off so the assert pins the bucketing, not a size decision
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val o = graft.sources.BucketedTables
+      .bucketedCopy(s2, SparkTestBase.Sf0001, "orders", "o_orderkey", 8)
+    val l = graft.sources.BucketedTables
+      .bucketedCopy(s2, SparkTestBase.Sf0001, "lineitem", "l_orderkey", 8)
+    val j = s2.table(o).join(s2.table(l), col("o_orderkey") === col("l_orderkey"))
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), "expected a sort-merge join:\n" + plan.take(3000))
+    assert(!plan.contains("Exchange"),
+      "bucketed join must not shuffle:\n" + plan.take(3000))
+  }
+
   test("star joins only HINT broadcast on true dimensions") {
     // q3 hints only filtered customer; q5 only nation+region. The hint
     // count in the analyzed plan is the contract — Spark may still choose
