@@ -40,6 +40,42 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("stream-refreshed table is servable over the network endpoint") {
+    // the full CDC-to-serving story: file stream -> windowed aggregate ->
+    // global-temp refresh -> DO_GET over a real socket returns the same
+    // rows the batch engine computes. This is the reference's promised
+    // coordinator shape (CDC keeps tables fresh, Flight serves them) as a
+    // working pipeline.
+    val eventsDir = tempDir("graft-events-serve")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(SparkTestBase.Sf0001, "events.parquet"),
+      java.nio.file.Paths.get(eventsDir, "events-000.parquet")
+    )
+    val checkpoint = tempDir("graft-ckpt-serve")
+    val q = EventsStream.startRefresh(
+      spark, eventsDir, "events_served", checkpoint, cache = Some(session.cache))
+    try q.awaitTermination(120000)
+    finally q.stop()
+
+    val srv = new graft.engine.ServingServer(session).start()
+    try {
+      val sql = "SELECT window_start, event_type, n " +
+        "FROM global_temp.events_served ORDER BY window_start, event_type"
+      val r = graft.engine.ServingClient.doGet(srv.boundPort, sql)
+      assert(r.isOk, r.status)
+      assert(r.columnNames === Seq("window_start", "event_type", "n"))
+      val batch = EventsStream
+        .windowedCounts(graft.queries.QueryUtil.events(spark, SparkTestBase.Sf0001))
+        .orderBy("window_start", "event_type")
+        .collect()
+      assert(r.rows.size === batch.length, s"served ${r.rows.size} of ${batch.length}")
+      assert(
+        r.rows.map(_.last.toString.toLong).sum ===
+          batch.map(_.getAs[Long]("n")).sum,
+        "served event counts diverge from the batch computation")
+    } finally srv.close()
+  }
+
   test("streaming dedup drops re-delivered files' duplicates") {
     // stage the SAME data twice: the file source treats each file as new
     // input, so every event_id arrives twice; dropDuplicates must halve it
