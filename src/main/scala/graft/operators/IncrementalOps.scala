@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental-corpus maintenance operators: MERGE-style upsert and
+  * snapshot diff. A 100 TB training corpus is never rebuilt from scratch —
+  * it is upserted (new crawl segments in, refreshed documents replacing
+  * stale ones) and audited by diffing snapshots. Both operators are a
+  * single full-outer join on the key — at scale that join co-locates by
+  * key partitioning (or disappears entirely when both sides are stored
+  * bucketed by the key, see sources.BucketedTables), and nothing here
+  * ever materializes more than the joined row pair.
+  *
+  * The reference has no write path at all (Flight do_put unimplemented,
+  * crates/api/src/lib.rs:151-156); these are Spark-native extensions in
+  * the SURVEY.md §2.C spirit.
+  */
+object IncrementalOps {
+
+  /** MERGE semantics over DataFrames: rows in `updates` replace same-key
+    * rows of `target` (matched -> UPDATE), new-key rows append
+    * (unmatched -> INSERT), untouched target rows pass through. Adds a
+    * `merge_action` column ('updated' / 'inserted' / 'kept') so pipelines
+    * can audit what a merge did — drop it for pure MERGE output.
+    *
+    * Both sides must share the schema; `key` must be unique per side
+    * (standard MERGE precondition — violations surface as row-count
+    * inflation, never silent row loss).
+    */
+  def merge(target: DataFrame, updates: DataFrame, key: String): DataFrame = {
+    val dataCols = target.columns.filter(_ != key).toSeq
+    // alias-qualified string refs, NOT df(col): `updates` routinely derives
+    // from `target` (same lineage), where df-bound references trip Spark's
+    // ambiguous-self-join detection
+    val joined = target
+      .as("b")
+      .join(updates.as("u"), col(s"b.$key") === col(s"u.$key"), "full_outer")
+    joined.select(
+      coalesce(col(s"u.$key"), col(s"b.$key")).as(key) +:
+        dataCols.map(c => coalesce(col(s"u.$c"), col(s"b.$c")).as(c)) :+
+        when(col(s"u.$key").isNotNull && col(s"b.$key").isNotNull, lit("updated"))
+          .when(col(s"u.$key").isNotNull, lit("inserted"))
+          .otherwise(lit("kept"))
+          .as("merge_action"): _*
+    )
+  }
+
+  /** Snapshot diff: classify every key as added / removed / changed /
+    * unchanged between two snapshots, comparing `compareCols`. The audit
+    * primitive for corpus versioning ("what did this crawl refresh
+    * actually change?").
+    */
+  def snapshotDiff(
+      oldSnap: DataFrame,
+      newSnap: DataFrame,
+      key: String,
+      compareCols: Seq[String]
+  ): DataFrame = {
+    // alias-qualified string refs for the same shared-lineage reason as merge
+    val changed = compareCols
+      .map(c => not(col(s"o.$c") <=> col(s"n.$c")))
+      .reduce(_ || _)
+    oldSnap
+      .as("o")
+      .join(newSnap.as("n"), col(s"o.$key") === col(s"n.$key"), "full_outer")
+      .select(
+        coalesce(col(s"n.$key"), col(s"o.$key")).as(key),
+        when(col(s"o.$key").isNull, lit("added"))
+          .when(col(s"n.$key").isNull, lit("removed"))
+          .when(changed, lit("changed"))
+          .otherwise(lit("unchanged"))
+          .as("change")
+      )
+  }
+}

@@ -10,7 +10,7 @@ object Registry {
     CoreQueriesA.all ++ CoreQueriesB.all ++ CoreQueriesC.all ++
       CoreQueriesD.all ++ CoreQueriesE.all ++ CoreQueriesF.all ++
       DedupQueries.all ++ SimilarityQueries.all ++ TextQueries.all ++
-      SourceQueries.all ++ SamplingQueries.all
+      SourceQueries.all ++ SamplingQueries.all ++ IncrementalQueries.all
 
   /** name -> implementation, the shape SparkEntry.queries needs. */
   lazy val byName: Map[String, Q] = {

@@ -18,6 +18,41 @@ class OperatorEdgeSpec extends SparkTestBase {
     assert(feats(1).digest.nonEmpty) // digest of empty payload, not a crash
   }
 
+  test("merge upsert: updates win, inserts land, untouched rows pass through") {
+    import spark.implicits._
+    val target = Seq((1L, "old-a", "x"), (2L, "old-b", "y"), (3L, "old-c", "z"))
+      .toDF("id", "text", "tag")
+    val updates = Seq((2L, "NEW-b", "y2"), (9L, "NEW-i", "w"))
+      .toDF("id", "text", "tag")
+    val out = graft.operators.IncrementalOps.merge(target, updates, "id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+      .sortBy(_._1)
+    assert(out.toSeq === Seq(
+      (1L, "old-a", "x", "kept"),
+      (2L, "NEW-b", "y2", "updated"),
+      (3L, "old-c", "z", "kept"),
+      (9L, "NEW-i", "w", "inserted")
+    ))
+  }
+
+  test("snapshot diff is null-safe: null vs value is changed, null vs null is not") {
+    import spark.implicits._
+    val old = Seq((1L, Option("a")), (2L, Option.empty[String]), (3L, Option("c")), (4L, Option("d")))
+      .toDF("id", "text")
+    val news = Seq((1L, Option.empty[String]), (2L, Option.empty[String]), (3L, Option("c2")), (5L, Option("e")))
+      .toDF("id", "text")
+    val out = graft.operators.IncrementalOps
+      .snapshotDiff(old, news, "id", Seq("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(out.toSeq === Seq(
+      (1L, "changed"),   // value -> null
+      (2L, "unchanged"), // null <=> null
+      (3L, "changed"),
+      (4L, "removed"),
+      (5L, "added")
+    ))
+  }
+
   test("IVF rankCells orders by true centroid distance") {
     import spark.implicits._
     // two obvious clusters on a 2d-ish axis embedded in 4 dims
