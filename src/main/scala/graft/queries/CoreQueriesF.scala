@@ -217,6 +217,39 @@ object CoreQueriesF {
         "WHERE o_custkey = c_custkey " +
         "AND o_orderdate >= TIMESTAMP '2000-07-01') " +
         "GROUP BY cntrycode ORDER BY cntrycode"
+    ),
+    // Recursive CTE (Spark 4's WITH RECURSIVE): generate the full month
+    // series of the order-date domain and count orders per month INCLUDING
+    // empty months — the gap-filling calendar pattern a LEFT JOIN alone
+    // cannot express. The recursion is driver-bounded (79 rows), then the
+    // join fans out distributed.
+    sqlQ(
+      "q_recursive_months",
+      Seq("orders"),
+      "WITH RECURSIVE months(m) AS (" +
+        "SELECT TIMESTAMP '1995-01-01' " +
+        "UNION ALL " +
+        "SELECT m + INTERVAL 1 MONTH FROM months " +
+        "WHERE m < TIMESTAMP '2001-07-01') " +
+        "SELECT m, count(o_orderkey) AS n_orders " +
+        "FROM months LEFT JOIN orders " +
+        "ON date_trunc('month', o_orderdate) = m " +
+        "GROUP BY m ORDER BY m"
+    ),
+    // Correlated LATERAL subquery with ORDER BY + LIMIT: per-customer
+    // top-2 orders — the per-group-top-N shape expressed as the SQL
+    // standard's lateral join (the window-function version is q_topk's
+    // family; both must exist for SQL-surface parity).
+    sqlQ(
+      "q_lateral_topn",
+      Seq("customer", "orders"),
+      "SELECT c_custkey, o_orderkey, o_totalprice " +
+        "FROM customer, LATERAL (" +
+        "SELECT o_orderkey, o_totalprice FROM orders " +
+        "WHERE o_custkey = c_custkey " +
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) top_orders " +
+        "WHERE c_custkey < 20 " +
+        "ORDER BY c_custkey, o_totalprice DESC, o_orderkey"
     )
   )
 }
