@@ -122,17 +122,29 @@ object ScaleProbe {
       }
       val minhash = time(s"minhash_sig_${mult}x", docsN) {
         // the per-row signature path q_dedup_minhash uses in production:
-        // hash each shingle once, 64 codegen'd mixes, no explode/shuffle
+        // hash each shingle once, ONE native pass for all 64 minima,
+        // signature carried as a single array column
         docs
           .select(col("doc_id"), TextOps.shingles(TextOps.tokens(col("text"))).as("sh"))
           .select(col("doc_id"), transform(col("sh"), x => xxhash64(x)).as("hs"))
-          .select(col("doc_id") +: TextOps.minhashSignature(col("hs")): _*)
+          .select(col("doc_id"), TextOps.minhashSignatureArray(col("hs")).as("sig"))
+          .write.format("noop").mode("overwrite").save()
+      }
+      val minhashComposed = time(s"minhash_composed_${mult}x", docsN) {
+        // the pre-native composed form (array_min over 64 transforms):
+        // kept as the probe's control — its k temp arrays per row go
+        // GC-bound super-linear, which is why MinHashSignature exists
+        docs
+          .select(col("doc_id"), TextOps.shingles(TextOps.tokens(col("text"))).as("sh"))
+          .select(col("doc_id"), transform(col("sh"), x => xxhash64(x)).as("hs"))
+          .select(col("doc_id") +: (0 until 64).map(j =>
+            array_min(transform(col("hs"), h => xxhash64(lit(j), h))).as(s"mh$j")): _*)
           .write.format("noop").mode("overwrite").save()
       }
       li.unpersist(); docs.unpersist(); ev.unpersist()
-      Seq(agg, joinAgg, win, asof, range, minhash)
+      Seq(agg, joinAgg, win, asof, range, minhash, minhashComposed)
     }
-    val nOps = 6
+    val nOps = 7
     val results = resultsAll.drop(nOps) // drop the warmup group
 
     results.foreach { case (l, rows, s) => println(f"$l%-18s rows=$rows%9d  $s%8.2f s") }
@@ -142,6 +154,7 @@ object ScaleProbe {
     }
 
     skewProbe(spark)
+    bucketProbe(spark)
     spark.stop()
   }
 
@@ -156,6 +169,58 @@ object ScaleProbe {
     * wins on the skewed set (hot key spread over 16 reducers) and LOSES
     * on uniform (16x dim duplication through the shuffle buys nothing).
     */
+  /** The bucketing trade-off, measured honestly: a 6M-row fact joined to
+    * a 1.5M-row fact, shuffled at query time vs read from bucketed+sorted
+    * storage (sources.BucketedTables layout). Broadcast off — neither
+    * side fits anyway at real scale. The one-time bucketed WRITE cost is
+    * timed too: bucketing pays when the join recurs (write once,
+    * shuffle-free forever), which is exactly the orders⋈lineitem pattern.
+    */
+  private def bucketProbe(spark: SparkSession): Unit = {
+    val n = 6000000L
+    val lines = spark.range(n).select(
+      (col("id") / 4).cast("long").as("l_orderkey"),
+      (pmod(hash(col("id"), lit(32)), lit(100000)) / 100.0).as("l_price")
+    )
+    val orders = spark.range(n / 4).select(
+      col("id").as("o_orderkey"),
+      pmod(hash(col("id"), lit(31)), lit(5)).as("o_pri")
+    )
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-bucket-probe").toString
+    val prevThreshold =
+      spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def joinAgg(o: DataFrame, l: DataFrame): Unit =
+        o.join(l, col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_pri"))
+          .agg(sum(col("l_price").cast(DecimalType(18, 2))).as("rev"))
+          .write.format("noop").mode("overwrite").save()
+
+      joinAgg(orders, lines) // warmup (codegen + shuffle paths)
+      val plainT = time("plain_shuffle_join", n) { joinAgg(orders, lines) }
+      val writeT = time("bucketed_write_once", n) {
+        def save(df: DataFrame, name: String, key: String): Unit =
+          df.write.mode("overwrite").bucketBy(32, key).sortBy(key)
+            .option("path", s"$tmp/$name").saveAsTable(s"probe_$name")
+        save(orders, "orders", "o_orderkey")
+        save(lines, "lines", "l_orderkey")
+      }
+      val bucketT = time("bucketed_join", n) {
+        joinAgg(spark.table("probe_orders"), spark.table("probe_lines"))
+      }
+      println("--- bucketing trade-off (6M x 1.5M fact join; broadcast off) ---")
+      Seq(plainT, writeT, bucketT).foreach { case (l, rows, s) =>
+        println(f"$l%-20s rows=$rows%9d  $s%8.2f s")
+      }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS probe_orders")
+      spark.sql("DROP TABLE IF EXISTS probe_lines")
+    }
+  }
+
   private def skewProbe(spark: SparkSession): Unit = {
     val n = 6000000L
     val nKeys = 200000

@@ -53,10 +53,26 @@ object TextOps {
     * element instead of re-hashing the string 64 times is the difference
     * ScaleProbe measured at 14x.
     */
-  def minhashSignature(shingleHashes: Column, k: Int = 64): Seq[Column] =
-    (0 until k).map { j =>
-      array_min(transform(shingleHashes, h => xxhash64(lit(j), h))).as(s"mh$j")
-    }
+  def minhashSignature(shingleHashes: Column, k: Int = 64): Seq[Column] = {
+    val sig = minhashSignatureArray(shingleHashes, k)
+    (0 until k).map(j => element_at(sig, j + 1).as(s"mh$j"))
+  }
+
+  /** The k minima as ONE array column, computed by the native one-pass
+    * [[graft.functions.MinHashSignature]] expression: the composed
+    * `array_min(transform(...))` form walks the hash array k times and
+    * allocates k temporary arrays per row — ScaleProbe measured that
+    * GC-bound super-linear at 10x docs; the native expression keeps 64
+    * running minima in a local long[] inside whole-stage codegen
+    * (bit-identical values, DedupSpec pins the equality).
+    */
+  def minhashSignatureArray(shingleHashes: Column, k: Int = 64): Column =
+    org.apache.spark.sql.classic.GraftSqlInternals.column(
+      graft.functions.MinHashSignature(
+        org.apache.spark.sql.classic.GraftSqlInternals.expression(shingleHashes),
+        k
+      )
+    )
 
   /** LSH band digests over a MinHash signature laid out as columns mh0..mhK:
     * band b = hash of its r consecutive signature rows. Docs sharing any
@@ -69,6 +85,32 @@ object TextOps {
         struct(
           lit(b).as("band"),
           xxhash64((0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*)
+            .as("digest")
+        )
+      }: _*
+    )
+
+  /** Band digests straight off a signature ARRAY column (the
+    * [[minhashSignatureArray]] output). Same digests as [[bandStructs]]
+    * over extracted mh columns — the band hash consumes the same longs —
+    * but the signature stays ONE materialized array column end to end:
+    * extracting 64 scalar columns in a projection tempts Catalyst to
+    * inline the signature expression 64 times when subexpression
+    * elimination can't hold the whole tree (ScaleProbe measured that
+    * recompute at ~4x the composed form's cost; the array form is ~10x
+    * cheaper than composed instead).
+    */
+  def bandStructsFromSig(
+      sig: Column,
+      bands: Int = 16,
+      rowsPerBand: Int = 4
+  ): Column =
+    array(
+      (0 until bands).map { b =>
+        struct(
+          lit(b).as("band"),
+          xxhash64((0 until rowsPerBand).map(r =>
+            element_at(sig, b * rowsPerBand + r + 1)): _*)
             .as("digest")
         )
       }: _*

@@ -139,15 +139,18 @@ object DedupQueries {
         // once per-rep unpersisting made runs honest).
         val sets = PersistScope.pinEager(shingleSets(doc))
         // signatures per ROW from the cached arrays: hash each shingle
-        // string once, then 64 codegen'd mix+array_min — no explode, no
-        // shuffle (bit-identical to the minhashAggs inverted-index path)
+        // string once, then ONE native one-pass pass over the hash array
+        // (functions.MinHashSignature) for all 64 minima — no explode, no
+        // shuffle, no per-family temp arrays (bit-identical to the
+        // minhashAggs inverted-index path AND to the composed
+        // array_min(transform(...)) form, DedupSpec-pinned)
         val sigs = PersistScope.pinEager(
           sets
             .select($"doc_id", transform($"sh", x => xxhash64(x)).as("hs"))
-            .select($"doc_id" +: TextOps.minhashSignature($"hs"): _*)
+            .select($"doc_id", TextOps.minhashSignatureArray($"hs").as("sig"))
         )
         val bands = sigs
-          .select($"doc_id", explode(TextOps.bandStructs()).as("bd"))
+          .select($"doc_id", explode(TextOps.bandStructsFromSig($"sig")).as("bd"))
           .select($"doc_id", $"bd.band".as("band"), $"bd.digest".as("digest"))
         val cand = bands
           .as("x")

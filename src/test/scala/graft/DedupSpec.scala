@@ -49,6 +49,28 @@ class DedupSpec extends SparkTestBase {
     assert(exact.forall(_.getDouble(2) >= 0.5))
   }
 
+  test("native MinHashSignature is bit-identical to the composed array_min form") {
+    import org.apache.spark.sql.functions._
+    val hs = graft.queries.QueryUtil
+      .t(spark, SparkTestBase.Sf0001, "documents")
+      .select(
+        col("doc_id"),
+        transform(
+          graft.operators.TextOps.shingles(graft.operators.TextOps.tokens(col("text"))),
+          x => xxhash64(x)
+        ).as("hs")
+      )
+    val native = hs
+      .select(col("doc_id") +: graft.operators.TextOps.minhashSignature(col("hs")): _*)
+      .collect().map(_.toString).sorted
+    val composed = hs
+      .select(col("doc_id") +: (0 until 64).map(j =>
+        array_min(transform(col("hs"), h => xxhash64(lit(j), h))).as(s"mh$j")): _*)
+      .collect().map(_.toString).sorted
+    assert(native.length === composed.length)
+    assert(native.toSeq === composed.toSeq)
+  }
+
   test("fingerprint-keyed dedup equals the exact operator on this corpus") {
     val byFp = Registry.byName("q_dedup_fingerprint")
       .fn(spark, SparkTestBase.Sf0001).collect().map(_.toString).toSet
