@@ -97,6 +97,48 @@ object SourceQueries {
           "GROUP BY o_orderpriority ORDER BY o_orderpriority"
       )
     ),
+    // Z-order layout key (operators.ZOrderLayout): Morton-interleave
+    // (partkey, suppkey) and aggregate per 16x16 tile — the min/max
+    // ranges PROVE the layout property (both dimensions bounded per
+    // tile), which is what makes file skipping work for 2-dim predicates
+    // after writeZOrdered. Oracle mirrors the bit arithmetic digit for
+    // digit.
+    Q(
+      "q_zorder_tiles",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val a = pmod($"l_partkey", lit(256))
+        val b = pmod($"l_suppkey", lit(256))
+        li.select(
+            a.as("a"),
+            b.as("b"),
+            graft.operators.ZOrderLayout.zorderKey(a, b, 8).as("zkey")
+          )
+          .select(shiftright($"zkey", 8).as("tile"), $"a", $"b")
+          .groupBy($"tile")
+          .agg(
+            count(lit(1)).as("n"),
+            min($"a").as("min_a"),
+            max($"a").as("max_a"),
+            min($"b").as("min_b"),
+            max($"b").as("max_b")
+          )
+          .orderBy($"tile")
+      },
+      Some {
+        val zexpr = (0 until 8)
+          .map(i =>
+            s"(((a >> $i) & 1) << ${2 * i}) | (((b >> $i) & 1) << ${2 * i + 1})")
+          .mkString(" | ")
+        s"""WITH dmm AS (
+           |  SELECT l_partkey % 256 AS a, l_suppkey % 256 AS b FROM lineitem
+           |), z AS (SELECT a, b, ($zexpr) AS zkey FROM dmm)
+           |SELECT zkey >> 8 AS tile, count(*) AS n,
+           |       min(a) AS min_a, max(a) AS max_a,
+           |       min(b) AS min_b, max(b) AS max_b
+           |FROM z GROUP BY tile ORDER BY tile""".stripMargin
+      }
+    ),
     // Iceberg-layout scan: a temp copy of `part` laid out as an Iceberg
     // table directory (data/ + metadata/version-hint.text), read through
     // IcebergSource (runtime-detecting; directory-scan fallback here).

@@ -53,6 +53,49 @@ class OperatorEdgeSpec extends SparkTestBase {
     ))
   }
 
+  test("Z-order layout bounds BOTH dimensions per file; single-dim sort does not") {
+    import spark.implicits._
+    import graft.operators.ZOrderLayout
+    // 64x64 grid, shuffled input
+    val df = spark.range(4096).select(
+      (col("id") % 64).as("a"),
+      (col("id") / 64).cast("long").as("b")
+    )
+    val dir = tempDir("graft-zorder")
+    ZOrderLayout.writeZOrdered(df, s"$dir/z", "a", "b", bits = 6, partitions = 8)
+    // per written FILE, both dims must be bounded near sqrt(4096/8) tiles;
+    // a plain sort by `a` would bound a but leave b spanning 0..63
+    val files = new java.io.File(s"$dir/z").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSeq
+    assert(files.size > 1, "need multiple files to show per-file bounds")
+    def bBoxes(paths: Seq[String]): Seq[(Long, Long)] = paths.map { f =>
+      val r = spark.read.parquet(f).agg(min("b"), max("b")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    def overlapping(boxes: Seq[(Long, Long)], lo: Long, hi: Long): Int =
+      boxes.count { case (l, h) => h >= lo && l <= hi }
+
+    // the guaranteed z-curve property is file PRUNING on the second
+    // dimension (an unaligned contiguous zkey range may legally span one
+    // full dimension as a strip, so per-file span bounds are NOT the
+    // invariant): the upper half of the key space has b >= 32, so a
+    // b-predicate in the lower half must exclude the files covering it
+    val zOverlap = overlapping(bBoxes(files), 20, 23)
+    assert(zOverlap < files.size,
+      s"b-predicate pruned nothing: $zOverlap of ${files.size} files overlap")
+
+    // control: sorted by `a` alone, every file carries every b value —
+    // the same predicate prunes NOTHING
+    val sortedDir = s"$dir/plain"
+    df.repartitionByRange(8, col("a")).sortWithinPartitions("a")
+      .write.mode("overwrite").parquet(sortedDir)
+    val plainFiles = new java.io.File(sortedDir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSeq
+    val plainOverlap = overlapping(bBoxes(plainFiles), 20, 23)
+    assert(plainOverlap === plainFiles.size,
+      s"control failed: single-dim sort pruned b files: $plainOverlap of ${plainFiles.size}")
+  }
+
   test("IVF rankCells orders by true centroid distance") {
     import spark.implicits._
     // two obvious clusters on a 2d-ish axis embedded in 4 dims

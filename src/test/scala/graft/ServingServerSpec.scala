@@ -80,10 +80,21 @@ class ServingServerSpec extends SparkTestBase {
     // it, an overflow connection must be refused with a status line. The
     // handoff from accept loop to pool is async, so probe in a bounded
     // retry loop instead of assuming the very next connection overflows.
-    val srv = new ServingServer(session, maxWorkers = 1, requestTimeoutMs = 10000).start()
+    val srv = new ServingServer(session, maxWorkers = 1, requestTimeoutMs = 20000).start()
     try {
-      val held = (1 to 3).map { _ =>
-        // connect and stay silent: occupies worker/queue until timeout
+      // occupy the single worker DETERMINISTICALLY with a genuinely slow
+      // query (a sleeping UDF, not CPU burn — robust under parallel-suite
+      // load where silent-socket timing races the probe loop)
+      spark.udf.register(
+        "graft_test_sleep",
+        (ms: Int) => { Thread.sleep(ms.toLong); 1 })
+      val slow = new Thread(() =>
+        try ServingClient.doGet(srv.boundPort, "SELECT graft_test_sleep(8000) AS x")
+        catch { case _: Throwable => () })
+      slow.setDaemon(true)
+      slow.start()
+      val held = (1 to 2).map { _ =>
+        // silent connections fill the 2-slot queue behind the busy worker
         new java.net.Socket(java.net.InetAddress.getLoopbackAddress, srv.boundPort)
       }
       try {
@@ -107,7 +118,8 @@ class ServingServerSpec extends SparkTestBase {
         }
         assert(refused, s"no explicit refusal among: $statuses")
       } finally held.foreach(s => try s.close() catch { case _: Throwable => () })
-      // after the held sockets drain, service resumes
+      slow.join(30000)
+      // after the worker frees, service resumes
       val r = ServingClient.doGet(srv.boundPort, "SELECT 9 AS x")
       assert(r.isOk && r.rows === Seq(Seq(9)))
     } finally srv.close()
