@@ -169,6 +169,53 @@ object ScaleProbe {
     * wins on the skewed set (hot key spread over 16 reducers) and LOSES
     * on uniform (16x dim duplication through the shuffle buys nothing).
     */
+  private def skewProbe(spark: SparkSession): Unit = {
+    val n = 6000000L
+    val nKeys = 200000
+    val factSkew = spark.range(n).select(
+      col("id"),
+      when(pmod(hash(col("id"), lit(21)), lit(5)) === 0, lit(0L)) // 20% -> key 0
+        .otherwise(pmod(hash(col("id"), lit(22)), lit(nKeys)).cast("long"))
+        .as("k")
+    ).cache()
+    factSkew.count()
+    val factUni = spark.range(n).select(
+      col("id"),
+      pmod(hash(col("id"), lit(23)), lit(nKeys)).cast("long").as("k")
+    ).cache()
+    factUni.count()
+    val dim = spark.range(nKeys).select(
+      col("id").as("k"),
+      pmod(hash(col("id"), lit(24)), lit(97)).as("grp")
+    )
+
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def plain(fact: DataFrame): Unit =
+        fact.join(dim, Seq("k")).select(col("id"), col("grp"))
+          .write.format("noop").mode("overwrite").save()
+      def salted(fact: DataFrame): Unit =
+        graft.operators.SkewJoin.saltedInnerJoin(fact, dim, "k")
+          .select(col("id"), col("grp"))
+          .write.format("noop").mode("overwrite").save()
+
+      plain(factUni); salted(factUni) // warmup (codegen + shuffle paths)
+      val timings = Seq(
+        time("plain_skewed", n) { plain(factSkew) },
+        time("salted_skewed", n) { salted(factSkew) },
+        time("plain_uniform", n) { plain(factUni) },
+        time("salted_uniform", n) { salted(factUni) }
+      )
+      println("--- skew trade-off (20% of rows on one key; dim 200k; broadcast off) ---")
+      timings.foreach { case (l, rows, s) => println(f"$l%-18s rows=$rows%9d  $s%8.2f s") }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      factSkew.unpersist()
+      factUni.unpersist()
+    }
+  }
+
   /** The bucketing trade-off, measured honestly: a 6M-row fact joined to
     * a 1.5M-row fact, shuffled at query time vs read from bucketed+sorted
     * storage (sources.BucketedTables layout). Broadcast off — neither
@@ -218,53 +265,6 @@ object ScaleProbe {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
       spark.sql("DROP TABLE IF EXISTS probe_orders")
       spark.sql("DROP TABLE IF EXISTS probe_lines")
-    }
-  }
-
-  private def skewProbe(spark: SparkSession): Unit = {
-    val n = 6000000L
-    val nKeys = 200000
-    val factSkew = spark.range(n).select(
-      col("id"),
-      when(pmod(hash(col("id"), lit(21)), lit(5)) === 0, lit(0L)) // 20% -> key 0
-        .otherwise(pmod(hash(col("id"), lit(22)), lit(nKeys)).cast("long"))
-        .as("k")
-    ).cache()
-    factSkew.count()
-    val factUni = spark.range(n).select(
-      col("id"),
-      pmod(hash(col("id"), lit(23)), lit(nKeys)).cast("long").as("k")
-    ).cache()
-    factUni.count()
-    val dim = spark.range(nKeys).select(
-      col("id").as("k"),
-      pmod(hash(col("id"), lit(24)), lit(97)).as("grp")
-    )
-
-    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try {
-      def plain(fact: DataFrame): Unit =
-        fact.join(dim, Seq("k")).select(col("id"), col("grp"))
-          .write.format("noop").mode("overwrite").save()
-      def salted(fact: DataFrame): Unit =
-        graft.operators.SkewJoin.saltedInnerJoin(fact, dim, "k")
-          .select(col("id"), col("grp"))
-          .write.format("noop").mode("overwrite").save()
-
-      plain(factUni); salted(factUni) // warmup (codegen + shuffle paths)
-      val timings = Seq(
-        time("plain_skewed", n) { plain(factSkew) },
-        time("salted_skewed", n) { salted(factSkew) },
-        time("plain_uniform", n) { plain(factUni) },
-        time("salted_uniform", n) { salted(factUni) }
-      )
-      println("--- skew trade-off (20% of rows on one key; dim 200k; broadcast off) ---")
-      timings.foreach { case (l, rows, s) => println(f"$l%-18s rows=$rows%9d  $s%8.2f s") }
-    } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
-      factSkew.unpersist()
-      factUni.unpersist()
     }
   }
 }

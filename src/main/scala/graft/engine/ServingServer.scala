@@ -71,7 +71,7 @@ final class ServingServer(
     (r: Runnable, _: ThreadPoolExecutor) =>
       r match {
         case h: ServingHandler => h.reject()
-        case _                 => // shutdown race: nothing to refuse
+        case _                 => // non-handler runnable: nothing to refuse
       }
   )
   pool.allowCoreThreadTimeOut(true)
@@ -86,7 +86,7 @@ final class ServingServer(
         while (!closed) {
           try {
             val sock = server.accept()
-            pool.execute(new ServingHandler(sock, handle))
+            pool.execute(new ServingHandler(sock, handle, () => closed))
           } catch {
             case _: SocketException if closed => // normal shutdown
             case e: Throwable if !closed =>
@@ -202,17 +202,23 @@ final class ServingServer(
   */
 private[engine] final class ServingHandler(
     sock: Socket,
-    doHandle: Socket => Unit
+    doHandle: Socket => Unit,
+    serverClosed: () => Boolean
 ) extends Runnable {
   override def run(): Unit = doHandle(sock)
 
-  /** Called by the pool when saturated: refuse, never hang the client. */
+  /** Called by the pool when it cannot run this connection: refuse, never
+    * hang the client. Saturation and shutdown are distinct conditions —
+    * a client's retry loop should back off on RESOURCE_EXHAUSTED but
+    * fail over on UNAVAILABLE, not retry a server that is gone.
+    */
   def reject(): Unit = {
+    val msg =
+      if (serverClosed()) "ERR UNAVAILABLE server shutting down\n"
+      else "ERR RESOURCE_EXHAUSTED server at capacity\n"
     try {
       val out = sock.getOutputStream
-      out.write(
-        "ERR RESOURCE_EXHAUSTED server at capacity\n"
-          .getBytes(StandardCharsets.UTF_8))
+      out.write(msg.getBytes(StandardCharsets.UTF_8))
       out.flush()
     } catch { case _: Throwable => () }
     try sock.close()

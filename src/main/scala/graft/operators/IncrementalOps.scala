@@ -36,11 +36,16 @@ object IncrementalOps {
     val joined = target
       .as("b")
       .join(updates.as("u"), col(s"b.$key") === col(s"u.$key"), "full_outer")
+    // matched rows take the update row's value EVEN WHEN NULL (true MERGE
+    // "UPDATE SET *" semantics) — a coalesce here would silently keep the
+    // stale target value whenever a refresh legitimately clears a field
+    val matched = col(s"u.$key").isNotNull
     joined.select(
       coalesce(col(s"u.$key"), col(s"b.$key")).as(key) +:
-        dataCols.map(c => coalesce(col(s"u.$c"), col(s"b.$c")).as(c)) :+
-        when(col(s"u.$key").isNotNull && col(s"b.$key").isNotNull, lit("updated"))
-          .when(col(s"u.$key").isNotNull, lit("inserted"))
+        dataCols.map(c =>
+          when(matched, col(s"u.$c")).otherwise(col(s"b.$c")).as(c)) :+
+        when(matched && col(s"b.$key").isNotNull, lit("updated"))
+          .when(matched, lit("inserted"))
           .otherwise(lit("kept"))
           .as("merge_action"): _*
     )

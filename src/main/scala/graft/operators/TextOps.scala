@@ -53,10 +53,15 @@ object TextOps {
     * element instead of re-hashing the string 64 times is the difference
     * ScaleProbe measured at 14x.
     */
-  def minhashSignature(shingleHashes: Column, k: Int = 64): Seq[Column] = {
-    val sig = minhashSignatureArray(shingleHashes, k)
-    (0 until k).map(j => element_at(sig, j + 1).as(s"mh$j"))
-  }
+  def minhashSignature(shingleHashes: Column, k: Int = 64): Seq[Column] =
+    // composed per-family form, NOT element_at over minhashSignatureArray:
+    // extracting k scalars from the same array expression in one projection
+    // re-inlines the whole signature k times when subexpression elimination
+    // can't hold the tree — a silent k-fold recompute. Callers that can
+    // carry one array column should prefer [[minhashSignatureArray]].
+    (0 until k).map { j =>
+      array_min(transform(shingleHashes, h => xxhash64(lit(j), h))).as(s"mh$j")
+    }
 
   /** The k minima as ONE array column, computed by the native one-pass
     * [[graft.functions.MinHashSignature]] expression: the composed

@@ -21,6 +21,12 @@ object ZOrderLayout {
 
   /** Morton-interleave the low `bits` bits of two non-negative integer
     * columns: result bit 2i = bit i of `a`, bit 2i+1 = bit i of `b`.
+    *
+    * PRECONDITION: both columns must lie in [0, 2^bits) — higher bits are
+    * silently dropped, which aliases distant values onto the same key and
+    * destroys exactly the locality this exists for. [[writeZOrdered]]
+    * validates the range before writing; use it (or check your own
+    * domain) rather than calling this raw on unbounded data.
     */
   def zorderKey(a: Column, b: Column, bits: Int): Column =
     (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
@@ -41,6 +47,23 @@ object ZOrderLayout {
       bits: Int,
       partitions: Int = 32
   ): Unit = {
+    // enforce the zorderKey domain precondition: values past 2^bits would
+    // alias silently and void the layout's skipping property. One cheap
+    // min/max scan against a write-once layout job is the right trade.
+    val limit = 1L << bits
+    val r = df
+      .agg(
+        min(col(dimA)), max(col(dimA)),
+        min(col(dimB)), max(col(dimB))
+      )
+      .head()
+    val (minA, maxA, minB, maxB) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    require(
+      minA >= 0 && maxA < limit && minB >= 0 && maxB < limit,
+      s"zorderKey domain violated: $dimA in [$minA,$maxA], $dimB in " +
+        s"[$minB,$maxB] must lie in [0,$limit) for bits=$bits"
+    )
     val keyed = df.withColumn("__zkey", zorderKey(col(dimA), col(dimB), bits))
     keyed
       .repartitionByRange(partitions, col("__zkey"))

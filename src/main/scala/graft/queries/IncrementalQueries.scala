@@ -50,7 +50,7 @@ object IncrementalQueries {
           |  SELECT doc_id + 100000 AS doc_id, text, lang, source FROM base
           |  WHERE doc_id < 5
           |), merged AS (
-          |  SELECT coalesce(u.text, b.text) AS text,
+          |  SELECT CASE WHEN u.doc_id IS NOT NULL THEN u.text ELSE b.text END AS text,
           |         CASE WHEN u.doc_id IS NOT NULL AND b.doc_id IS NOT NULL
           |                THEN 'updated'
           |              WHEN u.doc_id IS NOT NULL THEN 'inserted'

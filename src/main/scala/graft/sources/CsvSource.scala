@@ -46,12 +46,14 @@ object CsvSource {
     */
   def csvCopyOfParquet(spark: SparkSession, parquetPath: String, name: String): String = {
     // key the copy by source path too: the same table name exists at every
-    // scale factor, and a cached sf0.01 CSV must not serve an sf0.001 run
+    // scale factor, and a cached sf0.01 CSV must not serve an sf0.001 run.
+    // The PID keeps concurrent JVMs (bench + verify in parallel CI) from
+    // racing overwrite-vs-scan on a shared mutable copy.
     val srcKey = Integer.toHexString(parquetPath.hashCode)
     val target = Paths.get(
       System.getProperty("java.io.tmpdir"),
       "graft-csv",
-      s"$name-$srcKey"
+      s"$name-${srcKey}_p${ProcessHandle.current().pid()}"
     )
     if (!Files.exists(target.resolve("_SUCCESS"))) {
       spark.read

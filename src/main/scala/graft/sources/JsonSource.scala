@@ -27,7 +27,10 @@ object JsonSource {
 
   /** Fixture helper: materialize a parquet table as JSONL in a temp dir
     * (once per JVM per (table, source path)) so JSON-source queries can
-    * run against data whose oracle lives in the parquet tables.
+    * run against data whose oracle lives in the parquet tables. The PID
+    * in the path keeps concurrent JVMs (bench + verify in parallel CI)
+    * from racing overwrite-vs-scan on a shared mutable copy — same
+    * discipline as the IVF index and bucketed-table materializations.
     */
   def jsonCopyOfParquet(
       spark: SparkSession,
@@ -38,7 +41,7 @@ object JsonSource {
     val target = Paths.get(
       System.getProperty("java.io.tmpdir"),
       "graft-json",
-      s"$name-$srcKey"
+      s"$name-${srcKey}_p${ProcessHandle.current().pid()}"
     )
     if (!Files.exists(target.resolve("_SUCCESS"))) {
       spark.read

@@ -61,7 +61,11 @@ class DedupSpec extends SparkTestBase {
         ).as("hs")
       )
     val native = hs
-      .select(col("doc_id") +: graft.operators.TextOps.minhashSignature(col("hs")): _*)
+      .select(
+        col("doc_id"),
+        graft.operators.TextOps.minhashSignatureArray(col("hs")).as("sig"))
+      .select(col("doc_id") +: (0 until 64).map(j =>
+        org.apache.spark.sql.functions.element_at(col("sig"), j + 1).as(s"mh$j")): _*)
       .collect().map(_.toString).sorted
     val composed = hs
       .select(col("doc_id") +: (0 until 64).map(j =>

@@ -35,6 +35,21 @@ class OperatorEdgeSpec extends SparkTestBase {
     ))
   }
 
+  test("merge upsert: an update that clears a field to NULL wins over the stale value") {
+    import spark.implicits._
+    val target = Seq((1L, Option("keep"), "x"), (2L, Option("stale"), "y"))
+      .toDF("id", "text", "tag")
+    val updates = Seq((2L, Option.empty[String], "y2")).toDF("id", "text", "tag")
+    val out = graft.operators.IncrementalOps.merge(target, updates, "id")
+      .collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getString(2), r.getString(3)))
+      .sortBy(_._1)
+    assert(out.toSeq === Seq(
+      (1L, Some("keep"), "x", "kept"),
+      (2L, None, "y2", "updated") // NULL from the update row replaces 'stale'
+    ))
+  }
+
   test("snapshot diff is null-safe: null vs value is changed, null vs null is not") {
     import spark.implicits._
     val old = Seq((1L, Option("a")), (2L, Option.empty[String]), (3L, Option("c")), (4L, Option("d")))
