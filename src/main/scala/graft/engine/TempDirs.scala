@@ -1,0 +1,41 @@
+package graft.engine
+
+import java.nio.file.{Files, Path}
+import java.util.Comparator
+
+/** Registry of per-process temp workspaces (fixture copies, materialized
+  * indexes, bucketed tables). The PID-keyed paths that keep concurrent
+  * JVMs from racing each other would otherwise accumulate one directory
+  * per process in java.io.tmpdir across bench/verify/test runs — register
+  * them here and a shutdown hook deletes them best-effort on JVM exit.
+  */
+object TempDirs {
+
+  private val registered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Path]()
+
+  private lazy val hookInstalled: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(
+      () => registered.forEach(deleteRecursively),
+      "graft-tempdir-cleanup"
+    ))
+
+  /** Register a directory for deletion at JVM exit; returns it. */
+  def register(p: Path): Path = {
+    hookInstalled
+    registered.add(p)
+    p
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    try {
+      if (Files.exists(p)) {
+        val walk = Files.walk(p)
+        try
+          walk
+            .sorted(Comparator.reverseOrder())
+            .forEach(f => try Files.delete(f) catch { case _: Throwable => () })
+        finally walk.close()
+      }
+    } catch { case _: Throwable => () } // best-effort: exit must not fail
+}

@@ -148,6 +148,7 @@ object SimilarityQueries {
             s"graft_ivf_${math.abs(dir.hashCode)}_p${ProcessHandle.current().pid()}"
           )
           .toString
+        graft.engine.TempDirs.register(java.nio.file.Paths.get(idxPath))
         val idx = graft.operators.IvfIndex.materialize(model, idxPath)
         val query = e
           .filter($"vec_id" === QueryVecId)

@@ -41,6 +41,7 @@ object BucketedTables {
           s"${name}_p${ProcessHandle.current().pid()}"
         )
         .toString
+      graft.engine.TempDirs.register(java.nio.file.Paths.get(path))
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read
         .parquet(s"$dir/$table.parquet")

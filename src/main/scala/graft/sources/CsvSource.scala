@@ -55,6 +55,7 @@ object CsvSource {
       "graft-csv",
       s"$name-${srcKey}_p${ProcessHandle.current().pid()}"
     )
+    graft.engine.TempDirs.register(target)
     if (!Files.exists(target.resolve("_SUCCESS"))) {
       spark.read
         .parquet(parquetPath)

@@ -43,6 +43,7 @@ object JsonSource {
       "graft-json",
       s"$name-${srcKey}_p${ProcessHandle.current().pid()}"
     )
+    graft.engine.TempDirs.register(target)
     if (!Files.exists(target.resolve("_SUCCESS"))) {
       spark.read
         .parquet(parquetPath)

@@ -21,6 +21,29 @@ class TextExpressionsSpec extends SparkTestBase {
     assert(fps(1L) !== fps(3L)) // one byte changed, fingerprint changed
   }
 
+  test("MinHashSignature.compute: property-equal to the reference fold on random arrays") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val seeds = graft.functions.MinHashSignature.seeds(64)
+    val gen = Gen.nonEmptyListOf(Gen.long)
+    (0 until 200).foreach { i =>
+      val hashes = gen(Gen.Parameters.default, Seed(i.toLong)).get
+      val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(hashes.toArray)
+      val fast = graft.functions.MinHashSignature.compute(arr, seeds)
+      // reference: family-major min over hashLong(h, hashInt(j, 42)) — the
+      // exact chain Spark's xxhash64(lit(j), h) computes
+      val slow = (0 until 64).map { j =>
+        hashes.map(h =>
+          org.apache.spark.sql.catalyst.expressions.XXH64
+            .hashLong(h, seeds(j))).min
+      }
+      assert(fast.toSeq === slow, s"mismatch at seed $i")
+    }
+    // empty array -> null (array_min-of-empty parity)
+    val empty = new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+    assert(graft.functions.MinHashSignature.compute(empty, seeds) == null)
+  }
+
   test("windowed mode: shared windows survive a prefix insertion") {
     // winnowing property: appending a prefix adds windows but every window
     // of the original text still exists, so the min can only go down
