@@ -8,6 +8,7 @@ import graft.queries.QueryUtil
   * catalog, run the SQL, pretty-print.
   *
   * Usage: runMain graft.Main --sql "SELECT …" [--dir /root/testdata/sf0.001]
+  *        runMain graft.Main --explain "SELECT …" [--dir …]  # formatted plan
   *        runMain graft.Main --serve 50051 [--dir …]   # serving endpoint
   * Tables registered: the TESTDATA fixtures (region…embeddings) plus the
   * reference's demo `users` table (crates/igloo/src/main.rs:59-77).
@@ -53,7 +54,18 @@ object Main {
         System.err.println(s"[graft] serving on 127.0.0.1:${srv.boundPort}")
         Thread.currentThread().join() // block until killed, like the reference
       case None =>
-        session.execute(sql).show(100, truncate = false)
+        opts.get("explain") match {
+          case Some(esql) =>
+            // the plan-inspection loop every perf-minded user needs:
+            // pushed filters, read schemas, exchanges, codegen spans
+            println(
+              session
+                .execute(esql)
+                .queryExecution
+                .explainString(org.apache.spark.sql.execution.FormattedMode))
+          case None =>
+            session.execute(sql).show(100, truncate = false)
+        }
         spark.stop()
     }
   }

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
 
 /** Structured Streaming over the `events` fixture — the working analogue of
   * the reference's CDC stub (crates/cdc/src/lib.rs:9 "TODO: Implement CDC
@@ -101,6 +101,31 @@ object EventsStream {
       }
   }
 
+  /** Spark 4 `transformWithState` version of [[userActivity]]: the same
+    * per-user running aggregate through the NEW arbitrary-state API
+    * (StatefulProcessor + typed ValueState handles, RocksDB-backed state
+    * store). flatMapGroupsWithState remains the stable workhorse above;
+    * this is the forward-looking surface — explicit state variables, TTL
+    * config, and timers — that new stateful pipelines should target.
+    * StreamingSpec pins stream == batch equality for both.
+    */
+  def userActivityTws(
+      spark: SparkSession,
+      eventsTs: DataFrame
+  ): Dataset[UserActivity] = {
+    import spark.implicits._
+    val pairs = eventsTs
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .as[(Long, Long)]
+    pairs
+      .groupByKey(_._1)
+      .transformWithState(
+        new UserActivityProcessor,
+        TimeMode.None(),
+        OutputMode.Update
+      )
+  }
+
   /** Stream-stream inner join: clicks joined to the same user's purchases
     * within the preceding hour. Both sides carry watermarks and the join
     * condition bounds the time skew, so each side's buffered state is
@@ -167,4 +192,36 @@ object EventsStream {
         ()
       }
       .start()
+}
+
+/** StatefulProcessor behind [[EventsStream.userActivityTws]]: one typed
+  * ValueState slot per user holding the running (count, last-seen) pair.
+  * No TTL and no timers — the fixture aggregate is unbounded by design;
+  * production pipelines would set TTLConfig to bound state growth.
+  */
+class UserActivityProcessor
+    extends StatefulProcessor[Long, (Long, Long), EventsStream.UserActivity] {
+
+  @transient private var state: ValueState[EventsStream.UserActivity] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[EventsStream.UserActivity](
+      "activity",
+      org.apache.spark.sql.Encoders.product[EventsStream.UserActivity],
+      TTLConfig.NONE
+    )
+
+  override def handleInputRows(
+      key: Long,
+      rows: Iterator[(Long, Long)],
+      timerValues: TimerValues
+  ): Iterator[EventsStream.UserActivity] = {
+    var acc = Option(state.get())
+      .getOrElse(EventsStream.UserActivity(key, 0L, Long.MinValue))
+    rows.foreach { case (_, ts) =>
+      acc = EventsStream.UserActivity(key, acc.nEvents + 1, math.max(acc.lastTsMicros, ts))
+    }
+    state.update(acc)
+    Iterator.single(acc)
+  }
 }

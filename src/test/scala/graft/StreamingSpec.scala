@@ -141,6 +141,49 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("transformWithState per-user activity equals batch aggregation (Spark 4 API)") {
+    val eventsDir = tempDir("graft-events-tws")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(SparkTestBase.Sf0001, "events.parquet"),
+      java.nio.file.Paths.get(eventsDir, "events.parquet")
+    )
+    val checkpoint = tempDir("graft-ckpt-tws")
+    // transformWithState requires the RocksDB state store provider; scope
+    // the conf to a derived session so other streaming tests keep the
+    // default HDFS-backed store
+    val s2 = spark.newSession()
+    s2.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+
+    val activity = EventsStream.userActivityTws(
+      s2,
+      EventsStream.readEventsStream(s2, eventsDir)
+    )
+    val q = activity.toDF().writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.persist(); batch.count()
+        batch.createOrReplaceGlobalTempView("user_activity_tws")
+        ()
+      }
+      .start()
+    try q.awaitTermination(120000)
+    finally q.stop()
+
+    val streamed = spark.table("global_temp.user_activity_tws")
+      .orderBy("userId")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val batch = graft.queries.QueryUtil.events(spark, SparkTestBase.Sf0001)
+      .groupBy("user_id").count().orderBy("user_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
   test("sliding windows: every event lands in exactly size/slide windows") {
     val sliding = EventsStream
       .slidingCounts(graft.queries.QueryUtil.events(spark, SparkTestBase.Sf0001))
