@@ -125,6 +125,73 @@ object SimilarityQueries {
            |ORDER BY cos DESC, x.vec_id LIMIT 10""".stripMargin
       }
     ),
+    // Int8 symmetric quantization: per-vector scale s = 127/max|x|,
+    // q = floor(x*s + 0.5) — the 4x memory cut (float32 -> int8) that makes
+    // a 100 TB embedding corpus fit a cluster's RAM budget; the quantized
+    // dot product is rescaled by 1/(s_a*s_b) to approximate the original.
+    // Every step is exact-or-deterministic double arithmetic (floor, not
+    // round: round() half-ties differ between engines for negatives), so
+    // the whole pipeline hash-matches the DuckDB mirror; SimilaritySpec
+    // bounds the quantization error against the exact dot product.
+    Q(
+      "q_sim_quantized",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val dbl = e.select(
+          $"vec_id",
+          $"label",
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e")
+        )
+        val q = dbl
+          .withColumn(
+            "s",
+            lit(127.0) /
+              greatest(expr("array_max(transform(e, x -> abs(x)))"), lit(1e-30))
+          )
+          .select(
+            $"vec_id",
+            $"label",
+            expr("transform(e, x -> floor(x * s + 0.5))").as("qv"),
+            $"s"
+          )
+        q.as("a")
+          .join(
+            q.as("b"),
+            col("a.label") === col("b.label") &&
+              col("a.vec_id") < col("b.vec_id") && col("a.vec_id") < 20
+          )
+          .select(
+            col("a.vec_id").as("id_a"),
+            col("b.vec_id").as("id_b"),
+            round(
+              expr(
+                "aggregate(zip_with(a.qv, b.qv, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+                / (col("a.s") * col("b.s")),
+              6
+            ).as("qdot")
+          )
+          .orderBy($"id_a", $"id_b")
+          .limit(10)
+      },
+      Some(
+        """WITH emb AS (
+          |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+          |), scaled AS (
+          |  SELECT vec_id, label, e,
+          |         127.0 / greatest(list_max(list_transform(e, x -> abs(x))), 1e-30) AS s
+          |  FROM emb
+          |), q AS (
+          |  SELECT vec_id, label,
+          |         list_transform(e, x -> floor(x * s + 0.5)) AS qv, s
+          |  FROM scaled
+          |)
+          |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          |       round(list_dot_product(a.qv, b.qv) / (a.s * b.s), 6) AS qdot
+          |FROM q a JOIN q b ON a.label = b.label AND a.vec_id < b.vec_id
+          |WHERE a.vec_id < 20
+          |ORDER BY id_a, id_b LIMIT 10""".stripMargin
+      )
+    ),
     // IVF-partitioned ANN over the MATERIALIZED index: build (sample-fit
     // KMeans) -> write partitioned by cell -> probe via the written table,
     // so the query exercised here is the partition-pruned scan that scales

@@ -63,6 +63,31 @@ class SimilaritySpec extends SparkTestBase {
     assert(filesRead < totalFiles, s"no pruning: read all $totalFiles files")
   }
 
+  test("int8 quantized dot product stays within the quantization error bound") {
+    import org.apache.spark.sql.functions._
+    import graft.queries.QueryUtil._
+    // the registered query's quantized dot vs the exact double dot on the
+    // SAME pairs: per-element error <= 0.5/s on each side, so the 64-dim
+    // worst case is ~64*(0.5/s_a*|y| + 0.5/s_b*|x|) — on this fixture's
+    // unit-ish vectors that lands well under 0.05
+    val qdots = graft.queries.Registry.byName("q_sim_quantized")
+      .fn(spark, SparkTestBase.Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val e = t(spark, SparkTestBase.Sf0001, "embeddings")
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+    val exact = e.as("a").join(e.as("b"),
+        col("a.label") === col("b.label") &&
+          col("a.vec_id") < col("b.vec_id") && col("a.vec_id") < 20)
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        expr("aggregate(zip_with(a.e, b.e, (x, y) -> x * y), 0D, (acc, v) -> acc + v)").as("dot"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(qdots.nonEmpty)
+    val errs = qdots.collect { case (k, q) if exact.contains(k) => math.abs(q - exact(k)) }
+    assert(errs.size === qdots.size)
+    assert(errs.max < 0.05, s"quantization error too large: ${errs.max}")
+  }
+
   test("LSH top-k is consistent with brute force on shared candidates") {
     val brute = Registry.byName("q_sim_topk").fn(spark, SparkTestBase.Sf0001)
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
