@@ -454,6 +454,67 @@ object TextQueries {
           |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin
       )
     ),
+    // ----- BM25 keyword retrieval ------------------------------------------
+    // The classic lexical ranking function (k1=1.2, b=0.75) for a fixed
+    // keyword query — the retrieval half of hybrid search and the
+    // workhorse of quality-targeted corpus curation. Same shuffle shape
+    // as TF-IDF: one token pass feeds tf/dl/df; df and the corpus stats
+    // broadcast back onto the per-(doc,term) scores. All-double math with
+    // identical operand order in both engines; round-6 absorbs the <=
+    // 3-term summation-order ulp.
+    Q(
+      "q_text_bm25",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val query = Seq("merge", "window", "batch")
+        val toks = docs
+          .select($"doc_id", explode(TextOps.tokens($"text")).as("term"))
+          .filter($"term" =!= "")
+        val tf = toks.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+        val dl = toks.groupBy($"doc_id").agg(count(lit(1)).as("dlen"))
+        val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+        val stats = docs
+          .agg(count(lit(1)).as("n"))
+          .crossJoin(dl.agg((sum($"dlen").cast("double") / count(lit(1))).as("avgdl")))
+        val idf = log(($"n" - $"df" + 0.5) / ($"df" + 0.5) + 1.0)
+        val termScore = idf * ($"tf" * 2.2) /
+          ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * $"dlen" / $"avgdl"))
+        tf.filter($"term".isin(query: _*))
+          .join(broadcast(dfreq), Seq("term"))
+          .join(dl, Seq("doc_id"))
+          .crossJoin(broadcast(stats))
+          .groupBy($"doc_id")
+          .agg(round(sum(termScore), 6).as("bm25"))
+          .orderBy($"bm25".desc, $"doc_id")
+          .limit(15)
+      },
+      Some(
+        """WITH toks AS (
+          |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+          |  FROM documents
+          |), tf AS (
+          |  SELECT doc_id, term, count(*) AS tf FROM toks
+          |  WHERE term <> '' GROUP BY doc_id, term
+          |), dl AS (
+          |  SELECT doc_id, count(*) AS dlen FROM toks WHERE term <> '' GROUP BY doc_id
+          |), stats AS (
+          |  SELECT (SELECT count(*) FROM documents) AS n,
+          |         (SELECT CAST(sum(dlen) AS DOUBLE) / count(*) FROM dl) AS avgdl
+          |), dfreq AS (
+          |  SELECT term, count(*) AS df FROM tf GROUP BY term
+          |), scores AS (
+          |  SELECT tf.doc_id,
+          |         sum(ln((n - df + 0.5) / (df + 0.5) + 1.0) *
+          |             (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl.dlen / avgdl))) AS bm25
+          |  FROM tf JOIN dfreq USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+          |  CROSS JOIN stats
+          |  WHERE term IN ('merge', 'window', 'batch')
+          |  GROUP BY tf.doc_id
+          |)
+          |SELECT doc_id, round(bm25, 6) AS bm25 FROM scores
+          |ORDER BY bm25 DESC, doc_id LIMIT 15""".stripMargin
+      )
+    ),
     // ----- text scrubbing ---------------------------------------------------
     // The cleaning pass of a training pipeline: drop stopwords, collapse
     // whitespace, trim. Pure codegen'd regexp_replace — Java regex and RE2
