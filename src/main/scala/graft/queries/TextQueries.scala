@@ -464,55 +464,77 @@ object TextQueries {
     // 3-term summation-order ulp.
     Q(
       "q_text_bm25",
-      (s, dir) => {
-        val docs = t(s, dir, "documents")
-        val query = Seq("merge", "window", "batch")
-        val toks = docs
-          .select($"doc_id", explode(TextOps.tokens($"text")).as("term"))
-          .filter($"term" =!= "")
-        val tf = toks.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-        val dl = toks.groupBy($"doc_id").agg(count(lit(1)).as("dlen"))
-        val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
-        val stats = docs
-          .agg(count(lit(1)).as("n"))
-          .crossJoin(dl.agg((sum($"dlen").cast("double") / count(lit(1))).as("avgdl")))
-        val idf = log(($"n" - $"df" + 0.5) / ($"df" + 0.5) + 1.0)
-        val termScore = idf * ($"tf" * 2.2) /
-          ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * $"dlen" / $"avgdl"))
-        tf.filter($"term".isin(query: _*))
-          .join(broadcast(dfreq), Seq("term"))
-          .join(dl, Seq("doc_id"))
-          .crossJoin(broadcast(stats))
-          .groupBy($"doc_id")
-          .agg(round(sum(termScore), 6).as("bm25"))
+      (s, dir) =>
+        bm25Scores(s, dir, Seq("merge", "window", "batch"))
           .orderBy($"bm25".desc, $"doc_id")
-          .limit(15)
+          .limit(15),
+      Some(
+        s"""WITH ${bm25OracleCtes("'merge', 'window', 'batch'")}
+           |SELECT doc_id, bm25 FROM bm
+           |ORDER BY bm25 DESC, doc_id LIMIT 15""".stripMargin
+      )
+    ),
+    // ----- hybrid search (RRF fusion) ---------------------------------------
+    // Reciprocal-rank fusion of the lexical (BM25) and vector (cosine)
+    // rankings: rrf = 1/(60+r_bm25) + 1/(60+r_cos), missing side
+    // contributes nothing — the standard way to combine retrieval
+    // modalities without score calibration. Ranks come from round-6
+    // scores with doc_id tiebreaks, so both engines rank identically;
+    // embeddings.vec_id aligns 1:1 with documents.doc_id in the fixture.
+    // (The global row_number is fixture-sized here; at 100 TB you fuse
+    // per-query top-k lists, which is exactly what RRF is defined over.)
+    Q(
+      "q_hybrid_search",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val bm = bm25Scores(s, dir, Seq("merge", "window", "batch"))
+          .withColumn(
+            "r_bm",
+            row_number().over(Window.orderBy($"bm25".desc, $"doc_id")))
+        val e = t(s, dir, "embeddings")
+        val qv = e.filter($"vec_id" === 0).select($"embedding".as("qvec"))
+        val vec = e
+          .crossJoin(broadcast(qv))
+          .select(
+            $"vec_id".as("doc_id"),
+            round(graft.functions.Functions.cosineSim($"embedding", $"qvec"), 6)
+              .as("cos")
+          )
+          .withColumn(
+            "r_vec",
+            row_number().over(Window.orderBy($"cos".desc, $"doc_id")))
+        bm.join(vec, Seq("doc_id"), "full_outer")
+          .select(
+            $"doc_id",
+            round(
+              coalesce(lit(1.0) / (lit(60) + $"r_bm"), lit(0.0)) +
+                coalesce(lit(1.0) / (lit(60) + $"r_vec"), lit(0.0)),
+              6
+            ).as("rrf")
+          )
+          .orderBy($"rrf".desc, $"doc_id")
+          .limit(10)
       },
       Some(
-        """WITH toks AS (
-          |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS term
-          |  FROM documents
-          |), tf AS (
-          |  SELECT doc_id, term, count(*) AS tf FROM toks
-          |  WHERE term <> '' GROUP BY doc_id, term
-          |), dl AS (
-          |  SELECT doc_id, count(*) AS dlen FROM toks WHERE term <> '' GROUP BY doc_id
-          |), stats AS (
-          |  SELECT (SELECT count(*) FROM documents) AS n,
-          |         (SELECT CAST(sum(dlen) AS DOUBLE) / count(*) FROM dl) AS avgdl
-          |), dfreq AS (
-          |  SELECT term, count(*) AS df FROM tf GROUP BY term
-          |), scores AS (
-          |  SELECT tf.doc_id,
-          |         sum(ln((n - df + 0.5) / (df + 0.5) + 1.0) *
-          |             (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl.dlen / avgdl))) AS bm25
-          |  FROM tf JOIN dfreq USING (term) JOIN dl ON tf.doc_id = dl.doc_id
-          |  CROSS JOIN stats
-          |  WHERE term IN ('merge', 'window', 'batch')
-          |  GROUP BY tf.doc_id
-          |)
-          |SELECT doc_id, round(bm25, 6) AS bm25 FROM scores
-          |ORDER BY bm25 DESC, doc_id LIMIT 15""".stripMargin
+        s"""WITH ${bm25OracleCtes("'merge', 'window', 'batch'")},
+           |bmr AS (
+           |  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r_bm
+           |  FROM bm
+           |), vec AS (
+           |  SELECT e.vec_id AS doc_id,
+           |         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+           |                                      CAST(q.embedding AS DOUBLE[])), 6) AS cos
+           |  FROM embeddings e,
+           |       (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+           |), vr AS (
+           |  SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS r_vec
+           |  FROM vec
+           |)
+           |SELECT coalesce(bmr.doc_id, vr.doc_id) AS doc_id,
+           |       round(coalesce(CAST(1.0 AS DOUBLE) / (60 + r_bm), 0.0) +
+           |             coalesce(CAST(1.0 AS DOUBLE) / (60 + r_vec), 0.0), 6) AS rrf
+           |FROM bmr FULL OUTER JOIN vr ON bmr.doc_id = vr.doc_id
+           |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
       )
     ),
     // ----- text scrubbing ---------------------------------------------------
@@ -547,4 +569,62 @@ object TextQueries {
       )
     )
   )
+
+  // NOTE: defs below `all` (object-init order: a val here would be null
+  // while `all` initializes).
+
+  /** Per-doc BM25 (k1=1.2, b=0.75) for a fixed term set — shared by the
+    * ranking query and the hybrid-search fusion. One token shuffle feeds
+    * tf/dl/df; df and corpus stats broadcast back onto the scores.
+    */
+  def bm25Scores(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String,
+      query: Seq[String]
+  ): org.apache.spark.sql.DataFrame = {
+    val docs = t(s, dir, "documents")
+    val toks = docs
+      .select($"doc_id", explode(TextOps.tokens($"text")).as("term"))
+      .filter($"term" =!= "")
+    val tf = toks.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy($"doc_id").agg(count(lit(1)).as("dlen"))
+    val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val stats = docs
+      .agg(count(lit(1)).as("n"))
+      .crossJoin(dl.agg((sum($"dlen").cast("double") / count(lit(1))).as("avgdl")))
+    val idf = log(($"n" - $"df" + 0.5) / ($"df" + 0.5) + 1.0)
+    val termScore = idf * ($"tf" * 2.2) /
+      ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * $"dlen" / $"avgdl"))
+    tf.filter($"term".isin(query: _*))
+      .join(broadcast(dfreq), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .groupBy($"doc_id")
+      .agg(round(sum(termScore), 6).as("bm25"))
+  }
+
+  /** The BM25 CTE chain shared by both oracle texts. */
+  def bm25OracleCtes(termsSql: String): String =
+    s"""toks AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS term
+       |  FROM documents
+       |), tf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM toks
+       |  WHERE term <> '' GROUP BY doc_id, term
+       |), dl AS (
+       |  SELECT doc_id, count(*) AS dlen FROM toks WHERE term <> '' GROUP BY doc_id
+       |), stats AS (
+       |  SELECT (SELECT count(*) FROM documents) AS n,
+       |         (SELECT CAST(sum(dlen) AS DOUBLE) / count(*) FROM dl) AS avgdl
+       |), dfreq AS (
+       |  SELECT term, count(*) AS df FROM tf GROUP BY term
+       |), bm AS (
+       |  SELECT tf.doc_id,
+       |         round(sum(ln((n - df + 0.5) / (df + 0.5) + 1.0) *
+       |             (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl.dlen / avgdl))), 6) AS bm25
+       |  FROM tf JOIN dfreq USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+       |  CROSS JOIN stats
+       |  WHERE term IN ($termsSql)
+       |  GROUP BY tf.doc_id
+       |)""".stripMargin
 }
