@@ -34,18 +34,49 @@ object DedupQueries {
   private def shingleRows(doc: DataFrame): DataFrame =
     shingleSets(doc).select($"doc_id", explode($"sh").as("s"))
 
+  /** Stop-shingle document-frequency cap for the exact Jaccard operator.
+    * A shingle appearing in D docs contributes D*(D-1)/2 intermediate pairs
+    * to the inverted-index self-join, so one boilerplate shingle in 1M docs
+    * means 5e11 pairs. Dropping shingles with df > cap (the classic
+    * stop-shingle cut) bounds every shingle's contribution to
+    * cap^2/2 pairs. Shingles that common carry ~zero similarity signal
+    * anyway — they are corpus boilerplate, exactly what IDF down-weights
+    * to nothing. The fixture's max df is 25 (sf0.1), far below the cap,
+    * so the cut is a no-op on every oracle hash while removing the
+    * quadratic blowup at scale (hotShingleProbe in ScaleProbe measures it).
+    */
+  val JaccardDfCap = 1000
+
   /** Exact shingle-Jaccard pairs >= minJ via inverted-index join: join docs
     * that SHARE a shingle (grouped to intersection counts), then Jaccard
-    * from the per-doc set sizes. At 100 TB the skew risk is ultra-common
-    * shingles (a shingle in 1M docs contributes 1M^2 pairs) — the MinHash
-    * path below is the scale answer; this exact operator is the
-    * verification/oracle layer you run on candidates or samples.
+    * from the per-doc set sizes. Jaccard is computed over the NON-STOP
+    * shingle sets: shingles in more than dfCap docs are cut from the index
+    * (sizes and intersections alike) before the self-join, so no single
+    * hot shingle can contribute more than dfCap^2/2 pairs. The MinHash
+    * path below is still the first-pass scale answer; this capped exact
+    * operator is the verification/oracle layer you run on candidates or
+    * samples — now safe to run even when the corpus has boilerplate.
     */
-  private def jaccardPairs(doc: DataFrame, minJ: Double): DataFrame = {
-    // the inverted index feeds the self-join (both sides) and the size
-    // table — pinEager runs the shingle explosion exactly once before the
-    // join (see PersistScope.pinEager for the self-join race this avoids)
-    val ex = PersistScope.pinEager(shingleRows(doc))
+  private[graft] def jaccardPairs(
+      doc: DataFrame,
+      minJ: Double,
+      dfCap: Int = JaccardDfCap
+  ): DataFrame = {
+    // the inverted index feeds the df aggregation and (filtered) the
+    // self-join (both sides) and the size table — pinEager runs the
+    // shingle explosion exactly once before the join (see
+    // PersistScope.pinEager for the self-join race this avoids)
+    val exAll = PersistScope.pinEager(shingleRows(doc))
+    // stop-shingle cut BEFORE the self-join. The stop list holds only
+    // shingles hotter than the cap — tiny by construction (bounded by
+    // corpus_shingles/dfCap) — so it broadcasts and the anti-join adds
+    // no shuffle of the inverted index itself.
+    val stop = exAll
+      .groupBy($"s")
+      .agg(count(lit(1)).as("df"))
+      .filter($"df" > dfCap)
+      .select($"s")
+    val ex = PersistScope.pinEager(exAll.join(broadcast(stop), Seq("s"), "left_anti"))
     val sizes = ex.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val inter = ex
       .as("a")
@@ -76,10 +107,26 @@ object DedupQueries {
       |  FROM toks WHERE len(ws) >= 3
       |)""".stripMargin
 
-  private def jaccardOracle: String =
-    s"""WITH $shingleCteSql, ex AS (
-      |  SELECT doc_id, unnest(shingles) AS s FROM sh
-      |), sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+  /** The `ex` inverted-index CTE chain (appended after [[shingleCteSql]]):
+    * with a cap, mirrors the stop-shingle cut of [[jaccardPairs]] (df
+    * computed on the raw index, hot shingles dropped before anything
+    * downstream); without, the raw index (for the MinHash oracle, whose
+    * Spark side verifies candidates against FULL shingle sets).
+    */
+  private def exCteSql(dfCap: Option[Int]): String = dfCap match {
+    case Some(cap) =>
+      s"""ex0 AS (
+        |  SELECT doc_id, unnest(shingles) AS s FROM sh
+        |), dfs AS (SELECT s, count(*) AS df FROM ex0 GROUP BY s),
+        |ex AS (SELECT e.doc_id, e.s FROM ex0 e JOIN dfs USING (s) WHERE dfs.df <= $cap)""".stripMargin
+    case None =>
+      """ex AS (
+        |  SELECT doc_id, unnest(shingles) AS s FROM sh
+        |)""".stripMargin
+  }
+
+  private def jaccardOracle(dfCap: Option[Int]): String =
+    s"""WITH $shingleCteSql, ${exCteSql(dfCap)}, sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
       |inter AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
       |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -118,7 +165,7 @@ object DedupQueries {
       "q_dedup_jaccard",
       (s, dir) =>
         jaccardPairs(t(s, dir, "documents"), 0.5).orderBy($"doc_a", $"doc_b"),
-      Some(jaccardOracle)
+      Some(jaccardOracle(Some(JaccardDfCap)))
     ),
     // ----- MinHash-LSH near-dedup ------------------------------------------
     // Signature: 64 minhashes from one (doc, shingle) shuffle. Banding:
@@ -127,8 +174,10 @@ object DedupQueries {
     // with exact Jaccard, so false positives drop out and the result equals
     // the exact operator whenever recall is 1 — which the banding math
     // guarantees at J >= 0.8 (miss prob (1-J^4)^16 <= 4e-8). The oracle IS
-    // the exact computation: equality demonstrates the LSH path loses
-    // nothing at this threshold.
+    // the exact computation over the FULL shingle sets (uncapped — this
+    // path never builds the inverted-index self-join, so the stop-shingle
+    // cut protecting jaccardPairs does not apply here; banding is what
+    // bounds the candidates instead).
     Q(
       "q_dedup_minhash",
       (s, dir) => {
@@ -185,7 +234,7 @@ object DedupQueries {
           .filter($"jaccard" >= 0.5)
           .orderBy($"doc_a", $"doc_b")
       },
-      Some(jaccardOracle),
+      Some(jaccardOracle(None)),
       bench = true
     ),
     // ----- SimHash fingerprints + near-dup candidates ----------------------
@@ -312,9 +361,7 @@ object DedupQueries {
           .orderBy($"cluster_id", $"doc_id")
       },
       Some(
-        s"""WITH RECURSIVE $shingleCteSql, ex AS (
-          |  SELECT doc_id, unnest(shingles) AS s FROM sh
-          |), sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+        s"""WITH RECURSIVE $shingleCteSql, ${exCteSql(Some(JaccardDfCap))}, sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
           |inter AS (
           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
           |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
