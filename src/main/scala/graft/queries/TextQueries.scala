@@ -476,33 +476,35 @@ object TextQueries {
     ),
     // ----- hybrid search (RRF fusion) ---------------------------------------
     // Reciprocal-rank fusion of the lexical (BM25) and vector (cosine)
-    // rankings: rrf = 1/(60+r_bm25) + 1/(60+r_cos), missing side
-    // contributes nothing — the standard way to combine retrieval
-    // modalities without score calibration. Ranks come from round-6
-    // scores with doc_id tiebreaks, so both engines rank identically;
-    // embeddings.vec_id aligns 1:1 with documents.doc_id in the fixture.
-    // (The global row_number is fixture-sized here; at 100 TB you fuse
-    // per-query top-k lists, which is exactly what RRF is defined over.)
+    // rankings: rrf = 1/(60+r_bm25) + 1/(60+r_cos), a modality outside
+    // its top-K list contributes nothing — the standard way to combine
+    // retrieval modalities without score calibration. RRF is DEFINED over
+    // top-K retrieval lists, and that is what is ranked here: each
+    // modality keeps its global top-K (TakeOrderedAndProject — bounded
+    // per-partition top-k + one K-row merge, never a corpus sort) and
+    // ranks those K rows via rankTopK's broadcast self-join — zero
+    // WindowExec in the plan (PlanSpec-pinned; the round-4 version's
+    // unpartitioned row_number windows moved the whole corpus to one
+    // partition). Ranks come from round-6 scores with doc_id tiebreaks,
+    // so both engines rank identically; embeddings.vec_id aligns 1:1
+    // with documents.doc_id in the fixture.
     Q(
       "q_hybrid_search",
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val bm = bm25Scores(s, dir, Seq("merge", "window", "batch"))
-          .withColumn(
-            "r_bm",
-            row_number().over(Window.orderBy($"bm25".desc, $"doc_id")))
+        val topK = 100
+        val bm = rankTopK(
+          bm25Scores(s, dir, Seq("merge", "window", "batch")),
+          "bm25", topK, "r_bm")
         val e = t(s, dir, "embeddings")
         val qv = e.filter($"vec_id" === 0).select($"embedding".as("qvec"))
-        val vec = e
+        val cos = e
           .crossJoin(broadcast(qv))
           .select(
             $"vec_id".as("doc_id"),
             round(graft.functions.Functions.cosineSim($"embedding", $"qvec"), 6)
               .as("cos")
           )
-          .withColumn(
-            "r_vec",
-            row_number().over(Window.orderBy($"cos".desc, $"doc_id")))
+        val vec = rankTopK(cos, "cos", topK, "r_vec")
         bm.join(vec, Seq("doc_id"), "full_outer")
           .select(
             $"doc_id",
@@ -518,8 +520,10 @@ object TextQueries {
       Some(
         s"""WITH ${bm25OracleCtes("'merge', 'window', 'batch'")},
            |bmr AS (
-           |  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r_bm
-           |  FROM bm
+           |  SELECT doc_id, r_bm FROM (
+           |    SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r_bm
+           |    FROM bm
+           |  ) WHERE r_bm <= 100
            |), vec AS (
            |  SELECT e.vec_id AS doc_id,
            |         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
@@ -527,8 +531,10 @@ object TextQueries {
            |  FROM embeddings e,
            |       (SELECT embedding FROM embeddings WHERE vec_id = 0) q
            |), vr AS (
-           |  SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS r_vec
-           |  FROM vec
+           |  SELECT doc_id, r_vec FROM (
+           |    SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS r_vec
+           |    FROM vec
+           |  ) WHERE r_vec <= 100
            |)
            |SELECT coalesce(bmr.doc_id, vr.doc_id) AS doc_id,
            |       round(coalesce(CAST(1.0 AS DOUBLE) / (60 + r_bm), 0.0) +
@@ -577,6 +583,38 @@ object TextQueries {
     * ranking query and the hybrid-search fusion. One token shuffle feeds
     * tf/dl/df; df and corpus stats broadcast back onto the scores.
     */
+  /** Global top-k of `scored` under (scoreCol desc, doc_id asc) with
+    * 1-based ranks — WITHOUT a window. The top-k plans as
+    * TakeOrderedAndProject (per-partition top-k, one bounded K-row
+    * merge); each survivor's rank is then 1 + the number of
+    * strictly-better survivors, from a broadcast self-join over the K
+    * rows (K^2 comparisons on K<=100 rows — constant work at any corpus
+    * size). Equivalent to row_number() because (round-6 score, doc_id)
+    * is a strict total order; unlike row_number over an empty partition
+    * spec, it never moves the corpus to one partition. pinEager: the
+    * K-row top list feeds both self-join sides.
+    */
+  private def rankTopK(
+      scored: org.apache.spark.sql.DataFrame,
+      scoreCol: String,
+      k: Int,
+      rankCol: String
+  ): org.apache.spark.sql.DataFrame = {
+    val top = graft.engine.PersistScope.pinEager(
+      scored.orderBy(col(scoreCol).desc, $"doc_id").limit(k)
+    )
+    val better = top.select(col(scoreCol).as("s2"), $"doc_id".as("d2"))
+    top
+      .join(
+        broadcast(better),
+        col("s2") > col(scoreCol) ||
+          (col("s2") === col(scoreCol) && $"d2" < $"doc_id"),
+        "left"
+      )
+      .groupBy($"doc_id", col(scoreCol))
+      .agg((count($"d2") + 1).as(rankCol))
+  }
+
   def bm25Scores(
       s: org.apache.spark.sql.SparkSession,
       dir: String,

@@ -100,6 +100,16 @@ class PlanSpec extends SparkTestBase {
     assert(hintCount("q5_join_multi") <= 4, "q5 grew broadcast hints")
   }
 
+  test("hybrid search plans zero windows — ranks come from bounded top-k") {
+    val plan = executed("q_hybrid_search")
+    // operator names are capitalized in formatted explain; the lowercase
+    // 'window' BM25 query term can't false-positive this
+    assert(!"""\bWindow\b""".r.findFirstIn(plan).isDefined,
+      "global window crept back into hybrid search:\n" + plan.take(3000))
+    assert(plan.contains("TakeOrderedAndProject"),
+      "per-modality top-k lost its TakeOrderedAndProject:\n" + plan.take(3000))
+  }
+
   test("column pruning: dedup reads only doc_id and text") {
     val plan = executed("q_dedup_minhash")
     val reads = "ReadSchema: struct<([^>]*)>".r
