@@ -9,11 +9,13 @@ import QueryUtil._
   * adaptations keep every JOIN/subquery/aggregation structure and swap
   * only the missing selection column; each entry documents its swap).
   *
-  * With CoreQueriesA/D this completes the expressible set: Q1-Q10, Q12-Q15,
-  * Q17-Q19, Q21, Q22 (Q11/Q16/Q20 are partsupp-pivoted — their structure
-  * is inexpressible without the table, not merely a column swap; Q9's
-  * supplycost is replaced by a retail-price proxy which preserves the
-  * 5-way join + profit-by-nation-and-year structure).
+  * With CoreQueriesA/D this completes ALL 22 TPC-H shapes: Q1-Q22.
+  * Q11/Q16/Q20 are partsupp-pivoted and the fixture ships no partsupp —
+  * they run over a deterministic derived partsupp (PartsuppCte: seeded
+  * integer arithmetic over part x {0..3}, the identical CTE text
+  * evaluated by both engines), preserving every join/subquery structure.
+  * Q9's supplycost is replaced by a retail-price proxy which preserves
+  * the 5-way join + profit-by-nation-and-year structure.
   *
   * Every query is a single SQL text run through BOTH Catalyst and the
   * DuckDB oracle (sqlQ) — the exact-decimal money discipline
@@ -250,6 +252,93 @@ object CoreQueriesF {
         "ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) top_orders " +
         "WHERE c_custkey < 20 " +
         "ORDER BY c_custkey, o_totalprice DESC, o_orderkey"
+    ),
+    // Q11 important stock: value of each part's stock held by one
+    // nation's suppliers, kept only above a fraction of the nation's
+    // total — the partsupp pivot + HAVING-over-global-scalar shape.
+    // partsupp comes from PartsuppCte (see its doc); NATION_3 has
+    // suppliers at every fixture SF; fraction 0.001 plays the role of
+    // TPC-H's 0.0001/SF. Money discipline: per-row DECIMAL(18,2) * INT
+    // products sum exactly, per-part sums re-sum exactly for the global
+    // threshold, and only the final comparison/output casts to DOUBLE.
+    sqlQ(
+      "q11_important_stock",
+      Seq("part", "supplier", "nation"),
+      s"WITH $PartsuppCte, natps AS (" +
+        "SELECT ps_partkey, CAST(ps_supplycost AS DECIMAL(18,2)) * ps_availqty AS v " +
+        "FROM partsupp JOIN supplier ON ps_suppkey = s_suppkey " +
+        "JOIN nation ON s_nationkey = n_nationkey " +
+        "WHERE n_name = 'NATION_3'), " +
+        "grp AS (SELECT ps_partkey, sum(v) AS vdec FROM natps GROUP BY ps_partkey) " +
+        "SELECT ps_partkey, CAST(vdec AS DOUBLE) AS stock_value " +
+        "FROM grp " +
+        "WHERE CAST(vdec AS DOUBLE) > " +
+        "(SELECT CAST(sum(vdec) AS DOUBLE) * 0.001 FROM grp) " +
+        "ORDER BY stock_value DESC, ps_partkey"
+    ),
+    // Q16 part/supplier relationship: distinct supplier count per
+    // (brand, type, size) with a NOT IN supplier exclusion. No s_comment
+    // in the fixture -> the "Customer Complaints" exclusion becomes
+    // s_acctbal < 0 (same NOT IN + subquery shape; empty set at sf0.001
+    // is still exercised — NOT IN over an empty set keeps all rows in
+    // both engines). Single-word p_type -> '<> PROMO' replaces the
+    // 'MEDIUM POLISHED%' NOT LIKE.
+    sqlQ(
+      "q16_part_supplier",
+      Seq("part", "supplier"),
+      s"WITH $PartsuppCte " +
+        "SELECT p_brand, p_type, p_size, " +
+        "count(DISTINCT ps_suppkey) AS supplier_cnt " +
+        "FROM partsupp JOIN part ON p_partkey = ps_partkey " +
+        "WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO' " +
+        "AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45) " +
+        "AND ps_suppkey NOT IN " +
+        "(SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) " +
+        "GROUP BY p_brand, p_type, p_size " +
+        "ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"
+    ),
+    // Q20 potential part promotion: suppliers of 'small%' parts whose
+    // stock exceeds half of what they actually shipped 1996-1999 — the
+    // nested IN + correlated scalar aggregate shape (the four-year window
+    // replaces TPC-H's one year so the derived-partsupp pair coverage
+    // yields rows at every fixture SF, 1/3/3). No s_address -> output is
+    // s_name alone (unique, total order). The correlated sum uses the
+    // exact-decimal quantity discipline; an empty correlated group yields
+    // NULL, and `>` NULL filters the row identically in both engines.
+    sqlQ(
+      "q20_potential_promo",
+      Seq("part", "supplier", "nation", "lineitem"),
+      s"WITH $PartsuppCte " +
+        "SELECT s_name FROM supplier JOIN nation ON s_nationkey = n_nationkey " +
+        "WHERE n_name = 'NATION_3' AND s_suppkey IN (" +
+        "SELECT ps_suppkey FROM partsupp " +
+        "WHERE ps_partkey IN " +
+        "(SELECT p_partkey FROM part WHERE p_name LIKE 'small%') " +
+        "AND ps_availqty > (" +
+        "SELECT CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) / 2 " +
+        "FROM lineitem " +
+        "WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey " +
+        "AND l_shipdate >= TIMESTAMP '1996-01-01' " +
+        "AND l_shipdate < TIMESTAMP '2000-01-01')) " +
+        "ORDER BY s_name"
     )
   )
+
+  /** Deterministic partsupp derivation — the fixture ships no partsupp
+    * table, so Q11/Q16/Q20 derive one from part x {0,1,2,3} with seeded
+    * integer arithmetic (no rand): 4 suppliers per part, availqty in
+    * [1, 9999], supplycost in [1.00, 1000.99]. Pure integer `%` and one
+    * double division make the CTE bit-identical in Spark and DuckDB (the
+    * SAME text runs in both), and (ps_partkey, ps_suppkey) is unique
+    * because 13*{1,2,3} mod S is never 0 for the fixture supplier counts
+    * (10/100/1000). Keys are 0-based to match the fixture's s_suppkey.
+    */
+  // def, not val: referenced from `all` above during object init
+  private def PartsuppCte: String =
+    "partsupp AS (" +
+      "SELECT p_partkey AS ps_partkey, " +
+      "(p_partkey * 7 + i * 13) % (SELECT count(*) FROM supplier) AS ps_suppkey, " +
+      "CAST((p_partkey * 31 + i * 17) % 9999 + 1 AS INT) AS ps_availqty, " +
+      "((p_partkey * 53 + i * 29) % 100000 + 100) / CAST(100 AS DOUBLE) AS ps_supplycost " +
+      "FROM part CROSS JOIN (VALUES (0), (1), (2), (3)) AS gen(i))"
 }
