@@ -11,6 +11,13 @@ object Verify {
       case Array(s, o)    => (s, o, None)
       case Array(s, o, f) => (s, o, Some(f.split(',').toSet))
     }
+    // A misspelled filter name would otherwise match nothing and exit 0
+    // having overwritten a previous full dump with an empty one.
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"unknown query name(s) in filter: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     // Route through GraftSession.local so the documented scale defaults
     // (AQE, sized shuffle partitions, UTC, nanos parquet compat) are the

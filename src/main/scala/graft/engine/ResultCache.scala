@@ -1,7 +1,5 @@
 package graft.engine
 
-import scala.collection.concurrent.TrieMap
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.storage.StorageLevel
 
@@ -15,35 +13,70 @@ import org.apache.spark.storage.StorageLevel
   * cache has no spill), and the registry only holds the handle. A 100 TB
   * cached result therefore costs the driver nothing.
   *
+  * `capacity` realizes the bound the reference DECLARES but never enforces
+  * (crates/cache/src/lib.rs:13-16: `CacheConfig.capacity` is read by no
+  * code path) — when set, the least-recently-USED entry is evicted and
+  * unpersisted on overflow, so a long-lived session cannot pin unbounded
+  * executor storage. `None` (the default, matching the reference's
+  * `Default`) keeps the cache unbounded with explicit invalidation only.
+  *
   * Invalidation is explicit (`invalidate`/`clear`), mirroring the
   * reference's API; the CDC-driven refresh the reference stubs
   * (crates/cdc/src/lib.rs:9) is realized by streaming.EventsStream wiring
   * `foreachBatch` to `refresh`.
   */
-final class ResultCache(spark: SparkSession) {
+final class ResultCache(spark: SparkSession, capacity: Option[Int] = None) {
+  require(capacity.forall(_ > 0), s"capacity must be positive, got $capacity")
 
-  private val entries = TrieMap.empty[String, DataFrame]
+  // access-ordered LinkedHashMap = LRU order for free; all map access is
+  // synchronized on `entries` (the 10x50 EngineSpec concurrency test runs
+  // against this). unpersist is non-blocking and happens outside no lock
+  // hazard — Spark's own unpersist is thread-safe.
+  private val entries = new java.util.LinkedHashMap[String, DataFrame](
+    16, 0.75f, /* accessOrder = */ true)
 
   /** Cache a result under a key (reference cache/src/lib.rs:38-44 `put`).
-    * Eagerly materializes so the first read doesn't pay compute.
+    * Eagerly materializes so the first read doesn't pay compute. On
+    * overflow past `capacity`, evicts + unpersists least-recently-used
+    * entries (never the key just written).
     */
   def put(key: String, df: DataFrame): DataFrame = {
     val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
     cached.count() // force materialization, like the reference's stored batches
-    entries.put(key, cached).foreach(_.unpersist(blocking = false))
+    val evicted = entries.synchronized {
+      val prev = Option(entries.put(key, cached))
+      val over = Iterator
+        .continually {
+          val it = entries.entrySet().iterator()
+          if (capacity.exists(_ < entries.size())) {
+            // eldest-by-access first; the just-put key is most recent so
+            // it is only reachable when capacity == 0, excluded by require
+            val eldest = it.next()
+            it.remove()
+            Some(eldest.getValue)
+          } else None
+        }
+        .takeWhile(_.isDefined)
+        .flatten
+        .toList
+      prev.toList ++ over
+    }
+    evicted.foreach(_.unpersist(blocking = false))
     cached
   }
 
-  /** Lookup (reference cache/src/lib.rs:46-50 `get`). */
-  def get(key: String): Option[DataFrame] = entries.get(key)
+  /** Lookup (reference cache/src/lib.rs:46-50 `get`); refreshes LRU rank. */
+  def get(key: String): Option[DataFrame] =
+    entries.synchronized(Option(entries.get(key)))
 
   /** Compute-through: return the cached frame or build, cache, and return. */
   def getOrPut(key: String)(build: => DataFrame): DataFrame =
-    entries.getOrElse(key, put(key, build))
+    get(key).getOrElse(put(key, build))
 
   /** Drop one key (reference `invalidate`). */
   def invalidate(key: String): Unit =
-    entries.remove(key).foreach(_.unpersist(blocking = false))
+    entries.synchronized(Option(entries.remove(key)))
+      .foreach(_.unpersist(blocking = false))
 
   /** Recompute a cached entry from a fresh build — the CDC-refresh hook. */
   def refresh(key: String, build: => DataFrame): DataFrame = {
@@ -52,9 +85,10 @@ final class ResultCache(spark: SparkSession) {
   }
 
   /** Drop everything (reference `clear`). */
-  def clear(): Unit = {
-    entries.keys.foreach(invalidate)
-  }
+  def clear(): Unit = keys.foreach(invalidate)
 
-  def keys: Set[String] = entries.keySet.toSet
+  def keys: Set[String] = {
+    import scala.jdk.CollectionConverters._
+    entries.synchronized(entries.keySet().asScala.toSet)
+  }
 }

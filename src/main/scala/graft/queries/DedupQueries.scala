@@ -173,11 +173,15 @@ object DedupQueries {
     // (groupBy digest, never an all-pairs join). Candidates then verified
     // with exact Jaccard, so false positives drop out and the result equals
     // the exact operator whenever recall is 1 — which the banding math
-    // guarantees at J >= 0.8 (miss prob (1-J^4)^16 <= 4e-8). The oracle IS
-    // the exact computation over the FULL shingle sets (uncapped — this
-    // path never builds the inverted-index self-join, so the stop-shingle
-    // cut protecting jaccardPairs does not apply here; banding is what
-    // bounds the candidates instead).
+    // guarantees at J >= 0.8 (miss prob (1-J^4)^16 <= 4e-8) — AND the
+    // q_dedup_jaccard df cap is a no-op (true on this fixture, max shingle
+    // df 25 << JaccardDfCap). On a corpus where the cap actually cuts
+    // stop-shingles the two operators legitimately diverge: this path
+    // verifies over FULL shingle sets, q_dedup_jaccard over capped ones.
+    // The oracle IS the exact computation over the FULL sets (uncapped —
+    // this path never builds the inverted-index self-join, so the
+    // stop-shingle cut protecting jaccardPairs does not apply here;
+    // banding is what bounds the candidates instead).
     Q(
       "q_dedup_minhash",
       (s, dir) => {

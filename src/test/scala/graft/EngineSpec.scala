@@ -56,6 +56,28 @@ class EngineSpec extends SparkTestBase {
     assert(session.execute("SELECT s FROM cached_sum").head().getLong(0) === 30L)
   }
 
+  test("bounded cache evicts least-recently-USED, unpersists it, keeps the rest") {
+    import spark.implicits._
+    val c = new graft.engine.ResultCache(spark, capacity = Some(3))
+    val frames = (1 to 3).map { i =>
+      i -> c.put(s"ev-$i", Seq(i).toDF("v"))
+    }.toMap
+    // touch ev-1 so ev-2 becomes the LRU entry
+    assert(c.get("ev-1").isDefined)
+    val f4 = c.put("ev-4", Seq(4).toDF("v"))
+    assert(c.keys === Set("ev-1", "ev-3", "ev-4"), "LRU entry ev-2 should be gone")
+    assert(frames(2).storageLevel === org.apache.spark.storage.StorageLevel.NONE,
+      "evicted frame must be unpersisted")
+    // survivors stay pinned and readable
+    assert(frames(1).storageLevel.useMemory)
+    assert(c.get("ev-1").get.head().getInt(0) === 1)
+    assert(c.get("ev-3").get.head().getInt(0) === 3)
+    assert(c.get("ev-4").get.head().getInt(0) === 4)
+    c.clear()
+    assert(c.keys.isEmpty)
+    assert(f4.storageLevel === org.apache.spark.storage.StorageLevel.NONE)
+  }
+
   test("cache concurrency (reference cache 10 tasks x 50 ops, lib.rs:139-191)") {
     import spark.implicits._
     val pool = Executors.newFixedThreadPool(10)
