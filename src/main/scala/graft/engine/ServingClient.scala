@@ -28,13 +28,23 @@ object ServingClient {
     * drained into driver-side values (fine for a client; the SERVER never
     * materializes more than a batch).
     */
-  def request(port: Int, verb: String, payload: String = ""): Response = {
+  def request(
+      port: Int,
+      verb: String,
+      payload: String = "",
+      body: java.io.OutputStream => Unit = _ => ()
+  ): Response = {
     val sock = new Socket("127.0.0.1", port)
     try {
       val out = sock.getOutputStream
       val line = if (payload.isEmpty) verb else s"$verb $payload"
       out.write((line + "\n").getBytes(StandardCharsets.UTF_8))
+      body(out) // DO_PUT's Arrow IPC stream; a no-op for every other verb
       out.flush()
+      // half-close: the request is complete. A server-side body reader
+      // sees EOF instead of waiting out its socket timeout on a body
+      // that ends without Arrow's end-of-stream marker.
+      sock.shutdownOutput()
 
       val in = new BufferedInputStream(sock.getInputStream)
       val status = readLine(in)
@@ -70,6 +80,27 @@ object ServingClient {
 
   def doGet(port: Int, sql: String): Response =
     request(port, "DO_GET", sql)
+
+  /** Upload a DataFrame as the DO_PUT Arrow IPC body; the response's
+    * columnNames echo the schema the server registered under `table`.
+    */
+  def doPut(
+      port: Int,
+      table: String,
+      df: org.apache.spark.sql.DataFrame,
+      batchSize: Int = 1024
+  ): Response =
+    request(port, "DO_PUT", table,
+      body = out => {
+        org.apache.spark.sql.GraftArrowBridge.writeBatches(df, batchSize, out)
+        out.flush()
+      })
+
+  def getSchema(port: Int, table: String): Response =
+    request(port, "GET_SCHEMA", table)
+
+  def listFlights(port: Int): Response =
+    request(port, "LIST_FLIGHTS")
 
   private def readLine(in: java.io.InputStream): String = {
     // byte-at-a-time (must not over-read into the Arrow stream), decoded

@@ -1,6 +1,6 @@
 package graft.engine
 
-import java.io.{BufferedOutputStream, BufferedReader, InputStreamReader}
+import java.io.{BufferedInputStream, BufferedOutputStream, InputStream}
 import java.net.{InetAddress, ServerSocket, Socket, SocketException, SocketTimeoutException}
 import java.nio.charset.StandardCharsets
 import java.util.concurrent.{LinkedBlockingQueue, ThreadPoolExecutor, TimeUnit}
@@ -12,7 +12,8 @@ import java.util.concurrent.{LinkedBlockingQueue, ThreadPoolExecutor, TimeUnit}
   * payload (Arrow IPC streams) are the reference's.
   *
   * Protocol, one request per connection:
-  *   request  = one UTF-8 line: `VERB[ payload]\n` (SQL must be one line)
+  *   request  = one UTF-8 line: `VERB[ payload]\n` (SQL must be one line);
+  *     DO_PUT is followed by an Arrow IPC stream on the same connection
   *   response = status line, then for OK an Arrow IPC stream:
   *     `GET_FLIGHT_INFO <sql>` -> `OK\n` + IPC stream carrying ONLY the
   *        schema — planned, never executed (the reference executes the
@@ -21,13 +22,23 @@ import java.util.concurrent.{LinkedBlockingQueue, ThreadPoolExecutor, TimeUnit}
   *     `DO_GET <sql>`          -> `OK\n` + IPC stream of <=batchSize-row
   *        record batches (reference: batches_to_flight_data,
   *        api/src/lib.rs:122-148).
+  *     `DO_PUT <table>` + IPC  -> decodes the client's Arrow stream,
+  *        registers it as `<table>`, answers `OK\n` + a schema-only IPC
+  *        stream of what was registered. The reference DECLARES DoPut and
+  *        leaves it unimplemented (api/src/lib.rs:151-156); implementing
+  *        it closes the ingest->query->serve loop its CDC story promises.
+  *     `GET_SCHEMA <table>`    -> `OK\n` + schema-only IPC stream of the
+  *        registered table (reference: unimplemented, api/src/lib.rs).
+  *     `LIST_FLIGHTS`          -> `OK\n` + IPC stream of one batch with a
+  *        `name` column: the catalog's table names, sorted (reference:
+  *        unimplemented, api/src/lib.rs:77-79).
   *     empty payload           -> `ERR INVALID_ARGUMENT ...` (reference:
   *        Status::invalid_argument, api/src/lib.rs:88-90).
-  *     HANDSHAKE / LIST_FLIGHTS / GET_SCHEMA / DO_PUT / DO_EXCHANGE /
-  *     DO_ACTION / LIST_ACTIONS / POLL_FLIGHT_INFO
-  *                             -> `ERR UNIMPLEMENTED <verb> is not yet
-  *        implemented` (the reference's exact behavior for every one of
-  *        these, api/src/lib.rs:67-79,151-190).
+  *     HANDSHAKE / DO_EXCHANGE / DO_ACTION / LIST_ACTIONS /
+  *     POLL_FLIGHT_INFO        -> `ERR UNIMPLEMENTED <verb> is not yet
+  *        implemented` (the reference's behavior for these,
+  *        api/src/lib.rs:67-75,158-190 — auth/exchange verbs with no
+  *        engine surface behind them stay honest stubs here too).
   *     anything else           -> `ERR INVALID_ARGUMENT unknown method`
   *     execution failure       -> `ERR INTERNAL <first line of message>`
   *
@@ -48,9 +59,12 @@ final class ServingServer(
 ) extends AutoCloseable {
 
   private val unimplemented = Set(
-    "HANDSHAKE", "LIST_FLIGHTS", "GET_SCHEMA", "DO_PUT",
-    "DO_EXCHANGE", "DO_ACTION", "LIST_ACTIONS", "POLL_FLIGHT_INFO"
+    "HANDSHAKE", "DO_EXCHANGE", "DO_ACTION", "LIST_ACTIONS", "POLL_FLIGHT_INFO"
   )
+
+  // DO_PUT table names go straight into the catalog — keep them plain
+  // identifiers so a payload can never smuggle SQL into view registration
+  private val TableName = "[A-Za-z_][A-Za-z0-9_]{0,127}".r
 
   private val server =
     new ServerSocket(port, 64, InetAddress.getLoopbackAddress)
@@ -116,9 +130,11 @@ final class ServingServer(
       out.flush()
     }
     try {
-      val in = new BufferedReader(
-        new InputStreamReader(sock.getInputStream, StandardCharsets.UTF_8))
-      val line = Option(in.readLine()).getOrElse("")
+      // byte-level line read, NOT a Reader: a DO_PUT request line is
+      // followed by raw Arrow IPC bytes on the same stream, and a
+      // char-decoding reader would buffer-ahead into (and mangle) them
+      val in = new BufferedInputStream(sock.getInputStream)
+      val line = readRequestLine(in)
       val (verb, payload) = line.indexOf(' ') match {
         case -1 => (line.trim, "")
         case i  => (line.substring(0, i), line.substring(i + 1).trim)
@@ -161,6 +177,47 @@ final class ServingServer(
                 throw e
             }
           }
+        case "DO_PUT" =>
+          payload match {
+            case "" =>
+              status("ERR INVALID_ARGUMENT No table name in request")
+            case TableName() =>
+              // decode BEFORE the OK: a malformed IPC payload must come
+              // back as a status line, not a half-registered table
+              val df = org.apache.spark.sql.GraftArrowBridge
+                .readBatches(in, session.spark)
+              session.registerTable(payload, df)
+              status("OK")
+              org.apache.spark.sql.GraftArrowBridge.writeSchemaOnly(
+                df.schema,
+                session.spark.sessionState.conf.sessionLocalTimeZone,
+                out
+              )
+              out.flush()
+            case bad =>
+              status(s"ERR INVALID_ARGUMENT invalid table name '$bad'")
+          }
+        case "GET_SCHEMA" =>
+          if (payload.isEmpty)
+            status("ERR INVALID_ARGUMENT No table name in request")
+          else {
+            val schema = session.table(payload).schema // throws if unknown -> ERR INTERNAL
+            status("OK")
+            org.apache.spark.sql.GraftArrowBridge.writeSchemaOnly(
+              schema,
+              session.spark.sessionState.conf.sessionLocalTimeZone,
+              out
+            )
+            out.flush()
+          }
+        case "LIST_FLIGHTS" =>
+          val names = {
+            import session.spark.implicits._
+            session.tableNames.sorted.toDF("name")
+          }
+          status("OK")
+          org.apache.spark.sql.GraftArrowBridge.writeBatches(names, batchSize, out)
+          out.flush()
         case v if unimplemented.contains(v) =>
           status(s"ERR UNIMPLEMENTED ${v.toLowerCase} is not yet implemented")
         case v =>
@@ -186,6 +243,20 @@ final class ServingServer(
       try sock.close()
       catch { case _: Throwable => () }
     }
+  }
+
+  /** Read the `VERB[ payload]\n` line byte-at-a-time (over the shared
+    * BufferedInputStream, so it costs one syscall, not one per byte) and
+    * leave every byte after the newline — a DO_PUT body — untouched.
+    */
+  private def readRequestLine(in: InputStream): String = {
+    val buf = new java.io.ByteArrayOutputStream
+    var b = in.read()
+    while (b != -1 && b != '\n') {
+      buf.write(b)
+      b = in.read()
+    }
+    new String(buf.toByteArray, StandardCharsets.UTF_8).stripSuffix("\r")
   }
 
   override def close(): Unit = {

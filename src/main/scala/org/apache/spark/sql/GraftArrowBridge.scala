@@ -1,13 +1,15 @@
 package org.apache.spark.sql
 
-import java.io.OutputStream
+import java.io.{InputStream, OutputStream}
 
 import org.apache.arrow.vector.VectorSchemaRoot
-import org.apache.arrow.vector.ipc.ArrowStreamWriter
-import org.apache.spark.sql.classic.{DataFrame => ClassicDataFrame}
+import org.apache.arrow.vector.ipc.{ArrowStreamReader, ArrowStreamWriter}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.classic.{DataFrame => ClassicDataFrame, SparkSession => ClassicSparkSession}
 import org.apache.spark.sql.execution.arrow.ArrowWriter
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.ArrowUtils
+import org.apache.spark.sql.vectorized.{ArrowColumnVector, ColumnVector, ColumnarBatch}
 
 /** Narrow bridge into Spark's `private[sql]` Arrow machinery: the serving
   * endpoint streams query results as Arrow IPC (the reference's wire
@@ -82,6 +84,45 @@ object GraftArrowBridge {
       ipc.end()
     } finally {
       root.close()
+      allocator.close()
+    }
+  }
+
+  /** Decode an Arrow IPC stream into a DataFrame — the `do_put` ingest
+    * direction. Reads batches with the stock Arrow reader, views each via
+    * Spark's own `ArrowColumnVector`/`ColumnarBatch` (the same Arrow->row
+    * path every columnar scan uses — full type matrix, no hand-rolled
+    * value conversion), and parallelizes the rows into a DataFrame.
+    *
+    * The rows land on the driver first because they arrived over ONE
+    * socket — exactly the reference's (unimplemented) DoPut shape, a
+    * single gRPC stream into one node. This is the CDC/small-batch ingest
+    * path; bulk data enters through the distributed sources.
+    *
+    * Leaves `in` OPEN (the caller still owes the client a status line on
+    * the same socket).
+    */
+  def readBatches(in: InputStream, spark: SparkSession): DataFrame = {
+    val classic = spark.asInstanceOf[ClassicSparkSession]
+    val allocator =
+      ArrowUtils.rootAllocator.newChildAllocator("graft-do-put", 0, Long.MaxValue)
+    val reader = new ArrowStreamReader(in, allocator)
+    try {
+      val root = reader.getVectorSchemaRoot
+      val schema = ArrowUtils.fromArrowSchema(root.getSchema)
+      val rows = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+      while (reader.loadNextBatch()) {
+        val cols = Array.tabulate[ColumnVector](root.getFieldVectors.size()) {
+          i => new ArrowColumnVector(root.getVector(i))
+        }
+        val batch = new ColumnarBatch(cols, root.getRowCount)
+        val it = batch.rowIterator()
+        while (it.hasNext) rows += it.next().copy() // views over freed Arrow memory otherwise
+      }
+      classic.internalCreateDataFrame(
+        classic.sparkContext.parallelize(rows.toSeq), schema)
+    } finally {
+      reader.close( /* closeReadSource = */ false)
       allocator.close()
     }
   }

@@ -147,9 +147,53 @@ class ServingServerSpec extends SparkTestBase {
     }
   }
 
+  test("DO_PUT ingests an Arrow stream; DO_GET queries it — the full loop") {
+    import spark.implicits._
+    withServer { srv =>
+      val df = Seq((1L, "alpha", 1.5), (2L, "beta", 2.5), (3L, "gamma", 3.5))
+        .toDF("k", "s", "v")
+      val put = ServingClient.doPut(srv.boundPort, "put_tbl", df, batchSize = 2)
+      assert(put.isOk, put.status)
+      assert(put.columnNames === Seq("k", "s", "v"), "DO_PUT echoes the registered schema")
+      assert(put.rows.isEmpty, "DO_PUT response is schema-only")
+
+      val got = ServingClient.doGet(
+        srv.boundPort,
+        "SELECT k, s, v * 2 AS v2 FROM put_tbl ORDER BY k"
+      )
+      assert(got.isOk, got.status)
+      assert(got.rows.map(r => (r(0).toString.toLong, r(1).toString, r(2).toString.toDouble))
+        === Seq((1L, "alpha", 3.0), (2L, "beta", 5.0), (3L, "gamma", 7.0)))
+
+      // GET_SCHEMA over what DO_PUT registered
+      val sch = ServingClient.getSchema(srv.boundPort, "put_tbl")
+      assert(sch.isOk && sch.columnNames === Seq("k", "s", "v") && sch.rows.isEmpty)
+
+      // LIST_FLIGHTS surfaces it in the catalog
+      val ls = ServingClient.listFlights(srv.boundPort)
+      assert(ls.isOk && ls.columnNames === Seq("name"))
+      assert(ls.rows.map(_.head.toString).contains("put_tbl"))
+    }
+  }
+
+  test("DO_PUT rejects missing/invalid table names and garbage payloads") {
+    withServer { srv =>
+      assert(ServingClient.request(srv.boundPort, "DO_PUT").status
+        .startsWith("ERR INVALID_ARGUMENT"))
+      assert(ServingClient.request(srv.boundPort, "DO_PUT", "bad name; drop").status
+        .startsWith("ERR INVALID_ARGUMENT"))
+      // a body that is not an Arrow stream must come back as a status line
+      val garbage = ServingClient.request(srv.boundPort, "DO_PUT", "g_tbl",
+        body = out => out.write("this is not arrow".getBytes("UTF-8")))
+      assert(garbage.status.startsWith("ERR INTERNAL"), garbage.status)
+      assert(ServingClient.getSchema(srv.boundPort, "nonexistent_tbl").status
+        .startsWith("ERR INTERNAL"))
+    }
+  }
+
   test("unimplemented verbs answer UNIMPLEMENTED, like the reference") {
     withServer { srv =>
-      for (verb <- Seq("HANDSHAKE", "LIST_FLIGHTS", "GET_SCHEMA", "DO_PUT",
+      for (verb <- Seq("HANDSHAKE",
           "DO_EXCHANGE", "DO_ACTION", "LIST_ACTIONS", "POLL_FLIGHT_INFO")) {
         val r = ServingClient.request(srv.boundPort, verb)
         assert(
