@@ -121,23 +121,56 @@ object TextOps {
       }: _*
     )
 
-  /** 64-bit SimHash of a token array: every token votes its hash bits up or
+  /** Usable SimHash fingerprint bits. The per-token hash is Karp-Rabin mod
+    * the Mersenne prime 2^61-1 ([[graft.functions.RollingFingerprint]]), so
+    * values live in [0, 2^61-1): 61 bits carry signal. Chosen over xxhash64
+    * precisely because the KR fold is mirrorable in DuckDB HUGEINT algebra
+    * (QueryUtil.fingerprintOracleCte) — with it, the WHOLE vote/band/Hamming
+    * pipeline is hash-oracled instead of rows-only checked.
+    */
+  val SimhashBits = 61
+
+  /** Suffix appended to each token before hashing. KR folds these 8 extra
+    * bytes after the token, so the final value is
+    * `tokHash * 257^8 + C (mod 2^61-1)` — an affine multiplicative spread
+    * that fills all 61 bits even for short tokens. Without it a bare
+    * 1-3-char token hashes below 257^3 (~2^24): the high bits of MOST
+    * tokens would be constantly 0, every document's high-bit votes would
+    * collapse to -1, and the high LSH band would put the entire corpus in
+    * one bucket (an O(n^2) candidate blowup). The oracle concatenates the
+    * same pad before its fold.
+    */
+  val SimhashPad = "#simhash"
+
+  /** Per-token 61-bit hash feeding the SimHash votes: whole-string
+    * Karp-Rabin (window 0) over the padded token. Codegen'd native
+    * expression — the hot loop stays inside whole-stage codegen.
+    */
+  def simhashTokenHash(token: Column): Column =
+    graft.functions.Functions
+      .rollingFingerprint(concat(token, lit(SimhashPad)), lit(0))
+
+  /** SimHash of a token-hash column: every token votes its hash bits up or
     * down; the fingerprint keeps the majority sign per bit. Near-identical
     * texts land within a few bits of Hamming distance.
-    * Returns 64 per-bit vote aggregates to lay over a groupBy; combine with
+    * Takes the PRE-COMPUTED hash column ([[simhashTokenHash]], materialized
+    * once in a projection) — referencing the hash expression itself from
+    * all 61 sums would tempt Catalyst to inline the KR fold 61 times per
+    * token when subexpression elimination can't hold the tree.
+    * Returns per-bit vote aggregates to lay over a groupBy; combine with
     * [[simhashFromVotes]].
     */
-  def simhashVoteAggs(token: Column): Seq[Column] =
-    (0 until 64).map { i =>
+  def simhashVoteAggs(tokenHash: Column): Seq[Column] =
+    (0 until SimhashBits).map { i =>
       sum(
-        when(shiftright(xxhash64(token), i).bitwiseAND(lit(1L)) === 1L, 1)
+        when(shiftright(tokenHash, i).bitwiseAND(lit(1L)) === 1L, 1)
           .otherwise(-1)
       ).as(s"v$i")
     }
 
-  /** Reassemble the 64 vote sums into the fingerprint long. */
+  /** Reassemble the vote sums into the fingerprint long (bits 0..60). */
   def simhashFromVotes: Column =
-    (0 until 64)
+    (0 until SimhashBits)
       .map(i => when(col(s"v$i") > 0, shiftleft(lit(1L), i)).otherwise(0L))
       .reduce(_.bitwiseOR(_))
 

@@ -140,6 +140,55 @@ object DedupQueries {
       |WHERE round(i * 1.0 / (sa.n + sb.n - i), 6) >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** DuckDB mirror of `q_dedup_simhash`, bit for bit:
+    *  - per-token hash: the padded Karp-Rabin fold (same algebra as
+    *    QueryUtil.fingerprintOracleCte — HUGEINT modular folds, base 257
+    *    mod 2^61-1; `TextOps.SimhashPad` concatenated exactly like the
+    *    engine side so short tokens fill all 61 bits);
+    *  - votes: one (doc, bit) row per bit via a range() cross join instead
+    *    of 61 SUM columns — same sums, tractable SQL text;
+    *  - fingerprint: majority sign per bit reassembled with shifts;
+    *  - banding: 4 x 15-bit chunks, pairs sharing any chunk;
+    *  - verify: exact Hamming (bit_count of xor) <= 6.
+    * Every operation is integer-exact, so the hash gate proves the whole
+    * pipeline, not just row counts.
+    */
+  private def simhashOracle: String = {
+    val fold = "list_reduce(list_prepend(CAST(0 AS HUGEINT), codes), " +
+      "(a, b) -> (a * 257 + b) % 2305843009213693951)"
+    s"""WITH toks AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+      |  FROM documents
+      |), padded AS (
+      |  SELECT doc_id, w || '${TextOps.SimhashPad}' AS pw FROM toks
+      |), codes AS (
+      |  SELECT doc_id,
+      |         [CAST(unicode(pw[i]) AS HUGEINT) for i in range(1, length(pw)+1)] AS codes
+      |  FROM padded
+      |), th AS (
+      |  SELECT doc_id, CAST($fold AS BIGINT) AS h FROM codes
+      |), votes AS (
+      |  SELECT doc_id, i AS bit,
+      |         SUM(CASE WHEN ((h >> i) & 1) = 1 THEN 1 ELSE -1 END) AS v
+      |  FROM th, range(0, ${TextOps.SimhashBits}) t(i)
+      |  GROUP BY doc_id, i
+      |), fp AS (
+      |  SELECT doc_id,
+      |         CAST(SUM(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << bit
+      |                       ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+      |  FROM votes GROUP BY doc_id
+      |), chunks AS (
+      |  SELECT doc_id, simhash, c AS chunk, (simhash >> (c * 15)) & 32767 AS bits
+      |  FROM fp, range(0, 4) t(c)
+      |)
+      |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+      |       CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+      |FROM chunks x JOIN chunks y
+      |  ON x.chunk = y.chunk AND x.bits = y.bits AND x.doc_id < y.doc_id
+      |WHERE bit_count(xor(x.simhash, y.simhash)) <= 6
+      |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     // ----- exact dedup: content-hash keeper selection ----------------------
     // groupBy(sha2) ships 32-byte hashes + ids through the shuffle, never
@@ -242,30 +291,38 @@ object DedupQueries {
       bench = true
     ),
     // ----- SimHash fingerprints + near-dup candidates ----------------------
-    // xxhash64 is not reproducible in DuckDB, so no SQL oracle (driver does
-    // a rows-only check); SimHashSpec pins the semantics: planted near-dup
-    // pairs land within small Hamming distance, unrelated pairs far apart.
+    // Per-token hash = padded Karp-Rabin (TextOps.simhashTokenHash), chosen
+    // over xxhash64 because the KR fold IS reproducible in DuckDB HUGEINT
+    // algebra — the vote/band/Hamming pipeline below is therefore fully
+    // hash-oracled (simhashOracle mirrors every bit operation), graduating
+    // this query from the rows-only check it carried through round 5.
+    // DedupSpec additionally pins the semantics: planted near-dup pairs
+    // land within small Hamming distance, unrelated pairs far apart.
     Q(
       "q_dedup_simhash",
       (s, dir) => {
         val doc = t(s, dir, "documents")
-        val votes = doc
+        // hash materialized in its own projection so the 61 vote sums read
+        // a column, not 61 inlined copies of the KR fold
+        val th = doc
           .select($"doc_id", explode(TextOps.tokens($"text")).as("w"))
+          .select($"doc_id", TextOps.simhashTokenHash($"w").as("h"))
+        val votes = th
           .groupBy($"doc_id")
           .agg(
-            TextOps.simhashVoteAggs($"w").head,
-            TextOps.simhashVoteAggs($"w").tail: _*
+            TextOps.simhashVoteAggs($"h").head,
+            TextOps.simhashVoteAggs($"h").tail: _*
           )
         // eager: both chunk-join sides share the vote aggregation
         val fp = PersistScope.pinEager(
           votes.select($"doc_id", TextOps.simhashFromVotes.as("simhash"))
         )
-        // candidate pairs: any shared 16-bit chunk (4-band LSH on the
-        // fingerprint), then exact Hamming <= 6. Measured separation on
-        // the fixture: planted near-dup pairs land at Hamming 0-5, the
-        // word-soup noise floor starts at 2 but concentrates at 8-12 —
-        // 6 keeps every banding-reachable true pair and cuts candidates
-        // ~12x vs a 12 threshold.
+        // candidate pairs: any shared 15-bit chunk (4-band LSH over the 61
+        // usable fingerprint bits; bit 60 participates in Hamming only),
+        // then exact Hamming <= 6. Measured separation on the fixture:
+        // planted near-dup pairs land at Hamming 0-5, the word-soup noise
+        // floor concentrates at 8+ — 6 keeps every banding-reachable true
+        // pair while cutting candidates an order of magnitude.
         val chunks = fp.select(
           $"doc_id",
           $"simhash",
@@ -273,7 +330,7 @@ object DedupQueries {
             array((0 until 4).map { c =>
               struct(
                 lit(c).as("chunk"),
-                shiftright($"simhash", c * 16).bitwiseAND(lit(0xffffL)).as("bits")
+                shiftright($"simhash", c * 15).bitwiseAND(lit(0x7fffL)).as("bits")
               )
             }: _*)
           ).as("ck")
@@ -289,13 +346,16 @@ object DedupQueries {
           .select(
             col("x.doc_id").as("doc_a"),
             col("y.doc_id").as("doc_b"),
-            TextOps.hamming(col("x.simhash"), col("y.simhash")).as("hamming")
+            TextOps
+              .hamming(col("x.simhash"), col("y.simhash"))
+              .cast("bigint")
+              .as("hamming")
           )
           .distinct()
           .filter($"hamming" <= 6)
           .orderBy($"doc_a", $"doc_b")
       },
-      None
+      Some(simhashOracle)
     ),
     // ----- dedup clustering (connected components over near-dup pairs) -----
     // Pairs are only half the job: production dedup groups transitively
