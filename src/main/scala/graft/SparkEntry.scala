@@ -19,5 +19,5 @@ object SparkEntry {
     * driver records a weaker rows-only check for those).
     */
   def oracleSql: Map[String, String] =
-    Registry.all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+    Registry.all.flatMap(q => q.oracleNow.map(q.name -> _)).toMap
 }

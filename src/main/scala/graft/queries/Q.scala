@@ -8,14 +8,25 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   * is SQL-expressible) an equivalent ANSI-SQL oracle the driver runs in
   * DuckDB on the same parquet tables (BASELINE.md correctness gate).
   *
+  * `oracleFn` is the DYNAMIC variant: an oracle whose text is only known
+  * after the query has run (q_sim_topk_ivf embeds the KMeans centroids the
+  * run fitted). Verify dumps oracle_sql.json AFTER executing every query,
+  * so a dynamic oracle that captured its state during the run is emitted;
+  * one that never ran simply stays absent (the driver then records the
+  * same rows-only check it would for a static None).
+  *
   * `bench = true` marks the headline queries Bench.scala times at sf0.1.
   */
 final case class Q(
     name: String,
     fn: (SparkSession, String) => DataFrame,
     oracle: Option[String],
-    bench: Boolean = false
-)
+    bench: Boolean = false,
+    oracleFn: Option[() => Option[String]] = None
+) {
+  /** The oracle text as of NOW (post-run for dynamic oracles). */
+  def oracleNow: Option[String] = oracleFn.map(_()).getOrElse(oracle)
+}
 
 /** Shared helpers for query definitions. */
 object QueryUtil {
