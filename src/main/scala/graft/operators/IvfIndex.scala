@@ -64,7 +64,55 @@ object IvfIndex {
       .setFeaturesCol("__vec")
       .setPredictionCol("cell")
     val model = km.fit(train)
-    Model(model.transform(withVec).drop("__vec"), model.clusterCenters)
+    Model(assignCells(df, embCol, model.clusterCenters), model.clusterCenters)
+  }
+
+  /** Centroid rounded to float32 — the precision both the engine and the
+    * DuckDB oracle share (DotProduct takes array<float> operands).
+    */
+  def centroidF32(c: MlVector): Array[Float] = c.toArray.map(_.toFloat)
+
+  /** Sequential-order self dot product of a float-rounded centroid; the
+    * constant term of the assignment score, embedded as a literal on both
+    * engine and oracle sides so the bits are identical by construction.
+    */
+  def selfDot(f: Array[Float]): Double = {
+    var d = 0.0
+    var i = 0
+    while (i < f.length) { val v = f(i).toDouble; d += v * v; i += 1 }
+    d
+  }
+
+  /** Deterministic nearest-centroid assignment, replacing KMeansModel
+    * .transform for the labelling pass. transform's fastSquaredDistance
+    * (norm-cached, precision-gated) is not reproducible outside Spark ML;
+    * this computes argmin_i [ c_i·c_i - 2·(x·c_i) ] — same argmin as
+    * euclidean distance since x·x is constant per row — with a strictly
+    * sequential double-accumulation dot product (functions.DotProduct) over
+    * float32 operands. Every step (float widen, sequential fma-free adds,
+    * multiply by 2, subtract, argmin with first-index tie-break) has an
+    * exact DuckDB mirror, which is what lets q_sim_topk_ivf carry a full
+    * hash oracle instead of a rows-only check. Fitting stays KMeans; only
+    * the labelling is re-expressed.
+    */
+  def assignCells(
+      df: DataFrame,
+      embCol: String,
+      centroids: Array[MlVector]
+  ): DataFrame = {
+    val scores = centroids.toIndexedSeq.map { c =>
+      val f = centroidF32(c)
+      val centLit = array(f.toIndexedSeq.map(v => lit(v)): _*).cast("array<float>")
+      lit(selfDot(f)) -
+        lit(2.0) * graft.functions.Functions.dotProduct(col(embCol), centLit)
+    }
+    val scoreArr = array(scores: _*)
+    // first-occurrence argmin: array_position is 1-based and returns the
+    // FIRST index equal to the min — DuckDB's list_position ties the same way
+    df.withColumn(
+      "cell",
+      (array_position(scoreArr, array_min(scoreArr)) - 1).cast("int")
+    )
   }
 
   /** Write the assignments partitioned by cell — the layout that turns a

@@ -20,6 +20,55 @@ object SimilarityQueries {
 
   private val QueryVecId = 0
 
+  /** q_sim_topk_ivf's DYNAMIC oracle (Q.oracleFn): the SQL text embeds the
+    * KMeans centroids and probed cells the run actually fitted, so it can
+    * only be authored AFTER the query executes. The query fn stores it
+    * here; Verify reads `oracleNow` post-run when dumping oracle_sql.json.
+    */
+  private val ivfOracle =
+    new java.util.concurrent.atomic.AtomicReference[Option[String]](None)
+
+  /** Shortest round-trip double repr — DuckDB's parser is correctly
+    * rounded, so the literal parses back to the identical double bits.
+    */
+  private def dbl(d: Double): String = java.lang.Double.toString(d)
+
+  /** DuckDB mirror of IvfIndex.assignCells over the same float32-rounded
+    * centroid literals: score_i = c_i·c_i - 2·list_dot_product(e, c_i),
+    * cell = first-index argmin. list_dot_product accumulates left-to-right
+    * in double exactly like functions.DotProduct's sequential loop, and
+    * list_position breaks ties at the first occurrence exactly like
+    * Spark's array_position — identical bits end to end.
+    */
+  private def ivfOracleSql(
+      centroids: Array[Array[Float]],
+      probedCells: Seq[Int]
+  ): String = {
+    val scoreExprs = centroids.map { f =>
+      val lst = f.map(v => dbl(v.toDouble)).mkString("[", ", ", "]")
+      s"(${dbl(graft.operators.IvfIndex.selfDot(f))} - 2 * list_dot_product(e, $lst))"
+    }
+    s"""WITH emb AS (
+       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+       |), scored AS (
+       |  SELECT vec_id, label, e,
+       |         [${scoreExprs.mkString(",\n          ")}] AS scores
+       |  FROM emb
+       |), assigned AS (
+       |  SELECT vec_id, label, e,
+       |         list_position(scores, list_min(scores)) - 1 AS cell
+       |  FROM scored
+       |), topk AS (
+       |  SELECT x.vec_id, x.label,
+       |         round(list_cosine_similarity(x.e, q.e), 6) AS cos
+       |  FROM assigned x, (SELECT e FROM emb WHERE vec_id = $QueryVecId) q
+       |  WHERE x.cell IN (${probedCells.mkString(", ")})
+       |  ORDER BY cos DESC, x.vec_id
+       |  LIMIT 10
+       |)
+       |SELECT vec_id, label, cos FROM topk WHERE vec_id <> $QueryVecId""".stripMargin
+  }
+
   /** Deterministic plan-time ±1 hyperplanes (see functions.LshPlanes). */
   private def hyperplane(h: Int, dim: Int): Seq[Float] =
     graft.functions.LshPlanes.plane(h, dim)
@@ -196,9 +245,12 @@ object SimilarityQueries {
     // KMeans) -> write partitioned by cell -> probe via the written table,
     // so the query exercised here is the partition-pruned scan that scales
     // (see operators.IvfIndex; SimilaritySpec asserts PartitionFilters and
-    // that only nProbe cells' files are read). KMeans is seed-fixed but
-    // FP-reduction order isn't SQL-portable -> rows-only driver check;
-    // SimilaritySpec measures recall against brute force.
+    // that only nProbe cells' files are read). The fit stays KMeans, but
+    // the labelling pass is IvfIndex.assignCells — a deterministic
+    // sequential-dot argmin whose DuckDB mirror (centroids embedded as
+    // post-run literals via the oracleFn hook) reproduces every bit, so
+    // this query carries a full hash oracle; SimilaritySpec additionally
+    // measures recall against brute force.
     Q(
       "q_sim_topk_ivf",
       (s, dir) => {
@@ -223,12 +275,23 @@ object SimilarityQueries {
           .head()
           .getSeq[Float](0)
           .toArray
+        val probed =
+          graft.operators.IvfIndex.rankCells(idx.centroids, query).take(4)
+        ivfOracle.set(
+          Some(
+            ivfOracleSql(
+              idx.centroids.map(graft.operators.IvfIndex.centroidF32),
+              probed
+            )
+          )
+        )
         graft.operators.IvfIndex
           .probeStored(s, idx, query, "embedding", k = 10, nProbe = 4)
           .filter($"vec_id" =!= QueryVecId)
           .select($"vec_id", $"label", $"cos")
       },
-      None
+      None,
+      oracleFn = Some(() => ivfOracle.get())
     )
   )
 }
