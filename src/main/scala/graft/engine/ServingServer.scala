@@ -27,6 +27,9 @@ import java.util.concurrent.{LinkedBlockingQueue, ThreadPoolExecutor, TimeUnit}
   *        stream of what was registered. The reference DECLARES DoPut and
   *        leaves it unimplemented (api/src/lib.rs:151-156); implementing
   *        it closes the ingest->query->serve loop its CDC story promises.
+  *        Streams past `maxPutRows`/`maxPutBytes` answer
+  *        `ERR RESOURCE_EXHAUSTED` — ingest lands on the driver, so the
+  *        bound is what keeps one client from OOMing everyone's server.
   *     `GET_SCHEMA <table>`    -> `OK\n` + schema-only IPC stream of the
   *        registered table (reference: unimplemented, api/src/lib.rs).
   *     `LIST_FLIGHTS`          -> `OK\n` + IPC stream of one batch with a
@@ -55,7 +58,14 @@ final class ServingServer(
     port: Int = 0, // 0 = ephemeral; boundPort tells the truth
     batchSize: Int = 1024,
     maxWorkers: Int = 16, // driver-side query threads; bounded by design
-    requestTimeoutMs: Int = 30000 // max wait for the request line
+    requestTimeoutMs: Int = 30000, // max wait for the request line
+    // DO_PUT ingest bounds: the decoded stream lands in driver memory, so
+    // an unbounded put is a one-client driver OOM. Past either cap the
+    // client gets `ERR RESOURCE_EXHAUSTED` (back off / shrink), matching
+    // the pool-overflow vocabulary above. Bulk loads belong in the
+    // distributed sources, not this CDC-sized verb.
+    maxPutRows: Long = 1L << 20, // 1M rows
+    maxPutBytes: Long = 256L << 20 // 256 MiB of Arrow buffers
 ) extends AutoCloseable {
 
   private val unimplemented = Set(
@@ -182,18 +192,30 @@ final class ServingServer(
             case "" =>
               status("ERR INVALID_ARGUMENT No table name in request")
             case TableName() =>
-              // decode BEFORE the OK: a malformed IPC payload must come
-              // back as a status line, not a half-registered table
-              val df = org.apache.spark.sql.GraftArrowBridge
-                .readBatches(in, session.spark)
-              session.registerTable(payload, df)
-              status("OK")
-              org.apache.spark.sql.GraftArrowBridge.writeSchemaOnly(
-                df.schema,
-                session.spark.sessionState.conf.sessionLocalTimeZone,
-                out
-              )
-              out.flush()
+              try {
+                // decode BEFORE the OK: a malformed IPC payload must come
+                // back as a status line, not a half-registered table
+                val df = org.apache.spark.sql.GraftArrowBridge
+                  .readBatches(in, session.spark, maxPutRows, maxPutBytes)
+                session.registerTable(payload, df)
+                status("OK")
+                org.apache.spark.sql.GraftArrowBridge.writeSchemaOnly(
+                  df.schema,
+                  session.spark.sessionState.conf.sessionLocalTimeZone,
+                  out
+                )
+                out.flush()
+              } catch {
+                case e: org.apache.spark.sql.IngestLimitExceeded =>
+                  // over-limit put: the client's fault, not the server's —
+                  // same vocabulary as pool overflow so retry loops back off
+                  status(s"ERR RESOURCE_EXHAUSTED ${e.getMessage}")
+                  // drain (bounded) what the client already sent: closing
+                  // with bytes unread RSTs the connection, which on Linux
+                  // flushes the receive queue and can destroy the status
+                  // line before the client reads it
+                  drain(in)
+              }
             case bad =>
               status(s"ERR INVALID_ARGUMENT invalid table name '$bad'")
           }
@@ -243,6 +265,21 @@ final class ServingServer(
       try sock.close()
       catch { case _: Throwable => () }
     }
+  }
+
+  /** Consume (and discard) the rest of a refused request body, bounded by
+    * `cap` bytes and the socket's read timeout. EOF arrives as soon as the
+    * client half-closes after its last write; a firehose client is cut off
+    * at the cap and gets the RST it earned.
+    */
+  private def drain(in: InputStream, cap: Long = 16L << 20): Unit = {
+    val buf = new Array[Byte](8192)
+    var n = 0L
+    try while (n < cap) {
+      val r = in.read(buf)
+      if (r == -1) return
+      n += r
+    } catch { case _: Throwable => () }
   }
 
   /** Read the `VERB[ payload]\n` line byte-at-a-time (over the shared

@@ -11,6 +11,12 @@ import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.ArrowUtils
 import org.apache.spark.sql.vectorized.{ArrowColumnVector, ColumnVector, ColumnarBatch}
 
+/** A DO_PUT ingest exceeded the server's configured row/byte bound. A
+  * distinct type so ServingServer can answer `ERR RESOURCE_EXHAUSTED`
+  * (client should shrink/back off) instead of `ERR INTERNAL` (server bug).
+  */
+final class IngestLimitExceeded(msg: String) extends RuntimeException(msg)
+
 /** Narrow bridge into Spark's `private[sql]` Arrow machinery: the serving
   * endpoint streams query results as Arrow IPC (the reference's wire
   * format, crates/api/src/lib.rs:122-148) and Spark already ships a
@@ -101,17 +107,34 @@ object GraftArrowBridge {
     *
     * Leaves `in` OPEN (the caller still owes the client a status line on
     * the same socket).
+    *
+    * Because the whole stream lands on the driver, it MUST be bounded: a
+    * single fat-fingered (or malicious) client would otherwise OOM the
+    * driver that every other connection shares. `maxRows` caps the decoded
+    * row count and `maxBytes` caps the Arrow child allocator (so even one
+    * giant record batch is refused at allocation time, before it is
+    * resident); both trip [[IngestLimitExceeded]].
     */
-  def readBatches(in: InputStream, spark: SparkSession): DataFrame = {
+  def readBatches(
+      in: InputStream,
+      spark: SparkSession,
+      maxRows: Long = Long.MaxValue,
+      maxBytes: Long = Long.MaxValue
+  ): DataFrame = {
     val classic = spark.asInstanceOf[ClassicSparkSession]
     val allocator =
-      ArrowUtils.rootAllocator.newChildAllocator("graft-do-put", 0, Long.MaxValue)
+      ArrowUtils.rootAllocator.newChildAllocator("graft-do-put", 0, maxBytes)
     val reader = new ArrowStreamReader(in, allocator)
     try {
       val root = reader.getVectorSchemaRoot
       val schema = ArrowUtils.fromArrowSchema(root.getSchema)
       val rows = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+      var total = 0L
       while (reader.loadNextBatch()) {
+        total += root.getRowCount
+        if (total > maxRows)
+          throw new IngestLimitExceeded(
+            s"DO_PUT stream exceeds the $maxRows-row ingest bound")
         val cols = Array.tabulate[ColumnVector](root.getFieldVectors.size()) {
           i => new ArrowColumnVector(root.getVector(i))
         }
@@ -121,6 +144,10 @@ object GraftArrowBridge {
       }
       classic.internalCreateDataFrame(
         classic.sparkContext.parallelize(rows.toSeq), schema)
+    } catch {
+      case _: org.apache.arrow.memory.OutOfMemoryException =>
+        throw new IngestLimitExceeded(
+          s"DO_PUT stream exceeds the $maxBytes-byte ingest bound")
     } finally {
       reader.close( /* closeReadSource = */ false)
       allocator.close()

@@ -176,6 +176,33 @@ class ServingServerSpec extends SparkTestBase {
     }
   }
 
+  test("DO_PUT past the row/byte bound answers RESOURCE_EXHAUSTED, registers nothing") {
+    import spark.implicits._
+    // row bound
+    val rowSrv = new ServingServer(session, maxPutRows = 5).start()
+    try {
+      val big = (1 to 50).map(i => (i.toLong, s"row$i")).toDF("k", "s")
+      val r = ServingClient.doPut(rowSrv.boundPort, "oversized_tbl", big, batchSize = 4)
+      assert(r.status.startsWith("ERR RESOURCE_EXHAUSTED"), r.status)
+      // the refused table must not be half-registered
+      assert(ServingClient.getSchema(rowSrv.boundPort, "oversized_tbl").status
+        .startsWith("ERR INTERNAL"))
+      // and an in-bound put on the same server still works
+      val ok = ServingClient.doPut(
+        rowSrv.boundPort, "small_tbl", Seq((1L, "a")).toDF("k", "s"))
+      assert(ok.isOk, ok.status)
+    } finally rowSrv.close()
+
+    // byte bound: the child allocator refuses the batch at allocation time,
+    // before the payload is ever resident in driver memory
+    val byteSrv = new ServingServer(session, maxPutBytes = 1024).start()
+    try {
+      val fat = (1 to 2000).map(i => (i.toLong, "x" * 64)).toDF("k", "s")
+      val r = ServingClient.doPut(byteSrv.boundPort, "fat_tbl", fat, batchSize = 2000)
+      assert(r.status.startsWith("ERR RESOURCE_EXHAUSTED"), r.status)
+    } finally byteSrv.close()
+  }
+
   test("DO_PUT rejects missing/invalid table names and garbage payloads") {
     withServer { srv =>
       assert(ServingClient.request(srv.boundPort, "DO_PUT").status
