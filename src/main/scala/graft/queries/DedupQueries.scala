@@ -97,6 +97,13 @@ object DedupQueries {
   /** DuckDB mirror of `shingleSets`: lowercase, split on \s+, distinct
     * word 3-grams — the CTE fragment every shingle-based oracle shares
     * (emits `toks` and `sh(doc_id, shingles)`).
+    *
+    * `\s+` is NOT the same class in both engines — Java's includes \x0B
+    * (vertical tab), RE2's does not. The mirror is exact only because the
+    * fixture's whitespace is plain spaces, which DedupSpec's
+    * fixture-envelope test asserts (alongside pure-ASCII) so a future
+    * fixture regeneration that violates it fails loudly in CI, not as a
+    * silent oracle divergence.
     */
   private def shingleCteSql: String =
     """toks AS (
@@ -152,6 +159,14 @@ object DedupQueries {
     *  - verify: exact Hamming (bit_count of xor) <= 6.
     * Every operation is integer-exact, so the hash gate proves the whole
     * pipeline, not just row counts.
+    *
+    * Two fixture assumptions make "bit for bit" true, both PINNED by
+    * DedupSpec's fixture-envelope test rather than hoped:
+    *  - `unicode(pw[i])` folds CODEPOINTS while the engine's
+    *    RollingFingerprint folds UTF-8 BYTES — equal only while every char
+    *    is ASCII (codepoint <= 127; also keeps the base-257 fold aligned);
+    *  - Java's `\s` includes \x0B where RE2's does not — irrelevant only
+    *    while the corpus' whitespace is plain spaces.
     */
   private def simhashOracle: String = {
     val fold = "list_reduce(list_prepend(CAST(0 AS HUGEINT), codes), " +
@@ -319,10 +334,16 @@ object DedupQueries {
         )
         // candidate pairs: any shared 15-bit chunk (4-band LSH over the 61
         // usable fingerprint bits; bit 60 participates in Hamming only),
-        // then exact Hamming <= 6. Measured separation on the fixture:
-        // planted near-dup pairs land at Hamming 0-5, the word-soup noise
-        // floor concentrates at 8+ — 6 keeps every banding-reachable true
-        // pair while cutting candidates an order of magnitude.
+        // then exact Hamming <= 6. RECALL ENVELOPE (DedupSpec-pinned): 4
+        // bands x <=3 differing banded bits pigeonhole-GUARANTEE a clean
+        // shared band, so every pair at Hamming <= 3 is emitted; pairs at
+        // 4-6 are emitted iff their differing bits cluster into <= 3 of
+        // the 4 chunks (measured on the fixture: all planted pairs do —
+        // real near-dup edits touch few tokens, so their flipped vote
+        // bits clump). A true <= 6 guarantee needs 7 bands of ~9 bits,
+        // but 2^9-bucket bands collide quadratically on a large corpus
+        // (~n^2/2^10 candidate pairs per band) — a scale-killer; 15-bit
+        // bands keep buckets at 32768 and candidates near-linear.
         val chunks = fp.select(
           $"doc_id",
           $"simhash",
@@ -380,43 +401,7 @@ object DedupQueries {
             .union(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
             .toDF("src", "dst")
         )
-        val nodes = edges.select($"src".as("node")).distinct()
-        var labels = nodes.select($"node", $"node".as("label")).persist()
-        var converged = false
-        var iter = 0
-        // min-label propagation converges in <= diameter iterations; dup
-        // clusters are shallow, so 50 is generous. Exceeding it means the
-        // labels are NOT final — failing loudly beats silently emitting
-        // wrong cluster ids (the round-2 audit's truncation hazard).
-        val maxIters = 50
-        while (!converged && iter < maxIters) {
-          val prop = edges
-            .join(labels, $"src" === $"node")
-            .select($"dst".as("node"), $"label")
-          val next = labels
-            .union(prop)
-            .groupBy($"node")
-            .agg(min($"label").as("label"))
-            .persist()
-          val changed = next
-            .as("n")
-            .join(labels.as("o"), col("n.node") === col("o.node"))
-            .filter(col("n.label") =!= col("o.label"))
-            .count()
-          labels.unpersist(blocking = false)
-          labels = next
-          converged = changed == 0
-          iter += 1
-        }
-        if (!converged) {
-          labels.unpersist(blocking = false)
-          throw new IllegalStateException(
-            s"q_dedup_clusters: label propagation did not converge within " +
-              s"$maxIters iterations (component diameter exceeds the cap); " +
-              "refusing to emit unconverged cluster ids"
-          )
-        }
-        PersistScope.track(labels)
+        PersistScope.track(minLabelPropagation(edges))
           .select(
             $"node".as("doc_id"),
             $"label".as("cluster_id"),
@@ -554,6 +539,66 @@ object DedupQueries {
 
   // NOTE: declared as defs below `all` — a val here would still be null
   // while `all` initializes (object init order).
+
+  /** Min-label propagation over a SYMMETRIC edge list `(src, dst)` to the
+    * fixpoint: returns `(node, label)` where label = min reachable node id
+    * (= connected component id). Converges in <= diameter iterations; dup
+    * clusters are shallow, so the default cap is generous. Exceeding it
+    * throws — failing loudly beats silently emitting wrong cluster ids
+    * (the round-2 audit's truncation hazard).
+    *
+    * Lineage grows one join+groupBy per iteration; without truncation an
+    * executor loss late in a deep component replays the WHOLE chain from
+    * the source scan. `localCheckpoint` every 5 iterations (the cadence:
+    * deep enough to amortize the materialization, shallow enough that a
+    * recompute replays <= 5 iterations) cuts the replay window — and the
+    * convergence-check count has already forced each generation, so the
+    * eager checkpoint re-reads cached blocks, not the join chain.
+    * DedupSpec drives a 13-node chain (diameter crosses two checkpoint
+    * boundaries) to pin that checkpointing is invisible to the labels.
+    */
+  private[graft] def minLabelPropagation(
+      edges: DataFrame,
+      maxIters: Int = 50
+  ): DataFrame = {
+    val nodes = edges.select($"src".as("node")).distinct()
+    var labels = nodes.select($"node", $"node".as("label")).persist()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val prop = edges
+        .join(labels, $"src" === $"node")
+        .select($"dst".as("node"), $"label")
+      val next = labels
+        .union(prop)
+        .groupBy($"node")
+        .agg(min($"label").as("label"))
+        .persist()
+      val changed = next
+        .as("n")
+        .join(labels.as("o"), col("n.node") === col("o.node"))
+        .filter(col("n.label") =!= col("o.label"))
+        .count()
+      labels.unpersist(blocking = false)
+      labels =
+        if (iter % 5 == 4) {
+          val cp = next.localCheckpoint(eager = true)
+          next.unpersist(blocking = false)
+          cp
+        } else next
+      converged = changed == 0
+      iter += 1
+    }
+    if (!converged) {
+      labels.unpersist(blocking = false)
+      throw new IllegalStateException(
+        s"minLabelPropagation did not converge within $maxIters iterations " +
+          "(component diameter exceeds the cap); refusing to emit " +
+          "unconverged cluster ids"
+      )
+    }
+    labels
+  }
 
   /** Label-blocked cosine near-dup pairs (shared by the baseline query and
     * its LSH-rewritten twin — identical plan INPUT except for the hint

@@ -81,8 +81,11 @@ object QueryUtil {
 
   /** DuckDB mirror of `rolling_fingerprint` (functions.RollingFingerprint):
     * Karp-Rabin polynomial hash base 257 mod 2^61-1 over the text's BYTES,
-    * as HUGEINT modular folds over per-char codes (== bytes: the fixture is
-    * pure ASCII, verified). Emits a CTE named `fpc` with
+    * as HUGEINT modular folds over per-char codes (== bytes ONLY while the
+    * corpus is pure ASCII — a codepoint > 127 folds one multi-byte char
+    * where the engine folds 2-4 bytes and the equivalence silently breaks;
+    * DedupSpec's fixture-envelope test pins the assumption, it is not
+    * hoped). Emits a CTE named `fpc` with
     * (doc_id, full_fp, win_fp) where win_fp is the min over `w`-byte
     * rolling windows (whole-string hash when length <= w, matching the
     * expression's `window >= n` branch). O(n*w) per doc in SQL — fine for

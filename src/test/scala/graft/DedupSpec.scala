@@ -103,6 +103,91 @@ class DedupSpec extends SparkTestBase {
     )
   }
 
+  test("fixture satisfies the oracle envelope: pure ASCII, space-only whitespace") {
+    // The hash oracles' "bit for bit" claims rest on two fixture facts:
+    // DuckDB's unicode() folds codepoints where RollingFingerprint folds
+    // UTF-8 bytes (equal only for ASCII), and Java \s includes \x0B where
+    // RE2's does not (moot only when whitespace is plain spaces). Pin both
+    // at the spec'd sf AND the driver's oracle-gate sf, so a regenerated
+    // fixture that breaks either assumption fails HERE, not as a silent
+    // engine-vs-oracle divergence.
+    for (dir <- Seq(SparkTestBase.Sf0001, "/root/testdata/sf0.01")) {
+      val doc = graft.queries.QueryUtil.t(spark, dir, "documents")
+      val nonAscii = doc.filter(octet_length(col("text")) =!= length(col("text"))).count()
+      assert(nonAscii === 0L, s"$dir: $nonAscii docs contain non-ASCII text")
+      val oddWs = doc.filter(col("text").rlike("[\\t\\n\\u000B\\f\\r]")).count()
+      assert(oddWs === 0L, s"$dir: $oddWs docs contain non-space whitespace")
+    }
+  }
+
+  test("simhash banding envelope: Hamming<=3 guaranteed, emissions bounded at 6") {
+    // 4 bands x 15 bits over bits 0-59: a pair differing in <= 3 bits
+    // cannot dirty all 4 chunks (pigeonhole; a bit-60 diff is outside
+    // every chunk and only helps), so Hamming <= 3 pairs MUST be emitted.
+    // Pairs at 4-6 are best-effort — emitted iff their diffs cluster into
+    // <= 3 chunks. Everything emitted must verify at Hamming <= 6.
+    val fps = graft.queries.QueryUtil
+      .t(spark, SparkTestBase.Sf0001, "documents")
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+      .select(col("doc_id"), TextOps.simhashTokenHash(col("w")).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(TextOps.simhashVoteAggs(col("h")).head, TextOps.simhashVoteAggs(col("h")).tail: _*)
+      .select(col("doc_id"), TextOps.simhashFromVotes.as("simhash"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val emitted = Registry.byName("q_dedup_simhash")
+      .fn(spark, SparkTestBase.Sf0001)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+      .toMap
+    val allPairs = for {
+      (a, fa) <- fps
+      (b, fb) <- fps if a < b
+    } yield ((a, b), java.lang.Long.bitCount(fa ^ fb))
+    val guaranteed = allPairs.filter(_._2 <= 3).map(_._1).toSet
+    assert(guaranteed.nonEmpty, "fixture should contain Hamming<=3 pairs")
+    assert(
+      guaranteed.subsetOf(emitted.keySet),
+      s"pigeonhole-guaranteed pairs missing: ${guaranteed -- emitted.keySet}"
+    )
+    assert(emitted.values.forall(_ <= 6))
+    val within6 = allPairs.filter(_._2 <= 6).map(_._1).toSet
+    assert(emitted.keySet.subsetOf(within6), "emitted a pair beyond Hamming 6")
+  }
+
+  test("label propagation crosses checkpoint boundaries without changing labels") {
+    import spark.implicits._
+    // a 13-node path graph: min-label 0 travels one hop per iteration, so
+    // convergence takes >= 12 iterations — the localCheckpoint branch
+    // (every 5th iteration) fires at least twice, proving truncation is
+    // invisible to the fixpoint. Plus a disjoint triangle as a second
+    // component.
+    val chain = (0L until 12L).map(i => (i, i + 1))
+    val tri = Seq((100L, 101L), (101L, 102L))
+    val pairs = (chain ++ tri).toDF("doc_a", "doc_b")
+    val edges = pairs
+      .union(pairs.select($"doc_b", $"doc_a"))
+      .toDF("src", "dst")
+    val labels = graft.queries.DedupQueries
+      .minLabelPropagation(edges)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert((0L to 12L).forall(labels(_) == 0L), s"chain labels: $labels")
+    assert((100L to 102L).forall(labels(_) == 100L), s"triangle labels: $labels")
+  }
+
+  test("dedup clustering emits one keeper per cluster, keyed by min label") {
+    val rows = Registry.byName("q_dedup_clusters")
+      .fn(spark, SparkTestBase.Sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(1)).foreach { case (cid, members) =>
+      assert(members.count(_.getBoolean(2)) === 1, s"cluster $cid keepers")
+      assert(members.map(_.getLong(0)).min === cid, s"cluster $cid min-label")
+    }
+  }
+
   test("LSH candidate generation plans no cartesian product") {
     val plan = Registry.byName("q_dedup_minhash")
       .fn(spark, SparkTestBase.Sf0001)
