@@ -2,6 +2,8 @@ package graft
 
 import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.Row
 import graft.sources.CsvSource
 
@@ -102,6 +104,47 @@ class EngineSpec extends SparkTestBase {
     assert(errors.isEmpty, s"concurrent cache ops failed: ${errors.peek()}")
     session.cache.clear()
     assert(session.cache.keys.isEmpty)
+  }
+
+  test("getOrPut is single-flight: concurrent misses materialize once") {
+    import spark.implicits._
+    val c = new graft.engine.ResultCache(spark)
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    val start = new CountDownLatch(1)
+    val done = new CountDownLatch(8)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val pool = Executors.newFixedThreadPool(8)
+    (0 until 8).foreach { _ =>
+      pool.submit(new Runnable {
+        def run(): Unit =
+          try {
+            start.await()
+            val df = c.getOrPut("sf-key") {
+              builds.incrementAndGet()
+              Thread.sleep(200) // widen the miss window so threads genuinely race
+              Seq(41L, 1L).toDF("v")
+                .agg(org.apache.spark.sql.functions.sum($"v").as("s"))
+            }
+            results.add(df.head().getLong(0))
+          } catch { case e: Throwable => errors.add(e) }
+          finally done.countDown()
+      })
+    }
+    start.countDown()
+    assert(done.await(120, TimeUnit.SECONDS), "single-flight test timed out")
+    pool.shutdown()
+    assert(errors.isEmpty, s"getOrPut failed: ${errors.peek()}")
+    assert(builds.get() === 1, s"expected exactly one build, got ${builds.get()}")
+    assert(results.size === 8 && results.asScala.forall(_ == 42L))
+
+    // a failed build propagates to all waiters and does NOT poison the key
+    val boom = intercept[IllegalStateException] {
+      c.getOrPut("sf-bad")(throw new IllegalStateException("builder boom"))
+    }
+    assert(boom.getMessage === "builder boom")
+    assert(c.getOrPut("sf-bad")(Seq(7).toDF("v")).head().getInt(0) === 7)
+    c.clear()
   }
 
   // ----- CSV source (reference crates/connectors/filesystem/src/lib.rs) ----
