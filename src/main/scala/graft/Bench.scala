@@ -68,17 +68,31 @@ object Bench {
       ((System.nanoTime() - t0) / 1e9, ok)
     }
 
-    /** One timed, metric-attributed execution. */
-    def timedRun(q: graft.queries.Q): (Double, Boolean, Double, Double) = {
+    // 1-minute loadavg — recorded before/after every rep so a contention
+    // spike (round-6's q1_agg 8.46 s max against a 1.38 s min, same
+    // shuffle bytes) is adjudicable from the artifact alone instead of
+    // argued from vibes. -1.0 when /proc is unreadable.
+    def loadavg(): Double =
+      try {
+        val src = scala.io.Source.fromFile("/proc/loadavg")
+        try src.mkString.split(" ")(0).toDouble
+        finally src.close()
+      } catch { case _: Throwable => -1.0 }
+
+    /** One timed, metric- and load-attributed execution. */
+    def timedRun(q: graft.queries.Q): (Double, Boolean, Double, Double, Double, Double) = {
       val before = listener.snapshot
+      val load0 = loadavg()
       val (secs, ok) = run(q)
+      val load1 = loadavg()
       // listener events arrive async; give the bus a beat to drain
       org.apache.spark.GraftSparkInternals
         .waitListenerBusEmpty(spark.sparkContext, 10000)
       val after = listener.snapshot
       (secs, ok,
         (after._1 - before._1) / 1048576.0,
-        (after._3 - before._3) / 1048576.0)
+        (after._3 - before._3) / 1048576.0,
+        load0, load1)
     }
 
     // Cold pass (JVM/codegen/page-cache warmup), then THREE timed passes
@@ -93,7 +107,8 @@ object Bench {
       .waitListenerBusEmpty(spark.sparkContext, 10000)
     val reps = 3
     case class QStat(name: String, median: Double, min: Double, max: Double,
-        ok: Boolean, shuffleMb: Double, spillMb: Double)
+        ok: Boolean, shuffleMb: Double, spillMb: Double,
+        repTimes: Seq[Double], repLoads: Seq[(Double, Double)])
     val results = headline.map { q =>
       val runs = (1 to reps).map(_ => timedRun(q))
       val times = runs.map(_._1).sorted
@@ -102,7 +117,8 @@ object Bench {
       // shuffle numbers are bit-identical across reps in practice)
       val medRun = runs.minBy(r => math.abs(r._1 - median))
       QStat(q.name, median, times.head, times.last,
-        runs.forall(_._2), medRun._3, medRun._4)
+        runs.forall(_._2), medRun._3, medRun._4,
+        runs.map(_._1), runs.map(r => (r._5, r._6)))
     }
 
     def obj(f: QStat => String): String =
@@ -112,6 +128,11 @@ object Bench {
     val qmax = obj(r => f"${r.max}%.3f")
     val shuffle = obj(r => f"${r.shuffleMb}%.2f")
     val spills = obj(r => f"${r.spillMb}%.2f")
+    // per-rep wall times and [before, after] 1-min loadavg per rep, in
+    // run order: the spike-vs-load correlation IS the contention evidence
+    val qreps = obj(r => r.repTimes.map(t => f"$t%.3f").mkString("[", ",", "]"))
+    val qload = obj(r =>
+      r.repLoads.map { case (a, b) => f"[$a%.2f,$b%.2f]" }.mkString("[", ",", "]"))
     val failed = results.collect { case r if !r.ok => s""""${r.name}"""" }
       .mkString("[", ",", "]")
     val total = results.collect { case r if r.ok => r.median }.sum
@@ -120,7 +141,7 @@ object Bench {
     // via log4j2.properties) and is flushed before shutdown logging, so
     // the driver's parser finds it first
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qmin,"queries_max":$qmax,"reps":$reps,"failed":$failed,"cold_total":$coldTotal,"shuffle_read_mb":$shuffle,"spill_mb":$spills,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qmin,"queries_max":$qmax,"queries_reps":$qreps,"queries_load":$qload,"reps":$reps,"failed":$failed,"cold_total":$coldTotal,"shuffle_read_mb":$shuffle,"spill_mb":$spills,"sf":"$sfDir"}"""
     )
     System.out.flush()
     spark.stop()

@@ -46,6 +46,35 @@ object ScaleProbe {
       )
   }
 
+  /** Corpus generator for the dedup-family probe. Two deliberate choices:
+    *  - 64k vocabulary (vs genDocs' 64-word soup): a real corpus has a
+    *    shingle space far larger than its row count, so per-shingle df
+    *    stays O(1). The 64-word soup's 64^3 = 262k shingle space would
+    *    collide into df ~ n/262k at scale and fabricate a quadratic
+    *    inverted-index self-join that no real corpus produces — the probe
+    *    would be measuring the generator, not the operator.
+    *  - 2 docs per 100 share their text verbatim (doc b and b+1 of each
+    *    block), so exact/jaccard/minhash/simhash all see a LINEARLY
+    *    growing population of true positives at every scale.
+    */
+  private def genCorpus(spark: SparkSession, n: Long): DataFrame = {
+    val seed =
+      when(pmod(col("id"), lit(100)) < 2, col("id") - pmod(col("id"), lit(100)))
+        .otherwise(col("id"))
+    spark
+      .range(n)
+      .select(
+        col("id").as("doc_id"),
+        concat_ws(
+          " ",
+          transform(
+            sequence(lit(0), lit(49)),
+            i => concat(lit("w"), pmod(hash(seed, i), lit(65536)))
+          )
+        ).as("text")
+      )
+  }
+
   private def time(label: String, rows: Long)(body: => Unit): (String, Long, Double) = {
     val t0 = System.nanoTime()
     body
@@ -54,7 +83,20 @@ object ScaleProbe {
   }
 
   def main(args: Array[String]): Unit = {
+    // optional arg selects a probe group: core | extras | dedup | all
+    val which = args.headOption.getOrElse("all")
     val spark = GraftSession.local(appName = "graft-scale-probe").spark
+    if (which == "all" || which == "core") coreProbe(spark)
+    if (which == "all" || which == "extras") {
+      skewProbe(spark)
+      bucketProbe(spark)
+      hotShingleProbe(spark)
+    }
+    if (which == "all" || which == "dedup") dedupScaleProbe(spark)
+    spark.stop()
+  }
+
+  private def coreProbe(spark: SparkSession): Unit = {
     val base = 600000L
     // first 1x group is a discarded JIT/codegen warmup pass
     val resultsAll = Seq(1L, 1L, 10L).flatMap { mult =>
@@ -152,11 +194,119 @@ object ScaleProbe {
     results.take(nOps).zip(results.drop(nOps)).foreach { case ((l1, _, s1), (_, _, s10)) =>
       println(f"${l1.stripSuffix("_1x")}%-18s ${s10 / s1}%6.2f")
     }
+  }
 
-    skewProbe(spark)
-    bucketProbe(spark)
-    hotShingleProbe(spark)
-    spark.stop()
+  /** The dedup family pushed to 30x and 100x (round-6 VERDICT #3): full
+    * end-to-end operator pipelines — exact content-hash dedup, capped
+    * shingle-Jaccard, MinHash-LSH with candidate verification, SimHash
+    * banding with Hamming verification — on a realistic-vocabulary corpus
+    * with planted duplicates (see [[genCorpus]]). Prints per-op times and
+    * the 30x/100x time ratios vs the 1x base; a ratio meaningfully above
+    * the multiplier is a super-linear step that will not survive 100 TB.
+    */
+  private def dedupScaleProbe(spark: SparkSession): Unit = {
+    val base = 20000L
+    val nOps = 4
+    val resultsAll = Seq(1L, 1L, 30L, 100L).flatMap { mult =>
+      val n = base * mult
+      val docs = genCorpus(spark, n).cache()
+      docs.count() // materialize input so timings isolate the operators
+
+      val exact = time(s"dedup_exact_${mult}x", n) {
+        docs
+          .groupBy(sha2(col("text"), 256).as("content_hash"))
+          .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+          .write.format("noop").mode("overwrite").save()
+      }
+      val jac = time(s"jaccard_capped_${mult}x", n) {
+        graft.queries.DedupQueries
+          .jaccardPairs(docs, 0.5)
+          .write.format("noop").mode("overwrite").save()
+        graft.engine.PersistScope.releaseAll()
+      }
+      val mh = time(s"minhash_full_${mult}x", n) {
+        // the q_dedup_minhash pipeline end to end: one pinned shingle
+        // pass, native one-pass signatures, banded candidates, exact
+        // verification of candidates only
+        val sets = graft.engine.PersistScope.pinEager(
+          docs
+            .select(col("doc_id"), TextOps.shingles(TextOps.tokens(col("text"))).as("sh"))
+            .filter(size(col("sh")) >= 1)
+        )
+        val sigs = sets
+          .select(col("doc_id"), transform(col("sh"), x => xxhash64(x)).as("hs"))
+          .select(col("doc_id"), TextOps.minhashSignatureArray(col("hs")).as("sig"))
+        val bands = sigs
+          .select(col("doc_id"), explode(TextOps.bandStructsFromSig(col("sig"))).as("bd"))
+          .select(col("doc_id"), col("bd.band").as("band"), col("bd.digest").as("digest"))
+        val cand = bands
+          .as("x")
+          .join(
+            bands.as("y"),
+            col("x.band") === col("y.band") && col("x.digest") === col("y.digest") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .distinct()
+        val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+        cand
+          .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+          .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+          .select(
+            col("doc_a"), col("doc_b"),
+            (inter * lit(1.0) / (size(col("sh_a")) + size(col("sh_b")) - inter)).as("j"))
+          .filter(col("j") >= 0.5)
+          .write.format("noop").mode("overwrite").save()
+        graft.engine.PersistScope.releaseAll()
+      }
+      val sh = time(s"simhash_full_${mult}x", n) {
+        // the q_dedup_simhash pipeline end to end, including the
+        // filter-before-distinct ordering that keeps the distinct's
+        // shuffle proportional to SURVIVORS, not candidates
+        val th = docs
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+          .select(col("doc_id"), TextOps.simhashTokenHash(col("w")).as("h"))
+        val votes = th
+          .groupBy(col("doc_id"))
+          .agg(TextOps.simhashVoteAggs(col("h")).head, TextOps.simhashVoteAggs(col("h")).tail: _*)
+        val fp = graft.engine.PersistScope.pinEager(
+          votes.select(col("doc_id"), TextOps.simhashFromVotes.as("simhash")))
+        val chunks = fp.select(
+          col("doc_id"),
+          col("simhash"),
+          explode(array((0 until 4).map { c =>
+            struct(
+              lit(c).as("chunk"),
+              shiftright(col("simhash"), c * 15).bitwiseAND(lit(0x7fffL)).as("bits"))
+          }: _*)).as("ck"))
+        chunks
+          .as("x")
+          .join(
+            chunks.as("y"),
+            col("x.ck.chunk") === col("y.ck.chunk") &&
+              col("x.ck.bits") === col("y.ck.bits") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(
+            col("x.doc_id").as("doc_a"),
+            col("y.doc_id").as("doc_b"),
+            TextOps.hamming(col("x.simhash"), col("y.simhash")).as("hamming"))
+          .filter(col("hamming") <= 6)
+          .distinct()
+          .write.format("noop").mode("overwrite").save()
+        graft.engine.PersistScope.releaseAll()
+      }
+      docs.unpersist()
+      Seq(exact, jac, mh, sh)
+    }
+    val results = resultsAll.drop(nOps) // drop the warmup group
+    println("--- dedup family at 30x/100x (base 20k docs; planted dups; 64k vocab) ---")
+    results.foreach { case (l, rows, s) => println(f"$l%-22s rows=$rows%9d  $s%8.2f s") }
+    println("--- time ratios vs 1x (linear = the multiplier itself) ---")
+    (0 until nOps).foreach { i =>
+      val (l1, _, s1) = results(i)
+      val (_, _, s30) = results(nOps + i)
+      val (_, _, s100) = results(2 * nOps + i)
+      println(f"${l1.stripSuffix("_1x")}%-22s 30x: ${s30 / s1}%7.1f   100x: ${s100 / s1}%7.1f")
+    }
   }
 
   /** The stop-shingle cut, measured: a corpus where EVERY document opens

@@ -372,8 +372,15 @@ object DedupQueries {
               .cast("bigint")
               .as("hamming")
           )
-          .distinct()
+          // filter BEFORE distinct (semantics-identical: hamming is a
+          // deterministic function of the pair). Unrelated-doc band
+          // collisions grow ~n^2/2^15 per band, so at corpus scale the
+          // candidate stream is orders of magnitude larger than the
+          // survivors — the Hamming cut must run streaming off the join,
+          // with the distinct's shuffle paid only by true near-dups
+          // (dedupScaleProbe measures the candidate/survivor gap at 100x).
           .filter($"hamming" <= 6)
+          .distinct()
           .orderBy($"doc_a", $"doc_b")
       },
       Some(simhashOracle)
