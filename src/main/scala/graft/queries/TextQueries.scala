@@ -454,6 +454,64 @@ object TextQueries {
           |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin
       )
     ),
+    // ----- benchmark decontamination ----------------------------------------
+    // The eval-set overlap check every serious training-data pipeline runs
+    // before training (the GPT-3/Llama recipe: flag training docs sharing
+    // long n-grams with benchmark data). Here the "benchmark" is the
+    // deterministic doc_id % 20 == 0 slice of the corpus and the probe is
+    // distinct word-8-gram collision: one shared 8-gram = contamination.
+    // Scale shape: eval suites are tiny next to a 100 TB corpus, so the
+    // benchmark gram set BROADCASTS and the corpus side is one streaming
+    // pass (explode -> broadcast-hash-join -> per-doc partial agg); no
+    // corpus-sized shuffle anywhere. If the benchmark ever outgrew
+    // broadcast, the same plan degrades gracefully to a shuffle join on
+    // the gram — the inverted-index shape jaccardPairs already proves.
+    Q(
+      "q_decontaminate",
+      (s, dir) => {
+        val doc = t(s, dir, "documents")
+        // one tokenize+shingle pass feeds both the benchmark and corpus
+        // branches (pinEager: the usual lazy-shared-cache self-join race)
+        val grams = graft.engine.PersistScope.pinEager(
+          doc
+            .select($"doc_id", TextOps.tokens($"text").as("ws"))
+            .filter(size($"ws") >= 8)
+            .select($"doc_id", explode(TextOps.shingles($"ws", 8)).as("g"))
+        )
+        val bench = grams
+          .filter($"doc_id" % 20 === 0)
+          .select($"doc_id".as("bench_id"), $"g")
+        val corpus = grams.filter($"doc_id" % 20 =!= 0)
+        corpus
+          .join(broadcast(bench), Seq("g"))
+          .groupBy($"doc_id")
+          .agg(
+            countDistinct($"bench_id").as("n_bench_docs"),
+            countDistinct($"g").as("n_shared_grams")
+          )
+          .orderBy($"doc_id")
+      },
+      Some {
+        val gram = (0 until 8).map(k => s"ws[i+$k]").mkString(" || ' ' || ")
+        s"""WITH toks AS (
+           |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS ws
+           |  FROM documents
+           |), grams AS (
+           |  SELECT doc_id,
+           |         unnest(list_distinct([$gram for i in range(1, len(ws)-6)])) AS g
+           |  FROM toks WHERE len(ws) >= 8
+           |), bench AS (
+           |  SELECT doc_id AS bench_id, g FROM grams WHERE doc_id % 20 = 0
+           |), corpus AS (
+           |  SELECT doc_id, g FROM grams WHERE doc_id % 20 <> 0
+           |)
+           |SELECT c.doc_id,
+           |       count(DISTINCT b.bench_id) AS n_bench_docs,
+           |       count(DISTINCT c.g) AS n_shared_grams
+           |FROM corpus c JOIN bench b ON c.g = b.g
+           |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
+      }
+    ),
     // ----- BM25 keyword retrieval ------------------------------------------
     // The classic lexical ranking function (k1=1.2, b=0.75) for a fixed
     // keyword query — the retrieval half of hybrid search and the

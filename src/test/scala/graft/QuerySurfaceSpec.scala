@@ -31,6 +31,36 @@ class QuerySurfaceSpec extends SparkTestBase {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("decontamination flags exactly the docs sharing an 8-gram with the benchmark slice") {
+    val docs = graft.queries.QueryUtil
+      .t(spark, SparkTestBase.Sf0001, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase.split("\\s+").toSeq)
+    def grams(ws: Seq[String]): Set[String] =
+      ws.sliding(8).filter(_.size == 8).map(_.mkString(" ")).toSet
+    val bench = docs.filter(_._1 % 20 == 0).map { case (id, ws) => id -> grams(ws) }
+    val expected = docs
+      .filter(_._1 % 20 != 0)
+      .flatMap { case (id, ws) =>
+        val g = grams(ws)
+        val hits = bench.filter(_._2.intersect(g).nonEmpty)
+        if (hits.isEmpty) None
+        else Some(id -> (
+          hits.length.toLong,
+          hits.flatMap(b => b._2.intersect(g)).toSet.size.toLong))
+      }
+      .toMap
+    assert(expected.nonEmpty, "fixture should contain contaminated docs")
+    val got = Registry.byName("q_decontaminate")
+      .fn(spark, SparkTestBase.Sf0001)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got === expected)
+  }
+
   test("filter composition commutes (ScalaCheck generators, fixed seeds)") {
     import spark.implicits._
     val df = (1 to 200).toDF("x").cache()
