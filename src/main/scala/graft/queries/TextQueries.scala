@@ -454,6 +454,60 @@ object TextQueries {
           |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin
       )
     ),
+    // ----- sequence packing ---------------------------------------------------
+    // The concat-and-cut packing step that turns a cleaned corpus into
+    // fixed-length pretraining sequences: concatenate documents in a
+    // deterministic order, cut every ctx tokens, and record for each doc
+    // which sequence (bin) it starts in and at what offset. Packing is
+    // SHARDED (shard = doc_id % nShards, each shard packs independently
+    // ordered by doc_id) because one global running sum is a
+    // single-partition window — the classic scale-killer; real pipelines
+    // shard exactly like this so every window partition stays
+    // executor-sized (nShards grows with the corpus; 4 here keeps the
+    // demo readable). All-integer math -> full hash oracle.
+    Q(
+      "q_pack_sequences",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ctx = 512
+        val nShards = 4
+        val w = Window
+          .partitionBy($"shard")
+          .orderBy($"doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "documents")
+          .select(
+            $"doc_id",
+            pmod($"doc_id", lit(nShards)).as("shard"),
+            size(TextOps.tokens($"text")).cast("bigint").as("n_tok")
+          )
+          .withColumn("start_tok", sum($"n_tok").over(w) - $"n_tok")
+          .select(
+            $"doc_id",
+            $"shard",
+            $"n_tok",
+            expr(s"start_tok div $ctx").as("bin"),
+            ($"start_tok" % ctx).as("bin_offset")
+          )
+          .orderBy($"shard", $"doc_id")
+      },
+      Some(
+        """WITH toks AS (
+          |  SELECT doc_id, doc_id % 4 AS shard,
+          |         len(regexp_split_to_array(lower(text), '\s+')) AS n_tok
+          |  FROM documents
+          |), packed AS (
+          |  SELECT doc_id, shard, CAST(n_tok AS BIGINT) AS n_tok,
+          |         CAST(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+          |              ROWS UNBOUNDED PRECEDING) - n_tok AS BIGINT) AS start_tok
+          |  FROM toks
+          |)
+          |SELECT doc_id, shard, n_tok,
+          |       start_tok // 512 AS bin,
+          |       start_tok % 512 AS bin_offset
+          |FROM packed ORDER BY shard, doc_id""".stripMargin
+      )
+    ),
     // ----- benchmark decontamination ----------------------------------------
     // The eval-set overlap check every serious training-data pipeline runs
     // before training (the GPT-3/Llama recipe: flag training docs sharing

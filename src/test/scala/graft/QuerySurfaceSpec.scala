@@ -61,6 +61,22 @@ class QuerySurfaceSpec extends SparkTestBase {
     assert(got === expected)
   }
 
+  test("sequence packing: each doc starts exactly where its shard's previous doc ended") {
+    val rows = Registry.byName("q_pack_sequences")
+      .fn(spark, SparkTestBase.Sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (shard, docs) =>
+      var cum = 0L
+      docs.sortBy(_._1).foreach { case (id, _, nTok, bin, off) =>
+        assert(bin === cum / 512, s"doc $id in shard $shard: bin")
+        assert(off === cum % 512, s"doc $id in shard $shard: offset")
+        cum += nTok
+      }
+    }
+  }
+
   test("filter composition commutes (ScalaCheck generators, fixed seeds)") {
     import spark.implicits._
     val df = (1 to 200).toDF("x").cache()
