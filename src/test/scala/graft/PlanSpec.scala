@@ -115,6 +115,19 @@ class PlanSpec extends SparkTestBase {
         plan.take(3000))
   }
 
+  test("decontamination broadcasts the benchmark grams and packs windows by shard") {
+    val decon = executed("q_decontaminate")
+    assert(decon.contains("BroadcastHashJoin"),
+      "benchmark gram set must broadcast, never shuffle the corpus:\n" + decon.take(3000))
+    assert(!decon.contains("SortMergeJoin") && !decon.contains("CartesianProduct"),
+      "corpus-sized join crept into decontamination:\n" + decon.take(3000))
+    // packing must never run a one-partition global window: the Window's
+    // partition spec (formatted explain detail section) carries the shard
+    val pack = executed("q_pack_sequences")
+    assert("""windowspecdefinition\(shard""".r.findFirstIn(pack).isDefined,
+      "packing window is not shard-partitioned:\n" + pack.take(3000))
+  }
+
   test("column pruning: dedup reads only doc_id and text") {
     val plan = executed("q_dedup_minhash")
     val reads = "ReadSchema: struct<([^>]*)>".r
