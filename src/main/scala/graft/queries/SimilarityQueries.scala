@@ -28,6 +28,10 @@ object SimilarityQueries {
   private val ivfOracle =
     new java.util.concurrent.atomic.AtomicReference[Option[String]](None)
 
+  /** q_embed_clusters' dynamic oracle — same mechanism as [[ivfOracle]]. */
+  private val clustersOracle =
+    new java.util.concurrent.atomic.AtomicReference[Option[String]](None)
+
   /** Shortest round-trip double repr — DuckDB's parser is correctly
     * rounded, so the literal parses back to the identical double bits.
     */
@@ -38,12 +42,11 @@ object SimilarityQueries {
     * cell = first-index argmin. list_dot_product accumulates left-to-right
     * in double exactly like functions.DotProduct's sequential loop, and
     * list_position breaks ties at the first occurrence exactly like
-    * Spark's array_position — identical bits end to end.
+    * Spark's array_position — identical bits end to end. Emits the WITH
+    * prefix ending in `assigned(vec_id, label, e, cell)`; shared by the
+    * IVF probe oracle and the clustering oracle.
     */
-  private def ivfOracleSql(
-      centroids: Array[Array[Float]],
-      probedCells: Seq[Int]
-  ): String = {
+  private def assignedCteSql(centroids: Array[Array[Float]]): String = {
     val scoreExprs = centroids.map { f =>
       val lst = f.map(v => dbl(v.toDouble)).mkString("[", ", ", "]")
       s"(${dbl(graft.operators.IvfIndex.selfDot(f))} - 2 * list_dot_product(e, $lst))"
@@ -58,7 +61,14 @@ object SimilarityQueries {
        |  SELECT vec_id, label, e,
        |         list_position(scores, list_min(scores)) - 1 AS cell
        |  FROM scored
-       |), topk AS (
+       |)""".stripMargin
+  }
+
+  private def ivfOracleSql(
+      centroids: Array[Array[Float]],
+      probedCells: Seq[Int]
+  ): String =
+    s"""${assignedCteSql(centroids)}, topk AS (
        |  SELECT x.vec_id, x.label,
        |         round(list_cosine_similarity(x.e, q.e), 6) AS cos
        |  FROM assigned x, (SELECT e FROM emb WHERE vec_id = $QueryVecId) q
@@ -67,7 +77,6 @@ object SimilarityQueries {
        |  LIMIT 10
        |)
        |SELECT vec_id, label, cos FROM topk WHERE vec_id <> $QueryVecId""".stripMargin
-  }
 
   /** Deterministic plan-time ±1 hyperplanes (see functions.LshPlanes). */
   private def hyperplane(h: Int, dim: Int): Seq[Float] =
@@ -292,6 +301,37 @@ object SimilarityQueries {
       },
       None,
       oracleFn = Some(() => ivfOracle.get())
+    ),
+    // Embedding corpus clustering — topic binning for data mixing /
+    // cluster-balanced sampling (group the corpus into K semantic cells,
+    // then weight or quota per cell). Same machinery as IVF: seeded
+    // sample-capped KMeans fit + the deterministic assignCells labelling,
+    // whose DuckDB mirror (fitted centroids as post-run literals) makes
+    // the per-cell histogram fully hash-oracled. One codegen'd pass over
+    // the corpus + a 16-group aggregation: nothing here breaks at 100 TB
+    // (the FIT is sample-capped; the labelling is map-only).
+    Q(
+      "q_embed_clusters",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val model = graft.operators.IvfIndex.build(e, "embedding")
+        clustersOracle.set(
+          Some {
+            val cte = assignedCteSql(
+              model.centroids.map(graft.operators.IvfIndex.centroidF32))
+            s"""$cte
+               |SELECT CAST(cell AS BIGINT) AS cell, count(*) AS n,
+               |       min(vec_id) AS exemplar_id
+               |FROM assigned GROUP BY cell ORDER BY cell""".stripMargin
+          }
+        )
+        model.assignments
+          .groupBy($"cell".cast("bigint").as("cell"))
+          .agg(count(lit(1)).as("n"), min($"vec_id").as("exemplar_id"))
+          .orderBy($"cell")
+      },
+      None,
+      oracleFn = Some(() => clustersOracle.get())
     )
   )
 }

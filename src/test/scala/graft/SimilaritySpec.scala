@@ -63,6 +63,18 @@ class SimilaritySpec extends SparkTestBase {
     assert(filesRead < totalFiles, s"no pruning: read all $totalFiles files")
   }
 
+  test("embedding clustering partitions the corpus exhaustively into cells") {
+    val rows = Registry.byName("q_embed_clusters")
+      .fn(spark, SparkTestBase.Sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val total = graft.queries.QueryUtil
+      .t(spark, SparkTestBase.Sf0001, "embeddings").count()
+    assert(rows.map(_._2).sum === total, "every vector lands in exactly one cell")
+    assert(rows.map(_._1).distinct.length === rows.length)
+    assert(rows.forall { case (cell, n, _) => cell >= 0 && cell < 16 && n > 0 })
+  }
+
   test("int8 quantized dot product stays within the quantization error bound") {
     import org.apache.spark.sql.functions._
     import graft.queries.QueryUtil._
