@@ -2,7 +2,7 @@ package graft
 
 import graft.engine.GraftSession
 import graft.operators.TextOps
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -93,6 +93,7 @@ object ScaleProbe {
       hotShingleProbe(spark)
     }
     if (which == "all" || which == "dedup") dedupScaleProbe(spark)
+    if (which == "all" || which == "sim") simScaleProbe(spark)
     spark.stop()
   }
 
@@ -299,6 +300,102 @@ object ScaleProbe {
     }
     val results = resultsAll.drop(nOps) // drop the warmup group
     println("--- dedup family at 30x/100x (base 20k docs; planted dups; 64k vocab) ---")
+    results.foreach { case (l, rows, s) => println(f"$l%-22s rows=$rows%9d  $s%8.2f s") }
+    println("--- time ratios vs 1x (linear = the multiplier itself) ---")
+    (0 until nOps).foreach { i =>
+      val (l1, _, s1) = results(i)
+      val (_, _, s30) = results(nOps + i)
+      val (_, _, s100) = results(2 * nOps + i)
+      println(f"${l1.stripSuffix("_1x")}%-22s 30x: ${s30 / s1}%7.1f   100x: ${s100 / s1}%7.1f")
+    }
+  }
+
+  /** Synthetic embedding table: 64-dim float vectors with values in
+    * [-1, 1), plus a 100-way label column (the coarse blocking key).
+    */
+  private def genVectors(spark: SparkSession, n: Long): DataFrame =
+    spark
+      .range(n)
+      .select(
+        col("id").as("vec_id"),
+        pmod(hash(col("id"), lit(41)), lit(100)).as("label"),
+        transform(
+          sequence(lit(0), lit(63)),
+          i => (pmod(hash(col("id"), i, lit(42)), lit(2000)) / lit(1000.0) - 1.0)
+            .cast("float")
+        ).as("embedding")
+      )
+
+  /** The similarity family at 30x/100x (sibling of [[dedupScaleProbe]]):
+    * brute-force cosine top-k (the one-pass baseline — expected ~linear),
+    * hyperplane-LSH bucketed top-k (probes ~1/16 of the corpus), and the
+    * materialized IVF path split into its build (one-time, ~linear) and
+    * probe (partition-pruned: nProbe/nCells of the files) costs. The probe
+    * ratios are the point: a serving-path probe whose cost grows like the
+    * corpus would be a scale bug even if the build is linear.
+    */
+  private def simScaleProbe(spark: SparkSession): Unit = {
+    import graft.functions.Functions
+    val base = 20000L
+    val nOps = 4
+    val resultsAll = Seq(1L, 1L, 30L, 100L).flatMap { mult =>
+      val n = base * mult
+      val vecs = genVectors(spark, n).cache()
+      vecs.count()
+      val qvec = vecs.filter(col("vec_id") === 0).select(col("embedding"))
+
+      val brute = time(s"sim_brute_topk_${mult}x", n) {
+        vecs
+          .filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(qvec.select(col("embedding").as("qv"))))
+          .select(
+            col("vec_id"),
+            round(Functions.cosineSim(col("embedding"), col("qv")), 6).as("cos"))
+          .orderBy(col("cos").desc, col("vec_id"))
+          .limit(10)
+          .write.format("noop").mode("overwrite").save()
+      }
+      val lsh = time(s"sim_lsh_topk_${mult}x", n) {
+        def bucket(emb: Column): Column =
+          (0 until 4)
+            .map { h =>
+              val plane = array(
+                graft.functions.LshPlanes.plane(h, 64).map(v => lit(v)): _*)
+                .cast("array<float>")
+              when(Functions.dotProduct(emb, plane) > 0, lit(1 << h)).otherwise(lit(0))
+            }
+            .reduce(_ + _)
+        val b = vecs.withColumn("bucket", bucket(col("embedding")))
+        val q = b.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qv"), col("bucket").as("qbucket"))
+        b.filter(col("vec_id") =!= 0)
+          .join(broadcast(q), col("bucket") === col("qbucket"))
+          .select(
+            col("vec_id"),
+            round(Functions.cosineSim(col("embedding"), col("qv")), 6).as("cos"))
+          .orderBy(col("cos").desc, col("vec_id"))
+          .limit(10)
+          .write.format("noop").mode("overwrite").save()
+      }
+      val idxDir = java.nio.file.Files.createTempDirectory(s"graft-sim-probe-$mult")
+      graft.engine.TempDirs.register(idxDir) // deleted on JVM exit
+      val idxPath = idxDir.toString
+      var stored: graft.operators.IvfIndex.StoredIndex = null
+      val build = time(s"ivf_build_mat_${mult}x", n) {
+        val model = graft.operators.IvfIndex.build(vecs, "embedding")
+        stored = graft.operators.IvfIndex.materialize(model, idxPath)
+      }
+      val query = qvec.head().getSeq[Float](0).toArray
+      val probe = time(s"ivf_probe_${mult}x", n) {
+        graft.operators.IvfIndex
+          .probeStored(spark, stored, query, "embedding", k = 10, nProbe = 4)
+          .write.format("noop").mode("overwrite").save()
+      }
+      vecs.unpersist()
+      Seq(brute, lsh, build, probe)
+    }
+    val results = resultsAll.drop(nOps) // drop the warmup group
+    println("--- similarity family at 30x/100x (base 20k vectors, 64-dim) ---")
     results.foreach { case (l, rows, s) => println(f"$l%-22s rows=$rows%9d  $s%8.2f s") }
     println("--- time ratios vs 1x (linear = the multiplier itself) ---")
     (0 until nOps).foreach { i =>
