@@ -111,6 +111,37 @@ class OperatorEdgeSpec extends SparkTestBase {
       s"control failed: single-dim sort pruned b files: $plainOverlap of ${plainFiles.size}")
   }
 
+  test("decontaminate/pack handle edge docs: empty, sub-8-gram, and ctx-width texts") {
+    import spark.implicits._
+    import graft.queries.Registry
+    val dirPath = java.nio.file.Files.createTempDirectory("graft-edge-docs")
+    graft.engine.TempDirs.register(dirPath)
+    val dir = dirPath.toString
+    Seq(
+      (0L, ""), // empty -> 1 pseudo-token (split semantics, oracle-mirrored)
+      (1L, "only seven tokens in this short doc"), // 7 tokens: no 8-gram
+      (2L, "exactly eight tokens sit in this tiny doc"), // one 8-gram
+      (20L, "exactly eight tokens sit in this tiny doc"), // benchmark twin of 2
+      (21L, (1 to 512).map(i => s"t$i").mkString(" ")) // exactly one full ctx bin
+    ).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    // only doc 2 shares its single 8-gram with benchmark doc 20; docs 0/1
+    // are too short to shingle, doc 21 overlaps nothing
+    val decon = Registry.byName("q_decontaminate").fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(decon === Seq((2L, 1L, 1L)))
+
+    val pack = Registry.byName("q_pack_sequences").fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(pack(0L) === ((0L, 1L, 0L, 0L)), "empty doc costs its pseudo-token")
+    assert(pack(20L) === ((0L, 8L, 0L, 1L)), "starts after shard 0's empty doc")
+    assert(pack(1L) === ((1L, 7L, 0L, 0L)))
+    assert(pack(21L) === ((1L, 512L, 0L, 7L)), "512-token doc starts at offset 7")
+    assert(pack(2L) === ((2L, 8L, 0L, 0L)))
+  }
+
   test("IVF rankCells orders by true centroid distance") {
     import spark.implicits._
     // two obvious clusters on a 2d-ish axis embedded in 4 dims
