@@ -1,0 +1,56 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextOps
+
+/** Streaming front door for the corpus-curation pipeline: documents land
+  * in a drop folder and are screened AS THEY ARRIVE, instead of by a
+  * nightly batch sweep. The reference has no streaming at all (its CDC
+  * crate is a TODO stub, crates/cdc/src/lib.rs:9); this composes the
+  * batch decontamination operator (queries.TextQueries `q_decontaminate`)
+  * with the same Structured-Streaming file source EventsStream uses.
+  *
+  * Scale notes: the benchmark gram set is STATIC and broadcasts into
+  * every micro-batch (stream-static join), and the match emission is
+  * STATELESS append mode — no watermark, no state store, nothing that
+  * grows with stream lifetime. Per-doc aggregation (counts of distinct
+  * grams) is deliberately left to the consumer: a stateless per-match
+  * feed composes with any downstream (alerting, quarantine table,
+  * foreachBatch refresh) without forcing a state-store choice here.
+  */
+object CorpusStream {
+
+  /** Stream documents from a drop folder (schema inferred from the files
+    * already present, like EventsStream.readEventsStream).
+    */
+  def readDocumentsStream(spark: SparkSession, docsDir: String): DataFrame = {
+    val batchSchema = spark.read.parquet(docsDir).schema
+    spark.readStream.schema(batchSchema).parquet(docsDir)
+  }
+
+  /** Distinct word-8-gram set of a benchmark table — compute ONCE from the
+    * (small, static) eval corpus; the result broadcasts into every
+    * micro-batch of [[contaminationMatches]].
+    */
+  def benchmarkGrams(bench: DataFrame): DataFrame =
+    bench
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 8)
+      .select(explode(TextOps.shingles(col("ws"), 8)).as("g"))
+      .distinct()
+
+  /** One (doc_id, g) row per contaminated gram occurrence — the streaming
+    * twin of `q_decontaminate`'s join stage. Append-safe: stateless
+    * projection + broadcast join, so every micro-batch emits its matches
+    * immediately and the query holds zero streaming state.
+    */
+  def contaminationMatches(docs: DataFrame, benchGrams: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 8)
+      .select(col("doc_id"), explode(TextOps.shingles(col("ws"), 8)).as("g"))
+      .join(broadcast(benchGrams), Seq("g"))
+      .select(col("doc_id"), col("g"))
+}

@@ -252,6 +252,42 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("streaming decontamination flags exactly the batch operator's docs") {
+    import graft.streaming.CorpusStream
+    // stage the documents fixture as a drop folder
+    val docsDir = tempDir("graft-docs-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(SparkTestBase.Sf0001, "documents.parquet"),
+      java.nio.file.Paths.get(docsDir, "docs-000.parquet")
+    )
+    // static benchmark gram set = the q_decontaminate benchmark slice
+    val bench = CorpusStream.benchmarkGrams(
+      graft.queries.QueryUtil
+        .t(spark, SparkTestBase.Sf0001, "documents")
+        .filter(col("doc_id") % 20 === 0)
+    )
+    val stream = CorpusStream
+      .readDocumentsStream(spark, docsDir)
+      .filter(col("doc_id") % 20 =!= 0) // corpus side, like the batch op
+    val q = CorpusStream
+      .contaminationMatches(stream, bench)
+      .writeStream
+      .format("memory")
+      .queryName("contam_live")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination(120000)
+    finally q.stop()
+
+    val streamed = spark.table("contam_live")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    val batch = graft.queries.Registry.byName("q_decontaminate")
+      .fn(spark, SparkTestBase.Sf0001)
+      .collect().map(_.getLong(0)).toSet
+    assert(batch.nonEmpty && streamed === batch)
+  }
+
   test("windowed counts conserve total events") {
     val dir = SparkTestBase.Sf0001
     val total = graft.queries.QueryUtil.events(spark, dir).count()
