@@ -99,6 +99,50 @@ object TextQueries {
           |FROM base GROUP BY lang ORDER BY lang""".stripMargin
       )
     ),
+    // ----- BPE-ish token counting --------------------------------------------
+    // Whitespace words (q_text_tokens) undercount what a subword tokenizer
+    // bills you for; this runs a GPT-2-style pre-tokenizer regex
+    // (contractions | space-prefixed letter runs | digit runs |
+    // punctuation runs | whitespace) and reports pieces plus fertility
+    // (pieces per whitespace word) per language — the number you budget a
+    // training run with. ASCII character classes on both engines (the
+    // fixture envelope DedupSpec pins), identical match semantics in Java
+    // regex and RE2 for this pattern. One codegen'd pass + a 5-group agg.
+    Q(
+      "q_text_tokens_bpe",
+      (s, dir) => {
+        val pat = "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+| +"
+        t(s, dir, "documents")
+          .select(
+            $"lang",
+            size(regexp_extract_all($"text", lit(pat), lit(0)))
+              .cast("bigint").as("n_pieces"),
+            size(TextOps.tokens($"text")).cast("bigint").as("n_words")
+          )
+          .groupBy($"lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum($"n_pieces").cast("bigint").as("total_pieces"),
+            round(sum($"n_pieces") * lit(1.0) / sum($"n_words"), 6)
+              .as("pieces_per_word")
+          )
+          .orderBy($"lang")
+      },
+      Some {
+        val pat =
+          "''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+| +"
+        s"""WITH base AS (
+           |  SELECT lang,
+           |         CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT) AS n_pieces,
+           |         CAST(len(regexp_split_to_array(lower(text), '\\s+')) AS BIGINT) AS n_words
+           |  FROM documents
+           |)
+           |SELECT lang, count(*) AS n_docs,
+           |       CAST(sum(n_pieces) AS BIGINT) AS total_pieces,
+           |       round(sum(n_pieces) * 1.0 / sum(n_words), 6) AS pieces_per_word
+           |FROM base GROUP BY lang ORDER BY lang""".stripMargin
+      }
+    ),
     // ----- language-ID heuristic -------------------------------------------
     // Stopword-profile scoring; argmax with a fixed tie order. The fixture
     // text is synthetic word soup, so this gates the MACHINERY (scoring +
