@@ -305,6 +305,71 @@ object DedupQueries {
       Some(jaccardOracle(None)),
       bench = true
     ),
+    // ----- incremental (new-batch-vs-corpus) near-dedup ---------------------
+    // The production ingest shape: a small daily increment (here the
+    // doc_id % 10 == 9 slice) is deduped against the WHOLE corpus without
+    // ever re-running all-pairs — new-side band digests join the corpus
+    // band index and only candidates verify. At 100 TB the corpus bands
+    // are a STORED index (one precomputed pass, exactly what
+    // q_dedup_minhash materializes); the new side is tiny and BROADCASTS,
+    // so ingest-time cost is one corpus-index scan + candidate
+    // verification, zero corpus shuffle. Recall argument = the MinHash
+    // banding math (miss <= 4e-8 at J >= 0.8), so the oracle is the exact
+    // Jaccard operator restricted to pairs whose newer side is in the
+    // increment — same contract as q_dedup_minhash.
+    Q(
+      "q_dedup_incremental",
+      (s, dir) => {
+        val doc = t(s, dir, "documents")
+        val sets = PersistScope.pinEager(shingleSets(doc))
+        val sigs = sets
+          .select($"doc_id", transform($"sh", x => xxhash64(x)).as("hs"))
+          .select($"doc_id", TextOps.minhashSignatureArray($"hs").as("sig"))
+        val bands = PersistScope.pinEager(
+          sigs
+            .select($"doc_id", explode(TextOps.bandStructsFromSig($"sig")).as("bd"))
+            .select($"doc_id", $"bd.band".as("band"), $"bd.digest".as("digest"))
+        )
+        val newBands = bands.filter($"doc_id" % 10 === 9)
+        val cand = bands
+          .as("x")
+          .join(
+            broadcast(newBands.as("y")),
+            col("x.band") === col("y.band") && col("x.digest") === col("y.digest") &&
+              col("x.doc_id") < col("y.doc_id")
+          )
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .distinct()
+        val inter = size(array_intersect($"sh_a", $"sh_b"))
+        cand
+          .join(sets.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), Seq("doc_a"))
+          .join(sets.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), Seq("doc_b"))
+          .select(
+            $"doc_a",
+            $"doc_b",
+            round(inter * lit(1.0) / (size($"sh_a") + size($"sh_b") - inter), 6)
+              .as("jaccard")
+          )
+          .filter($"jaccard" >= 0.5)
+          .orderBy($"doc_a", $"doc_b")
+      },
+      Some(
+        s"""WITH $shingleCteSql, ${exCteSql(None)}, sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+          |inter AS (
+          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+          |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+          |  WHERE b.doc_id % 10 = 9
+          |  GROUP BY 1, 2
+          |)
+          |SELECT doc_a, doc_b,
+          |       round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+          |FROM inter
+          |JOIN sizes sa ON sa.doc_id = doc_a
+          |JOIN sizes sb ON sb.doc_id = doc_b
+          |WHERE round(i * 1.0 / (sa.n + sb.n - i), 6) >= 0.5
+          |ORDER BY doc_a, doc_b""".stripMargin
+      )
+    ),
     // ----- SimHash fingerprints + near-dup candidates ----------------------
     // Per-token hash = padded Karp-Rabin (TextOps.simhashTokenHash), chosen
     // over xxhash64 because the KR fold IS reproducible in DuckDB HUGEINT

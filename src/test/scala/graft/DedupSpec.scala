@@ -75,6 +75,17 @@ class DedupSpec extends SparkTestBase {
     assert(native.toSeq === composed.toSeq)
   }
 
+  test("incremental dedup equals the full operator restricted to the increment") {
+    val full = Registry.byName("q_dedup_minhash")
+      .fn(spark, SparkTestBase.Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val incr = Registry.byName("q_dedup_incremental")
+      .fn(spark, SparkTestBase.Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(incr === full.filter(_._2 % 10 == 9),
+      "new-batch-vs-corpus dedup must find exactly the full operator's pairs whose newer side is in the increment")
+  }
+
   test("fingerprint-keyed dedup equals the exact operator on this corpus") {
     val byFp = Registry.byName("q_dedup_fingerprint")
       .fn(spark, SparkTestBase.Sf0001).collect().map(_.toString).toSet
