@@ -36,11 +36,13 @@ final case class MediaFeatures(
 )
 
 /** Multimodal column plumbing (SURVEY.md §2.C): schema, partitioning, and
-  * the batched decode/feature-extract shape — all real Spark; only the
-  * codec itself is STUBBED (no image/audio libraries exist in this
-  * environment). `decodeStub` stands in for e.g. an ImageIO/ffmpeg call
-  * and computes deterministic byte-level features instead, so the
-  * distributed plumbing is fully testable.
+  * the batched decode / feature-extract / resize / frame-sample shapes —
+  * all real Spark. IMAGE decode and resize are REAL (JDK ImageIO +
+  * Graphics2D, no external libraries needed); audio/video have no codec
+  * in this environment, so their per-item decode is a clearly-marked
+  * deterministic STUB (`decodeStub`, `sampleFrames`' slice demux) with
+  * the same signature and cost shape as the real call — the distributed
+  * plumbing around it is fully testable and is what matters at scale.
   *
   * Scale notes: decode is CPU-bound per item and must never serialize a
   * codec per row — mapPartitions amortizes setup (one "codec" per
@@ -155,6 +157,108 @@ object Multimodal {
         height = h,
         channels = img.getRaster.getNumBands
       )
+    }
+  }
+
+  /** REAL image resize via JDK Graphics2D (no external libraries): decode,
+    * scale the longest side to `maxDim` preserving aspect (never upscale),
+    * re-encode as PNG. The standard preprocessing step before a vision
+    * encoder — and the honest cost model for it: decode + filtered blit +
+    * re-encode per item. Undecodable or non-image payloads pass through
+    * UNCHANGED (a corrupt file must not kill a 100 TB stage; downstream
+    * sees the original bytes and its own decode fallback).
+    */
+  def resizeImage(rec: MediaRecord, maxDim: Int): MediaRecord = {
+    val bytes = if (rec.media == null) Array.emptyByteArray else rec.media
+    val img =
+      if (bytes.isEmpty) null
+      else
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null || img.getWidth.toLong * img.getHeight > 64000000L ||
+      math.max(img.getWidth, img.getHeight) <= maxDim) rec
+    else {
+      val scale = maxDim.toDouble / math.max(img.getWidth, img.getHeight)
+      val w = math.max(1, math.round(img.getWidth * scale).toInt)
+      val h = math.max(1, math.round(img.getHeight * scale).toInt)
+      val out = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try {
+        g.setRenderingHint(
+          java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, w, h, null)
+      } finally g.dispose()
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", buf)
+      MediaRecord(rec.id, rec.uri, buf.toByteArray,
+        MediaMeta("image/png", w, h, 3))
+    }
+  }
+
+  /** Distributed batched resize — same mapPartitions shape as
+    * [[extractFeatures]]; only `image/<i>` payloads are touched.
+    */
+  def resizeAll(ds: Dataset[MediaRecord], maxDim: Int = 256): Dataset[MediaRecord] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map { rec =>
+      if (rec.meta != null && rec.meta.format != null &&
+        rec.meta.format.startsWith("image/")) resizeImage(rec, maxDim)
+      else rec
+    })
+  }
+
+  /** One sampled "frame" of a video-ish payload. */
+  final case class FrameFeatures(
+      id: Long,
+      frameIdx: Int,
+      nBytes: Long,
+      digest: String,
+      brightness: Double
+  )
+
+  /** Frame sampling for video payloads. The FRAME DECODE IS A STUB — no
+    * video codec exists in this environment, so a "frame" is a
+    * deterministic fixed-size byte slice (`frameBytes`) of the payload
+    * standing in for a decoded frame; a real build swaps `sliceFrames`
+    * for an ffmpeg/JCodec demuxer and NOTHING else changes. Everything
+    * Spark-side is real and is the part that matters at 100 TB: flatMap
+    * fan-out (one row in, nFrames/every rows out — size the shuffle for
+    * the multiplier), per-partition codec setup, every-k-th sampling so
+    * the output volume is bounded by design, per-frame stats via the same
+    * byte-level featurizer as [[decodeStub]].
+    */
+  def sampleFrames(
+      ds: Dataset[MediaRecord],
+      frameBytes: Int = 4096,
+      every: Int = 10
+  ): Dataset[FrameFeatures] = {
+    require(frameBytes > 0 && every > 0)
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      val codec = MessageDigest.getInstance("SHA-256")
+      it.flatMap { rec =>
+        val bytes = if (rec.media == null) Array.emptyByteArray else rec.media
+        // STUB demux: fixed-size slices as stand-in frames
+        val nFrames = (bytes.length + frameBytes - 1) / frameBytes
+        (0 until nFrames by every).map { f =>
+          val lo = f * frameBytes
+          val hi = math.min(bytes.length, lo + frameBytes)
+          val frame = java.util.Arrays.copyOfRange(bytes, lo, hi)
+          var sum = 0L
+          var i = 0
+          while (i < frame.length) { sum += frame(i) & 0xff; i += 1 }
+          codec.reset()
+          FrameFeatures(
+            id = rec.id,
+            frameIdx = f,
+            nBytes = frame.length.toLong,
+            digest = codec.digest(frame).map("%02x".format(_)).mkString,
+            brightness = if (frame.isEmpty) 0.0 else sum.toDouble / frame.length
+          )
+        }
+      }
     }
   }
 

@@ -43,6 +43,45 @@ class MultimodalSpec extends SparkTestBase {
     assert(f(3).digest === expectHash)
   }
 
+  test("resize scales the longest side to maxDim, preserves aspect, skips non-images") {
+    import spark.implicits._
+    val records = Seq(
+      MediaRecord(1L, "mem://wide.png", png(64, 16, 0x336699), MediaMeta("image/png", 64, 16, 3)),
+      MediaRecord(2L, "mem://small.png", png(8, 8, 0x336699), MediaMeta("image/png", 8, 8, 3)),
+      MediaRecord(3L, "mem://plain.txt", "hello".getBytes("UTF-8"), MediaMeta("text/utf-8", 5, 1, 1)),
+      MediaRecord(4L, "mem://junk.png", Array[Byte](1, 2, 3), MediaMeta("image/png", 0, 0, 3))
+    ).toDS()
+    val out = Multimodal.resizeAll(records, maxDim = 32).collect().sortBy(_.id).toSeq
+    // 64x16 -> 32x8, re-encoded PNG that really decodes at the new raster
+    assert(out(0).meta.width === 32 && out(0).meta.height === 8)
+    val decoded = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out(0).media))
+    assert(decoded.getWidth === 32 && decoded.getHeight === 8)
+    // already within bound -> untouched; non-image -> untouched;
+    // undecodable -> passes through unchanged rather than failing
+    assert(out(1).media.sameElements(records.collect().sortBy(_.id).apply(1).media))
+    assert(new String(out(2).media, "UTF-8") === "hello")
+    assert(out(3).media.sameElements(Array[Byte](1, 2, 3)))
+  }
+
+  test("frame sampling fans out every k-th fixed-size slice with bounded output") {
+    import spark.implicits._
+    // 10000 bytes / 1000-byte frames = 10 frames; every 3rd -> idx 0,3,6,9
+    val payload = Array.tabulate[Byte](10000)(i => (i % 251).toByte)
+    val rec = Seq(
+      MediaRecord(7L, "mem://clip.bin", payload, MediaMeta("video/fake", 0, 0, 0)),
+      MediaRecord(8L, "mem://empty.bin", Array.emptyByteArray, MediaMeta("video/fake", 0, 0, 0))
+    ).toDS()
+    val frames = Multimodal.sampleFrames(rec, frameBytes = 1000, every = 3)
+      .collect().sortBy(f => (f.id, f.frameIdx)).toSeq
+    assert(frames.map(f => (f.id, f.frameIdx)) === Seq((7L, 0), (7L, 3), (7L, 6), (7L, 9)))
+    assert(frames.forall(_.nBytes === 1000L))
+    // deterministic: the same slice hashes identically across runs
+    val again = Multimodal.sampleFrames(rec, frameBytes = 1000, every = 3)
+      .collect().sortBy(f => (f.id, f.frameIdx)).toSeq
+    assert(frames.map(_.digest) === again.map(_.digest))
+  }
+
   test("corrupt image bytes degrade to stub features instead of failing the stage") {
     import spark.implicits._
     val junk = Array.tabulate[Byte](32)(i => (i * 7).toByte)
