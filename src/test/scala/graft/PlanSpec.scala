@@ -128,6 +128,14 @@ class PlanSpec extends SparkTestBase {
       "packing window is not shard-partitioned:\n" + pack.take(3000))
   }
 
+  test("incremental dedup broadcasts the increment's bands at the candidate join") {
+    val plan = executed("q_dedup_incremental")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the new-batch band side must broadcast (zero corpus shuffle at ingest):\n" +
+        plan.take(3000))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("column pruning: dedup reads only doc_id and text") {
     val plan = executed("q_dedup_minhash")
     val reads = "ReadSchema: struct<([^>]*)>".r
