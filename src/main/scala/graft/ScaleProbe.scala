@@ -83,8 +83,12 @@ object ScaleProbe {
   }
 
   def main(args: Array[String]): Unit = {
-    // optional arg selects a probe group: core | extras | dedup | all
+    // optional arg selects a probe group: core | extras | dedup | sim | all
     val which = args.headOption.getOrElse("all")
+    val groups = Set("all", "core", "extras", "dedup", "sim")
+    // a typo'd group would otherwise spin up Spark, run NOTHING, and exit
+    // 0 — indistinguishable from "probe found nothing"
+    require(groups(which), s"unknown probe group '$which' (one of: ${groups.mkString(", ")})")
     val spark = GraftSession.local(appName = "graft-scale-probe").spark
     if (which == "all" || which == "core") coreProbe(spark)
     if (which == "all" || which == "extras") {
@@ -227,16 +231,21 @@ object ScaleProbe {
       }
       val mh = time(s"minhash_full_${mult}x", n) {
         // the q_dedup_minhash pipeline end to end: one pinned shingle
-        // pass, native one-pass signatures, banded candidates, exact
+        // pass, PINNED native one-pass signatures (the bands self-join
+        // reads sigs on both sides — unpinned, the signature pass would
+        // run twice, the exact lazy-cache race the production query's
+        // pinEager exists to avoid), banded candidates, exact
         // verification of candidates only
         val sets = graft.engine.PersistScope.pinEager(
           docs
             .select(col("doc_id"), TextOps.shingles(TextOps.tokens(col("text"))).as("sh"))
             .filter(size(col("sh")) >= 1)
         )
-        val sigs = sets
-          .select(col("doc_id"), transform(col("sh"), x => xxhash64(x)).as("hs"))
-          .select(col("doc_id"), TextOps.minhashSignatureArray(col("hs")).as("sig"))
+        val sigs = graft.engine.PersistScope.pinEager(
+          sets
+            .select(col("doc_id"), transform(col("sh"), x => xxhash64(x)).as("hs"))
+            .select(col("doc_id"), TextOps.minhashSignatureArray(col("hs")).as("sig"))
+        )
         val bands = sigs
           .select(col("doc_id"), explode(TextOps.bandStructsFromSig(col("sig"))).as("bd"))
           .select(col("doc_id"), col("bd.band").as("band"), col("bd.digest").as("digest"))

@@ -79,13 +79,22 @@ final class ResultCache(spark: SparkSession, capacity: Option[Int] = None) {
   private val inFlight = new java.util.concurrent.ConcurrentHashMap[
     String, java.util.concurrent.CompletableFuture[DataFrame]]()
 
+  // keys whose build THIS thread is currently running: a reentrant
+  // getOrPut(K) from inside K's own builder must not join its own flight
+  // (self-deadlock — only the outer frame can ever complete it); it falls
+  // through to a direct compute, the pre-single-flight behavior
+  private val building =
+    ThreadLocal.withInitial[java.util.HashSet[String]](() => new java.util.HashSet)
+
   /** Compute-through: return the cached frame or build, cache, and return.
     * Concurrent misses on the same key build ONCE (single-flight); waiters
     * observe the winner's frame, or its exception if the build failed (a
     * failed flight is removed, so the next call retries fresh).
     */
-  def getOrPut(key: String)(build: => DataFrame): DataFrame =
-    get(key).getOrElse {
+  def getOrPut(key: String)(build: => DataFrame): DataFrame = get(key) match {
+    case Some(df) => df
+    case None if building.get().contains(key) => put(key, build) // reentrant
+    case None =>
       val mine = new java.util.concurrent.CompletableFuture[DataFrame]()
       val race = inFlight.putIfAbsent(key, mine)
       if (race != null) {
@@ -96,6 +105,7 @@ final class ResultCache(spark: SparkSession, capacity: Option[Int] = None) {
             throw Option(e.getCause).getOrElse(e)
         }
       } else {
+        building.get().add(key)
         try {
           // re-check under the flight: a put() may have landed between the
           // miss above and winning the flight
@@ -106,7 +116,10 @@ final class ResultCache(spark: SparkSession, capacity: Option[Int] = None) {
           case e: Throwable =>
             mine.completeExceptionally(e)
             throw e
-        } finally inFlight.remove(key, mine)
+        } finally {
+          building.get().remove(key)
+          inFlight.remove(key, mine)
+        }
       }
     }
 

@@ -213,8 +213,14 @@ final class ServingServer(
                   // drain (bounded) what the client already sent: closing
                   // with bytes unread RSTs the connection, which on Linux
                   // flushes the receive queue and can destroy the status
-                  // line before the client reads it
-                  drain(in)
+                  // line before the client reads it. The cap is scaled to
+                  // the configured bound (a barely-over-limit client's
+                  // whole stream fits and gets the clean status); only a
+                  // genuine firehose — more than 2x the allowed bytes —
+                  // is cut off with the RST it earned.
+                  drain(in, cap =
+                    if (maxPutBytes > Long.MaxValue / 2) Long.MaxValue
+                    else math.max(16L << 20, 2 * maxPutBytes))
               }
             case bad =>
               status(s"ERR INVALID_ARGUMENT invalid table name '$bad'")
@@ -272,7 +278,7 @@ final class ServingServer(
     * client half-closes after its last write; a firehose client is cut off
     * at the cap and gets the RST it earned.
     */
-  private def drain(in: InputStream, cap: Long = 16L << 20): Unit = {
+  private def drain(in: InputStream, cap: Long): Unit = {
     val buf = new Array[Byte](8192)
     var n = 0L
     try while (n < cap) {

@@ -112,8 +112,10 @@ object Multimodal {
     */
   def decodeImage(digest: MessageDigest, rec: MediaRecord): MediaFeatures = {
     val bytes = if (rec.media == null) Array.emptyByteArray else rec.media
+    // decompression-bomb guard from the HEADER, before ImageIO.read
+    // allocates the declared raster (see rasterUnsafe)
     val img =
-      if (bytes.isEmpty) null
+      if (bytes.isEmpty || rasterUnsafe(bytes)) null
       else
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
         catch {
@@ -122,9 +124,7 @@ object Multimodal {
           // one fuzzed file kills the stage
           case scala.util.control.NonFatal(_) => null
         }
-    // decompression-bomb guard: a tiny PNG can declare a multi-GB raster;
-    // past 64M pixels treat it as undecodable rather than OOM the executor
-    if (img == null || img.getWidth.toLong * img.getHeight > 64000000L)
+    if (img == null)
       decodeStub(digest, rec)
     else {
       val w = img.getWidth
@@ -160,6 +160,39 @@ object Multimodal {
     }
   }
 
+  /** Raster dimensions from the image HEADER — no pixel decode. This is
+    * the decompression-bomb guard that actually guards: a crafted 200-byte
+    * PNG can declare a multi-gigabyte raster, and `ImageIO.read` allocates
+    * the whole thing before any post-decode size check could run. Reading
+    * width/height off the stream header costs a few bytes and lets callers
+    * refuse BEFORE the allocation. Returns null when no reader claims the
+    * bytes or the header is unreadable.
+    */
+  private def headerDims(bytes: Array[Byte]): (Int, Int) =
+    try {
+      val iis = javax.imageio.ImageIO
+        .createImageInputStream(new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) null
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis)
+            (r.getWidth(0), r.getHeight(0))
+          } finally r.dispose()
+        }
+      } finally iis.close()
+    } catch { case scala.util.control.NonFatal(_) => null }
+
+  /** True when the declared raster is absent or too large to decode
+    * safely (64M pixels ~= 256 MB of TYPE_INT_RGB per image).
+    */
+  private def rasterUnsafe(bytes: Array[Byte]): Boolean = {
+    val dims = headerDims(bytes)
+    dims == null || dims._1.toLong * dims._2 > 64000000L
+  }
+
   /** REAL image resize via JDK Graphics2D (no external libraries): decode,
     * scale the longest side to `maxDim` preserving aspect (never upscale),
     * re-encode as PNG. The standard preprocessing step before a vision
@@ -171,12 +204,11 @@ object Multimodal {
   def resizeImage(rec: MediaRecord, maxDim: Int): MediaRecord = {
     val bytes = if (rec.media == null) Array.emptyByteArray else rec.media
     val img =
-      if (bytes.isEmpty) null
+      if (bytes.isEmpty || rasterUnsafe(bytes)) null // refuse BEFORE decoding
       else
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
         catch { case scala.util.control.NonFatal(_) => null }
-    if (img == null || img.getWidth.toLong * img.getHeight > 64000000L ||
-      math.max(img.getWidth, img.getHeight) <= maxDim) rec
+    if (img == null || math.max(img.getWidth, img.getHeight) <= maxDim) rec
     else {
       val scale = maxDim.toDouble / math.max(img.getWidth, img.getHeight)
       val w = math.max(1, math.round(img.getWidth * scale).toInt)

@@ -619,15 +619,22 @@ object DedupQueries {
     * throws — failing loudly beats silently emitting wrong cluster ids
     * (the round-2 audit's truncation hazard).
     *
-    * Lineage grows one join+groupBy per iteration; without truncation an
-    * executor loss late in a deep component replays the WHOLE chain from
-    * the source scan. `localCheckpoint` every 5 iterations (the cadence:
-    * deep enough to amortize the materialization, shallow enough that a
-    * recompute replays <= 5 iterations) cuts the replay window — and the
-    * convergence-check count has already forced each generation, so the
-    * eager checkpoint re-reads cached blocks, not the join chain.
-    * DedupSpec drives a 13-node chain (diameter crosses two checkpoint
-    * boundaries) to pin that checkpointing is invisible to the labels.
+    * Lineage grows one join+groupBy per iteration; without truncation the
+    * plan (and any recompute) deepens without bound. Every 5 iterations
+    * (deep enough to amortize the materialization, shallow enough that a
+    * replay re-runs <= 5 iterations) the labels are checkpointed — and
+    * the convergence-check count has already forced each generation, so
+    * the eager checkpoint re-reads cached blocks, not the join chain.
+    * WHICH checkpoint matters on a real cluster: `localCheckpoint` stores
+    * blocks only on executors, so truncated lineage + a lost executor =
+    * unrecoverable job, NOT a slow recompute. When the session has a
+    * checkpoint dir configured (sc.setCheckpointDir — do this on any
+    * multi-executor deployment) the RELIABLE `checkpoint` is used and
+    * executor loss recovers from the checkpoint files; `localCheckpoint`
+    * is the fallback for dir-less local/bench sessions, where executor
+    * loss means the JVM died anyway. DedupSpec drives a 13-node chain
+    * (diameter crosses two checkpoint boundaries) to pin that
+    * checkpointing is invisible to the labels.
     */
   private[graft] def minLabelPropagation(
       edges: DataFrame,
@@ -654,7 +661,11 @@ object DedupQueries {
       labels.unpersist(blocking = false)
       labels =
         if (iter % 5 == 4) {
-          val cp = next.localCheckpoint(eager = true)
+          val reliable =
+            edges.sparkSession.sparkContext.getCheckpointDir.isDefined
+          val cp =
+            if (reliable) next.checkpoint(eager = true)
+            else next.localCheckpoint(eager = true)
           next.unpersist(blocking = false)
           cp
         } else next

@@ -130,11 +130,26 @@ object GraftArrowBridge {
       val schema = ArrowUtils.fromArrowSchema(root.getSchema)
       val rows = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
       var total = 0L
+      var totalBytes = 0L
       while (reader.loadNextBatch()) {
         total += root.getRowCount
         if (total > maxRows)
           throw new IngestLimitExceeded(
             s"DO_PUT stream exceeds the $maxRows-row ingest bound")
+        // maxBytes must bound the STREAM, not just one resident batch: the
+        // allocator frees each batch's buffers on the next loadNextBatch,
+        // but every decoded row is copied onto the driver heap below — so
+        // account the Arrow buffer bytes cumulatively (the heap copies are
+        // the same order of magnitude) and refuse past the cap. The
+        // allocator limit remains the single-giant-batch defense.
+        var c = 0
+        while (c < root.getFieldVectors.size()) {
+          totalBytes += root.getVector(c).getBufferSize
+          c += 1
+        }
+        if (totalBytes > maxBytes)
+          throw new IngestLimitExceeded(
+            s"DO_PUT stream exceeds the $maxBytes-byte ingest bound")
         val cols = Array.tabulate[ColumnVector](root.getFieldVectors.size()) {
           i => new ArrowColumnVector(root.getVector(i))
         }
@@ -146,6 +161,11 @@ object GraftArrowBridge {
         classic.sparkContext.parallelize(rows.toSeq), schema)
     } catch {
       case _: org.apache.arrow.memory.OutOfMemoryException =>
+        // unambiguous: ArrowUtils.rootAllocator is unbounded
+        // (RootAllocator(Long.MaxValue)), so an Arrow OOM on this path can
+        // only be the child allocator's maxBytes cap refusing one
+        // oversized record batch — never server-side memory pressure
+        // masquerading as the client's fault.
         throw new IngestLimitExceeded(
           s"DO_PUT stream exceeds the $maxBytes-byte ingest bound")
     } finally {

@@ -144,6 +144,15 @@ class EngineSpec extends SparkTestBase {
     }
     assert(boom.getMessage === "builder boom")
     assert(c.getOrPut("sf-bad")(Seq(7).toDF("v")).head().getInt(0) === 7)
+
+    // a builder that reentrantly asks for ITS OWN key must not join its
+    // own flight (self-deadlock); it computes directly instead
+    val reentrant = c.getOrPut("sf-re") {
+      val inner = c.getOrPut("sf-re")(Seq(5).toDF("v"))
+      inner.select(
+        (org.apache.spark.sql.functions.col("v") + 1).as("v"))
+    }
+    assert(reentrant.head().getInt(0) === 6)
     c.clear()
   }
 

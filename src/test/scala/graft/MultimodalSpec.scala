@@ -82,6 +82,36 @@ class MultimodalSpec extends SparkTestBase {
     assert(frames.map(_.digest) === again.map(_.digest))
   }
 
+  test("decompression bomb is refused from the header, never decoded") {
+    import spark.implicits._
+    // a syntactically-valid PNG signature + IHDR declaring 100000x100000
+    // (10 gigapixels): ImageIO's header read sees the dims; actually
+    // decoding it would allocate ~40 GB. The guard must stub/pass-through
+    // from the header alone — this test OOMs if the raster is ever built.
+    def chunk(typ: String, body: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(4 + 4 + body.length + 4)
+      bb.putInt(body.length).put(typ.getBytes("US-ASCII")).put(body)
+      val crc = new java.util.zip.CRC32
+      crc.update(typ.getBytes("US-ASCII")); crc.update(body)
+      bb.putInt(crc.getValue.toInt)
+      bb.array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(100000).putInt(100000)
+      .put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+      .array()
+    val sig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    val bomb = sig ++ chunk("IHDR", ihdr)
+
+    val rec = Seq(
+      MediaRecord(66L, "mem://bomb.png", bomb, MediaMeta("image/png", 0, 0, 3))
+    ).toDS()
+    val f = Multimodal.extractFeatures(rec).collect().head
+    assert(f.width === 0 && f.height === 0, "bomb must take the stub path")
+    val resized = Multimodal.resizeAll(rec, maxDim = 32).collect().head
+    assert(resized.media.sameElements(bomb), "bomb must pass through resize untouched")
+  }
+
   test("corrupt image bytes degrade to stub features instead of failing the stage") {
     import spark.implicits._
     val junk = Array.tabulate[Byte](32)(i => (i * 7).toByte)

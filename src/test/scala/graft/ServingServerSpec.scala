@@ -193,14 +193,26 @@ class ServingServerSpec extends SparkTestBase {
       assert(ok.isOk, ok.status)
     } finally rowSrv.close()
 
-    // byte bound: the child allocator refuses the batch at allocation time,
-    // before the payload is ever resident in driver memory
+    // byte bound, single giant batch: the child allocator refuses at
+    // allocation time, before the payload is ever resident in driver memory
     val byteSrv = new ServingServer(session, maxPutBytes = 1024).start()
     try {
       val fat = (1 to 2000).map(i => (i.toLong, "x" * 64)).toDF("k", "s")
       val r = ServingClient.doPut(byteSrv.boundPort, "fat_tbl", fat, batchSize = 2000)
       assert(r.status.startsWith("ERR RESOURCE_EXHAUSTED"), r.status)
     } finally byteSrv.close()
+
+    // byte bound, MANY SMALL batches: each batch fits the allocator, but
+    // the decoded rows accumulate on the driver — the cumulative
+    // accounting must refuse what per-batch allocation alone would admit
+    val cumSrv = new ServingServer(session, maxPutBytes = 64 * 1024).start()
+    try {
+      val wide = (1 to 4000).map(i => (i.toLong, "y" * 64)).toDF("k", "s")
+      val r = ServingClient.doPut(cumSrv.boundPort, "cum_tbl", wide, batchSize = 100)
+      assert(r.status.startsWith("ERR RESOURCE_EXHAUSTED"), r.status)
+      assert(ServingClient.getSchema(cumSrv.boundPort, "cum_tbl").status
+        .startsWith("ERR INTERNAL"))
+    } finally cumSrv.close()
   }
 
   test("DO_PUT rejects missing/invalid table names and garbage payloads") {
