@@ -221,6 +221,16 @@ final class ServingServer(
                   drain(in, cap =
                     if (maxPutBytes > Long.MaxValue / 2) Long.MaxValue
                     else math.max(16L << 20, 2 * maxPutBytes))
+                case e if scala.util.control.NonFatal(e) =>
+                  // malformed payload (not Arrow, truncated stream, ...):
+                  // same status-then-drain discipline — an ERR INTERNAL
+                  // the client never reads because close() RST'd their
+                  // half-written body is indistinguishable from a crash
+                  val msg = Option(e.getMessage)
+                    .getOrElse(e.getClass.getSimpleName)
+                    .linesIterator.next().take(500)
+                  status(s"ERR INTERNAL $msg")
+                  drain(in, cap = 16L << 20)
               }
             case bad =>
               status(s"ERR INVALID_ARGUMENT invalid table name '$bad'")
