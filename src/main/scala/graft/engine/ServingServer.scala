@@ -221,11 +221,15 @@ final class ServingServer(
                   drain(in, cap =
                     if (maxPutBytes > Long.MaxValue / 2) Long.MaxValue
                     else math.max(16L << 20, 2 * maxPutBytes))
-                case e if scala.util.control.NonFatal(e) =>
+                case e if scala.util.control.NonFatal(e) && !statusSent =>
                   // malformed payload (not Arrow, truncated stream, ...):
                   // same status-then-drain discipline — an ERR INTERNAL
                   // the client never reads because close() RST'd their
-                  // half-written body is indistinguishable from a crash
+                  // half-written body is indistinguishable from a crash.
+                  // The !statusSent guard matters: a failure AFTER the OK
+                  // (schema echo mid-write) must fall through to the
+                  // outer handler's abort-the-connection contract, never
+                  // splice a second status line into Arrow bytes.
                   val msg = Option(e.getMessage)
                     .getOrElse(e.getClass.getSimpleName)
                     .linesIterator.next().take(500)
