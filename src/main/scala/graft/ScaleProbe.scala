@@ -2,7 +2,7 @@ package graft
 
 import graft.engine.GraftSession
 import graft.operators.TextOps
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -229,78 +229,19 @@ object ScaleProbe {
           .write.format("noop").mode("overwrite").save()
         graft.engine.PersistScope.releaseAll()
       }
+      // THE production pipelines (DedupQueries.minhashPairs/simhashPairs),
+      // not inline replicas — the probe measures exactly what the queries
+      // run, so a threshold/banding/pin change can never silently leave
+      // the probe timing an outdated shape
       val mh = time(s"minhash_full_${mult}x", n) {
-        // the q_dedup_minhash pipeline end to end: one pinned shingle
-        // pass, PINNED native one-pass signatures (the bands self-join
-        // reads sigs on both sides — unpinned, the signature pass would
-        // run twice, the exact lazy-cache race the production query's
-        // pinEager exists to avoid), banded candidates, exact
-        // verification of candidates only
-        val sets = graft.engine.PersistScope.pinEager(
-          docs
-            .select(col("doc_id"), TextOps.shingles(TextOps.tokens(col("text"))).as("sh"))
-            .filter(size(col("sh")) >= 1)
-        )
-        val sigs = graft.engine.PersistScope.pinEager(
-          sets
-            .select(col("doc_id"), transform(col("sh"), x => xxhash64(x)).as("hs"))
-            .select(col("doc_id"), TextOps.minhashSignatureArray(col("hs")).as("sig"))
-        )
-        val bands = sigs
-          .select(col("doc_id"), explode(TextOps.bandStructsFromSig(col("sig"))).as("bd"))
-          .select(col("doc_id"), col("bd.band").as("band"), col("bd.digest").as("digest"))
-        val cand = bands
-          .as("x")
-          .join(
-            bands.as("y"),
-            col("x.band") === col("y.band") && col("x.digest") === col("y.digest") &&
-              col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-          .distinct()
-        val inter = size(array_intersect(col("sh_a"), col("sh_b")))
-        cand
-          .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
-          .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
-          .select(
-            col("doc_a"), col("doc_b"),
-            (inter * lit(1.0) / (size(col("sh_a")) + size(col("sh_b")) - inter)).as("j"))
-          .filter(col("j") >= 0.5)
+        graft.queries.DedupQueries
+          .minhashPairs(docs, 0.5)
           .write.format("noop").mode("overwrite").save()
         graft.engine.PersistScope.releaseAll()
       }
       val sh = time(s"simhash_full_${mult}x", n) {
-        // the q_dedup_simhash pipeline end to end, including the
-        // filter-before-distinct ordering that keeps the distinct's
-        // shuffle proportional to SURVIVORS, not candidates
-        val th = docs
-          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
-          .select(col("doc_id"), TextOps.simhashTokenHash(col("w")).as("h"))
-        val votes = th
-          .groupBy(col("doc_id"))
-          .agg(TextOps.simhashVoteAggs(col("h")).head, TextOps.simhashVoteAggs(col("h")).tail: _*)
-        val fp = graft.engine.PersistScope.pinEager(
-          votes.select(col("doc_id"), TextOps.simhashFromVotes.as("simhash")))
-        val chunks = fp.select(
-          col("doc_id"),
-          col("simhash"),
-          explode(array((0 until 4).map { c =>
-            struct(
-              lit(c).as("chunk"),
-              shiftright(col("simhash"), c * 15).bitwiseAND(lit(0x7fffL)).as("bits"))
-          }: _*)).as("ck"))
-        chunks
-          .as("x")
-          .join(
-            chunks.as("y"),
-            col("x.ck.chunk") === col("y.ck.chunk") &&
-              col("x.ck.bits") === col("y.ck.bits") &&
-              col("x.doc_id") < col("y.doc_id"))
-          .select(
-            col("x.doc_id").as("doc_a"),
-            col("y.doc_id").as("doc_b"),
-            TextOps.hamming(col("x.simhash"), col("y.simhash")).as("hamming"))
-          .filter(col("hamming") <= 6)
-          .distinct()
+        graft.queries.DedupQueries
+          .simhashPairs(docs)
           .write.format("noop").mode("overwrite").save()
         graft.engine.PersistScope.releaseAll()
       }
@@ -365,16 +306,10 @@ object ScaleProbe {
           .write.format("noop").mode("overwrite").save()
       }
       val lsh = time(s"sim_lsh_topk_${mult}x", n) {
-        def bucket(emb: Column): Column =
-          (0 until 4)
-            .map { h =>
-              val plane = array(
-                graft.functions.LshPlanes.plane(h, 64).map(v => lit(v)): _*)
-                .cast("array<float>")
-              when(Functions.dotProduct(emb, plane) > 0, lit(1 << h)).otherwise(lit(0))
-            }
-            .reduce(_ + _)
-        val b = vecs.withColumn("bucket", bucket(col("embedding")))
+        // the query's own bucketing (same hyperplanes, same arithmetic)
+        val b = vecs.withColumn(
+          "bucket",
+          graft.queries.SimilarityQueries.bucketCol(col("embedding"), hps = 4, dim = 64))
         val q = b.filter(col("vec_id") === 0)
           .select(col("embedding").as("qv"), col("bucket").as("qbucket"))
         b.filter(col("vec_id") =!= 0)

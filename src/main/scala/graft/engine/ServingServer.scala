@@ -230,10 +230,7 @@ final class ServingServer(
                   // (schema echo mid-write) must fall through to the
                   // outer handler's abort-the-connection contract, never
                   // splice a second status line into Arrow bytes.
-                  val msg = Option(e.getMessage)
-                    .getOrElse(e.getClass.getSimpleName)
-                    .linesIterator.next().take(500)
-                  status(s"ERR INTERNAL $msg")
+                  status(s"ERR INTERNAL ${firstLine(e)}")
                   drain(in, cap = 16L << 20)
               }
             case bad =>
@@ -276,9 +273,7 @@ final class ServingServer(
         // only while it is still unsent; after OK the Arrow bytes own the
         // socket and the only correct signal is connection abort
         if (!statusSent) {
-          val msg = Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
-            .linesIterator.next().take(500)
-          try status(s"ERR INTERNAL $msg")
+          try status(s"ERR INTERNAL ${firstLine(e)}")
           catch { case _: Throwable => () }
         }
     } finally {
@@ -287,15 +282,31 @@ final class ServingServer(
     }
   }
 
-  /** Consume (and discard) the rest of a refused request body, bounded by
-    * `cap` bytes and the socket's read timeout. EOF arrives as soon as the
-    * client half-closes after its last write; a firehose client is cut off
-    * at the cap and gets the RST it earned.
+  /** First line of an exception's message for the single-line status
+    * channel; survives null AND empty messages (an empty string's
+    * linesIterator has no `next()` — calling it would throw from inside
+    * the error handler, closing the connection with no status at all).
+    */
+  private def firstLine(e: Throwable): String =
+    Option(e.getMessage).getOrElse("")
+      .linesIterator.nextOption().filter(_.nonEmpty)
+      .getOrElse(e.getClass.getSimpleName)
+      .take(500)
+
+  /** Consume (and discard) the rest of a refused request body, bounded
+    * three ways: `cap` bytes, EOF (arrives as soon as the client
+    * half-closes after its last write), and a WALL-CLOCK deadline of
+    * `requestTimeoutMs`. The deadline matters because SO_TIMEOUT is
+    * per-read: a slow-drip client feeding one byte per 25 s never trips
+    * the read timeout and would otherwise pin this worker for the
+    * connection's lifetime — past the deadline (or the cap) it gets the
+    * RST it earned.
     */
   private def drain(in: InputStream, cap: Long): Unit = {
     val buf = new Array[Byte](8192)
     var n = 0L
-    try while (n < cap) {
+    val deadline = System.nanoTime() + requestTimeoutMs * 1000000L
+    try while (n < cap && System.nanoTime() < deadline) {
       val r = in.read(buf)
       if (r == -1) return
       n += r

@@ -272,8 +272,12 @@ object Multimodal {
       val codec = MessageDigest.getInstance("SHA-256")
       it.flatMap { rec =>
         val bytes = if (rec.media == null) Array.emptyByteArray else rec.media
-        // STUB demux: fixed-size slices as stand-in frames
-        val nFrames = (bytes.length + frameBytes - 1) / frameBytes
+        // STUB demux: fixed-size slices as stand-in frames. Long math: the
+        // Int sum overflows for payloads near the array max (or a huge
+        // frameBytes), which would wrap nFrames negative and SILENTLY
+        // emit zero frames for exactly the records that have the most.
+        val nFrames =
+          ((bytes.length.toLong + frameBytes - 1) / frameBytes).toInt
         (0 until nFrames by every).map { f =>
           val lo = f * frameBytes
           val hi = math.min(bytes.length, lo + frameBytes)

@@ -248,60 +248,7 @@ object DedupQueries {
     // banding is what bounds the candidates instead).
     Q(
       "q_dedup_minhash",
-      (s, dir) => {
-        val doc = t(s, dir, "documents")
-        // ONE tokenize+shingle pass: the eagerly-pinned sets feed the
-        // signature computation AND both sides of the verify join (the
-        // round-3 bench measured the lazy-cache self-join race at ~2x
-        // once per-rep unpersisting made runs honest).
-        val sets = PersistScope.pinEager(shingleSets(doc))
-        // signatures per ROW from the cached arrays: hash each shingle
-        // string once, then ONE native one-pass pass over the hash array
-        // (functions.MinHashSignature) for all 64 minima — no explode, no
-        // shuffle, no per-family temp arrays (bit-identical to the
-        // minhashAggs inverted-index path AND to the composed
-        // array_min(transform(...)) form, DedupSpec-pinned)
-        val sigs = PersistScope.pinEager(
-          sets
-            .select($"doc_id", transform($"sh", x => xxhash64(x)).as("hs"))
-            .select($"doc_id", TextOps.minhashSignatureArray($"hs").as("sig"))
-        )
-        val bands = sigs
-          .select($"doc_id", explode(TextOps.bandStructsFromSig($"sig")).as("bd"))
-          .select($"doc_id", $"bd.band".as("band"), $"bd.digest".as("digest"))
-        val cand = bands
-          .as("x")
-          .join(
-            bands.as("y"),
-            col("x.band") === col("y.band") && col("x.digest") === col("y.digest") &&
-              col("x.doc_id") < col("y.doc_id")
-          )
-          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-          .distinct()
-        // exact verification of CANDIDATES ONLY: join each pair to its two
-        // shingle sets and intersect in-row — cost is O(|candidates|), not
-        // the full inverted-index join (which would defeat the LSH pruning)
-        val inter = size(array_intersect($"sh_a", $"sh_b"))
-        cand
-          .join(
-            sets.select($"doc_id".as("doc_a"), $"sh".as("sh_a")),
-            Seq("doc_a")
-          )
-          .join(
-            sets.select($"doc_id".as("doc_b"), $"sh".as("sh_b")),
-            Seq("doc_b")
-          )
-          .select(
-            $"doc_a",
-            $"doc_b",
-            round(
-              inter * lit(1.0) / (size($"sh_a") + size($"sh_b") - inter),
-              6
-            ).as("jaccard")
-          )
-          .filter($"jaccard" >= 0.5)
-          .orderBy($"doc_a", $"doc_b")
-      },
+      (s, dir) => minhashPairs(t(s, dir, "documents"), 0.5),
       Some(jaccardOracle(None)),
       bench = true
     ),
@@ -380,74 +327,7 @@ object DedupQueries {
     // land within small Hamming distance, unrelated pairs far apart.
     Q(
       "q_dedup_simhash",
-      (s, dir) => {
-        val doc = t(s, dir, "documents")
-        // hash materialized in its own projection so the 61 vote sums read
-        // a column, not 61 inlined copies of the KR fold
-        val th = doc
-          .select($"doc_id", explode(TextOps.tokens($"text")).as("w"))
-          .select($"doc_id", TextOps.simhashTokenHash($"w").as("h"))
-        val votes = th
-          .groupBy($"doc_id")
-          .agg(
-            TextOps.simhashVoteAggs($"h").head,
-            TextOps.simhashVoteAggs($"h").tail: _*
-          )
-        // eager: both chunk-join sides share the vote aggregation
-        val fp = PersistScope.pinEager(
-          votes.select($"doc_id", TextOps.simhashFromVotes.as("simhash"))
-        )
-        // candidate pairs: any shared 15-bit chunk (4-band LSH over the 61
-        // usable fingerprint bits; bit 60 participates in Hamming only),
-        // then exact Hamming <= 6. RECALL ENVELOPE (DedupSpec-pinned): 4
-        // bands x <=3 differing banded bits pigeonhole-GUARANTEE a clean
-        // shared band, so every pair at Hamming <= 3 is emitted; pairs at
-        // 4-6 are emitted iff their differing bits cluster into <= 3 of
-        // the 4 chunks (measured on the fixture: all planted pairs do —
-        // real near-dup edits touch few tokens, so their flipped vote
-        // bits clump). A true <= 6 guarantee needs 7 bands of ~9 bits,
-        // but 2^9-bucket bands collide quadratically on a large corpus
-        // (~n^2/2^10 candidate pairs per band) — a scale-killer; 15-bit
-        // bands keep buckets at 32768 and candidates near-linear.
-        val chunks = fp.select(
-          $"doc_id",
-          $"simhash",
-          explode(
-            array((0 until 4).map { c =>
-              struct(
-                lit(c).as("chunk"),
-                shiftright($"simhash", c * 15).bitwiseAND(lit(0x7fffL)).as("bits")
-              )
-            }: _*)
-          ).as("ck")
-        )
-        chunks
-          .as("x")
-          .join(
-            chunks.as("y"),
-            col("x.ck.chunk") === col("y.ck.chunk") &&
-              col("x.ck.bits") === col("y.ck.bits") &&
-              col("x.doc_id") < col("y.doc_id")
-          )
-          .select(
-            col("x.doc_id").as("doc_a"),
-            col("y.doc_id").as("doc_b"),
-            TextOps
-              .hamming(col("x.simhash"), col("y.simhash"))
-              .cast("bigint")
-              .as("hamming")
-          )
-          // filter BEFORE distinct (semantics-identical: hamming is a
-          // deterministic function of the pair). Unrelated-doc band
-          // collisions grow ~n^2/2^15 per band, so at corpus scale the
-          // candidate stream is orders of magnitude larger than the
-          // survivors — the Hamming cut must run streaming off the join,
-          // with the distinct's shuffle paid only by true near-dups
-          // (dedupScaleProbe measures the candidate/survivor gap at 100x).
-          .filter($"hamming" <= 6)
-          .distinct()
-          .orderBy($"doc_a", $"doc_b")
-      },
+      (s, dir) => simhashPairs(t(s, dir, "documents")),
       Some(simhashOracle)
     ),
     // ----- dedup clustering (connected components over near-dup pairs) -----
@@ -611,6 +491,129 @@ object DedupQueries {
 
   // NOTE: declared as defs below `all` — a val here would still be null
   // while `all` initializes (object init order).
+
+  /** The MinHash-LSH near-dedup pipeline as a reusable operator — shared
+    * by `q_dedup_minhash` and ScaleProbe.dedupScaleProbe so the probe can
+    * never drift from what production runs.
+    *
+    * ONE tokenize+shingle pass: the eagerly-pinned sets feed the signature
+    * computation AND both sides of the verify join (the round-3 bench
+    * measured the lazy-cache self-join race at ~2x once per-rep
+    * unpersisting made runs honest). Signatures per ROW from the cached
+    * arrays: hash each shingle string once, then ONE native one-pass walk
+    * over the hash array (functions.MinHashSignature) for all 64 minima —
+    * no explode, no shuffle, no per-family temp arrays (bit-identical to
+    * the minhashAggs inverted-index path AND to the composed
+    * array_min(transform(...)) form, DedupSpec-pinned). Candidates come
+    * only from shared band digests; exact verification joins CANDIDATES
+    * ONLY to their shingle sets — cost O(|candidates|), not the full
+    * inverted-index join (which would defeat the LSH pruning).
+    */
+  private[graft] def minhashPairs(doc: DataFrame, minJ: Double): DataFrame = {
+    val sets = PersistScope.pinEager(shingleSets(doc))
+    val sigs = PersistScope.pinEager(
+      sets
+        .select($"doc_id", transform($"sh", x => xxhash64(x)).as("hs"))
+        .select($"doc_id", TextOps.minhashSignatureArray($"hs").as("sig"))
+    )
+    val bands = sigs
+      .select($"doc_id", explode(TextOps.bandStructsFromSig($"sig")).as("bd"))
+      .select($"doc_id", $"bd.band".as("band"), $"bd.digest".as("digest"))
+    val cand = bands
+      .as("x")
+      .join(
+        bands.as("y"),
+        col("x.band") === col("y.band") && col("x.digest") === col("y.digest") &&
+          col("x.doc_id") < col("y.doc_id")
+      )
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val inter = size(array_intersect($"sh_a", $"sh_b"))
+    cand
+      .join(sets.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), Seq("doc_a"))
+      .join(sets.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), Seq("doc_b"))
+      .select(
+        $"doc_a",
+        $"doc_b",
+        round(inter * lit(1.0) / (size($"sh_a") + size($"sh_b") - inter), 6)
+          .as("jaccard")
+      )
+      .filter($"jaccard" >= minJ)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** The SimHash near-dedup pipeline as a reusable operator — shared by
+    * `q_dedup_simhash` and ScaleProbe.dedupScaleProbe (same no-drift
+    * rationale as [[minhashPairs]]).
+    *
+    * The per-token hash is materialized in its own projection so the 61
+    * vote sums read a column, not 61 inlined copies of the KR fold; the
+    * fingerprint is eagerly pinned because both chunk-join sides share
+    * the vote aggregation. Candidate pairs: any shared 15-bit chunk
+    * (4-band LSH over the 61 usable fingerprint bits; bit 60 participates
+    * in Hamming only), then exact Hamming <= 6. RECALL ENVELOPE
+    * (DedupSpec-pinned): 4 bands x <=3 differing banded bits
+    * pigeonhole-GUARANTEE a clean shared band, so every pair at
+    * Hamming <= 3 is emitted; pairs at 4-6 are emitted iff their
+    * differing bits cluster into <= 3 of the 4 chunks (measured on the
+    * fixture: all planted pairs do — real near-dup edits touch few
+    * tokens, so their flipped vote bits clump). A true <= 6 guarantee
+    * needs 7 bands of ~9 bits, but 2^9-bucket bands collide quadratically
+    * on a large corpus (~n^2/2^10 candidate pairs per band) — a
+    * scale-killer; 15-bit bands keep buckets at 32768 and candidates
+    * near-linear. The Hamming filter runs BEFORE distinct
+    * (semantics-identical: hamming is a deterministic function of the
+    * pair): unrelated-doc band collisions grow ~n^2/2^15 per band, so at
+    * corpus scale the candidate stream is orders of magnitude larger
+    * than the survivors — the cut must run streaming off the join, with
+    * the distinct's shuffle paid only by true near-dups
+    * (dedupScaleProbe measures the candidate/survivor gap at 100x).
+    */
+  private[graft] def simhashPairs(doc: DataFrame): DataFrame = {
+    val th = doc
+      .select($"doc_id", explode(TextOps.tokens($"text")).as("w"))
+      .select($"doc_id", TextOps.simhashTokenHash($"w").as("h"))
+    val votes = th
+      .groupBy($"doc_id")
+      .agg(
+        TextOps.simhashVoteAggs($"h").head,
+        TextOps.simhashVoteAggs($"h").tail: _*
+      )
+    val fp = PersistScope.pinEager(
+      votes.select($"doc_id", TextOps.simhashFromVotes.as("simhash"))
+    )
+    val chunks = fp.select(
+      $"doc_id",
+      $"simhash",
+      explode(
+        array((0 until 4).map { c =>
+          struct(
+            lit(c).as("chunk"),
+            shiftright($"simhash", c * 15).bitwiseAND(lit(0x7fffL)).as("bits")
+          )
+        }: _*)
+      ).as("ck")
+    )
+    chunks
+      .as("x")
+      .join(
+        chunks.as("y"),
+        col("x.ck.chunk") === col("y.ck.chunk") &&
+          col("x.ck.bits") === col("y.ck.bits") &&
+          col("x.doc_id") < col("y.doc_id")
+      )
+      .select(
+        col("x.doc_id").as("doc_a"),
+        col("y.doc_id").as("doc_b"),
+        TextOps
+          .hamming(col("x.simhash"), col("y.simhash"))
+          .cast("bigint")
+          .as("hamming")
+      )
+      .filter($"hamming" <= 6)
+      .distinct()
+      .orderBy($"doc_a", $"doc_b")
+  }
 
   /** Min-label propagation over a SYMMETRIC edge list `(src, dst)` to the
     * fixpoint: returns `(node, label)` where label = min reachable node id

@@ -24,6 +24,13 @@ object SimilarityQueries {
     * KMeans centroids and probed cells the run actually fitted, so it can
     * only be authored AFTER the query executes. The query fn stores it
     * here; Verify reads `oracleNow` post-run when dumping oracle_sql.json.
+    *
+    * LAST-WRITER-WINS by design: the holder is object-global, so two runs
+    * of the query against DIFFERENT sf dirs in one JVM would leave the
+    * second run's centroids in the dump. That is exactly the consumer's
+    * contract — only Verify reads `oracleNow`, it runs each query once
+    * against ONE sfDir on a single thread, then dumps. Spec JVMs write
+    * the holder too but never dump it.
     */
   private val ivfOracle =
     new java.util.concurrent.atomic.AtomicReference[Option[String]](None)
@@ -106,8 +113,11 @@ object SimilarityQueries {
       )
       .mkString(" + ")
 
-  /** 2^H-bucket id from the signs of H hyperplane dot products. */
-  private def bucketCol(emb: org.apache.spark.sql.Column, hps: Int, dim: Int) =
+  /** 2^H-bucket id from the signs of H hyperplane dot products.
+    * `private[graft]` so ScaleProbe.simScaleProbe buckets with the SAME
+    * hyperplanes/arithmetic the query uses — no inline replica to drift.
+    */
+  private[graft] def bucketCol(emb: org.apache.spark.sql.Column, hps: Int, dim: Int) =
     (0 until hps)
       .map(h =>
         when(Functions.dotProduct(emb, hyperplaneCol(h, dim)) > 0, lit(1 << h))
