@@ -287,6 +287,105 @@ object SourceQueries {
           "FROM events GROUP BY 1, 2 ORDER BY day, event_type"
       ),
       bench = true
+    ),
+    // ----- funnel analysis ---------------------------------------------------
+    // The ordered-sequence conversion count every product-analytics user
+    // runs: of the users who VIEWed, how many then CLICKed after their
+    // first view, and PURCHASEd after that click. Each stage is one
+    // groupBy(user) min-timestamp plus a user-keyed join against the
+    // previous stage — shuffles on user_id with map-side partial mins,
+    // no window over the full event stream, no self-join on time. At
+    // 100 TB the three stage aggregates are each one shuffle of (user,
+    // ts) pairs, not events.
+    Q(
+      "q_events_funnel",
+      (s, dir) => {
+        val ev = events(s, dir).select($"user_id", $"event_type", $"ts")
+        def firstAfter(
+            typ: String,
+            prev: org.apache.spark.sql.DataFrame, // (user_id, prev_ts)
+            out: String
+        ) =
+          ev.filter($"event_type" === typ)
+            .join(prev, Seq("user_id"))
+            .filter($"ts" > $"prev_ts")
+            .groupBy($"user_id")
+            .agg(min($"ts").as(out))
+        val views = ev
+          .filter($"event_type" === "view")
+          .groupBy($"user_id")
+          .agg(min($"ts").as("v_ts"))
+        val clicks =
+          firstAfter("click", views.select($"user_id", $"v_ts".as("prev_ts")), "c_ts")
+        val purchases =
+          firstAfter("purchase", clicks.select($"user_id", $"c_ts".as("prev_ts")), "p_ts")
+        views.agg(lit("1_view").as("stage"), count(lit(1)).as("n_users"))
+          .union(clicks.agg(lit("2_click").as("stage"), count(lit(1)).as("n_users")))
+          .union(purchases.agg(lit("3_purchase").as("stage"), count(lit(1)).as("n_users")))
+          .orderBy($"stage")
+      },
+      Some(
+        """WITH e AS (
+          |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+          |), v AS (
+          |  SELECT user_id, min(ts) AS v_ts FROM e WHERE event_type = 'view'
+          |  GROUP BY user_id
+          |), c AS (
+          |  SELECT e.user_id, min(e.ts) AS c_ts
+          |  FROM e JOIN v ON e.user_id = v.user_id
+          |  WHERE e.event_type = 'click' AND e.ts > v.v_ts
+          |  GROUP BY e.user_id
+          |), p AS (
+          |  SELECT e.user_id, min(e.ts) AS p_ts
+          |  FROM e JOIN c ON e.user_id = c.user_id
+          |  WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+          |  GROUP BY e.user_id
+          |)
+          |SELECT stage, n_users FROM (
+          |  SELECT '1_view' AS stage, count(*) AS n_users FROM v
+          |  UNION ALL SELECT '2_click', count(*) FROM c
+          |  UNION ALL SELECT '3_purchase', count(*) FROM p
+          |) ORDER BY stage""".stripMargin
+      )
+    ),
+    // ----- cohort retention --------------------------------------------------
+    // Week-cohorted retention: users grouped by their first-active week,
+    // counted in each subsequent week they return. One distinct
+    // (user, week) pass feeds both the cohort assignment and the
+    // activity join; offsets are exact integer day arithmetic on
+    // week-truncated timestamps (both engines truncate to ISO Monday),
+    // so the whole matrix hash-oracles. Shuffle shape at scale: distinct
+    // on (user, week) ~ active-users x weeks, then a user-keyed join —
+    // never a scan-sized shuffle.
+    Q(
+      "q_events_cohort",
+      (s, dir) => {
+        val wk = events(s, dir)
+          .select($"user_id", date_trunc("week", $"ts").as("wk"))
+          .distinct()
+        val cohort = wk.groupBy($"user_id").agg(min($"wk").as("cohort_week"))
+        wk.join(cohort, Seq("user_id"))
+          .groupBy(
+            $"cohort_week",
+            (datediff($"wk", $"cohort_week") / 7).cast("bigint").as("week_offset")
+          )
+          .agg(countDistinct($"user_id").as("n_users"))
+          .orderBy($"cohort_week", $"week_offset")
+      },
+      Some(
+        """WITH wk AS (
+          |  SELECT DISTINCT user_id,
+          |         date_trunc('week', CAST(ts AS TIMESTAMP)) AS wk
+          |  FROM events
+          |), coh AS (
+          |  SELECT user_id, min(wk) AS cohort_week FROM wk GROUP BY user_id
+          |)
+          |SELECT coh.cohort_week,
+          |       CAST(date_diff('day', coh.cohort_week, wk.wk) // 7 AS BIGINT) AS week_offset,
+          |       count(DISTINCT wk.user_id) AS n_users
+          |FROM wk JOIN coh USING (user_id)
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+      )
     )
   )
 }
