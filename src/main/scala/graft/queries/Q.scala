@@ -9,8 +9,9 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   * DuckDB on the same parquet tables (BASELINE.md correctness gate).
   *
   * `oracleFn` is the DYNAMIC variant: an oracle whose text is only known
-  * after the query has run (q_sim_topk_ivf embeds the KMeans centroids the
-  * run fitted). Verify dumps oracle_sql.json AFTER executing every query,
+  * after the query has run (q_sim_topk_ivf and q_embed_clusters embed the
+  * KMeans centroids the run fitted). Verify dumps oracle_sql.json AFTER
+  * executing every query,
   * so a dynamic oracle that captured its state during the run is emitted;
   * one that never ran simply stays absent (the driver then records the
   * same rows-only check it would for a static None).
