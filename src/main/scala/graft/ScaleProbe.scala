@@ -85,7 +85,7 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     // optional arg selects a probe group: core | extras | dedup | sim | all
     val which = args.headOption.getOrElse("all")
-    val groups = Set("all", "core", "extras", "dedup", "sim")
+    val groups = Set("all", "core", "extras", "dedup", "sim", "text")
     // a typo'd group would otherwise spin up Spark, run NOTHING, and exit
     // 0 — indistinguishable from "probe found nothing"
     require(groups(which), s"unknown probe group '$which' (one of: ${groups.mkString(", ")})")
@@ -98,6 +98,7 @@ object ScaleProbe {
     }
     if (which == "all" || which == "dedup") dedupScaleProbe(spark)
     if (which == "all" || which == "sim") simScaleProbe(spark)
+    if (which == "all" || which == "text") textScaleProbe(spark)
     spark.stop()
   }
 
@@ -340,6 +341,56 @@ object ScaleProbe {
     }
     val results = resultsAll.drop(nOps) // drop the warmup group
     println("--- similarity family at 30x/100x (base 20k vectors, 64-dim) ---")
+    results.foreach { case (l, rows, s) => println(f"$l%-22s rows=$rows%9d  $s%8.2f s") }
+    println("--- time ratios vs 1x (linear = the multiplier itself) ---")
+    (0 until nOps).foreach { i =>
+      val (l1, _, s1) = results(i)
+      val (_, _, s30) = results(nOps + i)
+      val (_, _, s100) = results(2 * nOps + i)
+      println(f"${l1.stripSuffix("_1x")}%-22s 30x: ${s30 / s1}%7.1f   100x: ${s100 / s1}%7.1f")
+    }
+  }
+
+  /** The retrieval/curation text family at 30x/100x, driving the SAME
+    * production operators the queries run (TextQueries.bm25Scores /
+    * tfidfTopTerms / contaminationCounts — no inline replicas): BM25
+    * keyword scoring, per-doc top-3 TF-IDF, and benchmark
+    * decontamination over the realistic-vocabulary [[genCorpus]].
+    */
+  private def textScaleProbe(spark: SparkSession): Unit = {
+    val base = 20000L
+    val nOps = 3
+    val resultsAll = Seq(1L, 1L, 30L, 100L).flatMap { mult =>
+      val n = base * mult
+      val docs = genCorpus(spark, n).cache()
+      docs.count()
+      val bm25 = time(s"bm25_${mult}x", n) {
+        graft.queries.TextQueries
+          .bm25Scores(docs, Seq("w1", "w42", "w777"))
+          .write.format("noop").mode("overwrite").save()
+      }
+      val tfidf = time(s"tfidf_top3_${mult}x", n) {
+        graft.queries.TextQueries
+          .tfidfTopTerms(docs, 3)
+          .write.format("noop").mode("overwrite").save()
+      }
+      // FIXED 1000-doc benchmark at every scale — eval suites don't grow
+      // with the corpus. (The first probe run used the query's
+      // proportional %20 default and OOM'd at 100x under a ~1 GB gram
+      // broadcast: a real finding, recorded in contaminationCounts'
+      // scaladoc and BASELINE.md — broadcast decontamination is only
+      // valid for fixed, eval-suite-sized benchmarks.)
+      val decon = time(s"decontaminate_${mult}x", n) {
+        graft.queries.TextQueries
+          .contaminationCounts(docs, isBench = col("doc_id") < 1000)
+          .write.format("noop").mode("overwrite").save()
+        graft.engine.PersistScope.releaseAll()
+      }
+      docs.unpersist()
+      Seq(bm25, tfidf, decon)
+    }
+    val results = resultsAll.drop(nOps) // drop the warmup group
+    println("--- text family at 30x/100x (base 20k docs; 64k vocab) ---")
     results.foreach { case (l, rows, s) => println(f"$l%-22s rows=$rows%9d  $s%8.2f s") }
     println("--- time ratios vs 1x (linear = the multiplier itself) ---")
     (0 until nOps).foreach { i =>

@@ -413,31 +413,10 @@ object TextQueries {
     // disagreement, and (tfidf DESC, term) is a total order per doc.
     Q(
       "q_text_tfidf",
-      (s, dir) => {
-        val docs = t(s, dir, "documents")
-        val toks = docs
-          .select($"doc_id", explode(TextOps.tokens($"text")).as("term"))
-          .filter($"term" =!= "")
-        val tf = toks.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-        val dfreq = toks.groupBy($"term")
-          .agg(countDistinct($"doc_id").as("df"))
-        val n = docs.agg(count(lit(1)).as("n_docs"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy($"doc_id")
-          .orderBy($"tfidf".desc, $"term")
-        tf.join(broadcast(dfreq), Seq("term"))
-          .crossJoin(broadcast(n))
-          .select(
-            $"doc_id",
-            $"term",
-            $"tf",
-            round($"tf" * log($"n_docs" * lit(1.0) / $"df"), 6).as("tfidf")
-          )
-          .withColumn("rk", row_number().over(w))
-          .filter($"rk" <= 3 && $"doc_id" < 50)
-          .select($"doc_id", $"term", $"tf", $"tfidf")
-          .orderBy($"doc_id", $"tfidf".desc, $"term")
-      },
+      (s, dir) =>
+        tfidfTopTerms(t(s, dir, "documents"), 3)
+          .filter($"doc_id" < 50)
+          .orderBy($"doc_id", $"tfidf".desc, $"term"),
       Some(
         """WITH toks AS (
           |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS term
@@ -566,29 +545,7 @@ object TextQueries {
     // the gram — the inverted-index shape jaccardPairs already proves.
     Q(
       "q_decontaminate",
-      (s, dir) => {
-        val doc = t(s, dir, "documents")
-        // one tokenize+shingle pass feeds both the benchmark and corpus
-        // branches (pinEager: the usual lazy-shared-cache self-join race)
-        val grams = graft.engine.PersistScope.pinEager(
-          doc
-            .select($"doc_id", TextOps.tokens($"text").as("ws"))
-            .filter(size($"ws") >= 8)
-            .select($"doc_id", explode(TextOps.shingles($"ws", 8)).as("g"))
-        )
-        val bench = grams
-          .filter($"doc_id" % 20 === 0)
-          .select($"doc_id".as("bench_id"), $"g")
-        val corpus = grams.filter($"doc_id" % 20 =!= 0)
-        corpus
-          .join(broadcast(bench), Seq("g"))
-          .groupBy($"doc_id")
-          .agg(
-            countDistinct($"bench_id").as("n_bench_docs"),
-            countDistinct($"g").as("n_shared_grams")
-          )
-          .orderBy($"doc_id")
-      },
+      (s, dir) => contaminationCounts(t(s, dir, "documents")),
       Some {
         val gram = (0 until 8).map(k => s"ws[i+$k]").mkString(" || ' ' || ")
         s"""WITH toks AS (
@@ -775,8 +732,18 @@ object TextQueries {
       s: org.apache.spark.sql.SparkSession,
       dir: String,
       query: Seq[String]
+  ): org.apache.spark.sql.DataFrame =
+    bm25Scores(t(s, dir, "documents"), query)
+
+  /** BM25 over an arbitrary documents frame — the overload ScaleProbe's
+    * text-family probe drives, so the probe times EXACTLY the production
+    * scoring pipeline (same no-drift rationale as DedupQueries
+    * .minhashPairs).
+    */
+  def bm25Scores(
+      docs: org.apache.spark.sql.DataFrame,
+      query: Seq[String]
   ): org.apache.spark.sql.DataFrame = {
-    val docs = t(s, dir, "documents")
     val toks = docs
       .select($"doc_id", explode(TextOps.tokens($"text")).as("term"))
       .filter($"term" =!= "")
@@ -795,6 +762,79 @@ object TextQueries {
       .crossJoin(broadcast(stats))
       .groupBy($"doc_id")
       .agg(round(sum(termScore), 6).as("bm25"))
+  }
+
+  /** Per-doc top-k TF-IDF terms over an arbitrary documents frame —
+    * shared by `q_text_tfidf` (which adds its demo doc_id filter and
+    * presentation order) and ScaleProbe's text-family probe. One token
+    * shuffle feeds tf + df; the vocab-sized df table and the N scalar
+    * broadcast back onto the per-(doc, term) scores; ranking windows are
+    * per-doc partitions, never global.
+    */
+  private[graft] def tfidfTopTerms(
+      docs: org.apache.spark.sql.DataFrame,
+      k: Int
+  ): org.apache.spark.sql.DataFrame = {
+    val toks = docs
+      .select($"doc_id", explode(TextOps.tokens($"text")).as("term"))
+      .filter($"term" =!= "")
+    val tf = toks.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val dfreq = toks.groupBy($"term").agg(countDistinct($"doc_id").as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id")
+      .orderBy($"tfidf".desc, $"term")
+    tf.join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(n))
+      .select(
+        $"doc_id",
+        $"term",
+        $"tf",
+        round($"tf" * log($"n_docs" * lit(1.0) / $"df"), 6).as("tfidf")
+      )
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= k)
+      .select($"doc_id", $"term", $"tf", $"tfidf")
+  }
+
+  /** Benchmark-decontamination counts over an arbitrary documents frame —
+    * shared by `q_decontaminate` and ScaleProbe's text-family probe. One
+    * tokenize+shingle pass feeds both the benchmark and corpus branches
+    * (pinEager: the usual lazy-shared-cache self-join race); the
+    * benchmark gram set broadcasts, the corpus side is one streaming
+    * pass + per-doc partial agg.
+    *
+    * `isBench` selects the benchmark slice. The broadcast strategy
+    * assumes that slice is EVAL-SUITE-SIZED AND FIXED — it must not grow
+    * with the corpus. The text-family probe proved this the hard way: a
+    * proportional (doc_id % 20) benchmark at 2M docs built a ~1 GB gram
+    * broadcast and OOM'd executors, while the fixed benchmark real
+    * pipelines have stays a few MB at any corpus size. A benchmark that
+    * genuinely outgrows broadcast needs the shuffle-join-on-gram plan
+    * (the jaccardPairs inverted-index shape) instead.
+    */
+  private[graft] def contaminationCounts(
+      doc: org.apache.spark.sql.DataFrame,
+      isBench: org.apache.spark.sql.Column = $"doc_id" % 20 === 0
+  ): org.apache.spark.sql.DataFrame = {
+    val grams = graft.engine.PersistScope.pinEager(
+      doc
+        .select($"doc_id", TextOps.tokens($"text").as("ws"))
+        .filter(size($"ws") >= 8)
+        .select($"doc_id", explode(TextOps.shingles($"ws", 8)).as("g"))
+    )
+    val bench = grams
+      .filter(isBench)
+      .select($"doc_id".as("bench_id"), $"g")
+    val corpus = grams.filter(!isBench)
+    corpus
+      .join(broadcast(bench), Seq("g"))
+      .groupBy($"doc_id")
+      .agg(
+        countDistinct($"bench_id").as("n_bench_docs"),
+        countDistinct($"g").as("n_shared_grams")
+      )
+      .orderBy($"doc_id")
   }
 
   /** The BM25 CTE chain shared by both oracle texts. */
