@@ -374,15 +374,19 @@ object ScaleProbe {
           .tfidfTopTerms(docs, 3)
           .write.format("noop").mode("overwrite").save()
       }
-      // FIXED 1000-doc benchmark at every scale — eval suites don't grow
-      // with the corpus. (The first probe run used the query's
-      // proportional %20 default and OOM'd at 100x under a ~1 GB gram
-      // broadcast: a real finding, recorded in contaminationCounts'
-      // scaladoc and BASELINE.md — broadcast decontamination is only
-      // valid for fixed, eval-suite-sized benchmarks.)
+      // FIXED-size benchmark at every scale — eval suites don't grow with
+      // the corpus. (The first probe run used the query's proportional
+      // %20 slice and OOM'd at 100x under a ~1 GB gram broadcast: a real
+      // finding, recorded in contaminationCounts' scaladoc and
+      // BASELINE.md.) The slice is doc_id % 100 == 0 capped at 100k so it
+      // STRADDLES genCorpus's planted pairs (b benchmark, b+1 corpus):
+      // a disjoint fixed slice (say doc_id < 1000) would match zero rows
+      // and leave the post-join aggregation path unmeasured.
       val decon = time(s"decontaminate_${mult}x", n) {
         graft.queries.TextQueries
-          .contaminationCounts(docs, isBench = col("doc_id") < 1000)
+          .contaminationCounts(
+            docs,
+            isBench = col("doc_id") % 100 === 0 && col("doc_id") < 100000)
           .write.format("noop").mode("overwrite").save()
         graft.engine.PersistScope.releaseAll()
       }

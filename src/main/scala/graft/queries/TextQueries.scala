@@ -545,7 +545,10 @@ object TextQueries {
     // the gram — the inverted-index shape jaccardPairs already proves.
     Q(
       "q_decontaminate",
-      (s, dir) => contaminationCounts(t(s, dir, "documents")),
+      // % 20 mirrors the oracle SQL below; fine at fixture scale, and the
+      // proportional-slice caveat lives in contaminationCounts' scaladoc
+      (s, dir) =>
+        contaminationCounts(t(s, dir, "documents"), $"doc_id" % 20 === 0),
       Some {
         val gram = (0 until 8).map(k => s"ws[i+$k]").mkString(" || ' ' || ")
         s"""WITH toks AS (
@@ -798,35 +801,39 @@ object TextQueries {
   }
 
   /** Benchmark-decontamination counts over an arbitrary documents frame —
-    * shared by `q_decontaminate` and ScaleProbe's text-family probe. One
-    * tokenize+shingle pass feeds both the benchmark and corpus branches
-    * (pinEager: the usual lazy-shared-cache self-join race); the
-    * benchmark gram set broadcasts, the corpus side is one streaming
-    * pass + per-doc partial agg.
+    * shared by `q_decontaminate` and ScaleProbe's text-family probe. Only
+    * the BENCHMARK grams are pinned (they are read by the broadcast
+    * build); the corpus grams STREAM unpinned through the broadcast join
+    * into the per-doc partial agg. Pinning the full exploded gram table
+    * instead (the probe's first instinct) is a scale bug this probe
+    * caught at 100x: 2M docs explode to ~86M gram rows (~10 GB of cache)
+    * which starves execution memory — tokenizing the corpus twice is
+    * free by comparison, and here the corpus side is consumed exactly
+    * once anyway.
     *
-    * `isBench` selects the benchmark slice. The broadcast strategy
-    * assumes that slice is EVAL-SUITE-SIZED AND FIXED — it must not grow
-    * with the corpus. The text-family probe proved this the hard way: a
-    * proportional (doc_id % 20) benchmark at 2M docs built a ~1 GB gram
-    * broadcast and OOM'd executors, while the fixed benchmark real
-    * pipelines have stays a few MB at any corpus size. A benchmark that
-    * genuinely outgrows broadcast needs the shuffle-join-on-gram plan
-    * (the jaccardPairs inverted-index shape) instead.
+    * `isBench` selects the benchmark slice — deliberately REQUIRED, no
+    * default: the broadcast strategy assumes that slice is
+    * EVAL-SUITE-SIZED AND FIXED, never growing with the corpus, and a
+    * default would bake one choice invisibly into every new caller. The
+    * text-family probe proved the hazard the hard way: a proportional
+    * (doc_id % 20) benchmark at 2M docs built a ~1 GB gram broadcast and
+    * OOM'd executors, while a fixed eval-suite-sized benchmark stays a
+    * few MB at any corpus size. A benchmark that genuinely outgrows
+    * broadcast needs the shuffle-join-on-gram plan (the jaccardPairs
+    * inverted-index shape) instead.
     */
   private[graft] def contaminationCounts(
       doc: org.apache.spark.sql.DataFrame,
-      isBench: org.apache.spark.sql.Column = $"doc_id" % 20 === 0
+      isBench: org.apache.spark.sql.Column
   ): org.apache.spark.sql.DataFrame = {
-    val grams = graft.engine.PersistScope.pinEager(
-      doc
-        .select($"doc_id", TextOps.tokens($"text").as("ws"))
+    def grams(d: org.apache.spark.sql.DataFrame) =
+      d.select($"doc_id", TextOps.tokens($"text").as("ws"))
         .filter(size($"ws") >= 8)
         .select($"doc_id", explode(TextOps.shingles($"ws", 8)).as("g"))
+    val bench = graft.engine.PersistScope.pinEager(
+      grams(doc.filter(isBench)).select($"doc_id".as("bench_id"), $"g")
     )
-    val bench = grams
-      .filter(isBench)
-      .select($"doc_id".as("bench_id"), $"g")
-    val corpus = grams.filter(!isBench)
+    val corpus = grams(doc.filter(!isBench))
     corpus
       .join(broadcast(bench), Seq("g"))
       .groupBy($"doc_id")
