@@ -85,7 +85,7 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     // optional arg selects a probe group: core | extras | dedup | sim | all
     val which = args.headOption.getOrElse("all")
-    val groups = Set("all", "core", "extras", "dedup", "sim", "text")
+    val groups = Set("all", "core", "extras", "dedup", "sim", "text", "events")
     // a typo'd group would otherwise spin up Spark, run NOTHING, and exit
     // 0 — indistinguishable from "probe found nothing"
     require(groups(which), s"unknown probe group '$which' (one of: ${groups.mkString(", ")})")
@@ -99,6 +99,7 @@ object ScaleProbe {
     if (which == "all" || which == "dedup") dedupScaleProbe(spark)
     if (which == "all" || which == "sim") simScaleProbe(spark)
     if (which == "all" || which == "text") textScaleProbe(spark)
+    if (which == "all" || which == "events") eventsScaleProbe(spark)
     spark.stop()
   }
 
@@ -395,6 +396,58 @@ object ScaleProbe {
     }
     val results = resultsAll.drop(nOps) // drop the warmup group
     println("--- text family at 30x/100x (base 20k docs; 64k vocab) ---")
+    results.foreach { case (l, rows, s) => println(f"$l%-22s rows=$rows%9d  $s%8.2f s") }
+    println("--- time ratios vs 1x (linear = the multiplier itself) ---")
+    (0 until nOps).foreach { i =>
+      val (l1, _, s1) = results(i)
+      val (_, _, s30) = results(nOps + i)
+      val (_, _, s100) = results(2 * nOps + i)
+      println(f"${l1.stripSuffix("_1x")}%-22s 30x: ${s30 / s1}%7.1f   100x: ${s100 / s1}%7.1f")
+    }
+  }
+
+  /** The events-analytics family at 30x/100x, driving the production
+    * operators (SourceQueries.funnelCounts / cohortMatrix — no inline
+    * replicas). Users scale with events (fixture ratio ~1:70) so the
+    * per-user aggregates grow realistically rather than degenerating
+    * into a handful of giant user groups.
+    */
+  private def eventsScaleProbe(spark: SparkSession): Unit = {
+    val base = 100000L
+    val nOps = 2
+    val types = array(
+      lit("view"), lit("click"), lit("signup"), lit("purchase"), lit("error"))
+    val resultsAll = Seq(1L, 1L, 30L, 100L).flatMap { mult =>
+      val n = base * mult
+      val nUsers = math.max(150L, n / 70)
+      val ev = spark
+        .range(n)
+        .select(
+          pmod(hash(col("id"), lit(51)), lit(nUsers)).cast("long").as("user_id"),
+          element_at(types, (pmod(hash(col("id"), lit(52)), lit(5)) + 1).cast("int"))
+            .as("event_type"),
+          timestamp_micros(
+            lit(1704067200000000L) + // 2024-01-01
+              pmod(hash(col("id"), lit(53)), lit(30L * 86400)) * 1000000L
+          ).as("ts")
+        )
+        .cache()
+      ev.count()
+      val funnel = time(s"funnel_${mult}x", n) {
+        graft.queries.SourceQueries
+          .funnelCounts(ev)
+          .write.format("noop").mode("overwrite").save()
+      }
+      val cohort = time(s"cohort_${mult}x", n) {
+        graft.queries.SourceQueries
+          .cohortMatrix(ev)
+          .write.format("noop").mode("overwrite").save()
+      }
+      ev.unpersist()
+      Seq(funnel, cohort)
+    }
+    val results = resultsAll.drop(nOps) // drop the warmup group
+    println("--- events family at 30x/100x (base 100k events; users scale ~1:70) ---")
     results.foreach { case (l, rows, s) => println(f"$l%-22s rows=$rows%9d  $s%8.2f s") }
     println("--- time ratios vs 1x (linear = the multiplier itself) ---")
     (0 until nOps).foreach { i =>

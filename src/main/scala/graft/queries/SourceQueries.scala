@@ -299,31 +299,7 @@ object SourceQueries {
     // ts) pairs, not events.
     Q(
       "q_events_funnel",
-      (s, dir) => {
-        val ev = events(s, dir).select($"user_id", $"event_type", $"ts")
-        def firstAfter(
-            typ: String,
-            prev: org.apache.spark.sql.DataFrame, // (user_id, prev_ts)
-            out: String
-        ) =
-          ev.filter($"event_type" === typ)
-            .join(prev, Seq("user_id"))
-            .filter($"ts" > $"prev_ts")
-            .groupBy($"user_id")
-            .agg(min($"ts").as(out))
-        val views = ev
-          .filter($"event_type" === "view")
-          .groupBy($"user_id")
-          .agg(min($"ts").as("v_ts"))
-        val clicks =
-          firstAfter("click", views.select($"user_id", $"v_ts".as("prev_ts")), "c_ts")
-        val purchases =
-          firstAfter("purchase", clicks.select($"user_id", $"c_ts".as("prev_ts")), "p_ts")
-        views.agg(lit("1_view").as("stage"), count(lit(1)).as("n_users"))
-          .union(clicks.agg(lit("2_click").as("stage"), count(lit(1)).as("n_users")))
-          .union(purchases.agg(lit("3_purchase").as("stage"), count(lit(1)).as("n_users")))
-          .orderBy($"stage")
-      },
+      (s, dir) => funnelCounts(events(s, dir)),
       Some(
         """WITH e AS (
           |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
@@ -359,19 +335,7 @@ object SourceQueries {
     // never a scan-sized shuffle.
     Q(
       "q_events_cohort",
-      (s, dir) => {
-        val wk = events(s, dir)
-          .select($"user_id", date_trunc("week", $"ts").as("wk"))
-          .distinct()
-        val cohort = wk.groupBy($"user_id").agg(min($"wk").as("cohort_week"))
-        wk.join(cohort, Seq("user_id"))
-          .groupBy(
-            $"cohort_week",
-            (datediff($"wk", $"cohort_week") / 7).cast("bigint").as("week_offset")
-          )
-          .agg(countDistinct($"user_id").as("n_users"))
-          .orderBy($"cohort_week", $"week_offset")
-      },
+      (s, dir) => cohortMatrix(events(s, dir)),
       Some(
         """WITH wk AS (
           |  SELECT DISTINCT user_id,
@@ -388,4 +352,61 @@ object SourceQueries {
       )
     )
   )
+
+  /** Ordered view->click->purchase conversion counts over an events frame
+    * (`user_id`, `event_type`, `ts`) — shared by `q_events_funnel` and
+    * ScaleProbe's events-family probe. Each stage is one groupBy(user)
+    * min-timestamp plus a user-keyed join against the previous stage:
+    * shuffles (user, ts) pairs with map-side partial mins, never raw
+    * events, and no window over the full stream.
+    */
+  private[graft] def funnelCounts(
+      ev0: org.apache.spark.sql.DataFrame
+  ): org.apache.spark.sql.DataFrame = {
+    val ev = ev0.select($"user_id", $"event_type", $"ts")
+    def firstAfter(
+        typ: String,
+        prev: org.apache.spark.sql.DataFrame, // (user_id, prev_ts)
+        out: String
+    ) =
+      ev.filter($"event_type" === typ)
+        .join(prev, Seq("user_id"))
+        .filter($"ts" > $"prev_ts")
+        .groupBy($"user_id")
+        .agg(min($"ts").as(out))
+    val views = ev
+      .filter($"event_type" === "view")
+      .groupBy($"user_id")
+      .agg(min($"ts").as("v_ts"))
+    val clicks =
+      firstAfter("click", views.select($"user_id", $"v_ts".as("prev_ts")), "c_ts")
+    val purchases =
+      firstAfter("purchase", clicks.select($"user_id", $"c_ts".as("prev_ts")), "p_ts")
+    views.agg(lit("1_view").as("stage"), count(lit(1)).as("n_users"))
+      .union(clicks.agg(lit("2_click").as("stage"), count(lit(1)).as("n_users")))
+      .union(purchases.agg(lit("3_purchase").as("stage"), count(lit(1)).as("n_users")))
+      .orderBy($"stage")
+  }
+
+  /** Week-cohorted retention matrix over an events frame — shared by
+    * `q_events_cohort` and ScaleProbe's events-family probe. One distinct
+    * (user, week) pass feeds both cohort assignment and the activity
+    * join; offsets are exact integer day arithmetic on week-truncated
+    * timestamps.
+    */
+  private[graft] def cohortMatrix(
+      ev: org.apache.spark.sql.DataFrame
+  ): org.apache.spark.sql.DataFrame = {
+    val wk = ev
+      .select($"user_id", date_trunc("week", $"ts").as("wk"))
+      .distinct()
+    val cohort = wk.groupBy($"user_id").agg(min($"wk").as("cohort_week"))
+    wk.join(cohort, Seq("user_id"))
+      .groupBy(
+        $"cohort_week",
+        (datediff($"wk", $"cohort_week") / 7).cast("bigint").as("week_offset")
+      )
+      .agg(countDistinct($"user_id").as("n_users"))
+      .orderBy($"cohort_week", $"week_offset")
+  }
 }
