@@ -262,8 +262,15 @@ object DedupQueries {
     // so ingest-time cost is one corpus-index scan + candidate
     // verification, zero corpus shuffle. Recall argument = the MinHash
     // banding math (miss <= 4e-8 at J >= 0.8), so the oracle is the exact
-    // Jaccard operator restricted to pairs whose newer side is in the
+    // Jaccard operator restricted to pairs with AT LEAST ONE side in the
     // increment — same contract as q_dedup_minhash.
+    //
+    // The band join is deliberately SYMMETRIC in doc_id: a new doc must be
+    // flagged whether its corpus duplicate has a lower OR higher id (ids
+    // carry no ingest-order meaning), so the only join-side restriction is
+    // "y is in the increment" and pairs are canonicalized afterwards as
+    // (least, greatest). An id-ordered join predicate here would silently
+    // drop every duplicate whose corpus twin has a higher id.
     Q(
       "q_dedup_incremental",
       (s, dir) => {
@@ -283,9 +290,12 @@ object DedupQueries {
           .join(
             broadcast(newBands.as("y")),
             col("x.band") === col("y.band") && col("x.digest") === col("y.digest") &&
-              col("x.doc_id") < col("y.doc_id")
+              col("x.doc_id") =!= col("y.doc_id")
           )
-          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .select(
+            least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+            greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b")
+          )
           .distinct()
         val inter = size(array_intersect($"sh_a", $"sh_b"))
         cand
@@ -305,7 +315,7 @@ object DedupQueries {
           |inter AS (
           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
           |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-          |  WHERE b.doc_id % 10 = 9
+          |  WHERE a.doc_id % 10 = 9 OR b.doc_id % 10 = 9
           |  GROUP BY 1, 2
           |)
           |SELECT doc_a, doc_b,

@@ -82,8 +82,20 @@ class DedupSpec extends SparkTestBase {
     val incr = Registry.byName("q_dedup_incremental")
       .fn(spark, SparkTestBase.Sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    assert(incr === full.filter(_._2 % 10 == 9),
-      "new-batch-vs-corpus dedup must find exactly the full operator's pairs whose newer side is in the increment")
+    // Symmetric contract: a pair is reported iff EITHER side is in the
+    // increment — duplicates must be caught regardless of which doc got
+    // the higher id at ingest.
+    assert(incr === full.filter(p => p._1 % 10 == 9 || p._2 % 10 == 9),
+      "new-batch-vs-corpus dedup must find exactly the full operator's pairs with at least one side in the increment")
+    // Regression pin for the id-order asymmetry (round-8 ADVICE medium):
+    // sf0.001 plants duplicates whose increment doc has the SMALLER id —
+    // e.g. doc 89 (%10==9) duplicating corpus doc 114. An id-ordered
+    // candidate join drops all of these; the symmetric join must not.
+    val smallerIdIncrement = incr.filter(p => p._1 % 10 == 9 && p._2 % 10 != 9)
+    assert(smallerIdIncrement.nonEmpty,
+      "fixture must exercise the increment-doc-has-smaller-id direction")
+    assert(smallerIdIncrement.exists(p => p._1 == 89L && p._2 == 114L),
+      "planted pair (89, 114) — increment doc 89 vs higher-id corpus dup 114 — must be flagged")
   }
 
   test("fingerprint-keyed dedup equals the exact operator on this corpus") {
