@@ -173,6 +173,48 @@ object SourceQueries {
           "ORDER BY p_partkey"
       )
     ),
+    // ----- dynamic partition pruning -----------------------------------------
+    // The #1 scan-pruning lever at 100 TB: the fact is stored hive-
+    // partitioned by month, the quarter filter lives on a tiny dim, and
+    // Catalyst injects a DynamicPruningExpression on the fact scan whose
+    // IN-set is the dim's broadcast result — 3 of 80 month directories are
+    // read, decided at RUNTIME from the dim filter, with zero static
+    // knowledge of which months '1995-Q1' covers. PlanSpec pins both the
+    // injected pruning expression and the partitions-read metric (3), so a
+    // conf or layout regression that silently reads all 80 fails CI. The
+    // oracle replays the same join over the original parquet, gating the
+    // partitioned write+read round-trip as well as the join semantics.
+    Q(
+      "q_dpp_join",
+      (s, dir) => {
+        val fact = graft.sources.PartitionedTables.ordersByMonth(s, dir)
+        val dim = graft.sources.PartitionedTables.monthDim(s, "1992-01-01", 168)
+        fact
+          .join(
+            broadcast(dim.filter($"quarter" === "1995-Q1")),
+            $"o_month" === $"month"
+          )
+          .groupBy($"o_month")
+          .agg(
+            count(lit(1)).as("n_orders"),
+            asDouble(sum(dec2($"o_totalprice"))).as("total_price")
+          )
+          .orderBy($"o_month")
+      },
+      Some(
+        """WITH dim AS (
+          |  SELECT CAST(d AS DATE) AS month,
+          |         CAST(year(d) AS VARCHAR) || '-Q' || CAST(quarter(d) AS VARCHAR) AS quarter
+          |  FROM generate_series(TIMESTAMP '1992-01-01', TIMESTAMP '2005-12-01', INTERVAL 1 MONTH) t(d)
+          |)
+          |SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS o_month,
+          |       count(*) AS n_orders,
+          |       CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_price
+          |FROM orders JOIN dim ON CAST(date_trunc('month', o_orderdate) AS DATE) = dim.month
+          |WHERE dim.quarter = '1995-Q1'
+          |GROUP BY 1 ORDER BY 1""".stripMargin
+      )
+    ),
     // Result cache on the driver-contract path: cache a query's result
     // under a key, then serve a follow-up query FROM the cached table —
     // the reference cache's put/get round-trip (cache/src/lib.rs:38-50)

@@ -144,6 +144,33 @@ class PlanSpec extends SparkTestBase {
     assert(reads.forall(s => s.split(",").length <= 2), s"over-wide scan: $reads")
   }
 
+  test("q_dpp_join injects dynamic partition pruning and reads only the 3 quarter months") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // AQE wraps finished stages in leaf QueryStageExec nodes that plan
+    // .collect can't descend into; DPP itself is AQE-independent, so pin
+    // it on a plain plan where the fact scan is reachable.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    val df = Registry.byName("q_dpp_join").fn(s2, SparkTestBase.Sf0001)
+    df.collect() // metrics (partitions actually read) exist only post-run
+
+    val factScans = df.queryExecution.executedPlan
+      .collect { case s: FileSourceScanExec => s }
+      .filter(_.partitionFilters.nonEmpty)
+    assert(factScans.nonEmpty, "no partitioned fact scan in the plan")
+    val scan = factScans.head
+    // plan-time pin: the pruning expression was INJECTED (not a static IN)
+    assert(
+      scan.partitionFilters.exists(_.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.DynamicPruningExpression])),
+      "fact scan carries no DynamicPruningExpression:\n" + scan.toString.take(2000))
+    // runtime pin: of the fixture's 80 month directories, exactly the
+    // three 1995-Q1 months were read
+    assert(scan.metrics.contains("numPartitions"), scan.metrics.keys.toSeq.toString)
+    val read = scan.metrics("numPartitions").value
+    assert(read === 3, s"expected 3 partitions read after dynamic pruning, got $read")
+  }
+
   test("every registered query plans without error at sf0.001") {
     Registry.all.foreach { q =>
       val df = q.fn(spark, SparkTestBase.Sf0001)
