@@ -9,9 +9,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * stubs were aspiring to: predicate pushdown into the remote SQL, column
   * pruning, and partitioned parallel reads.
   *
-  * The environment ships no JDBC drivers (offline build), so these are
-  * exercised by construction in tests; on a real cluster the driver jar on
-  * the classpath is the only additional requirement.
+  * The offline build ships one JDBC driver — embedded Derby in
+  * /opt/spark/jars — so SourcesSpec exercises this read path LIVE
+  * (create-insert in Derby, scan/partitioned-read/pushdown/federated-join
+  * through `read`); the postgres/mysql helpers differ only in url+driver
+  * string, and on a real cluster their driver jar on the classpath is the
+  * only additional requirement.
   */
 object JdbcSource {
 

@@ -55,6 +55,55 @@ class SourcesSpec extends SparkTestBase {
     assert(msg.toLowerCase.contains("driver") || msg.toLowerCase.contains("class"))
   }
 
+  test("live JDBC read via embedded Derby: scan, partitioned read, pushdown, federated join") {
+    import org.apache.spark.sql.functions._
+    // Embedded in-memory Derby (jars ship in /opt/spark/jars): a REAL
+    // database behind the same JdbcSource surface the postgres/mysql
+    // helpers use, upgrading this path from by-construction to live.
+    val url = s"jdbc:derby:memory:graft_${ProcessHandle.current().pid()};create=true"
+    val props = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+    val nation = spark.read.parquet(s"${SparkTestBase.Sf0001}/nation.parquet")
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      conn.createStatement().executeUpdate(
+        "CREATE TABLE nation_live (n_nationkey INT PRIMARY KEY, " +
+          "n_name VARCHAR(32), n_regionkey INT)")
+      val ps = conn.prepareStatement("INSERT INTO nation_live VALUES (?, ?, ?)")
+      nation.select("n_nationkey", "n_name", "n_regionkey").collect().foreach { r =>
+        ps.setInt(1, r.getInt(0)); ps.setString(2, r.getString(1))
+        ps.setInt(3, r.getInt(2)); ps.addBatch()
+      }
+      ps.executeBatch()
+    } finally conn.close()
+
+    // plain scan round-trips every row
+    val live = JdbcSource.read(spark, url, "nation_live", props)
+    assert(live.count() === nation.count())
+
+    // range-partitioned parallel read: 4 concurrent queries, same rows
+    val par = JdbcSource.read(spark, url, "nation_live", props,
+      partitionColumn = Some("n_nationkey"), lowerBound = 0L,
+      upperBound = 25L, numPartitions = 4)
+    assert(par.rdd.getNumPartitions === 4)
+    assert(par.select(sum("n_nationkey")).head.getLong(0) ===
+      nation.select(sum("n_nationkey")).head.getLong(0))
+
+    // predicate pushdown reaches the remote SQL (JDBCRelation scan)
+    val filtered = live.filter(col("n_regionkey") < 3)
+    val plan = filtered.queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("PushedFilters") && plan.toLowerCase.contains("lessthan(n_regionkey"),
+      "region filter not pushed into the JDBC scan:\n" + plan.take(2000))
+
+    // federated: live JDBC dim ⋈ parquet region == pure-parquet twin
+    val region = spark.read.parquet(s"${SparkTestBase.Sf0001}/region.parquet")
+    def agg(dim: org.apache.spark.sql.DataFrame): Seq[(String, Long)] =
+      dim.join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name")).count()
+        .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(agg(live) === agg(nation))
+  }
+
   test("CTAS writes parquet and registers the materialized table") {
     import spark.implicits._
     session.registerTable("ctas_src", Seq((1, 10), (2, 20), (3, 30)).toDF("k", "v"))
