@@ -17,11 +17,21 @@ import org.apache.arrow.vector.ipc.ArrowStreamReader
 object ServingClient {
 
   final case class Response(
-      status: String, // "OK" or "ERR <CODE> <message>"
+      status: String, // "OK[ <n> <handle>]" or "ERR <CODE> <message>"
       columnNames: Seq[String],
       rows: Seq[Seq[Any]]
   ) {
-    def isOk: Boolean = status == "OK"
+    def isOk: Boolean = status == "OK" || status.startsWith("OK ")
+
+    /** Partition tickets from a GET_FLIGHT_INFO `OK <n> <handle>` status —
+      * one per result partition, each fetchable with its own DO_GET
+      * connection (Flight's endpoint list).
+      */
+    def tickets: Seq[String] = status.split(' ') match {
+      case Array("OK", n, handle) =>
+        (0 until n.toInt).map(i => s"graft-ticket:$handle:$i")
+      case _ => Seq.empty
+    }
   }
 
   /** One request round-trip. For OK responses the Arrow stream is fully
@@ -48,7 +58,8 @@ object ServingClient {
 
       val in = new BufferedInputStream(sock.getInputStream)
       val status = readLine(in)
-      if (status != "OK") Response(status, Seq.empty, Seq.empty)
+      if (!(status == "OK" || status.startsWith("OK ")))
+        Response(status, Seq.empty, Seq.empty)
       else {
         val allocator = new RootAllocator(Long.MaxValue)
         val reader = new ArrowStreamReader(in, allocator)
@@ -80,6 +91,12 @@ object ServingClient {
 
   def doGet(port: Int, sql: String): Response =
     request(port, "DO_GET", sql)
+
+  /** Fetch one endpoint of a registered flight (a ticket from
+    * [[Response.tickets]]) — the multi-connection scale path.
+    */
+  def doGetTicket(port: Int, ticket: String): Response =
+    request(port, "DO_GET", ticket)
 
   /** Upload a DataFrame as the DO_PUT Arrow IPC body; the response's
     * columnNames echo the schema the server registered under `table`.

@@ -15,13 +15,25 @@ import java.util.concurrent.{LinkedBlockingQueue, ThreadPoolExecutor, TimeUnit}
   *   request  = one UTF-8 line: `VERB[ payload]\n` (SQL must be one line);
   *     DO_PUT is followed by an Arrow IPC stream on the same connection
   *   response = status line, then for OK an Arrow IPC stream:
-  *     `GET_FLIGHT_INFO <sql>` -> `OK\n` + IPC stream carrying ONLY the
-  *        schema — planned, never executed (the reference executes the
-  *        whole query just to read the schema, api/src/lib.rs:92-98;
-  *        planning-only is the same contract without the waste).
+  *     `GET_FLIGHT_INFO <sql>` -> `OK <n> <handle>\n` + IPC stream carrying
+  *        ONLY the schema. The n ENDPOINTS are the reference FlightInfo's
+  *        endpoint list (api/src/lib.rs:81-99): partition i of the result
+  *        is fetched with ticket `graft-ticket:<handle>:<i>`, and the n
+  *        fetches can run over n CONCURRENT connections — the scale story
+  *        gRPC Flight tells with one ticket per partition. The result RDD
+  *        is registered (persisted, LRU-bounded) under <handle>; no rows
+  *        reach the driver until a ticket is fetched. (The reference
+  *        executes AND COLLECTS the whole query just to build FlightInfo,
+  *        api/src/lib.rs:92-98; registering the plan is the same contract
+  *        without the waste.)
   *     `DO_GET <sql>`          -> `OK\n` + IPC stream of <=batchSize-row
   *        record batches (reference: batches_to_flight_data,
-  *        api/src/lib.rs:122-148).
+  *        api/src/lib.rs:122-148). A payload of the form
+  *        `graft-ticket:<handle>:<i>` instead streams ONLY partition i of
+  *        the registered flight (`ERR NOT_FOUND` once the handle ages out
+  *        of the LRU; `ERR INVALID_ARGUMENT` for an out-of-range index) —
+  *        Flight's ticket-dispatch semantics, where the DO_GET payload is
+  *        whatever GET_FLIGHT_INFO issued.
   *     `DO_PUT <table>` + IPC  -> decodes the client's Arrow stream,
   *        registers it as `<table>`, answers `OK\n` + a schema-only IPC
   *        stream of what was registered. The reference DECLARES DoPut and
@@ -71,6 +83,30 @@ final class ServingServer(
   private val unimplemented = Set(
     "HANDSHAKE", "DO_EXCHANGE", "DO_ACTION", "LIST_ACTIONS", "POLL_FLIGHT_INFO"
   )
+
+  /** One registered flight: the result's schema plus its persisted
+    * InternalRow RDD — each partition is an endpoint.
+    */
+  private final case class Flight(
+      schema: org.apache.spark.sql.types.StructType,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow]
+  )
+
+  private val TicketPrefix = "graft-ticket:"
+  private val maxFlights = 32
+  private val handleCounter = new java.util.concurrent.atomic.AtomicLong()
+  // LRU by ACCESS order: a client fetching tickets keeps its flight live;
+  // evicted flights unpersist their cached partitions. Bounded so a
+  // client looping GET_FLIGHT_INFO can't accumulate persisted RDDs.
+  private val flights =
+    new java.util.LinkedHashMap[String, Flight](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Flight]): Boolean = {
+        val evict = size() > maxFlights
+        if (evict) e.getValue.rdd.unpersist(false)
+        evict
+      }
+    }
 
   // DO_PUT table names go straight into the catalog — keep them plain
   // identifiers so a payload can never smuggle SQL into view registration
@@ -154,14 +190,57 @@ final class ServingServer(
           if (payload.isEmpty)
             status("ERR INVALID_ARGUMENT No SQL command in request")
           else {
-            val schema = session.serving.flightInfo(payload)
-            status("OK")
+            val (schema, rdd) = org.apache.spark.sql.GraftArrowBridge
+              .resultRdd(session.execute(payload))
+            rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            val handle = java.lang.Long.toHexString(
+              handleCounter.incrementAndGet()) + "f" +
+              java.lang.Integer.toHexString(
+                System.identityHashCode(rdd))
+            flights.synchronized { flights.put(handle, Flight(schema, rdd)) }
+            status(s"OK ${rdd.getNumPartitions} $handle")
             org.apache.spark.sql.GraftArrowBridge.writeSchemaOnly(
               schema,
               session.spark.sessionState.conf.sessionLocalTimeZone,
               out
             )
             out.flush()
+          }
+        case "DO_GET" if payload.startsWith(TicketPrefix) =>
+          // Flight ticket dispatch: stream exactly one endpoint/partition
+          val rest = payload.stripPrefix(TicketPrefix)
+          val cut = rest.lastIndexOf(':')
+          val idx =
+            if (cut < 0) -1
+            else
+              try rest.substring(cut + 1).toInt
+              catch { case _: NumberFormatException => -1 }
+          val flight =
+            if (cut < 0) None
+            else flights.synchronized(Option(flights.get(rest.substring(0, cut))))
+          (flight, idx) match {
+            case (_, i) if cut < 0 || i < 0 =>
+              status(s"ERR INVALID_ARGUMENT malformed ticket '$payload'")
+            case (None, _) =>
+              status("ERR NOT_FOUND unknown or expired flight handle")
+            case (Some(f), i) if i >= f.rdd.getNumPartitions =>
+              status(
+                s"ERR INVALID_ARGUMENT ticket partition $i out of range " +
+                  s"(flight has ${f.rdd.getNumPartitions})")
+            case (Some(f), i) =>
+              // collect the one partition BEFORE the OK: execution failures
+              // must arrive as a status line, not a truncated Arrow stream
+              val rows = org.apache.spark.sql.GraftArrowBridge
+                .partitionRows(session.spark, f.rdd, i)
+              status("OK")
+              org.apache.spark.sql.GraftArrowBridge.writeRows(
+                f.schema,
+                session.spark.sessionState.conf.sessionLocalTimeZone,
+                rows.iterator,
+                batchSize,
+                out
+              )
+              out.flush()
           }
         case "DO_GET" =>
           if (payload.isEmpty)
@@ -332,6 +411,12 @@ final class ServingServer(
     try server.close()
     catch { case _: Throwable => () }
     pool.shutdownNow()
+    flights.synchronized {
+      flights.values.forEach(f =>
+        try f.rdd.unpersist(false)
+        catch { case _: Throwable => () })
+      flights.clear()
+    }
   }
 }
 

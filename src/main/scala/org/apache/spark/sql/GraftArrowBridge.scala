@@ -56,10 +56,54 @@ object GraftArrowBridge {
     */
   def writeBatches(df: DataFrame, batchSize: Int, out: OutputStream): Unit = {
     val classic = df.asInstanceOf[ClassicDataFrame]
-    val schema = classic.schema
     val tz = classic.sparkSession.sessionState.conf.sessionLocalTimeZone
+    // toRdd yields REUSED UnsafeRow buffers — they must be copied inside
+    // the task before crossing to the driver, or every row in a collected
+    // partition aliases the same (freed) buffer
+    writeRows(classic.schema, tz,
+      classic.queryExecution.toRdd.map(_.copy()).toLocalIterator, batchSize, out)
+  }
+
+  /** The result of a query as (schema, InternalRow RDD): the multi-endpoint
+    * serving shape — each RDD partition is one flight endpoint, fetched by
+    * its own DO_GET ticket. Rows are task-side copies (see writeBatches).
+    * Building the RDD finalizes the (possibly adaptive) physical plan; no
+    * rows reach the driver until a partition is fetched.
+    */
+  def resultRdd(
+      df: DataFrame
+  ): (StructType, org.apache.spark.rdd.RDD[InternalRow]) = {
+    val classic = df.asInstanceOf[ClassicDataFrame]
+    (classic.schema, classic.queryExecution.toRdd.map(_.copy()))
+  }
+
+  /** Collect exactly one partition of a flight RDD to the driver — the
+    * per-ticket DO_GET unit. Driver memory is bounded by that single
+    * partition (the same bound the toLocalIterator path has), but N
+    * tickets can be fetched over N connections CONCURRENTLY, which the
+    * single shared toLocalIterator stream cannot.
+    */
+  def partitionRows(
+      spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[InternalRow],
+      partition: Int
+  ): Array[InternalRow] =
+    spark.sparkContext
+      .runJob(rdd, (it: Iterator[InternalRow]) => it.toArray, Seq(partition))
+      .head
+
+  /** Stream already-materialized InternalRows as Arrow IPC record batches
+    * of `batchSize` rows — shared by the full-result and per-ticket paths.
+    */
+  def writeRows(
+      schema: StructType,
+      timeZoneId: String,
+      rows: Iterator[InternalRow],
+      batchSize: Int,
+      out: OutputStream
+  ): Unit = {
     val arrowSchema =
-      ArrowUtils.toArrowSchema(schema, tz,
+      ArrowUtils.toArrowSchema(schema, timeZoneId,
         errorOnDuplicatedFieldNames = true, largeVarTypes = false)
     val allocator =
       ArrowUtils.rootAllocator.newChildAllocator("graft-do-get", 0, Long.MaxValue)
@@ -68,10 +112,6 @@ object GraftArrowBridge {
       val writer = ArrowWriter.create(root)
       val ipc = new ArrowStreamWriter(root, null, out)
       ipc.start()
-      // toRdd yields REUSED UnsafeRow buffers — they must be copied inside
-      // the task before crossing to the driver, or every row in a collected
-      // partition aliases the same (freed) buffer
-      val rows = classic.queryExecution.toRdd.map(_.copy()).toLocalIterator
       var inBatch = 0
       while (rows.hasNext) {
         writer.write(rows.next())

@@ -57,6 +57,47 @@ class ServingServerSpec extends SparkTestBase {
     }
   }
 
+  test("GET_FLIGHT_INFO issues partition tickets; parallel DO_GETs reassemble the result") {
+    withServer { srv =>
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val sql = "SELECT id, id * 3 AS x FROM range(5000)"
+      val info = ServingClient.getFlightInfo(srv.boundPort, sql)
+      assert(info.isOk, info.status)
+      assert(info.columnNames === Seq("id", "x"))
+      assert(info.rows.isEmpty, "flight info must not carry row data")
+      val tickets = info.tickets
+      assert(tickets.size >= 2,
+        s"multi-endpoint flight expected, got ${info.status}")
+
+      // every endpoint over its own CONCURRENT connection — the scale
+      // path a single toLocalIterator stream cannot serve
+      val parts = Await.result(
+        Future.sequence(tickets.map(t =>
+          Future(ServingClient.doGetTicket(srv.boundPort, t)))),
+        120.seconds)
+      parts.foreach(r => assert(r.isOk, r.status))
+      val reassembled = parts.flatMap(_.rows)
+        .map(r => (r.head.toString.toLong, r(1).toString.toLong))
+      assert(reassembled.size === 5000, "endpoints must partition the result")
+      assert(reassembled.toSet === (0L until 5000L).map(i => (i, i * 3)).toSet)
+
+      // a re-fetch of one ticket serves the persisted partition again
+      val again = ServingClient.doGetTicket(srv.boundPort, tickets.head)
+      assert(again.isOk && again.rows === parts.head.rows)
+
+      // error paths: expired/unknown handle, out-of-range index, garbage
+      assert(ServingClient.doGetTicket(srv.boundPort, "graft-ticket:nope:0")
+        .status.startsWith("ERR NOT_FOUND"))
+      assert(ServingClient
+        .doGetTicket(srv.boundPort, tickets.head.replaceAll(":\\d+$", ":99999"))
+        .status.startsWith("ERR INVALID_ARGUMENT"))
+      assert(ServingClient.doGetTicket(srv.boundPort, "graft-ticket:garbage")
+        .status.startsWith("ERR INVALID_ARGUMENT"))
+    }
+  }
+
   test("a silent client times out with DEADLINE_EXCEEDED instead of pinning a worker") {
     val srv = new ServingServer(session, requestTimeoutMs = 300).start()
     try {
