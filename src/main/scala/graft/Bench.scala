@@ -140,10 +140,24 @@ object Bench {
     // the JSON line is the ONLY stdout output (Spark logs route to stderr
     // via log4j2.properties) and is flushed before shutdown logging, so
     // the driver's parser finds it first
-    println(
+    val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qmin,"queries_max":$qmax,"queries_reps":$qreps,"queries_load":$qload,"reps":$reps,"failed":$failed,"cold_total":$coldTotal,"shuffle_read_mb":$shuffle,"spill_mb":$spills,"sf":"$sfDir"}"""
-    )
+    println(json)
     System.out.flush()
+    // ALSO write the line to a file: the two previous rounds' BENCH
+    // artifacts captured a truncated stdout tail and lost three queries'
+    // numbers — the file copy (SPARK_GRAFT_BENCH_OUT, default
+    // bench_out.json in the working dir) keeps the artifact self-contained
+    // even when the harness clips the console.
+    try
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(
+          sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")),
+        json + "\n")
+    catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] could not write bench_out.json: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -83,7 +83,8 @@ object ScaleProbe {
   }
 
   def main(args: Array[String]): Unit = {
-    // optional arg selects a probe group: core | extras | dedup | sim | all
+    // optional arg selects a probe group:
+    // core | extras | dedup | sim | text | events | all
     val which = args.headOption.getOrElse("all")
     val groups = Set("all", "core", "extras", "dedup", "sim", "text", "events")
     // a typo'd group would otherwise spin up Spark, run NOTHING, and exit
@@ -213,7 +214,7 @@ object ScaleProbe {
     */
   private def dedupScaleProbe(spark: SparkSession): Unit = {
     val base = 20000L
-    val nOps = 4
+    val nOps = 6
     val resultsAll = Seq(1L, 1L, 30L, 100L).flatMap { mult =>
       val n = base * mult
       val docs = genCorpus(spark, n).cache()
@@ -247,8 +248,32 @@ object ScaleProbe {
           .write.format("noop").mode("overwrite").save()
         graft.engine.PersistScope.releaseAll()
       }
+      // the stored-index ingest path: pay the corpus pass ONCE (index
+      // build), then dedup a 1%-of-corpus increment — every increment doc
+      // has a planted corpus duplicate (id % 100 == 1 is the second copy
+      // of each dup block), so verification does real per-candidate work.
+      // The increment time is the recurring cost; the ratio to the full
+      // minhash run is what the store buys at each scale.
+      val idxRoot = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        "graft-probe-minhash",
+        s"idx_${mult}x_p${ProcessHandle.current().pid()}")
+      graft.engine.TempDirs.register(idxRoot)
+      val bld = time(s"minhash_index_build_${mult}x", n) {
+        graft.operators.MinHashIndex.materialize(docs, idxRoot.toString)
+      }
+      val incr = time(s"dedup_incr_stored_${mult}x", n) {
+        graft.queries.DedupQueries
+          .incrementalPairs(
+            spark,
+            docs.filter(pmod(col("doc_id"), lit(100)) === 1),
+            graft.operators.MinHashIndex.StoredIndex(idxRoot.toString),
+            0.5)
+          .write.format("noop").mode("overwrite").save()
+        graft.engine.PersistScope.releaseAll()
+      }
       docs.unpersist()
-      Seq(exact, jac, mh, sh)
+      Seq(exact, jac, mh, sh, bld, incr)
     }
     val results = resultsAll.drop(nOps) // drop the warmup group
     println("--- dedup family at 30x/100x (base 20k docs; planted dups; 64k vocab) ---")

@@ -25,8 +25,16 @@ import org.apache.spark.storage.StorageLevel
   * (crates/cdc/src/lib.rs:9) is realized by streaming.EventsStream wiring
   * `foreachBatch` to `refresh`.
   */
-final class ResultCache(spark: SparkSession, capacity: Option[Int] = None) {
+final class ResultCache(
+    spark: SparkSession,
+    capacity: Option[Int] = None,
+    // how long a thread that is ITSELF inside a builder waits on another
+    // key's in-flight build before falling back to computing directly.
+    // Only builder threads get the bounded wait — see getOrPut.
+    flightWaitMs: Long = 30000L
+) {
   require(capacity.forall(_ > 0), s"capacity must be positive, got $capacity")
+  require(flightWaitMs > 0, s"flightWaitMs must be positive, got $flightWaitMs")
 
   // access-ordered LinkedHashMap = LRU order for free; all map access is
   // synchronized on `entries` (the 10x50 EngineSpec concurrency test runs
@@ -90,6 +98,14 @@ final class ResultCache(spark: SparkSession, capacity: Option[Int] = None) {
     * Concurrent misses on the same key build ONCE (single-flight); waiters
     * observe the winner's frame, or its exception if the build failed (a
     * failed flight is removed, so the next call retries fresh).
+    *
+    * Cross-key deadlock guard: a wait CYCLE (A's builder awaits B's flight
+    * while B's builder awaits A's) needs every participant to be holding a
+    * flight of its own — so a waiter that is NOT inside any builder can
+    * never be part of one and waits indefinitely, while a waiter that IS
+    * building some other key waits at most `flightWaitMs` and then breaks
+    * the potential cycle by computing directly (duplicated work, the
+    * pre-single-flight cost, strictly better than a hung session).
     */
   def getOrPut(key: String)(build: => DataFrame): DataFrame = get(key) match {
     case Some(df) => df
@@ -98,11 +114,24 @@ final class ResultCache(spark: SparkSession, capacity: Option[Int] = None) {
       val mine = new java.util.concurrent.CompletableFuture[DataFrame]()
       val race = inFlight.putIfAbsent(key, mine)
       if (race != null) {
-        try race.join()
-        catch {
-          // unwrap so waiters see the builder's own exception type
-          case e: java.util.concurrent.CompletionException =>
-            throw Option(e.getCause).getOrElse(e)
+        if (building.get().isEmpty) {
+          try race.join()
+          catch {
+            // unwrap so waiters see the builder's own exception type
+            case e: java.util.concurrent.CompletionException =>
+              throw Option(e.getCause).getOrElse(e)
+          }
+        } else {
+          try race.get(flightWaitMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+          catch {
+            case e: java.util.concurrent.ExecutionException =>
+              throw Option(e.getCause).getOrElse(e)
+            case _: java.util.concurrent.TimeoutException =>
+              // possible A<->B builder cycle: compute directly rather than
+              // wait forever (the other flight may legitimately be slow —
+              // then this is just duplicated work, resolved by put())
+              put(key, build)
+          }
         }
       } else {
         building.get().add(key)

@@ -374,17 +374,22 @@ final class ServingServer(
 
   /** Consume (and discard) the rest of a refused request body, bounded
     * three ways: `cap` bytes, EOF (arrives as soon as the client
-    * half-closes after its last write), and a WALL-CLOCK deadline of
-    * `requestTimeoutMs`. The deadline matters because SO_TIMEOUT is
-    * per-read: a slow-drip client feeding one byte per 25 s never trips
-    * the read timeout and would otherwise pin this worker for the
-    * connection's lifetime — past the deadline (or the cap) it gets the
-    * RST it earned.
+    * half-closes after its last write), and a WALL-CLOCK deadline SCALED
+    * TO THE CAP. The deadline matters because SO_TIMEOUT is per-read: a
+    * slow-drip client feeding one byte per 25 s never trips the read
+    * timeout and would otherwise pin this worker for the connection's
+    * lifetime. Scaling matters too: a flat `requestTimeoutMs` would RST a
+    * barely-over-limit client on a slow link before it finished sending
+    * and read its RESOURCE_EXHAUSTED — so the budget allows a 1 MiB/s
+    * floor across the whole cap (clamped to a day), and only a stalled or
+    * genuinely oversized stream is cut off.
     */
   private def drain(in: InputStream, cap: Long): Unit = {
     val buf = new Array[Byte](8192)
     var n = 0L
-    val deadline = System.nanoTime() + requestTimeoutMs * 1000000L
+    val budgetMs =
+      math.min(86400000L, requestTimeoutMs + (cap >> 20) * 1000L)
+    val deadline = System.nanoTime() + budgetMs * 1000000L
     try while (n < cap && System.nanoTime() < deadline) {
       val r = in.read(buf)
       if (r == -1) return

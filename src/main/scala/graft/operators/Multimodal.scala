@@ -250,16 +250,48 @@ object Multimodal {
       brightness: Double
   )
 
-  /** Frame sampling for video payloads. The FRAME DECODE IS A STUB — no
-    * video codec exists in this environment, so a "frame" is a
-    * deterministic fixed-size byte slice (`frameBytes`) of the payload
-    * standing in for a decoded frame; a real build swaps `sliceFrames`
-    * for an ffmpeg/JCodec demuxer and NOTHING else changes. Everything
-    * Spark-side is real and is the part that matters at 100 TB: flatMap
-    * fan-out (one row in, nFrames/every rows out — size the shuffle for
-    * the multiplier), per-partition codec setup, every-k-th sampling so
-    * the output volume is bounded by design, per-frame stats via the same
-    * byte-level featurizer as [[decodeStub]].
+  /** Split a concatenated-JPEG (MJPEG-style) payload into its frames' byte
+    * ranges: scan for SOI (FF D8) .. EOI (FF D9) marker pairs. Inside a
+    * JPEG's entropy-coded segment a 0xFF data byte is always stuffed as
+    * FF 00 (and standalone markers are restarts FF D0-D7), so a raw FF D9
+    * only occurs as the frame terminator — a linear marker scan IS a
+    * correct demux for this container. A truncated trailing frame (SOI
+    * with no EOI) is dropped rather than emitted as garbage.
+    */
+  private[operators] def demuxMjpeg(bytes: Array[Byte]): Vector[Array[Byte]] = {
+    val frames = Vector.newBuilder[Array[Byte]]
+    val n = bytes.length
+    var i = 0
+    while (i < n - 1) {
+      if ((bytes(i) & 0xff) == 0xff && (bytes(i + 1) & 0xff) == 0xd8) {
+        var j = i + 2
+        var end = -1
+        while (j < n - 1 && end < 0) {
+          if ((bytes(j) & 0xff) == 0xff && (bytes(j + 1) & 0xff) == 0xd9)
+            end = j + 2
+          j += 1
+        }
+        if (end > 0) {
+          frames += java.util.Arrays.copyOfRange(bytes, i, end)
+          i = end
+        } else i = n // truncated tail: no EOI, drop
+      } else i += 1
+    }
+    frames.result()
+  }
+
+  /** Frame sampling for video payloads. `video/mjpeg` containers get a
+    * REAL demux + decode: [[demuxMjpeg]] splits the concatenated-JPEG
+    * stream into frames and each sampled frame is decoded with ImageIO for
+    * true luma brightness (falling back to byte stats only for a corrupt
+    * frame — one bad frame must not kill a 100 TB stage). Other declared
+    * video formats have no codec in this environment and keep the
+    * clearly-marked deterministic STUB demux (fixed `frameBytes` slices
+    * standing in for frames); a real build swaps in an ffmpeg/JCodec
+    * demuxer there and NOTHING else changes. Everything Spark-side is
+    * shared and real: flatMap fan-out (one row in, nFrames/every rows
+    * out — size the shuffle for the multiplier), per-partition codec
+    * setup, every-k-th sampling so the output volume is bounded by design.
     */
   def sampleFrames(
       ds: Dataset[MediaRecord],
@@ -272,28 +304,73 @@ object Multimodal {
       val codec = MessageDigest.getInstance("SHA-256")
       it.flatMap { rec =>
         val bytes = if (rec.media == null) Array.emptyByteArray else rec.media
-        // STUB demux: fixed-size slices as stand-in frames. Long math: the
-        // Int sum overflows for payloads near the array max (or a huge
-        // frameBytes), which would wrap nFrames negative and SILENTLY
-        // emit zero frames for exactly the records that have the most.
-        val nFrames =
-          ((bytes.length.toLong + frameBytes - 1) / frameBytes).toInt
-        (0 until nFrames by every).map { f =>
-          val lo = f * frameBytes
-          val hi = math.min(bytes.length, lo + frameBytes)
-          val frame = java.util.Arrays.copyOfRange(bytes, lo, hi)
-          var sum = 0L
-          var i = 0
-          while (i < frame.length) { sum += frame(i) & 0xff; i += 1 }
+        val mjpeg = rec.meta != null && rec.meta.format == "video/mjpeg"
+        val frames: IndexedSeq[(Array[Byte], Int)] =
+          if (mjpeg) demuxMjpeg(bytes).zipWithIndex
+          else {
+            // STUB demux: fixed-size slices as stand-in frames. Long math:
+            // the Int sum overflows for payloads near the array max (or a
+            // huge frameBytes), which would wrap nFrames negative and
+            // SILENTLY emit zero frames for exactly the records that have
+            // the most.
+            val nFrames =
+              ((bytes.length.toLong + frameBytes - 1) / frameBytes).toInt
+            (0 until nFrames).map { f =>
+              val lo = f * frameBytes
+              val hi = math.min(bytes.length, lo + frameBytes)
+              (java.util.Arrays.copyOfRange(bytes, lo, hi), f)
+            }
+          }
+        frames.collect { case (frame, f) if f % every == 0 =>
+          val brightness =
+            (if (mjpeg) decodedLuma(frame) else None).getOrElse {
+              var sum = 0L
+              var i = 0
+              while (i < frame.length) { sum += frame(i) & 0xff; i += 1 }
+              if (frame.isEmpty) 0.0 else sum.toDouble / frame.length
+            }
           codec.reset()
           FrameFeatures(
             id = rec.id,
             frameIdx = f,
             nBytes = frame.length.toLong,
             digest = codec.digest(frame).map("%02x".format(_)).mkString,
-            brightness = if (frame.isEmpty) 0.0 else sum.toDouble / frame.length
+            brightness = brightness
           )
         }
+      }
+    }
+  }
+
+  /** Mean decoded luma of one frame's bytes, or None when no reader can
+    * decode them (or the declared raster fails the bomb guard).
+    */
+  private def decodedLuma(frame: Array[Byte]): Option[Double] = {
+    val img =
+      if (frame.isEmpty || rasterUnsafe(frame)) null
+      else
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(frame))
+        catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null) None
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      if (w.toLong * h == 0) None
+      else {
+        var sum = 0.0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sum += 0.299 * ((rgb >> 16) & 0xff) +
+              0.587 * ((rgb >> 8) & 0xff) +
+              0.114 * (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        Some(sum / (w.toLong * h))
       }
     }
   }

@@ -156,6 +156,43 @@ class EngineSpec extends SparkTestBase {
     c.clear()
   }
 
+  test("cross-key builder cycle breaks via bounded wait instead of deadlocking") {
+    import spark.implicits._
+    // A's builder asks for B while B's builder asks for A — with unbounded
+    // joins both threads wait on each other's flight forever. The guard
+    // gives BUILDER threads a bounded wait and a direct-compute fallback.
+    val c = new graft.engine.ResultCache(spark, flightWaitMs = 500L)
+    val aInstalled = new CountDownLatch(1)
+    val bInstalled = new CountDownLatch(1)
+    val done = new CountDownLatch(2)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val results = new java.util.concurrent.ConcurrentHashMap[String, Int]()
+    def worker(mine: String, theirs: String,
+        installed: CountDownLatch, other: CountDownLatch): Thread = {
+      val t = new Thread(() =>
+        try {
+          val df = c.getOrPut(mine) {
+            installed.countDown()
+            // only proceed once BOTH flights exist, so the cycle is real
+            assert(other.await(30, TimeUnit.SECONDS), "peer flight never installed")
+            c.getOrPut(theirs)(Seq(1).toDF("v")).select(($"v" + 1).as("v"))
+          }
+          results.put(mine, df.head().getInt(0))
+        } catch { case e: Throwable => errors.add(e) }
+        finally done.countDown())
+      t.setDaemon(true)
+      t.start()
+      t
+    }
+    worker("cyc-a", "cyc-b", aInstalled, bInstalled)
+    worker("cyc-b", "cyc-a", bInstalled, aInstalled)
+    assert(done.await(120, TimeUnit.SECONDS),
+      "cross-key builders deadlocked — bounded wait did not fire")
+    assert(errors.isEmpty, s"cycle breaker threw: ${errors.peek()}")
+    assert(results.get("cyc-a") === 2 && results.get("cyc-b") === 2)
+    c.clear()
+  }
+
   // ----- CSV source (reference crates/connectors/filesystem/src/lib.rs) ----
 
   test("CSV with header + declared schema (reference lib.rs:48-72)") {

@@ -82,6 +82,44 @@ class MultimodalSpec extends SparkTestBase {
     assert(frames.map(_.digest) === again.map(_.digest))
   }
 
+  private def jpeg(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  test("mjpeg container demuxes into REAL decoded frames (luma, not byte stats)") {
+    import spark.implicits._
+    // a concatenated-JPEG (MJPEG-style) container: dark, bright, dark,
+    // bright frames back to back — plus a truncated tail that must drop
+    val dark = jpeg(16, 16, 0x101010)
+    val bright = jpeg(16, 16, 0xf0f0f0)
+    val container = dark ++ bright ++ dark ++ bright ++ bright.dropRight(10)
+    val rec = Seq(
+      MediaRecord(9L, "mem://clip.mjpeg", container, MediaMeta("video/mjpeg", 16, 16, 3))
+    ).toDS()
+
+    val frames = Multimodal.sampleFrames(rec, every = 1)
+      .collect().sortBy(_.frameIdx).toSeq
+    assert(frames.map(_.frameIdx) === Seq(0, 1, 2, 3),
+      "expected exactly the 4 complete frames (truncated tail dropped)")
+    // PROOF the demux+decode is real: JPEG bytes of dark and bright frames
+    // have similar byte-level averages, but their decoded luma differs by
+    // an order of magnitude — byte stats could never separate them
+    assert(frames(0).brightness < 40, s"dark frame luma: ${frames(0).brightness}")
+    assert(frames(1).brightness > 200, s"bright frame luma: ${frames(1).brightness}")
+    assert(frames(2).brightness < 40 && frames(3).brightness > 200)
+    assert(frames.forall(_.nBytes > 100L), "frames carry the real JPEG bytes")
+
+    // every-k sampling bounds the fan-out on the same container
+    val sampled = Multimodal.sampleFrames(rec, every = 2)
+      .collect().sortBy(_.frameIdx).toSeq
+    assert(sampled.map(_.frameIdx) === Seq(0, 2))
+  }
+
   test("decompression bomb is refused from the header, never decoded") {
     import spark.implicits._
     // a syntactically-valid PNG signature + IHDR declaring 100000x100000

@@ -42,4 +42,38 @@ class SkewJoinSpec extends SparkTestBase {
     val joined = SkewJoin.saltedInnerJoin(fact, dim, "k", salts = 16)
     assert(joined.count() === 5000)
   }
+
+  test("AQE splits an above-threshold skewed partition at runtime (skew=true SMJ)") {
+    // The FIRST-resort path the SkewJoin scaladoc points at: prove AQE's
+    // runtime skew split actually fires on this session's conf lineage,
+    // complementing the manual-salting table in BASELINE.md. Thresholds
+    // are shrunk so a test-sized hot key crosses them; the detection
+    // logic (partition > max(threshold, 5x median) -> split) is the same
+    // one that fires at 100 TB sizes.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+
+    val pad = "x" * 64
+    // one hot key holding 80% of the rows (plus payload bytes so the hot
+    // shuffle partition dwarfs both the 64KB threshold and 2x the median
+    // partition); uniform tail elsewhere
+    val fact = s2.range(0, 200000).select(
+      when(col("id") % 10 < 8, lit(1L)).otherwise(col("id")).as("k"),
+      concat(lit(pad), col("id")).as("payload"))
+    val dim = s2.range(0, 1000).select(col("id").as("k"), (col("id") * 2).as("w"))
+    // the global agg keeps payload un-pruned (its length is consumed) and
+    // imposes no partitioning requirement that would veto the skew split;
+    // collect() executes THIS df's own QueryExecution, so its adaptive
+    // plan is final when inspected (a .write would execute a copy)
+    val agg = fact.join(dim, Seq("k")).agg(sum(length(col("payload"))).as("n"))
+    agg.collect()
+
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("skew=true"),
+      "AQE did not mark the SMJ as skew-split:\n" + plan.take(3000))
+  }
 }

@@ -12,7 +12,16 @@ object SparkTestBase {
   lazy val session: GraftSession = GraftSession.local(cores = 4, appName = "graft-test")
   lazy val spark: SparkSession = session.spark
 
-  val Sf0001 = "/root/testdata/sf0.001"
+  /** Driver-generated fixture root (TESTDATA.md), overridable so the
+    * suite runs (or skips cleanly) where the parquet lives elsewhere.
+    */
+  val TestDataRoot: String =
+    sys.env.getOrElse("SPARK_GRAFT_TESTDATA", "/root/testdata")
+  val Sf0001 = s"$TestDataRoot/sf0.001"
+  val Sf001 = s"$TestDataRoot/sf0.01"
+
+  def sfDirExists(dir: String): Boolean =
+    java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir))
 }
 
 abstract class SparkTestBase extends AnyFunSuite with BeforeAndAfterEach {
