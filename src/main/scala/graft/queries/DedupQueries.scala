@@ -100,9 +100,8 @@ object DedupQueries {
     * `\s+` is NOT the same class in both engines — Java's includes \x0B
     * (vertical tab), RE2's does not. The mirror is exact only because the
     * fixture's whitespace is plain spaces, which DedupSpec's
-    * fixture-envelope test asserts (alongside pure-ASCII) so a future
-    * fixture regeneration that violates it fails loudly in CI, not as a
-    * silent oracle divergence.
+    * fixture-envelope test asserts so a future fixture regeneration that
+    * violates it fails loudly in CI, not as a silent oracle divergence.
     */
   private def shingleCteSql: String =
     """toks AS (
@@ -159,13 +158,12 @@ object DedupQueries {
     * Every operation is integer-exact, so the hash gate proves the whole
     * pipeline, not just row counts.
     *
-    * Two fixture assumptions make "bit for bit" true, both PINNED by
-    * DedupSpec's fixture-envelope test rather than hoped:
-    *  - `unicode(pw[i])` folds CODEPOINTS while the engine's
-    *    RollingFingerprint folds UTF-8 BYTES — equal only while every char
-    *    is ASCII (codepoint <= 127; also keeps the base-257 fold aligned);
-    *  - Java's `\s` includes \x0B where RE2's does not — irrelevant only
-    *    while the corpus' whitespace is plain spaces.
+    * The per-token fold runs over UTF-8 OCTETS (QueryUtil.utf8OctetsSql,
+    * round 9) exactly like the engine's RollingFingerprint, so the
+    * bit-for-bit claim holds for non-ASCII tokens too. The one REMAINING
+    * fixture assumption (pinned by DedupSpec's envelope test): Java's
+    * `\s` includes \x0B where RE2's does not — irrelevant only while the
+    * corpus' whitespace is plain spaces.
     */
   private def simhashOracle: String = {
     val fold = "list_reduce(list_prepend(CAST(0 AS HUGEINT), codes), " +
@@ -176,8 +174,7 @@ object DedupQueries {
       |), padded AS (
       |  SELECT doc_id, w || '${TextOps.SimhashPad}' AS pw FROM toks
       |), codes AS (
-      |  SELECT doc_id,
-      |         [CAST(unicode(pw[i]) AS HUGEINT) for i in range(1, length(pw)+1)] AS codes
+      |  SELECT doc_id, ${QueryUtil.utf8OctetsSql("pw")} AS codes
       |  FROM padded
       |), th AS (
       |  SELECT doc_id, CAST($fold AS BIGINT) AS h FROM codes

@@ -80,18 +80,33 @@ object QueryUtil {
   def asDouble(c: Column): Column = c.cast("double")
   def asLong(c: Column): Column = c.cast("bigint")
 
+  /** DuckDB expression: the UTF-8 OCTETS of 1-char slices of `s` as one
+    * HUGEINT list — the exact byte sequence the engine folds see via
+    * `UTF8String.getBytes`. DuckDB has no blob-to-int-list conversion, so
+    * the expansion is codepoint arithmetic (1-4 bytes per char); validated
+    * against Python's utf-8 encoder across the BMP and astral planes.
+    */
+  def utf8OctetsSql(s: String): String = {
+    val u = s"unicode($s[i])"
+    s"""list_transform(flatten([
+       |      CASE WHEN $u < 128 THEN [$u]
+       |           WHEN $u < 2048 THEN [192 + $u // 64, 128 + $u % 64]
+       |           WHEN $u < 65536 THEN [224 + $u // 4096, 128 + ($u // 64) % 64, 128 + $u % 64]
+       |           ELSE [240 + $u // 262144, 128 + ($u // 4096) % 64, 128 + ($u // 64) % 64, 128 + $u % 64]
+       |      END for i in range(1, length($s)+1)]), x -> CAST(x AS HUGEINT))""".stripMargin
+  }
+
   /** DuckDB mirror of `rolling_fingerprint` (functions.RollingFingerprint):
-    * Karp-Rabin polynomial hash base 257 mod 2^61-1 over the text's BYTES,
-    * as HUGEINT modular folds over per-char codes (== bytes ONLY while the
-    * corpus is pure ASCII — a codepoint > 127 folds one multi-byte char
-    * where the engine folds 2-4 bytes and the equivalence silently breaks;
-    * DedupSpec's fixture-envelope test pins the assumption, it is not
-    * hoped). Emits a CTE named `fpc` with
+    * Karp-Rabin polynomial hash base 257 mod 2^61-1 over the text's
+    * UTF-8 BYTES, as HUGEINT modular folds over the [[utf8OctetsSql]]
+    * octet list — bit-for-bit with the engine for ANY text, ASCII or not
+    * (before round 9 this folded codepoints and was exact only while the
+    * corpus stayed ASCII). Emits a CTE named `fpc` with
     * (doc_id, full_fp, win_fp) where win_fp is the min over `w`-byte
-    * rolling windows (whole-string hash when length <= w, matching the
-    * expression's `window >= n` branch). O(n*w) per doc in SQL — fine for
-    * an oracle, which is the point: the engine side is the O(n) rolling
-    * version.
+    * rolling windows (whole-string hash when byte length <= w, matching
+    * the expression's `window >= n` branch). O(n*w) per doc in SQL — fine
+    * for an oracle, which is the point: the engine side is the O(n)
+    * rolling version.
     */
   def fingerprintOracleCte(w: Int = 32): String = {
     def fold(list: String): String =
@@ -100,17 +115,17 @@ object QueryUtil {
     val full = fold("codes")
     val win = fold(s"codes[i:i+${w - 1}]")
     s"""fpraw AS (
-       |  SELECT doc_id,
-       |    [CAST(unicode(text[i]) AS HUGEINT) for i in range(1, length(text)+1)] AS codes,
-       |    length(text) AS n
+       |  SELECT doc_id, ${utf8OctetsSql("text")} AS codes
        |  FROM documents
+       |), fpn AS (
+       |  SELECT doc_id, codes, len(codes) AS n FROM fpraw
        |), fpc AS (
        |  SELECT doc_id,
        |    CAST($full AS BIGINT) AS full_fp,
        |    CAST(CASE WHEN n > $w THEN
        |      list_min([$win for i in range(1, n - ${w - 2})])
        |    ELSE $full END AS BIGINT) AS win_fp
-       |  FROM fpraw
+       |  FROM fpn
        |)""".stripMargin
   }
 }
