@@ -29,7 +29,10 @@ object ServingClient {
       */
     def tickets: Seq[String] = status.split(' ') match {
       case Array("OK", n, handle) =>
-        (0 until n.toInt).map(i => s"graft-ticket:$handle:$i")
+        // total accessor: a malformed count degrades to no tickets, like
+        // every other unrecognized status shape
+        n.toIntOption.fold(Seq.empty[String])(c =>
+          (0 until c).map(i => s"graft-ticket:$handle:$i"))
       case _ => Seq.empty
     }
   }

@@ -21,11 +21,15 @@ import java.util.concurrent.{LinkedBlockingQueue, ThreadPoolExecutor, TimeUnit}
   *        is fetched with ticket `graft-ticket:<handle>:<i>`, and the n
   *        fetches can run over n CONCURRENT connections — the scale story
   *        gRPC Flight tells with one ticket per partition. The result RDD
-  *        is registered (persisted, LRU-bounded) under <handle>; no rows
-  *        reach the driver until a ticket is fetched. (The reference
-  *        executes AND COLLECTS the whole query just to build FlightInfo,
-  *        api/src/lib.rs:92-98; registering the plan is the same contract
-  *        without the waste.)
+  *        is registered (persisted, LRU-bounded) under <handle>; counting
+  *        its endpoints finalizes the adaptive plan, which EXECUTES the
+  *        query's shuffle stages up front — the FlightInfo readiness
+  *        contract — but no result rows reach the driver until a ticket
+  *        is fetched. (The reference executes AND COLLECTS the whole
+  *        result just to build FlightInfo, api/src/lib.rs:92-98; a
+  *        client that wants a registered table's schema with zero
+  *        execution uses GET_SCHEMA, and the in-process
+  *        ServingShim.flightInfo stays planning-only.)
   *     `DO_GET <sql>`          -> `OK\n` + IPC stream of <=batchSize-row
   *        record batches (reference: batches_to_flight_data,
   *        api/src/lib.rs:122-148). A payload of the form
@@ -381,16 +385,24 @@ final class ServingServer(
     * lifetime. Scaling matters too: a flat `requestTimeoutMs` would RST a
     * barely-over-limit client on a slow link before it finished sending
     * and read its RESOURCE_EXHAUSTED — so the budget allows a 1 MiB/s
-    * floor across the whole cap (clamped to a day), and only a stalled or
-    * genuinely oversized stream is cut off.
+    * floor across the whole cap (clamped to a day). That generosity must
+    * not hand slow-loris clients the worker time the flat deadline denied
+    * them: after a `requestTimeoutMs` grace period the drain ALSO enforces
+    * a 64 KiB/s minimum throughput, so a byte-per-25-s dripper is cut at
+    * ~30 s as before while a genuinely slow DSL link keeps its budget.
     */
   private def drain(in: InputStream, cap: Long): Unit = {
     val buf = new Array[Byte](8192)
     var n = 0L
+    val t0 = System.nanoTime()
     val budgetMs =
       math.min(86400000L, requestTimeoutMs + (cap >> 20) * 1000L)
-    val deadline = System.nanoTime() + budgetMs * 1000000L
+    val deadline = t0 + budgetMs * 1000000L
+    val graceNs = requestTimeoutMs * 1000000L
     try while (n < cap && System.nanoTime() < deadline) {
+      val elapsed = System.nanoTime() - t0
+      if (elapsed > graceNs && n < (elapsed / 1000000000L) * 65536L)
+        return // below the throughput floor: a dripper, not a slow link
       val r = in.read(buf)
       if (r == -1) return
       n += r

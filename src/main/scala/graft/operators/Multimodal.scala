@@ -250,38 +250,74 @@ object Multimodal {
       brightness: Double
   )
 
-  /** Split a concatenated-JPEG (MJPEG-style) payload into its frames' byte
-    * ranges: scan for SOI (FF D8) .. EOI (FF D9) marker pairs. Inside a
-    * JPEG's entropy-coded segment a 0xFF data byte is always stuffed as
-    * FF 00 (and standalone markers are restarts FF D0-D7), so a raw FF D9
-    * only occurs as the frame terminator — a linear marker scan IS a
-    * correct demux for this container. A truncated trailing frame (SOI
-    * with no EOI) is dropped rather than emitted as garbage.
+  /** Split a concatenated-JPEG (MJPEG-style) payload into its frames'
+    * [start, end) byte ranges by walking the JPEG MARKER STRUCTURE, not by
+    * scanning for a raw EOI: FF D9 legitimately occurs INSIDE marker
+    * segment payloads (an EXIF APP1 thumbnail is itself a complete JPEG,
+    * ICC and COM payloads are arbitrary bytes), so a naive byte scan
+    * truncates real camera frames at the embedded thumbnail's EOI. The
+    * walk: after SOI, every non-RST marker before SOS carries a 2-byte
+    * big-endian length (inclusive) whose payload is SKIPPED wholesale;
+    * after SOS the data is entropy-coded, where a 0xFF data byte is always
+    * stuffed as FF 00 and standalone FF D0-D7 are restarts — there (and
+    * only there) a raw FF D9 is the frame terminator. A structurally
+    * broken or truncated frame is dropped rather than emitted as garbage.
     */
-  private[operators] def demuxMjpeg(bytes: Array[Byte]): Vector[Array[Byte]] = {
-    val frames = Vector.newBuilder[Array[Byte]]
+  private[operators] def demuxMjpegRanges(bytes: Array[Byte]): Vector[(Int, Int)] = {
+    val frames = Vector.newBuilder[(Int, Int)]
     val n = bytes.length
+    def b(i: Int): Int = bytes(i) & 0xff
     var i = 0
     while (i < n - 1) {
-      if ((bytes(i) & 0xff) == 0xff && (bytes(i + 1) & 0xff) == 0xd8) {
+      if (b(i) == 0xff && b(i + 1) == 0xd8) {
+        val start = i
         var j = i + 2
-        var end = -1
-        while (j < n - 1 && end < 0) {
-          if ((bytes(j) & 0xff) == 0xff && (bytes(j + 1) & 0xff) == 0xd9)
-            end = j + 2
-          j += 1
+        var end = -1 // set on EOI
+        var broken = false
+        var inScan = false
+        while (j < n && end < 0 && !broken) {
+          if (!inScan) {
+            // marker-segment section: expect FF <marker>
+            if (j + 1 >= n || b(j) != 0xff) broken = true
+            else b(j + 1) match {
+              case 0xd9 => end = j + 2 // EOI with no scan (degenerate, legal)
+              case m if m >= 0xd0 && m <= 0xd7 => j += 2 // RST (no length)
+              case 0xff => j += 1 // fill byte before a marker
+              case 0x01 => j += 2 // TEM (no length)
+              case m =>
+                if (j + 3 >= n) broken = true
+                else {
+                  val len = (b(j + 2) << 8) | b(j + 3) // includes its 2 bytes
+                  if (len < 2 || j + 2 + len > n) broken = true
+                  else {
+                    if (m == 0xda) inScan = true // SOS: entropy data follows
+                    j += 2 + len
+                  }
+                }
+            }
+          } else {
+            // entropy-coded data: FF 00 is a stuffed data byte, FF D0-D7
+            // are restart markers, FF D9 ends the frame; any other FF xx
+            // marker (DNL, next-scan SOS header...) leaves scan mode
+            if (b(j) != 0xff) j += 1
+            else if (j + 1 >= n) broken = true
+            else b(j + 1) match {
+              case 0x00                        => j += 2
+              case m if m >= 0xd0 && m <= 0xd7 => j += 2
+              case 0xd9                        => end = j + 2
+              case _                           => inScan = false
+            }
+          }
         }
-        if (end > 0) {
-          frames += java.util.Arrays.copyOfRange(bytes, i, end)
-          i = end
-        } else i = n // truncated tail: no EOI, drop
+        if (end > 0) { frames += ((start, end)); i = end }
+        else i = n // truncated/broken tail: drop
       } else i += 1
     }
     frames.result()
   }
 
   /** Frame sampling for video payloads. `video/mjpeg` containers get a
-    * REAL demux + decode: [[demuxMjpeg]] splits the concatenated-JPEG
+    * REAL demux + decode: [[demuxMjpegRanges]] splits the concatenated-JPEG
     * stream into frames and each sampled frame is decoded with ImageIO for
     * true luma brightness (falling back to byte stats only for a corrupt
     * frame — one bad frame must not kill a 100 TB stage). Other declared
@@ -305,8 +341,11 @@ object Multimodal {
       it.flatMap { rec =>
         val bytes = if (rec.media == null) Array.emptyByteArray else rec.media
         val mjpeg = rec.meta != null && rec.meta.format == "video/mjpeg"
-        val frames: IndexedSeq[(Array[Byte], Int)] =
-          if (mjpeg) demuxMjpeg(bytes).zipWithIndex
+        // sample the frame INDEX RANGES first, copy bytes only for the
+        // sampled frames: a 1 GiB payload at every=30 must materialize
+        // ~1/30th of itself, never a full second copy
+        val ranges: IndexedSeq[((Int, Int), Int)] =
+          if (mjpeg) demuxMjpegRanges(bytes).zipWithIndex
           else {
             // STUB demux: fixed-size slices as stand-in frames. Long math:
             // the Int sum overflows for payloads near the array max (or a
@@ -317,11 +356,11 @@ object Multimodal {
               ((bytes.length.toLong + frameBytes - 1) / frameBytes).toInt
             (0 until nFrames).map { f =>
               val lo = f * frameBytes
-              val hi = math.min(bytes.length, lo + frameBytes)
-              (java.util.Arrays.copyOfRange(bytes, lo, hi), f)
+              ((lo, math.min(bytes.length, lo + frameBytes)), f)
             }
           }
-        frames.collect { case (frame, f) if f % every == 0 =>
+        ranges.collect { case ((lo, hi), f) if f % every == 0 =>
+          val frame = java.util.Arrays.copyOfRange(bytes, lo, hi)
           val brightness =
             (if (mjpeg) decodedLuma(frame) else None).getOrElse {
               var sum = 0L

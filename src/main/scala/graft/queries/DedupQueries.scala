@@ -541,10 +541,14 @@ object DedupQueries {
     * The increment's shingle sets and band digests are computed fresh
     * (those docs are new by definition) and BROADCAST; the corpus side is
     * a scan of the stored band index — no corpus tokenization, no corpus
-    * shuffle. Verification reads stored shingle sets, with the increment's
-    * fresh sets taking precedence for ids the store also carries (exact
-    * when increment ⊆ store, as in the fixture; correct when disjoint, the
-    * production shape).
+    * shuffle. The candidate join's left side is stored-bands ∪
+    * increment-bands (store rows for increment ids anti-joined away so an
+    * overlap never double-counts): the union is what catches a pair of
+    * duplicates that are BOTH new — with the store alone, an intra-batch
+    * duplicate pair would silently never be flagged when the batch is
+    * disjoint from the corpus, the production shape. Verification reads
+    * stored shingle sets, with the increment's fresh sets taking
+    * precedence for ids the store also carries.
     */
   private[graft] def incrementalPairs(
       s: org.apache.spark.sql.SparkSession,
@@ -554,9 +558,12 @@ object DedupQueries {
   ): DataFrame = {
     import graft.operators.MinHashIndex
     val incSets = PersistScope.pinEager(MinHashIndex.shingleSets(increment))
-    val incBands = MinHashIndex.bandDigests(MinHashIndex.signatures(incSets))
+    val incBands = PersistScope.pinEager(
+      MinHashIndex.bandDigests(MinHashIndex.signatures(incSets)))
     val cand = MinHashIndex
       .bands(s, index)
+      .join(broadcast(incSets.select($"doc_id")), Seq("doc_id"), "left_anti")
+      .unionByName(incBands)
       .as("x")
       .join(
         broadcast(incBands.as("y")),

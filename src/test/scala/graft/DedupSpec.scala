@@ -126,6 +126,34 @@ class DedupSpec extends SparkTestBase {
     )
   }
 
+  test("incremental dedup on a DISJOINT batch flags intra-increment duplicates too") {
+    import spark.implicits._
+    // production shape: the increment shares no ids with the stored
+    // corpus. Its own internal duplicate pair (201, 205) must be flagged —
+    // a store-only candidate join would silently miss it — alongside the
+    // increment-vs-corpus duplicate (3, 209).
+    // per-seed disjoint vocabulary: distinct seeds share ZERO shingles
+    def sent(seed: Int): String =
+      (0 until 30).map(i => s"w${seed}x$i").mkString(" ")
+    val corpus = Seq(
+      (1L, sent(1)), (2L, sent(2)), (3L, sent(3)), (4L, sent(4))
+    ).toDF("doc_id", "text")
+    val increment = Seq(
+      (201L, sent(10)),
+      (205L, sent(10)), // intra-increment duplicate pair
+      (209L, sent(3)),  // duplicates corpus doc 3
+      (212L, sent(12))  // unique — must not pair with anything
+    ).toDF("doc_id", "text")
+    val idx = graft.operators.MinHashIndex
+      .materialize(corpus, tempDir("graft-minhash-disjoint"))
+    val pairs = graft.queries.DedupQueries
+      .incrementalPairs(spark, increment, idx, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((201L, 205L)), s"intra-increment pair missed: $pairs")
+    assert(pairs.contains((3L, 209L)), s"corpus-vs-increment pair missed: $pairs")
+    assert(!pairs.exists(p => p._1 == 212L || p._2 == 212L), s"false positive: $pairs")
+  }
+
   test("fixture satisfies the oracle envelope: space-only whitespace, stable lower()") {
     // Since round 9 the Karp-Rabin oracles fold UTF-8 OCTETS
     // (QueryUtil.utf8OctetsSql) so non-ASCII text no longer breaks them —
@@ -139,8 +167,12 @@ class DedupSpec extends SparkTestBase {
     // regenerated fixture that breaks an assumption fails HERE, not as a
     // silent engine-vs-oracle divergence.
     // env-resolved; the oracle-gate sf skips cleanly where it isn't present
-    for (dir <- Seq(SparkTestBase.Sf0001, SparkTestBase.Sf001)
-        if SparkTestBase.sfDirExists(dir)) {
+    val dirs = Seq(SparkTestBase.Sf0001, SparkTestBase.Sf001)
+      .filter(SparkTestBase.sfDirExists)
+    assert(dirs.nonEmpty,
+      s"no fixture dir found under ${SparkTestBase.TestDataRoot} — " +
+        "the envelope pin would pass vacuously")
+    for (dir <- dirs) {
       val doc = graft.queries.QueryUtil.t(spark, dir, "documents")
       val oddWs = doc.filter(col("text").rlike("[\\t\\n\\u000B\\f\\r]")).count()
       assert(oddWs === 0L, s"$dir: $oddWs docs contain non-space whitespace")

@@ -120,6 +120,35 @@ class MultimodalSpec extends SparkTestBase {
     assert(sampled.map(_.frameIdx) === Seq(0, 2))
   }
 
+  test("mjpeg demux walks marker segments: FF D9 inside an APP1 payload is data") {
+    import spark.implicits._
+    // camera-style frame: an EXIF-like APP1 segment whose payload contains
+    // a raw EOI marker (real thumbnails are complete embedded JPEGs) — a
+    // naive byte scan would truncate the frame there
+    val dark = jpeg(16, 16, 0x101010)
+    val bright = jpeg(16, 16, 0xf0f0f0)
+    val payload = Array[Byte](
+      'E', 'x', 'i', 'f', 0, 0,
+      0xff.toByte, 0xd9.toByte, // embedded EOI inside the segment payload
+      1, 2, 3)
+    val app1 = Array(0xff.toByte, 0xe1.toByte,
+      (((payload.length + 2) >> 8) & 0xff).toByte,
+      ((payload.length + 2) & 0xff).toByte) ++ payload
+    val withApp1 = dark.take(2) ++ app1 ++ dark.drop(2)
+    val container = withApp1 ++ bright
+    val rec = Seq(
+      MediaRecord(10L, "mem://cam.mjpeg", container, MediaMeta("video/mjpeg", 16, 16, 3))
+    ).toDS()
+    val frames = Multimodal.sampleFrames(rec, every = 1)
+      .collect().sortBy(_.frameIdx).toSeq
+    assert(frames.map(_.frameIdx) === Seq(0, 1),
+      s"expected 2 whole frames, got ${frames.map(f => (f.frameIdx, f.nBytes))}")
+    assert(frames(0).nBytes === withApp1.length.toLong,
+      "frame 0 must include everything past the embedded EOI")
+    assert(frames(0).brightness < 40 && frames(1).brightness > 200,
+      "both frames must still decode to their true luma")
+  }
+
   test("decompression bomb is refused from the header, never decoded") {
     import spark.implicits._
     // a syntactically-valid PNG signature + IHDR declaring 100000x100000

@@ -45,13 +45,14 @@ class ServingServerSpec extends SparkTestBase {
     }
   }
 
-  test("GET_FLIGHT_INFO returns the planned schema without executing") {
+  test("GET_FLIGHT_INFO answers endpoints + schema, streams no row data") {
     withServer { srv =>
       val r = ServingClient.getFlightInfo(
         srv.boundPort,
         "SELECT 1 AS a, 'x' AS b, CAST(1.5 AS DOUBLE) AS c"
       )
       assert(r.isOk, r.status)
+      assert(r.tickets.nonEmpty, s"flight info must carry endpoints: ${r.status}")
       assert(r.columnNames === Seq("a", "b", "c"))
       assert(r.rows.isEmpty, "flight info must not carry row data")
     }
