@@ -53,4 +53,32 @@ object CorpusStream {
       .select(col("doc_id"), explode(TextOps.shingles(col("ws"), 8)).as("g"))
       .join(broadcast(benchGrams), Seq("g"))
       .select(col("doc_id"), col("g"))
+
+  /** Streaming ingest dedup: each arriving micro-batch of documents is
+    * deduped against the STORED MinHash index as one increment — the
+    * exact operator `q_dedup_incremental` runs
+    * (queries.DedupQueries.incrementalPairs), driven by foreachBatch so
+    * the micro-batch IS the increment. The query itself holds zero
+    * streaming state: the corpus-side state lives ON DISK in the index,
+    * which is how a 100 TB corpus' dedup state must be carried anyway
+    * (a state store scoped to the stream's lifetime could never hold it,
+    * and the index outlives any one stream). `onPairs` receives each
+    * batch's (doc_a, doc_b, jaccard) frame — route it to a quarantine
+    * table, an alert, or a keep-list update.
+    */
+  def incrementalDedupSink(
+      docs: DataFrame,
+      index: graft.operators.MinHashIndex.StoredIndex,
+      minJ: Double
+  )(onPairs: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        try onPairs(
+          graft.queries.DedupQueries
+            .incrementalPairs(batch.sparkSession, batch, index, minJ),
+          batchId)
+        finally graft.engine.PersistScope.releaseAll()
+      }
+      .start()
 }

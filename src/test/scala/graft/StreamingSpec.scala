@@ -288,6 +288,49 @@ class StreamingSpec extends SparkTestBase {
     assert(batch.nonEmpty && streamed === batch)
   }
 
+  test("streaming ingest dedup against the stored index equals the batch operator") {
+    import graft.streaming.CorpusStream
+    // corpus -> stored index (the on-disk dedup state the stream reads)
+    def sent(seed: Int): String =
+      (0 until 30).map(i => s"s${seed}y$i").mkString(" ")
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, sent(1)), (2L, sent(2)), (3L, sent(3)), (4L, sent(4))
+    ).toDF("doc_id", "text")
+    val index = graft.operators.MinHashIndex
+      .materialize(corpus, tempDir("graft-stream-minhash"))
+
+    // increment arrives as TWO files -> two micro-batches; includes a
+    // corpus duplicate, an intra-batch duplicate pair, and unique docs
+    val dropDir = tempDir("graft-dedup-stream")
+    val inc1 = Seq((101L, sent(3)), (102L, sent(9))).toDF("doc_id", "text")
+    val inc2 = Seq((103L, sent(9)), (104L, sent(11)), (105L, sent(11)))
+      .toDF("doc_id", "text")
+    inc1.coalesce(1).write.mode("append").parquet(dropDir)
+
+    val got = collection.concurrent.TrieMap.empty[(Long, Long), Double]
+    val q = CorpusStream.incrementalDedupSink(
+      CorpusStream.readDocumentsStream(spark, dropDir), index, 0.5) {
+      (pairs, _) =>
+        pairs.collect().foreach(r =>
+          got.put((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    }
+    try {
+      q.processAllAvailable()
+      assert(got.keySet === Set((3L, 101L)),
+        s"first micro-batch must flag the corpus duplicate: $got")
+      inc2.coalesce(1).write.mode("append").parquet(dropDir)
+      q.processAllAvailable()
+      // batch 2 flags its INTRA-BATCH pair (104, 105). The cross-batch
+      // pair (102, 103) is invisible by contract: doc 102 is not in the
+      // stored index — the index IS the corpus state, so an ingest that
+      // must catch cross-batch dups folds each accepted batch into it.
+      assert(got.keySet === Set((3L, 101L), (104L, 105L)),
+        s"unexpected pairs: $got")
+      assert(got.values.forall(_ >= 0.99), s"planted dups are exact: $got")
+    } finally q.stop()
+  }
+
   test("windowed counts conserve total events") {
     val dir = SparkTestBase.Sf0001
     val total = graft.queries.QueryUtil.events(spark, dir).count()
