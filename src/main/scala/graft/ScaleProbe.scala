@@ -254,11 +254,8 @@ object ScaleProbe {
       // of each dup block), so verification does real per-candidate work.
       // The increment time is the recurring cost; the ratio to the full
       // minhash run is what the store buys at each scale.
-      val idxRoot = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"),
-        "graft-probe-minhash",
-        s"idx_${mult}x_p${ProcessHandle.current().pid()}")
-      graft.engine.TempDirs.register(idxRoot)
+      val idxRoot = graft.engine.TempDirs
+        .workspace("graft-probe-minhash", "idx", s"probe-${mult}x")
       val bld = time(s"minhash_index_build_${mult}x", n) {
         graft.operators.MinHashIndex.materialize(docs, idxRoot.toString)
       }

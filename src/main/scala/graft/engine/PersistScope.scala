@@ -23,10 +23,38 @@ import org.apache.spark.sql.Dataset
 object PersistScope {
   private val handles = new ConcurrentLinkedQueue[Dataset[_]]()
 
+  // when a thread runs inside `scoped`, its pins land here instead of the
+  // global queue, so releasing them cannot strip pins belonging to work
+  // running CONCURRENTLY on other threads (the global releaseAll remains
+  // correct for the strictly-sequential drivers: Verify, Bench, probes)
+  private val localScope =
+    new ThreadLocal[scala.collection.mutable.ArrayBuffer[Dataset[_]]]()
+
   /** Register a persisted dataset for later release; returns it unchanged. */
   def track[T <: Dataset[_]](ds: T): T = {
-    handles.add(ds)
+    val scope = localScope.get()
+    if (scope != null) scope += ds else handles.add(ds)
     ds
+  }
+
+  /** Run `body` with THIS THREAD's pins captured locally and released when
+    * it returns — the concurrency-safe alternative to releaseAll for
+    * callers that share the process with other running work (the
+    * streaming ingest sink's foreachBatch is the motivating case: a
+    * global release there would unpersist a concurrently-running batch
+    * query's pins mid-job). Nests: an inner scope restores the outer one.
+    * Everything the body builds AND executes must finish inside it — the
+    * pins are dropped on exit.
+    */
+  def scoped[A](body: => A): A = {
+    val outer = localScope.get()
+    val mine = scala.collection.mutable.ArrayBuffer.empty[Dataset[_]]
+    localScope.set(mine)
+    try body
+    finally {
+      localScope.set(outer)
+      mine.foreach(_.unpersist(blocking = false))
+    }
   }
 
   /** persist + track in one step. */

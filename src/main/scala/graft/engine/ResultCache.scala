@@ -127,10 +127,14 @@ final class ResultCache(
             case e: java.util.concurrent.ExecutionException =>
               throw Option(e.getCause).getOrElse(e)
             case _: java.util.concurrent.TimeoutException =>
-              // possible A<->B builder cycle: compute directly rather than
-              // wait forever (the other flight may legitimately be slow —
-              // then this is just duplicated work, resolved by put())
-              put(key, build)
+              // possible A<->B builder cycle: stop waiting. Serve a direct
+              // UNCACHED compute — a put() here would race the flight's
+              // still-live winner, whose later put would evict this entry
+              // and unpersist a frame callers just received (and vice
+              // versa). The winner's entry stays authoritative; this
+              // thread just pays duplicated work once. Re-check the cache
+              // first: the winner may have landed while we waited.
+              get(key).getOrElse(build)
           }
         }
       } else {

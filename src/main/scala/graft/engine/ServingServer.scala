@@ -46,8 +46,10 @@ import java.util.concurrent.{LinkedBlockingQueue, ThreadPoolExecutor, TimeUnit}
   *        Streams past `maxPutRows`/`maxPutBytes` answer
   *        `ERR RESOURCE_EXHAUSTED` — ingest lands on the driver, so the
   *        bound is what keeps one client from OOMing everyone's server.
-  *     `GET_SCHEMA <table>`    -> `OK\n` + schema-only IPC stream of the
-  *        registered table (reference: unimplemented, api/src/lib.rs).
+  *     `GET_SCHEMA <table|sql>` -> `OK\n` + schema-only IPC stream of a
+  *        registered table, or the PLANNED (never executed) schema of a
+  *        SQL payload — the zero-cost schema probe (reference:
+  *        unimplemented, api/src/lib.rs).
   *     `LIST_FLIGHTS`          -> `OK\n` + IPC stream of one batch with a
   *        `name` column: the catalog's table names, sorted (reference:
   *        unimplemented, api/src/lib.rs:77-79).
@@ -323,7 +325,15 @@ final class ServingServer(
           if (payload.isEmpty)
             status("ERR INVALID_ARGUMENT No table name in request")
           else {
-            val schema = session.table(payload).schema // throws if unknown -> ERR INTERNAL
+            // a registered table's schema, or — for any payload that is
+            // not a plain identifier — the PLANNED schema of a SQL query:
+            // the zero-execution schema probe GET_FLIGHT_INFO gave up
+            // when it took on endpoint registration (planning never runs
+            // a job; failures surface as ERR INTERNAL)
+            val schema = payload match {
+              case TableName() => session.table(payload).schema
+              case sql         => session.serving.flightInfo(sql)
+            }
             status("OK")
             org.apache.spark.sql.GraftArrowBridge.writeSchemaOnly(
               schema,

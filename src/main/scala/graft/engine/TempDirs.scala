@@ -27,6 +27,21 @@ object TempDirs {
     p
   }
 
+  /** The canonical per-process fixture-workspace path — one place for the
+    * `tmpdir/<family>/<name>-<dirHash>_p<PID>` idiom every materialize-once
+    * site (bucketed tables, DPP layout, MinHash index, iceberg copy) was
+    * hand-rolling: keyed by the SOURCE dir so different fixtures never
+    * collide, PID-keyed so concurrent JVMs never race each other's
+    * check-then-write, registered here so it is cleaned up at exit.
+    */
+  def workspace(family: String, name: String, sourceDir: String): Path =
+    register(java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      family,
+      s"$name-${Integer.toHexString(sourceDir.hashCode)}" +
+        s"_p${ProcessHandle.current().pid()}"
+    ))
+
   private def deleteRecursively(p: Path): Unit =
     try {
       if (Files.exists(p)) {

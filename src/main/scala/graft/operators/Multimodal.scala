@@ -129,22 +129,7 @@ object Multimodal {
     else {
       val w = img.getWidth
       val h = img.getHeight
-      val hist = new Array[Long](16)
-      var sum = 0.0
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val rgb = img.getRGB(x, y)
-          val luma = 0.299 * ((rgb >> 16) & 0xff) +
-            0.587 * ((rgb >> 8) & 0xff) +
-            0.114 * (rgb & 0xff)
-          hist(math.min(15, (luma / 16.0).toInt)) += 1
-          sum += luma
-          x += 1
-        }
-        y += 1
-      }
+      val (hist, sum) = lumaScan(img)
       digest.reset()
       val hex = digest.digest(bytes).map("%02x".format(_)).mkString
       MediaFeatures(
@@ -158,6 +143,32 @@ object Multimodal {
         channels = img.getRaster.getNumBands
       )
     }
+  }
+
+  /** One pass over a decoded raster: 16-bin luma histogram + luma sum
+    * (ITU-R BT.601 weights) — shared by [[decodeImage]] and the per-frame
+    * [[decodedLuma]] so a colorspace fix can never drift between them.
+    */
+  private def lumaScan(img: java.awt.image.BufferedImage): (Array[Long], Double) = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val hist = new Array[Long](16)
+    var sum = 0.0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val luma = 0.299 * ((rgb >> 16) & 0xff) +
+          0.587 * ((rgb >> 8) & 0xff) +
+          0.114 * (rgb & 0xff)
+        hist(math.min(15, (luma / 16.0).toInt)) += 1
+        sum += luma
+        x += 1
+      }
+      y += 1
+    }
+    (hist, sum)
   }
 
   /** Raster dimensions from the image HEADER — no pixel decode. This is
@@ -310,7 +321,15 @@ object Multimodal {
           }
         }
         if (end > 0) { frames += ((start, end)); i = end }
-        else i = n // truncated/broken tail: drop
+        else if (broken)
+          // resync AT THE FAILURE POINT: one corrupt frame drops only
+          // itself — the scan recovers every later frame whose SOI lies
+          // past where the walk failed. Resuming at j (never re-walking
+          // [start, j)) keeps the demux amortized-linear even on
+          // adversarial bytes; resuming at start+2 would re-walk the
+          // broken region per embedded FF D8 and go quadratic.
+          i = math.max(start + 2, j)
+        else i = n // clean truncation at payload end: nothing left
       } else i += 1
     }
     frames.result()
@@ -390,27 +409,10 @@ object Multimodal {
       else
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(frame))
         catch { case scala.util.control.NonFatal(_) => null }
-    if (img == null) None
+    if (img == null || img.getWidth.toLong * img.getHeight == 0) None
     else {
-      val w = img.getWidth
-      val h = img.getHeight
-      if (w.toLong * h == 0) None
-      else {
-        var sum = 0.0
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val rgb = img.getRGB(x, y)
-            sum += 0.299 * ((rgb >> 16) & 0xff) +
-              0.587 * ((rgb >> 8) & 0xff) +
-              0.114 * (rgb & 0xff)
-            x += 1
-          }
-          y += 1
-        }
-        Some(sum / (w.toLong * h))
-      }
+      val (_, sum) = lumaScan(img)
+      Some(sum / (img.getWidth.toLong * img.getHeight))
     }
   }
 

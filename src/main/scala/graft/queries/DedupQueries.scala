@@ -523,13 +523,8 @@ object DedupQueries {
       dir: String
   ): graft.operators.MinHashIndex.StoredIndex = {
     import graft.operators.MinHashIndex
-    val root = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"),
-      "graft-minhash-index",
-      "documents-" + Integer.toHexString(dir.hashCode) +
-        s"_p${ProcessHandle.current().pid()}"
-    )
-    graft.engine.TempDirs.register(root)
+    val root =
+      graft.engine.TempDirs.workspace("graft-minhash-index", "documents", dir)
     if (!java.nio.file.Files.exists(root.resolve("bands").resolve("_SUCCESS")))
       MinHashIndex.materialize(t(s, dir, "documents"), root.toString)
     MinHashIndex.StoredIndex(root.toString)

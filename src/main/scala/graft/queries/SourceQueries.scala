@@ -146,15 +146,7 @@ object SourceQueries {
     Q(
       "q_iceberg_scan",
       (s, dir) => {
-        val root = java.nio.file.Paths.get(
-          System.getProperty("java.io.tmpdir"),
-          "graft-iceberg",
-          // PID-keyed like every other fixture materialization (concurrent
-          // JVMs must not race the check-then-write), cleaned up at exit
-          "part-" + Integer.toHexString(dir.hashCode) +
-            s"_p${ProcessHandle.current().pid()}"
-        )
-        graft.engine.TempDirs.register(root)
+        val root = graft.engine.TempDirs.workspace("graft-iceberg", "part", dir)
         if (!java.nio.file.Files.exists(root.resolve("metadata"))) {
           t(s, dir, "part").write.mode("overwrite")
             .parquet(root.resolve("data").toString)

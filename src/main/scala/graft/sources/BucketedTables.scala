@@ -34,14 +34,8 @@ object BucketedTables {
     val name =
       s"graft_bkt_${table}_${Integer.toHexString(dir.hashCode)}"
     if (!spark.catalog.tableExists(name)) {
-      val path = java.nio.file.Paths
-        .get(
-          System.getProperty("java.io.tmpdir"),
-          "graft-bucketed",
-          s"${name}_p${ProcessHandle.current().pid()}"
-        )
-        .toString
-      graft.engine.TempDirs.register(java.nio.file.Paths.get(path))
+      val path = graft.engine.TempDirs
+        .workspace("graft-bucketed", s"bkt_$table", dir).toString
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read
         .parquet(s"$dir/$table.parquet")

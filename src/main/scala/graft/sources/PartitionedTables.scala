@@ -25,13 +25,7 @@ object PartitionedTables {
     * never race the check-then-write (same discipline as BucketedTables).
     */
   def ordersByMonth(spark: SparkSession, dir: String): DataFrame = {
-    val root = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"),
-      "graft-dpp",
-      "orders_by_month-" + Integer.toHexString(dir.hashCode) +
-        s"_p${ProcessHandle.current().pid()}"
-    )
-    graft.engine.TempDirs.register(root)
+    val root = graft.engine.TempDirs.workspace("graft-dpp", "orders_by_month", dir)
     if (!java.nio.file.Files.exists(root.resolve("_SUCCESS"))) {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read

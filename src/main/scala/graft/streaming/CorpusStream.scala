@@ -74,11 +74,15 @@ object CorpusStream {
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        try onPairs(
-          graft.queries.DedupQueries
-            .incrementalPairs(batch.sparkSession, batch, index, minJ),
-          batchId)
-        finally graft.engine.PersistScope.releaseAll()
+        // scoped, NOT releaseAll: the sink runs concurrently with other
+        // driver work, and a global release here would unpersist pins a
+        // concurrently-running query is still using
+        graft.engine.PersistScope.scoped {
+          onPairs(
+            graft.queries.DedupQueries
+              .incrementalPairs(batch.sparkSession, batch, index, minJ),
+            batchId)
+        }
       }
       .start()
 }

@@ -149,6 +149,26 @@ class MultimodalSpec extends SparkTestBase {
       "both frames must still decode to their true luma")
   }
 
+  test("a corrupt frame drops alone: the demux resyncs on the next SOI") {
+    import spark.implicits._
+    val dark = jpeg(16, 16, 0x101010)
+    val bright = jpeg(16, 16, 0xf0f0f0)
+    // middle frame declares an APP1 length that overruns the container —
+    // the walk must drop it and recover the following valid frame
+    val corrupt = Array(0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe1.toByte,
+      0xff.toByte, 0xff.toByte) ++ Array.fill[Byte](32)(0)
+    val container = dark ++ corrupt ++ bright
+    val rec = Seq(
+      MediaRecord(11L, "mem://glitch.mjpeg", container, MediaMeta("video/mjpeg", 16, 16, 3))
+    ).toDS()
+    val frames = Multimodal.sampleFrames(rec, every = 1)
+      .collect().sortBy(_.frameIdx).toSeq
+    assert(frames.map(_.frameIdx) === Seq(0, 1),
+      s"expected the two valid frames, got ${frames.map(f => (f.frameIdx, f.nBytes))}")
+    assert(frames(0).brightness < 40 && frames(1).brightness > 200,
+      "the frame AFTER the corrupt one must still decode")
+  }
+
   test("decompression bomb is refused from the header, never decoded") {
     import spark.implicits._
     // a syntactically-valid PNG signature + IHDR declaring 100000x100000

@@ -99,6 +99,17 @@ class ServingServerSpec extends SparkTestBase {
     }
   }
 
+  test("GET_SCHEMA plans a SQL payload's schema with zero execution") {
+    withServer { srv =>
+      val r = ServingClient.getSchema(
+        srv.boundPort, "SELECT 1 AS a, 'x' AS b, CAST(1.5 AS DOUBLE) AS c")
+      assert(r.isOk, r.status)
+      assert(r.columnNames === Seq("a", "b", "c") && r.rows.isEmpty)
+      assert(ServingClient.getSchema(srv.boundPort, "SELECT FROM WHERE")
+        .status.startsWith("ERR INTERNAL"))
+    }
+  }
+
   test("a silent client times out with DEADLINE_EXCEEDED instead of pinning a worker") {
     val srv = new ServingServer(session, requestTimeoutMs = 300).start()
     try {
