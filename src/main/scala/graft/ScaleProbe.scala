@@ -84,9 +84,10 @@ object ScaleProbe {
 
   def main(args: Array[String]): Unit = {
     // optional arg selects a probe group:
-    // core | extras | dedup | sim | text | events | all
+    // core | extras | dedup | sim | text | events | serve | all
     val which = args.headOption.getOrElse("all")
-    val groups = Set("all", "core", "extras", "dedup", "sim", "text", "events")
+    val groups =
+      Set("all", "core", "extras", "dedup", "sim", "text", "events", "serve")
     // a typo'd group would otherwise spin up Spark, run NOTHING, and exit
     // 0 — indistinguishable from "probe found nothing"
     require(groups(which), s"unknown probe group '$which' (one of: ${groups.mkString(", ")})")
@@ -101,7 +102,49 @@ object ScaleProbe {
     if (which == "all" || which == "sim") simScaleProbe(spark)
     if (which == "all" || which == "text") textScaleProbe(spark)
     if (which == "all" || which == "events") eventsScaleProbe(spark)
+    if (which == "all" || which == "serve") servingScaleProbe(spark)
     spark.stop()
+  }
+
+  /** Serving egress at result sizes where one stream is the bottleneck:
+    * the same result served (a) as ONE DO_GET Arrow stream and (b) as N
+    * flight tickets fetched over N concurrent connections (round-9
+    * multi-endpoint path). Client-side decode is included in both numbers
+    * (same work either way); the delta is the serialized single-socket
+    * pipeline vs parallel per-partition streams — the Flight scale story
+    * the partition tickets exist for.
+    */
+  private def servingScaleProbe(spark: SparkSession): Unit = {
+    val session = graft.engine.GraftSession(spark)
+    val srv = new graft.engine.ServingServer(session, batchSize = 8192).start()
+    try {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      println("--- serving egress: single DO_GET stream vs parallel flight tickets ---")
+      Seq(200000L, 1000000L, 2000000L).foreach { n =>
+        session.registerTable(
+          s"serve_probe_$n",
+          spark.range(n).selectExpr("id", "id * 3 AS x", "CAST(id AS STRING) AS s"))
+        val sql = s"SELECT id, x, s FROM serve_probe_$n"
+        val (_, _, tSingle) = time(s"serve_single_${n}", n) {
+          val r = graft.engine.ServingClient.doGet(srv.boundPort, sql)
+          require(r.rows.size.toLong == n, r.status)
+        }
+        val (_, _, tTickets) = time(s"serve_tickets_${n}", n) {
+          val info = graft.engine.ServingClient.getFlightInfo(srv.boundPort, sql)
+          require(info.isOk, info.status)
+          val parts = Await.result(
+            Future.sequence(info.tickets.map(t => Future {
+              graft.engine.ServingClient.doGetTicket(srv.boundPort, t)
+            })),
+            600.seconds)
+          require(parts.map(_.rows.size.toLong).sum == n,
+            parts.map(_.status).distinct.mkString(","))
+        }
+        println(f"rows=$n%9d  single=$tSingle%7.2f s  tickets=$tTickets%7.2f s  speedup=${tSingle / tTickets}%5.2f x")
+      }
+    } finally srv.close()
   }
 
   private def coreProbe(spark: SparkSession): Unit = {
