@@ -38,11 +38,14 @@ final case class MediaFeatures(
 /** Multimodal column plumbing (SURVEY.md §2.C): schema, partitioning, and
   * the batched decode / feature-extract / resize / frame-sample shapes —
   * all real Spark. IMAGE decode and resize are REAL (JDK ImageIO +
-  * Graphics2D, no external libraries needed); audio/video have no codec
-  * in this environment, so their per-item decode is a clearly-marked
-  * deterministic STUB (`decodeStub`, `sampleFrames`' slice demux) with
-  * the same signature and cost shape as the real call — the distributed
-  * plumbing around it is fully testable and is what matters at scale.
+  * Graphics2D), AUDIO decode is REAL for WAV/AIFF/AU
+  * (javax.sound.sampled), and MJPEG video demux+decode is REAL
+  * (marker-structure walk + ImageIO per frame) — no external libraries
+  * needed for any of them. Only codec-less formats (mp3/opus/h264...)
+  * fall back to a clearly-marked deterministic byte-level STUB
+  * (`decodeStub`, `sampleFrames`' slice demux) with the same signature
+  * and cost shape as the real call — the distributed plumbing around it
+  * is identical and is what matters at scale.
   *
   * Scale notes: decode is CPU-bound per item and must never serialize a
   * codec per row — mapPartitions amortizes setup (one "codec" per
@@ -250,6 +253,103 @@ object Multimodal {
         rec.meta.format.startsWith("image/")) resizeImage(rec, maxDim)
       else rec
     })
+  }
+
+  /** Decoded per-item audio features (the audio twin of [[MediaFeatures]]:
+    * what a speech/audio curation pipeline filters on — clipping via
+    * `peak`, silence via `rms`, format sanity via rate/channels/duration).
+    */
+  final case class AudioFeatures(
+      id: Long,
+      nBytes: Long,
+      digest: String,
+      sampleRate: Int,
+      channels: Int,
+      nFrames: Long,
+      durationSec: Double,
+      rms: Double, // root-mean-square of normalized [-1,1] samples
+      peak: Double // max |sample|
+  )
+
+  /** REAL audio decode for WAV/AIFF/AU via the JDK's javax.sound.sampled —
+    * no external codec needed, same trick as ImageIO for images. Any PCM
+    * variant the JDK can convert (8/16/24-bit, signed/unsigned, BE/LE) is
+    * normalized to 16-bit signed little-endian before the stats pass.
+    * Returns None when no reader claims the bytes or the header declares
+    * an absurd frame count (the audio analogue of the raster bomb guard —
+    * a WAV header can promise gigabytes the body never carries).
+    */
+  def decodeAudio(rec: MediaRecord): Option[AudioFeatures] = {
+    val bytes = if (rec.media == null) Array.emptyByteArray else rec.media
+    if (bytes.isEmpty) return None
+    try {
+      val ais = javax.sound.sampled.AudioSystem
+        .getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        // bomb guard from the HEADER: frames x channels x 2B, capped 256MB
+        if (ais.getFrameLength > 0 &&
+          ais.getFrameLength * fmt.getChannels > 128000000L) return None
+        val target = new javax.sound.sampled.AudioFormat(
+          fmt.getSampleRate, 16, fmt.getChannels, true, false)
+        val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(target, ais)
+        try {
+          val data = pcm.readAllBytes()
+          val n = data.length / 2
+          var sumSq = 0.0
+          var peak = 0.0
+          var i = 0
+          while (i + 1 < data.length) {
+            val s = ((data(i) & 0xff) | (data(i + 1) << 8)).toShort / 32768.0
+            sumSq += s * s
+            val a = math.abs(s)
+            if (a > peak) peak = a
+            i += 2
+          }
+          val frames = n.toLong / math.max(1, fmt.getChannels)
+          Some(AudioFeatures(
+            id = rec.id,
+            nBytes = bytes.length.toLong,
+            digest = "", // filled by the batched caller's shared digest
+            sampleRate = fmt.getSampleRate.toInt,
+            channels = fmt.getChannels,
+            nFrames = frames,
+            durationSec =
+              if (fmt.getSampleRate > 0) frames / fmt.getSampleRate.toDouble else 0.0,
+            rms = if (n == 0) 0.0 else math.sqrt(sumSq / n),
+            peak = peak
+          ))
+        } finally pcm.close()
+      } finally ais.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Batched distributed audio feature extraction — the mapPartitions
+    * shape of [[extractFeatures]] for `audio/<i>` payloads: REAL decode
+    * where the JDK has a reader (WAV/AIFF/AU), degraded byte-level rows
+    * (audio fields zeroed, digest/nBytes real) for codec-less formats or
+    * corrupt payloads — one bad file must not kill the stage.
+    */
+  def extractAudioFeatures(
+      ds: Dataset[MediaRecord],
+      batchSize: Int = 64
+  ): Dataset[AudioFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      val codec = MessageDigest.getInstance("SHA-256") // per-partition setup
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { rec =>
+          val bytes = if (rec.media == null) Array.emptyByteArray else rec.media
+          codec.reset()
+          val hex = codec.digest(bytes).map("%02x".format(_)).mkString
+          decodeAudio(rec) match {
+            case Some(f) => f.copy(digest = hex)
+            case None =>
+              AudioFeatures(rec.id, bytes.length.toLong, hex, 0, 0, 0L, 0.0, 0.0, 0.0)
+          }
+        }
+      }
+    }
   }
 
   /** One sampled "frame" of a video-ish payload. */

@@ -169,6 +169,46 @@ class MultimodalSpec extends SparkTestBase {
       "the frame AFTER the corrupt one must still decode")
   }
 
+  private def wav(freqHz: Double, amplitude: Double, rateHz: Float, nFrames: Int): Array[Byte] = {
+    val data = new Array[Byte](nFrames * 2)
+    for (i <- 0 until nFrames) {
+      val s = (math.sin(2 * math.Pi * freqHz * i / rateHz) * amplitude * 32767).toInt
+      data(2 * i) = (s & 0xff).toByte
+      data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rateHz, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("real WAV decode: rate, duration, RMS and peak from actual samples") {
+    import spark.implicits._
+    // 440 Hz sine at amplitude 0.5: RMS = 0.5/sqrt(2) ~ 0.354, peak ~ 0.5
+    val sine = wav(440.0, 0.5, 8000f, 4000)
+    val quiet = wav(440.0, 0.05, 8000f, 4000)
+    val records = Seq(
+      MediaRecord(1L, "mem://sine.wav", sine, MediaMeta("audio/wav", 0, 0, 1)),
+      MediaRecord(2L, "mem://quiet.wav", quiet, MediaMeta("audio/wav", 0, 0, 1)),
+      MediaRecord(3L, "mem://noise.bin", Array[Byte](1, 2, 3, 4),
+        MediaMeta("audio/opus", 0, 0, 1)) // no JDK codec -> degraded row
+    ).toDS()
+    val f = Multimodal.extractAudioFeatures(records, batchSize = 2)
+      .collect().sortBy(_.id)
+    assert(f(0).sampleRate === 8000 && f(0).channels === 1)
+    assert(f(0).nFrames === 4000L && math.abs(f(0).durationSec - 0.5) < 1e-6)
+    assert(math.abs(f(0).rms - 0.5 / math.sqrt(2)) < 0.01, s"rms=${f(0).rms}")
+    assert(math.abs(f(0).peak - 0.5) < 0.01, s"peak=${f(0).peak}")
+    // amplitude scales RMS linearly — proof the numbers come from samples
+    assert(math.abs(f(1).rms * 10 - f(0).rms) < 0.02, s"${f(1).rms} vs ${f(0).rms}")
+    // undecodable: audio fields zeroed, identity fields real
+    assert(f(2).sampleRate === 0 && f(2).rms === 0.0 && f(2).nBytes === 4L)
+    assert(f(2).digest.nonEmpty)
+  }
+
   test("decompression bomb is refused from the header, never decoded") {
     import spark.implicits._
     // a syntactically-valid PNG signature + IHDR declaring 100000x100000
