@@ -83,7 +83,12 @@ final class ServingServer(
     // the pool-overflow vocabulary above. Bulk loads belong in the
     // distributed sources, not this CDC-sized verb.
     maxPutRows: Long = 1L << 20, // 1M rows
-    maxPutBytes: Long = 256L << 20 // 256 MiB of Arrow buffers
+    maxPutBytes: Long = 256L << 20, // 256 MiB of Arrow buffers
+    // registered-flight bound: each GET_FLIGHT_INFO pins one (lazy) result
+    // RDD until LRU eviction or close — the cap is what keeps a client
+    // looping flight-info from accumulating persisted results. Size it to
+    // how many in-flight result sets the executors can afford to cache.
+    maxFlights: Int = 32
 ) extends AutoCloseable {
 
   private val unimplemented = Set(
@@ -99,7 +104,6 @@ final class ServingServer(
   )
 
   private val TicketPrefix = "graft-ticket:"
-  private val maxFlights = 32
   private val handleCounter = new java.util.concurrent.atomic.AtomicLong()
   // LRU by ACCESS order: a client fetching tickets keeps its flight live;
   // evicted flights unpersist their cached partitions. Bounded so a
