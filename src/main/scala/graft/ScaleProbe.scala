@@ -121,29 +121,43 @@ object ScaleProbe {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration._
       import scala.concurrent.ExecutionContext.Implicits.global
-      println("--- serving egress: single DO_GET stream vs parallel flight tickets ---")
-      Seq(200000L, 1000000L, 2000000L).foreach { n =>
-        session.registerTable(
-          s"serve_probe_$n",
-          spark.range(n).selectExpr("id", "id * 3 AS x", "CAST(id AS STRING) AS s"))
-        val sql = s"SELECT id, x, s FROM serve_probe_$n"
-        val (_, _, tSingle) = time(s"serve_single_${n}", n) {
-          val r = graft.engine.ServingClient.doGet(srv.boundPort, sql)
-          require(r.rows.size.toLong == n, r.status)
-        }
-        val (_, _, tTickets) = time(s"serve_tickets_${n}", n) {
-          val info = graft.engine.ServingClient.getFlightInfo(srv.boundPort, sql)
-          require(info.isOk, info.status)
-          val parts = Await.result(
-            Future.sequence(info.tickets.map(t => Future {
+      // bounded fetch concurrency: stays well inside the server's worker
+      // pool (default 16 live + 32 queued) no matter how many partitions
+      // the result has on a big machine — an unbounded one-future-per-
+      // ticket volley would trip the pool's RESOURCE_EXHAUSTED refusal
+      val fetchPar = 12
+      def fetchAll(sql: String, n: Long): Unit = {
+        val info = graft.engine.ServingClient.getFlightInfo(srv.boundPort, sql)
+        require(info.isOk, info.status)
+        val parts = info.tickets.grouped(fetchPar).flatMap { group =>
+          Await.result(
+            Future.sequence(group.map(t => Future {
               graft.engine.ServingClient.doGetTicket(srv.boundPort, t)
             })),
             600.seconds)
-          require(parts.map(_.rows.size.toLong).sum == n,
-            parts.map(_.status).distinct.mkString(","))
-        }
-        println(f"rows=$n%9d  single=$tSingle%7.2f s  tickets=$tTickets%7.2f s  speedup=${tSingle / tTickets}%5.2f x")
+        }.toSeq
+        require(parts.map(_.rows.size.toLong).sum == n,
+          parts.map(_.status).distinct.mkString(","))
       }
+      def single(sql: String, n: Long): Unit = {
+        val r = graft.engine.ServingClient.doGet(srv.boundPort, sql)
+        require(r.rows.size.toLong == n, r.status)
+      }
+      println("--- serving egress: single DO_GET stream vs parallel flight tickets ---")
+      // first group is a discarded JIT/codegen/socket warmup pass (same
+      // discipline as coreProbe): both paths run before anything is timed,
+      // so neither side's number carries the warmup
+      Seq((200000L, true), (200000L, false), (1000000L, false), (2000000L, false))
+        .foreach { case (n, warmup) =>
+          session.registerTable(
+            s"serve_probe_$n",
+            spark.range(n).selectExpr("id", "id * 3 AS x", "CAST(id AS STRING) AS s"))
+          val sql = s"SELECT id, x, s FROM serve_probe_$n"
+          val (_, _, tSingle) = time(s"serve_single_${n}", n)(single(sql, n))
+          val (_, _, tTickets) = time(s"serve_tickets_${n}", n)(fetchAll(sql, n))
+          if (!warmup)
+            println(f"rows=$n%9d  single=$tSingle%7.2f s  tickets=$tTickets%7.2f s  speedup=${tSingle / tTickets}%5.2f x")
+        }
     } finally srv.close()
   }
 

@@ -200,6 +200,9 @@ final class ServingServer(
           if (payload.isEmpty)
             status("ERR INVALID_ARGUMENT No SQL command in request")
           else {
+            // query-only guard (ServingShim.flightInfo rejects commands,
+            // which session.execute would otherwise run eagerly)
+            session.serving.flightInfo(payload)
             val (schema, rdd) = org.apache.spark.sql.GraftArrowBridge
               .resultRdd(session.execute(payload))
             rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

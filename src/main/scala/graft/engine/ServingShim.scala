@@ -19,9 +19,22 @@ import org.apache.spark.sql.types.StructType
   */
 final class ServingShim(session: GraftSession, batchSize: Int = 1024) {
 
-  /** Result schema for a query — planned, not executed. */
-  def flightInfo(sql: String): StructType =
+  /** Result schema for a query — planned, not executed. QUERIES only:
+    * since Spark 3, `spark.sql` runs command plans (DDL, INSERT, SET)
+    * EAGERLY, so letting one through would turn this schema probe into a
+    * state-mutating call — they are rejected at parse time instead.
+    */
+  def flightInfo(sql: String): StructType = {
+    val parsed = session.spark.sessionState.sqlParser.parsePlan(sql)
+    val mutating = parsed.exists {
+      case _: org.apache.spark.sql.catalyst.plans.logical.Command             => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement => true
+      case _                                                                  => false
+    }
+    require(!mutating,
+      "flightInfo plans queries only; commands/DML would execute eagerly")
     session.execute(sql).schema
+  }
 
   /** Execute and stream: schema + an iterator of row batches (each at most
     * `batchSize` rows, mirroring the reference's RecordBatch granularity —

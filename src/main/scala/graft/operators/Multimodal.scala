@@ -386,6 +386,12 @@ object Multimodal {
         var end = -1 // set on EOI
         var broken = false
         var inScan = false
+        // where to resync after a break: just past the last marker whose
+        // DECLARED length we trusted. A corrupt length can jump the walk
+        // over the next frame's SOI; rescanning from the bad marker
+        // recovers that frame, and since a segment length is <= 65535 the
+        // re-walked span is constant-bounded — still amortized linear.
+        var lastJump = start + 2
         while (j < n && end < 0 && !broken) {
           if (!inScan) {
             // marker-segment section: expect FF <marker>
@@ -402,6 +408,7 @@ object Multimodal {
                   if (len < 2 || j + 2 + len > n) broken = true
                   else {
                     if (m == 0xda) inScan = true // SOS: entropy data follows
+                    lastJump = j + 2
                     j += 2 + len
                   }
                 }
@@ -422,13 +429,13 @@ object Multimodal {
         }
         if (end > 0) { frames += ((start, end)); i = end }
         else if (broken)
-          // resync AT THE FAILURE POINT: one corrupt frame drops only
-          // itself — the scan recovers every later frame whose SOI lies
-          // past where the walk failed. Resuming at j (never re-walking
-          // [start, j)) keeps the demux amortized-linear even on
-          // adversarial bytes; resuming at start+2 would re-walk the
-          // broken region per embedded FF D8 and go quadratic.
-          i = math.max(start + 2, j)
+          // resync past the last trusted length jump: one corrupt frame
+          // drops only itself, INCLUDING when its bogus segment length
+          // landed the walk beyond the next frame's SOI (that SOI gets
+          // rescanned). Never before start+2, so the outer scan always
+          // advances; never re-walking more than one <=64KB segment span
+          // keeps the demux amortized-linear even on adversarial bytes.
+          i = math.max(start + 2, lastJump)
         else i = n // clean truncation at payload end: nothing left
       } else i += 1
     }

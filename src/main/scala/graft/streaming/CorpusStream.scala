@@ -69,10 +69,17 @@ object CorpusStream {
   def incrementalDedupSink(
       docs: DataFrame,
       index: graft.operators.MinHashIndex.StoredIndex,
-      minJ: Double
-  )(onPairs: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
-    docs.writeStream
-      .outputMode("append")
+      minJ: Double,
+      // durable progress tracking, like EventsStream's refresh sink: a
+      // restarted stream resumes AFTER the batches it already processed
+      // instead of re-reading the whole drop folder and re-emitting every
+      // historical pair. None (tests, throwaway runs) uses Spark's
+      // temporary checkpoint, which is deleted on stop.
+      checkpoint: Option[String] = None
+  )(onPairs: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = docs.writeStream.outputMode("append")
+    checkpoint.foreach(w.option("checkpointLocation", _))
+    w
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // scoped, NOT releaseAll: the sink runs concurrently with other
         // driver work, and a global release here would unpersist pins a
@@ -85,4 +92,5 @@ object CorpusStream {
         }
       }
       .start()
+  }
 }

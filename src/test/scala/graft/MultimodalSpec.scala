@@ -167,6 +167,25 @@ class MultimodalSpec extends SparkTestBase {
       s"expected the two valid frames, got ${frames.map(f => (f.frameIdx, f.nBytes))}")
     assert(frames(0).brightness < 40 && frames(1).brightness > 200,
       "the frame AFTER the corrupt one must still decode")
+
+    // boundary case: the corrupt segment's declared length lands the walk
+    // exactly ONE BYTE past the next frame's SOI — resyncing from the bad
+    // marker (not the jump target) must still recover that frame
+    // frame layout: [FFD8][FFE0 len][pad] then bright at offset 6+pad;
+    // the walk jumps to 4+len, so len = pad+3 lands it at SOI+1 exactly
+    val pad = 24
+    val len = pad + 3
+    val jumper = Array(0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte,
+      ((len >> 8) & 0xff).toByte, (len & 0xff).toByte) ++
+      Array.fill[Byte](pad)(0)
+    val rec2 = Seq(
+      MediaRecord(12L, "mem://jump.mjpeg", jumper ++ bright,
+        MediaMeta("video/mjpeg", 16, 16, 3))
+    ).toDS()
+    val f2 = Multimodal.sampleFrames(rec2, every = 1).collect().toSeq
+    assert(f2.map(_.frameIdx) === Seq(0), s"got ${f2.map(_.frameIdx)}")
+    assert(f2.head.brightness > 200,
+      "the frame the bogus length jumped over must be recovered")
   }
 
   private def wav(freqHz: Double, amplitude: Double, rateHz: Float, nFrames: Int): Array[Byte] = {

@@ -107,6 +107,13 @@ class ServingServerSpec extends SparkTestBase {
       assert(r.columnNames === Seq("a", "b", "c") && r.rows.isEmpty)
       assert(ServingClient.getSchema(srv.boundPort, "SELECT FROM WHERE")
         .status.startsWith("ERR INTERNAL"))
+      // commands would execute EAGERLY under spark.sql — the probe must
+      // refuse them instead of mutating server state
+      val cmd = ServingClient.getSchema(srv.boundPort, "SET spark.graft.x=1")
+      assert(cmd.status.startsWith("ERR INTERNAL") &&
+        cmd.status.contains("queries only"), cmd.status)
+      assert(spark.conf.getOption("spark.graft.x").isEmpty,
+        "the refused command must not have run")
     }
   }
 
