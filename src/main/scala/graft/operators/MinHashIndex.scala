@@ -71,4 +71,21 @@ object MinHashIndex {
 
   def shingles(spark: SparkSession, index: StoredIndex): DataFrame =
     spark.read.parquet(index.shinglesPath)
+
+  /** Fold a new (accepted) batch into the stored index — the cross-batch
+    * half of the ingest contract: after a batch is deduped and admitted,
+    * appending its shingle sets + band digests makes every LATER batch
+    * dedupe against it too. One parquet append per call; a long-running
+    * ingest should compact the index directories on its maintenance
+    * cadence like any other append-mostly table (small-file pressure is
+    * the usual one-file-per-batch kind, not a correctness concern — the
+    * readers are plain directory scans).
+    */
+  def append(doc: DataFrame, index: StoredIndex): Unit = {
+    val sets = shingleSets(doc).persist()
+    try {
+      sets.write.mode("append").parquet(index.shinglesPath)
+      bandDigests(signatures(sets)).write.mode("append").parquet(index.bandsPath)
+    } finally sets.unpersist(blocking = false)
+  }
 }

@@ -75,7 +75,13 @@ object CorpusStream {
       // instead of re-reading the whole drop folder and re-emitting every
       // historical pair. None (tests, throwaway runs) uses Spark's
       // temporary checkpoint, which is deleted on stop.
-      checkpoint: Option[String] = None
+      checkpoint: Option[String] = None,
+      // fold each batch into the stored index AFTER its pairs are emitted,
+      // so later batches dedupe against earlier ones (the cross-batch half
+      // of the contract). Off by default: folding means the sink WRITES
+      // the index, which the caller must own — e.g. quarantined docs may
+      // need removing before they count as corpus.
+      foldBatches: Boolean = false
   )(onPairs: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     val w = docs.writeStream.outputMode("append")
     checkpoint.foreach(w.option("checkpointLocation", _))
@@ -89,6 +95,10 @@ object CorpusStream {
             graft.queries.DedupQueries
               .incrementalPairs(batch.sparkSession, batch, index, minJ),
             batchId)
+          // append AFTER the pairs computed: a batch never matches itself
+          // through the store (its intra-batch pairs come from the
+          // increment-side union, exactly once)
+          if (foldBatches) graft.operators.MinHashIndex.append(batch, index)
         }
       }
       .start()

@@ -324,11 +324,35 @@ class StreamingSpec extends SparkTestBase {
       // batch 2 flags its INTRA-BATCH pair (104, 105). The cross-batch
       // pair (102, 103) is invisible by contract: doc 102 is not in the
       // stored index — the index IS the corpus state, so an ingest that
-      // must catch cross-batch dups folds each accepted batch into it.
+      // must catch cross-batch dups folds each accepted batch into it
+      // (the foldBatches variant below).
       assert(got.keySet === Set((3L, 101L), (104L, 105L)),
         s"unexpected pairs: $got")
       assert(got.values.forall(_ >= 0.99), s"planted dups are exact: $got")
     } finally q.stop()
+
+    // foldBatches = true: each accepted batch is appended to the index,
+    // so the SAME two micro-batches now also surface the cross-batch
+    // duplicate (102, 103)
+    val index2 = graft.operators.MinHashIndex
+      .materialize(corpus, tempDir("graft-stream-minhash-fold"))
+    val dropDir2 = tempDir("graft-dedup-stream-fold")
+    inc1.coalesce(1).write.mode("append").parquet(dropDir2)
+    val got2 = collection.concurrent.TrieMap.empty[(Long, Long), Double]
+    val q2 = CorpusStream.incrementalDedupSink(
+      CorpusStream.readDocumentsStream(spark, dropDir2), index2, 0.5,
+      foldBatches = true) {
+      (pairs, _) =>
+        pairs.collect().foreach(r =>
+          got2.put((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    }
+    try {
+      q2.processAllAvailable()
+      inc2.coalesce(1).write.mode("append").parquet(dropDir2)
+      q2.processAllAvailable()
+      assert(got2.keySet === Set((3L, 101L), (104L, 105L), (102L, 103L)),
+        s"folded index must surface the cross-batch pair: $got2")
+    } finally q2.stop()
   }
 
   test("windowed counts conserve total events") {
