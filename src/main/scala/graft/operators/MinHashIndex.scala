@@ -88,4 +88,31 @@ object MinHashIndex {
       bandDigests(signatures(sets)).write.mode("append").parquet(index.bandsPath)
     } finally sets.unpersist(blocking = false)
   }
+
+  /** The maintenance pass for an append-mostly index: rewrite each
+    * directory into `nFiles` coalesced files (write-to-temp, swap, drop —
+    * a reader mid-compaction sees either the old or the new layout, never
+    * a partial one, because the swap is two directory renames). Run on
+    * the same cadence as any other small-file compaction; contents are
+    * byte-identical rows, so no oracle or dedup result can change.
+    */
+  def compact(spark: SparkSession, index: StoredIndex, nFiles: Int = 8): Unit = {
+    require(nFiles > 0)
+    Seq(index.bandsPath, index.shinglesPath).foreach { dir =>
+      val tmp = dir + ".compact"
+      val old = dir + ".old"
+      spark.read.parquet(dir).coalesce(nFiles)
+        .write.mode("overwrite").parquet(tmp)
+      val fs = new java.io.File(dir)
+      require(fs.renameTo(new java.io.File(old)), s"swap failed for $dir")
+      require(new java.io.File(tmp).renameTo(fs), s"swap failed for $tmp")
+      graft.engine.TempDirs.register(java.nio.file.Paths.get(old))
+      // best-effort immediate cleanup; the TempDirs hook covers failures
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(new java.io.File(old))
+    }
+  }
 }

@@ -154,6 +154,32 @@ class DedupSpec extends SparkTestBase {
     assert(!pairs.exists(p => p._1 == 212L || p._2 == 212L), s"false positive: $pairs")
   }
 
+  test("index append + compact preserve the exact band and shingle rows") {
+    import spark.implicits._
+    def sent(seed: Int): String =
+      (0 until 30).map(i => s"c${seed}z$i").mkString(" ")
+    val corpus = Seq((1L, sent(1)), (2L, sent(2))).toDF("doc_id", "text")
+    val batch = Seq((10L, sent(1)), (11L, sent(5))).toDF("doc_id", "text")
+    val idx = graft.operators.MinHashIndex
+      .materialize(corpus, tempDir("graft-minhash-compact"))
+    graft.operators.MinHashIndex.append(batch, idx)
+    def snapshot(): (Set[String], Set[String], Int) = {
+      val b = graft.operators.MinHashIndex.bands(spark, idx)
+      val s = graft.operators.MinHashIndex.shingles(spark, idx)
+      val files = new java.io.File(idx.bandsPath)
+        .listFiles().count(_.getName.endsWith(".parquet"))
+      (b.collect().map(_.toString).toSet, s.collect().map(_.toString).toSet, files)
+    }
+    val (bandsBefore, setsBefore, filesBefore) = snapshot()
+    assert(bandsBefore.nonEmpty && setsBefore.nonEmpty)
+    graft.operators.MinHashIndex.compact(spark, idx, nFiles = 1)
+    val (bandsAfter, setsAfter, filesAfter) = snapshot()
+    assert(bandsAfter === bandsBefore, "compaction changed band rows")
+    assert(setsAfter === setsBefore, "compaction changed shingle rows")
+    assert(filesAfter === 1 && filesAfter < filesBefore,
+      s"expected 1 data file after compaction, had $filesBefore before, $filesAfter after")
+  }
+
   test("fixture satisfies the oracle envelope: space-only whitespace, stable lower()") {
     // Since round 9 the Karp-Rabin oracles fold UTF-8 OCTETS
     // (QueryUtil.utf8OctetsSql) so non-ASCII text no longer breaks them —
