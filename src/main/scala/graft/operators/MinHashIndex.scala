@@ -53,16 +53,22 @@ object MinHashIndex {
       .select(col("doc_id"), explode(TextOps.bandStructsFromSig(col("sig"))).as("bd"))
       .select(col("doc_id"), col("bd.band").as("band"), col("bd.digest").as("digest"))
 
-  /** One corpus pass -> written index. The shingle sets are persisted so
-    * tokenization runs once while feeding both the `shingles/` write and
-    * the signature/band write.
+  /** One pass over `doc` -> both index directories, shared by the initial
+    * build and every append so the two write paths can never drift. The
+    * shingle sets are persisted so tokenization runs once while feeding
+    * both the `shingles/` write and the signature/band write.
     */
-  def materialize(doc: DataFrame, root: String): StoredIndex = {
+  private def writeIndex(doc: DataFrame, root: String, mode: String): Unit = {
     val sets = shingleSets(doc).persist()
     try {
-      sets.write.mode("overwrite").parquet(s"$root/shingles")
-      bandDigests(signatures(sets)).write.mode("overwrite").parquet(s"$root/bands")
+      sets.write.mode(mode).parquet(s"$root/shingles")
+      bandDigests(signatures(sets)).write.mode(mode).parquet(s"$root/bands")
     } finally sets.unpersist(blocking = false)
+  }
+
+  /** One corpus pass -> written index. */
+  def materialize(doc: DataFrame, root: String): StoredIndex = {
+    writeIndex(doc, root, "overwrite")
     StoredIndex(root)
   }
 
@@ -76,43 +82,68 @@ object MinHashIndex {
     * half of the ingest contract: after a batch is deduped and admitted,
     * appending its shingle sets + band digests makes every LATER batch
     * dedupe against it too. One parquet append per call; a long-running
-    * ingest should compact the index directories on its maintenance
-    * cadence like any other append-mostly table (small-file pressure is
-    * the usual one-file-per-batch kind, not a correctness concern — the
-    * readers are plain directory scans).
+    * ingest compacts on its maintenance cadence ([[compact]]).
+    *
+    * Plain append is AT-LEAST-ONCE under replay (a crashed driver can
+    * re-run a batch): callers with replayable sources use [[foldOnce]],
+    * which skips batches whose token is already recorded.
     */
-  def append(doc: DataFrame, index: StoredIndex): Unit = {
-    val sets = shingleSets(doc).persist()
-    try {
-      sets.write.mode("append").parquet(index.shinglesPath)
-      bandDigests(signatures(sets)).write.mode("append").parquet(index.bandsPath)
-    } finally sets.unpersist(blocking = false)
+  def append(doc: DataFrame, index: StoredIndex): Unit =
+    writeIndex(doc, index.root, "append")
+
+  /** Idempotent [[append]]: a marker under `_folded/` records each token
+    * (e.g. a streaming batchId) AFTER its rows land, so a replayed batch
+    * is skipped instead of folded twice. The crash window between append
+    * and marker write still yields duplicate rows (exactly-once needs a
+    * transactional table format underneath) — [[compact]]'s distinct
+    * heals them, and `incrementalPairs` dedupes its output regardless.
+    * Returns true when the batch was appended, false when skipped.
+    */
+  def foldOnce(doc: DataFrame, index: StoredIndex, token: String): Boolean = {
+    val marker = new org.apache.hadoop.fs.Path(s"${index.root}/_folded/$token")
+    val fs = marker.getFileSystem(
+      doc.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) false
+    else {
+      append(doc, index)
+      fs.mkdirs(marker.getParent)
+      fs.create(marker, true).close()
+      true
+    }
   }
 
-  /** The maintenance pass for an append-mostly index: rewrite each
-    * directory into `nFiles` coalesced files (write-to-temp, swap, drop —
-    * a reader mid-compaction sees either the old or the new layout, never
-    * a partial one, because the swap is two directory renames). Run on
-    * the same cadence as any other small-file compaction; contents are
-    * byte-identical rows, so no oracle or dedup result can change.
+  /** OFFLINE maintenance pass for the append-mostly index: rewrite each
+    * directory into `nFiles` coalesced files, dropping exact-duplicate
+    * rows (which also heals any at-least-once replay leftovers —
+    * duplicates carry no information here, rows are set members).
+    *
+    * Contract: quiesce writers AND readers first. A raw parquet directory
+    * has no transaction log, so no rewrite of it can be atomic for
+    * concurrent scans — that is precisely what layering the index on a
+    * transactional table format buys at 100 TB; this utility is the
+    * single-writer maintenance window version. Paths go through Hadoop's
+    * FileSystem (works on hdfs/s3/local alike), and a crash between the
+    * delete and the rename is recovered on the next call (the completed
+    * `.compact` temp is promoted before anything else runs).
     */
   def compact(spark: SparkSession, index: StoredIndex, nFiles: Int = 8): Unit = {
     require(nFiles > 0)
+    val hconf = spark.sparkContext.hadoopConfiguration
     Seq(index.bandsPath, index.shinglesPath).foreach { dir =>
-      val tmp = dir + ".compact"
-      val old = dir + ".old"
-      spark.read.parquet(dir).coalesce(nFiles)
-        .write.mode("overwrite").parquet(tmp)
-      val fs = new java.io.File(dir)
-      require(fs.renameTo(new java.io.File(old)), s"swap failed for $dir")
-      require(new java.io.File(tmp).renameTo(fs), s"swap failed for $tmp")
-      graft.engine.TempDirs.register(java.nio.file.Paths.get(old))
-      // best-effort immediate cleanup; the TempDirs hook covers failures
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(): Unit
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val tmp = new org.apache.hadoop.fs.Path(dir + ".compact")
+      val fs = p.getFileSystem(hconf)
+      if (!fs.exists(p) && fs.exists(tmp)) {
+        // previous compact died between delete and rename: promote the
+        // fully-written temp (writes below always complete before the
+        // live dir is touched, so the temp is whole if the dir is gone)
+        require(fs.rename(tmp, p), s"crash recovery failed for $dir")
+      } else {
+        spark.read.parquet(dir).distinct().coalesce(nFiles)
+          .write.mode("overwrite").parquet(tmp.toString)
+        require(fs.delete(p, true), s"could not remove old layout at $dir")
+        require(fs.rename(tmp, p), s"could not promote compacted $dir")
       }
-      rm(new java.io.File(old))
     }
   }
 }

@@ -585,6 +585,11 @@ object DedupQueries {
           .as("jaccard")
       )
       .filter($"jaccard" >= minJ)
+      // exact-row dedupe on the (tiny) pairs frame: a no-op on a clean
+      // index, and the correctness backstop when the store carries
+      // replay-duplicated (doc_id, sh) rows — each duplicate set row
+      // would otherwise duplicate its pair's output row
+      .dropDuplicates(Seq("doc_a", "doc_b"))
       .orderBy($"doc_a", $"doc_b")
   }
 

@@ -97,8 +97,13 @@ object CorpusStream {
             batchId)
           // append AFTER the pairs computed: a batch never matches itself
           // through the store (its intra-batch pairs come from the
-          // increment-side union, exactly once)
-          if (foldBatches) graft.operators.MinHashIndex.append(batch, index)
+          // increment-side union, exactly once). foldOnce keys on the
+          // batchId so foreachBatch's at-least-once replay after a crash
+          // skips batches already folded instead of doubling their rows.
+          if (foldBatches) {
+            graft.operators.MinHashIndex
+              .foldOnce(batch, index, s"batch-$batchId"): Unit
+          }
         }
       }
       .start()

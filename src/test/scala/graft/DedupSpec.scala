@@ -154,30 +154,41 @@ class DedupSpec extends SparkTestBase {
     assert(!pairs.exists(p => p._1 == 212L || p._2 == 212L), s"false positive: $pairs")
   }
 
-  test("index append + compact preserve the exact band and shingle rows") {
+  test("index foldOnce is replay-idempotent; compact heals duplicates, keeps rows") {
+    import graft.operators.MinHashIndex
     import spark.implicits._
     def sent(seed: Int): String =
       (0 until 30).map(i => s"c${seed}z$i").mkString(" ")
     val corpus = Seq((1L, sent(1)), (2L, sent(2))).toDF("doc_id", "text")
     val batch = Seq((10L, sent(1)), (11L, sent(5))).toDF("doc_id", "text")
-    val idx = graft.operators.MinHashIndex
-      .materialize(corpus, tempDir("graft-minhash-compact"))
-    graft.operators.MinHashIndex.append(batch, idx)
-    def snapshot(): (Set[String], Set[String], Int) = {
-      val b = graft.operators.MinHashIndex.bands(spark, idx)
-      val s = graft.operators.MinHashIndex.shingles(spark, idx)
-      val files = new java.io.File(idx.bandsPath)
-        .listFiles().count(_.getName.endsWith(".parquet"))
-      (b.collect().map(_.toString).toSet, s.collect().map(_.toString).toSet, files)
-    }
-    val (bandsBefore, setsBefore, filesBefore) = snapshot()
-    assert(bandsBefore.nonEmpty && setsBefore.nonEmpty)
-    graft.operators.MinHashIndex.compact(spark, idx, nFiles = 1)
-    val (bandsAfter, setsAfter, filesAfter) = snapshot()
-    assert(bandsAfter === bandsBefore, "compaction changed band rows")
-    assert(setsAfter === setsBefore, "compaction changed shingle rows")
-    assert(filesAfter === 1 && filesAfter < filesBefore,
-      s"expected 1 data file after compaction, had $filesBefore before, $filesAfter after")
+    val idx = MinHashIndex.materialize(corpus, tempDir("graft-minhash-compact"))
+
+    // a replayed batch (same token) must fold exactly once
+    assert(MinHashIndex.foldOnce(batch, idx, "b-1"))
+    assert(!MinHashIndex.foldOnce(batch, idx, "b-1"), "replay was not skipped")
+    val cleanBands = MinHashIndex.bands(spark, idx).collect().map(_.toString)
+    val cleanSets = MinHashIndex.shingles(spark, idx).collect().map(_.toString)
+
+    // simulate the append-then-crash window: corpus rows land TWICE
+    MinHashIndex.append(corpus, idx)
+    assert(MinHashIndex.bands(spark, idx).count() > cleanBands.length.toLong)
+    // the operator's output stays duplicate-free over the dirty store
+    val pairs = graft.queries.DedupQueries
+      .incrementalPairs(spark, batch, idx, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq === pairs.distinct.toSeq, s"duplicate pairs: ${pairs.toSeq}")
+    assert(pairs.contains((1L, 10L)), s"planted dup lost: ${pairs.toSeq}")
+
+    // compaction drops the exact duplicates and coalesces to one file
+    MinHashIndex.compact(spark, idx, nFiles = 1)
+    val bandsAfter = MinHashIndex.bands(spark, idx).collect().map(_.toString)
+    val setsAfter = MinHashIndex.shingles(spark, idx).collect().map(_.toString)
+    assert(bandsAfter.sorted.toSeq === cleanBands.sorted.toSeq,
+      "compaction must restore the exact pre-duplicate band rows")
+    assert(setsAfter.sorted.toSeq === cleanSets.sorted.toSeq)
+    val files = new java.io.File(idx.bandsPath)
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files === 1, s"expected 1 data file after compaction, got $files")
   }
 
   test("fixture satisfies the oracle envelope: space-only whitespace, stable lower()") {
