@@ -66,8 +66,18 @@ object MinHashIndex {
     } finally sets.unpersist(blocking = false)
   }
 
-  /** One corpus pass -> written index. */
+  /** One corpus pass -> written index. Rebuilding at an existing root
+    * clears `_folded/` replay markers and stale compaction temps first —
+    * markers describe rows the overwrite is about to destroy, and a
+    * survivor would make a later foldOnce silently skip a batch the new
+    * index never saw.
+    */
   def materialize(doc: DataFrame, root: String): StoredIndex = {
+    val hconf = doc.sparkSession.sparkContext.hadoopConfiguration
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(hconf)
+    Seq("_folded", "bands.compact", "shingles.compact", "bands.swap", "shingles.swap")
+      .foreach(s => fs.delete(new org.apache.hadoop.fs.Path(rootPath, s), true))
     writeIndex(doc, root, "overwrite")
     StoredIndex(root)
   }
@@ -113,37 +123,102 @@ object MinHashIndex {
   }
 
   /** OFFLINE maintenance pass for the append-mostly index: rewrite each
-    * directory into `nFiles` coalesced files, dropping exact-duplicate
-    * rows (which also heals any at-least-once replay leftovers —
-    * duplicates carry no information here, rows are set members).
+    * directory into `nFiles` coalesced files. `dedupe = true` also drops
+    * exact-duplicate rows — run it after a suspected foldOnce
+    * append-then-crash window (duplicates carry no information here, rows
+    * are set members); the default pass stays shuffle-free, since routine
+    * small-file compaction shouldn't pay a full-index shuffle for a rare
+    * crash artifact that `incrementalPairs` already masks at read time.
     *
     * Contract: quiesce writers AND readers first. A raw parquet directory
     * has no transaction log, so no rewrite of it can be atomic for
     * concurrent scans — that is precisely what layering the index on a
     * transactional table format buys at 100 TB; this utility is the
     * single-writer maintenance window version. Paths go through Hadoop's
-    * FileSystem (works on hdfs/s3/local alike), and a crash between the
-    * delete and the rename is recovered on the next call (the completed
-    * `.compact` temp is promoted before anything else runs).
+    * FileSystem (hdfs/s3/local alike).
+    *
+    * Crash safety (any step, including repeated crashes): the swap is
+    * guarded by a `<dir>.swap` marker created only AFTER the `.compact`
+    * temp is fully written and removed only after the swap completes.
+    * Recovery runs first on every call: with no marker, a leftover temp
+    * is an incomplete write and is discarded (the live dir was never
+    * touched); with a marker, the temp is authoritative pre-crash data
+    * and is UNIONED with whatever a contract-violating append recreated
+    * in the live dir before being promoted — never overwritten, so no
+    * interleaving can silently lose index rows.
     */
-  def compact(spark: SparkSession, index: StoredIndex, nFiles: Int = 8): Unit = {
+  def compact(
+      spark: SparkSession,
+      index: StoredIndex,
+      nFiles: Int = 8,
+      dedupe: Boolean = false
+  ): Unit = {
     require(nFiles > 0)
     val hconf = spark.sparkContext.hadoopConfiguration
     Seq(index.bandsPath, index.shinglesPath).foreach { dir =>
       val p = new org.apache.hadoop.fs.Path(dir)
       val tmp = new org.apache.hadoop.fs.Path(dir + ".compact")
+      val marker = new org.apache.hadoop.fs.Path(dir + ".swap")
       val fs = p.getFileSystem(hconf)
-      if (!fs.exists(p) && fs.exists(tmp)) {
-        // previous compact died between delete and rename: promote the
-        // fully-written temp (writes below always complete before the
-        // live dir is touched, so the temp is whole if the dir is gone)
-        require(fs.rename(tmp, p), s"crash recovery failed for $dir")
-      } else {
-        spark.read.parquet(dir).distinct().coalesce(nFiles)
-          .write.mode("overwrite").parquet(tmp.toString)
-        require(fs.delete(p, true), s"could not remove old layout at $dir")
-        require(fs.rename(tmp, p), s"could not promote compacted $dir")
-      }
+      recoverSwap(spark, fs, p, tmp, marker)
+      val rows0 = spark.read.parquet(dir)
+      (if (dedupe) rows0.distinct() else rows0)
+        .coalesce(nFiles)
+        .write.mode("overwrite").parquet(tmp.toString)
+      fs.create(marker, true).close() // temp is complete: commit point
+      require(fs.delete(p, true), s"could not remove old layout at $dir")
+      require(fs.rename(tmp, p), s"could not promote compacted $dir")
+      fs.delete(marker, false): Unit
+    }
+  }
+
+  /** Put a directory back into a clean state after a compact crash (see
+    * [[compact]]'s crash-safety notes). Idempotent: crashes DURING
+    * recovery land back in one of the same cases.
+    */
+  private def recoverSwap(
+      spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path,
+      tmp: org.apache.hadoop.fs.Path,
+      marker: org.apache.hadoop.fs.Path
+  ): Unit = {
+    val merged = new org.apache.hadoop.fs.Path(tmp + ".merge")
+    def mergedComplete =
+      fs.exists(new org.apache.hadoop.fs.Path(merged, "_SUCCESS"))
+    if (!fs.exists(marker)) {
+      // no swap in flight: leftover temps are incomplete (pre-marker /
+      // pre-_SUCCESS) writes; the live dir is intact, so discard them
+      if (fs.exists(tmp)) fs.delete(tmp, true): Unit
+      if (fs.exists(merged)) fs.delete(merged, true): Unit
+    } else if (mergedComplete) {
+      // a previous merge recovery finished its union (its _SUCCESS is the
+      // commit point): merged is a superset of both the pre-crash temp
+      // and the since-appended live dir — promote it over whatever stage
+      // the crashed promote reached
+      fs.delete(p, true)
+      fs.delete(tmp, true)
+      require(fs.rename(merged, p), s"merge recovery: could not promote $merged")
+      fs.delete(marker, false): Unit
+    } else if (!fs.exists(tmp)) {
+      // swap finished (rename done), only the marker cleanup was lost
+      fs.delete(merged, true)
+      fs.delete(marker, false): Unit
+    } else if (!fs.exists(p)) {
+      // crashed between delete and rename, nothing appended since
+      require(fs.rename(tmp, p), s"crash recovery failed for $p")
+      fs.delete(marker, false): Unit
+    } else {
+      // crashed mid-swap AND something recreated the live dir (appends
+      // during the down window): both hold real rows — union them into
+      // `merged` (whose _SUCCESS is the commit point, making this branch
+      // re-entrant under repeated crashes) and promote via the
+      // mergedComplete path above
+      fs.delete(merged, true)
+      spark.read.parquet(tmp.toString)
+        .unionByName(spark.read.parquet(p.toString))
+        .write.mode("overwrite").parquet(merged.toString)
+      recoverSwap(spark, fs, p, tmp, marker) // re-enter: mergedComplete now
     }
   }
 }

@@ -585,11 +585,15 @@ object DedupQueries {
           .as("jaccard")
       )
       .filter($"jaccard" >= minJ)
-      // exact-row dedupe on the (tiny) pairs frame: a no-op on a clean
-      // index, and the correctness backstop when the store carries
+      // per-pair aggregation on the (tiny) pairs frame: a no-op on a
+      // clean index, and the correctness backstop when the store carries
       // replay-duplicated (doc_id, sh) rows — each duplicate set row
-      // would otherwise duplicate its pair's output row
-      .dropDuplicates(Seq("doc_a", "doc_b"))
+      // would otherwise duplicate its pair's output row. max() rather
+      // than dropDuplicates so that even CONFLICTING rows for a doc_id
+      // (a re-appended edit) yield a deterministic jaccard, not
+      // whichever partition won the race.
+      .groupBy($"doc_a", $"doc_b")
+      .agg(max($"jaccard").as("jaccard"))
       .orderBy($"doc_a", $"doc_b")
   }
 

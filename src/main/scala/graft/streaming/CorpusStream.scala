@@ -78,10 +78,15 @@ object CorpusStream {
       checkpoint: Option[String] = None,
       // fold each batch into the stored index AFTER its pairs are emitted,
       // so later batches dedupe against earlier ones (the cross-batch half
-      // of the contract). Off by default: folding means the sink WRITES
+      // of the contract). None by default: folding means the sink WRITES
       // the index, which the caller must own — e.g. quarantined docs may
-      // need removing before they count as corpus.
-      foldBatches: Boolean = false
+      // need removing before they count as corpus. The id namespaces the
+      // replay-skip tokens: keep it STABLE across restarts of the same
+      // logical stream (pair it with the checkpoint) and FRESH for a new
+      // stream against the same index — batchIds restart at 0 per
+      // incarnation, so a reused id would silently skip the new stream's
+      // folds as already-done.
+      foldId: Option[String] = None
   )(onPairs: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     val w = docs.writeStream.outputMode("append")
     checkpoint.foreach(w.option("checkpointLocation", _))
@@ -97,12 +102,13 @@ object CorpusStream {
             batchId)
           // append AFTER the pairs computed: a batch never matches itself
           // through the store (its intra-batch pairs come from the
-          // increment-side union, exactly once). foldOnce keys on the
-          // batchId so foreachBatch's at-least-once replay after a crash
-          // skips batches already folded instead of doubling their rows.
-          if (foldBatches) {
+          // increment-side union, exactly once). foldOnce keys on
+          // (foldId, batchId) so foreachBatch's at-least-once replay
+          // after a crash skips batches already folded instead of
+          // doubling their rows.
+          foldId.foreach { id =>
             graft.operators.MinHashIndex
-              .foldOnce(batch, index, s"batch-$batchId"): Unit
+              .foldOnce(batch, index, s"$id-$batchId"): Unit
           }
         }
       }

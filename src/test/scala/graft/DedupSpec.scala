@@ -179,8 +179,8 @@ class DedupSpec extends SparkTestBase {
     assert(pairs.toSeq === pairs.distinct.toSeq, s"duplicate pairs: ${pairs.toSeq}")
     assert(pairs.contains((1L, 10L)), s"planted dup lost: ${pairs.toSeq}")
 
-    // compaction drops the exact duplicates and coalesces to one file
-    MinHashIndex.compact(spark, idx, nFiles = 1)
+    // compaction with dedupe drops the exact duplicates, coalesces to one file
+    MinHashIndex.compact(spark, idx, nFiles = 1, dedupe = true)
     val bandsAfter = MinHashIndex.bands(spark, idx).collect().map(_.toString)
     val setsAfter = MinHashIndex.shingles(spark, idx).collect().map(_.toString)
     assert(bandsAfter.sorted.toSeq === cleanBands.sorted.toSeq,
@@ -189,6 +189,38 @@ class DedupSpec extends SparkTestBase {
     val files = new java.io.File(idx.bandsPath)
       .listFiles().count(_.getName.endsWith(".parquet"))
     assert(files === 1, s"expected 1 data file after compaction, got $files")
+  }
+
+  test("compact recovers a mid-swap crash with appends interleaved — no row lost") {
+    import graft.operators.MinHashIndex
+    import spark.implicits._
+    def sent(seed: Int): String =
+      (0 until 30).map(i => s"r${seed}w$i").mkString(" ")
+    val corpus = Seq((1L, sent(1)), (2L, sent(2))).toDF("doc_id", "text")
+    val late = Seq((20L, sent(7))).toDF("doc_id", "text")
+    val idx = MinHashIndex.materialize(corpus, tempDir("graft-minhash-crash"))
+
+    // simulate the worst crash: compact wrote its temp, created the swap
+    // marker, deleted the live dirs... and then a contract-violating
+    // append recreated them with NEW rows before recovery ran
+    Seq(idx.bandsPath, idx.shinglesPath).foreach { dir =>
+      val p = java.nio.file.Paths.get(dir)
+      java.nio.file.Files.move(p, java.nio.file.Paths.get(dir + ".compact"))
+      java.nio.file.Files.createFile(java.nio.file.Paths.get(dir + ".swap"))
+    }
+    MinHashIndex.append(late, idx) // recreates live dirs with only doc 20
+
+    MinHashIndex.compact(spark, idx, nFiles = 1)
+    val docs = MinHashIndex.bands(spark, idx)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(docs === Set(1L, 2L, 20L),
+      s"recovery must keep both pre-crash and appended rows, got $docs")
+    // markers and temps are gone; a second compact is a plain pass
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(idx.bandsPath + ".swap")))
+    MinHashIndex.compact(spark, idx, nFiles = 1)
+    assert(MinHashIndex.bands(spark, idx)
+      .select("doc_id").distinct().count() === 3L)
   }
 
   test("fixture satisfies the oracle envelope: space-only whitespace, stable lower()") {

@@ -341,7 +341,7 @@ class StreamingSpec extends SparkTestBase {
     val got2 = collection.concurrent.TrieMap.empty[(Long, Long), Double]
     val q2 = CorpusStream.incrementalDedupSink(
       CorpusStream.readDocumentsStream(spark, dropDir2), index2, 0.5,
-      foldBatches = true) {
+      foldId = Some("stream-t1")) {
       (pairs, _) =>
         pairs.collect().foreach(r =>
           got2.put((r.getLong(0), r.getLong(1)), r.getDouble(2)))
