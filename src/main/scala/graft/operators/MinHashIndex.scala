@@ -140,12 +140,19 @@ object MinHashIndex {
     * Crash safety (any step, including repeated crashes): the swap is
     * guarded by a `<dir>.swap` marker created only AFTER the `.compact`
     * temp is fully written and removed only after the swap completes.
-    * Recovery runs first on every call: with no marker, a leftover temp
-    * is an incomplete write and is discarded (the live dir was never
-    * touched); with a marker, the temp is authoritative pre-crash data
-    * and is UNIONED with whatever a contract-violating append recreated
-    * in the live dir before being promoted — never overwritten, so no
-    * interleaving can silently lose index rows.
+    * Recovery runs first on every call and promotes BY ADDITION, never
+    * deletion: with no marker, a leftover temp is an incomplete write and
+    * is discarded (the live dir was never touched); with a marker, the
+    * temp's rows are APPENDED into the live dir (creating it if the crash
+    * landed after the delete) and the temp dropped. Rows appended during
+    * the down window therefore always survive. The price of loss-proof
+    * recovery on a raw parquet dir: a crash in the marker window can
+    * leave rows DUPLICATED (worst case the whole pre-compact dir, when
+    * the crash hit between marker and delete). Duplicates here are
+    * information-free — rows are set members, `incrementalPairs`
+    * aggregates its output regardless — and one `dedupe = true` pass
+    * heals them; exact once-only atomicity is what a transactional table
+    * format underneath would buy.
     */
   def compact(
       spark: SparkSession,
@@ -173,8 +180,11 @@ object MinHashIndex {
   }
 
   /** Put a directory back into a clean state after a compact crash (see
-    * [[compact]]'s crash-safety notes). Idempotent: crashes DURING
-    * recovery land back in one of the same cases.
+    * [[compact]]'s crash-safety notes). Addition-only: the pre-crash
+    * snapshot is appended into the live dir rather than swapped over it,
+    * so no crash point or down-window append interleaving can lose rows —
+    * a repeated crash can only duplicate set members, which dedupe
+    * compaction heals. Re-entrant at every step.
     */
   private def recoverSwap(
       spark: SparkSession,
@@ -183,42 +193,22 @@ object MinHashIndex {
       tmp: org.apache.hadoop.fs.Path,
       marker: org.apache.hadoop.fs.Path
   ): Unit = {
-    val merged = new org.apache.hadoop.fs.Path(tmp + ".merge")
-    def mergedComplete =
-      fs.exists(new org.apache.hadoop.fs.Path(merged, "_SUCCESS"))
     if (!fs.exists(marker)) {
-      // no swap in flight: leftover temps are incomplete (pre-marker /
-      // pre-_SUCCESS) writes; the live dir is intact, so discard them
+      // no swap in flight: a leftover temp is an incomplete (pre-marker)
+      // write; the live dir was never touched, so just discard it
       if (fs.exists(tmp)) fs.delete(tmp, true): Unit
-      if (fs.exists(merged)) fs.delete(merged, true): Unit
-    } else if (mergedComplete) {
-      // a previous merge recovery finished its union (its _SUCCESS is the
-      // commit point): merged is a superset of both the pre-crash temp
-      // and the since-appended live dir — promote it over whatever stage
-      // the crashed promote reached
-      fs.delete(p, true)
-      fs.delete(tmp, true)
-      require(fs.rename(merged, p), s"merge recovery: could not promote $merged")
-      fs.delete(marker, false): Unit
-    } else if (!fs.exists(tmp)) {
-      // swap finished (rename done), only the marker cleanup was lost
-      fs.delete(merged, true)
-      fs.delete(marker, false): Unit
-    } else if (!fs.exists(p)) {
-      // crashed between delete and rename, nothing appended since
-      require(fs.rename(tmp, p), s"crash recovery failed for $p")
-      fs.delete(marker, false): Unit
     } else {
-      // crashed mid-swap AND something recreated the live dir (appends
-      // during the down window): both hold real rows — union them into
-      // `merged` (whose _SUCCESS is the commit point, making this branch
-      // re-entrant under repeated crashes) and promote via the
-      // mergedComplete path above
-      fs.delete(merged, true)
-      spark.read.parquet(tmp.toString)
-        .unionByName(spark.read.parquet(p.toString))
-        .write.mode("overwrite").parquet(merged.toString)
-      recoverSwap(spark, fs, p, tmp, marker) // re-enter: mergedComplete now
+      if (fs.exists(tmp)) {
+        // the marker proves tmp was fully written; fold it back into the
+        // live dir (created implicitly when the crash landed after the
+        // delete). Append, never delete-and-rename: a crash inside this
+        // append means the next attempt re-appends (duplicates, healable)
+        // instead of choosing which directory's rows to discard.
+        spark.read.parquet(tmp.toString)
+          .write.mode("append").parquet(p.toString)
+        fs.delete(tmp, true): Unit
+      }
+      fs.delete(marker, false): Unit
     }
   }
 }

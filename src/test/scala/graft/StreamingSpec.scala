@@ -325,14 +325,14 @@ class StreamingSpec extends SparkTestBase {
       // pair (102, 103) is invisible by contract: doc 102 is not in the
       // stored index — the index IS the corpus state, so an ingest that
       // must catch cross-batch dups folds each accepted batch into it
-      // (the foldBatches variant below).
+      // (the foldId variant below).
       assert(got.keySet === Set((3L, 101L), (104L, 105L)),
         s"unexpected pairs: $got")
       assert(got.values.forall(_ >= 0.99), s"planted dups are exact: $got")
     } finally q.stop()
 
-    // foldBatches = true: each accepted batch is appended to the index,
-    // so the SAME two micro-batches now also surface the cross-batch
+    // foldId set: each accepted batch is appended to the index, so the
+    // SAME two micro-batches now also surface the cross-batch
     // duplicate (102, 103)
     val index2 = graft.operators.MinHashIndex
       .materialize(corpus, tempDir("graft-stream-minhash-fold"))
