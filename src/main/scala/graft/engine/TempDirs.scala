@@ -42,6 +42,22 @@ object TempDirs {
         s"_p${ProcessHandle.current().pid()}"
     ))
 
+  private val materializeMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Process-local single-flight for check-then-materialize fixture sites.
+    * The PID-keyed [[workspace]] paths already keep concurrent JVMs apart;
+    * this closes the remaining window where two THREADS of one process
+    * (parallel suites, concurrent queries) both miss the ready check and
+    * materialize into the same root concurrently. Same discipline
+    * ResultCache applies to query builds.
+    */
+  def materializeOnce(root: Path)(ready: => Boolean)(build: => Unit): Unit = {
+    val monitor =
+      materializeMonitors.computeIfAbsent(root.toString, _ => new Object)
+    monitor.synchronized { if (!ready) build }
+  }
+
   private def deleteRecursively(p: Path): Unit =
     try {
       if (Files.exists(p)) {

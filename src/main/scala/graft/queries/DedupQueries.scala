@@ -525,8 +525,9 @@ object DedupQueries {
     import graft.operators.MinHashIndex
     val root =
       graft.engine.TempDirs.workspace("graft-minhash-index", "documents", dir)
-    if (!java.nio.file.Files.exists(root.resolve("bands").resolve("_SUCCESS")))
-      MinHashIndex.materialize(t(s, dir, "documents"), root.toString)
+    graft.engine.TempDirs.materializeOnce(root)(
+      java.nio.file.Files.exists(root.resolve("bands").resolve("_SUCCESS"))
+    )(MinHashIndex.materialize(t(s, dir, "documents"), root.toString))
     MinHashIndex.StoredIndex(root.toString)
   }
 

@@ -29,6 +29,41 @@ object SourceQueries {
     StructField("s_acctbal", DoubleType)
   ))
 
+  /** Materialize (once per fixture dir + process) a REAL Iceberg metadata
+    * table over `part` + an identity partition band `p_partkey % 4`:
+    *   snapshot 1 appends bands 0,1,2 · snapshot 2 appends band 3 ·
+    *   snapshot 3 deletes band 1 (copy-on-write: files stay, the new
+    *   manifest marks them DELETED).
+    * The three iceberg queries read snapshots of this one table.
+    */
+  private def fixtureIcebergTable(
+      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    import graft.sources.IcebergWriter
+    val root = graft.engine.TempDirs.workspace("graft-iceberg", "part", dir)
+    graft.engine.TempDirs.materializeOnce(root)(
+      java.nio.file.Files.exists(
+        root.resolve("metadata").resolve("v3.metadata.json"))
+    ) {
+      // a half-built table (crashed prior attempt in THIS process) would
+      // double-append on retry: start clean
+      if (java.nio.file.Files.exists(root)) {
+        val walk = java.nio.file.Files.walk(root)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+        finally walk.close()
+      }
+      val df = t(s, dir, "part")
+        .withColumn("p_band", (col("p_partkey") % 4).cast("int"))
+      IcebergWriter.append(s, root.toString, df.filter(col("p_band") < 3),
+        Some("p_band"), timestampMs = 1000L)
+      IcebergWriter.append(s, root.toString, df.filter(col("p_band") === 3),
+        Some("p_band"), timestampMs = 2000L)
+      IcebergWriter.deletePartitions(s, root.toString, "p_band", Set(1),
+        timestampMs = 3000L)
+    }
+    root.toString
+  }
+
   val all: Seq[Q] = Seq(
     // CSV scan with declared schema + header (reference:
     // coordinator/src/main.rs:33-43).
@@ -146,23 +181,65 @@ object SourceQueries {
     Q(
       "q_iceberg_scan",
       (s, dir) => {
-        val root = graft.engine.TempDirs.workspace("graft-iceberg", "part", dir)
-        if (!java.nio.file.Files.exists(root.resolve("metadata"))) {
-          t(s, dir, "part").write.mode("overwrite")
-            .parquet(root.resolve("data").toString)
-          java.nio.file.Files.createDirectories(root.resolve("metadata"))
-          java.nio.file.Files.writeString(
-            root.resolve("metadata").resolve("version-hint.text"), "1")
-        }
+        val root = fixtureIcebergTable(s, dir)
         graft.sources.IcebergSource
-          .read(s, root.toString)
+          .read(s, root)
           .filter($"p_size" > 40)
           .select($"p_partkey", $"p_name", $"p_size")
           .orderBy($"p_partkey")
       },
+      // current snapshot = after the band-1 delete: the oracle replays the
+      // delete as a predicate over the original parquet, gating the whole
+      // metadata chain (hint -> json -> manifest list -> manifests ->
+      // status filter) on real row content
       Some(
-        "SELECT p_partkey, p_name, p_size FROM part WHERE p_size > 40 " +
-          "ORDER BY p_partkey"
+        "SELECT p_partkey, p_name, p_size FROM part " +
+          "WHERE p_size > 40 AND p_partkey % 4 <> 1 ORDER BY p_partkey"
+      )
+    ),
+    // Time-travel: as-of snapshot 1 (before the band-3 append and the
+    // band-1 delete) — the manifest list that snapshot pinned at commit
+    // time still resolves exactly bands 0,1,2, no matter how many
+    // snapshots came later. At 100 TB this is the reproducibility story:
+    // yesterday's training run re-reads yesterday's exact file set.
+    Q(
+      "q_iceberg_timetravel",
+      (s, dir) => {
+        val root = fixtureIcebergTable(s, dir)
+        graft.sources.IcebergSource
+          .read(s, root, snapshotId = Some(1L), asOfTimestampMs = None, prune = None)
+          .groupBy($"p_band")
+          .agg(
+            count(lit(1)).as("n"),
+            sum($"p_size").as("sum_size"),
+            min($"p_partkey").as("min_pk"),
+            max($"p_partkey").as("max_pk"))
+          .orderBy($"p_band")
+      },
+      Some(
+        "SELECT CAST(p_partkey % 4 AS INT) AS p_band, count(*) AS n, " +
+          "CAST(sum(p_size) AS BIGINT) AS sum_size, " +
+          "min(p_partkey) AS min_pk, max(p_partkey) AS max_pk " +
+          "FROM part WHERE p_partkey % 4 < 3 GROUP BY 1 ORDER BY p_band"
+      )
+    ),
+    // Manifest pruning: the identity-partition equality predicate is
+    // resolved against the manifest list's field summaries, so planning
+    // opens 1 of 4 manifests and hands Spark exactly band 0's files
+    // (SourcesSpec pins manifestsRead === 1; this oracle pins the rows).
+    Q(
+      "q_iceberg_pruned",
+      (s, dir) => {
+        val root = fixtureIcebergTable(s, dir)
+        graft.sources.IcebergSource
+          .read(s, root, snapshotId = None, asOfTimestampMs = None,
+            prune = Some(graft.sources.IcebergMeta.PartitionEquals("p_band", 0)))
+          .select($"p_partkey", $"p_name", $"p_band")
+          .orderBy($"p_partkey")
+      },
+      Some(
+        "SELECT p_partkey, p_name, CAST(p_partkey % 4 AS INT) AS p_band " +
+          "FROM part WHERE p_partkey % 4 = 0 ORDER BY p_partkey"
       )
     ),
     // ----- dynamic partition pruning -----------------------------------------

@@ -1,0 +1,388 @@
+package graft.sources
+
+import java.nio.ByteBuffer
+import java.nio.ByteOrder
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.avro.file.DataFileReader
+import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+import org.apache.spark.sql.types._
+
+/** Iceberg table-metadata model + reader (the layer the reference's
+  * connector admits it fakes — crates/connectors/iceberg/src/lib.rs:3-4
+  * declares manifest/snapshot handling and then directory-scans; built
+  * here to the declared capability per SURVEY.md §7).
+  *
+  * Implements the READ side of the public Iceberg table spec
+  * (https://iceberg.apache.org/spec/), format v1 with the v2 fields
+  * tolerated by-name:
+  *
+  *   metadata/version-hint.text          -> current metadata version N
+  *   metadata/vN.metadata.json           -> schema, partition spec, snapshots
+  *   snapshot.manifest-list (Avro)       -> manifest_file entries with
+  *                                          per-partition-field summaries
+  *   manifest (Avro)                     -> manifest_entry {status, data_file}
+  *
+  * Scan planning reconstructs the LIVE file set of a snapshot (entries
+  * with status EXISTING=0 or ADDED=1; DELETED=2 files are dropped, which
+  * is how Iceberg represents deletes without touching data files) and
+  * supports:
+  *   - time-travel: snapshot-id or as-of-timestamp selection
+  *   - manifest pruning: an identity-partition equality predicate is
+  *     checked against the manifest list's field summaries
+  *     (lower/upper bound single-value binaries) so whole manifests are
+  *     skipped without being opened — the 100 TB lever: at production
+  *     scale the manifest LIST is the only file planning must read
+  *   - entry pruning: surviving manifests' entries are filtered on the
+  *     stored partition tuple
+  *
+  * Everything here is driver-side planning over KB-scale metadata; the
+  * data files themselves go to Spark's parquet source as an explicit
+  * file list, keeping column pruning / predicate pushdown / vectorized
+  * reads on the normal codegen path.
+  */
+object IcebergMeta {
+
+  /** One column of the table schema (spec §Schemas: field id, name,
+    * required flag, primitive type name).
+    */
+  final case class Field(id: Int, name: String, required: Boolean, typeName: String)
+
+  /** One partition field (spec §Partition Specs). Only `identity` is
+    * produced by [[IcebergWriter]]; other transforms are carried
+    * through for honesty but refuse to prune.
+    */
+  final case class PartitionField(name: String, sourceId: Int, transform: String)
+
+  final case class Snapshot(
+      id: Long,
+      parentId: Option[Long],
+      timestampMs: Long,
+      manifestList: String,
+      operation: String)
+
+  final case class TableMeta(
+      root: Path,
+      formatVersion: Int,
+      fields: Seq[Field],
+      partitionFields: Seq[PartitionField],
+      currentSnapshotId: Option[Long],
+      snapshots: Seq[Snapshot]) {
+
+    def snapshotById(id: Long): Snapshot =
+      snapshots.find(_.id == id).getOrElse(
+        throw new IllegalArgumentException(
+          s"Iceberg snapshot $id not found (have ${snapshots.map(_.id).mkString(", ")})"))
+
+    def currentSnapshot: Option[Snapshot] = currentSnapshotId.map(snapshotById)
+
+    /** Latest snapshot with timestamp-ms <= asOfMs (spec time-travel). */
+    def snapshotAsOf(asOfMs: Long): Snapshot = {
+      val eligible = snapshots.filter(_.timestampMs <= asOfMs)
+      if (eligible.isEmpty)
+        throw new IllegalArgumentException(
+          s"No Iceberg snapshot at or before timestamp $asOfMs " +
+            s"(earliest is ${snapshots.map(_.timestampMs).minOption.getOrElse(-1L)})")
+      eligible.maxBy(s => (s.timestampMs, s.id))
+    }
+
+    def fieldById(id: Int): Field =
+      fields.find(_.id == id).getOrElse(
+        throw new IllegalArgumentException(s"Iceberg schema has no field id $id"))
+  }
+
+  /** Identity-partition equality predicate for manifest/entry pruning. */
+  final case class PartitionEquals(column: String, value: Any)
+
+  final case class DataFile(
+      path: String,
+      format: String,
+      partition: Map[String, Any],
+      recordCount: Long,
+      fileSizeBytes: Long)
+
+  /** Scan plan + the pruning evidence the specs pin. */
+  final case class ScanPlan(
+      files: Seq[DataFile],
+      manifestsTotal: Int,
+      manifestsRead: Int,
+      entriesSeen: Int)
+
+  // ---------------------------------------------------------------------
+  // metadata JSON
+  // ---------------------------------------------------------------------
+
+  private val mapper = new ObjectMapper()
+
+  def metadataDir(tablePath: String): Path = Paths.get(tablePath, "metadata")
+
+  /** True when the table has a real metadata layer (vs. bare data dir). */
+  def hasMetadata(tablePath: String): Boolean =
+    IcebergSource.versionHint(tablePath).exists(v =>
+      Files.exists(metadataDir(tablePath).resolve(s"v$v.metadata.json")))
+
+  def load(tablePath: String): TableMeta = {
+    val version = IcebergSource.versionHint(tablePath).getOrElse(
+      throw new IllegalArgumentException(
+        s"Iceberg table has no metadata/version-hint.text: $tablePath"))
+    val file = metadataDir(tablePath).resolve(s"v$version.metadata.json")
+    require(Files.exists(file), s"Iceberg metadata file missing: $file")
+    val node = mapper.readTree(Files.readString(file))
+
+    val formatVersion = node.path("format-version").asInt(1)
+    require(
+      formatVersion == 1 || formatVersion == 2,
+      s"Unsupported Iceberg format-version $formatVersion (spec v1/v2 only)")
+
+    // Prefer the modern schemas/current-schema-id shape; fall back to the
+    // v1-required singular "schema".
+    val schemaNode: JsonNode =
+      if (node.has("schemas") && node.has("current-schema-id")) {
+        val id = node.path("current-schema-id").asInt()
+        node.path("schemas").elements().asScala
+          .find(_.path("schema-id").asInt(-1) == id)
+          .getOrElse(throw new IllegalArgumentException(
+            s"current-schema-id $id not present in schemas list: $file"))
+      } else node.path("schema")
+    val fields = schemaNode.path("fields").elements().asScala.map { f =>
+      val t = f.path("type")
+      require(t.isTextual, s"Nested Iceberg types not supported: ${f.path("name").asText()}")
+      Field(
+        f.path("id").asInt(),
+        f.path("name").asText(),
+        f.path("required").asBoolean(false),
+        t.asText())
+    }.toSeq
+
+    val specNode: JsonNode =
+      if (node.has("partition-specs") && node.has("default-spec-id")) {
+        val id = node.path("default-spec-id").asInt()
+        node.path("partition-specs").elements().asScala
+          .find(_.path("spec-id").asInt(-1) == id)
+          .map(_.path("fields"))
+          .getOrElse(throw new IllegalArgumentException(
+            s"default-spec-id $id not present in partition-specs: $file"))
+      } else node.path("partition-spec")
+    val partitionFields = specNode.elements().asScala.map { f =>
+      PartitionField(
+        f.path("name").asText(),
+        f.path("source-id").asInt(),
+        f.path("transform").asText())
+    }.toSeq
+
+    val snapshots = node.path("snapshots").elements().asScala.map { s =>
+      Snapshot(
+        s.path("snapshot-id").asLong(),
+        if (s.has("parent-snapshot-id")) Some(s.path("parent-snapshot-id").asLong()) else None,
+        s.path("timestamp-ms").asLong(),
+        s.path("manifest-list").asText(),
+        s.path("summary").path("operation").asText("append"))
+    }.toSeq
+
+    val current =
+      if (node.has("current-snapshot-id") && node.path("current-snapshot-id").asLong() != -1L)
+        Some(node.path("current-snapshot-id").asLong())
+      else None
+
+    TableMeta(Paths.get(tablePath), formatVersion, fields, partitionFields, current, snapshots)
+  }
+
+  // ---------------------------------------------------------------------
+  // scan planning (manifest list -> manifests -> live files)
+  // ---------------------------------------------------------------------
+
+  def planScan(
+      meta: TableMeta,
+      snapshot: Snapshot,
+      prune: Option[PartitionEquals] = None): ScanPlan = {
+    // Pre-resolve the predicate against the partition spec so a typo'd
+    // column is an error, not a silent full scan.
+    val pruneField: Option[(Int, PartitionField)] = prune.map { p =>
+      val idx = meta.partitionFields.indexWhere(_.name == p.column)
+      require(idx >= 0, s"'${p.column}' is not a partition field " +
+        s"(have ${meta.partitionFields.map(_.name).mkString(", ")})")
+      val pf = meta.partitionFields(idx)
+      require(pf.transform == "identity",
+        s"Pruning on non-identity transform '${pf.transform}' not supported")
+      (idx, pf)
+    }
+
+    val manifests = readManifestList(meta, snapshot)
+    var manifestsRead = 0
+    var entriesSeen = 0
+    val files = Seq.newBuilder[DataFile]
+    manifests.foreach { mf =>
+      val survives = pruneField.forall { case (idx, pf) =>
+        manifestMayContain(meta, mf, idx, pf, prune.get.value)
+      }
+      if (survives) {
+        manifestsRead += 1
+        readManifest(meta, mf.path).foreach { e =>
+          entriesSeen += 1
+          val live = e.status != 2 // DELETED files are not scanned (spec)
+          val matches = prune.forall(p =>
+            valueEquals(e.dataFile.partition.get(p.column).orNull, p.value))
+          if (live && matches) files += e.dataFile
+        }
+      }
+    }
+    ScanPlan(files.result(), manifests.size, manifestsRead, entriesSeen)
+  }
+
+  private final case class ManifestFile(
+      path: String,
+      summaries: Seq[(Boolean, Option[Array[Byte]], Option[Array[Byte]])])
+
+  private final case class ManifestEntry(status: Int, dataFile: DataFile)
+
+  private def readManifestList(meta: TableMeta, snapshot: Snapshot): Seq[ManifestFile] =
+    readAvro(resolve(meta.root, snapshot.manifestList)) { rec =>
+      val summaries = Option(rec.get("partitions")) match {
+        case Some(arr: java.util.Collection[_]) =>
+          arr.asScala.toSeq.map { s =>
+            val r = s.asInstanceOf[GenericRecord]
+            (
+              r.get("contains_null").asInstanceOf[Boolean],
+              Option(r.get("lower_bound")).map(toBytes),
+              Option(r.get("upper_bound")).map(toBytes))
+          }
+        case _ => Seq.empty
+      }
+      ManifestFile(rec.get("manifest_path").toString, summaries)
+    }
+
+  private def readManifest(meta: TableMeta, manifestPath: String): Seq[ManifestEntry] =
+    readAvro(resolve(meta.root, manifestPath)) { rec =>
+      val df = rec.get("data_file").asInstanceOf[GenericRecord]
+      // v2 manifests carry data_file.content: 0=data, 1=position deletes,
+      // 2=equality deletes. Delete FILES are merge-on-read state this
+      // planner does not apply — refuse loudly rather than return wrong rows.
+      val content = df.getSchema.getField("content") match {
+        case null => 0
+        case _    => Option(df.get("content")).map(_.asInstanceOf[Int]).getOrElse(0)
+      }
+      if (content != 0)
+        throw new UnsupportedOperationException(
+          "Iceberg v2 delete files (merge-on-read) are not supported; " +
+            "compact the table to copy-on-write")
+      val partition = df.get("partition").asInstanceOf[GenericRecord]
+      val pmap = partition.getSchema.getFields.asScala.map { f =>
+        f.name() -> fromAvro(partition.get(f.pos()))
+      }.toMap
+      ManifestEntry(
+        rec.get("status").asInstanceOf[Int],
+        DataFile(
+          df.get("file_path").toString,
+          df.get("file_format").toString,
+          pmap,
+          df.get("record_count").asInstanceOf[Long],
+          df.get("file_size_in_bytes").asInstanceOf[Long]))
+    }
+
+  /** Field-summary check: can this manifest contain partition==value?
+    * Bounds are Iceberg single-value binaries (int/long little-endian,
+    * string UTF-8). A manifest with no summaries must be read.
+    */
+  private def manifestMayContain(
+      meta: TableMeta,
+      mf: ManifestFile,
+      fieldIdx: Int,
+      pf: PartitionField,
+      value: Any): Boolean = {
+    if (mf.summaries.isEmpty || fieldIdx >= mf.summaries.size) return true
+    val (containsNull, lower, upper) = mf.summaries(fieldIdx)
+    if (value == null) return containsNull
+    val sourceType = meta.fieldById(pf.sourceId).typeName
+    (lower, upper) match {
+      case (Some(lo), Some(hi)) =>
+        compareBound(sourceType, value, lo) >= 0 && compareBound(sourceType, value, hi) <= 0
+      case _ => true // unknown bounds: must read
+    }
+  }
+
+  /** compare(value, boundBytes) for the supported primitive types. */
+  private def compareBound(typeName: String, value: Any, bound: Array[Byte]): Int =
+    typeName match {
+      case "int" =>
+        java.lang.Integer.compare(
+          value.asInstanceOf[Number].intValue(),
+          ByteBuffer.wrap(bound).order(ByteOrder.LITTLE_ENDIAN).getInt)
+      case "long" =>
+        java.lang.Long.compare(
+          value.asInstanceOf[Number].longValue(),
+          ByteBuffer.wrap(bound).order(ByteOrder.LITTLE_ENDIAN).getLong)
+      case "string" =>
+        value.toString.compareTo(new String(bound, StandardCharsets.UTF_8))
+      case other =>
+        throw new UnsupportedOperationException(
+          s"Partition bound comparison for type '$other' not supported")
+    }
+
+  private def valueEquals(stored: Any, wanted: Any): Boolean =
+    (stored, wanted) match {
+      case (null, null)               => true
+      case (null, _) | (_, null)      => false
+      case (a: Number, b: Number)     => a.longValue() == b.longValue()
+      case (a, b)                     => a.toString == b.toString
+    }
+
+  // ---------------------------------------------------------------------
+  // helpers
+  // ---------------------------------------------------------------------
+
+  private def readAvro[T](file: Path)(f: GenericRecord => T): Seq[T] = {
+    require(Files.exists(file), s"Iceberg avro metadata file missing: $file")
+    val reader = new DataFileReader[GenericRecord](
+      file.toFile, new GenericDatumReader[GenericRecord]())
+    try reader.iterator().asScala.map(f).toList
+    finally reader.close()
+  }
+
+  /** Manifests reference absolute URIs per spec; tolerate repo-relative
+    * paths (fixture tables move with the checkout).
+    */
+  private def resolve(root: Path, path: String): Path = {
+    val stripped = path.stripPrefix("file:")
+    val p = Paths.get(stripped)
+    if (p.isAbsolute) p else root.resolve(stripped)
+  }
+
+  private def toBytes(v: Any): Array[Byte] = v match {
+    case b: ByteBuffer =>
+      val copy = new Array[Byte](b.remaining()); b.duplicate().get(copy); copy
+    case a: Array[Byte] => a
+    case other => throw new IllegalStateException(s"Unexpected bound type: $other")
+  }
+
+  private def fromAvro(v: Any): Any = v match {
+    case u: org.apache.avro.util.Utf8 => u.toString
+    case other                        => other
+  }
+
+  /** Iceberg primitive -> Spark type (for empty scans and column
+    * reordering; inverse of [[IcebergWriter.icebergType]]).
+    */
+  def sparkSchema(meta: TableMeta): StructType =
+    StructType(meta.fields.map { f =>
+      val dt = f.typeName match {
+        case "boolean"     => BooleanType
+        case "int"         => IntegerType
+        case "long"        => LongType
+        case "float"       => FloatType
+        case "double"      => DoubleType
+        case "string"      => StringType
+        case "date"        => DateType
+        case "timestamptz" => TimestampType
+        case dec if dec.startsWith("decimal(") =>
+          val Array(p, s) = dec.stripPrefix("decimal(").stripSuffix(")").split(",").map(_.trim.toInt)
+          DecimalType(p, s)
+        case other =>
+          throw new UnsupportedOperationException(s"Iceberg type '$other' not mapped")
+      }
+      StructField(f.name, dt, nullable = !f.required)
+    })
+}

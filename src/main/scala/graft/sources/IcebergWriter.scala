@@ -1,0 +1,519 @@
+package graft.sources
+
+import java.nio.ByteBuffer
+import java.nio.ByteOrder
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import org.apache.avro.Schema
+import org.apache.avro.file.DataFileWriter
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.avro.file.DataFileReader
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Writes Iceberg format-v1 tables: real `vN.metadata.json`, Avro
+  * manifest lists with partition field summaries, Avro manifests, and
+  * parquet data files laid out `data/<col>=<value>/`.
+  *
+  * Purpose-built for fixtures and tests of [[IcebergMeta]]'s scan
+  * planning (append snapshots, partition-delete snapshots, time-travel);
+  * a production write path would go through `iceberg-spark-runtime`'s
+  * committer (not present in this offline image). The format emitted is
+  * the public spec's, not a private twin: field names and single-value
+  * bound encodings follow iceberg.apache.org/spec so [[IcebergMeta]]
+  * reading these tables is evidence it reads the real layout.
+  *
+  * Reference capability being built-to: crates/connectors/iceberg/src/
+  * lib.rs:3-4 (declares snapshot/manifest support, ships a dir glob).
+  */
+object IcebergWriter {
+
+  private val mapper = new ObjectMapper()
+
+  /** Append `df` as a new snapshot; one manifest per partition value
+    * (identity transform on `partitionCol`) so manifest-summary pruning
+    * has file-level granularity. Returns the new snapshot id.
+    */
+  def append(
+      spark: SparkSession,
+      tablePath: String,
+      df: DataFrame,
+      partitionCol: Option[String],
+      timestampMs: Long): Long = {
+    val root = Paths.get(tablePath)
+    Files.createDirectories(root.resolve("data"))
+    Files.createDirectories(root.resolve("metadata"))
+
+    val prior = if (IcebergMeta.hasMetadata(tablePath)) Some(IcebergMeta.load(tablePath)) else None
+    prior.foreach { m =>
+      require(
+        m.fields.map(_.name) == df.schema.fieldNames.toSeq,
+        s"Append schema ${df.schema.fieldNames.mkString(",")} does not match " +
+          s"table schema ${m.fields.map(_.name).mkString(",")}")
+    }
+    val snapshotId = prior.flatMap(_.snapshots.map(_.id).maxOption).getOrElse(0L) + 1L
+
+    // ---- data files -----------------------------------------------------
+    val staging = Files.createTempDirectory("graft-iceberg-stage")
+    val written: Seq[(Map[String, Any], Path)] = partitionCol match {
+      case Some(colName) =>
+        val dt = df.schema(colName).dataType
+        // shuffle each partition value to one task so each value yields one
+        // file (not one per input split) — same move a production writer
+        // makes to avoid the small-files problem
+        df.repartition(org.apache.spark.sql.functions.col(colName))
+          .write.partitionBy(colName).parquet(staging.resolve("out").toString)
+        val dirs = Files.list(staging.resolve("out")).iterator().asScala
+          .filter(p => Files.isDirectory(p) && p.getFileName.toString.contains("="))
+          .toSeq.sortBy(_.getFileName.toString)
+        dirs.flatMap { dir =>
+          val raw = dir.getFileName.toString.split("=", 2)(1)
+          require(raw != "__HIVE_DEFAULT_PARTITION__",
+            s"Null partition values not supported (column $colName)")
+          val value = parsePartitionValue(raw, dt)
+          val dest = root.resolve("data").resolve(dir.getFileName.toString)
+          Files.createDirectories(dest)
+          parquetFiles(dir).zipWithIndex.map { case (f, i) =>
+            val target = dest.resolve(f"snap$snapshotId%05d-$i%03d.parquet")
+            Files.move(f, target, StandardCopyOption.REPLACE_EXISTING)
+            (Map(colName -> value), target)
+          }
+        }
+      case None =>
+        df.write.parquet(staging.resolve("out").toString)
+        parquetFiles(staging.resolve("out")).zipWithIndex.map { case (f, i) =>
+          val target = root.resolve("data").resolve(f"snap$snapshotId%05d-$i%03d.parquet")
+          Files.move(f, target, StandardCopyOption.REPLACE_EXISTING)
+          (Map.empty[String, Any], target)
+        }
+    }
+    deleteRecursively(staging)
+
+    // ---- manifests: one per distinct partition tuple --------------------
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    val partType = partitionCol.map(c => c -> df.schema(c).dataType)
+    val groups = written.groupBy(_._1).toSeq.sortBy(_._1.values.mkString)
+    val newManifests = groups.zipWithIndex.map { case ((ptuple, files), i) =>
+      val entries = files.map { case (_, p) =>
+        ManifestEntryRec(
+          status = 1, // ADDED
+          snapshotId = snapshotId,
+          filePath = p.toAbsolutePath.toString,
+          partition = ptuple,
+          recordCount = parquetRowCount(hadoopConf, p),
+          fileSize = Files.size(p))
+      }
+      val mpath = root.resolve("metadata")
+        .resolve(f"manifest-$snapshotId%05d-$i%03d.avro")
+      writeManifest(mpath, partType, entries)
+      manifestRecord(mpath, snapshotId, partType, entries)
+    }
+
+    val carried = prior.map(m => readManifestListRecords(m, currentManifestList(m)))
+      .getOrElse(Seq.empty)
+    commitSnapshot(spark, root, df.schema, partitionCol, prior, snapshotId,
+      timestampMs, carried ++ newManifests, operation = "append")
+    snapshotId
+  }
+
+  /** Delete every file whose identity-partition value is in `values`:
+    * manifests containing matches are rewritten (kept entries ->
+    * EXISTING=0, matches -> DELETED=2); untouched manifests carry over
+    * byte-identical. This is Iceberg's copy-on-write delete shape — no
+    * data file is modified, the new snapshot just stops referencing them.
+    */
+  def deletePartitions(
+      spark: SparkSession,
+      tablePath: String,
+      column: String,
+      values: Set[Any],
+      timestampMs: Long): Long = {
+    val meta = IcebergMeta.load(tablePath)
+    val root = meta.root
+    val snapshotId = meta.snapshots.map(_.id).max + 1L
+    val pf = meta.partitionFields.find(_.name == column).getOrElse(
+      throw new IllegalArgumentException(s"'$column' is not a partition field"))
+    val sourceField = meta.fieldById(pf.sourceId)
+    val sparkType = IcebergMeta.sparkSchema(meta)(sourceField.name).dataType
+    val partType = Some(column -> sparkType)
+
+    val manifests = readManifestListRecords(meta, currentManifestList(meta))
+    var rewrites = 0
+    val out = manifests.map { mf =>
+      val entries = readManifestEntries(root, mf.path)
+      val hasMatch = entries.exists(e => values.exists(v => sameValue(e.partition.get(column).orNull, v)))
+      if (!hasMatch) mf
+      else {
+        val rewritten = entries.map { e =>
+          if (values.exists(v => sameValue(e.partition.get(column).orNull, v)))
+            e.copy(status = 2, snapshotId = snapshotId) // DELETED
+          else e.copy(status = 0)                        // EXISTING
+        }
+        val mpath = root.resolve("metadata")
+          .resolve(f"manifest-$snapshotId%05d-$rewrites%03d.avro")
+        rewrites += 1
+        writeManifest(mpath, partType, rewritten)
+        manifestRecord(mpath, snapshotId, partType, rewritten)
+      }
+    }
+    require(rewrites > 0, s"deletePartitions matched no files for $column in $values")
+    commitSnapshot(spark, root, IcebergMeta.sparkSchema(meta), Some(column),
+      Some(meta), snapshotId, timestampMs, out, operation = "delete")
+    snapshotId
+  }
+
+  // -----------------------------------------------------------------------
+  // snapshot commit: manifest list + metadata json + version hint
+  // -----------------------------------------------------------------------
+
+  private def commitSnapshot(
+      spark: SparkSession,
+      root: Path,
+      schema: StructType,
+      partitionCol: Option[String],
+      prior: Option[IcebergMeta.TableMeta],
+      snapshotId: Long,
+      timestampMs: Long,
+      manifests: Seq[ManifestFileRec],
+      operation: String): Unit = {
+    val listPath = root.resolve("metadata")
+      .resolve(f"snap-$snapshotId%05d-manifest-list.avro")
+    writeManifestList(listPath, manifests)
+
+    val version = prior.map(_ => IcebergSource.versionHint(root.toString).get + 1).getOrElse(1)
+    val node = mapper.createObjectNode()
+    node.put("format-version", 1)
+    node.put("table-uuid", f"00000000-0000-0000-0000-${snapshotId}%012d")
+    node.put("location", root.toAbsolutePath.toString)
+    node.put("last-updated-ms", timestampMs)
+    node.put("last-column-id", schema.fields.length)
+    node.set[ObjectNode]("schema", schemaJson(schema))
+    node.set[ArrayNode]("partition-spec", specJson(schema, partitionCol))
+    node.put("current-snapshot-id", snapshotId)
+    val snaps = node.putArray("snapshots")
+    prior.toSeq.flatMap(_.snapshots).foreach { s =>
+      val sn = snaps.addObject()
+      sn.put("snapshot-id", s.id)
+      s.parentId.foreach(p => sn.put("parent-snapshot-id", p))
+      sn.put("timestamp-ms", s.timestampMs)
+      sn.put("manifest-list", s.manifestList)
+      sn.putObject("summary").put("operation", s.operation)
+    }
+    val sn = snaps.addObject()
+    sn.put("snapshot-id", snapshotId)
+    prior.flatMap(_.currentSnapshotId).foreach(p => sn.put("parent-snapshot-id", p))
+    sn.put("timestamp-ms", timestampMs)
+    sn.put("manifest-list", listPath.toAbsolutePath.toString)
+    sn.putObject("summary").put("operation", operation)
+    val log = node.putArray("snapshot-log")
+    (prior.toSeq.flatMap(_.snapshots) :+
+      IcebergMeta.Snapshot(snapshotId, None, timestampMs, "", operation)).foreach { s =>
+      val e = log.addObject()
+      e.put("snapshot-id", s.id); e.put("timestamp-ms", s.timestampMs)
+    }
+
+    val metaFile = root.resolve("metadata").resolve(s"v$version.metadata.json")
+    Files.writeString(metaFile, mapper.writerWithDefaultPrettyPrinter().writeValueAsString(node))
+    // hint last + atomic: readers either see the old complete version or
+    // the new complete version, never a hint to a half-written file
+    val tmp = root.resolve("metadata").resolve(s".version-hint.$snapshotId.tmp")
+    Files.writeString(tmp, version.toString)
+    Files.move(tmp, root.resolve("metadata").resolve("version-hint.text"),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def schemaJson(schema: StructType): ObjectNode = {
+    val s = mapper.createObjectNode()
+    s.put("type", "struct")
+    s.put("schema-id", 0)
+    val fields = s.putArray("fields")
+    schema.fields.zipWithIndex.foreach { case (f, i) =>
+      val fn = fields.addObject()
+      fn.put("id", i + 1)
+      fn.put("name", f.name)
+      fn.put("required", !f.nullable)
+      fn.put("type", icebergType(f.dataType))
+    }
+    s
+  }
+
+  private def specJson(schema: StructType, partitionCol: Option[String]): ArrayNode = {
+    val arr = mapper.createArrayNode()
+    partitionCol.foreach { c =>
+      val idx = schema.fieldIndex(c)
+      val f = arr.addObject()
+      f.put("name", c)
+      f.put("transform", "identity")
+      f.put("source-id", idx + 1)
+      f.put("field-id", 1000)
+    }
+    arr
+  }
+
+  def icebergType(dt: DataType): String = dt match {
+    case BooleanType         => "boolean"
+    case IntegerType         => "int"
+    case LongType            => "long"
+    case FloatType           => "float"
+    case DoubleType          => "double"
+    case StringType          => "string"
+    case DateType            => "date"
+    case TimestampType       => "timestamptz"
+    case d: DecimalType      => s"decimal(${d.precision}, ${d.scale})"
+    case other =>
+      throw new UnsupportedOperationException(s"Spark type $other not mapped to Iceberg")
+  }
+
+  // -----------------------------------------------------------------------
+  // avro manifest / manifest-list records (spec field names)
+  // -----------------------------------------------------------------------
+
+  private final case class ManifestEntryRec(
+      status: Int,
+      snapshotId: Long,
+      filePath: String,
+      partition: Map[String, Any],
+      recordCount: Long,
+      fileSize: Long)
+
+  private final case class ManifestFileRec(
+      path: String,
+      length: Long,
+      addedSnapshotId: Long,
+      summaries: Seq[(Boolean, Option[Array[Byte]], Option[Array[Byte]])])
+
+  private def partitionAvroFields(partType: Option[(String, DataType)]): String =
+    partType match {
+      case Some((name, dt)) =>
+        val avroT = dt match {
+          case IntegerType => "\"int\""
+          case LongType    => "\"long\""
+          case StringType  => "\"string\""
+          case other => throw new UnsupportedOperationException(
+            s"Partition column type $other not supported")
+        }
+        s"""{"name":"$name","type":["null",$avroT],"default":null}"""
+      case None => ""
+    }
+
+  private def manifestSchema(partType: Option[(String, DataType)]): Schema =
+    new Schema.Parser().parse(
+      s"""{"type":"record","name":"manifest_entry","fields":[
+         |{"name":"status","type":"int"},
+         |{"name":"snapshot_id","type":["null","long"],"default":null},
+         |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+         |  {"name":"file_path","type":"string"},
+         |  {"name":"file_format","type":"string"},
+         |  {"name":"partition","type":{"type":"record","name":"r102","fields":[
+         |    ${partitionAvroFields(partType)}]}},
+         |  {"name":"record_count","type":"long"},
+         |  {"name":"file_size_in_bytes","type":"long"}
+         |]}}]}""".stripMargin)
+
+  private val manifestListSchema: Schema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_file","fields":[
+      |{"name":"manifest_path","type":"string"},
+      |{"name":"manifest_length","type":"long"},
+      |{"name":"partition_spec_id","type":"int"},
+      |{"name":"added_snapshot_id","type":["null","long"],"default":null},
+      |{"name":"partitions","type":["null",{"type":"array","items":{
+      |  "type":"record","name":"field_summary","fields":[
+      |    {"name":"contains_null","type":"boolean"},
+      |    {"name":"lower_bound","type":["null","bytes"],"default":null},
+      |    {"name":"upper_bound","type":["null","bytes"],"default":null}]}}],
+      | "default":null}]}""".stripMargin)
+
+  private def writeManifest(
+      path: Path,
+      partType: Option[(String, DataType)],
+      entries: Seq[ManifestEntryRec]): Unit = {
+    val schema = manifestSchema(partType)
+    val dfSchema = schema.getField("data_file").schema()
+    val pSchema = dfSchema.getField("partition").schema()
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, path.toFile)
+    try entries.foreach { e =>
+      val rec = new GenericData.Record(schema)
+      rec.put("status", e.status)
+      rec.put("snapshot_id", e.snapshotId)
+      val df = new GenericData.Record(dfSchema)
+      df.put("file_path", e.filePath)
+      df.put("file_format", "PARQUET")
+      val p = new GenericData.Record(pSchema)
+      e.partition.foreach { case (k, v) => p.put(k, v) }
+      df.put("partition", p)
+      df.put("record_count", e.recordCount)
+      df.put("file_size_in_bytes", e.fileSize)
+      rec.put("data_file", df)
+      w.append(rec)
+    } finally w.close()
+  }
+
+  private def manifestRecord(
+      path: Path,
+      snapshotId: Long,
+      partType: Option[(String, DataType)],
+      entries: Seq[ManifestEntryRec]): ManifestFileRec = {
+    val summaries = partType.toSeq.map { case (name, dt) =>
+      val values = entries.map(_.partition(name))
+      val bounds = values.filter(_ != null)
+      (
+        values.exists(_ == null),
+        bounds.minByOption(orderKey(dt)).map(encodeBound(dt, _)),
+        bounds.maxByOption(orderKey(dt)).map(encodeBound(dt, _)))
+    }
+    ManifestFileRec(path.toAbsolutePath.toString, Files.size(path), snapshotId, summaries)
+  }
+
+  private def orderKey(dt: DataType): Any => Comparable[Any] = dt match {
+    case IntegerType | LongType =>
+      (v: Any) => java.lang.Long.valueOf(v.asInstanceOf[Number].longValue())
+        .asInstanceOf[Comparable[Any]]
+    case StringType => (v: Any) => v.toString.asInstanceOf[Comparable[Any]]
+    case other => throw new UnsupportedOperationException(s"$other")
+  }
+
+  /** Iceberg single-value binary serialization (spec Appendix D). */
+  private def encodeBound(dt: DataType, v: Any): Array[Byte] = dt match {
+    case IntegerType =>
+      ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+        .putInt(v.asInstanceOf[Number].intValue()).array()
+    case LongType =>
+      ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+        .putLong(v.asInstanceOf[Number].longValue()).array()
+    case StringType => v.toString.getBytes(StandardCharsets.UTF_8)
+    case other => throw new UnsupportedOperationException(s"$other")
+  }
+
+  private def writeManifestList(path: Path, manifests: Seq[ManifestFileRec]): Unit = {
+    val itemSchema = manifestListSchema.getField("partitions").schema()
+      .getTypes.get(1).getElementType
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](manifestListSchema))
+    w.create(manifestListSchema, path.toFile)
+    try manifests.foreach { m =>
+      val rec = new GenericData.Record(manifestListSchema)
+      rec.put("manifest_path", m.path)
+      rec.put("manifest_length", m.length)
+      rec.put("partition_spec_id", 0)
+      rec.put("added_snapshot_id", m.addedSnapshotId)
+      val arr = new java.util.ArrayList[GenericRecord]()
+      m.summaries.foreach { case (cn, lo, hi) =>
+        val s = new GenericData.Record(itemSchema)
+        s.put("contains_null", cn)
+        s.put("lower_bound", lo.map(ByteBuffer.wrap).orNull)
+        s.put("upper_bound", hi.map(ByteBuffer.wrap).orNull)
+        arr.add(s)
+      }
+      rec.put("partitions", arr)
+      w.append(rec)
+    } finally w.close()
+  }
+
+  // -----------------------------------------------------------------------
+  // read-back helpers (carry-over + delete rewrite)
+  // -----------------------------------------------------------------------
+
+  private def currentManifestList(meta: IcebergMeta.TableMeta): Path =
+    Paths.get(meta.currentSnapshot.getOrElse(
+      throw new IllegalStateException("table has no current snapshot")).manifestList)
+
+  private def readManifestListRecords(
+      meta: IcebergMeta.TableMeta, list: Path): Seq[ManifestFileRec] =
+    readAvro(list) { rec =>
+      val summaries = Option(rec.get("partitions")) match {
+        case Some(arr: java.util.Collection[_]) =>
+          arr.asScala.toSeq.map { s =>
+            val r = s.asInstanceOf[GenericRecord]
+            (
+              r.get("contains_null").asInstanceOf[Boolean],
+              Option(r.get("lower_bound")).map(bufBytes),
+              Option(r.get("upper_bound")).map(bufBytes))
+          }
+        case _ => Seq.empty
+      }
+      ManifestFileRec(
+        rec.get("manifest_path").toString,
+        rec.get("manifest_length").asInstanceOf[Long],
+        Option(rec.get("added_snapshot_id")).map(_.asInstanceOf[Long]).getOrElse(0L),
+        summaries)
+    }
+
+  private def readManifestEntries(root: Path, manifestPath: String): Seq[ManifestEntryRec] =
+    readAvro(Paths.get(manifestPath)) { rec =>
+      val df = rec.get("data_file").asInstanceOf[GenericRecord]
+      val p = df.get("partition").asInstanceOf[GenericRecord]
+      val pmap = p.getSchema.getFields.asScala.map { f =>
+        f.name() -> (p.get(f.pos()) match {
+          case u: org.apache.avro.util.Utf8 => u.toString
+          case other                        => other
+        })
+      }.toMap
+      ManifestEntryRec(
+        rec.get("status").asInstanceOf[Int],
+        Option(rec.get("snapshot_id")).map(_.asInstanceOf[Long]).getOrElse(0L),
+        df.get("file_path").toString,
+        pmap,
+        df.get("record_count").asInstanceOf[Long],
+        df.get("file_size_in_bytes").asInstanceOf[Long])
+    }
+
+  private def readAvro[T](file: Path)(f: GenericRecord => T): Seq[T] = {
+    val reader = new DataFileReader[GenericRecord](
+      file.toFile, new GenericDatumReader[GenericRecord]())
+    try reader.iterator().asScala.map(f).toList
+    finally reader.close()
+  }
+
+  private def bufBytes(v: Any): Array[Byte] = v match {
+    case b: ByteBuffer =>
+      val c = new Array[Byte](b.remaining()); b.duplicate().get(c); c
+    case a: Array[Byte] => a
+    case other => throw new IllegalStateException(s"$other")
+  }
+
+  private def sameValue(a: Any, b: Any): Boolean = (a, b) match {
+    case (null, null)           => true
+    case (null, _) | (_, null)  => false
+    case (x: Number, y: Number) => x.longValue() == y.longValue()
+    case (x, y)                 => x.toString == y.toString
+  }
+
+  private def parsePartitionValue(raw: String, dt: DataType): Any = {
+    val decoded = java.net.URLDecoder.decode(raw, "UTF-8")
+    dt match {
+      case IntegerType => decoded.toInt
+      case LongType    => decoded.toLong
+      case StringType  => decoded
+      case other => throw new UnsupportedOperationException(
+        s"Partition column type $other not supported")
+    }
+  }
+
+  private def parquetFiles(dir: Path): Seq[Path] = {
+    val s = Files.list(dir)
+    try s.iterator().asScala.filter(_.getFileName.toString.endsWith(".parquet"))
+      .toSeq.sortBy(_.getFileName.toString)
+    finally s.close()
+  }
+
+  private def parquetRowCount(
+      conf: org.apache.hadoop.conf.Configuration, file: Path): Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(file.toUri), conf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    val walk = Files.walk(p)
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .forEach(f => Files.deleteIfExists(f))
+    finally walk.close()
+  }
+}

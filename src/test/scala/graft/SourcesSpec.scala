@@ -114,4 +114,121 @@ class SourcesSpec extends SparkTestBase {
     assert(rows.map(r => (r.getInt(0), r.getInt(1))).toSeq === Seq((2, 40), (3, 60)))
     assert(Files.list(Paths.get(out)).iterator().hasNext) // files exist on disk
   }
+
+  // ---------------------------------------------------------------------
+  // Iceberg metadata layer (IcebergMeta + IcebergWriter): real
+  // version-hint -> vN.metadata.json -> Avro manifest list -> manifests
+  // ---------------------------------------------------------------------
+
+  import graft.sources.{IcebergMeta, IcebergWriter}
+  import IcebergMeta.PartitionEquals
+
+  /** Three snapshots over an identity-partitioned table:
+    *   s1 append bands 0,1,2 | s2 append band 3 | s3 delete band 1
+    */
+  private def mkMetadataTable(): String = {
+    import spark.implicits._
+    val root = tempDir("graft-iceberg-meta")
+    val df = (0 until 40)
+      .map(i => (i.toLong, s"row$i", i % 4))
+      .toDF("id", "v", "band")
+    IcebergWriter.append(spark, root, df.filter($"band" < 3), Some("band"), 1000L)
+    IcebergWriter.append(spark, root, df.filter($"band" === 3), Some("band"), 2000L)
+    IcebergWriter.deletePartitions(spark, root, "band", Set(1), 3000L)
+    root
+  }
+
+  test("iceberg metadata: current read applies the delete snapshot (status=2 files dropped)") {
+    val root = mkMetadataTable()
+    assert(IcebergSource.versionHint(root) === Some(3))
+    val meta = IcebergMeta.load(root)
+    assert(meta.snapshots.map(_.id) === Seq(1L, 2L, 3L))
+    assert(meta.snapshots.map(_.operation) === Seq("append", "append", "delete"))
+    val rows = IcebergSource.read(spark, root)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getInt(2)))
+    assert(rows.length === 30) // 40 minus band 1's 10
+    assert(rows.map(_._2).distinct.sorted === Seq(0, 2, 3))
+    // schema order + types come from the metadata json, not dir inference
+    assert(IcebergSource.read(spark, root).columns.toSeq === Seq("id", "v", "band"))
+  }
+
+  test("iceberg time-travel: snapshot-id and as-of-timestamp reads") {
+    val root = mkMetadataTable()
+    // snapshot 1: bands 0,1,2 — band 1 still alive, band 3 absent
+    val s1 = IcebergSource.read(spark, root, Some(1L), None, None)
+    assert(s1.count() === 30)
+    assert(s1.select("band").distinct().collect().map(_.getInt(0)).sorted === Seq(0, 1, 2))
+    // snapshot 2: all four bands
+    assert(IcebergSource.read(spark, root, Some(2L), None, None).count() === 40)
+    // as-of: timestamp between s1 and s2 resolves to s1; far future -> s3
+    assert(IcebergSource.read(spark, root, None, Some(1500L), None).count() === 30)
+    val latest = IcebergSource.read(spark, root, None, Some(999999L), None)
+    assert(latest.filter("band = 1").count() === 0)
+    // before the first snapshot: explicit error, not an empty guess
+    intercept[IllegalArgumentException] {
+      IcebergSource.read(spark, root, None, Some(500L), None).collect()
+    }
+    intercept[IllegalArgumentException] {
+      IcebergSource.read(spark, root, Some(99L), None, None).collect()
+    }
+  }
+
+  test("iceberg manifest pruning: equality predicate skips manifests via field summaries") {
+    val root = mkMetadataTable()
+    // current snapshot has 4 manifests (one per band); band=0 should open 1
+    val full = IcebergSource.planScan(root)
+    assert(full.manifestsTotal === 4)
+    assert(full.manifestsRead === 4)
+    assert(full.files.length === 3) // bands 0, 2, 3 live
+    val pruned = IcebergSource.planScan(root, prune = Some(PartitionEquals("band", 0)))
+    assert(pruned.manifestsTotal === 4)
+    assert(pruned.manifestsRead === 1) // summaries excluded bands 1,2,3
+    assert(pruned.files.length === 1)
+    val rows = IcebergSource.read(spark, root, None, None, Some(PartitionEquals("band", 0)))
+    assert(rows.count() === 10)
+    assert(rows.select("band").distinct().collect().map(_.getInt(0)).toSeq === Seq(0))
+    // pruning a deleted band reads its (rewritten) manifest but yields no files
+    val gone = IcebergSource.planScan(root, prune = Some(PartitionEquals("band", 1)))
+    assert(gone.files.isEmpty)
+    assert(IcebergSource.read(spark, root, None, None, Some(PartitionEquals("band", 1))).count() === 0)
+    // a non-partition column refuses rather than silently full-scanning
+    intercept[IllegalArgumentException] {
+      IcebergSource.planScan(root, prune = Some(PartitionEquals("v", "x")))
+    }
+  }
+
+  test("iceberg time-travel + pruning compose; plan matches data read") {
+    val root = mkMetadataTable()
+    // at snapshot 1, band 1 was alive: pruning finds its single file
+    val plan = IcebergSource.planScan(root, snapshotId = Some(1L),
+      prune = Some(PartitionEquals("band", 1)))
+    assert(plan.manifestsTotal === 3) // s1's list: bands 0,1,2
+    assert(plan.manifestsRead === 1)
+    assert(plan.files.length === 1)
+    assert(plan.files.head.recordCount === 10) // parquet footer count carried
+    val rows = IcebergSource.read(spark, root, Some(1L), None, Some(PartitionEquals("band", 1)))
+    assert(rows.count() === 10)
+  }
+
+  test("iceberg dir-scan fallback intact; time-travel without metadata refuses") {
+    val root = mkIcebergTable() // version-hint only, no metadata json
+    assert(!IcebergMeta.hasMetadata(root))
+    assert(IcebergSource.read(spark, root).count() === 3)
+    intercept[IllegalArgumentException] {
+      IcebergSource.read(spark, root, Some(1L), None, None)
+    }
+  }
+
+  test("iceberg unpartitioned metadata table round-trips") {
+    import spark.implicits._
+    val root = tempDir("graft-iceberg-flat")
+    IcebergWriter.append(spark, root,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), None, 1000L)
+    IcebergWriter.append(spark, root,
+      Seq((3L, "c")).toDF("id", "v"), None, 2000L)
+    val rows = IcebergSource.read(spark, root)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.toSeq === Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(IcebergSource.read(spark, root, Some(1L), None, None).count() === 2)
+  }
 }
