@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -11,23 +12,52 @@ import org.apache.spark.sql.functions._
   * pass and WRITTEN (this object); every daily increment then:
   *   1. computes signatures for its own (tiny) batch,
   *   2. equi-joins its broadcast band digests against the stored band
-  *      index — a scan of `bands/`, zero corpus shuffle, and
+  *      index — a scan of the stored segments, zero corpus shuffle, and
   *   3. verifies candidates against the stored shingle sets.
   * Without the store, step 2's left side would re-tokenize, re-hash and
   * re-band the whole corpus per increment — the exact cost the index
   * amortizes to once (the IVF index in [[IvfIndex.materialize]] makes the
   * same trade for ANN probes).
   *
-  * Layout under `root`:
-  *   `bands/`    (doc_id, band, digest) — the LSH join side
-  *   `shingles/` (doc_id, sh)           — candidate verification sets
+  * == Versioned layout (round 10) ==
+  *
+  * {{{
+  *   root/_versions/v<N>                       commit markers (empty files)
+  *   root/_folded/<token>                      fold replay memory
+  *   root/v<N>/base/{bands,shingles}/          materialized / compacted core
+  *   root/v<N>/batch-<token>/{bands,shingles}/ folded batches (segments)
+  *   root/v<N>/.tmp-<token>/                   in-flight fold (invisible)
+  * }}}
+  *
+  * Every mutation commits through ONE atomic filesystem primitive, so no
+  * crash point loses OR duplicates rows (the round-9 delete+rename swap
+  * could duplicate; this layout removes the window instead of healing it):
+  *   - fold: rows are written to a hidden `.tmp-<token>` dir, then a
+  *     single directory RENAME publishes them as `batch-<token>` (atomic
+  *     on HDFS and local filesystems; on rename-less object stores layer
+  *     the index on a transactional table format instead);
+  *   - compact: the rewritten core is built under the next version dir,
+  *     then a single marker-file CREATE under `_versions/` flips readers
+  *     to it; old versions are garbage, removed post-commit.
+  * Readers resolve `max(_versions)` at plan time, so they see complete
+  * versions only. Single-writer maintenance contract: quiesce folds
+  * during [[compact]] (folds landed in the old version after its segments
+  * were read would be compacted away), and quiesce readers only for the
+  * post-commit removal of the superseded version dir.
   */
 object MinHashIndex {
 
-  final case class StoredIndex(root: String) {
-    def bandsPath: String = s"$root/bands"
-    def shinglesPath: String = s"$root/shingles"
-  }
+  final case class StoredIndex(root: String)
+
+  /** Thrown by test fault injectors to simulate a crash; production
+    * callers never see it (the default injector is a no-op).
+    */
+  private[graft] type FaultInjector = String => Unit
+  private[graft] val NoFaults: FaultInjector = _ => ()
+
+  // ---------------------------------------------------------------------
+  // signature pipeline (unchanged by the storage layout)
+  // ---------------------------------------------------------------------
 
   /** Per-doc distinct word-3gram shingle sets — the canonical first pass
     * every MinHash/Jaccard operator shares (docs shorter than 3 tokens
@@ -53,162 +83,242 @@ object MinHashIndex {
       .select(col("doc_id"), explode(TextOps.bandStructsFromSig(col("sig"))).as("bd"))
       .select(col("doc_id"), col("bd.band").as("band"), col("bd.digest").as("digest"))
 
-  /** One pass over `doc` -> both index directories, shared by the initial
-    * build and every append so the two write paths can never drift. The
-    * shingle sets are persisted so tokenization runs once while feeding
-    * both the `shingles/` write and the signature/band write.
+  /** One pass over `doc` -> a segment dir holding both `shingles/` and
+    * `bands/`, shared by materialize and fold so the write paths can
+    * never drift. The shingle sets are persisted so tokenization runs
+    * once while feeding both writes.
     */
-  private def writeIndex(doc: DataFrame, root: String, mode: String): Unit = {
+  private def writeSegment(doc: DataFrame, segDir: String): Unit = {
     val sets = shingleSets(doc).persist()
     try {
-      sets.write.mode(mode).parquet(s"$root/shingles")
-      bandDigests(signatures(sets)).write.mode(mode).parquet(s"$root/bands")
+      sets.write.mode("overwrite").parquet(s"$segDir/shingles")
+      bandDigests(signatures(sets)).write.mode("overwrite").parquet(s"$segDir/bands")
     } finally sets.unpersist(blocking = false)
   }
 
-  /** One corpus pass -> written index. Rebuilding at an existing root
-    * clears `_folded/` replay markers and stale compaction temps first —
-    * markers describe rows the overwrite is about to destroy, and a
-    * survivor would make a later foldOnce silently skip a batch the new
-    * index never saw.
-    */
-  def materialize(doc: DataFrame, root: String): StoredIndex = {
-    val hconf = doc.sparkSession.sparkContext.hadoopConfiguration
-    val rootPath = new org.apache.hadoop.fs.Path(root)
-    val fs = rootPath.getFileSystem(hconf)
-    Seq("_folded", "bands.compact", "shingles.compact", "bands.swap", "shingles.swap")
-      .foreach(s => fs.delete(new org.apache.hadoop.fs.Path(rootPath, s), true))
-    writeIndex(doc, root, "overwrite")
-    StoredIndex(root)
+  // ---------------------------------------------------------------------
+  // versioned storage
+  // ---------------------------------------------------------------------
+
+  private def fileSystem(spark: SparkSession, root: String): FileSystem =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def versionsDir(root: String) = new Path(root, "_versions")
+  private def foldedDir(root: String) = new Path(root, "_folded")
+  private def versionDir(root: String, v: Int) = new Path(root, s"v$v")
+
+  private def committedVersions(fs: FileSystem, root: String): Seq[Int] = {
+    val dir = versionsDir(root)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .collect { case s if s.startsWith("v") => s.drop(1).toInt }
+      .sorted
+  }
+
+  /** Highest committed version — what readers resolve at plan time. */
+  def currentVersion(spark: SparkSession, index: StoredIndex): Int = {
+    val versions = committedVersions(fileSystem(spark, index.root), index.root)
+    require(versions.nonEmpty, s"MinHash index at ${index.root} has no " +
+      "committed version (not materialized, or materialize crashed — rerun it)")
+    versions.max
+  }
+
+  /** True when the index has a committed, present version. */
+  def isReady(spark: SparkSession, root: String): Boolean = {
+    val fs = fileSystem(spark, root)
+    committedVersions(fs, root).maxOption
+      .exists(v => fs.exists(versionDir(root, v)))
+  }
+
+  /** Non-hidden segment dirs (base + committed batches) of a version. */
+  private def segmentDirs(fs: FileSystem, root: String, v: Int): Seq[Path] = {
+    val vdir = versionDir(root, v)
+    require(fs.exists(vdir), s"committed version dir missing: $vdir")
+    fs.listStatus(vdir).toSeq
+      .filter(st => st.isDirectory &&
+        !st.getPath.getName.startsWith(".") && !st.getPath.getName.startsWith("_"))
+      .map(_.getPath)
+      .sortBy(_.getName)
+  }
+
+  private def readSide(spark: SparkSession, index: StoredIndex, side: String): DataFrame = {
+    val fs = fileSystem(spark, index.root)
+    val v = currentVersion(spark, index)
+    val dirs = segmentDirs(fs, index.root, v).map(p => s"$p/$side")
+    spark.read.parquet(dirs: _*)
   }
 
   def bands(spark: SparkSession, index: StoredIndex): DataFrame =
-    spark.read.parquet(index.bandsPath)
+    readSide(spark, index, "bands")
 
   def shingles(spark: SparkSession, index: StoredIndex): DataFrame =
-    spark.read.parquet(index.shinglesPath)
+    readSide(spark, index, "shingles")
+
+  /** One corpus pass -> committed v1. A re-materialize resets the root
+    * completely (stale versions, fold markers, temps): markers describe
+    * rows the rebuild is about to destroy, and a survivor would make a
+    * later foldOnce silently skip a batch the new index never saw. The
+    * commit point is the v1 marker create — a crash anywhere earlier
+    * leaves an index [[isReady]] reports not-ready, never a partial one.
+    */
+  def materialize(doc: DataFrame, root: String): StoredIndex = {
+    val spark = doc.sparkSession
+    val fs = fileSystem(spark, root)
+    if (fs.exists(new Path(root)))
+      fs.listStatus(new Path(root)).foreach(st => fs.delete(st.getPath, true))
+    writeSegment(doc, versionDir(root, 1).suffix("/base").toString)
+    fs.mkdirs(foldedDir(root))
+    commitMarker(fs, new Path(versionsDir(root), "v1"))
+    StoredIndex(root)
+  }
 
   /** Fold a new (accepted) batch into the stored index — the cross-batch
     * half of the ingest contract: after a batch is deduped and admitted,
     * appending its shingle sets + band digests makes every LATER batch
-    * dedupe against it too. One parquet append per call; a long-running
-    * ingest compacts on its maintenance cadence ([[compact]]).
+    * dedupe against it too.
     *
-    * Plain append is AT-LEAST-ONCE under replay (a crashed driver can
-    * re-run a batch): callers with replayable sources use [[foldOnce]],
-    * which skips batches whose token is already recorded.
+    * EXACTLY-ONCE under replay: the batch's segment is fully written to a
+    * hidden temp dir, then one atomic rename publishes it; the `_folded/`
+    * token marker is recorded after. A replay after ANY crash point
+    * either re-folds from scratch (temp never published — no partial
+    * rows were visible) or finds the published segment / its marker and
+    * skips. No crash point loses or duplicates rows.
+    * Returns true when the batch was folded, false when skipped.
     */
-  def append(doc: DataFrame, index: StoredIndex): Unit =
-    writeIndex(doc, index.root, "append")
+  def foldOnce(doc: DataFrame, index: StoredIndex, token: String): Boolean =
+    foldOnceWithFaults(doc, index, token, NoFaults)
 
-  /** Idempotent [[append]]: a marker under `_folded/` records each token
-    * (e.g. a streaming batchId) AFTER its rows land, so a replayed batch
-    * is skipped instead of folded twice. The crash window between append
-    * and marker write still yields duplicate rows (exactly-once needs a
-    * transactional table format underneath) — [[compact]]'s distinct
-    * heals them, and `incrementalPairs` dedupes its output regardless.
-    * Returns true when the batch was appended, false when skipped.
-    */
-  def foldOnce(doc: DataFrame, index: StoredIndex, token: String): Boolean = {
-    val marker = new org.apache.hadoop.fs.Path(s"${index.root}/_folded/$token")
-    val fs = marker.getFileSystem(
-      doc.sparkSession.sparkContext.hadoopConfiguration)
-    if (fs.exists(marker)) false
-    else {
-      append(doc, index)
-      fs.mkdirs(marker.getParent)
-      fs.create(marker, true).close()
-      true
+  private[graft] def foldOnceWithFaults(
+      doc: DataFrame,
+      index: StoredIndex,
+      token: String,
+      fault: FaultInjector): Boolean = {
+    require(token.matches("[A-Za-z0-9][A-Za-z0-9._-]*"),
+      s"fold token must be a safe dir-name fragment, got '$token'")
+    val spark = doc.sparkSession
+    val fs = fileSystem(spark, index.root)
+    val marker = new Path(foldedDir(index.root), token)
+    if (fs.exists(marker)) return false
+    val v = currentVersion(spark, index)
+    val batchDir = new Path(versionDir(index.root, v), s"batch-$token")
+    if (fs.exists(batchDir)) {
+      // published but crashed before the marker: heal the marker, skip
+      commitMarker(fs, marker)
+      return false
     }
+    val tmp = new Path(versionDir(index.root, v), s".tmp-$token")
+    fs.delete(tmp, true) // stale pre-publish attempt: invisible, discard
+    writeSegment(doc, tmp.toString)
+    fault("segment-written")
+    require(fs.rename(tmp, batchDir), s"could not publish $batchDir")
+    fault("published")
+    commitMarker(fs, marker)
+    true
   }
 
-  /** OFFLINE maintenance pass for the append-mostly index: rewrite each
-    * directory into `nFiles` coalesced files. `dedupe = true` also drops
-    * exact-duplicate rows — run it after a suspected foldOnce
-    * append-then-crash window (duplicates carry no information here, rows
-    * are set members); the default pass stays shuffle-free, since routine
-    * small-file compaction shouldn't pay a full-index shuffle for a rare
-    * crash artifact that `incrementalPairs` already masks at read time.
+  /** At-least-once append for callers WITHOUT a replay token (no
+    * replayable source, no batch identity): publishes a uniquely-named
+    * segment. A caller that retries after a crash can duplicate rows —
+    * duplicates are information-free set members here and
+    * `compact(dedupe = true)` drops them; callers with batch identity
+    * should use [[foldOnce]], which is exactly-once.
+    */
+  def append(doc: DataFrame, index: StoredIndex): Unit = {
+    val token = "anon-" + java.util.UUID.randomUUID().toString
+    foldOnceWithFaults(doc, index, token, NoFaults): Unit
+  }
+
+  /** OFFLINE maintenance pass: rewrite the current version's segments
+    * into a single `base/` of `nFiles` coalesced files, committed as the
+    * next version. `dedupe = true` also drops exact-duplicate rows (only
+    * [[append]] misuse or re-folding the same doc under two tokens can
+    * create them; [[foldOnce]] cannot).
     *
-    * Contract: quiesce writers AND readers first. A raw parquet directory
-    * has no transaction log, so no rewrite of it can be atomic for
-    * concurrent scans — that is precisely what layering the index on a
-    * transactional table format buys at 100 TB; this utility is the
-    * single-writer maintenance window version. Paths go through Hadoop's
-    * FileSystem (hdfs/s3/local alike).
-    *
-    * Crash safety (any step, including repeated crashes): the swap is
-    * guarded by a `<dir>.swap` marker created only AFTER the `.compact`
-    * temp is fully written and removed only after the swap completes.
-    * Recovery runs first on every call and promotes BY ADDITION, never
-    * deletion: with no marker, a leftover temp is an incomplete write and
-    * is discarded (the live dir was never touched); with a marker, the
-    * temp's rows are APPENDED into the live dir (creating it if the crash
-    * landed after the delete) and the temp dropped. Rows appended during
-    * the down window therefore always survive. The price of loss-proof
-    * recovery on a raw parquet dir: a crash in the marker window can
-    * leave rows DUPLICATED (worst case the whole pre-compact dir, when
-    * the crash hit between marker and delete). Duplicates here are
-    * information-free — rows are set members, `incrementalPairs`
-    * aggregates its output regardless — and one `dedupe = true` pass
-    * heals them; exact once-only atomicity is what a transactional table
-    * format underneath would buy.
+    * Crash safety: the new version is built under its own uncommitted
+    * dir; the marker create is the single commit point. Recovery on every
+    * call first heals fold markers from published batch dirs (so a
+    * compact right after a fold's crashed marker write can't orphan the
+    * token), then drops uncommitted version dirs, stale temps, and
+    * superseded versions. Quiesce writers for the duration (folds into
+    * the old version after its segments are read would be lost from the
+    * new one); readers only need to stay clear of the post-commit
+    * old-version removal.
     */
   def compact(
       spark: SparkSession,
       index: StoredIndex,
       nFiles: Int = 8,
       dedupe: Boolean = false
+  ): Unit = compactWithFaults(spark, index, nFiles, dedupe, NoFaults)
+
+  private[graft] def compactWithFaults(
+      spark: SparkSession,
+      index: StoredIndex,
+      nFiles: Int,
+      dedupe: Boolean,
+      fault: FaultInjector
   ): Unit = {
     require(nFiles > 0)
-    val hconf = spark.sparkContext.hadoopConfiguration
-    Seq(index.bandsPath, index.shinglesPath).foreach { dir =>
-      val p = new org.apache.hadoop.fs.Path(dir)
-      val tmp = new org.apache.hadoop.fs.Path(dir + ".compact")
-      val marker = new org.apache.hadoop.fs.Path(dir + ".swap")
-      val fs = p.getFileSystem(hconf)
-      recoverSwap(spark, fs, p, tmp, marker)
-      val rows0 = spark.read.parquet(dir)
+    val fs = fileSystem(spark, index.root)
+    recover(spark, fs, index)
+    fault("recovered")
+    val v = currentVersion(spark, index)
+    val next = versionDir(index.root, v + 1)
+    val segs = segmentDirs(fs, index.root, v)
+    Seq("bands", "shingles").foreach { side =>
+      val rows0 = spark.read.parquet(segs.map(p => s"$p/$side"): _*)
       (if (dedupe) rows0.distinct() else rows0)
         .coalesce(nFiles)
-        .write.mode("overwrite").parquet(tmp.toString)
-      fs.create(marker, true).close() // temp is complete: commit point
-      require(fs.delete(p, true), s"could not remove old layout at $dir")
-      require(fs.rename(tmp, p), s"could not promote compacted $dir")
-      fs.delete(marker, false): Unit
+        .write.mode("overwrite").parquet(new Path(next, s"base/$side").toString)
     }
+    fault("next-version-written")
+    commitMarker(fs, new Path(versionsDir(index.root), s"v${v + 1}"))
+    fault("committed")
+    // post-commit cleanup: dir before marker, so the max marker always
+    // points at a present dir and a half-cleaned old version is just an
+    // unmarked dir the next recovery drops
+    fs.delete(versionDir(index.root, v), true)
+    fault("old-dir-removed")
+    fs.delete(new Path(versionsDir(index.root), s"v$v"), false): Unit
   }
 
-  /** Put a directory back into a clean state after a compact crash (see
-    * [[compact]]'s crash-safety notes). Addition-only: the pre-crash
-    * snapshot is appended into the live dir rather than swapped over it,
-    * so no crash point or down-window append interleaving can lose rows —
-    * a repeated crash can only duplicate set members, which dedupe
-    * compaction heals. Re-entrant at every step.
+  /** Put the root back into a clean state after any crash (see
+    * [[compact]]). Heals fold markers, then removes everything not
+    * reachable from the highest committed version. Re-entrant.
     */
-  private def recoverSwap(
-      spark: SparkSession,
-      fs: org.apache.hadoop.fs.FileSystem,
-      p: org.apache.hadoop.fs.Path,
-      tmp: org.apache.hadoop.fs.Path,
-      marker: org.apache.hadoop.fs.Path
-  ): Unit = {
-    if (!fs.exists(marker)) {
-      // no swap in flight: a leftover temp is an incomplete (pre-marker)
-      // write; the live dir was never touched, so just discard it
-      if (fs.exists(tmp)) fs.delete(tmp, true): Unit
-    } else {
-      if (fs.exists(tmp)) {
-        // the marker proves tmp was fully written; fold it back into the
-        // live dir (created implicitly when the crash landed after the
-        // delete). Append, never delete-and-rename: a crash inside this
-        // append means the next attempt re-appends (duplicates, healable)
-        // instead of choosing which directory's rows to discard.
-        spark.read.parquet(tmp.toString)
-          .write.mode("append").parquet(p.toString)
-        fs.delete(tmp, true): Unit
-      }
-      fs.delete(marker, false): Unit
+  private def recover(spark: SparkSession, fs: FileSystem, index: StoredIndex): Unit = {
+    val root = index.root
+    val versions = committedVersions(fs, root)
+    require(versions.nonEmpty, s"MinHash index at $root has no committed version")
+    val current = versions.max
+    // 1. fold crash window: published batch dirs whose marker write never
+    //    ran — record them now so a replay (even after this compact folds
+    //    their rows into base) skips instead of re-folding
+    segmentDirs(fs, root, current).foreach { seg =>
+      val name = seg.getName
+      if (name.startsWith("batch-"))
+        commitMarker(fs, new Path(foldedDir(root), name.stripPrefix("batch-")))
     }
+    // 2. markers whose dir vanished mid-cleanup: only ever < current
+    versions.filter(_ != current).foreach { v =>
+      fs.delete(versionDir(root, v), true)
+      fs.delete(new Path(versionsDir(root), s"v$v"), false)
+    }
+    // 3. uncommitted version dirs (crashed compact) + in-flight fold temps
+    fs.listStatus(new Path(root)).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.matches("v\\d+"))
+      .map(_.getPath)
+      .filter(_.getName.drop(1).toInt != current)
+      .foreach(fs.delete(_, true))
+    fs.listStatus(versionDir(root, current)).toSeq
+      .filter(_.getPath.getName.startsWith(".tmp-"))
+      .foreach(st => fs.delete(st.getPath, true))
+  }
+
+  /** Atomic empty-file create — the commit primitive for markers. */
+  private def commitMarker(fs: FileSystem, marker: Path): Unit = {
+    fs.mkdirs(marker.getParent)
+    if (!fs.exists(marker)) fs.create(marker, false).close()
   }
 }

@@ -526,7 +526,7 @@ object DedupQueries {
     val root =
       graft.engine.TempDirs.workspace("graft-minhash-index", "documents", dir)
     graft.engine.TempDirs.materializeOnce(root)(
-      java.nio.file.Files.exists(root.resolve("bands").resolve("_SUCCESS"))
+      MinHashIndex.isReady(s, root.toString)
     )(MinHashIndex.materialize(t(s, dir, "documents"), root.toString))
     MinHashIndex.StoredIndex(root.toString)
   }

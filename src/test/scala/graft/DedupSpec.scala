@@ -154,11 +154,36 @@ class DedupSpec extends SparkTestBase {
     assert(!pairs.exists(p => p._1 == 212L || p._2 == 212L), s"false positive: $pairs")
   }
 
-  test("index foldOnce is replay-idempotent; compact heals duplicates, keeps rows") {
+  // ---------------------------------------------------------------------
+  // versioned index: crash matrix (fault injected at every commit step)
+  // ---------------------------------------------------------------------
+
+  private def crashSent(tag: String)(seed: Int): String =
+    (0 until 30).map(i => s"$tag${seed}z$i").mkString(" ")
+
+  private def allRows(
+      idx: graft.operators.MinHashIndex.StoredIndex): (Seq[String], Seq[String]) = (
+    graft.operators.MinHashIndex.bands(spark, idx)
+      .collect().map(_.toString).sorted.toSeq,
+    graft.operators.MinHashIndex.shingles(spark, idx)
+      .collect().map(_.toString).sorted.toSeq)
+
+  private def assertExactNoDups(
+      got: (Seq[String], Seq[String]), want: (Seq[String], Seq[String]),
+      clue: String): Unit = {
+    assert(got._1.size === got._1.distinct.size, s"$clue: duplicate band rows")
+    assert(got._2.size === got._2.distinct.size, s"$clue: duplicate shingle rows")
+    assert(got._1 === want._1, s"$clue: band rows differ")
+    assert(got._2 === want._2, s"$clue: shingle rows differ")
+  }
+
+  private def crashAt(point: String): String => Unit =
+    p => if (p == point) throw new RuntimeException(s"injected crash @$p")
+
+  test("index foldOnce is replay-idempotent; compact coalesces; dedupe heals append misuse") {
     import graft.operators.MinHashIndex
     import spark.implicits._
-    def sent(seed: Int): String =
-      (0 until 30).map(i => s"c${seed}z$i").mkString(" ")
+    val sent = crashSent("c") _
     val corpus = Seq((1L, sent(1)), (2L, sent(2))).toDF("doc_id", "text")
     val batch = Seq((10L, sent(1)), (11L, sent(5))).toDF("doc_id", "text")
     val idx = MinHashIndex.materialize(corpus, tempDir("graft-minhash-compact"))
@@ -166,12 +191,12 @@ class DedupSpec extends SparkTestBase {
     // a replayed batch (same token) must fold exactly once
     assert(MinHashIndex.foldOnce(batch, idx, "b-1"))
     assert(!MinHashIndex.foldOnce(batch, idx, "b-1"), "replay was not skipped")
-    val cleanBands = MinHashIndex.bands(spark, idx).collect().map(_.toString)
-    val cleanSets = MinHashIndex.shingles(spark, idx).collect().map(_.toString)
+    val clean = allRows(idx)
+    assert(clean._1.size === clean._1.distinct.size)
 
-    // simulate the append-then-crash window: corpus rows land TWICE
+    // at-least-once append API misused twice: corpus rows land TWICE
     MinHashIndex.append(corpus, idx)
-    assert(MinHashIndex.bands(spark, idx).count() > cleanBands.length.toLong)
+    assert(MinHashIndex.bands(spark, idx).count() > clean._1.size.toLong)
     // the operator's output stays duplicate-free over the dirty store
     val pairs = graft.queries.DedupQueries
       .incrementalPairs(spark, batch, idx, 0.5)
@@ -181,46 +206,94 @@ class DedupSpec extends SparkTestBase {
 
     // compaction with dedupe drops the exact duplicates, coalesces to one file
     MinHashIndex.compact(spark, idx, nFiles = 1, dedupe = true)
-    val bandsAfter = MinHashIndex.bands(spark, idx).collect().map(_.toString)
-    val setsAfter = MinHashIndex.shingles(spark, idx).collect().map(_.toString)
-    assert(bandsAfter.sorted.toSeq === cleanBands.sorted.toSeq,
-      "compaction must restore the exact pre-duplicate band rows")
-    assert(setsAfter.sorted.toSeq === cleanSets.sorted.toSeq)
-    val files = new java.io.File(idx.bandsPath)
+    assertExactNoDups(allRows(idx), clean, "post-compact")
+    val v = MinHashIndex.currentVersion(spark, idx)
+    val files = new java.io.File(s"${idx.root}/v$v/base/bands")
       .listFiles().count(_.getName.endsWith(".parquet"))
     assert(files === 1, s"expected 1 data file after compaction, got $files")
   }
 
-  test("compact recovers a mid-swap crash with appends interleaved — no row lost") {
+  test("fold crash matrix: zero loss AND zero duplication at every fault point") {
     import graft.operators.MinHashIndex
     import spark.implicits._
-    def sent(seed: Int): String =
-      (0 until 30).map(i => s"r${seed}w$i").mkString(" ")
+    val sent = crashSent("f") _
     val corpus = Seq((1L, sent(1)), (2L, sent(2))).toDF("doc_id", "text")
-    val late = Seq((20L, sent(7))).toDF("doc_id", "text")
-    val idx = MinHashIndex.materialize(corpus, tempDir("graft-minhash-crash"))
-
-    // simulate the worst crash: compact wrote its temp, created the swap
-    // marker, deleted the live dirs... and then a contract-violating
-    // append recreated them with NEW rows before recovery ran
-    Seq(idx.bandsPath, idx.shinglesPath).foreach { dir =>
-      val p = java.nio.file.Paths.get(dir)
-      java.nio.file.Files.move(p, java.nio.file.Paths.get(dir + ".compact"))
-      java.nio.file.Files.createFile(java.nio.file.Paths.get(dir + ".swap"))
+    val batch = Seq((10L, sent(1)), (11L, sent(5))).toDF("doc_id", "text")
+    for (point <- Seq("segment-written", "published")) {
+      val idx = MinHashIndex.materialize(corpus, tempDir(s"graft-fold-crash"))
+      val before = allRows(idx)
+      val boom = intercept[RuntimeException] {
+        MinHashIndex.foldOnceWithFaults(batch, idx, "b1", crashAt(point))
+      }
+      assert(boom.getMessage.contains(point))
+      // post-crash reads are consistent: either the fold is invisible or
+      // fully visible — never partial, never duplicated
+      val mid = allRows(idx)
+      assert(mid._1.size === mid._1.distinct.size, s"$point: dup band rows")
+      assert(mid._1 === before._1 || mid._1.size > before._1.size)
+      // replay converges to exactly-once
+      MinHashIndex.foldOnce(batch, idx, "b1"): Unit
+      val after = allRows(idx)
+      assert(after._1.size > before._1.size, s"$point: batch rows lost")
+      assertExactNoDups(after, after, s"$point replayed") // self-check dups
+      assert(!MinHashIndex.foldOnce(batch, idx, "b1"), s"$point: replay not skipped")
+      // the final state equals a crash-free fold's state
+      val cleanIdx = MinHashIndex.materialize(corpus, tempDir("graft-fold-clean"))
+      assert(MinHashIndex.foldOnce(batch, cleanIdx, "b1"))
+      assertExactNoDups(after, allRows(cleanIdx), s"$point final-vs-clean")
     }
-    MinHashIndex.append(late, idx) // recreates live dirs with only doc 20
+  }
 
+  test("compact crash matrix: reads exact at every fault point; rerun converges") {
+    import graft.operators.MinHashIndex
+    import spark.implicits._
+    val sent = crashSent("k") _
+    val corpus = Seq((1L, sent(1)), (2L, sent(2))).toDF("doc_id", "text")
+    val batch1 = Seq((10L, sent(5))).toDF("doc_id", "text")
+    val batch2 = Seq((20L, sent(7))).toDF("doc_id", "text")
+    for (point <- Seq("recovered", "next-version-written", "committed", "old-dir-removed")) {
+      val idx = MinHashIndex.materialize(corpus, tempDir("graft-compact-crash"))
+      assert(MinHashIndex.foldOnce(batch1, idx, "b1"))
+      val expected = allRows(idx)
+      val boom = intercept[RuntimeException] {
+        MinHashIndex.compactWithFaults(spark, idx, 1, false, crashAt(point))
+      }
+      assert(boom.getMessage.contains(point))
+      // whichever side of the commit the crash landed on, readers see the
+      // exact row set — the commit is atomic, so never a blend, a loss,
+      // or a duplicate
+      assertExactNoDups(allRows(idx), expected, s"$point post-crash")
+      // a rerun recovers and completes
+      MinHashIndex.compact(spark, idx, nFiles = 1)
+      assertExactNoDups(allRows(idx), expected, s"$point recompacted")
+      // the index stays fully operational: fold + replay-skip + read
+      assert(MinHashIndex.foldOnce(batch2, idx, "b2"), s"$point: post-recovery fold")
+      assert(!MinHashIndex.foldOnce(batch2, idx, "b2"))
+      val fin = allRows(idx)
+      assert(fin._1.size > expected._1.size)
+      assert(fin._1.size === fin._1.distinct.size)
+    }
+  }
+
+  test("fold crash then compact then replay: healed marker prevents re-fold") {
+    import graft.operators.MinHashIndex
+    import spark.implicits._
+    val sent = crashSent("h") _
+    val corpus = Seq((1L, sent(1)), (2L, sent(2))).toDF("doc_id", "text")
+    val batch = Seq((10L, sent(5))).toDF("doc_id", "text")
+    val idx = MinHashIndex.materialize(corpus, tempDir("graft-heal-crash"))
+    // crash AFTER the batch segment published but BEFORE its _folded
+    // marker; then a compact folds the segment into base (the batch dir
+    // disappears) — the replay's only protection is the marker compact's
+    // recovery healed from the published dir
+    intercept[RuntimeException] {
+      MinHashIndex.foldOnceWithFaults(batch, idx, "b1", crashAt("published"))
+    }
+    val withBatch = allRows(idx)
     MinHashIndex.compact(spark, idx, nFiles = 1)
-    val docs = MinHashIndex.bands(spark, idx)
-      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
-    assert(docs === Set(1L, 2L, 20L),
-      s"recovery must keep both pre-crash and appended rows, got $docs")
-    // markers and temps are gone; a second compact is a plain pass
-    assert(!java.nio.file.Files.exists(
-      java.nio.file.Paths.get(idx.bandsPath + ".swap")))
-    MinHashIndex.compact(spark, idx, nFiles = 1)
-    assert(MinHashIndex.bands(spark, idx)
-      .select("doc_id").distinct().count() === 3L)
+    assert(!MinHashIndex.foldOnce(batch, idx, "b1"),
+      "replay after compact must skip via the healed marker")
+    assertExactNoDups(allRows(idx), withBatch, "healed replay")
   }
 
   test("fixture satisfies the oracle envelope: space-only whitespace, stable lower()") {

@@ -355,6 +355,94 @@ class StreamingSpec extends SparkTestBase {
     } finally q2.stop()
   }
 
+  test("ingest lifecycle: stream dedup + fold, mid-stream compact, restart, full replay") {
+    // The production daily-ingest story as ONE scenario:
+    //   corpus -> stored index; streamed increments are deduped against it
+    //   and folded in; a maintenance compact(dedupe=true) runs MID-STREAM
+    //   between incarnations; more batches land; a full replay (fresh
+    //   checkpoint, same foldId) re-reads every file. Invariants: the
+    //   union of emitted pairs equals the batch operator on the full
+    //   corpus, and the replay neither duplicates index rows nor changes
+    //   the pair set.
+    import graft.operators.MinHashIndex
+    import graft.streaming.CorpusStream
+    import spark.implicits._
+    def sent(seed: Int): String =
+      (0 until 30).map(i => s"l${seed}q$i").mkString(" ")
+    val corpus = Seq(
+      (1L, sent(1)), (2L, sent(2)), (3L, sent(3)), (4L, sent(4))
+    ).toDF("doc_id", "text")
+    val inc1 = Seq((101L, sent(3)), (102L, sent(9))).toDF("doc_id", "text")
+    val inc2 = Seq((103L, sent(9)), (104L, sent(11)), (105L, sent(11)))
+      .toDF("doc_id", "text")
+    val inc3 = Seq((106L, sent(1)), (107L, sent(9)), (108L, sent(13)))
+      .toDF("doc_id", "text")
+
+    // ground truth: the batch operator over the FULL final corpus
+    val expected = graft.queries.DedupQueries
+      .minhashPairs(corpus.union(inc1).union(inc2).union(inc3), 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected === Set(
+      (3L, 101L), (102L, 103L), (102L, 107L), (103L, 107L),
+      (104L, 105L), (1L, 106L)), s"fixture drifted: $expected")
+
+    val index = MinHashIndex.materialize(corpus, tempDir("graft-lifecycle-idx"))
+    val dropDir = tempDir("graft-lifecycle-drop")
+    val checkpoint = tempDir("graft-lifecycle-ckpt")
+    val got = collection.concurrent.TrieMap.empty[(Long, Long), Double]
+    def startSink() = CorpusStream.incrementalDedupSink(
+      CorpusStream.readDocumentsStream(spark, dropDir), index, 0.5,
+      checkpoint = Some(checkpoint), foldId = Some("daily")) { (pairs, _) =>
+      pairs.collect().foreach(r =>
+        got.put((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    }
+
+    // incarnation 1: two increments, each folded after its pairs emit
+    // (first file lands before the stream starts: the file source infers
+    // its schema from it)
+    inc1.coalesce(1).write.mode("append").parquet(dropDir)
+    val q1 = startSink()
+    try {
+      q1.processAllAvailable()
+      inc2.coalesce(1).write.mode("append").parquet(dropDir)
+      q1.processAllAvailable()
+      assert(got.keySet === Set((3L, 101L), (102L, 103L), (104L, 105L)),
+        s"pre-compact pairs: $got")
+    } finally q1.stop()
+
+    // maintenance window: writers quiesced, compact with dedupe
+    MinHashIndex.compact(spark, index, nFiles = 1, dedupe = true)
+    val rowsAfterCompact = MinHashIndex.bands(spark, index).count()
+
+    // incarnation 2 (same checkpoint resumes AFTER processed batches):
+    // inc3 dups must be caught against base AND folded batches across
+    // the compact boundary
+    val q2 = startSink()
+    try {
+      inc3.coalesce(1).write.mode("append").parquet(dropDir)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(got.keySet === expected, s"lifecycle pairs != batch operator: $got")
+
+    // full replay: fresh checkpoint re-reads EVERY file with the same
+    // foldId — folds are skipped via tokens, so zero index duplication,
+    // and re-emitted pairs stay inside the expected set
+    val preReplay = MinHashIndex.bands(spark, index).count()
+    val q3 = CorpusStream.incrementalDedupSink(
+      CorpusStream.readDocumentsStream(spark, dropDir), index, 0.5,
+      checkpoint = Some(tempDir("graft-lifecycle-ckpt2")),
+      foldId = Some("daily")) { (pairs, _) =>
+      pairs.collect().foreach(r =>
+        got.put((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    }
+    try q3.processAllAvailable() finally q3.stop()
+    assert(MinHashIndex.bands(spark, index).count() === preReplay,
+      "replay must not duplicate index rows")
+    assert(preReplay > rowsAfterCompact, "inc3 fold must have landed")
+    assert(got.keySet === expected, s"replay changed the pair set: $got")
+    assert(got.values.forall(_ >= 0.99), s"planted dups are exact copies: $got")
+  }
+
   test("windowed counts conserve total events") {
     val dir = SparkTestBase.Sf0001
     val total = graft.queries.QueryUtil.events(spark, dir).count()
