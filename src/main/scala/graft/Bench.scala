@@ -148,7 +148,10 @@ object Bench {
     // artifacts captured a truncated stdout tail and lost three queries'
     // numbers — the file copy (SPARK_GRAFT_BENCH_OUT, default
     // bench_out.json in the working dir) keeps the artifact self-contained
-    // even when the harness clips the console.
+    // even when the harness clips the console. bench_out.json at the repo
+    // root is a TRACKED round artifact (committed each round alongside
+    // BENCH_r*.json), not working-tree litter — point SPARK_GRAFT_BENCH_OUT
+    // elsewhere for ad-hoc runs that shouldn't touch it.
     try
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(

@@ -28,13 +28,14 @@ import org.apache.spark.storage.StorageLevel
 final class ResultCache(
     spark: SparkSession,
     capacity: Option[Int] = None,
-    // how long a thread that is ITSELF inside a builder waits on another
-    // key's in-flight build before falling back to computing directly.
-    // Only builder threads get the bounded wait — see getOrPut.
-    flightWaitMs: Long = 30000L
+    // how often a thread that is ITSELF inside a builder re-checks the
+    // wait graph for a deadlock cycle while awaiting another key's flight.
+    // Pure detection cadence: a legitimately slow build is waited on
+    // indefinitely — only a REAL cycle breaks. See getOrPut.
+    cyclePollMs: Long = 50L
 ) {
   require(capacity.forall(_ > 0), s"capacity must be positive, got $capacity")
-  require(flightWaitMs > 0, s"flightWaitMs must be positive, got $flightWaitMs")
+  require(cyclePollMs > 0, s"cyclePollMs must be positive, got $cyclePollMs")
 
   // access-ordered LinkedHashMap = LRU order for free; all map access is
   // synchronized on `entries` (the 10x50 EngineSpec concurrency test runs
@@ -94,6 +95,18 @@ final class ResultCache(
   private val building =
     ThreadLocal.withInitial[java.util.HashSet[String]](() => new java.util.HashSet)
 
+  // the wait graph, for REAL deadlock detection (not a timeout heuristic):
+  // owners maps each in-flight key to the thread building it; awaiting maps
+  // each blocked BUILDER thread to the key whose flight it is joining.
+  // A deadlock is a cycle key -> owner -> awaited key -> owner -> ... back
+  // to the current thread; following those edges is exact, so a
+  // legitimately slow build (minutes-long Spark job) is never broken into
+  // duplicate work the way the old 30 s timeout fallback did.
+  private val owners =
+    new java.util.concurrent.ConcurrentHashMap[String, Thread]()
+  private val awaiting =
+    new java.util.concurrent.ConcurrentHashMap[Thread, String]()
+
   /** Compute-through: return the cached frame or build, cache, and return.
     * Concurrent misses on the same key build ONCE (single-flight); waiters
     * observe the winner's frame, or its exception if the build failed (a
@@ -103,9 +116,10 @@ final class ResultCache(
     * while B's builder awaits A's) needs every participant to be holding a
     * flight of its own — so a waiter that is NOT inside any builder can
     * never be part of one and waits indefinitely, while a waiter that IS
-    * building some other key waits at most `flightWaitMs` and then breaks
-    * the potential cycle by computing directly (duplicated work, the
-    * pre-single-flight cost, strictly better than a hung session).
+    * building some other key polls the wait graph and breaks ONLY on a
+    * detected cycle, by computing directly (duplicated work, the
+    * pre-single-flight cost, strictly better than a hung session —
+    * and, unlike a timeout, never triggered by a merely slow build).
     */
   def getOrPut(key: String)(build: => DataFrame): DataFrame = get(key) match {
     case Some(df) => df
@@ -121,24 +135,10 @@ final class ResultCache(
             case e: java.util.concurrent.CompletionException =>
               throw Option(e.getCause).getOrElse(e)
           }
-        } else {
-          try race.get(flightWaitMs, java.util.concurrent.TimeUnit.MILLISECONDS)
-          catch {
-            case e: java.util.concurrent.ExecutionException =>
-              throw Option(e.getCause).getOrElse(e)
-            case _: java.util.concurrent.TimeoutException =>
-              // possible A<->B builder cycle: stop waiting. Serve a direct
-              // UNCACHED compute — a put() here would race the flight's
-              // still-live winner, whose later put would evict this entry
-              // and unpersist a frame callers just received (and vice
-              // versa). The winner's entry stays authoritative; this
-              // thread just pays duplicated work once. Re-check the cache
-              // first: the winner may have landed while we waited.
-              get(key).getOrElse(build)
-          }
-        }
+        } else awaitAsBuilder(key, race, build)
       } else {
         building.get().add(key)
+        owners.put(key, Thread.currentThread())
         try {
           // re-check under the flight: a put() may have landed between the
           // miss above and winning the flight
@@ -151,10 +151,66 @@ final class ResultCache(
             throw e
         } finally {
           building.get().remove(key)
+          owners.remove(key, Thread.currentThread())
           inFlight.remove(key, mine)
         }
       }
     }
+
+  /** A builder thread joining another key's flight: publish the wait edge,
+    * poll the flight, and break ONLY when the wait graph actually cycles
+    * back to this thread.
+    */
+  private def awaitAsBuilder(
+      key: String,
+      race: java.util.concurrent.CompletableFuture[DataFrame],
+      build: => DataFrame): DataFrame = {
+    awaiting.put(Thread.currentThread(), key)
+    try {
+      while (true) {
+        try return race.get(cyclePollMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            throw Option(e.getCause).getOrElse(e)
+          case _: java.util.concurrent.TimeoutException =>
+            if (cycleDetected(key)) {
+              // real deadlock: stop waiting. Serve a direct UNCACHED
+              // compute — a put() here would race the flight's still-live
+              // winner, whose later put would evict this entry and
+              // unpersist a frame callers just received (and vice versa).
+              // The winner's entry stays authoritative; this thread just
+              // pays duplicated work once. Re-check the cache first: the
+              // winner may have landed while we waited.
+              return get(key).getOrElse(build)
+            }
+        }
+      }
+      throw new IllegalStateException("unreachable")
+    } finally awaiting.remove(Thread.currentThread())
+  }
+
+  /** Follow key -> owner thread -> key that owner awaits -> ... and report
+    * whether the chain reaches the current thread. Exact on a quiescent
+    * deadlock (every participant is parked in `awaiting`, edges stable);
+    * transiently missing edges only delay detection one poll — a false
+    * negative retries, and a stale edge for a thread that just completed
+    * its flight resolves on the next poll when the join succeeds.
+    */
+  private def cycleDetected(startKey: String): Boolean = {
+    val me = Thread.currentThread()
+    var k = startKey
+    var hops = 0
+    while (hops < 10000) {
+      val owner = owners.get(k)
+      if (owner == null) return false // flight done/failed: join will resolve
+      if (owner eq me) return true
+      val next = awaiting.get(owner)
+      if (next == null) return false // owner is running, not blocked
+      k = next
+      hops += 1
+    }
+    false
+  }
 
   /** Drop one key (reference `invalidate`). */
   def invalidate(key: String): Unit =

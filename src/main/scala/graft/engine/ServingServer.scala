@@ -63,9 +63,11 @@ import java.util.concurrent.{LinkedBlockingQueue, ThreadPoolExecutor, TimeUnit}
   *     anything else           -> `ERR INVALID_ARGUMENT unknown method`
   *     execution failure       -> `ERR INTERNAL <first line of message>`
   *
-  * Scale/robustness: accept loop + worker pool are daemon threads; each
-  * DO_GET streams through `toLocalIterator`, holding at most one partition
-  * and one Arrow batch in driver memory regardless of result size. The
+  * Scale/robustness: accept loop + worker pool are daemon threads; a SQL
+  * DO_GET streams through `toLocalIterator` (at most one partition on the
+  * driver), and a TICKET DO_GET pages its partition in `ticketChunkRows`
+  * slices (at most one chunk on the driver — a skewed multi-GB partition
+  * cannot OOM the serving tier). The
   * pool is BOUNDED (maxWorkers threads, 2x queue, overflow refused with
   * `ERR RESOURCE_EXHAUSTED`) and the request line has a read timeout
   * (`ERR DEADLINE_EXCEEDED`), so idle or slow-loris clients can neither
@@ -88,7 +90,12 @@ final class ServingServer(
     // RDD until LRU eviction or close — the cap is what keeps a client
     // looping flight-info from accumulating persisted results. Size it to
     // how many in-flight result sets the executors can afford to cache.
-    maxFlights: Int = 32
+    maxFlights: Int = 32,
+    // per-ticket streaming unit: a ticket fetch holds at most this many
+    // rows on the driver at once (each chunk is one bounded job over the
+    // persisted flight RDD), so a skewed multi-GB partition can't OOM the
+    // serving tier. Small values trade extra jobs for tighter memory.
+    ticketChunkRows: Int = 1 << 16
 ) extends AutoCloseable {
 
   private val unimplemented = Set(
@@ -200,9 +207,9 @@ final class ServingServer(
           if (payload.isEmpty)
             status("ERR INVALID_ARGUMENT No SQL command in request")
           else {
-            // query-only guard (ServingShim.flightInfo rejects commands,
-            // which session.execute would otherwise run eagerly)
-            session.serving.flightInfo(payload)
+            // query-only guard (parse-level, no analysis: the execute on
+            // the next line is the ONE parse+analyze this request pays)
+            session.serving.requireQuery(payload)
             val (schema, rdd) = org.apache.spark.sql.GraftArrowBridge
               .resultRdd(session.execute(payload))
             rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -241,15 +248,21 @@ final class ServingServer(
                 s"ERR INVALID_ARGUMENT ticket partition $i out of range " +
                   s"(flight has ${f.rdd.getNumPartitions})")
             case (Some(f), i) =>
-              // collect the one partition BEFORE the OK: execution failures
-              // must arrive as a status line, not a truncated Arrow stream
-              val rows = org.apache.spark.sql.GraftArrowBridge
-                .partitionRows(session.spark, f.rdd, i)
+              // stream the partition in bounded chunks. The FIRST chunk is
+              // executed BEFORE the OK, so execution failures still arrive
+              // as a status line; driver memory is then bounded by one
+              // chunk (ticketChunkRows rows), not the whole partition. A
+              // chunk-fetch failure mid-stream falls under the same
+              // contract as DO_GET mid-stream: abort the connection, never
+              // splice text into Arrow bytes.
+              val chunks = org.apache.spark.sql.GraftArrowBridge
+                .partitionChunks(session.spark, f.rdd, i, ticketChunkRows)
+              val first = chunks.next()
               status("OK")
               org.apache.spark.sql.GraftArrowBridge.writeRows(
                 f.schema,
                 session.spark.sessionState.conf.sessionLocalTimeZone,
-                rows.iterator,
+                first.iterator ++ chunks.flatMap(_.iterator),
                 batchSize,
                 out
               )

@@ -25,6 +25,17 @@ final class ServingShim(session: GraftSession, batchSize: Int = 1024) {
     * state-mutating call — they are rejected at parse time instead.
     */
   def flightInfo(sql: String): StructType = {
+    requireQuery(sql)
+    session.execute(sql).schema
+  }
+
+  /** The command guard alone — parse + reject commands/DML, NO analysis.
+    * Callers that go on to execute the SQL themselves use this so the
+    * statement is parsed and analyzed once, not twice (the schema-probe
+    * analysis [[flightInfo]] adds is pure waste when the caller's own
+    * `execute` produces the schema anyway).
+    */
+  def requireQuery(sql: String): Unit = {
     val parsed = session.spark.sessionState.sqlParser.parsePlan(sql)
     val mutating = parsed.exists {
       case _: org.apache.spark.sql.catalyst.plans.logical.Command             => true
@@ -33,7 +44,6 @@ final class ServingShim(session: GraftSession, batchSize: Int = 1024) {
     }
     require(!mutating,
       "flightInfo plans queries only; commands/DML would execute eagerly")
-    session.execute(sql).schema
   }
 
   /** Execute and stream: schema + an iterator of row batches (each at most

@@ -392,24 +392,37 @@ object Multimodal {
         // recovers that frame, and since a segment length is <= 65535 the
         // re-walked span is constant-bounded — still amortized linear.
         var lastJump = start + 2
+        // a length jump is SUSPECT only until the walk parses the next
+        // marker at its target; after that the segment is confirmed.
+        // Breaks at a confirmed position resync AT the break (breakPos) —
+        // resyncing from lastJump there would rescan a trusted segment's
+        // payload, and an EXIF APP1 payload holds a complete thumbnail
+        // JPEG the rescan would wrongly emit as a standalone frame. Only
+        // a break exactly AT an unconfirmed jump target blames the length
+        // (breakPos = -1) and rescans from it.
+        var breakPos = -1
+        var jumpTarget = -1
         while (j < n && end < 0 && !broken) {
           if (!inScan) {
             // marker-segment section: expect FF <marker>
-            if (j + 1 >= n || b(j) != 0xff) broken = true
-            else b(j + 1) match {
+            if (j + 1 >= n || b(j) != 0xff) {
+              broken = true
+              if (j != jumpTarget) breakPos = j // confirmed position: no rescan behind it
+            } else b(j + 1) match {
               case 0xd9 => end = j + 2 // EOI with no scan (degenerate, legal)
               case m if m >= 0xd0 && m <= 0xd7 => j += 2 // RST (no length)
               case 0xff => j += 1 // fill byte before a marker
               case 0x01 => j += 2 // TEM (no length)
               case m =>
-                if (j + 3 >= n) broken = true
+                if (j + 3 >= n) { broken = true; breakPos = j }
                 else {
                   val len = (b(j + 2) << 8) | b(j + 3) // includes its 2 bytes
-                  if (len < 2 || j + 2 + len > n) broken = true
+                  if (len < 2 || j + 2 + len > n) { broken = true; breakPos = j }
                   else {
                     if (m == 0xda) inScan = true // SOS: entropy data follows
                     lastJump = j + 2
                     j += 2 + len
+                    jumpTarget = j
                   }
                 }
             }
@@ -429,13 +442,18 @@ object Multimodal {
         }
         if (end > 0) { frames += ((start, end)); i = end }
         else if (broken)
-          // resync past the last trusted length jump: one corrupt frame
-          // drops only itself, INCLUDING when its bogus segment length
-          // landed the walk beyond the next frame's SOI (that SOI gets
-          // rescanned). Never before start+2, so the outer scan always
-          // advances; never re-walking more than one <=64KB segment span
-          // keeps the demux amortized-linear even on adversarial bytes.
-          i = math.max(start + 2, lastJump)
+          // resync point depends on WHAT broke:
+          //  - length check failed at marker breakPos: no jump was taken
+          //    with a bad length, so resync at that marker — never inside
+          //    an earlier (confirmed) segment's payload, whose embedded
+          //    thumbnail JPEG must not become a frame;
+          //  - structure broke after a jump: the LAST length is the
+          //    suspect — rescan from its position, recovering a next-frame
+          //    SOI a bogus length jumped over. One corrupt frame drops
+          //    only itself; never before start+2, so the outer scan always
+          //    advances, and never re-walking more than one <=64KB segment
+          //    span keeps the demux amortized-linear on adversarial bytes.
+          i = math.max(start + 2, if (breakPos >= 0) breakPos else lastJump)
         else i = n // clean truncation at payload end: nothing left
       } else i += 1
     }

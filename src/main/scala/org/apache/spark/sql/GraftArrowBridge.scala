@@ -92,6 +92,55 @@ object GraftArrowBridge {
       .runJob(rdd, (it: Iterator[InternalRow]) => it.toArray, Seq(partition))
       .head
 
+  /** One bounded slice of a flight partition: rows [start, start+n). The
+    * per-ticket streaming unit — each call is one job that materializes at
+    * most `n` rows on the driver, however large the partition is.
+    */
+  def partitionChunk(
+      spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[InternalRow],
+      partition: Int,
+      start: Int,
+      n: Int
+  ): Array[InternalRow] =
+    spark.sparkContext
+      .runJob(
+        rdd,
+        (it: Iterator[InternalRow]) => it.slice(start, start + n).toArray,
+        Seq(partition))
+      .head
+
+  /** Lazily page through one flight partition in `chunkRows`-row slices —
+    * driver memory is bounded by ONE chunk instead of the whole partition.
+    * Each pull is a job over the (persisted) flight RDD: the partition's
+    * cached columnar/row form is re-iterated to the slice offset, which is
+    * a memory-for-CPU trade the serving tier makes knowingly — the cache
+    * makes the re-iteration a cheap in-memory skip, and the alternative
+    * (whole partition on the driver) is exactly the reference's
+    * collect-everything shape this layer exists to avoid
+    * (api/src/lib.rs:92-98). Ends on the first short chunk.
+    */
+  def partitionChunks(
+      spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[InternalRow],
+      partition: Int,
+      chunkRows: Int
+  ): Iterator[Array[InternalRow]] = {
+    require(chunkRows > 0)
+    val part = partition // Iterator has a `partition` member; don't shadow
+    new Iterator[Array[InternalRow]] {
+      private var start = 0
+      private var lastWasShort = false
+      def hasNext: Boolean = !lastWasShort
+      def next(): Array[InternalRow] = {
+        val chunk = partitionChunk(spark, rdd, part, start, chunkRows)
+        start += chunk.length
+        lastWasShort = chunk.length < chunkRows
+        chunk
+      }
+    }
+  }
+
   /** Stream already-materialized InternalRows as Arrow IPC record batches
     * of `batchSize` rows — shared by the full-result and per-ticket paths.
     */

@@ -156,12 +156,43 @@ class EngineSpec extends SparkTestBase {
     c.clear()
   }
 
-  test("cross-key builder cycle breaks via bounded wait instead of deadlocking") {
+  test("a slow build is NOT broken: builder-waiters wait it out, zero duplicate work") {
+    import spark.implicits._
+    // the old 30 s timeout fallback duplicated any heavy build a waiting
+    // builder outlasted; real cycle detection must NOT fire here — the
+    // slow flight (well past many poll intervals) completes exactly once
+    val c = new graft.engine.ResultCache(spark, cyclePollMs = 20L)
+    val builds = new java.util.concurrent.atomic.AtomicInteger()
+    val slowEntered = new CountDownLatch(1)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val slow = new Thread(() =>
+      try c.getOrPut("slow-key") {
+        slowEntered.countDown()
+        Thread.sleep(1000) // >> cyclePollMs: many polls, still no cycle
+        builds.incrementAndGet()
+        Seq(1).toDF("v")
+      }: Unit
+      catch { case e: Throwable => errors.add(e) })
+    slow.setDaemon(true); slow.start()
+    assert(slowEntered.await(30, TimeUnit.SECONDS))
+    // this thread is a BUILDER of another key when it joins slow-key's
+    // flight — exactly the waiter class the old timeout would break
+    val out = c.getOrPut("outer-key") {
+      c.getOrPut("slow-key")(fail("duplicate build ran"))
+    }
+    slow.join(30000)
+    assert(out.head().getInt(0) === 1)
+    assert(builds.get() === 1, "slow build must run exactly once")
+    assert(errors.isEmpty, s"slow builder threw: ${errors.peek()}")
+    c.clear()
+  }
+
+  test("cross-key builder cycle breaks via wait-graph detection instead of deadlocking") {
     import spark.implicits._
     // A's builder asks for B while B's builder asks for A — with unbounded
     // joins both threads wait on each other's flight forever. The guard
-    // gives BUILDER threads a bounded wait and a direct-compute fallback.
-    val c = new graft.engine.ResultCache(spark, flightWaitMs = 500L)
+    // follows owner->awaited edges and breaks only on the REAL cycle.
+    val c = new graft.engine.ResultCache(spark, cyclePollMs = 50L)
     val aInstalled = new CountDownLatch(1)
     val bInstalled = new CountDownLatch(1)
     val done = new CountDownLatch(2)
@@ -187,7 +218,7 @@ class EngineSpec extends SparkTestBase {
     worker("cyc-a", "cyc-b", aInstalled, bInstalled)
     worker("cyc-b", "cyc-a", bInstalled, aInstalled)
     assert(done.await(120, TimeUnit.SECONDS),
-      "cross-key builders deadlocked — bounded wait did not fire")
+      "cross-key builders deadlocked — cycle detection did not fire")
     assert(errors.isEmpty, s"cycle breaker threw: ${errors.peek()}")
     assert(results.get("cyc-a") === 2 && results.get("cyc-b") === 2)
     c.clear()

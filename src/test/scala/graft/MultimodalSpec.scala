@@ -188,6 +188,37 @@ class MultimodalSpec extends SparkTestBase {
       "the frame the bogus length jumped over must be recovered")
   }
 
+  test("resync never emits a trusted APP1's embedded thumbnail as a frame") {
+    import spark.implicits._
+    // adversarial camera frame: a VALID APP1 carrying a complete thumbnail
+    // JPEG, then a LATER segment whose length check fails. The old resync
+    // (rescan from the last length jump) walked back INTO the trusted APP1
+    // payload and emitted the thumbnail as a standalone frame; the fix
+    // resyncs at the corrupt marker, past every confirmed payload.
+    val thumb = jpeg(8, 8, 0xf0f0f0) // bright: detectable if wrongly emitted
+    val dark = jpeg(16, 16, 0x101010)
+    val payload = Array[Byte]('E', 'x', 'i', 'f', 0, 0) ++ thumb
+    val app1 = Array(0xff.toByte, 0xe1.toByte,
+      (((payload.length + 2) >> 8) & 0xff).toByte,
+      ((payload.length + 2) & 0xff).toByte) ++ payload
+    // corrupt DQT right after the APP1: declared length 1 (< 2 = invalid)
+    val badSeg = Array(0xff.toByte, 0xdb.toByte, 0x00.toByte, 0x01.toByte)
+    val brokenFrame =
+      Array(0xff.toByte, 0xd8.toByte) ++ app1 ++ badSeg ++ Array.fill[Byte](64)(0)
+    val container = brokenFrame ++ dark
+    val rec = Seq(
+      MediaRecord(13L, "mem://thumb.mjpeg", container,
+        MediaMeta("video/mjpeg", 16, 16, 2))
+    ).toDS()
+    val frames = Multimodal.sampleFrames(rec, every = 1).collect().toSeq
+    assert(frames.map(_.frameIdx) === Seq(0),
+      s"only the trailing real frame, got ${frames.map(f => (f.frameIdx, f.nBytes))}")
+    assert(frames.head.nBytes === dark.length.toLong,
+      "the emitted frame must be the real dark frame, not the thumbnail")
+    assert(frames.head.brightness < 40,
+      "a bright frame here means the embedded thumbnail leaked out")
+  }
+
   private def wav(freqHz: Double, amplitude: Double, rateHz: Float, nFrames: Int): Array[Byte] = {
     val data = new Array[Byte](nFrames * 2)
     for (i <- 0 until nFrames) {

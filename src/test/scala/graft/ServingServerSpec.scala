@@ -99,6 +99,41 @@ class ServingServerSpec extends SparkTestBase {
     }
   }
 
+  test("ticket DO_GET pages a huge single-partition flight in bounded chunks") {
+    // one skewed partition, tiny chunk unit: the server must stream it
+    // chunk-by-chunk (≤ ticketChunkRows rows on the driver per pull)
+    // and the stitched stream must be row-exact, including across chunk
+    // boundaries and the exact-multiple edge below
+    val srv = new ServingServer(session, ticketChunkRows = 64).start()
+    try {
+      val sql =
+        "SELECT id, id * 7 AS y FROM range(10000) DISTRIBUTE BY 1" // 1 shuffle partition
+      val info = ServingClient.getFlightInfo(srv.boundPort, sql)
+      assert(info.isOk, info.status)
+      val bigTickets = info.tickets
+      val parts = bigTickets.map(t => ServingClient.doGetTicket(srv.boundPort, t))
+      parts.foreach(r => assert(r.isOk, r.status))
+      val rows = parts.flatMap(_.rows)
+        .map(r => (r.head.toString.toLong, r(1).toString.toLong))
+      assert(rows.size === 10000)
+      assert(rows.toSet === (0L until 10000L).map(i => (i, i * 7)).toSet)
+    } finally srv.close()
+
+    // the chunk iterator itself: bounded pulls, lossless total, and the
+    // exact-multiple edge (last chunk full -> one extra empty pull, not
+    // a duplicate or a miss)
+    val (_, rdd) = org.apache.spark.sql.GraftArrowBridge
+      .resultRdd(spark.sql("SELECT id FROM range(256) DISTRIBUTE BY 1"))
+    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val chunks = org.apache.spark.sql.GraftArrowBridge
+        .partitionChunks(spark, rdd, 0, 64).toSeq
+      assert(chunks.map(_.length) === Seq(64, 64, 64, 64, 0))
+      val ids = chunks.flatMap(_.map(_.getLong(0))).sorted
+      assert(ids === (0L until 256L).toSeq)
+    } finally rdd.unpersist(false)
+  }
+
   test("GET_SCHEMA plans a SQL payload's schema with zero execution") {
     withServer { srv =>
       val r = ServingClient.getSchema(
