@@ -93,6 +93,13 @@ object GraftSession {
       .config("spark.sql.files.maxPartitionBytes", (2 * 1024 * 1024).toString)
       .config("spark.sql.files.openCostInBytes", (512 * 1024).toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // lake-scale DPP profile: by default Spark only prunes partitions
+      // dynamically when it can piggyback on an existing broadcast; a
+      // partition-heavy deployment also wants the SUBQUERY path (dim too
+      // big to broadcast / merge-joined), where skipping whole partition
+      // dirs of a 100 TB fact dwarfs the cost of one extra dim scan. The
+      // planner's useStats benefit check still gates each injection.
+      .config("spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly", "false")
       .config("spark.sql.session.timeZone", "UTC")
       // events.parquet carries TIMESTAMP(NANOS); read as LongType nanos
       // instead of failing the whole scan (queries re-type via QueryUtil).

@@ -284,6 +284,48 @@ object SourceQueries {
           |GROUP BY 1 ORDER BY 1""".stripMargin
       )
     ),
+    // The SECOND DPP shape: subquery pruning WITHOUT a broadcast to reuse.
+    // The dim is merge-join-hinted (stand-in for a dim too big to
+    // broadcast), so there is no broadcast result to piggyback on —
+    // with reuseBroadcastOnly=false (GraftSession default) Catalyst
+    // instead runs the filtered dim as its OWN pruning subquery and the
+    // fact scan still reads 3 of 168 month dirs (PlanSpec pins the
+    // SortMergeJoin + DynamicPruningExpression + partitions-read=3).
+    Q(
+      "q_dpp_subquery",
+      (s, dir) => {
+        val fact = graft.sources.PartitionedTables.ordersByMonth(s, dir)
+        val dim = graft.sources.PartitionedTables.monthDim(s, "1992-01-01", 168)
+        fact
+          .join(
+            dim.filter($"quarter" === "1996-Q3").hint("merge"),
+            $"o_month" === $"month"
+          )
+          .groupBy($"o_month")
+          .agg(
+            count(lit(1)).as("n_orders"),
+            // FP-exact avg: exact decimal sum -> double, / exact count —
+            // one IEEE division both engines perform identically (decimal
+            // avg would round at engine-specific scales)
+            (asDouble(sum(dec2($"o_totalprice"))) / count(lit(1)))
+              .as("avg_price")
+          )
+          .orderBy($"o_month")
+      },
+      Some(
+        """WITH dim AS (
+          |  SELECT CAST(d AS DATE) AS month,
+          |         CAST(year(d) AS VARCHAR) || '-Q' || CAST(quarter(d) AS VARCHAR) AS quarter
+          |  FROM generate_series(TIMESTAMP '1992-01-01', TIMESTAMP '2005-12-01', INTERVAL 1 MONTH) t(d)
+          |)
+          |SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS o_month,
+          |       count(*) AS n_orders,
+          |       CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) / count(*) AS avg_price
+          |FROM orders JOIN dim ON CAST(date_trunc('month', o_orderdate) AS DATE) = dim.month
+          |WHERE dim.quarter = '1996-Q3'
+          |GROUP BY 1 ORDER BY 1""".stripMargin
+      )
+    ),
     // Result cache on the driver-contract path: cache a query's result
     // under a key, then serve a follow-up query FROM the cached table —
     // the reference cache's put/get round-trip (cache/src/lib.rs:38-50)

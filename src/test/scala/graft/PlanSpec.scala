@@ -171,6 +171,37 @@ class PlanSpec extends SparkTestBase {
     assert(read === 3, s"expected 3 partitions read after dynamic pruning, got $read")
   }
 
+  test("q_dpp_subquery prunes via a pruning SUBQUERY with no broadcast to reuse") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    val df = Registry.byName("q_dpp_subquery").fn(s2, SparkTestBase.Sf0001)
+    df.collect()
+
+    // the dim join is a SortMergeJoin (merge hint honored): there is no
+    // broadcast result for DPP to piggyback on — this IS the second shape
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(formatted.contains("SortMergeJoin"),
+      "dim join must be merge, not broadcast:\n" + formatted.take(3000))
+
+    val factScans = df.queryExecution.executedPlan
+      .collect { case s: FileSourceScanExec => s }
+      .filter(_.partitionFilters.nonEmpty)
+    assert(factScans.nonEmpty, "no partitioned fact scan in the plan")
+    val scan = factScans.head
+    assert(
+      scan.partitionFilters.exists(_.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.DynamicPruningExpression])),
+      "fact scan carries no DynamicPruningExpression:\n" + scan.toString.take(2000))
+    // the pruning filter runs as its OWN subquery, not a broadcast reuse
+    assert(!scan.toString.contains("SubqueryBroadcast"),
+      "expected a plain pruning subquery, found broadcast reuse:\n" +
+        scan.toString.take(2000))
+    val read = scan.metrics("numPartitions").value
+    assert(read === 3, s"expected 3 partitions read after subquery pruning, got $read")
+  }
+
   test("every registered query plans without error at sf0.001") {
     Registry.all.foreach { q =>
       val df = q.fn(spark, SparkTestBase.Sf0001)
