@@ -57,9 +57,14 @@ object ScaleProbe {
     *    block), so exact/jaccard/minhash/simhash all see a LINEARLY
     *    growing population of true positives at every scale.
     */
-  private def genCorpus(spark: SparkSession, n: Long): DataFrame = {
+  /** Synthetic corpus with planted duplicates: the first `planted` ids of
+    * every 100-id block share content (planted = 2 plants PAIRS, the
+    * operator probes' shape; planted = 3 plants TRANSITIVE TRIPLES —
+    * pairwise edges (a,b),(a,c),(b,c) — the connected-components shape).
+    */
+  private def genCorpus(spark: SparkSession, n: Long, planted: Int = 2): DataFrame = {
     val seed =
-      when(pmod(col("id"), lit(100)) < 2, col("id") - pmod(col("id"), lit(100)))
+      when(pmod(col("id"), lit(100)) < planted, col("id") - pmod(col("id"), lit(100)))
         .otherwise(col("id"))
     spark
       .range(n)
@@ -87,12 +92,13 @@ object ScaleProbe {
     // core | extras | dedup | sim | text | events | serve | all
     val which = args.headOption.getOrElse("all")
     val groups =
-      Set("all", "core", "extras", "dedup", "sim", "text", "events", "serve")
+      Set("all", "core", "core10x", "extras", "dedup", "sim", "text", "events", "serve")
     // a typo'd group would otherwise spin up Spark, run NOTHING, and exit
     // 0 — indistinguishable from "probe found nothing"
     require(groups(which), s"unknown probe group '$which' (one of: ${groups.mkString(", ")})")
     val spark = GraftSession.local(appName = "graft-scale-probe").spark
     if (which == "all" || which == "core") coreProbe(spark)
+    if (which == "all" || which == "core10x") bench10xProbe(spark)
     if (which == "all" || which == "extras") {
       skewProbe(spark)
       bucketProbe(spark)
@@ -261,6 +267,100 @@ object ScaleProbe {
     }
   }
 
+  /** The WHOLE bench family (the 15 headline queries Bench.scala times at
+    * sf0.1) re-run at 10x the sf0.1 volume — the direct "would the plans
+    * you benchmark survive a scale-up" measurement for the core shapes,
+    * complementing the synthetic coreProbe. A 10x fixture directory is
+    * materialized once: every fact table is replicated 10x with join keys
+    * shifted by a copy stride (cardinalities scale, joins stay correct),
+    * dims (nation/region) stay fixed like real dims do, and document text
+    * is salted per copy (every third token tagged) so cross-copy near-dup
+    * pairs don't exist and planted dup DENSITY stays constant — without
+    * the salt, every doc would gain 9 twins and the dedup queries would
+    * measure a data artifact, not the operator.
+    */
+  private def bench10xProbe(spark: SparkSession): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val copies = 10
+    val dir10 = materializeReplicatedDir(spark, sfDir, copies)
+    val qs = graft.queries.Registry.all.filter(_.bench)
+    def runOnce(q: graft.queries.Q, dir: String): Double = {
+      val t0 = System.nanoTime()
+      try q.fn(spark, dir).write.format("noop").mode("overwrite").save()
+      finally graft.engine.PersistScope.releaseAll()
+      (System.nanoTime() - t0) / 1e9
+    }
+    qs.foreach(q => runOnce(q, sfDir)) // warmup pass, discarded
+    val t1 = qs.map(q => q.name -> runOnce(q, sfDir)).toMap
+    val t10 = qs.map(q => q.name -> runOnce(q, dir10)).toMap
+    println(s"--- bench family at 10x sf0.1 volume ($copies key-shifted copies) ---")
+    qs.foreach { q =>
+      val (a, b) = (t1(q.name), t10(q.name))
+      println(f"${q.name}%-20s 1x: $a%7.2f s   10x: $b%7.2f s   ratio: ${b / a}%6.2f")
+    }
+    val (s1, s10) = (t1.values.sum, t10.values.sum)
+    println(f"${"total"}%-20s 1x: $s1%7.2f s   10x: $s10%7.2f s   ratio: ${s10 / s1}%6.2f")
+  }
+
+  /** Materialize (once per process+sf) a parquet dir with every fixture
+    * table replicated `copies` times: key columns shifted by
+    * `copy * KeyStride` (one global stride keeps every join consistent),
+    * dims copied once, document text salted per copy (see bench10xProbe).
+    */
+  private def materializeReplicatedDir(
+      spark: SparkSession, sfDir: String, copies: Int): String = {
+    val KeyStride = 1L << 40
+    val root = graft.engine.TempDirs
+      .workspace("graft-bench10x", s"tables-${copies}x", sfDir)
+    graft.engine.TempDirs.materializeOnce(root)(
+      java.nio.file.Files.exists(root.resolve("_SUCCESS"))) {
+      val shifted: Map[String, Seq[String]] = Map(
+        "orders" -> Seq("o_orderkey", "o_custkey"),
+        "lineitem" -> Seq("l_orderkey", "l_suppkey", "l_partkey"),
+        "customer" -> Seq("c_custkey"),
+        "supplier" -> Seq("s_suppkey"),
+        "part" -> Seq("p_partkey"),
+        "partsupp" -> Seq("ps_partkey", "ps_suppkey"),
+        "documents" -> Seq("doc_id"),
+        "embeddings" -> Seq("vec_id"),
+        "events" -> Seq("event_id", "user_id")
+      )
+      val dims = Seq("nation", "region")
+      java.nio.file.Files.createDirectories(root)
+      dims.foreach { t =>
+        val src = s"$sfDir/$t.parquet"
+        if (java.nio.file.Files.exists(java.nio.file.Paths.get(src)))
+          spark.read.parquet(src).write.mode("overwrite")
+            .parquet(root.resolve(s"$t.parquet").toString)
+      }
+      shifted.foreach { case (t, keys) =>
+        val src = s"$sfDir/$t.parquet"
+        if (java.nio.file.Files.exists(java.nio.file.Paths.get(src))) {
+          val base = spark.read.parquet(src)
+          val out = (0 until copies).map { i =>
+            val shiftedDf = keys.foldLeft(base) { (df, k) =>
+              df.withColumn(k, col(k) + lit(i.toLong * KeyStride))
+            }
+            if (t == "documents" && i > 0) {
+              // salt: tag every third token (offset by copy) so every
+              // 3-gram shingle differs across copies — cross-copy
+              // jaccard is 0 while intra-copy planted dups survive
+              shiftedDf.withColumn(
+                "text",
+                concat_ws(" ",
+                  transform(split(col("text"), " "), (tok, p) =>
+                    when(pmod(p, lit(3)) === lit(i % 3),
+                      concat(tok, lit(s"_c$i"))).otherwise(tok))))
+            } else shiftedDf
+          }.reduce(_.union(_))
+          out.write.mode("overwrite").parquet(root.resolve(s"$t.parquet").toString)
+        }
+      }
+      java.nio.file.Files.createFile(root.resolve("_SUCCESS")): Unit
+    }
+    root.toString
+  }
+
   /** The dedup family pushed to 30x and 100x (round-6 VERDICT #3): full
     * end-to-end operator pipelines — exact content-hash dedup, capped
     * shingle-Jaccard, MinHash-LSH with candidate verification, SimHash
@@ -271,7 +371,7 @@ object ScaleProbe {
     */
   private def dedupScaleProbe(spark: SparkSession): Unit = {
     val base = 20000L
-    val nOps = 6
+    val nOps = 7
     val resultsAll = Seq(1L, 1L, 30L, 100L).flatMap { mult =>
       val n = base * mult
       val docs = genCorpus(spark, n).cache()
@@ -327,11 +427,44 @@ object ScaleProbe {
         graft.engine.PersistScope.releaseAll()
       }
       docs.unpersist()
-      Seq(exact, jac, mh, sh, bld, incr)
+
+      // connected components (q_dedup_clusters' engine): planted TRANSITIVE
+      // TRIPLES so clusters have real diameter, edges from the production
+      // LSH pair pipeline. Pairs/edges are pinned OUTSIDE the timer — the
+      // pair generation cost is the minhash_full row above; this row is
+      // the min-label fixpoint itself, with its iteration count.
+      val triples = genCorpus(spark, n, planted = 3).cache()
+      triples.count()
+      val pairs = graft.engine.PersistScope.pinEager(
+        graft.queries.DedupQueries
+          .minhashPairs(triples, 0.5)
+          .select(col("doc_a"), col("doc_b")))
+      val edges = graft.engine.PersistScope.pinEager(
+        pairs
+          .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+          .toDF("src", "dst"))
+      val clus = time(s"dedup_clusters_${mult}x", n) {
+        val (labels, it) = graft.queries.DedupQueries
+          .minLabelPropagationWithIters(edges)
+        clusterIters(s"dedup_clusters_${mult}x") = it
+        labels
+          .select(
+            col("node").as("doc_id"),
+            col("label").as("cluster_id"),
+            (col("node") === col("label")).as("is_keeper"))
+          .write.format("noop").mode("overwrite").save()
+        labels.unpersist(blocking = false)
+      }
+      graft.engine.PersistScope.releaseAll()
+      triples.unpersist()
+      Seq(exact, jac, mh, sh, bld, incr, clus)
     }
     val results = resultsAll.drop(nOps) // drop the warmup group
     println("--- dedup family at 30x/100x (base 20k docs; planted dups; 64k vocab) ---")
-    results.foreach { case (l, rows, s) => println(f"$l%-22s rows=$rows%9d  $s%8.2f s") }
+    results.foreach { case (l, rows, s) =>
+      val iters = clusterIters.get(l).map(i => s"  iters=$i").getOrElse("")
+      println(f"$l%-22s rows=$rows%9d  $s%8.2f s$iters")
+    }
     println("--- time ratios vs 1x (linear = the multiplier itself) ---")
     (0 until nOps).foreach { i =>
       val (l1, _, s1) = results(i)
@@ -340,6 +473,8 @@ object ScaleProbe {
       println(f"${l1.stripSuffix("_1x")}%-22s 30x: ${s30 / s1}%7.1f   100x: ${s100 / s1}%7.1f")
     }
   }
+
+  private val clusterIters = scala.collection.mutable.Map.empty[String, Int]
 
   /** Synthetic embedding table: 64-dim float vectors with values in
     * [-1, 1), plus a 100-way label column (the coarse blocking key).

@@ -698,7 +698,17 @@ object DedupQueries {
   private[graft] def minLabelPropagation(
       edges: DataFrame,
       maxIters: Int = 50
-  ): DataFrame = {
+  ): DataFrame = minLabelPropagationWithIters(edges, maxIters)._1
+
+  /** [[minLabelPropagation]] plus the iteration count it converged in —
+    * the scale probe records it (iterations = component diameter + 1
+    * confirm pass; planted dup clusters are shallow, so a growing count
+    * at scale would flag a data problem before a time problem).
+    */
+  private[graft] def minLabelPropagationWithIters(
+      edges: DataFrame,
+      maxIters: Int = 50
+  ): (DataFrame, Int) = {
     val nodes = edges.select($"src".as("node")).distinct()
     var labels = nodes.select($"node", $"node".as("label")).persist()
     var converged = false
@@ -739,7 +749,7 @@ object DedupQueries {
           "unconverged cluster ids"
       )
     }
-    labels
+    (labels, iter)
   }
 
   /** Label-blocked cosine near-dup pairs (shared by the baseline query and
