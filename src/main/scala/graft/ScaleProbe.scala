@@ -290,7 +290,13 @@ object ScaleProbe {
       finally graft.engine.PersistScope.releaseAll()
       (System.nanoTime() - t0) / 1e9
     }
-    qs.foreach(q => runOnce(q, sfDir)) // warmup pass, discarded
+    // warmup passes on BOTH dirs, discarded: JIT/codegen AND the one-time
+    // per-directory fixture materializations some bench queries make
+    // (CSV/JSONL copies for the source queries, the DPP layout) — without
+    // the dir10 warmup those builds would land inside the timed 10x run
+    // and inflate exactly the ratios this probe measures
+    qs.foreach(q => runOnce(q, sfDir))
+    qs.foreach(q => runOnce(q, dir10))
     val t1 = qs.map(q => q.name -> runOnce(q, sfDir)).toMap
     val t10 = qs.map(q => q.name -> runOnce(q, dir10)).toMap
     println(s"--- bench family at 10x sf0.1 volume ($copies key-shifted copies) ---")
@@ -370,6 +376,7 @@ object ScaleProbe {
     * the multiplier is a super-linear step that will not survive 100 TB.
     */
   private def dedupScaleProbe(spark: SparkSession): Unit = {
+    clusterIters.clear()
     val base = 20000L
     val nOps = 7
     val resultsAll = Seq(1L, 1L, 30L, 100L).flatMap { mult =>
@@ -474,6 +481,11 @@ object ScaleProbe {
     }
   }
 
+  // iteration counts smuggled out of the timed clusters closure, keyed by
+  // the same label the timing rows use. The warmup group's "_1x" entry is
+  // overwritten by the real 1x run (identical label, written later), which
+  // is the value the print wants; cleared per probe call so a second
+  // in-process run can't inherit stale entries.
   private val clusterIters = scala.collection.mutable.Map.empty[String, Int]
 
   /** Synthetic embedding table: 64-dim float vectors with values in

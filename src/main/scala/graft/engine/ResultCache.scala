@@ -181,6 +181,11 @@ final class ResultCache(
               // The winner's entry stays authoritative; this thread just
               // pays duplicated work once. Re-check the cache first: the
               // winner may have landed while we waited.
+              // Drop our wait edge BEFORE the (possibly long) direct
+              // build: we are no longer blocked, and a stale edge would
+              // let other pollers "detect" cycles through us and cascade
+              // into duplicated builds of their own.
+              awaiting.remove(Thread.currentThread())
               return get(key).getOrElse(build)
             }
         }

@@ -454,6 +454,13 @@ object Multimodal {
           //    advances, and never re-walking more than one <=64KB segment
           //    span keeps the demux amortized-linear on adversarial bytes.
           i = math.max(start + 2, if (breakPos >= 0) breakPos else lastJump)
+        else if (j == jumpTarget)
+          // ran off the end EXACTLY at an unconfirmed length jump
+          // (j + 2 + len == n): indistinguishable from a corrupt length
+          // that swallowed the rest of the payload — same suspect-length
+          // treatment as a structure break, so a whole valid frame inside
+          // the jumped span is recovered instead of silently lost
+          i = math.max(start + 2, lastJump)
         else i = n // clean truncation at payload end: nothing left
       } else i += 1
     }

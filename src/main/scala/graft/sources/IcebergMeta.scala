@@ -211,7 +211,7 @@ object IcebergMeta {
       (idx, pf)
     }
 
-    val manifests = readManifestList(meta, snapshot)
+    val manifests = readManifestListFile(meta.root, snapshot.manifestList)
     var manifestsRead = 0
     var entriesSeen = 0
     val files = Seq.newBuilder[DataFile]
@@ -221,7 +221,7 @@ object IcebergMeta {
       }
       if (survives) {
         manifestsRead += 1
-        readManifest(meta, mf.path).foreach { e =>
+        readManifest(meta.root, mf.path).foreach { e =>
           entriesSeen += 1
           val live = e.status != 2 // DELETED files are not scanned (spec)
           val matches = prune.forall(p =>
@@ -233,14 +233,22 @@ object IcebergMeta {
     ScanPlan(files.result(), manifests.size, manifestsRead, entriesSeen)
   }
 
-  private final case class ManifestFile(
+  /** One manifest_file row of a manifest list; also the writer's
+    * carry-over unit (length + added_snapshot_id round-trip through it).
+    */
+  private[sources] final case class ManifestFile(
       path: String,
+      length: Long,
+      addedSnapshotId: Long,
       summaries: Seq[(Boolean, Option[Array[Byte]], Option[Array[Byte]])])
 
-  private final case class ManifestEntry(status: Int, dataFile: DataFile)
+  /** One manifest_entry row; also the writer's delete-rewrite unit. */
+  private[sources] final case class ManifestEntry(
+      status: Int, snapshotId: Long, dataFile: DataFile)
 
-  private def readManifestList(meta: TableMeta, snapshot: Snapshot): Seq[ManifestFile] =
-    readAvro(resolve(meta.root, snapshot.manifestList)) { rec =>
+  private[sources] def readManifestListFile(
+      root: Path, listPath: String): Seq[ManifestFile] =
+    readAvro(resolve(root, listPath)) { rec =>
       val summaries = Option(rec.get("partitions")) match {
         case Some(arr: java.util.Collection[_]) =>
           arr.asScala.toSeq.map { s =>
@@ -252,11 +260,16 @@ object IcebergMeta {
           }
         case _ => Seq.empty
       }
-      ManifestFile(rec.get("manifest_path").toString, summaries)
+      ManifestFile(
+        rec.get("manifest_path").toString,
+        rec.get("manifest_length").asInstanceOf[Long],
+        Option(rec.get("added_snapshot_id")).map(_.asInstanceOf[Long]).getOrElse(0L),
+        summaries)
     }
 
-  private def readManifest(meta: TableMeta, manifestPath: String): Seq[ManifestEntry] =
-    readAvro(resolve(meta.root, manifestPath)) { rec =>
+  private[sources] def readManifest(
+      root: Path, manifestPath: String): Seq[ManifestEntry] =
+    readAvro(resolve(root, manifestPath)) { rec =>
       val df = rec.get("data_file").asInstanceOf[GenericRecord]
       // v2 manifests carry data_file.content: 0=data, 1=position deletes,
       // 2=equality deletes. Delete FILES are merge-on-read state this
@@ -275,6 +288,7 @@ object IcebergMeta {
       }.toMap
       ManifestEntry(
         rec.get("status").asInstanceOf[Int],
+        Option(rec.get("snapshot_id")).map(_.asInstanceOf[Long]).getOrElse(0L),
         DataFile(
           df.get("file_path").toString,
           df.get("file_format").toString,
@@ -316,13 +330,19 @@ object IcebergMeta {
           value.asInstanceOf[Number].longValue(),
           ByteBuffer.wrap(bound).order(ByteOrder.LITTLE_ENDIAN).getLong)
       case "string" =>
-        value.toString.compareTo(new String(bound, StandardCharsets.UTF_8))
+        // spec order for string bounds is UNSIGNED BYTE-WISE comparison of
+        // the UTF-8 single-value binary (== code-point order) — Java
+        // String.compareTo is UTF-16 code-unit order, which sorts
+        // supplementary-plane characters (surrogates 0xD800-0xDFFF) below
+        // U+E000..U+FFFF and would prune manifests that hold matches
+        java.util.Arrays.compareUnsigned(
+          value.toString.getBytes(StandardCharsets.UTF_8), bound)
       case other =>
         throw new UnsupportedOperationException(
           s"Partition bound comparison for type '$other' not supported")
     }
 
-  private def valueEquals(stored: Any, wanted: Any): Boolean =
+  private[sources] def valueEquals(stored: Any, wanted: Any): Boolean =
     (stored, wanted) match {
       case (null, null)               => true
       case (null, _) | (_, null)      => false
@@ -334,7 +354,7 @@ object IcebergMeta {
   // helpers
   // ---------------------------------------------------------------------
 
-  private def readAvro[T](file: Path)(f: GenericRecord => T): Seq[T] = {
+  private[sources] def readAvro[T](file: Path)(f: GenericRecord => T): Seq[T] = {
     require(Files.exists(file), s"Iceberg avro metadata file missing: $file")
     val reader = new DataFileReader[GenericRecord](
       file.toFile, new GenericDatumReader[GenericRecord]())

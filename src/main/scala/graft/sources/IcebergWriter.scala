@@ -11,8 +11,7 @@ import com.fasterxml.jackson.databind.ObjectMapper
 import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
 import org.apache.avro.Schema
 import org.apache.avro.file.DataFileWriter
-import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
-import org.apache.avro.file.DataFileReader
+import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types._
 
@@ -68,9 +67,12 @@ object IcebergWriter {
         // makes to avoid the small-files problem
         df.repartition(org.apache.spark.sql.functions.col(colName))
           .write.partitionBy(colName).parquet(staging.resolve("out").toString)
-        val dirs = Files.list(staging.resolve("out")).iterator().asScala
-          .filter(p => Files.isDirectory(p) && p.getFileName.toString.contains("="))
-          .toSeq.sortBy(_.getFileName.toString)
+        val listing = Files.list(staging.resolve("out"))
+        val dirs =
+          try listing.iterator().asScala
+            .filter(p => Files.isDirectory(p) && p.getFileName.toString.contains("="))
+            .toSeq.sortBy(_.getFileName.toString)
+          finally listing.close()
         dirs.flatMap { dir =>
           val raw = dir.getFileName.toString.split("=", 2)(1)
           require(raw != "__HIVE_DEFAULT_PARTITION__",
@@ -100,13 +102,15 @@ object IcebergWriter {
     val groups = written.groupBy(_._1).toSeq.sortBy(_._1.values.mkString)
     val newManifests = groups.zipWithIndex.map { case ((ptuple, files), i) =>
       val entries = files.map { case (_, p) =>
-        ManifestEntryRec(
+        IcebergMeta.ManifestEntry(
           status = 1, // ADDED
           snapshotId = snapshotId,
-          filePath = p.toAbsolutePath.toString,
-          partition = ptuple,
-          recordCount = parquetRowCount(hadoopConf, p),
-          fileSize = Files.size(p))
+          IcebergMeta.DataFile(
+            p.toAbsolutePath.toString,
+            "PARQUET",
+            ptuple,
+            parquetRowCount(hadoopConf, p),
+            Files.size(p)))
       }
       val mpath = root.resolve("metadata")
         .resolve(f"manifest-$snapshotId%05d-$i%03d.avro")
@@ -114,7 +118,9 @@ object IcebergWriter {
       manifestRecord(mpath, snapshotId, partType, entries)
     }
 
-    val carried = prior.map(m => readManifestListRecords(m, currentManifestList(m)))
+    val carried = prior
+      .map(m => IcebergMeta.readManifestListFile(
+        m.root, currentManifestList(m).toString))
       .getOrElse(Seq.empty)
     commitSnapshot(spark, root, df.schema, partitionCol, prior, snapshotId,
       timestampMs, carried ++ newManifests, operation = "append")
@@ -142,15 +148,19 @@ object IcebergWriter {
     val sparkType = IcebergMeta.sparkSchema(meta)(sourceField.name).dataType
     val partType = Some(column -> sparkType)
 
-    val manifests = readManifestListRecords(meta, currentManifestList(meta))
+    val manifests = IcebergMeta.readManifestListFile(
+      root, currentManifestList(meta).toString)
     var rewrites = 0
     val out = manifests.map { mf =>
-      val entries = readManifestEntries(root, mf.path)
-      val hasMatch = entries.exists(e => values.exists(v => sameValue(e.partition.get(column).orNull, v)))
+      val entries = IcebergMeta.readManifest(root, mf.path)
+      val hasMatch = entries.exists(e =>
+        values.exists(v => IcebergMeta.valueEquals(
+          e.dataFile.partition.get(column).orNull, v)))
       if (!hasMatch) mf
       else {
         val rewritten = entries.map { e =>
-          if (values.exists(v => sameValue(e.partition.get(column).orNull, v)))
+          if (values.exists(v => IcebergMeta.valueEquals(
+              e.dataFile.partition.get(column).orNull, v)))
             e.copy(status = 2, snapshotId = snapshotId) // DELETED
           else e.copy(status = 0)                        // EXISTING
         }
@@ -179,7 +189,7 @@ object IcebergWriter {
       prior: Option[IcebergMeta.TableMeta],
       snapshotId: Long,
       timestampMs: Long,
-      manifests: Seq[ManifestFileRec],
+      manifests: Seq[IcebergMeta.ManifestFile],
       operation: String): Unit = {
     val listPath = root.resolve("metadata")
       .resolve(f"snap-$snapshotId%05d-manifest-list.avro")
@@ -270,22 +280,10 @@ object IcebergWriter {
   }
 
   // -----------------------------------------------------------------------
-  // avro manifest / manifest-list records (spec field names)
+  // avro manifest / manifest-list writing (spec field names; the records
+  // round-trip through IcebergMeta's ManifestFile/ManifestEntry, so the
+  // reader and writer share ONE parse of the spec format)
   // -----------------------------------------------------------------------
-
-  private final case class ManifestEntryRec(
-      status: Int,
-      snapshotId: Long,
-      filePath: String,
-      partition: Map[String, Any],
-      recordCount: Long,
-      fileSize: Long)
-
-  private final case class ManifestFileRec(
-      path: String,
-      length: Long,
-      addedSnapshotId: Long,
-      summaries: Seq[(Boolean, Option[Array[Byte]], Option[Array[Byte]])])
 
   private def partitionAvroFields(partType: Option[(String, DataType)]): String =
     partType match {
@@ -331,7 +329,7 @@ object IcebergWriter {
   private def writeManifest(
       path: Path,
       partType: Option[(String, DataType)],
-      entries: Seq[ManifestEntryRec]): Unit = {
+      entries: Seq[IcebergMeta.ManifestEntry]): Unit = {
     val schema = manifestSchema(partType)
     val dfSchema = schema.getField("data_file").schema()
     val pSchema = dfSchema.getField("partition").schema()
@@ -342,13 +340,13 @@ object IcebergWriter {
       rec.put("status", e.status)
       rec.put("snapshot_id", e.snapshotId)
       val df = new GenericData.Record(dfSchema)
-      df.put("file_path", e.filePath)
-      df.put("file_format", "PARQUET")
+      df.put("file_path", e.dataFile.path)
+      df.put("file_format", e.dataFile.format)
       val p = new GenericData.Record(pSchema)
-      e.partition.foreach { case (k, v) => p.put(k, v) }
+      e.dataFile.partition.foreach { case (k, v) => p.put(k, v) }
       df.put("partition", p)
-      df.put("record_count", e.recordCount)
-      df.put("file_size_in_bytes", e.fileSize)
+      df.put("record_count", e.dataFile.recordCount)
+      df.put("file_size_in_bytes", e.dataFile.fileSizeBytes)
       rec.put("data_file", df)
       w.append(rec)
     } finally w.close()
@@ -358,16 +356,17 @@ object IcebergWriter {
       path: Path,
       snapshotId: Long,
       partType: Option[(String, DataType)],
-      entries: Seq[ManifestEntryRec]): ManifestFileRec = {
+      entries: Seq[IcebergMeta.ManifestEntry]): IcebergMeta.ManifestFile = {
     val summaries = partType.toSeq.map { case (name, dt) =>
-      val values = entries.map(_.partition(name))
+      val values = entries.map(_.dataFile.partition(name))
       val bounds = values.filter(_ != null)
       (
         values.exists(_ == null),
         bounds.minByOption(orderKey(dt)).map(encodeBound(dt, _)),
         bounds.maxByOption(orderKey(dt)).map(encodeBound(dt, _)))
     }
-    ManifestFileRec(path.toAbsolutePath.toString, Files.size(path), snapshotId, summaries)
+    IcebergMeta.ManifestFile(
+      path.toAbsolutePath.toString, Files.size(path), snapshotId, summaries)
   }
 
   private def orderKey(dt: DataType): Any => Comparable[Any] = dt match {
@@ -390,7 +389,8 @@ object IcebergWriter {
     case other => throw new UnsupportedOperationException(s"$other")
   }
 
-  private def writeManifestList(path: Path, manifests: Seq[ManifestFileRec]): Unit = {
+  private def writeManifestList(
+      path: Path, manifests: Seq[IcebergMeta.ManifestFile]): Unit = {
     val itemSchema = manifestListSchema.getField("partitions").schema()
       .getTypes.get(1).getElementType
     val w = new DataFileWriter[GenericRecord](
@@ -415,74 +415,12 @@ object IcebergWriter {
     } finally w.close()
   }
 
-  // -----------------------------------------------------------------------
-  // read-back helpers (carry-over + delete rewrite)
-  // -----------------------------------------------------------------------
-
+  /** The current snapshot's manifest list path (carry-over + delete
+    * rewrite read it back through IcebergMeta's shared parsers).
+    */
   private def currentManifestList(meta: IcebergMeta.TableMeta): Path =
     Paths.get(meta.currentSnapshot.getOrElse(
       throw new IllegalStateException("table has no current snapshot")).manifestList)
-
-  private def readManifestListRecords(
-      meta: IcebergMeta.TableMeta, list: Path): Seq[ManifestFileRec] =
-    readAvro(list) { rec =>
-      val summaries = Option(rec.get("partitions")) match {
-        case Some(arr: java.util.Collection[_]) =>
-          arr.asScala.toSeq.map { s =>
-            val r = s.asInstanceOf[GenericRecord]
-            (
-              r.get("contains_null").asInstanceOf[Boolean],
-              Option(r.get("lower_bound")).map(bufBytes),
-              Option(r.get("upper_bound")).map(bufBytes))
-          }
-        case _ => Seq.empty
-      }
-      ManifestFileRec(
-        rec.get("manifest_path").toString,
-        rec.get("manifest_length").asInstanceOf[Long],
-        Option(rec.get("added_snapshot_id")).map(_.asInstanceOf[Long]).getOrElse(0L),
-        summaries)
-    }
-
-  private def readManifestEntries(root: Path, manifestPath: String): Seq[ManifestEntryRec] =
-    readAvro(Paths.get(manifestPath)) { rec =>
-      val df = rec.get("data_file").asInstanceOf[GenericRecord]
-      val p = df.get("partition").asInstanceOf[GenericRecord]
-      val pmap = p.getSchema.getFields.asScala.map { f =>
-        f.name() -> (p.get(f.pos()) match {
-          case u: org.apache.avro.util.Utf8 => u.toString
-          case other                        => other
-        })
-      }.toMap
-      ManifestEntryRec(
-        rec.get("status").asInstanceOf[Int],
-        Option(rec.get("snapshot_id")).map(_.asInstanceOf[Long]).getOrElse(0L),
-        df.get("file_path").toString,
-        pmap,
-        df.get("record_count").asInstanceOf[Long],
-        df.get("file_size_in_bytes").asInstanceOf[Long])
-    }
-
-  private def readAvro[T](file: Path)(f: GenericRecord => T): Seq[T] = {
-    val reader = new DataFileReader[GenericRecord](
-      file.toFile, new GenericDatumReader[GenericRecord]())
-    try reader.iterator().asScala.map(f).toList
-    finally reader.close()
-  }
-
-  private def bufBytes(v: Any): Array[Byte] = v match {
-    case b: ByteBuffer =>
-      val c = new Array[Byte](b.remaining()); b.duplicate().get(c); c
-    case a: Array[Byte] => a
-    case other => throw new IllegalStateException(s"$other")
-  }
-
-  private def sameValue(a: Any, b: Any): Boolean = (a, b) match {
-    case (null, null)           => true
-    case (null, _) | (_, null)  => false
-    case (x: Number, y: Number) => x.longValue() == y.longValue()
-    case (x, y)                 => x.toString == y.toString
-  }
 
   private def parsePartitionValue(raw: String, dt: DataType): Any = {
     val decoded = java.net.URLDecoder.decode(raw, "UTF-8")

@@ -26,7 +26,11 @@ object PartitionedTables {
     */
   def ordersByMonth(spark: SparkSession, dir: String): DataFrame = {
     val root = graft.engine.TempDirs.workspace("graft-dpp", "orders_by_month", dir)
-    if (!java.nio.file.Files.exists(root.resolve("_SUCCESS"))) {
+    // process-local single-flight: q_dpp_join and q_dpp_subquery share
+    // this fixture and can build concurrently (parallel suites, serving)
+    graft.engine.TempDirs.materializeOnce(root)(
+      java.nio.file.Files.exists(root.resolve("_SUCCESS"))
+    ) {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read
         .parquet(s"$dir/orders.parquet")

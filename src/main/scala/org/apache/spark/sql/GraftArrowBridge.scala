@@ -119,6 +119,21 @@ object GraftArrowBridge {
     * (whole partition on the driver) is exactly the reference's
     * collect-everything shape this layer exists to avoid
     * (api/src/lib.rs:92-98). Ends on the first short chunk.
+    *
+    * Consistency tripwire: offset-sliced pulls are only sound if every
+    * job sees the SAME row sequence. A cached block lost between pulls
+    * (executor loss; impossible in local mode, real on a cluster) makes a
+    * shuffled partition recompute in a different fetch order — silently
+    * duplicating and dropping rows across the slice boundaries. Each job
+    * therefore also digests the rows it SKIPS (count + order-insensitive
+    * sum of UnsafeRow hashes, computed during the skip it already pays
+    * for) and the driver checks that against what it has already
+    * streamed; a mismatch throws, aborting the connection (the client
+    * sees a truncated Arrow stream and retries) instead of serving a
+    * corrupted row set under an OK status. Order-insensitivity is
+    * deliberate: a recompute that reorders the SAME prefix set leaves the
+    * remaining-rows set intact, so the stream stays correct as a set —
+    * and sorted results recompute in sorted order anyway.
     */
   def partitionChunks(
       spark: SparkSession,
@@ -130,15 +145,45 @@ object GraftArrowBridge {
     val part = partition // Iterator has a `partition` member; don't shadow
     new Iterator[Array[InternalRow]] {
       private var start = 0
+      private var sentDigest = 0L
       private var lastWasShort = false
       def hasNext: Boolean = !lastWasShort
       def next(): Array[InternalRow] = {
-        val chunk = partitionChunk(spark, rdd, part, start, chunkRows)
+        val n = chunkRows
+        val offset = start
+        val (skipped, prefixDigest, chunk) = spark.sparkContext
+          .runJob(
+            rdd,
+            (it: Iterator[InternalRow]) => {
+              var d = 0L
+              var i = 0
+              while (i < offset && it.hasNext) { d += rowDigest(it.next()); i += 1 }
+              (i, d, it.take(n).toArray)
+            },
+            Seq(part))
+          .head
+        if (skipped != start || prefixDigest != sentDigest)
+          throw new IllegalStateException(
+            s"flight partition $part changed between chunk fetches " +
+              s"(sent $start rows, recompute has $skipped; digest " +
+              s"$sentDigest vs $prefixDigest) — cached block lost and " +
+              "recomputed in a different order; client must re-fetch the ticket")
+        chunk.foreach(r => sentDigest += rowDigest(r))
         start += chunk.length
         lastWasShort = chunk.length < chunkRows
         chunk
       }
     }
+  }
+
+  /** Deterministic per-row digest for the chunk tripwire: UnsafeRow
+    * hashes its bytes (Murmur3). Non-UnsafeRow implementations hash by
+    * identity, which would false-positive across JVM boundaries — digest
+    * 0 there, disabling the tripwire rather than corrupting it.
+    */
+  private def rowDigest(r: InternalRow): Long = r match {
+    case u: org.apache.spark.sql.catalyst.expressions.UnsafeRow => u.hashCode().toLong
+    case _                                                      => 0L
   }
 
   /** Stream already-materialized InternalRows as Arrow IPC record batches

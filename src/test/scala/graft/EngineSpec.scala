@@ -220,7 +220,16 @@ class EngineSpec extends SparkTestBase {
     assert(done.await(120, TimeUnit.SECONDS),
       "cross-key builders deadlocked — cycle detection did not fire")
     assert(errors.isEmpty, s"cycle breaker threw: ${errors.peek()}")
-    assert(results.get("cyc-a") === 2 && results.get("cyc-b") === 2)
+    // exactly the broken thread direct-computes (base 1 -> its key = 2);
+    // the OTHER builder's join then legitimately observes that completed
+    // flight and layers its own +1 on top (= 3). Both breaking (2/2) is
+    // the tie race; both reusing (3/3) would mean nobody broke — the
+    // old timeout design always produced 2/2 because both sides gave up.
+    val a = results.get("cyc-a")
+    val b = results.get("cyc-b")
+    assert(Set(a, b).subsetOf(Set(2, 3)), s"unexpected values: $a, $b")
+    assert(a === 2 || b === 2,
+      s"at least one builder must break the cycle with a direct compute: $a, $b")
     c.clear()
   }
 

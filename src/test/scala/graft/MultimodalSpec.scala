@@ -186,6 +186,25 @@ class MultimodalSpec extends SparkTestBase {
     assert(f2.map(_.frameIdx) === Seq(0), s"got ${f2.map(_.frameIdx)}")
     assert(f2.head.brightness > 200,
       "the frame the bogus length jumped over must be recovered")
+
+    // boundary-of-the-boundary: the corrupt length lands the walk EXACTLY
+    // at end-of-payload (j + 2 + len == n) — previously indistinguishable
+    // from clean truncation, silently losing the swallowed frame
+    // jump from offset 2 lands at 4 + len; n = 6 + bright.length, so
+    // len = bright.length + 2 hits end-of-payload exactly (len =
+    // bright.length would land ON bright's trailing EOI and swallow it
+    // into one mega-frame instead)
+    val lenEdge = bright.length + 2
+    val edge = Array(0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte,
+      ((lenEdge >> 8) & 0xff).toByte, (lenEdge & 0xff).toByte) ++ bright
+    val rec3 = Seq(
+      MediaRecord(14L, "mem://edge.mjpeg", edge,
+        MediaMeta("video/mjpeg", 16, 16, 2))
+    ).toDS()
+    val f3 = Multimodal.sampleFrames(rec3, every = 1).collect().toSeq
+    assert(f3.map(_.frameIdx) === Seq(0),
+      s"exact-end bogus length must not eat the real frame: ${f3.map(_.frameIdx)}")
+    assert(f3.head.brightness > 200 && f3.head.nBytes === bright.length.toLong)
   }
 
   test("resync never emits a trusted APP1's embedded thumbnail as a frame") {
