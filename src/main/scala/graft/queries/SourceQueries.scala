@@ -284,6 +284,26 @@ object SourceQueries {
           |GROUP BY 1 ORDER BY 1""".stripMargin
       )
     ),
+    // Incremental read: the NET APPENDS of the snapshot window (1, current]
+    // — band 3 was appended by snapshot 2; band 1's files were added
+    // BEFORE the window and band 1 is deleted at current anyway. The
+    // "process only what landed since the last run" primitive, planned
+    // entirely from KB-scale metadata — at 100 TB this is what lets a
+    // daily pipeline touch one day's files instead of re-listing the lake.
+    Q(
+      "q_iceberg_incremental",
+      (s, dir) => {
+        val root = fixtureIcebergTable(s, dir)
+        graft.sources.IcebergSource
+          .readAppendsSince(s, root, fromSnapshotId = 1L)
+          .select($"p_partkey", $"p_name", $"p_band")
+          .orderBy($"p_partkey")
+      },
+      Some(
+        "SELECT p_partkey, p_name, CAST(p_partkey % 4 AS INT) AS p_band " +
+          "FROM part WHERE p_partkey % 4 = 3 ORDER BY p_partkey"
+      )
+    ),
     // The SECOND DPP shape: subquery pruning WITHOUT a broadcast to reuse.
     // The dim is merge-join-hinted (stand-in for a dim too big to
     // broadcast), so there is no broadcast result to piggyback on —

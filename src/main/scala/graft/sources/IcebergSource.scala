@@ -81,20 +81,49 @@ object IcebergSource {
       .orElse(asOfTimestampMs.map(meta.snapshotAsOf))
       .orElse(meta.currentSnapshot)
     val files = snap.map(s => IcebergMeta.planScan(meta, s, prune).files).getOrElse(Seq.empty)
+    readFiles(spark, tablePath, schema, files)
+  }
+
+  /** Planned file set -> DataFrame. basePath reconstitutes identity-
+    * partition columns from the data/<col>=<value>/ dirs (partitioned
+    * writes don't duplicate the column into the files); select() restores
+    * schema column order and normalizes the inferred partition-column
+    * type. An empty plan yields an empty frame WITH the table schema.
+    */
+  private def readFiles(
+      spark: SparkSession,
+      tablePath: String,
+      schema: org.apache.spark.sql.types.StructType,
+      files: Seq[IcebergMeta.DataFile]): DataFrame =
     if (files.isEmpty) {
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     } else {
       import org.apache.spark.sql.functions.col
-      // basePath reconstitutes identity-partition columns from the
-      // data/<col>=<value>/ dirs (partitioned writes don't duplicate the
-      // column into the files); select() restores schema column order and
-      // normalizes the inferred partition-column type.
       spark.read
         .option("basePath", Paths.get(tablePath, "data").toString)
         .parquet(files.map(_.path): _*)
         .select(schema.fields.toSeq.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
     }
+
+  /** Incremental read: the NET APPENDS since `fromSnapshotId` (exclusive),
+    * up to `toSnapshotId` (inclusive; default the current snapshot) — the
+    * "process only what landed since yesterday's run" primitive. Planned
+    * entirely from metadata; see [[IcebergMeta.planAppends]].
+    */
+  def readAppendsSince(
+      spark: SparkSession,
+      tablePath: String,
+      fromSnapshotId: Long,
+      toSnapshotId: Option[Long] = None): DataFrame = {
+    require(IcebergMeta.hasMetadata(tablePath),
+      s"Incremental reads require table metadata; $tablePath has none")
+    val meta = IcebergMeta.load(tablePath)
+    val schema = IcebergMeta.sparkSchema(meta)
+    val to = toSnapshotId.map(meta.snapshotById).orElse(meta.currentSnapshot)
+    val files = to.map(s => IcebergMeta.planAppends(meta, fromSnapshotId, s).files)
+      .getOrElse(Seq.empty)
+    readFiles(spark, tablePath, schema, files)
   }
 
   /** Scan plan for a metadata table — the spec pins pruning evidence

@@ -219,6 +219,61 @@ class SourcesSpec extends SparkTestBase {
     }
   }
 
+  test("iceberg incremental read: net appends of a snapshot window") {
+    val root = mkMetadataTable()
+    // (1, current]: band 3 appended by s2; band 1 (pre-window, and deleted
+    // by s3) must not appear
+    val inc = IcebergSource.readAppendsSince(spark, root, fromSnapshotId = 1L)
+    assert(inc.count() === 10)
+    assert(inc.select("band").distinct().collect().map(_.getInt(0)).toSeq === Seq(3))
+    // (0, 1]: everything snapshot 1 added
+    val all1 = IcebergSource.readAppendsSince(spark, root, 0L, Some(1L))
+    assert(all1.count() === 30)
+    // (2, current]: s3 is a delete — net appends are EMPTY, schema intact
+    val none = IcebergSource.readAppendsSince(spark, root, 2L)
+    assert(none.count() === 0)
+    assert(none.columns.toSeq === Seq("id", "v", "band"))
+    // a file appended and deleted INSIDE the window is net-absent:
+    // (0, current] excludes band 1 (added s1, deleted s3)
+    val net = IcebergSource.readAppendsSince(spark, root, 0L)
+    assert(net.select("band").distinct().collect().map(_.getInt(0)).sorted === Seq(0, 2, 3))
+    // typo'd window start refuses instead of returning "everything"
+    intercept[IllegalArgumentException] {
+      IcebergSource.readAppendsSince(spark, root, 99L).collect()
+    }
+    // metadata-less table refuses
+    intercept[IllegalArgumentException] {
+      IcebergSource.readAppendsSince(spark, mkIcebergTable(), 1L)
+    }
+  }
+
+  test("iceberg metadata error paths: bad format version, missing manifest") {
+    val root = mkMetadataTable()
+    val metaDir = Paths.get(root, "metadata")
+    // unsupported format-version refuses loudly
+    val v3 = metaDir.resolve("v3.metadata.json")
+    val original = Files.readString(v3)
+    Files.writeString(v3, original.replace("\"format-version\" : 1", "\"format-version\" : 7"))
+    try intercept[IllegalArgumentException] { IcebergMeta.load(root) }
+    finally Files.writeString(v3, original)
+    // a manifest list referencing a missing manifest is a clear error,
+    // not an empty scan
+    val meta = IcebergMeta.load(root)
+    val snap = meta.currentSnapshot.get
+    val lists = Files.list(metaDir)
+    val manifest0 =
+      try lists.filter(p => p.getFileName.toString.startsWith("manifest-00001-000"))
+        .findFirst().get()
+      finally lists.close()
+    val bytes = Files.readAllBytes(manifest0)
+    Files.delete(manifest0)
+    try intercept[IllegalArgumentException] {
+      IcebergMeta.planScan(meta, snap)
+    } finally Files.write(manifest0, bytes)
+    // restored: scan works again
+    assert(IcebergMeta.planScan(meta, snap).files.nonEmpty)
+  }
+
   test("iceberg unpartitioned metadata table round-trips") {
     import spark.implicits._
     val root = tempDir("graft-iceberg-flat")
