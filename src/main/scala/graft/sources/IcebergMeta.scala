@@ -221,7 +221,7 @@ object IcebergMeta {
       }
       if (survives) {
         manifestsRead += 1
-        readManifest(meta.root, mf.path).foreach { e =>
+        readManifest(meta.root, mf.path, mf.addedSnapshotId).foreach { e =>
           entriesSeen += 1
           val live = e.status != 2 // DELETED files are not scanned (spec)
           val matches = prune.forall(p =>
@@ -267,8 +267,16 @@ object IcebergMeta {
         summaries)
     }
 
+  /** `inheritSnapshotId`: v2 manifests may leave entry snapshot_id null,
+    * to be inherited from the manifest list's added_snapshot_id (spec
+    * "Snapshot ID inheritance") — callers that know the manifest's list
+    * entry pass it so inherited ids resolve instead of defaulting to 0
+    * and silently failing window-membership checks.
+    */
   private[sources] def readManifest(
-      root: Path, manifestPath: String): Seq[ManifestEntry] =
+      root: Path,
+      manifestPath: String,
+      inheritSnapshotId: Long = 0L): Seq[ManifestEntry] =
     readAvro(resolve(root, manifestPath)) { rec =>
       val df = rec.get("data_file").asInstanceOf[GenericRecord]
       // v2 manifests carry data_file.content: 0=data, 1=position deletes,
@@ -288,7 +296,8 @@ object IcebergMeta {
       }.toMap
       ManifestEntry(
         rec.get("status").asInstanceOf[Int],
-        Option(rec.get("snapshot_id")).map(_.asInstanceOf[Long]).getOrElse(0L),
+        Option(rec.get("snapshot_id")).map(_.asInstanceOf[Long])
+          .getOrElse(inheritSnapshotId),
         DataFile(
           df.get("file_path").toString,
           df.get("file_format").toString,
@@ -298,34 +307,56 @@ object IcebergMeta {
     }
 
   /** Incremental scan plan: the NET APPENDS of a snapshot window — files
-    * whose manifest entry was ADDED by a snapshot in (fromId, toId] and
-    * that are still live at `to` (a file appended and then deleted inside
-    * the window has status DELETED at `to` and is correctly absent). This
-    * is the daily-ingest primitive at 100 TB: process only what landed
+    * whose manifest entry was ADDED by a snapshot in (from, to] and that
+    * are still live at `to` (a file appended and then deleted inside the
+    * window has status DELETED at `to` and is correctly absent). This is
+    * the daily-ingest primitive at 100 TB: process only what landed
     * since the last run, planned entirely from KB-scale metadata —
     * no diff of file listings, no reprocessing of the corpus.
+    *
+    * The window is resolved by ANCESTRY (to -> parent-snapshot-id -> ...
+    * -> from), never id arithmetic: spec snapshot ids are RANDOM longs,
+    * so numeric comparison would return arbitrary subsets on any table
+    * this writer didn't produce. `fromExclusive = 0` means "from the
+    * beginning"; a `from` that is not an ancestor of `to` (typo, swapped
+    * window, diverged branch) REFUSES instead of silently misleading.
+    * Manifests whose added_snapshot_id is outside the window are skipped
+    * without being opened (a manifest can only reference its own or
+    * ancestor snapshots), so a years-old table's incremental read opens
+    * ~the window's manifests, not the whole history.
     */
   def planAppends(
       meta: TableMeta,
       fromExclusive: Long,
       to: Snapshot): ScanPlan = {
-    // validate the window start: a typo'd snapshot id would silently
-    // return "everything" instead of an increment
-    require(
-      fromExclusive == 0L || meta.snapshots.exists(_.id == fromExclusive),
-      s"from-snapshot $fromExclusive not in table history " +
-        s"(have ${meta.snapshots.map(_.id).mkString(", ")})")
+    val windowIds = scala.collection.mutable.Set.empty[Long]
+    var cursor: Option[Snapshot] = Some(to)
+    while (cursor.exists(_.id != fromExclusive)) {
+      windowIds += cursor.get.id
+      cursor = cursor.get.parentId.map(meta.snapshotById)
+    }
+    require(cursor.isDefined || fromExclusive == 0L,
+      s"from-snapshot $fromExclusive is not an ancestor of snapshot ${to.id} " +
+        "(typo'd id, swapped window bounds, or expired history) — refusing " +
+        "to guess an increment")
     val manifests = readManifestListFile(meta.root, to.manifestList)
+    var manifestsRead = 0
     var entriesSeen = 0
     val files = Seq.newBuilder[DataFile]
     manifests.foreach { mf =>
-      readManifest(meta.root, mf.path).foreach { e =>
-        entriesSeen += 1
-        if (e.status != 2 && e.snapshotId > fromExclusive && e.snapshotId <= to.id)
-          files += e.dataFile
+      // 0 = added_snapshot_id unknown in the list: must open (conservative)
+      val mayContribute =
+        mf.addedSnapshotId == 0L || windowIds.contains(mf.addedSnapshotId)
+      if (mayContribute) {
+        manifestsRead += 1
+        readManifest(meta.root, mf.path, mf.addedSnapshotId).foreach { e =>
+          entriesSeen += 1
+          if (e.status != 2 && windowIds.contains(e.snapshotId))
+            files += e.dataFile
+        }
       }
     }
-    ScanPlan(files.result(), manifests.size, manifests.size, entriesSeen)
+    ScanPlan(files.result(), manifests.size, manifestsRead, entriesSeen)
   }
 
   /** Field-summary check: can this manifest contain partition==value?

@@ -152,7 +152,7 @@ object IcebergWriter {
       root, currentManifestList(meta).toString)
     var rewrites = 0
     val out = manifests.map { mf =>
-      val entries = IcebergMeta.readManifest(root, mf.path)
+      val entries = IcebergMeta.readManifest(root, mf.path, mf.addedSnapshotId)
       val hasMatch = entries.exists(e =>
         values.exists(v => IcebergMeta.valueEquals(
           e.dataFile.partition.get(column).orNull, v)))

@@ -92,24 +92,6 @@ object GraftArrowBridge {
       .runJob(rdd, (it: Iterator[InternalRow]) => it.toArray, Seq(partition))
       .head
 
-  /** One bounded slice of a flight partition: rows [start, start+n). The
-    * per-ticket streaming unit — each call is one job that materializes at
-    * most `n` rows on the driver, however large the partition is.
-    */
-  def partitionChunk(
-      spark: SparkSession,
-      rdd: org.apache.spark.rdd.RDD[InternalRow],
-      partition: Int,
-      start: Int,
-      n: Int
-  ): Array[InternalRow] =
-    spark.sparkContext
-      .runJob(
-        rdd,
-        (it: Iterator[InternalRow]) => it.slice(start, start + n).toArray,
-        Seq(partition))
-      .head
-
   /** Lazily page through one flight partition in `chunkRows`-row slices —
     * driver memory is bounded by ONE chunk instead of the whole partition.
     * Each pull is a job over the (persisted) flight RDD: the partition's

@@ -241,10 +241,24 @@ class SourcesSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       IcebergSource.readAppendsSince(spark, root, 99L).collect()
     }
+    // REVERSED window (from newer than to) refuses — ancestry walk, not
+    // id arithmetic, so a swapped-bounds caller can't conclude "nothing
+    // landed" from a silently empty frame
+    intercept[IllegalArgumentException] {
+      IcebergSource.readAppendsSince(spark, root, 3L, Some(1L)).collect()
+    }
     // metadata-less table refuses
     intercept[IllegalArgumentException] {
       IcebergSource.readAppendsSince(spark, mkIcebergTable(), 1L)
     }
+    // planning evidence: (1, current] opens only manifests whose
+    // added_snapshot_id is in the window (band3's append + band1's
+    // delete-rewrite), not the whole history
+    val meta = IcebergMeta.load(root)
+    val plan = IcebergMeta.planAppends(meta, 1L, meta.currentSnapshot.get)
+    assert(plan.manifestsTotal === 4)
+    assert(plan.manifestsRead === 2, s"window skip failed: $plan")
+    assert(plan.files.map(_.partition("band")).toSet === Set(3))
   }
 
   test("iceberg metadata error paths: bad format version, missing manifest") {
