@@ -84,11 +84,14 @@ object IcebergSource {
     readFiles(spark, tablePath, schema, files)
   }
 
-  /** Planned file set -> DataFrame. basePath reconstitutes identity-
-    * partition columns from the data/<col>=<value>/ dirs (partitioned
-    * writes don't duplicate the column into the files); select() restores
-    * schema column order and normalizes the inferred partition-column
-    * type. An empty plan yields an empty frame WITH the table schema.
+  /** Planned file set -> DataFrame. The METADATA schema is handed to the
+    * reader (no file-footer or partition-dir inference): column order and
+    * types come from the table definition, identity-partition columns are
+    * reconstituted from the data/<col>=<value>/ dirs with their DECLARED
+    * type, and a column the table schema has but an older data file lacks
+    * reads as null — the read half of Iceberg schema evolution, which
+    * footer inference could never express. An empty plan yields an empty
+    * frame WITH the table schema.
     */
   private def readFiles(
       spark: SparkSession,
@@ -101,9 +104,12 @@ object IcebergSource {
     } else {
       import org.apache.spark.sql.functions.col
       spark.read
+        .schema(schema)
         .option("basePath", Paths.get(tablePath, "data").toString)
         .parquet(files.map(_.path): _*)
-        .select(schema.fields.toSeq.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+        // partition-dir columns surface at the END regardless of their
+        // declared position; restore the table schema's column order
+        .select(schema.fieldNames.toSeq.map(col): _*)
     }
 
   /** Incremental read: the NET APPENDS since `fromSnapshotId` (exclusive),

@@ -288,6 +288,32 @@ class SourcesSpec extends SparkTestBase {
     assert(IcebergMeta.planScan(meta, snap).files.nonEmpty)
   }
 
+  test("iceberg schema evolution (read side): added column reads as null over old files") {
+    val root = mkMetadataTable()
+    // evolve the table schema: a column added AFTER the data files were
+    // written (the metadata json is the source of truth; data files
+    // predating the column simply lack it)
+    val v3 = Paths.get(root, "metadata", "v3.metadata.json")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(Files.readString(v3))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val extra = node.withObject("/schema").withArray("fields").addObject()
+    extra.put("id", 4)
+    extra.put("name", "extra")
+    extra.put("required", false)
+    extra.put("type", "long")
+    Files.writeString(v3, mapper.writeValueAsString(node))
+    val df = IcebergSource.read(spark, root)
+    assert(df.columns.toSeq === Seq("id", "v", "band", "extra"))
+    assert(df.count() === 30)
+    assert(df.filter(df("extra").isNotNull).count() === 0,
+      "pre-evolution files must read the new column as null")
+    // still filterable/selectable like any column, and time-travel reads
+    // see the CURRENT schema too (table schema, not snapshot schema)
+    assert(IcebergSource.read(spark, root, Some(1L), None, None)
+      .columns.toSeq === Seq("id", "v", "band", "extra"))
+  }
+
   test("iceberg unpartitioned metadata table round-trips") {
     import spark.implicits._
     val root = tempDir("graft-iceberg-flat")
