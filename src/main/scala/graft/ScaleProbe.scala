@@ -294,14 +294,14 @@ object ScaleProbe {
     // per-directory fixture materializations some bench queries make
     // (CSV/JSONL copies for the source queries, the DPP layout) — without
     // the dir10 warmup those builds would land inside the timed 10x run
-    // and inflate exactly the ratios this probe measures. ORDER matters:
-    // warm 10x FIRST so each timed pass runs cache-adjacent to its own
-    // dir's warmup — warming 10x between 1x's warmup and 1x's timed pass
-    // evicts the 1x data from page cache and inflates the divisor (+23%
-    // observed), understating every ratio.
-    qs.foreach(q => runOnce(q, dir10))
+    // and inflate exactly the ratios this probe measures. INTERLEAVED so
+    // each timed pass runs immediately after its own dir's warmup — any
+    // other order puts a foreign dir's full pass between a warmup and its
+    // timed pass, evicting that dir's pages and biasing whichever column
+    // it lands on (+23% observed on the 1x column in an earlier draft).
     qs.foreach(q => runOnce(q, sfDir))
     val t1 = qs.map(q => q.name -> runOnce(q, sfDir)).toMap
+    qs.foreach(q => runOnce(q, dir10))
     val t10 = qs.map(q => q.name -> runOnce(q, dir10)).toMap
     println(s"--- bench family at 10x sf0.1 volume ($copies key-shifted copies) ---")
     qs.foreach { q =>

@@ -63,7 +63,8 @@ object IcebergMeta {
       parentId: Option[Long],
       timestampMs: Long,
       manifestList: String,
-      operation: String)
+      operation: String,
+      schemaId: Option[Int] = None)
 
   final case class TableMeta(
       root: Path,
@@ -71,7 +72,17 @@ object IcebergMeta {
       fields: Seq[Field],
       partitionFields: Seq[PartitionField],
       currentSnapshotId: Option[Long],
-      snapshots: Seq[Snapshot]) {
+      snapshots: Seq[Snapshot],
+      schemasById: Map[Int, Seq[Field]] = Map.empty) {
+
+    /** The schema a snapshot was written under (spec: each snapshot logs
+      * its schema-id) — real time-travel shows the table AS IT WAS, so a
+      * column added later must not appear in a historical read. Falls
+      * back to the current schema when the snapshot predates schema-id
+      * logging or the schema was expired from the metadata.
+      */
+    def schemaAt(snapshot: Snapshot): Seq[Field] =
+      snapshot.schemaId.flatMap(schemasById.get).getOrElse(fields)
 
     def snapshotById(id: Long): Snapshot =
       snapshots.find(_.id == id).getOrElse(
@@ -139,24 +150,29 @@ object IcebergMeta {
       s"Unsupported Iceberg format-version $formatVersion (spec v1/v2 only)")
 
     // Prefer the modern schemas/current-schema-id shape; fall back to the
-    // v1-required singular "schema".
-    val schemaNode: JsonNode =
+    // v1-required singular "schema". ALL schemas are retained (keyed by
+    // schema-id) so time-travel can resolve the schema a snapshot logged.
+    def parseFields(schemaNode: JsonNode): Seq[Field] =
+      schemaNode.path("fields").elements().asScala.map { f =>
+        val t = f.path("type")
+        require(t.isTextual, s"Nested Iceberg types not supported: ${f.path("name").asText()}")
+        Field(
+          f.path("id").asInt(),
+          f.path("name").asText(),
+          f.path("required").asBoolean(false),
+          t.asText())
+      }.toSeq
+    val schemasById: Map[Int, Seq[Field]] =
+      node.path("schemas").elements().asScala
+        .map(s => s.path("schema-id").asInt(-1) -> parseFields(s))
+        .filter(_._1 >= 0)
+        .toMap
+    val fields =
       if (node.has("schemas") && node.has("current-schema-id")) {
         val id = node.path("current-schema-id").asInt()
-        node.path("schemas").elements().asScala
-          .find(_.path("schema-id").asInt(-1) == id)
-          .getOrElse(throw new IllegalArgumentException(
-            s"current-schema-id $id not present in schemas list: $file"))
-      } else node.path("schema")
-    val fields = schemaNode.path("fields").elements().asScala.map { f =>
-      val t = f.path("type")
-      require(t.isTextual, s"Nested Iceberg types not supported: ${f.path("name").asText()}")
-      Field(
-        f.path("id").asInt(),
-        f.path("name").asText(),
-        f.path("required").asBoolean(false),
-        t.asText())
-    }.toSeq
+        schemasById.getOrElse(id, throw new IllegalArgumentException(
+          s"current-schema-id $id not present in schemas list: $file"))
+      } else parseFields(node.path("schema"))
 
     val specNode: JsonNode =
       if (node.has("partition-specs") && node.has("default-spec-id")) {
@@ -180,7 +196,8 @@ object IcebergMeta {
         if (s.has("parent-snapshot-id")) Some(s.path("parent-snapshot-id").asLong()) else None,
         s.path("timestamp-ms").asLong(),
         s.path("manifest-list").asText(),
-        s.path("summary").path("operation").asText("append"))
+        s.path("summary").path("operation").asText("append"),
+        if (s.has("schema-id")) Some(s.path("schema-id").asInt()) else None)
     }.toSeq
 
     val current =
@@ -188,7 +205,8 @@ object IcebergMeta {
         Some(node.path("current-snapshot-id").asLong())
       else None
 
-    TableMeta(Paths.get(tablePath), formatVersion, fields, partitionFields, current, snapshots)
+    TableMeta(Paths.get(tablePath), formatVersion, fields, partitionFields,
+      current, snapshots, schemasById)
   }
 
   // ---------------------------------------------------------------------
@@ -329,30 +347,58 @@ object IcebergMeta {
       meta: TableMeta,
       fromExclusive: Long,
       to: Snapshot): ScanPlan = {
+    // fromExclusive == 0 means "everything": every live file is an append
+    // since the beginning — no ancestry needed, which also sidesteps
+    // expired-history tables whose surviving snapshots keep a dangling
+    // parent-snapshot-id (Iceberg's expireSnapshots does exactly that).
+    if (fromExclusive == 0L) return planScan(meta, to)
+
+    // Resolve the window by walking ancestry; a dangling parent (expired
+    // history) ends the walk without reaching `from` and refuses below.
     val windowIds = scala.collection.mutable.Set.empty[Long]
     var cursor: Option[Snapshot] = Some(to)
     while (cursor.exists(_.id != fromExclusive)) {
       windowIds += cursor.get.id
-      cursor = cursor.get.parentId.map(meta.snapshotById)
+      cursor = cursor.get.parentId.flatMap(id => meta.snapshots.find(_.id == id))
     }
-    require(cursor.isDefined || fromExclusive == 0L,
-      s"from-snapshot $fromExclusive is not an ancestor of snapshot ${to.id} " +
-        "(typo'd id, swapped window bounds, or expired history) — refusing " +
-        "to guess an increment")
+    require(cursor.isDefined,
+      s"from-snapshot $fromExclusive is not a reachable ancestor of " +
+        s"snapshot ${to.id} (typo'd id, swapped window bounds, or expired " +
+        "history) — refusing to guess an increment")
+    // Only APPEND snapshots contribute new data. A compaction/replace
+    // snapshot in the window rewrites PRE-window files into fresh ADDED
+    // entries stamped with its own id — counting those would re-emit the
+    // whole compacted corpus as "new". Entries keep their append
+    // provenance through delete-rewrites (EXISTING entries retain the
+    // adding snapshot's id), so membership in the append-id set is exact.
+    val appendIds = windowIds.filter(id => meta.snapshotById(id).operation == "append")
+
     val manifests = readManifestListFile(meta.root, to.manifestList)
     var manifestsRead = 0
     var entriesSeen = 0
     val files = Seq.newBuilder[DataFile]
     manifests.foreach { mf =>
-      // 0 = added_snapshot_id unknown in the list: must open (conservative)
+      // A manifest written before the window can only reference pre-window
+      // snapshots — skip unopened. One written IN the window (append OR a
+      // delete/replace rewrite, which can carry kept in-window entries)
+      // must be read. 0 = added_snapshot_id unknown: open conservatively.
       val mayContribute =
         mf.addedSnapshotId == 0L || windowIds.contains(mf.addedSnapshotId)
       if (mayContribute) {
         manifestsRead += 1
         readManifest(meta.root, mf.path, mf.addedSnapshotId).foreach { e =>
           entriesSeen += 1
-          if (e.status != 2 && windowIds.contains(e.snapshotId))
-            files += e.dataFile
+          if (e.status != 2) {
+            // an entry with no snapshot provenance (null at both the entry
+            // and manifest-list level) cannot be windowed — refusing beats
+            // silently dropping what the conservative open tried to keep
+            if (e.snapshotId == 0L)
+              throw new UnsupportedOperationException(
+                s"manifest ${mf.path} carries entries without snapshot " +
+                  "provenance (no snapshot_id, no added_snapshot_id); an " +
+                  "incremental window cannot be computed — use a full scan")
+            if (appendIds.contains(e.snapshotId)) files += e.dataFile
+          }
         }
       }
     }
@@ -448,8 +494,10 @@ object IcebergMeta {
   /** Iceberg primitive -> Spark type (for empty scans and column
     * reordering; inverse of [[IcebergWriter.icebergType]]).
     */
-  def sparkSchema(meta: TableMeta): StructType =
-    StructType(meta.fields.map { f =>
+  def sparkSchema(meta: TableMeta): StructType = sparkSchema(meta.fields)
+
+  def sparkSchema(fields: Seq[Field]): StructType =
+    StructType(fields.map { f =>
       val dt = f.typeName match {
         case "boolean"     => BooleanType
         case "int"         => IntegerType

@@ -76,10 +76,18 @@ object IcebergSource {
       asOfTimestampMs: Option[Long],
       prune: Option[IcebergMeta.PartitionEquals]): DataFrame = {
     val meta = IcebergMeta.load(tablePath)
-    val schema = IcebergMeta.sparkSchema(meta)
+    val timeTravel = snapshotId.isDefined || asOfTimestampMs.isDefined
     val snap = snapshotId.map(meta.snapshotById)
       .orElse(asOfTimestampMs.map(meta.snapshotAsOf))
       .orElse(meta.currentSnapshot)
+    // TIME-TRAVEL reads resolve the schema the snapshot logged (spec:
+    // snapshots carry a schema-id): the table as it WAS, so a column
+    // added later must not appear. A current-table read always uses the
+    // CURRENT schema — even though the latest snapshot predates the
+    // latest schema change, schema evolution applies to it immediately.
+    val schema = IcebergMeta.sparkSchema(
+      if (timeTravel) snap.map(meta.schemaAt).getOrElse(meta.fields)
+      else meta.fields)
     val files = snap.map(s => IcebergMeta.planScan(meta, s, prune).files).getOrElse(Seq.empty)
     readFiles(spark, tablePath, schema, files)
   }
@@ -125,8 +133,12 @@ object IcebergSource {
     require(IcebergMeta.hasMetadata(tablePath),
       s"Incremental reads require table metadata; $tablePath has none")
     val meta = IcebergMeta.load(tablePath)
-    val schema = IcebergMeta.sparkSchema(meta)
     val to = toSnapshotId.map(meta.snapshotById).orElse(meta.currentSnapshot)
+    // explicit historical window end -> that snapshot's logged schema;
+    // default (current) -> current schema (same rule as read())
+    val schema = IcebergMeta.sparkSchema(
+      if (toSnapshotId.isDefined) to.map(meta.schemaAt).getOrElse(meta.fields)
+      else meta.fields)
     val files = to.map(s => IcebergMeta.planAppends(meta, fromSnapshotId, s).files)
       .getOrElse(Seq.empty)
     readFiles(spark, tablePath, schema, files)

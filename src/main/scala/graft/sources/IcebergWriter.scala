@@ -203,6 +203,12 @@ object IcebergWriter {
     node.put("last-updated-ms", timestampMs)
     node.put("last-column-id", schema.fields.length)
     node.set[ObjectNode]("schema", schemaJson(schema))
+    // modern shape alongside the v1-required singular "schema": the
+    // schemas list + per-snapshot schema-id is what makes time-travel
+    // resolve the schema a snapshot was written under (this writer never
+    // evolves schemas, so every snapshot logs schema-id 0)
+    node.put("current-schema-id", 0)
+    node.putArray("schemas").add(schemaJson(schema))
     node.set[ArrayNode]("partition-spec", specJson(schema, partitionCol))
     node.put("current-snapshot-id", snapshotId)
     val snaps = node.putArray("snapshots")
@@ -212,6 +218,7 @@ object IcebergWriter {
       s.parentId.foreach(p => sn.put("parent-snapshot-id", p))
       sn.put("timestamp-ms", s.timestampMs)
       sn.put("manifest-list", s.manifestList)
+      s.schemaId.foreach(id => sn.put("schema-id", id))
       sn.putObject("summary").put("operation", s.operation)
     }
     val sn = snaps.addObject()
@@ -219,6 +226,7 @@ object IcebergWriter {
     prior.flatMap(_.currentSnapshotId).foreach(p => sn.put("parent-snapshot-id", p))
     sn.put("timestamp-ms", timestampMs)
     sn.put("manifest-list", listPath.toAbsolutePath.toString)
+    sn.put("schema-id", 0)
     sn.putObject("summary").put("operation", operation)
     val log = node.putArray("snapshot-log")
     (prior.toSeq.flatMap(_.snapshots) :+

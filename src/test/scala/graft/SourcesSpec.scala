@@ -290,28 +290,36 @@ class SourcesSpec extends SparkTestBase {
 
   test("iceberg schema evolution (read side): added column reads as null over old files") {
     val root = mkMetadataTable()
-    // evolve the table schema: a column added AFTER the data files were
-    // written (the metadata json is the source of truth; data files
-    // predating the column simply lack it)
+    // evolve the table schema the way Iceberg does: a NEW schema (id 1,
+    // old fields + "extra") becomes current; existing snapshots keep
+    // logging schema-id 0. Data files predating the column simply lack it.
     val v3 = Paths.get(root, "metadata", "v3.metadata.json")
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = mapper.readTree(Files.readString(v3))
       .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
-    val extra = node.withObject("/schema").withArray("fields").addObject()
+    val schemas = node.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("schemas")
+    val evolved = schemas.get(0).deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+    evolved.put("schema-id", 1)
+    val extra = evolved.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("fields").addObject()
     extra.put("id", 4)
     extra.put("name", "extra")
     extra.put("required", false)
     extra.put("type", "long")
+    schemas.add(evolved)
+    node.put("current-schema-id", 1)
     Files.writeString(v3, mapper.writeValueAsString(node))
+
+    // current read: new schema, old files read the new column as null
     val df = IcebergSource.read(spark, root)
     assert(df.columns.toSeq === Seq("id", "v", "band", "extra"))
     assert(df.count() === 30)
     assert(df.filter(df("extra").isNotNull).count() === 0,
       "pre-evolution files must read the new column as null")
-    // still filterable/selectable like any column, and time-travel reads
-    // see the CURRENT schema too (table schema, not snapshot schema)
+    // time-travel resolves the SNAPSHOT's logged schema (id 0): the
+    // column added later must NOT appear in a historical read
     assert(IcebergSource.read(spark, root, Some(1L), None, None)
-      .columns.toSeq === Seq("id", "v", "band", "extra"))
+      .columns.toSeq === Seq("id", "v", "band"),
+      "historical reads must show the schema the snapshot was written under")
   }
 
   test("iceberg unpartitioned metadata table round-trips") {
