@@ -73,7 +73,8 @@ object IcebergMeta {
       partitionFields: Seq[PartitionField],
       currentSnapshotId: Option[Long],
       snapshots: Seq[Snapshot],
-      schemasById: Map[Int, Seq[Field]] = Map.empty) {
+      schemasById: Map[Int, Seq[Field]] = Map.empty,
+      currentSchemaId: Int = 0) {
 
     /** The schema a snapshot was written under (spec: each snapshot logs
       * its schema-id) — real time-travel shows the table AS IT WAS, so a
@@ -162,16 +163,28 @@ object IcebergMeta {
           f.path("required").asBoolean(false),
           t.asText())
       }.toSeq
+    // HISTORICAL schemas parse leniently: a nested type in a schema the
+    // table no longer uses must not make the whole table unreadable —
+    // the entry is dropped and time-travel for snapshots logging it falls
+    // back to the current schema. The CURRENT schema still parses
+    // strictly below (an unsupported current schema IS an error).
     val schemasById: Map[Int, Seq[Field]] =
       node.path("schemas").elements().asScala
-        .map(s => s.path("schema-id").asInt(-1) -> parseFields(s))
+        .flatMap(s => scala.util.Try(
+          s.path("schema-id").asInt(-1) -> parseFields(s)).toOption)
         .filter(_._1 >= 0)
         .toMap
+    val currentSchemaId =
+      if (node.has("current-schema-id")) node.path("current-schema-id").asInt() else 0
     val fields =
       if (node.has("schemas") && node.has("current-schema-id")) {
-        val id = node.path("current-schema-id").asInt()
-        schemasById.getOrElse(id, throw new IllegalArgumentException(
-          s"current-schema-id $id not present in schemas list: $file"))
+        // strict re-parse of the selected entry: lenient dropping above
+        // must not silently hide an unsupported CURRENT schema
+        node.path("schemas").elements().asScala
+          .find(_.path("schema-id").asInt(-1) == currentSchemaId)
+          .map(parseFields)
+          .getOrElse(throw new IllegalArgumentException(
+            s"current-schema-id $currentSchemaId not present in schemas list: $file"))
       } else parseFields(node.path("schema"))
 
     val specNode: JsonNode =
@@ -196,7 +209,11 @@ object IcebergMeta {
         if (s.has("parent-snapshot-id")) Some(s.path("parent-snapshot-id").asLong()) else None,
         s.path("timestamp-ms").asLong(),
         s.path("manifest-list").asText(),
-        s.path("summary").path("operation").asText("append"),
+        // the summary (and its operation) is OPTIONAL in spec v1 — keep
+        // the absence visible ("unknown"), because planAppends' window
+        // classification is load-bearing: defaulting a summary-less
+        // compaction to "append" would re-emit its rewritten corpus
+        s.path("summary").path("operation").asText("unknown"),
         if (s.has("schema-id")) Some(s.path("schema-id").asInt()) else None)
     }.toSeq
 
@@ -206,7 +223,7 @@ object IcebergMeta {
       else None
 
     TableMeta(Paths.get(tablePath), formatVersion, fields, partitionFields,
-      current, snapshots, schemasById)
+      current, snapshots, schemasById, currentSchemaId)
   }
 
   // ---------------------------------------------------------------------
@@ -365,12 +382,25 @@ object IcebergMeta {
       s"from-snapshot $fromExclusive is not a reachable ancestor of " +
         s"snapshot ${to.id} (typo'd id, swapped window bounds, or expired " +
         "history) — refusing to guess an increment")
-    // Only APPEND snapshots contribute new data. A compaction/replace
-    // snapshot in the window rewrites PRE-window files into fresh ADDED
-    // entries stamped with its own id — counting those would re-emit the
-    // whole compacted corpus as "new". Entries keep their append
-    // provenance through delete-rewrites (EXISTING entries retain the
-    // adding snapshot's id), so membership in the append-id set is exact.
+    // Only APPEND snapshots contribute new data, and only APPEND/DELETE
+    // snapshots preserve provenance: a delete-rewrite keeps kept entries'
+    // adding-snapshot ids (EXISTING entries retain them per spec), but a
+    // compaction/replace/overwrite REWRITES files under its own id —
+    // in-window appends swallowed by a later in-window replace would be
+    // silently LOST from this plan (only `to`'s manifest list is read),
+    // and the replace's own ADDED entries would double-count pre-window
+    // data. Neither silent failure is acceptable: refuse, pointing at a
+    // full scan. A summary-less snapshot ("unknown") is treated the same
+    // — guessing "append" would re-emit a compacted corpus as new.
+    val unsafe = windowIds.map(meta.snapshotById)
+      .filter(s => s.operation != "append" && s.operation != "delete")
+    if (unsafe.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"snapshot window (${fromExclusive}, ${to.id}] contains " +
+          s"non-append/delete operations ${unsafe.map(s => s"${s.id}:${s.operation}").mkString(", ")} " +
+          "that destroy append provenance (compaction/replace/overwrite or " +
+          "missing summary) — an incremental window cannot be computed; " +
+          "use a full scan of `to` instead")
     val appendIds = windowIds.filter(id => meta.snapshotById(id).operation == "append")
 
     val manifests = readManifestListFile(meta.root, to.manifestList)

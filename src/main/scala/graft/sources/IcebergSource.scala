@@ -85,9 +85,10 @@ object IcebergSource {
     // added later must not appear. A current-table read always uses the
     // CURRENT schema — even though the latest snapshot predates the
     // latest schema change, schema evolution applies to it immediately.
+    // snap is always defined under timeTravel (snapshotById/snapshotAsOf
+    // throw on a miss), so the snapshot schema resolution has no fallback
     val schema = IcebergMeta.sparkSchema(
-      if (timeTravel) snap.map(meta.schemaAt).getOrElse(meta.fields)
-      else meta.fields)
+      if (timeTravel) meta.schemaAt(snap.get) else meta.fields)
     val files = snap.map(s => IcebergMeta.planScan(meta, s, prune).files).getOrElse(Seq.empty)
     readFiles(spark, tablePath, schema, files)
   }
@@ -134,11 +135,11 @@ object IcebergSource {
       s"Incremental reads require table metadata; $tablePath has none")
     val meta = IcebergMeta.load(tablePath)
     val to = toSnapshotId.map(meta.snapshotById).orElse(meta.currentSnapshot)
-    // explicit historical window end -> that snapshot's logged schema;
-    // default (current) -> current schema (same rule as read())
+    // explicit historical window end -> that snapshot's logged schema
+    // (`to` is defined: snapshotById throws on a miss); default (current)
+    // -> current schema (same rule as read())
     val schema = IcebergMeta.sparkSchema(
-      if (toSnapshotId.isDefined) to.map(meta.schemaAt).getOrElse(meta.fields)
-      else meta.fields)
+      if (toSnapshotId.isDefined) meta.schemaAt(to.get) else meta.fields)
     val files = to.map(s => IcebergMeta.planAppends(meta, fromSnapshotId, s).files)
       .getOrElse(Seq.empty)
     readFiles(spark, tablePath, schema, files)

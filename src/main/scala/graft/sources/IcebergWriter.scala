@@ -202,13 +202,29 @@ object IcebergWriter {
     node.put("location", root.toAbsolutePath.toString)
     node.put("last-updated-ms", timestampMs)
     node.put("last-column-id", schema.fields.length)
-    node.set[ObjectNode]("schema", schemaJson(schema))
     // modern shape alongside the v1-required singular "schema": the
     // schemas list + per-snapshot schema-id is what makes time-travel
-    // resolve the schema a snapshot was written under (this writer never
-    // evolves schemas, so every snapshot logs schema-id 0)
-    node.put("current-schema-id", 0)
-    node.putArray("schemas").add(schemaJson(schema))
+    // resolve the schema a snapshot was written under. This writer never
+    // evolves schemas itself, but it must PRESERVE evolution done to the
+    // table by others: prior schemas carry forward verbatim (dropping
+    // them would make historical snapshots resolve to the current schema
+    // — exactly the wrong-time-travel behavior the schema log prevents).
+    val curSchemaId = prior.map(_.currentSchemaId).getOrElse(0)
+    val allSchemas: Seq[(Int, ObjectNode)] = prior match {
+      case Some(m) =>
+        val byId =
+          if (m.schemasById.nonEmpty) m.schemasById
+          else Map(m.currentSchemaId -> m.fields) // pre-schema-log table
+        byId.toSeq.sortBy(_._1).map { case (id, fl) => id -> fieldsJson(id, fl) }
+      case None => Seq(0 -> schemaJson(schema))
+    }
+    node.set[ObjectNode]("schema",
+      allSchemas.find(_._1 == curSchemaId)
+        .map(_._2.deepCopy[ObjectNode]())
+        .getOrElse(schemaJson(schema)))
+    node.put("current-schema-id", curSchemaId)
+    val schemasArr = node.putArray("schemas")
+    allSchemas.foreach { case (_, s) => schemasArr.add(s) }
     node.set[ArrayNode]("partition-spec", specJson(schema, partitionCol))
     node.put("current-snapshot-id", snapshotId)
     val snaps = node.putArray("snapshots")
@@ -226,7 +242,7 @@ object IcebergWriter {
     prior.flatMap(_.currentSnapshotId).foreach(p => sn.put("parent-snapshot-id", p))
     sn.put("timestamp-ms", timestampMs)
     sn.put("manifest-list", listPath.toAbsolutePath.toString)
-    sn.put("schema-id", 0)
+    sn.put("schema-id", curSchemaId)
     sn.putObject("summary").put("operation", operation)
     val log = node.putArray("snapshot-log")
     (prior.toSeq.flatMap(_.snapshots) :+
@@ -243,6 +259,24 @@ object IcebergWriter {
     Files.writeString(tmp, version.toString)
     Files.move(tmp, root.resolve("metadata").resolve("version-hint.text"),
       StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Serialize ALREADY-PARSED fields (carry-forward path): original field
+    * ids survive, unlike [[schemaJson]]'s positional assignment.
+    */
+  private def fieldsJson(schemaId: Int, fields: Seq[IcebergMeta.Field]): ObjectNode = {
+    val s = mapper.createObjectNode()
+    s.put("type", "struct")
+    s.put("schema-id", schemaId)
+    val arr = s.putArray("fields")
+    fields.foreach { f =>
+      val fn = arr.addObject()
+      fn.put("id", f.id)
+      fn.put("name", f.name)
+      fn.put("required", f.required)
+      fn.put("type", f.typeName)
+    }
+    s
   }
 
   private def schemaJson(schema: StructType): ObjectNode = {

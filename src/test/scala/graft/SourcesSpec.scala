@@ -322,6 +322,98 @@ class SourcesSpec extends SparkTestBase {
       "historical reads must show the schema the snapshot was written under")
   }
 
+  test("iceberg incremental refuses provenance-destroying window operations") {
+    val root = mkMetadataTable()
+    val v3 = Paths.get(root, "metadata", "v3.metadata.json")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def withOperation(snapshotId: Long, op: Option[String]): Unit = {
+      val node = mapper.readTree(Files.readString(v3))
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      node.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("snapshots")
+        .forEach { s =>
+          if (s.path("snapshot-id").asLong() == snapshotId) {
+            val o = s.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+            op match {
+              case Some(v) => o.withObject("/summary").put("operation", v)
+              case None    => o.remove("summary"): Unit
+            }
+          }
+        }
+      Files.writeString(v3, mapper.writeValueAsString(node))
+    }
+    // a REPLACE (compaction) inside the window rewrites files under its
+    // own id — in-window appends it swallowed would silently vanish from
+    // a net-appends plan, so the plan must refuse
+    withOperation(2L, Some("replace"))
+    val e1 = intercept[UnsupportedOperationException] {
+      IcebergSource.readAppendsSince(spark, root, 1L).collect()
+    }
+    assert(e1.getMessage.contains("replace"))
+    // a snapshot with NO summary (optional in spec v1) is unknown — it
+    // must not be guessed as an append
+    withOperation(2L, None)
+    val e2 = intercept[UnsupportedOperationException] {
+      IcebergSource.readAppendsSince(spark, root, 1L).collect()
+    }
+    assert(e2.getMessage.contains("unknown"))
+    // windows NOT containing the tainted snapshot still plan fine, and
+    // full reads are unaffected entirely
+    assert(IcebergSource.readAppendsSince(spark, root, 2L).count() === 0) // (2,3]: delete only
+    withOperation(2L, Some("append")) // restore
+    assert(IcebergSource.readAppendsSince(spark, root, 1L).count() === 10)
+  }
+
+  test("iceberg writer preserves schema history; lenient parse of dead nested schemas") {
+    import spark.implicits._
+    val root = mkMetadataTable()
+    // evolve (as the evolution test does): schema 1 = old + "extra"
+    val v3 = Paths.get(root, "metadata", "v3.metadata.json")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(Files.readString(v3))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val schemas = node.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("schemas")
+    val evolved = schemas.get(0).deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+    evolved.put("schema-id", 1)
+    val extra = evolved.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("fields").addObject()
+    extra.put("id", 4); extra.put("name", "extra")
+    extra.put("required", false); extra.put("type", "long")
+    schemas.add(evolved)
+    node.put("current-schema-id", 1)
+    Files.writeString(v3, mapper.writeValueAsString(node))
+
+    // a LATER append through the writer must carry the schema history
+    // forward: snapshot 1 keeps resolving the pre-evolution schema
+    val more = Seq((100L, "x", 0, 7L)).toDF("id", "v", "band", "extra")
+    IcebergWriter.append(spark, root, more, Some("band"), 4000L)
+    assert(IcebergSource.read(spark, root).columns.toSeq
+      === Seq("id", "v", "band", "extra"))
+    assert(IcebergSource.read(spark, root, Some(1L), None, None).columns.toSeq
+      === Seq("id", "v", "band"),
+      "append after evolution must not collapse historical schemas")
+    assert(IcebergSource.read(spark, root)
+      .filter("extra is not null").count() === 1)
+
+    // lenient historical parse: a DEAD schema with a nested type must not
+    // make the table unreadable (current schema still strict)
+    val node2 = mapper.readTree(Files.readString(
+      Paths.get(root, "metadata", "v4.metadata.json")))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val deadSchema = mapper.createObjectNode()
+    deadSchema.put("type", "struct")
+    deadSchema.put("schema-id", 99)
+    val deadField = deadSchema.putArray("fields").addObject()
+    deadField.put("id", 9)
+    deadField.put("name", "old_struct")
+    deadField.put("required", false)
+    deadField.set("type", mapper.createObjectNode().put("type", "struct"))
+    node2.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("schemas").add(deadSchema)
+    Files.writeString(
+      Paths.get(root, "metadata", "v4.metadata.json"),
+      mapper.writeValueAsString(node2))
+    assert(IcebergSource.read(spark, root).count() === 31,
+      "a nested type in a dead historical schema must not break reads")
+  }
+
   test("iceberg unpartitioned metadata table round-trips") {
     import spark.implicits._
     val root = tempDir("graft-iceberg-flat")
