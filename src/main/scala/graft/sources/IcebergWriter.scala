@@ -196,60 +196,50 @@ object IcebergWriter {
     writeManifestList(listPath, manifests)
 
     val version = prior.map(_ => IcebergSource.versionHint(root.toString).get + 1).getOrElse(1)
-    val node = mapper.createObjectNode()
-    node.put("format-version", 1)
-    node.put("table-uuid", f"00000000-0000-0000-0000-${snapshotId}%012d")
-    node.put("location", root.toAbsolutePath.toString)
+    // Carry the prior metadata's JSON forward VERBATIM and only update
+    // what this commit changes. Re-serializing parsed structs would
+    // destroy everything the Field/Snapshot model doesn't hold — schemas
+    // the lenient reader dropped (nested types), doc/identifier-field
+    // attributes, real (non-positional) field ids, last-column-id,
+    // partition-spec source ids, summary-less snapshots — silently
+    // corrupting any table another writer evolved. Fresh tables get the
+    // minimal v1 shape with positional ids.
+    val node: ObjectNode = prior match {
+      case Some(_) =>
+        val hinted = IcebergSource.versionHint(root.toString).get
+        mapper.readTree(Files.readString(
+          root.resolve("metadata").resolve(s"v$hinted.metadata.json")))
+          .asInstanceOf[ObjectNode]
+      case None =>
+        val n = mapper.createObjectNode()
+        n.put("format-version", 1)
+        n.put("table-uuid", f"00000000-0000-0000-0000-${snapshotId}%012d")
+        n.put("location", root.toAbsolutePath.toString)
+        n.put("last-column-id", schema.fields.length)
+        n.set[ObjectNode]("schema", schemaJson(schema))
+        n.put("current-schema-id", 0)
+        n.putArray("schemas").add(schemaJson(schema))
+        n.set[ArrayNode]("partition-spec", specJson(schema, partitionCol))
+        n.putArray("snapshots")
+        n.putArray("snapshot-log")
+        n
+    }
     node.put("last-updated-ms", timestampMs)
-    node.put("last-column-id", schema.fields.length)
-    // modern shape alongside the v1-required singular "schema": the
-    // schemas list + per-snapshot schema-id is what makes time-travel
-    // resolve the schema a snapshot was written under. This writer never
-    // evolves schemas itself, but it must PRESERVE evolution done to the
-    // table by others: prior schemas carry forward verbatim (dropping
-    // them would make historical snapshots resolve to the current schema
-    // — exactly the wrong-time-travel behavior the schema log prevents).
-    val curSchemaId = prior.map(_.currentSchemaId).getOrElse(0)
-    val allSchemas: Seq[(Int, ObjectNode)] = prior match {
-      case Some(m) =>
-        val byId =
-          if (m.schemasById.nonEmpty) m.schemasById
-          else Map(m.currentSchemaId -> m.fields) // pre-schema-log table
-        byId.toSeq.sortBy(_._1).map { case (id, fl) => id -> fieldsJson(id, fl) }
-      case None => Seq(0 -> schemaJson(schema))
-    }
-    node.set[ObjectNode]("schema",
-      allSchemas.find(_._1 == curSchemaId)
-        .map(_._2.deepCopy[ObjectNode]())
-        .getOrElse(schemaJson(schema)))
-    node.put("current-schema-id", curSchemaId)
-    val schemasArr = node.putArray("schemas")
-    allSchemas.foreach { case (_, s) => schemasArr.add(s) }
-    node.set[ArrayNode]("partition-spec", specJson(schema, partitionCol))
     node.put("current-snapshot-id", snapshotId)
-    val snaps = node.putArray("snapshots")
-    prior.toSeq.flatMap(_.snapshots).foreach { s =>
-      val sn = snaps.addObject()
-      sn.put("snapshot-id", s.id)
-      s.parentId.foreach(p => sn.put("parent-snapshot-id", p))
-      sn.put("timestamp-ms", s.timestampMs)
-      sn.put("manifest-list", s.manifestList)
-      s.schemaId.foreach(id => sn.put("schema-id", id))
-      sn.putObject("summary").put("operation", s.operation)
-    }
-    val sn = snaps.addObject()
+    val sn = node.withArray[ArrayNode]("snapshots").addObject()
     sn.put("snapshot-id", snapshotId)
     prior.flatMap(_.currentSnapshotId).foreach(p => sn.put("parent-snapshot-id", p))
     sn.put("timestamp-ms", timestampMs)
     sn.put("manifest-list", listPath.toAbsolutePath.toString)
-    sn.put("schema-id", curSchemaId)
+    // the new snapshot logs the CURRENT schema id — but only when the
+    // table tracks one (a current-schema-id fabricated for a singular-
+    // schema table could dangle from its schemas-less metadata)
+    if (node.has("current-schema-id"))
+      sn.put("schema-id", node.path("current-schema-id").asInt())
     sn.putObject("summary").put("operation", operation)
-    val log = node.putArray("snapshot-log")
-    (prior.toSeq.flatMap(_.snapshots) :+
-      IcebergMeta.Snapshot(snapshotId, None, timestampMs, "", operation)).foreach { s =>
-      val e = log.addObject()
-      e.put("snapshot-id", s.id); e.put("timestamp-ms", s.timestampMs)
-    }
+    val log = node.withArray[ArrayNode]("snapshot-log").addObject()
+    log.put("snapshot-id", snapshotId)
+    log.put("timestamp-ms", timestampMs)
 
     val metaFile = root.resolve("metadata").resolve(s"v$version.metadata.json")
     Files.writeString(metaFile, mapper.writerWithDefaultPrettyPrinter().writeValueAsString(node))
@@ -259,24 +249,6 @@ object IcebergWriter {
     Files.writeString(tmp, version.toString)
     Files.move(tmp, root.resolve("metadata").resolve("version-hint.text"),
       StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
-  }
-
-  /** Serialize ALREADY-PARSED fields (carry-forward path): original field
-    * ids survive, unlike [[schemaJson]]'s positional assignment.
-    */
-  private def fieldsJson(schemaId: Int, fields: Seq[IcebergMeta.Field]): ObjectNode = {
-    val s = mapper.createObjectNode()
-    s.put("type", "struct")
-    s.put("schema-id", schemaId)
-    val arr = s.putArray("fields")
-    fields.foreach { f =>
-      val fn = arr.addObject()
-      fn.put("id", f.id)
-      fn.put("name", f.name)
-      fn.put("required", f.required)
-      fn.put("type", f.typeName)
-    }
-    s
   }
 
   private def schemaJson(schema: StructType): ObjectNode = {

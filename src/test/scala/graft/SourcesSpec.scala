@@ -412,6 +412,17 @@ class SourcesSpec extends SparkTestBase {
       mapper.writeValueAsString(node2))
     assert(IcebergSource.read(spark, root).count() === 31,
       "a nested type in a dead historical schema must not break reads")
+
+    // and a FURTHER append carries the dead schema forward VERBATIM:
+    // read-side leniency must never escalate into write-side destruction
+    // of metadata a stricter reader (real Iceberg runtime) could use
+    IcebergWriter.append(spark, root,
+      Seq((101L, "y", 1, 8L)).toDF("id", "v", "band", "extra"),
+      Some("band"), 5000L)
+    val v5 = Files.readString(Paths.get(root, "metadata", "v5.metadata.json"))
+    assert(v5.contains("old_struct"),
+      "append must not drop schemas the lenient parser skipped")
+    assert(IcebergSource.read(spark, root).count() === 32)
   }
 
   test("iceberg unpartitioned metadata table round-trips") {
