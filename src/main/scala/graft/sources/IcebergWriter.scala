@@ -54,6 +54,16 @@ object IcebergWriter {
         m.fields.map(_.name) == df.schema.fieldNames.toSeq,
         s"Append schema ${df.schema.fieldNames.mkString(",")} does not match " +
           s"table schema ${m.fields.map(_.name).mkString(",")}")
+      // the spec is carried forward verbatim, so an append laid out
+      // differently would DIVERGE metadata from data (files with empty
+      // partition tuples under a spec that prunes on 'band' silently
+      // vanish from pruned reads) — refuse loudly instead
+      val specCols = m.partitionFields.map(_.name)
+      require(
+        specCols == partitionCol.toSeq,
+        s"Append partitioning ${partitionCol.getOrElse("<none>")} does not " +
+          s"match the table's spec (" +
+          (if (specCols.isEmpty) "<none>" else specCols.mkString(",")) + ")")
     }
     val snapshotId = prior.flatMap(_.snapshots.map(_.id).maxOption).getOrElse(0L) + 1L
 
@@ -195,7 +205,15 @@ object IcebergWriter {
       .resolve(f"snap-$snapshotId%05d-manifest-list.avro")
     writeManifestList(listPath, manifests)
 
-    val version = prior.map(_ => IcebergSource.versionHint(root.toString).get + 1).getOrElse(1)
+    // this writer emits v1 metadata, manifests and manifest lists — a
+    // commit onto a v2 table would mix v1-shaped snapshots (no sequence
+    // numbers) into metadata claiming v2, invalid to real v2 readers
+    prior.foreach(m => require(m.formatVersion == 1,
+      s"this writer commits format-version 1 only; table is v${m.formatVersion}"))
+    // ONE hint read for both the new version number and the verbatim
+    // base: two reads would race a concurrent commit and splice lineages
+    val hinted = prior.map(_ => IcebergSource.versionHint(root.toString).get)
+    val version = hinted.map(_ + 1).getOrElse(1)
     // Carry the prior metadata's JSON forward VERBATIM and only update
     // what this commit changes. Re-serializing parsed structs would
     // destroy everything the Field/Snapshot model doesn't hold — schemas
@@ -204,17 +222,15 @@ object IcebergWriter {
     // partition-spec source ids, summary-less snapshots — silently
     // corrupting any table another writer evolved. Fresh tables get the
     // minimal v1 shape with positional ids.
-    val node: ObjectNode = prior match {
-      case Some(_) =>
-        val hinted = IcebergSource.versionHint(root.toString).get
+    val node: ObjectNode = hinted match {
+      case Some(h) =>
         mapper.readTree(Files.readString(
-          root.resolve("metadata").resolve(s"v$hinted.metadata.json")))
+          root.resolve("metadata").resolve(s"v$h.metadata.json")))
           .asInstanceOf[ObjectNode]
       case None =>
         val n = mapper.createObjectNode()
         n.put("format-version", 1)
         n.put("table-uuid", f"00000000-0000-0000-0000-${snapshotId}%012d")
-        n.put("location", root.toAbsolutePath.toString)
         n.put("last-column-id", schema.fields.length)
         n.set[ObjectNode]("schema", schemaJson(schema))
         n.put("current-schema-id", 0)
@@ -224,6 +240,9 @@ object IcebergWriter {
         n.putArray("snapshot-log")
         n
     }
+    // location self-heals on every commit (a moved table dir would
+    // otherwise keep its dead pre-move path forever)
+    node.put("location", root.toAbsolutePath.toString)
     node.put("last-updated-ms", timestampMs)
     node.put("current-snapshot-id", snapshotId)
     val sn = node.withArray[ArrayNode]("snapshots").addObject()

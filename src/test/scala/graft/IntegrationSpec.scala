@@ -44,7 +44,7 @@ class IntegrationSpec extends SparkTestBase {
     import spark.implicits._
     def sent(seed: Int): String =
       (0 until 30).map(i => s"p${seed}d$i").mkString(" ")
-    val lake = java.nio.file.Files.createTempDirectory("graft-pipeline-lake").toString
+    val lake = tempDir("graft-pipeline-lake")
 
     // day 0: corpus lands as snapshot 1; index materialized FROM THE LAKE
     val day0 = Seq((1L, sent(1)), (2L, sent(2)), (3L, sent(3)))

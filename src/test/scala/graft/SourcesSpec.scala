@@ -425,6 +425,26 @@ class SourcesSpec extends SparkTestBase {
     assert(IcebergSource.read(spark, root).count() === 32)
   }
 
+  test("iceberg append refuses partitioning that diverges from the table spec") {
+    import spark.implicits._
+    val root = mkMetadataTable() // partitioned by band
+    // unpartitioned append onto a band-partitioned table: files with
+    // empty partition tuples would silently vanish from pruned reads
+    val e = intercept[IllegalArgumentException] {
+      IcebergWriter.append(spark, root,
+        Seq((200L, "z", 9)).toDF("id", "v", "band"), None, 9000L)
+    }
+    assert(e.getMessage.contains("does not match the table's spec"))
+    // and the inverse on an unpartitioned table
+    val flat = tempDir("graft-iceberg-flatspec")
+    IcebergWriter.append(spark, flat,
+      Seq((1L, "a")).toDF("id", "v"), None, 1000L)
+    intercept[IllegalArgumentException] {
+      IcebergWriter.append(spark, flat,
+        Seq((2L, "b")).toDF("id", "v"), Some("id"), 2000L)
+    }
+  }
+
   test("iceberg unpartitioned metadata table round-trips") {
     import spark.implicits._
     val root = tempDir("graft-iceberg-flat")
