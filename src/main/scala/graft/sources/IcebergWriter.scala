@@ -49,7 +49,11 @@ object IcebergWriter {
     Files.createDirectories(root.resolve("metadata"))
 
     val prior = if (IcebergMeta.hasMetadata(tablePath)) Some(IcebergMeta.load(tablePath)) else None
+    // ALL refusals happen here, before any side effect — a guard firing
+    // after data files moved into data/ would leave orphans that
+    // directory-based readers return as rows
     prior.foreach { m =>
+      requireWritable(m)
       require(
         m.fields.map(_.name) == df.schema.fieldNames.toSeq,
         s"Append schema ${df.schema.fieldNames.mkString(",")} does not match " +
@@ -57,14 +61,25 @@ object IcebergWriter {
       // the spec is carried forward verbatim, so an append laid out
       // differently would DIVERGE metadata from data (files with empty
       // partition tuples under a spec that prunes on 'band' silently
-      // vanish from pruned reads) — refuse loudly instead
+      // vanish from pruned reads) — refuse loudly instead. Same for a
+      // NON-IDENTITY transform (bucket/truncate/...): name equality would
+      // pass while this writer lays out raw identity values under a spec
+      // claiming a transform, misrouting every pruned read.
       val specCols = m.partitionFields.map(_.name)
       require(
         specCols == partitionCol.toSeq,
         s"Append partitioning ${partitionCol.getOrElse("<none>")} does not " +
           s"match the table's spec (" +
           (if (specCols.isEmpty) "<none>" else specCols.mkString(",")) + ")")
+      m.partitionFields.foreach(pf => require(pf.transform == "identity",
+        s"table spec transform '${pf.transform}' on '${pf.name}' is not " +
+          "identity; this writer cannot lay out files for it"))
     }
+    // the version this commit is based on, read ONCE with the same load —
+    // commitSnapshot reuses it so version number and verbatim base can
+    // never come from different hints. (Concurrent WRITERS remain
+    // unsupported: the single-writer contract is the caller's.)
+    val baseVersion = prior.map(_ => IcebergSource.versionHint(tablePath).get)
     val snapshotId = prior.flatMap(_.snapshots.map(_.id).maxOption).getOrElse(0L) + 1L
 
     // ---- data files -----------------------------------------------------
@@ -132,8 +147,8 @@ object IcebergWriter {
       .map(m => IcebergMeta.readManifestListFile(
         m.root, currentManifestList(m).toString))
       .getOrElse(Seq.empty)
-    commitSnapshot(spark, root, df.schema, partitionCol, prior, snapshotId,
-      timestampMs, carried ++ newManifests, operation = "append")
+    commitSnapshot(spark, root, df.schema, partitionCol, prior, baseVersion,
+      snapshotId, timestampMs, carried ++ newManifests, operation = "append")
     snapshotId
   }
 
@@ -150,6 +165,8 @@ object IcebergWriter {
       values: Set[Any],
       timestampMs: Long): Long = {
     val meta = IcebergMeta.load(tablePath)
+    requireWritable(meta) // before ANY side effect (see append)
+    val baseVersion = Some(IcebergSource.versionHint(tablePath).get)
     val root = meta.root
     val snapshotId = meta.snapshots.map(_.id).max + 1L
     val pf = meta.partitionFields.find(_.name == column).getOrElse(
@@ -183,9 +200,19 @@ object IcebergWriter {
     }
     require(rewrites > 0, s"deletePartitions matched no files for $column in $values")
     commitSnapshot(spark, root, IcebergMeta.sparkSchema(meta), Some(column),
-      Some(meta), snapshotId, timestampMs, out, operation = "delete")
+      Some(meta), baseVersion, snapshotId, timestampMs, out, operation = "delete")
     snapshotId
   }
+
+  /** Commit preconditions shared by append/deletePartitions, checked
+    * BEFORE any side effect: this writer emits v1 metadata, manifests
+    * and manifest lists — a commit onto a v2 table would mix v1-shaped
+    * snapshots (no sequence numbers) into metadata claiming v2, invalid
+    * to real v2 readers.
+    */
+  private def requireWritable(m: IcebergMeta.TableMeta): Unit =
+    require(m.formatVersion == 1,
+      s"this writer commits format-version 1 only; table is v${m.formatVersion}")
 
   // -----------------------------------------------------------------------
   // snapshot commit: manifest list + metadata json + version hint
@@ -197,6 +224,8 @@ object IcebergWriter {
       schema: StructType,
       partitionCol: Option[String],
       prior: Option[IcebergMeta.TableMeta],
+      baseVersion: Option[Int], // the version the caller LOADED — base and
+      // version number come from that one read, never a fresh hint
       snapshotId: Long,
       timestampMs: Long,
       manifests: Seq[IcebergMeta.ManifestFile],
@@ -205,15 +234,7 @@ object IcebergWriter {
       .resolve(f"snap-$snapshotId%05d-manifest-list.avro")
     writeManifestList(listPath, manifests)
 
-    // this writer emits v1 metadata, manifests and manifest lists — a
-    // commit onto a v2 table would mix v1-shaped snapshots (no sequence
-    // numbers) into metadata claiming v2, invalid to real v2 readers
-    prior.foreach(m => require(m.formatVersion == 1,
-      s"this writer commits format-version 1 only; table is v${m.formatVersion}"))
-    // ONE hint read for both the new version number and the verbatim
-    // base: two reads would race a concurrent commit and splice lineages
-    val hinted = prior.map(_ => IcebergSource.versionHint(root.toString).get)
-    val version = hinted.map(_ + 1).getOrElse(1)
+    val version = baseVersion.map(_ + 1).getOrElse(1)
     // Carry the prior metadata's JSON forward VERBATIM and only update
     // what this commit changes. Re-serializing parsed structs would
     // destroy everything the Field/Snapshot model doesn't hold — schemas
@@ -222,7 +243,7 @@ object IcebergWriter {
     // partition-spec source ids, summary-less snapshots — silently
     // corrupting any table another writer evolved. Fresh tables get the
     // minimal v1 shape with positional ids.
-    val node: ObjectNode = hinted match {
+    val node: ObjectNode = baseVersion match {
       case Some(h) =>
         mapper.readTree(Files.readString(
           root.resolve("metadata").resolve(s"v$h.metadata.json")))
@@ -240,9 +261,16 @@ object IcebergWriter {
         n.putArray("snapshot-log")
         n
     }
-    // location self-heals on every commit (a moved table dir would
-    // otherwise keep its dead pre-move path forever)
-    node.put("location", root.toAbsolutePath.toString)
+    // location self-heals ONLY when the recorded path is a local path
+    // that no longer exists (the table dir was moved) — a resolvable
+    // location, or one with a URI scheme this writer can't verify
+    // (s3://...), is another writer's metadata and stays verbatim
+    val recorded = Option(node.get("location")).map(_.asText())
+    val stale = recorded.forall { loc =>
+      if (loc.contains("://") && !loc.startsWith("file:")) false // unverifiable: keep
+      else !Files.exists(Paths.get(loc.stripPrefix("file:")))
+    }
+    if (stale) node.put("location", root.toAbsolutePath.toString): Unit
     node.put("last-updated-ms", timestampMs)
     node.put("current-snapshot-id", snapshotId)
     val sn = node.withArray[ArrayNode]("snapshots").addObject()

@@ -445,6 +445,59 @@ class SourcesSpec extends SparkTestBase {
     }
   }
 
+  test("iceberg writer refuses v2 tables BEFORE side effects; heals only stale local locations") {
+    import spark.implicits._
+    val root = mkMetadataTable()
+    val v3 = Paths.get(root, "metadata", "v3.metadata.json")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def editMeta(f: com.fasterxml.jackson.databind.node.ObjectNode => Unit): Unit = {
+      val node = mapper.readTree(Files.readString(v3))
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      f(node)
+      Files.writeString(v3, mapper.writeValueAsString(node))
+    }
+    // v2 prior: refuse, and refuse EARLY — no orphan data files land
+    editMeta(_.put("format-version", 2))
+    val filesBefore = java.nio.file.Files.walk(Paths.get(root, "data")).count()
+    val e = intercept[IllegalArgumentException] {
+      IcebergWriter.append(spark, root,
+        Seq((300L, "w", 0)).toDF("id", "v", "band"), Some("band"), 9000L)
+    }
+    assert(e.getMessage.contains("format-version 1 only"))
+    intercept[IllegalArgumentException] {
+      IcebergWriter.deletePartitions(spark, root, "band", Set(0), 9000L)
+    }
+    assert(java.nio.file.Files.walk(Paths.get(root, "data")).count() === filesBefore,
+      "a refused commit must not leave orphan files in data/")
+    editMeta(_.put("format-version", 1)) // restore
+
+    // an unverifiable (object-store) location is another writer's
+    // metadata: preserved verbatim through a commit
+    editMeta(_.put("location", "s3://warehouse/tbl"))
+    IcebergWriter.append(spark, root,
+      Seq((300L, "w", 0)).toDF("id", "v", "band"), Some("band"), 9000L)
+    val v4 = mapper.readTree(Files.readString(
+      Paths.get(root, "metadata", "v4.metadata.json")))
+    assert(v4.path("location").asText() === "s3://warehouse/tbl")
+    // a STALE local location (dir moved/gone) self-heals
+    editMeta2(root, "v4", _.put("location", "/nonexistent/moved-away"))
+    IcebergWriter.append(spark, root,
+      Seq((301L, "w", 1)).toDF("id", "v", "band"), Some("band"), 9500L)
+    val v5 = mapper.readTree(Files.readString(
+      Paths.get(root, "metadata", "v5.metadata.json")))
+    assert(v5.path("location").asText() === Paths.get(root).toAbsolutePath.toString)
+  }
+
+  private def editMeta2(root: String, version: String,
+      f: com.fasterxml.jackson.databind.node.ObjectNode => Unit): Unit = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val p = Paths.get(root, "metadata", s"$version.metadata.json")
+    val node = mapper.readTree(Files.readString(p))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    f(node)
+    Files.writeString(p, mapper.writeValueAsString(node))
+  }
+
   test("iceberg unpartitioned metadata table round-trips") {
     import spark.implicits._
     val root = tempDir("graft-iceberg-flat")
