@@ -456,9 +456,13 @@ class SourcesSpec extends SparkTestBase {
       f(node)
       Files.writeString(v3, mapper.writeValueAsString(node))
     }
+    def dataFileCount(): Long = {
+      val walk = java.nio.file.Files.walk(Paths.get(root, "data"))
+      try walk.count() finally walk.close()
+    }
     // v2 prior: refuse, and refuse EARLY — no orphan data files land
     editMeta(_.put("format-version", 2))
-    val filesBefore = java.nio.file.Files.walk(Paths.get(root, "data")).count()
+    val filesBefore = dataFileCount()
     val e = intercept[IllegalArgumentException] {
       IcebergWriter.append(spark, root,
         Seq((300L, "w", 0)).toDF("id", "v", "band"), Some("band"), 9000L)
@@ -467,7 +471,7 @@ class SourcesSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       IcebergWriter.deletePartitions(spark, root, "band", Set(0), 9000L)
     }
-    assert(java.nio.file.Files.walk(Paths.get(root, "data")).count() === filesBefore,
+    assert(dataFileCount() === filesBefore,
       "a refused commit must not leave orphan files in data/")
     editMeta(_.put("format-version", 1)) // restore
 
