@@ -112,7 +112,10 @@ object MinHashIndex {
     if (!fs.exists(dir)) Seq.empty
     else fs.listStatus(dir).toSeq
       .map(_.getPath.getName)
-      .collect { case s if s.startsWith("v") => s.drop(1).toInt }
+      // strict v\d+ match (same filter recover uses for version dirs): a
+      // stray non-conforming file (editor temp "v1.swp", lost+found) must
+      // not throw NumberFormatException and make the index unreadable
+      .collect { case s if s.matches("v\\d+") => s.drop(1).toInt }
       .sorted
   }
 

@@ -375,7 +375,11 @@ object IcebergMeta {
     val windowIds = scala.collection.mutable.Set.empty[Long]
     var cursor: Option[Snapshot] = Some(to)
     while (cursor.exists(_.id != fromExclusive)) {
-      windowIds += cursor.get.id
+      // corrupt metadata can cycle parent-snapshot-id; windowIds doubles
+      // as the visited set so the walk refuses instead of spinning forever
+      require(windowIds.add(cursor.get.id),
+        s"parent-snapshot-id ancestry of snapshot ${to.id} cycles at " +
+          s"${cursor.get.id} — metadata is corrupt; refusing to plan")
       cursor = cursor.get.parentId.flatMap(id => meta.snapshots.find(_.id == id))
     }
     require(cursor.isDefined,
@@ -484,7 +488,18 @@ object IcebergMeta {
     (stored, wanted) match {
       case (null, null)               => true
       case (null, _) | (_, null)      => false
-      case (a: Number, b: Number)     => a.longValue() == b.longValue()
+      case (a: Number, b: Number)     =>
+        // longValue() on both sides would truncate fractional values
+        // (1.9 "equals" stored 1 — wrong pruning on float/double
+        // partitions of foreign tables); compare in double space when
+        // either side is fractional, exactly otherwise
+        def fractional(n: Number) = n match {
+          case _: java.lang.Double | _: java.lang.Float |
+               _: java.math.BigDecimal | _: scala.math.BigDecimal => true
+          case _ => false
+        }
+        if (fractional(a) || fractional(b)) a.doubleValue() == b.doubleValue()
+        else a.longValue() == b.longValue()
       case (a, b)                     => a.toString == b.toString
     }
 

@@ -58,6 +58,20 @@ object IcebergWriter {
         m.fields.map(_.name) == df.schema.fieldNames.toSeq,
         s"Append schema ${df.schema.fieldNames.mkString(",")} does not match " +
           s"table schema ${m.fields.map(_.name).mkString(",")}")
+      // name equality alone would let a same-named column of a different
+      // TYPE through — the parquet files would diverge from the table
+      // metadata schema and surface later as read failures or silent
+      // coercion. Types must match exactly; nullability may only narrow
+      // (a non-nullable df into a nullable table field is safe, the
+      // reverse would let nulls into a required column).
+      m.fields.zip(df.schema.fields).foreach { case (tf, sf) =>
+        require(icebergType(sf.dataType) == tf.typeName,
+          s"Append column '${sf.name}' has type ${icebergType(sf.dataType)} " +
+            s"but the table schema requires ${tf.typeName}")
+        require(!(tf.required && sf.nullable),
+          s"Append column '${sf.name}' is nullable but the table schema " +
+            "marks it required")
+      }
       // the spec is carried forward verbatim, so an append laid out
       // differently would DIVERGE metadata from data (files with empty
       // partition tuples under a spec that prunes on 'band' silently
@@ -186,7 +200,13 @@ object IcebergWriter {
       if (!hasMatch) mf
       else {
         val rewritten = entries.map { e =>
-          if (values.exists(v => IcebergMeta.valueEquals(
+          // entries already DELETED by a prior snapshot carry over verbatim
+          // — flipping them to EXISTING would resurrect their files in the
+          // new snapshot (real v1 manifests mix partitions and retain
+          // DELETED entries; self-written ones never hit this, foreign
+          // tables do)
+          if (e.status == 2) e
+          else if (values.exists(v => IcebergMeta.valueEquals(
               e.dataFile.partition.get(column).orNull, v)))
             e.copy(status = 2, snapshotId = snapshotId) // DELETED
           else e.copy(status = 0)                        // EXISTING
