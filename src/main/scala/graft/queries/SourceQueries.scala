@@ -64,6 +64,48 @@ object SourceQueries {
     root.toString
   }
 
+  /** Materialize (once per fixture dir + process) a format-v2 Iceberg
+    * table over `part` exercising MERGE-ON-READ — the state any table
+    * written by Flink CDC / Spark MERGE is in:
+    *   snapshot 1 (seq 1) appends bands 0,1,2 · snapshot 2 (seq 2)
+    *   appends band 3 · snapshot 3 (seq 3) POSITION-deletes rows with
+    *   p_size < 25 · snapshot 4 (seq 4) EQUALITY-deletes p_band=2 ·
+    *   snapshot 5 (seq 5) re-appends band-2 rows with p_size > 30, which
+    *   must SURVIVE the earlier equality delete (sequence scoping).
+    */
+  private def fixtureIcebergV2Table(
+      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    import graft.sources.IcebergWriter
+    val root = graft.engine.TempDirs.workspace("graft-iceberg", "v2part", dir)
+    graft.engine.TempDirs.materializeOnce(root)(
+      java.nio.file.Files.exists(
+        root.resolve("metadata").resolve("v5.metadata.json"))
+    ) {
+      if (java.nio.file.Files.exists(root)) {
+        val walk = java.nio.file.Files.walk(root)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+        finally walk.close()
+      }
+      val df = t(s, dir, "part")
+        .select(col("p_partkey"), col("p_name"), col("p_size"))
+        .withColumn("p_band", (col("p_partkey") % 4).cast("int"))
+      IcebergWriter.append(s, root.toString, df.filter(col("p_band") < 3),
+        None, timestampMs = 1000L, formatVersion = 2)
+      IcebergWriter.append(s, root.toString, df.filter(col("p_band") === 3),
+        None, timestampMs = 2000L)
+      IcebergWriter.deleteRowsWhere(s, root.toString, col("p_size") < 25,
+        timestampMs = 3000L)
+      import s.implicits._
+      IcebergWriter.deleteEquality(s, root.toString,
+        Seq(2).toDF("p_band"), timestampMs = 4000L)
+      IcebergWriter.append(s, root.toString,
+        df.filter(col("p_band") === 2 && col("p_size") > 30),
+        None, timestampMs = 5000L): Unit
+    }
+    root.toString
+  }
+
   val all: Seq[Q] = Seq(
     // CSV scan with declared schema + header (reference:
     // coordinator/src/main.rs:33-43).
@@ -302,6 +344,48 @@ object SourceQueries {
       Some(
         "SELECT p_partkey, p_name, CAST(p_partkey % 4 AS INT) AS p_band " +
           "FROM part WHERE p_partkey % 4 = 3 ORDER BY p_partkey"
+      )
+    ),
+    // v2 merge-on-read, position deletes: time-travel to snapshot 3 —
+    // right after a MERGE-shaped row-level delete (one parquet of
+    // (file_path, pos), no data file rewritten). The scan anti-joins the
+    // broadcast delete positions against `_metadata.row_index`, so the
+    // oracle replaying the predicate over the original parquet gates the
+    // whole chain: delete-file write -> v2 manifest (content=1, sequence
+    // numbers) -> plan -> sequence-scoped position subtraction.
+    Q(
+      "q_iceberg_posdelete",
+      (s, dir) => {
+        val root = fixtureIcebergV2Table(s, dir)
+        graft.sources.IcebergSource
+          .read(s, root, snapshotId = Some(3L), asOfTimestampMs = None, prune = None)
+          .select($"p_partkey", $"p_name", $"p_size")
+          .orderBy($"p_partkey")
+      },
+      Some(
+        "SELECT p_partkey, p_name, p_size FROM part " +
+          "WHERE p_size >= 25 ORDER BY p_partkey"
+      )
+    ),
+    // v2 merge-on-read, equality deletes + sequence scoping: the current
+    // snapshot has BOTH delete kinds live, and band 2 was re-appended
+    // AFTER its equality delete — those rows must survive (equality
+    // deletes reach only data files with a strictly LOWER sequence
+    // number). The oracle's band-2 branch pins exactly that: p_size>30
+    // re-appends present, everything else from band 2 gone.
+    Q(
+      "q_iceberg_eqdelete",
+      (s, dir) => {
+        val root = fixtureIcebergV2Table(s, dir)
+        graft.sources.IcebergSource
+          .read(s, root)
+          .select($"p_partkey", $"p_name", $"p_size", $"p_band")
+          .orderBy($"p_partkey")
+      },
+      Some(
+        "SELECT p_partkey, p_name, p_size, CAST(p_partkey % 4 AS INT) AS p_band " +
+          "FROM part WHERE (p_partkey % 4 IN (0,1,3) AND p_size >= 25) " +
+          "OR (p_partkey % 4 = 2 AND p_size > 30) ORDER BY p_partkey"
       )
     ),
     // The SECOND DPP shape: subquery pruning WITHOUT a broadcast to reuse.

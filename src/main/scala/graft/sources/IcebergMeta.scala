@@ -64,7 +64,11 @@ object IcebergMeta {
       timestampMs: Long,
       manifestList: String,
       operation: String,
-      schemaId: Option[Int] = None)
+      schemaId: Option[Int] = None,
+      // v2 data sequence number (spec: strictly monotonic per commit);
+      // 0 for v1 snapshots, where deletes are copy-on-write and ordering
+      // by sequence is never needed
+      sequenceNumber: Long = 0L)
 
   final case class TableMeta(
       root: Path,
@@ -74,7 +78,8 @@ object IcebergMeta {
       currentSnapshotId: Option[Long],
       snapshots: Seq[Snapshot],
       schemasById: Map[Int, Seq[Field]] = Map.empty,
-      currentSchemaId: Int = 0) {
+      currentSchemaId: Int = 0,
+      lastSequenceNumber: Long = 0L) {
 
     /** The schema a snapshot was written under (spec: each snapshot logs
       * its schema-id) — real time-travel shows the table AS IT WAS, so a
@@ -115,14 +120,32 @@ object IcebergMeta {
       format: String,
       partition: Map[String, Any],
       recordCount: Long,
-      fileSizeBytes: Long)
+      fileSizeBytes: Long,
+      // v2 merge-on-read fields; zero/empty on v1 entries
+      content: Int = 0, // 0=data, 1=position deletes, 2=equality deletes
+      sequenceNumber: Long = 0L,
+      equalityIds: Seq[Int] = Nil)
 
-  /** Scan plan + the pruning evidence the specs pin. */
+  /** A live v2 delete file the scan must apply (merge-on-read). */
+  final case class DeleteFile(
+      path: String,
+      format: String,
+      content: Int, // 1=position, 2=equality
+      equalityIds: Seq[Int],
+      sequenceNumber: Long,
+      recordCount: Long)
+
+  /** Scan plan + the pruning evidence the specs pin. `deletes` carries
+    * the live v2 delete files whose rows must be subtracted from `files`
+    * (position: seq >= data seq; equality: seq > data seq — spec scoping
+    * is applied by the reader, not here).
+    */
   final case class ScanPlan(
       files: Seq[DataFile],
       manifestsTotal: Int,
       manifestsRead: Int,
-      entriesSeen: Int)
+      entriesSeen: Int,
+      deletes: Seq[DeleteFile] = Seq.empty)
 
   // ---------------------------------------------------------------------
   // metadata JSON
@@ -214,7 +237,8 @@ object IcebergMeta {
         // classification is load-bearing: defaulting a summary-less
         // compaction to "append" would re-emit its rewritten corpus
         s.path("summary").path("operation").asText("unknown"),
-        if (s.has("schema-id")) Some(s.path("schema-id").asInt()) else None)
+        if (s.has("schema-id")) Some(s.path("schema-id").asInt()) else None,
+        s.path("sequence-number").asLong(0L))
     }.toSeq
 
     val current =
@@ -223,7 +247,8 @@ object IcebergMeta {
       else None
 
     TableMeta(Paths.get(tablePath), formatVersion, fields, partitionFields,
-      current, snapshots, schemasById, currentSchemaId)
+      current, snapshots, schemasById, currentSchemaId,
+      node.path("last-sequence-number").asLong(0L))
   }
 
   // ---------------------------------------------------------------------
@@ -250,32 +275,51 @@ object IcebergMeta {
     var manifestsRead = 0
     var entriesSeen = 0
     val files = Seq.newBuilder[DataFile]
+    val deletes = Seq.newBuilder[DeleteFile]
     manifests.foreach { mf =>
-      val survives = pruneField.forall { case (idx, pf) =>
+      // Delete manifests are never pruned: an equality delete can remove
+      // rows from ANY surviving partition, and a position delete for a
+      // pruned-away file is a no-op — always applying live delete files
+      // is conservative-correct; they are KB-scale relative to data.
+      val survives = mf.content == 1 || pruneField.forall { case (idx, pf) =>
         manifestMayContain(meta, mf, idx, pf, prune.get.value)
       }
       if (survives) {
         manifestsRead += 1
-        readManifest(meta.root, mf.path, mf.addedSnapshotId).foreach { e =>
-          entriesSeen += 1
-          val live = e.status != 2 // DELETED files are not scanned (spec)
-          val matches = prune.forall(p =>
-            valueEquals(e.dataFile.partition.get(p.column).orNull, p.value))
-          if (live && matches) files += e.dataFile
-        }
+        readManifest(meta.root, mf.path, mf.addedSnapshotId, mf.sequenceNumber)
+          .foreach { e =>
+            entriesSeen += 1
+            val live = e.status != 2 // DELETED files are not scanned (spec)
+            if (live && e.dataFile.content != 0) {
+              deletes += DeleteFile(
+                e.dataFile.path, e.dataFile.format, e.dataFile.content,
+                e.dataFile.equalityIds, e.dataFile.sequenceNumber,
+                e.dataFile.recordCount)
+            } else {
+              val matches = prune.forall(p =>
+                valueEquals(e.dataFile.partition.get(p.column).orNull, p.value))
+              if (live && matches) files += e.dataFile
+            }
+          }
       }
     }
-    ScanPlan(files.result(), manifests.size, manifestsRead, entriesSeen)
+    ScanPlan(files.result(), manifests.size, manifestsRead, entriesSeen,
+      deletes.result())
   }
 
   /** One manifest_file row of a manifest list; also the writer's
     * carry-over unit (length + added_snapshot_id round-trip through it).
+    * `content`/`sequenceNumber`/`minSequenceNumber` are the v2 fields
+    * (0 on v1 lists): content 0 = data manifest, 1 = delete manifest.
     */
   private[sources] final case class ManifestFile(
       path: String,
       length: Long,
       addedSnapshotId: Long,
-      summaries: Seq[(Boolean, Option[Array[Byte]], Option[Array[Byte]])])
+      summaries: Seq[(Boolean, Option[Array[Byte]], Option[Array[Byte]])],
+      content: Int = 0,
+      sequenceNumber: Long = 0L,
+      minSequenceNumber: Long = 0L)
 
   /** One manifest_entry row; also the writer's delete-rewrite unit. */
   private[sources] final case class ManifestEntry(
@@ -295,11 +339,16 @@ object IcebergMeta {
           }
         case _ => Seq.empty
       }
+      def optField(name: String): Option[Any] =
+        Option(rec.getSchema.getField(name)).flatMap(_ => Option(rec.get(name)))
       ManifestFile(
         rec.get("manifest_path").toString,
         rec.get("manifest_length").asInstanceOf[Long],
         Option(rec.get("added_snapshot_id")).map(_.asInstanceOf[Long]).getOrElse(0L),
-        summaries)
+        summaries,
+        optField("content").map(_.asInstanceOf[Int]).getOrElse(0),
+        optField("sequence_number").map(_.asInstanceOf[Long]).getOrElse(0L),
+        optField("min_sequence_number").map(_.asInstanceOf[Long]).getOrElse(0L))
     }
 
   /** `inheritSnapshotId`: v2 manifests may leave entry snapshot_id null,
@@ -311,20 +360,37 @@ object IcebergMeta {
   private[sources] def readManifest(
       root: Path,
       manifestPath: String,
-      inheritSnapshotId: Long = 0L): Seq[ManifestEntry] =
+      inheritSnapshotId: Long = 0L,
+      inheritSequenceNumber: Long = 0L): Seq[ManifestEntry] =
     readAvro(resolve(root, manifestPath)) { rec =>
       val df = rec.get("data_file").asInstanceOf[GenericRecord]
       // v2 manifests carry data_file.content: 0=data, 1=position deletes,
-      // 2=equality deletes. Delete FILES are merge-on-read state this
-      // planner does not apply — refuse loudly rather than return wrong rows.
+      // 2=equality deletes (applied by the scan, see planScan/IcebergSource).
       val content = df.getSchema.getField("content") match {
         case null => 0
         case _    => Option(df.get("content")).map(_.asInstanceOf[Int]).getOrElse(0)
       }
-      if (content != 0)
+      if (content < 0 || content > 2)
         throw new UnsupportedOperationException(
-          "Iceberg v2 delete files (merge-on-read) are not supported; " +
-            "compact the table to copy-on-write")
+          s"Iceberg data_file.content=$content is not in the spec (0/1/2); " +
+            "refusing to guess")
+      val equalityIds: Seq[Int] = df.getSchema.getField("equality_ids") match {
+        case null => Nil
+        case _ => Option(df.get("equality_ids")) match {
+          case Some(c: java.util.Collection[_]) =>
+            c.asScala.toSeq.map(_.asInstanceOf[Number].intValue())
+          case _ => Nil
+        }
+      }
+      // v2 sequence-number inheritance (spec "Sequence Number Inheritance"):
+      // a null entry sequence number resolves to the manifest list entry's
+      // sequence_number — without it every ADDED entry would read as seq 0
+      // and delete scoping would misapply
+      val seq = rec.getSchema.getField("sequence_number") match {
+        case null => inheritSequenceNumber
+        case _ => Option(rec.get("sequence_number")).map(_.asInstanceOf[Long])
+          .getOrElse(inheritSequenceNumber)
+      }
       val partition = df.get("partition").asInstanceOf[GenericRecord]
       val pmap = partition.getSchema.getFields.asScala.map { f =>
         f.name() -> fromAvro(partition.get(f.pos()))
@@ -338,7 +404,10 @@ object IcebergMeta {
           df.get("file_format").toString,
           pmap,
           df.get("record_count").asInstanceOf[Long],
-          df.get("file_size_in_bytes").asInstanceOf[Long]))
+          df.get("file_size_in_bytes").asInstanceOf[Long],
+          content,
+          seq,
+          equalityIds))
     }
 
   /** Incremental scan plan: the NET APPENDS of a snapshot window — files
@@ -419,10 +488,30 @@ object IcebergMeta {
       val mayContribute =
         mf.addedSnapshotId == 0L || windowIds.contains(mf.addedSnapshotId)
       if (mayContribute) {
+        // a v2 delete manifest IN the window can subtract rows from data
+        // files appended in the same window (position deletes apply at
+        // seq >= data seq) — a net-appends plan that ignored it would
+        // over-report, and one that applied it is no longer "appends".
+        // Pre-window delete manifests are provably inert here (their
+        // seq <= from's seq < every in-window data seq, and both delete
+        // kinds only reach data with seq <= / < theirs), so only the
+        // in-window ones refuse.
+        if (mf.content == 1)
+          throw new UnsupportedOperationException(
+            s"snapshot window (${fromExclusive}, ${to.id}] contains delete " +
+              s"manifest ${mf.path} (v2 merge-on-read); net appends cannot " +
+              "be computed — use a full scan of `to` instead")
         manifestsRead += 1
-        readManifest(meta.root, mf.path, mf.addedSnapshotId).foreach { e =>
+        readManifest(meta.root, mf.path, mf.addedSnapshotId, mf.sequenceNumber)
+          .foreach { e =>
           entriesSeen += 1
           if (e.status != 2) {
+            // spec puts delete files only in content=1 manifests; a
+            // malformed mix must not be emitted as appended data rows
+            if (e.dataFile.content != 0)
+              throw new UnsupportedOperationException(
+                s"manifest ${mf.path} mixes delete files into a data " +
+                  "manifest; refusing to compute net appends")
             // an entry with no snapshot provenance (null at both the entry
             // and manifest-list level) cannot be windowed — refusing beats
             // silently dropping what the conservative open tried to keep

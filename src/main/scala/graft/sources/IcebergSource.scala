@@ -87,10 +87,11 @@ object IcebergSource {
     // latest schema change, schema evolution applies to it immediately.
     // snap is always defined under timeTravel (snapshotById/snapshotAsOf
     // throw on a miss), so the snapshot schema resolution has no fallback
-    val schema = IcebergMeta.sparkSchema(
-      if (timeTravel) meta.schemaAt(snap.get) else meta.fields)
-    val files = snap.map(s => IcebergMeta.planScan(meta, s, prune).files).getOrElse(Seq.empty)
-    readFiles(spark, tablePath, schema, files)
+    val snapFields = if (timeTravel) meta.schemaAt(snap.get) else meta.fields
+    val schema = IcebergMeta.sparkSchema(snapFields)
+    val plan = snap.map(s => IcebergMeta.planScan(meta, s, prune))
+      .getOrElse(IcebergMeta.ScanPlan(Seq.empty, 0, 0, 0))
+    readFiles(spark, tablePath, schema, plan.files, plan.deletes, snapFields)
   }
 
   /** Planned file set -> DataFrame. The METADATA schema is handed to the
@@ -106,11 +107,13 @@ object IcebergSource {
       spark: SparkSession,
       tablePath: String,
       schema: org.apache.spark.sql.types.StructType,
-      files: Seq[IcebergMeta.DataFile]): DataFrame =
+      files: Seq[IcebergMeta.DataFile],
+      deletes: Seq[IcebergMeta.DeleteFile] = Seq.empty,
+      fields: Seq[IcebergMeta.Field] = Seq.empty): DataFrame =
     if (files.isEmpty) {
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    } else {
+    } else if (deletes.isEmpty) {
       import org.apache.spark.sql.functions.col
       spark.read
         .schema(schema)
@@ -119,7 +122,108 @@ object IcebergSource {
         // partition-dir columns surface at the END regardless of their
         // declared position; restore the table schema's column order
         .select(schema.fieldNames.toSeq.map(col): _*)
+    } else {
+      applyMergeOnRead(spark, tablePath, schema, files, deletes, fields)
     }
+
+  /** Canonical file path for delete matching: stored delete-file paths and
+    * Spark's `_metadata.file_path` may disagree on URI form
+    * (`file:///a/b` vs `file:/a/b` vs `/a/b`) while naming the same file.
+    */
+  private def normalizePath(p: String): String =
+    p.stripPrefix("file:").replaceFirst("^/+", "/")
+
+  private def normalizePathCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.regexp_replace
+    regexp_replace(regexp_replace(c, "^file:", ""), "^/+", "/")
+  }
+
+  /** v2 merge-on-read: subtract delete-file rows from the planned data
+    * files, sequence-scoped per the spec:
+    *   - position deletes (content=1, columns `file_path`,`pos`) remove
+    *     the row at `pos` of `file_path` from data files with
+    *     data seq <= delete seq;
+    *   - equality deletes (content=2, rows of the equality columns)
+    *     remove every matching row from data files with
+    *     data seq < delete seq (strict: a row re-inserted AFTER the
+    *     delete survives it).
+    *
+    * Shape at 100 TB: the data scan stays one vectorized parquet read
+    * (column pruning + pushdown intact); delete files are KB–MB-scale
+    * side inputs BROADCAST into hash anti-joins keyed on (file, pos) /
+    * the equality columns, with the sequence comparison as a residual
+    * condition — no shuffle of the data side, no per-file driver loop.
+    * Row positions come from Spark's `_metadata.row_index` (generated by
+    * the parquet reader itself), so no synthetic ordering is assumed.
+    */
+  private def applyMergeOnRead(
+      spark: SparkSession,
+      tablePath: String,
+      schema: org.apache.spark.sql.types.StructType,
+      files: Seq[IcebergMeta.DataFile],
+      deletes: Seq[IcebergMeta.DeleteFile],
+      fields: Seq[IcebergMeta.Field]): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    import spark.implicits._
+
+    deletes.find(_.format.toUpperCase != "PARQUET").foreach(d =>
+      throw new UnsupportedOperationException(
+        s"delete file format ${d.format} not supported (parquet only): ${d.path}"))
+
+    // data file -> its data sequence number (driver-side KB-scale map,
+    // broadcast-joined on the normalized file path)
+    val seqByFile = files.map(f => (normalizePath(f.path), f.sequenceNumber))
+      .toDF("_g_file", "_g_seq")
+    var df = spark.read
+      .schema(schema)
+      .option("basePath", Paths.get(tablePath, "data").toString)
+      .parquet(files.map(_.path): _*)
+      .withColumn("_g_file", normalizePathCol(col("_metadata.file_path")))
+      .withColumn("_g_pos", col("_metadata.row_index"))
+      .join(broadcast(seqByFile), Seq("_g_file"))
+
+    val posDeletes = deletes.filter(_.content == 1)
+    if (posDeletes.nonEmpty) {
+      // all position-delete files in ONE read; each row joins back to its
+      // own delete file's sequence number via _metadata
+      val deleteSeq = posDeletes
+        .map(d => (normalizePath(d.path), d.sequenceNumber))
+        .toDF("_d_dfile", "_d_seq")
+      val pd = spark.read.parquet(posDeletes.map(_.path): _*)
+        .select(
+          normalizePathCol(col("file_path")).as("_d_file"),
+          col("pos").as("_d_pos"),
+          normalizePathCol(col("_metadata.file_path")).as("_d_dfile"))
+        .join(broadcast(deleteSeq), Seq("_d_dfile"))
+      df = df.join(
+        broadcast(pd),
+        df("_g_file") === pd("_d_file") && df("_g_pos") === pd("_d_pos") &&
+          pd("_d_seq") >= df("_g_seq"),
+        "left_anti")
+    }
+
+    // equality deletes grouped by their equality-column set (each group is
+    // one anti-join); null-safe equality per spec (null keys match nulls)
+    val eqGroups = deletes.filter(_.content == 2).groupBy(_.equalityIds)
+    eqGroups.toSeq.sortBy(_._1.mkString(",")).foreach { case (ids, group) =>
+      require(ids.nonEmpty, s"equality delete without equality_ids: ${group.head.path}")
+      val names = ids.map { id =>
+        fields.find(_.id == id).getOrElse(throw new IllegalArgumentException(
+          s"equality delete references field id $id absent from the read schema"))
+          .name
+      }
+      val deleteSeq = group
+        .map(d => (normalizePath(d.path), d.sequenceNumber))
+        .toDF("_d_dfile", "_d_seq")
+      val ed = spark.read.parquet(group.map(_.path): _*)
+        .select(names.map(n => col(n).as(s"_d_$n")) :+
+          normalizePathCol(col("_metadata.file_path")).as("_d_dfile"): _*)
+        .join(broadcast(deleteSeq), Seq("_d_dfile"))
+      val keyCond = names.map(n => df(n) <=> ed(s"_d_$n")).reduce(_ && _)
+      df = df.join(broadcast(ed), keyCond && ed("_d_seq") > df("_g_seq"), "left_anti")
+    }
+    df.select(schema.fieldNames.toSeq.map(col): _*)
+  }
 
   /** Incremental read: the NET APPENDS since `fromSnapshotId` (exclusive),
     * up to `toSnapshotId` (inclusive; default the current snapshot) — the

@@ -37,23 +37,31 @@ object IcebergWriter {
   /** Append `df` as a new snapshot; one manifest per partition value
     * (identity transform on `partitionCol`) so manifest-summary pruning
     * has file-level granularity. Returns the new snapshot id.
+    *
+    * `formatVersion` applies only when CREATING a table (2 = v2 with
+    * sequence-numbered snapshots, enabling the row-level delete ops
+    * below); appends onto an existing table always write in the table's
+    * recorded version.
     */
   def append(
       spark: SparkSession,
       tablePath: String,
       df: DataFrame,
       partitionCol: Option[String],
-      timestampMs: Long): Long = {
+      timestampMs: Long,
+      formatVersion: Int = 1): Long = {
+    require(formatVersion == 1 || formatVersion == 2,
+      s"formatVersion must be 1 or 2, got $formatVersion")
     val root = Paths.get(tablePath)
     Files.createDirectories(root.resolve("data"))
     Files.createDirectories(root.resolve("metadata"))
 
     val prior = if (IcebergMeta.hasMetadata(tablePath)) Some(IcebergMeta.load(tablePath)) else None
+    val fv = prior.map(_.formatVersion).getOrElse(formatVersion)
     // ALL refusals happen here, before any side effect — a guard firing
     // after data files moved into data/ would leave orphans that
     // directory-based readers return as rows
     prior.foreach { m =>
-      requireWritable(m)
       require(
         m.fields.map(_.name) == df.schema.fieldNames.toSeq,
         s"Append schema ${df.schema.fieldNames.mkString(",")} does not match " +
@@ -153,7 +161,7 @@ object IcebergWriter {
       }
       val mpath = root.resolve("metadata")
         .resolve(f"manifest-$snapshotId%05d-$i%03d.avro")
-      writeManifest(mpath, partType, entries)
+      writeManifest(mpath, partType, entries, fv)
       manifestRecord(mpath, snapshotId, partType, entries)
     }
 
@@ -162,7 +170,7 @@ object IcebergWriter {
         m.root, currentManifestList(m).toString))
       .getOrElse(Seq.empty)
     commitSnapshot(spark, root, df.schema, partitionCol, prior, baseVersion,
-      snapshotId, timestampMs, carried ++ newManifests, operation = "append")
+      snapshotId, timestampMs, carried ++ newManifests, operation = "append", fv)
     snapshotId
   }
 
@@ -214,25 +222,168 @@ object IcebergWriter {
         val mpath = root.resolve("metadata")
           .resolve(f"manifest-$snapshotId%05d-$rewrites%03d.avro")
         rewrites += 1
-        writeManifest(mpath, partType, rewritten)
+        writeManifest(mpath, partType, rewritten, formatVersion = 1)
         manifestRecord(mpath, snapshotId, partType, rewritten)
       }
     }
     require(rewrites > 0, s"deletePartitions matched no files for $column in $values")
     commitSnapshot(spark, root, IcebergMeta.sparkSchema(meta), Some(column),
-      Some(meta), baseVersion, snapshotId, timestampMs, out, operation = "delete")
+      Some(meta), baseVersion, snapshotId, timestampMs, out,
+      operation = "delete", formatVersion = 1)
     snapshotId
   }
 
-  /** Commit preconditions shared by append/deletePartitions, checked
-    * BEFORE any side effect: this writer emits v1 metadata, manifests
-    * and manifest lists — a commit onto a v2 table would mix v1-shaped
-    * snapshots (no sequence numbers) into metadata claiming v2, invalid
-    * to real v2 readers.
+  /** deletePartitions precondition, checked BEFORE any side effect: the
+    * copy-on-write manifest rewrite is v1-shaped (no sequence-number
+    * bookkeeping for the rewritten entries) — on a v2 table use the
+    * row-level [[deleteRowsWhere]]/[[deleteEquality]] instead.
     */
   private def requireWritable(m: IcebergMeta.TableMeta): Unit =
     require(m.formatVersion == 1,
-      s"this writer commits format-version 1 only; table is v${m.formatVersion}")
+      s"deletePartitions rewrites v1 manifests only; table is " +
+        s"v${m.formatVersion} — use deleteRowsWhere/deleteEquality")
+
+  /** MERGE/DELETE-shaped row-level delete (v2 merge-on-read): scan the
+    * current snapshot's live data files for rows matching `predicate`,
+    * write their positions as ONE position-delete parquet of
+    * (file_path, pos) sorted per spec, and commit it as a delete
+    * snapshot. No data file is rewritten — this is exactly the shape
+    * Flink CDC / Spark MERGE leave behind, which the read side applies
+    * sequence-scoped (the delete reaches data files of this commit and
+    * earlier, never later appends).
+    */
+  def deleteRowsWhere(
+      spark: SparkSession,
+      tablePath: String,
+      predicate: org.apache.spark.sql.Column,
+      timestampMs: Long): Long = {
+    val meta = IcebergMeta.load(tablePath)
+    require(meta.formatVersion == 2,
+      s"row-level deletes require a v2 table; this one is v${meta.formatVersion} " +
+        "(use deletePartitions for v1 copy-on-write)")
+    val baseVersion = Some(IcebergSource.versionHint(tablePath).get)
+    val root = meta.root
+    val snapshotId = meta.snapshots.map(_.id).max + 1L
+    val snap = meta.currentSnapshot.getOrElse(
+      throw new IllegalStateException("table has no current snapshot"))
+    val plan = IcebergMeta.planScan(meta, snap)
+    require(plan.files.nonEmpty, "table has no live data files to delete from")
+
+    import org.apache.spark.sql.functions.col
+    val schema = IcebergMeta.sparkSchema(meta)
+    val staging = Files.createTempDirectory("graft-iceberg-del")
+    spark.read
+      .schema(schema)
+      .option("basePath", root.resolve("data").toString)
+      .parquet(plan.files.map(_.path): _*)
+      .filter(predicate)
+      .select(
+        col("_metadata.file_path").as("file_path"),
+        col("_metadata.row_index").as("pos"))
+      .sort("file_path", "pos")
+      .coalesce(1)
+      .write.parquet(staging.resolve("out").toString)
+    val src = parquetFiles(staging.resolve("out")) match {
+      case Seq(one) => one
+      case other => throw new IllegalStateException(
+        s"expected one position-delete file, got ${other.size}")
+    }
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    val nDeleted = parquetRowCount(hadoopConf, src)
+    if (nDeleted == 0) {
+      deleteRecursively(staging)
+      throw new IllegalArgumentException("deleteRowsWhere matched no rows")
+    }
+    val target = root.resolve("data").resolve(f"delete-$snapshotId%05d-pos.parquet")
+    Files.move(src, target, StandardCopyOption.REPLACE_EXISTING)
+    deleteRecursively(staging)
+
+    commitDeleteFile(spark, meta, baseVersion, snapshotId, timestampMs,
+      IcebergMeta.DataFile(
+        target.toAbsolutePath.toString, "PARQUET", Map.empty,
+        nDeleted, Files.size(target), content = 1))
+    snapshotId
+  }
+
+  /** Equality delete (v2 merge-on-read): `keys` is a small frame whose
+    * COLUMNS name the equality fields and whose ROWS are the key tuples
+    * to delete. Applies to data files strictly OLDER than this commit —
+    * a row with the same key appended after survives (the CDC
+    * upsert primitive: delete-by-key then insert).
+    */
+  def deleteEquality(
+      spark: SparkSession,
+      tablePath: String,
+      keys: DataFrame,
+      timestampMs: Long): Long = {
+    val meta = IcebergMeta.load(tablePath)
+    require(meta.formatVersion == 2,
+      s"row-level deletes require a v2 table; this one is v${meta.formatVersion}")
+    require(keys.columns.nonEmpty, "equality delete needs at least one key column")
+    val ids = keys.columns.toSeq.map { n =>
+      val f = meta.fields.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(
+          s"equality column '$n' is not in the table schema"))
+      require(icebergType(keys.schema(n).dataType) == f.typeName,
+        s"equality column '$n' has type ${icebergType(keys.schema(n).dataType)} " +
+          s"but the table schema requires ${f.typeName}")
+      f.id
+    }
+    val baseVersion = Some(IcebergSource.versionHint(tablePath).get)
+    val root = meta.root
+    val snapshotId = meta.snapshots.map(_.id).max + 1L
+
+    val staging = Files.createTempDirectory("graft-iceberg-eq")
+    keys.coalesce(1).write.parquet(staging.resolve("out").toString)
+    val src = parquetFiles(staging.resolve("out")) match {
+      case Seq(one) => one
+      case other => throw new IllegalStateException(
+        s"expected one equality-delete file, got ${other.size}")
+    }
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    val nKeys = parquetRowCount(hadoopConf, src)
+    if (nKeys == 0) {
+      deleteRecursively(staging)
+      throw new IllegalArgumentException("deleteEquality got an empty key frame")
+    }
+    val target = root.resolve("data").resolve(f"delete-$snapshotId%05d-eq.parquet")
+    Files.move(src, target, StandardCopyOption.REPLACE_EXISTING)
+    deleteRecursively(staging)
+
+    commitDeleteFile(spark, meta, baseVersion, snapshotId, timestampMs,
+      IcebergMeta.DataFile(
+        target.toAbsolutePath.toString, "PARQUET", Map.empty,
+        nKeys, Files.size(target), content = 2, equalityIds = ids))
+    snapshotId
+  }
+
+  /** Shared tail of the two row-level deletes: wrap the delete file in a
+    * content=1 delete manifest (empty partition record — the delete
+    * applies table-wide; partition-scoped delete manifests are a pruning
+    * refinement, not a correctness requirement), carry every current
+    * manifest forward, commit as a "delete" snapshot.
+    */
+  private def commitDeleteFile(
+      spark: SparkSession,
+      meta: IcebergMeta.TableMeta,
+      baseVersion: Option[Int],
+      snapshotId: Long,
+      timestampMs: Long,
+      deleteFile: IcebergMeta.DataFile): Unit = {
+    val root = meta.root
+    val entry = IcebergMeta.ManifestEntry(status = 1, snapshotId, deleteFile)
+    val mpath = root.resolve("metadata")
+      .resolve(f"manifest-$snapshotId%05d-del.avro")
+    writeManifest(mpath, None, Seq(entry), formatVersion = 2)
+    val newManifest = manifestRecord(mpath, snapshotId, None, Seq(entry))
+      .copy(content = 1)
+    val carried = IcebergMeta.readManifestListFile(
+      root, currentManifestList(meta).toString)
+    commitSnapshot(spark, root, IcebergMeta.sparkSchema(meta),
+      meta.partitionFields.headOption.map(_.name), Some(meta), baseVersion,
+      snapshotId, timestampMs, carried :+ newManifest,
+      operation = "delete", formatVersion = 2)
+  }
 
   // -----------------------------------------------------------------------
   // snapshot commit: manifest list + metadata json + version hint
@@ -249,10 +400,21 @@ object IcebergWriter {
       snapshotId: Long,
       timestampMs: Long,
       manifests: Seq[IcebergMeta.ManifestFile],
-      operation: String): Unit = {
+      operation: String,
+      formatVersion: Int): Unit = {
+    // v2: this commit's data sequence number — strictly monotonic from
+    // last-sequence-number; the commit's NEW manifests are stamped with
+    // it (their entries inherit it on read), carried ones keep their own
+    val newSeq = prior.map(_.lastSequenceNumber).getOrElse(0L) + 1L
+    val stamped =
+      if (formatVersion < 2) manifests
+      else manifests.map(m =>
+        if (m.addedSnapshotId == snapshotId)
+          m.copy(sequenceNumber = newSeq, minSequenceNumber = newSeq)
+        else m)
     val listPath = root.resolve("metadata")
       .resolve(f"snap-$snapshotId%05d-manifest-list.avro")
-    writeManifestList(listPath, manifests)
+    writeManifestList(listPath, stamped, formatVersion)
 
     val version = baseVersion.map(_ + 1).getOrElse(1)
     // Carry the prior metadata's JSON forward VERBATIM and only update
@@ -268,6 +430,30 @@ object IcebergWriter {
         mapper.readTree(Files.readString(
           root.resolve("metadata").resolve(s"v$h.metadata.json")))
           .asInstanceOf[ObjectNode]
+      case None if formatVersion == 2 =>
+        // fresh v2 table: the modern metadata shape the spec REQUIRES for
+        // v2 (schemas/current-schema-id, partition-specs/default-spec-id,
+        // sort-orders, last-sequence-number — the singular v1 fields are
+        // not valid here)
+        val n = mapper.createObjectNode()
+        n.put("format-version", 2)
+        n.put("table-uuid", f"00000000-0000-0000-0000-${snapshotId}%012d")
+        n.put("last-sequence-number", 0L)
+        n.put("last-column-id", schema.fields.length)
+        n.put("current-schema-id", 0)
+        n.putArray("schemas").add(schemaJson(schema))
+        n.put("default-spec-id", 0)
+        val sp = n.putArray("partition-specs").addObject()
+        sp.put("spec-id", 0)
+        sp.set[ArrayNode]("fields", specJson(schema, partitionCol))
+        n.put("last-partition-id", if (partitionCol.isDefined) 1000 else 999)
+        n.put("default-sort-order-id", 0)
+        val so = n.putArray("sort-orders").addObject()
+        so.put("order-id", 0)
+        so.putArray("fields")
+        n.putArray("snapshots")
+        n.putArray("snapshot-log")
+        n
       case None =>
         val n = mapper.createObjectNode()
         n.put("format-version", 1)
@@ -293,8 +479,10 @@ object IcebergWriter {
     if (stale) node.put("location", root.toAbsolutePath.toString): Unit
     node.put("last-updated-ms", timestampMs)
     node.put("current-snapshot-id", snapshotId)
+    if (formatVersion >= 2) node.put("last-sequence-number", newSeq): Unit
     val sn = node.withArray[ArrayNode]("snapshots").addObject()
     sn.put("snapshot-id", snapshotId)
+    if (formatVersion >= 2) sn.put("sequence-number", newSeq): Unit
     prior.flatMap(_.currentSnapshotId).foreach(p => sn.put("parent-snapshot-id", p))
     sn.put("timestamp-ms", timestampMs)
     sn.put("manifest-list", listPath.toAbsolutePath.toString)
@@ -380,38 +568,69 @@ object IcebergWriter {
       case None => ""
     }
 
-  private def manifestSchema(partType: Option[(String, DataType)]): Schema =
+  private def manifestSchema(
+      partType: Option[(String, DataType)], formatVersion: Int): Schema = {
+    // v2 adds the sequence-number pair on the entry (null = inherit from
+    // the manifest list) and content/equality_ids on data_file
+    val v2Entry =
+      if (formatVersion < 2) ""
+      else
+        """{"name":"sequence_number","type":["null","long"],"default":null},
+          |{"name":"file_sequence_number","type":["null","long"],"default":null},""".stripMargin
+    val v2Content =
+      if (formatVersion < 2) ""
+      else """{"name":"content","type":"int"},"""
+    val v2Equality =
+      if (formatVersion < 2) ""
+      else
+        """,{"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null}"""
     new Schema.Parser().parse(
       s"""{"type":"record","name":"manifest_entry","fields":[
          |{"name":"status","type":"int"},
          |{"name":"snapshot_id","type":["null","long"],"default":null},
+         |$v2Entry
          |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+         |  $v2Content
          |  {"name":"file_path","type":"string"},
          |  {"name":"file_format","type":"string"},
          |  {"name":"partition","type":{"type":"record","name":"r102","fields":[
          |    ${partitionAvroFields(partType)}]}},
          |  {"name":"record_count","type":"long"},
          |  {"name":"file_size_in_bytes","type":"long"}
+         |  $v2Equality
          |]}}]}""".stripMargin)
+  }
 
-  private val manifestListSchema: Schema = new Schema.Parser().parse(
-    """{"type":"record","name":"manifest_file","fields":[
-      |{"name":"manifest_path","type":"string"},
-      |{"name":"manifest_length","type":"long"},
-      |{"name":"partition_spec_id","type":"int"},
-      |{"name":"added_snapshot_id","type":["null","long"],"default":null},
-      |{"name":"partitions","type":["null",{"type":"array","items":{
-      |  "type":"record","name":"field_summary","fields":[
-      |    {"name":"contains_null","type":"boolean"},
-      |    {"name":"lower_bound","type":["null","bytes"],"default":null},
-      |    {"name":"upper_bound","type":["null","bytes"],"default":null}]}}],
-      | "default":null}]}""".stripMargin)
+  private def manifestListSchema(formatVersion: Int): Schema = {
+    // v2 manifest lists carry the manifest's content kind and its
+    // sequence-number window (required fields in the spec)
+    val v2 =
+      if (formatVersion < 2) ""
+      else
+        """{"name":"content","type":"int"},
+          |{"name":"sequence_number","type":"long"},
+          |{"name":"min_sequence_number","type":"long"},""".stripMargin
+    new Schema.Parser().parse(
+      s"""{"type":"record","name":"manifest_file","fields":[
+        |{"name":"manifest_path","type":"string"},
+        |{"name":"manifest_length","type":"long"},
+        |{"name":"partition_spec_id","type":"int"},
+        |$v2
+        |{"name":"added_snapshot_id","type":["null","long"],"default":null},
+        |{"name":"partitions","type":["null",{"type":"array","items":{
+        |  "type":"record","name":"field_summary","fields":[
+        |    {"name":"contains_null","type":"boolean"},
+        |    {"name":"lower_bound","type":["null","bytes"],"default":null},
+        |    {"name":"upper_bound","type":["null","bytes"],"default":null}]}}],
+        | "default":null}]}""".stripMargin)
+  }
 
   private def writeManifest(
       path: Path,
       partType: Option[(String, DataType)],
-      entries: Seq[IcebergMeta.ManifestEntry]): Unit = {
-    val schema = manifestSchema(partType)
+      entries: Seq[IcebergMeta.ManifestEntry],
+      formatVersion: Int): Unit = {
+    val schema = manifestSchema(partType, formatVersion)
     val dfSchema = schema.getField("data_file").schema()
     val pSchema = dfSchema.getField("partition").schema()
     val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
@@ -420,7 +639,18 @@ object IcebergWriter {
       val rec = new GenericData.Record(schema)
       rec.put("status", e.status)
       rec.put("snapshot_id", e.snapshotId)
+      // v2 entry sequence numbers stay null -> inherited from the
+      // manifest list entry at read time (spec inheritance); an explicit
+      // number here would go stale when the manifest is carried forward
       val df = new GenericData.Record(dfSchema)
+      if (formatVersion >= 2) {
+        df.put("content", e.dataFile.content)
+        if (e.dataFile.equalityIds.nonEmpty) {
+          val l = new java.util.ArrayList[Integer]()
+          e.dataFile.equalityIds.foreach(i => l.add(Integer.valueOf(i)))
+          df.put("equality_ids", l)
+        }
+      }
       df.put("file_path", e.dataFile.path)
       df.put("file_format", e.dataFile.format)
       val p = new GenericData.Record(pSchema)
@@ -471,17 +701,25 @@ object IcebergWriter {
   }
 
   private def writeManifestList(
-      path: Path, manifests: Seq[IcebergMeta.ManifestFile]): Unit = {
-    val itemSchema = manifestListSchema.getField("partitions").schema()
+      path: Path,
+      manifests: Seq[IcebergMeta.ManifestFile],
+      formatVersion: Int): Unit = {
+    val schema = manifestListSchema(formatVersion)
+    val itemSchema = schema.getField("partitions").schema()
       .getTypes.get(1).getElementType
     val w = new DataFileWriter[GenericRecord](
-      new GenericDatumWriter[GenericRecord](manifestListSchema))
-    w.create(manifestListSchema, path.toFile)
+      new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, path.toFile)
     try manifests.foreach { m =>
-      val rec = new GenericData.Record(manifestListSchema)
+      val rec = new GenericData.Record(schema)
       rec.put("manifest_path", m.path)
       rec.put("manifest_length", m.length)
       rec.put("partition_spec_id", 0)
+      if (formatVersion >= 2) {
+        rec.put("content", m.content)
+        rec.put("sequence_number", m.sequenceNumber)
+        rec.put("min_sequence_number", m.minSequenceNumber)
+      }
       rec.put("added_snapshot_id", m.addedSnapshotId)
       val arr = new java.util.ArrayList[GenericRecord]()
       m.summaries.foreach { case (cn, lo, hi) =>

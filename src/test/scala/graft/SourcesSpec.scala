@@ -460,17 +460,14 @@ class SourcesSpec extends SparkTestBase {
       val walk = java.nio.file.Files.walk(Paths.get(root, "data"))
       try walk.count() finally walk.close()
     }
-    // v2 prior: refuse, and refuse EARLY — no orphan data files land
+    // v2 prior: the COW partition rewrite refuses (row-level deletes are
+    // the v2 path), and refuses EARLY — no orphan data files land
     editMeta(_.put("format-version", 2))
     val filesBefore = dataFileCount()
     val e = intercept[IllegalArgumentException] {
-      IcebergWriter.append(spark, root,
-        Seq((300L, "w", 0)).toDF("id", "v", "band"), Some("band"), 9000L)
-    }
-    assert(e.getMessage.contains("format-version 1 only"))
-    intercept[IllegalArgumentException] {
       IcebergWriter.deletePartitions(spark, root, "band", Set(0), 9000L)
     }
+    assert(e.getMessage.contains("deleteRowsWhere"))
     assert(dataFileCount() === filesBefore,
       "a refused commit must not leave orphan files in data/")
     editMeta(_.put("format-version", 1)) // restore
@@ -513,5 +510,108 @@ class SourcesSpec extends SparkTestBase {
       .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
     assert(rows.toSeq === Seq((1L, "a"), (2L, "b"), (3L, "c")))
     assert(IcebergSource.read(spark, root, Some(1L), None, None).count() === 2)
+  }
+
+  test("iceberg append refuses same-named columns of a different type") {
+    import spark.implicits._
+    val root = tempDir("graft-iceberg-typed")
+    IcebergWriter.append(spark, root,
+      Seq((1L, "a")).toDF("id", "v"), None, 1000L)
+    // same names, v is now an int: parquet would silently diverge from
+    // the table metadata schema
+    val e = intercept[IllegalArgumentException] {
+      IcebergWriter.append(spark, root,
+        Seq((2L, 7)).toDF("id", "v"), None, 2000L)
+    }
+    assert(e.getMessage.contains("type"))
+  }
+
+  // ---------------------------------------------------------------------
+  // format v2: merge-on-read delete files
+  // ---------------------------------------------------------------------
+
+  /** v2 table with both delete kinds (the state Flink CDC / Spark MERGE
+    * leave behind):
+    *   s1 (seq 1) append bands 0,1,2 of ids 0..39 (band = id % 4)
+    *   s2 (seq 2) append band 3
+    *   s3 (seq 3) POSITION delete ids < 10
+    *   s4 (seq 4) EQUALITY delete band = 2
+    *   s5 (seq 5) re-append band-2 rows with id >= 20 — must SURVIVE s4
+    */
+  private def mkV2Table(): String = {
+    import spark.implicits._
+    val root = tempDir("graft-iceberg-v2")
+    val df = (0 until 40).map(i => (i.toLong, s"row$i", i % 4)).toDF("id", "v", "band")
+    IcebergWriter.append(spark, root, df.filter($"band" < 3), None, 1000L,
+      formatVersion = 2)
+    IcebergWriter.append(spark, root, df.filter($"band" === 3), None, 2000L)
+    IcebergWriter.deleteRowsWhere(spark, root,
+      org.apache.spark.sql.functions.col("id") < 10, 3000L)
+    IcebergWriter.deleteEquality(spark, root, Seq(2).toDF("band"), 4000L)
+    IcebergWriter.append(spark, root, df.filter($"band" === 2 && $"id" >= 20),
+      None, 5000L)
+    root
+  }
+
+  test("iceberg v2: sequence numbers recorded; plan exposes live delete files") {
+    val root = mkV2Table()
+    val meta = IcebergMeta.load(root)
+    assert(meta.formatVersion === 2)
+    assert(meta.lastSequenceNumber === 5L)
+    assert(meta.snapshots.map(_.sequenceNumber) === Seq(1L, 2L, 3L, 4L, 5L))
+    val plan = IcebergSource.planScan(root)
+    assert(plan.deletes.map(d => (d.content, d.sequenceNumber)).sorted ===
+      Seq((1, 3L), (2, 4L)))
+    assert(plan.deletes.find(_.content == 2).get.equalityIds.nonEmpty)
+    // data files carry their inherited data sequence numbers
+    assert(plan.files.map(_.sequenceNumber).toSet === Set(1L, 2L, 5L))
+  }
+
+  test("iceberg v2 position deletes subtract rows without rewriting data files") {
+    val root = mkV2Table()
+    // snapshot 3 = right after the position delete: ids < 10 gone, all
+    // bands still present, nothing else touched
+    val s3 = IcebergSource.read(spark, root, Some(3L), None, None)
+    val ids = s3.select("id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq === (10L until 40L))
+    // the delete landed as ONE new parquet of (file_path, pos) — every
+    // data file of s1/s2 is byte-identical (merge-on-read, not rewrite)
+    val meta = IcebergMeta.load(root)
+    val filesAt = (id: Long) => IcebergMeta
+      .planScan(meta, meta.snapshotById(id)).files.map(_.path).toSet
+    assert(filesAt(3L) === filesAt(2L))
+  }
+
+  test("iceberg v2 equality deletes are sequence-scoped: later re-insert survives") {
+    val root = mkV2Table()
+    val cur = IcebergSource.read(spark, root)
+    val byBand = cur.collect().map(r => (r.getLong(0), r.getInt(2)))
+    // band 2 at current = ONLY the s5 re-appends (id >= 20): the s4
+    // equality delete reaches seq 1-3 data, never the seq-5 append
+    assert(byBand.filter(_._2 == 2).map(_._1).sorted.toSeq ===
+      Seq(22L, 26L, 30L, 34L, 38L))
+    // everything else: ids >= 10 of bands 0,1,3
+    assert(byBand.filterNot(_._2 == 2).map(_._1).sorted.toSeq ===
+      (10L until 40L).filter(i => i % 4 != 2))
+    assert(cur.count() === 27)
+    // snapshot 4 (before the re-append): band 2 entirely gone
+    val s4 = IcebergSource.read(spark, root, Some(4L), None, None)
+    assert(s4.filter("band = 2").count() === 0)
+    assert(s4.count() === 22)
+  }
+
+  test("iceberg v2 incremental: pre-window deletes are inert, in-window deletes refuse") {
+    val root = mkV2Table()
+    // window (4, 5]: only the s5 append — the s3/s4 delete manifests are
+    // pre-window (their sequence numbers can never reach seq-5 data)
+    val inc = IcebergSource.readAppendsSince(spark, root, fromSnapshotId = 4L)
+    assert(inc.select("id").collect().map(_.getLong(0)).sorted.toSeq ===
+      Seq(22L, 26L, 30L, 34L, 38L))
+    // window (2, 5] contains the delete-file manifests: net appends are
+    // not computable (a delete can subtract from same-window appends)
+    val e = intercept[UnsupportedOperationException] {
+      IcebergSource.readAppendsSince(spark, root, fromSnapshotId = 2L)
+    }
+    assert(e.getMessage.contains("delete manifest"))
   }
 }
