@@ -106,6 +106,41 @@ object SourceQueries {
     root.toString
   }
 
+  /** Materialize (once per fixture dir + process) a HIDDEN-partitioned
+    * Iceberg table: `day(o_date)` — the data files keep the raw date
+    * column; only the transformed day ordinal shapes the layout and the
+    * manifest summaries. 8 distinct days -> 8 manifests, so a one-day
+    * predicate must open 1 (SourcesSpec pins the count on its own table).
+    */
+  private def fixtureIcebergDayTable(
+      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    import graft.sources.IcebergWriter
+    val root = graft.engine.TempDirs.workspace("graft-iceberg", "daypart", dir)
+    graft.engine.TempDirs.materializeOnce(root)(
+      java.nio.file.Files.exists(
+        root.resolve("metadata").resolve("v1.metadata.json"))
+    ) {
+      if (java.nio.file.Files.exists(root)) {
+        val walk = java.nio.file.Files.walk(root)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+        finally walk.close()
+      }
+      // a synthetic ingest date with guaranteed density at every SF: the
+      // oracle replays the same o_orderkey % 8 mapping
+      val df = t(s, dir, "orders")
+        .select(
+          col("o_orderkey"),
+          col("o_custkey"),
+          date_add(lit("1995-03-01").cast("date"),
+            (col("o_orderkey") % 8).cast("int")).as("o_date"))
+      IcebergWriter.appendPartitioned(s, root.toString, df,
+        Some(IcebergWriter.PartitionTransform("o_date", "day")),
+        timestampMs = 1000L): Unit
+    }
+    root.toString
+  }
+
   val all: Seq[Q] = Seq(
     // CSV scan with declared schema + header (reference:
     // coordinator/src/main.rs:33-43).
@@ -344,6 +379,29 @@ object SourceQueries {
       Some(
         "SELECT p_partkey, p_name, CAST(p_partkey % 4 AS INT) AS p_band " +
           "FROM part WHERE p_partkey % 4 = 3 ORDER BY p_partkey"
+      )
+    ),
+    // Hidden-partition pruning: the predicate is on the SOURCE column
+    // (the user never sees the day() partition field); planning runs the
+    // transform on the literal and prunes manifests via the summaries of
+    // the transformed values — 1 of 8 day-manifests opened (SourcesSpec
+    // pins the count), and the oracle replays the date derivation over
+    // the original parquet to gate the whole layout round-trip.
+    Q(
+      "q_iceberg_daypruned",
+      (s, dir) => {
+        val root = fixtureIcebergDayTable(s, dir)
+        graft.sources.IcebergSource
+          .read(s, root, snapshotId = None, asOfTimestampMs = None,
+            prune = Some(graft.sources.IcebergMeta.PartitionEquals(
+              "o_date", java.time.LocalDate.of(1995, 3, 4))))
+          .select($"o_orderkey", $"o_custkey", $"o_date")
+          .orderBy($"o_orderkey")
+      },
+      Some(
+        "SELECT o_orderkey, o_custkey, " +
+          "CAST(DATE '1995-03-01' + CAST(o_orderkey % 8 AS INTEGER) AS DATE) AS o_date " +
+          "FROM orders WHERE o_orderkey % 8 = 3 ORDER BY o_orderkey"
       )
     ),
     // v2 merge-on-read, position deletes: time-travel to snapshot 3 —

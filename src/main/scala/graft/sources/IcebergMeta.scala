@@ -112,7 +112,13 @@ object IcebergMeta {
         throw new IllegalArgumentException(s"Iceberg schema has no field id $id"))
   }
 
-  /** Identity-partition equality predicate for manifest/entry pruning. */
+  /** Partition-pruning equality predicate. `column` may name either the
+    * partition FIELD or its SOURCE column (hidden partitioning: the user
+    * filters `ts = X` without knowing the table is day(ts)-partitioned);
+    * `value` is the SOURCE-typed literal — planning evaluates the
+    * partition transform on it ([[IcebergTransforms]]) before comparing
+    * against manifest summaries and entry tuples.
+    */
   final case class PartitionEquals(column: String, value: Any)
 
   final case class DataFile(
@@ -260,15 +266,24 @@ object IcebergMeta {
       snapshot: Snapshot,
       prune: Option[PartitionEquals] = None): ScanPlan = {
     // Pre-resolve the predicate against the partition spec so a typo'd
-    // column is an error, not a silent full scan.
-    val pruneField: Option[(Int, PartitionField)] = prune.map { p =>
-      val idx = meta.partitionFields.indexWhere(_.name == p.column)
-      require(idx >= 0, s"'${p.column}' is not a partition field " +
+    // column is an error, not a silent full scan. The predicate literal
+    // is transformed ONCE here (day/month/bucket/truncate math); all
+    // downstream comparisons are in transformed space, typed by the
+    // transform's result type.
+    val pruneField: Option[(Int, PartitionField, Any, String)] = prune.map { p =>
+      val idx = meta.partitionFields.indexWhere(pf =>
+        pf.name == p.column ||
+          meta.fields.find(_.id == pf.sourceId).exists(_.name == p.column))
+      require(idx >= 0, s"'${p.column}' is not a partition field or a " +
+        s"partition source column " +
         s"(have ${meta.partitionFields.map(_.name).mkString(", ")})")
       val pf = meta.partitionFields(idx)
-      require(pf.transform == "identity",
-        s"Pruning on non-identity transform '${pf.transform}' not supported")
-      (idx, pf)
+      val sourceType = meta.fieldById(pf.sourceId).typeName
+      val transformed =
+        if (p.value == null) null
+        else IcebergTransforms(pf.transform, sourceType, p.value)
+      (idx, pf, transformed,
+        IcebergTransforms.resultTypeName(pf.transform, sourceType))
     }
 
     val manifests = readManifestListFile(meta.root, snapshot.manifestList)
@@ -281,8 +296,9 @@ object IcebergMeta {
       // rows from ANY surviving partition, and a position delete for a
       // pruned-away file is a no-op — always applying live delete files
       // is conservative-correct; they are KB-scale relative to data.
-      val survives = mf.content == 1 || pruneField.forall { case (idx, pf) =>
-        manifestMayContain(meta, mf, idx, pf, prune.get.value)
+      val survives = mf.content == 1 || pruneField.forall {
+        case (idx, _, tvalue, ttype) =>
+          manifestMayContain(mf, idx, ttype, tvalue)
       }
       if (survives) {
         manifestsRead += 1
@@ -296,8 +312,9 @@ object IcebergMeta {
                 e.dataFile.equalityIds, e.dataFile.sequenceNumber,
                 e.dataFile.recordCount)
             } else {
-              val matches = prune.forall(p =>
-                valueEquals(e.dataFile.partition.get(p.column).orNull, p.value))
+              val matches = pruneField.forall { case (_, pf, tvalue, _) =>
+                valueEquals(e.dataFile.partition.get(pf.name).orNull, tvalue)
+              }
               if (live && matches) files += e.dataFile
             }
           }
@@ -529,22 +546,22 @@ object IcebergMeta {
   }
 
   /** Field-summary check: can this manifest contain partition==value?
-    * Bounds are Iceberg single-value binaries (int/long little-endian,
-    * string UTF-8). A manifest with no summaries must be read.
+    * `value` is already TRANSFORMED and `typeName` is the transform's
+    * result type — summary bounds are single-value binaries of the
+    * stored partition values (int/long little-endian, string UTF-8).
+    * A manifest with no summaries must be read.
     */
   private def manifestMayContain(
-      meta: TableMeta,
       mf: ManifestFile,
       fieldIdx: Int,
-      pf: PartitionField,
+      typeName: String,
       value: Any): Boolean = {
     if (mf.summaries.isEmpty || fieldIdx >= mf.summaries.size) return true
     val (containsNull, lower, upper) = mf.summaries(fieldIdx)
     if (value == null) return containsNull
-    val sourceType = meta.fieldById(pf.sourceId).typeName
     (lower, upper) match {
       case (Some(lo), Some(hi)) =>
-        compareBound(sourceType, value, lo) >= 0 && compareBound(sourceType, value, hi) <= 0
+        compareBound(typeName, value, lo) >= 0 && compareBound(typeName, value, hi) <= 0
       case _ => true // unknown bounds: must read
     }
   }

@@ -34,6 +34,19 @@ object IcebergWriter {
 
   private val mapper = new ObjectMapper()
 
+  /** One partition field of the table spec: `transform(source)` stored
+    * under partition field `fieldName` (hidden partitioning — the data
+    * files keep the SOURCE column; only identity drops it into the
+    * directory layout). Writable transforms: identity, day/month/year
+    * (date sources), truncate[W] (int/long/string). `bucket[N]` is
+    * read/prune-supported but this writer refuses to lay it out.
+    */
+  final case class PartitionTransform(source: String, transform: String = "identity") {
+    def fieldName: String =
+      if (transform == "identity") source
+      else s"${source}_${transform.takeWhile(_ != '[')}"
+  }
+
   /** Append `df` as a new snapshot; one manifest per partition value
     * (identity transform on `partitionCol`) so manifest-summary pruning
     * has file-level granularity. Returns the new snapshot id.
@@ -48,6 +61,21 @@ object IcebergWriter {
       tablePath: String,
       df: DataFrame,
       partitionCol: Option[String],
+      timestampMs: Long,
+      formatVersion: Int = 1): Long =
+    appendPartitioned(spark, tablePath, df,
+      partitionCol.map(PartitionTransform(_)), timestampMs, formatVersion)
+
+  /** [[append]] with a transformed (hidden) partition spec — e.g.
+    * `PartitionTransform("ts", "day")` lays out one file set per day of
+    * `ts` while the data files keep the raw `ts` column, and reads prune
+    * via the transform math in [[IcebergTransforms]].
+    */
+  def appendPartitioned(
+      spark: SparkSession,
+      tablePath: String,
+      df: DataFrame,
+      partition: Option[PartitionTransform],
       timestampMs: Long,
       formatVersion: Int = 1): Long = {
     require(formatVersion == 1 || formatVersion == 2,
@@ -83,20 +111,21 @@ object IcebergWriter {
       // the spec is carried forward verbatim, so an append laid out
       // differently would DIVERGE metadata from data (files with empty
       // partition tuples under a spec that prunes on 'band' silently
-      // vanish from pruned reads) — refuse loudly instead. Same for a
-      // NON-IDENTITY transform (bucket/truncate/...): name equality would
-      // pass while this writer lays out raw identity values under a spec
-      // claiming a transform, misrouting every pruned read.
-      val specCols = m.partitionFields.map(_.name)
+      // vanish from pruned reads) — refuse loudly instead. The whole
+      // (name, transform, source) triple must match: name equality alone
+      // would let an identity layout land under a spec claiming day(),
+      // misrouting every pruned read.
+      val specd = m.partitionFields
+        .map(pf => (pf.name, pf.transform,
+          m.fields.find(_.id == pf.sourceId).map(_.name).getOrElse("?")))
+      val declared = partition.toSeq.map(p => (p.fieldName, p.transform, p.source))
       require(
-        specCols == partitionCol.toSeq,
-        s"Append partitioning ${partitionCol.getOrElse("<none>")} does not " +
+        specd == declared,
+        s"Append partitioning ${declared.mkString(",")} does not " +
           s"match the table's spec (" +
-          (if (specCols.isEmpty) "<none>" else specCols.mkString(",")) + ")")
-      m.partitionFields.foreach(pf => require(pf.transform == "identity",
-        s"table spec transform '${pf.transform}' on '${pf.name}' is not " +
-          "identity; this writer cannot lay out files for it"))
+          (if (specd.isEmpty) "<none>" else specd.mkString(",")) + ")")
     }
+    partition.foreach(p => transformedSparkType(p, df.schema): Unit) // refuse unwritable transforms early
     // the version this commit is based on, read ONCE with the same load —
     // commitSnapshot reuses it so version number and verbatim base can
     // never come from different hints. (Concurrent WRITERS remain
@@ -106,14 +135,21 @@ object IcebergWriter {
 
     // ---- data files -----------------------------------------------------
     val staging = Files.createTempDirectory("graft-iceberg-stage")
-    val written: Seq[(Map[String, Any], Path)] = partitionCol match {
-      case Some(colName) =>
-        val dt = df.schema(colName).dataType
-        // shuffle each partition value to one task so each value yields one
-        // file (not one per input split) — same move a production writer
+    val written: Seq[(Map[String, Any], Path)] = partition match {
+      case Some(pt) =>
+        val fieldName = pt.fieldName
+        val dt = transformedSparkType(pt, df.schema)
+        // the TRANSFORMED value becomes the layout column; partitionBy
+        // drops it from the files, which is exactly hidden partitioning:
+        // identity drops the source column itself (reconstituted from
+        // dirs on read), any other transform keeps the source column in
+        // the data and only the derived value shapes the layout.
+        // One shuffle per partition value so each value yields one file
+        // (not one per input split) — same move a production writer
         // makes to avoid the small-files problem
-        df.repartition(org.apache.spark.sql.functions.col(colName))
-          .write.partitionBy(colName).parquet(staging.resolve("out").toString)
+        df.withColumn(fieldName, transformedColumn(pt, df.schema))
+          .repartition(org.apache.spark.sql.functions.col(fieldName))
+          .write.partitionBy(fieldName).parquet(staging.resolve("out").toString)
         val listing = Files.list(staging.resolve("out"))
         val dirs =
           try listing.iterator().asScala
@@ -123,14 +159,14 @@ object IcebergWriter {
         dirs.flatMap { dir =>
           val raw = dir.getFileName.toString.split("=", 2)(1)
           require(raw != "__HIVE_DEFAULT_PARTITION__",
-            s"Null partition values not supported (column $colName)")
+            s"Null partition values not supported (column $fieldName)")
           val value = parsePartitionValue(raw, dt)
           val dest = root.resolve("data").resolve(dir.getFileName.toString)
           Files.createDirectories(dest)
           parquetFiles(dir).zipWithIndex.map { case (f, i) =>
             val target = dest.resolve(f"snap$snapshotId%05d-$i%03d.parquet")
             Files.move(f, target, StandardCopyOption.REPLACE_EXISTING)
-            (Map(colName -> value), target)
+            (Map(fieldName -> value), target)
           }
         }
       case None =>
@@ -145,7 +181,7 @@ object IcebergWriter {
 
     // ---- manifests: one per distinct partition tuple --------------------
     val hadoopConf = spark.sessionState.newHadoopConf()
-    val partType = partitionCol.map(c => c -> df.schema(c).dataType)
+    val partType = partition.map(p => p.fieldName -> transformedSparkType(p, df.schema))
     val groups = written.groupBy(_._1).toSeq.sortBy(_._1.values.mkString)
     val newManifests = groups.zipWithIndex.map { case ((ptuple, files), i) =>
       val entries = files.map { case (_, p) =>
@@ -169,9 +205,53 @@ object IcebergWriter {
       .map(m => IcebergMeta.readManifestListFile(
         m.root, currentManifestList(m).toString))
       .getOrElse(Seq.empty)
-    commitSnapshot(spark, root, df.schema, partitionCol, prior, baseVersion,
+    commitSnapshot(spark, root, df.schema, partition, prior, baseVersion,
       snapshotId, timestampMs, carried ++ newManifests, operation = "append", fv)
     snapshotId
+  }
+
+  /** Spark type of the transformed partition value — also the gate on
+    * what this writer can lay out (bucket[N] would need Iceberg's
+    * murmur3 as a Spark expression; it reads/prunes fine, so refuse the
+    * WRITE loudly rather than lay out files a real reader would misroute).
+    */
+  private def transformedSparkType(
+      pt: PartitionTransform, schema: StructType): DataType = {
+    val src = schema(pt.source).dataType
+    pt.transform match {
+      case "identity"                 => src
+      case "day" | "month" | "year" =>
+        require(src == DateType,
+          s"'${pt.transform}' layout needs a date source column; " +
+            s"'${pt.source}' is $src")
+        IntegerType
+      case t if IcebergTransforms.truncateWidth(t).isDefined =>
+        require(src == IntegerType || src == LongType || src == StringType,
+          s"truncate layout over $src not supported")
+        src
+      case other =>
+        throw new UnsupportedOperationException(
+          s"this writer cannot lay out transform '$other' " +
+            "(reads and pruning support it; write with a real committer)")
+    }
+  }
+
+  private def transformedColumn(
+      pt: PartitionTransform, schema: StructType): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val c = col(pt.source)
+    pt.transform match {
+      case "identity" => c
+      case "day"      => datediff(c, lit("1970-01-01").cast(DateType))
+      case "month"    => (year(c) - lit(1970)) * lit(12) + month(c) - lit(1)
+      case "year"     => year(c) - lit(1970)
+      case t =>
+        val w = IcebergTransforms.truncateWidth(t).get // gated by transformedSparkType
+        schema(pt.source).dataType match {
+          case StringType => substring(c, 1, w)
+          case _          => c - pmod(c, lit(w)) // floor mod per spec
+        }
+    }
   }
 
   /** Delete every file whose identity-partition value is in `values`:
@@ -193,6 +273,9 @@ object IcebergWriter {
     val snapshotId = meta.snapshots.map(_.id).max + 1L
     val pf = meta.partitionFields.find(_.name == column).getOrElse(
       throw new IllegalArgumentException(s"'$column' is not a partition field"))
+    require(pf.transform == "identity",
+      s"deletePartitions works on identity partitions; '$column' is " +
+        s"'${pf.transform}' — use deleteRowsWhere on the source column")
     val sourceField = meta.fieldById(pf.sourceId)
     val sparkType = IcebergMeta.sparkSchema(meta)(sourceField.name).dataType
     val partType = Some(column -> sparkType)
@@ -227,7 +310,8 @@ object IcebergWriter {
       }
     }
     require(rewrites > 0, s"deletePartitions matched no files for $column in $values")
-    commitSnapshot(spark, root, IcebergMeta.sparkSchema(meta), Some(column),
+    commitSnapshot(spark, root, IcebergMeta.sparkSchema(meta),
+      Some(PartitionTransform(column)),
       Some(meta), baseVersion, snapshotId, timestampMs, out,
       operation = "delete", formatVersion = 1)
     snapshotId
@@ -379,8 +463,10 @@ object IcebergWriter {
       .copy(content = 1)
     val carried = IcebergMeta.readManifestListFile(
       root, currentManifestList(meta).toString)
+    // partition arg feeds only FRESH-table metadata creation; this table
+    // exists (prior = Some), so pass None rather than fabricate a spec
     commitSnapshot(spark, root, IcebergMeta.sparkSchema(meta),
-      meta.partitionFields.headOption.map(_.name), Some(meta), baseVersion,
+      None, Some(meta), baseVersion,
       snapshotId, timestampMs, carried :+ newManifest,
       operation = "delete", formatVersion = 2)
   }
@@ -393,7 +479,7 @@ object IcebergWriter {
       spark: SparkSession,
       root: Path,
       schema: StructType,
-      partitionCol: Option[String],
+      partition: Option[PartitionTransform],
       prior: Option[IcebergMeta.TableMeta],
       baseVersion: Option[Int], // the version the caller LOADED — base and
       // version number come from that one read, never a fresh hint
@@ -445,8 +531,8 @@ object IcebergWriter {
         n.put("default-spec-id", 0)
         val sp = n.putArray("partition-specs").addObject()
         sp.put("spec-id", 0)
-        sp.set[ArrayNode]("fields", specJson(schema, partitionCol))
-        n.put("last-partition-id", if (partitionCol.isDefined) 1000 else 999)
+        sp.set[ArrayNode]("fields", specJson(schema, partition))
+        n.put("last-partition-id", if (partition.isDefined) 1000 else 999)
         n.put("default-sort-order-id", 0)
         val so = n.putArray("sort-orders").addObject()
         so.put("order-id", 0)
@@ -462,7 +548,7 @@ object IcebergWriter {
         n.set[ObjectNode]("schema", schemaJson(schema))
         n.put("current-schema-id", 0)
         n.putArray("schemas").add(schemaJson(schema))
-        n.set[ArrayNode]("partition-spec", specJson(schema, partitionCol))
+        n.set[ArrayNode]("partition-spec", specJson(schema, partition))
         n.putArray("snapshots")
         n.putArray("snapshot-log")
         n
@@ -521,13 +607,13 @@ object IcebergWriter {
     s
   }
 
-  private def specJson(schema: StructType, partitionCol: Option[String]): ArrayNode = {
+  private def specJson(schema: StructType, partition: Option[PartitionTransform]): ArrayNode = {
     val arr = mapper.createArrayNode()
-    partitionCol.foreach { c =>
-      val idx = schema.fieldIndex(c)
+    partition.foreach { p =>
+      val idx = schema.fieldIndex(p.source)
       val f = arr.addObject()
-      f.put("name", c)
-      f.put("transform", "identity")
+      f.put("name", p.fieldName)
+      f.put("transform", p.transform)
       f.put("source-id", idx + 1)
       f.put("field-id", 1000)
     }

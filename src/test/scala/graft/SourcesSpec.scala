@@ -600,6 +600,88 @@ class SourcesSpec extends SparkTestBase {
     assert(s4.count() === 22)
   }
 
+  // ---------------------------------------------------------------------
+  // hidden-partition transforms
+  // ---------------------------------------------------------------------
+
+  test("iceberg transform math matches the spec's published vectors") {
+    import graft.sources.IcebergTransforms
+    // bucket hashes, straight from the public spec's Appendix B table
+    assert(IcebergTransforms.hashLong(34L) === 2017239379)
+    assert(IcebergTransforms.hashBytes(
+      "iceberg".getBytes(java.nio.charset.StandardCharsets.UTF_8)) === 1210000089)
+    assert(IcebergTransforms.hashLong(
+      java.time.LocalDate.parse("2017-11-16").toEpochDay) === -653330422)
+    // int hashes as long: same bucket for 34 and 34L
+    assert(IcebergTransforms("bucket[16]", "int", 34) ===
+      IcebergTransforms("bucket[16]", "long", 34L))
+    // date transforms: 1995-03-04 is epoch day 9193
+    assert(IcebergTransforms("day", "date",
+      java.time.LocalDate.of(1995, 3, 4)) === 9193)
+    assert(IcebergTransforms("month", "date",
+      java.time.LocalDate.of(1995, 3, 4)) === (1995 - 1970) * 12 + 2)
+    assert(IcebergTransforms("year", "date",
+      java.time.LocalDate.of(1995, 3, 4)) === 25)
+    // truncate: FLOOR semantics on negatives (spec), prefix on strings
+    assert(IcebergTransforms("truncate[10]", "int", -1) === -10)
+    assert(IcebergTransforms("truncate[10]", "long", 27L) === 20L)
+    assert(IcebergTransforms("truncate[3]", "string", "iceberg") === "ice")
+    // hour over timestamptz micros
+    assert(IcebergTransforms("hour", "timestamptz", 7_200_000_000L) === 2)
+  }
+
+  test("iceberg day() hidden partitioning: source column kept, manifests pruned by transformed literal") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col => fcol, date_add, lit}
+    val root = tempDir("graft-iceberg-day")
+    val df = (0 until 32).map(i => (i.toLong, s"row$i")).toDF("id", "v")
+      .withColumn("d", date_add(lit("2020-05-01").cast("date"),
+        (fcol("id") % 4).cast("int")))
+    IcebergWriter.appendPartitioned(spark, root, df,
+      Some(IcebergWriter.PartitionTransform("d", "day")), 1000L)
+    // data files RETAIN the source column (hidden partitioning); the
+    // spec records day(d) under the derived field name
+    val meta = IcebergMeta.load(root)
+    assert(meta.partitionFields.map(pf => (pf.name, pf.transform)) ===
+      Seq(("d_day", "day")))
+    // predicate on the SOURCE column, literal in source space: planning
+    // does the day() math -> 1 of 4 manifests
+    val plan = IcebergSource.planScan(root, prune = Some(
+      PartitionEquals("d", java.time.LocalDate.of(2020, 5, 3))))
+    assert(plan.manifestsTotal === 4)
+    assert(plan.manifestsRead === 1)
+    val rows = IcebergSource.read(spark, root, None, None, Some(
+      PartitionEquals("d", java.time.LocalDate.of(2020, 5, 3))))
+    assert(rows.select("id").collect().map(_.getLong(0)).sorted.toSeq ===
+      (0L until 32L).filter(_ % 4 == 2))
+    assert(rows.columns.toSeq === Seq("id", "v", "d"))
+    // the partition FIELD name resolves too
+    assert(IcebergSource.planScan(root, prune = Some(
+      PartitionEquals("d_day", java.time.LocalDate.of(2020, 5, 3)))).manifestsRead === 1)
+  }
+
+  test("iceberg truncate[] layout prunes; bucket[] layout refuses to write") {
+    import spark.implicits._
+    val root = tempDir("graft-iceberg-trunc")
+    val df = (0 until 40).map(i => (i.toLong, s"row$i")).toDF("id", "v")
+    IcebergWriter.appendPartitioned(spark, root, df,
+      Some(IcebergWriter.PartitionTransform("id", "truncate[10]")), 1000L)
+    val plan = IcebergSource.planScan(root, prune = Some(PartitionEquals("id", 27L)))
+    assert(plan.manifestsTotal === 4)
+    assert(plan.manifestsRead === 1)
+    val rows = IcebergSource.read(spark, root, None, None,
+      Some(PartitionEquals("id", 27L)))
+    assert(rows.select("id").collect().map(_.getLong(0)).sorted.toSeq ===
+      (20L until 30L))
+    // bucket[N] needs Iceberg's murmur3 as a layout expression: the
+    // writer refuses EARLY (no orphan files), the reader still prunes
+    val e = intercept[UnsupportedOperationException] {
+      IcebergWriter.appendPartitioned(spark, tempDir("graft-iceberg-bucket"),
+        df, Some(IcebergWriter.PartitionTransform("id", "bucket[4]")), 1000L)
+    }
+    assert(e.getMessage.contains("bucket"))
+  }
+
   test("iceberg v2 incremental: pre-window deletes are inert, in-window deletes refuse") {
     val root = mkV2Table()
     // window (4, 5]: only the s5 append — the s3/s4 delete manifests are
