@@ -40,9 +40,13 @@ import org.apache.spark.sql.functions._
   *     then a single marker-file CREATE under `_versions/` flips readers
   *     to it; old versions are garbage, removed post-commit.
   * Readers resolve `max(_versions)` at plan time, so they see complete
-  * versions only. Single-writer maintenance contract: quiesce folds
-  * during [[compact]] (folds landed in the old version after its segments
-  * were read would be compacted away), and quiesce readers only for the
+  * versions only. The single-writer maintenance contract is ENFORCED by
+  * lease markers under `_lease/` (round 11): [[compact]] takes the
+  * exclusive `compact` marker and waits for in-flight fold markers to
+  * drain; each fold holds a `fold-<token>` marker and backs off if a
+  * compact acquired concurrently — so a fold can never land in a version
+  * the compact is about to discard. Markers carry a TTL so a crashed
+  * holder never wedges the index. Readers only need to stay clear of the
   * post-commit removal of the superseded version dir.
   */
 object MinHashIndex {
@@ -106,6 +110,58 @@ object MinHashIndex {
   private def versionsDir(root: String) = new Path(root, "_versions")
   private def foldedDir(root: String) = new Path(root, "_folded")
   private def versionDir(root: String, v: Int) = new Path(root, s"v$v")
+  private def leaseDir(root: String) = new Path(root, "_lease")
+
+  /** How long a crashed holder's lease survives before anyone may break
+    * it. Production default is generous (a compact at 100 TB takes
+    * minutes, not hours); tests shrink it to exercise expiry.
+    */
+  private[graft] val DefaultLeaseTtlMs: Long = 10 * 60 * 1000L
+
+  // -------------------------------------------------------------------
+  // maintenance leases — the ENFORCED single-writer contract (round 11;
+  // previously a documented convention). compact holds the exclusive
+  // `_lease/compact` marker; every fold holds a `_lease/fold-<token>`
+  // marker for its duration. compact only proceeds once no fold markers
+  // remain; a fold re-checks for the compact marker AFTER planting its
+  // own, so every interleaving ends in "serialized" or "one side fails
+  // cleanly", never a fold landing in a version the compact is about to
+  // discard. Markers carry their expiry timestamp: a crashed holder's
+  // lease is broken (deleted) by the next acquirer after the TTL.
+  // -------------------------------------------------------------------
+
+  private def writeMarker(fs: FileSystem, p: Path, expiresAtMs: Long): Boolean =
+    try {
+      val out = fs.create(p, false) // atomic create-exclusive
+      try out.write(expiresAtMs.toString.getBytes("UTF-8")) finally out.close()
+      true
+    } catch { case _: java.io.IOException => false }
+
+  private def markerExpired(fs: FileSystem, p: Path): Boolean =
+    try {
+      val in = fs.open(p)
+      val expiry =
+        try new String(in.readAllBytes(), "UTF-8").trim.toLong
+        finally in.close()
+      System.currentTimeMillis() > expiry
+    } catch {
+      // unreadable marker (vanished between list and open, torn write):
+      // vanished = not held; torn = stale garbage — break it either way
+      case _: java.io.IOException | _: NumberFormatException => true
+    }
+
+  /** Delete `p` if it exists and has expired. */
+  private def breakIfExpired(fs: FileSystem, p: Path): Unit =
+    if (fs.exists(p) && markerExpired(fs, p)) fs.delete(p, false): Unit
+
+  private def activeFoldMarkers(fs: FileSystem, root: String): Seq[Path] = {
+    val dir = leaseDir(root)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
+      .map(_.getPath)
+      .filter(_.getName.startsWith("fold-"))
+      .filter { p => breakIfExpired(fs, p); fs.exists(p) }
+  }
 
   private def committedVersions(fs: FileSystem, root: String): Seq[Int] = {
     val dir = versionsDir(root)
@@ -196,28 +252,56 @@ object MinHashIndex {
       doc: DataFrame,
       index: StoredIndex,
       token: String,
-      fault: FaultInjector): Boolean = {
+      fault: FaultInjector,
+      leaseTtlMs: Long = DefaultLeaseTtlMs): Boolean = {
     require(token.matches("[A-Za-z0-9][A-Za-z0-9._-]*"),
       s"fold token must be a safe dir-name fragment, got '$token'")
     val spark = doc.sparkSession
     val fs = fileSystem(spark, index.root)
     val marker = new Path(foldedDir(index.root), token)
     if (fs.exists(marker)) return false
-    val v = currentVersion(spark, index)
-    val batchDir = new Path(versionDir(index.root, v), s"batch-$token")
-    if (fs.exists(batchDir)) {
-      // published but crashed before the marker: heal the marker, skip
+
+    // ---- lease: no fold may land while a compact holds the root -------
+    val compactMarker = new Path(leaseDir(index.root), "compact")
+    breakIfExpired(fs, compactMarker)
+    if (fs.exists(compactMarker))
+      throw new IllegalStateException(
+        s"maintenance lease held (compact in progress) on ${index.root}; " +
+          "retry after it completes")
+    fs.mkdirs(leaseDir(index.root))
+    val myLease = new Path(leaseDir(index.root), s"fold-$token")
+    // a same-token lease can only be a crashed prior attempt of THIS
+    // batch (tokens are the caller's batch identity): reclaim it
+    if (fs.exists(myLease)) fs.delete(myLease, false)
+    require(writeMarker(fs, myLease, System.currentTimeMillis() + leaseTtlMs),
+      s"could not plant fold lease $myLease")
+    try {
+      // re-check AFTER planting: a compact that acquired in between is
+      // now waiting for fold markers to drain — back off so it proceeds
+      if (fs.exists(compactMarker))
+        throw new IllegalStateException(
+          s"maintenance lease acquired concurrently (compact) on " +
+            s"${index.root}; fold backed off cleanly — retry after it")
+
+      // version resolution happens UNDER the lease: resolving before it
+      // could publish this batch into a version a concurrent compact is
+      // about to discard — the exact interleave the lease removes
+      val v = currentVersion(spark, index)
+      val batchDir = new Path(versionDir(index.root, v), s"batch-$token")
+      if (fs.exists(batchDir)) {
+        // published but crashed before the marker: heal the marker, skip
+        commitMarker(fs, marker)
+        return false
+      }
+      val tmp = new Path(versionDir(index.root, v), s".tmp-$token")
+      fs.delete(tmp, true) // stale pre-publish attempt: invisible, discard
+      writeSegment(doc, tmp.toString)
+      fault("segment-written")
+      require(fs.rename(tmp, batchDir), s"could not publish $batchDir")
+      fault("published")
       commitMarker(fs, marker)
-      return false
-    }
-    val tmp = new Path(versionDir(index.root, v), s".tmp-$token")
-    fs.delete(tmp, true) // stale pre-publish attempt: invisible, discard
-    writeSegment(doc, tmp.toString)
-    fault("segment-written")
-    require(fs.rename(tmp, batchDir), s"could not publish $batchDir")
-    fault("published")
-    commitMarker(fs, marker)
-    true
+      true
+    } finally fs.delete(myLease, false)
   }
 
   /** At-least-once append for callers WITHOUT a replay token (no
@@ -245,8 +329,9 @@ object MinHashIndex {
     * token), then drops uncommitted version dirs, stale temps, and
     * superseded versions. Quiesce writers for the duration (folds into
     * the old version after its segments are read would be lost from the
-    * new one); readers only need to stay clear of the post-commit
-    * old-version removal.
+    * new one) — enforced by the maintenance lease, not convention;
+    * readers only need to stay clear of the post-commit old-version
+    * removal.
     */
   def compact(
       spark: SparkSession,
@@ -260,10 +345,44 @@ object MinHashIndex {
       index: StoredIndex,
       nFiles: Int,
       dedupe: Boolean,
-      fault: FaultInjector
+      fault: FaultInjector,
+      leaseTtlMs: Long = DefaultLeaseTtlMs,
+      foldDrainWaitMs: Long = 30_000L
   ): Unit = {
     require(nFiles > 0)
     val fs = fileSystem(spark, index.root)
+
+    // ---- exclusive maintenance lease ---------------------------------
+    fs.mkdirs(leaseDir(index.root))
+    val compactMarker = new Path(leaseDir(index.root), "compact")
+    breakIfExpired(fs, compactMarker)
+    if (!writeMarker(fs, compactMarker, System.currentTimeMillis() + leaseTtlMs))
+      throw new IllegalStateException(
+        s"another compact holds the maintenance lease on ${index.root}")
+    try {
+      // in-flight folds drain quickly (they're per-batch); crashed ones
+      // expire via TTL and are broken by activeFoldMarkers itself
+      val deadline = System.currentTimeMillis() + foldDrainWaitMs
+      while (activeFoldMarkers(fs, index.root).nonEmpty &&
+          System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      val inFlight = activeFoldMarkers(fs, index.root)
+      if (inFlight.nonEmpty)
+        throw new IllegalStateException(
+          s"folds still in flight after ${foldDrainWaitMs}ms: " +
+            s"${inFlight.map(_.getName).mkString(", ")} — compact backed off")
+      compactLeased(spark, fs, index, nFiles, dedupe, fault)
+    } finally fs.delete(compactMarker, false)
+  }
+
+  private def compactLeased(
+      spark: SparkSession,
+      fs: FileSystem,
+      index: StoredIndex,
+      nFiles: Int,
+      dedupe: Boolean,
+      fault: FaultInjector
+  ): Unit = {
     recover(spark, fs, index)
     fault("recovered")
     val v = currentVersion(spark, index)

@@ -275,6 +275,65 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("maintenance lease: fold-during-compact serializes or fails cleanly, never interleaves") {
+    import graft.operators.MinHashIndex
+    import spark.implicits._
+    val sent = crashSent("l") _
+    val corpus = Seq((1L, sent(1)), (2L, sent(2))).toDF("doc_id", "text")
+    val batch = Seq((10L, sent(3))).toDF("doc_id", "text")
+    val idx = MinHashIndex.materialize(corpus, tempDir("graft-lease"))
+
+    // a fold attempted while compact holds the lease fails cleanly —
+    // nothing lands, no replay marker, and the compact completes
+    var foldRefusal: Option[IllegalStateException] = None
+    MinHashIndex.compactWithFaults(spark, idx, 1, dedupe = false, point =>
+      if (point == "recovered") {
+        foldRefusal = Some(intercept[IllegalStateException] {
+          MinHashIndex.foldOnce(batch, idx, "during-compact")
+        })
+      })
+    assert(foldRefusal.exists(_.getMessage.contains("lease")))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(idx.root, "_folded", "during-compact")),
+      "a refused fold must not leave a replay marker")
+    assert(MinHashIndex.currentVersion(spark, idx) === 2, "compact did not complete")
+
+    // lease released: the SAME token folds normally (serialized, not lost)
+    assert(MinHashIndex.foldOnce(batch, idx, "during-compact"))
+
+    // an EXPIRED compact lease (crashed holder) is broken, not honored
+    val compactLease = java.nio.file.Paths.get(idx.root, "_lease", "compact")
+    java.nio.file.Files.createDirectories(compactLease.getParent)
+    java.nio.file.Files.writeString(compactLease,
+      (System.currentTimeMillis() - 1000L).toString)
+    assert(MinHashIndex.foldOnce(
+      Seq((20L, sent(6))).toDF("doc_id", "text"), idx, "after-expiry"))
+    assert(!java.nio.file.Files.exists(compactLease),
+      "expired lease was not broken")
+
+    // a LIVE compact lease excludes a second compact
+    java.nio.file.Files.writeString(compactLease,
+      (System.currentTimeMillis() + 60_000L).toString)
+    val second = intercept[IllegalStateException] {
+      MinHashIndex.compact(spark, idx, nFiles = 1)
+    }
+    assert(second.getMessage.contains("lease"))
+    java.nio.file.Files.delete(compactLease)
+
+    // an in-flight fold makes compact back off after the drain window
+    val foldLease = java.nio.file.Paths.get(idx.root, "_lease", "fold-x")
+    java.nio.file.Files.writeString(foldLease,
+      (System.currentTimeMillis() + 60_000L).toString)
+    val drained = intercept[IllegalStateException] {
+      MinHashIndex.compactWithFaults(spark, idx, 1, dedupe = false,
+        MinHashIndex.NoFaults, foldDrainWaitMs = 200L)
+    }
+    assert(drained.getMessage.contains("in flight"))
+    java.nio.file.Files.delete(foldLease)
+    MinHashIndex.compact(spark, idx, nFiles = 1) // and then proceeds
+    assert(MinHashIndex.currentVersion(spark, idx) === 3)
+  }
+
   test("fold crash then compact then replay: healed marker prevents re-fold") {
     import graft.operators.MinHashIndex
     import spark.implicits._
