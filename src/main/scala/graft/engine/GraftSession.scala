@@ -38,12 +38,34 @@ class GraftSession(val spark: SparkSession) {
   /** Keyed distributed result cache (reference crates/cache/src/lib.rs). */
   val cache: ResultCache = new ResultCache(spark)
 
+  // Iceberg commits flow into write-through invalidation too: any cache
+  // entry whose declared deps contain the committed table's absolute
+  // path is evicted. One listener per session; a listener for a session
+  // that cached nothing from the committed path is a no-op.
+  graft.sources.IcebergWriter.addCommitListener { tablePath =>
+    cache.invalidateDependents(
+      java.nio.file.Paths.get(tablePath).toAbsolutePath.toString)
+  }
+
+  /** Table names a SQL statement reads, from the PARSED plan (analysis
+    * not required): the dependency set for write-through invalidation.
+    * CTE aliases surface as relations too — a false dep only ever
+    * over-invalidates, which recomputes instead of serving stale rows.
+    */
+  private def referencedTables(sql: String): Set[String] =
+    spark.sessionState.sqlParser.parsePlan(sql).collect {
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+        u.multipartIdentifier.last.toLowerCase(java.util.Locale.ROOT)
+    }.toSet
+
   /** Cache a query's result under a key and register it as a table, so
     * subsequent SQL reads the pinned partitions (reference cache `put` +
-    * catalog registration in one step).
+    * catalog registration in one step). The query's referenced tables are
+    * recorded as deps: a later [[createTableAs]] over any of them evicts
+    * this entry (write-through invalidation).
     */
   def cacheQuery(key: String, sql: String): DataFrame = {
-    val df = cache.put(key, execute(sql))
+    val df = cache.put(key, execute(sql), referencedTables(sql))
     df.createOrReplaceTempView(key)
     df
   }
@@ -61,6 +83,9 @@ class GraftSession(val spark: SparkSession) {
     execute(sql).write.mode("overwrite").parquet(path)
     val df = spark.read.parquet(path)
     registerTable(name, df)
+    // write-through: results computed FROM the (re)written table are now
+    // stale — evict them; the next read recomputes over the new files
+    cache.invalidateDependents(name.toLowerCase(java.util.Locale.ROOT))
     df
   }
 }

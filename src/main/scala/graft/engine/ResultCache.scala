@@ -44,16 +44,28 @@ final class ResultCache(
   private val entries = new java.util.LinkedHashMap[String, DataFrame](
     16, 0.75f, /* accessOrder = */ true)
 
+  // what each cached key READS (table names / table paths) — the
+  // write-through invalidation edge: a commit to any of these evicts the
+  // entry. Maintained under the same lock as `entries`.
+  private val dependsOn = new java.util.HashMap[String, Set[String]]()
+
   /** Cache a result under a key (reference cache/src/lib.rs:38-44 `put`).
     * Eagerly materializes so the first read doesn't pay compute. On
     * overflow past `capacity`, evicts + unpersists least-recently-used
     * entries (never the key just written).
+    *
+    * `deps` names what the result was computed FROM (registered table
+    * names, or absolute table paths for path-addressed sources like
+    * Iceberg): [[invalidateDependents]] evicts every entry whose deps
+    * contain the written target — the reference's CDC-invalidation
+    * aspiration (crates/cdc/src/lib.rs:9) as a write-through rule.
     */
-  def put(key: String, df: DataFrame): DataFrame = {
+  def put(key: String, df: DataFrame, deps: Set[String] = Set.empty): DataFrame = {
     val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
     cached.count() // force materialization, like the reference's stored batches
     val evicted = entries.synchronized {
       val prev = Option(entries.put(key, cached))
+      if (deps.nonEmpty) dependsOn.put(key, deps) else dependsOn.remove(key)
       val over = Iterator
         .continually {
           val it = entries.entrySet().iterator()
@@ -62,6 +74,7 @@ final class ResultCache(
             // it is only reachable when capacity == 0, excluded by require
             val eldest = it.next()
             it.remove()
+            dependsOn.remove(eldest.getKey)
             Some(eldest.getValue)
           } else None
         }
@@ -219,8 +232,25 @@ final class ResultCache(
 
   /** Drop one key (reference `invalidate`). */
   def invalidate(key: String): Unit =
-    entries.synchronized(Option(entries.remove(key)))
-      .foreach(_.unpersist(blocking = false))
+    entries.synchronized {
+      dependsOn.remove(key)
+      Option(entries.remove(key))
+    }.foreach(_.unpersist(blocking = false))
+
+  /** Write-through invalidation: a commit landed on `target` (a
+    * registered table name or an absolute table path) — evict the entry
+    * keyed AS the target and every entry whose declared deps contain it.
+    * Conservative by design: over-invalidation recomputes, stale data
+    * misleads.
+    */
+  def invalidateDependents(target: String): Unit = {
+    val hit = entries.synchronized {
+      import scala.jdk.CollectionConverters._
+      entries.keySet().asScala.toSeq.filter(k =>
+        k == target || Option(dependsOn.get(k)).exists(_.contains(target)))
+    }
+    hit.foreach(invalidate)
+  }
 
   /** Recompute a cached entry from a fresh build — the CDC-refresh hook. */
   def refresh(key: String, build: => DataFrame): DataFrame = {

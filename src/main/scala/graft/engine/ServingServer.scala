@@ -50,8 +50,12 @@ import java.util.concurrent.{LinkedBlockingQueue, ThreadPoolExecutor, TimeUnit}
   *        registered table, or the PLANNED (never executed) schema of a
   *        SQL payload — the zero-cost schema probe (reference:
   *        unimplemented, api/src/lib.rs).
-  *     `LIST_FLIGHTS`          -> `OK\n` + IPC stream of one batch with a
-  *        `name` column: the catalog's table names, sorted (reference:
+  *     `LIST_FLIGHTS`          -> `OK\n` + IPC stream of one batch with
+  *        (kind, name, partitions) rows: the catalog's tables
+  *        (kind=table, partitions=-1 — planning cost, not paid here) and
+  *        every LIVE registered flight (kind=flight, name=the dispatch
+  *        handle, partitions=its endpoint count) — what a second client
+  *        needs to discover and fetch in-flight results (reference:
   *        unimplemented, api/src/lib.rs:77-79).
   *     empty payload           -> `ERR INVALID_ARGUMENT ...` (reference:
   *        Status::invalid_argument, api/src/lib.rs:88-90).
@@ -363,12 +367,20 @@ final class ServingServer(
             out.flush()
           }
         case "LIST_FLIGHTS" =>
-          val names = {
+          val catalog = session.tableNames.sorted
+            .map(n => ("table", n, -1L))
+          val active = flights.synchronized {
+            import scala.jdk.CollectionConverters._
+            // entry iteration does not perturb the LRU (only get/put do)
+            flights.entrySet().asScala.toSeq.map(e =>
+              ("flight", e.getKey, e.getValue.rdd.getNumPartitions.toLong))
+          }.sortBy(_._2)
+          val listing = {
             import session.spark.implicits._
-            session.tableNames.sorted.toDF("name")
+            (catalog ++ active).toDF("kind", "name", "partitions")
           }
           status("OK")
-          org.apache.spark.sql.GraftArrowBridge.writeBatches(names, batchSize, out)
+          org.apache.spark.sql.GraftArrowBridge.writeBatches(listing, batchSize, out)
           out.flush()
         case v if unimplemented.contains(v) =>
           status(s"ERR UNIMPLEMENTED ${v.toLowerCase} is not yet implemented")

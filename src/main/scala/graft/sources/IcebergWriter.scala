@@ -47,6 +47,30 @@ object IcebergWriter {
       else s"${source}_${transform.takeWhile(_ != '[')}"
   }
 
+  // Commit listeners: every successful snapshot commit (append, COW
+  // delete, v2 delete files) reports the table path AFTER the version
+  // hint flips — the hook GraftSession uses for write-through cache
+  // invalidation (the reference's CDC-invalidation aspiration,
+  // crates/cdc/src/lib.rs:9). Listener failures must not fail a commit
+  // that is already durable: they are caught and logged.
+  private val commitListeners =
+    new java.util.concurrent.CopyOnWriteArrayList[String => Unit]()
+
+  def addCommitListener(f: String => Unit): Unit =
+    commitListeners.add(f): Unit
+
+  private def notifyCommit(tablePath: String): Unit = {
+    val it = commitListeners.iterator()
+    while (it.hasNext) {
+      try it.next()(tablePath)
+      catch {
+        case e: Exception =>
+          System.err.println(
+            s"[graft-iceberg] commit listener failed for $tablePath: ${e.getMessage}")
+      }
+    }
+  }
+
   /** Append `df` as a new snapshot; one manifest per partition value
     * (identity transform on `partitionCol`) so manifest-summary pruning
     * has file-level granularity. Returns the new snapshot id.
@@ -590,6 +614,7 @@ object IcebergWriter {
     Files.writeString(tmp, version.toString)
     Files.move(tmp, root.resolve("metadata").resolve("version-hint.text"),
       StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    notifyCommit(root.toString)
   }
 
   private def schemaJson(schema: StructType): ObjectNode = {

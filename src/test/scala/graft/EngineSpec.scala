@@ -58,6 +58,51 @@ class EngineSpec extends SparkTestBase {
     assert(session.execute("SELECT s FROM cached_sum").head().getLong(0) === 30L)
   }
 
+  test("write-through invalidation: CTAS and Iceberg commits evict dependent entries") {
+    import spark.implicits._
+    // --- createTableAs over a dependency of a cached query -------------
+    session.registerTable("inv_src", Seq(1, 2, 3).toDF("v"))
+    session.cacheQuery("inv_agg", "SELECT sum(v) AS s FROM inv_src")
+    assert(session.execute("SELECT s FROM inv_agg").head().getLong(0) === 6L)
+    assert(session.cache.keys.contains("inv_agg"))
+    // rewrite the source THROUGH the engine's write path: the stale
+    // aggregate is evicted, not served
+    session.createTableAs("inv_src", "SELECT 10 AS v", tempDir("graft-inv") + "/t")
+    assert(!session.cache.keys.contains("inv_agg"),
+      "entry computed FROM the rewritten table must be evicted")
+    // unrelated entries survive
+    session.cacheQuery("inv_other", "SELECT 1 AS one")
+    session.createTableAs("inv_src", "SELECT 20 AS v", tempDir("graft-inv2") + "/t")
+    assert(session.cache.keys.contains("inv_other"))
+    // recompute over the new files sees the write
+    session.cacheQuery("inv_agg", "SELECT sum(v) AS s FROM inv_src")
+    assert(session.execute("SELECT s FROM inv_agg").head().getLong(0) === 20L)
+
+    // --- Iceberg commit over a path-declared dependency -----------------
+    val root = tempDir("graft-inv-ice")
+    graft.sources.IcebergWriter.append(spark, root,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), None, 1000L)
+    val abs = java.nio.file.Paths.get(root).toAbsolutePath.toString
+    session.cache.put("ice_n",
+      graft.sources.IcebergSource.read(spark, root)
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n")),
+      deps = Set(abs))
+    assert(session.cache.get("ice_n").get.head().getLong(0) === 2L)
+    // a new snapshot commit fires the listener -> entry evicted
+    graft.sources.IcebergWriter.append(spark, root,
+      Seq((3L, "c")).toDF("id", "v"), None, 2000L)
+    assert(session.cache.get("ice_n").isEmpty,
+      "Iceberg commit must evict entries dep'd on the table path")
+    // recompute sees snapshot 2
+    val fresh = session.cache.put("ice_n",
+      graft.sources.IcebergSource.read(spark, root)
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n")),
+      deps = Set(abs))
+    assert(fresh.head().getLong(0) === 3L)
+  }
+
   test("bounded cache evicts least-recently-USED, unpersists it, keeps the rest") {
     import spark.implicits._
     val c = new graft.engine.ResultCache(spark, capacity = Some(3))

@@ -266,8 +266,49 @@ class ServingServerSpec extends SparkTestBase {
 
       // LIST_FLIGHTS surfaces it in the catalog
       val ls = ServingClient.listFlights(srv.boundPort)
-      assert(ls.isOk && ls.columnNames === Seq("name"))
-      assert(ls.rows.map(_.head.toString).contains("put_tbl"))
+      assert(ls.isOk && ls.columnNames === Seq("kind", "name", "partitions"))
+      assert(ls.rows.filter(_.head.toString == "table")
+        .map(_(1).toString).contains("put_tbl"))
+    }
+  }
+
+  test("LIST_FLIGHTS lists live flights with their partition counts") {
+    import spark.implicits._
+    (1 to 40).map(i => (i.toLong, s"n$i")).toDF("k", "s")
+      .repartition(4).createOrReplaceTempView("lf_tbl")
+    withServer { srv =>
+      // no flights registered yet: only catalog rows
+      val before = ServingClient.listFlights(srv.boundPort)
+      assert(before.isOk)
+      assert(before.rows.forall(_.head.toString == "table"))
+
+      // register two flights; each should list with its endpoint count
+      val f1 = ServingClient.getFlightInfo(srv.boundPort,
+        "SELECT k FROM lf_tbl")
+      val f2 = ServingClient.getFlightInfo(srv.boundPort,
+        "SELECT k, s FROM lf_tbl WHERE k <= 10")
+      assert(f1.isOk && f2.isOk)
+      def handleOf(r: ServingClient.Response): String =
+        r.status.split(' ')(2)
+      def endpointsOf(r: ServingClient.Response): Long =
+        r.status.split(' ')(1).toLong
+      val ls = ServingClient.listFlights(srv.boundPort)
+      assert(ls.isOk && ls.columnNames === Seq("kind", "name", "partitions"))
+      val flightRows = ls.rows.filter(_.head.toString == "flight")
+        .map(r => r(1).toString -> r(2).toString.toLong).toMap
+      assert(flightRows.keySet === Set(handleOf(f1), handleOf(f2)))
+      assert(flightRows(handleOf(f1)) === endpointsOf(f1))
+      assert(flightRows(handleOf(f2)) === endpointsOf(f2))
+      // a listed flight is directly fetchable by a SECOND client via the
+      // listed handle + partition count — the discovery loop LIST_FLIGHTS
+      // exists for
+      val rows = (0L until flightRows(handleOf(f2))).flatMap { i =>
+        val t = ServingClient.doGetTicket(srv.boundPort,
+          s"graft-ticket:${handleOf(f2)}:$i")
+        assert(t.isOk, t.status)
+        t.rows
+      }
+      assert(rows.map(_.head.toString.toLong).sorted === (1L to 10L))
     }
   }
 
