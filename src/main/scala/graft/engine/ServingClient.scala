@@ -116,6 +116,22 @@ object ServingClient {
         out.flush()
       })
 
+  /** Bidirectional round trip: upload `df` as the exchange body, have the
+    * server run `sql` with the uploaded batch bound as the relation
+    * `input`, and decode the transformed rows from the response stream.
+    */
+  def doExchange(
+      port: Int,
+      sql: String,
+      df: org.apache.spark.sql.DataFrame,
+      batchSize: Int = 1024
+  ): Response =
+    request(port, "DO_EXCHANGE", sql,
+      body = out => {
+        org.apache.spark.sql.GraftArrowBridge.writeBatches(df, batchSize, out)
+        out.flush()
+      })
+
   def getSchema(port: Int, table: String): Response =
     request(port, "GET_SCHEMA", table)
 

@@ -46,6 +46,18 @@ import java.util.concurrent.{LinkedBlockingQueue, ThreadPoolExecutor, TimeUnit}
   *        Streams past `maxPutRows`/`maxPutBytes` answer
   *        `ERR RESOURCE_EXHAUSTED` — ingest lands on the driver, so the
   *        bound is what keeps one client from OOMing everyone's server.
+  *     `DO_EXCHANGE <sql>` + IPC -> the bidirectional verb: decodes the
+  *        client's Arrow stream, binds it as the relation `input` in the
+  *        SQL (plan-level substitution, no catalog registration — so
+  *        concurrent exchanges can't collide on a shared view name and
+  *        `input` shadows any real table for exactly this query), executes,
+  *        answers `OK\n` + IPC stream of the transformed rows. Upload the
+  *        batch, transform it server-side against the full catalog (joins
+  *        against registered tables work), download the result — one round
+  *        trip. Same ingest bounds and status-then-drain discipline as
+  *        DO_PUT; SQL that never references `input`, or is a command, is
+  *        refused before the body is decoded. (The reference DECLARES
+  *        DoExchange and leaves it unimplemented, api/src/lib.rs:158-190.)
   *     `GET_SCHEMA <table|sql>` -> `OK\n` + schema-only IPC stream of a
   *        registered table, or the PLANNED (never executed) schema of a
   *        SQL payload — the zero-cost schema probe (reference:
@@ -59,10 +71,10 @@ import java.util.concurrent.{LinkedBlockingQueue, ThreadPoolExecutor, TimeUnit}
   *        unimplemented, api/src/lib.rs:77-79).
   *     empty payload           -> `ERR INVALID_ARGUMENT ...` (reference:
   *        Status::invalid_argument, api/src/lib.rs:88-90).
-  *     HANDSHAKE / DO_EXCHANGE / DO_ACTION / LIST_ACTIONS /
-  *     POLL_FLIGHT_INFO        -> `ERR UNIMPLEMENTED <verb> is not yet
+  *     HANDSHAKE / DO_ACTION / LIST_ACTIONS / POLL_FLIGHT_INFO
+  *                             -> `ERR UNIMPLEMENTED <verb> is not yet
   *        implemented` (the reference's behavior for these,
-  *        api/src/lib.rs:67-75,158-190 — auth/exchange verbs with no
+  *        api/src/lib.rs:67-75,158-190 — auth/action verbs with no
   *        engine surface behind them stay honest stubs here too).
   *     anything else           -> `ERR INVALID_ARGUMENT unknown method`
   *     execution failure       -> `ERR INTERNAL <first line of message>`
@@ -103,7 +115,7 @@ final class ServingServer(
 ) extends AutoCloseable {
 
   private val unimplemented = Set(
-    "HANDSHAKE", "DO_EXCHANGE", "DO_ACTION", "LIST_ACTIONS", "POLL_FLIGHT_INFO"
+    "HANDSHAKE", "DO_ACTION", "LIST_ACTIONS", "POLL_FLIGHT_INFO"
   )
 
   /** One registered flight: the result's schema plus its persisted
@@ -344,6 +356,40 @@ final class ServingServer(
               }
             case bad =>
               status(s"ERR INVALID_ARGUMENT invalid table name '$bad'")
+          }
+        case "DO_EXCHANGE" =>
+          if (payload.isEmpty)
+            status("ERR INVALID_ARGUMENT No SQL command in request")
+          else {
+            try {
+              // refuse BEFORE decoding the body: commands and SQL that
+              // never references `input` answer on the status line and
+              // drain what the client already sent (DO_PUT's discipline)
+              session.serving.requireQuery(payload)
+              val df = org.apache.spark.sql.GraftArrowBridge
+                .readBatches(in, session.spark, maxPutRows, maxPutBytes)
+              val result = org.apache.spark.sql.GraftArrowBridge
+                .sqlOver(session.spark, payload, "input", df)
+              // force planning before the OK: analysis failures (bad
+              // column against the uploaded schema) must arrive as a
+              // status line, not garbage inside an Arrow stream
+              result.queryExecution.executedPlan
+              status("OK")
+              org.apache.spark.sql.GraftArrowBridge.writeBatches(result, batchSize, out)
+              out.flush()
+            } catch {
+              case e: org.apache.spark.sql.IngestLimitExceeded =>
+                status(s"ERR RESOURCE_EXHAUSTED ${e.getMessage}")
+                drain(in, cap =
+                  if (maxPutBytes > Long.MaxValue / 2) Long.MaxValue
+                  else math.max(16L << 20, 2 * maxPutBytes))
+              case e if scala.util.control.NonFatal(e) && !statusSent =>
+                // refused SQL, malformed payload, analysis failure: the
+                // status line answers; a failure AFTER the OK falls through
+                // to the outer abort-the-connection contract
+                status(s"ERR INTERNAL ${firstLine(e)}")
+                drain(in, cap = 16L << 20)
+            }
           }
         case "GET_SCHEMA" =>
           if (payload.isEmpty)

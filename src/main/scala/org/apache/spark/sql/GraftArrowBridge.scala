@@ -210,6 +210,39 @@ object GraftArrowBridge {
     }
   }
 
+  /** Execute `sql` with every reference to the single-part table name
+    * `name` bound to `df` — the DO_EXCHANGE shape: the client's uploaded
+    * batch IS the query's input relation. Binding happens by substituting
+    * the parsed (unresolved) plan's matching `UnresolvedRelation`s
+    * (subqueries included) with the DataFrame's plan BEFORE analysis, so
+    * nothing touches the shared catalog — concurrent exchanges cannot
+    * collide the way a shared temp-view name would, and the bound name
+    * shadows any real table of the same name for exactly this query.
+    * An exchange whose SQL never references `name` is refused: uploading
+    * data the query ignores is a malformed request, not a query.
+    */
+  def sqlOver(
+      spark: SparkSession,
+      sql: String,
+      name: String,
+      df: DataFrame
+  ): DataFrame = {
+    val classic = spark.asInstanceOf[ClassicSparkSession]
+    val parsed = classic.sessionState.sqlParser.parsePlan(sql)
+    val bound = df.asInstanceOf[ClassicDataFrame].logicalPlan
+    var hits = 0
+    val substituted = parsed.transformUpWithSubqueries {
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+          if u.multipartIdentifier.length == 1 &&
+            u.multipartIdentifier.head.equalsIgnoreCase(name) =>
+        hits += 1
+        bound
+    }
+    require(hits > 0,
+      s"DO_EXCHANGE sql must reference the uploaded relation '$name'")
+    org.apache.spark.sql.classic.Dataset.ofRows(classic, substituted)
+  }
+
   /** Decode an Arrow IPC stream into a DataFrame — the `do_put` ingest
     * direction. Reads batches with the stock Arrow reader, views each via
     * Spark's own `ArrowColumnVector`/`ColumnarBatch` (the same Arrow->row

@@ -366,10 +366,106 @@ class ServingServerSpec extends SparkTestBase {
     }
   }
 
+  test("DO_EXCHANGE transforms an uploaded batch server-side in one round trip") {
+    import spark.implicits._
+    withServer { srv =>
+      val df = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0), (4L, 40.0))
+        .toDF("id", "v")
+      val r = ServingClient.doExchange(srv.boundPort,
+        "SELECT id, v * 2 AS dbl FROM input WHERE id % 2 = 0 ORDER BY id", df)
+      assert(r.isOk, r.status)
+      assert(r.columnNames === Seq("id", "dbl"))
+      assert(r.rows.map(row => (row(0).toString.toLong, row(1).toString.toDouble))
+        === Seq((2L, 40.0), (4L, 80.0)))
+    }
+  }
+
+  test("DO_EXCHANGE joins the uploaded batch against the server's catalog") {
+    import spark.implicits._
+    Seq((1L, "one"), (2L, "two"), (3L, "three")).toDF("k", "name")
+      .createOrReplaceTempView("xchg_dim")
+    withServer { srv =>
+      val keys = Seq(Tuple1(3L), Tuple1(1L)).toDF("k")
+      val r = ServingClient.doExchange(srv.boundPort,
+        "SELECT i.k, d.name FROM input i JOIN xchg_dim d ON i.k = d.k ORDER BY i.k",
+        keys)
+      assert(r.isOk, r.status)
+      assert(r.rows.map(row => (row(0).toString.toLong, row(1).toString))
+        === Seq((1L, "one"), (3L, "three")))
+    }
+  }
+
+  test("DO_EXCHANGE binds `input` per-request: concurrent exchanges and catalog shadowing") {
+    import spark.implicits._
+    // a REAL catalog table named `input` must be shadowed by the upload
+    // for exactly the exchange's query — and stay untouched afterwards
+    Seq(Tuple1("catalog-row")).toDF("s").createOrReplaceTempView("input")
+    withServer { srv =>
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val futs = (1 to 6).map { i =>
+        Future {
+          val df = Seq.tabulate(10)(j => (i.toLong, j.toLong)).toDF("tag", "j")
+          ServingClient.doExchange(srv.boundPort,
+            "SELECT tag, sum(j) AS sj FROM input GROUP BY tag", df)
+        }
+      }
+      val results = Await.result(Future.sequence(futs), 120.seconds)
+      results.zipWithIndex.foreach { case (r, idx) =>
+        assert(r.isOk, r.status)
+        assert(r.rows.map(row => (row(0).toString.toLong, row(1).toString.toLong))
+          === Seq(((idx + 1).toLong, 45L)), s"exchange ${idx + 1} saw foreign rows")
+      }
+      // the catalog's own `input` is untouched by six shadowing exchanges
+      val cat = ServingClient.doGet(srv.boundPort, "SELECT s FROM input")
+      assert(cat.isOk && cat.rows === Seq(Seq(new org.apache.arrow.vector.util.Text("catalog-row"))),
+        s"catalog table corrupted: ${cat.rows}")
+    }
+  }
+
+  test("DO_EXCHANGE refusals: commands, SQL ignoring input, bad columns, over-limit bodies") {
+    import spark.implicits._
+    withServer { srv =>
+      val df = Seq(Tuple1(1L)).toDF("k")
+      // empty payload
+      assert(ServingClient.request(srv.boundPort, "DO_EXCHANGE").status
+        .startsWith("ERR INVALID_ARGUMENT"))
+      // a command must be refused at parse time (would execute eagerly)
+      assert(ServingClient.doExchange(srv.boundPort,
+        "CREATE TABLE pwned AS SELECT * FROM input", df).status
+        .startsWith("ERR INTERNAL"))
+      // SQL that never references the upload is a malformed exchange
+      assert(ServingClient.doExchange(srv.boundPort,
+        "SELECT 1 AS x", df).status
+        .startsWith("ERR INTERNAL"))
+      // analysis failure against the uploaded schema arrives pre-OK
+      assert(ServingClient.doExchange(srv.boundPort,
+        "SELECT no_such_col FROM input", df).status
+        .startsWith("ERR INTERNAL"))
+      // garbage body: status line, not a hang or RST
+      assert(ServingClient.request(srv.boundPort, "DO_EXCHANGE",
+        "SELECT k FROM input",
+        body = out => out.write("not arrow".getBytes("UTF-8"))).status
+        .startsWith("ERR INTERNAL"))
+      // and the server still serves after all that
+      assert(ServingClient.doExchange(srv.boundPort,
+        "SELECT k FROM input", df).isOk)
+    }
+    // ingest bounds apply to the exchange body exactly as to DO_PUT
+    val bounded = new ServingServer(session, maxPutRows = 5).start()
+    try {
+      val big = (1 to 50).map(i => Tuple1(i.toLong)).toDF("k")
+      val r = ServingClient.doExchange(bounded.boundPort,
+        "SELECT count(*) AS n FROM input", big, batchSize = 4)
+      assert(r.status.startsWith("ERR RESOURCE_EXHAUSTED"), r.status)
+    } finally bounded.close()
+  }
+
   test("unimplemented verbs answer UNIMPLEMENTED, like the reference") {
     withServer { srv =>
       for (verb <- Seq("HANDSHAKE",
-          "DO_EXCHANGE", "DO_ACTION", "LIST_ACTIONS", "POLL_FLIGHT_INFO")) {
+          "DO_ACTION", "LIST_ACTIONS", "POLL_FLIGHT_INFO")) {
         val r = ServingClient.request(srv.boundPort, verb)
         assert(
           r.status == s"ERR UNIMPLEMENTED ${verb.toLowerCase} is not yet implemented",
