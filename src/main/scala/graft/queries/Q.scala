@@ -46,17 +46,33 @@ object QueryUtil {
     spark.read.parquet(s"$dir/$name.parquet")
   }
 
-  /** events with `ts` as a real TimestampType (micros), truncated from the
-    * file's nanos exactly like DuckDB's TIMESTAMP_NS -> TIMESTAMP cast, so
-    * oracle comparisons agree bit-for-bit.
+  /** events with `ts` as a real TimestampType (micros). The fixture has
+    * shipped `ts` two ways across driver generations — TIMESTAMP(NANOS)
+    * (read as long via nanosAsLong) and plain timestamp[us] (read as
+    * TIMESTAMP_NTZ) — so the normalization is type-dispatched; both land
+    * on the same micros DuckDB's cast-to-TIMESTAMP produces, so oracle
+    * comparisons agree bit-for-bit either way.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    val raw = t(spark, dir, "events")
-    // `div`, not `/`: Spark's / on longs is DOUBLE division, which rounds
-    // the microsecond up for half the nanos values; DuckDB's NS->US cast
-    // truncates. Integer division matches it exactly.
-    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+  def events(spark: SparkSession, dir: String): DataFrame =
+    normalizeTs(t(spark, dir, "events"))
+
+  /** `ts` (long nanos | timestamp_ntz | timestamp) -> TimestampType micros.
+    * The session timezone is UTC (GraftSession), so the NTZ cast relabels
+    * the same instant rather than shifting it.
+    */
+  def normalizeTs(raw: DataFrame): DataFrame =
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // `div`, not `/`: Spark's / on longs is DOUBLE division, which
+        // rounds the microsecond up for half the nanos values; DuckDB's
+        // NS->US cast truncates. Integer division matches it exactly.
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case org.apache.spark.sql.types.TimestampType => raw
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported type $other (expected long nanos or timestamp)")
+    }
 
   /** Register tables as temp views for SQL-text queries; returns spark. */
   def views(spark: SparkSession, dir: String, names: String*): SparkSession = {

@@ -20,20 +20,20 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object EventsStream {
 
   /** Stream from a DIRECTORY of event parquet files (the file source
-    * tails a drop folder; new files become micro-batches). ts is
-    * TIMESTAMP(NANOS) in the files; read as long via the session's
-    * nanosAsLong conf, re-typed to micros here.
+    * tails a drop folder; new files become micro-batches). `ts` has
+    * shipped as TIMESTAMP(NANOS) (long via the nanosAsLong conf) or plain
+    * timestamp[us] depending on fixture generation; both normalize to
+    * TimestampType micros ([[graft.queries.QueryUtil.normalizeTs]]).
     */
   def readEventsStream(spark: SparkSession, eventsDir: String): DataFrame = {
     // any session must be able to infer the TIMESTAMP(NANOS) schema, not
     // just ones built by GraftSession.local
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val batchSchema = spark.read.parquet(eventsDir).schema
-    spark.readStream
-      .schema(batchSchema)
-      .parquet(eventsDir)
-      // integer div (not /): double division rounds half the microseconds up
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.queries.QueryUtil.normalizeTs(
+      spark.readStream
+        .schema(batchSchema)
+        .parquet(eventsDir))
   }
 
   /** Watermarked tumbling-window counts per event_type. */
