@@ -45,11 +45,16 @@ object ServingClient {
       port: Int,
       verb: String,
       payload: String = "",
-      body: java.io.OutputStream => Unit = _ => ()
+      body: java.io.OutputStream => Unit = _ => (),
+      auth: Option[String] = None
   ): Response = {
     val sock = new Socket("127.0.0.1", port)
     try {
       val out = sock.getOutputStream
+      // token-protected server: handshake line precedes the request on
+      // the SAME connection (the server reads the real verb after it)
+      auth.foreach(tok =>
+        out.write(s"HANDSHAKE $tok\n".getBytes(StandardCharsets.UTF_8)))
       val line = if (payload.isEmpty) verb else s"$verb $payload"
       out.write((line + "\n").getBytes(StandardCharsets.UTF_8))
       body(out) // DO_PUT's Arrow IPC stream; a no-op for every other verb
@@ -137,6 +142,53 @@ object ServingClient {
 
   def listFlights(port: Int): Response =
     request(port, "LIST_FLIGHTS")
+
+  /** Async submit (SQL payload) or progress poll (handle payload). The
+    * status line is `OK <handle> <state> <doneTasks> <totalTasks>
+    * <endpoints>[ <error>]`; [[Poll.parse]] decodes it.
+    */
+  def pollFlightInfo(port: Int, sqlOrHandle: String): Response =
+    request(port, "POLL_FLIGHT_INFO", sqlOrHandle)
+
+  def doAction(port: Int, action: String, arg: String = ""): Response =
+    request(port, "DO_ACTION", if (arg.isEmpty) action else s"$action $arg")
+
+  def listActions(port: Int): Response =
+    request(port, "LIST_ACTIONS")
+
+  /** Bare handshake: banner on an open server, auth check on a
+    * token-protected one. For handshake-then-request on one connection,
+    * pass `auth = Some(token)` to [[request]] instead.
+    */
+  def handshake(port: Int, token: String = ""): Response =
+    request(port, "HANDSHAKE", token)
+
+  /** Decoded POLL_FLIGHT_INFO status line. */
+  final case class Poll(
+      handle: String,
+      state: String, // RUNNING | DONE | FAILED | CANCELLED
+      doneTasks: Int,
+      totalTasks: Int,
+      endpoints: Int,
+      error: String
+  ) {
+    def tickets: Seq[String] =
+      if (state == "DONE" && endpoints > 0)
+        (0 until endpoints).map(i => s"graft-ticket:$handle:$i")
+      else Seq.empty
+  }
+
+  object Poll {
+    def parse(status: String): Option[Poll] = status.split(' ').toSeq match {
+      case "OK" +: handle +: state +: done +: total +: eps +: rest =>
+        for {
+          d <- done.toIntOption
+          t <- total.toIntOption
+          e <- eps.toIntOption
+        } yield Poll(handle, state, d, t, e, rest.mkString(" "))
+      case _ => None
+    }
+  }
 
   private def readLine(in: java.io.InputStream): String = {
     // byte-at-a-time (must not over-read into the Arrow stream), decoded

@@ -69,13 +69,37 @@ import java.util.concurrent.{LinkedBlockingQueue, ThreadPoolExecutor, TimeUnit}
   *        handle, partitions=its endpoint count) — what a second client
   *        needs to discover and fetch in-flight results (reference:
   *        unimplemented, api/src/lib.rs:77-79).
+  *     `POLL_FLIGHT_INFO <sql>` -> ASYNC submit: the query starts executing
+  *        in a dedicated Spark job group and the response returns
+  *        immediately as `OK <handle> RUNNING 0 0 -1\n` + empty-schema IPC.
+  *        `POLL_FLIGHT_INFO <handle>` (a whitespace-free payload is a
+  *        handle, anything else is SQL) then reports
+  *        `OK <handle> <RUNNING|DONE|FAILED|CANCELLED> <doneTasks>
+  *        <totalTasks> <endpoints>[ <error>]\n` + schema IPC once known —
+  *        task counts come from the job group's stages via the status
+  *        tracker, so a 100-TB query shows real progress. On DONE the
+  *        flight is registered exactly like GET_FLIGHT_INFO's and its
+  *        `graft-ticket:<handle>:<i>` endpoints fetch as usual. This is
+  *        Flight's PollFlightInfo long-query contract; the reference
+  *        declares it and leaves it unimplemented (api/src/lib.rs:67-75).
+  *     `DO_ACTION cancel <handle>` -> cancels the handle's Spark job group
+  *        (interrupting running tasks), unpins/unpersists its result, and
+  *        answers `OK\n` + a one-row IPC batch (action, handle, outcome) —
+  *        the dropped-client story: a flight no longer waits for LRU
+  *        pressure once the client gives up. `ERR NOT_FOUND` for an
+  *        unknown handle. (Reference: DoAction unimplemented,
+  *        api/src/lib.rs:158-165.)
+  *     `LIST_ACTIONS`          -> `OK\n` + IPC batch of (action,
+  *        description) rows — the discovery face of DO_ACTION.
+  *     `HANDSHAKE [token]`     -> auth. With no server token configured the
+  *        server is open: `OK graft-serving 1\n` + empty-schema IPC. With
+  *        `authToken` configured, the FIRST line of every connection must
+  *        be a valid `HANDSHAKE <token>`; the REAL request follows on the
+  *        next line of the same connection (Flight's
+  *        handshake-then-call on one channel). A wrong token or a bare
+  *        request answers `ERR UNAUTHENTICATED`.
   *     empty payload           -> `ERR INVALID_ARGUMENT ...` (reference:
   *        Status::invalid_argument, api/src/lib.rs:88-90).
-  *     HANDSHAKE / DO_ACTION / LIST_ACTIONS / POLL_FLIGHT_INFO
-  *                             -> `ERR UNIMPLEMENTED <verb> is not yet
-  *        implemented` (the reference's behavior for these,
-  *        api/src/lib.rs:67-75,158-190 — auth/action verbs with no
-  *        engine surface behind them stay honest stubs here too).
   *     anything else           -> `ERR INVALID_ARGUMENT unknown method`
   *     execution failure       -> `ERR INTERNAL <first line of message>`
   *
@@ -111,20 +135,46 @@ final class ServingServer(
     // rows on the driver at once (each chunk is one bounded job over the
     // persisted flight RDD), so a skewed multi-GB partition can't OOM the
     // serving tier. Small values trade extra jobs for tighter memory.
-    ticketChunkRows: Int = 1 << 16
+    ticketChunkRows: Int = 1 << 16,
+    // registered-flight time-to-live: an ABANDONED flight (client gone,
+    // no ticket fetched for this long) unpersists without waiting for LRU
+    // pressure — the other half of the maxFlights bound. Ticket fetches
+    // refresh the clock; <=0 disables expiry. Swept lazily on access and
+    // by a background thread, so an idle server releases memory too.
+    flightTtlMs: Long = 10 * 60 * 1000L,
+    // optional shared-secret auth: when set, every connection must open
+    // with `HANDSHAKE <token>` before its request line (Flight's
+    // Handshake). None = open server (the default; loopback-only anyway).
+    authToken: Option[String] = None
 ) extends AutoCloseable {
 
-  private val unimplemented = Set(
-    "HANDSHAKE", "DO_ACTION", "LIST_ACTIONS", "POLL_FLIGHT_INFO"
-  )
-
   /** One registered flight: the result's schema plus its persisted
-    * InternalRow RDD — each partition is an endpoint.
+    * InternalRow RDD — each partition is an endpoint. `touched` is the
+    * TTL clock, refreshed by ticket fetches.
     */
   private final case class Flight(
       schema: org.apache.spark.sql.types.StructType,
-      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow]
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      touched: java.util.concurrent.atomic.AtomicLong =
+        new java.util.concurrent.atomic.AtomicLong(System.nanoTime())
   )
+
+  /** One async (POLL_FLIGHT_INFO-submitted) query: terminal state machine
+    * RUNNING -> DONE | FAILED | CANCELLED. The runner thread owns the
+    * transition to DONE/FAILED; DO_ACTION cancel owns CANCELLED (set
+    * BEFORE cancelJobGroup so the runner's failure handler knows not to
+    * relabel the interrupt as FAILED).
+    */
+  private final class Pending(val handle: String, val jobGroup: String) {
+    @volatile var state: String = "RUNNING"
+    @volatile var error: String = ""
+    @volatile var endpoints: Int = -1
+    @volatile var schema: org.apache.spark.sql.types.StructType = _
+    val createdNanos: Long = System.nanoTime()
+  }
+
+  private val pending =
+    new java.util.concurrent.ConcurrentHashMap[String, Pending]()
 
   private val TicketPrefix = "graft-ticket:"
   private val handleCounter = new java.util.concurrent.atomic.AtomicLong()
@@ -193,7 +243,70 @@ final class ServingServer(
     )
     acceptor.setDaemon(true)
     acceptor.start()
+    if (flightTtlMs > 0) {
+      // background expiry: an IDLE server must release abandoned flights
+      // too — lazy on-access sweeping alone only fires when someone asks
+      val sweeper = new Thread(
+        () => {
+          var interrupted = false
+          while (!closed && !interrupted) {
+            try Thread.sleep(math.max(50L, math.min(flightTtlMs / 4, 60000L)))
+            catch { case _: InterruptedException => interrupted = true }
+            if (!closed && !interrupted) sweepExpired()
+          }
+        },
+        "graft-serve-sweeper"
+      )
+      sweeper.setDaemon(true)
+      sweeper.start()
+    }
     this
+  }
+
+  /** Drop flights idle past the TTL (unpersisting their RDDs) and prune
+    * terminal pending entries of the same age — both maps stay bounded by
+    * time as well as by count.
+    */
+  private def sweepExpired(): Unit = {
+    if (flightTtlMs <= 0) return
+    val now = System.nanoTime()
+    val ttlNanos = flightTtlMs * 1000000L
+    flights.synchronized {
+      val it = flights.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (now - e.getValue.touched.get() > ttlNanos) {
+          try e.getValue.rdd.unpersist(false)
+          catch { case _: Throwable => () }
+          pending.remove(e.getKey)
+          it.remove()
+        }
+      }
+    }
+    // terminal pending entries without a live flight (FAILED, CANCELLED,
+    // or DONE-then-expired) age out on the same clock
+    val pit = pending.entrySet().iterator()
+    while (pit.hasNext) {
+      val e = pit.next()
+      if (e.getValue.state != "RUNNING" && now - e.getValue.createdNanos > ttlNanos &&
+          !flights.synchronized(flights.containsKey(e.getKey)))
+        pit.remove()
+    }
+  }
+
+  /** (completedTasks, totalTasks) across every stage the handle's job
+    * group has submitted so far — the poll progress a client sees.
+    */
+  private def groupProgress(jobGroup: String): (Int, Int) = {
+    val st = session.spark.sparkContext.statusTracker
+    val stages = st
+      .getJobIdsForGroup(jobGroup)
+      .toSeq
+      .flatMap(id => st.getJobInfo(id).toSeq)
+      .flatMap(_.stageIds().toSeq)
+      .distinct
+      .flatMap(sid => st.getStageInfo(sid).toSeq)
+    (stages.map(_.numCompletedTasks()).sum, stages.map(_.numTasks()).sum)
   }
 
   private def handle(sock: Socket): Unit = {
@@ -213,10 +326,35 @@ final class ServingServer(
       // followed by raw Arrow IPC bytes on the same stream, and a
       // char-decoding reader would buffer-ahead into (and mangle) them
       val in = new BufferedInputStream(sock.getInputStream)
-      val line = readRequestLine(in)
-      val (verb, payload) = line.indexOf(' ') match {
+      def parseLine(line: String): (String, String) = line.indexOf(' ') match {
         case -1 => (line.trim, "")
         case i  => (line.substring(0, i), line.substring(i + 1).trim)
+      }
+      var (verb, payload) = parseLine(readRequestLine(in))
+      if (verb == "HANDSHAKE") {
+        if (authToken.exists(_ != payload)) {
+          status("ERR UNAUTHENTICATED invalid token")
+          return
+        }
+        // authenticated (or open server): the real request may follow on
+        // the SAME connection; a bare handshake gets the banner
+        val next = readRequestLine(in)
+        if (next.isEmpty) {
+          status("OK graft-serving 1")
+          org.apache.spark.sql.GraftArrowBridge.writeSchemaOnly(
+            new org.apache.spark.sql.types.StructType(),
+            session.spark.sessionState.conf.sessionLocalTimeZone,
+            out
+          )
+          out.flush()
+          return
+        }
+        val (v2, p2) = parseLine(next)
+        verb = v2
+        payload = p2
+      } else if (authToken.isDefined) {
+        status("ERR UNAUTHENTICATED handshake required")
+        return
       }
       verb match {
         case "GET_FLIGHT_INFO" =>
@@ -233,6 +371,7 @@ final class ServingServer(
               handleCounter.incrementAndGet()) + "f" +
               java.lang.Integer.toHexString(
                 System.identityHashCode(rdd))
+            sweepExpired()
             flights.synchronized { flights.put(handle, Flight(schema, rdd)) }
             status(s"OK ${rdd.getNumPartitions} $handle")
             org.apache.spark.sql.GraftArrowBridge.writeSchemaOnly(
@@ -251,9 +390,11 @@ final class ServingServer(
             else
               try rest.substring(cut + 1).toInt
               catch { case _: NumberFormatException => -1 }
+          sweepExpired() // expired handles must answer NOT_FOUND, not serve
           val flight =
             if (cut < 0) None
             else flights.synchronized(Option(flights.get(rest.substring(0, cut))))
+          flight.foreach(_.touched.set(System.nanoTime())) // TTL clock
           (flight, idx) match {
             case (_, i) if cut < 0 || i < 0 =>
               status(s"ERR INVALID_ARGUMENT malformed ticket '$payload'")
@@ -413,6 +554,7 @@ final class ServingServer(
             out.flush()
           }
         case "LIST_FLIGHTS" =>
+          sweepExpired()
           val catalog = session.tableNames.sorted
             .map(n => ("table", n, -1L))
           val active = flights.synchronized {
@@ -421,15 +563,171 @@ final class ServingServer(
             flights.entrySet().asScala.toSeq.map(e =>
               ("flight", e.getKey, e.getValue.rdd.getNumPartitions.toLong))
           }.sortBy(_._2)
+          val submitted = {
+            import scala.jdk.CollectionConverters._
+            // in-flight async submissions a second client can poll/cancel
+            pending.asScala.toSeq
+              .filter(e => e._2.state == "RUNNING")
+              .map(e => ("pending", e._1, -1L))
+              .sortBy(_._2)
+          }
           val listing = {
             import session.spark.implicits._
-            (catalog ++ active).toDF("kind", "name", "partitions")
+            (catalog ++ active ++ submitted).toDF("kind", "name", "partitions")
           }
           status("OK")
           org.apache.spark.sql.GraftArrowBridge.writeBatches(listing, batchSize, out)
           out.flush()
-        case v if unimplemented.contains(v) =>
-          status(s"ERR UNIMPLEMENTED ${v.toLowerCase} is not yet implemented")
+        case "POLL_FLIGHT_INFO" =>
+          if (payload.isEmpty)
+            status("ERR INVALID_ARGUMENT No SQL command or handle in request")
+          else if (!payload.exists(_.isWhitespace)) {
+            // whitespace-free payload = a handle to poll (SQL always has
+            // whitespace); unknown handles answer NOT_FOUND like tickets
+            sweepExpired()
+            Option(pending.get(payload)) match {
+              case None =>
+                status("ERR NOT_FOUND unknown or expired flight handle")
+              case Some(p) =>
+                val (done, total) = groupProgress(p.jobGroup)
+                val err = if (p.state == "FAILED") s" ${p.error}" else ""
+                status(s"OK ${p.handle} ${p.state} $done $total ${p.endpoints}$err")
+                org.apache.spark.sql.GraftArrowBridge.writeSchemaOnly(
+                  Option(p.schema)
+                    .getOrElse(new org.apache.spark.sql.types.StructType()),
+                  session.spark.sessionState.conf.sessionLocalTimeZone,
+                  out
+                )
+                out.flush()
+            }
+          } else {
+            // SQL payload = async submit. Refusals (commands, parse-level
+            // junk) surface synchronously; execution runs on a dedicated
+            // daemon thread under a per-flight job group so poll sees its
+            // stages and cancel can interrupt its tasks.
+            session.serving.requireQuery(payload)
+            sweepExpired()
+            import scala.jdk.CollectionConverters._
+            val running = pending.values.asScala.count(_.state == "RUNNING")
+            if (running >= maxFlights)
+              status(s"ERR RESOURCE_EXHAUSTED $running flights already running")
+            else {
+              val handle = java.lang.Long.toHexString(
+                handleCounter.incrementAndGet()) + "p" +
+                java.lang.Integer.toHexString(System.identityHashCode(payload))
+              val p = new Pending(handle, s"graft-flight-$handle")
+              pending.put(handle, p)
+              val sql = payload
+              val runner = new Thread(
+                () => {
+                  val sc = session.spark.sparkContext
+                  var rddOpt: Option[org.apache.spark.rdd.RDD[
+                    org.apache.spark.sql.catalyst.InternalRow]] = None
+                  try {
+                    // interruptOnCancel: cancelJobGroup must actually stop
+                    // running tasks, not just future ones — that is the
+                    // whole point of the cancel verb
+                    sc.setJobGroup(p.jobGroup, s"graft flight $handle",
+                      interruptOnCancel = true)
+                    val (schema, rdd) = org.apache.spark.sql.GraftArrowBridge
+                      .resultRdd(session.execute(sql))
+                    rddOpt = Some(rdd)
+                    rdd.persist(
+                      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+                    // finalizing the adaptive plan EXECUTES the query's
+                    // shuffle stages under the job group — the readiness
+                    // work poll reports progress on
+                    val n = rdd.getNumPartitions
+                    p.schema = schema
+                    p.endpoints = n
+                    if (p.state == "RUNNING") {
+                      flights.synchronized {
+                        flights.put(handle, Flight(schema, rdd))
+                      }
+                      p.state = "DONE"
+                    } else rdd.unpersist(false) // cancelled at the finish line
+                  } catch {
+                    case e: Throwable =>
+                      rddOpt.foreach(r =>
+                        try r.unpersist(false)
+                        catch { case _: Throwable => () })
+                      if (p.state != "CANCELLED") {
+                        p.error = firstLine(e)
+                        p.state = "FAILED"
+                      }
+                  } finally sc.clearJobGroup()
+                },
+                s"graft-flight-$handle"
+              )
+              runner.setDaemon(true)
+              runner.start()
+              status(s"OK $handle RUNNING 0 0 -1")
+              org.apache.spark.sql.GraftArrowBridge.writeSchemaOnly(
+                new org.apache.spark.sql.types.StructType(),
+                session.spark.sessionState.conf.sessionLocalTimeZone,
+                out
+              )
+              out.flush()
+            }
+          }
+        case "DO_ACTION" =>
+          val (action, arg) = payload.indexOf(' ') match {
+            case -1 => (payload, "")
+            case i  => (payload.substring(0, i), payload.substring(i + 1).trim)
+          }
+          action match {
+            case "cancel" if arg.nonEmpty =>
+              val p = Option(pending.get(arg))
+              val wasRunning = p.exists(_.state == "RUNNING")
+              if (wasRunning) {
+                // CANCELLED before cancelJobGroup: the runner's failure
+                // handler keys off the state to not relabel the interrupt
+                p.get.state = "CANCELLED"
+                session.spark.sparkContext.cancelJobGroup(p.get.jobGroup)
+              }
+              val hadFlight = flights.synchronized {
+                Option(flights.remove(arg)) match {
+                  case Some(f) =>
+                    try f.rdd.unpersist(false)
+                    catch { case _: Throwable => () }
+                    true
+                  case None => false
+                }
+              }
+              p.foreach(_.state = "CANCELLED")
+              if (!wasRunning && !hadFlight && p.isEmpty)
+                status("ERR NOT_FOUND unknown or expired flight handle")
+              else {
+                val outcome =
+                  if (wasRunning) "cancelled_running"
+                  else if (hadFlight) "cancelled_registered"
+                  else "already_finished"
+                status("OK")
+                val result = {
+                  import session.spark.implicits._
+                  Seq(("cancel", arg, outcome)).toDF("action", "handle", "outcome")
+                }
+                org.apache.spark.sql.GraftArrowBridge
+                  .writeBatches(result, batchSize, out)
+                out.flush()
+              }
+            case "cancel" =>
+              status("ERR INVALID_ARGUMENT cancel requires a flight handle")
+            case other =>
+              status(s"ERR INVALID_ARGUMENT unknown action '$other' " +
+                "(LIST_ACTIONS lists what this server supports)")
+          }
+        case "LIST_ACTIONS" =>
+          status("OK")
+          val actions = {
+            import session.spark.implicits._
+            Seq(("cancel",
+              "cancel a running or registered flight by handle; " +
+                "interrupts its Spark job group and unpersists its result"))
+              .toDF("action", "description")
+          }
+          org.apache.spark.sql.GraftArrowBridge.writeBatches(actions, batchSize, out)
+          out.flush()
         case v =>
           status(s"ERR INVALID_ARGUMENT unknown method '$v'")
       }
@@ -516,6 +814,16 @@ final class ServingServer(
     try server.close()
     catch { case _: Throwable => () }
     pool.shutdownNow()
+    // orphaned async submissions must not keep burning executor time
+    // after the server that could serve their results is gone
+    pending.forEach { (_, p) =>
+      if (p.state == "RUNNING") {
+        p.state = "CANCELLED"
+        try session.spark.sparkContext.cancelJobGroup(p.jobGroup)
+        catch { case _: Throwable => () }
+      }
+    }
+    pending.clear()
     flights.synchronized {
       flights.values.forEach(f =>
         try f.rdd.unpersist(false)

@@ -39,10 +39,15 @@ object QueryUtil {
     * rejects by default ([PARQUET_TYPE_ILLEGAL]); the legacy nanosAsLong
     * conf makes it read as LongType nanos (see `events` for the typed view).
     * Set unconditionally so any session — ours or the driver's — can scan
-    * every fixture table.
+    * every fixture table. session.timeZone=UTC is pinned for the same
+    * reason: [[normalizeTs]]'s TimestampNTZ->Timestamp cast relabels the
+    * instant only under UTC — on a non-UTC session every ts would shift by
+    * the local offset, silently skewing windows, watermarks, and the
+    * DuckDB oracle comparison (which casts in UTC).
     */
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.read.parquet(s"$dir/$name.parquet")
   }
 

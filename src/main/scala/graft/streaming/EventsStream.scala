@@ -27,9 +27,26 @@ object EventsStream {
     */
   def readEventsStream(spark: SparkSession, eventsDir: String): DataFrame = {
     // any session must be able to infer the TIMESTAMP(NANOS) schema, not
-    // just ones built by GraftSession.local
+    // just ones built by GraftSession.local; timeZone=UTC so the NTZ
+    // branch of normalizeTs relabels instants instead of shifting them
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val batchSchema = spark.read.parquet(eventsDir).schema
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // A drop folder spanning fixture generations would mix long-nanos and
+    // timestamp[us] footers; batch inference picks ONE footer's type and
+    // micro-batches reading the other generation then fail or misread
+    // mid-stream. mergeSchema forces the conflict to surface NOW (Long
+    // and Timestamp don't merge) so the stream fails fast at start, not
+    // mid-flight.
+    val batchSchema =
+      try spark.read.option("mergeSchema", "true").parquet(eventsDir).schema
+      catch {
+        case e: org.apache.spark.SparkException if e.getMessage != null &&
+            e.getMessage.contains("merge") =>
+          throw new IllegalStateException(
+            s"events drop directory $eventsDir mixes fixture generations " +
+              "(long-nanos and timestamp ts footers); a streamed folder must " +
+              "be single-generation — split it or rewrite one side", e)
+      }
     graft.queries.QueryUtil.normalizeTs(
       spark.readStream
         .schema(batchSchema)

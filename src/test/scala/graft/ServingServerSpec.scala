@@ -462,17 +462,166 @@ class ServingServerSpec extends SparkTestBase {
     } finally bounded.close()
   }
 
-  test("unimplemented verbs answer UNIMPLEMENTED, like the reference") {
+  test("POLL_FLIGHT_INFO: async submit, poll to DONE, fetch tickets") {
     withServer { srv =>
-      for (verb <- Seq("HANDSHAKE",
-          "DO_ACTION", "LIST_ACTIONS", "POLL_FLIGHT_INFO")) {
-        val r = ServingClient.request(srv.boundPort, verb)
-        assert(
-          r.status == s"ERR UNIMPLEMENTED ${verb.toLowerCase} is not yet implemented",
-          s"$verb -> ${r.status}"
-        )
+      val sub = ServingClient.pollFlightInfo(
+        srv.boundPort,
+        "SELECT id % 10 AS k, count(*) AS n FROM range(2000000) GROUP BY id % 10"
+      )
+      val p0 = ServingClient.Poll.parse(sub.status).getOrElse(
+        fail(s"unparseable poll status: ${sub.status}"))
+      assert(p0.state === "RUNNING")
+      assert(sub.columnNames.isEmpty, "schema is unknown at submit time")
+
+      var poll = p0
+      val deadline = System.nanoTime() + 120L * 1000000000L
+      while (poll.state == "RUNNING" && System.nanoTime() < deadline) {
+        Thread.sleep(100)
+        val r = ServingClient.pollFlightInfo(srv.boundPort, p0.handle)
+        poll = ServingClient.Poll.parse(r.status).getOrElse(
+          fail(s"unparseable poll status: ${r.status}"))
       }
+      assert(poll.state === "DONE", s"final state: $poll")
+      assert(poll.endpoints > 0)
+      assert(poll.totalTasks > 0 && poll.doneTasks === poll.totalTasks,
+        s"progress must reach completion: $poll")
+      // DONE poll carries the result schema
+      val done = ServingClient.pollFlightInfo(srv.boundPort, p0.handle)
+      assert(done.columnNames === Seq("k", "n"))
+
+      val rows = poll.tickets.flatMap(t =>
+        ServingClient.doGetTicket(srv.boundPort, t).rows)
+      assert(rows.size === 10)
+      assert(rows.map(_(1).toString.toLong).sum === 2000000L)
     }
+  }
+
+  test("DO_ACTION cancel kills a running flight's job group and unpins it") {
+    withServer { srv =>
+      // ~4e10-row cross join: long enough to be mid-flight when cancelled
+      val slow = "SELECT x.id % 7 AS k, count(*) AS n " +
+        "FROM range(200000) x CROSS JOIN range(200000) y GROUP BY x.id % 7"
+      val sub = ServingClient.pollFlightInfo(srv.boundPort, slow)
+      val handle = ServingClient.Poll.parse(sub.status).get.handle
+
+      // progress becomes visible once the first stage submits
+      var saw = ServingClient.Poll.parse(
+        ServingClient.pollFlightInfo(srv.boundPort, handle).status).get
+      val t0 = System.nanoTime()
+      while (saw.state == "RUNNING" && saw.totalTasks == 0 &&
+          System.nanoTime() - t0 < 60L * 1000000000L) {
+        Thread.sleep(100)
+        saw = ServingClient.Poll.parse(
+          ServingClient.pollFlightInfo(srv.boundPort, handle).status).get
+      }
+      assert(saw.state === "RUNNING", s"query finished before cancel: $saw")
+      assert(saw.totalTasks > 0, "status tracker never saw the job group")
+
+      val cancel = ServingClient.doAction(srv.boundPort, "cancel", handle)
+      assert(cancel.isOk, cancel.status)
+      assert(cancel.rows.map(_.map(_.toString))
+        === Seq(Seq("cancel", handle, "cancelled_running")))
+
+      val after = ServingClient.Poll.parse(
+        ServingClient.pollFlightInfo(srv.boundPort, handle).status).get
+      assert(after.state === "CANCELLED")
+      // the Spark jobs actually die (interruptOnCancel), freeing executors
+      val tracker = spark.sparkContext.statusTracker
+      val drainBy = System.nanoTime() + 60L * 1000000000L
+      def live() = tracker
+        .getJobIdsForGroup(s"graft-flight-$handle")
+        .flatMap(id => tracker.getJobInfo(id).toSeq)
+        .count(_.status() == org.apache.spark.JobExecutionStatus.RUNNING)
+      while (live() > 0 && System.nanoTime() < drainBy) Thread.sleep(200)
+      assert(live() === 0, "cancelled job group still has running jobs")
+      // and no flight was pinned: its ticket namespace answers NOT_FOUND
+      val t = ServingClient.doGetTicket(
+        srv.boundPort, s"graft-ticket:$handle:0")
+      assert(t.status.startsWith("ERR NOT_FOUND"), t.status)
+    }
+  }
+
+  test("DO_ACTION cancel unpersists an already-registered flight") {
+    withServer { srv =>
+      val persistedBefore = spark.sparkContext.getPersistentRDDs.size
+      val info = ServingClient.getFlightInfo(
+        srv.boundPort, "SELECT id FROM range(1000)")
+      assert(info.isOk, info.status)
+      val handle = info.status.split(' ')(2)
+      assert(spark.sparkContext.getPersistentRDDs.size === persistedBefore + 1)
+
+      val cancel = ServingClient.doAction(srv.boundPort, "cancel", handle)
+      assert(cancel.isOk, cancel.status)
+      assert(cancel.rows.map(_.map(_.toString))
+        === Seq(Seq("cancel", handle, "cancelled_registered")))
+      assert(spark.sparkContext.getPersistentRDDs.size === persistedBefore,
+        "cancel must unpersist the flight's RDD")
+      val t = ServingClient.doGetTicket(srv.boundPort, s"graft-ticket:$handle:0")
+      assert(t.status.startsWith("ERR NOT_FOUND"), t.status)
+    }
+  }
+
+  test("abandoned flights expire after the TTL: tickets fail, RDD unpersists") {
+    val srv = new ServingServer(session, flightTtlMs = 300).start()
+    try {
+      val persistedBefore = spark.sparkContext.getPersistentRDDs.size
+      val info = ServingClient.getFlightInfo(
+        srv.boundPort, "SELECT id FROM range(1000)")
+      assert(info.isOk, info.status)
+      val ticket = info.tickets.head
+      // live flight serves while fresh
+      assert(ServingClient.doGetTicket(srv.boundPort, ticket).isOk)
+
+      // ... then the client vanishes; the background sweeper reaps it
+      val deadline = System.nanoTime() + 30L * 1000000000L
+      var expired = false
+      while (!expired && System.nanoTime() < deadline) {
+        Thread.sleep(200)
+        expired = spark.sparkContext.getPersistentRDDs.size == persistedBefore
+      }
+      assert(expired, "expired flight's RDD was never unpersisted")
+      val r = ServingClient.doGetTicket(srv.boundPort, ticket)
+      assert(r.status.startsWith("ERR NOT_FOUND"), r.status)
+    } finally srv.close()
+  }
+
+  test("LIST_ACTIONS advertises cancel; unknown actions/handles refuse cleanly") {
+    withServer { srv =>
+      val actions = ServingClient.listActions(srv.boundPort)
+      assert(actions.isOk, actions.status)
+      assert(actions.rows.map(_.head.toString) === Seq("cancel"))
+      assert(ServingClient.doAction(srv.boundPort, "cancel", "nope").status
+        .startsWith("ERR NOT_FOUND"))
+      assert(ServingClient.doAction(srv.boundPort, "cancel").status
+        .startsWith("ERR INVALID_ARGUMENT"))
+      assert(ServingClient.doAction(srv.boundPort, "vacuum").status
+        .startsWith("ERR INVALID_ARGUMENT"))
+      assert(ServingClient.pollFlightInfo(srv.boundPort, "deadbeef").status
+        .startsWith("ERR NOT_FOUND"))
+    }
+  }
+
+  test("HANDSHAKE: open server banners; token server gates every verb") {
+    withServer { srv =>
+      val r = ServingClient.handshake(srv.boundPort)
+      assert(r.status === "OK graft-serving 1", r.status)
+    }
+    val gated = new ServingServer(session, authToken = Some("s3cret")).start()
+    try {
+      // bare request: refused before any SQL runs
+      assert(ServingClient.doGet(gated.boundPort, "SELECT 1").status
+        === "ERR UNAUTHENTICATED handshake required")
+      // wrong token
+      assert(ServingClient.handshake(gated.boundPort, "wrong").status
+        === "ERR UNAUTHENTICATED invalid token")
+      // right token, bare handshake: banner
+      assert(ServingClient.handshake(gated.boundPort, "s3cret").status
+        === "OK graft-serving 1")
+      // handshake-then-request on one connection: the real call works
+      val ok = ServingClient.request(
+        gated.boundPort, "DO_GET", "SELECT 7 AS x", auth = Some("s3cret"))
+      assert(ok.isOk && ok.rows === Seq(Seq(7)), ok.status)
+    } finally gated.close()
   }
 
   test("runtime failure mid-stream aborts the connection, never corrupts the stream") {
