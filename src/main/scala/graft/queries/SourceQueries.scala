@@ -106,6 +106,50 @@ object SourceQueries {
     root.toString
   }
 
+  /** Materialize (once per fixture dir + process) a v2 table that went
+    * through a single-commit MERGE ([[graft.sources.IcebergWriter
+    * .mergeRows]]): snapshot 1 appends all of `part`; snapshot 2 merges
+    * an updates frame that bumps p_size by 100 for every p_partkey % 5
+    * == 0 row (matched -> position-delete + re-insert) and inserts a
+    * synthetic 'merged-' row per p_partkey % 7 == 0 (unmatched). The
+    * +1000000 key offset keeps inserts collision-free at any fixture SF.
+    */
+  private def fixtureIcebergMergeTable(
+      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    import graft.sources.IcebergWriter
+    val root = graft.engine.TempDirs.workspace("graft-iceberg", "mergev2", dir)
+    graft.engine.TempDirs.materializeOnce(root)(
+      java.nio.file.Files.exists(
+        root.resolve("metadata").resolve("v2.metadata.json"))
+    ) {
+      if (java.nio.file.Files.exists(root)) {
+        val walk = java.nio.file.Files.walk(root)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+        finally walk.close()
+      }
+      val df = t(s, dir, "part")
+        .select(col("p_partkey"), col("p_name"), col("p_size"))
+      IcebergWriter.append(s, root.toString, df, None,
+        timestampMs = 1000L, formatVersion = 2)
+      // explicit casts pin the updates frame to the table's column types
+      // (a widened +1000000 long over an int key would fail the writer's
+      // schema gate, by design)
+      val kT = df.schema("p_partkey").dataType
+      val sT = df.schema("p_size").dataType
+      val updates = df
+        .filter(col("p_partkey") % 5 === 0)
+        .withColumn("p_size", (col("p_size") + lit(100)).cast(sT))
+        .unionByName(df.filter(col("p_partkey") % 7 === 0).select(
+          (col("p_partkey") + 1000000L).cast(kT).as("p_partkey"),
+          concat(lit("merged-"), col("p_partkey")).as("p_name"),
+          lit(1).cast(sT).as("p_size")))
+      IcebergWriter.mergeRows(s, root.toString, updates, "p_partkey",
+        timestampMs = 2000L): Unit
+    }
+    root.toString
+  }
+
   /** Materialize (once per fixture dir + process) a HIDDEN-partitioned
     * Iceberg table: `day(o_date)` — the data files keep the raw date
     * column; only the transformed day ordinal shapes the layout and the
@@ -444,6 +488,34 @@ object SourceQueries {
         "SELECT p_partkey, p_name, p_size, CAST(p_partkey % 4 AS INT) AS p_band " +
           "FROM part WHERE (p_partkey % 4 IN (0,1,3) AND p_size >= 25) " +
           "OR (p_partkey % 4 = 2 AND p_size > 30) ORDER BY p_partkey"
+      )
+    ),
+    // v2 merge-on-read WRITE path: the table went through a single-commit
+    // MERGE (position-delete file + new data files in ONE snapshot —
+    // IcebergWriter.mergeRows). Reading the post-MERGE table back gates
+    // the whole chain: matched rows replaced (old positions subtracted,
+    // same-commit re-inserts survive the same-sequence delete because
+    // position deletes bind to file paths), unmatched rows inserted,
+    // untouched rows intact. The oracle replays the merge arithmetic
+    // over the original parquet.
+    Q(
+      "q_iceberg_merge",
+      (s, dir) => {
+        val root = fixtureIcebergMergeTable(s, dir)
+        graft.sources.IcebergSource
+          .read(s, root)
+          .select($"p_partkey", $"p_name", $"p_size")
+          .orderBy($"p_partkey")
+      },
+      Some(
+        "SELECT p_partkey, p_name, " +
+          "CASE WHEN p_partkey % 5 = 0 THEN p_size + 100 ELSE p_size END AS p_size " +
+          "FROM part " +
+          "UNION ALL " +
+          "SELECT p_partkey + 1000000 AS p_partkey, " +
+          "'merged-' || CAST(p_partkey AS VARCHAR) AS p_name, 1 AS p_size " +
+          "FROM part WHERE p_partkey % 7 = 0 " +
+          "ORDER BY p_partkey"
       )
     ),
     // The SECOND DPP shape: subquery pruning WITHOUT a broadcast to reuse.

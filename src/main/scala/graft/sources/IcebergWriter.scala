@@ -465,6 +465,152 @@ object IcebergWriter {
     snapshotId
   }
 
+  /** MERGE (v2 merge-on-read): rows of `updates` whose `key` matches a
+    * live row REPLACE it; unmatched rows INSERT. ONE snapshot carries
+    * both a position-delete file covering every matched old row AND the
+    * new data file(s) holding all update rows — readers can never
+    * observe the "deleted but not yet re-inserted" intermediate a
+    * two-commit merge would expose. No data file is rewritten (the
+    * Spark/Flink MoR MERGE shape, crates/connectors/iceberg/src/lib.rs:3-4
+    * intent): the position delete binds to OLD file paths, so the
+    * same-sequence data files this commit adds are untouched by it, and
+    * the read side's seq-scoped subtraction (IcebergSource.applyDeletes)
+    * drops exactly the replaced rows. Returns the new snapshot id.
+    *
+    * Matched positions are computed against the current snapshot's live
+    * data FILES (not the delete-applied view): a row an earlier delete
+    * already removed may be re-listed in the new delete file, which is a
+    * spec-sanctioned no-op. `key` must be unique per side, the standard
+    * MERGE precondition. Unpartitioned v2 tables only.
+    *
+    * `faultHook` is the crash-injection seam (SourcesSpec matrix): it is
+    * called at each named point BEFORE the metadata commit; a crash at
+    * any of them leaves orphan files that metadata-driven readers never
+    * see, and a rerun converges (same snapshot id -> same target names,
+    * REPLACE_EXISTING).
+    */
+  def mergeRows(
+      spark: SparkSession,
+      tablePath: String,
+      updates: DataFrame,
+      key: String,
+      timestampMs: Long,
+      faultHook: String => Unit = _ => ()): Long = {
+    val meta = IcebergMeta.load(tablePath)
+    require(meta.formatVersion == 2,
+      s"mergeRows requires a v2 table; this one is v${meta.formatVersion}")
+    require(meta.partitionFields.isEmpty,
+      "mergeRows writes unpartitioned v2 tables only")
+    require(meta.fields.map(_.name) == updates.schema.fieldNames.toSeq,
+      s"Merge schema ${updates.schema.fieldNames.mkString(",")} does not " +
+        s"match table schema ${meta.fields.map(_.name).mkString(",")}")
+    meta.fields.zip(updates.schema.fields).foreach { case (tf, sf) =>
+      require(icebergType(sf.dataType) == tf.typeName,
+        s"Merge column '${sf.name}' has type ${icebergType(sf.dataType)} " +
+          s"but the table schema requires ${tf.typeName}")
+      require(!(tf.required && sf.nullable),
+        s"Merge column '${sf.name}' is nullable but the table schema " +
+          "marks it required")
+    }
+    require(updates.schema.fieldNames.contains(key),
+      s"merge key '$key' is not a column of the updates frame")
+
+    val baseVersion = Some(IcebergSource.versionHint(tablePath).get)
+    val root = meta.root
+    val snapshotId = meta.snapshots.map(_.id).max + 1L
+    val snap = meta.currentSnapshot.getOrElse(
+      throw new IllegalStateException("table has no current snapshot"))
+    val plan = IcebergMeta.planScan(meta, snap)
+    require(plan.files.nonEmpty, "table has no live data files to merge into")
+
+    import org.apache.spark.sql.functions.col
+    val schema = IcebergMeta.sparkSchema(meta)
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    val staging = Files.createTempDirectory("graft-iceberg-merge")
+
+    // matched old rows -> (file_path, pos), one sorted delete file. Only
+    // the scan side needs _metadata; the key set is distinct-projected
+    // and the join stays a semi join Catalyst can broadcast when small.
+    val keys = updates.select(col(key)).distinct()
+    spark.read
+      .schema(schema)
+      .option("basePath", root.resolve("data").toString)
+      .parquet(plan.files.map(_.path): _*)
+      .select(
+        col(key),
+        col("_metadata.file_path").as("file_path"),
+        col("_metadata.row_index").as("pos"))
+      .join(keys, Seq(key), "left_semi")
+      .select("file_path", "pos")
+      .sort("file_path", "pos")
+      .coalesce(1)
+      .write.parquet(staging.resolve("del").toString)
+    val delSrc = parquetFiles(staging.resolve("del")) match {
+      case Seq(one) => one
+      case other => throw new IllegalStateException(
+        s"expected one position-delete file, got ${other.size}")
+    }
+    val nDeleted = parquetRowCount(hadoopConf, delSrc)
+
+    // data files for ALL update rows (replacements and inserts alike)
+    updates.write.parquet(staging.resolve("data").toString)
+    val stagedData = parquetFiles(staging.resolve("data"))
+    val nUpserted = stagedData.map(parquetRowCount(hadoopConf, _)).sum
+    if (nUpserted == 0) {
+      deleteRecursively(staging)
+      throw new IllegalArgumentException("mergeRows got an empty updates frame")
+    }
+    faultHook("staged") // everything computed; table directories untouched
+
+    val movedData = stagedData.zipWithIndex.map { case (f, i) =>
+      val target = root.resolve("data")
+        .resolve(f"snap$snapshotId%05d-$i%03d.parquet")
+      Files.move(f, target, StandardCopyOption.REPLACE_EXISTING)
+      target
+    }
+    faultHook("data-moved")
+    val delTarget =
+      if (nDeleted == 0) None // pure-insert merge: no delete file at all
+      else {
+        val t = root.resolve("data")
+          .resolve(f"delete-$snapshotId%05d-pos.parquet")
+        Files.move(delSrc, t, StandardCopyOption.REPLACE_EXISTING)
+        Some(t)
+      }
+    deleteRecursively(staging)
+    faultHook("files-placed")
+
+    val dataEntries = movedData.map(p =>
+      IcebergMeta.ManifestEntry(
+        status = 1, snapshotId,
+        IcebergMeta.DataFile(
+          p.toAbsolutePath.toString, "PARQUET", Map.empty,
+          parquetRowCount(hadoopConf, p), Files.size(p))))
+    val dataMPath = root.resolve("metadata")
+      .resolve(f"manifest-$snapshotId%05d-000.avro")
+    writeManifest(dataMPath, None, dataEntries, formatVersion = 2)
+    val dataManifest = manifestRecord(dataMPath, snapshotId, None, dataEntries)
+    val delManifest = delTarget.map { t =>
+      val entry = IcebergMeta.ManifestEntry(
+        status = 1, snapshotId,
+        IcebergMeta.DataFile(
+          t.toAbsolutePath.toString, "PARQUET", Map.empty,
+          nDeleted, Files.size(t), content = 1))
+      val mpath = root.resolve("metadata")
+        .resolve(f"manifest-$snapshotId%05d-del.avro")
+      writeManifest(mpath, None, Seq(entry), formatVersion = 2)
+      manifestRecord(mpath, snapshotId, None, Seq(entry)).copy(content = 1)
+    }
+    faultHook("manifests-written")
+
+    val carried = IcebergMeta.readManifestListFile(
+      root, currentManifestList(meta).toString)
+    commitSnapshot(spark, root, schema, None, Some(meta), baseVersion,
+      snapshotId, timestampMs, carried ++ delManifest.toSeq :+ dataManifest,
+      operation = "overwrite", formatVersion = 2)
+    snapshotId
+  }
+
   /** Shared tail of the two row-level deletes: wrap the delete file in a
     * content=1 delete manifest (empty partition record — the delete
     * applies table-wide; partition-scoped delete manifests are a pruning

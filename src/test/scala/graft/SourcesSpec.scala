@@ -600,6 +600,109 @@ class SourcesSpec extends SparkTestBase {
     assert(s4.count() === 22)
   }
 
+  test("iceberg v2 mergeRows: ONE commit replaces matched rows and inserts new") {
+    import spark.implicits._
+    val root = tempDir("graft-iceberg-merge")
+    val df = (0 until 30).map(i => (i.toLong, s"row$i", i)).toDF("id", "v", "n")
+    IcebergWriter.append(spark, root, df, None, 1000L, formatVersion = 2)
+    val updates = Seq(
+      (5L, "updated5", 500), (10L, "updated10", 1000), // matched -> replace
+      (100L, "new100", 1), (101L, "new101", 2) // unmatched -> insert
+    ).toDF("id", "v", "n")
+    val sid = IcebergWriter.mergeRows(spark, root, updates, "id", 2000L)
+
+    val meta = IcebergMeta.load(root)
+    // atomicity: exactly one new snapshot carries delete AND data
+    assert(meta.snapshots.map(_.id) === Seq(1L, sid))
+    val plan = IcebergMeta.planScan(meta, meta.snapshotById(sid))
+    assert(plan.deletes.map(_.content) === Seq(1), "one position-delete file")
+    assert(plan.deletes.head.recordCount === 2L)
+    // merge-on-read: snapshot 1's data files all survive verbatim
+    val filesAt = (id: Long) => IcebergMeta
+      .planScan(meta, meta.snapshotById(id)).files.map(_.path).toSet
+    assert(filesAt(1L).subsetOf(filesAt(sid)))
+
+    val cur = IcebergSource.read(spark, root).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).sortBy(_._1).toSeq
+    val expected = ((0 until 30).filterNot(i => i == 5 || i == 10)
+      .map(i => (i.toLong, s"row$i", i))
+      ++ Seq((5L, "updated5", 500), (10L, "updated10", 1000),
+        (100L, "new100", 1), (101L, "new101", 2))).sortBy(_._1)
+    assert(cur === expected)
+    // time travel to the pre-merge snapshot still answers the old state
+    val s1 = IcebergSource.read(spark, root, Some(1L), None, None)
+    assert(s1.count() === 30)
+    assert(s1.filter($"id" === 5L).select("v").as[String].head() === "row5")
+  }
+
+  test("mergeRows: pure-insert merge emits no delete file; refusals fire early") {
+    import spark.implicits._
+    val root = tempDir("graft-iceberg-merge-ins")
+    val df = (0 until 10).map(i => (i.toLong, s"r$i")).toDF("id", "v")
+    IcebergWriter.append(spark, root, df, None, 1000L, formatVersion = 2)
+    val sid = IcebergWriter.mergeRows(spark, root,
+      Seq((50L, "x"), (51L, "y")).toDF("id", "v"), "id", 2000L)
+    val meta = IcebergMeta.load(root)
+    assert(IcebergMeta.planScan(meta, meta.snapshotById(sid)).deletes.isEmpty,
+      "no matches -> no position-delete file")
+    assert(IcebergSource.read(spark, root).count() === 12)
+
+    // v1 table: refused
+    val v1 = tempDir("graft-iceberg-merge-v1")
+    IcebergWriter.append(spark, v1, df, None, 1000L)
+    assert(intercept[IllegalArgumentException] {
+      IcebergWriter.mergeRows(spark, v1, df, "id", 2000L)
+    }.getMessage.contains("v2"))
+    // schema drift: refused before any side effect
+    assert(intercept[IllegalArgumentException] {
+      IcebergWriter.mergeRows(spark, root,
+        Seq((1L, 2L)).toDF("id", "v"), "id", 3000L)
+    }.getMessage.contains("type"))
+    // empty updates: refused
+    assert(intercept[IllegalArgumentException] {
+      IcebergWriter.mergeRows(spark, root,
+        Seq.empty[(Long, String)].toDF("id", "v"), "id", 3000L)
+    }.getMessage.contains("empty"))
+  }
+
+  test("mergeRows crash matrix: every pre-commit fault is invisible; rerun converges") {
+    import spark.implicits._
+    for (point <- Seq("staged", "data-moved", "files-placed", "manifests-written")) {
+      val root = tempDir(s"graft-merge-crash-$point")
+      val df = (0 until 20).map(i => (i.toLong, s"row$i")).toDF("id", "v")
+      IcebergWriter.append(spark, root, df, None, 1000L, formatVersion = 2)
+      val updates = Seq((3L, "u3"), (77L, "new77")).toDF("id", "v")
+      val before = IcebergSource.read(spark, root).collect()
+        .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+
+      val boom = intercept[RuntimeException] {
+        IcebergWriter.mergeRows(spark, root, updates, "id", 2000L,
+          faultHook = p => if (p == point)
+            throw new RuntimeException(s"injected crash @$p"))
+      }
+      assert(boom.getMessage.contains(point))
+      // the commit never happened: metadata-driven reads see the old
+      // state exactly (orphaned staged files are invisible by design)
+      assert(IcebergMeta.load(root).snapshots.map(_.id) === Seq(1L),
+        s"crash @$point must not commit")
+      val after = IcebergSource.read(spark, root).collect()
+        .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+      assert(after === before, s"crash @$point changed visible rows")
+
+      // rerun with no faults converges to the crash-free result (same
+      // snapshot id -> same target names, REPLACE_EXISTING overwrites
+      // any orphans the crash left)
+      val sid = IcebergWriter.mergeRows(spark, root, updates, "id", 3000L)
+      val cur = IcebergSource.read(spark, root).collect()
+        .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+      val expected = ((0 until 20).filterNot(_ == 3)
+        .map(i => (i.toLong, s"row$i")) ++ Seq((3L, "u3"), (77L, "new77")))
+        .sortBy(_._1)
+      assert(cur === expected, s"rerun after crash @$point did not converge")
+      assert(IcebergMeta.load(root).snapshots.map(_.id) === Seq(1L, sid))
+    }
+  }
+
   // ---------------------------------------------------------------------
   // hidden-partition transforms
   // ---------------------------------------------------------------------
