@@ -628,7 +628,7 @@ object ScaleProbe {
     */
   private def textScaleProbe(spark: SparkSession): Unit = {
     val base = 20000L
-    val nOps = 3
+    val nOps = 4
     val resultsAll = Seq(1L, 1L, 30L, 100L).flatMap { mult =>
       val n = base * mult
       val docs = genCorpus(spark, n).cache()
@@ -659,8 +659,21 @@ object ScaleProbe {
           .write.format("noop").mode("overwrite").save()
         graft.engine.PersistScope.releaseAll()
       }
+      // the over-broadcast path (r11 gap): the PROPORTIONAL %20 slice
+      // that OOM'd the broadcast plan at 100x, now forced onto the
+      // shuffle-hash fallback (limit 0) — the row that proves a
+      // benchmark too big to broadcast completes instead of refusing
+      val deconShuffle = time(s"decon_shuffle_${mult}x", n) {
+        graft.queries.TextQueries
+          .contaminationCounts(
+            docs,
+            isBench = col("doc_id") % 20 === 0,
+            maxBroadcastGramRows = 0)
+          .write.format("noop").mode("overwrite").save()
+        graft.engine.PersistScope.releaseAll()
+      }
       docs.unpersist()
-      Seq(bm25, tfidf, decon)
+      Seq(bm25, tfidf, decon, deconShuffle)
     }
     val results = resultsAll.drop(nOps) // drop the warmup group
     println("--- text family at 30x/100x (base 20k docs; 64k vocab) ---")

@@ -818,24 +818,45 @@ object TextQueries {
     * text-family probe proved the hazard the hard way: a proportional
     * (doc_id % 20) benchmark at 2M docs built a ~1 GB gram broadcast and
     * OOM'd executors, while a fixed eval-suite-sized benchmark stays a
-    * few MB at any corpus size. A benchmark that genuinely outgrows
-    * broadcast needs the shuffle-join-on-gram plan (the jaccardPairs
-    * inverted-index shape) instead.
+    * few MB at any corpus size.
+    *
+    * A benchmark that DOES outgrow broadcast no longer refuses: the
+    * operator measures the materialized bench gram count (the eager
+    * cache fill it already pays for self-join safety doubles as the
+    * probe) and past `maxBroadcastGramRows` switches to a SHUFFLE HASH
+    * join on the gram — both sides exchange on `g`, the bench side
+    * stays the per-partition build. Same rows either way; the broadcast
+    * plan is strictly better while the bench fits, which is why it
+    * remains the default and the cutover is by measurement, not hope.
+    * Pass 0 to force the shuffle plan (probe/spec hook).
     */
   private[graft] def contaminationCounts(
       doc: org.apache.spark.sql.DataFrame,
-      isBench: org.apache.spark.sql.Column
+      isBench: org.apache.spark.sql.Column,
+      // ~4M gram rows ≈ low tens of MB broadcast — safely inside a
+      // default 8 GB executor while leaving headroom for the hash table
+      maxBroadcastGramRows: Long = 4L << 20
   ): org.apache.spark.sql.DataFrame = {
     def grams(d: org.apache.spark.sql.DataFrame) =
       d.select($"doc_id", TextOps.tokens($"text").as("ws"))
         .filter(size($"ws") >= 8)
         .select($"doc_id", explode(TextOps.shingles($"ws", 8)).as("g"))
-    val bench = graft.engine.PersistScope.pinEager(
+    val bench = graft.engine.PersistScope.pin(
       grams(doc.filter(isBench)).select($"doc_id".as("bench_id"), $"g")
     )
+    // eager fill (a lazily-shared cache would be raced by the join) AND
+    // the strategy probe in one action
+    val benchGramRows = bench.count()
     val corpus = grams(doc.filter(!isBench))
-    corpus
-      .join(broadcast(bench), Seq("g"))
+    val joined =
+      if (benchGramRows <= maxBroadcastGramRows)
+        corpus.join(broadcast(bench), Seq("g"))
+      else
+        // over-broadcast benchmark: shuffle both sides on the gram; the
+        // hint keeps the (still smaller) bench side as the hash build so
+        // the corpus side is never sorted
+        corpus.join(bench.hint("shuffle_hash"), Seq("g"))
+    joined
       .groupBy($"doc_id")
       .agg(
         countDistinct($"bench_id").as("n_bench_docs"),

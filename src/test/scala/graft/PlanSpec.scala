@@ -128,6 +128,25 @@ class PlanSpec extends SparkTestBase {
       "packing window is not shard-partitioned:\n" + pack.take(3000))
   }
 
+  test("decontamination past the broadcast bound falls back to a shuffle hash join, same rows") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.queries.QueryUtil.t(spark, SparkTestBase.Sf0001, "documents")
+    val isBench = col("doc_id") % 20 === 0
+    // forced over-broadcast (limit 0): the same gram pipeline must plan a
+    // ShuffledHashJoin — bench side the build — with NO broadcast of it
+    val shuf = graft.queries.TextQueries
+      .contaminationCounts(docs, isBench, maxBroadcastGramRows = 0)
+    val plan = shuf.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"),
+      "over-broadcast benchmark must shuffle-hash-join on the gram:\n" +
+        plan.take(3000))
+    // and the two strategies are interchangeable on rows
+    val broad = graft.queries.TextQueries.contaminationCounts(docs, isBench)
+    assert(shuf.collect().toSeq === broad.collect().toSeq,
+      "shuffle fallback changed the decontamination result")
+    graft.engine.PersistScope.releaseAll()
+  }
+
   test("incremental dedup broadcasts the increment's bands at the candidate join") {
     val plan = executed("q_dedup_incremental")
     assert(plan.contains("BroadcastHashJoin"),

@@ -104,6 +104,66 @@ class SourcesSpec extends SparkTestBase {
     assert(agg(live) === agg(nation))
   }
 
+  test("jdbc dialect matrix: pushdown SQL fragments pinned per dialect (golden)") {
+    // No live Postgres/MySQL exists in this sandbox (and the reference
+    // ships only TODO stubs for both), so the dialect-specific SQL our
+    // JDBC surface would emit is pinned against golden strings instead:
+    // the SAME Spark dialect objects that compile pushed filters,
+    // LIMIT clauses, and DDL types for a real server. The Derby row is
+    // additionally proven live (test above); the pg/mysql rows differ
+    // exactly where these goldens say they differ.
+    import org.apache.spark.sql.jdbc.JdbcDialects
+    import org.apache.spark.sql.types._
+    val pg = JdbcDialects.get("jdbc:postgresql://h:5432/db")
+    val my = JdbcDialects.get("jdbc:mysql://h:3306/db")
+    val dy = JdbcDialects.get("jdbc:derby:memory:db")
+    // our helpers' URLs route to the right dialect implementations
+    assert(pg.getClass.getSimpleName === "PostgresDialect")
+    assert(my.getClass.getSimpleName === "MySQLDialect")
+    assert(dy.getClass.getSimpleName === "DerbyDialect")
+
+    // identifier quoting: a reserved-word column in a pushed filter —
+    // double quotes ANSI-style on pg/derby, backticks on mysql
+    assert(pg.quoteIdentifier("order") === "\"order\"")
+    assert(dy.quoteIdentifier("order") === "\"order\"")
+    assert(my.quoteIdentifier("order") === "`order`")
+
+    // literal compilation (WHERE-clause rendering of pushed predicates):
+    // quote-doubling escapes, ISO date/timestamp rendering, IN-list
+    for (d <- Seq(pg, my, dy)) {
+      assert(d.compileValue("O'Brien") === "'O''Brien'")
+      assert(d.compileValue(java.sql.Date.valueOf("1995-03-04")) === "'1995-03-04'")
+      assert(d.compileValue(
+        java.sql.Timestamp.valueOf("1995-03-04 10:30:00")) === "'1995-03-04 10:30:00.0'")
+      assert(d.compileValue(Array("a", "b'c")) === "'a', 'b''c'")
+    }
+
+    // LIMIT pushdown: the real trap — Derby has NO limit clause (Spark
+    // must fetch-and-discard there), pg/mysql push it
+    assert(pg.getLimitClause(10) === "LIMIT 10")
+    assert(my.getLimitClause(10) === "LIMIT 10")
+    assert(dy.getLimitClause(10) === "")
+    for (d <- Seq(pg, my, dy)) assert(d.getOffsetClause(5) === "OFFSET 5")
+
+    // write-path DDL type mapping diverges per engine: the types a CTAS
+    // into each database would declare
+    def ddl(d: org.apache.spark.sql.jdbc.JdbcDialect, t: DataType): String =
+      d.getJDBCType(t).map(_.databaseTypeDefinition).getOrElse("<default>")
+    assert(ddl(pg, StringType) === "TEXT")
+    assert(ddl(my, StringType) === "LONGTEXT")
+    assert(ddl(dy, StringType) === "CLOB")
+    assert(ddl(pg, BinaryType) === "BYTEA")
+    assert(ddl(my, BinaryType) === "BLOB")
+    assert(ddl(pg, TimestampType) === "TIMESTAMP WITH TIME ZONE")
+    assert(ddl(my, TimestampType) === "TIMESTAMP")
+    assert(ddl(my, BooleanType) === "BIT(1)")
+    assert(ddl(pg, BooleanType) === "BOOLEAN")
+
+    // existence probe is dialect-uniform (cheap 1=0 select, never a scan)
+    for (d <- Seq(pg, my, dy))
+      assert(d.getTableExistsQuery("t") === "SELECT 1 FROM t WHERE 1=0")
+  }
+
   test("CTAS writes parquet and registers the materialized table") {
     import spark.implicits._
     session.registerTable("ctas_src", Seq((1, 10), (2, 20), (3, 30)).toDF("k", "v"))
