@@ -224,6 +224,64 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("listener surfaces a planted late row as dropped-by-watermark, plus state size") {
+    import org.apache.spark.sql.types._
+    val eventsDir = tempDir("graft-events-obs")
+    val checkpoint = tempDir("graft-ckpt-obs")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("ts", TimestampType)))
+    def mk(rows: Seq[(Long, String, String)], dir: String): Unit = {
+      import scala.jdk.CollectionConverters._
+      val data = rows.zipWithIndex.map { case ((uid, et, ts), i) =>
+        org.apache.spark.sql.Row(
+          i.toLong, uid, et, 1.0, java.sql.Timestamp.valueOf(ts))
+      }
+      spark.createDataFrame(data.asJava, schema).write.parquet(s"$eventsDir/$dir")
+    }
+    // batch 0: six hours of events — commits watermark = max(ts) - 1h
+    mk((0 until 6).map(h => (1L, "click", f"2026-01-01 0$h:30:00")), "b0")
+
+    val metrics = graft.streaming.StreamMetricsListener.attach(spark)
+    val q = EventsStream
+      .windowedCounts(EventsStream.readEventsStream(spark, s"$eventsDir/*/"))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("events_obs")
+      .option("checkpointLocation", checkpoint)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(graft.streaming.StreamMetricsListener.await(
+        metrics.forQuery("events_obs").exists(_.inputRows == 6)),
+        s"no progress for batch 0: ${metrics.batches}")
+      assert(metrics.droppedLateRows("events_obs") === 0L)
+      // window state is live and measured
+      assert(metrics.currentStateRows("events_obs") > 0)
+      assert(metrics.currentStateBytes("events_obs") > 0)
+
+      // batch 1: one fresh row (advances nothing much) + ONE ROW A DAY
+      // LATE — far below the committed watermark, silently discarded by
+      // the aggregation; the listener must make that loss visible
+      mk(Seq((2L, "click", "2026-01-01 05:45:00"),
+        (3L, "click", "2025-12-31 00:00:00")), "b1")
+      q.processAllAvailable()
+      assert(graft.streaming.StreamMetricsListener.await(
+        metrics.droppedLateRows("events_obs") == 1L),
+        s"late row never surfaced: ${metrics.forQuery("events_obs")}")
+      // and the committed watermark itself is reported
+      assert(metrics.forQuery("events_obs").last.watermark.startsWith("2026-01-01"),
+        metrics.forQuery("events_obs").last.watermark)
+    } finally {
+      q.stop()
+      spark.streams.removeListener(metrics)
+    }
+  }
+
   test("stream-stream join equals the batch join") {
     val eventsDir = tempDir("graft-events-ssj")
     java.nio.file.Files.copy(
