@@ -107,12 +107,15 @@ object SourceQueries {
   }
 
   /** Materialize (once per fixture dir + process) a v2 table that went
-    * through a single-commit MERGE ([[graft.sources.IcebergWriter
-    * .mergeRows]]): snapshot 1 appends all of `part`; snapshot 2 merges
-    * an updates frame that bumps p_size by 100 for every p_partkey % 5
-    * == 0 row (matched -> position-delete + re-insert) and inserts a
-    * synthetic 'merged-' row per p_partkey % 7 == 0 (unmatched). The
-    * +1000000 key offset keeps inserts collision-free at any fixture SF.
+    * through BOTH single-commit write flavors ([[graft.sources
+    * .IcebergWriter]]): snapshot 1 appends all of `part`; snapshot 2 is
+    * a position-delete MERGE (`mergeRows`: p_size+100 for p_partkey % 5
+    * == 0, 'merged-' inserts at +1000000 per % 7 == 0); snapshot 3 is an
+    * equality-delete UPSERT (`upsertRows`: 'upserted-'/p_size=7 for
+    * % 11 == 0, 'ups-new-' inserts at +2000000 per % 13 == 0). Key
+    * offsets keep the insert spaces collision-free at any fixture SF,
+    * and no upsert key collides with a merge insert (upsert keys are
+    * original part keys or +2000000).
     */
   private def fixtureIcebergMergeTable(
       s: org.apache.spark.sql.SparkSession, dir: String): String = {
@@ -120,7 +123,7 @@ object SourceQueries {
     val root = graft.engine.TempDirs.workspace("graft-iceberg", "mergev2", dir)
     graft.engine.TempDirs.materializeOnce(root)(
       java.nio.file.Files.exists(
-        root.resolve("metadata").resolve("v2.metadata.json"))
+        root.resolve("metadata").resolve("v3.metadata.json"))
     ) {
       if (java.nio.file.Files.exists(root)) {
         val walk = java.nio.file.Files.walk(root)
@@ -145,7 +148,19 @@ object SourceQueries {
           concat(lit("merged-"), col("p_partkey")).as("p_name"),
           lit(1).cast(sT).as("p_size")))
       IcebergWriter.mergeRows(s, root.toString, updates, "p_partkey",
-        timestampMs = 2000L): Unit
+        timestampMs = 2000L)
+      val upserts = df
+        .filter(col("p_partkey") % 11 === 0)
+        .select(
+          col("p_partkey"),
+          concat(lit("upserted-"), col("p_partkey")).as("p_name"),
+          lit(7).cast(sT).as("p_size"))
+        .unionByName(df.filter(col("p_partkey") % 13 === 0).select(
+          (col("p_partkey") + 2000000L).cast(kT).as("p_partkey"),
+          concat(lit("ups-new-"), col("p_partkey")).as("p_name"),
+          lit(3).cast(sT).as("p_size")))
+      IcebergWriter.upsertRows(s, root.toString, upserts, "p_partkey",
+        timestampMs = 3000L): Unit
     }
     root.toString
   }
@@ -503,7 +518,8 @@ object SourceQueries {
       (s, dir) => {
         val root = fixtureIcebergMergeTable(s, dir)
         graft.sources.IcebergSource
-          .read(s, root)
+          .read(s, root, snapshotId = Some(2L), asOfTimestampMs = None,
+            prune = None)
           .select($"p_partkey", $"p_name", $"p_size")
           .orderBy($"p_partkey")
       },
@@ -515,6 +531,40 @@ object SourceQueries {
           "SELECT p_partkey + 1000000 AS p_partkey, " +
           "'merged-' || CAST(p_partkey AS VARCHAR) AS p_name, 1 AS p_size " +
           "FROM part WHERE p_partkey % 7 = 0 " +
+          "ORDER BY p_partkey"
+      )
+    ),
+    // v2 merge-on-read UPSERT (equality-delete flavor, current snapshot):
+    // the O(|updates|) CDC commit — an equality-delete file on the key
+    // plus the new data files, ONE snapshot, no table data read at write
+    // time. The read applies the delete sequence-scoped: it reaches the
+    // base AND the earlier merge's data files but never this commit's
+    // own rows. The oracle replays merge-then-upsert arithmetic, upsert
+    // branch winning where both touched a key (p_partkey % 55 == 0).
+    Q(
+      "q_iceberg_upsert",
+      (s, dir) => {
+        val root = fixtureIcebergMergeTable(s, dir)
+        graft.sources.IcebergSource
+          .read(s, root)
+          .select($"p_partkey", $"p_name", $"p_size")
+          .orderBy($"p_partkey")
+      },
+      Some(
+        "SELECT p_partkey, " +
+          "CASE WHEN p_partkey % 11 = 0 THEN 'upserted-' || CAST(p_partkey AS VARCHAR) " +
+          "ELSE p_name END AS p_name, " +
+          "CASE WHEN p_partkey % 11 = 0 THEN 7 " +
+          "WHEN p_partkey % 5 = 0 THEN p_size + 100 ELSE p_size END AS p_size " +
+          "FROM part " +
+          "UNION ALL " +
+          "SELECT p_partkey + 1000000 AS p_partkey, " +
+          "'merged-' || CAST(p_partkey AS VARCHAR) AS p_name, 1 AS p_size " +
+          "FROM part WHERE p_partkey % 7 = 0 " +
+          "UNION ALL " +
+          "SELECT p_partkey + 2000000 AS p_partkey, " +
+          "'ups-new-' || CAST(p_partkey AS VARCHAR) AS p_name, 3 AS p_size " +
+          "FROM part WHERE p_partkey % 13 = 0 " +
           "ORDER BY p_partkey"
       )
     ),

@@ -611,6 +611,121 @@ object IcebergWriter {
     snapshotId
   }
 
+  /** UPSERT (v2 merge-on-read, equality-delete flavor): ONE snapshot
+    * carrying an equality-delete file on `key` (every update key) plus
+    * the new data file(s) holding all update rows. Where [[mergeRows]]
+    * SCANS the table to pin matched positions, this path never reads a
+    * data file at all — the delete is BY KEY, resolved at read time by
+    * the sequence-scoped equality subtraction (an equality delete
+    * reaches only data files with a STRICTLY lower sequence, so this
+    * commit's own data files survive it, per spec). That makes the
+    * commit O(|updates|) regardless of table size: the CDC ingest
+    * economics at 100 TB, at the price of a per-read anti-join the
+    * position-delete flavor does not pay. Same crash seam and rerun
+    * convergence as mergeRows. Returns the new snapshot id.
+    */
+  def upsertRows(
+      spark: SparkSession,
+      tablePath: String,
+      updates: DataFrame,
+      key: String,
+      timestampMs: Long,
+      faultHook: String => Unit = _ => ()): Long = {
+    val meta = IcebergMeta.load(tablePath)
+    require(meta.formatVersion == 2,
+      s"upsertRows requires a v2 table; this one is v${meta.formatVersion}")
+    require(meta.partitionFields.isEmpty,
+      "upsertRows writes unpartitioned v2 tables only")
+    require(meta.fields.map(_.name) == updates.schema.fieldNames.toSeq,
+      s"Upsert schema ${updates.schema.fieldNames.mkString(",")} does not " +
+        s"match table schema ${meta.fields.map(_.name).mkString(",")}")
+    meta.fields.zip(updates.schema.fields).foreach { case (tf, sf) =>
+      require(icebergType(sf.dataType) == tf.typeName,
+        s"Upsert column '${sf.name}' has type ${icebergType(sf.dataType)} " +
+          s"but the table schema requires ${tf.typeName}")
+      require(!(tf.required && sf.nullable),
+        s"Upsert column '${sf.name}' is nullable but the table schema " +
+          "marks it required")
+    }
+    val keyField = meta.fields.find(_.name == key).getOrElse(
+      throw new IllegalArgumentException(
+        s"upsert key '$key' is not in the table schema"))
+    require(meta.currentSnapshot.isDefined,
+      "table has no current snapshot (append first, then upsert)")
+
+    val baseVersion = Some(IcebergSource.versionHint(tablePath).get)
+    val root = meta.root
+    val snapshotId = meta.snapshots.map(_.id).max + 1L
+
+    import org.apache.spark.sql.functions.col
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    val staging = Files.createTempDirectory("graft-iceberg-upsert")
+
+    // the equality-delete file: just the distinct update keys — no table
+    // read anywhere on this path
+    updates.select(col(key)).distinct().sort(key)
+      .coalesce(1).write.parquet(staging.resolve("del").toString)
+    val delSrc = parquetFiles(staging.resolve("del")) match {
+      case Seq(one) => one
+      case other => throw new IllegalStateException(
+        s"expected one equality-delete file, got ${other.size}")
+    }
+    val nKeys = parquetRowCount(hadoopConf, delSrc)
+
+    updates.write.parquet(staging.resolve("data").toString)
+    val stagedData = parquetFiles(staging.resolve("data"))
+    val nUpserted = stagedData.map(parquetRowCount(hadoopConf, _)).sum
+    if (nUpserted == 0) {
+      deleteRecursively(staging)
+      throw new IllegalArgumentException("upsertRows got an empty updates frame")
+    }
+    faultHook("staged")
+
+    val movedData = stagedData.zipWithIndex.map { case (f, i) =>
+      val target = root.resolve("data")
+        .resolve(f"snap$snapshotId%05d-$i%03d.parquet")
+      Files.move(f, target, StandardCopyOption.REPLACE_EXISTING)
+      target
+    }
+    val delTarget = root.resolve("data")
+      .resolve(f"delete-$snapshotId%05d-eq.parquet")
+    Files.move(delSrc, delTarget, StandardCopyOption.REPLACE_EXISTING)
+    deleteRecursively(staging)
+    faultHook("files-placed")
+
+    val dataEntries = movedData.map(p =>
+      IcebergMeta.ManifestEntry(
+        status = 1, snapshotId,
+        IcebergMeta.DataFile(
+          p.toAbsolutePath.toString, "PARQUET", Map.empty,
+          parquetRowCount(hadoopConf, p), Files.size(p))))
+    val dataMPath = root.resolve("metadata")
+      .resolve(f"manifest-$snapshotId%05d-000.avro")
+    writeManifest(dataMPath, None, dataEntries, formatVersion = 2)
+    val dataManifest = manifestRecord(dataMPath, snapshotId, None, dataEntries)
+
+    val delEntry = IcebergMeta.ManifestEntry(
+      status = 1, snapshotId,
+      IcebergMeta.DataFile(
+        delTarget.toAbsolutePath.toString, "PARQUET", Map.empty,
+        nKeys, Files.size(delTarget), content = 2,
+        equalityIds = Seq(keyField.id)))
+    val delMPath = root.resolve("metadata")
+      .resolve(f"manifest-$snapshotId%05d-del.avro")
+    writeManifest(delMPath, None, Seq(delEntry), formatVersion = 2)
+    val delManifest = manifestRecord(delMPath, snapshotId, None, Seq(delEntry))
+      .copy(content = 1)
+    faultHook("manifests-written")
+
+    val carried = IcebergMeta.readManifestListFile(
+      root, currentManifestList(meta).toString)
+    commitSnapshot(spark, root, IcebergMeta.sparkSchema(meta), None,
+      Some(meta), baseVersion, snapshotId, timestampMs,
+      carried ++ Seq(delManifest, dataManifest),
+      operation = "overwrite", formatVersion = 2)
+    snapshotId
+  }
+
   /** Shared tail of the two row-level deletes: wrap the delete file in a
     * content=1 delete manifest (empty partition record — the delete
     * applies table-wide; partition-scoped delete manifests are a pruning

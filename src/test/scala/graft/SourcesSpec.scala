@@ -763,6 +763,59 @@ class SourcesSpec extends SparkTestBase {
     }
   }
 
+  test("iceberg v2 upsertRows: equality-delete commit replaces by key, reads no data") {
+    import spark.implicits._
+    val root = tempDir("graft-iceberg-upsert")
+    val df = (0 until 20).map(i => (i.toLong, s"row$i")).toDF("id", "v")
+    IcebergWriter.append(spark, root, df, None, 1000L, formatVersion = 2)
+    val sid = IcebergWriter.upsertRows(spark, root,
+      Seq((5L, "u5"), (90L, "new90")).toDF("id", "v"), "id", 2000L)
+
+    val meta = IcebergMeta.load(root)
+    assert(meta.snapshots.map(_.id) === Seq(1L, sid))
+    val plan = IcebergMeta.planScan(meta, meta.snapshotById(sid))
+    assert(plan.deletes.map(_.content) === Seq(2), "one equality-delete file")
+    assert(plan.deletes.head.equalityIds.nonEmpty)
+    val cur = IcebergSource.read(spark, root).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    val expected = ((0 until 20).filterNot(_ == 5).map(i => (i.toLong, s"row$i"))
+      ++ Seq((5L, "u5"), (90L, "new90"))).sortBy(_._1)
+    assert(cur === expected)
+
+    // a SECOND upsert on the same key: latest sequence wins, earlier
+    // upsert's row is reachable only by time travel
+    val sid2 = IcebergWriter.upsertRows(spark, root,
+      Seq((5L, "u5-v2")).toDF("id", "v"), "id", 3000L)
+    val v5 = IcebergSource.read(spark, root)
+      .filter($"id" === 5L).select("v").as[String].collect().toSeq
+    assert(v5 === Seq("u5-v2"))
+    val v5old = IcebergSource.read(spark, root, Some(sid), None, None)
+      .filter($"id" === 5L).select("v").as[String].collect().toSeq
+    assert(v5old === Seq("u5"))
+    assert(IcebergSource.read(spark, root).count() === 21)
+    assert(sid2 > sid)
+
+    // crash matrix: every pre-commit fault invisible; rerun converges
+    for (point <- Seq("staged", "files-placed", "manifests-written")) {
+      val r2 = tempDir(s"graft-upsert-crash-$point")
+      IcebergWriter.append(spark, r2, df, None, 1000L, formatVersion = 2)
+      val boom = intercept[RuntimeException] {
+        IcebergWriter.upsertRows(spark, r2,
+          Seq((3L, "u3")).toDF("id", "v"), "id", 2000L,
+          faultHook = p => if (p == point)
+            throw new RuntimeException(s"injected crash @$p"))
+      }
+      assert(boom.getMessage.contains(point))
+      assert(IcebergMeta.load(r2).snapshots.map(_.id) === Seq(1L))
+      assert(IcebergSource.read(spark, r2).count() === 20)
+      IcebergWriter.upsertRows(spark, r2,
+        Seq((3L, "u3")).toDF("id", "v"), "id", 3000L)
+      val got = IcebergSource.read(spark, r2)
+        .filter($"id" === 3L).select("v").as[String].collect().toSeq
+      assert(got === Seq("u3"), s"rerun after crash @$point did not converge")
+    }
+  }
+
   // ---------------------------------------------------------------------
   // hidden-partition transforms
   // ---------------------------------------------------------------------
