@@ -68,6 +68,32 @@ object Bench {
       ((System.nanoTime() - t0) / 1e9, ok)
     }
 
+    // CPU canary: a fixed JVM integer workload, single-thread and
+    // all-cores, reported as million-iters/sec. Makes host speed part of
+    // the artifact: a future bench that drifts while its canary matches
+    // is a real regression; one whose canary drops proportionally caught
+    // a slow host (the r11->r12 adjudication, automated). JIT-warmed by
+    // an untimed pass; ~1.5 s total cost.
+    def burn(iters: Long): Long = {
+      var x = 0L; var i = 0L
+      while (i < iters) { x += (i * i) & 1023L; i += 1 }
+      x
+    }
+    def canary(): (Double, Double) = {
+      burn(20000000L) // JIT warmup, untimed
+      val t0 = System.nanoTime()
+      burn(200000000L)
+      // iters / ns * 1000 = million iters per second
+      val single = 200000000.0 / (System.nanoTime() - t0) * 1000.0
+      val threads = Runtime.getRuntime.availableProcessors()
+      val t1 = System.nanoTime()
+      val pool = (1 to threads).map(_ => new Thread(() => { burn(100000000L): Unit }))
+      pool.foreach(_.start()); pool.foreach(_.join())
+      val perCore = 100000000.0 / (System.nanoTime() - t1) * 1000.0
+      (single, perCore)
+    }
+    val (canarySingle, canaryPerCore) = canary()
+
     // 1-minute loadavg — recorded before/after every rep so a contention
     // spike (round-6's q1_agg 8.46 s max against a 1.38 s min, same
     // shuffle bytes) is adjudicable from the artifact alone instead of
@@ -141,7 +167,7 @@ object Bench {
     // via log4j2.properties) and is flushed before shutdown logging, so
     // the driver's parser finds it first
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qmin,"queries_max":$qmax,"queries_reps":$qreps,"queries_load":$qload,"reps":$reps,"failed":$failed,"cold_total":$coldTotal,"shuffle_read_mb":$shuffle,"spill_mb":$spills,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qmin,"queries_max":$qmax,"queries_reps":$qreps,"queries_load":$qload,"reps":$reps,"failed":$failed,"cold_total":$coldTotal,"shuffle_read_mb":$shuffle,"spill_mb":$spills,"canary_single_mips":$canarySingle%.1f,"canary_percore_mips":$canaryPerCore%.1f,"sf":"$sfDir"}"""
     println(json)
     System.out.flush()
     // ALSO write the line to a file: the two previous rounds' BENCH

@@ -112,18 +112,43 @@ object SourceQueries {
     * a position-delete MERGE (`mergeRows`: p_size+100 for p_partkey % 5
     * == 0, 'merged-' inserts at +1000000 per % 7 == 0); snapshot 3 is an
     * equality-delete UPSERT (`upsertRows`: 'upserted-'/p_size=7 for
-    * % 11 == 0, 'ups-new-' inserts at +2000000 per % 13 == 0). Key
-    * offsets keep the insert spaces collision-free at any fixture SF,
-    * and no upsert key collides with a merge insert (upsert keys are
-    * original part keys or +2000000).
+    * % 11 == 0, 'ups-new-' inserts at +2000000 per % 13 == 0); snapshot
+    * 4 COMPACTS — rewrites the delete-applied state into clean data
+    * files (`compact`), leaving snapshots 2/3 reachable by time travel.
+    * Key offsets keep the insert spaces collision-free at any fixture
+    * SF, and no upsert key collides with a merge insert (upsert keys
+    * are original part keys or +2000000).
     */
+  /** Oracle for the merge-then-upsert logical state — shared VERBATIM by
+    * `q_iceberg_upsert` (snapshot-3 MoR read: base + pos-delete +
+    * eq-delete subtraction) and `q_iceberg_compacted` (current read off
+    * the rewritten files): same rows from two physically different
+    * layouts is exactly the compaction contract.
+    */
+  private val icebergUpsertOracle: String =
+    "SELECT p_partkey, " +
+      "CASE WHEN p_partkey % 11 = 0 THEN 'upserted-' || CAST(p_partkey AS VARCHAR) " +
+      "ELSE p_name END AS p_name, " +
+      "CASE WHEN p_partkey % 11 = 0 THEN 7 " +
+      "WHEN p_partkey % 5 = 0 THEN p_size + 100 ELSE p_size END AS p_size " +
+      "FROM part " +
+      "UNION ALL " +
+      "SELECT p_partkey + 1000000 AS p_partkey, " +
+      "'merged-' || CAST(p_partkey AS VARCHAR) AS p_name, 1 AS p_size " +
+      "FROM part WHERE p_partkey % 7 = 0 " +
+      "UNION ALL " +
+      "SELECT p_partkey + 2000000 AS p_partkey, " +
+      "'ups-new-' || CAST(p_partkey AS VARCHAR) AS p_name, 3 AS p_size " +
+      "FROM part WHERE p_partkey % 13 = 0 " +
+      "ORDER BY p_partkey"
+
   private def fixtureIcebergMergeTable(
       s: org.apache.spark.sql.SparkSession, dir: String): String = {
     import graft.sources.IcebergWriter
     val root = graft.engine.TempDirs.workspace("graft-iceberg", "mergev2", dir)
     graft.engine.TempDirs.materializeOnce(root)(
       java.nio.file.Files.exists(
-        root.resolve("metadata").resolve("v3.metadata.json"))
+        root.resolve("metadata").resolve("v4.metadata.json"))
     ) {
       if (java.nio.file.Files.exists(root)) {
         val walk = java.nio.file.Files.walk(root)
@@ -160,7 +185,8 @@ object SourceQueries {
           concat(lit("ups-new-"), col("p_partkey")).as("p_name"),
           lit(3).cast(sT).as("p_size")))
       IcebergWriter.upsertRows(s, root.toString, upserts, "p_partkey",
-        timestampMs = 3000L): Unit
+        timestampMs = 3000L)
+      IcebergWriter.compact(s, root.toString, timestampMs = 4000L): Unit
     }
     root.toString
   }
@@ -546,27 +572,29 @@ object SourceQueries {
       (s, dir) => {
         val root = fixtureIcebergMergeTable(s, dir)
         graft.sources.IcebergSource
+          .read(s, root, snapshotId = Some(3L), asOfTimestampMs = None,
+            prune = None)
+          .select($"p_partkey", $"p_name", $"p_size")
+          .orderBy($"p_partkey")
+      },
+      Some(icebergUpsertOracle)
+    ),
+    // COMPACTION (current snapshot): the same logical state as
+    // q_iceberg_upsert — same oracle text — but served from the
+    // rewritten clean data files with ZERO delete files left to apply
+    // (SourcesSpec pins the empty delete list and time-travel survival).
+    // Together the two queries gate that compaction is a physical
+    // rewrite, never a logical change.
+    Q(
+      "q_iceberg_compacted",
+      (s, dir) => {
+        val root = fixtureIcebergMergeTable(s, dir)
+        graft.sources.IcebergSource
           .read(s, root)
           .select($"p_partkey", $"p_name", $"p_size")
           .orderBy($"p_partkey")
       },
-      Some(
-        "SELECT p_partkey, " +
-          "CASE WHEN p_partkey % 11 = 0 THEN 'upserted-' || CAST(p_partkey AS VARCHAR) " +
-          "ELSE p_name END AS p_name, " +
-          "CASE WHEN p_partkey % 11 = 0 THEN 7 " +
-          "WHEN p_partkey % 5 = 0 THEN p_size + 100 ELSE p_size END AS p_size " +
-          "FROM part " +
-          "UNION ALL " +
-          "SELECT p_partkey + 1000000 AS p_partkey, " +
-          "'merged-' || CAST(p_partkey AS VARCHAR) AS p_name, 1 AS p_size " +
-          "FROM part WHERE p_partkey % 7 = 0 " +
-          "UNION ALL " +
-          "SELECT p_partkey + 2000000 AS p_partkey, " +
-          "'ups-new-' || CAST(p_partkey AS VARCHAR) AS p_name, 3 AS p_size " +
-          "FROM part WHERE p_partkey % 13 = 0 " +
-          "ORDER BY p_partkey"
-      )
+      Some(icebergUpsertOracle)
     ),
     // The SECOND DPP shape: subquery pruning WITHOUT a broadcast to reuse.
     // The dim is merge-join-hinted (stand-in for a dim too big to

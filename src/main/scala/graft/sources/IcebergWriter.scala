@@ -726,6 +726,75 @@ object IcebergWriter {
     snapshotId
   }
 
+  /** COMPACTION (v2 maintenance): rewrite the table's current visible
+    * rows — every accumulated position/equality delete applied — into
+    * fresh data files and commit a snapshot whose manifest list carries
+    * ONLY them. MoR write flavors ([[mergeRows]]/[[upsertRows]]) trade
+    * read cost for commit cost; after enough of them every scan pays a
+    * growing anti-join stack, and compaction is how the table gets its
+    * clean-scan economics back (run it when delete files or their row
+    * counts cross a threshold — the classic rewrite_data_files job).
+    * Old snapshots still reference their own manifest lists, so time
+    * travel to any pre-compaction state keeps working; nothing is
+    * physically deleted (file GC = snapshot expiry, a separate concern).
+    * Same crash seam and rerun convergence as the other writers.
+    * Returns the new snapshot id.
+    */
+  def compact(
+      spark: SparkSession,
+      tablePath: String,
+      timestampMs: Long,
+      faultHook: String => Unit = _ => ()): Long = {
+    val meta = IcebergMeta.load(tablePath)
+    require(meta.formatVersion == 2,
+      s"compact targets v2 merge-on-read tables; this one is v${meta.formatVersion}")
+    require(meta.partitionFields.isEmpty,
+      "compact rewrites unpartitioned v2 tables only")
+    require(meta.currentSnapshot.isDefined, "table has no current snapshot")
+
+    val baseVersion = Some(IcebergSource.versionHint(tablePath).get)
+    val root = meta.root
+    val snapshotId = meta.snapshots.map(_.id).max + 1L
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    val staging = Files.createTempDirectory("graft-iceberg-compact")
+
+    // the delete-applied current state IS the read path — compaction
+    // materializes exactly what any reader sees today
+    IcebergSource.read(spark, tablePath)
+      .write.parquet(staging.resolve("data").toString)
+    val stagedData = parquetFiles(staging.resolve("data"))
+    require(stagedData.nonEmpty, "compaction produced no data files")
+    faultHook("staged")
+
+    val movedData = stagedData.zipWithIndex.map { case (f, i) =>
+      val target = root.resolve("data")
+        .resolve(f"snap$snapshotId%05d-$i%03d.parquet")
+      Files.move(f, target, StandardCopyOption.REPLACE_EXISTING)
+      target
+    }
+    deleteRecursively(staging)
+    faultHook("files-placed")
+
+    val entries = movedData.map(p =>
+      IcebergMeta.ManifestEntry(
+        status = 1, snapshotId,
+        IcebergMeta.DataFile(
+          p.toAbsolutePath.toString, "PARQUET", Map.empty,
+          parquetRowCount(hadoopConf, p), Files.size(p))))
+    val mpath = root.resolve("metadata")
+      .resolve(f"manifest-$snapshotId%05d-000.avro")
+    writeManifest(mpath, None, entries, formatVersion = 2)
+    val manifest = manifestRecord(mpath, snapshotId, None, entries)
+    faultHook("manifests-written")
+
+    // NOTHING carried: the whole point — the new manifest list is the
+    // compacted data alone, with zero delete manifests left to apply
+    commitSnapshot(spark, root, IcebergMeta.sparkSchema(meta), None,
+      Some(meta), baseVersion, snapshotId, timestampMs, Seq(manifest),
+      operation = "replace", formatVersion = 2)
+    snapshotId
+  }
+
   /** Shared tail of the two row-level deletes: wrap the delete file in a
     * content=1 delete manifest (empty partition record — the delete
     * applies table-wide; partition-scoped delete manifests are a pruning

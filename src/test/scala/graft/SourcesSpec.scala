@@ -816,6 +816,50 @@ class SourcesSpec extends SparkTestBase {
     }
   }
 
+  test("iceberg v2 compact: rewrites delete-applied state; zero delete files after") {
+    // the 5-snapshot MoR table: live position AND equality deletes
+    val root = mkV2Table()
+    val before = IcebergSource.read(spark, root).collect()
+      .map(_.toString).sorted.toSeq
+    val planBefore = IcebergSource.planScan(root)
+    assert(planBefore.deletes.size === 2, "fixture should carry both delete kinds")
+
+    val sid = IcebergWriter.compact(spark, root, 6000L)
+    val meta = IcebergMeta.load(root)
+    val planAfter = IcebergMeta.planScan(meta, meta.snapshotById(sid))
+    // the whole point: no delete files left to apply, fresh files only
+    assert(planAfter.deletes.isEmpty, "compaction must retire every delete file")
+    assert(planAfter.files.forall(_.path.contains(f"snap$sid%05d")),
+      "compacted snapshot must reference only the rewritten files")
+    // logical state unchanged
+    val after = IcebergSource.read(spark, root).collect()
+      .map(_.toString).sorted.toSeq
+    assert(after === before, "compaction changed visible rows")
+    // time travel to the MoR snapshots still answers their old states
+    assert(IcebergSource.read(spark, root, Some(3L), None, None).count() === 30)
+    assert(IcebergSource.read(spark, root, Some(4L), None, None).count() === 22)
+
+    // crash matrix: pre-commit faults invisible, rerun converges
+    for (point <- Seq("staged", "files-placed", "manifests-written")) {
+      val r2 = mkV2Table()
+      val want = IcebergSource.read(spark, r2).collect().map(_.toString).sorted.toSeq
+      val boom = intercept[RuntimeException] {
+        IcebergWriter.compact(spark, r2, 6000L,
+          faultHook = p => if (p == point)
+            throw new RuntimeException(s"injected crash @$p"))
+      }
+      assert(boom.getMessage.contains(point))
+      assert(IcebergMeta.load(r2).snapshots.size === 5, s"crash @$point committed")
+      assert(IcebergSource.read(spark, r2).collect().map(_.toString).sorted.toSeq
+        === want, s"crash @$point changed visible rows")
+      val sid2 = IcebergWriter.compact(spark, r2, 7000L)
+      val m2 = IcebergMeta.load(r2)
+      assert(IcebergMeta.planScan(m2, m2.snapshotById(sid2)).deletes.isEmpty)
+      assert(IcebergSource.read(spark, r2).collect().map(_.toString).sorted.toSeq
+        === want, s"rerun after crash @$point did not converge")
+    }
+  }
+
   // ---------------------------------------------------------------------
   // hidden-partition transforms
   // ---------------------------------------------------------------------
