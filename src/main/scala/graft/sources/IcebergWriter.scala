@@ -795,6 +795,108 @@ object IcebergWriter {
     snapshotId
   }
 
+  /** SNAPSHOT EXPIRY + orphan GC (the other half of table maintenance —
+    * [[compact]] retires delete files logically; nothing reclaims bytes
+    * until the snapshots referencing the old files are dropped): remove
+    * every snapshot older than `olderThanMs` (the current snapshot is
+    * always kept regardless of age) from the table metadata, then delete
+    * data/delete files and manifest/list Avros no remaining snapshot
+    * references. Returns the expired snapshot ids.
+    *
+    * Ordering is the crash-safety argument: the shrunk metadata commits
+    * FIRST (same verbatim-JSON + atomic-hint discipline as every other
+    * commit), file deletion runs after — a crash at any point leaves
+    * either the old fully-referenced table or a new consistent one with
+    * some unreclaimed orphans that a rerun deletes; dangling references
+    * are impossible. Time travel to an expired snapshot now fails with
+    * the standard not-found error, which is the spec-intended trade:
+    * history retention is exactly the expiry policy.
+    */
+  def expireSnapshots(
+      tablePath: String,
+      olderThanMs: Long,
+      timestampMs: Long,
+      faultHook: String => Unit = _ => ()): Seq[Long] = {
+    val meta = IcebergMeta.load(tablePath)
+    val root = meta.root
+    val current = meta.currentSnapshot.getOrElse(
+      throw new IllegalStateException("table has no current snapshot"))
+    val expired = meta.snapshots
+      .filter(s => s.timestampMs < olderThanMs && s.id != current.id)
+    // NOTE: no early return when nothing expires — the GC pass below
+    // still runs (referenced = every snapshot's files), which is what
+    // lets a rerun reclaim orphans a crash-between-commit-and-GC left
+    val keep = meta.snapshots.filterNot(s => expired.exists(_.id == s.id))
+
+    def norm(p: String): String = {
+      val stripped = p.stripPrefix("file:")
+      val path = Paths.get(stripped)
+      (if (path.isAbsolute) path else root.resolve(stripped))
+        .toAbsolutePath.normalize.toString
+    }
+    // everything the REMAINING snapshots can reach: manifest lists,
+    // manifests, data + delete files — KB-scale metadata walking
+    val referenced = scala.collection.mutable.Set.empty[String]
+    keep.foreach { s =>
+      referenced += norm(s.manifestList)
+      IcebergMeta.readManifestListFile(root, s.manifestList).foreach { mf =>
+        referenced += norm(mf.path)
+        IcebergMeta.readManifest(root, mf.path, mf.addedSnapshotId,
+          mf.sequenceNumber).foreach(e => referenced += norm(e.dataFile.path))
+      }
+    }
+    faultHook("computed")
+
+    if (expired.nonEmpty) {
+      // metadata first: after this commit the expired snapshots are gone
+      // from the table's history; the files become orphans
+      val baseVersion = IcebergSource.versionHint(tablePath).getOrElse(
+        throw new IllegalStateException("expiry requires version-hint metadata"))
+      val node = mapper.readTree(Files.readString(
+        root.resolve("metadata").resolve(s"v$baseVersion.metadata.json")))
+        .asInstanceOf[ObjectNode]
+      val expiredIds = expired.map(_.id).toSet
+      def filterArray(name: String, idField: String): Unit =
+        if (node.has(name)) {
+          val arr = node.withArray[ArrayNode](name)
+          val kept = (0 until arr.size()).map(arr.get)
+            .filterNot(n => expiredIds.contains(n.path(idField).asLong()))
+          arr.removeAll()
+          kept.foreach(arr.add)
+          ()
+        }
+      filterArray("snapshots", "snapshot-id")
+      filterArray("snapshot-log", "snapshot-id")
+      node.put("last-updated-ms", timestampMs)
+      val version = baseVersion + 1
+      Files.writeString(
+        root.resolve("metadata").resolve(s"v$version.metadata.json"),
+        mapper.writerWithDefaultPrettyPrinter().writeValueAsString(node))
+      val tmp = root.resolve("metadata").resolve(s".version-hint.expire.tmp")
+      Files.writeString(tmp, version.toString)
+      Files.move(tmp, root.resolve("metadata").resolve("version-hint.text"),
+        StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    }
+    faultHook("committed")
+
+    // GC pass: parquet under data/, avro under metadata/ — never the
+    // metadata jsons or the hint, which ARE the table's history record
+    def sweep(dir: Path, suffix: String): Unit =
+      if (Files.isDirectory(dir)) {
+        val walk = Files.walk(dir)
+        try walk.iterator().asScala
+          .filter(p => Files.isRegularFile(p) &&
+            p.getFileName.toString.endsWith(suffix) &&
+            !referenced.contains(p.toAbsolutePath.normalize.toString))
+          .foreach(Files.deleteIfExists(_))
+        finally walk.close()
+      }
+    sweep(root.resolve("data"), ".parquet")
+    sweep(root.resolve("metadata"), ".avro")
+    notifyCommit(root.toString)
+    expired.map(_.id)
+  }
+
   /** Shared tail of the two row-level deletes: wrap the delete file in a
     * content=1 delete manifest (empty partition record — the delete
     * applies table-wide; partition-scoped delete manifests are a pruning

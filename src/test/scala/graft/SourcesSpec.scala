@@ -860,6 +860,62 @@ class SourcesSpec extends SparkTestBase {
     }
   }
 
+  test("iceberg snapshot expiry: history dropped, orphan bytes reclaimed, current intact") {
+    def dataFiles(root: String) = {
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(root, "data"))
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala
+          .filter(p => java.nio.file.Files.isRegularFile(p) &&
+            p.getFileName.toString.endsWith(".parquet"))
+          .map(_.getFileName.toString).toSeq.sorted
+      } finally walk.close()
+    }
+    val root = mkV2Table() // snapshots 1-5 (ts 1000..5000), MoR deletes live
+    val sid = IcebergWriter.compact(spark, root, 6000L)
+    val want = IcebergSource.read(spark, root).collect().map(_.toString).sorted.toSeq
+    assert(dataFiles(root).exists(!_.contains(f"snap$sid%05d")),
+      "pre-expiry table should still hold the historical files")
+
+    val expired = IcebergWriter.expireSnapshots(root, olderThanMs = 6000L, 7000L)
+    assert(expired === Seq(1L, 2L, 3L, 4L, 5L))
+    val meta = IcebergMeta.load(root)
+    assert(meta.snapshots.map(_.id) === Seq(sid), "only the current snapshot survives")
+    assert(IcebergSource.read(spark, root).collect().map(_.toString).sorted.toSeq
+      === want, "expiry changed visible rows")
+    // time travel to expired history fails with the standard not-found
+    assert(intercept[IllegalArgumentException] {
+      IcebergSource.read(spark, root, Some(3L), None, None)
+    }.getMessage.contains("not found"))
+    // bytes actually reclaimed: every surviving data file is the
+    // compacted snapshot's; the old data + delete files are gone
+    assert(dataFiles(root).forall(_.contains(f"snap$sid%05d")),
+      s"orphans not reclaimed: ${dataFiles(root)}")
+    // idempotent: nothing further to expire, and a second call is a no-op
+    assert(IcebergWriter.expireSnapshots(root, 6000L, 8000L) === Seq.empty)
+
+    // crash AFTER the metadata commit, BEFORE GC: history already gone,
+    // orphans remain — and the rerun (which expires nothing) reclaims them
+    val r2 = mkV2Table()
+    val sid2 = IcebergWriter.compact(spark, r2, 6000L)
+    val want2 = IcebergSource.read(spark, r2).collect().map(_.toString).sorted.toSeq
+    val boom = intercept[RuntimeException] {
+      IcebergWriter.expireSnapshots(r2, 6000L, 7000L,
+        faultHook = p => if (p == "committed")
+          throw new RuntimeException("injected crash @committed"))
+    }
+    assert(boom.getMessage.contains("committed"))
+    assert(IcebergMeta.load(r2).snapshots.map(_.id) === Seq(sid2),
+      "metadata commit should have landed before the crash")
+    assert(dataFiles(r2).exists(!_.contains(f"snap$sid2%05d")),
+      "crash should have left orphans")
+    assert(IcebergWriter.expireSnapshots(r2, 6000L, 8000L) === Seq.empty)
+    assert(dataFiles(r2).forall(_.contains(f"snap$sid2%05d")),
+      "rerun must reclaim the crash's orphans")
+    assert(IcebergSource.read(spark, r2).collect().map(_.toString).sorted.toSeq
+      === want2)
+  }
+
   // ---------------------------------------------------------------------
   // hidden-partition transforms
   // ---------------------------------------------------------------------
