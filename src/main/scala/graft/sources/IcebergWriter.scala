@@ -159,55 +159,96 @@ object IcebergWriter {
 
     // ---- data files -----------------------------------------------------
     val staging = Files.createTempDirectory("graft-iceberg-stage")
-    val written: Seq[(Map[String, Any], Path)] = partition match {
-      case Some(pt) =>
-        val fieldName = pt.fieldName
-        val dt = transformedSparkType(pt, df.schema)
-        // the TRANSFORMED value becomes the layout column; partitionBy
-        // drops it from the files, which is exactly hidden partitioning:
-        // identity drops the source column itself (reconstituted from
-        // dirs on read), any other transform keeps the source column in
-        // the data and only the derived value shapes the layout.
-        // One shuffle per partition value so each value yields one file
-        // (not one per input split) — same move a production writer
-        // makes to avoid the small-files problem
-        df.withColumn(fieldName, transformedColumn(pt, df.schema))
-          .repartition(org.apache.spark.sql.functions.col(fieldName))
-          .write.partitionBy(fieldName).parquet(staging.resolve("out").toString)
-        val listing = Files.list(staging.resolve("out"))
-        val dirs =
-          try listing.iterator().asScala
-            .filter(p => Files.isDirectory(p) && p.getFileName.toString.contains("="))
-            .toSeq.sortBy(_.getFileName.toString)
-          finally listing.close()
-        dirs.flatMap { dir =>
-          val raw = dir.getFileName.toString.split("=", 2)(1)
-          require(raw != "__HIVE_DEFAULT_PARTITION__",
-            s"Null partition values not supported (column $fieldName)")
-          val value = parsePartitionValue(raw, dt)
-          val dest = root.resolve("data").resolve(dir.getFileName.toString)
-          Files.createDirectories(dest)
-          parquetFiles(dir).zipWithIndex.map { case (f, i) =>
-            val target = dest.resolve(f"snap$snapshotId%05d-$i%03d.parquet")
-            Files.move(f, target, StandardCopyOption.REPLACE_EXISTING)
-            (Map(fieldName -> value), target)
-          }
-        }
-      case None =>
-        df.write.parquet(staging.resolve("out").toString)
-        parquetFiles(staging.resolve("out")).zipWithIndex.map { case (f, i) =>
-          val target = root.resolve("data").resolve(f"snap$snapshotId%05d-$i%03d.parquet")
-          Files.move(f, target, StandardCopyOption.REPLACE_EXISTING)
-          (Map.empty[String, Any], target)
-        }
-    }
+    val staged = stageDataFiles(df, partition, staging)
+    val written = placeDataFiles(root, staged, snapshotId)
     deleteRecursively(staging)
 
     // ---- manifests: one per distinct partition tuple --------------------
-    val hadoopConf = spark.sessionState.newHadoopConf()
     val partType = partition.map(p => p.fieldName -> transformedSparkType(p, df.schema))
-    val groups = written.groupBy(_._1).toSeq.sortBy(_._1.values.mkString)
-    val newManifests = groups.zipWithIndex.map { case ((ptuple, files), i) =>
+    val newManifests = buildDataManifests(spark, root, written, partType, snapshotId, fv)
+
+    val carried = prior
+      .map(m => IcebergMeta.readManifestListFile(
+        m.root, currentManifestList(m).toString))
+      .getOrElse(Seq.empty)
+    commitSnapshot(spark, root, df.schema, partition, prior, baseVersion,
+      snapshotId, timestampMs, carried ++ newManifests, operation = "append", fv)
+    snapshotId
+  }
+
+  /** Stage `df`'s rows under `staging` laid out per `partition`: the
+    * TRANSFORMED value becomes the layout column; partitionBy drops it
+    * from the files, which is exactly hidden partitioning (identity
+    * drops the source column itself — reconstituted from dirs on read;
+    * any other transform keeps the source column in the data and only
+    * the derived value shapes the layout). One shuffle per partition
+    * value so each value yields one file, not one per input split —
+    * the small-files defense a production writer makes. Returns
+    * (partition tuple, staged file); partitioned files sit in their
+    * `<field>=<value>` dir. Shared by append / merge / upsert / compact.
+    */
+  private def stageDataFiles(
+      df: DataFrame,
+      partition: Option[PartitionTransform],
+      staging: Path): Seq[(Map[String, Any], Path)] = partition match {
+    case Some(pt) =>
+      val fieldName = pt.fieldName
+      val dt = transformedSparkType(pt, df.schema)
+      df.withColumn(fieldName, transformedColumn(pt, df.schema))
+        .repartition(org.apache.spark.sql.functions.col(fieldName))
+        .write.partitionBy(fieldName).parquet(staging.resolve("out").toString)
+      val listing = Files.list(staging.resolve("out"))
+      val dirs =
+        try listing.iterator().asScala
+          .filter(p => Files.isDirectory(p) && p.getFileName.toString.contains("="))
+          .toSeq.sortBy(_.getFileName.toString)
+        finally listing.close()
+      dirs.flatMap { dir =>
+        val raw = dir.getFileName.toString.split("=", 2)(1)
+        require(raw != "__HIVE_DEFAULT_PARTITION__",
+          s"Null partition values not supported (column $fieldName)")
+        val value = parsePartitionValue(raw, dt)
+        parquetFiles(dir).map(f => (Map[String, Any](fieldName -> value), f))
+      }
+    case None =>
+      df.write.parquet(staging.resolve("out").toString)
+      parquetFiles(staging.resolve("out"))
+        .map(f => (Map.empty[String, Any], f))
+  }
+
+  /** Move staged files into `data/` under deterministic snapshot-keyed
+    * names (partitioned files under their `<field>=<value>` dir — the
+    * staged file's parent). Deterministic names + REPLACE_EXISTING are
+    * the rerun-convergence story: a crashed attempt's orphans are
+    * overwritten, never accumulated.
+    */
+  private def placeDataFiles(
+      root: Path,
+      staged: Seq[(Map[String, Any], Path)],
+      snapshotId: Long): Seq[(Map[String, Any], Path)] =
+    staged.zipWithIndex.map { case ((ptuple, f), i) =>
+      val dest =
+        if (ptuple.isEmpty) root.resolve("data")
+        else root.resolve("data").resolve(f.getParent.getFileName.toString)
+      Files.createDirectories(dest)
+      val target = dest.resolve(f"snap$snapshotId%05d-$i%03d.parquet")
+      Files.move(f, target, StandardCopyOption.REPLACE_EXISTING)
+      (ptuple, target)
+    }
+
+  /** One ADDED-status manifest per distinct partition tuple over the
+    * placed files, with partition summaries for manifest-level pruning.
+    */
+  private def buildDataManifests(
+      spark: SparkSession,
+      root: Path,
+      placed: Seq[(Map[String, Any], Path)],
+      partType: Option[(String, DataType)],
+      snapshotId: Long,
+      fv: Int): Seq[IcebergMeta.ManifestFile] = {
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    val groups = placed.groupBy(_._1).toSeq.sortBy(_._1.values.mkString)
+    groups.zipWithIndex.map { case ((ptuple, files), i) =>
       val entries = files.map { case (_, p) =>
         IcebergMeta.ManifestEntry(
           status = 1, // ADDED
@@ -224,15 +265,35 @@ object IcebergWriter {
       writeManifest(mpath, partType, entries, fv)
       manifestRecord(mpath, snapshotId, partType, entries)
     }
-
-    val carried = prior
-      .map(m => IcebergMeta.readManifestListFile(
-        m.root, currentManifestList(m).toString))
-      .getOrElse(Seq.empty)
-    commitSnapshot(spark, root, df.schema, partition, prior, baseVersion,
-      snapshotId, timestampMs, carried ++ newManifests, operation = "append", fv)
-    snapshotId
   }
+
+  /** The table's recorded partition spec as this writer's transform, for
+    * the write flavors that must lay NEW data files out under it (merge
+    * / upsert / compact on a partitioned table). Refuses multi-field
+    * specs and name conventions this writer didn't produce — writing a
+    * layout that diverges from the spec would silently vanish files
+    * from pruned reads, the failure appendPartitioned's spec gate exists
+    * to prevent.
+    */
+  private def specTransform(
+      meta: IcebergMeta.TableMeta): Option[PartitionTransform] =
+    meta.partitionFields match {
+      case Seq() => None
+      case Seq(pf) =>
+        val src = meta.fields.find(_.id == pf.sourceId).getOrElse(
+          throw new IllegalArgumentException(
+            s"partition field '${pf.name}' references unknown source id " +
+              s"${pf.sourceId}")).name
+        val pt = PartitionTransform(src, pf.transform)
+        require(pt.fieldName == pf.name,
+          s"partition field '${pf.name}' does not follow this writer's " +
+            s"naming (expected '${pt.fieldName}'); refusing to lay out files")
+        Some(pt)
+      case many =>
+        throw new UnsupportedOperationException(
+          s"multi-field partition specs not supported by this writer " +
+            s"(${many.map(_.name).mkString(",")})")
+    }
 
   /** Spark type of the transformed partition value — also the gate on
     * what this writer can lay out (bucket[N] would need Iceberg's
@@ -481,7 +542,9 @@ object IcebergWriter {
     * data FILES (not the delete-applied view): a row an earlier delete
     * already removed may be re-listed in the new delete file, which is a
     * spec-sanctioned no-op. `key` must be unique per side, the standard
-    * MERGE precondition. Unpartitioned v2 tables only.
+    * MERGE precondition. Partitioned tables are supported: the new data
+    * files are laid out under the table's recorded spec (single-field
+    * specs this writer produces) while the delete file stays table-wide.
     *
     * `faultHook` is the crash-injection seam (SourcesSpec matrix): it is
     * called at each named point BEFORE the metadata commit; a crash at
@@ -499,8 +562,10 @@ object IcebergWriter {
     val meta = IcebergMeta.load(tablePath)
     require(meta.formatVersion == 2,
       s"mergeRows requires a v2 table; this one is v${meta.formatVersion}")
-    require(meta.partitionFields.isEmpty,
-      "mergeRows writes unpartitioned v2 tables only")
+    // partitioned tables supported: new data files are laid out under
+    // the table's recorded spec; the position-delete file stays
+    // table-wide (delete manifests are never pruned, conservative-correct)
+    val partition = specTransform(meta)
     require(meta.fields.map(_.name) == updates.schema.fieldNames.toSeq,
       s"Merge schema ${updates.schema.fieldNames.mkString(",")} does not " +
         s"match table schema ${meta.fields.map(_.name).mkString(",")}")
@@ -552,22 +617,18 @@ object IcebergWriter {
     }
     val nDeleted = parquetRowCount(hadoopConf, delSrc)
 
-    // data files for ALL update rows (replacements and inserts alike)
-    updates.write.parquet(staging.resolve("data").toString)
-    val stagedData = parquetFiles(staging.resolve("data"))
-    val nUpserted = stagedData.map(parquetRowCount(hadoopConf, _)).sum
+    // data files for ALL update rows (replacements and inserts alike),
+    // laid out under the table's partition spec
+    val stagedData = stageDataFiles(
+      updates, partition, Files.createDirectories(staging.resolve("data")))
+    val nUpserted = stagedData.map(f => parquetRowCount(hadoopConf, f._2)).sum
     if (nUpserted == 0) {
       deleteRecursively(staging)
       throw new IllegalArgumentException("mergeRows got an empty updates frame")
     }
     faultHook("staged") // everything computed; table directories untouched
 
-    val movedData = stagedData.zipWithIndex.map { case (f, i) =>
-      val target = root.resolve("data")
-        .resolve(f"snap$snapshotId%05d-$i%03d.parquet")
-      Files.move(f, target, StandardCopyOption.REPLACE_EXISTING)
-      target
-    }
+    val movedData = placeDataFiles(root, stagedData, snapshotId)
     faultHook("data-moved")
     val delTarget =
       if (nDeleted == 0) None // pure-insert merge: no delete file at all
@@ -580,16 +641,10 @@ object IcebergWriter {
     deleteRecursively(staging)
     faultHook("files-placed")
 
-    val dataEntries = movedData.map(p =>
-      IcebergMeta.ManifestEntry(
-        status = 1, snapshotId,
-        IcebergMeta.DataFile(
-          p.toAbsolutePath.toString, "PARQUET", Map.empty,
-          parquetRowCount(hadoopConf, p), Files.size(p))))
-    val dataMPath = root.resolve("metadata")
-      .resolve(f"manifest-$snapshotId%05d-000.avro")
-    writeManifest(dataMPath, None, dataEntries, formatVersion = 2)
-    val dataManifest = manifestRecord(dataMPath, snapshotId, None, dataEntries)
+    val partType = partition.map(p =>
+      p.fieldName -> transformedSparkType(p, updates.schema))
+    val dataManifests = buildDataManifests(
+      spark, root, movedData, partType, snapshotId, fv = 2)
     val delManifest = delTarget.map { t =>
       val entry = IcebergMeta.ManifestEntry(
         status = 1, snapshotId,
@@ -606,7 +661,7 @@ object IcebergWriter {
     val carried = IcebergMeta.readManifestListFile(
       root, currentManifestList(meta).toString)
     commitSnapshot(spark, root, schema, None, Some(meta), baseVersion,
-      snapshotId, timestampMs, carried ++ delManifest.toSeq :+ dataManifest,
+      snapshotId, timestampMs, carried ++ delManifest.toSeq ++ dataManifests,
       operation = "overwrite", formatVersion = 2)
     snapshotId
   }
@@ -634,8 +689,7 @@ object IcebergWriter {
     val meta = IcebergMeta.load(tablePath)
     require(meta.formatVersion == 2,
       s"upsertRows requires a v2 table; this one is v${meta.formatVersion}")
-    require(meta.partitionFields.isEmpty,
-      "upsertRows writes unpartitioned v2 tables only")
+    val partition = specTransform(meta)
     require(meta.fields.map(_.name) == updates.schema.fieldNames.toSeq,
       s"Upsert schema ${updates.schema.fieldNames.mkString(",")} does not " +
         s"match table schema ${meta.fields.map(_.name).mkString(",")}")
@@ -672,37 +726,26 @@ object IcebergWriter {
     }
     val nKeys = parquetRowCount(hadoopConf, delSrc)
 
-    updates.write.parquet(staging.resolve("data").toString)
-    val stagedData = parquetFiles(staging.resolve("data"))
-    val nUpserted = stagedData.map(parquetRowCount(hadoopConf, _)).sum
+    val stagedData = stageDataFiles(
+      updates, partition, Files.createDirectories(staging.resolve("data")))
+    val nUpserted = stagedData.map(f => parquetRowCount(hadoopConf, f._2)).sum
     if (nUpserted == 0) {
       deleteRecursively(staging)
       throw new IllegalArgumentException("upsertRows got an empty updates frame")
     }
     faultHook("staged")
 
-    val movedData = stagedData.zipWithIndex.map { case (f, i) =>
-      val target = root.resolve("data")
-        .resolve(f"snap$snapshotId%05d-$i%03d.parquet")
-      Files.move(f, target, StandardCopyOption.REPLACE_EXISTING)
-      target
-    }
+    val movedData = placeDataFiles(root, stagedData, snapshotId)
     val delTarget = root.resolve("data")
       .resolve(f"delete-$snapshotId%05d-eq.parquet")
     Files.move(delSrc, delTarget, StandardCopyOption.REPLACE_EXISTING)
     deleteRecursively(staging)
     faultHook("files-placed")
 
-    val dataEntries = movedData.map(p =>
-      IcebergMeta.ManifestEntry(
-        status = 1, snapshotId,
-        IcebergMeta.DataFile(
-          p.toAbsolutePath.toString, "PARQUET", Map.empty,
-          parquetRowCount(hadoopConf, p), Files.size(p))))
-    val dataMPath = root.resolve("metadata")
-      .resolve(f"manifest-$snapshotId%05d-000.avro")
-    writeManifest(dataMPath, None, dataEntries, formatVersion = 2)
-    val dataManifest = manifestRecord(dataMPath, snapshotId, None, dataEntries)
+    val partType = partition.map(p =>
+      p.fieldName -> transformedSparkType(p, updates.schema))
+    val dataManifests = buildDataManifests(
+      spark, root, movedData, partType, snapshotId, fv = 2)
 
     val delEntry = IcebergMeta.ManifestEntry(
       status = 1, snapshotId,
@@ -721,7 +764,7 @@ object IcebergWriter {
       root, currentManifestList(meta).toString)
     commitSnapshot(spark, root, IcebergMeta.sparkSchema(meta), None,
       Some(meta), baseVersion, snapshotId, timestampMs,
-      carried ++ Seq(delManifest, dataManifest),
+      carried ++ (delManifest +: dataManifests),
       operation = "overwrite", formatVersion = 2)
     snapshotId
   }
@@ -748,49 +791,36 @@ object IcebergWriter {
     val meta = IcebergMeta.load(tablePath)
     require(meta.formatVersion == 2,
       s"compact targets v2 merge-on-read tables; this one is v${meta.formatVersion}")
-    require(meta.partitionFields.isEmpty,
-      "compact rewrites unpartitioned v2 tables only")
+    val partition = specTransform(meta)
     require(meta.currentSnapshot.isDefined, "table has no current snapshot")
 
     val baseVersion = Some(IcebergSource.versionHint(tablePath).get)
     val root = meta.root
     val snapshotId = meta.snapshots.map(_.id).max + 1L
-    val hadoopConf = spark.sessionState.newHadoopConf()
     val staging = Files.createTempDirectory("graft-iceberg-compact")
 
     // the delete-applied current state IS the read path — compaction
-    // materializes exactly what any reader sees today
-    IcebergSource.read(spark, tablePath)
-      .write.parquet(staging.resolve("data").toString)
-    val stagedData = parquetFiles(staging.resolve("data"))
+    // materializes exactly what any reader sees today, re-laid-out
+    // under the table's partition spec
+    val stagedData = stageDataFiles(
+      IcebergSource.read(spark, tablePath), partition, staging)
     require(stagedData.nonEmpty, "compaction produced no data files")
     faultHook("staged")
 
-    val movedData = stagedData.zipWithIndex.map { case (f, i) =>
-      val target = root.resolve("data")
-        .resolve(f"snap$snapshotId%05d-$i%03d.parquet")
-      Files.move(f, target, StandardCopyOption.REPLACE_EXISTING)
-      target
-    }
+    val movedData = placeDataFiles(root, stagedData, snapshotId)
     deleteRecursively(staging)
     faultHook("files-placed")
 
-    val entries = movedData.map(p =>
-      IcebergMeta.ManifestEntry(
-        status = 1, snapshotId,
-        IcebergMeta.DataFile(
-          p.toAbsolutePath.toString, "PARQUET", Map.empty,
-          parquetRowCount(hadoopConf, p), Files.size(p))))
-    val mpath = root.resolve("metadata")
-      .resolve(f"manifest-$snapshotId%05d-000.avro")
-    writeManifest(mpath, None, entries, formatVersion = 2)
-    val manifest = manifestRecord(mpath, snapshotId, None, entries)
+    val partType = partition.map(p =>
+      p.fieldName -> transformedSparkType(p, IcebergMeta.sparkSchema(meta)))
+    val manifests = buildDataManifests(
+      spark, root, movedData, partType, snapshotId, fv = 2)
     faultHook("manifests-written")
 
     // NOTHING carried: the whole point — the new manifest list is the
     // compacted data alone, with zero delete manifests left to apply
     commitSnapshot(spark, root, IcebergMeta.sparkSchema(meta), None,
-      Some(meta), baseVersion, snapshotId, timestampMs, Seq(manifest),
+      Some(meta), baseVersion, snapshotId, timestampMs, manifests,
       operation = "replace", formatVersion = 2)
     snapshotId
   }

@@ -860,6 +860,57 @@ class SourcesSpec extends SparkTestBase {
     }
   }
 
+  test("merge/upsert/compact on a PARTITIONED v2 table: spec-consistent layout, pruning intact") {
+    import spark.implicits._
+    val root = tempDir("graft-iceberg-part-write")
+    val df = (0 until 40).map(i => (i.toLong, s"row$i", (i % 4))).toDF("id", "v", "band")
+    IcebergWriter.append(spark, root, df, Some("band"), 1000L, formatVersion = 2)
+
+    // MERGE: replace one row per band, insert a new band-9 row... band is
+    // identity-partitioned so inserts land in their own new partition dir
+    val mupd = Seq((1L, "u1", 1), (2L, "u2", 2), (100L, "new100", 9))
+      .toDF("id", "v", "band")
+    val sidM = IcebergWriter.mergeRows(spark, root, mupd, "id", 2000L)
+    // UPSERT: eq-delete flavor on the same partitioned table
+    val sidU = IcebergWriter.upsertRows(spark, root,
+      Seq((3L, "u3", 3), (101L, "new101", 9)).toDF("id", "v", "band"), "id", 3000L)
+
+    def readAll() = IcebergSource.read(spark, root).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).sortBy(_._1).toSeq
+    val expected = ((0 until 40).filterNot(i => Seq(1, 2, 3).contains(i))
+      .map(i => (i.toLong, s"row$i", i % 4))
+      ++ Seq((1L, "u1", 1), (2L, "u2", 2), (3L, "u3", 3),
+        (100L, "new100", 9), (101L, "new101", 9))).sortBy(_._1)
+    assert(readAll() === expected)
+
+    // the new data manifests carry REAL partition tuples: a one-band
+    // pruned plan must not open every manifest (spec-consistency gate —
+    // empty tuples under this spec would vanish rows from pruned reads)
+    val meta = IcebergMeta.load(root)
+    val pruned = IcebergMeta.planScan(meta, meta.snapshotById(sidU),
+      Some(IcebergMeta.PartitionEquals("band", 9)))
+    assert(pruned.files.nonEmpty)
+    assert(pruned.files.forall(_.partition("band") == 9))
+    assert(pruned.manifestsRead < pruned.manifestsTotal,
+      s"band=9 plan opened all ${pruned.manifestsTotal} manifests")
+    val prunedRead = IcebergSource.read(spark, root, None, None,
+      Some(IcebergMeta.PartitionEquals("band", 9)))
+    assert(prunedRead.collect().map(_.getLong(0)).sorted.toSeq === Seq(100L, 101L))
+
+    // COMPACT: rewrite keeps the partitioned layout and the rows
+    val sidC = IcebergWriter.compact(spark, root, 4000L)
+    val metaC = IcebergMeta.load(root)
+    val planC = IcebergMeta.planScan(metaC, metaC.snapshotById(sidC))
+    assert(planC.deletes.isEmpty)
+    assert(readAll() === expected, "compaction changed rows on a partitioned table")
+    val prunedC = IcebergMeta.planScan(IcebergMeta.load(root),
+      IcebergMeta.load(root).snapshotById(sidC),
+      Some(IcebergMeta.PartitionEquals("band", 2)))
+    assert(prunedC.manifestsRead < prunedC.manifestsTotal,
+      "post-compaction manifests lost their partition summaries")
+    assert(sidM < sidU && sidU < sidC)
+  }
+
   test("iceberg snapshot expiry: history dropped, orphan bytes reclaimed, current intact") {
     def dataFiles(root: String) = {
       val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(root, "data"))
