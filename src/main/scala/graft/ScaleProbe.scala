@@ -92,7 +92,8 @@ object ScaleProbe {
     // core | extras | dedup | sim | text | events | serve | all
     val which = args.headOption.getOrElse("all")
     val groups =
-      Set("all", "core", "core10x", "core30x", "extras", "dedup", "sim", "text", "events", "serve")
+      Set("all", "core", "core10x", "core30x", "extras", "dedup", "sim",
+        "text", "events", "serve", "iceberg")
     // a typo'd group would otherwise spin up Spark, run NOTHING, and exit
     // 0 — indistinguishable from "probe found nothing"
     require(groups(which), s"unknown probe group '$which' (one of: ${groups.mkString(", ")})")
@@ -110,7 +111,64 @@ object ScaleProbe {
     if (which == "all" || which == "text") textScaleProbe(spark)
     if (which == "all" || which == "events") eventsScaleProbe(spark)
     if (which == "all" || which == "serve") servingScaleProbe(spark)
+    if (which == "iceberg") icebergWriteProbe(spark) // not in "all": builds 3M-row tables
     spark.stop()
+  }
+
+  /** Iceberg MoR write-path economics at growing table size, driving the
+    * production writers (sources.IcebergWriter — no inline replicas): a
+    * FIXED update batch (2k replacements + 500 inserts) committed as
+    * (a) upsertRows — equality-delete flavor, writes only the batch —
+    * and (b) mergeRows — position-delete flavor, scans the table to pin
+    * matched positions — against tables of 100k / 1M / 3M rows, plus the
+    * full-rewrite compact() for reference. The claim under test is the
+    * one the scaladocs make: upsert cost stays ~flat in table size
+    * (the CDC ingest choice at 100 TB), merge grows with the scan, and
+    * compact is the linear full-rewrite it says it is.
+    */
+  private def icebergWriteProbe(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    val base = 100000L
+    val nOps = 3
+    val resultsAll = Seq(1L, 1L, 10L, 30L).flatMap { mult =>
+      val n = base * mult
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft-iceberg-probe-${mult}x").toString
+      val df = spark.range(n).select(
+        col("id"),
+        concat(lit("value-"), col("id")).as("v"),
+        (col("id") % 97).as("k"))
+      graft.sources.IcebergWriter.append(spark, root, df, None, 1000L,
+        formatVersion = 2)
+      // fixed-size batch regardless of table size: eval-suite economics
+      val updates = spark.range(2000).select(
+        (col("id") * (n / 2000)).as("id"), // spread across the key space
+        lit("updated").as("v"), lit(-1L).as("k"))
+        .unionByName(spark.range(500).select(
+          (col("id") + n).as("id"), lit("inserted").as("v"), lit(-2L).as("k")))
+      val up = time(s"upsert_${mult}x", n) {
+        graft.sources.IcebergWriter
+          .upsertRows(spark, root, updates, "id", 2000L): Unit
+      }
+      val mg = time(s"merge_${mult}x", n) {
+        graft.sources.IcebergWriter
+          .mergeRows(spark, root, updates, "id", 3000L): Unit
+      }
+      val cp = time(s"compact_${mult}x", n) {
+        graft.sources.IcebergWriter.compact(spark, root, 4000L): Unit
+      }
+      Seq(up, mg, cp)
+    }
+    val results = resultsAll.drop(nOps) // drop the warmup group
+    println("--- iceberg write family at 10x/30x (base 100k rows; fixed 2.5k-row batch) ---")
+    results.foreach { case (l, rows, s) => println(f"$l%-16s table=$rows%9d  $s%8.2f s") }
+    println("--- time ratios vs 1x (upsert should stay ~1; merge/compact track the table) ---")
+    (0 until nOps).foreach { i =>
+      val (l1, _, s1) = results(i)
+      val (_, _, s10) = results(nOps + i)
+      val (_, _, s30) = results(2 * nOps + i)
+      println(f"${l1.stripSuffix("_1x")}%-16s 10x: ${s10 / s1}%7.2f   30x: ${s30 / s1}%7.2f")
+    }
   }
 
   /** Serving egress at result sizes where one stream is the bottleneck:

@@ -1,0 +1,66 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+
+/** One-call table-maintenance policy over [[IcebergWriter]]'s lifecycle
+  * ops — the job a 100-TB pipeline schedules nightly instead of deciding
+  * by hand when to compact and what history to keep. Merge-on-read
+  * writes ([[IcebergWriter.mergeRows]]/[[IcebergWriter.upsertRows]])
+  * deliberately push cost from the write to the read; this is the
+  * counterweight that keeps the read-side anti-join stack bounded.
+  *
+  * Policy: compact when the CURRENT snapshot's live delete files (or
+  * their total row count) reach the thresholds; then, optionally, expire
+  * snapshots older than the cutoff and GC their files. Both steps are
+  * the crash-safe primitives underneath — this object only decides, it
+  * never writes metadata itself.
+  */
+object IcebergMaintenance {
+
+  /** What maintenance saw and did. `deleteFiles`/`deleteRows` are the
+    * PRE-maintenance live-delete pressure (the decision inputs);
+    * `compacted` is the new snapshot id when the policy fired;
+    * `expired` the snapshot ids dropped by the retention cutoff.
+    */
+  final case class Report(
+      deleteFiles: Int,
+      deleteRows: Long,
+      dataFiles: Int,
+      compacted: Option[Long],
+      expired: Seq[Long])
+
+  /** Run the policy once. `expireOlderThanMs` is an ABSOLUTE cutoff
+    * (compare against snapshot timestamps) — callers pass
+    * `now - retention`, keeping this function deterministic and
+    * replayable. The current snapshot is never expired regardless of
+    * age ([[IcebergWriter.expireSnapshots]]'s contract), so a table
+    * older than its retention window still answers queries.
+    */
+  def maintain(
+      spark: SparkSession,
+      tablePath: String,
+      timestampMs: Long,
+      maxDeleteFiles: Int = 4,
+      maxDeleteRows: Long = 100000L,
+      expireOlderThanMs: Option[Long] = None): Report = {
+    val meta = IcebergMeta.load(tablePath)
+    require(meta.formatVersion == 2,
+      s"maintenance targets v2 merge-on-read tables; this one is v${meta.formatVersion}")
+    val snap = meta.currentSnapshot.getOrElse(
+      throw new IllegalStateException("table has no current snapshot"))
+    val plan = IcebergMeta.planScan(meta, snap)
+    val deleteFiles = plan.deletes.size
+    val deleteRows = plan.deletes.map(_.recordCount).sum
+
+    val compacted =
+      if (deleteFiles >= maxDeleteFiles || deleteRows >= maxDeleteRows)
+        Some(IcebergWriter.compact(spark, tablePath, timestampMs))
+      else None
+    // expiry runs AFTER compaction so a just-compacted table can drop
+    // the MoR history it no longer needs for current reads
+    val expired = expireOlderThanMs
+      .map(cut => IcebergWriter.expireSnapshots(tablePath, cut, timestampMs))
+      .getOrElse(Seq.empty)
+    Report(deleteFiles, deleteRows, plan.files.size, compacted, expired)
+  }
+}

@@ -911,6 +911,34 @@ class SourcesSpec extends SparkTestBase {
     assert(sidM < sidU && sidU < sidC)
   }
 
+  test("maintenance policy: compacts at the delete threshold, no-ops below, expires on cutoff") {
+    import graft.sources.IcebergMaintenance
+    // the 5-snapshot MoR fixture carries 2 live delete files
+    val root = mkV2Table()
+    val want = IcebergSource.read(spark, root).collect().map(_.toString).sorted.toSeq
+
+    // below threshold: policy observes but does nothing
+    val idle = IcebergMaintenance.maintain(spark, root, 6000L, maxDeleteFiles = 3)
+    assert(idle.deleteFiles === 2 && idle.compacted.isEmpty && idle.expired.isEmpty)
+    assert(IcebergMeta.load(root).snapshots.size === 5)
+
+    // at threshold: compacts, then the cutoff expires the MoR history
+    val fired = IcebergMaintenance.maintain(spark, root, 7000L,
+      maxDeleteFiles = 2, expireOlderThanMs = Some(7000L))
+    assert(fired.deleteFiles === 2 && fired.compacted.nonEmpty)
+    assert(fired.expired === Seq(1L, 2L, 3L, 4L, 5L))
+    val meta = IcebergMeta.load(root)
+    assert(meta.snapshots.map(_.id) === fired.compacted.toSeq)
+    assert(IcebergMeta.planScan(meta, meta.currentSnapshot.get).deletes.isEmpty)
+    assert(IcebergSource.read(spark, root).collect().map(_.toString).sorted.toSeq
+      === want, "maintenance changed visible rows")
+
+    // steady state: a second run has nothing to do
+    val again = IcebergMaintenance.maintain(spark, root, 8000L,
+      maxDeleteFiles = 2, expireOlderThanMs = Some(8000L))
+    assert(again.deleteFiles === 0 && again.compacted.isEmpty && again.expired.isEmpty)
+  }
+
   test("iceberg snapshot expiry: history dropped, orphan bytes reclaimed, current intact") {
     def dataFiles(root: String) = {
       val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(root, "data"))
