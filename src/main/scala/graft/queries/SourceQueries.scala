@@ -191,6 +191,42 @@ object SourceQueries {
     root.toString
   }
 
+  /** Materialize (once per fixture dir + process) a SCHEMA-EVOLVED v2
+    * table: snapshot 1 appends (p_partkey, p_name) from `part`;
+    * `addColumn("p_score", double)` evolves the schema metadata-only;
+    * snapshot 2 appends 'ev-' rows (per p_partkey % 9 == 0, +3000000
+    * key offset) WITH scores. Old files read p_score as null.
+    */
+  private def fixtureIcebergEvolvedTable(
+      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    import graft.sources.IcebergWriter
+    val root = graft.engine.TempDirs.workspace("graft-iceberg", "evolved", dir)
+    graft.engine.TempDirs.materializeOnce(root)(
+      java.nio.file.Files.exists(
+        root.resolve("metadata").resolve("v3.metadata.json"))
+    ) {
+      if (java.nio.file.Files.exists(root)) {
+        val walk = java.nio.file.Files.walk(root)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+        finally walk.close()
+      }
+      val df = t(s, dir, "part").select(col("p_partkey"), col("p_name"))
+      IcebergWriter.append(s, root.toString, df, None,
+        timestampMs = 1000L, formatVersion = 2)
+      IcebergWriter.addColumn(root.toString, "p_score", "double",
+        timestampMs = 2000L)
+      val kT = df.schema("p_partkey").dataType
+      IcebergWriter.append(s, root.toString,
+        df.filter(col("p_partkey") % 9 === 0).select(
+          (col("p_partkey") + 3000000L).cast(kT).as("p_partkey"),
+          concat(lit("ev-"), col("p_partkey")).as("p_name"),
+          (col("p_partkey").cast("double") / 2).as("p_score")),
+        None, timestampMs = 3000L): Unit
+    }
+    root.toString
+  }
+
   /** Materialize (once per fixture dir + process) a HIDDEN-partitioned
     * Iceberg table: `day(o_date)` — the data files keep the raw date
     * column; only the transformed day ordinal shapes the layout and the
@@ -595,6 +631,30 @@ object SourceQueries {
           .orderBy($"p_partkey")
       },
       Some(icebergUpsertOracle)
+    ),
+    // SCHEMA EVOLUTION read-back: the current read surfaces the added
+    // column as null for every pre-evolution file and as real values for
+    // the post-evolution append — the metadata schema drives the parquet
+    // read (write side: IcebergWriter.addColumn, metadata-only, no
+    // snapshot; SourcesSpec pins the time-travel old-shape half).
+    Q(
+      "q_iceberg_evolved",
+      (s, dir) => {
+        val root = fixtureIcebergEvolvedTable(s, dir)
+        graft.sources.IcebergSource
+          .read(s, root)
+          .select($"p_partkey", $"p_name", $"p_score")
+          .orderBy($"p_partkey")
+      },
+      Some(
+        "SELECT p_partkey, p_name, CAST(NULL AS DOUBLE) AS p_score FROM part " +
+          "UNION ALL " +
+          "SELECT p_partkey + 3000000 AS p_partkey, " +
+          "'ev-' || CAST(p_partkey AS VARCHAR) AS p_name, " +
+          "CAST(p_partkey AS DOUBLE) / 2 AS p_score " +
+          "FROM part WHERE p_partkey % 9 = 0 " +
+          "ORDER BY p_partkey"
+      )
     ),
     // The SECOND DPP shape: subquery pruning WITHOUT a broadcast to reuse.
     // The dim is merge-join-hinted (stand-in for a dim too big to

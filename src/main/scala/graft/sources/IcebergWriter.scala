@@ -825,6 +825,76 @@ object IcebergWriter {
     snapshotId
   }
 
+  /** SCHEMA EVOLUTION — add an OPTIONAL column (spec: adds must be
+    * optional; a required add would instantly invalidate every existing
+    * file). Metadata-only: a new schema (fresh schema-id, fresh field
+    * id from last-column-id) becomes current; NO snapshot is written,
+    * because no data changed. The read side already carries the other
+    * half: the metadata schema drives the parquet read, so files
+    * written before the add read the new column as null, and each
+    * snapshot's logged schema-id means time travel shows the table AS
+    * IT WAS (pre-evolution snapshots keep the old shape). Appends after
+    * the add must carry the new column — the append schema gate now
+    * checks against the evolved schema. Returns the new schema id.
+    */
+  def addColumn(
+      tablePath: String,
+      name: String,
+      typeName: String,
+      timestampMs: Long): Int = {
+    val meta = IcebergMeta.load(tablePath)
+    require(!meta.fields.exists(_.name == name),
+      s"column '$name' already exists in the table schema")
+    // validate the primitive BEFORE touching metadata: the reverse
+    // mapping throws on names the reader could never scan
+    IcebergMeta.sparkSchema(Seq(IcebergMeta.Field(0, name, false, typeName))): Unit
+
+    val baseVersion = IcebergSource.versionHint(tablePath).getOrElse(
+      throw new IllegalStateException("schema evolution requires version-hint metadata"))
+    val root = meta.root
+    val node = mapper.readTree(Files.readString(
+      root.resolve("metadata").resolve(s"v$baseVersion.metadata.json")))
+      .asInstanceOf[ObjectNode]
+    require(node.has("schemas"),
+      "metadata has no schemas array; refusing to evolve a shape this writer doesn't understand")
+    val schemasArr = node.withArray[ArrayNode]("schemas")
+    val curId = node.path("current-schema-id").asInt(0)
+    val cur = (0 until schemasArr.size()).map(schemasArr.get)
+      .find(_.path("schema-id").asInt(0) == curId)
+      .getOrElse(schemasArr.get(0)).asInstanceOf[ObjectNode]
+    val newId = (0 until schemasArr.size())
+      .map(schemasArr.get(_).path("schema-id").asInt(0)).max + 1
+    val newFieldId =
+      math.max(node.path("last-column-id").asInt(0),
+        meta.fields.map(_.id).max) + 1
+
+    val evolved = cur.deepCopy[ObjectNode]()
+    evolved.put("schema-id", newId)
+    val f = evolved.withArray[ArrayNode]("fields").addObject()
+    f.put("id", newFieldId)
+    f.put("name", name)
+    f.put("required", false)
+    f.put("type", typeName)
+    schemasArr.add(evolved)
+    node.put("current-schema-id", newId)
+    node.put("last-column-id", newFieldId)
+    node.put("last-updated-ms", timestampMs)
+    // v1 metadata also carries the singular schema node — keep it in step
+    if (node.has("schema"))
+      node.set[ObjectNode]("schema", evolved.deepCopy[ObjectNode]())
+
+    val version = baseVersion + 1
+    Files.writeString(
+      root.resolve("metadata").resolve(s"v$version.metadata.json"),
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(node))
+    val tmp = root.resolve("metadata").resolve(".version-hint.evolve.tmp")
+    Files.writeString(tmp, version.toString)
+    Files.move(tmp, root.resolve("metadata").resolve("version-hint.text"),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    notifyCommit(root.toString)
+    newId
+  }
+
   /** SNAPSHOT EXPIRY + orphan GC (the other half of table maintenance —
     * [[compact]] retires delete files logically; nothing reclaims bytes
     * until the snapshots referencing the old files are dropped): remove

@@ -911,6 +911,48 @@ class SourcesSpec extends SparkTestBase {
     assert(sidM < sidU && sidU < sidC)
   }
 
+  test("schema evolution: addColumn is metadata-only; old files read null; history keeps its shape") {
+    import spark.implicits._
+    val root = tempDir("graft-iceberg-evolve")
+    val df = (0 until 10).map(i => (i.toLong, s"row$i")).toDF("id", "v")
+    IcebergWriter.append(spark, root, df, None, 1000L, formatVersion = 2)
+
+    val sid = IcebergWriter.addColumn(root, "score", "double", 2000L)
+    assert(sid > 0)
+    val meta = IcebergMeta.load(root)
+    assert(meta.fields.map(_.name) === Seq("id", "v", "score"))
+    assert(!meta.fields.find(_.name == "score").get.required, "adds must be optional")
+    assert(meta.snapshots.size === 1, "schema evolution must not write a snapshot")
+
+    // current read: old files surface the new column as null
+    val cur = IcebergSource.read(spark, root)
+    assert(cur.schema.fieldNames.toSeq === Seq("id", "v", "score"))
+    assert(cur.filter($"score".isNull).count() === 10)
+
+    // appends must now carry the evolved schema...
+    assert(intercept[IllegalArgumentException] {
+      IcebergWriter.append(spark, root, df, None, 3000L)
+    }.getMessage.contains("does not match"))
+    IcebergWriter.append(spark, root,
+      Seq((100L, "new", 0.5)).toDF("id", "v", "score"), None, 3000L)
+    val all = IcebergSource.read(spark, root)
+    assert(all.count() === 11)
+    assert(all.filter($"score".isNotNull).select("id").as[Long].collect().toSeq
+      === Seq(100L))
+
+    // ...and time travel to the pre-evolution snapshot shows the OLD shape
+    val s1 = IcebergSource.read(spark, root, Some(1L), None, None)
+    assert(s1.schema.fieldNames.toSeq === Seq("id", "v"),
+      "historical read must not grow columns added later")
+    // refusals: duplicate name, unknown type
+    assert(intercept[IllegalArgumentException] {
+      IcebergWriter.addColumn(root, "score", "double", 4000L)
+    }.getMessage.contains("already exists"))
+    intercept[Exception] {
+      IcebergWriter.addColumn(root, "bad", "quaternion", 4000L)
+    }
+  }
+
   test("maintenance policy: compacts at the delete threshold, no-ops below, expires on cutoff") {
     import graft.sources.IcebergMaintenance
     // the 5-snapshot MoR fixture carries 2 live delete files
