@@ -43,16 +43,31 @@ object CorpusStream {
 
   /** One (doc_id, g) row per contaminated gram occurrence — the streaming
     * twin of `q_decontaminate`'s join stage. Append-safe: stateless
-    * projection + broadcast join, so every micro-batch emits its matches
-    * immediately and the query holds zero streaming state.
+    * projection + stream-static join, so every micro-batch emits its
+    * matches immediately and the query holds zero streaming state.
+    *
+    * Same auto-selected strategy as the batch operator
+    * (TextQueries.contaminationCounts): the static bench side is counted
+    * ONCE at build time — within the bound it broadcasts into every
+    * micro-batch; past it the join shuffle-hashes on the gram with the
+    * bench side as build (a benchmark too big to broadcast must not OOM
+    * the stream any more than the batch job). Pass 0 to force shuffle.
     */
-  def contaminationMatches(docs: DataFrame, benchGrams: DataFrame): DataFrame =
-    docs
+  def contaminationMatches(
+      docs: DataFrame,
+      benchGrams: DataFrame,
+      maxBroadcastGramRows: Long = 4L << 20): DataFrame = {
+    require(!benchGrams.isStreaming,
+      "benchGrams must be the STATIC side (compute once via benchmarkGrams)")
+    val exploded = docs
       .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
       .filter(size(col("ws")) >= 8)
       .select(col("doc_id"), explode(TextOps.shingles(col("ws"), 8)).as("g"))
-      .join(broadcast(benchGrams), Seq("g"))
-      .select(col("doc_id"), col("g"))
+    val bench =
+      if (benchGrams.count() <= maxBroadcastGramRows) broadcast(benchGrams)
+      else benchGrams.hint("shuffle_hash")
+    exploded.join(bench, Seq("g")).select(col("doc_id"), col("g"))
+  }
 
   /** Streaming ingest dedup: each arriving micro-batch of documents is
     * deduped against the STORED MinHash index as one increment — the

@@ -344,6 +344,25 @@ class StreamingSpec extends SparkTestBase {
       .fn(spark, SparkTestBase.Sf0001)
       .collect().map(_.getLong(0)).toSet
     assert(batch.nonEmpty && streamed === batch)
+
+    // over-broadcast benchmark (forced, limit 0): the stream-static join
+    // falls back to shuffle-hash and flags the SAME docs
+    val q2 = CorpusStream
+      .contaminationMatches(
+        CorpusStream.readDocumentsStream(spark, docsDir)
+          .filter(col("doc_id") % 20 =!= 0),
+        bench, maxBroadcastGramRows = 0)
+      .writeStream
+      .format("memory")
+      .queryName("contam_live_shuffle")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q2.awaitTermination(120000)
+    finally q2.stop()
+    val shuffled = spark.table("contam_live_shuffle")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(shuffled === batch, "shuffle fallback changed the streamed matches")
   }
 
   test("streaming ingest dedup against the stored index equals the batch operator") {
