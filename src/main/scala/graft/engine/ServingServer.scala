@@ -579,16 +579,24 @@ final class ServingServer(
           org.apache.spark.sql.GraftArrowBridge.writeBatches(listing, batchSize, out)
           out.flush()
         case "POLL_FLIGHT_INFO" =>
+          // a payload is a handle iff it MATCHES the server's own handle
+          // shape (hex 'p' hex) or names a live pending entry — never a
+          // whitespace heuristic, which would misroute whitespace-free
+          // SQL like `select(1)` to NOT_FOUND instead of submitting it
+          val isHandle = pending.containsKey(payload) ||
+            payload.matches("[0-9a-f]+p[0-9a-f]+")
           if (payload.isEmpty)
             status("ERR INVALID_ARGUMENT No SQL command or handle in request")
-          else if (!payload.exists(_.isWhitespace)) {
-            // whitespace-free payload = a handle to poll (SQL always has
-            // whitespace); unknown handles answer NOT_FOUND like tickets
+          else if (isHandle) {
             sweepExpired()
             Option(pending.get(payload)) match {
               case None =>
                 status("ERR NOT_FOUND unknown or expired flight handle")
               case Some(p) =>
+                // an actively-polling client is not "abandoned": refresh
+                // the flight's TTL clock so it cannot expire mid-poll-loop
+                flights.synchronized(Option(flights.get(p.handle)))
+                  .foreach(_.touched.set(System.nanoTime()))
                 val (done, total) = groupProgress(p.jobGroup)
                 val err = if (p.state == "FAILED") s" ${p.error}" else ""
                 status(s"OK ${p.handle} ${p.state} $done $total ${p.endpoints}$err")
@@ -640,12 +648,20 @@ final class ServingServer(
                     val n = rdd.getNumPartitions
                     p.schema = schema
                     p.endpoints = n
-                    if (p.state == "RUNNING") {
-                      flights.synchronized {
+                    // check-and-register ATOMICALLY under the same lock
+                    // cancel uses for its own check-and-transition — a
+                    // cancel interleaving between an unlocked check and
+                    // the put would leave a "cancelled" flight registered
+                    // (and its RDD pinned), or a DONE pending with no
+                    // flight behind its tickets
+                    val registered = flights.synchronized {
+                      if (p.state == "RUNNING") {
                         flights.put(handle, Flight(schema, rdd))
-                      }
-                      p.state = "DONE"
-                    } else rdd.unpersist(false) // cancelled at the finish line
+                        p.state = "DONE"
+                        true
+                      } else false
+                    }
+                    if (!registered) rdd.unpersist(false) // cancelled at the line
                   } catch {
                     case e: Throwable =>
                       rddOpt.foreach(r =>
@@ -678,23 +694,31 @@ final class ServingServer(
           action match {
             case "cancel" if arg.nonEmpty =>
               val p = Option(pending.get(arg))
-              val wasRunning = p.exists(_.state == "RUNNING")
-              if (wasRunning) {
-                // CANCELLED before cancelJobGroup: the runner's failure
-                // handler keys off the state to not relabel the interrupt
-                p.get.state = "CANCELLED"
-                session.spark.sparkContext.cancelJobGroup(p.get.jobGroup)
-              }
-              val hadFlight = flights.synchronized {
-                Option(flights.remove(arg)) match {
+              // check-and-transition under the SAME lock the runner's
+              // register uses: after this block either the runner will
+              // observe CANCELLED and unpersist, or the flight is already
+              // registered and the removal below unpins it — no window
+              // where both miss
+              val (wasRunning, hadFlight) = flights.synchronized {
+                val running = p.exists(_.state == "RUNNING")
+                if (running) p.get.state = "CANCELLED"
+                val removed = Option(flights.remove(arg)) match {
                   case Some(f) =>
                     try f.rdd.unpersist(false)
                     catch { case _: Throwable => () }
+                    // a registered flight's pending entry is terminal
+                    // DONE; mark the cancellation for later pollers
+                    p.foreach(_.state = "CANCELLED")
                     true
                   case None => false
                 }
+                (running, removed)
               }
-              p.foreach(_.state = "CANCELLED")
+              if (wasRunning)
+                // outside the lock: cancelJobGroup can block on the
+                // scheduler, and the runner's failure handler keys off
+                // the already-set CANCELLED state either way
+                session.spark.sparkContext.cancelJobGroup(p.get.jobGroup)
               if (!wasRunning && !hadFlight && p.isEmpty)
                 status("ERR NOT_FOUND unknown or expired flight handle")
               else {

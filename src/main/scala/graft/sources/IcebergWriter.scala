@@ -114,24 +114,7 @@ object IcebergWriter {
     // after data files moved into data/ would leave orphans that
     // directory-based readers return as rows
     prior.foreach { m =>
-      require(
-        m.fields.map(_.name) == df.schema.fieldNames.toSeq,
-        s"Append schema ${df.schema.fieldNames.mkString(",")} does not match " +
-          s"table schema ${m.fields.map(_.name).mkString(",")}")
-      // name equality alone would let a same-named column of a different
-      // TYPE through — the parquet files would diverge from the table
-      // metadata schema and surface later as read failures or silent
-      // coercion. Types must match exactly; nullability may only narrow
-      // (a non-nullable df into a nullable table field is safe, the
-      // reverse would let nulls into a required column).
-      m.fields.zip(df.schema.fields).foreach { case (tf, sf) =>
-        require(icebergType(sf.dataType) == tf.typeName,
-          s"Append column '${sf.name}' has type ${icebergType(sf.dataType)} " +
-            s"but the table schema requires ${tf.typeName}")
-        require(!(tf.required && sf.nullable),
-          s"Append column '${sf.name}' is nullable but the table schema " +
-            "marks it required")
-      }
+      validateSchemaAgainstTable(m, df.schema, "Append")
       // the spec is carried forward verbatim, so an append laid out
       // differently would DIVERGE metadata from data (files with empty
       // partition tuples under a spec that prunes on 'band' silently
@@ -174,6 +157,33 @@ object IcebergWriter {
     commitSnapshot(spark, root, df.schema, partition, prior, baseVersion,
       snapshotId, timestampMs, carried ++ newManifests, operation = "append", fv)
     snapshotId
+  }
+
+  /** The ONE schema gate every write flavor (append / merge / upsert)
+    * passes an incoming frame through: column names must match the table
+    * schema in order; types must match exactly — name equality alone
+    * would let a same-named column of a different type through, and the
+    * parquet files would diverge from the metadata schema, surfacing
+    * later as read failures or silent coercion; nullability may only
+    * narrow (a non-nullable frame into a nullable field is safe, the
+    * reverse would let nulls into a required column). `op` prefixes the
+    * messages so refusals name their write flavor.
+    */
+  private def validateSchemaAgainstTable(
+      meta: IcebergMeta.TableMeta,
+      schema: StructType,
+      op: String): Unit = {
+    require(meta.fields.map(_.name) == schema.fieldNames.toSeq,
+      s"$op schema ${schema.fieldNames.mkString(",")} does not match " +
+        s"table schema ${meta.fields.map(_.name).mkString(",")}")
+    meta.fields.zip(schema.fields).foreach { case (tf, sf) =>
+      require(icebergType(sf.dataType) == tf.typeName,
+        s"$op column '${sf.name}' has type ${icebergType(sf.dataType)} " +
+          s"but the table schema requires ${tf.typeName}")
+      require(!(tf.required && sf.nullable),
+        s"$op column '${sf.name}' is nullable but the table schema " +
+          "marks it required")
+    }
   }
 
   /** Stage `df`'s rows under `staging` laid out per `partition`: the
@@ -566,25 +576,17 @@ object IcebergWriter {
     // the table's recorded spec; the position-delete file stays
     // table-wide (delete manifests are never pruned, conservative-correct)
     val partition = specTransform(meta)
-    require(meta.fields.map(_.name) == updates.schema.fieldNames.toSeq,
-      s"Merge schema ${updates.schema.fieldNames.mkString(",")} does not " +
-        s"match table schema ${meta.fields.map(_.name).mkString(",")}")
-    meta.fields.zip(updates.schema.fields).foreach { case (tf, sf) =>
-      require(icebergType(sf.dataType) == tf.typeName,
-        s"Merge column '${sf.name}' has type ${icebergType(sf.dataType)} " +
-          s"but the table schema requires ${tf.typeName}")
-      require(!(tf.required && sf.nullable),
-        s"Merge column '${sf.name}' is nullable but the table schema " +
-          "marks it required")
-    }
+    validateSchemaAgainstTable(meta, updates.schema, "Merge")
     require(updates.schema.fieldNames.contains(key),
       s"merge key '$key' is not a column of the updates frame")
 
     val baseVersion = Some(IcebergSource.versionHint(tablePath).get)
     val root = meta.root
-    val snapshotId = meta.snapshots.map(_.id).max + 1L
+    // current-snapshot guard BEFORE snapshots.max: an empty snapshots
+    // array must fail with the intended message, not empty.max
     val snap = meta.currentSnapshot.getOrElse(
       throw new IllegalStateException("table has no current snapshot"))
+    val snapshotId = meta.snapshots.map(_.id).max + 1L
     val plan = IcebergMeta.planScan(meta, snap)
     require(plan.files.nonEmpty, "table has no live data files to merge into")
 
@@ -690,17 +692,7 @@ object IcebergWriter {
     require(meta.formatVersion == 2,
       s"upsertRows requires a v2 table; this one is v${meta.formatVersion}")
     val partition = specTransform(meta)
-    require(meta.fields.map(_.name) == updates.schema.fieldNames.toSeq,
-      s"Upsert schema ${updates.schema.fieldNames.mkString(",")} does not " +
-        s"match table schema ${meta.fields.map(_.name).mkString(",")}")
-    meta.fields.zip(updates.schema.fields).foreach { case (tf, sf) =>
-      require(icebergType(sf.dataType) == tf.typeName,
-        s"Upsert column '${sf.name}' has type ${icebergType(sf.dataType)} " +
-          s"but the table schema requires ${tf.typeName}")
-      require(!(tf.required && sf.nullable),
-        s"Upsert column '${sf.name}' is nullable but the table schema " +
-          "marks it required")
-    }
+    validateSchemaAgainstTable(meta, updates.schema, "Upsert")
     val keyField = meta.fields.find(_.name == key).getOrElse(
       throw new IllegalArgumentException(
         s"upsert key '$key' is not in the table schema"))
@@ -883,16 +875,31 @@ object IcebergWriter {
     if (node.has("schema"))
       node.set[ObjectNode]("schema", evolved.deepCopy[ObjectNode]())
 
-    val version = baseVersion + 1
+    commitMetadataJson(root, baseVersion + 1, node, "evolve")
+    notifyCommit(root.toString)
+    newId
+  }
+
+  /** The atomic metadata-commit tail shared by EVERY metadata mutation
+    * (snapshot commits, schema evolution, snapshot expiry): write the
+    * new vN.metadata.json, then flip version-hint.text via a tmp file +
+    * ATOMIC_MOVE — readers either see the old complete version or the
+    * new complete version, never a hint to a half-written file. This is
+    * THE crash-safety primitive of the whole writer; any future
+    * hardening (fsync, rename-failure fallback) lands here once.
+    */
+  private def commitMetadataJson(
+      root: Path,
+      version: Int,
+      node: ObjectNode,
+      tmpTag: String): Unit = {
     Files.writeString(
       root.resolve("metadata").resolve(s"v$version.metadata.json"),
       mapper.writerWithDefaultPrettyPrinter().writeValueAsString(node))
-    val tmp = root.resolve("metadata").resolve(".version-hint.evolve.tmp")
+    val tmp = root.resolve("metadata").resolve(s".version-hint.$tmpTag.tmp")
     Files.writeString(tmp, version.toString)
     Files.move(tmp, root.resolve("metadata").resolve("version-hint.text"),
       StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
-    notifyCommit(root.toString)
-    newId
   }
 
   /** SNAPSHOT EXPIRY + orphan GC (the other half of table maintenance —
@@ -968,14 +975,7 @@ object IcebergWriter {
       filterArray("snapshots", "snapshot-id")
       filterArray("snapshot-log", "snapshot-id")
       node.put("last-updated-ms", timestampMs)
-      val version = baseVersion + 1
-      Files.writeString(
-        root.resolve("metadata").resolve(s"v$version.metadata.json"),
-        mapper.writerWithDefaultPrettyPrinter().writeValueAsString(node))
-      val tmp = root.resolve("metadata").resolve(s".version-hint.expire.tmp")
-      Files.writeString(tmp, version.toString)
-      Files.move(tmp, root.resolve("metadata").resolve("version-hint.text"),
-        StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+      commitMetadataJson(root, baseVersion + 1, node, "expire")
     }
     faultHook("committed")
 
@@ -1138,14 +1138,7 @@ object IcebergWriter {
     log.put("snapshot-id", snapshotId)
     log.put("timestamp-ms", timestampMs)
 
-    val metaFile = root.resolve("metadata").resolve(s"v$version.metadata.json")
-    Files.writeString(metaFile, mapper.writerWithDefaultPrettyPrinter().writeValueAsString(node))
-    // hint last + atomic: readers either see the old complete version or
-    // the new complete version, never a hint to a half-written file
-    val tmp = root.resolve("metadata").resolve(s".version-hint.$snapshotId.tmp")
-    Files.writeString(tmp, version.toString)
-    Files.move(tmp, root.resolve("metadata").resolve("version-hint.text"),
-      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    commitMetadataJson(root, version, node, snapshotId.toString)
     notifyCommit(root.toString)
   }
 

@@ -63,9 +63,16 @@ object CorpusStream {
       .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
       .filter(size(col("ws")) >= 8)
       .select(col("doc_id"), explode(TextOps.shingles(col("ws"), 8)).as("g"))
+    // persist BEFORE the strategy-probe count: the gram pipeline would
+    // otherwise run once for the count and once more per micro-batch.
+    // The pin intentionally lives for the stream's life (the static side
+    // joins into every batch); it is released when the caller's session
+    // drops the stream, not by a per-query scope.
+    val cached = benchGrams
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bench =
-      if (benchGrams.count() <= maxBroadcastGramRows) broadcast(benchGrams)
-      else benchGrams.hint("shuffle_hash")
+      if (cached.count() <= maxBroadcastGramRows) broadcast(cached)
+      else cached.hint("shuffle_hash")
     exploded.join(bench, Seq("g")).select(col("doc_id"), col("g"))
   }
 

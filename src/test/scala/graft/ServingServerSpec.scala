@@ -596,8 +596,14 @@ class ServingServerSpec extends SparkTestBase {
         .startsWith("ERR INVALID_ARGUMENT"))
       assert(ServingClient.doAction(srv.boundPort, "vacuum").status
         .startsWith("ERR INVALID_ARGUMENT"))
-      assert(ServingClient.pollFlightInfo(srv.boundPort, "deadbeef").status
+      // handle-shaped (hex 'p' hex) but unknown -> NOT_FOUND...
+      assert(ServingClient.pollFlightInfo(srv.boundPort, "deadpbeef").status
         .startsWith("ERR NOT_FOUND"))
+      // ...whitespace-free NON-handle payloads are SQL, not handles:
+      // valid compact SQL submits (async) instead of misrouting
+      val compactSql = ServingClient.pollFlightInfo(srv.boundPort, "select(1)")
+      assert(ServingClient.Poll.parse(compactSql.status).exists(_.state == "RUNNING"),
+        s"compact SQL misrouted: ${compactSql.status}")
     }
   }
 
