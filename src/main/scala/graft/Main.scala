@@ -9,7 +9,7 @@ import graft.queries.QueryUtil
   *
   * Usage: runMain graft.Main --sql "SELECT …" [--dir /root/testdata/sf0.001]
   *        runMain graft.Main --explain "SELECT …" [--dir …]  # formatted plan
-  *        runMain graft.Main --serve 50051 [--dir …]   # serving endpoint
+  *        runMain graft.Main --serve 50051 [--token s3cret] [--dir …]  # serving endpoint
   * Tables registered: the TESTDATA fixtures (region…embeddings) plus the
   * reference's demo `users` table (crates/igloo/src/main.rs:59-77).
   * `--serve` starts the Flight-analogue TCP server (engine.ServingServer)
@@ -50,8 +50,11 @@ object Main {
 
     opts.get("serve") match {
       case Some(portStr) =>
-        val srv = new graft.engine.ServingServer(session, portStr.toInt).start()
-        System.err.println(s"[graft] serving on 127.0.0.1:${srv.boundPort}")
+        // --token <secret> gates every verb behind HANDSHAKE (Flight auth)
+        val srv = new graft.engine.ServingServer(session, portStr.toInt,
+          authToken = opts.get("token")).start()
+        System.err.println(s"[graft] serving on 127.0.0.1:${srv.boundPort}" +
+          opts.get("token").map(_ => " (token auth)").getOrElse(""))
         Thread.currentThread().join() // block until killed, like the reference
       case None =>
         opts.get("explain") match {

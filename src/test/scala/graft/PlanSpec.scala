@@ -128,6 +128,19 @@ class PlanSpec extends SparkTestBase {
       "packing window is not shard-partitioned:\n" + pack.take(3000))
   }
 
+  test("iceberg MoR reads apply deletes as broadcast anti-joins, never sort-merge") {
+    // the delete files are KB-scale relative to data: their subtraction
+    // must broadcast onto the scan, not shuffle the fact side — the
+    // property that keeps a 100-TB MoR read one pass over the data
+    val plan = executed("q_iceberg_eqdelete") // pos + eq deletes both live
+    assert(plan.contains("LeftAnti"),
+      "delete application lost its anti-join:\n" + plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      "delete side must broadcast:\n" + plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"),
+      "fact-side shuffle crept into the MoR read:\n" + plan.take(3000))
+  }
+
   test("decontamination past the broadcast bound falls back to a shuffle hash join, same rows") {
     import org.apache.spark.sql.functions.col
     val docs = graft.queries.QueryUtil.t(spark, SparkTestBase.Sf0001, "documents")
