@@ -324,6 +324,10 @@ object IcebergWriter {
         require(src == IntegerType || src == LongType || src == StringType,
           s"truncate layout over $src not supported")
         src
+      case t if IcebergTransforms.bucketCount(t).isDefined =>
+        require(src == IntegerType || src == LongType || src == StringType,
+          s"bucket layout over $src not supported by this writer")
+        IntegerType
       case other =>
         throw new UnsupportedOperationException(
           s"this writer cannot lay out transform '$other' " +
@@ -340,6 +344,26 @@ object IcebergWriter {
       case "day"      => datediff(c, lit("1970-01-01").cast(DateType))
       case "month"    => (year(c) - lit(1970)) * lit(12) + month(c) - lit(1)
       case "year"     => year(c) - lit(1970)
+      case t if IcebergTransforms.bucketCount(t).isDefined =>
+        // the spec's Murmur3 (x86, seed 0) is NOT Spark's hash() (seed
+        // 42, different byte layout), so the layout column reuses the
+        // spec-vector-validated IcebergTransforms math via a UDF. A UDF
+        // is acceptable exactly here: it shapes the WRITE layout (one
+        // pass per commit), never a query hot path — reads prune via
+        // the same math driver-side on the predicate literal.
+        val n = IcebergTransforms.bucketCount(t).get
+        schema(pt.source).dataType match {
+          case StringType =>
+            udf((s: String) =>
+              if (s == null) null
+              else Integer.valueOf(IcebergTransforms.bucket("string", s, n)))
+              .apply(c)
+          case _ => // int/long, gated by transformedSparkType
+            udf((v: java.lang.Long) =>
+              if (v == null) null
+              else Integer.valueOf(IcebergTransforms.bucket("long", v, n)))
+              .apply(c.cast(LongType))
+        }
       case t =>
         val w = IcebergTransforms.truncateWidth(t).get // gated by transformedSparkType
         schema(pt.source).dataType match {
@@ -923,13 +947,22 @@ object IcebergWriter {
       tablePath: String,
       olderThanMs: Long,
       timestampMs: Long,
-      faultHook: String => Unit = _ => ()): Seq[Long] = {
+      faultHook: String => Unit = _ => (),
+      // count-based retention, composed with the time cutoff: the
+      // `retainLast` NEWEST snapshots survive even when older than the
+      // cutoff (the "always keep a week of rollback points" policy).
+      // 1 = the time cutoff alone decides (current is always kept).
+      retainLast: Int = 1): Seq[Long] = {
+    require(retainLast >= 1, "retainLast must keep at least the current snapshot")
     val meta = IcebergMeta.load(tablePath)
     val root = meta.root
     val current = meta.currentSnapshot.getOrElse(
       throw new IllegalStateException("table has no current snapshot"))
-    val expired = meta.snapshots
-      .filter(s => s.timestampMs < olderThanMs && s.id != current.id)
+    val newestIds = meta.snapshots.sortBy(s => (s.timestampMs, s.id))
+      .takeRight(retainLast).map(_.id).toSet
+    val expired = meta.snapshots.filter(s =>
+      s.timestampMs < olderThanMs && s.id != current.id &&
+        !newestIds.contains(s.id))
     // NOTE: no early return when nothing expires — the GC pass below
     // still runs (referenced = every snapshot's files), which is what
     // lets a rerun reclaim orphans a crash-between-commit-and-GC left

@@ -981,6 +981,57 @@ class SourcesSpec extends SparkTestBase {
     assert(again.deleteFiles === 0 && again.compacted.isEmpty && again.expired.isEmpty)
   }
 
+  test("bucket[N] hidden partitioning: writes lay out spec buckets; pruned reads match") {
+    import spark.implicits._
+    import graft.sources.IcebergTransforms
+    val root = tempDir("graft-iceberg-bucket")
+    val df = (0 until 200).map(i => (i.toLong, s"row$i")).toDF("id", "v")
+    IcebergWriter.appendPartitioned(spark, root, df,
+      Some(IcebergWriter.PartitionTransform("id", "bucket[8]")), 1000L,
+      formatVersion = 2)
+
+    val all = IcebergSource.read(spark, root)
+    assert(all.count() === 200)
+    assert(all.schema.fieldNames.toSeq === Seq("id", "v"),
+      "bucket layout column must stay hidden")
+
+    // every file's recorded tuple IS the spec hash of its rows — the
+    // property a foreign reader (real Iceberg runtime) depends on
+    val meta = IcebergMeta.load(root)
+    val plan0 = IcebergMeta.planScan(meta, meta.currentSnapshot.get)
+    val byFile = spark.read
+      .option("basePath", java.nio.file.Paths.get(root, "data").toString)
+      .parquet(plan0.files.map(_.path): _*)
+      .select(org.apache.spark.sql.functions.col("id"),
+        org.apache.spark.sql.functions.col("_metadata.file_path").as("f"))
+      .collect().groupBy(_.getString(1)).view
+      .mapValues(_.map(_.getLong(0)).toSeq).toMap
+    plan0.files.foreach { f =>
+      val recorded = f.partition("id_bucket").asInstanceOf[Number].intValue()
+      // _metadata returns the file URI; match by suffix
+      val ids = byFile.collectFirst {
+        case (path, v) if path.endsWith(
+          f.path.substring(f.path.lastIndexOf('/'))) => v
+      }.getOrElse(fail(s"no read rows for ${f.path}"))
+      ids.foreach(id =>
+        assert(IcebergTransforms.bucket("long", id, 8) === recorded,
+          s"file ${f.path} holds id $id outside its recorded bucket"))
+    }
+
+    // hidden pruning: an id predicate opens only its bucket's manifest
+    val target = 137L
+    val b = IcebergTransforms.bucket("long", target, 8)
+    val pruned = IcebergMeta.planScan(meta, meta.currentSnapshot.get,
+      Some(IcebergMeta.PartitionEquals("id", target)))
+    assert(pruned.manifestsRead < plan0.manifestsRead,
+      s"bucket predicate opened all ${plan0.manifestsRead} manifests")
+    assert(pruned.files.nonEmpty &&
+      pruned.files.forall(_.partition("id_bucket") == b))
+    val rows = IcebergSource.read(spark, root, None, None,
+      Some(IcebergMeta.PartitionEquals("id", target)))
+    assert(rows.filter($"id" === target).count() === 1)
+  }
+
   test("iceberg snapshot expiry: history dropped, orphan bytes reclaimed, current intact") {
     def dataFiles(root: String) = {
       val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(root, "data"))
@@ -1014,6 +1065,14 @@ class SourcesSpec extends SparkTestBase {
       s"orphans not reclaimed: ${dataFiles(root)}")
     // idempotent: nothing further to expire, and a second call is a no-op
     assert(IcebergWriter.expireSnapshots(root, 6000L, 8000L) === Seq.empty)
+
+    // count-based retention composes with the cutoff: on a fresh table,
+    // retainLast=3 protects the newest three even past the time cutoff
+    val r3 = mkV2Table() // snapshots 1-5
+    val kept3 = IcebergWriter.expireSnapshots(r3, olderThanMs = 9999L, 9999L,
+      retainLast = 3)
+    assert(kept3 === Seq(1L, 2L))
+    assert(IcebergMeta.load(r3).snapshots.map(_.id) === Seq(3L, 4L, 5L))
 
     // crash AFTER the metadata commit, BEFORE GC: history already gone,
     // orphans remain — and the rerun (which expires nothing) reclaims them
@@ -1097,7 +1156,7 @@ class SourcesSpec extends SparkTestBase {
       PartitionEquals("d_day", java.time.LocalDate.of(2020, 5, 3)))).manifestsRead === 1)
   }
 
-  test("iceberg truncate[] layout prunes; bucket[] layout refuses to write") {
+  test("iceberg truncate[] layout prunes; unknown transforms refuse to write") {
     import spark.implicits._
     val root = tempDir("graft-iceberg-trunc")
     val df = (0 until 40).map(i => (i.toLong, s"row$i")).toDF("id", "v")
@@ -1110,13 +1169,14 @@ class SourcesSpec extends SparkTestBase {
       Some(PartitionEquals("id", 27L)))
     assert(rows.select("id").collect().map(_.getLong(0)).sorted.toSeq ===
       (20L until 30L))
-    // bucket[N] needs Iceberg's murmur3 as a layout expression: the
-    // writer refuses EARLY (no orphan files), the reader still prunes
+    // bucket[N] writes SINCE R12 (spec-hash layout, see the dedicated
+    // test); a transform this writer can't lay out still refuses EARLY
+    // (no orphan files), while reads/pruning would support it
     val e = intercept[UnsupportedOperationException] {
-      IcebergWriter.appendPartitioned(spark, tempDir("graft-iceberg-bucket"),
-        df, Some(IcebergWriter.PartitionTransform("id", "bucket[4]")), 1000L)
+      IcebergWriter.appendPartitioned(spark, tempDir("graft-iceberg-void"),
+        df, Some(IcebergWriter.PartitionTransform("id", "void")), 1000L)
     }
-    assert(e.getMessage.contains("bucket"))
+    assert(e.getMessage.contains("void"))
   }
 
   test("iceberg v2 incremental: pre-window deletes are inert, in-window deletes refuse") {
