@@ -316,8 +316,13 @@ object IcebergWriter {
     pt.transform match {
       case "identity"                 => src
       case "day" | "month" | "year" =>
-        require(src == DateType,
-          s"'${pt.transform}' layout needs a date source column; " +
+        require(src == DateType || src == TimestampType,
+          s"'${pt.transform}' layout needs a date or timestamp source " +
+            s"column; '${pt.source}' is $src")
+        IntegerType
+      case "hour" =>
+        require(src == TimestampType,
+          s"'hour' layout needs a timestamp source column; " +
             s"'${pt.source}' is $src")
         IntegerType
       case t if IcebergTransforms.truncateWidth(t).isDefined =>
@@ -339,9 +344,21 @@ object IcebergWriter {
       pt: PartitionTransform, schema: StructType): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
     val c = col(pt.source)
+    // floorDiv in long arithmetic via pmod: (x - pmod(x, d)) / d is exact
+    // and rounds toward -inf for pre-epoch instants, matching the spec's
+    // Math.floorDiv (a plain `div` truncates toward zero and would put
+    // 1969-12-31 23:00 in day 0 instead of day -1)
+    def floorDiv(x: org.apache.spark.sql.Column, d: Long) =
+      ((x - pmod(x, lit(d))) / lit(d)).cast(IntegerType)
+    val isTs = schema(pt.source).dataType == TimestampType
     pt.transform match {
       case "identity" => c
-      case "day"      => datediff(c, lit("1970-01-01").cast(DateType))
+      case "day" if isTs  => floorDiv(unix_micros(c), 86400000000L)
+      case "day"          => datediff(c, lit("1970-01-01").cast(DateType))
+      case "hour"         => floorDiv(unix_micros(c), 3600000000L)
+      // year()/month() evaluate in the session timezone; the session is
+      // pinned UTC (GraftSession + QueryUtil), matching the spec's UTC
+      // ordinal definition for timestamptz sources
       case "month"    => (year(c) - lit(1970)) * lit(12) + month(c) - lit(1)
       case "year"     => year(c) - lit(1970)
       case t if IcebergTransforms.bucketCount(t).isDefined =>

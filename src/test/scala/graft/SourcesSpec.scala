@@ -1032,6 +1032,45 @@ class SourcesSpec extends SparkTestBase {
     assert(rows.filter($"id" === target).count() === 1)
   }
 
+  test("hour(ts) hidden partitioning writes from a timestamp source; instant predicate prunes") {
+    import spark.implicits._
+    val root = tempDir("graft-iceberg-hour")
+    // 48 events over 24 hours: ids i and i+24 share an hour
+    val df = (0 until 48).map(i =>
+      (i.toLong, java.sql.Timestamp.valueOf(f"2026-01-01 ${i % 24}%02d:30:00")))
+      .toDF("id", "ts")
+    IcebergWriter.appendPartitioned(spark, root, df,
+      Some(IcebergWriter.PartitionTransform("ts", "hour")), 1000L,
+      formatVersion = 2)
+    val all = IcebergSource.read(spark, root)
+    assert(all.count() === 48)
+    assert(all.schema.fieldNames.toSeq === Seq("id", "ts"),
+      "hour layout column must stay hidden; raw ts stays in the data")
+
+    // a predicate on ANY instant inside an hour opens exactly that
+    // hour's manifest — the user never knows the table is hour()-laid-out
+    val meta = IcebergMeta.load(root)
+    val t = java.sql.Timestamp.valueOf("2026-01-01 05:45:00")
+    val plan = IcebergMeta.planScan(meta, meta.currentSnapshot.get,
+      Some(IcebergMeta.PartitionEquals("ts", t)))
+    assert(plan.manifestsTotal === 24 && plan.manifestsRead === 1,
+      s"hour predicate read ${plan.manifestsRead} of ${plan.manifestsTotal}")
+    val pruned = IcebergSource.read(spark, root, None, None,
+      Some(IcebergMeta.PartitionEquals("ts", t)))
+    assert(pruned.select("id").collect().map(_.getLong(0)).sorted.toSeq
+      === Seq(5L, 29L))
+
+    // day() over a TIMESTAMP source (not just date) also lays out
+    val root2 = tempDir("graft-iceberg-tsday")
+    IcebergWriter.appendPartitioned(spark, root2, df,
+      Some(IcebergWriter.PartitionTransform("ts", "day")), 1000L,
+      formatVersion = 2)
+    assert(IcebergSource.read(spark, root2).count() === 48)
+    val meta2 = IcebergMeta.load(root2)
+    assert(IcebergMeta.planScan(meta2, meta2.currentSnapshot.get)
+      .files.forall(_.partition.contains("ts_day")))
+  }
+
   test("iceberg snapshot expiry: history dropped, orphan bytes reclaimed, current intact") {
     def dataFiles(root: String) = {
       val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(root, "data"))
