@@ -21,6 +21,25 @@ class GraftSession(val spark: SparkSession) {
   /** Register a DataFrame under a name (reference:
     * crates/common/src/catalog.rs:5-27 `MemoryCatalog::register_table`).
     */
+  /** Register an Iceberg table (current snapshot) as a queryable view
+    * that FOLLOWS commits: every IcebergWriter commit to this path
+    * re-resolves the view against the new metadata, so SQL over `name`
+    * always reads the table's current snapshot — append, MERGE, UPSERT,
+    * compaction, schema evolution included. (Time travel stays on the
+    * explicit IcebergSource.read(snapshotId) API; a view pinned to one
+    * snapshot would silently go stale, the opposite of a catalog table.)
+    */
+  def registerIcebergTable(name: String, tablePath: String): Unit = {
+    val abs = java.nio.file.Paths.get(tablePath).toAbsolutePath.toString
+    def bind(): Unit = registerTable(
+      name, graft.sources.IcebergSource.read(spark, abs))
+    bind()
+    graft.sources.IcebergWriter.addCommitListener { committed =>
+      if (java.nio.file.Paths.get(committed).toAbsolutePath.toString == abs)
+        bind()
+    }
+  }
+
   def registerTable(name: String, df: DataFrame): Unit =
     df.createOrReplaceTempView(name)
 

@@ -321,6 +321,33 @@ class EngineSpec extends SparkTestBase {
 
   // ----- serving shim (reference crates/api/src/lib.rs:81-149) -------------
 
+  test("registerIcebergTable: SQL view follows commits (upsert lands without re-registration)") {
+    import spark.implicits._
+    import graft.sources.IcebergWriter
+    val root = tempDir("graft-engine-iceberg")
+    IcebergWriter.append(spark, root,
+      (0 until 10).map(i => (i.toLong, s"r$i")).toDF("id", "v"), None, 1000L,
+      formatVersion = 2)
+    session.registerIcebergTable("ice_live", root)
+    assert(session.execute("SELECT count(*) AS n FROM ice_live")
+      .head().getLong(0) === 10L)
+
+    // a MoR upsert through the writer: the view re-binds on commit —
+    // no manual refresh, SQL sees the new current snapshot
+    IcebergWriter.upsertRows(spark, root,
+      Seq((3L, "updated"), (50L, "new")).toDF("id", "v"), "id", 2000L)
+    assert(session.execute("SELECT count(*) AS n FROM ice_live")
+      .head().getLong(0) === 11L)
+    assert(session
+      .execute("SELECT v FROM ice_live WHERE id = 3")
+      .head().getString(0) === "updated")
+
+    // compaction is equally transparent
+    IcebergWriter.compact(spark, root, 3000L)
+    assert(session.execute("SELECT count(*) AS n FROM ice_live")
+      .head().getLong(0) === 11L)
+  }
+
   test("serving surfaces analysis errors eagerly (reference FlightError behavior)") {
     intercept[Exception] {
       session.serving.flightInfo("SELECT nope FROM does_not_exist")
