@@ -227,6 +227,41 @@ object SourceQueries {
     root.toString
   }
 
+  /** q_iceberg_events_hour's DYNAMIC oracle (Q.oracleFn, same
+    * last-writer-wins holder contract as SimilarityQueries.ivfOracle):
+    * the SQL embeds the hour the run actually targeted — the hour of the
+    * fixture's earliest event, discovered at run time.
+    */
+  private val eventsHourOracle =
+    new java.util.concurrent.atomic.AtomicReference[Option[String]](None)
+
+  /** Materialize (once per fixture dir + process) the EVENTS fixture as
+    * an `hour(ts)`-hidden-partitioned v2 Iceberg table — the layout an
+    * event-ingest pipeline actually uses (30 fixture days -> ~720 hour
+    * manifests). The raw ts stays in the data; only the hour ordinal
+    * shapes the layout.
+    */
+  private def fixtureIcebergEventsHourTable(
+      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    import graft.sources.IcebergWriter
+    val root = graft.engine.TempDirs.workspace("graft-iceberg", "eventshour", dir)
+    graft.engine.TempDirs.materializeOnce(root)(
+      java.nio.file.Files.exists(
+        root.resolve("metadata").resolve("v1.metadata.json"))
+    ) {
+      if (java.nio.file.Files.exists(root)) {
+        val walk = java.nio.file.Files.walk(root)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+        finally walk.close()
+      }
+      IcebergWriter.appendPartitioned(s, root.toString, events(s, dir),
+        Some(IcebergWriter.PartitionTransform("ts", "hour")),
+        timestampMs = 1000L, formatVersion = 2): Unit
+    }
+    root.toString
+  }
+
   /** Materialize (once per fixture dir + process) a HIDDEN-partitioned
     * Iceberg table: `day(o_date)` — the data files keep the raw date
     * column; only the transformed day ordinal shapes the layout and the
@@ -631,6 +666,45 @@ object SourceQueries {
           .orderBy($"p_partkey")
       },
       Some(icebergUpsertOracle)
+    ),
+    // EVENTS over hour(ts) hidden partitioning, end to end: the fixture
+    // events land in an hour-laid-out v2 table; the query aggregates ONE
+    // hour selected by an instant predicate — the planner opens exactly
+    // that hour's manifest of ~720 (the 100-TB event-scan economics:
+    // scan cost is the HOUR's bytes, not the table's). The oracle is
+    // dynamic: it embeds the hour the run targeted (the fixture's
+    // earliest), replaying the same range over the raw events parquet.
+    Q(
+      "q_iceberg_events_hour",
+      (s, dir) => {
+        val root = fixtureIcebergEventsHourTable(s, dir)
+        // driver-side KB probe picks the target hour: the earliest event's
+        val minMicros = events(s, dir)
+          .agg(min(unix_micros($"ts")).as("m")).head().getLong(0)
+        val hourStartMicros =
+          Math.floorDiv(minMicros, 3600000000L) * 3600000000L
+        val hourStr = java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss")
+          .withZone(java.time.ZoneOffset.UTC)
+          .format(java.time.Instant.ofEpochSecond(hourStartMicros / 1000000L))
+        eventsHourOracle.set(Some(
+          "SELECT event_type, count(*) AS n, " +
+            "CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value " +
+            s"FROM events WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '$hourStr' " +
+            s"AND CAST(ts AS TIMESTAMP) < TIMESTAMP '$hourStr' + INTERVAL 1 HOUR " +
+            "GROUP BY 1 ORDER BY event_type"))
+        graft.sources.IcebergSource
+          .read(s, root, None, None,
+            Some(graft.sources.IcebergMeta.PartitionEquals(
+              "ts", new java.sql.Timestamp(hourStartMicros / 1000L))))
+          .groupBy($"event_type")
+          .agg(
+            count(lit(1)).as("n"),
+            asDouble(sum($"value".cast(DecimalType(18, 6)))).as("sum_value"))
+          .orderBy($"event_type")
+      },
+      None,
+      oracleFn = Some(() => eventsHourOracle.get())
     ),
     // SCHEMA EVOLUTION read-back: the current read surfaces the added
     // column as null for every pre-evolution file and as real values for
