@@ -585,6 +585,36 @@ class ServingServerSpec extends SparkTestBase {
     } finally srv.close()
   }
 
+  test("POLL_FLIGHT_INFO surfaces async failures as FAILED with the error text") {
+    withServer { srv =>
+      // parses fine (so the submit is accepted), fails at analysis in
+      // the runner — the client must see FAILED + the reason, not a
+      // silent RUNNING forever or a dropped connection
+      val sub = ServingClient.pollFlightInfo(
+        srv.boundPort, "SELECT x FROM table_that_never_was")
+      val handle = ServingClient.Poll.parse(sub.status).get.handle
+      var poll = ServingClient.Poll.parse(sub.status).get
+      val deadline = System.nanoTime() + 60L * 1000000000L
+      while (poll.state == "RUNNING" && System.nanoTime() < deadline) {
+        Thread.sleep(100)
+        poll = ServingClient.Poll.parse(
+          ServingClient.pollFlightInfo(srv.boundPort, handle).status).get
+      }
+      assert(poll.state === "FAILED", s"final state: $poll")
+      assert(poll.error.toLowerCase.contains("table_that_never_was"),
+        s"error text lost: '${poll.error}'")
+      // cleanup-cancel of a FAILED flight reports already_finished and
+      // must NOT overwrite the recorded failure
+      val c = ServingClient.doAction(srv.boundPort, "cancel", handle)
+      assert(c.rows.map(_.map(_.toString)) ===
+        Seq(Seq("cancel", handle, "already_finished")))
+      val after = ServingClient.Poll.parse(
+        ServingClient.pollFlightInfo(srv.boundPort, handle).status).get
+      assert(after.state === "FAILED" && after.error.nonEmpty,
+        s"cancel erased the failure record: $after")
+    }
+  }
+
   test("LIST_ACTIONS advertises cancel; unknown actions/handles refuse cleanly") {
     withServer { srv =>
       val actions = ServingClient.listActions(srv.boundPort)
