@@ -749,8 +749,13 @@ object IcebergWriter {
     val staging = Files.createTempDirectory("graft-iceberg-upsert")
 
     // the equality-delete file: just the distinct update keys — no table
-    // read anywhere on this path
-    updates.select(col(key)).distinct().sort(key)
+    // read anywhere on this path. NULL keys are excluded: the read side
+    // applies equality deletes null-SAFELY per spec, so a null key in
+    // the file would delete every prior null-keyed row — but mergeRows'
+    // semi join (SQL equality) treats null-keyed updates as pure
+    // inserts, and the two flavors must agree on semantics. A
+    // null-keyed update row therefore inserts without deleting here too.
+    updates.select(col(key)).filter(col(key).isNotNull).distinct().sort(key)
       .coalesce(1).write.parquet(staging.resolve("del").toString)
     val delSrc = parquetFiles(staging.resolve("del")) match {
       case Seq(one) => one
@@ -769,9 +774,16 @@ object IcebergWriter {
     faultHook("staged")
 
     val movedData = placeDataFiles(root, stagedData, snapshotId)
-    val delTarget = root.resolve("data")
-      .resolve(f"delete-$snapshotId%05d-eq.parquet")
-    Files.move(delSrc, delTarget, StandardCopyOption.REPLACE_EXISTING)
+    // all-null-keyed batch: nothing to delete — pure insert, no delete
+    // file at all (mergeRows' no-match shape)
+    val delTarget =
+      if (nKeys == 0) None
+      else {
+        val t = root.resolve("data")
+          .resolve(f"delete-$snapshotId%05d-eq.parquet")
+        Files.move(delSrc, t, StandardCopyOption.REPLACE_EXISTING)
+        Some(t)
+      }
     deleteRecursively(staging)
     faultHook("files-placed")
 
@@ -780,24 +792,26 @@ object IcebergWriter {
     val dataManifests = buildDataManifests(
       spark, root, movedData, partType, snapshotId, fv = 2)
 
-    val delEntry = IcebergMeta.ManifestEntry(
-      status = 1, snapshotId,
-      IcebergMeta.DataFile(
-        delTarget.toAbsolutePath.toString, "PARQUET", Map.empty,
-        nKeys, Files.size(delTarget), content = 2,
-        equalityIds = Seq(keyField.id)))
-    val delMPath = root.resolve("metadata")
-      .resolve(f"manifest-$snapshotId%05d-del.avro")
-    writeManifest(delMPath, None, Seq(delEntry), formatVersion = 2)
-    val delManifest = manifestRecord(delMPath, snapshotId, None, Seq(delEntry))
-      .copy(content = 1)
+    val delManifest = delTarget.map { t =>
+      val delEntry = IcebergMeta.ManifestEntry(
+        status = 1, snapshotId,
+        IcebergMeta.DataFile(
+          t.toAbsolutePath.toString, "PARQUET", Map.empty,
+          nKeys, Files.size(t), content = 2,
+          equalityIds = Seq(keyField.id)))
+      val delMPath = root.resolve("metadata")
+        .resolve(f"manifest-$snapshotId%05d-del.avro")
+      writeManifest(delMPath, None, Seq(delEntry), formatVersion = 2)
+      manifestRecord(delMPath, snapshotId, None, Seq(delEntry))
+        .copy(content = 1)
+    }
     faultHook("manifests-written")
 
     val carried = IcebergMeta.readManifestListFile(
       root, currentManifestList(meta).toString)
     commitSnapshot(spark, root, IcebergMeta.sparkSchema(meta), None,
       Some(meta), baseVersion, snapshotId, timestampMs,
-      carried ++ (delManifest +: dataManifests),
+      carried ++ delManifest.toSeq ++ dataManifests,
       operation = "overwrite", formatVersion = 2)
     snapshotId
   }

@@ -795,6 +795,23 @@ class SourcesSpec extends SparkTestBase {
     assert(IcebergSource.read(spark, root).count() === 21)
     assert(sid2 > sid)
 
+    // null-keyed update rows INSERT without deleting prior null-keyed
+    // rows — aligned with mergeRows' SQL-equality semantics (a null key
+    // in the eq-delete file would null-safely wipe them per spec)
+    val rn = tempDir("graft-iceberg-upsert-null")
+    IcebergWriter.append(spark, rn,
+      Seq((Some(1L), "a"), (None, "oldnull")).toDF("id", "v"), None, 1000L,
+      formatVersion = 2)
+    IcebergWriter.upsertRows(spark, rn,
+      Seq((Option.empty[Long], "newnull")).toDF("id", "v"), "id", 2000L)
+    val vs = IcebergSource.read(spark, rn)
+      .select("v").as[String].collect().sorted.toSeq
+    assert(vs === Seq("a", "newnull", "oldnull"),
+      "null-keyed upsert must insert, never delete prior null rows")
+    // and the all-null batch emitted NO delete file at all
+    val mn = IcebergMeta.load(rn)
+    assert(IcebergMeta.planScan(mn, mn.currentSnapshot.get).deletes.isEmpty)
+
     // crash matrix: every pre-commit fault invisible; rerun converges
     for (point <- Seq("staged", "files-placed", "manifests-written")) {
       val r2 = tempDir(s"graft-upsert-crash-$point")
