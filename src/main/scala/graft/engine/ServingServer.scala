@@ -398,6 +398,13 @@ final class ServingServer(
           (flight, idx) match {
             case (_, i) if cut < 0 || i < 0 =>
               status(s"ERR INVALID_ARGUMENT malformed ticket '$payload'")
+            case (None, _)
+                if Option(pending.get(rest.substring(0, cut)))
+                  .exists(_.state == "RUNNING") =>
+              // an async flight that hasn't finished is not "unknown" —
+              // tell the client to keep polling instead of giving up
+              status("ERR UNAVAILABLE flight is still RUNNING " +
+                s"(POLL_FLIGHT_INFO ${rest.substring(0, cut)})")
             case (None, _) =>
               status("ERR NOT_FOUND unknown or expired flight handle")
             case (Some(f), i) if i >= f.rdd.getNumPartitions =>
