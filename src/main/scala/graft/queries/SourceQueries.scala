@@ -227,6 +227,48 @@ object SourceQueries {
     root.toString
   }
 
+  /** Materialize (once per fixture dir + process) a v2 table that went
+    * through the FULL column-evolution lifecycle: snapshot 1 appends
+    * (p_partkey, p_name, p_size); `renameColumn` p_size -> p_weight
+    * (metadata-only, field id kept — old files keep reading by id);
+    * `dropColumn` p_name; `addColumn` p_name back (FRESH field id, so
+    * old files' p_name must NOT resurrect); snapshot 2 appends 'rn-'
+    * rows (per p_partkey % 6 == 0, +4000000 key offset) under the
+    * evolved shape.
+    */
+  private def fixtureIcebergRenamedTable(
+      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    import graft.sources.IcebergWriter
+    val root = graft.engine.TempDirs.workspace("graft-iceberg", "renamed", dir)
+    graft.engine.TempDirs.materializeOnce(root)(
+      java.nio.file.Files.exists(
+        root.resolve("metadata").resolve("v5.metadata.json"))
+    ) {
+      if (java.nio.file.Files.exists(root)) {
+        val walk = java.nio.file.Files.walk(root)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+        finally walk.close()
+      }
+      val df = t(s, dir, "part")
+        .select(col("p_partkey"), col("p_name"), col("p_size"))
+      IcebergWriter.append(s, root.toString, df, None,
+        timestampMs = 1000L, formatVersion = 2)
+      IcebergWriter.renameColumn(root.toString, "p_size", "p_weight", 2000L)
+      IcebergWriter.dropColumn(root.toString, "p_name", 3000L)
+      IcebergWriter.addColumn(root.toString, "p_name", "string", 4000L)
+      val kT = df.schema("p_partkey").dataType
+      val szT = df.schema("p_size").dataType
+      IcebergWriter.append(s, root.toString,
+        df.filter(col("p_partkey") % 6 === 0).select(
+          (col("p_partkey") + 4000000L).cast(kT).as("p_partkey"),
+          (col("p_size") + 1000).cast(szT).as("p_weight"),
+          concat(lit("rn-"), col("p_partkey")).as("p_name")),
+        None, timestampMs = 5000L): Unit
+    }
+    root.toString
+  }
+
   /** q_iceberg_events_hour's DYNAMIC oracle (Q.oracleFn, same
     * last-writer-wins holder contract as SimilarityQueries.ivfOracle):
     * the SQL embeds the hour the run actually targeted — the hour of the
@@ -727,6 +769,33 @@ object SourceQueries {
           "'ev-' || CAST(p_partkey AS VARCHAR) AS p_name, " +
           "CAST(p_partkey AS DOUBLE) / 2 AS p_score " +
           "FROM part WHERE p_partkey % 9 = 0 " +
+          "ORDER BY p_partkey"
+      )
+    ),
+    // COLUMN-EVOLUTION LIFECYCLE read-back: rename keeps the field id, so
+    // every pre-rename file's p_size surfaces under p_weight (id-based
+    // parquet resolution — name matching would null them); the dropped-
+    // then-readded p_name gets a FRESH id, so old files read it as null
+    // (NOT the dropped values — the resurrection trap), while the
+    // post-evolution append carries real names. One oracle pins all
+    // three semantics at once.
+    Q(
+      "q_iceberg_renamed",
+      (s, dir) => {
+        val root = fixtureIcebergRenamedTable(s, dir)
+        graft.sources.IcebergSource
+          .read(s, root)
+          .select($"p_partkey", $"p_weight", $"p_name")
+          .orderBy($"p_partkey")
+      },
+      Some(
+        "SELECT p_partkey, p_size AS p_weight, " +
+          "CAST(NULL AS VARCHAR) AS p_name FROM part " +
+          "UNION ALL " +
+          "SELECT p_partkey + 4000000 AS p_partkey, " +
+          "p_size + 1000 AS p_weight, " +
+          "'rn-' || CAST(p_partkey AS VARCHAR) AS p_name " +
+          "FROM part WHERE p_partkey % 6 = 0 " +
           "ORDER BY p_partkey"
       )
     ),

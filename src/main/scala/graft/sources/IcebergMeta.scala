@@ -79,7 +79,18 @@ object IcebergMeta {
       snapshots: Seq[Snapshot],
       schemasById: Map[Int, Seq[Field]] = Map.empty,
       currentSchemaId: Int = 0,
-      lastSequenceNumber: Long = 0L) {
+      lastSequenceNumber: Long = 0L,
+      properties: Map[String, String] = Map.empty) {
+
+    /** True when every data/equality-delete parquet of this table carries
+      * spec field ids ([[IcebergMeta.FieldIdsProperty]], stamped at table
+      * creation by [[IcebergWriter]] and honored by every write flavor).
+      * Gates id-based column resolution on read — the mechanism that makes
+      * rename safe and keeps a dropped-then-readded column from
+      * resurrecting old values.
+      */
+    def fieldIdStamped: Boolean =
+      properties.get(FieldIdsProperty).contains("true")
 
     /** The schema a snapshot was written under (spec: each snapshot logs
       * its schema-id) — real time-travel shows the table AS IT WAS, so a
@@ -158,6 +169,14 @@ object IcebergMeta {
   // ---------------------------------------------------------------------
 
   private val mapper = new ObjectMapper()
+
+  /** Table property marking every data/eq-delete parquet as carrying spec
+    * field ids in its footer (the parquet `field_id` attribute). Set at
+    * table creation by this repo's writer; absent on foreign tables and
+    * on tables created before the writer stamped ids — those read
+    * name-based exactly as they always did.
+    */
+  val FieldIdsProperty = "graft.parquet-field-ids"
 
   def metadataDir(tablePath: String): Path = Paths.get(tablePath, "metadata")
 
@@ -252,9 +271,15 @@ object IcebergMeta {
         Some(node.path("current-snapshot-id").asLong())
       else None
 
+    val properties: Map[String, String] =
+      if (node.has("properties")) {
+        val p = node.path("properties")
+        p.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+      } else Map.empty
+
     TableMeta(Paths.get(tablePath), formatVersion, fields, partitionFields,
       current, snapshots, schemasById, currentSchemaId,
-      node.path("last-sequence-number").asLong(0L))
+      node.path("last-sequence-number").asLong(0L), properties)
   }
 
   // ---------------------------------------------------------------------
@@ -648,7 +673,27 @@ object IcebergMeta {
   def sparkSchema(meta: TableMeta): StructType = sparkSchema(meta.fields)
 
   def sparkSchema(fields: Seq[Field]): StructType =
-    StructType(fields.map { f =>
+    sparkSchema(fields, withFieldIds = false)
+
+  /** `withFieldIds = true` attaches each field's spec id as
+    * `parquet.field.id` StructField metadata. With
+    * `spark.sql.parquet.fieldId.read.enabled` (set by the read path)
+    * Spark's parquet reader then resolves columns BY ID instead of by
+    * name — which is what makes a renamed column read its old files'
+    * values, and a dropped-then-readded column (fresh id) read old files
+    * as null instead of resurrecting the dropped values. Only used for
+    * tables whose files are id-stamped ([[TableMeta.fieldIdStamped]]);
+    * elsewhere the metadata-less schema keeps name resolution.
+    */
+  def sparkSchema(fields: Seq[Field], withFieldIds: Boolean): StructType =
+    StructType(sparkSchema0(fields).map { case (f, id) =>
+      if (!withFieldIds) f
+      else f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata).putLong("parquet.field.id", id.toLong).build())
+    })
+
+  private def sparkSchema0(fields: Seq[Field]): Seq[(StructField, Int)] =
+    fields.map { f =>
       val dt = f.typeName match {
         case "boolean"     => BooleanType
         case "int"         => IntegerType
@@ -664,6 +709,6 @@ object IcebergMeta {
         case other =>
           throw new UnsupportedOperationException(s"Iceberg type '$other' not mapped")
       }
-      StructField(f.name, dt, nullable = !f.required)
-    })
+      (StructField(f.name, dt, nullable = !f.required), f.id)
+    }
 }

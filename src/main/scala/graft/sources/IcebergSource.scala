@@ -88,11 +88,27 @@ object IcebergSource {
     // snap is always defined under timeTravel (snapshotById/snapshotAsOf
     // throw on a miss), so the snapshot schema resolution has no fallback
     val snapFields = if (timeTravel) meta.schemaAt(snap.get) else meta.fields
-    val schema = IcebergMeta.sparkSchema(snapFields)
+    // id-stamped tables resolve parquet columns BY FIELD ID (the schema
+    // carries parquet.field.id metadata + the session conf below) — what
+    // makes renamed columns read old files correctly and keeps a dropped-
+    // then-readded column from resurrecting. Unmarked tables stay
+    // name-resolved exactly as before.
+    val stamped = meta.fieldIdStamped
+    if (stamped) enableFieldIdRead(spark)
+    val schema = IcebergMeta.sparkSchema(snapFields, stamped)
     val plan = snap.map(s => IcebergMeta.planScan(meta, s, prune))
       .getOrElse(IcebergMeta.ScanPlan(Seq.empty, 0, 0, 0))
-    readFiles(spark, tablePath, schema, plan.files, plan.deletes, snapFields)
+    readFiles(spark, tablePath, schema, plan.files, plan.deletes, snapFields,
+      stamped)
   }
+
+  /** Field-id resolution is a session conf, not a per-read option. It
+    * only activates for read schemas that CARRY id metadata, so leaving
+    * it on never changes how ordinary (metadata-less) parquet reads
+    * resolve.
+    */
+  private def enableFieldIdRead(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
 
   /** Planned file set -> DataFrame. The METADATA schema is handed to the
     * reader (no file-footer or partition-dir inference): column order and
@@ -109,7 +125,8 @@ object IcebergSource {
       schema: org.apache.spark.sql.types.StructType,
       files: Seq[IcebergMeta.DataFile],
       deletes: Seq[IcebergMeta.DeleteFile] = Seq.empty,
-      fields: Seq[IcebergMeta.Field] = Seq.empty): DataFrame =
+      fields: Seq[IcebergMeta.Field] = Seq.empty,
+      stamped: Boolean = false): DataFrame =
     if (files.isEmpty) {
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -123,7 +140,8 @@ object IcebergSource {
         // declared position; restore the table schema's column order
         .select(schema.fieldNames.toSeq.map(col): _*)
     } else {
-      applyMergeOnRead(spark, tablePath, schema, files, deletes, fields)
+      applyMergeOnRead(spark, tablePath, schema, files, deletes, fields,
+        stamped)
     }
 
   /** Canonical file path for delete matching: stored delete-file paths and
@@ -162,7 +180,8 @@ object IcebergSource {
       schema: org.apache.spark.sql.types.StructType,
       files: Seq[IcebergMeta.DataFile],
       deletes: Seq[IcebergMeta.DeleteFile],
-      fields: Seq[IcebergMeta.Field]): DataFrame = {
+      fields: Seq[IcebergMeta.Field],
+      stamped: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col}
     import spark.implicits._
 
@@ -215,7 +234,16 @@ object IcebergSource {
       val deleteSeq = group
         .map(d => (normalizePath(d.path), d.sequenceNumber))
         .toDF("_d_dfile", "_d_seq")
-      val ed = spark.read.parquet(group.map(_.path): _*)
+      // id-stamped tables declare the delete-file schema from the CURRENT
+      // fields (with their id metadata): a delete file written before a
+      // key column was renamed still resolves by field id. Unmarked
+      // tables infer, as their delete files predate id stamping.
+      val edReader =
+        if (stamped)
+          spark.read.schema(org.apache.spark.sql.types.StructType(
+            names.map(n => schema(n))))
+        else spark.read
+      val ed = edReader.parquet(group.map(_.path): _*)
         .select(names.map(n => col(n).as(s"_d_$n")) :+
           normalizePathCol(col("_metadata.file_path")).as("_d_dfile"): _*)
         .join(broadcast(deleteSeq), Seq("_d_dfile"))
@@ -239,14 +267,17 @@ object IcebergSource {
       s"Incremental reads require table metadata; $tablePath has none")
     val meta = IcebergMeta.load(tablePath)
     val to = toSnapshotId.map(meta.snapshotById).orElse(meta.currentSnapshot)
+    val stamped = meta.fieldIdStamped
+    if (stamped) enableFieldIdRead(spark)
     // explicit historical window end -> that snapshot's logged schema
     // (`to` is defined: snapshotById throws on a miss); default (current)
     // -> current schema (same rule as read())
     val schema = IcebergMeta.sparkSchema(
-      if (toSnapshotId.isDefined) meta.schemaAt(to.get) else meta.fields)
+      if (toSnapshotId.isDefined) meta.schemaAt(to.get) else meta.fields,
+      stamped)
     val files = to.map(s => IcebergMeta.planAppends(meta, fromSnapshotId, s).files)
       .getOrElse(Seq.empty)
-    readFiles(spark, tablePath, schema, files)
+    readFiles(spark, tablePath, schema, files, stamped = stamped)
   }
 
   /** Scan plan for a metadata table — the spec pins pruning evidence

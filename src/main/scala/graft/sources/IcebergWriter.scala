@@ -142,7 +142,7 @@ object IcebergWriter {
 
     // ---- data files -----------------------------------------------------
     val staging = Files.createTempDirectory("graft-iceberg-stage")
-    val staged = stageDataFiles(df, partition, staging)
+    val staged = stageDataFiles(df, partition, staging, fieldIdsFor(prior, df.schema))
     val written = placeDataFiles(root, staged, snapshotId)
     deleteRecursively(staging)
 
@@ -186,6 +186,42 @@ object IcebergWriter {
     }
   }
 
+  /** Attach each column's spec field id as `parquet.field.id` StructField
+    * metadata, so Spark's parquet writer (fieldId.write, on by default)
+    * records it in the file footers. Stamped files are what make
+    * id-based read resolution — and therefore safe rename / no-resurrect
+    * drop+readd — possible; every write flavor routes its data files (and
+    * equality-delete files) through this. Columns without a mapping (the
+    * transformed layout column, dropped from data files by partitionBy)
+    * pass through unstamped.
+    */
+  private def stampFieldIds(
+      df: DataFrame, ids: Map[String, Int]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    df.sparkSession.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    df.select(df.columns.toSeq.map { c =>
+      ids.get(c) match {
+        case Some(id) =>
+          val m = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(df.schema(c).metadata)
+            .putLong("parquet.field.id", id.toLong).build()
+          col(c).as(c, m)
+        case None => col(c)
+      }
+    }: _*)
+  }
+
+  /** The name->field-id map a write against `meta` stamps with; fresh
+    * tables (no prior metadata) use positional ids, matching the ids
+    * [[schemaJson]] records for them at the commit.
+    */
+  private def fieldIdsFor(
+      prior: Option[IcebergMeta.TableMeta], schema: StructType): Map[String, Int] =
+    prior match {
+      case Some(m) => m.fields.map(f => f.name -> f.id).toMap
+      case None    => schema.fieldNames.zipWithIndex.map { case (n, i) => n -> (i + 1) }.toMap
+    }
+
   /** Stage `df`'s rows under `staging` laid out per `partition`: the
     * TRANSFORMED value becomes the layout column; partitionBy drops it
     * from the files, which is exactly hidden partitioning (identity
@@ -198,9 +234,12 @@ object IcebergWriter {
     * `<field>=<value>` dir. Shared by append / merge / upsert / compact.
     */
   private def stageDataFiles(
-      df: DataFrame,
+      df0: DataFrame,
       partition: Option[PartitionTransform],
-      staging: Path): Seq[(Map[String, Any], Path)] = partition match {
+      staging: Path,
+      fieldIds: Map[String, Int]): Seq[(Map[String, Any], Path)] = {
+    val df = stampFieldIds(df0, fieldIds)
+    partition match {
     case Some(pt) =>
       val fieldName = pt.fieldName
       val dt = transformedSparkType(pt, df.schema)
@@ -224,6 +263,7 @@ object IcebergWriter {
       df.write.parquet(staging.resolve("out").toString)
       parquetFiles(staging.resolve("out"))
         .map(f => (Map.empty[String, Any], f))
+    }
   }
 
   /** Move staged files into `data/` under deterministic snapshot-keyed
@@ -490,7 +530,11 @@ object IcebergWriter {
     require(plan.files.nonEmpty, "table has no live data files to delete from")
 
     import org.apache.spark.sql.functions.col
-    val schema = IcebergMeta.sparkSchema(meta)
+    // stamped tables resolve by field id (a rename must not misresolve
+    // pre-rename files while computing positions)
+    if (meta.fieldIdStamped)
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    val schema = IcebergMeta.sparkSchema(meta.fields, meta.fieldIdStamped)
     val staging = Files.createTempDirectory("graft-iceberg-del")
     spark.read
       .schema(schema)
@@ -554,7 +598,10 @@ object IcebergWriter {
     val snapshotId = meta.snapshots.map(_.id).max + 1L
 
     val staging = Files.createTempDirectory("graft-iceberg-eq")
-    keys.coalesce(1).write.parquet(staging.resolve("out").toString)
+    // delete files are id-stamped like data files, so the read side can
+    // resolve their columns by field id after a rename of the key column
+    stampFieldIds(keys, keys.columns.toSeq.zip(ids).toMap)
+      .coalesce(1).write.parquet(staging.resolve("out").toString)
     val src = parquetFiles(staging.resolve("out")) match {
       case Seq(one) => one
       case other => throw new IllegalStateException(
@@ -632,7 +679,9 @@ object IcebergWriter {
     require(plan.files.nonEmpty, "table has no live data files to merge into")
 
     import org.apache.spark.sql.functions.col
-    val schema = IcebergMeta.sparkSchema(meta)
+    if (meta.fieldIdStamped)
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    val schema = IcebergMeta.sparkSchema(meta.fields, meta.fieldIdStamped)
     val hadoopConf = spark.sessionState.newHadoopConf()
     val staging = Files.createTempDirectory("graft-iceberg-merge")
 
@@ -663,7 +712,8 @@ object IcebergWriter {
     // data files for ALL update rows (replacements and inserts alike),
     // laid out under the table's partition spec
     val stagedData = stageDataFiles(
-      updates, partition, Files.createDirectories(staging.resolve("data")))
+      updates, partition, Files.createDirectories(staging.resolve("data")),
+      fieldIdsFor(Some(meta), updates.schema))
     val nUpserted = stagedData.map(f => parquetRowCount(hadoopConf, f._2)).sum
     if (nUpserted == 0) {
       deleteRecursively(staging)
@@ -755,7 +805,9 @@ object IcebergWriter {
     // semi join (SQL equality) treats null-keyed updates as pure
     // inserts, and the two flavors must agree on semantics. A
     // null-keyed update row therefore inserts without deleting here too.
-    updates.select(col(key)).filter(col(key).isNotNull).distinct().sort(key)
+    stampFieldIds(
+      updates.select(col(key)).filter(col(key).isNotNull).distinct().sort(key),
+      Map(key -> keyField.id))
       .coalesce(1).write.parquet(staging.resolve("del").toString)
     val delSrc = parquetFiles(staging.resolve("del")) match {
       case Seq(one) => one
@@ -765,7 +817,8 @@ object IcebergWriter {
     val nKeys = parquetRowCount(hadoopConf, delSrc)
 
     val stagedData = stageDataFiles(
-      updates, partition, Files.createDirectories(staging.resolve("data")))
+      updates, partition, Files.createDirectories(staging.resolve("data")),
+      fieldIdsFor(Some(meta), updates.schema))
     val nUpserted = stagedData.map(f => parquetRowCount(hadoopConf, f._2)).sum
     if (nUpserted == 0) {
       deleteRecursively(staging)
@@ -850,7 +903,8 @@ object IcebergWriter {
     // materializes exactly what any reader sees today, re-laid-out
     // under the table's partition spec
     val stagedData = stageDataFiles(
-      IcebergSource.read(spark, tablePath), partition, staging)
+      IcebergSource.read(spark, tablePath), partition, staging,
+      fieldIdsFor(Some(meta), IcebergMeta.sparkSchema(meta)))
     require(stagedData.nonEmpty, "compaction produced no data files")
     faultHook("staged")
 
@@ -927,6 +981,134 @@ object IcebergWriter {
     node.put("last-column-id", newFieldId)
     node.put("last-updated-ms", timestampMs)
     // v1 metadata also carries the singular schema node — keep it in step
+    if (node.has("schema"))
+      node.set[ObjectNode]("schema", evolved.deepCopy[ObjectNode]())
+
+    commitMetadataJson(root, baseVersion + 1, node, "evolve")
+    notifyCommit(root.toString)
+    newId
+  }
+
+  /** SCHEMA EVOLUTION — rename a column, metadata-only. The field KEEPS
+    * its id, and because every data/eq-delete parquet of this writer's
+    * tables carries field ids in its footers (and reads resolve by id —
+    * [[IcebergMeta.sparkSchema]]), files written under the old name keep
+    * reading correctly under the new one; no data moves. Time travel to a
+    * pre-rename snapshot shows the old name (snapshot-scoped schema ids).
+    *
+    * Refused on: tables without the field-id marker (their files resolve
+    * by name — a rename would silently null the column for every old
+    * file), and columns a partition spec references (identity layouts
+    * name their directories after the column; transformed layouts embed
+    * the source name in the partition field name). Returns the new
+    * schema id.
+    */
+  def renameColumn(
+      tablePath: String,
+      from: String,
+      to: String,
+      timestampMs: Long): Int = {
+    val meta = IcebergMeta.load(tablePath)
+    val field = meta.fields.find(_.name == from).getOrElse(
+      throw new IllegalArgumentException(s"column '$from' does not exist"))
+    require(!meta.fields.exists(_.name == to),
+      s"column '$to' already exists in the table schema")
+    requireFieldIdStamped(meta, "renameColumn")
+    requireNotPartitionSource(meta, field, "rename")
+    evolveSchemaFields(meta, timestampMs) { f =>
+      if (f.path("id").asInt() == field.id)
+        Some(f.deepCopy[ObjectNode]().put("name", to))
+      else Some(f.deepCopy[ObjectNode]())
+    }
+  }
+
+  /** SCHEMA EVOLUTION — drop a column, metadata-only: the field leaves
+    * the current schema; old data files keep the physical column, which
+    * readers simply never request again. `last-column-id` is NOT lowered,
+    * so a later [[addColumn]] of the same name allocates a FRESH field
+    * id — and because reads resolve by id, the re-added column reads as
+    * null over every pre-drop file instead of resurrecting the dropped
+    * values (the classic lakehouse-correctness trap name-based
+    * resolution falls into). Time travel to a pre-drop snapshot still
+    * shows the column. Returns the new schema id.
+    *
+    * Refused on: unmarked tables (same reason as rename), partition
+    * source columns, the last remaining column, and columns a LIVE
+    * equality delete references (the current snapshot could no longer be
+    * read; compact first, then drop).
+    */
+  def dropColumn(
+      tablePath: String,
+      name: String,
+      timestampMs: Long): Int = {
+    val meta = IcebergMeta.load(tablePath)
+    val field = meta.fields.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(s"column '$name' does not exist"))
+    require(meta.fields.size > 1, "cannot drop the last remaining column")
+    requireFieldIdStamped(meta, "dropColumn")
+    requireNotPartitionSource(meta, field, "drop")
+    val liveEqIds = meta.currentSnapshot.toSeq
+      .flatMap(s => IcebergMeta.planScan(meta, s).deletes)
+      .filter(_.content == 2).flatMap(_.equalityIds).toSet
+    require(!liveEqIds.contains(field.id),
+      s"column '$name' is referenced by a live equality delete; " +
+        "compact the table first, then drop")
+    evolveSchemaFields(meta, timestampMs) { f =>
+      if (f.path("id").asInt() == field.id) None
+      else Some(f.deepCopy[ObjectNode]())
+    }
+  }
+
+  private def requireFieldIdStamped(
+      meta: IcebergMeta.TableMeta, op: String): Unit =
+    require(meta.fieldIdStamped,
+      s"$op requires a table whose files carry parquet field ids " +
+        s"(property ${IcebergMeta.FieldIdsProperty}); this table's files " +
+        "resolve by NAME, so the operation would silently corrupt reads " +
+        "of pre-evolution files")
+
+  private def requireNotPartitionSource(
+      meta: IcebergMeta.TableMeta, field: IcebergMeta.Field, op: String): Unit =
+    require(!meta.partitionFields.exists(pf =>
+      pf.sourceId == field.id || pf.name == field.name),
+      s"cannot $op column '${field.name}': the partition spec references " +
+        "it (directory layouts and partition field names bind to the " +
+        "source column's name)")
+
+  /** Shared metadata tail of rename/drop: map the CURRENT schema's field
+    * nodes through `f` (None = drop the field), commit the result as a
+    * fresh schema id. Mirrors [[addColumn]]'s verbatim-JSON discipline.
+    */
+  private def evolveSchemaFields(
+      meta: IcebergMeta.TableMeta,
+      timestampMs: Long)(f: ObjectNode => Option[ObjectNode]): Int = {
+    val tablePath = meta.root.toString
+    val baseVersion = IcebergSource.versionHint(tablePath).getOrElse(
+      throw new IllegalStateException("schema evolution requires version-hint metadata"))
+    val root = meta.root
+    val node = mapper.readTree(Files.readString(
+      root.resolve("metadata").resolve(s"v$baseVersion.metadata.json")))
+      .asInstanceOf[ObjectNode]
+    require(node.has("schemas"),
+      "metadata has no schemas array; refusing to evolve a shape this writer doesn't understand")
+    val schemasArr = node.withArray[ArrayNode]("schemas")
+    val curId = node.path("current-schema-id").asInt(0)
+    val cur = (0 until schemasArr.size()).map(schemasArr.get)
+      .find(_.path("schema-id").asInt(0) == curId)
+      .getOrElse(schemasArr.get(0)).asInstanceOf[ObjectNode]
+    val newId = (0 until schemasArr.size())
+      .map(schemasArr.get(_).path("schema-id").asInt(0)).max + 1
+
+    val evolved = cur.deepCopy[ObjectNode]()
+    evolved.put("schema-id", newId)
+    val oldFields = evolved.withArray[ArrayNode]("fields")
+    val mapped = (0 until oldFields.size()).map(oldFields.get)
+      .flatMap(n => f(n.asInstanceOf[ObjectNode]))
+    oldFields.removeAll()
+    mapped.foreach(oldFields.add)
+    schemasArr.add(evolved)
+    node.put("current-schema-id", newId)
+    node.put("last-updated-ms", timestampMs)
     if (node.has("schema"))
       node.set[ObjectNode]("schema", evolved.deepCopy[ObjectNode]())
 
@@ -1157,6 +1339,11 @@ object IcebergWriter {
         val so = n.putArray("sort-orders").addObject()
         so.put("order-id", 0)
         so.putArray("fields")
+        // this writer stamps spec field ids into every parquet footer;
+        // the marker is what lets the read side resolve columns by id
+        // (and the schema-evolution ops require it)
+        n.putObject("properties")
+          .put(IcebergMeta.FieldIdsProperty, "true")
         n.putArray("snapshots")
         n.putArray("snapshot-log")
         n
@@ -1169,6 +1356,8 @@ object IcebergWriter {
         n.put("current-schema-id", 0)
         n.putArray("schemas").add(schemaJson(schema))
         n.set[ArrayNode]("partition-spec", specJson(schema, partition))
+        n.putObject("properties")
+          .put(IcebergMeta.FieldIdsProperty, "true")
         n.putArray("snapshots")
         n.putArray("snapshot-log")
         n

@@ -970,6 +970,146 @@ class SourcesSpec extends SparkTestBase {
     }
   }
 
+  test("schema evolution: renameColumn reads old files by field id; time travel keeps the old name") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.sum
+    val root = tempDir("graft-iceberg-rename")
+    val df = (0 until 10).map(i => (i.toLong, i * 10)).toDF("id", "qty")
+    IcebergWriter.append(spark, root, df, None, 1000L, formatVersion = 2)
+
+    val sid = IcebergWriter.renameColumn(root, "qty", "quantity", 2000L)
+    assert(sid > 0)
+    val meta = IcebergMeta.load(root)
+    assert(meta.fields.map(_.name) === Seq("id", "quantity"))
+    assert(meta.fields.find(_.name == "quantity").get.id === 2,
+      "rename must keep the field id")
+    assert(meta.snapshots.size === 1, "rename must not write a snapshot")
+
+    // current read: OLD files' values surface under the NEW name — this
+    // is the id-resolution gate (name-based matching would null them)
+    val cur = IcebergSource.read(spark, root)
+    assert(cur.schema.fieldNames.toSeq === Seq("id", "quantity"))
+    assert(cur.agg(sum($"quantity")).head().getLong(0) === 450L,
+      "pre-rename files must keep their values under the new name")
+
+    // appends carry the new name; both generations read together
+    IcebergWriter.append(spark, root,
+      Seq((100L, 1000)).toDF("id", "quantity"), None, 3000L)
+    assert(IcebergSource.read(spark, root)
+      .agg(sum($"quantity")).head().getLong(0) === 1450L)
+
+    // time travel to the pre-rename snapshot shows the OLD name
+    val s1 = IcebergSource.read(spark, root, Some(1L), None, None)
+    assert(s1.schema.fieldNames.toSeq === Seq("id", "qty"))
+    assert(s1.agg(sum($"qty")).head().getLong(0) === 450L)
+
+    // refusals: target exists, source missing
+    assert(intercept[IllegalArgumentException] {
+      IcebergWriter.renameColumn(root, "id", "quantity", 4000L)
+    }.getMessage.contains("already exists"))
+    assert(intercept[IllegalArgumentException] {
+      IcebergWriter.renameColumn(root, "gone", "x", 4000L)
+    }.getMessage.contains("does not exist"))
+  }
+
+  test("schema evolution: drop + re-add does NOT resurrect the dropped values") {
+    import spark.implicits._
+    val root = tempDir("graft-iceberg-drop")
+    val df = (0 until 10).map(i => (i.toLong, s"secret$i")).toDF("id", "secret")
+    IcebergWriter.append(spark, root, df, None, 1000L, formatVersion = 2)
+
+    IcebergWriter.dropColumn(root, "secret", 2000L)
+    val dropped = IcebergSource.read(spark, root)
+    assert(dropped.schema.fieldNames.toSeq === Seq("id"))
+
+    // re-add the SAME name: a fresh field id, so id-resolved reads see
+    // null over old files — name-based resolution would resurrect the
+    // dropped secrets, the classic lakehouse-correctness trap
+    IcebergWriter.addColumn(root, "secret", "string", 3000L)
+    val readded = IcebergMeta.load(root).fields.find(_.name == "secret").get
+    assert(readded.id > 2, s"re-added column must get a fresh id, got ${readded.id}")
+    IcebergWriter.append(spark, root,
+      Seq((200L, "fresh")).toDF("id", "secret"), None, 4000L)
+    val cur = IcebergSource.read(spark, root)
+    assert(cur.filter($"secret".isNotNull).select("id").as[Long]
+      .collect().toSeq === Seq(200L),
+      "dropped values must NOT resurface through the re-added column")
+    assert(cur.count() === 11)
+
+    // time travel to the pre-drop snapshot still shows the secrets
+    val s1 = IcebergSource.read(spark, root, Some(1L), None, None)
+    assert(s1.schema.fieldNames.toSeq === Seq("id", "secret"))
+    assert(s1.filter($"secret".isNotNull).count() === 10)
+  }
+
+  test("schema evolution guards: partition sources, last column, unmarked tables, live eq deletes") {
+    import spark.implicits._
+    // partition source column: directory layouts bind to its name
+    val parted = tempDir("graft-iceberg-guard-part")
+    IcebergWriter.append(spark, parted,
+      Seq((1L, "a", 0), (2L, "b", 1)).toDF("id", "v", "band"),
+      Some("band"), 1000L, formatVersion = 2)
+    assert(intercept[IllegalArgumentException] {
+      IcebergWriter.renameColumn(parted, "band", "bucket", 2000L)
+    }.getMessage.contains("partition spec"))
+    assert(intercept[IllegalArgumentException] {
+      IcebergWriter.dropColumn(parted, "band", 2000L)
+    }.getMessage.contains("partition spec"))
+
+    // last remaining column
+    val single = tempDir("graft-iceberg-guard-single")
+    IcebergWriter.append(spark, single, Seq(1L, 2L).toDF("id"), None, 1000L,
+      formatVersion = 2)
+    assert(intercept[IllegalArgumentException] {
+      IcebergWriter.dropColumn(single, "id", 2000L)
+    }.getMessage.contains("last remaining"))
+
+    // a table whose files are NOT id-stamped (foreign/pre-stamping):
+    // rename would silently null every old file — refuse loudly
+    val unmarked = tempDir("graft-iceberg-guard-unmarked")
+    IcebergWriter.append(spark, unmarked,
+      Seq((1L, "a")).toDF("id", "v"), None, 1000L, formatVersion = 2)
+    editMeta2(unmarked, "v1", _.remove("properties"): Unit)
+    assert(intercept[IllegalArgumentException] {
+      IcebergWriter.renameColumn(unmarked, "v", "w", 2000L)
+    }.getMessage.contains(IcebergMeta.FieldIdsProperty))
+
+    // live equality delete referencing the column: the current snapshot
+    // could no longer be read after the drop
+    val eq = tempDir("graft-iceberg-guard-eq")
+    IcebergWriter.append(spark, eq,
+      (0 until 8).map(i => (i.toLong, i % 2)).toDF("id", "band"), None,
+      1000L, formatVersion = 2)
+    IcebergWriter.deleteEquality(spark, eq, Seq(1).toDF("band"), 2000L)
+    assert(intercept[IllegalArgumentException] {
+      IcebergWriter.dropColumn(eq, "band", 3000L)
+    }.getMessage.contains("compact"))
+  }
+
+  test("rename of an equality-delete key: delete files resolve by field id") {
+    import spark.implicits._
+    val root = tempDir("graft-iceberg-rename-eq")
+    IcebergWriter.append(spark, root,
+      (0 until 12).map(i => (i.toLong, i % 3)).toDF("id", "band"), None,
+      1000L, formatVersion = 2)
+    IcebergWriter.deleteEquality(spark, root, Seq(1).toDF("band"), 2000L)
+    // rename the key column AFTER the delete file was written under the
+    // old name: the MoR read must still subtract band=1 rows, resolving
+    // the delete file's column by its stamped field id
+    IcebergWriter.renameColumn(root, "band", "grp", 3000L)
+    val cur = IcebergSource.read(spark, root)
+    assert(cur.schema.fieldNames.toSeq === Seq("id", "grp"))
+    assert(cur.filter($"grp" === 1).count() === 0,
+      "the pre-rename equality delete must still apply")
+    assert(cur.count() === 8)
+    // a post-rename append with grp=1 SURVIVES the older delete (strict
+    // sequence scoping is unaffected by the rename)
+    IcebergWriter.append(spark, root,
+      Seq((100L, 1)).toDF("id", "grp"), None, 4000L)
+    assert(IcebergSource.read(spark, root).filter($"grp" === 1)
+      .select("id").as[Long].collect().toSeq === Seq(100L))
+  }
+
   test("maintenance policy: compacts at the delete threshold, no-ops below, expires on cutoff") {
     import graft.sources.IcebergMaintenance
     // the 5-snapshot MoR fixture carries 2 live delete files
