@@ -339,6 +339,47 @@ object SourceQueries {
     root.toString
   }
 
+  /** Materialize (once per fixture dir + process) a v2 table whose
+    * PARTITION SPEC EVOLVED mid-life: snapshot 1 appends a third of
+    * `orders` (o_orderkey % 3 == 0, synthetic o_date = 1995-03-01 +
+    * o_orderkey % 8) FLAT (unpartitioned); `evolveSpec` switches the
+    * default to hidden day(o_date); snapshot 2 appends the rest under
+    * the day layout. The two generations coexist: flat files directly
+    * under data/, day files under o_date_day=N/ dirs.
+    */
+  private def fixtureIcebergSpecEvolvedTable(
+      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    import graft.sources.IcebergWriter
+    val root = graft.engine.TempDirs.workspace("graft-iceberg", "specevolved", dir)
+    graft.engine.TempDirs.materializeOnce(root)(
+      java.nio.file.Files.exists(
+        root.resolve("metadata").resolve("v3.metadata.json"))
+    ) {
+      if (java.nio.file.Files.exists(root)) {
+        val walk = java.nio.file.Files.walk(root)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+        finally walk.close()
+      }
+      val df = t(s, dir, "orders")
+        .select(
+          col("o_orderkey"),
+          col("o_custkey"),
+          date_add(lit("1995-03-01").cast("date"),
+            (col("o_orderkey") % 8).cast("int")).as("o_date"))
+      IcebergWriter.append(s, root.toString,
+        df.filter(col("o_orderkey") % 3 === 0), None,
+        timestampMs = 1000L, formatVersion = 2)
+      IcebergWriter.evolveSpec(root.toString,
+        Some(IcebergWriter.PartitionTransform("o_date", "day")), 2000L)
+      IcebergWriter.appendPartitioned(s, root.toString,
+        df.filter(col("o_orderkey") % 3 =!= 0),
+        Some(IcebergWriter.PartitionTransform("o_date", "day")),
+        timestampMs = 3000L): Unit
+    }
+    root.toString
+  }
+
   val all: Seq[Q] = Seq(
     // CSV scan with declared schema + header (reference:
     // coordinator/src/main.rs:33-43).
@@ -770,6 +811,32 @@ object SourceQueries {
           "CAST(p_partkey AS DOUBLE) / 2 AS p_score " +
           "FROM part WHERE p_partkey % 9 = 0 " +
           "ORDER BY p_partkey"
+      )
+    ),
+    // PARTITION SPEC EVOLUTION read-back: the table started flat, then
+    // evolved to hidden day(o_date) — each manifest prunes via the spec
+    // it was written under (the day generation opens 1 of 8 day
+    // manifests; the pre-evolution flat manifest has no o_date field and
+    // is read in full, conservative-correct), the two directory layouts
+    // are read as one table, and the residual filter restores exact
+    // predicate semantics over the unprunable old files. The oracle
+    // replays the date derivation over the original parquet.
+    Q(
+      "q_iceberg_specevolved",
+      (s, dir) => {
+        val root = fixtureIcebergSpecEvolvedTable(s, dir)
+        graft.sources.IcebergSource
+          .read(s, root, None, None,
+            Some(graft.sources.IcebergMeta.PartitionEquals(
+              "o_date", java.time.LocalDate.of(1995, 3, 4))))
+          .filter($"o_date" === lit("1995-03-04").cast("date"))
+          .select($"o_orderkey", $"o_custkey", $"o_date")
+          .orderBy($"o_orderkey")
+      },
+      Some(
+        "SELECT o_orderkey, o_custkey, " +
+          "CAST(DATE '1995-03-01' + CAST(o_orderkey % 8 AS INTEGER) AS DATE) AS o_date " +
+          "FROM orders WHERE o_orderkey % 8 = 3 ORDER BY o_orderkey"
       )
     ),
     // COLUMN-EVOLUTION LIFECYCLE read-back: rename keeps the field id, so

@@ -80,7 +80,16 @@ object IcebergMeta {
       schemasById: Map[Int, Seq[Field]] = Map.empty,
       currentSchemaId: Int = 0,
       lastSequenceNumber: Long = 0L,
-      properties: Map[String, String] = Map.empty) {
+      properties: Map[String, String] = Map.empty,
+      // spec evolution: every partition spec the table has ever used,
+      // keyed by spec-id. `partitionFields` stays the DEFAULT spec's
+      // fields (what new writes lay out under); manifests written under
+      // an older spec prune via THEIR recorded spec.
+      specsById: Map[Int, Seq[PartitionField]] = Map.empty,
+      defaultSpecId: Int = 0) {
+
+    def specFields(specId: Int): Seq[PartitionField] =
+      specsById.getOrElse(specId, partitionFields)
 
     /** True when every data/equality-delete parquet of this table carries
       * spec field ids ([[IcebergMeta.FieldIdsProperty]], stamped at table
@@ -141,7 +150,11 @@ object IcebergMeta {
       // v2 merge-on-read fields; zero/empty on v1 entries
       content: Int = 0, // 0=data, 1=position deletes, 2=equality deletes
       sequenceNumber: Long = 0L,
-      equalityIds: Seq[Int] = Nil)
+      equalityIds: Seq[Int] = Nil,
+      // the partition spec this file was written under (inherited from
+      // its manifest's recorded spec id at planning time) — mixed-spec
+      // tables read each file with its own directory-layout rules
+      specId: Int = 0)
 
   /** A live v2 delete file the scan must apply (merge-on-read). */
   final case class DeleteFile(
@@ -235,21 +248,29 @@ object IcebergMeta {
             s"current-schema-id $currentSchemaId not present in schemas list: $file"))
       } else parseFields(node.path("schema"))
 
-    val specNode: JsonNode =
-      if (node.has("partition-specs") && node.has("default-spec-id")) {
-        val id = node.path("default-spec-id").asInt()
+    def parseSpecFields(fieldsNode: JsonNode): Seq[PartitionField] =
+      fieldsNode.elements().asScala.map { f =>
+        PartitionField(
+          f.path("name").asText(),
+          f.path("source-id").asInt(),
+          f.path("transform").asText())
+      }.toSeq
+    // ALL specs are retained (keyed by spec-id) so a manifest written
+    // under an older spec prunes/lays-out via ITS spec, not the default.
+    val specsById: Map[Int, Seq[PartitionField]] =
+      if (node.has("partition-specs"))
         node.path("partition-specs").elements().asScala
-          .find(_.path("spec-id").asInt(-1) == id)
-          .map(_.path("fields"))
-          .getOrElse(throw new IllegalArgumentException(
-            s"default-spec-id $id not present in partition-specs: $file"))
-      } else node.path("partition-spec")
-    val partitionFields = specNode.elements().asScala.map { f =>
-      PartitionField(
-        f.path("name").asText(),
-        f.path("source-id").asInt(),
-        f.path("transform").asText())
-    }.toSeq
+          .map(s => s.path("spec-id").asInt(0) -> parseSpecFields(s.path("fields")))
+          .toMap
+      else Map.empty
+    val defaultSpecId =
+      if (node.has("default-spec-id")) node.path("default-spec-id").asInt() else 0
+    val partitionFields =
+      if (node.has("partition-specs") && node.has("default-spec-id")) {
+        specsById.getOrElse(defaultSpecId,
+          throw new IllegalArgumentException(
+            s"default-spec-id $defaultSpecId not present in partition-specs: $file"))
+      } else parseSpecFields(node.path("partition-spec"))
 
     val snapshots = node.path("snapshots").elements().asScala.map { s =>
       Snapshot(
@@ -279,7 +300,9 @@ object IcebergMeta {
 
     TableMeta(Paths.get(tablePath), formatVersion, fields, partitionFields,
       current, snapshots, schemasById, currentSchemaId,
-      node.path("last-sequence-number").asLong(0L), properties)
+      node.path("last-sequence-number").asLong(0L), properties,
+      if (specsById.nonEmpty) specsById else Map(0 -> partitionFields),
+      defaultSpecId)
   }
 
   // ---------------------------------------------------------------------
@@ -290,26 +313,42 @@ object IcebergMeta {
       meta: TableMeta,
       snapshot: Snapshot,
       prune: Option[PartitionEquals] = None): ScanPlan = {
-    // Pre-resolve the predicate against the partition spec so a typo'd
-    // column is an error, not a silent full scan. The predicate literal
-    // is transformed ONCE here (day/month/bucket/truncate math); all
-    // downstream comparisons are in transformed space, typed by the
-    // transform's result type.
-    val pruneField: Option[(Int, PartitionField, Any, String)] = prune.map { p =>
-      val idx = meta.partitionFields.indexWhere(pf =>
+    // Pre-resolve the predicate PER PARTITION SPEC (spec evolution: a
+    // manifest prunes via the spec it was written under, not the
+    // default). A spec that has no field for the predicate column cannot
+    // prune — its manifests are read in full, which is the conservative-
+    // correct answer for pre-evolution data; the caller applies the
+    // residual row filter. A column matching NO spec at all is an error,
+    // not a silent full scan. The predicate literal is transformed once
+    // per spec (day/month/bucket/truncate math); downstream comparisons
+    // are in transformed space, typed by the transform's result type.
+    def resolveIn(specFields: Seq[PartitionField], p: PartitionEquals)
+        : Option[(Int, PartitionField, Any, String)] = {
+      val idx = specFields.indexWhere(pf =>
         pf.name == p.column ||
           meta.fields.find(_.id == pf.sourceId).exists(_.name == p.column))
-      require(idx >= 0, s"'${p.column}' is not a partition field or a " +
-        s"partition source column " +
-        s"(have ${meta.partitionFields.map(_.name).mkString(", ")})")
-      val pf = meta.partitionFields(idx)
-      val sourceType = meta.fieldById(pf.sourceId).typeName
-      val transformed =
-        if (p.value == null) null
-        else IcebergTransforms(pf.transform, sourceType, p.value)
-      (idx, pf, transformed,
-        IcebergTransforms.resultTypeName(pf.transform, sourceType))
+      if (idx < 0) None
+      else {
+        val pf = specFields(idx)
+        val sourceType = meta.fieldById(pf.sourceId).typeName
+        val transformed =
+          if (p.value == null) null
+          else IcebergTransforms(pf.transform, sourceType, p.value)
+        Some((idx, pf, transformed,
+          IcebergTransforms.resultTypeName(pf.transform, sourceType)))
+      }
     }
+    prune.foreach { p =>
+      require(meta.specsById.values.exists(sf => resolveIn(sf, p).isDefined),
+        s"'${p.column}' is not a partition field or a partition source " +
+          s"column in any of the table's specs " +
+          s"(default spec has ${meta.partitionFields.map(_.name).mkString(", ")})")
+    }
+    val pruneBySpec = scala.collection.mutable.Map
+      .empty[Int, Option[(Int, PartitionField, Any, String)]]
+    def pruneFor(specId: Int): Option[(Int, PartitionField, Any, String)] =
+      prune.flatMap(p =>
+        pruneBySpec.getOrElseUpdate(specId, resolveIn(meta.specFields(specId), p)))
 
     val manifests = readManifestListFile(meta.root, snapshot.manifestList)
     var manifestsRead = 0
@@ -317,6 +356,7 @@ object IcebergMeta {
     val files = Seq.newBuilder[DataFile]
     val deletes = Seq.newBuilder[DeleteFile]
     manifests.foreach { mf =>
+      val pruneField = pruneFor(mf.partitionSpecId)
       // Delete manifests are never pruned: an equality delete can remove
       // rows from ANY surviving partition, and a position delete for a
       // pruned-away file is a no-op — always applying live delete files
@@ -340,7 +380,8 @@ object IcebergMeta {
               val matches = pruneField.forall { case (_, pf, tvalue, _) =>
                 valueEquals(e.dataFile.partition.get(pf.name).orNull, tvalue)
               }
-              if (live && matches) files += e.dataFile
+              if (live && matches)
+                files += e.dataFile.copy(specId = mf.partitionSpecId)
             }
           }
       }
@@ -361,7 +402,8 @@ object IcebergMeta {
       summaries: Seq[(Boolean, Option[Array[Byte]], Option[Array[Byte]])],
       content: Int = 0,
       sequenceNumber: Long = 0L,
-      minSequenceNumber: Long = 0L)
+      minSequenceNumber: Long = 0L,
+      partitionSpecId: Int = 0)
 
   /** One manifest_entry row; also the writer's delete-rewrite unit. */
   private[sources] final case class ManifestEntry(
@@ -390,7 +432,8 @@ object IcebergMeta {
         summaries,
         optField("content").map(_.asInstanceOf[Int]).getOrElse(0),
         optField("sequence_number").map(_.asInstanceOf[Long]).getOrElse(0L),
-        optField("min_sequence_number").map(_.asInstanceOf[Long]).getOrElse(0L))
+        optField("min_sequence_number").map(_.asInstanceOf[Long]).getOrElse(0L),
+        optField("partition_spec_id").map(_.asInstanceOf[Int]).getOrElse(0))
     }
 
   /** `inheritSnapshotId`: v2 manifests may leave entry snapshot_id null,

@@ -132,17 +132,36 @@ object IcebergSource {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     } else if (deletes.isEmpty) {
       import org.apache.spark.sql.functions.col
-      spark.read
-        .schema(schema)
-        .option("basePath", Paths.get(tablePath, "data").toString)
-        .parquet(files.map(_.path): _*)
+      groupedRead(spark, tablePath, schema, files)(
         // partition-dir columns surface at the END regardless of their
         // declared position; restore the table schema's column order
-        .select(schema.fieldNames.toSeq.map(col): _*)
+        _.select(schema.fieldNames.toSeq.map(col): _*))
     } else {
       applyMergeOnRead(spark, tablePath, schema, files, deletes, fields,
         stamped)
     }
+
+  /** One vectorized parquet read per PARTITION SPEC the planned files
+    * were written under, unioned (spec evolution: an identity layout's
+    * `<col>=<val>` dirs and an unpartitioned flat layout cannot share
+    * one partition-discovery pass — mixed dir depths make Spark refuse).
+    * Single-spec tables (the overwhelming case) take exactly one read,
+    * same plan as before evolution support existed; `project` normalizes
+    * each group to an identical column set so the union is positional.
+    */
+  private def groupedRead(
+      spark: SparkSession,
+      tablePath: String,
+      schema: org.apache.spark.sql.types.StructType,
+      files: Seq[IcebergMeta.DataFile])(
+      project: DataFrame => DataFrame): DataFrame =
+    files.groupBy(_.specId).toSeq.sortBy(_._1).map { case (_, fs) =>
+      project(
+        spark.read
+          .schema(schema)
+          .option("basePath", Paths.get(tablePath, "data").toString)
+          .parquet(fs.map(_.path): _*))
+    }.reduce(_.union(_))
 
   /** Canonical file path for delete matching: stored delete-file paths and
     * Spark's `_metadata.file_path` may disagree on URI form
@@ -193,12 +212,10 @@ object IcebergSource {
     // broadcast-joined on the normalized file path)
     val seqByFile = files.map(f => (normalizePath(f.path), f.sequenceNumber))
       .toDF("_g_file", "_g_seq")
-    var df = spark.read
-      .schema(schema)
-      .option("basePath", Paths.get(tablePath, "data").toString)
-      .parquet(files.map(_.path): _*)
+    var df = groupedRead(spark, tablePath, schema, files)(g => g
       .withColumn("_g_file", normalizePathCol(col("_metadata.file_path")))
       .withColumn("_g_pos", col("_metadata.row_index"))
+      .select((schema.fieldNames.toSeq :+ "_g_file" :+ "_g_pos").map(col): _*))
       .join(broadcast(seqByFile), Seq("_g_file"))
 
     val posDeletes = deletes.filter(_.content == 1)

@@ -148,7 +148,8 @@ object IcebergWriter {
 
     // ---- manifests: one per distinct partition tuple --------------------
     val partType = partition.map(p => p.fieldName -> transformedSparkType(p, df.schema))
-    val newManifests = buildDataManifests(spark, root, written, partType, snapshotId, fv)
+    val newManifests = buildDataManifests(spark, root, written, partType,
+      snapshotId, fv, prior.map(_.defaultSpecId).getOrElse(0))
 
     val carried = prior
       .map(m => IcebergMeta.readManifestListFile(
@@ -295,7 +296,8 @@ object IcebergWriter {
       placed: Seq[(Map[String, Any], Path)],
       partType: Option[(String, DataType)],
       snapshotId: Long,
-      fv: Int): Seq[IcebergMeta.ManifestFile] = {
+      fv: Int,
+      specId: Int = 0): Seq[IcebergMeta.ManifestFile] = {
     val hadoopConf = spark.sessionState.newHadoopConf()
     val groups = placed.groupBy(_._1).toSeq.sortBy(_._1.values.mkString)
     groups.zipWithIndex.map { case ((ptuple, files), i) =>
@@ -313,7 +315,7 @@ object IcebergWriter {
       val mpath = root.resolve("metadata")
         .resolve(f"manifest-$snapshotId%05d-$i%03d.avro")
       writeManifest(mpath, partType, entries, fv)
-      manifestRecord(mpath, snapshotId, partType, entries)
+      manifestRecord(mpath, snapshotId, partType, entries, specId)
     }
   }
 
@@ -482,7 +484,7 @@ object IcebergWriter {
           .resolve(f"manifest-$snapshotId%05d-$rewrites%03d.avro")
         rewrites += 1
         writeManifest(mpath, partType, rewritten, formatVersion = 1)
-        manifestRecord(mpath, snapshotId, partType, rewritten)
+        manifestRecord(mpath, snapshotId, partType, rewritten, mf.partitionSpecId)
       }
     }
     require(rewrites > 0, s"deletePartitions matched no files for $column in $values")
@@ -737,7 +739,8 @@ object IcebergWriter {
     val partType = partition.map(p =>
       p.fieldName -> transformedSparkType(p, updates.schema))
     val dataManifests = buildDataManifests(
-      spark, root, movedData, partType, snapshotId, fv = 2)
+      spark, root, movedData, partType, snapshotId, fv = 2,
+      specId = meta.defaultSpecId)
     val delManifest = delTarget.map { t =>
       val entry = IcebergMeta.ManifestEntry(
         status = 1, snapshotId,
@@ -843,7 +846,8 @@ object IcebergWriter {
     val partType = partition.map(p =>
       p.fieldName -> transformedSparkType(p, updates.schema))
     val dataManifests = buildDataManifests(
-      spark, root, movedData, partType, snapshotId, fv = 2)
+      spark, root, movedData, partType, snapshotId, fv = 2,
+      specId = meta.defaultSpecId)
 
     val delManifest = delTarget.map { t =>
       val delEntry = IcebergMeta.ManifestEntry(
@@ -915,7 +919,8 @@ object IcebergWriter {
     val partType = partition.map(p =>
       p.fieldName -> transformedSparkType(p, IcebergMeta.sparkSchema(meta)))
     val manifests = buildDataManifests(
-      spark, root, movedData, partType, snapshotId, fv = 2)
+      spark, root, movedData, partType, snapshotId, fv = 2,
+      specId = meta.defaultSpecId)
     faultHook("manifests-written")
 
     // NOTHING carried: the whole point — the new manifest list is the
@@ -1069,11 +1074,70 @@ object IcebergWriter {
 
   private def requireNotPartitionSource(
       meta: IcebergMeta.TableMeta, field: IcebergMeta.Field, op: String): Unit =
-    require(!meta.partitionFields.exists(pf =>
+    // EVERY spec the table ever used, not just the default: an identity
+    // layout from a retired spec still reconstitutes its column from
+    // `<name>=<value>` directories by the CURRENT name
+    require(!meta.specsById.values.flatten.exists(pf =>
       pf.sourceId == field.id || pf.name == field.name),
-      s"cannot $op column '${field.name}': the partition spec references " +
+      s"cannot $op column '${field.name}': a partition spec references " +
         "it (directory layouts and partition field names bind to the " +
         "source column's name)")
+
+  /** PARTITION SPEC EVOLUTION — change how FUTURE writes are laid out,
+    * metadata-only: a new spec (fresh spec-id) becomes the default; NO
+    * snapshot is written and no data moves. Manifests remember the spec
+    * they were written under, so planning prunes each manifest via ITS
+    * spec: new-spec manifests prune on the new layout, pre-evolution
+    * manifests (whose spec may not contain the predicate column at all)
+    * are read in full — conservative-correct; the caller's residual row
+    * filter does the rest. Reads group data files by spec so mixed
+    * directory layouts coexist; a later [[compact]] rewrites the whole
+    * table under the new default, completing the migration physically.
+    * `partition = None` evolves to an unpartitioned layout. Returns the
+    * new spec id.
+    */
+  def evolveSpec(
+      tablePath: String,
+      partition: Option[PartitionTransform],
+      timestampMs: Long): Int = {
+    val meta = IcebergMeta.load(tablePath)
+    val schema = IcebergMeta.sparkSchema(meta)
+    partition.foreach { p =>
+      require(meta.fields.exists(_.name == p.source),
+        s"partition source '${p.source}' is not in the table schema")
+      transformedSparkType(p, schema): Unit // refuse unwritable transforms
+    }
+    val baseVersion = IcebergSource.versionHint(tablePath).getOrElse(
+      throw new IllegalStateException("spec evolution requires version-hint metadata"))
+    val root = meta.root
+    val node = mapper.readTree(Files.readString(
+      root.resolve("metadata").resolve(s"v$baseVersion.metadata.json")))
+      .asInstanceOf[ObjectNode]
+    require(node.has("partition-specs") && node.has("default-spec-id"),
+      "spec evolution requires the modern partition-specs metadata shape " +
+        "(create the table as format v2)")
+    val specsArr = node.withArray[ArrayNode]("partition-specs")
+    val newId = (0 until specsArr.size())
+      .map(specsArr.get(_).path("spec-id").asInt(0)).max + 1
+    // partition field ids are unique across ALL of a table's specs
+    val lastPartId = node.path("last-partition-id").asInt(999)
+    val sp = specsArr.addObject()
+    sp.put("spec-id", newId)
+    val fieldsArr = sp.putArray("fields")
+    partition.foreach { p =>
+      val f = fieldsArr.addObject()
+      f.put("name", p.fieldName)
+      f.put("transform", p.transform)
+      f.put("source-id", meta.fields.find(_.name == p.source).get.id)
+      f.put("field-id", lastPartId + 1)
+    }
+    if (partition.isDefined) node.put("last-partition-id", lastPartId + 1): Unit
+    node.put("default-spec-id", newId)
+    node.put("last-updated-ms", timestampMs)
+    commitMetadataJson(root, baseVersion + 1, node, "evolvespec")
+    notifyCommit(root.toString)
+    newId
+  }
 
   /** Shared metadata tail of rename/drop: map the CURRENT schema's field
     * nodes through `f` (None = drop the field), commit the result as a
@@ -1556,7 +1620,8 @@ object IcebergWriter {
       path: Path,
       snapshotId: Long,
       partType: Option[(String, DataType)],
-      entries: Seq[IcebergMeta.ManifestEntry]): IcebergMeta.ManifestFile = {
+      entries: Seq[IcebergMeta.ManifestEntry],
+      specId: Int = 0): IcebergMeta.ManifestFile = {
     val summaries = partType.toSeq.map { case (name, dt) =>
       val values = entries.map(_.dataFile.partition(name))
       val bounds = values.filter(_ != null)
@@ -1566,7 +1631,8 @@ object IcebergWriter {
         bounds.maxByOption(orderKey(dt)).map(encodeBound(dt, _)))
     }
     IcebergMeta.ManifestFile(
-      path.toAbsolutePath.toString, Files.size(path), snapshotId, summaries)
+      path.toAbsolutePath.toString, Files.size(path), snapshotId, summaries,
+      partitionSpecId = specId)
   }
 
   private def orderKey(dt: DataType): Any => Comparable[Any] = dt match {
@@ -1603,7 +1669,7 @@ object IcebergWriter {
       val rec = new GenericData.Record(schema)
       rec.put("manifest_path", m.path)
       rec.put("manifest_length", m.length)
-      rec.put("partition_spec_id", 0)
+      rec.put("partition_spec_id", m.partitionSpecId)
       if (formatVersion >= 2) {
         rec.put("content", m.content)
         rec.put("sequence_number", m.sequenceNumber)

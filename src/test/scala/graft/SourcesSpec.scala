@@ -1110,6 +1110,69 @@ class SourcesSpec extends SparkTestBase {
       .select("id").as[Long].collect().toSeq === Seq(100L))
   }
 
+  test("partition spec evolution: mixed layouts read together; each manifest prunes via its own spec") {
+    import spark.implicits._
+    val root = tempDir("graft-iceberg-specevolve")
+    // generation 1: flat (unpartitioned) layout
+    val g1 = (0 until 16).map(i => (i.toLong, i % 4)).toDF("id", "band")
+    IcebergWriter.append(spark, root, g1, None, 1000L, formatVersion = 2)
+
+    // evolve: band becomes an identity partition for FUTURE writes only
+    val sid = IcebergWriter.evolveSpec(root,
+      Some(IcebergWriter.PartitionTransform("band")), 2000L)
+    assert(sid === 1)
+    val meta = IcebergMeta.load(root)
+    assert(meta.defaultSpecId === 1)
+    assert(meta.partitionFields.map(_.name) === Seq("band"))
+    assert(meta.specsById.keySet === Set(0, 1))
+    assert(meta.snapshots.size === 1, "spec evolution must not write a snapshot")
+
+    // generation 2 lays out under the new spec; the old flat layout is
+    // now refused by the append gate (it tracks the DEFAULT spec)
+    val g2 = (100 until 116).map(i => (i.toLong, i % 4)).toDF("id", "band")
+    IcebergWriter.append(spark, root, g2, Some("band"), 3000L)
+    assert(intercept[IllegalArgumentException] {
+      IcebergWriter.append(spark, root, g1, None, 3500L)
+    }.getMessage.contains("does not match"))
+
+    // full read unions both directory layouts
+    val all = IcebergSource.read(spark, root)
+    assert(all.count() === 32)
+    assert(all.select("id").as[Long].collect().sorted.toSeq ===
+      ((0L until 16L) ++ (100L until 116L)))
+
+    // pruning: the 4 new band manifests prune to 1; the flat manifest's
+    // spec has no band field -> read in full, conservative-correct
+    val m2 = IcebergMeta.load(root)
+    val plan = IcebergMeta.planScan(m2, m2.currentSnapshot.get,
+      Some(IcebergMeta.PartitionEquals("band", 2)))
+    assert(plan.manifestsTotal === 5, "1 flat + 4 band manifests")
+    assert(plan.manifestsRead === 2, "flat (unprunable) + band=2")
+    val rows = IcebergSource.read(spark, root, None, None,
+        Some(IcebergMeta.PartitionEquals("band", 2)))
+      .filter($"band" === 2) // residual filter over the pre-evolution files
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(rows === Seq(2L, 6L, 10L, 14L, 102L, 106L, 110L, 114L))
+
+    // a predicate column NO spec ever had is still an error
+    assert(intercept[IllegalArgumentException] {
+      IcebergMeta.planScan(m2, m2.currentSnapshot.get,
+        Some(IcebergMeta.PartitionEquals("nope", 1)))
+    }.getMessage.contains("not a partition field"))
+
+    // compact migrates the WHOLE table to the new default layout: the
+    // flat generation is rewritten under band=, pruning becomes exact
+    IcebergWriter.compact(spark, root, 4000L)
+    val m3 = IcebergMeta.load(root)
+    val planC = IcebergMeta.planScan(m3, m3.currentSnapshot.get,
+      Some(IcebergMeta.PartitionEquals("band", 2)))
+    assert(planC.manifestsTotal === 4)
+    assert(planC.manifestsRead === 1, "post-compaction pruning is exact again")
+    assert(IcebergSource.read(spark, root).count() === 32)
+    // time travel to the mixed-layout snapshot still works
+    assert(IcebergSource.read(spark, root, Some(1L), None, None).count() === 16)
+  }
+
   test("maintenance policy: compacts at the delete threshold, no-ops below, expires on cutoff") {
     import graft.sources.IcebergMaintenance
     // the 5-snapshot MoR fixture carries 2 live delete files
