@@ -68,7 +68,11 @@ object IcebergMeta {
       // v2 data sequence number (spec: strictly monotonic per commit);
       // 0 for v1 snapshots, where deletes are copy-on-write and ordering
       // by sequence is never needed
-      sequenceNumber: Long = 0L)
+      sequenceNumber: Long = 0L,
+      // the full summary map (operation included) — writers stamp commit
+      // provenance here, e.g. the streaming sink's micro-batch id that
+      // makes its replays idempotent
+      summary: Map[String, String] = Map.empty)
 
   final case class TableMeta(
       root: Path,
@@ -284,7 +288,11 @@ object IcebergMeta {
         // compaction to "append" would re-emit its rewritten corpus
         s.path("summary").path("operation").asText("unknown"),
         if (s.has("schema-id")) Some(s.path("schema-id").asInt()) else None,
-        s.path("sequence-number").asLong(0L))
+        s.path("sequence-number").asLong(0L),
+        if (s.has("summary"))
+          s.path("summary").properties().asScala
+            .map(e => e.getKey -> e.getValue.asText()).toMap
+        else Map.empty)
     }.toSeq
 
     val current =

@@ -101,7 +101,10 @@ object IcebergWriter {
       df: DataFrame,
       partition: Option[PartitionTransform],
       timestampMs: Long,
-      formatVersion: Int = 1): Long = {
+      formatVersion: Int = 1,
+      // extra snapshot-summary entries (commit provenance — e.g. the
+      // streaming sink's micro-batch id); "operation" is reserved
+      summary: Map[String, String] = Map.empty): Long = {
     require(formatVersion == 1 || formatVersion == 2,
       s"formatVersion must be 1 or 2, got $formatVersion")
     val root = Paths.get(tablePath)
@@ -156,7 +159,8 @@ object IcebergWriter {
         m.root, currentManifestList(m).toString))
       .getOrElse(Seq.empty)
     commitSnapshot(spark, root, df.schema, partition, prior, baseVersion,
-      snapshotId, timestampMs, carried ++ newManifests, operation = "append", fv)
+      snapshotId, timestampMs, carried ++ newManifests, operation = "append",
+      fv, summary)
     snapshotId
   }
 
@@ -1353,7 +1357,8 @@ object IcebergWriter {
       timestampMs: Long,
       manifests: Seq[IcebergMeta.ManifestFile],
       operation: String,
-      formatVersion: Int): Unit = {
+      formatVersion: Int,
+      summary: Map[String, String] = Map.empty): Unit = {
     // v2: this commit's data sequence number — strictly monotonic from
     // last-sequence-number; the commit's NEW manifests are stamped with
     // it (their entries inherit it on read), carried ones keep their own
@@ -1450,7 +1455,12 @@ object IcebergWriter {
     // schema table could dangle from its schemas-less metadata)
     if (node.has("current-schema-id"))
       sn.put("schema-id", node.path("current-schema-id").asInt())
-    sn.putObject("summary").put("operation", operation)
+    val sum = sn.putObject("summary")
+    sum.put("operation", operation)
+    summary.foreach { case (k, v) =>
+      require(k != "operation", "summary key 'operation' is reserved")
+      sum.put(k, v): Unit
+    }
     val log = node.withArray[ArrayNode]("snapshot-log").addObject()
     log.put("snapshot-id", snapshotId)
     log.put("timestamp-ms", timestampMs)

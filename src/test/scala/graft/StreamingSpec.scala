@@ -224,6 +224,56 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming ingest into an Iceberg table: batches append, replays are idempotent") {
+    import graft.streaming.IcebergSink
+    import graft.sources.{IcebergMeta, IcebergSource, IcebergWriter}
+    val dropDir = tempDir("graft-iceberg-ingest")
+    val checkpoint = tempDir("graft-ckpt-iceberg")
+    val table = tempDir("graft-iceberg-sink-table")
+
+    val docs = graft.queries.QueryUtil.t(spark, SparkTestBase.Sf0001, "nation")
+      .select("n_nationkey", "n_name", "n_regionkey")
+    docs.filter(org.apache.spark.sql.functions.col("n_nationkey") < 12)
+      .write.parquet(s"$dropDir/batch0")
+
+    def stream = spark.readStream.schema(docs.schema).parquet(s"$dropDir/*/")
+    var tick = 0L
+    val clock = () => { tick += 1000L; tick }
+
+    // batch 0 lands as snapshot 1 with its batch id in the summary
+    val q1 = IcebergSink.start(stream, table, checkpoint, clock = clock)
+    try q1.awaitTermination(120000) finally q1.stop()
+    val n1 = IcebergSource.read(spark, table).count()
+    assert(n1 === 12)
+    assert(IcebergSink.lastCommittedBatch(table) === Some(0L))
+    assert(IcebergMeta.load(table).snapshots.head
+      .summary(IcebergSink.BatchIdKey) === "0")
+
+    // late files + a RESTART from the same checkpoint: only the new
+    // batch commits (AvailableNow re-starts get fresh batch ids)
+    docs.filter(org.apache.spark.sql.functions.col("n_nationkey") >= 12)
+      .write.parquet(s"$dropDir/batch1")
+    val q2 = IcebergSink.start(stream, table, checkpoint, clock = clock)
+    try q2.awaitTermination(120000) finally q2.stop()
+    assert(IcebergSource.read(spark, table).count() === docs.count())
+    val metaAfter = IcebergMeta.load(table)
+    assert(metaAfter.snapshots.size === 2, "restart must not re-commit batch 0")
+
+    // crash-replay simulation: foreachBatch re-delivers an ALREADY
+    // COMMITTED batch id (crash between table commit and checkpoint ack)
+    // — the writer must skip it, leaving the table byte-identical
+    val writer = IcebergSink.batchWriter(table, clock = clock)
+    val before = IcebergSource.read(spark, table).count()
+    writer(docs.limit(5), IcebergSink.lastCommittedBatch(table).get)
+    assert(IcebergMeta.load(table).snapshots.size === 2,
+      "replayed batch id must not commit a new snapshot")
+    assert(IcebergSource.read(spark, table).count() === before)
+    // ...while the NEXT batch id commits normally
+    writer(docs.limit(5), IcebergSink.lastCommittedBatch(table).get + 1)
+    assert(IcebergMeta.load(table).snapshots.size === 3)
+    assert(IcebergSource.read(spark, table).count() === before + 5)
+  }
+
   test("listener surfaces a planted late row as dropped-by-watermark, plus state size") {
     import org.apache.spark.sql.types._
     val eventsDir = tempDir("graft-events-obs")
