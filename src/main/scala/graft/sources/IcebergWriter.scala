@@ -1068,6 +1068,41 @@ object IcebergWriter {
     }
   }
 
+  /** SCHEMA EVOLUTION — widen a column's type, metadata-only. The spec
+    * sanctions exactly the lossless promotions: int -> long and float ->
+    * double. Old data files keep their narrow physical type; Spark's
+    * parquet reader upcasts INT32 -> LongType / FLOAT -> DoubleType at
+    * scan time against the requested (promoted) schema, so no data
+    * rewrite is needed. Appends after the promotion must carry the wide
+    * type (the append gate tracks the evolved schema); time travel to a
+    * pre-promotion snapshot shows the narrow type. Returns the new
+    * schema id.
+    */
+  def promoteColumn(
+      tablePath: String,
+      name: String,
+      toType: String,
+      timestampMs: Long): Int = {
+    val meta = IcebergMeta.load(tablePath)
+    val field = meta.fields.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(s"column '$name' does not exist"))
+    val allowed = Map("int" -> "long", "float" -> "double")
+    require(allowed.get(field.typeName).contains(toType),
+      s"cannot promote '$name' from ${field.typeName} to $toType " +
+        "(spec-sanctioned promotions: int->long, float->double)")
+    // no field-id requirement: promotion keeps the name, so it is safe
+    // under name OR id resolution — only the requested type widens
+    // a partition source's transformed layout values are typed by the
+    // source: identity/truncate dirs of int files would re-parse as long
+    // — refusable now, revisit if a real table needs it
+    requireNotPartitionSource(meta, field, "promote")
+    evolveSchemaFields(meta, timestampMs) { f =>
+      if (f.path("id").asInt() == field.id)
+        Some(f.deepCopy[ObjectNode]().put("type", toType))
+      else Some(f.deepCopy[ObjectNode]())
+    }
+  }
+
   private def requireFieldIdStamped(
       meta: IcebergMeta.TableMeta, op: String): Unit =
     require(meta.fieldIdStamped,

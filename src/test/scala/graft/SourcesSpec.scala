@@ -1110,6 +1110,49 @@ class SourcesSpec extends SparkTestBase {
       .select("id").as[Long].collect().toSeq === Seq(100L))
   }
 
+  test("schema evolution: promoteColumn widens int->long over unrewritten files") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.sum
+    val root = tempDir("graft-iceberg-promote")
+    val df = (0 until 10).map(i => (i.toLong, i * 10)).toDF("id", "qty")
+    IcebergWriter.append(spark, root, df, None, 1000L, formatVersion = 2)
+
+    val sid = IcebergWriter.promoteColumn(root, "qty", "long", 2000L)
+    assert(sid > 0)
+    val meta = IcebergMeta.load(root)
+    assert(meta.fields.find(_.name == "qty").get.typeName === "long")
+    assert(meta.snapshots.size === 1, "promotion must not write a snapshot")
+
+    // old INT32 files upcast at scan time against the promoted schema
+    val cur = IcebergSource.read(spark, root)
+    assert(cur.schema("qty").dataType ===
+      org.apache.spark.sql.types.LongType)
+    assert(cur.agg(sum($"qty")).head().getLong(0) === 450L)
+
+    // appends must now carry the wide type; narrow appends refuse
+    assert(intercept[IllegalArgumentException] {
+      IcebergWriter.append(spark, root, Seq((100L, 7)).toDF("id", "qty"),
+        None, 3000L)
+    }.getMessage.contains("type"))
+    IcebergWriter.append(spark, root,
+      Seq((100L, 1000L)).toDF("id", "qty"), None, 3000L)
+    assert(IcebergSource.read(spark, root)
+      .agg(sum($"qty")).head().getLong(0) === 1450L)
+
+    // time travel to the pre-promotion snapshot keeps the narrow type
+    val s1 = IcebergSource.read(spark, root, Some(1L), None, None)
+    assert(s1.schema("qty").dataType ===
+      org.apache.spark.sql.types.IntegerType)
+
+    // refusals: narrowing / unrelated conversions
+    assert(intercept[IllegalArgumentException] {
+      IcebergWriter.promoteColumn(root, "id", "int", 4000L)
+    }.getMessage.contains("promote"))
+    assert(intercept[IllegalArgumentException] {
+      IcebergWriter.promoteColumn(root, "qty", "string", 4000L)
+    }.getMessage.contains("promote"))
+  }
+
   test("partition spec evolution: mixed layouts read together; each manifest prunes via its own spec") {
     import spark.implicits._
     val root = tempDir("graft-iceberg-specevolve")
