@@ -104,9 +104,33 @@ object IcebergWriter {
       formatVersion: Int = 1,
       // extra snapshot-summary entries (commit provenance — e.g. the
       // streaming sink's micro-batch id); "operation" is reserved
-      summary: Map[String, String] = Map.empty): Long = {
+      summary: Map[String, String] = Map.empty): Long =
+    appendPartitioned(spark, tablePath, df, partition.toSeq, timestampMs,
+      formatVersion, summary)
+
+  /** MULTI-FIELD flavor: `partitions` lays the table out by every listed
+    * transform in order — e.g. `Seq(PartitionTransform("region"),
+    * PartitionTransform("ts", "day"))` nests region=X/ts_day=N/ dirs,
+    * the manifest partition tuples carry both values, and pruning works
+    * on EITHER field ([[IcebergMeta.PartitionEquals]] resolves any
+    * field of the spec). Empty = unpartitioned.
+    */
+  def appendPartitioned(
+      spark: SparkSession,
+      tablePath: String,
+      df: DataFrame,
+      partitions: Seq[PartitionTransform],
+      timestampMs: Long,
+      formatVersion: Int,
+      summary: Map[String, String]): Long = {
     require(formatVersion == 1 || formatVersion == 2,
       s"formatVersion must be 1 or 2, got $formatVersion")
+    require(partitions.map(_.fieldName).distinct.size == partitions.size,
+      s"partition field names collide: ${partitions.map(_.fieldName).mkString(",")}")
+    partitions.foreach(p =>
+      require(p.transform == "identity" || !partitions.exists(q =>
+        q != p && q.source == p.fieldName),
+        s"partition field '${p.fieldName}' shadows another field's source"))
     val root = Paths.get(tablePath)
     Files.createDirectories(root.resolve("data"))
     Files.createDirectories(root.resolve("metadata"))
@@ -128,14 +152,14 @@ object IcebergWriter {
       val specd = m.partitionFields
         .map(pf => (pf.name, pf.transform,
           m.fields.find(_.id == pf.sourceId).map(_.name).getOrElse("?")))
-      val declared = partition.toSeq.map(p => (p.fieldName, p.transform, p.source))
+      val declared = partitions.map(p => (p.fieldName, p.transform, p.source))
       require(
         specd == declared,
         s"Append partitioning ${declared.mkString(",")} does not " +
           s"match the table's spec (" +
           (if (specd.isEmpty) "<none>" else specd.mkString(",")) + ")")
     }
-    partition.foreach(p => transformedSparkType(p, df.schema): Unit) // refuse unwritable transforms early
+    partitions.foreach(p => transformedSparkType(p, df.schema): Unit) // refuse unwritable transforms early
     // the version this commit is based on, read ONCE with the same load —
     // commitSnapshot reuses it so version number and verbatim base can
     // never come from different hints. (Concurrent WRITERS remain
@@ -145,12 +169,12 @@ object IcebergWriter {
 
     // ---- data files -----------------------------------------------------
     val staging = Files.createTempDirectory("graft-iceberg-stage")
-    val staged = stageDataFiles(df, partition, staging, fieldIdsFor(prior, df.schema))
+    val staged = stageDataFiles(df, partitions, staging, fieldIdsFor(prior, df.schema))
     val written = placeDataFiles(root, staged, snapshotId)
     deleteRecursively(staging)
 
     // ---- manifests: one per distinct partition tuple --------------------
-    val partType = partition.map(p => p.fieldName -> transformedSparkType(p, df.schema))
+    val partType = partitions.map(p => p.fieldName -> transformedSparkType(p, df.schema))
     val newManifests = buildDataManifests(spark, root, written, partType,
       snapshotId, fv, prior.map(_.defaultSpecId).getOrElse(0))
 
@@ -158,7 +182,7 @@ object IcebergWriter {
       .map(m => IcebergMeta.readManifestListFile(
         m.root, currentManifestList(m).toString))
       .getOrElse(Seq.empty)
-    commitSnapshot(spark, root, df.schema, partition, prior, baseVersion,
+    commitSnapshot(spark, root, df.schema, partitions, prior, baseVersion,
       snapshotId, timestampMs, carried ++ newManifests, operation = "append",
       fv, summary)
     snapshotId
@@ -240,35 +264,52 @@ object IcebergWriter {
     */
   private def stageDataFiles(
       df0: DataFrame,
-      partition: Option[PartitionTransform],
+      partitions: Seq[PartitionTransform],
       staging: Path,
       fieldIds: Map[String, Int]): Seq[(Map[String, Any], Path)] = {
     val df = stampFieldIds(df0, fieldIds)
-    partition match {
-    case Some(pt) =>
-      val fieldName = pt.fieldName
-      val dt = transformedSparkType(pt, df.schema)
-      df.withColumn(fieldName, transformedColumn(pt, df.schema))
-        .repartition(org.apache.spark.sql.functions.col(fieldName))
-        .write.partitionBy(fieldName).parquet(staging.resolve("out").toString)
-      val listing = Files.list(staging.resolve("out"))
-      val dirs =
-        try listing.iterator().asScala
-          .filter(p => Files.isDirectory(p) && p.getFileName.toString.contains("="))
-          .toSeq.sortBy(_.getFileName.toString)
-        finally listing.close()
-      dirs.flatMap { dir =>
-        val raw = dir.getFileName.toString.split("=", 2)(1)
-        require(raw != "__HIVE_DEFAULT_PARTITION__",
-          s"Null partition values not supported (column $fieldName)")
-        val value = parsePartitionValue(raw, dt)
-        parquetFiles(dir).map(f => (Map[String, Any](fieldName -> value), f))
-      }
-    case None =>
-      df.write.parquet(staging.resolve("out").toString)
-      parquetFiles(staging.resolve("out"))
-        .map(f => (Map.empty[String, Any], f))
+    val out = staging.resolve("out")
+    if (partitions.isEmpty) {
+      df.write.parquet(out.toString)
+      parquetFiles(out).map(f => (Map.empty[String, Any], f))
+    } else {
+      val types: Map[String, DataType] = partitions
+        .map(pt => pt.fieldName -> transformedSparkType(pt, df.schema)).toMap
+      // layout columns derive from the ORIGINAL schema (sources are table
+      // columns; the collision guard in appendPartitioned holds)
+      val laid = partitions.foldLeft(df)((d, pt) =>
+        d.withColumn(pt.fieldName, transformedColumn(pt, df.schema)))
+      laid
+        .repartition(partitions.map(pt =>
+          org.apache.spark.sql.functions.col(pt.fieldName)): _*)
+        .write.partitionBy(partitions.map(_.fieldName): _*)
+        .parquet(out.toString)
+      // nested <f1>=<v1>/<f2>=<v2>/... dirs -> one tuple per leaf file
+      parquetFilesRecursive(out).map { f =>
+        val segs = hivePartitionDirs(f)
+        require(segs.size == partitions.size,
+          s"staged file $f has ${segs.size} partition dirs, expected ${partitions.size}")
+        val tuple = segs.map { s =>
+          val Array(k, raw) = s.split("=", 2)
+          require(raw != "__HIVE_DEFAULT_PARTITION__",
+            s"Null partition values not supported (column $k)")
+          k -> parsePartitionValue(raw, types(k))
+        }.toMap
+        (tuple, f)
+      }.sortBy(_._2.toString)
     }
+  }
+
+  /** The `<k>=<v>` directory chain of a staged file, outermost first. */
+  private def hivePartitionDirs(f: Path): Seq[String] = {
+    val segs = List.newBuilder[String]
+    var p = f.getParent
+    while (p != null && p.getFileName != null &&
+        p.getFileName.toString.contains("=")) {
+      segs += p.getFileName.toString
+      p = p.getParent
+    }
+    segs.result().reverse
   }
 
   /** Move staged files into `data/` under deterministic snapshot-keyed
@@ -282,9 +323,10 @@ object IcebergWriter {
       staged: Seq[(Map[String, Any], Path)],
       snapshotId: Long): Seq[(Map[String, Any], Path)] =
     staged.zipWithIndex.map { case ((ptuple, f), i) =>
-      val dest =
-        if (ptuple.isEmpty) root.resolve("data")
-        else root.resolve("data").resolve(f.getParent.getFileName.toString)
+      // the staged file's full <k>=<v> dir chain (nested for multi-field
+      // specs) transplants under data/ verbatim
+      val dest = hivePartitionDirs(f)
+        .foldLeft(root.resolve("data"))((d, seg) => d.resolve(seg))
       Files.createDirectories(dest)
       val target = dest.resolve(f"snap$snapshotId%05d-$i%03d.parquet")
       Files.move(f, target, StandardCopyOption.REPLACE_EXISTING)
@@ -298,7 +340,7 @@ object IcebergWriter {
       spark: SparkSession,
       root: Path,
       placed: Seq[(Map[String, Any], Path)],
-      partType: Option[(String, DataType)],
+      partType: Seq[(String, DataType)],
       snapshotId: Long,
       fv: Int,
       specId: Int = 0): Seq[IcebergMeta.ManifestFile] = {
@@ -323,32 +365,25 @@ object IcebergWriter {
     }
   }
 
-  /** The table's recorded partition spec as this writer's transform, for
-    * the write flavors that must lay NEW data files out under it (merge
-    * / upsert / compact on a partitioned table). Refuses multi-field
-    * specs and name conventions this writer didn't produce — writing a
-    * layout that diverges from the spec would silently vanish files
-    * from pruned reads, the failure appendPartitioned's spec gate exists
-    * to prevent.
+  /** The table's recorded partition spec as this writer's transforms,
+    * for the write flavors that must lay NEW data files out under it
+    * (merge / upsert / compact on a partitioned table). Refuses name
+    * conventions this writer didn't produce — writing a layout that
+    * diverges from the spec would silently vanish files from pruned
+    * reads, the failure appendPartitioned's spec gate exists to prevent.
     */
-  private def specTransform(
-      meta: IcebergMeta.TableMeta): Option[PartitionTransform] =
-    meta.partitionFields match {
-      case Seq() => None
-      case Seq(pf) =>
-        val src = meta.fields.find(_.id == pf.sourceId).getOrElse(
-          throw new IllegalArgumentException(
-            s"partition field '${pf.name}' references unknown source id " +
-              s"${pf.sourceId}")).name
-        val pt = PartitionTransform(src, pf.transform)
-        require(pt.fieldName == pf.name,
-          s"partition field '${pf.name}' does not follow this writer's " +
-            s"naming (expected '${pt.fieldName}'); refusing to lay out files")
-        Some(pt)
-      case many =>
-        throw new UnsupportedOperationException(
-          s"multi-field partition specs not supported by this writer " +
-            s"(${many.map(_.name).mkString(",")})")
+  private def specTransforms(
+      meta: IcebergMeta.TableMeta): Seq[PartitionTransform] =
+    meta.partitionFields.map { pf =>
+      val src = meta.fields.find(_.id == pf.sourceId).getOrElse(
+        throw new IllegalArgumentException(
+          s"partition field '${pf.name}' references unknown source id " +
+            s"${pf.sourceId}")).name
+      val pt = PartitionTransform(src, pf.transform)
+      require(pt.fieldName == pf.name,
+        s"partition field '${pf.name}' does not follow this writer's " +
+          s"naming (expected '${pt.fieldName}'); refusing to lay out files")
+      pt
     }
 
   /** Spark type of the transformed partition value — also the gate on
@@ -460,7 +495,7 @@ object IcebergWriter {
         s"'${pf.transform}' — use deleteRowsWhere on the source column")
     val sourceField = meta.fieldById(pf.sourceId)
     val sparkType = IcebergMeta.sparkSchema(meta)(sourceField.name).dataType
-    val partType = Some(column -> sparkType)
+    val partType = Seq(column -> sparkType)
 
     val manifests = IcebergMeta.readManifestListFile(
       root, currentManifestList(meta).toString)
@@ -493,7 +528,7 @@ object IcebergWriter {
     }
     require(rewrites > 0, s"deletePartitions matched no files for $column in $values")
     commitSnapshot(spark, root, IcebergMeta.sparkSchema(meta),
-      Some(PartitionTransform(column)),
+      Seq(PartitionTransform(column)),
       Some(meta), baseVersion, snapshotId, timestampMs, out,
       operation = "delete", formatVersion = 1)
     snapshotId
@@ -669,7 +704,7 @@ object IcebergWriter {
     // partitioned tables supported: new data files are laid out under
     // the table's recorded spec; the position-delete file stays
     // table-wide (delete manifests are never pruned, conservative-correct)
-    val partition = specTransform(meta)
+    val partition = specTransforms(meta)
     validateSchemaAgainstTable(meta, updates.schema, "Merge")
     require(updates.schema.fieldNames.contains(key),
       s"merge key '$key' is not a column of the updates frame")
@@ -753,14 +788,14 @@ object IcebergWriter {
           nDeleted, Files.size(t), content = 1))
       val mpath = root.resolve("metadata")
         .resolve(f"manifest-$snapshotId%05d-del.avro")
-      writeManifest(mpath, None, Seq(entry), formatVersion = 2)
-      manifestRecord(mpath, snapshotId, None, Seq(entry)).copy(content = 1)
+      writeManifest(mpath, Nil, Seq(entry), formatVersion = 2)
+      manifestRecord(mpath, snapshotId, Nil, Seq(entry)).copy(content = 1)
     }
     faultHook("manifests-written")
 
     val carried = IcebergMeta.readManifestListFile(
       root, currentManifestList(meta).toString)
-    commitSnapshot(spark, root, schema, None, Some(meta), baseVersion,
+    commitSnapshot(spark, root, schema, Nil, Some(meta), baseVersion,
       snapshotId, timestampMs, carried ++ delManifest.toSeq ++ dataManifests,
       operation = "overwrite", formatVersion = 2)
     snapshotId
@@ -789,7 +824,7 @@ object IcebergWriter {
     val meta = IcebergMeta.load(tablePath)
     require(meta.formatVersion == 2,
       s"upsertRows requires a v2 table; this one is v${meta.formatVersion}")
-    val partition = specTransform(meta)
+    val partition = specTransforms(meta)
     validateSchemaAgainstTable(meta, updates.schema, "Upsert")
     val keyField = meta.fields.find(_.name == key).getOrElse(
       throw new IllegalArgumentException(
@@ -862,15 +897,15 @@ object IcebergWriter {
           equalityIds = Seq(keyField.id)))
       val delMPath = root.resolve("metadata")
         .resolve(f"manifest-$snapshotId%05d-del.avro")
-      writeManifest(delMPath, None, Seq(delEntry), formatVersion = 2)
-      manifestRecord(delMPath, snapshotId, None, Seq(delEntry))
+      writeManifest(delMPath, Nil, Seq(delEntry), formatVersion = 2)
+      manifestRecord(delMPath, snapshotId, Nil, Seq(delEntry))
         .copy(content = 1)
     }
     faultHook("manifests-written")
 
     val carried = IcebergMeta.readManifestListFile(
       root, currentManifestList(meta).toString)
-    commitSnapshot(spark, root, IcebergMeta.sparkSchema(meta), None,
+    commitSnapshot(spark, root, IcebergMeta.sparkSchema(meta), Nil,
       Some(meta), baseVersion, snapshotId, timestampMs,
       carried ++ delManifest.toSeq ++ dataManifests,
       operation = "overwrite", formatVersion = 2)
@@ -899,7 +934,7 @@ object IcebergWriter {
     val meta = IcebergMeta.load(tablePath)
     require(meta.formatVersion == 2,
       s"compact targets v2 merge-on-read tables; this one is v${meta.formatVersion}")
-    val partition = specTransform(meta)
+    val partition = specTransforms(meta)
     require(meta.currentSnapshot.isDefined, "table has no current snapshot")
 
     val baseVersion = Some(IcebergSource.versionHint(tablePath).get)
@@ -929,7 +964,7 @@ object IcebergWriter {
 
     // NOTHING carried: the whole point — the new manifest list is the
     // compacted data alone, with zero delete manifests left to apply
-    commitSnapshot(spark, root, IcebergMeta.sparkSchema(meta), None,
+    commitSnapshot(spark, root, IcebergMeta.sparkSchema(meta), Nil,
       Some(meta), baseVersion, snapshotId, timestampMs, manifests,
       operation = "replace", formatVersion = 2)
     snapshotId
@@ -1138,10 +1173,19 @@ object IcebergWriter {
   def evolveSpec(
       tablePath: String,
       partition: Option[PartitionTransform],
+      timestampMs: Long): Int =
+    evolveSpec(tablePath, partition.toSeq, timestampMs)
+
+  /** Multi-field flavor of [[evolveSpec]]; empty = unpartitioned. */
+  def evolveSpec(
+      tablePath: String,
+      partitions: Seq[PartitionTransform],
       timestampMs: Long): Int = {
     val meta = IcebergMeta.load(tablePath)
     val schema = IcebergMeta.sparkSchema(meta)
-    partition.foreach { p =>
+    require(partitions.map(_.fieldName).distinct.size == partitions.size,
+      s"partition field names collide: ${partitions.map(_.fieldName).mkString(",")}")
+    partitions.foreach { p =>
       require(meta.fields.exists(_.name == p.source),
         s"partition source '${p.source}' is not in the table schema")
       transformedSparkType(p, schema): Unit // refuse unwritable transforms
@@ -1163,14 +1207,15 @@ object IcebergWriter {
     val sp = specsArr.addObject()
     sp.put("spec-id", newId)
     val fieldsArr = sp.putArray("fields")
-    partition.foreach { p =>
+    partitions.zipWithIndex.foreach { case (p, i) =>
       val f = fieldsArr.addObject()
       f.put("name", p.fieldName)
       f.put("transform", p.transform)
       f.put("source-id", meta.fields.find(_.name == p.source).get.id)
-      f.put("field-id", lastPartId + 1)
+      f.put("field-id", lastPartId + 1 + i)
     }
-    if (partition.isDefined) node.put("last-partition-id", lastPartId + 1): Unit
+    if (partitions.nonEmpty)
+      node.put("last-partition-id", lastPartId + partitions.size): Unit
     node.put("default-spec-id", newId)
     node.put("last-updated-ms", timestampMs)
     commitMetadataJson(root, baseVersion + 1, node, "evolvespec")
@@ -1363,15 +1408,15 @@ object IcebergWriter {
     val entry = IcebergMeta.ManifestEntry(status = 1, snapshotId, deleteFile)
     val mpath = root.resolve("metadata")
       .resolve(f"manifest-$snapshotId%05d-del.avro")
-    writeManifest(mpath, None, Seq(entry), formatVersion = 2)
-    val newManifest = manifestRecord(mpath, snapshotId, None, Seq(entry))
+    writeManifest(mpath, Nil, Seq(entry), formatVersion = 2)
+    val newManifest = manifestRecord(mpath, snapshotId, Nil, Seq(entry))
       .copy(content = 1)
     val carried = IcebergMeta.readManifestListFile(
       root, currentManifestList(meta).toString)
     // partition arg feeds only FRESH-table metadata creation; this table
-    // exists (prior = Some), so pass None rather than fabricate a spec
+    // exists (prior = Some), so pass Nil rather than fabricate a spec
     commitSnapshot(spark, root, IcebergMeta.sparkSchema(meta),
-      None, Some(meta), baseVersion,
+      Nil, Some(meta), baseVersion,
       snapshotId, timestampMs, carried :+ newManifest,
       operation = "delete", formatVersion = 2)
   }
@@ -1384,7 +1429,7 @@ object IcebergWriter {
       spark: SparkSession,
       root: Path,
       schema: StructType,
-      partition: Option[PartitionTransform],
+      partition: Seq[PartitionTransform],
       prior: Option[IcebergMeta.TableMeta],
       baseVersion: Option[Int], // the version the caller LOADED — base and
       // version number come from that one read, never a fresh hint
@@ -1438,7 +1483,7 @@ object IcebergWriter {
         val sp = n.putArray("partition-specs").addObject()
         sp.put("spec-id", 0)
         sp.set[ArrayNode]("fields", specJson(schema, partition))
-        n.put("last-partition-id", if (partition.isDefined) 1000 else 999)
+        n.put("last-partition-id", if (partition.nonEmpty) 999 + partition.size else 999)
         n.put("default-sort-order-id", 0)
         val so = n.putArray("sort-orders").addObject()
         so.put("order-id", 0)
@@ -1519,15 +1564,15 @@ object IcebergWriter {
     s
   }
 
-  private def specJson(schema: StructType, partition: Option[PartitionTransform]): ArrayNode = {
+  private def specJson(schema: StructType, partition: Seq[PartitionTransform]): ArrayNode = {
     val arr = mapper.createArrayNode()
-    partition.foreach { p =>
+    partition.zipWithIndex.foreach { case (p, i) =>
       val idx = schema.fieldIndex(p.source)
       val f = arr.addObject()
       f.put("name", p.fieldName)
       f.put("transform", p.transform)
       f.put("source-id", idx + 1)
-      f.put("field-id", 1000)
+      f.put("field-id", 1000 + i)
     }
     arr
   }
@@ -1552,22 +1597,20 @@ object IcebergWriter {
   // reader and writer share ONE parse of the spec format)
   // -----------------------------------------------------------------------
 
-  private def partitionAvroFields(partType: Option[(String, DataType)]): String =
-    partType match {
-      case Some((name, dt)) =>
-        val avroT = dt match {
-          case IntegerType => "\"int\""
-          case LongType    => "\"long\""
-          case StringType  => "\"string\""
-          case other => throw new UnsupportedOperationException(
-            s"Partition column type $other not supported")
-        }
-        s"""{"name":"$name","type":["null",$avroT],"default":null}"""
-      case None => ""
-    }
+  private def partitionAvroFields(partType: Seq[(String, DataType)]): String =
+    partType.map { case (name, dt) =>
+      val avroT = dt match {
+        case IntegerType => "\"int\""
+        case LongType    => "\"long\""
+        case StringType  => "\"string\""
+        case other => throw new UnsupportedOperationException(
+          s"Partition column type $other not supported")
+      }
+      s"""{"name":"$name","type":["null",$avroT],"default":null}"""
+    }.mkString(",\n    ")
 
   private def manifestSchema(
-      partType: Option[(String, DataType)], formatVersion: Int): Schema = {
+      partType: Seq[(String, DataType)], formatVersion: Int): Schema = {
     // v2 adds the sequence-number pair on the entry (null = inherit from
     // the manifest list) and content/equality_ids on data_file
     val v2Entry =
@@ -1625,7 +1668,7 @@ object IcebergWriter {
 
   private def writeManifest(
       path: Path,
-      partType: Option[(String, DataType)],
+      partType: Seq[(String, DataType)],
       entries: Seq[IcebergMeta.ManifestEntry],
       formatVersion: Int): Unit = {
     val schema = manifestSchema(partType, formatVersion)
@@ -1664,10 +1707,10 @@ object IcebergWriter {
   private def manifestRecord(
       path: Path,
       snapshotId: Long,
-      partType: Option[(String, DataType)],
+      partType: Seq[(String, DataType)],
       entries: Seq[IcebergMeta.ManifestEntry],
       specId: Int = 0): IcebergMeta.ManifestFile = {
-    val summaries = partType.toSeq.map { case (name, dt) =>
+    val summaries = partType.map { case (name, dt) =>
       val values = entries.map(_.dataFile.partition(name))
       val bounds = values.filter(_ != null)
       (
@@ -1756,6 +1799,15 @@ object IcebergWriter {
     val s = Files.list(dir)
     try s.iterator().asScala.filter(_.getFileName.toString.endsWith(".parquet"))
       .toSeq.sortBy(_.getFileName.toString)
+    finally s.close()
+  }
+
+  private def parquetFilesRecursive(dir: Path): Seq[Path] = {
+    val s = Files.walk(dir)
+    try s.iterator().asScala
+      .filter(p => Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet"))
+      .toSeq.sortBy(_.toString)
     finally s.close()
   }
 

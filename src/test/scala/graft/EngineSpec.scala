@@ -348,6 +348,34 @@ class EngineSpec extends SparkTestBase {
       .head().getLong(0) === 11L)
   }
 
+  test("registerIcebergTable: SQL view follows schema evolution (rename visible, no resurrect)") {
+    import spark.implicits._
+    import graft.sources.IcebergWriter
+    val root = tempDir("graft-engine-iceberg-evolve")
+    IcebergWriter.append(spark, root,
+      (0 until 6).map(i => (i.toLong, i * 10)).toDF("id", "qty"), None,
+      1000L, formatVersion = 2)
+    session.registerIcebergTable("ice_evolving", root)
+    assert(session.execute("SELECT sum(qty) AS s FROM ice_evolving")
+      .head().getLong(0) === 150L)
+
+    // a metadata-only rename re-binds the view: the NEW name queries the
+    // OLD files' values, the old name is gone from the SQL surface
+    IcebergWriter.renameColumn(root, "qty", "quantity", 2000L)
+    assert(session.execute("SELECT sum(quantity) AS s FROM ice_evolving")
+      .head().getLong(0) === 150L)
+    intercept[Exception] {
+      session.execute("SELECT sum(qty) FROM ice_evolving").head()
+    }
+
+    // drop + re-add through the live view: nulls, not resurrected values
+    IcebergWriter.dropColumn(root, "quantity", 3000L)
+    IcebergWriter.addColumn(root, "quantity", "long", 4000L)
+    assert(session.execute(
+      "SELECT count(*) AS n FROM ice_evolving WHERE quantity IS NOT NULL")
+      .head().getLong(0) === 0L)
+  }
+
   test("serving surfaces analysis errors eagerly (reference FlightError behavior)") {
     intercept[Exception] {
       session.serving.flightInfo("SELECT nope FROM does_not_exist")

@@ -1153,6 +1153,68 @@ class SourcesSpec extends SparkTestBase {
     }.getMessage.contains("promote"))
   }
 
+  test("multi-field partition spec: nested layout writes, prunes on either field, survives MoR + compact") {
+    import spark.implicits._
+    import IcebergWriter.PartitionTransform
+    val root = tempDir("graft-iceberg-multipart")
+    val df = (0 until 48).map { i =>
+      (i.toLong, i % 3, java.sql.Date.valueOf(
+        java.time.LocalDate.of(1995, 3, 1).plusDays(i % 4)))
+    }.toDF("id", "band", "d")
+    val parts = Seq(PartitionTransform("band"), PartitionTransform("d", "day"))
+    IcebergWriter.appendPartitioned(spark, root, df, parts, 1000L, 2, Map.empty)
+
+    val meta = IcebergMeta.load(root)
+    assert(meta.partitionFields.map(_.name) === Seq("band", "d_day"))
+    // one manifest per (band, day) tuple
+    val full = IcebergMeta.planScan(meta, meta.currentSnapshot.get)
+    assert(full.manifestsTotal === 12, "3 bands x 4 days")
+    assert(IcebergSource.read(spark, root).count() === 48)
+
+    // pruning works on EITHER field of the tuple
+    val byBand = IcebergMeta.planScan(meta, meta.currentSnapshot.get,
+      Some(IcebergMeta.PartitionEquals("band", 1)))
+    assert(byBand.manifestsRead === 4, "band=1 opens its 4 day manifests")
+    val byDay = IcebergMeta.planScan(meta, meta.currentSnapshot.get,
+      Some(IcebergMeta.PartitionEquals("d",
+        java.time.LocalDate.of(1995, 3, 2))))
+    assert(byDay.manifestsRead === 3, "one day opens its 3 band manifests")
+    val pruned = IcebergSource.read(spark, root, None, None,
+      Some(IcebergMeta.PartitionEquals("band", 1)))
+    assert(pruned.select("id").as[Long].collect().sorted.toSeq ===
+      (0L until 48L).filter(_ % 3 == 1))
+    // identity column reconstitutes from dirs; the day source stays in-file
+    assert(pruned.schema.fieldNames.toSeq === Seq("id", "band", "d"))
+
+    // MoR upsert lays its data files out under the full tuple spec...
+    IcebergWriter.upsertRows(spark, root,
+      Seq((1L, 1, java.sql.Date.valueOf("1995-03-02")),
+        (100L, 0, java.sql.Date.valueOf("1995-03-01"))).toDF("id", "band", "d"),
+      "id", 2000L)
+    assert(IcebergSource.read(spark, root).count() === 49)
+    // ...with REAL partition tuples (a one-band pruned read still sees them)
+    val afterUpsert = IcebergSource.read(spark, root, None, None,
+        Some(IcebergMeta.PartitionEquals("band", 0)))
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(afterUpsert.contains(100L), "upsert insert missing from pruned read")
+
+    // compact preserves the nested layout and the rows
+    IcebergWriter.compact(spark, root, 3000L)
+    val mC = IcebergMeta.load(root)
+    val planC = IcebergMeta.planScan(mC, mC.currentSnapshot.get,
+      Some(IcebergMeta.PartitionEquals("band", 2)))
+    assert(planC.manifestsRead < planC.manifestsTotal,
+      "post-compaction manifests lost their tuple summaries")
+    assert(IcebergSource.read(spark, root).count() === 49)
+
+    // guard: colliding field names refuse
+    assert(intercept[IllegalArgumentException] {
+      IcebergWriter.appendPartitioned(spark, tempDir("graft-mp-bad"),
+        df, Seq(PartitionTransform("band"), PartitionTransform("band")),
+        1000L, 2, Map.empty)
+    }.getMessage.contains("collide"))
+  }
+
   test("partition spec evolution: mixed layouts read together; each manifest prunes via its own spec") {
     import spark.implicits._
     val root = tempDir("graft-iceberg-specevolve")
