@@ -269,6 +269,37 @@ object SourceQueries {
     root.toString
   }
 
+  /** Materialize (once per fixture dir + process) the EVENTS fixture as a
+    * MULTI-FIELD-partitioned v2 table: identity(event_type) x day(ts) —
+    * the classic event-lake layout (5 types x 30 days ≈ 150 tuples).
+    * The raw ts stays in the data files; event_type is identity-dropped
+    * into the dirs and reconstituted on read.
+    */
+  private def fixtureIcebergMultipartTable(
+      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    import graft.sources.IcebergWriter
+    val root = graft.engine.TempDirs.workspace("graft-iceberg", "multipart", dir)
+    graft.engine.TempDirs.materializeOnce(root)(
+      java.nio.file.Files.exists(
+        root.resolve("metadata").resolve("v1.metadata.json"))
+    ) {
+      if (java.nio.file.Files.exists(root)) {
+        val walk = java.nio.file.Files.walk(root)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+        finally walk.close()
+      }
+      IcebergWriter.appendPartitioned(s, root.toString,
+        events(s, dir).select(
+          col("event_id"), col("event_type"), col("ts"), col("value")),
+        Seq(
+          IcebergWriter.PartitionTransform("event_type"),
+          IcebergWriter.PartitionTransform("ts", "day")),
+        1000L, 2, Map.empty): Unit
+    }
+    root.toString
+  }
+
   /** q_iceberg_events_hour's DYNAMIC oracle (Q.oracleFn, same
     * last-writer-wins holder contract as SimilarityQueries.ivfOracle):
     * the SQL embeds the hour the run actually targeted — the hour of the
@@ -811,6 +842,34 @@ object SourceQueries {
           "CAST(p_partkey AS DOUBLE) / 2 AS p_score " +
           "FROM part WHERE p_partkey % 9 = 0 " +
           "ORDER BY p_partkey"
+      )
+    ),
+    // MULTI-FIELD partitioning read-back: events in an identity(
+    // event_type) x day(ts) layout — the one-type predicate prunes to
+    // that type's ~30 day manifests of ~150 EXACTLY (identity pruning
+    // needs no residual filter), and the per-day rollup runs off the
+    // pruned scan. The oracle replays the type filter + UTC day
+    // grouping over the raw events parquet — gating layout, tuple
+    // manifests, dir reconstitution, and the day transform at once.
+    Q(
+      "q_iceberg_multipart",
+      (s, dir) => {
+        val root = fixtureIcebergMultipartTable(s, dir)
+        graft.sources.IcebergSource
+          .read(s, root, None, None,
+            Some(graft.sources.IcebergMeta.PartitionEquals(
+              "event_type", "purchase")))
+          .groupBy(to_date($"ts").as("day"))
+          .agg(
+            count(lit(1)).as("n"),
+            asDouble(sum($"value".cast(DecimalType(18, 6)))).as("sum_value"))
+          .orderBy($"day")
+      },
+      Some(
+        "SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, count(*) AS n, " +
+          "CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value " +
+          "FROM events WHERE event_type = 'purchase' " +
+          "GROUP BY 1 ORDER BY day"
       )
     ),
     // PARTITION SPEC EVOLUTION read-back: the table started flat, then
