@@ -300,6 +300,36 @@ object SourceQueries {
     root.toString
   }
 
+  /** Materialize (once per fixture dir + process) a RANGE-CLUSTERED v2
+    * table over `lineitem`: 8 files with disjoint l_orderkey ranges
+    * (repartitionByRange + sortWithinPartitions — the state a sorted or
+    * Z-ordered rewrite leaves). The writer harvests per-file column
+    * min/max into the manifests, so a key-range scan skips whole files.
+    */
+  private def fixtureIcebergClusteredTable(
+      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    import graft.sources.IcebergWriter
+    val root = graft.engine.TempDirs.workspace("graft-iceberg", "clustered", dir)
+    graft.engine.TempDirs.materializeOnce(root)(
+      java.nio.file.Files.exists(
+        root.resolve("metadata").resolve("v1.metadata.json"))
+    ) {
+      if (java.nio.file.Files.exists(root)) {
+        val walk = java.nio.file.Files.walk(root)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+        finally walk.close()
+      }
+      val df = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+        .repartitionByRange(8, col("l_orderkey"))
+        .sortWithinPartitions(col("l_orderkey"))
+      IcebergWriter.append(s, root.toString, df, None,
+        timestampMs = 1000L, formatVersion = 2): Unit
+    }
+    root.toString
+  }
+
   /** q_iceberg_events_hour's DYNAMIC oracle (Q.oracleFn, same
     * last-writer-wins holder contract as SimilarityQueries.ivfOracle):
     * the SQL embeds the hour the run actually targeted — the hour of the
@@ -842,6 +872,33 @@ object SourceQueries {
           "CAST(p_partkey AS DOUBLE) / 2 AS p_score " +
           "FROM part WHERE p_partkey % 9 = 0 " +
           "ORDER BY p_partkey"
+      )
+    ),
+    // FILE-LEVEL DATA SKIPPING read-back: lineitem range-clustered on
+    // l_orderkey into 8 disjoint files; the writer harvested per-file
+    // min/max bounds into the manifests, and the key-range scan plans
+    // only the file(s) whose range overlaps (SourcesSpec pins
+    // filesSkipped on its own table). The residual filter restores
+    // exact semantics — skipping is conservative, never semantic. This
+    // is the 100-TB sorted-table economics: scan cost tracks the
+    // PREDICATE's byte range, not the table's.
+    Q(
+      "q_iceberg_skipdata",
+      (s, dir) => {
+        val root = fixtureIcebergClusteredTable(s, dir)
+        graft.sources.IcebergSource
+          .read(s, root, None, None, None,
+            Some(graft.sources.IcebergMeta.ColumnBound(
+              "l_orderkey", "lteq", 2000L)))
+          .filter($"l_orderkey" <= 2000L)
+          .agg(
+            count(lit(1)).as("n"),
+            asDouble(sum(dec2($"l_extendedprice"))).as("revenue"))
+      },
+      Some(
+        "SELECT count(*) AS n, " +
+          "CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue " +
+          "FROM lineitem WHERE l_orderkey <= 2000"
       )
     ),
     // MULTI-FIELD partitioning read-back: events in an identity(

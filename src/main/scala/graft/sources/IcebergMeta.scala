@@ -158,7 +158,26 @@ object IcebergMeta {
       // the partition spec this file was written under (inherited from
       // its manifest's recorded spec id at planning time) — mixed-spec
       // tables read each file with its own directory-layout rules
-      specId: Int = 0)
+      specId: Int = 0,
+      // per-column min/max (spec lower_bounds/upper_bounds: field id ->
+      // single-value binary), harvested from the parquet footers at
+      // write time — the data-skipping layer UNDER partition pruning:
+      // a range-clustered (sorted / Z-ordered) table skips whole files
+      // a partition tuple alone never could
+      lowerBounds: Map[Int, Array[Byte]] = Map.empty,
+      upperBounds: Map[Int, Array[Byte]] = Map.empty)
+
+  /** File-level data-skipping predicate for [[planScan]]: `column op
+    * value` decided against each data file's recorded column bounds.
+    * `op`: "eq" | "lt" | "lteq" | "gt" | "gteq". Files without bounds
+    * for the column are kept (conservative); the caller applies the
+    * residual row filter either way — skipping is a scan optimization,
+    * never a semantic one.
+    */
+  final case class ColumnBound(column: String, op: String, value: Any) {
+    require(Set("eq", "lt", "lteq", "gt", "gteq")(op),
+      s"unsupported bound op '$op'")
+  }
 
   /** A live v2 delete file the scan must apply (merge-on-read). */
   final case class DeleteFile(
@@ -179,7 +198,9 @@ object IcebergMeta {
       manifestsTotal: Int,
       manifestsRead: Int,
       entriesSeen: Int,
-      deletes: Seq[DeleteFile] = Seq.empty)
+      deletes: Seq[DeleteFile] = Seq.empty,
+      // data files a [[ColumnBound]] file filter skipped via min/max
+      filesSkipped: Int = 0)
 
   // ---------------------------------------------------------------------
   // metadata JSON
@@ -320,7 +341,36 @@ object IcebergMeta {
   def planScan(
       meta: TableMeta,
       snapshot: Snapshot,
-      prune: Option[PartitionEquals] = None): ScanPlan = {
+      prune: Option[PartitionEquals] = None,
+      fileFilter: Option[ColumnBound] = None): ScanPlan = {
+    // Resolve the file filter ONCE: column -> (field id, iceberg type).
+    // Unknown column = error (a typo'd filter must not silently read
+    // everything); a file lacking bounds for the column is kept.
+    val boundField: Option[(Int, String, ColumnBound)] = fileFilter.map { fb =>
+      val f = meta.fields.find(_.name == fb.column).getOrElse(
+        throw new IllegalArgumentException(
+          s"'${fb.column}' is not a column of the table schema"))
+      (f.id, f.typeName, fb)
+    }
+    var filesSkipped = 0
+    def fileSurvives(df: DataFile): Boolean = boundField.forall {
+      case (fid, typeName, fb) =>
+        val keep = (df.lowerBounds.get(fid), df.upperBounds.get(fid)) match {
+          case (Some(lo), Some(hi)) =>
+            val cmpLo = compareBound(typeName, fb.value, lo) // value vs lower
+            val cmpHi = compareBound(typeName, fb.value, hi) // value vs upper
+            fb.op match {
+              case "eq"   => cmpLo >= 0 && cmpHi <= 0
+              case "lt"   => cmpLo > 0  // some row < value iff lower < value
+              case "lteq" => cmpLo >= 0
+              case "gt"   => cmpHi < 0  // some row > value iff upper > value
+              case "gteq" => cmpHi <= 0
+            }
+          case _ => true // no recorded bounds: cannot skip
+        }
+        if (!keep) filesSkipped += 1
+        keep
+    }
     // Pre-resolve the predicate PER PARTITION SPEC (spec evolution: a
     // manifest prunes via the spec it was written under, not the
     // default). A spec that has no field for the predicate column cannot
@@ -388,14 +438,14 @@ object IcebergMeta {
               val matches = pruneField.forall { case (_, pf, tvalue, _) =>
                 valueEquals(e.dataFile.partition.get(pf.name).orNull, tvalue)
               }
-              if (live && matches)
+              if (live && matches && fileSurvives(e.dataFile))
                 files += e.dataFile.copy(specId = mf.partitionSpecId)
             }
           }
       }
     }
     ScanPlan(files.result(), manifests.size, manifestsRead, entriesSeen,
-      deletes.result())
+      deletes.result(), filesSkipped)
   }
 
   /** One manifest_file row of a manifest list; also the writer's
@@ -488,6 +538,21 @@ object IcebergMeta {
       val pmap = partition.getSchema.getFields.asScala.map { f =>
         f.name() -> fromAvro(partition.get(f.pos()))
       }.toMap
+      // spec lower_bounds/upper_bounds: array of (key: field id, value:
+      // single-value binary) — absent on pre-bounds manifests
+      def boundsMap(field: String): Map[Int, Array[Byte]] =
+        df.getSchema.getField(field) match {
+          case null => Map.empty
+          case _ => Option(df.get(field)) match {
+            case Some(c: java.util.Collection[_]) =>
+              c.asScala.map { e =>
+                val r = e.asInstanceOf[GenericRecord]
+                r.get("key").asInstanceOf[Number].intValue() ->
+                  toBytes(r.get("value"))
+              }.toMap
+            case _ => Map.empty
+          }
+        }
       ManifestEntry(
         rec.get("status").asInstanceOf[Int],
         Option(rec.get("snapshot_id")).map(_.asInstanceOf[Long])
@@ -500,7 +565,9 @@ object IcebergMeta {
           df.get("file_size_in_bytes").asInstanceOf[Long],
           content,
           seq,
-          equalityIds))
+          equalityIds,
+          lowerBounds = boundsMap("lower_bounds"),
+          upperBounds = boundsMap("upper_bounds")))
     }
 
   /** Incremental scan plan: the NET APPENDS of a snapshot window — files
@@ -661,6 +728,35 @@ object IcebergMeta {
         // U+E000..U+FFFF and would prune manifests that hold matches
         java.util.Arrays.compareUnsigned(
           value.toString.getBytes(StandardCharsets.UTF_8), bound)
+      case "date" =>
+        val days = value match {
+          case d: java.time.LocalDate => d.toEpochDay.toInt
+          case d: java.sql.Date       => d.toLocalDate.toEpochDay.toInt
+          case n: Number              => n.intValue()
+          case other => throw new IllegalArgumentException(
+            s"date bound value of unsupported class ${other.getClass}")
+        }
+        java.lang.Integer.compare(days,
+          ByteBuffer.wrap(bound).order(ByteOrder.LITTLE_ENDIAN).getInt)
+      case "timestamptz" =>
+        def instantMicros(i: java.time.Instant): Long =
+          Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L),
+            i.getNano / 1000L)
+        val micros = value match {
+          case t: java.sql.Timestamp  => instantMicros(t.toInstant)
+          case i: java.time.Instant   => instantMicros(i)
+          case n: Number              => n.longValue()
+          case other => throw new IllegalArgumentException(
+            s"timestamp bound value of unsupported class ${other.getClass}")
+        }
+        java.lang.Long.compare(micros,
+          ByteBuffer.wrap(bound).order(ByteOrder.LITTLE_ENDIAN).getLong)
+      case "double" =>
+        java.lang.Double.compare(value.asInstanceOf[Number].doubleValue(),
+          ByteBuffer.wrap(bound).order(ByteOrder.LITTLE_ENDIAN).getDouble)
+      case "float" =>
+        java.lang.Float.compare(value.asInstanceOf[Number].floatValue(),
+          ByteBuffer.wrap(bound).order(ByteOrder.LITTLE_ENDIAN).getFloat)
       case other =>
         throw new UnsupportedOperationException(
           s"Partition bound comparison for type '$other' not supported")

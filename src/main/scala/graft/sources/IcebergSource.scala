@@ -48,7 +48,11 @@ object IcebergSource {
       tablePath: String,
       snapshotId: Option[Long],
       asOfTimestampMs: Option[Long],
-      prune: Option[IcebergMeta.PartitionEquals]): DataFrame = {
+      prune: Option[IcebergMeta.PartitionEquals],
+      // file-level data skipping via recorded column min/max bounds —
+      // a scan optimization (conservative), the caller still applies
+      // the residual row filter
+      fileFilter: Option[IcebergMeta.ColumnBound] = None): DataFrame = {
     require(snapshotId.isEmpty || asOfTimestampMs.isEmpty,
       "Specify at most one of snapshotId / asOfTimestampMs")
     if (runtimeAvailable) {
@@ -57,7 +61,8 @@ object IcebergSource {
       asOfTimestampMs.foreach(ts => r.option("as-of-timestamp", ts))
       r.load(tablePath)
     } else if (IcebergMeta.hasMetadata(tablePath)) {
-      readViaMetadata(spark, tablePath, snapshotId, asOfTimestampMs, prune)
+      readViaMetadata(spark, tablePath, snapshotId, asOfTimestampMs, prune,
+        fileFilter)
     } else {
       require(snapshotId.isEmpty && asOfTimestampMs.isEmpty && prune.isEmpty,
         s"Time-travel/pruning requires table metadata; $tablePath has none " +
@@ -74,7 +79,8 @@ object IcebergSource {
       tablePath: String,
       snapshotId: Option[Long],
       asOfTimestampMs: Option[Long],
-      prune: Option[IcebergMeta.PartitionEquals]): DataFrame = {
+      prune: Option[IcebergMeta.PartitionEquals],
+      fileFilter: Option[IcebergMeta.ColumnBound] = None): DataFrame = {
     val meta = IcebergMeta.load(tablePath)
     val timeTravel = snapshotId.isDefined || asOfTimestampMs.isDefined
     val snap = snapshotId.map(meta.snapshotById)
@@ -96,7 +102,7 @@ object IcebergSource {
     val stamped = meta.fieldIdStamped
     if (stamped) enableFieldIdRead(spark)
     val schema = IcebergMeta.sparkSchema(snapFields, stamped)
-    val plan = snap.map(s => IcebergMeta.planScan(meta, s, prune))
+    val plan = snap.map(s => IcebergMeta.planScan(meta, s, prune, fileFilter))
       .getOrElse(IcebergMeta.ScanPlan(Seq.empty, 0, 0, 0))
     readFiles(spark, tablePath, schema, plan.files, plan.deletes, snapFields,
       stamped)
@@ -304,13 +310,14 @@ object IcebergSource {
       tablePath: String,
       snapshotId: Option[Long] = None,
       asOfTimestampMs: Option[Long] = None,
-      prune: Option[IcebergMeta.PartitionEquals] = None): IcebergMeta.ScanPlan = {
+      prune: Option[IcebergMeta.PartitionEquals] = None,
+      fileFilter: Option[IcebergMeta.ColumnBound] = None): IcebergMeta.ScanPlan = {
     val meta = IcebergMeta.load(tablePath)
     val snap = snapshotId.map(meta.snapshotById)
       .orElse(asOfTimestampMs.map(meta.snapshotAsOf))
       .orElse(meta.currentSnapshot)
       .getOrElse(throw new IllegalStateException(s"$tablePath has no snapshots"))
-    IcebergMeta.planScan(meta, snap, prune)
+    IcebergMeta.planScan(meta, snap, prune, fileFilter)
   }
 
   /** Reference-fidelity fallback (iceberg/src/lib.rs:42-76): verify the

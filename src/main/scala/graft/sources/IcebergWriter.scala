@@ -169,14 +169,15 @@ object IcebergWriter {
 
     // ---- data files -----------------------------------------------------
     val staging = Files.createTempDirectory("graft-iceberg-stage")
-    val staged = stageDataFiles(df, partitions, staging, fieldIdsFor(prior, df.schema))
+    val fieldIds = fieldIdsFor(prior, df.schema)
+    val staged = stageDataFiles(df, partitions, staging, fieldIds)
     val written = placeDataFiles(root, staged, snapshotId)
     deleteRecursively(staging)
 
     // ---- manifests: one per distinct partition tuple --------------------
     val partType = partitions.map(p => p.fieldName -> transformedSparkType(p, df.schema))
     val newManifests = buildDataManifests(spark, root, written, partType,
-      snapshotId, fv, prior.map(_.defaultSpecId).getOrElse(0))
+      snapshotId, fv, prior.map(_.defaultSpecId).getOrElse(0), fieldIds)
 
     val carried = prior
       .map(m => IcebergMeta.readManifestListFile(
@@ -343,11 +344,15 @@ object IcebergWriter {
       partType: Seq[(String, DataType)],
       snapshotId: Long,
       fv: Int,
-      specId: Int = 0): Seq[IcebergMeta.ManifestFile] = {
+      specId: Int = 0,
+      // name -> spec field id, for the per-file column bounds; empty
+      // skips bounds harvesting (delete-file manifests)
+      fieldIds: Map[String, Int] = Map.empty): Seq[IcebergMeta.ManifestFile] = {
     val hadoopConf = spark.sessionState.newHadoopConf()
     val groups = placed.groupBy(_._1).toSeq.sortBy(_._1.values.mkString)
     groups.zipWithIndex.map { case ((ptuple, files), i) =>
       val entries = files.map { case (_, p) =>
+        val (rows, lower, upper) = footerInfo(hadoopConf, p, fieldIds)
         IcebergMeta.ManifestEntry(
           status = 1, // ADDED
           snapshotId = snapshotId,
@@ -355,14 +360,88 @@ object IcebergWriter {
             p.toAbsolutePath.toString,
             "PARQUET",
             ptuple,
-            parquetRowCount(hadoopConf, p),
-            Files.size(p)))
+            rows,
+            Files.size(p),
+            lowerBounds = lower,
+            upperBounds = upper))
       }
       val mpath = root.resolve("metadata")
         .resolve(f"manifest-$snapshotId%05d-$i%03d.avro")
       writeManifest(mpath, partType, entries, fv)
       manifestRecord(mpath, snapshotId, partType, entries, specId)
     }
+  }
+
+  /** One footer read per staged file: row count + per-column min/max
+    * (spec lower_bounds/upper_bounds, keyed by field id, single-value
+    * binary encoding). Only flat leaf columns with usable stats and a
+    * known field id contribute; anything else (INT96 timestamps, no
+    * stats, nested) is silently absent — the reader treats absence as
+    * unprunable, so harvesting is always conservative-correct. This is
+    * the write-time half of file-level data skipping: a sorted or
+    * Z-ordered table gets disjoint per-file ranges here, and planScan's
+    * ColumnBound filter skips whole files a partition tuple never could.
+    */
+  private def footerInfo(
+      conf: org.apache.hadoop.conf.Configuration,
+      file: Path,
+      fieldIds: Map[String, Int])
+      : (Long, Map[Int, Array[Byte]], Map[Int, Array[Byte]]) = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(file.toUri), conf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val mins = scala.collection.mutable.Map.empty[String, Comparable[Any]]
+      val maxs = scala.collection.mutable.Map.empty[String, Comparable[Any]]
+      val types = scala.collection.mutable.Map.empty[String, PrimitiveTypeName]
+      var statsOk = Set.empty[String]
+      var statsBad = Set.empty[String]
+      r.getFooter.getBlocks.asScala.foreach { b =>
+        b.getColumns.asScala.foreach { c =>
+          if (c.getPath.size() == 1) {
+            val name = c.getPath.toDotString
+            val st = c.getStatistics
+            if (st == null || st.isEmpty || !st.hasNonNullValue) {
+              statsBad += name // one stats-less row group poisons the file's bounds
+            } else {
+              statsOk += name
+              types(name) = c.getPrimitiveType.getPrimitiveTypeName
+              val mn = st.genericGetMin.asInstanceOf[Comparable[Any]]
+              val mx = st.genericGetMax.asInstanceOf[Comparable[Any]]
+              if (!mins.contains(name) || mn.compareTo(mins(name)) < 0) mins(name) = mn
+              if (!maxs.contains(name) || mx.compareTo(maxs(name)) > 0) maxs(name) = mx
+            }
+          }
+        }
+      }
+      def encode(name: String, v: Any): Option[Array[Byte]] = types(name) match {
+        case PrimitiveTypeName.INT32 =>
+          Some(ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+            .putInt(v.asInstanceOf[Number].intValue()).array())
+        case PrimitiveTypeName.INT64 =>
+          Some(ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+            .putLong(v.asInstanceOf[Number].longValue()).array())
+        case PrimitiveTypeName.FLOAT =>
+          Some(ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+            .putFloat(v.asInstanceOf[Number].floatValue()).array())
+        case PrimitiveTypeName.DOUBLE =>
+          Some(ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+            .putDouble(v.asInstanceOf[Number].doubleValue()).array())
+        case PrimitiveTypeName.BINARY =>
+          Some(v.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes)
+        case _ => None // INT96/BOOLEAN/FIXED: no portable encoding, skip
+      }
+      def collect(m: collection.Map[String, Comparable[Any]]): Map[Int, Array[Byte]] =
+        m.toSeq.flatMap { case (name, v) =>
+          if (statsBad(name)) None
+          else for {
+            id <- fieldIds.get(name)
+            bytes <- encode(name, v)
+          } yield id -> bytes
+        }.toMap
+      (r.getRecordCount, collect(mins), collect(maxs))
+    } finally r.close()
   }
 
   /** The table's recorded partition spec as this writer's transforms,
@@ -779,7 +858,8 @@ object IcebergWriter {
       p.fieldName -> transformedSparkType(p, updates.schema))
     val dataManifests = buildDataManifests(
       spark, root, movedData, partType, snapshotId, fv = 2,
-      specId = meta.defaultSpecId)
+      specId = meta.defaultSpecId,
+      fieldIds = fieldIdsFor(Some(meta), updates.schema))
     val delManifest = delTarget.map { t =>
       val entry = IcebergMeta.ManifestEntry(
         status = 1, snapshotId,
@@ -886,7 +966,8 @@ object IcebergWriter {
       p.fieldName -> transformedSparkType(p, updates.schema))
     val dataManifests = buildDataManifests(
       spark, root, movedData, partType, snapshotId, fv = 2,
-      specId = meta.defaultSpecId)
+      specId = meta.defaultSpecId,
+      fieldIds = fieldIdsFor(Some(meta), updates.schema))
 
     val delManifest = delTarget.map { t =>
       val delEntry = IcebergMeta.ManifestEntry(
@@ -959,7 +1040,8 @@ object IcebergWriter {
       p.fieldName -> transformedSparkType(p, IcebergMeta.sparkSchema(meta)))
     val manifests = buildDataManifests(
       spark, root, movedData, partType, snapshotId, fv = 2,
-      specId = meta.defaultSpecId)
+      specId = meta.defaultSpecId,
+      fieldIds = fieldIdsFor(Some(meta), IcebergMeta.sparkSchema(meta)))
     faultHook("manifests-written")
 
     // NOTHING carried: the whole point — the new manifest list is the
@@ -1637,7 +1719,15 @@ object IcebergWriter {
          |  {"name":"partition","type":{"type":"record","name":"r102","fields":[
          |    ${partitionAvroFields(partType)}]}},
          |  {"name":"record_count","type":"long"},
-         |  {"name":"file_size_in_bytes","type":"long"}
+         |  {"name":"file_size_in_bytes","type":"long"},
+         |  {"name":"lower_bounds","type":["null",{"type":"array","items":{
+         |    "type":"record","name":"k146","fields":[
+         |      {"name":"key","type":"int"},{"name":"value","type":"bytes"}]}}],
+         |   "default":null},
+         |  {"name":"upper_bounds","type":["null",{"type":"array","items":{
+         |    "type":"record","name":"k147","fields":[
+         |      {"name":"key","type":"int"},{"name":"value","type":"bytes"}]}}],
+         |   "default":null}
          |  $v2Equality
          |]}}]}""".stripMargin)
   }
@@ -1699,6 +1789,21 @@ object IcebergWriter {
       df.put("partition", p)
       df.put("record_count", e.dataFile.recordCount)
       df.put("file_size_in_bytes", e.dataFile.fileSizeBytes)
+      def boundsArray(field: String, m: Map[Int, Array[Byte]]): Unit =
+        if (m.nonEmpty) {
+          val itemSchema = dfSchema.getField(field).schema()
+            .getTypes.get(1).getElementType
+          val arr = new java.util.ArrayList[GenericRecord]()
+          m.toSeq.sortBy(_._1).foreach { case (k, v) =>
+            val r = new GenericData.Record(itemSchema)
+            r.put("key", k)
+            r.put("value", ByteBuffer.wrap(v))
+            arr.add(r)
+          }
+          df.put(field, arr)
+        }
+      boundsArray("lower_bounds", e.dataFile.lowerBounds)
+      boundsArray("upper_bounds", e.dataFile.upperBounds)
       rec.put("data_file", df)
       w.append(rec)
     } finally w.close()

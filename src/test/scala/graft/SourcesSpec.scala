@@ -1153,6 +1153,50 @@ class SourcesSpec extends SparkTestBase {
     }.getMessage.contains("promote"))
   }
 
+  test("file-level data skipping: column bounds in manifests skip files a range-clustered scan never needs") {
+    import spark.implicits._
+    val root = tempDir("graft-iceberg-skip")
+    // range-clustered layout: 8 files with disjoint id ranges — the state
+    // a sorted or Z-ordered rewrite leaves a table in
+    val df = (0 until 800).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .repartitionByRange(8, $"id").sortWithinPartitions($"id")
+    IcebergWriter.append(spark, root, df, None, 1000L, formatVersion = 2)
+
+    val meta = IcebergMeta.load(root)
+    val full = IcebergMeta.planScan(meta, meta.currentSnapshot.get)
+    assert(full.files.size === 8)
+    assert(full.files.forall(_.lowerBounds.nonEmpty),
+      "every data file must carry harvested column bounds")
+
+    // equality: exactly one file holds id=431
+    val eq = IcebergMeta.planScan(meta, meta.currentSnapshot.get,
+      fileFilter = Some(IcebergMeta.ColumnBound("id", "eq", 431L)))
+    assert(eq.files.size === 1, s"expected 1 file, got ${eq.files.size}")
+    assert(eq.filesSkipped === 7)
+
+    // range: id > 700 reaches only the tail file(s)
+    val gt = IcebergMeta.planScan(meta, meta.currentSnapshot.get,
+      fileFilter = Some(IcebergMeta.ColumnBound("id", "gt", 700L)))
+    assert(gt.files.size < 8 && gt.filesSkipped > 0)
+
+    // string bounds skip too (v000.. style values sort lexically)
+    val sv = IcebergMeta.planScan(meta, meta.currentSnapshot.get,
+      fileFilter = Some(IcebergMeta.ColumnBound("v", "eq", "v431")))
+    assert(sv.files.size < 8, "string bounds did not skip")
+
+    // the read path: skipped scan + residual filter == exact result
+    val rows = IcebergSource.read(spark, root, None, None, None,
+        Some(IcebergMeta.ColumnBound("id", "eq", 431L)))
+      .filter($"id" === 431L).collect()
+    assert(rows.map(_.getString(1)).toSeq === Seq("v431"))
+
+    // unknown column refuses; files without bounds are conservatively kept
+    assert(intercept[IllegalArgumentException] {
+      IcebergMeta.planScan(meta, meta.currentSnapshot.get,
+        fileFilter = Some(IcebergMeta.ColumnBound("nope", "eq", 1)))
+    }.getMessage.contains("not a column"))
+  }
+
   test("multi-field partition spec: nested layout writes, prunes on either field, survives MoR + compact") {
     import spark.implicits._
     import IcebergWriter.PartitionTransform
