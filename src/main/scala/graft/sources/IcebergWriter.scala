@@ -1011,7 +1011,16 @@ object IcebergWriter {
       spark: SparkSession,
       tablePath: String,
       timestampMs: Long,
-      faultHook: String => Unit = _ => ()): Long = {
+      faultHook: String => Unit = _ => (),
+      // optional physical re-layout applied to the delete-applied state
+      // before staging — e.g. `_.repartitionByRange(8, col("k"))
+      // .sortWithinPartitions("k")` leaves disjoint per-file ranges so
+      // the harvested column bounds make key scans skip whole files
+      // (compose with ZOrderLayout.zorderKey for two-dimension
+      // clustering). Safe under ANY layout: bounds are conservative, a
+      // relayout can only change how much a scan skips, never what it
+      // returns.
+      relayout: DataFrame => DataFrame = identity): Long = {
     val meta = IcebergMeta.load(tablePath)
     require(meta.formatVersion == 2,
       s"compact targets v2 merge-on-read tables; this one is v${meta.formatVersion}")
@@ -1027,7 +1036,7 @@ object IcebergWriter {
     // materializes exactly what any reader sees today, re-laid-out
     // under the table's partition spec
     val stagedData = stageDataFiles(
-      IcebergSource.read(spark, tablePath), partition, staging,
+      relayout(IcebergSource.read(spark, tablePath)), partition, staging,
       fieldIdsFor(Some(meta), IcebergMeta.sparkSchema(meta)))
     require(stagedData.nonEmpty, "compaction produced no data files")
     faultHook("staged")

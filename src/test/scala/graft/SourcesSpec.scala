@@ -1197,6 +1197,62 @@ class SourcesSpec extends SparkTestBase {
     }.getMessage.contains("not a column"))
   }
 
+  test("clustered compaction + Z-order: maintenance produces the skippable layout") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, hash}
+    val root = tempDir("graft-iceberg-cluster-compact")
+    // ingest arrives UNCLUSTERED (hash order): every file spans the whole
+    // key range, so bounds skip nothing
+    val df = (0 until 800).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .repartition(8, hash($"id"))
+    IcebergWriter.append(spark, root, df, None, 1000L, formatVersion = 2)
+    val meta0 = IcebergMeta.load(root)
+    val before = IcebergMeta.planScan(meta0, meta0.currentSnapshot.get,
+      fileFilter = Some(IcebergMeta.ColumnBound("id", "eq", 431L)))
+    assert(before.filesSkipped === 0, "hash layout should not skip")
+    // a MoR upsert fragments the table (its own file even gets tight
+    // bounds — [3,3] — which a 431-scan correctly skips)
+    IcebergWriter.upsertRows(spark, root,
+      Seq((3L, "updated")).toDF("id", "v"), "id", 2000L)
+
+    // clustered compaction: delete stack retired AND the layout becomes
+    // range-disjoint, so the same key scan now plans one file
+    IcebergWriter.compact(spark, root, 3000L,
+      relayout = _.repartitionByRange(8, col("id")).sortWithinPartitions("id"))
+    val meta1 = IcebergMeta.load(root)
+    val after = IcebergMeta.planScan(meta1, meta1.currentSnapshot.get,
+      fileFilter = Some(IcebergMeta.ColumnBound("id", "eq", 431L)))
+    assert(after.files.size === 1 && after.filesSkipped === 7,
+      s"clustered compaction did not produce a skippable layout: " +
+        s"${after.files.size} files, ${after.filesSkipped} skipped")
+    val all = IcebergSource.read(spark, root)
+    assert(all.count() === 800)
+    assert(all.filter($"id" === 3L).head().getString(1) === "updated")
+
+    // Z-ORDER via the same hook: both dimensions get skippable bounds
+    val zroot = tempDir("graft-iceberg-zorder")
+    val grid = (for { x <- 0 until 32; y <- 0 until 32 }
+      yield (x.toLong, y.toLong, s"c$x-$y")).toDF("x", "y", "c")
+      .repartition(4) // arrival order: unclustered
+    IcebergWriter.append(spark, zroot, grid, None, 1000L, formatVersion = 2)
+    IcebergWriter.compact(spark, zroot, 2000L,
+      relayout = d => d
+        .withColumn("__zk",
+          graft.operators.ZOrderLayout.zorderKey(col("x"), col("y"), 5))
+        .repartitionByRange(16, col("__zk"))
+        .sortWithinPartitions("__zk")
+        .drop("__zk"))
+    val zm = IcebergMeta.load(zroot)
+    val byX = IcebergMeta.planScan(zm, zm.currentSnapshot.get,
+      fileFilter = Some(IcebergMeta.ColumnBound("x", "eq", 5L)))
+    val byY = IcebergMeta.planScan(zm, zm.currentSnapshot.get,
+      fileFilter = Some(IcebergMeta.ColumnBound("y", "eq", 27L)))
+    assert(byX.filesSkipped > 0 && byY.filesSkipped > 0,
+      s"Z-order bounds must skip on BOTH dims (x skipped ${byX.filesSkipped}, " +
+        s"y skipped ${byY.filesSkipped})")
+    assert(IcebergSource.read(spark, zroot).count() === 1024)
+  }
+
   test("multi-field partition spec: nested layout writes, prunes on either field, survives MoR + compact") {
     import spark.implicits._
     import IcebergWriter.PartitionTransform
