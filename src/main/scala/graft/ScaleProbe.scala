@@ -93,7 +93,7 @@ object ScaleProbe {
     val which = args.headOption.getOrElse("all")
     val groups =
       Set("all", "core", "core10x", "core30x", "extras", "dedup", "sim",
-        "text", "events", "serve", "iceberg")
+        "text", "events", "serve", "iceberg", "skip")
     // a typo'd group would otherwise spin up Spark, run NOTHING, and exit
     // 0 — indistinguishable from "probe found nothing"
     require(groups(which), s"unknown probe group '$which' (one of: ${groups.mkString(", ")})")
@@ -112,7 +112,62 @@ object ScaleProbe {
     if (which == "all" || which == "events") eventsScaleProbe(spark)
     if (which == "all" || which == "serve") servingScaleProbe(spark)
     if (which == "iceberg") icebergWriteProbe(spark) // not in "all": builds 3M-row tables
+    if (which == "skip") dataSkipProbe(spark) // not in "all": builds 3M-row tables
     spark.stop()
+  }
+
+  /** File-level data-skipping economics on a range-clustered table whose
+    * FILE COUNT grows (64 / 256 / 512 disjoint-range files of fixed-size
+    * rows), driving the production writer + planner (no inline
+    * replicas): a point lookup via the ColumnBound file filter vs the
+    * same lookup as a full scan + filter. On local disk parquet
+    * row-group pushdown makes each opened file cheap, so the measured
+    * delta is exactly what survives to a 1000-executor cluster: tasks
+    * scheduled and files opened (the dominant cost on an object store,
+    * where every open is a round trip). The claim: the skipped scan
+    * plans ONE file regardless of table size — its cost is flat in the
+    * file count — while the full scan's grows with it.
+    */
+  private def dataSkipProbe(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.sources.{IcebergMeta, IcebergSource, IcebergWriter}
+    val rowsPerFile = 20000L
+    val resultsAll = Seq(64, 64, 256, 512).flatMap { nFiles =>
+      val n = rowsPerFile * nFiles
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft-skip-probe-$nFiles").toString
+      val df = spark.range(n).select(
+        col("id"), concat(lit("payload-"), col("id")).as("v"))
+        .repartitionByRange(nFiles, col("id")).sortWithinPartitions("id")
+      IcebergWriter.append(spark, root, df, None, 1000L, formatVersion = 2)
+      val target = n / 2
+      val skip = time(s"skip_scan_${nFiles}f", n) {
+        val c = IcebergSource.read(spark, root, None, None, None,
+            Some(IcebergMeta.ColumnBound("id", "eq", target)))
+          .filter(col("id") === target).count()
+        require(c == 1, s"skip scan lost the row ($c)")
+      }
+      val full = time(s"full_scan_${nFiles}f", n) {
+        val c = IcebergSource.read(spark, root)
+          .filter(col("id") === target).count()
+        require(c == 1, s"full scan lost the row ($c)")
+      }
+      val plan = IcebergSource.planScan(root,
+        fileFilter = Some(IcebergMeta.ColumnBound("id", "eq", target)))
+      println(s"  plan ${nFiles}f: reads ${plan.files.size} of " +
+        s"${plan.files.size + plan.filesSkipped} files")
+      Seq(skip, full)
+    }
+    val results = resultsAll.drop(2) // drop the warmup group
+    println("--- data skipping as file count grows (20k rows/file; 64 -> 512 files) ---")
+    results.foreach { case (l, rows, s) => println(f"$l%-16s table=$rows%9d  $s%8.2f s") }
+    println("--- time ratios vs 64 files (skip ~flat; full tracks the file count) ---")
+    (0 until 2).foreach { i =>
+      val (l1, _, s1) = results(i)
+      val (_, _, s4) = results(2 + i)
+      val (_, _, s8) = results(4 + i)
+      println(f"${l1.stripSuffix("_64f")}%-16s 4x files: ${s4 / s1}%7.2f   8x files: ${s8 / s1}%7.2f")
+    }
   }
 
   /** Iceberg MoR write-path economics at growing table size, driving the

@@ -274,6 +274,42 @@ class StreamingSpec extends SparkTestBase {
     assert(IcebergSource.read(spark, table).count() === before + 5)
   }
 
+  test("streaming ingest into a day(ts)-partitioned Iceberg table prunes like batch-built layouts") {
+    import graft.streaming.IcebergSink
+    import graft.sources.{IcebergMeta, IcebergSource, IcebergWriter}
+    val dropDir = tempDir("graft-iceberg-ingest-part")
+    val checkpoint = tempDir("graft-ckpt-iceberg-part")
+    val table = tempDir("graft-iceberg-sink-day")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(SparkTestBase.Sf0001, "events.parquet"),
+      java.nio.file.Paths.get(dropDir, "events-000.parquet"))
+
+    val stream = EventsStream.readEventsStream(spark, dropDir)
+      .select("event_id", "event_type", "ts", "value")
+    var tick = 0L
+    val q = IcebergSink.start(stream, table, checkpoint,
+      partition = Some(IcebergWriter.PartitionTransform("ts", "day")),
+      clock = () => { tick += 1000L; tick })
+    try q.awaitTermination(120000) finally q.stop()
+
+    val batch = graft.queries.QueryUtil.events(spark, SparkTestBase.Sf0001)
+    assert(IcebergSource.read(spark, table).count() === batch.count())
+
+    // the streamed table is HIDDEN-partitioned: a one-day predicate opens
+    // a small subset of the ~30 day manifests
+    val firstDay = batch
+      .agg(org.apache.spark.sql.functions.min(
+        org.apache.spark.sql.functions.to_date(
+          org.apache.spark.sql.functions.col("ts")))).head().getDate(0)
+    val meta = IcebergMeta.load(table)
+    val plan = IcebergMeta.planScan(meta, meta.currentSnapshot.get,
+      Some(IcebergMeta.PartitionEquals("ts",
+        new java.sql.Timestamp(firstDay.getTime))))
+    assert(plan.manifestsTotal > 10, s"expected ~30 day manifests, got ${plan.manifestsTotal}")
+    assert(plan.manifestsRead < plan.manifestsTotal / 5,
+      s"day predicate opened ${plan.manifestsRead} of ${plan.manifestsTotal}")
+  }
+
   test("listener surfaces a planted late row as dropped-by-watermark, plus state size") {
     import org.apache.spark.sql.types._
     val eventsDir = tempDir("graft-events-obs")
