@@ -143,7 +143,7 @@ object ScaleProbe {
       val target = n / 2
       val skip = time(s"skip_scan_${nFiles}f", n) {
         val c = IcebergSource.read(spark, root, None, None, None,
-            Some(IcebergMeta.ColumnBound("id", "eq", target)))
+            Seq(IcebergMeta.ColumnBound("id", "eq", target)))
           .filter(col("id") === target).count()
         require(c == 1, s"skip scan lost the row ($c)")
       }
@@ -153,7 +153,7 @@ object ScaleProbe {
         require(c == 1, s"full scan lost the row ($c)")
       }
       val plan = IcebergSource.planScan(root,
-        fileFilter = Some(IcebergMeta.ColumnBound("id", "eq", target)))
+        fileFilter = Seq(IcebergMeta.ColumnBound("id", "eq", target)))
       println(s"  plan ${nFiles}f: reads ${plan.files.size} of " +
         s"${plan.files.size + plan.filesSkipped} files")
       Seq(skip, full)

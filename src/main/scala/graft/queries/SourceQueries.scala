@@ -888,7 +888,7 @@ object SourceQueries {
         val root = fixtureIcebergClusteredTable(s, dir)
         graft.sources.IcebergSource
           .read(s, root, None, None, None,
-            Some(graft.sources.IcebergMeta.ColumnBound(
+            Seq(graft.sources.IcebergMeta.ColumnBound(
               "l_orderkey", "lteq", 2000L)))
           .filter($"l_orderkey" <= 2000L)
           .agg(

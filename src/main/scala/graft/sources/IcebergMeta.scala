@@ -342,20 +342,22 @@ object IcebergMeta {
       meta: TableMeta,
       snapshot: Snapshot,
       prune: Option[PartitionEquals] = None,
-      fileFilter: Option[ColumnBound] = None): ScanPlan = {
-    // Resolve the file filter ONCE: column -> (field id, iceberg type).
+      fileFilter: Seq[ColumnBound] = Nil): ScanPlan = {
+    // Resolve each file filter ONCE: column -> (field id, iceberg type).
     // Unknown column = error (a typo'd filter must not silently read
-    // everything); a file lacking bounds for the column is kept.
-    val boundField: Option[(Int, String, ColumnBound)] = fileFilter.map { fb =>
+    // everything); a file lacking bounds for a column is kept for it.
+    // Multiple bounds AND together — a Z-order point lookup skips on
+    // both dimensions at once.
+    val boundFields: Seq[(Int, String, ColumnBound)] = fileFilter.map { fb =>
       val f = meta.fields.find(_.name == fb.column).getOrElse(
         throw new IllegalArgumentException(
           s"'${fb.column}' is not a column of the table schema"))
       (f.id, f.typeName, fb)
     }
     var filesSkipped = 0
-    def fileSurvives(df: DataFile): Boolean = boundField.forall {
-      case (fid, typeName, fb) =>
-        val keep = (df.lowerBounds.get(fid), df.upperBounds.get(fid)) match {
+    def fileSurvives(df: DataFile): Boolean = {
+      val keep = boundFields.forall { case (fid, typeName, fb) =>
+        (df.lowerBounds.get(fid), df.upperBounds.get(fid)) match {
           case (Some(lo), Some(hi)) =>
             val cmpLo = compareBound(typeName, fb.value, lo) // value vs lower
             val cmpHi = compareBound(typeName, fb.value, hi) // value vs upper
@@ -366,10 +368,11 @@ object IcebergMeta {
               case "gt"   => cmpHi < 0  // some row > value iff upper > value
               case "gteq" => cmpHi <= 0
             }
-          case _ => true // no recorded bounds: cannot skip
+          case _ => true // no recorded bounds: cannot skip on this column
         }
-        if (!keep) filesSkipped += 1
-        keep
+      }
+      if (!keep) filesSkipped += 1
+      keep
     }
     // Pre-resolve the predicate PER PARTITION SPEC (spec evolution: a
     // manifest prunes via the spec it was written under, not the

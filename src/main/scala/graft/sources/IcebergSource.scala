@@ -52,7 +52,7 @@ object IcebergSource {
       // file-level data skipping via recorded column min/max bounds —
       // a scan optimization (conservative), the caller still applies
       // the residual row filter
-      fileFilter: Option[IcebergMeta.ColumnBound] = None): DataFrame = {
+      fileFilter: Seq[IcebergMeta.ColumnBound] = Nil): DataFrame = {
     require(snapshotId.isEmpty || asOfTimestampMs.isEmpty,
       "Specify at most one of snapshotId / asOfTimestampMs")
     if (runtimeAvailable) {
@@ -80,7 +80,7 @@ object IcebergSource {
       snapshotId: Option[Long],
       asOfTimestampMs: Option[Long],
       prune: Option[IcebergMeta.PartitionEquals],
-      fileFilter: Option[IcebergMeta.ColumnBound] = None): DataFrame = {
+      fileFilter: Seq[IcebergMeta.ColumnBound] = Nil): DataFrame = {
     val meta = IcebergMeta.load(tablePath)
     val timeTravel = snapshotId.isDefined || asOfTimestampMs.isDefined
     val snap = snapshotId.map(meta.snapshotById)
@@ -311,7 +311,7 @@ object IcebergSource {
       snapshotId: Option[Long] = None,
       asOfTimestampMs: Option[Long] = None,
       prune: Option[IcebergMeta.PartitionEquals] = None,
-      fileFilter: Option[IcebergMeta.ColumnBound] = None): IcebergMeta.ScanPlan = {
+      fileFilter: Seq[IcebergMeta.ColumnBound] = Nil): IcebergMeta.ScanPlan = {
     val meta = IcebergMeta.load(tablePath)
     val snap = snapshotId.map(meta.snapshotById)
       .orElse(asOfTimestampMs.map(meta.snapshotAsOf))

@@ -1170,30 +1170,30 @@ class SourcesSpec extends SparkTestBase {
 
     // equality: exactly one file holds id=431
     val eq = IcebergMeta.planScan(meta, meta.currentSnapshot.get,
-      fileFilter = Some(IcebergMeta.ColumnBound("id", "eq", 431L)))
+      fileFilter = Seq(IcebergMeta.ColumnBound("id", "eq", 431L)))
     assert(eq.files.size === 1, s"expected 1 file, got ${eq.files.size}")
     assert(eq.filesSkipped === 7)
 
     // range: id > 700 reaches only the tail file(s)
     val gt = IcebergMeta.planScan(meta, meta.currentSnapshot.get,
-      fileFilter = Some(IcebergMeta.ColumnBound("id", "gt", 700L)))
+      fileFilter = Seq(IcebergMeta.ColumnBound("id", "gt", 700L)))
     assert(gt.files.size < 8 && gt.filesSkipped > 0)
 
     // string bounds skip too (v000.. style values sort lexically)
     val sv = IcebergMeta.planScan(meta, meta.currentSnapshot.get,
-      fileFilter = Some(IcebergMeta.ColumnBound("v", "eq", "v431")))
+      fileFilter = Seq(IcebergMeta.ColumnBound("v", "eq", "v431")))
     assert(sv.files.size < 8, "string bounds did not skip")
 
     // the read path: skipped scan + residual filter == exact result
     val rows = IcebergSource.read(spark, root, None, None, None,
-        Some(IcebergMeta.ColumnBound("id", "eq", 431L)))
+        Seq(IcebergMeta.ColumnBound("id", "eq", 431L)))
       .filter($"id" === 431L).collect()
     assert(rows.map(_.getString(1)).toSeq === Seq("v431"))
 
     // unknown column refuses; files without bounds are conservatively kept
     assert(intercept[IllegalArgumentException] {
       IcebergMeta.planScan(meta, meta.currentSnapshot.get,
-        fileFilter = Some(IcebergMeta.ColumnBound("nope", "eq", 1)))
+        fileFilter = Seq(IcebergMeta.ColumnBound("nope", "eq", 1)))
     }.getMessage.contains("not a column"))
   }
 
@@ -1208,7 +1208,7 @@ class SourcesSpec extends SparkTestBase {
     IcebergWriter.append(spark, root, df, None, 1000L, formatVersion = 2)
     val meta0 = IcebergMeta.load(root)
     val before = IcebergMeta.planScan(meta0, meta0.currentSnapshot.get,
-      fileFilter = Some(IcebergMeta.ColumnBound("id", "eq", 431L)))
+      fileFilter = Seq(IcebergMeta.ColumnBound("id", "eq", 431L)))
     assert(before.filesSkipped === 0, "hash layout should not skip")
     // a MoR upsert fragments the table (its own file even gets tight
     // bounds — [3,3] — which a 431-scan correctly skips)
@@ -1221,7 +1221,7 @@ class SourcesSpec extends SparkTestBase {
       relayout = _.repartitionByRange(8, col("id")).sortWithinPartitions("id"))
     val meta1 = IcebergMeta.load(root)
     val after = IcebergMeta.planScan(meta1, meta1.currentSnapshot.get,
-      fileFilter = Some(IcebergMeta.ColumnBound("id", "eq", 431L)))
+      fileFilter = Seq(IcebergMeta.ColumnBound("id", "eq", 431L)))
     assert(after.files.size === 1 && after.filesSkipped === 7,
       s"clustered compaction did not produce a skippable layout: " +
         s"${after.files.size} files, ${after.filesSkipped} skipped")
@@ -1244,12 +1244,20 @@ class SourcesSpec extends SparkTestBase {
         .drop("__zk"))
     val zm = IcebergMeta.load(zroot)
     val byX = IcebergMeta.planScan(zm, zm.currentSnapshot.get,
-      fileFilter = Some(IcebergMeta.ColumnBound("x", "eq", 5L)))
+      fileFilter = Seq(IcebergMeta.ColumnBound("x", "eq", 5L)))
     val byY = IcebergMeta.planScan(zm, zm.currentSnapshot.get,
-      fileFilter = Some(IcebergMeta.ColumnBound("y", "eq", 27L)))
+      fileFilter = Seq(IcebergMeta.ColumnBound("y", "eq", 27L)))
     assert(byX.filesSkipped > 0 && byY.filesSkipped > 0,
       s"Z-order bounds must skip on BOTH dims (x skipped ${byX.filesSkipped}, " +
         s"y skipped ${byY.filesSkipped})")
+    // AND-composed bounds: the 2-dim point lookup intersects both skips
+    val byBoth = IcebergMeta.planScan(zm, zm.currentSnapshot.get,
+      fileFilter = Seq(
+        IcebergMeta.ColumnBound("x", "eq", 5L),
+        IcebergMeta.ColumnBound("y", "eq", 27L)))
+    assert(byBoth.files.size <= math.min(byX.files.size, byY.files.size),
+      "AND-composed bounds must prune at least as hard as either alone")
+    assert(byBoth.files.nonEmpty, "the (5,27) cell's file must survive")
     assert(IcebergSource.read(spark, zroot).count() === 1024)
   }
 
