@@ -42,7 +42,13 @@ object IcebergMaintenance {
       timestampMs: Long,
       maxDeleteFiles: Int = 4,
       maxDeleteRows: Long = 100000L,
-      expireOlderThanMs: Option[Long] = None): Report = {
+      expireOlderThanMs: Option[Long] = None,
+      // when the policy compacts, ALSO range-cluster the rewrite on
+      // these columns (disjoint per-file bounds -> data-skipping scans;
+      // see IcebergWriter.compact's relayout) — the nightly job that
+      // keeps an ingest table both delete-free AND key-skippable
+      clusterBy: Seq[String] = Nil,
+      clusterFiles: Int = 16): Report = {
     val meta = IcebergMeta.load(tablePath)
     require(meta.formatVersion == 2,
       s"maintenance targets v2 merge-on-read tables; this one is v${meta.formatVersion}")
@@ -52,9 +58,17 @@ object IcebergMaintenance {
     val deleteFiles = plan.deletes.size
     val deleteRows = plan.deletes.map(_.recordCount).sum
 
+    val relayout: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      if (clusterBy.isEmpty) identity
+      else d => d
+        .repartitionByRange(clusterFiles,
+          clusterBy.map(org.apache.spark.sql.functions.col): _*)
+        .sortWithinPartitions(
+          clusterBy.map(org.apache.spark.sql.functions.col): _*)
     val compacted =
       if (deleteFiles >= maxDeleteFiles || deleteRows >= maxDeleteRows)
-        Some(IcebergWriter.compact(spark, tablePath, timestampMs))
+        Some(IcebergWriter.compact(spark, tablePath, timestampMs,
+          relayout = relayout))
       else None
     // expiry runs AFTER compaction so a just-compacted table can drop
     // the MoR history it no longer needs for current reads

@@ -1261,6 +1261,27 @@ class SourcesSpec extends SparkTestBase {
     assert(IcebergSource.read(spark, zroot).count() === 1024)
   }
 
+  test("maintenance clusterBy: the nightly compaction leaves a key-skippable layout") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.hash
+    val root = tempDir("graft-iceberg-maint-cluster")
+    IcebergWriter.append(spark, root,
+      (0 until 600).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+        .repartition(6, hash($"id")), None, 1000L, formatVersion = 2)
+    IcebergWriter.deleteEquality(spark, root, Seq(5L).toDF("id"), 2000L)
+
+    val r = graft.sources.IcebergMaintenance.maintain(spark, root, 3000L,
+      maxDeleteFiles = 1, clusterBy = Seq("id"), clusterFiles = 6)
+    assert(r.compacted.nonEmpty, "delete pressure should fire the policy")
+    val meta = IcebergMeta.load(root)
+    val plan = IcebergMeta.planScan(meta, meta.currentSnapshot.get,
+      fileFilter = Seq(IcebergMeta.ColumnBound("id", "eq", 300L)))
+    assert(plan.deletes.isEmpty)
+    assert(plan.filesSkipped > 0,
+      s"clustered maintenance rewrite should skip (got ${plan.filesSkipped})")
+    assert(IcebergSource.read(spark, root).count() === 599)
+  }
+
   test("multi-field partition spec: nested layout writes, prunes on either field, survives MoR + compact") {
     import spark.implicits._
     import IcebergWriter.PartitionTransform
