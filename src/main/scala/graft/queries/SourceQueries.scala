@@ -269,6 +269,46 @@ object SourceQueries {
     root.toString
   }
 
+  /** Materialize (once per fixture dir + process) a v2 table that went
+    * through the full WRITE-AUDIT-PUBLISH lifecycle over refs:
+    * snapshot 1 appends bands 0,1 of `part` (main); tag `prepub` pins
+    * s1; branch `audit` takes TWO commits (band 2 at s2, band 3's
+    * p_size>30 "quality-gated" rows at s3) while main stays at s1; then
+    * `fastForward` publishes — main flips to s3 atomically. The tag
+    * keeps naming the pre-publish state forever.
+    */
+  private def fixtureIcebergBranchTable(
+      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    import graft.sources.IcebergWriter
+    val root = graft.engine.TempDirs.workspace("graft-iceberg", "branch", dir)
+    // six metadata commits: append(v1), tag(v2), branch(v3), two branch
+    // appends(v4,v5), publish(v6) — materializeOnce keys on the last
+    graft.engine.TempDirs.materializeOnce(root)(
+      java.nio.file.Files.exists(
+        root.resolve("metadata").resolve("v6.metadata.json"))
+    ) {
+      if (java.nio.file.Files.exists(root)) {
+        val walk = java.nio.file.Files.walk(root)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+        finally walk.close()
+      }
+      val df = t(s, dir, "part")
+        .select(col("p_partkey"), col("p_name"), col("p_size"))
+        .withColumn("p_band", (col("p_partkey") % 4).cast("int"))
+      IcebergWriter.append(s, root.toString, df.filter(col("p_band") < 2),
+        None, timestampMs = 1000L, formatVersion = 2) // s1
+      IcebergWriter.createTag(root.toString, "prepub", 1500L)
+      IcebergWriter.createBranch(root.toString, "audit", 1600L)
+      IcebergWriter.appendToBranch(s, root.toString,
+        df.filter(col("p_band") === 2), "audit", 2000L) // s2
+      IcebergWriter.appendToBranch(s, root.toString,
+        df.filter(col("p_band") === 3 && col("p_size") > 30), "audit", 3000L) // s3
+      IcebergWriter.fastForward(root.toString, "audit", 4000L): Unit
+    }
+    root.toString
+  }
+
   /** Materialize (once per fixture dir + process) the EVENTS fixture as a
     * MULTI-FIELD-partitioned v2 table: identity(event_type) x day(ts) —
     * the classic event-lake layout (5 types x 30 days ≈ 150 tuples).
@@ -980,6 +1020,47 @@ object SourceQueries {
           "'rn-' || CAST(p_partkey AS VARCHAR) AS p_name " +
           "FROM part WHERE p_partkey % 6 = 0 " +
           "ORDER BY p_partkey"
+      )
+    ),
+    // REFS, branch read: the table went through write-audit-publish —
+    // two commits landed on the `audit` branch (band 2, then band 3's
+    // quality-gated p_size>30 rows) while main stayed at the base, then
+    // fastForward flipped main to the branch head in one metadata
+    // commit. Reading the branch by NAME gates ref resolution plus the
+    // branch-parented manifest accumulation (each branch commit carried
+    // the BRANCH head's manifests, not main's). SourcesSpec pins the
+    // isolation half (main unmoved until publish, divergence refusal).
+    Q(
+      "q_iceberg_branch",
+      (s, dir) => {
+        val root = fixtureIcebergBranchTable(s, dir)
+        graft.sources.IcebergSource
+          .read(s, root, None, None, None, ref = Some("audit"))
+          .select($"p_partkey", $"p_name", $"p_size", $"p_band")
+          .orderBy($"p_partkey")
+      },
+      Some(
+        "SELECT p_partkey, p_name, p_size, CAST(p_partkey % 4 AS INT) AS p_band " +
+          "FROM part WHERE p_partkey % 4 < 3 OR p_size > 30 ORDER BY p_partkey"
+      )
+    ),
+    // REFS, tag read: `prepub` pinned the pre-publish snapshot by name
+    // and the publish has since happened — the tag still resolves the
+    // original two bands (named time-travel surviving main's movement;
+    // the reproducibility handle a training run records instead of a
+    // raw snapshot id).
+    Q(
+      "q_iceberg_tag",
+      (s, dir) => {
+        val root = fixtureIcebergBranchTable(s, dir)
+        graft.sources.IcebergSource
+          .read(s, root, None, None, None, ref = Some("prepub"))
+          .select($"p_partkey", $"p_name", $"p_size", $"p_band")
+          .orderBy($"p_partkey")
+      },
+      Some(
+        "SELECT p_partkey, p_name, p_size, CAST(p_partkey % 4 AS INT) AS p_band " +
+          "FROM part WHERE p_partkey % 4 < 2 ORDER BY p_partkey"
       )
     ),
     // The SECOND DPP shape: subquery pruning WITHOUT a broadcast to reuse.

@@ -74,6 +74,15 @@ object IcebergMeta {
       // makes its replays idempotent
       summary: Map[String, String] = Map.empty)
 
+  /** A named snapshot reference (spec §Refs): `branch` heads move as
+    * commits land on them; `tag` pins are immutable. The `main` branch is
+    * implicit — it IS `current-snapshot-id` — so it never appears here.
+    */
+  final case class Ref(snapshotId: Long, refType: String) {
+    require(refType == "branch" || refType == "tag",
+      s"ref type must be branch|tag, got '$refType'")
+  }
+
   final case class TableMeta(
       root: Path,
       formatVersion: Int,
@@ -90,7 +99,10 @@ object IcebergMeta {
       // fields (what new writes lay out under); manifests written under
       // an older spec prune via THEIR recorded spec.
       specsById: Map[Int, Seq[PartitionField]] = Map.empty,
-      defaultSpecId: Int = 0) {
+      defaultSpecId: Int = 0,
+      // named refs (branches/tags) — write-audit-publish: a branch takes
+      // commits without moving `main`; a tag pins a snapshot by name
+      refs: Map[String, Ref] = Map.empty) {
 
     def specFields(specId: Int): Seq[PartitionField] =
       specsById.getOrElse(specId, partitionFields)
@@ -134,7 +146,21 @@ object IcebergMeta {
     def fieldById(id: Int): Field =
       fields.find(_.id == id).getOrElse(
         throw new IllegalArgumentException(s"Iceberg schema has no field id $id"))
+
+    /** Resolve a ref name to its snapshot. `main` is the implicit branch
+      * over `current-snapshot-id`; every other name must exist in `refs`.
+      */
+    def snapshotByRef(name: String): Snapshot =
+      if (name == MainBranch)
+        currentSnapshot.getOrElse(throw new IllegalArgumentException(
+          "ref 'main' on a table with no current snapshot"))
+      else snapshotById(refs.getOrElse(name,
+        throw new IllegalArgumentException(
+          s"Iceberg ref '$name' not found (have ${refs.keys.toSeq.sorted.mkString(", ")})")).snapshotId)
   }
+
+  /** The implicit branch name for the table's current state. */
+  val MainBranch = "main"
 
   /** Partition-pruning equality predicate. `column` may name either the
     * partition FIELD or its SOURCE column (hidden partitioning: the user
@@ -327,11 +353,23 @@ object IcebergMeta {
         p.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
       } else Map.empty
 
+    // named refs (spec §Refs). A stored `main` entry (other writers
+    // persist it; this writer keeps main implicit) is dropped here —
+    // current-snapshot-id is authoritative for main either way.
+    val refs: Map[String, Ref] =
+      if (node.has("refs"))
+        node.path("refs").properties().asScala.map { e =>
+          e.getKey -> Ref(
+            e.getValue.path("snapshot-id").asLong(),
+            e.getValue.path("type").asText("branch"))
+        }.toMap - MainBranch
+      else Map.empty
+
     TableMeta(Paths.get(tablePath), formatVersion, fields, partitionFields,
       current, snapshots, schemasById, currentSchemaId,
       node.path("last-sequence-number").asLong(0L), properties,
       if (specsById.nonEmpty) specsById else Map(0 -> partitionFields),
-      defaultSpecId)
+      defaultSpecId, refs)
   }
 
   // ---------------------------------------------------------------------

@@ -52,19 +52,26 @@ object IcebergSource {
       // file-level data skipping via recorded column min/max bounds —
       // a scan optimization (conservative), the caller still applies
       // the residual row filter
-      fileFilter: Seq[IcebergMeta.ColumnBound] = Nil): DataFrame = {
-    require(snapshotId.isEmpty || asOfTimestampMs.isEmpty,
-      "Specify at most one of snapshotId / asOfTimestampMs")
+      fileFilter: Seq[IcebergMeta.ColumnBound] = Nil,
+      // read a named ref: a BRANCH reads its head with the table's
+      // CURRENT schema (it's a live line of development); a TAG reads
+      // its pinned snapshot with the schema that snapshot logged
+      // (time-travel by name). "main" = the plain current read.
+      ref: Option[String] = None): DataFrame = {
+    require(Seq(snapshotId, asOfTimestampMs, ref).count(_.isDefined) <= 1,
+      "Specify at most one of snapshotId / asOfTimestampMs / ref")
     if (runtimeAvailable) {
       val r = spark.read.format("iceberg")
       snapshotId.foreach(id => r.option("snapshot-id", id))
       asOfTimestampMs.foreach(ts => r.option("as-of-timestamp", ts))
+      ref.foreach(b => r.option("branch", b))
       r.load(tablePath)
     } else if (IcebergMeta.hasMetadata(tablePath)) {
       readViaMetadata(spark, tablePath, snapshotId, asOfTimestampMs, prune,
-        fileFilter)
+        fileFilter, ref)
     } else {
-      require(snapshotId.isEmpty && asOfTimestampMs.isEmpty && prune.isEmpty,
+      require(snapshotId.isEmpty && asOfTimestampMs.isEmpty && prune.isEmpty &&
+        ref.isEmpty,
         s"Time-travel/pruning requires table metadata; $tablePath has none " +
           "(directory-scan fallback reads current files only)")
       readDirectoryScan(spark, tablePath)
@@ -80,11 +87,16 @@ object IcebergSource {
       snapshotId: Option[Long],
       asOfTimestampMs: Option[Long],
       prune: Option[IcebergMeta.PartitionEquals],
-      fileFilter: Seq[IcebergMeta.ColumnBound] = Nil): DataFrame = {
+      fileFilter: Seq[IcebergMeta.ColumnBound] = Nil,
+      ref: Option[String] = None): DataFrame = {
     val meta = IcebergMeta.load(tablePath)
-    val timeTravel = snapshotId.isDefined || asOfTimestampMs.isDefined
+    // tag reads are time-travel (pinned snapshot, ITS schema); branch
+    // reads are live (head snapshot, CURRENT schema)
+    val timeTravel = snapshotId.isDefined || asOfTimestampMs.isDefined ||
+      ref.exists(r => meta.refs.get(r).exists(_.refType == "tag"))
     val snap = snapshotId.map(meta.snapshotById)
       .orElse(asOfTimestampMs.map(meta.snapshotAsOf))
+      .orElse(ref.map(meta.snapshotByRef))
       .orElse(meta.currentSnapshot)
     // TIME-TRAVEL reads resolve the schema the snapshot logged (spec:
     // snapshots carry a schema-id): the table as it WAS, so a column

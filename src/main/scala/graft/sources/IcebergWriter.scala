@@ -122,7 +122,24 @@ object IcebergWriter {
       partitions: Seq[PartitionTransform],
       timestampMs: Long,
       formatVersion: Int,
-      summary: Map[String, String]): Long = {
+      summary: Map[String, String]): Long =
+    appendImpl(spark, tablePath, df, partitions, timestampMs, formatVersion,
+      summary, None)
+
+  private def appendImpl(
+      spark: SparkSession,
+      tablePath: String,
+      df: DataFrame,
+      partitions: Seq[PartitionTransform],
+      timestampMs: Long,
+      formatVersion: Int,
+      summary: Map[String, String],
+      // Some(name): append onto that BRANCH instead of main — the new
+      // snapshot's parent is the branch head and only the branch ref
+      // advances; `current-snapshot-id` (what every main read sees) is
+      // untouched. The write half of write-audit-publish;
+      // [[fastForward]] is the publish half.
+      branch: Option[String]): Long = {
     require(formatVersion == 1 || formatVersion == 2,
       s"formatVersion must be 1 or 2, got $formatVersion")
     require(partitions.map(_.fieldName).distinct.size == partitions.size,
@@ -160,6 +177,16 @@ object IcebergWriter {
           (if (specd.isEmpty) "<none>" else specd.mkString(",")) + ")")
     }
     partitions.foreach(p => transformedSparkType(p, df.schema): Unit) // refuse unwritable transforms early
+    // branch appends need an existing table AND an existing branch ref —
+    // tags are immutable by definition, and auto-creating a branch on
+    // first write would turn every typo into a silent fork
+    branch.foreach { b =>
+      val m = prior.getOrElse(throw new IllegalArgumentException(
+        s"branch append requires an existing table; $tablePath has no metadata"))
+      require(m.refs.get(b).exists(_.refType == "branch"),
+        s"ref '$b' is not an existing branch (createBranch first; " +
+          "main-branch appends pass branch = None)")
+    }
     // the version this commit is based on, read ONCE with the same load —
     // commitSnapshot reuses it so version number and verbatim base can
     // never come from different hints. (Concurrent WRITERS remain
@@ -179,13 +206,16 @@ object IcebergWriter {
     val newManifests = buildDataManifests(spark, root, written, partType,
       snapshotId, fv, prior.map(_.defaultSpecId).getOrElse(0), fieldIds)
 
+    // carried manifests come from the head this commit extends: the
+    // branch's when branch-appending, main's otherwise — the mechanism
+    // that lets branch state accumulate without ever touching main
     val carried = prior
-      .map(m => IcebergMeta.readManifestListFile(
-        m.root, currentManifestList(m).toString))
+      .flatMap(m => branch.map(m.snapshotByRef).orElse(m.currentSnapshot)
+        .map(h => IcebergMeta.readManifestListFile(m.root, h.manifestList)))
       .getOrElse(Seq.empty)
     commitSnapshot(spark, root, df.schema, partitions, prior, baseVersion,
       snapshotId, timestampMs, carried ++ newManifests, operation = "append",
-      fv, summary)
+      fv, summary, branch)
     snapshotId
   }
 
@@ -1364,6 +1394,151 @@ object IcebergWriter {
     * THE crash-safety primitive of the whole writer; any future
     * hardening (fsync, rename-failure fallback) lands here once.
     */
+  // -------------------------------------------------------------------
+  // refs: branches & tags (spec §Refs) — write-audit-publish
+  // -------------------------------------------------------------------
+
+  /** Create a branch ref at `fromSnapshotId` (default: the current
+    * snapshot). Metadata-only; subsequent [[appendPartitioned]] calls
+    * with `branch = Some(name)` advance it without moving main, and
+    * [[fastForward]] publishes it. Create-once: a name in use (branch OR
+    * tag) is refused — re-pointing is an explicit drop + create.
+    */
+  def createBranch(
+      tablePath: String,
+      name: String,
+      timestampMs: Long,
+      fromSnapshotId: Option[Long] = None): Unit =
+    setRef(tablePath, name, "branch", fromSnapshotId, timestampMs)
+
+  /** Create an immutable tag ref at `atSnapshotId` (default: the current
+    * snapshot) — a name for "the exact file set training run X read",
+    * surviving any number of later commits and publishes.
+    */
+  def createTag(
+      tablePath: String,
+      name: String,
+      timestampMs: Long,
+      atSnapshotId: Option[Long] = None): Unit =
+    setRef(tablePath, name, "tag", atSnapshotId, timestampMs)
+
+  private def setRef(
+      tablePath: String,
+      name: String,
+      refType: String,
+      snapshotId: Option[Long],
+      timestampMs: Long): Unit = {
+    val meta = IcebergMeta.load(tablePath)
+    require(name != IcebergMeta.MainBranch,
+      "'main' is the implicit branch over current-snapshot-id; it cannot be created")
+    require(name.nonEmpty && !name.exists(c => c == '/' || c.isWhitespace),
+      s"invalid ref name '$name'")
+    require(!meta.refs.contains(name),
+      s"ref '$name' already exists (${meta.refs(name).refType}); drop it first")
+    // the target must be a real snapshot — resolve BEFORE touching metadata
+    val target = snapshotId.map(meta.snapshotById).orElse(meta.currentSnapshot)
+      .getOrElse(throw new IllegalStateException(
+        s"cannot create a ref on a table with no snapshots: $tablePath"))
+    val baseVersion = IcebergSource.versionHint(tablePath).getOrElse(
+      throw new IllegalStateException("refs require version-hint metadata"))
+    val root = meta.root
+    val node = mapper.readTree(Files.readString(
+      root.resolve("metadata").resolve(s"v$baseVersion.metadata.json")))
+      .asInstanceOf[ObjectNode]
+    val refsNode =
+      if (node.has("refs")) node.path("refs").asInstanceOf[ObjectNode]
+      else node.putObject("refs")
+    val entry = refsNode.putObject(name)
+    entry.put("snapshot-id", target.id)
+    entry.put("type", refType)
+    node.put("last-updated-ms", timestampMs)
+    commitMetadataJson(root, baseVersion + 1, node, s"ref-$name")
+    notifyCommit(root.toString)
+  }
+
+  /** Drop a branch or tag ref. Metadata-only; the snapshots it pointed at
+    * stay until [[expireSnapshots]] reclaims them (ref heads are expiry-
+    * protected only while the ref exists).
+    */
+  def dropRef(tablePath: String, name: String, timestampMs: Long): Unit = {
+    val meta = IcebergMeta.load(tablePath)
+    require(meta.refs.contains(name), s"ref '$name' does not exist")
+    val baseVersion = IcebergSource.versionHint(tablePath).get
+    val root = meta.root
+    val node = mapper.readTree(Files.readString(
+      root.resolve("metadata").resolve(s"v$baseVersion.metadata.json")))
+      .asInstanceOf[ObjectNode]
+    node.path("refs").asInstanceOf[ObjectNode].remove(name)
+    node.put("last-updated-ms", timestampMs)
+    commitMetadataJson(root, baseVersion + 1, node, s"refdrop-$name")
+    notifyCommit(root.toString)
+  }
+
+  /** PUBLISH: fast-forward main to a branch's head. Requires main to be
+    * an ancestor of (or equal to) the branch head — the branch must
+    * contain main's history, else the "fast-forward" would silently drop
+    * main-only commits (that divergence needs an explicit merge policy,
+    * refused here). The branch ref survives the publish (it now equals
+    * main). Returns the published snapshot id.
+    *
+    * This is the atomic flip of write-audit-publish: the audited branch
+    * state becomes what every plain read sees, in ONE metadata commit.
+    */
+  def fastForward(tablePath: String, branch: String, timestampMs: Long): Long = {
+    val meta = IcebergMeta.load(tablePath)
+    val ref = meta.refs.getOrElse(branch,
+      throw new IllegalArgumentException(s"branch '$branch' does not exist"))
+    require(ref.refType == "branch", s"ref '$branch' is a tag, not a branch")
+    val head = ref.snapshotId
+    val current = meta.currentSnapshotId
+    // walk head's parent chain; main must appear on it (or be unset)
+    val ancestors = Iterator.iterate(Option(meta.snapshotById(head))) {
+      case Some(s) => s.parentId.flatMap(p => meta.snapshots.find(_.id == p))
+      case None => None
+    }.takeWhile(_.isDefined).flatten.map(_.id).toSet
+    current.foreach(c => require(ancestors.contains(c),
+      s"main ($c) is not an ancestor of branch '$branch' head ($head); " +
+        "fast-forward would drop main-only commits"))
+    if (current.contains(head)) return head // already published
+
+    val baseVersion = IcebergSource.versionHint(tablePath).get
+    val root = meta.root
+    val node = mapper.readTree(Files.readString(
+      root.resolve("metadata").resolve(s"v$baseVersion.metadata.json")))
+      .asInstanceOf[ObjectNode]
+    node.put("current-snapshot-id", head)
+    node.put("last-updated-ms", timestampMs)
+    val log = node.withArray[ArrayNode]("snapshot-log").addObject()
+    log.put("snapshot-id", head)
+    log.put("timestamp-ms", timestampMs)
+    commitMetadataJson(root, baseVersion + 1, node, s"publish-$branch")
+    notifyCommit(root.toString)
+    head
+  }
+
+  /** Branch append with the table's own partition spec (the declared-
+    * partitions match gate is satisfied from metadata, so callers don't
+    * restate the layout). The WAP write step.
+    */
+  def appendToBranch(
+      spark: SparkSession,
+      tablePath: String,
+      df: DataFrame,
+      branch: String,
+      timestampMs: Long,
+      summary: Map[String, String] = Map.empty): Long = {
+    require(IcebergMeta.hasMetadata(tablePath),
+      s"branch append requires an existing table; $tablePath has no metadata")
+    val m = IcebergMeta.load(tablePath)
+    val parts = m.partitionFields.map(pf => PartitionTransform(
+      m.fields.find(_.id == pf.sourceId).map(_.name).getOrElse(
+        throw new IllegalStateException(
+          s"partition spec source id ${pf.sourceId} not in schema")),
+      pf.transform))
+    appendImpl(spark, tablePath, df, parts, timestampMs,
+      m.formatVersion, summary, Some(branch))
+  }
+
   private def commitMetadataJson(
       root: Path,
       version: Int,
@@ -1412,9 +1587,15 @@ object IcebergWriter {
       throw new IllegalStateException("table has no current snapshot"))
     val newestIds = meta.snapshots.sortBy(s => (s.timestampMs, s.id))
       .takeRight(retainLast).map(_.id).toSet
+    // ref HEADS are expiry-protected while the ref exists: an audit
+    // branch's unpublished state or a pinned tag must not age out from
+    // under its name. (Non-head branch ancestors expire normally — same
+    // trade as main's history; the head's manifest list keeps every LIVE
+    // file reachable, so GC never deletes branch data.)
+    val refHeads = meta.refs.values.map(_.snapshotId).toSet
     val expired = meta.snapshots.filter(s =>
       s.timestampMs < olderThanMs && s.id != current.id &&
-        !newestIds.contains(s.id))
+        !newestIds.contains(s.id) && !refHeads.contains(s.id))
     // NOTE: no early return when nothing expires — the GC pass below
     // still runs (referenced = every snapshot's files), which is what
     // lets a rerun reclaim orphans a crash-between-commit-and-GC left
@@ -1529,7 +1710,10 @@ object IcebergWriter {
       manifests: Seq[IcebergMeta.ManifestFile],
       operation: String,
       formatVersion: Int,
-      summary: Map[String, String] = Map.empty): Unit = {
+      summary: Map[String, String] = Map.empty,
+      // Some(name): commit onto that branch — parent = branch head, the
+      // ref advances, current-snapshot-id and snapshot-log stay untouched
+      branch: Option[String] = None): Unit = {
     // v2: this commit's data sequence number — strictly monotonic from
     // last-sequence-number; the commit's NEW manifests are stamped with
     // it (their entries inherit it on read), carried ones keep their own
@@ -1613,12 +1797,27 @@ object IcebergWriter {
     }
     if (stale) node.put("location", root.toAbsolutePath.toString): Unit
     node.put("last-updated-ms", timestampMs)
-    node.put("current-snapshot-id", snapshotId)
+    branch match {
+      case None =>
+        node.put("current-snapshot-id", snapshotId): Unit
+      case Some(b) =>
+        // only the branch ref moves; main's pointer stays where it was
+        val refsNode =
+          if (node.has("refs")) node.path("refs").asInstanceOf[ObjectNode]
+          else node.putObject("refs")
+        val entry = refsNode.putObject(b)
+        entry.put("snapshot-id", snapshotId)
+        entry.put("type", "branch"): Unit
+    }
     if (formatVersion >= 2) node.put("last-sequence-number", newSeq): Unit
     val sn = node.withArray[ArrayNode]("snapshots").addObject()
     sn.put("snapshot-id", snapshotId)
     if (formatVersion >= 2) sn.put("sequence-number", newSeq): Unit
-    prior.flatMap(_.currentSnapshotId).foreach(p => sn.put("parent-snapshot-id", p))
+    // parent = the head this commit extended (branch head for branch
+    // commits, main for ordinary ones)
+    prior.flatMap(m => branch.map(bn => m.snapshotByRef(bn).id)
+      .orElse(m.currentSnapshotId))
+      .foreach(p => sn.put("parent-snapshot-id", p))
     sn.put("timestamp-ms", timestampMs)
     sn.put("manifest-list", listPath.toAbsolutePath.toString)
     // the new snapshot logs the CURRENT schema id — but only when the
@@ -1632,9 +1831,13 @@ object IcebergWriter {
       require(k != "operation", "summary key 'operation' is reserved")
       sum.put(k, v): Unit
     }
-    val log = node.withArray[ArrayNode]("snapshot-log").addObject()
-    log.put("snapshot-id", snapshotId)
-    log.put("timestamp-ms", timestampMs)
+    // snapshot-log is the MAIN branch's history (spec): branch commits
+    // don't append to it — fastForward logs the publish instead
+    if (branch.isEmpty) {
+      val log = node.withArray[ArrayNode]("snapshot-log").addObject()
+      log.put("snapshot-id", snapshotId)
+      log.put("timestamp-ms", timestampMs): Unit
+    }
 
     commitMetadataJson(root, version, node, snapshotId.toString)
     notifyCommit(root.toString)

@@ -1686,4 +1686,81 @@ class SourcesSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("delete manifest"))
   }
+
+  test("refs: write-audit-publish — branch commits, tag pins, fast-forward, expiry protection") {
+    import spark.implicits._
+    val root = tempDir("graft-iceberg-refs")
+    val base = (0 until 20).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    IcebergWriter.append(spark, root, base, None, 1000L, formatVersion = 2) // s1
+
+    IcebergWriter.createTag(root, "v1", 1500L)
+    IcebergWriter.createBranch(root, "audit", 1600L)
+
+    // two commits land on the audit branch; main never moves
+    IcebergWriter.appendToBranch(spark, root,
+      (20 until 30).map(i => (i.toLong, s"a$i")).toDF("id", "v"), "audit", 2000L) // s2
+    IcebergWriter.appendToBranch(spark, root,
+      (30 until 35).map(i => (i.toLong, s"b$i")).toDF("id", "v"), "audit", 3000L) // s3
+
+    val meta = IcebergMeta.load(root)
+    assert(meta.currentSnapshotId === Some(1L), "main moved on a branch commit")
+    assert(meta.refs("audit") === IcebergMeta.Ref(3L, "branch"))
+    assert(meta.refs("v1") === IcebergMeta.Ref(1L, "tag"))
+    // branch parent chain: s3 -> s2 -> s1
+    assert(meta.snapshotById(3L).parentId === Some(2L))
+    assert(meta.snapshotById(2L).parentId === Some(1L))
+
+    // reads: main = base; the branch accumulates; the tag pins
+    assert(IcebergSource.read(spark, root).count() === 20)
+    assert(IcebergSource.read(spark, root, None, None, None,
+      ref = Some("audit")).count() === 35)
+    assert(IcebergSource.read(spark, root, None, None, None,
+      ref = Some("v1")).count() === 20)
+    assert(intercept[IllegalArgumentException] {
+      IcebergSource.read(spark, root, None, None, None, ref = Some("nope"))
+    }.getMessage.contains("not found"))
+
+    // guards: tags are immutable, branches are create-once, unknown
+    // branches don't auto-create, fast-forward rejects tags
+    intercept[IllegalArgumentException] {
+      IcebergWriter.appendToBranch(spark, root, base, "v1", 4000L)
+    }
+    intercept[IllegalArgumentException] {
+      IcebergWriter.appendToBranch(spark, root, base, "nope", 4000L)
+    }
+    intercept[IllegalArgumentException] {
+      IcebergWriter.createBranch(root, "audit", 4000L)
+    }
+    intercept[IllegalArgumentException] {
+      IcebergWriter.fastForward(root, "v1", 4000L)
+    }
+
+    // PUBLISH: main fast-forwards to the audited branch head atomically;
+    // the tag still pins the pre-publish state; re-publish is a no-op
+    assert(IcebergWriter.fastForward(root, "audit", 5000L) === 3L)
+    assert(IcebergSource.read(spark, root).count() === 35)
+    assert(IcebergSource.read(spark, root, None, None, None,
+      ref = Some("v1")).count() === 20)
+    assert(IcebergWriter.fastForward(root, "audit", 5100L) === 3L)
+
+    // divergence refuses: a main-only commit makes main NOT an ancestor
+    // of the (now stale) branch head
+    IcebergWriter.append(spark, root,
+      (40 until 42).map(i => (i.toLong, s"m$i")).toDF("id", "v"), None, 6000L) // s4
+    assert(intercept[IllegalArgumentException] {
+      IcebergWriter.fastForward(root, "audit", 6100L)
+    }.getMessage.contains("ancestor"))
+
+    // EXPIRY: ref heads are protected (s1 via tag, s3 via branch); the
+    // unreferenced branch intermediate s2 ages out
+    IcebergWriter.expireSnapshots(root, olderThanMs = Long.MaxValue, 7000L)
+    val m2 = IcebergMeta.load(root)
+    assert(m2.snapshots.map(_.id).sorted === Seq(1L, 3L, 4L))
+    assert(IcebergSource.read(spark, root, None, None, None,
+      ref = Some("v1")).count() === 20, "tag read broken after expiry")
+    // dropping the tag releases its head to the next expiry run
+    IcebergWriter.dropRef(root, "v1", 8000L)
+    IcebergWriter.expireSnapshots(root, olderThanMs = Long.MaxValue, 9000L)
+    assert(IcebergMeta.load(root).snapshots.map(_.id).sorted === Seq(3L, 4L))
+  }
 }
