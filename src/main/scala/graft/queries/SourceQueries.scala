@@ -1063,6 +1063,65 @@ object SourceQueries {
           "FROM part WHERE p_partkey % 4 < 2 ORDER BY p_partkey"
       )
     ),
+    // CDC CHANGELOG, v1 copy-on-write: the window (s1, s3] over the base
+    // iceberg fixture saw band 3 appended (s2) and band 1 COW-deleted
+    // (s3). The changelog emits both sides with snapshot provenance —
+    // the read a downstream index consumes instead of re-scanning the
+    // table. The oracle replays the band arithmetic with literal
+    // snapshot ids, gating insert/delete attribution row by row.
+    Q(
+      "q_iceberg_changelog",
+      (s, dir) => {
+        val root = fixtureIcebergTable(s, dir)
+        graft.sources.IcebergSource
+          .readChangelog(s, root, fromSnapshotId = 1L)
+          .select($"p_partkey", $"p_name", $"p_band",
+            $"_change_type", $"_change_snapshot_id")
+          .orderBy($"p_partkey")
+      },
+      Some(
+        "SELECT p_partkey, p_name, CAST(p_partkey % 4 AS INT) AS p_band, " +
+          "'insert' AS _change_type, CAST(2 AS BIGINT) AS _change_snapshot_id " +
+          "FROM part WHERE p_partkey % 4 = 3 " +
+          "UNION ALL " +
+          "SELECT p_partkey, p_name, CAST(p_partkey % 4 AS INT) AS p_band, " +
+          "'delete' AS _change_type, CAST(3 AS BIGINT) AS _change_snapshot_id " +
+          "FROM part WHERE p_partkey % 4 = 1 " +
+          "ORDER BY p_partkey"
+      )
+    ),
+    // CDC CHANGELOG, v2 merge-on-read: the window (s2, s5] saw a
+    // position delete (p_size<25, s3), an equality delete (band 2, s4 —
+    // whose removed rows are computed against the POST-s3 live state, so
+    // rows the position delete already killed are correctly absent), and
+    // a re-append (band 2, p_size>30, s5). Delete+insert pairs on the
+    // same key are the CDC encoding of an update, so the sort includes
+    // the snapshot id.
+    Q(
+      "q_iceberg_changelog_mor",
+      (s, dir) => {
+        val root = fixtureIcebergV2Table(s, dir)
+        graft.sources.IcebergSource
+          .readChangelog(s, root, fromSnapshotId = 2L)
+          .select($"p_partkey", $"p_name", $"p_size", $"p_band",
+            $"_change_type", $"_change_snapshot_id")
+          .orderBy($"_change_snapshot_id", $"p_partkey")
+      },
+      Some(
+        "SELECT p_partkey, p_name, p_size, CAST(p_partkey % 4 AS INT) AS p_band, " +
+          "'delete' AS _change_type, CAST(3 AS BIGINT) AS _change_snapshot_id " +
+          "FROM part WHERE p_size < 25 " +
+          "UNION ALL " +
+          "SELECT p_partkey, p_name, p_size, CAST(p_partkey % 4 AS INT) AS p_band, " +
+          "'delete' AS _change_type, CAST(4 AS BIGINT) AS _change_snapshot_id " +
+          "FROM part WHERE p_partkey % 4 = 2 AND p_size >= 25 " +
+          "UNION ALL " +
+          "SELECT p_partkey, p_name, p_size, CAST(p_partkey % 4 AS INT) AS p_band, " +
+          "'insert' AS _change_type, CAST(5 AS BIGINT) AS _change_snapshot_id " +
+          "FROM part WHERE p_partkey % 4 = 2 AND p_size > 30 " +
+          "ORDER BY _change_snapshot_id, p_partkey"
+      )
+    ),
     // The SECOND DPP shape: subquery pruning WITHOUT a broadcast to reuse.
     // The dim is merge-join-hinted (stand-in for a dim too big to
     // broadcast), so there is no broadcast result to piggyback on —

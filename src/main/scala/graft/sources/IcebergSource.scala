@@ -218,7 +218,11 @@ object IcebergSource {
       files: Seq[IcebergMeta.DataFile],
       deletes: Seq[IcebergMeta.DeleteFile],
       fields: Seq[IcebergMeta.Field],
-      stamped: Boolean = false): DataFrame = {
+      stamped: Boolean = false,
+      // true: retain the `_g_file`/`_g_pos`/`_g_seq` lineage columns —
+      // [[readChangelog]] semi-joins NEW delete files against them to
+      // name the exact rows a snapshot removed
+      keepLineage: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col}
     import spark.implicits._
 
@@ -285,7 +289,8 @@ object IcebergSource {
       val keyCond = names.map(n => df(n) <=> ed(s"_d_$n")).reduce(_ && _)
       df = df.join(broadcast(ed), keyCond && ed("_d_seq") > df("_g_seq"), "left_anti")
     }
-    df.select(schema.fieldNames.toSeq.map(col): _*)
+    if (keepLineage) df
+    else df.select(schema.fieldNames.toSeq.map(col): _*)
   }
 
   /** Incremental read: the NET APPENDS since `fromSnapshotId` (exclusive),
@@ -313,6 +318,185 @@ object IcebergSource {
     val files = to.map(s => IcebergMeta.planAppends(meta, fromSnapshotId, s).files)
       .getOrElse(Seq.empty)
     readFiles(spark, tablePath, schema, files, stamped = stamped)
+  }
+
+  /** CDC CHANGELOG: every row-level change in the snapshot window
+    * (`fromSnapshotId`, `to`], emitted with `_change_type` ("insert" |
+    * "delete") and `_change_snapshot_id` — the read that turns an
+    * Iceberg table into a change stream a downstream index or cache can
+    * consume incrementally. Unlike [[readAppendsSince]] (net appends
+    * only, refuses on in-window deletes), this walks the window
+    * snapshot by snapshot and emits BOTH sides:
+    *
+    *   - data files a snapshot ADDED -> their rows as inserts (a MERGE's
+    *     replaced rows therefore surface as delete+insert pairs — the
+    *     CDC encoding of an update);
+    *   - files a COW delete marked DELETED -> their rows as deletes;
+    *   - v2 delete FILES a snapshot added -> the exact rows they removed,
+    *     computed against the PARENT snapshot's live state (earlier
+    *     deletes already applied, sequence scoping preserved), so a
+    *     position delete of an already-dead row emits nothing;
+    *   - "replace" snapshots (compaction/clustering) -> nothing: they
+    *     rewrite bytes, not rows.
+    *
+    * Scale shape: planning is KB-metadata ancestry walking; each
+    * snapshot's reads touch only ITS added files (and, for MoR deletes,
+    * the parent files the delete can reach) — the cost is proportional
+    * to the window's churn, never the table. Delete-file contents stay
+    * broadcast-side, the data side is one vectorized scan per snapshot.
+    */
+  def readChangelog(
+      spark: SparkSession,
+      tablePath: String,
+      fromSnapshotId: Long,
+      toSnapshotId: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(IcebergMeta.hasMetadata(tablePath),
+      s"Changelog reads require table metadata; $tablePath has none")
+    val meta = IcebergMeta.load(tablePath)
+    val to = toSnapshotId.map(meta.snapshotById).orElse(meta.currentSnapshot)
+      .getOrElse(throw new IllegalStateException(s"$tablePath has no snapshots"))
+    // resolve the window by ancestry (same discipline as planAppends:
+    // snapshot ids are random longs on foreign tables, id arithmetic lies)
+    var chain = List.empty[IcebergMeta.Snapshot]
+    var cursor: Option[IcebergMeta.Snapshot] = Some(to)
+    val visited = scala.collection.mutable.Set.empty[Long]
+    while (cursor.isDefined && cursor.get.id != fromSnapshotId) {
+      require(visited.add(cursor.get.id),
+        s"parent-snapshot-id ancestry of ${to.id} cycles at " +
+          s"${cursor.get.id} — metadata is corrupt; refusing to plan")
+      chain = cursor.get :: chain
+      cursor = cursor.get.parentId.flatMap(p => meta.snapshots.find(_.id == p))
+    }
+    require(fromSnapshotId == 0L || cursor.isDefined,
+      s"from-snapshot $fromSnapshotId is not a reachable ancestor of " +
+        s"snapshot ${to.id} — refusing to guess a window")
+
+    val stamped = meta.fieldIdStamped
+    if (stamped) enableFieldIdRead(spark)
+    val schema = IcebergMeta.sparkSchema(meta.fields, stamped)
+    def tagged(df: DataFrame, tpe: String, sid: Long): DataFrame =
+      df.select(schema.fieldNames.toSeq.map(col): _*)
+        .withColumn("_change_type", lit(tpe))
+        .withColumn("_change_snapshot_id", lit(sid))
+
+    val frames = scala.collection.mutable.Buffer.empty[DataFrame]
+    chain.foreach { s =>
+      if (s.operation != "replace") {
+        val entries = IcebergMeta.readManifestListFile(meta.root, s.manifestList)
+          .filter(_.addedSnapshotId == s.id)
+          .flatMap(mf => IcebergMeta.readManifest(
+            meta.root, mf.path, mf.addedSnapshotId, mf.sequenceNumber)
+            .map(mf -> _))
+        // inserts: data files this snapshot added
+        val added = entries.collect {
+          case (mf, e) if mf.content == 0 && e.status == 1 &&
+            e.snapshotId == s.id && e.dataFile.content == 0 => e.dataFile
+        }
+        if (added.nonEmpty)
+          frames += tagged(readFiles(spark, tablePath, schema, added,
+            Seq.empty, meta.fields, stamped), "insert", s.id)
+        // COW deletes: entries this snapshot flipped to DELETED (carried-
+        // over DELETED entries from earlier snapshots keep THEIR id and
+        // are filtered out — re-emitting them would double-report)
+        val removed = entries.collect {
+          case (mf, e) if mf.content == 0 && e.status == 2 &&
+            e.snapshotId == s.id && e.dataFile.content == 0 => e.dataFile
+        }
+        if (removed.nonEmpty)
+          frames += tagged(readFiles(spark, tablePath, schema, removed,
+            Seq.empty, meta.fields, stamped), "delete", s.id)
+        // MoR deletes: delete files this snapshot added, resolved to the
+        // exact rows they removed from the parent's live state
+        val newDeletes = entries.collect {
+          case (mf, e) if mf.content == 1 && e.status != 2 =>
+            IcebergMeta.DeleteFile(e.dataFile.path, e.dataFile.format,
+              e.dataFile.content, e.dataFile.equalityIds,
+              e.dataFile.sequenceNumber, e.dataFile.recordCount)
+        }
+        if (newDeletes.nonEmpty) {
+          val parent = s.parentId.map(meta.snapshotById).getOrElse(
+            throw new IllegalStateException(
+              s"delete snapshot ${s.id} has no parent to diff against"))
+          val rem = rowsRemovedBy(spark, tablePath, meta, parent, newDeletes,
+            schema, stamped)
+          rem.foreach(df => frames += tagged(df, "delete", s.id))
+        }
+      }
+    }
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      schema.add("_change_type", org.apache.spark.sql.types.StringType, false)
+        .add("_change_snapshot_id", org.apache.spark.sql.types.LongType, false))
+    frames.foldLeft(empty)(_.unionByName(_))
+  }
+
+  /** The rows `newDeletes` (all added by ONE snapshot) removed from the
+    * `parent` snapshot's live state. Position deletes touch only the data
+    * files they name; equality deletes touch only files the sequence
+    * scoping lets them reach; both semi-join the (parent-live, lineage-
+    * tagged) rows against the broadcast delete contents.
+    */
+  private def rowsRemovedBy(
+      spark: SparkSession,
+      tablePath: String,
+      meta: IcebergMeta.TableMeta,
+      parent: IcebergMeta.Snapshot,
+      newDeletes: Seq[IcebergMeta.DeleteFile],
+      schema: org.apache.spark.sql.types.StructType,
+      stamped: Boolean): Seq[DataFrame] = {
+    import org.apache.spark.sql.functions.{broadcast, col, lit}
+    val parentPlan = IcebergMeta.planScan(meta, parent)
+    val frames = scala.collection.mutable.Buffer.empty[DataFrame]
+
+    val posDel = newDeletes.filter(_.content == 1)
+    if (posDel.nonEmpty) {
+      val seq = posDel.map(_.sequenceNumber).max
+      val pd = spark.read.parquet(posDel.map(_.path): _*)
+        .select(normalizePathCol(col("file_path")).as("_d_file"),
+          col("pos").as("_d_pos"))
+      // the delete files NAME their target data files — metadata-scale
+      // list, so the parent read touches only those files
+      val targetPaths = pd.select("_d_file").distinct()
+        .collect().map(_.getString(0)).toSet
+      val targets = parentPlan.files.filter(f =>
+        targetPaths.contains(normalizePath(f.path)) &&
+          f.sequenceNumber <= seq)
+      if (targets.nonEmpty) {
+        val live = applyMergeOnRead(spark, tablePath, schema, targets,
+          parentPlan.deletes, meta.fields, stamped, keepLineage = true)
+        frames += live.join(broadcast(pd),
+          live("_g_file") === pd("_d_file") &&
+            live("_g_pos") === pd("_d_pos") &&
+            lit(seq) >= live("_g_seq"),
+          "left_semi").select(schema.fieldNames.toSeq.map(col): _*)
+      }
+    }
+
+    val eqGroups = newDeletes.filter(_.content == 2).groupBy(_.equalityIds)
+    eqGroups.toSeq.sortBy(_._1.mkString(",")).foreach { case (ids, group) =>
+      require(ids.nonEmpty,
+        s"equality delete without equality_ids: ${group.head.path}")
+      val names = ids.map(id => meta.fieldById(id).name)
+      val seq = group.map(_.sequenceNumber).max
+      // strict scoping: equality deletes reach only strictly-older files
+      val targets = parentPlan.files.filter(_.sequenceNumber < seq)
+      if (targets.nonEmpty) {
+        val live = applyMergeOnRead(spark, tablePath, schema, targets,
+          parentPlan.deletes, meta.fields, stamped, keepLineage = true)
+        val edReader =
+          if (stamped)
+            spark.read.schema(org.apache.spark.sql.types.StructType(
+              names.map(n => schema(n))))
+          else spark.read
+        val ed = edReader.parquet(group.map(_.path): _*)
+          .select(names.map(n => col(n).as(s"_d_$n")): _*)
+        val keyCond = names.map(n => live(n) <=> ed(s"_d_$n")).reduce(_ && _)
+        frames += live.join(broadcast(ed), keyCond, "left_semi")
+          .select(schema.fieldNames.toSeq.map(col): _*)
+      }
+    }
+    frames.toSeq
   }
 
   /** Scan plan for a metadata table — the spec pins pruning evidence

@@ -1687,6 +1687,49 @@ class SourcesSpec extends SparkTestBase {
     assert(e.getMessage.contains("delete manifest"))
   }
 
+  test("changelog: inserts, MoR deletes vs parent state, replace transparency, window refusal") {
+    import spark.implicits._
+    val root = tempDir("graft-iceberg-changelog")
+    IcebergWriter.append(spark, root,
+      (0 until 10).map(i => (i.toLong, s"v$i")).toDF("id", "v"),
+      None, 1000L, formatVersion = 2) // s1
+    IcebergWriter.append(spark, root,
+      (10 until 15).map(i => (i.toLong, s"v$i")).toDF("id", "v"),
+      None, 2000L) // s2
+    IcebergWriter.deleteEquality(spark, root,
+      Seq(3L, 12L).toDF("id"), 3000L) // s3
+    IcebergWriter.compact(spark, root, 4000L) // s4: replace — no logical change
+    IcebergWriter.append(spark, root,
+      (20 until 22).map(i => (i.toLong, s"v$i")).toDF("id", "v"),
+      None, 5000L) // s5
+
+    val log = IcebergSource.readChangelog(spark, root, fromSnapshotId = 1L)
+      .select($"id", $"_change_type", $"_change_snapshot_id")
+      .as[(Long, String, Long)].collect().sortBy(r => (r._3, r._1)).toSeq
+    assert(log === Seq(
+      (10L, "insert", 2L), (11L, "insert", 2L), (12L, "insert", 2L),
+      (13L, "insert", 2L), (14L, "insert", 2L),
+      (3L, "delete", 3L), (12L, "delete", 3L),
+      // s4 (compaction) contributes NOTHING: bytes moved, rows didn't
+      (20L, "insert", 5L), (21L, "insert", 5L)))
+
+    // a delete of an already-dead row emits nothing: id=3 died at s3, a
+    // second equality delete naming it again changes no rows
+    IcebergWriter.deleteEquality(spark, root, Seq(3L, 20L).toDF("id"), 6000L) // s6
+    val tail = IcebergSource.readChangelog(spark, root, fromSnapshotId = 5L)
+      .select($"id", $"_change_type").as[(Long, String)].collect().toSeq
+    assert(tail === Seq((20L, "delete")))
+
+    // full-history window (from = 0) starts at the first append
+    assert(IcebergSource.readChangelog(spark, root, fromSnapshotId = 0L)
+      .count() === 5 + 10 + 2 + 2 + 1)
+
+    // a from-id off the ancestry refuses instead of guessing
+    assert(intercept[IllegalArgumentException] {
+      IcebergSource.readChangelog(spark, root, fromSnapshotId = 999L)
+    }.getMessage.contains("ancestor"))
+  }
+
   test("refs: write-audit-publish — branch commits, tag pins, fast-forward, expiry protection") {
     import spark.implicits._
     val root = tempDir("graft-iceberg-refs")
