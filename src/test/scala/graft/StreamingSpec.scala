@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.streaming.EventsStream
+import graft.streaming.{EventsStream, IcebergChangeFeed}
 
 /** M5: Structured Streaming over the events fixture — the realized version
   * of the reference's CDC stub (crates/cdc/src/lib.rs:9). The stream must
@@ -615,5 +615,70 @@ class StreamingSpec extends SparkTestBase {
       .head()
       .getLong(0)
     assert(windowSum === total)
+  }
+
+  test("change feed: windows deliver once, crashes re-deliver, publishes surface on poll") {
+    import spark.implicits._
+    import graft.sources.IcebergWriter
+    val root = tempDir("graft-feed-table")
+    val state = tempDir("graft-feed-state") + "/cursor"
+
+    IcebergWriter.append(spark, root,
+      (0 until 10).map(i => (i.toLong, s"v$i")).toDF("id", "v"),
+      None, 1000L, formatVersion = 2) // s1
+
+    // first poll: the full history as one window
+    val batches = scala.collection.mutable.Buffer.empty[(Long, Seq[(Long, String)])]
+    val consume: (org.apache.spark.sql.DataFrame, Long) => Unit = (df, toId) =>
+      batches += toId -> df.select($"id", $"_change_type")
+        .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(IcebergChangeFeed.poll(spark, root, state)(consume) === Some(1L))
+    assert(batches.map(_._1) === Seq(1L))
+    assert(batches.head._2.map(_._1) === (0L until 10L))
+
+    // nothing new: fn is not called
+    assert(IcebergChangeFeed.poll(spark, root, state)(consume) === None)
+    assert(batches.size === 1)
+
+    // two commits -> ONE window carrying both, deletes included
+    IcebergWriter.append(spark, root,
+      Seq((10L, "v10")).toDF("id", "v"), None, 2000L) // s2
+    IcebergWriter.deleteEquality(spark, root, Seq(4L).toDF("id"), 3000L) // s3
+    assert(IcebergChangeFeed.poll(spark, root, state)(consume) === Some(3L))
+    assert(batches.last._2 === Seq((4L, "delete"), (10L, "insert")))
+
+    // crash INSIDE the consumer: cursor does not advance, the window
+    // re-delivers identically on the next poll
+    IcebergWriter.append(spark, root,
+      Seq((11L, "v11")).toDF("id", "v"), None, 4000L) // s4
+    intercept[RuntimeException] {
+      IcebergChangeFeed.poll(spark, root, state)((_, _) =>
+        throw new RuntimeException("consumer crash"))
+    }
+    assert(IcebergChangeFeed.cursor(state) === Some(3L))
+    assert(IcebergChangeFeed.poll(spark, root, state)(consume) === Some(4L))
+    assert(batches.last._2 === Seq((11L, "insert")))
+
+    // audit-branch commits are INVISIBLE to the feed until published,
+    // then surface as the publish window
+    IcebergWriter.createBranch(root, "audit", 4500L)
+    IcebergWriter.appendToBranch(spark, root,
+      Seq((20L, "a20")).toDF("id", "v"), "audit", 5000L) // s5, branch-only
+    assert(IcebergChangeFeed.poll(spark, root, state)(consume) === None)
+    IcebergWriter.fastForward(root, "audit", 6000L)
+    assert(IcebergChangeFeed.poll(spark, root, state)(consume) === Some(5L))
+    assert(batches.last._2 === Seq((20L, "insert")))
+
+    // drain processes each pending window exactly once overall
+    IcebergWriter.append(spark, root, Seq((30L, "v30")).toDF("id", "v"),
+      None, 7000L)
+    assert(IcebergChangeFeed.drain(spark, root, state)(consume) === 1)
+    assert(IcebergChangeFeed.drain(spark, root, state)(consume) === 0)
+
+    // seek pins the cursor; reset forgets it (next poll = full history)
+    IcebergChangeFeed.seek(state, 4L)
+    assert(IcebergChangeFeed.cursor(state) === Some(4L))
+    IcebergChangeFeed.reset(state)
+    assert(IcebergChangeFeed.cursor(state) === None)
   }
 }
