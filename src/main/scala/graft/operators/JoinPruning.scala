@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, col, lit, max, min}
+
+import graft.sources.{IcebergMeta, IcebergSource}
+
+/** RUNTIME file pruning for fact-dim joins over Iceberg tables — dynamic
+  * partition pruning re-expressed at the FILE level for the metadata
+  * source. Spark's own DPP needs a partitioned file-source relation;
+  * the Iceberg layer's scan takes an explicit file list, so the runtime
+  * pruning step happens at PLANNING time here: the dim side (small by
+  * the same assumption every broadcast join makes) is evaluated first,
+  * its key range becomes [[IcebergMeta.ColumnBound]] file filters on
+  * the fact scan, and on a range-clustered fact (writes sorted by key,
+  * or [[graft.operators.ZOrderLayout]]/clustered compaction) the scan
+  * plans only the files whose recorded min/max overlap the dim's keys.
+  *
+  * The dim evaluation is one tiny driver-side agg — the exact cost
+  * Catalyst's DPP pays for its pruning subquery — and the bounds are
+  * conservative (files without bounds are kept, the join itself is the
+  * residual), so semantics never depend on the pruning.
+  *
+  * At 100 TB: a point-in-time dim filter ("this week's orders") joined
+  * against a key-clustered fact reads the week's byte range, not the
+  * table. The 30x scale probe for the underlying skip mechanics is
+  * `ScaleProbe skip`; SourcesSpec pins filesSkipped for this composed
+  * path.
+  */
+object JoinPruning {
+
+  /** The fact scan, file-pruned to the dim's key range. Callers compose
+    * joins/aggregations on the result as usual; rows outside the dim's
+    * exact key SET may survive (bounds are a range), so this is a scan
+    * optimization to put UNDER a join, not a semi-join.
+    */
+  def prunedScan(
+      spark: SparkSession,
+      tablePath: String,
+      factKey: String,
+      dimKeys: DataFrame,
+      dimKey: String): DataFrame = {
+    val row = dimKeys.agg(min(col(dimKey)), max(col(dimKey))).head()
+    if (row.isNullAt(0)) {
+      // empty dim: nothing can join — an empty frame with the table
+      // schema (filter(false) folds to an empty LocalRelation, no scan)
+      IcebergSource.read(spark, tablePath).filter(lit(false))
+    } else {
+      IcebergSource.read(spark, tablePath, None, None, None,
+        fileFilter = Seq(
+          IcebergMeta.ColumnBound(factKey, "gteq", row.get(0)),
+          IcebergMeta.ColumnBound(factKey, "lteq", row.get(1))))
+    }
+  }
+
+  /** Convenience: the pruned fact scan broadcast-joined to the dim —
+    * file pruning from the dim's RANGE, exact row matching from the
+    * join itself. `joinType` as in Dataset.join.
+    */
+  def join(
+      spark: SparkSession,
+      tablePath: String,
+      factKey: String,
+      dimKeys: DataFrame,
+      dimKey: String,
+      joinType: String = "inner"): DataFrame = {
+    val fact = prunedScan(spark, tablePath, factKey, dimKeys, dimKey)
+    val cond: Column = fact(factKey) === dimKeys(dimKey)
+    fact.join(broadcast(dimKeys), cond, joinType)
+  }
+}

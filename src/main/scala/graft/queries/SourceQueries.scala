@@ -941,6 +941,35 @@ object SourceQueries {
           "FROM lineitem WHERE l_orderkey <= 2000"
       )
     ),
+    // RUNTIME JOIN PRUNING: the dim (an orders key window) is evaluated
+    // first, its min/max become file filters on the range-clustered
+    // lineitem scan, and the scan plans only the overlapping files —
+    // dynamic partition pruning re-expressed at the file level for the
+    // metadata source (SourcesSpec pins filesSkipped 7 of 8 on its own
+    // table; this oracle pins the composed join's rows). The dim range
+    // prunes, the join matches exactly — bounds are never semantic.
+    Q(
+      "q_iceberg_joinpruned",
+      (s, dir) => {
+        val root = fixtureIcebergClusteredTable(s, dir)
+        val dim = t(s, dir, "orders")
+          .filter($"o_orderkey".between(500L, 1500L))
+          .select($"o_orderkey", $"o_custkey")
+        graft.operators.JoinPruning
+          .join(s, root, "l_orderkey", dim, "o_orderkey")
+          .agg(
+            count(lit(1)).as("n"),
+            asDouble(sum(dec2($"l_extendedprice"))).as("revenue"),
+            sum($"o_custkey").as("sum_cust"))
+      },
+      Some(
+        "SELECT count(*) AS n, " +
+          "CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue, " +
+          "CAST(sum(o_custkey) AS BIGINT) AS sum_cust " +
+          "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+          "WHERE o_orderkey BETWEEN 500 AND 1500"
+      )
+    ),
     // MULTI-FIELD partitioning read-back: events in an identity(
     // event_type) x day(ts) layout — the one-type predicate prunes to
     // that type's ~30 day manifests of ~150 EXACTLY (identity pruning

@@ -1687,6 +1687,38 @@ class SourcesSpec extends SparkTestBase {
     assert(e.getMessage.contains("delete manifest"))
   }
 
+  test("join pruning: dim key range skips fact files at runtime; join result unchanged") {
+    import spark.implicits._
+    import graft.operators.JoinPruning
+    val root = tempDir("graft-iceberg-joinprune")
+    // range-clustered fact: 8 disjoint key-sorted files of 1024 rows
+    val fact = (0 until 1024).map(i => (i.toLong, i % 7))
+      .toDF("k", "grp")
+      .repartitionByRange(8, $"k").sortWithinPartitions($"k")
+    IcebergWriter.append(spark, root, fact, None, 1000L, formatVersion = 2)
+
+    val dim = Seq((300L, "a"), (320L, "b"), (340L, "c")).toDF("dk", "name")
+
+    // plan evidence: the dim's [300, 340] range keeps 1 of 8 files
+    val meta = IcebergMeta.load(root)
+    val plan = IcebergMeta.planScan(meta, meta.currentSnapshot.get,
+      fileFilter = Seq(
+        IcebergMeta.ColumnBound("k", "gteq", 300L),
+        IcebergMeta.ColumnBound("k", "lteq", 340L)))
+    assert(plan.filesSkipped === 7, s"expected 7 skipped, plan=$plan")
+
+    // the composed join equals the unpruned join exactly
+    val pruned = JoinPruning.join(spark, root, "k", dim, "dk")
+      .select($"k", $"name").as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(pruned === Seq((300L, "a"), (320L, "b"), (340L, "c")))
+
+    // empty dim: no scan, no rows, schema intact
+    val empty = JoinPruning.prunedScan(spark, root, "k",
+      dim.filter($"dk" < 0L), "dk")
+    assert(empty.count() === 0)
+    assert(empty.schema.fieldNames.toSeq === Seq("k", "grp"))
+  }
+
   test("changelog: inserts, MoR deletes vs parent state, replace transparency, window refusal") {
     import spark.implicits._
     val root = tempDir("graft-iceberg-changelog")
