@@ -102,7 +102,12 @@ object IcebergMeta {
       defaultSpecId: Int = 0,
       // named refs (branches/tags) — write-audit-publish: a branch takes
       // commits without moving `main`; a tag pins a snapshot by name
-      refs: Map[String, Ref] = Map.empty) {
+      refs: Map[String, Ref] = Map.empty,
+      // the metadata version this load READ — writers must base their
+      // commit (verbatim json + target version + snapshot id) on this
+      // ONE value; re-reading the hint later can observe a concurrent
+      // commit and silently mix two table states into one snapshot
+      loadedVersion: Int = 0) {
 
     def specFields(specId: Int): Seq[PartitionField] =
       specsById.getOrElse(specId, partitionFields)
@@ -298,6 +303,12 @@ object IcebergMeta {
           .getOrElse(throw new IllegalArgumentException(
             s"current-schema-id $currentSchemaId not present in schemas list: $file"))
       } else parseFields(node.path("schema"))
+    // a structurally-valid json with no schema would otherwise flow
+    // through as an empty-schema table and fail far away (every append
+    // "mismatches"); name the file and its content here instead
+    require(fields.nonEmpty,
+      s"Iceberg metadata $file parsed with an empty schema — " +
+        s"content head: ${Files.readString(file).take(200)}")
 
     def parseSpecFields(fieldsNode: JsonNode): Seq[PartitionField] =
       fieldsNode.elements().asScala.map { f =>
@@ -369,7 +380,7 @@ object IcebergMeta {
       current, snapshots, schemasById, currentSchemaId,
       node.path("last-sequence-number").asLong(0L), properties,
       if (specsById.nonEmpty) specsById else Map(0 -> partitionFields),
-      defaultSpecId, refs)
+      defaultSpecId, refs, version)
   }
 
   // ---------------------------------------------------------------------

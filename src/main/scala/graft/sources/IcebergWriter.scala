@@ -187,36 +187,81 @@ object IcebergWriter {
         s"ref '$b' is not an existing branch (createBranch first; " +
           "main-branch appends pass branch = None)")
     }
-    // the version this commit is based on, read ONCE with the same load —
-    // commitSnapshot reuses it so version number and verbatim base can
-    // never come from different hints. (Concurrent WRITERS remain
-    // unsupported: the single-writer contract is the caller's.)
-    val baseVersion = prior.map(_ => IcebergSource.versionHint(tablePath).get)
-    val snapshotId = prior.flatMap(_.snapshots.map(_.id).maxOption).getOrElse(0L) + 1L
-
-    // ---- data files -----------------------------------------------------
+    // ---- data files (once; retries re-point metadata at them) ----------
+    // the writer token keeps concurrent appends' files collision-free
+    // even when both computed the same snapshot id before racing
+    val token = java.lang.Long.toHexString(
+      java.util.concurrent.ThreadLocalRandom.current().nextLong()).take(8)
     val staging = Files.createTempDirectory("graft-iceberg-stage")
     val fieldIds = fieldIdsFor(prior, df.schema)
     val staged = stageDataFiles(df, partitions, staging, fieldIds)
-    val written = placeDataFiles(root, staged, snapshotId)
-    deleteRecursively(staging)
+    var written: Seq[(Map[String, Any], Path)] = null
 
-    // ---- manifests: one per distinct partition tuple --------------------
-    val partType = partitions.map(p => p.fieldName -> transformedSparkType(p, df.schema))
-    val newManifests = buildDataManifests(spark, root, written, partType,
-      snapshotId, fv, prior.map(_.defaultSpecId).getOrElse(0), fieldIds)
+    // ---- OPTIMISTIC COMMIT LOOP ----------------------------------------
+    // Appends commute, so a lost race is retried: reload the table (the
+    // conflict repair advances the hint to the latest committed
+    // version), re-validate, rebuild manifests under the fresh snapshot
+    // id, recommit. commitMetadataJson's create-new CAS on the version
+    // file is the conflict detector; non-append write flavors surface
+    // [[CommitConflictException]] to the caller instead (a merge built
+    // on stale state must not silently re-apply).
+    var attempt = 0
+    var result = -1L
+    try {
+      while (result < 0) {
+        attempt += 1
+        val (prior2, fv2) =
+          if (attempt == 1) (prior, fv)
+          else {
+            repairVersionHint(root)
+            val p = if (IcebergMeta.hasMetadata(tablePath))
+              Some(IcebergMeta.load(tablePath)) else None
+            p.foreach(m => validateSchemaAgainstTable(m, df.schema, "Append"))
+            // a concurrent schema evolution that changes the field-id
+            // layout would make the staged footers lie: refuse
+            require(fieldIdsFor(p, df.schema) == fieldIds,
+              "table schema field ids changed during a concurrent commit; " +
+                "retry the append against the evolved table")
+            (p, p.map(_.formatVersion).getOrElse(formatVersion))
+          }
+        // base version from the SAME load the commit re-serializes — the
+        // version number and its verbatim base can never diverge (a
+        // fresh hint read here could observe a concurrent commit and mix
+        // two table states into one snapshot)
+        val baseVersion = prior2.map(_.loadedVersion)
+        val snapshotId =
+          prior2.flatMap(_.snapshots.map(_.id).maxOption).getOrElse(0L) + 1L
+        if (written == null)
+          written = placeDataFiles(root, staged, snapshotId, token)
 
-    // carried manifests come from the head this commit extends: the
-    // branch's when branch-appending, main's otherwise — the mechanism
-    // that lets branch state accumulate without ever touching main
-    val carried = prior
-      .flatMap(m => branch.map(m.snapshotByRef).orElse(m.currentSnapshot)
-        .map(h => IcebergMeta.readManifestListFile(m.root, h.manifestList)))
-      .getOrElse(Seq.empty)
-    commitSnapshot(spark, root, df.schema, partitions, prior, baseVersion,
-      snapshotId, timestampMs, carried ++ newManifests, operation = "append",
-      fv, summary, branch)
-    snapshotId
+        val partType = partitions.map(p =>
+          p.fieldName -> transformedSparkType(p, df.schema))
+        val newManifests = buildDataManifests(spark, root, written, partType,
+          snapshotId, fv2, prior2.map(_.defaultSpecId).getOrElse(0), fieldIds,
+          token)
+        // carried manifests come from the head this commit extends: the
+        // branch's when branch-appending, main's otherwise — the mechanism
+        // that lets branch state accumulate without ever touching main
+        val carried = prior2
+          .flatMap(m => branch.map(m.snapshotByRef).orElse(m.currentSnapshot)
+            .map(h => IcebergMeta.readManifestListFile(m.root, h.manifestList)))
+          .getOrElse(Seq.empty)
+        try {
+          commitSnapshot(spark, root, df.schema, partitions, prior2,
+            baseVersion, snapshotId, timestampMs, carried ++ newManifests,
+            operation = "append", fv2, summary, branch, token)
+          result = snapshotId
+        } catch {
+          case e: CommitConflictException =>
+            // bounded, not unbounded: each lost race means some OTHER
+            // writer committed, so progress is global and a livelocked
+            // append means something is abandoning reservations — refuse
+            // loudly after enough evidence
+            if (attempt >= 20) throw e
+        }
+      }
+    } finally deleteRecursively(staging)
+    result
   }
 
   /** The ONE schema gate every write flavor (append / merge / upsert)
@@ -352,14 +397,19 @@ object IcebergWriter {
   private def placeDataFiles(
       root: Path,
       staged: Seq[(Map[String, Any], Path)],
-      snapshotId: Long): Seq[(Map[String, Any], Path)] =
+      snapshotId: Long,
+      // per-append writer token: two concurrent appends that both
+      // computed the same next snapshot id must not clobber each
+      // other's files while the metadata CAS decides the race
+      token: String = ""): Seq[(Map[String, Any], Path)] =
     staged.zipWithIndex.map { case ((ptuple, f), i) =>
       // the staged file's full <k>=<v> dir chain (nested for multi-field
       // specs) transplants under data/ verbatim
       val dest = hivePartitionDirs(f)
         .foldLeft(root.resolve("data"))((d, seg) => d.resolve(seg))
       Files.createDirectories(dest)
-      val target = dest.resolve(f"snap$snapshotId%05d-$i%03d.parquet")
+      val tok = if (token.isEmpty) "" else s"-$token"
+      val target = dest.resolve(f"snap$snapshotId%05d$tok-$i%03d.parquet")
       Files.move(f, target, StandardCopyOption.REPLACE_EXISTING)
       (ptuple, target)
     }
@@ -377,8 +427,13 @@ object IcebergWriter {
       specId: Int = 0,
       // name -> spec field id, for the per-file column bounds; empty
       // skips bounds harvesting (delete-file manifests)
-      fieldIds: Map[String, Int] = Map.empty): Seq[IcebergMeta.ManifestFile] = {
+      fieldIds: Map[String, Int] = Map.empty,
+      // per-writer token (see placeDataFiles): keeps a lost-race
+      // writer's manifest Avros from clobbering the winner's while both
+      // believed they were snapshot N
+      token: String = ""): Seq[IcebergMeta.ManifestFile] = {
     val hadoopConf = spark.sessionState.newHadoopConf()
+    val tok = if (token.isEmpty) "" else s"-$token"
     val groups = placed.groupBy(_._1).toSeq.sortBy(_._1.values.mkString)
     groups.zipWithIndex.map { case ((ptuple, files), i) =>
       val entries = files.map { case (_, p) =>
@@ -396,7 +451,7 @@ object IcebergWriter {
             upperBounds = upper))
       }
       val mpath = root.resolve("metadata")
-        .resolve(f"manifest-$snapshotId%05d-$i%03d.avro")
+        .resolve(f"manifest-$snapshotId%05d$tok-$i%03d.avro")
       writeManifest(mpath, partType, entries, fv)
       manifestRecord(mpath, snapshotId, partType, entries, specId)
     }
@@ -594,7 +649,7 @@ object IcebergWriter {
       timestampMs: Long): Long = {
     val meta = IcebergMeta.load(tablePath)
     requireWritable(meta) // before ANY side effect (see append)
-    val baseVersion = Some(IcebergSource.versionHint(tablePath).get)
+    val baseVersion = Some(meta.loadedVersion)
     val root = meta.root
     val snapshotId = meta.snapshots.map(_.id).max + 1L
     val pf = meta.partitionFields.find(_.name == column).getOrElse(
@@ -671,7 +726,7 @@ object IcebergWriter {
     require(meta.formatVersion == 2,
       s"row-level deletes require a v2 table; this one is v${meta.formatVersion} " +
         "(use deletePartitions for v1 copy-on-write)")
-    val baseVersion = Some(IcebergSource.versionHint(tablePath).get)
+    val baseVersion = Some(meta.loadedVersion)
     val root = meta.root
     val snapshotId = meta.snapshots.map(_.id).max + 1L
     val snap = meta.currentSnapshot.getOrElse(
@@ -743,7 +798,7 @@ object IcebergWriter {
           s"but the table schema requires ${f.typeName}")
       f.id
     }
-    val baseVersion = Some(IcebergSource.versionHint(tablePath).get)
+    val baseVersion = Some(meta.loadedVersion)
     val root = meta.root
     val snapshotId = meta.snapshots.map(_.id).max + 1L
 
@@ -818,7 +873,7 @@ object IcebergWriter {
     require(updates.schema.fieldNames.contains(key),
       s"merge key '$key' is not a column of the updates frame")
 
-    val baseVersion = Some(IcebergSource.versionHint(tablePath).get)
+    val baseVersion = Some(meta.loadedVersion)
     val root = meta.root
     // current-snapshot guard BEFORE snapshots.max: an empty snapshots
     // array must fail with the intended message, not empty.max
@@ -942,7 +997,7 @@ object IcebergWriter {
     require(meta.currentSnapshot.isDefined,
       "table has no current snapshot (append first, then upsert)")
 
-    val baseVersion = Some(IcebergSource.versionHint(tablePath).get)
+    val baseVersion = Some(meta.loadedVersion)
     val root = meta.root
     val snapshotId = meta.snapshots.map(_.id).max + 1L
 
@@ -1057,7 +1112,7 @@ object IcebergWriter {
     val partition = specTransforms(meta)
     require(meta.currentSnapshot.isDefined, "table has no current snapshot")
 
-    val baseVersion = Some(IcebergSource.versionHint(tablePath).get)
+    val baseVersion = Some(meta.loadedVersion)
     val root = meta.root
     val snapshotId = meta.snapshots.map(_.id).max + 1L
     val staging = Files.createTempDirectory("graft-iceberg-compact")
@@ -1115,8 +1170,7 @@ object IcebergWriter {
     // mapping throws on names the reader could never scan
     IcebergMeta.sparkSchema(Seq(IcebergMeta.Field(0, name, false, typeName))): Unit
 
-    val baseVersion = IcebergSource.versionHint(tablePath).getOrElse(
-      throw new IllegalStateException("schema evolution requires version-hint metadata"))
+    val baseVersion = meta.loadedVersion
     val root = meta.root
     val node = mapper.readTree(Files.readString(
       root.resolve("metadata").resolve(s"v$baseVersion.metadata.json")))
@@ -1311,8 +1365,7 @@ object IcebergWriter {
         s"partition source '${p.source}' is not in the table schema")
       transformedSparkType(p, schema): Unit // refuse unwritable transforms
     }
-    val baseVersion = IcebergSource.versionHint(tablePath).getOrElse(
-      throw new IllegalStateException("spec evolution requires version-hint metadata"))
+    val baseVersion = meta.loadedVersion
     val root = meta.root
     val node = mapper.readTree(Files.readString(
       root.resolve("metadata").resolve(s"v$baseVersion.metadata.json")))
@@ -1352,8 +1405,7 @@ object IcebergWriter {
       meta: IcebergMeta.TableMeta,
       timestampMs: Long)(f: ObjectNode => Option[ObjectNode]): Int = {
     val tablePath = meta.root.toString
-    val baseVersion = IcebergSource.versionHint(tablePath).getOrElse(
-      throw new IllegalStateException("schema evolution requires version-hint metadata"))
+    val baseVersion = meta.loadedVersion
     val root = meta.root
     val node = mapper.readTree(Files.readString(
       root.resolve("metadata").resolve(s"v$baseVersion.metadata.json")))
@@ -1439,8 +1491,7 @@ object IcebergWriter {
     val target = snapshotId.map(meta.snapshotById).orElse(meta.currentSnapshot)
       .getOrElse(throw new IllegalStateException(
         s"cannot create a ref on a table with no snapshots: $tablePath"))
-    val baseVersion = IcebergSource.versionHint(tablePath).getOrElse(
-      throw new IllegalStateException("refs require version-hint metadata"))
+    val baseVersion = meta.loadedVersion
     val root = meta.root
     val node = mapper.readTree(Files.readString(
       root.resolve("metadata").resolve(s"v$baseVersion.metadata.json")))
@@ -1463,7 +1514,7 @@ object IcebergWriter {
   def dropRef(tablePath: String, name: String, timestampMs: Long): Unit = {
     val meta = IcebergMeta.load(tablePath)
     require(meta.refs.contains(name), s"ref '$name' does not exist")
-    val baseVersion = IcebergSource.versionHint(tablePath).get
+    val baseVersion = meta.loadedVersion
     val root = meta.root
     val node = mapper.readTree(Files.readString(
       root.resolve("metadata").resolve(s"v$baseVersion.metadata.json")))
@@ -1501,7 +1552,7 @@ object IcebergWriter {
         "fast-forward would drop main-only commits"))
     if (current.contains(head)) return head // already published
 
-    val baseVersion = IcebergSource.versionHint(tablePath).get
+    val baseVersion = meta.loadedVersion
     val root = meta.root
     val node = mapper.readTree(Files.readString(
       root.resolve("metadata").resolve(s"v$baseVersion.metadata.json")))
@@ -1539,19 +1590,123 @@ object IcebergWriter {
       m.formatVersion, summary, Some(branch))
   }
 
+  /** Thrown when another writer committed the metadata version this
+    * commit targeted — the optimistic-concurrency signal. Appends catch
+    * it and retry against the reloaded table (appends commute);
+    * row-level writes and evolutions propagate it, because re-applying
+    * a decision made on stale state needs the CALLER's judgment.
+    */
+  final class CommitConflictException(version: Int, tablePath: String)
+    extends RuntimeException(
+      s"metadata version v$version of $tablePath was committed by a " +
+        "concurrent writer (optimistic-concurrency conflict)")
+
+  /** The metadata COMMIT: claim `v<version>.metadata.json` with an
+    * atomic create-new (the compare-and-swap deciding every writer
+    * race — POSIX rename replaces, so reservation is the portable CAS),
+    * fill it, then flip the version hint MONOTONICALLY. Everything the
+    * json references (manifest lists, manifests, data files) is durable
+    * before this runs, so the version file existing IS the commit; the
+    * hint is a discovery pointer that [[repairVersionHint]] can always
+    * fast-forward from the version files themselves.
+    */
   private def commitMetadataJson(
       root: Path,
       version: Int,
       node: ObjectNode,
       tmpTag: String): Unit = {
-    Files.writeString(
-      root.resolve("metadata").resolve(s"v$version.metadata.json"),
+    val mdir = root.resolve("metadata")
+    val target = mdir.resolve(s"v$version.metadata.json")
+    try Files.createFile(target)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new CommitConflictException(version, root.toString)
+    }
+    // reserved: fill via tmp + atomic replace so no reader ever parses a
+    // half-written json (readers discover via the hint, flipped below,
+    // or via repairVersionHint, which parse-checks)
+    val tmpJson = mdir.resolve(s".v$version.$tmpTag.json.tmp")
+    Files.writeString(tmpJson,
       mapper.writerWithDefaultPrettyPrinter().writeValueAsString(node))
-    val tmp = root.resolve("metadata").resolve(s".version-hint.$tmpTag.tmp")
-    Files.writeString(tmp, version.toString)
-    Files.move(tmp, root.resolve("metadata").resolve("version-hint.text"),
+    Files.move(tmpJson, target,
       StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    flipHintMonotonic(root, version, tmpTag)
   }
+
+  /** Flip version-hint.text to `version` iff it advances it. The
+    * read-compare-move runs under a tiny create-new lock file so two
+    * finishing writers can't regress the hint (A commits v5, B commits
+    * v6, A's flip landing last must not point readers back at v5); a
+    * lock abandoned by a crash is stolen after 5s of idleness.
+    */
+  private def flipHintMonotonic(root: Path, version: Int, tmpTag: String): Unit = {
+    val mdir = root.resolve("metadata")
+    val lock = mdir.resolve(".version-hint.lock")
+    val deadline = System.nanoTime() + 10_000_000_000L
+    var held = false
+    while (!held) {
+      try { Files.createFile(lock); held = true }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          try {
+            val age = System.currentTimeMillis() -
+              Files.getLastModifiedTime(lock).toMillis
+            if (age > 5000) Files.deleteIfExists(lock): Unit
+          } catch { case _: java.io.IOException => () }
+          if (System.nanoTime() > deadline)
+            throw new IllegalStateException(
+              s"version-hint lock of $root held too long; a crashed " +
+                "writer's lock is stolen after 5s — this one is live")
+          Thread.sleep(1)
+      }
+    }
+    try {
+      val hint = mdir.resolve("version-hint.text")
+      val cur =
+        if (Files.exists(hint)) Files.readString(hint).trim.toInt else 0
+      if (version > cur) {
+        val tmp = mdir.resolve(s".version-hint.$tmpTag.tmp")
+        Files.writeString(tmp, version.toString)
+        Files.move(tmp, hint,
+          StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE): Unit
+      }
+    } finally Files.deleteIfExists(lock): Unit
+  }
+
+  /** Fast-forward the version hint to the newest PARSEABLE committed
+    * version file — the conflict-loser's view repair (the winner may not
+    * have flipped the hint yet when the loser reloads) and the recovery
+    * for a writer that crashed between reserving the version file and
+    * filling it (that half-commit parses as empty and is skipped; the
+    * next writer's CAS will then conflict on it and ALSO repair past it
+    * only when a later version exists — an abandoned reservation needs
+    * the operator to delete it, loudly discoverable here).
+    */
+  private[sources] def repairVersionHint(root: Path): Unit = {
+    val mdir = root.resolve("metadata")
+    if (!Files.isDirectory(mdir)) return
+    val versions = {
+      val s = Files.list(mdir)
+      try s.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case VersionFileName(n) => n.toInt }
+        .toSeq
+      finally s.close()
+    }
+    val committed = versions.sorted(Ordering[Int].reverse).find { v =>
+      try {
+        val n = mapper.readTree(Files.readString(
+          mdir.resolve(s"v$v.metadata.json")))
+        // an EMPTY reservation parses as MissingNode (Jackson returns it,
+        // not null, for empty input) — only a real json object with
+        // content counts as committed
+        n != null && n.isObject && n.size() > 0
+      } catch { case _: Exception => false }
+    }
+    committed.foreach(v => flipHintMonotonic(root, v, "repair"))
+  }
+
+  private val VersionFileName = "v(\\d+)\\.metadata\\.json".r
 
   /** SNAPSHOT EXPIRY + orphan GC (the other half of table maintenance —
     * [[compact]] retires delete files logically; nothing reclaims bytes
@@ -1623,8 +1778,7 @@ object IcebergWriter {
     if (expired.nonEmpty) {
       // metadata first: after this commit the expired snapshots are gone
       // from the table's history; the files become orphans
-      val baseVersion = IcebergSource.versionHint(tablePath).getOrElse(
-        throw new IllegalStateException("expiry requires version-hint metadata"))
+      val baseVersion = meta.loadedVersion
       val node = mapper.readTree(Files.readString(
         root.resolve("metadata").resolve(s"v$baseVersion.metadata.json")))
         .asInstanceOf[ObjectNode]
@@ -1713,7 +1867,9 @@ object IcebergWriter {
       summary: Map[String, String] = Map.empty,
       // Some(name): commit onto that branch — parent = branch head, the
       // ref advances, current-snapshot-id and snapshot-log stay untouched
-      branch: Option[String] = None): Unit = {
+      branch: Option[String] = None,
+      // per-writer token for race-safe manifest-list naming (appends)
+      token: String = ""): Unit = {
     // v2: this commit's data sequence number — strictly monotonic from
     // last-sequence-number; the commit's NEW manifests are stamped with
     // it (their entries inherit it on read), carried ones keep their own
@@ -1724,8 +1880,9 @@ object IcebergWriter {
         if (m.addedSnapshotId == snapshotId)
           m.copy(sequenceNumber = newSeq, minSequenceNumber = newSeq)
         else m)
+    val listTok = if (token.isEmpty) "" else s"-$token"
     val listPath = root.resolve("metadata")
-      .resolve(f"snap-$snapshotId%05d-manifest-list.avro")
+      .resolve(f"snap-$snapshotId%05d$listTok-manifest-list.avro")
     writeManifestList(listPath, stamped, formatVersion)
 
     val version = baseVersion.map(_ + 1).getOrElse(1)

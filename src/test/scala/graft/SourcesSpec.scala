@@ -336,7 +336,7 @@ class SourcesSpec extends SparkTestBase {
     val snap = meta.currentSnapshot.get
     val lists = Files.list(metaDir)
     val manifest0 =
-      try lists.filter(p => p.getFileName.toString.startsWith("manifest-00001-000"))
+      try lists.filter(p => p.getFileName.toString.startsWith("manifest-00001"))
         .findFirst().get()
       finally lists.close()
     val bytes = Files.readAllBytes(manifest0)
@@ -1685,6 +1685,57 @@ class SourcesSpec extends SparkTestBase {
       IcebergSource.readAppendsSince(spark, root, fromSnapshotId = 2L)
     }
     assert(e.getMessage.contains("delete manifest"))
+  }
+
+  test("optimistic commits: racing appends all land on one linear history; stale flavors refuse") {
+    import spark.implicits._
+    val root = tempDir("graft-iceberg-occ")
+    IcebergWriter.append(spark, root, Seq((0L, "base")).toDF("id", "v"),
+      None, 500L, formatVersion = 2)
+
+    // 6 threads x 2 appends racing on one table: the version-file CAS
+    // decides every race, losers reload + retry (appends commute)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+    val ids =
+      try {
+        val futures = for (t <- 0 until 6; b <- 0 until 2) yield
+          pool.submit(new java.util.concurrent.Callable[Long] {
+            def call(): Long = IcebergWriter.append(spark, root,
+              Seq(((t * 2 + b + 1).toLong, s"w$t-$b")).toDF("id", "v"),
+              None, 1000L + t * 10 + b)
+          })
+        futures.map(_.get(180, java.util.concurrent.TimeUnit.SECONDS))
+      } finally pool.shutdown()
+    assert(ids.distinct.size === 12, "two commits claimed one snapshot id")
+
+    val meta = IcebergMeta.load(root)
+    assert(meta.snapshots.size === 13)
+    // one linear history: sequence numbers are a gapless chain and the
+    // current snapshot's ancestry reaches every commit
+    assert(meta.snapshots.map(_.sequenceNumber).sorted === (1L to 13L))
+    val chain = Iterator.iterate(meta.currentSnapshot) {
+      case Some(s) => s.parentId.flatMap(p => meta.snapshots.find(_.id == p))
+      case None => None
+    }.takeWhile(_.isDefined).flatten.toSeq
+    assert(chain.size === 13, s"ancestry covers ${chain.size} of 13")
+    // no rows lost, no rows doubled
+    assert(IcebergSource.read(spark, root).select("id").as[Long]
+      .collect().sorted.toSeq === (0L to 12L))
+
+    // non-append flavors surface the conflict instead of retrying: a
+    // reservation squatting on the next version makes the CAS refuse
+    val hint = IcebergSource.versionHint(root).get
+    val squat = java.nio.file.Paths.get(root, "metadata",
+      s"v${hint + 1}.metadata.json")
+    java.nio.file.Files.writeString(squat, "not json — abandoned reservation")
+    try {
+      intercept[IcebergWriter.CommitConflictException] {
+        IcebergWriter.deleteEquality(spark, root, Seq(1L).toDF("id"), 9000L)
+      }
+    } finally java.nio.file.Files.delete(squat)
+    // cleanup done: the same delete now commits
+    IcebergWriter.deleteEquality(spark, root, Seq(1L).toDF("id"), 9100L)
+    assert(IcebergSource.read(spark, root).count() === 12)
   }
 
   test("join pruning: dim key range skips fact files at runtime; join result unchanged") {
