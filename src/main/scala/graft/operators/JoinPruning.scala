@@ -53,6 +53,42 @@ object JoinPruning {
     }
   }
 
+  /** The partition-pruned flavor for identity/hidden-partitioned facts:
+    * the dim's DISTINCT key values become a [[IcebergMeta.PartitionIn]]
+    * predicate, so planning opens only the matching partitions'
+    * manifests — stronger than a min/max range when the dim's values are
+    * sparse ("these two event types", "these three days"). The distinct
+    * collect is bounded by the dim (broadcast-small by assumption).
+    */
+  def prunedScanByPartition(
+      spark: SparkSession,
+      tablePath: String,
+      partitionColumn: String,
+      dimKeys: DataFrame,
+      dimKey: String): DataFrame = {
+    val values = dimKeys.select(col(dimKey)).distinct().collect()
+      .map(_.get(0)).toSet
+    if (values.isEmpty)
+      IcebergSource.read(spark, tablePath).filter(lit(false))
+    else
+      IcebergSource.read(spark, tablePath, None, None,
+        Some(IcebergMeta.PartitionIn(partitionColumn, values)))
+  }
+
+  /** [[prunedScanByPartition]] broadcast-joined to the dim. */
+  def joinByPartition(
+      spark: SparkSession,
+      tablePath: String,
+      partitionColumn: String,
+      dimKeys: DataFrame,
+      dimKey: String,
+      joinType: String = "inner"): DataFrame = {
+    val fact = prunedScanByPartition(spark, tablePath, partitionColumn,
+      dimKeys, dimKey)
+    fact.join(broadcast(dimKeys), fact(partitionColumn) === dimKeys(dimKey),
+      joinType)
+  }
+
   /** Convenience: the pruned fact scan broadcast-joined to the dim —
     * file pruning from the dim's RANGE, exact row matching from the
     * join itself. `joinType` as in Dataset.join.

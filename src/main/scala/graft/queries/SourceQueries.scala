@@ -659,6 +659,28 @@ object SourceQueries {
           "FROM part WHERE p_partkey % 4 = 0 ORDER BY p_partkey"
       )
     ),
+    // IN-SET pruning: a multi-value predicate over the identity
+    // partition opens exactly the matching bands' manifests (2 of 4 —
+    // SourcesSpec pins the counts on its own tables) — the shape a
+    // dim-driven fact scan produces ("these two segments"). Band 1 is
+    // in the set AND deleted at the current snapshot, so the oracle's
+    // %4=3 branch also gates that IN-pruning composes with the COW
+    // delete replay.
+    Q(
+      "q_iceberg_inpruned",
+      (s, dir) => {
+        val root = fixtureIcebergTable(s, dir)
+        graft.sources.IcebergSource
+          .read(s, root, None, None,
+            Some(graft.sources.IcebergMeta.PartitionIn("p_band", Set(1, 3))))
+          .select($"p_partkey", $"p_name", $"p_band")
+          .orderBy($"p_partkey")
+      },
+      Some(
+        "SELECT p_partkey, p_name, CAST(p_partkey % 4 AS INT) AS p_band " +
+          "FROM part WHERE p_partkey % 4 = 3 ORDER BY p_partkey"
+      )
+    ),
     // ----- dynamic partition pruning -----------------------------------------
     // The #1 scan-pruning lever at 100 TB: the fact is stored hive-
     // partitioned by month, the quarter filter lives on a tiny dim, and

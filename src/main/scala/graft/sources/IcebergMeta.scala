@@ -167,14 +167,28 @@ object IcebergMeta {
   /** The implicit branch name for the table's current state. */
   val MainBranch = "main"
 
-  /** Partition-pruning equality predicate. `column` may name either the
-    * partition FIELD or its SOURCE column (hidden partitioning: the user
-    * filters `ts = X` without knowing the table is day(ts)-partitioned);
-    * `value` is the SOURCE-typed literal — planning evaluates the
-    * partition transform on it ([[IcebergTransforms]]) before comparing
-    * against manifest summaries and entry tuples.
+  /** Partition-pruning predicate. `column` may name either the partition
+    * FIELD or its SOURCE column (hidden partitioning: the user filters
+    * `ts = X` without knowing the table is day(ts)-partitioned); values
+    * are SOURCE-typed literals — planning evaluates the partition
+    * transform on them ([[IcebergTransforms]]) before comparing against
+    * manifest summaries and entry tuples.
     */
+  sealed trait PartitionPredicate { def column: String }
+
+  /** `column = value`. */
   final case class PartitionEquals(column: String, value: Any)
+    extends PartitionPredicate
+
+  /** `column IN (values)` — the multi-value shape a dim-driven fact scan
+    * produces ("these three months", "these two event types"): manifests
+    * survive if ANY value could be inside their summaries, entries if
+    * their tuple matches ANY value.
+    */
+  final case class PartitionIn(column: String, values: Set[Any])
+    extends PartitionPredicate {
+    require(values.nonEmpty, "PartitionIn needs at least one value")
+  }
 
   final case class DataFile(
       path: String,
@@ -390,7 +404,7 @@ object IcebergMeta {
   def planScan(
       meta: TableMeta,
       snapshot: Snapshot,
-      prune: Option[PartitionEquals] = None,
+      prune: Option[PartitionPredicate] = None,
       fileFilter: Seq[ColumnBound] = Nil): ScanPlan = {
     // Resolve each file filter ONCE: column -> (field id, iceberg type).
     // Unknown column = error (a typo'd filter must not silently read
@@ -432,8 +446,8 @@ object IcebergMeta {
     // not a silent full scan. The predicate literal is transformed once
     // per spec (day/month/bucket/truncate math); downstream comparisons
     // are in transformed space, typed by the transform's result type.
-    def resolveIn(specFields: Seq[PartitionField], p: PartitionEquals)
-        : Option[(Int, PartitionField, Any, String)] = {
+    def resolveIn(specFields: Seq[PartitionField], p: PartitionPredicate)
+        : Option[(Int, PartitionField, Seq[Any], String)] = {
       val idx = specFields.indexWhere(pf =>
         pf.name == p.column ||
           meta.fields.find(_.id == pf.sourceId).exists(_.name == p.column))
@@ -441,9 +455,13 @@ object IcebergMeta {
       else {
         val pf = specFields(idx)
         val sourceType = meta.fieldById(pf.sourceId).typeName
-        val transformed =
-          if (p.value == null) null
-          else IcebergTransforms(pf.transform, sourceType, p.value)
+        val raw = p match {
+          case PartitionEquals(_, v) => Seq(v)
+          case PartitionIn(_, vs) => vs.toSeq
+        }
+        val transformed = raw.map(v =>
+          if (v == null) null else IcebergTransforms(pf.transform, sourceType, v))
+          .distinct
         Some((idx, pf, transformed,
           IcebergTransforms.resultTypeName(pf.transform, sourceType)))
       }
@@ -455,8 +473,8 @@ object IcebergMeta {
           s"(default spec has ${meta.partitionFields.map(_.name).mkString(", ")})")
     }
     val pruneBySpec = scala.collection.mutable.Map
-      .empty[Int, Option[(Int, PartitionField, Any, String)]]
-    def pruneFor(specId: Int): Option[(Int, PartitionField, Any, String)] =
+      .empty[Int, Option[(Int, PartitionField, Seq[Any], String)]]
+    def pruneFor(specId: Int): Option[(Int, PartitionField, Seq[Any], String)] =
       prune.flatMap(p =>
         pruneBySpec.getOrElseUpdate(specId, resolveIn(meta.specFields(specId), p)))
 
@@ -472,8 +490,8 @@ object IcebergMeta {
       // pruned-away file is a no-op — always applying live delete files
       // is conservative-correct; they are KB-scale relative to data.
       val survives = mf.content == 1 || pruneField.forall {
-        case (idx, _, tvalue, ttype) =>
-          manifestMayContain(mf, idx, ttype, tvalue)
+        case (idx, _, tvalues, ttype) =>
+          tvalues.exists(tv => manifestMayContain(mf, idx, ttype, tv))
       }
       if (survives) {
         manifestsRead += 1
@@ -487,8 +505,9 @@ object IcebergMeta {
                 e.dataFile.equalityIds, e.dataFile.sequenceNumber,
                 e.dataFile.recordCount)
             } else {
-              val matches = pruneField.forall { case (_, pf, tvalue, _) =>
-                valueEquals(e.dataFile.partition.get(pf.name).orNull, tvalue)
+              val matches = pruneField.forall { case (_, pf, tvalues, _) =>
+                tvalues.exists(tv =>
+                  valueEquals(e.dataFile.partition.get(pf.name).orNull, tv))
               }
               if (live && matches && fileSurvives(e.dataFile))
                 files += e.dataFile.copy(specId = mf.partitionSpecId)

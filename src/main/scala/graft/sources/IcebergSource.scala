@@ -48,7 +48,7 @@ object IcebergSource {
       tablePath: String,
       snapshotId: Option[Long],
       asOfTimestampMs: Option[Long],
-      prune: Option[IcebergMeta.PartitionEquals],
+      prune: Option[IcebergMeta.PartitionPredicate],
       // file-level data skipping via recorded column min/max bounds —
       // a scan optimization (conservative), the caller still applies
       // the residual row filter
@@ -86,7 +86,7 @@ object IcebergSource {
       tablePath: String,
       snapshotId: Option[Long],
       asOfTimestampMs: Option[Long],
-      prune: Option[IcebergMeta.PartitionEquals],
+      prune: Option[IcebergMeta.PartitionPredicate],
       fileFilter: Seq[IcebergMeta.ColumnBound] = Nil,
       ref: Option[String] = None): DataFrame = {
     val meta = IcebergMeta.load(tablePath)
@@ -506,7 +506,7 @@ object IcebergSource {
       tablePath: String,
       snapshotId: Option[Long] = None,
       asOfTimestampMs: Option[Long] = None,
-      prune: Option[IcebergMeta.PartitionEquals] = None,
+      prune: Option[IcebergMeta.PartitionPredicate] = None,
       fileFilter: Seq[IcebergMeta.ColumnBound] = Nil): IcebergMeta.ScanPlan = {
     val meta = IcebergMeta.load(tablePath)
     val snap = snapshotId.map(meta.snapshotById)

@@ -1770,6 +1770,44 @@ class SourcesSpec extends SparkTestBase {
     assert(empty.schema.fieldNames.toSeq === Seq("k", "grp"))
   }
 
+  test("PartitionIn: a value set opens exactly the matching manifests; transforms apply per value") {
+    import spark.implicits._
+    import graft.operators.JoinPruning
+    val root = tempDir("graft-iceberg-pin")
+    val df = (0 until 40).map(i => (i.toLong, i % 5)).toDF("id", "band")
+    IcebergWriter.append(spark, root, df, Some("band"), 1000L, formatVersion = 2)
+
+    val meta = IcebergMeta.load(root)
+    val plan = IcebergMeta.planScan(meta, meta.currentSnapshot.get,
+      Some(IcebergMeta.PartitionIn("band", Set(1, 3))))
+    assert(plan.manifestsTotal === 5)
+    assert(plan.manifestsRead === 2, s"IN-set should open 2 of 5: $plan")
+    val rows = IcebergSource.read(spark, root, None, None,
+        Some(IcebergMeta.PartitionIn("band", Set(1, 3))))
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(rows === (0L until 40L).filter(i => i % 5 == 1 || i % 5 == 3))
+
+    // the dim-driven composition: distinct dim values -> IN pruning -> join
+    val dim = Seq((1, "one"), (3, "three")).toDF("b", "name")
+    val joined = JoinPruning.joinByPartition(spark, root, "band", dim, "b")
+    assert(joined.count() === 16)
+
+    // hidden partitioning: the transform applies to EACH value (two
+    // instants in the same day collapse to one day partition)
+    val droot = tempDir("graft-iceberg-pin-day")
+    val dd = (0 until 12).map { i =>
+      (i.toLong, java.sql.Date.valueOf(java.time.LocalDate.of(1995, 3, 1 + i % 4)))
+    }.toDF("id", "d")
+    IcebergWriter.appendPartitioned(spark, droot, dd,
+      Some(IcebergWriter.PartitionTransform("d", "day")), 2000L)
+    val dmeta = IcebergMeta.load(droot)
+    val dplan = IcebergMeta.planScan(dmeta, dmeta.currentSnapshot.get,
+      Some(IcebergMeta.PartitionIn("d", Set(
+        java.time.LocalDate.of(1995, 3, 2),
+        java.time.LocalDate.of(1995, 3, 4)))))
+    assert(dplan.manifestsRead === 2, s"day transform per value: $dplan")
+  }
+
   test("changelog: inserts, MoR deletes vs parent state, replace transparency, window refusal") {
     import spark.implicits._
     val root = tempDir("graft-iceberg-changelog")
