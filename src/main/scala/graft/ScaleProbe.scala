@@ -93,7 +93,7 @@ object ScaleProbe {
     val which = args.headOption.getOrElse("all")
     val groups =
       Set("all", "core", "core10x", "core30x", "extras", "dedup", "sim",
-        "text", "events", "serve", "iceberg", "skip")
+        "text", "events", "serve", "iceberg", "skip", "cdc")
     // a typo'd group would otherwise spin up Spark, run NOTHING, and exit
     // 0 — indistinguishable from "probe found nothing"
     require(groups(which), s"unknown probe group '$which' (one of: ${groups.mkString(", ")})")
@@ -113,6 +113,7 @@ object ScaleProbe {
     if (which == "all" || which == "serve") servingScaleProbe(spark)
     if (which == "iceberg") icebergWriteProbe(spark) // not in "all": builds 3M-row tables
     if (which == "skip") dataSkipProbe(spark) // not in "all": builds 3M-row tables
+    if (which == "cdc") cdcProbe(spark) // not in "all": builds 3M-row tables
     spark.stop()
   }
 
@@ -167,6 +168,60 @@ object ScaleProbe {
       val (_, _, s4) = results(2 + i)
       val (_, _, s8) = results(4 + i)
       println(f"${l1.stripSuffix("_64f")}%-16s 4x files: ${s4 / s1}%7.2f   8x files: ${s8 / s1}%7.2f")
+    }
+  }
+
+  /** CDC changelog economics at growing base-table size, driving the
+    * production reader (sources.IcebergSource.readChangelog): a FIXED
+    * churn window (10k-row append + 1k-row equality delete) read back
+    * as a changelog against base tables of 100k / 1M / 3M rows. The
+    * claim under test is the scaladoc's: a poll's cost tracks the
+    * WINDOW's churn, never the table — the changelog walks metadata and
+    * touches only the window's files. The alternative a metadata-less
+    * engine is stuck with — two full scans + EXCEPT both ways — is
+    * timed alongside; it scales with the TABLE and is what the feed
+    * avoids paying per poll.
+    */
+  private def cdcProbe(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.sources.{IcebergSource, IcebergWriter}
+    val base = 100000L
+    val resultsAll = Seq(1L, 1L, 10L, 30L).flatMap { mult =>
+      val n = base * mult
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft-cdc-probe-${mult}x").toString
+      val df = spark.range(n).select(
+        col("id"), concat(lit("value-"), col("id")).as("v"))
+      IcebergWriter.append(spark, root, df, None, 1000L, formatVersion = 2)
+      // fixed churn regardless of base size: one day's delta
+      IcebergWriter.append(spark, root,
+        spark.range(10000).select(
+          (col("id") + n).as("id"), lit("appended").as("v")),
+        None, 2000L)
+      IcebergWriter.deleteEquality(spark, root,
+        spark.range(1000).select((col("id") * (n / 1000)).as("id")), 3000L)
+      val cl = time(s"changelog_${mult}x", n) {
+        val c = IcebergSource.readChangelog(spark, root, 1L).count()
+        require(c == 11000, s"changelog saw $c rows, expected 11000")
+      }
+      val diff = time(s"scan_diff_${mult}x", n) {
+        val cur = IcebergSource.read(spark, root)
+        val old = IcebergSource.read(spark, root, Some(1L), None, None)
+        val ins = cur.except(old).count()
+        val del = old.except(cur).count()
+        require(ins + del == 11000, s"scan diff saw ${ins + del} rows")
+      }
+      Seq(cl, diff)
+    }
+    val results = resultsAll.drop(2) // drop the warmup group
+    println("--- CDC changelog vs full-scan diff at fixed churn (10k ins + 1k del) ---")
+    results.foreach { case (l, rows, s) => println(f"$l%-16s base=$rows%9d  $s%8.2f s") }
+    println("--- time ratios vs 100k base (changelog ~flat; scan diff tracks the table) ---")
+    (0 until 2).foreach { i =>
+      val (l1, _, s1) = results(i)
+      val (_, _, s10) = results(2 + i)
+      val (_, _, s30) = results(4 + i)
+      println(f"${l1.stripSuffix("_1x")}%-16s 10x: ${s10 / s1}%7.2f   30x: ${s30 / s1}%7.2f")
     }
   }
 
