@@ -29,10 +29,26 @@ class GraftSession(val spark: SparkSession) {
     * explicit IcebergSource.read(snapshotId) API; a view pinned to one
     * snapshot would silently go stale, the opposite of a catalog table.)
     */
-  def registerIcebergTable(name: String, tablePath: String): Unit = {
+  def registerIcebergTable(name: String, tablePath: String): Unit =
+    registerIcebergTable(name, tablePath, None)
+
+  /** Catalog view over an Iceberg table that FOLLOWS commits (every
+    * writer commit re-binds the view). `ref` registers a named branch or
+    * tag instead of main — `orders_audit` over the audit branch and
+    * `orders_v1` over a release tag can sit in the catalog next to
+    * `orders`, and SQL (and therefore the serving endpoint) reads
+    * whichever line of history the name points at. Branch views follow
+    * their branch's commits; tag views re-bind to the same pinned
+    * snapshot (a no-op by construction — tags are immutable).
+    */
+  def registerIcebergTable(
+      name: String,
+      tablePath: String,
+      ref: Option[String]): Unit = {
     val abs = java.nio.file.Paths.get(tablePath).toAbsolutePath.toString
     def bind(): Unit = registerTable(
-      name, graft.sources.IcebergSource.read(spark, abs))
+      name, graft.sources.IcebergSource.read(spark, abs, None, None, None,
+        ref = ref))
     bind()
     graft.sources.IcebergWriter.addCommitListener { committed =>
       if (java.nio.file.Paths.get(committed).toAbsolutePath.toString == abs)

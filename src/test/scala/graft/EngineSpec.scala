@@ -348,6 +348,38 @@ class EngineSpec extends SparkTestBase {
       .head().getLong(0) === 11L)
   }
 
+  test("registerIcebergTable: branch and tag views sit in the catalog next to main") {
+    import spark.implicits._
+    import graft.sources.IcebergWriter
+    val root = tempDir("graft-engine-iceberg-refs")
+    IcebergWriter.append(spark, root,
+      (0 until 10).map(i => (i.toLong, s"r$i")).toDF("id", "v"), None, 1000L,
+      formatVersion = 2)
+    IcebergWriter.createTag(root, "rel1", 1500L)
+    IcebergWriter.createBranch(root, "audit", 1600L)
+    session.registerIcebergTable("rt_main", root)
+    session.registerIcebergTable("rt_audit", root, Some("audit"))
+    session.registerIcebergTable("rt_rel1", root, Some("rel1"))
+
+    // a branch commit: the audit view follows, main and the tag don't
+    IcebergWriter.appendToBranch(spark, root,
+      (10 until 15).map(i => (i.toLong, s"a$i")).toDF("id", "v"), "audit", 2000L)
+    def n(t: String): Long =
+      session.execute(s"SELECT count(*) AS n FROM $t").head().getLong(0)
+    assert(n("rt_audit") === 15L)
+    assert(n("rt_main") === 10L)
+    assert(n("rt_rel1") === 10L)
+
+    // publish: main's view follows the fast-forward; the tag stays pinned
+    IcebergWriter.fastForward(root, "audit", 3000L)
+    assert(n("rt_main") === 15L)
+    assert(n("rt_rel1") === 10L)
+    // SQL can join across history lines — the audit-vs-release diff
+    assert(session.execute(
+      "SELECT count(*) AS n FROM rt_main m LEFT ANTI JOIN rt_rel1 r ON m.id = r.id")
+      .head().getLong(0) === 5L)
+  }
+
   test("registerIcebergTable: SQL view follows schema evolution (rename visible, no resurrect)") {
     import spark.implicits._
     import graft.sources.IcebergWriter
