@@ -659,6 +659,27 @@ object SourceQueries {
           "FROM part WHERE p_partkey % 4 = 0 ORDER BY p_partkey"
       )
     ),
+    // METADATA TABLES: per-partition row counts straight from the
+    // manifests' record_count — zero data files opened (the ops view a
+    // 100-TB operator watches instead of scanning). Band 1 is COW-
+    // deleted at the current snapshot, so its files are absent: the
+    // oracle's <> 1 filter gates that the files view reflects the LIVE
+    // set, not the directory contents.
+    Q(
+      "q_iceberg_filestats",
+      (s, dir) => {
+        val root = fixtureIcebergTable(s, dir)
+        graft.sources.IcebergMetaTables.files(s, root)
+          .filter($"content" === 0)
+          .groupBy($"partition"("p_band").cast("int").as("p_band"))
+          .agg(sum($"record_count").as("n_rows"))
+          .orderBy($"p_band")
+      },
+      Some(
+        "SELECT CAST(p_partkey % 4 AS INT) AS p_band, count(*) AS n_rows " +
+          "FROM part WHERE p_partkey % 4 <> 1 GROUP BY 1 ORDER BY p_band"
+      )
+    ),
     // IN-SET pruning: a multi-value predicate over the identity
     // partition opens exactly the matching bands' manifests (2 of 4 —
     // SourcesSpec pins the counts on its own tables) — the shape a

@@ -268,6 +268,18 @@ object IcebergMeta {
     IcebergSource.versionHint(tablePath).exists(v =>
       Files.exists(metadataDir(tablePath).resolve(s"v$v.metadata.json")))
 
+  /** The current metadata json, parsed — for views that need sections
+    * the TableMeta model doesn't carry (e.g. snapshot-log for the
+    * history metadata table).
+    */
+  def metadataJson(tablePath: String): JsonNode = {
+    val version = IcebergSource.versionHint(tablePath).getOrElse(
+      throw new IllegalArgumentException(
+        s"Iceberg table has no metadata/version-hint.text: $tablePath"))
+    mapper.readTree(Files.readString(
+      metadataDir(tablePath).resolve(s"v$version.metadata.json")))
+  }
+
   def load(tablePath: String): TableMeta = {
     val version = IcebergSource.versionHint(tablePath).getOrElse(
       throw new IllegalArgumentException(

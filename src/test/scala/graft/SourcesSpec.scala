@@ -1851,6 +1851,46 @@ class SourcesSpec extends SparkTestBase {
     }.getMessage.contains("ancestor"))
   }
 
+  test("metadata tables: snapshots/history/refs/files/partitions answer ops questions from KB metadata") {
+    import spark.implicits._
+    import graft.sources.IcebergMetaTables
+    val root = tempDir("graft-iceberg-metatables")
+    IcebergWriter.append(spark, root,
+      (0 until 20).map(i => (i.toLong, i % 2)).toDF("id", "band"),
+      Some("band"), 1000L, formatVersion = 2) // s1: 2 partitions
+    IcebergWriter.createTag(root, "v1", 1500L)
+    IcebergWriter.deleteEquality(spark, root, Seq(3L).toDF("id"), 2000L) // s2
+
+    val snaps = IcebergMetaTables.snapshots(spark, root)
+      .select($"snapshot_id", $"operation", $"sequence_number")
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(snaps === Seq((1L, "append", 1L), (2L, "delete", 2L)))
+
+    val hist = IcebergMetaTables.history(spark, root)
+      .select($"snapshot_id", $"is_current_ancestor")
+      .as[(Long, Boolean)].collect().toSeq
+    assert(hist === Seq((1L, true), (2L, true)))
+
+    val refs = IcebergMetaTables.refs(spark, root)
+      .as[(String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(refs === Seq(("main", "branch", 2L), ("v1", "tag", 1L)))
+
+    // files: 2 data files (one per band) + the live equality-delete file;
+    // the delete row is the compaction-debt signal
+    val files = IcebergMetaTables.files(spark, root)
+    assert(files.filter($"content" === 0).count() >= 2)
+    assert(files.filter($"content" === 2).count() === 1)
+    // per-partition rollup: record counts per band, no data file opened
+    val parts = IcebergMetaTables.partitions(spark, root)
+      .select($"partition"("band").cast("int").as("b"), $"record_count")
+      .as[(Int, Long)].collect().sortBy(_._1).toSeq
+    assert(parts === Seq((0, 10L), (1, 10L)))
+
+    // time-travel: files at the tagged snapshot have no delete file
+    assert(IcebergMetaTables.files(spark, root, Some(1L))
+      .filter($"content" =!= 0).count() === 0)
+  }
+
   test("refs: write-audit-publish — branch commits, tag pins, fast-forward, expiry protection") {
     import spark.implicits._
     val root = tempDir("graft-iceberg-refs")
