@@ -617,6 +617,67 @@ class StreamingSpec extends SparkTestBase {
     assert(windowSum === total)
   }
 
+  test("CDC replication: a feed-driven mirror converges to the source across deletes and a crash replay") {
+    import spark.implicits._
+    import graft.sources.{IcebergSource, IcebergWriter}
+    val src = tempDir("graft-cdcrepl-src")
+    val mirror = tempDir("graft-cdcrepl-mirror") + "/table"
+    val state = tempDir("graft-cdcrepl-state") + "/cursor"
+    var clock = 10000L
+    def ts(): Long = { clock += 1; clock }
+
+    // the consumer: deletes -> equality delete, inserts -> upsert. Both
+    // are LOGICALLY idempotent (re-deleting a dead key and re-upserting
+    // the same row reproduce the same state), so a re-delivered window
+    // converges — the at-least-once-to-exactly-once contract without
+    // any bookkeeping beyond the feed's own cursor.
+    val apply: (org.apache.spark.sql.DataFrame, Long) => Unit = (changes, _) => {
+      val del = changes.filter($"_change_type" === "delete").select($"id")
+      if (!del.isEmpty) IcebergWriter.deleteEquality(spark, mirror, del, ts())
+      val ins = changes.filter($"_change_type" === "insert")
+        .select($"id", $"v")
+      if (!ins.isEmpty) {
+        if (!graft.sources.IcebergMeta.hasMetadata(mirror))
+          IcebergWriter.append(spark, mirror, ins, None, ts(), formatVersion = 2)
+        else IcebergWriter.upsertRows(spark, mirror, ins, "id", ts()): Unit
+      }
+    }
+    def srcRows() = IcebergSource.read(spark, src)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    def mirrorRows() = IcebergSource.read(spark, mirror)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+
+    // window 1: initial corpus
+    IcebergWriter.append(spark, src,
+      (0 until 10).map(i => (i.toLong, s"v$i")).toDF("id", "v"),
+      None, 1000L, formatVersion = 2)
+    IcebergChangeFeed.drain(spark, src, state)(apply)
+    assert(mirrorRows() === srcRows())
+
+    // window 2: updates (delete+insert pairs via MERGE), pure deletes,
+    // and fresh inserts — all through one poll
+    IcebergWriter.mergeRows(spark, src,
+      Seq((3L, "v3-updated"), (20L, "v20")).toDF("id", "v"), "id", 2000L)
+    IcebergWriter.deleteEquality(spark, src, Seq(7L).toDF("id"), 3000L)
+    IcebergChangeFeed.drain(spark, src, state)(apply)
+    assert(mirrorRows() === srcRows())
+    assert(mirrorRows().exists(r => r._1 == 3L && r._2 == "v3-updated"))
+    assert(!mirrorRows().exists(_._1 == 7L))
+
+    // crash replay: apply the window but crash BEFORE the cursor write,
+    // then re-poll — the window re-applies and the mirror still matches
+    IcebergWriter.mergeRows(spark, src,
+      Seq((4L, "v4-updated")).toDF("id", "v"), "id", 4000L)
+    intercept[RuntimeException] {
+      IcebergChangeFeed.poll(spark, src, state) { (changes, toId) =>
+        apply(changes, toId)
+        throw new RuntimeException("crash after effect, before cursor")
+      }
+    }
+    IcebergChangeFeed.drain(spark, src, state)(apply)
+    assert(mirrorRows() === srcRows())
+  }
+
   test("change feed: windows deliver once, crashes re-deliver, publishes surface on poll") {
     import spark.implicits._
     import graft.sources.IcebergWriter
