@@ -256,8 +256,12 @@ object IcebergWriter {
             // bounded, not unbounded: each lost race means some OTHER
             // writer committed, so progress is global and a livelocked
             // append means something is abandoning reservations — refuse
-            // loudly after enough evidence
+            // loudly after enough evidence. Linear backoff keeps a loser
+            // from burning its attempts while the winner is still
+            // between reserving the version file and flipping the hint
+            // (the window where every retry re-targets the same version).
             if (attempt >= 20) throw e
+            Thread.sleep(5L * attempt)
         }
       }
     } finally deleteRecursively(staging)

@@ -334,16 +334,23 @@ class SourcesSpec extends SparkTestBase {
     // not an empty scan
     val meta = IcebergMeta.load(root)
     val snap = meta.currentSnapshot.get
+    // remove EVERY snapshot-1 manifest: band 1's original is legitimately
+    // unreferenced after the COW delete-rewrite, but bands 0/2 are live —
+    // with all gone, planning must hit a missing referenced manifest
     val lists = Files.list(metaDir)
-    val manifest0 =
-      try lists.filter(p => p.getFileName.toString.startsWith("manifest-00001"))
-        .findFirst().get()
-      finally lists.close()
-    val bytes = Files.readAllBytes(manifest0)
-    Files.delete(manifest0)
+    val manifests1 =
+      try {
+        import scala.jdk.CollectionConverters._
+        lists.iterator().asScala
+          .filter(_.getFileName.toString.startsWith("manifest-00001"))
+          .toSeq
+      } finally lists.close()
+    assert(manifests1.nonEmpty, "fixture lost its snapshot-1 manifests")
+    val saved = manifests1.map(p => p -> Files.readAllBytes(p))
+    manifests1.foreach(Files.delete)
     try intercept[IllegalArgumentException] {
       IcebergMeta.planScan(meta, snap)
-    } finally Files.write(manifest0, bytes)
+    } finally saved.foreach { case (p, b) => Files.write(p, b): Unit }
     // restored: scan works again
     assert(IcebergMeta.planScan(meta, snap).files.nonEmpty)
   }
