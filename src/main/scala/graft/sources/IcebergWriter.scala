@@ -1571,6 +1571,49 @@ object IcebergWriter {
     head
   }
 
+  /** ROLLBACK: move main back to an ANCESTOR snapshot — the "yesterday's
+    * commit poisoned the table" undo. Metadata-only and instant: the
+    * rolled-past snapshots stay in history (still time-travelable, and
+    * [[IcebergMetaTables.history]] shows them with is_current_ancestor =
+    * false) until expiry reclaims them. The target must be on main's
+    * ancestry — moving FORWARD is [[fastForward]]'s job, and moving onto
+    * a branch snapshot needs an explicit publish, not a "rollback". A
+    * later append parents at the rollback target, diverging history
+    * exactly like git reset + commit. Returns the new current id.
+    */
+  def rollbackTo(
+      tablePath: String,
+      snapshotId: Long,
+      timestampMs: Long): Long = {
+    val meta = IcebergMeta.load(tablePath)
+    val current = meta.currentSnapshot.getOrElse(
+      throw new IllegalStateException("table has no current snapshot"))
+    meta.snapshotById(snapshotId): Unit // unknown id: the standard error
+    val ancestors = Iterator.iterate(Option(current)) {
+      case Some(s) => s.parentId.flatMap(p => meta.snapshots.find(_.id == p))
+      case None => None
+    }.takeWhile(_.isDefined).flatten.map(_.id).toSet
+    require(ancestors.contains(snapshotId),
+      s"snapshot $snapshotId is not an ancestor of the current snapshot " +
+        s"(${current.id}) — rollback only moves main BACK along its own " +
+        "history (fastForward publishes a branch)")
+    if (snapshotId == current.id) return snapshotId
+
+    val baseVersion = meta.loadedVersion
+    val root = meta.root
+    val node = mapper.readTree(Files.readString(
+      root.resolve("metadata").resolve(s"v$baseVersion.metadata.json")))
+      .asInstanceOf[ObjectNode]
+    node.put("current-snapshot-id", snapshotId)
+    node.put("last-updated-ms", timestampMs)
+    val log = node.withArray[ArrayNode]("snapshot-log").addObject()
+    log.put("snapshot-id", snapshotId)
+    log.put("timestamp-ms", timestampMs)
+    commitMetadataJson(root, baseVersion + 1, node, s"rollback-$snapshotId")
+    notifyCommit(root.toString)
+    snapshotId
+  }
+
   /** Branch append with the table's own partition spec (the declared-
     * partitions match gate is satisfied from metadata, so callers don't
     * restate the layout). The WAP write step.

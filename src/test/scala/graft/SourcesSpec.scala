@@ -1858,6 +1858,44 @@ class SourcesSpec extends SparkTestBase {
     }.getMessage.contains("ancestor"))
   }
 
+  test("rollback: main moves back along its own ancestry; later commits diverge like git reset") {
+    import spark.implicits._
+    import graft.sources.IcebergMetaTables
+    val root = tempDir("graft-iceberg-rollback")
+    IcebergWriter.append(spark, root,
+      (0 until 5).map(i => (i.toLong, s"v$i")).toDF("id", "v"),
+      None, 1000L, formatVersion = 2) // s1
+    IcebergWriter.append(spark, root,
+      Seq((10L, "bad")).toDF("id", "v"), None, 2000L) // s2: the poison
+    IcebergWriter.deleteEquality(spark, root, Seq(0L).toDF("id"), 3000L) // s3
+
+    assert(IcebergWriter.rollbackTo(root, 1L, 4000L) === 1L)
+    assert(IcebergSource.read(spark, root).select("id").as[Long]
+      .collect().sorted.toSeq === (0L until 5L))
+    // rolled-past commits stay time-travelable but are no longer current
+    // ancestors
+    assert(IcebergSource.read(spark, root, Some(3L), None, None).count() === 5)
+    val hist = IcebergMetaTables.history(spark, root)
+      .select($"snapshot_id", $"is_current_ancestor")
+      .as[(Long, Boolean)].collect().toSeq
+    assert(hist === Seq((1L, true), (2L, false), (3L, false), (1L, true)))
+
+    // a post-rollback append parents at the rollback target
+    IcebergWriter.append(spark, root, Seq((20L, "fresh")).toDF("id", "v"),
+      None, 5000L) // s4
+    val meta = IcebergMeta.load(root)
+    assert(meta.snapshotById(4L).parentId === Some(1L))
+    assert(IcebergSource.read(spark, root).count() === 6)
+
+    // refusals: forward moves and unknown ids
+    assert(intercept[IllegalArgumentException] {
+      IcebergWriter.rollbackTo(root, 3L, 6000L)
+    }.getMessage.contains("ancestor"))
+    intercept[IllegalArgumentException] {
+      IcebergWriter.rollbackTo(root, 99L, 6000L)
+    }
+  }
+
   test("metadata tables: snapshots/history/refs/files/partitions answer ops questions from KB metadata") {
     import spark.implicits._
     import graft.sources.IcebergMetaTables
