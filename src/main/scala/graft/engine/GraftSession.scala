@@ -56,6 +56,28 @@ class GraftSession(val spark: SparkSession) {
     }
   }
 
+  /** The table's metadata tables as catalog views — `<name>_snapshots`,
+    * `_history`, `_refs`, `_files`, `_partitions` — re-bound on every
+    * commit like the data view, so `SELECT * FROM orders_partitions`
+    * always describes the current snapshot. The ops surface in SQL.
+    */
+  def registerIcebergMetaTables(name: String, tablePath: String): Unit = {
+    val abs = java.nio.file.Paths.get(tablePath).toAbsolutePath.toString
+    import graft.sources.IcebergMetaTables
+    def bind(): Unit = {
+      registerTable(s"${name}_snapshots", IcebergMetaTables.snapshots(spark, abs))
+      registerTable(s"${name}_history", IcebergMetaTables.history(spark, abs))
+      registerTable(s"${name}_refs", IcebergMetaTables.refs(spark, abs))
+      registerTable(s"${name}_files", IcebergMetaTables.files(spark, abs))
+      registerTable(s"${name}_partitions", IcebergMetaTables.partitions(spark, abs))
+    }
+    bind()
+    graft.sources.IcebergWriter.addCommitListener { committed =>
+      if (java.nio.file.Paths.get(committed).toAbsolutePath.toString == abs)
+        bind()
+    }
+  }
+
   def registerTable(name: String, df: DataFrame): Unit =
     df.createOrReplaceTempView(name)
 

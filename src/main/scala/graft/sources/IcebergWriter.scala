@@ -865,10 +865,16 @@ object IcebergWriter {
       updates: DataFrame,
       key: String,
       timestampMs: Long,
-      faultHook: String => Unit = _ => ()): Long = {
+      faultHook: String => Unit = _ => (),
+      // Some(name): the MERGE lands on that branch — matched positions
+      // are computed against the BRANCH head's state and only the branch
+      // ref advances. The audit half of a CDC write-audit-publish flow.
+      branch: Option[String] = None): Long = {
     val meta = IcebergMeta.load(tablePath)
     require(meta.formatVersion == 2,
       s"mergeRows requires a v2 table; this one is v${meta.formatVersion}")
+    branch.foreach(b => require(meta.refs.get(b).exists(_.refType == "branch"),
+      s"ref '$b' is not an existing branch (createBranch first)"))
     // partitioned tables supported: new data files are laid out under
     // the table's recorded spec; the position-delete file stays
     // table-wide (delete manifests are never pruned, conservative-correct)
@@ -879,10 +885,11 @@ object IcebergWriter {
 
     val baseVersion = Some(meta.loadedVersion)
     val root = meta.root
-    // current-snapshot guard BEFORE snapshots.max: an empty snapshots
+    // head-snapshot guard BEFORE snapshots.max: an empty snapshots
     // array must fail with the intended message, not empty.max
-    val snap = meta.currentSnapshot.getOrElse(
-      throw new IllegalStateException("table has no current snapshot"))
+    val snap = branch.map(meta.snapshotByRef).orElse(meta.currentSnapshot)
+      .getOrElse(
+        throw new IllegalStateException("table has no current snapshot"))
     val snapshotId = meta.snapshots.map(_.id).max + 1L
     val plan = IcebergMeta.planScan(meta, snap)
     require(plan.files.nonEmpty, "table has no live data files to merge into")
@@ -962,11 +969,12 @@ object IcebergWriter {
     }
     faultHook("manifests-written")
 
-    val carried = IcebergMeta.readManifestListFile(
-      root, currentManifestList(meta).toString)
+    // carried manifests come from the head this commit extends (the
+    // branch's for branch merges — same discipline as appendImpl)
+    val carried = IcebergMeta.readManifestListFile(root, snap.manifestList)
     commitSnapshot(spark, root, schema, Nil, Some(meta), baseVersion,
       snapshotId, timestampMs, carried ++ delManifest.toSeq ++ dataManifests,
-      operation = "overwrite", formatVersion = 2)
+      operation = "overwrite", formatVersion = 2, branch = branch)
     snapshotId
   }
 
@@ -989,17 +997,24 @@ object IcebergWriter {
       updates: DataFrame,
       key: String,
       timestampMs: Long,
-      faultHook: String => Unit = _ => ()): Long = {
+      faultHook: String => Unit = _ => (),
+      // Some(name): the UPSERT lands on that branch (sequence scoping
+      // reaches the branch's files; only the branch ref advances) — the
+      // O(|updates|) CDC commit staged for audit before publish.
+      branch: Option[String] = None): Long = {
     val meta = IcebergMeta.load(tablePath)
     require(meta.formatVersion == 2,
       s"upsertRows requires a v2 table; this one is v${meta.formatVersion}")
+    branch.foreach(b => require(meta.refs.get(b).exists(_.refType == "branch"),
+      s"ref '$b' is not an existing branch (createBranch first)"))
     val partition = specTransforms(meta)
     validateSchemaAgainstTable(meta, updates.schema, "Upsert")
     val keyField = meta.fields.find(_.name == key).getOrElse(
       throw new IllegalArgumentException(
         s"upsert key '$key' is not in the table schema"))
-    require(meta.currentSnapshot.isDefined,
-      "table has no current snapshot (append first, then upsert)")
+    val head = branch.map(meta.snapshotByRef).orElse(meta.currentSnapshot)
+      .getOrElse(throw new IllegalStateException(
+        "table has no current snapshot (append first, then upsert)"))
 
     val baseVersion = Some(meta.loadedVersion)
     val root = meta.root
@@ -1073,12 +1088,11 @@ object IcebergWriter {
     }
     faultHook("manifests-written")
 
-    val carried = IcebergMeta.readManifestListFile(
-      root, currentManifestList(meta).toString)
+    val carried = IcebergMeta.readManifestListFile(root, head.manifestList)
     commitSnapshot(spark, root, IcebergMeta.sparkSchema(meta), Nil,
       Some(meta), baseVersion, snapshotId, timestampMs,
       carried ++ delManifest.toSeq ++ dataManifests,
-      operation = "overwrite", formatVersion = 2)
+      operation = "overwrite", formatVersion = 2, branch = branch)
     snapshotId
   }
 

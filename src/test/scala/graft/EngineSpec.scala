@@ -348,6 +348,28 @@ class EngineSpec extends SparkTestBase {
       .head().getLong(0) === 11L)
   }
 
+  test("registerIcebergMetaTables: the ops views answer SQL and follow commits") {
+    import spark.implicits._
+    import graft.sources.IcebergWriter
+    val root = tempDir("graft-engine-metatables")
+    IcebergWriter.append(spark, root,
+      (0 until 8).map(i => (i.toLong, i % 2)).toDF("id", "band"),
+      Some("band"), 1000L, formatVersion = 2)
+    session.registerIcebergMetaTables("mt", root)
+    assert(session.execute(
+      "SELECT count(*) AS n FROM mt_snapshots").head().getLong(0) === 1L)
+    assert(session.execute(
+      "SELECT sum(record_count) AS n FROM mt_partitions").head().getLong(0) === 8L)
+    // a commit re-binds every view: the delete file shows up in files,
+    // the new snapshot in snapshots
+    IcebergWriter.deleteEquality(spark, root, Seq(3L).toDF("id"), 2000L)
+    assert(session.execute(
+      "SELECT count(*) AS n FROM mt_snapshots").head().getLong(0) === 2L)
+    assert(session.execute(
+      "SELECT count(*) AS n FROM mt_files WHERE content = 2")
+      .head().getLong(0) === 1L)
+  }
+
   test("registerIcebergTable: branch and tag views sit in the catalog next to main") {
     import spark.implicits._
     import graft.sources.IcebergWriter

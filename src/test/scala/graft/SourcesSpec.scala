@@ -1858,6 +1858,48 @@ class SourcesSpec extends SparkTestBase {
     }.getMessage.contains("ancestor"))
   }
 
+  test("branch MERGE/UPSERT: row-level writes audit on a branch, publish atomically") {
+    import spark.implicits._
+    val root = tempDir("graft-iceberg-branchwrite")
+    IcebergWriter.append(spark, root,
+      (0 until 10).map(i => (i.toLong, s"v$i")).toDF("id", "v"),
+      None, 1000L, formatVersion = 2) // s1
+    IcebergWriter.createBranch(root, "audit", 1500L)
+
+    // UPSERT on the branch: O(|updates|) CDC commit, main untouched
+    IcebergWriter.upsertRows(spark, root,
+      Seq((3L, "v3-up"), (20L, "v20")).toDF("id", "v"), "id", 2000L,
+      branch = Some("audit")) // s2
+    // MERGE on the branch: matched positions computed against the
+    // BRANCH state — it must see the s2 upsert (v3-up), not main's v3
+    IcebergWriter.mergeRows(spark, root,
+      Seq((20L, "v20-m"), (30L, "v30")).toDF("id", "v"), "id", 3000L,
+      branch = Some("audit")) // s3
+
+    def rows(ref: Option[String]) = IcebergSource
+      .read(spark, root, None, None, None, ref = ref)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    val expectAudit = (0L until 10L).map(i =>
+      (i, if (i == 3) "v3-up" else s"v$i")) ++ Seq((20L, "v20-m"), (30L, "v30"))
+    assert(rows(Some("audit")) === expectAudit)
+    assert(rows(None) === (0L until 10L).map(i => (i, s"v$i")))
+
+    // guards: tags and unknown refs refuse
+    IcebergWriter.createTag(root, "pin", 3500L)
+    intercept[IllegalArgumentException] {
+      IcebergWriter.upsertRows(spark, root, Seq((1L, "x")).toDF("id", "v"),
+        "id", 4000L, branch = Some("pin"))
+    }
+    intercept[IllegalArgumentException] {
+      IcebergWriter.mergeRows(spark, root, Seq((1L, "x")).toDF("id", "v"),
+        "id", 4000L, branch = Some("nope"))
+    }
+
+    // publish: one atomic flip exposes the audited row-level state
+    IcebergWriter.fastForward(root, "audit", 5000L)
+    assert(rows(None) === expectAudit)
+  }
+
   test("rollback: main moves back along its own ancestry; later commits diverge like git reset") {
     import spark.implicits._
     import graft.sources.IcebergMetaTables
