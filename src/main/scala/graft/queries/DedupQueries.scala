@@ -462,6 +462,92 @@ object DedupQueries {
         embeddingNearDup(s2, dir, lshHint = true)
       },
       Some(embeddingNearDupOracle)
+    ),
+    // ----- paragraph-level exact dedup -------------------------------------
+    // The sub-document pass (C4/Dolma style): duplicated PARAGRAPHS are
+    // removed corpus-wide while their host documents survive — boilerplate
+    // headers/footers die without dropping the page. The fixture corpus has
+    // no newlines, so a "paragraph" is a fixed 25-token chunk (the same
+    // arithmetic as q_text_chunk, stride == length); on real text the
+    // split-on-blank-line tokenizer is the only change. First occurrence
+    // in (doc_id, para_idx) order wins; every later copy — across docs OR
+    // within one — is dropped, and each doc is reassembled from its kept
+    // paragraphs in original order.
+    //
+    // Scale shape (the part that must survive 100 TB): the global
+    // winner-election window shuffles ONLY (md5, doc_id, para_idx) — 32-byte
+    // digests, never paragraph text; the per-doc kept-index SETS (a handful
+    // of ints per doc) then join back to the documents on doc_id, so
+    // paragraph text moves exactly once, in the reassembly join. No
+    // explode of text, no text in the window state.
+    Q(
+      "q_dedup_paragraph",
+      (s, dir) => {
+        val paraLen = 25
+        val docs = t(s, dir, "documents")
+          .select($"doc_id", TextOps.tokens($"text").as("ws"))
+          .filter(size($"ws") >= 1)
+          .select(
+            $"doc_id",
+            transform(
+              sequence(lit(0), expr(s"(size(ws) - 1) div $paraLen")),
+              i => concat_ws(" ", slice($"ws", i * paraLen + 1, lit(paraLen)))
+            ).as("paras")
+          )
+        // hash-only rows for the election: text stays behind in `docs`
+        val keys = docs.select(
+          $"doc_id",
+          posexplode($"paras")
+        ).select($"doc_id", $"pos".cast("bigint").as("para_idx"), md5($"col").as("h"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"h").orderBy($"doc_id", $"para_idx")
+        val keptSets = keys
+          .withColumn("rn", row_number().over(w))
+          .groupBy($"doc_id")
+          .agg(
+            count(lit(1)).cast("bigint").as("n_paras"),
+            // collect_list skips nulls: kept indices only
+            collect_list(when($"rn" === 1, $"para_idx")).as("kept_idx")
+          )
+        docs
+          .join(keptSets, Seq("doc_id"))
+          .select(
+            $"doc_id",
+            $"n_paras",
+            size($"kept_idx").cast("bigint").as("n_kept"),
+            array_join(
+              transform(array_sort($"kept_idx"),
+                i => element_at($"paras", (i + 1).cast("int"))),
+              " ").as("clean_text")
+          )
+          .orderBy($"doc_id")
+      },
+      Some(
+        """WITH toks AS (
+          |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS ws
+          |  FROM documents
+          |), lists AS (
+          |  SELECT doc_id,
+          |         [array_to_string(ws[i*25+1 : i*25+25], ' ')
+          |          for i in range(0, (len(ws)-1)//25 + 1)] AS paras
+          |  FROM toks WHERE len(ws) >= 1
+          |), flat AS (
+          |  SELECT doc_id, unnest(paras) AS para,
+          |         CAST(generate_subscripts(paras, 1) - 1 AS BIGINT) AS para_idx
+          |  FROM lists
+          |), ranked AS (
+          |  SELECT doc_id, para_idx, para,
+          |         row_number() OVER (PARTITION BY md5(para)
+          |                            ORDER BY doc_id, para_idx) AS rn
+          |  FROM flat
+          |)
+          |SELECT doc_id,
+          |  CAST(count(*) AS BIGINT) AS n_paras,
+          |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+          |  coalesce(string_agg(CASE WHEN rn = 1 THEN para END, ' '
+          |                      ORDER BY para_idx), '') AS clean_text
+          |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      )
     )
   )
 

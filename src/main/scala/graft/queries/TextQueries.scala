@@ -689,6 +689,86 @@ object TextQueries {
           |    '\b(the|a|of|and|to|in|is)\b', '', 'g'), '\s+', ' ', 'g')) AS clean
           |FROM documents WHERE doc_id < 20 ORDER BY doc_id""".stripMargin
       )
+    ),
+    // ----- PII redaction ---------------------------------------------------
+    // The privacy pass every training pipeline runs before text leaves the
+    // lake: emails, SSN-shaped ids, IPv4s, and phone numbers replaced by
+    // typed placeholder tokens, with per-doc match counts for the audit
+    // trail. The fixture corpus is synthetic word soup with no PII, so the
+    // query plants deterministic PII derived from doc_id in BOTH engines
+    // (same trick as the derived partsupp) — the redaction regexes then do
+    // real work and the hash gate proves Java regex and RE2 agree on this
+    // pattern class. Redaction order matters and is fixed: email first
+    // (digit-bearing local parts), then SSN, then IP, then phone — the
+    // earlier placeholders carry no digits, so later patterns cannot
+    // re-match inside them. Counts are measured on the raw planted text
+    // with the same patterns, before any replacement.
+    // Scale: one codegen'd per-row pass, no shuffle except the final sort.
+    Q(
+      "q_text_redact",
+      (s, dir) => {
+        val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val ssn = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+        val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+        val phone = "\\(?\\d{3}\\)?[-. ]\\d{3}[-. ]?\\d{4}"
+        t(s, dir, "documents")
+          .filter($"doc_id" < 40)
+          .select(
+            $"doc_id",
+            concat(
+              substring($"text", 1, 40),
+              lit(" contact user"), $"doc_id".cast("string"),
+              lit("@example.com or ops+"), $"doc_id".cast("string"),
+              lit("@mail.co call (415) 555-"),
+              lpad(($"doc_id" % 10000).cast("string"), 4, "0"),
+              lit(" ssn 123-45-"),
+              lpad(($"doc_id" % 10000).cast("string"), 4, "0"),
+              lit(" from 10.0."), ($"doc_id" % 256).cast("string"),
+              lit("."), (($"doc_id" * 7) % 256).cast("string")
+            ).as("pii")
+          )
+          .select(
+            $"doc_id",
+            regexp_count($"pii", lit(email)).cast("bigint").as("n_email"),
+            regexp_count($"pii", lit(ssn)).cast("bigint").as("n_ssn"),
+            regexp_count($"pii", lit(ip)).cast("bigint").as("n_ip"),
+            regexp_count($"pii", lit(phone)).cast("bigint").as("n_phone"),
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace($"pii", email, "<EMAIL>"),
+                  ssn, "<ID>"),
+                ip, "<IP>"),
+              phone, "<PHONE>").as("clean")
+          )
+          .orderBy($"doc_id")
+      },
+      Some(
+        """WITH pii AS (
+          |  SELECT doc_id,
+          |    substring(text, 1, 40)
+          |      || ' contact user' || CAST(doc_id AS VARCHAR)
+          |      || '@example.com or ops+' || CAST(doc_id AS VARCHAR)
+          |      || '@mail.co call (415) 555-'
+          |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+          |      || ' ssn 123-45-'
+          |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+          |      || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+          |      || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) AS pii
+          |  FROM documents WHERE doc_id < 40
+          |)
+          |SELECT doc_id,
+          |  CAST(len(regexp_extract_all(pii, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+          |  CAST(len(regexp_extract_all(pii, '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ssn,
+          |  CAST(len(regexp_extract_all(pii, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+          |  CAST(len(regexp_extract_all(pii, '\(?\d{3}\)?[-. ]\d{3}[-. ]?\d{4}')) AS BIGINT) AS n_phone,
+          |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(pii,
+          |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          |    '\b\d{3}-\d{2}-\d{4}\b', '<ID>', 'g'),
+          |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+          |    '\(?\d{3}\)?[-. ]\d{3}[-. ]?\d{4}', '<PHONE>', 'g') AS clean
+          |FROM pii ORDER BY doc_id""".stripMargin
+      )
     )
   )
 

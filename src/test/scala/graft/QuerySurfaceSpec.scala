@@ -77,6 +77,61 @@ class QuerySurfaceSpec extends SparkTestBase {
     }
   }
 
+  test("PII redaction leaves no unredacted PII and counts every planted item") {
+    val rows = Registry.byName("q_text_redact")
+      .fn(spark, SparkTestBase.Sf0001)
+      .collect()
+    assert(rows.length === 40)
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}".r
+    val ssn = "\\b\\d{3}-\\d{2}-\\d{4}\\b".r
+    val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b".r
+    val phone = "\\(?\\d{3}\\)?[-. ]\\d{3}[-. ]?\\d{4}".r
+    rows.foreach { r =>
+      // counts see the planted items: 2 emails, 1 ssn, 1 ip, 1 phone
+      assert(r.getLong(1) === 2L, s"doc ${r.get(0)}: n_email")
+      assert(r.getLong(2) === 1L, s"doc ${r.get(0)}: n_ssn")
+      assert(r.getLong(3) === 1L, s"doc ${r.get(0)}: n_ip")
+      assert(r.getLong(4) === 1L, s"doc ${r.get(0)}: n_phone")
+      // the clean text carries the placeholders and zero residual matches
+      val clean = r.getString(5)
+      Seq("<EMAIL>", "<ID>", "<IP>", "<PHONE>").foreach(tok =>
+        assert(clean.contains(tok), s"doc ${r.get(0)}: missing $tok"))
+      Seq(email, ssn, ip, phone).foreach(p =>
+        assert(p.findFirstIn(clean).isEmpty,
+          s"doc ${r.get(0)}: unredacted PII in: $clean"))
+    }
+  }
+
+  test("paragraph dedup: every distinct paragraph survives exactly once, docs reassemble in order") {
+    import org.apache.spark.sql.functions.col
+    val rows = Registry.byName("q_dedup_paragraph")
+      .fn(spark, SparkTestBase.Sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // independent model: chunk each doc's tokens by 25, first occurrence wins
+    val docs = graft.queries.QueryUtil
+      .t(spark, SparkTestBase.Sf0001, "documents")
+      .select(col("doc_id"), col("text"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase.split("\\s+").toSeq)
+      .sortBy(_._1)
+    val seen = collection.mutable.Set[String]()
+    val model = docs.map { case (id, ws) =>
+      val paras = ws.grouped(25).map(_.mkString(" ")).toSeq
+      val kept = paras.filter(p => seen.add(p))
+      (id, paras.size.toLong, kept, kept.mkString(" "))
+    }
+    assert(rows.toSeq === model.map(m => (m._1, m._2, m._3.size.toLong, m._4)).toSeq)
+    // corpus-wide invariant: the kept paragraphs are pairwise distinct and
+    // cover every distinct paragraph in the corpus
+    val allParas = docs.flatMap { case (_, ws) => ws.grouped(25).map(_.mkString(" ")) }
+    val keptParas = model.flatMap(_._3)
+    assert(keptParas.distinct.size === keptParas.size)
+    assert(keptParas.toSet === allParas.toSet)
+    // the fixture really exercises the operator: some doc must lose a paragraph
+    assert(rows.exists { case (_, n, k, _) => k < n })
+  }
+
   test("filter composition commutes (ScalaCheck generators, fixed seeds)") {
     import spark.implicits._
     val df = (1 to 200).toDF("x").cache()
