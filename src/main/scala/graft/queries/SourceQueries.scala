@@ -106,6 +106,55 @@ object SourceQueries {
     root.toString
   }
 
+  /** Materialize (once per fixture dir + process) a MANIFEST-REWRITTEN
+    * v2 table: snapshots 1-3 are the MoR shape (append all, equality-
+    * delete band 2, re-append the band-2 p_size>30 rows); snapshot 4 is
+    * [[graft.sources.IcebergWriter.rewriteManifests]] — metadata-only
+    * consolidation carrying every entry as EXISTING with its ORIGINAL
+    * sequence number; snapshot 5 appends post-rewrite rows. The read
+    * gates exactly what a broken rewrite would corrupt: the carried
+    * eq-delete must still reach ONLY seq-1 data (band-2 base rows dead,
+    * seq-3 re-appends alive) after its manifest was rewritten.
+    */
+  private def fixtureIcebergManifestsTable(
+      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    import graft.sources.IcebergWriter
+    val root = graft.engine.TempDirs.workspace("graft-iceberg", "manifests", dir)
+    graft.engine.TempDirs.materializeOnce(root)(
+      java.nio.file.Files.exists(
+        root.resolve("metadata").resolve("v5.metadata.json"))
+    ) {
+      if (java.nio.file.Files.exists(root)) {
+        val walk = java.nio.file.Files.walk(root)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+        finally walk.close()
+      }
+      val df = t(s, dir, "part")
+        .select(col("p_partkey"), col("p_name"), col("p_size"))
+        .withColumn("p_band", (col("p_partkey") % 4).cast("int"))
+      val kT = df.schema("p_partkey").dataType
+      val sT = df.schema("p_size").dataType
+      IcebergWriter.append(s, root.toString, df, None,
+        timestampMs = 1000L, formatVersion = 2)
+      import s.implicits._
+      IcebergWriter.deleteEquality(s, root.toString,
+        Seq(2).toDF("p_band"), timestampMs = 2000L)
+      IcebergWriter.append(s, root.toString,
+        df.filter(col("p_band") === 2 && col("p_size") > 30),
+        None, timestampMs = 3000L)
+      IcebergWriter.rewriteManifests(s, root.toString, timestampMs = 4000L)
+      IcebergWriter.append(s, root.toString,
+        df.filter(col("p_partkey") % 17 === 0).select(
+          (col("p_partkey") + 3000000L).cast(kT).as("p_partkey"),
+          concat(lit("post-"), col("p_partkey")).as("p_name"),
+          lit(5).cast(sT).as("p_size"),
+          lit(9).cast("int").as("p_band")),
+        None, timestampMs = 5000L): Unit
+    }
+    root.toString
+  }
+
   /** Materialize (once per fixture dir + process) a v2 table that went
     * through BOTH single-commit write flavors ([[graft.sources
     * .IcebergWriter]]): snapshot 1 appends all of `part`; snapshot 2 is
@@ -893,6 +942,37 @@ object SourceQueries {
           .orderBy($"p_partkey")
       },
       Some(icebergUpsertOracle)
+    ),
+    // MANIFEST REWRITE (metadata compaction): snapshots 1-3 built the MoR
+    // state, snapshot 4 consolidated the manifests (operation=replace,
+    // manifests-only — data files untouched), snapshot 5 appended after.
+    // The current read gates the rewrite's one hard invariant: carried
+    // entries keep their ORIGINAL data sequence numbers, so the seq-2
+    // equality delete still kills only the seq-1 band-2 base rows while
+    // the seq-3 re-appends and seq-5 post-rewrite rows survive. A rewrite
+    // that re-stamped sequences would flip both and fail the hash.
+    Q(
+      "q_iceberg_manifests",
+      (s, dir) => {
+        val root = fixtureIcebergManifestsTable(s, dir)
+        graft.sources.IcebergSource
+          .read(s, root)
+          .select($"p_partkey", $"p_name", $"p_size", $"p_band")
+          .orderBy($"p_partkey")
+      },
+      Some(
+        "SELECT p_partkey, p_name, p_size, CAST(p_partkey % 4 AS INT) AS p_band " +
+          "FROM part WHERE p_partkey % 4 <> 2 " +
+          "UNION ALL " +
+          "SELECT p_partkey, p_name, p_size, CAST(2 AS INT) AS p_band " +
+          "FROM part WHERE p_partkey % 4 = 2 AND p_size > 30 " +
+          "UNION ALL " +
+          "SELECT p_partkey + 3000000 AS p_partkey, " +
+          "'post-' || CAST(p_partkey AS VARCHAR) AS p_name, " +
+          "CAST(5 AS INT) AS p_size, CAST(9 AS INT) AS p_band " +
+          "FROM part WHERE p_partkey % 17 = 0 " +
+          "ORDER BY p_partkey"
+      )
     ),
     // EVENTS over hour(ts) hidden partitioning, end to end: the fixture
     // events land in an hour-laid-out v2 table; the query aggregates ONE

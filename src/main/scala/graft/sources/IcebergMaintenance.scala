@@ -27,7 +27,10 @@ object IcebergMaintenance {
       deleteRows: Long,
       dataFiles: Int,
       compacted: Option[Long],
-      expired: Seq[Long])
+      expired: Seq[Long],
+      // the manifest-rewrite step's commit, when metadata pressure fired
+      // it (None = under threshold or already consolidated)
+      manifestsRewritten: Option[Long] = None)
 
   /** Run the policy once. `expireOlderThanMs` is an ABSOLUTE cutoff
     * (compare against snapshot timestamps) — callers pass
@@ -48,7 +51,11 @@ object IcebergMaintenance {
       // see IcebergWriter.compact's relayout) — the nightly job that
       // keeps an ingest table both delete-free AND key-skippable
       clusterBy: Seq[String] = Nil,
-      clusterFiles: Int = 16): Report = {
+      clusterFiles: Int = 16,
+      // METADATA pressure: rewrite manifests when the current snapshot's
+      // list carries at least this many (one per commit accretes fast on
+      // a streaming-ingest table; planning cost is linear in this count)
+      maxManifests: Int = 8): Report = {
     val meta = IcebergMeta.load(tablePath)
     require(meta.formatVersion == 2,
       s"maintenance targets v2 merge-on-read tables; this one is v${meta.formatVersion}")
@@ -75,6 +82,19 @@ object IcebergMaintenance {
     val expired = expireOlderThanMs
       .map(cut => IcebergWriter.expireSnapshots(tablePath, cut, timestampMs))
       .getOrElse(Seq.empty)
-    Report(deleteFiles, deleteRows, plan.files.size, compacted, expired)
+    // manifest rewrite LAST: it consolidates whatever metadata shape the
+    // compaction/expiry steps left behind. A compaction already resets
+    // the list to fresh manifests, so on the nights it fires this is a
+    // no-op by the rewrite's own idempotence check.
+    val freshMeta = IcebergMeta.load(tablePath)
+    val listSize = freshMeta.currentSnapshot
+      .map(s => IcebergMeta.readManifestListFile(freshMeta.root, s.manifestList).size)
+      .getOrElse(0)
+    val rewritten =
+      if (listSize >= maxManifests)
+        IcebergWriter.rewriteManifests(spark, tablePath, timestampMs).snapshotId
+      else None
+    Report(deleteFiles, deleteRows, plan.files.size, compacted, expired,
+      rewritten)
   }
 }

@@ -550,7 +550,7 @@ object IcebergMeta {
   private[sources] final case class ManifestEntry(
       status: Int, snapshotId: Long, dataFile: DataFile)
 
-  private[sources] def readManifestListFile(
+  private[graft] def readManifestListFile(
       root: Path, listPath: String): Seq[ManifestFile] =
     readAvro(resolve(root, listPath)) { rec =>
       val summaries = Option(rec.get("partitions")) match {
@@ -708,8 +708,17 @@ object IcebergMeta {
     // data. Neither silent failure is acceptable: refuse, pointing at a
     // full scan. A summary-less snapshot ("unknown") is treated the same
     // — guessing "append" would re-emit a compacted corpus as new.
+    // A MANIFEST rewrite (IcebergWriter.rewriteManifests) also commits as
+    // "replace", but it moves no data: entries are carried as EXISTING
+    // with their original snapshot ids and explicit sequence numbers, so
+    // append provenance survives and the window may cross it. The
+    // summary marker is this writer's own; foreign replaces still refuse.
+    def manifestsOnly(s: Snapshot): Boolean =
+      s.operation == "replace" &&
+        s.summary.get("graft.manifests-only").contains("true")
     val unsafe = windowIds.map(meta.snapshotById)
-      .filter(s => s.operation != "append" && s.operation != "delete")
+      .filter(s => s.operation != "append" && s.operation != "delete" &&
+        !manifestsOnly(s))
     if (unsafe.nonEmpty)
       throw new UnsupportedOperationException(
         s"snapshot window (${fromExclusive}, ${to.id}] contains " +
@@ -739,11 +748,24 @@ object IcebergMeta {
         // seq <= from's seq < every in-window data seq, and both delete
         // kinds only reach data with seq <= / < theirs), so only the
         // in-window ones refuse.
-        if (mf.content == 1)
-          throw new UnsupportedOperationException(
-            s"snapshot window (${fromExclusive}, ${to.id}] contains delete " +
-              s"manifest ${mf.path} (v2 merge-on-read); net appends cannot " +
-              "be computed — use a full scan of `to` instead")
+        if (mf.content == 1) {
+          // A manifest rewrite re-adds PRE-window delete manifests under
+          // its own (in-window) snapshot id. Those are provably inert —
+          // both delete kinds only reach data files with seq <= / <
+          // theirs, and every in-window data seq exceeds from's — so a
+          // carried manifest whose entries all sit at or below from's
+          // sequence is skipped instead of refusing. Anything that might
+          // hold an in-window delete still refuses.
+          val fromSeq = meta.snapshotById(fromExclusive).sequenceNumber
+          val inert = fromSeq > 0L &&
+            readManifest(meta.root, mf.path, mf.addedSnapshotId, mf.sequenceNumber)
+              .forall(e => e.status == 2 || e.dataFile.sequenceNumber <= fromSeq)
+          if (!inert)
+            throw new UnsupportedOperationException(
+              s"snapshot window (${fromExclusive}, ${to.id}] contains delete " +
+                s"manifest ${mf.path} (v2 merge-on-read); net appends cannot " +
+                "be computed — use a full scan of `to` instead")
+        } else {
         manifestsRead += 1
         readManifest(meta.root, mf.path, mf.addedSnapshotId, mf.sequenceNumber)
           .foreach { e =>
@@ -765,6 +787,7 @@ object IcebergMeta {
                   "incremental window cannot be computed — use a full scan")
             if (appendIds.contains(e.snapshotId)) files += e.dataFile
           }
+        }
         }
       }
     }

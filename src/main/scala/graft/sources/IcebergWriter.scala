@@ -1164,6 +1164,128 @@ object IcebergWriter {
     snapshotId
   }
 
+  /** What [[rewriteManifests]] saw and did. */
+  final case class ManifestRewriteReport(
+      snapshotId: Option[Long], // None = already compact, nothing committed
+      manifestsBefore: Int,
+      manifestsAfter: Int,
+      entriesCarried: Int)
+
+  /** MANIFEST REWRITE — metadata compaction. A long-lived ingest table
+    * accretes one manifest per commit; planning then opens hundreds of
+    * KB-scale Avro files to answer "what's live", and at 100-TB commit
+    * rates the METADATA becomes the scan bottleneck long before the data
+    * does. This rewrites the current snapshot's manifests into one
+    * consolidated manifest per (content kind, partition spec) — data
+    * files untouched, history untouched, a pure metadata commit.
+    *
+    * Spec mechanics (the parts that are easy to get fatally wrong):
+    * entries are carried with status EXISTING, their ORIGINAL
+    * snapshot_id, and their data sequence number written EXPLICITLY
+    * ([[writeManifest]]'s EXISTING branch) — inheritance would re-stamp
+    * every file to the rewrite's sequence and silently break v2
+    * position/equality delete scoping. The consolidated manifest's
+    * min_sequence_number is the min over carried entries (preserved
+    * through [[commitSnapshot]]'s stamping), and partition field
+    * summaries are recomputed so manifest-level pruning keeps working.
+    * The commit is operation=replace with summary
+    * `graft.manifests-only=true`, which [[IcebergMeta.planAppends]]
+    * recognizes as provenance-preserving: unlike a data compaction, an
+    * incremental window may cross a manifest rewrite, because carried
+    * entries keep their adding snapshot ids.
+    *
+    * Deleted-status entries are dropped (their tombstone role ends once
+    * the list no longer carries the manifest that added the file);
+    * delete-file manifests consolidate the same way, into content=1
+    * manifests. Grouping by the manifest's recorded partition spec keeps
+    * mixed-layout tables readable — entries never migrate between specs.
+    */
+  def rewriteManifests(
+      spark: SparkSession,
+      tablePath: String,
+      timestampMs: Long,
+      // split threshold: a consolidated group larger than this many
+      // entries splits into several manifests (bounds metadata memory on
+      // million-file tables); the default keeps a manifest ~a few MB
+      maxEntriesPerManifest: Int = 100000): ManifestRewriteReport = {
+    require(maxEntriesPerManifest > 0, "maxEntriesPerManifest must be positive")
+    val meta = IcebergMeta.load(tablePath)
+    val baseVersion = Some(meta.loadedVersion)
+    val root = meta.root
+    val snap = meta.currentSnapshot.getOrElse(
+      throw new IllegalStateException("table has no current snapshot"))
+    val listed = IcebergMeta.readManifestListFile(root, snap.manifestList)
+
+    // (content kind, spec id) -> carried entries, in stable list order
+    val carried: Seq[((Int, Int), Seq[IcebergMeta.ManifestEntry])] = listed
+      .flatMap { mf =>
+        IcebergMeta
+          .readManifest(root, mf.path, mf.addedSnapshotId, mf.sequenceNumber)
+          .filter(_.status != 2) // DELETED tombstones end here
+          .map(e => (mf.content, mf.partitionSpecId) ->
+            e.copy(status = 0)) // EXISTING; snapshot_id + seq preserved
+      }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toSeq
+      .sortBy(_._1)
+
+    val groupCount = carried.map { case (k, es) =>
+      (es.size + maxEntriesPerManifest - 1) / maxEntriesPerManifest
+    }.sum
+    if (listed.size <= groupCount)
+      return ManifestRewriteReport(None, listed.size, listed.size,
+        carried.map(_._2.size).sum)
+
+    val snapshotId = meta.snapshots.map(_.id).max + 1L
+    var idx = 0
+    val manifests = carried.flatMap { case ((content, specId), entries) =>
+      val partType = partTypeFor(meta, specId, entries)
+      entries.grouped(maxEntriesPerManifest).map { chunk =>
+        val mpath = root.resolve("metadata")
+          .resolve(f"manifest-$snapshotId%05d-rw-$idx%03d.avro")
+        idx += 1
+        writeManifest(mpath, partType, chunk, meta.formatVersion)
+        manifestRecord(mpath, snapshotId, partType, chunk, specId).copy(
+          content = content,
+          // min over carried entries; commitSnapshot preserves it while
+          // stamping sequence_number to the new commit's sequence
+          minSequenceNumber =
+            chunk.map(_.dataFile.sequenceNumber).reduceOption(_ min _)
+              .getOrElse(0L))
+      }.toSeq
+    }
+
+    commitSnapshot(spark, root, IcebergMeta.sparkSchema(meta), Nil,
+      Some(meta), baseVersion, snapshotId, timestampMs, manifests,
+      operation = "replace", formatVersion = meta.formatVersion,
+      summary = Map("graft.manifests-only" -> "true"))
+    ManifestRewriteReport(Some(snapshotId), listed.size, manifests.size,
+      carried.map(_._2.size).sum)
+  }
+
+  /** Partition record layout for a rewritten manifest: field order from
+    * the recorded spec, value types recovered from the carried entries
+    * themselves (the current table schema may have dropped or renamed a
+    * source column an OLD spec's manifests still lay out by — deriving
+    * from entry values sidesteps resolving dead source ids). An all-null
+    * partition field types as string: every type encodes null identically
+    * in the nullable Avro union.
+    */
+  private def partTypeFor(
+      meta: IcebergMeta.TableMeta,
+      specId: Int,
+      entries: Seq[IcebergMeta.ManifestEntry]): Seq[(String, DataType)] =
+    meta.specFields(specId).map { pf =>
+      val dt = entries.iterator
+        .map(_.dataFile.partition.getOrElse(pf.name, null))
+        .collectFirst {
+          case _: java.lang.Integer => IntegerType
+          case _: java.lang.Long    => LongType
+          case _: String            => StringType
+        }
+        .getOrElse(StringType)
+      pf.name -> dt
+    }
+
   /** SCHEMA EVOLUTION — add an OPTIONAL column (spec: adds must be
     * optional; a required add would instantly invalidate every existing
     * file). Metadata-only: a new schema (fresh schema-id, fresh field
@@ -1939,7 +2061,12 @@ object IcebergWriter {
       if (formatVersion < 2) manifests
       else manifests.map(m =>
         if (m.addedSnapshotId == snapshotId)
-          m.copy(sequenceNumber = newSeq, minSequenceNumber = newSeq)
+          // a pre-set min (a manifest REWRITE carrying older entries)
+          // survives: the spec requires min_sequence_number <= every
+          // entry's sequence; stamping it to newSeq would lie upward
+          m.copy(sequenceNumber = newSeq,
+            minSequenceNumber =
+              if (m.minSequenceNumber > 0L) m.minSequenceNumber else newSeq)
         else m)
     val listTok = if (token.isEmpty) "" else s"-$token"
     val listPath = root.resolve("metadata")
@@ -2200,9 +2327,16 @@ object IcebergWriter {
       val rec = new GenericData.Record(schema)
       rec.put("status", e.status)
       rec.put("snapshot_id", e.snapshotId)
-      // v2 entry sequence numbers stay null -> inherited from the
-      // manifest list entry at read time (spec inheritance); an explicit
-      // number here would go stale when the manifest is carried forward
+      // v2 entry sequence numbers stay null on ADDED entries -> inherited
+      // from the manifest list entry at read time (spec inheritance); an
+      // explicit number there would go stale when the manifest is carried
+      // forward. EXISTING entries (a manifest REWRITE) are the opposite
+      // case: the file's data sequence number is its ORIGINAL commit's,
+      // not the rewrite's, so the spec requires it written explicitly —
+      // inheritance would silently re-stamp every file to the rewrite's
+      // sequence and break position/equality delete scoping.
+      if (formatVersion >= 2 && e.status == 0 && e.dataFile.sequenceNumber > 0L)
+        rec.put("sequence_number", e.dataFile.sequenceNumber)
       val df = new GenericData.Record(dfSchema)
       if (formatVersion >= 2) {
         df.put("content", e.dataFile.content)

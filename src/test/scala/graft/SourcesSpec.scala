@@ -884,6 +884,64 @@ class SourcesSpec extends SparkTestBase {
     }
   }
 
+  test("iceberg manifest rewrite: metadata-only consolidation; MoR scoping and windows survive") {
+    import spark.implicits._
+    val root = mkV2Table()
+    val before = IcebergSource.read(spark, root).collect()
+      .map(_.toString).sorted.toSeq
+    val metaB = IcebergMeta.load(root)
+    val snapB = metaB.currentSnapshot.get
+    val listB = IcebergMeta.readManifestListFile(metaB.root, snapB.manifestList)
+    assert(listB.size === 5, "fixture: one manifest per commit")
+    val planB = IcebergMeta.planScan(metaB, snapB)
+    val dataSeqB = planB.files.map(f => f.path -> f.sequenceNumber).toMap
+
+    val rep = IcebergWriter.rewriteManifests(spark, root, 6000L)
+    assert(rep.snapshotId.isDefined)
+    assert(rep.manifestsBefore === 5 && rep.manifestsAfter === 2,
+      "single-spec table consolidates to one data + one delete manifest")
+    val meta = IcebergMeta.load(root)
+    val snap = meta.currentSnapshot.get
+    val list = IcebergMeta.readManifestListFile(meta.root, snap.manifestList)
+    assert(list.map(_.content).sorted === Seq(0, 1))
+    // spec: min_sequence_number <= every carried entry's sequence
+    assert(list.find(_.content == 0).get.minSequenceNumber === 1L)
+    assert(list.find(_.content == 1).get.minSequenceNumber === 3L)
+
+    // metadata-only: same data files, same per-file DATA sequence numbers
+    // (the equality-delete scoping of s4-vs-s5 lives on these), deletes
+    // still applied, visible rows identical
+    val plan = IcebergMeta.planScan(meta, snap)
+    assert(plan.files.map(f => f.path -> f.sequenceNumber).toMap === dataSeqB)
+    assert(plan.deletes.map(d => (d.content, d.sequenceNumber)).sorted ===
+      Seq((1, 3L), (2, 4L)))
+    assert(IcebergSource.read(spark, root).collect()
+      .map(_.toString).sorted.toSeq === before)
+    // band 2 still = only the seq-5 re-appends (the re-stamp tripwire)
+    assert(IcebergSource.read(spark, root).collect()
+      .filter(_.getInt(2) == 2).map(_.getLong(0)).sorted.toSeq ===
+      Seq(22L, 26L, 30L, 34L, 38L))
+    // time travel to pre-rewrite snapshots unaffected
+    assert(IcebergSource.read(spark, root, Some(3L), None, None).count() === 30)
+
+    // idempotent: already-consolidated table is a no-op, no commit
+    val versions = IcebergMeta.load(root).loadedVersion
+    val rep2 = IcebergWriter.rewriteManifests(spark, root, 8000L)
+    assert(rep2.snapshotId.isEmpty)
+    assert(IcebergMeta.load(root).loadedVersion === versions)
+
+    // an incremental window may CROSS the rewrite: the replace commit is
+    // marked manifests-only and carried entries keep their provenance,
+    // while the carried (pre-window) delete manifests are proven inert
+    val df6 = Seq((100L, "row100", 7)).toDF("id", "v", "band")
+    IcebergWriter.append(spark, root, df6, None, 7000L)
+    val m2 = IcebergMeta.load(root)
+    val head = m2.currentSnapshot.get
+    val inc = IcebergMeta.planAppends(m2, 5L, head)
+    assert(inc.files.map(_.recordCount).sum === 1L,
+      "window across the rewrite must see exactly the new append")
+  }
+
   test("merge/upsert/compact on a PARTITIONED v2 table: spec-consistent layout, pruning intact") {
     import spark.implicits._
     val root = tempDir("graft-iceberg-part-write")
@@ -1440,6 +1498,35 @@ class SourcesSpec extends SparkTestBase {
     val again = IcebergMaintenance.maintain(spark, root, 8000L,
       maxDeleteFiles = 2, expireOlderThanMs = Some(8000L))
     assert(again.deleteFiles === 0 && again.compacted.isEmpty && again.expired.isEmpty)
+    assert(again.manifestsRewritten.isEmpty)
+  }
+
+  test("maintenance policy: manifest pressure consolidates metadata, rows untouched") {
+    import spark.implicits._
+    import graft.sources.IcebergMaintenance
+    // a streaming-ingest shape: many small append commits, no deletes
+    val root = tempDir("graft-iceberg-manifest-pressure")
+    (0 until 6).foreach { i =>
+      IcebergWriter.append(spark, root,
+        Seq((i.toLong, s"row$i")).toDF("id", "v"), None, 1000L * (i + 1),
+        formatVersion = 2)
+    }
+    val want = IcebergSource.read(spark, root).collect().map(_.toString).sorted.toSeq
+
+    // under the manifest threshold: untouched
+    val idle = IcebergMaintenance.maintain(spark, root, 9000L, maxManifests = 8)
+    assert(idle.compacted.isEmpty && idle.manifestsRewritten.isEmpty)
+
+    // at the threshold: consolidates to ONE manifest, a pure metadata commit
+    val fired = IcebergMaintenance.maintain(spark, root, 9500L, maxManifests = 6)
+    assert(fired.compacted.isEmpty, "no delete pressure — data must not move")
+    assert(fired.manifestsRewritten.nonEmpty)
+    val meta = IcebergMeta.load(root)
+    val list = IcebergMeta.readManifestListFile(meta.root,
+      meta.currentSnapshot.get.manifestList)
+    assert(list.size === 1)
+    assert(IcebergSource.read(spark, root).collect().map(_.toString).sorted.toSeq
+      === want)
   }
 
   test("bucket[N] hidden partitioning: writes lay out spec buckets; pruned reads match") {
