@@ -93,7 +93,7 @@ object ScaleProbe {
     val which = args.headOption.getOrElse("all")
     val groups =
       Set("all", "core", "core10x", "core30x", "extras", "dedup", "sim",
-        "text", "events", "serve", "iceberg", "skip", "cdc")
+        "text", "events", "serve", "iceberg", "skip", "cdc", "manifests")
     // a typo'd group would otherwise spin up Spark, run NOTHING, and exit
     // 0 — indistinguishable from "probe found nothing"
     require(groups(which), s"unknown probe group '$which' (one of: ${groups.mkString(", ")})")
@@ -114,6 +114,7 @@ object ScaleProbe {
     if (which == "iceberg") icebergWriteProbe(spark) // not in "all": builds 3M-row tables
     if (which == "skip") dataSkipProbe(spark) // not in "all": builds 3M-row tables
     if (which == "cdc") cdcProbe(spark) // not in "all": builds 3M-row tables
+    if (which == "manifests") manifestProbe(spark) // not in "all": 320 commits
     spark.stop()
   }
 
@@ -169,6 +170,74 @@ object ScaleProbe {
       val (_, _, s8) = results(4 + i)
       println(f"${l1.stripSuffix("_64f")}%-16s 4x files: ${s4 / s1}%7.2f   8x files: ${s8 / s1}%7.2f")
     }
+  }
+
+  /** Manifest-accretion economics, driving the production writer +
+    * planner: a streaming-shaped table built by N one-file append
+    * commits carries N manifests, and every plan opens all N Avro files
+    * — planning cost grows with COMMIT COUNT, not data size. After
+    * `rewriteManifests` the same table plans from ONE manifest. On an
+    * object store each manifest open is a round trip, so the accreted
+    * plan cost is the 100-TB ingest-table pathology and the rewrite is
+    * its scheduled cure (IcebergMaintenance's manifest-pressure step).
+    * The claim: accreted plan time tracks N (4x commits -> ~4x), the
+    * rewritten plan time is ~flat in N, and the logical state is
+    * byte-identical either side.
+    */
+  private def manifestProbe(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.sources.{IcebergMeta, IcebergSource, IcebergWriter}
+    val rowsPerCommit = 2000L
+    val resultsAll = Seq(64, 64, 256).flatMap { nCommits =>
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft-manifest-probe-$nCommits").toString
+      (0 until nCommits).foreach { i =>
+        val df = spark
+          .range(i * rowsPerCommit, (i + 1) * rowsPerCommit)
+          .select(col("id"), concat(lit("p-"), col("id")).as("v"))
+          .coalesce(1)
+        IcebergWriter.append(spark, root, df, None, 1000L + i,
+          formatVersion = 2)
+      }
+      val rows = rowsPerCommit * nCommits
+      // plan repeatedly: a serving layer plans per query, so the metadata
+      // walk is a hot path, not a one-off
+      val accreted = time(s"plan_${nCommits}c_accreted", rows) {
+        (0 until 10).foreach { _ =>
+          val m = IcebergMeta.load(root)
+          val p = IcebergMeta.planScan(m, m.currentSnapshot.get)
+          require(p.manifestsTotal == nCommits && p.files.size == nCommits,
+            s"expected $nCommits manifests/files, got " +
+              s"${p.manifestsTotal}/${p.files.size}")
+        }
+      }
+      val rewrite = time(s"rewrite_${nCommits}c", rows) {
+        require(IcebergWriter
+          .rewriteManifests(spark, root, 999999L).snapshotId.nonEmpty)
+      }
+      val rewritten = time(s"plan_${nCommits}c_rewritten", rows) {
+        (0 until 10).foreach { _ =>
+          val m = IcebergMeta.load(root)
+          val p = IcebergMeta.planScan(m, m.currentSnapshot.get)
+          require(p.manifestsTotal == 1 && p.files.size == nCommits,
+            s"rewrite changed the plan: ${p.manifestsTotal}/${p.files.size}")
+        }
+      }
+      require(IcebergSource.read(spark, root).count() == rows,
+        "rewrite changed visible rows")
+      Seq(accreted, rewrite, rewritten)
+    }
+    val results = resultsAll.drop(3) // drop the warmup group
+    println("--- manifest accretion: plan cost vs commit count (10 plans each; 2k rows/commit) ---")
+    results.foreach { case (l, rows, s) => println(f"$l%-24s table=$rows%9d  $s%8.2f s") }
+    // local disk makes one Avro open ~50us, so the durable signal is the
+    // accreted/rewritten ratio PER commit count (= metadata files opened
+    // per plan, N vs 1) — on an object store every open is a round trip
+    // and this ratio is the latency multiplier directly
+    val r64 = results(0)._3 / results(2)._3
+    val r256 = results(3)._3 / results(5)._3
+    println(f"--- plan cost accreted/rewritten: 64 commits ${r64}%5.1fx, " +
+      f"256 commits ${r256}%5.1fx (N metadata opens vs 1) ---")
   }
 
   /** CDC changelog economics at growing base-table size, driving the

@@ -769,6 +769,60 @@ object TextQueries {
           |    '\(?\d{3}\)?[-. ]\d{3}[-. ]?\d{4}', '<PHONE>', 'g') AS clean
           |FROM pii ORDER BY doc_id""".stripMargin
       )
+    ),
+    // ----- language-model quality scoring (unigram NLL) --------------------
+    // The CCNet-style quality signal: score each document by how
+    // surprising its tokens are under a language model — here a unigram
+    // model with add-one smoothing fitted on the corpus itself
+    // (lp(t) = ln((count(t)+1) / (N+V))), scored as mean negative log
+    // likelihood per token. High NLL = rare-token soup (mojibake, spam,
+    // boilerplate IDs); low = fluent in-distribution text. Real pipelines
+    // swap in a pretrained KenLM; the Spark shape is identical.
+    //
+    // 100 TB shape: ONE token shuffle feeds tf; the vocab-sized unigram
+    // table and the (N, V) scalar broadcast back onto it — the corpus is
+    // read once and never reshuffled. Fit and score in the same pass
+    // because the model IS an aggregate of the data; a pretrained model
+    // would just replace `lp` with a broadcast lookup table.
+    Q(
+      "q_text_perplexity",
+      (s, dir) => {
+        val toks = t(s, dir, "documents")
+          .select($"doc_id", explode(TextOps.tokens($"text")).as("term"))
+          .filter($"term" =!= "")
+        val tf = toks.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+        val cnt = tf.groupBy($"term").agg(sum($"tf").as("c"))
+        val stats = cnt.agg(sum($"c").as("n"), count(lit(1)).as("v"))
+        val lp = cnt
+          .crossJoin(broadcast(stats))
+          .select($"term", log(($"c" + 1.0) / ($"n" + $"v")).as("lp"))
+        tf.join(broadcast(lp), Seq("term"))
+          .groupBy($"doc_id")
+          .agg(
+            sum($"tf").cast("bigint").as("n_tokens"),
+            round(-sum($"tf" * $"lp") / sum($"tf"), 6).as("nll")
+          )
+          .orderBy($"doc_id")
+      },
+      Some(
+        """WITH toks AS (
+          |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+          |  FROM documents
+          |), tf AS (
+          |  SELECT doc_id, term, count(*) AS tf
+          |  FROM toks WHERE term <> '' GROUP BY doc_id, term
+          |), cnt AS (
+          |  SELECT term, sum(tf) AS c FROM tf GROUP BY term
+          |), stats AS (
+          |  SELECT sum(c) AS n, count(*) AS v FROM cnt
+          |), lp AS (
+          |  SELECT term, ln((c + 1.0) / (n + v)) AS lp FROM cnt, stats
+          |)
+          |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+          |       round(-sum(tf * lp) / sum(tf), 6) AS nll
+          |FROM tf JOIN lp USING (term)
+          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      )
     )
   )
 
