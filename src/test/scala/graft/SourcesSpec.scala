@@ -1459,6 +1459,21 @@ class SourcesSpec extends SparkTestBase {
         Some(IcebergMeta.PartitionEquals("nope", 1)))
     }.getMessage.contains("not a partition field"))
 
+    // manifest rewrite on the MIXED-spec table: entries group by their
+    // recorded spec (never migrate between layouts) — 5 manifests become
+    // 2 (one flat, one band), and the pruned read is unchanged
+    val rep = IcebergWriter.rewriteManifests(spark, root, 3500L)
+    assert(rep.snapshotId.nonEmpty && rep.manifestsAfter === 2)
+    val mR = IcebergMeta.load(root)
+    val planR = IcebergMeta.planScan(mR, mR.currentSnapshot.get,
+      Some(IcebergMeta.PartitionEquals("band", 2)))
+    assert(planR.manifestsTotal === 2)
+    assert(IcebergSource.read(spark, root).count() === 32)
+    assert(IcebergSource.read(spark, root, None, None,
+        Some(IcebergMeta.PartitionEquals("band", 2)))
+      .filter($"band" === 2)
+      .select("id").as[Long].collect().sorted.toSeq === rows)
+
     // compact migrates the WHOLE table to the new default layout: the
     // flat generation is rewritten under band=, pruning becomes exact
     IcebergWriter.compact(spark, root, 4000L)
