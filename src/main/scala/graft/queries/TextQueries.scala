@@ -823,6 +823,78 @@ object TextQueries {
           |FROM tf JOIN lp USING (term)
           |GROUP BY doc_id ORDER BY doc_id""".stripMargin
       )
+    ),
+    // ----- Gopher-style quality filter -------------------------------------
+    // The rule-based keep/drop gate (Rae et al. Gopher §A1.1, simplified
+    // to the fixture's deterministic subset): minimum length, mean word
+    // length envelope, stopword evidence, and single-token repetition —
+    // each failure tagged with a reason code so the drop set is auditable
+    // (the difference between a curated corpus and a mystery one). All
+    // comparisons are integer arithmetic (3n <= sum_len <= 10n instead of
+    // a double mean; max_tf * 8 > n instead of a 0.125 ratio), so both
+    // engines decide every boundary identically — no float thresholds.
+    // One token shuffle (for max_tf); everything else is per-row codegen.
+    Q(
+      "q_text_gopher",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .select(
+            $"doc_id",
+            TextOps.tokens($"text").as("ws"),
+            length(regexp_replace($"text", "\\s", ""))
+              .cast("bigint").as("sum_len"))
+        val base = docs.select(
+          $"doc_id",
+          $"sum_len",
+          size($"ws").cast("bigint").as("n_tokens"),
+          expr("size(filter(array('the','a','of','and','to','in','is'), " +
+            "sw -> array_contains(ws, sw)))").cast("bigint").as("sw_hits"))
+        val maxtf = docs
+          .select($"doc_id", explode($"ws").as("term"))
+          .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+          .groupBy($"doc_id").agg(max($"tf").as("max_tf"))
+        base
+          .join(maxtf, Seq("doc_id"))
+          .select(
+            $"doc_id",
+            $"n_tokens",
+            concat_ws(",",
+              when($"n_tokens" < 30, "short"),
+              when(!($"sum_len" >= $"n_tokens" * 3 &&
+                $"sum_len" <= $"n_tokens" * 10), "word_len"),
+              when($"sw_hits" < 2, "stopwords"),
+              when($"max_tf" * 8 > $"n_tokens", "repetition")
+            ).as("reasons"))
+          .withColumn("keep", $"reasons" === "")
+          .orderBy($"doc_id")
+      },
+      Some(
+        """WITH t AS (
+          |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS ws,
+          |         CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS sum_len
+          |  FROM documents
+          |), base AS (
+          |  SELECT doc_id, sum_len, CAST(len(ws) AS BIGINT) AS n_tokens,
+          |         CAST(len(list_filter(['the','a','of','and','to','in','is'],
+          |              sw -> list_contains(ws, sw))) AS BIGINT) AS sw_hits
+          |  FROM t
+          |), tf AS (
+          |  SELECT doc_id, unnest(ws) AS term FROM t
+          |), mtf AS (
+          |  SELECT doc_id, max(c) AS max_tf FROM (
+          |    SELECT doc_id, term, count(*) AS c FROM tf GROUP BY 1, 2) GROUP BY doc_id
+          |), scored AS (
+          |  SELECT b.doc_id, n_tokens,
+          |    concat_ws(',',
+          |      CASE WHEN n_tokens < 30 THEN 'short' END,
+          |      CASE WHEN NOT (sum_len >= n_tokens*3 AND sum_len <= n_tokens*10) THEN 'word_len' END,
+          |      CASE WHEN sw_hits < 2 THEN 'stopwords' END,
+          |      CASE WHEN max_tf * 8 > n_tokens THEN 'repetition' END) AS reasons
+          |  FROM base b JOIN mtf USING (doc_id)
+          |)
+          |SELECT doc_id, n_tokens, reasons, reasons = '' AS keep
+          |FROM scored ORDER BY doc_id""".stripMargin
+      )
     )
   )
 

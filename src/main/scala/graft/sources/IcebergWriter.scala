@@ -1208,6 +1208,32 @@ object IcebergWriter {
       // entries splits into several manifests (bounds metadata memory on
       // million-file tables); the default keeps a manifest ~a few MB
       maxEntriesPerManifest: Int = 100000): ManifestRewriteReport = {
+    // A lost commit race is RETRIED, like appends: the rewrite is
+    // recomputed from a fresh load each attempt (a concurrent commit
+    // changed the manifest list, so the consolidation must be rebuilt
+    // anyway — there is no stale state to mis-apply). A lost attempt's
+    // staged manifest Avros are snapshot-id-named orphans; snapshot
+    // expiry's GC reclaims them like any other unreferenced file.
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      try return rewriteManifestsOnce(spark, tablePath, timestampMs,
+        maxEntriesPerManifest)
+      catch {
+        case e: CommitConflictException =>
+          if (attempt >= 20) throw e
+          Thread.sleep(5L * attempt)
+          repairVersionHint(Paths.get(tablePath))
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def rewriteManifestsOnce(
+      spark: SparkSession,
+      tablePath: String,
+      timestampMs: Long,
+      maxEntriesPerManifest: Int): ManifestRewriteReport = {
     require(maxEntriesPerManifest > 0, "maxEntriesPerManifest must be positive")
     val meta = IcebergMeta.load(tablePath)
     val baseVersion = Some(meta.loadedVersion)

@@ -48,6 +48,42 @@ object JdbcSource {
     withPartitioning.load()
   }
 
+  /** Write a DataFrame to a remote table — the reverse path the
+    * reference's connector stubs never reached (publishing curated
+    * results back to an operational store). Executors write
+    * partition-parallel through their own connections with
+    * `batchSize`-row batched inserts; `maxConnections` caps the fan-in
+    * so a 1000-partition frame doesn't open 1000 sessions against one
+    * database (coalesce, never repartition — capping must not shuffle).
+    * `mode`: "append" adds rows; "overwrite" replaces the table
+    * (truncate when the dialect supports it, else drop-create — Spark's
+    * standard JDBC semantics). Transactionality is per-partition-batch,
+    * the JDBC source's contract: a mid-write failure can leave partial
+    * rows in append mode, so idempotent targets (staging table + server-
+    * side merge) are the production pattern for exactly-once publishes.
+    */
+  def write(
+      df: DataFrame,
+      url: String,
+      table: String,
+      properties: Map[String, String] = Map.empty,
+      mode: String = "append",
+      batchSize: Int = 1000,
+      maxConnections: Int = 8
+  ): Unit = {
+    val capped =
+      if (df.rdd.getNumPartitions > maxConnections) df.coalesce(maxConnections)
+      else df
+    val base = capped.write
+      .format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("batchsize", batchSize.toString)
+    properties.foldLeft(base) { case (w, (k, v)) => w.option(k, v) }
+      .mode(mode)
+      .save()
+  }
+
   def postgres(
       spark: SparkSession,
       host: String,

@@ -102,6 +102,21 @@ class SourcesSpec extends SparkTestBase {
         .groupBy(col("r_name")).count()
         .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
     assert(agg(live) === agg(nation))
+
+    // WRITE path: publish a frame into Derby, read it back identically;
+    // append adds rows; overwrite replaces them
+    import spark.implicits._
+    val out = (0 until 40).map(i => (i, s"val$i")).toDF("k", "v")
+      .repartition(16) // > maxConnections: the cap must coalesce, not fail
+    JdbcSource.write(out, url, "published", props, mode = "overwrite",
+      maxConnections = 4)
+    val back = JdbcSource.read(spark, url, "published", props)
+    assert(back.collect().map(r => (r.getInt(0), r.getString(1))).sorted.toSeq
+      === (0 until 40).map(i => (i, s"val$i")))
+    JdbcSource.write(Seq((100, "extra")).toDF("k", "v"), url, "published", props)
+    assert(JdbcSource.read(spark, url, "published", props).count() === 41)
+    JdbcSource.write(out.limit(5), url, "published", props, mode = "overwrite")
+    assert(JdbcSource.read(spark, url, "published", props).count() === 5)
   }
 
   test("jdbc dialect matrix: pushdown SQL fragments pinned per dialect (golden)") {
