@@ -1207,7 +1207,10 @@ object IcebergWriter {
       // split threshold: a consolidated group larger than this many
       // entries splits into several manifests (bounds metadata memory on
       // million-file tables); the default keeps a manifest ~a few MB
-      maxEntriesPerManifest: Int = 100000): ManifestRewriteReport = {
+      maxEntriesPerManifest: Int = 100000,
+      // test seam: fires at named points ("manifests-written" = staged,
+      // pre-commit) so specs can inject deterministic races/crashes
+      faultHook: String => Unit = _ => ()): ManifestRewriteReport = {
     // A lost commit race is RETRIED, like appends: the rewrite is
     // recomputed from a fresh load each attempt (a concurrent commit
     // changed the manifest list, so the consolidation must be rebuilt
@@ -1218,7 +1221,7 @@ object IcebergWriter {
     while (true) {
       attempt += 1
       try return rewriteManifestsOnce(spark, tablePath, timestampMs,
-        maxEntriesPerManifest)
+        maxEntriesPerManifest, faultHook)
       catch {
         case e: CommitConflictException =>
           if (attempt >= 20) throw e
@@ -1233,7 +1236,8 @@ object IcebergWriter {
       spark: SparkSession,
       tablePath: String,
       timestampMs: Long,
-      maxEntriesPerManifest: Int): ManifestRewriteReport = {
+      maxEntriesPerManifest: Int,
+      faultHook: String => Unit = _ => ()): ManifestRewriteReport = {
     require(maxEntriesPerManifest > 0, "maxEntriesPerManifest must be positive")
     val meta = IcebergMeta.load(tablePath)
     val baseVersion = Some(meta.loadedVersion)
@@ -1279,6 +1283,7 @@ object IcebergWriter {
               .getOrElse(0L))
       }.toSeq
     }
+    faultHook("manifests-written")
 
     commitSnapshot(spark, root, IcebergMeta.sparkSchema(meta), Nil,
       Some(meta), baseVersion, snapshotId, timestampMs, manifests,

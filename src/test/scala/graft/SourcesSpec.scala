@@ -1531,6 +1531,32 @@ class SourcesSpec extends SparkTestBase {
     assert(again.manifestsRewritten.isEmpty)
   }
 
+  test("manifest rewrite loses a commit race, retries, and carries the racer's rows") {
+    import spark.implicits._
+    val root = mkV2Table()
+    val before = IcebergSource.read(spark, root).collect()
+      .map(_.toString).sorted.toSeq
+    // deterministic race: after the FIRST attempt stages its manifests,
+    // a concurrent append commits and steals the version — the rewrite's
+    // CAS must lose, reload, and consolidate the racer's manifest too
+    var raced = false
+    val rep = IcebergWriter.rewriteManifests(spark, root, 6000L,
+      faultHook = point =>
+        if (point == "manifests-written" && !raced) {
+          raced = true
+          IcebergWriter.append(spark, root,
+            Seq((900L, "raced", 9)).toDF("id", "v", "band"), None, 6500L)
+        })
+    assert(raced, "race hook never fired")
+    assert(rep.snapshotId.nonEmpty)
+    assert(rep.manifestsBefore === 6, "retry must see the racer's manifest")
+    assert(rep.manifestsAfter === 2)
+    val rows = IcebergSource.read(spark, root).collect()
+      .map(_.toString).sorted.toSeq
+    assert(rows === (before :+ "[900,raced,9]").sorted,
+      "post-retry table must hold the original rows plus the racer's")
+  }
+
   test("maintenance policy: manifest pressure consolidates metadata, rows untouched") {
     import spark.implicits._
     import graft.sources.IcebergMaintenance
