@@ -1459,6 +1459,54 @@ object IcebergWriter {
     * pre-promotion snapshot shows the narrow type. Returns the new
     * schema id.
     */
+  /** TABLE PROPERTIES — metadata-only key/value configuration (spec
+    * `properties`): retention windows, write targets, ownership tags —
+    * the knobs schedulers and catalogs read without opening a single
+    * data file. Set/remove bump the metadata version and carry the rest
+    * of the JSON verbatim, exactly like the schema-evolution ops; no
+    * snapshot is written because no data changed. The writer-internal
+    * field-ids marker ([[IcebergMeta.FieldIdsProperty]]) is refused in
+    * both directions — flipping it would silently change how every
+    * existing parquet resolves its columns.
+    */
+  def setProperties(
+      tablePath: String,
+      props: Map[String, String],
+      timestampMs: Long): Unit =
+    updateProperties(tablePath, timestampMs, add = props, remove = Set.empty)
+
+  def removeProperties(
+      tablePath: String,
+      keys: Set[String],
+      timestampMs: Long): Unit =
+    updateProperties(tablePath, timestampMs, add = Map.empty, remove = keys)
+
+  private def updateProperties(
+      tablePath: String,
+      timestampMs: Long,
+      add: Map[String, String],
+      remove: Set[String]): Unit = {
+    require(add.nonEmpty || remove.nonEmpty, "nothing to update")
+    require(!add.contains(IcebergMeta.FieldIdsProperty) &&
+      !remove.contains(IcebergMeta.FieldIdsProperty),
+      s"'${IcebergMeta.FieldIdsProperty}' is writer-internal: it records " +
+        "how existing files resolve columns and cannot be edited")
+    val meta = IcebergMeta.load(tablePath)
+    val baseVersion = meta.loadedVersion
+    val root = meta.root
+    val node = mapper.readTree(Files.readString(
+      root.resolve("metadata").resolve(s"v$baseVersion.metadata.json")))
+      .asInstanceOf[ObjectNode]
+    val p =
+      if (node.has("properties")) node.get("properties").asInstanceOf[ObjectNode]
+      else node.putObject("properties")
+    add.foreach { case (k, v) => p.put(k, v) }
+    remove.foreach(p.remove)
+    node.put("last-updated-ms", timestampMs)
+    commitMetadataJson(root, baseVersion + 1, node, "properties")
+    notifyCommit(root.toString)
+  }
+
   def promoteColumn(
       tablePath: String,
       name: String,

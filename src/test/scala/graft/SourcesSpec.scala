@@ -1557,6 +1557,40 @@ class SourcesSpec extends SparkTestBase {
       "post-retry table must hold the original rows plus the racer's")
   }
 
+  test("table properties: metadata-only set/remove round-trip; writer marker protected") {
+    val root = mkV2Table()
+    val before = IcebergSource.read(spark, root).collect()
+      .map(_.toString).sorted.toSeq
+    val snaps = IcebergMeta.load(root).snapshots.size
+
+    IcebergWriter.setProperties(root,
+      Map("retention.ms" -> "604800000", "owner" -> "pipeline-team"), 6000L)
+    val m = IcebergMeta.load(root)
+    assert(m.properties("retention.ms") === "604800000")
+    assert(m.properties("owner") === "pipeline-team")
+    // the creation-time marker survives alongside
+    assert(m.properties(IcebergMeta.FieldIdsProperty) === "true")
+    // metadata-only: no snapshot written, rows untouched
+    assert(m.snapshots.size === snaps)
+    assert(IcebergSource.read(spark, root).collect()
+      .map(_.toString).sorted.toSeq === before)
+
+    IcebergWriter.removeProperties(root, Set("owner"), 7000L)
+    val m2 = IcebergMeta.load(root)
+    assert(!m2.properties.contains("owner"))
+    assert(m2.properties("retention.ms") === "604800000")
+
+    // the writer-internal resolution marker refuses edits both ways
+    assert(intercept[IllegalArgumentException] {
+      IcebergWriter.setProperties(root,
+        Map(IcebergMeta.FieldIdsProperty -> "false"), 8000L)
+    }.getMessage.contains("writer-internal"))
+    assert(intercept[IllegalArgumentException] {
+      IcebergWriter.removeProperties(root,
+        Set(IcebergMeta.FieldIdsProperty), 8000L)
+    }.getMessage.contains("writer-internal"))
+  }
+
   test("maintenance policy: manifest pressure consolidates metadata, rows untouched") {
     import spark.implicits._
     import graft.sources.IcebergMaintenance
