@@ -865,11 +865,21 @@ object ScaleProbe {
     */
   private def textScaleProbe(spark: SparkSession): Unit = {
     val base = 20000L
-    val nOps = 4
+    val nOps = 6
     val resultsAll = Seq(1L, 1L, 30L, 100L).flatMap { mult =>
       val n = base * mult
       val docs = genCorpus(spark, n).cache()
       docs.count()
+      val nll = time(s"unigram_nll_${mult}x", n) {
+        graft.queries.TextQueries
+          .unigramNll(docs)
+          .write.format("noop").mode("overwrite").save()
+      }
+      val gopher = time(s"gopher_filter_${mult}x", n) {
+        graft.queries.TextQueries
+          .gopherFilter(docs)
+          .write.format("noop").mode("overwrite").save()
+      }
       val bm25 = time(s"bm25_${mult}x", n) {
         graft.queries.TextQueries
           .bm25Scores(docs, Seq("w1", "w42", "w777"))
@@ -910,7 +920,7 @@ object ScaleProbe {
         graft.engine.PersistScope.releaseAll()
       }
       docs.unpersist()
-      Seq(bm25, tfidf, decon, deconShuffle)
+      Seq(bm25, tfidf, decon, deconShuffle, nll, gopher)
     }
     val results = resultsAll.drop(nOps) // drop the warmup group
     println("--- text family at 30x/100x (base 20k docs; 64k vocab) ---")

@@ -786,24 +786,7 @@ object TextQueries {
     // would just replace `lp` with a broadcast lookup table.
     Q(
       "q_text_perplexity",
-      (s, dir) => {
-        val toks = t(s, dir, "documents")
-          .select($"doc_id", explode(TextOps.tokens($"text")).as("term"))
-          .filter($"term" =!= "")
-        val tf = toks.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-        val cnt = tf.groupBy($"term").agg(sum($"tf").as("c"))
-        val stats = cnt.agg(sum($"c").as("n"), count(lit(1)).as("v"))
-        val lp = cnt
-          .crossJoin(broadcast(stats))
-          .select($"term", log(($"c" + 1.0) / ($"n" + $"v")).as("lp"))
-        tf.join(broadcast(lp), Seq("term"))
-          .groupBy($"doc_id")
-          .agg(
-            sum($"tf").cast("bigint").as("n_tokens"),
-            round(-sum($"tf" * $"lp") / sum($"tf"), 6).as("nll")
-          )
-          .orderBy($"doc_id")
-      },
+      (s, dir) => unigramNll(t(s, dir, "documents")).orderBy($"doc_id"),
       Some(
         """WITH toks AS (
           |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS term
@@ -836,38 +819,7 @@ object TextQueries {
     // One token shuffle (for max_tf); everything else is per-row codegen.
     Q(
       "q_text_gopher",
-      (s, dir) => {
-        val docs = t(s, dir, "documents")
-          .select(
-            $"doc_id",
-            TextOps.tokens($"text").as("ws"),
-            length(regexp_replace($"text", "\\s", ""))
-              .cast("bigint").as("sum_len"))
-        val base = docs.select(
-          $"doc_id",
-          $"sum_len",
-          size($"ws").cast("bigint").as("n_tokens"),
-          expr("size(filter(array('the','a','of','and','to','in','is'), " +
-            "sw -> array_contains(ws, sw)))").cast("bigint").as("sw_hits"))
-        val maxtf = docs
-          .select($"doc_id", explode($"ws").as("term"))
-          .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-          .groupBy($"doc_id").agg(max($"tf").as("max_tf"))
-        base
-          .join(maxtf, Seq("doc_id"))
-          .select(
-            $"doc_id",
-            $"n_tokens",
-            concat_ws(",",
-              when($"n_tokens" < 30, "short"),
-              when(!($"sum_len" >= $"n_tokens" * 3 &&
-                $"sum_len" <= $"n_tokens" * 10), "word_len"),
-              when($"sw_hits" < 2, "stopwords"),
-              when($"max_tf" * 8 > $"n_tokens", "repetition")
-            ).as("reasons"))
-          .withColumn("keep", $"reasons" === "")
-          .orderBy($"doc_id")
-      },
+      (s, dir) => gopherFilter(t(s, dir, "documents")).orderBy($"doc_id"),
       Some(
         """WITH t AS (
           |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS ws,
@@ -971,6 +923,67 @@ object TextQueries {
       .crossJoin(broadcast(stats))
       .groupBy($"doc_id")
       .agg(round(sum(termScore), 6).as("bm25"))
+  }
+
+  /** Unigram-NLL quality scores over an arbitrary documents frame — the
+    * overload ScaleProbe's text probe drives, so the probe times EXACTLY
+    * the production scoring pipeline. One token shuffle feeds tf; the
+    * vocab-sized unigram table and the (N, V) scalar broadcast back.
+    */
+  private[graft] def unigramNll(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val toks = docs
+      .select($"doc_id", explode(TextOps.tokens($"text")).as("term"))
+      .filter($"term" =!= "")
+    val tf = toks.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val cnt = tf.groupBy($"term").agg(sum($"tf").as("c"))
+    val stats = cnt.agg(sum($"c").as("n"), count(lit(1)).as("v"))
+    val lp = cnt
+      .crossJoin(broadcast(stats))
+      .select($"term", log(($"c" + 1.0) / ($"n" + $"v")).as("lp"))
+    tf.join(broadcast(lp), Seq("term"))
+      .groupBy($"doc_id")
+      .agg(
+        sum($"tf").cast("bigint").as("n_tokens"),
+        round(-sum($"tf" * $"lp") / sum($"tf"), 6).as("nll")
+      )
+  }
+
+  /** Gopher-rules keep/drop over an arbitrary documents frame (see
+    * `q_text_gopher` for the rule rationale) — integer-arithmetic
+    * boundaries, one token shuffle for max_tf, rest per-row codegen.
+    */
+  private[graft] def gopherFilter(
+      docs0: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val docs = docs0
+      .select(
+        $"doc_id",
+        TextOps.tokens($"text").as("ws"),
+        length(regexp_replace($"text", "\\s", ""))
+          .cast("bigint").as("sum_len"))
+    val base = docs.select(
+      $"doc_id",
+      $"sum_len",
+      size($"ws").cast("bigint").as("n_tokens"),
+      expr("size(filter(array('the','a','of','and','to','in','is'), " +
+        "sw -> array_contains(ws, sw)))").cast("bigint").as("sw_hits"))
+    val maxtf = docs
+      .select($"doc_id", explode($"ws").as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      .groupBy($"doc_id").agg(max($"tf").as("max_tf"))
+    base
+      .join(maxtf, Seq("doc_id"))
+      .select(
+        $"doc_id",
+        $"n_tokens",
+        concat_ws(",",
+          when($"n_tokens" < 30, "short"),
+          when(!($"sum_len" >= $"n_tokens" * 3 &&
+            $"sum_len" <= $"n_tokens" * 10), "word_len"),
+          when($"sw_hits" < 2, "stopwords"),
+          when($"max_tf" * 8 > $"n_tokens", "repetition")
+        ).as("reasons"))
+      .withColumn("keep", $"reasons" === "")
   }
 
   /** Per-doc top-k TF-IDF terms over an arbitrary documents frame —
