@@ -1267,8 +1267,27 @@ object IcebergWriter {
 
     val snapshotId = meta.snapshots.map(_.id).max + 1L
     var idx = 0
-    val manifests = carried.flatMap { case ((content, specId), entries) =>
-      val partType = partTypeFor(meta, specId, entries)
+    val manifests = carried.flatMap { case ((content, specId), entries0) =>
+      val partType = partTypeFor(meta, specId, entries0)
+      // cluster by partition tuple before chunking: when a group splits
+      // across maxEntriesPerManifest, each output manifest covers a
+      // CONTIGUOUS partition range and its field summaries stay tight —
+      // manifest-level pruning degrades gracefully instead of every
+      // manifest spanning every partition (the same clustering Iceberg's
+      // own rewrite_manifests applies). Signed numerics map to unsigned
+      // order via the sign-bit flip; ties break on file path for
+      // determinism.
+      def sortKey(v: Any): String = v match {
+        case null => ""
+        case n: Number =>
+          val u = java.lang.Long.toUnsignedString(n.longValue ^ Long.MinValue)
+          "0" * (20 - u.length) + u
+        case s => s.toString
+      }
+      val entries = entries0.sortBy(e =>
+        partType.map { case (nm, _) =>
+          sortKey(e.dataFile.partition.getOrElse(nm, null))
+        }.mkString(" ") + " " + e.dataFile.path)
       entries.grouped(maxEntriesPerManifest).map { chunk =>
         val mpath = root.resolve("metadata")
           .resolve(f"manifest-$snapshotId%05d-rw-$idx%03d.avro")

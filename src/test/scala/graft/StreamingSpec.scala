@@ -308,6 +308,27 @@ class StreamingSpec extends SparkTestBase {
     assert(plan.manifestsTotal > 10, s"expected ~30 day manifests, got ${plan.manifestsTotal}")
     assert(plan.manifestsRead < plan.manifestsTotal / 5,
       s"day predicate opened ${plan.manifestsRead} of ${plan.manifestsTotal}")
+    val dayFiles = plan.files.map(_.path).toSet
+
+    // the nightly counterweight to snapshot-per-batch ingest: rewrite the
+    // accreted manifests with a small split so the consolidation CLUSTERS
+    // by partition — each output manifest covers a contiguous day range,
+    // so a one-day plan still skips most manifests AND reads the exact
+    // same files as before the rewrite
+    val rep = IcebergWriter.rewriteManifests(spark, table, 999999L,
+      maxEntriesPerManifest = math.max(1, plan.manifestsTotal / 4))
+    assert(rep.snapshotId.nonEmpty)
+    assert(rep.manifestsAfter < plan.manifestsTotal / 2)
+    val m2 = IcebergMeta.load(table)
+    val plan2 = IcebergMeta.planScan(m2, m2.currentSnapshot.get,
+      Some(IcebergMeta.PartitionEquals("ts",
+        new java.sql.Timestamp(firstDay.getTime))))
+    assert(plan2.files.map(_.path).toSet === dayFiles,
+      "rewrite changed the pruned file set")
+    assert(plan2.manifestsRead < plan2.manifestsTotal,
+      s"clustered rewrite lost manifest pruning: " +
+        s"${plan2.manifestsRead} of ${plan2.manifestsTotal}")
+    assert(IcebergSource.read(spark, table).count() === batch.count())
   }
 
   test("listener surfaces a planted late row as dropped-by-watermark, plus state size") {
