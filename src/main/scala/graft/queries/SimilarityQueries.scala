@@ -39,6 +39,10 @@ object SimilarityQueries {
   private val clustersOracle =
     new java.util.concurrent.atomic.AtomicReference[Option[String]](None)
 
+  /** q_dedup_semantic's dynamic oracle — same mechanism as [[ivfOracle]]. */
+  private val semanticOracle =
+    new java.util.concurrent.atomic.AtomicReference[Option[String]](None)
+
   /** Shortest round-trip double repr — DuckDB's parser is correctly
     * rounded, so the literal parses back to the identical double bits.
     */
@@ -342,6 +346,56 @@ object SimilarityQueries {
       },
       None,
       oracleFn = Some(() => clustersOracle.get())
+    ),
+    // ----- semantic dedup (SemDeDup) ---------------------------------------
+    // Abbas et al. 2023: cluster the embedding space, then remove
+    // near-duplicates WITHIN each cluster — the clusters bound the
+    // pairwise comparison to O(sum |cell|^2) instead of O(n^2), which is
+    // the whole reason semantic dedup runs at corpus scale (k grows with
+    // the corpus, so cells stay bounded). Greedy keep-lowest-id: a vector
+    // is dropped when ANY earlier vector in its cell clears the cosine
+    // threshold; the kept_id column names its surviving representative,
+    // making the drop auditable. Cross-cell near-dups are missed by
+    // construction — that is SemDeDup's documented recall trade, not a
+    // bug. Same dynamic-oracle mechanism as the IVF queries: the fitted
+    // centroids are embedded as DuckDB literals post-run, so the cell
+    // assignment, the pairwise cosines, and the greedy election are all
+    // hash-gated end to end.
+    Q(
+      "q_dedup_semantic",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val model = graft.operators.IvfIndex.build(e, "embedding")
+        semanticOracle.set(
+          Some {
+            val cte = assignedCteSql(
+              model.centroids.map(graft.operators.IvfIndex.centroidF32))
+            s"""$cte
+               |SELECT CAST(b.cell AS BIGINT) AS cell, b.vec_id AS dup_id,
+               |       min(a.vec_id) AS kept_id
+               |FROM assigned a JOIN assigned b
+               |  ON a.cell = b.cell AND a.vec_id < b.vec_id
+               |WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.3
+               |GROUP BY b.cell, b.vec_id
+               |ORDER BY dup_id""".stripMargin
+          }
+        )
+        val assigned = model.assignments
+        val a = assigned
+          .select($"cell", $"vec_id".as("id_a"), $"embedding".as("emb_a"))
+        val b = assigned
+          .select($"cell", $"vec_id".as("dup_id"), $"embedding".as("emb_b"))
+        a.join(b, Seq("cell"))
+          .filter($"id_a" < $"dup_id")
+          .filter(
+            round(graft.functions.Functions.cosineSim($"emb_a", $"emb_b"), 6)
+              >= 0.3)
+          .groupBy($"cell".cast("bigint").as("cell"), $"dup_id")
+          .agg(min($"id_a").as("kept_id"))
+          .orderBy($"dup_id")
+      },
+      None,
+      oracleFn = Some(() => semanticOracle.get())
     )
   )
 }
