@@ -113,6 +113,41 @@ object IcebergMetaTables {
     local(spark, schema, dataRows ++ deleteRows)
   }
 
+  /** One row per manifest in the current (or given) snapshot's list —
+    * the METADATA-pressure gauge: a commit-accreting ingest table shows
+    * one row per commit here, and `IcebergMaintenance`'s manifest-
+    * pressure step (or a direct `rewriteManifests`) is due when this
+    * view grows long. `entry_count`/`live_entry_count` come from opening
+    * each manifest (still KB-scale Avro, no data files touched).
+    */
+  def manifests(
+      spark: SparkSession,
+      tablePath: String,
+      snapshotId: Option[Long] = None): DataFrame = {
+    val meta = IcebergMeta.load(tablePath)
+    val snap = snapshotId.map(meta.snapshotById).orElse(meta.currentSnapshot)
+      .getOrElse(throw new IllegalStateException(s"$tablePath has no snapshots"))
+    val listed = IcebergMeta.readManifestListFile(meta.root, snap.manifestList)
+    val schema = StructType(Seq(
+      StructField("path", StringType, nullable = false),
+      StructField("length_bytes", LongType, nullable = false),
+      StructField("content", IntegerType, nullable = false),
+      StructField("spec_id", IntegerType, nullable = false),
+      StructField("added_snapshot_id", LongType, nullable = false),
+      StructField("sequence_number", LongType, nullable = false),
+      StructField("min_sequence_number", LongType, nullable = false),
+      StructField("entry_count", IntegerType, nullable = false),
+      StructField("live_entry_count", IntegerType, nullable = false)))
+    val rows = listed.map { mf =>
+      val entries = IcebergMeta.readManifest(
+        meta.root, mf.path, mf.addedSnapshotId, mf.sequenceNumber)
+      Row(mf.path, mf.length, mf.content, mf.partitionSpecId,
+        mf.addedSnapshotId, mf.sequenceNumber, mf.minSequenceNumber,
+        entries.size, entries.count(_.status != 2))
+    }
+    local(spark, schema, rows)
+  }
+
   /** Per-partition rollup of [[files]] (data files only): file count and
     * record count per partition tuple — "is this table balanced" without
     * opening a single data file.

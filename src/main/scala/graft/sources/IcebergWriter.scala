@@ -1324,17 +1324,24 @@ object IcebergWriter {
       meta: IcebergMeta.TableMeta,
       specId: Int,
       entries: Seq[IcebergMeta.ManifestEntry]): Seq[(String, DataType)] =
-    meta.specFields(specId).map { pf =>
-      val dt = entries.iterator
-        .map(_.dataFile.partition.getOrElse(pf.name, null))
-        .collectFirst {
-          case _: java.lang.Integer => IntegerType
-          case _: java.lang.Long    => LongType
-          case _: String            => StringType
-        }
-        .getOrElse(StringType)
-      pf.name -> dt
-    }
+    meta.specFields(specId)
+      // only fields the carried entries actually recorded: delete-file
+      // manifests (and pre-spec flat manifests) store an EMPTY partition
+      // record even on a partitioned table — forcing the spec's fields
+      // onto them would fabricate all-null summaries and break the
+      // summary rollup's strict key lookup
+      .filter(pf => entries.exists(_.dataFile.partition.contains(pf.name)))
+      .map { pf =>
+        val dt = entries.iterator
+          .map(_.dataFile.partition.getOrElse(pf.name, null))
+          .collectFirst {
+            case _: java.lang.Integer => IntegerType
+            case _: java.lang.Long    => LongType
+            case _: String            => StringType
+          }
+          .getOrElse(StringType)
+        pf.name -> dt
+      }
 
   /** SCHEMA EVOLUTION — add an OPTIONAL column (spec: adds must be
     * optional; a required add would instantly invalidate every existing

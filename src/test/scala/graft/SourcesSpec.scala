@@ -2153,6 +2153,26 @@ class SourcesSpec extends SparkTestBase {
     // time-travel: files at the tagged snapshot have no delete file
     assert(IcebergMetaTables.files(spark, root, Some(1L))
       .filter($"content" =!= 0).count() === 0)
+
+    // manifests view: the metadata-pressure gauge — one manifest per
+    // commit before a rewrite, consolidated after, live counts intact
+    val mfs = IcebergMetaTables.manifests(spark, root)
+      .select($"content", $"spec_id", $"live_entry_count")
+      .as[(Int, Int, Int)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(mfs.count(_._1 == 0) === 2 && mfs.count(_._1 == 1) === 1,
+      s"expected 2 per-band data manifests + 1 delete manifest, got $mfs")
+    val liveBefore = IcebergMetaTables.manifests(spark, root)
+      .agg(org.apache.spark.sql.functions.sum($"live_entry_count")).head.getLong(0)
+    IcebergWriter.append(spark, root,
+      (20 until 24).map(i => (i.toLong, i % 2)).toDF("id", "band"),
+      Some("band"), 3000L) // s3: two more per-band manifests accrete
+    assert(IcebergMetaTables.manifests(spark, root).count() === 5)
+    IcebergWriter.rewriteManifests(spark, root, 4000L)
+    val after = IcebergMetaTables.manifests(spark, root)
+    assert(after.count() === 2, "rewrite must consolidate to data+delete")
+    assert(after.agg(org.apache.spark.sql.functions.sum($"live_entry_count"))
+      .head.getLong(0) === liveBefore + 2,
+      "live entries = pre-rewrite + the s3 append's two files")
   }
 
   test("refs: write-audit-publish — branch commits, tag pins, fast-forward, expiry protection") {
