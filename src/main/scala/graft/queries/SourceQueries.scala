@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, LongType, StringType, StructField, StructType}
-import graft.sources.{BucketedTables, CsvSource, JsonSource}
+import graft.sources.{BucketedTables, CsvSource, JsonSource, OrcSource}
 import QueryUtil._
 
 /** Source-layer queries: CSV scan with declared schema, the cross-source
@@ -566,6 +566,26 @@ object SourceQueries {
       Some(
         "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier " +
           "WHERE s_acctbal > 0 ORDER BY s_suppkey"
+      )
+    ),
+    // ORC scan: parquet -> ORC round-trip gated by the parquet oracle
+    // (same pattern as q_csv_scan/q_json_scan). Spark's native ORC reader
+    // is vectorized with pushdown + pruning, so a Hive-era ORC table gets
+    // the same scan treatment as parquet; decimals and dates survive the
+    // trip exactly (both formats store them losslessly).
+    Q(
+      "q_orc_scan",
+      (s, dir) => {
+        val orc = OrcSource.orcCopyOfParquet(s, s"$dir/customer.parquet", "customer")
+        OrcSource
+          .read(s, orc)
+          .filter($"c_acctbal" > 0)
+          .select($"c_custkey", $"c_name", $"c_nationkey", $"c_acctbal")
+          .orderBy($"c_custkey")
+      },
+      Some(
+        "SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM customer " +
+          "WHERE c_acctbal > 0 ORDER BY c_custkey"
       )
     ),
     // Bucket-co-located fact-fact join: both sides written bucketed+sorted

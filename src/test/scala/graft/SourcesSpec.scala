@@ -119,6 +119,27 @@ class SourcesSpec extends SparkTestBase {
     assert(JdbcSource.read(spark, url, "published", props).count() === 5)
   }
 
+  test("orc scan: filter pushdown and column pruning reach the ORC reader") {
+    import org.apache.spark.sql.functions.col
+    val orc = graft.sources.OrcSource.orcCopyOfParquet(
+      spark, s"${SparkTestBase.Sf0001}/customer.parquet", "customer")
+    val df = graft.sources.OrcSource.read(spark, orc)
+      .filter(col("c_acctbal") > 1000)
+      .select("c_custkey")
+    val plan = df.queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("PushedFilters") &&
+      plan.toLowerCase.contains("greaterthan(c_acctbal"),
+      "acctbal filter not pushed into the ORC scan:\n" + plan.take(2000))
+    // pruned read schema: the two referenced columns, nothing else
+    val readSchema = plan.linesIterator
+      .find(_.trim.startsWith("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("c_custkey") && readSchema.contains("c_acctbal")
+      && !readSchema.contains("c_name"),
+      s"ORC read schema not pruned: $readSchema")
+    assert(df.count() > 0)
+  }
+
   test("jdbc dialect matrix: pushdown SQL fragments pinned per dialect (golden)") {
     // No live Postgres/MySQL exists in this sandbox (and the reference
     // ships only TODO stubs for both), so the dialect-specific SQL our
