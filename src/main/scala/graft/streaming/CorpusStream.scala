@@ -76,6 +76,47 @@ object CorpusStream {
     exploded.join(bench, Seq("g")).select(col("doc_id"), col("g"))
   }
 
+  /** Streaming quality screen: the Gopher-rules keep/drop
+    * (queries.TextQueries.gopherFilter — same rules, same integer
+    * boundaries, same reason codes) applied as documents ARRIVE. All
+    * four rules are WITHIN-document computations, so the streaming
+    * formulation is fully stateless append mode: the one rule the batch
+    * operator computes via a token shuffle (per-doc max token frequency)
+    * is re-expressed here as a per-row array fold
+    * (`array_max(transform(array_distinct(ws), t -> count of t))`) —
+    * O(v·n) per document, codegen'd, zero streaming state, identical
+    * integer results (StreamingSpec pins stream == batch). A grouped
+    * formulation would have forced complete-mode state that grows with
+    * stream lifetime for a computation that never needed to leave its
+    * row.
+    */
+  def qualityScreen(docs: DataFrame): DataFrame =
+    docs
+      .select(
+        col("doc_id"),
+        TextOps.tokens(col("text")).as("ws"),
+        length(regexp_replace(col("text"), "\\s", ""))
+          .cast("bigint").as("sum_len"))
+      .select(
+        col("doc_id"),
+        col("sum_len"),
+        size(col("ws")).cast("bigint").as("n_tokens"),
+        expr("size(filter(array('the','a','of','and','to','in','is'), " +
+          "sw -> array_contains(ws, sw)))").cast("bigint").as("sw_hits"),
+        expr("array_max(transform(array_distinct(ws), " +
+          "t -> size(filter(ws, x -> x = t))))").cast("bigint").as("max_tf"))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        concat_ws(",",
+          when(col("n_tokens") < 30, "short"),
+          when(!(col("sum_len") >= col("n_tokens") * 3 &&
+            col("sum_len") <= col("n_tokens") * 10), "word_len"),
+          when(col("sw_hits") < 2, "stopwords"),
+          when(col("max_tf") * 8 > col("n_tokens"), "repetition")
+        ).as("reasons"))
+      .withColumn("keep", col("reasons") === "")
+
   /** Streaming ingest dedup: each arriving micro-batch of documents is
     * deduped against the STORED MinHash index as one increment — the
     * exact operator `q_dedup_incremental` runs

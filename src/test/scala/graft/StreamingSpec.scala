@@ -472,6 +472,45 @@ class StreamingSpec extends SparkTestBase {
     assert(shuffled === batch, "shuffle fallback changed the streamed matches")
   }
 
+  test("streaming quality screen decides every document exactly like the batch operator") {
+    import graft.streaming.CorpusStream
+    val docsDir = tempDir("graft-docs-quality")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(SparkTestBase.Sf0001, "documents.parquet"),
+      java.nio.file.Paths.get(docsDir, "docs-000.parquet")
+    )
+    val q = CorpusStream
+      .qualityScreen(CorpusStream.readDocumentsStream(spark, docsDir))
+      .writeStream
+      .format("memory")
+      .queryName("quality_live")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination(120000)
+    finally q.stop()
+
+    // the stream holds ZERO state: every rule is within-document, so the
+    // plan must carry no stateful operator
+    assert(q.lastProgress.stateOperators.isEmpty,
+      "quality screen grew streaming state")
+
+    val streamed = spark.table("quality_live")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getBoolean(3)))
+      .sortBy(_._1).toSeq
+    val batch = graft.queries.TextQueries
+      .gopherFilter(graft.queries.QueryUtil
+        .t(spark, SparkTestBase.Sf0001, "documents"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getBoolean(3)))
+      .sortBy(_._1).toSeq
+    assert(batch.nonEmpty && streamed === batch,
+      "per-row streaming formulation diverged from the shuffle-based batch one")
+    assert(streamed.exists(!_._4) && streamed.exists(_._4),
+      "fixture should split keep/drop")
+  }
+
   test("streaming ingest dedup against the stored index equals the batch operator") {
     import graft.streaming.CorpusStream
     // corpus -> stored index (the on-disk dedup state the stream reads)
