@@ -949,6 +949,54 @@ object TextQueries {
       )
   }
 
+  /** Fit the add-one-smoothed unigram model on a TRAINING corpus and
+    * return (model, oovLp): the (term, lp) table plus the log-prob an
+    * unseen token scores (ln(1/(N+V)) — the same smoothing mass the
+    * fitted terms' +1 comes from). This is the production split of
+    * [[unigramNll]]: fit once offline, broadcast the vocab-sized model,
+    * score anything — including streams — without touching the training
+    * corpus again.
+    */
+  private[graft] def fitUnigramModel(
+      docs: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, Double) = {
+    val toks = docs
+      .select($"doc_id", explode(TextOps.tokens($"text")).as("term"))
+      .filter($"term" =!= "")
+    val cnt = toks.groupBy($"term").agg(count(lit(1)).as("c"))
+    val (n, v) = {
+      val r = cnt.agg(sum($"c"), count(lit(1))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val model = cnt.select($"term",
+      log(($"c" + 1.0) / lit((n + v).toDouble)).as("lp"))
+    (model, math.log(1.0 / (n + v)))
+  }
+
+  /** Score documents under a PRE-FITTED unigram model (left join +
+    * `oovLp` for unseen tokens) — mean negative log-likelihood per
+    * token, like [[unigramNll]], but against a frozen model so new
+    * corpora (or arriving micro-batches) score without refitting. The
+    * model is vocab-sized and broadcasts; one token shuffle per scored
+    * corpus.
+    */
+  private[graft] def scoreNll(
+      docs: org.apache.spark.sql.DataFrame,
+      model: org.apache.spark.sql.DataFrame,
+      oovLp: Double): org.apache.spark.sql.DataFrame = {
+    val tf = docs
+      .select($"doc_id", explode(TextOps.tokens($"text")).as("term"))
+      .filter($"term" =!= "")
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    tf.join(broadcast(model), Seq("term"), "left")
+      .withColumn("lp", coalesce($"lp", lit(oovLp)))
+      .groupBy($"doc_id")
+      .agg(
+        sum($"tf").cast("bigint").as("n_tokens"),
+        round(-sum($"tf" * $"lp") / sum($"tf"), 6).as("nll")
+      )
+  }
+
   /** Gopher-rules keep/drop over an arbitrary documents frame (see
     * `q_text_gopher` for the rule rationale) — integer-arithmetic
     * boundaries, one token shuffle for max_tf, rest per-row codegen.

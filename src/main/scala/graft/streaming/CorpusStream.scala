@@ -117,6 +117,36 @@ object CorpusStream {
         ).as("reasons"))
       .withColumn("keep", col("reasons") === "")
 
+  /** Streaming LM-quality scoring: each arriving micro-batch scores
+    * under a PRE-FITTED unigram model (fit offline on the training
+    * corpus — queries.TextQueries.fitUnigramModel; unseen tokens take
+    * the smoothing mass `oovLp`). Per-doc NLL needs a token aggregation,
+    * which in pure streaming would demand a state store for a value
+    * that never crosses batches — docs arrive whole — so this runs the
+    * BATCH scorer inside foreachBatch: full batch semantics per
+    * micro-batch, zero streaming state, the standard fit-offline /
+    * score-online serving shape. The model broadcasts into every batch.
+    */
+  def nllScoreSink(
+      docs: DataFrame,
+      model: DataFrame,
+      oovLp: Double,
+      checkpoint: String,
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(!model.isStreaming, "model must be the STATIC pre-fitted side")
+    val pinned = model
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pinned.count(): Unit // materialize once, not once per micro-batch
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.queries.TextQueries.scoreNll(batch, pinned, oovLp))
+        ()
+      }
+      .start()
+  }
+
   /** Streaming ingest dedup: each arriving micro-batch of documents is
     * deduped against the STORED MinHash index as one increment — the
     * exact operator `q_dedup_incremental` runs

@@ -80,6 +80,26 @@ object EventsStream {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n"))
 
+  /** SESSION windows in streaming: per-user activity sessions that close
+    * after `gap` of silence — the streaming twin of the batch
+    * gaps-and-islands query (`q_events_sessions`). Spark's native
+    * `session_window` merges a user's overlapping windows in the state
+    * store and the watermark is what lets a session FINALIZE: a session
+    * emits when the watermark passes its close, so state is bounded by
+    * active-sessions × gap, never stream lifetime.
+    */
+  def sessionCounts(eventsTs: DataFrame, gap: String = "30 minutes"): DataFrame =
+    eventsTs
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(
+        col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"),
+        col("sum_value"))
+
   /** Streaming exactly-once dedup on event_id: the watermark bounds the
     * dedup state (an id older than the watermark can be dropped because a
     * duplicate that late would be discarded anyway).

@@ -105,6 +105,47 @@ class StreamingSpec extends SparkTestBase {
     )
   }
 
+  test("streaming session windows equal the batch twin up to the final watermark") {
+    import org.apache.spark.sql.functions._
+    val eventsDir = tempDir("graft-events-sess")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(SparkTestBase.Sf0001, "events.parquet"),
+      java.nio.file.Paths.get(eventsDir, "events.parquet")
+    )
+    val checkpoint = tempDir("graft-ckpt-sess")
+    val q = EventsStream
+      .sessionCounts(EventsStream.readEventsStream(spark, eventsDir))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("sessions_live")
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination(120000)
+    finally q.stop()
+
+    // append mode emits a session once the watermark passes its close;
+    // the exact final watermark comes from the query's own progress
+    val wmStr = q.lastProgress.eventTime.get("watermark")
+    assert(wmStr != null, "no watermark recorded")
+    val wm = java.time.Instant.parse(wmStr)
+    val batchEvents = graft.queries.QueryUtil.events(spark, SparkTestBase.Sf0001)
+    val batch = batchEvents
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("sum_value"))
+      .filter(col("session_end") <= lit(java.sql.Timestamp.from(wm)))
+      .collect().map(_.toString).sorted.toSeq
+    val streamed = spark.table("sessions_live")
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed.nonEmpty, "no sessions finalized below the watermark")
+    assert(streamed === batch,
+      "streaming sessions diverged from the batch session_window twin")
+  }
+
   test("flatMapGroupsWithState per-user activity equals batch aggregation") {
     val eventsDir = tempDir("graft-events-state")
     java.nio.file.Files.copy(
@@ -509,6 +550,46 @@ class StreamingSpec extends SparkTestBase {
       "per-row streaming formulation diverged from the shuffle-based batch one")
     assert(streamed.exists(!_._4) && streamed.exists(_._4),
       "fixture should split keep/drop")
+  }
+
+  test("streaming NLL scoring under a frozen model equals batch; OOV takes the smoothing mass") {
+    import org.apache.spark.sql.functions.col
+    import graft.queries.TextQueries
+    val docsDir = tempDir("graft-docs-nll")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(SparkTestBase.Sf0001, "documents.parquet"),
+      java.nio.file.Paths.get(docsDir, "docs-000.parquet")
+    )
+    // fit offline on the training half; score the held-out half online
+    val all = graft.queries.QueryUtil.t(spark, SparkTestBase.Sf0001, "documents")
+    val (model, oovLp) = TextQueries.fitUnigramModel(all.filter(col("doc_id") % 2 === 0))
+    val collected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val q = graft.streaming.CorpusStream.nllScoreSink(
+      graft.streaming.CorpusStream.readDocumentsStream(spark, docsDir)
+        .filter(col("doc_id") % 2 === 1),
+      model, oovLp, tempDir("graft-ckpt-nll"),
+      scored => collected.synchronized {
+        collected ++= scored.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      })
+    try q.awaitTermination(120000)
+    finally q.stop()
+
+    val batch = TextQueries
+      .scoreNll(all.filter(col("doc_id") % 2 === 1), model, oovLp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    assert(batch.nonEmpty && collected.sortBy(_._1).toSeq === batch,
+      "streamed scores diverged from batch under the same frozen model")
+
+    // OOV: a doc of tokens the model never saw scores exactly -oovLp
+    import spark.implicits._
+    val oov = TextQueries.scoreNll(
+      Seq((999L, "zzqx zzqx plmw")).toDF("doc_id", "text"), model, oovLp)
+      .head()
+    assert(oov.getLong(1) === 3L)
+    assert(math.abs(oov.getDouble(2) - (-oovLp)) < 1e-6,
+      s"OOV doc should score -oovLp, got ${oov.getDouble(2)} vs ${-oovLp}")
   }
 
   test("streaming ingest dedup against the stored index equals the batch operator") {
