@@ -10,6 +10,7 @@ import graft.queries.QueryUtil
   * Usage: runMain graft.Main --sql "SELECT …" [--dir /root/testdata/sf0.001]
   *        runMain graft.Main --explain "SELECT …" [--dir …]  # formatted plan
   *        runMain graft.Main --serve 50051 [--token s3cret] [--dir …]  # serving endpoint
+  *        runMain graft.Main --maintain /path/to/iceberg [--retain-ms 604800000]  # nightly table job
   * Tables registered: the TESTDATA fixtures (region…embeddings) plus the
   * reference's demo `users` table (crates/igloo/src/main.rs:59-77).
   * `--serve` starts the Flight-analogue TCP server (engine.ServingServer)
@@ -57,6 +58,25 @@ object Main {
           opts.get("token").map(_ => " (token auth)").getOrElse(""))
         Thread.currentThread().join() // block until killed, like the reference
       case None =>
+        opts.get("maintain") match {
+          case Some(tablePath) =>
+            // the nightly-job entry point: compact on delete pressure,
+            // expire history past --retain-ms (optional), consolidate
+            // manifests on metadata pressure — then print the report
+            val cutoff = opts.get("retain-ms")
+              .map(ms => System.currentTimeMillis() - ms.toLong)
+            val r = graft.sources.IcebergMaintenance.maintain(
+              spark, tablePath, System.currentTimeMillis(),
+              expireOlderThanMs = cutoff)
+            println(s"[maintain] deleteFiles=${r.deleteFiles} " +
+              s"deleteRows=${r.deleteRows} dataFiles=${r.dataFiles} " +
+              s"compacted=${r.compacted.getOrElse("-")} " +
+              s"expired=${r.expired.mkString(",")} " +
+              s"manifestsRewritten=${r.manifestsRewritten.getOrElse("-")}")
+            spark.stop()
+            return
+          case None => ()
+        }
         opts.get("explain") match {
           case Some(esql) =>
             // the plan-inspection loop every perf-minded user needs:

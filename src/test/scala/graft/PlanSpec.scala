@@ -234,6 +234,34 @@ class PlanSpec extends SparkTestBase {
     assert(read === 3, s"expected 3 partitions read after subquery pruning, got $read")
   }
 
+  test("perplexity broadcasts the unigram model; semantic dedup joins on cell, never cartesian") {
+    val ppl = executed("q_text_perplexity")
+    assert(ppl.contains("BroadcastHashJoin"),
+      "unigram model not broadcast onto tf:\n" + ppl.take(3000))
+    val sem = executed("q_dedup_semantic")
+    assert(!sem.contains("CartesianProduct"),
+      "semantic dedup degenerated to a cartesian product:\n" + sem.take(3000))
+  }
+
+  test("paragraph dedup's winner-election window never carries paragraph text") {
+    // the election shuffles (h, doc_id, para_idx) digests only; the text
+    // column re-enters downstream via the doc_id reassembly join. The
+    // Window operator's required ordering names the digest columns — if
+    // `para` ever appears in the Window's attribute list, someone routed
+    // text through the shuffle.
+    val plan = executed("q_dedup_paragraph")
+    val windowLine = plan.linesIterator
+      .find(l => l.contains("Window [") || l.contains("RunningWindowFunction") ||
+        l.contains("Arguments: [row_number"))
+      .orElse(plan.linesIterator.find(_.contains("row_number")))
+      .getOrElse(fail("no window operator in the paragraph-dedup plan:\n" + plan.take(2000)))
+    // "para#N" is the text attribute; "para_idx#N" does not match it
+    assert(!windowLine.contains("para#"),
+      "window operator references paragraph text:\n" + windowLine)
+    assert(windowLine.contains("h#") || windowLine.contains("md5"),
+      "window not keyed on the digest:\n" + windowLine)
+  }
+
   test("every registered query plans without error at sf0.001") {
     Registry.all.foreach { q =>
       val df = q.fn(spark, SparkTestBase.Sf0001)
