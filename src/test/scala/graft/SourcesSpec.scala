@@ -1552,6 +1552,32 @@ class SourcesSpec extends SparkTestBase {
     assert(again.manifestsRewritten.isEmpty)
   }
 
+  test("manifest rewrite on a v1 table consolidates without sequence machinery; error paths refuse") {
+    import spark.implicits._
+    val root = tempDir("graft-iceberg-rw-v1")
+    (0 until 4).foreach { i =>
+      IcebergWriter.append(spark, root,
+        Seq((i.toLong, s"v$i")).toDF("id", "v"), None, 1000L * (i + 1))
+    }
+    assert(IcebergMeta.load(root).formatVersion === 1)
+    val before = IcebergSource.read(spark, root).collect()
+      .map(_.toString).sorted.toSeq
+    val rep = IcebergWriter.rewriteManifests(spark, root, 9000L)
+    assert(rep.snapshotId.nonEmpty && rep.manifestsBefore === 4 &&
+      rep.manifestsAfter === 1)
+    assert(IcebergSource.read(spark, root).collect()
+      .map(_.toString).sorted.toSeq === before)
+    // time travel across the rewrite still answers the old states
+    assert(IcebergSource.read(spark, root, Some(2L), None, None).count() === 2)
+
+    // error paths: no snapshots, bad split bound
+    val empty = tempDir("graft-iceberg-rw-empty")
+    IcebergWriter.append(spark, empty, Seq((1L, "x")).toDF("id", "v"), None, 1000L)
+    assert(intercept[IllegalArgumentException] {
+      IcebergWriter.rewriteManifests(spark, empty, 2000L, maxEntriesPerManifest = 0)
+    }.getMessage.contains("positive"))
+  }
+
   test("manifest rewrite loses a commit race, retries, and carries the racer's rows") {
     import spark.implicits._
     val root = mkV2Table()
