@@ -380,22 +380,33 @@ object SimilarityQueries {
                |ORDER BY dup_id""".stripMargin
           }
         )
-        val assigned = model.assignments
-        val a = assigned
-          .select($"cell", $"vec_id".as("id_a"), $"embedding".as("emb_a"))
-        val b = assigned
-          .select($"cell", $"vec_id".as("dup_id"), $"embedding".as("emb_b"))
-        a.join(b, Seq("cell"))
-          .filter($"id_a" < $"dup_id")
-          .filter(
-            round(graft.functions.Functions.cosineSim($"emb_a", $"emb_b"), 6)
-              >= 0.3)
-          .groupBy($"cell".cast("bigint").as("cell"), $"dup_id")
-          .agg(min($"id_a").as("kept_id"))
-          .orderBy($"dup_id")
+        semanticDupPairsOf(model).orderBy($"dup_id")
       },
       None,
       oracleFn = Some(() => semanticOracle.get())
     )
   )
+
+  /** SemDeDup's within-cell greedy election over a FITTED model — shared
+    * by `q_dedup_semantic` and ScaleProbe's similarity probe (which
+    * scales nCells with the corpus, the method's own recipe for keeping
+    * cell sizes — and so the per-cell pairwise cost — bounded as the
+    * corpus grows).
+    */
+  private[graft] def semanticDupPairsOf(
+      model: graft.operators.IvfIndex.Model
+  ): org.apache.spark.sql.DataFrame = {
+    val assigned = model.assignments
+    val a = assigned
+      .select($"cell", $"vec_id".as("id_a"), $"embedding".as("emb_a"))
+    val b = assigned
+      .select($"cell", $"vec_id".as("dup_id"), $"embedding".as("emb_b"))
+    a.join(b, Seq("cell"))
+      .filter($"id_a" < $"dup_id")
+      .filter(
+        round(graft.functions.Functions.cosineSim($"emb_a", $"emb_b"), 6)
+          >= 0.3)
+      .groupBy($"cell".cast("bigint").as("cell"), $"dup_id")
+      .agg(min($"id_a").as("kept_id"))
+  }
 }
