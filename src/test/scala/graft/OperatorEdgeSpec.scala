@@ -174,6 +174,49 @@ class OperatorEdgeSpec extends SparkTestBase {
       s"sample-fit lost the cluster structure: cells=$cells")
   }
 
+  test("text pipeline edges: empty / whitespace / single-token docs neither crash nor divide by zero") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val edge = Seq(
+      (1L, ""),           // split -> [""] (one empty token)
+      (2L, "   "),        // leading whitespace -> ["", ...] artifacts
+      (3L, "word"),       // single real token
+      (4L, "the the the the the") // degenerate repetition
+    ).toDF("doc_id", "text")
+
+    val gopher = graft.queries.TextQueries.gopherFilter(edge)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2), r.getBoolean(3)))
+      .toMap
+    assert(gopher.size === 4, "every edge doc must get a verdict")
+    // all are too short; none may keep; reasons must be non-empty strings
+    gopher.values.foreach { case (n, reasons, keep) =>
+      assert(n >= 1L && !keep && reasons.nonEmpty)
+    }
+    assert(gopher(4L)._2.contains("repetition"), gopher(4L).toString)
+
+    // NLL scoring under a frozen model: empty-token docs VANISH (no
+    // scorable tokens — the documented contract), real tokens score
+    val (model, oov) = graft.queries.TextQueries.fitUnigramModel(
+      Seq((10L, "a b c")).toDF("doc_id", "text"))
+    val scored = graft.queries.TextQueries.scoreNll(edge, model, oov)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scored.keySet === Set(3L, 4L),
+      s"only token-bearing docs score: ${scored.keySet}")
+    assert(scored.values.forall(v => !v.isNaN && !v.isInfinite))
+
+    // redaction chain: a doc that is ONLY PII reduces to placeholders
+    val onlyPii = Seq((1L, "a@b.co 10.0.0.1 123-45-6789")).toDF("doc_id", "text")
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.regexp_replace(
+          org.apache.spark.sql.functions.regexp_replace(
+            org.apache.spark.sql.functions.regexp_replace(col("text"),
+              "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+            "\\b\\d{3}-\\d{2}-\\d{4}\\b", "<ID>"),
+          "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>").as("clean"))
+      .head().getString(1)
+    assert(onlyPii === "<EMAIL> <IP> <ID>", onlyPii)
+  }
+
   test("serving shim honors a custom batch size") {
     import spark.implicits._
     session.registerTable("serve_small", (1 to 10).toDF("v"))
