@@ -45,6 +45,30 @@ class ServingServerSpec extends SparkTestBase {
     }
   }
 
+  test("an Iceberg table registered in the catalog serves over the socket and follows commits") {
+    import spark.implicits._
+    import graft.sources.IcebergWriter
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-serve-iceberg").toString
+    IcebergWriter.append(spark, root,
+      (0 until 8).map(i => (i.toLong, s"v$i")).toDF("id", "v"), None, 1000L,
+      formatVersion = 2)
+    session.registerIcebergTable("served_ice", root)
+    withServer { srv =>
+      val r = ServingClient.doGet(srv.boundPort,
+        "SELECT id, v FROM served_ice ORDER BY id")
+      assert(r.isOk, r.status)
+      assert(r.rows.size === 8 && r.rows.head(1).toString === "v0")
+      // a MoR delete commits; the served view follows without re-registering
+      IcebergWriter.deleteRowsWhere(spark, root,
+        org.apache.spark.sql.functions.col("id") < 3, 2000L)
+      val r2 = ServingClient.doGet(srv.boundPort,
+        "SELECT count(*) AS n FROM served_ice")
+      assert(r2.isOk && r2.rows.head.head.toString.toLong === 5L,
+        s"served view did not follow the delete commit: ${r2.rows}")
+    }
+  }
+
   test("GET_FLIGHT_INFO answers endpoints + schema, streams no row data") {
     withServer { srv =>
       val r = ServingClient.getFlightInfo(
