@@ -42,6 +42,11 @@ object Functions {
       "lsh_rewrite_hint",
       es => LshRewriteHint(es.head)
     )
+    GraftSqlInternals.registerFunction(
+      spark,
+      "max_token_freq",
+      es => MaxTokenFreq(es.head)
+    )
   }
 
   /** Column API: `capitalize(c)` — reference semantics = UPPER(c),
@@ -70,6 +75,13 @@ object Functions {
         GraftSqlInternals.expression(window)
       )
     )
+
+  /** Column API: per-row max token frequency of an `array<string>` —
+    * one O(n) hash-map pass vs the O(v*n) interpreted-lambda composed
+    * form (see [[MaxTokenFreq]]).
+    */
+  def maxTokenFreq(ws: Column): Column =
+    GraftSqlInternals.column(MaxTokenFreq(GraftSqlInternals.expression(ws)))
 
   /** Column API: mark a boolean predicate as an opt-in for the banded-LSH
     * join rewrite (plans.LshJoinRewrite). Identity everywhere the rule

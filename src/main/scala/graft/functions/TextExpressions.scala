@@ -205,3 +205,66 @@ object RollingFingerprint {
     }
   }
 }
+
+/** Per-row MAXIMUM TOKEN FREQUENCY of a string array — the repetition
+  * signal the Gopher filter thresholds (`max_tf * 8 > n_tokens`).
+  *
+  * Why native: the composed form
+  * `array_max(transform(array_distinct(ws), t -> size(filter(ws, x -> x = t))))`
+  * is O(v·n) with three temporary arrays per row, and Spark evaluates
+  * higher-order-function lambdas INTERPRETED — per element, per row —
+  * even inside a codegen stage. This expression makes one O(n) pass with
+  * a single hash map and runs as a straight call from whole-stage
+  * codegen. Used by the streaming quality screen, where the per-row
+  * formulation is what keeps the operator stateless.
+  *
+  * Semantics: null input -> null; null ELEMENTS are skipped (split()
+  * never produces them; skipping beats crashing on foreign data); empty
+  * array -> 0.
+  */
+case class MaxTokenFreq(child: Expression) extends UnaryExpression {
+
+  override def prettyName: String = "max_token_freq"
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects array<string>, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    MaxTokenFreq.compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      a => s"${ev.value} = graft.functions.MaxTokenFreq.compute($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MaxTokenFreq {
+  /** One pass, one map. UTF8String keys are safe WITHIN a row evaluation
+    * (the backing buffer is stable for the duration of the call; nothing
+    * escapes this method).
+    */
+  def compute(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    if (n == 0) return 0L
+    val m = new java.util.HashMap[UTF8String, Integer](Math.min(n * 2, 1024))
+    var max = 0L
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        val c = m.merge(s, Integer.valueOf(1), (x, y) => Integer.valueOf(x + y))
+        if (c > max) max = c.toLong
+      }
+      i += 1
+    }
+    max
+  }
+}

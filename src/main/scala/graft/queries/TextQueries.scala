@@ -999,7 +999,13 @@ object TextQueries {
 
   /** Gopher-rules keep/drop over an arbitrary documents frame (see
     * `q_text_gopher` for the rule rationale) — integer-arithmetic
-    * boundaries, one token shuffle for max_tf, rest per-row codegen.
+    * boundaries, fully per-row: since the native [[graft.functions
+    * .MaxTokenFreq]] expression landed, even the repetition rule needs
+    * no token shuffle (the earlier explode + two-level groupBy shape is
+    * gone), so the whole filter is ONE codegen'd pass over the corpus —
+    * and the batch operator and the streaming screen
+    * ([[graft.streaming.CorpusStream.qualityScreen]]) are literally the
+    * same computation.
     */
   private[graft] def gopherFilter(
       docs0: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
@@ -1009,18 +1015,13 @@ object TextQueries {
         TextOps.tokens($"text").as("ws"),
         length(regexp_replace($"text", "\\s", ""))
           .cast("bigint").as("sum_len"))
-    val base = docs.select(
+    docs.select(
       $"doc_id",
       $"sum_len",
       size($"ws").cast("bigint").as("n_tokens"),
       expr("size(filter(array('the','a','of','and','to','in','is'), " +
-        "sw -> array_contains(ws, sw)))").cast("bigint").as("sw_hits"))
-    val maxtf = docs
-      .select($"doc_id", explode($"ws").as("term"))
-      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-      .groupBy($"doc_id").agg(max($"tf").as("max_tf"))
-    base
-      .join(maxtf, Seq("doc_id"))
+        "sw -> array_contains(ws, sw)))").cast("bigint").as("sw_hits"),
+      graft.functions.Functions.maxTokenFreq($"ws").as("max_tf"))
       .select(
         $"doc_id",
         $"n_tokens",

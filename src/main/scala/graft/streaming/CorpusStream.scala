@@ -81,14 +81,15 @@ object CorpusStream {
     * boundaries, same reason codes) applied as documents ARRIVE. All
     * four rules are WITHIN-document computations, so the streaming
     * formulation is fully stateless append mode: the one rule the batch
-    * operator computes via a token shuffle (per-doc max token frequency)
-    * is re-expressed here as a per-row array fold
-    * (`array_max(transform(array_distinct(ws), t -> count of t))`) —
-    * O(v·n) per document, codegen'd, zero streaming state, identical
-    * integer results (StreamingSpec pins stream == batch). A grouped
-    * formulation would have forced complete-mode state that grows with
-    * stream lifetime for a computation that never needed to leave its
-    * row.
+    * formulation once needed a token shuffle (per-doc max token
+    * frequency) is per-row via the native one-pass
+    * [[graft.functions.MaxTokenFreq]] expression — O(n) per document
+    * inside whole-stage codegen, zero streaming state, identical integer
+    * results (StreamingSpec pins stream == batch; batch gopherFilter now
+    * uses the same expression, so the two are the same computation). A
+    * grouped formulation would have forced complete-mode state that
+    * grows with stream lifetime for a computation that never needed to
+    * leave its row.
     */
   def qualityScreen(docs: DataFrame): DataFrame =
     docs
@@ -103,8 +104,10 @@ object CorpusStream {
         size(col("ws")).cast("bigint").as("n_tokens"),
         expr("size(filter(array('the','a','of','and','to','in','is'), " +
           "sw -> array_contains(ws, sw)))").cast("bigint").as("sw_hits"),
-        expr("array_max(transform(array_distinct(ws), " +
-          "t -> size(filter(ws, x -> x = t))))").cast("bigint").as("max_tf"))
+        // native one-pass expression (functions.MaxTokenFreq) — the
+        // composed array_max(transform(array_distinct...)) form it
+        // replaced was O(v·n) interpreted lambdas per row
+        graft.functions.Functions.maxTokenFreq(col("ws")).as("max_tf"))
       .select(
         col("doc_id"),
         col("n_tokens"),

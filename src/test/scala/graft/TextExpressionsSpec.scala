@@ -75,4 +75,36 @@ class TextExpressionsSpec extends SparkTestBase {
     val r = session.execute("SELECT rolling_fingerprint(t, 0) FROM fp_t").head()
     assert(r.getLong(0) === RollingFingerprint.compute("hello world".getBytes("UTF-8"), 0))
   }
+
+  test("max_token_freq: equals the composed HOF form on random arrays; edge semantics") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 200).map { i =>
+      val n = rnd.nextInt(60)
+      (i.toLong, (0 until n).map(_ => s"t${rnd.nextInt(12)}").mkString(" "))
+    }
+    val df = rows.toDF("id", "text")
+      .select($"id", split($"text", " ").as("ws"))
+    val both = df.select(
+      $"id",
+      graft.functions.Functions.maxTokenFreq($"ws").as("native"),
+      expr("array_max(transform(array_distinct(ws), " +
+        "t -> size(filter(ws, x -> x = t))))").cast("bigint").as("composed"))
+      .collect()
+    both.foreach { r =>
+      // composed form yields null on empty arrays; native yields 0
+      val composed = if (r.isNullAt(2)) 0L else r.getLong(2)
+      // split("") = [""] so "empty text" still has one token both ways
+      assert(r.getLong(1) === composed, s"row ${r.getLong(0)}")
+    }
+    // null input -> null; null elements skipped; SQL registration works
+    val edge = session.execute(
+      "SELECT max_token_freq(CAST(NULL AS ARRAY<STRING>)), " +
+        "max_token_freq(array('a', CAST(NULL AS STRING), 'a')), " +
+        "max_token_freq(CAST(array() AS ARRAY<STRING>))").head()
+    assert(edge.isNullAt(0))
+    assert(edge.getLong(1) === 2L)
+    assert(edge.getLong(2) === 0L)
+  }
 }
