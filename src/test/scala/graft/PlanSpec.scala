@@ -262,6 +262,40 @@ class PlanSpec extends SparkTestBase {
       "window not keyed on the digest:\n" + windowLine)
   }
 
+  test("runtime Bloom-filter join pruning injects might_contain on the fact side") {
+    // The row-level sibling of DPP: a selective dim predicate builds a
+    // bloom filter that prunes fact rows BEFORE the join's shuffle —
+    // at 100 TB that is shuffle bytes saved in proportion to dim
+    // selectivity. Injection preconditions worth pinning because they
+    // are easy to silently lose: the join must NOT be broadcast and
+    // must NOT carry a user join-strategy hint (InjectRuntimeFilter
+    // pattern-matches the bare join), and the application side must
+    // clear the scan-size threshold (lowered here — the sf fixture is
+    // tiny; on the real cluster the 10GB default does the gating).
+    import org.apache.spark.sql.functions._
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    val l = graft.queries.QueryUtil.t(s2, SparkTestBase.Sf0001, "lineitem")
+    val o = graft.queries.QueryUtil.t(s2, SparkTestBase.Sf0001, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+    val j = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority")).agg(sum(col("l_quantity")).as("q"))
+    val plan = j.queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("might_contain") && plan.contains("bloom_filter_agg"),
+      "runtime bloom filter not injected:\n" + plan.take(3000))
+    // pruning is an optimization, never a semantic change
+    val expected = graft.queries.QueryUtil.t(spark, SparkTestBase.Sf0001, "lineitem")
+      .join(graft.queries.QueryUtil.t(spark, SparkTestBase.Sf0001, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority")).agg(sum(col("l_quantity")).as("q"))
+      .head().getDouble(1)
+    assert(j.head().getDouble(1) === expected)
+  }
+
   test("every registered query plans without error at sf0.001") {
     Registry.all.foreach { q =>
       val df = q.fn(spark, SparkTestBase.Sf0001)
