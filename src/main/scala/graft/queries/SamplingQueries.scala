@@ -105,6 +105,61 @@ object SamplingQueries {
           |)
           |SELECT lang, doc_id FROM r WHERE rk <= 10 ORDER BY lang, doc_id""".stripMargin
       )
+    ),
+    // Temperature sampling (the multilingual rebalancing of mBERT/XLM-R:
+    // keep probability proportional to n_lang^(alpha-1), alpha = 0.5): the
+    // smallest language keeps everything, a language k-times larger keeps
+    // a sqrt(1/k) fraction — flattening the size distribution without
+    // discarding the head entirely. The rate is DENOMINATOR-FREE —
+    // sqrt(n_min/n_lang), two integers and one correctly-rounded sqrt, so
+    // both engines compute bit-identical thresholds (a sum-normalized
+    // p_l = n^a / SUM n^a would hinge on float summation order). Selection
+    // is the house deterministic-hash pattern: 16 content-hash bits
+    // against floor(rate * 65536).
+    //
+    // 100 TB shape: one tiny per-lang count agg, thresholds broadcast back,
+    // one codegen'd selection pass — the corpus text never shuffles.
+    Q(
+      "q_sample_temperature",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val c = docs.groupBy($"lang").agg(count(lit(1)).cast("bigint").as("n"))
+        val m = c.agg(min($"n").as("nmin"))
+        val r = c
+          .crossJoin(broadcast(m))
+          .select($"lang", $"n",
+            floor(sqrt($"nmin".cast("double") / $"n") * 65536)
+              .cast("bigint").as("thresh"))
+        val kept = docs
+          .select($"lang",
+            conv(substring(sha2($"text", 256), 1, 4), 16, 10)
+              .cast("bigint").as("b"))
+          .join(broadcast(r), Seq("lang"))
+          .filter($"b" < $"thresh")
+          .groupBy($"lang").agg(count(lit(1)).cast("bigint").as("n_kept"))
+        r.join(kept, Seq("lang"), "left")
+          .select($"lang", $"n".as("n_total"), $"thresh",
+            coalesce($"n_kept", lit(0L)).as("n_kept"))
+          .orderBy($"lang")
+      },
+      Some(
+        """WITH c AS (
+          |  SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang
+          |), m AS (
+          |  SELECT min(n) AS nmin FROM c
+          |), r AS (
+          |  SELECT lang, n,
+          |         CAST(floor(sqrt(CAST(nmin AS DOUBLE) / n) * 65536) AS BIGINT) AS thresh
+          |  FROM c, m
+          |), k AS (
+          |  SELECT d.lang, CAST(count(*) AS BIGINT) AS n_kept
+          |  FROM documents d JOIN r USING (lang)
+          |  WHERE CAST(('0x' || substring(sha256(text), 1, 4)) AS BIGINT) < thresh
+          |  GROUP BY d.lang
+          |)
+          |SELECT r.lang, n AS n_total, thresh, coalesce(n_kept, 0) AS n_kept
+          |FROM r LEFT JOIN k ON r.lang = k.lang ORDER BY r.lang""".stripMargin
+      )
     )
   )
 }
