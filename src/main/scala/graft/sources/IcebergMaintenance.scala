@@ -65,8 +65,11 @@ object IcebergMaintenance {
     val deleteFiles = plan.deletes.size
     val deleteRows = plan.deletes.map(_.recordCount).sum
 
+    // clusterBy empty -> null: compact then honors the TABLE's declared
+    // sort order (IcebergWriter.setSortOrder) if one is set — the
+    // nightly job applies the clustering the table itself asked for
     val relayout: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
-      if (clusterBy.isEmpty) identity
+      if (clusterBy.isEmpty) null
       else d => d
         .repartitionByRange(clusterFiles,
           clusterBy.map(org.apache.spark.sql.functions.col): _*)

@@ -107,7 +107,12 @@ object IcebergMeta {
       // commit (verbatim json + target version + snapshot id) on this
       // ONE value; re-reading the hint later can observe a concurrent
       // commit and silently mix two table states into one snapshot
-      loadedVersion: Int = 0) {
+      loadedVersion: Int = 0,
+      // the DEFAULT sort order's identity columns (spec `sort-orders` /
+      // `default-sort-order-id`) — the table's declared write clustering.
+      // Empty = unsorted order, or an order using transforms this writer
+      // cannot lay out (read leniently; compaction just won't cluster)
+      sortOrderColumns: Seq[String] = Nil) {
 
     def specFields(specId: Int): Seq[PartitionField] =
       specsById.getOrElse(specId, partitionFields)
@@ -402,11 +407,32 @@ object IcebergMeta {
         }.toMap - MainBranch
       else Map.empty
 
+    // default sort order's identity columns (lenient: unsupported
+    // transforms or dead field ids just yield an empty order)
+    val sortCols: Seq[String] =
+      if (!node.has("sort-orders")) Nil
+      else {
+        val defId = node.path("default-sort-order-id").asInt(0)
+        node.path("sort-orders").elements().asScala
+          .find(_.path("order-id").asInt(-1) == defId)
+          .map { so =>
+            val fs = so.path("fields").elements().asScala.toSeq
+            val resolved = fs.flatMap { f =>
+              if (f.path("transform").asText("") != "identity") None
+              else fields.find(_.id == f.path("source-id").asInt(-1)).map(_.name)
+            }
+            // a partially-resolvable order is NOT this order — clustering
+            // by a prefix would claim a layout the metadata doesn't mean
+            if (resolved.size == fs.size) resolved else Nil
+          }
+          .getOrElse(Nil)
+      }
+
     TableMeta(Paths.get(tablePath), formatVersion, fields, partitionFields,
       current, snapshots, schemasById, currentSchemaId,
       node.path("last-sequence-number").asLong(0L), properties,
       if (specsById.nonEmpty) specsById else Map(0 -> partitionFields),
-      defaultSpecId, refs, version)
+      defaultSpecId, refs, version, sortCols)
   }
 
   // ---------------------------------------------------------------------

@@ -1122,13 +1122,24 @@ object IcebergWriter {
       // (compose with ZOrderLayout.zorderKey for two-dimension
       // clustering). Safe under ANY layout: bounds are conservative, a
       // relayout can only change how much a scan skips, never what it
-      // returns.
-      relayout: DataFrame => DataFrame = identity): Long = {
+      // returns. null (the default) = honor the table's DECLARED sort
+      // order ([[setSortOrder]]) when one is set, else no relayout — a
+      // caller-provided function always wins over the declaration.
+      relayout: DataFrame => DataFrame = null,
+      sortOrderFiles: Int = 16): Long = {
     val meta = IcebergMeta.load(tablePath)
     require(meta.formatVersion == 2,
       s"compact targets v2 merge-on-read tables; this one is v${meta.formatVersion}")
     val partition = specTransforms(meta)
     require(meta.currentSnapshot.isDefined, "table has no current snapshot")
+    val relayout0: DataFrame => DataFrame =
+      if (relayout != null) relayout
+      else if (meta.sortOrderColumns.isEmpty) identity
+      else d => d
+        .repartitionByRange(sortOrderFiles,
+          meta.sortOrderColumns.map(org.apache.spark.sql.functions.col): _*)
+        .sortWithinPartitions(
+          meta.sortOrderColumns.map(org.apache.spark.sql.functions.col): _*)
 
     val baseVersion = Some(meta.loadedVersion)
     val root = meta.root
@@ -1139,7 +1150,7 @@ object IcebergWriter {
     // materializes exactly what any reader sees today, re-laid-out
     // under the table's partition spec
     val stagedData = stageDataFiles(
-      relayout(IcebergSource.read(spark, tablePath)), partition, staging,
+      relayout0(IcebergSource.read(spark, tablePath)), partition, staging,
       fieldIdsFor(Some(meta), IcebergMeta.sparkSchema(meta)))
     require(stagedData.nonEmpty, "compaction produced no data files")
     faultHook("staged")
@@ -1495,6 +1506,53 @@ object IcebergWriter {
     * both directions — flipping it would silently change how every
     * existing parquet resolves its columns.
     */
+  /** SORT ORDER — declare the table's write clustering (spec
+    * `sort-orders` / `default-sort-order-id`; SQL `ALTER TABLE ... WRITE
+    * ORDERED BY`). Metadata-only: existing files don't move — the order
+    * is a CONTRACT for future writes, and [[compact]] (and therefore the
+    * maintenance policy) honors it by range-clustering its rewrite on
+    * these columns, which is what turns the declaration into disjoint
+    * per-file bounds and real file-level data skipping. Identity columns
+    * only (what this writer can lay out); ascending, nulls-first —
+    * the spec defaults. Returns the new order id.
+    */
+  def setSortOrder(
+      tablePath: String,
+      columns: Seq[String],
+      timestampMs: Long): Int = {
+    require(columns.nonEmpty, "sort order needs at least one column")
+    val meta = IcebergMeta.load(tablePath)
+    val ids = columns.map { c =>
+      meta.fields.find(_.name == c).getOrElse(throw new IllegalArgumentException(
+        s"sort column '$c' does not exist in the table schema")).id
+    }
+    val baseVersion = meta.loadedVersion
+    val root = meta.root
+    val node = mapper.readTree(Files.readString(
+      root.resolve("metadata").resolve(s"v$baseVersion.metadata.json")))
+      .asInstanceOf[ObjectNode]
+    val arr =
+      if (node.has("sort-orders")) node.withArray[ArrayNode]("sort-orders")
+      else node.putArray("sort-orders")
+    val newId = (0 until arr.size())
+      .map(arr.get(_).path("order-id").asInt(0)).maxOption.getOrElse(-1) + 1
+    val so = arr.addObject()
+    so.put("order-id", newId)
+    val fs = so.putArray("fields")
+    ids.foreach { id =>
+      val f = fs.addObject()
+      f.put("transform", "identity")
+      f.put("source-id", id)
+      f.put("direction", "asc")
+      f.put("null-order", "nulls-first")
+    }
+    node.put("default-sort-order-id", newId)
+    node.put("last-updated-ms", timestampMs)
+    commitMetadataJson(root, baseVersion + 1, node, "sortorder")
+    notifyCommit(root.toString)
+    newId
+  }
+
   def setProperties(
       tablePath: String,
       props: Map[String, String],

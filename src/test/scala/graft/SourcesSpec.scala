@@ -1604,6 +1604,43 @@ class SourcesSpec extends SparkTestBase {
       "post-retry table must hold the original rows plus the racer's")
   }
 
+  test("declared sort order: metadata round-trip; compact honors it into skippable bounds") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = tempDir("graft-iceberg-sortorder")
+    // hash-arrival order: ids scattered across files, bounds all overlap
+    val df = (0 until 4000).map(i => ((i * 2654435761L) % 4000, s"p$i"))
+      .toDF("id", "v").repartition(8)
+    IcebergWriter.append(spark, root, df, None, 1000L, formatVersion = 2)
+
+    assert(IcebergMeta.load(root).sortOrderColumns.isEmpty)
+    val oid = IcebergWriter.setSortOrder(root, Seq("id"), 2000L)
+    assert(oid === 1)
+    val meta = IcebergMeta.load(root)
+    assert(meta.sortOrderColumns === Seq("id"))
+    // metadata-only: no snapshot written
+    assert(meta.snapshots.size === 1)
+
+    // compact with NO explicit relayout clusters on the declared order:
+    // a point lookup then plans a small fraction of the files
+    IcebergWriter.compact(spark, root, 3000L)
+    val m2 = IcebergMeta.load(root)
+    val plan = IcebergMeta.planScan(m2, m2.currentSnapshot.get,
+      fileFilter = Seq(IcebergMeta.ColumnBound("id", "eq", 1234L)))
+    assert(plan.filesSkipped > 0 && plan.files.size <= 2,
+      s"declared-order compaction left unskippable bounds: " +
+        s"${plan.files.size} read / ${plan.filesSkipped} skipped")
+    assert(IcebergSource.read(spark, root)
+      .filter(col("id") === 1234L).count() === 1)
+    // rows intact
+    assert(IcebergSource.read(spark, root).count() === df.count())
+
+    // unknown column refuses before touching metadata
+    assert(intercept[IllegalArgumentException] {
+      IcebergWriter.setSortOrder(root, Seq("nope"), 4000L)
+    }.getMessage.contains("does not exist"))
+  }
+
   test("table properties: metadata-only set/remove round-trip; writer marker protected") {
     val root = mkV2Table()
     val before = IcebergSource.read(spark, root).collect()
