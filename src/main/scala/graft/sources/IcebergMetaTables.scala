@@ -113,6 +113,36 @@ object IcebergMetaTables {
     local(spark, schema, dataRows ++ deleteRows)
   }
 
+  /** One-row table card — the DESCRIBE EXTENDED analogue: format
+    * version, current snapshot/sequence, schema + partition + declared
+    * sort order as text, property count, snapshot/ref counts. The
+    * "what am I looking at" answer from pure KB metadata.
+    */
+  def describe(spark: SparkSession, tablePath: String): DataFrame = {
+    val meta = IcebergMeta.load(tablePath)
+    val schema = StructType(Seq(
+      StructField("format_version", IntegerType, nullable = false),
+      StructField("current_snapshot_id", LongType, nullable = true),
+      StructField("last_sequence_number", LongType, nullable = false),
+      StructField("schema", StringType, nullable = false),
+      StructField("partition", StringType, nullable = false),
+      StructField("sort_order", StringType, nullable = false),
+      StructField("n_snapshots", IntegerType, nullable = false),
+      StructField("n_refs", IntegerType, nullable = false),
+      StructField("n_properties", IntegerType, nullable = false)))
+    local(spark, schema, Seq(Row(
+      meta.formatVersion,
+      meta.currentSnapshotId.map(Long.box).orNull,
+      meta.lastSequenceNumber,
+      meta.fields.map(f =>
+        s"${f.name}:${f.typeName}${if (f.required) "" else "?"}").mkString(", "),
+      meta.partitionFields.map(p => s"${p.transform}(${p.name})").mkString(", "),
+      meta.sortOrderColumns.mkString(", "),
+      meta.snapshots.size,
+      meta.refs.size,
+      meta.properties.size)))
+  }
+
   /** One row per manifest in the current (or given) snapshot's list —
     * the METADATA-pressure gauge: a commit-accreting ingest table shows
     * one row per commit here, and `IcebergMaintenance`'s manifest-

@@ -2257,6 +2257,15 @@ class SourcesSpec extends SparkTestBase {
     assert(after.agg(org.apache.spark.sql.functions.sum($"live_entry_count"))
       .head.getLong(0) === liveBefore + 2,
       "live entries = pre-rewrite + the s3 append's two files")
+
+    // describe: the one-row table card reflects the lifecycle just run
+    IcebergWriter.setSortOrder(root, Seq("id"), 5000L)
+    val card = IcebergMetaTables.describe(spark, root).head()
+    assert(card.getInt(0) === 2) // format version
+    assert(card.getString(3).contains("id:long"))
+    assert(card.getString(4) === "identity(band)")
+    assert(card.getString(5) === "id")
+    assert(card.getInt(6) >= 4, "snapshot count")
   }
 
   test("refs: write-audit-publish — branch commits, tag pins, fast-forward, expiry protection") {
