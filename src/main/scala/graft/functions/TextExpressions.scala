@@ -268,3 +268,67 @@ object MaxTokenFreq {
     max
   }
 }
+
+/** Distinct word n-gram shingles of a token array, one pass.
+  *
+  * Exactly
+  * `array_distinct(transform(sequence(0, size(ws)-n), i -> concat_ws(" ", ws[i+1..i+n])))`
+  * — same strings, same first-occurrence order — but the composed form
+  * evaluates its lambda INTERPRETED per window per row and allocates a
+  * full pre-distinct array; this walks the tokens once with a linked
+  * hash set and runs as a straight call from whole-stage codegen.
+  * Shingling is the entry pass of the entire dedup/decontamination
+  * family, so this is the hottest lambda in the engine.
+  *
+  * Semantics: null input -> null; fewer than n tokens -> empty array;
+  * null TOKENS are skipped inside a shingle (concat_ws semantics).
+  */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  override def prettyName: String = "word_shingles"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if n > 0 => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects array<string> and n > 0, got " +
+          s"${other.catalogString} (n=$n)")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    WordShingles.compute(v.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      a => s"${ev.value} = graft.functions.WordShingles.compute($a, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WordShingles {
+  private val Space = UTF8String.fromString(" ")
+
+  def compute(arr: ArrayData, n: Int): ArrayData = {
+    val sz = arr.numElements()
+    if (sz < n) return new GenericArrayData(Array.empty[AnyRef])
+    // LinkedHashSet: dedupe while keeping first-occurrence order, the
+    // exact contract of array_distinct over the transform's output
+    val seen = new java.util.LinkedHashSet[UTF8String]((sz - n + 1) * 2)
+    val toks = new Array[UTF8String](n)
+    var i = 0
+    while (i <= sz - n) {
+      var k = 0
+      while (k < n) {
+        toks(k) = if (arr.isNullAt(i + k)) null else arr.getUTF8String(i + k)
+        k += 1
+      }
+      seen.add(UTF8String.concatWs(Space, toks: _*))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray(new Array[AnyRef](seen.size())))
+  }
+}

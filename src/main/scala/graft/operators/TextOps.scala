@@ -16,9 +16,20 @@ object TextOps {
 
   /** Distinct word n-gram shingles ("a b c") of the token array. Shingles
     * capture local word ORDER, which is what separates true near-dups from
-    * documents that merely share vocabulary.
+    * documents that merely share vocabulary. Native one-pass expression
+    * since r12 ([[graft.functions.WordShingles]] — same strings, same
+    * order as the composed HOF form it replaced, which interpreted its
+    * lambda per window per row; TextExpressionsSpec pins the equality).
     */
   def shingles(ws: Column, n: Int = 3): Column =
+    org.apache.spark.sql.classic.GraftSqlInternals.column(
+      graft.functions.WordShingles(
+        org.apache.spark.sql.classic.GraftSqlInternals.expression(ws), n))
+
+  /** The pre-r12 composed formulation of [[shingles]] — kept as the
+    * executable specification the native expression is pinned against.
+    */
+  private[graft] def shinglesComposed(ws: Column, n: Int = 3): Column =
     array_distinct(
       transform(
         sequence(lit(0), size(ws) - lit(n)),

@@ -107,4 +107,35 @@ class TextExpressionsSpec extends SparkTestBase {
     assert(edge.getLong(1) === 2L)
     assert(edge.getLong(2) === 0L)
   }
+
+  test("word_shingles: bit-equal to the composed HOF form, incl. repeats and short docs") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // small vocab forces REPEATED shingles (the dedup-relevant case) and
+    // lengths straddle every n: 0,1,2 tokens for n=3 = empty both ways
+    val rows = (0 until 300).map { i =>
+      val nTok = rnd.nextInt(12)
+      (i.toLong, (0 until nTok).map(_ => s"w${rnd.nextInt(4)}").mkString(" "))
+    }
+    for (n <- Seq(3, 8)) {
+      val df = rows.toDF("id", "text")
+        .select($"id", graft.operators.TextOps.tokens($"text").as("ws"))
+        .filter(size($"ws") >= n)
+        .select(
+          $"id",
+          graft.operators.TextOps.shingles($"ws", n).as("native"),
+          graft.operators.TextOps.shinglesComposed($"ws", n).as("composed"))
+        .collect()
+      assert(df.nonEmpty)
+      df.foreach { r =>
+        assert(r.getSeq[String](1) === r.getSeq[String](2),
+          s"n=$n id=${r.getLong(0)}")
+      }
+    }
+    // short doc -> empty; null -> null
+    val e = Seq((1L, Seq("a", "b"))).toDF("id", "ws")
+      .select(graft.operators.TextOps.shingles($"ws", 3)).head()
+    assert(e.getSeq[String](0) === Seq.empty)
+  }
 }
