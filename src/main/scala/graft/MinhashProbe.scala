@@ -67,7 +67,7 @@ object MinhashProbe {
     docs.count()
     def hsOf(df: org.apache.spark.sql.DataFrame) = df
       .select(col("doc_id"), TextOps.shingles(TextOps.tokens(col("text"))).as("sh"))
-      .select(col("doc_id"), transform(col("sh"), x => xxhash64(x)).as("hs"))
+      .select(col("doc_id"), graft.operators.TextOps.shingleHashes(col("sh")).as("hs"))
     (1 to 3).foreach { rep =>
       run(s"pipe_native_$rep")(
         hsOf(docs).select(col("doc_id"), TextOps.minhashSignatureArray(col("hs")).as("sig")))

@@ -477,7 +477,7 @@ object ScaleProbe {
         // signature carried as a single array column
         docs
           .select(col("doc_id"), TextOps.shingles(TextOps.tokens(col("text"))).as("sh"))
-          .select(col("doc_id"), transform(col("sh"), x => xxhash64(x)).as("hs"))
+          .select(col("doc_id"), graft.operators.TextOps.shingleHashes(col("sh")).as("hs"))
           .select(col("doc_id"), TextOps.minhashSignatureArray(col("hs")).as("sig"))
           .write.format("noop").mode("overwrite").save()
       }
@@ -487,7 +487,7 @@ object ScaleProbe {
         // GC-bound super-linear, which is why MinHashSignature exists
         docs
           .select(col("doc_id"), TextOps.shingles(TextOps.tokens(col("text"))).as("sh"))
-          .select(col("doc_id"), transform(col("sh"), x => xxhash64(x)).as("hs"))
+          .select(col("doc_id"), graft.operators.TextOps.shingleHashes(col("sh")).as("hs"))
           .select(col("doc_id") +: (0 until 64).map(j =>
             array_min(transform(col("hs"), h => xxhash64(lit(j), h))).as(s"mh$j")): _*)
           .write.format("noop").mode("overwrite").save()

@@ -332,3 +332,54 @@ object WordShingles {
     new GenericArrayData(seen.toArray(new Array[AnyRef](seen.size())))
   }
 }
+
+/** Elementwise xxhash64 of a string array — bit-identical to
+  * `transform(arr, x -> xxhash64(x))` (seed 42, the XxHash64
+  * expression's exact byte hash), but one native pass instead of an
+  * interpreted lambda per element. With [[WordShingles]] and
+  * [[MinHashSignature]] this makes the whole
+  * tokens -> shingles -> hashes -> signature chain lambda-free.
+  *
+  * Null elements hash to the seed (42), exactly what xxhash64(null)
+  * yields inside the composed transform.
+  */
+case class ArrayXxHash64(child: Expression) extends UnaryExpression {
+
+  override def prettyName: String = "array_xxhash64"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects array<string>, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    ArrayXxHash64.compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      a => s"${ev.value} = graft.functions.ArrayXxHash64.compute($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ArrayXxHash64 {
+  private val Seed = 42L
+
+  def compute(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) =
+        if (arr.isNullAt(i)) Seed
+        else XXH64.hashUTF8String(arr.getUTF8String(i), Seed)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}

@@ -78,7 +78,7 @@ object MinHashIndex {
     */
   def signatures(sets: DataFrame): DataFrame =
     sets
-      .select(col("doc_id"), transform(col("sh"), x => xxhash64(x)).as("hs"))
+      .select(col("doc_id"), graft.operators.TextOps.shingleHashes(col("sh")).as("hs"))
       .select(col("doc_id"), TextOps.minhashSignatureArray(col("hs")).as("sig"))
 
   /** (doc_id, band, digest) rows — 16 bands x 4 rows per signature. */

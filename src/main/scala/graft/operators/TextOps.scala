@@ -26,6 +26,16 @@ object TextOps {
       graft.functions.WordShingles(
         org.apache.spark.sql.classic.GraftSqlInternals.expression(ws), n))
 
+  /** Elementwise xxhash64 of the shingle array — bit-identical to
+    * `transform(sh, x -> xxhash64(x))`, one native pass
+    * ([[graft.functions.ArrayXxHash64]]). The middle link of the
+    * lambda-free tokens -> shingles -> hashes -> signature chain.
+    */
+  def shingleHashes(sh: Column): Column =
+    org.apache.spark.sql.classic.GraftSqlInternals.column(
+      graft.functions.ArrayXxHash64(
+        org.apache.spark.sql.classic.GraftSqlInternals.expression(sh)))
+
   /** The pre-r12 composed formulation of [[shingles]] — kept as the
     * executable specification the native expression is pinned against.
     */

@@ -138,4 +138,22 @@ class TextExpressionsSpec extends SparkTestBase {
       .select(graft.operators.TextOps.shingles($"ws", 3)).head()
     assert(e.getSeq[String](0) === Seq.empty)
   }
+
+  test("array_xxhash64: bit-equal to transform(xxhash64) element by element") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val rows = (0 until 200).map { i =>
+      (i.toLong, (0 until rnd.nextInt(20)).map(_ => s"sh-${rnd.nextInt(1000)}"))
+    }
+    val both = rows.toDF("id", "sh")
+      .select(
+        $"id",
+        graft.operators.TextOps.shingleHashes($"sh").as("native"),
+        transform($"sh", x => xxhash64(x)).as("composed"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[Long](1) === r.getSeq[Long](2), s"id=${r.getLong(0)}")
+    }
+  }
 }
