@@ -383,3 +383,65 @@ object ArrayXxHash64 {
     new GenericArrayData(out)
   }
 }
+
+/** Count of array elements contained in a small STATIC string set —
+  * bit-equal to `size(filter(ws, w -> array_contains(array(set...), w)))`
+  * (occurrences, not distinct membership), one native pass against a
+  * prebuilt hash set instead of an interpreted lambda scanning a literal
+  * array per token per row. Drives the stopword-ratio and language-ID
+  * profiles over every token of the corpus.
+  *
+  * Null input -> null; null elements never match (array_contains
+  * semantics against a non-null literal set).
+  */
+case class CountTokensIn(child: Expression, tokens: Seq[String])
+    extends UnaryExpression {
+
+  override def prettyName: String = "count_tokens_in"
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if tokens.nonEmpty =>
+      TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects array<string> and a non-empty set, got " +
+          s"${other.catalogString}")
+  }
+
+  @transient private lazy val set: java.util.HashSet[UTF8String] =
+    CountTokensIn.buildSet(tokens.toArray)
+
+  override def nullSafeEval(v: Any): Any =
+    CountTokensIn.compute(v.asInstanceOf[ArrayData], set)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("tokenSet",
+      CountTokensIn.buildSet(tokens.toArray), "java.util.HashSet")
+    nullSafeCodeGen(ctx, ev,
+      a => s"${ev.value} = graft.functions.CountTokensIn.compute($a, $setRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CountTokensIn {
+  def buildSet(tokens: Array[String]): java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](tokens.length * 2)
+    tokens.foreach(t => s.add(UTF8String.fromString(t)))
+    s
+  }
+
+  def compute(arr: ArrayData, set: java.util.HashSet[UTF8String]): Long = {
+    val n = arr.numElements()
+    var c = 0L
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i) && set.contains(arr.getUTF8String(i))) c += 1
+      i += 1
+    }
+    c
+  }
+}

@@ -214,5 +214,14 @@ object TextOps {
     * cast to bigint so Spark and DuckDB agree on the type).
     */
   def stopwordHits(ws: Column, list: Seq[String]): Column =
+    org.apache.spark.sql.classic.GraftSqlInternals.column(
+      graft.functions.CountTokensIn(
+        org.apache.spark.sql.classic.GraftSqlInternals.expression(ws), list))
+      .cast("bigint")
+
+  /** The pre-r12 composed formulation of [[stopwordHits]] — the
+    * executable spec the native expression is pinned against.
+    */
+  private[graft] def stopwordHitsComposed(ws: Column, list: Seq[String]): Column =
     size(filter(ws, w => array_contains(array(list.map(lit): _*), w))).cast("bigint")
 }

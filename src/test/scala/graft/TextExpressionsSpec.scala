@@ -139,6 +139,25 @@ class TextExpressionsSpec extends SparkTestBase {
     assert(e.getSeq[String](0) === Seq.empty)
   }
 
+  test("count_tokens_in: equals the composed filter+size form (occurrences, not distinct)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val stop = graft.operators.TextOps.stopwords("en")
+    val vocab = stop ++ Seq("alpha", "beta", "gamma")
+    val rows = (0 until 200).map { i =>
+      (i.toLong, (0 until rnd.nextInt(40)).map(_ => vocab(rnd.nextInt(vocab.size))))
+    }
+    val both = rows.toDF("id", "ws")
+      .select(
+        $"id",
+        graft.operators.TextOps.stopwordHits($"ws", stop).as("native"),
+        graft.operators.TextOps.stopwordHitsComposed($"ws", stop).as("composed"))
+      .collect()
+    both.foreach(r => assert(r.getLong(1) === r.getLong(2), s"id=${r.getLong(0)}"))
+    assert(both.exists(_.getLong(1) > 0L))
+  }
+
   test("array_xxhash64: bit-equal to transform(xxhash64) element by element") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
