@@ -137,6 +137,16 @@ class TextExpressionsSpec extends SparkTestBase {
     val e = Seq((1L, Seq("a", "b"))).toDF("id", "ws")
       .select(graft.operators.TextOps.shingles($"ws", 3)).head()
     assert(e.getSeq[String](0) === Seq.empty)
+
+    // non-ASCII tokens (multi-byte UTF-8, incl. astral plane): the native
+    // byte-level concat must equal the composed string concat exactly
+    val uni = Seq((1L, Seq("héllo", "wörld", "日本語", "𝕩", "é", "ß", "ю"))).toDF("id", "ws")
+      .select(
+        graft.operators.TextOps.shingles($"ws", 3).as("native"),
+        graft.operators.TextOps.shinglesComposed($"ws", 3).as("composed"))
+      .head()
+    assert(uni.getSeq[String](0) === uni.getSeq[String](1))
+    assert(uni.getSeq[String](0).head === "héllo wörld 日本語")
   }
 
   test("count_tokens_in: equals the composed filter+size form (occurrences, not distinct)") {
