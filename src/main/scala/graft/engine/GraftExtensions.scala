@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Upper}
 
-import graft.functions.{CosineSimilarity, DotProduct, LshRewriteHint, RollingFingerprint}
+import graft.functions.{CosineSimilarity, DotProduct, LshRewriteHint, MaxTokenFreq, RollingFingerprint}
 
 /** SparkSessionExtensions entry point: injects graft's native functions
   * into every session built with
@@ -45,6 +45,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register(ext, "lsh_rewrite_hint",
       "opt-in marker: rewrite this cosine-threshold join predicate via banded LSH",
       es => LshRewriteHint(es.head))
+    register(ext, "max_token_freq",
+      "maximum token frequency of an array<string>, one native pass",
+      es => MaxTokenFreq(es.head))
   }
 
   private def register(

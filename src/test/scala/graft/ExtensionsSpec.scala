@@ -15,13 +15,15 @@ class ExtensionsSpec extends SparkTestBase {
         "SELECT capitalize('abc') c, " +
           "cosine_sim(array(CAST(1.0 AS FLOAT)), array(CAST(1.0 AS FLOAT))) cs, " +
           "dot_product(array(CAST(2.0 AS FLOAT)), array(CAST(3.0 AS FLOAT))) dp, " +
-          "rolling_fingerprint('abc', 0) fp"
+          "rolling_fingerprint('abc', 0) fp, " +
+          "max_token_freq(array('a', 'b', 'a')) mtf"
       )
       .head()
     assert(r.getString(0) === "ABC")
     assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
     assert(r.getDouble(2) === 6.0)
     assert(r.getLong(3) === graft.functions.RollingFingerprint.compute("abc".getBytes("UTF-8"), 0))
+    assert(r.getLong(4) === 2L)
   }
 
   test("DESCRIBE FUNCTION sees the injected function") {
