@@ -11,6 +11,7 @@ import graft.queries.QueryUtil
   *        runMain graft.Main --explain "SELECT …" [--dir …]  # formatted plan
   *        runMain graft.Main --serve 50051 [--token s3cret] [--dir …]  # serving endpoint
   *        runMain graft.Main --maintain /path/to/iceberg [--retain-ms 604800000]  # nightly table job
+  *        runMain graft.Main --describe /path/to/iceberg  # table card + manifest gauge
   * Tables registered: the TESTDATA fixtures (region…embeddings) plus the
   * reference's demo `users` table (crates/igloo/src/main.rs:59-77).
   * `--serve` starts the Flight-analogue TCP server (engine.ServingServer)
@@ -58,6 +59,18 @@ object Main {
           opts.get("token").map(_ => " (token auth)").getOrElse(""))
         Thread.currentThread().join() // block until killed, like the reference
       case None =>
+        opts.get("describe") match {
+          case Some(tablePath) =>
+            // the table card + per-manifest gauge an operator checks
+            // before deciding maintenance is due
+            graft.sources.IcebergMetaTables.describe(spark, tablePath)
+              .show(truncate = false)
+            graft.sources.IcebergMetaTables.manifests(spark, tablePath)
+              .show(truncate = false)
+            spark.stop()
+            return
+          case None => ()
+        }
         opts.get("maintain") match {
           case Some(tablePath) =>
             // the nightly-job entry point: compact on delete pressure,
