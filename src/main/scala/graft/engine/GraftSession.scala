@@ -70,6 +70,8 @@ class GraftSession(val spark: SparkSession) {
       registerTable(s"${name}_refs", IcebergMetaTables.refs(spark, abs))
       registerTable(s"${name}_files", IcebergMetaTables.files(spark, abs))
       registerTable(s"${name}_partitions", IcebergMetaTables.partitions(spark, abs))
+      registerTable(s"${name}_manifests", IcebergMetaTables.manifests(spark, abs))
+      registerTable(s"${name}_describe", IcebergMetaTables.describe(spark, abs))
     }
     bind()
     graft.sources.IcebergWriter.addCommitListener { committed =>

@@ -368,6 +368,13 @@ class EngineSpec extends SparkTestBase {
     assert(session.execute(
       "SELECT count(*) AS n FROM mt_files WHERE content = 2")
       .head().getLong(0) === 1L)
+    // the manifest gauge and the table card are SQL too
+    assert(session.execute(
+      "SELECT count(*) AS n FROM mt_manifests WHERE content = 1")
+      .head().getLong(0) === 1L)
+    assert(session.execute(
+      "SELECT format_version, n_snapshots FROM mt_describe").head()
+      .getInt(0) === 2)
   }
 
   test("registerIcebergTable: branch and tag views sit in the catalog next to main") {
