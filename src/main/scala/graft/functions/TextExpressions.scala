@@ -7,18 +7,6 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.sql.types._
 
-/** Karp-Rabin rolling-hash document fingerprint (a winnowing-lite sketch).
-  *
-  * `rolling_fingerprint(text, window)`:
-  *  - window <= 0: polynomial hash of the whole UTF-8 byte sequence —
-  *    a cheap content fingerprint (base 257 mod 2^61-1).
-  *  - window  > 0: minimum over all rolling window hashes — robust to
-  *    content being shifted by insertions outside the matching region,
-  *    which is what makes it useful for near-dup *candidate* keys.
-  *
-  * Native expression with doGenCode: the byte loop runs inside whole-stage
-  * codegen, reading straight from the UTF8String, no per-row allocation.
-  */
 /** One-pass k-way MinHash signature of a pre-hashed shingle array.
   *
   * `minhash_signature(hashes)` = array of k longs where
@@ -56,9 +44,13 @@ case class MinHashSignature(child: Expression, k: Int = 64)
       )
   }
 
+  // resolved once per expression instance, not per row — the interpreted
+  // path would otherwise pay a ConcurrentHashMap lookup per evaluation
+  @transient private lazy val mySeeds: Array[Long] = MinHashSignature.seeds(k)
+
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
-    val mins = MinHashSignature.compute(arr, MinHashSignature.seeds(k))
+    val mins = MinHashSignature.compute(arr, mySeeds)
     if (mins == null) null else new GenericArrayData(mins)
   }
 
@@ -98,7 +90,13 @@ object MinHashSignature {
       kk => Array.tabulate(kk)(j => XXH64.hashInt(j, 42L))
     )
 
-  /** Element-major one-pass minima; null for empty input (see scaladoc). */
+  /** Element-major one-pass minima; null for empty input (see scaladoc).
+    * A null ELEMENT contributes seeds(j) itself — exactly what the
+    * composed `xxhash64(lit(j), h)` yields for a null `h` (hash
+    * expressions skip null children, leaving the running hash at the
+    * j-mix) — so the bit-equality contract holds even on
+    * containsNull=true inputs with actual nulls.
+    */
   def compute(arr: ArrayData, seeds: Array[Long]): Array[Long] = {
     val n = arr.numElements()
     if (n == 0) return null
@@ -106,12 +104,20 @@ object MinHashSignature {
     val mins = Array.fill(k)(Long.MaxValue)
     var i = 0
     while (i < n) {
-      val h = arr.getLong(i)
-      var j = 0
-      while (j < k) {
-        val m = XXH64.hashLong(h, seeds(j))
-        if (m < mins(j)) mins(j) = m
-        j += 1
+      if (arr.isNullAt(i)) {
+        var j = 0
+        while (j < k) {
+          if (seeds(j) < mins(j)) mins(j) = seeds(j)
+          j += 1
+        }
+      } else {
+        val h = arr.getLong(i)
+        var j = 0
+        while (j < k) {
+          val m = XXH64.hashLong(h, seeds(j))
+          if (m < mins(j)) mins(j) = m
+          j += 1
+        }
       }
       i += 1
     }
@@ -119,6 +125,18 @@ object MinHashSignature {
   }
 }
 
+/** Karp-Rabin rolling-hash document fingerprint (a winnowing-lite sketch).
+  *
+  * `rolling_fingerprint(text, window)`:
+  *  - window <= 0: polynomial hash of the whole UTF-8 byte sequence —
+  *    a cheap content fingerprint (base 257 mod 2^61-1).
+  *  - window  > 0: minimum over all rolling window hashes — robust to
+  *    content being shifted by insertions outside the matching region,
+  *    which is what makes it useful for near-dup *candidate* keys.
+  *
+  * Native expression with doGenCode: the byte loop runs inside whole-stage
+  * codegen, reading straight from the UTF8String, no per-row allocation.
+  */
 case class RollingFingerprint(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -271,9 +289,13 @@ object MaxTokenFreq {
 
 /** Distinct word n-gram shingles of a token array, one pass.
   *
-  * Exactly
+  * For `size(ws) >= n`, exactly
   * `array_distinct(transform(sequence(0, size(ws)-n), i -> concat_ws(" ", ws[i+1..i+n])))`
-  * — same strings, same first-occurrence order — but the composed form
+  * — same strings, same first-occurrence order. (Below n tokens the
+  * composed form is NOT a reference: its descending `sequence` drives
+  * `element_at` to indices <= 0 and throws; this expression returns the
+  * sane empty array, and every production caller filters
+  * `size(ws) >= n` first.) The composed form
   * evaluates its lambda INTERPRETED per window per row and allocates a
   * full pre-distinct array; this walks the tokens once with a linked
   * hash set and runs as a straight call from whole-stage codegen.
@@ -407,7 +429,7 @@ case class CountTokensIn(child: Expression, tokens: Seq[String])
     case other =>
       TypeCheckResult.TypeCheckFailure(
         s"$prettyName expects array<string> and a non-empty set, got " +
-          s"${other.catalogString}")
+          s"${other.catalogString} (set size=${tokens.size})")
   }
 
   @transient private lazy val set: java.util.HashSet[UTF8String] =
@@ -417,8 +439,8 @@ case class CountTokensIn(child: Expression, tokens: Seq[String])
     CountTokensIn.compute(v.asInstanceOf[ArrayData], set)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val setRef = ctx.addReferenceObj("tokenSet",
-      CountTokensIn.buildSet(tokens.toArray), "java.util.HashSet")
+    // reuse the instance's set: one construction site for both paths
+    val setRef = ctx.addReferenceObj("tokenSet", set, "java.util.HashSet")
     nullSafeCodeGen(ctx, ev,
       a => s"${ev.value} = graft.functions.CountTokensIn.compute($a, $setRef);")
   }

@@ -42,6 +42,20 @@ class TextExpressionsSpec extends SparkTestBase {
     // empty array -> null (array_min-of-empty parity)
     val empty = new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
     assert(graft.functions.MinHashSignature.compute(empty, seeds) == null)
+
+    // a NULL element contributes seeds(j) — what the composed
+    // xxhash64(lit(j), null) yields (null children skipped, hash = j-mix)
+    val withNull = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array[Any](7L, null, 99L))
+    val got = graft.functions.MinHashSignature.compute(withNull, seeds).toSeq
+    val want = (0 until 64).map { j =>
+      Seq(
+        org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(7L, seeds(j)),
+        seeds(j),
+        org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(99L, seeds(j))
+      ).min
+    }
+    assert(got === want)
   }
 
   test("windowed mode: shared windows survive a prefix insertion") {
