@@ -143,13 +143,34 @@ object IcebergMeta {
 
     def currentSnapshot: Option[Snapshot] = currentSnapshotId.map(snapshotById)
 
-    /** Latest snapshot with timestamp-ms <= asOfMs (spec time-travel). */
+    /** Snapshot ids on MAIN's ancestry (current head -> parent -> ...).
+      * Branch-only snapshots share the `snapshots` array but are NOT
+      * main history; a dangling parent (expired history) ends the walk.
+      */
+    def mainAncestry: Set[Long] = {
+      val seen = scala.collection.mutable.Set.empty[Long]
+      var cursor = currentSnapshot
+      while (cursor.isDefined && seen.add(cursor.get.id))
+        cursor = cursor.get.parentId.flatMap(id => snapshots.find(_.id == id))
+      seen.toSet
+    }
+
+    /** Latest MAIN-ancestry snapshot with timestamp-ms <= asOfMs (spec
+      * time-travel). Filtering to main's ancestry matters on tables with
+      * write-audit-publish branches: branch commits land in the shared
+      * snapshots array, and an as-of read that picked one by timestamp
+      * alone would silently return unpublished data as if it were the
+      * table's history.
+      */
     def snapshotAsOf(asOfMs: Long): Snapshot = {
-      val eligible = snapshots.filter(_.timestampMs <= asOfMs)
+      val ancestry = mainAncestry
+      val eligible = snapshots.filter(s =>
+        s.timestampMs <= asOfMs && ancestry.contains(s.id))
       if (eligible.isEmpty)
         throw new IllegalArgumentException(
-          s"No Iceberg snapshot at or before timestamp $asOfMs " +
-            s"(earliest is ${snapshots.map(_.timestampMs).minOption.getOrElse(-1L)})")
+          s"No main-ancestry Iceberg snapshot at or before timestamp $asOfMs " +
+            s"(earliest is ${snapshots.filter(s => ancestry.contains(s.id))
+              .map(_.timestampMs).minOption.getOrElse(-1L)})")
       eligible.maxBy(s => (s.timestampMs, s.id))
     }
 
@@ -447,13 +468,19 @@ object IcebergMeta {
     // Resolve each file filter ONCE: column -> (field id, iceberg type).
     // Unknown column = error (a typo'd filter must not silently read
     // everything); a file lacking bounds for a column is kept for it.
-    // Multiple bounds AND together — a Z-order point lookup skips on
-    // both dimensions at once.
-    val boundFields: Seq[(Int, String, ColumnBound)] = fileFilter.map { fb =>
+    // A column of a type this planner cannot COMPARE bounds for
+    // (decimal, naive timestamp, ...) is dropped from the skip set
+    // instead — skipping is an optimization, and the caller's residual
+    // row filter makes the conservative keep correct; failing the whole
+    // scan over an undecidable optimization would make a readable table
+    // unreadable. Multiple bounds AND together — a Z-order point lookup
+    // skips on both dimensions at once.
+    val boundFields: Seq[(Int, String, ColumnBound)] = fileFilter.flatMap { fb =>
       val f = meta.fields.find(_.name == fb.column).getOrElse(
         throw new IllegalArgumentException(
           s"'${fb.column}' is not a column of the table schema"))
-      (f.id, f.typeName, fb)
+      if (comparableBoundTypes(f.typeName)) Some((f.id, f.typeName, fb))
+      else None
     }
     var filesSkipped = 0
     def fileSurvives(df: DataFile): Boolean = {
@@ -492,7 +519,13 @@ object IcebergMeta {
       if (idx < 0) None
       else {
         val pf = specFields(idx)
-        val sourceType = meta.fieldById(pf.sourceId).typeName
+        // a HISTORICAL spec can reference a source column later dropped
+        // from the schema; per this function's own contract that spec
+        // "cannot prune — its manifests are read in full", so resolve
+        // leniently instead of letting fieldById throw mid-plan
+        val sourceField = meta.fields.find(_.id == pf.sourceId)
+        if (sourceField.isEmpty) return None
+        val sourceType = sourceField.get.typeName
         val raw = p match {
           case PartitionEquals(_, v) => Seq(v)
           case PartitionIn(_, vs) => vs.toSeq
@@ -849,9 +882,14 @@ object IcebergMeta {
           value.asInstanceOf[Number].intValue(),
           ByteBuffer.wrap(bound).order(ByteOrder.LITTLE_ENDIAN).getInt)
       case "long" =>
-        java.lang.Long.compare(
-          value.asInstanceOf[Number].longValue(),
-          ByteBuffer.wrap(bound).order(ByteOrder.LITTLE_ENDIAN).getLong)
+        // type promotion (int -> long) is metadata-only: files written
+        // before the promote keep 4-byte int bounds — decode by LENGTH,
+        // not by the current schema's width (getLong on 4 bytes throws)
+        val stored =
+          if (bound.length == 4)
+            ByteBuffer.wrap(bound).order(ByteOrder.LITTLE_ENDIAN).getInt.toLong
+          else ByteBuffer.wrap(bound).order(ByteOrder.LITTLE_ENDIAN).getLong
+        java.lang.Long.compare(value.asInstanceOf[Number].longValue(), stored)
       case "string" =>
         // spec order for string bounds is UNSIGNED BYTE-WISE comparison of
         // the UTF-8 single-value binary (== code-point order) — Java
@@ -884,8 +922,13 @@ object IcebergMeta {
         java.lang.Long.compare(micros,
           ByteBuffer.wrap(bound).order(ByteOrder.LITTLE_ENDIAN).getLong)
       case "double" =>
-        java.lang.Double.compare(value.asInstanceOf[Number].doubleValue(),
-          ByteBuffer.wrap(bound).order(ByteOrder.LITTLE_ENDIAN).getDouble)
+        // float -> double promotion: old files keep 4-byte float bounds
+        val stored =
+          if (bound.length == 4)
+            ByteBuffer.wrap(bound).order(ByteOrder.LITTLE_ENDIAN)
+              .getFloat.toDouble
+          else ByteBuffer.wrap(bound).order(ByteOrder.LITTLE_ENDIAN).getDouble
+        java.lang.Double.compare(value.asInstanceOf[Number].doubleValue(), stored)
       case "float" =>
         java.lang.Float.compare(value.asInstanceOf[Number].floatValue(),
           ByteBuffer.wrap(bound).order(ByteOrder.LITTLE_ENDIAN).getFloat)
@@ -894,8 +937,30 @@ object IcebergMeta {
           s"Partition bound comparison for type '$other' not supported")
     }
 
-  private[sources] def valueEquals(stored: Any, wanted: Any): Boolean =
-    (stored, wanted) match {
+  /** Types [[compareBound]] can decode and order; anything else keeps
+    * its files conservatively instead of crashing the plan.
+    */
+  private val comparableBoundTypes: Set[String] =
+    Set("int", "long", "string", "date", "timestamptz", "double", "float")
+
+  private[sources] def valueEquals(stored: Any, wanted: Any): Boolean = {
+    // Date/timestamp literals normalize to the spec's STORED encodings
+    // (epoch-days int / epoch-micros long) before comparing: an
+    // identity-partitioned date/timestamptz column stores a plain number
+    // in the manifest, and a toString comparison of Integer(19723) vs
+    // Date("2024-01-01") would silently match nothing.
+    def norm(v: Any): Any = v match {
+      case d: java.time.LocalDate => java.lang.Long.valueOf(d.toEpochDay)
+      case d: java.sql.Date =>
+        java.lang.Long.valueOf(d.toLocalDate.toEpochDay)
+      case i: java.time.Instant =>
+        java.lang.Long.valueOf(Math.addExact(
+          Math.multiplyExact(i.getEpochSecond, 1000000L), i.getNano / 1000L))
+      case t: java.sql.Timestamp =>
+        norm(t.toInstant)
+      case other => other
+    }
+    (norm(stored), norm(wanted)) match {
       case (null, null)               => true
       case (null, _) | (_, null)      => false
       case (a: Number, b: Number)     =>
@@ -912,6 +977,7 @@ object IcebergMeta {
         else a.longValue() == b.longValue()
       case (a, b)                     => a.toString == b.toString
     }
+  }
 
   // ---------------------------------------------------------------------
   // helpers

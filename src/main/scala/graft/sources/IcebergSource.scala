@@ -315,9 +315,17 @@ object IcebergSource {
     val schema = IcebergMeta.sparkSchema(
       if (toSnapshotId.isDefined) meta.schemaAt(to.get) else meta.fields,
       stamped)
-    val files = to.map(s => IcebergMeta.planAppends(meta, fromSnapshotId, s).files)
-      .getOrElse(Seq.empty)
-    readFiles(spark, tablePath, schema, files, stamped = stamped)
+    val plan = to.map(s => IcebergMeta.planAppends(meta, fromSnapshotId, s))
+      .getOrElse(IcebergMeta.ScanPlan(Seq.empty, 0, 0, 0))
+    // fromSnapshotId == 0 ("from the beginning") delegates to a full
+    // scan plan, which can carry live v2 delete files — they MUST be
+    // applied here or every deleted row would silently resurrect. (A
+    // non-zero window REFUSES on in-window delete manifests instead;
+    // this is the same contract for the degenerate window.)
+    readFiles(spark, tablePath, schema, plan.files, deletes = plan.deletes,
+      fields =
+        if (toSnapshotId.isDefined) meta.schemaAt(to.get) else meta.fields,
+      stamped = stamped)
   }
 
   /** CDC CHANGELOG: every row-level change in the snapshot window

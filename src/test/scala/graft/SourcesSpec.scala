@@ -1604,6 +1604,66 @@ class SourcesSpec extends SparkTestBase {
       "post-retry table must hold the original rows plus the racer's")
   }
 
+  test("as-of time travel resolves along MAIN's ancestry, never a branch") {
+    import spark.implicits._
+    val root = tempDir("graft-iceberg-asof-branch")
+    IcebergWriter.append(spark, root,
+      (0 until 5).map(i => (i.toLong, s"m$i")).toDF("id", "v"), None, 1000L,
+      formatVersion = 2)
+    IcebergWriter.createBranch(root, "audit", 1500L)
+    // the branch commit is NEWER than main's head
+    IcebergWriter.appendToBranch(spark, root,
+      Seq((99L, "branch-only")).toDF("id", "v"), "audit", 5000L)
+    // as-of AFTER the branch commit must still answer main's state
+    val asOf = IcebergSource.read(spark, root, None, Some(9000L), None)
+    assert(asOf.count() === 5,
+      "as-of read leaked an unpublished branch snapshot")
+    assert(!asOf.collect().map(_.getString(1)).contains("branch-only"))
+  }
+
+  test("readAppendsSince from the beginning applies live MoR deletes") {
+    val root = mkV2Table()
+    val current = IcebergSource.read(spark, root).collect()
+      .map(_.toString).sorted.toSeq
+    val fromZero = IcebergSource.readAppendsSince(spark, root, 0L).collect()
+      .map(_.toString).sorted.toSeq
+    assert(fromZero === current,
+      "from=0 incremental read resurrected deleted rows")
+  }
+
+  test("column bounds survive type promotion; unsupported-type filters keep conservatively") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = tempDir("graft-iceberg-promo-bounds")
+    // int column, range-clustered so bounds are tight 4-byte ints
+    val df = (0 until 2000).map(i => (i, s"p$i")).toDF("k", "v")
+      .repartitionByRange(4, col("k")).sortWithinPartitions("k")
+    IcebergWriter.append(spark, root, df, None, 1000L, formatVersion = 2)
+    IcebergWriter.promoteColumn(root, "k", "long", 2000L)
+    // the filter decodes the OLD 4-byte bounds under the promoted type
+    val meta = IcebergMeta.load(root)
+    val plan = IcebergMeta.planScan(meta, meta.currentSnapshot.get,
+      fileFilter = Seq(IcebergMeta.ColumnBound("k", "eq", 1500L)))
+    assert(plan.filesSkipped === 3 && plan.files.size === 1,
+      s"promoted bounds did not skip: ${plan.files.size}/${plan.filesSkipped}")
+    assert(IcebergSource.read(spark, root, None, None, None,
+      Seq(IcebergMeta.ColumnBound("k", "eq", 1500L)))
+      .filter(col("k") === 1500L).count() === 1)
+
+    // a decimal column records bounds the planner cannot order: the
+    // filter keeps every file instead of crashing the scan
+    val root2 = tempDir("graft-iceberg-dec-bounds")
+    val dec = (0 until 100)
+      .map(i => (i.toLong, BigDecimal(i).setScale(2)))
+      .toDF("id", "price")
+    IcebergWriter.append(spark, root2, dec, None, 1000L, formatVersion = 2)
+    val m2 = IcebergMeta.load(root2)
+    val p2 = IcebergMeta.planScan(m2, m2.currentSnapshot.get,
+      fileFilter = Seq(IcebergMeta.ColumnBound("price", "gt", BigDecimal(50))))
+    assert(p2.filesSkipped === 0 && p2.files.nonEmpty,
+      "unsupported bound type must keep files, not skip or crash")
+  }
+
   test("declared sort order: metadata round-trip; compact honors it into skippable bounds") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
