@@ -186,7 +186,14 @@ final class ServingServer(
       override def removeEldestEntry(
           e: java.util.Map.Entry[String, Flight]): Boolean = {
         val evict = size() > maxFlights
-        if (evict) e.getValue.rdd.unpersist(false)
+        if (evict) {
+          e.getValue.rdd.unpersist(false)
+          // keep `pending` in step (like sweepExpired does): a DONE poll
+          // entry whose flight was LRU-evicted would otherwise keep
+          // answering DONE with tickets that all NOT_FOUND — a
+          // permanently lying status with no resubmit signal
+          pending.remove(e.getKey)
+        }
         evict
       }
     }
@@ -235,8 +242,13 @@ final class ServingServer(
             case e: Throwable if !closed =>
               // transient accept/submit failure (fd exhaustion, race with
               // close): log and keep accepting — a dead acceptor behind a
-              // live port is undiagnosable from the client side
+              // live port is undiagnosable from the client side. The
+              // short sleep keeps a PERSISTENT failure (fd limit hit)
+              // from busy-spinning a core and flooding stderr, which
+              // would make recovering from the exhaustion itself harder.
               System.err.println(s"[graft-serve] accept failed: ${e.getMessage}")
+              try Thread.sleep(100L)
+              catch { case _: InterruptedException => () }
           }
         },
       "graft-serve-accept"
@@ -310,11 +322,19 @@ final class ServingServer(
   }
 
   private def handle(sock: Socket): Unit = {
+    def closeQuietly(): Unit =
+      try sock.close()
+      catch { case _: Throwable => () }
     // a client that connects and never sends the request line would pin
-    // this worker forever in readLine without a read timeout
+    // this worker forever in readLine without a read timeout. Failures
+    // BEFORE the main try own the close themselves — a bare return (or a
+    // getOutputStream throw) would otherwise leak the fd and, for the
+    // throw, kill the pool worker.
     try sock.setSoTimeout(requestTimeoutMs)
-    catch { case _: SocketException => return } // already closed
-    val out = new BufferedOutputStream(sock.getOutputStream)
+    catch { case _: SocketException => closeQuietly(); return } // already closed
+    val out =
+      try new BufferedOutputStream(sock.getOutputStream)
+      catch { case _: Throwable => closeQuietly(); return }
     var statusSent = false
     def status(line: String): Unit = {
       statusSent = true
@@ -436,6 +456,10 @@ final class ServingServer(
           if (payload.isEmpty)
             status("ERR INVALID_ARGUMENT No SQL command in request")
           else {
+            // same query-only guard as every other SQL verb: DO_GET was
+            // the one door a command (DROP/INSERT) could walk through —
+            // mutating shared catalog state via the read verb
+            session.serving.requireQuery(payload)
             val df = session.execute(payload)
             // force parse/analysis/optimization/physical planning BEFORE
             // the OK goes out: plan-time failures must arrive as a status
@@ -512,8 +536,13 @@ final class ServingServer(
             try {
               // refuse BEFORE decoding the body: commands and SQL that
               // never references `input` answer on the status line and
-              // drain what the client already sent (DO_PUT's discipline)
+              // drain what the client already sent (DO_PUT's discipline).
+              // Both checks are parse-level — a refused request must not
+              // first land maxPutBytes of Arrow on the driver heap.
               session.serving.requireQuery(payload)
+              require(org.apache.spark.sql.GraftArrowBridge
+                .referencesRelation(session.spark, payload, "input"),
+                "DO_EXCHANGE sql must reference the uploaded relation 'input'")
               val df = org.apache.spark.sql.GraftArrowBridge
                 .readBatches(in, session.spark, maxPutRows, maxPutBytes)
               val result = org.apache.spark.sql.GraftArrowBridge
@@ -623,6 +652,16 @@ final class ServingServer(
             session.serving.requireQuery(payload)
             sweepExpired()
             import scala.jdk.CollectionConverters._
+            // count-bound the pending map INDEPENDENTLY of the TTL: with
+            // expiry disabled (flightTtlMs <= 0) sweepExpired no-ops and
+            // terminal entries would otherwise accumulate forever — the
+            // RUNNING gate below only bounds live work, not history.
+            // Oldest terminal entries go first; their flights (if any)
+            // are LRU-bounded separately.
+            val terminal = pending.entrySet().asScala
+              .filter(_.getValue.state != "RUNNING").toSeq
+              .sortBy(_.getValue.createdNanos)
+            terminal.dropRight(maxFlights).foreach(e => pending.remove(e.getKey))
             val running = pending.values.asScala.count(_.state == "RUNNING")
             if (running >= maxFlights)
               status(s"ERR RESOURCE_EXHAUSTED $running flights already running")
@@ -644,31 +683,40 @@ final class ServingServer(
                     // whole point of the cancel verb
                     sc.setJobGroup(p.jobGroup, s"graft flight $handle",
                       interruptOnCancel = true)
-                    val (schema, rdd) = org.apache.spark.sql.GraftArrowBridge
-                      .resultRdd(session.execute(sql))
-                    rddOpt = Some(rdd)
-                    rdd.persist(
-                      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-                    // finalizing the adaptive plan EXECUTES the query's
-                    // shuffle stages under the job group — the readiness
-                    // work poll reports progress on
-                    val n = rdd.getNumPartitions
-                    p.schema = schema
-                    p.endpoints = n
-                    // check-and-register ATOMICALLY under the same lock
-                    // cancel uses for its own check-and-transition — a
-                    // cancel interleaving between an unlocked check and
-                    // the put would leave a "cancelled" flight registered
-                    // (and its RDD pinned), or a DONE pending with no
-                    // flight behind its tickets
-                    val registered = flights.synchronized {
-                      if (p.state == "RUNNING") {
-                        flights.put(handle, Flight(schema, rdd))
-                        p.state = "DONE"
-                        true
-                      } else false
+                    // a cancel that raced AHEAD of the first job found an
+                    // empty job group — cancelJobGroup had nothing to
+                    // interrupt, so honor the state here instead of
+                    // running the whole query for a client that already
+                    // gave up (the cancel verb also cancels FUTURE jobs
+                    // of the group, closing the between-AQE-jobs window;
+                    // this check closes the before-any-job one)
+                    if (p.state != "CANCELLED") {
+                      val (schema, rdd) = org.apache.spark.sql.GraftArrowBridge
+                        .resultRdd(session.execute(sql))
+                      rddOpt = Some(rdd)
+                      rdd.persist(
+                        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+                      // finalizing the adaptive plan EXECUTES the query's
+                      // shuffle stages under the job group — the readiness
+                      // work poll reports progress on
+                      val n = rdd.getNumPartitions
+                      p.schema = schema
+                      p.endpoints = n
+                      // check-and-register ATOMICALLY under the same lock
+                      // cancel uses for its own check-and-transition — a
+                      // cancel interleaving between an unlocked check and
+                      // the put would leave a "cancelled" flight registered
+                      // (and its RDD pinned), or a DONE pending with no
+                      // flight behind its tickets
+                      val registered = flights.synchronized {
+                        if (p.state == "RUNNING") {
+                          flights.put(handle, Flight(schema, rdd))
+                          p.state = "DONE"
+                          true
+                        } else false
+                      }
+                      if (!registered) rdd.unpersist(false) // cancelled at the line
                     }
-                    if (!registered) rdd.unpersist(false) // cancelled at the line
                   } catch {
                     case e: Throwable =>
                       rddOpt.foreach(r =>
@@ -725,7 +773,7 @@ final class ServingServer(
                 // outside the lock: cancelJobGroup can block on the
                 // scheduler, and the runner's failure handler keys off
                 // the already-set CANCELLED state either way
-                session.spark.sparkContext.cancelJobGroup(p.get.jobGroup)
+                session.spark.sparkContext.cancelJobGroupAndFutureJobs(p.get.jobGroup)
               if (!wasRunning && !hadFlight && p.isEmpty)
                 status("ERR NOT_FOUND unknown or expired flight handle")
               else {
@@ -831,10 +879,18 @@ final class ServingServer(
     * leave every byte after the newline — a DO_PUT body — untouched.
     */
   private def readRequestLine(in: InputStream): String = {
+    // hard cap: every other driver-side ingest is bounded (maxPutBytes),
+    // and a client streaming newline-free bytes would otherwise grow
+    // this buffer until the shared driver OOMs — SO_TIMEOUT never trips
+    // while data keeps arriving
+    val maxLine = 256 * 1024
     val buf = new java.io.ByteArrayOutputStream
     var b = in.read()
     while (b != -1 && b != '\n') {
       buf.write(b)
+      if (buf.size() > maxLine)
+        throw new IllegalArgumentException(
+          s"request line exceeds $maxLine bytes (no newline seen)")
       b = in.read()
     }
     new String(buf.toByteArray, StandardCharsets.UTF_8).stripSuffix("\r")
@@ -844,13 +900,19 @@ final class ServingServer(
     closed = true
     try server.close()
     catch { case _: Throwable => () }
-    pool.shutdownNow()
+    // QUEUED connections must be refused, not abandoned: shutdownNow
+    // returns the never-started runnables, and each queued client would
+    // otherwise hang on read until its own timeout while its fd leaks
+    pool.shutdownNow().forEach {
+      case h: ServingHandler => h.reject()
+      case _                 => ()
+    }
     // orphaned async submissions must not keep burning executor time
     // after the server that could serve their results is gone
     pending.forEach { (_, p) =>
       if (p.state == "RUNNING") {
         p.state = "CANCELLED"
-        try session.spark.sparkContext.cancelJobGroup(p.jobGroup)
+        try session.spark.sparkContext.cancelJobGroupAndFutureJobs(p.jobGroup)
         catch { case _: Throwable => () }
       }
     }

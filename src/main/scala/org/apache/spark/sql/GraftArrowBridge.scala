@@ -221,6 +221,29 @@ object GraftArrowBridge {
     * An exchange whose SQL never references `name` is refused: uploading
     * data the query ignores is a malformed request, not a query.
     */
+  /** Parse-level check that `sql` references the single-part relation
+    * `name` — the DO_EXCHANGE precondition, checkable BEFORE the
+    * uploaded body is decoded (a refused request must not first land
+    * maxPutBytes on the driver heap; same parse [[sqlOver]] repeats with
+    * the binding).
+    */
+  def referencesRelation(
+      spark: SparkSession,
+      sql: String,
+      name: String): Boolean = {
+    val classic = spark.asInstanceOf[ClassicSparkSession]
+    val parsed = classic.sessionState.sqlParser.parsePlan(sql)
+    var hits = 0
+    parsed.transformUpWithSubqueries {
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+          if u.multipartIdentifier.length == 1 &&
+            u.multipartIdentifier.head.equalsIgnoreCase(name) =>
+        hits += 1
+        u
+    }
+    hits > 0
+  }
+
   def sqlOver(
       spark: SparkSession,
       sql: String,

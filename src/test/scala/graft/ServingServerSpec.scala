@@ -15,6 +15,32 @@ class ServingServerSpec extends SparkTestBase {
     finally srv.close()
   }
 
+  test("DO_GET refuses commands; an endless request line is cut, not buffered") {
+    withServer { srv =>
+      // the read verb must not be the one door DDL walks through
+      val r = ServingClient.doGet(srv.boundPort, "DROP TABLE users")
+      assert(!r.isOk && r.status.contains("ERR"), r.status)
+      // the connection path still serves queries
+      val ok = ServingClient.doGet(srv.boundPort, "SELECT 7 AS c")
+      assert(ok.isOk && ok.rows.head.head.toString.toLong === 7L)
+
+      // a newline-free byte stream is refused at the line cap instead of
+      // growing a driver-side buffer until OOM
+      val sock = new java.net.Socket(
+        java.net.InetAddress.getLoopbackAddress, srv.boundPort)
+      try {
+        val out = sock.getOutputStream
+        val chunk = new Array[Byte](64 * 1024)
+        java.util.Arrays.fill(chunk, 'x'.toByte)
+        try (0 until 8).foreach { _ => out.write(chunk); out.flush() }
+        catch { case _: java.io.IOException => () } // server may cut us off
+        val resp = new String(
+          sock.getInputStream.readNBytes(200), java.nio.charset.StandardCharsets.UTF_8)
+        assert(resp.startsWith("ERR"), s"expected refusal, got: $resp")
+      } finally sock.close()
+    }
+  }
+
   test("DO_GET round-trips SELECT 42 over a real socket as Arrow IPC") {
     withServer { srv =>
       val r = ServingClient.doGet(srv.boundPort, "SELECT 42 AS answer")
