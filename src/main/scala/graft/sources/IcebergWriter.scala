@@ -177,6 +177,10 @@ object IcebergWriter {
           (if (specd.isEmpty) "<none>" else specd.mkString(",")) + ")")
     }
     partitions.foreach(p => transformedSparkType(p, df.schema): Unit) // refuse unwritable transforms early
+    // reserved summary key refused HERE, not in commitSnapshot: by the
+    // time the commit-side backstop fires, data files are already placed
+    require(!summary.contains("operation"),
+      "summary key 'operation' is reserved")
     // branch appends need an existing table AND an existing branch ref —
     // tags are immutable by definition, and auto-creating a branch on
     // first write would turn every typo into a silent fork
@@ -190,8 +194,7 @@ object IcebergWriter {
     // ---- data files (once; retries re-point metadata at them) ----------
     // the writer token keeps concurrent appends' files collision-free
     // even when both computed the same snapshot id before racing
-    val token = java.lang.Long.toHexString(
-      java.util.concurrent.ThreadLocalRandom.current().nextLong()).take(8)
+    val token = newToken()
     val staging = Files.createTempDirectory("graft-iceberg-stage")
     val fieldIds = fieldIdsFor(prior, df.schema)
     val staged = stageDataFiles(df, partitions, staging, fieldIds)
@@ -222,6 +225,20 @@ object IcebergWriter {
             require(fieldIdsFor(p, df.schema) == fieldIds,
               "table schema field ids changed during a concurrent commit; " +
                 "retry the append against the evolved table")
+            // same for a concurrent SPEC evolution: the staged files are
+            // laid out under the OLD spec, and committing them stamped
+            // with the new defaultSpecId would misroute every pruned
+            // read — the exact divergence the attempt-1 gate refuses
+            p.foreach { m =>
+              val specd = m.partitionFields
+                .map(pf => (pf.name, pf.transform,
+                  m.fields.find(_.id == pf.sourceId).map(_.name).getOrElse("?")))
+              val declared =
+                partitions.map(pt => (pt.fieldName, pt.transform, pt.source))
+              require(specd == declared,
+                "table partition spec changed during a concurrent commit; " +
+                  "retry the append against the evolved layout")
+            }
             (p, p.map(_.formatVersion).getOrElse(formatVersion))
           }
         // base version from the SAME load the commit re-serializes — the
@@ -307,6 +324,10 @@ object IcebergWriter {
   private def stampFieldIds(
       df: DataFrame, ids: Map[String, Int]): DataFrame = {
     import org.apache.spark.sql.functions.col
+    // session-sticky BY DESIGN (like nanosAsLong/fieldId.read): a
+    // set-restore window would race concurrent writes in the same
+    // session, and the conf is inert for frames whose schema carries no
+    // parquet.field.id metadata — only stamped Iceberg writes do
     df.sparkSession.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
     df.select(df.columns.toSeq.map { c =>
       ids.get(c) match {
@@ -342,11 +363,28 @@ object IcebergWriter {
     * (partition tuple, staged file); partitioned files sit in their
     * `<field>=<value>` dir. Shared by append / merge / upsert / compact.
     */
+  /** Per-writer random token for file naming. EVERY write flavor that
+    * places files or manifests under deterministic snapshot-id names
+    * must use one: two racers that both computed snapshot N would
+    * otherwise have the LOSER overwrite the winner's already-committed
+    * files (REPLACE_EXISTING) before its own CAS fails — committed data
+    * silently corrupted.
+    */
+  private def newToken(): String =
+    java.lang.Long.toHexString(
+      java.util.concurrent.ThreadLocalRandom.current().nextLong()).take(8)
+
   private def stageDataFiles(
       df0: DataFrame,
       partitions: Seq[PartitionTransform],
       staging: Path,
-      fieldIds: Map[String, Int]): Seq[(Map[String, Any], Path)] = {
+      fieldIds: Map[String, Int],
+      // order rows WITHIN each staged task by these columns: on a
+      // PARTITIONED table the repartition below reshuffles, which would
+      // silently discard any clustering a caller's relayout applied —
+      // compact passes its sort columns here so per-file bounds stay
+      // tight even though the partition shuffle happens last
+      sortWithin: Seq[String] = Nil): Seq[(Map[String, Any], Path)] = {
     val df = stampFieldIds(df0, fieldIds)
     val out = staging.resolve("out")
     if (partitions.isEmpty) {
@@ -359,9 +397,15 @@ object IcebergWriter {
       // columns; the collision guard in appendPartitioned holds)
       val laid = partitions.foldLeft(df)((d, pt) =>
         d.withColumn(pt.fieldName, transformedColumn(pt, df.schema)))
-      laid
+      val shuffled = laid
         .repartition(partitions.map(pt =>
           org.apache.spark.sql.functions.col(pt.fieldName)): _*)
+      val ordered =
+        if (sortWithin.isEmpty) shuffled
+        else shuffled.sortWithinPartitions(
+          (partitions.map(_.fieldName) ++ sortWithin)
+            .map(org.apache.spark.sql.functions.col): _*)
+      ordered
         .write.partitionBy(partitions.map(_.fieldName): _*)
         .parquet(out.toString)
       // nested <f1>=<v1>/<f2>=<v2>/... dirs -> one tuple per leaf file
@@ -498,8 +542,22 @@ object IcebergWriter {
               types(name) = c.getPrimitiveType.getPrimitiveTypeName
               val mn = st.genericGetMin.asInstanceOf[Comparable[Any]]
               val mx = st.genericGetMax.asInstanceOf[Comparable[Any]]
-              if (!mins.contains(name) || mn.compareTo(mins(name)) < 0) mins(name) = mn
-              if (!maxs.contains(name) || mx.compareTo(maxs(name)) > 0) maxs(name) = mx
+              // cross-row-group fold must use the SAME order the read
+              // side prunes with: Iceberg string bounds compare UNSIGNED
+              // byte-wise (IcebergMeta.compareBound), while parquet
+              // Binary.compareTo is signed — folding signed here would
+              // record bounds that exclude non-ASCII values the file
+              // holds, and the unsigned pruning would then skip files
+              // with matching rows
+              def cmp(a: Comparable[Any], b: Comparable[Any]): Int =
+                (a: Any, b: Any) match {
+                  case (x: org.apache.parquet.io.api.Binary,
+                        y: org.apache.parquet.io.api.Binary) =>
+                    java.util.Arrays.compareUnsigned(x.getBytes, y.getBytes)
+                  case _ => a.compareTo(b)
+                }
+              if (!mins.contains(name) || cmp(mn, mins(name)) < 0) mins(name) = mn
+              if (!maxs.contains(name) || cmp(mx, maxs(name)) > 0) maxs(name) = mx
             }
           }
         }
@@ -653,17 +711,19 @@ object IcebergWriter {
       timestampMs: Long): Long = {
     val meta = IcebergMeta.load(tablePath)
     requireWritable(meta) // before ANY side effect (see append)
+    // head-snapshot guard BEFORE snapshots.max (mergeRows' ordering rule):
+    // an empty-snapshots table must refuse with the real reason, not
+    // UnsupportedOperationException("empty.max")
+    require(meta.currentSnapshot.isDefined, "table has no current snapshot")
     val baseVersion = Some(meta.loadedVersion)
     val root = meta.root
-    val snapshotId = meta.snapshots.map(_.id).max + 1L
+    val snapshotId = meta.snapshots.map(_.id).maxOption.getOrElse(0L) + 1L
+    val token = newToken() // collision-free names under commit races
     val pf = meta.partitionFields.find(_.name == column).getOrElse(
       throw new IllegalArgumentException(s"'$column' is not a partition field"))
     require(pf.transform == "identity",
       s"deletePartitions works on identity partitions; '$column' is " +
         s"'${pf.transform}' — use deleteRowsWhere on the source column")
-    val sourceField = meta.fieldById(pf.sourceId)
-    val sparkType = IcebergMeta.sparkSchema(meta)(sourceField.name).dataType
-    val partType = Seq(column -> sparkType)
 
     val manifests = IcebergMeta.readManifestListFile(
       root, currentManifestList(meta).toString)
@@ -688,8 +748,13 @@ object IcebergWriter {
           else e.copy(status = 0)                        // EXISTING
         }
         val mpath = root.resolve("metadata")
-          .resolve(f"manifest-$snapshotId%05d-$rewrites%03d.avro")
+          .resolve(f"manifest-$snapshotId%05d-$token%s-$rewrites%03d.avro")
         rewrites += 1
+        // the manifest's FULL recorded partition layout, not just the
+        // delete column: a multi-field spec's entries carry every field,
+        // and a single-column record schema would throw from the Avro
+        // writer (and misalign the summaries with the spec's indexes)
+        val partType = partTypeFor(meta, mf.partitionSpecId, rewritten)
         writeManifest(mpath, partType, rewritten, formatVersion = 1)
         manifestRecord(mpath, snapshotId, partType, rewritten, mf.partitionSpecId)
       }
@@ -698,7 +763,7 @@ object IcebergWriter {
     commitSnapshot(spark, root, IcebergMeta.sparkSchema(meta),
       Seq(PartitionTransform(column)),
       Some(meta), baseVersion, snapshotId, timestampMs, out,
-      operation = "delete", formatVersion = 1)
+      operation = "delete", formatVersion = 1, token = token)
     snapshotId
   }
 
@@ -732,7 +797,8 @@ object IcebergWriter {
         "(use deletePartitions for v1 copy-on-write)")
     val baseVersion = Some(meta.loadedVersion)
     val root = meta.root
-    val snapshotId = meta.snapshots.map(_.id).max + 1L
+    val snapshotId = meta.snapshots.map(_.id).maxOption.getOrElse(0L) + 1L
+    val token = newToken() // collision-free names under commit races
     val snap = meta.currentSnapshot.getOrElse(
       throw new IllegalStateException("table has no current snapshot"))
     val plan = IcebergMeta.planScan(meta, snap)
@@ -767,7 +833,7 @@ object IcebergWriter {
       deleteRecursively(staging)
       throw new IllegalArgumentException("deleteRowsWhere matched no rows")
     }
-    val target = root.resolve("data").resolve(f"delete-$snapshotId%05d-pos.parquet")
+    val target = root.resolve("data").resolve(f"delete-$snapshotId%05d-$token%s-pos.parquet")
     Files.move(src, target, StandardCopyOption.REPLACE_EXISTING)
     deleteRecursively(staging)
 
@@ -804,7 +870,8 @@ object IcebergWriter {
     }
     val baseVersion = Some(meta.loadedVersion)
     val root = meta.root
-    val snapshotId = meta.snapshots.map(_.id).max + 1L
+    val snapshotId = meta.snapshots.map(_.id).maxOption.getOrElse(0L) + 1L
+    val token = newToken() // collision-free names under commit races
 
     val staging = Files.createTempDirectory("graft-iceberg-eq")
     // delete files are id-stamped like data files, so the read side can
@@ -822,7 +889,7 @@ object IcebergWriter {
       deleteRecursively(staging)
       throw new IllegalArgumentException("deleteEquality got an empty key frame")
     }
-    val target = root.resolve("data").resolve(f"delete-$snapshotId%05d-eq.parquet")
+    val target = root.resolve("data").resolve(f"delete-$snapshotId%05d-$token%s-eq.parquet")
     Files.move(src, target, StandardCopyOption.REPLACE_EXISTING)
     deleteRecursively(staging)
 
@@ -890,7 +957,8 @@ object IcebergWriter {
     val snap = branch.map(meta.snapshotByRef).orElse(meta.currentSnapshot)
       .getOrElse(
         throw new IllegalStateException("table has no current snapshot"))
-    val snapshotId = meta.snapshots.map(_.id).max + 1L
+    val snapshotId = meta.snapshots.map(_.id).maxOption.getOrElse(0L) + 1L
+    val token = newToken() // collision-free names under commit races
     val plan = IcebergMeta.planScan(meta, snap)
     require(plan.files.nonEmpty, "table has no live data files to merge into")
 
@@ -937,13 +1005,13 @@ object IcebergWriter {
     }
     faultHook("staged") // everything computed; table directories untouched
 
-    val movedData = placeDataFiles(root, stagedData, snapshotId)
+    val movedData = placeDataFiles(root, stagedData, snapshotId, token)
     faultHook("data-moved")
     val delTarget =
       if (nDeleted == 0) None // pure-insert merge: no delete file at all
       else {
         val t = root.resolve("data")
-          .resolve(f"delete-$snapshotId%05d-pos.parquet")
+          .resolve(f"delete-$snapshotId%05d-$token%s-pos.parquet")
         Files.move(delSrc, t, StandardCopyOption.REPLACE_EXISTING)
         Some(t)
       }
@@ -974,7 +1042,8 @@ object IcebergWriter {
     val carried = IcebergMeta.readManifestListFile(root, snap.manifestList)
     commitSnapshot(spark, root, schema, Nil, Some(meta), baseVersion,
       snapshotId, timestampMs, carried ++ delManifest.toSeq ++ dataManifests,
-      operation = "overwrite", formatVersion = 2, branch = branch)
+      operation = "overwrite", formatVersion = 2, branch = branch,
+      token = token)
     snapshotId
   }
 
@@ -1018,7 +1087,8 @@ object IcebergWriter {
 
     val baseVersion = Some(meta.loadedVersion)
     val root = meta.root
-    val snapshotId = meta.snapshots.map(_.id).max + 1L
+    val snapshotId = meta.snapshots.map(_.id).maxOption.getOrElse(0L) + 1L
+    val token = newToken() // collision-free names under commit races
 
     import org.apache.spark.sql.functions.col
     val hadoopConf = spark.sessionState.newHadoopConf()
@@ -1052,14 +1122,14 @@ object IcebergWriter {
     }
     faultHook("staged")
 
-    val movedData = placeDataFiles(root, stagedData, snapshotId)
+    val movedData = placeDataFiles(root, stagedData, snapshotId, token)
     // all-null-keyed batch: nothing to delete — pure insert, no delete
     // file at all (mergeRows' no-match shape)
     val delTarget =
       if (nKeys == 0) None
       else {
         val t = root.resolve("data")
-          .resolve(f"delete-$snapshotId%05d-eq.parquet")
+          .resolve(f"delete-$snapshotId%05d-$token%s-eq.parquet")
         Files.move(delSrc, t, StandardCopyOption.REPLACE_EXISTING)
         Some(t)
       }
@@ -1092,7 +1162,8 @@ object IcebergWriter {
     commitSnapshot(spark, root, IcebergMeta.sparkSchema(meta), Nil,
       Some(meta), baseVersion, snapshotId, timestampMs,
       carried ++ delManifest.toSeq ++ dataManifests,
-      operation = "overwrite", formatVersion = 2, branch = branch)
+      operation = "overwrite", formatVersion = 2, branch = branch,
+      token = token)
     snapshotId
   }
 
@@ -1143,19 +1214,26 @@ object IcebergWriter {
 
     val baseVersion = Some(meta.loadedVersion)
     val root = meta.root
-    val snapshotId = meta.snapshots.map(_.id).max + 1L
+    val snapshotId = meta.snapshots.map(_.id).maxOption.getOrElse(0L) + 1L
+    val token = newToken() // collision-free names under commit races
     val staging = Files.createTempDirectory("graft-iceberg-compact")
 
     // the delete-applied current state IS the read path — compaction
     // materializes exactly what any reader sees today, re-laid-out
-    // under the table's partition spec
+    // under the table's partition spec. On a PARTITIONED table the
+    // staging repartition would discard the relayout's clustering, so
+    // the declared sort order rides through as stageDataFiles'
+    // sortWithin (per-file bounds stay tight within each partition).
     val stagedData = stageDataFiles(
       relayout0(IcebergSource.read(spark, tablePath)), partition, staging,
-      fieldIdsFor(Some(meta), IcebergMeta.sparkSchema(meta)))
+      fieldIdsFor(Some(meta), IcebergMeta.sparkSchema(meta)),
+      sortWithin =
+        if (partition.isEmpty || relayout != null) Nil
+        else meta.sortOrderColumns)
     require(stagedData.nonEmpty, "compaction produced no data files")
     faultHook("staged")
 
-    val movedData = placeDataFiles(root, stagedData, snapshotId)
+    val movedData = placeDataFiles(root, stagedData, snapshotId, token)
     deleteRecursively(staging)
     faultHook("files-placed")
 
@@ -1164,14 +1242,15 @@ object IcebergWriter {
     val manifests = buildDataManifests(
       spark, root, movedData, partType, snapshotId, fv = 2,
       specId = meta.defaultSpecId,
-      fieldIds = fieldIdsFor(Some(meta), IcebergMeta.sparkSchema(meta)))
+      fieldIds = fieldIdsFor(Some(meta), IcebergMeta.sparkSchema(meta)),
+      token = token)
     faultHook("manifests-written")
 
     // NOTHING carried: the whole point — the new manifest list is the
     // compacted data alone, with zero delete manifests left to apply
     commitSnapshot(spark, root, IcebergMeta.sparkSchema(meta), Nil,
       Some(meta), baseVersion, snapshotId, timestampMs, manifests,
-      operation = "replace", formatVersion = 2)
+      operation = "replace", formatVersion = 2, token = token)
     snapshotId
   }
 
@@ -1276,7 +1355,8 @@ object IcebergWriter {
       return ManifestRewriteReport(None, listed.size, listed.size,
         carried.map(_._2.size).sum)
 
-    val snapshotId = meta.snapshots.map(_.id).max + 1L
+    val snapshotId = meta.snapshots.map(_.id).maxOption.getOrElse(0L) + 1L
+    val token = newToken() // collision-free names under commit races
     var idx = 0
     val manifests = carried.flatMap { case ((content, specId), entries0) =>
       val partType = partTypeFor(meta, specId, entries0)
@@ -1301,7 +1381,7 @@ object IcebergWriter {
         }.mkString(" ") + " " + e.dataFile.path)
       entries.grouped(maxEntriesPerManifest).map { chunk =>
         val mpath = root.resolve("metadata")
-          .resolve(f"manifest-$snapshotId%05d-rw-$idx%03d.avro")
+          .resolve(f"manifest-$snapshotId%05d-$token%s-rw-$idx%03d.avro")
         idx += 1
         writeManifest(mpath, partType, chunk, meta.formatVersion)
         manifestRecord(mpath, snapshotId, partType, chunk, specId).copy(
@@ -1318,7 +1398,7 @@ object IcebergWriter {
     commitSnapshot(spark, root, IcebergMeta.sparkSchema(meta), Nil,
       Some(meta), baseVersion, snapshotId, timestampMs, manifests,
       operation = "replace", formatVersion = meta.formatVersion,
-      summary = Map("graft.manifests-only" -> "true"))
+      summary = Map("graft.manifests-only" -> "true"), token = token)
     ManifestRewriteReport(Some(snapshotId), listed.size, manifests.size,
       carried.map(_._2.size).sum)
   }
@@ -2145,6 +2225,26 @@ object IcebergWriter {
     }
     faultHook("committed")
 
+    // A writer may have COMMITTED between our load and this sweep — its
+    // files are not in `referenced` and deleting them would corrupt a
+    // committed snapshot. Re-walk any snapshots the CURRENT metadata
+    // carries beyond the set we loaded, folding their files into the
+    // keep set. (A writer still BETWEEN place and commit is protected by
+    // its random token only probabilistically; production deployments
+    // should also schedule expiry away from writes or use an age-based
+    // orphan policy — the race window here is the re-load-to-delete gap,
+    // not the whole expiry run.)
+    val freshMeta = IcebergMeta.load(tablePath)
+    val known = keep.map(_.id).toSet ++ expired.map(_.id)
+    freshMeta.snapshots.filterNot(s => known.contains(s.id)).foreach { s =>
+      referenced += norm(s.manifestList)
+      IcebergMeta.readManifestListFile(root, s.manifestList).foreach { mf =>
+        referenced += norm(mf.path)
+        IcebergMeta.readManifest(root, mf.path, mf.addedSnapshotId,
+          mf.sequenceNumber).foreach(e => referenced += norm(e.dataFile.path))
+      }
+    }
+
     // GC pass: parquet under data/, avro under metadata/ — never the
     // metadata jsons or the hint, which ARE the table's history record
     def sweep(dir: Path, suffix: String): Unit =
@@ -2617,7 +2717,12 @@ object IcebergWriter {
       throw new IllegalStateException("table has no current snapshot")).manifestList)
 
   private def parsePartitionValue(raw: String, dt: DataType): Any = {
-    val decoded = java.net.URLDecoder.decode(raw, "UTF-8")
+    // Spark's own hive-path unescaping, NOT URLDecoder: URL decoding
+    // turns '+' into a space, but escapePathName never encodes '+', so
+    // a string partition value "a+b" would silently round-trip as "a b"
+    // and pruned reads/deletes on it would match nothing
+    val decoded = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .unescapePathName(raw)
     dt match {
       case IntegerType => decoded.toInt
       case LongType    => decoded.toLong

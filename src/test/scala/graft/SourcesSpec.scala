@@ -1604,6 +1604,39 @@ class SourcesSpec extends SparkTestBase {
       "post-retry table must hold the original rows plus the racer's")
   }
 
+  test("deletePartitions on a multi-field spec; '+' survives partition-value round-trips") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.sources.IcebergWriter.PartitionTransform
+    // multi-field v1 layout: the rewrite must carry BOTH fields' tuples
+    val root = tempDir("graft-iceberg-mfdel")
+    val df = (0 until 24)
+      .map(i => (i.toLong, s"r${i % 3}", (i % 2).toLong)).toDF("id", "region", "band")
+    IcebergWriter.appendPartitioned(spark, root, df,
+      Seq(PartitionTransform("region"), PartitionTransform("band")), 1000L,
+      1, Map.empty)
+    IcebergWriter.deletePartitions(spark, root, "band", Set(1L), 2000L)
+    val left = IcebergSource.read(spark, root)
+    assert(left.count() === 12)
+    assert(left.select("band").distinct().collect().map(_.getLong(0)).toSeq === Seq(0L))
+    // the surviving region layout still prunes
+    assert(IcebergSource.read(spark, root, None, None,
+      Some(IcebergMeta.PartitionEquals("region", "r1"))).count() === 4)
+
+    // a string partition value containing '+': URL-decoding would have
+    // silently turned it into a space and matched nothing
+    val root2 = tempDir("graft-iceberg-plusval")
+    IcebergWriter.appendPartitioned(spark, root2,
+      Seq((1L, "a+b"), (2L, "c d"), (3L, "a+b")).toDF("id", "tag"),
+      Some(PartitionTransform("tag")), 1000L, formatVersion = 2)
+    val pruned = IcebergSource.read(spark, root2, None, None,
+      Some(IcebergMeta.PartitionEquals("tag", "a+b")))
+    assert(pruned.count() === 2,
+      s"'+' mangled in partition round-trip: ${IcebergSource.read(spark, root2)
+        .select("tag").distinct().collect().map(_.getString(0)).toSeq}")
+    assert(pruned.filter(col("tag") === "a+b").count() === 2)
+  }
+
   test("as-of time travel resolves along MAIN's ancestry, never a branch") {
     import spark.implicits._
     val root = tempDir("graft-iceberg-asof-branch")
