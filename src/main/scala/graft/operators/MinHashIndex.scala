@@ -126,33 +126,73 @@ object MinHashIndex {
   // remain; a fold re-checks for the compact marker AFTER planting its
   // own, so every interleaving ends in "serialized" or "one side fails
   // cleanly", never a fold landing in a version the compact is about to
-  // discard. Markers carry their expiry timestamp: a crashed holder's
-  // lease is broken (deleted) by the next acquirer after the TTL.
+  // discard. Markers carry `expiry:owner`: a crashed holder's lease is
+  // broken (deleted) by the next acquirer after the TTL, and RELEASE is
+  // ownership-checked — an overrun holder whose lease was broken and
+  // re-acquired must not delete the new holder's marker on its way out.
+  //
+  // KNOWN LIMITS (documented, not closed): leases are not renewed, so a
+  // holder that outlives the TTL loses exclusivity — size leaseTtlMs
+  // generously above the longest expected fold/compact; and the
+  // expired-break (read -> delete -> create) is not atomic on
+  // filesystems without compare-and-swap, so two breakers racing over
+  // the SAME expired marker can, in a narrow window, both acquire. Both
+  // limits require a crashed-or-overrun holder to bite; the normal path
+  // is create-exclusive and safe.
   // -------------------------------------------------------------------
 
-  private def writeMarker(fs: FileSystem, p: Path, expiresAtMs: Long): Boolean =
+  private def writeMarker(
+      fs: FileSystem, p: Path, expiresAtMs: Long, owner: String): Boolean =
     try {
       val out = fs.create(p, false) // atomic create-exclusive
-      try out.write(expiresAtMs.toString.getBytes("UTF-8")) finally out.close()
+      try out.write(s"$expiresAtMs:$owner".getBytes("UTF-8")) finally out.close()
       true
-    } catch { case _: java.io.IOException => false }
+    } catch {
+      // ONLY "already exists" means held-by-another; a permission or
+      // quota failure misdiagnosed as a phantom lease would send the
+      // operator hunting for a concurrent compact that doesn't exist
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      case e: java.io.IOException
+          if e.getMessage != null && e.getMessage.contains("exists") => false
+    }
 
-  private def markerExpired(fs: FileSystem, p: Path): Boolean =
+  /** Marker content as (expiry, owner); None when vanished or torn. */
+  private def readMarker(fs: FileSystem, p: Path): Option[(Long, String)] =
     try {
       val in = fs.open(p)
-      val expiry =
-        try new String(in.readAllBytes(), "UTF-8").trim.toLong
-        finally in.close()
-      System.currentTimeMillis() > expiry
+      val raw = try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
+      val cut = raw.indexOf(':')
+      val (e, o) = if (cut < 0) (raw, "") else (raw.take(cut), raw.drop(cut + 1))
+      Some((e.toLong, o))
     } catch {
-      // unreadable marker (vanished between list and open, torn write):
-      // vanished = not held; torn = stale garbage — break it either way
-      case _: java.io.IOException | _: NumberFormatException => true
+      // vanished between list and open = not held; torn write = stale
+      // garbage. Any OTHER IO failure propagates: treating a transient
+      // read error on a LIVE lease as "expired" would delete it.
+      case _: java.io.FileNotFoundException => None
+      case _: NumberFormatException         => None
+    }
+
+  private def markerExpired(fs: FileSystem, p: Path): Boolean =
+    readMarker(fs, p) match {
+      case Some((expiry, _)) => System.currentTimeMillis() > expiry
+      case None              => true // vanished/torn: not meaningfully held
     }
 
   /** Delete `p` if it exists and has expired. */
   private def breakIfExpired(fs: FileSystem, p: Path): Unit =
     if (fs.exists(p) && markerExpired(fs, p)) fs.delete(p, false): Unit
+
+  /** Release `p` ONLY if this caller still owns it — an overrun holder
+    * whose lease was TTL-broken and re-acquired by someone else must
+    * leave the new holder's marker alone (legacy owner-less markers
+    * release unconditionally).
+    */
+  private def releaseIfOwner(fs: FileSystem, p: Path, owner: String): Unit =
+    readMarker(fs, p) match {
+      case Some((_, o)) if o == owner || o.isEmpty => fs.delete(p, false): Unit
+      case Some(_) => () // someone else's live lease: hands off
+      case None    => ()
+    }
 
   private def activeFoldMarkers(fs: FileSystem, root: String): Seq[Path] = {
     val dir = leaseDir(root)
@@ -224,12 +264,43 @@ object MinHashIndex {
   def materialize(doc: DataFrame, root: String): StoredIndex = {
     val spark = doc.sparkSession
     val fs = fileSystem(spark, root)
-    if (fs.exists(new Path(root)))
-      fs.listStatus(new Path(root)).foreach(st => fs.delete(st.getPath, true))
-    writeSegment(doc, versionDir(root, 1).suffix("/base").toString)
-    fs.mkdirs(foldedDir(root))
-    commitMarker(fs, new Path(versionsDir(root), "v1"))
-    StoredIndex(root)
+    // the wipe-and-rebuild runs UNDER the maintenance lease, inside the
+    // same single-writer contract as compact: without it a concurrent
+    // fold could publish into a dir mid-deletion (or into the fresh v1 a
+    // batch the reset was supposed to forget), and a concurrent compact
+    // could commit a version built from pre-wipe segments
+    fs.mkdirs(leaseDir(root))
+    val compactMarker = new Path(leaseDir(root), "compact")
+    breakIfExpired(fs, compactMarker)
+    val owner = java.util.UUID.randomUUID().toString
+    if (!writeMarker(fs, compactMarker,
+        System.currentTimeMillis() + DefaultLeaseTtlMs, owner))
+      throw new IllegalStateException(
+        s"maintenance lease held on $root; cannot re-materialize under a " +
+          "running compact")
+    try {
+      val deadline = System.currentTimeMillis() + 30_000L
+      while (activeFoldMarkers(fs, root).nonEmpty &&
+          System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      val inFlight = activeFoldMarkers(fs, root)
+      if (inFlight.nonEmpty)
+        throw new IllegalStateException(
+          s"folds still in flight: ${inFlight.map(_.getName).mkString(", ")}" +
+            " — materialize backed off")
+      // wipe everything EXCEPT the lease dir (it holds OUR exclusivity);
+      // stale fold leases inside it are already proven drained/expired
+      fs.listStatus(new Path(root)).toSeq
+        .filterNot(_.getPath.getName == "_lease")
+        .foreach(st => fs.delete(st.getPath, true))
+      fs.listStatus(leaseDir(root)).toSeq
+        .filterNot(_.getPath.getName == "compact")
+        .foreach(st => fs.delete(st.getPath, false))
+      writeSegment(doc, versionDir(root, 1).suffix("/base").toString)
+      fs.mkdirs(foldedDir(root))
+      commitMarker(fs, new Path(versionsDir(root), "v1"))
+      StoredIndex(root)
+    } finally releaseIfOwner(fs, compactMarker, owner)
   }
 
   /** Fold a new (accepted) batch into the stored index — the cross-batch
@@ -270,11 +341,17 @@ object MinHashIndex {
           "retry after it completes")
     fs.mkdirs(leaseDir(index.root))
     val myLease = new Path(leaseDir(index.root), s"fold-$token")
-    // a same-token lease can only be a crashed prior attempt of THIS
-    // batch (tokens are the caller's batch identity): reclaim it
-    if (fs.exists(myLease)) fs.delete(myLease, false)
-    require(writeMarker(fs, myLease, System.currentTimeMillis() + leaseTtlMs),
-      s"could not plant fold lease $myLease")
+    // a same-token lease is reclaimed ONLY once expired: an orchestrator
+    // re-launching a batch whose first attempt is a live zombie (hung,
+    // not crashed) must not run two attempts into the same temp dir —
+    // the live holder keeps the lease and the retry fails loudly
+    breakIfExpired(fs, myLease)
+    val attemptOwner = java.util.UUID.randomUUID().toString
+    if (!writeMarker(fs, myLease, System.currentTimeMillis() + leaseTtlMs,
+        attemptOwner))
+      throw new IllegalStateException(
+        s"another attempt of batch '$token' holds its fold lease on " +
+          s"${index.root} (still running, not expired) — retry later")
     try {
       // re-check AFTER planting: a compact that acquired in between is
       // now waiting for fold markers to drain — back off so it proceeds
@@ -301,7 +378,7 @@ object MinHashIndex {
       fault("published")
       commitMarker(fs, marker)
       true
-    } finally fs.delete(myLease, false)
+    } finally releaseIfOwner(fs, myLease, attemptOwner)
   }
 
   /** At-least-once append for callers WITHOUT a replay token (no
@@ -356,7 +433,9 @@ object MinHashIndex {
     fs.mkdirs(leaseDir(index.root))
     val compactMarker = new Path(leaseDir(index.root), "compact")
     breakIfExpired(fs, compactMarker)
-    if (!writeMarker(fs, compactMarker, System.currentTimeMillis() + leaseTtlMs))
+    val owner = java.util.UUID.randomUUID().toString
+    if (!writeMarker(fs, compactMarker,
+        System.currentTimeMillis() + leaseTtlMs, owner))
       throw new IllegalStateException(
         s"another compact holds the maintenance lease on ${index.root}")
     try {
@@ -372,7 +451,7 @@ object MinHashIndex {
           s"folds still in flight after ${foldDrainWaitMs}ms: " +
             s"${inFlight.map(_.getName).mkString(", ")} — compact backed off")
       compactLeased(spark, fs, index, nFiles, dedupe, fault)
-    } finally fs.delete(compactMarker, false)
+    } finally releaseIfOwner(fs, compactMarker, owner)
   }
 
   private def compactLeased(
