@@ -95,7 +95,7 @@ class GraftSession(val spark: SparkSession) {
   def execute(sql: String): DataFrame = spark.sql(sql)
 
   /** Keyed distributed result cache (reference crates/cache/src/lib.rs). */
-  val cache: ResultCache = new ResultCache(spark)
+  val cache: ResultCache = new ResultCache()
 
   // Iceberg commits flow into write-through invalidation too: any cache
   // entry whose declared deps contain the committed table's absolute

@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.storage.StorageLevel
 
 /** Keyed query-result cache — the Spark-native analogue of the reference's
@@ -26,7 +26,6 @@ import org.apache.spark.storage.StorageLevel
   * `foreachBatch` to `refresh`.
   */
 final class ResultCache(
-    spark: SparkSession,
     capacity: Option[Int] = None,
     // how often a thread that is ITSELF inside a builder re-checks the
     // wait graph for a deadlock cycle while awaiting another key's flight.
@@ -49,6 +48,13 @@ final class ResultCache(
   // entry. Maintained under the same lock as `entries`.
   private val dependsOn = new java.util.HashMap[String, Set[String]]()
 
+  // write-through race guard: each invalidation bumps the global stamp
+  // and records it per LOWERCASED target; a put whose build overlapped an
+  // invalidation of one of its deps (or its own key) declines to install
+  private val invalidationStamp = new java.util.concurrent.atomic.AtomicLong()
+  private val lastInvalidated =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
   /** Cache a result under a key (reference cache/src/lib.rs:38-44 `put`).
     * Eagerly materializes so the first read doesn't pay compute. On
     * overflow past `capacity`, evicts + unpersists least-recently-used
@@ -61,8 +67,30 @@ final class ResultCache(
     * aspiration (crates/cdc/src/lib.rs:9) as a write-through rule.
     */
   def put(key: String, df: DataFrame, deps: Set[String] = Set.empty): DataFrame = {
+    // capture BEFORE the (possibly long) materialization: a commit that
+    // invalidates one of our deps while we build must keep the stale
+    // result OUT of the map — installing it after the invalidation ran
+    // would leave a permanently stale entry behind the write-through
+    // contract's back
+    val startStamp = invalidationStamp.get()
     val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
-    cached.count() // force materialization, like the reference's stored batches
+    try cached.count() // force materialization, like the reference's stored batches
+    catch {
+      case e: Throwable =>
+        // a failed build must not leave the plan registered in Spark's
+        // CacheManager with no owning entry (retried failures would
+        // accumulate leaked pinned storage for the session's lifetime)
+        try cached.unpersist(blocking = false)
+        catch { case _: Throwable => () }
+        throw e
+    }
+    val watched = (deps + key).map(_.toLowerCase)
+    val staleAlready = watched.exists(d =>
+      Option(lastInvalidated.get(d)).exists(_.longValue() > startStamp))
+    if (staleAlready) {
+      unpersistUnlessShared(cached)
+      return cached // correct rows for the caller, just not installed
+    }
     val evicted = entries.synchronized {
       val prev = Option(entries.put(key, cached))
       if (deps.nonEmpty) dependsOn.put(key, deps) else dependsOn.remove(key)
@@ -83,8 +111,24 @@ final class ResultCache(
         .toList
       prev.toList ++ over
     }
-    evicted.foreach(_.unpersist(blocking = false))
+    evicted.foreach(unpersistUnlessShared)
     cached
+  }
+
+  /** Unpersist an evicted/invalidated frame UNLESS a live entry shares
+    * its plan: Spark's CacheManager uncaches by PLAN equality, not
+    * Dataset identity, so unpersisting a replaced frame whose plan
+    * matches a still-live entry (re-putting the same SQL is the common
+    * case) would silently unpin the live entry's storage.
+    */
+  private def unpersistUnlessShared(evicted: DataFrame): Unit = {
+    val shared = entries.synchronized {
+      import scala.jdk.CollectionConverters._
+      entries.values().asScala.exists(live =>
+        (live ne evicted) &&
+          live.queryExecution.analyzed.sameResult(evicted.queryExecution.analyzed))
+    }
+    if (!shared) evicted.unpersist(blocking = false)
   }
 
   /** Lookup (reference cache/src/lib.rs:46-50 `get`); refreshes LRU rank. */
@@ -142,11 +186,17 @@ final class ResultCache(
       val race = inFlight.putIfAbsent(key, mine)
       if (race != null) {
         if (building.get().isEmpty) {
-          try race.join()
+          // get(), not join(): join ignores interruption, so a cancelled
+          // caller would be held hostage for the whole build
+          try race.get()
           catch {
             // unwrap so waiters see the builder's own exception type
-            case e: java.util.concurrent.CompletionException =>
+            case e: java.util.concurrent.ExecutionException =>
               throw Option(e.getCause).getOrElse(e)
+            case e: InterruptedException =>
+              Thread.currentThread().interrupt()
+              throw new RuntimeException(
+                s"interrupted while awaiting cache build of '$key'", e)
           }
         } else awaitAsBuilder(key, race, build)
       } else {
@@ -199,7 +249,15 @@ final class ResultCache(
               // let other pollers "detect" cycles through us and cascade
               // into duplicated builds of their own.
               awaiting.remove(Thread.currentThread())
-              return get(key).getOrElse(build)
+              return get(key).getOrElse {
+                // register the key for the direct build: a REENTRANT
+                // getOrPut(key) inside it must take the line-139 branch,
+                // not re-detect this same still-live cycle and recurse
+                // until StackOverflow
+                building.get().add(key)
+                try build
+                finally building.get().remove(key)
+              }
             }
         }
       }
@@ -235,7 +293,7 @@ final class ResultCache(
     entries.synchronized {
       dependsOn.remove(key)
       Option(entries.remove(key))
-    }.foreach(_.unpersist(blocking = false))
+    }.foreach(unpersistUnlessShared)
 
   /** Write-through invalidation: a commit landed on `target` (a
     * registered table name or an absolute table path) — evict the entry
@@ -244,10 +302,16 @@ final class ResultCache(
     * misleads.
     */
   def invalidateDependents(target: String): Unit = {
+    // stamp FIRST: an in-flight put that read pre-commit data observes
+    // the bump at install time and declines (see put). Case-insensitive
+    // throughout — Spark table names are; callers lowercase; a
+    // mixed-case cache key must not dodge its own table's rewrite.
+    lastInvalidated.put(target.toLowerCase, invalidationStamp.incrementAndGet())
     val hit = entries.synchronized {
       import scala.jdk.CollectionConverters._
       entries.keySet().asScala.toSeq.filter(k =>
-        k == target || Option(dependsOn.get(k)).exists(_.contains(target)))
+        k.equalsIgnoreCase(target) ||
+          Option(dependsOn.get(k)).exists(_.exists(_.equalsIgnoreCase(target))))
     }
     hit.foreach(invalidate)
   }

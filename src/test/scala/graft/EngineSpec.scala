@@ -105,7 +105,7 @@ class EngineSpec extends SparkTestBase {
 
   test("bounded cache evicts least-recently-USED, unpersists it, keeps the rest") {
     import spark.implicits._
-    val c = new graft.engine.ResultCache(spark, capacity = Some(3))
+    val c = new graft.engine.ResultCache(capacity = Some(3))
     val frames = (1 to 3).map { i =>
       i -> c.put(s"ev-$i", Seq(i).toDF("v"))
     }.toMap
@@ -151,9 +151,29 @@ class EngineSpec extends SparkTestBase {
     assert(session.cache.keys.isEmpty)
   }
 
+  test("re-putting the same plan keeps the live entry pinned; invalidation is case-insensitive") {
+    import spark.implicits._
+    val c = new graft.engine.ResultCache()
+    c.put("rp", Seq(1, 2).toDF("v"))
+    // same plan, fresh Dataset: Spark's CacheManager uncaches by PLAN
+    // equality, so unpersisting the replaced frame naively would unpin
+    // the replacement too
+    val b = c.put("rp", Seq(1, 2).toDF("v"))
+    assert(b.storageLevel.useMemory,
+      "replacement lost its pinned storage to the evicted twin's unpersist")
+    assert(c.get("rp").get.count() === 2)
+    c.clear()
+
+    // a mixed-case key must not dodge its own table's rewrite
+    c.put("MixedCase", Seq(3).toDF("v"))
+    c.invalidateDependents("mixedcase")
+    assert(c.get("MixedCase").isEmpty,
+      "case difference let a stale entry survive its table's rewrite")
+  }
+
   test("getOrPut is single-flight: concurrent misses materialize once") {
     import spark.implicits._
-    val c = new graft.engine.ResultCache(spark)
+    val c = new graft.engine.ResultCache()
     val builds = new java.util.concurrent.atomic.AtomicInteger(0)
     val start = new CountDownLatch(1)
     val done = new CountDownLatch(8)
@@ -206,7 +226,7 @@ class EngineSpec extends SparkTestBase {
     // the old 30 s timeout fallback duplicated any heavy build a waiting
     // builder outlasted; real cycle detection must NOT fire here — the
     // slow flight (well past many poll intervals) completes exactly once
-    val c = new graft.engine.ResultCache(spark, cyclePollMs = 20L)
+    val c = new graft.engine.ResultCache(cyclePollMs = 20L)
     val builds = new java.util.concurrent.atomic.AtomicInteger()
     val slowEntered = new CountDownLatch(1)
     val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
@@ -237,7 +257,7 @@ class EngineSpec extends SparkTestBase {
     // A's builder asks for B while B's builder asks for A — with unbounded
     // joins both threads wait on each other's flight forever. The guard
     // follows owner->awaited edges and breaks only on the REAL cycle.
-    val c = new graft.engine.ResultCache(spark, cyclePollMs = 50L)
+    val c = new graft.engine.ResultCache(cyclePollMs = 50L)
     val aInstalled = new CountDownLatch(1)
     val bInstalled = new CountDownLatch(1)
     val done = new CountDownLatch(2)
