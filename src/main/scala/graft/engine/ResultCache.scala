@@ -85,33 +85,46 @@ final class ResultCache(
         throw e
     }
     val watched = (deps + key).map(_.toLowerCase)
-    val staleAlready = watched.exists(d =>
+    def staleNow: Boolean = watched.exists(d =>
       Option(lastInvalidated.get(d)).exists(_.longValue() > startStamp))
-    if (staleAlready) {
+    if (staleNow) {
       unpersistUnlessShared(cached)
       return cached // correct rows for the caller, just not installed
     }
+    var installed = false
     val evicted = entries.synchronized {
-      val prev = Option(entries.put(key, cached))
-      if (deps.nonEmpty) dependsOn.put(key, deps) else dependsOn.remove(key)
-      val over = Iterator
-        .continually {
-          val it = entries.entrySet().iterator()
-          if (capacity.exists(_ < entries.size())) {
-            // eldest-by-access first; the just-put key is most recent so
-            // it is only reachable when capacity == 0, excluded by require
-            val eldest = it.next()
-            it.remove()
-            dependsOn.remove(eldest.getKey)
-            Some(eldest.getValue)
-          } else None
-        }
-        .takeWhile(_.isDefined)
-        .flatten
-        .toList
-      prev.toList ++ over
+      // Re-check UNDER the entries lock, immediately before install:
+      // invalidateDependents writes the stamp BEFORE taking this lock,
+      // so either the invalidator sees our installed entry (and evicts
+      // it) or we see its bumped stamp here and decline. Checking only
+      // outside the lock left a window — invalidate between the check
+      // and the install would miss the not-yet-installed entry and a
+      // permanently stale result would land in the map.
+      if (staleNow) List.empty[DataFrame]
+      else {
+        installed = true
+        val prev = Option(entries.put(key, cached))
+        if (deps.nonEmpty) dependsOn.put(key, deps) else dependsOn.remove(key)
+        val over = Iterator
+          .continually {
+            val it = entries.entrySet().iterator()
+            if (capacity.exists(_ < entries.size())) {
+              // eldest-by-access first; the just-put key is most recent so
+              // it is only reachable when capacity == 0, excluded by require
+              val eldest = it.next()
+              it.remove()
+              dependsOn.remove(eldest.getKey)
+              Some(eldest.getValue)
+            } else None
+          }
+          .takeWhile(_.isDefined)
+          .flatten
+          .toList
+        prev.toList ++ over
+      }
     }
     evicted.foreach(unpersistUnlessShared)
+    if (!installed) unpersistUnlessShared(cached)
     cached
   }
 

@@ -656,10 +656,18 @@ final class ServingServer(
             // expiry disabled (flightTtlMs <= 0) sweepExpired no-ops and
             // terminal entries would otherwise accumulate forever — the
             // RUNNING gate below only bounds live work, not history.
-            // Oldest terminal entries go first; their flights (if any)
-            // are LRU-bounded separately.
+            // Oldest terminal entries go first. Terminal entries whose
+            // handle still has a LIVE flight are exempt: a client
+            // actively fetching tickets keeps the flight resident in the
+            // access-ordered LRU while its pending entry ages — pruning
+            // it here would answer the next poll NOT_FOUND and force a
+            // needless resubmit of a query whose every ticket still
+            // serves. The flights LRU's eviction hook (which removes the
+            // pending entry too) is the authority for DONE-with-flight
+            // lifecycles.
             val terminal = pending.entrySet().asScala
-              .filter(_.getValue.state != "RUNNING").toSeq
+              .filter(e => e.getValue.state != "RUNNING" &&
+                !flights.synchronized(flights.containsKey(e.getKey))).toSeq
               .sortBy(_.getValue.createdNanos)
             terminal.dropRight(maxFlights).foreach(e => pending.remove(e.getKey))
             val running = pending.values.asScala.count(_.state == "RUNNING")

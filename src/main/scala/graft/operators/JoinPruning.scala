@@ -29,6 +29,31 @@ import graft.sources.{IcebergMeta, IcebergSource}
   */
 object JoinPruning {
 
+  /** "Broadcast-small by assumption" was unenforced until round 13: a
+    * miscalled fact-sized "dim" would OOM the driver at the distinct
+    * collect (or silently burn a full fact scan at planning time in the
+    * range flavor). Measure before trusting — the decontamination
+    * operator's cutover pattern. The probe is `limit(max+1).count()`:
+    * a narrow, shuffle-free plan whose driver cost is one long,
+    * bounded regardless of the input's true size. Row count bounds
+    * distinct cardinality from above, so a pass here also bounds the
+    * collect; a many-row/few-key frame that trips it should be
+    * pre-distinct'd by the caller — a genuinely fact-sized frame is
+    * exactly the misuse this refuses.
+    */
+  val MaxDimRows: Long = 4L * 1000 * 1000
+
+  private def requireDimSmall(
+      dimKeys: DataFrame, what: String, maxRows: Long): Unit = {
+    val probed = dimKeys.limit(
+      (math.min(maxRows, Int.MaxValue - 1L) + 1).toInt).count()
+    require(probed <= maxRows,
+      s"JoinPruning.$what: dim side has > $maxRows rows (measured) — " +
+        "refusing the driver-side evaluation a dim this size implies. " +
+        "Pass a genuinely small dim (pre-aggregate/distinct it first), " +
+        "or raise maxDimRows deliberately.")
+  }
+
   /** The fact scan, file-pruned to the dim's key range. Callers compose
     * joins/aggregations on the result as usual; rows outside the dim's
     * exact key SET may survive (bounds are a range), so this is a scan
@@ -39,7 +64,9 @@ object JoinPruning {
       tablePath: String,
       factKey: String,
       dimKeys: DataFrame,
-      dimKey: String): DataFrame = {
+      dimKey: String,
+      maxDimRows: Long = MaxDimRows): DataFrame = {
+    requireDimSmall(dimKeys, "prunedScan", maxDimRows)
     val row = dimKeys.agg(min(col(dimKey)), max(col(dimKey))).head()
     if (row.isNullAt(0)) {
       // empty dim: nothing can join — an empty frame with the table
@@ -58,14 +85,17 @@ object JoinPruning {
     * predicate, so planning opens only the matching partitions'
     * manifests — stronger than a min/max range when the dim's values are
     * sparse ("these two event types", "these three days"). The distinct
-    * collect is bounded by the dim (broadcast-small by assumption).
+    * collect is bounded by the dim, and the dim's size is MEASURED
+    * (`maxDimRows` probe), not assumed — see [[MaxDimRows]].
     */
   def prunedScanByPartition(
       spark: SparkSession,
       tablePath: String,
       partitionColumn: String,
       dimKeys: DataFrame,
-      dimKey: String): DataFrame = {
+      dimKey: String,
+      maxDimRows: Long = MaxDimRows): DataFrame = {
+    requireDimSmall(dimKeys, "prunedScanByPartition", maxDimRows)
     val values = dimKeys.select(col(dimKey)).distinct().collect()
       .map(_.get(0)).toSet
     if (values.isEmpty)

@@ -38,8 +38,9 @@ object IcebergWriter {
     * under partition field `fieldName` (hidden partitioning — the data
     * files keep the SOURCE column; only identity drops it into the
     * directory layout). Writable transforms: identity, day/month/year
-    * (date sources), truncate[W] (int/long/string). `bucket[N]` is
-    * read/prune-supported but this writer refuses to lay it out.
+    * (date sources), truncate[W] (int/long/string), and — since round
+    * 12 — `bucket[N]` over int/long/string sources (spec Murmur3 via
+    * [[IcebergTransforms.bucket]]; other source types are refused).
     */
   final case class PartitionTransform(source: String, transform: String = "identity") {
     def fieldName: String =

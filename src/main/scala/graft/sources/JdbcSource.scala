@@ -71,9 +71,12 @@ object JdbcSource {
       batchSize: Int = 1000,
       maxConnections: Int = 8
   ): Unit = {
-    val capped =
-      if (df.rdd.getNumPartitions > maxConnections) df.coalesce(maxConnections)
-      else df
+    // unconditional: coalesce to >= the current partition count is a
+    // no-op, and probing df.rdd.getNumPartitions would force a separate
+    // physical-plan conversion whose pre-AQE estimate can differ from
+    // what save() actually executes with — the cap must hold at
+    // execution time, not against an estimate
+    val capped = df.coalesce(maxConnections)
     val base = capped.write
       .format("jdbc")
       .option("url", url)

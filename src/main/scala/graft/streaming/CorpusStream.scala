@@ -140,7 +140,7 @@ object CorpusStream {
     val pinned = model
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     pinned.count(): Unit // materialize once, not once per micro-batch
-    docs.writeStream
+    val query = docs.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -148,6 +148,35 @@ object CorpusStream {
         ()
       }
       .start()
+    // The pin must not outlive the query: without this, every stream
+    // start leaves another model copy pinned in the session's storage
+    // for its lifetime. Unpersist on termination, keyed by query id so
+    // concurrent scoring streams don't unpin each other's models.
+    val spark = pinned.sparkSession
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    val reaper = new StreamingQueryListener {
+      override def onQueryStarted(
+          e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: StreamingQueryListener.QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+        if (e.id == query.id) {
+          try pinned.unpersist(blocking = false)
+          catch { case _: Throwable => () }
+          spark.streams.removeListener(this)
+        }
+    }
+    spark.streams.addListener(reaper)
+    // AvailableNow can finish before the listener lands on the bus, and
+    // a termination event posted pre-registration is never replayed —
+    // sweep that window here (unpersist is idempotent).
+    if (!query.isActive) {
+      try pinned.unpersist(blocking = false)
+      catch { case _: Throwable => () }
+      spark.streams.removeListener(reaper)
+    }
+    query
   }
 
   /** Streaming ingest dedup: each arriving micro-batch of documents is

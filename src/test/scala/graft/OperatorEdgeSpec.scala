@@ -217,6 +217,23 @@ class OperatorEdgeSpec extends SparkTestBase {
     assert(onlyPii === "<EMAIL> <IP> <ID>", onlyPii)
   }
 
+  test("join pruning refuses a fact-sized dim (measured, loud)") {
+    import spark.implicits._
+    val bigDim = spark.range(0, 100L).toDF("dk")
+    // guard fires BEFORE any table access, so the path can be bogus
+    val e1 = intercept[IllegalArgumentException] {
+      graft.operators.JoinPruning.prunedScan(
+        spark, "/nonexistent/table", "k", bigDim, "dk", maxDimRows = 10L)
+    }
+    assert(e1.getMessage.contains("prunedScan") &&
+      e1.getMessage.contains("measured"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      graft.operators.JoinPruning.prunedScanByPartition(
+        spark, "/nonexistent/table", "p", bigDim, "dk", maxDimRows = 10L)
+    }
+    assert(e2.getMessage.contains("prunedScanByPartition"), e2.getMessage)
+  }
+
   test("serving shim honors a custom batch size") {
     import spark.implicits._
     session.registerTable("serve_small", (1 to 10).toDF("v"))
