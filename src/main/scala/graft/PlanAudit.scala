@@ -3,29 +3,42 @@ package graft
 import graft.engine.GraftSession
 import graft.queries.Registry
 
-/** Dev tool: dump `explain("formatted")` for the headline queries so plan
-  * regressions (lost pushdown, accidental cartesian, fact-side broadcast)
-  * are visible. Run: runMain graft.PlanAudit [sfDir] [queryName...]
+/** Dev tool: dump `explain("formatted")` plus the measured
+  * [[graft.plans.PlanShape]] for the headline queries so plan regressions
+  * (lost pushdown, accidental cartesian, fact-side broadcast, a collect
+  * hiding in a build path) are visible — the same extraction
+  * PlanAuditSpec pins in CI. Run: runMain graft.PlanAudit [sfDir]
+  * [queryName...|--shapes]. `--shapes` prints ONLY the one-line shape
+  * per bench/headline query (the quick diff against the spec's table).
   */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val names = if (args.length > 1) args.drop(1).toSet else Set.empty[String]
+    val shapesOnly = args.contains("--shapes")
+    val rest = args.filterNot(_ == "--shapes")
+    val sfDir = rest.headOption.getOrElse("/root/testdata/sf0.001")
+    val names = if (rest.length > 1) rest.drop(1).toSet else Set.empty[String]
     val spark = GraftSession.local(cores = 4, appName = "graft-plan-audit").spark
+    val audit = graft.plans.PlanInvariants.auditSession(spark)
 
     val targets =
       if (names.nonEmpty) Registry.all.filter(q => names(q.name))
+      else if (shapesOnly) Registry.all.filter(q =>
+        q.bench || graft.plans.PlanShapes.headline(q.name))
       else Registry.all.filter(_.bench)
 
     targets.foreach { q =>
-      println(s"\n================ ${q.name} ================")
       try {
-        val df = q.fn(spark, sfDir)
-        println(df.queryExecution.explainString(
-          org.apache.spark.sql.execution.FormattedMode
-        ))
+        val s = graft.plans.PlanInvariants.shape(audit, q.fn(_, sfDir))
+        if (shapesOnly) println(f"${q.name}%-28s ${s.render}")
+        else {
+          println(s"\n================ ${q.name} ================")
+          println(s.render)
+          println(q.fn(audit, sfDir).queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode
+          ))
+        }
       } catch {
-        case e: Throwable => println(s"PLAN FAILED: ${e.getMessage}")
+        case e: Throwable => println(s"${q.name} PLAN FAILED: ${e.getMessage}")
       }
     }
     spark.stop()
