@@ -12,6 +12,66 @@ import QueryUtil._
   */
 object TextQueries {
 
+  /** q_text_bpe_fertility's DYNAMIC oracle (Q.oracleFn, the ivfOracle
+    * mechanism — see SimilarityQueries): the SQL embeds the merge table
+    * the run actually fitted, so it is authored post-run. Last-writer-
+    * wins by design; only Verify dumps it, once, single-threaded.
+    */
+  private val bpeOracle =
+    new java.util.concurrent.atomic.AtomicReference[Option[String]](None)
+
+  /** DuckDB mirror of the BPE merge algebra ([[graft.functions.BpeTable]]
+    * semantics): each word becomes a space-delimited symbol string
+    * `' c1 c2 … '`; a recursive CTE applies each fitted merge rule in
+    * rank order via plain string `replace` until fixpoint before
+    * advancing to the next rank. String replace on the delimited form
+    * merges leftmost-first exactly like the expression's greedy pass
+    * (adjacent same-rule chains defer to the next replace call, reaching
+    * the same fixpoint), so token counts agree exactly — an INDEPENDENT
+    * re-computation of the merge loop, not an echo of Spark's output.
+    * Encoded once per DISTINCT word (like the expression's cache), then
+    * joined back onto the word stream.
+    */
+  private def bpeOracleSql(rules: Array[(String, String)]): String = {
+    def esc(x: String) = x.replace("'", "''")
+    val vals = rules.zipWithIndex
+      .map { case ((l, r), i) => s"($i, '${esc(l)}', '${esc(r)}')" }
+      .mkString(",\n    ")
+    val n = rules.length
+    raw"""WITH RECURSIVE merges(rank, l, r) AS (
+       |  VALUES $vals
+       |), docw AS (
+       |  SELECT doc_id, lang,
+       |         unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+       |  FROM documents
+       |), words AS (
+       |  SELECT DISTINCT w FROM docw
+       |), steps(w, s, k) AS (
+       |  SELECT w, ' ' || regexp_replace(w, '(.)', '\1 ', 'g'), 0 FROM words
+       |  UNION ALL
+       |  SELECT w,
+       |         r2,
+       |         CASE WHEN r2 = s THEN k + 1 ELSE k END
+       |  FROM (
+       |    SELECT st.w AS w, st.s AS s, st.k AS k,
+       |           replace(st.s, ' ' || m.l || ' ' || m.r || ' ',
+       |                         ' ' || m.l || m.r || ' ') AS r2
+       |    FROM steps st JOIN merges m ON m.rank = st.k
+       |  )
+       |), tok AS (
+       |  SELECT w, CAST(len(s) - len(replace(s, ' ', '')) - 1 AS BIGINT) AS n_tok
+       |  FROM steps WHERE k = $n
+       |), joined AS (
+       |  SELECT d.doc_id, d.lang, t.n_tok FROM docw d JOIN tok t ON d.w = t.w
+       |)
+       |SELECT lang,
+       |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |       CAST(count(*) AS BIGINT) AS total_words,
+       |       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       |       round(sum(n_tok) * 1.0 / count(*), 6) AS fertility
+       |FROM joined GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     // ----- quality statistics ---------------------------------------------
     // Integer counts first, ratios as double at the end (identical operand
@@ -142,6 +202,44 @@ object TextQueries {
            |       round(sum(n_pieces) * 1.0 / sum(n_words), 6) AS pieces_per_word
            |FROM base GROUP BY lang ORDER BY lang""".stripMargin
       }
+    ),
+    // ----- real merge-loop BPE ---------------------------------------------
+    // The actual merges-table tokenizer (Sennrich 2016), not the regex
+    // approximation above: FIT a deterministic merge table on the
+    // corpus' capped word-frequency dictionary (one shuffle + a bounded
+    // collect — tokenizers are fit on dictionaries, never raw corpora),
+    // then ENCODE per doc with the native merge-loop expression
+    // (functions.BpeEncode — table serialized into the plan, per-word
+    // cache) and report token totals + fertility per language. The
+    // oracle re-runs the same merge algebra in DuckDB (recursive CTE of
+    // string replaces over the fitted rules — see bpeOracleSql), so the
+    // merge LOOP itself is cross-engine gated, not just the counts.
+    Q(
+      "q_text_bpe_fertility",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val table = graft.operators.BpeTokenizer.fitMerges(
+          docs.select(explode(TextOps.tokens($"text")).as("w")),
+          "w", nMerges = 40, vocabCap = 4096)
+        bpeOracle.set(Some(bpeOracleSql(table.rules)))
+        docs
+          .select(
+            $"lang",
+            size(TextOps.tokens($"text")).cast("bigint").as("n_words"),
+            size(graft.operators.BpeTokenizer
+              .encode(TextOps.tokens($"text"), table))
+              .cast("bigint").as("n_tokens"))
+          .groupBy($"lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum($"n_words").cast("bigint").as("total_words"),
+            sum($"n_tokens").cast("bigint").as("total_tokens"),
+            round(sum($"n_tokens") * lit(1.0) / sum($"n_words"), 6)
+              .as("fertility"))
+          .orderBy($"lang")
+      },
+      None,
+      oracleFn = Some(() => bpeOracle.get())
     ),
     // ----- language-ID heuristic -------------------------------------------
     // Stopword-profile scoring; argmax with a fixed tie order. The fixture

@@ -199,4 +199,47 @@ class TextExpressionsSpec extends SparkTestBase {
       assert(r.getSeq[Long](1) === r.getSeq[Long](2), s"id=${r.getLong(0)}")
     }
   }
+
+  test("bpe_encode: merge-loop semantics, chains, edges; codegen path == direct encode") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.functions.BpeTable
+    import graft.operators.BpeTokenizer
+
+    // hand-computed merge algebra: rules apply in rank order, leftmost
+    // first, one greedy pass per rule is the fixpoint
+    val t1 = new BpeTable(Array(("a", "b"), ("ab", "c")))
+    def enc(t: BpeTable, w: String): Seq[String] = t.encodeWord(w).map(_.toString).toSeq
+    assert(enc(t1, "abc") === Seq("abc")) // (a,b)->ab then (ab,c)->abc
+    assert(enc(t1, "aab") === Seq("a", "ab")) // only one (a,b) site
+    assert(enc(t1, "cab") === Seq("c", "ab")) // (ab,c) is ORDERED: no c+ab merge
+    assert(enc(t1, "") === Seq.empty)
+    val t2 = new BpeTable(Array(("a", "a")))
+    assert(enc(t2, "aaaa") === Seq("aa", "aa")) // leftmost chain breaking
+    assert(enc(t2, "aaa") === Seq("aa", "a"))
+    assert(enc(t2, "aaaaa") === Seq("aa", "aa", "a"))
+
+    // the DataFrame/codegen path produces the same tokens as the direct
+    // driver-side encode — and null words inside the array are skipped
+    val df = Seq(
+      (1L, Seq("abc", "aab")),
+      (2L, Seq("", "aaaa")),
+      (3L, Seq[String]())
+    ).toDF("id", "ws")
+    val t3 = new BpeTable(Array(("a", "b"), ("ab", "c"), ("a", "a")))
+    val out = df.select($"id", BpeTokenizer.encode($"ws", t3).as("toks"))
+      .orderBy($"id").collect()
+    assert(out(0).getSeq[String](1) === Seq("abc", "a", "ab"))
+    assert(out(1).getSeq[String](1) === Seq("aa", "aa"))
+    assert(out(2).getSeq[String](1) === Seq.empty)
+
+    // fit: deterministic, frequency-ordered, count>=2 cutoff
+    val words = Seq("aba", "aba", "aba", "ab", "xy").toDF("w")
+    val fitted = BpeTokenizer.fitMerges(words, "w", nMerges = 8)
+    // pair counts: (a,b)=4 occurrences (3x in aba + 1x in ab), (b,a)=3;
+    // round 2: (ab,a)=3; (x,y)=1 never clears the cutoff
+    assert(fitted.rules.toSeq === Seq(("a", "b"), ("ab", "a")))
+    val again = BpeTokenizer.fitMerges(words, "w", nMerges = 8)
+    assert(again.rules.toSeq === fitted.rules.toSeq)
+  }
 }
