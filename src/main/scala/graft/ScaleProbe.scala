@@ -853,11 +853,16 @@ object ScaleProbe {
       // quantization (its wall time also swings multiples run-to-run
       // with KMeans iteration counts, so publishing it as a ratio would
       // measure convergence luck, not the operator).
-      val semModel = graft.operators.IvfIndex.build(
-        vecs, "embedding", nCells = math.max(8, (n / 2500L).toInt))
+      // balanced build (round 13): the cap bounds Σ|cell|² ≤ n·cellCap
+      // even when the KMeans fit is skewed — the r12 probe's measured
+      // election overage at 2M was exactly convex cell imbalance, and
+      // the recursive over-cap split is the production bound for it
+      val semModel = graft.operators.IvfIndex.buildBalanced(
+        vecs, "embedding", nCells = math.max(8, (n / 2500L).toInt),
+        cellCap = 5000L)
       semModel.assignments.cache().count()
       val semElect = time(s"semantic_elect_${mult}x", n) {
-        graft.queries.SimilarityQueries.semanticDupPairsOf(semModel)
+        graft.queries.SimilarityQueries.semanticDupPairs(semModel.assignments)
           .write.format("noop").mode("overwrite").save()
       }
       semModel.assignments.unpersist()

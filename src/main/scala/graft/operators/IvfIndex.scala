@@ -48,6 +48,23 @@ object IvfIndex {
       seed: Long = 42L,
       maxTrainRows: Long = 100000L
   ): Model = {
+    val cents = fitCentroids(df, embCol, nCells, seed, maxTrainRows)
+    Model(assignCells(df, embCol, cents), cents)
+  }
+
+  /** The KMeans fit alone (seeded, sample-capped): the coarse-quantizer
+    * training step shared by [[build]] and the per-cell refits of
+    * [[buildBalanced]]. Memoized per (plan, k, seed, cap) within the
+    * call via the df's analyzed plan would be over-engineering — the
+    * fit is cheap on the capped sample and callers hold the result.
+    */
+  def fitCentroids(
+      df: DataFrame,
+      embCol: String,
+      k: Int,
+      seed: Long = 42L,
+      maxTrainRows: Long = 100000L
+  ): Array[MlVector] = {
     val withVec = df.withColumn("__vec", array_to_vector(col(embCol)))
     val n = withVec.count()
     val train =
@@ -59,12 +76,13 @@ object IvfIndex {
         withVec.sample(withReplacement = false, fraction, seed)
       }
     val km = new KMeans()
-      .setK(nCells)
+      .setK(k)
       .setSeed(seed)
       .setFeaturesCol("__vec")
-      .setPredictionCol("cell")
-    val model = km.fit(train)
-    Model(assignCells(df, embCol, model.clusterCenters), model.clusterCenters)
+      // never materialized — but fit() validates the name does not
+      // collide, and buildBalanced's sub-fit inputs already carry `cell`
+      .setPredictionCol("__cell_pred")
+    km.fit(train).clusterCenters
   }
 
   /** Centroid rounded to float32 — the precision both the engine and the
@@ -99,20 +117,126 @@ object IvfIndex {
       df: DataFrame,
       embCol: String,
       centroids: Array[MlVector]
-  ): DataFrame = {
+  ): DataFrame =
+    df.withColumn("cell", cellIdxExpr(col(embCol), centroids))
+
+  /** The nearest-centroid argmin as a bare int Column — assignCells'
+    * body, reusable inside the per-level when-chains of [[buildBalanced]].
+    */
+  def cellIdxExpr(
+      emb: org.apache.spark.sql.Column,
+      centroids: Array[MlVector]): org.apache.spark.sql.Column = {
     val scores = centroids.toIndexedSeq.map { c =>
       val f = centroidF32(c)
       val centLit = array(f.toIndexedSeq.map(v => lit(v)): _*).cast("array<float>")
       lit(selfDot(f)) -
-        lit(2.0) * graft.functions.Functions.dotProduct(col(embCol), centLit)
+        lit(2.0) * graft.functions.Functions.dotProduct(emb, centLit)
     }
     val scoreArr = array(scores: _*)
     // first-occurrence argmin: array_position is 1-based and returns the
     // FIRST index equal to the min — DuckDB's list_position ties the same way
-    df.withColumn(
-      "cell",
-      (array_position(scoreArr, array_min(scoreArr)) - 1).cast("int")
-    )
+    (array_position(scoreArr, array_min(scoreArr)) - 1).cast("int")
+  }
+
+  /** A cell-size-BALANCED model: hierarchical coarse quantization. Cells
+    * are string paths ("3", "3.1", "3.1.2"); `splits` records, in the
+    * order they were fitted, each over-cap parent path and the
+    * sub-centroids that refine it — everything an oracle needs to replay
+    * the assignment exactly.
+    */
+  final case class SplitModel(
+      assignments: DataFrame, // original columns + string `cell` path
+      root: Array[MlVector],
+      splits: Seq[(String, Array[MlVector])]
+  )
+
+  /** [[build]] plus the production bound SemDeDup needs: KMeans balances
+    * nothing — a skewed fit leaves cells far above n/k, and every
+    * within-cell pairwise pass pays |cell|^2 for them (the measured 2M
+    * overage in BASELINE.md r12). So after the root fit, any cell above
+    * `cellCap` rows is recursively re-quantized with a `splitK`-way
+    * sub-KMeans (fit on the cell's own rows, seeded per path) until
+    * every cell fits the cap, the sub-fit stops making progress
+    * (identical-vector pileups cannot be split), or `maxDepth` levels.
+    *
+    * Scale shape: each level is ONE map-only codegen pass over the
+    * corpus (a when-chain of argmin expressions keyed by parent path)
+    * plus one bounded count agg; the per-cell KMeans fits sample at most
+    * `maxTrainRows` each and the number of fits is bounded by the number
+    * of over-cap cells. Nothing here is driver-quadratic, and the
+    * election pass downstream becomes Σ|cell|² ≤ n·cellCap — linear in
+    * the corpus at fixed cap.
+    */
+  def buildBalanced(
+      df: DataFrame,
+      embCol: String,
+      nCells: Int = 16,
+      cellCap: Long = 100000L,
+      splitK: Int = 4,
+      maxDepth: Int = 4,
+      seed: Long = 42L,
+      maxTrainRows: Long = 100000L
+  ): SplitModel = {
+    require(splitK >= 2, "splitK must split")
+    val root = fitCentroids(df, embCol, nCells, seed, maxTrainRows)
+    // Each level is PINNED (PersistScope) before the per-cell work: the
+    // size count, every sub-fit's filter, and the next level's refinement
+    // all read the cached labels. Without the pin, each of potentially
+    // hundreds of sub-fits would recompute the full k-way argmin chain
+    // over the whole corpus just to filter one cell — the difference
+    // between minutes and hours at 2M vectors and k ∝ n. The final
+    // level's pin also feeds the election's self-join (the pinEager
+    // contract); the driver's releaseAll drops every level after the
+    // query, and superseded levels unpersist eagerly below.
+    var assigned = graft.engine.PersistScope.pinEager(
+      df.withColumn("cell", cellIdxExpr(col(embCol), root).cast("string")))
+    val splits = Vector.newBuilder[(String, Array[MlVector])]
+    // parent sizes from the previous level, for the no-progress stop
+    var parentSize = Map.empty[String, Long]
+    var depth = 0
+    var continue = true
+    while (continue && depth < maxDepth) {
+      val sizes = assigned.groupBy("cell").count()
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      // a child the same size as its parent means the sub-fit put every
+      // row in one subcell (an identical-vector pileup) — re-splitting
+      // it would loop to maxDepth for nothing, so it stays excluded
+      // (parentSize ACCUMULATES across levels for exactly that)
+      val over = sizes.filter { case (p, n) =>
+        n > cellCap && !parentSize.get(parentOf(p)).contains(n)
+      }.keys.toSeq.sorted // deterministic fit order
+      if (over.isEmpty) continue = false
+      else {
+        val levelSplits = over.map { p =>
+          // per-path seed: sub-fits on different cells must not share a
+          // sampling/init stream, but the same cell must refit identically
+          val cents = fitCentroids(
+            assigned.filter(col("cell") === p), embCol, splitK,
+            seed ^ p.hashCode.toLong, maxTrainRows)
+          (p, cents)
+        }
+        levelSplits.foreach(splits += _)
+        val refined = levelSplits.foldRight(col("cell")) {
+          case ((p, cents), els) =>
+            when(col("cell") === p,
+              concat(col("cell"), lit("."),
+                cellIdxExpr(col(embCol), cents).cast("string")))
+              .otherwise(els)
+        }
+        val prev = assigned
+        assigned = graft.engine.PersistScope.pinEager(
+          prev.withColumn("cell", refined))
+        prev.unpersist(blocking = false)
+        parentSize = parentSize ++ sizes
+        depth += 1
+      }
+    }
+    SplitModel(assigned, root, splits.result())
+  }
+
+  private def parentOf(path: String): String = {
+    val i = path.lastIndexOf('.')
+    if (i < 0) "" else path.substring(0, i)
   }
 
   /** Write the assignments partitioned by cell — the layout that turns a

@@ -69,8 +69,12 @@ object PlanShapes {
     "q_text_gopher" -> ShapeBounds(maxShuffles = 1),
     "q_dedup_incremental" -> ShapeBounds(maxShuffles = 2, minBroadcastJoins = 5,
       minPushedScans = 2, maxBuildJobs = 2),
+    // r13 balanced build: levels are PINNED (election self-joins read the
+    // cache, so no file scans survive in the plan) and the per-cell
+    // sub-fits are bounded action jobs — the allowance covers root fit +
+    // per-level pins/counts + the fixture's over-cap sub-fits
     "q_dedup_semantic" -> ShapeBounds(maxShuffles = 2, minBroadcastJoins = 1,
-      minPushedScans = 2, maxBuildJobs = 24),
+      maxBuildJobs = 64),
     "q_dedup_paragraph" -> ShapeBounds(maxShuffles = 3, minBroadcastJoins = 1, minPushedScans = 1),
     "q_hybrid_search" -> ShapeBounds(maxShuffles = 0, maxShuffleJoins = 1,
       maxBuildJobs = 12, allowBnlj = true),

@@ -75,6 +75,56 @@ object SimilarityQueries {
        |)""".stripMargin
   }
 
+  /** DuckDB mirror of IvfIndex.buildBalanced's HIERARCHICAL assignment:
+    * the root argmin from [[assignedCteSql]], then one CASE level per
+    * split depth — each over-cap parent path refines via its own
+    * sub-centroid argmin (same score algebra, same first-index
+    * tie-break), all others pass through. Emits CTEs ending in
+    * `balanced(vec_id, label, e, cell)` with STRING path cells
+    * ("3", "3.1"). Splits arrive level-ordered from the builder; the
+    * groupBy re-derives levels from the dot count so the SQL shape is
+    * independent of fit order.
+    */
+  private def balancedAssignSql(
+      root: Array[Array[Float]],
+      splits: Seq[(String, Array[Array[Float]])]): String = {
+    def scoreList(cents: Array[Array[Float]]): String =
+      cents.map { f =>
+        val lst = f.map(v => dbl(v.toDouble)).mkString("[", ", ", "]")
+        s"(${dbl(graft.operators.IvfIndex.selfDot(f))} - 2 * list_dot_product(e, $lst))"
+      }.mkString("[", ",\n           ", "]")
+    val sb = new StringBuilder(assignedCteSql(root))
+    sb.append(
+      """, a0 AS (
+        |  SELECT vec_id, label, e, CAST(cell AS VARCHAR) AS p FROM assigned
+        |)""".stripMargin)
+    val byLevel = splits.groupBy(_._1.count(_ == '.')).toSeq.sortBy(_._1)
+    var lvl = 0
+    byLevel.foreach { case (_, ss) =>
+      val scoreCols = ss.zipWithIndex.map { case ((_, cents), i) =>
+        s"${scoreList(cents)} AS sc_$i"
+      }
+      val cases = ss.zipWithIndex.map { case ((p, _), i) =>
+        s"WHEN p = '$p' THEN p || '.' || " +
+          s"CAST(list_position(sc_$i, list_min(sc_$i)) - 1 AS VARCHAR)"
+      }
+      sb.append(s""", l${lvl}s AS (
+         |  SELECT vec_id, label, e, p,
+         |         ${scoreCols.mkString(",\n         ")}
+         |  FROM a$lvl
+         |), a${lvl + 1} AS (
+         |  SELECT vec_id, label, e,
+         |         CASE ${cases.mkString("\n              ")}
+         |              ELSE p END AS p
+         |  FROM l${lvl}s
+         |)""".stripMargin)
+      lvl += 1
+    }
+    sb.append(
+      s", balanced AS (\n  SELECT vec_id, label, e, p AS cell FROM a$lvl\n)")
+    sb.toString
+  }
+
   private def ivfOracleSql(
       centroids: Array[Array[Float]],
       probedCells: Seq[Int]
@@ -365,38 +415,45 @@ object SimilarityQueries {
       "q_dedup_semantic",
       (s, dir) => {
         val e = t(s, dir, "embeddings")
-        val model = graft.operators.IvfIndex.build(e, "embedding")
+        // cellCap scaled to the fixture (~3x the n/k mean) so the SPLIT
+        // path is exercised at every verify SF — production sets the cap
+        // the same way, as a multiple of the target mean cell size
+        val model = graft.operators.IvfIndex.buildBalanced(
+          e, "embedding", nCells = 16, cellCap = 48)
         semanticOracle.set(
           Some {
-            val cte = assignedCteSql(
-              model.centroids.map(graft.operators.IvfIndex.centroidF32))
+            val cte = balancedAssignSql(
+              model.root.map(graft.operators.IvfIndex.centroidF32),
+              model.splits.map { case (p, cs) =>
+                (p, cs.map(graft.operators.IvfIndex.centroidF32))
+              })
             s"""$cte
-               |SELECT CAST(b.cell AS BIGINT) AS cell, b.vec_id AS dup_id,
+               |SELECT b.cell AS cell, b.vec_id AS dup_id,
                |       min(a.vec_id) AS kept_id
-               |FROM assigned a JOIN assigned b
+               |FROM balanced a JOIN balanced b
                |  ON a.cell = b.cell AND a.vec_id < b.vec_id
                |WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.3
                |GROUP BY b.cell, b.vec_id
                |ORDER BY dup_id""".stripMargin
           }
         )
-        semanticDupPairsOf(model).orderBy($"dup_id")
+        semanticDupPairs(model.assignments).orderBy($"dup_id")
       },
       None,
       oracleFn = Some(() => semanticOracle.get())
     )
   )
 
-  /** SemDeDup's within-cell greedy election over a FITTED model — shared
-    * by `q_dedup_semantic` and ScaleProbe's similarity probe (which
-    * scales nCells with the corpus, the method's own recipe for keeping
-    * cell sizes — and so the per-cell pairwise cost — bounded as the
-    * corpus grows).
+  /** SemDeDup's within-cell greedy election over ANY `cell`-labelled
+    * assignment frame — flat int cells (Model) or balanced string paths
+    * (SplitModel) alike. Shared by `q_dedup_semantic` and ScaleProbe's
+    * similarity probe (which scales nCells with the corpus AND caps cell
+    * sizes via the balanced build, so the per-cell pairwise cost stays
+    * bounded as the corpus grows).
     */
-  private[graft] def semanticDupPairsOf(
-      model: graft.operators.IvfIndex.Model
+  private[graft] def semanticDupPairs(
+      assigned: org.apache.spark.sql.DataFrame
   ): org.apache.spark.sql.DataFrame = {
-    val assigned = model.assignments
     val a = assigned
       .select($"cell", $"vec_id".as("id_a"), $"embedding".as("emb_a"))
     val b = assigned
@@ -406,7 +463,7 @@ object SimilarityQueries {
       .filter(
         round(graft.functions.Functions.cosineSim($"emb_a", $"emb_b"), 6)
           >= 0.3)
-      .groupBy($"cell".cast("bigint").as("cell"), $"dup_id")
+      .groupBy($"cell", $"dup_id")
       .agg(min($"id_a").as("kept_id"))
   }
 }

@@ -112,4 +112,42 @@ class SimilaritySpec extends SparkTestBase {
       brute.get(id).foreach(bs => assert(bs === s, s"score mismatch for vec $id"))
     }
   }
+
+  test("balanced build: recursive split caps every cell; rows preserved; deterministic") {
+    import org.apache.spark.sql.functions._
+    val e = graft.queries.QueryUtil.t(spark, SparkTestBase.Sf0001, "embeddings")
+    val n = e.count()
+    val cap = 48L
+    val m = graft.operators.IvfIndex.buildBalanced(
+      e, "embedding", nCells = 16, cellCap = cap)
+
+    // the fixture's KMeans fit IS skewed enough to exercise the split
+    // path (cells up to 60 rows at nCells=16) — if this ever stops
+    // holding, the cap below passes vacuously, so pin it
+    assert(m.splits.nonEmpty, "expected at least one over-cap split on the fixture")
+
+    val sizes = m.assignments.groupBy("cell").count()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // every row still assigned exactly once (exhaustive partition)
+    assert(sizes.map(_._2).sum === n)
+    // the cap holds for every cell (the fixture has no identical-vector
+    // pileup, so no no-progress exemption applies)
+    val over = sizes.filter(_._2 > cap)
+    assert(over.isEmpty, s"cells above cap: ${over.toSeq}")
+    // split cells carry hierarchical paths; unsplit cells stay flat
+    val splitParents = m.splits.map(_._1).toSet
+    sizes.foreach { case (p, _) =>
+      val parent = if (p.contains('.')) p.substring(0, p.lastIndexOf('.')) else ""
+      if (p.contains('.'))
+        assert(splitParents.contains(parent), s"orphan path $p")
+    }
+    // deterministic rebuild: same paths, same sizes
+    val m2 = graft.operators.IvfIndex.buildBalanced(
+      e, "embedding", nCells = 16, cellCap = cap)
+    val sizes2 = m2.assignments.groupBy("cell").count()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(sizes.sortBy(_._1).toSeq === sizes2.sortBy(_._1).toSeq)
+    assert(m.splits.map { case (p, c) => (p, c.toSeq.map(_.toArray.toSeq)) } ===
+      m2.splits.map { case (p, c) => (p, c.toSeq.map(_.toArray.toSeq)) })
+  }
 }
