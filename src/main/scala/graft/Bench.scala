@@ -105,10 +105,23 @@ object Bench {
         finally src.close()
       } catch { case _: Throwable => -1.0 }
 
-    /** One timed, metric- and load-attributed execution. */
-    def timedRun(q: graft.queries.Q): (Double, Boolean, Double, Double, Double, Double) = {
+    // driver-JVM GC time: the third attribution axis next to shuffle
+    // bytes and loadavg. A rep-time rise at IDENTICAL shuffle bytes and
+    // quiet load (the r12 q_federated_join 0.558→0.617→0.667 shape) is
+    // either GC debt accumulated from earlier queries or something in
+    // the plan — this makes the two distinguishable from the artifact
+    // alone instead of argued about across rounds.
+    def gcMillis(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+    }
+
+    /** One timed, metric-, load- and GC-attributed execution. */
+    def timedRun(q: graft.queries.Q): (Double, Boolean, Double, Double, Double, Double, Long) = {
       val before = listener.snapshot
       val load0 = loadavg()
+      val gc0 = gcMillis()
       val (secs, ok) = run(q)
       val load1 = loadavg()
       // listener events arrive async; give the bus a beat to drain
@@ -118,7 +131,7 @@ object Bench {
       (secs, ok,
         (after._1 - before._1) / 1048576.0,
         (after._3 - before._3) / 1048576.0,
-        load0, load1)
+        load0, load1, gcMillis() - gc0)
     }
 
     // Cold pass (JVM/codegen/page-cache warmup), then THREE timed passes
@@ -134,7 +147,8 @@ object Bench {
     val reps = 3
     case class QStat(name: String, median: Double, min: Double, max: Double,
         ok: Boolean, shuffleMb: Double, spillMb: Double,
-        repTimes: Seq[Double], repLoads: Seq[(Double, Double)])
+        repTimes: Seq[Double], repLoads: Seq[(Double, Double)],
+        repGcMs: Seq[Long])
     val results = headline.map { q =>
       val runs = (1 to reps).map(_ => timedRun(q))
       val times = runs.map(_._1).sorted
@@ -144,7 +158,7 @@ object Bench {
       val medRun = runs.minBy(r => math.abs(r._1 - median))
       QStat(q.name, median, times.head, times.last,
         runs.forall(_._2), medRun._3, medRun._4,
-        runs.map(_._1), runs.map(r => (r._5, r._6)))
+        runs.map(_._1), runs.map(r => (r._5, r._6)), runs.map(_._7))
     }
 
     def obj(f: QStat => String): String =
@@ -159,6 +173,8 @@ object Bench {
     val qreps = obj(r => r.repTimes.map(t => f"$t%.3f").mkString("[", ",", "]"))
     val qload = obj(r =>
       r.repLoads.map { case (a, b) => f"[$a%.2f,$b%.2f]" }.mkString("[", ",", "]"))
+    // per-rep driver-JVM GC millis, run order — pairs with queries_reps
+    val qgc = obj(r => r.repGcMs.mkString("[", ",", "]"))
     val failed = results.collect { case r if !r.ok => s""""${r.name}"""" }
       .mkString("[", ",", "]")
     val total = results.collect { case r if r.ok => r.median }.sum
@@ -167,7 +183,7 @@ object Bench {
     // via log4j2.properties) and is flushed before shutdown logging, so
     // the driver's parser finds it first
     val json =
-      f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qmin,"queries_max":$qmax,"queries_reps":$qreps,"queries_load":$qload,"reps":$reps,"failed":$failed,"cold_total":$coldTotal,"shuffle_read_mb":$shuffle,"spill_mb":$spills,"canary_single_mips":$canarySingle%.1f,"canary_percore_mips":$canaryPerCore%.1f,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qmin,"queries_max":$qmax,"queries_reps":$qreps,"queries_load":$qload,"queries_gc_ms":$qgc,"reps":$reps,"failed":$failed,"cold_total":$coldTotal,"shuffle_read_mb":$shuffle,"spill_mb":$spills,"canary_single_mips":$canarySingle%.1f,"canary_percore_mips":$canaryPerCore%.1f,"sf":"$sfDir"}"""
     println(json)
     System.out.flush()
     // ALSO write the line to a file: the two previous rounds' BENCH

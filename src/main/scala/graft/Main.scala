@@ -10,6 +10,7 @@ import graft.queries.QueryUtil
   * Usage: runMain graft.Main --sql "SELECT …" [--dir /root/testdata/sf0.001]
   *        runMain graft.Main --explain "SELECT …" [--dir …]  # formatted plan
   *        runMain graft.Main --serve 50051 [--token s3cret] [--dir …]  # serving endpoint
+  *        runMain graft.Main --connect 15002 [--dir …]  # Spark Connect gRPC endpoint
   *        runMain graft.Main --maintain /path/to/iceberg [--retain-ms 604800000]  # nightly table job
   *        runMain graft.Main --describe /path/to/iceberg  # table card + manifest gauge
   * Tables registered: the TESTDATA fixtures (region…embeddings) plus the
@@ -50,6 +51,22 @@ object Main {
       if (p.exists()) session.registerTable(t, QueryUtil.t(spark, dir, t))
     }
 
+    opts.get("connect") match {
+      case Some(portStr) =>
+        // wire-standard remote path: stock Spark Connect clients (JVM,
+        // PySpark remote(), Connect JDBC) query the fixture catalog and
+        // the published q1_agg view over gRPC
+        graft.engine.ConnectEndpoint.registerShared(
+          spark, dir, FixtureTables,
+          views = Map(
+            "q1_agg" -> graft.queries.Registry.byName("q1_agg").fn(spark, dir)))
+        val bound = graft.engine.ConnectEndpoint.start(spark, portStr.toInt)
+        System.err.println(
+          s"[graft] spark-connect endpoint on sc://localhost:$bound " +
+            "(tables: fixtures by name; views: global_temp.q1_agg)")
+        Thread.currentThread().join()
+      case None => ()
+    }
     opts.get("serve") match {
       case Some(portStr) =>
         // --token <secret> gates every verb behind HANDSHAKE (Flight auth)

@@ -8,4 +8,14 @@ package org.apache.spark
 object GraftSparkInternals {
   def waitListenerBusEmpty(sc: SparkContext, timeoutMillis: Long): Unit =
     sc.listenerBus.waitUntilEmpty(timeoutMillis)
+
+  /** Set a key on the context's LIVE SparkConf (`sc.conf` is
+    * private[spark]; `getConf` hands back a defensive clone, useless for
+    * configuring a service that reads the live conf at start — the
+    * Spark Connect binding port, here).
+    */
+  def setContextConf(sc: SparkContext, key: String, value: String): Unit = {
+    sc.conf.set(key, value)
+    ()
+  }
 }
