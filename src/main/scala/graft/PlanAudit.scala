@@ -26,14 +26,19 @@ object PlanAudit {
         q.bench || graft.plans.PlanShapes.headline(q.name))
       else Registry.all.filter(_.bench)
 
+    graft.plans.PlanInvariants.prewarm(audit, sfDir)
     targets.foreach { q =>
       try {
-        val s = graft.plans.PlanInvariants.shape(audit, q.fn(_, sfDir))
+        val (df, jobs) =
+          graft.plans.PlanInvariants.countingJobs(audit)(q.fn(audit, sfDir))
+        val s = graft.plans.PlanInvariants.of(df, jobs)
         if (shapesOnly) println(f"${q.name}%-28s ${s.render}")
         else {
           println(s"\n================ ${q.name} ================")
           println(s.render)
-          println(q.fn(audit, sfDir).queryExecution.explainString(
+          // reuse the frame shape() built: a second q.fn would re-run
+          // build-time work (KMeans fits, eager pins) just for explain
+          println(df.queryExecution.explainString(
             org.apache.spark.sql.execution.FormattedMode
           ))
         }

@@ -860,7 +860,8 @@ object ScaleProbe {
       val semModel = graft.operators.IvfIndex.buildBalanced(
         vecs, "embedding", nCells = math.max(8, (n / 2500L).toInt),
         cellCap = 5000L)
-      semModel.assignments.cache().count()
+      // assignments arrive pinned + materialized (buildBalanced's final
+      // level pinEager) — no extra cache pass needed
       val semElect = time(s"semantic_elect_${mult}x", n) {
         graft.queries.SimilarityQueries.semanticDupPairs(semModel.assignments)
           .write.format("noop").mode("overwrite").save()

@@ -41,9 +41,15 @@ object ConnectEndpoint {
   def start(spark: SparkSession, port: Int): Int = synchronized {
     import org.apache.spark.sql.connect.GraftConnectBridge
     if (live.compareAndSet(false, true)) {
-      org.apache.spark.GraftSparkInternals.setContextConf(
-        spark.sparkContext, "spark.connect.grpc.binding.port", port.toString)
-      GraftConnectBridge.start(spark.sparkContext)
+      try {
+        org.apache.spark.GraftSparkInternals.setContextConf(
+          spark.sparkContext, "spark.connect.grpc.binding.port", port.toString)
+        GraftConnectBridge.start(spark.sparkContext)
+      } catch {
+        // a failed bind (port taken) must not latch "started": the
+        // caller's retry with another port has to actually start it
+        case e: Throwable => live.set(false); throw e
+      }
     }
     GraftConnectBridge.boundPort
   }

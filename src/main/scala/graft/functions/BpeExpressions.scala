@@ -41,9 +41,20 @@ final class BpeTable(val rules: Array[(String, String)]) extends Serializable {
 
   private def encodeUncached(w: String): Array[UTF8String] = {
     if (w.isEmpty) return Array.empty
-    var syms = new Array[String](w.length)
+    // split by CODEPOINT, not UTF-16 unit: charAt would cleave a
+    // supplementary character (emoji) into two lone surrogates that
+    // UTF8String renders as '?' — corrupt tokens, and a divergence from
+    // the DuckDB oracle's regexp '(.)' codepoint split
+    val syms = new Array[String](w.codePointCount(0, w.length))
     var i = 0
-    while (i < w.length) { syms(i) = String.valueOf(w.charAt(i)); i += 1 }
+    var ci = 0
+    while (ci < w.length) {
+      val cp = w.codePointAt(ci)
+      val len = Character.charCount(cp)
+      syms(i) = w.substring(ci, ci + len)
+      ci += len
+      i += 1
+    }
     var n = syms.length
     var ri = 0
     while (ri < rules.length && n > 1) {

@@ -47,9 +47,7 @@ object BpeTokenizer {
       .map(r => (r.getString(0), r.getLong(1)))
       .filter(_._1.nonEmpty)
 
-    val reps = dict.map { case (w, f) =>
-      (Array.tabulate(w.length)(i => String.valueOf(w.charAt(i))), f)
-    }
+    val reps = dict.map { case (w, f) => (codepointSymbols(w), f) }
     val rules = Vector.newBuilder[(String, String)]
     var live = reps
     var round = 0
@@ -81,6 +79,22 @@ object BpeTokenizer {
       }
     }
     new BpeTable(rules.result().toArray)
+  }
+
+  /** Codepoint split (not UTF-16 charAt — surrogate pairs stay whole),
+    * matching the encoder's symbol alphabet exactly.
+    */
+  private def codepointSymbols(w: String): Array[String] = {
+    val out = new Array[String](w.codePointCount(0, w.length))
+    var i = 0
+    var ci = 0
+    while (ci < w.length) {
+      val len = Character.charCount(w.codePointAt(ci))
+      out(i) = w.substring(ci, ci + len)
+      ci += len
+      i += 1
+    }
+    out
   }
 
   /** One greedy leftmost pass of rule (l, r) — the encoder's exact pass

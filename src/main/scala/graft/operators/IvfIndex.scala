@@ -65,7 +65,11 @@ object IvfIndex {
       seed: Long = 42L,
       maxTrainRows: Long = 100000L
   ): Array[MlVector] = {
-    val withVec = df.withColumn("__vec", array_to_vector(col(embCol)))
+    // null embeddings can't train a quantizer (array_to_vector NPEs on
+    // them mid-fit) — they are assignable, though: assignCells labels
+    // them with a null cell, which every downstream join/probe drops
+    val withVec = df.filter(col(embCol).isNotNull)
+      .withColumn("__vec", array_to_vector(col(embCol)))
     val n = withVec.count()
     val train =
       if (n <= maxTrainRows) withVec
@@ -201,9 +205,13 @@ object IvfIndex {
       // a child the same size as its parent means the sub-fit put every
       // row in one subcell (an identical-vector pileup) — re-splitting
       // it would loop to maxDepth for nothing, so it stays excluded
-      // (parentSize ACCUMULATES across levels for exactly that)
+      // (parentSize ACCUMULATES across levels for exactly that).
+      // Null-embedding rows land in a NULL cell (cellIdxExpr of null is
+      // null) — unsplittable by construction, excluded like the flat
+      // build tolerated them; downstream elections drop null cells at
+      // the join.
       val over = sizes.filter { case (p, n) =>
-        n > cellCap && !parentSize.get(parentOf(p)).contains(n)
+        p != null && n > cellCap && !parentSize.get(parentOf(p)).contains(n)
       }.keys.toSeq.sorted // deterministic fit order
       if (over.isEmpty) continue = false
       else {

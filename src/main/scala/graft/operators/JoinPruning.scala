@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, col, lit, max, min}
+import org.apache.spark.sql.functions.{broadcast, col, count, lit, max, min}
 
 import graft.sources.{IcebergMeta, IcebergSource}
 
@@ -32,27 +32,27 @@ object JoinPruning {
   /** "Broadcast-small by assumption" was unenforced until round 13: a
     * miscalled fact-sized "dim" would OOM the driver at the distinct
     * collect (or silently burn a full fact scan at planning time in the
-    * range flavor). Measure before trusting — the decontamination
-    * operator's cutover pattern. The probe is `limit(max+1).count()`:
-    * a narrow, shuffle-free plan whose driver cost is one long,
-    * bounded regardless of the input's true size. Row count bounds
-    * distinct cardinality from above, so a pass here also bounds the
-    * collect; a many-row/few-key frame that trips it should be
-    * pre-distinct'd by the caller — a genuinely fact-sized frame is
-    * exactly the misuse this refuses.
+    * range flavor). Measure the quantity that is actually driver-bound,
+    * in the same pass that needed it anyway — no extra execution of the
+    * dim plan:
+    *  - partition flavor: `distinct().limit(max+1).collect()` — ONE job
+    *    whose result is the value set used for pruning; the bound is on
+    *    DISTINCT KEYS (the real collect size), so a 5M-row/3-key dim
+    *    passes instead of being refused for its row count.
+    *  - range flavor: the min/max aggregation gains a count column —
+    *    still one single-row-result job (no OOM exposure at any size),
+    *    refusing loudly past the bound so a fact mistaken for a dim
+    *    fails with a named cause instead of silently costing a
+    *    planning-time scan on every call.
     */
-  val MaxDimRows: Long = 4L * 1000 * 1000
+  val MaxDimKeys: Long = 4L * 1000 * 1000
 
-  private def requireDimSmall(
-      dimKeys: DataFrame, what: String, maxRows: Long): Unit = {
-    val probed = dimKeys.limit(
-      (math.min(maxRows, Int.MaxValue - 1L) + 1).toInt).count()
-    require(probed <= maxRows,
-      s"JoinPruning.$what: dim side has > $maxRows rows (measured) — " +
+  private def refuse(what: String, quantity: String, max: Long): Nothing =
+    throw new IllegalArgumentException(
+      s"JoinPruning.$what: dim side has > $max $quantity (measured) — " +
         "refusing the driver-side evaluation a dim this size implies. " +
-        "Pass a genuinely small dim (pre-aggregate/distinct it first), " +
-        "or raise maxDimRows deliberately.")
-  }
+        "Pass a genuinely small dim (pre-aggregate it first), " +
+        "or raise maxDimKeys deliberately.")
 
   /** The fact scan, file-pruned to the dim's key range. Callers compose
     * joins/aggregations on the result as usual; rows outside the dim's
@@ -65,9 +65,10 @@ object JoinPruning {
       factKey: String,
       dimKeys: DataFrame,
       dimKey: String,
-      maxDimRows: Long = MaxDimRows): DataFrame = {
-    requireDimSmall(dimKeys, "prunedScan", maxDimRows)
-    val row = dimKeys.agg(min(col(dimKey)), max(col(dimKey))).head()
+      maxDimKeys: Long = MaxDimKeys): DataFrame = {
+    val row = dimKeys
+      .agg(min(col(dimKey)), max(col(dimKey)), count(col(dimKey))).head()
+    if (row.getLong(2) > maxDimKeys) refuse("prunedScan", "rows", maxDimKeys)
     if (row.isNullAt(0)) {
       // empty dim: nothing can join — an empty frame with the table
       // schema (filter(false) folds to an empty LocalRelation, no scan)
@@ -85,8 +86,8 @@ object JoinPruning {
     * predicate, so planning opens only the matching partitions'
     * manifests — stronger than a min/max range when the dim's values are
     * sparse ("these two event types", "these three days"). The distinct
-    * collect is bounded by the dim, and the dim's size is MEASURED
-    * (`maxDimRows` probe), not assumed — see [[MaxDimRows]].
+    * collect is MEASURED as it happens: limit(max+1) caps what can ever
+    * reach the driver, and an overflow refuses — see [[MaxDimKeys]].
     */
   def prunedScanByPartition(
       spark: SparkSession,
@@ -94,10 +95,13 @@ object JoinPruning {
       partitionColumn: String,
       dimKeys: DataFrame,
       dimKey: String,
-      maxDimRows: Long = MaxDimRows): DataFrame = {
-    requireDimSmall(dimKeys, "prunedScanByPartition", maxDimRows)
-    val values = dimKeys.select(col(dimKey)).distinct().collect()
-      .map(_.get(0)).toSet
+      maxDimKeys: Long = MaxDimKeys): DataFrame = {
+    val capped = (math.min(maxDimKeys, Int.MaxValue - 1L) + 1).toInt
+    val collected =
+      dimKeys.select(col(dimKey)).distinct().limit(capped).collect()
+    if (collected.length > maxDimKeys)
+      refuse("prunedScanByPartition", "distinct keys", maxDimKeys)
+    val values = collected.map(_.get(0)).toSet
     if (values.isEmpty)
       IcebergSource.read(spark, tablePath).filter(lit(false))
     else

@@ -14,10 +14,12 @@ import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNes
   * audit checks: how many shuffle exchanges the plan carries, which join
   * sides broadcast vs shuffle, that no cartesian product crept in, that
   * filters reached the parquet scans, and that BUILDING the frame ran no
-  * driver-ACTION jobs (an action at build time means a collect is hiding
-  * in the operator — the anti-pattern that turns a declarative plan into
-  * a driver bottleneck at 100 TB; Spark's own scan-metadata jobs are
-  * excluded, see [[PlanInvariants.countingJobs]]).
+  * Spark jobs at all (a job at build time means an action — a collect,
+  * a fit, a hidden write — is hiding in the operator: the anti-pattern
+  * that turns a declarative plan into a driver bottleneck at 100 TB.
+  * Spark's own read-metadata jobs are PREVENTED rather than filtered:
+  * warm schema caches + driver-side listing, see
+  * [[PlanInvariants.prewarm]] and [[PlanInvariants.auditSession]]).
   *
   * Shapes are extracted from the AQE-OFF physical plan ([[auditSession]]):
   * the static shape is what survives a 100x scale-up — AQE may only
@@ -51,11 +53,32 @@ object PlanInvariants {
 
   /** A sibling session with AQE off: plan shapes are compared pre-runtime
     * so they are deterministic and independent of the fixture's sizes.
+    * Parallel file listing is also disabled (driver-side listing at
+    * fixture scale) so a declared read can never surface as a Spark job
+    * and muddy the build-action count.
     */
   def auditSession(spark: SparkSession): SparkSession = {
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.adaptive.enabled", "false")
+    s2.conf.set("spark.sql.sources.parallelPartitionDiscovery.threshold", "10000")
     s2
+  }
+
+  /** Warm the per-JVM read-metadata caches the audited queries touch —
+    * fixture parquet schemas (QueryUtil.t's cache; the one-time
+    * inference job must not attribute to whichever query reads a table
+    * first) and the federated query's one-time CSV materialization.
+    * Call once before measuring; afterwards a WARM build that still runs
+    * a job is a genuine driver action.
+    */
+  def prewarm(spark: SparkSession, sfDir: String): Unit = {
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings").foreach { tbl =>
+      if (new java.io.File(s"$sfDir/$tbl.parquet").exists())
+        graft.queries.QueryUtil.t(spark, sfDir, tbl): Unit
+    }
+    graft.sources.CsvSource
+      .csvCopyOfParquet(spark, s"$sfDir/supplier.parquet", "supplier"): Unit
   }
 
   /** Build the frame under `build`, then measure its physical plan.
@@ -92,32 +115,24 @@ object PlanInvariants {
     )
   }
 
-  /** Spark's data-source layer runs its own tiny jobs while a frame is
-    * merely being DECLARED — parallel file listing and schema inference
-    * surface with the read call's site ("parquet at Q.scala:51", "csv
-    * at CsvSource.scala:58"). Those are metadata work every scan pays
-    * once, not a driver-side collect, so they are excluded from the
-    * action count the invariants pin. Genuine actions keep their own
-    * call sites: "collect at", "count at", "head at", "treeAggregate
-    * at" (a KMeans fit), ...
-    */
-  private val ScanJobSites =
-    Seq("parquet at ", "csv at ", "json at ", "orc at ", "text at ",
-      "load at ", "table at ")
-
-  /** Run `body` with a listener counting DRIVER-ACTION jobs it starts
-    * (scan-metadata jobs excluded, see [[ScanJobSites]]). The listener
-    * bus is asynchronous, so the count is read after it goes quiet
-    * (stable for 200 ms, bounded at 3 s) — build-time jobs are posted
-    * within milliseconds of the triggering action returning, so a
-    * stable zero is a real zero.
+  /** Run `body` with a listener counting EVERY job it starts. With the
+    * read-metadata caches warm ([[prewarm]]) and parallel listing off
+    * ([[auditSession]]), a declared read triggers no job at all — so
+    * every counted job is a genuine driver action (a collect, a head, a
+    * KMeans fit, a hidden write). No call-site allowlist: a
+    * `df.write.parquet` shares its call-site shape with the schema
+    *-inference job a filter would have excluded, and an allowlist that
+    * lets a full materializing write through is worse than none. The
+    * listener bus is asynchronous, so the count is read after it goes
+    * quiet (stable for 200 ms, bounded at 3 s) — build-time jobs are
+    * posted within milliseconds of the triggering action returning, so
+    * a stable zero is a real zero.
     */
   def countingJobs[A](spark: SparkSession)(body: => A): (A, Int) = {
     val n = new java.util.concurrent.atomic.AtomicInteger()
     val listener = new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
-        val site = js.stageInfos.lastOption.map(_.name).getOrElse("")
-        if (!ScanJobSites.exists(site.startsWith)) n.incrementAndGet()
+        n.incrementAndGet()
         ()
       }
     }

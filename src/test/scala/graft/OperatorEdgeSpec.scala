@@ -219,19 +219,30 @@ class OperatorEdgeSpec extends SparkTestBase {
 
   test("join pruning refuses a fact-sized dim (measured, loud)") {
     import spark.implicits._
+    import org.apache.spark.sql.functions.{col, pmod}
     val bigDim = spark.range(0, 100L).toDF("dk")
     // guard fires BEFORE any table access, so the path can be bogus
     val e1 = intercept[IllegalArgumentException] {
       graft.operators.JoinPruning.prunedScan(
-        spark, "/nonexistent/table", "k", bigDim, "dk", maxDimRows = 10L)
+        spark, "/nonexistent/table", "k", bigDim, "dk", maxDimKeys = 10L)
     }
     assert(e1.getMessage.contains("prunedScan") &&
       e1.getMessage.contains("measured"), e1.getMessage)
     val e2 = intercept[IllegalArgumentException] {
       graft.operators.JoinPruning.prunedScanByPartition(
-        spark, "/nonexistent/table", "p", bigDim, "dk", maxDimRows = 10L)
+        spark, "/nonexistent/table", "p", bigDim, "dk", maxDimKeys = 10L)
     }
     assert(e2.getMessage.contains("prunedScanByPartition"), e2.getMessage)
+    // the partition flavor bounds DISTINCT KEYS, the quantity actually
+    // collected: many rows over few keys passes the guard (and then
+    // fails on the bogus path, proving the guard let it through)
+    val fewKeys = spark.range(0, 100L)
+      .select(pmod(col("id"), org.apache.spark.sql.functions.lit(3)).as("dk"))
+    val e3 = intercept[Throwable] {
+      graft.operators.JoinPruning.prunedScanByPartition(
+        spark, "/nonexistent/table", "p", fewKeys, "dk", maxDimKeys = 10L)
+    }
+    assert(!e3.getMessage.contains("distinct keys"), e3.getMessage)
   }
 
   test("serving shim honors a custom batch size") {

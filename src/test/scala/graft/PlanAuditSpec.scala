@@ -33,6 +33,9 @@ class PlanAuditSpec extends SparkTestBase {
   }
 
   test("plan shapes hold their pinned invariants") {
+    // warm read-metadata caches so the one-time schema-inference / CSV
+    // materialization jobs don't attribute to whichever query runs first
+    PlanInvariants.prewarm(audit, SparkTestBase.Sf0001)
     val failures = targets.flatMap { q =>
       val b = PlanShapes.bounds(q.name)
       val s = PlanInvariants.shape(audit, q.fn(_, SparkTestBase.Sf0001))

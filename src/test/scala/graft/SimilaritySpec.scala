@@ -150,4 +150,22 @@ class SimilaritySpec extends SparkTestBase {
     assert(m.splits.map { case (p, c) => (p, c.toSeq.map(_.toArray.toSeq)) } ===
       m2.splits.map { case (p, c) => (p, c.toSeq.map(_.toArray.toSeq)) })
   }
+
+  test("balanced build tolerates an over-cap null-embedding group") {
+    import spark.implicits._
+    // more null-embedding rows than the cap: they land in a NULL cell the
+    // splitter must skip (nothing to quantize), not crash on — the flat
+    // build tolerated null embeddings and the balanced one must too
+    val rows = (0L until 40L).map(i =>
+      (i, if (i < 30) null else Array.tabulate(4)(d => (i + d).toFloat)))
+    val df = rows.toDF("vec_id", "embedding")
+    val m = graft.operators.IvfIndex.buildBalanced(
+      df, "embedding", nCells = 2, cellCap = 8L)
+    val byCell = m.assignments.groupBy("cell").count()
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1))).toMap
+    assert(byCell.getOrElse(None, 0L) === 30L, byCell.toString)
+    assert(byCell.values.sum === 40L)
+    // non-null cells still honor the cap
+    assert(byCell.collect { case (Some(_), n) => n }.forall(_ <= 8L), byCell.toString)
+  }
 }

@@ -233,6 +233,14 @@ class TextExpressionsSpec extends SparkTestBase {
     assert(out(1).getSeq[String](1) === Seq("aa", "aa"))
     assert(out(2).getSeq[String](1) === Seq.empty)
 
+    // codepoint symbols: a supplementary character (surrogate pair in
+    // UTF-16) is ONE symbol, never two lone surrogates
+    val thumb = new String(Character.toChars(0x1F44D))
+    val tU = new BpeTable(Array.empty)
+    assert(enc(tU, s"a${thumb}b") === Seq("a", thumb, "b"))
+    val tM = new BpeTable(Array(("a", thumb)))
+    assert(enc(tM, s"a${thumb}b") === Seq(s"a$thumb", "b"))
+
     // fit: deterministic, frequency-ordered, count>=2 cutoff
     val words = Seq("aba", "aba", "aba", "ab", "xy").toDF("w")
     val fitted = BpeTokenizer.fitMerges(words, "w", nMerges = 8)
