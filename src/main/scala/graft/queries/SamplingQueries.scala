@@ -160,6 +160,109 @@ object SamplingQueries {
           |SELECT r.lang, n AS n_total, thresh, coalesce(n_kept, 0) AS n_kept
           |FROM r LEFT JOIN k ON r.lang = k.lang ORDER BY r.lang""".stripMargin
       )
+    ),
+    // DSIR-style importance resampling (Xie et al. 2023, "Data Selection
+    // for Language Models via Importance Resampling"): score every raw
+    // document by how target-like its hashed n-gram distribution is —
+    // logw(doc) = sum_b n_b(doc) * ln(p_target(b) / p_raw(b)) over B=256
+    // hashed unigram+bigram buckets with add-one smoothing — and keep the
+    // top-k. Target here = the 'en' slice of the corpus itself (a real
+    // run would point it at Wikipedia/books); the bucket hash is the house
+    // sha256 prefix, so both engines bucket identically. Ranking is on
+    // the ROUND-6 weight with doc_id tiebreak — a strict total order both
+    // engines agree on (the raw double sum is order-sensitive at 1e-15;
+    // the round-6 + tiebreak pattern is the same one q_hybrid_search pins).
+    //
+    // 100 TB shape: ONE gram explode feeds a per-(doc,bucket) partial-agg
+    // shuffle; the bucket model (<= 256 rows) and its log-ratios broadcast
+    // back; the final top-k plans as TakeOrderedAndProject. Raw text never
+    // shuffles, and fitting + scoring read the corpus exactly once.
+    Q(
+      "q_sample_dsir",
+      (s, dir) => {
+        val nBuckets = 256
+        val docs = t(s, dir, "documents")
+          .select($"doc_id", $"lang", graft.operators.TextOps.tokens($"text").as("ws"))
+        val grams = docs
+          .select(
+            $"doc_id",
+            $"lang",
+            explode(
+              concat(
+                $"ws",
+                when(
+                  size($"ws") >= 2,
+                  transform(
+                    sequence(lit(1), size($"ws") - 1),
+                    i => concat_ws(" ", element_at($"ws", i), element_at($"ws", i + 1))
+                  )
+                ).otherwise(array().cast("array<string>"))
+              )
+            ).as("g")
+          )
+          .filter($"g" =!= "")
+          .select(
+            $"doc_id",
+            $"lang",
+            (conv(substring(sha2($"g", 256), 1, 4), 16, 10)
+              .cast("bigint") % nBuckets).as("b")
+          )
+        // one explode pass -> per-(doc,bucket) counts; the bucket model is
+        // a second agg over THESE (doc x bucket rows, not raw grams)
+        val tf = grams
+          .groupBy($"doc_id", $"lang", $"b")
+          .agg(count(lit(1)).as("n"))
+        val counts = tf
+          .groupBy($"b")
+          .agg(
+            sum($"n").as("c_raw"),
+            sum(when($"lang" === "en", $"n").otherwise(0L)).as("c_tgt")
+          )
+        val stats = counts.agg(sum($"c_raw").as("nr"), sum($"c_tgt").as("nt"))
+        val lr = counts
+          .crossJoin(broadcast(stats))
+          .select(
+            $"b",
+            (log(($"c_tgt" + 1.0) / ($"nt" + nBuckets)) -
+              log(($"c_raw" + 1.0) / ($"nr" + nBuckets))).as("lr")
+          )
+        tf.join(broadcast(lr), Seq("b"))
+          .groupBy($"doc_id", $"lang")
+          .agg(round(sum($"n" * $"lr"), 6).as("logw"))
+          .orderBy($"logw".desc, $"doc_id")
+          .limit(50)
+      },
+      Some(
+        """WITH toks AS (
+          |  SELECT doc_id, lang, regexp_split_to_array(lower(text), '\s+') AS ws
+          |  FROM documents
+          |), grams AS (
+          |  SELECT doc_id, lang,
+          |         unnest(ws || [ws[i] || ' ' || ws[i+1]
+          |                       for i in range(1, len(ws))]) AS g
+          |  FROM toks
+          |), bkt AS (
+          |  SELECT doc_id, lang,
+          |         CAST(('0x' || substring(sha256(g), 1, 4)) AS BIGINT) % 256 AS b
+          |  FROM grams WHERE g <> ''
+          |), tf AS (
+          |  SELECT doc_id, lang, b, count(*) AS n FROM bkt GROUP BY 1, 2, 3
+          |), counts AS (
+          |  SELECT b, sum(n) AS c_raw,
+          |         sum(CASE WHEN lang = 'en' THEN n ELSE 0 END) AS c_tgt
+          |  FROM tf GROUP BY b
+          |), stats AS (
+          |  SELECT sum(c_raw) AS nr, sum(c_tgt) AS nt FROM counts
+          |), lr AS (
+          |  SELECT b, ln((c_tgt + 1.0) / (nt + 256)) -
+          |            ln((c_raw + 1.0) / (nr + 256)) AS lr
+          |  FROM counts, stats
+          |)
+          |SELECT doc_id, lang, round(sum(n * lr), 6) AS logw
+          |FROM tf JOIN lr USING (b)
+          |GROUP BY doc_id, lang
+          |ORDER BY logw DESC, doc_id LIMIT 50""".stripMargin
+      )
     )
   )
 }

@@ -945,6 +945,85 @@ object TextQueries {
           |SELECT doc_id, n_tokens, reasons, reasons = '' AS keep
           |FROM scored ORDER BY doc_id""".stripMargin
       )
+    ),
+    // ----- corpus-frequency boilerplate removal -----------------------------
+    // The CCNet/RefinedWeb line-level pass that q_dedup_paragraph does NOT
+    // cover: a line occurring in >= K DISTINCT documents is boilerplate
+    // (nav bars, cookie banners, license footers) and is removed from
+    // EVERY document — including the first occurrence, which is what
+    // separates this from first-wins dedup. "Line" = the same fixed
+    // 5-token chunk arithmetic as the paragraph pass (the fixture has no
+    // newlines); on real text the split-on-newline tokenizer is the only
+    // change. K=3 on this corpus flags ~35 of ~5.3k lines — a selective
+    // dictionary, not a wipe.
+    //
+    // 100 TB shape: document text NEVER shuffles. The df count shuffles
+    // only md5 digests (with map-side partial agg); the resulting
+    // boilerplate dictionary is tiny BY CONSTRUCTION (df >= K lines are
+    // the repeated few) and broadcasts back as one collected set, so the
+    // removal is a per-row codegen'd HOF filter over each doc's own
+    // lines — no explode/reassemble round trip, no second shuffle.
+    Q(
+      "q_text_boilerplate",
+      (s, dir) => {
+        val lineLen = 5
+        val minDf = 3
+        val docs = t(s, dir, "documents")
+          .select($"doc_id", TextOps.tokens($"text").as("ws"))
+          .filter(size($"ws") >= 1)
+          .select(
+            $"doc_id",
+            transform(
+              sequence(lit(0), expr(s"(size(ws) - 1) div $lineLen")),
+              i => concat_ws(" ", slice($"ws", i * lineLen + 1, lit(lineLen)))
+            ).as("lines")
+          )
+        // digests-only df count; the dictionary collapses to ONE tiny row
+        val boiler = docs
+          .select($"doc_id", explode($"lines").as("line"))
+          .groupBy(md5($"line").as("h"))
+          .agg(count_distinct($"doc_id").as("df"))
+          .filter($"df" >= minDf)
+          .agg(collect_list($"h").as("bset"))
+        docs
+          .crossJoin(broadcast(boiler))
+          .select(
+            $"doc_id",
+            size($"lines").cast("bigint").as("n_lines"),
+            filter($"lines", l => !array_contains($"bset", md5(l))).as("kept")
+          )
+          .select(
+            $"doc_id",
+            $"n_lines",
+            size($"kept").cast("bigint").as("n_kept"),
+            array_join($"kept", " ").as("clean_text")
+          )
+          .orderBy($"doc_id")
+      },
+      Some(
+        """WITH toks AS (
+          |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS ws
+          |  FROM documents
+          |), lists AS (
+          |  SELECT doc_id,
+          |         [array_to_string(ws[i*5+1 : i*5+5], ' ')
+          |          for i in range(0, (len(ws)-1)//5 + 1)] AS lines
+          |  FROM toks WHERE len(ws) >= 1
+          |), flat AS (
+          |  SELECT doc_id, unnest(lines) AS line,
+          |         CAST(generate_subscripts(lines, 1) - 1 AS BIGINT) AS idx
+          |  FROM lists
+          |), df AS (
+          |  SELECT line, count(DISTINCT doc_id) AS d FROM flat GROUP BY line
+          |)
+          |SELECT f.doc_id,
+          |  CAST(count(*) AS BIGINT) AS n_lines,
+          |  CAST(sum(CASE WHEN d < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+          |  coalesce(string_agg(CASE WHEN d < 3 THEN f.line END, ' '
+          |                      ORDER BY idx), '') AS clean_text
+          |FROM flat f JOIN df ON f.line = df.line
+          |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin
+      )
     )
   )
 

@@ -132,6 +132,41 @@ class QuerySurfaceSpec extends SparkTestBase {
     assert(rows.exists { case (_, n, k, _) => k < n })
   }
 
+  test("boilerplate removal: exactly the df>=3 lines die, in every document") {
+    import org.apache.spark.sql.functions.col
+    val rows = Registry.byName("q_text_boilerplate")
+      .fn(spark, SparkTestBase.Sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // independent model: 5-token lines, df counted over DISTINCT docs,
+    // df>=3 lines removed from every doc (first occurrence included)
+    val docs = graft.queries.QueryUtil
+      .t(spark, SparkTestBase.Sf0001, "documents")
+      .select(col("doc_id"), col("text"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase.split("\\s+").toSeq)
+      .sortBy(_._1)
+    val lined = docs.map { case (id, ws) => id -> ws.grouped(5).map(_.mkString(" ")).toSeq }
+    val df = lined
+      .flatMap { case (id, ls) => ls.distinct.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.size).toMap
+    val boiler = df.collect { case (l, d) if d >= 3 => l }.toSet
+    assert(boiler.nonEmpty, "fixture must exercise the operator")
+    val model = lined.map { case (id, ls) =>
+      val kept = ls.filterNot(boiler)
+      (id, ls.size.toLong, kept.size.toLong, kept.mkString(" "))
+    }
+    assert(rows.toSeq === model.toSeq)
+    // the defining contract vs first-wins paragraph dedup: a boilerplate
+    // line survives in NO document — not even its first occurrence
+    val keptLines = rows.flatMap(_._4.split(" ").grouped(5).map(_.mkString(" ")))
+    assert(keptLines.forall(l => !boiler(l)))
+    // and non-boilerplate duplicated lines (df=2) DO survive everywhere
+    val dupKept = df.collect { case (l, 2) => l }.toSet
+    assert(dupKept.exists(l => keptLines.contains(l)),
+      "df=2 lines must be untouched — this pass is a df threshold, not a dedup")
+  }
+
   test("filter composition commutes (ScalaCheck generators, fixed seeds)") {
     import spark.implicits._
     val df = (1 to 200).toDF("x").cache()

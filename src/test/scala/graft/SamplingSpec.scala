@@ -28,6 +28,30 @@ class SamplingSpec extends SparkTestBase {
     assert(rows === again)
   }
 
+  test("DSIR selects target-like docs: top-50 is en-dominated and deterministic") {
+    val top = Registry.byName("q_sample_dsir").fn(spark, SparkTestBase.Sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(top.length === 50)
+    // sorted by weight desc with doc_id tiebreak
+    assert(top.sameElements(top.sortBy(t => (-t._3, t._1))))
+    // the target distribution was fitted on the en slice, so en docs must
+    // dominate the selection (the corpus is ~half en; the top-50 should be
+    // clearly above that base rate, else the importance weights are noise)
+    val enShare = top.count(_._2 == "en").toDouble / top.length
+    val baseRate = {
+      val byLang = QueryUtil.t(spark, SparkTestBase.Sf0001, "documents")
+        .groupBy("lang").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      byLang("en").toDouble / byLang.values.sum
+    }
+    assert(enShare > baseRate + 0.15,
+      s"top-50 en share $enShare should clearly exceed corpus base rate $baseRate")
+    // content-hash features: re-evaluation is bit-identical
+    val again = Registry.byName("q_sample_dsir").fn(spark, SparkTestBase.Sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(top.toSeq === again.toSeq)
+  }
+
   test("mixing keeps en at a higher rate than other languages") {
     val kept = Registry.byName("q_sample_mix").fn(spark, SparkTestBase.Sf0001)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
