@@ -51,6 +51,57 @@ object IncrementalOps {
     )
   }
 
+  /** Incremental materialized-aggregate maintenance (IVM): refresh a
+    * materialized `SELECT key, sum(measure) AS sumCol, count(*) AS nCol
+    * GROUP BY key` from a CDC changelog (rows tagged `_change_type`
+    * 'insert' / 'delete', the [[graft.sources.IcebergSource.readChangelog]]
+    * contract) WITHOUT rescanning the base table. Inserts contribute
+    * (+measure, +1), deletes (-measure, -1); an update arrives as its
+    * delete+insert pair and nets out exactly. Groups whose count reaches
+    * zero are dropped — precisely the groups a full recompute would not
+    * emit. avg and other algebraic aggregates derive from (sum, count)
+    * downstream; holistic aggregates (median, distinct) are NOT
+    * maintainable this way and must recompute.
+    *
+    * 100 TB shape: the refresh cost is O(|changes|) + one key-partitioned
+    * join against the MV — never a base-table scan. With the MV stored
+    * bucketed by the key the join co-locates and the refresh moves only
+    * the delta. An unknown `_change_type` fails the job loudly rather
+    * than corrupting the view.
+    */
+  def refreshSumCount(
+      mv: DataFrame,
+      changelog: DataFrame,
+      key: String,
+      measure: org.apache.spark.sql.Column,
+      sumCol: String,
+      nCol: String
+  ): DataFrame = {
+    val sign = when(col("_change_type") === "insert", lit(1L))
+      .when(col("_change_type") === "delete", lit(-1L))
+      .otherwise(raise_error(concat(
+        lit("refreshSumCount: unknown _change_type "), col("_change_type")))
+        .cast("bigint"))
+    val delta = changelog
+      .groupBy(col(key))
+      .agg(
+        sum(sign * measure).as("_d_sum"),
+        sum(sign).as("_d_n")
+      )
+    // alias-qualified string refs: the MV routinely shares lineage with the
+    // changelog's table (same ambiguous-self-join rationale as merge)
+    mv.as("m")
+      .join(delta.as("d"), col(s"m.$key") === col(s"d.$key"), "full_outer")
+      .select(
+        coalesce(col(s"d.$key"), col(s"m.$key")).as(key),
+        (coalesce(col(s"m.$sumCol"), lit(0L)) + coalesce(col("_d_sum"), lit(0L)))
+          .as(sumCol),
+        (coalesce(col(s"m.$nCol"), lit(0L)) + coalesce(col("_d_n"), lit(0L)))
+          .as(nCol)
+      )
+      .filter(col(nCol) > 0)
+  }
+
   /** Snapshot diff: classify every key as added / removed / changed /
     * unchanged between two snapshots, comparing `compareCols`. The audit
     * primitive for corpus versioning ("what did this crawl refresh

@@ -1294,6 +1294,53 @@ object SourceQueries {
           "ORDER BY _change_snapshot_id, p_partkey"
       )
     ),
+    // INCREMENTAL MATERIALIZED-VIEW MAINTENANCE over the CDC changelog:
+    // the aggregate economics of a 100 TB lake. The MV (per-band
+    // sum/avg/count of p_size) is computed ONCE against snapshot 2, then
+    // refreshed purely from the changelog window (2, current] — the s3
+    // position deletes, the s4 equality delete, and the s5 re-append net
+    // into per-key deltas and a full-outer join against the MV; the
+    // current base table is NEVER rescanned. The oracle is the full
+    // recompute over the final live state, so the hash gate proves
+    // incremental == full for every group — including the signed
+    // arithmetic across both delete flavors and sequence-scoped
+    // re-inserts.
+    Q(
+      "q_mv_incremental",
+      (s, dir) => {
+        val root = fixtureIcebergV2Table(s, dir)
+        val baseAtS2 = graft.sources.IcebergSource
+          .read(s, root, snapshotId = Some(2L), asOfTimestampMs = None,
+            prune = None)
+        val mv = baseAtS2
+          .groupBy($"p_band")
+          .agg(
+            sum($"p_size").cast("bigint").as("sum_size"),
+            count(lit(1)).as("n_rows")
+          )
+        val changes = graft.sources.IcebergSource
+          .readChangelog(s, root, fromSnapshotId = 2L)
+        graft.operators.IncrementalOps
+          .refreshSumCount(mv, changes, "p_band",
+            col("p_size").cast("bigint"), "sum_size", "n_rows")
+          .select(
+            $"p_band",
+            $"sum_size",
+            (asDouble($"sum_size") / $"n_rows").as("avg_size"),
+            $"n_rows"
+          )
+          .orderBy($"p_band")
+      },
+      Some(
+        "SELECT CAST(p_partkey % 4 AS INT) AS p_band, " +
+          "CAST(sum(p_size) AS BIGINT) AS sum_size, " +
+          "CAST(sum(p_size) AS DOUBLE) / count(*) AS avg_size, " +
+          "count(*) AS n_rows FROM part " +
+          "WHERE (p_partkey % 4 IN (0,1,3) AND p_size >= 25) " +
+          "OR (p_partkey % 4 = 2 AND p_size > 30) " +
+          "GROUP BY 1 ORDER BY 1"
+      )
+    ),
     // The SECOND DPP shape: subquery pruning WITHOUT a broadcast to reuse.
     // The dim is merge-join-hinted (stand-in for a dim too big to
     // broadcast), so there is no broadcast result to piggyback on —

@@ -253,4 +253,38 @@ class OperatorEdgeSpec extends SparkTestBase {
     val sizes = batches.map(_.size).toSeq
     assert(sizes === Seq(3, 3, 3, 1))
   }
+
+  test("MV refresh: deltas net out, dead groups drop, new groups appear") {
+    import spark.implicits._
+    val mv = Seq(("a", 10L, 2L), ("b", 7L, 1L), ("c", 5L, 1L))
+      .toDF("k", "s", "n")
+    // a: update encoded as delete+insert (6 -> 9); b: its only row deleted
+    // (group must DIE); d: brand-new group; c: untouched by the changelog
+    val changes = Seq(
+      ("a", 6L, "delete"), ("a", 9L, "insert"),
+      ("b", 7L, "delete"),
+      ("d", 4L, "insert"), ("d", 2L, "insert")
+    ).toDF("k", "m", "_change_type")
+    val out = graft.operators.IncrementalOps
+      .refreshSumCount(mv, changes, "k", col("m"), "s", "n")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(out.toSeq === Seq(("a", 13L, 2L), ("c", 5L, 1L), ("d", 6L, 2L)))
+  }
+
+  test("MV refresh fails loudly on an unknown change type") {
+    import spark.implicits._
+    val mv = Seq(("a", 1L, 1L)).toDF("k", "s", "n")
+    val changes = Seq(("a", 2L, "upsert")).toDF("k", "m", "_change_type")
+    val e = intercept[Throwable] {
+      graft.operators.IncrementalOps
+        .refreshSumCount(mv, changes, "k", col("m"), "s", "n")
+        .collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c =>
+      Option(c.getMessage).exists(_.contains("unknown _change_type"))),
+      s"expected a loud unknown-change-type failure, got: ${e.getMessage}")
+  }
 }
