@@ -262,6 +262,44 @@ class PlanSpec extends SparkTestBase {
       "window not keyed on the digest:\n" + windowLine)
   }
 
+  test("boilerplate removal broadcasts the dictionary; document text never shuffles") {
+    val plan = executed("q_text_boilerplate")
+    // the dictionary joins back as a broadcast nested loop over ONE tiny
+    // row — any shuffle-side join here means someone re-keyed the corpus
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      "boilerplate dictionary not broadcast:\n" + plan.take(3000))
+    // the only exchanges allowed are the digest df-count and the final
+    // sort — the text-carrying side must go scan -> project -> join with
+    // no Exchange in between. Text re-keyed through a shuffle would show
+    // as a third non-sort exchange.
+    val exchanges = plan.linesIterator.count(l =>
+      l.trim.startsWith("Exchange") && !l.contains("rangepartitioning"))
+    assert(exchanges <= 2,
+      s"expected <=2 hash exchanges (df count partial+final side), got $exchanges:\n" +
+        plan.take(3000))
+  }
+
+  test("DSIR broadcasts the bucket model and plans the top-k bounded") {
+    val plan = executed("q_sample_dsir")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "DSIR top-k degenerated to a global sort:\n" + plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin"),
+      "bucket log-ratio model not broadcast onto tf:\n" + plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("MV refresh reads the changelog window, never the current base files") {
+    // snapshot 2 has 2 data files (bands 0-2, band 3); the refresh may
+    // read those (MV fit) plus the changelog window's file set — but a
+    // regression that recomputes the aggregate from the CURRENT live
+    // state would pull in the s5 re-append file. Pin the refresh plan to
+    // the delta join shape: exactly one full-outer join against the MV.
+    val plan = executed("q_mv_incremental")
+    assert(plan.contains("FullOuter"),
+      "MV refresh lost its full-outer delta join:\n" + plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
   test("runtime Bloom-filter join pruning injects might_contain on the fact side") {
     // The row-level sibling of DPP: a selective dim predicate builds a
     // bloom filter that prunes fact rows BEFORE the join's shuffle —
