@@ -72,6 +72,59 @@ object TextQueries {
        |FROM joined GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  /** q_text_quality_classifier's DYNAMIC oracle — same mechanism as
+    * [[bpeOracle]]: the SQL embeds the logistic-regression weights the
+    * run actually fitted (GD over doubles is deterministic up to
+    * partition summation order, so the weights are only known post-run).
+    */
+  private val qcOracle =
+    new java.util.concurrent.atomic.AtomicReference[Option[String]](None)
+
+  /** Shortest round-trip double literal (DuckDB's parser is correctly
+    * rounded, so the literal parses back to identical bits).
+    */
+  private def dbl(d: Double): String = java.lang.Double.toString(d)
+
+  /** DuckDB mirror of QualityClassifier.score under fitted weights:
+    * recompute the hashed-gram frequency features from scratch (an
+    * independent re-derivation, not an echo) and score
+    * sigma(sum_b x_b*w_b + bias). The bucket sum is unordered double
+    * addition vs Spark's sequential fold — round-6 absorbs the ulps,
+    * the same contract as every other double-scoring oracle here.
+    */
+  private def qcOracleSql(weights: Array[Double], nBuckets: Int): String = {
+    val vals = weights.take(nBuckets).zipWithIndex
+      .map { case (w, b) => s"($b, ${dbl(w)})" }
+      .mkString(", ")
+    val bias = dbl(weights.last)
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, regexp_split_to_array(lower(text), '\\s+') AS ws
+       |  FROM documents
+       |), grams AS (
+       |  SELECT doc_id, lang,
+       |         unnest(ws || [ws[i] || ' ' || ws[i+1]
+       |                       for i in range(1, len(ws))]) AS g
+       |  FROM toks
+       |), tf AS (
+       |  SELECT doc_id, lang,
+       |         CAST(('0x' || substring(sha256(g), 1, 4)) AS BIGINT) % $nBuckets AS b,
+       |         count(*) AS n
+       |  FROM grams WHERE g <> '' GROUP BY 1, 2, 3
+       |), tot AS (
+       |  SELECT doc_id, sum(n) AS ntot FROM tf GROUP BY 1
+       |), wt(b, w) AS (
+       |  VALUES $vals
+       |), z AS (
+       |  SELECT tf.doc_id, CAST(lang = 'en' AS DOUBLE) AS is_target,
+       |         sum((CAST(n AS DOUBLE) * $nBuckets / ntot) * w) + $bias AS z
+       |  FROM tf JOIN tot USING (doc_id) JOIN wt USING (b)
+       |  GROUP BY 1, 2
+       |)
+       |SELECT doc_id, is_target,
+       |       round(1.0 / (1.0 + exp(-z)), 6) AS quality
+       |FROM z ORDER BY doc_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     // ----- quality statistics ---------------------------------------------
     // Integer counts first, ratios as double at the end (identical operand
@@ -945,6 +998,39 @@ object TextQueries {
           |SELECT doc_id, n_tokens, reasons, reasons = '' AS keep
           |FROM scored ORDER BY doc_id""".stripMargin
       )
+    ),
+    // ----- trained quality-classifier scoring -------------------------------
+    // The DCLM/FineWeb-edu filtering approach: a logistic-regression
+    // classifier fitted to separate a reference slice (here the en docs —
+    // a real run points this at Wikipedia/textbooks) from the raw crawl,
+    // then every document scored P(target | hashed-ngram features). The
+    // fit is deterministic full-batch GD (operators/QualityClassifier);
+    // the DYNAMIC oracle embeds the fitted weights and independently
+    // re-derives features + sigmoid scoring in DuckDB, so the gate proves
+    // the SCORING math end-to-end while the fit's convergence is
+    // spec-pinned (loss decreases, target/non-target separation).
+    //
+    // 100 TB shape: one gram shuffle featurizes into a slim cached frame;
+    // each GD iteration scans that frame twice and syncs B+2 doubles to
+    // the driver (treeAggregate pattern); scoring is a per-row fold over
+    // literal weights. At real scale the fit runs on a hash-sample and
+    // only scoring touches the full corpus.
+    Q(
+      "q_text_quality_classifier",
+      (s, dir) => {
+        val nBuckets = 64
+        val feat = graft.engine.PersistScope.pinEager(
+          graft.operators.QualityClassifier.featurize(
+            t(s, dir, "documents"), ($"lang" === "en"), nBuckets))
+        val model = graft.operators.QualityClassifier
+          .fit(feat, nBuckets, iters = 20, step = 1.0)
+        qcOracle.set(Some(qcOracleSql(model.weights, nBuckets)))
+        graft.operators.QualityClassifier
+          .scoreFeaturized(feat, model)
+          .orderBy($"doc_id")
+      },
+      None,
+      oracleFn = Some(() => qcOracle.get())
     ),
     // ----- corpus-frequency boilerplate removal -----------------------------
     // The CCNet/RefinedWeb line-level pass that q_dedup_paragraph does NOT

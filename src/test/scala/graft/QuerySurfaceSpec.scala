@@ -167,6 +167,32 @@ class QuerySurfaceSpec extends SparkTestBase {
       "df=2 lines must be untouched — this pass is a df threshold, not a dedup")
   }
 
+  test("quality classifier: loss decreases monotonically and the classes separate") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.QualityClassifier
+    val nBuckets = 64
+    val docs = graft.queries.QueryUtil.t(spark, SparkTestBase.Sf0001, "documents")
+    val feat = QualityClassifier
+      .featurize(docs, col("lang") === "en", nBuckets).cache()
+    try {
+      val model = QualityClassifier.fit(feat, nBuckets, iters = 20, step = 1.0)
+      // convergence evidence: standardized GD must descend every step
+      val l = model.lossHistory
+      assert(l.length === 20)
+      assert(l.zip(l.tail).forall { case (a, b) => b <= a },
+        s"loss not monotone: ${l.mkString(", ")}")
+      assert(l.last < l.head - 0.05, s"fit barely moved: ${l.head} -> ${l.last}")
+      val scored = QualityClassifier.scoreFeaturized(feat, model)
+        .collect().map(r => (r.getDouble(1), r.getDouble(2)))
+      assert(scored.forall { case (_, q) => q >= 0.0 && q <= 1.0 })
+      val tgt = scored.filter(_._1 == 1.0).map(_._2)
+      val rest = scored.filter(_._1 == 0.0).map(_._2)
+      val sep = tgt.sum / tgt.length - rest.sum / rest.length
+      assert(sep > 0.1,
+        s"classifier failed to separate the target slice: gap $sep")
+    } finally feat.unpersist(): Unit
+  }
+
   test("filter composition commutes (ScalaCheck generators, fixed seeds)") {
     import spark.implicits._
     val df = (1 to 200).toDF("x").cache()
