@@ -890,7 +890,7 @@ object ScaleProbe {
     */
   private def textScaleProbe(spark: SparkSession): Unit = {
     val base = 20000L
-    val nOps = 6
+    val nOps = 9
     val resultsAll = Seq(1L, 1L, 30L, 100L).flatMap { mult =>
       val n = base * mult
       val docs = genCorpus(spark, n).cache()
@@ -944,8 +944,38 @@ object ScaleProbe {
           .write.format("noop").mode("overwrite").save()
         graft.engine.PersistScope.releaseAll()
       }
+      // corpus-frequency boilerplate removal (r13): the random corpus has
+      // few df>=3 lines, so this times the dominant costs — the digest df
+      // count and the per-row HOF filter — with a near-empty dictionary
+      val boiler = time(s"boilerplate_${mult}x", n) {
+        graft.queries.TextQueries
+          .boilerplateRemoval(docs)
+          .write.format("noop").mode("overwrite").save()
+      }
+      // DSIR importance scoring (r13): synthetic even-doc target slice —
+      // the weights are noise on random text but the COST (gram explode,
+      // per-(doc,bucket) agg, 256-row model broadcast) is the real one
+      val dsir = time(s"dsir_scores_${mult}x", n) {
+        graft.queries.SamplingQueries
+          .dsirScores(docs, Seq.empty, pmod(col("doc_id"), lit(2)) === 0, 256)
+          .write.format("noop").mode("overwrite").save()
+      }
+      // trained quality classifier (r13): featurize + 20 standardized-GD
+      // iterations + score — the full fit-and-apply cycle, not just
+      // scoring, so the per-iteration treeAggregate cost is in the number
+      val qclf = time(s"quality_clf_${mult}x", n) {
+        val feat = graft.operators.QualityClassifier
+          .featurize(docs, pmod(col("doc_id"), lit(2)) === 0, 64).cache()
+        try {
+          val model =
+            graft.operators.QualityClassifier.fit(feat, 64, 20, 1.0)
+          graft.operators.QualityClassifier
+            .scoreFeaturized(feat, model)
+            .write.format("noop").mode("overwrite").save()
+        } finally feat.unpersist(): Unit
+      }
       docs.unpersist()
-      Seq(bm25, tfidf, decon, deconShuffle, nll, gopher)
+      Seq(bm25, tfidf, decon, deconShuffle, nll, gopher, boiler, dsir, qclf)
     }
     val results = resultsAll.drop(nOps) // drop the warmup group
     println("--- text family at 30x/100x (base 20k docs; 64k vocab) ---")

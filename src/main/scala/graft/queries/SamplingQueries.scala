@@ -179,59 +179,14 @@ object SamplingQueries {
     // shuffles, and fitting + scoring read the corpus exactly once.
     Q(
       "q_sample_dsir",
-      (s, dir) => {
-        val nBuckets = 256
-        val docs = t(s, dir, "documents")
-          .select($"doc_id", $"lang", graft.operators.TextOps.tokens($"text").as("ws"))
-        val grams = docs
-          .select(
-            $"doc_id",
-            $"lang",
-            explode(
-              concat(
-                $"ws",
-                when(
-                  size($"ws") >= 2,
-                  transform(
-                    sequence(lit(1), size($"ws") - 1),
-                    i => concat_ws(" ", element_at($"ws", i), element_at($"ws", i + 1))
-                  )
-                ).otherwise(array().cast("array<string>"))
-              )
-            ).as("g")
-          )
-          .filter($"g" =!= "")
-          .select(
-            $"doc_id",
-            $"lang",
-            (conv(substring(sha2($"g", 256), 1, 4), 16, 10)
-              .cast("bigint") % nBuckets).as("b")
-          )
-        // one explode pass -> per-(doc,bucket) counts; the bucket model is
-        // a second agg over THESE (doc x bucket rows, not raw grams)
-        val tf = grams
-          .groupBy($"doc_id", $"lang", $"b")
-          .agg(count(lit(1)).as("n"))
-        val counts = tf
-          .groupBy($"b")
-          .agg(
-            sum($"n").as("c_raw"),
-            sum(when($"lang" === "en", $"n").otherwise(0L)).as("c_tgt")
-          )
-        val stats = counts.agg(sum($"c_raw").as("nr"), sum($"c_tgt").as("nt"))
-        val lr = counts
-          .crossJoin(broadcast(stats))
-          .select(
-            $"b",
-            (log(($"c_tgt" + 1.0) / ($"nt" + nBuckets)) -
-              log(($"c_raw" + 1.0) / ($"nr" + nBuckets))).as("lr")
-          )
-        tf.join(broadcast(lr), Seq("b"))
-          .groupBy($"doc_id", $"lang")
-          .agg(round(sum($"n" * $"lr"), 6).as("logw"))
+      (s, dir) =>
+        dsirScores(
+          t(s, dir, "documents").select($"doc_id", $"lang", $"text"),
+          Seq($"lang"),
+          $"lang" === "en"
+        )
           .orderBy($"logw".desc, $"doc_id")
-          .limit(50)
-      },
+          .limit(50),
       Some(
         """WITH toks AS (
           |  SELECT doc_id, lang, regexp_split_to_array(lower(text), '\s+') AS ws
@@ -265,4 +220,56 @@ object SamplingQueries {
       )
     )
   )
+
+  // NOTE: def below `all` (object-init order).
+
+  /** DSIR importance weights over an arbitrary documents frame — the
+    * overload ScaleProbe's text probe drives, so the probe times EXACTLY
+    * the production scoring pipeline. `passThrough` columns ride along
+    * into the output (the fixture query carries `lang`); `isTarget`
+    * selects the reference slice the target distribution is fitted on.
+    * One gram explode feeds the per-(doc,bucket) partial-agg shuffle;
+    * the <= nBuckets-row log-ratio model broadcasts back.
+    */
+  private[graft] def dsirScores(
+      docs: org.apache.spark.sql.DataFrame,
+      passThrough: Seq[org.apache.spark.sql.Column],
+      isTarget: org.apache.spark.sql.Column,
+      nBuckets: Int = 256
+  ): org.apache.spark.sql.DataFrame = {
+    val ws = graft.operators.TextOps.tokens($"text")
+    val grams = docs
+      .select(
+        ($"doc_id" +: isTarget.cast("int").as("_tgt") +: passThrough) :+
+          explode(graft.operators.QualityClassifier.gramsOf(ws)).as("g"): _*
+      )
+      .filter($"g" =!= "")
+      .withColumn(
+        "b", graft.operators.QualityClassifier.bucketOf($"g", nBuckets))
+      .drop("g")
+    // one explode pass -> per-(doc,bucket) counts; the bucket model is
+    // a second agg over THESE (doc x bucket rows, not raw grams)
+    val passNames = grams.columns.filter(c =>
+      c != "doc_id" && c != "_tgt" && c != "b").toSeq
+    val tf = grams
+      .groupBy($"doc_id" +: $"_tgt" +: passNames.map(col) :+ $"b": _*)
+      .agg(count(lit(1)).as("n"))
+    val counts = tf
+      .groupBy($"b")
+      .agg(
+        sum($"n").as("c_raw"),
+        sum(when($"_tgt" === 1, $"n").otherwise(0L)).as("c_tgt")
+      )
+    val stats = counts.agg(sum($"c_raw").as("nr"), sum($"c_tgt").as("nt"))
+    val lr = counts
+      .crossJoin(broadcast(stats))
+      .select(
+        $"b",
+        (log(($"c_tgt" + 1.0) / ($"nt" + nBuckets)) -
+          log(($"c_raw" + 1.0) / ($"nr" + nBuckets))).as("lr")
+      )
+    tf.join(broadcast(lr), Seq("b"))
+      .groupBy($"doc_id" +: passNames.map(col): _*)
+      .agg(round(sum($"n" * $"lr"), 6).as("logw"))
+  }
 }

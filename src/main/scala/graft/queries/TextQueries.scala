@@ -1051,41 +1051,7 @@ object TextQueries {
     // lines — no explode/reassemble round trip, no second shuffle.
     Q(
       "q_text_boilerplate",
-      (s, dir) => {
-        val lineLen = 5
-        val minDf = 3
-        val docs = t(s, dir, "documents")
-          .select($"doc_id", TextOps.tokens($"text").as("ws"))
-          .filter(size($"ws") >= 1)
-          .select(
-            $"doc_id",
-            transform(
-              sequence(lit(0), expr(s"(size(ws) - 1) div $lineLen")),
-              i => concat_ws(" ", slice($"ws", i * lineLen + 1, lit(lineLen)))
-            ).as("lines")
-          )
-        // digests-only df count; the dictionary collapses to ONE tiny row
-        val boiler = docs
-          .select($"doc_id", explode($"lines").as("line"))
-          .groupBy(md5($"line").as("h"))
-          .agg(count_distinct($"doc_id").as("df"))
-          .filter($"df" >= minDf)
-          .agg(collect_list($"h").as("bset"))
-        docs
-          .crossJoin(broadcast(boiler))
-          .select(
-            $"doc_id",
-            size($"lines").cast("bigint").as("n_lines"),
-            filter($"lines", l => !array_contains($"bset", md5(l))).as("kept")
-          )
-          .select(
-            $"doc_id",
-            $"n_lines",
-            size($"kept").cast("bigint").as("n_kept"),
-            array_join($"kept", " ").as("clean_text")
-          )
-          .orderBy($"doc_id")
-      },
+      (s, dir) => boilerplateRemoval(t(s, dir, "documents")).orderBy($"doc_id"),
       Some(
         """WITH toks AS (
           |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS ws
@@ -1186,6 +1152,50 @@ object TextQueries {
       .crossJoin(broadcast(stats))
       .groupBy($"doc_id")
       .agg(round(sum(termScore), 6).as("bm25"))
+  }
+
+  /** Corpus-frequency boilerplate removal over an arbitrary documents
+    * frame — the overload ScaleProbe's text probe drives, so the probe
+    * times EXACTLY the production pipeline. Lines occurring in >= minDf
+    * DISTINCT docs die everywhere; df counts shuffle md5 digests only,
+    * the dictionary collapses to one collect_list row and broadcasts,
+    * removal is a per-row HOF filter — document text never shuffles.
+    */
+  private[graft] def boilerplateRemoval(
+      raw: org.apache.spark.sql.DataFrame,
+      lineLen: Int = 5,
+      minDf: Int = 3
+  ): org.apache.spark.sql.DataFrame = {
+    val docs = raw
+      .select($"doc_id", TextOps.tokens($"text").as("ws"))
+      .filter(size($"ws") >= 1)
+      .select(
+        $"doc_id",
+        transform(
+          sequence(lit(0), expr(s"(size(ws) - 1) div $lineLen")),
+          i => concat_ws(" ", slice($"ws", i * lineLen + 1, lit(lineLen)))
+        ).as("lines")
+      )
+    // digests-only df count; the dictionary collapses to ONE tiny row
+    val boiler = docs
+      .select($"doc_id", explode($"lines").as("line"))
+      .groupBy(md5($"line").as("h"))
+      .agg(count_distinct($"doc_id").as("df"))
+      .filter($"df" >= minDf)
+      .agg(collect_list($"h").as("bset"))
+    docs
+      .crossJoin(broadcast(boiler))
+      .select(
+        $"doc_id",
+        size($"lines").cast("bigint").as("n_lines"),
+        filter($"lines", l => !array_contains($"bset", md5(l))).as("kept")
+      )
+      .select(
+        $"doc_id",
+        $"n_lines",
+        size($"kept").cast("bigint").as("n_kept"),
+        array_join($"kept", " ").as("clean_text")
+      )
   }
 
   /** Unigram-NLL quality scores over an arbitrary documents frame — the

@@ -179,6 +179,34 @@ object CorpusStream {
     query
   }
 
+  /** Streaming quality-classifier scoring under a FROZEN model (fit
+    * offline with [[graft.operators.QualityClassifier.fit]]). Classifier
+    * scoring is fully per-document — featurize aggregates within one doc
+    * only, the weights are plan literals — so batch == streaming by
+    * construction: no state store, no watermark, no pinned model frame
+    * (unlike [[nllScoreSink]], there is nothing to unpersist — the
+    * weight vector rides in each micro-batch's plan). The scored frame
+    * handed to `sink` carries (doc_id, is_target, quality) with
+    * is_target fixed 0.0 — labels are a training-time concept.
+    */
+  def classifierScoreSink(
+      docs: DataFrame,
+      model: graft.operators.QualityClassifier.Model,
+      nBuckets: Int,
+      checkpoint: String,
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.operators.QualityClassifier.scoreFeaturized(
+          graft.operators.QualityClassifier
+            .featurize(batch, org.apache.spark.sql.functions.lit(0.0), nBuckets),
+          model))
+        ()
+      }
+      .start()
+
   /** Streaming ingest dedup: each arriving micro-batch of documents is
     * deduped against the STORED MinHash index as one increment — the
     * exact operator `q_dedup_incremental` runs

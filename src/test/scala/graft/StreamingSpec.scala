@@ -592,6 +592,44 @@ class StreamingSpec extends SparkTestBase {
       s"OOV doc should score -oovLp, got ${oov.getDouble(2)} vs ${-oovLp}")
   }
 
+  test("streaming classifier scoring under a frozen model equals batch") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.operators.QualityClassifier
+    val nBuckets = 64
+    val docsDir = tempDir("graft-docs-clf")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(SparkTestBase.Sf0001, "documents.parquet"),
+      java.nio.file.Paths.get(docsDir, "docs-000.parquet")
+    )
+    // fit offline on the training half; score the held-out half online
+    val all = graft.queries.QueryUtil.t(spark, SparkTestBase.Sf0001, "documents")
+    val feat = QualityClassifier
+      .featurize(all.filter(col("doc_id") % 2 === 0), col("lang") === "en", nBuckets)
+      .cache()
+    val model =
+      try QualityClassifier.fit(feat, nBuckets, iters = 20, step = 1.0)
+      finally feat.unpersist(): Unit
+    val collected = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    val q = graft.streaming.CorpusStream.classifierScoreSink(
+      graft.streaming.CorpusStream.readDocumentsStream(spark, docsDir)
+        .filter(col("doc_id") % 2 === 1),
+      model, nBuckets, tempDir("graft-ckpt-clf"),
+      scored => collected.synchronized {
+        collected ++= scored.collect().map(r => (r.getLong(0), r.getDouble(2)))
+      })
+    try q.awaitTermination(120000)
+    finally q.stop()
+
+    val batch = QualityClassifier.scoreFeaturized(
+      QualityClassifier.featurize(
+        all.filter(col("doc_id") % 2 === 1), lit(0.0), nBuckets),
+      model)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    assert(batch.nonEmpty && collected.sortBy(_._1).toSeq === batch,
+      "streamed quality scores diverged from batch under the same frozen model")
+  }
+
   test("streaming ingest dedup against the stored index equals the batch operator") {
     import graft.streaming.CorpusStream
     // corpus -> stored index (the on-disk dedup state the stream reads)
