@@ -958,6 +958,65 @@ object TextQueries {
           |GROUP BY doc_id ORDER BY doc_id""".stripMargin
       )
     ),
+    // ----- interpolated bigram LM scoring ----------------------------------
+    // The next rung of the LM-quality ladder above q_text_perplexity's
+    // unigram: an add-one-smoothed BIGRAM model interpolated with the
+    // unigram (p = 0.7*p_bi(cur|prev) + 0.3*p_uni(cur)) — the shape of a
+    // real KenLM quality signal, where word ORDER finally matters:
+    // shuffled word soup and fluent text share a unigram score but not a
+    // bigram one. First token scores under the unigram; per-doc NLL is
+    // the mean over all n scored positions.
+    //
+    // 100 TB shape: one token shuffle (unigram counts) + one bigram-pair
+    // shuffle (bigram + context counts); both models broadcast back onto
+    // the per-doc pair stream — corpus text is read once, never
+    // reshuffled. A pretrained KenLM swaps in as the same broadcast
+    // lookup; vocab-squared is the model bound, which is why real models
+    // prune — the join shape is unchanged either way.
+    Q(
+      "q_text_perplexity_bigram",
+      (s, dir) => bigramNll(t(s, dir, "documents")).orderBy($"doc_id"),
+      Some(
+        """WITH toks AS (
+          |  SELECT doc_id,
+          |         list_filter(regexp_split_to_array(lower(text), '\s+'),
+          |                     w -> w <> '') AS ws
+          |  FROM documents
+          |), uni AS (
+          |  SELECT w, count(*) AS c FROM (SELECT unnest(ws) AS w FROM toks)
+          |  GROUP BY w
+          |), stats AS (
+          |  SELECT sum(c) AS n, count(*) AS v FROM uni
+          |), pairs AS (
+          |  SELECT doc_id, pr.p AS prev, pr.c AS cur FROM (
+          |    SELECT doc_id,
+          |           unnest([{'p': ws[i], 'c': ws[i+1]}
+          |                   for i in range(1, len(ws))]) AS pr
+          |    FROM toks)
+          |), big AS (
+          |  SELECT prev, cur, count(*) AS cb FROM pairs GROUP BY 1, 2
+          |), ctx AS (
+          |  SELECT prev, sum(cb) AS cc FROM big GROUP BY prev
+          |), pair_lp AS (
+          |  SELECT doc_id,
+          |         ln(0.7 * (cb + 1.0) / (cc + v) +
+          |            0.3 * (u.c + 1.0) / (n + v)) AS lp
+          |  FROM pairs
+          |  JOIN big USING (prev, cur) JOIN ctx USING (prev)
+          |  JOIN uni u ON u.w = cur, stats
+          |), first_lp AS (
+          |  SELECT doc_id, ln((u.c + 1.0) / (n + v)) AS lp
+          |  FROM (SELECT doc_id, ws[1] AS w FROM toks WHERE len(ws) >= 1)
+          |  JOIN uni u USING (w), stats
+          |), all_lp AS (
+          |  SELECT doc_id, lp FROM pair_lp UNION ALL
+          |  SELECT doc_id, lp FROM first_lp
+          |)
+          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+          |       round(-sum(lp) / count(*), 6) AS nll
+          |FROM all_lp GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      )
+    ),
     // ----- Gopher-style quality filter -------------------------------------
     // The rule-based keep/drop gate (Rae et al. Gopher §A1.1, simplified
     // to the fixture's deterministic subset): minimum length, mean word
@@ -1196,6 +1255,58 @@ object TextQueries {
         size($"kept").cast("bigint").as("n_kept"),
         array_join($"kept", " ").as("clean_text")
       )
+  }
+
+  /** Interpolated bigram-LM NLL over an arbitrary documents frame (the
+    * q_text_perplexity_bigram engine; see the Q for the full contract).
+    * Two model shuffles (unigram, bigram+context), models broadcast back
+    * onto the per-doc pair stream, one scoring groupBy.
+    */
+  private[graft] def bigramNll(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(
+      $"doc_id",
+      filter(TextOps.tokens($"text"), w => w =!= "").as("ws"))
+    val uni = toks
+      .select(explode($"ws").as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("c"))
+    val stats = uni.agg(sum($"c").as("n"), count(lit(1)).as("v"))
+    // docs with a single token produce no pairs (sequence(1,0) would
+    // DESCEND, not empty out — hence the size guard, same as gramsOf)
+    val pairs = toks
+      .filter(size($"ws") >= 2)
+      .select(
+        $"doc_id",
+        explode(transform(
+          sequence(lit(1), size($"ws") - 1),
+          i => struct(
+            element_at($"ws", i).as("prev"),
+            element_at($"ws", i + 1).as("cur"))
+        )).as("pr"))
+      .select($"doc_id", $"pr.prev".as("prev"), $"pr.cur".as("cur"))
+    val big = pairs.groupBy($"prev", $"cur").agg(count(lit(1)).as("cb"))
+    val ctx = big.groupBy($"prev").agg(sum($"cb").as("cc"))
+    val pairLp = pairs
+      .join(broadcast(big), Seq("prev", "cur"))
+      .join(broadcast(ctx), Seq("prev"))
+      .join(broadcast(uni.withColumnRenamed("w", "cur")), Seq("cur"))
+      .crossJoin(broadcast(stats))
+      .select(
+        $"doc_id",
+        log(lit(0.7) * ($"cb" + 1.0) / ($"cc" + $"v") +
+          lit(0.3) * ($"c" + 1.0) / ($"n" + $"v")).as("lp"))
+    val firstLp = toks
+      .filter(size($"ws") >= 1)
+      .select($"doc_id", element_at($"ws", 1).as("w"))
+      .join(broadcast(uni), Seq("w"))
+      .crossJoin(broadcast(stats))
+      .select($"doc_id", log(($"c" + 1.0) / ($"n" + $"v")).as("lp"))
+    pairLp
+      .unionByName(firstLp)
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).cast("bigint").as("n_tokens"),
+        round(-sum($"lp") / count(lit(1)), 6).as("nll"))
   }
 
   /** Unigram-NLL quality scores over an arbitrary documents frame — the

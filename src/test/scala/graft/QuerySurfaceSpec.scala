@@ -167,6 +167,29 @@ class QuerySurfaceSpec extends SparkTestBase {
       "df=2 lines must be untouched — this pass is a df threshold, not a dedup")
   }
 
+  test("bigram LM penalizes scrambled word order where the unigram cannot") {
+    import spark.implicits._
+    // corpus: a->b->c->a is the dominant transition cycle; the reversed
+    // doc has the SAME unigram profile but transitions (c->b, b->a, a->c)
+    // that occur nowhere else (an alternating two-word string would not
+    // do: "x y x y" contains BOTH directions)
+    val docs = ((1L to 8L).map(i => (i, "a b c a b c a b c")) :+
+      (99L, "c b a c b a c b a")).toDF("doc_id", "text")
+    val bi = graft.queries.TextQueries.bigramNll(docs)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val uniScores = graft.queries.TextQueries.unigramNll(docs)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // unigram is blind: identical token multiset, identical score
+    assert(uniScores(99L) === uniScores(1L))
+    // bigram sees the order: the scrambled doc is strictly more surprising
+    assert(bi(99L) > bi(1L) + 0.1,
+      s"scrambled doc not penalized: ${bi(99L)} vs ${bi(1L)}")
+    // every scored position counts: n_tokens == token count
+    val n = graft.queries.TextQueries.bigramNll(docs)
+      .filter($"doc_id" === 1L).head().getLong(1)
+    assert(n === 9L)
+  }
+
   test("quality classifier: loss decreases monotonically and the classes separate") {
     import org.apache.spark.sql.functions._
     import graft.operators.QualityClassifier
