@@ -890,7 +890,7 @@ object ScaleProbe {
     */
   private def textScaleProbe(spark: SparkSession): Unit = {
     val base = 20000L
-    val nOps = 9
+    val nOps = 10
     val resultsAll = Seq(1L, 1L, 30L, 100L).flatMap { mult =>
       val n = base * mult
       val docs = genCorpus(spark, n).cache()
@@ -959,6 +959,7 @@ object ScaleProbe {
         graft.queries.SamplingQueries
           .dsirScores(docs, Seq.empty, pmod(col("doc_id"), lit(2)) === 0, 256)
           .write.format("noop").mode("overwrite").save()
+        graft.engine.PersistScope.releaseAll()
       }
       // trained quality classifier (r13): featurize + 20 standardized-GD
       // iterations + score — the full fit-and-apply cycle, not just
@@ -974,8 +975,17 @@ object ScaleProbe {
             .write.format("noop").mode("overwrite").save()
         } finally feat.unpersist(): Unit
       }
+      // interpolated bigram LM (r13): the order-sensitive NLL rung —
+      // times the bigram+context model fit and the broadcast-scored
+      // pair stream on top of the unigram baseline above
+      val bigram = time(s"bigram_nll_${mult}x", n) {
+        graft.queries.TextQueries
+          .bigramNll(docs)
+          .write.format("noop").mode("overwrite").save()
+      }
       docs.unpersist()
-      Seq(bm25, tfidf, decon, deconShuffle, nll, gopher, boiler, dsir, qclf)
+      Seq(bm25, tfidf, decon, deconShuffle, nll, gopher, boiler, dsir, qclf,
+        bigram)
     }
     val results = resultsAll.drop(nOps) // drop the warmup group
     println("--- text family at 30x/100x (base 20k docs; 64k vocab) ---")

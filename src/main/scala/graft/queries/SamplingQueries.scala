@@ -251,9 +251,14 @@ object SamplingQueries {
     // a second agg over THESE (doc x bucket rows, not raw grams)
     val passNames = grams.columns.filter(c =>
       c != "doc_id" && c != "_tgt" && c != "b").toSeq
-    val tf = grams
+    // pinEager: tf feeds BOTH the model fit (counts -> stats -> lr) and
+    // the scoring join — unpinned, the sha256-heavy gram explode would
+    // recompute once per consumer (the r13 probe measured the 3-pass
+    // version at ~3x: 174 s vs ~60 s at 600k docs). The pinned frame is
+    // the slim (doc, bucket, n) projection, never the gram stream.
+    val tf = graft.engine.PersistScope.pinEager(grams
       .groupBy($"doc_id" +: $"_tgt" +: passNames.map(col) :+ $"b": _*)
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n")))
     val counts = tf
       .groupBy($"b")
       .agg(

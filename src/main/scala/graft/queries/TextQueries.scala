@@ -1259,11 +1259,23 @@ object TextQueries {
 
   /** Interpolated bigram-LM NLL over an arbitrary documents frame (the
     * q_text_perplexity_bigram engine; see the Q for the full contract).
-    * Two model shuffles (unigram, bigram+context), models broadcast back
+    * Two model shuffles (unigram, bigram+context), models joined back
     * onto the per-doc pair stream, one scoring groupBy.
+    *
+    * The unigram and context tables are VOCAB-sized and always
+    * broadcast. The bigram table is vocab-SQUARED-bounded and sparse —
+    * on real text it is a prunable few-hundred-MB model, but on a
+    * high-entropy corpus nearly every adjacent pair is distinct and the
+    * table scales with the corpus itself: the r13 probe's 64k-vocab
+    * corpus built a ~30M-row bigram table at 600k docs and OOM'd the
+    * broadcast. Same resolution as decontamination's benchmark grams:
+    * a measured cutover — the (pinned, slim) bigram model is counted,
+    * and past `maxBroadcastBigrams` the scoring join runs as a shuffle
+    * join on (prev, cur) instead of refusing or dying.
     */
   private[graft] def bigramNll(
-      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      docs: org.apache.spark.sql.DataFrame,
+      maxBroadcastBigrams: Long = 2000000L): org.apache.spark.sql.DataFrame = {
     val toks = docs.select(
       $"doc_id",
       filter(TextOps.tokens($"text"), w => w =!= "").as("ws"))
@@ -1284,10 +1296,16 @@ object TextQueries {
             element_at($"ws", i + 1).as("cur"))
         )).as("pr"))
       .select($"doc_id", $"pr.prev".as("prev"), $"pr.cur".as("cur"))
-    val big = pairs.groupBy($"prev", $"cur").agg(count(lit(1)).as("cb"))
+    // pinEager: the bigram model feeds the cutover count, the context
+    // aggregation, AND the scoring join — unpinned it would recompute
+    // the pair shuffle per consumer
+    val big = graft.engine.PersistScope.pinEager(
+      pairs.groupBy($"prev", $"cur").agg(count(lit(1)).as("cb")))
+    val bigSide =
+      if (big.count() <= maxBroadcastBigrams) broadcast(big) else big
     val ctx = big.groupBy($"prev").agg(sum($"cb").as("cc"))
     val pairLp = pairs
-      .join(broadcast(big), Seq("prev", "cur"))
+      .join(bigSide, Seq("prev", "cur"))
       .join(broadcast(ctx), Seq("prev"))
       .join(broadcast(uni.withColumnRenamed("w", "cur")), Seq("cur"))
       .crossJoin(broadcast(stats))

@@ -263,20 +263,18 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("boilerplate removal broadcasts the dictionary; document text never shuffles") {
-    val plan = executed("q_text_boilerplate")
-    // the dictionary joins back as a broadcast nested loop over ONE tiny
+    val shape = graft.plans.PlanInvariants.of(
+      Registry.byName("q_text_boilerplate").fn(spark, SparkTestBase.Sf0001))
+    // the dictionary joins back as a broadcast over ONE tiny collected
     // row — any shuffle-side join here means someone re-keyed the corpus
-    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
-      "boilerplate dictionary not broadcast:\n" + plan.take(3000))
-    // the only exchanges allowed are the digest df-count and the final
-    // sort — the text-carrying side must go scan -> project -> join with
-    // no Exchange in between. Text re-keyed through a shuffle would show
-    // as a third non-sort exchange.
-    val exchanges = plan.linesIterator.count(l =>
-      l.trim.startsWith("Exchange") && !l.contains("rangepartitioning"))
-    assert(exchanges <= 2,
-      s"expected <=2 hash exchanges (df count partial+final side), got $exchanges:\n" +
-        plan.take(3000))
+    assert(shape.broadcastExchanges + shape.broadcastNestedLoops >= 1,
+      s"boilerplate dictionary not broadcast: $shape")
+    assert(shape.cartesianProducts === 0, shape.toString)
+    // the only shuffle exchanges allowed: the df-count (agg exchange),
+    // the dictionary's single-row collapse, and the final sort's range
+    // exchange. Document text re-keyed through a shuffle would add one.
+    assert(shape.shuffleExchanges <= 3,
+      s"text side appears to shuffle: $shape")
   }
 
   test("DSIR broadcasts the bucket model and plans the top-k bounded") {

@@ -190,6 +190,21 @@ class QuerySurfaceSpec extends SparkTestBase {
     assert(n === 9L)
   }
 
+  test("bigram LM past the broadcast bound takes the shuffle join, same rows") {
+    val docs = graft.queries.QueryUtil
+      .t(spark, SparkTestBase.Sf0001, "documents")
+    val viaBroadcast = graft.queries.TextQueries.bigramNll(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    graft.engine.PersistScope.releaseAll()
+    // bound 0 forces every model row onto the shuffle path — the plan the
+    // 64k-vocab probe corpus needs, where the bigram table is ~corpus-sized
+    val viaShuffle = graft.queries.TextQueries
+      .bigramNll(docs, maxBroadcastBigrams = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(viaBroadcast.nonEmpty && viaBroadcast.toSeq === viaShuffle.toSeq,
+      "shuffle-join fallback changed the scores")
+  }
+
   test("quality classifier: loss decreases monotonically and the classes separate") {
     import org.apache.spark.sql.functions._
     import graft.operators.QualityClassifier
