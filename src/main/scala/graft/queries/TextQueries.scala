@@ -1058,6 +1058,82 @@ object TextQueries {
           |FROM scored ORDER BY doc_id""".stripMargin
       )
     ),
+    // ----- modern cleaning recipe: composition gate -------------------------
+    // The r13 operators CHAINED the way a production pipeline runs them:
+    // corpus-frequency boilerplate removal feeds the Gopher rules, which
+    // judge the CLEANED text (a doc that loses its padding lines can now
+    // fail `short` — the stages interact, which is exactly what this
+    // query gates), then per-language accounting of what survives. All
+    // outputs are integers, so the hash gate has no float surface at
+    // all. Each stage is the production operator; the oracle replays the
+    // whole composition in SQL.
+    Q(
+      "q_pipeline_recipe",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val cleaned = boilerplateRemoval(docs)
+          .join(docs.select($"doc_id", $"lang"), Seq("doc_id"))
+          .select($"doc_id", $"lang", $"clean_text".as("text"))
+        gopherFilter(cleaned)
+          .join(cleaned.select($"doc_id", $"lang"), Seq("doc_id"))
+          .filter($"keep")
+          .groupBy($"lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum($"n_tokens").cast("bigint").as("total_tokens")
+          )
+          .orderBy($"lang")
+      },
+      Some(
+        """WITH toks AS (
+          |  SELECT doc_id, lang, regexp_split_to_array(lower(text), '\s+') AS ws
+          |  FROM documents
+          |), lists AS (
+          |  SELECT doc_id, lang,
+          |         [array_to_string(ws[i*5+1 : i*5+5], ' ')
+          |          for i in range(0, (len(ws)-1)//5 + 1)] AS lines
+          |  FROM toks WHERE len(ws) >= 1
+          |), flat AS (
+          |  SELECT doc_id, lang, unnest(lines) AS line,
+          |         CAST(generate_subscripts(lines, 1) - 1 AS BIGINT) AS idx
+          |  FROM lists
+          |), df AS (
+          |  SELECT line, count(DISTINCT doc_id) AS d FROM flat GROUP BY line
+          |), cleaned AS (
+          |  SELECT f.doc_id, f.lang,
+          |         coalesce(string_agg(CASE WHEN d < 3 THEN f.line END, ' '
+          |                             ORDER BY idx), '') AS text
+          |  FROM flat f JOIN df ON f.line = df.line
+          |  GROUP BY f.doc_id, f.lang
+          |), g AS (
+          |  SELECT doc_id, lang,
+          |         regexp_split_to_array(lower(text), '\s+') AS ws,
+          |         CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS sum_len
+          |  FROM cleaned
+          |), base AS (
+          |  SELECT doc_id, lang, sum_len, CAST(len(ws) AS BIGINT) AS n_tokens,
+          |         CAST(len(list_filter(['the','a','of','and','to','in','is'],
+          |              sw -> list_contains(ws, sw))) AS BIGINT) AS sw_hits
+          |  FROM g
+          |), terms AS (
+          |  SELECT doc_id, unnest(ws) AS term FROM g
+          |), mtf AS (
+          |  SELECT doc_id, max(c) AS max_tf FROM (
+          |    SELECT doc_id, term, count(*) AS c
+          |    FROM terms GROUP BY doc_id, term) GROUP BY doc_id
+          |), kept AS (
+          |  SELECT b.lang, n_tokens
+          |  FROM base b JOIN mtf USING (doc_id)
+          |  WHERE n_tokens >= 30
+          |    AND sum_len >= n_tokens*3 AND sum_len <= n_tokens*10
+          |    AND sw_hits >= 2
+          |    AND max_tf * 8 <= n_tokens
+          |)
+          |SELECT lang, count(*) AS n_docs,
+          |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+          |FROM kept GROUP BY lang ORDER BY lang""".stripMargin
+      )
+    ),
     // ----- trained quality-classifier scoring -------------------------------
     // The DCLM/FineWeb-edu filtering approach: a logistic-regression
     // classifier fitted to separate a reference slice (here the en docs —
