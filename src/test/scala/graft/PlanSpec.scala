@@ -263,17 +263,21 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("boilerplate removal broadcasts the dictionary; document text never shuffles") {
+    // AQE-disabled audit session: under AQE the executedPlan is the
+    // unelaborated adaptive wrapper and every typed count reads zero
+    val s2 = graft.plans.PlanInvariants.auditSession(spark)
     val shape = graft.plans.PlanInvariants.of(
-      Registry.byName("q_text_boilerplate").fn(spark, SparkTestBase.Sf0001))
+      Registry.byName("q_text_boilerplate").fn(s2, SparkTestBase.Sf0001))
     // the dictionary joins back as a broadcast over ONE tiny collected
     // row — any shuffle-side join here means someone re-keyed the corpus
     assert(shape.broadcastExchanges + shape.broadcastNestedLoops >= 1,
       s"boilerplate dictionary not broadcast: $shape")
     assert(shape.cartesianProducts === 0, shape.toString)
-    // the only shuffle exchanges allowed: the df-count (agg exchange),
-    // the dictionary's single-row collapse, and the final sort's range
-    // exchange. Document text re-keyed through a shuffle would add one.
-    assert(shape.shuffleExchanges <= 3,
+    // exactly four digest/scalar-sized exchanges: count_distinct's two
+    // agg phases ((h, doc_id) distinct then per-h count), the
+    // dictionary's single-row collapse, and the output sort. Document
+    // text re-keyed through a shuffle would add a fifth.
+    assert(shape.shuffleExchanges <= 4,
       s"text side appears to shuffle: $shape")
   }
 
