@@ -280,16 +280,43 @@ object ScaleProbe {
         val del = old.except(cur).count()
         require(ins + del == 11000, s"scan diff saw ${ins + del} rows")
       }
-      Seq(cl, diff)
+      // incremental MV maintenance (r13): the stored view (per-key
+      // sum/count at snapshot 1 — PINNED, as a stored MV would be read
+      // from disk) refreshed purely from the changelog window vs
+      // recomputed from the current table. The refresh should stay
+      // ~flat at fixed churn; the recompute tracks the table.
+      def keyed(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy(pmod(col("id"), lit(512)).as("k"))
+        .agg(sum(col("id")).as("s"), count(lit(1)).as("c"))
+      val mv = graft.engine.PersistScope.pinEager(
+        keyed(IcebergSource.read(spark, root, Some(1L), None, None)))
+      def refreshedMv() = graft.operators.IncrementalOps.refreshSumCount(
+        mv,
+        IcebergSource.readChangelog(spark, root, 1L)
+          .withColumn("k", pmod(col("id"), lit(512))),
+        "k", col("id"), "s", "c")
+      val mvr = time(s"mv_refresh_${mult}x", n) {
+        require(refreshedMv().count() == 512, "refresh lost groups")
+      }
+      val mvf = time(s"mv_recompute_${mult}x", n) {
+        require(keyed(IcebergSource.read(spark, root)).count() == 512)
+      }
+      // refresh == full recompute, every group (untimed correctness pin)
+      val full = keyed(IcebergSource.read(spark, root))
+      require(refreshedMv().exceptAll(full).count() == 0 &&
+        full.exceptAll(refreshedMv()).count() == 0,
+        "incremental refresh diverged from the full recompute")
+      graft.engine.PersistScope.releaseAll()
+      Seq(cl, diff, mvr, mvf)
     }
-    val results = resultsAll.drop(2) // drop the warmup group
+    val results = resultsAll.drop(4) // drop the warmup group
     println("--- CDC changelog vs full-scan diff at fixed churn (10k ins + 1k del) ---")
     results.foreach { case (l, rows, s) => println(f"$l%-16s base=$rows%9d  $s%8.2f s") }
-    println("--- time ratios vs 100k base (changelog ~flat; scan diff tracks the table) ---")
-    (0 until 2).foreach { i =>
+    println("--- time ratios vs 100k base (changelog + mv_refresh ~flat; scan diff + recompute track the table) ---")
+    (0 until 4).foreach { i =>
       val (l1, _, s1) = results(i)
-      val (_, _, s10) = results(2 + i)
-      val (_, _, s30) = results(4 + i)
+      val (_, _, s10) = results(4 + i)
+      val (_, _, s30) = results(8 + i)
       println(f"${l1.stripSuffix("_1x")}%-16s 10x: ${s10 / s1}%7.2f   30x: ${s30 / s1}%7.2f")
     }
   }
