@@ -1009,6 +1009,9 @@ object ScaleProbe {
         graft.queries.TextQueries
           .bigramNll(docs)
           .write.format("noop").mode("overwrite").save()
+        // bigramNll pins its (prev,cur) model — ~30M rows at 100x; an
+        // unreleased pin would pressure every later block's cache
+        graft.engine.PersistScope.releaseAll()
       }
       docs.unpersist()
       Seq(bm25, tfidf, decon, deconShuffle, nll, gopher, boiler, dsir, qclf,

@@ -130,10 +130,16 @@ object QualityClassifier {
     // per-coordinate corpus mean/std (one pass over the cached frame)
     val mu = new Array[Double](dim)
     val sd = Array.fill(dim)(1.0)
-    feat.select(posexplode(col("x")).as(Seq("pos", "xv")))
+    val statRows = feat.select(posexplode(col("x")).as(Seq("pos", "xv")))
       .groupBy(col("pos"))
       .agg(avg(col("xv")).as("mu"), stddev_pop(col("xv")).as("sd"))
       .collect()
+    // an empty training set must fail loudly here, not as an opaque
+    // null-aggregate NPE in the first GD iteration
+    require(statRows.nonEmpty,
+      "QualityClassifier.fit: the featurized frame is empty — every " +
+        "input doc had no non-empty grams, or the input itself was empty")
+    statRows
       .foreach { r =>
         mu(r.getInt(0)) = r.getDouble(1)
         val s = r.getDouble(2)

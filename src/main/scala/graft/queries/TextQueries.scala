@@ -1072,10 +1072,12 @@ object TextQueries {
       (s, dir) => {
         val docs = t(s, dir, "documents")
         val cleaned = boilerplateRemoval(docs)
-          .join(docs.select($"doc_id", $"lang"), Seq("doc_id"))
-          .select($"doc_id", $"lang", $"clean_text".as("text"))
+          .select($"doc_id", $"clean_text".as("text"))
+        // lang rejoins from the INPUT, not from `cleaned` — a second
+        // reference to the uncached cleaned subtree would recompute the
+        // whole boilerplate pass (df shuffle + dictionary + HOF filter)
         gopherFilter(cleaned)
-          .join(cleaned.select($"doc_id", $"lang"), Seq("doc_id"))
+          .join(docs.select($"doc_id", $"lang"), Seq("doc_id"))
           .filter($"keep")
           .groupBy($"lang")
           .agg(
