@@ -75,7 +75,11 @@ object IncrementalOps {
       key: String,
       measure: org.apache.spark.sql.Column,
       sumCol: String,
-      nCol: String
+      nCol: String,
+      // false: keep zero-count groups as rows — the stored-MV flavor
+      // (streaming.MaterializedAgg) writes them back as TOMBSTONES so a
+      // dead group's death is itself a recorded, mergeable update
+      dropEmptyGroups: Boolean = true
   ): DataFrame = {
     val sign = when(col("_change_type") === "insert", lit(1L))
       .when(col("_change_type") === "delete", lit(-1L))
@@ -99,7 +103,7 @@ object IncrementalOps {
         (coalesce(col(s"m.$nCol"), lit(0L)) + coalesce(col("_d_n"), lit(0L)))
           .as(nCol)
       )
-      .filter(col(nCol) > 0)
+      .filter(if (dropEmptyGroups) col(nCol) > 0 else lit(true))
   }
 
   /** Snapshot diff: classify every key as added / removed / changed /

@@ -796,6 +796,59 @@ class StreamingSpec extends SparkTestBase {
     assert(windowSum === total)
   }
 
+  test("exactly-once streaming MV: converges across merge/delete, replays no-op, one commit per refresh") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, pmod, sum, count, lit}
+    import graft.sources.{IcebergMeta, IcebergSource, IcebergWriter}
+    import graft.streaming.MaterializedAgg
+    val src = tempDir("graft-mv-src") + "/table"
+    val view = tempDir("graft-mv-view") + "/table"
+    def expected() = IcebergSource.read(spark, src)
+      .groupBy(pmod(col("id"), lit(4)).as("k"))
+      .agg(sum(col("id")).as("s"), count(lit(1)).as("c"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    def actual() = MaterializedAgg.readView(spark, view)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    def refresh(ts: Long) = MaterializedAgg.refreshStep(
+      spark, view, src, pmod(col("id"), lit(4)), col("id"), ts)
+    def viewSnapshots() = IcebergMeta.load(view).snapshots.length
+
+    // window 1: creation from the full changelog
+    IcebergWriter.append(spark, src,
+      (0L until 12L).map(i => (i, s"v$i")).toDF("id", "v"),
+      None, 1000L, formatVersion = 2)
+    assert(refresh(2000L).isDefined)
+    assert(actual() === expected())
+    val snaps1 = viewSnapshots()
+
+    // window 2: updates + inserts via MERGE, then kill group 3 ENTIRELY
+    // (ids 3,7,11) — its view row must become a hidden tombstone
+    IcebergWriter.mergeRows(spark, src,
+      Seq((0L, "v0b"), (20L, "v20")).toDF("id", "v"), "id", 3000L)
+    IcebergWriter.deleteEquality(spark, src,
+      Seq(3L, 7L, 11L).toDF("id"), 4000L)
+    assert(refresh(5000L).isDefined)
+    assert(actual() === expected())
+    assert(!actual().exists(_._1 == 3L), "dead group must vanish from the view")
+    assert(viewSnapshots() === snaps1 + 1,
+      "one refresh must be exactly one view commit (atomic state+watermark)")
+
+    // replay / race: the view is current — a second refresh is a
+    // structural no-op (watermark lives IN the view, no cursor to drift)
+    assert(refresh(6000L).isEmpty)
+    assert(viewSnapshots() === snaps1 + 1)
+
+    // group resurrection: a re-inserted key overwrites its tombstone
+    IcebergWriter.upsertRows(spark, src, Seq((7L, "v7b")).toDF("id", "v"),
+      "id", 7000L)
+    assert(refresh(8000L).isDefined)
+    assert(actual() === expected())
+    assert(actual().exists(t => t._1 == 3L && t._3 == 1L),
+      "resurrected group must reappear with exactly its new row")
+    assert(MaterializedAgg.watermarkOf(spark, view) ===
+      IcebergMeta.load(src).currentSnapshot.get.id)
+  }
+
   test("CDC replication: a feed-driven mirror converges to the source across deletes and a crash replay") {
     import spark.implicits._
     import graft.sources.{IcebergSource, IcebergWriter}
