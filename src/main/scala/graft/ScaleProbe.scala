@@ -301,10 +301,14 @@ object ScaleProbe {
       val mvf = time(s"mv_recompute_${mult}x", n) {
         require(keyed(IcebergSource.read(spark, root)).count() == 512)
       }
-      // refresh == full recompute, every group (untimed correctness pin)
-      val full = keyed(IcebergSource.read(spark, root))
-      require(refreshedMv().exceptAll(full).count() == 0 &&
-        full.exceptAll(refreshedMv()).count() == 0,
+      // refresh == full recompute, every group (untimed correctness
+      // pin; both sides pinned so the two exceptAll arms don't re-run
+      // the changelog read and the full-table aggregation)
+      val refreshedOnce = graft.engine.PersistScope.pinEager(refreshedMv())
+      val full = graft.engine.PersistScope.pinEager(
+        keyed(IcebergSource.read(spark, root)))
+      require(refreshedOnce.exceptAll(full).count() == 0 &&
+        full.exceptAll(refreshedOnce).count() == 0,
         "incremental refresh diverged from the full recompute")
       graft.engine.PersistScope.releaseAll()
       Seq(cl, diff, mvr, mvf)

@@ -93,9 +93,13 @@ object IncrementalOps {
         sum(sign).as("_d_n")
       )
     // alias-qualified string refs: the MV routinely shares lineage with the
-    // changelog's table (same ambiguous-self-join rationale as merge)
+    // changelog's table (same ambiguous-self-join rationale as merge).
+    // Null-SAFE key equality: a null-key group (e.g. a cast that nulls
+    // malformed keys) must MERGE with its delta like any other group —
+    // plain === would split it into two rows where the full recompute
+    // emits one
     mv.as("m")
-      .join(delta.as("d"), col(s"m.$key") === col(s"d.$key"), "full_outer")
+      .join(delta.as("d"), col(s"m.$key") <=> col(s"d.$key"), "full_outer")
       .select(
         coalesce(col(s"d.$key"), col(s"m.$key")).as(key),
         (coalesce(col(s"m.$sumCol"), lit(0L)) + coalesce(col("_d_sum"), lit(0L)))

@@ -185,6 +185,11 @@ object QualityClassifier {
       gRows.foreach(r => g(r.getInt(0)) = r.getDouble(1))
       w = w.zip(g).map { case (wi, gi) => wi - step * gi }
     }
+    // a diverged fit must fail HERE, not as an opaque NaN literal in
+    // the dynamic oracle's VALUES list or silent all-0.5 scores
+    require(w.forall(java.lang.Double.isFinite),
+      s"QualityClassifier.fit diverged: non-finite weight after $iters " +
+        s"iterations at step $step — lower the step")
     // fold the standardization into the weights: raw-space scoring
     val raw = Array.tabulate(dim)(i => w(i) / sd(i))
     raw(dim - 1) = w(dim - 1) - (0 until dim - 1)

@@ -1357,9 +1357,13 @@ object TextQueries {
     val toks = docs.select(
       $"doc_id",
       filter(TextOps.tokens($"text"), w => w =!= "").as("ws"))
-    val uni = toks
+    // pinEager: the unigram model feeds stats, the pair scoring, AND
+    // the first-token scoring — unpinned, the corpus-wide token
+    // explode+shuffle would recompute once per consumer (the same 3x
+    // defect the r13 probe measured on DSIR's unpinned tf). Vocab-sized.
+    val uni = graft.engine.PersistScope.pinEager(toks
       .select(explode($"ws").as("w"))
-      .groupBy($"w").agg(count(lit(1)).as("c"))
+      .groupBy($"w").agg(count(lit(1)).as("c")))
     val stats = uni.agg(sum($"c").as("n"), count(lit(1)).as("v"))
     // docs with a single token produce no pairs (sequence(1,0) would
     // DESCEND, not empty out — hence the size guard, same as gramsOf)

@@ -937,7 +937,15 @@ object IcebergWriter {
       // Some(name): the MERGE lands on that branch — matched positions
       // are computed against the BRANCH head's state and only the branch
       // ref advances. The audit half of a CDC write-audit-publish flow.
-      branch: Option[String] = None): Long = {
+      branch: Option[String] = None,
+      // Some(id): the head snapshot this merge's UPDATES were computed
+      // against — refuse (CommitConflictException) if the table moved
+      // since. Closes the read-compute-merge TOCTOU the version CAS
+      // alone cannot see: the CAS guards this call's load->commit, but a
+      // caller that derived `updates` from an earlier read would
+      // otherwise land stale values cleanly on the advanced head
+      // (streaming.MaterializedAgg's concurrent-refresh guard).
+      requireSnapshot: Option[Long] = None): Long = {
     val meta = IcebergMeta.load(tablePath)
     require(meta.formatVersion == 2,
       s"mergeRows requires a v2 table; this one is v${meta.formatVersion}")
@@ -958,6 +966,9 @@ object IcebergWriter {
     val snap = branch.map(meta.snapshotByRef).orElse(meta.currentSnapshot)
       .getOrElse(
         throw new IllegalStateException("table has no current snapshot"))
+    requireSnapshot.foreach(expected =>
+      if (snap.id != expected)
+        throw new CommitConflictException(meta.loadedVersion, root.toString))
     val snapshotId = meta.snapshots.map(_.id).maxOption.getOrElse(0L) + 1L
     val token = newToken() // collision-free names under commit races
     val plan = IcebergMeta.planScan(meta, snap)

@@ -847,6 +847,30 @@ class StreamingSpec extends SparkTestBase {
       "resurrected group must reappear with exactly its new row")
     assert(MaterializedAgg.watermarkOf(spark, view) ===
       IcebergMeta.load(src).currentSnapshot.get.id)
+
+    // a refresher that planned against a superseded view head must
+    // REFUSE, not land stale values (the concurrent-refresh guard):
+    // replay its merge with requireSnapshot pinned to a stale id
+    val staleId = IcebergMeta.load(view).snapshots.head.id
+    val conflict = intercept[Throwable] {
+      IcebergWriter.mergeRows(spark, view,
+        Seq((0L, 999L, 1L)).toDF("k", "s", "c"), "k", 9000L,
+        requireSnapshot = Some(staleId))
+    }
+    assert(conflict.getClass.getSimpleName === "CommitConflictException",
+      s"stale-head merge must conflict, got: $conflict")
+
+    // null keys refuse loudly: MERGE equality can never update a null
+    // group, so letting one in would duplicate rows on later refreshes
+    IcebergWriter.upsertRows(spark, src, Seq((30L, "v30")).toDF("id", "v"),
+      "id", 10000L)
+    val nullKey = intercept[IllegalArgumentException] {
+      MaterializedAgg.refreshStep(spark, view, src,
+        org.apache.spark.sql.functions.when(col("id") < 1000, null)
+          .otherwise(col("id")),
+        col("id"), 11000L)
+    }
+    assert(nullKey.getMessage.contains("null keys"), nullKey.getMessage)
   }
 
   test("CDC replication: a feed-driven mirror converges to the source across deletes and a crash replay") {
