@@ -110,6 +110,89 @@ object IncrementalOps {
       .filter(if (dropEmptyGroups) col(nCol) > 0 else lit(true))
   }
 
+  /** Incremental min/max maintenance — the aggregate class
+    * [[refreshSumCount]] cannot touch: min/max are not delta-invertible
+    * (deleting the current minimum says nothing about the next one), so
+    * pure-delta IVM is impossible. The standard production answer,
+    * implemented here: INSERTS fold incrementally
+    * (new_min = least(old, batch_min)); a group takes the RESCAN
+    * fallback only when a delete could have hit its extremum
+    * (batch_del_min <= stored_min or batch_del_max >= stored_max) — the
+    * caller-supplied `rescan` reads the CURRENT base rows for exactly
+    * those keys (a semi-join the base's layout can prune; never a full
+    * scan) and their min/max/count recompute authoritatively. Groups
+    * whose deletes sit strictly inside (min, max) never rescan.
+    *
+    * `mv` is (key, mnCol, mxCol, nCol); `changelog` carries the key,
+    * `measure`, and `_change_type` insert/delete (unknown types raise);
+    * `rescan` maps a frame of keys (single `key` column) to the base's
+    * live (key, m) rows for those keys. Dead groups (count to zero) are
+    * dropped, exactly as a recompute would not emit them; a rescanned
+    * group whose base rows all vanished likewise disappears (the rescan
+    * is authoritative). 100 TB shape: O(churn) delta agg + the
+    * keys-sized MV join + a pruned base read proportional to
+    * EXTREMUM-hitting churn, not table size.
+    */
+  def refreshMinMax(
+      mv: DataFrame,
+      changelog: DataFrame,
+      key: String,
+      measure: org.apache.spark.sql.Column,
+      mnCol: String,
+      mxCol: String,
+      nCol: String,
+      rescan: DataFrame => DataFrame
+  ): DataFrame = {
+    val ct = col("_change_type")
+    val sign = when(ct === "insert", lit(1L))
+      .when(ct === "delete", lit(-1L))
+      .otherwise(raise_error(concat(
+        lit("refreshMinMax: unknown _change_type "), ct)).cast("bigint"))
+    val ch = changelog.select(col(key), measure.as("_m"), ct)
+    val delta = ch
+      .groupBy(col(key))
+      .agg(
+        sum(sign).as("_dn"),
+        min(when(ct === "insert", col("_m"))).as("_ins_mn"),
+        max(when(ct === "insert", col("_m"))).as("_ins_mx"),
+        min(when(ct === "delete", col("_m"))).as("_del_mn"),
+        max(when(ct === "delete", col("_m"))).as("_del_mx")
+      )
+    val joined = mv.as("m")
+      .join(delta.as("d"), col(s"m.$key") <=> col(s"d.$key"), "full_outer")
+      .select(
+        coalesce(col(s"d.$key"), col(s"m.$key")).as(key),
+        col(s"m.$mnCol").as("_mn"),
+        col(s"m.$mxCol").as("_mx"),
+        (coalesce(col(s"m.$nCol"), lit(0L)) + coalesce(col("_dn"), lit(0L)))
+          .as("_n"),
+        col("_ins_mn"), col("_ins_mx"), col("_del_mn"), col("_del_mx")
+      )
+      // a delete against a key the MV has no row for (null _mn) cannot
+      // be reasoned about incrementally — route it to the authoritative
+      // rescan rather than guessing
+      .withColumn("_rescan",
+        col("_del_mn").isNotNull && col("_n") > 0 &&
+          (col("_mn").isNull ||
+            col("_del_mn") <= col("_mn") || col("_del_mx") >= col("_mx")))
+    val fast = joined
+      .filter(!col("_rescan") && col("_n") > 0)
+      .select(
+        col(key),
+        least(col("_mn"), col("_ins_mn")).as(mnCol),
+        greatest(col("_mx"), col("_ins_mx")).as(mxCol),
+        col("_n").as(nCol)
+      )
+    val rescanned = rescan(joined.filter(col("_rescan")).select(col(key)))
+      .groupBy(col(key))
+      .agg(
+        min(col("m")).as(mnCol),
+        max(col("m")).as(mxCol),
+        count(lit(1)).as(nCol)
+      )
+    fast.unionByName(rescanned)
+  }
+
   /** Snapshot diff: classify every key as added / removed / changed /
     * unchanged between two snapshots, comparing `compareCols`. The audit
     * primitive for corpus versioning ("what did this crawl refresh

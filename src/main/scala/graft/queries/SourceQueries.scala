@@ -1341,6 +1341,50 @@ object SourceQueries {
           "GROUP BY 1 ORDER BY 1"
       )
     ),
+    // MIN/MAX MV maintenance — the NON-delta-invertible aggregate class:
+    // deleting the current minimum says nothing about the next one, so
+    // q_mv_incremental's pure-delta arithmetic cannot apply. The
+    // operator folds inserts incrementally and rescans ONLY the groups
+    // whose deletes could have hit an extremum — here the s3 position
+    // delete (p_size < 25) hits every band's minimum, forcing the
+    // rescan path, while the rescan itself is a keyed semi-join read of
+    // the CURRENT table, never a full recompute of untouched groups.
+    // The oracle is the full min/max/count recompute over the final
+    // live state, so the hash gate proves fold + rescan == recompute.
+    Q(
+      "q_mv_minmax",
+      (s, dir) => {
+        val root = fixtureIcebergV2Table(s, dir)
+        val baseAtS2 = graft.sources.IcebergSource
+          .read(s, root, snapshotId = Some(2L), asOfTimestampMs = None,
+            prune = None)
+        val mv = baseAtS2
+          .groupBy($"p_band")
+          .agg(
+            min($"p_size").cast("bigint").as("mn_size"),
+            max($"p_size").cast("bigint").as("mx_size"),
+            count(lit(1)).as("n_rows")
+          )
+        val changes = graft.sources.IcebergSource
+          .readChangelog(s, root, fromSnapshotId = 2L)
+        graft.operators.IncrementalOps
+          .refreshMinMax(mv, changes, "p_band",
+            col("p_size").cast("bigint"), "mn_size", "mx_size", "n_rows",
+            rescan = keys => graft.sources.IcebergSource.read(s, root)
+              .join(keys, Seq("p_band"), "left_semi")
+              .select($"p_band", $"p_size".cast("bigint").as("m")))
+          .orderBy($"p_band")
+      },
+      Some(
+        "SELECT CAST(p_partkey % 4 AS INT) AS p_band, " +
+          "CAST(min(p_size) AS BIGINT) AS mn_size, " +
+          "CAST(max(p_size) AS BIGINT) AS mx_size, " +
+          "count(*) AS n_rows FROM part " +
+          "WHERE (p_partkey % 4 IN (0,1,3) AND p_size >= 25) " +
+          "OR (p_partkey % 4 = 2 AND p_size > 30) " +
+          "GROUP BY 1 ORDER BY 1"
+      )
+    ),
     // The SECOND DPP shape: subquery pruning WITHOUT a broadcast to reuse.
     // The dim is merge-join-hinted (stand-in for a dim too big to
     // broadcast), so there is no broadcast result to piggyback on —

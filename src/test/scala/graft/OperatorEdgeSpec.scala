@@ -272,6 +272,56 @@ class OperatorEdgeSpec extends SparkTestBase {
     assert(out.toSeq === Seq(("a", 13L, 2L), ("c", 5L, 1L), ("d", 6L, 2L)))
   }
 
+  test("min/max MV refresh: inserts fold WITHOUT rescan; extremum deletes rescan; interior deletes do not") {
+    import spark.implicits._
+    val mv = Seq(("a", 2L, 9L, 3L), ("b", 1L, 5L, 2L), ("c", 4L, 6L, 2L))
+      .toDF("k", "mn", "mx", "n")
+    // a: insert-only (new max 12); b: delete its MINIMUM (1) + insert 3;
+    // c: delete an INTERIOR value (5) — no rescan allowed; d: new group
+    val changes = Seq(
+      ("a", 12L, "insert"),
+      ("b", 1L, "delete"), ("b", 3L, "insert"),
+      ("c", 5L, "delete"),
+      ("d", 7L, "insert")
+    ).toDF("k", "m", "_change_type")
+    // the base AFTER the window, for the groups that may rescan
+    val base = Seq(("b", 3L), ("b", 5L)).toDF("k", "m")
+    val asked = scala.collection.mutable.Set[String]()
+    val out = graft.operators.IncrementalOps
+      .refreshMinMax(mv, changes, "k", col("m"), "mn", "mx", "n",
+        rescan = keys => {
+          asked.synchronized {
+            asked ++= keys.collect().map(_.getString(0))
+          }
+          base.join(keys, Seq("k"), "left_semi")
+        })
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    // ONLY b rescans — a/c/d must take the incremental path
+    assert(asked.toSet === Set("b"), s"rescanned: $asked")
+    assert(out.toSeq === Seq(
+      ("a", 2L, 12L, 4L),  // fold: max extends, min untouched
+      ("b", 3L, 5L, 2L),   // authoritative rescan after min died
+      ("c", 4L, 6L, 1L),   // interior delete: bounds stand, count drops
+      ("d", 7L, 7L, 1L)    // new group from inserts alone
+    ))
+  }
+
+  test("min/max MV refresh: a group whose count dies is dropped without touching the base") {
+    import spark.implicits._
+    val mv = Seq(("x", 5L, 5L, 1L)).toDF("k", "mn", "mx", "n")
+    val changes = Seq(("x", 5L, "delete")).toDF("k", "m", "_change_type")
+    val out = graft.operators.IncrementalOps
+      .refreshMinMax(mv, changes, "k", col("m"), "mn", "mx", "n",
+        rescan = keys => {
+          // a dead group never reaches the rescan (its _n is 0)
+          assert(keys.isEmpty, "dead group must not rescan")
+          keys.withColumn("m", lit(0L))
+        })
+      .collect()
+    assert(out.isEmpty)
+  }
+
   test("MV refresh fails loudly on an unknown change type") {
     import spark.implicits._
     val mv = Seq(("a", 1L, 1L)).toDF("k", "s", "n")
