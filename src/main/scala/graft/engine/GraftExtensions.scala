@@ -19,12 +19,12 @@ import graft.functions.{CosineSimilarity, DotProduct, LshRewriteHint, MaxTokenFr
   * graft.functions.Functions.register stays as the dynamic/runtime API for
   * sessions graft did not build.
   *
-  * One optimizer Rule is injected: plans.LshJoinRewrite, the
-  * cosine-threshold-join -> banded-LSH-join rewrite. It fires ONLY on
-  * predicates wrapped in `lsh_rewrite_hint(...)` — a per-query opt-in, so
-  * the probabilistic rewrite can never change the semantics of unhinted
-  * joins elsewhere in the session (see its scaladoc for the correctness
-  * contract). No SparkStrategy: SURVEY.md
+  * Two optimizer Rules are injected, each with its own opt-in so neither
+  * can alter queries that never asked for it: plans.LshJoinRewrite (the
+  * cosine-threshold-join -> banded-LSH-join rewrite; fires ONLY on
+  * predicates wrapped in `lsh_rewrite_hint(...)`) and plans.MvRewrite
+  * (the materialized-view rollup rewrite; fires ONLY on base tables with
+  * a view registered in MvCatalog). No SparkStrategy: SURVEY.md
   * §4 found Catalyst's own rule families cover every rewrite the
   * reference performs or aspires to — the LSH rewrite is a graft-value
   * addition, not a parity need.
@@ -33,6 +33,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(session => new graft.plans.LshJoinRewrite(session))
+    // MV rollup rewrite: no-op until an MV is registered in MvCatalog —
+    // the registration IS the per-view opt-in (see MvRewrite's contract)
+    ext.injectOptimizerRule(session => new graft.plans.MvRewrite(session))
     register(ext, "capitalize", "uppercases a string (reference semantics)",
       es => Upper(es.head))
     register(ext, "cosine_sim", "cosine similarity of two array<float> vectors",

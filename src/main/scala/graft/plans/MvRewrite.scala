@@ -1,0 +1,278 @@
+package graft.plans
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.{DataType, DecimalType, DoubleType, StructType}
+
+/** One registered materialized view: a stored `GROUP BY keys` rollup of a
+  * base parquet table, declared precisely enough that [[MvRewrite]] can
+  * answer matching aggregate queries from it without ever scanning the
+  * base.
+  *
+  * `measures` is keyed by the CANONICAL TEXT of the aggregated argument —
+  * a bare column name (`l_quantity`) or `name::castType` when the query
+  * aggregates a cast (`l_quantity::decimal(14,2)`). The key IS the
+  * contract: registering `"x::decimal(14,2)" -> MvMeasure(sum = Some("s"))`
+  * asserts that column `s` of the MV holds `SUM(CAST(x AS DECIMAL(14,2)))`
+  * per group. The rule never re-derives this from the MV's own plan (the
+  * MV is a stored table; its lineage is gone), so a wrong declaration
+  * produces wrong rewrites — same trust model as every MV-rewrite engine
+  * (Calcite, Oracle query rewrite): the registrant vouches for the
+  * definition AND the freshness. Pair registration with the IVM refresh
+  * operators ([[graft.operators.IncrementalOps]]) to keep the stored view
+  * current, and [[MvCatalog.unregister]] before base mutations you cannot
+  * refresh through.
+  */
+final case class MvDef(
+    name: String,
+    basePath: String,
+    keys: Seq[String],
+    measures: Map[String, MvMeasure],
+    countStar: Option[String],
+    mvPath: String,
+    mvSchema: StructType
+)
+
+/** The MV columns derivable for one aggregated argument: `sum` holds the
+  * per-group SUM, `cnt` the per-group COUNT of NON-NULL values (what
+  * `count(x)` and the denominator of `avg(x)` need — `countStar` on
+  * [[MvDef]] is the all-rows count), `min`/`max` the extrema.
+  */
+final case class MvMeasure(
+    sum: Option[String] = None,
+    cnt: Option[String] = None,
+    min: Option[String] = None,
+    max: Option[String] = None
+)
+
+/** Process-wide registry of materialized views, keyed by the ABSOLUTE
+  * path of the base table they roll up. [[MvRewrite]] consults it on
+  * every Aggregate; an empty catalog makes the rule a no-op, so sessions
+  * that never register an MV pay nothing.
+  */
+object MvCatalog {
+  private val byBase = new ConcurrentHashMap[String, MvDef]()
+
+  /** Normalize a path (URI or plain) to an absolute filesystem path, so
+    * `file:/x/y`, `/x/y`, and `/x/../x/y` all key identically.
+    */
+  def normalize(p: String): String = {
+    val noScheme =
+      if (p.startsWith("file:")) new java.net.URI(p).getPath else p
+    new java.io.File(noScheme).getCanonicalFile.getAbsolutePath
+  }
+
+  def register(d: MvDef): Unit = byBase.put(normalize(d.basePath), d)
+  def unregister(basePath: String): Unit = byBase.remove(normalize(basePath))
+  def clear(): Unit = byBase.clear()
+  def isEmpty: Boolean = byBase.isEmpty
+  def lookup(basePath: String): Option[MvDef] =
+    Option(byBase.get(normalize(basePath)))
+}
+
+/** Optimizer rule: answer matching aggregate queries from a registered
+  * materialized view instead of the base table — the classic OLAP
+  * "aggregate rollup" rewrite (Oracle query rewrite, Calcite
+  * MaterializedViewRule), Spark-native. Paired with the IVM refresh
+  * operators this closes the loop the reference's cache crate only
+  * gestures at (`/root/reference/crates/cache/src/lib.rs`: a RecordBatch
+  * cache with planned CDC invalidation): the MV is maintained
+  * incrementally from the changelog AND queries are routed to it
+  * automatically.
+  *
+  * Matched shape (anywhere in the plan, including subqueries-as-joined
+  * subtrees):
+  * {{{ Aggregate(G, A, [Project*|Filter*] LogicalRelation(basePath)) }}}
+  * where, against the registered [[MvDef]] for `basePath`:
+  *  - every grouping expression is a bare base column in `keys` (a
+  *    SUBSET regroup is the point: the MV stores the finest grouping,
+  *    queries roll it up further);
+  *  - every Filter conjunct references only `keys` columns (key
+  *    predicates commute with the rollup, so they re-apply verbatim on
+  *    the MV's key columns; any non-key predicate disqualifies — it
+  *    would need base rows the MV no longer has);
+  *  - every aggregate function is derivable:
+  *      sum(x)   -> sum(mv.sum_x)
+  *      count(*) -> coalesce(sum(mv.n), 0)       (empty input: COUNT is 0)
+  *      count(x) -> coalesce(sum(mv.cnt_x), 0)
+  *      min(x)   -> min(mv.min_x)   /  max(x) -> max(mv.max_x)
+  *      avg(x)   -> sum(mv.sum_x) / sum(mv.cnt_x)   (double avg only —
+  *                  decimal avg has engine-defined rounding the two-step
+  *                  derivation would not reproduce, so it bails)
+  *    DISTINCT and FILTER'd aggregates bail (not derivable from a
+  *    rollup). `x` matches by the measure-key canonical text, so
+  *    `sum(cast(x as decimal(14,2)))` finds the `x::decimal(14,2)`
+  *    measure.
+  *
+  * The rewritten Aggregate preserves the original output exprIds (parents
+  * of the Aggregate are untouched), regroups the MV on its key columns,
+  * and casts any re-aggregated result back to the original type (e.g.
+  * SUM over decimal(24,2) partials widens to decimal(34,2); the cast
+  * back to (24,2) is exact for any value the original query could have
+  * produced). A rewrite that cannot preserve semantics exactly does not
+  * fire — the rule either returns an equivalent plan or the original.
+  *
+  * FP caveat, stated rather than hidden: for DOUBLE sums the rollup
+  * re-associates the addition, so results can differ in the last ulp
+  * from the direct scan — the standard MV-rewrite contract in every
+  * engine. Exact types (long, decimal) are bit-identical.
+  *
+  * OPT-IN, twice over: the rule is inert until (a) an MV is registered
+  * for the scanned base AND (b) the session sets
+  * `spark.graft.mv.rewrite.enabled=true` (default FALSE — same contract
+  * as Oracle's QUERY_REWRITE_ENABLED, and the same philosophy as the
+  * LSH hint: a rewrite that changes which stored data a query reads
+  * must be asked for, or registering one MV would silently re-route
+  * every matching aggregate in the process — including benchmark scans
+  * whose entire point is to measure the base-table plan).
+  *
+  * At 100 TB this is the difference between an aggregate dashboard query
+  * costing a full-table scan and costing a scan of a keys-sized rollup:
+  * the MV is smaller than the base by the group cardinality ratio, and
+  * the IVM operators keep it fresh for O(churn) per refresh.
+  */
+class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  private case object Bail extends Exception { override def fillInStackTrace(): Throwable = this }
+  private def bail(): Nothing = throw Bail
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (MvCatalog.isEmpty ||
+      !conf.getConfString("spark.graft.mv.rewrite.enabled", "false").toBoolean) plan
+    else plan.transformUp {
+      case agg: Aggregate =>
+        try rewrite(agg).getOrElse(agg)
+        catch { case Bail => agg }
+    }
+  }
+
+  /** Peel attribute-only Projects and Filters down to a single-root
+    * parquet LogicalRelation, accumulating filter conjuncts. Any other
+    * node shape means the subtree is not a plain base-table aggregate.
+    */
+  private def strip(
+      p: LogicalPlan,
+      conds: Seq[Expression]
+  ): Option[(Seq[Expression], LogicalRelation)] = p match {
+    case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+      strip(c, conds)
+    case Filter(cond, c) => strip(c, conds ++ splitConjuncts(cond))
+    case lr: LogicalRelation => Some((conds, lr))
+    case _ => None
+  }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case other     => Seq(other)
+  }
+
+  /** The canonical measure-key text of an aggregated argument. */
+  private def measureKey(e: Expression): Option[String] = e match {
+    case a: AttributeReference => Some(a.name)
+    case Cast(a: AttributeReference, dt, _, _) =>
+      Some(s"${a.name}::${dt.catalogString}")
+    case _ => None
+  }
+
+  private def rewrite(agg: Aggregate): Option[LogicalPlan] = {
+    val (conds, lr) = strip(agg.child, Nil).getOrElse(return None)
+    val roots = lr.relation match {
+      case h: HadoopFsRelation => h.location.rootPaths.map(_.toUri.getPath)
+      case _                   => return None
+    }
+    if (roots.length != 1) return None
+    val d = MvCatalog.lookup(roots.head).getOrElse(return None)
+    val keyNames = d.keys.toSet
+
+    // grouping: bare key columns only
+    val groupAttrs = agg.groupingExpressions.map {
+      case a: AttributeReference if keyNames(a.name) => a
+      case _                                         => return None
+    }
+    // filters: key-column references only
+    if (!conds.forall(_.references.forall(a => keyNames(a.name)))) return None
+
+    // fresh MV scan per rewrite site: new exprIds every time, so one MV
+    // answering two aggregates in one query never collides
+    val mvScan = spark.read.schema(d.mvSchema).parquet(d.mvPath)
+      .queryExecution.analyzed
+    val mvAttrByName = mvScan.output.map(a => a.name -> a).toMap
+    def mvAttr(n: String): Attribute = mvAttrByName.getOrElse(n, bail())
+
+    def measure(arg: Expression): MvMeasure =
+      measureKey(arg).flatMap(d.measures.get).getOrElse(bail())
+
+    def sumOf(col: String): Expression =
+      new Sum(mvAttr(col)).toAggregateExpression()
+
+    def rewriteAggFn(ae: AggregateExpression): Expression = {
+      if (ae.isDistinct || ae.filter.isDefined) bail()
+      val replaced: Expression = ae.aggregateFunction match {
+        case Sum(c, _) => sumOf(measure(c).sum.getOrElse(bail()))
+        case Min(c)    => new Min(mvAttr(measure(c).min.getOrElse(bail())))
+          .toAggregateExpression()
+        case Max(c)    => new Max(mvAttr(measure(c).max.getOrElse(bail())))
+          .toAggregateExpression()
+        case Count(Seq(Literal(v, _))) if v != null =>
+          Coalesce(Seq(sumOf(d.countStar.getOrElse(bail())), Literal(0L)))
+        case Count(Seq(c)) =>
+          Coalesce(Seq(sumOf(measure(c).cnt.getOrElse(bail())), Literal(0L)))
+        case Average(c, _) if ae.dataType == DoubleType =>
+          val m = measure(c)
+          new Divide(
+            Cast(sumOf(m.sum.getOrElse(bail())), DoubleType),
+            Cast(sumOf(m.cnt.getOrElse(bail())), DoubleType))
+        case _ => bail()
+      }
+      if (replaced.dataType != ae.dataType) castBack(replaced, ae.dataType)
+      else replaced
+    }
+
+    // re-aggregation widens exact types (SUM over decimal partials gains
+    // 10 digits of precision; SUM over the bigint count column could in
+    // principle widen too) — casting back to the original result type is
+    // exact for any value the original aggregate could have produced.
+    // Anything that would NARROW semantics (double -> decimal etc.) bails.
+    def castBack(e: Expression, to: DataType): Expression = (e.dataType, to) match {
+      case (f: DecimalType, t: DecimalType)
+          if f.scale == t.scale && f.precision >= t.precision => Cast(e, to)
+      case _ => bail()
+    }
+
+    def rewriteExpr(e: Expression): Expression = e match {
+      case ae: AggregateExpression                   => rewriteAggFn(ae)
+      case a: AttributeReference if keyNames(a.name) => mvAttr(a.name)
+      case _: AttributeReference                     => bail()
+      case other => other.mapChildren(rewriteExpr)
+    }
+
+    try {
+      val newAggList: Seq[NamedExpression] = agg.aggregateExpressions.map {
+        case a: AttributeReference if keyNames(a.name) =>
+          Alias(mvAttr(a.name), a.name)(exprId = a.exprId)
+        case al: Alias =>
+          Alias(rewriteExpr(al.child), al.name)(
+            exprId = al.exprId, qualifier = al.qualifier)
+        case _ => bail()
+      }
+      val newChild =
+        if (conds.isEmpty) mvScan
+        else Filter(
+          conds.map(c => c.transform {
+            case a: AttributeReference => mvAttr(a.name)
+          }).reduce(And(_, _)),
+          mvScan)
+      logWarning(
+        s"MvRewrite: answering aggregate over ${roots.head} from " +
+          s"materialized view '${d.name}' (${d.mvPath})")
+      Some(Aggregate(
+        groupAttrs.map(a => mvAttr(a.name)), newAggList, newChild, None))
+    } catch { case Bail => None }
+  }
+}

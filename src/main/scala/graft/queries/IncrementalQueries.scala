@@ -104,6 +104,105 @@ object IncrementalQueries {
           |FROM oldsnap o FULL OUTER JOIN newsnap n ON o.doc_id = n.doc_id
           |GROUP BY change ORDER BY change""".stripMargin
       )
+    ),
+    // MV ROLLUP REWRITE (plans.MvRewrite): the query is written against
+    // the BASE lineitem table — filter on a key, regroup to a SUBSET of
+    // the MV's keys, sum/count/min/max/derived-avg — and the optimizer
+    // answers it from a stored (l_returnflag, l_linestatus) rollup: the
+    // physical plan reads the keys-sized MV parquet, never the base
+    // (MvRewriteSpec pins the scan location; the rewrite fires only in
+    // this query's own child session, spark.graft.mv.rewrite.enabled is
+    // FALSE everywhere else). The DuckDB oracle computes from the base
+    // table directly, so the hash gate proves rewritten == direct —
+    // decimal-exact through the rollup's re-aggregation. At 100 TB this
+    // plan costs a scan of ~6 rollup rows instead of the fact table.
+    Q(
+      "q_mv_rewrite",
+      (s, dir) => {
+        val mvPath = MvFixtures.lineitemRollup(s, dir)
+        // child session: the rewrite is enabled HERE and nowhere else —
+        // a bench query aggregating lineitem in the main session must
+        // keep measuring the real base scan
+        val s2 = s.newSession()
+        s2.conf.set("spark.graft.mv.rewrite.enabled", "true")
+        val base = t(s2, dir, "lineitem")
+        base
+          .filter($"l_linestatus" === "F")
+          .groupBy($"l_returnflag")
+          .agg(
+            asDouble(sum(dec2($"l_quantity"))).as("sum_qty"),
+            count(lit(1)).as("n_rows"),
+            asDouble(min(dec2($"l_extendedprice"))).as("mn_price"),
+            asDouble(max(dec2($"l_extendedprice"))).as("mx_price"),
+            // FP-exact avg, house pattern: exact decimal sum -> double,
+            // / exact count — one IEEE division in either engine
+            (asDouble(sum(dec2($"l_extendedprice"))) /
+              count($"l_extendedprice")).as("avg_price")
+          )
+          .orderBy($"l_returnflag")
+      },
+      Some(
+        "SELECT l_returnflag, " +
+          "CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty, " +
+          "count(*) AS n_rows, " +
+          "CAST(min(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS mn_price, " +
+          "CAST(max(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS mx_price, " +
+          "CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) " +
+          "/ count(l_extendedprice) AS avg_price " +
+          "FROM lineitem WHERE l_linestatus = 'F' " +
+          "GROUP BY l_returnflag ORDER BY l_returnflag"
+      )
     )
   )
+}
+
+/** Materialized-view fixtures shared by q_mv_rewrite and MvRewriteSpec:
+  * build the (l_returnflag, l_linestatus) rollup of lineitem once per
+  * (fixture dir, process), register it in [[graft.plans.MvCatalog]], and
+  * return its path. The measure keys are the canonical argument texts
+  * [[graft.plans.MvRewrite]] matches (see its scaladoc): the decimal-cast
+  * sums/extrema under `col::decimal(14,2)`, the raw-column non-null
+  * counts under the bare name.
+  */
+object MvFixtures {
+  import org.apache.spark.sql.SparkSession
+
+  def lineitemRollup(s: SparkSession, dir: String): String = {
+    val root =
+      graft.engine.TempDirs.workspace("graft-mv", "lineitem_rfls", dir)
+    val mvPath = root.resolve("mv.parquet").toString
+    graft.engine.TempDirs.materializeOnce(root)(
+      new java.io.File(mvPath, "_SUCCESS").exists()) {
+      QueryUtil.t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(QueryUtil.dec2(col("l_quantity"))).as("s_qty"),
+          count(col("l_quantity")).as("c_qty"),
+          sum(QueryUtil.dec2(col("l_extendedprice"))).as("s_price"),
+          count(col("l_extendedprice")).as("c_price"),
+          min(QueryUtil.dec2(col("l_extendedprice"))).as("mn_price"),
+          max(QueryUtil.dec2(col("l_extendedprice"))).as("mx_price"),
+          count(lit(1)).as("n")
+        )
+        .write.mode("overwrite").parquet(mvPath)
+    }
+    graft.plans.MvCatalog.register(graft.plans.MvDef(
+      name = "lineitem_by_flag_status",
+      basePath = s"$dir/lineitem.parquet",
+      keys = Seq("l_returnflag", "l_linestatus"),
+      measures = Map(
+        "l_quantity::decimal(14,2)" ->
+          graft.plans.MvMeasure(sum = Some("s_qty")),
+        "l_quantity" -> graft.plans.MvMeasure(cnt = Some("c_qty")),
+        "l_extendedprice::decimal(14,2)" -> graft.plans.MvMeasure(
+          sum = Some("s_price"), min = Some("mn_price"),
+          max = Some("mx_price")),
+        "l_extendedprice" -> graft.plans.MvMeasure(cnt = Some("c_price"))
+      ),
+      countStar = Some("n"),
+      mvPath = mvPath,
+      mvSchema = s.read.parquet(mvPath).schema
+    ))
+    mvPath
+  }
 }

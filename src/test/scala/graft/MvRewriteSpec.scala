@@ -1,0 +1,162 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+
+import graft.plans.{MvCatalog, MvDef, MvMeasure}
+
+/** plans.MvRewrite: the aggregate-rollup rewrite answers matching queries
+  * from the stored MV (scan-location pinned), preserves results exactly,
+  * and REFUSES every shape it cannot derive — non-key filters, distinct
+  * aggregates, unregistered measures, disabled sessions. Uses its own
+  * synthetic base (nulls in the measure column, multiple groups) rather
+  * than a fixture, so null-aware avg/count derivations are actually
+  * exercised.
+  */
+class MvRewriteSpec extends SparkTestBase with BeforeAndAfterAll {
+
+  private var basePath: String = _
+  private var mvPath: String = _
+  // the rewrite-enabled session; built in beforeAll
+  private var s2: SparkSession = _
+
+  override protected def beforeAll(): Unit = {
+    super.beforeAll()
+    val dir = tempDir("graft-mv-spec")
+    basePath = s"$dir/base.parquet"
+    mvPath = s"$dir/mv.parquet"
+    import spark.implicits._
+    // x: double with nulls (one group all-null), y: long, keys (k, g)
+    Seq(
+      ("a", "p", Some(1.5), 10L), ("a", "p", Some(2.5), 20L),
+      ("a", "q", None, 30L), ("a", "q", Some(4.0), 40L),
+      ("b", "p", Some(-1.0), 50L), ("b", "q", None, 60L),
+      ("b", "q", None, 70L), ("c", "p", Some(0.25), 80L)
+    ).toDF("k", "g", "x", "y").write.mode("overwrite").parquet(basePath)
+
+    val base = spark.read.parquet(basePath)
+    base.groupBy($"k", $"g")
+      .agg(
+        sum($"y").as("s_y"), count($"y").as("c_y"),
+        sum($"x").as("s_x"), count($"x").as("c_x"),
+        min($"x").as("mn_x"), max($"x").as("mx_x"),
+        count(lit(1)).as("n")
+      )
+      .write.mode("overwrite").parquet(mvPath)
+
+    MvCatalog.register(MvDef(
+      name = "spec_rollup",
+      basePath = basePath,
+      keys = Seq("k", "g"),
+      measures = Map(
+        "y" -> MvMeasure(sum = Some("s_y"), cnt = Some("c_y")),
+        "x" -> MvMeasure(sum = Some("s_x"), cnt = Some("c_x"),
+          min = Some("mn_x"), max = Some("mx_x"))
+      ),
+      countStar = Some("n"),
+      mvPath = mvPath,
+      mvSchema = spark.read.parquet(mvPath).schema
+    ))
+
+    s2 = spark.newSession()
+    s2.conf.set("spark.graft.mv.rewrite.enabled", "true")
+  }
+
+  override protected def afterAll(): Unit = {
+    MvCatalog.unregister(basePath)
+    super.afterAll()
+  }
+
+  /** Root paths of every file scan in the PRE-AQE physical plan (AQE wraps
+    * executedPlan in an opaque adaptive node; the static plan is the one
+    * the rewrite shapes).
+    */
+  private def scanPaths(df: DataFrame): Seq[String] =
+    df.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec =>
+        f.relation.location.rootPaths.map(_.toUri.getPath)
+    }.flatten
+
+  private def readsMv(df: DataFrame): Boolean = {
+    val paths = scanPaths(df)
+    paths.exists(_.contains("mv.parquet")) &&
+      !paths.exists(_.contains("base.parquet"))
+  }
+
+  private def query(s: SparkSession): DataFrame = {
+    val b = s.read.parquet(basePath)
+    b.filter(col("g") === "q")
+      .groupBy(col("k"))
+      .agg(
+        sum(col("y")).as("sy"),
+        count(lit(1)).as("n"),
+        count(col("x")).as("cx"),
+        min(col("x")).as("mn"),
+        max(col("x")).as("mx"),
+        avg(col("x")).as("av")
+      )
+      .orderBy(col("k"))
+  }
+
+  test("rewrite fires: scans the MV, results identical to the direct plan") {
+    val rewritten = query(s2)
+    assert(readsMv(rewritten), s"expected MV scan, got ${scanPaths(rewritten)}")
+    val direct = query(spark)
+    assert(!readsMv(direct))
+    assert(rewritten.schema === direct.schema)
+    val r = rewritten.collect().map(_.toSeq)
+    val d = direct.collect().map(_.toSeq)
+    // exact for long sum/counts/min/max; the avg column is a double
+    // derived sum/cnt both ways here (same arithmetic), and the all-null
+    // group ("b","q") must yield avg NULL, cx 0 through the rollup too
+    assert(r.toSeq === d.toSeq)
+    val bRow = r.find(_.head == "b").get
+    assert(bRow(3) === 0L && bRow(6) == null)
+  }
+
+  test("count(*) over an empty selection is 0 through the MV, not null") {
+    val q = s2.read.parquet(basePath)
+      .filter(col("g") === "zzz")
+      .agg(count(lit(1)).as("n"))
+    assert(readsMv(q))
+    assert(q.collect().head.getLong(0) === 0L)
+  }
+
+  test("global (no group-by) aggregate rewrites and matches") {
+    val q = s2.read.parquet(basePath)
+      .agg(sum(col("y")).as("sy"), count(lit(1)).as("n"))
+    assert(readsMv(q))
+    assert(q.collect().head.toSeq === Seq(360L, 8L))
+  }
+
+  test("non-key filter disqualifies: the MV has no base rows to re-filter") {
+    val q = s2.read.parquet(basePath)
+      .filter(col("y") > 20L)
+      .groupBy(col("k")).agg(sum(col("y")).as("sy"))
+    assert(!readsMv(q) && scanPaths(q).exists(_.contains("base.parquet")))
+  }
+
+  test("distinct aggregate disqualifies: not derivable from a rollup") {
+    val q = s2.read.parquet(basePath)
+      .groupBy(col("k")).agg(countDistinct(col("y")).as("dy"))
+    assert(!readsMv(q))
+  }
+
+  test("unregistered aggregate function (stddev) disqualifies") {
+    val q = s2.read.parquet(basePath)
+      .groupBy(col("k")).agg(stddev(col("x")).as("sd"))
+    assert(!readsMv(q))
+  }
+
+  test("grouping by a non-key column disqualifies") {
+    val q = s2.read.parquet(basePath)
+      .groupBy(col("y")).agg(count(lit(1)).as("n"))
+    assert(!readsMv(q))
+  }
+
+  test("default session never rewrites: the conf gate is opt-in") {
+    assert(!readsMv(query(spark)))
+  }
+}
