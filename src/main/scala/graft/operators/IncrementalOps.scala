@@ -193,6 +193,74 @@ object IncrementalOps {
     fast.unionByName(rescanned)
   }
 
+  /** Incremental JOIN-view maintenance — the third IVM class alongside
+    * [[refreshSumCount]] (delta-invertible aggregates) and
+    * [[refreshMinMax]] (extremum rescan): a stored inner equi-join view
+    * `fact JOIN dim ON joinKey` refreshed from BOTH sides' changelogs
+    * without ever rescanning either base table.
+    *
+    * The algebra is delta-scoped recompute rather than signed-delta
+    * arithmetic: the changelogs are read ONLY for their churned key sets
+    * (`factKey`s touched on the fact side, `joinKey`s touched on the dim
+    * side — change types are irrelevant, because the affected region is
+    * re-derived from the CURRENT base state through caller-supplied keyed
+    * readers, the same authoritative-read contract as refreshMinMax's
+    * rescan). View rows touching neither set pass through untouched; the
+    * affected region — current fact rows whose pk churned or whose
+    * joinKey's dim row churned — rejoins against exactly the dim rows it
+    * references. That covers every hard case pure view-side approaches
+    * miss: a fact update that MOVES a row between two un-churned dims, a
+    * dim insert that makes previously-unmatched fact rows appear in the
+    * view for the first time (those rows exist nowhere in the old view),
+    * and a dim delete that kills its fact rows through inner-join
+    * semantics rather than through explicit delete handling.
+    *
+    * Preconditions (the standard star-join view contract): `factKey` is
+    * unique per fact row, `joinKey` is the dim's primary key (N:1 join),
+    * and the readers return CURRENT base rows for exactly the requested
+    * keys. 100 TB shape: two broadcastable churn-key anti-joins over the
+    * view plus keyed base reads proportional to churn — with the bases
+    * stored partitioned/bucketed by their keys, every read prunes; a
+    * stored-table deployment feeds the same key sets to a MERGE so only
+    * touched files rewrite.
+    */
+  def refreshJoin(
+      mv: DataFrame,
+      factChanges: DataFrame,
+      dimChanges: DataFrame,
+      factKey: String,
+      joinKey: String,
+      factByPk: DataFrame => DataFrame,
+      factByJoinKey: DataFrame => DataFrame,
+      dimByJoinKey: DataFrame => DataFrame
+  ): DataFrame = {
+    val churnedPks = factChanges.select(col(factKey)).distinct()
+    val churnedDims = dimChanges.select(col(joinKey)).distinct()
+    // untouched view rows: neither their fact pk nor their dim key churned.
+    // Null-safe anti-join conditions: a null fact/join key in the view must
+    // still match a null churn key (nulls never join in the inner view, but
+    // the guard keeps the pass-through well-defined if the caller's view
+    // carries them)
+    val passThrough = mv.as("v")
+      .join(churnedPks.as("cp"), col(s"v.$factKey") <=> col(s"cp.$factKey"),
+        "left_anti")
+      .as("v2")
+      .join(churnedDims.as("cd"), col(s"v2.$joinKey") <=> col(s"cd.$joinKey"),
+        "left_anti")
+    // the affected region, from CURRENT base state: fact rows whose pk
+    // churned plus fact rows pointing at a churned dim (distinct by pk —
+    // a row can be in both sets)
+    val affectedFacts = factByPk(churnedPks)
+      .unionByName(factByJoinKey(churnedDims))
+      .dropDuplicates(factKey)
+    // exactly the dim rows the region references (churned or not: a fact
+    // update may move a row UNDER an un-churned dim)
+    val neededDims = affectedFacts.select(col(joinKey)).distinct()
+    val regionRows = affectedFacts
+      .join(dimByJoinKey(neededDims), Seq(joinKey), "inner")
+    passThrough.unionByName(regionRows.select(passThrough.columns.map(col): _*))
+  }
+
   /** Snapshot diff: classify every key as added / removed / changed /
     * unchanged between two snapshots, comparing `compareCols`. The audit
     * primitive for corpus versioning ("what did this crawl refresh

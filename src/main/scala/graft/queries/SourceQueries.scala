@@ -1385,6 +1385,61 @@ object SourceQueries {
           "GROUP BY 1 ORDER BY 1"
       )
     ),
+    // JOIN-VIEW IVM — the third maintenance class: a stored
+    // part-join-band-dim view refreshed from BOTH sides' churn without
+    // rescanning either base. The fact side churns through the real
+    // iceberg changelog (s3 pos-deletes, s4 eq-delete, s5 re-append);
+    // the dim side relabels band 0 (delete+insert) and INSERTS band 3 —
+    // whose fact rows were unmatched at MV-build time and exist nowhere
+    // in the old view, the case pure view-side delta approaches cannot
+    // produce. Pass-through (band-1 rows the fact churn missed) flows
+    // untouched; every keyed read is churn-scoped. The oracle is the
+    // full recompute of the join over the final live state of both
+    // sides, so the hash gate proves region-recompute == recompute.
+    Q(
+      "q_mv_join",
+      (s, dir) => {
+        import s.implicits._
+        val root = fixtureIcebergV2Table(s, dir)
+        val dim0 = Seq((0, "b0"), (1, "b1"), (2, "b2"))
+          .toDF("p_band", "band_name")
+        val dimNow =
+          Seq((0, "band-zero"), (1, "b1"), (2, "b2"), (3, "band-three"))
+            .toDF("p_band", "band_name")
+        val dimChanges = Seq(
+          ("delete", 0, "b0"), ("insert", 0, "band-zero"),
+          ("insert", 3, "band-three")
+        ).toDF("_change_type", "p_band", "band_name")
+        // col(), not the $ interpolator: s.implicits (needed for toDF)
+        // would make $ ambiguous with QueryUtil's interpolator
+        val factCols = Seq("p_partkey", "p_name", "p_size", "p_band").map(col)
+        val baseAtS2 = graft.sources.IcebergSource
+          .read(s, root, snapshotId = Some(2L), asOfTimestampMs = None,
+            prune = None)
+          .select(factCols: _*)
+        val mv = baseAtS2.join(dim0, Seq("p_band"), "inner")
+        val factChanges = graft.sources.IcebergSource
+          .readChangelog(s, root, fromSnapshotId = 2L)
+        def cur = graft.sources.IcebergSource.read(s, root)
+          .select(factCols: _*)
+        graft.operators.IncrementalOps
+          .refreshJoin(mv, factChanges, dimChanges,
+            factKey = "p_partkey", joinKey = "p_band",
+            factByPk = keys => cur.join(keys, Seq("p_partkey"), "left_semi"),
+            factByJoinKey = keys => cur.join(keys, Seq("p_band"), "left_semi"),
+            dimByJoinKey = keys => dimNow.join(keys, Seq("p_band"), "left_semi"))
+          .orderBy(col("p_partkey"))
+      },
+      Some(
+        "SELECT CAST(p_partkey % 4 AS INT) AS p_band, p_partkey, p_name, " +
+          "p_size, band_name FROM part " +
+          "JOIN (VALUES (0, 'band-zero'), (1, 'b1'), (2, 'b2'), " +
+          "(3, 'band-three')) AS d(b, band_name) ON p_partkey % 4 = b " +
+          "WHERE (p_partkey % 4 IN (0,1,3) AND p_size >= 25) " +
+          "OR (p_partkey % 4 = 2 AND p_size > 30) " +
+          "ORDER BY p_partkey"
+      )
+    ),
     // The SECOND DPP shape: subquery pruning WITHOUT a broadcast to reuse.
     // The dim is merge-join-hinted (stand-in for a dim too big to
     // broadcast), so there is no broadcast result to piggyback on —
