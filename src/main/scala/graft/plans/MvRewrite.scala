@@ -58,6 +58,15 @@ final case class MvMeasure(
   */
 object MvCatalog {
   private val byBase = new ConcurrentHashMap[String, MvDef]()
+  // analyzed MV scans, keyed by mvPath: building one lists the MV's files,
+  // so doing it inside the optimizer on EVERY pass of every matching query
+  // is planning-time overhead that grows with compilation rate. The cache
+  // is invalidated whenever the catalog changes (register/unregister/
+  // clear) — the moments the MV's definition or its stored files can move.
+  // Rewrite sites take a fresh-exprId copy via newInstance(), never the
+  // cached node itself (two sites in one query must not collide).
+  private val scanCache =
+    new ConcurrentHashMap[String, LogicalRelation]()
 
   /** Normalize a path (URI or plain) to an absolute filesystem path, so
     * `file:/x/y`, `/x/y`, and `/x/../x/y` all key identically.
@@ -68,12 +77,29 @@ object MvCatalog {
     new java.io.File(noScheme).getCanonicalFile.getAbsolutePath
   }
 
-  def register(d: MvDef): Unit = byBase.put(normalize(d.basePath), d)
-  def unregister(basePath: String): Unit = byBase.remove(normalize(basePath))
-  def clear(): Unit = byBase.clear()
+  def register(d: MvDef): Unit = {
+    byBase.put(normalize(d.basePath), d)
+    scanCache.remove(d.mvPath): Unit
+  }
+  def unregister(basePath: String): Unit =
+    Option(byBase.remove(normalize(basePath)))
+      .foreach(d => scanCache.remove(d.mvPath): Unit)
+  def clear(): Unit = { byBase.clear(); scanCache.clear() }
   def isEmpty: Boolean = byBase.isEmpty
   def lookup(basePath: String): Option[MvDef] =
     Option(byBase.get(normalize(basePath)))
+
+  /** A fresh-exprId analyzed scan of the stored MV (file listing cached
+    * across rewrite sites; exprIds unique per call).
+    */
+  private[plans] def analyzedScan(
+      spark: SparkSession, mvPath: String, mvSchema: StructType): LogicalPlan =
+    scanCache.computeIfAbsent(mvPath, _ =>
+      spark.read.schema(mvSchema).parquet(mvPath)
+        .queryExecution.analyzed.collectFirst { case lr: LogicalRelation => lr }
+        .getOrElse(throw new IllegalStateException(
+          s"MV scan of $mvPath did not analyze to a LogicalRelation"))
+    ).newInstance()
 }
 
 /** Optimizer rule: answer matching aggregate queries from a registered
@@ -195,13 +221,20 @@ class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       case a: AttributeReference if keyNames(a.name) => a
       case _                                         => return None
     }
-    // filters: key-column references only
-    if (!conds.forall(_.references.forall(a => keyNames(a.name)))) return None
+    // filters: DETERMINISTIC, key-column references only. The determinism
+    // check is load-bearing: a conjunct like rand() < 0.5 has EMPTY
+    // references (vacuously key-only) but re-applying it on the MV
+    // evaluates it once per GROUP instead of once per base row — a silent
+    // semantics change (count(*) under a sampled filter), so it bails like
+    // every other non-commuting shape.
+    if (!conds.forall(c =>
+        c.deterministic && c.references.forall(a => keyNames(a.name))))
+      return None
 
-    // fresh MV scan per rewrite site: new exprIds every time, so one MV
-    // answering two aggregates in one query never collides
-    val mvScan = spark.read.schema(d.mvSchema).parquet(d.mvPath)
-      .queryExecution.analyzed
+    // fresh-exprId MV scan per rewrite site (file listing cached in the
+    // catalog), so one MV answering two aggregates in one query never
+    // collides
+    val mvScan = MvCatalog.analyzedScan(spark, d.mvPath, d.mvSchema)
     val mvAttrByName = mvScan.output.map(a => a.name -> a).toMap
     def mvAttr(n: String): Attribute = mvAttrByName.getOrElse(n, bail())
 

@@ -117,6 +117,14 @@ object MaterializedAgg {
       require(changes.filter($"k".isNull).isEmpty,
         s"refreshStep: the key expression produced null keys — MERGE " +
           "cannot maintain a null group; coalesce the key to a sentinel")
+      // the reserved watermark sentinel must be guarded as loudly as null:
+      // a changelog row with key == Long.MinValue would put two k=MinValue
+      // rows (the group AND the watermark) into one mergeRows call,
+      // silently corrupting the view's cursor. The frame is already
+      // cached, so this is a cheap second action.
+      require(changes.filter($"k" === WatermarkKey).isEmpty,
+        s"refreshStep: key expression produced the reserved watermark " +
+          s"sentinel $WatermarkKey (Long.MinValue) — remap that key value")
       val refreshed = IncrementalOps.refreshSumCount(
         // null-SAFE watermark exclusion: =!= on a null key is null and
         // would silently drop a stored null-key group from the MV side
