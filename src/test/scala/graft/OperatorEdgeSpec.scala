@@ -322,6 +322,141 @@ class OperatorEdgeSpec extends SparkTestBase {
     assert(out.isEmpty)
   }
 
+  test("join-view refresh: a fact row moving between two UN-churned dims rejoins correctly, reads churn-scoped") {
+    import spark.implicits._
+    // view grain: (jk, pk, v, name) = fact JOIN dim. f1 moved d1 -> d2 in
+    // the current base; neither dim churned. Pure view-side delta
+    // approaches miss this (the d2 dim row was never touched); the
+    // region recompute must re-read f1 and the dim it NOW references.
+    val factsNow = Seq((1L, "d2", 10L), (2L, "d1", 20L), (3L, "d2", 30L))
+      .toDF("pk", "jk", "v")
+    val dimNow = Seq(("d1", "one"), ("d2", "two")).toDF("jk", "name")
+    val mv = Seq(("d1", 1L, 10L, "one"), ("d1", 2L, 20L, "one"),
+      ("d2", 3L, 30L, "two")).toDF("jk", "pk", "v", "name")
+    val factChanges = Seq(("delete", 1L, "d1", 10L), ("insert", 1L, "d2", 10L))
+      .toDF("_change_type", "pk", "jk", "v")
+    val dimChanges = Seq.empty[(String, String, String)]
+      .toDF("_change_type", "jk", "name")
+    val askedPk = scala.collection.mutable.Set[Long]()
+    val askedFactJk = scala.collection.mutable.Set[String]()
+    val askedDimJk = scala.collection.mutable.Set[String]()
+    val out = graft.operators.IncrementalOps
+      .refreshJoin(mv, factChanges, dimChanges, "pk", "jk",
+        factByPk = keys => {
+          askedPk.synchronized { askedPk ++= keys.collect().map(_.getLong(0)) }
+          factsNow.join(keys, Seq("pk"), "left_semi")
+        },
+        factByJoinKey = keys => {
+          askedFactJk.synchronized {
+            askedFactJk ++= keys.collect().map(_.getString(0))
+          }
+          factsNow.join(keys, Seq("jk"), "left_semi")
+        },
+        dimByJoinKey = keys => {
+          askedDimJk.synchronized {
+            askedDimJk ++= keys.collect().map(_.getString(0))
+          }
+          dimNow.join(keys, Seq("jk"), "left_semi")
+        })
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._2)
+    // churn-scoped reads: ONLY the churned pk; no dim churn means the
+    // fact-by-joinkey read gets an empty key set; the dim read is asked
+    // for exactly the key the moved row NOW references
+    assert(askedPk.toSet === Set(1L), s"factByPk asked: $askedPk")
+    assert(askedFactJk.isEmpty, s"factByJoinKey asked: $askedFactJk")
+    assert(askedDimJk.toSet === Set("d2"), s"dimByJoinKey asked: $askedDimJk")
+    assert(out.toSeq === Seq(
+      ("d2", 1L, 10L, "two"), // moved: rejoined under its NEW dim
+      ("d1", 2L, 20L, "one"), // pass-through, untouched
+      ("d2", 3L, 30L, "two")  // pass-through, untouched
+    ))
+  }
+
+  test("join-view refresh: dim relabel rewrites its facts; dim insert backfills PRE-EXISTING facts; dim delete kills its facts") {
+    import spark.implicits._
+    // f4 -> d3 predates the view but was unmatched at build time (no d3
+    // dim row): it exists NOWHERE in the old view, so only the
+    // current-base region read can produce it. d2's dim row is deleted:
+    // f3 must die through inner-join semantics, with no explicit
+    // fact-side delete. f5/d5 are untouched and must pass through.
+    val factsNow = Seq((1L, "d1", 10L), (2L, "d1", 20L), (3L, "d2", 30L),
+      (4L, "d3", 40L), (5L, "d5", 50L)).toDF("pk", "jk", "v")
+    val dimNow = Seq(("d1", "uno"), ("d3", "three"), ("d5", "five"))
+      .toDF("jk", "name")
+    val mv = Seq(("d1", 1L, 10L, "one"), ("d1", 2L, 20L, "one"),
+      ("d2", 3L, 30L, "two"), ("d5", 5L, 50L, "five"))
+      .toDF("jk", "pk", "v", "name")
+    val factChanges = Seq.empty[(String, Long, String, Long)]
+      .toDF("_change_type", "pk", "jk", "v")
+    val dimChanges = Seq(
+      ("delete", "d1", "one"), ("insert", "d1", "uno"),
+      ("insert", "d3", "three"), ("delete", "d2", "two")
+    ).toDF("_change_type", "jk", "name")
+    val askedFactJk = scala.collection.mutable.Set[String]()
+    val out = graft.operators.IncrementalOps
+      .refreshJoin(mv, factChanges, dimChanges, "pk", "jk",
+        factByPk = keys => {
+          // no fact churn: an empty key frame must stay an empty read
+          assert(keys.isEmpty, "factByPk must not be asked without fact churn")
+          factsNow.join(keys, Seq("pk"), "left_semi")
+        },
+        factByJoinKey = keys => {
+          askedFactJk.synchronized {
+            askedFactJk ++= keys.collect().map(_.getString(0))
+          }
+          factsNow.join(keys, Seq("jk"), "left_semi")
+        },
+        dimByJoinKey = keys => dimNow.join(keys, Seq("jk"), "left_semi"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._2)
+    assert(askedFactJk.toSet === Set("d1", "d2", "d3"),
+      s"factByJoinKey asked: $askedFactJk")
+    assert(out.toSeq === Seq(
+      ("d1", 1L, 10L, "uno"),   // relabel reaches existing fact rows
+      ("d1", 2L, 20L, "uno"),
+      ("d3", 4L, 40L, "three"), // backfill: fact predates the view
+      ("d5", 5L, 50L, "five")   // pass-through; f3 is GONE (dim deleted)
+    ))
+  }
+
+  test("join-view refresh: null join keys pass through unchurned, and die through inner-join semantics when churned") {
+    import spark.implicits._
+    // a caller's view may carry a null-join-key row (e.g. an outer-join
+    // view fed to the maintainer); the contract is: untouched -> passes
+    // through byte-identical; churned -> routed to the region recompute,
+    // where the inner join's plain equality drops it (nulls never join)
+    val factsNow = Seq((1L, Option("d1"), 10L), (9L, Option.empty[String], 90L))
+      .toDF("pk", "jk", "v")
+    val dimNow = Seq(("d1", "one")).toDF("jk", "name")
+    val mv = Seq((Option("d1"), 1L, 10L, "one"),
+      (Option.empty[String], 9L, 90L, "?")).toDF("jk", "pk", "v", "name")
+    val noFactChurn = Seq.empty[(String, Long, String, Long)]
+      .toDF("_change_type", "pk", "jk", "v")
+    def run(dimChanges: org.apache.spark.sql.DataFrame) =
+      graft.operators.IncrementalOps
+        .refreshJoin(mv, noFactChurn, dimChanges, "pk", "jk",
+          factByPk = keys => factsNow.join(keys, Seq("pk"), "left_semi"),
+          factByJoinKey = keys => factsNow.as("f")
+            .join(keys.as("ks"), col("f.jk") <=> col("ks.jk"), "left_semi"),
+          dimByJoinKey = keys => dimNow.join(keys, Seq("jk"), "left_semi"))
+        .collect()
+        .map(r => (if (r.isNullAt(0)) null else r.getString(0),
+          r.getLong(1), r.getString(3)))
+        .sortBy(_._2)
+    // no churn at all: the null-key row survives verbatim
+    val untouched = run(Seq.empty[(String, String, String)]
+      .toDF("_change_type", "jk", "name"))
+    assert(untouched.toSeq === Seq(("d1", 1L, "one"), (null, 9L, "?")))
+    // null key churned: the row leaves pass-through and the inner
+    // rejoin (correctly) never re-emits it
+    val nullChurned = run(Seq(("delete", Option.empty[String], "?"))
+      .toDF("_change_type", "jk", "name"))
+    assert(nullChurned.toSeq === Seq(("d1", 1L, "one")))
+  }
+
   test("MV refresh fails loudly on an unknown change type") {
     import spark.implicits._
     val mv = Seq(("a", 1L, 1L)).toDF("k", "s", "n")
