@@ -5,6 +5,7 @@ import java.util.concurrent.ConcurrentHashMap
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -51,6 +52,27 @@ final case class MvMeasure(
     max: Option[String] = None
 )
 
+/** One registered JOIN materialized view: the stored result of
+  * `fact INNER JOIN dim ON <joinKeys>` at ROW grain (no pre-aggregation —
+  * the [[graft.operators.IncrementalOps.refreshJoin]] storage shape).
+  * Because the grain is identical to the join's output, [[MvRewrite]] can
+  * answer ANY deterministic aggregate over the matching join from it —
+  * including DISTINCT aggregates the rollup path must refuse — by
+  * re-rooting the whole Aggregate on the MV scan. `joinKeys` is the
+  * declared equality set as (factColumn, dimColumn) pairs; `mvSchema`
+  * names the stored columns (same trust model as [[MvDef]]: the
+  * registrant vouches that column `c` of the MV holds base column `c`,
+  * and keeps the view fresh via the IVM operators).
+  */
+final case class JoinMvDef(
+    name: String,
+    factPath: String,
+    dimPath: String,
+    joinKeys: Seq[(String, String)],
+    mvPath: String,
+    mvSchema: StructType
+)
+
 /** Process-wide registry of materialized views, keyed by the ABSOLUTE
   * path of the base table they roll up. [[MvRewrite]] consults it on
   * every Aggregate; an empty catalog makes the rule a no-op, so sessions
@@ -58,6 +80,9 @@ final case class MvMeasure(
   */
 object MvCatalog {
   private val byBase = new ConcurrentHashMap[String, MvDef]()
+  // join MVs, keyed by the (fact, dim) base-path pair
+  private val joinByBases =
+    new ConcurrentHashMap[(String, String), JoinMvDef]()
   // analyzed MV scans, keyed by mvPath: building one lists the MV's files,
   // so doing it inside the optimizer on EVERY pass of every matching query
   // is planning-time overhead that grows with compilation rate. The cache
@@ -84,10 +109,21 @@ object MvCatalog {
   def unregister(basePath: String): Unit =
     Option(byBase.remove(normalize(basePath)))
       .foreach(d => scanCache.remove(d.mvPath): Unit)
-  def clear(): Unit = { byBase.clear(); scanCache.clear() }
-  def isEmpty: Boolean = byBase.isEmpty
+  def registerJoin(d: JoinMvDef): Unit = {
+    joinByBases.put((normalize(d.factPath), normalize(d.dimPath)), d)
+    scanCache.remove(d.mvPath): Unit
+  }
+  def unregisterJoin(factPath: String, dimPath: String): Unit =
+    Option(joinByBases.remove((normalize(factPath), normalize(dimPath))))
+      .foreach(d => scanCache.remove(d.mvPath): Unit)
+  def clear(): Unit = {
+    byBase.clear(); joinByBases.clear(); scanCache.clear()
+  }
+  def isEmpty: Boolean = byBase.isEmpty && joinByBases.isEmpty
   def lookup(basePath: String): Option[MvDef] =
     Option(byBase.get(normalize(basePath)))
+  def lookupJoin(factPath: String, dimPath: String): Option[JoinMvDef] =
+    Option(joinByBases.get((normalize(factPath), normalize(dimPath))))
 
   /** A fresh-exprId analyzed scan of the stored MV (file listing cached
     * across rewrite sites; exprIds unique per call).
@@ -173,7 +209,7 @@ class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       !conf.getConfString("spark.graft.mv.rewrite.enabled", "false").toBoolean) plan
     else plan.transformUp {
       case agg: Aggregate =>
-        try rewrite(agg).getOrElse(agg)
+        try rewrite(agg).orElse(rewriteJoin(agg)).getOrElse(agg)
         catch { case Bail => agg }
     }
   }
@@ -306,6 +342,128 @@ class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           s"materialized view '${d.name}' (${d.mvPath})")
       Some(Aggregate(
         groupAttrs.map(a => mvAttr(a.name)), newAggList, newChild, None))
+    } catch { case Bail => None }
+  }
+
+  /** The JOIN-VIEW rewrite: answer an aggregate over
+    * `fact INNER JOIN dim ON <declared keys>` from a registered ROW-grain
+    * join MV ([[JoinMvDef]]). Matched shape (Projects attribute-only,
+    * Filters accumulate anywhere above the join or on either side — for
+    * an inner join they commute):
+    * {{{
+    * Aggregate(G, A,
+    *   [Project*|Filter*] Join(Inner, cond,
+    *     [Project*|Filter*] LR(factPath), [Project*|Filter*] LR(dimPath)))
+    * }}}
+    * Eligibility:
+    *  - the join condition contains EVERY declared key equality as a bare
+    *    `factCol = dimCol` conjunct (a subset join would need rows the MV
+    *    never stored); leftover conjuncts re-apply as filters on the MV;
+    *  - every filter conjunct is deterministic and references only
+    *    columns resolvable to the MV (ANY stored column, not just keys —
+    *    the MV holds the join at row grain, so row-level predicates
+    *    commute);
+    *  - grouping expressions are bare resolvable columns; aggregate
+    *    expressions are deterministic with all references resolvable —
+    *    and because the grain is identical, ANY aggregate recomputes
+    *    exactly, including the DISTINCT shapes the rollup path refuses.
+    * Name resolution is by column name against `mvSchema`; a name both
+    * base sides expose resolves only when it is a same-named declared key
+    * (the join equality makes the sides agree) — otherwise the stored
+    * column's side is unknowable and the rewrite bails.
+    */
+  private def rewriteJoin(agg: Aggregate): Option[LogicalPlan] = {
+    def stripToJoin(
+        p: LogicalPlan,
+        conds: Seq[Expression]
+    ): Option[(Seq[Expression], Join)] = p match {
+      case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+        stripToJoin(c, conds)
+      case Filter(cond, c) => stripToJoin(c, conds ++ splitConjuncts(cond))
+      case jn: Join        => Some((conds, jn))
+      case _               => None
+    }
+    def rootPath(lr: LogicalRelation): Option[String] = lr.relation match {
+      case h: HadoopFsRelation if h.location.rootPaths.length == 1 =>
+        Some(h.location.rootPaths.head.toUri.getPath)
+      case _ => None
+    }
+    val (aboveConds, jn) = stripToJoin(agg.child, Nil).getOrElse(return None)
+    if (jn.joinType != Inner) return None
+    val (lConds, lLr) = strip(jn.left, Nil).getOrElse(return None)
+    val (rConds, rLr) = strip(jn.right, Nil).getOrElse(return None)
+    val lPath = rootPath(lLr).getOrElse(return None)
+    val rPath = rootPath(rLr).getOrElse(return None)
+    val (d, factLr, dimLr) = MvCatalog.lookupJoin(lPath, rPath) match {
+      case Some(dd) => (dd, lLr, rLr)
+      case None => MvCatalog.lookupJoin(rPath, lPath) match {
+        case Some(dd) => (dd, rLr, lLr)
+        case None     => return None
+      }
+    }
+    val factIds = factLr.output.map(_.exprId).toSet
+    val dimIds = dimLr.output.map(_.exprId).toSet
+    val factNames = factLr.output.map(_.name).toSet
+    val dimNames = dimLr.output.map(_.name).toSet
+
+    // join condition: consume the declared key equalities; anything left
+    // over is an ordinary inner-join predicate and re-applies as a filter
+    val declared = d.joinKeys.toSet
+    var found = Set.empty[(String, String)]
+    val residual = jn.condition.map(splitConjuncts).getOrElse(return None)
+      .filter {
+        case EqualTo(a: AttributeReference, b: AttributeReference) =>
+          val pair =
+            if (factIds(a.exprId) && dimIds(b.exprId)) Some((a.name, b.name))
+            else if (factIds(b.exprId) && dimIds(a.exprId))
+              Some((b.name, a.name))
+            else None
+          pair match {
+            case Some(p) if declared(p) => found += p; false
+            case _                      => true
+          }
+        case _ => true
+      }
+    if (found != declared) return None
+
+    val allConds = aboveConds ++ lConds ++ rConds ++ residual
+    if (!allConds.forall(_.deterministic)) return None
+    if (!agg.aggregateExpressions.forall(_.deterministic)) return None
+
+    val mvScan = MvCatalog.analyzedScan(spark, d.mvPath, d.mvSchema)
+    val mvAttrByName = mvScan.output.map(a => a.name -> a).toMap
+    val sameNamedKeys = d.joinKeys.collect { case (f, g) if f == g => f }.toSet
+    def resolve(a: AttributeReference): Attribute = {
+      if (!factIds(a.exprId) && !dimIds(a.exprId)) bail()
+      if (factNames(a.name) && dimNames(a.name) && !sameNamedKeys(a.name))
+        bail()
+      mvAttrByName.getOrElse(a.name, bail())
+    }
+    def remap(e: Expression): Expression = e match {
+      case a: AttributeReference => resolve(a)
+      case other                 => other.mapChildren(remap)
+    }
+    try {
+      val groupExprs = agg.groupingExpressions.map {
+        case a: AttributeReference => resolve(a)
+        case _                     => bail()
+      }
+      val newAggList: Seq[NamedExpression] = agg.aggregateExpressions.map {
+        case a: AttributeReference =>
+          Alias(resolve(a), a.name)(exprId = a.exprId)
+        case al: Alias =>
+          Alias(remap(al.child), al.name)(
+            exprId = al.exprId, qualifier = al.qualifier)
+        case _ => bail()
+      }
+      val mapped = allConds.map(remap)
+      val newChild =
+        if (mapped.isEmpty) mvScan
+        else Filter(mapped.reduce(And(_, _)), mvScan)
+      logWarning(
+        s"MvRewrite: answering join aggregate over (${d.factPath} ⋈ " +
+          s"${d.dimPath}) from join view '${d.name}' (${d.mvPath})")
+      Some(Aggregate(groupExprs, newAggList, newChild, None))
     } catch { case Bail => None }
   }
 }

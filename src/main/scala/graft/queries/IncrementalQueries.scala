@@ -152,6 +152,48 @@ object IncrementalQueries {
           "FROM lineitem WHERE l_linestatus = 'F' " +
           "GROUP BY l_returnflag ORDER BY l_returnflag"
       )
+    ),
+    // JOIN-VIEW MV REWRITE (plans.MvRewrite, r14): the query is written
+    // against the BASE orders ⋈ customer join — dim filter, regroup,
+    // sum/count AND a countDistinct the rollup path must refuse — and
+    // the optimizer answers it from the stored ROW-grain join view
+    // (IncrementalOps.refreshJoin's storage shape): identical grain
+    // means ANY deterministic aggregate recomputes exactly, so the
+    // rewrite's only job is re-rooting the Aggregate on the MV scan
+    // with the join equality consumed. MvRewriteSpec pins the scan
+    // location; the DuckDB oracle computes from the base tables, so the
+    // hash gate proves rewritten == direct. At 100 TB this turns a
+    // fact-dim shuffle join per dashboard query into a scan of the
+    // pre-joined view the IVM operator keeps fresh for O(churn).
+    Q(
+      "q_mv_rewrite_join",
+      (s, dir) => {
+        MvFixtures.ordersCustomerJoin(s, dir)
+        // child session: rewrite enabled HERE and nowhere else (the
+        // bench join queries must keep measuring real base-table joins)
+        val s2 = s.newSession()
+        s2.conf.set("spark.graft.mv.rewrite.enabled", "true")
+        t(s2, dir, "orders")
+          .join(t(s2, dir, "customer"),
+            $"o_custkey" === $"c_custkey", "inner")
+          .filter($"c_mktsegment" === "BUILDING")
+          .groupBy($"o_orderpriority")
+          .agg(
+            count(lit(1)).as("n_orders"),
+            asDouble(sum(dec2($"o_totalprice"))).as("sum_price"),
+            countDistinct($"o_custkey").as("n_custs")
+          )
+          .orderBy($"o_orderpriority")
+      },
+      Some(
+        "SELECT o_orderpriority, count(*) AS n_orders, " +
+          "CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) " +
+          "AS sum_price, " +
+          "count(DISTINCT o_custkey) AS n_custs " +
+          "FROM orders JOIN customer ON o_custkey = c_custkey " +
+          "WHERE c_mktsegment = 'BUILDING' " +
+          "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+      )
     )
   )
 }
@@ -200,6 +242,39 @@ object MvFixtures {
         "l_extendedprice" -> graft.plans.MvMeasure(cnt = Some("c_price"))
       ),
       countStar = Some("n"),
+      mvPath = mvPath,
+      mvSchema = s.read.parquet(mvPath).schema
+    ))
+    mvPath
+  }
+
+  /** The ROW-grain orders ⋈ customer join view for q_mv_rewrite_join:
+    * stored once per (fixture dir, process), registered as a
+    * [[graft.plans.JoinMvDef]]. Differently-named key columns
+    * (o_custkey / c_custkey) mean no merged-key ambiguity; the stored
+    * column set is the superset dashboard queries touch.
+    */
+  def ordersCustomerJoin(s: SparkSession, dir: String): String = {
+    val root =
+      graft.engine.TempDirs.workspace("graft-mv", "orders_customer", dir)
+    val mvPath = root.resolve("mv.parquet").toString
+    graft.engine.TempDirs.materializeOnce(root)(
+      new java.io.File(mvPath, "_SUCCESS").exists()) {
+      QueryUtil.t(s, dir, "orders")
+        .join(QueryUtil.t(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"), "inner")
+        .select(
+          col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"),
+          col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("c_mktsegment"))
+        .write.mode("overwrite").parquet(mvPath)
+    }
+    graft.plans.MvCatalog.registerJoin(graft.plans.JoinMvDef(
+      name = "orders_customer",
+      factPath = s"$dir/orders.parquet",
+      dimPath = s"$dir/customer.parquet",
+      joinKeys = Seq(("o_custkey", "c_custkey")),
       mvPath = mvPath,
       mvSchema = s.read.parquet(mvPath).schema
     ))

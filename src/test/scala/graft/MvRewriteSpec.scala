@@ -5,7 +5,7 @@ import org.apache.spark.sql.execution.FileSourceScanExec
 import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
 
-import graft.plans.{MvCatalog, MvDef, MvMeasure}
+import graft.plans.{JoinMvDef, MvCatalog, MvDef, MvMeasure}
 
 /** plans.MvRewrite: the aggregate-rollup rewrite answers matching queries
   * from the stored MV (scan-location pinned), preserves results exactly,
@@ -19,6 +19,9 @@ class MvRewriteSpec extends SparkTestBase with BeforeAndAfterAll {
 
   private var basePath: String = _
   private var mvPath: String = _
+  private var factPath: String = _
+  private var dimPath: String = _
+  private var jmvPath: String = _
   // the rewrite-enabled session; built in beforeAll
   private var s2: SparkSession = _
 
@@ -60,12 +63,45 @@ class MvRewriteSpec extends SparkTestBase with BeforeAndAfterAll {
       mvSchema = spark.read.parquet(mvPath).schema
     ))
 
+    // join-MV fixture: fact(fk, jk, v, tag) ⋈ dim(dk, name, tag) on
+    // jk = dk, stored at ROW grain. Both sides expose "tag" (the
+    // ambiguity refusal case); the dim's "extra" column is deliberately
+    // NOT stored (the unresolvable-column refusal case).
+    factPath = s"$dir/fact.parquet"
+    dimPath = s"$dir/dim.parquet"
+    jmvPath = s"$dir/jmv.parquet"
+    Seq(
+      (1L, "a", 10L, "ft1"), (2L, "a", 20L, "ft2"),
+      (3L, "b", 30L, "ft3"), (4L, "c", 40L, "ft4"),
+      (5L, "b", 30L, "ft5")
+    ).toDF("fk", "jk", "v", "tag").write.mode("overwrite").parquet(factPath)
+    Seq(
+      ("a", "alpha", "dt1", "e1"), ("b", "beta", "dt2", "e2"),
+      ("d", "delta", "dt3", "e3")
+    ).toDF("dk", "name", "tag", "extra")
+      .write.mode("overwrite").parquet(dimPath)
+    val fact = spark.read.parquet(factPath)
+    val dim = spark.read.parquet(dimPath)
+    fact.as("f").join(dim.as("d"), col("f.jk") === col("d.dk"), "inner")
+      .select(col("f.fk"), col("f.jk"), col("f.v"), col("f.tag"),
+        col("d.dk"), col("d.name"))
+      .write.mode("overwrite").parquet(jmvPath)
+    MvCatalog.registerJoin(JoinMvDef(
+      name = "spec_join_view",
+      factPath = factPath,
+      dimPath = dimPath,
+      joinKeys = Seq(("jk", "dk")),
+      mvPath = jmvPath,
+      mvSchema = spark.read.parquet(jmvPath).schema
+    ))
+
     s2 = spark.newSession()
     s2.conf.set("spark.graft.mv.rewrite.enabled", "true")
   }
 
   override protected def afterAll(): Unit = {
     MvCatalog.unregister(basePath)
+    MvCatalog.unregisterJoin(factPath, dimPath)
     super.afterAll()
   }
 
@@ -158,5 +194,88 @@ class MvRewriteSpec extends SparkTestBase with BeforeAndAfterAll {
 
   test("default session never rewrites: the conf gate is opt-in") {
     assert(!readsMv(query(spark)))
+  }
+
+  // ---- join-view rewrite (row-grain JoinMvDef) ----
+
+  private def readsJoinMv(df: DataFrame): Boolean = {
+    val paths = scanPaths(df)
+    paths.exists(_.contains("jmv.parquet")) &&
+      !paths.exists(p => p.contains("fact.parquet") || p.contains("dim.parquet"))
+  }
+
+  private def joinQuery(s: SparkSession): DataFrame = {
+    val f = s.read.parquet(factPath)
+    val d = s.read.parquet(dimPath)
+    f.join(d, col("jk") === col("dk"), "inner")
+      .filter(col("name") =!= "delta")
+      .groupBy(col("jk"))
+      .agg(
+        sum(col("v")).as("sv"),
+        count(lit(1)).as("n"),
+        // DISTINCT: derivable at row grain, the rollup path's hard refusal
+        countDistinct(col("v")).as("dv"),
+        max(col("name")).as("mx")
+      )
+      .orderBy(col("jk"))
+  }
+
+  test("join rewrite fires: scans the join MV only, results identical incl. countDistinct") {
+    val rewritten = joinQuery(s2)
+    assert(readsJoinMv(rewritten),
+      s"expected join-MV scan, got ${scanPaths(rewritten)}")
+    val direct = joinQuery(spark)
+    assert(!readsJoinMv(direct))
+    assert(rewritten.schema === direct.schema)
+    assert(rewritten.collect().map(_.toSeq).toSeq ===
+      direct.collect().map(_.toSeq).toSeq)
+  }
+
+  test("join rewrite: an extra join conjunct beyond the declared keys re-applies as a filter") {
+    def q(s: SparkSession) = {
+      val f = s.read.parquet(factPath)
+      val d = s.read.parquet(dimPath)
+      f.join(d, col("jk") === col("dk") && col("v") > 15L, "inner")
+        .groupBy(col("name")).agg(count(lit(1)).as("n"))
+        .orderBy(col("name"))
+    }
+    val rewritten = q(s2)
+    assert(readsJoinMv(rewritten), s"got ${scanPaths(rewritten)}")
+    assert(rewritten.collect().map(_.toSeq).toSeq ===
+      q(spark).collect().map(_.toSeq).toSeq)
+  }
+
+  test("join rewrite refusals: outer join, missing key equality, ambiguous name, unstored column, non-deterministic filter") {
+    val f = s2.read.parquet(factPath)
+    val d = s2.read.parquet(dimPath)
+    // LEFT join: the MV stores inner rows only
+    val outer = f.join(d, col("jk") === col("dk"), "left")
+      .groupBy(col("jk")).agg(count(col("name")).as("n"))
+    assert(!readsJoinMv(outer))
+    // join NOT on the declared equality: those pairs were never stored
+    val wrongKey = f.as("f").join(d.as("d"), col("f.tag") === col("d.tag"))
+      .groupBy(col("f.jk")).agg(count(lit(1)).as("n"))
+    assert(!readsJoinMv(wrongKey))
+    // "tag" exists on BOTH sides and in the MV schema, but the stored
+    // column's side is unknowable -> bail even though the name resolves
+    val ambiguous = f.as("f").join(d.as("d"), col("f.jk") === col("d.dk"))
+      .groupBy(col("f.jk")).agg(max(col("f.tag")).as("mt"))
+    assert(!readsJoinMv(ambiguous))
+    // dim's "extra" is not a stored MV column
+    val unstored = f.join(d, col("jk") === col("dk"))
+      .filter(col("extra") === "e1")
+      .groupBy(col("jk")).agg(count(lit(1)).as("n"))
+    assert(!readsJoinMv(unstored))
+    // a non-deterministic filter must re-evaluate per BASE row (a
+    // vacuous rand() >= 0 predicate gets constant-folded away before the
+    // rule runs — this one survives the optimizer)
+    val nondet = f.join(d, col("jk") === col("dk"))
+      .filter(rand(7) < 0.5)
+      .groupBy(col("jk")).agg(count(lit(1)).as("n"))
+    assert(!readsJoinMv(nondet))
+  }
+
+  test("join rewrite: default session never rewrites") {
+    assert(!readsJoinMv(joinQuery(spark)))
   }
 }
