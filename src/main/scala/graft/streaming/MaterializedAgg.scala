@@ -55,6 +55,95 @@ object MaterializedAgg {
   /** Reserved key of the watermark row; user keys must not use it. */
   val WatermarkKey: Long = Long.MinValue
 
+  /** The shared frame of one refresh step: source head, view head, the
+    * stored view, and the applied watermark (read from column `wmCol` of
+    * the view's reserved row). `stored` is the raw view INCLUDING the
+    * watermark row and any tombstones.
+    */
+  private final case class StepCtx(
+      current: Long,
+      exists: Boolean,
+      viewHead: Option[Long],
+      stored: DataFrame,
+      watermark: Long)
+
+  /** Load the step context, or None when the view is already current
+    * (the replay path). Refuses a watermark that is not a source
+    * snapshot (history rewritten under the view).
+    */
+  private def stepCtx(
+      spark: SparkSession,
+      viewPath: String,
+      sourcePath: String,
+      emptyView: => DataFrame,
+      wmCol: String): Option[StepCtx] = {
+    import spark.implicits._
+    val sourceMeta = IcebergMeta.load(sourcePath)
+    val current = sourceMeta.currentSnapshot
+      .getOrElse(throw new IllegalStateException(
+        s"source $sourcePath has no snapshots"))
+      .id
+    val exists = IcebergMeta.hasMetadata(viewPath)
+    // the view head the deltas are computed against — the merge refuses
+    // to land if the view moved after this read (concurrent refresher)
+    val viewHead: Option[Long] =
+      if (exists) IcebergMeta.load(viewPath).currentSnapshot.map(_.id)
+      else None
+    val stored: DataFrame =
+      if (exists) IcebergSource.read(spark, viewPath) else emptyView
+    val watermark: Long =
+      if (exists) {
+        val wm = stored.filter($"k" === WatermarkKey).select(col(wmCol))
+          .collect()
+        require(wm.length == 1,
+          s"view $viewPath has ${wm.length} watermark rows — corrupt view")
+        wm.head.getLong(0)
+      } else 0L
+    if (exists && watermark == current) return None
+    require(!exists || sourceMeta.snapshots.exists(_.id == watermark),
+      s"view watermark $watermark is not a snapshot of $sourcePath — " +
+        "the source history was rewritten under the view; rebuild it")
+    Some(StepCtx(current, exists, viewHead, stored, watermark))
+  }
+
+  /** The changelog window (watermark, current], keyed and pinned.
+    * Pinned DIRECTLY (not via PersistScope — an operator must not
+    * clobber pins its caller holds): the window feeds both the delta
+    * aggregation and the touched-key projection. Caller unpersists.
+    * Null keys and the reserved watermark sentinel are refused loudly
+    * here: MERGE equality can never update a null group, and a
+    * changelog row with key == Long.MinValue would put two sentinel
+    * rows into one mergeRows call, corrupting the view's cursor.
+    */
+  private def pinnedWindow(
+      spark: SparkSession,
+      sourcePath: String,
+      watermark: Long,
+      key: org.apache.spark.sql.Column,
+      measure: org.apache.spark.sql.Column): DataFrame = {
+    import spark.implicits._
+    val changes = IcebergSource
+      .readChangelog(spark, sourcePath, fromSnapshotId = watermark)
+      .select(
+        key.cast("bigint").as("k"),
+        measure.cast("bigint").as("m"),
+        col("_change_type"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    changes.count(): Unit
+    try {
+      require(changes.filter($"k".isNull).isEmpty,
+        s"refreshStep: the key expression produced null keys — MERGE " +
+          "cannot maintain a null group; coalesce the key to a sentinel")
+      require(changes.filter($"k" === WatermarkKey).isEmpty,
+        s"refreshStep: key expression produced the reserved watermark " +
+          s"sentinel $WatermarkKey (Long.MinValue) — remap that key value")
+    } catch {
+      case t: Throwable =>
+        changes.unpersist(blocking = false); throw t
+    }
+    changes
+  }
+
   /** One refresh step: apply the source changelog window
     * (view-watermark, source-current] to the stored view in one atomic
     * commit. Creates the view table (format v2) on first call. Returns
@@ -71,64 +160,15 @@ object MaterializedAgg {
       measure: org.apache.spark.sql.Column,
       timestampMs: Long): Option[Long] = {
     import spark.implicits._
-    val sourceMeta = IcebergMeta.load(sourcePath)
-    val current = sourceMeta.currentSnapshot
-      .getOrElse(throw new IllegalStateException(
-        s"source $sourcePath has no snapshots"))
-      .id
-    val exists = IcebergMeta.hasMetadata(viewPath)
-    // the view head the deltas are computed against — the merge refuses
-    // to land if the view moved after this read (concurrent refresher)
-    val viewHead: Option[Long] =
-      if (exists) IcebergMeta.load(viewPath).currentSnapshot.map(_.id)
-      else None
-    val stored: DataFrame =
-      if (exists) IcebergSource.read(spark, viewPath)
-      else Seq.empty[(Long, Long, Long)].toDF("k", "s", "c")
-    val watermark: Long =
-      if (exists) {
-        val wm = stored.filter($"k" === WatermarkKey).select($"s").collect()
-        require(wm.length == 1,
-          s"view $viewPath has ${wm.length} watermark rows — corrupt view")
-        wm.head.getLong(0)
-      } else 0L
-    if (exists && watermark == current) return None
-    require(!exists || sourceMeta.snapshots.exists(_.id == watermark),
-      s"view watermark $watermark is not a snapshot of $sourcePath — " +
-        "the source history was rewritten under the view; rebuild it")
-
-    // pinned DIRECTLY (not via PersistScope — an operator must not
-    // clobber pins its caller holds): the window feeds BOTH the delta
-    // aggregation and the touched-key projection
-    val changes = IcebergSource
-      .readChangelog(spark, sourcePath, fromSnapshotId = watermark)
-      .select(
-        key.cast("bigint").as("k"),
-        measure.cast("bigint").as("m"),
-        col("_change_type"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    changes.count(): Unit
+    val ctx = stepCtx(spark, viewPath, sourcePath,
+      Seq.empty[(Long, Long, Long)].toDF("k", "s", "c"), wmCol = "s")
+      .getOrElse(return None)
+    val changes = pinnedWindow(spark, sourcePath, ctx.watermark, key, measure)
     try {
-      // MERGE matches keys with standard SQL equality — a null key can
-      // never match its stored row, so an updated null group would
-      // DUPLICATE in the view. Refuse loudly (the frame is cached; this
-      // is a cheap second action); callers pre-map nulls to a sentinel
-      // (coalesce(key, lit(...))) if their key expression can null out.
-      require(changes.filter($"k".isNull).isEmpty,
-        s"refreshStep: the key expression produced null keys — MERGE " +
-          "cannot maintain a null group; coalesce the key to a sentinel")
-      // the reserved watermark sentinel must be guarded as loudly as null:
-      // a changelog row with key == Long.MinValue would put two k=MinValue
-      // rows (the group AND the watermark) into one mergeRows call,
-      // silently corrupting the view's cursor. The frame is already
-      // cached, so this is a cheap second action.
-      require(changes.filter($"k" === WatermarkKey).isEmpty,
-        s"refreshStep: key expression produced the reserved watermark " +
-          s"sentinel $WatermarkKey (Long.MinValue) — remap that key value")
       val refreshed = IncrementalOps.refreshSumCount(
         // null-SAFE watermark exclusion: =!= on a null key is null and
         // would silently drop a stored null-key group from the MV side
-        stored.filter(!($"k" <=> WatermarkKey)),
+        ctx.stored.filter(!($"k" <=> WatermarkKey)),
         changes, "k", col("m"), "s", "c",
         dropEmptyGroups = false)
       // only groups the window touched are written; everything else is
@@ -137,29 +177,103 @@ object MaterializedAgg {
       val touchedKeys = changes.select($"k".as("tk")).distinct()
       val touched = refreshed
         .join(touchedKeys, $"k" <=> $"tk", "left_semi")
-      val wmRow = Seq((WatermarkKey, current, -1L)).toDF("k", "s", "c")
-      if (!exists)
+      val wmRow = Seq((WatermarkKey, ctx.current, -1L)).toDF("k", "s", "c")
+      if (!ctx.exists)
         IcebergWriter.append(spark, viewPath, touched.unionByName(wmRow),
           None, timestampMs, formatVersion = 2)
       else
         IcebergWriter.mergeRows(spark, viewPath, touched.unionByName(wmRow),
-          "k", timestampMs, requireSnapshot = viewHead): Unit
-      Some(current)
+          "k", timestampMs, requireSnapshot = ctx.viewHead): Unit
+      Some(ctx.current)
     } finally changes.unpersist(blocking = false): Unit
   }
 
-  /** The live view: (k, s, c) with tombstones and the watermark hidden. */
+  /** The streaming MIN/MAX view — [[refreshStep]]'s one-commit watermark
+    * contract composed with the NON-delta-invertible aggregate class
+    * ([[IncrementalOps.refreshMinMax]]): the stored (k, mn, mx, c) view
+    * folds inserts incrementally and RESCANS exactly the groups whose
+    * deletes could have hit an extremum. The rescan reads the source
+    * PINNED AT the step's own `current` snapshot — the whole step
+    * (changelog window AND rescan) observes one consistent source state,
+    * so a source commit racing the refresh cannot leak post-watermark
+    * rows into rescanned groups and double-apply on the next step.
+    *
+    * Same delivery contract as refreshStep: touched groups + the
+    * watermark row land in ONE mergeRows commit, replays no-op off the
+    * in-view watermark, lost races surface CommitConflictException.
+    * Dead groups become (null, null, 0) tombstones — refreshMinMax drops
+    * them from its output, so any window-touched key it no longer emits
+    * is dead by construction; a later re-insert overwrites the
+    * tombstone (the stored tombstone is EXCLUDED from the maintained
+    * side, so the key refolds from its inserts like a brand-new group).
+    * The watermark row carries the snapshot id in `mn` (c = -1).
+    */
+  def refreshStepMinMax(
+      spark: SparkSession,
+      viewPath: String,
+      sourcePath: String,
+      key: org.apache.spark.sql.Column,
+      measure: org.apache.spark.sql.Column,
+      timestampMs: Long): Option[Long] = {
+    import spark.implicits._
+    val ctx = stepCtx(spark, viewPath, sourcePath,
+      Seq.empty[(Long, Long, Long, Long)].toDF("k", "mn", "mx", "c"),
+      wmCol = "mn")
+      .getOrElse(return None)
+    val changes = pinnedWindow(spark, sourcePath, ctx.watermark, key, measure)
+    try {
+      // tombstones and the watermark are NOT live groups: a tombstoned
+      // key re-enters as a brand-new group (inserts fold from scratch;
+      // a delete against it routes to the authoritative rescan)
+      val live = ctx.stored
+        .filter(!($"k" <=> WatermarkKey) && $"c" > 0)
+      val refreshed = IncrementalOps.refreshMinMax(
+        live, changes, "k", col("m"), "mn", "mx", "c",
+        rescan = keys => IcebergSource
+          .read(spark, sourcePath, snapshotId = Some(ctx.current),
+            asOfTimestampMs = None, prune = None)
+          .select(key.cast("bigint").as("k"), measure.cast("bigint").as("m"))
+          .join(keys, Seq("k"), "left_semi"))
+      val touchedKeys = changes.select($"k".as("tk")).distinct()
+      val touched = refreshed.join(touchedKeys, $"k" <=> $"tk", "left_semi")
+      // window-touched keys refreshMinMax no longer emits are DEAD
+      val tombstones = touchedKeys
+        .join(refreshed, $"tk" <=> $"k", "left_anti")
+        .select($"tk".as("k"),
+          lit(null).cast("bigint").as("mn"),
+          lit(null).cast("bigint").as("mx"),
+          lit(0L).as("c"))
+      val wmRow = Seq((WatermarkKey, ctx.current, -1L, -1L))
+        .toDF("k", "mn", "mx", "c")
+      val out = touched.unionByName(tombstones).unionByName(wmRow)
+      if (!ctx.exists)
+        IcebergWriter.append(spark, viewPath, out, None, timestampMs,
+          formatVersion = 2)
+      else
+        IcebergWriter.mergeRows(spark, viewPath, out, "k", timestampMs,
+          requireSnapshot = ctx.viewHead): Unit
+      Some(ctx.current)
+    } finally changes.unpersist(blocking = false): Unit
+  }
+
+  /** The live view — (k, s, c) for the sum/count flavor, (k, mn, mx, c)
+    * for min/max — with tombstones and the watermark hidden.
+    */
   def readView(spark: SparkSession, viewPath: String): DataFrame = {
     import spark.implicits._
     IcebergSource.read(spark, viewPath)
       .filter(!($"k" <=> WatermarkKey) && $"c" > 0)
   }
 
-  /** The source snapshot id the stored view reflects. */
-  def watermarkOf(spark: SparkSession, viewPath: String): Long = {
+  /** The source snapshot id the stored view reflects. `wmCol` is the
+    * column the watermark row carries it in: "s" for the sum/count
+    * flavor (the default), "mn" for min/max.
+    */
+  def watermarkOf(
+      spark: SparkSession, viewPath: String, wmCol: String = "s"): Long = {
     import spark.implicits._
     val wm = IcebergSource.read(spark, viewPath)
-      .filter($"k" === WatermarkKey).select($"s").collect()
+      .filter($"k" === WatermarkKey).select(col(wmCol)).collect()
     require(wm.length == 1, s"view $viewPath watermark rows: ${wm.length}")
     wm.head.getLong(0)
   }

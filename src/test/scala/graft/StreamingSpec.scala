@@ -873,6 +873,71 @@ class StreamingSpec extends SparkTestBase {
     assert(nullKey.getMessage.contains("null keys"), nullKey.getMessage)
   }
 
+  test("exactly-once streaming min/max MV: folds, forced rescan, tombstone + resurrection, replay no-op, one commit per refresh") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, pmod, min, max, count, lit}
+    import graft.sources.{IcebergMeta, IcebergSource, IcebergWriter}
+    import graft.streaming.MaterializedAgg
+    val src = tempDir("graft-mvmm-src") + "/table"
+    val view = tempDir("graft-mvmm-view") + "/table"
+    def expected() = IcebergSource.read(spark, src)
+      .groupBy(pmod(col("id"), lit(4)).as("k"))
+      .agg(min(col("id")).as("mn"), max(col("id")).as("mx"),
+        count(lit(1)).as("c"))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    def actual() = MaterializedAgg.readView(spark, view)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    def refresh(ts: Long) = MaterializedAgg.refreshStepMinMax(
+      spark, view, src, pmod(col("id"), lit(4)), col("id"), ts)
+    def viewSnapshots() = IcebergMeta.load(view).snapshots.length
+
+    // window 1: creation from the full changelog
+    IcebergWriter.append(spark, src,
+      (0L until 12L).map(i => (i, s"v$i")).toDF("id", "v"),
+      None, 1000L, formatVersion = 2)
+    assert(refresh(2000L).isDefined)
+    assert(actual() === expected())
+    val snaps1 = viewSnapshots()
+
+    // window 2: FORCED RESCAN — delete group 3's maximum (id 11), the
+    // non-invertible case pure folding cannot answer — plus an
+    // interior delete (id 5 sits strictly inside group 1's [1, 9]) and
+    // a fold-path insert (id 20 extends group 0's max). One refresh,
+    // one commit, exact convergence across all three paths.
+    IcebergWriter.deleteEquality(spark, src, Seq(11L, 5L).toDF("id"), 3000L)
+    IcebergWriter.upsertRows(spark, src, Seq((20L, "v20")).toDF("id", "v"),
+      "id", 4000L)
+    assert(refresh(5000L).isDefined)
+    assert(actual() === expected())
+    assert(actual().exists(t => t._1 == 3L && t._3 == 7L),
+      "rescanned group must have its true post-delete maximum")
+    assert(viewSnapshots() === snaps1 + 1,
+      "one refresh must be exactly one view commit (atomic state+watermark)")
+
+    // replay: the view is current — a structural no-op off the in-view
+    // watermark, zero extra commits
+    assert(refresh(6000L).isEmpty)
+    assert(viewSnapshots() === snaps1 + 1)
+
+    // kill group 2 entirely (ids 2, 6, 10) -> hidden tombstone
+    IcebergWriter.deleteEquality(spark, src, Seq(2L, 6L, 10L).toDF("id"),
+      7000L)
+    assert(refresh(8000L).isDefined)
+    assert(actual() === expected())
+    assert(!actual().exists(_._1 == 2L), "dead group must vanish from the view")
+
+    // resurrection: a re-inserted key overwrites its tombstone and
+    // refolds from scratch
+    IcebergWriter.upsertRows(spark, src, Seq((6L, "v6b")).toDF("id", "v"),
+      "id", 9000L)
+    assert(refresh(10000L).isDefined)
+    assert(actual() === expected())
+    assert(actual().exists(t => t._1 == 2L && t._2 == 6L && t._3 == 6L &&
+      t._4 == 1L), "resurrected group must refold from exactly its new row")
+    assert(MaterializedAgg.watermarkOf(spark, view, wmCol = "mn") ===
+      IcebergMeta.load(src).currentSnapshot.get.id)
+  }
+
   test("CDC replication: a feed-driven mirror converges to the source across deletes and a crash replay") {
     import spark.implicits._
     import graft.sources.{IcebergSource, IcebergWriter}
