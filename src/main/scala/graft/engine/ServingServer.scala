@@ -89,6 +89,12 @@ import java.util.concurrent.{LinkedBlockingQueue, ThreadPoolExecutor, TimeUnit}
   *        pressure once the client gives up. `ERR NOT_FOUND` for an
   *        unknown handle. (Reference: DoAction unimplemented,
   *        api/src/lib.rs:158-165.)
+  *     `DO_ACTION mv_describe` -> the MV freshness contract: one row per
+  *        registered materialized view (plans.MvCatalog) with the
+  *        registrant-declared applied-source-snapshot watermark, the
+  *        LIVE source head when the base is an Iceberg table, and a
+  *        `fresh` verdict — so a client can tell how stale an answer
+  *        the optimizer rewrote to a view is.
   *     `LIST_ACTIONS`          -> `OK\n` + IPC batch of (action,
   *        description) rows — the discovery face of DO_ACTION.
   *     `HANDSHAKE [token]`     -> auth. With no server token configured the
@@ -800,6 +806,40 @@ final class ServingServer(
               }
             case "cancel" =>
               status("ERR INVALID_ARGUMENT cancel requires a flight handle")
+            case "mv_describe" =>
+              // the MV freshness contract: one row per registered
+              // materialized view, carrying the applied-source-snapshot
+              // watermark the registrant declared at (re-)registration
+              // plus the LIVE head of the base when it is an Iceberg
+              // table — `fresh` tells the client whether an answer the
+              // optimizer rewrote to this view reflects the current
+              // source (null when the base has no snapshot lineage to
+              // compare against, e.g. a plain parquet table)
+              status("OK")
+              val rows = graft.plans.MvCatalog.describe().map { i =>
+                val sourceHead: Option[Long] =
+                  try {
+                    if (graft.sources.IcebergMeta.hasMetadata(i.basePath))
+                      graft.sources.IcebergMeta.load(i.basePath)
+                        .currentSnapshot.map(_.id)
+                    else None
+                  } catch { case _: Throwable => None }
+                val fresh: java.lang.Boolean = (i.watermark, sourceHead) match {
+                  case (Some(w), Some(h)) => java.lang.Boolean.valueOf(w == h)
+                  case _                  => null
+                }
+                (i.name, i.kind, i.basePath, i.dimPath.orNull, i.mvPath,
+                  i.watermark.map(java.lang.Long.valueOf).orNull,
+                  sourceHead.map(java.lang.Long.valueOf).orNull, fresh)
+              }
+              val result = {
+                import session.spark.implicits._
+                rows.toDF("name", "kind", "base_path", "dim_path", "mv_path",
+                  "watermark", "source_snapshot", "fresh")
+              }
+              org.apache.spark.sql.GraftArrowBridge
+                .writeBatches(result, batchSize, out)
+              out.flush()
             case other =>
               status(s"ERR INVALID_ARGUMENT unknown action '$other' " +
                 "(LIST_ACTIONS lists what this server supports)")
@@ -808,9 +848,14 @@ final class ServingServer(
           status("OK")
           val actions = {
             import session.spark.implicits._
-            Seq(("cancel",
-              "cancel a running or registered flight by handle; " +
-                "interrupts its Spark job group and unpersists its result"))
+            Seq(
+              ("cancel",
+                "cancel a running or registered flight by handle; " +
+                  "interrupts its Spark job group and unpersists its result"),
+              ("mv_describe",
+                "describe every registered materialized view: declared " +
+                  "applied-source-snapshot watermark, live source head, " +
+                  "and whether a rewritten answer would be fresh"))
               .toDF("action", "description")
           }
           org.apache.spark.sql.GraftArrowBridge.writeBatches(actions, batchSize, out)

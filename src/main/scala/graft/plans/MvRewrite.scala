@@ -37,7 +37,12 @@ final case class MvDef(
     measures: Map[String, MvMeasure],
     countStar: Option[String],
     mvPath: String,
-    mvSchema: StructType
+    mvSchema: StructType,
+    // the source snapshot/version the stored MV reflects, vouched by the
+    // registrant and updated by re-registering after each IVM refresh —
+    // the freshness contract the serving layer's mv_describe exposes so
+    // a client can tell how stale a rewritten answer is
+    watermark: Option[Long] = None
 )
 
 /** The MV columns derivable for one aggregated argument: `sum` holds the
@@ -70,7 +75,21 @@ final case class JoinMvDef(
     dimPath: String,
     joinKeys: Seq[(String, String)],
     mvPath: String,
-    mvSchema: StructType
+    mvSchema: StructType,
+    // applied-source watermark, same contract as [[MvDef.watermark]]
+    watermark: Option[Long] = None
+)
+
+/** One row of [[MvCatalog.describe]]: the registry's freshness face.
+  * `dimPath` is defined for join views only.
+  */
+final case class MvInfo(
+    name: String,
+    kind: String,
+    basePath: String,
+    dimPath: Option[String],
+    mvPath: String,
+    watermark: Option[Long]
 )
 
 /** Process-wide registry of materialized views, keyed by the ABSOLUTE
@@ -124,6 +143,20 @@ object MvCatalog {
     Option(byBase.get(normalize(basePath)))
   def lookupJoin(factPath: String, dimPath: String): Option[JoinMvDef] =
     Option(joinByBases.get((normalize(factPath), normalize(dimPath))))
+
+  /** Every registered MV with its declared freshness watermark, sorted
+    * by name — the registry's DESCRIBE surface (the serving layer
+    * enriches each row with the live source snapshot).
+    */
+  def describe(): Seq[MvInfo] = {
+    import scala.jdk.CollectionConverters._
+    val rollups = byBase.values.asScala.map(d =>
+      MvInfo(d.name, "rollup", d.basePath, None, d.mvPath, d.watermark))
+    val joins = joinByBases.values.asScala.map(d =>
+      MvInfo(d.name, "join", d.factPath, Some(d.dimPath), d.mvPath,
+        d.watermark))
+    (rollups ++ joins).toSeq.sortBy(_.name)
+  }
 
   /** A fresh-exprId analyzed scan of the stored MV (file listing cached
     * across rewrite sites; exprIds unique per call).

@@ -678,7 +678,7 @@ class ServingServerSpec extends SparkTestBase {
     withServer { srv =>
       val actions = ServingClient.listActions(srv.boundPort)
       assert(actions.isOk, actions.status)
-      assert(actions.rows.map(_.head.toString) === Seq("cancel"))
+      assert(actions.rows.map(_.head.toString) === Seq("cancel", "mv_describe"))
       assert(ServingClient.doAction(srv.boundPort, "cancel", "nope").status
         .startsWith("ERR NOT_FOUND"))
       assert(ServingClient.doAction(srv.boundPort, "cancel").status
@@ -694,6 +694,54 @@ class ServingServerSpec extends SparkTestBase {
       assert(ServingClient.Poll.parse(compactSql.status).exists(_.state == "RUNNING"),
         s"compact SQL misrouted: ${compactSql.status}")
     }
+  }
+
+  test("DO_ACTION mv_describe: the freshness watermark of a just-refreshed view, gone stale, fresh again") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    import graft.sources.{IcebergMeta, IcebergWriter}
+    import graft.streaming.MaterializedAgg
+    val src = tempDir("graft-mvdesc-src") + "/table"
+    val view = tempDir("graft-mvdesc-view") + "/table"
+    IcebergWriter.append(spark, src,
+      (0L until 8L).map(i => (i, i * 10)).toDF("id", "m"),
+      None, 1000L, formatVersion = 2)
+    def registerAt(wm: Long): Unit =
+      graft.plans.MvCatalog.register(graft.plans.MvDef(
+        name = "served_view", basePath = src, keys = Seq("k"),
+        measures = Map.empty, countStar = Some("c"), mvPath = view,
+        mvSchema = new org.apache.spark.sql.types.StructType(),
+        watermark = Some(wm)))
+    val applied = MaterializedAgg.refreshStep(
+      spark, view, src, pmod(col("id"), lit(2)), col("m"), 2000L).get
+    registerAt(applied)
+    try withServer { srv =>
+      // row: name kind base_path dim_path mv_path watermark source_snapshot fresh
+      def row() = {
+        val r = ServingClient.doAction(srv.boundPort, "mv_describe")
+        assert(r.isOk, r.status)
+        r.rows.find(_.head.toString == "served_view")
+          .getOrElse(fail(s"served_view missing from: ${r.rows}"))
+      }
+      val freshRow = row()
+      assert(freshRow(1).toString === "rollup")
+      assert(freshRow(5) === applied && freshRow(6) === applied)
+      assert(freshRow(7) === true, s"just-refreshed view must be fresh: $freshRow")
+      // the source advances UNDER the view: the watermark stands, the
+      // live head moves, and the row says a rewritten answer is stale
+      IcebergWriter.upsertRows(spark, src, Seq((100L, 5L)).toDF("id", "m"),
+        "id", 3000L)
+      val staleRow = row()
+      assert(staleRow(5) === applied)
+      assert(staleRow(6) === IcebergMeta.load(src).currentSnapshot.get.id)
+      assert(staleRow(7) === false, s"advanced source must read stale: $staleRow")
+      // refresh + re-register closes the loop
+      val applied2 = MaterializedAgg.refreshStep(
+        spark, view, src, pmod(col("id"), lit(2)), col("m"), 4000L).get
+      registerAt(applied2)
+      val again = row()
+      assert(again(5) === applied2 && again(7) === true, s"re-refreshed: $again")
+    } finally graft.plans.MvCatalog.unregister(src)
   }
 
   test("HANDSHAKE: open server banners; token server gates every verb") {
