@@ -17,7 +17,12 @@ final case class ShapeBounds(
     maxShuffleJoins: Int = 0, // sort-merge + shuffled-hash
     minPushedScans: Int = 0,
     maxBuildJobs: Int = 0,
-    allowBnlj: Boolean = false
+    allowBnlj: Boolean = false,
+    // ceiling on file scans in the plan — the MV-family pin: an
+    // incremental refresh that starts re-reading a table it is supposed
+    // to avoid (a base rescan creeping into a delta path) adds a scan
+    // before it adds anything else
+    maxScans: Int = Int.MaxValue
 )
 
 object PlanShapes {
@@ -29,10 +34,45 @@ object PlanShapes {
     "q_hybrid_search", "q_pack_sequences", "q_dedup_embedding_lsh",
     "q_sim_topk_ivf", "q_sim_topk_lsh", "q_sample_temperature",
     "q_text_bm25", "q_dedup_exact", "q_dedup_simhash",
-    "q_text_bpe_fertility"
+    "q_text_bpe_fertility",
+    // the MV maintenance family (r14): their scale property IS a plan
+    // shape — refresh cost must stay bounded by churn + view size, so a
+    // scan creeping in is the regression that matters most
+    "q_mv_incremental", "q_mv_minmax", "q_mv_join"
   )
 
   def headline(name: String): Boolean = headlineNames.contains(name)
+
+  /** Queries whose fixtures (iceberg tables, stored MV parquet) build on
+    * first touch: PlanAuditSpec warms these by building the frame once
+    * before measuring, so the one-time fixture-materialization jobs do
+    * not attribute to the audited build.
+    */
+  val warmFirst: Set[String] =
+    Set("q_mv_incremental", "q_mv_minmax", "q_mv_join")
+
+  /** Every way a measured shape violates its pinned bounds (plus the
+    * universal no-cartesian invariant) — the single check PlanAuditSpec
+    * enforces per query and the deliberate-regression test proves fires.
+    */
+  def violations(b: ShapeBounds, s: PlanShape): Seq[String] = Seq(
+    (s.cartesianProducts == 0) ->
+      s"cartesian product in the plan (${s.cartesianProducts})",
+    (s.shuffleExchanges <= b.maxShuffles) ->
+      s"shuffle exchanges ${s.shuffleExchanges} > pinned ${b.maxShuffles}",
+    (s.broadcastHashJoins >= b.minBroadcastJoins) ->
+      s"broadcast joins ${s.broadcastHashJoins} < pinned ${b.minBroadcastJoins} (a dim side stopped broadcasting)",
+    (s.sortMergeJoins + s.shuffledHashJoins <= b.maxShuffleJoins) ->
+      s"shuffle-side joins ${s.sortMergeJoins + s.shuffledHashJoins} > pinned ${b.maxShuffleJoins}",
+    (s.scansWithPushedFilters >= b.minPushedScans) ->
+      s"scans with pushed filters ${s.scansWithPushedFilters} < pinned ${b.minPushedScans}",
+    (s.scans <= b.maxScans) ->
+      s"file scans ${s.scans} > pinned ${b.maxScans} (an extra read crept in — e.g. a refresh rescanning its base)",
+    (s.buildJobs <= b.maxBuildJobs) ->
+      s"build ran ${s.buildJobs} driver-action jobs > allowed ${b.maxBuildJobs} (a collect crept into the build path)",
+    (b.allowBnlj || s.broadcastNestedLoops == 0) ->
+      s"broadcast nested loop join appeared (${s.broadcastNestedLoops}) where none is allowed"
+  ).collect { case (false, msg) => msg }
 
   /** name -> pinned bounds, from the measured sf0.001 shapes (PlanAudit
     * --shapes) the round this gate landed; any drift is a deliberate
@@ -94,6 +134,21 @@ object PlanShapes {
     "q_dedup_simhash" -> ShapeBounds(maxShuffles = 1, minBroadcastJoins = 1, maxBuildJobs = 1),
     // the BPE FIT is one bounded action: the capped word-frequency
     // dictionary collect (tokenizers fit on dictionaries, never corpora)
-    "q_text_bpe_fertility" -> ShapeBounds(maxShuffles = 2, maxBuildJobs = 1)
+    "q_text_bpe_fertility" -> ShapeBounds(maxShuffles = 2, maxBuildJobs = 1),
+    // MV maintenance family: maxScans is the load-bearing pin — the
+    // refresh must read changelog windows + the view frame, never grow a
+    // new base read; buildJobs are the iceberg metadata/delete-file
+    // reads (bounded by manifests, not data). Measured sf0.001 shapes:
+    // incremental 5/6bhj/1smj/7scans/9jobs, minmax 8/16/2/12/4 (the
+    // extremum rescan is the one extra keyed read), join 11/30/3/15/5.
+    "q_mv_incremental" -> ShapeBounds(maxShuffles = 5, minBroadcastJoins = 4,
+      maxShuffleJoins = 2, minPushedScans = 2, maxBuildJobs = 12,
+      maxScans = 7),
+    "q_mv_minmax" -> ShapeBounds(maxShuffles = 8, minBroadcastJoins = 10,
+      maxShuffleJoins = 3, minPushedScans = 3, maxBuildJobs = 8,
+      maxScans = 12),
+    "q_mv_join" -> ShapeBounds(maxShuffles = 11, minBroadcastJoins = 20,
+      maxShuffleJoins = 4, minPushedScans = 8, maxBuildJobs = 8,
+      maxScans = 15)
   )
 }

@@ -36,28 +36,88 @@ class PlanAuditSpec extends SparkTestBase {
     // warm read-metadata caches so the one-time schema-inference / CSV
     // materialization jobs don't attribute to whichever query runs first
     PlanInvariants.prewarm(audit, SparkTestBase.Sf0001)
+    // fixture-building queries (iceberg tables, stored MVs) build once
+    // OUTSIDE the measurement so one-time materialization jobs don't
+    // count against the audited refresh
+    targets.filter(q => PlanShapes.warmFirst(q.name))
+      .foreach(q => q.fn(audit, SparkTestBase.Sf0001): Unit)
     val failures = targets.flatMap { q =>
       val b = PlanShapes.bounds(q.name)
       val s = PlanInvariants.shape(audit, q.fn(_, SparkTestBase.Sf0001))
-      val errs = Seq(
-        (s.cartesianProducts == 0) ->
-          s"cartesian product in the plan (${s.cartesianProducts})",
-        (s.shuffleExchanges <= b.maxShuffles) ->
-          s"shuffle exchanges ${s.shuffleExchanges} > pinned ${b.maxShuffles}",
-        (s.broadcastHashJoins >= b.minBroadcastJoins) ->
-          s"broadcast joins ${s.broadcastHashJoins} < pinned ${b.minBroadcastJoins} (a dim side stopped broadcasting)",
-        (s.sortMergeJoins + s.shuffledHashJoins <= b.maxShuffleJoins) ->
-          s"shuffle-side joins ${s.sortMergeJoins + s.shuffledHashJoins} > pinned ${b.maxShuffleJoins}",
-        (s.scansWithPushedFilters >= b.minPushedScans) ->
-          s"scans with pushed filters ${s.scansWithPushedFilters} < pinned ${b.minPushedScans}",
-        (s.buildJobs <= b.maxBuildJobs) ->
-          s"build ran ${s.buildJobs} driver-action jobs > allowed ${b.maxBuildJobs} (a collect crept into the build path)",
-        (b.allowBnlj || s.broadcastNestedLoops == 0) ->
-          s"broadcast nested loop join appeared (${s.broadcastNestedLoops}) where none is allowed"
-      ).collect { case (false, msg) => msg }
+      val errs = PlanShapes.violations(b, s)
       if (errs.isEmpty) Nil
       else Seq(s"${q.name}: ${errs.mkString("; ")}\n  measured: ${s.render}")
     }
     assert(failures.isEmpty, "\n" + failures.mkString("\n"))
+  }
+
+  /** Root paths of every file scan in the PRE-AQE physical plan — the
+    * rewrite queries run in a child session where the audit session's
+    * AQE-off conf does not propagate, and the static plan is the one the
+    * rewrite shapes anyway.
+    */
+  private def scanPaths(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.map(_.toUri.getPath)
+    }.flatten
+
+  private def mvScanViolations(
+      df: org.apache.spark.sql.DataFrame,
+      mustRead: String,
+      mustNotRead: Seq[String]): Seq[String] = {
+    val paths = scanPaths(df)
+    val missing =
+      if (paths.exists(_.contains(mustRead))) Nil
+      else Seq(s"plan does not read the MV ($mustRead); scans: $paths")
+    val leaked = mustNotRead.filter(b => paths.exists(_.contains(b)))
+      .map(b => s"plan reads base table $b the rewrite should have replaced")
+    missing ++ leaked
+  }
+
+  test("MV rewrite queries read the registered view, never the base tables") {
+    val byName = Registry.all.map(q => q.name -> q).toMap
+    val rollup = byName("q_mv_rewrite").fn(spark, SparkTestBase.Sf0001)
+    assert(mvScanViolations(rollup, "mv.parquet",
+      Seq("lineitem.parquet")).isEmpty,
+      mvScanViolations(rollup, "mv.parquet", Seq("lineitem.parquet")))
+    val join = byName("q_mv_rewrite_join").fn(spark, SparkTestBase.Sf0001)
+    assert(mvScanViolations(join, "mv.parquet",
+      Seq("orders.parquet", "customer.parquet")).isEmpty,
+      mvScanViolations(join, "mv.parquet",
+        Seq("orders.parquet", "customer.parquet")))
+  }
+
+  test("the gate fires on deliberate regressions") {
+    // shape gate: a cartesian product + surprise shuffle against a
+    // zero-shuffle pin must produce BOTH violations. Built on the
+    // AQE-off audit session (the adaptive wrapper is opaque to the
+    // traversal) with broadcast suppressed so the cross join really
+    // plans as CartesianProductExec.
+    val l = graft.queries.QueryUtil.t(audit, SparkTestBase.Sf0001, "nation")
+      .hint("shuffle_replicate_nl")
+    val bad = l.crossJoin(
+      graft.queries.QueryUtil.t(audit, SparkTestBase.Sf0001, "region"))
+      .groupBy(org.apache.spark.sql.functions.col("n_regionkey"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+    val s = PlanInvariants.of(bad)
+    val errs = PlanShapes.violations(
+      graft.plans.ShapeBounds(maxShuffles = 0), s)
+    assert(errs.exists(_.contains("cartesian")), s"missing cartesian: $errs")
+    assert(errs.exists(_.contains("shuffle exchanges")), s"missing shuffle: $errs")
+    // maxScans gate: the same frame against a one-scan ceiling
+    val scanErrs = PlanShapes.violations(
+      graft.plans.ShapeBounds(maxShuffles = 9, maxScans = 1), s)
+    assert(scanErrs.exists(_.contains("file scans")), s"missing scans: $scanErrs")
+    // MV scan-path gate: the SAME query text with the rewrite disabled
+    // (the regressed world) must be caught reading the base
+    val direct = spark.read.parquet(
+      s"${SparkTestBase.Sf0001}/lineitem.parquet")
+      .groupBy(org.apache.spark.sql.functions.col("l_returnflag"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+    val caught = mvScanViolations(direct, "mv.parquet", Seq("lineitem.parquet"))
+    assert(caught.size === 2, s"expected missing-MV + base-leak, got: $caught")
   }
 }
