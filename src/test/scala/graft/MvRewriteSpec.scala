@@ -278,4 +278,72 @@ class MvRewriteSpec extends SparkTestBase with BeforeAndAfterAll {
   test("join rewrite: default session never rewrites") {
     assert(!readsJoinMv(joinQuery(spark)))
   }
+
+  test("full IVM loop: refreshJoin maintains the stored view, re-registration re-routes the rewrite, answers track the churned base") {
+    import spark.implicits._
+    val dir = tempDir("graft-mv-loop")
+    val factP = s"$dir/lfact.parquet"
+    val dimP = s"$dir/ldim.parquet"
+    val mvV1 = s"$dir/lmv_v1.parquet"
+    val mvV2 = s"$dir/lmv_v2.parquet"
+    def writeFact(rows: Seq[(Long, String, Long)]): Unit =
+      rows.toDF("pk", "jk", "v").write.mode("overwrite").parquet(factP)
+    def writeDim(rows: Seq[(String, String)]): Unit =
+      rows.toDF("jk", "name").write.mode("overwrite").parquet(dimP)
+    writeFact(Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L)))
+    writeDim(Seq(("a", "alpha"), ("b", "beta")))
+    def fact = spark.read.parquet(factP)
+    def dim = spark.read.parquet(dimP)
+    def register(mvPath: String, wm: Long): Unit =
+      MvCatalog.registerJoin(JoinMvDef(
+        name = "loop_view", factPath = factP, dimPath = dimP,
+        joinKeys = Seq(("jk", "jk")), mvPath = mvPath,
+        mvSchema = spark.read.parquet(mvPath).schema,
+        watermark = Some(wm)))
+    fact.join(dim, Seq("jk"), "inner").write.parquet(mvV1)
+    register(mvV1, 1L)
+    def q(s: SparkSession) = {
+      val f = s.read.parquet(factP)
+      val d = s.read.parquet(dimP)
+      f.join(d, Seq("jk"), "inner")
+        .groupBy(col("name"))
+        .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+        .orderBy(col("name"))
+    }
+    try {
+      // v1: the rewrite answers from the stored view
+      val r1 = q(s2)
+      assert(scanPaths(r1).exists(_.contains("lmv_v1")), scanPaths(r1))
+      assert(r1.collect().map(_.toSeq).toSeq ===
+        q(spark).collect().map(_.toSeq).toSeq)
+      // base churn: f1 MOVES a -> b, f4 inserts under b; dim relabels a
+      writeFact(Seq((1L, "b", 10L), (2L, "a", 20L), (3L, "b", 30L),
+        (4L, "b", 40L)))
+      writeDim(Seq(("a", "ALPHA"), ("b", "beta")))
+      val factChanges = Seq(("delete", 1L), ("insert", 1L), ("insert", 4L))
+        .toDF("_change_type", "pk")
+      val dimChanges = Seq(("delete", "a"), ("insert", "a"))
+        .toDF("_change_type", "jk")
+      // maintain the view from churn (keyed reads over the CURRENT base),
+      // publish as a NEW stored version, re-register at watermark 2 —
+      // registration re-points the rewrite AND invalidates the scan cache
+      graft.operators.IncrementalOps.refreshJoin(
+        spark.read.parquet(mvV1), factChanges, dimChanges, "pk", "jk",
+        factByPk = keys => fact.join(keys, Seq("pk"), "left_semi"),
+        factByJoinKey = keys => fact.join(keys, Seq("jk"), "left_semi"),
+        dimByJoinKey = keys => dim.join(keys, Seq("jk"), "left_semi"))
+        .write.parquet(mvV2)
+      register(mvV2, 2L)
+      val r2 = q(s2)
+      assert(scanPaths(r2).exists(_.contains("lmv_v2")),
+        s"rewrite must re-route to the refreshed version: ${scanPaths(r2)}")
+      assert(!scanPaths(r2).exists(_.contains("lmv_v1")))
+      assert(r2.collect().map(_.toSeq).toSeq ===
+        q(spark).collect().map(_.toSeq).toSeq,
+        "rewritten answer must reflect the churned base exactly")
+      // and the freshness face reports the new watermark
+      val info = MvCatalog.describe().find(_.name == "loop_view").get
+      assert(info.watermark === Some(2L) && info.mvPath == mvV2)
+    } finally MvCatalog.unregisterJoin(factP, dimP)
+  }
 }
