@@ -48,7 +48,11 @@ import graft.sources.{IcebergMeta, IcebergSource, IcebergWriter}
   * Schema is concrete: key and measure are cast to BIGINT; the view
   * table is (k, s, c) with the reserved watermark row k = Long.MinValue
   * (c = -1 there, so even an unfiltered read cannot mistake it for a
-  * live group).
+  * live group). The same contract carries the other two IVM classes:
+  * [[refreshStepMinMax]] maintains (k, mn, mx, c) with the extremum
+  * rescan pinned at the step's snapshot, and [[refreshStepJoin]]
+  * maintains a row-grain (k, jk, fv, dv, c) join view from BOTH
+  * sources' changelogs with a two-cursor watermark row.
   */
 object MaterializedAgg {
 
@@ -254,6 +258,145 @@ object MaterializedAgg {
           requireSnapshot = ctx.viewHead): Unit
       Some(ctx.current)
     } finally changes.unpersist(blocking = false): Unit
+  }
+
+  /** The streaming JOIN view — the third IVM class under the same
+    * one-commit watermark contract: a stored row-grain
+    * `fact INNER JOIN dim` view (concrete schema: k = fact key, jk =
+    * join key, fv/dv = fact/dim payloads, c = 1 live / 0 tombstone /
+    * -1 watermark) maintained from BOTH sources' CDC changelogs via
+    * [[IncrementalOps.refreshJoin]]. The watermark row carries TWO
+    * cursors — the applied fact snapshot in `jk` and the applied dim
+    * snapshot in `fv` — written with the touched rows in ONE mergeRows
+    * commit, so both cursors and the view state stay atomic; a replay
+    * finds both current and no-ops.
+    *
+    * The changelogs contribute only their churned key sets; the
+    * affected region re-derives from the CURRENT base state of both
+    * tables PINNED AT the step's own (factCurrent, dimCurrent) snapshot
+    * pair, so a racing commit on either source cannot leak
+    * post-watermark rows into the region and double-apply next step.
+    * Touched keys = churned fact pks ∪ pks of view rows under churned
+    * dims ∪ pks of current fact rows under churned dims; touched keys
+    * the refreshed join no longer contains are DEAD (fact deleted, or
+    * its dim died through inner-join semantics) and tombstone as c = 0.
+    * MERGE is keyed on the fact pk — unique per view row under the
+    * N:1 join contract — so dim-side fanout never splits a merge key.
+    */
+  def refreshStepJoin(
+      spark: SparkSession,
+      viewPath: String,
+      factPath: String,
+      dimPath: String,
+      factKey: org.apache.spark.sql.Column,
+      factJoinKey: org.apache.spark.sql.Column,
+      factVal: org.apache.spark.sql.Column,
+      dimJoinKey: org.apache.spark.sql.Column,
+      dimVal: org.apache.spark.sql.Column,
+      timestampMs: Long): Option[(Long, Long)] = {
+    import spark.implicits._
+    def headOf(path: String): Long = IcebergMeta.load(path).currentSnapshot
+      .getOrElse(throw new IllegalStateException(s"$path has no snapshots")).id
+    val factCur = headOf(factPath)
+    val dimCur = headOf(dimPath)
+    val exists = IcebergMeta.hasMetadata(viewPath)
+    val viewHead: Option[Long] =
+      if (exists) IcebergMeta.load(viewPath).currentSnapshot.map(_.id)
+      else None
+    val stored: DataFrame =
+      if (exists) IcebergSource.read(spark, viewPath)
+      else Seq.empty[(Long, Long, Long, Long, Long)]
+        .toDF("k", "jk", "fv", "dv", "c")
+    val (factWm, dimWm): (Long, Long) =
+      if (exists) {
+        val wm = stored.filter($"k" === WatermarkKey)
+          .select($"jk", $"fv").collect()
+        require(wm.length == 1,
+          s"view $viewPath has ${wm.length} watermark rows — corrupt view")
+        (wm.head.getLong(0), wm.head.getLong(1))
+      } else (0L, 0L)
+    if (exists && factWm == factCur && dimWm == dimCur) return None
+    def checkHistory(path: String, wm: Long): Unit =
+      require(!exists || IcebergMeta.load(path).snapshots.exists(_.id == wm),
+        s"view watermark $wm is not a snapshot of $path — the source " +
+          "history was rewritten under the view; rebuild it")
+    checkHistory(factPath, factWm)
+    checkHistory(dimPath, dimWm)
+
+    // churned key sets, one per side — change types are irrelevant (the
+    // region re-derives from current state), but the fact pks must obey
+    // the MERGE key contract
+    def window(path: String, from: Long, cur: Long,
+        keyCol: org.apache.spark.sql.Column): DataFrame =
+      if (from == cur) Seq.empty[Long].toDF("k")
+      else IcebergSource.readChangelog(spark, path, fromSnapshotId = from)
+        .select(keyCol.cast("bigint").as("k"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val churnedPks = window(factPath, factWm, factCur, factKey)
+    val churnedDims = window(dimPath, dimWm, dimCur, dimJoinKey)
+    try {
+      require(churnedPks.filter($"k".isNull).isEmpty,
+        "refreshStepJoin: the fact key expression produced null keys — " +
+          "MERGE cannot maintain a null-pk view row")
+      require(churnedPks.filter($"k" === WatermarkKey).isEmpty,
+        s"refreshStepJoin: fact key produced the reserved watermark " +
+          s"sentinel $WatermarkKey — remap that key value")
+      val live = stored.filter(!($"k" <=> WatermarkKey) && $"c" > 0)
+        .select($"k", $"jk", $"fv", $"dv")
+      def factNow = IcebergSource
+        .read(spark, factPath, snapshotId = Some(factCur),
+          asOfTimestampMs = None, prune = None)
+        .select(factKey.cast("bigint").as("k"),
+          factJoinKey.cast("bigint").as("jk"),
+          factVal.cast("bigint").as("fv"))
+      def dimNow = IcebergSource
+        .read(spark, dimPath, snapshotId = Some(dimCur),
+          asOfTimestampMs = None, prune = None)
+        .select(dimJoinKey.cast("bigint").as("jk"),
+          dimVal.cast("bigint").as("dv"))
+      // refreshJoin reads the changelog frames ONLY for their key
+      // columns (change types are irrelevant to delta-scoped recompute)
+      val refreshed = IncrementalOps.refreshJoin(
+        live,
+        churnedPks,
+        churnedDims.select($"k".as("jk")),
+        factKey = "k", joinKey = "jk",
+        factByPk = keys => factNow.join(keys, Seq("k"), "left_semi"),
+        factByJoinKey = keys => factNow.join(keys, Seq("jk"), "left_semi"),
+        dimByJoinKey = keys => dimNow.join(keys, Seq("jk"), "left_semi"))
+      // every pk the step may have changed: churned pks, view rows under
+      // churned dims, current fact rows under churned dims
+      val dimKeys = churnedDims.select($"k".as("jk"))
+      val touchedPks = churnedPks.select($"k".as("tk"))
+        .unionByName(live.join(dimKeys, Seq("jk"), "left_semi")
+          .select($"k".as("tk")))
+        .unionByName(factNow.join(dimKeys, Seq("jk"), "left_semi")
+          .select($"k".as("tk")))
+        .distinct()
+      val touched = refreshed.join(touchedPks, $"k" === $"tk", "left_semi")
+        .withColumn("c", lit(1L))
+      val tombstones = touchedPks
+        .join(refreshed, $"tk" === $"k", "left_anti")
+        .select($"tk".as("k"),
+          lit(null).cast("bigint").as("jk"),
+          lit(null).cast("bigint").as("fv"),
+          lit(null).cast("bigint").as("dv"),
+          lit(0L).as("c"))
+      val wmRow = Seq((WatermarkKey, factCur, dimCur, -1L, -1L))
+        .toDF("k", "jk", "fv", "dv", "c")
+      val out = touched.unionByName(tombstones).unionByName(wmRow)
+      if (!exists)
+        IcebergWriter.append(spark, viewPath, out, None, timestampMs,
+          formatVersion = 2)
+      else
+        IcebergWriter.mergeRows(spark, viewPath, out, "k", timestampMs,
+          requireSnapshot = viewHead): Unit
+      Some((factCur, dimCur))
+    } finally {
+      churnedPks.unpersist(blocking = false): Unit
+      churnedDims.unpersist(blocking = false): Unit
+    }
   }
 
   /** The live view — (k, s, c) for the sum/count flavor, (k, mn, mx, c)

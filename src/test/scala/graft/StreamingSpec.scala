@@ -938,6 +938,89 @@ class StreamingSpec extends SparkTestBase {
       IcebergMeta.load(src).currentSnapshot.get.id)
   }
 
+  test("exactly-once streaming JOIN view: two-source churn, backfill, inner-join death, two-cursor replay no-op, one commit") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.sources.{IcebergMeta, IcebergSource, IcebergWriter}
+    import graft.streaming.MaterializedAgg
+    val factP = tempDir("graft-mvj-fact") + "/table"
+    val dimP = tempDir("graft-mvj-dim") + "/table"
+    val view = tempDir("graft-mvj-view") + "/table"
+    def expected() = IcebergSource.read(spark, factP).as("f")
+      .join(IcebergSource.read(spark, dimP).as("d"),
+        col("f.jk") === col("d.jk"), "inner")
+      .select(col("id").as("k"), col("f.jk"), col("fv"), col("d.dv"))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    def actual() = MaterializedAgg.readView(spark, view)
+      .select(col("k"), col("jk"), col("fv"), col("dv"))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    def refresh(ts: Long) = MaterializedAgg.refreshStepJoin(
+      spark, view, factP, dimP,
+      factKey = col("id"), factJoinKey = col("jk"), factVal = col("fv"),
+      dimJoinKey = col("jk"), dimVal = col("dv"), ts)
+    def viewSnapshots() = IcebergMeta.load(view).snapshots.length
+
+    // window 1: creation. id 6 points at dim 9, which does not exist yet
+    // — it must NOT appear (inner join), but it is the backfill seed.
+    IcebergWriter.append(spark, factP,
+      Seq((1L, 0L, 10L), (2L, 0L, 20L), (3L, 1L, 30L), (4L, 1L, 40L),
+        (5L, 2L, 50L), (6L, 9L, 60L)).toDF("id", "jk", "fv"),
+      None, 1000L, formatVersion = 2)
+    IcebergWriter.append(spark, dimP,
+      Seq((0L, 100L), (1L, 101L), (2L, 102L)).toDF("jk", "dv"),
+      None, 1100L, formatVersion = 2)
+    assert(refresh(2000L).isDefined)
+    assert(actual() === expected())
+    assert(!actual().exists(_._1 == 6L), "unmatched fact must not join")
+    val snaps1 = viewSnapshots()
+
+    // window 2, BOTH sides churn at once: fact moves id 1 between dims
+    // (0 -> 2), deletes id 5, inserts id 7; dim relabels 0, INSERTS 9
+    // (id 6 backfills — it exists nowhere in the old view), deletes 1
+    // (ids 3 and 4 die through inner-join semantics, no fact deletes)
+    IcebergWriter.upsertRows(spark, factP,
+      Seq((1L, 2L, 10L), (7L, 0L, 70L)).toDF("id", "jk", "fv"), "id", 3000L)
+    IcebergWriter.deleteEquality(spark, factP, Seq(5L).toDF("id"), 3100L)
+    IcebergWriter.upsertRows(spark, dimP,
+      Seq((0L, 200L), (9L, 109L)).toDF("jk", "dv"), "jk", 3200L)
+    IcebergWriter.deleteEquality(spark, dimP, Seq(1L).toDF("jk"), 3300L)
+    assert(refresh(4000L).isDefined)
+    assert(actual() === expected())
+    assert(actual().exists(t => t._1 == 6L && t._2 == 9L && t._4 == 109L),
+      "dim insert must backfill the pre-existing unmatched fact")
+    assert(actual().exists(t => t._1 == 1L && t._2 == 2L && t._4 == 102L),
+      "moved fact must rejoin under its new dim")
+    assert(!actual().exists(t => t._1 == 3L || t._1 == 4L || t._1 == 5L),
+      "dim death and fact delete must kill their view rows")
+    assert(viewSnapshots() === snaps1 + 1,
+      "one refresh must be exactly one view commit (atomic state + both cursors)")
+
+    // replay: BOTH cursors current -> structural no-op
+    assert(refresh(5000L).isEmpty)
+    assert(viewSnapshots() === snaps1 + 1)
+
+    // one-sided churn: only the fact moves; the dim cursor rides along
+    IcebergWriter.upsertRows(spark, factP,
+      Seq((2L, 0L, 21L)).toDF("id", "jk", "fv"), "id", 6000L)
+    assert(refresh(7000L).isDefined)
+    assert(actual() === expected())
+
+    // resurrection: a re-inserted fact pk overwrites its tombstone
+    IcebergWriter.upsertRows(spark, factP,
+      Seq((5L, 2L, 51L)).toDF("id", "jk", "fv"), "id", 8000L)
+    assert(refresh(9000L).isDefined)
+    assert(actual() === expected())
+    assert(actual().exists(t => t._1 == 5L && t._4 == 102L))
+
+    // the watermark row carries BOTH applied cursors
+    val wm = IcebergSource.read(spark, view)
+      .filter(col("k") === MaterializedAgg.WatermarkKey)
+      .select(col("jk"), col("fv")).collect()
+    assert(wm.length === 1)
+    assert(wm.head.getLong(0) === IcebergMeta.load(factP).currentSnapshot.get.id)
+    assert(wm.head.getLong(1) === IcebergMeta.load(dimP).currentSnapshot.get.id)
+  }
+
   test("CDC replication: a feed-driven mirror converges to the source across deletes and a crash replay") {
     import spark.implicits._
     import graft.sources.{IcebergSource, IcebergWriter}
