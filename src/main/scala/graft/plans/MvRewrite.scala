@@ -98,10 +98,16 @@ final case class MvInfo(
   * that never register an MV pay nothing.
   */
 object MvCatalog {
-  private val byBase = new ConcurrentHashMap[String, MvDef]()
-  // join MVs, keyed by the (fact, dim) base-path pair
+  // MULTIPLE MVs per base are first-class (a wide table legitimately
+  // carries several rollups with different key sets): each entry is the
+  // candidate list in registration order, identity within a base is the
+  // def's NAME (re-registering a name replaces that def in place — the
+  // IVM refresh-then-re-register loop), and the rewrite tries candidates
+  // in order, taking the first that derives the query exactly.
+  private val byBase = new ConcurrentHashMap[String, Vector[MvDef]]()
+  // join MVs, keyed by the (fact, dim) base-path pair — same list contract
   private val joinByBases =
-    new ConcurrentHashMap[(String, String), JoinMvDef]()
+    new ConcurrentHashMap[(String, String), Vector[JoinMvDef]]()
   // analyzed MV scans, keyed by mvPath: building one lists the MV's files,
   // so doing it inside the optimizer on EVERY pass of every matching query
   // is planning-time overhead that grows with compilation rate. The cache
@@ -121,28 +127,42 @@ object MvCatalog {
     new java.io.File(noScheme).getCanonicalFile.getAbsolutePath
   }
 
+  /** Replace-by-name within a candidate list, preserving order for
+    * existing names and appending new ones.
+    */
+  private def upsertByName[A](list: Vector[A], d: A, name: A => String): Vector[A] =
+    if (list.exists(x => name(x) == name(d)))
+      list.map(x => if (name(x) == name(d)) d else x)
+    else list :+ d
+
   def register(d: MvDef): Unit = {
-    byBase.put(normalize(d.basePath), d)
+    byBase.compute(normalize(d.basePath), (_, cur) =>
+      upsertByName(Option(cur).getOrElse(Vector.empty), d, (_: MvDef).name))
     scanCache.remove(d.mvPath): Unit
   }
   def unregister(basePath: String): Unit =
     Option(byBase.remove(normalize(basePath)))
-      .foreach(d => scanCache.remove(d.mvPath): Unit)
+      .foreach(_.foreach(d => scanCache.remove(d.mvPath): Unit))
   def registerJoin(d: JoinMvDef): Unit = {
-    joinByBases.put((normalize(d.factPath), normalize(d.dimPath)), d)
+    joinByBases.compute((normalize(d.factPath), normalize(d.dimPath)),
+      (_, cur) => upsertByName(Option(cur).getOrElse(Vector.empty), d,
+        (_: JoinMvDef).name))
     scanCache.remove(d.mvPath): Unit
   }
   def unregisterJoin(factPath: String, dimPath: String): Unit =
     Option(joinByBases.remove((normalize(factPath), normalize(dimPath))))
-      .foreach(d => scanCache.remove(d.mvPath): Unit)
+      .foreach(_.foreach(d => scanCache.remove(d.mvPath): Unit))
   def clear(): Unit = {
     byBase.clear(); joinByBases.clear(); scanCache.clear()
   }
   def isEmpty: Boolean = byBase.isEmpty && joinByBases.isEmpty
-  def lookup(basePath: String): Option[MvDef] =
-    Option(byBase.get(normalize(basePath)))
-  def lookupJoin(factPath: String, dimPath: String): Option[JoinMvDef] =
+  /** Candidate rollup MVs for a base, in registration order. */
+  def lookup(basePath: String): Seq[MvDef] =
+    Option(byBase.get(normalize(basePath))).getOrElse(Vector.empty)
+  /** Candidate join MVs for a (fact, dim) pair, in registration order. */
+  def lookupJoin(factPath: String, dimPath: String): Seq[JoinMvDef] =
     Option(joinByBases.get((normalize(factPath), normalize(dimPath))))
+      .getOrElse(Vector.empty)
 
   /** Every registered MV with its declared freshness watermark, sorted
     * by name — the registry's DESCRIBE surface (the serving layer
@@ -150,9 +170,9 @@ object MvCatalog {
     */
   def describe(): Seq[MvInfo] = {
     import scala.jdk.CollectionConverters._
-    val rollups = byBase.values.asScala.map(d =>
+    val rollups = byBase.values.asScala.flatten.map(d =>
       MvInfo(d.name, "rollup", d.basePath, None, d.mvPath, d.watermark))
-    val joins = joinByBases.values.asScala.map(d =>
+    val joins = joinByBases.values.asScala.flatten.map(d =>
       MvInfo(d.name, "join", d.factPath, Some(d.dimPath), d.mvPath,
         d.watermark))
     (rollups ++ joins).toSeq.sortBy(_.name)
@@ -282,7 +302,19 @@ class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       case _                   => return None
     }
     if (roots.length != 1) return None
-    val d = MvCatalog.lookup(roots.head).getOrElse(return None)
+    // candidates in registration order; first one that derives the query
+    // EXACTLY wins (each attempt bails whole on any non-derivable shape,
+    // so order only matters among candidates that both match)
+    MvCatalog.lookup(roots.head).view
+      .flatMap(d => attemptRollup(agg, conds, roots.head, d))
+      .headOption
+  }
+
+  private def attemptRollup(
+      agg: Aggregate,
+      conds: Seq[Expression],
+      root: String,
+      d: MvDef): Option[LogicalPlan] = {
     val keyNames = d.keys.toSet
 
     // grouping: bare key columns only
@@ -371,7 +403,7 @@ class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           }).reduce(And(_, _)),
           mvScan)
       logWarning(
-        s"MvRewrite: answering aggregate over ${roots.head} from " +
+        s"MvRewrite: answering aggregate over $root from " +
           s"materialized view '${d.name}' (${d.mvPath})")
       Some(Aggregate(
         groupAttrs.map(a => mvAttr(a.name)), newAggList, newChild, None))
@@ -427,13 +459,23 @@ class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     val (rConds, rLr) = strip(jn.right, Nil).getOrElse(return None)
     val lPath = rootPath(lLr).getOrElse(return None)
     val rPath = rootPath(rLr).getOrElse(return None)
-    val (d, factLr, dimLr) = MvCatalog.lookupJoin(lPath, rPath) match {
-      case Some(dd) => (dd, lLr, rLr)
-      case None => MvCatalog.lookupJoin(rPath, lPath) match {
-        case Some(dd) => (dd, rLr, lLr)
-        case None     => return None
-      }
-    }
+    // candidates from both orientations, registration order within each;
+    // first exact derivation wins
+    val candidates =
+      MvCatalog.lookupJoin(lPath, rPath).map(d => (d, lLr, rLr)) ++
+        MvCatalog.lookupJoin(rPath, lPath).map(d => (d, rLr, lLr))
+    candidates.view.flatMap { case (d, f, dm) =>
+      attemptJoin(agg, aboveConds ++ lConds ++ rConds, jn, d, f, dm)
+    }.headOption
+  }
+
+  private def attemptJoin(
+      agg: Aggregate,
+      filterConds: Seq[Expression],
+      jn: Join,
+      d: JoinMvDef,
+      factLr: LogicalRelation,
+      dimLr: LogicalRelation): Option[LogicalPlan] = {
     val factIds = factLr.output.map(_.exprId).toSet
     val dimIds = dimLr.output.map(_.exprId).toSet
     val factNames = factLr.output.map(_.name).toSet
@@ -459,7 +501,7 @@ class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       }
     if (found != declared) return None
 
-    val allConds = aboveConds ++ lConds ++ rConds ++ residual
+    val allConds = filterConds ++ residual
     if (!allConds.forall(_.deterministic)) return None
     if (!agg.aggregateExpressions.forall(_.deterministic)) return None
 

@@ -196,6 +196,57 @@ class MvRewriteSpec extends SparkTestBase with BeforeAndAfterAll {
     assert(!readsMv(query(spark)))
   }
 
+  test("multiple MVs per base: the first candidate that derives the query wins; a query only the second can answer routes there") {
+    import spark.implicits._
+    // a SECOND rollup on the same base, keys (k) only, carrying the y
+    // min/max measures the first MV lacks
+    val mv2Path = s"${new java.io.File(basePath).getParent}/mv2.parquet"
+    val base = spark.read.parquet(basePath)
+    base.groupBy($"k")
+      .agg(min($"y").as("mn_y"), max($"y").as("mx_y"), count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(mv2Path)
+    MvCatalog.register(MvDef(
+      name = "spec_rollup_minmax",
+      basePath = basePath,
+      keys = Seq("k"),
+      measures = Map("y" -> MvMeasure(min = Some("mn_y"), max = Some("mx_y"))),
+      countStar = Some("n"),
+      mvPath = mv2Path,
+      mvSchema = spark.read.parquet(mv2Path).schema
+    ))
+    // the original query still routes to the FIRST candidate
+    assert(scanPaths(query(s2)).exists(p =>
+      p.contains("mv.parquet") && !p.contains("mv2")))
+    // a min/max-of-y query bails on MV1 (no y extrema declared) and the
+    // candidate walk lands it on MV2
+    def q2(s: SparkSession) = s.read.parquet(basePath)
+      .groupBy(col("k"))
+      .agg(min(col("y")).as("mn"), max(col("y")).as("mx"))
+      .orderBy(col("k"))
+    val r = q2(s2)
+    assert(scanPaths(r).exists(_.contains("mv2.parquet")),
+      s"expected mv2 scan, got ${scanPaths(r)}")
+    assert(r.collect().map(_.toSeq).toSeq ===
+      q2(spark).collect().map(_.toSeq).toSeq)
+    // a query NEITHER can answer (grouping by a non-key of both after
+    // the g-keyed MV1 bails on the measure, the k-keyed MV2 on the key)
+    val neither = s2.read.parquet(basePath)
+      .groupBy(col("g")).agg(min(col("y")).as("mn"))
+    assert(scanPaths(neither).exists(_.contains("base.parquet")))
+    // re-registering a NAME replaces that def in place, not the list:
+    // point the second def at a fresh path and the rewrite follows it
+    val mv3Path = s"${new java.io.File(basePath).getParent}/mv3.parquet"
+    spark.read.parquet(mv2Path).write.mode("overwrite").parquet(mv3Path)
+    MvCatalog.register(MvDef(
+      name = "spec_rollup_minmax", basePath = basePath, keys = Seq("k"),
+      measures = Map("y" -> MvMeasure(min = Some("mn_y"), max = Some("mx_y"))),
+      countStar = Some("n"), mvPath = mv3Path,
+      mvSchema = spark.read.parquet(mv3Path).schema))
+    assert(scanPaths(q2(s2)).exists(_.contains("mv3.parquet")))
+    assert(MvCatalog.describe().count(_.basePath == basePath) === 2,
+      "replace-by-name must not grow the candidate list")
+  }
+
   // ---- join-view rewrite (row-grain JoinMvDef) ----
 
   private def readsJoinMv(df: DataFrame): Boolean = {
