@@ -921,7 +921,7 @@ object ScaleProbe {
     */
   private def textScaleProbe(spark: SparkSession): Unit = {
     val base = 20000L
-    val nOps = 10
+    val nOps = 11
     val resultsAll = Seq(1L, 1L, 30L, 100L).flatMap { mult =>
       val n = base * mult
       val docs = genCorpus(spark, n).cache()
@@ -1017,9 +1017,20 @@ object ScaleProbe {
         // unreleased pin would pressure every later block's cache
         graft.engine.PersistScope.releaseAll()
       }
+      // exact substring (span) dedup (r14): drives the production
+      // 128-bit-hashed scale path. The random corpus's duplicated
+      // shingles come from genCorpus's planted near-dup pairs, so the
+      // dictionary is small and the dominant measured costs are the
+      // positional-shingle explode + the fingerprint groupBy — the
+      // per-shingle shuffle bytes the hashKeys path exists to bound.
+      val spans = time(s"span_dedup_${mult}x", n) {
+        graft.operators.TextOps
+          .spanDedup(docs, k = 8)
+          .write.format("noop").mode("overwrite").save()
+      }
       docs.unpersist()
       Seq(bm25, tfidf, decon, deconShuffle, nll, gopher, boiler, dsir, qclf,
-        bigram)
+        bigram, spans)
     }
     val results = resultsAll.drop(nOps) // drop the warmup group
     println("--- text family at 30x/100x (base 20k docs; 64k vocab) ---")

@@ -224,4 +224,83 @@ object TextOps {
     */
   private[graft] def stopwordHitsComposed(ws: Column, list: Seq[String]): Column =
     size(filter(ws, w => array_contains(array(list.map(lit): _*), w))).cast("bigint")
+
+  /** EXACT SUBSTRING (SPAN) DEDUP — cross-document duplicated-span
+    * removal (Lee et al. 2021): any `k`-word shingle occurring in >= 2
+    * DISTINCT documents is a duplicated span; the smallest doc_id
+    * containing it keeps its text, every other occurrence's k-word
+    * window is removed, and overlapping windows merge through word-level
+    * kill marks (an N-word duplicated run, N > k, dies as one region).
+    * Within-doc repeats (df = 1 document) are untouched — span dedup is
+    * cross-document by definition. Input: (doc_id, text); output:
+    * (doc_id, n_words, n_removed, clean_text), one row per input doc
+    * (sub-k docs pass through with n_removed = 0).
+    *
+    * 100 TB shape: the text NEVER shuffles — shingle rows carry
+    * (doc_id, pos, shingle) through the df dictionary and the kill
+    * join, kill positions collapse to per-doc sets, and the one
+    * text-side join is by doc_id. This is the distributed re-expression
+    * of the inherently-sequential suffix-array formulation.
+    *
+    * `hashKeys` (default TRUE — the scale path) replaces the shingle
+    * STRING key with a 128-bit pair of xxhash64 values before the
+    * dictionary groupBy and kill join, so the shuffled bytes per shingle
+    * drop from ~k words to 16 — at corpus scale the difference between
+    * shuffling the corpus and shuffling fingerprints. The q_dedup_spans
+    * oracle gate runs hashKeys = false (DuckDB replays the string
+    * algebra exactly); DedupSpec pins the two paths row-identical, and
+    * a 128-bit collision (~1e-18 at 1e10 distinct shingles) is the
+    * standard fingerprinting trade every MinHash/SimHash operator in
+    * this repo already makes.
+    */
+  def spanDedup(
+      docs: DataFrame, k: Int = 8, hashKeys: Boolean = true): DataFrame = {
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("ws"))
+    // sequence(0, negative) DESCENDS in Spark — the size guard is
+    // load-bearing, not cosmetic
+    val posStrings = toks
+      .filter(size(col("ws")) >= k)
+      .select(
+        col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), size(col("ws")) - k),
+          i => concat_ws(" ", slice(col("ws"), i + 1, lit(k))))))
+      .select(col("doc_id"), col("pos"), col("col").as("sh"))
+    val posShingle =
+      if (!hashKeys) posStrings
+      else posStrings.select(
+        col("doc_id"), col("pos"),
+        struct(
+          xxhash64(col("sh")),
+          xxhash64(col("sh"), lit(1L))).as("sh"))
+    val dict = posShingle
+      .groupBy(col("sh"))
+      .agg(
+        min(col("doc_id")).as("keeper"),
+        countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2)
+      .select(col("sh"), col("keeper"))
+    val killStarts = posShingle
+      .join(dict, Seq("sh"))
+      .filter(col("doc_id") =!= col("keeper"))
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("pos")).as("ks"))
+    toks
+      .join(killStarts, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        size(col("ws")).cast("bigint").as("n_words"),
+        coalesce(col("ks"), array().cast("array<int>")).as("ks"),
+        col("ws"))
+      .select(
+        col("doc_id"),
+        col("n_words"),
+        filter(col("ws"), (w, p) =>
+          !exists(col("ks"), st => p >= st && p < st + k)).as("kept"))
+      .select(
+        col("doc_id"),
+        col("n_words"),
+        (col("n_words") - size(col("kept"))).cast("bigint").as("n_removed"),
+        concat_ws(" ", col("kept")).as("clean_text"))
+  }
 }

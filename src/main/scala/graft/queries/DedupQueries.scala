@@ -548,6 +548,92 @@ object DedupQueries {
           |                      ORDER BY para_idx), '') AS clean_text
           |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin
       )
+    ),
+    // EXACT SUBSTRING (SPAN) DEDUP — the Lee et al. 2021 "Deduplicating
+    // Training Data Makes Language Models Better" rung the document- and
+    // paragraph-level family misses: a duplicated SPAN inside otherwise-
+    // unique documents (a licence block, a quoted passage, a shared
+    // footer) survives whole-doc and fixed-paragraph dedup but still
+    // memorizes. Contract: any 8-word shingle occurring in >= 2 distinct
+    // docs is a duplicated span; the smallest doc_id containing it keeps
+    // its text, every other occurrence's 8-word window is removed, and
+    // overlapping windows merge through word-level kill marks (so an
+    // N-word duplicated run, N > 8, dies as one region, not 8-word
+    // stutters). Within-doc repeats with df = 1 are NOT touched — span
+    // dedup is cross-document by definition; q_text_repetition owns the
+    // within-doc axis.
+    //
+    // 100 TB shape: the TEXT never shuffles. Shingle rows carry (doc_id,
+    // pos, shingle); the dictionary groupBy (min doc + distinct-doc df)
+    // and the kill join shuffle those rows only; kill positions collapse
+    // to per-doc sets; the single text-side join is by doc_id. The
+    // suffix-array formulation this replaces is inherently sequential —
+    // banded shingle df IS the distributed re-expression (at lake scale
+    // the shingle key becomes a 128-bit hash; here the string itself so
+    // the DuckDB oracle replays the algebra exactly). The fixture plants
+    // a 9-word phrase on every doc_id % 7 == 0 doc, so ~1/7 of the corpus
+    // shares two overlapping duplicated shingles -> 9 words die per
+    // non-keeper; natural soup 8-gram collisions are deterministic in
+    // both engines.
+    Q(
+      "q_dedup_spans",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .select(
+            $"doc_id",
+            when($"doc_id" % 7 === 0,
+              concat($"text",
+                lit(" the quick brown fox jumps over the lazy dog")))
+              .otherwise($"text").as("text"))
+        // string keys HERE so DuckDB replays the algebra exactly; the
+        // production default is the 128-bit-hashed scale path, pinned
+        // row-identical to this one in DedupSpec
+        TextOps.spanDedup(docs, k = 8, hashKeys = false).orderBy($"doc_id")
+      },
+      Some(
+        """WITH docs AS (
+          |  SELECT doc_id,
+          |         CASE WHEN doc_id % 7 = 0
+          |              THEN text || ' the quick brown fox jumps over the lazy dog'
+          |              ELSE text END AS text
+          |  FROM documents
+          |), toks AS (
+          |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS ws
+          |  FROM docs
+          |), poss AS (
+          |  SELECT doc_id, ws, unnest(generate_series(0, len(ws) - 8)) AS pos
+          |  FROM toks WHERE len(ws) >= 8
+          |), sh AS (
+          |  SELECT doc_id, pos, array_to_string(ws[pos+1 : pos+8], ' ') AS s
+          |  FROM poss
+          |), dict AS (
+          |  SELECT s, min(doc_id) AS keeper
+          |  FROM sh GROUP BY s HAVING count(DISTINCT doc_id) >= 2
+          |), kills AS (
+          |  SELECT sh.doc_id, sh.pos FROM sh JOIN dict USING (s)
+          |  WHERE sh.doc_id <> dict.keeper
+          |), idx AS (
+          |  SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS p
+          |  FROM toks
+          |), kept AS (
+          |  SELECT i.doc_id, i.p, i.ws[i.p] AS w
+          |  FROM idx i
+          |  WHERE NOT EXISTS (
+          |    SELECT 1 FROM kills x
+          |    WHERE x.doc_id = i.doc_id AND i.p - 1 >= x.pos
+          |      AND i.p - 1 < x.pos + 8)
+          |), agg AS (
+          |  SELECT doc_id, count(*) AS n_kept,
+          |         string_agg(w, ' ' ORDER BY p) AS clean_text
+          |  FROM kept GROUP BY doc_id
+          |)
+          |SELECT t.doc_id,
+          |  CAST(len(t.ws) AS BIGINT) AS n_words,
+          |  CAST(len(t.ws) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
+          |  coalesce(a.clean_text, '') AS clean_text
+          |FROM toks t LEFT JOIN agg a USING (doc_id)
+          |ORDER BY t.doc_id""".stripMargin
+      )
     )
   )
 

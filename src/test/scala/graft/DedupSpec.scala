@@ -457,4 +457,41 @@ class DedupSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
   }
+
+  test("span dedup: keeper untouched, a >k-word run dies as ONE region, within-doc repeats and sub-k docs pass") {
+    import spark.implicits._
+    val run = (1 to 12).map(i => s"r$i").mkString(" ")
+    val docs = Seq(
+      // doc 1 is the keeper of the 12-word run
+      (1L, s"head1 head2 $run tail1"),
+      // doc 2 duplicates the run: its 12 words die as one merged region
+      (2L, s"x1 x2 $run y1"),
+      // doc 3 repeats an 8-gram WITHIN itself only (df = 1 doc): untouched
+      (3L, ("b " * 20).trim),
+      // doc 4 is sub-k: no shingles, passes through
+      (4L, "short doc")
+    ).toDF("doc_id", "text")
+    val out = TextOps.spanDedup(docs, k = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1)
+    assert(out(0) === ((1L, 15L, 0L, s"head1 head2 $run tail1")),
+      s"keeper must keep every word: ${out(0)}")
+    // doc 2: exactly the 12 run words die — one contiguous region from
+    // the 5 overlapping duplicated shingles, not 8-word stutters
+    assert(out(1) === ((2L, 15L, 12L, "x1 x2 y1")), s"run region: ${out(1)}")
+    assert(out(2)._3 === 0L, s"within-doc repeat must not be touched: ${out(2)}")
+    assert(out(3) === ((4L, 2L, 0L, "short doc")), s"sub-k doc: ${out(3)}")
+  }
+
+  test("span dedup: the 128-bit hashed scale path is row-identical to the string-keyed oracle path") {
+    import spark.implicits._
+    val docs = graft.queries.QueryUtil
+      .t(spark, SparkTestBase.Sf0001, "documents")
+      .select($"doc_id", $"text")
+    val hashed = TextOps.spanDedup(docs, k = 8, hashKeys = true)
+    val strings = TextOps.spanDedup(docs, k = 8, hashKeys = false)
+    assert(hashed.exceptAll(strings).count() === 0)
+    assert(strings.exceptAll(hashed).count() === 0)
+  }
 }
