@@ -330,6 +330,50 @@ class MvRewriteSpec extends SparkTestBase with BeforeAndAfterAll {
     assert(!readsJoinMv(joinQuery(spark)))
   }
 
+  test("AGGREGATED join MV by composition: join rewrite then rollup rewrite chain in the fixed-point batch") {
+    import spark.implicits._
+    // a rollup registered ON THE JOIN VIEW ITSELF: the optimizer batch
+    // runs to fixed point, so iteration 1 re-roots the aggregate onto
+    // the row-grain join MV and iteration 2 rolls it up to the
+    // keys-sized rollup — the Calcite aggregated-join-MV surface as a
+    // composition of the two registered shapes, no third rewrite form
+    val rollupPath =
+      s"${new java.io.File(jmvPath).getParent}/jmv_rollup.parquet"
+    spark.read.parquet(jmvPath)
+      .groupBy($"jk")
+      .agg(sum($"v").as("s_v"), count($"v").as("c_v"), count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(rollupPath)
+    MvCatalog.register(MvDef(
+      name = "jmv_rollup",
+      basePath = jmvPath,
+      keys = Seq("jk"),
+      measures = Map("v" -> MvMeasure(sum = Some("s_v"), cnt = Some("c_v"))),
+      countStar = Some("n"),
+      mvPath = rollupPath,
+      mvSchema = spark.read.parquet(rollupPath).schema
+    ))
+    try {
+      def q(s: SparkSession) = {
+        val f = s.read.parquet(factPath)
+        val d = s.read.parquet(dimPath)
+        f.join(d, col("jk") === col("dk"), "inner")
+          .groupBy(col("jk"))
+          .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+          .orderBy(col("jk"))
+      }
+      val r = q(s2)
+      val paths = scanPaths(r)
+      assert(paths.exists(_.contains("jmv_rollup.parquet")),
+        s"expected the keys-sized rollup scan, got $paths")
+      assert(!paths.exists(p => p.contains("fact.parquet") ||
+        p.contains("dim.parquet") ||
+        (p.contains("jmv.parquet") && !p.contains("jmv_rollup"))),
+        s"bases and the row-grain view must both be replaced: $paths")
+      assert(r.collect().map(_.toSeq).toSeq ===
+        q(spark).collect().map(_.toSeq).toSeq)
+    } finally MvCatalog.unregister(jmvPath)
+  }
+
   test("full IVM loop: refreshJoin maintains the stored view, re-registration re-routes the rewrite, answers track the churned base") {
     import spark.implicits._
     val dir = tempDir("graft-mv-loop")
