@@ -1213,6 +1213,92 @@ object TextQueries {
           |FROM flat f JOIN df ON f.line = df.line
           |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin
       )
+    ),
+    // PER-SOURCE (domain) REPUTATION — the RefinedWeb/C4 filtering axis
+    // the per-document passes miss: a crawl is curated by DOMAIN, not
+    // just by document (a URL blocklist plus kill rules for domains
+    // whose aggregate stats are pathological — mostly-duplicated or
+    // mostly-trivial content). Signals here: exact-dup docs (shared
+    // sha256 across the corpus; the fixture has none naturally, so a
+    // canned landing page is planted on doc_id % 25 == 0 — both engines
+    // replay the plant) and short docs; verdicts with integer-arithmetic
+    // thresholds (5*n_dup >= n_docs, i.e. >= 20% duplicated;
+    // 5*n_short >= 2*n_docs, i.e. >= 40% trivial) so no FP boundary can
+    // disagree across engines. The static blocklist wins over stats.
+    //
+    // 100 TB shape: per-doc rows carry (source, digest, n_tokens) —
+    // never text; the digest df groupBy and the per-source rollup are
+    // the only shuffles, and the verdict table is domains-sized — it
+    // BROADCASTS back onto the corpus for the actual kill join in a
+    // full pipeline (the q_pipeline_recipe composition pattern).
+    Q(
+      "q_pipeline_source_quality",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .select(
+            $"source", $"doc_id",
+            when($"doc_id" % 25 === 0,
+              lit("duplicated boilerplate landing page text"))
+              .otherwise($"text").as("text"))
+        val perDoc = docs.select(
+          $"source",
+          sha2($"text", 256).as("h"),
+          size(TextOps.tokens($"text")).cast("bigint").as("n_tokens"))
+        val hashCounts = perDoc.groupBy($"h").agg(count(lit(1)).as("hc"))
+        val flagged = perDoc
+          .join(hashCounts, Seq("h"))
+          .select(
+            $"source", $"n_tokens",
+            ($"hc" > 1).cast("int").as("is_dup"),
+            ($"n_tokens" < 40).cast("int").as("is_short"))
+        val blocklist = Seq("src3", "src17")
+        flagged
+          .groupBy($"source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum($"is_dup").cast("bigint").as("n_dup"),
+            sum($"is_short").cast("bigint").as("n_short"),
+            round(avg($"n_tokens"), 6).as("avg_tokens"))
+          .withColumn("verdict",
+            when($"source".isin(blocklist: _*), lit("blocked"))
+              .when($"n_dup" * 5 >= $"n_docs" ||
+                $"n_short" * 5 >= $"n_docs" * 2, lit("low"))
+              .otherwise(lit("ok")))
+          .orderBy($"source")
+      },
+      Some(
+        """WITH docs AS (
+          |  SELECT source, doc_id,
+          |         CASE WHEN doc_id % 25 = 0
+          |              THEN 'duplicated boilerplate landing page text'
+          |              ELSE text END AS text
+          |  FROM documents
+          |), d AS (
+          |  SELECT source, sha256(text) AS h,
+          |         CAST(len(regexp_split_to_array(lower(text), '\s+')) AS BIGINT)
+          |           AS n_tokens
+          |  FROM docs
+          |), hc AS (
+          |  SELECT h, count(*) AS c FROM d GROUP BY h
+          |), f AS (
+          |  SELECT d.source, d.n_tokens,
+          |         CASE WHEN hc.c > 1 THEN 1 ELSE 0 END AS is_dup,
+          |         CASE WHEN d.n_tokens < 40 THEN 1 ELSE 0 END AS is_short
+          |  FROM d JOIN hc USING (h)
+          |), ps AS (
+          |  SELECT source, count(*) AS n_docs,
+          |         CAST(sum(is_dup) AS BIGINT) AS n_dup,
+          |         CAST(sum(is_short) AS BIGINT) AS n_short,
+          |         round(avg(n_tokens), 6) AS avg_tokens
+          |  FROM f GROUP BY source
+          |)
+          |SELECT source, n_docs, n_dup, n_short, avg_tokens,
+          |  CASE WHEN source IN ('src3', 'src17') THEN 'blocked'
+          |       WHEN n_dup * 5 >= n_docs OR n_short * 5 >= n_docs * 2
+          |         THEN 'low'
+          |       ELSE 'ok' END AS verdict
+          |FROM ps ORDER BY source""".stripMargin
+      )
     )
   )
 
