@@ -330,6 +330,53 @@ class MvRewriteSpec extends SparkTestBase with BeforeAndAfterAll {
     assert(!readsJoinMv(joinQuery(spark)))
   }
 
+  test("HAVING commutes: the filter above the aggregate survives while the aggregate underneath rewrites") {
+    def q(s: SparkSession) = s.read.parquet(basePath)
+      .groupBy(col("k"))
+      .agg(sum(col("y")).as("sy"), count(lit(1)).as("n"))
+      .filter(col("sy") > 100L) // HAVING — parent of the Aggregate
+      .orderBy(col("k"))
+    val r = q(s2)
+    assert(readsMv(r), s"HAVING must not block the rewrite: ${scanPaths(r)}")
+    assert(r.collect().map(_.toSeq).toSeq ===
+      q(spark).collect().map(_.toSeq).toSeq)
+  }
+
+  test("multiple join MVs per pair: a query needing a column only the second stores routes there") {
+    import spark.implicits._
+    // a SECOND join view on the same (fact, dim) pair storing the dim's
+    // "extra" column the first one deliberately omits
+    val jmv2Path = s"${new java.io.File(jmvPath).getParent}/jmv2.parquet"
+    val fact = spark.read.parquet(factPath)
+    val dim = spark.read.parquet(dimPath)
+    fact.as("f").join(dim.as("d"), col("f.jk") === col("d.dk"), "inner")
+      .select(col("f.fk"), col("f.jk"), col("f.v"), col("d.dk"),
+        col("d.name"), col("d.extra"))
+      .write.mode("overwrite").parquet(jmv2Path)
+    MvCatalog.registerJoin(JoinMvDef(
+      name = "spec_join_view_extra", factPath = factPath, dimPath = dimPath,
+      joinKeys = Seq(("jk", "dk")), mvPath = jmv2Path,
+      mvSchema = spark.read.parquet(jmv2Path).schema))
+    // the original query still routes to the FIRST candidate
+    assert(scanPaths(joinQuery(s2)).exists(p =>
+      p.contains("jmv.parquet") && !p.contains("jmv2")))
+    // a query filtering on "extra" bails on candidate 1 (unstored
+    // column) and lands on candidate 2
+    def q2(s: SparkSession) = {
+      val f = s.read.parquet(factPath)
+      val d = s.read.parquet(dimPath)
+      f.join(d, col("jk") === col("dk"), "inner")
+        .filter(col("extra") =!= "e3")
+        .groupBy(col("name")).agg(sum(col("v")).as("sv"))
+        .orderBy(col("name"))
+    }
+    val r = q2(s2)
+    assert(scanPaths(r).exists(_.contains("jmv2.parquet")),
+      s"expected second join MV, got ${scanPaths(r)}")
+    assert(r.collect().map(_.toSeq).toSeq ===
+      q2(spark).collect().map(_.toSeq).toSeq)
+  }
+
   test("AGGREGATED join MV by composition: join rewrite then rollup rewrite chain in the fixed-point batch") {
     import spark.implicits._
     // a rollup registered ON THE JOIN VIEW ITSELF: the optimizer batch
