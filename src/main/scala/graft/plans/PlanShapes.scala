@@ -38,7 +38,10 @@ object PlanShapes {
     // the MV maintenance family (r14): their scale property IS a plan
     // shape — refresh cost must stay bounded by churn + view size, so a
     // scan creeping in is the regression that matters most
-    "q_mv_incremental", "q_mv_minmax", "q_mv_join"
+    "q_mv_incremental", "q_mv_minmax", "q_mv_join",
+    // r14 pipeline additions: span dedup's whole design is "text never
+    // shuffles" (4 shuffles of digest/position rows, zero driver jobs)
+    "q_dedup_spans", "q_pipeline_source_quality"
   )
 
   def headline(name: String): Boolean = headlineNames.contains(name)
@@ -149,6 +152,13 @@ object PlanShapes {
       maxScans = 12),
     "q_mv_join" -> ShapeBounds(maxShuffles = 11, minBroadcastJoins = 20,
       maxShuffleJoins = 4, minPushedScans = 8, maxBuildJobs = 8,
-      maxScans = 15)
+      maxScans = 15),
+    // span dedup: 4 shuffles carry digests/positions only (dict groupBy,
+    // kill join, kill collect, doc_id reattach) — text itself never
+    // shuffles, and the build is fully declarative (zero driver jobs)
+    "q_dedup_spans" -> ShapeBounds(maxShuffles = 4, minBroadcastJoins = 1,
+      maxShuffleJoins = 1, minPushedScans = 1, maxScans = 3),
+    "q_pipeline_source_quality" -> ShapeBounds(maxShuffles = 3,
+      minBroadcastJoins = 1, maxShuffleJoins = 1, maxScans = 2)
   )
 }
