@@ -311,17 +311,69 @@ object ScaleProbe {
         full.exceptAll(refreshedOnce).count() == 0,
         "incremental refresh diverged from the full recompute")
       graft.engine.PersistScope.releaseAll()
-      Seq(cl, diff, mvr, mvf)
+
+      // JOIN-VIEW IVM (r14): a stored fact⋈dim view refreshed from the
+      // SAME fixed churn vs the full join recompute, driving the
+      // production IncrementalOps.refreshJoin. The dim (2M rows, ~30 MB
+      // estimated) sits deliberately ABOVE the broadcast threshold, so
+      // the recompute pays the fact-wide shuffle join at every base
+      // size while the refresh touches the stored view (broadcast
+      // anti-joins of the churn keys) plus churn-scoped keyed reads.
+      val dimPath = s"$root/dim.parquet"
+      spark.range(2000000L)
+        .select(col("id").as("jk"),
+          concat(lit("dim-"), col("id")).as("dname"))
+        .write.mode("overwrite").parquet(dimPath)
+      def dim = spark.read.parquet(dimPath)
+      def factNow = IcebergSource.read(spark, root)
+        .select(col("id").as("pk"),
+          pmod(col("id"), lit(2000000L)).as("jk"), col("v"))
+      val viewPath = s"$root/joinview.parquet"
+      factNow.join(dim, Seq("jk"))
+        .select(col("pk"), col("jk"), col("v"), col("dname"))
+        .write.mode("overwrite").parquet(viewPath)
+      // note: the stored view reflects the CURRENT fact (the churn is
+      // already applied above), so this measures a refresh step's COST
+      // shape on realistic inputs; its correctness pin is the untimed
+      // equality below, convergence itself is OperatorEdgeSpec's job
+      val churnPks = IcebergSource.readChangelog(spark, root, 1L)
+        .select(col("id").as("pk")).distinct()
+      val churnDims = spark.range(8)
+        .select((col("id") * 250000L).as("jk"))
+      def refreshedView() = graft.operators.IncrementalOps.refreshJoin(
+        spark.read.parquet(viewPath), churnPks, churnDims,
+        factKey = "pk", joinKey = "jk",
+        factByPk = keys => factNow.join(keys, Seq("pk"), "left_semi"),
+        factByJoinKey = keys => factNow.join(keys, Seq("jk"), "left_semi"),
+        dimByJoinKey = keys => dim.join(keys, Seq("jk"), "left_semi"))
+      val jvr = time(s"joinview_refresh_${mult}x", n) {
+        refreshedView().write.format("noop").mode("overwrite").save()
+      }
+      val jvf = time(s"joinview_recompute_${mult}x", n) {
+        factNow.join(dim, Seq("jk"))
+          .select(col("pk"), col("jk"), col("v"), col("dname"))
+          .write.format("noop").mode("overwrite").save()
+      }
+      // untimed: the refreshed view is row-identical to the recompute
+      val rv = graft.engine.PersistScope.pinEager(refreshedView())
+      val rc = graft.engine.PersistScope.pinEager(
+        factNow.join(dim, Seq("jk"))
+          .select(col("pk"), col("jk"), col("v"), col("dname")))
+      require(rv.exceptAll(rc).count() == 0 && rc.exceptAll(rv).count() == 0,
+        "join-view refresh diverged from the full join recompute")
+      graft.engine.PersistScope.releaseAll()
+      Seq(cl, diff, mvr, mvf, jvr, jvf)
     }
-    val results = resultsAll.drop(4) // drop the warmup group
+    val nOps = 6
+    val results = resultsAll.drop(nOps) // drop the warmup group
     println("--- CDC changelog vs full-scan diff at fixed churn (10k ins + 1k del) ---")
-    results.foreach { case (l, rows, s) => println(f"$l%-16s base=$rows%9d  $s%8.2f s") }
+    results.foreach { case (l, rows, s) => println(f"$l%-22s base=$rows%9d  $s%8.2f s") }
     println("--- time ratios vs 100k base (changelog + mv_refresh ~flat; scan diff + recompute track the table) ---")
-    (0 until 4).foreach { i =>
+    (0 until nOps).foreach { i =>
       val (l1, _, s1) = results(i)
-      val (_, _, s10) = results(4 + i)
-      val (_, _, s30) = results(8 + i)
-      println(f"${l1.stripSuffix("_1x")}%-16s 10x: ${s10 / s1}%7.2f   30x: ${s30 / s1}%7.2f")
+      val (_, _, s10) = results(nOps + i)
+      val (_, _, s30) = results(2 * nOps + i)
+      println(f"${l1.stripSuffix("_1x")}%-22s 10x: ${s10 / s1}%7.2f   30x: ${s30 / s1}%7.2f")
     }
   }
 
