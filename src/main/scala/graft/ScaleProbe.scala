@@ -312,53 +312,63 @@ object ScaleProbe {
         "incremental refresh diverged from the full recompute")
       graft.engine.PersistScope.releaseAll()
 
-      // JOIN-VIEW IVM (r14): a stored fact⋈dim view refreshed from the
-      // SAME fixed churn vs the full join recompute, driving the
-      // production IncrementalOps.refreshJoin. The dim (2M rows, ~30 MB
-      // estimated) sits deliberately ABOVE the broadcast threshold, so
-      // the recompute pays the fact-wide shuffle join at every base
-      // size while the refresh touches the stored view (broadcast
-      // anti-joins of the churn keys) plus churn-scoped keyed reads.
-      val dimPath = s"$root/dim.parquet"
-      spark.range(2000000L)
-        .select(col("id").as("jk"),
-          concat(lit("dim-"), col("id")).as("dname"))
-        .write.mode("overwrite").parquet(dimPath)
-      def dim = spark.read.parquet(dimPath)
-      def factNow = IcebergSource.read(spark, root)
-        .select(col("id").as("pk"),
-          pmod(col("id"), lit(2000000L)).as("jk"), col("v"))
-      val viewPath = s"$root/joinview.parquet"
-      factNow.join(dim, Seq("jk"))
-        .select(col("pk"), col("jk"), col("v"), col("dname"))
-        .write.mode("overwrite").parquet(viewPath)
-      // note: the stored view reflects the CURRENT fact (the churn is
-      // already applied above), so this measures a refresh step's COST
-      // shape on realistic inputs; its correctness pin is the untimed
-      // equality below, convergence itself is OperatorEdgeSpec's job
-      val churnPks = IcebergSource.readChangelog(spark, root, 1L)
-        .select(col("id").as("pk")).distinct()
-      val churnDims = spark.range(8)
-        .select((col("id") * 250000L).as("jk"))
-      def refreshedView() = graft.operators.IncrementalOps.refreshJoin(
-        spark.read.parquet(viewPath), churnPks, churnDims,
-        factKey = "pk", joinKey = "jk",
-        factByPk = keys => factNow.join(keys, Seq("pk"), "left_semi"),
-        factByJoinKey = keys => factNow.join(keys, Seq("jk"), "left_semi"),
-        dimByJoinKey = keys => dim.join(keys, Seq("jk"), "left_semi"))
+      // JOIN-VIEW IVM (r14): the production STREAMING step
+      // (MaterializedAgg.refreshStepJoin — one merge commit of touched
+      // rows) vs the full-rewrite deployment (join recompute + writing
+      // the whole view). Both sources are iceberg; the dim (2M rows)
+      // sits above the broadcast threshold so the recompute pays the
+      // fact-wide shuffle join AND the view-sized write at every base
+      // size, while the refresh's write is churn-sized. The view is
+      // CREATED from the post-churn state (untimed), then a SECOND
+      // fixed churn window (10k fact upserts + 1k fact deletes + 8 dim
+      // upserts) is the step both paths apply.
+      val dimRoot = s"$root/dim_table"
+      IcebergWriter.append(spark, dimRoot,
+        spark.range(2000000L).select(col("id").as("jk"),
+          (col("id") * 7L).as("dv")),
+        None, 1000L, formatVersion = 2)
+      val viewRoot = s"$root/joinview_table"
+      def stepJoin(ts: Long) =
+        graft.streaming.MaterializedAgg.refreshStepJoin(
+          spark, viewRoot, root, dimRoot,
+          factKey = col("id"),
+          factJoinKey = pmod(col("id"), lit(2000000L)),
+          factVal = col("id"),
+          dimJoinKey = col("jk"), dimVal = col("dv"), ts)
+      require(stepJoin(10000L).isDefined, "view creation step") // untimed
+      // the second churn window, same fixed size as the probe's first
+      IcebergWriter.append(spark, root,
+        spark.range(10000).select((col("id") + n + 10000L).as("id"),
+          lit("appended2").as("v")), None, 11000L)
+      IcebergWriter.deleteEquality(spark, root,
+        spark.range(1000).select((col("id") * (n / 1000) + 1L).as("id")),
+        12000L)
+      IcebergWriter.upsertRows(spark, dimRoot,
+        spark.range(8).select((col("id") * 250000L).as("jk"),
+          lit(-1L).as("dv")), "jk", 13000L)
       val jvr = time(s"joinview_refresh_${mult}x", n) {
-        refreshedView().write.format("noop").mode("overwrite").save()
+        require(stepJoin(14000L).isDefined, "refresh step must apply")
       }
+      val recomputePath = s"$root/joinview_recompute.parquet"
       val jvf = time(s"joinview_recompute_${mult}x", n) {
-        factNow.join(dim, Seq("jk"))
-          .select(col("pk"), col("jk"), col("v"), col("dname"))
-          .write.format("noop").mode("overwrite").save()
+        // empty-metadata aliases: the iceberg read stamps parquet
+        // field-id metadata on `id`, and aliasing it twice would write
+        // a file with duplicate field ids that id-resolution refuses
+        val noMeta = org.apache.spark.sql.types.Metadata.empty
+        IcebergSource.read(spark, root)
+          .select(col("id").as("k", noMeta),
+            pmod(col("id"), lit(2000000L)).as("jk"),
+            col("id").as("fv", noMeta))
+          .join(IcebergSource.read(spark, dimRoot), Seq("jk"))
+          .select(col("k"), col("jk"), col("fv"), col("dv"))
+          .write.mode("overwrite").parquet(recomputePath)
       }
-      // untimed: the refreshed view is row-identical to the recompute
-      val rv = graft.engine.PersistScope.pinEager(refreshedView())
+      // untimed: the merged view is row-identical to the full recompute
+      val rv = graft.engine.PersistScope.pinEager(
+        graft.streaming.MaterializedAgg.readView(spark, viewRoot)
+          .select(col("k"), col("jk"), col("fv"), col("dv")))
       val rc = graft.engine.PersistScope.pinEager(
-        factNow.join(dim, Seq("jk"))
-          .select(col("pk"), col("jk"), col("v"), col("dname")))
+        spark.read.parquet(recomputePath))
       require(rv.exceptAll(rc).count() == 0 && rc.exceptAll(rv).count() == 0,
         "join-view refresh diverged from the full join recompute")
       graft.engine.PersistScope.releaseAll()
