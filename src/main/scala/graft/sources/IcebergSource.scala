@@ -524,6 +524,99 @@ object IcebergSource {
     IcebergMeta.planScan(meta, snap, prune, fileFilter)
   }
 
+  /** Scan filters for a CHURN-SCALE keyed read ("re-derive exactly these
+    * keys from the base") — the piece that decides whether keyed IVM
+    * beats view recompute at 100 TB. A keyed refresh semi-joins the base
+    * table against a churn-sized key set, but without scan filters the
+    * read under the semi-join still lists and reads EVERY data file.
+    * When `keyExpr` is a bare column of the table, two conservative
+    * (strict-superset) filters derive mechanically from the key set:
+    *
+    *   - PARTITION pruning ([[IcebergMeta.PartitionIn]]): when a spec
+    *     partitions by the column — identity or hidden bucket/truncate;
+    *     [[IcebergMeta.planScan]] evaluates the transform on each key —
+    *     manifests and files outside the keys' partitions are skipped.
+    *     Wins when the keys' transformed image is small relative to the
+    *     layout: point lookups, a handful of churned dimension keys.
+    *   - FILE-BOUND range skipping ([[IcebergMeta.ColumnBound]]
+    *     gteq/lteq over the keys' min..max): files whose recorded
+    *     column bounds sit wholly outside the churn's range are
+    *     skipped. Wins on clustered / append-ordered layouts where
+    *     churn is range-local — the recent-data churn every ingest
+    *     pipeline produces.
+    *
+    * Both are scan OPTIMIZATIONS, never semantics: the caller's
+    * semi-join remains the filter of record, and every fallback path —
+    * `keyExpr` not a bare column, table without metadata, key set over
+    * `cap`, null keys, a spec whose transform cannot evaluate these
+    * values, a non-integral column type for the range — degrades to the
+    * do-nothing filters, i.e. the exact unpruned read.
+    *
+    * The key set is driver-collected BOUNDED by `cap` (churn-scale
+    * longs, never table-scale). An over-cap key set falls back to a
+    * single min/max aggregate so range skipping survives huge churn
+    * windows (e.g. the view-creation step, where "churn" is the whole
+    * history).
+    */
+  def keyedFilters(
+      tablePath: String,
+      keyExpr: org.apache.spark.sql.Column,
+      keys: DataFrame,
+      keyColName: String,
+      cap: Int = 100000)
+      : (Option[IcebergMeta.PartitionPredicate], Seq[IcebergMeta.ColumnBound]) = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    val none =
+      (Option.empty[IcebergMeta.PartitionPredicate],
+        Seq.empty[IcebergMeta.ColumnBound])
+    val colName = org.apache.spark.sql.classic.GraftSqlInternals
+      .simpleColumnName(keyExpr)
+      .getOrElse(return none) // an arbitrary expression has no scan column
+    if (!IcebergMeta.hasMetadata(tablePath)) return none
+    val meta = IcebergMeta.load(tablePath)
+    val field = meta.fields.find(_.name == colName).getOrElse(return none)
+    // range endpoints are picked DRIVER-side and must order exactly as
+    // the planner's stored-bound comparison does — integral types only
+    // (doubles/strings have encoding-order subtleties not worth the risk)
+    val integral = Set("int", "long")(field.typeName)
+    val rows = keys.select(col(keyColName)).distinct().limit(cap + 1).collect()
+    if (rows.isEmpty) return none
+    if (rows.length > cap) {
+      if (!integral) return none
+      val r = keys.agg(min(col(keyColName)), max(col(keyColName))).head()
+      if (r.isNullAt(0)) return none
+      return (None, Seq(
+        IcebergMeta.ColumnBound(colName, "gteq", r.get(0)),
+        IcebergMeta.ColumnBound(colName, "lteq", r.get(1))))
+    }
+    val vals = rows.map(_.get(0))
+    // a null key cannot be pruned FOR (bounds and transforms are defined
+    // on values); reading everything is the conservative answer
+    if (vals.exists(_ == null)) return none
+    // the specs that would prune on this column (same name resolution as
+    // planScan); every one of them must evaluate its transform on these
+    // values cleanly, or planning would throw where it used to scan
+    val resolving = meta.specsById.values.toSeq.flatMap(sf =>
+      sf.find(pf =>
+        pf.name == colName ||
+          meta.fields.find(_.id == pf.sourceId).exists(_.name == colName)))
+    val prune =
+      if (resolving.isEmpty) None
+      else if (resolving.forall(pf => scala.util.Try(
+        IcebergTransforms(pf.transform, field.typeName, vals.head)).isSuccess))
+        Some(IcebergMeta.PartitionIn(colName, vals.toSet))
+      else None
+    val bounds =
+      if (!integral) Nil
+      else {
+        val longs = vals.map(_.asInstanceOf[Number].longValue())
+        Seq(
+          IcebergMeta.ColumnBound(colName, "gteq", longs.min),
+          IcebergMeta.ColumnBound(colName, "lteq", longs.max))
+      }
+    (prune, bounds)
+  }
+
   /** Reference-fidelity fallback (iceberg/src/lib.rs:42-76): verify the
     * table layout, then scan all parquet under `data/` recursively —
     * Spark's parquet source does the recursive listing and all the usual

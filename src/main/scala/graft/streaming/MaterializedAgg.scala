@@ -225,6 +225,7 @@ object MaterializedAgg {
       wmCol = "mn")
       .getOrElse(return None)
     val changes = pinnedWindow(spark, sourcePath, ctx.watermark, key, measure)
+    val rescanPins = scala.collection.mutable.Buffer.empty[DataFrame]
     try {
       // tombstones and the watermark are NOT live groups: a tombstoned
       // key re-enters as a brand-new group (inserts fold from scratch;
@@ -233,11 +234,23 @@ object MaterializedAgg {
         .filter(!($"k" <=> WatermarkKey) && $"c" > 0)
       val refreshed = IncrementalOps.refreshMinMax(
         live, changes, "k", col("m"), "mn", "mx", "c",
-        rescan = keys => IcebergSource
-          .read(spark, sourcePath, snapshotId = Some(ctx.current),
-            asOfTimestampMs = None, prune = None)
-          .select(key.cast("bigint").as("k"), measure.cast("bigint").as("m"))
-          .join(keys, Seq("k"), "left_semi"))
+        rescan = keys => {
+          // the rescan key set feeds two jobs (the filter derivation's
+          // bounded collect, then the read's semi-join) — pin it so the
+          // delta-join deriving it runs once; released with `changes`
+          val pinned = keys
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          rescanPins += pinned
+          // extremum rescans are typically FEW keys — exactly where a
+          // bucketed/clustered source layout prunes the keyed read
+          val (prune, bounds) =
+            IcebergSource.keyedFilters(sourcePath, key, pinned, "k")
+          IcebergSource
+            .read(spark, sourcePath, snapshotId = Some(ctx.current),
+              asOfTimestampMs = None, prune = prune, fileFilter = bounds)
+            .select(key.cast("bigint").as("k"), measure.cast("bigint").as("m"))
+            .join(pinned, Seq("k"), "left_semi")
+        })
       val touchedKeys = changes.select($"k".as("tk")).distinct()
       val touched = refreshed.join(touchedKeys, $"k" <=> $"tk", "left_semi")
       // window-touched keys refreshMinMax no longer emits are DEAD
@@ -257,31 +270,51 @@ object MaterializedAgg {
         IcebergWriter.mergeRows(spark, viewPath, out, "k", timestampMs,
           requireSnapshot = ctx.viewHead): Unit
       Some(ctx.current)
-    } finally changes.unpersist(blocking = false): Unit
+    } finally {
+      changes.unpersist(blocking = false): Unit
+      // the write above consumed the plan; the rescan key pins (if the
+      // rescan branch ran at all) are safe to release
+      rescanPins.foreach(_.unpersist(blocking = false))
+    }
   }
 
   /** The streaming JOIN view — the third IVM class under the same
     * one-commit watermark contract: a stored row-grain
     * `fact INNER JOIN dim` view (concrete schema: k = fact key, jk =
     * join key, fv/dv = fact/dim payloads, c = 1 live / 0 tombstone /
-    * -1 watermark) maintained from BOTH sources' CDC changelogs via
-    * [[IncrementalOps.refreshJoin]]. The watermark row carries TWO
-    * cursors — the applied fact snapshot in `jk` and the applied dim
-    * snapshot in `fv` — written with the touched rows in ONE mergeRows
-    * commit, so both cursors and the view state stay atomic; a replay
-    * finds both current and no-ops.
+    * -1 watermark) maintained from BOTH sources' CDC changelogs. The
+    * watermark row carries TWO cursors — the applied fact snapshot in
+    * `jk` and the applied dim snapshot in `fv` — written with the
+    * touched rows in ONE mergeRows commit, so both cursors and the view
+    * state stay atomic; a replay finds both current and no-ops.
     *
     * The changelogs contribute only their churned key sets; the
     * affected region re-derives from the CURRENT base state of both
     * tables PINNED AT the step's own (factCurrent, dimCurrent) snapshot
     * pair, so a racing commit on either source cannot leak
     * post-watermark rows into the region and double-apply next step.
-    * Touched keys = churned fact pks ∪ pks of view rows under churned
-    * dims ∪ pks of current fact rows under churned dims; touched keys
-    * the refreshed join no longer contains are DEAD (fact deleted, or
-    * its dim died through inner-join semantics) and tombstone as c = 0.
-    * MERGE is keyed on the fact pk — unique per view row under the
-    * N:1 join contract — so dim-side fanout never splits a merge key.
+    *
+    * CHURN-ONLY algebra (the property that makes this step beat view
+    * recompute at scale): unlike the general batch
+    * [[IncrementalOps.refreshJoin]] — whose caller may hand it an
+    * arbitrary view frame, forcing a full-view pass-through computation —
+    * this step KNOWS its view was maintained from these same changelogs,
+    * which tightens the touched set. A view row (p, j) with j churned
+    * either kept its fact row unchanged through the window (then the
+    * CURRENT fact p still has jk = j, so p is found by the keyed
+    * fact-under-churned-dims read) or its fact row changed/died in the
+    * window (then p is in the fact changelog's churned pks — CDC emits
+    * every fact change under its pk). So
+    * `touched = churned pks ∪ pks of current facts under churned dims`
+    * is COMPLETE, and the step never scans the stored view beyond its
+    * single watermark row: the cost is two keyed fact reads + one keyed
+    * dim read (each taking [[IcebergSource.keyedFilters]]-derived
+    * partition pruning / file-bound skipping when the base layout
+    * supports it) + a churn-sized merge. Touched pks the re-derived
+    * region no longer contains are DEAD (fact deleted, or its dim died
+    * through inner-join semantics) and tombstone as c = 0. MERGE is
+    * keyed on the fact pk — unique per view row under the N:1 join
+    * contract — so dim-side fanout never splits a merge key.
     */
   def refreshStepJoin(
       spark: SparkSession,
@@ -335,6 +368,7 @@ object MaterializedAgg {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val churnedPks = window(factPath, factWm, factCur, factKey)
     val churnedDims = window(dimPath, dimWm, dimCur, dimJoinKey)
+    val stepPins = scala.collection.mutable.Buffer.empty[DataFrame]
     try {
       require(churnedPks.filter($"k".isNull).isEmpty,
         "refreshStepJoin: the fact key expression produced null keys — " +
@@ -342,42 +376,59 @@ object MaterializedAgg {
       require(churnedPks.filter($"k" === WatermarkKey).isEmpty,
         s"refreshStepJoin: fact key produced the reserved watermark " +
           s"sentinel $WatermarkKey — remap that key value")
-      val live = stored.filter(!($"k" <=> WatermarkKey) && $"c" > 0)
-        .select($"k", $"jk", $"fv", $"dv")
-      def factNow = IcebergSource
+      def factNow(
+          prune: Option[IcebergMeta.PartitionPredicate],
+          bounds: Seq[IcebergMeta.ColumnBound]) = IcebergSource
         .read(spark, factPath, snapshotId = Some(factCur),
-          asOfTimestampMs = None, prune = None)
+          asOfTimestampMs = None, prune = prune, fileFilter = bounds)
         .select(factKey.cast("bigint").as("k"),
           factJoinKey.cast("bigint").as("jk"),
           factVal.cast("bigint").as("fv"))
-      def dimNow = IcebergSource
+      // the two keyed fact reads, each scan-filtered by its own key set
+      // (the semi-join stays the filter of record; the derived filters
+      // only shrink what the scan lists and reads)
+      val (pkPrune, pkBounds) =
+        IcebergSource.keyedFilters(factPath, factKey, churnedPks, "k")
+      val factsByPk = factNow(pkPrune, pkBounds)
+        .join(churnedPks, Seq("k"), "left_semi")
+      // null churned dim keys can never inner-join a fact row — dropping
+      // them is semantics-free and keeps the filter derivation live
+      val dimKeys = churnedDims.filter($"k".isNotNull).select($"k".as("jk"))
+      val (jkPrune, jkBounds) =
+        IcebergSource.keyedFilters(factPath, factJoinKey, dimKeys, "jk")
+      val factsByDim = factNow(jkPrune, jkBounds)
+        .join(dimKeys, Seq("jk"), "left_semi")
+      // the affected facts feed three consumers (needed dims, region
+      // rows, touched pks) — pin so the keyed reads run once
+      val affected = factsByPk.unionByName(factsByDim).dropDuplicates("k")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      stepPins += affected
+      // exactly the dim rows the region references (churned or not — a
+      // fact update may move a row UNDER an un-churned dim); null jks
+      // never join, so excluding them keeps the dim read prunable
+      val neededDims = affected.filter($"jk".isNotNull)
+        .select($"jk").distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      stepPins += neededDims
+      val (dimPrune, dimBounds) =
+        IcebergSource.keyedFilters(dimPath, dimJoinKey, neededDims, "jk")
+      val dims = IcebergSource
         .read(spark, dimPath, snapshotId = Some(dimCur),
-          asOfTimestampMs = None, prune = None)
+          asOfTimestampMs = None, prune = dimPrune, fileFilter = dimBounds)
         .select(dimJoinKey.cast("bigint").as("jk"),
           dimVal.cast("bigint").as("dv"))
-      // refreshJoin reads the changelog frames ONLY for their key
-      // columns (change types are irrelevant to delta-scoped recompute)
-      val refreshed = IncrementalOps.refreshJoin(
-        live,
-        churnedPks,
-        churnedDims.select($"k".as("jk")),
-        factKey = "k", joinKey = "jk",
-        factByPk = keys => factNow.join(keys, Seq("k"), "left_semi"),
-        factByJoinKey = keys => factNow.join(keys, Seq("jk"), "left_semi"),
-        dimByJoinKey = keys => dimNow.join(keys, Seq("jk"), "left_semi"))
-      // every pk the step may have changed: churned pks, view rows under
-      // churned dims, current fact rows under churned dims
-      val dimKeys = churnedDims.select($"k".as("jk"))
+        .join(neededDims, Seq("jk"), "left_semi")
+      val regionRows = affected.join(dims, Seq("jk"), "inner")
+      // every pk the step may have changed (complete by the churn-only
+      // argument above: affected ⊇ current facts under churned dims, and
+      // churnedPks covers every view row whose fact changed or died)
       val touchedPks = churnedPks.select($"k".as("tk"))
-        .unionByName(live.join(dimKeys, Seq("jk"), "left_semi")
-          .select($"k".as("tk")))
-        .unionByName(factNow.join(dimKeys, Seq("jk"), "left_semi")
-          .select($"k".as("tk")))
+        .unionByName(affected.select($"k".as("tk")))
         .distinct()
-      val touched = refreshed.join(touchedPks, $"k" === $"tk", "left_semi")
+      val touched = regionRows.select($"k", $"jk", $"fv", $"dv")
         .withColumn("c", lit(1L))
       val tombstones = touchedPks
-        .join(refreshed, $"tk" === $"k", "left_anti")
+        .join(regionRows, $"tk" === $"k", "left_anti")
         .select($"tk".as("k"),
           lit(null).cast("bigint").as("jk"),
           lit(null).cast("bigint").as("fv"),
@@ -396,6 +447,7 @@ object MaterializedAgg {
     } finally {
       churnedPks.unpersist(blocking = false): Unit
       churnedDims.unpersist(blocking = false): Unit
+      stepPins.foreach(_.unpersist(blocking = false))
     }
   }
 

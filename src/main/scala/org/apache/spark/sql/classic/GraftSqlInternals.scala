@@ -17,6 +17,23 @@ object GraftSqlInternals {
   /** Extract the Catalyst Expression backing a Column. */
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** The bare column name a Column denotes, if it denotes exactly one —
+    * `col("jk")` → Some("jk"); any computed expression → None. Callers
+    * (e.g. scan-filter derivation) use None as "cannot reason about this
+    * expression, fall back to the unoptimized path".
+    */
+  def simpleColumnName(c: Column): Option[String] = c.node match {
+    case a: org.apache.spark.sql.internal.UnresolvedAttribute
+        if a.nameParts.length == 1 => Some(a.nameParts.head)
+    case ExpressionColumnNode(
+        a: org.apache.spark.sql.catalyst.expressions.AttributeReference, _) =>
+      Some(a.name)
+    case ExpressionColumnNode(
+        a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute, _)
+        if a.nameParts.length == 1 => Some(a.nameParts.head)
+    case _ => None
+  }
+
   /** Register a native expression builder under a SQL function name in the
     * session's temp-function registry (the analogue of the reference's
     * `SessionContext::register_udf`, crates/engine/src/lib.rs:136-144 —

@@ -1298,6 +1298,72 @@ class SourcesSpec extends SparkTestBase {
     }.getMessage.contains("not a column"))
   }
 
+  test("keyedFilters: churn key sets derive bucket pruning + range skipping; every fallback degrades to the unpruned scan") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = tempDir("graft-iceberg-keyedfilters")
+    // the IVM deployment layout: fact bucket[8](jk)-partitioned, appends
+    // id-contiguous (each append's files carry tight id bounds)
+    def batch(lo: Long, hi: Long) = (lo until hi)
+      .map(i => (i, i % 40L, i * 2L)).toDF("id", "jk", "fv")
+    val spec = Seq(IcebergWriter.PartitionTransform("jk", "bucket[8]"))
+    IcebergWriter.appendPartitioned(spark, root, batch(0, 200), spec,
+      1000L, 2, Map.empty)
+    IcebergWriter.appendPartitioned(spark, root, batch(200, 400), spec,
+      2000L, 2, Map.empty)
+    val full = IcebergSource.planScan(root)
+    assert(full.files.size >= 16, "two appends x 8 buckets expected")
+
+    // a handful of churned dim keys -> hidden-bucket PartitionIn: the
+    // scan plans only those keys' buckets
+    val dimKeys = Seq(3L, 11L).toDF("jk")
+    val (p, b) = IcebergSource.keyedFilters(root, col("jk"), dimKeys, "jk")
+    assert(p.exists(_.isInstanceOf[IcebergMeta.PartitionIn]))
+    assert(b === Seq(IcebergMeta.ColumnBound("jk", "gteq", 3L),
+      IcebergMeta.ColumnBound("jk", "lteq", 11L)))
+    val prunedDim = IcebergSource.planScan(root, prune = p, fileFilter = b)
+    assert(prunedDim.files.size < full.files.size,
+      s"bucket prune read ${prunedDim.files.size} of ${full.files.size}")
+    // the filtered read + the semi-join of record == the unpruned answer
+    val prunedRows = IcebergSource.read(spark, root, None, None, p, b)
+      .join(dimKeys, Seq("jk"), "left_semi")
+      .as[(Long, Long, Long)].collect().sortBy(_._2).toSeq
+    val fullRows = IcebergSource.read(spark, root)
+      .join(dimKeys, Seq("jk"), "left_semi")
+      .as[(Long, Long, Long)].collect().sortBy(_._2).toSeq
+    assert(prunedRows === fullRows && prunedRows.nonEmpty)
+
+    // range-local churned pks (the append-recent shape): no spec on id,
+    // so no partition prune — but the id bounds skip the older append
+    val pks = (350L until 360L).toDF("id")
+    val (p2, b2) = IcebergSource.keyedFilters(root, col("id"), pks, "id")
+    assert(p2.isEmpty, "id is not a partition source column")
+    val prunedPk = IcebergSource.planScan(root, fileFilter = b2)
+    assert(prunedPk.filesSkipped >= 8,
+      s"range skip missed the old append (skipped ${prunedPk.filesSkipped})")
+
+    // fallbacks — each returns the do-nothing filters
+    val (pe, be) = IcebergSource.keyedFilters(root, col("jk") + 1, dimKeys, "jk")
+    assert(pe.isEmpty && be.isEmpty, "an expression has no scan column")
+    val withNull = Seq(Some(3L), None).toDF("jk")
+    val (pn, bn) = IcebergSource.keyedFilters(root, col("jk"), withNull, "jk")
+    assert(pn.isEmpty && bn.isEmpty, "null keys cannot be pruned for")
+    val empty = Seq.empty[Long].toDF("jk")
+    val (pq, bq) = IcebergSource.keyedFilters(root, col("jk"), empty, "jk")
+    assert(pq.isEmpty && bq.isEmpty)
+    // over-cap: the IN set is dropped but range skipping survives
+    val big = spark.range(0, 50).select(col("id").as("jk"))
+    val (pc, bc) = IcebergSource.keyedFilters(root, col("jk"), big, "jk",
+      cap = 10)
+    assert(pc.isEmpty && bc === Seq(
+      IcebergMeta.ColumnBound("jk", "gteq", 0L),
+      IcebergMeta.ColumnBound("jk", "lteq", 49L)))
+    // a metadata-less path: nothing to derive from
+    val (pm, bm) = IcebergSource.keyedFilters(
+      tempDir("graft-keyedfilters-nometa"), col("jk"), dimKeys, "jk")
+    assert(pm.isEmpty && bm.isEmpty)
+  }
+
   test("clustered compaction + Z-order: maintenance produces the skippable layout") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, hash}

@@ -1021,6 +1021,67 @@ class StreamingSpec extends SparkTestBase {
     assert(wm.head.getLong(1) === IcebergMeta.load(dimP).currentSnapshot.get.id)
   }
 
+  test("join view on a bucketed fact: the step's keyed reads prune to touched buckets/ranges and still converge") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.sources.{IcebergMeta, IcebergSource, IcebergWriter}
+    import graft.streaming.MaterializedAgg
+    val factP = tempDir("graft-mvjb-fact") + "/table"
+    val dimP = tempDir("graft-mvjb-dim") + "/table"
+    val view = tempDir("graft-mvjb-view") + "/table"
+    // the 100 TB deployment layout: fact bucket[8](jk)-partitioned with
+    // id-contiguous appends (tight per-file id bounds), dim bucketed on
+    // its pk — the layouts keyedFilters turns into pruned keyed reads
+    val factSpec = Seq(IcebergWriter.PartitionTransform("jk", "bucket[8]"))
+    val dimSpec = Seq(IcebergWriter.PartitionTransform("jk", "bucket[4]"))
+    def factBatch(lo: Long, hi: Long) = (lo until hi)
+      .map(i => (i, i % 16L, i * 10L)).toDF("id", "jk", "fv")
+    IcebergWriter.appendPartitioned(spark, factP, factBatch(0, 400),
+      factSpec, 1000L, 2, Map.empty)
+    IcebergWriter.appendPartitioned(spark, dimP,
+      (0L until 16L).map(j => (j, j + 100L)).toDF("jk", "dv"),
+      dimSpec, 1100L, 2, Map.empty)
+    def refresh(ts: Long) = MaterializedAgg.refreshStepJoin(
+      spark, view, factP, dimP,
+      factKey = col("id"), factJoinKey = col("jk"), factVal = col("fv"),
+      dimJoinKey = col("jk"), dimVal = col("dv"), ts)
+    def expected() = IcebergSource.read(spark, factP).as("f")
+      .join(IcebergSource.read(spark, dimP).as("d"),
+        col("f.jk") === col("d.jk"), "inner")
+      .select(col("id").as("k"), col("f.jk"), col("fv"), col("d.dv"))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    def actual() = MaterializedAgg.readView(spark, view)
+      .select(col("k"), col("jk"), col("fv"), col("dv"))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(refresh(2000L).isDefined)
+    assert(actual() === expected())
+
+    // churn window: a recent id-range append + one dim relabel
+    IcebergWriter.appendPartitioned(spark, factP, factBatch(400, 420),
+      factSpec, 3000L, 2, Map.empty)
+    IcebergWriter.upsertRows(spark, dimP,
+      Seq((3L, 203L)).toDF("jk", "dv"), "jk", 3100L)
+    assert(refresh(4000L).isDefined)
+    assert(actual() === expected())
+    assert(actual().count(_._4 == 203L) > 0, "relabel must reach the view")
+
+    // pruning evidence, via the same derivations the step makes:
+    // (a) churned pks [400, 420) range-skip the initial append's files
+    val full = IcebergSource.planScan(factP)
+    val (pkP, pkB) = IcebergSource.keyedFilters(
+      factP, col("id"), (400L until 420L).toDF("id"), "id")
+    val pkPlan = IcebergSource.planScan(factP, prune = pkP, fileFilter = pkB)
+    assert(pkPlan.files.size < full.files.size,
+      s"pk read planned ${pkPlan.files.size} of ${full.files.size} files")
+    // (b) the single churned dim key bucket-prunes the fact's jk layout
+    val (jkP, jkB) = IcebergSource.keyedFilters(
+      factP, col("jk"), Seq(3L).toDF("jk"), "jk")
+    assert(jkP.exists(_.isInstanceOf[IcebergMeta.PartitionIn]))
+    val jkPlan = IcebergSource.planScan(factP, prune = jkP, fileFilter = jkB)
+    assert(jkPlan.files.size < full.files.size,
+      s"dim-churn read planned ${jkPlan.files.size} of ${full.files.size}")
+  }
+
   test("CDC replication: a feed-driven mirror converges to the source across deletes and a crash replay") {
     import spark.implicits._
     import graft.sources.{IcebergSource, IcebergWriter}
