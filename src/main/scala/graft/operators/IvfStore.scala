@@ -1,0 +1,555 @@
+package graft.operators
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.ObjectNode
+import org.apache.spark.ml.linalg.{Vectors, Vector => MlVector}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A STORED, VERSIONED, INCREMENTALLY-INGESTABLE IVF index — the
+  * similarity-search twin of [[MinHashIndex]]'s ingest economics. A 100 TB
+  * corpus is not re-indexed per batch: you pay one build, then every
+  * increment costs ONE map-only assignment pass over the increment plus a
+  * metadata commit — never a touch of the already-indexed corpus.
+  *
+  * Reference scope: the reference declares embedding similarity as a
+  * first-class workload (crates/engine — see SURVEY §2.C); the incremental
+  * maintenance story is ours, designed for the daily-append shape of a
+  * training-data pipeline.
+  *
+  * Layout (all paths under one `root`):
+  * {{{
+  *   root/_versions/v<N>.json   commit metadata: centroid model (root +
+  *                              fit-ordered splits + frozen pileups),
+  *                              committed segment list, per-leaf counts
+  *   root/seg-<tag>/cell=c3.1/…  cell-partitioned parquet, one dir per
+  *                              committed ingest (compaction folds them)
+  * }}}
+  *
+  * The version file is the commit: segments are written first, invisible
+  * until a `v<N>.json` naming them lands via an atomic create-new CAS
+  * (same discipline as IcebergWriter.commitMetadataJson — reserve with
+  * create-new, fill via tmp + ATOMIC_MOVE, readers skip unparseable
+  * reservations). Racing ingests serialize on the CAS; the loser re-reads,
+  * re-merges ITS segment + counts onto the winner's metadata and retries —
+  * its already-written segment stays valid because labels only ever get
+  * FINER (splits accumulate; a stored label is always a prefix of the
+  * current-model leaf).
+  *
+  * Hot-cell drift: each ingest merges per-leaf counts; a leaf over
+  * `cellCap` is re-quantized with a `splitK`-way sub-KMeans fit on THAT
+  * CELL'S rows only (a partition-pruned read of its prefix chain — never a
+  * corpus pass). The split updates the MODEL only; stored rows keep their
+  * coarser labels until [[compact]] relabels everything in one pass.
+  * Probes stay exact w.r.t. the current model: a probe reads the prefix
+  * chain of each probed leaf (superset I/O), then re-evaluates the current
+  * leaf expression on the candidates (increment-free, candidate-scale) so
+  * the answer equals a from-scratch assignment under the same model —
+  * [[IvfStoreSpec]] pins that equivalence after create/ingest/split/
+  * compact, and the DuckDB oracle of `q_sim_ivf_ingest` replays it.
+  *
+  * An unsplittable pileup (identical vectors — the sub-fit makes no
+  * progress) is FROZEN: recorded so no future ingest re-fits it. Null
+  * embeddings assign a null cell (hive default partition), are excluded
+  * from counts/splits, and never match a probe — the same tolerance as
+  * [[IvfIndex.buildBalanced]].
+  */
+object IvfStore {
+
+  /** The centroid model. Paths are "c<i>(.<j>)*" strings ("c3", "c3.1") —
+    * the letter prefix keeps hive partition-value type inference at
+    * STRING across segments (a bare "3" infers int, "3.1" double, and the
+    * segment union would then disagree on the column type).
+    */
+  final case class CellModel(
+      root: Seq[Array[Float]],
+      splits: Seq[(String, Seq[Array[Float]])], // fit-ordered refinements
+      frozen: Set[String]) {
+
+    /** Leaf paths with their centroids: a root cell or split child with
+      * no recorded refinement of its own.
+      */
+    def leaves: Seq[(String, Array[Float])] = {
+      val splitOf = splits.toMap
+      def walk(path: String, cent: Array[Float]): Seq[(String, Array[Float])] =
+        splitOf.get(path) match {
+          case None => Seq(path -> cent)
+          case Some(subs) =>
+            subs.zipWithIndex.flatMap { case (c, i) => walk(s"$path.$i", c) }
+        }
+      root.zipWithIndex.flatMap { case (c, i) => walk(s"c$i", c) }
+    }
+  }
+
+  final case class Meta(
+      version: Int,
+      embCol: String,
+      cellCap: Long,
+      splitK: Int,
+      maxDepth: Int,
+      maxTrainRows: Long,
+      seed: Long,
+      model: CellModel,
+      segments: Seq[String], // committed segment dir names under root
+      counts: Map[String, Long]) // rows per CURRENT-model leaf (see ingest)
+
+  private val mapper = new ObjectMapper()
+
+  // -------------------------------------------------------------------
+  // model expressions
+  // -------------------------------------------------------------------
+
+  private def toMl(f: Array[Float]): MlVector =
+    Vectors.dense(f.map(_.toDouble))
+
+  /** Label `df` with the current model's leaf path in column `out` —
+    * ONE native expression ([[IvfLeafAssign]]) walking root argmin then
+    * each recorded refinement, exactly [[IvfIndex.buildBalanced]]'s
+    * algebra (the DuckDB `balancedAssignSql` mirror replays it
+    * bit-for-bit). Null embedding → null leaf.
+    *
+    * Why not compose `cellIdxExpr` when-chains: a folded
+    * `when(acc === p, refine(acc)).otherwise(acc)` duplicates the
+    * accumulator per split (exponential — a ten-split model measured a
+    * 32 MB plan), and even level-wise projections re-inline into one
+    * giant CASE the moment a `leaf === p` FILTER pushes into the scan —
+    * Janino then dies on the 64 KB method limit (measured: the sf0.001
+    * lifecycle query crawled past 9 minutes). One opaque expression is
+    * linear in the model and survives pushdown unchanged.
+    */
+  def withLeaf(
+      df: DataFrame,
+      embCol: String,
+      out: String,
+      model: CellModel): DataFrame =
+    df.withColumn(out, org.apache.spark.sql.classic.GraftSqlInternals.column(
+      IvfLeafAssign(
+        org.apache.spark.sql.classic.GraftSqlInternals.expression(col(embCol)),
+        model.root.toIndexedSeq,
+        model.splits.map { case (p, cs) => p -> cs.toIndexedSeq }.toMap)))
+
+  /** Hierarchical IVF leaf assignment as one opaque expression: root
+    * argmin over the f32 centroids, then while the path has a recorded
+    * split, refine by the sub-centroids' argmin. Score algebra is
+    * IDENTICAL to [[IvfIndex.cellIdxExpr]] and its DuckDB mirror —
+    * score_i = c_i·c_i − 2·dot(emb, c_i) with min-length SEQUENTIAL
+    * double accumulation (functions.DotProduct's loop) and strict-less
+    * first-index argmin (list_position/array_position tie-break).
+    * Interpreted eval (CodegenFallback) by design: the per-row work is a
+    * tight JIT'd double loop; generating it inline is what blew the
+    * Janino method limit for the composed form.
+    */
+  case class IvfLeafAssign(
+      child: org.apache.spark.sql.catalyst.expressions.Expression,
+      root: IndexedSeq[Array[Float]],
+      splits: Map[String, IndexedSeq[Array[Float]]])
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+    override def prettyName: String = "ivf_leaf_assign"
+    override def dataType: org.apache.spark.sql.types.DataType =
+      org.apache.spark.sql.types.StringType
+
+    @transient private lazy val rootSelf = root.map(IvfIndex.selfDot)
+    @transient private lazy val splitSelf =
+      splits.map { case (p, cs) => p -> cs.map(IvfIndex.selfDot) }
+
+    private def argmin(
+        cents: IndexedSeq[Array[Float]],
+        selfDots: IndexedSeq[Double],
+        emb: org.apache.spark.sql.catalyst.util.ArrayData): Int = {
+      var best = Double.PositiveInfinity
+      var bi = 0
+      var i = 0
+      while (i < cents.length) {
+        val c = cents(i)
+        val n = math.min(c.length, emb.numElements())
+        var d = 0.0
+        var j = 0
+        while (j < n) {
+          d += emb.getFloat(j).toDouble * c(j).toDouble
+          j += 1
+        }
+        val score = selfDots(i) - 2.0 * d
+        if (score < best) { best = score; bi = i }
+        i += 1
+      }
+      bi
+    }
+
+    override def nullSafeEval(input: Any): Any = {
+      val emb = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      var path = "c" + argmin(root, rootSelf, emb)
+      var cont = true
+      while (cont) splits.get(path) match {
+        case Some(cs) =>
+          path = path + "." + argmin(cs, splitSelf(path), emb)
+        case None => cont = false
+      }
+      org.apache.spark.unsafe.types.UTF8String.fromString(path)
+    }
+
+    override protected def withNewChildInternal(
+        newChild: org.apache.spark.sql.catalyst.expressions.Expression)
+        : org.apache.spark.sql.catalyst.expressions.Expression =
+      copy(child = newChild)
+  }
+
+  /** Every stored label a row with current leaf `path` can carry: the
+    * path itself and each proper prefix at a split boundary ("c3.1.0" →
+    * c3, c3.1, c3.1.0). Splits only accumulate, so this is a complete
+    * superset — the I/O contract of [[probe]] and the split refits.
+    */
+  def prefixChain(path: String): Seq[String] = {
+    val parts = path.split('.')
+    (1 to parts.length).map(n => parts.take(n).mkString("."))
+  }
+
+  // -------------------------------------------------------------------
+  // metadata persistence
+  // -------------------------------------------------------------------
+
+  private def versionsDir(root: String): Path = Paths.get(root, "_versions")
+
+  private def metaToJson(m: Meta): String = {
+    val n = mapper.createObjectNode()
+    n.put("version", m.version)
+    n.put("embCol", m.embCol)
+    n.put("cellCap", m.cellCap)
+    n.put("splitK", m.splitK)
+    n.put("maxDepth", m.maxDepth)
+    n.put("maxTrainRows", m.maxTrainRows)
+    n.put("seed", m.seed)
+    def cents(parent: ObjectNode, name: String, cs: Seq[Array[Float]]): Unit = {
+      val arr = parent.putArray(name)
+      cs.foreach { c => val a = arr.addArray(); c.foreach(a.add) }
+    }
+    cents(n, "root", m.model.root)
+    val sp = n.putArray("splits")
+    m.model.splits.foreach { case (p, cs) =>
+      val o = sp.addObject(); o.put("path", p); cents(o, "centroids", cs)
+    }
+    val fr = n.putArray("frozen"); m.model.frozen.toSeq.sorted.foreach(fr.add)
+    val sg = n.putArray("segments"); m.segments.foreach(sg.add)
+    val ct = n.putObject("counts")
+    m.counts.toSeq.sortBy(_._1).foreach { case (k, v) => ct.put(k, v) }
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(n)
+  }
+
+  private def metaFromJson(s: String): Meta = {
+    val n = mapper.readTree(s)
+    // a zero-length reservation "parses" to Jackson's MissingNode (and
+    // would read back as an empty version-0 meta) — reject anything that
+    // is not a filled commit object so load() skips torn reservations
+    require(n != null && n.isObject && n.has("version") && n.has("root"),
+      "not a committed IVF store metadata object")
+    def cents(node: com.fasterxml.jackson.databind.JsonNode): Seq[Array[Float]] =
+      node.elements().asScala.map(c =>
+        c.elements().asScala.map(_.floatValue()).toArray).toSeq
+    Meta(
+      n.path("version").asInt(),
+      n.path("embCol").asText(),
+      n.path("cellCap").asLong(),
+      n.path("splitK").asInt(),
+      n.path("maxDepth").asInt(),
+      n.path("maxTrainRows").asLong(),
+      n.path("seed").asLong(),
+      CellModel(
+        cents(n.path("root")),
+        n.path("splits").elements().asScala.map(o =>
+          o.path("path").asText() -> cents(o.path("centroids"))).toSeq,
+        n.path("frozen").elements().asScala.map(_.asText()).toSet),
+      n.path("segments").elements().asScala.map(_.asText()).toSeq,
+      n.path("counts").properties().asScala
+        .map(e => e.getKey -> e.getValue.asLong()).toMap)
+  }
+
+  /** Highest PARSEABLE committed version. A zero-length or torn v<N>.json
+    * is a reservation whose writer crashed between create-new and the
+    * atomic fill — readers skip it (version N is burned; the next commit
+    * conflicts on it and moves to N+1).
+    */
+  def load(root: String): Meta = {
+    val dir = versionsDir(root)
+    require(Files.isDirectory(dir), s"no IVF store at $root")
+    val versions = Files.list(dir).iterator().asScala
+      .flatMap { p =>
+        val name = p.getFileName.toString
+        if (name.startsWith("v") && name.endsWith(".json"))
+          scala.util.Try(name.stripPrefix("v").stripSuffix(".json").toInt)
+            .toOption.map(v => v -> p)
+        else None
+      }
+      .toSeq.sortBy(-_._1)
+    versions.view
+      .flatMap { case (_, p) =>
+        scala.util.Try(metaFromJson(Files.readString(p))).toOption
+      }
+      .headOption
+      .getOrElse(throw new IllegalStateException(
+        s"IVF store at $root has no parseable committed version"))
+  }
+
+  /** Atomic create-new CAS on v<N>.json (reserve, fill via tmp +
+    * ATOMIC_MOVE). Returns false on conflict — the caller re-reads and
+    * retries with a merged meta.
+    */
+  private def commit(root: String, m: Meta): Boolean = {
+    val dir = versionsDir(root)
+    Files.createDirectories(dir)
+    val target = dir.resolve(s"v${m.version}.json")
+    try Files.createFile(target)
+    catch { case _: java.nio.file.FileAlreadyExistsException => return false }
+    val tmp = dir.resolve(s".v${m.version}.json.tmp")
+    Files.writeString(tmp, metaToJson(m))
+    Files.move(tmp, target,
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    true
+  }
+
+  // -------------------------------------------------------------------
+  // build / ingest / compact
+  // -------------------------------------------------------------------
+
+  /** Build the store from an initial corpus: one balanced model fit
+    * ([[IvfIndex.buildBalanced]]'s algebra via create-then-ingest would
+    * relabel twice, so create fits the root and lets the shared over-cap
+    * loop do the splitting), one cell-partitioned write, version 1.
+    */
+  def create(
+      df: DataFrame,
+      embCol: String,
+      root: String,
+      nCells: Int = 16,
+      cellCap: Long = 100000L,
+      splitK: Int = 4,
+      maxDepth: Int = 4,
+      seed: Long = 42L,
+      maxTrainRows: Long = 100000L): Meta = {
+    require(!Files.exists(versionsDir(root)),
+      s"IVF store already exists at $root — ingest into it instead")
+    val rootCents = IvfIndex
+      .fitCentroids(df, embCol, nCells, seed, maxTrainRows)
+      .map(IvfIndex.centroidF32)
+    val m0 = Meta(0, embCol, cellCap, splitK, maxDepth, maxTrainRows, seed,
+      CellModel(rootCents.toSeq, Nil, Set.empty), Nil, Map.empty)
+    ingestOnto(df.sparkSession, root, df, m0)
+  }
+
+  /** Ingest one increment: label it with the CURRENT model (one map-only
+    * codegen pass over the increment), write it as a new cell-partitioned
+    * segment, merge counts, split any leaf the merge pushed over cap
+    * (cell-scoped refit — see object doc), and CAS-commit. On a CAS
+    * conflict the segment is reused verbatim (labels only get finer) and
+    * counts re-merge onto the winner; derived splits are DROPPED on
+    * conflict and re-derive on the next ingest from the merged counts —
+    * self-healing, never double-applied.
+    */
+  def ingest(spark: SparkSession, root: String, batch: DataFrame): Meta =
+    ingestOnto(spark, root, batch, load(root))
+
+  private def ingestOnto(
+      spark: SparkSession,
+      root: String,
+      batch: DataFrame,
+      base: Meta): Meta = {
+    val segName = s"seg-${java.util.UUID.randomUUID().toString.take(12)}"
+    val segPath = Paths.get(root, segName).toString
+    val labeled = graft.engine.PersistScope.pinEager(
+      withLeaf(batch, base.embCol, "cell", base.model))
+    try {
+      labeled.write.partitionBy("cell").parquet(segPath)
+      val incCounts = labeled.filter(col("cell").isNotNull)
+        .groupBy("cell").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      var cur = base
+      var committed: Option[Meta] = None
+      var attempts = 0
+      // a conflicted version may be a BURNED reservation (its writer
+      // crashed before the fill, so load() keeps returning the version
+      // below it) — the floor walks past it instead of re-contending
+      var versionFloor = cur.version + 1
+      while (committed.isEmpty) {
+        attempts += 1
+        require(attempts <= 20,
+          s"IVF ingest at $root lost the commit race 20 times — giving up")
+        val merged = mergeCounts(cur.counts, incCounts)
+        val withSeg = cur.copy(
+          version = math.max(cur.version + 1, versionFloor),
+          segments = cur.segments :+ segName,
+          counts = merged)
+        // split AFTER the segment is on disk so the refit sees its rows
+        val next = splitOverCap(spark, root, withSeg)
+        if (commit(root, next)) committed = Some(next)
+        else {
+          versionFloor = next.version + 1
+          cur = load(root) // lost the race: re-merge onto the winner
+        }
+      }
+      committed.get
+    } finally labeled.unpersist(blocking = false)
+  }
+
+  private def mergeCounts(
+      a: Map[String, Long],
+      b: Map[String, Long]): Map[String, Long] =
+    (a.keySet ++ b.keySet).iterator
+      .map(k => k -> (a.getOrElse(k, 0L) + b.getOrElse(k, 0L))).toMap
+
+  /** Split every leaf over cap, iterating because a huge increment can
+    * push a fresh child over cap too. Each refit reads ONLY the cell's
+    * prefix chain (partition-pruned) from the given segment list; the
+    * progress check is one bounded count-agg on the cell's rows. No
+    * progress (an identical-vector pileup) freezes the path. Depth is
+    * bounded by maxDepth like buildBalanced.
+    */
+  private def splitOverCap(spark: SparkSession, root: String, m0: Meta): Meta = {
+    var m = m0
+    var continue = true
+    while (continue) {
+      val splitOf = m.model.splits.toMap
+      val over = m.counts.filter { case (p, n) =>
+        n > m.cellCap && !m.model.frozen(p) && !splitOf.contains(p) &&
+          p.count(_ == '.') < m.maxDepth
+      }.keys.toSeq.sorted // deterministic fit order
+      if (over.isEmpty) continue = false
+      else over.foreach { p =>
+        val rows = withLeaf(
+          readCells(spark, root, m, prefixChain(p)), m.embCol, "__leaf", m.model)
+          .filter(col("__leaf") === p)
+        val cents = IvfIndex.fitCentroids(
+          rows, m.embCol, m.splitK, m.seed ^ p.hashCode.toLong, m.maxTrainRows)
+          .map(IvfIndex.centroidF32)
+        val childCounts = rows
+          .withColumn("__sub",
+            IvfIndex.cellIdxExpr(col(m.embCol), cents.map(toMl)).cast("string"))
+          .groupBy("__sub").count()
+          .collect().map(r => s"$p.${r.getString(0)}" -> r.getLong(1)).toMap
+        if (childCounts.size <= 1) {
+          // every row in one subcell: unsplittable, never refit again
+          m = m.copy(model = m.model.copy(frozen = m.model.frozen + p))
+        } else {
+          m = m.copy(
+            model = m.model.copy(splits =
+              m.model.splits :+ (p -> cents.toSeq)),
+            counts = (m.counts - p) ++ childCounts)
+        }
+      }
+    }
+    m
+  }
+
+  /** Fold all segments into one written at the CURRENT model's leaves:
+    * one relabel pass over the corpus, exact recount, and the replaced
+    * segment dirs are deleted after the commit lands (a concurrent reader
+    * holding the old meta re-plans from the new one on failure — same
+    * contract as parquet overwrite anywhere else in the engine; orphan
+    * segments from CRASHED ingests are left for a gc sweep, they are
+    * invisible either way).
+    */
+  def compact(spark: SparkSession, root: String): Meta = {
+    var cur = load(root)
+    var done: Option[Meta] = None
+    var versionFloor = cur.version + 1 // see ingest: walks past burned reservations
+    while (done.isEmpty) {
+      val segName = s"seg-${java.util.UUID.randomUUID().toString.take(12)}"
+      val relabeled = withLeaf(
+        readAll(spark, root, cur).drop("cell"), cur.embCol, "cell", cur.model)
+      relabeled.write.partitionBy("cell")
+        .parquet(Paths.get(root, segName).toString)
+      val counts = spark.read
+        .parquet(Paths.get(root, segName).toString)
+        .filter(col("cell").isNotNull)
+        .groupBy("cell").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val next = cur.copy(
+        version = math.max(cur.version + 1, versionFloor),
+        segments = Seq(segName), counts = counts)
+      if (commit(root, next)) {
+        cur.segments.foreach(s => deleteRecursively(Paths.get(root, s)))
+        done = Some(next)
+      } else {
+        versionFloor = next.version + 1
+        deleteRecursively(Paths.get(root, segName)) // stale fold: redo
+        cur = load(root) // an ingest won: fold its segment too
+      }
+    }
+    done.get
+  }
+
+  /** Drop the whole store (tests / rebuild-from-scratch callers). */
+  def destroy(root: String): Unit = deleteRecursively(Paths.get(root))
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(f => Files.deleteIfExists(f))
+    }
+
+  // -------------------------------------------------------------------
+  // reads
+  // -------------------------------------------------------------------
+
+  /** All committed segments, stored labels as written. Segments are read
+    * individually and unioned so each keeps its own hive partition
+    * discovery (and so a `cell` filter prunes DIRECTORIES per segment).
+    */
+  def readAll(spark: SparkSession, root: String, m: Meta): DataFrame =
+    m.segments.map(s => spark.read.parquet(Paths.get(root, s).toString))
+      .reduce(_.unionByName(_))
+
+  private def readCells(
+      spark: SparkSession,
+      root: String,
+      m: Meta,
+      cells: Seq[String]): DataFrame =
+    readAll(spark, root, m).filter(col("cell").isin(cells: _*))
+
+  /** Top-k by cosine within the nProbe leaves closest to the query —
+    * exact w.r.t. the current model: stored labels are a prefix superset
+    * (directory-pruned I/O), the current-leaf re-filter runs on the
+    * candidates only. Output: original columns + `cos`.
+    */
+  def probe(
+      spark: SparkSession,
+      root: String,
+      query: Array[Float],
+      k: Int = 10,
+      nProbe: Int = 4): DataFrame = {
+    val m = load(root)
+    val probed = probedLeaves(m, query, nProbe)
+    val prefixes = probed.flatMap(prefixChain).distinct
+    val qCol = array(query.toIndexedSeq.map(v => lit(v)): _*)
+      .cast("array<float>")
+    withLeaf(readCells(spark, root, m, prefixes), m.embCol, "__leaf", m.model)
+      .filter(col("__leaf").isin(probed: _*))
+      .withColumn("cos",
+        round(graft.functions.Functions.cosineSim(col(m.embCol), qCol), 6))
+      .drop("__leaf", "cell")
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** The nProbe leaf paths ranked by centroid euclidean distance to the
+    * query (path tie-break for determinism).
+    */
+  def probedLeaves(m: Meta, query: Array[Float], nProbe: Int): Seq[String] = {
+    val q = query.map(_.toDouble)
+    m.model.leaves
+      .map { case (p, c) =>
+        var d = 0.0
+        var j = 0
+        while (j < c.length && j < q.length) {
+          val diff = c(j) - q(j); d += diff * diff; j += 1
+        }
+        (p, d)
+      }
+      .sortBy { case (p, d) => (d, p) }
+      .take(nProbe)
+      .map(_._1)
+  }
+}

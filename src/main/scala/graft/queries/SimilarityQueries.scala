@@ -43,6 +43,10 @@ object SimilarityQueries {
   private val semanticOracle =
     new java.util.concurrent.atomic.AtomicReference[Option[String]](None)
 
+  /** q_sim_ivf_ingest's dynamic oracle — same mechanism as [[ivfOracle]]. */
+  private val ivfIngestOracle =
+    new java.util.concurrent.atomic.AtomicReference[Option[String]](None)
+
   /** Shortest round-trip double repr — DuckDB's parser is correctly
     * rounded, so the literal parses back to the identical double bits.
     */
@@ -441,6 +445,72 @@ object SimilarityQueries {
       },
       None,
       oracleFn = Some(() => semanticOracle.get())
+    ),
+    // ----- stored incremental IVF index (IvfStore) --------------------------
+    // The daily-append shape: build the index once, then each increment
+    // pays ONE map-only assignment pass + a metadata commit — the indexed
+    // corpus is never re-read (operators.IvfStore; IvfStoreSpec pins the
+    // crash/race/split/compaction lifecycle). This query drives the whole
+    // lifecycle on the fixture — create on half the corpus, two ingests,
+    // hot cells splitting in the model mid-stream — then probes. The
+    // probe is exact w.r.t. the final model (stored prefix labels are a
+    // directory-pruned I/O superset; the current-leaf re-filter runs on
+    // candidates only), so the DuckDB oracle replays the HIERARCHICAL
+    // assignment over the whole table with the fitted centroids as
+    // post-run literals and must hash-match bit for bit.
+    Q(
+      "q_sim_ivf_ingest",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val storeRoot = java.nio.file.Paths
+          .get(
+            System.getProperty("java.io.tmpdir"),
+            s"graft_ivfstore_${math.abs(dir.hashCode)}_p${ProcessHandle.current().pid()}"
+          )
+          .toString
+        graft.engine.TempDirs.register(java.nio.file.Paths.get(storeRoot))
+        // rebuilt from scratch per invocation: the lifecycle IS the query
+        graft.operators.IvfStore.destroy(storeRoot)
+        graft.operators.IvfStore.create(
+          e.filter($"vec_id" < 250), "embedding", storeRoot,
+          nCells = 8, cellCap = 45, splitK = 2)
+        graft.operators.IvfStore.ingest(
+          s, storeRoot, e.filter($"vec_id" >= 250 && $"vec_id" < 400))
+        val m = graft.operators.IvfStore.ingest(
+          s, storeRoot, e.filter($"vec_id" >= 400))
+        val query = e
+          .filter($"vec_id" === QueryVecId)
+          .select($"embedding")
+          .head()
+          .getSeq[Float](0)
+          .toArray
+        val probed = graft.operators.IvfStore.probedLeaves(m, query, nProbe = 3)
+        ivfIngestOracle.set(
+          Some {
+            val cte = balancedAssignSql(
+              m.model.root.toArray,
+              m.model.splits.map { case (p, cs) =>
+                (p.stripPrefix("c"), cs.toArray)
+              })
+            val cells = probed.map(p => s"'${p.stripPrefix("c")}'")
+            s"""$cte, topk AS (
+               |  SELECT x.vec_id, x.label,
+               |         round(list_cosine_similarity(x.e, q.e), 6) AS cos
+               |  FROM balanced x, (SELECT e FROM emb WHERE vec_id = $QueryVecId) q
+               |  WHERE x.cell IN (${cells.mkString(", ")})
+               |  ORDER BY cos DESC, x.vec_id
+               |  LIMIT 10
+               |)
+               |SELECT vec_id, label, cos FROM topk WHERE vec_id <> $QueryVecId""".stripMargin
+          }
+        )
+        graft.operators.IvfStore
+          .probe(s, storeRoot, query, k = 10, nProbe = 3)
+          .filter($"vec_id" =!= QueryVecId)
+          .select($"vec_id", $"label", $"cos")
+      },
+      None,
+      oracleFn = Some(() => ivfIngestOracle.get())
     )
   )
 
