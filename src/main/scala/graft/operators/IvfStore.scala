@@ -57,6 +57,13 @@ import org.apache.spark.sql.functions._
   * embeddings assign a null cell (hive default partition), are excluded
   * from counts/splits, and never match a probe — the same tolerance as
   * [[IvfIndex.buildBalanced]].
+  *
+  * Deletes are TOMBSTONE commits ([[delete]]: metadata-scale, no corpus
+  * locate-and-rewrite) anti-joined by every read path and folded away by
+  * [[compact]]. Streaming maintenance is
+  * `writeStream.foreachBatch(ingestSink(root))`: commits are
+  * batch-id-stamped, so a replayed micro-batch is a no-op — the same
+  * exactly-once discipline as the Iceberg streaming sink.
   */
 object IvfStore {
 
@@ -95,7 +102,10 @@ object IvfStore {
       seed: Long,
       model: CellModel,
       segments: Seq[String], // committed segment dir names under root
-      counts: Map[String, Long]) // rows per CURRENT-model leaf (see ingest)
+      counts: Map[String, Long], // rows per CURRENT-model leaf (see ingest)
+      idCol: String = "vec_id", // row identity: tombstones + probe tie-break
+      tombstones: Seq[String] = Nil, // committed delete-list dir names
+      lastBatchId: Long = -1L) // streaming exactly-once cursor (see ingest)
 
   private val mapper = new ObjectMapper()
 
@@ -237,6 +247,9 @@ object IvfStore {
     val sg = n.putArray("segments"); m.segments.foreach(sg.add)
     val ct = n.putObject("counts")
     m.counts.toSeq.sortBy(_._1).foreach { case (k, v) => ct.put(k, v) }
+    n.put("idCol", m.idCol)
+    val tb = n.putArray("tombstones"); m.tombstones.foreach(tb.add)
+    n.put("lastBatchId", m.lastBatchId)
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(n)
   }
 
@@ -265,7 +278,10 @@ object IvfStore {
         n.path("frozen").elements().asScala.map(_.asText()).toSet),
       n.path("segments").elements().asScala.map(_.asText()).toSeq,
       n.path("counts").properties().asScala
-        .map(e => e.getKey -> e.getValue.asLong()).toMap)
+        .map(e => e.getKey -> e.getValue.asLong()).toMap,
+      n.path("idCol").asText("vec_id"),
+      n.path("tombstones").elements().asScala.map(_.asText()).toSeq,
+      n.path("lastBatchId").asLong(-1L))
   }
 
   /** Highest PARSEABLE committed version. A zero-length or torn v<N>.json
@@ -329,15 +345,17 @@ object IvfStore {
       splitK: Int = 4,
       maxDepth: Int = 4,
       seed: Long = 42L,
-      maxTrainRows: Long = 100000L): Meta = {
+      maxTrainRows: Long = 100000L,
+      idCol: String = "vec_id"): Meta = {
     require(!Files.exists(versionsDir(root)),
       s"IVF store already exists at $root — ingest into it instead")
     val rootCents = IvfIndex
       .fitCentroids(df, embCol, nCells, seed, maxTrainRows)
       .map(IvfIndex.centroidF32)
     val m0 = Meta(0, embCol, cellCap, splitK, maxDepth, maxTrainRows, seed,
-      CellModel(rootCents.toSeq, Nil, Set.empty), Nil, Map.empty)
-    ingestOnto(df.sparkSession, root, df, m0)
+      CellModel(rootCents.toSeq, Nil, Set.empty), Nil, Map.empty,
+      idCol = idCol)
+    ingestOnto(df.sparkSession, root, df, m0, batchId = -1L)
   }
 
   /** Ingest one increment: label it with the CURRENT model (one map-only
@@ -348,15 +366,38 @@ object IvfStore {
     * counts re-merge onto the winner; derived splits are DROPPED on
     * conflict and re-derive on the next ingest from the merged counts —
     * self-healing, never double-applied.
+    *
+    * `batchId` >= 0 makes the ingest EXACTLY-ONCE for streaming
+    * replay: the commit records it, and a later call with the same (or
+    * a lower) id is a no-op returning the committed meta — the
+    * foreachBatch contract ([[ingestSink]]), same discipline as the
+    * Iceberg streaming sink's batch-id-stamped snapshots. The check
+    * re-runs after every lost race, so a replayed batch can never
+    * double-commit past a concurrent winner.
     */
-  def ingest(spark: SparkSession, root: String, batch: DataFrame): Meta =
-    ingestOnto(spark, root, batch, load(root))
+  def ingest(
+      spark: SparkSession,
+      root: String,
+      batch: DataFrame,
+      batchId: Long = -1L): Meta =
+    ingestOnto(spark, root, batch, load(root), batchId)
+
+  /** `writeStream.foreachBatch(IvfStore.ingestSink(root))`: streaming
+    * ANN-index maintenance with exactly-once replay semantics.
+    */
+  def ingestSink(root: String): (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      ingest(batch.sparkSession, root, batch, batchId)
+      ()
+    }
 
   private def ingestOnto(
       spark: SparkSession,
       root: String,
       batch: DataFrame,
-      base: Meta): Meta = {
+      base: Meta,
+      batchId: Long): Meta = {
+    if (batchId >= 0 && batchId <= base.lastBatchId) return base // replay
     val segName = s"seg-${java.util.UUID.randomUUID().toString.take(12)}"
     val segPath = Paths.get(root, segName).toString
     val labeled = graft.engine.PersistScope.pinEager(
@@ -377,17 +418,25 @@ object IvfStore {
         attempts += 1
         require(attempts <= 20,
           s"IVF ingest at $root lost the commit race 20 times — giving up")
-        val merged = mergeCounts(cur.counts, incCounts)
-        val withSeg = cur.copy(
-          version = math.max(cur.version + 1, versionFloor),
-          segments = cur.segments :+ segName,
-          counts = merged)
-        // split AFTER the segment is on disk so the refit sees its rows
-        val next = splitOverCap(spark, root, withSeg)
-        if (commit(root, next)) committed = Some(next)
-        else {
-          versionFloor = next.version + 1
-          cur = load(root) // lost the race: re-merge onto the winner
+        // a lost race may reveal the winner already committed this
+        // batch (two replays racing): the no-op check re-runs per loop
+        if (batchId >= 0 && batchId <= cur.lastBatchId) {
+          deleteRecursively(Paths.get(root, segName)) // orphaned duplicate
+          committed = Some(cur)
+        } else {
+          val merged = mergeCounts(cur.counts, incCounts)
+          val withSeg = cur.copy(
+            version = math.max(cur.version + 1, versionFloor),
+            segments = cur.segments :+ segName,
+            counts = merged,
+            lastBatchId = math.max(cur.lastBatchId, batchId))
+          // split AFTER the segment is on disk so the refit sees its rows
+          val next = splitOverCap(spark, root, withSeg)
+          if (commit(root, next)) committed = Some(next)
+          else {
+            versionFloor = next.version + 1
+            cur = load(root) // lost the race: re-merge onto the winner
+          }
         }
       }
       committed.get
@@ -444,12 +493,13 @@ object IvfStore {
   }
 
   /** Fold all segments into one written at the CURRENT model's leaves:
-    * one relabel pass over the corpus, exact recount, and the replaced
-    * segment dirs are deleted after the commit lands (a concurrent reader
-    * holding the old meta re-plans from the new one on failure — same
-    * contract as parquet overwrite anywhere else in the engine; orphan
-    * segments from CRASHED ingests are left for a gc sweep, they are
-    * invisible either way).
+    * one relabel pass over the LIVE corpus (tombstoned rows are
+    * physically dropped and the tombstone list cleared), exact recount,
+    * and the replaced segment + tombstone dirs are deleted after the
+    * commit lands (a concurrent reader holding the old meta re-plans
+    * from the new one on failure — same contract as parquet overwrite
+    * anywhere else in the engine; orphan segments from CRASHED ingests
+    * are left for a gc sweep, they are invisible either way).
     */
   def compact(spark: SparkSession, root: String): Meta = {
     var cur = load(root)
@@ -458,7 +508,7 @@ object IvfStore {
     while (done.isEmpty) {
       val segName = s"seg-${java.util.UUID.randomUUID().toString.take(12)}"
       val relabeled = withLeaf(
-        readAll(spark, root, cur).drop("cell"), cur.embCol, "cell", cur.model)
+        readLive(spark, root, cur).drop("cell"), cur.embCol, "cell", cur.model)
       relabeled.write.partitionBy("cell")
         .parquet(Paths.get(root, segName).toString)
       val counts = spark.read
@@ -468,15 +518,50 @@ object IvfStore {
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       val next = cur.copy(
         version = math.max(cur.version + 1, versionFloor),
-        segments = Seq(segName), counts = counts)
+        segments = Seq(segName), counts = counts,
+        tombstones = Nil) // dead rows physically dropped above
       if (commit(root, next)) {
         cur.segments.foreach(s => deleteRecursively(Paths.get(root, s)))
+        cur.tombstones.foreach(t => deleteRecursively(Paths.get(root, t)))
         done = Some(next)
       } else {
         versionFloor = next.version + 1
         deleteRecursively(Paths.get(root, segName)) // stale fold: redo
         cur = load(root) // an ingest won: fold its segment too
       }
+    }
+    done.get
+  }
+
+  /** Delete rows by id: writes the DISTINCT ids as a tombstone list and
+    * CAS-commits it — a METADATA-SCALE operation (cost ∝ |ids|, never a
+    * corpus locate-and-rewrite; at 100 TB the rows' cells are unknown
+    * without reading them, so eager removal would be a full scan). Every
+    * read path ([[readLive]], probe, split refits, compact) anti-joins
+    * the live tombstones; [[compact]] physically drops the dead rows and
+    * clears the list. Two deliberate consequences, both documented
+    * contract: per-leaf `counts` are NOT decremented (they gate splits —
+    * over-counting only splits a shrinking cell early; compact recounts
+    * exactly), and probe cost grows with the live tombstone volume until
+    * a compact folds it away.
+    */
+  def delete(spark: SparkSession, root: String, ids: DataFrame): Meta = {
+    var cur = load(root)
+    val delName = s"del-${java.util.UUID.randomUUID().toString.take(12)}"
+    ids.select(col(cur.idCol)).distinct()
+      .write.parquet(Paths.get(root, delName).toString)
+    var done: Option[Meta] = None
+    var attempts = 0
+    var versionFloor = cur.version + 1
+    while (done.isEmpty) {
+      attempts += 1
+      require(attempts <= 20,
+        s"IVF delete at $root lost the commit race 20 times — giving up")
+      val next = cur.copy(
+        version = math.max(cur.version + 1, versionFloor),
+        tombstones = cur.tombstones :+ delName)
+      if (commit(root, next)) done = Some(next)
+      else { versionFloor = next.version + 1; cur = load(root) }
     }
     done.get
   }
@@ -502,12 +587,34 @@ object IvfStore {
     m.segments.map(s => spark.read.parquet(Paths.get(root, s).toString))
       .reduce(_.unionByName(_))
 
+  /** [[readAll]] minus tombstoned ids — what every query-facing path
+    * reads. The anti-join's right side is the tombstone lists (churn-
+    * scale; compaction folds them away), so it broadcasts.
+    */
+  def readLive(spark: SparkSession, root: String, m: Meta): DataFrame =
+    antiTombstones(spark, root, m, readAll(spark, root, m))
+
+  private def antiTombstones(
+      spark: SparkSession,
+      root: String,
+      m: Meta,
+      df: DataFrame): DataFrame =
+    if (m.tombstones.isEmpty) df
+    else {
+      val dead = m.tombstones
+        .map(t => spark.read.parquet(Paths.get(root, t).toString))
+        .reduce(_.unionByName(_))
+      df.join(broadcast(dead), Seq(m.idCol), "left_anti")
+    }
+
   private def readCells(
       spark: SparkSession,
       root: String,
       m: Meta,
       cells: Seq[String]): DataFrame =
-    readAll(spark, root, m).filter(col("cell").isin(cells: _*))
+    // cell filter FIRST (directory pruning), tombstones on the survivors
+    antiTombstones(spark, root, m,
+      readAll(spark, root, m).filter(col("cell").isin(cells: _*)))
 
   /** Top-k by cosine within the nProbe leaves closest to the query —
     * exact w.r.t. the current model: stored labels are a prefix superset
@@ -530,7 +637,7 @@ object IvfStore {
       .withColumn("cos",
         round(graft.functions.Functions.cosineSim(col(m.embCol), qCol), 6))
       .drop("__leaf", "cell")
-      .orderBy(col("cos").desc, col("vec_id"))
+      .orderBy(col("cos").desc, col(m.idCol))
       .limit(k)
   }
 

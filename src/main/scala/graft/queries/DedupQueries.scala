@@ -361,6 +361,79 @@ object DedupQueries {
           |FROM reach GROUP BY node ORDER BY cluster_id, doc_id""".stripMargin
       )
     ),
+    // ----- leakage-safe train/val split ------------------------------------
+    // The split every training pipeline needs and naive random splits get
+    // wrong: near-duplicate documents must land on the SAME side, or the
+    // eval set leaks training data (Lee et al. 2022 measure the inflation).
+    // Composition: near-dup clusters (the same banded candidate generation
+    // + min-label fixpoint as q_dedup_clusters), every unclustered doc its
+    // own singleton, then side = sha256-hash of the CLUSTER REP mod 10
+    // (8/10 train). Because the side is a deterministic function of the
+    // rep alone, "no cluster straddles the split" holds structurally —
+    // there is nothing to re-check at scale, and adding documents later
+    // never reassigns an existing cluster (the rep is its min doc id,
+    // stable under growth until clusters merge). Scale shape: the cluster
+    // cost is the dedup family's (bucketed candidates, diameter-bounded
+    // fixpoint); the split itself is one left join + a map-only hash.
+    Q(
+      "q_split_leakage_safe",
+      (s, dir) => {
+        val doc = t(s, dir, "documents")
+        val pairs = PersistScope.pinEager(
+          jaccardPairs(doc, 0.5).select($"doc_a", $"doc_b")
+        )
+        val edges = PersistScope.pinEager(
+          pairs
+            .union(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
+            .toDF("src", "dst")
+        )
+        val labels = PersistScope.track(minLabelPropagation(edges))
+          .withColumnRenamed("node", "doc_id")
+        val assigned = doc
+          .select($"doc_id")
+          .join(labels, Seq("doc_id"), "left")
+          .select($"doc_id", coalesce($"label", $"doc_id").as("rep"))
+        assigned
+          .select(
+            $"doc_id",
+            $"rep",
+            when(
+              conv(substring(sha2($"rep".cast("string"), 256), 1, 4), 16, 10)
+                .cast("bigint") % 10 < 8,
+              "train").otherwise("val").as("side")
+          )
+          .orderBy($"doc_id")
+      },
+      Some(
+        s"""WITH RECURSIVE $shingleCteSql, ${exCteSql(Some(JaccardDfCap))}, sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+          |inter AS (
+          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+          |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+          |  GROUP BY 1, 2
+          |), pairs AS (
+          |  SELECT doc_a, doc_b FROM inter
+          |  JOIN sizes sa ON sa.doc_id = doc_a
+          |  JOIN sizes sb ON sb.doc_id = doc_b
+          |  WHERE round(i * 1.0 / (sa.n + sb.n - i), 6) >= 0.5
+          |), edges AS (
+          |  SELECT doc_a AS s, doc_b AS d FROM pairs
+          |  UNION ALL SELECT doc_b, doc_a FROM pairs
+          |), reach(node, label) AS (
+          |  SELECT DISTINCT s, s FROM edges
+          |  UNION
+          |  SELECT e.d, r.label FROM reach r JOIN edges e ON e.s = r.node
+          |), labels AS (
+          |  SELECT node, min(label) AS rep FROM reach GROUP BY node
+          |), assigned AS (
+          |  SELECT d.doc_id, coalesce(l.rep, d.doc_id) AS rep
+          |  FROM documents d LEFT JOIN labels l ON l.node = d.doc_id
+          |)
+          |SELECT doc_id, rep,
+          |       CASE WHEN CAST(('0x' || substring(sha256(CAST(rep AS VARCHAR)), 1, 4)) AS BIGINT) % 10 < 8
+          |            THEN 'train' ELSE 'val' END AS side
+          |FROM assigned ORDER BY doc_id""".stripMargin
+      )
+    ),
     // ----- fingerprint-keyed near-dedup ------------------------------------
     // The cheapest candidate generator of the three: ONE rolling-hash pass
     // per document (vs 64 hash families for MinHash), groupBy fingerprint,

@@ -1082,7 +1082,14 @@ object IcebergWriter {
       // Some(name): the UPSERT lands on that branch (sequence scoping
       // reaches the branch's files; only the branch ref advances) — the
       // O(|updates|) CDC commit staged for audit before publish.
-      branch: Option[String] = None): Long = {
+      branch: Option[String] = None,
+      // Some(id): the head snapshot these UPDATES were computed against —
+      // refuse (CommitConflictException) if the table moved since, the
+      // same stale-step guard mergeRows offers (the MV steps' replay
+      // protection; unlike merge there are no positions to invalidate,
+      // but an update set derived from a superseded head is just as
+      // stale semantically).
+      requireSnapshot: Option[Long] = None): Long = {
     val meta = IcebergMeta.load(tablePath)
     require(meta.formatVersion == 2,
       s"upsertRows requires a v2 table; this one is v${meta.formatVersion}")
@@ -1096,6 +1103,10 @@ object IcebergWriter {
     val head = branch.map(meta.snapshotByRef).orElse(meta.currentSnapshot)
       .getOrElse(throw new IllegalStateException(
         "table has no current snapshot (append first, then upsert)"))
+    requireSnapshot.foreach(expected =>
+      if (head.id != expected)
+        throw new CommitConflictException(
+          meta.loadedVersion, meta.root.toString))
 
     val baseVersion = Some(meta.loadedVersion)
     val root = meta.root

@@ -16,10 +16,22 @@ import graft.sources.{IcebergMeta, IcebergSource, IcebergWriter}
   * replays because upsert/delete are logically idempotent — deltas are
   * not). Here the view table ITSELF carries its cursor: every refresh
   * writes the touched groups AND a watermark row (the applied source
-  * snapshot id) in ONE `mergeRows` commit, so view state and progress
+  * snapshot id) in ONE `upsertRows` commit, so view state and progress
   * are atomic by construction — there is no cursor file to drift from
   * the state it describes, and no crash window because there is no
   * second commit.
+  *
+  * Commit flavor: EQUALITY-DELETE upsert, not position-delete merge.
+  * Both are single commits with the same net state, but merge pins
+  * matched positions by SCANNING THE STORED VIEW — an O(view) read per
+  * refresh that silently broke the "cost ∝ churn" contract (the r14
+  * cdc probe measured it dominating). Upsert writes the churn-sized
+  * key list + rows and touches nothing else; the price is MoR read
+  * overhead on the view as delete files accumulate, paid by readers
+  * until `IcebergMaintenance.compactTable` folds them — the standard
+  * write-optimized/read-optimized trade, chosen write-side because a
+  * view refreshes far more often than a rewrite-scale read needs
+  * optimizing.
   *
   * Delivery contract, precisely: (a) sequential REPLAYS no-op — the
   * watermark is read out of the view, so a re-delivered window finds
@@ -32,7 +44,7 @@ import graft.sources.{IcebergMeta, IcebergSource, IcebergWriter}
   * appends would both land); create from one process.
   *
   * Dead groups (count netted to zero) stay in the table as TOMBSTONES
-  * (c = 0) rather than being deleted — `mergeRows` replaces matched
+  * (c = 0) rather than being deleted — the upsert replaces matched
   * keys in one commit, and a later re-insert of the key simply
   * overwrites the tombstone. [[readView]] hides them. NULL KEYS are
   * refused loudly: MERGE matches with standard SQL equality, so a null
@@ -117,7 +129,7 @@ object MaterializedAgg {
     * Null keys and the reserved watermark sentinel are refused loudly
     * here: MERGE equality can never update a null group, and a
     * changelog row with key == Long.MinValue would put two sentinel
-    * rows into one mergeRows call, corrupting the view's cursor.
+    * rows into one upsert commit, corrupting the view's cursor.
     */
   private def pinnedWindow(
       spark: SparkSession,
@@ -186,7 +198,7 @@ object MaterializedAgg {
         IcebergWriter.append(spark, viewPath, touched.unionByName(wmRow),
           None, timestampMs, formatVersion = 2)
       else
-        IcebergWriter.mergeRows(spark, viewPath, touched.unionByName(wmRow),
+        IcebergWriter.upsertRows(spark, viewPath, touched.unionByName(wmRow),
           "k", timestampMs, requireSnapshot = ctx.viewHead): Unit
       Some(ctx.current)
     } finally changes.unpersist(blocking = false): Unit
@@ -203,7 +215,7 @@ object MaterializedAgg {
     * rows into rescanned groups and double-apply on the next step.
     *
     * Same delivery contract as refreshStep: touched groups + the
-    * watermark row land in ONE mergeRows commit, replays no-op off the
+    * watermark row land in ONE upsert commit, replays no-op off the
     * in-view watermark, lost races surface CommitConflictException.
     * Dead groups become (null, null, 0) tombstones — refreshMinMax drops
     * them from its output, so any window-touched key it no longer emits
@@ -267,7 +279,7 @@ object MaterializedAgg {
         IcebergWriter.append(spark, viewPath, out, None, timestampMs,
           formatVersion = 2)
       else
-        IcebergWriter.mergeRows(spark, viewPath, out, "k", timestampMs,
+        IcebergWriter.upsertRows(spark, viewPath, out, "k", timestampMs,
           requireSnapshot = ctx.viewHead): Unit
       Some(ctx.current)
     } finally {
@@ -285,7 +297,7 @@ object MaterializedAgg {
     * -1 watermark) maintained from BOTH sources' CDC changelogs. The
     * watermark row carries TWO cursors — the applied fact snapshot in
     * `jk` and the applied dim snapshot in `fv` — written with the
-    * touched rows in ONE mergeRows commit, so both cursors and the view
+    * touched rows in ONE upsert commit, so both cursors and the view
     * state stay atomic; a replay finds both current and no-ops.
     *
     * The changelogs contribute only their churned key sets; the
@@ -441,7 +453,7 @@ object MaterializedAgg {
         IcebergWriter.append(spark, viewPath, out, None, timestampMs,
           formatVersion = 2)
       else
-        IcebergWriter.mergeRows(spark, viewPath, out, "k", timestampMs,
+        IcebergWriter.upsertRows(spark, viewPath, out, "k", timestampMs,
           requireSnapshot = viewHead): Unit
       Some((factCur, dimCur))
     } finally {

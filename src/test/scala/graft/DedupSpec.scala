@@ -451,6 +451,32 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("leakage-safe split: every doc assigned once, clusters never straddle sides, both sides populated") {
+    import spark.implicits._
+    val split = Registry.byName("q_split_leakage_safe")
+      .fn(spark, SparkTestBase.Sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val total = graft.queries.QueryUtil
+      .t(spark, SparkTestBase.Sf0001, "documents").count()
+    assert(split.length.toLong === total, "every doc gets exactly one row")
+    assert(split.map(_._3).toSet === Set("train", "val"),
+      "both sides must be populated on the fixture")
+    // the structural guarantee, verified against the actual near-dup
+    // pairs: no pair straddles the split
+    val side = split.map(t => t._1 -> t._3).toMap
+    val pairs = Registry.byName("q_dedup_jaccard")
+      .fn(spark, SparkTestBase.Sf0001)
+      .select($"doc_a", $"doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture must have near-dup pairs to make the test mean anything")
+    pairs.foreach { case (a, b) =>
+      assert(side(a) === side(b), s"near-dup pair ($a, $b) straddles the split")
+    }
+    // same-cluster docs share the rep; singletons are their own rep
+    split.foreach { case (id, rep, _) => assert(rep <= id) }
+  }
+
   test("LSH candidate generation plans no cartesian product") {
     val plan = Registry.byName("q_dedup_minhash")
       .fn(spark, SparkTestBase.Sf0001)

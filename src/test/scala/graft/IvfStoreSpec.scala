@@ -216,6 +216,64 @@ class IvfStoreSpec extends SparkTestBase {
       s"post-compact probe read $read files, probed leaves hold $leafOnly")
   }
 
+  test("delete: a tombstone commit touches no segment; probes exclude the ids; compact physically drops them and clears the list") {
+    val root = tempDir("graft-ivfstore-delete")
+    IvfStore.create(corpus(0 until 120), "embedding", root,
+      nCells = 4, cellCap = 200, splitK = 2, seed = 7L)
+    val m1 = IvfStore.load(root)
+    val dead = Set(4L, 8L, 12L)
+    val del = IvfStore.delete(spark, root, dead.toSeq.toDF("vec_id"))
+    // metadata-scale: same segments, same counts (documented contract —
+    // counts gate splits; over-counting a shrinking cell is conservative)
+    assert(del.segments === m1.segments && del.counts === m1.counts)
+    assert(del.tombstones.size === 1)
+    assert(IvfStore.readLive(spark, root, del).count() === 117)
+    val wide = probeRows(root, query, k = 120, nProbe = 4)
+    assert(wide.nonEmpty && !wide.exists(r => dead(r._1)))
+
+    // deletes stack; compact folds them all away
+    IvfStore.delete(spark, root, Seq(16L).toDF("vec_id"))
+    val mc = IvfStore.compact(spark, root)
+    assert(mc.tombstones.isEmpty && mc.counts.values.sum === 116)
+    del.tombstones.foreach(t =>
+      assert(!Files.exists(Paths.get(root, t)), "tombstone dir must be gone"))
+    val after = probeRows(root, query, k = 120, nProbe = 4)
+    assert(after.nonEmpty && !after.exists(r => (dead + 16L)(r._1)))
+  }
+
+  test("streaming ingest via foreachBatch: exactly-once across replay, converges to the batch-equivalent state") {
+    val root = tempDir("graft-ivfstore-stream")
+    IvfStore.create(corpus(0 until 40), "embedding", root,
+      nCells = 4, cellCap = 500, splitK = 2, seed = 7L)
+    val streamDir = tempDir("graft-ivfstore-streamsrc")
+    corpus(40 until 140).repartition(2).write.mode("overwrite").parquet(streamDir)
+    val q = spark.readStream
+      .schema(corpus(0 until 1).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(streamDir)
+      .writeStream
+      .option("checkpointLocation", tempDir("graft-ivfstore-ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch(IvfStore.ingestSink(root))
+      .start()
+    try q.awaitTermination(120000)
+    finally q.stop()
+
+    val m = IvfStore.load(root)
+    assert(m.lastBatchId === 1L, s"two micro-batches expected: $m")
+    assert(m.counts.values.sum === 140)
+    // crash-replay simulation: foreachBatch re-delivers ALREADY-COMMITTED
+    // batches after a restart — both must be no-ops
+    val r0 = IvfStore.ingest(spark, root, corpus(40 until 90), batchId = 0L)
+    val r1 = IvfStore.ingest(spark, root, corpus(90 until 140), batchId = 1L)
+    assert(r0.version === m.version && r1.version === m.version,
+      "replayed batches must not commit")
+    assert(IvfStore.readLive(spark, root, IvfStore.load(root)).count() === 140)
+    // the streamed store answers exactly like a from-scratch assignment
+    assert(probeRows(root, query) ===
+      fromScratch(corpus(0 until 140), m, query, 5, 2))
+  }
+
   test("null embeddings pass through: null cell partition, excluded from counts and probes") {
     val root = tempDir("graft-ivfstore-null")
     val withNulls = corpus(0 until 40).unionByName(

@@ -850,15 +850,16 @@ class StreamingSpec extends SparkTestBase {
 
     // a refresher that planned against a superseded view head must
     // REFUSE, not land stale values (the concurrent-refresh guard):
-    // replay its merge with requireSnapshot pinned to a stale id
+    // replay its commit (the step's equality-upsert flavor) with
+    // requireSnapshot pinned to a stale id
     val staleId = IcebergMeta.load(view).snapshots.head.id
     val conflict = intercept[Throwable] {
-      IcebergWriter.mergeRows(spark, view,
+      IcebergWriter.upsertRows(spark, view,
         Seq((0L, 999L, 1L)).toDF("k", "s", "c"), "k", 9000L,
         requireSnapshot = Some(staleId))
     }
     assert(conflict.getClass.getSimpleName === "CommitConflictException",
-      s"stale-head merge must conflict, got: $conflict")
+      s"stale-head upsert must conflict, got: $conflict")
 
     // null keys refuse loudly: MERGE equality can never update a null
     // group, so letting one in would duplicate rows on later refreshes
