@@ -566,6 +566,29 @@ object IvfStore {
     done.get
   }
 
+  /** Remove ORPHAN segment/tombstone dirs — data a crashed writer wrote
+    * but never committed (invisible to every reader; this only reclaims
+    * disk). Only dirs absent from the CURRENT meta's segment/tombstone
+    * lists AND idle for `olderThanMs` are touched: the idle window is
+    * the lease protecting a live writer between its data write and its
+    * CAS commit (same discipline as MinHashIndex's marker expiry — an
+    * aggressive gc racing a slow writer would otherwise delete the
+    * segment its commit is about to reference). Returns what it deleted.
+    */
+  def gc(root: String, olderThanMs: Long = 3600000L): Seq[String] = {
+    val m = load(root)
+    val referenced = (m.segments ++ m.tombstones).toSet
+    val now = System.currentTimeMillis()
+    Files.list(Paths.get(root)).iterator().asScala
+      .filter { p =>
+        val n = p.getFileName.toString
+        (n.startsWith("seg-") || n.startsWith("del-")) && !referenced(n) &&
+          now - Files.getLastModifiedTime(p).toMillis() >= olderThanMs
+      }
+      .map { p => deleteRecursively(p); p.getFileName.toString }
+      .toSeq
+  }
+
   /** Drop the whole store (tests / rebuild-from-scratch callers). */
   def destroy(root: String): Unit = deleteRecursively(Paths.get(root))
 

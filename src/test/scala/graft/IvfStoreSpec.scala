@@ -187,6 +187,18 @@ class IvfStoreSpec extends SparkTestBase {
     assert(m2.version === 3, s"burned version not skipped: ${m2.version}")
     assert(probeRows(root, query) ===
       fromScratch(corpus(0 until 90), m2, query, 5, 2))
+
+    // gc reclaims the orphan but never a referenced dir, and the idle
+    // lease protects a just-written (in-flight) one
+    assert(IvfStore.gc(root, olderThanMs = 3600000L).isEmpty,
+      "a fresh orphan sits inside the writer lease window")
+    val swept = IvfStore.gc(root, olderThanMs = 0L)
+    assert(swept === Seq("seg-orphan"), s"gc swept $swept")
+    assert(!Files.exists(Paths.get(root, "seg-orphan")))
+    val mAfter = IvfStore.load(root)
+    assert(mAfter.segments.forall(s => Files.exists(Paths.get(root, s))),
+      "gc must never touch referenced segments")
+    assert(IvfStore.readAll(spark, root, mAfter).count() === 90)
   }
 
   test("compact: folds to one segment at current leaves, deletes replaced dirs, probe answers unchanged and read only probed-leaf dirs") {
@@ -272,6 +284,24 @@ class IvfStoreSpec extends SparkTestBase {
     // the streamed store answers exactly like a from-scratch assignment
     assert(probeRows(root, query) ===
       fromScratch(corpus(0 until 140), m, query, 5, 2))
+  }
+
+  test("probe recall vs brute force: the probed leaves carry the true neighbors on a clustered corpus") {
+    import graft.functions.Functions
+    val root = tempDir("graft-ivfstore-recall")
+    val all = corpus(0 until 200)
+    IvfStore.create(all, "embedding", root,
+      nCells = 4, cellCap = 500, splitK = 2, seed = 7L)
+    val qCol = array(query.toIndexedSeq.map(v => lit(v)): _*)
+      .cast("array<float>")
+    val brute = all
+      .withColumn("cos", round(Functions.cosineSim(col("embedding"), qCol), 6))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(10).select("vec_id").as[Long].collect().toSet
+    val probed = probeRows(root, query, k = 10, nProbe = 2).map(_._1).toSet
+    val recall = (brute & probed).size.toDouble / brute.size
+    assert(recall >= 0.8,
+      s"recall@10 $recall — probed leaves missed the true neighbors")
   }
 
   test("null embeddings pass through: null cell partition, excluded from counts and probes") {

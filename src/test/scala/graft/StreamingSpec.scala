@@ -1083,6 +1083,58 @@ class StreamingSpec extends SparkTestBase {
       s"dim-churn read planned ${jkPlan.files.size} of ${full.files.size}")
   }
 
+  test("streaming MV under maintenance: refreshes accrete equality deletes, maintain folds them, reads identical, refresh continues") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, pmod, lit, sum, count}
+    import graft.sources.{IcebergMeta, IcebergSource, IcebergWriter, IcebergMaintenance}
+    import graft.streaming.MaterializedAgg
+    val src = tempDir("graft-mv-maint-src") + "/table"
+    val view = tempDir("graft-mv-maint-view") + "/table"
+    def refresh(ts: Long) = MaterializedAgg.refreshStep(
+      spark, view, src, pmod(col("id"), lit(4)), col("id"), ts)
+    def expected() = IcebergSource.read(spark, src)
+      .groupBy(pmod(col("id"), lit(4)).as("k"))
+      .agg(sum(col("id")).as("s"), count(lit(1)).as("c"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    def actual() = MaterializedAgg.readView(spark, view)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    def deleteFiles(): Int = {
+      val m = IcebergMeta.load(view)
+      IcebergMeta.planScan(m, m.currentSnapshot.get).deletes.size
+    }
+    IcebergWriter.append(spark, src,
+      (0L until 12L).map(i => (i, s"v$i")).toDF("id", "v"),
+      None, 1000L, formatVersion = 2)
+    assert(refresh(2000L).isDefined) // creation: an append, no deletes
+    // six more refresh windows: each equality-upsert commit adds one
+    // delete file to the view — the write-side trade the step documents
+    (1 to 6).foreach { i =>
+      IcebergWriter.upsertRows(spark, src,
+        Seq((i.toLong, s"u$i"), (100L + i, s"n$i")).toDF("id", "v"),
+        "id", 2000L + i * 1000L)
+      assert(refresh(2500L + i * 1000L).isDefined)
+    }
+    assert(actual() === expected())
+    assert(deleteFiles() >= 6, s"expected an accreted delete stack, got ${deleteFiles()}")
+
+    // the documented maintenance: delete-pressure compaction folds the
+    // stack; reads identical; the watermark row survives the rewrite
+    val before = actual()
+    val wmBefore = MaterializedAgg.watermarkOf(spark, view)
+    val report = IcebergMaintenance.maintain(spark, view, 99000L,
+      maxDeleteFiles = 4)
+    assert(report.compacted.isDefined, "delete pressure must trigger compaction")
+    assert(deleteFiles() === 0, "compaction must retire the delete stack")
+    assert(actual() === before)
+    assert(MaterializedAgg.watermarkOf(spark, view) === wmBefore)
+
+    // the refresh loop continues across the compaction commit
+    IcebergWriter.upsertRows(spark, src, Seq((200L, "z")).toDF("id", "v"),
+      "id", 100000L)
+    assert(refresh(101000L).isDefined)
+    assert(actual() === expected())
+  }
+
   test("CDC replication: a feed-driven mirror converges to the source across deletes and a crash replay") {
     import spark.implicits._
     import graft.sources.{IcebergSource, IcebergWriter}
