@@ -95,6 +95,10 @@ import java.util.concurrent.{LinkedBlockingQueue, ThreadPoolExecutor, TimeUnit}
   *        LIVE source head when the base is an Iceberg table, and a
   *        `fresh` verdict — so a client can tell how stale an answer
   *        the optimizer rewrote to a view is.
+  *     `DO_ACTION ann_probe <store_root> <k> <nProbe> <v1,v2,...>` ->
+  *        top-k cosine neighbors streamed from a stored incremental IVF
+  *        index (operators.IvfStore) — similarity search served without
+  *        a SQL round-trip; argument/store errors refuse before OK.
   *     `LIST_ACTIONS`          -> `OK\n` + IPC batch of (action,
   *        description) rows — the discovery face of DO_ACTION.
   *     `HANDSHAKE [token]`     -> auth. With no server token configured the
@@ -840,6 +844,47 @@ final class ServingServer(
               org.apache.spark.sql.GraftArrowBridge
                 .writeBatches(result, batchSize, out)
               out.flush()
+            case "ann_probe" if arg.nonEmpty =>
+              // serve the stored incremental IVF index (operators/
+              // IvfStore) directly: arg is
+              //   <store_root> <k> <nProbe> <v1,v2,...>
+              // Validation (store load + vector parse) happens BEFORE
+              // the OK status so argument errors refuse cleanly; the
+              // probe itself then streams like any other result.
+              val parts = arg.split("\\s+", 4)
+              if (parts.length != 4)
+                status("ERR INVALID_ARGUMENT ann_probe requires " +
+                  "<store_root> <k> <nProbe> <comma-separated query vector>")
+              else {
+                val parsed = scala.util.Try {
+                  val k = parts(1).toInt
+                  val nProbe = parts(2).toInt
+                  val q = parts(3).split(',').map(_.trim.toFloat)
+                  require(k > 0 && nProbe > 0 && q.nonEmpty,
+                    "k, nProbe must be positive; query vector non-empty")
+                  (k, nProbe, q, graft.operators.IvfStore.load(parts(0)))
+                }
+                parsed match {
+                  case scala.util.Failure(e) =>
+                    status("ERR INVALID_ARGUMENT ann_probe: " +
+                      Option(e.getMessage).getOrElse(e.toString)
+                        .replaceAll("\\s+", " ").take(200))
+                  case scala.util.Success((k, nProbe, q, storeMeta)) =>
+                    status("OK")
+                    // ids + payload + score; the query already HAS the
+                    // vectors — re-shipping each neighbor's embedding
+                    // would dominate the response for no information
+                    val result = graft.operators.IvfStore
+                      .probe(session.spark, parts(0), q, k, nProbe)
+                      .drop(storeMeta.embCol)
+                    org.apache.spark.sql.GraftArrowBridge
+                      .writeBatches(result, batchSize, out)
+                    out.flush()
+                }
+              }
+            case "ann_probe" =>
+              status("ERR INVALID_ARGUMENT ann_probe requires " +
+                "<store_root> <k> <nProbe> <comma-separated query vector>")
             case other =>
               status(s"ERR INVALID_ARGUMENT unknown action '$other' " +
                 "(LIST_ACTIONS lists what this server supports)")
@@ -855,7 +900,11 @@ final class ServingServer(
               ("mv_describe",
                 "describe every registered materialized view: declared " +
                   "applied-source-snapshot watermark, live source head, " +
-                  "and whether a rewritten answer would be fresh"))
+                  "and whether a rewritten answer would be fresh"),
+              ("ann_probe",
+                "top-k cosine neighbors from a stored incremental IVF " +
+                  "index: <store_root> <k> <nProbe> <comma-separated " +
+                  "query vector>"))
               .toDF("action", "description")
           }
           org.apache.spark.sql.GraftArrowBridge.writeBatches(actions, batchSize, out)

@@ -678,7 +678,8 @@ class ServingServerSpec extends SparkTestBase {
     withServer { srv =>
       val actions = ServingClient.listActions(srv.boundPort)
       assert(actions.isOk, actions.status)
-      assert(actions.rows.map(_.head.toString) === Seq("cancel", "mv_describe"))
+      assert(actions.rows.map(_.head.toString) ===
+        Seq("cancel", "mv_describe", "ann_probe"))
       assert(ServingClient.doAction(srv.boundPort, "cancel", "nope").status
         .startsWith("ERR NOT_FOUND"))
       assert(ServingClient.doAction(srv.boundPort, "cancel").status
@@ -742,6 +743,38 @@ class ServingServerSpec extends SparkTestBase {
       val again = row()
       assert(again(5) === applied2 && again(7) === true, s"re-refreshed: $again")
     } finally graft.plans.MvCatalog.unregister(src)
+  }
+
+  test("DO_ACTION ann_probe: serves top-k from a stored IVF index; argument and store errors refuse before OK") {
+    import spark.implicits._
+    val root = tempDir("graft-annserve") + "/store"
+    val vecs = (0L until 60L).map { i =>
+      val base = if (i % 2 == 0) 6f else -6f
+      (i, Array(base + (i % 5) * 0.1f, base, 0.5f), (i % 2).toInt)
+    }.toDF("vec_id", "embedding", "label")
+    graft.operators.IvfStore.create(vecs, "embedding", root,
+      nCells = 2, cellCap = 500, splitK = 2, seed = 7L)
+    withServer { srv =>
+      val r = ServingClient.doAction(srv.boundPort, "ann_probe",
+        s"$root 5 1 6.1,6.0,0.5")
+      assert(r.isOk, r.status)
+      assert(r.rows.length === 5)
+      // only the even (positive-cluster) side can reach the probed cell
+      assert(r.rows.forall(_(1).toString.toLong % 2 == 0),
+        s"probe leaked the far cluster: ${r.rows}")
+      // refusals happen BEFORE the OK status
+      assert(ServingClient.doAction(srv.boundPort, "ann_probe").status
+        .startsWith("ERR INVALID_ARGUMENT"))
+      assert(ServingClient.doAction(srv.boundPort, "ann_probe",
+        s"$root 5 1").status.startsWith("ERR INVALID_ARGUMENT"))
+      assert(ServingClient.doAction(srv.boundPort, "ann_probe",
+        s"$root 0 1 1.0").status.startsWith("ERR INVALID_ARGUMENT"))
+      assert(ServingClient.doAction(srv.boundPort, "ann_probe",
+        s"${tempDir("graft-annserve-none")} 5 1 1.0,2.0")
+        .status.startsWith("ERR INVALID_ARGUMENT"))
+      assert(ServingClient.doAction(srv.boundPort, "ann_probe",
+        s"$root 5 1 not,a,vector").status.startsWith("ERR INVALID_ARGUMENT"))
+    }
   }
 
   test("HANDSHAKE: open server banners; token server gates every verb") {
