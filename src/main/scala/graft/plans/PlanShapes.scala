@@ -39,6 +39,7 @@ object PlanShapes {
     // shape — refresh cost must stay bounded by churn + view size, so a
     // scan creeping in is the regression that matters most
     "q_mv_incremental", "q_mv_minmax", "q_mv_join",
+    "q_mv_distinct", "q_mv_approx_distinct",
     // r14 pipeline additions: span dedup's whole design is "text never
     // shuffles" (4 shuffles of digest/position rows, zero driver jobs)
     "q_dedup_spans", "q_pipeline_source_quality"
@@ -52,7 +53,8 @@ object PlanShapes {
     * not attribute to the audited build.
     */
   val warmFirst: Set[String] =
-    Set("q_mv_incremental", "q_mv_minmax", "q_mv_join")
+    Set("q_mv_incremental", "q_mv_minmax", "q_mv_join",
+      "q_mv_distinct", "q_mv_approx_distinct")
 
   /** Every way a measured shape violates its pinned bounds (plus the
     * universal no-cartesian invariant) — the single check PlanAuditSpec
@@ -153,6 +155,20 @@ object PlanShapes {
     "q_mv_join" -> ShapeBounds(maxShuffles = 11, minBroadcastJoins = 20,
       maxShuffleJoins = 4, minPushedScans = 8, maxBuildJobs = 8,
       maxScans = 15),
+    // distinct-count MVs (r14): same contract — the refresh reads the
+    // changelog window + the view frames, never a fresh base scan.
+    // Measured sf0.001: distinct 12sh/7bhj/3smj/8scans/3jobs; the
+    // approx flavor runs TWO refresh steps (new-key insert window, then
+    // the delete-rescan window) so its shape is roughly doubled:
+    // 20/16/7/17scans/4jobs — the 17 scans are the two windows'
+    // changelog + delete-file reads plus the keyed rescan, all
+    // manifest- or churn-bounded.
+    "q_mv_distinct" -> ShapeBounds(maxShuffles = 12, minBroadcastJoins = 7,
+      maxShuffleJoins = 3, minPushedScans = 2, maxBuildJobs = 6,
+      maxScans = 8),
+    "q_mv_approx_distinct" -> ShapeBounds(maxShuffles = 20,
+      minBroadcastJoins = 16, maxShuffleJoins = 7, minPushedScans = 5,
+      maxBuildJobs = 8, maxScans = 17),
     // span dedup: 4 shuffles carry digests/positions only (dict groupBy,
     // kill join, kill collect, doc_id reattach) — text itself never
     // shuffles, and the build is fully declarative (zero driver jobs)

@@ -1440,6 +1440,110 @@ object SourceQueries {
           "ORDER BY p_partkey"
       )
     ),
+    // EXACT COUNT(DISTINCT) IVM — the aggregate class everyone declares
+    // un-maintainable, made delta-invertible again by one level of
+    // indirection: a stored (band, size, refcount) MULTIPLICITY table
+    // turns the distinct view's delta into (#values born - #values
+    // died). The fixture churn makes the hard cases real: the s3
+    // pos-delete kills SOME copies of duplicated sizes (refcount drops,
+    // no death event — distinct count must NOT move) and ALL copies of
+    // others (death), and the s4+s5 eq-delete/re-append nets band 2 down
+    // to its p_size>30 values. The result gates BOTH levels: nd_sizes
+    // from the maintained distinct view, nd_mult recounted from the
+    // maintained multiplicity table, and the oracle computes each by
+    // full recompute over the final live state.
+    Q(
+      "q_mv_distinct",
+      (s, dir) => {
+        val root = fixtureIcebergV2Table(s, dir)
+        val baseAtS2 = graft.sources.IcebergSource
+          .read(s, root, snapshotId = Some(2L), asOfTimestampMs = None,
+            prune = None)
+        val mvMult = baseAtS2
+          .groupBy($"p_band", $"p_size".cast("bigint").as("v"))
+          .agg(count(lit(1)).as("ref"))
+        val mvDistinct = baseAtS2
+          .groupBy($"p_band")
+          .agg(
+            countDistinct($"p_size").as("nd"),
+            count(lit(1)).as("n"))
+        val changes = graft.sources.IcebergSource
+          .readChangelog(s, root, fromSnapshotId = 2L)
+        val refreshed = graft.operators.IncrementalOps
+          .refreshDistinct(mvMult, mvDistinct, changes, "p_band",
+            col("p_size").cast("bigint"), "v", "ref", "nd", "n")
+        val ndFromMult = refreshed.multiplicity
+          .groupBy($"p_band")
+          .agg(count(when($"v".isNotNull, lit(1))).as("nd_mult"))
+        refreshed.distinct
+          .join(ndFromMult, Seq("p_band"), "inner")
+          .select(
+            $"p_band",
+            $"nd".as("nd_sizes"),
+            $"nd_mult",
+            $"n".as("n_rows"))
+          .orderBy($"p_band")
+      },
+      Some(
+        "SELECT CAST(p_partkey % 4 AS INT) AS p_band, " +
+          "count(DISTINCT p_size) AS nd_sizes, " +
+          "count(DISTINCT p_size) AS nd_mult, " +
+          "count(*) AS n_rows FROM part " +
+          "WHERE (p_partkey % 4 IN (0,1,3) AND p_size >= 25) " +
+          "OR (p_partkey % 4 = 2 AND p_size > 30) " +
+          "GROUP BY 1 ORDER BY 1"
+      )
+    ),
+    // APPROX-distinct IVM — the MERGEABLE-SKETCH class: the view stores
+    // one HLL sketch per band (O(#keys) state, the scale answer when
+    // q_mv_distinct's multiplicity table is itself too big), inserts
+    // fold by sketch union, deletes force the authoritative keyed
+    // rescan. Two refresh steps drive three paths: the (s1, s2] window
+    // is insert-only on a BRAND-NEW key (band 3 — no stored sketch to
+    // union), the (s2, s5] window's deletes rescan every band pinned at
+    // the window end, and band 2's die-then-revive (eq-delete + seq-5
+    // re-append) lands in one rescan whose read sees only the
+    // re-appended rows. Estimates here are EXACT — the p_size domain
+    // (<=50 distinct per band) keeps every sketch in the DataSketches
+    // list/set regime — so the oracle is the plain count(DISTINCT)
+    // recompute; the operator's dense-regime error contract is pinned
+    // in OperatorEdgeSpec instead.
+    Q(
+      "q_mv_approx_distinct",
+      (s, dir) => {
+        val root = fixtureIcebergV2Table(s, dir)
+        val baseAtS1 = graft.sources.IcebergSource
+          .read(s, root, snapshotId = Some(1L), asOfTimestampMs = None,
+            prune = None)
+        val mv0 = baseAtS1
+          .groupBy($"p_band")
+          .agg(hll_sketch_agg($"p_size".cast("bigint")).as("sk"))
+        def step(mv: org.apache.spark.sql.DataFrame, from: Long,
+            to: Option[Long]) = {
+          val win = graft.sources.IcebergSource
+            .readChangelog(s, root, fromSnapshotId = from, toSnapshotId = to)
+          graft.operators.IncrementalOps
+            .refreshApproxDistinct(mv, win, "p_band",
+              col("p_size").cast("bigint"), "sk",
+              rescan = keys => graft.sources.IcebergSource
+                .read(s, root, snapshotId = to, asOfTimestampMs = None,
+                  prune = None)
+                .join(keys, Seq("p_band"), "left_semi")
+                .select($"p_band", $"p_size".cast("bigint").as("v")))
+        }
+        val refreshed = step(step(mv0, 1L, Some(2L)), 2L, None)
+        refreshed
+          .select($"p_band", hll_sketch_estimate($"sk").as("nd_sizes"))
+          .orderBy($"p_band")
+      },
+      Some(
+        "SELECT CAST(p_partkey % 4 AS INT) AS p_band, " +
+          "count(DISTINCT p_size) AS nd_sizes FROM part " +
+          "WHERE (p_partkey % 4 IN (0,1,3) AND p_size >= 25) " +
+          "OR (p_partkey % 4 = 2 AND p_size > 30) " +
+          "GROUP BY 1 ORDER BY 1"
+      )
+    ),
     // The SECOND DPP shape: subquery pruning WITHOUT a broadcast to reuse.
     // The dim is merge-join-hinted (stand-in for a dim too big to
     // broadcast), so there is no broadcast result to piggyback on —

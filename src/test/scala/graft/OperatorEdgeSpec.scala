@@ -457,6 +457,165 @@ class OperatorEdgeSpec extends SparkTestBase {
     assert(nullChurned.toSeq === Seq(("d1", 1L, "one")))
   }
 
+  test("distinct MV refresh: duplicate-copy churn moves nothing; births and deaths move exactly one") {
+    import spark.implicits._
+    // multiplicity: a holds v=1 twice and v=2 once; b holds v=5 once
+    val mvMult = Seq(("a", 1L, 2L), ("a", 2L, 1L), ("b", 5L, 1L))
+      .toDF("k", "v", "ref")
+    val mvDistinct = Seq(("a", 2L, 3L), ("b", 1L, 1L)).toDF("k", "nd", "n")
+    // a: delete ONE copy of the duplicated v=1 (nd must NOT move), delete
+    // the only v=2 (death), insert brand-new v=7 (birth) — net nd 2 -> 2;
+    // b: insert+delete of the same new value nets to no transition;
+    // c: brand-new group from inserts alone
+    val changes = Seq(
+      ("a", 1L, "delete"), ("a", 2L, "delete"), ("a", 7L, "insert"),
+      ("b", 9L, "insert"), ("b", 9L, "delete"),
+      ("c", 3L, "insert"), ("c", 3L, "insert")
+    ).toDF("k", "m", "_change_type")
+    val out = graft.operators.IncrementalOps
+      .refreshDistinct(mvMult, mvDistinct, changes, "k", col("m"),
+        "v", "ref", "nd", "n")
+    val mult = out.multiplicity.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    assert(mult.toSeq === Seq(
+      ("a", 1L, 1L), ("a", 7L, 1L), ("b", 5L, 1L), ("c", 3L, 2L)))
+    val dist = out.distinct.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(dist.toSeq === Seq(("a", 2L, 2L), ("b", 1L, 1L), ("c", 1L, 2L)))
+  }
+
+  test("distinct MV refresh: null values count rows but never distinct; dead groups drop; negative refcounts raise") {
+    import spark.implicits._
+    val mvMult = Seq(("a", Option(1L), 1L), ("a", Option.empty[Long], 2L))
+      .toDF("k", "v", "ref")
+    val mvDistinct = Seq(("a", 1L, 3L)).toDF("k", "nd", "n")
+    // kill a's only non-null value: the group must STAY (null rows keep
+    // it alive) with nd = 0, the recompute's answer; then kill one null
+    // row too — n drops to 1, nd stays 0
+    val changes = Seq(
+      ("a", Option(1L), "delete"), ("a", Option.empty[Long], "delete")
+    ).toDF("k", "m", "_change_type")
+    val out = graft.operators.IncrementalOps
+      .refreshDistinct(mvMult, mvDistinct, changes, "k", col("m"),
+        "v", "ref", "nd", "n")
+    assert(out.distinct.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ===
+      Seq(("a", 0L, 1L)))
+    // group netted to zero rows drops from the distinct view entirely
+    val killAll = Seq(
+      ("a", Option(1L), "delete"), ("a", Option.empty[Long], "delete"),
+      ("a", Option.empty[Long], "delete")
+    ).toDF("k", "m", "_change_type")
+    val dead = graft.operators.IncrementalOps
+      .refreshDistinct(mvMult, mvDistinct, killAll, "k", col("m"),
+        "v", "ref", "nd", "n")
+    assert(dead.distinct.collect().isEmpty)
+    assert(dead.multiplicity.collect().isEmpty)
+    // deleting a value the table never held is an inconsistent feed —
+    // BOTH outputs must fail loudly, not go negative
+    val bogus = Seq(("a", Option(99L), "delete")).toDF("k", "m", "_change_type")
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    Seq(true, false).foreach { useMult =>
+      val r = graft.operators.IncrementalOps
+        .refreshDistinct(mvMult, mvDistinct, bogus, "k", col("m"),
+          "v", "ref", "nd", "n")
+      val e = intercept[Throwable] {
+        (if (useMult) r.multiplicity else r.distinct).collect()
+      }
+      assert(causes(e).exists(c => Option(c.getMessage)
+        .exists(_.contains("negative multiplicity"))),
+        s"expected loud negative-multiplicity failure, got: ${e.getMessage}")
+    }
+  }
+
+  test("approx-distinct MV refresh: insert-only folds by union without rescan; estimates exact in the sparse regime") {
+    import spark.implicits._
+    val base0 = Seq(("a", 1L), ("a", 2L), ("b", 10L)).toDF("k", "v")
+    val mv = base0.groupBy($"k").agg(hll_sketch_agg($"v").as("sk"))
+    // a: inserts only (one duplicate, one new value); c: brand-new key.
+    // The rescan THROWS — proof the insert-only window never reads base.
+    val changes = Seq(
+      ("a", 2L, "insert"), ("a", 3L, "insert"),
+      ("c", 7L, "insert")
+    ).toDF("k", "m", "_change_type")
+    val out = graft.operators.IncrementalOps
+      .refreshApproxDistinct(mv, changes, "k", col("m"), "sk",
+        // the rescan fn is invoked at PLAN time to build the (empty)
+        // branch — the no-rescan proof is that no key reaches it
+        rescan = keys => {
+          assert(keys.isEmpty, "insert-only refresh must not rescan")
+          keys.withColumn("v", lit(0L))
+        })
+      .select($"k", hll_sketch_estimate($"sk").as("nd"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    assert(out.toSeq === Seq(("a", 3L), ("b", 1L), ("c", 1L)))
+  }
+
+  test("approx-distinct MV refresh: deletes rescan exactly the deleted keys; dead groups drop; unknown types raise") {
+    import spark.implicits._
+    val base0 = Seq(("a", 1L), ("a", 2L), ("b", 10L), ("c", 5L))
+      .toDF("k", "v")
+    val mv = base0.groupBy($"k").agg(hll_sketch_agg($"v").as("sk"))
+    // a: delete v=1 AND insert v=9 — the whole group rescans (sketches
+    // cannot forget) and the rescan read already contains the insert;
+    // b: dies (only row deleted); c: untouched passes through
+    val changes = Seq(
+      ("a", 1L, "delete"), ("a", 9L, "insert"),
+      ("b", 10L, "delete")
+    ).toDF("k", "m", "_change_type")
+    val baseNow = Seq(("a", 2L), ("a", 9L), ("c", 5L)).toDF("k", "v")
+    val asked = scala.collection.mutable.Set[String]()
+    val out = graft.operators.IncrementalOps
+      .refreshApproxDistinct(mv, changes, "k", col("m"), "sk",
+        rescan = keys => {
+          asked.synchronized { asked ++= keys.collect().map(_.getString(0)) }
+          baseNow.join(keys, Seq("k"), "left_semi")
+        })
+      .select($"k", hll_sketch_estimate($"sk").as("nd"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    assert(asked.toSet === Set("a", "b"), s"rescanned: $asked")
+    assert(out.toSeq === Seq(("a", 2L), ("c", 1L)))
+    val bad = Seq(("a", 1L, "upsert")).toDF("k", "m", "_change_type")
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    val e = intercept[Throwable] {
+      graft.operators.IncrementalOps
+        .refreshApproxDistinct(mv, bad, "k", col("m"), "sk",
+          rescan = keys => keys.withColumn("v", lit(0L)))
+        .collect()
+    }
+    assert(causes(e).exists(c => Option(c.getMessage)
+      .exists(_.contains("unknown _change_type"))), e.getMessage)
+  }
+
+  test("approx-distinct MV refresh: dense-regime union estimates stay within the sketch's error bounds of a recompute") {
+    import spark.implicits._
+    // 5000 distinct values per key — far past the lgK=12 list/set regime,
+    // where union invalidates the HIP estimator: merged and recomputed
+    // estimates may legitimately differ, but BOTH must sit within the
+    // published ~1.6% (3-sigma ~ 4.9%) relative error of the truth
+    val half1 = spark.range(0, 2500).selectExpr("'k' as k", "id as v")
+    val half2 = spark.range(2500, 5000).selectExpr("'k' as k", "id as v")
+    val mv = half1.groupBy($"k").agg(hll_sketch_agg($"v").as("sk"))
+    val changes = half2.select($"k", $"v".as("m"), lit("insert").as("_change_type"))
+    val merged = graft.operators.IncrementalOps
+      .refreshApproxDistinct(mv, changes, "k", col("m"), "sk",
+        rescan = keys => {
+          assert(keys.isEmpty, "insert-only refresh must not rescan")
+          keys.withColumn("v", lit(0L))
+        })
+      .select(hll_sketch_estimate($"sk")).collect().head.getLong(0)
+    val recomputed = half1.unionByName(half2).groupBy($"k")
+      .agg(hll_sketch_estimate(hll_sketch_agg($"v")).as("e"))
+      .select($"e").collect().head.getLong(0)
+    def relErr(est: Long): Double = math.abs(est - 5000.0) / 5000.0
+    assert(relErr(merged) < 0.05, s"merged estimate $merged off by ${relErr(merged)}")
+    assert(relErr(recomputed) < 0.05, s"recomputed estimate $recomputed off by ${relErr(recomputed)}")
+  }
+
   test("MV refresh fails loudly on an unknown change type") {
     import spark.implicits._
     val mv = Seq(("a", 1L, 1L)).toDF("k", "s", "n")
