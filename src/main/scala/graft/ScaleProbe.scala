@@ -314,6 +314,63 @@ object ScaleProbe {
         "incremental refresh diverged from the full recompute")
       graft.engine.PersistScope.releaseAll()
 
+      // DISTINCT-COUNT IVM (r14): the exact two-level refresh
+      // (multiplicity + distinct view, both PINNED as a stored MV would
+      // be) and the HLL sketch-merge INSERT-ONLY path, vs the
+      // countDistinct recompute over the current table. Value domain
+      // id%4096 exercises the exact operator's state contract — the
+      // multiplicity table is bounded by LIVE DISTINCT (key, value)
+      // pairs (4096 here), not base rows — the deployment where exact
+      // distinct IVM wins; a unique-value domain would grow the
+      // multiplicity table with the base and the recompute becomes the
+      // honest choice. The HLL row folds only the window's inserts (the
+      // sketch-union path; a delete window's cost IS its keyed rescan,
+      // the same read the min/max economics already measure).
+      def distKeyed(df: org.apache.spark.sql.DataFrame) = df.select(
+        pmod(col("id"), lit(512)).as("k"),
+        pmod(col("id"), lit(4096)).as("v"))
+      val distBase = distKeyed(
+        IcebergSource.read(spark, root, Some(1L), None, None))
+      val mvMult = graft.engine.PersistScope.pinEager(
+        distBase.groupBy(col("k"), col("v")).agg(count(lit(1)).as("ref")))
+      val mvDist = graft.engine.PersistScope.pinEager(
+        distBase.groupBy(col("k"))
+          .agg(countDistinct(col("v")).as("nd"), count(lit(1)).as("n")))
+      def distChanges() = IcebergSource.readChangelog(spark, root, 1L)
+        .select(pmod(col("id"), lit(512)).as("k"),
+          pmod(col("id"), lit(4096)).as("m"), col("_change_type"))
+      def refreshedDist() = graft.operators.IncrementalOps.refreshDistinct(
+        mvMult, mvDist, distChanges(), "k", col("m"), "v", "ref", "nd", "n")
+      val dr = time(s"mvdist_refresh_${mult}x", n) {
+        require(refreshedDist().distinct.count() == 512,
+          "distinct refresh lost groups")
+      }
+      val drf = time(s"mvdist_recompute_${mult}x", n) {
+        require(distKeyed(IcebergSource.read(spark, root)).groupBy(col("k"))
+          .agg(countDistinct(col("v")).as("nd"), count(lit(1)).as("n"))
+          .count() == 512)
+      }
+      // untimed correctness pin: refreshed distinct view == recompute
+      val rd = graft.engine.PersistScope.pinEager(refreshedDist().distinct)
+      val fd = graft.engine.PersistScope.pinEager(
+        distKeyed(IcebergSource.read(spark, root)).groupBy(col("k"))
+          .agg(countDistinct(col("v")).as("nd"), count(lit(1)).as("n")))
+      require(rd.exceptAll(fd).count() == 0 && fd.exceptAll(rd).count() == 0,
+        "exact distinct refresh diverged from the full recompute")
+      val mvSk = graft.engine.PersistScope.pinEager(
+        distBase.groupBy(col("k")).agg(hll_sketch_agg(col("v")).as("sk")))
+      val hr = time(s"mvhll_refresh_${mult}x", n) {
+        require(graft.operators.IncrementalOps.refreshApproxDistinct(
+          mvSk,
+          distChanges().filter(col("_change_type") === "insert"),
+          "k", col("m"), "sk",
+          rescan = keys => {
+            require(keys.isEmpty, "insert-only window must not rescan")
+            keys.withColumn("v", lit(0L))
+          }).count() == 512, "sketch refresh lost groups")
+      }
+      graft.engine.PersistScope.releaseAll()
+
       // JOIN-VIEW IVM (r14; RE-MEASURED after keyedFilters + the
       // equality-upsert commit closed the r14 probe's named costs): the
       // production STREAMING step (MaterializedAgg.refreshStepJoin) vs
@@ -389,13 +446,13 @@ object ScaleProbe {
       require(rv.exceptAll(rc).count() == 0 && rc.exceptAll(rv).count() == 0,
         "join-view refresh diverged from the full join recompute")
       graft.engine.PersistScope.releaseAll()
-      Seq(cl, diff, mvr, mvf, jvr, jvf)
+      Seq(cl, diff, mvr, mvf, dr, drf, hr, jvr, jvf)
     }
-    val nOps = 6
+    val nOps = 9
     val results = resultsAll.drop(nOps) // drop the warmup group
     println("--- CDC changelog vs full-scan diff at fixed churn (10k ins + 1k del) ---")
     results.foreach { case (l, rows, s) => println(f"$l%-22s base=$rows%9d  $s%8.2f s") }
-    println("--- time ratios vs 100k base (changelog + mv_refresh ~flat; scan diff + recompute track the table) ---")
+    println("--- time ratios vs 100k base (changelog + mv/mvdist/mvhll refresh ~flat; scan diff + recomputes track the table) ---")
     (0 until nOps).foreach { i =>
       val (l1, _, s1) = results(i)
       val (_, _, s10) = results(nOps + i)

@@ -220,8 +220,13 @@ object MvCatalog {
   *      avg(x)   -> sum(mv.sum_x) / sum(mv.cnt_x)   (double avg only —
   *                  decimal avg has engine-defined rounding the two-step
   *                  derivation would not reproduce, so it bails)
-  *    DISTINCT and FILTER'd aggregates bail (not derivable from a
-  *    rollup). `x` matches by the measure-key canonical text, so
+  *    FILTER'd aggregates bail. DISTINCT aggregates bail UNLESS every
+  *    argument is a bare KEY column of the MV — then they re-run
+  *    verbatim on the keys-sized MV (the grain preserves exactly the
+  *    distinct key combinations), which is the multiplicity-table
+  *    deployment: register the refreshDistinct store (GROUP BY keys, v)
+  *    with v among the keys and `count(DISTINCT v)` rolls up from it.
+  *    `x` matches by the measure-key canonical text, so
   *    `sum(cast(x as decimal(14,2)))` finds the `x::decimal(14,2)`
   *    measure.
   *
@@ -346,7 +351,29 @@ class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       new Sum(mvAttr(col)).toAggregateExpression()
 
     def rewriteAggFn(ae: AggregateExpression): Expression = {
-      if (ae.isDistinct || ae.filter.isDefined) bail()
+      if (ae.filter.isDefined) bail()
+      if (ae.isDistinct) {
+        // DISTINCT over MV KEY columns only: the MV's grain is exactly
+        // the distinct key combinations of live base rows, so a DISTINCT
+        // aggregate whose every argument is a bare key column re-runs
+        // VERBATIM on the keys-sized MV — at any coarser grouping, since
+        // a finer grain preserves which (group, value) pairs exist. This
+        // is the MULTIPLICITY-TABLE deployment: register the
+        // [[graft.operators.IncrementalOps.refreshDistinct]] store
+        // (GROUP BY keys..., v) as an MvDef with v among the keys, and
+        // count(DISTINCT v) dashboards stop scanning the base. DISTINCT
+        // over anything the MV no longer has row grain for bails.
+        val remapped = (ae.aggregateFunction match {
+          case f @ (_: Count | _: Sum | _: Average | _: Min | _: Max) => f
+          case _ => bail()
+        }).mapChildren {
+          case a: AttributeReference if keyNames(a.name) => mvAttr(a.name)
+          case _ => bail()
+        }.asInstanceOf[AggregateFunction]
+        // same function over the same-typed stored column: dataType is
+        // unchanged by construction, so no castBack is needed
+        return ae.copy(aggregateFunction = remapped)
+      }
       val replaced: Expression = ae.aggregateFunction match {
         case Sum(c, _) => sumOf(measure(c).sum.getOrElse(bail()))
         case Min(c)    => new Min(mvAttr(measure(c).min.getOrElse(bail())))

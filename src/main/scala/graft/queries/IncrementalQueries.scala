@@ -194,6 +194,42 @@ object IncrementalQueries {
           "WHERE c_mktsegment = 'BUILDING' " +
           "GROUP BY o_orderpriority ORDER BY o_orderpriority"
       )
+    ),
+    // MULTIPLICITY-MV DISTINCT REWRITE (plans.MvRewrite, r14): the query
+    // is a count(DISTINCT l_quantity) dashboard the plain rollup MUST
+    // refuse (the rollup has no row grain for quantities) — and the
+    // optimizer answers it from the stored MULTIPLICITY table
+    // (IncrementalOps.refreshDistinct's level-1 storage shape,
+    // registered as an MvDef with the counted column among the KEYS):
+    // a DISTINCT aggregate over key columns re-runs verbatim on the
+    // keys-sized MV because a finer grain preserves exactly which
+    // (group, value) pairs exist. Candidate routing is part of the
+    // gate: the plain rollup registers FIRST on the same base and must
+    // bail to this candidate. MvRewriteSpec pins the scan location; the
+    // DuckDB oracle computes from the base, so the hash gate proves
+    // rewritten == direct. At 100 TB: count(DISTINCT) dashboards cost a
+    // scan of the live-distinct-pairs table — maintained for O(churn)
+    // by refreshDistinct — instead of a fact-table shuffle.
+    Q(
+      "q_mv_rewrite_distinct",
+      (s, dir) => {
+        MvFixtures.lineitemRollup(s, dir)
+        MvFixtures.lineitemMultiplicity(s, dir)
+        val s2 = s.newSession()
+        s2.conf.set("spark.graft.mv.rewrite.enabled", "true")
+        t(s2, dir, "lineitem")
+          .filter($"l_returnflag" === "A")
+          .groupBy($"l_linestatus")
+          .agg(
+            countDistinct($"l_quantity").as("nd_qty"),
+            count(lit(1)).as("n_rows"))
+          .orderBy($"l_linestatus")
+      },
+      Some(
+        "SELECT l_linestatus, count(DISTINCT l_quantity) AS nd_qty, " +
+          "count(*) AS n_rows FROM lineitem WHERE l_returnflag = 'A' " +
+          "GROUP BY l_linestatus ORDER BY l_linestatus"
+      )
     )
   )
 }
@@ -242,6 +278,40 @@ object MvFixtures {
         "l_extendedprice" -> graft.plans.MvMeasure(cnt = Some("c_price"))
       ),
       countStar = Some("n"),
+      mvPath = mvPath,
+      mvSchema = s.read.parquet(mvPath).schema
+    ))
+    mvPath
+  }
+
+  /** The MULTIPLICITY table of lineitem quantities for
+    * q_mv_rewrite_distinct — [[graft.operators.IncrementalOps
+    * .refreshDistinct]]'s level-1 storage shape (GROUP BY keys, value ->
+    * refcount), registered as a plain [[graft.plans.MvDef]] whose KEY
+    * SET includes the counted column: that single registration is what
+    * lets [[graft.plans.MvRewrite]] answer count(DISTINCT l_quantity)
+    * at any coarser grouping, while count(*) still derives from the
+    * refcount (`countStar = ref`). Registered SECOND on the same base
+    * as the plain rollup, so candidate routing (rollup bails on
+    * DISTINCT, multiplicity answers) is exercised by the query itself.
+    */
+  def lineitemMultiplicity(s: SparkSession, dir: String): String = {
+    val root =
+      graft.engine.TempDirs.workspace("graft-mv", "lineitem_mult", dir)
+    val mvPath = root.resolve("mv.parquet").toString
+    graft.engine.TempDirs.materializeOnce(root)(
+      new java.io.File(mvPath, "_SUCCESS").exists()) {
+      QueryUtil.t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"), col("l_quantity"))
+        .agg(count(lit(1)).as("ref"))
+        .write.mode("overwrite").parquet(mvPath)
+    }
+    graft.plans.MvCatalog.register(graft.plans.MvDef(
+      name = "lineitem_quantity_multiplicity",
+      basePath = s"$dir/lineitem.parquet",
+      keys = Seq("l_returnflag", "l_linestatus", "l_quantity"),
+      measures = Map.empty,
+      countStar = Some("ref"),
       mvPath = mvPath,
       mvSchema = s.read.parquet(mvPath).schema
     ))

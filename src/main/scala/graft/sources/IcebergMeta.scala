@@ -1048,6 +1048,7 @@ object IcebergMeta {
         case "string"      => StringType
         case "date"        => DateType
         case "timestamptz" => TimestampType
+        case "binary"      => BinaryType
         case dec if dec.startsWith("decimal(") =>
           val Array(p, s) = dec.stripPrefix("decimal(").stripSuffix(")").split(",").map(_.trim.toInt)
           DecimalType(p, s)

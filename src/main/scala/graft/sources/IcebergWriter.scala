@@ -2511,6 +2511,7 @@ object IcebergWriter {
     case StringType          => "string"
     case DateType            => "date"
     case TimestampType       => "timestamptz"
+    case BinaryType          => "binary"
     case d: DecimalType      => s"decimal(${d.precision}, ${d.scale})"
     case other =>
       throw new UnsupportedOperationException(s"Spark type $other not mapped to Iceberg")

@@ -60,11 +60,13 @@ import graft.sources.{IcebergMeta, IcebergSource, IcebergWriter}
   * Schema is concrete: key and measure are cast to BIGINT; the view
   * table is (k, s, c) with the reserved watermark row k = Long.MinValue
   * (c = -1 there, so even an unfiltered read cannot mistake it for a
-  * live group). The same contract carries the other two IVM classes:
+  * live group). The same contract carries the other three IVM classes:
   * [[refreshStepMinMax]] maintains (k, mn, mx, c) with the extremum
-  * rescan pinned at the step's snapshot, and [[refreshStepJoin]]
-  * maintains a row-grain (k, jk, fv, dv, c) join view from BOTH
-  * sources' changelogs with a two-cursor watermark row.
+  * rescan pinned at the step's snapshot, [[refreshStepJoin]] maintains
+  * a row-grain (k, jk, fv, dv, c) join view from BOTH sources'
+  * changelogs with a two-cursor watermark row, and
+  * [[refreshStepApproxDistinct]] maintains a (k, sk, nd, c) HLL-sketch
+  * view where inserts fold by sketch union and deletes rescan.
   */
 object MaterializedAgg {
 
@@ -287,6 +289,116 @@ object MaterializedAgg {
       // the write above consumed the plan; the rescan key pins (if the
       // rescan branch ran at all) are safe to release
       rescanPins.foreach(_.unpersist(blocking = false))
+    }
+  }
+
+  /** The streaming APPROX-DISTINCT view — the MERGEABLE-SKETCH class
+    * ([[IncrementalOps.refreshApproxDistinct]]) under the same
+    * one-commit watermark contract: a stored (k, sk, nd, c) view where
+    * `sk` is the group's HLL sketch, `nd` its materialized estimate and
+    * `c` its live row count. This is the streaming-friendliest
+    * aggregate class of the four: an APPEND-ONLY source folds purely by
+    * sketch union — exactly as cheap as the sum/count flavor, with
+    * O(#keys) state at any value cardinality — and only a window with
+    * deletes forces the authoritative keyed rescan, which (like
+    * [[refreshStepMinMax]]) reads the source PINNED AT the step's own
+    * snapshot so a racing source commit cannot leak post-watermark rows
+    * into rescanned groups.
+    *
+    * Counts ride the same split: an insert-only group extends its
+    * stored count by the window's inserts; a rescanned group takes the
+    * rescan's row count. Dead groups (rescan returned nothing)
+    * tombstone as (null, 0, 0); a later re-insert overwrites the
+    * tombstone and refolds from its own rows — sketches cannot forget,
+    * so excluding the tombstone from the maintained side is what makes
+    * resurrection correct. The watermark row carries the snapshot id in
+    * `nd` (c = -1). Same delivery contract throughout: touched groups +
+    * watermark in ONE upsert commit, replays no-op, lost races surface
+    * CommitConflictException.
+    */
+  def refreshStepApproxDistinct(
+      spark: SparkSession,
+      viewPath: String,
+      sourcePath: String,
+      key: org.apache.spark.sql.Column,
+      value: org.apache.spark.sql.Column,
+      timestampMs: Long): Option[Long] = {
+    import spark.implicits._
+    val ctx = stepCtx(spark, viewPath, sourcePath,
+      Seq.empty[(Long, Array[Byte], Long, Long)].toDF("k", "sk", "nd", "c"),
+      wmCol = "nd")
+      .getOrElse(return None)
+    val changes = pinnedWindow(spark, sourcePath, ctx.watermark, key, value)
+    val stepPins = scala.collection.mutable.Buffer.empty[DataFrame]
+    try {
+      val live = ctx.stored
+        .filter(!($"k" <=> WatermarkKey) && $"c" > 0)
+      // the rescan read is pinned and captured: it feeds the refreshed
+      // sketches INSIDE the operator and the authoritative counts below
+      var rescanRead: Option[DataFrame] = None
+      val refreshedSk = IncrementalOps.refreshApproxDistinct(
+        live.select($"k", $"sk"), changes, "k", col("m"), "sk",
+        rescan = keys => {
+          val pinnedKeys = keys
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          stepPins += pinnedKeys
+          val (prune, bounds) =
+            IcebergSource.keyedFilters(sourcePath, key, pinnedKeys, "k")
+          val read = IcebergSource
+            .read(spark, sourcePath, snapshotId = Some(ctx.current),
+              asOfTimestampMs = None, prune = prune, fileFilter = bounds)
+            .select(key.cast("bigint").as("k"), value.cast("bigint").as("v"))
+            .join(pinnedKeys, Seq("k"), "left_semi")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          stepPins += read
+          rescanRead = Some(read)
+          read
+        })
+      val touchedKeys = changes.select($"k".as("tk")).distinct()
+      val winStats = changes.groupBy($"k").agg(
+        max($"_change_type" === "delete").as("_has_del"),
+        sum(when($"_change_type" === "insert", lit(1L)).otherwise(lit(0L)))
+          .as("_n_ins"))
+      // the operator invokes `rescan` while building its plan, so the
+      // capture is always populated here
+      val rescanCounts = rescanRead.get
+        .groupBy($"k").agg(count(lit(1)).as("_rc"))
+      val touched = refreshedSk
+        .join(touchedKeys, $"k" <=> $"tk", "left_semi")
+        .join(winStats, Seq("k"), "left_outer")
+        .join(live.select($"k", $"c".as("_old_c")), Seq("k"), "left_outer")
+        .join(rescanCounts, Seq("k"), "left_outer")
+        .select(
+          $"k",
+          $"sk",
+          hll_sketch_estimate($"sk").as("nd"),
+          when(coalesce($"_has_del", lit(false)), coalesce($"_rc", lit(0L)))
+            .otherwise(coalesce($"_old_c", lit(0L)) +
+              coalesce($"_n_ins", lit(0L))).as("c"))
+      // window-touched keys the refreshed output no longer contains are
+      // DEAD (their rescan returned no live rows)
+      val tombstones = touchedKeys
+        .join(refreshedSk, $"tk" <=> $"k", "left_anti")
+        .select($"tk".as("k"),
+          lit(null).cast("binary").as("sk"),
+          lit(0L).as("nd"),
+          lit(0L).as("c"))
+      val wmRow = spark.range(1).select(
+        lit(WatermarkKey).as("k"),
+        lit(null).cast("binary").as("sk"),
+        lit(ctx.current).as("nd"),
+        lit(-1L).as("c"))
+      val out = touched.unionByName(tombstones).unionByName(wmRow)
+      if (!ctx.exists)
+        IcebergWriter.append(spark, viewPath, out, None, timestampMs,
+          formatVersion = 2)
+      else
+        IcebergWriter.upsertRows(spark, viewPath, out, "k", timestampMs,
+          requireSnapshot = ctx.viewHead): Unit
+      Some(ctx.current)
+    } finally {
+      changes.unpersist(blocking = false): Unit
+      stepPins.foreach(_.unpersist(blocking = false))
     }
   }
 

@@ -174,7 +174,8 @@ class MvRewriteSpec extends SparkTestBase with BeforeAndAfterAll {
     assert(!readsMv(q) && scanPaths(q).exists(_.contains("base.parquet")))
   }
 
-  test("distinct aggregate disqualifies: not derivable from a rollup") {
+  test("distinct aggregate over a NON-KEY column disqualifies: the rollup has no row grain for it") {
+    // (the KEY-column case rewrites — see the multiplicity-MV test below)
     val q = s2.read.parquet(basePath)
       .groupBy(col("k")).agg(countDistinct(col("y")).as("dy"))
     assert(!readsMv(q))
@@ -245,6 +246,48 @@ class MvRewriteSpec extends SparkTestBase with BeforeAndAfterAll {
     assert(scanPaths(q2(s2)).exists(_.contains("mv3.parquet")))
     assert(MvCatalog.describe().count(_.basePath == basePath) === 2,
       "replace-by-name must not grow the candidate list")
+  }
+
+  test("DISTINCT over KEY columns rewrites: the multiplicity-MV deployment; non-key and expression arguments refuse") {
+    import spark.implicits._
+    // the multiplicity table (refreshDistinct's level-1 storage shape) on
+    // the same base: keys (k, y), refcount as countStar. Registered as a
+    // LATER candidate — countDistinct(y) must bail on every rollup whose
+    // keys lack y and land here via the candidate walk.
+    val mvdPath = s"${new java.io.File(basePath).getParent}/mvd.parquet"
+    spark.read.parquet(basePath).groupBy($"k", $"y")
+      .agg(count(lit(1)).as("ref"))
+      .write.mode("overwrite").parquet(mvdPath)
+    MvCatalog.register(MvDef(
+      name = "spec_multiplicity",
+      basePath = basePath,
+      keys = Seq("k", "y"),
+      measures = Map.empty,
+      countStar = Some("ref"),
+      mvPath = mvdPath,
+      mvSchema = spark.read.parquet(mvdPath).schema))
+    def q(s: SparkSession) = s.read.parquet(basePath)
+      .groupBy(col("k"))
+      .agg(
+        countDistinct(col("y")).as("dy"),
+        sum_distinct(col("y")).as("sy"),
+        count(lit(1)).as("n"))
+      .orderBy(col("k"))
+    val r = q(s2)
+    assert(scanPaths(r).exists(_.contains("mvd.parquet")),
+      s"expected multiplicity scan, got ${scanPaths(r)}")
+    assert(!scanPaths(r).exists(_.contains("base.parquet")))
+    assert(r.collect().map(_.toSeq).toSeq ===
+      q(spark).collect().map(_.toSeq).toSeq)
+    // DISTINCT over a non-key of EVERY candidate still refuses
+    val nonKey = s2.read.parquet(basePath)
+      .groupBy(col("k")).agg(countDistinct(col("x")).as("dx"))
+    assert(scanPaths(nonKey).exists(_.contains("base.parquet")))
+    // DISTINCT over an EXPRESSION of a key refuses (bare columns only —
+    // the MV stores y's values, not y+1's)
+    val exprArg = s2.read.parquet(basePath)
+      .groupBy(col("k")).agg(countDistinct(col("y") + 1).as("dy1"))
+    assert(scanPaths(exprArg).exists(_.contains("base.parquet")))
   }
 
   // ---- join-view rewrite (row-grain JoinMvDef) ----

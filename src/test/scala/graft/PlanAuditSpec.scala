@@ -86,6 +86,13 @@ class PlanAuditSpec extends SparkTestBase {
       Seq("orders.parquet", "customer.parquet")).isEmpty,
       mvScanViolations(join, "mv.parquet",
         Seq("orders.parquet", "customer.parquet")))
+    // the DISTINCT query must route to the MULTIPLICITY candidate
+    // specifically (its workspace path carries "lineitem_mult"), not
+    // merely to some MV
+    val dist = byName("q_mv_rewrite_distinct").fn(spark, SparkTestBase.Sf0001)
+    assert(mvScanViolations(dist, "lineitem_mult",
+      Seq("lineitem.parquet")).isEmpty,
+      mvScanViolations(dist, "lineitem_mult", Seq("lineitem.parquet")))
   }
 
   test("the gate fires on deliberate regressions") {

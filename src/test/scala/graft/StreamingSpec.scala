@@ -939,6 +939,80 @@ class StreamingSpec extends SparkTestBase {
       IcebergMeta.load(src).currentSnapshot.get.id)
   }
 
+  test("exactly-once streaming approx-distinct MV: union folds, delete-forced rescan, tombstone + resurrection, replay no-op") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, countDistinct, count, lit, pmod}
+    import graft.sources.{IcebergMeta, IcebergSource, IcebergWriter}
+    import graft.streaming.MaterializedAgg
+    val src = tempDir("graft-mvad-src") + "/table"
+    val view = tempDir("graft-mvad-view") + "/table"
+    // the fixture's per-group cardinality sits deep in the sketch's
+    // exact list/set regime, so the estimate must EQUAL the recompute
+    def expected() = IcebergSource.read(spark, src)
+      .groupBy(pmod(col("id"), lit(4)).as("k"))
+      .agg(countDistinct(col("v")).as("nd"), count(lit(1)).as("c"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    def actual() = MaterializedAgg.readView(spark, view)
+      .select(col("k"), col("nd"), col("c"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    def refresh(ts: Long) = MaterializedAgg.refreshStepApproxDistinct(
+      spark, view, src, pmod(col("id"), lit(4)), col("v"), ts)
+    def viewSnapshots() = IcebergMeta.load(view).snapshots.length
+
+    // window 1: creation. ids 0 and 4 share v=100 (a duplicated value
+    // inside group 0), everything else distinct
+    IcebergWriter.append(spark, src,
+      (0L until 12L).map(i => (i, if (i == 4L) 100L else 100L + i))
+        .toDF("id", "v"),
+      None, 1000L, formatVersion = 2)
+    assert(refresh(2000L).isDefined)
+    assert(actual() === expected())
+    assert(actual().exists(t => t._1 == 0L && t._2 == 2L && t._3 == 3L),
+      "group 0 must count its duplicated value once across three rows")
+    val snaps1 = viewSnapshots()
+
+    // window 2: INSERT-ONLY — the pure union-fold path (one brand-new
+    // value for group 1, one duplicate of group 2's existing value).
+    // One refresh, one commit, estimates stay exact.
+    IcebergWriter.upsertRows(spark, src,
+      Seq((13L, 777L), (14L, 102L)).toDF("id", "v"), "id", 3000L)
+    assert(refresh(4000L).isDefined)
+    assert(actual() === expected())
+    assert(viewSnapshots() === snaps1 + 1,
+      "one refresh must be exactly one view commit (atomic state+watermark)")
+
+    // replay: no-op off the in-view watermark, zero extra commits
+    assert(refresh(5000L).isEmpty)
+    assert(viewSnapshots() === snaps1 + 1)
+
+    // window 3: deletes force the rescan (sketches cannot forget).
+    // Delete id 4 — group 0 keeps v=100 through id 0, so its distinct
+    // count must NOT move while its row count drops.
+    IcebergWriter.deleteEquality(spark, src, Seq(4L).toDF("id"), 6000L)
+    assert(refresh(7000L).isDefined)
+    assert(actual() === expected())
+    assert(actual().exists(t => t._1 == 0L && t._2 == 2L && t._3 == 2L),
+      "duplicate-copy delete must drop the count but not the distinct")
+
+    // kill group 3 entirely (ids 3, 7, 11) -> hidden tombstone
+    IcebergWriter.deleteEquality(spark, src, Seq(3L, 7L, 11L).toDF("id"),
+      8000L)
+    assert(refresh(9000L).isDefined)
+    assert(actual() === expected())
+    assert(!actual().exists(_._1 == 3L), "dead group must vanish from the view")
+
+    // resurrection: a re-inserted key overwrites its tombstone and the
+    // sketch refolds from exactly its new rows
+    IcebergWriter.upsertRows(spark, src, Seq((7L, 999L)).toDF("id", "v"),
+      "id", 10000L)
+    assert(refresh(11000L).isDefined)
+    assert(actual() === expected())
+    assert(actual().exists(t => t._1 == 3L && t._2 == 1L && t._3 == 1L),
+      "resurrected group must refold from exactly its new row")
+    assert(MaterializedAgg.watermarkOf(spark, view, wmCol = "nd") ===
+      IcebergMeta.load(src).currentSnapshot.get.id)
+  }
+
   test("exactly-once streaming JOIN view: two-source churn, backfill, inner-join death, two-cursor replay no-op, one commit") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
