@@ -531,4 +531,59 @@ class MvRewriteSpec extends SparkTestBase with BeforeAndAfterAll {
       assert(info.watermark === Some(2L) && info.mvPath == mvV2)
     } finally MvCatalog.unregisterJoin(factP, dimP)
   }
+
+  test("full DISTINCT-IVM loop: refreshDistinct maintains the multiplicity store, re-registration re-routes count(DISTINCT)") {
+    import spark.implicits._
+    val dir = tempDir("graft-mvd-loop")
+    val baseP = s"$dir/dbase.parquet"
+    val multV1 = s"$dir/dmult_v1.parquet"
+    val multV2 = s"$dir/dmult_v2.parquet"
+    def writeBase(rows: Seq[(String, Long)]): Unit =
+      rows.toDF("k", "v").write.mode("overwrite").parquet(baseP)
+    // a holds v=1 twice and v=2; b holds v=5
+    writeBase(Seq(("a", 1L), ("a", 1L), ("a", 2L), ("b", 5L)))
+    def register(mvPath: String, wm: Long): Unit =
+      MvCatalog.register(MvDef(
+        name = "loop_mult", basePath = baseP, keys = Seq("k", "v"),
+        measures = Map.empty, countStar = Some("ref"), mvPath = mvPath,
+        mvSchema = spark.read.parquet(mvPath).schema, watermark = Some(wm)))
+    spark.read.parquet(baseP).groupBy($"k", $"v")
+      .agg(count(lit(1)).as("ref")).write.parquet(multV1)
+    register(multV1, 1L)
+    def q(s: SparkSession) = s.read.parquet(baseP)
+      .groupBy(col("k"))
+      .agg(countDistinct(col("v")).as("nd"), count(lit(1)).as("n"))
+      .orderBy(col("k"))
+    try {
+      val r1 = q(s2)
+      assert(scanPaths(r1).exists(_.contains("dmult_v1")), scanPaths(r1))
+      assert(r1.collect().map(_.toSeq).toSeq ===
+        q(spark).collect().map(_.toSeq).toSeq)
+      // churn: delete ONE duplicate copy of (a,1) — nd must not move —
+      // kill (a,2) — death — and birth (b,9)
+      writeBase(Seq(("a", 1L), ("b", 5L), ("b", 9L)))
+      val changes = Seq(
+        ("delete", "a", 1L), ("delete", "a", 2L), ("insert", "b", 9L)
+      ).toDF("_change_type", "k", "m")
+      val refreshed = graft.operators.IncrementalOps.refreshDistinct(
+        spark.read.parquet(multV1),
+        // the distinct level is re-derivable from the multiplicity store
+        // (count of non-null value rows per key), so the loop only needs
+        // to PERSIST level 1 — recompute level 2 on registration
+        spark.read.parquet(multV1).groupBy($"k")
+          .agg(count(when($"v".isNotNull, lit(1))).as("nd"),
+            sum($"ref").as("n")),
+        changes, "k", col("m"), "v", "ref", "nd", "n")
+      refreshed.multiplicity.write.parquet(multV2)
+      register(multV2, 2L)
+      val r2 = q(s2)
+      assert(scanPaths(r2).exists(_.contains("dmult_v2")),
+        s"rewrite must re-route to the refreshed store: ${scanPaths(r2)}")
+      assert(r2.collect().map(_.toSeq).toSeq ===
+        q(spark).collect().map(_.toSeq).toSeq,
+        "rewritten distinct answer must reflect the churned base exactly")
+      val info = MvCatalog.describe().find(_.name == "loop_mult").get
+      assert(info.watermark === Some(2L) && info.mvPath == multV2)
+    } finally MvCatalog.unregister(baseP)
+  }
 }
