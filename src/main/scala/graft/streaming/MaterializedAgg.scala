@@ -60,13 +60,16 @@ import graft.sources.{IcebergMeta, IcebergSource, IcebergWriter}
   * Schema is concrete: key and measure are cast to BIGINT; the view
   * table is (k, s, c) with the reserved watermark row k = Long.MinValue
   * (c = -1 there, so even an unfiltered read cannot mistake it for a
-  * live group). The same contract carries the other three IVM classes:
+  * live group). The same contract carries the other IVM classes:
   * [[refreshStepMinMax]] maintains (k, mn, mx, c) with the extremum
   * rescan pinned at the step's snapshot, [[refreshStepJoin]] maintains
   * a row-grain (k, jk, fv, dv, c) join view from BOTH sources'
-  * changelogs with a two-cursor watermark row, and
+  * changelogs with a two-cursor watermark row,
   * [[refreshStepApproxDistinct]] maintains a (k, sk, nd, c) HLL-sketch
-  * view where inserts fold by sketch union and deletes rescan.
+  * view where inserts fold by sketch union and deletes rescan, and
+  * [[refreshStepDistinct]] maintains the exact count(DISTINCT)
+  * multiplicity store at (key, value) grain with the distinct level
+  * derived on read.
   */
 object MaterializedAgg {
 
@@ -290,6 +293,98 @@ object MaterializedAgg {
       // rescan branch ran at all) are safe to release
       rescanPins.foreach(_.unpersist(blocking = false))
     }
+  }
+
+  /** The streaming EXACT COUNT(DISTINCT) view — the multiplicity-table
+    * class ([[IncrementalOps.refreshDistinct]]) under the same
+    * one-commit watermark contract. The stored table IS the level-1
+    * multiplicity store at (key, value) grain — schema
+    * (kk, k, v, ref) where `kk` is the composite MERGE key (the
+    * equality-upsert needs one column; `k|v` with a null marker is
+    * bijective for bigint pairs) — and the DISTINCT level is DERIVED on
+    * read ([[readDistinctView]]): persisting both grains in one table
+    * would break the single-commit atomicity the contract is built on,
+    * and the level-2 aggregate is multiplicity-sized, not base-sized.
+    * The same store doubles as the
+    * [[graft.plans.MvRewrite]] DISTINCT-rewrite target (register it
+    * with v among the keys).
+    *
+    * Everything is delta-invertible here, so unlike the sketch flavor
+    * there is NO rescan path at all: deletes decrement refcounts, a
+    * refcount crossing zero tombstones its pair, a negative refcount
+    * (changelog deleting a value the table never held) fails the step
+    * loudly before anything commits. Touched (key, value) pairs + the
+    * watermark row (kk = "wm" — user keys always start with the bigint
+    * key, so no collision; snapshot id carried in `v`, ref = -1) land
+    * in ONE upsert commit keyed on kk; replays no-op, lost races
+    * surface CommitConflictException.
+    */
+  def refreshStepDistinct(
+      spark: SparkSession,
+      viewPath: String,
+      sourcePath: String,
+      key: org.apache.spark.sql.Column,
+      value: org.apache.spark.sql.Column,
+      timestampMs: Long): Option[Long] = {
+    import spark.implicits._
+    val ctx = stepCtx(spark, viewPath, sourcePath,
+      Seq.empty[(String, Long, Option[Long], Long)].toDF("kk", "k", "v", "ref"),
+      wmCol = "v")
+      .getOrElse(return None)
+    val changes = pinnedWindow(spark, sourcePath, ctx.watermark, key, value)
+    try {
+      val live = ctx.stored
+        .filter(!($"k" <=> WatermarkKey) && $"ref" > 0)
+      def kkOf(k: org.apache.spark.sql.Column, v: org.apache.spark.sql.Column) =
+        when(v.isNull, concat(k, lit("|n")))
+          .otherwise(concat(k, lit("|v"), v))
+      // the distinct level is derived and UNUSED here (lazy — never
+      // executed); only the multiplicity output persists
+      val refreshed = IncrementalOps.refreshDistinct(
+        live.select($"k", $"v", $"ref"),
+        live.groupBy($"k").agg(
+          count(when($"v".isNotNull, lit(1))).as("nd"),
+          sum($"ref").as("n")),
+        changes, "k", col("m"), "v", "ref", "nd", "n")
+      // null-safe pair semi-join: null VALUES are legitimate
+      // multiplicity rows (they keep count(*) right) and must update
+      val touchedPairs = changes.select($"k".as("tk"), $"m".as("tv")).distinct()
+      val touched = refreshed.multiplicity
+        .join(touchedPairs, $"k" <=> $"tk" && $"v" <=> $"tv", "left_semi")
+        .select(kkOf($"k", $"v").as("kk"), $"k", $"v", $"ref")
+      val tombstones = touchedPairs
+        .join(refreshed.multiplicity,
+          $"tk" <=> $"k" && $"tv" <=> $"v", "left_anti")
+        .select(kkOf($"tk", $"tv").as("kk"), $"tk".as("k"), $"tv".as("v"),
+          lit(0L).as("ref"))
+      val wmRow = Seq(("wm", WatermarkKey, ctx.current, -1L))
+        .toDF("kk", "k", "v", "ref")
+      val out = touched.unionByName(tombstones).unionByName(wmRow)
+      if (!ctx.exists)
+        IcebergWriter.append(spark, viewPath, out, None, timestampMs,
+          formatVersion = 2)
+      else
+        IcebergWriter.upsertRows(spark, viewPath, out, "kk", timestampMs,
+          requireSnapshot = ctx.viewHead): Unit
+      Some(ctx.current)
+    } finally changes.unpersist(blocking = false): Unit
+  }
+
+  /** The live DISTINCT view derived from a [[refreshStepDistinct]]
+    * multiplicity store: (k, nd, n) with nd = exact count of distinct
+    * NON-NULL values (SQL count(DISTINCT) semantics) and n = live row
+    * count. Multiplicity-sized aggregation, never a base read; groups
+    * whose rows are all tombstoned vanish, all-null-value groups stay
+    * with nd = 0 — exactly what a recompute emits.
+    */
+  def readDistinctView(spark: SparkSession, viewPath: String): DataFrame = {
+    import spark.implicits._
+    IcebergSource.read(spark, viewPath)
+      .filter(!($"k" <=> WatermarkKey) && $"ref" > 0)
+      .groupBy($"k")
+      .agg(
+        count(when($"v".isNotNull, lit(1))).as("nd"),
+        sum($"ref").as("n"))
   }
 
   /** The streaming APPROX-DISTINCT view — the MERGEABLE-SKETCH class

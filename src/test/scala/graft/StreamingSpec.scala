@@ -939,6 +939,69 @@ class StreamingSpec extends SparkTestBase {
       IcebergMeta.load(src).currentSnapshot.get.id)
   }
 
+  test("exactly-once streaming EXACT-distinct MV: multiplicity upserts, duplicate-copy deletes keep nd, tombstone + resurrection, replay no-op") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, countDistinct, count, lit, pmod}
+    import graft.sources.{IcebergMeta, IcebergSource, IcebergWriter}
+    import graft.streaming.MaterializedAgg
+    val src = tempDir("graft-mved-src") + "/table"
+    val view = tempDir("graft-mved-view") + "/table"
+    def expected() = IcebergSource.read(spark, src)
+      .groupBy(pmod(col("id"), lit(4)).as("k"))
+      .agg(countDistinct(col("v")).as("nd"), count(lit(1)).as("n"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    def actual() = MaterializedAgg.readDistinctView(spark, view)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    def refresh(ts: Long) = MaterializedAgg.refreshStepDistinct(
+      spark, view, src, pmod(col("id"), lit(4)), col("v"), ts)
+    def viewSnapshots() = IcebergMeta.load(view).snapshots.length
+
+    // window 1: creation. ids 0 and 4 duplicate v=100 inside group 0
+    IcebergWriter.append(spark, src,
+      (0L until 12L).map(i => (i, if (i == 4L) 100L else 100L + i))
+        .toDF("id", "v"),
+      None, 1000L, formatVersion = 2)
+    assert(refresh(2000L).isDefined)
+    assert(actual() === expected())
+    assert(actual().exists(t => t._1 == 0L && t._2 == 2L && t._3 == 3L),
+      "group 0 must count its duplicated value once across three rows")
+    val snaps1 = viewSnapshots()
+
+    // window 2: delete ONE copy of the duplicate (id 4) — group 0's nd
+    // must NOT move while n drops — and delete id 9 (group 1 loses a
+    // value outright). One refresh, one commit, no rescan machinery:
+    // everything is refcount arithmetic.
+    IcebergWriter.deleteEquality(spark, src, Seq(4L, 9L).toDF("id"), 3000L)
+    assert(refresh(4000L).isDefined)
+    assert(actual() === expected())
+    assert(actual().exists(t => t._1 == 0L && t._2 == 2L && t._3 == 2L),
+      "duplicate-copy delete must keep the distinct count")
+    assert(viewSnapshots() === snaps1 + 1,
+      "one refresh must be exactly one view commit (atomic state+watermark)")
+
+    // replay: no-op off the in-view watermark
+    assert(refresh(5000L).isEmpty)
+    assert(viewSnapshots() === snaps1 + 1)
+
+    // kill group 2 entirely (ids 2, 6, 10) -> pairs tombstone, the
+    // derived view loses the group
+    IcebergWriter.deleteEquality(spark, src, Seq(2L, 6L, 10L).toDF("id"),
+      6000L)
+    assert(refresh(7000L).isDefined)
+    assert(actual() === expected())
+    assert(!actual().exists(_._1 == 2L), "dead group must vanish from the view")
+
+    // resurrection: a re-inserted key overwrites its pair tombstone
+    IcebergWriter.upsertRows(spark, src, Seq((6L, 999L)).toDF("id", "v"),
+      "id", 8000L)
+    assert(refresh(9000L).isDefined)
+    assert(actual() === expected())
+    assert(actual().exists(t => t._1 == 2L && t._2 == 1L && t._3 == 1L),
+      "resurrected group must refold from exactly its new row")
+    assert(MaterializedAgg.watermarkOf(spark, view, wmCol = "v") ===
+      IcebergMeta.load(src).currentSnapshot.get.id)
+  }
+
   test("exactly-once streaming approx-distinct MV: union folds, delete-forced rescan, tombstone + resurrection, replay no-op") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, countDistinct, count, lit, pmod}
