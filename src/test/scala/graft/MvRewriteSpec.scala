@@ -279,6 +279,14 @@ class MvRewriteSpec extends SparkTestBase with BeforeAndAfterAll {
     assert(!scanPaths(r).exists(_.contains("base.parquet")))
     assert(r.collect().map(_.toSeq).toSeq ===
       q(spark).collect().map(_.toSeq).toSeq)
+    // multi-argument DISTINCT over key columns rewrites too: the MV
+    // grain preserves exactly the distinct (k, y) combinations
+    def qMulti(s: SparkSession) = s.read.parquet(basePath)
+      .agg(countDistinct(col("k"), col("y")).as("dky"))
+    val rm = qMulti(s2)
+    assert(scanPaths(rm).exists(_.contains("mvd.parquet")), scanPaths(rm))
+    assert(rm.collect().head.getLong(0) ===
+      qMulti(spark).collect().head.getLong(0))
     // DISTINCT over a non-key of EVERY candidate still refuses
     val nonKey = s2.read.parquet(basePath)
       .groupBy(col("k")).agg(countDistinct(col("x")).as("dx"))
