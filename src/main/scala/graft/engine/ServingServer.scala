@@ -99,6 +99,10 @@ import java.util.concurrent.{LinkedBlockingQueue, ThreadPoolExecutor, TimeUnit}
   *        top-k cosine neighbors streamed from a stored incremental IVF
   *        index (operators.IvfStore) — similarity search served without
   *        a SQL round-trip; argument/store errors refuse before OK.
+  *     `DO_ACTION stream_view_describe <view> <source> [<wm_col>]` ->
+  *        freshness of a streaming MV (streaming/MaterializedAgg):
+  *        the view's applied watermark, the live source head, and a
+  *        `fresh` verdict — the streaming counterpart of mv_describe.
   *     `LIST_ACTIONS`          -> `OK\n` + IPC batch of (action,
   *        description) rows — the discovery face of DO_ACTION.
   *     `HANDSHAKE [token]`     -> auth. With no server token configured the
@@ -844,6 +848,55 @@ final class ServingServer(
               org.apache.spark.sql.GraftArrowBridge
                 .writeBatches(result, batchSize, out)
               out.flush()
+            case "stream_view_describe" if arg.nonEmpty =>
+              // freshness for the STREAMING MV family (streaming/
+              // MaterializedAgg): arg is <view_path> <source_path>
+              // [<wm_col>] where wm_col names the column the view's
+              // watermark row carries its cursor in — "s" (sum/count,
+              // the default), "mn" (min/max), "nd" (approx-distinct),
+              // "v" (exact-distinct). The two-cursor join flavor keeps
+              // its cursors in the view table itself (jk/fv of the
+              // sentinel row) and is read by SQL, not this action.
+              // Validation (view + source reads) happens BEFORE the OK
+              // status so a missing table refuses cleanly.
+              val svParts = arg.split("\\s+")
+              val svParsed = scala.util.Try {
+                require(svParts.length == 2 || svParts.length == 3,
+                  "stream_view_describe requires <view_path> " +
+                    "<source_path> [<wm_col>]")
+                val wmCol = if (svParts.length == 3) svParts(2) else "s"
+                require(Set("s", "mn", "nd", "v")(wmCol),
+                  s"wm_col '$wmCol' is not a single-cursor streaming MV " +
+                    "flavor (one of: s, mn, nd, v)")
+                val wm = graft.streaming.MaterializedAgg
+                  .watermarkOf(session.spark, svParts(0), wmCol)
+                val head = graft.sources.IcebergMeta.load(svParts(1))
+                  .currentSnapshot.map(_.id)
+                (svParts(0), svParts(1), wmCol, wm, head)
+              }
+              svParsed match {
+                case scala.util.Failure(e) =>
+                  status("ERR INVALID_ARGUMENT stream_view_describe: " +
+                    Option(e.getMessage).getOrElse(e.toString)
+                      .replaceAll("\\s+", " ").take(200))
+                case scala.util.Success((vp, sp, wmCol, wm, head)) =>
+                  status("OK")
+                  val result = {
+                    import session.spark.implicits._
+                    Seq((vp, sp, wmCol, wm,
+                      head.map(java.lang.Long.valueOf).orNull,
+                      head.map(h => java.lang.Boolean.valueOf(h == wm))
+                        .orNull: java.lang.Boolean))
+                      .toDF("view_path", "source_path", "wm_col",
+                        "watermark", "source_snapshot", "fresh")
+                  }
+                  org.apache.spark.sql.GraftArrowBridge
+                    .writeBatches(result, batchSize, out)
+                  out.flush()
+              }
+            case "stream_view_describe" =>
+              status("ERR INVALID_ARGUMENT stream_view_describe requires " +
+                "<view_path> <source_path> [<wm_col>]")
             case "ann_probe" if arg.nonEmpty =>
               // serve the stored incremental IVF index (operators/
               // IvfStore) directly: arg is
@@ -904,7 +957,11 @@ final class ServingServer(
               ("ann_probe",
                 "top-k cosine neighbors from a stored incremental IVF " +
                   "index: <store_root> <k> <nProbe> <comma-separated " +
-                  "query vector>"))
+                  "query vector>"),
+              ("stream_view_describe",
+                "freshness of a streaming materialized view: " +
+                  "<view_path> <source_path> [<wm_col: s|mn|nd|v>] -> " +
+                  "applied watermark, live source head, fresh verdict"))
               .toDF("action", "description")
           }
           org.apache.spark.sql.GraftArrowBridge.writeBatches(actions, batchSize, out)

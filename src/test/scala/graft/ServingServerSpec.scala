@@ -679,7 +679,7 @@ class ServingServerSpec extends SparkTestBase {
       val actions = ServingClient.listActions(srv.boundPort)
       assert(actions.isOk, actions.status)
       assert(actions.rows.map(_.head.toString) ===
-        Seq("cancel", "mv_describe", "ann_probe"))
+        Seq("cancel", "mv_describe", "ann_probe", "stream_view_describe"))
       assert(ServingClient.doAction(srv.boundPort, "cancel", "nope").status
         .startsWith("ERR NOT_FOUND"))
       assert(ServingClient.doAction(srv.boundPort, "cancel").status
@@ -743,6 +743,52 @@ class ServingServerSpec extends SparkTestBase {
       val again = row()
       assert(again(5) === applied2 && again(7) === true, s"re-refreshed: $again")
     } finally graft.plans.MvCatalog.unregister(src)
+  }
+
+  test("DO_ACTION stream_view_describe: watermark + source head + fresh verdict; staleness after an unapplied commit; refusals") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.sources.{IcebergMeta, IcebergWriter}
+    val src = tempDir("graft-svd-src") + "/table"
+    val view = tempDir("graft-svd-view") + "/table"
+    IcebergWriter.append(spark, src,
+      (0L until 8L).map(i => (i, i * 10L)).toDF("id", "v"),
+      None, 1000L, formatVersion = 2)
+    assert(graft.streaming.MaterializedAgg.refreshStep(
+      spark, view, src, col("id") % 2, col("v"), 2000L).isDefined)
+    withServer { srv =>
+      def describe(extra: String = "") =
+        ServingClient.doAction(srv.boundPort, "stream_view_describe",
+          s"$view $src$extra")
+      val r1 = describe()
+      assert(r1.isOk, r1.status)
+      assert(r1.rows.length === 1)
+      // (view_path, source_path, wm_col, watermark, source_snapshot, fresh)
+      val head = IcebergMeta.load(src).currentSnapshot.get.id
+      assert(r1.rows.head(3).toString.toLong === head)
+      assert(r1.rows.head(5).toString.toBoolean,
+        s"just-refreshed view must be fresh: ${r1.rows.head}")
+      // a source commit the view has not applied makes it STALE
+      IcebergWriter.upsertRows(spark, src, Seq((99L, 990L)).toDF("id", "v"),
+        "id", 3000L)
+      val r2 = describe()
+      assert(r2.isOk && !r2.rows.head(5).toString.toBoolean,
+        s"unapplied source commit must read stale: ${r2.rows}")
+      // and a refresh step restores freshness
+      assert(graft.streaming.MaterializedAgg.refreshStep(
+        spark, view, src, col("id") % 2, col("v"), 4000L).isDefined)
+      assert(describe().rows.head(5).toString.toBoolean)
+      // refusals happen BEFORE the OK status: bad wm_col, missing args,
+      // nonexistent view
+      assert(describe(" zz").status.startsWith("ERR INVALID_ARGUMENT"))
+      assert(ServingClient.doAction(srv.boundPort, "stream_view_describe",
+        view).status.startsWith("ERR INVALID_ARGUMENT"))
+      assert(ServingClient.doAction(srv.boundPort, "stream_view_describe",
+        s"${tempDir("graft-svd-none")}/nope $src")
+        .status.startsWith("ERR INVALID_ARGUMENT"))
+      assert(ServingClient.doAction(srv.boundPort, "stream_view_describe")
+        .status.startsWith("ERR INVALID_ARGUMENT"))
+    }
   }
 
   test("DO_ACTION ann_probe: serves top-k from a stored IVF index; argument and store errors refuse before OK") {
