@@ -1,0 +1,255 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions.{col, count, lit, max, min, sum}
+
+/** The advisor face of the MV family — Oracle's SQL Access Advisor /
+  * Calcite lattice-suggester analogue, Spark-native: hand it the
+  * WORKLOAD (the dashboard queries as DataFrames) and it tells you which
+  * materialized views would answer them, materializes the ones you pick,
+  * and registers them so [[MvRewrite]] starts firing — closing the loop
+  * whose other arcs already exist (IVM refresh keeps the stored view
+  * current, `mv_describe` serves its freshness).
+  *
+  * [[analyze]] walks each query's OPTIMIZED plan — the same plan stage
+  * [[MvRewrite]] rewrites, so what the advisor harvests is exactly what
+  * the rewrite will later match — and extracts every
+  * `Aggregate([Project|Filter]* Scan(parquet))` shape: base path,
+  * grouping columns, filter-referenced columns, measure arguments (by
+  * the same canonical-text contract MvDef.measures is keyed by), and
+  * DISTINCT arguments. Shapes the rewrite could never answer (a
+  * non-column grouping expression, an unsupported aggregate like stddev,
+  * a FILTER'd aggregate) are reported with the reason instead of being
+  * silently dropped — the advisor's "no" is as actionable as its "yes".
+  *
+  * [[recommend]] folds the shapes per base table: one ROLLUP
+  * recommendation keyed by the union of every query's grouping + filter
+  * columns (the finest grain any of them needs — coarser queries regroup
+  * through the rewrite's subset rule) carrying the union of their
+  * measures, plus one MULTIPLICITY recommendation per DISTINCT-counted
+  * column (rollup keys + that column — the [[graft.operators
+  * .IncrementalOps.refreshDistinct]] store, which the rewrite answers
+  * DISTINCT aggregates from). One multiplicity MV per distinct column,
+  * deliberately NOT one keyed by all of them at once: the combined grain
+  * is the PRODUCT of the value domains and its state can explode, while
+  * per-column stores stay bounded by each column's live pairs.
+  *
+  * [[Recommendation.materialize]] builds the stored table from the base,
+  * writes it, registers the [[MvDef]], and returns the measured
+  * compression (MV rows / base rows) — the number that says whether the
+  * MV is worth it: a dashboard aggregate over a 100 TB fact at ratio
+  * 1e-6 turns into a megabyte-scale scan, while a ratio near 1 says the
+  * keys are nearly unique and the advisor recommends NOT materializing
+  * (the caller sees the ratio and decides; nothing here auto-builds).
+  */
+object MvAdvisor {
+
+  /** One harvested aggregate shape, or the reason it is not MV-able. */
+  final case class AggShape(
+      basePath: String,
+      groupCols: Seq[String],
+      filterCols: Seq[String],
+      // canonical measure text -> which derivations the query needs
+      sums: Set[String],
+      counts: Set[String],
+      mins: Set[String],
+      maxs: Set[String],
+      countStar: Boolean,
+      distinctCols: Set[String])
+
+  final case class Rejection(reason: String)
+
+  /** The advisor's verdict for one base table. `keys` is the finest
+    * grain the workload needs; measure sets are unioned across queries.
+    */
+  final case class Recommendation(
+      basePath: String,
+      kind: String, // "rollup" | "multiplicity"
+      keys: Seq[String],
+      sums: Set[String],
+      counts: Set[String],
+      mins: Set[String],
+      maxs: Set[String],
+      queriesAnswered: Int) {
+
+    /** Build, write, register — and report the compression ratio
+      * (stored MV rows / base rows). The registered name is
+      * deterministic per (base, kind) so re-materializing replaces the
+      * def in place (the MvCatalog name contract).
+      */
+    def materialize(
+        spark: SparkSession, mvPath: String,
+        watermark: Option[Long] = None): Double = {
+      val base = spark.read.parquet(basePath)
+      def arg(text: String): org.apache.spark.sql.Column = {
+        val parts = text.split("::", 2)
+        if (parts.length == 1) col(parts(0))
+        else col(parts(0)).cast(
+          org.apache.spark.sql.types.DataType.fromDDL(parts(1)))
+      }
+      def safe(text: String): String = text.replaceAll("[^A-Za-z0-9_]", "_")
+      val aggs =
+        sums.toSeq.sorted.map(t => sum(arg(t)).as(s"s_${safe(t)}")) ++
+        counts.toSeq.sorted.map(t => count(arg(t)).as(s"c_${safe(t)}")) ++
+        mins.toSeq.sorted.map(t => min(arg(t)).as(s"mn_${safe(t)}")) ++
+        maxs.toSeq.sorted.map(t => max(arg(t)).as(s"mx_${safe(t)}")) :+
+        count(lit(1)).as("n_star")
+      base.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+        .write.mode("overwrite").parquet(mvPath)
+      val schema = spark.read.parquet(mvPath).schema
+      val measureTexts = sums ++ counts ++ mins ++ maxs
+      MvCatalog.register(MvDef(
+        name = s"advisor_${kind}_${safe(new java.io.File(basePath).getName)}" +
+          (if (kind == "multiplicity") s"_${safe(keys.last)}" else ""),
+        basePath = basePath,
+        keys = keys,
+        measures = measureTexts.map { t =>
+          t -> MvMeasure(
+            sum = if (sums(t)) Some(s"s_${safe(t)}") else None,
+            cnt = if (counts(t)) Some(s"c_${safe(t)}") else None,
+            min = if (mins(t)) Some(s"mn_${safe(t)}") else None,
+            max = if (maxs(t)) Some(s"mx_${safe(t)}") else None)
+        }.toMap,
+        countStar = Some("n_star"),
+        mvPath = mvPath,
+        mvSchema = schema,
+        watermark = watermark))
+      val mvRows = spark.read.parquet(mvPath).count().toDouble
+      val baseRows = base.count().toDouble
+      if (baseRows == 0) 1.0 else mvRows / baseRows
+    }
+  }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case other     => Seq(other)
+  }
+
+  /** Harvest every MV-able aggregate shape from one query's optimized
+    * plan; non-MV-able aggregates over a parquet base come back as
+    * [[Rejection]]s with the first disqualifying reason. Aggregates not
+    * over a single parquet base (joins, unions) are out of the rollup
+    * advisor's scope and are skipped silently — the join-MV surface has
+    * its own registration path.
+    */
+  def analyze(df: DataFrame): Seq[Either[Rejection, AggShape]] = {
+    val out = scala.collection.mutable.Buffer.empty[Either[Rejection, AggShape]]
+    df.queryExecution.optimizedPlan.foreach {
+      case agg: Aggregate =>
+        stripToScan(agg.child, Nil).foreach { case (conds, path) =>
+          out += harvest(agg, conds, path)
+        }
+      case _ =>
+    }
+    out.toSeq
+  }
+
+  private def stripToScan(
+      p: LogicalPlan, conds: Seq[Expression]
+  ): Option[(Seq[Expression], String)] = p match {
+    case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+      stripToScan(c, conds)
+    case Filter(cond, c) => stripToScan(c, conds ++ splitConjuncts(cond))
+    case lr: LogicalRelation =>
+      lr.relation match {
+        case h: HadoopFsRelation if h.location.rootPaths.length == 1 =>
+          Some((conds, h.location.rootPaths.head.toUri.getPath))
+        case _ => None
+      }
+    case _ => None
+  }
+
+  private def harvest(
+      agg: Aggregate,
+      conds: Seq[Expression],
+      path: String): Either[Rejection, AggShape] = {
+    val groupCols = agg.groupingExpressions.map {
+      case a: AttributeReference => a.name
+      case other => return scala.Left(Rejection(
+        s"grouping expression '${other.sql}' is not a bare column — " +
+          "the rewrite regroups the MV by stored key columns only"))
+    }
+    for (c <- conds) {
+      if (!c.deterministic) return scala.Left(Rejection(
+        s"non-deterministic filter '${c.sql}' cannot re-apply on a rollup"))
+      if (c.references.isEmpty) return scala.Left(Rejection(
+        s"filter '${c.sql}' references no columns — per-row semantics " +
+          "would change at group grain"))
+    }
+    val filterCols = conds.flatMap(_.references.map(_.name)).distinct
+    var sums, counts, mins, maxs, distincts = Set.empty[String]
+    var countStar = false
+    def measureOf(e: Expression, what: String): Either[Rejection, String] =
+      MvRewrite.measureKey(e).toRight[Rejection](Rejection(
+        s"$what argument '${e.sql}' is not a bare or cast column — " +
+          "declare it as a stored measure expression instead"))
+    for (ne <- agg.aggregateExpressions; e <- ne.collect {
+        case ae: AggregateExpression => ae }) {
+      if (e.filter.isDefined)
+        return scala.Left(Rejection(
+          s"FILTER'd aggregate '${e.sql}' is not derivable from a rollup"))
+      if (e.isDistinct) {
+        e.aggregateFunction.children.foreach {
+          case a: AttributeReference => distincts += a.name
+          case other => return scala.Left(Rejection(
+            s"DISTINCT argument '${other.sql}' is not a bare column — " +
+              "a multiplicity store needs the column itself as a key"))
+        }
+      } else e.aggregateFunction match {
+        case Sum(c, _) => measureOf(c, "sum") match {
+          case scala.Right(t) => sums += t;   case scala.Left(r) => return scala.Left(r) }
+        case Min(c)    => measureOf(c, "min") match {
+          case scala.Right(t) => mins += t;   case scala.Left(r) => return scala.Left(r) }
+        case Max(c)    => measureOf(c, "max") match {
+          case scala.Right(t) => maxs += t;   case scala.Left(r) => return scala.Left(r) }
+        case Count(Seq(Literal(v, _))) if v != null => countStar = true
+        case Count(Seq(c)) => measureOf(c, "count") match {
+          case scala.Right(t) => counts += t; case scala.Left(r) => return scala.Left(r) }
+        case Average(c, _) => measureOf(c, "avg") match {
+          case scala.Right(t) => sums += t; counts += t
+          case scala.Left(r)  => return scala.Left(r) }
+        case other => return scala.Left(Rejection(
+          s"aggregate '${other.prettyName}' is not derivable from a rollup"))
+      }
+    }
+    scala.Right(AggShape(path, groupCols, filterCols, sums, counts, mins, maxs,
+      countStar, distincts))
+  }
+
+  /** Fold harvested shapes into per-base recommendations: one rollup at
+    * the finest grain the workload needs, plus one multiplicity store
+    * per DISTINCT-counted column. Shapes from different bases never mix.
+    */
+  def recommend(shapes: Seq[AggShape]): Seq[Recommendation] =
+    shapes.groupBy(_.basePath).toSeq.sortBy(_._1).flatMap {
+      case (base, ss) =>
+        val keys = ss.flatMap(s => s.groupCols ++ s.filterCols).distinct
+        val rollupNeeded = ss.exists(s =>
+          s.sums.nonEmpty || s.counts.nonEmpty || s.mins.nonEmpty ||
+            s.maxs.nonEmpty || s.countStar)
+        val rollup =
+          if (!rollupNeeded) Nil
+          else Seq(Recommendation(
+            base, "rollup", keys,
+            ss.flatMap(_.sums).toSet, ss.flatMap(_.counts).toSet,
+            ss.flatMap(_.mins).toSet, ss.flatMap(_.maxs).toSet,
+            queriesAnswered = ss.count(s => s.distinctCols.isEmpty)))
+        val mults = ss.flatMap(_.distinctCols).distinct.sorted.map { v =>
+          // the store inherits the measures of the queries it answers —
+          // a `count(DISTINCT v), sum(y)` dashboard needs s_y ON the
+          // multiplicity grain (sums re-aggregate through any finer
+          // grain), or the rewrite would bail on the measure
+          val users = ss.filter(_.distinctCols.contains(v))
+          Recommendation(
+            base, "multiplicity", (keys.filterNot(_ == v) :+ v),
+            users.flatMap(_.sums).toSet, users.flatMap(_.counts).toSet,
+            users.flatMap(_.mins).toSet, users.flatMap(_.maxs).toSet,
+            queriesAnswered = users.length)
+        }
+        rollup ++ mults
+    }
+}

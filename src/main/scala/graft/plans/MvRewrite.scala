@@ -257,6 +257,20 @@ object MvCatalog {
   * the MV is smaller than the base by the group cardinality ratio, and
   * the IVM operators keep it fresh for O(churn) per refresh.
   */
+object MvRewrite {
+  /** The canonical measure-key text of an aggregated argument — the
+    * contract key [[MvDef.measures]] is declared under and the shape
+    * [[MvAdvisor]] harvests. A bare column is its name; a cast is
+    * `name::castType`.
+    */
+  private[plans] def measureKey(e: Expression): Option[String] = e match {
+    case a: AttributeReference => Some(a.name)
+    case Cast(a: AttributeReference, dt, _, _) =>
+      Some(s"${a.name}::${dt.catalogString}")
+    case _ => None
+  }
+}
+
 class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private case object Bail extends Exception { override def fillInStackTrace(): Throwable = this }
@@ -292,13 +306,8 @@ class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     case other     => Seq(other)
   }
 
-  /** The canonical measure-key text of an aggregated argument. */
-  private def measureKey(e: Expression): Option[String] = e match {
-    case a: AttributeReference => Some(a.name)
-    case Cast(a: AttributeReference, dt, _, _) =>
-      Some(s"${a.name}::${dt.catalogString}")
-    case _ => None
-  }
+  private def measureKey(e: Expression): Option[String] =
+    MvRewrite.measureKey(e)
 
   private def rewrite(agg: Aggregate): Option[LogicalPlan] = {
     val (conds, lr) = strip(agg.child, Nil).getOrElse(return None)

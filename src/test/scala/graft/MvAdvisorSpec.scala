@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+
+import graft.plans.{MvAdvisor, MvCatalog}
+
+/** plans.MvAdvisor: the workload analyzer harvests exactly the shapes
+  * MvRewrite can answer (with actionable rejections for the rest), folds
+  * them into rollup + multiplicity recommendations at the finest grain
+  * the workload needs, and materialize() closes the loop — the
+  * advisor-built, advisor-registered MVs make the original queries
+  * rewrite and match their direct answers.
+  */
+class MvAdvisorSpec extends SparkTestBase with BeforeAndAfterAll {
+
+  private var basePath: String = _
+  private var s2: SparkSession = _
+
+  override protected def beforeAll(): Unit = {
+    super.beforeAll()
+    import spark.implicits._
+    basePath = tempDir("graft-advisor") + "/wbase.parquet"
+    Seq(
+      ("a", "p", 1.5, 10L), ("a", "p", 2.5, 10L), ("a", "q", 3.0, 30L),
+      ("b", "p", -1.0, 50L), ("b", "q", 4.0, 50L), ("b", "q", 4.0, 70L),
+      ("c", "p", 0.25, 80L)
+    ).toDF("k", "g", "x", "y").write.mode("overwrite").parquet(basePath)
+    s2 = spark.newSession()
+    s2.conf.set("spark.graft.mv.rewrite.enabled", "true")
+  }
+
+  override protected def afterAll(): Unit = {
+    MvCatalog.unregister(basePath)
+    super.afterAll()
+  }
+
+  private def q1(s: SparkSession): DataFrame = s.read.parquet(basePath)
+    .filter(col("g") === "q").groupBy(col("k"))
+    .agg(sum(col("y")).as("sy"), count(lit(1)).as("n"), avg(col("x")).as("ax"))
+    .orderBy(col("k"))
+  private def q2(s: SparkSession): DataFrame = s.read.parquet(basePath)
+    .groupBy(col("k"), col("g"))
+    .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    .orderBy(col("k"), col("g"))
+  private def q3(s: SparkSession): DataFrame = s.read.parquet(basePath)
+    .groupBy(col("k"))
+    .agg(countDistinct(col("y")).as("dy"), count(lit(1)).as("n"))
+    .orderBy(col("k"))
+
+  test("analyze harvests MV-able shapes and explains the rest") {
+    val shapes = Seq(q1(spark), q2(spark), q3(spark)).flatMap(MvAdvisor.analyze)
+    assert(shapes.count(_.isRight) === 3, shapes)
+    val s1 = shapes.head.toOption.get
+    assert(s1.groupCols === Seq("k") && s1.filterCols === Seq("g"))
+    assert(s1.sums === Set("y", "x") && s1.counts === Set("x") && s1.countStar)
+    val s3 = shapes(2).toOption.get
+    assert(s3.distinctCols === Set("y") && s3.countStar)
+    // rejections carry the reason, not a silent drop
+    val stddevQ = spark.read.parquet(basePath)
+      .groupBy(col("k")).agg(stddev(col("x")).as("sd"))
+    val r1 = MvAdvisor.analyze(stddevQ)
+    assert(r1.exists(_.isLeft) &&
+      r1.collectFirst { case scala.Left(r) => r.reason }.get
+        .contains("not derivable"), r1)
+    val randQ = spark.read.parquet(basePath)
+      .filter(rand(7) < 0.5).groupBy(col("k")).agg(sum(col("y")).as("sy"))
+    val r2 = MvAdvisor.analyze(randQ)
+    assert(r2.collectFirst { case scala.Left(r) => r.reason }.get
+      .contains("non-deterministic"), r2)
+    // an aggregate over a join is out of the rollup advisor's scope:
+    // skipped, not rejected (the join-MV surface registers separately)
+    val joined = spark.read.parquet(basePath).as("l")
+      .join(spark.read.parquet(basePath).as("r"), Seq("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n"))
+    assert(MvAdvisor.analyze(joined).isEmpty)
+  }
+
+  test("recommend folds the workload: one rollup at the finest grain + one multiplicity per distinct column") {
+    val shapes = Seq(q1(spark), q2(spark), q3(spark))
+      .flatMap(MvAdvisor.analyze).flatMap(_.toOption)
+    val recs = MvAdvisor.recommend(shapes)
+    assert(recs.length === 2, recs)
+    val rollup = recs.find(_.kind == "rollup").get
+    assert(rollup.keys.toSet === Set("k", "g"),
+      "keys must be the union of grouping AND filter columns")
+    assert(rollup.sums === Set("y", "x") && rollup.counts === Set("x"))
+    assert(rollup.mins === Set("x") && rollup.maxs === Set("x"))
+    assert(rollup.queriesAnswered === 2)
+    val mult = recs.find(_.kind == "multiplicity").get
+    assert(mult.keys === Seq("k", "g", "y"),
+      "multiplicity grain = rollup keys + the distinct-counted column")
+    assert(mult.queriesAnswered === 1)
+  }
+
+  test("materialize closes the loop: the advisor-built MVs make the workload rewrite and match") {
+    val shapes = Seq(q1(spark), q2(spark), q3(spark))
+      .flatMap(MvAdvisor.analyze).flatMap(_.toOption)
+    val recs = MvAdvisor.recommend(shapes)
+    val dir = new java.io.File(basePath).getParent
+    val ratios = recs.map { r =>
+      r -> r.materialize(spark, s"$dir/adv_${r.kind}.parquet")
+    }
+    // 7 base rows -> 5 (k,g) groups and 6 (k,g,y) pairs: both compress
+    ratios.foreach { case (r, ratio) =>
+      assert(ratio > 0 && ratio < 1, s"${r.kind} ratio $ratio")
+    }
+    def scanPaths(df: DataFrame): Seq[String] =
+      df.queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.rootPaths.map(_.toUri.getPath)
+      }.flatten
+    for ((q, mv) <- Seq(
+        (q1 _, "adv_rollup"), (q2 _, "adv_rollup"),
+        (q3 _, "adv_multiplicity"))) {
+      val rewritten = q(s2)
+      assert(scanPaths(rewritten).exists(_.contains(mv)),
+        s"expected $mv scan, got ${scanPaths(rewritten)}")
+      assert(!scanPaths(rewritten).exists(_.contains("wbase")))
+      assert(rewritten.collect().map(_.toSeq).toSeq ===
+        q(spark).collect().map(_.toSeq).toSeq,
+        "rewritten answer must equal the direct plan's")
+    }
+  }
+}
