@@ -103,6 +103,9 @@ import java.util.concurrent.{LinkedBlockingQueue, ThreadPoolExecutor, TimeUnit}
   *        freshness of a streaming MV (streaming/MaterializedAgg):
   *        the view's applied watermark, the live source head, and a
   *        `fresh` verdict — the streaming counterpart of mv_describe.
+  *     `DO_ACTION advise <sql>` -> the MV advisor (plans.MvAdvisor)
+  *        over the wire: rollup/multiplicity recommendations + rejection
+  *        reasons for one single-line SQL statement; reports only.
   *     `LIST_ACTIONS`          -> `OK\n` + IPC batch of (action,
   *        description) rows — the discovery face of DO_ACTION.
   *     `HANDSHAKE [token]`     -> auth. With no server token configured the
@@ -848,6 +851,50 @@ final class ServingServer(
               org.apache.spark.sql.GraftArrowBridge
                 .writeBatches(result, batchSize, out)
               out.flush()
+            case "advise" if arg.nonEmpty =>
+              // the MV advisor over the wire: arg is ONE SQL statement
+              // (the line protocol is single-line — multi-statement
+              // workloads call once per query; recommendations fold
+              // client-side or via repeated calls). Analysis runs
+              // BEFORE the OK so a parse/analysis error refuses
+              // cleanly; nothing is materialized or registered here —
+              // the action only reports what WOULD pay off.
+              val advParsed = scala.util.Try {
+                val results = graft.plans.MvAdvisor
+                  .analyze(session.execute(arg))
+                val recs = graft.plans.MvAdvisor
+                  .recommend(results.flatMap(_.toOption))
+                val recRows = recs.map(r =>
+                  (r.kind, r.basePath, r.keys.mkString(","),
+                    (r.sums.toSeq.sorted.map("sum:" + _) ++
+                      r.counts.toSeq.sorted.map("cnt:" + _) ++
+                      r.mins.toSeq.sorted.map("min:" + _) ++
+                      r.maxs.toSeq.sorted.map("max:" + _)).mkString(","),
+                    r.queriesAnswered.toLong, null: String))
+                val rejRows = results.collect { case scala.util.Left(j) => j }
+                  .map(j => ("rejected", null: String, null: String,
+                    null: String, 0L, j.reason))
+                recRows ++ rejRows
+              }
+              advParsed match {
+                case scala.util.Failure(e) =>
+                  status("ERR INVALID_ARGUMENT advise: " +
+                    Option(e.getMessage).getOrElse(e.toString)
+                      .replaceAll("\\s+", " ").take(200))
+                case scala.util.Success(rows) =>
+                  status("OK")
+                  val result = {
+                    import session.spark.implicits._
+                    rows.toDF("kind", "base_path", "keys", "measures",
+                      "queries_answered", "rejection")
+                  }
+                  org.apache.spark.sql.GraftArrowBridge
+                    .writeBatches(result, batchSize, out)
+                  out.flush()
+              }
+            case "advise" =>
+              status("ERR INVALID_ARGUMENT advise requires a single-line " +
+                "SQL statement")
             case "stream_view_describe" if arg.nonEmpty =>
               // freshness for the STREAMING MV family (streaming/
               // MaterializedAgg): arg is <view_path> <source_path>
@@ -961,7 +1008,11 @@ final class ServingServer(
               ("stream_view_describe",
                 "freshness of a streaming materialized view: " +
                   "<view_path> <source_path> [<wm_col: s|mn|nd|v>] -> " +
-                  "applied watermark, live source head, fresh verdict"))
+                  "applied watermark, live source head, fresh verdict"),
+              ("advise",
+                "MV advisor for one single-line SQL statement: rollup/" +
+                  "multiplicity recommendations (keys, measures) plus " +
+                  "rejection reasons; reports only, materializes nothing"))
               .toDF("action", "description")
           }
           org.apache.spark.sql.GraftArrowBridge.writeBatches(actions, batchSize, out)

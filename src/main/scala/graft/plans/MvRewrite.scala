@@ -393,6 +393,17 @@ class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           Coalesce(Seq(sumOf(d.countStar.getOrElse(bail())), Literal(0L)))
         case Count(Seq(c)) =>
           Coalesce(Seq(sumOf(measure(c).cnt.getOrElse(bail())), Literal(0L)))
+        // approx_count_distinct over a KEY column re-runs on the MV
+        // grain EXACTLY estimate-preserving — HLL++ registers are
+        // duplicate-insensitive (each value hashes to the same register
+        // update however many rows carry it), so the sketch built over
+        // the distinct key combinations is bit-identical to the one
+        // built over the base rows
+        case h: HyperLogLogPlusPlus => h.child match {
+          case a: AttributeReference if keyNames(a.name) =>
+            h.copy(child = mvAttr(a.name)).toAggregateExpression()
+          case _ => bail()
+        }
         case Average(c, _) if ae.dataType == DoubleType =>
           val m = measure(c)
           new Divide(

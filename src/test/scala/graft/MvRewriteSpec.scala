@@ -279,6 +279,20 @@ class MvRewriteSpec extends SparkTestBase with BeforeAndAfterAll {
     assert(!scanPaths(r).exists(_.contains("base.parquet")))
     assert(r.collect().map(_.toSeq).toSeq ===
       q(spark).collect().map(_.toSeq).toSeq)
+    // approx_count_distinct over a key column rewrites bit-identically:
+    // HLL++ registers are duplicate-insensitive, so the sketch over the
+    // MV's distinct pairs equals the sketch over the base rows
+    def qApprox(s: SparkSession) = s.read.parquet(basePath)
+      .groupBy(col("k")).agg(approx_count_distinct(col("y")).as("ady"))
+      .orderBy(col("k"))
+    val ra = qApprox(s2)
+    assert(scanPaths(ra).exists(_.contains("mvd.parquet")), scanPaths(ra))
+    assert(ra.collect().map(_.toSeq).toSeq ===
+      qApprox(spark).collect().map(_.toSeq).toSeq)
+    // ...but over a non-key column it refuses like any other measure
+    val raNk = s2.read.parquet(basePath)
+      .groupBy(col("k")).agg(approx_count_distinct(col("x")).as("adx"))
+    assert(scanPaths(raNk).exists(_.contains("base.parquet")))
     // multi-argument DISTINCT over key columns rewrites too: the MV
     // grain preserves exactly the distinct (k, y) combinations
     def qMulti(s: SparkSession) = s.read.parquet(basePath)

@@ -679,7 +679,8 @@ class ServingServerSpec extends SparkTestBase {
       val actions = ServingClient.listActions(srv.boundPort)
       assert(actions.isOk, actions.status)
       assert(actions.rows.map(_.head.toString) ===
-        Seq("cancel", "mv_describe", "ann_probe", "stream_view_describe"))
+        Seq("cancel", "mv_describe", "ann_probe", "stream_view_describe",
+          "advise"))
       assert(ServingClient.doAction(srv.boundPort, "cancel", "nope").status
         .startsWith("ERR NOT_FOUND"))
       assert(ServingClient.doAction(srv.boundPort, "cancel").status
@@ -743,6 +744,42 @@ class ServingServerSpec extends SparkTestBase {
       val again = row()
       assert(again(5) === applied2 && again(7) === true, s"re-refreshed: $again")
     } finally graft.plans.MvCatalog.unregister(src)
+  }
+
+  test("DO_ACTION advise: recommendations + rejection reasons over the wire; bad SQL refuses before OK") {
+    import spark.implicits._
+    val base = tempDir("graft-advise-srv") + "/srvbase.parquet"
+    Seq(("a", 1L, 10L), ("a", 2L, 10L), ("b", 3L, 20L))
+      .toDF("g", "v", "m").write.mode("overwrite").parquet(base)
+    session.registerTable("advise_base", spark.read.parquet(base))
+    withServer { srv =>
+      val r = ServingClient.doAction(srv.boundPort, "advise",
+        "SELECT g, sum(m) AS sm, count(DISTINCT v) AS dv, " +
+          "stddev(m) AS sd FROM advise_base GROUP BY g")
+      assert(r.isOk, r.status)
+      // the DISTINCT makes this whole aggregate non-rollup-able, so the
+      // harvest rejects on the first disqualifier (stddev) — the action
+      // must surface the reason rather than a silent empty answer
+      val kinds = r.rows.map(_.head.toString)
+      assert(kinds.contains("rejected"), s"rows: ${r.rows}")
+      assert(r.rows.filter(_.head.toString == "rejected")
+        .exists(_(5).toString.contains("not derivable")), r.rows)
+      // a clean rollup + multiplicity workload recommends both
+      val r2 = ServingClient.doAction(srv.boundPort, "advise",
+        "SELECT g, sum(m) AS sm, count(DISTINCT v) AS dv " +
+          "FROM advise_base GROUP BY g")
+      assert(r2.isOk, r2.status)
+      val byKind = r2.rows.groupBy(_.head.toString)
+      assert(byKind.keySet === Set("rollup", "multiplicity"), r2.rows)
+      assert(byKind("multiplicity").head(2).toString === "g,v")
+      assert(byKind("rollup").head(3).toString.contains("sum:m"))
+      // bad SQL refuses BEFORE the OK status
+      assert(ServingClient.doAction(srv.boundPort, "advise",
+        "SELECT FROM nothing AT ALL").status
+        .startsWith("ERR INVALID_ARGUMENT"))
+      assert(ServingClient.doAction(srv.boundPort, "advise").status
+        .startsWith("ERR INVALID_ARGUMENT"))
+    }
   }
 
   test("DO_ACTION stream_view_describe: watermark + source head + fresh verdict; staleness after an unapplied commit; refusals") {
