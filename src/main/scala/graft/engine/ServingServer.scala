@@ -860,10 +860,13 @@ final class ServingServer(
               // cleanly; nothing is materialized or registered here —
               // the action only reports what WOULD pay off.
               val advParsed = scala.util.Try {
-                val results = graft.plans.MvAdvisor
-                  .analyze(session.execute(arg))
+                val df = session.execute(arg)
+                val results = graft.plans.MvAdvisor.analyze(df)
+                val joinResults = graft.plans.MvAdvisor.analyzeJoins(df)
                 val recs = graft.plans.MvAdvisor
                   .recommend(results.flatMap(_.toOption))
+                val joinRecs = graft.plans.MvAdvisor
+                  .recommendJoins(joinResults.flatMap(_.toOption))
                 val recRows = recs.map(r =>
                   (r.kind, r.basePath, r.keys.mkString(","),
                     (r.sums.toSeq.sorted.map("sum:" + _) ++
@@ -871,10 +874,19 @@ final class ServingServer(
                       r.mins.toSeq.sorted.map("min:" + _) ++
                       r.maxs.toSeq.sorted.map("max:" + _)).mkString(","),
                     r.queriesAnswered.toLong, null: String))
-                val rejRows = results.collect { case scala.util.Left(j) => j }
-                  .map(j => ("rejected", null: String, null: String,
-                    null: String, 0L, j.reason))
-                recRows ++ rejRows
+                val joinRows = joinRecs.map(r =>
+                  ("join", s"${r.factPath} ⋈ ${r.dimPath}",
+                    r.joinKeys.map { case (f, d) => s"$f=$d" }.mkString(","),
+                    r.columns.map { case (c, isFact) =>
+                      s"${if (isFact) "f" else "d"}.$c" }.mkString(","),
+                    r.queriesAnswered.toLong, null: String))
+                val rejRows =
+                  (results.collect { case scala.util.Left(j) => j.reason } ++
+                    joinResults.collect {
+                      case scala.util.Left(j) => j.reason })
+                  .map(reason => ("rejected", null: String, null: String,
+                    null: String, 0L, reason))
+                recRows ++ joinRows ++ rejRows
               }
               advParsed match {
                 case scala.util.Failure(e) =>

@@ -124,6 +124,62 @@ object MvAdvisor {
     }
   }
 
+  /** One harvested join-aggregate shape: the
+    * `Aggregate([Project|Filter]* Join(Inner, fact, dim))` form
+    * [[MvRewrite.rewriteJoin]] answers from a row-grain [[JoinMvDef]].
+    * `columns` carries side attribution (true = left/fact) so
+    * materialization can qualify names; a non-key name both sides
+    * expose is rejected at harvest — the rewrite would bail on it too.
+    */
+  final case class JoinShape(
+      factPath: String,
+      dimPath: String,
+      joinKeys: Seq[(String, String)],
+      columns: Seq[(String, Boolean)])
+
+  /** A recommended row-grain join view for a (fact, dim, keys) trio:
+    * the stored column set is the union every matching workload query
+    * touches. Row grain means ANY deterministic aggregate recomputes
+    * from it, so there is no measure bookkeeping here.
+    */
+  final case class JoinRecommendation(
+      factPath: String,
+      dimPath: String,
+      joinKeys: Seq[(String, String)],
+      columns: Seq[(String, Boolean)],
+      queriesAnswered: Int) {
+
+    /** Build the row-grain view, write it, register the [[JoinMvDef]];
+      * returns stored rows / fact rows (join selectivity × dim fanout —
+      * near or below 1 is the healthy row-grain regime; well above 1
+      * means the "dim" fans out and the caller should reconsider).
+      */
+    def materialize(spark: SparkSession, mvPath: String,
+        watermark: Option[Long] = None): Double = {
+      val fact = spark.read.parquet(factPath).as("f")
+      val dim = spark.read.parquet(dimPath).as("d")
+      val cond = joinKeys.map { case (a, b) =>
+        col(s"f.$a") === col(s"d.$b") }.reduce(_ && _)
+      val sel = columns.map { case (c, isFact) =>
+        (if (isFact) col(s"f.$c") else col(s"d.$c")).as(c) }
+      fact.join(dim, cond, "inner").select(sel: _*)
+        .write.mode("overwrite").parquet(mvPath)
+      def safe(p: String): String =
+        new java.io.File(p).getName.replaceAll("[^A-Za-z0-9_]", "_")
+      MvCatalog.registerJoin(JoinMvDef(
+        name = s"advisor_join_${safe(factPath)}_${safe(dimPath)}",
+        factPath = factPath,
+        dimPath = dimPath,
+        joinKeys = joinKeys,
+        mvPath = mvPath,
+        mvSchema = spark.read.parquet(mvPath).schema,
+        watermark = watermark))
+      val mvRows = spark.read.parquet(mvPath).count().toDouble
+      val factRows = spark.read.parquet(factPath).count().toDouble
+      if (factRows == 0) 1.0 else mvRows / factRows
+    }
+  }
+
   private def splitConjuncts(e: Expression): Seq[Expression] = e match {
     case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
     case other     => Seq(other)
@@ -252,4 +308,117 @@ object MvAdvisor {
         }
         rollup ++ mults
     }
+
+  /** Harvest every join-aggregate shape [[MvRewrite.rewriteJoin]] could
+    * answer from one query's optimized plan: an Aggregate over an INNER
+    * equi-join of two single-root parquet scans. Orientation follows the
+    * plan (left = fact); the rewrite tries both registered orientations,
+    * so the choice only names the recommendation.
+    */
+  def analyzeJoins(df: DataFrame): Seq[Either[Rejection, JoinShape]] = {
+    val out =
+      scala.collection.mutable.Buffer.empty[Either[Rejection, JoinShape]]
+    df.queryExecution.optimizedPlan.foreach {
+      case agg: Aggregate => harvestJoin(agg).foreach(out += _)
+      case _ =>
+    }
+    out.toSeq
+  }
+
+  private def harvestJoin(
+      agg: Aggregate): Option[Either[Rejection, JoinShape]] = {
+    def stripToJoin(p: LogicalPlan, conds: Seq[Expression])
+        : Option[(Seq[Expression], Join)] = p match {
+      case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+        stripToJoin(c, conds)
+      case Filter(cond, c) => stripToJoin(c, conds ++ splitConjuncts(cond))
+      case jn: Join        => Some((conds, jn))
+      case _               => None
+    }
+    val (aboveConds, jn) = stripToJoin(agg.child, Nil).getOrElse(return None)
+    if (jn.joinType != org.apache.spark.sql.catalyst.plans.Inner) return None
+    val (lConds, lPath, lLr) = stripSide(jn.left).getOrElse(return None)
+    val (rConds, rPath, rLr) = stripSide(jn.right).getOrElse(return None)
+    val lIds = lLr.output.map(_.exprId).toSet
+    val rIds = rLr.output.map(_.exprId).toSet
+    val lNames = lLr.output.map(_.name).toSet
+    val rNames = rLr.output.map(_.name).toSet
+    // key equalities out of the join condition; leftover conjuncts are
+    // row-grain filters (they re-apply on the stored view) but their
+    // columns must still be stored
+    var keys = Seq.empty[(String, String)]
+    val residual = jn.condition.map(splitConjuncts).getOrElse(return None)
+      .filter {
+        case EqualTo(a: AttributeReference, b: AttributeReference)
+            if lIds(a.exprId) && rIds(b.exprId) =>
+          keys :+= ((a.name, b.name)); false
+        case EqualTo(a: AttributeReference, b: AttributeReference)
+            if lIds(b.exprId) && rIds(a.exprId) =>
+          keys :+= ((b.name, a.name)); false
+        case _ => true
+      }
+    if (keys.isEmpty) return Some(scala.Left(Rejection(
+      "join has no bare fact-column = dim-column equality — a row-grain " +
+        "view needs declared key equalities")))
+    val allConds = aboveConds ++ lConds ++ rConds ++ residual
+    for (c <- allConds if !c.deterministic)
+      return Some(scala.Left(Rejection(
+        s"non-deterministic filter '${c.sql}' cannot re-apply on a " +
+          "stored view")))
+    if (!agg.aggregateExpressions.forall(_.deterministic))
+      return Some(scala.Left(Rejection(
+        "non-deterministic aggregate expression")))
+    // every referenced column, side-attributed; a non-key name BOTH
+    // sides expose is the ambiguity the rewrite bails on — reject here
+    // with the reason instead of recommending a view that can't fire
+    val sameNamedKeys = keys.collect { case (f, d) if f == d => f }.toSet
+    val refs = (agg.references ++ allConds.flatMap(_.references)).toSeq ++
+      keys.flatMap { case (f, d) =>
+        Seq(lLr.output.find(_.name == f), rLr.output.find(_.name == d))
+          .flatten }
+    var cols = Seq.empty[(String, Boolean)]
+    for (a <- refs) {
+      val isFact = lIds(a.exprId)
+      if (!isFact && !rIds(a.exprId)) return None // not this join's column
+      if (lNames(a.name) && rNames(a.name) && !sameNamedKeys(a.name))
+        return Some(scala.Left(Rejection(
+          s"column '${a.name}' exists on both join sides and is not a " +
+            "same-named key — the rewrite cannot resolve it by name")))
+      val attributed =
+        if (lNames(a.name) && rNames(a.name)) (a.name, true)
+        else (a.name, isFact)
+      if (!cols.contains(attributed)) cols :+= attributed
+    }
+    Some(scala.Right(JoinShape(lPath, rPath, keys, cols)))
+  }
+
+  private def stripSide(p: LogicalPlan)
+      : Option[(Seq[Expression], String, LogicalRelation)] = {
+    def go(p: LogicalPlan, conds: Seq[Expression])
+        : Option[(Seq[Expression], LogicalRelation)] = p match {
+      case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+        go(c, conds)
+      case Filter(cond, c) => go(c, conds ++ splitConjuncts(cond))
+      case lr: LogicalRelation => Some((conds, lr))
+      case _ => None
+    }
+    go(p, Nil).flatMap { case (conds, lr) =>
+      lr.relation match {
+        case h: HadoopFsRelation if h.location.rootPaths.length == 1 =>
+          Some((conds, h.location.rootPaths.head.toUri.getPath, lr))
+        case _ => None
+      }
+    }
+  }
+
+  /** Fold join shapes into one recommendation per (fact, dim, key-set)
+    * trio, storing the union of every query's referenced columns.
+    */
+  def recommendJoins(shapes: Seq[JoinShape]): Seq[JoinRecommendation] =
+    shapes.groupBy(s => (s.factPath, s.dimPath, s.joinKeys.toSet)).toSeq
+      .sortBy(_._1.toString)
+      .map { case ((f, d, _), ss) =>
+        JoinRecommendation(f, d, ss.head.joinKeys,
+          ss.flatMap(_.columns).distinct, queriesAnswered = ss.length)
+      }
 }

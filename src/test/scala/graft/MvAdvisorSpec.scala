@@ -94,6 +94,63 @@ class MvAdvisorSpec extends SparkTestBase with BeforeAndAfterAll {
     assert(mult.queriesAnswered === 1)
   }
 
+  test("join workload: analyzeJoins harvests the trio, ambiguity rejects, materialize makes the join query rewrite") {
+    import spark.implicits._
+    val dir = tempDir("graft-advisor-join")
+    val factPath = s"$dir/jfact.parquet"
+    val dimPath = s"$dir/jdim.parquet"
+    Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L), (4L, "z", 40L))
+      .toDF("fk", "jk", "v").write.mode("overwrite").parquet(factPath)
+    Seq(("a", "alpha"), ("b", "beta"), ("c", "gamma"))
+      .toDF("dk", "name").write.mode("overwrite").parquet(dimPath)
+    def jq(s: SparkSession): DataFrame = {
+      val f = s.read.parquet(factPath)
+      val d = s.read.parquet(dimPath)
+      f.join(d, col("jk") === col("dk"), "inner")
+        .filter(col("name") =!= "gamma")
+        .groupBy(col("name"))
+        .agg(sum(col("v")).as("sv"), countDistinct(col("fk")).as("df"))
+        .orderBy(col("name"))
+    }
+    val shapes = MvAdvisor.analyzeJoins(jq(spark))
+    assert(shapes.length === 1 && shapes.head.isRight, shapes)
+    val sh = shapes.head.toOption.get
+    assert(sh.factPath.contains("jfact") && sh.dimPath.contains("jdim"))
+    assert(sh.joinKeys === Seq(("jk", "dk")))
+    assert(sh.columns.toSet ===
+      Set(("name", false), ("v", true), ("fk", true), ("jk", true),
+        ("dk", false)), sh.columns)
+    // a non-key column both sides expose rejects with the reason
+    val fact2Path = s"$dir/jfact2.parquet"
+    Seq((1L, "a", "t1")).toDF("fk", "jk", "name")
+      .write.mode("overwrite").parquet(fact2Path)
+    val f2 = spark.read.parquet(fact2Path)
+    val amb = f2.join(spark.read.parquet(dimPath), f2("jk") === col("dk"))
+      .groupBy(f2("jk"))
+      .agg(count(lit(1)).as("n"), max(f2("name")).as("mx"))
+    val ambShapes = MvAdvisor.analyzeJoins(amb)
+    assert(ambShapes.exists(s => s.isLeft &&
+      s.swap.toOption.get.reason.contains("both join sides")), ambShapes)
+    // recommend + materialize; the join query then rewrites and matches
+    val recs = MvAdvisor.recommendJoins(Seq(sh))
+    assert(recs.length === 1 && recs.head.queriesAnswered === 1)
+    val ratio = recs.head.materialize(spark, s"$dir/adv_join.parquet")
+    assert(ratio > 0 && ratio <= 1, s"ratio $ratio") // inner join filters
+    try {
+      val rewritten = jq(s2)
+      def paths(df: DataFrame) = df.queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.rootPaths.map(_.toUri.getPath)
+      }.flatten
+      assert(paths(rewritten).exists(_.contains("adv_join")),
+        s"expected advisor join view scan, got ${paths(rewritten)}")
+      assert(!paths(rewritten).exists(p =>
+        p.contains("jfact.parquet") || p.contains("jdim.parquet")))
+      assert(rewritten.collect().map(_.toSeq).toSeq ===
+        jq(spark).collect().map(_.toSeq).toSeq)
+    } finally MvCatalog.unregisterJoin(factPath, dimPath)
+  }
+
   test("materialize closes the loop: the advisor-built MVs make the workload rewrite and match") {
     val shapes = Seq(q1(spark), q2(spark), q3(spark))
       .flatMap(MvAdvisor.analyze).flatMap(_.toOption)

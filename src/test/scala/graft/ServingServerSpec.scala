@@ -773,6 +773,18 @@ class ServingServerSpec extends SparkTestBase {
       assert(byKind.keySet === Set("rollup", "multiplicity"), r2.rows)
       assert(byKind("multiplicity").head(2).toString === "g,v")
       assert(byKind("rollup").head(3).toString.contains("sum:m"))
+      // a join aggregate recommends a row-grain join view
+      val dimB = tempDir("graft-advise-dim") + "/srvdim.parquet"
+      Seq(("a", "alpha"), ("b", "beta")).toDF("dg", "label")
+        .write.mode("overwrite").parquet(dimB)
+      session.registerTable("advise_dim", spark.read.parquet(dimB))
+      val r3 = ServingClient.doAction(srv.boundPort, "advise",
+        "SELECT label, sum(m) AS sm FROM advise_base " +
+          "JOIN advise_dim ON g = dg GROUP BY label")
+      assert(r3.isOk, r3.status)
+      val joinRow = r3.rows.find(_.head.toString == "join")
+      assert(joinRow.isDefined, s"rows: ${r3.rows}")
+      assert(joinRow.get(2).toString === "g=dg")
       // bad SQL refuses BEFORE the OK status
       assert(ServingClient.doAction(srv.boundPort, "advise",
         "SELECT FROM nothing AT ALL").status
