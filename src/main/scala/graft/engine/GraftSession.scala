@@ -91,8 +91,39 @@ class GraftSession(val spark: SparkSession) {
 
   /** Execute SQL through Catalyst — the whole-query lifecycle of
     * reference crates/engine/src/lib.rs:54-57, minus the eager collect.
+    *
+    * Side-effect-free statements also land in a bounded QUERY LOG — the
+    * observed workload the MV advisor folds over (`DO_ACTION advise`
+    * with no argument). Commands are excluded structurally: spark.sql
+    * executes DDL/DML eagerly, so replaying them from a log would
+    * re-run their side effects — only lazily-planned queries are safe
+    * to re-plan, and re-planning is all the advisor does.
     */
-  def execute(sql: String): DataFrame = spark.sql(sql)
+  def execute(sql: String): DataFrame = {
+    val df = spark.sql(sql)
+    val isCommand = df.queryExecution.analyzed match {
+      case _: org.apache.spark.sql.catalyst.plans.logical.Command       => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.CommandResult => true
+      case _                                                            => false
+    }
+    if (!isCommand) {
+      queryLog.addLast(sql)
+      while (queryLog.size > QueryLogCap) queryLog.pollFirst(): Unit
+    }
+    df
+  }
+
+  private val QueryLogCap = 256
+  private val queryLog =
+    new java.util.concurrent.ConcurrentLinkedDeque[String]()
+
+  /** The session's observed side-effect-free workload, oldest first,
+    * capped at [[QueryLogCap]] entries.
+    */
+  def recentQueries: Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    queryLog.asScala.toSeq
+  }
 
   /** Keyed distributed result cache (reference crates/cache/src/lib.rs). */
   val cache: ResultCache = new ResultCache()

@@ -103,9 +103,12 @@ import java.util.concurrent.{LinkedBlockingQueue, ThreadPoolExecutor, TimeUnit}
   *        freshness of a streaming MV (streaming/MaterializedAgg):
   *        the view's applied watermark, the live source head, and a
   *        `fresh` verdict — the streaming counterpart of mv_describe.
-  *     `DO_ACTION advise <sql>` -> the MV advisor (plans.MvAdvisor)
-  *        over the wire: rollup/multiplicity recommendations + rejection
-  *        reasons for one single-line SQL statement; reports only.
+  *     `DO_ACTION advise [<sql>]` -> the MV advisor (plans.MvAdvisor)
+  *        over the wire: rollup/multiplicity/join recommendations +
+  *        rejection reasons — for one single-line SQL statement, or,
+  *        with no argument, folded over the session's OBSERVED query
+  *        history (GraftSession's bounded side-effect-free log);
+  *        reports only, materializes nothing.
   *     `LIST_ACTIONS`          -> `OK\n` + IPC batch of (action,
   *        description) rows — the discovery face of DO_ACTION.
   *     `HANDSHAKE [token]`     -> auth. With no server token configured the
@@ -860,33 +863,7 @@ final class ServingServer(
               // cleanly; nothing is materialized or registered here —
               // the action only reports what WOULD pay off.
               val advParsed = scala.util.Try {
-                val df = session.execute(arg)
-                val results = graft.plans.MvAdvisor.analyze(df)
-                val joinResults = graft.plans.MvAdvisor.analyzeJoins(df)
-                val recs = graft.plans.MvAdvisor
-                  .recommend(results.flatMap(_.toOption))
-                val joinRecs = graft.plans.MvAdvisor
-                  .recommendJoins(joinResults.flatMap(_.toOption))
-                val recRows = recs.map(r =>
-                  (r.kind, r.basePath, r.keys.mkString(","),
-                    (r.sums.toSeq.sorted.map("sum:" + _) ++
-                      r.counts.toSeq.sorted.map("cnt:" + _) ++
-                      r.mins.toSeq.sorted.map("min:" + _) ++
-                      r.maxs.toSeq.sorted.map("max:" + _)).mkString(","),
-                    r.queriesAnswered.toLong, null: String))
-                val joinRows = joinRecs.map(r =>
-                  ("join", s"${r.factPath} ⋈ ${r.dimPath}",
-                    r.joinKeys.map { case (f, d) => s"$f=$d" }.mkString(","),
-                    r.columns.map { case (c, isFact) =>
-                      s"${if (isFact) "f" else "d"}.$c" }.mkString(","),
-                    r.queriesAnswered.toLong, null: String))
-                val rejRows =
-                  (results.collect { case scala.util.Left(j) => j.reason } ++
-                    joinResults.collect {
-                      case scala.util.Left(j) => j.reason })
-                  .map(reason => ("rejected", null: String, null: String,
-                    null: String, 0L, reason))
-                recRows ++ joinRows ++ rejRows
+                adviseRows(Seq(session.execute(arg)))
               }
               advParsed match {
                 case scala.util.Failure(e) =>
@@ -905,8 +882,30 @@ final class ServingServer(
                   out.flush()
               }
             case "advise" =>
-              status("ERR INVALID_ARGUMENT advise requires a single-line " +
-                "SQL statement")
+              // no argument: advise over the session's OBSERVED workload
+              // (GraftSession's bounded side-effect-free query log) —
+              // the advisor UX that needs no input at all: "look at
+              // what this endpoint has been serving and tell me what to
+              // materialize". Entries that no longer plan (a dropped
+              // temp view) are skipped; re-planning is lazy and
+              // side-effect-free by the log's admission contract.
+              val dfs = session.recentQueries.flatMap(sql =>
+                scala.util.Try(session.spark.sql(sql)).toOption)
+              if (dfs.isEmpty)
+                status("ERR NOT_FOUND advise: the session has no " +
+                  "replayable query history yet — pass a single-line " +
+                  "SQL statement instead")
+              else {
+                status("OK")
+                val result = {
+                  import session.spark.implicits._
+                  adviseRows(dfs).toDF("kind", "base_path", "keys",
+                    "measures", "queries_answered", "rejection")
+                }
+                org.apache.spark.sql.GraftArrowBridge
+                  .writeBatches(result, batchSize, out)
+                out.flush()
+              }
             case "stream_view_describe" if arg.nonEmpty =>
               // freshness for the STREAMING MV family (streaming/
               // MaterializedAgg): arg is <view_path> <source_path>
@@ -1022,9 +1021,10 @@ final class ServingServer(
                   "<view_path> <source_path> [<wm_col: s|mn|nd|v>] -> " +
                   "applied watermark, live source head, fresh verdict"),
               ("advise",
-                "MV advisor for one single-line SQL statement: rollup/" +
-                  "multiplicity recommendations (keys, measures) plus " +
-                  "rejection reasons; reports only, materializes nothing"))
+                "MV advisor: with a single-line SQL argument, advise " +
+                  "that statement; with no argument, fold the session's " +
+                  "observed query history. Rollup/multiplicity/join " +
+                  "recommendations + rejection reasons; reports only"))
               .toDF("action", "description")
           }
           org.apache.spark.sql.GraftArrowBridge.writeBatches(actions, batchSize, out)
@@ -1145,6 +1145,39 @@ final class ServingServer(
         catch { case _: Throwable => () })
       flights.clear()
     }
+  }
+
+  /** The advise action's row pipeline, shared by the single-statement
+    * and query-history branches: harvest rollup + join shapes from every
+    * workload frame, fold them into recommendations (cross-query — the
+    * whole point of history mode is queries_answered > 1), and append
+    * rejection reasons.
+    */
+  private def adviseRows(dfs: Seq[org.apache.spark.sql.DataFrame])
+      : Seq[(String, String, String, String, Long, String)] = {
+    val results = dfs.flatMap(graft.plans.MvAdvisor.analyze)
+    val joinResults = dfs.flatMap(graft.plans.MvAdvisor.analyzeJoins)
+    val recRows = graft.plans.MvAdvisor
+      .recommend(results.flatMap(_.toOption)).map(r =>
+        (r.kind, r.basePath, r.keys.mkString(","),
+          (r.sums.toSeq.sorted.map("sum:" + _) ++
+            r.counts.toSeq.sorted.map("cnt:" + _) ++
+            r.mins.toSeq.sorted.map("min:" + _) ++
+            r.maxs.toSeq.sorted.map("max:" + _)).mkString(","),
+          r.queriesAnswered.toLong, null: String))
+    val joinRows = graft.plans.MvAdvisor
+      .recommendJoins(joinResults.flatMap(_.toOption)).map(r =>
+        ("join", s"${r.factPath} ⋈ ${r.dimPath}",
+          r.joinKeys.map { case (f, d) => s"$f=$d" }.mkString(","),
+          r.columns.map { case (c, isFact) =>
+            s"${if (isFact) "f" else "d"}.$c" }.mkString(","),
+          r.queriesAnswered.toLong, null: String))
+    val rejRows =
+      (results.collect { case scala.util.Left(j) => j.reason } ++
+        joinResults.collect { case scala.util.Left(j) => j.reason })
+        .map(reason => ("rejected", null: String, null: String,
+          null: String, 0L, reason))
+    recRows ++ joinRows ++ rejRows
   }
 }
 

@@ -789,8 +789,23 @@ class ServingServerSpec extends SparkTestBase {
       assert(ServingClient.doAction(srv.boundPort, "advise",
         "SELECT FROM nothing AT ALL").status
         .startsWith("ERR INVALID_ARGUMENT"))
-      assert(ServingClient.doAction(srv.boundPort, "advise").status
-        .startsWith("ERR INVALID_ARGUMENT"))
+      // bare advise folds the session's OBSERVED workload. The stddev
+      // statement above was rejected WHOLE (one disqualifier poisons
+      // the shape), so land a second clean distinct dashboard first —
+      // the fold must then count both
+      assert(ServingClient.doAction(srv.boundPort, "advise",
+        "SELECT g, count(DISTINCT v) AS dv FROM advise_base " +
+          "WHERE g <> 'zz' GROUP BY g").isOk)
+      val hist = ServingClient.doAction(srv.boundPort, "advise")
+      assert(hist.isOk, hist.status)
+      val histMult = hist.rows
+        .find(r => r.head.toString == "multiplicity" &&
+          r(1).toString.contains("srvbase"))
+      assert(histMult.isDefined, s"rows: ${hist.rows}")
+      assert(histMult.get(4).toString.toLong >= 2L,
+        s"history fold must count both dashboards: ${histMult.get}")
+      assert(hist.rows.exists(_.head.toString == "join"),
+        "history fold must carry the join recommendation")
     }
   }
 
