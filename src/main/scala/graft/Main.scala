@@ -13,6 +13,7 @@ import graft.queries.QueryUtil
   *        runMain graft.Main --connect 15002 [--dir …]  # Spark Connect gRPC endpoint
   *        runMain graft.Main --maintain /path/to/iceberg [--retain-ms 604800000]  # nightly table job
   *        runMain graft.Main --describe /path/to/iceberg  # table card + manifest gauge
+  *        runMain graft.Main --advise "SELECT …" [--dir …]  # MV advisor: what to materialize
   * Tables registered: the TESTDATA fixtures (region…embeddings) plus the
   * reference's demo `users` table (crates/igloo/src/main.rs:59-77).
   * `--serve` starts the Flight-analogue TCP server (engine.ServingServer)
@@ -103,6 +104,34 @@ object Main {
               s"compacted=${r.compacted.getOrElse("-")} " +
               s"expired=${r.expired.mkString(",")} " +
               s"manifestsRewritten=${r.manifestsRewritten.getOrElse("-")}")
+            spark.stop()
+            return
+          case None => ()
+        }
+        opts.get("advise") match {
+          case Some(asql) =>
+            // the MV advisor: what would pay off for this query — the
+            // serving action's CLI face (reports only, builds nothing)
+            val df = session.execute(asql)
+            val shapes = graft.plans.MvAdvisor.analyze(df)
+            graft.plans.MvAdvisor.recommend(shapes.flatMap(_.toOption))
+              .foreach { r =>
+                println(s"[advise] ${r.kind} on ${r.basePath} keys=" +
+                  s"${r.keys.mkString(",")} sums=${r.sums.mkString(",")} " +
+                  s"counts=${r.counts.mkString(",")} " +
+                  s"mins=${r.mins.mkString(",")} maxs=${r.maxs.mkString(",")}")
+              }
+            graft.plans.MvAdvisor
+              .recommendJoins(graft.plans.MvAdvisor.analyzeJoins(df)
+                .flatMap(_.toOption))
+              .foreach { r =>
+                println(s"[advise] join view ${r.factPath} ⋈ ${r.dimPath} " +
+                  s"on ${r.joinKeys.map { case (f, d) => s"$f=$d" }
+                    .mkString(",")} columns=${r.columns.map(_._1).mkString(",")}")
+              }
+            (shapes ++ graft.plans.MvAdvisor.analyzeJoins(df))
+              .collect { case scala.util.Left(j) => j.reason }
+              .foreach(reason => println(s"[advise] rejected: $reason"))
             spark.stop()
             return
           case None => ()
