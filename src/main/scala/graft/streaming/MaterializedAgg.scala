@@ -670,6 +670,42 @@ object MaterializedAgg {
     }
   }
 
+  /** One foreachBatch that keeps an Iceberg table AND its streaming MV
+    * fresh TOGETHER — the ingest-to-fresh-view pipeline as a single
+    * Structured Streaming sink:
+    * {{{
+    * df.writeStream.foreachBatch(MaterializedAgg.maintainedSink(
+    *   srcPath,
+    *   (s, ts) => MaterializedAgg.refreshStep(s, viewPath, srcPath,
+    *     key, measure, ts)))
+    * }}}
+    * Exactly-once end to end WITHOUT any new mechanism, because both
+    * halves are independently idempotent: the append is skipped on
+    * batch-id replay ([[IcebergSink.batchWriter]]'s snapshot-summary
+    * watermark), and the refresh step no-ops when the view already
+    * reflects the source head (the in-view watermark). Every crash
+    * window is covered — a crash between the table commit and the
+    * refresh replays into a skipped append + an applied refresh; a
+    * crash between the refresh and the checkpoint ack replays into two
+    * no-ops. The `refresh` thunk makes the sink flavor-agnostic: any of
+    * the four step flavors (or a chain of them over several views of
+    * one source) plugs in.
+    */
+  def maintainedSink(
+      sourcePath: String,
+      refresh: (SparkSession, Long) => Option[_],
+      partition: Option[graft.sources.IcebergWriter.PartitionTransform] = None,
+      formatVersion: Int = 2,
+      clock: () => Long = () => System.currentTimeMillis())
+      : (DataFrame, Long) => Unit = {
+    val append = IcebergSink.batchWriter(
+      sourcePath, partition, formatVersion, clock)
+    (batch, batchId) => {
+      append(batch, batchId)
+      refresh(batch.sparkSession, clock()): Unit
+    }
+  }
+
   /** The live view — (k, s, c) for the sum/count flavor, (k, mn, mx, c)
     * for min/max — with tombstones and the watermark hidden.
     */

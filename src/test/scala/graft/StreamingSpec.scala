@@ -939,6 +939,75 @@ class StreamingSpec extends SparkTestBase {
       IcebergMeta.load(src).currentSnapshot.get.id)
   }
 
+  test("maintainedSink: one foreachBatch ingests the source AND refreshes its MV, exactly-once through every crash window") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, count, lit, pmod, sum}
+    import graft.sources.{IcebergMeta, IcebergSource}
+    import graft.streaming.{IcebergSink, MaterializedAgg}
+    val dropDir = tempDir("graft-maintained-drop")
+    val checkpoint = tempDir("graft-maintained-ckpt")
+    val src = tempDir("graft-maintained-src") + "/table"
+    val view = tempDir("graft-maintained-view") + "/table"
+    val docs = (0L until 20L).map(i => (i, i * 3L)).toDF("id", "v")
+    docs.filter($"id" < 12).write.parquet(s"$dropDir/batch0")
+    def stream = spark.readStream.schema(docs.schema).parquet(s"$dropDir/*/")
+    var tick = 0L
+    val clock = () => { tick += 1000L; tick }
+    val sink = MaterializedAgg.maintainedSink(
+      src,
+      (s, ts) => MaterializedAgg.refreshStep(
+        s, view, src, pmod(col("id"), lit(4)), col("v"), ts),
+      clock = clock)
+    def expected() = IcebergSource.read(spark, src)
+      .groupBy(pmod(col("id"), lit(4)).as("k"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("c"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    def actual() = MaterializedAgg.readView(spark, view)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+
+    def run(): Unit = {
+      val q = stream.writeStream
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(sink)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination(120000) finally q.stop()
+    }
+    run()
+    assert(actual() === expected(), "view must be fresh after the batch")
+    assert(MaterializedAgg.watermarkOf(spark, view) ===
+      IcebergMeta.load(src).currentSnapshot.get.id)
+
+    // late files + restart: the new batch lands AND the view follows
+    docs.filter($"id" >= 12).write.parquet(s"$dropDir/batch1")
+    run()
+    assert(IcebergSource.read(spark, src).count() === 20)
+    assert(actual() === expected(), "view must track the second batch")
+
+    // crash-replay of an already-committed batch id: BOTH halves no-op —
+    // no new source snapshot, no new view snapshot
+    val srcSnaps = IcebergMeta.load(src).snapshots.size
+    val viewSnaps = IcebergMeta.load(view).snapshots.size
+    sink(docs.limit(3), IcebergSink.lastCommittedBatch(src).get)
+    assert(IcebergMeta.load(src).snapshots.size === srcSnaps,
+      "replayed append must not commit")
+    assert(IcebergMeta.load(view).snapshots.size === viewSnaps,
+      "replayed refresh must no-op off the in-view watermark")
+    assert(actual() === expected())
+
+    // crash BETWEEN the halves: the source committed but the view did
+    // not — the replayed batch id skips the append and the refresh
+    // catches the view up
+    IcebergSink.batchWriter(src, clock = clock)(
+      Seq((100L, 7L), (101L, 9L)).toDF("id", "v"),
+      IcebergSink.lastCommittedBatch(src).get + 1)
+    assert(actual() !== expected(), "view is behind by construction")
+    sink(Seq((100L, 7L), (101L, 9L)).toDF("id", "v"),
+      IcebergSink.lastCommittedBatch(src).get)
+    assert(actual() === expected(),
+      "the replayed sink must skip the append and apply the refresh")
+  }
+
   test("exactly-once streaming EXACT-distinct MV: multiplicity upserts, duplicate-copy deletes keep nd, tombstone + resurrection, replay no-op") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, countDistinct, count, lit, pmod}
