@@ -226,6 +226,9 @@ object MvCatalog {
   *    distinct key combinations), which is the multiplicity-table
   *    deployment: register the refreshDistinct store (GROUP BY keys, v)
   *    with v among the keys and `count(DISTINCT v)` rolls up from it.
+  *    `approx_count_distinct` over a key column rewrites the same way,
+  *    BIT-IDENTICALLY — HLL++ registers are duplicate-insensitive, so
+  *    the sketch over the MV's distinct pairs equals the base's.
   *    `x` matches by the measure-key canonical text, so
   *    `sum(cast(x as decimal(14,2)))` finds the `x::decimal(14,2)`
   *    measure.
