@@ -230,6 +230,53 @@ object IncrementalQueries {
           "count(*) AS n_rows FROM lineitem WHERE l_returnflag = 'A' " +
           "GROUP BY l_linestatus ORDER BY l_linestatus"
       )
+    ),
+    // THE ADVISOR LOOP UNDER THE ORACLE GATE (plans.MvAdvisor, r14): no
+    // hand-declared MvDef anywhere — the advisor ANALYZES the dashboard's
+    // own optimized plan, RECOMMENDS the multiplicity store (the
+    // dashboard counts distinct customers, which no plain rollup can
+    // answer), MATERIALIZES and registers it, and the dashboard then
+    // runs through the rewrite in a child session. The DuckDB oracle
+    // computes from the base table, so the hash gate certifies the whole
+    // chain: harvested shape == what the rewrite matches, the built
+    // store holds exactly the live distinct pairs, and the rewritten
+    // answer is the direct answer. MvRewriteSpec/PlanAuditSpec pin the
+    // scan location (the advisor-built parquet, never orders).
+    Q(
+      "q_mv_advisor",
+      (s, dir) => {
+        def dashboard(ss: org.apache.spark.sql.SparkSession) =
+          t(ss, dir, "orders")
+            .filter($"o_orderstatus" === "F")
+            .groupBy($"o_orderpriority")
+            .agg(
+              count(lit(1)).as("n_orders"),
+              countDistinct($"o_custkey").as("n_custs"))
+            .orderBy($"o_orderpriority")
+        val rec = graft.plans.MvAdvisor
+          .recommend(graft.plans.MvAdvisor.analyze(dashboard(s))
+            .flatMap(_.toOption))
+          .find(_.kind == "multiplicity")
+          .getOrElse(throw new IllegalStateException(
+            "advisor failed to recommend the multiplicity store"))
+        val mvPath = graft.engine.TempDirs
+          .workspace("graft-mv", "orders_advisor", dir)
+          .resolve("mv.parquet").toString
+        // materialize registers too (replace-by-name, so re-runs are
+        // idempotent); the compression ratio is the advisor's go/no-go
+        // number — on this dashboard the store is far below base rows
+        val ratio = rec.materialize(s, mvPath)
+        require(ratio < 1.0, s"advisor store failed to compress: $ratio")
+        val s2 = s.newSession()
+        s2.conf.set("spark.graft.mv.rewrite.enabled", "true")
+        dashboard(s2)
+      },
+      Some(
+        "SELECT o_orderpriority, count(*) AS n_orders, " +
+          "count(DISTINCT o_custkey) AS n_custs FROM orders " +
+          "WHERE o_orderstatus = 'F' " +
+          "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+      )
     )
   )
 }

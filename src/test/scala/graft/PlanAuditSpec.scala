@@ -93,6 +93,11 @@ class PlanAuditSpec extends SparkTestBase {
     assert(mvScanViolations(dist, "lineitem_mult",
       Seq("lineitem.parquet")).isEmpty,
       mvScanViolations(dist, "lineitem_mult", Seq("lineitem.parquet")))
+    // the advisor loop: the dashboard must read the ADVISOR-built store
+    val adv = byName("q_mv_advisor").fn(spark, SparkTestBase.Sf0001)
+    assert(mvScanViolations(adv, "orders_advisor",
+      Seq("orders.parquet")).isEmpty,
+      mvScanViolations(adv, "orders_advisor", Seq("orders.parquet")))
   }
 
   test("the gate fires on deliberate regressions") {
