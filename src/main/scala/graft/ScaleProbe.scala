@@ -371,6 +371,49 @@ object ScaleProbe {
       }
       graft.engine.PersistScope.releaseAll()
 
+      // STREAMING exact-distinct step (r14): the full production step —
+      // changelog window read, refreshDistinct fold over the STORED
+      // multiplicity table, churn-pair equality-upsert commit with the
+      // in-view watermark — vs the full-rewrite deployment (countDistinct
+      // recompute + writing the whole distinct view). Same value domain
+      // as the batch rows (id%4096 pairs, so the stored store stays
+      // O(live pairs)); the step's absolute floor is the commit
+      // machinery (two metadata reads + one upsert), which is
+      // base-size-independent, exactly like the joinview row below.
+      val dViewRoot = s"$root/distinct_view"
+      def dStep(ts: Long) = graft.streaming.MaterializedAgg
+        .refreshStepDistinct(spark, dViewRoot, root,
+          pmod(col("id"), lit(512)), pmod(col("id"), lit(4096)), ts)
+      require(dStep(10000L).isDefined, "view creation step") // untimed
+      // one more fixed-churn window on the SOURCE so the step has new
+      // work: 10k appends + 1k scattered deletes (same shape as the
+      // probe's standing churn)
+      IcebergWriter.append(spark, root,
+        spark.range(10000).select(
+          (col("id") + n + 10000L).as("id"), lit("appended2").as("v")),
+        None, 11000L)
+      IcebergWriter.deleteEquality(spark, root,
+        spark.range(1000).select((col("id") * (n / 1000) + 7L).as("id")),
+        12000L)
+      val dsr = time(s"mvdist_step_${mult}x", n) {
+        require(dStep(13000L).isDefined, "distinct step must apply")
+      }
+      val dRecomputePath = s"$root/distinct_recompute.parquet"
+      val dsf = time(s"mvdist_rewrite_${mult}x", n) {
+        distKeyed(IcebergSource.read(spark, root))
+          .groupBy(col("k"))
+          .agg(countDistinct(col("v")).as("nd"), count(lit(1)).as("n"))
+          .write.mode("overwrite").parquet(dRecomputePath)
+      }
+      // untimed: the stored store's derived view == the recompute
+      val dv = graft.engine.PersistScope.pinEager(
+        graft.streaming.MaterializedAgg.readDistinctView(spark, dViewRoot))
+      val dr2 = graft.engine.PersistScope.pinEager(
+        spark.read.parquet(dRecomputePath))
+      require(dv.exceptAll(dr2).count() == 0 && dr2.exceptAll(dv).count() == 0,
+        "streaming distinct view diverged from the full recompute")
+      graft.engine.PersistScope.releaseAll()
+
       // JOIN-VIEW IVM (r14; RE-MEASURED after keyedFilters + the
       // equality-upsert commit closed the r14 probe's named costs): the
       // production STREAMING step (MaterializedAgg.refreshStepJoin) vs
@@ -446,9 +489,9 @@ object ScaleProbe {
       require(rv.exceptAll(rc).count() == 0 && rc.exceptAll(rv).count() == 0,
         "join-view refresh diverged from the full join recompute")
       graft.engine.PersistScope.releaseAll()
-      Seq(cl, diff, mvr, mvf, dr, drf, hr, jvr, jvf)
+      Seq(cl, diff, mvr, mvf, dr, drf, hr, dsr, dsf, jvr, jvf)
     }
-    val nOps = 9
+    val nOps = 11
     val results = resultsAll.drop(nOps) // drop the warmup group
     println("--- CDC changelog vs full-scan diff at fixed churn (10k ins + 1k del) ---")
     results.foreach { case (l, rows, s) => println(f"$l%-22s base=$rows%9d  $s%8.2f s") }
