@@ -984,9 +984,13 @@ final class ServingServer(
                     status("OK")
                     // ids + payload + score; the query already HAS the
                     // vectors — re-shipping each neighbor's embedding
-                    // would dominate the response for no information
+                    // would dominate the response for no information.
+                    // The probe REUSES the validated Meta (single load):
+                    // a concurrent ingest/compact between two loads could
+                    // change embCol and the drop would silently no-op,
+                    // shipping every neighbor's full vector.
                     val result = graft.operators.IvfStore
-                      .probe(session.spark, parts(0), q, k, nProbe)
+                      .probe(session.spark, parts(0), storeMeta, q, k, nProbe)
                       .drop(storeMeta.embCol)
                     org.apache.spark.sql.GraftArrowBridge
                       .writeBatches(result, batchSize, out)

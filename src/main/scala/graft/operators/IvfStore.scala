@@ -649,8 +649,23 @@ object IvfStore {
       root: String,
       query: Array[Float],
       k: Int = 10,
-      nProbe: Int = 4): DataFrame = {
-    val m = load(root)
+      nProbe: Int = 4): DataFrame =
+    probe(spark, root, load(root), query, k, nProbe)
+
+  /** [[probe]] against an ALREADY-LOADED [[Meta]] — the overload a
+    * serving path uses so its validation and its probe observe ONE store
+    * version: loading twice lets a concurrent ingest/compact change the
+    * model or embCol between the two loads, and any decision taken
+    * against the first load (e.g. which column to drop from the
+    * response) silently misses against the second.
+    */
+  def probe(
+      spark: SparkSession,
+      root: String,
+      m: Meta,
+      query: Array[Float],
+      k: Int,
+      nProbe: Int): DataFrame = {
     val probed = probedLeaves(m, query, nProbe)
     val prefixes = probed.flatMap(prefixChain).distinct
     val qCol = array(query.toIndexedSeq.map(v => lit(v)): _*)

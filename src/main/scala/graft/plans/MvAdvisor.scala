@@ -98,6 +98,10 @@ object MvAdvisor {
         mins.toSeq.sorted.map(t => min(arg(t)).as(s"mn_${safe(t)}")) ++
         maxs.toSeq.sorted.map(t => max(arg(t)).as(s"mx_${safe(t)}")) :+
         count(lit(1)).as("n_star")
+      // a re-materialize overwrites the stored files: drop the catalog's
+      // cached file listing FIRST, or a query compiling in the overwrite
+      // window plans against deleted files
+      MvCatalog.invalidateScan(mvPath)
       base.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
         .write.mode("overwrite").parquet(mvPath)
       val schema = spark.read.parquet(mvPath).schema
@@ -162,6 +166,7 @@ object MvAdvisor {
         col(s"f.$a") === col(s"d.$b") }.reduce(_ && _)
       val sel = columns.map { case (c, isFact) =>
         (if (isFact) col(s"f.$c") else col(s"d.$c")).as(c) }
+      MvCatalog.invalidateScan(mvPath)
       fact.join(dim, cond, "inner").select(sel: _*)
         .write.mode("overwrite").parquet(mvPath)
       def safe(p: String): String =

@@ -29,6 +29,14 @@ import org.apache.spark.sql.types.{DataType, DecimalType, DoubleType, StructType
   * operators ([[graft.operators.IncrementalOps]]) to keep the stored view
   * current, and [[MvCatalog.unregister]] before base mutations you cannot
   * refresh through.
+  *
+  * REFRESH PROTOCOL for the stored files: the catalog caches the MV's
+  * analyzed scan (file listing) between registrations, so any process
+  * that rewrites the files at `mvPath` must call
+  * [[MvCatalog.invalidateScan]] BEFORE the overwrite and re-[[MvCatalog
+  * .register]] (same name — replace-in-place) after it, or concurrent
+  * query compiles plan against deleted files and later ones serve a
+  * stale listing.
   */
 final case class MvDef(
     name: String,
@@ -155,6 +163,14 @@ object MvCatalog {
   def clear(): Unit = {
     byBase.clear(); joinByBases.clear(); scanCache.clear()
   }
+  /** Drop the cached analyzed scan (file listing) for one MV path. Call
+    * BEFORE overwriting the stored MV's files: a query compiling between
+    * the overwrite and the subsequent re-register would otherwise plan
+    * against a listing of deleted files (FileNotFoundException), and a
+    * refresh loop that rewrites files WITHOUT re-registering would
+    * silently keep serving the stale listing.
+    */
+  def invalidateScan(mvPath: String): Unit = scanCache.remove(mvPath): Unit
   def isEmpty: Boolean = byBase.isEmpty && joinByBases.isEmpty
   /** Candidate rollup MVs for a base, in registration order. */
   def lookup(basePath: String): Seq[MvDef] =

@@ -135,16 +135,28 @@ object MaterializedAgg {
     * here: MERGE equality can never update a null group, and a
     * changelog row with key == Long.MinValue would put two sentinel
     * rows into one upsert commit, corrupting the view's cursor.
+    *
+    * The window's UPPER END is pinned at `current` — the snapshot
+    * [[stepCtx]] captured — never resolved at the source's live head at
+    * read time. Without the pin, a source commit landing between the
+    * stepCtx metadata load and this read would be APPLIED in this step
+    * while the watermark row records the earlier `current`; the next
+    * refresh re-reads (current, head] and double-applies those rows —
+    * silent corruption of every delta-folded aggregate. With it, the
+    * changelog window and any snapshot-pinned rescan observe one
+    * consistent source state.
     */
   private def pinnedWindow(
       spark: SparkSession,
       sourcePath: String,
       watermark: Long,
+      current: Long,
       key: org.apache.spark.sql.Column,
       measure: org.apache.spark.sql.Column): DataFrame = {
     import spark.implicits._
     val changes = IcebergSource
-      .readChangelog(spark, sourcePath, fromSnapshotId = watermark)
+      .readChangelog(spark, sourcePath, fromSnapshotId = watermark,
+        toSnapshotId = Some(current))
       .select(
         key.cast("bigint").as("k"),
         measure.cast("bigint").as("m"),
@@ -184,7 +196,7 @@ object MaterializedAgg {
     val ctx = stepCtx(spark, viewPath, sourcePath,
       Seq.empty[(Long, Long, Long)].toDF("k", "s", "c"), wmCol = "s")
       .getOrElse(return None)
-    val changes = pinnedWindow(spark, sourcePath, ctx.watermark, key, measure)
+    val changes = pinnedWindow(spark, sourcePath, ctx.watermark, ctx.current, key, measure)
     try {
       val refreshed = IncrementalOps.refreshSumCount(
         // null-SAFE watermark exclusion: =!= on a null key is null and
@@ -241,7 +253,7 @@ object MaterializedAgg {
       Seq.empty[(Long, Long, Long, Long)].toDF("k", "mn", "mx", "c"),
       wmCol = "mn")
       .getOrElse(return None)
-    val changes = pinnedWindow(spark, sourcePath, ctx.watermark, key, measure)
+    val changes = pinnedWindow(spark, sourcePath, ctx.watermark, ctx.current, key, measure)
     val rescanPins = scala.collection.mutable.Buffer.empty[DataFrame]
     try {
       // tombstones and the watermark are NOT live groups: a tombstoned
@@ -305,9 +317,13 @@ object MaterializedAgg {
     * read ([[readDistinctView]]): persisting both grains in one table
     * would break the single-commit atomicity the contract is built on,
     * and the level-2 aggregate is multiplicity-sized, not base-sized.
-    * The same store doubles as the
-    * [[graft.plans.MvRewrite]] DISTINCT-rewrite target (register it
-    * with v among the keys).
+    * The store's SHAPE is the [[graft.plans.MvRewrite]]
+    * DISTINCT-rewrite target — but do NOT register this Iceberg MoR
+    * view root directly as an MvDef: MvDef scans use raw
+    * spark.read.parquet, which would read superseded data files, ref=0
+    * tombstones and the watermark sentinel. Register a parquet EXPORT
+    * of the live rows (ref > 0, sentinel excluded — e.g. a compacted
+    * snapshot) with v among the keys.
     *
     * Everything is delta-invertible here, so unlike the sketch flavor
     * there is NO rescan path at all: deletes decrement refcounts, a
@@ -331,7 +347,7 @@ object MaterializedAgg {
       Seq.empty[(String, Long, Option[Long], Long)].toDF("kk", "k", "v", "ref"),
       wmCol = "v")
       .getOrElse(return None)
-    val changes = pinnedWindow(spark, sourcePath, ctx.watermark, key, value)
+    val changes = pinnedWindow(spark, sourcePath, ctx.watermark, ctx.current, key, value)
     try {
       val live = ctx.stored
         .filter(!($"k" <=> WatermarkKey) && $"ref" > 0)
@@ -423,7 +439,7 @@ object MaterializedAgg {
       Seq.empty[(Long, Array[Byte], Long, Long)].toDF("k", "sk", "nd", "c"),
       wmCol = "nd")
       .getOrElse(return None)
-    val changes = pinnedWindow(spark, sourcePath, ctx.watermark, key, value)
+    val changes = pinnedWindow(spark, sourcePath, ctx.watermark, ctx.current, key, value)
     val stepPins = scala.collection.mutable.Buffer.empty[DataFrame]
     try {
       val live = ctx.stored
@@ -577,11 +593,15 @@ object MaterializedAgg {
 
     // churned key sets, one per side — change types are irrelevant (the
     // region re-derives from current state), but the fact pks must obey
-    // the MERGE key contract
+    // the MERGE key contract. Each window is PINNED at the (factCur,
+    // dimCur) head captured above: resolving at the live head would let
+    // a racing commit into this step's churn set while the watermark
+    // records the earlier cursor pair, double-applying next step.
     def window(path: String, from: Long, cur: Long,
         keyCol: org.apache.spark.sql.Column): DataFrame =
       if (from == cur) Seq.empty[Long].toDF("k")
-      else IcebergSource.readChangelog(spark, path, fromSnapshotId = from)
+      else IcebergSource.readChangelog(spark, path, fromSnapshotId = from,
+        toSnapshotId = Some(cur))
         .select(keyCol.cast("bigint").as("k"))
         .distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
