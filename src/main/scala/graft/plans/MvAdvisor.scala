@@ -105,6 +105,7 @@ object MvAdvisor {
       base.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
         .write.mode("overwrite").parquet(mvPath)
       val schema = spark.read.parquet(mvPath).schema
+      val mvRows = spark.read.parquet(mvPath).count()
       val measureTexts = sums ++ counts ++ mins ++ maxs
       MvCatalog.register(MvDef(
         name = s"advisor_${kind}_${safe(new java.io.File(basePath).getName)}" +
@@ -121,10 +122,10 @@ object MvAdvisor {
         countStar = Some("n_star"),
         mvPath = mvPath,
         mvSchema = schema,
-        watermark = watermark))
-      val mvRows = spark.read.parquet(mvPath).count().toDouble
+        watermark = watermark,
+        rows = Some(mvRows)))
       val baseRows = base.count().toDouble
-      if (baseRows == 0) 1.0 else mvRows / baseRows
+      if (baseRows == 0) 1.0 else mvRows.toDouble / baseRows
     }
   }
 
@@ -171,6 +172,7 @@ object MvAdvisor {
         .write.mode("overwrite").parquet(mvPath)
       def safe(p: String): String =
         new java.io.File(p).getName.replaceAll("[^A-Za-z0-9_]", "_")
+      val mvRows = spark.read.parquet(mvPath).count()
       MvCatalog.registerJoin(JoinMvDef(
         name = s"advisor_join_${safe(factPath)}_${safe(dimPath)}",
         factPath = factPath,
@@ -178,10 +180,10 @@ object MvAdvisor {
         joinKeys = joinKeys,
         mvPath = mvPath,
         mvSchema = spark.read.parquet(mvPath).schema,
-        watermark = watermark))
-      val mvRows = spark.read.parquet(mvPath).count().toDouble
+        watermark = watermark,
+        rows = Some(mvRows)))
       val factRows = spark.read.parquet(factPath).count().toDouble
-      if (factRows == 0) 1.0 else mvRows / factRows
+      if (factRows == 0) 1.0 else mvRows.toDouble / factRows
     }
   }
 

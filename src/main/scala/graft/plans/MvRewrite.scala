@@ -50,7 +50,12 @@ final case class MvDef(
     // registrant and updated by re-registering after each IVM refresh —
     // the freshness contract the serving layer's mv_describe exposes so
     // a client can tell how stale a rewritten answer is
-    watermark: Option[Long] = None
+    watermark: Option[Long] = None,
+    // stored row count at (re-)registration — the COST SIGNAL candidate
+    // selection orders by: among MVs that derive a query exactly, the
+    // smallest answers it cheapest. None = unknown (sorts last, then
+    // registration order breaks the tie)
+    rows: Option[Long] = None
 )
 
 /** The MV columns derivable for one aggregated argument: `sum` holds the
@@ -85,7 +90,9 @@ final case class JoinMvDef(
     mvPath: String,
     mvSchema: StructType,
     // applied-source watermark, same contract as [[MvDef.watermark]]
-    watermark: Option[Long] = None
+    watermark: Option[Long] = None,
+    // stored row count, same cost-signal contract as [[MvDef.rows]]
+    rows: Option[Long] = None
 )
 
 /** One row of [[MvCatalog.describe]]: the registry's freshness face.
@@ -335,10 +342,15 @@ class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       case _                   => return None
     }
     if (roots.length != 1) return None
-    // candidates in registration order; first one that derives the query
-    // EXACTLY wins (each attempt bails whole on any non-derivable shape,
-    // so order only matters among candidates that both match)
-    MvCatalog.lookup(roots.head).view
+    // COST-BASED candidate selection: try candidates smallest-stored
+    // first (stable sort — unknown row counts sort last, registration
+    // order breaks ties), take the first that derives the query EXACTLY.
+    // Each attempt bails whole on any non-derivable shape, so among
+    // matching candidates the minimum-rows one always answers — a large
+    // fine-grained store registered earlier can no longer shadow a
+    // smaller rollup that answers the same query cheaper.
+    MvCatalog.lookup(roots.head)
+      .sortBy(_.rows.getOrElse(Long.MaxValue)).view
       .flatMap(d => attemptRollup(agg, conds, roots.head, d))
       .headOption
   }
@@ -525,11 +537,12 @@ class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     val (rConds, rLr) = strip(jn.right, Nil).getOrElse(return None)
     val lPath = rootPath(lLr).getOrElse(return None)
     val rPath = rootPath(rLr).getOrElse(return None)
-    // candidates from both orientations, registration order within each;
-    // first exact derivation wins
+    // candidates from both orientations, smallest stored view first
+    // (same cost rule as the rollup path); first exact derivation wins
     val candidates =
-      MvCatalog.lookupJoin(lPath, rPath).map(d => (d, lLr, rLr)) ++
-        MvCatalog.lookupJoin(rPath, lPath).map(d => (d, rLr, lLr))
+      (MvCatalog.lookupJoin(lPath, rPath).map(d => (d, lLr, rLr)) ++
+        MvCatalog.lookupJoin(rPath, lPath).map(d => (d, rLr, lLr)))
+        .sortBy(_._1.rows.getOrElse(Long.MaxValue))
     candidates.view.flatMap { case (d, f, dm) =>
       attemptJoin(agg, aboveConds ++ lConds ++ rConds, jn, d, f, dm)
     }.headOption

@@ -326,7 +326,8 @@ object MvFixtures {
       ),
       countStar = Some("n"),
       mvPath = mvPath,
-      mvSchema = s.read.parquet(mvPath).schema
+      mvSchema = s.read.parquet(mvPath).schema,
+      rows = Some(s.read.parquet(mvPath).count())
     ))
     mvPath
   }
@@ -360,7 +361,8 @@ object MvFixtures {
       measures = Map.empty,
       countStar = Some("ref"),
       mvPath = mvPath,
-      mvSchema = s.read.parquet(mvPath).schema
+      mvSchema = s.read.parquet(mvPath).schema,
+      rows = Some(s.read.parquet(mvPath).count())
     ))
     mvPath
   }
@@ -393,7 +395,8 @@ object MvFixtures {
       dimPath = s"$dir/customer.parquet",
       joinKeys = Seq(("o_custkey", "c_custkey")),
       mvPath = mvPath,
-      mvSchema = s.read.parquet(mvPath).schema
+      mvSchema = s.read.parquet(mvPath).schema,
+      rows = Some(s.read.parquet(mvPath).count())
     ))
     mvPath
   }

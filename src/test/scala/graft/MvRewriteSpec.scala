@@ -248,6 +248,59 @@ class MvRewriteSpec extends SparkTestBase with BeforeAndAfterAll {
       "replace-by-name must not grow the candidate list")
   }
 
+  test("cost-based candidate selection: a keys-sized rollup beats an earlier-registered multiplicity store when both derive") {
+    import spark.implicits._
+    // fresh base so this test owns its candidate list
+    val dir = tempDir("graft-mv-cost")
+    val bPath = s"$dir/costbase.parquet"
+    (1 to 400).map(i => (s"g${i % 4}", i.toLong))
+      .toDF("k", "v").write.mode("overwrite").parquet(bPath)
+    val b = spark.read.parquet(bPath)
+    // the FINE-GRAINED multiplicity store registers FIRST (399+ rows)
+    val multPath = s"$dir/mult.parquet"
+    b.groupBy($"k", $"v").agg(count(lit(1)).as("ref"))
+      .write.mode("overwrite").parquet(multPath)
+    MvCatalog.register(MvDef(
+      name = "cost_mult", basePath = bPath, keys = Seq("k", "v"),
+      measures = Map.empty, countStar = Some("ref"), mvPath = multPath,
+      mvSchema = spark.read.parquet(multPath).schema,
+      rows = Some(spark.read.parquet(multPath).count())))
+    // the 4-row rollup registers SECOND
+    val rollPath = s"$dir/roll.parquet"
+    b.groupBy($"k").agg(sum($"v").as("s_v"), count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(rollPath)
+    MvCatalog.register(MvDef(
+      name = "cost_roll", basePath = bPath, keys = Seq("k"),
+      measures = Map("v" -> MvMeasure(sum = Some("s_v"))),
+      countStar = Some("n"), mvPath = rollPath,
+      mvSchema = spark.read.parquet(rollPath).schema,
+      rows = Some(spark.read.parquet(rollPath).count())))
+    try {
+      // a non-DISTINCT dashboard BOTH candidates derive: registration
+      // order would serve the 100x multiplicity store; the cost rule
+      // routes it to the 4-row rollup
+      def dash(s: SparkSession) = s.read.parquet(bPath)
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("s"))
+        .orderBy(col("k"))
+      val r = dash(s2)
+      assert(scanPaths(r).exists(_.contains("roll.parquet")),
+        s"expected the smaller rollup scan, got ${scanPaths(r)}")
+      assert(r.collect().map(_.toSeq).toSeq ===
+        dash(spark).collect().map(_.toSeq).toSeq)
+      // derivation still trumps cost: count(DISTINCT v) bails on the
+      // small rollup and lands on the multiplicity store
+      def dq(s: SparkSession) = s.read.parquet(bPath)
+        .groupBy(col("k")).agg(countDistinct(col("v")).as("nd"))
+        .orderBy(col("k"))
+      val rd = dq(s2)
+      assert(scanPaths(rd).exists(_.contains("mult.parquet")),
+        s"expected the multiplicity scan, got ${scanPaths(rd)}")
+      assert(rd.collect().map(_.toSeq).toSeq ===
+        dq(spark).collect().map(_.toSeq).toSeq)
+    } finally MvCatalog.unregister(bPath)
+  }
+
   test("DISTINCT over KEY columns rewrites: the multiplicity-MV deployment; non-key and expression arguments refuse") {
     import spark.implicits._
     // the multiplicity table (refreshDistinct's level-1 storage shape) on
