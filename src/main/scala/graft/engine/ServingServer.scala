@@ -831,16 +831,31 @@ final class ServingServer(
               // compare against, e.g. a plain parquet table)
               status("OK")
               val rows = graft.plans.MvCatalog.describe().map { i =>
-                val sourceHead: Option[Long] =
+                def headOf(p: String): Option[Long] =
                   try {
-                    if (graft.sources.IcebergMeta.hasMetadata(i.basePath))
-                      graft.sources.IcebergMeta.load(i.basePath)
+                    if (graft.sources.IcebergMeta.hasMetadata(p))
+                      graft.sources.IcebergMeta.load(p)
                         .currentSnapshot.map(_.id)
                     else None
                   } catch { case _: Throwable => None }
+                val sourceHead: Option[Long] = headOf(i.basePath)
+                // a JOIN view is stale when EITHER source moved past its
+                // stamped cursor: AND the dim verdict in where the def
+                // carries one (the wire row keeps the fact-side columns;
+                // dim staleness only tightens `fresh`)
+                val dimFresh: Option[Boolean] = i.dimPath match {
+                  case Some(dp) => (i.dimWatermark, headOf(dp)) match {
+                    case (Some(w), Some(h)) => Some(w == h)
+                    case (None, None)       => None
+                    case _                  => Some(false)
+                  }
+                  case None => None
+                }
                 val fresh: java.lang.Boolean = (i.watermark, sourceHead) match {
-                  case (Some(w), Some(h)) => java.lang.Boolean.valueOf(w == h)
-                  case _                  => null
+                  case (Some(w), Some(h)) =>
+                    java.lang.Boolean.valueOf(w == h && dimFresh.forall(identity))
+                  case _ => dimFresh
+                    .map(java.lang.Boolean.valueOf).orNull
                 }
                 (i.name, i.kind, i.basePath, i.dimPath.orNull, i.mvPath,
                   i.watermark.map(java.lang.Long.valueOf).orNull,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.plans.logical._
-import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.execution.datasources.LogicalRelation
 import org.apache.spark.sql.functions.{col, count, lit, max, min, sum}
 
 /** The advisor face of the MV family — Oracle's SQL Access Advisor /
@@ -65,6 +65,20 @@ object MvAdvisor {
 
   /** The advisor's verdict for one base table. `keys` is the finest
     * grain the workload needs; measure sets are unioned across queries.
+    *
+    * LIFECYCLE on an Iceberg base: [[materialize]] pins the build at the
+    * base's current snapshot and stamps it as the [[MvDef]] watermark, so
+    * `mv_describe` reports staleness from day one; [[refreshStep]] (or
+    * the [[refreshHook]] thunk, pluggable into
+    * [[graft.streaming.MaterializedAgg.maintainedSink]]) then brings the
+    * stored view current for O(churned groups) — the changelog window
+    * names the touched key tuples, ONLY those groups recompute from a
+    * keyed read pinned at the new snapshot, and untouched rows carry
+    * over from the stored view. Every build/refresh writes a fresh
+    * `v<snapshotId>` directory under the MV root and re-registers —
+    * queries planned against a superseded version still find its files
+    * (no delete-under-reader window), and [[refreshStep]] prunes
+    * versions older than the one it just replaced.
     */
   final case class Recommendation(
       basePath: String,
@@ -76,40 +90,44 @@ object MvAdvisor {
       maxs: Set[String],
       queriesAnswered: Int) {
 
-    /** Build, write, register — and report the compression ratio
-      * (stored MV rows / base rows). The registered name is
-      * deterministic per (base, kind) so re-materializing replaces the
-      * def in place (the MvCatalog name contract).
+    private def safe(text: String): String =
+      text.replaceAll("[^A-Za-z0-9_]", "_")
+
+    /** Deterministic registered name per (base, kind, grain) — stable
+      * across re-materializations (replace-in-place), distinct across
+      * the per-cluster rollups one base can carry.
       */
-    def materialize(
-        spark: SparkSession, mvPath: String,
-        watermark: Option[Long] = None): Double = {
-      val base = spark.read.parquet(basePath)
-      def arg(text: String): org.apache.spark.sql.Column = {
-        val parts = text.split("::", 2)
-        if (parts.length == 1) col(parts(0))
-        else col(parts(0)).cast(
-          org.apache.spark.sql.types.DataType.fromDDL(parts(1)))
-      }
-      def safe(text: String): String = text.replaceAll("[^A-Za-z0-9_]", "_")
-      val aggs =
-        sums.toSeq.sorted.map(t => sum(arg(t)).as(s"s_${safe(t)}")) ++
+    def mvName: String =
+      s"advisor_${kind}_${safe(new java.io.File(basePath).getName)}" +
+        (if (kind == "multiplicity") s"_${safe(keys.last)}" else "")
+
+    private def arg(text: String): org.apache.spark.sql.Column = {
+      val parts = text.split("::", 2)
+      if (parts.length == 1) col(parts(0))
+      else col(parts(0)).cast(
+        org.apache.spark.sql.types.DataType.fromDDL(parts(1)))
+    }
+
+    private def aggList: Seq[org.apache.spark.sql.Column] =
+      sums.toSeq.sorted.map(t => sum(arg(t)).as(s"s_${safe(t)}")) ++
         counts.toSeq.sorted.map(t => count(arg(t)).as(s"c_${safe(t)}")) ++
         mins.toSeq.sorted.map(t => min(arg(t)).as(s"mn_${safe(t)}")) ++
         maxs.toSeq.sorted.map(t => max(arg(t)).as(s"mx_${safe(t)}")) :+
         count(lit(1)).as("n_star")
-      // a re-materialize overwrites the stored files: drop the catalog's
-      // cached file listing FIRST, or a query compiling in the overwrite
-      // window plans against deleted files
-      MvCatalog.invalidateScan(mvPath)
+
+    private def rollup(base: DataFrame): DataFrame = {
+      val aggs = aggList
       base.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
-        .write.mode("overwrite").parquet(mvPath)
-      val schema = spark.read.parquet(mvPath).schema
-      val mvRows = spark.read.parquet(mvPath).count()
+    }
+
+    private def register(
+        spark: SparkSession, dataPath: String,
+        watermark: Option[Long]): Long = {
+      val schema = spark.read.parquet(dataPath).schema
+      val mvRows = spark.read.parquet(dataPath).count()
       val measureTexts = sums ++ counts ++ mins ++ maxs
       MvCatalog.register(MvDef(
-        name = s"advisor_${kind}_${safe(new java.io.File(basePath).getName)}" +
-          (if (kind == "multiplicity") s"_${safe(keys.last)}" else ""),
+        name = mvName,
         basePath = basePath,
         keys = keys,
         measures = measureTexts.map { t =>
@@ -120,13 +138,140 @@ object MvAdvisor {
             max = if (maxs(t)) Some(s"mx_${safe(t)}") else None)
         }.toMap,
         countStar = Some("n_star"),
-        mvPath = mvPath,
+        mvPath = dataPath,
         mvSchema = schema,
         watermark = watermark,
         rows = Some(mvRows)))
-      val baseRows = base.count().toDouble
-      if (baseRows == 0) 1.0 else mvRows.toDouble / baseRows
+      mvRows
     }
+
+    /** Build, write, register — and report the compression ratio
+      * (stored MV rows / base rows), the advisor's go/no-go number. On a
+      * plain parquet base the build writes `mvPath` directly and
+      * `watermark` is whatever external lineage the caller vouches; on
+      * an ICEBERG base the read pins at the current snapshot, the build
+      * writes `mvPath/v<snapshot>`, the snapshot is stamped as the
+      * watermark (the `watermark` argument is ignored — stamping
+      * anything else would misdeclare what was actually built), and the
+      * MV becomes refreshable via [[refreshStep]].
+      */
+    def materialize(
+        spark: SparkSession, mvPath: String,
+        watermark: Option[Long] = None): Double = {
+      if (graft.sources.IcebergMeta.hasMetadata(basePath)) {
+        val cur = graft.sources.IcebergMeta.load(basePath).currentSnapshot
+          .getOrElse(throw new IllegalStateException(
+            s"iceberg base $basePath has no snapshots")).id
+        val base = graft.sources.IcebergSource.read(
+          spark, basePath, snapshotId = Some(cur), asOfTimestampMs = None,
+          prune = None)
+        val dataPath = versionDir(mvPath, cur)
+        rollup(base).write.mode("overwrite").parquet(dataPath)
+        val mvRows = register(spark, dataPath, Some(cur))
+        val baseRows = base.count().toDouble
+        if (baseRows == 0) 1.0 else mvRows.toDouble / baseRows
+      } else {
+        val base = spark.read.parquet(basePath)
+        // a re-materialize overwrites the stored files: drop the
+        // catalog's cached file listing FIRST, or a query compiling in
+        // the overwrite window plans against deleted files
+        MvCatalog.invalidateScan(mvPath)
+        rollup(base).write.mode("overwrite").parquet(mvPath)
+        val mvRows = register(spark, mvPath, watermark)
+        val baseRows = base.count().toDouble
+        if (baseRows == 0) 1.0 else mvRows.toDouble / baseRows
+      }
+    }
+
+    /** One refresh step for an Iceberg-based advisor MV: apply the
+      * source changelog (watermark, current] for O(churned groups) —
+      * touched key tuples name the ONLY groups recomputed (keyed read
+      * pinned at `current`), untouched rows carry over, the new version
+      * directory registers with the new watermark. Returns the applied
+      * snapshot, or None when the view is already current. Replays
+      * no-op off the registered watermark (same delivery shape as
+      * [[graft.streaming.MaterializedAgg.refreshStep]]; the catalog
+      * replace-by-name IS the commit here, so run one refresher at a
+      * time per view).
+      */
+    def refreshStep(spark: SparkSession, mvRoot: String): Option[Long] = {
+      val d = MvCatalog.lookup(basePath).find(_.name == mvName)
+        .getOrElse(throw new IllegalStateException(
+          s"$mvName is not registered — materialize first"))
+      val wm = d.watermark.getOrElse(throw new IllegalStateException(
+        s"$mvName carries no watermark — not an Iceberg-based advisor MV"))
+      val meta = graft.sources.IcebergMeta.load(basePath)
+      val cur = meta.currentSnapshot.getOrElse(throw new IllegalStateException(
+        s"iceberg base $basePath has no snapshots")).id
+      if (cur == wm) return None
+      require(meta.snapshots.exists(_.id == wm),
+        s"MV watermark $wm is not a snapshot of $basePath — the source " +
+          "history was rewritten under the view; re-materialize")
+      // the churned key tuples feed both the keyed recompute and the
+      // untouched carry-over's anti-join — pin once
+      val touched = graft.sources.IcebergSource
+        .readChangelog(spark, basePath, fromSnapshotId = wm,
+          toSnapshotId = Some(cur))
+        .select(keys.map(col): _*).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      touched.count(): Unit
+      try {
+        val baseNow = graft.sources.IcebergSource.read(
+          spark, basePath, snapshotId = Some(cur), asOfTimestampMs = None,
+          prune = None)
+        // null-safe tuple joins: NULL keys are legitimate rollup groups
+        def tupleCond(l: String, r: String) = keys.map(k =>
+          col(s"$l.$k") <=> col(s"$r.$k")).reduce(_ && _)
+        // touched is churn-sized — Spark broadcasts it into both joins,
+        // so the recompute costs one base read (prunable by layout) and
+        // the carry-over one keys-sized MV read, never a shuffle of the
+        // base
+        val recomputed = rollup(
+          baseNow.as("b").join(touched.as("t"), tupleCond("b", "t"),
+            "left_semi"))
+        val untouched = spark.read.schema(d.mvSchema).parquet(d.mvPath)
+          .as("m")
+          .join(touched.as("t"), tupleCond("m", "t"), "left_anti")
+        val dataPath = versionDir(mvRoot, cur)
+        untouched.unionByName(recomputed)
+          .write.mode("overwrite").parquet(dataPath)
+        register(spark, dataPath, Some(cur))
+        // keep the version just superseded (in-flight queries may still
+        // hold its listing); drop anything older
+        pruneVersions(mvRoot, keep = Set(dataPath, d.mvPath))
+        Some(cur)
+      } finally touched.unpersist(blocking = false): Unit
+    }
+
+    /** The [[graft.streaming.MaterializedAgg.maintainedSink]]-shaped
+      * refresh thunk: plug the advisor-built MV into the same
+      * ingest-then-refresh foreachBatch the hand-declared streaming
+      * views use.
+      */
+    def refreshHook(mvRoot: String): (SparkSession, Long) => Option[Long] =
+      (s, _) => refreshStep(s, mvRoot)
+  }
+
+  /** `<mvRoot>/v<snapshotId>` — one immutable directory per applied
+    * source snapshot. Refresh never rewrites a live directory, so a
+    * query planned against a superseded version still finds its files.
+    */
+  private def versionDir(mvRoot: String, snapshotId: Long): String =
+    new java.io.File(mvRoot, s"v$snapshotId").getPath
+
+  /** Delete `v*` version directories under `mvRoot` except `keep`. */
+  private def pruneVersions(mvRoot: String, keep: Set[String]): Unit = {
+    val root = new java.io.File(mvRoot)
+    val keepCanon = keep.map(p => new java.io.File(p).getCanonicalPath)
+    Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("v") &&
+        !keepCanon.contains(f.getCanonicalPath))
+      .foreach(deleteRecursively)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(): Unit
   }
 
   /** One harvested join-aggregate shape: the
@@ -154,38 +299,123 @@ object MvAdvisor {
       columns: Seq[(String, Boolean)],
       queriesAnswered: Int) {
 
-    /** Build the row-grain view, write it, register the [[JoinMvDef]];
-      * returns stored rows / fact rows (join selectivity × dim fanout —
-      * near or below 1 is the healthy row-grain regime; well above 1
-      * means the "dim" fans out and the caller should reconsider).
+    private def safe(p: String): String =
+      new java.io.File(p).getName.replaceAll("[^A-Za-z0-9_]", "_")
+
+    def mvName: String = s"advisor_join_${safe(factPath)}_${safe(dimPath)}"
+
+    /** One side's read: plain parquet, or Iceberg pinned at the given
+      * snapshot (None = the side is not an Iceberg table).
       */
-    def materialize(spark: SparkSession, mvPath: String,
-        watermark: Option[Long] = None): Double = {
-      val fact = spark.read.parquet(factPath).as("f")
-      val dim = spark.read.parquet(dimPath).as("d")
+    private def sideRead(
+        spark: SparkSession, path: String, snap: Option[Long]): DataFrame =
+      snap match {
+        case Some(id) => graft.sources.IcebergSource.read(
+          spark, path, snapshotId = Some(id), asOfTimestampMs = None,
+          prune = None)
+        case None => spark.read.parquet(path)
+      }
+
+    private def headOf(path: String): Option[Long] =
+      if (graft.sources.IcebergMeta.hasMetadata(path))
+        graft.sources.IcebergMeta.load(path).currentSnapshot.map(_.id)
+      else None
+
+    private def build(
+        spark: SparkSession, dataPath: String,
+        factSnap: Option[Long], dimSnap: Option[Long]): Long = {
+      val fact = sideRead(spark, factPath, factSnap).as("f")
+      val dim = sideRead(spark, dimPath, dimSnap).as("d")
       val cond = joinKeys.map { case (a, b) =>
         col(s"f.$a") === col(s"d.$b") }.reduce(_ && _)
       val sel = columns.map { case (c, isFact) =>
         (if (isFact) col(s"f.$c") else col(s"d.$c")).as(c) }
-      MvCatalog.invalidateScan(mvPath)
+      MvCatalog.invalidateScan(dataPath)
       fact.join(dim, cond, "inner").select(sel: _*)
-        .write.mode("overwrite").parquet(mvPath)
-      def safe(p: String): String =
-        new java.io.File(p).getName.replaceAll("[^A-Za-z0-9_]", "_")
-      val mvRows = spark.read.parquet(mvPath).count()
+        .write.mode("overwrite").parquet(dataPath)
+      val mvRows = spark.read.parquet(dataPath).count()
       MvCatalog.registerJoin(JoinMvDef(
-        name = s"advisor_join_${safe(factPath)}_${safe(dimPath)}",
+        name = mvName,
         factPath = factPath,
         dimPath = dimPath,
         joinKeys = joinKeys,
-        mvPath = mvPath,
-        mvSchema = spark.read.parquet(mvPath).schema,
-        watermark = watermark,
-        rows = Some(mvRows)))
+        mvPath = dataPath,
+        mvSchema = spark.read.parquet(dataPath).schema,
+        watermark = factSnap,
+        rows = Some(mvRows),
+        dimWatermark = dimSnap))
+      mvRows
+    }
+
+    /** Build the row-grain view, write it, register the [[JoinMvDef]];
+      * returns stored rows / fact rows (join selectivity × dim fanout —
+      * near or below 1 is the healthy row-grain regime; well above 1
+      * means the "dim" fans out and the caller should reconsider).
+      * Iceberg sides build PINNED at their current snapshot and stamp it
+      * as the matching watermark cursor (`watermark` argument ignored
+      * for such sides), making the view [[refreshStep]]-able; the data
+      * lands in a `v<factSnap>_<dimSnap>` directory under `mvPath`.
+      */
+    def materialize(spark: SparkSession, mvPath: String,
+        watermark: Option[Long] = None): Double = {
+      val factSnap = headOf(factPath)
+      val dimSnap = headOf(dimPath)
+      val mvRows =
+        if (factSnap.isEmpty && dimSnap.isEmpty) {
+          val n = build(spark, mvPath, None, None)
+          // plain-parquet bases: external lineage is the caller's vouch
+          if (watermark.isDefined)
+            MvCatalog.lookupJoin(factPath, dimPath).find(_.name == mvName)
+              .foreach(d => MvCatalog.registerJoin(
+                d.copy(watermark = watermark)))
+          n
+        } else build(
+          spark,
+          joinVersionDir(mvPath, factSnap, dimSnap),
+          factSnap, dimSnap)
       val factRows = spark.read.parquet(factPath).count().toDouble
       if (factRows == 0) 1.0 else mvRows.toDouble / factRows
     }
+
+    /** Refresh an Iceberg-based advisor join view: when EITHER source
+      * head moved past its stamped cursor, REBUILD pinned at the new
+      * head pair into a fresh version directory and re-register (the
+      * previous version is kept for in-flight queries, older ones
+      * pruned). Returns the applied (fact, dim) cursor pair, or None
+      * when both are current. A rebuild — not a churn-scoped merge —
+      * because the advisor's view stores an arbitrary projection; the
+      * O(churn) path for high-rate sources is the fixed-schema
+      * [[graft.streaming.MaterializedAgg.refreshStepJoin]].
+      */
+    def refreshStep(
+        spark: SparkSession, mvRoot: String): Option[(Long, Long)] = {
+      val d = MvCatalog.lookupJoin(factPath, dimPath).find(_.name == mvName)
+        .getOrElse(throw new IllegalStateException(
+          s"$mvName is not registered — materialize first"))
+      val factSnap = headOf(factPath)
+      val dimSnap = headOf(dimPath)
+      require(factSnap.isDefined || dimSnap.isDefined,
+        s"$mvName has no Iceberg side — nothing to refresh against")
+      if (d.watermark == factSnap && d.dimWatermark == dimSnap) return None
+      build(spark, joinVersionDir(mvRoot, factSnap, dimSnap),
+        factSnap, dimSnap)
+      pruneVersions(mvRoot, keep = Set(
+        joinVersionDir(mvRoot, factSnap, dimSnap), d.mvPath))
+      Some((factSnap.getOrElse(0L), dimSnap.getOrElse(0L)))
+    }
+
+    /** The maintainedSink-shaped refresh thunk, same contract as
+      * [[Recommendation.refreshHook]].
+      */
+    def refreshHook(
+        mvRoot: String): (SparkSession, Long) => Option[(Long, Long)] =
+      (s, _) => refreshStep(s, mvRoot)
   }
+
+  private def joinVersionDir(
+      mvRoot: String, factSnap: Option[Long], dimSnap: Option[Long]): String =
+    new java.io.File(mvRoot,
+      s"v${factSnap.getOrElse(0L)}_${dimSnap.getOrElse(0L)}").getPath
 
   private def splitConjuncts(e: Expression): Seq[Expression] = e match {
     case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
@@ -218,11 +448,11 @@ object MvAdvisor {
       stripToScan(c, conds)
     case Filter(cond, c) => stripToScan(c, conds ++ splitConjuncts(cond))
     case lr: LogicalRelation =>
-      lr.relation match {
-        case h: HadoopFsRelation if h.location.rootPaths.length == 1 =>
-          Some((conds, h.location.rootPaths.head.toUri.getPath))
-        case _ => None
-      }
+      // same root contract as the rewrite: plain parquet by directory, a
+      // current-snapshot Iceberg read by TABLE root (so the advisor's
+      // recommendation carries the root the rewrite will later match,
+      // and materialize can pin + stamp the source snapshot)
+      MvRewrite.scanRoot(lr).map(root => (conds, root))
     case _ => None
   }
 
@@ -410,11 +640,7 @@ object MvAdvisor {
       case _ => None
     }
     go(p, Nil).flatMap { case (conds, lr) =>
-      lr.relation match {
-        case h: HadoopFsRelation if h.location.rootPaths.length == 1 =>
-          Some((conds, h.location.rootPaths.head.toUri.getPath, lr))
-        case _ => None
-      }
+      MvRewrite.scanRoot(lr).map(root => (conds, root, lr))
     }
   }
 

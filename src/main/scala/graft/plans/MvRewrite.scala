@@ -89,10 +89,13 @@ final case class JoinMvDef(
     joinKeys: Seq[(String, String)],
     mvPath: String,
     mvSchema: StructType,
-    // applied-source watermark, same contract as [[MvDef.watermark]]
+    // applied FACT-side watermark, same contract as [[MvDef.watermark]]
     watermark: Option[Long] = None,
     // stored row count, same cost-signal contract as [[MvDef.rows]]
-    rows: Option[Long] = None
+    rows: Option[Long] = None,
+    // applied DIM-side watermark — a join view is stale when EITHER
+    // source moved, so freshness serving ANDs the two cursors
+    dimWatermark: Option[Long] = None
 )
 
 /** One row of [[MvCatalog.describe]]: the registry's freshness face.
@@ -104,7 +107,9 @@ final case class MvInfo(
     basePath: String,
     dimPath: Option[String],
     mvPath: String,
-    watermark: Option[Long]
+    watermark: Option[Long],
+    // join views only: the applied dim-side cursor
+    dimWatermark: Option[Long] = None
 )
 
 /** Process-wide registry of materialized views, keyed by the ABSOLUTE
@@ -197,7 +202,7 @@ object MvCatalog {
       MvInfo(d.name, "rollup", d.basePath, None, d.mvPath, d.watermark))
     val joins = joinByBases.values.asScala.flatten.map(d =>
       MvInfo(d.name, "join", d.factPath, Some(d.dimPath), d.mvPath,
-        d.watermark))
+        d.watermark, d.dimWatermark))
     (rollups ++ joins).toSeq.sortBy(_.name)
   }
 
@@ -295,6 +300,25 @@ object MvRewrite {
       Some(s"${a.name}::${dt.catalogString}")
     case _ => None
   }
+
+  /** The catalog key of a planned parquet scan: a single root path reads
+    * as itself (the plain-parquet MV contract), while a MULTI-FILE read
+    * resolves to its Iceberg TABLE ROOT — but only when the file set is
+    * exactly the current snapshot's live files
+    * ([[graft.sources.IcebergSource.currentTableRoot]]), so a
+    * time-travel or pruned read of the table never matches an MV vouched
+    * against the current state. A single file that happens to be a
+    * one-file Iceberg table's current snapshot resolves to the root too
+    * (root registration beats file-path registration for Iceberg bases).
+    */
+  private[plans] def scanRoot(lr: LogicalRelation): Option[String] = {
+    val roots = lr.relation match {
+      case h: HadoopFsRelation => h.location.rootPaths.map(_.toUri.getPath)
+      case _                   => return None
+    }
+    graft.sources.IcebergSource.currentTableRoot(roots)
+      .orElse(if (roots.length == 1) Some(roots.head) else None)
+  }
 }
 
 class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
@@ -337,11 +361,7 @@ class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def rewrite(agg: Aggregate): Option[LogicalPlan] = {
     val (conds, lr) = strip(agg.child, Nil).getOrElse(return None)
-    val roots = lr.relation match {
-      case h: HadoopFsRelation => h.location.rootPaths.map(_.toUri.getPath)
-      case _                   => return None
-    }
-    if (roots.length != 1) return None
+    val root = MvRewrite.scanRoot(lr).getOrElse(return None)
     // COST-BASED candidate selection: try candidates smallest-stored
     // first (stable sort — unknown row counts sort last, registration
     // order breaks ties), take the first that derives the query EXACTLY.
@@ -349,9 +369,9 @@ class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     // matching candidates the minimum-rows one always answers — a large
     // fine-grained store registered earlier can no longer shadow a
     // smaller rollup that answers the same query cheaper.
-    MvCatalog.lookup(roots.head)
+    MvCatalog.lookup(root)
       .sortBy(_.rows.getOrElse(Long.MaxValue)).view
-      .flatMap(d => attemptRollup(agg, conds, roots.head, d))
+      .flatMap(d => attemptRollup(agg, conds, root, d))
       .headOption
   }
 
@@ -526,17 +546,12 @@ class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       case jn: Join        => Some((conds, jn))
       case _               => None
     }
-    def rootPath(lr: LogicalRelation): Option[String] = lr.relation match {
-      case h: HadoopFsRelation if h.location.rootPaths.length == 1 =>
-        Some(h.location.rootPaths.head.toUri.getPath)
-      case _ => None
-    }
     val (aboveConds, jn) = stripToJoin(agg.child, Nil).getOrElse(return None)
     if (jn.joinType != Inner) return None
     val (lConds, lLr) = strip(jn.left, Nil).getOrElse(return None)
     val (rConds, rLr) = strip(jn.right, Nil).getOrElse(return None)
-    val lPath = rootPath(lLr).getOrElse(return None)
-    val rPath = rootPath(rLr).getOrElse(return None)
+    val lPath = MvRewrite.scanRoot(lLr).getOrElse(return None)
+    val rPath = MvRewrite.scanRoot(rLr).getOrElse(return None)
     // candidates from both orientations, smallest stored view first
     // (same cost rule as the rollup path); first exact derivation wins
     val candidates =

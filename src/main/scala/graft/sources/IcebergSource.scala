@@ -644,4 +644,56 @@ object IcebergSource {
     val hint = Paths.get(tablePath, "metadata", "version-hint.text")
     if (Files.exists(hint)) Some(Files.readString(hint).trim.toInt) else None
   }
+
+  // (root, metadata version) -> the current snapshot's live data-file set,
+  // normalized. The version key makes staleness structurally impossible:
+  // every table commit bumps the hint, and versions are never reused, so
+  // a memo hit IS the current plan. Bounded by distinct (table, version)
+  // pairs a process compiles against; entries for superseded versions are
+  // evicted on sight.
+  private val currentFilesMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Set[String], Long)]()
+
+  /** If `paths` is EXACTLY the current snapshot's live data-file set of
+    * one metadata-backed Iceberg table (every path under `<root>/data/`,
+    * no pending merge-on-read deletes), the table root — the hook that
+    * lets plan-level consumers (MV rewrite/advisor) treat a planned
+    * Iceberg read as a scan of the TABLE rather than of N anonymous
+    * files. Deliberately exact: a TIME-TRAVEL read (older snapshot) or a
+    * pruned read resolves to a different file set and returns None, so a
+    * consumer keyed on the root can never mistake a historical or
+    * partial scan for the current table. Cost per call: one version-hint
+    * read (tiny file) on memo hit; one metadata load + scan plan on miss.
+    */
+  def currentTableRoot(paths: Seq[String]): Option[String] = {
+    if (paths.isEmpty) return None
+    val sep = "/data/"
+    val idx = paths.head.indexOf(sep)
+    if (idx <= 0) return None
+    val root = paths.head.substring(0, idx)
+    if (!paths.forall(_.startsWith(root + sep))) return None
+    currentLiveFiles(root).flatMap { files =>
+      if (paths.map(normalizePath).toSet == files) Some(root) else None
+    }
+  }
+
+  /** The current snapshot's live data-file set, or None when the table
+    * has no metadata / no snapshot / live v2 deletes (a MoR read is not
+    * a plain file scan, so file-set consumers must not match it).
+    */
+  private def currentLiveFiles(root: String): Option[Set[String]] = {
+    val version = versionHint(root).getOrElse(return None)
+    val memo = currentFilesMemo.get(root)
+    if (memo != null && memo._1 == version) {
+      return if (memo._3 > 0) None else Some(memo._2)
+    }
+    if (!IcebergMeta.hasMetadata(root)) return None
+    val meta = IcebergMeta.load(root)
+    val snap = meta.currentSnapshot.getOrElse(return None)
+    val plan = IcebergMeta.planScan(meta, snap)
+    val entry = (version, plan.files.map(f => normalizePath(f.path)).toSet,
+      plan.deletes.size.toLong)
+    currentFilesMemo.put(root, entry): Unit
+    if (plan.deletes.nonEmpty) None else Some(entry._2)
+  }
 }

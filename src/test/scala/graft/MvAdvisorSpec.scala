@@ -151,6 +151,91 @@ class MvAdvisorSpec extends SparkTestBase with BeforeAndAfterAll {
     } finally MvCatalog.unregisterJoin(factPath, dimPath)
   }
 
+  test("Iceberg lifecycle: pinned build stamps the watermark, churn-scoped refresh brings the view current, time travel never rewrites") {
+    import spark.implicits._
+    import graft.sources.{IcebergMeta, IcebergSource, IcebergWriter}
+    val tbl = tempDir("graft-advisor-ice") + "/table"
+    val mvRoot = tempDir("graft-advisor-ice-mv") + "/mv"
+    IcebergWriter.append(spark, tbl,
+      Seq(("a", 10L), ("a", 20L), ("b", 5L)).toDF("k", "v"),
+      None, 1000L, formatVersion = 2)
+    def dash(s: SparkSession) = IcebergSource.read(s, tbl)
+      .groupBy(col("k")).agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+      .orderBy(col("k"))
+    def scanPaths(df: DataFrame): Seq[String] =
+      df.queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.rootPaths.map(_.toUri.getPath)
+      }.flatten
+    // harvest resolves the multi-file Iceberg read to the TABLE ROOT
+    val shapes = MvAdvisor.analyze(dash(spark)).flatMap(_.toOption)
+    assert(shapes.nonEmpty && shapes.head.basePath === tbl,
+      s"harvest must key the table root, got $shapes")
+    val rec = MvAdvisor.recommend(shapes).head
+    try {
+      val ratio = rec.materialize(spark, mvRoot)
+      assert(ratio > 0 && ratio <= 1, s"ratio $ratio")
+      val snap1 = IcebergMeta.load(tbl).currentSnapshot.get.id
+      val d1 = MvCatalog.lookup(tbl).find(_.name == rec.mvName).get
+      assert(d1.watermark === Some(snap1), "build must stamp the snapshot")
+      assert(d1.mvPath.contains(s"v$snap1"), d1.mvPath)
+      // the dashboard rewrites to the versioned store and matches
+      val r1 = dash(s2)
+      assert(scanPaths(r1).exists(_.contains(s"v$snap1")),
+        s"expected the versioned MV scan, got ${scanPaths(r1)}")
+      assert(r1.collect().map(_.toSeq).toSeq ===
+        dash(spark).collect().map(_.toSeq).toSeq)
+      // churn: one group grows, one brand-new group appears
+      IcebergWriter.append(spark, tbl,
+        Seq(("a", 100L), ("c", 7L)).toDF("k", "v"), None, 2000L)
+      val applied = rec.refreshStep(spark, mvRoot).get
+      val snap2 = IcebergMeta.load(tbl).currentSnapshot.get.id
+      assert(applied === snap2)
+      val d2 = MvCatalog.lookup(tbl).find(_.name == rec.mvName).get
+      assert(d2.watermark === Some(snap2))
+      // a replay no-ops off the registered watermark
+      assert(rec.refreshStep(spark, mvRoot).isEmpty)
+      // refreshed store == full recompute, and the rewrite follows it
+      val r2 = dash(s2)
+      assert(scanPaths(r2).exists(_.contains(s"v$snap2")),
+        s"expected the refreshed version scan, got ${scanPaths(r2)}")
+      assert(r2.collect().map(_.toSeq).toSeq ===
+        dash(spark).collect().map(_.toSeq).toSeq)
+      // a TIME-TRAVEL read resolves to a different file set and must
+      // never match the current-state MV
+      val tt = IcebergSource.read(s2, tbl, snapshotId = Some(snap1),
+          asOfTimestampMs = None, prune = None)
+        .groupBy(col("k")).agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+      assert(!scanPaths(tt).exists(_.contains("/mv/")),
+        s"time travel must not rewrite: ${scanPaths(tt)}")
+      // second churn + refresh prunes versions older than the superseded
+      IcebergWriter.append(spark, tbl, Seq(("b", 9L)).toDF("k", "v"),
+        None, 3000L)
+      rec.refreshStep(spark, mvRoot).get
+      val versions = new java.io.File(mvRoot).listFiles()
+        .filter(_.isDirectory).map(_.getName).toSet
+      assert(!versions.contains(s"v$snap1"),
+        s"the oldest version must be pruned: $versions")
+      assert(versions.size === 2, s"current + superseded only: $versions")
+      // DELETE churn (equality upsert) refreshes correctly too — the MoR
+      // base no longer rewrites (a merge read is not a plain scan), so
+      // certify against the direct recompute instead
+      IcebergWriter.upsertRows(spark, tbl, Seq(("a", 1L)).toDF("k", "v"),
+        "k", 4000L)
+      rec.refreshStep(spark, mvRoot).get
+      val d3 = MvCatalog.lookup(tbl).find(_.name == rec.mvName).get
+      val stored = spark.read.parquet(d3.mvPath)
+        .orderBy(col("k")).collect().map(_.toSeq).toSeq
+      val recomputed = IcebergSource.read(spark, tbl)
+        .groupBy(col("k"))
+        .agg(sum(col("v")).as("s_v"), count(lit(1)).as("n_star"))
+        .orderBy(col("k")).collect().map(_.toSeq).toSeq
+      assert(stored.map(r => (r.head, r(1), r.last)) ===
+        recomputed.map(r => (r.head, r(1), r.last)),
+        "refreshed store must equal the full recompute after deletes")
+    } finally MvCatalog.unregister(tbl)
+  }
+
   test("materialize closes the loop: the advisor-built MVs make the workload rewrite and match") {
     val shapes = Seq(q1(spark), q2(spark), q3(spark))
       .flatMap(MvAdvisor.analyze).flatMap(_.toOption)

@@ -809,6 +809,57 @@ class ServingServerSpec extends SparkTestBase {
     }
   }
 
+  test("advisor lifecycle over the wire: advise names the Iceberg root, the built MV serves fresh, goes stale on churn, refreshes fresh") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    import graft.plans.{MvAdvisor, MvCatalog}
+    import graft.sources.{IcebergSource, IcebergWriter}
+    val tbl = tempDir("graft-advise-ice") + "/table"
+    val mvRoot = tempDir("graft-advise-ice-mv") + "/mv"
+    IcebergWriter.append(spark, tbl,
+      Seq(("a", 10L), ("a", 20L), ("b", 5L)).toDF("k", "v"),
+      None, 1000L, formatVersion = 2)
+    session.registerTable("advise_ice", IcebergSource.read(spark, tbl))
+    def dash = IcebergSource.read(spark, tbl)
+      .groupBy(col("k")).agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+    val rec = MvAdvisor
+      .recommend(MvAdvisor.analyze(dash).flatMap(_.toOption))
+      .headOption.getOrElse(fail("advisor recommended nothing"))
+    try withServer { srv =>
+      // advise over the wire carries the TABLE ROOT as the base
+      val adv = ServingClient.doAction(srv.boundPort, "advise",
+        "SELECT k, sum(v) AS sv, count(*) AS n FROM advise_ice GROUP BY k")
+      assert(adv.isOk, adv.status)
+      val roll = adv.rows.find(_.head.toString == "rollup")
+        .getOrElse(fail(s"no rollup row: ${adv.rows}"))
+      assert(roll(1).toString === tbl,
+        s"recommendation must key the Iceberg root: $roll")
+      // materialize: pinned build, watermark stamped -> fresh over the wire
+      rec.materialize(spark, mvRoot)
+      def freshRow() = {
+        val r = ServingClient.doAction(srv.boundPort, "mv_describe")
+        assert(r.isOk, r.status)
+        r.rows.find(_.head.toString == rec.mvName)
+          .getOrElse(fail(s"${rec.mvName} missing: ${r.rows}"))
+      }
+      assert(freshRow()(7) === true, s"just-built MV must be fresh")
+      // churn the base: the stamped watermark stands, the head moves
+      IcebergWriter.append(spark, tbl, Seq(("c", 9L)).toDF("k", "v"),
+        None, 2000L)
+      assert(freshRow()(7) === false, "churned base must read stale")
+      // the maintainedSink-shaped hook brings it current
+      assert(rec.refreshHook(mvRoot)(spark, 3000L).isDefined)
+      assert(freshRow()(7) === true, "refreshed MV must be fresh again")
+      // and the served answer equals the direct recompute
+      val d = MvCatalog.lookup(tbl).find(_.name == rec.mvName).get
+      val stored = spark.read.parquet(d.mvPath)
+        .orderBy(col("k")).collect().map(_.toSeq).toSeq
+      val direct = dash.orderBy(col("k")).collect().map(_.toSeq).toSeq
+      assert(stored.map(r => (r.head, r(1), r.last)) ===
+        direct.map(r => (r.head, r(1), r.last)))
+    } finally MvCatalog.unregister(tbl)
+  }
+
   test("DO_ACTION stream_view_describe: watermark + source head + fresh verdict; staleness after an unapplied commit; refusals") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
