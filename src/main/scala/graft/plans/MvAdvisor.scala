@@ -95,11 +95,16 @@ object MvAdvisor {
 
     /** Deterministic registered name per (base, kind, grain) — stable
       * across re-materializations (replace-in-place), distinct across
-      * the per-cluster rollups one base can carry.
+      * the per-cluster rollups one base can carry (the grain signature
+      * disambiguates; sorted so key ORDER never splits an identity).
       */
-    def mvName: String =
-      s"advisor_${kind}_${safe(new java.io.File(basePath).getName)}" +
-        (if (kind == "multiplicity") s"_${safe(keys.last)}" else "")
+    def mvName: String = {
+      val grain = kind match {
+        case "multiplicity" => s"_${safe(keys.last)}"
+        case _              => s"_${keys.sorted.map(safe).mkString("_")}"
+      }
+      s"advisor_${kind}_${safe(new java.io.File(basePath).getName)}$grain"
+    }
 
     private def arg(text: String): org.apache.spark.sql.Column = {
       val parts = text.split("::", 2)
@@ -513,37 +518,70 @@ object MvAdvisor {
       countStar, distincts))
   }
 
-  /** Fold harvested shapes into per-base recommendations: one rollup at
-    * the finest grain the workload needs, plus one multiplicity store
-    * per DISTINCT-counted column. Shapes from different bases never mix.
+  /** Group shapes into grain clusters by KEY-SET CONTAINMENT: the widest
+    * key sets seed clusters and every shape whose keys are a subset of a
+    * seed joins it (first match in deterministic seed order); shapes
+    * comparable to no cluster seed new ones. Containment is the safe
+    * merge rule — a shape regroups through any superset grain — while
+    * merging INCOMPARABLE key sets (the old single-grain fold) multiplies
+    * the grain's cardinality: one near-unique filter column poisons the
+    * compression of every query sharing the base.
+    */
+  private[plans] def clusterByContainment(
+      ss: Seq[AggShape]): Seq[Seq[AggShape]] = {
+    val keyed = ss.map(s => (s, (s.groupCols ++ s.filterCols).distinct.toSet))
+      .sortBy { case (_, k) => (-k.size, k.toSeq.sorted.mkString(",")) }
+    val clusters =
+      scala.collection.mutable.Buffer
+        .empty[(Set[String], scala.collection.mutable.Buffer[AggShape])]
+    for ((s, k) <- keyed) {
+      clusters.find { case (grain, _) => k.subsetOf(grain) } match {
+        case Some((_, members)) => members += s
+        case None => clusters += ((k,
+          scala.collection.mutable.Buffer(s)))
+      }
+    }
+    clusters.map(_._2.toSeq).toSeq
+  }
+
+  /** Fold harvested shapes into per-base recommendations: one rollup PER
+    * CONTAINMENT CLUSTER of the distinct-free shapes (a DISTINCT
+    * aggregate bails the whole rewrite, so those queries are served by
+    * the multiplicity stores and must not widen a rollup grain), plus
+    * one multiplicity store per DISTINCT-counted column at ITS USERS'
+    * grain. Shapes from different bases never mix.
     */
   def recommend(shapes: Seq[AggShape]): Seq[Recommendation] =
     shapes.groupBy(_.basePath).toSeq.sortBy(_._1).flatMap {
       case (base, ss) =>
-        val keys = ss.flatMap(s => s.groupCols ++ s.filterCols).distinct
-        val rollupNeeded = ss.exists(s =>
-          s.sums.nonEmpty || s.counts.nonEmpty || s.mins.nonEmpty ||
-            s.maxs.nonEmpty || s.countStar)
-        val rollup =
-          if (!rollupNeeded) Nil
-          else Seq(Recommendation(
+        val rollupShapes = ss.filter(s => s.distinctCols.isEmpty &&
+          (s.sums.nonEmpty || s.counts.nonEmpty || s.mins.nonEmpty ||
+            s.maxs.nonEmpty || s.countStar))
+        val rollups = clusterByContainment(rollupShapes).map { members =>
+          val keys = members.flatMap(s => s.groupCols ++ s.filterCols).distinct
+          Recommendation(
             base, "rollup", keys,
-            ss.flatMap(_.sums).toSet, ss.flatMap(_.counts).toSet,
-            ss.flatMap(_.mins).toSet, ss.flatMap(_.maxs).toSet,
-            queriesAnswered = ss.count(s => s.distinctCols.isEmpty)))
+            members.flatMap(_.sums).toSet, members.flatMap(_.counts).toSet,
+            members.flatMap(_.mins).toSet, members.flatMap(_.maxs).toSet,
+            queriesAnswered = members.length)
+        }
         val mults = ss.flatMap(_.distinctCols).distinct.sorted.map { v =>
           // the store inherits the measures of the queries it answers —
           // a `count(DISTINCT v), sum(y)` dashboard needs s_y ON the
           // multiplicity grain (sums re-aggregate through any finer
-          // grain), or the rewrite would bail on the measure
+          // grain), or the rewrite would bail on the measure — and only
+          // ITS USERS' key columns: an unrelated dashboard's filter
+          // column would multiply the stored pair count for nothing
           val users = ss.filter(_.distinctCols.contains(v))
+          val keys = users.flatMap(s => s.groupCols ++ s.filterCols)
+            .distinct.filterNot(_ == v) :+ v
           Recommendation(
-            base, "multiplicity", (keys.filterNot(_ == v) :+ v),
+            base, "multiplicity", keys,
             users.flatMap(_.sums).toSet, users.flatMap(_.counts).toSet,
             users.flatMap(_.mins).toSet, users.flatMap(_.maxs).toSet,
             queriesAnswered = users.length)
         }
-        rollup ++ mults
+        rollups ++ mults
     }
 
   /** Harvest every join-aggregate shape [[MvRewrite.rewriteJoin]] could

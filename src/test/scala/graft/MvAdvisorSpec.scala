@@ -89,9 +89,64 @@ class MvAdvisorSpec extends SparkTestBase with BeforeAndAfterAll {
     assert(rollup.mins === Set("x") && rollup.maxs === Set("x"))
     assert(rollup.queriesAnswered === 2)
     val mult = recs.find(_.kind == "multiplicity").get
-    assert(mult.keys === Seq("k", "g", "y"),
-      "multiplicity grain = rollup keys + the distinct-counted column")
+    assert(mult.keys === Seq("k", "y"),
+      "multiplicity grain = the distinct queries' OWN keys + the counted " +
+        "column — q1/q2's filter column g must not widen the pair store")
     assert(mult.queriesAnswered === 1)
+  }
+
+  test("grain clustering: an incomparable near-unique key set splits into its own rollup instead of poisoning the shared grain") {
+    import spark.implicits._
+    val dir = tempDir("graft-advisor-cluster")
+    val bPath = s"$dir/cbase.parquet"
+    // 400 rows, k has 4 values, u is near-unique (200 values)
+    (1 to 400).map(i => (s"k${i % 4}", (i % 200).toLong, i.toLong))
+      .toDF("k", "u", "y").write.mode("overwrite").parquet(bPath)
+    def qFat(s: SparkSession) = s.read.parquet(bPath)
+      .groupBy(col("k")).agg(sum(col("y")).as("sy"))
+    def qThin(s: SparkSession) = s.read.parquet(bPath)
+      .groupBy(col("u")).agg(count(lit(1)).as("n"))
+    val shapes = Seq(qFat(spark), qThin(spark))
+      .flatMap(MvAdvisor.analyze).flatMap(_.toOption)
+    val recs = MvAdvisor.recommend(shapes)
+    // the single-grain fold would emit ONE (k, u) rollup — 400 groups of
+    // 400 rows, ratio 1, useless for both queries; containment
+    // clustering emits one 4-row and one 200-row rollup instead
+    val rollups = recs.filter(_.kind == "rollup")
+    assert(rollups.map(_.keys.toSet).toSet === Set(Set("k"), Set("u")),
+      s"expected split grains, got ${rollups.map(_.keys)}")
+    assert(rollups.forall(_.queriesAnswered == 1))
+    // distinct registered names (replace-by-name must not collide)
+    assert(rollups.map(_.mvName).distinct.length === 2, rollups.map(_.mvName))
+    try {
+      val ratios = rollups.map(r =>
+        r -> r.materialize(spark, s"$dir/${r.mvName}.parquet")).toMap
+      assert(ratios.values.forall(_ < 0.6),
+        s"both split rollups must compress: $ratios")
+      // and both dashboards rewrite to THEIR rollup
+      def scanPaths(df: DataFrame): Seq[String] =
+        df.queryExecution.sparkPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.relation.location.rootPaths.map(_.toUri.getPath)
+        }.flatten
+      assert(scanPaths(qFat(s2)).exists(_.contains("rollup_cbase_parquet_k")))
+      assert(scanPaths(qThin(s2)).exists(_.contains("rollup_cbase_parquet_u")))
+      assert(qFat(s2).orderBy(col("k")).collect().map(_.toSeq).toSeq ===
+        qFat(spark).orderBy(col("k")).collect().map(_.toSeq).toSeq)
+      assert(qThin(s2).orderBy(col("u")).collect().map(_.toSeq).toSeq ===
+        qThin(spark).orderBy(col("u")).collect().map(_.toSeq).toSeq)
+      // a SUBSET query regroups through the fat cluster's grain: it must
+      // not seed a third cluster
+      def qSub(s: SparkSession) = s.read.parquet(bPath)
+        .filter(col("k") === "k1").groupBy(col("k"))
+        .agg(sum(col("y")).as("sy"))
+      val shapes2 = (Seq(qFat(spark), qThin(spark), qSub(spark)))
+        .flatMap(MvAdvisor.analyze).flatMap(_.toOption)
+      val recs2 = MvAdvisor.recommend(shapes2)
+      assert(recs2.count(_.kind == "rollup") === 2,
+        s"subset shape must join the containing cluster: $recs2")
+      assert(recs2.find(_.keys.toSet == Set("k")).get.queriesAnswered === 2)
+    } finally MvCatalog.unregister(bPath)
   }
 
   test("join workload: analyzeJoins harvests the trio, ambiguity rejects, materialize makes the join query rewrite") {

@@ -764,15 +764,23 @@ class ServingServerSpec extends SparkTestBase {
       assert(kinds.contains("rejected"), s"rows: ${r.rows}")
       assert(r.rows.filter(_.head.toString == "rejected")
         .exists(_(5).toString.contains("not derivable")), r.rows)
-      // a clean rollup + multiplicity workload recommends both
+      // a DISTINCT dashboard is served WHOLE by the multiplicity store
+      // (the sum measure rides its grain) — no useless rollup alongside
       val r2 = ServingClient.doAction(srv.boundPort, "advise",
         "SELECT g, sum(m) AS sm, count(DISTINCT v) AS dv " +
           "FROM advise_base GROUP BY g")
       assert(r2.isOk, r2.status)
       val byKind = r2.rows.groupBy(_.head.toString)
-      assert(byKind.keySet === Set("rollup", "multiplicity"), r2.rows)
+      assert(byKind.keySet === Set("multiplicity"), r2.rows)
       assert(byKind("multiplicity").head(2).toString === "g,v")
-      assert(byKind("rollup").head(3).toString.contains("sum:m"))
+      assert(byKind("multiplicity").head(3).toString.contains("sum:m"))
+      // a distinct-free statement recommends the rollup
+      val r2b = ServingClient.doAction(srv.boundPort, "advise",
+        "SELECT g, sum(m) AS sm FROM advise_base GROUP BY g")
+      assert(r2b.isOk, r2b.status)
+      val rollRows = r2b.rows.filter(_.head.toString == "rollup")
+      assert(rollRows.nonEmpty && rollRows.head(3).toString.contains("sum:m"),
+        r2b.rows)
       // a join aggregate recommends a row-grain join view
       val dimB = tempDir("graft-advise-dim") + "/srvdim.parquet"
       Seq(("a", "alpha"), ("b", "beta")).toDF("dg", "label")
