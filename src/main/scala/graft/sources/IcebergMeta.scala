@@ -306,7 +306,15 @@ object IcebergMeta {
       metadataDir(tablePath).resolve(s"v$version.metadata.json")))
   }
 
+  /** Probe-facing: how many times [[load]] has parsed table metadata in
+    * this process. On local NVMe each load is milliseconds; on an object
+    * store each is round-trips — the per-step load COUNT is the number
+    * the floor probes track (see ScaleProbe `stepfloor`).
+    */
+  val loadCount = new java.util.concurrent.atomic.AtomicLong(0L)
+
   def load(tablePath: String): TableMeta = {
+    loadCount.incrementAndGet(): Unit
     val version = IcebergSource.versionHint(tablePath).getOrElse(
       throw new IllegalArgumentException(
         s"Iceberg table has no metadata/version-hint.text: $tablePath"))

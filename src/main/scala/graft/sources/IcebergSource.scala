@@ -57,7 +57,13 @@ object IcebergSource {
       // CURRENT schema (it's a live line of development); a TAG reads
       // its pinned snapshot with the schema that snapshot logged
       // (time-travel by name). "main" = the plain current read.
-      ref: Option[String] = None): DataFrame = {
+      ref: Option[String] = None,
+      // an already-loaded metadata to plan against instead of re-parsing
+      // it — the per-step cache the IVM refresh steps thread through
+      // every read they issue, so one step costs ONE metadata load per
+      // table however many keyed reads it plans. The caller vouches the
+      // meta IS tablePath's (same trust shape as a pinned snapshotId).
+      preloaded: Option[IcebergMeta.TableMeta] = None): DataFrame = {
     require(Seq(snapshotId, asOfTimestampMs, ref).count(_.isDefined) <= 1,
       "Specify at most one of snapshotId / asOfTimestampMs / ref")
     if (runtimeAvailable) {
@@ -66,9 +72,9 @@ object IcebergSource {
       asOfTimestampMs.foreach(ts => r.option("as-of-timestamp", ts))
       ref.foreach(b => r.option("branch", b))
       r.load(tablePath)
-    } else if (IcebergMeta.hasMetadata(tablePath)) {
+    } else if (preloaded.isDefined || IcebergMeta.hasMetadata(tablePath)) {
       readViaMetadata(spark, tablePath, snapshotId, asOfTimestampMs, prune,
-        fileFilter, ref)
+        fileFilter, ref, preloaded)
     } else {
       require(snapshotId.isEmpty && asOfTimestampMs.isEmpty && prune.isEmpty &&
         ref.isEmpty,
@@ -88,8 +94,9 @@ object IcebergSource {
       asOfTimestampMs: Option[Long],
       prune: Option[IcebergMeta.PartitionPredicate],
       fileFilter: Seq[IcebergMeta.ColumnBound] = Nil,
-      ref: Option[String] = None): DataFrame = {
-    val meta = IcebergMeta.load(tablePath)
+      ref: Option[String] = None,
+      preloaded: Option[IcebergMeta.TableMeta] = None): DataFrame = {
+    val meta = preloaded.getOrElse(IcebergMeta.load(tablePath))
     // tag reads are time-travel (pinned snapshot, ITS schema); branch
     // reads are live (head snapshot, CURRENT schema)
     val timeTravel = snapshotId.isDefined || asOfTimestampMs.isDefined ||
@@ -357,11 +364,13 @@ object IcebergSource {
       spark: SparkSession,
       tablePath: String,
       fromSnapshotId: Long,
-      toSnapshotId: Option[Long] = None): DataFrame = {
+      toSnapshotId: Option[Long] = None,
+      // same per-step metadata-cache contract as [[read]]'s `preloaded`
+      preloaded: Option[IcebergMeta.TableMeta] = None): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
-    require(IcebergMeta.hasMetadata(tablePath),
+    require(preloaded.isDefined || IcebergMeta.hasMetadata(tablePath),
       s"Changelog reads require table metadata; $tablePath has none")
-    val meta = IcebergMeta.load(tablePath)
+    val meta = preloaded.getOrElse(IcebergMeta.load(tablePath))
     val to = toSnapshotId.map(meta.snapshotById).orElse(meta.currentSnapshot)
       .getOrElse(throw new IllegalStateException(s"$tablePath has no snapshots"))
     // resolve the window by ancestry (same discipline as planAppends:
@@ -487,8 +496,39 @@ object IcebergSource {
         s"equality delete without equality_ids: ${group.head.path}")
       val names = ids.map(id => meta.fieldById(id).name)
       val seq = group.map(_.sequenceNumber).max
+      // DELETE-KEY RANGE PRUNING: without it, materializing an equality
+      // delete's removed rows reads EVERY strictly-older file — an
+      // O(table) term inside an otherwise O(churn) changelog window (the
+      // objectstore probe measured it dominating the IVM step's round
+      // trips). A single-column integral delete key gives a cheap, safe
+      // filter: only files whose recorded min/max overlaps the deleted
+      // keys' [min, max] can lose rows; the semi-join below stays the
+      // filter of record. Range-LOCAL churn (CDC corrections within a
+      // recent ingest) prunes to a handful of files; scattered deletes
+      // degrade gracefully to the unpruned read.
+      val keyBounds: Seq[IcebergMeta.ColumnBound] =
+        if (ids.length != 1 ||
+          !Set("int", "long")(meta.fieldById(ids.head).typeName)) Nil
+        else {
+          import org.apache.spark.sql.functions.{
+            count => fcount, max => fmax, min => fmin, when => fwhen}
+          val n = names.head
+          // min/max ignore nulls, but the read side applies equality
+          // deletes null-SAFELY: a NULL delete key removes null-keyed
+          // rows, which can live in files OUTSIDE the value bounds — a
+          // delete file carrying any null key disables pruning entirely
+          val r = spark.read.parquet(group.map(_.path): _*)
+            .agg(fmin(col(n)), fmax(col(n)),
+              fcount(fwhen(col(n).isNull, lit(1)))).head()
+          if (r.isNullAt(0) || r.getLong(2) > 0L) Nil
+          else Seq(IcebergMeta.ColumnBound(n, "gteq", r.get(0)),
+            IcebergMeta.ColumnBound(n, "lteq", r.get(1)))
+        }
+      val prunedFiles =
+        if (keyBounds.isEmpty) parentPlan.files
+        else IcebergMeta.planScan(meta, parent, None, keyBounds).files
       // strict scoping: equality deletes reach only strictly-older files
-      val targets = parentPlan.files.filter(_.sequenceNumber < seq)
+      val targets = prunedFiles.filter(_.sequenceNumber < seq)
       if (targets.nonEmpty) {
         val live = applyMergeOnRead(spark, tablePath, schema, targets,
           parentPlan.deletes, meta.fields, stamped, keepLineage = true)
@@ -563,7 +603,9 @@ object IcebergSource {
       keyExpr: org.apache.spark.sql.Column,
       keys: DataFrame,
       keyColName: String,
-      cap: Int = 100000)
+      cap: Int = 100000,
+      // same per-step metadata-cache contract as [[read]]'s `preloaded`
+      preloaded: Option[IcebergMeta.TableMeta] = None)
       : (Option[IcebergMeta.PartitionPredicate], Seq[IcebergMeta.ColumnBound]) = {
     import org.apache.spark.sql.functions.{col, max, min}
     val none =
@@ -572,8 +614,8 @@ object IcebergSource {
     val colName = org.apache.spark.sql.classic.GraftSqlInternals
       .simpleColumnName(keyExpr)
       .getOrElse(return none) // an arbitrary expression has no scan column
-    if (!IcebergMeta.hasMetadata(tablePath)) return none
-    val meta = IcebergMeta.load(tablePath)
+    if (preloaded.isEmpty && !IcebergMeta.hasMetadata(tablePath)) return none
+    val meta = preloaded.getOrElse(IcebergMeta.load(tablePath))
     val field = meta.fields.find(_.name == colName).getOrElse(return none)
     // range endpoints are picked DRIVER-side and must order exactly as
     // the planner's stored-bound comparison does — integral types only

@@ -76,6 +76,18 @@ object MaterializedAgg {
   /** Reserved key of the watermark row; user keys must not use it. */
   val WatermarkKey: Long = Long.MinValue
 
+  /** Pin a step's OUTPUT frame around its commit: the upsert path writes
+    * it twice (the equality-delete key file, then the data files), and
+    * without the pin each write re-runs the whole refresh plan — one
+    * more full scheduling round on the step's fixed floor.
+    */
+  private def withPinnedOut[A](df: DataFrame)(f: DataFrame => A): A = {
+    val pinned =
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try f(pinned)
+    finally pinned.unpersist(blocking = false): Unit
+  }
+
   /** The shared frame of one refresh step: source head, view head, the
     * stored view, and the applied watermark (read from column `wmCol` of
     * the view's reserved row). `stored` is the raw view INCLUDING the
@@ -86,7 +98,14 @@ object MaterializedAgg {
       exists: Boolean,
       viewHead: Option[Long],
       stored: DataFrame,
-      watermark: Long)
+      watermark: Long,
+      // the source metadata THIS STEP plans against, loaded exactly once
+      // and threaded into every read the step issues (changelog window,
+      // keyed rescans) — the per-step metadata cache that keeps the
+      // step's fixed floor at one load per table, and incidentally makes
+      // the one-consistent-state property self-evident: there is no
+      // second load to disagree with the first
+      sourceMeta: IcebergMeta.TableMeta)
 
   /** Load the step context, or None when the view is already current
     * (the replay path). Refuses a watermark that is not a source
@@ -97,21 +116,27 @@ object MaterializedAgg {
       viewPath: String,
       sourcePath: String,
       emptyView: => DataFrame,
-      wmCol: String): Option[StepCtx] = {
+      wmCol: String,
+      preloadedSource: Option[IcebergMeta.TableMeta] = None): Option[StepCtx] = {
     import spark.implicits._
-    val sourceMeta = IcebergMeta.load(sourcePath)
+    val sourceMeta = preloadedSource.getOrElse(IcebergMeta.load(sourcePath))
     val current = sourceMeta.currentSnapshot
       .getOrElse(throw new IllegalStateException(
         s"source $sourcePath has no snapshots"))
       .id
     val exists = IcebergMeta.hasMetadata(viewPath)
     // the view head the deltas are computed against — the merge refuses
-    // to land if the view moved after this read (concurrent refresher)
+    // to land if the view moved after this read (concurrent refresher).
+    // Loaded once and handed to the stored read below (one view load).
+    val viewMeta: Option[IcebergMeta.TableMeta] =
+      if (exists) Some(IcebergMeta.load(viewPath)) else None
     val viewHead: Option[Long] =
-      if (exists) IcebergMeta.load(viewPath).currentSnapshot.map(_.id)
-      else None
+      viewMeta.flatMap(_.currentSnapshot.map(_.id))
     val stored: DataFrame =
-      if (exists) IcebergSource.read(spark, viewPath) else emptyView
+      if (exists)
+        IcebergSource.read(spark, viewPath, snapshotId = None,
+          asOfTimestampMs = None, prune = None, preloaded = viewMeta)
+      else emptyView
     val watermark: Long =
       if (exists) {
         val wm = stored.filter($"k" === WatermarkKey).select(col(wmCol))
@@ -124,7 +149,7 @@ object MaterializedAgg {
     require(!exists || sourceMeta.snapshots.exists(_.id == watermark),
       s"view watermark $watermark is not a snapshot of $sourcePath — " +
         "the source history was rewritten under the view; rebuild it")
-    Some(StepCtx(current, exists, viewHead, stored, watermark))
+    Some(StepCtx(current, exists, viewHead, stored, watermark, sourceMeta))
   }
 
   /** The changelog window (watermark, current], keyed and pinned.
@@ -151,23 +176,30 @@ object MaterializedAgg {
       sourcePath: String,
       watermark: Long,
       current: Long,
+      meta: IcebergMeta.TableMeta,
       key: org.apache.spark.sql.Column,
       measure: org.apache.spark.sql.Column): DataFrame = {
     import spark.implicits._
     val changes = IcebergSource
       .readChangelog(spark, sourcePath, fromSnapshotId = watermark,
-        toSnapshotId = Some(current))
+        toSnapshotId = Some(current), preloaded = Some(meta))
       .select(
         key.cast("bigint").as("k"),
         measure.cast("bigint").as("m"),
         col("_change_type"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    changes.count(): Unit
+    // ONE job materializes the pin AND validates both key refusals (a
+    // separate count + two isEmpty probes would cost three scheduling
+    // rounds — the floor the stepfloor probe meters)
     try {
-      require(changes.filter($"k".isNull).isEmpty,
+      val audit = changes.agg(
+        sum(when($"k".isNull, lit(1L)).otherwise(lit(0L))).as("nulls"),
+        sum(when($"k" === WatermarkKey, lit(1L)).otherwise(lit(0L)))
+          .as("sentinels")).head()
+      require(audit.isNullAt(0) || audit.getLong(0) == 0L,
         s"refreshStep: the key expression produced null keys — MERGE " +
           "cannot maintain a null group; coalesce the key to a sentinel")
-      require(changes.filter($"k" === WatermarkKey).isEmpty,
+      require(audit.isNullAt(1) || audit.getLong(1) == 0L,
         s"refreshStep: key expression produced the reserved watermark " +
           s"sentinel $WatermarkKey (Long.MinValue) — remap that key value")
     } catch {
@@ -196,29 +228,122 @@ object MaterializedAgg {
     val ctx = stepCtx(spark, viewPath, sourcePath,
       Seq.empty[(Long, Long, Long)].toDF("k", "s", "c"), wmCol = "s")
       .getOrElse(return None)
-    val changes = pinnedWindow(spark, sourcePath, ctx.watermark, ctx.current, key, measure)
+    val changes = pinnedWindow(spark, sourcePath, ctx.watermark, ctx.current,
+      ctx.sourceMeta, key, measure)
     try {
-      val refreshed = IncrementalOps.refreshSumCount(
-        // null-SAFE watermark exclusion: =!= on a null key is null and
-        // would silently drop a stored null-key group from the MV side
-        ctx.stored.filter(!($"k" <=> WatermarkKey)),
-        changes, "k", col("m"), "s", "c",
-        dropEmptyGroups = false)
-      // only groups the window touched are written; everything else is
-      // already correct on disk. Null-safe semi join: a null-key group's
-      // update must not be silently dropped.
-      val touchedKeys = changes.select($"k".as("tk")).distinct()
-      val touched = refreshed
-        .join(touchedKeys, $"k" <=> $"tk", "left_semi")
-      val wmRow = Seq((WatermarkKey, ctx.current, -1L)).toDF("k", "s", "c")
-      if (!ctx.exists)
-        IcebergWriter.append(spark, viewPath, touched.unionByName(wmRow),
-          None, timestampMs, formatVersion = 2)
-      else
-        IcebergWriter.upsertRows(spark, viewPath, touched.unionByName(wmRow),
-          "k", timestampMs, requireSnapshot = ctx.viewHead): Unit
+      applySumCount(spark, viewPath, ctx, changes, timestampMs)
       Some(ctx.current)
     } finally changes.unpersist(blocking = false): Unit
+  }
+
+  /** The sum/count delta-fold + one-commit write, shared by
+    * [[refreshStep]] and [[refreshStepMany]]. `changes` is the keyed
+    * (k, m, _change_type) window — pinned by the caller, or a projection
+    * of a pinned raw window.
+    */
+  private def applySumCount(
+      spark: SparkSession,
+      viewPath: String,
+      ctx: StepCtx,
+      changes: DataFrame,
+      timestampMs: Long): Unit = {
+    import spark.implicits._
+    val refreshed = IncrementalOps.refreshSumCount(
+      // null-SAFE watermark exclusion: =!= on a null key is null and
+      // would silently drop a stored null-key group from the MV side
+      ctx.stored.filter(!($"k" <=> WatermarkKey)),
+      changes, "k", col("m"), "s", "c",
+      dropEmptyGroups = false)
+    // only groups the window touched are written; everything else is
+    // already correct on disk. Null-safe semi join: a null-key group's
+    // update must not be silently dropped.
+    val touchedKeys = changes.select($"k".as("tk")).distinct()
+    val touched = refreshed
+      .join(touchedKeys, $"k" <=> $"tk", "left_semi")
+    val wmRow = Seq((WatermarkKey, ctx.current, -1L)).toDF("k", "s", "c")
+    withPinnedOut(touched.unionByName(wmRow)) { out =>
+      if (!ctx.exists)
+        IcebergWriter.append(spark, viewPath, out,
+          None, timestampMs, formatVersion = 2)
+      else
+        IcebergWriter.upsertRows(spark, viewPath, out,
+          "k", timestampMs, requireSnapshot = ctx.viewHead): Unit
+    }
+  }
+
+  /** One sum/count view to maintain in a [[refreshStepMany]] batch. */
+  final case class ViewSpec(
+      viewPath: String,
+      key: org.apache.spark.sql.Column,
+      measure: org.apache.spark.sql.Column)
+
+  /** Refresh N sum/count views of ONE source as a batch — the
+    * ingest-pipeline shape where a source commit lands and every rollup
+    * of it refreshes together. The batching is pure floor-cutting, not a
+    * new delivery mechanism: the source metadata loads ONCE for the
+    * whole batch, and all views standing at the same watermark share ONE
+    * raw changelog read (pinned; each view projects its own key/measure
+    * off it), so N views cost one source read instead of N. Commits stay
+    * PER VIEW — each view still lands its touched groups + watermark row
+    * in its own atomic upsert, so the exactly-once contract of
+    * [[refreshStep]] is unchanged: a crash mid-batch leaves a prefix of
+    * views refreshed and the rest replay to no-ops or apply cleanly next
+    * call. Returns the applied snapshot per view, aligned with `views`
+    * (None = that view was already current).
+    */
+  def refreshStepMany(
+      spark: SparkSession,
+      sourcePath: String,
+      views: Seq[ViewSpec],
+      timestampMs: Long): Seq[Option[Long]] = {
+    import spark.implicits._
+    if (views.isEmpty) return Nil
+    val sourceMeta = IcebergMeta.load(sourcePath)
+    val ctxs: Seq[Option[StepCtx]] = views.map(v =>
+      stepCtx(spark, v.viewPath, sourcePath,
+        Seq.empty[(Long, Long, Long)].toDF("k", "s", "c"), wmCol = "s",
+        preloadedSource = Some(sourceMeta)))
+    val results = Array.fill[Option[Long]](views.length)(None)
+    // group live work by watermark: views maintained together sit at the
+    // same cursor and share one window read; a straggler (registered
+    // later, or skipped by a crash) gets its own window
+    val byWm = ctxs.zipWithIndex
+      .collect { case (Some(c), i) => (c.watermark, i) }
+      .groupBy(_._1)
+    for ((wm, group) <- byWm.toSeq.sortBy(_._1)) {
+      val idxs = group.map(_._2)
+      val cur = ctxs(idxs.head).get.current
+      val raw = IcebergSource.readChangelog(spark, sourcePath,
+          fromSnapshotId = wm, toSnapshotId = Some(cur),
+          preloaded = Some(sourceMeta))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      raw.count(): Unit
+      try {
+        for (i <- idxs) {
+          val ctx = ctxs(i).get
+          val v = views(i)
+          val changes = raw.select(
+            v.key.cast("bigint").as("k"),
+            v.measure.cast("bigint").as("m"),
+            col("_change_type"))
+          // same refusals as pinnedWindow, per view (each has its own
+          // key expression), folded into ONE job over the cached window
+          val audit = changes.agg(
+            sum(when($"k".isNull, lit(1L)).otherwise(lit(0L))).as("nulls"),
+            sum(when($"k" === WatermarkKey, lit(1L)).otherwise(lit(0L)))
+              .as("sentinels")).head()
+          require(audit.isNullAt(0) || audit.getLong(0) == 0L,
+            s"refreshStepMany(${v.viewPath}): the key expression " +
+              "produced null keys — MERGE cannot maintain a null group")
+          require(audit.isNullAt(1) || audit.getLong(1) == 0L,
+            s"refreshStepMany(${v.viewPath}): key expression produced " +
+              s"the reserved watermark sentinel $WatermarkKey")
+          applySumCount(spark, v.viewPath, ctx, changes, timestampMs)
+          results(i) = Some(ctx.current)
+        }
+      } finally raw.unpersist(blocking = false): Unit
+    }
+    results.toSeq
   }
 
   /** The streaming MIN/MAX view — [[refreshStep]]'s one-commit watermark
@@ -253,7 +378,8 @@ object MaterializedAgg {
       Seq.empty[(Long, Long, Long, Long)].toDF("k", "mn", "mx", "c"),
       wmCol = "mn")
       .getOrElse(return None)
-    val changes = pinnedWindow(spark, sourcePath, ctx.watermark, ctx.current, key, measure)
+    val changes = pinnedWindow(spark, sourcePath, ctx.watermark, ctx.current,
+      ctx.sourceMeta, key, measure)
     val rescanPins = scala.collection.mutable.Buffer.empty[DataFrame]
     try {
       // tombstones and the watermark are NOT live groups: a tombstoned
@@ -273,10 +399,12 @@ object MaterializedAgg {
           // extremum rescans are typically FEW keys — exactly where a
           // bucketed/clustered source layout prunes the keyed read
           val (prune, bounds) =
-            IcebergSource.keyedFilters(sourcePath, key, pinned, "k")
+            IcebergSource.keyedFilters(sourcePath, key, pinned, "k",
+              preloaded = Some(ctx.sourceMeta))
           IcebergSource
             .read(spark, sourcePath, snapshotId = Some(ctx.current),
-              asOfTimestampMs = None, prune = prune, fileFilter = bounds)
+              asOfTimestampMs = None, prune = prune, fileFilter = bounds,
+              preloaded = Some(ctx.sourceMeta))
             .select(key.cast("bigint").as("k"), measure.cast("bigint").as("m"))
             .join(pinned, Seq("k"), "left_semi")
         })
@@ -291,13 +419,15 @@ object MaterializedAgg {
           lit(0L).as("c"))
       val wmRow = Seq((WatermarkKey, ctx.current, -1L, -1L))
         .toDF("k", "mn", "mx", "c")
-      val out = touched.unionByName(tombstones).unionByName(wmRow)
-      if (!ctx.exists)
-        IcebergWriter.append(spark, viewPath, out, None, timestampMs,
-          formatVersion = 2)
-      else
-        IcebergWriter.upsertRows(spark, viewPath, out, "k", timestampMs,
-          requireSnapshot = ctx.viewHead): Unit
+      withPinnedOut(touched.unionByName(tombstones).unionByName(wmRow)) {
+        out =>
+          if (!ctx.exists)
+            IcebergWriter.append(spark, viewPath, out, None, timestampMs,
+              formatVersion = 2)
+          else
+            IcebergWriter.upsertRows(spark, viewPath, out, "k", timestampMs,
+              requireSnapshot = ctx.viewHead): Unit
+      }
       Some(ctx.current)
     } finally {
       changes.unpersist(blocking = false): Unit
@@ -347,7 +477,8 @@ object MaterializedAgg {
       Seq.empty[(String, Long, Option[Long], Long)].toDF("kk", "k", "v", "ref"),
       wmCol = "v")
       .getOrElse(return None)
-    val changes = pinnedWindow(spark, sourcePath, ctx.watermark, ctx.current, key, value)
+    val changes = pinnedWindow(spark, sourcePath, ctx.watermark, ctx.current,
+      ctx.sourceMeta, key, value)
     try {
       val live = ctx.stored
         .filter(!($"k" <=> WatermarkKey) && $"ref" > 0)
@@ -375,13 +506,15 @@ object MaterializedAgg {
           lit(0L).as("ref"))
       val wmRow = Seq(("wm", WatermarkKey, ctx.current, -1L))
         .toDF("kk", "k", "v", "ref")
-      val out = touched.unionByName(tombstones).unionByName(wmRow)
-      if (!ctx.exists)
-        IcebergWriter.append(spark, viewPath, out, None, timestampMs,
-          formatVersion = 2)
-      else
-        IcebergWriter.upsertRows(spark, viewPath, out, "kk", timestampMs,
-          requireSnapshot = ctx.viewHead): Unit
+      withPinnedOut(touched.unionByName(tombstones).unionByName(wmRow)) {
+        out =>
+          if (!ctx.exists)
+            IcebergWriter.append(spark, viewPath, out, None, timestampMs,
+              formatVersion = 2)
+          else
+            IcebergWriter.upsertRows(spark, viewPath, out, "kk", timestampMs,
+              requireSnapshot = ctx.viewHead): Unit
+      }
       Some(ctx.current)
     } finally changes.unpersist(blocking = false): Unit
   }
@@ -439,7 +572,8 @@ object MaterializedAgg {
       Seq.empty[(Long, Array[Byte], Long, Long)].toDF("k", "sk", "nd", "c"),
       wmCol = "nd")
       .getOrElse(return None)
-    val changes = pinnedWindow(spark, sourcePath, ctx.watermark, ctx.current, key, value)
+    val changes = pinnedWindow(spark, sourcePath, ctx.watermark, ctx.current,
+      ctx.sourceMeta, key, value)
     val stepPins = scala.collection.mutable.Buffer.empty[DataFrame]
     try {
       val live = ctx.stored
@@ -454,10 +588,12 @@ object MaterializedAgg {
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           stepPins += pinnedKeys
           val (prune, bounds) =
-            IcebergSource.keyedFilters(sourcePath, key, pinnedKeys, "k")
+            IcebergSource.keyedFilters(sourcePath, key, pinnedKeys, "k",
+              preloaded = Some(ctx.sourceMeta))
           val read = IcebergSource
             .read(spark, sourcePath, snapshotId = Some(ctx.current),
-              asOfTimestampMs = None, prune = prune, fileFilter = bounds)
+              asOfTimestampMs = None, prune = prune, fileFilter = bounds,
+              preloaded = Some(ctx.sourceMeta))
             .select(key.cast("bigint").as("k"), value.cast("bigint").as("v"))
             .join(pinnedKeys, Seq("k"), "left_semi")
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -499,13 +635,15 @@ object MaterializedAgg {
         lit(null).cast("binary").as("sk"),
         lit(ctx.current).as("nd"),
         lit(-1L).as("c"))
-      val out = touched.unionByName(tombstones).unionByName(wmRow)
-      if (!ctx.exists)
-        IcebergWriter.append(spark, viewPath, out, None, timestampMs,
-          formatVersion = 2)
-      else
-        IcebergWriter.upsertRows(spark, viewPath, out, "k", timestampMs,
-          requireSnapshot = ctx.viewHead): Unit
+      withPinnedOut(touched.unionByName(tombstones).unionByName(wmRow)) {
+        o =>
+          if (!ctx.exists)
+            IcebergWriter.append(spark, viewPath, o, None, timestampMs,
+              formatVersion = 2)
+          else
+            IcebergWriter.upsertRows(spark, viewPath, o, "k", timestampMs,
+              requireSnapshot = ctx.viewHead): Unit
+      }
       Some(ctx.current)
     } finally {
       changes.unpersist(blocking = false): Unit
@@ -563,16 +701,24 @@ object MaterializedAgg {
       dimVal: org.apache.spark.sql.Column,
       timestampMs: Long): Option[(Long, Long)] = {
     import spark.implicits._
-    def headOf(path: String): Long = IcebergMeta.load(path).currentSnapshot
-      .getOrElse(throw new IllegalStateException(s"$path has no snapshots")).id
-    val factCur = headOf(factPath)
-    val dimCur = headOf(dimPath)
+    // ONE metadata load per table for the whole step (changelog windows,
+    // keyed reads and filter derivations all plan against these) — the
+    // fixed-floor discipline the stepfloor probe measures
+    val factMeta = IcebergMeta.load(factPath)
+    val dimMeta = IcebergMeta.load(dimPath)
+    def headOf(path: String, meta: IcebergMeta.TableMeta): Long =
+      meta.currentSnapshot.getOrElse(throw new IllegalStateException(
+        s"$path has no snapshots")).id
+    val factCur = headOf(factPath, factMeta)
+    val dimCur = headOf(dimPath, dimMeta)
     val exists = IcebergMeta.hasMetadata(viewPath)
+    val viewMeta: Option[IcebergMeta.TableMeta] =
+      if (exists) Some(IcebergMeta.load(viewPath)) else None
     val viewHead: Option[Long] =
-      if (exists) IcebergMeta.load(viewPath).currentSnapshot.map(_.id)
-      else None
+      viewMeta.flatMap(_.currentSnapshot.map(_.id))
     val stored: DataFrame =
-      if (exists) IcebergSource.read(spark, viewPath)
+      if (exists) IcebergSource.read(spark, viewPath, snapshotId = None,
+        asOfTimestampMs = None, prune = None, preloaded = viewMeta)
       else Seq.empty[(Long, Long, Long, Long, Long)]
         .toDF("k", "jk", "fv", "dv", "c")
     val (factWm, dimWm): (Long, Long) =
@@ -584,12 +730,13 @@ object MaterializedAgg {
         (wm.head.getLong(0), wm.head.getLong(1))
       } else (0L, 0L)
     if (exists && factWm == factCur && dimWm == dimCur) return None
-    def checkHistory(path: String, wm: Long): Unit =
-      require(!exists || IcebergMeta.load(path).snapshots.exists(_.id == wm),
+    def checkHistory(
+        path: String, meta: IcebergMeta.TableMeta, wm: Long): Unit =
+      require(!exists || meta.snapshots.exists(_.id == wm),
         s"view watermark $wm is not a snapshot of $path — the source " +
           "history was rewritten under the view; rebuild it")
-    checkHistory(factPath, factWm)
-    checkHistory(dimPath, dimWm)
+    checkHistory(factPath, factMeta, factWm)
+    checkHistory(dimPath, dimMeta, dimWm)
 
     // churned key sets, one per side — change types are irrelevant (the
     // region re-derives from current state), but the fact pks must obey
@@ -597,16 +744,16 @@ object MaterializedAgg {
     // dimCur) head captured above: resolving at the live head would let
     // a racing commit into this step's churn set while the watermark
     // records the earlier cursor pair, double-applying next step.
-    def window(path: String, from: Long, cur: Long,
-        keyCol: org.apache.spark.sql.Column): DataFrame =
+    def window(path: String, meta: IcebergMeta.TableMeta, from: Long,
+        cur: Long, keyCol: org.apache.spark.sql.Column): DataFrame =
       if (from == cur) Seq.empty[Long].toDF("k")
       else IcebergSource.readChangelog(spark, path, fromSnapshotId = from,
-        toSnapshotId = Some(cur))
+        toSnapshotId = Some(cur), preloaded = Some(meta))
         .select(keyCol.cast("bigint").as("k"))
         .distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val churnedPks = window(factPath, factWm, factCur, factKey)
-    val churnedDims = window(dimPath, dimWm, dimCur, dimJoinKey)
+    val churnedPks = window(factPath, factMeta, factWm, factCur, factKey)
+    val churnedDims = window(dimPath, dimMeta, dimWm, dimCur, dimJoinKey)
     val stepPins = scala.collection.mutable.Buffer.empty[DataFrame]
     try {
       require(churnedPks.filter($"k".isNull).isEmpty,
@@ -619,7 +766,8 @@ object MaterializedAgg {
           prune: Option[IcebergMeta.PartitionPredicate],
           bounds: Seq[IcebergMeta.ColumnBound]) = IcebergSource
         .read(spark, factPath, snapshotId = Some(factCur),
-          asOfTimestampMs = None, prune = prune, fileFilter = bounds)
+          asOfTimestampMs = None, prune = prune, fileFilter = bounds,
+          preloaded = Some(factMeta))
         .select(factKey.cast("bigint").as("k"),
           factJoinKey.cast("bigint").as("jk"),
           factVal.cast("bigint").as("fv"))
@@ -627,14 +775,16 @@ object MaterializedAgg {
       // (the semi-join stays the filter of record; the derived filters
       // only shrink what the scan lists and reads)
       val (pkPrune, pkBounds) =
-        IcebergSource.keyedFilters(factPath, factKey, churnedPks, "k")
+        IcebergSource.keyedFilters(factPath, factKey, churnedPks, "k",
+          preloaded = Some(factMeta))
       val factsByPk = factNow(pkPrune, pkBounds)
         .join(churnedPks, Seq("k"), "left_semi")
       // null churned dim keys can never inner-join a fact row — dropping
       // them is semantics-free and keeps the filter derivation live
       val dimKeys = churnedDims.filter($"k".isNotNull).select($"k".as("jk"))
       val (jkPrune, jkBounds) =
-        IcebergSource.keyedFilters(factPath, factJoinKey, dimKeys, "jk")
+        IcebergSource.keyedFilters(factPath, factJoinKey, dimKeys, "jk",
+          preloaded = Some(factMeta))
       val factsByDim = factNow(jkPrune, jkBounds)
         .join(dimKeys, Seq("jk"), "left_semi")
       // the affected facts feed three consumers (needed dims, region
@@ -650,10 +800,12 @@ object MaterializedAgg {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       stepPins += neededDims
       val (dimPrune, dimBounds) =
-        IcebergSource.keyedFilters(dimPath, dimJoinKey, neededDims, "jk")
+        IcebergSource.keyedFilters(dimPath, dimJoinKey, neededDims, "jk",
+          preloaded = Some(dimMeta))
       val dims = IcebergSource
         .read(spark, dimPath, snapshotId = Some(dimCur),
-          asOfTimestampMs = None, prune = dimPrune, fileFilter = dimBounds)
+          asOfTimestampMs = None, prune = dimPrune, fileFilter = dimBounds,
+          preloaded = Some(dimMeta))
         .select(dimJoinKey.cast("bigint").as("jk"),
           dimVal.cast("bigint").as("dv"))
         .join(neededDims, Seq("jk"), "left_semi")
@@ -675,13 +827,15 @@ object MaterializedAgg {
           lit(0L).as("c"))
       val wmRow = Seq((WatermarkKey, factCur, dimCur, -1L, -1L))
         .toDF("k", "jk", "fv", "dv", "c")
-      val out = touched.unionByName(tombstones).unionByName(wmRow)
-      if (!exists)
-        IcebergWriter.append(spark, viewPath, out, None, timestampMs,
-          formatVersion = 2)
-      else
-        IcebergWriter.upsertRows(spark, viewPath, out, "k", timestampMs,
-          requireSnapshot = viewHead): Unit
+      withPinnedOut(touched.unionByName(tombstones).unionByName(wmRow)) {
+        out =>
+          if (!exists)
+            IcebergWriter.append(spark, viewPath, out, None, timestampMs,
+              formatVersion = 2)
+          else
+            IcebergWriter.upsertRows(spark, viewPath, out, "k", timestampMs,
+              requireSnapshot = viewHead): Unit
+      }
       Some((factCur, dimCur))
     } finally {
       churnedPks.unpersist(blocking = false): Unit

@@ -874,6 +874,73 @@ class StreamingSpec extends SparkTestBase {
     assert(nullKey.getMessage.contains("null keys"), nullKey.getMessage)
   }
 
+  test("refreshStepMany: N views of one source batch onto one window read, commits stay per-view, stragglers catch up") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, count, lit, pmod, sum}
+    import graft.sources.{IcebergMeta, IcebergSource, IcebergWriter}
+    import graft.streaming.MaterializedAgg
+    val src = tempDir("graft-mvmany-src") + "/table"
+    val dir = tempDir("graft-mvmany-views")
+    val specs = (0 until 3).map(i => MaterializedAgg.ViewSpec(
+      s"$dir/view_$i", pmod(col("id"), lit(3L + i)), col("id")))
+    def expected(m: Long) = IcebergSource.read(spark, src)
+      .groupBy(pmod(col("id"), lit(m)).as("k"))
+      .agg(sum(col("id")).as("s"), count(lit(1)).as("c"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    def actual(v: String) = MaterializedAgg.readView(spark, v)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    IcebergWriter.append(spark, src,
+      (0L until 24L).map(i => (i, s"v$i")).toDF("id", "v"),
+      None, 1000L, formatVersion = 2)
+    // batch creation: every view built from one window read
+    val created = MaterializedAgg.refreshStepMany(spark, src, specs, 2000L)
+    assert(created.forall(_.isDefined), created)
+    specs.zipWithIndex.foreach { case (v, i) =>
+      assert(actual(v.viewPath) === expected(3L + i), s"view $i diverged") }
+    // churn, then batch refresh: all three track the source; per-view
+    // commits mean each view gains exactly one snapshot
+    val snapsBefore = specs.map(v => IcebergMeta.load(v.viewPath).snapshots.length)
+    IcebergWriter.upsertRows(spark, src,
+      Seq((0L, "v0b"), (100L, "v100")).toDF("id", "v"), "id", 3000L)
+    IcebergWriter.deleteEquality(spark, src, Seq(5L, 17L).toDF("id"), 4000L)
+    val applied = MaterializedAgg.refreshStepMany(spark, src, specs, 5000L)
+    assert(applied.forall(_ ===
+      Some(IcebergMeta.load(src).currentSnapshot.get.id)), applied)
+    specs.zipWithIndex.foreach { case (v, i) =>
+      assert(actual(v.viewPath) === expected(3L + i), s"view $i diverged") }
+    specs.zip(snapsBefore).foreach { case (v, n) =>
+      assert(IcebergMeta.load(v.viewPath).snapshots.length === n + 1,
+        "one batched refresh = one commit per view") }
+    // replay: every view current -> all no-op
+    assert(MaterializedAgg.refreshStepMany(spark, src, specs, 6000L)
+      .forall(_.isEmpty))
+    // STRAGGLER: one view misses a window (refreshed alone), then the
+    // batch brings the others forward — two watermark groups, each view
+    // still lands on the head and converges
+    IcebergWriter.upsertRows(spark, src, Seq((7L, "v7b")).toDF("id", "v"),
+      "id", 7000L)
+    assert(MaterializedAgg.refreshStep(spark, specs.head.viewPath, src,
+      specs.head.key, specs.head.measure, 8000L).isDefined)
+    IcebergWriter.deleteEquality(spark, src, Seq(9L).toDF("id"), 9000L)
+    val mixed = MaterializedAgg.refreshStepMany(spark, src, specs, 10000L)
+    assert(mixed.forall(_ ===
+      Some(IcebergMeta.load(src).currentSnapshot.get.id)), mixed)
+    specs.zipWithIndex.foreach { case (v, i) =>
+      assert(actual(v.viewPath) === expected(3L + i),
+        s"straggler batch: view $i diverged") }
+    // per-view key refusal: a null-keyed view poisons ONLY its own step
+    IcebergWriter.upsertRows(spark, src, Seq((50L, "x")).toDF("id", "v"),
+      "id", 11000L)
+    val bad = specs.updated(1, MaterializedAgg.ViewSpec(
+      specs(1).viewPath,
+      org.apache.spark.sql.functions.when(col("id") < 1000, null)
+        .otherwise(col("id")), col("id")))
+    val err = intercept[IllegalArgumentException] {
+      MaterializedAgg.refreshStepMany(spark, src, bad, 12000L)
+    }
+    assert(err.getMessage.contains("null keys"), err.getMessage)
+  }
+
   test("exactly-once streaming min/max MV: folds, forced rescan, tombstone + resurrection, replay no-op, one commit per refresh") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, pmod, min, max, count, lit}
