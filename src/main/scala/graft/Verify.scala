@@ -31,7 +31,11 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // class + top frames, not just the message — a NIO exception's
+        // message is often JUST a path, which diagnoses nothing
+        System.err.println(s"[verify] $name failed: $e")
+        e.getStackTrace.take(6).foreach(f =>
+          System.err.println(s"[verify]   at $f"))
       }
       finally graft.engine.PersistScope.releaseAll()
     }

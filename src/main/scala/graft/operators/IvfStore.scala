@@ -403,7 +403,16 @@ object IvfStore {
     val labeled = graft.engine.PersistScope.pinEager(
       withLeaf(batch, base.embCol, "cell", base.model))
     try {
-      labeled.write.partitionBy("cell").parquet(segPath)
+      // cluster by cell BEFORE the partitioned write: without it every
+      // input task emits one file per cell it sees (up to tasks × cells
+      // small files per commit — the ~16 s ingest floor the r14 probe
+      // measured was mostly this spray's create calls), with it each
+      // cell's rows land in one task and the segment carries ONE file
+      // per non-empty cell. The shuffle is increment-sized — the cheap
+      // side of the trade at any scale, and the read path's directory
+      // pruning gets fewer, fuller files to open.
+      labeled.repartition(col("cell"))
+        .write.partitionBy("cell").parquet(segPath)
       val incCounts = labeled.filter(col("cell").isNotNull)
         .groupBy("cell").count()
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -509,7 +518,9 @@ object IvfStore {
       val segName = s"seg-${java.util.UUID.randomUUID().toString.take(12)}"
       val relabeled = withLeaf(
         readLive(spark, root, cur).drop("cell"), cur.embCol, "cell", cur.model)
-      relabeled.write.partitionBy("cell")
+      // same one-file-per-cell clustering as the ingest write (a compact
+      // is a full rewrite — exactly the moment to fix the layout)
+      relabeled.repartition(col("cell")).write.partitionBy("cell")
         .parquet(Paths.get(root, segName).toString)
       val counts = spark.read
         .parquet(Paths.get(root, segName).toString)

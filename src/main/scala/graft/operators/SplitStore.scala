@@ -1,0 +1,232 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Maintained LEAKAGE-SAFE train/val split — the `q_split_leakage_safe`
+  * assignment served as a STORED, INCREMENTALLY-MAINTAINED artifact, the
+  * way a training pipeline actually consumes it: build once from the
+  * initial corpus, then each ingest batch gets its sides assigned against
+  * the store WITHOUT re-clustering the corpus.
+  *
+  * Why a store at all: the batch split clusters near-duplicates
+  * (connected components over exact-Jaccard edges) and hashes each
+  * cluster REP to a side, so no near-dup pair straddles the train/val
+  * boundary. Re-running that on corpus+batch at every ingest is a corpus
+  * recompute — and worse, re-clustering can MERGE old clusters and flip
+  * the side of documents a model has already trained on. This store
+  * freezes every assignment at write time (a doc's side is immutable —
+  * exposure cannot be retracted) and assigns new docs by NEAR-DUP
+  * MATCHING against the stored corpus index:
+  *
+  *  - a batch component matching corpus docs of ONE side inherits it
+  *    (rep = the minimum matched rep — stable, since matched reps are
+  *    themselves frozen);
+  *  - a component matching CONFLICTING sides (or any quarantined doc) is
+  *    QUARANTINED — excluded from both sets. This is the only sound
+  *    answer: the new doc is near-dup-linked to both a train and a val
+  *    document, so either side would leak. The no-straddle invariant
+  *    holds inductively over ingest order: among docs sided train/val,
+  *    no DIRECT near-dup pair ever crosses the boundary (the spec pins
+  *    it by re-deriving pairs from scratch after ingests);
+  *  - an unmatched component is brand-new: rep = its minimum doc_id,
+  *    side = the same sha256(rep) mod 10 hash the batch split uses.
+  *
+  * Storage follows the [[MinHashIndex]] pattern it composes with:
+  * {{{
+  *   root/index/                  the MinHash/LSH corpus index (candidates
+  *                                for ingest matching; batches fold in)
+  *   root/segments/seg-<token>/   immutable assignment segments
+  *                                (doc_id, rep, side)
+  *   root/_commits/<token>        segment commit markers
+  * }}}
+  * An ingest writes its segment dir, CREATES its marker (the atomic
+  * commit), then folds the batch into the index keyed by the same token —
+  * so a replayed token is a structural no-op at every crash point
+  * (marker present → the segment is served; foldOnce already keys on the
+  * token). Readers union committed segments only. Single writer per
+  * store, same contract as the index it wraps.
+  *
+  * 100 TB shape: the build pays the corpus clustering once (swap the
+  * exact-Jaccard candidate generator for the banded-LSH one at scale —
+  * the assignment algebra is identical); every ingest costs the
+  * increment's signatures + one broadcast band join against the stored
+  * index + a batch-sized component fold. The corpus is never re-read.
+  */
+object SplitStore {
+
+  final case class Store(root: String)
+
+  private val SideHashMod = 10
+  private val TrainBuckets = 8 // sha(rep) mod 10 < 8 -> train (80/20)
+
+  /** The side a brand-new cluster rep hashes to — EXACTLY the batch
+    * split's formula, so a store built from a corpus equals
+    * `q_split_leakage_safe` on that corpus row-for-row.
+    */
+  private def hashedSide(rep: org.apache.spark.sql.Column) =
+    when(
+      conv(substring(sha2(rep.cast("string"), 256), 1, 4), 16, 10)
+        .cast("bigint") % SideHashMod < TrainBuckets,
+      "train").otherwise("val")
+
+  private def segmentsDir(root: String) = Paths.get(root, "segments")
+  private def commitsDir(root: String) = Paths.get(root, "_commits")
+  private def indexRoot(root: String) = Paths.get(root, "index").toString
+
+  private def committedTokens(root: String): Seq[String] = {
+    val d = commitsDir(root)
+    if (!Files.exists(d)) Seq.empty
+    else {
+      val s = Files.list(d)
+      try s.iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+        .asScala.map(_.getFileName.toString).toSeq.sorted
+      finally s.close()
+    }
+  }
+  private implicit class IterOps[A](it: java.util.Iterator[A]) {
+    def asScala: Iterator[A] = new Iterator[A] {
+      def hasNext: Boolean = it.hasNext
+      def next(): A = it.next()
+    }
+  }
+
+  /** Build the store from the initial corpus: cluster it exactly as the
+    * batch split does (exact-Jaccard edges at `minJ`, min-label
+    * components, sha-hashed sides), write the base segment, and
+    * materialize the corpus MinHash index future ingests match against.
+    */
+  def build(doc: DataFrame, root: String, minJ: Double = 0.5): Store = {
+    require(!Files.exists(commitsDir(root)),
+      s"split store already exists at $root — ingest into it instead")
+    val spark = doc.sparkSession
+    import spark.implicits._
+    val pairs = graft.engine.PersistScope.pinEager(
+      graft.queries.DedupQueries.jaccardPairs(doc, minJ)
+        .select($"doc_a", $"doc_b"))
+    val edges = pairs
+      .union(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
+      .toDF("src", "dst")
+    val labels = graft.engine.PersistScope
+      .track(graft.queries.DedupQueries.minLabelPropagation(edges))
+      .withColumnRenamed("node", "doc_id")
+    val assigned = doc.select($"doc_id")
+      .join(labels, Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"label", $"doc_id").as("rep"))
+      .select($"doc_id", $"rep", hashedSide($"rep").as("side"))
+    MinHashIndex.materialize(doc, indexRoot(root)): Unit
+    commitSegment(spark, root, assigned, token = "base")
+    Store(root)
+  }
+
+  /** Every committed assignment: (doc_id, rep, side) with
+    * side ∈ train | val | quarantine. Immutable rows — segments are
+    * append-only by construction.
+    */
+  def assignments(spark: SparkSession, store: Store): DataFrame = {
+    val segs = committedTokens(store.root)
+      .map(t => segmentsDir(store.root).resolve(s"seg-$t").toString)
+    require(segs.nonEmpty, s"split store at ${store.root} has no segments")
+    segs.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+  }
+
+  /** Assign sides to one ingest batch against the stored corpus and
+    * commit them as a new segment; the batch then folds into the corpus
+    * index so LATER ingests match against it. Returns the batch's
+    * assignments. Idempotent per `token` (replay returns the committed
+    * segment). Batch doc_ids must be NEW — re-assigning an existing doc
+    * would break the immutability the leakage contract rests on, so
+    * collisions fail loudly.
+    */
+  def ingest(
+      spark: SparkSession,
+      store: Store,
+      batch: DataFrame,
+      token: String,
+      minJ: Double = 0.5): DataFrame = {
+    import spark.implicits._
+    require(token.nonEmpty && token.matches("[A-Za-z0-9_-]+"),
+      s"ingest token '$token' must be a filename-safe identifier")
+    val segPath = segmentsDir(store.root).resolve(s"seg-$token").toString
+    if (Files.exists(commitsDir(store.root).resolve(token)))
+      return spark.read.parquet(segPath) // replay: already committed
+    val corpus = graft.engine.PersistScope.pinEager(
+      assignments(spark, store))
+    val batchIdsDf = batch.select($"doc_id")
+    require(
+      corpus.join(batchIdsDf, Seq("doc_id"), "left_semi").isEmpty,
+      "ingest batch re-uses already-assigned doc_ids — assignments are " +
+        "immutable (a doc's side cannot be retracted once exposed)")
+
+    // one candidate pass: banded-LSH against the stored index + exact
+    // verification — yields BOTH batch-batch and batch-corpus pairs
+    val pairs = graft.engine.PersistScope.pinEager(
+      graft.queries.DedupQueries.incrementalPairs(
+        spark, batch, MinHashIndex.StoredIndex(indexRoot(store.root)), minJ)
+        .select($"doc_a", $"doc_b"))
+    val batchIds = graft.engine.PersistScope.pinEager(
+      batchIdsDf.select($"doc_id".as("bid")))
+    // classify pair ends via broadcast joins on the batch-id frame
+    // (batch-sized — broadcasts; never a shuffle of the pairs)
+    val tagged = pairs
+      .join(broadcast(batchIds), $"doc_a" === $"bid", "left")
+      .withColumnRenamed("bid", "a_b")
+      .join(broadcast(batchIds.withColumnRenamed("bid", "bid2")),
+        $"doc_b" === $"bid2", "left")
+      .select($"doc_a", $"doc_b",
+        $"a_b".isNotNull.as("a_in"), $"bid2".isNotNull.as("b_in"))
+    val bb = tagged.filter($"a_in" && $"b_in").select($"doc_a", $"doc_b")
+    val edges = bb.union(bb.select($"doc_b", $"doc_a")).toDF("src", "dst")
+    val labels = graft.engine.PersistScope
+      .track(graft.queries.DedupQueries.minLabelPropagation(edges))
+      .withColumnRenamed("node", "doc_id")
+    val comps = graft.engine.PersistScope.pinEager(
+      batch.select($"doc_id")
+        .join(labels, Seq("doc_id"), "left")
+        .select($"doc_id", coalesce($"label", $"doc_id").as("comp")))
+    // batch-corpus matches, folded to the component grain
+    val cross = tagged.filter($"a_in" =!= $"b_in")
+      .select(
+        when($"a_in", $"doc_a").otherwise($"doc_b").as("doc_id"),
+        when($"a_in", $"doc_b").otherwise($"doc_a").as("corp_doc"))
+    val compMatches = comps
+      .join(cross, Seq("doc_id"))
+      .join(corpus.select($"doc_id".as("corp_doc"), $"rep".as("c_rep"),
+        $"side".as("c_side")), Seq("corp_doc"))
+      .groupBy($"comp")
+      .agg(
+        min($"c_rep").as("m_rep"),
+        countDistinct($"c_side").as("n_sides"),
+        min($"c_side").as("m_side"),
+        max(($"c_side" === "quarantine").cast("int")).as("m_quar"))
+    val compAssign = comps.select($"comp").distinct()
+      .join(compMatches, Seq("comp"), "left")
+      .select(
+        $"comp",
+        coalesce($"m_rep", $"comp").as("rep"),
+        when($"m_rep".isNull, hashedSide($"comp"))
+          .when($"n_sides" > 1 || $"m_quar" === 1, "quarantine")
+          .otherwise($"m_side").as("side"))
+    val assigned = comps.join(compAssign, Seq("comp"))
+      .select($"doc_id", $"rep", $"side")
+    commitSegment(spark, store.root, assigned, token)
+    // fold AFTER the commit: a crash between them replays into a
+    // marker-skip + an idempotent (token-keyed) fold
+    MinHashIndex.foldOnce(batch,
+      MinHashIndex.StoredIndex(indexRoot(store.root)), token): Unit
+    spark.read.parquet(segPath)
+  }
+
+  private def commitSegment(
+      spark: SparkSession, root: String, assigned: DataFrame,
+      token: String): Unit = {
+    val segPath = segmentsDir(root).resolve(s"seg-$token").toString
+    assigned.write.mode("overwrite").parquet(segPath)
+    Files.createDirectories(commitsDir(root))
+    Files.write(commitsDir(root).resolve(token),
+      "committed".getBytes(StandardCharsets.UTF_8)): Unit
+  }
+}

@@ -520,4 +520,106 @@ class DedupSpec extends SparkTestBase {
     assert(hashed.exceptAll(strings).count() === 0)
     assert(strings.exceptAll(hashed).count() === 0)
   }
+
+  test("SplitStore: ingest assigns against the frozen store — side-stable, no straddling pair, replay-idempotent") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.SplitStore
+    val doc = graft.queries.QueryUtil.t(spark, SparkTestBase.Sf0001, "documents")
+    val root = tempDir("graft-splitstore-spec") + "/store"
+    val store = SplitStore.build(doc.filter(col("doc_id") % 10 =!= 8 && col("doc_id") % 10 =!= 9), root)
+    def snap() = SplitStore.assignments(spark, store).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sortBy(_._1).toSeq
+    val base = snap()
+    // the built store IS the batch split on the base corpus
+    assert(base.map(_._3).toSet.subsetOf(Set("train", "val")))
+    // two sequential ingests; existing assignments NEVER change
+    val inc1 = doc.filter(col("doc_id") % 10 === 8)
+    val out1 = SplitStore.ingest(spark, store, inc1, token = "w1")
+    assert(out1.count() === inc1.count(), "every ingested doc gets a row")
+    val after1 = snap()
+    assert(after1.filter(t => base.exists(_._1 == t._1)) === base,
+      "ingest must not touch existing assignments")
+    val inc2 = doc.filter(col("doc_id") % 10 === 9)
+    SplitStore.ingest(spark, store, inc2, token = "w2"): Unit
+    val after2 = snap()
+    assert(after2.length.toLong === doc.count())
+    assert(after2.filter(t => after1.exists(_._1 == t._1)) === after1,
+      "second ingest must not touch first-ingest assignments either")
+    // the INVARIANT, re-derived from scratch over the whole corpus: no
+    // near-dup pair has one end train and the other val
+    val side = after2.map(t => t._1 -> t._3).toMap
+    val pairs = graft.queries.DedupQueries.jaccardPairs(doc, 0.5)
+      .select(col("doc_a"), col("doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(Set(side(a), side(b)) != Set("train", "val"),
+        s"near-dup pair ($a, $b) straddles the split after ingests")
+    }
+    // matched docs inherit the corpus cluster's frozen rep
+    val crossMatched = pairs.filter { case (a, b) =>
+      (a % 10 >= 8) != (b % 10 >= 8) }
+    assert(crossMatched.nonEmpty, "fixture must exercise the inherit path")
+    val rep = after2.map(t => t._1 -> t._2).toMap
+    crossMatched.foreach { case (a, b) =>
+      assert(rep(a) === rep(b), s"matched pair ($a, $b) must share a rep")
+    }
+    // replay: the same token returns the committed segment, no new rows
+    SplitStore.ingest(spark, store, inc2, token = "w2"): Unit
+    assert(snap() === after2, "token replay must be a structural no-op")
+    // immutability refusal: re-ingesting an assigned doc under a NEW
+    // token fails loudly
+    val err = intercept[IllegalArgumentException] {
+      SplitStore.ingest(spark, store, inc1, token = "w3")
+    }
+    assert(err.getMessage.contains("immutable"), err.getMessage)
+    graft.engine.PersistScope.releaseAll()
+  }
+
+  test("SplitStore: a batch doc bridging train and val clusters is QUARANTINED, keeping both sets leak-free") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.SplitStore
+    import spark.implicits._
+    // controlled corpus: overlapping 20-token windows over one word
+    // stream. X = w1..w20 and Y = w11..w30 share 8 of 28 word-3-gram
+    // shingles (j = 0.286 < 0.5 -> separate clusters); Z = w6..w25
+    // shares 13 of 23 with EACH (j = 0.565 >= 0.5 -> bridges both).
+    def words(lo: Int, hi: Int) = (lo to hi).map(i => s"w$i").mkString(" ")
+    // doc ids chosen so the reps HASH TO OPPOSITE SIDES (sha256("1")
+    // buckets to train, sha256("5") to val) — the conditional below
+    // still guards against a future hash-formula change, but as written
+    // the quarantine branch is the one exercised
+    val corpus = Seq((1L, words(1, 20)), (5L, words(11, 30))).toDF("doc_id", "text")
+    val root = tempDir("graft-splitstore-quarantine") + "/store"
+    val store = SplitStore.build(corpus, root)
+    val built = SplitStore.assignments(spark, store).collect()
+      .map(r => (r.getLong(0), r.getString(2))).toMap
+    assert(built(1L) != built(5L),
+      "fixture reps must hash to opposite sides for the quarantine branch")
+    val bridge = Seq((10L, words(6, 25))).toDF("doc_id", "text")
+    val out = SplitStore.ingest(spark, store, bridge, token = "b1")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.length === 1)
+    if (built(1L) != built(5L)) {
+      assert(out.head._3 === "quarantine",
+        s"bridge of conflicting sides must quarantine: $out vs $built")
+    } else {
+      // reps hashed to the same side: the bridge inherits it
+      assert(out.head._3 === built(1L), s"$out vs $built")
+    }
+    // and a LATER near-dup of the quarantined doc inherits quarantine
+    val follow = Seq((11L, words(6, 25))).toDF("doc_id", "text")
+    val out2 = SplitStore.ingest(spark, store, follow, token = "b2")
+      .collect().map(r => r.getString(2))
+    if (built(1L) != built(5L))
+      assert(out2.head === "quarantine",
+        "a near-dup of a quarantined doc must stay out of both sets")
+    // fresh unmatched docs hash their own side deterministically
+    val fresh = Seq((20L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val out3 = SplitStore.ingest(spark, store, fresh, token = "b3")
+      .collect().map(r => (r.getLong(1), r.getString(2)))
+    assert(out3.head._1 === 20L, "unmatched doc is its own rep")
+    assert(Set("train", "val")(out3.head._2))
+    graft.engine.PersistScope.releaseAll()
+  }
 }
