@@ -277,6 +277,70 @@ object IncrementalQueries {
           "WHERE o_orderstatus = 'F' " +
           "GROUP BY o_orderpriority ORDER BY o_orderpriority"
       )
+    ),
+    // THE ADVISOR LIFECYCLE UNDER THE ORACLE GATE (r15): the advisor MV
+    // on an ICEBERG base, end to end — build an Iceberg table, harvest
+    // the dashboard from its CURRENT-snapshot read (the scan resolves to
+    // the TABLE ROOT, a time-travel read never would), materialize
+    // PINNED at that snapshot (the watermark mv_describe serves), CHURN
+    // the base with a second commit, run the churn-scoped refreshStep
+    // (only touched groups recompute, a fresh v<snapshot> dir registers),
+    // and answer the dashboard through the rewrite in a child session.
+    // The DuckDB oracle computes the post-churn dashboard from the plain
+    // parquet arithmetic, so the hash gate certifies the WHOLE chain:
+    // root resolution == what the rewrite matches, the refreshed store
+    // holds exactly the post-churn groups, and the rewritten answer is
+    // the direct answer. At 100 TB: the dashboard costs a keys-sized MV
+    // scan that stays fresh for O(churned groups) per source commit.
+    Q(
+      "q_mv_advisor_refresh",
+      (s, dir) => {
+        import graft.sources.{IcebergSource, IcebergWriter}
+        val ws = graft.engine.TempDirs
+          .workspace("graft-mv-advisor-ice", "orders", dir)
+        java.nio.file.Files.createDirectories(ws): Unit
+        val root = java.nio.file.Files
+          .createTempDirectory(ws, "run").toString
+        val tbl = s"$root/orders_ice"
+        val orders = t(s, dir, "orders")
+        IcebergWriter.append(s, tbl,
+          orders.filter($"o_orderstatus" === "F")
+            .select($"o_orderkey", $"o_orderpriority", $"o_custkey"),
+          None, 1000L, formatVersion = 2)
+        def dash(ss: org.apache.spark.sql.SparkSession) =
+          IcebergSource.read(ss, tbl)
+            .groupBy($"o_orderpriority")
+            .agg(
+              count(lit(1)).as("n_orders"),
+              sum($"o_custkey").as("s_cust"))
+            .orderBy($"o_orderpriority")
+        val rec = graft.plans.MvAdvisor
+          .recommend(graft.plans.MvAdvisor.analyze(dash(s))
+            .flatMap(_.toOption))
+          .find(_.kind == "rollup")
+          .getOrElse(throw new IllegalStateException(
+            "advisor failed to recommend the rollup"))
+        val mvRoot = s"$root/mv"
+        rec.materialize(s, mvRoot): Unit
+        // churn: a second ingest lands (append-only — a MoR base is not
+        // a plain scan and deliberately never rewrites)
+        IcebergWriter.append(s, tbl,
+          orders.filter($"o_orderstatus" === "O")
+            .select(($"o_orderkey" + 10000000L).as("o_orderkey"),
+              $"o_orderpriority", $"o_custkey"),
+          None, 2000L)
+        require(rec.refreshStep(s, mvRoot).isDefined,
+          "churned base must refresh")
+        val s2 = s.newSession()
+        s2.conf.set("spark.graft.mv.rewrite.enabled", "true")
+        dash(s2)
+      },
+      Some(
+        "SELECT o_orderpriority, count(*) AS n_orders, " +
+          "CAST(sum(o_custkey) AS BIGINT) AS s_cust FROM orders " +
+          "WHERE o_orderstatus IN ('F', 'O') " +
+          "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+      )
     )
   )
 }

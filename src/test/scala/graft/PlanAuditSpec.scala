@@ -98,6 +98,14 @@ class PlanAuditSpec extends SparkTestBase {
     assert(mvScanViolations(adv, "orders_advisor",
       Seq("orders.parquet")).isEmpty,
       mvScanViolations(adv, "orders_advisor", Seq("orders.parquet")))
+    // the ICEBERG advisor lifecycle: after churn + refreshStep the
+    // dashboard must read the refreshed versioned store, never the
+    // Iceberg base's data files (the hash oracle alone can't tell a
+    // rewrite from a direct recompute — this pin can)
+    val advIce = byName("q_mv_advisor_refresh").fn(spark, SparkTestBase.Sf0001)
+    assert(mvScanViolations(advIce, "/mv/v",
+      Seq("orders_ice")).isEmpty,
+      mvScanViolations(advIce, "/mv/v", Seq("orders_ice")))
   }
 
   test("the gate fires on deliberate regressions") {
