@@ -291,6 +291,67 @@ class MvAdvisorSpec extends SparkTestBase with BeforeAndAfterAll {
     } finally MvCatalog.unregister(tbl)
   }
 
+  test("advisor hook plugs into maintainedSink: streaming ingest keeps the advisor-built MV fresh exactly-once") {
+    import spark.implicits._
+    import graft.sources.{IcebergMeta, IcebergSource, IcebergWriter}
+    import graft.streaming.MaterializedAgg
+    val dropDir = tempDir("graft-advisor-sink-drop")
+    val checkpoint = tempDir("graft-advisor-sink-ckpt")
+    val tbl = tempDir("graft-advisor-sink-src") + "/table"
+    val mvRoot = tempDir("graft-advisor-sink-mv") + "/mv"
+    // seed the table, advise + materialize (pins + stamps snapshot 1).
+    // Seed goes through parquet so its schema is NULLABLE like the
+    // streamed batches' (the table schema is fixed at creation)
+    val seedPath = tempDir("graft-advisor-sink-seed") + "/seed.parquet"
+    (0L until 12L).map(i => (s"g${i % 3}", i)).toDF("k", "v")
+      .write.mode("overwrite").parquet(seedPath)
+    IcebergWriter.append(spark, tbl, spark.read.parquet(seedPath),
+      None, 1000L, formatVersion = 2)
+    def dash(s: SparkSession) = IcebergSource.read(s, tbl)
+      .groupBy(col("k")).agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+    val rec = MvAdvisor
+      .recommend(MvAdvisor.analyze(dash(spark)).flatMap(_.toOption))
+      .headOption.getOrElse(fail("no recommendation"))
+    try {
+      rec.materialize(spark, mvRoot): Unit
+      // the advisor's refresh hook IS a maintainedSink thunk: the same
+      // foreachBatch that ingests the source refreshes the advisor MV
+      var tick = 1000L
+      val clock = () => { tick += 1000L; tick }
+      val sink = MaterializedAgg.maintainedSink(
+        tbl, rec.refreshHook(mvRoot), clock = clock)
+      val docs = (12L until 24L).map(i => (s"g${i % 3}", i)).toDF("k", "v")
+      docs.filter($"v" < 18).write.parquet(s"$dropDir/b0")
+      def run(): Unit = {
+        val q = spark.readStream.schema(docs.schema)
+          .parquet(s"$dropDir/*/")
+          .writeStream.option("checkpointLocation", checkpoint)
+          .foreachBatch(sink)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination(120000): Unit finally q.stop()
+      }
+      run()
+      def storedMv() = {
+        val d = MvCatalog.lookup(tbl).find(_.name == rec.mvName).get
+        spark.read.parquet(d.mvPath).orderBy(col("k"))
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+          .toSeq
+      }
+      def direct() = dash(spark).orderBy(col("k"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSeq
+      assert(storedMv() === direct(), "MV must be fresh after the batch")
+      val wm1 = MvCatalog.lookup(tbl).find(_.name == rec.mvName).get.watermark
+      assert(wm1 === IcebergMeta.load(tbl).currentSnapshot.map(_.id))
+      // a second drop + restart: ingest lands, the hook follows
+      docs.filter($"v" >= 18).write.parquet(s"$dropDir/b1")
+      run()
+      assert(IcebergSource.read(spark, tbl).count() === 24)
+      assert(storedMv() === direct(), "MV must track the second batch")
+    } finally MvCatalog.unregister(tbl)
+  }
+
   test("materialize closes the loop: the advisor-built MVs make the workload rewrite and match") {
     val shapes = Seq(q1(spark), q2(spark), q3(spark))
       .flatMap(MvAdvisor.analyze).flatMap(_.toOption)
