@@ -94,7 +94,10 @@ import java.util.concurrent.{LinkedBlockingQueue, ThreadPoolExecutor, TimeUnit}
   *        registrant-declared applied-source-snapshot watermark, the
   *        LIVE source head when the base is an Iceberg table, and a
   *        `fresh` verdict — so a client can tell how stale an answer
-  *        the optimizer rewrote to a view is.
+  *        the optimizer rewrote to a view is. A JOIN view is stale when
+  *        EITHER source moved: its dim-side cursor (JoinMvDef
+  *        .dimWatermark) is ANDed into the verdict while the wire row
+  *        keeps the fact-side columns.
   *     `DO_ACTION ann_probe <store_root> <k> <nProbe> <v1,v2,...>` ->
   *        top-k cosine neighbors streamed from a stored incremental IVF
   *        index (operators.IvfStore) — similarity search served without

@@ -171,6 +171,10 @@ object MvAdvisor {
           spark, basePath, snapshotId = Some(cur), asOfTimestampMs = None,
           prune = None)
         val dataPath = versionDir(mvPath, cur)
+        // a re-materialize at an unmoved base head overwrites the SAME
+        // version dir — drop any cached listing first (same protocol as
+        // the plain-parquet branch)
+        MvCatalog.invalidateScan(dataPath)
         rollup(base).write.mode("overwrite").parquet(dataPath)
         val mvRows = register(spark, dataPath, Some(cur))
         val baseRows = base.count().toDouble
@@ -238,6 +242,9 @@ object MvAdvisor {
           .as("m")
           .join(touched.as("t"), tupleCond("m", "t"), "left_anti")
         val dataPath = versionDir(mvRoot, cur)
+        // a crash-retry of this same window rewrites the same version
+        // dir — invalidate any cached listing before the overwrite
+        MvCatalog.invalidateScan(dataPath)
         untouched.unionByName(recomputed)
           .write.mode("overwrite").parquet(dataPath)
         register(spark, dataPath, Some(cur))
