@@ -54,7 +54,14 @@ import org.apache.spark.sql.functions._
   * exact-Jaccard candidate generator for the banded-LSH one at scale —
   * the assignment algebra is identical); every ingest costs the
   * increment's signatures + one broadcast band join against the stored
-  * index + a batch-sized component fold. The corpus is never re-read.
+  * index + a batch-sized component fold. The corpus TEXT is never
+  * re-read; the ASSIGNMENT table is scanned twice per ingest (the
+  * id-collision guard's semi-join and the matched-rep lookup — both
+  * with the churn-sized side broadcast, so the big side never
+  * shuffles, and both column-pruned to 1–3 narrow columns). At corpus
+  * sizes where even that scan matters, lay the segments out bucketed
+  * by hash(doc_id) so both probes prune to the batch's buckets — the
+  * algebra here is layout-agnostic.
   */
 object SplitStore {
 
