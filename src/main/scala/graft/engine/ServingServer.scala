@@ -102,6 +102,12 @@ import java.util.concurrent.{LinkedBlockingQueue, ThreadPoolExecutor, TimeUnit}
   *        top-k cosine neighbors streamed from a stored incremental IVF
   *        index (operators.IvfStore) — similarity search served without
   *        a SQL round-trip; argument/store errors refuse before OK.
+  *     `DO_ACTION mv_refresh <name>` -> refresh an advisor-built MV by
+  *        registered name: the def reconstructs its recommendation
+  *        (plans.MvAdvisor.fromDef), the churn-scoped step brings the
+  *        stored view to the source head and re-registers the new
+  *        version — the wire face of the advisor lifecycle
+  *        (advise -> materialize -> stale -> mv_refresh -> fresh).
   *     `DO_ACTION stream_view_describe <view> <source> [<wm_col>]` ->
   *        freshness of a streaming MV (streaming/MaterializedAgg):
   *        the view's applied watermark, the live source head, and a
@@ -924,6 +930,53 @@ final class ServingServer(
                   .writeBatches(result, batchSize, out)
                 out.flush()
               }
+            case "mv_refresh" if arg.nonEmpty =>
+              // refresh an ADVISOR-built MV by registered name — the
+              // wire face of the advisor lifecycle: advise ->
+              // materialize -> mv_describe says stale -> mv_refresh ->
+              // fresh, all over DO_ACTION. The registered def carries
+              // everything the refresh needs (MvAdvisor.fromDef
+              // reconstructs the recommendation; the name round-trip is
+              // verified, so a hand-declared def refuses rather than
+              // refreshing under wrong assumptions). Validation runs
+              // BEFORE the OK; the refresh itself is the churn-scoped
+              // step, and a view already at the source head answers
+              // fresh=true with a null applied snapshot.
+              val parsed = scala.util.Try {
+                val d = graft.plans.MvCatalog.find(arg.trim).getOrElse(
+                  throw new IllegalArgumentException(
+                    s"no registered MV named '${arg.trim}'"))
+                val rec = graft.plans.MvAdvisor.fromDef(d).getOrElse(
+                  throw new IllegalArgumentException(
+                    s"'${arg.trim}' is not an advisor-built MV — only " +
+                      "advisor defs carry a reconstructible refresh"))
+                require(d.watermark.isDefined,
+                  s"'${arg.trim}' has no watermark — not built from an " +
+                    "Iceberg base, nothing to refresh against")
+                (d, rec)
+              }
+              parsed match {
+                case scala.util.Failure(e) =>
+                  status("ERR INVALID_ARGUMENT mv_refresh: " +
+                    Option(e.getMessage).getOrElse(e.toString)
+                      .replaceAll("\\s+", " ").take(200))
+                case scala.util.Success((d, rec)) =>
+                  status("OK")
+                  val applied = rec.refreshStep(
+                    session.spark, graft.plans.MvAdvisor.mvRootOf(d))
+                  val result = {
+                    import session.spark.implicits._
+                    Seq((d.name,
+                      applied.map(java.lang.Long.valueOf).orNull))
+                      .toDF("name", "applied_snapshot")
+                  }
+                  org.apache.spark.sql.GraftArrowBridge
+                    .writeBatches(result, batchSize, out)
+                  out.flush()
+              }
+            case "mv_refresh" =>
+              status("ERR INVALID_ARGUMENT mv_refresh requires the " +
+                "registered MV name")
             case "stream_view_describe" if arg.nonEmpty =>
               // freshness for the STREAMING MV family (streaming/
               // MaterializedAgg): arg is <view_path> <source_path>
@@ -1038,6 +1091,10 @@ final class ServingServer(
                 "top-k cosine neighbors from a stored incremental IVF " +
                   "index: <store_root> <k> <nProbe> <comma-separated " +
                   "query vector>"),
+              ("mv_refresh",
+                "refresh an advisor-built MV by registered name: the " +
+                  "churn-scoped step brings the stored view to the " +
+                  "source head and re-registers the new version"),
               ("stream_view_describe",
                 "freshness of a streaming materialized view: " +
                   "<view_path> <source_path> [<wm_col: s|mn|nd|v>] -> " +

@@ -264,6 +264,36 @@ object MvAdvisor {
       (s, _) => refreshStep(s, mvRoot)
   }
 
+  /** Rebuild the [[Recommendation]] a registered advisor [[MvDef]] was
+    * built from — what lets an operator REFRESH an advisor MV knowing
+    * only its registered name (e.g. the serving layer's `mv_refresh`
+    * action): the def carries everything the recommendation did (base,
+    * keys, measure texts by derivation), and the deterministic-name
+    * round trip is verified so a hand-declared def that merely looks
+    * advisor-ish returns None instead of refreshing under wrong
+    * assumptions. `queriesAnswered` is not recoverable (and not needed
+    * to refresh); it comes back 0.
+    */
+  def fromDef(d: MvDef): Option[Recommendation] = {
+    val kind =
+      if (d.name.startsWith("advisor_rollup_")) "rollup"
+      else if (d.name.startsWith("advisor_multiplicity_")) "multiplicity"
+      else return None
+    val rec = Recommendation(
+      d.basePath, kind, d.keys,
+      sums = d.measures.collect { case (t, m) if m.sum.isDefined => t }.toSet,
+      counts = d.measures.collect { case (t, m) if m.cnt.isDefined => t }.toSet,
+      mins = d.measures.collect { case (t, m) if m.min.isDefined => t }.toSet,
+      maxs = d.measures.collect { case (t, m) if m.max.isDefined => t }.toSet,
+      queriesAnswered = 0)
+    if (rec.mvName == d.name) Some(rec) else None
+  }
+
+  /** The MV root an advisor def's versioned store lives under — the
+    * parent of the registered `v<snapshot>` directory ([[versionDir]]).
+    */
+  def mvRootOf(d: MvDef): String = new java.io.File(d.mvPath).getParent
+
   /** `<mvRoot>/v<snapshotId>` — one immutable directory per applied
     * source snapshot. Refresh never rewrites a live directory, so a
     * query planned against a superseded version still finds its files.

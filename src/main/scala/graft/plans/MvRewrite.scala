@@ -184,6 +184,13 @@ object MvCatalog {
     */
   def invalidateScan(mvPath: String): Unit = scanCache.remove(mvPath): Unit
   def isEmpty: Boolean = byBase.isEmpty && joinByBases.isEmpty
+  /** The registered rollup def with this name, if any — names are the
+    * replace-by-name identity, so at most one matches.
+    */
+  def find(name: String): Option[MvDef] = {
+    import scala.jdk.CollectionConverters._
+    byBase.values.asScala.flatten.find(_.name == name)
+  }
   /** Candidate rollup MVs for a base, in registration order. */
   def lookup(basePath: String): Seq[MvDef] =
     Option(byBase.get(normalize(basePath))).getOrElse(Vector.empty)

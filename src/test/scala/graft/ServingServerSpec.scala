@@ -679,8 +679,8 @@ class ServingServerSpec extends SparkTestBase {
       val actions = ServingClient.listActions(srv.boundPort)
       assert(actions.isOk, actions.status)
       assert(actions.rows.map(_.head.toString) ===
-        Seq("cancel", "mv_describe", "ann_probe", "stream_view_describe",
-          "advise"))
+        Seq("cancel", "mv_describe", "ann_probe", "mv_refresh",
+          "stream_view_describe", "advise"))
       assert(ServingClient.doAction(srv.boundPort, "cancel", "nope").status
         .startsWith("ERR NOT_FOUND"))
       assert(ServingClient.doAction(srv.boundPort, "cancel").status
@@ -855,9 +855,34 @@ class ServingServerSpec extends SparkTestBase {
       IcebergWriter.append(spark, tbl, Seq(("c", 9L)).toDF("k", "v"),
         None, 2000L)
       assert(freshRow()(7) === false, "churned base must read stale")
-      // the maintainedSink-shaped hook brings it current
-      assert(rec.refreshHook(mvRoot)(spark, 3000L).isDefined)
+      // the WIRE face of the refresh: mv_refresh by registered name
+      val refreshed = ServingClient.doAction(
+        srv.boundPort, "mv_refresh", rec.mvName)
+      assert(refreshed.isOk, refreshed.status)
+      assert(refreshed.rows.head.head.toString === rec.mvName)
+      assert(refreshed.rows.head(1) ===
+        graft.sources.IcebergMeta.load(tbl).currentSnapshot.get.id,
+        s"applied snapshot must be the head: ${refreshed.rows}")
       assert(freshRow()(7) === true, "refreshed MV must be fresh again")
+      // an already-current view answers OK with a null applied snapshot
+      val noop = ServingClient.doAction(
+        srv.boundPort, "mv_refresh", rec.mvName)
+      assert(noop.isOk && noop.rows.head(1) == null, noop.rows)
+      // refusals before OK: unknown name; a hand-declared def
+      assert(ServingClient.doAction(srv.boundPort, "mv_refresh", "nope")
+        .status.startsWith("ERR INVALID_ARGUMENT"))
+      graft.plans.MvCatalog.register(graft.plans.MvDef(
+        name = "hand_declared", basePath = tbl, keys = Seq("k"),
+        measures = Map.empty, countStar = None, mvPath = mvRoot,
+        mvSchema = new org.apache.spark.sql.types.StructType()))
+      assert(ServingClient.doAction(srv.boundPort, "mv_refresh",
+        "hand_declared").status.startsWith("ERR INVALID_ARGUMENT"))
+      // the refresh hook shape still works driver-side too (the
+      // maintainedSink plug the streaming test composes)
+      IcebergWriter.append(spark, tbl, Seq(("d", 4L)).toDF("k", "v"),
+        None, 3000L)
+      assert(rec.refreshHook(mvRoot)(spark, 4000L).isDefined)
+      assert(freshRow()(7) === true)
       // and the served answer equals the direct recompute
       val d = MvCatalog.lookup(tbl).find(_.name == rec.mvName).get
       val stored = spark.read.parquet(d.mvPath)
