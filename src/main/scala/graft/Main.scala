@@ -14,6 +14,7 @@ import graft.queries.QueryUtil
   *        runMain graft.Main --maintain /path/to/iceberg [--retain-ms 604800000]  # nightly table job
   *        runMain graft.Main --describe /path/to/iceberg  # table card + manifest gauge
   *        runMain graft.Main --advise "SELECT …" [--dir …]  # MV advisor: what to materialize
+  *        runMain graft.Main --mv-refresh <name>            # refresh an advisor MV to its source head
   * Tables registered: the TESTDATA fixtures (region…embeddings) plus the
   * reference's demo `users` table (crates/igloo/src/main.rs:59-77).
   * `--serve` starts the Flight-analogue TCP server (engine.ServingServer)
@@ -132,6 +133,30 @@ object Main {
             (shapes ++ graft.plans.MvAdvisor.analyzeJoins(df))
               .collect { case scala.util.Left(j) => j.reason }
               .foreach(reason => println(s"[advise] rejected: $reason"))
+            spark.stop()
+            return
+          case None => ()
+        }
+        opts.get("mv-refresh") match {
+          case Some(name) =>
+            // the advisor-lifecycle refresh, CLI face (the serving
+            // action's twin): bring a registered advisor MV to its
+            // Iceberg source head via the churn-scoped step
+            val d = graft.plans.MvCatalog.find(name).getOrElse {
+              println(s"[mv-refresh] no registered MV named '$name'")
+              spark.stop(); return
+            }
+            graft.plans.MvAdvisor.fromDef(d) match {
+              case None =>
+                println(s"[mv-refresh] '$name' is not an advisor-built MV")
+              case Some(rec) =>
+                rec.refreshStep(spark, graft.plans.MvAdvisor.mvRootOf(d)) match {
+                  case Some(snap) =>
+                    println(s"[mv-refresh] $name refreshed to snapshot $snap")
+                  case None =>
+                    println(s"[mv-refresh] $name already current")
+                }
+            }
             spark.stop()
             return
           case None => ()
