@@ -15,6 +15,7 @@ import graft.queries.QueryUtil
   *        runMain graft.Main --describe /path/to/iceberg  # table card + manifest gauge
   *        runMain graft.Main --advise "SELECT …" [--dir …]  # MV advisor: what to materialize
   *        runMain graft.Main --mv-refresh <name>            # refresh an advisor MV to its source head
+  *        runMain graft.Main --mv-maintain all              # refresh every stale advisor MV in the catalog
   * Tables registered: the TESTDATA fixtures (region…embeddings) plus the
   * reference's demo `users` table (crates/igloo/src/main.rs:59-77).
   * `--serve` starts the Flight-analogue TCP server (engine.ServingServer)
@@ -140,22 +141,61 @@ object Main {
         opts.get("mv-refresh") match {
           case Some(name) =>
             // the advisor-lifecycle refresh, CLI face (the serving
-            // action's twin): bring a registered advisor MV to its
-            // Iceberg source head via the churn-scoped step
-            val d = graft.plans.MvCatalog.find(name).getOrElse {
-              println(s"[mv-refresh] no registered MV named '$name'")
-              spark.stop(); return
-            }
-            graft.plans.MvAdvisor.fromDef(d) match {
-              case None =>
-                println(s"[mv-refresh] '$name' is not an advisor-built MV")
-              case Some(rec) =>
-                rec.refreshStep(spark, graft.plans.MvAdvisor.mvRootOf(d)) match {
-                  case Some(snap) =>
-                    println(s"[mv-refresh] $name refreshed to snapshot $snap")
+            // action's twin): bring a registered advisor MV — rollup,
+            // multiplicity, or join view — to its source head via the
+            // churn-scoped step
+            graft.plans.MvCatalog.find(name) match {
+              case Some(d) =>
+                graft.plans.MvAdvisor.fromDef(d) match {
                   case None =>
-                    println(s"[mv-refresh] $name already current")
+                    println(s"[mv-refresh] '$name' is not an advisor-built MV")
+                  case Some(rec) =>
+                    rec.refreshStep(spark, graft.plans.MvAdvisor.mvRootOf(d)) match {
+                      case Some(snap) =>
+                        println(s"[mv-refresh] $name refreshed to snapshot $snap")
+                      case None =>
+                        println(s"[mv-refresh] $name already current")
+                    }
                 }
+              case None =>
+                graft.plans.MvCatalog.findJoin(name) match {
+                  case None =>
+                    println(s"[mv-refresh] no registered MV named '$name'")
+                  case Some(d) =>
+                    graft.plans.MvAdvisor.fromJoinDef(spark, d) match {
+                      case None => println(
+                        s"[mv-refresh] '$name' is not an advisor-built MV")
+                      case Some(rec) =>
+                        rec.refreshStep(
+                          spark, graft.plans.MvAdvisor.joinMvRootOf(d)) match {
+                          case Some((f, dm)) => println(
+                            s"[mv-refresh] $name refreshed to fact=$f dim=$dm")
+                          case None =>
+                            println(s"[mv-refresh] $name already current")
+                        }
+                    }
+                }
+            }
+            spark.stop()
+            return
+          case None => ()
+        }
+        opts.get("mv-maintain") match {
+          case Some(_) =>
+            // the catalog-wide sweep, CLI face: one line per registered
+            // view — refreshed-to cursors, already-current, or the skip
+            // reason (hand-declared / no lineage / per-view error)
+            val results = graft.plans.MvAdvisor.maintainAll(spark)
+            if (results.isEmpty) println("[mv-maintain] no registered MVs")
+            results.foreach { r =>
+              val verdict = r.skipped match {
+                case Some(reason)    => s"skipped: $reason"
+                case None if r.stale =>
+                  s"refreshed to ${r.appliedSnapshot.getOrElse("?")}" +
+                    r.appliedDimSnapshot.map(d => s" dim=$d").getOrElse("")
+                case None            => "already current"
+              }
+              println(s"[mv-maintain] ${r.name} (${r.kind}) $verdict")
             }
             spark.stop()
             return

@@ -108,6 +108,13 @@ import java.util.concurrent.{LinkedBlockingQueue, ThreadPoolExecutor, TimeUnit}
   *        stored view to the source head and re-registers the new
   *        version — the wire face of the advisor lifecycle
   *        (advise -> materialize -> stale -> mv_refresh -> fresh).
+  *        Join views refresh too (plans.MvAdvisor.fromJoinDef); their
+  *        rows carry the applied dim-side cursor as well.
+  *     `DO_ACTION mv_maintain` -> catalog-wide maintenance sweep
+  *        (plans.MvAdvisor.maintainAll): refresh every stale
+  *        advisor-built view in one action, one row per registered
+  *        view — stale verdict + applied snapshot(s), or the reason a
+  *        view was skipped (hand-declared, no lineage, per-view error).
   *     `DO_ACTION stream_view_describe <view> <source> [<wm_col>]` ->
   *        freshness of a streaming MV (streaming/MaterializedAgg):
   *        the view's applied watermark, the live source head, and a
@@ -935,40 +942,72 @@ final class ServingServer(
               // wire face of the advisor lifecycle: advise ->
               // materialize -> mv_describe says stale -> mv_refresh ->
               // fresh, all over DO_ACTION. The registered def carries
-              // everything the refresh needs (MvAdvisor.fromDef
-              // reconstructs the recommendation; the name round-trip is
-              // verified, so a hand-declared def refuses rather than
-              // refreshing under wrong assumptions). Validation runs
-              // BEFORE the OK; the refresh itself is the churn-scoped
-              // step, and a view already at the source head answers
-              // fresh=true with a null applied snapshot.
+              // everything the refresh needs (MvAdvisor.fromDef /
+              // fromJoinDef reconstructs the recommendation; the name
+              // round-trip is verified, so a hand-declared def refuses
+              // rather than refreshing under wrong assumptions).
+              // Validation runs BEFORE the OK; the refresh itself is
+              // the churn-scoped step (join views rebuild pinned at the
+              // new head pair), and a view already at the source head
+              // answers with null applied snapshots. The response's
+              // applied_dim_snapshot column is non-null for join views
+              // only.
+              val name = arg.trim
               val parsed = scala.util.Try {
-                val d = graft.plans.MvCatalog.find(arg.trim).getOrElse(
-                  throw new IllegalArgumentException(
-                    s"no registered MV named '${arg.trim}'"))
-                val rec = graft.plans.MvAdvisor.fromDef(d).getOrElse(
-                  throw new IllegalArgumentException(
-                    s"'${arg.trim}' is not an advisor-built MV — only " +
-                      "advisor defs carry a reconstructible refresh"))
-                require(d.watermark.isDefined,
-                  s"'${arg.trim}' has no watermark — not built from an " +
-                    "Iceberg base, nothing to refresh against")
-                (d, rec)
+                graft.plans.MvCatalog.find(name) match {
+                  case Some(d) =>
+                    val rec = graft.plans.MvAdvisor.fromDef(d).getOrElse(
+                      throw new IllegalArgumentException(
+                        s"'$name' is not an advisor-built MV — only " +
+                          "advisor defs carry a reconstructible refresh"))
+                    require(d.watermark.isDefined,
+                      s"'$name' has no watermark — not built from an " +
+                        "Iceberg base, nothing to refresh against")
+                    scala.Left((d, rec))
+                  case None =>
+                    val d = graft.plans.MvCatalog.findJoin(name).getOrElse(
+                      throw new IllegalArgumentException(
+                        s"no registered MV named '$name'"))
+                    val rec = graft.plans.MvAdvisor
+                      .fromJoinDef(session.spark, d).getOrElse(
+                        throw new IllegalArgumentException(
+                          s"'$name' is not an advisor-built MV — only " +
+                            "advisor defs carry a reconstructible refresh"))
+                    require(
+                      graft.sources.IcebergMeta.hasMetadata(d.factPath) ||
+                        graft.sources.IcebergMeta.hasMetadata(d.dimPath),
+                      s"'$name' has no Iceberg side — nothing to " +
+                        "refresh against")
+                    scala.Right((d, rec))
+                }
               }
               parsed match {
                 case scala.util.Failure(e) =>
                   status("ERR INVALID_ARGUMENT mv_refresh: " +
                     Option(e.getMessage).getOrElse(e.toString)
                       .replaceAll("\\s+", " ").take(200))
-                case scala.util.Success((d, rec)) =>
+                case scala.util.Success(defRec) =>
                   status("OK")
-                  val applied = rec.refreshStep(
-                    session.spark, graft.plans.MvAdvisor.mvRootOf(d))
+                  val (nm, snap, dimSnap) = defRec match {
+                    case scala.Left((d, rec)) =>
+                      (d.name,
+                        rec.refreshStep(session.spark,
+                          graft.plans.MvAdvisor.mvRootOf(d)),
+                        None)
+                    case scala.Right((d, rec)) =>
+                      rec.refreshStep(session.spark,
+                        graft.plans.MvAdvisor.joinMvRootOf(d)) match {
+                        case Some((f, dm)) => (d.name, Some(f), Some(dm))
+                        case None          => (d.name, None, None)
+                      }
+                  }
                   val result = {
                     import session.spark.implicits._
-                    Seq((d.name,
-                      applied.map(java.lang.Long.valueOf).orNull))
-                      .toDF("name", "applied_snapshot")
+                    Seq((nm,
+                      snap.map(java.lang.Long.valueOf).orNull,
+                      dimSnap.map(java.lang.Long.valueOf).orNull))
+                      .toDF("name", "applied_snapshot",
+                        "applied_dim_snapshot")
                   }
                   org.apache.spark.sql.GraftArrowBridge
                     .writeBatches(result, batchSize, out)
@@ -977,6 +1016,31 @@ final class ServingServer(
             case "mv_refresh" =>
               status("ERR INVALID_ARGUMENT mv_refresh requires the " +
                 "registered MV name")
+            case "mv_maintain" =>
+              // catalog-wide maintenance sweep: refresh EVERY stale
+              // advisor-built view (rollup, multiplicity, join) in one
+              // action and report per view — the orchestration face of
+              // the lifecycle, for a scheduler that wants "bring
+              // everything current" without enumerating names.
+              // Hand-declared defs and views with no snapshot lineage
+              // come back as skipped rows with the reason; per-view
+              // failures are caught inside the sweep, so the action
+              // always answers one row per registered view (zero rows
+              // on an empty catalog).
+              status("OK")
+              val rows = graft.plans.MvAdvisor.maintainAll(session.spark)
+                .map(r => (r.name, r.kind, r.stale,
+                  r.appliedSnapshot.map(java.lang.Long.valueOf).orNull,
+                  r.appliedDimSnapshot.map(java.lang.Long.valueOf).orNull,
+                  r.skipped.orNull))
+              val result = {
+                import session.spark.implicits._
+                rows.toDF("name", "kind", "stale", "applied_snapshot",
+                  "applied_dim_snapshot", "skipped")
+              }
+              org.apache.spark.sql.GraftArrowBridge
+                .writeBatches(result, batchSize, out)
+              out.flush()
             case "stream_view_describe" if arg.nonEmpty =>
               // freshness for the STREAMING MV family (streaming/
               // MaterializedAgg): arg is <view_path> <source_path>
@@ -1095,6 +1159,11 @@ final class ServingServer(
                 "refresh an advisor-built MV by registered name: the " +
                   "churn-scoped step brings the stored view to the " +
                   "source head and re-registers the new version"),
+              ("mv_maintain",
+                "catalog-wide maintenance sweep: refresh every stale " +
+                  "advisor-built MV (rollup/multiplicity/join) and " +
+                  "answer one row per registered view — stale verdict, " +
+                  "applied snapshot(s), or the skip reason"),
               ("stream_view_describe",
                 "freshness of a streaming materialized view: " +
                   "<view_path> <source_path> [<wm_col: s|mn|nd|v>] -> " +

@@ -294,6 +294,127 @@ object MvAdvisor {
     */
   def mvRootOf(d: MvDef): String = new java.io.File(d.mvPath).getParent
 
+  /** Rebuild the [[JoinRecommendation]] a registered advisor
+    * [[JoinMvDef]] was built from — the join-view twin of [[fromDef]],
+    * so `mv_refresh`/[[maintainAll]] can refresh an advisor join view
+    * knowing only its registered name. Side attribution of the stored
+    * columns is re-derived from the CURRENT side schemas (the build
+    * rule makes this unambiguous: a name both sides expose must be a
+    * same-named key and stores the fact column); a stored column no
+    * side still carries means the sources evolved under the view —
+    * returns None rather than rebuilding under wrong assumptions, same
+    * refusal contract as the rollup path. `queriesAnswered` comes back
+    * 0, as in [[fromDef]].
+    */
+  def fromJoinDef(
+      spark: SparkSession, d: JoinMvDef): Option[JoinRecommendation] = {
+    if (!d.name.startsWith("advisor_join_")) return None
+    def sideNames(path: String): Set[String] =
+      if (graft.sources.IcebergMeta.hasMetadata(path))
+        graft.sources.IcebergSource.read(spark, path)
+          .schema.fieldNames.toSet
+      else spark.read.parquet(path).schema.fieldNames.toSet
+    val factNames = sideNames(d.factPath)
+    val dimNames = sideNames(d.dimPath)
+    val cols = d.mvSchema.fieldNames.toSeq.map { c =>
+      if (factNames(c)) (c, true)
+      else if (dimNames(c)) (c, false)
+      else return None
+    }
+    val rec = JoinRecommendation(
+      d.factPath, d.dimPath, d.joinKeys, cols, queriesAnswered = 0)
+    if (rec.mvName == d.name) Some(rec) else None
+  }
+
+  /** The root a join view's versioned store lives under: the parent of
+    * a `v<factSnap>_<dimSnap>` directory ([[joinVersionDir]]), or the
+    * path itself for a plain-parquet build (which wrote `mvPath`
+    * directly and is not refreshable anyway).
+    */
+  def joinMvRootOf(d: JoinMvDef): String = {
+    val f = new java.io.File(d.mvPath)
+    if (f.getName.matches("v\\d+_\\d+")) f.getParent else d.mvPath
+  }
+
+  /** One view's outcome from [[maintainAll]]: `stale` says the source
+    * head had moved past the stamped cursor(s) and a refresh ran;
+    * `skipped` carries the reason a view was left alone (hand-declared,
+    * no snapshot lineage, or the refresh itself failed — one broken
+    * view never blocks the rest of the catalog).
+    */
+  final case class MaintainResult(
+      name: String,
+      kind: String,
+      stale: Boolean,
+      appliedSnapshot: Option[Long],
+      appliedDimSnapshot: Option[Long],
+      skipped: Option[String])
+
+  /** Catalog-wide maintenance — the orchestration face of the advisor
+    * lifecycle: walk EVERY registered materialized view, refresh each
+    * advisor-built one whose Iceberg source head moved past its stamped
+    * watermark, and report per view. The per-view refresh is the same
+    * churn-scoped [[Recommendation.refreshStep]] /
+    * [[JoinRecommendation.refreshStep]] the `mv_refresh` action runs,
+    * so a maintenance sweep costs O(total churn across stale views),
+    * not O(catalog × base). Hand-declared defs are reported as skipped
+    * (their freshness is their registrant's contract — this sweep must
+    * not rewrite files it does not understand), as are advisor defs
+    * with no snapshot lineage. Failures are caught per view and
+    * reported in `skipped` ("error: …"), so one corrupted store never
+    * blocks the sweep. Run one maintainer at a time: the catalog
+    * replace-by-name is each step's commit, same single-refresher
+    * contract as [[Recommendation.refreshStep]].
+    */
+  def maintainAll(spark: SparkSession): Seq[MaintainResult] =
+    MvCatalog.describe().map { info =>
+      def done(stale: Boolean, snap: Option[Long], dim: Option[Long]) =
+        MaintainResult(info.name, info.kind, stale, snap, dim, None)
+      def skip(reason: String) =
+        MaintainResult(info.name, info.kind, stale = false, None, None,
+          Some(reason))
+      try info.kind match {
+        case "rollup" =>
+          MvCatalog.find(info.name) match {
+            case None => skip("unregistered during the sweep")
+            case Some(d) => fromDef(d) match {
+              case None => skip(
+                "hand-declared — refresh through its own IVM loop")
+              case Some(_) if d.watermark.isEmpty => skip(
+                "no watermark — plain-parquet base, nothing to refresh " +
+                  "against")
+              case Some(rec) => rec.refreshStep(spark, mvRootOf(d)) match {
+                case Some(snap) => done(stale = true, Some(snap), None)
+                case None       => done(stale = false, None, None)
+              }
+            }
+          }
+        case _ =>
+          MvCatalog.findJoin(info.name) match {
+            case None => skip("unregistered during the sweep")
+            case Some(d) => fromJoinDef(spark, d) match {
+              case None => skip(
+                "hand-declared or schema-drifted — refresh through its " +
+                  "own IVM loop")
+              case Some(_)
+                  if !graft.sources.IcebergMeta.hasMetadata(d.factPath) &&
+                    !graft.sources.IcebergMeta.hasMetadata(d.dimPath) =>
+                skip("no Iceberg side — nothing to refresh against")
+              case Some(rec) =>
+                rec.refreshStep(spark, joinMvRootOf(d)) match {
+                  case Some((f, dm)) =>
+                    done(stale = true, Some(f), Some(dm))
+                  case None => done(stale = false, None, None)
+                }
+            }
+          }
+      } catch {
+        case scala.util.control.NonFatal(e) => skip("error: " +
+          Option(e.getMessage).getOrElse(e.toString)
+            .replaceAll("\\s+", " ").take(200))
+      }
+    }
+
   /** `<mvRoot>/v<snapshotId>` — one immutable directory per applied
     * source snapshot. Refresh never rewrites a live directory, so a
     * query planned against a superseded version still finds its files.
@@ -415,7 +536,9 @@ object MvAdvisor {
           spark,
           joinVersionDir(mvPath, factSnap, dimSnap),
           factSnap, dimSnap)
-      val factRows = spark.read.parquet(factPath).count().toDouble
+      // ratio denominator through the same pinned side read as the
+      // build — an Iceberg fact root is not directly parquet-readable
+      val factRows = sideRead(spark, factPath, factSnap).count().toDouble
       if (factRows == 0) 1.0 else mvRows.toDouble / factRows
     }
 

@@ -191,6 +191,13 @@ object MvCatalog {
     import scala.jdk.CollectionConverters._
     byBase.values.asScala.flatten.find(_.name == name)
   }
+  /** The registered join-view def with this name, if any — same
+    * replace-by-name identity contract as [[find]].
+    */
+  def findJoin(name: String): Option[JoinMvDef] = {
+    import scala.jdk.CollectionConverters._
+    joinByBases.values.asScala.flatten.find(_.name == name)
+  }
   /** Candidate rollup MVs for a base, in registration order. */
   def lookup(basePath: String): Seq[MvDef] =
     Option(byBase.get(normalize(basePath))).getOrElse(Vector.empty)

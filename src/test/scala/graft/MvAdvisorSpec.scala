@@ -352,6 +352,89 @@ class MvAdvisorSpec extends SparkTestBase with BeforeAndAfterAll {
     } finally MvCatalog.unregister(tbl)
   }
 
+  test("maintainAll: one sweep refreshes every stale advisor view (rollup + join), skips hand-declared defs, and a second sweep is a no-op") {
+    import spark.implicits._
+    import graft.sources.{IcebergMeta, IcebergSource, IcebergWriter}
+    val fact = tempDir("graft-maintain-fact") + "/table"
+    val dimP = tempDir("graft-maintain-dim") + "/dim.parquet"
+    val rollRoot = tempDir("graft-maintain-roll") + "/mv"
+    val joinRoot = tempDir("graft-maintain-join") + "/mv"
+    IcebergWriter.append(spark, fact,
+      Seq(("a", 10L), ("a", 20L), ("b", 5L)).toDF("k", "v"),
+      None, 1000L, formatVersion = 2)
+    Seq(("a", "alpha"), ("b", "beta"), ("c", "gamma"))
+      .toDF("dk", "label").write.mode("overwrite").parquet(dimP)
+    def rollDash(s: SparkSession) = IcebergSource.read(s, fact)
+      .groupBy(col("k")).agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+    def joinDash(s: SparkSession) = IcebergSource.read(s, fact)
+      .join(s.read.parquet(dimP), col("k") === col("dk"), "inner")
+      .groupBy(col("label")).agg(sum(col("v")).as("sv"))
+    val roll = MvAdvisor
+      .recommend(MvAdvisor.analyze(rollDash(spark)).flatMap(_.toOption)).head
+    val join = MvAdvisor.recommendJoins(
+      MvAdvisor.analyzeJoins(joinDash(spark)).flatMap(_.toOption)).head
+    try {
+      roll.materialize(spark, rollRoot): Unit
+      join.materialize(spark, joinRoot): Unit
+      // a hand-declared def shares the catalog — the sweep must report
+      // it skipped, never rewrite files it does not understand
+      MvCatalog.register(graft.plans.MvDef(
+        name = "hand_decl_maintain", basePath = fact, keys = Seq("k"),
+        measures = Map.empty, countStar = None, mvPath = rollRoot,
+        mvSchema = new org.apache.spark.sql.types.StructType()))
+      // fromJoinDef round-trips the registered join def (the refresh-by-
+      // name face), re-deriving side attribution from the live schemas
+      val jd = MvCatalog.findJoin(join.mvName).get
+      val backJoin = MvAdvisor.fromJoinDef(spark, jd).get
+      assert(backJoin.joinKeys === join.joinKeys)
+      assert(backJoin.columns.toSet === join.columns.toSet)
+      // and refuses a def whose stored columns no side carries anymore
+      assert(MvAdvisor.fromJoinDef(spark, jd.copy(mvSchema =
+        new org.apache.spark.sql.types.StructType()
+          .add("ghost", "string"))).isEmpty)
+      val mine = Set(roll.mvName, join.mvName, "hand_decl_maintain")
+      // everything just-built: the first sweep refreshes nothing
+      val sweep0 = MvAdvisor.maintainAll(spark)
+        .filter(r => mine(r.name)).map(r => r.name -> r).toMap
+      assert(sweep0.size === 3, sweep0.keySet)
+      assert(!sweep0(roll.mvName).stale && !sweep0(join.mvName).stale)
+      assert(sweep0("hand_decl_maintain").skipped.exists(
+        _.contains("hand-declared")))
+      // churn the fact: BOTH advisor views go stale; ONE sweep fixes both
+      IcebergWriter.append(spark, fact,
+        Seq(("a", 100L), ("c", 7L)).toDF("k", "v"), None, 2000L)
+      val head2 = IcebergMeta.load(fact).currentSnapshot.get.id
+      val sweep1 = MvAdvisor.maintainAll(spark)
+        .filter(r => mine(r.name)).map(r => r.name -> r).toMap
+      assert(sweep1(roll.mvName).stale &&
+        sweep1(roll.mvName).appliedSnapshot === Some(head2), sweep1)
+      assert(sweep1(join.mvName).stale &&
+        sweep1(join.mvName).appliedSnapshot === Some(head2), sweep1)
+      // the refreshed stores equal their direct recomputes
+      val rd = MvCatalog.lookup(fact).find(_.name == roll.mvName).get
+      assert(spark.read.parquet(rd.mvPath).orderBy(col("k"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq ===
+        rollDash(spark).orderBy(col("k"))
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq)
+      val jd2 = MvCatalog.findJoin(join.mvName).get
+      assert(jd2.watermark === Some(head2), "join def must re-stamp")
+      assert(spark.read.parquet(jd2.mvPath)
+        .groupBy(col("label")).agg(sum(col("v")).as("sv"))
+        .orderBy(col("label"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq ===
+        joinDash(spark).orderBy(col("label"))
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq)
+      // second sweep: everything current again, nothing rewritten
+      val sweep2 = MvAdvisor.maintainAll(spark)
+        .filter(r => mine(r.name)).map(r => r.name -> r).toMap
+      assert(!sweep2(roll.mvName).stale && !sweep2(join.mvName).stale,
+        sweep2)
+    } finally {
+      MvCatalog.unregister(fact)
+      MvCatalog.unregisterJoin(fact, dimP)
+    }
+  }
+
   test("materialize closes the loop: the advisor-built MVs make the workload rewrite and match") {
     val shapes = Seq(q1(spark), q2(spark), q3(spark))
       .flatMap(MvAdvisor.analyze).flatMap(_.toOption)

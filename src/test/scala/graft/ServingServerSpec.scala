@@ -680,7 +680,7 @@ class ServingServerSpec extends SparkTestBase {
       assert(actions.isOk, actions.status)
       assert(actions.rows.map(_.head.toString) ===
         Seq("cancel", "mv_describe", "ann_probe", "mv_refresh",
-          "stream_view_describe", "advise"))
+          "mv_maintain", "stream_view_describe", "advise"))
       assert(ServingClient.doAction(srv.boundPort, "cancel", "nope").status
         .startsWith("ERR NOT_FOUND"))
       assert(ServingClient.doAction(srv.boundPort, "cancel").status
@@ -891,6 +891,88 @@ class ServingServerSpec extends SparkTestBase {
       assert(stored.map(r => (r.head, r(1), r.last)) ===
         direct.map(r => (r.head, r(1), r.last)))
     } finally MvCatalog.unregister(tbl)
+  }
+
+  test("DO_ACTION mv_maintain sweeps the catalog; mv_refresh answers join views by name") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    import graft.plans.{MvAdvisor, MvCatalog}
+    import graft.sources.{IcebergMeta, IcebergSource, IcebergWriter}
+    val fact = tempDir("graft-maint-wire-fact") + "/table"
+    val dimP = tempDir("graft-maint-wire-dim") + "/dim.parquet"
+    val rollRoot = tempDir("graft-maint-wire-roll") + "/mv"
+    val joinRoot = tempDir("graft-maint-wire-join") + "/mv"
+    IcebergWriter.append(spark, fact,
+      Seq(("a", 10L), ("b", 5L)).toDF("k", "v"), None, 1000L,
+      formatVersion = 2)
+    Seq(("a", "alpha"), ("b", "beta")).toDF("dk", "label")
+      .write.mode("overwrite").parquet(dimP)
+    def rollDash = IcebergSource.read(spark, fact)
+      .groupBy(col("k")).agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+    def joinDash = IcebergSource.read(spark, fact)
+      .join(spark.read.parquet(dimP), col("k") === col("dk"), "inner")
+      .groupBy(col("label")).agg(sum(col("v")).as("sv"))
+    val roll = MvAdvisor
+      .recommend(MvAdvisor.analyze(rollDash).flatMap(_.toOption)).head
+    val join = MvAdvisor.recommendJoins(
+      MvAdvisor.analyzeJoins(joinDash).flatMap(_.toOption)).head
+    try withServer { srv =>
+      roll.materialize(spark, rollRoot): Unit
+      join.materialize(spark, joinRoot): Unit
+      def sweep() = {
+        val r = ServingClient.doAction(srv.boundPort, "mv_maintain")
+        assert(r.isOk, r.status)
+        r.rows.filter(row => Set(roll.mvName, join.mvName)(
+          row.head.toString)).map(row => row.head.toString -> row).toMap
+      }
+      // just built: the sweep reports both current, refreshes nothing
+      val s0 = sweep()
+      assert(s0.size === 2, s0.keySet)
+      assert(s0.values.forall(r => r(2) == false && r(5) == null), s0)
+      // churn the fact: ONE wire action brings both views current
+      IcebergWriter.append(spark, fact,
+        Seq(("a", 100L), ("c", 7L)).toDF("k", "v"), None, 2000L)
+      val head2 = IcebergMeta.load(fact).currentSnapshot.get.id
+      val s1 = sweep()
+      assert(s1(roll.mvName)(2) == true && s1(roll.mvName)(3) === head2, s1)
+      assert(s1(join.mvName)(2) == true && s1(join.mvName)(3) === head2, s1)
+      // join rows carry the dim cursor too (0 = plain-parquet dim side)
+      assert(s1(join.mvName)(4) === 0L, s1)
+      assert(s1(roll.mvName)(4) == null, s1)
+      // both registered defs re-stamped; the stored join view matches
+      assert(MvCatalog.findJoin(join.mvName).get.watermark === Some(head2))
+      val jd = MvCatalog.findJoin(join.mvName).get
+      assert(spark.read.parquet(jd.mvPath)
+        .groupBy(col("label")).agg(sum(col("v")).as("sv"))
+        .orderBy(col("label"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq ===
+        joinDash.orderBy(col("label"))
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq)
+      // mv_refresh now answers JOIN views by registered name too
+      IcebergWriter.append(spark, fact,
+        Seq(("b", 1L)).toDF("k", "v"), None, 3000L)
+      val head3 = IcebergMeta.load(fact).currentSnapshot.get.id
+      val jr = ServingClient.doAction(
+        srv.boundPort, "mv_refresh", join.mvName)
+      assert(jr.isOk, jr.status)
+      assert(jr.rows.head.head.toString === join.mvName)
+      assert(jr.rows.head(1) === head3 && jr.rows.head(2) === 0L, jr.rows)
+      // already current: null applied cursors
+      val noop = ServingClient.doAction(
+        srv.boundPort, "mv_refresh", join.mvName)
+      assert(noop.isOk && noop.rows.head(1) == null &&
+        noop.rows.head(2) == null, noop.rows)
+      // refusal: a hand-declared join def never refreshes
+      MvCatalog.registerJoin(graft.plans.JoinMvDef(
+        name = "hand_join", factPath = fact, dimPath = dimP,
+        joinKeys = Seq(("k", "dk")), mvPath = joinRoot,
+        mvSchema = new org.apache.spark.sql.types.StructType()))
+      assert(ServingClient.doAction(srv.boundPort, "mv_refresh",
+        "hand_join").status.startsWith("ERR INVALID_ARGUMENT"))
+    } finally {
+      MvCatalog.unregister(fact)
+      MvCatalog.unregisterJoin(fact, dimP)
+    }
   }
 
   test("DO_ACTION stream_view_describe: watermark + source head + fresh verdict; staleness after an unapplied commit; refusals") {
