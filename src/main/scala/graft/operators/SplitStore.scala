@@ -84,7 +84,7 @@ object SplitStore {
   private def commitsDir(root: String) = Paths.get(root, "_commits")
   private def indexRoot(root: String) = Paths.get(root, "index").toString
 
-  private def committedTokens(root: String): Seq[String] = {
+  private def markerNames(root: String): Seq[String] = {
     val d = commitsDir(root)
     if (!Files.exists(d)) Seq.empty
     else {
@@ -94,6 +94,39 @@ object SplitStore {
       finally s.close()
     }
   }
+
+  /** Tokens a compaction marker declares superseded ([[compact]]): the
+    * marker CONTENT carries the list, so readers exclude a folded-away
+    * segment from the moment the compaction commits — cleanup of the old
+    * markers and dirs can then crash at any point without double-serving
+    * a row.
+    */
+  private def supersededOf(root: String): Set[String] =
+    markerNames(root).flatMap { t =>
+      val content = new String(
+        Files.readAllBytes(commitsDir(root).resolve(t)),
+        StandardCharsets.UTF_8)
+      if (content.startsWith("supersedes:"))
+        content.stripPrefix("supersedes:").split(",").filter(_.nonEmpty)
+      else Array.empty[String]
+    }.toSet
+
+  /** The tokens whose segments readers serve: committed and not folded
+    * into a later compaction segment.
+    */
+  private def committedTokens(root: String): Seq[String] = {
+    val superseded = supersededOf(root)
+    markerNames(root).filterNot(superseded)
+  }
+
+  /** Whether an ingest token has EVER committed — directly (its marker
+    * file exists) or through a compaction that folded its segment away
+    * (it appears in a live compaction marker's supersedes list). The
+    * replay guard must answer true for both, or a replayed pre-compaction
+    * token would re-ingest instead of no-opping.
+    */
+  private def isCommitted(root: String, token: String): Boolean =
+    markerNames(root).contains(token) || supersededOf(root).contains(token)
   private implicit class IterOps[A](it: java.util.Iterator[A]) {
     def asScala: Iterator[A] = new Iterator[A] {
       def hasNext: Boolean = it.hasNext
@@ -158,8 +191,14 @@ object SplitStore {
     require(token.nonEmpty && token.matches("[A-Za-z0-9_-]+"),
       s"ingest token '$token' must be a filename-safe identifier")
     val segPath = segmentsDir(store.root).resolve(s"seg-$token").toString
-    if (Files.exists(commitsDir(store.root).resolve(token)))
-      return spark.read.parquet(segPath) // replay: already committed
+    if (isCommitted(store.root, token))
+      // replay: already committed. The segment itself may have been
+      // folded into a compaction segment since — answer from the live
+      // assignment set in that case (same rows: assignments are frozen)
+      return if (Files.exists(Paths.get(segPath)))
+        spark.read.parquet(segPath)
+      else assignments(spark, store)
+        .join(batch.select($"doc_id"), Seq("doc_id"), "left_semi")
     val corpus = graft.engine.PersistScope.pinEager(
       assignments(spark, store))
     val batchIdsDf = batch.select($"doc_id")
@@ -235,5 +274,76 @@ object SplitStore {
     Files.createDirectories(commitsDir(root))
     Files.write(commitsDir(root).resolve(token),
       "committed".getBytes(StandardCharsets.UTF_8)): Unit
+  }
+
+  /** OFFLINE maintenance: fold every live segment into one coalesced
+    * `seg-compact-<n>` segment, so [[assignments]] goes back to a single
+    * scan no matter how many ingests have landed (each ingest adds a
+    * segment dir — a store fed hourly for a year would otherwise union
+    * ~9k listings per read). Same single-writer contract as [[ingest]]:
+    * quiesce writers for the duration; readers only need to stay clear
+    * of the post-commit old-segment removal (the usual delete-under-
+    * reader caveat).
+    *
+    * Crash safety, per window:
+    *  - before the marker lands, the new segment dir is uncommitted and
+    *    invisible; the next compact removes such orphans (writers are
+    *    quiesced, so an unmarked segment dir can only be a crashed
+    *    compaction or crashed pre-marker ingest — either replays);
+    *  - the marker CREATE is the single commit point: its content names
+    *    the superseded tokens, so readers exclude them immediately;
+    *  - cleanup of superseded markers/dirs can crash anywhere — the
+    *    next compact (or any later one) finishes it, and readers are
+    *    correct throughout because exclusion rides on the live marker's
+    *    content, not on the cleanup.
+    * Replays of pre-compaction ingest tokens stay no-ops: the guard
+    * consults the supersedes lists, not just marker existence.
+    */
+  def compact(spark: SparkSession, store: Store, nFiles: Int = 8): Unit =
+    compactWithFaults(spark, store, nFiles, MinHashIndex.NoFaults)
+
+  private[graft] def compactWithFaults(
+      spark: SparkSession, store: Store, nFiles: Int,
+      fault: MinHashIndex.FaultInjector): Unit = {
+    require(nFiles > 0)
+    val root = store.root
+    // finish any crashed predecessor: drop markers+dirs a live
+    // compaction marker superseded, then unmarked (invisible) orphan dirs
+    val superseded = supersededOf(root)
+    superseded.foreach { t =>
+      Files.deleteIfExists(commitsDir(root).resolve(t))
+      deleteRecursively(segmentsDir(root).resolve(s"seg-$t").toFile)
+    }
+    val marked = markerNames(root).toSet
+    Option(segmentsDir(root).toFile.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("seg-") &&
+        !marked(f.getName.stripPrefix("seg-")))
+      .foreach(deleteRecursively)
+    fault("recovered")
+    val live = committedTokens(root)
+    if (live.size <= 1) return // already one segment: nothing to fold
+    val n = (marked ++ superseded).flatMap { t =>
+      if (t.startsWith("compact-")) t.stripPrefix("compact-").toLongOption
+      else None
+    }.foldLeft(0L)(math.max) + 1
+    val token = s"compact-$n"
+    val segPath = segmentsDir(root).resolve(s"seg-$token").toString
+    assignments(spark, store).coalesce(nFiles)
+      .write.mode("overwrite").parquet(segPath)
+    fault("merged-written")
+    // the single commit point: marker content = the folded-away tokens
+    Files.write(commitsDir(root).resolve(token),
+      s"supersedes:${live.mkString(",")}"
+        .getBytes(StandardCharsets.UTF_8)): Unit
+    fault("committed")
+    live.foreach { t =>
+      Files.deleteIfExists(commitsDir(root).resolve(t))
+      deleteRecursively(segmentsDir(root).resolve(s"seg-$t").toFile)
+    }
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(): Unit
   }
 }

@@ -576,6 +576,65 @@ class DedupSpec extends SparkTestBase {
     graft.engine.PersistScope.releaseAll()
   }
 
+  test("SplitStore compact: folds to one segment with the identical assignment set; pre-compaction replays stay no-ops; crash windows recover") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.SplitStore
+    val doc = graft.queries.QueryUtil.t(spark, SparkTestBase.Sf0001, "documents")
+    val root = tempDir("graft-splitstore-compact") + "/store"
+    val store = SplitStore.build(doc.filter(col("doc_id") % 10 < 7), root)
+    val inc1 = doc.filter(col("doc_id") % 10 === 7)
+    val inc2 = doc.filter(col("doc_id") % 10 === 8)
+    SplitStore.ingest(spark, store, inc1, token = "w1"): Unit
+    SplitStore.ingest(spark, store, inc2, token = "w2"): Unit
+    def snap() = SplitStore.assignments(spark, store).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sortBy(_._1).toSeq
+    def segDirs() = Option(new java.io.File(root, "segments").listFiles())
+      .getOrElse(Array.empty).filter(_.isDirectory).map(_.getName).toSet
+    def markers() = new java.io.File(root, "_commits").list().toSet
+    val before = snap()
+    assert(segDirs().size === 3, segDirs())
+    // crash BEFORE the marker: the merged dir is uncommitted — invisible
+    intercept[RuntimeException] {
+      SplitStore.compactWithFaults(spark, store, 2,
+        f => if (f == "merged-written") throw new RuntimeException("boom"))
+    }
+    assert(snap() === before, "uncommitted compaction must be invisible")
+    assert(segDirs().contains("seg-compact-1") && !markers()("compact-1"))
+    // crash AFTER the marker, before cleanup: readers already exclude
+    // the superseded segments through the marker's supersedes list
+    intercept[RuntimeException] {
+      SplitStore.compactWithFaults(spark, store, 2,
+        f => if (f == "committed") throw new RuntimeException("boom"))
+    }
+    assert(markers()("compact-1") && markers()("w1"),
+      "old markers survive the crash window")
+    assert(snap() === before,
+      "reads must be exact while cleanup is unfinished")
+    // rerun converges: finishes the cleanup, then no-ops (one segment)
+    SplitStore.compact(spark, store, nFiles = 2)
+    assert(segDirs() === Set("seg-compact-1"), segDirs())
+    assert(markers() === Set("compact-1"), markers())
+    assert(snap() === before, "compaction must not change one row")
+    // a PRE-compaction ingest token replays as a no-op and still
+    // answers the batch's frozen rows
+    val replay = SplitStore.ingest(spark, store, inc2, token = "w2")
+    assert(replay.count() === inc2.count())
+    assert(snap() === before && markers() === Set("compact-1"),
+      "pre-compaction token replay must not re-ingest")
+    // ingests keep landing after compaction; a second compact refolds
+    SplitStore.ingest(spark, store,
+      doc.filter(col("doc_id") % 10 === 9), token = "w3"): Unit
+    val after3 = snap()
+    assert(after3.length.toLong === doc.count())
+    assert(after3.filter(t => before.exists(_._1 == t._1)) === before,
+      "compaction + later ingest must leave frozen assignments frozen")
+    SplitStore.compact(spark, store, nFiles = 2)
+    assert(segDirs() === Set("seg-compact-2"), segDirs())
+    assert(snap() === after3)
+    graft.engine.PersistScope.releaseAll()
+  }
+
   test("SplitStore: a batch doc bridging train and val clusters is QUARANTINED, keeping both sets leak-free") {
     import org.apache.spark.sql.functions.col
     import graft.operators.SplitStore
