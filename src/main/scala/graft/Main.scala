@@ -131,6 +131,12 @@ object Main {
                   s"on ${r.joinKeys.map { case (f, d) => s"$f=$d" }
                     .mkString(",")} columns=${r.columns.map(_._1).mkString(",")}")
               }
+            graft.plans.MvAdvisor
+              .recommendIndexes(graft.plans.MvAdvisor.analyzeAnn(df))
+              .foreach { r =>
+                println(s"[advise] ivf index on ${r.basePath} " +
+                  s"embedding=${r.embCol} (${r.storeName})")
+              }
             (shapes ++ graft.plans.MvAdvisor.analyzeJoins(df))
               .collect { case scala.util.Left(j) => j.reason }
               .foreach(reason => println(s"[advise] rejected: $reason"))

@@ -1169,10 +1169,11 @@ final class ServingServer(
                   "<view_path> <source_path> [<wm_col: s|mn|nd|v>] -> " +
                   "applied watermark, live source head, fresh verdict"),
               ("advise",
-                "MV advisor: with a single-line SQL argument, advise " +
-                  "that statement; with no argument, fold the session's " +
-                  "observed query history. Rollup/multiplicity/join " +
-                  "recommendations + rejection reasons; reports only"))
+                "MV + index advisor: with a single-line SQL argument, " +
+                  "advise that statement; with no argument, fold the " +
+                  "session's observed query history. Rollup/" +
+                  "multiplicity/join/ivf_index recommendations + " +
+                  "rejection reasons; reports only"))
               .toDF("action", "description")
           }
           org.apache.spark.sql.GraftArrowBridge.writeBatches(actions, batchSize, out)
@@ -1320,12 +1321,18 @@ final class ServingServer(
           r.columns.map { case (c, isFact) =>
             s"${if (isFact) "f" else "d"}.$c" }.mkString(","),
           r.queriesAnswered.toLong, null: String))
+    // ANN workloads recommend a stored IVF index — the keys column
+    // carries the embedding column, measures is n/a for an index
+    val annRows = graft.plans.MvAdvisor
+      .recommendIndexes(dfs.flatMap(graft.plans.MvAdvisor.analyzeAnn))
+      .map(r => ("ivf_index", r.basePath, r.embCol, null: String,
+        r.queriesAnswered.toLong, null: String))
     val rejRows =
       (results.collect { case scala.util.Left(j) => j.reason } ++
         joinResults.collect { case scala.util.Left(j) => j.reason })
         .map(reason => ("rejected", null: String, null: String,
           null: String, 0L, reason))
-    recRows ++ joinRows ++ rejRows
+    recRows ++ joinRows ++ annRows ++ rejRows
   }
 }
 

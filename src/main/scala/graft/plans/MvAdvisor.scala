@@ -852,4 +852,98 @@ object MvAdvisor {
         JoinRecommendation(f, d, ss.head.joinKeys,
           ss.flatMap(_.columns).distinct, queriesAnswered = ss.length)
       }
+
+  /** One harvested ANN shape: a workload query computes vector
+    * similarity (cosine or dot product) over an embedding column read
+    * straight off one base table — the access pattern a stored IVF
+    * index ([[graft.operators.IvfStore]]) turns from a full-corpus scan
+    * into a directory-pruned probe.
+    */
+  final case class AnnShape(basePath: String, embCol: String)
+
+  /** A recommended stored ANN index for a (base, embedding-column)
+    * pair. [[IndexRecommendation.materialize]] builds the incremental
+    * IVF store from the base corpus; thereafter the serving layer's
+    * `ann_probe` answers top-k at flat probe cost and
+    * [[graft.operators.IvfStore.ingestSink]] keeps it maintained —
+    * the index twin of the MV recommendations (same advisor loop:
+    * analyze the workload, recommend the access structure, build it).
+    */
+  final case class IndexRecommendation(
+      basePath: String,
+      embCol: String,
+      queriesAnswered: Int) {
+
+    def storeName: String = {
+      def safe(t: String): String = t.replaceAll("[^A-Za-z0-9_]", "_")
+      s"advisor_ivf_${safe(new java.io.File(basePath).getName)}_${safe(embCol)}"
+    }
+
+    /** Build the stored IVF index at `root` from the base corpus (plain
+      * parquet or Iceberg — the read pins at the current snapshot).
+      * `idCol` must name the base's row-identity column
+      * ([[graft.operators.IvfStore.create]]'s contract: tombstones and
+      * probe tie-breaks key on it).
+      */
+    def materialize(
+        spark: SparkSession,
+        root: String,
+        nCells: Int = 16,
+        cellCap: Long = 100000L,
+        idCol: String = "vec_id"): graft.operators.IvfStore.Meta = {
+      val base =
+        if (graft.sources.IcebergMeta.hasMetadata(basePath))
+          graft.sources.IcebergSource.read(spark, basePath)
+        else spark.read.parquet(basePath)
+      graft.operators.IvfStore.create(
+        base, embCol, root, nCells = nCells, cellCap = cellCap,
+        idCol = idCol)
+    }
+  }
+
+  /** Harvest every ANN shape from one query's optimized plan: any
+    * cosine-similarity or dot-product expression whose argument is an
+    * `array<float>` column read off a single-root scan (the other
+    * argument is typically the broadcast/literal query vector — not
+    * this harvest's concern). Plan position is deliberately ignored:
+    * brute-force top-k (Sort+Limit over the score), threshold filters,
+    * and self-join near-dup shapes all pay the same full-corpus
+    * similarity evaluation an IVF store prunes.
+    */
+  def analyzeAnn(df: DataFrame): Seq[AnnShape] = {
+    val plan = df.queryExecution.optimizedPlan
+    def rootOfAttr(a: AttributeReference): Option[String] =
+      plan.collectFirst {
+        case lr: LogicalRelation if lr.output.exists(_.exprId == a.exprId) =>
+          MvRewrite.scanRoot(lr)
+      }.flatten
+    val out = scala.collection.mutable.LinkedHashSet.empty[AnnShape]
+    plan.foreach { node =>
+      node.expressions.foreach(_.foreach {
+        case sim @ (_: graft.functions.CosineSimilarity |
+            _: graft.functions.DotProduct) =>
+          sim.children.foreach {
+            case a: AttributeReference => a.dataType match {
+              case org.apache.spark.sql.types.ArrayType(
+                  org.apache.spark.sql.types.FloatType, _) =>
+                rootOfAttr(a).foreach(r => out += AnnShape(r, a.name))
+              case _ => ()
+            }
+            case _ => ()
+          }
+        case _ => ()
+      })
+    }
+    out.toSeq
+  }
+
+  /** Fold ANN shapes into one index recommendation per
+    * (base, embedding-column) pair, counting the workload shapes each
+    * would serve.
+    */
+  def recommendIndexes(shapes: Seq[AnnShape]): Seq[IndexRecommendation] =
+    shapes.groupBy(s => (s.basePath, s.embCol)).toSeq.sortBy(_._1)
+      .map { case ((base, emb), ss) =>
+        IndexRecommendation(base, emb, queriesAnswered = ss.length)
+      }
 }

@@ -435,6 +435,50 @@ class MvAdvisorSpec extends SparkTestBase with BeforeAndAfterAll {
     }
   }
 
+  test("ANN index advisor: a cosine top-k workload recommends an IVF store; the built store's probe answers it exactly") {
+    import graft.operators.IvfStore
+    val embPath = SparkTestBase.Sf0001 + "/embeddings.parquet"
+    val emb = spark.read.parquet(embPath)
+    val qvec = emb.orderBy(col("vec_id")).select(col("embedding"))
+      .head.getSeq[Float](0).toArray
+    val qCol = array(qvec.toIndexedSeq.map(v => lit(v)): _*)
+      .cast("array<float>")
+    // brute-force top-k: the workload shape the index serves (rounded
+    // to the probe's 6dp so tie-breaks compare identically)
+    val dash = emb.select(col("vec_id"),
+      round(graft.functions.Functions.cosineSim(col("embedding"), qCol), 6)
+        .as("cos"))
+      .orderBy(col("cos").desc, col("vec_id")).limit(5)
+    val shapes = MvAdvisor.analyzeAnn(dash)
+    assert(shapes.map(_.embCol) === Seq("embedding"), shapes)
+    assert(shapes.head.basePath.endsWith("embeddings.parquet"), shapes)
+    // a threshold self-join shape harvests the same recommendation
+    // (both sides resolve to one (base, column) pair — one shape)
+    val selfJoin = emb.as("a").join(emb.as("b"),
+      graft.functions.Functions.cosineSim(
+        col("a.embedding"), col("b.embedding")) > lit(0.9) &&
+        col("a.vec_id") < col("b.vec_id"))
+    assert(MvAdvisor.analyzeAnn(selfJoin).map(_.embCol) ===
+      Seq("embedding"))
+    val rec = MvAdvisor.recommendIndexes(
+      shapes ++ MvAdvisor.analyzeAnn(selfJoin)) match {
+      case Seq(one) => one
+      case other    => fail(s"expected ONE folded recommendation: $other")
+    }
+    assert(rec.queriesAnswered === 2)
+    assert(rec.storeName === "advisor_ivf_embeddings_parquet_embedding")
+    // materialize builds the stored incremental IVF index; probing all
+    // leaves is exact — the advisor-built index answers the workload
+    val root = tempDir("graft-advisor-ivf") + "/store"
+    rec.materialize(spark, root, nCells = 4): Unit
+    val got = IvfStore.probe(spark, root, qvec, k = 5, nProbe = 64)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+    val want = dash.collect().map(_.getLong(0)).toSeq
+    assert(got === want, "advisor-built index must answer the top-k")
+    // non-vector workloads harvest nothing
+    assert(MvAdvisor.analyzeAnn(q1(spark)).isEmpty)
+  }
+
   test("materialize closes the loop: the advisor-built MVs make the workload rewrite and match") {
     val shapes = Seq(q1(spark), q2(spark), q3(spark))
       .flatMap(MvAdvisor.analyze).flatMap(_.toOption)

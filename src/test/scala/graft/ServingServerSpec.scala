@@ -793,6 +793,21 @@ class ServingServerSpec extends SparkTestBase {
       val joinRow = r3.rows.find(_.head.toString == "join")
       assert(joinRow.isDefined, s"rows: ${r3.rows}")
       assert(joinRow.get(2).toString === "g=dg")
+      // an ANN workload (cosine top-k over a scanned embedding column)
+      // recommends a stored IVF index
+      val annB = tempDir("graft-advise-ann") + "/vecs.parquet"
+      Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)),
+        (3L, Seq(0.7f, 0.7f))).toDF("vec_id", "embedding")
+        .write.mode("overwrite").parquet(annB)
+      session.registerTable("advise_vecs", spark.read.parquet(annB))
+      val r4 = ServingClient.doAction(srv.boundPort, "advise",
+        "SELECT vec_id, cosine_sim(embedding, array(CAST(1.0 AS FLOAT), " +
+          "CAST(0.0 AS FLOAT))) AS c FROM advise_vecs ORDER BY c DESC " +
+          "LIMIT 2")
+      assert(r4.isOk, r4.status)
+      val annRow = r4.rows.find(_.head.toString == "ivf_index")
+      assert(annRow.isDefined, s"rows: ${r4.rows}")
+      assert(annRow.get(2).toString === "embedding", annRow.get)
       // bad SQL refuses BEFORE the OK status
       assert(ServingClient.doAction(srv.boundPort, "advise",
         "SELECT FROM nothing AT ALL").status
