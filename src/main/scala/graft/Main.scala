@@ -137,6 +137,12 @@ object Main {
                 println(s"[advise] ivf index on ${r.basePath} " +
                   s"embedding=${r.embCol} (${r.storeName})")
               }
+            graft.plans.MvAdvisor
+              .recommendDedupIndexes(graft.plans.MvAdvisor.analyzeDedup(df))
+              .foreach { r =>
+                println(s"[advise] minhash index on ${r.basePath} " +
+                  s"text=${r.textCol} (${r.storeName})")
+              }
             (shapes ++ graft.plans.MvAdvisor.analyzeJoins(df))
               .collect { case scala.util.Left(j) => j.reason }
               .foreach(reason => println(s"[advise] rejected: $reason"))

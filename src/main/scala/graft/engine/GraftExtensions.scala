@@ -2,9 +2,9 @@ package graft.engine
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Upper}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal, Upper}
 
-import graft.functions.{CosineSimilarity, DotProduct, LshRewriteHint, MaxTokenFreq, RollingFingerprint}
+import graft.functions.{ArrayXxHash64, CosineSimilarity, DotProduct, LshRewriteHint, MaxTokenFreq, MinHashSignature, RollingFingerprint, WordShingles}
 
 /** SparkSessionExtensions entry point: injects graft's native functions
   * into every session built with
@@ -51,7 +51,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register(ext, "max_token_freq",
       "maximum token frequency of an array<string>, one native pass",
       es => MaxTokenFreq(es.head))
+    // the dedup primitive chain (operators.TextOps), SQL-visible so a
+    // SQL-only client can express LSH dedup — and so the MV/index
+    // advisor can harvest dedup workloads arriving over the wire
+    register(ext, "word_shingles",
+      "distinct word n-gram shingles of an array<string> token array " +
+        "(optional 2nd arg: n, default 3)",
+      es => WordShingles(es(0), litInt(es, 1, default = 3)))
+    register(ext, "array_xxhash64",
+      "elementwise xxhash64 of an array<string>, one native pass",
+      es => ArrayXxHash64(es.head))
+    register(ext, "minhash_signature",
+      "MinHash signature of an array<long> of shingle hashes " +
+        "(optional 2nd arg: k hashes, default 64)",
+      es => MinHashSignature(es(0), litInt(es, 1, default = 64)))
   }
+
+  /** Optional literal-int argument at position `i` — these expressions
+    * take their arity as a constructor constant (it shapes codegen), so
+    * a non-literal is a user error worth a clear message.
+    */
+  private def litInt(es: Seq[Expression], i: Int, default: Int): Int =
+    if (es.length <= i) default
+    else es(i) match {
+      case Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"argument ${i + 1} must be an integer literal, got ${other.sql}")
+    }
 
   private def register(
       ext: SparkSessionExtensions,

@@ -1172,8 +1172,8 @@ final class ServingServer(
                 "MV + index advisor: with a single-line SQL argument, " +
                   "advise that statement; with no argument, fold the " +
                   "session's observed query history. Rollup/" +
-                  "multiplicity/join/ivf_index recommendations + " +
-                  "rejection reasons; reports only"))
+                  "multiplicity/join/ivf_index/minhash_index " +
+                  "recommendations + rejection reasons; reports only"))
               .toDF("action", "description")
           }
           org.apache.spark.sql.GraftArrowBridge.writeBatches(actions, batchSize, out)
@@ -1327,12 +1327,19 @@ final class ServingServer(
       .recommendIndexes(dfs.flatMap(graft.plans.MvAdvisor.analyzeAnn))
       .map(r => ("ivf_index", r.basePath, r.embCol, null: String,
         r.queriesAnswered.toLong, null: String))
+    // dedup workloads (minhash/shingle computation over a scanned text
+    // column) recommend the stored MinHash/LSH index
+    val dedupRows = graft.plans.MvAdvisor
+      .recommendDedupIndexes(
+        dfs.flatMap(graft.plans.MvAdvisor.analyzeDedup))
+      .map(r => ("minhash_index", r.basePath, r.textCol, null: String,
+        r.queriesAnswered.toLong, null: String))
     val rejRows =
       (results.collect { case scala.util.Left(j) => j.reason } ++
         joinResults.collect { case scala.util.Left(j) => j.reason })
         .map(reason => ("rejected", null: String, null: String,
           null: String, 0L, reason))
-    recRows ++ joinRows ++ annRows ++ rejRows
+    recRows ++ joinRows ++ annRows ++ dedupRows ++ rejRows
   }
 }
 

@@ -946,4 +946,93 @@ object MvAdvisor {
       .map { case ((base, emb), ss) =>
         IndexRecommendation(base, emb, queriesAnswered = ss.length)
       }
+
+  /** One harvested dedup shape: a workload query computes MinHash
+    * signatures or word shingles over a text column read off one base
+    * table — the access pattern the stored MinHash/LSH index
+    * ([[graft.operators.MinHashIndex]]) turns from a per-run corpus
+    * recompute into increment-cost banded lookups.
+    */
+  final case class DedupShape(basePath: String, textCol: String)
+
+  /** A recommended stored MinHash index for a (base, text-column) pair —
+    * the dedup twin of [[IndexRecommendation]]: materialize builds the
+    * versioned index once, then incremental dedup
+    * ([[graft.queries.DedupQueries.incrementalPairs]]) and the
+    * leakage-safe split store match each ingest batch against it at
+    * increment cost, and [[graft.operators.MinHashIndex.foldOnce]]
+    * keeps it maintained exactly-once.
+    */
+  final case class DedupIndexRecommendation(
+      basePath: String,
+      textCol: String,
+      queriesAnswered: Int) {
+
+    def storeName: String = {
+      def safe(t: String): String = t.replaceAll("[^A-Za-z0-9_]", "_")
+      s"advisor_minhash_${safe(new java.io.File(basePath).getName)}" +
+        s"_${safe(textCol)}"
+    }
+
+    /** Build the stored MinHash/LSH index at `root` from the base
+      * corpus (plain parquet or Iceberg). The index pipeline keys rows
+      * by `doc_id` and shingles `text`, so the base's identity and text
+      * columns are renamed into that contract.
+      */
+    def materialize(
+        spark: SparkSession,
+        root: String,
+        idCol: String = "doc_id"): graft.operators.MinHashIndex.StoredIndex = {
+      val base =
+        if (graft.sources.IcebergMeta.hasMetadata(basePath))
+          graft.sources.IcebergSource.read(spark, basePath)
+        else spark.read.parquet(basePath)
+      graft.operators.MinHashIndex.materialize(
+        base.select(
+          org.apache.spark.sql.functions.col(idCol).as("doc_id"),
+          org.apache.spark.sql.functions.col(textCol).as("text")),
+        root)
+    }
+  }
+
+  /** Harvest every dedup shape from one query's optimized plan: a
+    * MinHash-signature or word-shingle expression whose subtree reads a
+    * string column off a single-root scan. As with [[analyzeAnn]], plan
+    * position is ignored — signature projection, LSH banding, and exact
+    * shingle-join dedup all start from the same per-corpus shingle
+    * computation a stored index amortizes.
+    */
+  def analyzeDedup(df: DataFrame): Seq[DedupShape] = {
+    val plan = df.queryExecution.optimizedPlan
+    def rootOfAttr(a: AttributeReference): Option[String] =
+      plan.collectFirst {
+        case lr: LogicalRelation if lr.output.exists(_.exprId == a.exprId) =>
+          MvRewrite.scanRoot(lr)
+      }.flatten
+    val out = scala.collection.mutable.LinkedHashSet.empty[DedupShape]
+    plan.foreach { node =>
+      node.expressions.foreach(_.foreach {
+        case sig @ (_: graft.functions.MinHashSignature |
+            _: graft.functions.WordShingles) =>
+          sig.foreach {
+            case a: AttributeReference
+                if a.dataType == org.apache.spark.sql.types.StringType =>
+              rootOfAttr(a).foreach(r => out += DedupShape(r, a.name))
+            case _ => ()
+          }
+        case _ => ()
+      })
+    }
+    out.toSeq
+  }
+
+  /** Fold dedup shapes into one MinHash-index recommendation per
+    * (base, text-column) pair.
+    */
+  def recommendDedupIndexes(
+      shapes: Seq[DedupShape]): Seq[DedupIndexRecommendation] =
+    shapes.groupBy(s => (s.basePath, s.textCol)).toSeq.sortBy(_._1)
+      .map { case ((base, text), ss) =>
+        DedupIndexRecommendation(base, text, queriesAnswered = ss.length)
+      }
 }

@@ -30,4 +30,29 @@ class ExtensionsSpec extends SparkTestBase {
     val desc = spark.sql("DESCRIBE FUNCTION cosine_sim").collect().map(_.getString(0)).mkString("\n")
     assert(desc.toLowerCase.contains("cosine_sim"))
   }
+
+  test("SQL dedup primitives equal their TextOps twins; non-literal arity refuses") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.TextOps
+    val fresh = spark.newSession()
+    import fresh.implicits._
+    val df = Seq((1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    df.createOrReplaceTempView("ext_docs")
+    val viaSql = fresh.sql(
+      "SELECT minhash_signature(array_xxhash64(word_shingles(" +
+        "split(lower(text), '\\\\s+'), 3)), 64) AS sig FROM ext_docs")
+      .head.getSeq[Long](0)
+    val viaOps = df.select(
+      TextOps.minhashSignatureArray(TextOps.shingleHashes(
+        TextOps.shingles(TextOps.tokens(col("text"))))).as("sig"))
+      .head.getSeq[Long](0)
+    assert(viaSql === viaOps, "SQL chain must be bit-identical to TextOps")
+    // arity arguments shape codegen — they must be integer literals
+    val err = intercept[Exception] {
+      fresh.sql("SELECT word_shingles(split(text, ' '), doc_id) " +
+        "FROM ext_docs").collect()
+    }
+    assert(err.getMessage.contains("integer literal"), err.getMessage)
+  }
 }

@@ -479,6 +479,47 @@ class MvAdvisorSpec extends SparkTestBase with BeforeAndAfterAll {
     assert(MvAdvisor.analyzeAnn(q1(spark)).isEmpty)
   }
 
+  test("dedup index advisor: a minhash workload recommends the stored MinHash index; the built index answers incremental dedup") {
+    import graft.operators.TextOps
+    val doc = spark.read.parquet(
+      SparkTestBase.Sf0001 + "/documents.parquet")
+    val corpusPath = tempDir("graft-advisor-mh-base") + "/corpus.parquet"
+    doc.filter(col("doc_id") % 10 =!= 9)
+      .write.mode("overwrite").parquet(corpusPath)
+    val corpus = spark.read.parquet(corpusPath)
+    // the workload: LSH signature projection over the corpus text
+    val wl = corpus.select(col("doc_id"),
+      TextOps.minhashSignatureArray(TextOps.shingleHashes(
+        TextOps.shingles(TextOps.tokens(col("text"))))).as("sig"))
+    val shapes = MvAdvisor.analyzeDedup(wl)
+    assert(shapes.map(_.textCol) === Seq("text"), shapes)
+    assert(shapes.head.basePath.endsWith("corpus.parquet"), shapes)
+    // the same workload expressed in SQL (the wire face compiles SQL —
+    // word_shingles/array_xxhash64/minhash_signature are SQL-registered)
+    corpus.createOrReplaceTempView("advisor_mh_corpus")
+    val sqlShapes = MvAdvisor.analyzeDedup(spark.sql(
+      "SELECT doc_id, minhash_signature(array_xxhash64(word_shingles(" +
+        "split(lower(text), '\\\\s+'), 3)), 64) AS sig " +
+        "FROM advisor_mh_corpus"))
+    assert(sqlShapes === shapes, sqlShapes)
+    val rec = MvAdvisor.recommendDedupIndexes(shapes ++ sqlShapes).head
+    assert(rec.queriesAnswered === 2)
+    assert(rec.storeName === "advisor_minhash_corpus_parquet_text")
+    // materialize builds the stored index; the held-out batch dedupes
+    // against it incrementally — the planted cross pair (89, 114) with
+    // the SMALLER id in the increment must surface
+    val root = tempDir("graft-advisor-mh") + "/index"
+    val idx = rec.materialize(spark, root)
+    val batch = doc.filter(col("doc_id") % 10 === 9)
+    val pairs = graft.queries.DedupQueries
+      .incrementalPairs(spark, batch, idx, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.exists(p => Set(p._1, p._2) == Set(89L, 114L)), pairs)
+    // non-text workloads harvest nothing
+    assert(MvAdvisor.analyzeDedup(q1(spark)).isEmpty)
+    graft.engine.PersistScope.releaseAll()
+  }
+
   test("materialize closes the loop: the advisor-built MVs make the workload rewrite and match") {
     val shapes = Seq(q1(spark), q2(spark), q3(spark))
       .flatMap(MvAdvisor.analyze).flatMap(_.toOption)
