@@ -341,6 +341,84 @@ object IncrementalQueries {
           "WHERE o_orderstatus IN ('F', 'O') " +
           "GROUP BY o_orderpriority ORDER BY o_orderpriority"
       )
+    ),
+    // THE MAINTENANCE SWEEP UNDER THE ORACLE GATE (r15): TWO advisor
+    // views over one Iceberg fact — a rollup and a row-grain JOIN view
+    // against the plain-parquet customer dim — built pinned, churned by
+    // a second fact commit, then brought current by ONE
+    // MvAdvisor.maintainAll call (the mv_maintain action's engine; a
+    // require pins that the single sweep refreshed BOTH). The returned
+    // dashboard is the JOIN one, answered through the rewrite in a
+    // child session; DuckDB recomputes it from the plain parquet
+    // arithmetic, so the hash gate certifies the sweep refreshed the
+    // join store to exactly the post-churn state (the rollup's refresh
+    // arithmetic is hash-certified by q_mv_advisor_refresh). At 100 TB:
+    // "bring every dashboard current" is one scheduler call costing the
+    // sum of per-view churn, never a per-view re-enumeration of bases.
+    Q(
+      "q_mv_maintain",
+      (s, dir) => {
+        import graft.sources.{IcebergSource, IcebergWriter}
+        val ws = graft.engine.TempDirs
+          .workspace("graft-mv-maintain", "orders", dir)
+        java.nio.file.Files.createDirectories(ws): Unit
+        val root = java.nio.file.Files
+          .createTempDirectory(ws, "run").toString
+        val tbl = s"$root/orders_ice"
+        val orders = t(s, dir, "orders")
+        IcebergWriter.append(s, tbl,
+          orders.filter($"o_orderstatus" === "F")
+            .select($"o_orderkey", $"o_orderpriority", $"o_custkey"),
+          None, 1000L, formatVersion = 2)
+        def rollDash(ss: org.apache.spark.sql.SparkSession) =
+          IcebergSource.read(ss, tbl)
+            .groupBy($"o_orderpriority")
+            .agg(count(lit(1)).as("n_orders"),
+              sum($"o_custkey").as("s_cust"))
+        def joinDash(ss: org.apache.spark.sql.SparkSession) =
+          IcebergSource.read(ss, tbl)
+            .join(t(ss, dir, "customer"),
+              $"o_custkey" === $"c_custkey")
+            .groupBy($"c_mktsegment")
+            .agg(count(lit(1)).as("n_orders"),
+              sum($"o_custkey").as("s_cust"))
+            .orderBy($"c_mktsegment")
+        val rollRec = graft.plans.MvAdvisor
+          .recommend(graft.plans.MvAdvisor.analyze(rollDash(s))
+            .flatMap(_.toOption))
+          .find(_.kind == "rollup")
+          .getOrElse(throw new IllegalStateException(
+            "advisor failed to recommend the rollup"))
+        val joinRec = graft.plans.MvAdvisor
+          .recommendJoins(graft.plans.MvAdvisor
+            .analyzeJoins(joinDash(s)).flatMap(_.toOption))
+          .headOption
+          .getOrElse(throw new IllegalStateException(
+            "advisor failed to recommend the join view"))
+        rollRec.materialize(s, s"$root/mv_roll"): Unit
+        joinRec.materialize(s, s"$root/mv_join"): Unit
+        // churn the fact (append-only — a MoR base is not a plain scan
+        // and deliberately never rewrites)
+        IcebergWriter.append(s, tbl,
+          orders.filter($"o_orderstatus" === "O")
+            .select(($"o_orderkey" + 10000000L).as("o_orderkey"),
+              $"o_orderpriority", $"o_custkey"),
+          None, 2000L)
+        val swept = graft.plans.MvAdvisor.maintainAll(s)
+          .filter(r => Set(rollRec.mvName, joinRec.mvName)(r.name))
+        require(swept.count(_.stale) == 2,
+          s"one maintainAll sweep must refresh BOTH advisor views: $swept")
+        val s2 = s.newSession()
+        s2.conf.set("spark.graft.mv.rewrite.enabled", "true")
+        joinDash(s2)
+      },
+      Some(
+        "SELECT c_mktsegment, count(*) AS n_orders, " +
+          "CAST(sum(o_custkey) AS BIGINT) AS s_cust " +
+          "FROM orders JOIN customer ON o_custkey = c_custkey " +
+          "WHERE o_orderstatus IN ('F', 'O') " +
+          "GROUP BY c_mktsegment ORDER BY c_mktsegment"
+      )
     )
   )
 }

@@ -106,6 +106,14 @@ class PlanAuditSpec extends SparkTestBase {
     assert(mvScanViolations(advIce, "/mv/v",
       Seq("orders_ice")).isEmpty,
       mvScanViolations(advIce, "/mv/v", Seq("orders_ice")))
+    // the maintenance sweep: after ONE maintainAll the join dashboard
+    // must read the swept join store — never the Iceberg fact's data
+    // files or the customer dim
+    val maint = byName("q_mv_maintain").fn(spark, SparkTestBase.Sf0001)
+    assert(mvScanViolations(maint, "/mv_join/v",
+      Seq("orders_ice", "customer.parquet")).isEmpty,
+      mvScanViolations(maint, "/mv_join/v",
+        Seq("orders_ice", "customer.parquet")))
   }
 
   test("the gate fires on deliberate regressions") {
