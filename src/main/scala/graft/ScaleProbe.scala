@@ -143,7 +143,7 @@ object ScaleProbe {
     val groups =
       Set("all", "core", "core10x", "core30x", "extras", "dedup", "sim",
         "text", "events", "serve", "iceberg", "skip", "cdc", "manifests",
-        "ivfstore", "stepfloor", "objectstore")
+        "ivfstore", "stepfloor", "objectstore", "splitstore")
     // a typo'd group would otherwise spin up Spark, run NOTHING, and exit
     // 0 — indistinguishable from "probe found nothing"
     require(groups(which), s"unknown probe group '$which' (one of: ${groups.mkString(", ")})")
@@ -168,6 +168,7 @@ object ScaleProbe {
     if (which == "ivfstore") ivfStoreProbe(spark) // not in "all": builds 2M-vector stores
     if (which == "stepfloor") stepFloorProbe(spark) // floor decomposition, small fixture
     if (which == "objectstore") objectStoreProbe(spark) // latency-injected FS economics
+    if (which == "splitstore") splitStoreProbe(spark) // not in "all": 25 sequential ingests
     spark.stop()
   }
 
@@ -1782,5 +1783,67 @@ object ScaleProbe {
       spark.sql("DROP TABLE IF EXISTS probe_orders")
       spark.sql("DROP TABLE IF EXISTS probe_lines")
     }
+  }
+
+  /** SplitStore read + compaction economics as ingest history grows:
+    * every ingest commits one segment, so the assignment read unions S
+    * parquet listings (and each INGEST pays that read twice — the
+    * id-collision guard and the matched-rep lookup). compact() folds
+    * the history back to ONE coalesced segment. On page-cached NVMe the
+    * per-listing cost is milliseconds, so the transferable numbers are
+    * the listing/file counts (on an object store every listing+open is
+    * a round trip — the objectstore probe's measured regime) plus the
+    * wall trend. Claim: the post-compaction read serves one segment
+    * with a bounded file count regardless of how many ingests ever
+    * landed; the pre-compaction read's listings and files track the
+    * ingest count.
+    */
+  private def splitStoreProbe(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.SplitStore
+    // deterministic all-distinct texts: read-path economics only — the
+    // match/cluster algebra has its own probes (dedup group)
+    def docs(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      col("id").as("doc_id"),
+      concat_ws(" ", (0 until 12).map(i =>
+        concat(lit(s"w$i-"), col("id") * 31 + i)): _*).as("text"))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-splitstore-probe").toString + "/store"
+    val store = SplitStore.build(docs(0, 20000), root)
+    def segments: Int = Option(
+      new java.io.File(root, "segments").listFiles())
+      .getOrElse(Array.empty).count(_.isDirectory)
+    def files: Int = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      walk(new java.io.File(root, "segments"))
+    }
+    def readSecs(): Double = {
+      val t0 = System.nanoTime()
+      SplitStore.assignments(spark, store)
+        .agg(count(lit(1))).collect(): Unit
+      (System.nanoTime() - t0) / 1e9
+    }
+    var next = 20000L
+    val marks = scala.collection.mutable.Buffer.empty[(String, Int, Int, Double)]
+    marks += (("after_build", segments, files, readSecs()))
+    for (b <- 1 to 25) {
+      SplitStore.ingest(spark, store, docs(next, next + 500),
+        token = f"b$b%03d"): Unit
+      next += 500
+      if (b == 5 || b == 25)
+        marks += ((s"after_${b}_ingests", segments, files, readSecs()))
+    }
+    val t0 = System.nanoTime()
+    SplitStore.compact(spark, store, nFiles = 4)
+    val compactSecs = (System.nanoTime() - t0) / 1e9
+    marks += (("after_compact", segments, files, readSecs()))
+    println("--- split-store read economics (20k base + 25 x 500-doc ingests) ---")
+    marks.foreach { case (l, segs, fs, s) =>
+      println(f"$l%-18s segments=$segs%3d  files=$fs%4d  read=${s}%6.2f s")
+    }
+    println(f"compact_once       ${compactSecs}%6.2f s (amortized over every later read AND ingest)")
   }
 }
