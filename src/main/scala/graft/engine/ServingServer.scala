@@ -119,9 +119,18 @@ import java.util.concurrent.{LinkedBlockingQueue, ThreadPoolExecutor, TimeUnit}
   *        freshness of a streaming MV (streaming/MaterializedAgg):
   *        the view's applied watermark, the live source head, and a
   *        `fresh` verdict — the streaming counterpart of mv_describe.
-  *     `DO_ACTION advise [<sql>]` -> the MV advisor (plans.MvAdvisor)
-  *        over the wire: rollup/multiplicity/join recommendations +
-  *        rejection reasons — for one single-line SQL statement, or,
+  *     `DO_ACTION store_compact <kind> <root> [nFiles]` -> offline
+  *        store maintenance (kind = minhash | ivf | split): fold the
+  *        store's segment history via its own compact; the work runs
+  *        BEFORE the status so failures refuse cleanly. Single-writer
+  *        contract: quiesce that store's writers for the duration.
+  *     `DO_ACTION table_maintain <table_root> [retain_ms]` -> the
+  *        Iceberg nightly-job policy (sources.IcebergMaintenance) over
+  *        the wire; answers the maintenance report row.
+  *     `DO_ACTION advise [<sql>]` -> the MV + index advisor
+  *        (plans.MvAdvisor) over the wire: rollup/multiplicity/join/
+  *        ivf_index/minhash_index recommendations + rejection
+  *        reasons — for one single-line SQL statement, or,
   *        with no argument, folded over the session's OBSERVED query
   *        history (GraftSession's bounded side-effect-free log);
   *        reports only, materializes nothing.
@@ -1041,6 +1050,115 @@ final class ServingServer(
               org.apache.spark.sql.GraftArrowBridge
                 .writeBatches(result, batchSize, out)
               out.flush()
+            case "store_compact" if arg.nonEmpty =>
+              // offline store maintenance over the wire:
+              // <kind> <root> [nFiles], kind = minhash | ivf | split.
+              // Unlike the streaming verbs the WORK runs before the
+              // status line — a compaction yields one summary row, so
+              // running it first lets any failure (wrong kind, missing
+              // store, lease conflict) refuse cleanly instead of dying
+              // mid-stream. Same single-writer contract as the driver-
+              // side compact calls: quiesce that store's writers.
+              val scParts = arg.split("\\s+")
+              val scRes = scala.util.Try {
+                require(scParts.length == 2 || scParts.length == 3,
+                  "store_compact requires <kind> <root> [nFiles]")
+                val kind = scParts(0)
+                val root = scParts(1)
+                val nFiles =
+                  if (scParts.length == 3) scParts(2).toInt else 8
+                require(nFiles > 0, "nFiles must be positive")
+                def dirCount(sub: String): Int = Option(
+                  new java.io.File(root, sub).listFiles())
+                  .getOrElse(Array.empty).count(_.isDirectory)
+                kind match {
+                  case "minhash" =>
+                    val idx =
+                      graft.operators.MinHashIndex.StoredIndex(root)
+                    graft.operators.MinHashIndex.compact(
+                      session.spark, idx, nFiles)
+                    val v = graft.operators.MinHashIndex
+                      .currentVersion(session.spark, idx)
+                    (kind, root, s"version=$v")
+                  case "ivf" =>
+                    val m = graft.operators.IvfStore
+                      .compact(session.spark, root)
+                    (kind, root,
+                      s"version=${m.version} segments=${m.segments.size}")
+                  case "split" =>
+                    graft.operators.SplitStore.compact(session.spark,
+                      graft.operators.SplitStore.Store(root), nFiles)
+                    (kind, root, s"segments=${dirCount("segments")}")
+                  case other => throw new IllegalArgumentException(
+                    s"unknown store kind '$other' (one of: minhash, " +
+                      "ivf, split)")
+                }
+              }
+              scRes match {
+                case scala.util.Failure(e) =>
+                  status("ERR INVALID_ARGUMENT store_compact: " +
+                    Option(e.getMessage).getOrElse(e.toString)
+                      .replaceAll("\\s+", " ").take(200))
+                case scala.util.Success((k, r, info)) =>
+                  status("OK")
+                  val result = {
+                    import session.spark.implicits._
+                    Seq((k, r, info)).toDF("kind", "root", "result")
+                  }
+                  org.apache.spark.sql.GraftArrowBridge
+                    .writeBatches(result, batchSize, out)
+                  out.flush()
+              }
+            case "store_compact" =>
+              status("ERR INVALID_ARGUMENT store_compact requires " +
+                "<kind> <root> [nFiles]")
+            case "table_maintain" if arg.nonEmpty =>
+              // the nightly Iceberg table job over the wire (the CLI
+              // --maintain twin): <table_root> [retain_ms]. Runs the
+              // IcebergMaintenance policy once — compact on delete
+              // pressure, expire history past the retention window,
+              // consolidate manifests on metadata pressure — and
+              // answers the report row. Work-then-status, same
+              // rationale as store_compact.
+              val tmParts = arg.split("\\s+")
+              val tmRes = scala.util.Try {
+                require(tmParts.length == 1 || tmParts.length == 2,
+                  "table_maintain requires <table_root> [retain_ms]")
+                val root = tmParts(0)
+                require(graft.sources.IcebergMeta.hasMetadata(root),
+                  s"$root is not an Iceberg table")
+                val now = System.currentTimeMillis()
+                val cutoff =
+                  if (tmParts.length == 2) Some(now - tmParts(1).toLong)
+                  else None
+                graft.sources.IcebergMaintenance.maintain(
+                  session.spark, root, now, expireOlderThanMs = cutoff)
+              }
+              tmRes match {
+                case scala.util.Failure(e) =>
+                  status("ERR INVALID_ARGUMENT table_maintain: " +
+                    Option(e.getMessage).getOrElse(e.toString)
+                      .replaceAll("\\s+", " ").take(200))
+                case scala.util.Success(rep) =>
+                  status("OK")
+                  val result = {
+                    import session.spark.implicits._
+                    Seq((rep.deleteFiles, rep.deleteRows, rep.dataFiles,
+                      rep.compacted.map(java.lang.Long.valueOf).orNull,
+                      rep.expired.mkString(","),
+                      rep.manifestsRewritten
+                        .map(java.lang.Long.valueOf).orNull))
+                      .toDF("delete_files", "delete_rows", "data_files",
+                        "compacted_snapshot", "expired_snapshots",
+                        "manifests_rewritten")
+                  }
+                  org.apache.spark.sql.GraftArrowBridge
+                    .writeBatches(result, batchSize, out)
+                  out.flush()
+              }
+            case "table_maintain" =>
+              status("ERR INVALID_ARGUMENT table_maintain requires " +
+                "<table_root> [retain_ms]")
             case "stream_view_describe" if arg.nonEmpty =>
               // freshness for the STREAMING MV family (streaming/
               // MaterializedAgg): arg is <view_path> <source_path>
@@ -1168,6 +1286,15 @@ final class ServingServer(
                 "freshness of a streaming materialized view: " +
                   "<view_path> <source_path> [<wm_col: s|mn|nd|v>] -> " +
                   "applied watermark, live source head, fresh verdict"),
+              ("store_compact",
+                "offline store maintenance: <kind> <root> [nFiles], " +
+                  "kind = minhash | ivf | split — fold the store's " +
+                  "segment history; quiesce that store's writers first"),
+              ("table_maintain",
+                "Iceberg nightly-job policy: <table_root> [retain_ms] " +
+                  "— compact on delete pressure, expire history past " +
+                  "the retention window, consolidate manifests; " +
+                  "answers the report row"),
               ("advise",
                 "MV + index advisor: with a single-line SQL argument, " +
                   "advise that statement; with no argument, fold the " +

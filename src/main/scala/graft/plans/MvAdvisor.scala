@@ -96,14 +96,19 @@ object MvAdvisor {
     /** Deterministic registered name per (base, kind, grain) — stable
       * across re-materializations (replace-in-place), distinct across
       * the per-cluster rollups one base can carry (the grain signature
-      * disambiguates; sorted so key ORDER never splits an identity).
+      * disambiguates; sorted so key ORDER never splits an identity),
+      * and distinct across BASES sharing a directory basename (the
+      * path-digest tail — find-by-name and the refresh verbs rely on
+      * name uniqueness, and two `.../runN/orders` tables must not
+      * alias one identity).
       */
     def mvName: String = {
       val grain = kind match {
         case "multiplicity" => s"_${safe(keys.last)}"
         case _              => s"_${keys.sorted.map(safe).mkString("_")}"
       }
-      s"advisor_${kind}_${safe(new java.io.File(basePath).getName)}$grain"
+      s"advisor_${kind}_${safe(new java.io.File(basePath).getName)}$grain" +
+        s"_${MvAdvisor.baseTag(MvCatalog.normalize(basePath))}"
     }
 
     private def arg(text: String): org.apache.spark.sql.Column = {
@@ -203,31 +208,53 @@ object MvAdvisor {
       * replace-by-name IS the commit here, so run one refresher at a
       * time per view).
       */
-    def refreshStep(spark: SparkSession, mvRoot: String): Option[Long] = {
+    def refreshStep(spark: SparkSession, mvRoot: String): Option[Long] =
+      refreshStepPinned(spark, mvRoot, pinned = None)
+
+    /** [[refreshStep]] against an ALREADY-READ changelog window pinned
+      * at a caller-captured head — what [[maintainAll]] hands each of N
+      * views sharing one base so the sweep reads the window ONCE, not N
+      * times. The caller vouches the frame IS exactly this view's
+      * (registered watermark, pinned head] window of `basePath` and the
+      * meta is the load that resolved that head — the same trust shape
+      * as `IcebergSource.read`'s `preloaded`.
+      */
+    private[graft] def refreshStepPinned(
+        spark: SparkSession,
+        mvRoot: String,
+        pinned: Option[(DataFrame, Long, graft.sources.IcebergMeta.TableMeta)]
+    ): Option[Long] = {
       val d = MvCatalog.lookup(basePath).find(_.name == mvName)
         .getOrElse(throw new IllegalStateException(
           s"$mvName is not registered — materialize first"))
       val wm = d.watermark.getOrElse(throw new IllegalStateException(
         s"$mvName carries no watermark — not an Iceberg-based advisor MV"))
-      val meta = graft.sources.IcebergMeta.load(basePath)
-      val cur = meta.currentSnapshot.getOrElse(throw new IllegalStateException(
-        s"iceberg base $basePath has no snapshots")).id
+      val meta = pinned.map(_._3)
+        .getOrElse(graft.sources.IcebergMeta.load(basePath))
+      val cur = pinned.map(_._2).getOrElse(
+        meta.currentSnapshot.getOrElse(throw new IllegalStateException(
+          s"iceberg base $basePath has no snapshots")).id)
       if (cur == wm) return None
       require(meta.snapshots.exists(_.id == wm),
         s"MV watermark $wm is not a snapshot of $basePath — the source " +
           "history was rewritten under the view; re-materialize")
       // the churned key tuples feed both the keyed recompute and the
-      // untouched carry-over's anti-join — pin once
-      val touched = graft.sources.IcebergSource
-        .readChangelog(spark, basePath, fromSnapshotId = wm,
-          toSnapshotId = Some(cur))
+      // untouched carry-over's anti-join — pin once. Every read this
+      // step issues plans against the ONE meta resolved above (the
+      // preloaded contract), so a step costs one metadata load, shared
+      // across a whole sweep when the caller pinned it.
+      val window = pinned.map(_._1).getOrElse(
+        graft.sources.IcebergSource.readChangelog(
+          spark, basePath, fromSnapshotId = wm, toSnapshotId = Some(cur),
+          preloaded = Some(meta)))
+      val touched = window
         .select(keys.map(col): _*).distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       touched.count(): Unit
       try {
         val baseNow = graft.sources.IcebergSource.read(
           spark, basePath, snapshotId = Some(cur), asOfTimestampMs = None,
-          prune = None)
+          prune = None, preloaded = Some(meta))
         // null-safe tuple joins: NULL keys are legitimate rollup groups
         def tupleCond(l: String, r: String) = keys.map(k =>
           col(s"$l.$k") <=> col(s"$r.$k")).reduce(_ && _)
@@ -288,6 +315,16 @@ object MvAdvisor {
       queriesAnswered = 0)
     if (rec.mvName == d.name) Some(rec) else None
   }
+
+  /** Six hex chars of a (normalized) base-path key — the disambiguator
+    * that keeps deterministic advisor names UNIQUE across bases sharing
+    * a directory basename. Deterministic per path, so re-advising the
+    * same base still replaces-in-place.
+    */
+  private[graft] def baseTag(key: String): String =
+    java.security.MessageDigest.getInstance("SHA-1")
+      .digest(key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(3).map(b => f"$b%02x").mkString
 
   /** The MV root an advisor def's versioned store lives under — the
     * parent of the registered `v<snapshot>` directory ([[versionDir]]).
@@ -366,8 +403,31 @@ object MvAdvisor {
     * replace-by-name is each step's commit, same single-refresher
     * contract as [[Recommendation.refreshStep]].
     */
-  def maintainAll(spark: SparkSession): Seq[MaintainResult] =
-    MvCatalog.describe().map { info =>
+  def maintainAll(spark: SparkSession): Seq[MaintainResult] = {
+    // N rollup views sharing one (base, watermark) refresh from ONE
+    // metadata load and ONE changelog read: the sweep's cost is
+    // O(distinct stale windows), not O(views × base metadata). Entries
+    // are Try so one unreadable base skips ITS views with the reason
+    // without blocking the rest.
+    val metaCache = scala.collection.mutable.Map
+      .empty[String, scala.util.Try[graft.sources.IcebergMeta.TableMeta]]
+    def metaOf(base: String) = metaCache.getOrElseUpdate(base,
+      scala.util.Try(graft.sources.IcebergMeta.load(base)))
+    val windowCache = scala.collection.mutable.Map.empty[
+      (String, Long),
+      scala.util.Try[(DataFrame, Long, graft.sources.IcebergMeta.TableMeta)]]
+    def windowOf(base: String, wm: Long) =
+      windowCache.getOrElseUpdate((base, wm), metaOf(base).map { meta =>
+        val cur = meta.currentSnapshot.getOrElse(
+          throw new IllegalStateException(
+            s"iceberg base $base has no snapshots")).id
+        val w = graft.sources.IcebergSource.readChangelog(
+          spark, base, fromSnapshotId = wm, toSnapshotId = Some(cur),
+          preloaded = Some(meta))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        (w, cur, meta)
+      })
+    try MvCatalog.describe().map { info =>
       def done(stale: Boolean, snap: Option[Long], dim: Option[Long]) =
         MaintainResult(info.name, info.kind, stale, snap, dim, None)
       def skip(reason: String) =
@@ -375,7 +435,10 @@ object MvAdvisor {
           Some(reason))
       try info.kind match {
         case "rollup" =>
-          MvCatalog.find(info.name) match {
+          // resolve by (base, name), never name alone: names are unique
+          // since the path-digest tail, but the sweep must stay correct
+          // even against defs registered by older code
+          MvCatalog.lookup(info.basePath).find(_.name == info.name) match {
             case None => skip("unregistered during the sweep")
             case Some(d) => fromDef(d) match {
               case None => skip(
@@ -383,14 +446,22 @@ object MvAdvisor {
               case Some(_) if d.watermark.isEmpty => skip(
                 "no watermark — plain-parquet base, nothing to refresh " +
                   "against")
-              case Some(rec) => rec.refreshStep(spark, mvRootOf(d)) match {
-                case Some(snap) => done(stale = true, Some(snap), None)
-                case None       => done(stale = false, None, None)
-              }
+              case Some(rec) =>
+                val wm = d.watermark.get
+                val head = metaOf(d.basePath).get.currentSnapshot
+                  .getOrElse(throw new IllegalStateException(
+                    s"iceberg base ${d.basePath} has no snapshots")).id
+                if (head == wm) done(stale = false, None, None)
+                else rec.refreshStepPinned(spark, mvRootOf(d),
+                  Some(windowOf(d.basePath, wm).get)) match {
+                  case Some(snap) => done(stale = true, Some(snap), None)
+                  case None       => done(stale = false, None, None)
+                }
             }
           }
         case _ =>
-          MvCatalog.findJoin(info.name) match {
+          MvCatalog.lookupJoin(info.basePath, info.dimPath.getOrElse(""))
+            .find(_.name == info.name) match {
             case None => skip("unregistered during the sweep")
             case Some(d) => fromJoinDef(spark, d) match {
               case None => skip(
@@ -413,7 +484,10 @@ object MvAdvisor {
           Option(e.getMessage).getOrElse(e.toString)
             .replaceAll("\\s+", " ").take(200))
       }
-    }
+    } finally windowCache.values.foreach(_.foreach {
+      case (w, _, _) => w.unpersist(blocking = false): Unit
+    })
+  }
 
   /** `<mvRoot>/v<snapshotId>` — one immutable directory per applied
     * source snapshot. Refresh never rewrites a live directory, so a
@@ -465,7 +539,10 @@ object MvAdvisor {
     private def safe(p: String): String =
       new java.io.File(p).getName.replaceAll("[^A-Za-z0-9_]", "_")
 
-    def mvName: String = s"advisor_join_${safe(factPath)}_${safe(dimPath)}"
+    def mvName: String =
+      s"advisor_join_${safe(factPath)}_${safe(dimPath)}_" +
+        MvAdvisor.baseTag(
+          s"${MvCatalog.normalize(factPath)}|${MvCatalog.normalize(dimPath)}")
 
     /** One side's read: plain parquet, or Iceberg pinned at the given
       * snapshot (None = the side is not an Iceberg table).

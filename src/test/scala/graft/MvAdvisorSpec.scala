@@ -479,6 +479,76 @@ class MvAdvisorSpec extends SparkTestBase with BeforeAndAfterAll {
     assert(MvAdvisor.analyzeAnn(q1(spark)).isEmpty)
   }
 
+  test("shared-window refresh: two rollup views on one base refresh from ONE pinned window with zero extra metadata loads") {
+    import spark.implicits._
+    import graft.sources.{IcebergMeta, IcebergSource, IcebergWriter}
+    val tbl = tempDir("graft-shared-window") + "/table"
+    val r1Root = tempDir("graft-shared-window-mv1") + "/mv"
+    val r2Root = tempDir("graft-shared-window-mv2") + "/mv"
+    IcebergWriter.append(spark, tbl,
+      Seq(("a", "x", 10L), ("a", "y", 20L), ("b", "x", 5L))
+        .toDF("k", "g", "v"),
+      None, 1000L, formatVersion = 2)
+    // INCOMPARABLE grains ({k} vs {g}) so clustering yields TWO rollups
+    def d1(s2: SparkSession) = IcebergSource.read(s2, tbl)
+      .groupBy(col("k")).agg(sum(col("v")).as("sv"))
+    def d2(s2: SparkSession) = IcebergSource.read(s2, tbl)
+      .groupBy(col("g")).agg(count(lit(1)).as("n"))
+    val recs = MvAdvisor.recommend(
+      (MvAdvisor.analyze(d1(spark)) ++ MvAdvisor.analyze(d2(spark)))
+        .flatMap(_.toOption))
+    assert(recs.length === 2, recs)
+    val rk = recs.find(_.keys == Seq("k")).getOrElse(fail(s"no k rollup: $recs"))
+    val rg = recs.find(_.keys == Seq("g")).getOrElse(fail(s"no g rollup: $recs"))
+    try {
+      rk.materialize(spark, r1Root): Unit
+      rg.materialize(spark, r2Root): Unit
+      val wm = MvCatalog.lookup(tbl).head.watermark.get
+      IcebergWriter.append(spark, tbl,
+        Seq(("a", "x", 100L), ("c", "z", 7L)).toDF("k", "g", "v"),
+        None, 2000L)
+      // the sweep's economics, isolated: ONE meta load + ONE window
+      // read serve BOTH views' pinned steps — zero loads inside them
+      val meta = IcebergMeta.load(tbl)
+      val cur = meta.currentSnapshot.get.id
+      val w = IcebergSource.readChangelog(spark, tbl,
+        fromSnapshotId = wm, toSnapshotId = Some(cur),
+        preloaded = Some(meta))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      w.count(): Unit
+      val loads0 = IcebergMeta.loadCount.get()
+      assert(rk.refreshStepPinned(spark, r1Root,
+        Some((w, cur, meta))) === Some(cur))
+      assert(rg.refreshStepPinned(spark, r2Root,
+        Some((w, cur, meta))) === Some(cur))
+      w.unpersist(blocking = false): Unit
+      assert(IcebergMeta.loadCount.get() === loads0,
+        "pinned refresh steps must plan every read against the ONE " +
+          "preloaded metadata")
+      // both refreshed stores equal their direct recomputes
+      def stored(name: String) = {
+        val d = MvCatalog.lookup(tbl).find(_.name == name).get
+        spark.read.parquet(d.mvPath)
+      }
+      assert(stored(rk.mvName).orderBy(col("k"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq ===
+        d1(spark).orderBy(col("k"))
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq)
+      assert(stored(rg.mvName).orderBy(col("g"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq ===
+        d2(spark).orderBy(col("g"))
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq)
+      // maintainAll drives the same shared-window path end to end
+      IcebergWriter.append(spark, tbl,
+        Seq(("b", "y", 1L)).toDF("k", "g", "v"), None, 3000L)
+      val head3 = IcebergMeta.load(tbl).currentSnapshot.get.id
+      val swept = MvAdvisor.maintainAll(spark)
+        .filter(r => Set(rk.mvName, rg.mvName)(r.name))
+      assert(swept.forall(r =>
+        r.stale && r.appliedSnapshot === Some(head3)), swept)
+    } finally MvCatalog.unregister(tbl)
+  }
+
   test("dedup index advisor: a minhash workload recommends the stored MinHash index; the built index answers incremental dedup") {
     import graft.operators.TextOps
     val doc = spark.read.parquet(

@@ -680,7 +680,8 @@ class ServingServerSpec extends SparkTestBase {
       assert(actions.isOk, actions.status)
       assert(actions.rows.map(_.head.toString) ===
         Seq("cancel", "mv_describe", "ann_probe", "mv_refresh",
-          "mv_maintain", "stream_view_describe", "advise"))
+          "mv_maintain", "stream_view_describe", "store_compact",
+          "table_maintain", "advise"))
       assert(ServingClient.doAction(srv.boundPort, "cancel", "nope").status
         .startsWith("ERR NOT_FOUND"))
       assert(ServingClient.doAction(srv.boundPort, "cancel").status
@@ -987,6 +988,71 @@ class ServingServerSpec extends SparkTestBase {
     } finally {
       MvCatalog.unregister(fact)
       MvCatalog.unregisterJoin(fact, dimP)
+    }
+  }
+
+  test("DO_ACTION store_compact + table_maintain: store maintenance over the wire; refusals before any stream") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.{IvfStore, SplitStore}
+    import graft.sources.IcebergWriter
+    // a small split store with two ingest segments
+    val splitRoot = tempDir("graft-sc-split") + "/store"
+    def sdocs(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      col("id").as("doc_id"),
+      org.apache.spark.sql.functions.concat_ws(" ",
+        (0 until 8).map(i => org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit(s"w$i-"),
+          col("id") * 17 + i)): _*).as("text"))
+    val store = SplitStore.build(sdocs(0, 300), splitRoot)
+    SplitStore.ingest(spark, store, sdocs(300, 350), token = "a1"): Unit
+    SplitStore.ingest(spark, store, sdocs(350, 400), token = "a2"): Unit
+    val beforeRows = SplitStore.assignments(spark, store).count()
+    // a small IVF store with one ingest segment
+    val ivfRoot = tempDir("graft-sc-ivf") + "/store"
+    def vecs(lo: Int, hi: Int) = (lo until hi)
+      .map(i => (i.toLong, Seq(i.toFloat, (i % 7).toFloat)))
+      .toDF("vec_id", "embedding")
+    IvfStore.create(vecs(0, 200), "embedding", ivfRoot, nCells = 2): Unit
+    IvfStore.ingest(spark, ivfRoot, vecs(200, 260)): Unit
+    // an Iceberg table with delete pressure (seed via parquet so the
+    // table schema is NULLABLE like the upsert batch's)
+    val tbl = tempDir("graft-sc-ice") + "/table"
+    val seed = tempDir("graft-sc-ice-seed") + "/seed.parquet"
+    spark.range(1000).select(col("id"),
+      org.apache.spark.sql.functions.lit("x").as("v"))
+      .write.mode("overwrite").parquet(seed)
+    IcebergWriter.append(spark, tbl, spark.read.parquet(seed),
+      None, 1000L, formatVersion = 2)
+    IcebergWriter.upsertRows(spark, tbl,
+      Seq((5L, "y"), (6L, "y")).toDF("id", "v"), "id", 2000L)
+    withServer { srv =>
+      val sc = ServingClient.doAction(srv.boundPort, "store_compact",
+        s"split $splitRoot 2")
+      assert(sc.isOk, sc.status)
+      assert(sc.rows.head(2).toString === "segments=1", sc.rows)
+      assert(SplitStore.assignments(spark, store).count() === beforeRows,
+        "compaction must not change one assignment row")
+      val iv = ServingClient.doAction(srv.boundPort, "store_compact",
+        s"ivf $ivfRoot")
+      assert(iv.isOk, iv.status)
+      assert(iv.rows.head(2).toString.contains("segments=1"), iv.rows)
+      // the compacted IVF store still probes
+      assert(IvfStore.probe(spark, ivfRoot, Array(1.0f, 1.0f), k = 3,
+        nProbe = 8).count() === 3)
+      val tm = ServingClient.doAction(srv.boundPort, "table_maintain",
+        tbl)
+      assert(tm.isOk, tm.status)
+      assert(tm.rows.head.head.toString.toInt >= 1,
+        s"upsert must have left delete pressure: ${tm.rows}")
+      // refusals land BEFORE any stream
+      assert(ServingClient.doAction(srv.boundPort, "store_compact",
+        s"bogus $splitRoot").status.startsWith("ERR INVALID_ARGUMENT"))
+      assert(ServingClient.doAction(srv.boundPort, "store_compact")
+        .status.startsWith("ERR INVALID_ARGUMENT"))
+      assert(ServingClient.doAction(srv.boundPort, "table_maintain",
+        tempDir("graft-sc-nope")).status
+        .startsWith("ERR INVALID_ARGUMENT"))
     }
   }
 
