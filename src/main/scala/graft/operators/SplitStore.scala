@@ -307,6 +307,10 @@ object SplitStore {
       fault: MinHashIndex.FaultInjector): Unit = {
     require(nFiles > 0)
     val root = store.root
+    // a root that is not a split store must refuse, not no-op happily —
+    // a mistyped path would otherwise report success having done nothing
+    require(Files.exists(commitsDir(root)),
+      s"$root is not a split store (no _commits directory)")
     // finish any crashed predecessor: drop markers+dirs a live
     // compaction marker superseded, then unmarked (invisible) orphan dirs
     val superseded = supersededOf(root)

@@ -403,7 +403,36 @@ object MvAdvisor {
     * replace-by-name is each step's commit, same single-refresher
     * contract as [[Recommendation.refreshStep]].
     */
-  def maintainAll(spark: SparkSession): Seq[MaintainResult] = {
+  def maintainAll(spark: SparkSession): Seq[MaintainResult] =
+    sweep(spark, MvCatalog.describe())
+
+  /** [[maintainAll]] scoped to ONE base table: refresh every stale
+    * advisor view whose (fact-side) base is `basePath` — rollups and
+    * multiplicity stores on it, plus join views whose fact is it. The
+    * "this source just ingested — bring ALL its dashboards current"
+    * face, one catalog walk cheaper than enumerating view names.
+    */
+  def maintainBase(
+      spark: SparkSession, basePath: String): Seq[MaintainResult] = {
+    val base = MvCatalog.normalize(basePath)
+    sweep(spark, MvCatalog.describe()
+      .filter(i => MvCatalog.normalize(i.basePath) == base))
+  }
+
+  /** The [[graft.streaming.MaterializedAgg.maintainedSink]]-shaped
+    * thunk over [[maintainBase]]: plug ONE hook into the ingest
+    * foreachBatch and every advisor view of the source refreshes after
+    * each batch — views registered later join the loop without
+    * re-plumbing the sink. Returns the highest snapshot any view
+    * applied (None = everything was already current).
+    */
+  def maintainHook(
+      basePath: String): (SparkSession, Long) => Option[Long] =
+    (s, _) => maintainBase(s, basePath).flatMap(_.appliedSnapshot)
+      .maxOption
+
+  private def sweep(
+      spark: SparkSession, infos: Seq[MvInfo]): Seq[MaintainResult] = {
     // N rollup views sharing one (base, watermark) refresh from ONE
     // metadata load and ONE changelog read: the sweep's cost is
     // O(distinct stale windows), not O(views × base metadata). Entries
@@ -427,7 +456,7 @@ object MvAdvisor {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         (w, cur, meta)
       })
-    try MvCatalog.describe().map { info =>
+    try infos.map { info =>
       def done(stale: Boolean, snap: Option[Long], dim: Option[Long]) =
         MaintainResult(info.name, info.kind, stale, snap, dim, None)
       def skip(reason: String) =

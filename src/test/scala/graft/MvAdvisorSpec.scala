@@ -479,6 +479,68 @@ class MvAdvisorSpec extends SparkTestBase with BeforeAndAfterAll {
     assert(MvAdvisor.analyzeAnn(q1(spark)).isEmpty)
   }
 
+  test("maintainHook keeps EVERY advisor view of a source fresh through maintainedSink — including one registered after the sink was built") {
+    import spark.implicits._
+    import graft.sources.IcebergSource
+    import graft.streaming.MaterializedAgg
+    val dropDir = tempDir("graft-mnt-hook-drop")
+    val checkpoint = tempDir("graft-mnt-hook-ckpt")
+    val tbl = tempDir("graft-mnt-hook-src") + "/table"
+    val mv1Root = tempDir("graft-mnt-hook-mv1") + "/mv"
+    val mv2Root = tempDir("graft-mnt-hook-mv2") + "/mv"
+    val seedPath = tempDir("graft-mnt-hook-seed") + "/seed.parquet"
+    (0L until 12L).map(i => (s"k${i % 3}", s"g${i % 2}", i))
+      .toDF("k", "g", "v").write.mode("overwrite").parquet(seedPath)
+    graft.sources.IcebergWriter.append(spark, tbl,
+      spark.read.parquet(seedPath), None, 1000L, formatVersion = 2)
+    def d1(s: SparkSession) = IcebergSource.read(s, tbl)
+      .groupBy(col("k")).agg(sum(col("v")).as("sv"))
+    def d2(s: SparkSession) = IcebergSource.read(s, tbl)
+      .groupBy(col("g")).agg(count(lit(1)).as("n"))
+    def recOf(df: DataFrame) = MvAdvisor
+      .recommend(MvAdvisor.analyze(df).flatMap(_.toOption)).head
+    val rec1 = recOf(d1(spark))
+    try {
+      rec1.materialize(spark, mv1Root): Unit
+      // ONE hook for the whole source — not one per view
+      var tick = 1000L
+      val clock = () => { tick += 1000L; tick }
+      val sink = MaterializedAgg.maintainedSink(
+        tbl, MvAdvisor.maintainHook(tbl), clock = clock)
+      val docs = (12L until 24L).map(i => (s"k${i % 3}", s"g${i % 2}", i))
+        .toDF("k", "g", "v")
+      docs.filter($"v" < 18).write.parquet(s"$dropDir/b0")
+      def run(): Unit = {
+        val q = spark.readStream.schema(docs.schema)
+          .parquet(s"$dropDir/*/")
+          .writeStream.option("checkpointLocation", checkpoint)
+          .foreachBatch(sink)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination(120000): Unit finally q.stop()
+      }
+      run()
+      def stored(name: String) = {
+        val d = MvCatalog.lookup(tbl).find(_.name == name).get
+        spark.read.parquet(d.mvPath)
+      }
+      def pairs(df: DataFrame, key: String) = df.orderBy(col(key))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(pairs(stored(rec1.mvName), "k") === pairs(d1(spark), "k"),
+        "the pre-registered view must track the first batch")
+      // a SECOND view registers AFTER the sink was built — the
+      // base-scoped hook picks it up with no sink re-plumbing
+      val rec2 = recOf(d2(spark))
+      rec2.materialize(spark, mv2Root): Unit
+      docs.filter($"v" >= 18).write.parquet(s"$dropDir/b1")
+      run()
+      assert(IcebergSource.read(spark, tbl).count() === 24)
+      assert(pairs(stored(rec1.mvName), "k") === pairs(d1(spark), "k"))
+      assert(pairs(stored(rec2.mvName), "g") === pairs(d2(spark), "g"),
+        "the later-registered view must join the maintenance loop")
+    } finally MvCatalog.unregister(tbl)
+  }
+
   test("shared-window refresh: two rollup views on one base refresh from ONE pinned window with zero extra metadata loads") {
     import spark.implicits._
     import graft.sources.{IcebergMeta, IcebergSource, IcebergWriter}

@@ -1048,6 +1048,9 @@ class ServingServerSpec extends SparkTestBase {
       // refusals land BEFORE any stream
       assert(ServingClient.doAction(srv.boundPort, "store_compact",
         s"bogus $splitRoot").status.startsWith("ERR INVALID_ARGUMENT"))
+      // a root of the WRONG store kind refuses instead of no-opping
+      assert(ServingClient.doAction(srv.boundPort, "store_compact",
+        s"split $ivfRoot").status.startsWith("ERR INVALID_ARGUMENT"))
       assert(ServingClient.doAction(srv.boundPort, "store_compact")
         .status.startsWith("ERR INVALID_ARGUMENT"))
       assert(ServingClient.doAction(srv.boundPort, "table_maintain",
