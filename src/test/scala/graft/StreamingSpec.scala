@@ -874,6 +874,71 @@ class StreamingSpec extends SparkTestBase {
     assert(nullKey.getMessage.contains("null keys"), nullKey.getMessage)
   }
 
+  test("randomized churn x refresh interleavings converge: seeded append/upsert/delete/merge/refresh/replay sequence ends equal to the recompute") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, count, lit, pmod, sum}
+    import graft.sources.{IcebergSource, IcebergWriter}
+    import graft.streaming.MaterializedAgg
+    // the hand-written cases pin each transition; this pins their
+    // COMPOSITIONS — op sequences (including refreshes at arbitrary
+    // points and immediate replays) no enumeration would cover. Seeded,
+    // so a failure replays deterministically.
+    val src = tempDir("graft-mv-fuzz-src") + "/table"
+    val view = tempDir("graft-mv-fuzz-view") + "/table"
+    val rng = new scala.util.Random(4242)
+    var ts = 0L
+    def tick(): Long = { ts += 1000L; ts }
+    var nextId = 0L
+    def freshRows(n: Int) = {
+      val s = (nextId until nextId + n).map(i => (i, s"v$i"))
+      nextId += n
+      s.toDF("id", "v")
+    }
+    def liveIds(): Seq[Long] = IcebergSource.read(spark, src)
+      .select(col("id")).as[Long].collect().sorted.toSeq
+    def expected() = IcebergSource.read(spark, src)
+      .groupBy(pmod(col("id"), lit(8)).as("k"))
+      .agg(sum(col("id")).as("s"), count(lit(1)).as("c"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    def actual() = MaterializedAgg.readView(spark, view)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    def refresh() = MaterializedAgg.refreshStep(
+      spark, view, src, pmod(col("id"), lit(8)), col("id"), tick())
+    IcebergWriter.append(spark, src, freshRows(40), None, tick(),
+      formatVersion = 2)
+    assert(refresh().isDefined)
+    for (step <- 1 to 30) {
+      rng.nextInt(5) match {
+        case 0 =>
+          IcebergWriter.append(spark, src,
+            freshRows(1 + rng.nextInt(12)), None, tick())
+        case 1 =>
+          val ids = rng.shuffle(liveIds()).take(1 + rng.nextInt(8))
+          if (ids.nonEmpty) IcebergWriter.upsertRows(spark, src,
+            ids.map(i => (i, s"u$i-$step")).toDF("id", "v"), "id", tick())
+        case 2 =>
+          val ids = rng.shuffle(liveIds()).take(1 + rng.nextInt(8))
+          if (ids.nonEmpty) IcebergWriter.deleteEquality(spark, src,
+            ids.toDF("id"), tick())
+        case 3 =>
+          val ups = rng.shuffle(liveIds()).take(rng.nextInt(4))
+            .map(i => (i, s"m$i-$step"))
+          val rows = ups.toDF("id", "v").unionByName(
+            freshRows(1 + rng.nextInt(4)))
+          IcebergWriter.mergeRows(spark, src, rows, "id", tick())
+        case 4 =>
+          refresh(): Unit
+          if (rng.nextBoolean())
+            assert(refresh().isEmpty, s"replay at head must no-op ($step)")
+          assert(actual() === expected(),
+            s"view must equal the recompute after the step-$step refresh")
+      }
+    }
+    refresh(): Unit
+    assert(actual() === expected(), "final state must converge")
+    assert(liveIds().nonEmpty, "fixture sanity: the table never emptied")
+  }
+
   test("refreshStepMany: N views of one source batch onto one window read, commits stay per-view, stragglers catch up") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, count, lit, pmod, sum}
