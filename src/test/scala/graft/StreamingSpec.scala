@@ -939,6 +939,76 @@ class StreamingSpec extends SparkTestBase {
     assert(liveIds().nonEmpty, "fixture sanity: the table never emptied")
   }
 
+  test("randomized churn x exact-distinct refresh interleavings converge: refcount algebra survives any seeded op sequence") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, count, countDistinct, lit, pmod}
+    import graft.sources.{IcebergSource, IcebergWriter}
+    import graft.streaming.MaterializedAgg
+    // same composition-pinning idea as the sum/count fuzz above, aimed
+    // at the subtlest algebra of the four: multiplicity refcounts,
+    // where an upsert is a death AND a birth and a delete may or may
+    // not change the distinct level depending on surviving copies.
+    // Values repeat (id % 10), so multiplicities genuinely exercise.
+    val src = tempDir("graft-mvd-fuzz-src") + "/table"
+    val view = tempDir("graft-mvd-fuzz-view") + "/table"
+    val rng = new scala.util.Random(91)
+    var ts = 0L
+    def tick(): Long = { ts += 1000L; ts }
+    var nextId = 0L
+    def freshRows(n: Int) = {
+      val s = (nextId until nextId + n).map(i => (i, i % 10L))
+      nextId += n
+      s.toDF("id", "w")
+    }
+    def liveIds(): Seq[Long] = IcebergSource.read(spark, src)
+      .select(col("id")).as[Long].collect().sorted.toSeq
+    def expected() = IcebergSource.read(spark, src)
+      .groupBy(pmod(col("id"), lit(4)).as("k"))
+      .agg(countDistinct(col("w")).as("nd"), count(lit(1)).as("n"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    def actual() = MaterializedAgg.readDistinctView(spark, view)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    def refresh() = MaterializedAgg.refreshStepDistinct(
+      spark, view, src, pmod(col("id"), lit(4)), col("w"), tick())
+    IcebergWriter.append(spark, src, freshRows(30), None, tick(),
+      formatVersion = 2)
+    assert(refresh().isDefined)
+    for (step <- 1 to 30) {
+      rng.nextInt(5) match {
+        case 0 =>
+          IcebergWriter.append(spark, src,
+            freshRows(1 + rng.nextInt(10)), None, tick())
+        case 1 =>
+          // upsert REASSIGNS values (id -> a different residue class):
+          // one op is a death in the old multiplicity and a birth in a
+          // new one, possibly moving the distinct level either way
+          val ids = rng.shuffle(liveIds()).take(1 + rng.nextInt(6))
+          if (ids.nonEmpty) IcebergWriter.upsertRows(spark, src,
+            ids.map(i => (i, (i + step) % 10L)).toDF("id", "w"),
+            "id", tick())
+        case 2 =>
+          val ids = rng.shuffle(liveIds()).take(1 + rng.nextInt(6))
+          if (ids.nonEmpty) IcebergWriter.deleteEquality(spark, src,
+            ids.toDF("id"), tick())
+        case 3 =>
+          val ups = rng.shuffle(liveIds()).take(rng.nextInt(3))
+            .map(i => (i, (i * 3 + step) % 10L))
+          val rows = ups.toDF("id", "w").unionByName(
+            freshRows(1 + rng.nextInt(3)))
+          IcebergWriter.mergeRows(spark, src, rows, "id", tick())
+        case 4 =>
+          refresh(): Unit
+          if (rng.nextBoolean())
+            assert(refresh().isEmpty, s"replay at head must no-op ($step)")
+          assert(actual() === expected(),
+            s"distinct view must equal the recompute after step $step")
+      }
+    }
+    refresh(): Unit
+    assert(actual() === expected(), "final state must converge")
+    assert(liveIds().nonEmpty, "fixture sanity: the table never emptied")
+  }
+
   test("refreshStepMany: N views of one source batch onto one window read, commits stay per-view, stragglers catch up") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, count, lit, pmod, sum}
