@@ -1347,6 +1347,95 @@ class StreamingSpec extends SparkTestBase {
       IcebergMeta.load(src).currentSnapshot.get.id)
   }
 
+  test("randomized two-source churn x join-view refresh interleavings converge: backfills, inner-join deaths and dual cursors under any seeded sequence") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.sources.{IcebergSource, IcebergWriter}
+    import graft.streaming.MaterializedAgg
+    // the two-cursor flavor's fuzz: FACT and DIM churn interleave
+    // freely (facts pointing at not-yet-existent dims, dim inserts
+    // backfilling them later, dim deletes killing matched facts through
+    // inner-join semantics), refreshes and replays land at random
+    // points, and after every refresh the view equals the join
+    // recomputed from scratch. jk domain (0..11) is deliberately wider
+    // than the dims that exist, so unmatched facts are always present.
+    val factP = tempDir("graft-mvj-fuzz-fact") + "/table"
+    val dimP = tempDir("graft-mvj-fuzz-dim") + "/table"
+    val view = tempDir("graft-mvj-fuzz-view") + "/table"
+    val rng = new scala.util.Random(777)
+    var ts = 0L
+    def tick(): Long = { ts += 1000L; ts }
+    var nextId = 0L
+    def freshFacts(n: Int) = {
+      val s = (nextId until nextId + n)
+        .map(i => (i, rng.nextInt(12).toLong, i * 10L))
+      nextId += n
+      s.toDF("id", "jk", "fv")
+    }
+    def liveFactIds(): Seq[Long] = IcebergSource.read(spark, factP)
+      .select(col("id")).as[Long].collect().sorted.toSeq
+    def liveDimKeys(): Seq[Long] = IcebergSource.read(spark, dimP)
+      .select(col("jk")).as[Long].collect().sorted.toSeq
+    def expected() = IcebergSource.read(spark, factP).as("f")
+      .join(IcebergSource.read(spark, dimP).as("d"),
+        col("f.jk") === col("d.jk"), "inner")
+      .select(col("id").as("k"), col("f.jk"), col("fv"), col("d.dv"))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    def actual() = MaterializedAgg.readView(spark, view)
+      .select(col("k"), col("jk"), col("fv"), col("dv"))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    def refresh() = MaterializedAgg.refreshStepJoin(
+      spark, view, factP, dimP,
+      factKey = col("id"), factJoinKey = col("jk"), factVal = col("fv"),
+      dimJoinKey = col("jk"), dimVal = col("dv"), tick())
+    IcebergWriter.append(spark, factP, freshFacts(20), None, tick(),
+      formatVersion = 2)
+    IcebergWriter.append(spark, dimP,
+      (0L until 6L).map(j => (j, j + 100L)).toDF("jk", "dv"),
+      None, tick(), formatVersion = 2)
+    assert(refresh().isDefined)
+    assert(actual() === expected())
+    for (step <- 1 to 30) {
+      rng.nextInt(6) match {
+        case 0 =>
+          IcebergWriter.append(spark, factP,
+            freshFacts(1 + rng.nextInt(8)), None, tick())
+        case 1 =>
+          // move facts between dims (possibly to a nonexistent one)
+          val ids = rng.shuffle(liveFactIds()).take(1 + rng.nextInt(5))
+          if (ids.nonEmpty) IcebergWriter.upsertRows(spark, factP,
+            ids.map(i => (i, rng.nextInt(12).toLong, i * 10L + step))
+              .toDF("id", "jk", "fv"), "id", tick())
+        case 2 =>
+          val ids = rng.shuffle(liveFactIds()).take(1 + rng.nextInt(5))
+          if (ids.nonEmpty) IcebergWriter.deleteEquality(spark, factP,
+            ids.toDF("id"), tick())
+        case 3 =>
+          // dim upsert-or-insert: relabels rewrite matched facts,
+          // inserts backfill previously-unmatched ones
+          val keys = (1 to 1 + rng.nextInt(3))
+            .map(_ => rng.nextInt(12).toLong).distinct
+          IcebergWriter.upsertRows(spark, dimP,
+            keys.map(j => (j, j + 100L + step)).toDF("jk", "dv"),
+            "jk", tick())
+        case 4 =>
+          val keys = rng.shuffle(liveDimKeys()).take(1 + rng.nextInt(2))
+          if (keys.nonEmpty) IcebergWriter.deleteEquality(spark, dimP,
+            keys.toDF("jk"), tick())
+        case 5 =>
+          refresh(): Unit
+          if (rng.nextBoolean())
+            assert(refresh().isEmpty, s"replay at heads must no-op ($step)")
+          assert(actual() === expected(),
+            s"join view must equal the recompute after step $step")
+      }
+    }
+    refresh(): Unit
+    assert(actual() === expected(), "final state must converge")
+    assert(liveFactIds().nonEmpty && liveDimKeys().nonEmpty,
+      "fixture sanity: neither side ever emptied")
+  }
+
   test("exactly-once streaming JOIN view: two-source churn, backfill, inner-join death, two-cursor replay no-op, one commit") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
