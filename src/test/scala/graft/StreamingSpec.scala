@@ -939,6 +939,141 @@ class StreamingSpec extends SparkTestBase {
     assert(liveIds().nonEmpty, "fixture sanity: the table never emptied")
   }
 
+  test("randomized churn x min/max refresh interleavings converge: extremum deaths, interior churn and replays under any seeded sequence") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, count, lit, max, min, pmod}
+    import graft.sources.{IcebergSource, IcebergWriter}
+    import graft.streaming.MaterializedAgg
+    // the extremum-rescan class's fuzz: upserts MOVE measures (each is
+    // a delete of the old row — possibly the stored extremum, forcing a
+    // rescan — plus an insert that may or may not set a new one), and
+    // deletes hit extrema and interiors indiscriminately.
+    val src = tempDir("graft-mvmm-fuzz-src") + "/table"
+    val view = tempDir("graft-mvmm-fuzz-view") + "/table"
+    val rng = new scala.util.Random(555)
+    var ts = 0L
+    def tick(): Long = { ts += 1000L; ts }
+    var nextId = 0L
+    def freshRows(n: Int) = {
+      val s = (nextId until nextId + n).map(i => (i, (i * 7) % 100L))
+      nextId += n
+      s.toDF("id", "m")
+    }
+    def liveIds(): Seq[Long] = IcebergSource.read(spark, src)
+      .select(col("id")).as[Long].collect().sorted.toSeq
+    def expected() = IcebergSource.read(spark, src)
+      .groupBy(pmod(col("id"), lit(4)).as("k"))
+      .agg(min(col("m")).as("mn"), max(col("m")).as("mx"),
+        count(lit(1)).as("c"))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    def actual() = MaterializedAgg.readView(spark, view)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    def refresh() = MaterializedAgg.refreshStepMinMax(
+      spark, view, src, pmod(col("id"), lit(4)), col("m"), tick())
+    IcebergWriter.append(spark, src, freshRows(30), None, tick(),
+      formatVersion = 2)
+    assert(refresh().isDefined)
+    for (step <- 1 to 30) {
+      rng.nextInt(5) match {
+        case 0 =>
+          IcebergWriter.append(spark, src,
+            freshRows(1 + rng.nextInt(10)), None, tick())
+        case 1 =>
+          val ids = rng.shuffle(liveIds()).take(1 + rng.nextInt(6))
+          if (ids.nonEmpty) IcebergWriter.upsertRows(spark, src,
+            ids.map(i => (i, rng.nextInt(200).toLong)).toDF("id", "m"),
+            "id", tick())
+        case 2 =>
+          val ids = rng.shuffle(liveIds()).take(1 + rng.nextInt(6))
+          if (ids.nonEmpty) IcebergWriter.deleteEquality(spark, src,
+            ids.toDF("id"), tick())
+        case 3 =>
+          val ups = rng.shuffle(liveIds()).take(rng.nextInt(3))
+            .map(i => (i, rng.nextInt(200).toLong))
+          val rows = ups.toDF("id", "m").unionByName(
+            freshRows(1 + rng.nextInt(3)))
+          IcebergWriter.mergeRows(spark, src, rows, "id", tick())
+        case 4 =>
+          refresh(): Unit
+          if (rng.nextBoolean())
+            assert(refresh().isEmpty, s"replay at head must no-op ($step)")
+          assert(actual() === expected(),
+            s"min/max view must equal the recompute after step $step")
+      }
+    }
+    refresh(): Unit
+    assert(actual() === expected(), "final state must converge")
+    assert(liveIds().nonEmpty, "fixture sanity: the table never emptied")
+  }
+
+  test("randomized churn x approx-distinct refresh interleavings converge: sketch unions and delete-forced rescans stay exact in the sparse regime") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, count, countDistinct, lit, pmod}
+    import graft.sources.{IcebergSource, IcebergWriter}
+    import graft.streaming.MaterializedAgg
+    // per-group cardinality stays in the sketch's exact list/set regime
+    // (values = id % 12, so <= 12 per group), so the estimate must
+    // EQUAL the recompute after every refresh — unions for insert-only
+    // windows, authoritative keyed rescans when a window carries
+    // deletes, in whatever order the seed interleaves them.
+    val src = tempDir("graft-mvad-fuzz-src") + "/table"
+    val view = tempDir("graft-mvad-fuzz-view") + "/table"
+    val rng = new scala.util.Random(313)
+    var ts = 0L
+    def tick(): Long = { ts += 1000L; ts }
+    var nextId = 0L
+    def freshRows(n: Int) = {
+      val s = (nextId until nextId + n).map(i => (i, i % 12L))
+      nextId += n
+      s.toDF("id", "w")
+    }
+    def liveIds(): Seq[Long] = IcebergSource.read(spark, src)
+      .select(col("id")).as[Long].collect().sorted.toSeq
+    def expected() = IcebergSource.read(spark, src)
+      .groupBy(pmod(col("id"), lit(4)).as("k"))
+      .agg(countDistinct(col("w")).as("nd"), count(lit(1)).as("c"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    def actual() = MaterializedAgg.readView(spark, view)
+      .select(col("k"), col("nd"), col("c"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    def refresh() = MaterializedAgg.refreshStepApproxDistinct(
+      spark, view, src, pmod(col("id"), lit(4)), col("w"), tick())
+    IcebergWriter.append(spark, src, freshRows(30), None, tick(),
+      formatVersion = 2)
+    assert(refresh().isDefined)
+    for (step <- 1 to 30) {
+      rng.nextInt(5) match {
+        case 0 =>
+          IcebergWriter.append(spark, src,
+            freshRows(1 + rng.nextInt(10)), None, tick())
+        case 1 =>
+          val ids = rng.shuffle(liveIds()).take(1 + rng.nextInt(6))
+          if (ids.nonEmpty) IcebergWriter.upsertRows(spark, src,
+            ids.map(i => (i, (i + step) % 12L)).toDF("id", "w"),
+            "id", tick())
+        case 2 =>
+          val ids = rng.shuffle(liveIds()).take(1 + rng.nextInt(6))
+          if (ids.nonEmpty) IcebergWriter.deleteEquality(spark, src,
+            ids.toDF("id"), tick())
+        case 3 =>
+          val ups = rng.shuffle(liveIds()).take(rng.nextInt(3))
+            .map(i => (i, (i * 5 + step) % 12L))
+          val rows = ups.toDF("id", "w").unionByName(
+            freshRows(1 + rng.nextInt(3)))
+          IcebergWriter.mergeRows(spark, src, rows, "id", tick())
+        case 4 =>
+          refresh(): Unit
+          if (rng.nextBoolean())
+            assert(refresh().isEmpty, s"replay at head must no-op ($step)")
+          assert(actual() === expected(),
+            s"approx-distinct view must equal the recompute after step $step")
+      }
+    }
+    refresh(): Unit
+    assert(actual() === expected(), "final state must converge")
+    assert(liveIds().nonEmpty, "fixture sanity: the table never emptied")
+  }
+
   test("randomized churn x exact-distinct refresh interleavings converge: refcount algebra survives any seeded op sequence") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, count, countDistinct, lit, pmod}
