@@ -57,15 +57,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register(ext, "word_shingles",
       "distinct word n-gram shingles of an array<string> token array " +
         "(optional 2nd arg: n, default 3)",
-      es => WordShingles(es(0), litInt(es, 1, default = 3)))
+      es => { arity("word_shingles", es, min = 1, max = 2)
+        WordShingles(es(0), litInt(es, 1, default = 3)) })
     register(ext, "array_xxhash64",
       "elementwise xxhash64 of an array<string>, one native pass",
-      es => ArrayXxHash64(es.head))
+      es => { arity("array_xxhash64", es, min = 1, max = 1)
+        ArrayXxHash64(es.head) })
     register(ext, "minhash_signature",
       "MinHash signature of an array<long> of shingle hashes " +
         "(optional 2nd arg: k hashes, default 64)",
-      es => MinHashSignature(es(0), litInt(es, 1, default = 64)))
+      es => { arity("minhash_signature", es, min = 1, max = 2)
+        MinHashSignature(es(0), litInt(es, 1, default = 64)) })
   }
+
+  /** Refuse wrong argument counts loudly — a surplus argument silently
+    * dropped is a silently wrong result (e.g. a user passing
+    * (tokens, n, k) expecting combined shingle+hash behavior).
+    */
+  private def arity(
+      name: String, es: Seq[Expression], min: Int, max: Int): Unit =
+    require(es.length >= min && es.length <= max,
+      s"$name takes $min to $max arguments, got ${es.length}")
 
   /** Optional literal-int argument at position `i` — these expressions
     * take their arity as a constructor constant (it shapes codegen), so

@@ -1081,6 +1081,11 @@ final class ServingServer(
                       .currentVersion(session.spark, idx)
                     (kind, root, s"version=$v")
                   case "ivf" =>
+                    // IvfStore.compact re-clusters one file per cell —
+                    // refuse an nFiles the caller would believe applied
+                    require(scParts.length == 2,
+                      "kind 'ivf' takes no nFiles — its compact " +
+                        "re-clusters one file per cell")
                     val m = graft.operators.IvfStore
                       .compact(session.spark, root)
                     (kind, root,

@@ -102,7 +102,11 @@ object SplitStore {
     * a row.
     */
   private def supersededOf(root: String): Set[String] =
-    markerNames(root).flatMap { t =>
+    // only compaction markers carry a supersedes list, and "compact-"
+    // is a reserved prefix (ingest refuses it), so plain ingest markers
+    // are never opened — the read cost is O(compactions alive), which
+    // is 0 or 1 in steady state, not O(ingest history)
+    markerNames(root).filter(_.startsWith("compact-")).flatMap { t =>
       val content = new String(
         Files.readAllBytes(commitsDir(root).resolve(t)),
         StandardCharsets.UTF_8)
@@ -186,19 +190,42 @@ object SplitStore {
       store: Store,
       batch: DataFrame,
       token: String,
-      minJ: Double = 0.5): DataFrame = {
+      minJ: Double = 0.5): DataFrame =
+    ingestWithFaults(spark, store, batch, token, minJ, MinHashIndex.NoFaults)
+
+  private[graft] def ingestWithFaults(
+      spark: SparkSession,
+      store: Store,
+      batch: DataFrame,
+      token: String,
+      minJ: Double,
+      fault: MinHashIndex.FaultInjector): DataFrame = {
     import spark.implicits._
     require(token.nonEmpty && token.matches("[A-Za-z0-9_-]+"),
       s"ingest token '$token' must be a filename-safe identifier")
+    require(!token.startsWith("compact-"),
+      s"ingest token '$token' uses the reserved compaction prefix — " +
+        "'compact-' names are how readers tell a supersede-list marker " +
+        "from an ingest marker")
     val segPath = segmentsDir(store.root).resolve(s"seg-$token").toString
-    if (isCommitted(store.root, token))
-      // replay: already committed. The segment itself may have been
-      // folded into a compaction segment since — answer from the live
-      // assignment set in that case (same rows: assignments are frozen)
+    if (isCommitted(store.root, token)) {
+      // replay: already committed. FIRST heal the crash window between
+      // the segment commit and the index fold — foldOnce is token-keyed
+      // idempotent (marker-skip when the fold already ran), so replaying
+      // it either no-ops or completes the fold a crash orphaned; without
+      // this, a batch could stay assigned but absent from the corpus
+      // index, and a later near-dup of its docs would hash a fresh side
+      // instead of inheriting — the leakage the store exists to prevent.
+      MinHashIndex.foldOnce(batch,
+        MinHashIndex.StoredIndex(indexRoot(store.root)), token): Unit
+      // the segment itself may have been folded into a compaction
+      // segment since — answer from the live assignment set in that
+      // case (same rows: assignments are frozen)
       return if (Files.exists(Paths.get(segPath)))
         spark.read.parquet(segPath)
       else assignments(spark, store)
         .join(batch.select($"doc_id"), Seq("doc_id"), "left_semi")
+    }
     val corpus = graft.engine.PersistScope.pinEager(
       assignments(spark, store))
     val batchIdsDf = batch.select($"doc_id")
@@ -259,8 +286,10 @@ object SplitStore {
     val assigned = comps.join(compAssign, Seq("comp"))
       .select($"doc_id", $"rep", $"side")
     commitSegment(spark, store.root, assigned, token)
+    fault("segment-committed")
     // fold AFTER the commit: a crash between them replays into a
-    // marker-skip + an idempotent (token-keyed) fold
+    // marker-skip that re-runs the idempotent (token-keyed) fold —
+    // the replay branch above heals exactly this window
     MinHashIndex.foldOnce(batch,
       MinHashIndex.StoredIndex(indexRoot(store.root)), token): Unit
     spark.read.parquet(segPath)
@@ -336,8 +365,13 @@ object SplitStore {
       .write.mode("overwrite").parquet(segPath)
     fault("merged-written")
     // the single commit point: marker content = the folded-away tokens
+    // PLUS everything any of them had superseded (transitive carry —
+    // compacting a compaction marker must not destroy the only record
+    // that its folded tokens ever committed, or their replays would
+    // re-ingest instead of no-opping)
+    val supersedes = (live ++ superseded).distinct.sorted
     Files.write(commitsDir(root).resolve(token),
-      s"supersedes:${live.mkString(",")}"
+      s"supersedes:${supersedes.mkString(",")}"
         .getBytes(StandardCharsets.UTF_8)): Unit
     fault("committed")
     live.foreach { t =>

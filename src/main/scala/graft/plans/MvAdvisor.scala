@@ -1016,25 +1016,40 @@ object MvAdvisor {
     * and self-join near-dup shapes all pay the same full-corpus
     * similarity evaluation an IVF store prunes.
     */
-  def analyzeAnn(df: DataFrame): Seq[AnnShape] = {
+  def analyzeAnn(df: DataFrame): Seq[AnnShape] =
+    harvestScanColumns(df,
+      e => e.isInstanceOf[graft.functions.CosineSimilarity] ||
+        e.isInstanceOf[graft.functions.DotProduct],
+      {
+        case org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType, _) => true
+        case _ => false
+      }).map { case (root, c) => AnnShape(root, c) }
+
+  /** The shared index-advisor harvester: every expression the matcher
+    * accepts is walked in FULL (so a column behind a Cast or a nested
+    * composition still harvests), and each matching-typed attribute in
+    * its subtree that resolves to a single-root scan emits one
+    * (root, column) pair — deduped in first-seen order.
+    */
+  private def harvestScanColumns(
+      df: DataFrame,
+      matcher: Expression => Boolean,
+      attrType: org.apache.spark.sql.types.DataType => Boolean
+  ): Seq[(String, String)] = {
     val plan = df.queryExecution.optimizedPlan
     def rootOfAttr(a: AttributeReference): Option[String] =
       plan.collectFirst {
         case lr: LogicalRelation if lr.output.exists(_.exprId == a.exprId) =>
           MvRewrite.scanRoot(lr)
       }.flatten
-    val out = scala.collection.mutable.LinkedHashSet.empty[AnnShape]
+    val out = scala.collection.mutable.LinkedHashSet.empty[(String, String)]
     plan.foreach { node =>
       node.expressions.foreach(_.foreach {
-        case sim @ (_: graft.functions.CosineSimilarity |
-            _: graft.functions.DotProduct) =>
-          sim.children.foreach {
-            case a: AttributeReference => a.dataType match {
-              case org.apache.spark.sql.types.ArrayType(
-                  org.apache.spark.sql.types.FloatType, _) =>
-                rootOfAttr(a).foreach(r => out += AnnShape(r, a.name))
-              case _ => ()
-            }
+        case e if matcher(e) =>
+          e.foreach {
+            case a: AttributeReference if attrType(a.dataType) =>
+              rootOfAttr(a).foreach(r => out += ((r, a.name)))
             case _ => ()
           }
         case _ => ()
@@ -1108,29 +1123,12 @@ object MvAdvisor {
     * shingle-join dedup all start from the same per-corpus shingle
     * computation a stored index amortizes.
     */
-  def analyzeDedup(df: DataFrame): Seq[DedupShape] = {
-    val plan = df.queryExecution.optimizedPlan
-    def rootOfAttr(a: AttributeReference): Option[String] =
-      plan.collectFirst {
-        case lr: LogicalRelation if lr.output.exists(_.exprId == a.exprId) =>
-          MvRewrite.scanRoot(lr)
-      }.flatten
-    val out = scala.collection.mutable.LinkedHashSet.empty[DedupShape]
-    plan.foreach { node =>
-      node.expressions.foreach(_.foreach {
-        case sig @ (_: graft.functions.MinHashSignature |
-            _: graft.functions.WordShingles) =>
-          sig.foreach {
-            case a: AttributeReference
-                if a.dataType == org.apache.spark.sql.types.StringType =>
-              rootOfAttr(a).foreach(r => out += DedupShape(r, a.name))
-            case _ => ()
-          }
-        case _ => ()
-      })
-    }
-    out.toSeq
-  }
+  def analyzeDedup(df: DataFrame): Seq[DedupShape] =
+    harvestScanColumns(df,
+      e => e.isInstanceOf[graft.functions.MinHashSignature] ||
+        e.isInstanceOf[graft.functions.WordShingles],
+      _ == org.apache.spark.sql.types.StringType)
+      .map { case (root, c) => DedupShape(root, c) }
 
   /** Fold dedup shapes into one MinHash-index recommendation per
     * (base, text-column) pair.

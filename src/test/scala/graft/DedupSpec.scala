@@ -632,6 +632,56 @@ class DedupSpec extends SparkTestBase {
     SplitStore.compact(spark, store, nFiles = 2)
     assert(segDirs() === Set("seg-compact-2"), segDirs())
     assert(snap() === after3)
+    // TRANSITIVE supersede: w1 was folded by compact-1, whose marker
+    // compact-2 just superseded and deleted — w1's committedness must
+    // survive through compact-2's carried list, so its replay still
+    // no-ops instead of re-ingesting into the id-collision refusal
+    val replay1 = SplitStore.ingest(spark, store, inc1, token = "w1")
+    assert(replay1.count() === inc1.count())
+    assert(snap() === after3 && markers() === Set("compact-2"),
+      "pre-first-compaction token replay must survive a SECOND compaction")
+    // the compaction prefix is reserved (it is how readers tell a
+    // supersede-list marker from an ingest marker)
+    val bad = intercept[IllegalArgumentException] {
+      SplitStore.ingest(spark, store,
+        doc.filter(col("doc_id") === -1L), token = "compact-9")
+    }
+    assert(bad.getMessage.contains("reserved"), bad.getMessage)
+    graft.engine.PersistScope.releaseAll()
+  }
+
+  test("SplitStore: a crash between the segment commit and the index fold heals on replay — later near-dups still inherit") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.SplitStore
+    import spark.implicits._
+    val corpus = (0L until 40L)
+      .map(i => (i, s"w${i}a w${i}b w${i}c w${i}d w${i}e"))
+      .toDF("doc_id", "text")
+    val root = tempDir("graft-splitstore-heal") + "/store"
+    val store = SplitStore.build(corpus, root)
+    val t = "alpha beta gamma delta epsilon zeta eta theta"
+    val batch1 = Seq((200L, t)).toDF("doc_id", "text")
+    // crash AFTER the segment marker, BEFORE the index fold
+    intercept[RuntimeException] {
+      SplitStore.ingestWithFaults(spark, store, batch1, "c1", 0.5,
+        f => if (f == "segment-committed") throw new RuntimeException("boom"))
+    }
+    // the assignment IS committed...
+    val side200 = SplitStore.assignments(spark, store)
+      .filter(col("doc_id") === 200L).collect()
+    assert(side200.length === 1, "crashed ingest's segment must serve")
+    // ...and the replay HEALS the orphaned fold (without it, doc 300 —
+    // an exact near-dup of 200 — would miss the index, hash a fresh
+    // side, and potentially straddle the boundary)
+    val replay = SplitStore.ingest(spark, store, batch1, token = "c1")
+    assert(replay.count() === 1)
+    val batch2 = Seq((300L, t)).toDF("doc_id", "text")
+    val out2 = SplitStore.ingest(spark, store, batch2, token = "c2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out2.head._2 === 200L,
+      s"near-dup of the healed batch must inherit its rep: ${out2.toSeq}")
+    assert(out2.head._3 === side200.head.getString(2),
+      "and its frozen side")
     graft.engine.PersistScope.releaseAll()
   }
 
