@@ -477,6 +477,13 @@ class MvAdvisorSpec extends SparkTestBase with BeforeAndAfterAll {
     assert(got === want, "advisor-built index must answer the top-k")
     // non-vector workloads harvest nothing
     assert(MvAdvisor.analyzeAnn(q1(spark)).isEmpty)
+    // a column behind a CAST still harvests (the walker is
+    // full-subtree, not direct-children)
+    val castDash = emb.select(
+      graft.functions.Functions.cosineSim(
+        col("embedding").cast("array<float>"), qCol).as("cos"))
+    assert(MvAdvisor.analyzeAnn(castDash).map(_.embCol) ===
+      Seq("embedding"))
   }
 
   test("maintainHook keeps EVERY advisor view of a source fresh through maintainedSink — including one registered after the sink was built") {
