@@ -143,7 +143,7 @@ object ScaleProbe {
     val groups =
       Set("all", "core", "core10x", "core30x", "extras", "dedup", "sim",
         "text", "events", "serve", "iceberg", "skip", "cdc", "manifests",
-        "ivfstore", "stepfloor", "objectstore", "splitstore")
+        "ivfstore", "stepfloor", "objectstore", "splitstore", "mvsweep")
     // a typo'd group would otherwise spin up Spark, run NOTHING, and exit
     // 0 — indistinguishable from "probe found nothing"
     require(groups(which), s"unknown probe group '$which' (one of: ${groups.mkString(", ")})")
@@ -169,6 +169,7 @@ object ScaleProbe {
     if (which == "stepfloor") stepFloorProbe(spark) // floor decomposition, small fixture
     if (which == "objectstore") objectStoreProbe(spark) // latency-injected FS economics
     if (which == "splitstore") splitStoreProbe(spark) // not in "all": 25 sequential ingests
+    if (which == "mvsweep") mvSweepProbe(spark) // not in "all": builds a 1M-row table
     spark.stop()
   }
 
@@ -1845,5 +1846,65 @@ object ScaleProbe {
       println(f"$l%-18s segments=$segs%3d  files=$fs%4d  read=${s}%6.2f s")
     }
     println(f"compact_once       ${compactSecs}%6.2f s (amortized over every later read AND ingest)")
+  }
+
+  /** Catalog-sweep economics: N advisor rollup views of ONE Iceberg
+    * base, churned once, brought current by ONE maintainAll call. The
+    * sweep shares one metadata load + one persisted changelog window
+    * across all N pinned refresh steps, so the metadata cost is flat in
+    * N and the wall grows only with the per-view keyed recompute +
+    * version write (the irreducible part — each view stores a different
+    * grain). Compare the N=6 sweep against 6 INDEPENDENT refreshSteps
+    * (what a name-by-name scheduler would run).
+    */
+  private def mvSweepProbe(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.plans.{MvAdvisor, MvCatalog}
+    import graft.sources.{IcebergMeta, IcebergSource, IcebergWriter}
+    val moduli = Seq(7L, 11L, 13L, 17L, 19L, 23L)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-mvsweep").toString
+    val tbl = s"$root/base"
+    def rows(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      (Seq(col("id").as("id"), col("id").as("v")) ++
+        moduli.zipWithIndex.map { case (m, i) =>
+          (col("id") % m).as(s"g$i") }): _*)
+    IcebergWriter.append(spark, tbl, rows(0L, 1000000L), None, 1000L,
+      formatVersion = 2)
+    val recs = moduli.indices.map { i =>
+      val dash = IcebergSource.read(spark, tbl)
+        .groupBy(col(s"g$i")).agg(sum(col("v")).as("sv"))
+      MvAdvisor.recommend(MvAdvisor.analyze(dash).flatMap(_.toOption)).head
+    }
+    recs.zipWithIndex.foreach { case (r, i) =>
+      r.materialize(spark, s"$root/mv$i"): Unit }
+    def churn(ts: Long): Unit = IcebergWriter.append(spark, tbl,
+      rows(ts * 1000L, ts * 1000L + 10000L), None, ts)
+    def measure(label: String)(body: => Unit): Unit = {
+      val m0 = IcebergMeta.loadCount.get()
+      val t0 = System.nanoTime()
+      body
+      println(f"$label%-28s ${(System.nanoTime() - t0) / 1e9}%6.2f s  " +
+        f"metaLoads=${IcebergMeta.loadCount.get() - m0}%3d")
+    }
+    println("--- maintainAll sweep vs per-view refresh (1M base, 10k churn, 6 grains) ---")
+    churn(2000L)
+    measure("sweep_6_views") {
+      val swept = MvAdvisor.maintainAll(spark)
+        .filter(r => recs.exists(_.mvName == r.name))
+      require(swept.count(_.stale) == 6, s"all six must refresh: $swept")
+    }
+    churn(3000L)
+    measure("per_view_6_refreshes") {
+      recs.zipWithIndex.foreach { case (r, i) =>
+        require(r.refreshStep(spark, s"$root/mv$i").isDefined) }
+    }
+    churn(4000L)
+    measure("sweep_6_views_rep2") {
+      val swept = MvAdvisor.maintainAll(spark)
+        .filter(r => recs.exists(_.mvName == r.name))
+      require(swept.count(_.stale) == 6, s"all six must refresh: $swept")
+    }
+    recs.foreach(r => MvCatalog.unregister(r.basePath))
   }
 }
