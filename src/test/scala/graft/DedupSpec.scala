@@ -650,6 +650,73 @@ class DedupSpec extends SparkTestBase {
     graft.engine.PersistScope.releaseAll()
   }
 
+  test("SplitStore lifecycle fuzz: random ingest/compact/replay sequences keep assignments frozen, replays no-ops, and the no-straddle invariant intact") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.SplitStore
+    import spark.implicits._
+    // the compact/replay protocol earned two real bug fixes this round
+    // (orphaned-fold heal, transitive supersedes) — this pins the WHOLE
+    // protocol under random composition: every committed token must
+    // replay as a no-op at any later point, assignments never change
+    // once written, and the invariant survives every interleaving.
+    val rng = new scala.util.Random(20260815L)
+    def text(i: Long): String =
+      // ~1 in 6 docs duplicates an earlier doc's text -> inherit paths
+      if (i % 6 == 5) textOf(i - 5) else textOf(i)
+    def textOf(i: Long): String =
+      (0 until 6).map(j => s"t${i}w$j").mkString(" ")
+    def docs(lo: Long, hi: Long) =
+      (lo until hi).map(i => (i, text(i))).toDF("doc_id", "text")
+    val root = tempDir("graft-splitstore-fuzz") + "/store"
+    val store = SplitStore.build(docs(0, 60), root)
+    var nextId = 60L
+    var committed = Vector.empty[(String, Long, Long)] // token, lo, hi
+    def snapMap() = SplitStore.assignments(spark, store).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    var frozen = snapMap()
+    for (step <- 1 to 15) {
+      rng.nextInt(4) match {
+        case 0 | 1 => // ingest a fresh batch
+          val n = 5L + rng.nextInt(10)
+          val tok = f"f$step%02d"
+          SplitStore.ingest(spark, store, docs(nextId, nextId + n),
+            token = tok): Unit
+          committed :+= ((tok, nextId, nextId + n))
+          nextId += n
+          val now = snapMap()
+          assert(frozen.forall { case (id, v) => now(id) == v },
+            s"step $step: an ingest changed a frozen assignment")
+          frozen = now
+        case 2 => // replay a random earlier token — structural no-op
+          if (committed.nonEmpty) {
+            val (tok, lo, hi) = committed(rng.nextInt(committed.length))
+            val out = SplitStore.ingest(spark, store, docs(lo, hi),
+              token = tok)
+            assert(out.count() === (hi - lo),
+              s"step $step: replay of $tok must answer its rows")
+            assert(snapMap() === frozen,
+              s"step $step: replay of $tok changed state")
+          }
+        case 3 => // compact, then verify reads are row-identical
+          SplitStore.compact(spark, store, nFiles = 2)
+          assert(snapMap() === frozen,
+            s"step $step: compaction changed an assignment")
+      }
+    }
+    // the invariant, re-derived from scratch over everything ingested:
+    // no near-dup pair straddles train/val
+    val all = docs(0, nextId)
+    val sides = frozen.map { case (id, (_, s)) => id -> s }
+    graft.queries.DedupQueries.jaccardPairs(all, 0.5)
+      .select(col("doc_a"), col("doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .foreach { case (a, b) =>
+        assert(Set(sides(a), sides(b)) != Set("train", "val"),
+          s"near-dup pair ($a, $b) straddles the split after the fuzz")
+      }
+    graft.engine.PersistScope.releaseAll()
+  }
+
   test("SplitStore: a crash between the segment commit and the index fold heals on replay — later near-dups still inherit") {
     import org.apache.spark.sql.functions.col
     import graft.operators.SplitStore
