@@ -127,6 +127,10 @@ import java.util.concurrent.{LinkedBlockingQueue, ThreadPoolExecutor, TimeUnit}
   *     `DO_ACTION table_maintain <table_root> [retain_ms]` -> the
   *        Iceberg nightly-job policy (sources.IcebergMaintenance) over
   *        the wire; answers the maintenance report row.
+  *     `DO_ACTION store_describe <kind> <root>` -> the stores'
+  *        maintenance-pressure gauge (version, live segments, per-kind
+  *        detail; metadata-only) — what a scheduler polls to decide
+  *        when store_compact is due.
   *     `DO_ACTION advise [<sql>]` -> the MV + index advisor
   *        (plans.MvAdvisor) over the wire: rollup/multiplicity/join/
   *        ivf_index/minhash_index recommendations + rejection
@@ -1117,6 +1121,64 @@ final class ServingServer(
             case "store_compact" =>
               status("ERR INVALID_ARGUMENT store_compact requires " +
                 "<kind> <root> [nFiles]")
+            case "store_describe" if arg.nonEmpty =>
+              // <kind> <root>: the maintenance-pressure gauge feeding
+              // store_compact decisions — metadata-only, no data read.
+              // segments is the read-amplification term compaction
+              // folds back to 1 (minhash/split) or re-clusters (ivf).
+              val sdParts = arg.split("\\s+")
+              val sdRes = scala.util.Try {
+                require(sdParts.length == 2,
+                  "store_describe requires <kind> <root>")
+                val root = sdParts(1)
+                sdParts(0) match {
+                  case "minhash" =>
+                    val idx =
+                      graft.operators.MinHashIndex.StoredIndex(root)
+                    val v = graft.operators.MinHashIndex
+                      .currentVersion(session.spark, idx)
+                    val segs = graft.operators.MinHashIndex
+                      .segmentCount(session.spark, idx)
+                    ("minhash", root, java.lang.Long.valueOf(v.toLong),
+                      segs, null: String)
+                  case "ivf" =>
+                    val m = graft.operators.IvfStore.load(root)
+                    ("ivf", root,
+                      java.lang.Long.valueOf(m.version.toLong),
+                      m.segments.size,
+                      s"rows=${m.counts.values.sum} " +
+                        s"tombstones=${m.tombstones.size} " +
+                        s"leaves=${m.model.leaves.size}")
+                  case "split" =>
+                    val segs = graft.operators.SplitStore.liveSegments(root)
+                    require(segs > 0,
+                      s"$root is not a split store (no live segments)")
+                    ("split", root, null: java.lang.Long, segs,
+                      null: String)
+                  case other => throw new IllegalArgumentException(
+                    s"unknown store kind '$other' (one of: minhash, " +
+                      "ivf, split)")
+                }
+              }
+              sdRes match {
+                case scala.util.Failure(e) =>
+                  status("ERR INVALID_ARGUMENT store_describe: " +
+                    Option(e.getMessage).getOrElse(e.toString)
+                      .replaceAll("\\s+", " ").take(200))
+                case scala.util.Success(row) =>
+                  status("OK")
+                  val result = {
+                    import session.spark.implicits._
+                    Seq(row).toDF("kind", "root", "version", "segments",
+                      "detail")
+                  }
+                  org.apache.spark.sql.GraftArrowBridge
+                    .writeBatches(result, batchSize, out)
+                  out.flush()
+              }
+            case "store_describe" =>
+              status("ERR INVALID_ARGUMENT store_describe requires " +
+                "<kind> <root>")
             case "table_maintain" if arg.nonEmpty =>
               // the nightly Iceberg table job over the wire (the CLI
               // --maintain twin): <table_root> [retain_ms]. Runs the
@@ -1295,6 +1357,11 @@ final class ServingServer(
                 "offline store maintenance: <kind> <root> [nFiles], " +
                   "kind = minhash | ivf | split — fold the store's " +
                   "segment history; quiesce that store's writers first"),
+              ("store_describe",
+                "maintenance-pressure gauge: <kind> <root> -> version, " +
+                  "live segment count, per-kind detail; metadata-only " +
+                  "— the input a scheduler polls to decide " +
+                  "store_compact"),
               ("table_maintain",
                 "Iceberg nightly-job policy: <table_root> [retain_ms] " +
                   "— compact on delete pressure, expire history past " +

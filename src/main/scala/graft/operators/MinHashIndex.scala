@@ -231,6 +231,15 @@ object MinHashIndex {
   }
 
   /** Non-hidden segment dirs (base + committed batches) of a version. */
+  /** Segments in the CURRENT version (base + one per fold since the
+    * last compaction) — the compaction-pressure gauge an operator or
+    * the serving layer's `store_describe` polls; metadata-only.
+    */
+  def segmentCount(spark: SparkSession, index: StoredIndex): Int = {
+    val fs = fileSystem(spark, index.root)
+    segmentDirs(fs, index.root, currentVersion(spark, index)).length
+  }
+
   private def segmentDirs(fs: FileSystem, root: String, v: Int): Seq[Path] = {
     val vdir = versionDir(root, v)
     require(fs.exists(vdir), s"committed version dir missing: $vdir")

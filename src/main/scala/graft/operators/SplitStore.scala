@@ -123,6 +123,12 @@ object SplitStore {
     markerNames(root).filterNot(superseded)
   }
 
+  /** Live segment count — the read-amplification gauge [[compact]]
+    * folds back to 1 (every [[assignments]] read unions this many
+    * listings, and each ingest pays it twice); metadata-only.
+    */
+  def liveSegments(root: String): Int = committedTokens(root).length
+
   /** Whether an ingest token has EVER committed — directly (its marker
     * file exists) or through a compaction that folded its segment away
     * (it appears in a live compaction marker's supersedes list). The

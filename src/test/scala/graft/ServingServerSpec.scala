@@ -681,7 +681,7 @@ class ServingServerSpec extends SparkTestBase {
       assert(actions.rows.map(_.head.toString) ===
         Seq("cancel", "mv_describe", "ann_probe", "mv_refresh",
           "mv_maintain", "stream_view_describe", "store_compact",
-          "table_maintain", "advise"))
+          "store_describe", "table_maintain", "advise"))
       assert(ServingClient.doAction(srv.boundPort, "cancel", "nope").status
         .startsWith("ERR NOT_FOUND"))
       assert(ServingClient.doAction(srv.boundPort, "cancel").status
@@ -1027,6 +1027,16 @@ class ServingServerSpec extends SparkTestBase {
     IcebergWriter.upsertRows(spark, tbl,
       Seq((5L, "y"), (6L, "y")).toDF("id", "v"), "id", 2000L)
     withServer { srv =>
+      // the pressure gauge reads the history compaction then folds:
+      // base + two ingests = 3 live split segments; the split store's
+      // embedded minhash index carries base + two folds = 3 segments
+      val sd0 = ServingClient.doAction(srv.boundPort, "store_describe",
+        s"split $splitRoot")
+      assert(sd0.isOk && sd0.rows.head(3) === 3, sd0.rows)
+      val sdm = ServingClient.doAction(srv.boundPort, "store_describe",
+        s"minhash $splitRoot/index")
+      assert(sdm.isOk && sdm.rows.head(2) === 1L &&
+        sdm.rows.head(3) === 3, sdm.rows)
       val sc = ServingClient.doAction(srv.boundPort, "store_compact",
         s"split $splitRoot 2")
       assert(sc.isOk, sc.status)
@@ -1040,6 +1050,18 @@ class ServingServerSpec extends SparkTestBase {
       // the compacted IVF store still probes
       assert(IvfStore.probe(spark, ivfRoot, Array(1.0f, 1.0f), k = 3,
         nProbe = 8).count() === 3)
+      // post-compaction pressure reads 1 for both kinds; ivf detail
+      // carries the live-row/tombstone/leaf gauge
+      assert(ServingClient.doAction(srv.boundPort, "store_describe",
+        s"split $splitRoot").rows.head(3) === 1)
+      val sdi = ServingClient.doAction(srv.boundPort, "store_describe",
+        s"ivf $ivfRoot")
+      assert(sdi.isOk && sdi.rows.head(3) === 1 &&
+        sdi.rows.head(4).toString.contains("rows=260"), sdi.rows)
+      assert(ServingClient.doAction(srv.boundPort, "store_describe",
+        s"bogus $splitRoot").status.startsWith("ERR INVALID_ARGUMENT"))
+      assert(ServingClient.doAction(srv.boundPort, "store_describe")
+        .status.startsWith("ERR INVALID_ARGUMENT"))
       val tm = ServingClient.doAction(srv.boundPort, "table_maintain",
         tbl)
       assert(tm.isOk, tm.status)
