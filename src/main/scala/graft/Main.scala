@@ -16,6 +16,8 @@ import graft.queries.QueryUtil
   *        runMain graft.Main --advise "SELECT …" [--dir …]  # MV advisor: what to materialize
   *        runMain graft.Main --mv-refresh <name>            # refresh an advisor MV to its source head
   *        runMain graft.Main --mv-maintain all              # refresh every stale advisor MV in the catalog
+  *        runMain graft.Main --store-describe "<kind> <root>"   # store maintenance-pressure gauge
+  *        runMain graft.Main --store-compact "<kind> <root> [nFiles]"  # fold a store's segment history
   * Tables registered: the TESTDATA fixtures (region…embeddings) plus the
   * reference's demo `users` table (crates/igloo/src/main.rs:59-77).
   * `--serve` starts the Flight-analogue TCP server (engine.ServingServer)
@@ -208,6 +210,66 @@ object Main {
                 case None            => "already current"
               }
               println(s"[mv-maintain] ${r.name} (${r.kind}) $verdict")
+            }
+            spark.stop()
+            return
+          case None => ()
+        }
+        opts.get("store-describe") match {
+          case Some(kr) =>
+            // the stores' pressure gauge, CLI face (quote the argument:
+            // "--store-describe 'split /path/store'")
+            val p = kr.trim.split("\\s+")
+            if (p.length != 2)
+              println("[store-describe] usage: <kind> <root>")
+            else p(0) match {
+              case "minhash" =>
+                val idx = graft.operators.MinHashIndex.StoredIndex(p(1))
+                println(s"[store-describe] minhash ${p(1)} version=" +
+                  s"${graft.operators.MinHashIndex.currentVersion(spark, idx)} " +
+                  s"segments=${graft.operators.MinHashIndex.segmentCount(spark, idx)}")
+              case "ivf" =>
+                val m = graft.operators.IvfStore.load(p(1))
+                println(s"[store-describe] ivf ${p(1)} version=${m.version} " +
+                  s"segments=${m.segments.size} rows=${m.counts.values.sum} " +
+                  s"tombstones=${m.tombstones.size} leaves=${m.model.leaves.size}")
+              case "split" =>
+                println(s"[store-describe] split ${p(1)} segments=" +
+                  s"${graft.operators.SplitStore.liveSegments(p(1))}")
+              case other =>
+                println(s"[store-describe] unknown kind '$other' " +
+                  "(one of: minhash, ivf, split)")
+            }
+            spark.stop()
+            return
+          case None => ()
+        }
+        opts.get("store-compact") match {
+          case Some(kr) =>
+            // offline store compaction, CLI face — same single-writer
+            // contract as the serving action
+            val p = kr.trim.split("\\s+")
+            if (p.length < 2 || p.length > 3)
+              println("[store-compact] usage: <kind> <root> [nFiles]")
+            else {
+              val nFiles = if (p.length == 3) p(2).toInt else 8
+              p(0) match {
+                case "minhash" =>
+                  graft.operators.MinHashIndex.compact(spark,
+                    graft.operators.MinHashIndex.StoredIndex(p(1)), nFiles)
+                  println(s"[store-compact] minhash ${p(1)} compacted")
+                case "ivf" =>
+                  val m = graft.operators.IvfStore.compact(spark, p(1))
+                  println(s"[store-compact] ivf ${p(1)} compacted to " +
+                    s"version=${m.version}")
+                case "split" =>
+                  graft.operators.SplitStore.compact(spark,
+                    graft.operators.SplitStore.Store(p(1)), nFiles)
+                  println(s"[store-compact] split ${p(1)} compacted")
+                case other =>
+                  println(s"[store-compact] unknown kind '$other' " +
+                    "(one of: minhash, ivf, split)")
+              }
             }
             spark.stop()
             return
