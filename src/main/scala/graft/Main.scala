@@ -218,27 +218,23 @@ object Main {
         opts.get("store-describe") match {
           case Some(kr) =>
             // the stores' pressure gauge, CLI face (quote the argument:
-            // "--store-describe 'split /path/store'")
+            // "--store-describe 'split /path/store'") — the SAME
+            // dispatch + validations as the serving action, so a
+            // typo'd path refuses instead of printing a healthy-looking
+            // zero
             val p = kr.trim.split("\\s+")
             if (p.length != 2)
               println("[store-describe] usage: <kind> <root>")
-            else p(0) match {
-              case "minhash" =>
-                val idx = graft.operators.MinHashIndex.StoredIndex(p(1))
-                println(s"[store-describe] minhash ${p(1)} version=" +
-                  s"${graft.operators.MinHashIndex.currentVersion(spark, idx)} " +
-                  s"segments=${graft.operators.MinHashIndex.segmentCount(spark, idx)}")
-              case "ivf" =>
-                val m = graft.operators.IvfStore.load(p(1))
-                println(s"[store-describe] ivf ${p(1)} version=${m.version} " +
-                  s"segments=${m.segments.size} rows=${m.counts.values.sum} " +
-                  s"tombstones=${m.tombstones.size} leaves=${m.model.leaves.size}")
-              case "split" =>
-                println(s"[store-describe] split ${p(1)} segments=" +
-                  s"${graft.operators.SplitStore.liveSegments(p(1))}")
-              case other =>
-                println(s"[store-describe] unknown kind '$other' " +
-                  "(one of: minhash, ivf, split)")
+            else scala.util.Try(graft.operators.StoreMaintenance
+              .describe(spark, p(0), p(1))) match {
+              case scala.util.Success(g) =>
+                println(s"[store-describe] ${g.kind} ${g.root}" +
+                  g.version.map(v => s" version=$v").getOrElse("") +
+                  s" segments=${g.segments}" +
+                  g.detail.map(d => s" $d").getOrElse(""))
+              case scala.util.Failure(e) =>
+                println(s"[store-describe] refused: " +
+                  Option(e.getMessage).getOrElse(e.toString))
             }
             spark.stop()
             return
@@ -246,30 +242,23 @@ object Main {
         }
         opts.get("store-compact") match {
           case Some(kr) =>
-            // offline store compaction, CLI face — same single-writer
-            // contract as the serving action
+            // offline store compaction, CLI face — same dispatch,
+            // validations and single-writer contract as the serving
+            // action (incl. refusing an nFiles the ivf compact would
+            // silently drop)
             val p = kr.trim.split("\\s+")
-            if (p.length < 2 || p.length > 3)
+            val nFiles: Option[Int] =
+              if (p.length == 3) p(2).toIntOption else None
+            if (p.length < 2 || p.length > 3 ||
+                (p.length == 3 && nFiles.isEmpty))
               println("[store-compact] usage: <kind> <root> [nFiles]")
-            else {
-              val nFiles = if (p.length == 3) p(2).toInt else 8
-              p(0) match {
-                case "minhash" =>
-                  graft.operators.MinHashIndex.compact(spark,
-                    graft.operators.MinHashIndex.StoredIndex(p(1)), nFiles)
-                  println(s"[store-compact] minhash ${p(1)} compacted")
-                case "ivf" =>
-                  val m = graft.operators.IvfStore.compact(spark, p(1))
-                  println(s"[store-compact] ivf ${p(1)} compacted to " +
-                    s"version=${m.version}")
-                case "split" =>
-                  graft.operators.SplitStore.compact(spark,
-                    graft.operators.SplitStore.Store(p(1)), nFiles)
-                  println(s"[store-compact] split ${p(1)} compacted")
-                case other =>
-                  println(s"[store-compact] unknown kind '$other' " +
-                    "(one of: minhash, ivf, split)")
-              }
+            else scala.util.Try(graft.operators.StoreMaintenance
+              .compact(spark, p(0), p(1), nFiles)) match {
+              case scala.util.Success(info) =>
+                println(s"[store-compact] ${p(0)} ${p(1)} compacted: $info")
+              case scala.util.Failure(e) =>
+                println(s"[store-compact] refused: " +
+                  Option(e.getMessage).getOrElse(e.toString))
             }
             spark.stop()
             return

@@ -1067,41 +1067,12 @@ final class ServingServer(
               val scRes = scala.util.Try {
                 require(scParts.length == 2 || scParts.length == 3,
                   "store_compact requires <kind> <root> [nFiles]")
-                val kind = scParts(0)
-                val root = scParts(1)
                 val nFiles =
-                  if (scParts.length == 3) scParts(2).toInt else 8
-                require(nFiles > 0, "nFiles must be positive")
-                def dirCount(sub: String): Int = Option(
-                  new java.io.File(root, sub).listFiles())
-                  .getOrElse(Array.empty).count(_.isDirectory)
-                kind match {
-                  case "minhash" =>
-                    val idx =
-                      graft.operators.MinHashIndex.StoredIndex(root)
-                    graft.operators.MinHashIndex.compact(
-                      session.spark, idx, nFiles)
-                    val v = graft.operators.MinHashIndex
-                      .currentVersion(session.spark, idx)
-                    (kind, root, s"version=$v")
-                  case "ivf" =>
-                    // IvfStore.compact re-clusters one file per cell —
-                    // refuse an nFiles the caller would believe applied
-                    require(scParts.length == 2,
-                      "kind 'ivf' takes no nFiles — its compact " +
-                        "re-clusters one file per cell")
-                    val m = graft.operators.IvfStore
-                      .compact(session.spark, root)
-                    (kind, root,
-                      s"version=${m.version} segments=${m.segments.size}")
-                  case "split" =>
-                    graft.operators.SplitStore.compact(session.spark,
-                      graft.operators.SplitStore.Store(root), nFiles)
-                    (kind, root, s"segments=${dirCount("segments")}")
-                  case other => throw new IllegalArgumentException(
-                    s"unknown store kind '$other' (one of: minhash, " +
-                      "ivf, split)")
-                }
+                  if (scParts.length == 3) Some(scParts(2).toInt)
+                  else None
+                (scParts(0), scParts(1),
+                  graft.operators.StoreMaintenance.compact(
+                    session.spark, scParts(0), scParts(1), nFiles))
               }
               scRes match {
                 case scala.util.Failure(e) =>
@@ -1130,35 +1101,11 @@ final class ServingServer(
               val sdRes = scala.util.Try {
                 require(sdParts.length == 2,
                   "store_describe requires <kind> <root>")
-                val root = sdParts(1)
-                sdParts(0) match {
-                  case "minhash" =>
-                    val idx =
-                      graft.operators.MinHashIndex.StoredIndex(root)
-                    val v = graft.operators.MinHashIndex
-                      .currentVersion(session.spark, idx)
-                    val segs = graft.operators.MinHashIndex
-                      .segmentCount(session.spark, idx)
-                    ("minhash", root, java.lang.Long.valueOf(v.toLong),
-                      segs, null: String)
-                  case "ivf" =>
-                    val m = graft.operators.IvfStore.load(root)
-                    ("ivf", root,
-                      java.lang.Long.valueOf(m.version.toLong),
-                      m.segments.size,
-                      s"rows=${m.counts.values.sum} " +
-                        s"tombstones=${m.tombstones.size} " +
-                        s"leaves=${m.model.leaves.size}")
-                  case "split" =>
-                    val segs = graft.operators.SplitStore.liveSegments(root)
-                    require(segs > 0,
-                      s"$root is not a split store (no live segments)")
-                    ("split", root, null: java.lang.Long, segs,
-                      null: String)
-                  case other => throw new IllegalArgumentException(
-                    s"unknown store kind '$other' (one of: minhash, " +
-                      "ivf, split)")
-                }
+                val g = graft.operators.StoreMaintenance.describe(
+                  session.spark, sdParts(0), sdParts(1))
+                (g.kind, g.root,
+                  g.version.map(java.lang.Long.valueOf).orNull,
+                  g.segments, g.detail.orNull)
               }
               sdRes match {
                 case scala.util.Failure(e) =>

@@ -230,16 +230,23 @@ object MinHashIndex {
       .exists(v => fs.exists(versionDir(root, v)))
   }
 
-  /** Non-hidden segment dirs (base + committed batches) of a version. */
-  /** Segments in the CURRENT version (base + one per fold since the
-    * last compaction) — the compaction-pressure gauge an operator or
-    * the serving layer's `store_describe` polls; metadata-only.
+  /** Segments in ONE version (base + one per fold since the last
+    * compaction) — the compaction-pressure gauge an operator or the
+    * serving layer's `store_describe` polls; metadata-only. Pass the
+    * version you already resolved so gauge rows are never torn between
+    * two head resolutions.
     */
-  def segmentCount(spark: SparkSession, index: StoredIndex): Int = {
+  def segmentCount(
+      spark: SparkSession, index: StoredIndex, version: Int): Int = {
     val fs = fileSystem(spark, index.root)
-    segmentDirs(fs, index.root, currentVersion(spark, index)).length
+    segmentDirs(fs, index.root, version).length
   }
 
+  /** [[segmentCount]] at the current version (one extra head listing). */
+  def segmentCount(spark: SparkSession, index: StoredIndex): Int =
+    segmentCount(spark, index, currentVersion(spark, index))
+
+  /** Non-hidden segment dirs (base + committed batches) of a version. */
   private def segmentDirs(fs: FileSystem, root: String, v: Int): Seq[Path] = {
     val vdir = versionDir(root, v)
     require(fs.exists(vdir), s"committed version dir missing: $vdir")

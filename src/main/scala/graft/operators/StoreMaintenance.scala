@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+
+/** One shared dispatch for the store-maintenance faces — the serving
+  * actions `store_describe` / `store_compact` and their CLI twins — so
+  * the kind routing AND the validations live exactly once (the two
+  * faces had already drifted when they each carried their own copy:
+  * the CLI accepted an nFiles the ivf compact silently dropped and
+  * reported `segments=0` for a path that was no store at all).
+  *
+  * `describe` is metadata-only (the pressure gauge a scheduler polls
+  * to decide when compaction is due); `compact` runs the store's own
+  * offline fold under its usual single-writer contract. Both refuse
+  * loudly — unknown kind, wrong-kind root, ivf + nFiles — with
+  * messages safe to ship to a wire client verbatim.
+  */
+object StoreMaintenance {
+
+  val Kinds: Seq[String] = Seq("minhash", "ivf", "split")
+
+  /** One gauge row: `version` is None for stores without a version
+    * cursor (split), `detail` carries per-kind extras (ivf: live rows,
+    * tombstones, model leaves).
+    */
+  final case class Gauge(
+      kind: String,
+      root: String,
+      version: Option[Long],
+      segments: Int,
+      detail: Option[String])
+
+  private def unknown(kind: String): Nothing =
+    throw new IllegalArgumentException(
+      s"unknown store kind '$kind' (one of: ${Kinds.mkString(", ")})")
+
+  /** The maintenance-pressure gauge, metadata-only. The minhash row
+    * resolves the version head ONCE and counts that version's segments
+    * (never a torn version/segments pair under a concurrent compact).
+    */
+  def describe(spark: SparkSession, kind: String, root: String): Gauge =
+    kind match {
+      case "minhash" =>
+        val idx = MinHashIndex.StoredIndex(root)
+        val v = MinHashIndex.currentVersion(spark, idx)
+        Gauge("minhash", root, Some(v.toLong),
+          MinHashIndex.segmentCount(spark, idx, v), None)
+      case "ivf" =>
+        val m = IvfStore.load(root)
+        Gauge("ivf", root, Some(m.version.toLong), m.segments.size,
+          Some(s"rows=${m.counts.values.sum} " +
+            s"tombstones=${m.tombstones.size} " +
+            s"leaves=${m.model.leaves.size}"))
+      case "split" =>
+        val segs = SplitStore.liveSegments(root)
+        require(segs > 0,
+          s"$root is not a split store (no live segments)")
+        Gauge("split", root, None, segs, None)
+      case other => unknown(other)
+    }
+
+  /** The store's own offline compaction; returns the post-fold gauge
+    * summary text the faces print/stream. `nFiles = None` means the
+    * caller passed no file count — REQUIRED for kind `ivf`, whose
+    * compact re-clusters one file per cell and would otherwise let the
+    * caller believe a dropped argument applied.
+    */
+  def compact(
+      spark: SparkSession, kind: String, root: String,
+      nFiles: Option[Int]): String = {
+    nFiles.foreach(n => require(n > 0, "nFiles must be positive"))
+    kind match {
+      case "minhash" =>
+        val idx = MinHashIndex.StoredIndex(root)
+        MinHashIndex.compact(spark, idx, nFiles.getOrElse(8))
+        s"version=${MinHashIndex.currentVersion(spark, idx)}"
+      case "ivf" =>
+        require(nFiles.isEmpty,
+          "kind 'ivf' takes no nFiles — its compact re-clusters one " +
+            "file per cell")
+        val m = IvfStore.compact(spark, root)
+        s"version=${m.version} segments=${m.segments.size}"
+      case "split" =>
+        SplitStore.compact(spark, SplitStore.Store(root),
+          nFiles.getOrElse(8))
+        s"segments=${SplitStore.liveSegments(root)}"
+      case other => unknown(other)
+    }
+  }
+}
