@@ -1039,21 +1039,34 @@ final class ServingServer(
               // come back as skipped rows with the reason; per-view
               // failures are caught inside the sweep, so the action
               // always answers one row per registered view (zero rows
-              // on an empty catalog).
-              status("OK")
-              val rows = graft.plans.MvAdvisor.maintainAll(session.spark)
-                .map(r => (r.name, r.kind, r.stale,
-                  r.appliedSnapshot.map(java.lang.Long.valueOf).orNull,
-                  r.appliedDimSnapshot.map(java.lang.Long.valueOf).orNull,
-                  r.skipped.orNull))
-              val result = {
-                import session.spark.implicits._
-                rows.toDF("name", "kind", "stale", "applied_snapshot",
-                  "applied_dim_snapshot", "skipped")
+              // on an empty catalog). WORK-then-status, same rationale
+              // as store_compact: the per-view catch covers refresh
+              // failures, but a failure OUTSIDE it (window unpersist,
+              // catalog iteration) would otherwise kill the connection
+              // mid-stream after an OK the client already consumed.
+              val mmRes = scala.util.Try(
+                graft.plans.MvAdvisor.maintainAll(session.spark))
+              mmRes match {
+                case scala.util.Failure(e) =>
+                  status("ERR INTERNAL mv_maintain: " +
+                    Option(e.getMessage).getOrElse(e.toString)
+                      .replaceAll("\\s+", " ").take(200))
+                case scala.util.Success(sweep) =>
+                  status("OK")
+                  val rows = sweep
+                    .map(r => (r.name, r.kind, r.stale,
+                      r.appliedSnapshot.map(java.lang.Long.valueOf).orNull,
+                      r.appliedDimSnapshot.map(java.lang.Long.valueOf).orNull,
+                      r.skipped.orNull))
+                  val result = {
+                    import session.spark.implicits._
+                    rows.toDF("name", "kind", "stale", "applied_snapshot",
+                      "applied_dim_snapshot", "skipped")
+                  }
+                  org.apache.spark.sql.GraftArrowBridge
+                    .writeBatches(result, batchSize, out)
+                  out.flush()
               }
-              org.apache.spark.sql.GraftArrowBridge
-                .writeBatches(result, batchSize, out)
-              out.flush()
             case "store_compact" if arg.nonEmpty =>
               // offline store maintenance over the wire:
               // <kind> <root> [nFiles], kind = minhash | ivf | split.

@@ -83,6 +83,46 @@ object SplitStore {
   private def segmentsDir(root: String) = Paths.get(root, "segments")
   private def commitsDir(root: String) = Paths.get(root, "_commits")
   private def indexRoot(root: String) = Paths.get(root, "index").toString
+  private def ledgerFile(root: String) = Paths.get(root, "_ledger")
+
+  /** Whether `root` holds a split store at all — the `_commits`
+    * directory is the store's existence witness (shared by [[compact]]'s
+    * refusal and the maintenance gauge, so the two faces agree on what
+    * "no store here" means).
+    */
+  def isStore(root: String): Boolean = Files.exists(commitsDir(root))
+
+  /** The replay-guard LEDGER: every ingest token whose segment a
+    * compaction has folded away, one per line. Without it the guard
+    * history would have to ride in the compaction markers' supersedes
+    * lists TRANSITIVELY (every marker carrying every token ever — the
+    * pre-r16 format, still read for compatibility), making marker parse
+    * cost grow with ingest history. With the ledger, a live compaction
+    * marker carries only the tokens IT folded (bounded by segments since
+    * the previous compaction); the ledger grows O(distinct tokens ever)
+    * in bytes — the irreducible replay-guard history — but is a single
+    * file read, consulted only by the ingest replay guard.
+    */
+  private def readLedger(root: String): Set[String] = {
+    val p = ledgerFile(root)
+    if (!Files.exists(p)) Set.empty
+    else new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      .split("\n").filter(_.nonEmpty).toSet
+  }
+
+  /** Rewrite the ledger via tmp + atomic move (crash-safe: a torn write
+    * never clobbers the previous ledger; a crash after the move but
+    * before the compaction marker just records still-live tokens, which
+    * the guard would answer true for anyway).
+    */
+  private def writeLedger(root: String, tokens: Set[String]): Unit = {
+    val tmp = Paths.get(root, s"_ledger.tmp-${System.nanoTime()}")
+    Files.write(tmp,
+      tokens.toSeq.sorted.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, ledgerFile(root),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+  }
 
   private def markerNames(root: String): Seq[String] = {
     val d = commitsDir(root)
@@ -104,8 +144,11 @@ object SplitStore {
   private def supersededOf(root: String): Set[String] =
     // only compaction markers carry a supersedes list, and "compact-"
     // is a reserved prefix (ingest refuses it), so plain ingest markers
-    // are never opened — the read cost is O(compactions alive), which
-    // is 0 or 1 in steady state, not O(ingest history)
+    // are never opened. A marker's list names the tokens IT folded
+    // (bounded by segments since the previous compaction — the full
+    // replay-guard history lives in the ledger), so the parse cost per
+    // read is O(live segments), genuinely independent of ingest history;
+    // pre-ledger stores' transitive lists still parse correctly.
     markerNames(root).filter(_.startsWith("compact-")).flatMap { t =>
       val content = new String(
         Files.readAllBytes(commitsDir(root).resolve(t)),
@@ -130,13 +173,18 @@ object SplitStore {
   def liveSegments(root: String): Int = committedTokens(root).length
 
   /** Whether an ingest token has EVER committed — directly (its marker
-    * file exists) or through a compaction that folded its segment away
-    * (it appears in a live compaction marker's supersedes list). The
-    * replay guard must answer true for both, or a replayed pre-compaction
-    * token would re-ingest instead of no-opping.
+    * file exists), through a live compaction marker's supersedes list
+    * (the crash window between a compaction's commit and its ledger-era
+    * cleanup, plus pre-ledger stores whose markers carried the history
+    * transitively), or through the ledger (tokens whose segments some
+    * compaction folded away). The replay guard must answer true for all
+    * three, or a replayed pre-compaction token would re-ingest instead
+    * of no-opping.
     */
   private def isCommitted(root: String, token: String): Boolean =
-    markerNames(root).contains(token) || supersededOf(root).contains(token)
+    markerNames(root).contains(token) ||
+      supersededOf(root).contains(token) ||
+      readLedger(root).contains(token)
   private implicit class IterOps[A](it: java.util.Iterator[A]) {
     def asScala: Iterator[A] = new Iterator[A] {
       def hasNext: Boolean = it.hasNext
@@ -361,7 +409,7 @@ object SplitStore {
     fault("recovered")
     val live = committedTokens(root)
     if (live.size <= 1) return // already one segment: nothing to fold
-    val n = (marked ++ superseded).flatMap { t =>
+    val n = (marked ++ superseded ++ readLedger(root)).flatMap { t =>
       if (t.startsWith("compact-")) t.stripPrefix("compact-").toLongOption
       else None
     }.foldLeft(0L)(math.max) + 1
@@ -370,14 +418,20 @@ object SplitStore {
     assignments(spark, store).coalesce(nFiles)
       .write.mode("overwrite").parquet(segPath)
     fault("merged-written")
-    // the single commit point: marker content = the folded-away tokens
-    // PLUS everything any of them had superseded (transitive carry —
-    // compacting a compaction marker must not destroy the only record
-    // that its folded tokens ever committed, or their replays would
-    // re-ingest instead of no-opping)
-    val supersedes = (live ++ superseded).distinct.sorted
+    // move the folded tokens' committed-ness into the LEDGER before the
+    // marker commit: compacting a compaction marker deletes the previous
+    // supersedes list, and the ledger must already hold that history (its
+    // own folded tokens AND everything the folded markers had superseded)
+    // or a pre-compaction token's replay would re-ingest instead of
+    // no-opping. Writing it early is safe: ledger entries for still-live
+    // tokens answer the same true the marker would.
+    writeLedger(root, readLedger(root) ++ live ++ superseded)
+    fault("ledger-written")
+    // the single commit point: marker content = the DIRECTLY folded
+    // tokens only (bounded by segments since the last compaction — the
+    // transitive history lives in the ledger)
     Files.write(commitsDir(root).resolve(token),
-      s"supersedes:${supersedes.mkString(",")}"
+      s"supersedes:${live.sorted.mkString(",")}"
         .getBytes(StandardCharsets.UTF_8)): Unit
     fault("committed")
     live.foreach { t =>

@@ -1,0 +1,218 @@
+package graft.operators
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One registered stored index/store: the maintenance unit the catalog
+  * sweep ([[graft.plans.MvAdvisor.maintainAll]]) and the autopilot walk.
+  * `source` carries the lineage that makes a store REFRESHABLE — the
+  * Iceberg base it was built from, which base columns map onto the
+  * store's (id, payload) contract, and the applied snapshot cursor.
+  * Compaction-only stores (split stores, hand-built indexes without
+  * lineage) register with `source = None`: the sweep reports them
+  * skipped, the autopilot still gauges and compacts them.
+  */
+final case class StoreDef(
+    name: String,
+    kind: String, // one of StoreMaintenance.Kinds
+    root: String,
+    source: Option[StoreSource])
+
+/** Source lineage of a refreshable store: `basePath` is the Iceberg
+  * table the store indexes, `idCol` its row-identity column, `column`
+  * the indexed payload (text for minhash, embedding for ivf),
+  * `watermark` the base snapshot the store state reflects.
+  */
+final case class StoreSource(
+    basePath: String,
+    column: String,
+    idCol: String,
+    watermark: Long)
+
+/** Process-wide registry of stored indexes/stores — the store twin of
+  * [[graft.plans.MvCatalog]] (same scope, same replace-by-name identity,
+  * same single-maintainer contract: the registry's watermark advance is
+  * each refresh step's commit, so run one sweep at a time). Advisor
+  * builds ([[graft.plans.MvAdvisor.IndexRecommendation.materialize]] and
+  * its dedup twin) register here automatically; hand-built stores can
+  * register too to join the maintenance loop.
+  */
+object StoreCatalog {
+
+  private val byName = new ConcurrentHashMap[String, StoreDef]()
+
+  def register(d: StoreDef): Unit = {
+    require(StoreMaintenance.Kinds.contains(d.kind),
+      s"unknown store kind '${d.kind}' " +
+        s"(one of: ${StoreMaintenance.Kinds.mkString(", ")})")
+    byName.put(d.name, d): Unit
+  }
+
+  def unregister(name: String): Unit = byName.remove(name): Unit
+
+  def find(name: String): Option[StoreDef] = Option(byName.get(name))
+
+  /** The registered store living at `root`, if any — path-normalized so
+    * the maintenance gauge ([[StoreMaintenance.describe]]) can attach
+    * lineage/staleness to a describe addressed by filesystem root.
+    */
+  def findByRoot(root: String): Option[StoreDef] = {
+    val key = graft.plans.MvCatalog.normalize(root)
+    import scala.jdk.CollectionConverters._
+    byName.values.asScala
+      .find(d => graft.plans.MvCatalog.normalize(d.root) == key)
+  }
+
+  /** Every registered store, sorted by name — the sweep's work list. */
+  def describe(): Seq[StoreDef] = {
+    import scala.jdk.CollectionConverters._
+    byName.values.asScala.toSeq.sortBy(_.name)
+  }
+
+  def clear(): Unit = byName.clear()
+
+  /** Advance a registered store's watermark — each refresh step's
+    * commit (replace-by-name, same discipline as MvCatalog re-register).
+    */
+  private[graft] def advanceWatermark(name: String, snapshot: Long): Unit =
+    byName.computeIfPresent(name, (_, d) =>
+      d.copy(source = d.source.map(_.copy(watermark = snapshot)))): Unit
+
+  /** One refresh step for a registered index store: apply the source
+    * changelog (watermark, head] and advance the cursor. Returns the
+    * applied snapshot, or None when the store is already current.
+    * Cost shape by window content:
+    *
+    *  - INSERT-only window (the training-pipeline append shape): O(churn)
+    *    — minhash folds the batch exactly-once ([[MinHashIndex.foldOnce]]
+    *    keyed on the snapshot id), ivf pays one map-only assignment pass
+    *    ([[IvfStore.ingest]]).
+    *  - DELETE-only window: minhash REBUILDS from the pinned head (the
+    *    index stores append-only shingle/band segments — no tombstone
+    *    story; a stale entry would emit false candidate pairs, which for
+    *    a dedup index is a correctness bug, not noise); ivf tombstones
+    *    the net-deleted ids (O(metadata), [[IvfStore.delete]]).
+    *  - Window with UPDATES (delete+insert of one id): minhash rebuilds
+    *    as above; ivf tombstones every updated/deleted id, COMPACTS (the
+    *    tombstone set is global by id, so the new values must land after
+    *    the old ones are physically gone or the anti-join would hide
+    *    them), then ingests the net inserts — O(store), the documented
+    *    heavy path. Update-heavy sources should prefer scheduled rebuilds
+    *    or an upsert-native store.
+    *
+    * Replay/crash: the registry is process-scoped (like MvCatalog), so
+    * the watermark is an in-JVM cursor — a crashed maintainer's restart
+    * re-registers (re-materializes) rather than replaying a half-applied
+    * window. Within a JVM, the head==watermark check plus the
+    * single-maintainer contract make each window apply once.
+    */
+  def refreshStep(spark: SparkSession, d: StoreDef): Option[Long] = {
+    val src = d.source.getOrElse(throw new IllegalStateException(
+      s"store '${d.name}' has no source lineage — nothing to refresh " +
+        "against"))
+    require(graft.sources.IcebergMeta.hasMetadata(src.basePath),
+      s"store '${d.name}' source ${src.basePath} is not an Iceberg table")
+    val meta = graft.sources.IcebergMeta.load(src.basePath)
+    val head = meta.currentSnapshot.getOrElse(
+      throw new IllegalStateException(
+        s"iceberg base ${src.basePath} has no snapshots")).id
+    if (head == src.watermark) return None
+    require(meta.snapshots.exists(_.id == src.watermark),
+      s"store watermark ${src.watermark} is not a snapshot of " +
+        s"${src.basePath} — the source history was rewritten under the " +
+        "store; re-materialize")
+    val window = graft.sources.IcebergSource.readChangelog(
+      spark, src.basePath, fromSnapshotId = src.watermark,
+      toSnapshotId = Some(head), preloaded = Some(meta))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val hasDeletes = !window.filter(col("_change_type") === "delete")
+        .isEmpty
+      d.kind match {
+        case "minhash" => refreshMinhash(spark, d, src, meta, head, window,
+          hasDeletes)
+        case "ivf" => refreshIvf(spark, d, src, head, window, hasDeletes)
+        case other => throw new IllegalStateException(
+          s"store kind '$other' has no changelog refresh path")
+      }
+      advanceWatermark(d.name, head)
+      Some(head)
+    } finally window.unpersist(blocking = false): Unit
+  }
+
+  private def refreshMinhash(
+      spark: SparkSession,
+      d: StoreDef,
+      src: StoreSource,
+      meta: graft.sources.IcebergMeta.TableMeta,
+      head: Long,
+      window: DataFrame,
+      hasDeletes: Boolean): Unit = {
+    val idx = MinHashIndex.StoredIndex(d.root)
+    if (hasDeletes) {
+      // rebuild pinned at the head — materialize wipes and rebuilds under
+      // the maintenance lease, so a concurrent fold backs off cleanly
+      val base = graft.sources.IcebergSource.read(
+        spark, src.basePath, snapshotId = Some(head), asOfTimestampMs = None,
+        prune = None, preloaded = Some(meta))
+      MinHashIndex.materialize(
+        base.select(col(src.idCol).as("doc_id"), col(src.column).as("text")),
+        d.root): Unit
+    } else {
+      val inserts = window
+        .filter(col("_change_type") === "insert")
+        .select(col(src.idCol).as("doc_id"), col(src.column).as("text"))
+      // snapshot-keyed fold token: a window replayed inside one JVM (or
+      // against a shared filesystem by a second maintainer) no-ops
+      if (!inserts.isEmpty)
+        MinHashIndex.foldOnce(inserts, idx, token = s"snap-$head"): Unit
+    }
+  }
+
+  private def refreshIvf(
+      spark: SparkSession,
+      d: StoreDef,
+      src: StoreSource,
+      head: Long,
+      window: DataFrame,
+      hasDeletes: Boolean): Unit = {
+    import org.apache.spark.sql.expressions.Window => W
+    // net change per id across the window: last change wins; within one
+    // snapshot a delete+insert pair is a MERGE's update encoding, so
+    // insert outranks delete at equal snapshot
+    val rank = org.apache.spark.sql.functions.row_number().over(
+      W.partitionBy(col(src.idCol))
+        .orderBy(col("_change_snapshot_id").desc,
+          when(col("_change_type") === "insert", 1).otherwise(0).desc))
+    val netted = window.withColumn("_rn", rank).filter(col("_rn") === 1)
+      .drop("_rn")
+    val netInserts = netted.filter(col("_change_type") === "insert")
+      .drop("_change_type", "_change_snapshot_id")
+    if (!hasDeletes) {
+      if (!netInserts.isEmpty) IvfStore.ingest(spark, d.root, netInserts): Unit
+      return
+    }
+    val netDeleted = netted.filter(col("_change_type") === "delete")
+      .select(col(src.idCol))
+    // ids seen with BOTH change types = updates: their old values must be
+    // physically removed (compact) before the new ones land, because the
+    // tombstone anti-join is global by id and would hide the re-ingest
+    val updatedIds = window
+      .filter(col("_change_type") === "delete")
+      .select(col(src.idCol))
+      .join(window.filter(col("_change_type") === "insert")
+        .select(col(src.idCol)), Seq(src.idCol), "left_semi")
+      .distinct()
+    val hasUpdates = !updatedIds.isEmpty
+    IvfStore.delete(spark, d.root,
+      if (hasUpdates) netDeleted.union(updatedIds).distinct() else netDeleted
+    ): Unit
+    // updates force the compact (physically drop the old values, clear
+    // the tombstone list) BEFORE the net inserts land; a deletes-plus-
+    // new-ids window skips it — the new ids were never tombstoned
+    if (hasUpdates) IvfStore.compact(spark, d.root): Unit
+    if (!netInserts.isEmpty) IvfStore.ingest(spark, d.root, netInserts): Unit
+  }
+}

@@ -1401,7 +1401,7 @@ object IcebergWriter {
       val entries = entries0.sortBy(e =>
         partType.map { case (nm, _) =>
           sortKey(e.dataFile.partition.getOrElse(nm, null))
-        }.mkString(" ") + " " + e.dataFile.path)
+        }.mkString("\u0000") + "\u0000" + e.dataFile.path)
       entries.grouped(maxEntriesPerManifest).map { chunk =>
         val mpath = root.resolve("metadata")
           .resolve(f"manifest-$snapshotId%05d-$token%s-rw-$idx%03d.avro")

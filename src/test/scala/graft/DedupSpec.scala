@@ -601,6 +601,15 @@ class DedupSpec extends SparkTestBase {
     }
     assert(snap() === before, "uncommitted compaction must be invisible")
     assert(segDirs().contains("seg-compact-1") && !markers()("compact-1"))
+    // crash AFTER the ledger write, before the marker: still uncommitted.
+    // The ledger now names still-live tokens — harmless, the guard would
+    // answer true for them via their markers anyway
+    intercept[RuntimeException] {
+      SplitStore.compactWithFaults(spark, store, 2,
+        f => if (f == "ledger-written") throw new RuntimeException("boom"))
+    }
+    assert(snap() === before, "ledger-only compaction must be invisible")
+    assert(!markers().exists(_.startsWith("compact-")), markers())
     // crash AFTER the marker, before cleanup: readers already exclude
     // the superseded segments through the marker's supersedes list
     intercept[RuntimeException] {
@@ -634,8 +643,9 @@ class DedupSpec extends SparkTestBase {
     assert(snap() === after3)
     // TRANSITIVE supersede: w1 was folded by compact-1, whose marker
     // compact-2 just superseded and deleted — w1's committedness must
-    // survive through compact-2's carried list, so its replay still
-    // no-ops instead of re-ingesting into the id-collision refusal
+    // survive through the replay-guard LEDGER (compact-2's marker names
+    // only what IT folded), so its replay still no-ops instead of
+    // re-ingesting into the id-collision refusal
     val replay1 = SplitStore.ingest(spark, store, inc1, token = "w1")
     assert(replay1.count() === inc1.count())
     assert(snap() === after3 && markers() === Set("compact-2"),
