@@ -143,7 +143,8 @@ object ScaleProbe {
     val groups =
       Set("all", "core", "core10x", "core30x", "extras", "dedup", "sim",
         "text", "events", "serve", "iceberg", "skip", "cdc", "manifests",
-        "ivfstore", "stepfloor", "objectstore", "splitstore", "mvsweep")
+        "ivfstore", "stepfloor", "objectstore", "splitstore", "mvsweep",
+        "storecatalog")
     // a typo'd group would otherwise spin up Spark, run NOTHING, and exit
     // 0 — indistinguishable from "probe found nothing"
     require(groups(which), s"unknown probe group '$which' (one of: ${groups.mkString(", ")})")
@@ -170,6 +171,7 @@ object ScaleProbe {
     if (which == "objectstore") objectStoreProbe(spark) // latency-injected FS economics
     if (which == "splitstore") splitStoreProbe(spark) // not in "all": 25 sequential ingests
     if (which == "mvsweep") mvSweepProbe(spark) // not in "all": builds a 1M-row table
+    if (which == "storecatalog") storeCatalogProbe(spark) // not in "all": builds 400k-row stores
     spark.stop()
   }
 
@@ -1906,5 +1908,67 @@ object ScaleProbe {
       require(swept.count(_.stale) == 6, s"all six must refresh: $swept")
     }
     recs.foreach(r => MvCatalog.unregister(r.basePath))
+  }
+
+  /** Registered-store refresh economics (StoreCatalog.refreshStep): the
+    * SAME 5k-row churn window applied to stores built over bases of
+    * growing size — the claim the store half of the catalog sweep rests
+    * on: an insert-only changelog step costs O(churn) (minhash fold /
+    * ivf ingest both touch only the window), never O(corpus), while the
+    * re-materialize it replaces is linear in the base. The honest
+    * counterweight is printed too: an UPDATE window drives ivf through
+    * tombstone→compact→ingest — O(store), the documented heavy path
+    * (update-heavy sources should schedule rebuilds instead). At 100 TB
+    * the flat lines are what let one maintainAll keep every index
+    * current at the cadence of ingest, not of corpus size.
+    */
+  private def storeCatalogProbe(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.StoreCatalog
+    import graft.plans.MvAdvisor
+    import graft.sources.IcebergWriter
+    val dim = 16
+    def docRows(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      col("id").as("doc_id"),
+      concat_ws(" ", (0 until 8).map(i =>
+        concat(lit(s"w$i-"), (col("id") * (i + 3)) % 1000)): _*).as("text"))
+    def embRows(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      col("id").as("vec_id"),
+      array((0 until dim).map(i =>
+        (((col("id") * (i + 7)) % 97).cast("float") / lit(97.0f))): _*)
+        .cast("array<float>").as("embedding"))
+    def secs(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    println("--- store refreshStep vs re-materialize (5k churn window; first row is JVM warmup) ---")
+    Seq(100000L, 100000L, 400000L).foreach { n =>
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft-storecat-$n").toString
+      val docsTbl = s"$root/docs"; val embTbl = s"$root/emb"
+      IcebergWriter.append(spark, docsTbl, docRows(0L, n), None, 1000L,
+        formatVersion = 2)
+      IcebergWriter.append(spark, embTbl, embRows(0L, n), None, 1000L,
+        formatVersion = 2)
+      val mhRec = MvAdvisor.DedupIndexRecommendation(docsTbl, "text", 1)
+      val ivfRec = MvAdvisor.IndexRecommendation(embTbl, "embedding", 1)
+      val buildMh = secs(mhRec.materialize(spark, s"$root/mh"): Unit)
+      val buildIvf = secs(
+        ivfRec.materialize(spark, s"$root/ivf", cellCap = n): Unit)
+      def step(name: String): Double = secs(require(StoreCatalog
+        .refreshStep(spark, StoreCatalog.find(name).get).isDefined))
+      // insert-only window: fold / ingest — the flat lines
+      IcebergWriter.append(spark, docsTbl, docRows(n, n + 5000L), None, 2000L)
+      IcebergWriter.append(spark, embTbl, embRows(n, n + 5000L), None, 2000L)
+      val foldMh = step(mhRec.storeName)
+      val ingestIvf = step(ivfRec.storeName)
+      // update window (ivf): tombstone → compact → ingest — O(store)
+      IcebergWriter.upsertRows(spark, embTbl,
+        embRows(0L, 5000L), "vec_id", 3000L)
+      val updateIvf = step(ivfRec.storeName)
+      println(f"n=$n%7d  build_mh=$buildMh%6.2f s  fold_mh=$foldMh%6.2f s  " +
+        f"build_ivf=$buildIvf%6.2f s  ingest_ivf=$ingestIvf%6.2f s  " +
+        f"update_ivf=$updateIvf%6.2f s")
+      Seq(mhRec.storeName, ivfRec.storeName).foreach(StoreCatalog.unregister)
+    }
   }
 }

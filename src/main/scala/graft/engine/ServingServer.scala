@@ -112,9 +112,12 @@ import java.util.concurrent.{LinkedBlockingQueue, ThreadPoolExecutor, TimeUnit}
   *        rows carry the applied dim-side cursor as well.
   *     `DO_ACTION mv_maintain` -> catalog-wide maintenance sweep
   *        (plans.MvAdvisor.maintainAll): refresh every stale
-  *        advisor-built view in one action, one row per registered
-  *        view — stale verdict + applied snapshot(s), or the reason a
-  *        view was skipped (hand-declared, no lineage, per-view error).
+  *        advisor-built view AND every registered index store
+  *        (operators.StoreCatalog — minhash/ivf with source lineage
+  *        get one changelog refresh step) in one action, one row per
+  *        registered view/store — stale verdict + applied snapshot(s),
+  *        or the reason it was skipped (hand-declared, no lineage,
+  *        per-entry error).
   *     `DO_ACTION stream_view_describe <view> <source> [<wm_col>]` ->
   *        freshness of a streaming MV (streaming/MaterializedAgg):
   *        the view's applied watermark, the live source head, and a

@@ -406,6 +406,13 @@ object SplitStore {
       .filter(f => f.isDirectory && f.getName.startsWith("seg-") &&
         !marked(f.getName.stripPrefix("seg-")))
       .foreach(deleteRecursively)
+    // stale ledger tmps: a crash between a predecessor's tmp write and
+    // its atomic move orphans `_ledger.tmp-*` at the root forever (the
+    // segment sweep above only covers the segments dir). Writers are
+    // quiesced here, so any tmp ledger is a crashed predecessor's.
+    Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.startsWith("_ledger.tmp-"))
+      .foreach(f => f.delete(): Unit)
     fault("recovered")
     val live = committedTokens(root)
     if (live.size <= 1) return // already one segment: nothing to fold

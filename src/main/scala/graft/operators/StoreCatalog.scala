@@ -178,7 +178,7 @@ object StoreCatalog {
       head: Long,
       window: DataFrame,
       hasDeletes: Boolean): Unit = {
-    import org.apache.spark.sql.expressions.Window => W
+    import org.apache.spark.sql.expressions.{Window => W}
     // net change per id across the window: last change wins; within one
     // snapshot a delete+insert pair is a MERGE's update encoding, so
     // insert outranks delete at equal snapshot
@@ -190,29 +190,41 @@ object StoreCatalog {
       .drop("_rn")
     val netInserts = netted.filter(col("_change_type") === "insert")
       .drop("_change_type", "_change_snapshot_id")
-    if (!hasDeletes) {
-      if (!netInserts.isEmpty) IvfStore.ingest(spark, d.root, netInserts): Unit
-      return
+    if (hasDeletes) {
+      val netDeleted = netted.filter(col("_change_type") === "delete")
+        .select(col(src.idCol))
+      // ids seen with BOTH change types = updates: netting keeps only
+      // the insert, so the OLD value must be explicitly tombstoned too
+      // (it is physically dropped by the compact below)
+      val updatedIds = window
+        .filter(col("_change_type") === "delete")
+        .select(col(src.idCol))
+        .join(window.filter(col("_change_type") === "insert")
+          .select(col(src.idCol)), Seq(src.idCol), "left_semi")
+        .distinct()
+      IvfStore.delete(spark, d.root,
+        netDeleted.union(updatedIds).distinct()): Unit
     }
-    val netDeleted = netted.filter(col("_change_type") === "delete")
-      .select(col(src.idCol))
-    // ids seen with BOTH change types = updates: their old values must be
-    // physically removed (compact) before the new ones land, because the
-    // tombstone anti-join is global by id and would hide the re-ingest
-    val updatedIds = window
-      .filter(col("_change_type") === "delete")
-      .select(col(src.idCol))
-      .join(window.filter(col("_change_type") === "insert")
-        .select(col(src.idCol)), Seq(src.idCol), "left_semi")
-      .distinct()
-    val hasUpdates = !updatedIds.isEmpty
-    IvfStore.delete(spark, d.root,
-      if (hasUpdates) netDeleted.union(updatedIds).distinct() else netDeleted
-    ): Unit
-    // updates force the compact (physically drop the old values, clear
-    // the tombstone list) BEFORE the net inserts land; a deletes-plus-
-    // new-ids window skips it — the new ids were never tombstoned
-    if (hasUpdates) IvfStore.compact(spark, d.root): Unit
-    if (!netInserts.isEmpty) IvfStore.ingest(spark, d.root, netInserts): Unit
+    if (!netInserts.isEmpty) {
+      // resurrection guard: IvfStore tombstones are GLOBAL by id and
+      // live until a compact, so an insert of an id on any live
+      // tombstone list — this window's update, or a delete from a
+      // PREVIOUS window never compacted away — would land but be
+      // anti-joined invisible on every read. Compact first (physically
+      // drops the old rows, clears the lists); an insert-only window of
+      // genuinely new ids skips the compact entirely.
+      val m = IvfStore.load(d.root)
+      if (m.tombstones.nonEmpty) {
+        val tombIds = m.tombstones
+          .map(t => spark.read.parquet(
+            new java.io.File(d.root, t).getPath))
+          .reduce(_ unionByName _)
+          .withColumnRenamed(m.idCol, src.idCol)
+        val resurrects = !netInserts.select(col(src.idCol))
+          .join(tombIds, Seq(src.idCol), "left_semi").isEmpty
+        if (resurrects) IvfStore.compact(spark, d.root): Unit
+      }
+      IvfStore.ingest(spark, d.root, netInserts): Unit
+    }
   }
 }

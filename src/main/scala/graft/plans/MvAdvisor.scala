@@ -401,10 +401,15 @@ object MvAdvisor {
     * reported in `skipped` ("error: …"), so one corrupted store never
     * blocks the sweep. Run one maintainer at a time: the catalog
     * replace-by-name is each step's commit, same single-refresher
-    * contract as [[Recommendation.refreshStep]].
+    * contract as [[Recommendation.refreshStep]]. The sweep also covers
+    * registered index STORES ([[graft.operators.StoreCatalog]]): each
+    * minhash/ivf store with source lineage gets one changelog refresh
+    * step, reported in the same row shape — one sweep brings MVs AND
+    * stores current.
     */
   def maintainAll(spark: SparkSession): Seq[MaintainResult] =
-    sweep(spark, MvCatalog.describe())
+    sweep(spark, MvCatalog.describe()) ++
+      sweepStores(spark, graft.operators.StoreCatalog.describe())
 
   /** [[maintainAll]] scoped to ONE base table: refresh every stale
     * advisor view whose (fact-side) base is `basePath` — rollups and
@@ -416,8 +421,42 @@ object MvAdvisor {
       spark: SparkSession, basePath: String): Seq[MaintainResult] = {
     val base = MvCatalog.normalize(basePath)
     sweep(spark, MvCatalog.describe()
-      .filter(i => MvCatalog.normalize(i.basePath) == base))
+      .filter(i => MvCatalog.normalize(i.basePath) == base)) ++
+      sweepStores(spark, graft.operators.StoreCatalog.describe()
+        .filter(_.source.exists(s =>
+          MvCatalog.normalize(s.basePath) == base)))
   }
+
+  /** The store half of the catalog-wide sweep: walk registered index
+    * stores ([[graft.operators.StoreCatalog]]), run one changelog
+    * [[graft.operators.StoreCatalog.refreshStep]] on each that carries
+    * source lineage, and report in the same [[MaintainResult]] rows as
+    * the MV half (kind = "minhash" | "ivf") so `mv_maintain` over the
+    * wire and the CLI answer ONE table for "bring everything current".
+    * Lineage-less (compaction-only) stores are reported skipped — their
+    * freshness is their registrant's contract; failures are caught per
+    * store so one corrupt store never blocks the rest.
+    */
+  private def sweepStores(
+      spark: SparkSession,
+      defs: Seq[graft.operators.StoreDef]): Seq[MaintainResult] =
+    defs.map { d =>
+      if (d.source.isEmpty)
+        MaintainResult(d.name, d.kind, stale = false, None, None,
+          Some("no source lineage — compaction-only store"))
+      else try graft.operators.StoreCatalog.refreshStep(spark, d) match {
+        case Some(snap) =>
+          MaintainResult(d.name, d.kind, stale = true, Some(snap), None,
+            None)
+        case None =>
+          MaintainResult(d.name, d.kind, stale = false, None, None, None)
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          MaintainResult(d.name, d.kind, stale = false, None, None,
+            Some("error: " + Option(e.getMessage).getOrElse(e.toString)
+              .replaceAll("\\s+", " ").take(200)))
+      }
+    }
 
   /** The [[graft.streaming.MaterializedAgg.maintainedSink]]-shaped
     * thunk over [[maintainBase]]: plug ONE hook into the ingest
@@ -989,7 +1028,12 @@ object MvAdvisor {
       * parquet or Iceberg — the read pins at the current snapshot).
       * `idCol` must name the base's row-identity column
       * ([[graft.operators.IvfStore.create]]'s contract: tombstones and
-      * probe tie-breaks key on it).
+      * probe tie-breaks key on it). Registers the store in
+      * [[graft.operators.StoreCatalog]] — with full source lineage
+      * (watermark = the snapshot the build read) when the base is
+      * Iceberg, so the catalog sweep's
+      * [[graft.operators.StoreCatalog.refreshStep]] keeps it current;
+      * lineage-less (compaction-only) for a plain-parquet base.
       */
     def materialize(
         spark: SparkSession,
@@ -997,13 +1041,22 @@ object MvAdvisor {
         nCells: Int = 16,
         cellCap: Long = 100000L,
         idCol: String = "vec_id"): graft.operators.IvfStore.Meta = {
+      val iceberg = graft.sources.IcebergMeta.hasMetadata(basePath)
       val base =
-        if (graft.sources.IcebergMeta.hasMetadata(basePath))
-          graft.sources.IcebergSource.read(spark, basePath)
+        if (iceberg) graft.sources.IcebergSource.read(spark, basePath)
         else spark.read.parquet(basePath)
-      graft.operators.IvfStore.create(
+      val meta = graft.operators.IvfStore.create(
         base, embCol, root, nCells = nCells, cellCap = cellCap,
         idCol = idCol)
+      val source =
+        if (iceberg)
+          graft.sources.IcebergMeta.load(basePath).currentSnapshot
+            .map(s => graft.operators.StoreSource(
+              basePath, embCol, idCol, watermark = s.id))
+        else None
+      graft.operators.StoreCatalog.register(graft.operators.StoreDef(
+        storeName, "ivf", root, source))
+      meta
     }
   }
 
@@ -1098,21 +1151,33 @@ object MvAdvisor {
     /** Build the stored MinHash/LSH index at `root` from the base
       * corpus (plain parquet or Iceberg). The index pipeline keys rows
       * by `doc_id` and shingles `text`, so the base's identity and text
-      * columns are renamed into that contract.
+      * columns are renamed into that contract. Registers the store in
+      * [[graft.operators.StoreCatalog]] (Iceberg base → full lineage
+      * with the build snapshot as watermark, so the catalog sweep keeps
+      * it current; plain parquet → compaction-only).
       */
     def materialize(
         spark: SparkSession,
         root: String,
         idCol: String = "doc_id"): graft.operators.MinHashIndex.StoredIndex = {
+      val iceberg = graft.sources.IcebergMeta.hasMetadata(basePath)
       val base =
-        if (graft.sources.IcebergMeta.hasMetadata(basePath))
-          graft.sources.IcebergSource.read(spark, basePath)
+        if (iceberg) graft.sources.IcebergSource.read(spark, basePath)
         else spark.read.parquet(basePath)
-      graft.operators.MinHashIndex.materialize(
+      val idx = graft.operators.MinHashIndex.materialize(
         base.select(
           org.apache.spark.sql.functions.col(idCol).as("doc_id"),
           org.apache.spark.sql.functions.col(textCol).as("text")),
         root)
+      val source =
+        if (iceberg)
+          graft.sources.IcebergMeta.load(basePath).currentSnapshot
+            .map(s => graft.operators.StoreSource(
+              basePath, textCol, idCol, watermark = s.id))
+        else None
+      graft.operators.StoreCatalog.register(graft.operators.StoreDef(
+        storeName, "minhash", root, source))
+      idx
     }
   }
 

@@ -419,6 +419,103 @@ object IncrementalQueries {
           "WHERE o_orderstatus IN ('F', 'O') " +
           "GROUP BY c_mktsegment ORDER BY c_mktsegment"
       )
+    ),
+    // THE STORE-CATALOG SWEEP UNDER THE ORACLE GATE (r17): two advisor-
+    // built index STORES — a MinHash/LSH dedup index over an Iceberg
+    // documents table and an incremental IVF ANN store over an Iceberg
+    // embeddings table (the embedding column rides the writer's new
+    // primitive-element list type) — registered with source lineage by
+    // materialize, churned TWICE (an insert+update window, then a
+    // delete window: together the three refreshStep cost shapes — fold /
+    // ingest, minhash rebuild, ivf tombstone+compact), and brought
+    // current by the SAME MvAdvisor.maintainAll sweep that maintains
+    // MVs. The returned rows are read from the REFRESHED STORES (the
+    // index's per-doc shingle-set sizes; the IVF store's live ids and
+    // first embedding component), so the DuckDB hash gate — which
+    // recomputes both from the raw parquet at the final churn state —
+    // certifies the sweep drove every store to exactly the post-churn
+    // corpus. At 100 TB: one scheduler call keeps every dashboard AND
+    // every index current, each store paying its documented window
+    // shape, never a corpus rebuild for append-shaped churn.
+    Q(
+      "q_store_maintain",
+      (s, dir) => {
+        import graft.operators.{IvfStore, MinHashIndex, StoreCatalog}
+        import graft.sources.IcebergWriter
+        val ws = graft.engine.TempDirs
+          .workspace("graft-store-maintain", "stores", dir)
+        java.nio.file.Files.createDirectories(ws): Unit
+        val root = java.nio.file.Files
+          .createTempDirectory(ws, "run").toString
+        val docsTbl = s"$root/docs_ice"
+        val embTbl = s"$root/emb_ice"
+        val docs = t(s, dir, "documents").select($"doc_id", $"text")
+        val emb = t(s, dir, "embeddings").select($"vec_id", $"embedding")
+        IcebergWriter.append(s, docsTbl,
+          docs.filter($"doc_id" % 10 < 8), None, 1000L, formatVersion = 2)
+        IcebergWriter.append(s, embTbl,
+          emb.filter($"vec_id" % 10 < 8), None, 1000L, formatVersion = 2)
+        val mhRec =
+          graft.plans.MvAdvisor.DedupIndexRecommendation(docsTbl, "text", 1)
+        val ivfRec =
+          graft.plans.MvAdvisor.IndexRecommendation(embTbl, "embedding", 1)
+        val mhRoot = s"$root/mh_index"
+        val ivfRoot = s"$root/ivf_store"
+        mhRec.materialize(s, mhRoot): Unit
+        ivfRec.materialize(s, ivfRoot): Unit
+        val storeNames = Set(mhRec.storeName, ivfRec.storeName)
+        try {
+          def sweep(label: String): Unit = {
+            val swept = graft.plans.MvAdvisor.maintainAll(s)
+              .filter(r => storeNames(r.name))
+            require(swept.count(_.stale) == 2 &&
+              swept.forall(_.skipped.isEmpty),
+              s"one maintainAll sweep must refresh BOTH stores ($label): " +
+                swept.toString)
+          }
+          // window 1 — docs: insert-only (fold); emb: new ids PLUS
+          // same-key upserts (update shape: tombstone→compact→ingest)
+          IcebergWriter.append(s, docsTbl,
+            docs.filter($"doc_id" % 10 >= 8), None, 2000L)
+          IcebergWriter.upsertRows(s, embTbl,
+            emb.filter($"vec_id" % 10 >= 8 || $"vec_id" % 10 === 0),
+            "vec_id", 2000L)
+          sweep("insert/update window")
+          // window 2 — deletes: minhash rebuilds at head, ivf tombstones
+          IcebergWriter.deleteRowsWhere(s, docsTbl,
+            $"doc_id" % 10 === 9, 3000L)
+          IcebergWriter.deleteRowsWhere(s, embTbl,
+            $"vec_id" % 10 === 9, 3000L)
+          sweep("delete window")
+        } finally storeNames.foreach(StoreCatalog.unregister)
+        val mhRows = MinHashIndex
+          .shingles(s, MinHashIndex.StoredIndex(mhRoot))
+          .select(lit("minhash").as("store"), $"doc_id".as("id"),
+            size($"sh").cast("double").as("val"))
+        val ivfMeta = IvfStore.load(ivfRoot)
+        val ivfRows = IvfStore.readLive(s, ivfRoot, ivfMeta)
+          .select(lit("ivf").as("store"), $"vec_id".as("id"),
+            round(element_at($"embedding", 1).cast("double"), 6).as("val"))
+        mhRows.unionByName(ivfRows).orderBy($"store", $"id")
+      },
+      Some(
+        """WITH toks AS (
+          |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS ws
+          |  FROM documents WHERE doc_id % 10 != 9
+          |), shw AS (
+          |  SELECT doc_id, list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+          |                                for i in range(1, len(ws)-1)]) AS shingles
+          |  FROM toks WHERE len(ws) >= 3
+          |)
+          |SELECT store, id, val FROM (
+          |  SELECT 'minhash' AS store, doc_id AS id,
+          |         CAST(len(shingles) AS DOUBLE) AS val FROM shw
+          |  UNION ALL
+          |  SELECT 'ivf' AS store, vec_id AS id,
+          |         round(CAST(embedding[1] AS DOUBLE), 6) AS val
+          |  FROM embeddings WHERE vec_id % 10 != 9
+          |) ORDER BY store, id""".stripMargin
+      )
     )
   )
 }

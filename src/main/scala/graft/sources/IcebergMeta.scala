@@ -333,12 +333,24 @@ object IcebergMeta {
     def parseFields(schemaNode: JsonNode): Seq[Field] =
       schemaNode.path("fields").elements().asScala.map { f =>
         val t = f.path("type")
-        require(t.isTextual, s"Nested Iceberg types not supported: ${f.path("name").asText()}")
+        // primitive-element lists fold into the textual `list<elem[!]>`
+        // encoding [[IcebergWriter.icebergType]] emits for the same
+        // shape, so the Field model (and every typeName comparison on
+        // it) stays a flat string; deeper nesting is still refused
+        val typeName =
+          if (t.isTextual) t.asText()
+          else if (t.path("type").asText() == "list" &&
+              t.path("element").isTextual) {
+            val bang =
+              if (t.path("element-required").asBoolean(false)) "!" else ""
+            s"list<${t.path("element").asText()}$bang>"
+          } else throw new IllegalArgumentException(
+            s"Nested Iceberg types not supported: ${f.path("name").asText()}")
         Field(
           f.path("id").asInt(),
           f.path("name").asText(),
           f.path("required").asBoolean(false),
-          t.asText())
+          typeName)
       }.toSeq
     // HISTORICAL schemas parse leniently: a nested type in a schema the
     // table no longer uses must not make the whole table unreadable —
@@ -1047,22 +1059,33 @@ object IcebergMeta {
 
   private def sparkSchema0(fields: Seq[Field]): Seq[(StructField, Int)] =
     fields.map { f =>
-      val dt = f.typeName match {
-        case "boolean"     => BooleanType
-        case "int"         => IntegerType
-        case "long"        => LongType
-        case "float"       => FloatType
-        case "double"      => DoubleType
-        case "string"      => StringType
-        case "date"        => DateType
-        case "timestamptz" => TimestampType
-        case "binary"      => BinaryType
-        case dec if dec.startsWith("decimal(") =>
-          val Array(p, s) = dec.stripPrefix("decimal(").stripSuffix(")").split(",").map(_.trim.toInt)
-          DecimalType(p, s)
-        case other =>
-          throw new UnsupportedOperationException(s"Iceberg type '$other' not mapped")
-      }
-      (StructField(f.name, dt, nullable = !f.required), f.id)
+      (StructField(f.name, sparkType(f.typeName), nullable = !f.required),
+        f.id)
+    }
+
+  private def sparkType(typeName: String): org.apache.spark.sql.types.DataType =
+    typeName match {
+      case "boolean"     => BooleanType
+      case "int"         => IntegerType
+      case "long"        => LongType
+      case "float"       => FloatType
+      case "double"      => DoubleType
+      case "string"      => StringType
+      case "date"        => DateType
+      case "timestamptz" => TimestampType
+      case "binary"      => BinaryType
+      case dec if dec.startsWith("decimal(") =>
+        val Array(p, s) = dec.stripPrefix("decimal(").stripSuffix(")").split(",").map(_.trim.toInt)
+        DecimalType(p, s)
+      // the flat encoding parseFields folds a primitive-element list
+      // into (`list<elem>` nullable element / `list<elem!>` required)
+      case l if l.startsWith("list<") && l.endsWith(">") =>
+        val inner0 = l.stripPrefix("list<").stripSuffix(">")
+        val required = inner0.endsWith("!")
+        val inner = if (required) inner0.dropRight(1) else inner0
+        org.apache.spark.sql.types.ArrayType(
+          sparkType(inner), containsNull = !required)
+      case other =>
+        throw new UnsupportedOperationException(s"Iceberg type '$other' not mapped")
     }
 }

@@ -2479,14 +2479,39 @@ object IcebergWriter {
     s.put("type", "struct")
     s.put("schema-id", 0)
     val fields = s.putArray("fields")
+    // nested element-ids allocate AFTER the top-level field ids, in field
+    // order — deterministic, so re-emitting the schema at every commit
+    // (checkSchema pins the StructType itself unchanged) reproduces the
+    // identical JSON and the metadata never drifts across snapshots
+    var nextId = schema.fields.length
+    def alloc(): Int = { nextId += 1; nextId }
     schema.fields.zipWithIndex.foreach { case (f, i) =>
       val fn = fields.addObject()
       fn.put("id", i + 1)
       fn.put("name", f.name)
       fn.put("required", !f.nullable)
-      fn.put("type", icebergType(f.dataType))
+      fn.set[ObjectNode]("type", typeJson(f.dataType, alloc))
     }
     s
+  }
+
+  /** The metadata-JSON form of one column type: primitives are the spec's
+    * type-name strings; a primitive-element list is the spec's nested
+    * object (`{"type":"list","element-id":…,"element":…,
+    * "element-required":…}`, Iceberg spec "Schemas and Data Types").
+    */
+  private def typeJson(
+      dt: DataType,
+      alloc: () => Int): com.fasterxml.jackson.databind.JsonNode = dt match {
+    case ArrayType(et, containsNull) =>
+      icebergType(dt): Unit // validates: primitive element only
+      val n = mapper.createObjectNode()
+      n.put("type", "list")
+      n.put("element-id", alloc())
+      n.put("element", icebergType(et))
+      n.put("element-required", !containsNull)
+      n
+    case prim => mapper.getNodeFactory.textNode(icebergType(prim))
   }
 
   private def specJson(schema: StructType, partition: Seq[PartitionTransform]): ArrayNode = {
@@ -2513,6 +2538,17 @@ object IcebergWriter {
     case TimestampType       => "timestamptz"
     case BinaryType          => "binary"
     case d: DecimalType      => s"decimal(${d.precision}, ${d.scale})"
+    // primitive-element lists (the embedding/token-array columns a
+    // training-data table carries). Internal textual encoding — the
+    // metadata JSON gets the spec's nested object form via [[typeJson]];
+    // this string is the [[IcebergMeta.Field.typeName]] the reader
+    // produces for the same shape, so schema checks compare equal.
+    // A trailing `!` marks a required (non-null) element.
+    case ArrayType(et, containsNull) =>
+      val inner = icebergType(et)
+      require(!inner.startsWith("list<"),
+        s"nested list-of-list not supported: $dt")
+      s"list<$inner${if (containsNull) "" else "!"}>"
     case other =>
       throw new UnsupportedOperationException(s"Spark type $other not mapped to Iceberg")
   }

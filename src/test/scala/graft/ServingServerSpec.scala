@@ -964,6 +964,28 @@ class ServingServerSpec extends SparkTestBase {
         .collect().map(r => (r.getString(0), r.getLong(1))).toSeq ===
         joinDash.orderBy(col("label"))
           .collect().map(r => (r.getString(0), r.getLong(1))).toSeq)
+      // index STORES ride the SAME wire sweep (r17): a lineage-carrying
+      // minhash store on the fact refreshes with the views; a
+      // lineage-less store reports its skip reason over the wire
+      val mhRec = MvAdvisor.DedupIndexRecommendation(fact, "k", 1)
+      val mhRoot = tempDir("graft-maint-wire-store") + "/index"
+      mhRec.materialize(spark, mhRoot, idCol = "v"): Unit
+      graft.operators.StoreCatalog.register(graft.operators.StoreDef(
+        "wire_plain", "split", tempDir("graft-maint-wire-plain"), None))
+      IcebergWriter.append(spark, fact,
+        Seq(("d", 11L)).toDF("k", "v"), None, 2500L)
+      val s2 = {
+        val r = ServingClient.doAction(srv.boundPort, "mv_maintain")
+        assert(r.isOk, r.status)
+        r.rows.map(row => row.head.toString -> row).toMap
+      }
+      val headS = IcebergMeta.load(fact).currentSnapshot.get.id
+      assert(s2(mhRec.storeName)(1).toString === "minhash",
+        s2(mhRec.storeName))
+      assert(s2(mhRec.storeName)(2) == true &&
+        s2(mhRec.storeName)(3) === headS, s2(mhRec.storeName))
+      assert(s2("wire_plain")(5).toString.contains("no source lineage"),
+        s2("wire_plain"))
       // mv_refresh now answers JOIN views by registered name too
       IcebergWriter.append(spark, fact,
         Seq(("b", 1L)).toDF("k", "v"), None, 3000L)
@@ -988,6 +1010,9 @@ class ServingServerSpec extends SparkTestBase {
     } finally {
       MvCatalog.unregister(fact)
       MvCatalog.unregisterJoin(fact, dimP)
+      graft.operators.StoreCatalog.unregister("wire_plain")
+      graft.operators.StoreCatalog.unregister(
+        MvAdvisor.DedupIndexRecommendation(fact, "k", 1).storeName)
     }
   }
 

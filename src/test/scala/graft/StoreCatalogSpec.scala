@@ -1,0 +1,212 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{IvfStore, MinHashIndex, StoreCatalog, StoreDef, StoreSource}
+import graft.plans.MvAdvisor
+import graft.sources.{IcebergMeta, IcebergSource, IcebergWriter}
+
+/** The registered-store maintenance loop ([[graft.operators.StoreCatalog]]):
+  * advisor builds register their stores with Iceberg source lineage, one
+  * changelog `refreshStep` per window brings a store current, and the
+  * catalog-wide `MvAdvisor.maintainAll` sweep covers stores alongside MVs.
+  * Pins the three documented window shapes (insert-only fold / ingest,
+  * delete-forced minhash rebuild, ivf update = tombstone→compact→ingest)
+  * plus the cross-window resurrection guard: an id deleted in one window
+  * and re-inserted in a later one must be VISIBLE after the refresh — the
+  * global-by-id tombstone anti-join would otherwise hide it forever.
+  */
+class StoreCatalogSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docsFixture =
+    spark.read.parquet(SparkTestBase.Sf0001 + "/documents.parquet")
+      .select(col("doc_id"), col("text"))
+
+  private def embFixture =
+    spark.read.parquet(SparkTestBase.Sf0001 + "/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+
+  test("registry: kind validation, find/findByRoot/describe, replace-by-name") {
+    StoreCatalog.clear()
+    try {
+      intercept[IllegalArgumentException](
+        StoreCatalog.register(StoreDef("x", "btree", "/tmp/x", None)))
+      val root = tempDir("graft-sc-reg")
+      val d = StoreDef("sc_reg", "split", root + "/./store", None)
+      StoreCatalog.register(d)
+      assert(StoreCatalog.find("sc_reg").contains(d))
+      // path-normalized lookup: the dot segment and the literal differ
+      assert(StoreCatalog.findByRoot(root + "/store").contains(d))
+      assert(StoreCatalog.findByRoot(root + "/elsewhere").isEmpty)
+      assert(StoreCatalog.describe().map(_.name) === Seq("sc_reg"))
+      // replace-by-name, same discipline as MvCatalog
+      val d2 = d.copy(kind = "minhash")
+      StoreCatalog.register(d2)
+      assert(StoreCatalog.find("sc_reg").contains(d2))
+      StoreCatalog.unregister("sc_reg")
+      assert(StoreCatalog.find("sc_reg").isEmpty)
+    } finally StoreCatalog.clear()
+  }
+
+  test("minhash store: advisor build registers lineage; insert-only window folds exactly-once; delete window rebuilds at head") {
+    StoreCatalog.clear()
+    val tbl = tempDir("graft-sc-mh") + "/docs_ice"
+    val root = tempDir("graft-sc-mh-idx") + "/index"
+    val docs = docsFixture
+    IcebergWriter.append(spark, tbl, docs.filter($"doc_id" % 10 < 8),
+      None, 1000L, formatVersion = 2)
+    val rec = MvAdvisor.DedupIndexRecommendation(tbl, "text", 1)
+    try {
+      rec.materialize(spark, root): Unit
+      val wm0 = IcebergMeta.load(tbl).currentSnapshot.get.id
+      val d0 = StoreCatalog.find(rec.storeName).getOrElse(
+        fail("materialize must register the store"))
+      assert(d0.kind === "minhash" && d0.root === root)
+      assert(d0.source === Some(StoreSource(tbl, "text", "doc_id", wm0)))
+      // already current: the step no-ops
+      assert(StoreCatalog.refreshStep(spark, d0).isEmpty)
+
+      def expect() = MinHashIndex.shingleSets(
+          IcebergSource.read(spark, tbl).select($"doc_id", $"text"))
+        .select($"doc_id", size($"sh"))
+        .as[(Long, Int)].collect().sorted.toSeq
+      def stored() = MinHashIndex.shingles(
+          spark, MinHashIndex.StoredIndex(root))
+        .select($"doc_id", size($"sh"))
+        .as[(Long, Int)].collect().sorted.toSeq
+
+      // INSERT-only window: fold, not rebuild (version stays 1)
+      IcebergWriter.append(spark, tbl, docs.filter($"doc_id" % 10 === 8),
+        None, 2000L)
+      val head1 = IcebergMeta.load(tbl).currentSnapshot.get.id
+      assert(StoreCatalog.refreshStep(
+        spark, StoreCatalog.find(rec.storeName).get).contains(head1))
+      assert(StoreCatalog.find(rec.storeName).get.source.get.watermark
+        === head1, "refresh must advance the registered watermark")
+      assert(MinHashIndex.currentVersion(
+        spark, MinHashIndex.StoredIndex(root)) === 1,
+        "an insert-only window must fold, not rebuild")
+      assert(stored() === expect())
+      // replay: watermark is current, nothing happens
+      assert(StoreCatalog.refreshStep(
+        spark, StoreCatalog.find(rec.storeName).get).isEmpty)
+
+      // DELETE window: stale index entries are a correctness bug for a
+      // dedup index (false candidate pairs) — the step rebuilds at head
+      IcebergWriter.deleteRowsWhere(spark, tbl, $"doc_id" % 10 === 3, 3000L)
+      val head2 = IcebergMeta.load(tbl).currentSnapshot.get.id
+      assert(StoreCatalog.refreshStep(
+        spark, StoreCatalog.find(rec.storeName).get).contains(head2))
+      val after = stored()
+      assert(after === expect())
+      assert(!after.exists(_._1 % 10 === 3),
+        "deleted docs must leave the index")
+    } finally StoreCatalog.clear()
+  }
+
+  test("ivf store: insert-only ingests; update window tombstones+compacts+ingests; cross-window re-insert stays visible") {
+    StoreCatalog.clear()
+    val tbl = tempDir("graft-sc-ivf") + "/emb_ice"
+    val root = tempDir("graft-sc-ivf-st") + "/store"
+    val emb = embFixture
+    IcebergWriter.append(spark, tbl, emb.filter($"vec_id" % 10 < 8),
+      None, 1000L, formatVersion = 2)
+    val rec = MvAdvisor.IndexRecommendation(tbl, "embedding", 1)
+    try {
+      rec.materialize(spark, root, nCells = 4): Unit
+      assert(StoreCatalog.find(rec.storeName).exists(d =>
+        d.kind == "ivf" && d.source.exists(_.basePath == tbl)))
+
+      def refresh(): Option[Long] = StoreCatalog.refreshStep(
+        spark, StoreCatalog.find(rec.storeName).get)
+      def live(): Seq[(Long, Seq[Float])] = {
+        val m = IvfStore.load(root)
+        IvfStore.readLive(spark, root, m).select($"vec_id", $"embedding")
+          .as[(Long, Seq[Float])].collect().sortBy(_._1).toSeq
+      }
+      def base(): Seq[(Long, Seq[Float])] =
+        IcebergSource.read(spark, tbl).select($"vec_id", $"embedding")
+          .as[(Long, Seq[Float])].collect().sortBy(_._1).toSeq
+
+      // INSERT-only window: one map-only ingest pass
+      IcebergWriter.append(spark, tbl, emb.filter($"vec_id" % 10 === 8),
+        None, 2000L)
+      assert(refresh().isDefined)
+      assert(live() === base())
+
+      // UPDATE window (equality upsert of existing ids, new values):
+      // tombstone → compact → ingest, in that order — the new values
+      // must be visible and appear exactly once
+      val upd = emb.filter($"vec_id" % 10 === 0)
+        .select($"vec_id", transform($"embedding", x => -x).as("embedding"))
+      IcebergWriter.upsertRows(spark, tbl, upd, "vec_id", 3000L)
+      assert(refresh().isDefined)
+      assert(live() === base(), "updated vectors must replace the old ones")
+      assert(IvfStore.load(root).tombstones.isEmpty,
+        "the update path must compact the tombstones away")
+
+      // DELETE-only window: O(metadata) tombstone, NO compact
+      IcebergWriter.deleteRowsWhere(spark, tbl, $"vec_id" % 10 === 8, 4000L)
+      assert(refresh().isDefined)
+      assert(live() === base())
+      assert(IvfStore.load(root).tombstones.nonEmpty,
+        "a delete-only window tombstones without compacting")
+
+      // CROSS-WINDOW RESURRECTION: re-insert the ids deleted above in a
+      // later insert-only window. The stale tombstone would anti-join
+      // the new rows away on every read — the guard must compact first.
+      IcebergWriter.append(spark, tbl, emb.filter($"vec_id" % 10 === 8),
+        None, 5000L)
+      assert(refresh().isDefined)
+      assert(live() === base(),
+        "a re-inserted id must be visible after the refresh")
+      assert(IvfStore.load(root).tombstones.isEmpty,
+        "the resurrection guard compacts the stale tombstones")
+      // idempotence: nothing moved, nothing to do
+      assert(refresh().isEmpty)
+    } finally StoreCatalog.clear()
+  }
+
+  test("maintainAll sweeps stores with MVs: stale stores refresh, lineage-less report skipped, broken lineage is caught per store") {
+    StoreCatalog.clear()
+    val tbl = tempDir("graft-sc-sweep") + "/docs_ice"
+    val root = tempDir("graft-sc-sweep-idx") + "/index"
+    val docs = docsFixture
+    IcebergWriter.append(spark, tbl, docs.filter($"doc_id" < 200),
+      None, 1000L, formatVersion = 2)
+    val rec = MvAdvisor.DedupIndexRecommendation(tbl, "text", 1)
+    try {
+      rec.materialize(spark, root): Unit
+      StoreCatalog.register(StoreDef(
+        "sc_plain", "split", tempDir("graft-sc-plain"), None))
+      StoreCatalog.register(StoreDef(
+        "sc_broken", "ivf", tempDir("graft-sc-broken"),
+        Some(StoreSource(tempDir("graft-sc-nobase"), "e", "id", 1L))))
+      // churn the real store's base, then ONE sweep
+      IcebergWriter.append(spark, tbl,
+        docs.filter($"doc_id" >= 200 && $"doc_id" < 260), None, 2000L)
+      val rows = MvAdvisor.maintainAll(spark).map(r => r.name -> r).toMap
+      assert(rows("sc_plain").skipped
+        === Some("no source lineage — compaction-only store"))
+      assert(rows("sc_broken").skipped.exists(_.startsWith("error: ")),
+        rows("sc_broken"))
+      val swept = rows(rec.storeName)
+      assert(swept.kind === "minhash" && swept.stale
+        && swept.appliedSnapshot
+          .contains(IcebergMeta.load(tbl).currentSnapshot.get.id))
+      // the sweep's refresh really landed: the index covers the churn
+      val ids = MinHashIndex.shingles(
+          spark, MinHashIndex.StoredIndex(root))
+        .select($"doc_id").as[Long].collect().toSet
+      assert(ids.exists(_ >= 200), "swept store must cover the new batch")
+      // second sweep: everything current
+      val again = MvAdvisor.maintainAll(spark).map(r => r.name -> r).toMap
+      assert(!again(rec.storeName).stale
+        && again(rec.storeName).skipped.isEmpty)
+      // scoped face: maintainBase only touches stores of that base
+      val scoped = MvAdvisor.maintainBase(spark, tbl)
+      assert(scoped.exists(_.name == rec.storeName))
+      assert(!scoped.exists(_.name == "sc_plain"))
+    } finally StoreCatalog.clear()
+  }
+}
