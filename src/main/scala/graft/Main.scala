@@ -18,6 +18,9 @@ import graft.queries.QueryUtil
   *        runMain graft.Main --mv-maintain all              # refresh every stale advisor MV in the catalog
   *        runMain graft.Main --store-describe "<kind> <root>"   # store maintenance-pressure gauge
   *        runMain graft.Main --store-compact "<kind> <root> [nFiles]"  # fold a store's segment history
+  *        runMain graft.Main --catalog-load <file> --mv-maintain all --catalog-save <file>
+  *            # the restartable maintainer loop: resume saved cursors, apply missed churn, re-snapshot
+  *        runMain graft.Main --store-autopilot <threshold|default>  # compact registered stores above the segment threshold
   * Tables registered: the TESTDATA fixtures (region…embeddings) plus the
   * reference's demo `users` table (crates/igloo/src/main.rs:59-77).
   * `--serve` starts the Flight-analogue TCP server (engine.ServingServer)
@@ -30,6 +33,22 @@ object Main {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings"
   )
+
+  /** `--catalog-save <path>` handler, shared by the standalone verb and
+    * the post-sweep save of the composed maintainer invocation.
+    */
+  private def saveCatalogIfAsked(opts: Map[String, String]): Unit =
+    opts.get("catalog-save").foreach { p =>
+      scala.util.Try(graft.plans.CatalogPersistence.save(p)) match {
+        case scala.util.Success(_) =>
+          println(s"[catalog-save] $p: " +
+            s"${graft.plans.MvCatalog.describe().size} MV defs, " +
+            s"${graft.operators.StoreCatalog.describe().size} store defs")
+        case scala.util.Failure(e) =>
+          println("[catalog-save] refused: " +
+            Option(e.getMessage).getOrElse(e.toString))
+      }
+    }
 
   def main(args: Array[String]): Unit = {
     val opts = args.sliding(2, 2).collect {
@@ -194,11 +213,31 @@ object Main {
             return
           case None => ()
         }
+        // durable-catalog reload: runs BEFORE the maintenance verbs and
+        // does not return, so the production maintainer loop is one
+        // invocation: --catalog-load f --mv-maintain all --catalog-save f
+        // (resume every cursor, apply the missed churn, re-snapshot)
+        opts.get("catalog-load").foreach { p =>
+          scala.util.Try(graft.plans.CatalogPersistence.load(p)) match {
+            case scala.util.Success(rows) =>
+              rows.foreach { r =>
+                val verdict =
+                  if (r.loaded) "loaded"
+                  else s"skipped: ${r.reason.getOrElse("?")}"
+                println(s"[catalog-load] ${r.name} (${r.kind}) $verdict")
+              }
+            case scala.util.Failure(e) =>
+              println("[catalog-load] refused: " +
+                Option(e.getMessage).getOrElse(e.toString))
+              spark.stop()
+              return
+          }
+        }
         opts.get("mv-maintain") match {
           case Some(_) =>
             // the catalog-wide sweep, CLI face: one line per registered
-            // view — refreshed-to cursors, already-current, or the skip
-            // reason (hand-declared / no lineage / per-view error)
+            // view/store — refreshed-to cursors, already-current, or the
+            // skip reason (hand-declared / no lineage / per-entry error)
             val results = graft.plans.MvAdvisor.maintainAll(spark)
             if (results.isEmpty) println("[mv-maintain] no registered MVs")
             results.foreach { r =>
@@ -211,9 +250,17 @@ object Main {
               }
               println(s"[mv-maintain] ${r.name} (${r.kind}) $verdict")
             }
+            saveCatalogIfAsked(opts)
             spark.stop()
             return
           case None => ()
+        }
+        if (opts.contains("catalog-save") || opts.contains("catalog-load")) {
+          // standalone save (or load-only invocation): snapshot/report
+          // and exit without requiring a maintenance verb
+          saveCatalogIfAsked(opts)
+          spark.stop()
+          return
         }
         opts.get("store-describe") match {
           case Some(kr) =>
@@ -260,6 +307,38 @@ object Main {
                 println(s"[store-compact] refused: " +
                   Option(e.getMessage).getOrElse(e.toString))
             }
+            spark.stop()
+            return
+          case None => ()
+        }
+        opts.get("store-autopilot") match {
+          case Some(t) =>
+            // the registered-store compaction autopilot, CLI face:
+            // "--store-autopilot 8" (or "default") — one line per
+            // registered store, compacting those above the threshold
+            val threshold =
+              if (t == "default") 8
+              else t.toIntOption.getOrElse(-1)
+            if (threshold <= 0)
+              println("[store-autopilot] usage: <threshold|default>")
+            else {
+              val rows = graft.operators.StoreMaintenance
+                .autopilot(spark, threshold)
+              if (rows.isEmpty)
+                println("[store-autopilot] no registered stores")
+              rows.foreach { r =>
+                val verdict = r.skipped match {
+                  case Some(reason) => s"skipped: $reason"
+                  case None if r.compacted =>
+                    s"compacted ${r.segmentsBefore.getOrElse(-1)} -> " +
+                      s"${r.segmentsAfter.getOrElse(-1)} segments"
+                  case None =>
+                    s"ok (${r.segmentsBefore.getOrElse(-1)} segments)"
+                }
+                println(s"[store-autopilot] ${r.name} (${r.kind}) $verdict")
+              }
+            }
+            saveCatalogIfAsked(opts)
             spark.stop()
             return
           case None => ()

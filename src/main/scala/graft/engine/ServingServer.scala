@@ -1189,6 +1189,101 @@ final class ServingServer(
             case "table_maintain" =>
               status("ERR INVALID_ARGUMENT table_maintain requires " +
                 "<table_root> [retain_ms]")
+            case "store_autopilot" =>
+              // the compaction autopilot over the REGISTERED stores:
+              // gauge each, compact those above the segment threshold
+              // (optional integer arg, default 8), one row per store.
+              // Work-then-status, same rationale as store_compact; the
+              // per-store catch inside the walk reports gauge/compact
+              // failures as rows, so one broken store never kills the
+              // sweep.
+              val apRes = scala.util.Try {
+                val threshold =
+                  if (arg.isEmpty) 8
+                  else arg.trim.toIntOption.getOrElse(
+                    throw new IllegalArgumentException(
+                      s"store_autopilot threshold '$arg' is not an integer"))
+                graft.operators.StoreMaintenance.autopilot(
+                  session.spark, threshold)
+              }
+              apRes match {
+                case scala.util.Failure(e) =>
+                  status("ERR INVALID_ARGUMENT store_autopilot: " +
+                    Option(e.getMessage).getOrElse(e.toString)
+                      .replaceAll("\\s+", " ").take(200))
+                case scala.util.Success(rows) =>
+                  status("OK")
+                  val result = {
+                    import session.spark.implicits._
+                    rows.map(r => (r.name, r.kind,
+                      r.segmentsBefore.map(Integer.valueOf).orNull,
+                      r.compacted,
+                      r.segmentsAfter.map(Integer.valueOf).orNull,
+                      r.skipped.orNull))
+                      .toDF("name", "kind", "segments_before", "compacted",
+                        "segments_after", "skipped")
+                  }
+                  org.apache.spark.sql.GraftArrowBridge
+                    .writeBatches(result, batchSize, out)
+                  out.flush()
+              }
+            case "catalog_save" if arg.nonEmpty =>
+              // durable registry snapshot: every MV def + store def to
+              // ONE JSON file (tmp+atomic-rename). With catalog_load
+              // this is the maintainer restart story — load →
+              // mv_maintain → save resumes every cursor at O(downtime
+              // churn) instead of re-materializing at O(corpus).
+              // Work-then-status, same rationale as store_compact.
+              val csRes = scala.util.Try {
+                graft.plans.CatalogPersistence.save(arg)
+                (arg, graft.plans.MvCatalog.describe().size,
+                  graft.operators.StoreCatalog.describe().size)
+              }
+              csRes match {
+                case scala.util.Failure(e) =>
+                  status("ERR INVALID_ARGUMENT catalog_save: " +
+                    Option(e.getMessage).getOrElse(e.toString)
+                      .replaceAll("\\s+", " ").take(200))
+                case scala.util.Success((p, nMv, nStores)) =>
+                  status("OK")
+                  val result = {
+                    import session.spark.implicits._
+                    Seq((p, nMv, nStores)).toDF("path", "mvs", "stores")
+                  }
+                  org.apache.spark.sql.GraftArrowBridge
+                    .writeBatches(result, batchSize, out)
+                  out.flush()
+              }
+            case "catalog_save" =>
+              status("ERR INVALID_ARGUMENT catalog_save requires <path>")
+            case "catalog_load" if arg.nonEmpty =>
+              // reload a saved registry snapshot (additive,
+              // replace-by-name); one row per def — loaded, or the skip
+              // reason (missing stored artifact, bad record). Defs whose
+              // artifacts moved on refresh cursors: the sweep's own
+              // refusal contracts handle staleness, load only validates
+              // existence.
+              val clRes = scala.util.Try(
+                graft.plans.CatalogPersistence.load(arg))
+              clRes match {
+                case scala.util.Failure(e) =>
+                  status("ERR INVALID_ARGUMENT catalog_load: " +
+                    Option(e.getMessage).getOrElse(e.toString)
+                      .replaceAll("\\s+", " ").take(200))
+                case scala.util.Success(results) =>
+                  status("OK")
+                  val result = {
+                    import session.spark.implicits._
+                    results.map(r => (r.name, r.kind, r.loaded,
+                      r.reason.orNull))
+                      .toDF("name", "kind", "loaded", "reason")
+                  }
+                  org.apache.spark.sql.GraftArrowBridge
+                    .writeBatches(result, batchSize, out)
+                  out.flush()
+              }
+            case "catalog_load" =>
+              status("ERR INVALID_ARGUMENT catalog_load requires <path>")
             case "stream_view_describe" if arg.nonEmpty =>
               // freshness for the STREAMING MV family (streaming/
               // MaterializedAgg): arg is <view_path> <source_path>
@@ -1335,7 +1430,22 @@ final class ServingServer(
                   "advise that statement; with no argument, fold the " +
                   "session's observed query history. Rollup/" +
                   "multiplicity/join/ivf_index/minhash_index " +
-                  "recommendations + rejection reasons; reports only"))
+                  "recommendations + rejection reasons; reports only"),
+              ("store_autopilot",
+                "compaction autopilot over the REGISTERED stores: " +
+                  "gauge each, compact those above [threshold] live " +
+                  "segments (default 8); one row per store — covers " +
+                  "lineage-less registrations the refresh sweep skips"),
+              ("catalog_save",
+                "snapshot the whole registry (MV defs + store defs) to " +
+                  "<path> as one JSON file, tmp+atomic-rename — the " +
+                  "durable half of the maintainer restart story"),
+              ("catalog_load",
+                "reload a saved registry snapshot from <path> " +
+                  "(additive, replace-by-name); one row per def — " +
+                  "loaded, or the skip reason; cursors resume at their " +
+                  "saved watermarks, so the next mv_maintain applies " +
+                  "only the missed churn"))
               .toDF("action", "description")
           }
           org.apache.spark.sql.GraftArrowBridge.writeBatches(actions, batchSize, out)

@@ -6,7 +6,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** One registered stored index/store: the maintenance unit the catalog
-  * sweep ([[graft.plans.MvAdvisor.maintainAll]]) and the autopilot walk.
+  * sweep ([[graft.plans.MvAdvisor.maintainAll]]) and the compaction
+  * autopilot ([[StoreMaintenance.autopilot]]) walk.
   * `source` carries the lineage that makes a store REFRESHABLE — the
   * Iceberg base it was built from, which base columns map onto the
   * store's (id, payload) contract, and the applied snapshot cursor.

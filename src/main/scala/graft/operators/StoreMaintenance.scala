@@ -59,6 +59,55 @@ object StoreMaintenance {
       case other => unknown(other)
     }
 
+  /** One [[autopilot]] row: `segmentsBefore` is the gauge that drove
+    * the decision; `segmentsAfter` is present only when a compact ran;
+    * `skipped` carries a per-store error (gauge or compact failure —
+    * one broken store never blocks the walk).
+    */
+  final case class AutopilotResult(
+      name: String,
+      kind: String,
+      segmentsBefore: Option[Int],
+      compacted: Boolean,
+      segmentsAfter: Option[Int],
+      skipped: Option[String])
+
+  /** The compaction AUTOPILOT: walk every store registered in
+    * [[StoreCatalog]], gauge it, and compact those whose live segment
+    * count exceeds `segmentThreshold` — the scheduled "keep read
+    * amplification bounded" job a production deployment runs nightly,
+    * expressed once instead of per-store cron entries. Lineage-less
+    * (compaction-only) registrations are first-class here — this walk
+    * is exactly the maintenance face [[StoreDef]] promises them; the
+    * changelog-refresh half ([[StoreCatalog.refreshStep]] via
+    * `maintainAll`) needs lineage, compaction pressure does not.
+    * Same single-maintainer contract as each store's own compact:
+    * quiesce that store's writers, run one autopilot at a time.
+    */
+  def autopilot(
+      spark: SparkSession,
+      segmentThreshold: Int = 8): Seq[AutopilotResult] = {
+    require(segmentThreshold > 0, "segmentThreshold must be positive")
+    StoreCatalog.describe().map { d =>
+      try {
+        val before = describe(spark, d.kind, d.root).segments
+        if (before <= segmentThreshold)
+          AutopilotResult(d.name, d.kind, Some(before),
+            compacted = false, None, None)
+        else {
+          compact(spark, d.kind, d.root, None): Unit
+          AutopilotResult(d.name, d.kind, Some(before), compacted = true,
+            Some(describe(spark, d.kind, d.root).segments), None)
+        }
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          AutopilotResult(d.name, d.kind, None, compacted = false, None,
+            Some("error: " + Option(e.getMessage).getOrElse(e.toString)
+              .replaceAll("\\s+", " ").take(200)))
+      }
+    }
+  }
+
   /** The store's own offline compaction; returns the post-fold gauge
     * summary text the faces print/stream. `nFiles = None` means the
     * caller passed no file count — REQUIRED for kind `ivf`, whose

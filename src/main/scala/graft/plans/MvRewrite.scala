@@ -220,6 +220,23 @@ object MvCatalog {
     (rollups ++ joins).toSeq.sortBy(_.name)
   }
 
+  /** Every registered rollup def, sorted by name — the full-definition
+    * snapshot face [[CatalogPersistence.save]] serializes (describe()
+    * deliberately drops the derivation metadata a reload needs).
+    */
+  def allDefs: Seq[MvDef] = {
+    import scala.jdk.CollectionConverters._
+    byBase.values.asScala.flatten.toSeq.sortBy(_.name)
+  }
+
+  /** Every registered join-view def, sorted by name — same persistence
+    * contract as [[allDefs]].
+    */
+  def allJoinDefs: Seq[JoinMvDef] = {
+    import scala.jdk.CollectionConverters._
+    joinByBases.values.asScala.flatten.toSeq.sortBy(_.name)
+  }
+
   /** A fresh-exprId analyzed scan of the stored MV (file listing cached
     * across rewrite sites; exprIds unique per call).
     */

@@ -681,7 +681,8 @@ class ServingServerSpec extends SparkTestBase {
       assert(actions.rows.map(_.head.toString) ===
         Seq("cancel", "mv_describe", "ann_probe", "mv_refresh",
           "mv_maintain", "stream_view_describe", "store_compact",
-          "store_describe", "table_maintain", "advise"))
+          "store_describe", "table_maintain", "advise",
+          "store_autopilot", "catalog_save", "catalog_load"))
       assert(ServingClient.doAction(srv.boundPort, "cancel", "nope").status
         .startsWith("ERR NOT_FOUND"))
       assert(ServingClient.doAction(srv.boundPort, "cancel").status
@@ -1014,6 +1015,49 @@ class ServingServerSpec extends SparkTestBase {
       graft.operators.StoreCatalog.unregister(
         MvAdvisor.DedupIndexRecommendation(fact, "k", 1).storeName)
     }
+  }
+
+  test("DO_ACTION catalog_save/catalog_load: the registry snapshot round-trips over the wire") {
+    import graft.operators.{StoreCatalog, StoreDef}
+    val root = tempDir("graft-wire-catalog")
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$root/store")): Unit
+    val file = s"$root/catalog.json"
+    val d = StoreDef("wire_cat_store", "split", s"$root/store", None)
+    try withServer { srv =>
+      StoreCatalog.register(d)
+      val saved = ServingClient.doAction(srv.boundPort, "catalog_save", file)
+      assert(saved.isOk, saved.status)
+      assert(saved.rows.head(2).toString.toInt >= 1, saved.rows)
+      StoreCatalog.unregister(d.name)
+      assert(StoreCatalog.find(d.name).isEmpty)
+      val loaded = ServingClient.doAction(srv.boundPort, "catalog_load", file)
+      assert(loaded.isOk, loaded.status)
+      val row = loaded.rows.find(_.head.toString == d.name).getOrElse(
+        fail(s"no row for ${d.name}: ${loaded.rows}"))
+      assert(row(2) == true, row)
+      assert(StoreCatalog.find(d.name).contains(d),
+        "wire reload must re-register the def")
+      // the autopilot rides the same registry: one row for our store
+      // (an empty dir is no split store — the gauge failure comes back
+      // as the row's skip reason, never a dead connection); a
+      // non-integer threshold refuses on the status line
+      val ap = ServingClient.doAction(srv.boundPort, "store_autopilot")
+      assert(ap.isOk, ap.status)
+      val apRow = ap.rows.find(_.head.toString == d.name).getOrElse(
+        fail(s"no autopilot row for ${d.name}: ${ap.rows}"))
+      assert(apRow(3) == false &&
+        apRow(5).toString.startsWith("error: "), apRow)
+      assert(ServingClient.doAction(srv.boundPort, "store_autopilot",
+        "soon").status.startsWith("ERR INVALID_ARGUMENT"))
+      // refusals stay on the status line, never a broken stream
+      assert(ServingClient.doAction(srv.boundPort, "catalog_load",
+        s"$root/absent.json").status.startsWith("ERR INVALID_ARGUMENT"))
+      assert(ServingClient.doAction(srv.boundPort, "catalog_save").status
+        .startsWith("ERR INVALID_ARGUMENT"))
+      assert(ServingClient.doAction(srv.boundPort, "catalog_load").status
+        .startsWith("ERR INVALID_ARGUMENT"))
+    } finally StoreCatalog.unregister(d.name)
   }
 
   test("DO_ACTION store_compact + table_maintain: store maintenance over the wire; refusals before any stream") {

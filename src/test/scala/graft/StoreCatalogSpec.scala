@@ -209,4 +209,50 @@ class StoreCatalogSpec extends SparkTestBase {
       assert(!scoped.exists(_.name == "sc_plain"))
     } finally StoreCatalog.clear()
   }
+
+  test("store autopilot: compacts registered stores above the segment threshold, leaves quiet ones, reports broken ones") {
+    import graft.operators.StoreMaintenance
+    StoreCatalog.clear()
+    try {
+      val hotRoot = tempDir("graft-sc-ap-hot") + "/index"
+      val quietRoot = tempDir("graft-sc-ap-quiet") + "/index"
+      val docs = docsFixture
+      // hot: base + two folds = 3 live segments; quiet: base only = 1.
+      // Registered WITHOUT lineage — the autopilot is exactly the
+      // maintenance face compaction-only registrations are promised.
+      MinHashIndex.materialize(
+        docs.filter($"doc_id" < 100).select($"doc_id", $"text"), hotRoot): Unit
+      val idx = MinHashIndex.StoredIndex(hotRoot)
+      assert(MinHashIndex.foldOnce(docs.filter($"doc_id" >= 100 &&
+        $"doc_id" < 150).select($"doc_id", $"text"), idx, "ap-b1"))
+      assert(MinHashIndex.foldOnce(docs.filter($"doc_id" >= 150 &&
+        $"doc_id" < 200).select($"doc_id", $"text"), idx, "ap-b2"))
+      MinHashIndex.materialize(
+        docs.filter($"doc_id" < 50).select($"doc_id", $"text"),
+        quietRoot): Unit
+      StoreCatalog.register(StoreDef("ap_hot", "minhash", hotRoot, None))
+      StoreCatalog.register(StoreDef("ap_quiet", "minhash", quietRoot, None))
+      StoreCatalog.register(StoreDef("ap_broken", "minhash",
+        tempDir("graft-sc-ap-broken") + "/nope", None))
+      val rows = StoreMaintenance.autopilot(spark, segmentThreshold = 2)
+        .map(r => r.name -> r).toMap
+      assert(rows("ap_hot").compacted &&
+        rows("ap_hot").segmentsBefore === Some(3) &&
+        rows("ap_hot").segmentsAfter === Some(1), rows("ap_hot").toString)
+      assert(!rows("ap_quiet").compacted &&
+        rows("ap_quiet").segmentsBefore === Some(1) &&
+        rows("ap_quiet").skipped.isEmpty)
+      assert(rows("ap_broken").skipped.exists(_.startsWith("error: ")))
+      // the fold's rows survived the compact — maintenance never loses data
+      val ids = MinHashIndex.shingles(spark, idx)
+        .select($"doc_id").as[Long].collect().toSet
+      assert(ids.exists(_ >= 150), "compacted index must keep folded docs")
+      // a second pass finds nothing to do
+      val again = StoreMaintenance.autopilot(spark, segmentThreshold = 2)
+        .map(r => r.name -> r).toMap
+      assert(!again("ap_hot").compacted)
+      intercept[IllegalArgumentException](
+        StoreMaintenance.autopilot(spark, segmentThreshold = 0))
+    } finally StoreCatalog.clear()
+  }
 }
