@@ -516,6 +516,87 @@ object IncrementalQueries {
           |  FROM embeddings WHERE vec_id % 10 != 9
           |) ORDER BY store, id""".stripMargin
       )
+    ),
+    // THE DURABLE-CATALOG RESTART UNDER THE ORACLE GATE (r17): an
+    // advisor rollup and a MinHash store on one Iceberg documents base,
+    // their registry state SAVED to disk (plans.CatalogPersistence),
+    // then the process "restart" simulated the hard way — both
+    // registries cleared — while churn lands on the base. catalog load
+    // resumes both defs at their SAVED watermarks and ONE maintainAll
+    // applies exactly the missed window (a require pins both refreshed;
+    // the minhash index version pins fold-not-rebuild, the O(churn)
+    // claim). The returned dashboard answers through the MV rewrite in
+    // a child session off the REFRESHED store, carrying the reloaded
+    // index's doc count as a column; DuckDB recomputes both from raw
+    // parquet at the final state. At 100 TB: a maintainer restart costs
+    // O(downtime churn) — load, sweep, save — never the O(corpus)
+    // re-materialize that losing the registry used to imply.
+    Q(
+      "q_catalog_restart",
+      (s, dir) => {
+        import graft.operators.{MinHashIndex, StoreCatalog}
+        import graft.plans.{CatalogPersistence, MvAdvisor, MvCatalog}
+        import graft.sources.{IcebergSource, IcebergWriter}
+        val ws = graft.engine.TempDirs
+          .workspace("graft-cat-restart", "documents", dir)
+        java.nio.file.Files.createDirectories(ws): Unit
+        val root = java.nio.file.Files
+          .createTempDirectory(ws, "run").toString
+        val tbl = s"$root/docs_ice"
+        val docs = t(s, dir, "documents")
+          .select($"doc_id", $"text", ($"doc_id" % 7).as("k"))
+        IcebergWriter.append(s, tbl, docs.filter($"doc_id" % 10 < 8),
+          None, 1000L, formatVersion = 2)
+        def dash(ss: org.apache.spark.sql.SparkSession) =
+          IcebergSource.read(ss, tbl)
+            .groupBy($"k")
+            .agg(count(lit(1)).as("n"), sum($"doc_id").as("sd"))
+        val rollRec = graft.plans.MvAdvisor
+          .recommend(MvAdvisor.analyze(dash(s)).flatMap(_.toOption))
+          .headOption.getOrElse(throw new IllegalStateException(
+            "advisor failed to recommend the rollup"))
+        val mhRec = MvAdvisor.DedupIndexRecommendation(tbl, "text", 1)
+        rollRec.materialize(s, s"$root/mv"): Unit
+        mhRec.materialize(s, s"$root/index"): Unit
+        val file = s"$root/catalog.json"
+        CatalogPersistence.save(file)
+        try {
+          // restart: the registries are gone; churn lands while "down"
+          MvCatalog.unregister(tbl)
+          StoreCatalog.unregister(mhRec.storeName)
+          IcebergWriter.append(s, tbl, docs.filter($"doc_id" % 10 >= 8),
+            None, 2000L)
+          require(CatalogPersistence.load(file).forall(_.loaded),
+            "every saved def must reload")
+          val swept = graft.plans.MvAdvisor.maintainAll(s)
+            .filter(r => Set(rollRec.mvName, mhRec.storeName)(r.name))
+          require(swept.count(_.stale) == 2,
+            s"one post-restart sweep must refresh BOTH defs: $swept")
+          require(MinHashIndex.currentVersion(
+            s, MinHashIndex.StoredIndex(s"$root/index")) == 1,
+            "the store refresh must FOLD the missed window, not rebuild")
+        } finally StoreCatalog.unregister(mhRec.storeName)
+        val mhDocs = MinHashIndex
+          .shingles(s, MinHashIndex.StoredIndex(s"$root/index")).count()
+        val s2 = s.newSession()
+        s2.conf.set("spark.graft.mv.rewrite.enabled", "true")
+        dash(s2)
+          .select($"k", $"n", $"sd".cast("bigint").as("sd"),
+            lit(mhDocs).as("mh_docs"))
+          .orderBy($"k")
+      },
+      Some(
+        """WITH toks AS (
+          |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS ws
+          |  FROM documents
+          |), shw AS (
+          |  SELECT doc_id FROM toks WHERE len(ws) >= 3
+          |)
+          |SELECT doc_id % 7 AS k, count(*) AS n,
+          |       CAST(sum(doc_id) AS BIGINT) AS sd,
+          |       (SELECT count(*) FROM shw) AS mh_docs
+          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+      )
     )
   )
 }

@@ -65,6 +65,46 @@ object SourceQueries {
   }
 
   /** Materialize (once per fixture dir + process) a format-v2 Iceberg
+    * table over `embeddings` whose payload is a primitive-element LIST
+    * column (`array<float>`) — the r17 schema extension that makes
+    * embedding corpora first-class Iceberg bases:
+    *   snapshot 1 appends vec_id % 4 != 3 · snapshot 2 appends the rest
+    *   · snapshot 3 equality-UPSERTS vec_id % 8 == 0 with REVERSED
+    *   embeddings (array data files riding the MoR delete machinery).
+    * The metadata JSON carries the spec's nested list object form;
+    * reads resolve it back to ArrayType through the explicit schema.
+    */
+  private def fixtureIcebergArrayTable(
+      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    import graft.sources.IcebergWriter
+    val root = graft.engine.TempDirs.workspace("graft-iceberg", "arrayemb", dir)
+    graft.engine.TempDirs.materializeOnce(root)(
+      java.nio.file.Files.exists(
+        root.resolve("metadata").resolve("v3.metadata.json"))
+    ) {
+      if (java.nio.file.Files.exists(root)) {
+        val walk = java.nio.file.Files.walk(root)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+        finally walk.close()
+      }
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"), col("label"))
+      IcebergWriter.append(s, root.toString,
+        emb.filter(col("vec_id") % 4 =!= 3), None, timestampMs = 1000L,
+        formatVersion = 2)
+      IcebergWriter.append(s, root.toString,
+        emb.filter(col("vec_id") % 4 === 3), None, timestampMs = 2000L)
+      IcebergWriter.upsertRows(s, root.toString,
+        emb.filter(col("vec_id") % 8 === 0)
+          .select(col("vec_id"), reverse(col("embedding")).as("embedding"),
+            col("label")),
+        "vec_id", timestampMs = 3000L)
+    }
+    root.toString
+  }
+
+  /** Materialize (once per fixture dir + process) a format-v2 Iceberg
     * table over `part` exercising MERGE-ON-READ — the state any table
     * written by Flink CDC / Spark MERGE is in:
     *   snapshot 1 (seq 1) appends bands 0,1,2 · snapshot 2 (seq 2)
@@ -1292,6 +1332,38 @@ object SourceQueries {
           "'insert' AS _change_type, CAST(5 AS BIGINT) AS _change_snapshot_id " +
           "FROM part WHERE p_partkey % 4 = 2 AND p_size > 30 " +
           "ORDER BY _change_snapshot_id, p_partkey"
+      )
+    ),
+    // LIST-typed payload through the full Iceberg lifecycle (r17): the
+    // embedding column (array<float>) rides append, equality-upsert MoR,
+    // and the explicit-schema read — the training-corpus table shape
+    // (row identity + vector payload + label) as a first-class Iceberg
+    // base. The oracle recomputes first/last element and dimension from
+    // the raw parquet with the upsert's reversal replayed as a CASE, so
+    // the hash gate certifies the nested-type schema JSON round-trip
+    // (writer emits the spec's list object, reader folds it back to
+    // ArrayType) AND that the array VALUES survived the delete+insert
+    // encoding bit-exactly.
+    Q(
+      "q_iceberg_array",
+      (s, dir) => {
+        val root = fixtureIcebergArrayTable(s, dir)
+        graft.sources.IcebergSource.read(s, root)
+          .select($"vec_id", $"label",
+            round(element_at($"embedding", 1).cast("double"), 6).as("e1"),
+            round(element_at($"embedding", size($"embedding"))
+              .cast("double"), 6).as("elast"),
+            size($"embedding").cast("bigint").as("dim"))
+          .orderBy($"vec_id")
+      },
+      Some(
+        """SELECT vec_id, label,
+          |  round(CAST(CASE WHEN vec_id % 8 = 0 THEN embedding[len(embedding)]
+          |                  ELSE embedding[1] END AS DOUBLE), 6) AS e1,
+          |  round(CAST(CASE WHEN vec_id % 8 = 0 THEN embedding[1]
+          |                  ELSE embedding[len(embedding)] END AS DOUBLE), 6) AS elast,
+          |  len(embedding) AS dim
+          |FROM embeddings ORDER BY vec_id""".stripMargin
       )
     ),
     // INCREMENTAL MATERIALIZED-VIEW MAINTENANCE over the CDC changelog:
