@@ -566,8 +566,13 @@ object IncrementalQueries {
           StoreCatalog.unregister(mhRec.storeName)
           IcebergWriter.append(s, tbl, docs.filter($"doc_id" % 10 >= 8),
             None, 2000L)
-          require(CatalogPersistence.load(file).forall(_.loaded),
-            "every saved def must reload")
+          // scope the reload check to THIS query's defs: the snapshot
+          // also carries whatever else the process had registered, and
+          // an unrelated missing artifact must not fail this gate
+          val reloaded = CatalogPersistence.load(file)
+            .filter(r => Set(rollRec.mvName, mhRec.storeName)(r.name))
+          require(reloaded.size == 2 && reloaded.forall(_.loaded),
+            s"both saved defs must reload: $reloaded")
           val swept = graft.plans.MvAdvisor.maintainAll(s)
             .filter(r => Set(rollRec.mvName, mhRec.storeName)(r.name))
           require(swept.count(_.stale) == 2,
