@@ -207,6 +207,19 @@ class StoreCatalogSpec extends SparkTestBase {
       val scoped = MvAdvisor.maintainBase(spark, tbl)
       assert(scoped.exists(_.name == rec.storeName))
       assert(!scoped.exists(_.name == "sc_plain"))
+      // the STREAMING face: maintainHook (the maintainedSink plug)
+      // rides maintainBase, so one ingest hook now keeps the source's
+      // index stores current too — no extra plumbing per store
+      IcebergWriter.append(spark, tbl,
+        docs.filter($"doc_id" >= 260 && $"doc_id" < 300), None, 3000L)
+      val applied = MvAdvisor.maintainHook(tbl)(spark, 1L)
+      assert(applied.contains(
+        IcebergMeta.load(tbl).currentSnapshot.get.id), applied.toString)
+      val hookIds = MinHashIndex.shingles(
+          spark, MinHashIndex.StoredIndex(root))
+        .select($"doc_id").as[Long].collect().toSet
+      assert(hookIds.exists(_ >= 260),
+        "the ingest hook must fold the new batch into the store")
     } finally StoreCatalog.clear()
   }
 
