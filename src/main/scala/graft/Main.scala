@@ -75,6 +75,28 @@ object Main {
       if (p.exists()) session.registerTable(t, QueryUtil.t(spark, dir, t))
     }
 
+    // durable-catalog reload runs FIRST: a fresh CLI JVM's registries can
+    // ONLY be populated this way, so every verb that consults them —
+    // --serve's wire actions, --mv-refresh by name, --mv-maintain,
+    // --store-autopilot — must see the loaded state, not dispatch
+    // against an empty registry and then have the load run too late
+    opts.get("catalog-load").foreach { p =>
+      scala.util.Try(graft.plans.CatalogPersistence.load(p)) match {
+        case scala.util.Success(rows) =>
+          rows.foreach { r =>
+            val verdict =
+              if (r.loaded) "loaded"
+              else s"skipped: ${r.reason.getOrElse("?")}"
+            println(s"[catalog-load] ${r.name} (${r.kind}) $verdict")
+          }
+        case scala.util.Failure(e) =>
+          println("[catalog-load] refused: " +
+            Option(e.getMessage).getOrElse(e.toString))
+          spark.stop()
+          return
+      }
+    }
+
     opts.get("connect") match {
       case Some(portStr) =>
         // wire-standard remote path: stock Spark Connect clients (JVM,
@@ -213,26 +235,6 @@ object Main {
             return
           case None => ()
         }
-        // durable-catalog reload: runs BEFORE the maintenance verbs and
-        // does not return, so the production maintainer loop is one
-        // invocation: --catalog-load f --mv-maintain all --catalog-save f
-        // (resume every cursor, apply the missed churn, re-snapshot)
-        opts.get("catalog-load").foreach { p =>
-          scala.util.Try(graft.plans.CatalogPersistence.load(p)) match {
-            case scala.util.Success(rows) =>
-              rows.foreach { r =>
-                val verdict =
-                  if (r.loaded) "loaded"
-                  else s"skipped: ${r.reason.getOrElse("?")}"
-                println(s"[catalog-load] ${r.name} (${r.kind}) $verdict")
-              }
-            case scala.util.Failure(e) =>
-              println("[catalog-load] refused: " +
-                Option(e.getMessage).getOrElse(e.toString))
-              spark.stop()
-              return
-          }
-        }
         opts.get("mv-maintain") match {
           case Some(_) =>
             // the catalog-wide sweep, CLI face: one line per registered
@@ -254,13 +256,6 @@ object Main {
             spark.stop()
             return
           case None => ()
-        }
-        if (opts.contains("catalog-save") || opts.contains("catalog-load")) {
-          // standalone save (or load-only invocation): snapshot/report
-          // and exit without requiring a maintenance verb
-          saveCatalogIfAsked(opts)
-          spark.stop()
-          return
         }
         opts.get("store-describe") match {
           case Some(kr) =>
@@ -342,6 +337,14 @@ object Main {
             spark.stop()
             return
           case None => ()
+        }
+        if (opts.contains("catalog-save") || opts.contains("catalog-load")) {
+          // catalog-only invocation (no verb consumed the run above):
+          // snapshot/report and exit instead of falling through to the
+          // default SQL query
+          saveCatalogIfAsked(opts)
+          spark.stop()
+          return
         }
         opts.get("explain") match {
           case Some(esql) =>

@@ -628,17 +628,26 @@ object IvfStore {
   def readLive(spark: SparkSession, root: String, m: Meta): DataFrame =
     antiTombstones(spark, root, m, readAll(spark, root, m))
 
+  /** The union of the LIVE tombstone lists as one `(idCol)` frame, or
+    * None when nothing is tombstoned — the single place that knows the
+    * dead-list layout, shared by the read path's anti-join and the
+    * catalog refresh's resurrection guard
+    * ([[graft.operators.StoreCatalog]]).
+    */
+  def deadIds(spark: SparkSession, root: String, m: Meta): Option[DataFrame] =
+    if (m.tombstones.isEmpty) None
+    else Some(m.tombstones
+      .map(t => spark.read.parquet(Paths.get(root, t).toString))
+      .reduce(_.unionByName(_)))
+
   private def antiTombstones(
       spark: SparkSession,
       root: String,
       m: Meta,
       df: DataFrame): DataFrame =
-    if (m.tombstones.isEmpty) df
-    else {
-      val dead = m.tombstones
-        .map(t => spark.read.parquet(Paths.get(root, t).toString))
-        .reduce(_.unionByName(_))
-      df.join(broadcast(dead), Seq(m.idCol), "left_anti")
+    deadIds(spark, root, m) match {
+      case None       => df
+      case Some(dead) => df.join(broadcast(dead), Seq(m.idCol), "left_anti")
     }
 
   private def readCells(

@@ -215,12 +215,8 @@ object StoreCatalog {
       // drops the old rows, clears the lists); an insert-only window of
       // genuinely new ids skips the compact entirely.
       val m = IvfStore.load(d.root)
-      if (m.tombstones.nonEmpty) {
-        val tombIds = m.tombstones
-          .map(t => spark.read.parquet(
-            new java.io.File(d.root, t).getPath))
-          .reduce(_ unionByName _)
-          .withColumnRenamed(m.idCol, src.idCol)
+      IvfStore.deadIds(spark, d.root, m).foreach { dead =>
+        val tombIds = dead.withColumnRenamed(m.idCol, src.idCol)
         val resurrects = !netInserts.select(col(src.idCol))
           .join(tombIds, Seq(src.idCol), "left_semi").isEmpty
         if (resurrects) IvfStore.compact(spark, d.root): Unit

@@ -112,6 +112,20 @@ object CatalogPersistence {
       .writeValueAsString(root).getBytes(StandardCharsets.UTF_8)
     val target = Paths.get(path)
     Option(target.getParent).foreach(p => Files.createDirectories(p): Unit)
+    // a crash between a PREDECESSOR's tmp write and its atomic move
+    // orphans its tmp forever; the single-maintainer contract makes any
+    // existing tmp a crashed predecessor's, so reclaim it here (same
+    // recovery discipline as SplitStore's ledger tmps)
+    Option(target.getParent).foreach { parent =>
+      val prefix = target.getFileName.toString + ".tmp-"
+      val listing = Files.list(parent)
+      try {
+        import scala.jdk.CollectionConverters._
+        listing.iterator().asScala
+          .filter(_.getFileName.toString.startsWith(prefix))
+          .foreach(p => Files.deleteIfExists(p): Unit)
+      } finally listing.close()
+    }
     val tmp = Paths.get(path + s".tmp-${System.nanoTime()}")
     Files.write(tmp, bytes)
     Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,

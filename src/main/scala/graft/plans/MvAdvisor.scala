@@ -1041,19 +1041,26 @@ object MvAdvisor {
         nCells: Int = 16,
         cellCap: Long = 100000L,
         idCol: String = "vec_id"): graft.operators.IvfStore.Meta = {
-      val iceberg = graft.sources.IcebergMeta.hasMetadata(basePath)
-      val base =
-        if (iceberg) graft.sources.IcebergSource.read(spark, basePath)
-        else spark.read.parquet(basePath)
+      // ONE metadata load pins BOTH the build read and the registered
+      // watermark: loading again after the build would stamp a snapshot
+      // that committed mid-build as "applied" — refreshStep would then
+      // skip that window's rows forever, silently
+      val iceMeta =
+        if (graft.sources.IcebergMeta.hasMetadata(basePath))
+          Some(graft.sources.IcebergMeta.load(basePath))
+        else None
+      val base = iceMeta match {
+        case Some(m) => graft.sources.IcebergSource.read(
+          spark, basePath, snapshotId = m.currentSnapshot.map(_.id),
+          asOfTimestampMs = None, prune = None, preloaded = Some(m))
+        case None => spark.read.parquet(basePath)
+      }
       val meta = graft.operators.IvfStore.create(
         base, embCol, root, nCells = nCells, cellCap = cellCap,
         idCol = idCol)
-      val source =
-        if (iceberg)
-          graft.sources.IcebergMeta.load(basePath).currentSnapshot
-            .map(s => graft.operators.StoreSource(
-              basePath, embCol, idCol, watermark = s.id))
-        else None
+      val source = iceMeta.flatMap(_.currentSnapshot)
+        .map(s => graft.operators.StoreSource(
+          basePath, embCol, idCol, watermark = s.id))
       graft.operators.StoreCatalog.register(graft.operators.StoreDef(
         storeName, "ivf", root, source))
       meta
@@ -1160,21 +1167,26 @@ object MvAdvisor {
         spark: SparkSession,
         root: String,
         idCol: String = "doc_id"): graft.operators.MinHashIndex.StoredIndex = {
-      val iceberg = graft.sources.IcebergMeta.hasMetadata(basePath)
-      val base =
-        if (iceberg) graft.sources.IcebergSource.read(spark, basePath)
-        else spark.read.parquet(basePath)
+      // one metadata load pins the build read AND the registered
+      // watermark — same mid-build-commit rationale as the IVF twin
+      val iceMeta =
+        if (graft.sources.IcebergMeta.hasMetadata(basePath))
+          Some(graft.sources.IcebergMeta.load(basePath))
+        else None
+      val base = iceMeta match {
+        case Some(m) => graft.sources.IcebergSource.read(
+          spark, basePath, snapshotId = m.currentSnapshot.map(_.id),
+          asOfTimestampMs = None, prune = None, preloaded = Some(m))
+        case None => spark.read.parquet(basePath)
+      }
       val idx = graft.operators.MinHashIndex.materialize(
         base.select(
           org.apache.spark.sql.functions.col(idCol).as("doc_id"),
           org.apache.spark.sql.functions.col(textCol).as("text")),
         root)
-      val source =
-        if (iceberg)
-          graft.sources.IcebergMeta.load(basePath).currentSnapshot
-            .map(s => graft.operators.StoreSource(
-              basePath, textCol, idCol, watermark = s.id))
-        else None
+      val source = iceMeta.flatMap(_.currentSnapshot)
+        .map(s => graft.operators.StoreSource(
+          basePath, textCol, idCol, watermark = s.id))
       graft.operators.StoreCatalog.register(graft.operators.StoreDef(
         storeName, "minhash", root, source))
       idx

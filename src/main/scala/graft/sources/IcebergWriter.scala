@@ -1478,7 +1478,13 @@ object IcebergWriter {
     require(!meta.fields.exists(_.name == name),
       s"column '$name' already exists in the table schema")
     // validate the primitive BEFORE touching metadata: the reverse
-    // mapping throws on names the reader could never scan
+    // mapping throws on names the reader could never scan. Lists are
+    // refused here (not just unvalidated): this path writes the type as
+    // a STRING node, and the spec's list form is a nested object — a
+    // textual "list<…>" would be metadata only this reader understands.
+    require(!typeName.startsWith("list<"),
+      "addColumn supports primitive types only; create list columns at " +
+        "table creation (the schema writer emits the spec's nested form)")
     IcebergMeta.sparkSchema(Seq(IcebergMeta.Field(0, name, false, typeName))): Unit
 
     val baseVersion = meta.loadedVersion
@@ -2382,7 +2388,7 @@ object IcebergWriter {
         n.put("format-version", 2)
         n.put("table-uuid", f"00000000-0000-0000-0000-${snapshotId}%012d")
         n.put("last-sequence-number", 0L)
-        n.put("last-column-id", schema.fields.length)
+        n.put("last-column-id", lastColumnId(schema))
         n.put("current-schema-id", 0)
         n.putArray("schemas").add(schemaJson(schema))
         n.put("default-spec-id", 0)
@@ -2406,7 +2412,7 @@ object IcebergWriter {
         val n = mapper.createObjectNode()
         n.put("format-version", 1)
         n.put("table-uuid", f"00000000-0000-0000-0000-${snapshotId}%012d")
-        n.put("last-column-id", schema.fields.length)
+        n.put("last-column-id", lastColumnId(schema))
         n.set[ObjectNode]("schema", schemaJson(schema))
         n.put("current-schema-id", 0)
         n.putArray("schemas").add(schemaJson(schema))
@@ -2494,6 +2500,17 @@ object IcebergWriter {
     }
     s
   }
+
+  /** The spec's `last-column-id`: the highest field id the schema has
+    * ALLOCATED — top-level ids 1..n plus one element-id per list column
+    * (the [[typeJson]] allocator hands arrays the ids after the fields,
+    * in field order). Writing `fields.length` here would let a later
+    * [[addColumn]] mint an id that collides with an existing list
+    * element-id — a spec violation an id-resolving reader would misread.
+    */
+  private def lastColumnId(schema: StructType): Int =
+    schema.fields.length +
+      schema.fields.count(_.dataType.isInstanceOf[ArrayType])
 
   /** The metadata-JSON form of one column type: primitives are the spec's
     * type-name strings; a primitive-element list is the spec's nested

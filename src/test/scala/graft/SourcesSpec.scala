@@ -1071,6 +1071,35 @@ class SourcesSpec extends SparkTestBase {
     }
   }
 
+  test("list columns: last-column-id covers element-ids, so addColumn never collides; list types stay creation-time") {
+    import spark.implicits._
+    val root = tempDir("graft-iceberg-listid")
+    val df = Seq((1L, Array(1.0f, 2.0f), "a"), (2L, Array(3.0f), "b"))
+      .toDF("id", "emb", "v")
+    IcebergWriter.append(spark, root, df, None, 1000L, formatVersion = 2)
+    // 3 top-level fields (1-3) + one list element-id (4): last-column-id
+    // must be 4, or the addColumn below would mint a DUPLICATE id 4 and
+    // the metadata would violate the spec for any id-resolving reader
+    val metaJson = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(root, "metadata", "v1.metadata.json")))
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(metaJson)
+    assert(node.path("last-column-id").asInt() === 4, metaJson.take(400))
+    IcebergWriter.addColumn(root, "score", "double", 2000L): Unit
+    assert(IcebergMeta.load(root).fields.find(_.name == "score").get.id
+      === 5, "new field id must allocate PAST the element-id")
+    // the evolved table still reads, list values intact
+    val all = IcebergSource.read(spark, root).orderBy($"id")
+    assert(all.schema.fieldNames.toSeq === Seq("id", "emb", "v", "score"))
+    assert(all.select($"emb").as[Seq[Float]].collect().toSeq ===
+      Seq(Seq(1.0f, 2.0f), Seq(3.0f)))
+    // list columns are creation-time only on this writer: addColumn
+    // writes textual type nodes and the spec's list form is an object
+    assert(intercept[IllegalArgumentException] {
+      IcebergWriter.addColumn(root, "emb2", "list<float>", 3000L)
+    }.getMessage.contains("primitive"))
+  }
+
   test("schema evolution: renameColumn reads old files by field id; time travel keeps the old name") {
     import spark.implicits._
     import org.apache.spark.sql.functions.sum
