@@ -102,6 +102,10 @@ object StoreCatalog {
     *    them), then ingests the net inserts — O(store), the documented
     *    heavy path. Update-heavy sources should prefer scheduled rebuilds
     *    or an upsert-native store.
+    *  - SPLIT stores ([[SplitStore]]): insert-only windows ingest
+    *    through the leakage-safe assignment path (O(churn), snapshot-
+    *    token idempotent); any delete/update REFUSES — assignments are
+    *    frozen by the leakage contract (see [[refreshSplit]]).
     *
     * Replay/crash: the registry is process-scoped (like MvCatalog), so
     * the watermark is an in-JVM cursor — a crashed maintainer's restart
@@ -135,6 +139,7 @@ object StoreCatalog {
         case "minhash" => refreshMinhash(spark, d, src, meta, head, window,
           hasDeletes)
         case "ivf" => refreshIvf(spark, d, src, head, window, hasDeletes)
+        case "split" => refreshSplit(spark, d, src, head, window, hasDeletes)
         case other => throw new IllegalStateException(
           s"store kind '$other' has no changelog refresh path")
       }
@@ -170,6 +175,39 @@ object StoreCatalog {
       if (!inserts.isEmpty)
         MinHashIndex.foldOnce(inserts, idx, token = s"snap-$head"): Unit
     }
+  }
+
+  /** Split-store refresh: an INSERT-only window is exactly
+    * [[SplitStore.ingest]]'s contract — the new docs get leakage-safe
+    * sides against the frozen corpus (inherit / quarantine-on-conflict /
+    * fresh-hash) at increment cost, keyed by the snapshot token so a
+    * replayed window is a structural no-op. A window carrying DELETES
+    * (or updates — delete+insert of an assigned id) REFUSES: assignments
+    * are immutable by the leakage contract (a doc's side was exposed to
+    * training; re-assigning or forgetting it cannot retract that), so
+    * there is no sound automatic answer — the sweep surfaces the error
+    * and the store's owner decides (typically: rebuild under a new
+    * root at the next training-set cut). The ingest's own id-collision
+    * guard backstops this: even a mislabeled window cannot silently
+    * re-side an assigned doc.
+    */
+  private def refreshSplit(
+      spark: SparkSession,
+      d: StoreDef,
+      src: StoreSource,
+      head: Long,
+      window: DataFrame,
+      hasDeletes: Boolean): Unit = {
+    if (hasDeletes) throw new IllegalStateException(
+      s"split store '${d.name}': the changelog window carries deletes, " +
+        "but split assignments are frozen (exposure cannot be " +
+        "retracted) — rebuild the store under a new root to drop rows")
+    val inserts = window
+      .filter(col("_change_type") === "insert")
+      .select(col(src.idCol).as("doc_id"), col(src.column).as("text"))
+    if (!inserts.isEmpty)
+      SplitStore.ingest(spark, SplitStore.Store(d.root), inserts,
+        token = s"snap-$head"): Unit
   }
 
   private def refreshIvf(

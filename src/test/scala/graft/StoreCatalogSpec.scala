@@ -223,6 +223,51 @@ class StoreCatalogSpec extends SparkTestBase {
     } finally StoreCatalog.clear()
   }
 
+  test("split store refresh: insert-only windows ingest leakage-safe sides; delete windows refuse (frozen assignments)") {
+    import graft.operators.SplitStore
+    StoreCatalog.clear()
+    val tbl = tempDir("graft-sc-split-ref") + "/docs_ice"
+    val root = tempDir("graft-sc-split-st") + "/store"
+    val docs = docsFixture
+    IcebergWriter.append(spark, tbl, docs.filter($"doc_id" < 300),
+      None, 1000L, formatVersion = 2)
+    try {
+      SplitStore.build(
+        IcebergSource.read(spark, tbl).select($"doc_id", $"text"),
+        root): Unit
+      val wm0 = IcebergMeta.load(tbl).currentSnapshot.get.id
+      StoreCatalog.register(StoreDef("sc_split", "split", root,
+        Some(StoreSource(tbl, "text", "doc_id", wm0))))
+      def d = StoreCatalog.find("sc_split").get
+      assert(StoreCatalog.refreshStep(spark, d).isEmpty) // current
+
+      // insert-only window: new docs get sides at increment cost
+      IcebergWriter.append(spark, tbl,
+        docs.filter($"doc_id" >= 300 && $"doc_id" < 360), None, 2000L)
+      val head1 = IcebergMeta.load(tbl).currentSnapshot.get.id
+      assert(StoreCatalog.refreshStep(spark, d).contains(head1))
+      val assigned = SplitStore
+        .assignments(spark, SplitStore.Store(root))
+        .select($"doc_id", $"side").as[(Long, String)].collect().toMap
+      val newIds = (300L until 360L).filter(assigned.contains)
+      assert(newIds.nonEmpty &&
+        newIds.forall(i => Set("train", "val", "quarantine")(assigned(i))),
+        "every ingested doc must hold a valid frozen side")
+      // replay no-ops (watermark current; the token guard backstops)
+      assert(StoreCatalog.refreshStep(spark, d).isEmpty)
+
+      // delete window: no sound automatic answer — refuse loudly, and
+      // the catalog sweep surfaces it as the store's error row
+      IcebergWriter.deleteRowsWhere(spark, tbl, $"doc_id" % 10 === 3, 3000L)
+      val e = intercept[IllegalStateException](
+        StoreCatalog.refreshStep(spark, d))
+      assert(e.getMessage.contains("frozen"), e.getMessage)
+      val row = MvAdvisor.maintainAll(spark)
+        .find(_.name == "sc_split").get
+      assert(row.skipped.exists(_.contains("frozen")), row.toString)
+    } finally StoreCatalog.clear()
+  }
+
   test("store autopilot: compacts registered stores above the segment threshold, leaves quiet ones, reports broken ones") {
     import graft.operators.StoreMaintenance
     StoreCatalog.clear()
