@@ -141,6 +141,19 @@ import java.util.concurrent.{LinkedBlockingQueue, ThreadPoolExecutor, TimeUnit}
   *        with no argument, folded over the session's OBSERVED query
   *        history (GraftSession's bounded side-effect-free log);
   *        reports only, materializes nothing.
+  *     `DO_ACTION store_autopilot [threshold]` -> compaction autopilot
+  *        over the REGISTERED stores (operators.StoreMaintenance
+  *        .autopilot): gauge each, compact those above the live-segment
+  *        threshold (default 8); one row per store, per-store errors as
+  *        rows — covers lineage-less registrations the refresh sweep
+  *        skips.
+  *     `DO_ACTION catalog_save <path>` / `catalog_load <path>` -> the
+  *        durable registry (plans.CatalogPersistence): snapshot every
+  *        MV + store def to one atomic JSON file / reload it additively
+  *        (replace-by-name, missing artifacts skipped with the reason).
+  *        load -> mv_maintain -> save is the maintainer restart loop:
+  *        cursors resume at their saved watermarks, so a restart costs
+  *        O(downtime churn), never an O(corpus) re-materialize.
   *     `LIST_ACTIONS`          -> `OK\n` + IPC batch of (action,
   *        description) rows — the discovery face of DO_ACTION.
   *     `HANDSHAKE [token]`     -> auth. With no server token configured the
