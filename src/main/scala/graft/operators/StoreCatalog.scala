@@ -25,6 +25,14 @@ final case class StoreDef(
   * table the store indexes, `idCol` its row-identity column, `column`
   * the indexed payload (text for minhash, embedding for ivf),
   * `watermark` the base snapshot the store state reflects.
+  *
+  * `idCol` carries PRIMARY-KEY semantics: at most one live row per id
+  * in the base — the same precondition Iceberg equality deletes and
+  * every CDC upsert encoding already impose (an equality delete removes
+  * ALL rows of its key; a key with concurrent duplicates has no
+  * coherent update story). A base that violates it makes the refresh's
+  * per-id window netting collapse duplicate identities arbitrarily —
+  * enforce uniqueness upstream, where the duplicate write is the bug.
   */
 final case class StoreSource(
     basePath: String,

@@ -268,6 +268,103 @@ class StoreCatalogSpec extends SparkTestBase {
     } finally StoreCatalog.clear()
   }
 
+  test("randomized churn/refresh interleaving: both store kinds equal the base recompute after every refresh (seeded)") {
+    StoreCatalog.clear()
+    val rnd = new scala.util.Random(42)
+    val root = tempDir("graft-sc-fuzz")
+    val docsTbl = s"$root/docs_ice"
+    val embTbl = s"$root/emb_ice"
+    val docs = docsFixture.filter($"doc_id" < 200)
+    val emb = embFixture.filter($"vec_id" < 200)
+    IcebergWriter.append(spark, docsTbl, docs.filter($"doc_id" < 120),
+      None, 1000L, formatVersion = 2)
+    IcebergWriter.append(spark, embTbl, emb.filter($"vec_id" < 120),
+      None, 1000L, formatVersion = 2)
+    val mhRec = MvAdvisor.DedupIndexRecommendation(docsTbl, "text", 1)
+    val ivfRec = MvAdvisor.IndexRecommendation(embTbl, "embedding", 1)
+    try {
+      mhRec.materialize(spark, s"$root/mh"): Unit
+      ivfRec.materialize(spark, s"$root/ivf", nCells = 4): Unit
+      var nextNew = 120L
+      var ts = 1000L
+      def tick(): Long = { ts += 1000L; ts }
+      // one random churn window against BOTH bases per round: appends of
+      // brand-new ids, value-churning upserts of live ids, deletes —
+      // composed so every refreshStep window shape (insert-only fold /
+      // ingest, delete-forced rebuild, tombstone+compact+ingest, and
+      // the cross-window re-insert after a delete) occurs by round 8
+      def churn(round: Int): Unit = {
+        val t = tick()
+        rnd.nextInt(3) match {
+          case 0 if nextNew < 200L => // append brand-new ids
+            val hi = math.min(nextNew + 10L + rnd.nextInt(10), 200L)
+            IcebergWriter.append(spark, docsTbl, docs.filter(
+              $"doc_id" >= nextNew && $"doc_id" < hi), None, t)
+            IcebergWriter.append(spark, embTbl, emb.filter(
+              $"vec_id" >= nextNew && $"vec_id" < hi), None, t)
+            nextNew = hi
+          case 1 => // upsert with round-varying values — also the
+            // resurrection shape when a prior round deleted the band.
+            // Bounded to ids already appended: idCol carries primary-key
+            // semantics (the equality-upsert encoding's precondition),
+            // and upserting a fixture id a later append would re-add
+            // created duplicate identities in the BASE — which this very
+            // fuzz caught as a store divergence before the bound
+            val m = 3 + rnd.nextInt(5)
+            IcebergWriter.upsertRows(spark, docsTbl,
+              docs.filter($"doc_id" % 10 === m % 10 &&
+                  $"doc_id" < nextNew)
+                .withColumn("text", concat($"text", lit(s" r$round"))),
+              "doc_id", t)
+            IcebergWriter.upsertRows(spark, embTbl,
+              emb.filter($"vec_id" % 10 === m % 10 &&
+                  $"vec_id" < nextNew)
+                .select($"vec_id", transform($"embedding",
+                  x => x * lit(round + 1).cast("float"))
+                  .cast("array<float>").as("embedding")),
+              "vec_id", t)
+          case _ => // delete one residue band
+            val m = rnd.nextInt(10)
+            IcebergWriter.deleteRowsWhere(spark, docsTbl,
+              $"doc_id" % 10 === m, t)
+            IcebergWriter.deleteRowsWhere(spark, embTbl,
+              $"vec_id" % 10 === m, t)
+        }
+      }
+      def check(round: Int): Unit = {
+        Seq(mhRec.storeName, ivfRec.storeName).foreach { n =>
+          StoreCatalog.refreshStep(
+            spark, StoreCatalog.find(n).get): Unit
+        }
+        val wantDocs = MinHashIndex.shingleSets(
+            IcebergSource.read(spark, docsTbl).select($"doc_id", $"text"))
+          .select($"doc_id", size($"sh"))
+          .as[(Long, Int)].collect().sorted.toSeq
+        val gotDocs = MinHashIndex.shingles(
+            spark, MinHashIndex.StoredIndex(s"$root/mh"))
+          .select($"doc_id", size($"sh"))
+          .as[(Long, Int)].collect().sorted.toSeq
+        assert(gotDocs === wantDocs, s"minhash diverged at round $round")
+        val m = graft.operators.IvfStore.load(s"$root/ivf")
+        val gotVecs = graft.operators.IvfStore
+          .readLive(spark, s"$root/ivf", m)
+          .select($"vec_id", $"embedding")
+          .as[(Long, Seq[Float])].collect().sortBy(_._1).toSeq
+        val wantVecs = IcebergSource.read(spark, embTbl)
+          .select($"vec_id", $"embedding")
+          .as[(Long, Seq[Float])].collect().sortBy(_._1).toSeq
+        assert(gotVecs === wantVecs, s"ivf diverged at round $round")
+      }
+      (1 to 8).foreach { round =>
+        churn(round)
+        // occasionally stack a SECOND window before refreshing, so some
+        // refreshes apply multi-snapshot windows
+        if (rnd.nextBoolean()) churn(round)
+        check(round)
+      }
+    } finally StoreCatalog.clear()
+  }
+
   test("store autopilot: compacts registered stores above the segment threshold, leaves quiet ones, reports broken ones") {
     import graft.operators.StoreMaintenance
     StoreCatalog.clear()
