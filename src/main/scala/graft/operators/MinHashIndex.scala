@@ -397,6 +397,31 @@ object MinHashIndex {
     } finally releaseIfOwner(fs, myLease, attemptOwner)
   }
 
+  /** Whether `token`'s fold has committed — [[foldOnce]]'s exactly-once
+    * memory, exposed so a maintainer with a STALE cursor (a catalog
+    * reload from an old snapshot) can recognize an already-applied
+    * window prefix instead of re-folding it
+    * ([[graft.operators.StoreCatalog.refreshStep]]'s prefix-skip).
+    */
+  def foldTokenExists(
+      spark: SparkSession, index: StoredIndex, token: String): Boolean =
+    fileSystem(spark, index.root)
+      .exists(new Path(foldedDir(index.root), token))
+
+  /** Record `token` as applied WITHOUT folding rows — the REBUILD
+    * path's cursor: a re-materialize pinned at snapshot S is, by
+    * construction, every window through S applied, and recording S's
+    * token lets the prefix-skip treat it that way (materialize wipes
+    * `_folded/`, so without this a rebuild would erase the replay
+    * memory a stale-cursor maintainer later needs).
+    */
+  def recordFoldToken(
+      spark: SparkSession, index: StoredIndex, token: String): Unit = {
+    val fs = fileSystem(spark, index.root)
+    fs.mkdirs(foldedDir(index.root))
+    commitMarker(fs, new Path(foldedDir(index.root), token))
+  }
+
   /** At-least-once append for callers WITHOUT a replay token (no
     * replayable source, no batch identity): publishes a uniquely-named
     * segment. A caller that retries after a crash can duplicate rows —

@@ -136,8 +136,44 @@ object StoreCatalog {
       s"store watermark ${src.watermark} is not a snapshot of " +
         s"${src.basePath} — the source history was rewritten under the " +
         "store; re-materialize")
+    // PREFIX-SKIP against the store's OWN exactly-once memory: the
+    // registered watermark can be STALE (a maintainer that crashed after
+    // applying a window but before its catalog_save reloads the older
+    // cursor), and re-applying an already-applied prefix would corrupt a
+    // mutable store (double-folded minhash rows, duplicated ivf
+    // vectors). The stores already record what they applied — minhash's
+    // `_folded/snap-<id>` tokens, ivf's lastBatchId ingest cursor — so
+    // the effective window start is the NEWEST chain snapshot the store
+    // remembers applying; split converges through its own
+    // already-assigned anti-join (see [[refreshSplit]]).
+    val chain = { // snapshot ids in (watermark, head], oldest first
+      var acc = List.empty[Long]
+      var cur = meta.snapshots.find(_.id == head)
+      while (cur.isDefined && cur.get.id != src.watermark) {
+        acc = cur.get.id :: acc
+        cur = cur.get.parentId.flatMap(p => meta.snapshots.find(_.id == p))
+      }
+      acc
+    }
+    val effFrom: Long = d.kind match {
+      case "minhash" =>
+        val idx = MinHashIndex.StoredIndex(d.root)
+        chain.filter(id =>
+          MinHashIndex.foldTokenExists(spark, idx, s"snap-$id"))
+          .lastOption.getOrElse(src.watermark)
+      case "ivf" =>
+        val last = IvfStore.load(d.root).lastBatchId
+        if (chain.contains(last)) last else src.watermark
+      case _ => src.watermark
+    }
+    if (effFrom == head) {
+      // the store already holds this head — only the registry cursor was
+      // stale; repair it and report the snapshot as (re-)applied
+      advanceWatermark(d.name, head)
+      return Some(head)
+    }
     val window = graft.sources.IcebergSource.readChangelog(
-      spark, src.basePath, fromSnapshotId = src.watermark,
+      spark, src.basePath, fromSnapshotId = effFrom,
       toSnapshotId = Some(head), preloaded = Some(meta))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -174,10 +210,12 @@ object StoreCatalog {
       MinHashIndex.materialize(
         base.select(col(src.idCol).as("doc_id"), col(src.column).as("text")),
         d.root): Unit
+      // the rebuild IS every window through `head` applied — record its
+      // token so a stale-cursor maintainer prefix-skips instead of
+      // re-applying (materialize wiped the previous replay memory)
+      MinHashIndex.recordFoldToken(spark, idx, s"snap-$head")
     } else {
-      val inserts = window
-        .filter(col("_change_type") === "insert")
-        .select(col(src.idCol).as("doc_id"), col(src.column).as("text"))
+      val inserts = windowInserts(window, src)
       // snapshot-keyed fold token: a window replayed inside one JVM (or
       // against a shared filesystem by a second maintainer) no-ops
       if (!inserts.isEmpty)
@@ -210,13 +248,35 @@ object StoreCatalog {
       s"split store '${d.name}': the changelog window carries deletes, " +
         "but split assignments are frozen (exposure cannot be " +
         "retracted) — rebuild the store under a new root to drop rows")
-    val inserts = window
-      .filter(col("_change_type") === "insert")
-      .select(col(src.idCol).as("doc_id"), col(src.column).as("text"))
-    if (!inserts.isEmpty)
-      SplitStore.ingest(spark, SplitStore.Store(d.root), inserts,
+    val inserts = windowInserts(window, src)
+    // PARTIAL-REPLAY convergence: a maintainer that crashed between a
+    // refresh and its catalog_save restarts with an older watermark, so
+    // this window can cover docs an earlier step ALREADY assigned (under
+    // a token this head-keyed token no longer matches). Their
+    // assignments are frozen — skipping them is the sound answer — and
+    // without the skip the ingest's id-collision guard would refuse the
+    // whole window forever, wedging the store on exactly the restart
+    // path the durable catalog exists for. Both probes broadcast the
+    // churn-sized side; the assignment table never shuffles.
+    val already = SplitStore
+      .assignments(spark, SplitStore.Store(d.root))
+      .select(col("doc_id"))
+      .join(broadcast(inserts.select(col("doc_id"))),
+        Seq("doc_id"), "left_semi")
+    val fresh = inserts.join(broadcast(already), Seq("doc_id"), "left_anti")
+    if (!fresh.isEmpty)
+      SplitStore.ingest(spark, SplitStore.Store(d.root), fresh,
         token = s"snap-$head"): Unit
   }
+
+  /** The window's insert rows renamed into the text-store contract —
+    * shared by the minhash fold and the split ingest so the projection
+    * can never drift between the two text-keyed refresh paths.
+    */
+  private def windowInserts(window: DataFrame, src: StoreSource): DataFrame =
+    window
+      .filter(col("_change_type") === "insert")
+      .select(col(src.idCol).as("doc_id"), col(src.column).as("text"))
 
   private def refreshIvf(
       spark: SparkSession,
@@ -237,6 +297,18 @@ object StoreCatalog {
       .drop("_rn")
     val netInserts = netted.filter(col("_change_type") === "insert")
       .drop("_change_type", "_change_snapshot_id")
+    // the ingest cursor this window records: monotone snapshot ids (this
+    // writer's tables) key the ingest exactly-once per window — the
+    // prefix-skip in refreshStep reads it back. lastBatchId only
+    // advances on INGEST (the window's last action), so a crash mid-
+    // window replays delete/compact (both content-idempotent) and then
+    // ingests — convergent. Foreign tables with non-monotone random ids
+    // fall back to unkeyed (-1): their stale-cursor window is the
+    // narrow documented residual.
+    val batchKey = {
+      val last = IvfStore.load(d.root).lastBatchId
+      if (head > last) head else -1L
+    }
     if (hasDeletes) {
       val netDeleted = netted.filter(col("_change_type") === "delete")
         .select(col(src.idCol))
@@ -267,7 +339,7 @@ object StoreCatalog {
           .join(tombIds, Seq(src.idCol), "left_semi").isEmpty
         if (resurrects) IvfStore.compact(spark, d.root): Unit
       }
-      IvfStore.ingest(spark, d.root, netInserts): Unit
+      IvfStore.ingest(spark, d.root, netInserts, batchId = batchKey): Unit
     }
   }
 }

@@ -250,8 +250,10 @@ class StoreCatalogSpec extends SparkTestBase {
         .assignments(spark, SplitStore.Store(root))
         .select($"doc_id", $"side").as[(Long, String)].collect().toMap
       val newIds = (300L until 360L).filter(assigned.contains)
-      assert(newIds.nonEmpty &&
-        newIds.forall(i => Set("train", "val", "quarantine")(assigned(i))),
+      assert(newIds.size === 60,
+        s"EVERY doc in the window must receive a side, got ${newIds.size}")
+      assert(newIds.forall(i =>
+        Set("train", "val", "quarantine")(assigned(i))),
         "every ingested doc must hold a valid frozen side")
       // replay no-ops (watermark current; the token guard backstops)
       assert(StoreCatalog.refreshStep(spark, d).isEmpty)
@@ -296,6 +298,9 @@ class StoreCatalogSpec extends SparkTestBase {
       def churn(round: Int): Unit = {
         val t = tick()
         rnd.nextInt(3) match {
+          // NOTE exhausted appends (nextNew == 200) fall through the
+          // guard into the delete arm — accepted, but the delete arm
+          // below must then tolerate an already-empty band (see there)
           case 0 if nextNew < 200L => // append brand-new ids
             val hi = math.min(nextNew + 10L + rnd.nextInt(10), 200L)
             IcebergWriter.append(spark, docsTbl, docs.filter(
@@ -323,12 +328,19 @@ class StoreCatalogSpec extends SparkTestBase {
                   x => x * lit(round + 1).cast("float"))
                   .cast("array<float>").as("embedding")),
               "vec_id", t)
-          case _ => // delete one residue band
+          case _ => // delete one residue band — skipped when the band is
+            // already empty (deleteRowsWhere refuses matched-no-rows;
+            // seed 42 never hits this, but a seed/parameter change must
+            // surface as a STORE divergence, not a churn-harness error)
             val m = rnd.nextInt(10)
-            IcebergWriter.deleteRowsWhere(spark, docsTbl,
-              $"doc_id" % 10 === m, t)
-            IcebergWriter.deleteRowsWhere(spark, embTbl,
-              $"vec_id" % 10 === m, t)
+            val bandLive = !IcebergSource.read(spark, docsTbl)
+              .filter($"doc_id" % 10 === m).isEmpty
+            if (bandLive) {
+              IcebergWriter.deleteRowsWhere(spark, docsTbl,
+                $"doc_id" % 10 === m, t)
+              IcebergWriter.deleteRowsWhere(spark, embTbl,
+                $"vec_id" % 10 === m, t)
+            }
         }
       }
       def check(round: Int): Unit = {
@@ -362,6 +374,98 @@ class StoreCatalogSpec extends SparkTestBase {
         if (rnd.nextBoolean()) churn(round)
         check(round)
       }
+    } finally StoreCatalog.clear()
+  }
+
+  test("stale registry cursor (reload from an old save) converges: the prefix-skip never re-applies an applied window") {
+    StoreCatalog.clear()
+    val root = tempDir("graft-sc-stale")
+    val docsTbl = s"$root/docs_ice"
+    val embTbl = s"$root/emb_ice"
+    val splitRoot = s"$root/split"
+    val docs = docsFixture.filter($"doc_id" < 200)
+    val emb = embFixture.filter($"vec_id" < 200)
+    IcebergWriter.append(spark, docsTbl, docs.filter($"doc_id" < 120),
+      None, 1000L, formatVersion = 2)
+    IcebergWriter.append(spark, embTbl, emb.filter($"vec_id" < 120),
+      None, 1000L, formatVersion = 2)
+    val mhRec = MvAdvisor.DedupIndexRecommendation(docsTbl, "text", 1)
+    val ivfRec = MvAdvisor.IndexRecommendation(embTbl, "embedding", 1)
+    try {
+      mhRec.materialize(spark, s"$root/mh"): Unit
+      ivfRec.materialize(spark, s"$root/ivf", nCells = 4): Unit
+      graft.operators.SplitStore.build(
+        IcebergSource.read(spark, docsTbl).select($"doc_id", $"text"),
+        splitRoot): Unit
+      val wm0 = IcebergMeta.load(docsTbl).currentSnapshot.get.id
+      StoreCatalog.register(StoreDef("stale_split", "split", splitRoot,
+        Some(StoreSource(docsTbl, "text", "doc_id", wm0))))
+      def stale(name: String, wm: Long): Unit = {
+        val d = StoreCatalog.find(name).get
+        StoreCatalog.register(
+          d.copy(source = d.source.map(_.copy(watermark = wm))))
+      }
+      def refreshAll(): Unit =
+        Seq(mhRec.storeName, ivfRec.storeName, "stale_split").foreach(n =>
+          StoreCatalog.refreshStep(spark, StoreCatalog.find(n).get): Unit)
+
+      // window A applied normally
+      IcebergWriter.append(spark, docsTbl,
+        docs.filter($"doc_id" >= 120 && $"doc_id" < 160), None, 2000L)
+      IcebergWriter.append(spark, embTbl,
+        emb.filter($"vec_id" >= 120 && $"vec_id" < 160), None, 2000L)
+      refreshAll()
+      val headA = IcebergMeta.load(docsTbl).currentSnapshot.get.id
+
+      // the maintainer "crashes before catalog_save": cursors reload
+      // STALE at wm0 while the head is still headA — the store already
+      // holds this head, so the step must repair the cursor, not
+      // re-fold/re-ingest/re-assign
+      Seq(mhRec.storeName, ivfRec.storeName, "stale_split")
+        .foreach(stale(_, wm0))
+      assert(StoreCatalog.refreshStep(
+        spark, StoreCatalog.find(mhRec.storeName).get).contains(headA))
+      assert(StoreCatalog.refreshStep(spark,
+        StoreCatalog.find(ivfRec.storeName).get).isDefined)
+      StoreCatalog.refreshStep(
+        spark, StoreCatalog.find("stale_split").get): Unit
+
+      // ...and a stale cursor with FURTHER churn applies only the
+      // missed suffix: final state equals the recompute, no duplicates
+      Seq(mhRec.storeName, ivfRec.storeName, "stale_split")
+        .foreach(stale(_, wm0))
+      IcebergWriter.append(spark, docsTbl,
+        docs.filter($"doc_id" >= 160), None, 3000L)
+      IcebergWriter.append(spark, embTbl,
+        emb.filter($"vec_id" >= 160), None, 3000L)
+      refreshAll()
+      val wantDocs = MinHashIndex.shingleSets(
+          IcebergSource.read(spark, docsTbl).select($"doc_id", $"text"))
+        .select($"doc_id", size($"sh"))
+        .as[(Long, Int)].collect().sorted.toSeq
+      val gotDocs = MinHashIndex.shingles(
+          spark, MinHashIndex.StoredIndex(s"$root/mh"))
+        .select($"doc_id", size($"sh"))
+        .as[(Long, Int)].collect().sorted.toSeq
+      assert(gotDocs === wantDocs,
+        "a stale-cursor refresh must never double-fold")
+      val m = graft.operators.IvfStore.load(s"$root/ivf")
+      val gotVecs = graft.operators.IvfStore
+        .readLive(spark, s"$root/ivf", m)
+        .select($"vec_id").as[Long].collect().sorted.toSeq
+      val wantVecs = IcebergSource.read(spark, embTbl)
+        .select($"vec_id").as[Long].collect().sorted.toSeq
+      assert(gotVecs === wantVecs,
+        "a stale-cursor refresh must never duplicate vectors")
+      val assigned = graft.operators.SplitStore
+        .assignments(spark, graft.operators.SplitStore.Store(splitRoot))
+        .select($"doc_id").as[Long].collect().toSeq
+      assert(assigned.distinct.size === assigned.size,
+        "a stale-cursor refresh must never re-assign a doc")
+      assert(assigned.toSet ===
+        IcebergSource.read(spark, docsTbl)
+          .select($"doc_id").as[Long].collect().toSet,
+        "every live doc holds exactly one frozen side")
     } finally StoreCatalog.clear()
   }
 
