@@ -11,9 +11,12 @@ import org.apache.spark.sql.functions._
   * `source` carries the lineage that makes a store REFRESHABLE — the
   * Iceberg base it was built from, which base columns map onto the
   * store's (id, payload) contract, and the applied snapshot cursor.
-  * Compaction-only stores (split stores, hand-built indexes without
-  * lineage) register with `source = None`: the sweep reports them
-  * skipped, the autopilot still gauges and compacts them.
+  * All three kinds refresh when lineage is present (minhash/ivf via
+  * their changelog windows, split via the leakage-safe ingest of
+  * insert windows). Stores registered WITHOUT lineage (`source =
+  * None` — hand-built indexes, stores whose base isn't Iceberg) are
+  * compaction-only: the refresh sweep reports them skipped, the
+  * autopilot still gauges and compacts them.
   */
 final case class StoreDef(
     name: String,
