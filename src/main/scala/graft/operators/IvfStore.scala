@@ -105,7 +105,18 @@ object IvfStore {
       counts: Map[String, Long], // rows per CURRENT-model leaf (see ingest)
       idCol: String = "vec_id", // row identity: tombstones + probe tie-break
       tombstones: Seq[String] = Nil, // committed delete-list dir names
-      lastBatchId: Long = -1L) // streaming exactly-once cursor (see ingest)
+      lastBatchId: Long = -1L, // streaming exactly-once cursor (see ingest)
+      // the LAST catalog-refresh window head this store applied — a
+      // SEPARATE cursor from lastBatchId on purpose (round 18): streaming
+      // ingestSink batch ids and refresh snapshot ids are different id
+      // spaces (both small integers in practice), and sharing one cursor
+      // let a store fed by both silently drop a streaming batch or treat
+      // an unapplied window as applied on a collision. Equality/
+      // membership semantics, NOT ordering: the refresh prefix-skip asks
+      // "is this snapshot in the pending chain", so foreign Iceberg
+      // tables with non-monotone random snapshot ids key exactly-once
+      // refreshes too (the r17 `-1` unkeyed fallback is gone).
+      lastRefreshSnapshot: Long = Long.MinValue)
 
   private val mapper = new ObjectMapper()
 
@@ -250,6 +261,8 @@ object IvfStore {
     n.put("idCol", m.idCol)
     val tb = n.putArray("tombstones"); m.tombstones.foreach(tb.add)
     n.put("lastBatchId", m.lastBatchId)
+    if (m.lastRefreshSnapshot != Long.MinValue)
+      n.put("lastRefreshSnapshot", m.lastRefreshSnapshot): Unit
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(n)
   }
 
@@ -281,7 +294,8 @@ object IvfStore {
         .map(e => e.getKey -> e.getValue.asLong()).toMap,
       n.path("idCol").asText("vec_id"),
       n.path("tombstones").elements().asScala.map(_.asText()).toSeq,
-      n.path("lastBatchId").asLong(-1L))
+      n.path("lastBatchId").asLong(-1L),
+      n.path("lastRefreshSnapshot").asLong(Long.MinValue))
   }
 
   /** Highest PARSEABLE committed version. A zero-length or torn v<N>.json
@@ -382,6 +396,21 @@ object IvfStore {
       batchId: Long = -1L): Meta =
     ingestOnto(spark, root, batch, load(root), batchId)
 
+  /** [[ingest]] keyed on a catalog-refresh WINDOW HEAD instead of a
+    * streaming batch id — exactly-once by EQUALITY on the separate
+    * `lastRefreshSnapshot` cursor (see [[Meta]]), so it works for any
+    * Iceberg base, monotone snapshot ids or not, and never collides
+    * with an [[ingestSink]]-fed store's `lastBatchId`. A replayed
+    * window (same head) is a no-op returning the committed meta.
+    */
+  def ingestRefresh(
+      spark: SparkSession,
+      root: String,
+      batch: DataFrame,
+      refreshSnapshot: Long): Meta =
+    ingestOnto(spark, root, batch, load(root), batchId = -1L,
+      refreshSnapshot = refreshSnapshot)
+
   /** `writeStream.foreachBatch(IvfStore.ingestSink(root))`: streaming
     * ANN-index maintenance with exactly-once replay semantics.
     */
@@ -396,8 +425,13 @@ object IvfStore {
       root: String,
       batch: DataFrame,
       base: Meta,
-      batchId: Long): Meta = {
-    if (batchId >= 0 && batchId <= base.lastBatchId) return base // replay
+      batchId: Long,
+      refreshSnapshot: Long = Long.MinValue): Meta = {
+    def replayed(m: Meta): Boolean =
+      (batchId >= 0 && batchId <= m.lastBatchId) ||
+        (refreshSnapshot != Long.MinValue &&
+          refreshSnapshot == m.lastRefreshSnapshot)
+    if (replayed(base)) return base // replay
     val segName = s"seg-${java.util.UUID.randomUUID().toString.take(12)}"
     val segPath = Paths.get(root, segName).toString
     val labeled = graft.engine.PersistScope.pinEager(
@@ -429,7 +463,7 @@ object IvfStore {
           s"IVF ingest at $root lost the commit race 20 times — giving up")
         // a lost race may reveal the winner already committed this
         // batch (two replays racing): the no-op check re-runs per loop
-        if (batchId >= 0 && batchId <= cur.lastBatchId) {
+        if (replayed(cur)) {
           deleteRecursively(Paths.get(root, segName)) // orphaned duplicate
           committed = Some(cur)
         } else {
@@ -438,7 +472,10 @@ object IvfStore {
             version = math.max(cur.version + 1, versionFloor),
             segments = cur.segments :+ segName,
             counts = merged,
-            lastBatchId = math.max(cur.lastBatchId, batchId))
+            lastBatchId = math.max(cur.lastBatchId, batchId),
+            lastRefreshSnapshot =
+              if (refreshSnapshot != Long.MinValue) refreshSnapshot
+              else cur.lastRefreshSnapshot)
           // split AFTER the segment is on disk so the refit sees its rows
           val next = splitOverCap(spark, root, withSeg)
           if (commit(root, next)) committed = Some(next)

@@ -23,11 +23,26 @@ import org.apache.spark.sql.functions._
   *
   * {{{
   *   root/_versions/v<N>                       commit markers (empty files)
-  *   root/_folded/<token>                      fold replay memory
+  *   root/_folded/<token>                      fold/delete replay memory
   *   root/v<N>/base/{bands,shingles}/          materialized / compacted core
   *   root/v<N>/batch-<token>/{bands,shingles}/ folded batches (segments)
+  *   root/v<N>/del-<token>/                    tombstoned doc_ids (round 18)
   *   root/v<N>/.tmp-<token>/                   in-flight fold (invisible)
   * }}}
+  *
+  * == Tombstone deletes (round 18) ==
+  *
+  * [[deleteOnce]] commits a doc_id tombstone list as a `del-<token>` dir —
+  * an O(|ids|) metadata-scale operation, never a corpus rewrite (the same
+  * trade as [[IvfStore.delete]]). Every candidate-emitting read
+  * ([[bands]], [[shingles]] — so band joins and incremental pair
+  * generation inherit it) anti-joins the live tombstones, so a deleted doc
+  * emits no candidate pairs the moment the delete commits; [[compact]]
+  * physically drops the dead rows and the lists die with the old version
+  * dir. Tombstones are GLOBAL by doc_id: re-folding a tombstoned id would
+  * be hidden too — callers that re-insert a deleted id must compact first
+  * (the catalog refresh's resurrection guard,
+  * [[graft.operators.StoreCatalog]], does exactly that).
   *
   * Every mutation commits through ONE atomic filesystem primitive, so no
   * crash point loses OR duplicates rows (the round-9 delete+rename swap
@@ -246,22 +261,74 @@ object MinHashIndex {
   def segmentCount(spark: SparkSession, index: StoredIndex): Int =
     segmentCount(spark, index, currentVersion(spark, index))
 
-  /** Non-hidden segment dirs (base + committed batches) of a version. */
+  /** Non-hidden segment dirs (base + committed batches) of a version —
+    * tombstone lists (`del-`) are NOT segments, they subtract.
+    */
   private def segmentDirs(fs: FileSystem, root: String, v: Int): Seq[Path] = {
     val vdir = versionDir(root, v)
     require(fs.exists(vdir), s"committed version dir missing: $vdir")
     fs.listStatus(vdir).toSeq
       .filter(st => st.isDirectory &&
-        !st.getPath.getName.startsWith(".") && !st.getPath.getName.startsWith("_"))
+        !st.getPath.getName.startsWith(".") &&
+        !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("del-"))
       .map(_.getPath)
       .sortBy(_.getName)
+  }
+
+  /** Committed tombstone dirs of a version. */
+  private def tombstoneDirs(fs: FileSystem, root: String, v: Int): Seq[Path] = {
+    val vdir = versionDir(root, v)
+    require(fs.exists(vdir), s"committed version dir missing: $vdir")
+    fs.listStatus(vdir).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("del-"))
+      .map(_.getPath)
+      .sortBy(_.getName)
+  }
+
+  /** Live tombstone-list count — the second compaction-pressure term next
+    * to [[segmentCount]]: each live list is one extra anti-join input on
+    * every read until a compact folds the dead rows away.
+    */
+  def tombstoneCount(
+      spark: SparkSession, index: StoredIndex, version: Int): Int = {
+    val fs = fileSystem(spark, index.root)
+    tombstoneDirs(fs, index.root, version).length
+  }
+
+  /** [[tombstoneCount]] at the current version. */
+  def tombstoneCount(spark: SparkSession, index: StoredIndex): Int =
+    tombstoneCount(spark, index, currentVersion(spark, index))
+
+  /** The union of the live tombstone lists as one `(doc_id)` frame, or
+    * None when nothing is tombstoned — shared by the read paths' anti-join
+    * and the catalog refresh's resurrection guard
+    * ([[graft.operators.StoreCatalog]]), mirroring [[IvfStore.deadIds]].
+    */
+  def deadIds(spark: SparkSession, index: StoredIndex): Option[DataFrame] = {
+    val fs = fileSystem(spark, index.root)
+    val dirs = tombstoneDirs(fs, index.root, currentVersion(spark, index))
+    if (dirs.isEmpty) None
+    else Some(spark.read.parquet(dirs.map(_.toString): _*)
+      .select(col("doc_id")).distinct())
   }
 
   private def readSide(spark: SparkSession, index: StoredIndex, side: String): DataFrame = {
     val fs = fileSystem(spark, index.root)
     val v = currentVersion(spark, index)
     val dirs = segmentDirs(fs, index.root, v).map(p => s"$p/$side")
-    spark.read.parquet(dirs: _*)
+    val rows = spark.read.parquet(dirs: _*)
+    // live tombstones subtract at read: the dead lists are churn-scale
+    // (compaction folds them away), so the anti-join broadcasts — a
+    // deleted doc emits no bands and no shingles from the commit on,
+    // which for a dedup index is the correctness contract (a stale entry
+    // would emit false candidate pairs)
+    val dead = tombstoneDirs(fs, index.root, v)
+    if (dead.isEmpty) rows
+    else rows.join(
+      broadcast(spark.read.parquet(dead.map(_.toString): _*)
+        .select(col("doc_id")).distinct()),
+      Seq("doc_id"), "left_anti")
   }
 
   def bands(spark: SparkSession, index: StoredIndex): DataFrame =
@@ -422,6 +489,78 @@ object MinHashIndex {
     commitMarker(fs, new Path(foldedDir(index.root), token))
   }
 
+  /** Tombstone `ids` (a `doc_id` frame) out of the index — O(|ids|)
+    * metadata-scale, never a corpus rewrite: the distinct ids are
+    * committed as a `del-<token>` list the read paths anti-join (see the
+    * object doc) and [[compact]] physically folds away. EXACTLY-ONCE
+    * under replay with the same discipline as [[foldOnce]]: hidden temp →
+    * atomic rename → `_folded/del-<token>` marker; any crash point
+    * replays to a skip or a clean redo. Runs under a fold-class lease so
+    * a concurrent compact drains it (a list landing in a version the
+    * compact is about to discard would silently resurrect its docs).
+    * Returns true when the tombstone committed, false when skipped.
+    *
+    * Deleting an id and later re-folding it requires a [[compact]] in
+    * between (tombstones are global by id) — see the object doc.
+    */
+  def deleteOnce(ids: DataFrame, index: StoredIndex, token: String): Boolean =
+    deleteOnceWithFaults(ids, index, token, NoFaults)
+
+  private[graft] def deleteOnceWithFaults(
+      ids: DataFrame,
+      index: StoredIndex,
+      token: String,
+      fault: FaultInjector,
+      leaseTtlMs: Long = DefaultLeaseTtlMs): Boolean = {
+    require(token.matches("[A-Za-z0-9][A-Za-z0-9._-]*"),
+      s"delete token must be a safe dir-name fragment, got '$token'")
+    val spark = ids.sparkSession
+    val fs = fileSystem(spark, index.root)
+    val marker = new Path(foldedDir(index.root), s"del-$token")
+    if (fs.exists(marker)) return false
+
+    val compactMarker = new Path(leaseDir(index.root), "compact")
+    breakIfExpired(fs, compactMarker)
+    if (fs.exists(compactMarker))
+      throw new IllegalStateException(
+        s"maintenance lease held (compact in progress) on ${index.root}; " +
+          "retry after it completes")
+    fs.mkdirs(leaseDir(index.root))
+    // the "fold-" prefix is deliberate: compact/materialize drain ALL
+    // fold-class leases before touching segments, and a tombstone commit
+    // is exactly such a mutation
+    val myLease = new Path(leaseDir(index.root), s"fold-del-$token")
+    breakIfExpired(fs, myLease)
+    val attemptOwner = java.util.UUID.randomUUID().toString
+    if (!writeMarker(fs, myLease, System.currentTimeMillis() + leaseTtlMs,
+        attemptOwner))
+      throw new IllegalStateException(
+        s"another attempt of delete '$token' holds its lease on " +
+          s"${index.root} (still running, not expired) — retry later")
+    try {
+      if (fs.exists(compactMarker))
+        throw new IllegalStateException(
+          s"maintenance lease acquired concurrently (compact) on " +
+            s"${index.root}; delete backed off cleanly — retry after it")
+      val v = currentVersion(spark, index)
+      val delDir = new Path(versionDir(index.root, v), s"del-$token")
+      if (fs.exists(delDir)) {
+        commitMarker(fs, marker) // published, marker write crashed: heal
+        return false
+      }
+      val tmp = new Path(versionDir(index.root, v), s".tmp-del-$token")
+      fs.delete(tmp, true)
+      // one small file: tombstone lists are churn-scale by contract
+      ids.select(col("doc_id")).distinct().coalesce(1)
+        .write.parquet(tmp.toString)
+      fault("tombstone-written")
+      require(fs.rename(tmp, delDir), s"could not publish $delDir")
+      fault("published")
+      commitMarker(fs, marker)
+      true
+    } finally releaseIfOwner(fs, myLease, attemptOwner)
+  }
+
   /** At-least-once append for callers WITHOUT a replay token (no
     * replayable source, no batch identity): publishes a uniquely-named
     * segment. A caller that retries after a crash can duplicate rows —
@@ -508,9 +647,22 @@ object MinHashIndex {
     val v = currentVersion(spark, index)
     val next = versionDir(index.root, v + 1)
     val segs = segmentDirs(fs, index.root, v)
+    // tombstoned rows are PHYSICALLY dropped here — the next version's
+    // base carries live rows only, and the del- lists die with the old
+    // version dir (cleared the same way IvfStore.compact clears its
+    // tombstone field)
+    val dead = tombstoneDirs(fs, index.root, v)
+    val deadDf =
+      if (dead.isEmpty) None
+      else Some(spark.read.parquet(dead.map(_.toString): _*)
+        .select(col("doc_id")).distinct())
     Seq("bands", "shingles").foreach { side =>
       val rows0 = spark.read.parquet(segs.map(p => s"$p/$side"): _*)
-      (if (dedupe) rows0.distinct() else rows0)
+      val rows1 = deadDf match {
+        case None    => rows0
+        case Some(d) => rows0.join(broadcast(d), Seq("doc_id"), "left_anti")
+      }
+      (if (dedupe) rows1.distinct() else rows1)
         .coalesce(nFiles)
         .write.mode("overwrite").parquet(new Path(next, s"base/$side").toString)
     }
@@ -534,14 +686,18 @@ object MinHashIndex {
     val versions = committedVersions(fs, root)
     require(versions.nonEmpty, s"MinHash index at $root has no committed version")
     val current = versions.max
-    // 1. fold crash window: published batch dirs whose marker write never
-    //    ran — record them now so a replay (even after this compact folds
-    //    their rows into base) skips instead of re-folding
-    segmentDirs(fs, root, current).foreach { seg =>
-      val name = seg.getName
-      if (name.startsWith("batch-"))
-        commitMarker(fs, new Path(foldedDir(root), name.stripPrefix("batch-")))
-    }
+    // 1. fold/delete crash window: published batch and del- dirs whose
+    //    marker write never ran — record them now so a replay (even after
+    //    this compact folds their rows into base) skips instead of
+    //    re-applying (the del- marker name IS the dir name)
+    fs.listStatus(versionDir(root, current)).toSeq
+      .filter(_.isDirectory).map(_.getPath.getName).foreach { name =>
+        if (name.startsWith("batch-"))
+          commitMarker(fs,
+            new Path(foldedDir(root), name.stripPrefix("batch-")))
+        else if (name.startsWith("del-"))
+          commitMarker(fs, new Path(foldedDir(root), name))
+      }
     // 2. markers whose dir vanished mid-cleanup: only ever < current
     versions.filter(_ != current).foreach { v =>
       fs.delete(versionDir(root, v), true)

@@ -101,18 +101,19 @@ object StoreCatalog {
     *    — minhash folds the batch exactly-once ([[MinHashIndex.foldOnce]]
     *    keyed on the snapshot id), ivf pays one map-only assignment pass
     *    ([[IvfStore.ingest]]).
-    *  - DELETE-only window: minhash REBUILDS from the pinned head (the
-    *    index stores append-only shingle/band segments — no tombstone
-    *    story; a stale entry would emit false candidate pairs, which for
-    *    a dedup index is a correctness bug, not noise); ivf tombstones
-    *    the net-deleted ids (O(metadata), [[IvfStore.delete]]).
-    *  - Window with UPDATES (delete+insert of one id): minhash rebuilds
-    *    as above; ivf tombstones every updated/deleted id, COMPACTS (the
-    *    tombstone set is global by id, so the new values must land after
-    *    the old ones are physically gone or the anti-join would hide
-    *    them), then ingests the net inserts — O(store), the documented
-    *    heavy path. Update-heavy sources should prefer scheduled rebuilds
-    *    or an upsert-native store.
+    *  - DELETE-only window: BOTH kinds tombstone the deleted ids at
+    *    O(metadata) — [[MinHashIndex.deleteOnce]] (round 18; the r17
+    *    O(corpus) rebuild is gone) and [[IvfStore.delete]]. Every
+    *    candidate-emitting read anti-joins the dead lists, so a stale
+    *    entry never emits a false candidate pair; the next compact drops
+    *    the rows physically.
+    *  - Window with UPDATES (delete+insert of one id): both kinds
+    *    tombstone every updated/deleted id, COMPACT (the tombstone set is
+    *    global by id, so the new values must land after the old ones are
+    *    physically gone or the anti-join would hide them), then fold/
+    *    ingest the net inserts — O(store), the documented heavy path.
+    *    Update-heavy sources should prefer scheduled rebuilds or an
+    *    upsert-native store.
     *  - SPLIT stores ([[SplitStore]]): insert-only windows ingest
     *    through the leakage-safe assignment path (O(churn), snapshot-
     *    token idempotent); any delete/update REFUSES — assignments are
@@ -145,7 +146,8 @@ object StoreCatalog {
     // cursor), and re-applying an already-applied prefix would corrupt a
     // mutable store (double-folded minhash rows, duplicated ivf
     // vectors). The stores already record what they applied — minhash's
-    // `_folded/snap-<id>` tokens, ivf's lastBatchId ingest cursor — so
+    // `_folded/snap-<id>` tokens, ivf's refresh-namespaced
+    // lastRefreshSnapshot cursor — so
     // the effective window start is the NEWEST chain snapshot the store
     // remembers applying; split converges through its own
     // already-assigned anti-join (see [[refreshSplit]]).
@@ -165,7 +167,11 @@ object StoreCatalog {
           MinHashIndex.foldTokenExists(spark, idx, s"snap-$id"))
           .lastOption.getOrElse(src.watermark)
       case "ivf" =>
-        val last = IvfStore.load(d.root).lastBatchId
+        // the refresh-namespaced cursor (round 18): membership in the
+        // pending chain, never ordering — works for foreign tables with
+        // random snapshot ids, and a store also fed by streaming
+        // ingestSink can no longer collide its batch ids into this check
+        val last = IvfStore.load(d.root).lastRefreshSnapshot
         if (chain.contains(last)) last else src.watermark
       case _ => src.watermark
     }
@@ -195,6 +201,19 @@ object StoreCatalog {
     } finally window.unpersist(blocking = false): Unit
   }
 
+  /** Minhash refresh (round 18 — tombstones, never a rebuild): a window
+    * carrying deletes tombstones every id with a delete change at
+    * O(metadata) ([[MinHashIndex.deleteOnce]], snapshot-keyed
+    * exactly-once), then folds the NET inserts — preceded, only when one
+    * of them resurrects a tombstoned id (the update shape), by a compact
+    * that drops the dead rows first (tombstones are global by id; without
+    * the compact the anti-join would hide the fresh fold too). Insert-only
+    * windows stay the plain O(churn) fold. Every path ends by recording
+    * the `snap-<head>` window token, so a stale-cursor maintainer
+    * prefix-skips delete-only windows exactly like folded ones. Crash
+    * replay converges: each sub-op carries its own exactly-once memory
+    * (delete marker / fold marker / compact's content idempotence).
+    */
   private def refreshMinhash(
       spark: SparkSession,
       d: StoreDef,
@@ -204,25 +223,39 @@ object StoreCatalog {
       window: DataFrame,
       hasDeletes: Boolean): Unit = {
     val idx = MinHashIndex.StoredIndex(d.root)
-    if (hasDeletes) {
-      // rebuild pinned at the head — materialize wipes and rebuilds under
-      // the maintenance lease, so a concurrent fold backs off cleanly
-      val base = graft.sources.IcebergSource.read(
-        spark, src.basePath, snapshotId = Some(head), asOfTimestampMs = None,
-        prune = None, preloaded = Some(meta))
-      MinHashIndex.materialize(
-        base.select(col(src.idCol).as("doc_id"), col(src.column).as("text")),
-        d.root): Unit
-      // the rebuild IS every window through `head` applied — record its
-      // token so a stale-cursor maintainer prefix-skips instead of
-      // re-applying (materialize wiped the previous replay memory)
-      MinHashIndex.recordFoldToken(spark, idx, s"snap-$head")
-    } else {
+    if (!hasDeletes) {
       val inserts = windowInserts(window, src)
       // snapshot-keyed fold token: a window replayed inside one JVM (or
       // against a shared filesystem by a second maintainer) no-ops
       if (!inserts.isEmpty)
         MinHashIndex.foldOnce(inserts, idx, token = s"snap-$head"): Unit
+    } else {
+      val delIds = window.filter(col("_change_type") === "delete")
+        .select(col(src.idCol).as("doc_id")).distinct()
+      MinHashIndex.deleteOnce(delIds, idx, token = s"snap-$head"): Unit
+      // the fold must carry each id's FINAL value only: an un-netted
+      // multi-snapshot window (insert v1, delete, insert v2 of one id)
+      // would fold both versions' rows
+      val netInserts = netLastChange(window, src.idCol)
+        .filter(col("_change_type") === "insert")
+        .select(col(src.idCol).as("doc_id"), col(src.column).as("text"))
+      if (!netInserts.isEmpty) {
+        // resurrection guard, mirroring the ivf path: a net insert of an
+        // id on ANY live tombstone list — this window's update, or a
+        // delete from a previous never-compacted window — would fold but
+        // be anti-joined invisible. Compact first (drops dead rows,
+        // clears the lists); genuinely-new ids skip it entirely.
+        MinHashIndex.deadIds(spark, idx).foreach { dead =>
+          val resurrects = !netInserts.select(col("doc_id"))
+            .join(dead, Seq("doc_id"), "left_semi").isEmpty
+          if (resurrects) MinHashIndex.compact(spark, idx)
+        }
+        MinHashIndex.foldOnce(netInserts, idx, token = s"snap-$head"): Unit
+      }
+      // delete-only windows never fold, so the window-applied token the
+      // prefix-skip reads must be recorded explicitly (a no-op when the
+      // fold above already committed it)
+      MinHashIndex.recordFoldToken(spark, idx, s"snap-$head")
     }
   }
 
@@ -281,6 +314,20 @@ object StoreCatalog {
       .filter(col("_change_type") === "insert")
       .select(col(src.idCol).as("doc_id"), col(src.column).as("text"))
 
+  /** Net change per id across a changelog window: last change wins;
+    * within one snapshot a delete+insert pair is a MERGE's update
+    * encoding, so insert outranks delete at equal snapshot. Shared by the
+    * ivf and minhash refresh paths so the netting algebra cannot drift.
+    */
+  private def netLastChange(window: DataFrame, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val rank = org.apache.spark.sql.functions.row_number().over(
+      W.partitionBy(col(idCol))
+        .orderBy(col("_change_snapshot_id").desc,
+          when(col("_change_type") === "insert", 1).otherwise(0).desc))
+    window.withColumn("_rn", rank).filter(col("_rn") === 1).drop("_rn")
+  }
+
   private def refreshIvf(
       spark: SparkSession,
       d: StoreDef,
@@ -288,30 +335,16 @@ object StoreCatalog {
       head: Long,
       window: DataFrame,
       hasDeletes: Boolean): Unit = {
-    import org.apache.spark.sql.expressions.{Window => W}
-    // net change per id across the window: last change wins; within one
-    // snapshot a delete+insert pair is a MERGE's update encoding, so
-    // insert outranks delete at equal snapshot
-    val rank = org.apache.spark.sql.functions.row_number().over(
-      W.partitionBy(col(src.idCol))
-        .orderBy(col("_change_snapshot_id").desc,
-          when(col("_change_type") === "insert", 1).otherwise(0).desc))
-    val netted = window.withColumn("_rn", rank).filter(col("_rn") === 1)
-      .drop("_rn")
+    val netted = netLastChange(window, src.idCol)
     val netInserts = netted.filter(col("_change_type") === "insert")
       .drop("_change_type", "_change_snapshot_id")
-    // the ingest cursor this window records: monotone snapshot ids (this
-    // writer's tables) key the ingest exactly-once per window — the
-    // prefix-skip in refreshStep reads it back. lastBatchId only
-    // advances on INGEST (the window's last action), so a crash mid-
-    // window replays delete/compact (both content-idempotent) and then
-    // ingests — convergent. Foreign tables with non-monotone random ids
-    // fall back to unkeyed (-1): their stale-cursor window is the
-    // narrow documented residual.
-    val batchKey = {
-      val last = IvfStore.load(d.root).lastBatchId
-      if (head > last) head else -1L
-    }
+    // the window's exactly-once key: the head snapshot id, recorded on
+    // the REFRESH-NAMESPACED cursor (IvfStore.ingestRefresh /
+    // Meta.lastRefreshSnapshot — membership semantics, so foreign tables
+    // with random ids key too, and streaming ingestSink batch ids can't
+    // collide). The cursor only advances on INGEST (the window's last
+    // action), so a crash mid-window replays delete/compact (both
+    // content-idempotent) and then ingests — convergent.
     if (hasDeletes) {
       val netDeleted = netted.filter(col("_change_type") === "delete")
         .select(col(src.idCol))
@@ -342,7 +375,8 @@ object StoreCatalog {
           .join(tombIds, Seq(src.idCol), "left_semi").isEmpty
         if (resurrects) IvfStore.compact(spark, d.root): Unit
       }
-      IvfStore.ingest(spark, d.root, netInserts, batchId = batchKey): Unit
+      IvfStore.ingestRefresh(spark, d.root, netInserts,
+        refreshSnapshot = head): Unit
     }
   }
 }

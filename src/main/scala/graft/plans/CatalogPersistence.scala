@@ -147,11 +147,21 @@ object CatalogPersistence {
       if (n.has(f)) Some(n.path(f).asText()) else None
     def optL(n: JsonNode, f: String): Option[Long] =
       if (n.has(f)) Some(n.path(f).asLong()) else None
-    def artifactExists(raw: String): Boolean = {
-      val noScheme =
-        if (raw.startsWith("file:")) new java.net.URI(raw).getPath else raw
-      Files.exists(Paths.get(noScheme))
-    }
+    // existence through the Hadoop FileSystem of the path's OWN scheme
+    // (hdfs://, s3a://, file:, scheme-less all resolve correctly — the
+    // r17 java.nio-only check reported every remote-rooted artifact
+    // missing and silently degraded its reload to an O(corpus)
+    // re-materialize); a filesystem that cannot even be reached counts
+    // as missing, which load() reports rather than registering a def
+    // whose scans would fail later
+    def artifactExists(raw: String): Boolean =
+      try {
+        val hp = new org.apache.hadoop.fs.Path(raw)
+        val conf = org.apache.spark.sql.SparkSession.getActiveSession
+          .map(_.sparkContext.hadoopConfiguration)
+          .getOrElse(new org.apache.hadoop.conf.Configuration())
+        hp.getFileSystem(conf).exists(hp)
+      } catch { case scala.util.control.NonFatal(_) => false }
     def entry(name: String, kind: String, store: String)(
         register: => Unit): LoadResult =
       if (!artifactExists(store))

@@ -481,12 +481,26 @@ object IncrementalQueries {
             emb.filter($"vec_id" % 10 >= 8 || $"vec_id" % 10 === 0),
             "vec_id", 2000L)
           sweep("insert/update window")
-          // window 2 — deletes: minhash rebuilds at head, ivf tombstones
+          // window 2 — deletes: BOTH stores tombstone at O(metadata)
+          // (round 18 — the r17 minhash O(corpus) rebuild is gone)
           IcebergWriter.deleteRowsWhere(s, docsTbl,
             $"doc_id" % 10 === 9, 3000L)
           IcebergWriter.deleteRowsWhere(s, embTbl,
             $"vec_id" % 10 === 9, 3000L)
+          val mhVerBefore = MinHashIndex.currentVersion(
+            s, MinHashIndex.StoredIndex(mhRoot))
           sweep("delete window")
+          // fold-not-rebuild pin: a rebuild commits a fresh version (the
+          // wipe resets to v1 but segments collapse to base-only); a
+          // tombstone leaves the version AND the data segments untouched
+          // and commits one dead list — the O(metadata) claim this gate
+          // documents
+          require(MinHashIndex.currentVersion(
+              s, MinHashIndex.StoredIndex(mhRoot)) == mhVerBefore,
+            "the delete window must tombstone, never rebuild")
+          require(MinHashIndex.tombstoneCount(
+              s, MinHashIndex.StoredIndex(mhRoot)) >= 1,
+            "the delete window must commit a tombstone list")
         } finally storeNames.foreach(StoreCatalog.unregister)
         val mhRows = MinHashIndex
           .shingles(s, MinHashIndex.StoredIndex(mhRoot))
@@ -573,14 +587,30 @@ object IncrementalQueries {
             .filter(r => Set(rollRec.mvName, mhRec.storeName)(r.name))
           require(reloaded.size == 2 && reloaded.forall(_.loaded),
             s"both saved defs must reload: $reloaded")
+          val headAfter = graft.sources.IcebergMeta.load(tbl)
+            .currentSnapshot.get.id
           val swept = graft.plans.MvAdvisor.maintainAll(s)
             .filter(r => Set(rollRec.mvName, mhRec.storeName)(r.name))
           require(swept.count(_.stale) == 2,
             s"one post-restart sweep must refresh BOTH defs: $swept")
-          require(MinHashIndex.currentVersion(
-            s, MinHashIndex.StoredIndex(s"$root/index")) == 1,
-            "the store refresh must FOLD the missed window, not rebuild")
-        } finally StoreCatalog.unregister(mhRec.storeName)
+          // fold-not-rebuild, pinned the unforgeable way (a rebuild
+          // re-commits v1 too, so the version alone proves nothing): the
+          // missed window's own fold token exists AND the pre-churn base
+          // survived alongside the new batch segment — materialize would
+          // have wiped both
+          val idx = MinHashIndex.StoredIndex(s"$root/index")
+          require(MinHashIndex.foldTokenExists(s, idx, s"snap-$headAfter"),
+            "the missed window must be applied as a FOLD (token missing)")
+          require(MinHashIndex.segmentCount(s, idx) == 2,
+            "the pre-churn base + one folded batch must both survive " +
+              "(a rebuild would collapse to base-only) — O(churn) claim")
+        } finally {
+          StoreCatalog.unregister(mhRec.storeName)
+          // the reloaded rollup def (rooted in this run's temp dir) must
+          // not outlive the query in the process-wide catalog — later
+          // sweeps/saves in this JVM would keep walking it
+          graft.plans.MvCatalog.unregister(tbl)
+        }
         val mhDocs = MinHashIndex
           .shingles(s, MinHashIndex.StoredIndex(s"$root/index")).count()
         val s2 = s.newSession()

@@ -275,6 +275,93 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("tombstone deletes: a deleted doc emits no candidate pairs pre-compact; compact drops it physically; compact+re-fold resurrects") {
+    import graft.operators.MinHashIndex
+    import spark.implicits._
+    val sent = crashSent("t") _
+    // docs 1 and 10 are planted near-dups; 2 and 11 unique
+    val corpus = Seq(
+      (1L, sent(1)), (2L, sent(2)), (10L, sent(1)), (11L, sent(5))
+    ).toDF("doc_id", "text")
+    val idx = MinHashIndex.materialize(corpus, tempDir("graft-mh-tomb"))
+    def pairsWith(id: Long): Boolean = {
+      // an empty increment probes the stored corpus alone: bands/shingles
+      // self-candidates via incrementalPairs need an increment, so read
+      // the candidate-emitting sides directly — the contract is that NO
+      // read-side row for the id survives the tombstone
+      MinHashIndex.bands(spark, idx).filter($"doc_id" === id).count() > 0 ||
+        MinHashIndex.shingles(spark, idx).filter($"doc_id" === id).count() > 0
+    }
+    // pre-delete: the dup pair is discoverable through an increment probe
+    val inc = Seq((100L, sent(1))).toDF("doc_id", "text")
+    def probePairs(): Set[(Long, Long)] = graft.queries.DedupQueries
+      .incrementalPairs(spark, inc, idx, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(probePairs().contains((1L, 100L)), "planted dup must pair pre-delete")
+    // O(metadata) delete: version unchanged, segments unchanged, one list
+    val v0 = MinHashIndex.currentVersion(spark, idx)
+    val segs0 = MinHashIndex.segmentCount(spark, idx)
+    assert(MinHashIndex.deleteOnce(
+      Seq(1L).toDF("doc_id"), idx, "d1"))
+    assert(!MinHashIndex.deleteOnce(Seq(1L).toDF("doc_id"), idx, "d1"),
+      "replayed delete token must skip")
+    assert(MinHashIndex.currentVersion(spark, idx) === v0)
+    assert(MinHashIndex.segmentCount(spark, idx) === segs0)
+    assert(MinHashIndex.tombstoneCount(spark, idx) === 1)
+    // PRE-COMPACT: the tombstoned doc emits nothing — no bands, no
+    // shingles, no candidate pairs (the dedup-index correctness contract)
+    assert(!pairsWith(1L), "tombstoned doc leaked through a read path")
+    val post = probePairs()
+    assert(!post.exists(p => p._1 == 1L || p._2 == 1L),
+      s"tombstoned doc still emits candidate pairs: $post")
+    assert(post.contains((10L, 100L)), "surviving dup twin must still pair")
+    assert(MinHashIndex.deadIds(spark, idx).get
+      .as[Long].collect().toSeq === Seq(1L))
+    // compact: physical drop, lists cleared, reads identical
+    MinHashIndex.compact(spark, idx, nFiles = 1)
+    assert(MinHashIndex.tombstoneCount(spark, idx) === 0)
+    assert(MinHashIndex.deadIds(spark, idx).isEmpty)
+    assert(!pairsWith(1L))
+    assert(probePairs() === post, "compact must not change query results")
+    // resurrection: after the compact cleared the list, re-folding the
+    // id is visible again (the catalog refresh's guard compacts first)
+    assert(MinHashIndex.foldOnce(
+      Seq((1L, sent(1))).toDF("doc_id", "text"), idx, "refold-1"))
+    assert(pairsWith(1L), "re-folded doc must be visible post-compact")
+    assert(probePairs().contains((1L, 100L)))
+    graft.engine.PersistScope.releaseAll()
+  }
+
+  test("delete crash matrix: tombstone commit is atomic and replay-idempotent at every fault point") {
+    import graft.operators.MinHashIndex
+    import spark.implicits._
+    val sent = crashSent("x") _
+    val corpus = Seq((1L, sent(1)), (2L, sent(2))).toDF("doc_id", "text")
+    for (point <- Seq("tombstone-written", "published")) {
+      val idx = MinHashIndex.materialize(corpus, tempDir("graft-del-crash"))
+      val boom = intercept[RuntimeException] {
+        MinHashIndex.deleteOnceWithFaults(
+          Seq(1L).toDF("doc_id"), idx, "d1", crashAt(point))
+      }
+      assert(boom.getMessage.contains(point))
+      // post-crash: the tombstone is invisible or fully live, never torn
+      val mid = MinHashIndex.tombstoneCount(spark, idx)
+      assert(mid === 0 || mid === 1, s"$point: torn tombstone state")
+      // replay converges to exactly one committed list
+      MinHashIndex.deleteOnce(Seq(1L).toDF("doc_id"), idx, "d1"): Unit
+      assert(MinHashIndex.tombstoneCount(spark, idx) === 1,
+        s"$point: replay did not converge")
+      assert(!MinHashIndex.deleteOnce(Seq(1L).toDF("doc_id"), idx, "d1"),
+        s"$point: second replay not skipped")
+      assert(MinHashIndex.shingles(spark, idx)
+        .filter($"doc_id" === 1L).count() === 0L, s"$point: delete lost")
+      // a compact right after the crash-heal keeps the same live rows
+      MinHashIndex.compact(spark, idx, nFiles = 1)
+      assert(MinHashIndex.shingles(spark, idx)
+        .select($"doc_id").as[Long].collect().toSeq === Seq(2L))
+    }
+  }
+
   test("maintenance lease: fold-during-compact serializes or fails cleanly, never interleaves") {
     import graft.operators.MinHashIndex
     import spark.implicits._

@@ -48,7 +48,7 @@ class StoreCatalogSpec extends SparkTestBase {
     } finally StoreCatalog.clear()
   }
 
-  test("minhash store: advisor build registers lineage; insert-only window folds exactly-once; delete window rebuilds at head") {
+  test("minhash store: advisor build registers lineage; insert-only window folds exactly-once; delete window tombstones at O(metadata)") {
     StoreCatalog.clear()
     val tbl = tempDir("graft-sc-mh") + "/docs_ice"
     val root = tempDir("graft-sc-mh-idx") + "/index"
@@ -91,16 +91,41 @@ class StoreCatalogSpec extends SparkTestBase {
       assert(StoreCatalog.refreshStep(
         spark, StoreCatalog.find(rec.storeName).get).isEmpty)
 
-      // DELETE window: stale index entries are a correctness bug for a
-      // dedup index (false candidate pairs) — the step rebuilds at head
+      // DELETE window (round 18): O(metadata) TOMBSTONE, never the r17
+      // O(corpus) rebuild — the version stays 1 (fold-not-rebuild) and a
+      // live tombstone list appears; the anti-joined reads hide the
+      // deleted docs from the commit on (stale entries would emit false
+      // candidate pairs — the dedup-index correctness contract)
       IcebergWriter.deleteRowsWhere(spark, tbl, $"doc_id" % 10 === 3, 3000L)
       val head2 = IcebergMeta.load(tbl).currentSnapshot.get.id
+      val idx = MinHashIndex.StoredIndex(root)
+      val segsBefore = MinHashIndex.segmentCount(spark, idx)
       assert(StoreCatalog.refreshStep(
         spark, StoreCatalog.find(rec.storeName).get).contains(head2))
+      assert(MinHashIndex.currentVersion(spark, idx) === 1,
+        "a delete-only window must tombstone, not rebuild (version pin)")
+      assert(MinHashIndex.segmentCount(spark, idx) === segsBefore,
+        "a delete-only window must not touch the data segments")
+      assert(MinHashIndex.tombstoneCount(spark, idx) === 1,
+        "the delete window commits exactly one tombstone list")
       val after = stored()
       assert(after === expect())
       assert(!after.exists(_._1 % 10 === 3),
         "deleted docs must leave the index")
+      // replay of the applied delete window: the snap token prefix-skips
+      val d2 = StoreCatalog.find(rec.storeName).get
+      StoreCatalog.register(
+        d2.copy(source = d2.source.map(_.copy(watermark = wm0))))
+      assert(StoreCatalog.refreshStep(
+        spark, StoreCatalog.find(rec.storeName).get).contains(head2))
+      assert(MinHashIndex.tombstoneCount(spark, idx) === 1,
+        "a stale-cursor replay must not duplicate the tombstone list")
+      assert(stored() === expect())
+      // compact physically drops the dead rows and clears the lists
+      MinHashIndex.compact(spark, idx)
+      assert(MinHashIndex.tombstoneCount(spark, idx) === 0,
+        "compact folds the tombstones away")
+      assert(stored() === expect())
     } finally StoreCatalog.clear()
   }
 
