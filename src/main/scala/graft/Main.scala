@@ -34,12 +34,31 @@ object Main {
     "orders", "lineitem", "events", "documents", "embeddings"
   )
 
+  /** AUTOSAVE defaulting for the sweep verbs (round 18): a maintainer
+    * that LOADED a durable catalog saves back to it post-sweep even
+    * without an explicit `--catalog-save` — the crash window between
+    * sweep and save is exactly what the stores' prefix-skip machinery
+    * absorbs, but shrinking it is free. An explicit `--catalog-save`
+    * (possibly to a different path) still wins. Only the sweep verbs
+    * default this way — a bare `--catalog-load` inspection stays
+    * read-only.
+    */
+  private def withAutosave(opts: Map[String, String]): Map[String, String] =
+    if (opts.contains("catalog-save") || !opts.contains("catalog-load")) opts
+    else opts + ("catalog-save" -> opts("catalog-load"))
+
   /** `--catalog-save <path>` handler, shared by the standalone verb and
     * the post-sweep save of the composed maintainer invocation.
     */
-  private def saveCatalogIfAsked(opts: Map[String, String]): Unit =
+  private def saveCatalogIfAsked(
+      opts: Map[String, String],
+      spark: org.apache.spark.sql.SparkSession): Unit =
     opts.get("catalog-save").foreach { p =>
-      scala.util.Try(graft.plans.CatalogPersistence.save(p)) match {
+      // under the configured maintenance lease (see MaintenanceLease):
+      // a snapshot raced by a concurrent sweep could persist
+      // half-advanced cursors
+      scala.util.Try(graft.operators.MaintenanceLease
+        .withConfigured(spark)(graft.plans.CatalogPersistence.save(p))) match {
         case scala.util.Success(_) =>
           println(s"[catalog-save] $p: " +
             s"${graft.plans.MvCatalog.describe().size} MV defs, " +
@@ -252,7 +271,7 @@ object Main {
               }
               println(s"[mv-maintain] ${r.name} (${r.kind}) $verdict")
             }
-            saveCatalogIfAsked(opts)
+            saveCatalogIfAsked(withAutosave(opts), spark)
             spark.stop()
             return
           case None => ()
@@ -273,6 +292,11 @@ object Main {
                 println(s"[store-describe] ${g.kind} ${g.root}" +
                   g.version.map(v => s" version=$v").getOrElse("") +
                   s" segments=${g.segments}" +
+                  g.tombstones.map(t => s" tombstones=$t").getOrElse("") +
+                  g.registered.map(n => s" registered=$n").getOrElse("") +
+                  g.watermark.map(w => s" watermark=$w").getOrElse("") +
+                  g.head.map(h => s" head=$h").getOrElse("") +
+                  g.fresh.map(f => s" fresh=$f").getOrElse("") +
                   g.detail.map(d => s" $d").getOrElse(""))
               case scala.util.Failure(e) =>
                 println(s"[store-describe] refused: " +
@@ -333,7 +357,7 @@ object Main {
                 println(s"[store-autopilot] ${r.name} (${r.kind}) $verdict")
               }
             }
-            saveCatalogIfAsked(opts)
+            saveCatalogIfAsked(withAutosave(opts), spark)
             spark.stop()
             return
           case None => ()
@@ -342,7 +366,7 @@ object Main {
           // catalog-only invocation (no verb consumed the run above):
           // snapshot/report and exit instead of falling through to the
           // default SQL query
-          saveCatalogIfAsked(opts)
+          saveCatalogIfAsked(opts, spark)
           spark.stop()
           return
         }

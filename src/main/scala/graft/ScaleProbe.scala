@@ -1961,13 +1961,31 @@ object ScaleProbe {
       IcebergWriter.append(spark, embTbl, embRows(n, n + 5000L), None, 2000L)
       val foldMh = step(mhRec.storeName)
       val ingestIvf = step(ivfRec.storeName)
-      // update window (ivf): tombstone → compact → ingest — O(store)
+      // update window (ivf): scoped tombstone + ingest — O(churn) since
+      // r18 (was tombstone→compact→ingest = O(store); the flat-vs-n
+      // lines below are the receipt)
       IcebergWriter.upsertRows(spark, embTbl,
         embRows(0L, 5000L), "vec_id", 3000L)
       val updateIvf = step(ivfRec.storeName)
+      // update window (minhash): scoped tombstone + fold — same claim
+      IcebergWriter.upsertRows(spark, docsTbl,
+        docRows(0L, 5000L), "doc_id", 3500L)
+      val updateMh = step(mhRec.storeName)
+      // delete-only window: BOTH kinds tombstone at O(metadata) — the
+      // r18 claim this probe certifies. Before tombstones, the minhash
+      // column here scaled with n (a full wipe-and-rebuild per delete
+      // window); now both columns must be flat from 100k to 400k rows,
+      // like fold/ingest
+      IcebergWriter.deleteRowsWhere(spark, docsTbl,
+        col("doc_id") < 2500L, 4000L)
+      IcebergWriter.deleteRowsWhere(spark, embTbl,
+        col("vec_id") < 2500L, 4000L)
+      val delMh = step(mhRec.storeName)
+      val delIvf = step(ivfRec.storeName)
       println(f"n=$n%7d  build_mh=$buildMh%6.2f s  fold_mh=$foldMh%6.2f s  " +
         f"build_ivf=$buildIvf%6.2f s  ingest_ivf=$ingestIvf%6.2f s  " +
-        f"update_ivf=$updateIvf%6.2f s")
+        f"upd_ivf=$updateIvf%6.2f s  upd_mh=$updateMh%6.2f s  " +
+        f"del_mh=$delMh%6.2f s  del_ivf=$delIvf%6.2f s")
       Seq(mhRec.storeName, ivfRec.storeName).foreach(StoreCatalog.unregister)
     }
   }

@@ -117,7 +117,10 @@ import java.util.concurrent.{LinkedBlockingQueue, ThreadPoolExecutor, TimeUnit}
   *        get one changelog refresh step) in one action, one row per
   *        registered view/store — stale verdict + applied snapshot(s),
   *        or the reason it was skipped (hand-declared, no lineage,
-  *        per-entry error).
+  *        per-entry error). When a catalog_load ran on this server, the
+  *        sweep AUTOSAVES the registry back to that path and appends a
+  *        `__catalog_autosave` row with the outcome (round 18) — the
+  *        load -> sweep -> save loop collapses to load -> sweep.
   *     `DO_ACTION stream_view_describe <view> <source> [<wm_col>]` ->
   *        freshness of a streaming MV (streaming/MaterializedAgg):
   *        the view's applied watermark, the live source head, and a
@@ -131,9 +134,12 @@ import java.util.concurrent.{LinkedBlockingQueue, ThreadPoolExecutor, TimeUnit}
   *        Iceberg nightly-job policy (sources.IcebergMaintenance) over
   *        the wire; answers the maintenance report row.
   *     `DO_ACTION store_describe <kind> <root>` -> the stores'
-  *        maintenance-pressure gauge (version, live segments, per-kind
-  *        detail; metadata-only) — what a scheduler polls to decide
-  *        when store_compact is due.
+  *        maintenance-pressure gauge (version, live segments, live
+  *        tombstone lists, per-kind detail; metadata-only), plus —
+  *        for a root registered in StoreCatalog with lineage — the
+  *        FRESHNESS verdict (watermark vs live source head, round 18):
+  *        one verb answers both "is compaction due" and "is this
+  *        store stale".
   *     `DO_ACTION advise [<sql>]` -> the MV + index advisor
   *        (plans.MvAdvisor) over the wire: rollup/multiplicity/join/
   *        ivf_index/minhash_index recommendations + rejection
@@ -291,6 +297,14 @@ final class ServingServer(
   )
   pool.allowCoreThreadTimeOut(true)
   @volatile private var closed = false
+
+  // the durable-catalog path the LAST successful catalog_load read —
+  // mv_maintain autosaves the registry back to it post-sweep (round 18):
+  // the crash window between a sweep and its catalog_save is exactly
+  // what the stores' prefix-skip machinery absorbs, but shrinking it is
+  // free. Server-scoped on purpose: the registries the path snapshots
+  // are process-wide too.
+  @volatile private var loadedCatalogPath: Option[String] = None
 
   /** The actually-bound port (differs from `port` when 0 was requested). */
   def boundPort: Int = server.getLocalPort
@@ -1060,8 +1074,35 @@ final class ServingServer(
               // failures, but a failure OUTSIDE it (window unpersist,
               // catalog iteration) would otherwise kill the connection
               // mid-stream after an OK the client already consumed.
-              val mmRes = scala.util.Try(
-                graft.plans.MvAdvisor.maintainAll(session.spark))
+              // AUTOSAVE (round 18): when a durable catalog was loaded
+              // on this server, the sweep saves the registry back to it
+              // before answering — load -> sweep -> save becomes the
+              // default loop, not three verbs the scheduler must
+              // remember to compose. Reported as a synthetic trailing
+              // row (same schema) so the caller sees the save outcome;
+              // a save failure degrades to that row's error, never to a
+              // lost sweep result.
+              val mmRes = scala.util.Try {
+                val sweep = graft.plans.MvAdvisor.maintainAll(session.spark)
+                val autosave = loadedCatalogPath.map { p =>
+                  scala.util.Try(graft.operators.MaintenanceLease
+                      .withConfigured(session.spark) {
+                    graft.plans.CatalogPersistence.save(p)
+                  }) match {
+                    case scala.util.Success(_) =>
+                      graft.plans.MvAdvisor.MaintainResult(
+                        "__catalog_autosave", "catalog", stale = false,
+                        None, None, Some(s"saved: $p"))
+                    case scala.util.Failure(e) =>
+                      graft.plans.MvAdvisor.MaintainResult(
+                        "__catalog_autosave", "catalog", stale = false,
+                        None, None, Some("error: " +
+                          Option(e.getMessage).getOrElse(e.toString)
+                            .replaceAll("\\s+", " ").take(200)))
+                  }
+                }
+                sweep ++ autosave
+              }
               mmRes match {
                 case scala.util.Failure(e) =>
                   status("ERR INTERNAL mv_maintain: " +
@@ -1125,7 +1166,12 @@ final class ServingServer(
               // <kind> <root>: the maintenance-pressure gauge feeding
               // store_compact decisions — metadata-only, no data read.
               // segments is the read-amplification term compaction
-              // folds back to 1 (minhash/split) or re-clusters (ivf).
+              // folds back to 1 (minhash/split) or re-clusters (ivf);
+              // tombstones the second pressure term (live dead lists).
+              // For a REGISTERED store with lineage the row also carries
+              // freshness — registered name, watermark, live source
+              // head, fresh — so one verb answers both "is compaction
+              // due" and "is this store stale" (round 18).
               val sdParts = arg.split("\\s+")
               val sdRes = scala.util.Try {
                 require(sdParts.length == 2,
@@ -1134,7 +1180,12 @@ final class ServingServer(
                   session.spark, sdParts(0), sdParts(1))
                 (g.kind, g.root,
                   g.version.map(java.lang.Long.valueOf).orNull,
-                  g.segments, g.detail.orNull)
+                  g.segments, g.detail.orNull,
+                  g.tombstones.map(java.lang.Integer.valueOf).orNull,
+                  g.registered.orNull,
+                  g.watermark.map(java.lang.Long.valueOf).orNull,
+                  g.head.map(java.lang.Long.valueOf).orNull,
+                  g.fresh.map(java.lang.Boolean.valueOf).orNull)
               }
               sdRes match {
                 case scala.util.Failure(e) =>
@@ -1146,7 +1197,8 @@ final class ServingServer(
                   val result = {
                     import session.spark.implicits._
                     Seq(row).toDF("kind", "root", "version", "segments",
-                      "detail")
+                      "detail", "tombstones", "registered", "watermark",
+                      "head", "fresh")
                   }
                   org.apache.spark.sql.GraftArrowBridge
                     .writeBatches(result, batchSize, out)
@@ -1247,8 +1299,14 @@ final class ServingServer(
               // mv_maintain → save resumes every cursor at O(downtime
               // churn) instead of re-materializing at O(corpus).
               // Work-then-status, same rationale as store_compact.
+              // the save runs under the configured maintenance lease
+              // (spark.graft.maintenance.lease): a snapshot raced by a
+              // concurrent sweep could persist half-advanced cursors
               val csRes = scala.util.Try {
-                graft.plans.CatalogPersistence.save(arg)
+                graft.operators.MaintenanceLease
+                  .withConfigured(session.spark) {
+                    graft.plans.CatalogPersistence.save(arg)
+                  }
                 (arg, graft.plans.MvCatalog.describe().size,
                   graft.operators.StoreCatalog.describe().size)
               }
@@ -1276,8 +1334,11 @@ final class ServingServer(
               // artifacts moved on refresh cursors: the sweep's own
               // refusal contracts handle staleness, load only validates
               // existence.
-              val clRes = scala.util.Try(
-                graft.plans.CatalogPersistence.load(arg))
+              val clRes = scala.util.Try {
+                val r = graft.plans.CatalogPersistence.load(arg)
+                loadedCatalogPath = Some(arg) // arm mv_maintain autosave
+                r
+              }
               clRes match {
                 case scala.util.Failure(e) =>
                   status("ERR INVALID_ARGUMENT catalog_load: " +
@@ -1419,7 +1480,9 @@ final class ServingServer(
                 "catalog-wide maintenance sweep: refresh every stale " +
                   "advisor-built MV (rollup/multiplicity/join) and " +
                   "answer one row per registered view — stale verdict, " +
-                  "applied snapshot(s), or the skip reason"),
+                  "applied snapshot(s), or the skip reason; after a " +
+                  "catalog_load, autosaves the registry back to that " +
+                  "path (see the __catalog_autosave row)"),
               ("stream_view_describe",
                 "freshness of a streaming materialized view: " +
                   "<view_path> <source_path> [<wm_col: s|mn|nd|v>] -> " +
@@ -1430,9 +1493,11 @@ final class ServingServer(
                   "segment history; quiesce that store's writers first"),
               ("store_describe",
                 "maintenance-pressure gauge: <kind> <root> -> version, " +
-                  "live segment count, per-kind detail; metadata-only " +
-                  "— the input a scheduler polls to decide " +
-                  "store_compact"),
+                  "live segment count, live tombstone lists, per-kind " +
+                  "detail, and — for a registered store with lineage — " +
+                  "watermark vs live source head + fresh verdict; " +
+                  "metadata-only — one poll answers both compaction " +
+                  "pressure and staleness"),
               ("table_maintain",
                 "Iceberg nightly-job policy: <table_root> [retain_ms] " +
                   "— compact on delete pressure, expire history past " +

@@ -59,8 +59,9 @@ import org.apache.spark.sql.functions._
   * [[IvfIndex.buildBalanced]].
   *
   * Deletes are TOMBSTONE commits ([[delete]]: metadata-scale, no corpus
-  * locate-and-rewrite) anti-joined by every read path and folded away by
-  * [[compact]]. Streaming maintenance is
+  * locate-and-rewrite), SEGMENT-SCOPED so later ingests of the same ids
+  * stay visible (see [[delete]]), anti-joined by every read path and
+  * folded away by [[compact]]. Streaming maintenance is
   * `writeStream.foreachBatch(ingestSink(root))`: commits are
   * batch-id-stamped, so a replayed micro-batch is a no-op — the same
   * exactly-once discipline as the Iceberg streaming sink.
@@ -116,7 +117,17 @@ object IvfStore {
       // "is this snapshot in the pending chain", so foreign Iceberg
       // tables with non-monotone random snapshot ids key exactly-once
       // refreshes too (the r17 `-1` unkeyed fallback is gone).
-      lastRefreshSnapshot: Long = Long.MinValue)
+      lastRefreshSnapshot: Long = Long.MinValue,
+      // SEGMENT SCOPE of each delete list (round 18): delName -> the
+      // segments that existed when it committed; the anti-join applies
+      // only to rows from those segments, so a LATER ingest
+      // re-inserting a deleted id lands uncovered and is visible with
+      // NO compact — the update window becomes delete + ingest,
+      // O(churn) end to end (the r17 resurrection-guard compact is
+      // gone). A list missing from this map covers every segment
+      // (conservative legacy meaning). Cleared with `tombstones` by
+      // compact.
+      tombstoneScopes: Map[String, Seq[String]] = Map.empty)
 
   private val mapper = new ObjectMapper()
 
@@ -263,6 +274,12 @@ object IvfStore {
     n.put("lastBatchId", m.lastBatchId)
     if (m.lastRefreshSnapshot != Long.MinValue)
       n.put("lastRefreshSnapshot", m.lastRefreshSnapshot): Unit
+    if (m.tombstoneScopes.nonEmpty) {
+      val ts = n.putObject("tombstoneScopes")
+      m.tombstoneScopes.toSeq.sortBy(_._1).foreach { case (d, segs) =>
+        val a = ts.putArray(d); segs.foreach(a.add)
+      }
+    }
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(n)
   }
 
@@ -295,7 +312,11 @@ object IvfStore {
       n.path("idCol").asText("vec_id"),
       n.path("tombstones").elements().asScala.map(_.asText()).toSeq,
       n.path("lastBatchId").asLong(-1L),
-      n.path("lastRefreshSnapshot").asLong(Long.MinValue))
+      n.path("lastRefreshSnapshot").asLong(Long.MinValue),
+      n.path("tombstoneScopes").properties().asScala
+        .map(e => e.getKey ->
+          e.getValue.elements().asScala.map(_.asText()).toSeq)
+        .toMap)
   }
 
   /** Highest PARSEABLE committed version. A zero-length or torn v<N>.json
@@ -567,7 +588,8 @@ object IvfStore {
       val next = cur.copy(
         version = math.max(cur.version + 1, versionFloor),
         segments = Seq(segName), counts = counts,
-        tombstones = Nil) // dead rows physically dropped above
+        tombstones = Nil, // dead rows physically dropped above
+        tombstoneScopes = Map.empty)
       if (commit(root, next)) {
         cur.segments.foreach(s => deleteRecursively(Paths.get(root, s)))
         cur.tombstones.foreach(t => deleteRecursively(Paths.get(root, t)))
@@ -584,14 +606,17 @@ object IvfStore {
   /** Delete rows by id: writes the DISTINCT ids as a tombstone list and
     * CAS-commits it — a METADATA-SCALE operation (cost ∝ |ids|, never a
     * corpus locate-and-rewrite; at 100 TB the rows' cells are unknown
-    * without reading them, so eager removal would be a full scan). Every
-    * read path ([[readLive]], probe, split refits, compact) anti-joins
-    * the live tombstones; [[compact]] physically drops the dead rows and
-    * clears the list. Two deliberate consequences, both documented
-    * contract: per-leaf `counts` are NOT decremented (they gate splits —
-    * over-counting only splits a shrinking cell early; compact recounts
-    * exactly), and probe cost grows with the live tombstone volume until
-    * a compact folds it away.
+    * without reading them, so eager removal would be a full scan). The
+    * list is SEGMENT-SCOPED to the segments present at commit (round
+    * 18): every read path ([[readLive]], probe, split refits, compact)
+    * anti-joins each segment against only the lists covering it, so a
+    * LATER ingest re-inserting a deleted id is visible with no compact;
+    * [[compact]] physically drops the dead rows and clears the lists.
+    * Two deliberate consequences, both documented contract: per-leaf
+    * `counts` are NOT decremented (they gate splits — over-counting
+    * only splits a shrinking cell early; compact recounts exactly), and
+    * probe cost grows with the live tombstone volume until a compact
+    * folds it away.
     */
   def delete(spark: SparkSession, root: String, ids: DataFrame): Meta = {
     var cur = load(root)
@@ -607,7 +632,12 @@ object IvfStore {
         s"IVF delete at $root lost the commit race 20 times — giving up")
       val next = cur.copy(
         version = math.max(cur.version + 1, versionFloor),
-        tombstones = cur.tombstones :+ delName)
+        tombstones = cur.tombstones :+ delName,
+        // scope re-derives from the RELOADED meta on a lost race, so a
+        // segment a concurrent ingest committed is covered too — the
+        // conservative choice, matching the pre-scoping global behavior
+        // for anything present at commit time
+        tombstoneScopes = cur.tombstoneScopes + (delName -> cur.segments))
       if (commit(root, next)) done = Some(next)
       else { versionFloor = next.version + 1; cur = load(root) }
     }
@@ -659,17 +689,21 @@ object IvfStore {
       .reduce(_.unionByName(_))
 
   /** [[readAll]] minus tombstoned ids — what every query-facing path
-    * reads. The anti-join's right side is the tombstone lists (churn-
-    * scale; compaction folds them away), so it broadcasts.
+    * reads. SEGMENT-SCOPED (round 18): segments are grouped by the set
+    * of tombstone lists covering them (typically two groups — the
+    * pre-delete segments under their lists, the post-delete ingests
+    * under none) and each group anti-joins only ITS covering lists, so
+    * a re-ingested id in a newer segment stays visible while the old
+    * rows stay dead. The lists are churn-scale (compaction folds them
+    * away), so every anti-join broadcasts.
     */
   def readLive(spark: SparkSession, root: String, m: Meta): DataFrame =
-    antiTombstones(spark, root, m, readAll(spark, root, m))
+    liveRead(spark, root, m, cellFilter = None)
 
-  /** The union of the LIVE tombstone lists as one `(idCol)` frame, or
-    * None when nothing is tombstoned — the single place that knows the
-    * dead-list layout, shared by the read path's anti-join and the
-    * catalog refresh's resurrection guard
-    * ([[graft.operators.StoreCatalog]]).
+  /** The union of the LIVE tombstone lists as one `(idCol)` frame
+    * REGARDLESS of scope, or None when nothing is tombstoned — the
+    * coarse view tests and gauges consume (liveness itself is
+    * segment-scoped; see [[readLive]]).
     */
   def deadIds(spark: SparkSession, root: String, m: Meta): Option[DataFrame] =
     if (m.tombstones.isEmpty) None
@@ -677,24 +711,48 @@ object IvfStore {
       .map(t => spark.read.parquet(Paths.get(root, t).toString))
       .reduce(_.unionByName(_)))
 
-  private def antiTombstones(
+  /** The scoped live read shared by [[readLive]] and [[readCells]]:
+    * `cellFilter` applies per segment BEFORE the anti-join (directory
+    * pruning first, tombstones on the survivors — same order as the r17
+    * global form, now per covering-group).
+    */
+  private def liveRead(
       spark: SparkSession,
       root: String,
       m: Meta,
-      df: DataFrame): DataFrame =
-    deadIds(spark, root, m) match {
-      case None       => df
-      case Some(dead) => df.join(broadcast(dead), Seq(m.idCol), "left_anti")
+      cellFilter: Option[Seq[String]]): DataFrame = {
+    def segDf(s: String): DataFrame = {
+      val df = spark.read.parquet(Paths.get(root, s).toString)
+      cellFilter.fold(df)(cs => df.filter(col("cell").isin(cs: _*)))
     }
+    if (m.tombstones.isEmpty)
+      return m.segments.map(segDf).reduce(_.unionByName(_))
+    // lists covering a segment: scoped lists naming it + legacy lists
+    // with no recorded scope (which cover everything)
+    val covering: Map[String, Seq[String]] = m.segments.map { s =>
+      s -> m.tombstones.filter(t =>
+        m.tombstoneScopes.get(t).forall(_.contains(s)))
+    }.toMap
+    m.segments.groupBy(s => covering(s))
+      .map { case (lists, segs) =>
+        val rows = segs.map(segDf).reduce(_.unionByName(_))
+        if (lists.isEmpty) rows
+        else rows.join(
+          broadcast(lists
+            .map(t => spark.read.parquet(Paths.get(root, t).toString))
+            .reduce(_.unionByName(_))
+            .select(col(m.idCol)).distinct()),
+          Seq(m.idCol), "left_anti")
+      }
+      .reduce(_.unionByName(_))
+  }
 
   private def readCells(
       spark: SparkSession,
       root: String,
       m: Meta,
       cells: Seq[String]): DataFrame =
-    // cell filter FIRST (directory pruning), tombstones on the survivors
-    antiTombstones(spark, root, m,
-      readAll(spark, root, m).filter(col("cell").isin(cells: _*)))
+    liveRead(spark, root, m, cellFilter = Some(cells))
 
   /** Top-k by cosine within the nProbe leaves closest to the query —
     * exact w.r.t. the current model: stored labels are a prefix superset

@@ -39,10 +39,19 @@ import org.apache.spark.sql.functions._
   * generation inherit it) anti-joins the live tombstones, so a deleted doc
   * emits no candidate pairs the moment the delete commits; [[compact]]
   * physically drops the dead rows and the lists die with the old version
-  * dir. Tombstones are GLOBAL by doc_id: re-folding a tombstoned id would
-  * be hidden too — callers that re-insert a deleted id must compact first
-  * (the catalog refresh's resurrection guard,
-  * [[graft.operators.StoreCatalog]], does exactly that).
+  * dir.
+  *
+  * Tombstones are SEGMENT-SCOPED, not global by id: each list records
+  * (in its `_scope` side file, written inside the atomic publish) the
+  * segments that existed when the delete committed, and the anti-join
+  * applies only to rows from those segments. A LATER fold that
+  * re-inserts a tombstoned id lands in a new, uncovered segment and is
+  * visible immediately — so an UPDATE (delete old value + fold new) is
+  * two O(churn) commits with no compact in between, closing the last
+  * O(store) window shape the catalog refresh had
+  * ([[graft.operators.StoreCatalog]]'s r18 resurrection-compact is
+  * gone). A list with no `_scope` file covers every segment (the
+  * conservative legacy meaning).
   *
   * Every mutation commits through ONE atomic filesystem primitive, so no
   * crash point loses OR duplicates rows (the round-9 delete+rename swap
@@ -156,58 +165,18 @@ object MinHashIndex {
   // is create-exclusive and safe.
   // -------------------------------------------------------------------
 
+  // marker primitives live in MaintenanceLease since round 18 (one
+  // implementation for the per-index leases here AND the catalog-sweep
+  // lease); these thin aliases keep this file's call sites readable
   private def writeMarker(
       fs: FileSystem, p: Path, expiresAtMs: Long, owner: String): Boolean =
-    try {
-      val out = fs.create(p, false) // atomic create-exclusive
-      try out.write(s"$expiresAtMs:$owner".getBytes("UTF-8")) finally out.close()
-      true
-    } catch {
-      // ONLY "already exists" means held-by-another; a permission or
-      // quota failure misdiagnosed as a phantom lease would send the
-      // operator hunting for a concurrent compact that doesn't exist
-      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-      case e: java.io.IOException
-          if e.getMessage != null && e.getMessage.contains("exists") => false
-    }
+    MaintenanceLease.writeMarker(fs, p, expiresAtMs, owner)
 
-  /** Marker content as (expiry, owner); None when vanished or torn. */
-  private def readMarker(fs: FileSystem, p: Path): Option[(Long, String)] =
-    try {
-      val in = fs.open(p)
-      val raw = try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
-      val cut = raw.indexOf(':')
-      val (e, o) = if (cut < 0) (raw, "") else (raw.take(cut), raw.drop(cut + 1))
-      Some((e.toLong, o))
-    } catch {
-      // vanished between list and open = not held; torn write = stale
-      // garbage. Any OTHER IO failure propagates: treating a transient
-      // read error on a LIVE lease as "expired" would delete it.
-      case _: java.io.FileNotFoundException => None
-      case _: NumberFormatException         => None
-    }
-
-  private def markerExpired(fs: FileSystem, p: Path): Boolean =
-    readMarker(fs, p) match {
-      case Some((expiry, _)) => System.currentTimeMillis() > expiry
-      case None              => true // vanished/torn: not meaningfully held
-    }
-
-  /** Delete `p` if it exists and has expired. */
   private def breakIfExpired(fs: FileSystem, p: Path): Unit =
-    if (fs.exists(p) && markerExpired(fs, p)) fs.delete(p, false): Unit
+    MaintenanceLease.breakIfExpired(fs, p)
 
-  /** Release `p` ONLY if this caller still owns it — an overrun holder
-    * whose lease was TTL-broken and re-acquired by someone else must
-    * leave the new holder's marker alone (legacy owner-less markers
-    * release unconditionally).
-    */
   private def releaseIfOwner(fs: FileSystem, p: Path, owner: String): Unit =
-    readMarker(fs, p) match {
-      case Some((_, o)) if o == owner || o.isEmpty => fs.delete(p, false): Unit
-      case Some(_) => () // someone else's live lease: hands off
-      case None    => ()
-    }
+    MaintenanceLease.releaseIfOwner(fs, p, owner)
 
   private def activeFoldMarkers(fs: FileSystem, root: String): Seq[Path] = {
     val dir = leaseDir(root)
@@ -300,10 +269,11 @@ object MinHashIndex {
   def tombstoneCount(spark: SparkSession, index: StoredIndex): Int =
     tombstoneCount(spark, index, currentVersion(spark, index))
 
-  /** The union of the live tombstone lists as one `(doc_id)` frame, or
-    * None when nothing is tombstoned — shared by the read paths' anti-join
-    * and the catalog refresh's resurrection guard
-    * ([[graft.operators.StoreCatalog]]), mirroring [[IvfStore.deadIds]].
+  /** The union of the live tombstone lists as one `(doc_id)` frame
+    * REGARDLESS of scope, or None when nothing is tombstoned — the
+    * coarse view the pressure gauge and tests consume (liveness itself
+    * is segment-scoped; see [[liveSide]]), mirroring
+    * [[IvfStore.deadIds]].
     */
   def deadIds(spark: SparkSession, index: StoredIndex): Option[DataFrame] = {
     val fs = fileSystem(spark, index.root)
@@ -313,22 +283,64 @@ object MinHashIndex {
       .select(col("doc_id")).distinct())
   }
 
+  /** The segment names a tombstone list covers: its `_scope` side file
+    * (one name per line, written inside the atomic publish), or None =
+    * covers everything (legacy lists without the file).
+    */
+  private def tombstoneScope(fs: FileSystem, delDir: Path): Option[Set[String]] = {
+    val f = new Path(delDir, "_scope")
+    if (!fs.exists(f)) None
+    else {
+      val in = fs.open(f)
+      val raw = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      Some(raw.split("\n").map(_.trim).filter(_.nonEmpty).toSet)
+    }
+  }
+
+  /** The LIVE rows of one side at version `v`: segments grouped by the
+    * set of tombstone lists covering them (typically two groups — the
+    * pre-delete segments under their lists, the post-delete folds under
+    * none), each group anti-joined against only ITS covering lists. The
+    * dead lists are churn-scale by contract, so every anti-join
+    * broadcasts; a deleted doc emits no bands and no shingles from the
+    * commit on (the dedup-index correctness contract), while a LATER
+    * re-fold of the same id — landing in an uncovered segment — stays
+    * visible. Shared by the reads and [[compact]]'s physical drop so the
+    * liveness algebra cannot drift between them.
+    */
+  private def liveSide(
+      spark: SparkSession,
+      fs: FileSystem,
+      root: String,
+      v: Int,
+      side: String): DataFrame = {
+    val segs = segmentDirs(fs, root, v)
+    val dels = tombstoneDirs(fs, root, v)
+      .map(d => d -> tombstoneScope(fs, d))
+    if (dels.isEmpty)
+      return spark.read.parquet(segs.map(p => s"$p/$side"): _*)
+    val covering: Map[Path, Seq[Path]] = segs.map { s =>
+      s -> dels.collect {
+        case (d, scope) if scope.forall(_.contains(s.getName)) => d
+      }
+    }.toMap
+    segs.groupBy(s => covering(s).map(_.getName))
+      .map { case (_, members) =>
+        val rows = spark.read.parquet(members.map(p => s"$p/$side"): _*)
+        val lists = covering(members.head)
+        if (lists.isEmpty) rows
+        else rows.join(
+          broadcast(spark.read.parquet(lists.map(_.toString): _*)
+            .select(col("doc_id")).distinct()),
+          Seq("doc_id"), "left_anti")
+      }
+      .reduce(_.unionByName(_))
+  }
+
   private def readSide(spark: SparkSession, index: StoredIndex, side: String): DataFrame = {
     val fs = fileSystem(spark, index.root)
     val v = currentVersion(spark, index)
-    val dirs = segmentDirs(fs, index.root, v).map(p => s"$p/$side")
-    val rows = spark.read.parquet(dirs: _*)
-    // live tombstones subtract at read: the dead lists are churn-scale
-    // (compaction folds them away), so the anti-join broadcasts — a
-    // deleted doc emits no bands and no shingles from the commit on,
-    // which for a dedup index is the correctness contract (a stale entry
-    // would emit false candidate pairs)
-    val dead = tombstoneDirs(fs, index.root, v)
-    if (dead.isEmpty) rows
-    else rows.join(
-      broadcast(spark.read.parquet(dead.map(_.toString): _*)
-        .select(col("doc_id")).distinct()),
-      Seq("doc_id"), "left_anti")
+    liveSide(spark, fs, index.root, v, side)
   }
 
   def bands(spark: SparkSession, index: StoredIndex): DataFrame =
@@ -500,8 +512,10 @@ object MinHashIndex {
     * compact is about to discard would silently resurrect its docs).
     * Returns true when the tombstone committed, false when skipped.
     *
-    * Deleting an id and later re-folding it requires a [[compact]] in
-    * between (tombstones are global by id) — see the object doc.
+    * The list is SEGMENT-SCOPED to the segments present at commit time:
+    * a later [[foldOnce]] re-inserting a deleted id lands in an
+    * uncovered segment and is visible immediately, no compact needed —
+    * see the object doc.
     */
   def deleteOnce(ids: DataFrame, index: StoredIndex, token: String): Boolean =
     deleteOnceWithFaults(ids, index, token, NoFaults)
@@ -553,6 +567,15 @@ object MinHashIndex {
       // one small file: tombstone lists are churn-scale by contract
       ids.select(col("doc_id")).distinct().coalesce(1)
         .write.parquet(tmp.toString)
+      // the SCOPE rides inside the atomic publish: this list covers
+      // exactly the segments that exist now — a later fold's segment is
+      // uncovered, so re-inserting a deleted id needs no compact (the
+      // update-window economics; see the object doc). Resolved under
+      // the same lease-guarded version as the publish target.
+      val scope = segmentDirs(fs, index.root, v).map(_.getName)
+      val sOut = fs.create(new Path(tmp, "_scope"), true)
+      try sOut.write(scope.mkString("\n").getBytes("UTF-8"))
+      finally sOut.close()
       fault("tombstone-written")
       require(fs.rename(tmp, delDir), s"could not publish $delDir")
       fault("published")
@@ -646,23 +669,14 @@ object MinHashIndex {
     fault("recovered")
     val v = currentVersion(spark, index)
     val next = versionDir(index.root, v + 1)
-    val segs = segmentDirs(fs, index.root, v)
     // tombstoned rows are PHYSICALLY dropped here — the next version's
-    // base carries live rows only, and the del- lists die with the old
-    // version dir (cleared the same way IvfStore.compact clears its
-    // tombstone field)
-    val dead = tombstoneDirs(fs, index.root, v)
-    val deadDf =
-      if (dead.isEmpty) None
-      else Some(spark.read.parquet(dead.map(_.toString): _*)
-        .select(col("doc_id")).distinct())
+    // base carries the LIVE rows only (the same segment-scoped liveness
+    // the reads serve, so compact can never change query results), and
+    // the del- lists die with the old version dir (cleared the same way
+    // IvfStore.compact clears its tombstone field)
     Seq("bands", "shingles").foreach { side =>
-      val rows0 = spark.read.parquet(segs.map(p => s"$p/$side"): _*)
-      val rows1 = deadDf match {
-        case None    => rows0
-        case Some(d) => rows0.join(broadcast(d), Seq("doc_id"), "left_anti")
-      }
-      (if (dedupe) rows1.distinct() else rows1)
+      val rows = liveSide(spark, fs, index.root, v, side)
+      (if (dedupe) rows.distinct() else rows)
         .coalesce(nFiles)
         .write.mode("overwrite").parquet(new Path(next, s"base/$side").toString)
     }

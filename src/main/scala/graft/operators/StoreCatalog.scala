@@ -108,12 +108,14 @@ object StoreCatalog {
     *    entry never emits a false candidate pair; the next compact drops
     *    the rows physically.
     *  - Window with UPDATES (delete+insert of one id): both kinds
-    *    tombstone every updated/deleted id, COMPACT (the tombstone set is
-    *    global by id, so the new values must land after the old ones are
-    *    physically gone or the anti-join would hide them), then fold/
-    *    ingest the net inserts — O(store), the documented heavy path.
-    *    Update-heavy sources should prefer scheduled rebuilds or an
-    *    upsert-native store.
+    *    tombstone every updated/deleted id (scoped to the pre-existing
+    *    segments) and then fold/ingest the net inserts into a NEW,
+    *    uncovered segment — O(churn) end to end (round 18; the r17
+    *    resurrection-guard compact that made this O(store) is gone —
+    *    tombstones are segment-scoped, so new values are never hidden
+    *    by old deletes). The offline compact remains the pressure valve
+    *    that physically drops dead rows ([[StoreMaintenance.autopilot]]
+    *    triggers on live tombstone-list count as well as segments).
     *  - SPLIT stores ([[SplitStore]]): insert-only windows ingest
     *    through the leakage-safe assignment path (O(churn), snapshot-
     *    token idempotent); any delete/update REFUSES — assignments are
@@ -204,15 +206,16 @@ object StoreCatalog {
   /** Minhash refresh (round 18 — tombstones, never a rebuild): a window
     * carrying deletes tombstones every id with a delete change at
     * O(metadata) ([[MinHashIndex.deleteOnce]], snapshot-keyed
-    * exactly-once), then folds the NET inserts — preceded, only when one
-    * of them resurrects a tombstoned id (the update shape), by a compact
-    * that drops the dead rows first (tombstones are global by id; without
-    * the compact the anti-join would hide the fresh fold too). Insert-only
+    * exactly-once), then folds the NET inserts. The tombstone list is
+    * SEGMENT-SCOPED to the pre-existing segments, so the fold's new
+    * segment is uncovered and an UPDATE (delete old + fold new of one
+    * id) is two O(churn) commits with no compact — order matters
+    * (delete first, so the fold's segment post-dates the scope), and the
+    * crash replay preserves it: a replayed delete skips via its marker
+    * (its original scope intact), then the fold runs. Insert-only
     * windows stay the plain O(churn) fold. Every path ends by recording
     * the `snap-<head>` window token, so a stale-cursor maintainer
-    * prefix-skips delete-only windows exactly like folded ones. Crash
-    * replay converges: each sub-op carries its own exactly-once memory
-    * (delete marker / fold marker / compact's content idempotence).
+    * prefix-skips delete-only windows exactly like folded ones.
     */
   private def refreshMinhash(
       spark: SparkSession,
@@ -239,19 +242,12 @@ object StoreCatalog {
       val netInserts = netLastChange(window, src.idCol)
         .filter(col("_change_type") === "insert")
         .select(col(src.idCol).as("doc_id"), col(src.column).as("text"))
-      if (!netInserts.isEmpty) {
-        // resurrection guard, mirroring the ivf path: a net insert of an
-        // id on ANY live tombstone list — this window's update, or a
-        // delete from a previous never-compacted window — would fold but
-        // be anti-joined invisible. Compact first (drops dead rows,
-        // clears the lists); genuinely-new ids skip it entirely.
-        MinHashIndex.deadIds(spark, idx).foreach { dead =>
-          val resurrects = !netInserts.select(col("doc_id"))
-            .join(dead, Seq("doc_id"), "left_semi").isEmpty
-          if (resurrects) MinHashIndex.compact(spark, idx)
-        }
+      if (!netInserts.isEmpty)
+        // segment-scoped tombstones make this safe without a compact:
+        // the tombstone above covers only the PRE-EXISTING segments, so
+        // this fold's segment is uncovered and a re-inserted id is
+        // visible immediately — the update window is O(churn) end to end
         MinHashIndex.foldOnce(netInserts, idx, token = s"snap-$head"): Unit
-      }
       // delete-only windows never fold, so the window-applied token the
       // prefix-skip reads must be recorded explicitly (a no-op when the
       // fold above already committed it)
@@ -360,23 +356,13 @@ object StoreCatalog {
       IvfStore.delete(spark, d.root,
         netDeleted.union(updatedIds).distinct()): Unit
     }
-    if (!netInserts.isEmpty) {
-      // resurrection guard: IvfStore tombstones are GLOBAL by id and
-      // live until a compact, so an insert of an id on any live
-      // tombstone list — this window's update, or a delete from a
-      // PREVIOUS window never compacted away — would land but be
-      // anti-joined invisible on every read. Compact first (physically
-      // drops the old rows, clears the lists); an insert-only window of
-      // genuinely new ids skips the compact entirely.
-      val m = IvfStore.load(d.root)
-      IvfStore.deadIds(spark, d.root, m).foreach { dead =>
-        val tombIds = dead.withColumnRenamed(m.idCol, src.idCol)
-        val resurrects = !netInserts.select(col(src.idCol))
-          .join(tombIds, Seq(src.idCol), "left_semi").isEmpty
-        if (resurrects) IvfStore.compact(spark, d.root): Unit
-      }
+    if (!netInserts.isEmpty)
+      // segment-scoped tombstones (round 18) make this safe without the
+      // r17 resurrection-guard compact: the delete above covers only
+      // the PRE-EXISTING segments, so this ingest's segment is
+      // uncovered and a re-inserted/updated id is visible immediately —
+      // the update window is delete + ingest, O(churn) end to end
       IvfStore.ingestRefresh(spark, d.root, netInserts,
         refreshSnapshot = head): Unit
-    }
   }
 }

@@ -21,14 +21,30 @@ object StoreMaintenance {
 
   /** One gauge row: `version` is None for stores without a version
     * cursor (split), `detail` carries per-kind extras (ivf: live rows,
-    * tombstones, model leaves).
+    * tombstones, model leaves), `tombstones` the live dead-list count
+    * (minhash/ivf) — the second read-amplification term next to
+    * `segments`, and the autopilot's second compaction trigger.
+    *
+    * FRESHNESS (round 18): when the root belongs to a store registered
+    * in [[StoreCatalog]] with source lineage, the gauge also reports
+    * `registered` (the store name), its `watermark`, the live source
+    * `head`, and `fresh` = watermark == head — so a scheduler polls
+    * staleness AND compaction pressure from ONE verb, the same way
+    * `mv_describe` reports its fresh verdict. An unreachable source
+    * leaves head/fresh empty with the reason in `detail` (the gauge
+    * stays metadata-only and never fails on lineage problems).
     */
   final case class Gauge(
       kind: String,
       root: String,
       version: Option[Long],
       segments: Int,
-      detail: Option[String])
+      detail: Option[String],
+      tombstones: Option[Int] = None,
+      registered: Option[String] = None,
+      watermark: Option[Long] = None,
+      head: Option[Long] = None,
+      fresh: Option[Boolean] = None)
 
   private def unknown(kind: String): Nothing =
     throw new IllegalArgumentException(
@@ -38,25 +54,54 @@ object StoreMaintenance {
     * resolves the version head ONCE and counts that version's segments
     * (never a torn version/segments pair under a concurrent compact).
     */
-  def describe(spark: SparkSession, kind: String, root: String): Gauge =
-    kind match {
+  def describe(spark: SparkSession, kind: String, root: String): Gauge = {
+    val base = kind match {
       case "minhash" =>
         val idx = MinHashIndex.StoredIndex(root)
         val v = MinHashIndex.currentVersion(spark, idx)
         Gauge("minhash", root, Some(v.toLong),
-          MinHashIndex.segmentCount(spark, idx, v), None)
+          MinHashIndex.segmentCount(spark, idx, v), None,
+          tombstones = Some(MinHashIndex.tombstoneCount(spark, idx, v)))
       case "ivf" =>
         val m = IvfStore.load(root)
         Gauge("ivf", root, Some(m.version.toLong), m.segments.size,
           Some(s"rows=${m.counts.values.sum} " +
-            s"tombstones=${m.tombstones.size} " +
-            s"leaves=${m.model.leaves.size}"))
+            s"leaves=${m.model.leaves.size}"),
+          tombstones = Some(m.tombstones.size))
       case "split" =>
         val segs = SplitStore.liveSegments(root)
         require(segs > 0,
           s"$root is not a split store (no live segments)")
         Gauge("split", root, None, segs, None)
       case other => unknown(other)
+    }
+    attachFreshness(base)
+  }
+
+  /** Lineage attachment for [[describe]]: see the Gauge doc. */
+  private def attachFreshness(g: Gauge): Gauge =
+    StoreCatalog.findByRoot(g.root) match {
+      case None => g
+      case Some(d) =>
+        d.source match {
+          case None => g.copy(registered = Some(d.name))
+          case Some(src) =>
+            scala.util.Try(graft.sources.IcebergMeta
+                .load(src.basePath).currentSnapshot.map(_.id)) match {
+              case scala.util.Success(head) =>
+                g.copy(registered = Some(d.name),
+                  watermark = Some(src.watermark), head = head,
+                  fresh = head.map(_ == src.watermark))
+              case scala.util.Failure(e) =>
+                g.copy(registered = Some(d.name),
+                  watermark = Some(src.watermark),
+                  detail = Some((g.detail.toSeq :+
+                    ("source unreachable: " +
+                      Option(e.getMessage).getOrElse(e.toString)
+                        .replaceAll("\\s+", " ").take(120)))
+                    .mkString(" ")))
+            }
+        }
     }
 
   /** One [[autopilot]] row: `segmentsBefore` is the gauge that drove
@@ -88,22 +133,33 @@ object StoreMaintenance {
       spark: SparkSession,
       segmentThreshold: Int = 8): Seq[AutopilotResult] = {
     require(segmentThreshold > 0, "segmentThreshold must be positive")
-    StoreCatalog.describe().map { d =>
-      try {
-        val before = describe(spark, d.kind, d.root).segments
-        if (before <= segmentThreshold)
-          AutopilotResult(d.name, d.kind, Some(before),
-            compacted = false, None, None)
-        else {
-          compact(spark, d.kind, d.root, None): Unit
-          AutopilotResult(d.name, d.kind, Some(before), compacted = true,
-            Some(describe(spark, d.kind, d.root).segments), None)
+    // same enforced single-maintainer story as the refresh sweep: with
+    // spark.graft.maintenance.lease set, a racing autopilot backs off
+    // instead of double-compacting the walk (round 18)
+    MaintenanceLease.withConfigured(spark) {
+      StoreCatalog.describe().map { d =>
+        try {
+          val g = describe(spark, d.kind, d.root)
+          val before = g.segments
+          // pressure = max(segments, live tombstone lists): a
+          // delete-heavy store can sit at one data segment while its
+          // dead lists (each an extra anti-join input per read) pile
+          // up — without this second trigger it would never compact
+          val pressure = math.max(before, g.tombstones.getOrElse(0))
+          if (pressure <= segmentThreshold)
+            AutopilotResult(d.name, d.kind, Some(before),
+              compacted = false, None, None)
+          else {
+            compact(spark, d.kind, d.root, None): Unit
+            AutopilotResult(d.name, d.kind, Some(before), compacted = true,
+              Some(describe(spark, d.kind, d.root).segments), None)
+          }
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            AutopilotResult(d.name, d.kind, None, compacted = false, None,
+              Some("error: " + Option(e.getMessage).getOrElse(e.toString)
+                .replaceAll("\\s+", " ").take(200)))
         }
-      } catch {
-        case scala.util.control.NonFatal(e) =>
-          AutopilotResult(d.name, d.kind, None, compacted = false, None,
-            Some("error: " + Option(e.getMessage).getOrElse(e.toString)
-              .replaceAll("\\s+", " ").take(200)))
       }
     }
   }

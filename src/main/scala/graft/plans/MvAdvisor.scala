@@ -408,8 +408,14 @@ object MvAdvisor {
     * stores current.
     */
   def maintainAll(spark: SparkSession): Seq[MaintainResult] =
-    sweep(spark, MvCatalog.describe()) ++
-      sweepStores(spark, graft.operators.StoreCatalog.describe())
+    // the single-maintainer contract, ENFORCED when the deployment asks
+    // for it: with spark.graft.maintenance.lease set, a second
+    // concurrent sweep backs off with a clear error instead of
+    // interleaving store refreshes (round 18; leaseless when unset)
+    graft.operators.MaintenanceLease.withConfigured(spark) {
+      sweep(spark, MvCatalog.describe()) ++
+        sweepStores(spark, graft.operators.StoreCatalog.describe())
+    }
 
   /** [[maintainAll]] scoped to ONE base table: refresh every stale
     * advisor view whose (fact-side) base is `basePath` — rollups and
@@ -420,11 +426,13 @@ object MvAdvisor {
   def maintainBase(
       spark: SparkSession, basePath: String): Seq[MaintainResult] = {
     val base = MvCatalog.normalize(basePath)
-    sweep(spark, MvCatalog.describe()
-      .filter(i => MvCatalog.normalize(i.basePath) == base)) ++
-      sweepStores(spark, graft.operators.StoreCatalog.describe()
-        .filter(_.source.exists(s =>
-          MvCatalog.normalize(s.basePath) == base)))
+    graft.operators.MaintenanceLease.withConfigured(spark) {
+      sweep(spark, MvCatalog.describe()
+        .filter(i => MvCatalog.normalize(i.basePath) == base)) ++
+        sweepStores(spark, graft.operators.StoreCatalog.describe()
+          .filter(_.source.exists(s =>
+            MvCatalog.normalize(s.basePath) == base)))
+    }
   }
 
   /** The store half of the catalog-wide sweep: walk registered index
@@ -464,11 +472,22 @@ object MvAdvisor {
     * each batch — views registered later join the loop without
     * re-plumbing the sink. Returns the highest snapshot any view
     * applied (None = everything was already current).
+    *
+    * Lease interplay (round 18): when the configured maintenance lease
+    * is HELD by a scheduled sweep, the hook yields the round instead of
+    * crashing the stream — the holder's sweep is doing the same work,
+    * and the next micro-batch retries. Only the lease back-off is
+    * swallowed; every other failure propagates to the stream as before.
     */
   def maintainHook(
       basePath: String): (SparkSession, Long) => Option[Long] =
-    (s, _) => maintainBase(s, basePath).flatMap(_.appliedSnapshot)
-      .maxOption
+    (s, _) =>
+      try maintainBase(s, basePath).flatMap(_.appliedSnapshot).maxOption
+      catch {
+        case e: IllegalStateException
+            if e.getMessage != null && e.getMessage.contains("backed off") =>
+          None
+      }
 
   private def sweep(
       spark: SparkSession, infos: Seq[MvInfo]): Seq[MaintainResult] = {

@@ -426,8 +426,9 @@ object IncrementalQueries {
     // embeddings table (the embedding column rides the writer's new
     // primitive-element list type) — registered with source lineage by
     // materialize, churned TWICE (an insert+update window, then a
-    // delete window: together the three refreshStep cost shapes — fold /
-    // ingest, minhash rebuild, ivf tombstone+compact), and brought
+    // delete window: together the refreshStep cost shapes — fold /
+    // ingest for inserts, and the r18 segment-scoped tombstones that
+    // keep update AND delete windows O(churn) for both kinds), brought
     // current by the SAME MvAdvisor.maintainAll sweep that maintains
     // MVs. The returned rows are read from the REFRESHED STORES (the
     // index's per-doc shingle-set sizes; the IVF store's live ids and
@@ -474,7 +475,7 @@ object IncrementalQueries {
                 swept.toString)
           }
           // window 1 — docs: insert-only (fold); emb: new ids PLUS
-          // same-key upserts (update shape: tombstone→compact→ingest)
+          // same-key upserts (update shape: scoped tombstone + ingest)
           IcebergWriter.append(s, docsTbl,
             docs.filter($"doc_id" % 10 >= 8), None, 2000L)
           IcebergWriter.upsertRows(s, embTbl,

@@ -144,4 +144,64 @@ class CatalogPersistenceSpec extends SparkTestBase {
         dash(spark).orderBy($"k").collect().map(_.toSeq).toSeq)
     } finally { MvCatalog.clear(); StoreCatalog.clear() }
   }
+
+  test("crash before save: load -> sweep -> crash -> reload converges with zero re-applied windows") {
+    MvCatalog.clear(); StoreCatalog.clear()
+    val root = tempDir("graft-catpersist-crash")
+    val tbl = s"$root/docs_ice"
+    val idxRoot = s"$root/index"
+    val file = s"$root/catalog.json"
+    try {
+      val docs = spark.read.parquet(
+          SparkTestBase.Sf0001 + "/documents.parquet")
+        .select($"doc_id", $"text")
+      IcebergWriter.append(spark, tbl, docs.filter($"doc_id" < 200),
+        None, 1000L, formatVersion = 2)
+      val mhRec = MvAdvisor.DedupIndexRecommendation(tbl, "text", 1)
+      mhRec.materialize(spark, idxRoot): Unit
+      CatalogPersistence.save(file)
+
+      // restart 1: reload, churn arrives, sweep applies it — and then
+      // the maintainer CRASHES before its save (the autosave window)
+      MvCatalog.clear(); StoreCatalog.clear()
+      IcebergWriter.append(spark, tbl,
+        docs.filter($"doc_id" >= 200 && $"doc_id" < 260), None, 2000L)
+      assert(CatalogPersistence.load(file).forall(_.loaded))
+      assert(MvAdvisor.maintainAll(spark)
+        .find(_.name == mhRec.storeName).get.stale)
+      val idx = MinHashIndex.StoredIndex(idxRoot)
+      val segsAfterSweep = MinHashIndex.segmentCount(spark, idx)
+      val rowsAfterSweep = MinHashIndex.shingles(spark, idx)
+        .select($"doc_id", size($"sh")).as[(Long, Int)]
+        .collect().sorted.toSeq
+      // NO save happens (the crash) — the file still carries the
+      // pre-sweep cursor
+
+      // restart 2: reload the STALE cursor; the sweep must converge via
+      // the store's own exactly-once memory — the head==effFrom repair
+      // path — re-applying NOTHING (no new segment, no duplicated rows)
+      MvCatalog.clear(); StoreCatalog.clear()
+      assert(CatalogPersistence.load(file).forall(_.loaded))
+      val head = IcebergMeta.load(tbl).currentSnapshot.get.id
+      val swept2 = MvAdvisor.maintainAll(spark)
+        .find(_.name == mhRec.storeName).get
+      assert(swept2.appliedSnapshot === Some(head), swept2.toString)
+      assert(MinHashIndex.segmentCount(spark, idx) === segsAfterSweep,
+        "a stale-cursor resweep must not fold a new segment")
+      val rowsAfterResweep = MinHashIndex.shingles(spark, idx)
+        .select($"doc_id", size($"sh")).as[(Long, Int)]
+        .collect().sorted.toSeq
+      assert(rowsAfterResweep === rowsAfterSweep,
+        "zero re-applied windows: rows identical across the crash")
+      // the registry cursor is repaired; a save now closes the loop
+      assert(StoreCatalog.find(mhRec.storeName).get
+        .source.get.watermark === head)
+      CatalogPersistence.save(file)
+      MvCatalog.clear(); StoreCatalog.clear()
+      CatalogPersistence.load(file): Unit
+      assert(!MvAdvisor.maintainAll(spark)
+        .find(_.name == mhRec.storeName).get.stale,
+        "post-save reload is current")
+    } finally { MvCatalog.clear(); StoreCatalog.clear() }
+  }
 }

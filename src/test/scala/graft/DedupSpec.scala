@@ -317,14 +317,31 @@ class DedupSpec extends SparkTestBase {
     assert(post.contains((10L, 100L)), "surviving dup twin must still pair")
     assert(MinHashIndex.deadIds(spark, idx).get
       .as[Long].collect().toSeq === Seq(1L))
+    // SCOPED RESURRECTION (the update shape, NO compact): the tombstone
+    // covers only the segments that existed at delete time, so folding
+    // the id again lands in an uncovered segment and is visible
+    // immediately — delete + fold = two O(churn) commits
+    assert(MinHashIndex.foldOnce(
+      Seq((1L, sent(1))).toDF("doc_id", "text"), idx, "refold-early"))
+    assert(pairsWith(1L), "re-folded doc must be visible with NO compact")
+    assert(probePairs().contains((1L, 100L)))
+    assert(MinHashIndex.tombstoneCount(spark, idx) === 1,
+      "the scoped resurrection needs no compact — the list stays live")
+    // the old rows stay dead: exactly ONE live shingle row for doc 1
+    assert(MinHashIndex.shingles(spark, idx)
+      .filter($"doc_id" === 1L).count() === 1L,
+      "the tombstone must keep hiding the OLD rows while the new show")
+    // a SECOND delete covers the refold segment too: hidden again
+    assert(MinHashIndex.deleteOnce(Seq(1L).toDF("doc_id"), idx, "d2"))
+    assert(!pairsWith(1L), "a re-delete must cover the newer segment")
+    assert(probePairs() === post)
     // compact: physical drop, lists cleared, reads identical
     MinHashIndex.compact(spark, idx, nFiles = 1)
     assert(MinHashIndex.tombstoneCount(spark, idx) === 0)
     assert(MinHashIndex.deadIds(spark, idx).isEmpty)
     assert(!pairsWith(1L))
     assert(probePairs() === post, "compact must not change query results")
-    // resurrection: after the compact cleared the list, re-folding the
-    // id is visible again (the catalog refresh's guard compacts first)
+    // resurrection after the compact cleared the lists: still works
     assert(MinHashIndex.foldOnce(
       Seq((1L, sent(1))).toDF("doc_id", "text"), idx, "refold-1"))
     assert(pairsWith(1L), "re-folded doc must be visible post-compact")

@@ -253,6 +253,47 @@ class IvfStoreSpec extends SparkTestBase {
     assert(after.nonEmpty && !after.exists(r => (dead + 16L)(r._1)))
   }
 
+  test("scoped tombstones: a later ingest re-inserting deleted ids is visible with NO compact; the old rows stay dead") {
+    val root = tempDir("graft-ivfstore-scoped")
+    IvfStore.create(corpus(0 until 60), "embedding", root,
+      nCells = 4, cellCap = 200, splitK = 2, seed = 7L)
+    val dead = Seq(4L, 8L)
+    val del = IvfStore.delete(spark, root, dead.toDF("vec_id"))
+    assert(del.tombstoneScopes.keySet === del.tombstones.toSet,
+      "an r18 delete records its segment scope")
+    assert(del.tombstoneScopes.values.flatten.toSet === del.segments.toSet)
+    // re-ingest the SAME ids with shifted embeddings (the update shape)
+    val fresh = corpus(0 until 60).filter($"vec_id".isin(dead: _*))
+      .select($"vec_id",
+        transform($"embedding", x => x + lit(0.5f)).cast("array<float>")
+          .as("embedding"),
+        $"label")
+    val m2 = IvfStore.ingest(spark, root, fresh)
+    assert(m2.tombstones.nonEmpty, "no compact ran")
+    // exactly ONE live row per re-inserted id, carrying the NEW values
+    val live = IvfStore.readLive(spark, root, m2)
+      .filter($"vec_id".isin(dead: _*))
+      .select($"vec_id", element_at($"embedding", 1))
+      .as[(Long, Float)].collect().toSeq.sortBy(_._1)
+    assert(live.map(_._1) === dead,
+      s"each re-inserted id must be live exactly once: $live")
+    val want = fresh.select($"vec_id", element_at($"embedding", 1))
+      .as[(Long, Float)].collect().toSeq.sortBy(_._1)
+    assert(live === want, "the NEW values must be the visible ones")
+    // an id deleted and NOT re-ingested stays dead through the ingest
+    IvfStore.delete(spark, root, Seq(12L).toDF("vec_id")): Unit
+    val m3 = IvfStore.load(root)
+    assert(IvfStore.readLive(spark, root, m3)
+      .filter($"vec_id" === 12L).isEmpty)
+    // compact folds everything: same live rows, lists + scopes cleared
+    val before = IvfStore.readLive(spark, root, m3)
+      .select($"vec_id").as[Long].collect().sorted.toSeq
+    val mc = IvfStore.compact(spark, root)
+    assert(mc.tombstones.isEmpty && mc.tombstoneScopes.isEmpty)
+    assert(IvfStore.readLive(spark, root, mc)
+      .select($"vec_id").as[Long].collect().sorted.toSeq === before)
+  }
+
   test("streaming ingest via foreachBatch: exactly-once across replay, converges to the batch-equivalent state") {
     val root = tempDir("graft-ivfstore-stream")
     IvfStore.create(corpus(0 until 40), "embedding", root,

@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{MaintenanceLease, MinHashIndex, StoreCatalog}
+import graft.plans.MvAdvisor
+import graft.sources.{IcebergMeta, IcebergSource, IcebergWriter}
+
+/** The catalog-sweep maintenance lease ([[graft.operators
+  * .MaintenanceLease]]): the previously-documented single-maintainer
+  * contract for `maintainAll`/autopilot/`catalog_save`, now ENFORCED
+  * when `spark.graft.maintenance.lease` names a shared-filesystem lease
+  * dir — a second concurrent sweep backs off cleanly instead of
+  * interleaving store refreshes.
+  */
+class MaintenanceLeaseSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("acquire is exclusive, release frees, TTL breaks a crashed holder, release is ownership-checked") {
+    val dir = tempDir("graft-lease-basic")
+    val h1 = MaintenanceLease.acquire(spark, dir)
+    val e = intercept[IllegalStateException](
+      MaintenanceLease.acquire(spark, dir))
+    assert(e.getMessage.contains("backed off"), e.getMessage)
+    MaintenanceLease.release(h1)
+    val h2 = MaintenanceLease.acquire(spark, dir)
+    // a crashed holder's lease expires: acquire with a tiny TTL, don't
+    // release, and the next acquirer breaks it after expiry
+    MaintenanceLease.release(h2)
+    val crashed = MaintenanceLease.acquire(spark, dir, ttlMs = 50L)
+    Thread.sleep(80L)
+    val h3 = MaintenanceLease.acquire(spark, dir)
+    // the overrun holder's release must NOT free the new holder's lease
+    MaintenanceLease.release(crashed)
+    intercept[IllegalStateException](MaintenanceLease.acquire(spark, dir))
+    MaintenanceLease.release(h3)
+  }
+
+  test("N threads racing one acquire: exactly one wins (create-exclusive)") {
+    val dir = tempDir("graft-lease-race")
+    val n = 8
+    val barrier = new java.util.concurrent.CyclicBarrier(n)
+    val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+    val backoffs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val threads = (1 to n).map(_ => new Thread(() => {
+      barrier.await()
+      try {
+        MaintenanceLease.acquire(spark, dir): Unit
+        wins.incrementAndGet(): Unit
+      } catch {
+        case e: IllegalStateException if e.getMessage.contains("backed off") =>
+          backoffs.incrementAndGet(): Unit
+      }
+    }))
+    threads.foreach(_.start()); threads.foreach(_.join())
+    // all threads attempted BEFORE any release: exactly one may hold
+    assert(wins.get() === 1, s"wins=${wins.get()} backoffs=${backoffs.get()}")
+    assert(backoffs.get() === n - 1)
+  }
+
+  test("maintainAll under a held configured lease backs off; leaseless when unset; autopilot and sweep share the one lease") {
+    val leaseDir = tempDir("graft-lease-sweep")
+    try {
+      spark.conf.set(MaintenanceLease.ConfKey, leaseDir)
+      val held = MaintenanceLease.acquire(spark, leaseDir)
+      val e = intercept[IllegalStateException](MvAdvisor.maintainAll(spark))
+      assert(e.getMessage.contains("backed off"), e.getMessage)
+      val e2 = intercept[IllegalStateException](
+        graft.operators.StoreMaintenance.autopilot(spark))
+      assert(e2.getMessage.contains("backed off"), e2.getMessage)
+      MaintenanceLease.release(held)
+      // freed: the sweep runs (empty catalog -> empty result is fine)
+      MvAdvisor.maintainAll(spark): Unit
+      graft.operators.StoreMaintenance.autopilot(spark): Unit
+    } finally spark.conf.unset(MaintenanceLease.ConfKey)
+    // unset: leaseless, even while someone holds the dir's marker
+    val held2 = MaintenanceLease.acquire(spark, leaseDir)
+    try MvAdvisor.maintainAll(spark): Unit
+    finally MaintenanceLease.release(held2)
+  }
+
+  test("the streaming maintain hook yields under a held lease instead of crashing the stream") {
+    val leaseDir = tempDir("graft-lease-hook")
+    try {
+      spark.conf.set(MaintenanceLease.ConfKey, leaseDir)
+      val held = MaintenanceLease.acquire(spark, leaseDir)
+      // a scheduled sweep holds the lease: the ingest hook must NOT
+      // throw into foreachBatch (which would fail the stream) — it
+      // yields the round; the holder's sweep covers the same work and
+      // the next micro-batch retries
+      try assert(MvAdvisor.maintainHook(
+        tempDir("graft-lease-hook-base"))(spark, 1L).isEmpty)
+      finally MaintenanceLease.release(held)
+      // freed: the hook runs normally again (empty catalog -> None)
+      assert(MvAdvisor.maintainHook(
+        tempDir("graft-lease-hook-base2"))(spark, 2L).isEmpty)
+    } finally spark.conf.unset(MaintenanceLease.ConfKey)
+  }
+
+  test("two racing sweeps on one catalog leave the store equal to a single-sweep run") {
+    StoreCatalog.clear()
+    val leaseDir = tempDir("graft-lease-race-sweep")
+    val tbl = tempDir("graft-lease-docs") + "/docs_ice"
+    val root = tempDir("graft-lease-idx") + "/index"
+    val docs = spark.read
+      .parquet(SparkTestBase.Sf0001 + "/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    IcebergWriter.append(spark, tbl, docs.filter($"doc_id" < 150),
+      None, 1000L, formatVersion = 2)
+    val rec = MvAdvisor.DedupIndexRecommendation(tbl, "text", 1)
+    try {
+      rec.materialize(spark, root): Unit
+      IcebergWriter.append(spark, tbl,
+        docs.filter($"doc_id" >= 150 && $"doc_id" < 200), None, 2000L)
+      spark.conf.set(MaintenanceLease.ConfKey, leaseDir)
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      val outcomes =
+        new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val threads = (1 to 2).map(_ => new Thread(() => {
+        barrier.await()
+        try {
+          MvAdvisor.maintainAll(spark): Unit
+          outcomes.add("swept"): Unit
+        } catch {
+          case e: IllegalStateException
+              if e.getMessage.contains("backed off") =>
+            outcomes.add("backed-off"): Unit
+        }
+      }))
+      threads.foreach(_.start()); threads.foreach(_.join())
+      import scala.jdk.CollectionConverters._
+      val got = outcomes.asScala.toSeq.sorted
+      // either they truly raced (one swept, one backed off) or they
+      // serialized (both swept — the second a no-op); NEVER interleaved
+      assert(got == Seq("backed-off", "swept") || got == Seq("swept", "swept"),
+        got.toString)
+      // the store equals a single-sweep run: cursor at head, index rows
+      // equal to the base recompute, no duplicates
+      val head = IcebergMeta.load(tbl).currentSnapshot.get.id
+      assert(StoreCatalog.find(rec.storeName).get.source.get.watermark
+        === head)
+      val want = MinHashIndex.shingleSets(
+          IcebergSource.read(spark, tbl).select($"doc_id", $"text"))
+        .select($"doc_id", size($"sh"))
+        .as[(Long, Int)].collect().sorted.toSeq
+      val stored = MinHashIndex.shingles(
+          spark, MinHashIndex.StoredIndex(root))
+        .select($"doc_id", size($"sh"))
+        .as[(Long, Int)].collect().sorted.toSeq
+      assert(stored === want, "racing sweeps must equal one sweep")
+    } finally {
+      spark.conf.unset(MaintenanceLease.ConfKey)
+      StoreCatalog.clear()
+    }
+  }
+}

@@ -1017,6 +1017,127 @@ class ServingServerSpec extends SparkTestBase {
     }
   }
 
+  test("DO_ACTION mv_maintain / catalog_save back off over the wire while another maintainer holds the configured lease") {
+    import graft.operators.MaintenanceLease
+    val leaseDir = tempDir("graft-wire-lease")
+    val file = tempDir("graft-wire-lease-cat") + "/catalog.json"
+    try withServer { srv =>
+      spark.conf.set(MaintenanceLease.ConfKey, leaseDir)
+      val held = MaintenanceLease.acquire(spark, leaseDir)
+      try {
+        // a second maintainer's sweep/save over the wire: clean ERR with
+        // the back-off message, never an interleaved walk
+        val sweep = ServingClient.doAction(srv.boundPort, "mv_maintain")
+        assert(sweep.status.startsWith("ERR INTERNAL") &&
+          sweep.status.contains("backed off"), sweep.status)
+        val save = ServingClient.doAction(
+          srv.boundPort, "catalog_save", file)
+        assert(save.status.startsWith("ERR") &&
+          save.status.contains("backed off"), save.status)
+      } finally MaintenanceLease.release(held)
+      // lease freed: both verbs proceed
+      assert(ServingClient.doAction(srv.boundPort, "mv_maintain").isOk)
+      assert(ServingClient.doAction(
+        srv.boundPort, "catalog_save", file).isOk)
+    } finally spark.conf.unset(MaintenanceLease.ConfKey)
+  }
+
+  test("DO_ACTION mv_maintain autosaves the registry after a catalog_load: the saved file carries the post-sweep cursors") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.StoreCatalog
+    import graft.plans.{CatalogPersistence, MvAdvisor, MvCatalog}
+    import graft.sources.{IcebergMeta, IcebergWriter}
+    val root = tempDir("graft-wire-autosave")
+    val tbl = s"$root/docs_ice"
+    val file = s"$root/catalog.json"
+    val docs = spark.read
+      .parquet(SparkTestBase.Sf0001 + "/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    IcebergWriter.append(spark, tbl, docs.filter($"doc_id" < 150),
+      None, 1000L, formatVersion = 2)
+    val rec = MvAdvisor.DedupIndexRecommendation(tbl, "text", 1)
+    try withServer { srv =>
+      rec.materialize(spark, s"$root/index"): Unit
+      CatalogPersistence.save(file)
+      // no load yet: the sweep does NOT autosave (no autosave row)
+      val s0 = ServingClient.doAction(srv.boundPort, "mv_maintain")
+      assert(s0.isOk &&
+        !s0.rows.exists(_.head.toString == "__catalog_autosave"), s0.rows)
+      // restart + churn, then load over the wire — arming the autosave
+      MvCatalog.clear(); StoreCatalog.clear()
+      IcebergWriter.append(spark, tbl,
+        docs.filter($"doc_id" >= 150 && $"doc_id" < 200), None, 2000L)
+      assert(ServingClient.doAction(
+        srv.boundPort, "catalog_load", file).isOk)
+      val head = IcebergMeta.load(tbl).currentSnapshot.get.id
+      val s1 = ServingClient.doAction(srv.boundPort, "mv_maintain")
+      assert(s1.isOk, s1.status)
+      val auto = s1.rows.find(_.head.toString == "__catalog_autosave")
+        .getOrElse(fail(s"no autosave row: ${s1.rows}"))
+      assert(auto(5).toString.startsWith("saved: "), auto)
+      // the FILE now carries the post-sweep cursor: a fresh reload is
+      // already current — the crash window between sweep and save is gone
+      MvCatalog.clear(); StoreCatalog.clear()
+      assert(CatalogPersistence.load(file).forall(_.loaded))
+      assert(StoreCatalog.find(rec.storeName).get
+        .source.get.watermark === head,
+        "autosaved file must carry the swept watermark")
+      assert(!MvAdvisor.maintainAll(spark)
+        .find(_.name == rec.storeName).get.stale)
+    } finally { MvCatalog.clear(); StoreCatalog.clear() }
+  }
+
+  test("DO_ACTION store_describe reports freshness for a registered store: fresh -> churn -> stale -> sweep -> fresh") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.plans.MvAdvisor
+    import graft.sources.{IcebergMeta, IcebergWriter}
+    val tbl = tempDir("graft-sd-fresh") + "/docs_ice"
+    val root = tempDir("graft-sd-fresh-idx") + "/index"
+    val docs = spark.read
+      .parquet(SparkTestBase.Sf0001 + "/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    IcebergWriter.append(spark, tbl, docs.filter($"doc_id" < 150),
+      None, 1000L, formatVersion = 2)
+    val rec = MvAdvisor.DedupIndexRecommendation(tbl, "text", 1)
+    try withServer { srv =>
+      rec.materialize(spark, root): Unit
+      def gauge() = {
+        val r = ServingClient.doAction(srv.boundPort, "store_describe",
+          s"minhash $root")
+        assert(r.isOk, r.status)
+        val row = r.rows.head
+        // (…, tombstones@5, registered@6, watermark@7, head@8, fresh@9)
+        (row(6), row(7), row(8), row(9))
+      }
+      // just built: fresh, cursor at head
+      val wm0 = IcebergMeta.load(tbl).currentSnapshot.get.id
+      val g0 = gauge()
+      assert(g0._1.toString === rec.storeName, g0)
+      assert(g0._2 === wm0 && g0._3 === wm0 && g0._4 === true, g0)
+      // churn the base: the gauge flips stale WITHOUT any refresh work
+      IcebergWriter.append(spark, tbl,
+        docs.filter($"doc_id" >= 150 && $"doc_id" < 200), None, 2000L)
+      val head1 = IcebergMeta.load(tbl).currentSnapshot.get.id
+      val g1 = gauge()
+      assert(g1._2 === wm0 && g1._3 === head1 && g1._4 === false,
+        s"churned store must gauge stale: $g1")
+      // one wire sweep brings it current; the gauge flips back fresh
+      assert(ServingClient.doAction(srv.boundPort, "mv_maintain").isOk)
+      val g2 = gauge()
+      assert(g2._2 === head1 && g2._3 === head1 && g2._4 === true, g2)
+      // an UNREGISTERED root still gauges (pressure only, no freshness)
+      val other = tempDir("graft-sd-unreg") + "/index"
+      graft.operators.MinHashIndex.materialize(
+        docs.filter($"doc_id" < 50), other): Unit
+      val ru = ServingClient.doAction(srv.boundPort, "store_describe",
+        s"minhash $other")
+      assert(ru.isOk && ru.rows.head(6) == null && ru.rows.head(9) == null,
+        ru.rows)
+    } finally graft.operators.StoreCatalog.unregister(rec.storeName)
+  }
+
   test("DO_ACTION catalog_save/catalog_load: the registry snapshot round-trips over the wire") {
     import graft.operators.{StoreCatalog, StoreDef}
     val root = tempDir("graft-wire-catalog")

@@ -9,11 +9,12 @@ import graft.sources.{IcebergMeta, IcebergSource, IcebergWriter}
   * advisor builds register their stores with Iceberg source lineage, one
   * changelog `refreshStep` per window brings a store current, and the
   * catalog-wide `MvAdvisor.maintainAll` sweep covers stores alongside MVs.
-  * Pins the three documented window shapes (insert-only fold / ingest,
-  * delete-forced minhash rebuild, ivf update = tombstone→compact→ingest)
-  * plus the cross-window resurrection guard: an id deleted in one window
-  * and re-inserted in a later one must be VISIBLE after the refresh — the
-  * global-by-id tombstone anti-join would otherwise hide it forever.
+  * Pins the documented window shapes — insert-only fold / ingest, and
+  * the r18 segment-scoped tombstones that keep delete AND update windows
+  * O(churn) for both kinds (no rebuild, no compact) — plus cross-window
+  * resurrection: an id deleted in one window and re-inserted in a later
+  * one must be VISIBLE after the refresh, which the segment scoping
+  * delivers without any compact (the new segment is uncovered).
   */
 class StoreCatalogSpec extends SparkTestBase {
   import spark.implicits._
@@ -129,7 +130,7 @@ class StoreCatalogSpec extends SparkTestBase {
     } finally StoreCatalog.clear()
   }
 
-  test("ivf store: insert-only ingests; update window tombstones+compacts+ingests; cross-window re-insert stays visible") {
+  test("ivf store: insert-only ingests; update window is tombstone+ingest with NO compact; cross-window re-insert stays visible") {
     StoreCatalog.clear()
     val tbl = tempDir("graft-sc-ivf") + "/emb_ice"
     val root = tempDir("graft-sc-ivf-st") + "/store"
@@ -160,35 +161,50 @@ class StoreCatalogSpec extends SparkTestBase {
       assert(live() === base())
 
       // UPDATE window (equality upsert of existing ids, new values):
-      // tombstone → compact → ingest, in that order — the new values
-      // must be visible and appear exactly once
+      // tombstone the old values + ingest the new — with segment-scoped
+      // tombstones (r18) there is NO compact: the new values land in an
+      // uncovered segment and must be visible exactly once while the
+      // dead list stays live (the pressure valve is the autopilot)
+      val segsBefore = IvfStore.load(root).segments.size
       val upd = emb.filter($"vec_id" % 10 === 0)
         .select($"vec_id", transform($"embedding", x => -x).as("embedding"))
       IcebergWriter.upsertRows(spark, tbl, upd, "vec_id", 3000L)
       assert(refresh().isDefined)
       assert(live() === base(), "updated vectors must replace the old ones")
-      assert(IvfStore.load(root).tombstones.isEmpty,
-        "the update path must compact the tombstones away")
+      val mUpd = IvfStore.load(root)
+      assert(mUpd.tombstones.nonEmpty,
+        "the O(churn) update path must NOT compact the tombstones away")
+      assert(mUpd.segments.size === segsBefore + 1,
+        "the update ingests ONE new segment — no rewrite of the store")
+      assert(mUpd.tombstoneScopes.keySet === mUpd.tombstones.toSet,
+        "every r18 tombstone records its segment scope")
 
       // DELETE-only window: O(metadata) tombstone, NO compact
       IcebergWriter.deleteRowsWhere(spark, tbl, $"vec_id" % 10 === 8, 4000L)
       assert(refresh().isDefined)
       assert(live() === base())
-      assert(IvfStore.load(root).tombstones.nonEmpty,
-        "a delete-only window tombstones without compacting")
+      assert(IvfStore.load(root).tombstones.size > mUpd.tombstones.size,
+        "a delete-only window appends a tombstone list")
 
       // CROSS-WINDOW RESURRECTION: re-insert the ids deleted above in a
-      // later insert-only window. The stale tombstone would anti-join
-      // the new rows away on every read — the guard must compact first.
+      // later insert-only window. The stale tombstone covers only the
+      // segments that existed at delete time — the new segment is
+      // uncovered, so the rows are visible with NO compact.
       IcebergWriter.append(spark, tbl, emb.filter($"vec_id" % 10 === 8),
         None, 5000L)
       assert(refresh().isDefined)
       assert(live() === base(),
         "a re-inserted id must be visible after the refresh")
-      assert(IvfStore.load(root).tombstones.isEmpty,
-        "the resurrection guard compacts the stale tombstones")
+      assert(IvfStore.load(root).tombstones.nonEmpty,
+        "no compact ran — the scoped anti-join alone keeps reads exact")
       // idempotence: nothing moved, nothing to do
       assert(refresh().isEmpty)
+      // the offline compact (the autopilot's job) folds the history and
+      // changes NOTHING a reader sees
+      IvfStore.compact(spark, root): Unit
+      val mC = IvfStore.load(root)
+      assert(mC.tombstones.isEmpty && mC.tombstoneScopes.isEmpty)
+      assert(live() === base(), "compact must not change query results")
     } finally StoreCatalog.clear()
   }
 
@@ -318,7 +334,7 @@ class StoreCatalogSpec extends SparkTestBase {
       // one random churn window against BOTH bases per round: appends of
       // brand-new ids, value-churning upserts of live ids, deletes —
       // composed so every refreshStep window shape (insert-only fold /
-      // ingest, delete-forced rebuild, tombstone+compact+ingest, and
+      // ingest, scoped-tombstone delete, scoped-tombstone update, and
       // the cross-window re-insert after a delete) occurs by round 8
       def churn(round: Int): Unit = {
         val t = tick()
@@ -537,6 +553,38 @@ class StoreCatalogSpec extends SparkTestBase {
       assert(!again("ap_hot").compacted)
       intercept[IllegalArgumentException](
         StoreMaintenance.autopilot(spark, segmentThreshold = 0))
+    } finally StoreCatalog.clear()
+  }
+
+  test("autopilot's second trigger: tombstone-list pressure compacts a one-segment store") {
+    import graft.operators.StoreMaintenance
+    StoreCatalog.clear()
+    try {
+      val root = tempDir("graft-sc-ap-tomb") + "/index"
+      val docs = docsFixture
+      // ONE data segment, but three live tombstone lists: a delete-heavy
+      // store whose read amplification is all dead lists — segment count
+      // alone would never compact it (the r18 delete path makes this the
+      // common delete-window shape)
+      MinHashIndex.materialize(
+        docs.filter($"doc_id" < 100).select($"doc_id", $"text"), root): Unit
+      val idx = MinHashIndex.StoredIndex(root)
+      (1 to 3).foreach { i =>
+        assert(MinHashIndex.deleteOnce(
+          Seq(i.toLong * 7).toDF("doc_id"), idx, s"tp-$i"))
+      }
+      assert(MinHashIndex.segmentCount(spark, idx) === 1)
+      assert(MinHashIndex.tombstoneCount(spark, idx) === 3)
+      StoreCatalog.register(StoreDef("ap_tomb", "minhash", root, None))
+      val rows = StoreMaintenance.autopilot(spark, segmentThreshold = 2)
+        .map(r => r.name -> r).toMap
+      assert(rows("ap_tomb").compacted, rows("ap_tomb").toString)
+      assert(MinHashIndex.tombstoneCount(spark, idx) === 0,
+        "the compact folds the dead lists away")
+      val live = MinHashIndex.shingles(spark, idx)
+        .select($"doc_id").as[Long].collect().toSet
+      assert(Seq(7L, 14L, 21L).forall(!live.contains(_)),
+        "tombstoned docs must be physically gone post-compact")
     } finally StoreCatalog.clear()
   }
 }
