@@ -19,12 +19,17 @@ import graft.functions.{ArrayXxHash64, CosineSimilarity, DotProduct, LshRewriteH
   * graft.functions.Functions.register stays as the dynamic/runtime API for
   * sessions graft did not build.
   *
-  * Two optimizer Rules are injected, each with its own opt-in so neither
-  * can alter queries that never asked for it: plans.LshJoinRewrite (the
+  * Three optimizer Rules are injected. The two that can change WHAT a
+  * query reads each have their own opt-in so neither can alter queries
+  * that never asked for it: plans.LshJoinRewrite (the
   * cosine-threshold-join -> banded-LSH-join rewrite; fires ONLY on
   * predicates wrapped in `lsh_rewrite_hint(...)`) and plans.MvRewrite
   * (the materialized-view rollup rewrite; fires ONLY on base tables with
-  * a view registered in MvCatalog). No SparkStrategy: SURVEY.md
+  * a view registered in MvCatalog). plans.PreAggExpand (finest-grain
+  * pre-aggregation below CUBE/ROLLUP/GROUPING SETS expansion) is a pure
+  * algebraic optimization with a proven-exact output contract, so it
+  * defaults on like a built-in Catalyst rule (kill switch:
+  * `spark.graft.optimizer.preAggExpand=false`). No SparkStrategy: SURVEY.md
   * §4 found Catalyst's own rule families cover every rewrite the
   * reference performs or aspires to — the LSH rewrite is a graft-value
   * addition, not a parity need.
@@ -36,6 +41,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // MV rollup rewrite: no-op until an MV is registered in MvCatalog —
     // the registration IS the per-view opt-in (see MvRewrite's contract)
     ext.injectOptimizerRule(session => new graft.plans.MvRewrite(session))
+    // cube/rollup pre-aggregation: a pure algebraic optimization (exact
+    // same rows, types, nullability — see PreAggExpand's gates), so like
+    // Catalyst's own rules it defaults ON, with
+    // spark.graft.optimizer.preAggExpand=false as the kill switch for
+    // the high-cardinality-grain workloads it cannot help
+    ext.injectOptimizerRule(session => new graft.plans.PreAggExpand(session))
     register(ext, "capitalize", "uppercases a string (reference semantics)",
       es => Upper(es.head))
     register(ext, "cosine_sim", "cosine similarity of two array<float> vectors",

@@ -95,7 +95,10 @@ object PlanShapes {
     // bench set
     "q6_filter_agg" -> ShapeBounds(maxShuffles = 1, minPushedScans = 1),
     "q1_agg" -> ShapeBounds(maxShuffles = 2, minPushedScans = 1),
-    "q_agg_cube" -> ShapeBounds(maxShuffles = 2),
+    // 3 = finest-grain pre-aggregate (PreAggExpand; its exchange moves
+    // |grain| ~ 6 rows) + grouping-sets aggregate + final sort — the
+    // r17 2-shuffle plan expanded ALL input rows 4x instead
+    "q_agg_cube" -> ShapeBounds(maxShuffles = 3),
     "q3_join_agg" -> ShapeBounds(maxShuffles = 1, minBroadcastJoins = 2, minPushedScans = 3),
     "q5_join_multi" -> ShapeBounds(maxShuffles = 2, minBroadcastJoins = 5, minPushedScans = 6),
     "q_win_rank" -> ShapeBounds(maxShuffles = 2),
