@@ -144,7 +144,7 @@ object ScaleProbe {
       Set("all", "core", "core10x", "core30x", "extras", "dedup", "sim",
         "text", "events", "serve", "iceberg", "skip", "cdc", "manifests",
         "ivfstore", "stepfloor", "objectstore", "splitstore", "mvsweep",
-        "storecatalog")
+        "storecatalog", "preagg")
     // a typo'd group would otherwise spin up Spark, run NOTHING, and exit
     // 0 — indistinguishable from "probe found nothing"
     require(groups(which), s"unknown probe group '$which' (one of: ${groups.mkString(", ")})")
@@ -172,7 +172,86 @@ object ScaleProbe {
     if (which == "splitstore") splitStoreProbe(spark) // not in "all": 25 sequential ingests
     if (which == "mvsweep") mvSweepProbe(spark) // not in "all": builds a 1M-row table
     if (which == "storecatalog") storeCatalogProbe(spark) // not in "all": builds 400k-row stores
+    if (which == "preagg") preAggProbe(spark) // not in "all": builds 3.2M-row tables
     spark.stop()
+  }
+
+  /** PreAggExpand economics: CUBE over N rows with and without the
+    * finest-grain pre-aggregate, N growing 200k -> 800k -> 3.2M. Spark's
+    * stock plan expands every row once per grouping set (4x here) before
+    * aggregating; the rewrite expands |grain| (= 35) rows instead. Both
+    * plans are linear in N (each reads every row once), so the receipt
+    * is the CONSTANT: the rewritten cube should track a plain
+    * finest-grain GROUP BY (its only full-input pass) with the 4x
+    * replication cost gone, and the gap should hold steady as N grows —
+    * what survives to 100 TB, where the expand pass is the whole query.
+    * The probe also measures the documented ADVERSE case the kill
+    * switch exists for: a grain near |input| (id-keyed dim), where the
+    * pre-aggregate's extra exchange buys nothing — the claim is the
+    * overhead stays a bounded small multiple, not a blow-up.
+    */
+  private def preAggProbe(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    val Conf = "spark.graft.optimizer.preAggExpand"
+    // the bench cube's shape: string dims, a decimal measure (the
+    // expensive buffer), a double measure
+    def fixture(n: Long) = spark.range(n).select(
+      concat(lit("s"), pmod(col("id"), lit(7))).as("d1"),
+      pmod(col("id"), lit(5)).as("d2"),
+      (col("id") % 1000).cast("double").as("v"),
+      ((col("id") % 100000) / 100).cast("decimal(14,2)").as("vdec"),
+      col("id"))
+    def runCube(df: org.apache.spark.sql.DataFrame): Unit = {
+      val rows = df.cube(col("d1"), col("d2"))
+        .agg(count(lit(1)).as("n"), sum(col("vdec")).as("sd"),
+          sum(col("v")).as("s"), min(col("v")).as("mn"),
+          max(col("v")).as("mx"), avg(col("v")).as("a"))
+        .collect()
+      require(rows.length == 48, s"cube grain drifted: ${rows.length}")
+    }
+    // min of 3 reps per cell: single reps at the largest size are GC /
+    // cache-materialization noise, and the floor of the distribution is
+    // the number that transfers
+    def best(label: String, n: Long)(body: => Unit): (String, Long, Double) =
+      (1 to 3).map(_ => time(label, n)(body)).minBy(_._3)
+    val resultsAll = Seq(1000000L, 1000000L, 4000000L, 16000000L).flatMap { n =>
+      val df = fixture(n).cache()
+      df.count() // materialize: probe the aggregation, not the scan
+      spark.conf.set(Conf, "false")
+      val off = best(s"cube_expand_${n / 1000}k", n) { runCube(df) }
+      spark.conf.set(Conf, "true")
+      val on = best(s"cube_preagg_${n / 1000}k", n) { runCube(df) }
+      val grp = best(s"groupby_floor_${n / 1000}k", n) {
+        require(df.groupBy(col("d1"), col("d2"))
+          .agg(count(lit(1)), sum(col("vdec")), sum(col("v")))
+          .collect().length == 35)
+      }
+      df.unpersist()
+      Seq(off, on, grp)
+    }
+    val results = resultsAll.drop(3) // drop the warmup group
+    println("--- cube: stock 4x expand vs finest-grain pre-aggregate (grain=35) ---")
+    results.foreach { case (l, rows, s) => println(f"$l%-22s rows=$rows%9d  $s%8.2f s") }
+    (0 until 3).foreach { i =>
+      val (_, _, off) = results(i * 3 + 0) // off/on/floor triplets per size
+      val (_, _, on) = results(i * 3 + 1)
+      val (_, _, floor) = results(i * 3 + 2)
+      val (_, rows, _) = results(i * 3)
+      println(f"rows=$rows%9d  speedup=${off / on}%5.2f x   preagg vs plain groupBy floor=${on / floor}%5.2f x")
+    }
+    // adverse case: grain == input — the kill-switch workload
+    val n = 800000L
+    val wide = fixture(n).withColumn("d1", col("id")).cache()
+    wide.count()
+    def runWide(): Unit = require(
+      wide.cube(col("d1")).agg(count(lit(1)).as("n")).count() == n + 1)
+    spark.conf.set(Conf, "false")
+    val (_, _, wOff) = best("widegrain_expand", n) { runWide() }
+    spark.conf.set(Conf, "true")
+    val (_, _, wOn) = best("widegrain_preagg", n) { runWide() }
+    wide.unpersist()
+    println(f"--- adverse grain==N case: expand=$wOff%5.2f s  preagg=$wOn%5.2f s  " +
+      f"overhead=${wOn / wOff}%5.2f x (bounded; the documented kill-switch workload) ---")
   }
 
   /** File-level data-skipping economics on a range-clustered table whose

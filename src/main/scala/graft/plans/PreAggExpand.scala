@@ -80,10 +80,15 @@ import org.apache.spark.sql.types._
   *    here would silently change downstream DataFrame schemas).
   *
   * Idempotence (the rule runs in the fixed-point operator-optimization
-  * batch): a rewritten plan's Expand child is an Aggregate grouped
-  * exactly by the dimension sources, which the entry guard skips — the
-  * same guard also skips user plans that already pre-aggregate at the
-  * grain, where the rewrite could only add overhead.
+  * batch): a rebuilt Expand carries a TreeNodeTag the entry guard skips
+  * (robust even when a LATER rule rewrites the pre-aggregate underneath
+  * — MvRewrite routing the grain aggregate to a stored rollup MV is the
+  * live case: the cube then answers entirely from the MV, and the tag
+  * keeps this rule from stacking a second grain aggregate on the
+  * rewritten child). A structural backstop also skips any Expand whose
+  * child is already an Aggregate at the dimension grain — including
+  * user plans that pre-aggregated by hand, where the rewrite could only
+  * add overhead.
   */
 class PreAggExpand(session: SparkSession) extends Rule[LogicalPlan] {
 
@@ -102,11 +107,17 @@ class PreAggExpand(session: SparkSession) extends Rule[LogicalPlan] {
   }
 
   private def rewrite(agg: Aggregate, expand: Expand): Option[Aggregate] = {
+    // idempotence guard 1: an Expand this rule already rebuilt is tagged
+    // (tags survive makeCopy, so later rules rewriting the pre-aggregate
+    // underneath — e.g. MvRewrite routing it to a stored rollup — don't
+    // trick the rule into stacking a second grain aggregate)
+    if (expand.getTagValue(PreAggExpand.Applied).isDefined) return None
     val shape = classify(expand).getOrElse(return None)
     if (shape.dims.isEmpty) return None
 
     val dimSrcIds = shape.dims.map(_.source.exprId).toSet
-    // idempotence / already-pre-aggregated guard
+    // idempotence guard 2 (structural backstop, also skips user plans
+    // already aggregated at the grain where the rewrite buys nothing)
     expand.child match {
       case a: Aggregate
           if a.groupingExpressions.forall {
@@ -156,6 +167,7 @@ class PreAggExpand(session: SparkSession) extends Rule[LogicalPlan] {
     val newOutput =
       partialAttrs ++ shape.dims.map(_.out) :+ expand.output(shape.gidPos)
     val newExpand = Expand(newProjections, newOutput, preAgg)
+    newExpand.setTagValue(PreAggExpand.Applied, ())
 
     val newAggExprs = agg.aggregateExpressions.map { ne =>
       ne.transformUp {
@@ -275,6 +287,10 @@ class PreAggExpand(session: SparkSession) extends Rule[LogicalPlan] {
 }
 
 object PreAggExpand {
+  /** Marks an Expand whose child this rule already pre-aggregated. */
+  private[plans] val Applied =
+    org.apache.spark.sql.catalyst.trees.TreeNodeTag[Unit]("graft.preAggExpand")
+
   /** Dimension output position: `source` is the child-side attribute the
     * non-null projections carry, `out` the Expand's (nulled-per-set)
     * output attribute.

@@ -152,6 +152,28 @@ class MvRewriteSpec extends SparkTestBase with BeforeAndAfterAll {
     assert(bRow(3) === 0L && bRow(6) == null)
   }
 
+  test("CUBE answers from the MV: PreAggExpand + MvRewrite compose") {
+    // PreAggExpand plants a finest-grain (k, g) aggregate below the
+    // grouping-sets Expand; MvRewrite then answers THAT aggregate from
+    // the stored rollup — so the whole cube runs without touching the
+    // base table. At 100 TB this composition is the difference between
+    // a dashboard cube costing a keys-sized MV scan and a full-corpus
+    // expand
+    def cube(s: SparkSession): DataFrame = s.read.parquet(basePath)
+      .cube(col("k"), col("g"))
+      .agg(sum(col("y")).as("sy"), count(lit(1)).as("n"),
+        grouping(col("k")).cast("int").as("gk"))
+      .orderBy(col("gk"), col("k").asc_nulls_first, col("g").asc_nulls_first)
+    val rewritten = cube(s2)
+    assert(readsMv(rewritten),
+      s"cube did not route to the MV: ${scanPaths(rewritten)}")
+    val direct = cube(spark)
+    assert(!readsMv(direct))
+    assert(rewritten.schema === direct.schema)
+    assert(rewritten.collect().map(_.toSeq).toSeq ===
+      direct.collect().map(_.toSeq).toSeq)
+  }
+
   test("count(*) over an empty selection is 0 through the MV, not null") {
     val q = s2.read.parquet(basePath)
       .filter(col("g") === "zzz")
