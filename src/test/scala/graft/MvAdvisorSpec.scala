@@ -688,4 +688,37 @@ class MvAdvisorSpec extends SparkTestBase with BeforeAndAfterAll {
         "rewritten answer must equal the direct plan's")
     }
   }
+
+  test("CUBE workloads are advisable: the PreAggExpand grain aggregate harvests, and the built rollup answers the cube") {
+    // PreAggExpand plants Aggregate_grain(scan) inside every cube plan —
+    // exactly the shape analyze() harvests — so dashboard cubes feed the
+    // advisor without special-casing grouping sets anywhere
+    def cubeQ(s: SparkSession): DataFrame = s.read.parquet(basePath)
+      .cube(col("k"), col("g"))
+      .agg(sum(col("y")).as("sy"), count(lit(1)).as("n"))
+      .orderBy(col("k").asc_nulls_first, col("g").asc_nulls_first)
+    val shapes = MvAdvisor.analyze(cubeQ(spark)).flatMap(_.toOption)
+    assert(shapes.size === 1, s"expected ONE harvested grain shape: $shapes")
+    val s = shapes.head
+    assert(s.groupCols.toSet === Set("k", "g") && s.sums === Set("y") &&
+      s.countStar, s"grain shape drifted: $s")
+
+    val recs = MvAdvisor.recommend(shapes)
+    assert(recs.size === 1 && recs.head.kind === "rollup")
+    val dir = new java.io.File(basePath).getParent
+    recs.head.materialize(spark, s"$dir/adv_cube_rollup.parquet")
+    def scanPaths(df: DataFrame): Seq[String] =
+      df.queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.rootPaths.map(_.toUri.getPath)
+      }.flatten
+    val rewritten = cubeQ(s2)
+    // any advisor-built rollup on the base may win cost selection; the
+    // pinned property is: the cube reads an MV, never the base
+    assert(scanPaths(rewritten).exists(_.contains("adv_")),
+      s"cube did not route to an advisor MV: ${scanPaths(rewritten)}")
+    assert(!scanPaths(rewritten).exists(_.contains("wbase")))
+    assert(rewritten.collect().map(_.toSeq).toSeq ===
+      cubeQ(spark).collect().map(_.toSeq).toSeq)
+  }
 }
