@@ -70,11 +70,19 @@ import org.apache.spark.sql.types._
   *    ResolveGroupingAnalytics emits;
   *  - at least one dimension (a dimensionless expand of an empty input
   *    must stay empty; a global pre-aggregate would fabricate a row);
-  *  - every aggregate is an undistinct, unfiltered sum/count/min/max, or
-  *    a legacy/ansi-mode avg over float/double/integral input (decimal
-  *    avg's division typing is not worth replicating; try_avg bails);
-  *    distinct aggregates, first/last, collect_*, UDAFs, percentile,
-  *    etc. all bail;
+  *  - every non-DISTINCT aggregate is an unfiltered sum/count/min/max,
+  *    or a legacy/ansi-mode avg over float/double/integral input
+  *    (decimal avg's division typing is not worth replicating; try_avg
+  *    bails); first/last, collect_*, UDAFs, percentile, etc. all bail.
+  *    DISTINCT aggregates are supported by GRAIN EXTENSION instead of
+  *    decomposition: the finest grain grows by the distinct arguments'
+  *    columns, grain rows then preserve the exact distinct value sets,
+  *    and the aggregate re-runs verbatim above the Expand — count
+  *    (distinct user) by cube(dims) pre-reduces to the distinct
+  *    (dims, user) pairs, exactly the rows ANY exact distinct must
+  *    shuffle, before the per-set replication and before
+  *    RewriteDistinctAggregates adds its own expand downstream
+  *    (filtered distincts and non-column-reference distincts bail);
   *  - the rebuilt aggregate output matches the original column-for-column
   *    in dataType AND nullability (checked, not assumed — a schema drift
   *    here would silently change downstream DataFrame schemas).
@@ -128,44 +136,69 @@ class PreAggExpand(session: SparkSession) extends Rule[LogicalPlan] {
       case _ =>
     }
 
-    val passIds = shape.passthrough.map(_.exprId).toSet
+    val passByIdMap = shape.passthrough.map(a => a.exprId -> a).toMap
+    val passIds = passByIdMap.keySet
 
     // one partial set per distinct aggregate (keyed canonically, so
-    // sum(x) referenced twice shares one partial column)
+    // sum(x) referenced twice shares one partial column). DISTINCT
+    // aggregates take the verbatim path instead: the grain is EXTENDED
+    // by their argument columns, so grain rows preserve the exact
+    // distinct value sets and the aggregate re-runs unchanged above the
+    // Expand — over |dims x distinct-args| rows, which is exactly the
+    // pair set any exact distinct computation must shuffle anyway,
+    // reduced BEFORE the per-set replication (and before
+    // RewriteDistinctAggregates adds its own expand downstream).
     val partialByAgg =
       scala.collection.mutable.LinkedHashMap.empty[Expression, Decomposed]
+    val verbatimRefs =
+      scala.collection.mutable.LinkedHashMap.empty[ExprId, Attribute]
     var ok = true
     agg.aggregateExpressions.foreach(_.foreach {
       case ae: AggregateExpression if ok =>
         if (!partialByAgg.contains(ae.canonicalized)) {
-          decompose(ae, passIds) match {
-            case Some(d) => partialByAgg.put(ae.canonicalized, d)
-            case None => ok = false
+          if (ae.isDistinct) {
+            val refs = ae.aggregateFunction.references.toSeq
+            if (ae.filter.isEmpty && refs.nonEmpty &&
+                refs.forall(a => passIds.contains(a.exprId))) {
+              refs.foreach(a =>
+                verbatimRefs.getOrElseUpdate(a.exprId, passByIdMap(a.exprId)))
+              partialByAgg.put(ae.canonicalized, Decomposed(Nil, ae))
+            } else ok = false
+          } else {
+            decompose(ae, passIds) match {
+              case Some(d) => partialByAgg.put(ae.canonicalized, d)
+              case None => ok = false
+            }
           }
         }
       case _ =>
     })
     if (!ok) return None
 
-    val dimSources: Seq[Attribute] = {
+    // grain = dimension sources, extended by the distinct-aggregate
+    // argument columns (dedup'd by exprId, dims first)
+    val grainAttrs: Seq[Attribute] = {
       val seen = scala.collection.mutable.LinkedHashSet.empty[ExprId]
-      shape.dims.flatMap { d =>
-        if (seen.add(d.source.exprId)) Some(d.source) else None
+      (shape.dims.map(_.source) ++ verbatimRefs.values).flatMap { a =>
+        if (seen.add(a.exprId)) Some(a) else None
       }
     }
     val partialAliases = partialByAgg.values.flatMap(_.partials).toSeq
     val preAgg = Aggregate(
-      dimSources,
-      dimSources ++ partialAliases,
+      grainAttrs,
+      grainAttrs ++ partialAliases,
       expand.child
     )
 
+    // passthrough block: partials + the verbatim aggregates' argument
+    // columns (all preAgg outputs, ids preserved)
     val partialAttrs = partialAliases.map(_.toAttribute)
+    val passBlock = partialAttrs ++ verbatimRefs.values
     val newProjections = expand.projections.map { proj =>
-      partialAttrs ++ shape.dims.map(d => proj(d.pos)) :+ proj(shape.gidPos)
+      passBlock ++ shape.dims.map(d => proj(d.pos)) :+ proj(shape.gidPos)
     }
     val newOutput =
-      partialAttrs ++ shape.dims.map(_.out) :+ expand.output(shape.gidPos)
+      passBlock ++ shape.dims.map(_.out) :+ expand.output(shape.gidPos)
     val newExpand = Expand(newProjections, newOutput, preAgg)
     newExpand.setTagValue(PreAggExpand.Applied, ())
 
@@ -187,7 +220,7 @@ class PreAggExpand(session: SparkSession) extends Rule[LogicalPlan] {
     if (!rebuilt.references.subsetOf(newExpand.outputSet)) return None
     logInfo(
       s"PreAggExpand: pre-aggregating ${expand.projections.size} grouping " +
-        s"sets at grain [${dimSources.map(_.name).mkString(", ")}] below Expand")
+        s"sets at grain [${grainAttrs.map(_.name).mkString(", ")}] below Expand")
     Some(rebuilt)
   }
 

@@ -178,6 +178,31 @@ object CoreQueriesA {
       ),
       bench = true
     ),
+    // DISTINCT under CUBE — rides PreAggExpand's grain-extension path:
+    // the pre-aggregate reduces to distinct (returnflag, suppkey) pairs
+    // before the per-set replication, and count(DISTINCT) re-runs
+    // verbatim above the Expand. The DuckDB oracle computes the naive
+    // plan, so hash equality proves the extension exact.
+    Q(
+      "q_agg_cube_distinct",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .cube($"l_returnflag")
+          .agg(
+            count_distinct($"l_suppkey").as("nd_supp"),
+            asDouble(sum(dec2($"l_quantity"))).as("qty"),
+            count(lit(1)).as("n"),
+            grouping($"l_returnflag").cast("int").as("g_rf")
+          )
+          .orderBy($"g_rf", $"l_returnflag".asc_nulls_first),
+      Some(
+        "SELECT l_returnflag, count(DISTINCT l_suppkey) AS nd_supp, " +
+          "CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS qty, " +
+          "count(*) AS n, CAST(grouping(l_returnflag) AS INT) AS g_rf " +
+          "FROM lineitem GROUP BY CUBE (l_returnflag) " +
+          "ORDER BY g_rf, l_returnflag ASC NULLS FIRST"
+      )
+    ),
     Q(
       "q_agg_rollup",
       (s, dir) =>

@@ -169,14 +169,36 @@ class PreAggExpandSpec extends SparkTestBase {
     assert(empty.isEmpty, "empty cube fabricated rows")
   }
 
-  test("bail: distinct aggregates, filtered aggregates, holistic aggregates") {
-    checkExact(fires = false) {
-      fixture.cube($"d1").agg(countDistinct($"d2").as("nd"))
+  test("DISTINCT aggregates ride via grain extension and stay exact") {
+    // count(distinct x) by cube(dims): the grain extends to
+    // (dims, x) pairs, the distinct re-runs verbatim above the Expand
+    checkExact(fires = true) {
+      fixture.cube($"d1").agg(
+        countDistinct($"d2").as("nd"),
+        sum($"v_int").as("s"),
+        count(lit(1)).as("n"))
     }
+    // distinct over a column that is ALSO a dim; multi-arg distinct;
+    // sum(distinct); distinct over an expression of a column
+    checkExact(fires = true) {
+      fixture.cube($"d1", $"d2").agg(
+        countDistinct($"d2").as("nd_dim"),
+        countDistinct($"d1", $"d2").as("nd_pair"),
+        sum_distinct($"v_int").as("sd"),
+        countDistinct(substring($"d2", 1, 1).as("e")).as("nd_expr"))
+    }
+  }
+
+  test("bail: filtered aggregates, filtered distincts, holistic aggregates") {
     fixture.createOrReplaceTempView("pre_agg_fx")
     checkExact(fires = false) {
       spark.sql(
         "SELECT d1, sum(v_int) FILTER (WHERE v_dbl > 50) AS s " +
+          "FROM pre_agg_fx GROUP BY CUBE(d1)")
+    }
+    checkExact(fires = false) {
+      spark.sql(
+        "SELECT d1, count(DISTINCT d2) FILTER (WHERE v_dbl > 50) AS nd " +
           "FROM pre_agg_fx GROUP BY CUBE(d1)")
     }
     checkExact(fires = false) {
@@ -234,7 +256,8 @@ class PreAggExpandSpec extends SparkTestBase {
         sum($"x").as("sx"),
         min($"y").as("mny"),
         max($"a").as("mxa"),
-        avg($"x").as("ax")
+        avg($"x").as("ax"),
+        countDistinct($"b").as("ndb")
       )
       val picked = rnd.shuffle(aggs).take(1 + rnd.nextInt(aggs.size))
       checkExact(fires = true) {
@@ -245,7 +268,8 @@ class PreAggExpandSpec extends SparkTestBase {
   }
 
   test("registered cube/rollup/grouping-sets queries ride the pre-aggregate") {
-    Seq("q_agg_cube", "q_agg_rollup", "q_agg_grouping_sets").foreach { q =>
+    Seq("q_agg_cube", "q_agg_rollup", "q_agg_grouping_sets",
+        "q_agg_cube_distinct").foreach { q =>
       val df = Registry.byName(q).fn(spark, SparkTestBase.Sf0001)
       assert(preAggExpands(df) === 1,
         s"$q: expected the grouping-sets Expand to read a pre-aggregate")
