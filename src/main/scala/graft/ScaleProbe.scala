@@ -252,6 +252,48 @@ object ScaleProbe {
     wide.unpersist()
     println(f"--- adverse grain==N case: expand=$wOff%5.2f s  preagg=$wOn%5.2f s  " +
       f"overhead=${wOn / wOff}%5.2f x (bounded; the documented kill-switch workload) ---")
+
+    // --- eager aggregation (EagerAggJoin): aggregate-over-join ----------
+    // Measures on the fact, grouped by a dim attribute — the warehouse
+    // shape. The receipt that transfers: with a SHUFFLE join (dim too big
+    // to broadcast) the stock plan shuffles EVERY fact row to the join;
+    // eager pre-aggregation shuffles the key grain instead. The probe
+    // also measures the BROADCAST-join case honestly — there the join
+    // already moves zero fact rows, so eager aggregation only adds work:
+    // that boundary is exactly why the rule is opt-in per session.
+    val EConf = "spark.graft.optimizer.eagerAggJoin"
+    val nF = 16000000L
+    def joinAggCase(label: String, nDim: Long, nKeys: Long): (Double, Double) = {
+      val factDf = spark.range(nF).select(
+        pmod(col("id"), lit(nKeys)).as("fk"),
+        (col("id") % 997).cast("double").as("v")).cache()
+      // the pad column pushes the big dim past the broadcast threshold
+      val dimDf = spark.range(nDim).select(
+        col("id").as("dk"),
+        concat(lit("g"), pmod(col("id"), lit(25))).as("grp"),
+        lpad(col("id").cast("string"), 48, "x").as("pad")).cache()
+      factDf.count(); dimDf.count()
+      def run(): Unit = require(
+        factDf.join(dimDf, col("fk") === col("dk"))
+          .groupBy(col("grp"))
+          .agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
+            avg(col("v")).as("a"))
+          .collect().length == 25)
+      spark.conf.set(EConf, "false")
+      val (_, _, off) = best(s"joinagg_${label}_stock", nF) { run() }
+      spark.conf.set(EConf, "true")
+      val (_, _, on) = best(s"joinagg_${label}_eager", nF) { run() }
+      spark.conf.unset(EConf)
+      factDf.unpersist(); dimDf.unpersist()
+      (off, on)
+    }
+    val (bOff, bOn) = joinAggCase("bcast", nDim = 1000L, nKeys = 1000L)
+    val (sOff, sOn) = joinAggCase("shuffle", nDim = 500000L, nKeys = 10000L)
+    println(f"--- eager aggregation, 16M-row fact, group by dim attr ---")
+    println(f"broadcast dim (1k):  stock=$bOff%5.2f s  eager=$bOn%5.2f s  " +
+      f"ratio=${bOff / bOn}%5.2f x (no join shuffle to save -> overhead; why the rule is opt-in)")
+    println(f"shuffle dim (500k):  stock=$sOff%5.2f s  eager=$sOn%5.2f s  " +
+      f"speedup=${sOff / sOn}%5.2f x (join input drops from 16M rows to the 10k-key grain)")
   }
 
   /** File-level data-skipping economics on a range-clustered table whose

@@ -47,6 +47,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // spark.graft.optimizer.preAggExpand=false as the kill switch for
     // the high-cardinality-grain workloads it cannot help
     ext.injectOptimizerRule(session => new graft.plans.PreAggExpand(session))
+    // eager aggregation (partial aggregate below an inner equi-join):
+    // opt-in per session (spark.graft.optimizer.eagerAggJoin=true) —
+    // only a win when the fact grain is materially smaller than the
+    // fact, which no parquet-scan statistics can decide automatically
+    ext.injectOptimizerRule(session => new graft.plans.EagerAggJoin(session))
     register(ext, "capitalize", "uppercases a string (reference semantics)",
       es => Upper(es.head))
     register(ext, "cosine_sim", "cosine similarity of two array<float> vectors",

@@ -1,0 +1,84 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.types._
+
+/** Shared aggregate-decomposition algebra for the two pre-aggregation
+  * rules ([[PreAggExpand]] below grouping-sets expansion, [[EagerAggJoin]]
+  * below joins): split one aggregate into finest-grain PARTIALS plus the
+  * RE-AGGREGATION that combines partial rows into exactly the original
+  * value — the distributive/algebraic function classification of Gray et
+  * al. (Data Cube, ICDE 1996). sum -> sum of sums (decimal re-sum cast
+  * back to the original type), count -> sum of counts kept never-null via
+  * coalesce, min/max -> min/max, avg -> sum/count carried in Spark's own
+  * double buffer type. Holistic functions (percentile, collect_*,
+  * first/last, UDAFs) and filtered/distinct aggregates return None — the
+  * callers have their own stricter or alternative handling for those.
+  */
+private[plans] object AggDecompose {
+
+  /** `partials` run at the finest grain; `reAgg` combines partial rows
+    * above it, producing exactly the original aggregate's type.
+    */
+  final case class Decomposed(partials: Seq[Alias], reAgg: Expression)
+
+  /** Decompose one aggregate; `allowed` is the set of column ids the
+    * aggregate's arguments may read (the caller's definition of "row
+    * values available at the grain"). None = not decomposable.
+    */
+  def decompose(
+      ae: AggregateExpression,
+      allowed: Set[ExprId]
+  ): Option[Decomposed] = {
+    if (ae.isDistinct || ae.filter.isDefined) return None
+    if (!ae.aggregateFunction.references.forall(a => allowed.contains(a.exprId)))
+      return None
+    def alias(e: Expression, n: String): Alias = Alias(e, n)()
+    def complete(f: AggregateFunction): AggregateExpression =
+      AggregateExpression(f, Complete, isDistinct = false)
+    def castTo(e: Expression, dt: DataType): Expression =
+      if (e.dataType == dt) e else Cast(e, dt)
+    val n = s"_preagg_${ae.resultId.id}"
+    ae.aggregateFunction match {
+      case s @ Sum(_, ctx) =>
+        val p = alias(AggregateExpression(s, Complete, ae.isDistinct), n)
+        val re = complete(Sum(p.toAttribute, ctx))
+        Some(Decomposed(Seq(p), castTo(re, s.dataType)))
+      case c: Count =>
+        val p = alias(AggregateExpression(c, Complete, ae.isDistinct), n)
+        // count never returns null; sum-of-counts must not either
+        val re = Coalesce(Seq(complete(Sum(p.toAttribute)), Literal(0L)))
+        Some(Decomposed(Seq(p), castTo(re, c.dataType)))
+      case m: Min =>
+        val p = alias(AggregateExpression(m, Complete, ae.isDistinct), n)
+        Some(Decomposed(Seq(p), complete(Min(p.toAttribute))))
+      case m: Max =>
+        val p = alias(AggregateExpression(m, Complete, ae.isDistinct), n)
+        Some(Decomposed(Seq(p), complete(Max(p.toAttribute))))
+      case a @ Average(child, evalMode)
+          if (evalMode == EvalMode.LEGACY || evalMode == EvalMode.ANSI) &&
+            avgDecomposable(child.dataType) =>
+        // algebraic: avg = sum(partial sums) / sum(partial counts), in the
+        // same double buffer type Spark's own Average accumulates in.
+        // LEGACY and ANSI agree on double arithmetic (no overflow checks
+        // on doubles; the divisor is zero only when the numerator is
+        // already null, so ANSI division cannot raise); TRY mode bails
+        val pSum =
+          alias(complete(Sum(castTo(child, DoubleType))), s"${n}_s")
+        val pCnt = alias(complete(Count(Seq(child))), s"${n}_c")
+        val re = Divide(
+          complete(Sum(pSum.toAttribute)),
+          castTo(complete(Sum(pCnt.toAttribute)), DoubleType)
+        )
+        Some(Decomposed(Seq(pSum, pCnt), castTo(re, a.dataType)))
+      case _ => None
+    }
+  }
+
+  private def avgDecomposable(dt: DataType): Boolean = dt match {
+    case DoubleType | FloatType => true
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+}

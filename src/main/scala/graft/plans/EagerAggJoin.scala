@@ -1,0 +1,297 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** Eager aggregation: push a partial aggregate BELOW an inner equi-join
+  * (Yan & Larson, "Eager Aggregation and Lazy Aggregation", VLDB 1995 —
+  * the group-by/join reordering Spark's optimizer does not perform).
+  *
+  *   Aggregate_G(Join(fact, dim))
+  *     ==>  Aggregate_G'(Join(Aggregate_grain(fact), dim))
+  *
+  * where grain = (fact join keys) u (fact columns the group-by reads).
+  * The join then processes |distinct grain| fact rows instead of |fact|
+  * — for the warehouse shape this targets (measures on a big fact,
+  * grouped by dimension attributes) that shrinks the join's shuffle from
+  * the fact's row count to its key cardinality. At 100 TB the join
+  * shuffle IS the query; this is the single biggest reducer of it.
+  *
+  * Exactness is the subtle part, and it comes from NOT pre-aggregating
+  * the dim side: every grain row joins exactly as many dim rows as each
+  * of its fact rows would have (they share the join key), so re-
+  * aggregating the partials OVER THE JOIN OUTPUT weights join
+  * multiplicity automatically — sum(partial_sum) over joined rows counts
+  * each partial once per matching dim row, exactly the duplication the
+  * original per-row join produced. Fact rows whose key matches nothing
+  * (or is NULL) drop with their grain row just as they dropped
+  * row-by-row. Aggregates on the DIM side cannot ride the partials and
+  * are kept verbatim only when join multiplicity cannot change them:
+  * min/max. (A dim-side sum/count would need weighting by the fact
+  * partial count — a correctness cliff this rule stays away from.)
+  *
+  * Safety gates — bail to the original plan unless ALL hold:
+  *  - INNER join, condition a pure conjunction of attribute equalities
+  *    (outer joins null-extend per fact ROW, not per grain; non-equi
+  *    conditions select per-row);
+  *  - between Aggregate and Join only column-pruning Projects (a Filter
+  *    there reads mixed-side per-row values);
+  *  - every aggregate's arguments live wholly on one side: the
+  *    pre-aggregated side decomposes via [[AggDecompose]] (sum/count/
+  *    min/max/avg; filtered bail), the other side allows min/max only;
+  *    ref-less aggregates (count(*)) decompose on the pre-aggregated
+  *    side. DISTINCT aggregates are multiplicity-insensitive
+  *    (duplication cannot change a distinct value set), so they ride
+  *    verbatim: on the dim side as-is, on the fact side by extending
+  *    the grain with their argument columns (the PreAggExpand
+  *    grain-extension argument — grain rows preserve the exact distinct
+  *    value sets);
+  *  - group-by expressions' fact-side references join the grain (the
+  *    grain is then strictly finer, so regrouping above is exact);
+  *  - the rebuilt aggregate matches the original column-for-column in
+  *    dataType, nullability and exprId, and references nothing dangling
+  *    — else the original plan returns.
+  *
+  * Which side pre-aggregates: the side carrying decomposable measures
+  * (both sides carrying them bails — v1 keeps one weighting story).
+  * With only min/max + count(*) in play either side works; the rule
+  * picks the left by convention.
+  *
+  * OPT-IN, default OFF (`spark.graft.optimizer.eagerAggJoin=true` to
+  * enable): unlike [[PreAggExpand]] — whose worst case is a bounded
+  * small overhead — eager aggregation is only a win when the fact grain
+  * (join keys + grouped fact columns) is materially smaller than the
+  * fact itself, and with no NDV statistics on plain parquet scans the
+  * rule cannot decide that; a near-unique grain would pay an extra
+  * fact-sized shuffle for nothing. Same per-session contract as the MV
+  * rewrite. Idempotence: the rebuilt Join carries a TreeNodeTag; a
+  * structural backstop also skips joins whose fact side is already
+  * aggregated at (or finer than) the grain.
+  *
+  * Reference context: the reference engine hands aggregate-over-join
+  * queries verbatim to its SQL backend (crates/engine/src/lib.rs:54-57)
+  * with no eager-aggregation rewrite; graft-value scale addition.
+  */
+class EagerAggJoin(session: SparkSession) extends Rule[LogicalPlan] {
+
+  import AggDecompose.Decomposed
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!session.sessionState.conf
+          .getConfString("spark.graft.optimizer.eagerAggJoin", "false")
+          .toBoolean) {
+      return plan
+    }
+    plan.transformUp {
+      case agg @ Aggregate(_, _, child, _) =>
+        try {
+          unwrap(child, Nil) match {
+            case Some((aliases, join)) =>
+              rewrite(agg, aliases, join).getOrElse(agg)
+            case None => agg
+          }
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            logWarning(
+              s"EagerAggJoin: unexpected failure, keeping the original " +
+                s"plan (${e.getClass.getSimpleName}: ${e.getMessage})")
+            agg
+        }
+    }
+  }
+
+  /** Unwrap Projects between Aggregate and Join. Column-pruning levels
+    * pass freely; ONE level may carry Alias columns (the shape
+    * PullOutGroupingExpressions leaves: derived grouping/measure columns
+    * computed over the join output) — those are returned for the rewrite
+    * to relocate to whichever join side their references live on.
+    */
+  private def unwrap(
+      p: LogicalPlan, acc: Seq[Alias]): Option[(Seq[Alias], Join)] = p match {
+    case Project(pl, c) =>
+      val aliases = pl.collect { case a: Alias => a }
+      val attrsOnly = pl.forall {
+        case _: AttributeReference => true
+        case _: Alias => true
+        case _ => false
+      }
+      if (!attrsOnly) None
+      else if (aliases.isEmpty) unwrap(c, acc)
+      else if (acc.nonEmpty) None // two alias-bearing levels: out of scope
+      else unwrap(c, aliases)
+    case j: Join => Some((acc, j))
+    case _ => None
+  }
+
+  private def rewrite(
+      agg: Aggregate, aliases: Seq[Alias], join: Join): Option[Aggregate] = {
+    if (join.joinType != Inner) return None
+    if (join.getTagValue(EagerAggJoin.Applied).isDefined) return None
+    val cond = join.condition.getOrElse(return None)
+
+    val leftOut = join.left.outputSet
+    val rightOut = join.right.outputSet
+    // pure conjunction of cross-side attribute equalities
+    val conjuncts = splitConjunctivePredicates(cond)
+    val keyPairs = conjuncts.map {
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if leftOut.contains(a) && rightOut.contains(b) => (a, b)
+      case EqualTo(b: AttributeReference, a: AttributeReference)
+          if leftOut.contains(a) && rightOut.contains(b) => (a, b)
+      case _ => return None
+    }
+
+    // relocate derived columns (Project aliases over the join output) to
+    // the side their references live on: each must be deterministic and
+    // single-side; constants go with the left (computable anywhere)
+    val leftAliases = Seq.newBuilder[Alias]
+    val rightAliases = Seq.newBuilder[Alias]
+    aliases.foreach { a =>
+      if (!a.deterministic) return None
+      if (a.references.subsetOf(leftOut)) leftAliases += a
+      else if (a.references.subsetOf(rightOut)) rightAliases += a
+      else return None
+    }
+    val (lAliases, rAliases) = (leftAliases.result(), rightAliases.result())
+    val effLeft = AttributeSet(leftOut.toSeq ++ lAliases.map(_.toAttribute))
+    val effRight = AttributeSet(rightOut.toSeq ++ rAliases.map(_.toAttribute))
+
+    // classify every aggregate by side; decide the pre-aggregated side.
+    // Side: Some(true)=left, Some(false)=right, None=ref-less (count(*));
+    // a mixed-side argument bails the whole rewrite.
+    val aggExprs = agg.aggregateExpressions.flatMap(_.collect {
+      case ae: AggregateExpression => ae
+    })
+    val sides: Seq[(AggregateExpression, Option[Boolean])] = aggExprs.map {
+      ae =>
+        val refs = ae.aggregateFunction.references
+        if (refs.isEmpty) ae -> None
+        else if (refs.subsetOf(effLeft)) ae -> Some(true)
+        else if (refs.subsetOf(effRight)) ae -> Some(false)
+        else return None // argument spans both sides: unsupported
+    }
+    // "heavy" = needs decomposition (multiplicity-sensitive, non-distinct):
+    // those pick the pre-aggregated side. min/max are multiplicity-
+    // insensitive; DISTINCT aggregates are multiplicity-insensitive too
+    // (duplication cannot change a distinct value set), so both ride
+    // verbatim on the dim side — and on the fact side distincts ride by
+    // grain extension, exactly as in PreAggExpand.
+    def heavy(ae: AggregateExpression): Boolean =
+      !ae.isDistinct && (ae.aggregateFunction match {
+        case _: Min | _: Max => false
+        case _ => true
+      })
+    val heavySides = sides.collect { case (ae, Some(s)) if heavy(ae) => s }.distinct
+    if (heavySides.size > 1) return None // decomposable measures on both sides
+    val preLeft = heavySides.headOption.getOrElse(true)
+    val (factPlan0, factOut, factAliases, dimAliases) =
+      if (preLeft) (join.left, effLeft, lAliases, rAliases)
+      else (join.right, effRight, rAliases, lAliases)
+    // fact-side derived columns compute BELOW the pre-aggregate; the
+    // plain fact columns stay visible for measures and keys
+    val factPlan =
+      if (factAliases.isEmpty) factPlan0
+      else Project(factPlan0.output ++ factAliases, factPlan0)
+    val factKeys = keyPairs.map { case (l, r) => if (preLeft) l else r }
+    val factIds = factOut.map(_.exprId).toSet
+
+    // first pass: classify into fact-decomposed / fact-verbatim-distinct
+    // (extends the grain) / dim-verbatim; collect grain extensions
+    val partialByAgg =
+      scala.collection.mutable.LinkedHashMap.empty[Expression, Decomposed]
+    val grainExt =
+      scala.collection.mutable.LinkedHashMap.empty[ExprId, Attribute]
+    val factById = factOut.map(a => a.exprId -> a).toMap
+    for ((ae, side) <- sides) {
+      if (!partialByAgg.contains(ae.canonicalized)) {
+        val onFact = side.forall(_ == preLeft) // ref-less goes to fact
+        if (ae.isDistinct && side.isDefined) {
+          if (ae.filter.isDefined) return None
+          if (onFact) {
+            // grain extension: grain rows then carry the exact distinct
+            // value sets, and distinct ignores join multiplicity
+            ae.aggregateFunction.references.foreach(a =>
+              grainExt.getOrElseUpdate(a.exprId, factById(a.exprId)))
+          }
+          partialByAgg.put(ae.canonicalized, Decomposed(Nil, ae))
+        } else if (onFact) {
+          partialByAgg.put(ae.canonicalized,
+            AggDecompose.decompose(ae, factIds).getOrElse(return None))
+        } else {
+          // dim side, non-distinct: multiplicity-insensitive only
+          if (heavy(ae) || ae.filter.isDefined) return None
+          partialByAgg.put(ae.canonicalized, Decomposed(Nil, ae))
+        }
+      }
+    }
+
+    // grain: fact join keys + fact columns the group-by reads + distinct
+    // extensions
+    val grainAttrs: Seq[Attribute] = {
+      val seen = scala.collection.mutable.LinkedHashSet.empty[ExprId]
+      val groupFactRefs = agg.groupingExpressions
+        .flatMap(_.references.toSeq).filter(factOut.contains)
+      (factKeys ++ groupFactRefs ++ grainExt.values).flatMap { a =>
+        if (seen.add(a.exprId)) Some(a) else None
+      }
+    }
+    val grainIds = grainAttrs.map(_.exprId).toSet
+    // structural backstop: fact side already aggregated at/under the grain
+    factPlan0 match {
+      case a: Aggregate
+          if a.groupingExpressions.forall {
+            case ar: AttributeReference => grainIds.contains(ar.exprId)
+            case _ => false
+          } =>
+        return None
+      case _ =>
+    }
+
+    val partialAliases = partialByAgg.values.flatMap(_.partials).toSeq
+    val preAgg = Aggregate(grainAttrs, grainAttrs ++ partialAliases, factPlan)
+    val newJoin =
+      if (preLeft) join.copy(left = preAgg) else join.copy(right = preAgg)
+    newJoin.setTagValue(EagerAggJoin.Applied, ())
+    // dim-side derived columns recompute above the join (their inputs
+    // pass through it unchanged)
+    val joinChild: LogicalPlan =
+      if (dimAliases.isEmpty) newJoin
+      else Project(newJoin.output ++ dimAliases, newJoin)
+
+    val newAggExprs = agg.aggregateExpressions.map { ne =>
+      ne.transformUp {
+        case ae: AggregateExpression =>
+          partialByAgg.get(ae.canonicalized).map(_.reAgg).getOrElse(ae)
+      }.asInstanceOf[NamedExpression]
+    }
+    val rebuilt = agg.copy(aggregateExpressions = newAggExprs, child = joinChild)
+    val schemaStable = agg.aggregateExpressions.zip(newAggExprs).forall {
+      case (o, n) =>
+        o.dataType == n.dataType && o.nullable == n.nullable &&
+          o.exprId == n.exprId
+    }
+    if (!schemaStable) return None
+    if (!rebuilt.references.subsetOf(joinChild.outputSet)) return None
+    logInfo(
+      s"EagerAggJoin: pre-aggregating the ${if (preLeft) "left" else "right"} " +
+        s"join side at grain [${grainAttrs.map(_.name).mkString(", ")}]")
+    Some(rebuilt)
+  }
+
+  private def splitConjunctivePredicates(e: Expression): Seq[Expression] =
+    e match {
+      case And(l, r) =>
+        splitConjunctivePredicates(l) ++ splitConjunctivePredicates(r)
+      case other => Seq(other)
+    }
+}
+
+object EagerAggJoin {
+  /** Marks a Join whose fact side this rule already pre-aggregated. */
+  private[plans] val Applied =
+    org.apache.spark.sql.catalyst.trees.TreeNodeTag[Unit]("graft.eagerAggJoin")
+}

@@ -110,7 +110,17 @@ class PreAggExpand(session: SparkSession) extends Rule[LogicalPlan] {
     }
     plan.transformUp {
       case agg @ Aggregate(_, _, expand: Expand, _) =>
-        rewrite(agg, expand).getOrElse(agg)
+        // a library rule must never turn a working query into a crash:
+        // any unexpected shape this rule's gates missed degrades to the
+        // original plan, loudly
+        try rewrite(agg, expand).getOrElse(agg)
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            logWarning(
+              s"PreAggExpand: unexpected failure, keeping the original " +
+                s"plan (${e.getClass.getSimpleName}: ${e.getMessage})")
+            agg
+        }
     }
   }
 
@@ -139,6 +149,7 @@ class PreAggExpand(session: SparkSession) extends Rule[LogicalPlan] {
     val passByIdMap = shape.passthrough.map(a => a.exprId -> a).toMap
     val passIds = passByIdMap.keySet
 
+    import AggDecompose.Decomposed
     // one partial set per distinct aggregate (keyed canonically, so
     // sum(x) referenced twice shares one partial column). DISTINCT
     // aggregates take the verbatim path instead: the grain is EXTENDED
@@ -165,7 +176,11 @@ class PreAggExpand(session: SparkSession) extends Rule[LogicalPlan] {
               partialByAgg.put(ae.canonicalized, Decomposed(Nil, ae))
             } else ok = false
           } else {
-            decompose(ae, passIds) match {
+            // arguments must read only passthrough columns (original row
+            // values); anything touching the nulled dimension copies or
+            // the grouping id has per-set semantics a grain
+            // pre-aggregate cannot reproduce
+            AggDecompose.decompose(ae, passIds) match {
               case Some(d) => partialByAgg.put(ae.canonicalized, d)
               case None => ok = false
             }
@@ -224,67 +239,6 @@ class PreAggExpand(session: SparkSession) extends Rule[LogicalPlan] {
     Some(rebuilt)
   }
 
-  /** Decompose one aggregate into finest-grain partials plus the
-    * re-aggregation that combines them; None = not decomposable.
-    */
-  private def decompose(
-      ae: AggregateExpression,
-      passIds: Set[ExprId]
-  ): Option[Decomposed] = {
-    if (ae.isDistinct || ae.filter.isDefined) return None
-    // arguments must read only passthrough columns (original row values);
-    // anything touching the nulled dimension copies or the grouping id
-    // has per-set semantics a grain pre-aggregate cannot reproduce
-    if (!ae.aggregateFunction.references.forall(a => passIds.contains(a.exprId)))
-      return None
-    def alias(e: Expression, n: String): Alias = Alias(e, n)()
-    def complete(f: AggregateFunction): AggregateExpression =
-      AggregateExpression(f, Complete, isDistinct = false)
-    def castTo(e: Expression, dt: DataType): Expression =
-      if (e.dataType == dt) e else Cast(e, dt)
-    val n = s"_preagg_${ae.resultId.id}"
-    ae.aggregateFunction match {
-      case s @ Sum(_, ctx) =>
-        val p = alias(AggregateExpression(s, Complete, ae.isDistinct), n)
-        val re = complete(Sum(p.toAttribute, ctx))
-        Some(Decomposed(Seq(p), castTo(re, s.dataType)))
-      case c: Count =>
-        val p = alias(AggregateExpression(c, Complete, ae.isDistinct), n)
-        // count never returns null; sum-of-counts must not either
-        val re = Coalesce(Seq(complete(Sum(p.toAttribute)), Literal(0L)))
-        Some(Decomposed(Seq(p), castTo(re, c.dataType)))
-      case m: Min =>
-        val p = alias(AggregateExpression(m, Complete, ae.isDistinct), n)
-        Some(Decomposed(Seq(p), complete(Min(p.toAttribute))))
-      case m: Max =>
-        val p = alias(AggregateExpression(m, Complete, ae.isDistinct), n)
-        Some(Decomposed(Seq(p), complete(Max(p.toAttribute))))
-      case a @ Average(child, evalMode)
-          if (evalMode == EvalMode.LEGACY || evalMode == EvalMode.ANSI) &&
-            avgDecomposable(child.dataType) =>
-        // algebraic: avg = sum(partial sums) / sum(partial counts), in the
-        // same double buffer type Spark's own Average accumulates in.
-        // LEGACY and ANSI agree on double arithmetic (no overflow checks
-        // on doubles; the divisor is zero only when the numerator is
-        // already null, so ANSI division cannot raise); TRY mode bails
-        val pSum =
-          alias(complete(Sum(castTo(child, DoubleType))), s"${n}_s")
-        val pCnt = alias(complete(Count(Seq(child))), s"${n}_c")
-        val re = Divide(
-          complete(Sum(pSum.toAttribute)),
-          castTo(complete(Sum(pCnt.toAttribute)), DoubleType)
-        )
-        Some(Decomposed(Seq(pSum, pCnt), castTo(re, a.dataType)))
-      case _ => None
-    }
-  }
-
-  private def avgDecomposable(dt: DataType): Boolean = dt match {
-    case DoubleType | FloatType => true
-    case ByteType | ShortType | IntegerType | LongType => true
-    case _ => false
-  }
-
   /** Classify a grouping-sets Expand's output positions. */
   private def classify(expand: Expand): Option[ExpandShape] = {
     val out = expand.output
@@ -336,8 +290,4 @@ object PreAggExpand {
       gidPos: Int
   )
 
-  /** `partials` run at the finest grain; `reAgg` combines them above the
-    * Expand, producing exactly the original aggregate's type.
-    */
-  private final case class Decomposed(partials: Seq[Alias], reAgg: Expression)
 }

@@ -472,6 +472,38 @@ object CoreQueriesA {
           "ORDER BY r_name, n_name"
       )
     ),
+    // Eager aggregation (plans.EagerAggJoin): the partial aggregate is
+    // pushed BELOW the join, so the join processes |supplier-key grain|
+    // lineitem rows instead of all of them. Opt-in conf enabled in a
+    // CHILD session only (house pattern of q_mv_rewrite) — every other
+    // join query keeps measuring the stock plan. The DuckDB oracle
+    // computes the naive join-then-aggregate, so hash equality proves
+    // the multiplicity weighting exact.
+    Q(
+      "q_join_eager_agg",
+      (s, dir) => {
+        val s2 = s.newSession()
+        s2.conf.set("spark.graft.optimizer.eagerAggJoin", "true")
+        t(s2, dir, "lineitem")
+          .join(t(s2, dir, "supplier"), $"l_suppkey" === $"s_suppkey")
+          .groupBy($"s_nationkey")
+          .agg(
+            asDouble(sum(dec2($"l_quantity"))).as("sum_qty"),
+            count(lit(1)).as("n"),
+            count_distinct($"l_returnflag").as("nd_flag"),
+            asDouble(min(dec2($"l_extendedprice"))).as("mn_price")
+          )
+          .orderBy($"s_nationkey")
+      },
+      Some(
+        "SELECT s_nationkey, " +
+          "CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty, " +
+          "count(*) AS n, count(DISTINCT l_returnflag) AS nd_flag, " +
+          "CAST(min(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS mn_price " +
+          "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +
+          "GROUP BY s_nationkey ORDER BY s_nationkey"
+      )
+    ),
     // Theta join: equi on region + range predicate -> within-region pairs.
     Q(
       "q_join_theta",

@@ -1,0 +1,236 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+import org.apache.spark.sql.functions._
+
+/** plans.EagerAggJoin — the partial-aggregate-below-join rewrite (Yan &
+  * Larson eager aggregation). Contract under test: opt-in only; when it
+  * fires, the join's fact side is an Aggregate at the (keys + grouped
+  * fact columns) grain and results match the unrewritten plan exactly —
+  * including the subtle multiplicity weighting (each grain row joins k
+  * dim rows, re-aggregating partials over the join output must weight by
+  * exactly k); every unsupported shape bails to the original plan.
+  */
+class EagerAggJoinSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private val Conf = "spark.graft.optimizer.eagerAggJoin"
+
+  private def withRule[T](on: Boolean)(f: => T): T = {
+    spark.conf.set(Conf, on.toString)
+    try f
+    finally spark.conf.unset(Conf)
+  }
+
+  /** Joins whose left or right side is an Aggregate in the optimized plan. */
+  private def eagerJoins(df: DataFrame): Int =
+    df.queryExecution.optimizedPlan.collect {
+      case j: Join
+          if j.left.isInstanceOf[Aggregate] || j.right.isInstanceOf[Aggregate] =>
+        j
+    }.size
+
+  private def checkExact(fires: Boolean)(build: => DataFrame): Unit = {
+    val (onRows, onSchema, onFired) = withRule(on = true) {
+      val df = build
+      (df.collect().sortBy(_.toString).toSeq, df.schema, eagerJoins(df))
+    }
+    val (offRows, offSchema, offFired) = withRule(on = false) {
+      val df = build
+      (df.collect().sortBy(_.toString).toSeq, df.schema, eagerJoins(df))
+    }
+    assert(offFired === 0, "default-off contract broken")
+    if (fires) assert(onFired >= 1, "expected the rewrite to fire")
+    else assert(onFired === 0, "expected the rewrite to bail")
+    assert(onSchema === offSchema,
+      s"schema drift:\n  on: $onSchema\n  off: $offSchema")
+    assert(onRows.size === offRows.size,
+      s"row-count drift: ${onRows.size} vs ${offRows.size}")
+    def close(a: Double, b: Double): Boolean =
+      (a == b) || (a.isNaN && b.isNaN) ||
+        math.abs(a - b) <= 1e-12 * math.max(math.abs(a), math.abs(b))
+    onRows.zip(offRows).zipWithIndex.foreach { case ((on, off), i) =>
+      (0 until on.length).foreach { f =>
+        val same = (on.get(f), off.get(f)) match {
+          case (null, null) => true
+          case (x: java.lang.Double, y: java.lang.Double) => close(x, y)
+          case (x, y) => x == y
+        }
+        assert(same, s"row $i field $f drift: $on vs $off")
+      }
+    }
+  }
+
+  /** fact: multiple rows per key, null keys, unmatched keys, null
+    * measures; dim: DUPLICATE join keys (multiplicity 2 for key "b" —
+    * the weighting case), unmatched dim rows, null dim keys.
+    */
+  private lazy val (fact, dim): (DataFrame, DataFrame) = {
+    val rnd = new scala.util.Random(20260817)
+    val keys = Array("a", "b", "c", "d", null)
+    val f = (1 to 400).map { i =>
+      (
+        keys(rnd.nextInt(keys.length)),
+        if (rnd.nextInt(10) == 0) null
+        else java.lang.Integer.valueOf(rnd.nextInt(100)),
+        rnd.nextDouble() * 10,
+        s"t${i % 7}"
+      )
+    }.toDF("fk", "v", "w", "tag")
+    // dim key "b" appears TWICE (join multiplicity 2), "x" matches
+    // nothing, null key matches nothing
+    val d = Seq(
+      ("a", "alpha", 1L), ("b", "beta1", 2L), ("b", "beta2", 3L),
+      ("c", "gamma", 4L), ("x", "unmatched", 5L), (null, "nullkey", 6L)
+    ).toDF("dk", "name", "rank")
+    (f.cache(), d.cache())
+  }
+
+  test("fires on the warehouse shape; duplicate dim keys weight exactly") {
+    checkExact(fires = true) {
+      fact.join(dim, $"fk" === $"dk")
+        .groupBy($"name")
+        .agg(
+          sum($"v").as("sv"),
+          count(lit(1)).as("n"),
+          count($"v").as("nv"),
+          min($"w").as("mnw"),
+          max($"w").as("mxw"),
+          avg($"v").as("av")
+        )
+    }
+  }
+
+  test("group by fact column and dim column together") {
+    checkExact(fires = true) {
+      fact.join(dim, $"fk" === $"dk")
+        .groupBy($"tag", $"name")
+        .agg(sum($"v").as("sv"), count(lit(1)).as("n"))
+    }
+  }
+
+  test("group-by EXPRESSION over a fact column joins the grain") {
+    checkExact(fires = true) {
+      fact.join(dim, $"fk" === $"dk")
+        .groupBy(substring($"tag", 1, 2).as("t2"), $"name")
+        .agg(sum($"v").as("sv"))
+    }
+  }
+
+  test("global aggregate over the join (no group-by) stays exact") {
+    checkExact(fires = true) {
+      fact.join(dim, $"fk" === $"dk")
+        .agg(sum($"v").as("sv"), count(lit(1)).as("n"))
+    }
+    // empty join result: the global aggregate's empty-input row must
+    // survive identically
+    checkExact(fires = true) {
+      fact.filter($"fk" === "zzz").join(dim, $"fk" === $"dk")
+        .agg(sum($"v").as("sv"), count(lit(1)).as("n"))
+    }
+  }
+
+  test("dim-side min/max ride verbatim; distincts ride on either side") {
+    checkExact(fires = true) {
+      fact.join(dim, $"fk" === $"dk")
+        .groupBy($"name")
+        .agg(
+          sum($"v").as("sv"),
+          min($"rank").as("mnr"), // dim side, multiplicity-insensitive
+          max($"rank").as("mxr"),
+          countDistinct($"tag").as("ndt"), // fact side: grain extension
+          countDistinct($"rank").as("ndr") // dim side: verbatim
+        )
+    }
+  }
+
+  test("bail: outer join, non-equi condition, dim-side sum, mixed-side argument") {
+    checkExact(fires = false) {
+      fact.join(dim, $"fk" === $"dk", "left")
+        .groupBy($"name").agg(sum($"v").as("sv"))
+    }
+    checkExact(fires = false) {
+      fact.join(dim, $"fk" === $"dk" && $"v" > $"rank")
+        .groupBy($"name").agg(sum($"v").as("sv"))
+    }
+    checkExact(fires = false) {
+      // sum on BOTH sides: one weighting story only
+      fact.join(dim, $"fk" === $"dk")
+        .groupBy($"tag").agg(sum($"v").as("sv"), sum($"rank").as("sr"))
+    }
+    checkExact(fires = false) {
+      fact.join(dim, $"fk" === $"dk")
+        .groupBy($"name").agg(sum($"v" + $"rank").as("s"))
+    }
+  }
+
+  test("dim-side-only measures pre-aggregate the dim side instead") {
+    // all decomposable measures on the right side: the rule flips which
+    // side it treats as the fact
+    checkExact(fires = true) {
+      fact.join(dim, $"fk" === $"dk")
+        .groupBy($"tag")
+        .agg(sum($"rank").as("sr"), count(lit(1)).as("n"))
+    }
+  }
+
+  test("post-join filter between aggregate and join bails") {
+    checkExact(fires = false) {
+      fact.join(dim, $"fk" === $"dk")
+        .filter($"w" > $"rank")
+        .groupBy($"name").agg(sum($"v").as("sv"))
+    }
+  }
+
+  test("idempotent: exactly one grain aggregate on the fact side") {
+    withRule(on = true) {
+      val df = fact.join(dim, $"fk" === $"dk")
+        .groupBy($"name").agg(sum($"v").as("sv"))
+      assert(eagerJoins(df) === 1)
+      val stacked = df.queryExecution.optimizedPlan.collect {
+        case j: Join => Seq(j.left, j.right).collect {
+          case a: Aggregate =>
+            a.child.collect { case aa: Aggregate => aa }.size
+        }.sum
+      }.sum
+      assert(stacked === 0, "grain aggregate stacked on itself")
+    }
+  }
+
+  test("registered q_join_eager_agg fires in its child session only") {
+    val df = graft.queries.Registry.byName("q_join_eager_agg")
+      .fn(spark, SparkTestBase.Sf0001)
+    assert(eagerJoins(df) === 1,
+      "registered query lost the eager-aggregation plan")
+    // the enclosing session must stay stock
+    val stock = fact.join(dim, $"fk" === $"dk")
+      .groupBy($"name").agg(sum($"v").as("sv"))
+    assert(eagerJoins(stock) === 0, "conf leaked into the parent session")
+  }
+
+  test("fuzz: seeded random shapes stay exact under duplicate dim keys") {
+    val rnd = new scala.util.Random(11)
+    (1 to 5).foreach { _ =>
+      val nKeys = 1 + rnd.nextInt(12)
+      val f = (1 to 100 + rnd.nextInt(300)).map { _ =>
+        (s"k${rnd.nextInt(nKeys)}", rnd.nextInt(50),
+          rnd.nextDouble())
+      }.toDF("fk", "v", "w")
+      // every key 1-3 copies on the dim side
+      val d = (0 until nKeys).flatMap { k =>
+        (0 to rnd.nextInt(2)).map(c => (s"k$k", s"g${k % 3}", c.toLong))
+      }.toDF("dk", "grp", "copy")
+      val aggs = Seq(
+        sum($"v").as("sv"), count(lit(1)).as("n"), avg($"w").as("aw"),
+        min($"w").as("mnw"), max($"copy").as("mxc"),
+        countDistinct($"fk").as("ndk"))
+      val picked = rnd.shuffle(aggs).take(1 + rnd.nextInt(aggs.size))
+      checkExact(fires = true) {
+        f.join(d, $"fk" === $"dk")
+          .groupBy($"grp").agg(picked.head, picked.tail: _*)
+      }
+    }
+  }
+}
