@@ -26,6 +26,25 @@ class ExtensionsSpec extends SparkTestBase {
     assert(r.getLong(4) === 2L)
   }
 
+  test("all four optimizer rules are injected; fresh sessions honor each gate") {
+    // the rule set IS the extension contract: losing one in a refactor
+    // would silently drop a rewrite capability from every session
+    val ruleNames = spark.sessionState.optimizer.batches
+      .flatMap(_.rules).map(_.ruleName).toSet
+    Seq("LshJoinRewrite", "MvRewrite", "PreAggExpand", "EagerAggJoin")
+      .foreach { r =>
+        assert(ruleNames.exists(_.endsWith(r)), s"rule $r not injected")
+      }
+    // per-rule gates in a fresh derived session: the two opt-ins are off
+    val fresh = spark.newSession()
+    assert(fresh.conf
+      .get("spark.graft.mv.rewrite.enabled", "false") === "false")
+    assert(fresh.conf
+      .get("spark.graft.optimizer.eagerAggJoin", "false") === "false")
+    assert(fresh.conf
+      .get("spark.graft.optimizer.preAggExpand", "true") === "true")
+  }
+
   test("DESCRIBE FUNCTION sees the injected function") {
     val desc = spark.sql("DESCRIBE FUNCTION cosine_sim").collect().map(_.getString(0)).mkString("\n")
     assert(desc.toLowerCase.contains("cosine_sim"))
