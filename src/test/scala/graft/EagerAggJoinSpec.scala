@@ -210,6 +210,36 @@ class EagerAggJoinSpec extends SparkTestBase {
     assert(eagerJoins(stock) === 0, "conf leaked into the parent session")
   }
 
+  test("adversarial sweep: all 22 TPC-H shapes force-enabled stay exact") {
+    // the strongest gate receipt: force the rule on for every composite
+    // TPC-H query (multi-way joins, correlated subqueries, semi/anti
+    // joins, HAVING, distinct aggregates) and require each to either
+    // bail or rewrite EXACTLY — a wrong multiplicity weighting or a
+    // dangling reference fails loudly here
+    val tpch = Seq(
+      "q1_agg", "q2_min_per_group", "q3_join_agg", "q4_priority_count",
+      "q5_join_multi", "q6_filter_agg", "q7_volume_shipping",
+      "q8_market_share", "q9_product_profit", "q10_returned_items",
+      "q11_important_stock", "q12_priority_lines", "q13_count_dist",
+      "q14_promo_share", "q15_top_supplier", "q16_part_supplier",
+      "q17_small_qty", "q18_large_orders", "q19_disjunctive",
+      "q20_potential_promo", "q21_waiting_supplier", "q22_global_sales")
+    val forced = spark.newSession()
+    forced.conf.set(Conf, "true")
+    var fired = 0
+    tpch.foreach { name =>
+      val q = graft.queries.Registry.byName(name)
+      val stock = q.fn(spark, SparkTestBase.Sf0001)
+        .collect().map(_.toString).sorted.toSeq
+      val df = q.fn(forced, SparkTestBase.Sf0001)
+      fired += eagerJoins(df)
+      val on = df.collect().map(_.toString).sorted.toSeq
+      assert(on === stock, s"$name drifted under forced eager aggregation")
+    }
+    assert(fired >= 1,
+      "expected at least one TPC-H shape to actually exercise the rewrite")
+  }
+
   test("fuzz: seeded random shapes stay exact under duplicate dim keys") {
     val rnd = new scala.util.Random(11)
     (1 to 5).foreach { _ =>
