@@ -199,6 +199,15 @@ class EagerAggJoinSpec extends SparkTestBase {
     }
   }
 
+  test("compound join key: both equalities land in the grain") {
+    val d2 = dim.withColumn("dk2", length($"name") % 3)
+    val f2 = fact.withColumn("fk2", $"v" % 3)
+    checkExact(fires = true) {
+      f2.join(d2, $"fk" === $"dk" && $"fk2" === $"dk2")
+        .groupBy($"name").agg(sum($"v").as("sv"), count(lit(1)).as("n"))
+    }
+  }
+
   test("registered q_join_eager_agg fires in its child session only") {
     val df = graft.queries.Registry.byName("q_join_eager_agg")
       .fn(spark, SparkTestBase.Sf0001)
