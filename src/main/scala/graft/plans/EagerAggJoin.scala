@@ -36,8 +36,9 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *
   * Safety gates — bail to the original plan unless ALL hold:
   *  - INNER join, condition a pure conjunction of attribute equalities
-  *    (outer joins null-extend per fact ROW, not per grain; non-equi
-  *    conditions select per-row);
+  *    — plain `=` or null-safe `<=>`, whose null-matching is exactly
+  *    the grain's null group (outer joins null-extend per fact ROW,
+  *    not per grain; non-equi conditions select per-row);
   *  - between Aggregate and Join only column-pruning Projects (a Filter
   *    there reads mixed-side per-row values);
   *  - every aggregate's arguments live wholly on one side: the
@@ -135,12 +136,21 @@ class EagerAggJoin(session: SparkSession) extends Rule[LogicalPlan] {
 
     val leftOut = join.left.outputSet
     val rightOut = join.right.outputSet
-    // pure conjunction of cross-side attribute equalities
+    // pure conjunction of cross-side attribute equalities. Null-safe
+    // equality (<=>) is admissible too: the grain groups all null-keyed
+    // fact rows into ONE row, which is exactly the set <=> treats as
+    // equal — they all match the same dim rows, so the multiplicity
+    // argument holds unchanged (and under plain =, the null grain row
+    // matches nothing, as each of its fact rows would have)
     val conjuncts = splitConjunctivePredicates(cond)
     val keyPairs = conjuncts.map {
       case EqualTo(a: AttributeReference, b: AttributeReference)
           if leftOut.contains(a) && rightOut.contains(b) => (a, b)
       case EqualTo(b: AttributeReference, a: AttributeReference)
+          if leftOut.contains(a) && rightOut.contains(b) => (a, b)
+      case EqualNullSafe(a: AttributeReference, b: AttributeReference)
+          if leftOut.contains(a) && rightOut.contains(b) => (a, b)
+      case EqualNullSafe(b: AttributeReference, a: AttributeReference)
           if leftOut.contains(a) && rightOut.contains(b) => (a, b)
       case _ => return None
     }

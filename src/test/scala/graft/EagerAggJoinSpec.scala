@@ -208,6 +208,16 @@ class EagerAggJoinSpec extends SparkTestBase {
     }
   }
 
+  test("null-safe equality (<=>): the null grain group matches the null dim row") {
+    // the fixture has null fact keys AND a null dim key: under <=> they
+    // MATCH — the grain's single null row must carry its partials to
+    // that dim row with exact multiplicity
+    checkExact(fires = true) {
+      fact.join(dim, $"fk" <=> $"dk")
+        .groupBy($"name").agg(sum($"v").as("sv"), count(lit(1)).as("n"))
+    }
+  }
+
   test("registered q_join_eager_agg fires in its child session only") {
     val df = graft.queries.Registry.byName("q_join_eager_agg")
       .fn(spark, SparkTestBase.Sf0001)
