@@ -208,6 +208,12 @@ class EagerAggJoinSpec extends SparkTestBase {
     }
   }
 
+  test("pure DISTINCT over a join: no aggregates, the grain dedup still fires") {
+    checkExact(fires = true) {
+      fact.join(dim, $"fk" === $"dk").select($"tag", $"name").distinct()
+    }
+  }
+
   test("null-safe equality (<=>): the null grain group matches the null dim row") {
     // the fixture has null fact keys AND a null dim key: under <=> they
     // MATCH — the grain's single null row must carry its partials to

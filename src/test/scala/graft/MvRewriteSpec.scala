@@ -174,6 +174,37 @@ class MvRewriteSpec extends SparkTestBase with BeforeAndAfterAll {
       direct.collect().map(_.toSeq).toSeq)
   }
 
+  test("aggregate-over-join answers from the MV: EagerAggJoin + MvRewrite compose") {
+    // with both rules on, EagerAggJoin plants a grain aggregate over the
+    // fact side of the join, and MvRewrite answers THAT from the stored
+    // rollup — the join's fact input becomes a keys-sized MV scan. At
+    // 100 TB: the dominant join shuffle drops to the dimension tables'
+    // scale without the user rewriting anything
+    val dimDf = spark.createDataFrame(Seq(
+      ("a", "grpA"), ("b", "grpB"), ("c", "grpA"), ("z", "grpZ")
+    )).toDF("jk", "grp")
+    dimDf.createOrReplaceGlobalTempView("eager_mv_dim")
+    def q(s: SparkSession): DataFrame = {
+      val d = s.table("global_temp.eager_mv_dim")
+      s.read.parquet(basePath)
+        .join(d, col("k") === col("jk"))
+        .groupBy(col("grp"))
+        .agg(sum(col("y")).as("sy"), count(lit(1)).as("n"))
+        .orderBy(col("grp"))
+    }
+    val s3 = spark.newSession()
+    s3.conf.set("spark.graft.mv.rewrite.enabled", "true")
+    s3.conf.set("spark.graft.optimizer.eagerAggJoin", "true")
+    val rewritten = q(s3)
+    assert(readsMv(rewritten),
+      s"join query did not route its fact side to the MV: ${scanPaths(rewritten)}")
+    val direct = q(spark)
+    assert(!readsMv(direct))
+    assert(rewritten.schema === direct.schema)
+    assert(rewritten.collect().map(_.toSeq).toSeq ===
+      direct.collect().map(_.toSeq).toSeq)
+  }
+
   test("count(*) over an empty selection is 0 through the MV, not null") {
     val q = s2.read.parquet(basePath)
       .filter(col("g") === "zzz")
