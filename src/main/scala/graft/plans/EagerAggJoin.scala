@@ -250,16 +250,27 @@ class EagerAggJoin(session: SparkSession) extends Rule[LogicalPlan] {
       }
     }
     val grainIds = grainAttrs.map(_.exprId).toSet
-    // structural backstop: fact side already aggregated at/under the grain
-    factPlan0 match {
-      case a: Aggregate
-          if a.groupingExpressions.forall {
-            case ar: AttributeReference => grainIds.contains(ar.exprId)
-            case _ => false
-          } =>
-        return None
-      case _ =>
+    // structural backstop: fact side already aggregated at or coarser
+    // than the grain — seen THROUGH pruning Projects and Filters, which
+    // the fixed-point batches interleave between the join and a planted
+    // pre-aggregate (InferFiltersFromConstraints parks an isnotnull
+    // filter above it before predicate pushdown sinks it to the scan;
+    // without looking through, the hidden aggregate gets a redundant
+    // second layer stacked on top). Skipping more often is always safe:
+    // rows at-or-under an at-grain aggregate can only shrink further
+    // through a Filter, so there is nothing left to pre-aggregate.
+    def aggregatedAtGrain(p: LogicalPlan): Boolean = p match {
+      case a: Aggregate =>
+        a.groupingExpressions.forall {
+          case ar: AttributeReference => grainIds.contains(ar.exprId)
+          case _ => false
+        }
+      case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+        aggregatedAtGrain(c)
+      case Filter(_, c) => aggregatedAtGrain(c)
+      case _ => false
     }
+    if (aggregatedAtGrain(factPlan0)) return None
 
     val partialAliases = partialByAgg.values.flatMap(_.partials).toSeq
     val preAgg = Aggregate(grainAttrs, grainAttrs ++ partialAliases, factPlan)

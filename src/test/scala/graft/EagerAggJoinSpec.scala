@@ -208,6 +208,45 @@ class EagerAggJoinSpec extends SparkTestBase {
     }
   }
 
+  test("multi-way star: the rewrite cascades one level per join, no stacking") {
+    // fixed-point recursion: the planted grain aggregate over the inner
+    // join is itself the match shape, so fact ⋈ d1 ⋈ d2 pre-aggregates
+    // at (k1, k2) before the first join and re-aggregates at (k2)
+    // before the second — each join sees grain-many rows
+    val d2 = Seq(("t0", "u0"), ("t1", "u1"), ("t2", "u0"), ("t3", "u1"),
+      ("t4", "u0"), ("t5", "u1"), ("t6", "u0")).toDF("tk", "u")
+    def q = fact
+      .join(dim, $"fk" === $"dk")
+      .join(d2, $"tag" === $"tk")
+      .groupBy($"u")
+      .agg(sum($"v").as("sv"), count(lit(1)).as("n"))
+    withRule(on = true) {
+      val df = q
+      assert(eagerJoins(df) === 2,
+        "expected the rewrite to cascade through both joins")
+      // a redundant stack = two Aggregates at the same grain with no
+      // join between them (the legit cascade nests aggregates ACROSS
+      // joins); look through pruning Projects/Filters like the rule does
+      def under(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+          : Option[Aggregate] = p match {
+        case a: Aggregate => Some(a)
+        case org.apache.spark.sql.catalyst.plans.logical.Project(_, c) =>
+          under(c)
+        case org.apache.spark.sql.catalyst.plans.logical.Filter(_, c) =>
+          under(c)
+        case _ => None
+      }
+      val stacked = df.queryExecution.optimizedPlan.collect {
+        case a: Aggregate if under(a.child).exists { b =>
+          b.groupingExpressions.map(_.references.map(_.exprId)).toSet ==
+            a.groupingExpressions.map(_.references.map(_.exprId)).toSet
+        } => a
+      }.size
+      assert(stacked === 0, "redundant grain aggregate stacked in the cascade")
+    }
+    checkExact(fires = true)(q)
+  }
+
   test("pure DISTINCT over a join: no aggregates, the grain dedup still fires") {
     checkExact(fires = true) {
       fact.join(dim, $"fk" === $"dk").select($"tag", $"name").distinct()
