@@ -42,7 +42,10 @@ object PlanShapes {
     "q_mv_distinct", "q_mv_approx_distinct",
     // r14 pipeline additions: span dedup's whole design is "text never
     // shuffles" (4 shuffles of digest/position rows, zero driver jobs)
-    "q_dedup_spans", "q_pipeline_source_quality"
+    "q_dedup_spans", "q_pipeline_source_quality",
+    // r18 optimizer-rule queries: their scale property IS the plan —
+    // the pre-aggregate below the Expand / the join must stay put
+    "q_agg_cube_distinct", "q_join_eager_agg"
   )
 
   def headline(name: String): Boolean = headlineNames.contains(name)
@@ -99,6 +102,14 @@ object PlanShapes {
     // |grain| ~ 6 rows) + grouping-sets aggregate + final sort — the
     // r17 2-shuffle plan expanded ALL input rows 4x instead
     "q_agg_cube" -> ShapeBounds(maxShuffles = 3),
+    // 4 = extended-grain pre-aggregate (distinct args join the grain) +
+    // post-expand aggregate + the distinct-rewrite final + sort; the
+    // expand replicates (flag, suppkey) pairs, never lineitem rows
+    "q_agg_cube_distinct" -> ShapeBounds(maxShuffles = 4),
+    // 4 = grain pre-aggregate (EagerAggJoin: the join's fact input is
+    // the supplier-key grain, not lineitem) + distinct-pair aggregate +
+    // final + sort; supplier broadcasts
+    "q_join_eager_agg" -> ShapeBounds(maxShuffles = 4, minBroadcastJoins = 1),
     "q3_join_agg" -> ShapeBounds(maxShuffles = 1, minBroadcastJoins = 2, minPushedScans = 3),
     "q5_join_multi" -> ShapeBounds(maxShuffles = 2, minBroadcastJoins = 5, minPushedScans = 6),
     "q_win_rank" -> ShapeBounds(maxShuffles = 2),

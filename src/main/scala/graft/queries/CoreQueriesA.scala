@@ -484,6 +484,11 @@ object CoreQueriesA {
       (s, dir) => {
         val s2 = s.newSession()
         s2.conf.set("spark.graft.optimizer.eagerAggJoin", "true")
+        // mirror the caller's AQE choice: the plan-audit session turns
+        // AQE off so executedPlan is inspectable, and a child session
+        // would otherwise silently revert to the default
+        s2.conf.set("spark.sql.adaptive.enabled",
+          s.conf.get("spark.sql.adaptive.enabled", "true"))
         t(s2, dir, "lineitem")
           .join(t(s2, dir, "supplier"), $"l_suppkey" === $"s_suppkey")
           .groupBy($"s_nationkey")
