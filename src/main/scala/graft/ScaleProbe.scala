@@ -172,12 +172,12 @@ object ScaleProbe {
     if (which == "splitstore") splitStoreProbe(spark) // not in "all": 25 sequential ingests
     if (which == "mvsweep") mvSweepProbe(spark) // not in "all": builds a 1M-row table
     if (which == "storecatalog") storeCatalogProbe(spark) // not in "all": builds 400k-row stores
-    if (which == "preagg") preAggProbe(spark) // not in "all": builds 3.2M-row tables
+    if (which == "preagg") preAggProbe(spark) // not in "all": builds 1M/4M/16M-row cube fixtures + a 16M-row eager-agg fact
     spark.stop()
   }
 
   /** PreAggExpand economics: CUBE over N rows with and without the
-    * finest-grain pre-aggregate, N growing 200k -> 800k -> 3.2M. Spark's
+    * finest-grain pre-aggregate, N growing 1M -> 4M -> 16M. Spark's
     * stock plan expands every row once per grouping set (4x here) before
     * aggregating; the rewrite expands |grain| (= 35) rows instead. Both
     * plans are linear in N (each reads every row once), so the receipt

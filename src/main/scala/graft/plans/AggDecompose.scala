@@ -41,7 +41,7 @@ private[plans] object AggDecompose {
       if (e.dataType == dt) e else Cast(e, dt)
     val n = s"_preagg_${ae.resultId.id}"
     ae.aggregateFunction match {
-      case s @ Sum(_, ctx) =>
+      case s @ Sum(_, ctx) if sumDecomposable(s.child.dataType, ctx.evalMode) =>
         val p = alias(AggregateExpression(s, Complete, ae.isDistinct), n)
         val re = complete(Sum(p.toAttribute, ctx))
         Some(Decomposed(Seq(p), castTo(re, s.dataType)))
@@ -81,4 +81,27 @@ private[plans] object AggDecompose {
     case ByteType | ShortType | IntegerType | LongType => true
     case _ => false
   }
+
+  /** Sum decomposition must preserve overflow semantics, which depend on
+    * the eval mode AND the input type:
+    *  - decimal: a grain-level partial that overflows decimal(p+10) under
+    *    LEGACY evaluates to NULL (CheckOverflowInSum nullOnOverflow) and
+    *    the re-sum would SKIP it as "no input", returning a wrong non-null
+    *    total where vanilla Spark returns NULL for the group — so decimal
+    *    sums decompose only under ANSI, where the partial THROWS exactly
+    *    as vanilla's own partial aggregation does;
+    *  - integral under TRY: same null-on-overflow trap as legacy decimal;
+    *    integral under LEGACY is safe (wraparound is modular, and modular
+    *    addition reassociates: sum-of-partial-sums mod 2^64 equals the
+    *    row-by-row sum), under ANSI both levels throw;
+    *  - float/double never null/throw on magnitude (they saturate to
+    *    Infinity identically at both levels).
+    */
+  private def sumDecomposable(dt: DataType, mode: EvalMode.Value): Boolean =
+    dt match {
+      case _: DecimalType => mode == EvalMode.ANSI
+      case ByteType | ShortType | IntegerType | LongType =>
+        mode != EvalMode.TRY
+      case _ => true
+    }
 }

@@ -201,8 +201,19 @@ class EagerAggJoin(session: SparkSession) extends Rule[LogicalPlan] {
     val (factPlan0, factOut, factAliases, dimAliases) =
       if (preLeft) (join.left, effLeft, lAliases, rAliases)
       else (join.right, effRight, rAliases, lAliases)
-    // fact-side derived columns compute BELOW the pre-aggregate; the
-    // plain fact columns stay visible for measures and keys
+    // fact-side derived columns compute BELOW the pre-aggregate — on ALL
+    // fact rows, including rows the inner join would have dropped. Under
+    // ANSI mode an expression that only errors on dropped rows (a
+    // division, an overflowing cast) would turn a previously-succeeding
+    // query into a runtime error, so with ANSI on the relocation is
+    // restricted to expressions that cannot raise; anything else bails
+    // to the original plan. (Dim-side aliases recompute ABOVE the join
+    // on exactly the surviving rows — no such restriction needed.)
+    if (session.sessionState.conf.ansiEnabled &&
+        !factAliases.forall(a => cannotRaise(a.child))) {
+      return None
+    }
+    // the plain fact columns stay visible for measures and keys
     val factPlan =
       if (factAliases.isEmpty) factPlan0
       else Project(factPlan0.output ++ factAliases, factPlan0)
@@ -309,6 +320,44 @@ class EagerAggJoin(session: SparkSession) extends Rule[LogicalPlan] {
         splitConjunctivePredicates(l) ++ splitConjunctivePredicates(r)
       case other => Seq(other)
     }
+
+  /** Conservative whitelist of expressions that cannot raise a runtime
+    * error under ANSI mode on ANY input row — the admission test for
+    * relocating a derived column below the pre-aggregate, where it will
+    * see fact rows the join would have dropped. Covers the shapes
+    * PullOutGroupingExpressions actually parks (date-part extraction,
+    * string normalization, float/double arithmetic, conditionals);
+    * everything unlisted — integer/decimal arithmetic (overflow),
+    * division/remainder (zero), narrowing or string-parsing casts,
+    * array/map indexing — is assumed able to raise and bails.
+    */
+  private def cannotRaise(e: Expression): Boolean = {
+    import org.apache.spark.sql.types.{DoubleType, FloatType, StringType}
+    val selfSafe = e match {
+      case _: Attribute | _: Literal => true
+      case _: IsNull | _: IsNotNull | _: Not | _: And | _: Or => true
+      case _: EqualTo | _: EqualNullSafe | _: LessThan | _: LessThanOrEqual |
+          _: GreaterThan | _: GreaterThanOrEqual | _: In | _: InSet => true
+      case _: CaseWhen | _: If | _: Coalesce => true
+      case _: Year | _: Month | _: DayOfMonth | _: Quarter | _: DayOfYear |
+          _: WeekOfYear | _: Hour | _: Minute | _: Second | _: LastDay |
+          _: DayOfWeek | _: WeekDay => true
+      case _: Upper | _: Lower | _: Length | _: Substring | _: Concat |
+          _: StringTrim | _: StringTrimLeft | _: StringTrimRight => true
+      // float/double arithmetic saturates to Infinity, never raises;
+      // integer/decimal overflow and ANY division can raise under ANSI
+      case b @ (_: Add | _: Subtract | _: Multiply | _: UnaryMinus | _: Abs) =>
+        b.dataType == DoubleType || b.dataType == FloatType
+      // casts that parse (string source) or narrow (overflow) can raise;
+      // numeric widening to float/double and anything-to-string cannot
+      case c: Cast =>
+        c.dataType == StringType ||
+          ((c.dataType == DoubleType || c.dataType == FloatType) &&
+            c.child.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+      case _ => false
+    }
+    selfSafe && e.children.forall(cannotRaise)
+  }
 }
 
 object EagerAggJoin {

@@ -176,6 +176,33 @@ class EagerAggJoinSpec extends SparkTestBase {
     }
   }
 
+  test("ANSI: a raising derived grouping column cannot relocate below the pre-aggregate") {
+    // the unparsable code exists ONLY on a row the inner join drops:
+    // vanilla never evaluates the derived column there, but a copy
+    // relocated below the pre-aggregate would see ALL fact rows — and
+    // raise. Cast-to-int is outside the cannot-raise whitelist, so the
+    // rule must bail and the query keeps succeeding (checkExact would
+    // crash, not just fail, if the relocation happened).
+    val f = Seq(("a", 10.0, "1"), ("a", 20.0, "2"), ("b", 5.0, "1"),
+      ("zz", 1.0, "oops")).toDF("fk2", "v2", "code")
+    checkExact(fires = false) {
+      f.join(dim, $"fk2" === $"dk")
+        .groupBy($"code".cast("int").as("g"), $"name")
+        .agg(sum($"v2").as("sv"))
+    }
+    // the SAFE shapes keep firing under ANSI: date-part extraction
+    // cannot raise on any row
+    val f2 = Seq(("a", 10.0, "2024-01-15"), ("a", 20.0, "2024-02-10"),
+      ("b", 5.0, "2025-03-01"), ("zz", 1.0, "2025-04-01"))
+      .toDF("fk2", "v2", "ds")
+      .select($"fk2", $"v2", $"ds".cast("date").as("d"))
+    checkExact(fires = true) {
+      f2.join(dim, $"fk2" === $"dk")
+        .groupBy(year($"d").as("y"), $"name")
+        .agg(sum($"v2").as("sv"), count(lit(1)).as("n"))
+    }
+  }
+
   test("post-join filter between aggregate and join bails") {
     checkExact(fires = false) {
       fact.join(dim, $"fk" === $"dk")

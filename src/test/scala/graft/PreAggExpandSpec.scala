@@ -215,6 +215,47 @@ class PreAggExpandSpec extends SparkTestBase {
     }
   }
 
+  test("bail: decimal sum under ANSI-off keeps null-on-overflow semantics") {
+    // with ANSI off, a grain-level partial sum that overflows decimal(38)
+    // evaluates to NULL (CheckOverflowInSum nullOnOverflow) and a re-sum
+    // would SKIP it as "no input" — turning vanilla Spark's NULL total
+    // into a wrong non-null one. The rule must decline the decomposition;
+    // checkExact then proves the on-plan still matches vanilla, including
+    // the overflowed grand-total row staying NULL.
+    // string source: the default BigDecimal encoder is decimal(38,18),
+    // which 9e37 does not fit
+    val big = "90000000000000000000000000000000000000"
+    val df = Seq(("a", big), ("a", big), ("b", "5"))
+      .toDF("d1", "vs").select($"d1", $"vs".cast("decimal(38,0)").as("v"))
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      checkExact(fires = false) {
+        df.cube($"d1").agg(sum($"v").as("s"))
+      }
+      val total = withRule(on = true) {
+        df.cube($"d1").agg(sum($"v").as("s"))
+          .filter($"d1".isNull).collect()
+      }
+      assert(total.length === 1 && total(0).isNullAt(1),
+        "overflowed legacy decimal grand total must stay NULL")
+    } finally spark.conf.set("spark.sql.ansi.enabled", "true")
+  }
+
+  test("bail: try_sum keeps null-on-overflow semantics") {
+    // TRY-mode sum nulls on overflow exactly like legacy decimal — a
+    // skipped-null partial would fabricate a non-null total
+    fixture.createOrReplaceTempView("pre_agg_fx")
+    checkExact(fires = false) {
+      spark.sql("SELECT d1, try_sum(v_int) AS s FROM pre_agg_fx GROUP BY CUBE(d1)")
+    }
+  }
+
+  test("decimal sum under ANSI (the default) still decomposes") {
+    checkExact(fires = true) {
+      fixture.cube($"d1").agg(sum($"v_dec").as("s"))
+    }
+  }
+
   test("plain groupBy (no Expand) is untouched") {
     checkExact(fires = false) {
       fixture.groupBy($"d1").agg(sum($"v_dbl").as("s"))
