@@ -50,7 +50,9 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *    verbatim: on the dim side as-is, on the fact side by extending
   *    the grain with their argument columns (the PreAggExpand
   *    grain-extension argument — grain rows preserve the exact distinct
-  *    value sets);
+  *    value sets). FILTERed distincts ride the same way with fact-side
+  *    predicate columns joining the grain (dim-side ones pass through
+  *    the join), so the filter re-evaluates identically above it;
   *  - group-by expressions' fact-side references join the grain (the
   *    grain is then strictly finer, so regrouping above is exact);
   *  - the rebuilt aggregate matches the original column-for-column in
@@ -231,7 +233,18 @@ class EagerAggJoin(session: SparkSession) extends Rule[LogicalPlan] {
       if (!partialByAgg.contains(ae.canonicalized)) {
         val onFact = side.forall(_ == preLeft) // ref-less goes to fact
         if (ae.isDistinct && side.isDefined) {
-          if (ae.filter.isDefined) return None
+          // FILTERed distincts ride too: fact-side predicate columns
+          // join the grain (grain rows then preserve the exact
+          // (argument, predicate) value combinations), dim-side ones
+          // pass through the join untouched — either way the filter
+          // re-evaluates identically above the join, and distinct
+          // ignores the multiplicity
+          if (!ae.filter.forall(_.deterministic)) return None
+          ae.filter.foreach(_.references.foreach { a =>
+            if (factOut.contains(a)) {
+              grainExt.getOrElseUpdate(a.exprId, factById(a.exprId))
+            }
+          })
           if (onFact) {
             // grain extension: grain rows then carry the exact distinct
             // value sets, and distinct ignores join multiplicity

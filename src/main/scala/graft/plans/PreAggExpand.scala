@@ -81,8 +81,12 @@ import org.apache.spark.sql.types._
   *    (distinct user) by cube(dims) pre-reduces to the distinct
   *    (dims, user) pairs, exactly the rows ANY exact distinct must
   *    shuffle, before the per-set replication and before
-  *    RewriteDistinctAggregates adds its own expand downstream
-  *    (filtered distincts and non-column-reference distincts bail);
+  *    RewriteDistinctAggregates adds its own expand downstream.
+  *    FILTERed distincts ride the same path with the grain further
+  *    extended by the predicate's columns — grain rows then preserve
+  *    the exact (argument, predicate-column) combinations and the
+  *    filter re-evaluates identically above the Expand (argument-less
+  *    and non-deterministic-filter distincts bail);
   *  - the rebuilt aggregate output matches the original column-for-column
   *    in dataType AND nullability (checked, not assumed — a schema drift
   *    here would silently change downstream DataFrame schemas).
@@ -168,8 +172,16 @@ class PreAggExpand(session: SparkSession) extends Rule[LogicalPlan] {
       case ae: AggregateExpression if ok =>
         if (!partialByAgg.contains(ae.canonicalized)) {
           if (ae.isDistinct) {
-            val refs = ae.aggregateFunction.references.toSeq
-            if (ae.filter.isEmpty && refs.nonEmpty &&
+            // FILTERed distincts ride the same grain extension: the
+            // grain grows by the predicate's columns too, so grain rows
+            // preserve the exact (argument, predicate-column) value
+            // combinations — the filter then selects the identical
+            // distinct sets above the Expand (it reads only passthrough
+            // columns, i.e. original row values, never set-nulls)
+            val refs = (ae.aggregateFunction.references ++
+              ae.filter.map(_.references).getOrElse(AttributeSet.empty)).toSeq
+            if (ae.filter.forall(_.deterministic) &&
+                ae.aggregateFunction.references.nonEmpty &&
                 refs.forall(a => passIds.contains(a.exprId))) {
               refs.foreach(a =>
                 verbatimRefs.getOrElseUpdate(a.exprId, passByIdMap(a.exprId)))

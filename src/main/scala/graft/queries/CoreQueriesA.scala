@@ -203,6 +203,34 @@ object CoreQueriesA {
           "ORDER BY g_rf, l_returnflag ASC NULLS FIRST"
       )
     ),
+    // FILTERed DISTINCT under CUBE — rides PreAggExpand with the grain
+    // further extended by the predicate's column: the pre-aggregate
+    // reduces to distinct (returnflag, suppkey, quantity) combinations,
+    // and both the filter and the distinct re-run verbatim above the
+    // Expand. Oracle = DuckDB's naive plan, so hash equality proves the
+    // predicate-column extension exact.
+    Q(
+      "q_agg_cube_filtered_distinct",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .cube($"l_returnflag")
+          .agg(
+            expr("count(DISTINCT l_suppkey) FILTER (WHERE l_quantity > 25)")
+              .as("nd_supp_hi"),
+            count_distinct($"l_suppkey").as("nd_supp"),
+            count(lit(1)).as("n"),
+            grouping($"l_returnflag").cast("int").as("g_rf")
+          )
+          .orderBy($"g_rf", $"l_returnflag".asc_nulls_first),
+      Some(
+        "SELECT l_returnflag, " +
+          "count(DISTINCT l_suppkey) FILTER (WHERE l_quantity > 25) AS nd_supp_hi, " +
+          "count(DISTINCT l_suppkey) AS nd_supp, count(*) AS n, " +
+          "CAST(grouping(l_returnflag) AS INT) AS g_rf " +
+          "FROM lineitem GROUP BY CUBE (l_returnflag) " +
+          "ORDER BY g_rf, l_returnflag ASC NULLS FIRST"
+      )
+    ),
     Q(
       "q_agg_rollup",
       (s, dir) =>

@@ -146,6 +146,22 @@ class EagerAggJoinSpec extends SparkTestBase {
     }
   }
 
+  test("FILTERed distincts: fact-side predicate joins the grain, dim-side passes through") {
+    checkExact(fires = true) {
+      fact.join(dim, $"fk" === $"dk")
+        .groupBy($"name")
+        .agg(
+          // fact argument + fact predicate: both join the grain
+          expr("count(DISTINCT tag) FILTER (WHERE w > 2)").as("ndt_f"),
+          // dim argument + FACT predicate: predicate column joins the grain
+          expr("count(DISTINCT rank) FILTER (WHERE tag LIKE 't1%')").as("ndr_f"),
+          // fact argument + DIM predicate: predicate passes through the join
+          expr("count(DISTINCT tag) FILTER (WHERE rank > 2)").as("ndt_d"),
+          sum($"v").as("sv")
+        )
+    }
+  }
+
   test("bail: outer join, non-equi condition, dim-side sum, mixed-side argument") {
     checkExact(fires = false) {
       fact.join(dim, $"fk" === $"dk", "left")

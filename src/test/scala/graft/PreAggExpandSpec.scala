@@ -189,16 +189,11 @@ class PreAggExpandSpec extends SparkTestBase {
     }
   }
 
-  test("bail: filtered aggregates, filtered distincts, holistic aggregates") {
+  test("bail: filtered non-distinct aggregates, holistic aggregates") {
     fixture.createOrReplaceTempView("pre_agg_fx")
     checkExact(fires = false) {
       spark.sql(
         "SELECT d1, sum(v_int) FILTER (WHERE v_dbl > 50) AS s " +
-          "FROM pre_agg_fx GROUP BY CUBE(d1)")
-    }
-    checkExact(fires = false) {
-      spark.sql(
-        "SELECT d1, count(DISTINCT d2) FILTER (WHERE v_dbl > 50) AS nd " +
           "FROM pre_agg_fx GROUP BY CUBE(d1)")
     }
     checkExact(fires = false) {
@@ -207,6 +202,29 @@ class PreAggExpandSpec extends SparkTestBase {
     checkExact(fires = false) {
       fixture.cube($"d1").agg(percentile_approx($"v_dbl", lit(0.5), lit(100)).as("p"))
     }
+  }
+
+  test("FILTERed distincts ride by extending the grain with the predicate columns") {
+    fixture.createOrReplaceTempView("pre_agg_fx")
+    // predicate over a non-grain measure column: v_dbl joins the grain,
+    // the filter re-evaluates identically above the Expand
+    checkExact(fires = true) {
+      spark.sql(
+        "SELECT d1, count(DISTINCT d2) FILTER (WHERE v_dbl > 50) AS nd, " +
+          "count(*) AS n FROM pre_agg_fx GROUP BY CUBE(d1)")
+    }
+    // predicate referencing a DIM column's row values plus a measure;
+    // mixed with a plain distinct and a decomposed sum
+    checkExact(fires = true) {
+      spark.sql(
+        "SELECT d1, d2, " +
+          "count(DISTINCT v_int) FILTER (WHERE d2 = 'a' OR v_dbl < 30) AS ndf, " +
+          "count(DISTINCT v_int) AS nd, sum(v_dbl) AS s " +
+          "FROM pre_agg_fx GROUP BY ROLLUP(d1, d2)")
+    }
+    // (a non-deterministic predicate is rejected by the analyzer itself
+    // — INVALID_AGGREGATE_FILTER.NON_DETERMINISTIC — before the rule
+    // could see it; the rule's determinism guard is defense-in-depth)
   }
 
   test("bail: decimal avg keeps Spark's own division typing") {
@@ -310,7 +328,7 @@ class PreAggExpandSpec extends SparkTestBase {
 
   test("registered cube/rollup/grouping-sets queries ride the pre-aggregate") {
     Seq("q_agg_cube", "q_agg_rollup", "q_agg_grouping_sets",
-        "q_agg_cube_distinct").foreach { q =>
+        "q_agg_cube_distinct", "q_agg_cube_filtered_distinct").foreach { q =>
       val df = Registry.byName(q).fn(spark, SparkTestBase.Sf0001)
       assert(preAggExpands(df) === 1,
         s"$q: expected the grouping-sets Expand to read a pre-aggregate")
