@@ -15,11 +15,13 @@ import org.apache.spark.sql.SparkSession
   *  - the MARKER primitives ([[writeMarker]]/[[readMarker]]/
   *    [[breakIfExpired]]/[[releaseIfOwner]]) — shared by
   *    [[MinHashIndex]]'s per-index fold/compact leases and the
-  *    catalog-level lease below; semantics unchanged from the round-11
-  *    originals (see the caveats on [[MinHashIndex]]'s lease section:
-  *    leases are not renewed, and the expired-break is not atomic
-  *    without filesystem CAS — both need a crashed-or-overrun holder to
-  *    bite).
+  *    catalog-level lease below; semantics from the round-11 originals
+  *    plus renewal and fencing (round 19): [[fence]] renews the lease
+  *    before each commit and refuses with [[LostException]] once it is
+  *    lost, so an overrun holder can no longer race the maintainer that
+  *    re-acquired. The expired-break itself is still not atomic without
+  *    filesystem CAS — it needs a crashed holder to bite, and the fence
+  *    bounds the damage of the overrun case to zero commits.
   *  - the CATALOG-SWEEP lease ([[withConfigured]]): the catalog walkers
   *    ([[graft.plans.MvAdvisor.maintainAll]]/`maintainBase`, the
   *    compaction autopilot, `catalog_save` over the wire) document a
@@ -49,8 +51,9 @@ object MaintenanceLease {
   val TtlConfKey = "spark.graft.maintenance.lease.ttlMs"
 
   /** How long a crashed holder's lease survives before anyone may break
-    * it — generous above the longest expected sweep (leases are not
-    * renewed; see the known limits).
+    * it. A LIVE sweep renews on every [[fence]] (so the TTL only needs
+    * to outlast the longest single step, not the whole sweep); a crashed
+    * holder stops renewing and expires one TTL after its last commit.
     */
   val DefaultTtlMs: Long = 10 * 60 * 1000L
 
@@ -138,8 +141,16 @@ object MaintenanceLease {
   // catalog-sweep lease
   // -------------------------------------------------------------------
 
+  /** Thrown by [[fence]] when the holder's lease has been lost (expired
+    * past its TTL — and possibly broken and re-acquired). Deliberately
+    * NOT caught by the per-store/per-view error isolation in the sweep
+    * walkers: a lost lease must abort the WHOLE sweep before its next
+    * commit, not degrade to an error row.
+    */
+  final class LostException(msg: String) extends IllegalStateException(msg)
+
   final case class Held private[MaintenanceLease] (
-      fs: FileSystem, marker: Path, owner: String)
+      fs: FileSystem, marker: Path, owner: String, ttlMs: Long)
 
   /** Take the sweep lease under `dir`, or throw [[IllegalStateException]]
     * when another maintainer holds a live one — the caller backs off;
@@ -160,17 +171,65 @@ object MaintenanceLease {
         s"maintenance lease at $dir held by another maintainer — this " +
           "sweep backed off cleanly; retry after it completes (a crashed " +
           s"holder's lease expires after ${ttlMs}ms)")
-    Held(fs, marker, owner)
+    Held(fs, marker, owner, ttlMs)
   }
 
   def release(h: Held): Unit = releaseIfOwner(h.fs, h.marker, h.owner)
+
+  /** Heartbeat: push the holder's expiry another TTL out, but ONLY while
+    * the marker is still this holder's AND still live. The liveness
+    * condition makes the overwrite safe: breakers may only delete
+    * EXPIRED markers, so no new holder can exist while ours is live —
+    * the rewrite can't clobber anyone (modulo clock skew, the same
+    * assumption the TTL break itself already makes). Once expired, the
+    * lease is treated as LOST even if the marker still sits on disk —
+    * a new holder may be acquiring it at this very instant.
+    */
+  def renewIfOwned(h: Held): Boolean =
+    readMarker(h.fs, h.marker) match {
+      case Some((expiry, o))
+          if o == h.owner && System.currentTimeMillis() < expiry =>
+        val content =
+          s"${System.currentTimeMillis() + h.ttlMs}:${h.owner}".getBytes("UTF-8")
+        val out = h.fs.create(h.marker, true)
+        try out.write(content) finally out.close()
+        true
+      case _ => false
+    }
+
+  /** The commit fence (the fencing half of the single-maintainer
+    * contract): called immediately before each store/view commit inside
+    * a sweep, it renews the lease while held and THROWS [[LostException]]
+    * the moment the lease is lost — an overrun holder refuses its next
+    * commit instead of racing the maintainer that re-acquired. Doubles
+    * as the heartbeat, so a sweep that fences at every step never
+    * expires mid-run no matter how long it takes.
+    */
+  def fence(h: Held): Unit =
+    if (!renewIfOwned(h))
+      throw new LostException(
+        s"maintenance lease ${h.marker} lost (expired past its TTL and " +
+          "possibly re-acquired by another maintainer) — refusing to " +
+          "commit; the store is untouched by this step, re-run the sweep")
+
+  /** The lease the current thread's sweep holds, if any — plumbing so
+    * commit sites deep in the walkers can fence without threading the
+    * handle through every signature.
+    */
+  private val active = new scala.util.DynamicVariable[Option[Held]](None)
+
+  /** Fence against the thread's active sweep lease; no-op when the
+    * deployment runs leaseless (ConfKey unset — single-process
+    * convention, unchanged behavior).
+    */
+  def fenceActive(): Unit = active.value.foreach(fence)
 
   /** Run `body` under the sweep lease at `dir`. */
   def withLease[T](
       spark: SparkSession, dir: String,
       ttlMs: Long = DefaultTtlMs)(body: => T): T = {
     val h = acquire(spark, dir, ttlMs)
-    try body finally release(h)
+    try active.withValue(Some(h))(body) finally release(h)
   }
 
   /** Run `body` under the lease configured on [[ConfKey]], or leaseless

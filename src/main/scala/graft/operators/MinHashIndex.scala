@@ -73,7 +73,7 @@ import org.apache.spark.sql.functions._
   * holder never wedges the index. Readers only need to stay clear of the
   * post-commit removal of the superseded version dir.
   */
-object MinHashIndex {
+object MinHashIndex extends org.apache.spark.internal.Logging {
 
   final case class StoredIndex(root: String)
 
@@ -285,15 +285,30 @@ object MinHashIndex {
 
   /** The segment names a tombstone list covers: its `_scope` side file
     * (one name per line, written inside the atomic publish), or None =
-    * covers everything (legacy lists without the file).
+    * covers everything (legacy lists without the file, and — loudly —
+    * lists whose file exists but cannot be read). The degrade direction
+    * is deliberate: global coverage can only HIDE a later re-fold of a
+    * deleted id from candidate generation (a dedup recall loss on that
+    * id), never resurrect a deleted doc or fabricate a false pair.
     */
   private def tombstoneScope(fs: FileSystem, delDir: Path): Option[Set[String]] = {
     val f = new Path(delDir, "_scope")
     if (!fs.exists(f)) None
     else {
-      val in = fs.open(f)
-      val raw = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-      Some(raw.split("\n").map(_.trim).filter(_.nonEmpty).toSet)
+      try {
+        val in = fs.open(f)
+        val raw = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+        Some(raw.split("\n").map(_.trim).filter(_.nonEmpty).toSet)
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          logWarning(
+            s"MinHashIndex: tombstone scope file $f is unreadable " +
+              s"(${e.getClass.getSimpleName}: ${e.getMessage}); degrading " +
+              "the list to GLOBAL coverage — deletes stay enforced, but a " +
+              "re-fold of a deleted doc_id will be hidden from candidate " +
+              "generation until the next compact rewrites the lists")
+          None
+      }
     }
   }
 

@@ -128,6 +128,9 @@ object StoreCatalog {
     * single-maintainer contract make each window apply once.
     */
   def refreshStep(spark: SparkSession, d: StoreDef): Option[Long] = {
+    // commit fence: inside a leased sweep, renew-or-refuse before
+    // touching the store (no-op for leaseless deployments)
+    MaintenanceLease.fenceActive()
     val src = d.source.getOrElse(throw new IllegalStateException(
       s"store '${d.name}' has no source lineage — nothing to refresh " +
         "against"))

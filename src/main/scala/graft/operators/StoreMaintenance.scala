@@ -155,6 +155,8 @@ object StoreMaintenance {
               Some(describe(spark, d.kind, d.root).segments), None)
           }
         } catch {
+          // a LOST lease aborts the whole walk, never degrades to a row
+          case e: MaintenanceLease.LostException => throw e
           case scala.util.control.NonFatal(e) =>
             AutopilotResult(d.name, d.kind, None, compacted = false, None,
               Some("error: " + Option(e.getMessage).getOrElse(e.toString)
@@ -173,6 +175,9 @@ object StoreMaintenance {
   def compact(
       spark: SparkSession, kind: String, root: String,
       nFiles: Option[Int]): String = {
+    // commit fence: inside a leased sweep (the autopilot), renew-or-
+    // refuse before rewriting the store (no-op for leaseless callers)
+    MaintenanceLease.fenceActive()
     nFiles.foreach(n => require(n > 0, "nFiles must be positive"))
     kind match {
       case "minhash" =>

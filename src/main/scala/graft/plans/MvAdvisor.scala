@@ -224,6 +224,9 @@ object MvAdvisor {
         mvRoot: String,
         pinned: Option[(DataFrame, Long, graft.sources.IcebergMeta.TableMeta)]
     ): Option[Long] = {
+      // commit fence: inside a leased sweep, renew-or-refuse before the
+      // catalog replace-by-name commits (no-op for leaseless callers)
+      graft.operators.MaintenanceLease.fenceActive()
       val d = MvCatalog.lookup(basePath).find(_.name == mvName)
         .getOrElse(throw new IllegalStateException(
           s"$mvName is not registered — materialize first"))
@@ -459,6 +462,10 @@ object MvAdvisor {
         case None =>
           MaintainResult(d.name, d.kind, stale = false, None, None, None)
       } catch {
+        // a LOST lease aborts the whole sweep — degrading it to an error
+        // row would let the overrun holder keep committing to the NEXT
+        // stores while another maintainer owns the lease
+        case e: graft.operators.MaintenanceLease.LostException => throw e
         case scala.util.control.NonFatal(e) =>
           MaintainResult(d.name, d.kind, stale = false, None, None,
             Some("error: " + Option(e.getMessage).getOrElse(e.toString)
@@ -567,6 +574,8 @@ object MvAdvisor {
             }
           }
       } catch {
+        // a LOST lease aborts the whole sweep, never degrades to a row
+        case e: graft.operators.MaintenanceLease.LostException => throw e
         case scala.util.control.NonFatal(e) => skip("error: " +
           Option(e.getMessage).getOrElse(e.toString)
             .replaceAll("\\s+", " ").take(200))
@@ -718,6 +727,7 @@ object MvAdvisor {
       */
     def refreshStep(
         spark: SparkSession, mvRoot: String): Option[(Long, Long)] = {
+      graft.operators.MaintenanceLease.fenceActive()
       val d = MvCatalog.lookupJoin(factPath, dimPath).find(_.name == mvName)
         .getOrElse(throw new IllegalStateException(
           s"$mvName is not registered — materialize first"))

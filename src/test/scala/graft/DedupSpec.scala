@@ -379,6 +379,38 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("corrupt tombstone _scope degrades to GLOBAL coverage: re-fold hidden, never double-emitted, reads never crash") {
+    import graft.operators.MinHashIndex
+    import spark.implicits._
+    val sent = crashSent("sc") _
+    val corpus = Seq((1L, sent(1)), (2L, sent(2)), (10L, sent(1)))
+      .toDF("doc_id", "text")
+    val idx = MinHashIndex.materialize(corpus, tempDir("graft-mh-scope"))
+    assert(MinHashIndex.deleteOnce(Seq(1L).toDF("doc_id"), idx, "d1"))
+    assert(MinHashIndex.foldOnce(
+      Seq((1L, sent(1))).toDF("doc_id", "text"), idx, "refold"))
+    def liveRows(id: Long): Long =
+      MinHashIndex.shingles(spark, idx).filter($"doc_id" === id).count()
+    // healthy scope: the re-fold is visible, exactly once
+    assert(liveRows(1L) === 1L)
+    // corrupt the side file: replace it with a same-named DIRECTORY so
+    // open() throws — the documented degrade path (file-corruption only;
+    // the publish writes it atomically inside the del-dir rename)
+    val v = MinHashIndex.currentVersion(spark, idx)
+    val vdir = new java.io.File(idx.root, s"v$v")
+    val del = vdir.listFiles().filter(_.getName.startsWith("del-")).head
+    val scope = new java.io.File(del, "_scope")
+    assert(scope.delete() && scope.mkdir(), "fixture: could not corrupt _scope")
+    // CONSERVATIVE direction, and no crash: the list now covers every
+    // segment, so the re-folded id is HIDDEN (a dedup recall loss on
+    // that id) — never resurrected dead rows, never a double emission
+    assert(liveRows(1L) === 0L,
+      "corrupt scope must hide the re-fold, not double-emit or resurrect")
+    assert(liveRows(10L) === 1L, "unrelated docs must be untouched")
+    assert(liveRows(2L) === 1L)
+    graft.engine.PersistScope.releaseAll()
+  }
+
   test("maintenance lease: fold-during-compact serializes or fails cleanly, never interleaves") {
     import graft.operators.MinHashIndex
     import spark.implicits._

@@ -97,6 +97,82 @@ class MaintenanceLeaseSpec extends SparkTestBase {
     } finally spark.conf.unset(MaintenanceLease.ConfKey)
   }
 
+  test("renewal: a holder that fences outlives many TTLs; once lost, fence refuses") {
+    val dir = tempDir("graft-lease-renew")
+    val h = MaintenanceLease.acquire(spark, dir, ttlMs = 300L)
+    // fence every ~150ms for 4 TTLs' worth of wall clock: each fence
+    // renews, so the lease never expires and no acquirer can break in
+    (1 to 8).foreach { _ =>
+      Thread.sleep(150L)
+      MaintenanceLease.fence(h)
+      intercept[IllegalStateException](
+        MaintenanceLease.acquire(spark, dir, ttlMs = 300L))
+    }
+    // stop renewing: the lease expires, a second maintainer takes it,
+    // and the overrun holder's next fence REFUSES (its release is also
+    // ownership-checked and leaves the new holder's marker alone)
+    Thread.sleep(400L)
+    val h2 = MaintenanceLease.acquire(spark, dir)
+    val lost = intercept[MaintenanceLease.LostException](
+      MaintenanceLease.fence(h))
+    assert(lost.getMessage.contains("refusing to commit"), lost.getMessage)
+    MaintenanceLease.release(h)
+    MaintenanceLease.fence(h2) // the live holder keeps fencing fine
+    MaintenanceLease.release(h2)
+  }
+
+  test("an overrun sweep's post-break store commit refuses; the new maintainer's sweep converges") {
+    StoreCatalog.clear()
+    val leaseDir = tempDir("graft-lease-fence-sweep")
+    val tbl = tempDir("graft-lease-fence-docs") + "/docs_ice"
+    val root = tempDir("graft-lease-fence-idx") + "/index"
+    val docs = spark.read
+      .parquet(SparkTestBase.Sf0001 + "/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    IcebergWriter.append(spark, tbl, docs.filter($"doc_id" < 150),
+      None, 1000L, formatVersion = 2)
+    val rec = MvAdvisor.DedupIndexRecommendation(tbl, "text", 1)
+    try {
+      rec.materialize(spark, root): Unit
+      IcebergWriter.append(spark, tbl,
+        docs.filter($"doc_id" >= 150 && $"doc_id" < 200), None, 2000L)
+      spark.conf.set(MaintenanceLease.ConfKey, leaseDir)
+      val lost = intercept[MaintenanceLease.LostException] {
+        MaintenanceLease.withLease(spark, leaseDir, ttlMs = 150L) {
+          // the sweep stalls past its TTL without fencing...
+          Thread.sleep(300L)
+          // ...a second maintainer breaks the expired lease and runs the
+          // whole sweep (bringing the store current), then releases
+          val t = new Thread(() => { MvAdvisor.maintainAll(spark): Unit })
+          t.start(); t.join()
+          // the overrun holder's next store commit hits the fence INSIDE
+          // refreshStep and refuses before touching the store
+          StoreCatalog.refreshStep(
+            spark, StoreCatalog.find(rec.storeName).get): Unit
+        }
+      }
+      assert(lost.getMessage.contains("refusing to commit"), lost.getMessage)
+      // the surviving state IS the single-sweep state: cursor at head,
+      // stored rows equal to a base recompute
+      val head = IcebergMeta.load(tbl).currentSnapshot.get.id
+      assert(StoreCatalog.find(rec.storeName).get.source.get.watermark
+        === head)
+      val want = MinHashIndex.shingleSets(
+          IcebergSource.read(spark, tbl).select($"doc_id", $"text"))
+        .select($"doc_id", size($"sh"))
+        .as[(Long, Int)].collect().sorted.toSeq
+      val stored = MinHashIndex.shingles(
+          spark, MinHashIndex.StoredIndex(root))
+        .select($"doc_id", size($"sh"))
+        .as[(Long, Int)].collect().sorted.toSeq
+      assert(stored === want,
+        "overrun sweep must leave the new maintainer's state untouched")
+    } finally {
+      spark.conf.unset(MaintenanceLease.ConfKey)
+      StoreCatalog.clear()
+    }
+  }
+
   test("two racing sweeps on one catalog leave the store equal to a single-sweep run") {
     StoreCatalog.clear()
     val leaseDir = tempDir("graft-lease-race-sweep")
