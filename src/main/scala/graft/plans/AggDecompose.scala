@@ -76,6 +76,90 @@ private[plans] object AggDecompose {
     }
   }
 
+  /** The DIM-side half of Yan & Larson's eager-aggregation algebra
+    * ([[EagerAggJoin]]): rewrite an aggregate over un-pre-aggregated dim
+    * columns into its multiplicity-weighted form, where `weight` is the
+    * fact pre-aggregate's per-grain row count. Each grain row joins
+    * exactly the dim rows its `weight` fact rows would have, so over the
+    * join output
+    *
+    *   sum(x)   == sum(x * w)
+    *   count(x) == sum(CASE WHEN x IS NOT NULL THEN w ELSE 0 END)
+    *   avg(x)   == sum(x*w) / sum(CASE WHEN x IS NOT NULL THEN w ELSE 0 END)
+    *
+    * Weighted sums stay in the original Sum buffer family — LongType for
+    * integral inputs (legacy wraparound is modular, and modular
+    * multiplication IS repeated modular addition, so legacy stays
+    * bit-exact; ANSI throws on the same magnitudes vanilla's
+    * order-arbitrary accumulation does), DoubleType for float/double
+    * (the usual reassociation ulp), and for decimal(p<=17,s) the exact
+    * decimal product — bit-identical to the naive plan (wider decimals
+    * bail: the product would round through Spark's precision-loss
+    * typing). Decimal avgs bail (division typing), TRY-mode sums bail
+    * (null-on-overflow would mis-skip). Returns the RE-AGGREGATION
+    * expression (no new
+    * partials — the caller plants the shared weight column once);
+    * min/max/distinct never come here (they ride verbatim), filtered
+    * and holistic aggregates return None.
+    */
+  def decomposeWeighted(
+      ae: AggregateExpression,
+      weight: Attribute
+  ): Option[Expression] = {
+    if (ae.isDistinct || ae.filter.isDefined) return None
+    def complete(f: AggregateFunction): AggregateExpression =
+      AggregateExpression(f, Complete, isDistinct = false)
+    def castTo(e: Expression, dt: DataType): Expression =
+      if (e.dataType == dt) e else Cast(e, dt)
+    def nonNullWeight(guard: Expression): Expression =
+      If(guard, weight, Literal(0L))
+    ae.aggregateFunction match {
+      case s @ Sum(child, ctx) =>
+        child.dataType match {
+          case ByteType | ShortType | IntegerType | LongType
+              if ctx.evalMode != EvalMode.TRY =>
+            val prod = Multiply(castTo(child, LongType), weight)
+            Some(castTo(complete(Sum(prod, ctx)), s.dataType))
+          case FloatType | DoubleType =>
+            val prod =
+              Multiply(castTo(child, DoubleType), castTo(weight, DoubleType))
+            Some(castTo(complete(Sum(prod, ctx)), s.dataType))
+          case dt: DecimalType
+              if dt.precision + 20 + 1 <= 38 && ctx.evalMode != EvalMode.TRY =>
+            // the product decimal(p,s) x decimal(20,0) lands in
+            // decimal(p+21,s) — EXACT when p <= 17, so unlike the
+            // float path this is bit-identical to the naive plan. No
+            // partial-null-skipping hazard either (the one that gates
+            // plain decimal decomposition to ANSI): the single Sum runs
+            // above the join, so a legacy overflow nulls the whole
+            // group exactly as vanilla's CheckOverflowInSum does, and
+            // the final cast back to sum(decimal(p,s))'s own type
+            // restores vanilla's (earlier) overflow point
+            val prod = Multiply(child, castTo(weight, DecimalType(20, 0)))
+            Some(castTo(complete(Sum(prod, ctx)), s.dataType))
+          case _ => None
+        }
+      case c: Count =>
+        val guards = c.children.filterNot(_.foldable)
+          .map(IsNotNull(_): Expression)
+        val term = guards.reduceOption(And)
+          .map(nonNullWeight).getOrElse(weight)
+        val re = Coalesce(Seq(complete(Sum(term)), Literal(0L)))
+        Some(castTo(re, c.dataType))
+      case a @ Average(child, evalMode)
+          if (evalMode == EvalMode.LEGACY || evalMode == EvalMode.ANSI) &&
+            avgDecomposable(child.dataType) =>
+        // numerator null (no non-null x in the group) short-circuits the
+        // Divide to null before any zero-divisor check, matching
+        // vanilla avg's empty-input null
+        val num = complete(Sum(
+          Multiply(castTo(child, DoubleType), castTo(weight, DoubleType))))
+        val den = complete(Sum(nonNullWeight(IsNotNull(child))))
+        Some(castTo(Divide(num, castTo(den, DoubleType)), a.dataType))
+      case _ => None
+    }
+  }
+
   private def avgDecomposable(dt: DataType): Boolean = dt match {
     case DoubleType | FloatType => true
     case ByteType | ShortType | IntegerType | LongType => true

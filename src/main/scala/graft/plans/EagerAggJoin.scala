@@ -29,10 +29,13 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * each partial once per matching dim row, exactly the duplication the
   * original per-row join produced. Fact rows whose key matches nothing
   * (or is NULL) drop with their grain row just as they dropped
-  * row-by-row. Aggregates on the DIM side cannot ride the partials and
-  * are kept verbatim only when join multiplicity cannot change them:
-  * min/max. (A dim-side sum/count would need weighting by the fact
-  * partial count — a correctness cliff this rule stays away from.)
+  * row-by-row. Aggregates on the DIM side ride verbatim when join
+  * multiplicity cannot change them (min/max, DISTINCT) and otherwise as
+  * multiplicity-WEIGHTED re-aggregations over the fact pre-aggregate's
+  * per-grain row count w (Yan & Larson's full algebra, r19):
+  * sum(x) == sum(x*w), count(x) == sum(if(x is not null, w, 0)),
+  * avg(x) == their ratio — each grain row joins exactly the dim rows
+  * its w fact rows would have ([[AggDecompose.decomposeWeighted]]).
   *
   * Safety gates — bail to the original plan unless ALL hold:
   *  - INNER join, condition a pure conjunction of attribute equalities
@@ -43,7 +46,9 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *    there reads mixed-side per-row values);
   *  - every aggregate's arguments live wholly on one side: the
   *    pre-aggregated side decomposes via [[AggDecompose]] (sum/count/
-  *    min/max/avg; filtered bail), the other side allows min/max only;
+  *    min/max/avg; filtered bail), the other side rides min/max
+  *    verbatim and sum/count/avg weighted (decimal sums up to
+  *    precision 17 multiply exactly; wider ones and decimal avgs bail);
   *    ref-less aggregates (count(*)) decompose on the pre-aggregated
   *    side. DISTINCT aggregates are multiplicity-insensitive
   *    (duplication cannot change a distinct value set), so they ride
@@ -59,10 +64,11 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *    dataType, nullability and exprId, and references nothing dangling
   *    — else the original plan returns.
   *
-  * Which side pre-aggregates: the side carrying decomposable measures
-  * (both sides carrying them bails — v1 keeps one weighting story).
-  * With only min/max + count(*) in play either side works; the rule
-  * picks the left by convention.
+  * Which side pre-aggregates: the side carrying decomposable measures;
+  * with measures on both sides the rule tries left-as-fact first and
+  * falls back to the right (one side's measures may fail the weighting
+  * gates). With only min/max + count(*) in play either side works; the
+  * rule picks the left by convention.
   *
   * OPT-IN, default OFF (`spark.graft.optimizer.eagerAggJoin=true` to
   * enable): unlike [[PreAggExpand]] — whose worst case is a bounded
@@ -186,23 +192,54 @@ class EagerAggJoin(session: SparkSession) extends Rule[LogicalPlan] {
         else if (refs.subsetOf(effRight)) ae -> Some(false)
         else return None // argument spans both sides: unsupported
     }
-    // "heavy" = needs decomposition (multiplicity-sensitive, non-distinct):
-    // those pick the pre-aggregated side. min/max are multiplicity-
-    // insensitive; DISTINCT aggregates are multiplicity-insensitive too
-    // (duplication cannot change a distinct value set), so both ride
-    // verbatim on the dim side — and on the fact side distincts ride by
-    // grain extension, exactly as in PreAggExpand.
-    def heavy(ae: AggregateExpression): Boolean =
-      !ae.isDistinct && (ae.aggregateFunction match {
-        case _: Min | _: Max => false
-        case _ => true
-      })
     val heavySides = sides.collect { case (ae, Some(s)) if heavy(ae) => s }.distinct
-    if (heavySides.size > 1) return None // decomposable measures on both sides
-    val preLeft = heavySides.headOption.getOrElse(true)
-    val (factPlan0, factOut, factAliases, dimAliases) =
-      if (preLeft) (join.left, effLeft, lAliases, rAliases)
-      else (join.right, effRight, rAliases, lAliases)
+    // the pre-aggregated (fact) side is where decomposable measures live.
+    // Measures on BOTH sides no longer bail (r19): the dim side's ride
+    // as multiplicity-WEIGHTED re-aggregations over the fact
+    // pre-aggregate's per-grain row count (Yan & Larson's full algebra,
+    // [[AggDecompose.decomposeWeighted]]) — try left-as-fact first, then
+    // right, in case only one assignment passes the weighting gates
+    val candidates = heavySides match {
+      case Seq(s) => Seq(s)
+      case Seq()  => Seq(true)
+      case _      => Seq(true, false)
+    }
+    candidates.view.flatMap { preLeft =>
+      val (factOut, factAliases, dimAliases) =
+        if (preLeft) (effLeft, lAliases, rAliases)
+        else (effRight, rAliases, lAliases)
+      attempt(agg, join, keyPairs, sides, factOut, factAliases, dimAliases,
+        preLeft)
+    }.headOption
+  }
+
+  /** "heavy" = needs decomposition (multiplicity-sensitive, non-distinct):
+    * those pick the pre-aggregated side. min/max are multiplicity-
+    * insensitive; DISTINCT aggregates are multiplicity-insensitive too
+    * (duplication cannot change a distinct value set), so both ride
+    * verbatim on the dim side — and on the fact side distincts ride by
+    * grain extension, exactly as in PreAggExpand.
+    */
+  private def heavy(ae: AggregateExpression): Boolean =
+    !ae.isDistinct && (ae.aggregateFunction match {
+      case _: Min | _: Max => false
+      case _ => true
+    })
+
+  /** One rewrite attempt with a FIXED pre-aggregated (fact) side; None =
+    * this side assignment fails a gate (the caller may try the other).
+    */
+  private def attempt(
+      agg: Aggregate,
+      join: Join,
+      keyPairs: Seq[(AttributeReference, AttributeReference)],
+      sides: Seq[(AggregateExpression, Option[Boolean])],
+      factOut: AttributeSet,
+      factAliases: Seq[Alias],
+      dimAliases: Seq[Alias],
+      preLeft: Boolean): Option[Aggregate] = {
+    import AggDecompose.Decomposed
+    val factPlan0 = if (preLeft) join.left else join.right
     // fact-side derived columns compute BELOW the pre-aggregate — on ALL
     // fact rows, including rows the inner join would have dropped. Under
     // ANSI mode an expression that only errors on dropped rows (a
@@ -229,6 +266,13 @@ class EagerAggJoin(session: SparkSession) extends Rule[LogicalPlan] {
     val grainExt =
       scala.collection.mutable.LinkedHashMap.empty[ExprId, Attribute]
     val factById = factOut.map(a => a.exprId -> a).toMap
+    // the shared multiplicity weight for dim-side measures: one count(*)
+    // partial at the grain, planted only when something needs it
+    val weightAlias = Alias(
+      AggregateExpression(Count(Seq(Literal(1))), Complete,
+        isDistinct = false),
+      "_preagg_w")()
+    var weightUsed = false
     for ((ae, side) <- sides) {
       if (!partialByAgg.contains(ae.canonicalized)) {
         val onFact = side.forall(_ == preLeft) // ref-less goes to fact
@@ -256,9 +300,21 @@ class EagerAggJoin(session: SparkSession) extends Rule[LogicalPlan] {
           partialByAgg.put(ae.canonicalized,
             AggDecompose.decompose(ae, factIds).getOrElse(return None))
         } else {
-          // dim side, non-distinct: multiplicity-insensitive only
-          if (heavy(ae) || ae.filter.isDefined) return None
-          partialByAgg.put(ae.canonicalized, Decomposed(Nil, ae))
+          // dim side, non-distinct: min/max ride verbatim; sum/count/avg
+          // re-aggregate WEIGHTED by the fact pre-aggregate's per-grain
+          // row count w — each grain row joins exactly the dim rows its
+          // w fact rows would have, so sum(x) == sum(x*w) over the join
+          // output (Yan & Larson's dim-side algebra)
+          if (ae.filter.isDefined) return None
+          if (!heavy(ae)) {
+            partialByAgg.put(ae.canonicalized, Decomposed(Nil, ae))
+          } else {
+            val re = AggDecompose
+              .decomposeWeighted(ae, weightAlias.toAttribute)
+              .getOrElse(return None)
+            weightUsed = true
+            partialByAgg.put(ae.canonicalized, Decomposed(Nil, re))
+          }
         }
       }
     }
@@ -296,7 +352,8 @@ class EagerAggJoin(session: SparkSession) extends Rule[LogicalPlan] {
     }
     if (aggregatedAtGrain(factPlan0)) return None
 
-    val partialAliases = partialByAgg.values.flatMap(_.partials).toSeq
+    val partialAliases = partialByAgg.values.flatMap(_.partials).toSeq ++
+      (if (weightUsed) Seq(weightAlias) else Nil)
     val preAgg = Aggregate(grainAttrs, grainAttrs ++ partialAliases, factPlan)
     val newJoin =
       if (preLeft) join.copy(left = preAgg) else join.copy(right = preAgg)

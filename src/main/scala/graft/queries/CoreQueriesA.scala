@@ -537,6 +537,41 @@ object CoreQueriesA {
           "GROUP BY s_nationkey ORDER BY s_nationkey"
       )
     ),
+    // Eager aggregation with measures on BOTH join sides (r19): the
+    // fact side pre-aggregates as before, and the dim-side sum/count/avg
+    // re-aggregate WEIGHTED by the fact pre-aggregate's per-grain row
+    // count (Yan & Larson's full algebra). The DuckDB oracle computes
+    // the naive join-then-aggregate, so hash equality proves the
+    // dim-side weighting exact.
+    Q(
+      "q_join_eager_agg_bilateral",
+      (s, dir) => {
+        val s2 = s.newSession()
+        s2.conf.set("spark.graft.optimizer.eagerAggJoin", "true")
+        s2.conf.set("spark.sql.adaptive.enabled",
+          s.conf.get("spark.sql.adaptive.enabled", "true"))
+        t(s2, dir, "lineitem")
+          .join(t(s2, dir, "supplier"), $"l_suppkey" === $"s_suppkey")
+          .groupBy($"s_nationkey")
+          .agg(
+            asDouble(sum(dec2($"l_quantity"))).as("sum_qty"),
+            asDouble(sum(dec2($"s_acctbal"))).as("sum_bal"),
+            count($"s_acctbal").as("n_bal"),
+            count(lit(1)).as("n"),
+            asDouble(min(dec2($"s_acctbal"))).as("mn_bal")
+          )
+          .orderBy($"s_nationkey")
+      },
+      Some(
+        "SELECT s_nationkey, " +
+          "CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty, " +
+          "CAST(sum(CAST(s_acctbal AS DECIMAL(14,2))) AS DOUBLE) AS sum_bal, " +
+          "count(s_acctbal) AS n_bal, count(*) AS n, " +
+          "CAST(min(CAST(s_acctbal AS DECIMAL(14,2))) AS DOUBLE) AS mn_bal " +
+          "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +
+          "GROUP BY s_nationkey ORDER BY s_nationkey"
+      )
+    ),
     // Theta join: equi on region + range predicate -> within-region pairs.
     Q(
       "q_join_theta",

@@ -162,7 +162,7 @@ class EagerAggJoinSpec extends SparkTestBase {
     }
   }
 
-  test("bail: outer join, non-equi condition, dim-side sum, mixed-side argument") {
+  test("bail: outer join, non-equi condition, mixed-side argument") {
     checkExact(fires = false) {
       fact.join(dim, $"fk" === $"dk", "left")
         .groupBy($"name").agg(sum($"v").as("sv"))
@@ -172,13 +172,39 @@ class EagerAggJoinSpec extends SparkTestBase {
         .groupBy($"name").agg(sum($"v").as("sv"))
     }
     checkExact(fires = false) {
-      // sum on BOTH sides: one weighting story only
-      fact.join(dim, $"fk" === $"dk")
-        .groupBy($"tag").agg(sum($"v").as("sv"), sum($"rank").as("sr"))
-    }
-    checkExact(fires = false) {
       fact.join(dim, $"fk" === $"dk")
         .groupBy($"name").agg(sum($"v" + $"rank").as("s"))
+    }
+  }
+
+  test("measures on BOTH sides: dim sum/count/avg ride weighted by the fact partial count") {
+    // the r18 bail, now Yan & Larson's full algebra — dim-side measures
+    // re-aggregate as sum(x*w) / sum(if(x nonnull, w, 0)) over the fact
+    // pre-aggregate's per-grain count w; duplicate dim keys ("b" twice)
+    // exercise the multiplicity, the unmatched and null keys the drops
+    checkExact(fires = true) {
+      fact.join(dim, $"fk" === $"dk")
+        .groupBy($"tag").agg(
+          sum($"v").as("sv"), // fact: decomposed partial
+          sum($"rank").as("sr"), // dim: weighted (long)
+          count($"rank").as("nr"), // dim: weighted count
+          avg($"rank").as("ar"), // dim: weighted avg
+          count(lit(1)).as("n"),
+          min($"rank").as("mnr") // dim: verbatim
+        )
+    }
+    // NULLs in the dim measure: the weight must count only rows where
+    // the measure is non-null, exactly like vanilla count/avg
+    val dimN = Seq(
+      ("a", Option(1.5)), ("b", Option.empty[Double]), ("b", Option(2.5)),
+      ("c", Option(-3.0))
+    ).toDF("dk2", "score")
+    checkExact(fires = true) {
+      fact.join(dimN, $"fk" === $"dk2")
+        .groupBy($"tag").agg(
+          sum($"v").as("sv"), sum($"score").as("ss"),
+          count($"score").as("ns"), avg($"score").as("asc")
+        )
     }
   }
 
@@ -306,11 +332,42 @@ class EagerAggJoinSpec extends SparkTestBase {
     }
   }
 
+  test("decimal dim measures: narrow sums multiply exactly, wide ones bail the side") {
+    val dimDec = Seq(("a", "1.50"), ("b", "2.25"), ("b", "-3.10"), ("c", "4.00"))
+      .toDF("dk2", "bals")
+      .select($"dk2", $"bals".cast("decimal(14,2)").as("bal"),
+        $"bals".cast("decimal(20,2)").as("balwide"))
+    // decimal(14,2): the weighted product is exact decimal(35,2) —
+    // bit-identical re-aggregation
+    checkExact(fires = true) {
+      fact.join(dimDec, $"fk" === $"dk2")
+        .groupBy($"tag").agg(sum($"v").as("sv"), sum($"bal").as("sb"))
+    }
+    // sum(v) + sum(balwide): left-as-fact fails (wide decimal cannot
+    // weight on the dim side), but the rule FLIPS — right-as-fact
+    // decomposes the wide decimal as a plain partial and weights the
+    // int sum instead, so the rewrite still fires and stays exact
+    checkExact(fires = true) {
+      fact.join(dimDec, $"fk" === $"dk2")
+        .groupBy($"tag").agg(sum($"v").as("sv"), sum($"balwide").as("sw"))
+    }
+    // wide decimals on BOTH sides: neither assignment can weight the
+    // other side — the rule must bail entirely
+    val factWide = fact.withColumn("vwide", $"w".cast("decimal(20,2)"))
+    checkExact(fires = false) {
+      factWide.join(dimDec, $"fk" === $"dk2")
+        .groupBy($"tag")
+        .agg(sum($"vwide").as("svw"), sum($"balwide").as("sw"))
+    }
+  }
+
   test("registered q_join_eager_agg fires in its child session only") {
-    val df = graft.queries.Registry.byName("q_join_eager_agg")
-      .fn(spark, SparkTestBase.Sf0001)
-    assert(eagerJoins(df) === 1,
-      "registered query lost the eager-aggregation plan")
+    for (name <- Seq("q_join_eager_agg", "q_join_eager_agg_bilateral")) {
+      val df = graft.queries.Registry.byName(name)
+        .fn(spark, SparkTestBase.Sf0001)
+      assert(eagerJoins(df) === 1,
+        s"registered query $name lost the eager-aggregation plan")
+    }
     // the enclosing session must stay stock
     val stock = fact.join(dim, $"fk" === $"dk")
       .groupBy($"name").agg(sum($"v").as("sv"))
@@ -347,22 +404,28 @@ class EagerAggJoinSpec extends SparkTestBase {
       "expected at least one TPC-H shape to actually exercise the rewrite")
   }
 
-  test("fuzz: seeded random shapes stay exact under duplicate dim keys") {
+  test("fuzz: seeded random shapes stay exact under duplicate dim AND fact keys") {
     val rnd = new scala.util.Random(11)
-    (1 to 5).foreach { _ =>
+    (1 to 6).foreach { round =>
       val nKeys = 1 + rnd.nextInt(12)
+      // duplicate fact keys by construction (rows >> keys), some null
       val f = (1 to 100 + rnd.nextInt(300)).map { _ =>
-        (s"k${rnd.nextInt(nKeys)}", rnd.nextInt(50),
-          rnd.nextDouble())
+        (if (rnd.nextInt(12) == 0) null else s"k${rnd.nextInt(nKeys)}",
+          rnd.nextInt(50), rnd.nextDouble())
       }.toDF("fk", "v", "w")
-      // every key 1-3 copies on the dim side
+      // every key 1-3 copies on the dim side; dim measure with nulls
       val d = (0 until nKeys).flatMap { k =>
-        (0 to rnd.nextInt(2)).map(c => (s"k$k", s"g${k % 3}", c.toLong))
-      }.toDF("dk", "grp", "copy")
+        (0 to rnd.nextInt(2)).map(c => (s"k$k", s"g${k % 3}", c.toLong,
+          if (rnd.nextInt(5) == 0) Option.empty[Double]
+          else Option(rnd.nextDouble() * 10)))
+      }.toDF("dk", "grp", "copy", "score")
       val aggs = Seq(
         sum($"v").as("sv"), count(lit(1)).as("n"), avg($"w").as("aw"),
         min($"w").as("mnw"), max($"copy").as("mxc"),
-        countDistinct($"fk").as("ndk"))
+        countDistinct($"fk").as("ndk"),
+        // dim-side measures: weighted re-aggregation paths
+        sum($"score").as("ss"), count($"score").as("ns"),
+        avg($"score").as("asc"), sum($"copy").as("sc"))
       val picked = rnd.shuffle(aggs).take(1 + rnd.nextInt(aggs.size))
       checkExact(fires = true) {
         f.join(d, $"fk" === $"dk")
