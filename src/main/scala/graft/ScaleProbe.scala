@@ -291,9 +291,50 @@ object ScaleProbe {
     val (sOff, sOn) = joinAggCase("shuffle", nDim = 500000L, nKeys = 10000L)
     println(f"--- eager aggregation, 16M-row fact, group by dim attr ---")
     println(f"broadcast dim (1k):  stock=$bOff%5.2f s  eager=$bOn%5.2f s  " +
-      f"ratio=${bOff / bOn}%5.2f x (no join shuffle to save -> overhead; why the rule is opt-in)")
+      f"ratio=${bOff / bOn}%5.2f x (no join shuffle to save -> overhead; why forced mode is per-session)")
     println(f"shuffle dim (500k):  stock=$sOff%5.2f s  eager=$sOn%5.2f s  " +
       f"speedup=${sOff / sOn}%5.2f x (join input drops from 16M rows to the 10k-key grain)")
+
+    // AUTO mode (r19): the same two regimes, decided by harvested
+    // statistics alone — NO optimizer conf is set. The fact reads from
+    // parquet (statistics key against the file scan); one analyze pass
+    // arms the session, then the rule itself must fire on the shuffle
+    // regime and refuse the broadcast regime.
+    val tmpAuto = java.nio.file.Files.createTempDirectory("graft-eager-auto")
+    val factPath = tmpAuto.resolve("fact").toString
+    spark.range(nF).select(
+      pmod(col("id"), lit(10000L)).as("fk"),
+      (col("id") % 997).cast("double").as("v"))
+      .write.mode("overwrite").parquet(factPath)
+    val stT0 = System.nanoTime()
+    graft.plans.StatsCatalog.analyze(spark, factPath)
+    val stSec = (System.nanoTime() - stT0) / 1e9
+    def autoCase(label: String, nDim: Long): (Double, Int) = {
+      val dimDf = spark.range(nDim).select(
+        col("id").as("dk"),
+        concat(lit("g"), pmod(col("id"), lit(25))).as("grp"),
+        lpad(col("id").cast("string"), 48, "x").as("pad")).cache()
+      dimDf.count()
+      def q = spark.read.parquet(factPath)
+        .join(dimDf, col("fk") === col("dk"))
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+      import org.apache.spark.sql.catalyst.plans.logical.{Aggregate => LAgg, Join => LJoin}
+      val fired = q.queryExecution.optimizedPlan.collect {
+        case j: LJoin if j.left.isInstanceOf[LAgg] || j.right.isInstanceOf[LAgg] => j
+      }.size
+      def run(): Unit = require(q.collect().length == 25)
+      val (_, _, t) = best(s"joinagg_auto_$label", nF) { run() }
+      dimDf.unpersist()
+      (t, fired)
+    }
+    val (abT, abFired) = autoCase("bcast", nDim = 1000L)
+    val (asT, asFired) = autoCase("shuffle", nDim = 500000L)
+    graft.plans.StatsCatalog.unregister(factPath)
+    println(f"--- eager aggregation AUTO (no conf; one analyze pass = $stSec%5.2f s) ---")
+    println(f"broadcast dim (1k):  fired=$abFired (want 0)  t=$abT%5.2f s (stock plan kept)")
+    println(f"shuffle dim (500k):  fired=$asFired (want 1)  t=$asT%5.2f s  " +
+      f"auto-realized speedup vs stock=${sOff / asT}%5.2f x")
   }
 
   /** File-level data-skipping economics on a range-clustered table whose

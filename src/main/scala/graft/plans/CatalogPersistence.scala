@@ -10,8 +10,11 @@ import org.apache.spark.sql.types.{DataType, StructType}
 import graft.operators.{StoreCatalog, StoreDef, StoreSource}
 
 /** Durable snapshot of the whole registry state — every [[MvCatalog]]
-  * rollup/join def and every [[graft.operators.StoreCatalog]] store def,
-  * as ONE JSON document written tmp+atomic-rename.
+  * rollup/join def, every [[graft.operators.StoreCatalog]] store def,
+  * and every [[StatsCatalog]] table-statistics entry (r19: row counts +
+  * base64 HLL sketches, so a restarted maintainer keeps its optimizer
+  * statistics mergeable) — as ONE JSON document written
+  * tmp+atomic-rename.
   *
   * Why this exists: both catalogs are process-scoped by design (the
   * rewrite rule and the maintenance sweep consult in-JVM maps), which
@@ -106,6 +109,20 @@ object CatalogPersistence {
         sn.put("column", s.column)
         sn.put("idCol", s.idCol)
         sn.put("watermark", s.watermark): Unit
+      }
+    }
+    val stats = root.putArray("stats")
+    StatsCatalog.describe().foreach { st =>
+      val n = stats.addObject()
+      n.put("path", st.path)
+      n.put("rows", st.rows)
+      n.put("updatedMs", st.updatedMs)
+      val cs = n.putObject("cols")
+      st.cols.toSeq.sortBy(_._1).foreach { case (c, cst) =>
+        val cn = cs.putObject(c)
+        cn.put("ndv", cst.ndv)
+        cn.put("sketch",
+          java.util.Base64.getEncoder.encodeToString(cst.sketch)): Unit
       }
     }
     val bytes = mapper.writerWithDefaultPrettyPrinter()
@@ -229,6 +246,23 @@ object CatalogPersistence {
             }))
       }
     }
-    mvs ++ joins ++ stores
+    // table statistics: absent in pre-r19 documents (path() reads as an
+    // empty array), and a stats entry whose table vanished is skipped —
+    // stale NDVs on a re-created path would mis-arm the auto optimizer
+    val stats = root.path("stats").elements().asScala.toSeq.map { n =>
+      entry(n.path("path").asText(), "stats", n.path("path").asText()) {
+        StatsCatalog.register(StatsCatalog.TableStats(
+          path = n.path("path").asText(),
+          rows = n.path("rows").asLong(),
+          cols = n.path("cols").fields().asScala.map { e =>
+            e.getKey -> StatsCatalog.ColStats(
+              e.getValue.path("ndv").asLong(),
+              java.util.Base64.getDecoder
+                .decode(e.getValue.path("sketch").asText()))
+          }.toMap,
+          updatedMs = n.path("updatedMs").asLong()))
+      }
+    }
+    mvs ++ joins ++ stores ++ stats
   }
 }

@@ -70,14 +70,20 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * gates). With only min/max + count(*) in play either side works; the
   * rule picks the left by convention.
   *
-  * OPT-IN, default OFF (`spark.graft.optimizer.eagerAggJoin=true` to
-  * enable): unlike [[PreAggExpand]] — whose worst case is a bounded
-  * small overhead — eager aggregation is only a win when the fact grain
-  * (join keys + grouped fact columns) is materially smaller than the
-  * fact itself, and with no NDV statistics on plain parquet scans the
-  * rule cannot decide that; a near-unique grain would pay an extra
-  * fact-sized shuffle for nothing. Same per-session contract as the MV
-  * rewrite. Idempotence: the rebuilt Join carries a TreeNodeTag; a
+  * Arming (`spark.graft.optimizer.eagerAggJoin`, default `auto`):
+  * unlike [[PreAggExpand]] — whose worst case is a bounded small
+  * overhead — eager aggregation is only a win when the fact grain (join
+  * keys + grouped fact columns) is materially smaller than the fact
+  * itself, and a plain parquet scan carries no NDV statistics to decide
+  * that. In `auto` mode the rule consults [[StatsCatalog]]'s harvested
+  * row counts and per-column HLL NDVs and fires ONLY when the grain
+  * NDV is a small fraction of the fact rows and the dim side is not
+  * broadcast-sized — sessions without harvested statistics are
+  * untouched (no stats, no fire), so the default costs nothing until a
+  * table is analyzed. `true` forces the rewrite wherever the exactness
+  * gates pass (the r18 per-session contract, still what the registered
+  * oracle queries pin); `false` disables. Idempotence: the rebuilt
+  * Join carries a TreeNodeTag; a
   * structural backstop also skips joins whose fact side is already
   * aggregated at (or finer than) the grain.
   *
@@ -90,17 +96,16 @@ class EagerAggJoin(session: SparkSession) extends Rule[LogicalPlan] {
   import AggDecompose.Decomposed
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    if (!session.sessionState.conf
-          .getConfString("spark.graft.optimizer.eagerAggJoin", "false")
-          .toBoolean) {
-      return plan
-    }
+    val mode = session.sessionState.conf
+      .getConfString("spark.graft.optimizer.eagerAggJoin", "auto")
+    if (mode == "false") return plan
+    val statsGated = mode != "true" // "auto" (the default) and anything else
     plan.transformUp {
       case agg @ Aggregate(_, _, child, _) =>
         try {
           unwrap(child, Nil) match {
             case Some((aliases, join)) =>
-              rewrite(agg, aliases, join).getOrElse(agg)
+              rewrite(agg, aliases, join, statsGated).getOrElse(agg)
             case None => agg
           }
         } catch {
@@ -137,7 +142,8 @@ class EagerAggJoin(session: SparkSession) extends Rule[LogicalPlan] {
   }
 
   private def rewrite(
-      agg: Aggregate, aliases: Seq[Alias], join: Join): Option[Aggregate] = {
+      agg: Aggregate, aliases: Seq[Alias], join: Join,
+      statsGated: Boolean): Option[Aggregate] = {
     if (join.joinType != Inner) return None
     if (join.getTagValue(EagerAggJoin.Applied).isDefined) return None
     val cond = join.condition.getOrElse(return None)
@@ -209,7 +215,7 @@ class EagerAggJoin(session: SparkSession) extends Rule[LogicalPlan] {
         if (preLeft) (effLeft, lAliases, rAliases)
         else (effRight, rAliases, lAliases)
       attempt(agg, join, keyPairs, sides, factOut, factAliases, dimAliases,
-        preLeft)
+        preLeft, statsGated)
     }.headOption
   }
 
@@ -237,7 +243,8 @@ class EagerAggJoin(session: SparkSession) extends Rule[LogicalPlan] {
       factOut: AttributeSet,
       factAliases: Seq[Alias],
       dimAliases: Seq[Alias],
-      preLeft: Boolean): Option[Aggregate] = {
+      preLeft: Boolean,
+      statsGated: Boolean): Option[Aggregate] = {
     import AggDecompose.Decomposed
     val factPlan0 = if (preLeft) join.left else join.right
     // fact-side derived columns compute BELOW the pre-aggregate — on ALL
@@ -351,6 +358,17 @@ class EagerAggJoin(session: SparkSession) extends Rule[LogicalPlan] {
       case _ => false
     }
     if (aggregatedAtGrain(factPlan0)) return None
+
+    // auto mode (the default): fire only when harvested statistics say
+    // the grain materially shrinks the fact AND the dim side is not
+    // broadcast-sized ([[StatsCatalog.shouldEagerAgg]]) — the cost
+    // decision the reference delegates to its backend's CBO. Forced
+    // mode ("true") skips the gate, unchanged per-session contract.
+    if (statsGated && !StatsCatalog.shouldEagerAgg(
+        session, factPlan0, grainAttrs,
+        if (preLeft) join.right else join.left)) {
+      return None
+    }
 
     val partialAliases = partialByAgg.values.flatMap(_.partials).toSeq ++
       (if (weightUsed) Seq(weightAlias) else Nil)

@@ -572,6 +572,40 @@ object CoreQueriesA {
           "GROUP BY s_nationkey ORDER BY s_nationkey"
       )
     ),
+    // AUTO-armed eager aggregation (r19): no optimizer conf is set —
+    // the default `auto` mode consults StatsCatalog's harvested row
+    // count + per-column NDV sketches and fires by itself once the
+    // grain-NDV/fact-rows ratio clears the threshold and the dim side
+    // is not broadcast-sized (broadcast disabled here = the 100 TB
+    // shuffle regime; the size floor lowered to fixture scale). The
+    // plan pin lives in EagerAggJoinSpec; hash equality vs DuckDB's
+    // naive plan proves the auto-fired rewrite exact.
+    Q(
+      "q_join_eager_agg_auto",
+      (s, dir) => {
+        val s2 = s.newSession()
+        s2.conf.set("spark.sql.adaptive.enabled",
+          s.conf.get("spark.sql.adaptive.enabled", "true"))
+        s2.conf.set("spark.graft.optimizer.eagerAggJoin.minRows", "1000")
+        s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        graft.plans.StatsCatalog.analyze(s2, s"$dir/lineitem.parquet")
+        t(s2, dir, "lineitem")
+          .join(t(s2, dir, "supplier"), $"l_suppkey" === $"s_suppkey")
+          .groupBy($"s_nationkey")
+          .agg(
+            asDouble(sum(dec2($"l_quantity"))).as("sum_qty"),
+            count(lit(1)).as("n")
+          )
+          .orderBy($"s_nationkey")
+      },
+      Some(
+        "SELECT s_nationkey, " +
+          "CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty, " +
+          "count(*) AS n " +
+          "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +
+          "GROUP BY s_nationkey ORDER BY s_nationkey"
+      )
+    ),
     // Theta join: equi on region + range predicate -> within-region pairs.
     Q(
       "q_join_theta",

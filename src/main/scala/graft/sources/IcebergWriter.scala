@@ -30,7 +30,7 @@ import org.apache.spark.sql.types._
   * Reference capability being built-to: crates/connectors/iceberg/src/
   * lib.rs:3-4 (declares snapshot/manifest support, ships a dir glob).
   */
-object IcebergWriter {
+object IcebergWriter extends org.apache.spark.internal.Logging {
 
   private val mapper = new ObjectMapper()
 
@@ -283,6 +283,20 @@ object IcebergWriter {
         }
       }
     } finally deleteRecursively(staging)
+    // O(increment) statistics maintenance: an analyzed table keeps its
+    // row count and per-column NDV sketches current through every append
+    // (untracked tables pay nothing; see StatsCatalog.mergeIncrement).
+    // Best-effort by design — the data committed above must never be
+    // failed retroactively by a statistics pass
+    if (graft.plans.StatsCatalog.tracked(tablePath)) {
+      try graft.plans.StatsCatalog.mergeIncrement(spark, tablePath, Some(df))
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          logWarning(s"statistics merge for $tablePath failed after a " +
+            s"successful append (${e.getMessage}); stats are now stale " +
+            "until the next analyze")
+      }
+    }
     result
   }
 
@@ -842,6 +856,13 @@ object IcebergWriter {
       IcebergMeta.DataFile(
         target.toAbsolutePath.toString, "PARQUET", Map.empty,
         nDeleted, Files.size(target), content = 1))
+    // row-count statistics maintenance (sketches cannot forget — NDVs
+    // stay conservative upper bounds; see StatsCatalog.mergeIncrement)
+    if (graft.plans.StatsCatalog.tracked(tablePath)) {
+      try graft.plans.StatsCatalog.mergeIncrement(
+        spark, tablePath, None, deletedRows = nDeleted)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
     snapshotId
   }
 

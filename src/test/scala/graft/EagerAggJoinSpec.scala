@@ -374,6 +374,71 @@ class EagerAggJoinSpec extends SparkTestBase {
     assert(eagerJoins(stock) === 0, "conf leaked into the parent session")
   }
 
+  test("auto mode: harvested statistics arm the rewrite with no manual conf") {
+    import graft.plans.StatsCatalog
+    val dir = SparkTestBase.Sf0001
+    val liPath = s"$dir/lineitem.parquet"
+    try {
+      StatsCatalog.analyze(spark, liPath)
+      // child session: eagerAggJoin conf NEVER set — default auto; only
+      // the size floor is lowered to fixture scale
+      val s2 = spark.newSession()
+      s2.conf.set("spark.graft.optimizer.eagerAggJoin.minRows", "1000")
+      def q(s: org.apache.spark.sql.SparkSession) = {
+        val li = s.read.parquet(liPath)
+        val sup = s.read.parquet(s"$dir/supplier.parquet")
+        li.join(sup, li("l_suppkey") === sup("s_suppkey"))
+          .groupBy(sup("s_nationkey"))
+          .agg(sum(li("l_quantity")).as("sq"), count(lit(1)).as("n"))
+      }
+      // broadcast regime (tiny supplier under the default threshold):
+      // no fact shuffle to save — the gate must refuse
+      assert(eagerJoins(q(s2)) === 0,
+        "auto mode must skip the broadcast-dim regime")
+      // shuffle regime (broadcast disabled): grain NDV (suppliers) is a
+      // tiny fraction of fact rows — the gate must fire, unprompted
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      assert(eagerJoins(q(s2)) === 1,
+        "auto mode must fire in the shuffle-dim regime")
+      // exactness: the auto-fired plan matches the stock plan
+      val auto = q(s2).collect().map(_.toString).sorted.toSeq
+      val s3 = spark.newSession()
+      s3.conf.set("spark.graft.optimizer.eagerAggJoin", "false")
+      s3.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val stock = q(s3).collect().map(_.toString).sorted.toSeq
+      assert(auto === stock, "auto-fired rewrite drifted from stock")
+      // near-unique grain (group by a fact key): the NDV-ratio gate
+      // must refuse even in the shuffle regime
+      val li2 = s2.read.parquet(liPath)
+      val sup2 = s2.read.parquet(s"$dir/supplier.parquet")
+      val wide = li2.join(sup2, li2("l_suppkey") === sup2("s_suppkey"))
+        .groupBy(li2("l_orderkey"))
+        .agg(sum(li2("l_quantity")).as("sq"))
+      assert(eagerJoins(wide) === 0,
+        "auto mode must refuse a near-unique grain")
+      // the size floor holds: a default-conf session (minRows 1M) stays
+      // stock even with broadcast off at this fixture scale
+      val s4 = spark.newSession()
+      s4.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      assert(eagerJoins(q(s4)) === 0,
+        "the minRows floor must keep tiny facts stock")
+      // and an UNANALYZED session fires nothing anywhere
+      StatsCatalog.unregister(liPath)
+      assert(eagerJoins(q(s2)) === 0,
+        "no statistics -> no fire, the default-cost contract")
+    } finally StatsCatalog.unregister(liPath)
+  }
+
+  test("registered q_join_eager_agg_auto rides the auto gate in its child session") {
+    val df = graft.queries.Registry.byName("q_join_eager_agg_auto")
+      .fn(spark, SparkTestBase.Sf0001)
+    try {
+      assert(eagerJoins(df) === 1,
+        "the auto-armed registered query lost the eager-aggregation plan")
+    } finally graft.plans.StatsCatalog.unregister(
+      s"${SparkTestBase.Sf0001}/lineitem.parquet")
+  }
+
   test("adversarial sweep: all 22 TPC-H shapes force-enabled stay exact") {
     // the strongest gate receipt: force the rule on for every composite
     // TPC-H query (multi-way joins, correlated subqueries, semi/anti
