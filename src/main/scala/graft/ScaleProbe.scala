@@ -309,32 +309,42 @@ object ScaleProbe {
     val stT0 = System.nanoTime()
     graft.plans.StatsCatalog.analyze(spark, factPath)
     val stSec = (System.nanoTime() - stT0) / 1e9
-    def autoCase(label: String, nDim: Long): (Double, Int) = {
+    def autoCase(label: String, nDim: Long): (Double, Double, Int) = {
+      // the 200-char pad keeps the big dim DECISIVELY past any broadcast
+      // threshold (a borderline cached size must not flip the regime
+      // between runs); the small dim stays decisively under it
       val dimDf = spark.range(nDim).select(
         col("id").as("dk"),
         concat(lit("g"), pmod(col("id"), lit(25))).as("grp"),
-        lpad(col("id").cast("string"), 48, "x").as("pad")).cache()
+        lpad(col("id").cast("string"), 200, "x").as("pad")).cache()
       dimDf.count()
       def q = spark.read.parquet(factPath)
         .join(dimDf, col("fk") === col("dk"))
         .groupBy(col("grp"))
         .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
       import org.apache.spark.sql.catalyst.plans.logical.{Aggregate => LAgg, Join => LJoin}
-      val fired = q.queryExecution.optimizedPlan.collect {
+      def fires = q.queryExecution.optimizedPlan.collect {
         case j: LJoin if j.left.isInstanceOf[LAgg] || j.right.isInstanceOf[LAgg] => j
       }.size
       def run(): Unit = require(q.collect().length == 25)
+      val fired = fires
       val (_, _, t) = best(s"joinagg_auto_$label", nF) { run() }
+      // FAIR stock baseline: the same parquet-backed fact with the
+      // statistics withdrawn (auto mode then keeps the stock plan)
+      graft.plans.StatsCatalog.unregister(factPath)
+      require(fires == 0, "stats withdrawn but the rule still fired")
+      val (_, _, t0) = best(s"joinagg_auto_${label}_stock", nF) { run() }
+      graft.plans.StatsCatalog.analyze(spark, factPath)
       dimDf.unpersist()
-      (t, fired)
+      (t, t0, fired)
     }
-    val (abT, abFired) = autoCase("bcast", nDim = 1000L)
-    val (asT, asFired) = autoCase("shuffle", nDim = 500000L)
+    val (abT, abT0, abFired) = autoCase("bcast", nDim = 1000L)
+    val (asT, asT0, asFired) = autoCase("shuffle", nDim = 500000L)
     graft.plans.StatsCatalog.unregister(factPath)
     println(f"--- eager aggregation AUTO (no conf; one analyze pass = $stSec%5.2f s) ---")
-    println(f"broadcast dim (1k):  fired=$abFired (want 0)  t=$abT%5.2f s (stock plan kept)")
-    println(f"shuffle dim (500k):  fired=$asFired (want 1)  t=$asT%5.2f s  " +
-      f"auto-realized speedup vs stock=${sOff / asT}%5.2f x")
+    println(f"broadcast dim (1k):  fired=$abFired (want 0)  t=$abT%5.2f s  stock=$abT0%5.2f s (stock plan kept)")
+    println(f"shuffle dim (500k):  fired=$asFired (want 1)  t=$asT%5.2f s  stock=$asT0%5.2f s  " +
+      f"auto-realized speedup=${asT0 / asT}%5.2f x")
   }
 
   /** File-level data-skipping economics on a range-clustered table whose

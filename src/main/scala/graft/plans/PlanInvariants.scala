@@ -4,7 +4,8 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.{CollectLimitExec, FileSourceScanExec, SparkPlan}
 import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ReusedExchangeExec, ShuffleExchangeExec}
-import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec, ShuffledHashJoinExec, SortMergeJoinExec}
+import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+import org.apache.spark.sql.execution.joins.{BaseJoinExec, BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec, ShuffledHashJoinExec, SortMergeJoinExec}
 
 /** The measurable plan properties that make a query scale — extracted as
   * one comparable value so CI can pin them per query instead of verdicts
@@ -39,14 +40,19 @@ final case class PlanShape(
     scans: Int,
     scansWithPushedFilters: Int,
     collectLimits: Int,
-    buildJobs: Int
+    buildJobs: Int,
+    // equi-joins with an AGGREGATE feeding one side (no other join in
+    // between) — the eager-aggregation signature: a pre-aggregate below
+    // the join is the whole point of that rewrite, so its gated queries
+    // pin a MINIMUM here (r19)
+    aggFedJoins: Int = 0
 ) {
   def render: String =
     s"shuffles=$shuffleExchanges bcast=$broadcastExchanges reused=$reusedExchanges " +
       s"bhj=$broadcastHashJoins smj=$sortMergeJoins shj=$shuffledHashJoins " +
       s"bnlj=$broadcastNestedLoops cartesian=$cartesianProducts " +
       s"scans=$scans pushed=$scansWithPushedFilters " +
-      s"collectLimit=$collectLimits buildJobs=$buildJobs"
+      s"collectLimit=$collectLimits buildJobs=$buildJobs aggFedJoins=$aggFedJoins"
 }
 
 object PlanInvariants {
@@ -111,7 +117,17 @@ object PlanInvariants {
       scans = scanMeta.size,
       scansWithPushedFilters = scanMeta.count(m => m != "[]" && m.nonEmpty),
       collectLimits = count { case _: CollectLimitExec => },
-      buildJobs = buildJobs
+      buildJobs = buildJobs,
+      aggFedJoins = {
+        def aggAboveJoin(p: SparkPlan): Boolean = p match {
+          case _: HashAggregateExec | _: ObjectHashAggregateExec |
+              _: SortAggregateExec => true
+          case _: BaseJoinExec => false
+          case other => other.children.exists(aggAboveJoin)
+        }
+        count { case j: BaseJoinExec
+            if Seq(j.left, j.right).exists(aggAboveJoin) => }
+      }
     )
   }
 

@@ -18,6 +18,9 @@ final case class ShapeBounds(
     minPushedScans: Int = 0,
     maxBuildJobs: Int = 0,
     allowBnlj: Boolean = false,
+    // floor on aggregate-fed joins — the eager-aggregation pin: the
+    // grain pre-aggregate must keep feeding the join (r19)
+    minAggFedJoins: Int = 0,
     // ceiling on file scans in the plan — the MV-family pin: an
     // incremental refresh that starts re-reading a table it is supposed
     // to avoid (a base rescan creeping into a delta path) adds a scan
@@ -43,9 +46,12 @@ object PlanShapes {
     // r14 pipeline additions: span dedup's whole design is "text never
     // shuffles" (4 shuffles of digest/position rows, zero driver jobs)
     "q_dedup_spans", "q_pipeline_source_quality",
-    // r18 optimizer-rule queries: their scale property IS the plan —
-    // the pre-aggregate below the Expand / the join must stay put
-    "q_agg_cube_distinct", "q_join_eager_agg"
+    // r18/r19 optimizer-rule queries: their scale property IS the plan —
+    // the pre-aggregate below the Expand / the join must stay put, in
+    // the broadcast regime, the gated shuffle regime, the bilateral
+    // (dim-weighted) shape and the stats-armed auto shape
+    "q_agg_cube_distinct", "q_join_eager_agg", "q_join_eager_agg_shuffle",
+    "q_join_eager_agg_bilateral", "q_join_eager_agg_auto"
   )
 
   def headline(name: String): Boolean = headlineNames.contains(name)
@@ -79,7 +85,9 @@ object PlanShapes {
     (s.buildJobs <= b.maxBuildJobs) ->
       s"build ran ${s.buildJobs} driver-action jobs > allowed ${b.maxBuildJobs} (a collect crept into the build path)",
     (b.allowBnlj || s.broadcastNestedLoops == 0) ->
-      s"broadcast nested loop join appeared (${s.broadcastNestedLoops}) where none is allowed"
+      s"broadcast nested loop join appeared (${s.broadcastNestedLoops}) where none is allowed",
+    (s.aggFedJoins >= b.minAggFedJoins) ->
+      s"aggregate-fed joins ${s.aggFedJoins} < pinned minimum ${b.minAggFedJoins} (the grain pre-aggregate left the join)"
   ).collect { case (false, msg) => msg }
 
   /** name -> pinned bounds, from the measured sf0.001 shapes (PlanAudit
@@ -109,7 +117,21 @@ object PlanShapes {
     // 4 = grain pre-aggregate (EagerAggJoin: the join's fact input is
     // the supplier-key grain, not lineitem) + distinct-pair aggregate +
     // final + sort; supplier broadcasts
-    "q_join_eager_agg" -> ShapeBounds(maxShuffles = 4, minBroadcastJoins = 1),
+    "q_join_eager_agg" -> ShapeBounds(maxShuffles = 4, minBroadcastJoins = 1,
+      minAggFedJoins = 1),
+    // the regression gate for the WINNING (shuffle) regime the probe
+    // measures at ~2x: broadcast disabled, so the grain pre-aggregate
+    // must feed a shuffle join — a rule regression that drops the
+    // pre-aggregate (aggFedJoins=0) or re-broadcasts fails this row
+    "q_join_eager_agg_shuffle" -> ShapeBounds(maxShuffles = 4,
+      maxShuffleJoins = 1, minAggFedJoins = 1),
+    // dim-weighted algebra rides the same broadcast-regime plan
+    "q_join_eager_agg_bilateral" -> ShapeBounds(maxShuffles = 3,
+      minBroadcastJoins = 1, minAggFedJoins = 1),
+    // stats-armed auto mode in the shuffle regime; the 2-job allowance
+    // is the analyze pass (count + sketches), an action by design
+    "q_join_eager_agg_auto" -> ShapeBounds(maxShuffles = 4,
+      maxShuffleJoins = 1, minAggFedJoins = 1, maxBuildJobs = 2),
     "q3_join_agg" -> ShapeBounds(maxShuffles = 1, minBroadcastJoins = 2, minPushedScans = 3),
     "q5_join_multi" -> ShapeBounds(maxShuffles = 2, minBroadcastJoins = 5, minPushedScans = 6),
     "q_win_rank" -> ShapeBounds(maxShuffles = 2),

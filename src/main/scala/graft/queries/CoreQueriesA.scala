@@ -572,6 +572,41 @@ object CoreQueriesA {
           "GROUP BY s_nationkey ORDER BY s_nationkey"
       )
     ),
+    // The SHUFFLE-regime eager aggregation — the winning regime the
+    // probe measures at 2x, now regression-gated per round (r19):
+    // broadcast is disabled in the child session, so the plan MUST keep
+    // the grain pre-aggregate feeding a shuffle join (PlanShapes pins
+    // minAggFedJoins/maxShuffleJoins; a rule regression that drops the
+    // pre-aggregate or re-broadcasts fails the audit, not just a probe).
+    // Carries a dim-side weighted sum so the full r19 algebra sits in
+    // the gated shape.
+    Q(
+      "q_join_eager_agg_shuffle",
+      (s, dir) => {
+        val s2 = s.newSession()
+        s2.conf.set("spark.graft.optimizer.eagerAggJoin", "true")
+        s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        s2.conf.set("spark.sql.adaptive.enabled",
+          s.conf.get("spark.sql.adaptive.enabled", "true"))
+        t(s2, dir, "lineitem")
+          .join(t(s2, dir, "supplier"), $"l_suppkey" === $"s_suppkey")
+          .groupBy($"s_nationkey")
+          .agg(
+            asDouble(sum(dec2($"l_quantity"))).as("sum_qty"),
+            asDouble(sum(dec2($"s_acctbal"))).as("sum_bal"),
+            count(lit(1)).as("n")
+          )
+          .orderBy($"s_nationkey")
+      },
+      Some(
+        "SELECT s_nationkey, " +
+          "CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty, " +
+          "CAST(sum(CAST(s_acctbal AS DECIMAL(14,2))) AS DOUBLE) AS sum_bal, " +
+          "count(*) AS n " +
+          "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +
+          "GROUP BY s_nationkey ORDER BY s_nationkey"
+      )
+    ),
     // AUTO-armed eager aggregation (r19): no optimizer conf is set —
     // the default `auto` mode consults StatsCatalog's harvested row
     // count + per-column NDV sketches and fires by itself once the
