@@ -144,7 +144,7 @@ object ScaleProbe {
       Set("all", "core", "core10x", "core30x", "extras", "dedup", "sim",
         "text", "events", "serve", "iceberg", "skip", "cdc", "manifests",
         "ivfstore", "stepfloor", "objectstore", "splitstore", "mvsweep",
-        "storecatalog", "preagg")
+        "storecatalog", "preagg", "stepcompact")
     // a typo'd group would otherwise spin up Spark, run NOTHING, and exit
     // 0 — indistinguishable from "probe found nothing"
     require(groups(which), s"unknown probe group '$which' (one of: ${groups.mkString(", ")})")
@@ -173,6 +173,7 @@ object ScaleProbe {
     if (which == "mvsweep") mvSweepProbe(spark) // not in "all": builds a 1M-row table
     if (which == "storecatalog") storeCatalogProbe(spark) // not in "all": builds 400k-row stores
     if (which == "preagg") preAggProbe(spark) // not in "all": builds 1M/4M/16M-row cube fixtures + a 16M-row eager-agg fact
+    if (which == "stepcompact") stepCompactProbe(spark) // not in "all": builds 400k-doc stores
     spark.stop()
   }
 
@@ -2159,6 +2160,45 @@ object ScaleProbe {
         f"upd_ivf=$updateIvf%6.2f s  upd_mh=$updateMh%6.2f s  " +
         f"del_mh=$delMh%6.2f s  del_ivf=$delIvf%6.2f s")
       Seq(mhRec.storeName, ivfRec.storeName).foreach(StoreCatalog.unregister)
+    }
+  }
+
+  /** Leveled compaction economics (r19): with the store's base growing
+    * 100k -> 200k -> 400k docs and a FIXED small tail of folded batches,
+    * [[graft.operators.MinHashIndex.compactStep]]'s cost must track the
+    * MERGED bytes (flat across base sizes — the kept base rides by
+    * reference, never rewritten), while the FULL compact's cost tracks
+    * the whole store. That gap is the 100 TB claim: nightly maintenance
+    * bounded by what it touches, not what it holds — the autopilot picks
+    * the step whenever tombstone pressure does not force the full
+    * rewrite.
+    */
+  private def stepCompactProbe(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.MinHashIndex
+    def docRows(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      col("id").as("doc_id"),
+      concat_ws(" ", (0 until 8).map(i =>
+        concat(lit(s"w$i-"), (col("id") * (i + 3)) % 1000)): _*).as("text"))
+    def secs(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    println("--- leveled compactStep (merge 3 x 5k-doc batches) vs full compact; first row is JVM warmup ---")
+    Seq(100000L, 100000L, 200000L, 400000L).foreach { n =>
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft-stepcompact-$n").toString + "/mh"
+      val idx = MinHashIndex.materialize(docRows(0L, n), root)
+      (0 until 3).foreach { i =>
+        require(MinHashIndex.foldOnce(
+          docRows(n + i * 5000L, n + (i + 1) * 5000L), idx, s"b$i"))
+      }
+      val segs0 = MinHashIndex.segmentCount(spark, idx)
+      val tStep = secs(
+        require(MinHashIndex.compactStep(spark, idx, mergeCount = 3)))
+      val segs1 = MinHashIndex.segmentCount(spark, idx)
+      val tFull = secs(MinHashIndex.compact(spark, idx, nFiles = 8))
+      println(f"n=$n%7d  step(3x5k)=$tStep%6.2f s (segs $segs0%d -> $segs1%d; flat in n)  " +
+        f"full=$tFull%6.2f s (tracks n)")
     }
   }
 }

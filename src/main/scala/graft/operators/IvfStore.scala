@@ -603,6 +603,102 @@ object IvfStore {
     done.get
   }
 
+  /** Leveled/incremental compaction (r19) — the IVF sibling of
+    * [[MinHashIndex.compactStep]]: relabel-and-rewrite ONLY the
+    * `mergeCount` SMALLEST segments into one new segment at the current
+    * model's leaves, leaving every other segment untouched on disk (the
+    * version JSON's segment list IS the manifest, so kept segments ride
+    * as metadata references — no file-level indirection needed). The
+    * merged segments' dead rows are physically dropped; tombstone lists
+    * whose remaining LIVE scope sits inside the merged set are absorbed,
+    * all others carry unchanged (scope entries naming merged-away
+    * segments are vacuous; legacy scope-less lists only die in the full
+    * [[compact]]). Per-leaf counts stay exact-or-over: the merged
+    * slice's raw contribution is subtracted and its live relabeled
+    * output re-added, kept segments' contributions untouched. Cost is
+    * proportional to the BYTES MERGED, never the store size. Same CAS
+    * commit loop as ingest/compact. None = nothing to merge.
+    */
+  def compactStep(
+      spark: SparkSession, root: String, mergeCount: Int = 4): Option[Meta] = {
+    require(mergeCount >= 2, "a merge needs at least two segments")
+    var cur = load(root)
+    var versionFloor = cur.version + 1
+    var done: Option[Meta] = None
+    while (done.isEmpty) {
+      if (cur.segments.size < 2) return None
+      val picked = cur.segments
+        .map(s => s -> dirBytes(Paths.get(root, s)))
+        .sortBy { case (n, b) => (b, n) }
+        .take(math.min(mergeCount, cur.segments.size))
+        .map(_._1)
+      val pickedSet = picked.toSet
+      val segName = s"seg-${java.util.UUID.randomUUID().toString.take(12)}"
+      // raw per-cell counts of the merged input (dead rows INCLUDED —
+      // deletes never decremented them, so the subtraction must not
+      // either; the live recount below adds back what survives)
+      val rawIn = picked
+        .map(s => spark.read.parquet(Paths.get(root, s).toString))
+        .reduce(_.unionByName(_))
+        .filter(col("cell").isNotNull)
+        .groupBy("cell").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val relabeled = withLeaf(
+        liveReadOf(spark, root, cur, picked, None).drop("cell"),
+        cur.embCol, "cell", cur.model)
+      relabeled.repartition(col("cell")).write.partitionBy("cell")
+        .parquet(Paths.get(root, segName).toString)
+      val outCounts = spark.read
+        .parquet(Paths.get(root, segName).toString)
+        .filter(col("cell").isNotNull)
+        .groupBy("cell").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val liveNames = cur.segments.toSet
+      val keptLists = cur.tombstones.filter { t =>
+        cur.tombstoneScopes.get(t) match {
+          case None => true // legacy global list: full compact only
+          case Some(scope) =>
+            !scope.toSet.intersect(liveNames).subsetOf(pickedSet)
+        }
+      }
+      val newCounts = {
+        val cells = cur.counts.keySet ++ rawIn.keySet ++ outCounts.keySet
+        cells.iterator.map { c =>
+          c -> math.max(0L,
+            cur.counts.getOrElse(c, 0L) - rawIn.getOrElse(c, 0L) +
+              outCounts.getOrElse(c, 0L))
+        }.filter(_._2 > 0L).toMap
+      }
+      val next = cur.copy(
+        version = math.max(cur.version + 1, versionFloor),
+        segments = cur.segments.filterNot(pickedSet) :+ segName,
+        counts = newCounts,
+        tombstones = keptLists,
+        tombstoneScopes =
+          cur.tombstoneScopes.filter { case (t, _) => keptLists.contains(t) })
+      if (commit(root, next)) {
+        picked.foreach(s => deleteRecursively(Paths.get(root, s)))
+        cur.tombstones.filterNot(keptLists.toSet)
+          .foreach(t => deleteRecursively(Paths.get(root, t)))
+        done = Some(next)
+      } else {
+        versionFloor = next.version + 1
+        deleteRecursively(Paths.get(root, segName)) // stale merge: redo
+        cur = load(root) // a concurrent commit won: re-pick against it
+      }
+    }
+    done
+  }
+
+  private def dirBytes(p: Path): Long = {
+    val stream = java.nio.file.Files.walk(p)
+    try stream
+      .filter(f => java.nio.file.Files.isRegularFile(f))
+      .mapToLong(f => java.nio.file.Files.size(f))
+      .sum()
+    finally stream.close()
+  }
+
   /** Delete rows by id: writes the DISTINCT ids as a tombstone list and
     * CAS-commits it — a METADATA-SCALE operation (cost ∝ |ids|, never a
     * corpus locate-and-rewrite; at 100 TB the rows' cells are unknown
@@ -720,20 +816,32 @@ object IvfStore {
       spark: SparkSession,
       root: String,
       m: Meta,
+      cellFilter: Option[Seq[String]]): DataFrame =
+    liveReadOf(spark, root, m, m.segments, cellFilter)
+
+  /** [[liveRead]] restricted to an explicit segment subset — the shared
+    * algebra [[compactStep]] reuses to materialize ONLY the segments it
+    * merges (each still anti-joined against exactly its covering lists).
+    */
+  private def liveReadOf(
+      spark: SparkSession,
+      root: String,
+      m: Meta,
+      segments: Seq[String],
       cellFilter: Option[Seq[String]]): DataFrame = {
     def segDf(s: String): DataFrame = {
       val df = spark.read.parquet(Paths.get(root, s).toString)
       cellFilter.fold(df)(cs => df.filter(col("cell").isin(cs: _*)))
     }
     if (m.tombstones.isEmpty)
-      return m.segments.map(segDf).reduce(_.unionByName(_))
+      return segments.map(segDf).reduce(_.unionByName(_))
     // lists covering a segment: scoped lists naming it + legacy lists
     // with no recorded scope (which cover everything)
-    val covering: Map[String, Seq[String]] = m.segments.map { s =>
+    val covering: Map[String, Seq[String]] = segments.map { s =>
       s -> m.tombstones.filter(t =>
         m.tombstoneScopes.get(t).forall(_.contains(s)))
     }.toMap
-    m.segments.groupBy(s => covering(s))
+    segments.groupBy(s => covering(s))
       .map { case (lists, segs) =>
         val rows = segs.map(segDf).reduce(_.unionByName(_))
         if (lists.isEmpty) rows

@@ -236,23 +236,91 @@ object MinHashIndex extends org.apache.spark.internal.Logging {
   private def segmentDirs(fs: FileSystem, root: String, v: Int): Seq[Path] = {
     val vdir = versionDir(root, v)
     require(fs.exists(vdir), s"committed version dir missing: $vdir")
-    fs.listStatus(vdir).toSeq
+    val local = fs.listStatus(vdir).toSeq
       .filter(st => st.isDirectory &&
         !st.getPath.getName.startsWith(".") &&
         !st.getPath.getName.startsWith("_") &&
         !st.getPath.getName.startsWith("del-"))
       .map(_.getPath)
+    (local ++ carriedPaths(fs, root, v)
+      .filterNot(_.getName.startsWith("del-")))
       .sortBy(_.getName)
   }
 
-  /** Committed tombstone dirs of a version. */
+  /** Committed tombstone dirs of a version (carried lists included). */
   private def tombstoneDirs(fs: FileSystem, root: String, v: Int): Seq[Path] = {
     val vdir = versionDir(root, v)
     require(fs.exists(vdir), s"committed version dir missing: $vdir")
-    fs.listStatus(vdir).toSeq
+    val local = fs.listStatus(vdir).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("del-"))
       .map(_.getPath)
+    (local ++ carriedPaths(fs, root, v)
+      .filter(_.getName.startsWith("del-")))
       .sortBy(_.getName)
+  }
+
+  // -------------------------------------------------------------------
+  // carried segments (r19 incremental compaction)
+  //
+  // A PARTIAL compact must not copy the segments it does NOT merge — at
+  // scale that copy IS the full-compact cost it exists to avoid. Instead
+  // the new version's `_carried` side file lists, one absolute path per
+  // line, the segment and tombstone dirs the version still reads from
+  // OLDER version dirs (paths are pre-resolved when written, so the
+  // chain never deepens: a twice-carried segment is referenced at its
+  // one physical home). The version-marker create stays the ONE commit
+  // point; superseded version dirs survive only as hosts for their
+  // referenced children (cleanupSuperseded prunes everything else).
+  // -------------------------------------------------------------------
+
+  private def carriedFile(vdir: Path) = new Path(vdir, "_carried")
+
+  private def carriedPaths(fs: FileSystem, root: String, v: Int): Seq[Path] = {
+    val f = carriedFile(versionDir(root, v))
+    if (!fs.exists(f)) Nil
+    else {
+      val in = fs.open(f)
+      val raw = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      raw.split("\n").map(_.trim).filter(_.nonEmpty).map(new Path(_)).toSeq
+    }
+  }
+
+  private def writeCarried(fs: FileSystem, vdir: Path, paths: Seq[Path]): Unit = {
+    fs.mkdirs(vdir)
+    val out = fs.create(carriedFile(vdir), true)
+    try out.write(paths.map(_.toString).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Carry-aware cleanup of superseded versions: drop their markers,
+    * delete unreferenced version dirs wholesale, and inside dirs that
+    * still HOST a current-version carried child, delete only the
+    * unreferenced children (merged-away segments, absorbed tombstone
+    * lists, stale garbage from crashed cleanups). Idempotent; shared by
+    * both compact flavors' post-commit cleanup and crash recovery.
+    */
+  private def cleanupSuperseded(fs: FileSystem, root: String): Unit = {
+    val versions = committedVersions(fs, root)
+    val current = versions.max
+    val refHosts: Map[String, Set[String]] =
+      carriedPaths(fs, root, current)
+        .groupBy(_.getParent.getName)
+        .map { case (host, ps) => host -> ps.map(_.getName).toSet }
+    versions.filter(_ != current).foreach { v =>
+      fs.delete(new Path(versionsDir(root), s"v$v"), false): Unit
+    }
+    fs.listStatus(new Path(root)).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.matches("v\\d+"))
+      .filter(_.getPath.getName.drop(1).toInt != current)
+      .foreach { st =>
+        refHosts.get(st.getPath.getName) match {
+          case None => fs.delete(st.getPath, true): Unit
+          case Some(keep) =>
+            fs.listStatus(st.getPath).toSeq
+              .filterNot(c => keep.contains(c.getPath.getName))
+              .foreach(c => fs.delete(c.getPath, true))
+        }
+      }
   }
 
   /** Live tombstone-list count — the second compaction-pressure term next
@@ -328,10 +396,19 @@ object MinHashIndex extends org.apache.spark.internal.Logging {
       fs: FileSystem,
       root: String,
       v: Int,
+      side: String): DataFrame =
+    liveOf(spark, segmentDirs(fs, root, v),
+      tombstoneDirs(fs, root, v).map(d => d -> tombstoneScope(fs, d)), side)
+
+  /** [[liveSide]] restricted to an explicit segment subset — the shared
+    * algebra [[compactStep]] reuses to materialize ONLY the segments it
+    * merges.
+    */
+  private def liveOf(
+      spark: SparkSession,
+      segs: Seq[Path],
+      dels: Seq[(Path, Option[Set[String]])],
       side: String): DataFrame = {
-    val segs = segmentDirs(fs, root, v)
-    val dels = tombstoneDirs(fs, root, v)
-      .map(d => d -> tombstoneScope(fs, d))
     if (dels.isEmpty)
       return spark.read.parquet(segs.map(p => s"$p/$side"): _*)
     val covering: Map[Path, Seq[Path]] = segs.map { s =>
@@ -646,30 +723,127 @@ object MinHashIndex extends org.apache.spark.internal.Logging {
   ): Unit = {
     require(nFiles > 0)
     val fs = fileSystem(spark, index.root)
+    withCompactLease(fs, index.root, leaseTtlMs, foldDrainWaitMs) {
+      compactLeased(spark, fs, index, nFiles, dedupe, fault)
+    }
+  }
 
+  /** LSM-style INCREMENTAL compaction (r19): merge only the `mergeCount`
+    * SMALLEST segments into one new segment, leaving every other segment
+    * physically in place — the cost is proportional to the bytes MERGED,
+    * never the store size (the full [[compact]] stays the offline face
+    * that also clears global tombstone lists). Kept segments ride into
+    * the new version through its `_carried` side file (see the carried-
+    * segments section); tombstone lists whose scope is fully inside the
+    * merged set are absorbed (their dead rows are physically dropped by
+    * the merge), all others carry over and keep covering exactly the
+    * segments they always did — the merged segment has a FRESH name no
+    * existing scope contains, so a carried list can never hide its live
+    * rows. Same lease, drain, atomic version-marker commit and crash
+    * matrix as the full compact. Returns false when there is nothing to
+    * merge (fewer than two segments).
+    */
+  def compactStep(
+      spark: SparkSession,
+      index: StoredIndex,
+      mergeCount: Int = 4
+  ): Boolean = compactStepWithFaults(spark, index, mergeCount, NoFaults)
+
+  private[graft] def compactStepWithFaults(
+      spark: SparkSession,
+      index: StoredIndex,
+      mergeCount: Int,
+      fault: FaultInjector,
+      leaseTtlMs: Long = DefaultLeaseTtlMs,
+      foldDrainWaitMs: Long = 30_000L
+  ): Boolean = {
+    require(mergeCount >= 2, "a merge needs at least two segments")
+    val fs = fileSystem(spark, index.root)
+    withCompactLease(fs, index.root, leaseTtlMs, foldDrainWaitMs) {
+      compactStepLeased(spark, fs, index, mergeCount, fault)
+    }
+  }
+
+  private def withCompactLease[T](
+      fs: FileSystem, root: String,
+      leaseTtlMs: Long, foldDrainWaitMs: Long)(body: => T): T = {
     // ---- exclusive maintenance lease ---------------------------------
-    fs.mkdirs(leaseDir(index.root))
-    val compactMarker = new Path(leaseDir(index.root), "compact")
+    fs.mkdirs(leaseDir(root))
+    val compactMarker = new Path(leaseDir(root), "compact")
     breakIfExpired(fs, compactMarker)
     val owner = java.util.UUID.randomUUID().toString
     if (!writeMarker(fs, compactMarker,
         System.currentTimeMillis() + leaseTtlMs, owner))
       throw new IllegalStateException(
-        s"another compact holds the maintenance lease on ${index.root}")
+        s"another compact holds the maintenance lease on $root")
     try {
       // in-flight folds drain quickly (they're per-batch); crashed ones
       // expire via TTL and are broken by activeFoldMarkers itself
       val deadline = System.currentTimeMillis() + foldDrainWaitMs
-      while (activeFoldMarkers(fs, index.root).nonEmpty &&
+      while (activeFoldMarkers(fs, root).nonEmpty &&
           System.currentTimeMillis() < deadline)
         Thread.sleep(50)
-      val inFlight = activeFoldMarkers(fs, index.root)
+      val inFlight = activeFoldMarkers(fs, root)
       if (inFlight.nonEmpty)
         throw new IllegalStateException(
           s"folds still in flight after ${foldDrainWaitMs}ms: " +
             s"${inFlight.map(_.getName).mkString(", ")} — compact backed off")
-      compactLeased(spark, fs, index, nFiles, dedupe, fault)
+      body
     } finally releaseIfOwner(fs, compactMarker, owner)
+  }
+
+  private def compactStepLeased(
+      spark: SparkSession,
+      fs: FileSystem,
+      index: StoredIndex,
+      mergeCount: Int,
+      fault: FaultInjector
+  ): Boolean = {
+    recover(spark, fs, index)
+    fault("recovered")
+    val root = index.root
+    val v = currentVersion(spark, index)
+    val segs = segmentDirs(fs, root, v)
+    if (segs.size < 2) return false
+    // smallest-K policy (LSM tiering): merging the small tail buys the
+    // same read-side fan-in reduction for the fewest bytes rewritten
+    val picked = segs
+      .map(p => p -> fs.getContentSummary(p).getLength)
+      .sortBy { case (p, sz) => (sz, p.getName) }
+      .take(math.min(mergeCount, segs.size))
+      .map(_._1)
+    val pickedNames = picked.map(_.getName).toSet
+    val dels = tombstoneDirs(fs, root, v).map(d => d -> tombstoneScope(fs, d))
+    val keptSegs = segs.filterNot(p => pickedNames(p.getName))
+    // a list is absorbed when every segment it STILL covers is in the
+    // merge set (its dead rows are physically dropped by the merge);
+    // scope entries naming segments an earlier step already merged away
+    // are vacuous — only live names count
+    val allNames = segs.map(_.getName).toSet
+    val absorbed = dels.collect {
+      case (d, Some(scope))
+          if scope.intersect(allNames).subsetOf(pickedNames) => d
+    }.toSet
+    val keptDels = dels.map(_._1).filterNot(absorbed)
+
+    val next = versionDir(root, v + 1)
+    val mergedName = s"merged-${java.util.UUID.randomUUID().toString.take(12)}"
+    Seq("bands", "shingles").foreach { side =>
+      liveOf(spark, picked, dels, side)
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(new Path(next, s"$mergedName/$side").toString)
+    }
+    fault("next-version-written")
+    // kept segments/lists ride by REFERENCE (pre-resolved paths, so a
+    // twice-carried segment is referenced at its one physical home)
+    writeCarried(fs, next, keptSegs ++ keptDels)
+    fault("carried-written")
+    commitMarker(fs, new Path(versionsDir(root), s"v${v + 1}"))
+    fault("committed")
+    cleanupSuperseded(fs, root)
+    fault("old-cleaned")
+    true
   }
 
   private def compactLeased(
@@ -698,12 +872,11 @@ object MinHashIndex extends org.apache.spark.internal.Logging {
     fault("next-version-written")
     commitMarker(fs, new Path(versionsDir(index.root), s"v${v + 1}"))
     fault("committed")
-    // post-commit cleanup: dir before marker, so the max marker always
-    // points at a present dir and a half-cleaned old version is just an
-    // unmarked dir the next recovery drops
-    fs.delete(versionDir(index.root, v), true)
+    // post-commit cleanup, carry-aware: the full rewrite references
+    // nothing older, so every superseded version dir (including hosts a
+    // partial compact left behind) dies wholesale
+    cleanupSuperseded(fs, index.root)
     fault("old-dir-removed")
-    fs.delete(new Path(versionsDir(index.root), s"v$v"), false): Unit
   }
 
   /** Put the root back into a clean state after any crash (see
@@ -727,17 +900,15 @@ object MinHashIndex extends org.apache.spark.internal.Logging {
         else if (name.startsWith("del-"))
           commitMarker(fs, new Path(foldedDir(root), name))
       }
-    // 2. markers whose dir vanished mid-cleanup: only ever < current
-    versions.filter(_ != current).foreach { v =>
-      fs.delete(versionDir(root, v), true)
-      fs.delete(new Path(versionsDir(root), s"v$v"), false)
-    }
-    // 3. uncommitted version dirs (crashed compact) + in-flight fold temps
-    fs.listStatus(new Path(root)).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.matches("v\\d+"))
-      .map(_.getPath)
-      .filter(_.getName.drop(1).toInt != current)
-      .foreach(fs.delete(_, true))
+    // 2+3. superseded/uncommitted version dirs, carry-aware: committed
+    //      older versions and crashed-compact leftovers both resolve
+    //      through cleanupSuperseded — a dir hosting a carried child of
+    //      the CURRENT version survives pruned to exactly those
+    //      children, everything else (uncommitted v-dirs included: a
+    //      committed version's references only point backward, so an
+    //      uncommitted dir is never referenced) is deleted. In-flight
+    //      fold temps die with the current dir sweep.
+    cleanupSuperseded(fs, root)
     fs.listStatus(versionDir(root, current)).toSeq
       .filter(_.getPath.getName.startsWith(".tmp-"))
       .foreach(st => fs.delete(st.getPath, true))

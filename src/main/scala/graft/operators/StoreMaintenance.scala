@@ -150,7 +150,26 @@ object StoreMaintenance {
             AutopilotResult(d.name, d.kind, Some(before),
               compacted = false, None, None)
           else {
-            compact(spark, d.kind, d.root, None): Unit
+            // r19 LEVELED policy (the autopilot picks the level):
+            // tombstone pressure needs the FULL rewrite — a list only
+            // dies when every segment it covers merges, and the global
+            // clear is the full compact's contract; plain segment
+            // pressure on a minhash store takes the INCREMENTAL step
+            // instead, merging just enough of the smallest segments to
+            // get back under the threshold — cost bounded by the bytes
+            // merged, never the store size. Other kinds keep the full
+            // compact until they grow a step face.
+            val tombs = g.tombstones.getOrElse(0)
+            val mergeCount = math.max(2, before - segmentThreshold + 1)
+            if (tombs > segmentThreshold) compact(spark, d.kind, d.root, None): Unit
+            else d.kind match {
+              case "minhash" =>
+                MinHashIndex.compactStep(spark,
+                  MinHashIndex.StoredIndex(d.root), mergeCount): Unit
+              case "ivf" =>
+                IvfStore.compactStep(spark, d.root, mergeCount): Unit
+              case _ => compact(spark, d.kind, d.root, None): Unit
+            }
             AutopilotResult(d.name, d.kind, Some(before), compacted = true,
               Some(describe(spark, d.kind, d.root).segments), None)
           }

@@ -213,6 +213,121 @@ class DedupSpec extends SparkTestBase {
     assert(files === 1, s"expected 1 data file after compaction, got $files")
   }
 
+  test("compactStep merges only the smallest segments; reads exact; carried segments never copied") {
+    import graft.operators.MinHashIndex
+    import spark.implicits._
+    val sent = crashSent("s") _
+    // base = 6 docs (the BIG segment); three 1-doc folds = the small tail
+    val corpus = (1 to 6).map(i => (i.toLong, sent(i))).toDF("doc_id", "text")
+    val idx = MinHashIndex.materialize(corpus, tempDir("graft-mh-step"))
+    (10 to 12).foreach { i =>
+      assert(MinHashIndex.foldOnce(
+        Seq((i.toLong, sent(i))).toDF("doc_id", "text"), idx, s"b-$i"))
+    }
+    assert(MinHashIndex.segmentCount(spark, idx) === 4)
+    val before = allRows(idx)
+    // merge the 2 smallest (two of the 1-doc batches): base + the third
+    // batch must stay PHYSICALLY in the v1 dir, referenced, not copied
+    assert(MinHashIndex.compactStep(spark, idx, mergeCount = 2))
+    assert(MinHashIndex.segmentCount(spark, idx) === 3)
+    assertExactNoDups(allRows(idx), before, "after step 1")
+    val v1base = new java.io.File(s"${idx.root}/v1/base")
+    assert(v1base.isDirectory,
+      "the big kept segment must stay in its original version dir")
+    assert(new java.io.File(s"${idx.root}/v2/_carried").isFile,
+      "the new version must reference the kept segments")
+    // fold into the stepped version, step again, fold again: the chain
+    // of carried references keeps resolving to one physical home
+    assert(MinHashIndex.foldOnce(
+      Seq((20L, sent(20))).toDF("doc_id", "text"), idx, "b-20"))
+    assert(MinHashIndex.compactStep(spark, idx, mergeCount = 2))
+    val afterChain = allRows(idx)
+    assert(afterChain._2.size === before._2.size + 1, "fold row lost in the chain")
+    // a replayed fold still skips across versions
+    assert(!MinHashIndex.foldOnce(
+      Seq((20L, sent(20))).toDF("doc_id", "text"), idx, "b-20"))
+    // the FULL compact converges everything to one base and removes the
+    // old host dirs entirely
+    MinHashIndex.compact(spark, idx, nFiles = 1)
+    assert(MinHashIndex.segmentCount(spark, idx) === 1)
+    assertExactNoDups(allRows(idx), afterChain, "after full compact")
+    assert(!v1base.exists, "full compact must clear the carried hosts")
+    graft.engine.PersistScope.releaseAll()
+  }
+
+  test("compactStep + tombstones: covered lists absorbed or carried, re-fold visibility preserved") {
+    import graft.operators.MinHashIndex
+    import spark.implicits._
+    val sent = crashSent("t2") _
+    val corpus = (1 to 5).map(i => (i.toLong, sent(i))).toDF("doc_id", "text")
+    val idx = MinHashIndex.materialize(corpus, tempDir("graft-mh-step-tomb"))
+    (10 to 11).foreach { i =>
+      assert(MinHashIndex.foldOnce(
+        Seq((i.toLong, sent(i))).toDF("doc_id", "text"), idx, s"b-$i"))
+    }
+    // delete doc 10 (scope = all three current segments) and doc 1
+    assert(MinHashIndex.deleteOnce(Seq(10L).toDF("doc_id"), idx, "d1"))
+    // re-fold doc 10: lands uncovered, visible (the update shape)
+    assert(MinHashIndex.foldOnce(
+      Seq((10L, sent(10))).toDF("doc_id", "text"), idx, "b-10-refold"))
+    def live(id: Long): Long = MinHashIndex.shingles(spark, idx)
+      .filter($"doc_id" === id).count()
+    assert(live(10L) === 1L)
+    val before = allRows(idx)
+    val tombsBefore = MinHashIndex.tombstoneCount(spark, idx)
+    assert(tombsBefore === 1)
+    // merge the two smallest segments (1-doc batches). The d1 list's
+    // scope spans base too, so it is NOT fully absorbed — it must carry
+    // and keep hiding doc 10's OLD rows while the re-fold stays visible
+    assert(MinHashIndex.compactStep(spark, idx, mergeCount = 2))
+    assertExactNoDups(allRows(idx), before, "after step with live list")
+    assert(MinHashIndex.tombstoneCount(spark, idx) === 1,
+      "a partially-covered list must carry, not die")
+    assert(live(10L) === 1L, "re-fold visibility must survive the step")
+    // now merge EVERYTHING: every covered segment is in the merge set,
+    // the list's dead rows are physically dropped, the list absorbed
+    assert(MinHashIndex.compactStep(spark, idx, mergeCount = 64))
+    assert(MinHashIndex.tombstoneCount(spark, idx) === 0,
+      "a fully-covered list must be absorbed by the merge")
+    assertExactNoDups(allRows(idx), before, "after absorbing step")
+    assert(live(10L) === 1L)
+    graft.engine.PersistScope.releaseAll()
+  }
+
+  test("compactStep crash matrix: reads exact at every fault point; rerun converges") {
+    import graft.operators.MinHashIndex
+    import spark.implicits._
+    val sent = crashSent("sc2") _
+    val corpus = (1 to 4).map(i => (i.toLong, sent(i))).toDF("doc_id", "text")
+    for (point <- Seq("recovered", "next-version-written", "carried-written",
+        "committed", "old-cleaned")) {
+      val idx = MinHashIndex.materialize(corpus, tempDir("graft-step-crash"))
+      (10 to 11).foreach { i =>
+        assert(MinHashIndex.foldOnce(
+          Seq((i.toLong, sent(i))).toDF("doc_id", "text"), idx, s"b-$i"))
+      }
+      val before = allRows(idx)
+      val boom = intercept[RuntimeException] {
+        MinHashIndex.compactStepWithFaults(
+          spark, idx, 2, crashAt(point))
+      }
+      assert(boom.getMessage.contains(point))
+      // post-crash reads are EXACT at every fault point (the version
+      // marker is the one commit; carried hosts must never be torn)
+      assertExactNoDups(allRows(idx), before, s"$point post-crash")
+      // rerun converges (recovery first, then a clean step)
+      assert(MinHashIndex.compactStep(spark, idx, mergeCount = 2))
+      assertExactNoDups(allRows(idx), before, s"$point post-rerun")
+      // and the store still folds + fully compacts afterwards
+      assert(MinHashIndex.foldOnce(
+        Seq((30L, sent(30))).toDF("doc_id", "text"), idx, "b-30"))
+      MinHashIndex.compact(spark, idx, nFiles = 1)
+      assert(MinHashIndex.shingles(spark, idx).count() === before._2.size + 1L,
+        s"$point: rows lost through the post-crash lifecycle")
+    }
+    graft.engine.PersistScope.releaseAll()
+  }
+
   test("fold crash matrix: zero loss AND zero duplication at every fault point") {
     import graft.operators.MinHashIndex
     import spark.implicits._

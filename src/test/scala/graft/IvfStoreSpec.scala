@@ -228,6 +228,60 @@ class IvfStoreSpec extends SparkTestBase {
       s"post-compact probe read $read files, probed leaves hold $leafOnly")
   }
 
+  test("compactStep: merges only the smallest segments, kept segments untouched on disk, lists absorbed or carried, probes exact") {
+    val root = tempDir("graft-ivfstore-step")
+    // big base + three small ingests = 4 segments
+    IvfStore.create(corpus(0 until 200), "embedding", root,
+      nCells = 4, cellCap = 500, splitK = 2, seed = 7L)
+    (0 until 3).foreach { i =>
+      IvfStore.ingest(spark, root,
+        corpus(200 + i * 10 until 200 + (i + 1) * 10)): Unit
+    }
+    val m0 = IvfStore.load(root)
+    assert(m0.segments.size === 4)
+    val baseSeg = m0.segments.head // the create segment (big)
+    // delete one base id (scope = all four segments) and one id from the
+    // first small ingest, then re-ingest the base id (the update shape)
+    val del = IvfStore.delete(spark, root, Seq(3L, 205L).toDF("vec_id"))
+    assert(del.tombstones.size === 1)
+    IvfStore.ingest(spark, root, corpus(3 until 4)): Unit // re-insert id 3
+    val mPre = IvfStore.load(root)
+    val before = probeRows(root, query, k = 250, nProbe = 4)
+    assert(before.exists(_._1 == 3L) && !before.exists(_._1 == 205L))
+
+    // merge the three small ingest segments + the refold (4 smallest):
+    // the base segment must stay untouched ON DISK; the list still
+    // covers the base, so it carries
+    val ms = IvfStore.compactStep(spark, root, mergeCount = 4).get
+    assert(ms.segments.size === 2, ms.segments.toString)
+    assert(ms.segments.contains(baseSeg), "the big base must be kept")
+    assert(Files.exists(Paths.get(root, baseSeg)))
+    assert(ms.tombstones === mPre.tombstones,
+      "a list still covering the base must carry, not die")
+    val stepped = probeRows(root, query, k = 250, nProbe = 4)
+    assert(stepped === before, "a step must never change probe answers")
+    // the dead small-ingest id was physically dropped by the merge; the
+    // re-inserted id stays visible exactly once
+    assert(IvfStore.readLive(spark, root, ms)
+      .filter($"vec_id" === 3L).count() === 1L)
+    assert(IvfStore.readLive(spark, root, ms)
+      .filter($"vec_id" === 205L).isEmpty)
+
+    // a second step that merges EVERYTHING left absorbs the list: every
+    // segment it still covers is in the merge set
+    val ms2 = IvfStore.compactStep(spark, root, mergeCount = 8).get
+    assert(ms2.segments.size === 1)
+    assert(ms2.tombstones.isEmpty && ms2.tombstoneScopes.isEmpty,
+      "a fully-covered list must be absorbed by the merge")
+    assert(probeRows(root, query, k = 250, nProbe = 4) === before)
+    // counts stay consistent with a full recount after the steps
+    val mc = IvfStore.compact(spark, root)
+    assert(ms2.counts.values.sum === mc.counts.values.sum,
+      s"step counts ${ms2.counts.values.sum} vs recount ${mc.counts.values.sum}")
+    // nothing to merge on a one-segment store
+    assert(IvfStore.compactStep(spark, root, mergeCount = 2).isEmpty)
+  }
+
   test("delete: a tombstone commit touches no segment; probes exclude the ids; compact physically drops them and clears the list") {
     val root = tempDir("graft-ivfstore-delete")
     IvfStore.create(corpus(0 until 120), "embedding", root,

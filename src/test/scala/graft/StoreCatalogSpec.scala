@@ -536,9 +536,15 @@ class StoreCatalogSpec extends SparkTestBase {
         tempDir("graft-sc-ap-broken") + "/nope", None))
       val rows = StoreMaintenance.autopilot(spark, segmentThreshold = 2)
         .map(r => r.name -> r).toMap
+      // r19 leveled policy: no tombstone pressure, so the autopilot
+      // takes the INCREMENTAL step — merge just enough of the smallest
+      // segments (2 of 3) to get back under the threshold, leaving the
+      // big base segment un-rewritten in its original version dir
       assert(rows("ap_hot").compacted &&
         rows("ap_hot").segmentsBefore === Some(3) &&
-        rows("ap_hot").segmentsAfter === Some(1), rows("ap_hot").toString)
+        rows("ap_hot").segmentsAfter === Some(2), rows("ap_hot").toString)
+      assert(new java.io.File(s"$hotRoot/v1/base").isDirectory,
+        "the incremental step must carry the base, not rewrite it")
       assert(!rows("ap_quiet").compacted &&
         rows("ap_quiet").segmentsBefore === Some(1) &&
         rows("ap_quiet").skipped.isEmpty)
