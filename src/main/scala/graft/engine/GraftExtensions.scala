@@ -43,14 +43,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(session => new graft.plans.MvRewrite(session))
     // cube/rollup pre-aggregation: a pure algebraic optimization (exact
     // same rows, types, nullability — see PreAggExpand's gates), so like
-    // Catalyst's own rules it defaults ON, with
-    // spark.graft.optimizer.preAggExpand=false as the kill switch for
-    // the high-cardinality-grain workloads it cannot help
+    // Catalyst's own rules it defaults ON; harvested StatsCatalog NDVs
+    // skip proven high-cardinality-grain workloads automatically (r19),
+    // spark.graft.optimizer.preAggExpand=false stays the manual switch
     ext.injectOptimizerRule(session => new graft.plans.PreAggExpand(session))
     // eager aggregation (partial aggregate below an inner equi-join):
-    // opt-in per session (spark.graft.optimizer.eagerAggJoin=true) —
-    // only a win when the fact grain is materially smaller than the
-    // fact, which no parquet-scan statistics can decide automatically
+    // default `auto` (r19) — fires only when harvested StatsCatalog
+    // statistics prove the fact grain materially smaller than the fact
+    // AND the dim side is not broadcast-sized; "true" forces per
+    // session, "false" disables. No statistics = no fire = zero cost.
     ext.injectOptimizerRule(session => new graft.plans.EagerAggJoin(session))
     register(ext, "capitalize", "uppercases a string (reference semantics)",
       es => Upper(es.head))

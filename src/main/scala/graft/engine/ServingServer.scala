@@ -1358,6 +1358,45 @@ final class ServingServer(
               }
             case "catalog_load" =>
               status("ERR INVALID_ARGUMENT catalog_load requires <path>")
+            case "analyze_table" if arg.nonEmpty =>
+              // harvest table statistics (r19): one full pass = row
+              // count + a mergeable per-column HLL NDV sketch into
+              // StatsCatalog — the statistics that auto-arm the
+              // eager-aggregation rewrite, feed the advisor's cost
+              // model, and ride catalog_save. Work-then-status.
+              val atRes = scala.util.Try(
+                graft.plans.StatsCatalog.analyze(session.spark, arg))
+              atRes match {
+                case scala.util.Failure(e) =>
+                  status("ERR INVALID_ARGUMENT analyze_table: " +
+                    Option(e.getMessage).getOrElse(e.toString)
+                      .replaceAll("\\s+", " ").take(200))
+                case scala.util.Success(st) =>
+                  status("OK")
+                  val result = {
+                    import session.spark.implicits._
+                    st.cols.toSeq.sortBy(_._1)
+                      .map { case (c, cs) => (st.path, st.rows, c, cs.ndv) }
+                      .toDF("path", "rows", "column", "ndv")
+                  }
+                  org.apache.spark.sql.GraftArrowBridge
+                    .writeBatches(result, batchSize, out)
+                  out.flush()
+              }
+            case "analyze_table" =>
+              status("ERR INVALID_ARGUMENT analyze_table requires <path>")
+            case "stats_describe" =>
+              // one row per analyzed table — metadata-only
+              status("OK")
+              val result = {
+                import session.spark.implicits._
+                graft.plans.StatsCatalog.describe()
+                  .map(st => (st.path, st.rows, st.cols.size, st.updatedMs))
+                  .toDF("path", "rows", "columns", "updated_ms")
+              }
+              org.apache.spark.sql.GraftArrowBridge
+                .writeBatches(result, batchSize, out)
+              out.flush()
             case "stream_view_describe" if arg.nonEmpty =>
               // freshness for the STREAMING MV family (streaming/
               // MaterializedAgg): arg is <view_path> <source_path>
@@ -1515,15 +1554,27 @@ final class ServingServer(
                   "segments (default 8); one row per store — covers " +
                   "lineage-less registrations the refresh sweep skips"),
               ("catalog_save",
-                "snapshot the whole registry (MV defs + store defs) to " +
-                  "<path> as one JSON file, tmp+atomic-rename — the " +
-                  "durable half of the maintainer restart story"),
+                "snapshot the whole registry (MV defs + store defs + " +
+                  "table statistics) to <path> as one JSON file, " +
+                  "tmp+atomic-rename — the durable half of the " +
+                  "maintainer restart story"),
               ("catalog_load",
                 "reload a saved registry snapshot from <path> " +
                   "(additive, replace-by-name); one row per def — " +
                   "loaded, or the skip reason; cursors resume at their " +
                   "saved watermarks, so the next mv_maintain applies " +
-                  "only the missed churn"))
+                  "only the missed churn"),
+              ("analyze_table",
+                "harvest table statistics from <path>: row count + a " +
+                  "mergeable per-column HLL NDV sketch into the stats " +
+                  "catalog — auto-arms the eager-aggregation rewrite, " +
+                  "feeds the advisor cost model, kept current by " +
+                  "Iceberg appends, persisted by catalog_save; one row " +
+                  "per column"),
+              ("stats_describe",
+                "one row per analyzed table: normalized path, row " +
+                  "count, sketched column count, last update — " +
+                  "metadata-only"))
               .toDF("action", "description")
           }
           org.apache.spark.sql.GraftArrowBridge.writeBatches(actions, batchSize, out)

@@ -878,6 +878,33 @@ object MvAdvisor {
     clusters.map(_._2.toSeq).toSeq
   }
 
+  /** Stats-fed cost estimate for a recommendation (r19): the MV's row
+    * count is bounded by the product of its key-column NDVs
+    * ([[StatsCatalog]] sketches), capped at the base row count;
+    * `compression` = base rows / estimated MV rows is the payoff of
+    * materializing — the scan shrink every rewritten dashboard gets.
+    * None when the base is un-analyzed or a key has no sketch: the
+    * advisor's structural recommendations need no statistics, the cost
+    * model only RANKS them (materialize high-compression ones first,
+    * skip grain-near-rows ones) — the same harvested sketches that
+    * auto-arm [[EagerAggJoin]].
+    */
+  final case class MvCost(baseRows: Long, estimatedMvRows: Long) {
+    def compression: Double = baseRows.toDouble / math.max(1L, estimatedMvRows)
+  }
+
+  def costOf(rec: Recommendation): Option[MvCost] =
+    StatsCatalog.lookup(rec.basePath).flatMap { st =>
+      val ndvs = rec.keys.map(k => st.cols.get(k).map(_.ndv))
+      if (ndvs.exists(_.isEmpty) || st.rows <= 0) None
+      else {
+        var est = 1.0d
+        ndvs.flatten.foreach(n =>
+          est = math.min(est * math.max(n, 1L), st.rows.toDouble))
+        Some(MvCost(st.rows, math.round(est)))
+      }
+    }
+
   /** Fold harvested shapes into per-base recommendations: one rollup PER
     * CONTAINMENT CLUSTER of the distinct-free shapes (a DISTINCT
     * aggregate bails the whole rewrite, so those queries are served by

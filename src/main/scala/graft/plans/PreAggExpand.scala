@@ -49,9 +49,13 @@ import org.apache.spark.sql.types._
   * pair). When the grain is small — the cube use case — both shuffles
   * move ~|grain| rows and the saved Expand work dominates. When the
   * grain is near |input| the rule still bounds Expand input at |input|
-  * but pays one extra ~|input|-row shuffle; disable with
-  * `spark.graft.optimizer.preAggExpand=false` for such workloads (no
-  * CBO row counts exist on plain parquet scans to decide automatically).
+  * but pays one extra ~|input|-row shuffle. Since r19 harvested
+  * [[StatsCatalog]] NDVs skip that adverse case automatically (one
+  * analyzed scan + grain NDV proven above
+  * `spark.graft.optimizer.preAggExpand.maxGrainRatio` of the rows →
+  * keep the stock plan; no statistics → fire, unchanged); the manual
+  * kill switch `spark.graft.optimizer.preAggExpand=false` remains for
+  * un-analyzed workloads.
   *
   * Reference context: the reference engine delegates grouping sets to its
   * SQL backend with no equivalent rewrite (crates/engine/src/lib.rs:54-57
@@ -210,6 +214,15 @@ class PreAggExpand(session: SparkSession) extends Rule[LogicalPlan] {
         if (seen.add(a.exprId)) Some(a) else None
       }
     }
+    // stats-aware adverse-case skip (r19): the rule stays default-ON
+    // (bounded overhead, no statistics needed), but when the input is
+    // ONE analyzed scan whose harvested NDVs PROVE the grain near the
+    // row count, the rewrite buys almost no Expand reduction for a full
+    // extra exchange — the measured adverse case the kill switch existed
+    // for, now skipped automatically. Unknown stats → fire, unchanged.
+    if (!StatsCatalog.preAggExpandWorthwhile(session, expand.child, grainAttrs))
+      return None
+
     val partialAliases = partialByAgg.values.flatMap(_.partials).toSeq
     val preAgg = Aggregate(
       grainAttrs,

@@ -176,6 +176,40 @@ object StatsCatalog {
     * match); relocated derived columns have no statistics and make the
     * gate refuse, conservatively.
     */
+  /** Auto skip-gate for [[PreAggExpand]] — the reverse default of
+    * [[shouldEagerAgg]]: that rule is default-ON (its adverse case is a
+    * bounded small overhead), so statistics only ever argue AGAINST it.
+    * Returns false — skip the rewrite — exactly when the input resolves
+    * to ONE analyzed scan, every grain column has a sketch, and the
+    * grain NDV exceeds `maxGrainRatio` of the rows (a near-unique grain
+    * pays the extra exchange for almost no Expand reduction — the
+    * measured adverse case the kill switch existed for, now automated).
+    * Unknown anything → true (fire), preserving the no-stats behavior.
+    */
+  def preAggExpandWorthwhile(
+      session: SparkSession,
+      child: LogicalPlan,
+      grainAttrs: Seq[Attribute]): Boolean = {
+    val maxRatio = session.sessionState.conf
+      .getConfString("spark.graft.optimizer.preAggExpand.maxGrainRatio", "0.5")
+      .toDouble
+    val lr = child.collectLeaves() match {
+      case Seq(l: LogicalRelation) => l
+      case _                       => return true
+    }
+    val root = MvRewrite.scanRoot(lr).getOrElse(return true)
+    val st = lookup(root).getOrElse(return true)
+    if (st.rows <= 0) return true
+    val nameById = lr.output.map(a => a.exprId -> a.name).toMap
+    var grainNdv = 1.0d
+    grainAttrs.foreach { a =>
+      val name = nameById.getOrElse(a.exprId, return true)
+      val ndv = st.cols.get(name).map(_.ndv).getOrElse(return true)
+      grainNdv = math.min(grainNdv * math.max(ndv, 1L), st.rows.toDouble)
+    }
+    grainNdv <= maxRatio * st.rows
+  }
+
   def shouldEagerAgg(
       session: SparkSession,
       factPlan: LogicalPlan,

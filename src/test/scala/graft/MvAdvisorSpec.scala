@@ -95,6 +95,36 @@ class MvAdvisorSpec extends SparkTestBase with BeforeAndAfterAll {
     assert(mult.queriesAnswered === 1)
   }
 
+  test("stats-fed cost model: analyzed bases rank recommendations by compression, un-analyzed stay None") {
+    import graft.plans.StatsCatalog
+    val shapes = Seq(q1(spark), q2(spark), q3(spark))
+      .flatMap(MvAdvisor.analyze).flatMap(_.toOption)
+    val recs = MvAdvisor.recommend(shapes)
+    val rollup = recs.find(_.kind == "rollup").get
+    // un-analyzed: structural recommendations carry no cost — the model
+    // only ranks, never gates
+    assert(MvAdvisor.costOf(rollup).isEmpty)
+    try {
+      StatsCatalog.analyze(spark, basePath)
+      val cost = MvAdvisor.costOf(rollup).get
+      // base = 7 rows; grain (k, g) has 3x2 NDVs, 5 actual combos —
+      // the NDV-product bound must cap at the base rows and the
+      // compression must reflect the real shrink direction
+      assert(cost.baseRows === 7L)
+      assert(cost.estimatedMvRows >= 5L && cost.estimatedMvRows <= 7L,
+        cost.toString)
+      assert(cost.compression >= 1.0)
+      // a near-unique grain estimates at ~rows: compression ~1 — the
+      // signal an operator uses to SKIP materializing
+      val wide = rollup.copy(keys = Seq("k", "g", "x", "y"))
+      val wideCost = MvAdvisor.costOf(wide).get
+      assert(wideCost.estimatedMvRows === 7L, wideCost.toString)
+      assert(wideCost.compression <= cost.compression)
+      // a key with no sketch (unknown column) stays None, conservatively
+      assert(MvAdvisor.costOf(rollup.copy(keys = Seq("k", "nope"))).isEmpty)
+    } finally StatsCatalog.unregister(basePath)
+  }
+
   test("grain clustering: an incomparable near-unique key set splits into its own rollup instead of poisoning the shared grain") {
     import spark.implicits._
     val dir = tempDir("graft-advisor-cluster")

@@ -274,6 +274,32 @@ class PreAggExpandSpec extends SparkTestBase {
     }
   }
 
+  test("stats-aware adverse-case skip: a proven near-unique grain keeps the stock plan") {
+    import graft.plans.StatsCatalog
+    val dir = tempDir("graft-preagg-stats")
+    // id is unique (the adverse grain); k has 5 values (the cube grain)
+    spark.range(20000)
+      .select($"id", ($"id" % 5).as("k"), ($"id" % 97).cast("double").as("v"))
+      .write.mode("overwrite").parquet(s"$dir/t")
+    def cubeBy(c: String) = spark.read.parquet(s"$dir/t")
+      .cube(col(c)).agg(sum($"v").as("s"), count(lit(1)).as("n"))
+    // un-analyzed: both fire (the r18 default — no stats, no opinion)
+    assert(preAggExpands(cubeBy("id")) === 1)
+    assert(preAggExpands(cubeBy("k")) === 1)
+    try {
+      StatsCatalog.analyze(spark, s"$dir/t")
+      // analyzed: the near-unique grain is PROVEN adverse and skips; the
+      // low-NDV grain keeps firing, and stays exact
+      assert(preAggExpands(cubeBy("id")) === 0,
+        "a near-unique grain must keep the stock plan once stats prove it")
+      assert(preAggExpands(cubeBy("k")) === 1)
+      val on = cubeBy("k").collect().map(_.toString).sorted.toSeq
+      val off = withRule(on = false)(
+        cubeBy("k").collect().map(_.toString).sorted.toSeq)
+      assert(on === off)
+    } finally StatsCatalog.unregister(s"$dir/t")
+  }
+
   test("plain groupBy (no Expand) is untouched") {
     checkExact(fires = false) {
       fixture.groupBy($"d1").agg(sum($"v_dbl").as("s"))

@@ -674,6 +674,36 @@ class ServingServerSpec extends SparkTestBase {
     }
   }
 
+  test("analyze_table harvests wire-visible statistics; stats_describe lists; catalog_save persists them") {
+    withServer { srv =>
+      val li = s"${SparkTestBase.Sf0001}/lineitem.parquet"
+      try {
+        val at = ServingClient.doAction(srv.boundPort, "analyze_table", li)
+        assert(at.isOk, at.status)
+        val supp = at.rows.find(_(2).toString == "l_suppkey")
+          .getOrElse(fail(s"no l_suppkey row: ${at.rows.take(3)}"))
+        assert(supp(3).toString.toLong >= 5L, supp.toString)
+        val sd = ServingClient.doAction(srv.boundPort, "stats_describe")
+        assert(sd.isOk && sd.rows.exists(_(0).toString ==
+          graft.plans.StatsCatalog.normalize(li)), sd.rows.toString)
+        // the statistics ride the durable catalog over the wire
+        val file = tempDir("graft-ss-stats") + "/cat.json"
+        assert(ServingClient.doAction(
+          srv.boundPort, "catalog_save", file).isOk)
+        graft.plans.StatsCatalog.clear()
+        assert(ServingClient.doAction(
+          srv.boundPort, "catalog_load", file).isOk)
+        assert(graft.plans.StatsCatalog.tracked(li),
+          "statistics must survive the save/load round trip")
+        // refusals stay on the status line, never a broken stream
+        assert(ServingClient.doAction(srv.boundPort, "analyze_table").status
+          .startsWith("ERR INVALID_ARGUMENT"))
+        assert(ServingClient.doAction(srv.boundPort, "analyze_table",
+          "/nope/nothing").status.startsWith("ERR INVALID_ARGUMENT"))
+      } finally graft.plans.StatsCatalog.unregister(li)
+    }
+  }
+
   test("LIST_ACTIONS advertises cancel; unknown actions/handles refuse cleanly") {
     withServer { srv =>
       val actions = ServingClient.listActions(srv.boundPort)
@@ -682,7 +712,8 @@ class ServingServerSpec extends SparkTestBase {
         Seq("cancel", "mv_describe", "ann_probe", "mv_refresh",
           "mv_maintain", "stream_view_describe", "store_compact",
           "store_describe", "table_maintain", "advise",
-          "store_autopilot", "catalog_save", "catalog_load"))
+          "store_autopilot", "catalog_save", "catalog_load",
+          "analyze_table", "stats_describe"))
       assert(ServingClient.doAction(srv.boundPort, "cancel", "nope").status
         .startsWith("ERR NOT_FOUND"))
       assert(ServingClient.doAction(srv.boundPort, "cancel").status
