@@ -21,6 +21,7 @@ import graft.queries.QueryUtil
   *        runMain graft.Main --catalog-load <file> --mv-maintain all --catalog-save <file>
   *            # the restartable maintainer loop: resume saved cursors, apply missed churn, re-snapshot
   *        runMain graft.Main --store-autopilot <threshold|default>  # compact registered stores above the segment threshold
+  *        runMain graft.Main --analyze <table-path>         # harvest row count + HLL NDV statistics (auto-arms the optimizer)
   * Tables registered: the TESTDATA fixtures (region…embeddings) plus the
   * reference's demo `users` table (crates/igloo/src/main.rs:59-77).
   * `--serve` starts the Flight-analogue TCP server (engine.ServingServer)
@@ -356,6 +357,28 @@ object Main {
                 }
                 println(s"[store-autopilot] ${r.name} (${r.kind}) $verdict")
               }
+            }
+            saveCatalogIfAsked(withAutosave(opts), spark)
+            spark.stop()
+            return
+          case None => ()
+        }
+        opts.get("analyze") match {
+          case Some(path) =>
+            // table-statistics harvest, CLI face (r19): one pass = row
+            // count + mergeable per-column HLL NDV sketches into the
+            // stats catalog — auto-arms the eager-aggregation rewrite,
+            // feeds the advisor cost model, rides --catalog-save
+            scala.util.Try(
+              graft.plans.StatsCatalog.analyze(spark, path)) match {
+              case scala.util.Success(st) =>
+                println(s"[analyze] ${st.path}: rows=${st.rows}")
+                st.cols.toSeq.sortBy(_._1).foreach { case (c, cs) =>
+                  println(f"[analyze]   $c%-24s ndv=${cs.ndv}")
+                }
+              case scala.util.Failure(e) =>
+                println("[analyze] refused: " +
+                  Option(e.getMessage).getOrElse(e.toString))
             }
             saveCatalogIfAsked(withAutosave(opts), spark)
             spark.stop()

@@ -620,7 +620,17 @@ object IvfStore {
     * commit loop as ingest/compact. None = nothing to merge.
     */
   def compactStep(
-      spark: SparkSession, root: String, mergeCount: Int = 4): Option[Meta] = {
+      spark: SparkSession, root: String, mergeCount: Int = 4): Option[Meta] =
+    compactStepWithHook(spark, root, mergeCount, () => ())
+
+  /** [[compactStep]] with a test-only hook fired between the merged
+    * segment's write and the CAS commit — the window a concurrent
+    * ingest/delete wins the version race and the loop must re-pick
+    * against the reloaded meta.
+    */
+  private[graft] def compactStepWithHook(
+      spark: SparkSession, root: String, mergeCount: Int,
+      beforeCommit: () => Unit): Option[Meta] = {
     require(mergeCount >= 2, "a merge needs at least two segments")
     var cur = load(root)
     var versionFloor = cur.version + 1
@@ -676,6 +686,7 @@ object IvfStore {
         tombstones = keptLists,
         tombstoneScopes =
           cur.tombstoneScopes.filter { case (t, _) => keptLists.contains(t) })
+      beforeCommit()
       if (commit(root, next)) {
         picked.foreach(s => deleteRecursively(Paths.get(root, s)))
         cur.tombstones.filterNot(keptLists.toSet)

@@ -100,6 +100,9 @@ class EagerAggJoin(session: SparkSession) extends Rule[LogicalPlan] {
       .getConfString("spark.graft.optimizer.eagerAggJoin", "auto")
     if (mode == "false") return plan
     val statsGated = mode != "true" // "auto" (the default) and anything else
+    // auto with nothing analyzed can never fire: skip the per-plan
+    // analysis entirely so stats-less sessions pay the r18-default zero
+    if (statsGated && StatsCatalog.isEmpty) return plan
     plan.transformUp {
       case agg @ Aggregate(_, _, child, _) =>
         try {

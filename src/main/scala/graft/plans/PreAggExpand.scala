@@ -220,7 +220,8 @@ class PreAggExpand(session: SparkSession) extends Rule[LogicalPlan] {
     // row count, the rewrite buys almost no Expand reduction for a full
     // extra exchange — the measured adverse case the kill switch existed
     // for, now skipped automatically. Unknown stats → fire, unchanged.
-    if (!StatsCatalog.preAggExpandWorthwhile(session, expand.child, grainAttrs))
+    if (!StatsCatalog.isEmpty &&
+        !StatsCatalog.preAggExpandWorthwhile(session, expand.child, grainAttrs))
       return None
 
     val partialAliases = partialByAgg.values.flatMap(_.partials).toSeq

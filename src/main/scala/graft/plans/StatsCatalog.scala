@@ -60,6 +60,12 @@ object StatsCatalog {
 
   def normalize(p: String): String = MvCatalog.normalize(p)
 
+  /** Fast emptiness check — the optimizer rules' early-out: with no
+    * table analyzed, auto-mode gates can skip their whole plan analysis
+    * (the same pattern as MvCatalog.isEmpty in MvRewrite).
+    */
+  def isEmpty: Boolean = reg.isEmpty
+
   def lookup(path: String): Option[TableStats] =
     Option(reg.get(normalize(path)))
 

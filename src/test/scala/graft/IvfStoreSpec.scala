@@ -282,6 +282,40 @@ class IvfStoreSpec extends SparkTestBase {
     assert(IvfStore.compactStep(spark, root, mergeCount = 2).isEmpty)
   }
 
+  test("compactStep lost CAS race: a concurrent ingest wins, the step re-picks and nothing is lost") {
+    val root = tempDir("graft-ivfstore-step-race")
+    IvfStore.create(corpus(0 until 100), "embedding", root,
+      nCells = 4, cellCap = 500, splitK = 2, seed = 7L)
+    (0 until 2).foreach { i =>
+      IvfStore.ingest(spark, root,
+        corpus(100 + i * 10 until 100 + (i + 1) * 10)): Unit
+    }
+    // fire ONE racing ingest in the step's write-to-commit window: the
+    // step's first CAS loses, it must reload, re-pick, and converge —
+    // with the racer's rows fully visible afterwards
+    var raced = false
+    val ms = IvfStore.compactStepWithHook(spark, root, 4, () =>
+      if (!raced) {
+        raced = true
+        IvfStore.ingest(spark, root, corpus(200 until 210)): Unit
+      }).get
+    assert(raced)
+    val ids = IvfStore.readLive(spark, root, ms)
+      .select($"vec_id").as[Long].collect().toSet
+    assert((0 until 100).forall(i => ids(i.toLong)), "base rows lost")
+    assert((100 until 120).forall(i => ids(i.toLong)), "merged rows lost")
+    assert((200 until 210).forall(i => ids(i.toLong)),
+      "the racing ingest's rows must survive the retried step")
+    assert(ids.size === 130)
+    // the re-pick happened against the RELOADED meta: one merged
+    // segment replaced the smallest set, version advanced past the race
+    assert(ms.version > 3, ms.version.toString)
+    assert(probeRows(root, query, k = 130, nProbe = 4).nonEmpty)
+    // counts stay reconcilable with a full recount
+    val mc = IvfStore.compact(spark, root)
+    assert(ms.counts.values.sum === mc.counts.values.sum)
+  }
+
   test("delete: a tombstone commit touches no segment; probes exclude the ids; compact physically drops them and clears the list") {
     val root = tempDir("graft-ivfstore-delete")
     IvfStore.create(corpus(0 until 120), "embedding", root,

@@ -99,19 +99,21 @@ class MaintenanceLeaseSpec extends SparkTestBase {
 
   test("renewal: a holder that fences outlives many TTLs; once lost, fence refuses") {
     val dir = tempDir("graft-lease-renew")
-    val h = MaintenanceLease.acquire(spark, dir, ttlMs = 300L)
-    // fence every ~150ms for 4 TTLs' worth of wall clock: each fence
+    // generous renew-to-TTL margin (250ms cadence vs 1s TTL) so a GC
+    // pause on a loaded host cannot expire the lease between fences
+    val h = MaintenanceLease.acquire(spark, dir, ttlMs = 1000L)
+    // fence every ~250ms for 2+ TTLs' worth of wall clock: each fence
     // renews, so the lease never expires and no acquirer can break in
-    (1 to 8).foreach { _ =>
-      Thread.sleep(150L)
+    (1 to 9).foreach { _ =>
+      Thread.sleep(250L)
       MaintenanceLease.fence(h)
       intercept[IllegalStateException](
-        MaintenanceLease.acquire(spark, dir, ttlMs = 300L))
+        MaintenanceLease.acquire(spark, dir, ttlMs = 1000L))
     }
     // stop renewing: the lease expires, a second maintainer takes it,
     // and the overrun holder's next fence REFUSES (its release is also
     // ownership-checked and leaves the new holder's marker alone)
-    Thread.sleep(400L)
+    Thread.sleep(1200L)
     val h2 = MaintenanceLease.acquire(spark, dir)
     val lost = intercept[MaintenanceLease.LostException](
       MaintenanceLease.fence(h))
