@@ -82,7 +82,12 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * untouched (no stats, no fire), so the default costs nothing until a
   * table is analyzed. `true` forces the rewrite wherever the exactness
   * gates pass (the r18 per-session contract, still what the registered
-  * oracle queries pin); `false` disables. Idempotence: the rebuilt
+  * oracle queries pin); `false` disables. Known auto-mode limit: the
+  * multi-way-star CASCADE fires only at the first (scan-fact) level —
+  * the second level's fact side is the rewritten join, not an analyzed
+  * scan, so the stats gate declines it (forced mode cascades fully;
+  * estimating cardinality THROUGH a join would need join selectivity
+  * stats this catalog does not carry). Idempotence: the rebuilt
   * Join carries a TreeNodeTag; a
   * structural backstop also skips joins whose fact side is already
   * aggregated at (or finer than) the grain.
