@@ -53,6 +53,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // AND the dim side is not broadcast-sized; "true" forces per
     // session, "false" disables. No statistics = no fire = zero cost.
     ext.injectOptimizerRule(session => new graft.plans.EagerAggJoin(session))
+    // harvested-statistics hand-off to Spark's OWN planner (r20): runs
+    // immediately before the Join Reorder batch, attaching row counts +
+    // NDVs from StatsCatalog to analyzed path-backed relations so
+    // CostBasedJoinReorder and plan-stats estimation see the same truth
+    // graft's rules use. Inert until a table is analyzed AND the session
+    // enables CBO (sizeInBytes stays the real file size, so non-CBO
+    // plans are byte-identical); spark.graft.optimizer.relationStats=
+    // false disables.
+    ext.injectPreCBORule(session => new graft.plans.RelationStats(session))
     register(ext, "capitalize", "uppercases a string (reference semantics)",
       es => Upper(es.head))
     register(ext, "cosine_sim", "cosine similarity of two array<float> vectors",

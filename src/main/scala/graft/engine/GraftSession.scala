@@ -176,6 +176,27 @@ class GraftSession(val spark: SparkSession) {
     // write-through: results computed FROM the (re)written table are now
     // stale — evict them; the next read recomputes over the new files
     cache.invalidateDependents(name.toLowerCase(java.util.Locale.ROOT))
+    // statistics maintenance (r20): a CTAS REPLACES the files at `path`,
+    // so for a tracked table the union-merge face is wrong (sketches
+    // cannot forget the old contents) — re-analyze over the rows just
+    // written instead: O(new table), which the write itself just was,
+    // and combo sketches re-harvest through the stored combo keys.
+    // Untracked paths pay nothing, the same contract as the Iceberg
+    // append hook (StatsCatalog.mergeIncrement).
+    if (graft.plans.StatsCatalog.tracked(path)) {
+      val combos = graft.plans.StatsCatalog.lookup(path).toSeq
+        .flatMap(_.combos.keys).map(_.split(',').toSeq)
+      try graft.plans.StatsCatalog.analyze(spark, path, Some(df), combos): Unit
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          // a failed re-analyze must not fail the CTAS; drop the entry
+          // instead — stale statistics on a REPLACED table could mis-arm
+          // the auto optimizer, absent ones merely disarm it
+          graft.plans.StatsCatalog.unregister(path)
+          System.err.println(s"createTableAs: statistics re-analyze " +
+            s"failed for $path; entry dropped (${e.getMessage})")
+      }
+    }
     df
   }
 }

@@ -1386,13 +1386,21 @@ final class ServingServer(
             case "analyze_table" =>
               status("ERR INVALID_ARGUMENT analyze_table requires <path>")
             case "stats_describe" =>
-              // one row per analyzed table — metadata-only
+              // one row per analyzed table — metadata-only. `stale`
+              // (r20) compares updatedMs against the newest file under
+              // the path: true = a write outside the maintained hooks
+              // landed since the last analyze/merge; null = the path
+              // cannot be inspected (unknown, not fresh). `combos` is
+              // the joint-sketch count (correlated-grain NDVs).
               status("OK")
               val result = {
                 import session.spark.implicits._
                 graft.plans.StatsCatalog.describe()
-                  .map(st => (st.path, st.rows, st.cols.size, st.updatedMs))
-                  .toDF("path", "rows", "columns", "updated_ms")
+                  .map(st => (st.path, st.rows, st.cols.size,
+                    st.combos.size, st.updatedMs,
+                    graft.plans.StatsCatalog.stale(session.spark, st)))
+                  .toDF("path", "rows", "columns", "combos",
+                    "updated_ms", "stale")
               }
               org.apache.spark.sql.GraftArrowBridge
                 .writeBatches(result, batchSize, out)

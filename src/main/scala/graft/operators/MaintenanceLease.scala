@@ -178,12 +178,27 @@ object MaintenanceLease {
 
   /** Heartbeat: push the holder's expiry another TTL out, but ONLY while
     * the marker is still this holder's AND still live. The liveness
-    * condition makes the overwrite safe: breakers may only delete
+    * condition makes the replace safe: breakers may only delete
     * EXPIRED markers, so no new holder can exist while ours is live —
     * the rewrite can't clobber anyone (modulo clock skew, the same
     * assumption the TTL break itself already makes). Once expired, the
     * lease is treated as LOST even if the marker still sits on disk —
     * a new holder may be acquiring it at this very instant.
+    *
+    * The replace itself must never expose a TORN marker: the r19
+    * implementation rewrote the live marker with `create(overwrite)` —
+    * a truncate-then-write — and a concurrent acquirer reading during
+    * the truncate window saw an empty marker, mapped it to "expired",
+    * deleted the LIVE lease and acquired it while this renewer still
+    * returned true: two maintainers committing concurrently, exactly
+    * what the fence exists to prevent. Now the new content is written
+    * COMPLETE to a tmp file and moved over the marker: atomically on
+    * local filesystems (`ATOMIC_MOVE`), and on HDFS-likes (no atomic
+    * replace) via delete + rename-no-overwrite, whose marker-absent
+    * window fails CLOSED — a racing acquirer that creates the marker
+    * first makes the rename fail and this renewal returns false (lease
+    * lost, the fence refuses the next commit). Either way no reader
+    * ever observes torn bytes and mutual exclusion holds.
     */
   def renewIfOwned(h: Held): Boolean =
     readMarker(h.fs, h.marker) match {
@@ -191,9 +206,26 @@ object MaintenanceLease {
           if o == h.owner && System.currentTimeMillis() < expiry =>
         val content =
           s"${System.currentTimeMillis() + h.ttlMs}:${h.owner}".getBytes("UTF-8")
-        val out = h.fs.create(h.marker, true)
-        try out.write(content) finally out.close()
-        true
+        val scheme = Option(h.fs.getUri).map(_.getScheme).getOrElse("")
+        if (scheme == "file" || scheme.isEmpty) {
+          val local = java.nio.file.Paths.get(h.marker.toUri.getPath)
+          val tmp = local.resolveSibling(
+            s".${local.getFileName}.renew-${h.owner.take(8)}")
+          java.nio.file.Files.write(tmp, content)
+          java.nio.file.Files.move(tmp, local,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          true
+        } else {
+          val tmp = new Path(h.marker.getParent,
+            s".${h.marker.getName}.renew-${h.owner.take(8)}")
+          val out = h.fs.create(tmp, true)
+          try out.write(content) finally out.close()
+          h.fs.delete(h.marker, false)
+          val won = h.fs.rename(tmp, h.marker)
+          if (!won) h.fs.delete(tmp, false): Unit
+          won
+        }
       case _ => false
     }
 

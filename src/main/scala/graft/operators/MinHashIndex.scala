@@ -736,10 +736,16 @@ object MinHashIndex extends org.apache.spark.internal.Logging {
     * the new version through its `_carried` side file (see the carried-
     * segments section); tombstone lists whose scope is fully inside the
     * merged set are absorbed (their dead rows are physically dropped by
-    * the merge), all others carry over and keep covering exactly the
-    * segments they always did — the merged segment has a FRESH name no
-    * existing scope contains, so a carried list can never hide its live
-    * rows. Same lease, drain, atomic version-marker commit and crash
+    * the merge), scoped survivors carry over and keep covering exactly
+    * the segments they always did — the merged segment has a FRESH name
+    * no existing scope contains, so a carried list can never hide its
+    * live rows. SCOPE-LESS survivors (pre-r18 legacy lists, whose
+    * global coverage would otherwise hide re-folds forever) are
+    * RETIRED incrementally (r20): rewritten into the new version scoped
+    * to exactly the surviving segments, so each step narrows them and a
+    * step that merges everything they cover absorbs them — no FULL
+    * compact required anymore. Same lease, drain, atomic
+    * version-marker commit and crash
     * matrix as the full compact. Returns false when there is nothing to
     * merge (fewer than two segments).
     */
@@ -818,13 +824,29 @@ object MinHashIndex extends org.apache.spark.internal.Logging {
     // a list is absorbed when every segment it STILL covers is in the
     // merge set (its dead rows are physically dropped by the merge);
     // scope entries naming segments an earlier step already merged away
-    // are vacuous — only live names count
+    // are vacuous — only live names count. A SCOPE-LESS list (pre-r18
+    // legacy, or a degraded unreadable `_scope`) covers every live
+    // segment, so it absorbs exactly when the step merges them all
     val allNames = segs.map(_.getName).toSet
     val absorbed = dels.collect {
-      case (d, Some(scope))
-          if scope.intersect(allNames).subsetOf(pickedNames) => d
+      case (d, scope)
+          if scope.getOrElse(allNames).intersect(allNames)
+            .subsetOf(pickedNames) => d
     }.toSet
-    val keptDels = dels.map(_._1).filterNot(absorbed)
+    // retire surviving scope-less lists incrementally (r20): carried as
+    // is, a global list can only die at a FULL compact — a leveled step
+    // carries it forever, and its every-segment coverage HIDES re-folds
+    // landing in future segments. Rewrite it instead, scoped to exactly
+    // the segments that survive this step: its dead rows inside the
+    // merged set were physically dropped by the merge just performed,
+    // rows in kept segments stay covered verbatim, and re-inserted ids
+    // in any LATER segment become visible again — the segment-scoped
+    // contract every post-r18 list already obeys. (absorption above
+    // already handled the keptSegs-empty case, so the narrowed scope is
+    // never empty.)
+    val (legacyKept, scopedKept) =
+      dels.filterNot { case (d, _) => absorbed(d) }
+        .partition(_._2.isEmpty)
 
     val next = versionDir(root, v + 1)
     val mergedName = s"merged-${java.util.UUID.randomUUID().toString.take(12)}"
@@ -835,9 +857,23 @@ object MinHashIndex extends org.apache.spark.internal.Logging {
         .parquet(new Path(next, s"$mergedName/$side").toString)
     }
     fault("next-version-written")
+    // legacy lists materialize NARROWED into the next version (same dir
+    // name, so the folded-marker replay guard keeps recognizing the
+    // delete token; the old physical dir dies with the superseded
+    // version). Lists are churn-scale single files by contract — the
+    // copy is O(list), never O(store).
+    legacyKept.foreach { case (d, _) =>
+      val dest = new Path(next, d.getName)
+      org.apache.hadoop.fs.FileUtil.copy(fs, d, fs, dest, false, fs.getConf)
+      val sOut = fs.create(new Path(dest, "_scope"), true)
+      try sOut.write(
+        keptSegs.map(_.getName).mkString("\n").getBytes("UTF-8"))
+      finally sOut.close()
+    }
+    fault("legacy-narrowed")
     // kept segments/lists ride by REFERENCE (pre-resolved paths, so a
     // twice-carried segment is referenced at its one physical home)
-    writeCarried(fs, next, keptSegs ++ keptDels)
+    writeCarried(fs, next, keptSegs ++ scopedKept.map(_._1))
     fault("carried-written")
     commitMarker(fs, new Path(versionsDir(root), s"v${v + 1}"))
     fault("committed")

@@ -26,15 +26,30 @@ private[plans] object AggDecompose {
   /** Decompose one aggregate; `allowed` is the set of column ids the
     * aggregate's arguments may read (the caller's definition of "row
     * values available at the grain"). None = not decomposable.
+    *
+    * A deterministic FILTER whose references all live at the grain rides
+    * on the PARTIALS (r20): the predicate evaluates per input row below
+    * the re-aggregation exactly as it did in the original aggregate (the
+    * partial's input rows are the same rows the original read — Expand
+    * replication and join multiplicity both happen ABOVE the grain), and
+    * the re-aggregation combines the already-filtered partials
+    * unfiltered. Callers whose partial input can contain EXTRA rows the
+    * original never evaluated (EagerAggJoin's dropped-by-the-join fact
+    * rows under ANSI) must gate the filter's raising behavior themselves.
+    * Filters reading columns outside `allowed` return None.
     */
   def decompose(
       ae: AggregateExpression,
       allowed: Set[ExprId]
   ): Option[Decomposed] = {
-    if (ae.isDistinct || ae.filter.isDefined) return None
+    if (ae.isDistinct) return None
+    if (!ae.filter.forall(f => f.deterministic &&
+        f.references.forall(a => allowed.contains(a.exprId)))) return None
     if (!ae.aggregateFunction.references.forall(a => allowed.contains(a.exprId)))
       return None
     def alias(e: Expression, n: String): Alias = Alias(e, n)()
+    def partial(f: AggregateFunction): AggregateExpression =
+      AggregateExpression(f, Complete, ae.isDistinct, filter = ae.filter)
     def complete(f: AggregateFunction): AggregateExpression =
       AggregateExpression(f, Complete, isDistinct = false)
     def castTo(e: Expression, dt: DataType): Expression =
@@ -42,19 +57,19 @@ private[plans] object AggDecompose {
     val n = s"_preagg_${ae.resultId.id}"
     ae.aggregateFunction match {
       case s @ Sum(_, ctx) if sumDecomposable(s.child.dataType, ctx.evalMode) =>
-        val p = alias(AggregateExpression(s, Complete, ae.isDistinct), n)
+        val p = alias(partial(s), n)
         val re = complete(Sum(p.toAttribute, ctx))
         Some(Decomposed(Seq(p), castTo(re, s.dataType)))
       case c: Count =>
-        val p = alias(AggregateExpression(c, Complete, ae.isDistinct), n)
+        val p = alias(partial(c), n)
         // count never returns null; sum-of-counts must not either
         val re = Coalesce(Seq(complete(Sum(p.toAttribute)), Literal(0L)))
         Some(Decomposed(Seq(p), castTo(re, c.dataType)))
       case m: Min =>
-        val p = alias(AggregateExpression(m, Complete, ae.isDistinct), n)
+        val p = alias(partial(m), n)
         Some(Decomposed(Seq(p), complete(Min(p.toAttribute))))
       case m: Max =>
-        val p = alias(AggregateExpression(m, Complete, ae.isDistinct), n)
+        val p = alias(partial(m), n)
         Some(Decomposed(Seq(p), complete(Max(p.toAttribute))))
       case a @ Average(child, evalMode)
           if (evalMode == EvalMode.LEGACY || evalMode == EvalMode.ANSI) &&
@@ -65,8 +80,8 @@ private[plans] object AggDecompose {
         // on doubles; the divisor is zero only when the numerator is
         // already null, so ANSI division cannot raise); TRY mode bails
         val pSum =
-          alias(complete(Sum(castTo(child, DoubleType))), s"${n}_s")
-        val pCnt = alias(complete(Count(Seq(child))), s"${n}_c")
+          alias(partial(Sum(castTo(child, DoubleType))), s"${n}_s")
+        val pCnt = alias(partial(Count(Seq(child))), s"${n}_c")
         val re = Divide(
           complete(Sum(pSum.toAttribute)),
           castTo(complete(Sum(pCnt.toAttribute)), DoubleType)
@@ -87,11 +102,14 @@ private[plans] object AggDecompose {
     *   count(x) == sum(CASE WHEN x IS NOT NULL THEN w ELSE 0 END)
     *   avg(x)   == sum(x*w) / sum(CASE WHEN x IS NOT NULL THEN w ELSE 0 END)
     *
-    * Weighted sums stay in the original Sum buffer family — LongType for
-    * integral inputs (legacy wraparound is modular, and modular
+    * Weighted sums stay exact per eval mode — LongType products for
+    * LEGACY integral inputs (wraparound is modular, and modular
     * multiplication IS repeated modular addition, so legacy stays
-    * bit-exact; ANSI throws on the same magnitudes vanilla's
-    * order-arbitrary accumulation does), DoubleType for float/double
+    * bit-exact), an exact decimal(38,0) product buffer for ANSI
+    * integrals (a long product could raise on per-grain magnitudes
+    * vanilla's row-ordered accumulation never reaches — the decimal
+    * buffer raises only on a TRUE total overflow, so a succeeding ANSI
+    * query can never turn into an error), DoubleType for float/double
     * (the usual reassociation ulp), and for decimal(p<=17,s) the exact
     * decimal product — bit-identical to the naive plan (wider decimals
     * bail: the product would round through Spark's precision-loss
@@ -106,9 +124,17 @@ private[plans] object AggDecompose {
       ae: AggregateExpression,
       weight: Attribute
   ): Option[Expression] = {
-    if (ae.isDistinct || ae.filter.isDefined) return None
+    if (ae.isDistinct) return None
+    // a FILTER rides onto the weighted re-aggregation verbatim (r20):
+    // the predicate evaluates per (grain x dim) join row, where it holds
+    // for either ALL w collapsed fact rows or none — the CALLER
+    // guarantees that by joining the predicate's fact-side columns into
+    // the grain (EagerAggJoin's grain extension; dim-side references
+    // pass through the join untouched). sum(x) FILTER p == sum(x*w)
+    // FILTER p under that contract; count and avg follow the same way.
+    if (!ae.filter.forall(_.deterministic)) return None
     def complete(f: AggregateFunction): AggregateExpression =
-      AggregateExpression(f, Complete, isDistinct = false)
+      AggregateExpression(f, Complete, isDistinct = false, filter = ae.filter)
     def castTo(e: Expression, dt: DataType): Expression =
       if (e.dataType == dt) e else Cast(e, dt)
     def nonNullWeight(guard: Expression): Expression =
@@ -117,8 +143,29 @@ private[plans] object AggDecompose {
       case s @ Sum(child, ctx) =>
         child.dataType match {
           case ByteType | ShortType | IntegerType | LongType
-              if ctx.evalMode != EvalMode.TRY =>
+              if ctx.evalMode == EvalMode.LEGACY =>
+            // LEGACY long arithmetic is provably bit-exact: wraparound
+            // is modular, and modular multiplication IS repeated modular
+            // addition, so sum(x*w) mod 2^64 equals the row-by-row sum
             val prod = Multiply(castTo(child, LongType), weight)
+            Some(castTo(complete(Sum(prod, ctx)), s.dataType))
+          case ByteType | ShortType | IntegerType | LongType
+              if ctx.evalMode == EvalMode.ANSI =>
+            // ANSI cannot take the long product: Multiply(x: long, w)
+            // can overflow on a per-grain PRODUCT (x=2^61, w=8) in a
+            // group whose mixed-sign row-by-row accumulation never
+            // overflowed in the order vanilla actually ran — the rewrite
+            // would turn a succeeding query into a runtime error. So the
+            // product runs in an exact decimal buffer instead:
+            // decimal(20,0) x decimal(20,0) -> decimal(38,0), which
+            // holds ANY long*long product (< 2^126 ~ 8.5e37 < 1e38), so
+            // the multiply never raises; the decimal Sum raises only
+            // past 38 digits (where every vanilla ordering overflows
+            // long too), and the final ANSI cast back to long raises
+            // exactly and only on a TRUE total overflow.
+            val prod = Multiply(
+              castTo(child, DecimalType(20, 0)),
+              castTo(weight, DecimalType(20, 0)))
             Some(castTo(complete(Sum(prod, ctx)), s.dataType))
           case FloatType | DoubleType =>
             val prod =

@@ -124,6 +124,14 @@ object CatalogPersistence {
         cn.put("sketch",
           java.util.Base64.getEncoder.encodeToString(cst.sketch)): Unit
       }
+      // joint combo sketches (r20): same shape, comboKey-named entries
+      val cbs = n.putObject("combos")
+      st.combos.toSeq.sortBy(_._1).foreach { case (c, cst) =>
+        val cn = cbs.putObject(c)
+        cn.put("ndv", cst.ndv)
+        cn.put("sketch",
+          java.util.Base64.getEncoder.encodeToString(cst.sketch)): Unit
+      }
     }
     val bytes = mapper.writerWithDefaultPrettyPrinter()
       .writeValueAsString(root).getBytes(StandardCharsets.UTF_8)
@@ -260,7 +268,14 @@ object CatalogPersistence {
               java.util.Base64.getDecoder
                 .decode(e.getValue.path("sketch").asText()))
           }.toMap,
-          updatedMs = n.path("updatedMs").asLong()))
+          updatedMs = n.path("updatedMs").asLong(),
+          // absent in pre-r20 documents: path() reads as no fields
+          combos = n.path("combos").fields().asScala.map { e =>
+            e.getKey -> StatsCatalog.ColStats(
+              e.getValue.path("ndv").asLong(),
+              java.util.Base64.getDecoder
+                .decode(e.getValue.path("sketch").asText()))
+          }.toMap))
       }
     }
     mvs ++ joins ++ stores ++ stats

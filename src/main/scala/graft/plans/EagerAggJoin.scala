@@ -46,9 +46,18 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *    there reads mixed-side per-row values);
   *  - every aggregate's arguments live wholly on one side: the
   *    pre-aggregated side decomposes via [[AggDecompose]] (sum/count/
-  *    min/max/avg; filtered bail), the other side rides min/max
-  *    verbatim and sum/count/avg weighted (decimal sums up to
-  *    precision 17 multiply exactly; wider ones and decimal avgs bail);
+  *    min/max/avg; a fact-side FILTER rides on the partial when its
+  *    references are fact-side and, under ANSI, it cannot raise on the
+  *    fact rows the join would have dropped; ref-less filtered counts
+  *    fall back to the weighted path), the other
+  *    side rides min/max verbatim and sum/count/avg weighted (decimal
+  *    sums up to precision 17 multiply exactly — the decimal(p,s) x
+  *    decimal(20,0) product must fit precision 38 to stay bit-exact, so
+  *    wider ones and decimal avgs bail to the original plan, a
+  *    documented bound rather than a rounding risk); dim-side FILTERs
+  *    (r20) ride onto the weighted re-aggregation with fact-side
+  *    predicate columns joining the grain, dim-side ones passing
+  *    through — the predicate re-evaluates identically above the join;
   *    ref-less aggregates (count(*)) decompose on the pre-aggregated
   *    side. DISTINCT aggregates are multiplicity-insensitive
   *    (duplication cannot change a distinct value set), so they ride
@@ -82,12 +91,14 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * untouched (no stats, no fire), so the default costs nothing until a
   * table is analyzed. `true` forces the rewrite wherever the exactness
   * gates pass (the r18 per-session contract, still what the registered
-  * oracle queries pin); `false` disables. Known auto-mode limit: the
-  * multi-way-star CASCADE fires only at the first (scan-fact) level —
-  * the second level's fact side is the rewritten join, not an analyzed
-  * scan, so the stats gate declines it (forced mode cascades fully;
-  * estimating cardinality THROUGH a join would need join selectivity
-  * stats this catalog does not carry). Idempotence: the rebuilt
+  * oracle queries pin); `false` disables. The multi-way-star CASCADE
+  * arms under `auto` too (r20): [[StatsCatalog.estimatePlan]] derives
+  * cardinality THROUGH the level-1 rewrite — a planted pre-aggregate's
+  * rows ~= its grain NDV, an inner equi-join's rows ~= |l|*|r|/max(key
+  * NDVs) — so the level-2 gate decides from harvested statistics alone
+  * (the r19 limit required the fact side to BE an analyzed scan; the
+  * registered `q_join_eager_agg_cascade` pins the 2-level auto fire).
+  * Idempotence: the rebuilt
   * Join carries a TreeNodeTag; a
   * structural backstop also skips joins whose fact side is already
   * aggregated at (or finer than) the grain.
@@ -312,15 +323,52 @@ class EagerAggJoin(session: SparkSession) extends Rule[LogicalPlan] {
           }
           partialByAgg.put(ae.canonicalized, Decomposed(Nil, ae))
         } else if (onFact) {
-          partialByAgg.put(ae.canonicalized,
-            AggDecompose.decompose(ae, factIds).getOrElse(return None))
+          // a fact-side FILTER decomposes onto the partial (it evaluates
+          // per fact row below the join exactly as it did above) — but
+          // under ANSI the partial also sees rows the join would have
+          // DROPPED, so a predicate that can raise there must bail,
+          // exactly like relocated derived columns
+          if (session.sessionState.conf.ansiEnabled &&
+              !ae.filter.forall(cannotRaise)) return None
+          AggDecompose.decompose(ae, factIds) match {
+            case Some(d) => partialByAgg.put(ae.canonicalized, d)
+            case None if side.isEmpty && ae.filter.isDefined =>
+              // ref-less aggregate (count(*), or count(x) canonicalized
+              // to count(1) over a non-nullable x) whose FILTER reads
+              // dim or mixed columns: ride the WEIGHTED path instead —
+              // count(*) FILTER p == sum(w) FILTER p above the join,
+              // with fact-side predicate columns joining the grain
+              if (!ae.filter.forall(_.deterministic)) return None
+              ae.filter.foreach(_.references.foreach { a =>
+                if (factOut.contains(a)) {
+                  grainExt.getOrElseUpdate(a.exprId, factById(a.exprId))
+                }
+              })
+              val re = AggDecompose
+                .decomposeWeighted(ae, weightAlias.toAttribute)
+                .getOrElse(return None)
+              weightUsed = true
+              partialByAgg.put(ae.canonicalized, Decomposed(Nil, re))
+            case None => return None
+          }
         } else {
           // dim side, non-distinct: min/max ride verbatim; sum/count/avg
           // re-aggregate WEIGHTED by the fact pre-aggregate's per-grain
           // row count w — each grain row joins exactly the dim rows its
           // w fact rows would have, so sum(x) == sum(x*w) over the join
-          // output (Yan & Larson's dim-side algebra)
-          if (ae.filter.isDefined) return None
+          // output (Yan & Larson's dim-side algebra). A FILTER rides by
+          // the same grain-extension argument as filtered distincts
+          // (r20): fact-side predicate columns join the grain — the
+          // predicate then evaluates identically for a grain row as it
+          // did for each of its w fact rows — and dim-side ones pass
+          // through the join, so the filter re-evaluates verbatim on
+          // the weighted re-aggregation (decomposeWeighted carries it).
+          if (!ae.filter.forall(_.deterministic)) return None
+          ae.filter.foreach(_.references.foreach { a =>
+            if (factOut.contains(a)) {
+              grainExt.getOrElseUpdate(a.exprId, factById(a.exprId))
+            }
+          })
           if (!heavy(ae)) {
             partialByAgg.put(ae.canonicalized, Decomposed(Nil, ae))
           } else {
@@ -438,6 +486,9 @@ class EagerAggJoin(session: SparkSession) extends Rule[LogicalPlan] {
       case _: Year | _: Month | _: DayOfMonth | _: Quarter | _: DayOfYear |
           _: WeekOfYear | _: Hour | _: Minute | _: Second | _: LastDay |
           _: DayOfWeek | _: WeekDay => true
+      // literal-pattern string matching cannot raise (RLike stays out:
+      // a malformed runtime pattern throws)
+      case _: Like | _: StartsWith | _: EndsWith | _: Contains => true
       case _: Upper | _: Lower | _: Length | _: Substring | _: Concat |
           _: StringTrim | _: StringTrimLeft | _: StringTrimRight => true
       // float/double arithmetic saturates to Infinity, never raises;

@@ -74,10 +74,14 @@ import org.apache.spark.sql.types._
   *    ResolveGroupingAnalytics emits;
   *  - at least one dimension (a dimensionless expand of an empty input
   *    must stay empty; a global pre-aggregate would fabricate a row);
-  *  - every non-DISTINCT aggregate is an unfiltered sum/count/min/max,
-  *    or a legacy/ansi-mode avg over float/double/integral input
-  *    (decimal avg's division typing is not worth replicating; try_avg
-  *    bails); first/last, collect_*, UDAFs, percentile, etc. all bail.
+  *  - every non-DISTINCT aggregate is a sum/count/min/max, or a
+  *    legacy/ansi-mode avg over float/double/integral input (decimal
+  *    avg's division typing is not worth replicating; try_avg bails);
+  *    a deterministic FILTER reading only passthrough columns rides on
+  *    the partial (r20 — it evaluates per base row below the Expand
+  *    exactly as it did on each replica above, since replicas keep
+  *    passthrough values intact); first/last, collect_*, UDAFs,
+  *    percentile, and filters touching dimension copies all bail.
   *    DISTINCT aggregates are supported by GRAIN EXTENSION instead of
   *    decomposition: the finest grain grows by the distinct arguments'
   *    columns, grain rows then preserve the exact distinct value sets,

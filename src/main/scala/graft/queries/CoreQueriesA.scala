@@ -623,7 +623,11 @@ object CoreQueriesA {
           s.conf.get("spark.sql.adaptive.enabled", "true"))
         s2.conf.set("spark.graft.optimizer.eagerAggJoin.minRows", "1000")
         s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        graft.plans.StatsCatalog.analyze(s2, s"$dir/lineitem.parquet")
+        // SESSION-scoped analyze (r20): the statistics are visible only
+        // to this child session, so building this query can never
+        // change any other query's plan in the same JVM (the r19 global
+        // analyze made plan pins order-dependent)
+        graft.plans.StatsCatalog.analyzeScoped(s2, s"$dir/lineitem.parquet")
         t(s2, dir, "lineitem")
           .join(t(s2, dir, "supplier"), $"l_suppkey" === $"s_suppkey")
           .groupBy($"s_nationkey")
@@ -636,6 +640,81 @@ object CoreQueriesA {
       Some(
         "SELECT s_nationkey, " +
           "CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty, " +
+          "count(*) AS n " +
+          "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +
+          "GROUP BY s_nationkey ORDER BY s_nationkey"
+      )
+    ),
+    // AUTO-armed CASCADE through a 2-level star (r20): no eagerAggJoin
+    // conf — the default `auto` derives cardinality THROUGH the level-1
+    // rewrite (StatsCatalog.estimatePlan: a planted pre-aggregate's rows
+    // ~= its grain NDV, an inner equi-join's ~= |l|*|r|/max(key NDV)),
+    // so BOTH joins end up fed by grain pre-aggregates from harvested
+    // statistics alone — the plan the reference would need its backend's
+    // full CBO for. Plan-pinned at minAggFedJoins=2 (PlanShapes); hash
+    // equality vs DuckDB's naive plan proves the cascade exact.
+    Q(
+      "q_join_eager_agg_cascade",
+      (s, dir) => {
+        val s2 = s.newSession()
+        s2.conf.set("spark.sql.adaptive.enabled",
+          s.conf.get("spark.sql.adaptive.enabled", "true"))
+        s2.conf.set("spark.graft.optimizer.eagerAggJoin.minRows", "1000")
+        s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        graft.plans.StatsCatalog.analyzeScoped(s2, s"$dir/lineitem.parquet")
+        graft.plans.StatsCatalog.analyzeScoped(s2, s"$dir/supplier.parquet")
+        t(s2, dir, "lineitem")
+          .join(t(s2, dir, "supplier"), $"l_suppkey" === $"s_suppkey")
+          .join(t(s2, dir, "nation"), $"s_nationkey" === $"n_nationkey")
+          .groupBy($"n_name")
+          .agg(
+            asDouble(sum(dec2($"l_quantity"))).as("sum_qty"),
+            count(lit(1)).as("n")
+          )
+          .orderBy($"n_name")
+      },
+      Some(
+        "SELECT n_name, " +
+          "CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty, " +
+          "count(*) AS n " +
+          "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +
+          "JOIN nation ON s_nationkey = n_nationkey " +
+          "GROUP BY n_name ORDER BY n_name"
+      )
+    ),
+    // FILTERed dim-side aggregates under eager aggregation (r20): the
+    // weighted algebra carries the FILTER onto the re-aggregation —
+    // dim-side predicates (s_acctbal > 1000) pass through the join,
+    // fact-side ones (l_quantity > 25) join the grain so the predicate
+    // re-evaluates identically above it. Hash equality vs DuckDB's
+    // naive FILTER plan proves both directions exact.
+    Q(
+      "q_join_eager_agg_filtered",
+      (s, dir) => {
+        val s2 = s.newSession()
+        s2.conf.set("spark.graft.optimizer.eagerAggJoin", "true")
+        s2.conf.set("spark.sql.adaptive.enabled",
+          s.conf.get("spark.sql.adaptive.enabled", "true"))
+        t(s2, dir, "lineitem")
+          .join(t(s2, dir, "supplier"), $"l_suppkey" === $"s_suppkey")
+          .groupBy($"s_nationkey")
+          .agg(
+            asDouble(sum(dec2($"l_quantity"))).as("sum_qty"),
+            expr("CAST(sum(CAST(s_acctbal AS DECIMAL(14,2))) " +
+              "FILTER (WHERE s_acctbal > 1000.0) AS DOUBLE)")
+              .as("sum_bal_hi"),
+            expr("count(s_acctbal) FILTER (WHERE l_quantity > 25)")
+              .as("n_bal_hiq"),
+            count(lit(1)).as("n")
+          )
+          .orderBy($"s_nationkey")
+      },
+      Some(
+        "SELECT s_nationkey, " +
+          "CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty, " +
+          "CAST(sum(CAST(s_acctbal AS DECIMAL(14,2))) " +
+          "FILTER (WHERE s_acctbal > 1000.0) AS DOUBLE) AS sum_bal_hi, " +
+          "count(s_acctbal) FILTER (WHERE l_quantity > 25) AS n_bal_hiq, " +
           "count(*) AS n " +
           "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +
           "GROUP BY s_nationkey ORDER BY s_nationkey"

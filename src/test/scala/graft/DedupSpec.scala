@@ -294,13 +294,68 @@ class DedupSpec extends SparkTestBase {
     graft.engine.PersistScope.releaseAll()
   }
 
+  test("compactStep retires legacy scope-less lists: narrowed per step, re-folds unhidden, absorbed when covered") {
+    import graft.operators.MinHashIndex
+    import spark.implicits._
+    val sent = crashSent("lg") _
+    val corpus = (1 to 5).map(i => (i.toLong, sent(i))).toDF("doc_id", "text")
+    val idx = MinHashIndex.materialize(corpus, tempDir("graft-mh-legacy"))
+    (10 to 11).foreach { i =>
+      assert(MinHashIndex.foldOnce(
+        Seq((i.toLong, sent(i))).toDF("doc_id", "text"), idx, s"b-$i"))
+    }
+    // delete doc 10, then STRIP the list's _scope side file — the
+    // pre-r18 legacy shape whose global coverage hides future re-folds
+    assert(MinHashIndex.deleteOnce(Seq(10L).toDF("doc_id"), idx, "d1"))
+    def delDirs(v: Int): Seq[java.io.File] =
+      new java.io.File(s"${idx.root}/v$v").listFiles().toSeq
+        .filter(f => f.isDirectory && f.getName.startsWith("del-"))
+    val v0 = MinHashIndex.currentVersion(spark, idx)
+    delDirs(v0).foreach { d =>
+      val scope = new java.io.File(d, "_scope")
+      assert(scope.isFile, "fixture expectation: r18+ lists are scoped")
+      assert(scope.delete())
+    }
+    def live(id: Long): Long = MinHashIndex.shingles(spark, idx)
+      .filter($"doc_id" === id).count()
+    assert(live(10L) === 0L)
+    val before = allRows(idx)
+    // a leveled step that merges the two 1-doc batch segments: doc 10's
+    // dead rows drop physically with its segment, the legacy list must
+    // come out NARROWED to the surviving base segment — not carried
+    // globally forever (the r19 behavior this test pins the fix for)
+    assert(MinHashIndex.compactStep(spark, idx, mergeCount = 2))
+    assertExactNoDups(allRows(idx), before, "after narrowing step")
+    assert(MinHashIndex.tombstoneCount(spark, idx) === 1,
+      "a narrowed list still covers the kept segments")
+    val v1 = MinHashIndex.currentVersion(spark, idx)
+    delDirs(v1).foreach { d =>
+      assert(new java.io.File(d, "_scope").isFile,
+        "the legacy list must be rewritten WITH a scope")
+    }
+    // the behavioral payoff: a re-fold of the deleted id lands in a new
+    // segment OUTSIDE the narrowed scope and is visible again — under
+    // the old global list it stayed hidden until a FULL compact
+    assert(MinHashIndex.foldOnce(
+      Seq((10L, sent(10))).toDF("doc_id", "text"), idx, "b-10-refold"))
+    assert(live(10L) === 1L,
+      "re-fold hidden: the legacy list was not narrowed")
+    // a step that merges every segment the narrowed scope still names
+    // absorbs the list entirely
+    assert(MinHashIndex.compactStep(spark, idx, mergeCount = 64))
+    assert(MinHashIndex.tombstoneCount(spark, idx) === 0,
+      "the narrowed list must absorb once its scope is fully merged")
+    assert(live(10L) === 1L)
+    graft.engine.PersistScope.releaseAll()
+  }
+
   test("compactStep crash matrix: reads exact at every fault point; rerun converges") {
     import graft.operators.MinHashIndex
     import spark.implicits._
     val sent = crashSent("sc2") _
     val corpus = (1 to 4).map(i => (i.toLong, sent(i))).toDF("doc_id", "text")
-    for (point <- Seq("recovered", "next-version-written", "carried-written",
-        "committed", "old-cleaned")) {
+    for (point <- Seq("recovered", "next-version-written", "legacy-narrowed",
+        "carried-written", "committed", "old-cleaned")) {
       val idx = MinHashIndex.materialize(corpus, tempDir("graft-step-crash"))
       (10 to 11).foreach { i =>
         assert(MinHashIndex.foldOnce(

@@ -439,6 +439,146 @@ class EagerAggJoinSpec extends SparkTestBase {
       s"${SparkTestBase.Sf0001}/lineitem.parquet")
   }
 
+  test("FILTERed dim-side sum/count/avg ride weighted; min rides verbatim (r20)") {
+    checkExact(fires = true) {
+      fact.join(dim, $"fk" === $"dk")
+        .groupBy($"name")
+        .agg(
+          sum($"v").as("sv"),
+          // dim measure + dim predicate: filter passes through the join
+          expr("sum(rank) FILTER (WHERE rank > 2)").as("sr_f"),
+          // dim measure + FACT predicate: predicate column joins the grain
+          expr("count(rank) FILTER (WHERE tag LIKE 't1%')").as("nr_f"),
+          // weighted avg under a fact predicate
+          expr("avg(rank) FILTER (WHERE w > 2)").as("ar_f"),
+          // multiplicity-insensitive dim min with a fact predicate
+          expr("min(rank) FILTER (WHERE tag = 't1')").as("mnr_f")
+        )
+    }
+    // dim measures with NULLs under a filter: the weight must count only
+    // rows passing the predicate AND non-null, exactly like vanilla
+    val dimN = Seq(
+      ("a", Option(1.5), 1), ("b", Option.empty[Double], 2),
+      ("b", Option(2.5), 3), ("c", Option(-3.0), 4)
+    ).toDF("dk2", "score", "r2")
+    checkExact(fires = true) {
+      fact.join(dimN, $"fk" === $"dk2")
+        .groupBy($"tag").agg(
+          sum($"v").as("sv"),
+          expr("sum(score) FILTER (WHERE r2 > 1)").as("ss_f"),
+          expr("count(score) FILTER (WHERE v > 25)").as("ns_f"),
+          expr("avg(score) FILTER (WHERE r2 < 4)").as("as_f")
+        )
+    }
+  }
+
+  test("ANSI dim-side weighted sum survives a per-grain product overflow (decimal buffer)") {
+    // x*w = 2^61 * 4 = 2^63 overflows a long PRODUCT, but the group's
+    // row-by-row total is only 400 — vanilla succeeds, so the rewrite
+    // must too (the r19 long-product Multiply threw here; the r20 ANSI
+    // path runs the product in an exact decimal(38,0) buffer and casts
+    // only the true total back to long)
+    assume(spark.conf.get("spark.sql.ansi.enabled", "true") == "true")
+    val big = 1L << 61
+    val f = Seq(("a", 1), ("a", 2), ("a", 3), ("a", 4)).toDF("fk2", "v2")
+    val d = Seq(("a", big), ("a", -(big - 100L))).toDF("dk2", "x")
+    withRule(on = true) {
+      val df = f.join(d, $"fk2" === $"dk2")
+        .groupBy($"dk2")
+        .agg(sum($"x").as("sx"), sum($"v2").as("sv"))
+      assert(eagerJoins(df) === 1, "expected the weighted rewrite to fire")
+      val row = df.collect().head
+      assert(row.getAs[Long]("sx") === 400L,
+        s"weighted ANSI sum drifted: $row")
+      // each fact row joins BOTH dim rows: sum(v2) doubles over the join
+      assert(row.getAs[Long]("sv") === 20L)
+    }
+  }
+
+  test("auto mode: post-filter selectivity refuses a fact filtered under the size floor") {
+    import graft.plans.StatsCatalog
+    val dir = SparkTestBase.Sf0001
+    val liPath = s"$dir/lineitem.parquet"
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.graft.optimizer.eagerAggJoin.minRows", "1000")
+    StatsCatalog.analyzeScoped(s2, liPath)
+    val li = s2.read.parquet(liPath)
+    val sup = s2.read.parquet(s"$dir/supplier.parquet")
+    def q(f: DataFrame => DataFrame) =
+      f(li).join(sup, li("l_suppkey") === sup("s_suppkey"))
+        .groupBy(sup("s_nationkey"))
+        .agg(sum(li("l_quantity")).as("sq"))
+    // unfiltered: ~6k rows clear the floor — fires
+    assert(eagerJoins(q(identity)) === 1, "unfiltered case must fire")
+    // equality on the supplier key: estimated rows/NDV(l_suppkey) ~ 600
+    // falls UNDER the 1000-row floor — the r19 table-row check fired
+    // here; the post-filter estimate must refuse
+    val aKey = li.select("l_suppkey").head().get(0)
+    assert(eagerJoins(q(_.filter(li("l_suppkey") === aKey))) === 0,
+      "selective-filter case must refuse: post-filter rows under minRows")
+    // an unrecognized predicate keeps selectivity 1.0 (upper bound) and
+    // the r19 behavior: still fires
+    assert(eagerJoins(q(_.filter(li("l_quantity") > 0))) === 1)
+  }
+
+  test("auto mode: a correlated grain fires only through its joint combo sketch") {
+    import graft.plans.StatsCatalog
+    import org.apache.spark.sql.functions.col
+    val dir = tempDir("graft-joint-ndv")
+    val factPath = s"$dir/factc"
+    // k2 is a FUNCTION of k: per-column NDV product 60*60=3600 exceeds
+    // the ratio gate (0.125 * 20000 = 2500) but the true joint NDV is 60
+    spark.range(0, 20000)
+      .select((col("id") % 60).as("k"), ((col("id") % 60) * 7).as("k2"),
+        (col("id") % 97).as("v"))
+      .write.mode("overwrite").parquet(factPath)
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.graft.optimizer.eagerAggJoin.minRows", "1000")
+    val dimc = (0L until 60L).map(k => (k, s"g${k % 4}")).toDF("dk", "grp")
+      .repartition(2)
+    def q(s: SparkSession) = {
+      val f = s.read.parquet(factPath)
+      f.join(dimc, f("k") === dimc("dk"))
+        .groupBy(f("k2")).agg(sum(f("v")).as("sv"))
+    }
+    // per-column product over-estimates the correlated grain: refuses
+    StatsCatalog.analyzeScoped(s2, factPath)
+    assert(eagerJoins(q(s2)) === 0,
+      "per-column NDV product must refuse the correlated grain")
+    // a joint sketch for (k, k2) restores the win — and stays exact
+    StatsCatalog.analyzeScoped(s2, factPath, combos = Seq(Seq("k", "k2")))
+    assert(eagerJoins(q(s2)) === 1,
+      "the joint combo sketch must fire the correlated grain")
+    val s3 = spark.newSession()
+    s3.conf.set("spark.graft.optimizer.eagerAggJoin", "false")
+    val auto = q(s2).collect().map(_.toString).sorted.toSeq
+    val stock = q(s3).collect().map(_.toString).sorted.toSeq
+    assert(auto === stock, "joint-NDV-armed rewrite drifted from stock")
+  }
+
+  test("auto mode cascades a 2-level star from derived cardinality, no conf") {
+    val df = graft.queries.Registry.byName("q_join_eager_agg_cascade")
+      .fn(spark, SparkTestBase.Sf0001)
+    assert(eagerJoins(df) === 2,
+      "the auto cascade must feed BOTH star joins with grain pre-aggregates")
+    // scoped statistics must not leak into other sessions: the same
+    // star in a fresh (un-analyzed) session stays stock
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.graft.optimizer.eagerAggJoin.minRows", "1000")
+    val dir = SparkTestBase.Sf0001
+    val li = s2.read.parquet(s"$dir/lineitem.parquet")
+    val sup = s2.read.parquet(s"$dir/supplier.parquet")
+    val nat = s2.read.parquet(s"$dir/nation.parquet")
+    val stock = li.join(sup, li("l_suppkey") === sup("s_suppkey"))
+      .join(nat, sup("s_nationkey") === nat("n_nationkey"))
+      .groupBy(nat("n_name")).agg(sum(li("l_quantity")).as("sq"))
+    assert(eagerJoins(stock) === 0,
+      "another session saw the registered query's scoped statistics")
+  }
+
   test("adversarial sweep: all 22 TPC-H shapes force-enabled stay exact") {
     // the strongest gate receipt: force the rule on for every composite
     // TPC-H query (multi-way joins, correlated subqueries, semi/anti

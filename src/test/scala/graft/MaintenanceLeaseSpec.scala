@@ -123,6 +123,59 @@ class MaintenanceLeaseSpec extends SparkTestBase {
     MaintenanceLease.release(h2)
   }
 
+  test("renewal is atomic: concurrent readers never observe a torn marker (r20)") {
+    // the r19 renewal rewrote the LIVE marker with truncate-then-write:
+    // a breaker reading during the truncate saw an empty marker, mapped
+    // it to "expired", and deleted the live lease — two maintainers then
+    // committed concurrently. The r20 tmp+atomic-move renewal must never
+    // expose an empty or unparsable marker to any reader.
+    val dir = tempDir("graft-lease-atomic")
+    val h = MaintenanceLease.acquire(spark, dir, ttlMs = 60000L)
+    val marker = java.nio.file.Paths.get(dir, "maintainer")
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val torn = new java.util.concurrent.atomic.AtomicInteger(0)
+    val reads = new java.util.concurrent.atomic.AtomicLong(0)
+    def parsable(raw: String): Boolean = {
+      val cut = raw.indexOf(':')
+      cut > 0 && raw.take(cut).forall(_.isDigit) && raw.length > cut + 1
+    }
+    val readers = (1 to 4).map { _ =>
+      val t = new Thread(() => {
+        while (!stop.get()) {
+          try {
+            val raw = new String(
+              java.nio.file.Files.readAllBytes(marker), "UTF-8").trim
+            reads.incrementAndGet()
+            if (!parsable(raw)) torn.incrementAndGet()
+          } catch {
+            // the marker must EXIST throughout — a vanish is exactly the
+            // torn state a breaker would misread as expired
+            case _: java.nio.file.NoSuchFileException => torn.incrementAndGet()
+            case _: java.io.IOException => torn.incrementAndGet()
+          }
+        }
+      })
+      t.start(); t
+    }
+    try {
+      (1 to 300).foreach { _ =>
+        assert(MaintenanceLease.renewIfOwned(h), "live renewal must succeed")
+      }
+    } finally {
+      stop.set(true)
+      readers.foreach(_.join(5000))
+    }
+    assert(reads.get() > 0, "readers never got a look in")
+    assert(torn.get() === 0,
+      s"${torn.get()} torn/vanished marker reads out of ${reads.get()}")
+    // no renewal tmp left behind, and the fence still works
+    val leftovers = new java.io.File(dir).listFiles()
+      .filter(_.getName.contains(".renew-"))
+    assert(leftovers.isEmpty, leftovers.map(_.getName).mkString(", "))
+    MaintenanceLease.fence(h)
+    MaintenanceLease.release(h)
+  }
+
   test("an overrun sweep's post-break store commit refuses; the new maintainer's sweep converges") {
     StoreCatalog.clear()
     val leaseDir = tempDir("graft-lease-fence-sweep")

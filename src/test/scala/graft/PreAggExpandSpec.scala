@@ -189,11 +189,15 @@ class PreAggExpandSpec extends SparkTestBase {
     }
   }
 
-  test("bail: filtered non-distinct aggregates, holistic aggregates") {
+  test("FILTERed non-distinct aggregates decompose on the partial (r20); holistic aggregates bail") {
     fixture.createOrReplaceTempView("pre_agg_fx")
-    checkExact(fires = false) {
+    // the r19 bail, now exact decomposition: the predicate reads only
+    // passthrough columns, so it evaluates per base row below the Expand
+    // exactly as it did on each replica above
+    checkExact(fires = true) {
       spark.sql(
-        "SELECT d1, sum(v_int) FILTER (WHERE v_dbl > 50) AS s " +
+        "SELECT d1, sum(v_int) FILTER (WHERE v_dbl > 50) AS s, " +
+          "count(v_dbl) FILTER (WHERE v_int < 40) AS nf, count(*) AS n " +
           "FROM pre_agg_fx GROUP BY CUBE(d1)")
     }
     checkExact(fires = false) {

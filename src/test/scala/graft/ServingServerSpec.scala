@@ -686,6 +686,12 @@ class ServingServerSpec extends SparkTestBase {
         val sd = ServingClient.doAction(srv.boundPort, "stats_describe")
         assert(sd.isOk && sd.rows.exists(_(0).toString ==
           graft.plans.StatsCatalog.normalize(li)), sd.rows.toString)
+        // r20: the staleness column reads FRESH right after the analyze
+        // (fixtures are immutable), and the combo count surfaces
+        val sdRow = sd.rows.find(_(0).toString ==
+          graft.plans.StatsCatalog.normalize(li)).get
+        assert(sdRow(3).toString.toLong === 0L, s"combos: $sdRow")
+        assert(sdRow(5).toString == "false", s"stale: $sdRow")
         // the statistics ride the durable catalog over the wire
         val file = tempDir("graft-ss-stats") + "/cat.json"
         assert(ServingClient.doAction(

@@ -96,6 +96,158 @@ class StatsCatalogSpec extends SparkTestBase {
     } finally StatsCatalog.unregister(li)
   }
 
+  test("joint combo sketches: correlated NDV exact-set, increments union, persistence round-trips (r20)") {
+    val dir = tempDir("graft-stats-combo")
+    val tbl = s"$dir/t"
+    // k2 is a function of k: product 50*50=2500, joint NDV = 50
+    spark.range(0, 10000)
+      .select((col("id") % 50).as("k"), ((col("id") % 50) * 3).as("k2"),
+        (col("id") % 11).as("v"))
+      .write.mode("overwrite").parquet(tbl)
+    try {
+      val st = StatsCatalog.analyze(spark, tbl,
+        combos = Seq(Seq("k2", "k"))) // order-insensitive: canonical key
+      val key = StatsCatalog.comboKey(Seq("k", "k2"))
+      assert(st.combos.contains(key), st.combos.keySet.toString)
+      assert(within(st.combos(key).ndv, 50, 0.05),
+        s"joint ndv=${st.combos(key).ndv}, want ~50")
+      // increment with 30 NEW (k, k2) pairs unions into the joint sketch
+      val inc = spark.range(0, 300)
+        .select((col("id") % 30 + 1000).as("k"),
+          ((col("id") % 30 + 1000) * 3).as("k2"), lit(0L).as("v"))
+      StatsCatalog.mergeIncrement(spark, tbl, Some(inc))
+      val st1 = StatsCatalog.lookup(tbl).get
+      assert(within(st1.combos(key).ndv, 80, 0.05),
+        s"joint ndv after union=${st1.combos(key).ndv}, want ~80")
+      assert(st1.rows === 10300L)
+      // combos survive the catalog document round trip
+      CatalogPersistence.save(s"$dir/catalog.json")
+      StatsCatalog.clear()
+      CatalogPersistence.load(s"$dir/catalog.json")
+      val back = StatsCatalog.lookup(tbl).get
+      assert(back.combos(key).ndv === st1.combos(key).ndv)
+    } finally StatsCatalog.unregister(tbl)
+  }
+
+  test("session-scoped entries: invisible to other sessions, shadow globals, never persisted (r20)") {
+    val dir = tempDir("graft-stats-scoped")
+    val tbl = s"$dir/t"
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s")
+      .write.mode("overwrite").parquet(tbl)
+    val s2 = spark.newSession()
+    val s3 = spark.newSession()
+    try {
+      StatsCatalog.analyzeScoped(s2, tbl)
+      // visible exactly to s2
+      assert(StatsCatalog.lookup(s2, tbl).isDefined)
+      assert(StatsCatalog.lookup(s3, tbl).isEmpty)
+      assert(StatsCatalog.lookup(spark, tbl).isEmpty)
+      // not tracked, not described, not persisted
+      assert(!StatsCatalog.tracked(tbl))
+      assert(!StatsCatalog.describe().exists(
+        _.path == StatsCatalog.normalize(tbl)))
+      CatalogPersistence.save(s"$dir/catalog.json")
+      val doc = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$dir/catalog.json")), "UTF-8")
+      assert(!doc.contains(StatsCatalog.normalize(tbl)),
+        "a scoped entry leaked into the catalog document")
+      // a global analyze coexists; the scoped entry shadows it for s2
+      StatsCatalog.analyze(spark, tbl)
+      assert(StatsCatalog.lookup(s3, tbl).isDefined)
+      StatsCatalog.unregisterScoped(s2, tbl)
+      assert(StatsCatalog.lookup(s2, tbl).isDefined,
+        "after scoped unregister, s2 must fall back to the global entry")
+    } finally {
+      StatsCatalog.unregister(tbl)
+      StatsCatalog.unregisterScoped(s2, tbl)
+    }
+  }
+
+  test("staleness: fresh after analyze, stale after an out-of-band write, unknown when gone (r20)") {
+    val dir = tempDir("graft-stats-stale")
+    val tbl = s"$dir/t"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+      .write.mode("overwrite").parquet(tbl)
+    try {
+      val st = StatsCatalog.analyze(spark, tbl)
+      assert(StatsCatalog.stale(spark, st) === Some(false))
+      // an out-of-band overwrite (no hook): files newer than updatedMs
+      Thread.sleep(1100) // mtime granularity can be one second
+      Seq((9L, "z")).toDF("id", "s").write.mode("overwrite").parquet(tbl)
+      assert(StatsCatalog.stale(spark, StatsCatalog.lookup(tbl).get)
+        === Some(true))
+      // re-analyze freshens
+      val st2 = StatsCatalog.analyze(spark, tbl)
+      assert(StatsCatalog.stale(spark, st2) === Some(false))
+      // a vanished table is UNKNOWN, not fresh
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(tbl))
+      assert(StatsCatalog.stale(spark, st2) === None)
+    } finally StatsCatalog.unregister(tbl)
+  }
+
+  test("createTableAs re-analyzes a tracked target; untracked targets pay nothing (r20)") {
+    val dir = tempDir("graft-stats-ctas")
+    val tbl = s"$dir/t"
+    val g = new graft.engine.GraftSession(spark)
+    Seq((1L, 5L), (2L, 6L), (3L, 7L)).toDF("id", "v")
+      .write.mode("overwrite").parquet(tbl)
+    try {
+      g.registerTable("src3",
+        spark.range(0, 200).select(col("id"), (col("id") % 9).as("v")))
+      // untracked: CTAS must register nothing
+      g.createTableAs("t_ctas", "SELECT id, v FROM src3", tbl)
+      assert(!StatsCatalog.tracked(tbl))
+      // tracked (with a combo): CTAS REPLACES the table — the entry must
+      // re-describe the new contents, combos re-harvested
+      StatsCatalog.analyze(spark, tbl, combos = Seq(Seq("id", "v")))
+      assert(StatsCatalog.lookup(tbl).get.rows === 200L)
+      g.registerTable("src4",
+        spark.range(0, 50).select(col("id"), (col("id") % 3).as("v")))
+      g.createTableAs("t_ctas", "SELECT id, v FROM src4", tbl)
+      val st = StatsCatalog.lookup(tbl).get
+      assert(st.rows === 50L, "CTAS must re-analyze the replaced table")
+      assert(within(st.cols("id").ndv, 50, 0.05))
+      assert(within(st.combos(StatsCatalog.comboKey(Seq("id", "v"))).ndv,
+        50, 0.05), "combos must survive the CTAS re-analyze")
+    } finally StatsCatalog.unregister(tbl)
+  }
+
+  test("concurrent mergeIncrement composes: no lost rows or sketch unions (r20)") {
+    // the r19 get-then-put raced: two concurrent appends could both
+    // merge from the same base and the last put silently dropped the
+    // other's rows and union. The computeIfPresent merge must compose.
+    val dir = tempDir("graft-stats-race")
+    val tbl = s"$dir/t"
+    spark.range(0, 1000).select(col("id")).write.mode("overwrite").parquet(tbl)
+    try {
+      StatsCatalog.analyze(spark, tbl)
+      val errs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val threads = (0 until 2).map { t =>
+        val th = new Thread(() => {
+          try {
+            (0 until 4).foreach { r =>
+              val lo = 10000 + (t * 4 + r) * 250
+              val inc = spark.range(lo, lo + 250).select(col("id"))
+              StatsCatalog.mergeIncrement(spark, tbl, Some(inc))
+            }
+          } catch { case _: Throwable => errs.incrementAndGet(): Unit }
+        })
+        th.start(); th
+      }
+      threads.foreach(_.join(120000))
+      assert(errs.get() === 0)
+      val st = StatsCatalog.lookup(tbl).get
+      assert(st.rows === 1000L + 8 * 250L,
+        s"rows=${st.rows}: a concurrent increment was dropped")
+      assert(within(st.cols("id").ndv, 3000, 0.05),
+        s"id ndv=${st.cols("id").ndv}: a concurrent sketch union was lost")
+    } finally StatsCatalog.unregister(tbl)
+  }
+
   test("a stats entry whose table vanished is skipped on load") {
     val dir = tempDir("graft-stats-gone")
     val tblDir = tempDir("graft-stats-gone-tbl")
