@@ -364,17 +364,28 @@ object Main {
           case None => ()
         }
         opts.get("analyze") match {
-          case Some(path) =>
+          case Some(spec) =>
             // table-statistics harvest, CLI face (r19): one pass = row
             // count + mergeable per-column HLL NDV sketches into the
             // stats catalog — auto-arms the eager-aggregation rewrite,
-            // feeds the advisor cost model, rides --catalog-save
+            // feeds the advisor cost model, rides --catalog-save.
+            // r20: whitespace-separated comma-lists after the path are
+            // JOINT combos ("--analyze /t k,k2" sketches the (k,k2)
+            // tuple NDV — the correlated-grain fix)
+            val parts = spec.trim.split("\\s+").toSeq
+            val path = parts.head
+            val combos = parts.tail.map(_.split(',').toSeq.filter(_.nonEmpty))
+              .filter(_.nonEmpty)
             scala.util.Try(
-              graft.plans.StatsCatalog.analyze(spark, path)) match {
+              graft.plans.StatsCatalog.analyze(spark, path,
+                combos = combos)) match {
               case scala.util.Success(st) =>
                 println(s"[analyze] ${st.path}: rows=${st.rows}")
                 st.cols.toSeq.sortBy(_._1).foreach { case (c, cs) =>
                   println(f"[analyze]   $c%-24s ndv=${cs.ndv}")
+                }
+                st.combos.toSeq.sortBy(_._1).foreach { case (c, cs) =>
+                  println(f"[analyze]   ${s"($c)"}%-24s joint-ndv=${cs.ndv}")
                 }
               case scala.util.Failure(e) =>
                 println("[analyze] refused: " +

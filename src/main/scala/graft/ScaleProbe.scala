@@ -346,6 +346,58 @@ object ScaleProbe {
     println(f"broadcast dim (1k):  fired=$abFired (want 0)  t=$abT%5.2f s  stock=$abT0%5.2f s (stock plan kept)")
     println(f"shuffle dim (500k):  fired=$asFired (want 1)  t=$asT%5.2f s  stock=$asT0%5.2f s  " +
       f"auto-realized speedup=${asT0 / asT}%5.2f x")
+
+    // MULTI-LEVEL cascade under AUTO (r20): a 2-level star in the
+    // all-shuffle regime (broadcast off — big dims are the 100 TB case
+    // the rewrite exists for). Derived cardinality must arm BOTH
+    // levels from two analyze passes alone: level 1 estimates the fact
+    // side THROUGH the f⋈d1 join (16M rows, grain = d1's 25-value
+    // attr), level 2 estimates the planted pre-aggregate's fact scan
+    // (grain = the 10k join key). Stock = same session, statistics
+    // withdrawn. Default thresholds — not even minRows is lowered.
+    val dim1Path = tmpAuto.resolve("dim1").toString
+    spark.range(500000L).select(
+      col("id").as("dk"),
+      pmod(col("id"), lit(25L)).as("mk"),
+      lpad(col("id").cast("string"), 200, "x").as("pad"))
+      .write.mode("overwrite").parquet(dim1Path)
+    val sCas = spark.newSession()
+    sCas.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val casT0n = System.nanoTime()
+    graft.plans.StatsCatalog.analyzeScoped(sCas, factPath)
+    graft.plans.StatsCatalog.analyzeScoped(sCas, dim1Path)
+    val casAnalyze = (System.nanoTime() - casT0n) / 1e9
+    val dim2 = sCas.range(25L).select(
+      col("id").as("mk2"), concat(lit("g"), col("id")).as("gname")).cache()
+    dim2.count()
+    def qCas = sCas.read.parquet(factPath)
+      .join(sCas.read.parquet(dim1Path), col("fk") === col("dk"))
+      .join(dim2, col("mk") === col("mk2"))
+      .groupBy(col("gname"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate => CAgg, Join => CJoin}
+    def casFires = qCas.queryExecution.optimizedPlan.collect {
+      case j: CJoin
+          if j.left.isInstanceOf[CAgg] || j.right.isInstanceOf[CAgg] => j
+    }.size
+    val casFired = casFires
+    // one untimed warm pass per regime: dim1 was JUST written, so the
+    // first reads pay cold page cache — both regimes must amortize it
+    require(qCas.collect().length == 25)
+    val (_, _, casT) = best("joinagg_auto_cascade", nF) {
+      require(qCas.collect().length == 25)
+    }
+    graft.plans.StatsCatalog.unregisterScoped(sCas, factPath)
+    graft.plans.StatsCatalog.unregisterScoped(sCas, dim1Path)
+    require(casFires == 0, "stats withdrawn but the cascade still fired")
+    require(qCas.collect().length == 25)
+    val (_, _, casStock) = best("joinagg_auto_cascade_stock", nF) {
+      require(qCas.collect().length == 25)
+    }
+    dim2.unpersist()
+    println(f"--- eager aggregation AUTO CASCADE, 2-level star (analyze = $casAnalyze%5.2f s) ---")
+    println(f"shuffle dims (500k+25): fired=$casFired (want 2)  t=$casT%5.2f s  " +
+      f"stock=$casStock%5.2f s  auto-realized speedup=${casStock / casT}%5.2f x")
   }
 
   /** File-level data-skipping economics on a range-clustered table whose

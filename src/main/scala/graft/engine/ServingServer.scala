@@ -1364,8 +1364,16 @@ final class ServingServer(
               // StatsCatalog — the statistics that auto-arm the
               // eager-aggregation rewrite, feed the advisor's cost
               // model, and ride catalog_save. Work-then-status.
+              // r20: whitespace-separated comma-lists after the path
+              // request JOINT combo sketches ("<path> k,k2"); combo
+              // rows come back with the comboKey as the column name.
+              val atParts = arg.trim.split("\\s+").toSeq
+              val atPath = atParts.head
+              val atCombos = atParts.tail
+                .map(_.split(',').toSeq.filter(_.nonEmpty)).filter(_.nonEmpty)
               val atRes = scala.util.Try(
-                graft.plans.StatsCatalog.analyze(session.spark, arg))
+                graft.plans.StatsCatalog.analyze(session.spark, atPath,
+                  combos = atCombos))
               atRes match {
                 case scala.util.Failure(e) =>
                   status("ERR INVALID_ARGUMENT analyze_table: " +
@@ -1375,8 +1383,11 @@ final class ServingServer(
                   status("OK")
                   val result = {
                     import session.spark.implicits._
-                    st.cols.toSeq.sortBy(_._1)
-                      .map { case (c, cs) => (st.path, st.rows, c, cs.ndv) }
+                    (st.cols.toSeq.sortBy(_._1)
+                      .map { case (c, cs) => (st.path, st.rows, c, cs.ndv) } ++
+                      st.combos.toSeq.sortBy(_._1)
+                        .map { case (c, cs) =>
+                          (st.path, st.rows, s"($c)", cs.ndv) })
                       .toDF("path", "rows", "column", "ndv")
                   }
                   org.apache.spark.sql.GraftArrowBridge

@@ -51,7 +51,11 @@ object PlanShapes {
     // the broadcast regime, the gated shuffle regime, the bilateral
     // (dim-weighted) shape and the stats-armed auto shape
     "q_agg_cube_distinct", "q_join_eager_agg", "q_join_eager_agg_shuffle",
-    "q_join_eager_agg_bilateral", "q_join_eager_agg_auto"
+    "q_join_eager_agg_bilateral", "q_join_eager_agg_auto",
+    // r20 optimizer-rule queries: the 2-level auto cascade (BOTH star
+    // joins must stay fed by grain pre-aggregates) and the FILTERed
+    // dim-aggregate shape
+    "q_join_eager_agg_cascade", "q_join_eager_agg_filtered"
   )
 
   def headline(name: String): Boolean = headlineNames.contains(name)
@@ -132,6 +136,17 @@ object PlanShapes {
     // is the analyze pass (count + sketches), an action by design
     "q_join_eager_agg_auto" -> ShapeBounds(maxShuffles = 4,
       maxShuffleJoins = 1, minAggFedJoins = 1, maxBuildJobs = 2),
+    // the 2-level star cascade under auto (r20): derived cardinality
+    // must keep BOTH joins fed by grain pre-aggregates — minAggFedJoins
+    // = 2 is the load-bearing pin; the 4-job allowance is the two
+    // scoped analyze passes (schema + sketch job each)
+    "q_join_eager_agg_cascade" -> ShapeBounds(maxShuffles = 6,
+      maxShuffleJoins = 2, minPushedScans = 3, minAggFedJoins = 2,
+      maxBuildJobs = 4),
+    // FILTERed dim-side aggregates ride the weighted algebra on the
+    // broadcast-regime plan (r20)
+    "q_join_eager_agg_filtered" -> ShapeBounds(maxShuffles = 3,
+      minBroadcastJoins = 1, minPushedScans = 2, minAggFedJoins = 1),
     "q3_join_agg" -> ShapeBounds(maxShuffles = 1, minBroadcastJoins = 2, minPushedScans = 3),
     "q5_join_multi" -> ShapeBounds(maxShuffles = 2, minBroadcastJoins = 5, minPushedScans = 6),
     "q_win_rank" -> ShapeBounds(maxShuffles = 2),

@@ -683,6 +683,14 @@ class ServingServerSpec extends SparkTestBase {
         val supp = at.rows.find(_(2).toString == "l_suppkey")
           .getOrElse(fail(s"no l_suppkey row: ${at.rows.take(3)}"))
         assert(supp(3).toString.toLong >= 5L, supp.toString)
+        // r20: joint combo request over the wire — comma-list after the
+        // path; the joint row reports the canonical comboKey
+        val atC = ServingClient.doAction(srv.boundPort, "analyze_table",
+          s"$li l_suppkey,l_returnflag")
+        assert(atC.isOk, atC.status)
+        val joint = atC.rows.find(_(2).toString == "(l_returnflag,l_suppkey)")
+          .getOrElse(fail(s"no joint row: ${atC.rows.map(_(2)).mkString(",")}"))
+        assert(joint(3).toString.toLong >= 5L, joint.toString)
         val sd = ServingClient.doAction(srv.boundPort, "stats_describe")
         assert(sd.isOk && sd.rows.exists(_(0).toString ==
           graft.plans.StatsCatalog.normalize(li)), sd.rows.toString)
