@@ -698,7 +698,8 @@ class ServingServerSpec extends SparkTestBase {
         // (fixtures are immutable), and the combo count surfaces
         val sdRow = sd.rows.find(_(0).toString ==
           graft.plans.StatsCatalog.normalize(li)).get
-        assert(sdRow(3).toString.toLong === 0L, s"combos: $sdRow")
+        // the combo analyze above re-registered the entry with one joint
+        assert(sdRow(3).toString.toLong === 1L, s"combos: $sdRow")
         assert(sdRow(5).toString == "false", s"stale: $sdRow")
         // the statistics ride the durable catalog over the wire
         val file = tempDir("graft-ss-stats") + "/cat.json"
