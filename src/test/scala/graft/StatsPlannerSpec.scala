@@ -89,6 +89,55 @@ class StatsPlannerSpec extends SparkTestBase {
     assert(armed === stock, "CBO-armed plan drifted from stock results")
   }
 
+  test("CostBasedJoinReorder reorders a 3-table join exactly when the tables are analyzed") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    val dir = tempDir("graft-reorder")
+    val (big1, big2, sel) = (s"$dir/big1", s"$dir/big2", s"$dir/sel")
+    // big1 ⋈ big2 produces ~20M rows (500 shared keys); big1 ⋈ sel
+    // only ~20k — the DP must sink `sel` to the bottom of the tree,
+    // which it can only know from rowCount + key NDVs
+    spark.range(0, 100000)
+      .select((col("id") % 500).as("k"), (col("id") % 7).as("v1"))
+      .write.mode("overwrite").parquet(big1)
+    spark.range(0, 100000)
+      .select((col("id") % 500).as("k2"), (col("id") % 5).as("v2"))
+      .write.mode("overwrite").parquet(big2)
+    spark.range(0, 100).select(col("id").as("k3"))
+      .write.mode("overwrite").parquet(sel)
+    def q(s: SparkSession): DataFrame = {
+      val b1 = s.read.parquet(big1)
+      val b2 = s.read.parquet(big2)
+      val sl = s.read.parquet(sel)
+      // syntactic order: the catastrophic join FIRST
+      b1.join(b2, b1("k") === b2("k2")).join(sl, b1("k") === sl("k3"))
+        .groupBy(b1("v1")).agg(count(lit(1)).as("n"))
+    }
+    /** Output column names of the DEEPEST join in the optimized plan. */
+    def deepestJoinCols(df: DataFrame): Set[String] = {
+      val deepest = df.queryExecution.optimizedPlan.collect {
+        case j: LJoin if j.collect { case jj: LJoin => jj }.size == 1 => j
+      }
+      assert(deepest.size === 1, "expected exactly one innermost join")
+      deepest.head.output.map(_.name).toSet
+    }
+    val s2 = newSession(cbo = true)
+    s2.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    // un-analyzed: no rowCount, the DP refuses — syntactic order kept
+    assert(!deepestJoinCols(q(s2)).contains("k3"),
+      "without statistics the syntactic join order must survive")
+    StatsCatalog.analyzeScoped(s2, big1)
+    StatsCatalog.analyzeScoped(s2, big2)
+    StatsCatalog.analyzeScoped(s2, sel)
+    val df = q(s2)
+    assert(deepestJoinCols(df).contains("k3"),
+      "analyzed statistics must let the DP join the selective table first")
+    // semantics preserved: same rows as the stock (non-CBO) plan
+    val stock = q(newSession(cbo = false)).collect()
+      .map(_.toString).sorted.toSeq
+    assert(df.collect().map(_.toString).sorted.toSeq === stock,
+      "reordered plan drifted from stock results")
+  }
+
   test("non-CBO sessions keep byte-identical join choices; kill switch restores stock") {
     // analyzed but CBO off: toPlanStats only surfaces sizeInBytes, which
     // stays the REAL file size — the broadcast choice is unchanged
