@@ -14,10 +14,14 @@ import graft.queries.Registry
 object PlanAudit {
   def main(args: Array[String]): Unit = {
     val shapesOnly = args.contains("--shapes")
-    val rest = args.filterNot(_ == "--shapes")
+    // --rebalance=off reproduces the pre-r20 plans (QueryUtil.par kill
+    // switch) so before/after plan diffs come from one binary
+    val rebalanceOff = args.contains("--rebalance=off")
+    val rest = args.filterNot(a => a == "--shapes" || a == "--rebalance=off")
     val sfDir = rest.headOption.getOrElse("/root/testdata/sf0.001")
     val names = if (rest.length > 1) rest.drop(1).toSet else Set.empty[String]
     val spark = GraftSession.local(cores = 4, appName = "graft-plan-audit").spark
+    if (rebalanceOff) spark.conf.set("spark.graft.scan.rebalance", "off")
     val audit = graft.plans.PlanInvariants.auditSession(spark)
 
     val targets =

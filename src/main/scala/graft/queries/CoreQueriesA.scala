@@ -100,7 +100,9 @@ object CoreQueriesA {
       (s, dir) => {
         val disc1 = one - pct($"l_discount")
         val tax1 = one + pct($"l_tax")
-        t(s, dir, "lineitem")
+        // r20: tPar — the fixture is one row group, so the decimal partial
+        // aggregation (the whole cost of this query) was single-threaded
+        tPar(s, dir, "lineitem", $"l_orderkey")
           .filter($"l_shipdate" <= ts("2000-09-02"))
           .groupBy($"l_returnflag", $"l_linestatus")
           .agg(
