@@ -14,15 +14,15 @@ import graft.queries.Registry
 object PlanAudit {
   def main(args: Array[String]): Unit = {
     val shapesOnly = args.contains("--shapes")
-    // --rebalance=off reproduces the pre-r20 plans (QueryUtil.par kill
-    // switch) so before/after plan diffs come from one binary
-    val rebalanceOff = args.contains("--rebalance=off")
-    val rest = args.filterNot(a => a == "--shapes" || a == "--rebalance=off")
+    // --stock disables graft's r20 decimal-sum rewrite so before/after
+    // plan diffs come from one binary
+    val stock = args.contains("--stock")
+    val rest = args.filterNot(a => a == "--shapes" || a == "--stock")
     val sfDir = rest.headOption.getOrElse("/root/testdata/sf0.001")
     val names = if (rest.length > 1) rest.drop(1).toSet else Set.empty[String]
     val spark = GraftSession.local(cores = 4, appName = "graft-plan-audit").spark
-    if (rebalanceOff) spark.conf.set("spark.graft.scan.rebalance", "off")
     val audit = graft.plans.PlanInvariants.auditSession(spark)
+    if (stock) audit.conf.set("spark.graft.optimizer.unscaledDecimalSum", "false")
 
     val targets =
       if (names.nonEmpty) Registry.all.filter(q => names(q.name))

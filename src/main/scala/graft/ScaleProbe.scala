@@ -144,7 +144,7 @@ object ScaleProbe {
       Set("all", "core", "core10x", "core30x", "extras", "dedup", "sim",
         "text", "events", "serve", "iceberg", "skip", "cdc", "manifests",
         "ivfstore", "stepfloor", "objectstore", "splitstore", "mvsweep",
-        "storecatalog", "preagg", "stepcompact")
+        "storecatalog", "preagg", "stepcompact", "udsums")
     // a typo'd group would otherwise spin up Spark, run NOTHING, and exit
     // 0 — indistinguishable from "probe found nothing"
     require(groups(which), s"unknown probe group '$which' (one of: ${groups.mkString(", ")})")
@@ -174,7 +174,75 @@ object ScaleProbe {
     if (which == "storecatalog") storeCatalogProbe(spark) // not in "all": builds 400k-row stores
     if (which == "preagg") preAggProbe(spark) // not in "all": builds 1M/4M/16M-row cube fixtures + a 16M-row eager-agg fact
     if (which == "stepcompact") stepCompactProbe(spark) // not in "all": builds 400k-doc stores
+    if (which == "udsums") udsumsProbe(spark) // not in "all": builds 4M/16M-row facts
     spark.stop()
+  }
+
+  /** UnscaledDecimalSums economics + scale-safety: the same money-shaped
+    * aggregation (4 wide-decimal sums, TPC-H q1 shape) over N-row parquet
+    * with the rewrite on vs off (kill switch), best-of-3 each — isolates
+    * the per-row decimal cost from bench-host noise. Then the DECLINE
+    * receipt: a column whose footer max x rows cannot fit a long keeps
+    * the stock decimal plan (the rule's 100 TB safety direction — more
+    * rows make the proof fail, never the result wrong).
+    */
+  private def udsumsProbe(spark: SparkSession): Unit = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-udsums-probe").toString
+    def fixture(n: Long): String = {
+      val p = s"$dir/fact_$n"
+      spark.range(n).select(
+        (col("id") % 7).as("k"),
+        ((col("id") % 99991) * 1.37 + 0.11).as("price"),
+        ((col("id") % 9) / 100.0 + 0.01).as("disc"),
+        (col("id") % 1000 * 1.0e10).as("huge"))
+        .write.mode("overwrite").parquet(p)
+      p
+    }
+    def sess(rewrite: Boolean): SparkSession = {
+      val s = spark.newSession()
+      if (!rewrite) s.conf.set("spark.graft.optimizer.unscaledDecimalSum", "false")
+      s
+    }
+    def q1shape(s: SparkSession, path: String) = {
+      val one = lit(1).cast(DecimalType(4, 2))
+      val t = s.read.parquet(path)
+      val d1 = one - col("disc").cast(DecimalType(4, 2))
+      val d2 = one + col("disc").cast(DecimalType(4, 2))
+      t.groupBy(col("k")).agg(
+        sum(col("price").cast(DecimalType(14, 2))).as("s1"),
+        sum(col("price").cast(DecimalType(14, 2)) * d1).as("s2"),
+        sum(col("price").cast(DecimalType(14, 2)) * d1 * d2).as("s3"),
+        count(lit(1)).as("n"))
+    }
+    def best(s: SparkSession, path: String): Double = {
+      def run(): Unit =
+        q1shape(s, path).write.format("noop").mode("overwrite").save()
+      run() // warm
+      (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+    println("--- unscaled decimal sums: q1-shaped agg, rewrite on vs off ---")
+    for (n <- Seq(4000000L, 16000000L)) {
+      val path = fixture(n)
+      val sOn = sess(rewrite = true); val sOff = sess(rewrite = false)
+      val fired = q1shape(sOn, path).queryExecution.executedPlan.toString
+        .contains("UnscaledValue")
+      val on = best(sOn, path); val off = best(sOff, path)
+      // exactness cross-check on the probe fixture itself
+      val same = q1shape(sOn, path).collect().toSeq ==
+        q1shape(sOff, path).collect().toSeq
+      println(f"rows=$n%9d  on=$on%6.2fs off=$off%6.2fs speedup=${off / on}%5.2fx fired=$fired exact=$same")
+      require(fired && same, "udsums probe: rewrite must fire and match")
+    }
+    // decline: bound fails (1e13-scale values x 16M rows >> Long.Max/2)
+    val path = s"$dir/fact_16000000"
+    val s = sess(rewrite = true)
+    val big = s.read.parquet(path).groupBy(col("k"))
+      .agg(sum(col("huge").cast(DecimalType(18, 2))).as("s"))
+    val bigFired = big.queryExecution.executedPlan.toString.contains("UnscaledValue")
+    println(s"decline case (unprovable bound at 16M rows): fired=$bigFired (must be false)")
+    require(!bigFired, "udsums probe: unprovable bound must decline")
   }
 
   /** PreAggExpand economics: CUBE over N rows with and without the

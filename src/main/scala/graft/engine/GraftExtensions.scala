@@ -62,6 +62,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // plans are byte-identical); spark.graft.optimizer.relationStats=
     // false disables.
     ext.injectPreCBORule(session => new graft.plans.RelationStats(session))
+    // wide-decimal SUM -> overflow-PROVEN unscaled-long SUM (r20): exact
+    // by construction (same integer, same result type), fires only when
+    // parquet footer min/max x row count proves the long sum cannot
+    // overflow; spark.graft.optimizer.unscaledDecimalSum=false disables
+    ext.injectOptimizerRule(session => new graft.plans.UnscaledDecimalSums(session))
     register(ext, "capitalize", "uppercases a string (reference semantics)",
       es => Upper(es.head))
     register(ext, "cosine_sim", "cosine similarity of two array<float> vectors",

@@ -106,15 +106,10 @@ object PlanShapes {
     * hybrid family FIT KMeans centroids (an iterative bounded job loop —
     * the allowance covers the iteration cap, not "anything goes").
     */
-  // r20: q1_agg allows ONE extra exchange — the guarded scan rebalance
-  // (QueryUtil.par) that restores map-side parallelism over the
-  // single-row-group fixture. The same rebalance was A/B-measured on
-  // every other bench query and REVERTED (exchange cost > map-side win
-  // there; see OPTIMIZATION_r20.md), so only q1_agg carries the +1.
   val bounds: Map[String, ShapeBounds] = Map(
     // bench set
     "q6_filter_agg" -> ShapeBounds(maxShuffles = 1, minPushedScans = 1),
-    "q1_agg" -> ShapeBounds(maxShuffles = 3, minPushedScans = 1),
+    "q1_agg" -> ShapeBounds(maxShuffles = 2, minPushedScans = 1),
     // 3 = finest-grain pre-aggregate (PreAggExpand; its exchange moves
     // |grain| ~ 6 rows) + grouping-sets aggregate + final sort — the
     // r17 2-shuffle plan expanded ALL input rows 4x instead

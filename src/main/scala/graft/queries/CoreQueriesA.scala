@@ -100,9 +100,7 @@ object CoreQueriesA {
       (s, dir) => {
         val disc1 = one - pct($"l_discount")
         val tax1 = one + pct($"l_tax")
-        // r20: tPar — the fixture is one row group, so the decimal partial
-        // aggregation (the whole cost of this query) was single-threaded
-        tPar(s, dir, "lineitem", $"l_orderkey")
+        t(s, dir, "lineitem")
           .filter($"l_shipdate" <= ts("2000-09-02"))
           .groupBy($"l_returnflag", $"l_linestatus")
           .agg(

@@ -61,84 +61,6 @@ object QueryUtil {
     spark.read.schema(schema).parquet(path)
   }
 
-  /** [[t]] plus [[par]]: scan with parallelism restored when the file is
-    * effectively unsplittable (see par's doc for the guard and the 100 TB
-    * no-op argument). `keys` picks the deterministic hash-repartition key.
-    */
-  def tPar(spark: SparkSession, dir: String, name: String, keys: Column*): DataFrame =
-    par(spark, t(spark, dir, name), s"$dir/$name.parquet", keys: _*)
-
-  // row-group counts per immutable fixture file, one footer read per JVM
-  // (the same metadata the scan planner itself reads — NOT data precompute)
-  private val splitCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
-
-  /** Restore scan parallelism over an UNSPLITTABLE input (optimization
-    * guide §2.5: "one huge unsplittable file … repartition immediately
-    * after the read").
-    *
-    * Spark parallelizes a parquet scan at ROW-GROUP granularity: however
-    * small `maxPartitionBytes` is, a file written as a single row group
-    * yields exactly one non-empty scan task, and every narrow operator
-    * above it (decimal partial aggregation, tokenization, shingling,
-    * broadcast-join probes) runs on ONE core. The driver fixtures are
-    * written exactly that way — one row group per table — so without this
-    * the whole map side of the bench is single-threaded.
-    *
-    * The rebalance is gated on the file's REAL split count (row groups,
-    * from the parquet footer) vs the session's core count, so it is
-    * scale-adaptive rather than a local[32] constant: a production table
-    * of 128 MB+ multi-row-group files always presents at least as many
-    * splits as cores, the guard fails, and the plan is byte-identical to
-    * the un-rebalanced one (zero added shuffle at 100 TB). When it does
-    * fire, the exchange moves exactly one small unsplittable file's rows
-    * once, before the heavy per-row work — the §8 "move bytes once to
-    * where the compute is" shape.
-    *
-    * The repartition hashes a caller-chosen high-NDV KEY COLUMN rather
-    * than round-robin: deterministic row→partition mapping under task
-    * retry (guide §2.5) and no sortBeforeRepartition local sort. Callers
-    * must pick keys with NDV ≫ cores. Only queries whose results are
-    * partition-order independent may use this — which every caller is by
-    * design (exact decimal / integer aggregation per the dec2 contract
-    * above, per-row transforms, deterministically tie-broken sorts); the
-    * oracle gate at three scale factors pins that claim per query.
-    * Kill switch: spark.graft.scan.rebalance=off.
-    */
-  def par(spark: SparkSession, df: DataFrame, path: String, keys: Column*): DataFrame = {
-    if (!spark.conf.get("spark.graft.scan.rebalance", "auto").equalsIgnoreCase("auto"))
-      return df
-    val cores = spark.sparkContext.defaultParallelism
-    val splits: Int =
-      splitCache.computeIfAbsent(path, p => Integer.valueOf(parquetRowGroups(spark, p)))
-    if (splits >= cores) df
-    else if (keys.nonEmpty) df.repartition(cores, keys: _*)
-    else df.repartition(cores)
-  }
-
-  /** Total row groups under `path` (file or flat directory of .parquet
-    * files). Fails OPEN to Int.MaxValue — an unreadable footer means "do
-    * not rebalance", never a failed query.
-    */
-  private def parquetRowGroups(spark: SparkSession, path: String): Int =
-    try {
-      val conf = spark.sessionState.newHadoopConf()
-      val p = new org.apache.hadoop.fs.Path(path)
-      val fs = p.getFileSystem(conf)
-      val files =
-        if (fs.getFileStatus(p).isDirectory)
-          fs.listStatus(p).toSeq
-            .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-        else Seq(fs.getFileStatus(p))
-      files.map { st =>
-        val in =
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf)
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        try r.getFooter.getBlocks.size
-        finally r.close()
-      }.sum
-    } catch { case scala.util.control.NonFatal(_) => Int.MaxValue }
-
   /** events with `ts` as a real TimestampType (micros). The fixture has
     * shipped `ts` two ways across driver generations — TIMESTAMP(NANOS)
     * (read as long via nanosAsLong) and plain timestamp[us] (read as
