@@ -97,6 +97,21 @@ object MinHashIndex extends org.apache.spark.internal.Logging {
       .filter(size(col("ws")) >= 3)
       .select(col("doc_id"), TextOps.shingles(col("ws")).as("sh"))
 
+  /** Shingle sets AND their 64-minhash signatures in one frame
+    * (doc_id, sh, sig) — the fused form for callers that pin both (the
+    * q_dedup_minhash / q_dedup_incremental hot paths). r20 measurement:
+    * pinning `shingleSets` and then `signatures` eagerly runs TWO
+    * sequential cache-fill jobs over the same rows; fusing them halves
+    * the build-job count of the pair without recomputing anything (the
+    * signature is derived in the same projection that caches the set).
+    * Same expressions as [[signatures]], so the two forms cannot drift.
+    */
+  def setsWithSignatures(doc: DataFrame): DataFrame =
+    shingleSets(doc).select(
+      col("doc_id"),
+      col("sh"),
+      TextOps.minhashSignatureArray(TextOps.shingleHashes(col("sh"))).as("sig"))
+
   /** 64-minhash signatures from shingle sets: hash each shingle once, then
     * one native one-pass walk (functions.MinHashSignature) for all minima.
     */

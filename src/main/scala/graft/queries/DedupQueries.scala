@@ -832,9 +832,11 @@ object DedupQueries {
     */
   private[graft] def minhashPairs(doc: DataFrame, minJ: Double): DataFrame = {
     import graft.operators.MinHashIndex
-    val sets = PersistScope.pinEager(shingleSets(doc))
-    val sigs = PersistScope.pinEager(MinHashIndex.signatures(sets))
-    val bands = MinHashIndex.bandDigests(sigs)
+    // r20: ONE fused pin (doc_id, sh, sig) instead of two sequential
+    // cache fills (sets, then sigs) — same expressions, same cache-race
+    // safety, one fewer eager build job per run
+    val sets = PersistScope.pinEager(MinHashIndex.setsWithSignatures(doc))
+    val bands = MinHashIndex.bandDigests(sets)
     val cand = bands
       .as("x")
       .join(
@@ -898,9 +900,11 @@ object DedupQueries {
       minJ: Double
   ): DataFrame = {
     import graft.operators.MinHashIndex
-    val incSets = PersistScope.pinEager(MinHashIndex.shingleSets(increment))
-    val incBands = PersistScope.pinEager(
-      MinHashIndex.bandDigests(MinHashIndex.signatures(incSets)))
+    // r20: one fused (doc_id, sh, sig) pin replaces the sets + bands pin
+    // pair; band digests derive from the cached sigs on demand (a cheap
+    // explode of increment-many cached rows, used by both join sides)
+    val incSets = PersistScope.pinEager(MinHashIndex.setsWithSignatures(increment))
+    val incBands = MinHashIndex.bandDigests(incSets)
     val cand = MinHashIndex
       .bands(s, index)
       .join(broadcast(incSets.select($"doc_id")), Seq("doc_id"), "left_anti")
@@ -919,7 +923,7 @@ object DedupQueries {
     val sets = MinHashIndex
       .shingles(s, index)
       .join(broadcast(incSets.select($"doc_id")), Seq("doc_id"), "left_anti")
-      .unionByName(incSets)
+      .unionByName(incSets.select($"doc_id", $"sh"))
     val inter = size(array_intersect($"sh_a", $"sh_b"))
     cand
       .join(sets.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), Seq("doc_a"))

@@ -49,6 +49,23 @@ class DedupSpec extends SparkTestBase {
     assert(exact.forall(_.getDouble(2) >= 0.5))
   }
 
+  test("fused setsWithSignatures equals shingleSets joined with signatures") {
+    // r20 build-job fusion: the hot dedup paths pin ONE (doc_id, sh, sig)
+    // frame instead of two sequential cache fills — this pins that the
+    // fused projection is value-identical to the composed pipeline
+    import graft.operators.MinHashIndex
+    val doc = graft.queries.QueryUtil.t(spark, SparkTestBase.Sf0001, "documents")
+    val fused = MinHashIndex.setsWithSignatures(doc)
+      .select("doc_id", "sh", "sig").collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1), r.getSeq[Long](2))).toSet
+    val sets = MinHashIndex.shingleSets(doc)
+    val composed = sets
+      .join(MinHashIndex.signatures(sets), "doc_id")
+      .select("doc_id", "sh", "sig").collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1), r.getSeq[Long](2))).toSet
+    assert(fused === composed)
+  }
+
   test("native MinHashSignature is bit-identical to the composed array_min form") {
     import org.apache.spark.sql.functions._
     val hs = graft.queries.QueryUtil
