@@ -144,11 +144,16 @@ object ScaleProbe {
       Set("all", "core", "core10x", "core30x", "extras", "dedup", "sim",
         "text", "events", "serve", "iceberg", "skip", "cdc", "manifests",
         "ivfstore", "stepfloor", "objectstore", "splitstore", "mvsweep",
-        "storecatalog", "preagg", "stepcompact", "udsums")
+        "storecatalog", "preagg", "stepcompact", "udsums", "parallel")
     // a typo'd group would otherwise spin up Spark, run NOTHING, and exit
     // 0 — indistinguishable from "probe found nothing"
     require(groups(which), s"unknown probe group '$which' (one of: ${groups.mkString(", ")})")
-    val spark = GraftSession.local(appName = "graft-scale-probe").spark
+    // SPARK_GRAFT_CPUS honored like Bench so the `parallel` probe can be
+    // run at two core counts for a scaling ratio
+    val spark = GraftSession.local(
+      cores = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
+        .getOrElse(Runtime.getRuntime.availableProcessors()),
+      appName = "graft-scale-probe").spark
     if (which == "all" || which == "core") coreProbe(spark)
     if (which == "all" || which == "core10x") bench10xProbe(spark)
     if (which == "core30x") bench30xProbe(spark) // not in "all": 30x fixture build is heavy
@@ -175,7 +180,72 @@ object ScaleProbe {
     if (which == "preagg") preAggProbe(spark) // not in "all": builds 1M/4M/16M-row cube fixtures + a 16M-row eager-agg fact
     if (which == "stepcompact") stepCompactProbe(spark) // not in "all": builds 400k-doc stores
     if (which == "udsums") udsumsProbe(spark) // not in "all": builds 4M/16M-row facts
+    if (which == "parallel") parallelProbe(spark) // not in "all": builds a 150k-doc corpus
     spark.stop()
+  }
+
+  /** Healthy-input parallelism receipts (r21, guide §2.5's flip side):
+    * every bench fixture file is ONE parquet row group, so every bench
+    * scan runs one non-empty task regardless of cores — the driver's
+    * all-≈1 core-scaling ratios measure the FIXTURE, not the engine.
+    * This probe writes the same synthetic corpus as 64-file Spark-written
+    * parquet at 30x the sf0.1 document volume and re-times the two
+    * heaviest map-side operator shapes (the dedup signature cache fill;
+    * the r21 single-pass pipeline-corpus aggregation), recording the
+    * maximum stage task count per run — the receipt that the operators
+    * DO parallelize once the input presents >= cores splits. Run twice,
+    * SPARK_GRAFT_CPUS=32 and =8, for the core-scaling ratio.
+    */
+  private def parallelProbe(spark: SparkSession): Unit = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-par-probe").toString
+    val n = 150000L
+    val p = s"$dir/docs"
+    genCorpus(spark, n).repartition(64).write.mode("overwrite").parquet(p)
+    val docs = spark.read.parquet(p)
+      .withColumn("lang", concat(lit("l"), pmod(col("doc_id"), lit(5))))
+    val maxTasks = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        maxTasks.updateAndGet(m => math.max(m, s.stageInfo.numTasks)): Unit
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    def best(label: String)(body: => Unit): Unit = {
+      body // warm (JIT + codegen, untimed)
+      maxTasks.set(0)
+      val t = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+      }.min
+      println(f"[parallel] $label%-36s best=$t%6.2f s  maxStageTasks=${maxTasks.get}" +
+        s"  cores=${spark.sparkContext.defaultParallelism}")
+    }
+    best("dedup signature fill (30x docs)") {
+      graft.engine.PersistScope.pinEager(
+        graft.operators.MinHashIndex.setsWithSignatures(docs)): Unit
+      graft.engine.PersistScope.releaseAll()
+    }
+    best("pipeline-corpus single-pass (30x)") {
+      val ws = TextOps.tokens(col("text"))
+      val perDoc = docs.select(
+        sha2(col("text"), 256).as("h"), col("doc_id"), col("lang"),
+        size(ws).cast("bigint").as("n_tokens"),
+        size(array_distinct(ws)).cast("bigint").as("n_distinct"))
+      perDoc.groupBy(col("h"))
+        .agg(
+          min_by(col("lang"), col("doc_id")).as("lang"),
+          min_by(col("n_tokens"), col("doc_id")).as("n_tokens"),
+          min_by(col("n_distinct"), col("doc_id")).as("n_distinct"))
+        .filter(col("n_tokens") >= 20 &&
+          col("n_distinct") * lit(1.0) / col("n_tokens") >= 0.10)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast("bigint").as("total_tokens"),
+          round(sum(col("n_distinct")).cast("double") /
+            sum(col("n_tokens")).cast("double"), 6).as("corpus_ttr"))
+        .orderBy(col("lang"))
+        .write.format("noop").mode("overwrite").save()
+    }
   }
 
   /** UnscaledDecimalSums economics + scale-safety: the same money-shaped
@@ -229,9 +299,11 @@ object ScaleProbe {
       val fired = q1shape(sOn, path).queryExecution.executedPlan.toString
         .contains("UnscaledValue")
       val on = best(sOn, path); val off = best(sOff, path)
-      // exactness cross-check on the probe fixture itself
-      val same = q1shape(sOn, path).collect().toSeq ==
-        q1shape(sOff, path).collect().toSeq
+      // exactness cross-check on the probe fixture itself (sorted: a
+      // hash-aggregated result carries no row-order guarantee, so a raw
+      // collect comparison could flake on a task-order change)
+      val same = q1shape(sOn, path).orderBy(col("k")).collect().toSeq ==
+        q1shape(sOff, path).orderBy(col("k")).collect().toSeq
       println(f"rows=$n%9d  on=$on%6.2fs off=$off%6.2fs speedup=${off / on}%5.2fx fired=$fired exact=$same")
       require(fired && same, "udsums probe: rewrite must fire and match")
     }

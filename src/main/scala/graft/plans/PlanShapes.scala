@@ -67,7 +67,10 @@ object PlanShapes {
     */
   val warmFirst: Set[String] =
     Set("q_mv_incremental", "q_mv_minmax", "q_mv_join",
-      "q_mv_distinct", "q_mv_approx_distinct")
+      "q_mv_distinct", "q_mv_approx_distinct",
+      // r21: first build harvests exact dim-key uniqueness (memoized per
+      // file set) for the UnscaledDecimalSums join proof
+      "q3_join_agg", "q5_join_multi")
 
   /** Every way a measured shape violates its pinned bounds (plus the
     * universal no-cartesian invariant) — the single check PlanAuditSpec
@@ -147,6 +150,11 @@ object PlanShapes {
     // broadcast-regime plan (r20)
     "q_join_eager_agg_filtered" -> ShapeBounds(maxShuffles = 3,
       minBroadcastJoins = 1, minPushedScans = 2, minAggFedJoins = 1),
+    // r21: q3/q5 build runs ONE-TIME KeyUniqueness.ensure jobs (exact
+    // dim-key count-distincts, memoized per file set — the proof that
+    // lets UnscaledDecimalSums carry its bound through the star joins);
+    // the warmFirst warm-up absorbs them like the MV fixture builds, so
+    // maxBuildJobs stays 0 for the steady-state build
     "q3_join_agg" -> ShapeBounds(maxShuffles = 1, minBroadcastJoins = 2, minPushedScans = 3),
     "q5_join_multi" -> ShapeBounds(maxShuffles = 2, minBroadcastJoins = 5, minPushedScans = 6),
     "q_win_rank" -> ShapeBounds(maxShuffles = 2),
@@ -156,7 +164,12 @@ object PlanShapes {
     "q_dedup_minhash" -> ShapeBounds(maxShuffles = 2, minBroadcastJoins = 3, maxBuildJobs = 2),
     "q_sim_topk" -> ShapeBounds(maxShuffles = 0, minPushedScans = 2, allowBnlj = true),
     "q_text_stats" -> ShapeBounds(maxShuffles = 1),
-    "q_pipeline_corpus" -> ShapeBounds(maxShuffles = 3, minBroadcastJoins = 1, minPushedScans = 1),
+    // r21 single-pass restructure: the keeper join (and its broadcast,
+    // and the second documents scan) is GONE — dedup is a min_by over
+    // the sha256 digest, so the pin is now one scan and no join; the
+    // scan has no residual predicate to push (the old IsNotNull came
+    // from the join key)
+    "q_pipeline_corpus" -> ShapeBounds(maxShuffles = 3, maxScans = 1),
     "q_federated_join" -> ShapeBounds(maxShuffles = 2, minBroadcastJoins = 2, minPushedScans = 3),
     "q_events_window" -> ShapeBounds(maxShuffles = 2, minPushedScans = 1),
     // headline families

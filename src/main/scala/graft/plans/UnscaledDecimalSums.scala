@@ -7,6 +7,7 @@ import scala.util.control.NonFatal
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -54,8 +55,12 @@ import org.apache.spark.sql.types._
   * when the sum could overflow (the rule declines; the exact decimal
   * path runs) and fires when it cannot. Guards, all structural:
   *  - the aggregate's child must be Project/Filter/Repartition chains
-  *    over ONE parquet LogicalRelation (joins/expands/unions can
-  *    multiply rows — declined);
+  *    over ONE parquet LogicalRelation (expands/unions can multiply
+  *    rows — declined), possibly THROUGH inner equi-joins whose dim-side
+  *    key is proven unique ([[KeyUniqueness]], r21): at most one dim row
+  *    per fact row keeps output rows <= fact footer rows, so the same
+  *    bound algebra carries through star joins (the summed columns must
+  *    still belong to the fact relation by attribute identity);
   *  - every leaf decimal is a cast-from-proven-numeric, a literal, or an
   *    attribute whose project-chain definition proves a bound, with
   *    precision <= 18 (unscaled fits a long);
@@ -103,6 +108,7 @@ class UnscaledDecimalSums(session: SparkSession) extends Rule[LogicalPlan] {
       case Some(s) => s
       case None    => return None
     }
+    val relOut = base.outputSet
     // resolve an expression down to base-relation attributes, for BOUND
     // derivation only (the rewritten expression keeps the original refs,
     // which stay valid against the aggregate's unchanged child)
@@ -117,7 +123,7 @@ class UnscaledDecimalSums(session: SparkSession) extends Rule[LogicalPlan] {
       ne.transformUp {
         case ae @ AggregateExpression(Sum(e, _), mode, isDistinct, filter, _)
             if candidateType(e.dataType) =>
-          toUnscaled(e, resolveBase, stats) match {
+          toUnscaled(e, resolveBase, stats, relOut) match {
             case Some(u)
                 if u.scale == e.dataType.asInstanceOf[DecimalType].scale &&
                   u.bound * stats.rows <= SafeLongBound =>
@@ -138,9 +144,21 @@ class UnscaledDecimalSums(session: SparkSession) extends Rule[LogicalPlan] {
     if (fired) Some(agg.copy(aggregateExpressions = newExprs)) else None
   }
 
-  /** Strip Project/Filter/Repartition down to a single parquet relation;
-    * returns the alias maps (top-down) and the relation. Any node that
-    * can multiply or fabricate rows returns None.
+  /** Strip Project/Filter/Repartition — and unique-key inner equi-joins
+    * (r21) — down to a single FACT parquet relation; returns the alias
+    * maps (top-down) and the relation. Any node that can multiply or
+    * fabricate rows returns None.
+    *
+    * The join case: `Join(fact, dim, Inner)` where some equi-conjunct's
+    * dim side is a PROVEN-unique key ([[KeyUniqueness]] — exact
+    * count-distinct, fingerprint-fresh) matches each fact row to AT MOST
+    * one dim row, so output rows <= fact rows and the footer-row bound
+    * algebra applies unchanged. Extra conjuncts (equi or theta) only
+    * remove rows from an inner join — they never weaken the bound. The
+    * summed expression must still resolve to FACT-relation columns:
+    * [[maxAbs]] checks attribute identity against the relation's output,
+    * so a dim-side column in the sum declines (its bound is unknowable
+    * from the fact footer).
     */
   @annotation.tailrec
   private def stripToRelation(
@@ -153,6 +171,11 @@ class UnscaledDecimalSums(session: SparkSession) extends Rule[LogicalPlan] {
       stripToRelation(p.child, maps :+ m)
     case f: Filter => stripToRelation(f.child, maps)
     case r: RepartitionOperation => stripToRelation(r.child, maps)
+    case h: ResolvedHint => stripToRelation(h.child, maps)
+    case Join(l, r, Inner, Some(cond), _) =>
+      if (atMostOneMatch(r, cond)) stripToRelation(l, maps)
+      else if (atMostOneMatch(l, cond)) stripToRelation(r, maps)
+      else None
     case r: LogicalRelation
         if r.relation.isInstanceOf[HadoopFsRelation] &&
           r.relation.asInstanceOf[HadoopFsRelation]
@@ -160,6 +183,67 @@ class UnscaledDecimalSums(session: SparkSession) extends Rule[LogicalPlan] {
       Some((maps, r))
     case _ => None
   }
+
+  /** Does this (dim) side of an inner join match AT MOST ONE of its rows
+    * to any row of the other side? True when some equi-conjunct
+    * `other = dimKey` has a dim key proven unique through the dim
+    * subtree. EqualTo only: EqualNullSafe can match MANY null dim rows,
+    * which single-column uniqueness (non-null values) does not rule out.
+    */
+  private def atMostOneMatch(dim: LogicalPlan, cond: Expression): Boolean = {
+    val dimOut = dim.outputSet
+    def isDimKey(k: Expression, other: Expression): Boolean = k match {
+      case a: AttributeReference =>
+        dimOut.contains(a) && other.references.intersect(dimOut).isEmpty &&
+          uniqueThrough(dim, a)
+      case _ => false
+    }
+    splitConjuncts(cond).exists {
+      case EqualTo(x, y) => isDimKey(y, x) || isDimKey(x, y)
+      case _ => false
+    }
+  }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(a, b) => splitConjuncts(a) ++ splitConjuncts(b)
+    case other => Seq(other)
+  }
+
+  /** Is attribute `a` unique (each value on at most one row) in the
+    * output of `plan`? Base case: an exact, fingerprint-fresh
+    * [[KeyUniqueness]] fact about a parquet relation column. Filters,
+    * projections (pass-through or alias-of-attribute), hints and
+    * repartitions preserve uniqueness; an inner join preserves the
+    * unique side's uniqueness when the OTHER side matches at most once
+    * (mutual recursion with [[atMostOneMatch]] — exactly how a
+    * unique-key star schema composes: orders⋈customer stays unique on
+    * o_orderkey when c_custkey is unique).
+    */
+  private def uniqueThrough(plan: LogicalPlan, a: Attribute): Boolean =
+    plan match {
+      case p: Project =>
+        p.projectList.collectFirst {
+          case al: Alias if al.exprId == a.exprId => al.child
+          case ar: AttributeReference if ar.exprId == a.exprId => ar
+        } match {
+          case Some(ar: AttributeReference) => uniqueThrough(p.child, ar)
+          case _ => false
+        }
+      case f: Filter => uniqueThrough(f.child, a)
+      case r: RepartitionOperation => uniqueThrough(r.child, a)
+      case h: ResolvedHint => uniqueThrough(h.child, a)
+      case Join(l, r, Inner, Some(cond), _) =>
+        (l.outputSet.contains(a) && atMostOneMatch(r, cond) &&
+          uniqueThrough(l, a)) ||
+          (r.outputSet.contains(a) && atMostOneMatch(l, cond) &&
+            uniqueThrough(r, a))
+      case rel: LogicalRelation
+          if rel.relation.isInstanceOf[HadoopFsRelation] &&
+            rel.relation.asInstanceOf[HadoopFsRelation]
+              .fileFormat.isInstanceOf[ParquetFileFormat] =>
+        KeyUniqueness.provenUnique(session, rel, a)
+      case _ => false
+    }
 
   private def candidateType(dt: DataType): Boolean = dt match {
     case d: DecimalType => d.precision + 10 > Decimal.MAX_LONG_DIGITS
@@ -181,12 +265,13 @@ class UnscaledDecimalSums(session: SparkSession) extends Rule[LogicalPlan] {
   private def toUnscaled(
       e: Expression,
       resolveBase: Expression => Expression,
-      stats: FooterStats
+      stats: FooterStats,
+      relOut: AttributeSet
   ): Option[U] = {
     def recurse(x: Expression): Option[U] = x match {
       case c @ Cast(_, dt: DecimalType, _, _)
           if dt.precision <= Decimal.MAX_LONG_DIGITS =>
-        maxAbs(resolveBase(c.child), stats).flatMap { m =>
+        maxAbs(resolveBase(c.child), stats, relOut).flatMap { m =>
           // the cast rounds half-up to dt.scale: |unscaled| <= ceil(m*10^s)+1
           val b = (m * BigDecimal(10).pow(dt.scale))
             .setScale(0, scala.math.BigDecimal.RoundingMode.CEILING).toBigInt + 1
@@ -197,7 +282,7 @@ class UnscaledDecimalSums(session: SparkSession) extends Rule[LogicalPlan] {
           case dt: DecimalType if dt.precision <= Decimal.MAX_LONG_DIGITS =>
             // bound from the attribute's project-chain definition; the
             // rewrite reads the attribute itself (still in child output)
-            boundOnly(resolveBase(a), stats)
+            boundOnly(resolveBase(a), stats, relOut)
               .filter(_._1 == dt.scale)
               .flatMap { case (_, b) => withinLong(U(UnscaledValue(a), dt.scale, b)) }
           case _ => None
@@ -270,10 +355,11 @@ class UnscaledDecimalSums(session: SparkSession) extends Rule[LogicalPlan] {
     * aliases): same algebra as toUnscaled, no rewrite.
     */
   private def boundOnly(
-      e: Expression, stats: FooterStats): Option[(Int, BigInt)] = e match {
+      e: Expression, stats: FooterStats,
+      relOut: AttributeSet): Option[(Int, BigInt)] = e match {
     case c @ Cast(_, dt: DecimalType, _, _)
         if dt.precision <= Decimal.MAX_LONG_DIGITS =>
-      maxAbs(c.child, stats).map { m =>
+      maxAbs(c.child, stats, relOut).map { m =>
         (dt.scale,
           (m * BigDecimal(10).pow(dt.scale))
             .setScale(0, scala.math.BigDecimal.RoundingMode.CEILING).toBigInt + 1)
@@ -281,24 +367,31 @@ class UnscaledDecimalSums(session: SparkSession) extends Rule[LogicalPlan] {
     case Literal(d: Decimal, dt: DecimalType) =>
       Some((dt.scale, BigInt(d.toUnscaledLong).abs))
     case co: CheckOverflow =>
-      boundOnly(co.child, stats).filter {
+      boundOnly(co.child, stats, relOut).filter {
         case (s, b) =>
           co.dataType.scale == s && b < BigInt(10).pow(co.dataType.precision)
       }
     case m @ Multiply(a, b, _) if m.dataType.isInstanceOf[DecimalType] =>
       for {
-        (sa, ba) <- boundOnly(a, stats); (sb, bb) <- boundOnly(b, stats)
+        (sa, ba) <- boundOnly(a, stats, relOut)
+        (sb, bb) <- boundOnly(b, stats, relOut)
         if m.dataType.asInstanceOf[DecimalType].scale == sa + sb
       } yield (sa + sb, ba * bb)
     case _ => None
   }
 
   /** Proven max |value| of a numeric cast INPUT, from footer statistics
-    * (attributes must resolve to base-relation columns) or literals.
+    * or literals. Attributes must be columns OF THE FACT RELATION by
+    * identity (exprId), not just by name: with joins below the aggregate
+    * (r21) a dim-side column could share a lower-cased name with a fact
+    * column and silently borrow its bound.
     */
-  private def maxAbs(e: Expression, stats: FooterStats): Option[BigDecimal] =
+  private def maxAbs(
+      e: Expression, stats: FooterStats,
+      relOut: AttributeSet): Option[BigDecimal] =
     e match {
-      case a: AttributeReference => stats.maxAbs.get(a.name.toLowerCase)
+      case a: AttributeReference if relOut.contains(a) =>
+        stats.maxAbs.get(a.name.toLowerCase)
       case Literal(v, _: NumericType) if v != null =>
         try Some(BigDecimal(v.toString, MathContext.UNLIMITED).abs)
         catch { case NonFatal(_) => None }
@@ -322,9 +415,14 @@ object UnscaledDecimalSums {
       rows: BigInt, maxAbs: Map[String, BigDecimal])
 
   // footers of immutable inputs, keyed by (path, length, modTime) — the
-  // same metadata read the scan planner performs, cached per JVM
+  // same metadata read the scan planner performs, cached per JVM.
+  // Bounded (r21): entries for overwritten files can never be hit again,
+  // so a long-running session over churning datasets would otherwise
+  // grow without limit; a full clear at the cap is cheaper and simpler
+  // than LRU for a cache whose entries cost one footer read to rebuild.
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, FooterStats]()
+  private val MaxCacheEntries = 4096
 
   private[plans] def footerStats(
       session: SparkSession, rel: LogicalRelation): Option[FooterStats] =
@@ -337,6 +435,7 @@ object UnscaledDecimalSums {
         val p = new org.apache.hadoop.fs.Path(f)
         val st = p.getFileSystem(conf).getFileStatus(p)
         val key = s"$f:${st.getLen}:${st.getModificationTime}"
+        if (cache.size > MaxCacheEntries) cache.clear()
         cache.computeIfAbsent(key, _ => readFooter(conf, st))
       }
       val rows = per.map(_.rows).sum
@@ -374,7 +473,24 @@ object UnscaledDecimalSums {
   /** Sound |max| for one column chunk, None when statistics are absent
     * or non-finite (NaN/Inf-tainted double stats fail BigDecimal and land
     * on None via the exception guard).
+    *
+    * Unsigned logical types DECLINE (r21): parquet stores UINT_32/UINT_64
+    * stats as raw two's-complement ints, so genericGetMin/Max on a column
+    * with values near 2^32 / 2^64 would return small-magnitude (or
+    * negative) numbers and the derived bound would UNDERestimate the true
+    * |value| by orders of magnitude — a silent overflow on legal
+    * Arrow/pandas-written inputs. Int stats are accepted only when the
+    * logical-type annotation is absent or explicitly signed.
     */
+  private def signedIntStats(
+      c: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData): Boolean =
+    c.getPrimitiveType.getLogicalTypeAnnotation match {
+      case null => true
+      case i: org.apache.parquet.schema.LogicalTypeAnnotation
+            .IntLogicalTypeAnnotation => i.isSigned
+      case _ => false // decimal/date/time/etc annotated ints: decline
+    }
+
   private def colMaxAbs(
       c: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData
   ): Option[BigDecimal] =
@@ -393,9 +509,10 @@ object UnscaledDecimalSums {
           case (mn: java.lang.Float, mx: java.lang.Float)
               if !mn.isNaN && !mn.isInfinite && !mx.isNaN && !mx.isInfinite =>
             Some(BigDecimal(math.max(math.abs(mn.toDouble), math.abs(mx.toDouble))))
-          case (mn: java.lang.Long, mx: java.lang.Long) =>
+          case (mn: java.lang.Long, mx: java.lang.Long) if signedIntStats(c) =>
             Some(BigDecimal(BigInt(mn.longValue).abs.max(BigInt(mx.longValue).abs)))
-          case (mn: java.lang.Integer, mx: java.lang.Integer) =>
+          case (mn: java.lang.Integer, mx: java.lang.Integer)
+              if signedIntStats(c) =>
             Some(BigDecimal(math.max(math.abs(mn.toLong), math.abs(mx.toLong))))
           case _ => None
         }

@@ -299,6 +299,15 @@ object CoreQueriesA {
     Q(
       "q3_join_agg",
       (s, dir) => {
+        // r21: exact key-uniqueness facts (memoized per file set) let the
+        // UnscaledDecimalSums proof carry through the unique-key joins —
+        // the revenue sum runs in codegen'd long space instead of
+        // per-row BigDecimal math. Results are bit-identical (the rewrite
+        // only fires under a proven overflow bound); oracle-hash-gated.
+        graft.plans.KeyUniqueness.ensure(s, s"$dir/orders.parquet",
+          Seq("o_orderkey"))
+        graft.plans.KeyUniqueness.ensure(s, s"$dir/customer.parquet",
+          Seq("c_custkey"))
         val c = t(s, dir, "customer").filter($"c_mktsegment" === "BUILDING")
         val o = t(s, dir, "orders").filter($"o_orderdate" < ts("1998-03-15"))
         val l = t(s, dir, "lineitem").filter($"l_shipdate" > ts("1998-03-15"))
@@ -333,6 +342,20 @@ object CoreQueriesA {
     Q(
       "q5_join_multi",
       (s, dir) => {
+        // r21: same unique-key proofs as q3 — every dim key in this
+        // 5-join star is a proven-unique column, so the revenue sum's
+        // overflow bound (lineitem footer rows) survives all five joins
+        // and the sum runs in long space
+        graft.plans.KeyUniqueness.ensure(s, s"$dir/orders.parquet",
+          Seq("o_orderkey"))
+        graft.plans.KeyUniqueness.ensure(s, s"$dir/customer.parquet",
+          Seq("c_custkey"))
+        graft.plans.KeyUniqueness.ensure(s, s"$dir/supplier.parquet",
+          Seq("s_suppkey"))
+        graft.plans.KeyUniqueness.ensure(s, s"$dir/nation.parquet",
+          Seq("n_nationkey"))
+        graft.plans.KeyUniqueness.ensure(s, s"$dir/region.parquet",
+          Seq("r_regionkey"))
         val r = t(s, dir, "region").filter($"r_name" === "ASIA")
         val n = t(s, dir, "nation")
         val c = t(s, dir, "customer")

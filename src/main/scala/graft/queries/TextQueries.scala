@@ -454,22 +454,40 @@ object TextQueries {
       "q_pipeline_corpus",
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        // stage 1: exact dedup (keep min doc_id per content hash)
-        val keepers = docs
-          .groupBy(sha2($"text", 256).as("h"))
-          .agg(min($"doc_id").as("doc_id"))
-          .select($"doc_id")
-        val deduped = docs.join(keepers, Seq("doc_id"))
-        // stage 2: quality filter (length + repetitiveness)
+        // r21 single-pass restructure (guide §2/§6, oracle-hash-gated):
+        // the r20 shape scanned documents TWICE (once to pick min-doc_id
+        // keepers per sha256, once as the probe side of a keeper join)
+        // and the pushed-down quality filter re-tokenized each row 3x.
+        // Now ONE scan computes (h, doc_id, lang, n_tokens, n_distinct)
+        // per row; the dedup becomes min_by over the digest — only these
+        // five small columns cross the exchange, never `text` (the §8
+        // proxy rule: decide placement on hashes and sizes, not
+        // payloads). Equivalence: equal digests mean equal text, so the
+        // per-row metrics of every row in a digest group are identical;
+        // min_by(_, doc_id) returns exactly the row the keeper join
+        // selected (doc_id is the fixture's unique key). The quality
+        // filter moves ABOVE the dedup aggregate — identical survivors,
+        // since metrics are constant within a group.
         val ws = TextOps.tokens($"text")
-        val quality = deduped
-          .withColumn("n_tokens", size(ws).cast("bigint"))
-          .withColumn("n_distinct", size(array_distinct(ws)).cast("bigint"))
-          .filter(
-            $"n_tokens" >= 20 &&
-              $"n_distinct" * lit(1.0) / $"n_tokens" >= 0.10
+        val perDoc = docs.select(
+          sha2($"text", 256).as("h"),
+          $"doc_id",
+          $"lang",
+          size(ws).cast("bigint").as("n_tokens"),
+          size(array_distinct(ws)).cast("bigint").as("n_distinct")
+        )
+        val keepers = perDoc
+          .groupBy($"h")
+          .agg(
+            min_by($"lang", $"doc_id").as("lang"),
+            min_by($"n_tokens", $"doc_id").as("n_tokens"),
+            min_by($"n_distinct", $"doc_id").as("n_distinct")
           )
-        // stage 3: per-language corpus stats. Corpus TTR is the ratio of
+        val quality = keepers.filter(
+          $"n_tokens" >= 20 &&
+            $"n_distinct" * lit(1.0) / $"n_tokens" >= 0.10
+        )
+        // per-language corpus stats. Corpus TTR is the ratio of
         // exact integer sums — no double summation anywhere, so the
         // distributed agg order cannot perturb the oracle hash.
         quality

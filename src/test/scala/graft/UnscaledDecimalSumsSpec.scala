@@ -115,6 +115,104 @@ class UnscaledDecimalSumsSpec extends SparkTestBase {
       s"rewrite fired above a join:\n${df.queryExecution}")
   }
 
+  // ------------------------------------------------------------------
+  // r21: unique-key inner equi-joins carry the proof through
+  // ------------------------------------------------------------------
+
+  /** A parquet dim with unique key `k` (0..12) and a non-unique variant
+    * `dupdim` where every key appears twice.
+    */
+  private lazy val dimPath: String = {
+    val dir = s"${tempDir("graft-udsums")}/dim"
+    spark.range(0, 13)
+      .select(col("id").as("k"), concat(lit("g"), col("id") % 3).as("grp"),
+        (col("id") * 11.5).as("price"))
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+  private lazy val dupDimPath: String = {
+    val dir = s"${tempDir("graft-udsums")}/dupdim"
+    spark.range(0, 26)
+      .select((col("id") % 13).as("k"), concat(lit("g"), col("id") % 3).as("grp"))
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("unique-key inner equi-join: proof carries through, bit-identical") {
+    graft.plans.KeyUniqueness.ensure(spark, dimPath, Seq("k"))
+    assertExactAndFired { s =>
+      val t = s.read.parquet(path)
+      val dim = s.read.parquet(dimPath).select(col("k"), col("grp"))
+      t.join(dim, "k")
+        .groupBy(col("grp"))
+        .agg(
+          sum(col("price").cast(DecimalType(14, 2))).as("s1"),
+          sum(col("price").cast(DecimalType(14, 2)) *
+            (lit(1).cast(DecimalType(4, 2)) -
+              col("disc").cast(DecimalType(4, 2)))).as("s2"),
+          count(lit(1)).as("n"))
+        .orderBy(col("grp"))
+    }
+  }
+
+  test("two-level star with a filtered dim still proves and matches") {
+    graft.plans.KeyUniqueness.ensure(spark, dimPath, Seq("k"))
+    assertExactAndFired { s =>
+      val t = s.read.parquet(path)
+      val dim = s.read.parquet(dimPath)
+        .filter(col("grp") =!= "g9").select(col("k"), col("grp"))
+      val dim2 = s.read.parquet(dimPath)
+        .select(col("k").as("k2"), col("grp").as("grp2"))
+      t.join(dim, "k")
+        .join(dim2, col("k") === col("k2"))
+        .groupBy(col("grp2"))
+        .agg(sum(col("price").cast(DecimalType(14, 2))).as("s1"))
+        .orderBy(col("grp2"))
+    }
+  }
+
+  test("duplicate-key dim declines: the exact harvest rejects it") {
+    graft.plans.KeyUniqueness.ensure(spark, dupDimPath, Seq("k"))
+    val s = newSession(rewrite = true)
+    val t = s.read.parquet(path)
+    val dim = s.read.parquet(dupDimPath)
+    val df = t.join(dim, "k")
+      .agg(sum(col("price").cast(DecimalType(14, 2))).as("s"))
+    assert(unscaledSums(df) == 0,
+      s"rewrite fired above a non-unique-key join:\n${df.queryExecution}")
+  }
+
+  test("dim-side summed column declines even when it shadows a fact name") {
+    // dim carries its own `price`; the bound of a DIM column cannot come
+    // from the FACT footer — attribute identity, not name, must gate it
+    graft.plans.KeyUniqueness.ensure(spark, dimPath, Seq("k"))
+    val s = newSession(rewrite = true)
+    val t = s.read.parquet(path).select(col("k"), col("disc"))
+    val dim = s.read.parquet(dimPath)
+    val df = t.join(dim, "k")
+      .agg(sum(col("price").cast(DecimalType(14, 2))).as("s"))
+    assert(unscaledSums(df) == 0,
+      s"rewrite fired on a dim-side column's sum:\n${df.queryExecution}")
+  }
+
+  test("stale uniqueness fact declines: a rewritten dim changes the fingerprint") {
+    val dir = s"${tempDir("graft-udsums")}/staledim"
+    spark.range(0, 13).select(col("id").as("k"), lit("x").as("grp"))
+      .write.mode("overwrite").parquet(dir)
+    graft.plans.KeyUniqueness.ensure(spark, dir, Seq("k"))
+    // overwrite with DUPLICATE keys after the harvest; ensure is not
+    // re-run, so only the fingerprint check protects exactness
+    spark.range(0, 26).select((col("id") % 13).as("k"), lit("y").as("grp"))
+      .write.mode("overwrite").parquet(dir)
+    val s = newSession(rewrite = true)
+    val t = s.read.parquet(path)
+    val dim = s.read.parquet(dir)
+    val df = t.join(dim, "k")
+      .agg(sum(col("price").cast(DecimalType(14, 2))).as("s"))
+    assert(unscaledSums(df) == 0,
+      s"rewrite trusted a stale uniqueness fact:\n${df.queryExecution}")
+  }
+
   test("scale-changing expressions decline (decimal division)") {
     val s = newSession(rewrite = true)
     val t = s.read.parquet(path)
