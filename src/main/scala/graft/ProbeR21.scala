@@ -15,6 +15,8 @@ object ProbeR21 {
     val spark = GraftSession.local(cores = 32, appName = "probe-r21").spark
     import spark.implicits._
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if (args.contains("rules")) { rulesProbe(spark, dir); spark.stop(); return }
+    if (args.contains("store")) { storeSweep(spark, dir); spark.stop(); return }
     val doc = graft.queries.QueryUtil.t(spark, dir, "documents")
     def time[A](l: String)(b: => A): A = {
       val t0 = System.nanoTime(); val r = b
@@ -110,5 +112,66 @@ object ProbeR21 {
     PersistScope.releaseAll()
     println(s"[probe] results match: ${a == b} (|A|=${a.size}, |B|=${b.size})")
     spark.stop()
+  }
+
+  /** Store-layout sweep (guide §6 output sizing): materialize the MinHash
+    * store with 1/2/4/8 files per side and time the q_dedup_incremental
+    * exec path against each — same rows, different file layout (the r20
+    * 32-file variant measured worse; this brackets the low end).
+    */
+  private def storeSweep(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    import graft.queries.QueryUtil
+    val doc = QueryUtil.t(spark, dir, "documents")
+    val increment = doc.filter(col("doc_id") % 10 === 9)
+    def time[A](l: String)(b: => A): A = {
+      val t0 = System.nanoTime(); val r = b
+      println(f"[store] $l%-28s ${(System.nanoTime() - t0) / 1e9}%8.3f s"); r
+    }
+    for (k <- Seq(8, 4, 2, 1)) {
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft-store-sweep-$k").toString
+      val input = if (k == 1) doc else doc.repartition(k, col("doc_id"))
+      val index = MinHashIndex.materialize(input, root)
+      val files = Seq("shingles", "bands").map { side =>
+        val p = new java.io.File(s"$root/v1/base/$side")
+        Option(p.listFiles()).map(_.count(_.getName.endsWith(".parquet"))).getOrElse(-1)
+      }
+      println(s"[store] k=$k files(shingles,bands)=${files.mkString(",")}")
+      def run(): Unit = {
+        graft.queries.DedupQueries.incrementalPairs(spark, increment, index, 0.5)
+          .write.format("noop").mode("overwrite").save()
+        PersistScope.releaseAll()
+      }
+      run() // warm
+      (1 to 3).foreach(i => time(s"k=$k incremental exec $i")(run()))
+    }
+  }
+
+  /** Where does per-query PLAN time go? Build + fully plan every bench
+    * query 3x, then dump Catalyst's per-rule time ledger — the receipt
+    * for deciding whether injected-rule overhead is worth shaving.
+    */
+  private def rulesProbe(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val headline = graft.queries.Registry.all.filter(_.bench)
+    // warm: JIT + caches (schema, footer, uniqueness memos)
+    headline.foreach { q =>
+      try { q.fn(spark, dir).queryExecution.executedPlan: Unit }
+      catch { case e: Throwable => println(s"[rules] ${q.name} FAILED: $e") }
+      finally PersistScope.releaseAll()
+    }
+    org.apache.spark.sql.catalyst.rules.RuleExecutor.resetMetrics()
+    val t0 = System.nanoTime()
+    (1 to 3).foreach { _ =>
+      headline.foreach { q =>
+        try { q.fn(spark, dir).queryExecution.executedPlan: Unit }
+        catch { case _: Throwable => () }
+        finally PersistScope.releaseAll()
+      }
+    }
+    val total = (System.nanoTime() - t0) / 1e6
+    println(f"[rules] 3x full-bench planning wall: $total%.0f ms")
+    println(org.apache.spark.sql.catalyst.rules.RuleExecutor.dumpTimeSpent())
   }
 }

@@ -315,6 +315,62 @@ object ScaleProbe {
     val bigFired = big.queryExecution.executedPlan.toString.contains("UnscaledValue")
     println(s"decline case (unprovable bound at 16M rows): fired=$bigFired (must be false)")
     require(!bigFired, "udsums probe: unprovable bound must decline")
+
+    // r21: the unique-key-join extension at scale — the q3/q5 shape
+    // (money sum ABOVE an inner equi-join) over healthy multi-row-group
+    // parquet, 16M-row fact x 100k-row dim. The proof needs an EXACT
+    // KeyUniqueness fact for the dim key; a duplicate-key dim must
+    // decline (output rows could exceed the fact footer count and the
+    // bound would be unsound).
+    println("--- r21: unscaled sums through a unique-key join, 16M x 100k ---")
+    val n = 16000000L
+    val factJ = s"$dir/factj_$n"
+    val dimJ = s"$dir/dimj"
+    val dupJ = s"$dir/dupj"
+    spark.range(n).select(
+      pmod(col("id"), lit(100000)).as("k2"),
+      ((col("id") % 99991) * 1.37 + 0.11).as("price"),
+      ((col("id") % 9) / 100.0 + 0.01).as("disc"))
+      .write.mode("overwrite").parquet(factJ)
+    spark.range(100000).select(
+      col("id").as("k2"), concat(lit("g"), pmod(col("id"), lit(7))).as("grp"))
+      .write.mode("overwrite").parquet(dimJ)
+    spark.range(200000).select(
+      pmod(col("id"), lit(100000)).as("k2"),
+      concat(lit("g"), pmod(col("id"), lit(7))).as("grp"))
+      .write.mode("overwrite").parquet(dupJ)
+    def joinShape(ss: SparkSession, dim: String) = {
+      val one = lit(1).cast(DecimalType(4, 2))
+      ss.read.parquet(factJ)
+        .join(ss.read.parquet(dim), "k2")
+        .groupBy(col("grp"))
+        .agg(
+          sum(col("price").cast(DecimalType(14, 2)) *
+            (one - col("disc").cast(DecimalType(4, 2)))).as("rev"),
+          count(lit(1)).as("cnt"))
+    }
+    graft.plans.KeyUniqueness.ensure(spark, dimJ, Seq("k2"))
+    graft.plans.KeyUniqueness.ensure(spark, dupJ, Seq("k2"))
+    val sOnJ = sess(rewrite = true); val sOffJ = sess(rewrite = false)
+    val firedJ = joinShape(sOnJ, dimJ).queryExecution.executedPlan.toString
+      .contains("UnscaledValue")
+    def bestJ(ss: SparkSession): Double = {
+      def run(): Unit =
+        joinShape(ss, dimJ).write.format("noop").mode("overwrite").save()
+      run()
+      (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+    val onJ = bestJ(sOnJ); val offJ = bestJ(sOffJ)
+    val sameJ = joinShape(sOnJ, dimJ).orderBy(col("grp")).collect().toSeq ==
+      joinShape(sOffJ, dimJ).orderBy(col("grp")).collect().toSeq
+    println(f"join 16Mx100k  on=$onJ%6.2fs off=$offJ%6.2fs speedup=${offJ / onJ}%5.2fx fired=$firedJ exact=$sameJ")
+    require(firedJ && sameJ, "udsums join probe: rewrite must fire and match")
+    val dupFired = joinShape(sOnJ, dupJ).queryExecution.executedPlan.toString
+      .contains("UnscaledValue")
+    println(s"decline case (duplicate-key dim): fired=$dupFired (must be false)")
+    require(!dupFired, "udsums join probe: non-unique dim key must decline")
   }
 
   /** PreAggExpand economics: CUBE over N rows with and without the

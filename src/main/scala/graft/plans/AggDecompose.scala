@@ -111,10 +111,24 @@ private[plans] object AggDecompose {
     * buffer raises only on a TRUE total overflow, so a succeeding ANSI
     * query can never turn into an error), DoubleType for float/double
     * (the usual reassociation ulp), and for decimal(p<=17,s) the exact
-    * decimal product — bit-identical to the naive plan (wider decimals
-    * bail: the product would round through Spark's precision-loss
-    * typing). Decimal avgs bail (division typing), TRY-mode sums bail
-    * (null-on-overflow would mis-skip). Returns the RE-AGGREGATION
+    * decimal product — bit-identical to the naive plan.
+    *
+    * REFUSAL BOUNDS (r21, made explicit): (1) decimal p>17 bails because
+    * the weight must be typed decimal(20,0) to hold any long count, and
+    * decimal(p,s) x decimal(20,0) lands in decimal(p+21,s) — past
+    * p=17 that exceeds 38 and Spark's precision-loss typing ROUNDS the
+    * product, breaking bit-equality. The bound is the weight's 20
+    * digits, not the data: a proven per-grain row-count ceiling (e.g.
+    * the fact footer rows, as in UnscaledDecimalSums) of d digits would
+    * admit p <= 37-d exactly — left unimplemented because no registered
+    * workload sums decimals wider than 17 under a join today. (2)
+    * decimal AVG bails in every mode: vanilla's Average(decimal(p,s))
+    * divides in its own result typing (p+4 scale bump), while the
+    * decomposed sum(x*w)/sum(w) divides decimal(p+21,s) by long — Spark
+    * types that division differently and the HALF_UP landing can differ
+    * in the last digit; no cast sequence reproduces vanilla's rounding
+    * point exactly. (3) TRY-mode sums bail (null-on-overflow would
+    * mis-skip). Returns the RE-AGGREGATION
     * expression (no new
     * partials — the caller plants the shared weight column once);
     * min/max/distinct never come here (they ride verbatim), filtered

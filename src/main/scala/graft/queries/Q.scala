@@ -52,13 +52,40 @@ object QueryUtil {
   private val schemaCache =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
 
+  // r21: resolved-READ cache. Even with the schema memoized, every
+  // `spark.read.parquet(path)` re-resolves the relation during the next
+  // query's analysis — file-index construction + options resolution
+  // measured at ~11 ms per call on the fixtures (ProbeR21 `rules`:
+  // ResolveDataSource 898 ms of 2.65 s total Catalyst rule time across 3
+  // full-bench planning passes, 81 resolutions — the single largest
+  // planning cost, 17x all graft rules combined). A catalog-backed table
+  // resolves once and reuses; this gives the same economics to the
+  // fixture path reads (guide §6's file-listing cache, applied at the
+  // relation level). METADATA ONLY: queries still optimize, plan and
+  // execute from parquet on every run. Keyed by session identity AND the
+  // target's (length, modTime), so a rewritten file re-resolves and
+  // another session never sees a foreign session's relation state.
+  private val relationCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     val path = s"$dir/$name.parquet"
-    val schema =
-      schemaCache.computeIfAbsent(path, p => spark.read.parquet(p).schema)
-    spark.read.schema(schema).parquet(path)
+    val ident =
+      try {
+        val p = new org.apache.hadoop.fs.Path(path)
+        val st = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .getFileStatus(p)
+        s"${st.getLen}:${st.getModificationTime}"
+      } catch { case scala.util.control.NonFatal(_) => "?" }
+    val key = s"${System.identityHashCode(spark)}:$path:$ident"
+    if (relationCache.size > 512) relationCache.clear()
+    relationCache.computeIfAbsent(key, { _ =>
+      val schema =
+        schemaCache.computeIfAbsent(path, p => spark.read.parquet(p).schema)
+      spark.read.schema(schema).parquet(path)
+    })
   }
 
   /** events with `ts` as a real TimestampType (micros). The fixture has
